@@ -1,22 +1,26 @@
-"""amazonredshift_blueprints_spark — a PySpark-native analytics engine.
+"""PySpark-native analytics engine with the capabilities of
+shipyardapp/amazonredshift-blueprints (reference read-only at
+/root/reference), rebuilt Spark-first per SURVEY.md.
 
-Brand-new engine with the query and data-processing capabilities of
-``shipyardapp/amazonredshift-blueprints`` (reference at /root/reference),
-re-expressed Spark-first:
-
-- ``sources``   — file discovery + CSV/parquet scans (reference upload_file.py:85-126)
-- ``operators`` — ingest / export / SQL pass-through parity ops, plus
-  LLM-data-pipeline extensions (dedup, similarity, text analysis,
-  sessionization, multimodal)
-- ``functions`` — Redshift-dialect SQL shim and vector column helpers
-- ``plans``     — the named-query catalog (each query paired with a DuckDB
-  oracle) that backs ``__spark_entry__.queries()``
-- ``streaming`` — Structured Streaming variants over the events table
-
-Everything is DataFrame/Spark-SQL first: Catalyst plans the physical
-execution (broadcast vs sort-merge joins, partial aggregation, predicate
-pushdown); nothing here hand-schedules work or materializes data on the
-driver.
+Layout:
+- ``session``   — SparkSession factory + fixture catalog registration.
+- ``ingest``    — CSV → table loads (reference upload_file.py parity).
+- ``export``    — query → CSV (reference store_query_results.py parity).
+- ``sqlrun``    — SQL statement pass-through (reference execute_sql.py parity).
+- ``functions`` — Redshift-dialect compatibility shims.
+- ``plans``     — named-query catalog (QuerySpec registry) driving
+  ``__spark_entry__.queries()`` / ``oracle_sql()``.
+- ``operators`` — LLM-data-pipeline extensions: dedup, similarity search,
+  text analysis, sessionization, multimodal column plumbing.
+- ``streaming`` — Structured Streaming variants (events sessionization).
 """
 
-__version__ = "0.1.0"
+from .session import configure_runtime, get_spark, load_table, load_tables, register_tables
+
+__all__ = [
+    "configure_runtime",
+    "get_spark",
+    "load_table",
+    "load_tables",
+    "register_tables",
+]

@@ -1,7 +1,9 @@
-"""Named-query catalog: the engine's declared capability surface.
+"""Named-query catalog backing ``__spark_entry__.queries()``.
 
-``catalog.QUERIES`` maps query name → QuerySpec(spark_fn, oracle_sql).
-``__spark_entry__`` at the repo root exposes this registry to the driver.
+Each ``QuerySpec`` pairs a Spark DataFrame builder with the ANSI-SQL
+oracle the driver runs in DuckDB (SURVEY.md §5.2).
 """
 
-from .catalog import QUERIES, QuerySpec  # noqa: F401
+from .catalog import QUERIES, QuerySpec, query
+
+__all__ = ["QUERIES", "QuerySpec", "query"]

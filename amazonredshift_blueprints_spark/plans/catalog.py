@@ -1,0 +1,897 @@
+"""Named-query catalog: every operator family from SURVEY.md §2 as a
+(Spark builder, DuckDB oracle SQL) pair.
+
+Reference basis: the reference's whole relational surface is the verbatim
+SQL hand-off at ``store_query_results.py:103`` / ``execute_sql.py:77``;
+each entry here exercises one family of that delegated surface (SURVEY.md
+§2 Part B) or a native/extension operator (Parts A/C), Spark-first.
+
+Determinism contract with the DuckDB oracle (the driver hashes values):
+- Money/quantity SUMs go through ``CAST(x AS DECIMAL(18,2))`` before
+  summing: the decimal sum is exact, so it is identical regardless of
+  partition/aggregation order or engine. The result is cast back to
+  DOUBLE so both engines report the same type.
+- AVGs are computed as exact decimal SUM / COUNT — one deterministic
+  double division instead of an order-dependent running mean.
+- Window orderings always carry a unique tiebreaker key.
+- Transcendentals (ln, log10) are rounded to 6 decimals: libm last-ulp
+  differences between the JVM and DuckDB would otherwise flip value
+  hashes.
+- Integer-ish derived scalars are cast to BIGINT on both sides (Spark
+  ``hour()`` is INT, DuckDB ``extract`` is BIGINT, ...).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import translate_redshift_sql
+from ..session import configure_runtime, load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One catalog entry: a Spark plan builder plus its DuckDB oracle."""
+
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None  # None → driver does a rows-only check
+    doc: str = ""
+    bench: bool = False  # include in bench.py headline set
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    bench: bool = False,
+    tags: tuple[str, ...] = (),
+):
+    """Register a builder function under ``name``."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = QuerySpec(name, fn, oracle, doc, bench, tags)
+        return fn
+
+    return deco
+
+
+def views(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load the named fixture tables and register them as temp views."""
+    out = {}
+    for n in names:
+        df = load_table(spark, sf_dir, n)
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out
+
+
+def dsum(col, alias: str):
+    """Order-independent money sum: exact decimal sum, reported as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+def davg(col, alias: str):
+    """Deterministic mean: exact decimal sum / count, one double division."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(c.cast("decimal(18,2)")).cast("double") / F.count(c)
+    ).alias(alias)
+
+
+_DSUM_SQL = "CAST(SUM(CAST({x} AS DECIMAL(18,2))) AS DOUBLE)"
+_DAVG_SQL = "CAST(SUM(CAST({x} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({x})"
+
+# price * (1 - discount) [* (1 + tax)] computed wholly in the decimal
+# domain: casting the *product* of doubles to decimal is engine-dependent
+# (Spark rounds the shortest decimal repr, DuckDB the exact binary value),
+# but casting the raw 2-decimal-valued inputs is unambiguous, and decimal
+# arithmetic after that is exact in both engines. (Functions, not module
+# constants: Column construction needs an active SparkContext.)
+
+
+def _disc_price():
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+
+
+def _charge():
+    return _disc_price() * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
+
+
+_DISC_PRICE_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+_CHARGE_SQL = f"({_DISC_PRICE_SQL}) * (1 + CAST(l_tax AS DECIMAL(4,2)))"
+
+
+def dsum_exact(expr, alias: str):
+    """Sum an already-exact decimal expression; report as double."""
+    return F.sum(expr).cast("double").alias(alias)
+
+
+# --------------------------------------------------------------------------
+# Flagship (Phase 0): TPC-H Q1-style pricing summary.
+# scan → filter (pushed to parquet) → project → partial+final hash agg → sort
+# --------------------------------------------------------------------------
+
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_DSUM_SQL.format(x='l_quantity')} AS sum_qty,
+           {_DSUM_SQL.format(x='l_extendedprice')} AS sum_base_price,
+           CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({_CHARGE_SQL}) AS DOUBLE) AS sum_charge,
+           {_DAVG_SQL.format(x='l_quantity')} AS avg_qty,
+           {_DAVG_SQL.format(x='l_extendedprice')} AS avg_price,
+           {_DAVG_SQL.format(x='l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary: filter→hash-agg→sort (SURVEY §7 Phase 0)",
+    bench=True,
+    tags=("agg", "flagship"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = views(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum_exact(_disc_price(), "sum_disc_price"),
+            dsum_exact(_charge(), "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Part B: projection / filter / string scalars
+# --------------------------------------------------------------------------
+
+@query(
+    "q02_filter_project_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           substring(c_name, 1, 8) AS name_prefix,
+           concat(c_mktsegment, '-', CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           replace(lower(c_name), 'customer', 'cust') AS name_replaced,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           split_part(c_name, '#', 2) AS name_num,
+           CAST(instr(c_name, '#') AS BIGINT) AS hash_pos
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      AND c_acctbal BETWEEN 0 AND 5000
+      AND c_name LIKE '%1%'
+      AND c_acctbal IS NOT NULL
+    """,
+    doc="WHERE (IN/BETWEEN/LIKE/IS NULL) + string scalar functions",
+    tags=("scalar", "filter"),
+)
+def q02_filter_project_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = views(spark, sf_dir, "customer")["customer"]
+    return (
+        c.filter(
+            F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+            & F.col("c_acctbal").between(0, 5000)
+            & F.col("c_name").like("%1%")
+            & F.col("c_acctbal").isNotNull()
+        )
+        .select(
+            "c_custkey",
+            F.upper("c_name").alias("name_upper"),
+            F.substring("c_name", 1, 8).alias("name_prefix"),
+            F.concat_ws("-", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_nation"),
+            F.replace(F.lower("c_name"), F.lit("customer"), F.lit("cust")).alias("name_replaced"),
+            F.length("c_name").cast("long").alias("name_len"),
+            F.split_part("c_name", F.lit("#"), F.lit(2)).alias("name_num"),
+            F.instr("c_name", "#").cast("long").alias("hash_pos"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Part B: joins
+# --------------------------------------------------------------------------
+
+@query(
+    "q03_join_revenue_by_nation",
+    oracle=f"""
+    SELECT n_name,
+           CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+    doc="TPC-H Q5-style 6-way equi join; dims broadcast, fact shuffles once",
+    bench=True,
+    tags=("join", "agg"),
+)
+def q03_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = views(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region")
+    # Dimension sides are tiny relative to lineitem at any SF — broadcast
+    # them explicitly so the fact table never shuffles for the dim joins.
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(dsum_exact(_disc_price(), "revenue"))
+        .orderBy(F.desc("revenue"))
+    )
+
+
+@query(
+    "q04_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    """,
+    doc="left-semi join (EXISTS); Spark plans a broadcast/shuffled semi join",
+    tags=("join",),
+)
+def q04_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = views(spark, sf_dir, "customer", "orders")
+    big = t["orders"].filter(F.col("o_totalprice") > 100000)
+    return t["customer"].join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q05_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    """,
+    doc="left-anti join (NOT EXISTS): customers with no urgent order",
+    tags=("join",),
+)
+def q05_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = views(spark, sf_dir, "customer", "orders")
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return t["customer"].join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q06_join_left_outer",
+    oracle="""
+    SELECT o_orderkey,
+           COUNT(l_orderkey) AS n_items,
+           CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_qty
+    FROM orders
+    LEFT JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey
+    """,
+    doc="left outer join preserving empty orders; COUNT(col) null semantics",
+    tags=("join", "agg"),
+)
+def q06_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = views(spark, sf_dir, "orders", "lineitem")
+    return (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("l_orderkey").alias("n_items"),
+            F.coalesce(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")), F.lit(0)
+            ).cast("double").alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "q07_join_full_outer",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+    doc="full outer join of two aggregates with COALESCE key merge",
+    tags=("join",),
+)
+def q07_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = views(spark, sf_dir, "customer", "supplier")
+    c = t["customer"].groupBy(F.col("c_nationkey").alias("nk")).agg(F.count("*").alias("n_cust"))
+    s = t["supplier"].groupBy(F.col("s_nationkey").alias("nk")).agg(F.count("*").alias("n_supp"))
+    return c.join(s, "nk", "full_outer").select(
+        F.coalesce(c["nk"], s["nk"]).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "q08_join_theta",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_pairs
+    FROM supplier
+    JOIN customer ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="equi join with non-equi (theta) residual predicate",
+    tags=("join",),
+)
+def q08_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = views(spark, sf_dir, "supplier", "customer", "nation")
+    return (
+        t["supplier"]
+        .join(
+            t["customer"],
+            (F.col("s_nationkey") == F.col("c_nationkey"))
+            & (F.col("s_acctbal") > F.col("c_acctbal")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
+    "q09_join_cross",
+    oracle="""
+    SELECT r_name, n_name
+    FROM region CROSS JOIN nation
+    WHERE n_nationkey < 10
+    """,
+    doc="cross join (broadcast nested loop); bounded by dimension sizes",
+    tags=("join",),
+)
+def q09_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = views(spark, sf_dir, "region", "nation")
+    return t["region"].crossJoin(
+        t["nation"].filter(F.col("n_nationkey") < 10)
+    ).select("r_name", "n_name")
+
+
+# --------------------------------------------------------------------------
+# Part B: aggregation
+# --------------------------------------------------------------------------
+
+@query(
+    "q10_agg_hash",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           {_DSUM_SQL.format(x='o_totalprice')} AS sum_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           {_DAVG_SQL.format(x='o_totalprice')} AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    """,
+    doc="multi-key hash aggregate; Spark plans partial+final HashAggregate",
+    tags=("agg",),
+)
+def q10_agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = views(spark, sf_dir, "orders")["orders"]
+    return o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice", "sum_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        davg("o_totalprice", "avg_price"),
+    )
+
+
+@query(
+    "q11_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="multiple COUNT(DISTINCT) in one aggregate (expand+two-phase in Spark)",
+    tags=("agg",),
+)
+def q11_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = views(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q12_agg_approx_distinct",
+    oracle=None,  # HLL implementations differ across engines → rows-only gate;
+    # exactness is covered by q11; the pytest suite asserts the approx result
+    # is within rsd of the exact count.
+    doc="approx_count_distinct (HLL++): the 100 TB path for distinct counts",
+    tags=("agg",),
+)
+def q12_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = views(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q13_agg_rollup",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           COUNT(*) AS n_orders,
+           {_DSUM_SQL.format(x='o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="GROUP BY ROLLUP with GROUPING() flags",
+    tags=("agg",),
+)
+def q13_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = views(spark, sf_dir, "orders")["orders"]
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice", "sum_price"),
+    ).select(
+        "o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n_orders", "sum_price"
+    )
+
+
+@query(
+    "q14_agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="GROUP BY CUBE (all grouping-set combinations)",
+    tags=("agg",),
+)
+def q14_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = views(spark, sf_dir, "lineitem")["lineitem"]
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n_rows"))
+
+
+# --------------------------------------------------------------------------
+# Part B: windows
+# --------------------------------------------------------------------------
+
+@query(
+    "q15_window_rank",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               CAST(rank()       OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+               CAST(ntile(4)     OVER w AS BIGINT) AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 3
+    """,
+    doc="ranking window functions, top-3 orders per customer",
+    bench=True,
+    tags=("window",),
+)
+def q15_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = views(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q16_window_frames",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3,
+           lag(o_totalprice)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+           lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price,
+           first_value(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price
+    FROM orders
+    """,
+    doc="analytic window functions with explicit ROWS frames",
+    tags=("window",),
+)
+def q16_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = views(spark, sf_dir, "orders")["orders"]
+    order_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = order_w.rowsBetween(-2, Window.currentRow)
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(price_dec).over(run).cast("double").alias("running_total"),
+        F.sum(price_dec).over(mov).cast("double").alias("moving_sum3"),
+        F.lag("o_totalprice").over(order_w).alias("prev_price"),
+        F.lead("o_totalprice").over(order_w).alias("next_price"),
+        F.first("o_totalprice").over(run).alias("first_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Part B: sort / top-k / set ops
+# --------------------------------------------------------------------------
+
+@query(
+    "q17_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="ORDER BY + LIMIT → TakeOrderedAndProject (true distributed top-k)",
+    tags=("sort",),
+)
+def q17_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = views(spark, sf_dir, "orders", "customer")
+    return (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice", "c_name")
+    )
+
+
+_SETOPS_SQL = """
+    WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+    SELECT 'both' AS op, nk FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+    UNION ALL
+    SELECT 'cust_only' AS op, nk FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+    UNION ALL
+    SELECT 'either' AS op, nk FROM (SELECT nk FROM cn UNION SELECT nk FROM sn)
+"""
+
+
+@query(
+    "q18_setops",
+    oracle=_SETOPS_SQL,
+    doc="INTERSECT / EXCEPT / UNION [ALL] — identical SQL both engines",
+    tags=("setops",),
+)
+def q18_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "customer", "supplier")
+    return spark.sql(_SETOPS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Part B: scalar function families
+# --------------------------------------------------------------------------
+
+@query(
+    "q19_scalar_dates",
+    oracle="""
+    SELECT event_id,
+           date_trunc('day', ts) AS day_ts,
+           CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+           ts + INTERVAL 7 DAY AS ts_plus7,
+           CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT) AS days_since,
+           strftime(ts, '%Y-%m') AS month_str,
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS d
+    FROM events
+    WHERE event_type IN ('view', 'click')
+    """,
+    doc="date/time scalars over the nanos-fixed events table",
+    tags=("scalar", "events"),
+)
+def q19_scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = views(spark, sf_dir, "events")["events"]
+    return e.filter(F.col("event_type").isin("view", "click")).select(
+        "event_id",
+        F.date_trunc("day", "ts").alias("day_ts"),
+        F.hour("ts").cast("long").alias("hr"),
+        (F.col("ts") + F.expr("INTERVAL 7 DAY")).alias("ts_plus7"),
+        F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date")).cast("long").alias("days_since"),
+        F.date_format("ts", "yyyy-MM").alias("month_str"),
+        # DATE rendered as string: pandas/arrow date-vs-timestamp coercion
+        # differs between engines even when the values agree.
+        F.col("ts").cast("date").cast("string").alias("d"),
+    )
+
+
+@query(
+    "q20_scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS abs_disc,
+           ceil(l_extendedprice) AS price_ceil,
+           floor(l_extendedprice) AS price_floor,
+           round(ln(l_extendedprice), 6) AS ln_price,
+           round(log10(l_extendedprice), 6) AS log10_price,
+           sqrt(l_quantity) AS sqrt_qty,
+           l_quantity * l_quantity AS qty_sq,
+           CAST(mod(l_orderkey, 7) AS BIGINT) AS key_mod7
+    FROM lineitem
+    WHERE l_linenumber = 1
+    """,
+    doc="math scalars; ln/log10 rounded (libm last-ulp divergence across engines)",
+    tags=("scalar",),
+)
+def q20_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = views(spark, sf_dir, "lineitem")["lineitem"]
+    return li.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey", "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.round(F.log10("l_extendedprice"), 6).alias("log10_price"),
+        F.sqrt("l_quantity").alias("sqrt_qty"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        (F.col("l_orderkey") % 7).cast("long").alias("key_mod7"),
+    )
+
+
+@query(
+    "q21_scalar_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS price_bucket,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 ELSE 9 END AS prio_rank
+    FROM orders
+    """,
+    doc="CASE WHEN / COALESCE / NULLIF / DECODE-style mapping",
+    tags=("scalar",),
+)
+def q21_scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = views(spark, sf_dir, "orders")["orders"]
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("price_bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias("status_label"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .when(F.col("o_orderpriority") == "2-HIGH", 2)
+        .otherwise(9)
+        .alias("prio_rank"),
+    )
+
+
+@query(
+    "q22_scalar_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+                THEN 'high' ELSE 'low' END AS k_bucket
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+    doc="JSON extraction over events.props (Redshift JSON_EXTRACT_PATH_TEXT analog)",
+    tags=("scalar", "events", "json"),
+)
+def q22_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = views(spark, sf_dir, "events")["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        k.alias("k"),
+        F.when(k >= 50, "high").otherwise("low").alias("k_bucket"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Part B: CTE / subqueries / DDL / DML / dialect
+# --------------------------------------------------------------------------
+
+@query(
+    "q23_cte_subquery",
+    oracle="""
+    WITH cust_tot AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_name, tot
+    FROM customer JOIN cust_tot ON c_custkey = o_custkey
+    WHERE tot > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                        / COUNT(DISTINCT o_custkey)
+                 FROM orders)
+    """,
+    doc="CTE + scalar subquery threshold (decimal-exact for determinism)",
+    tags=("subquery",),
+)
+def q23_cte_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "customer", "orders")
+    return spark.sql("""
+        WITH cust_tot AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c_custkey, c_name, tot
+        FROM customer JOIN cust_tot ON c_custkey = o_custkey
+        WHERE tot > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                            / COUNT(DISTINCT o_custkey)
+                     FROM orders)
+    """)
+
+
+@query(
+    "q24_ddl_ctas_insert",
+    oracle=f"""
+    WITH unioned AS (
+        SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT o_orderpriority, COUNT(*) AS n, {_DSUM_SQL.format(x='o_totalprice')} AS total
+    FROM unioned GROUP BY o_orderpriority
+    """,
+    doc="CREATE TABLE AS SELECT + INSERT INTO ... SELECT on the session catalog "
+        "(reference analog: execute_sql.py:77 DDL/DML pass-through)",
+    tags=("ddl",),
+)
+def q24_ddl_ctas_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "orders")
+    loc = tempfile.mkdtemp(prefix="bp_ctas_")
+    shutil.rmtree(loc, ignore_errors=True)  # CTAS wants a fresh location
+    spark.sql("DROP TABLE IF EXISTS bp_ctas_demo")
+    spark.sql(f"""
+        CREATE TABLE bp_ctas_demo USING PARQUET LOCATION '{loc}' AS
+        SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+    """)
+    spark.sql("""
+        INSERT INTO bp_ctas_demo
+        SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+    """)
+    return spark.sql("""
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM bp_ctas_demo GROUP BY o_orderpriority
+    """)
+
+
+_REDSHIFT_DIALECT_SQL = """
+    SELECT o_orderkey,
+           DATEDIFF(day, o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS age_days,
+           DATEDIFF(month, o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS age_months,
+           DATEDIFF(year, o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS age_years,
+           NVL(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_label
+    FROM orders
+    WHERE o_orderstatus <> 'O'
+"""
+
+
+@query(
+    "q25_redshift_dialect",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS BIGINT) AS age_days,
+           CAST(date_diff('month', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS BIGINT) AS age_months,
+           CAST(date_diff('year', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS BIGINT) AS age_years,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_label
+    FROM orders
+    WHERE o_orderstatus <> 'O'
+    """,
+    doc="Redshift-dialect SQL (DATEDIFF arg order, NVL) through the translation shim",
+    tags=("dialect",),
+)
+def q25_redshift_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "orders")
+    translated = translate_redshift_sql(_REDSHIFT_DIALECT_SQL)
+    df = spark.sql(translated)
+    # Redshift DATEDIFF returns BIGINT; normalize the shim's INT days.
+    return df.select(
+        "o_orderkey",
+        F.col("age_days").cast("long").alias("age_days"),
+        F.col("age_months").cast("long").alias("age_months"),
+        F.col("age_years").cast("long").alias("age_years"),
+        "status_label",
+    )
+
+
+@query(
+    "q26_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q3-style: selective join + agg + top-k with deterministic ties",
+    bench=True,
+    tags=("join", "agg", "sort"),
+)
+def q26_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = views(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") > cutoff)
+        .join(t["orders"].filter(F.col("o_orderdate") < cutoff),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"].filter(F.col("c_mktsegment") == "BUILDING")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum_exact(_disc_price(), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(20)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )

@@ -1,8 +1,9 @@
 """SparkSession factory + catalog registration.
 
 The reference resolves a connection/catalog from host/port/database args
-(upload_file.py:79-82, execute_sql.py:58-60); here the "catalog" is the
-Spark session catalog with one temp view per fixture parquet table.
+(amazonredshift_blueprints/upload_file.py:79-82, execute_sql.py:58-60); here
+the "catalog" is the Spark session catalog with one temp view per fixture
+parquet table.
 
 Scale notes (100 TB design):
 - AQE on: runtime join-strategy re-planning, skew-join splitting, and
@@ -11,6 +12,10 @@ Scale notes (100 TB design):
   coalesces small post-shuffle partitions automatically.
 - Timezone pinned to UTC so timestamp semantics match the DuckDB oracle
   and are cluster-location independent.
+- ``events.parquet`` stores INT64 TIMESTAMP(NANOS) which Spark 4.x refuses
+  to read natively; we read it as long (``nanosAsLong``) and cast back to a
+  microsecond timestamp — the exact value DuckDB produces for the same file
+  (the fixture's nanos are all whole microseconds).
 """
 
 from __future__ import annotations
@@ -18,6 +23,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -34,52 +40,110 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Runtime-settable confs every query relies on. Applied both when we build
+# the session (get_spark) and when we receive one we didn't build
+# (configure_runtime) — the driver harness constructs its own SparkSession.
+_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet has INT64 TIMESTAMP(NANOS,false); without this Spark
+    # 4.x raises PARQUET_TYPE_ILLEGAL on read. With it, ts arrives as a
+    # long we convert in load_tables().
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def _cpu_spec() -> str:
+    """SPARK_GRAFT_CPUS may be an int or '*'; both are valid local[] specs."""
+    raw = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if raw == "*" or raw.isdigit():
+        return raw
+    return str(os.cpu_count() or 8)
+
+
+def _shuffle_partitions(cpu_spec: str) -> int:
+    n = int(cpu_spec) if cpu_spec.isdigit() else (os.cpu_count() or 8)
+    return max(n, 8)
+
 
 def get_spark(app_name: str = "amazonredshift-blueprints-spark") -> SparkSession:
     """Build (or reuse) a local SparkSession with scale-oriented defaults."""
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cpus = _cpu_spec()
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(_shuffle_partitions(cpus)))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    for key, value in _RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    configure_runtime(spark)
+    return spark
 
 
 def configure_runtime(spark: SparkSession) -> None:
-    """Pin runtime confs we rely on, even on a session we didn't build.
-
-    The driver harness constructs its own SparkSession; queries() entries
-    must behave identically there, so set the runtime-settable confs here.
-    """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-    except Exception:
-        pass  # static conf on some builds; defaults are fine
+    """Pin runtime confs we rely on, even on a session we didn't build."""
+    for key, value in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # static conf on some builds; get_spark sets it at build time
 
 
-def register_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
-    """Register every fixture parquet table as a temp view; return the dfs.
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table, normalizing types to the logical schema.
 
-    Mirrors the reference's catalog resolution (a Redshift schema of named
-    tables) onto the Spark session catalog. Parquet scans get predicate
-    pushdown + column pruning from Catalyst for free.
+    ``events.ts`` arrives as long nanos (see _RUNTIME_CONFS) and is cast to
+    a microsecond TimestampType — bit-identical to DuckDB's read of the
+    same file.
     """
     configure_runtime(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # Integer division: double division would lose precision on ~1.7e18
+        # nano values (53-bit mantissa) and shift timestamps by ±1 µs.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, *, strict: bool = False
+) -> dict[str, DataFrame]:
+    """Load every fixture table; optionally raise on missing files."""
+    missing = []
     dfs: dict[str, DataFrame] = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
+            missing.append(path)
             continue
-        df = spark.read.parquet(path)
+        dfs[name] = load_table(spark, sf_dir, name)
+    if missing:
+        msg = f"missing fixture tables under {sf_dir}: {missing}"
+        if strict:
+            raise FileNotFoundError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
+    return dfs
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, *, strict: bool = False
+) -> dict[str, DataFrame]:
+    """Register every fixture parquet table as a temp view; return the dfs.
+
+    Mirrors the reference's catalog resolution (a Redshift schema of named
+    tables, upload_file.py:79-82) onto the Spark session catalog. Parquet
+    scans get predicate pushdown + column pruning from Catalyst for free.
+    """
+    dfs = load_tables(spark, sf_dir, strict=strict)
+    for name, df in dfs.items():
         df.createOrReplaceTempView(name)
-        dfs[name] = df
     return dfs
