@@ -1,0 +1,119 @@
+"""Query → CSV export: Spark-first rebuild of the reference's
+``store_query_results.py`` blueprint.
+
+Reference parity map:
+- query execution + streamed fetch → store_query_results.py:98-103 (A7) —
+  subsumed by ``spark.sql`` (lazy, distributed; no cursor management)
+- CSV sink with header toggle      → store_query_results.py:98-118 (A8)
+- sink directory creation          → store_query_results.py:147-149 (A9)
+- header-string coercion           → store_query_results.py:76-85 (A13)
+
+Deliberate divergence (SURVEY.md §2 A8): the reference appends to a
+pre-existing destination file (``mode='a'``, store_query_results.py:107);
+we overwrite — the sane semantics for a sink named "store these results".
+
+Scale notes (100 TB): the default path writes a DIRECTORY of part files —
+executors write in parallel and no single node materializes the result.
+``single_file=True`` (the reference's exact contract: one named CSV file)
+coalesces to one writer task; use it only when the result is known small,
+it serializes the write. Neither path collects rows to the driver.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .functions import translate_redshift_sql
+from .ingest import combine_folder_and_file_name, convert_to_boolean
+
+
+def store_query_results(
+    spark: SparkSession,
+    query: str,
+    destination_path: str,
+    *,
+    include_header: bool = True,
+    single_file: bool = True,
+) -> int:
+    """Run ``query`` and write the result as CSV; returns rows written.
+
+    ``single_file=True`` reproduces the reference's one-named-file contract
+    (store_query_results.py:105-115); ``False`` writes a part-file
+    directory at ``destination_path`` (the scale path).
+    """
+    df = spark.sql(translate_redshift_sql(query))
+    return write_csv(
+        df, destination_path, include_header=include_header, single_file=single_file
+    )
+
+
+def write_csv(
+    df: DataFrame,
+    destination_path: str,
+    *,
+    include_header: bool = True,
+    single_file: bool = True,
+) -> int:
+    """CSV sink for an arbitrary DataFrame (A8/A9)."""
+    parent = os.path.dirname(os.path.abspath(destination_path))
+    os.makedirs(parent, exist_ok=True)  # A9, store_query_results.py:147-149
+    if not single_file:
+        df.write.option("header", include_header).mode("overwrite").csv(destination_path)
+        return df.sparkSession.read.option("header", include_header).csv(destination_path).count()
+
+    # One named file: single writer task into a temp dir, then move the
+    # part file to the requested path.
+    tmp_dir = tempfile.mkdtemp(prefix="bp_export_", dir=parent)
+    try:
+        (
+            df.coalesce(1)
+            .write.option("header", include_header)
+            .mode("overwrite")
+            .csv(tmp_dir)
+        )
+        parts = glob.glob(os.path.join(tmp_dir, "part-*"))
+        if len(parts) != 1:
+            raise RuntimeError(f"expected exactly one part file, found {parts}")
+        shutil.move(parts[0], destination_path)
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    with open(destination_path) as f:
+        n = sum(1 for _ in f)
+    return n - (1 if include_header and n else 0)
+
+
+def get_args(argv: list[str] | None = None) -> argparse.Namespace:
+    """CLI surface mirroring store_query_results.py:10-59."""
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--query", dest="query", required=True)
+    parser.add_argument(
+        "--destination-file-name", dest="destination_file_name", required=True
+    )
+    parser.add_argument("--destination-folder-name", dest="destination_folder_name", default="")
+    parser.add_argument("--file-header", dest="file_header", default="True")
+    return parser.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> None:
+    from .session import get_spark, register_tables
+
+    args = get_args(argv)
+    spark = get_spark("export")
+    register_tables(spark)
+    dest = combine_folder_and_file_name(
+        args.destination_folder_name, args.destination_file_name
+    )
+    n = store_query_results(
+        spark, args.query, dest, include_header=convert_to_boolean(args.file_header)
+    )
+    print(f"wrote {n} rows to {dest}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,193 @@
+"""CSV → table ingest: Spark-first rebuild of the reference's
+``upload_file.py`` blueprint.
+
+Reference parity map (all cites into /root/reference/amazonredshift_blueprints):
+- file discovery exact/regex  → upload_file.py:85-115 (A2, A3)
+- schema DDL                  → upload_file.py:122-124 (A4)
+- chunked CSV scan            → upload_file.py:118-126 (A1) — subsumed by
+  Spark's partitioned, whole-input-inferred ``spark.read.csv``
+- 3 write modes               → upload_file.py:44-52,131-151 (A5)
+- multi-file load loop        → upload_file.py:193-200 (A6)
+- CLI surface + bool coercion → upload_file.py:11-76 (A12, A13)
+
+Deliberate divergences from reference quirks (SURVEY.md §2 A6/A8):
+- The reference re-applies the user's ``replace`` mode per file, so a
+  multi-file replace keeps only the LAST file (upload_file.py:197). We read
+  all matched files as one distributed scan and write once — all files land.
+- Schema inference is global (one pass over the whole input), not
+  per-10000-row-chunk, so dtypes cannot drift mid-load.
+
+Scale notes (100 TB): one ``spark.read.csv(paths)`` scan distributes across
+executors; there is no driver-side chunk loop and no per-chunk INSERT
+round-trip. Write modes map onto Spark's atomic-enough ``saveAsTable``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+# Reference arg choices upload_file.py:44-52 → Spark writer modes.
+INSERT_METHODS = {
+    "fail": "errorifexists",
+    "replace": "overwrite",
+    "append": "append",
+}
+
+
+def combine_folder_and_file_name(folder_name: str | None, file_name: str) -> str:
+    """Join folder and file into one normalized path (upload_file.py:108-115)."""
+    combined = os.path.join(folder_name or "", file_name)
+    return os.path.normpath(combined)
+
+
+def find_all_local_file_names(source_folder_name: str | None) -> list[str]:
+    """Recursively list files under cwd/source_folder (upload_file.py:85-93)."""
+    cwd = os.getcwd()
+    cwd_extension = os.path.normpath(f"{cwd}/{source_folder_name or ''}/**")
+    return [f for f in glob.glob(cwd_extension, recursive=True) if os.path.isfile(f)]
+
+
+def find_all_file_matches(file_names: list[str], file_name_re: str) -> list[str]:
+    """Filter a path list by ``re.search`` (upload_file.py:96-105)."""
+    matching = []
+    for name in file_names:
+        if re.search(file_name_re, name):
+            matching.append(name)
+    return matching
+
+
+def convert_to_boolean(string: str) -> bool:
+    """'True'/'true'/'TRUE' → True (store_query_results.py:76-85)."""
+    return string.strip().lower() == "true"
+
+
+def read_csv(
+    spark: SparkSession,
+    paths: str | list[str],
+    *,
+    header: bool = True,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """Distributed CSV scan. With no explicit schema, infer over the whole
+    input once (strictly better than the reference's per-chunk inference,
+    SURVEY.md §1.2)."""
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(paths)
+
+
+def ingest_csv(
+    spark: SparkSession,
+    source: str | list[str],
+    table_name: str,
+    *,
+    schema_name: str | None = None,
+    insert_method: str = "append",
+    header: bool = True,
+    schema: StructType | str | None = None,
+) -> int:
+    """Load CSV file(s) into a catalog table (upload_file.py:118-155).
+
+    Returns the number of rows written. One distributed read + one
+    distributed write replace the reference's 10 000-row chunk loop and
+    its mode-demotion bookkeeping (upload_file.py:131-132).
+    """
+    if insert_method not in INSERT_METHODS:
+        raise ValueError(
+            f"insert_method must be one of {sorted(INSERT_METHODS)}, got {insert_method!r}"
+        )
+    if schema_name:
+        # Reference emits CREATE SCHEMA IF NOT EXISTS (upload_file.py:122-124).
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema_name}")
+        qualified = f"{schema_name}.{table_name}"
+    else:
+        qualified = table_name
+    df = read_csv(spark, source, header=header, schema=schema)
+    df.write.mode(INSERT_METHODS[insert_method]).format("parquet").saveAsTable(qualified)
+    return spark.table(qualified).count()
+
+
+def ingest_matching_files(
+    spark: SparkSession,
+    source_folder_name: str | None,
+    file_name_regex: str,
+    table_name: str,
+    **kwargs,
+) -> int:
+    """Regex-discovery ingest (upload_file.py:187-200): all matches load as
+    ONE scan, so ``replace`` keeps every matched file (divergence note in
+    the module docstring)."""
+    matches = find_all_file_matches(
+        find_all_local_file_names(source_folder_name), file_name_regex
+    )
+    if not matches:
+        raise FileNotFoundError(
+            f"no files matching {file_name_regex!r} under {source_folder_name or '.'}"
+        )
+    return ingest_csv(spark, matches, table_name, **kwargs)
+
+
+def get_args(argv: list[str] | None = None) -> argparse.Namespace:
+    """CLI surface mirroring upload_file.py:11-76 (connection args replaced
+    by the in-process SparkSession)."""
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--source-file-name", dest="source_file_name", required=True)
+    parser.add_argument("--source-folder-name", dest="source_folder_name", default="")
+    parser.add_argument(
+        "--source-file-name-match-type",
+        dest="match_type",
+        choices=("exact_match", "regex_match"),
+        default="exact_match",
+    )
+    parser.add_argument("--table-name", dest="table_name", required=True)
+    parser.add_argument("--schema", dest="schema_name", default=None)
+    parser.add_argument(
+        "--insert-method",
+        dest="insert_method",
+        choices=tuple(INSERT_METHODS),
+        default="append",
+    )
+    parser.add_argument("--header", dest="header", default="True")
+    return parser.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> None:
+    from .session import get_spark
+
+    args = get_args(argv)
+    spark = get_spark("ingest")
+    header = convert_to_boolean(args.header)
+    if args.match_type == "regex_match":
+        n = ingest_matching_files(
+            spark,
+            args.source_folder_name,
+            args.source_file_name,
+            args.table_name,
+            schema_name=args.schema_name,
+            insert_method=args.insert_method,
+            header=header,
+        )
+    else:
+        path = combine_folder_and_file_name(args.source_folder_name, args.source_file_name)
+        n = ingest_csv(
+            spark,
+            path,
+            args.table_name,
+            schema_name=args.schema_name,
+            insert_method=args.insert_method,
+            header=header,
+        )
+    print(f"loaded {n} rows into {args.table_name}")
+
+
+if __name__ == "__main__":
+    main()

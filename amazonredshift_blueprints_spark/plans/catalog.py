@@ -895,3 +895,89 @@ def q26_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("l_orderkey", "revenue", "o_orderdate")
     )
+
+
+# --------------------------------------------------------------------------
+# Part A: native-layer operators (ingest / export / SQL pass-through),
+# exercised end-to-end and checked against the same oracle tables.
+# --------------------------------------------------------------------------
+
+@query(
+    "a01_ingest_csv_roundtrip",
+    oracle="SELECT * FROM customer",
+    doc="CSV→table ingest parity (upload_file.py:118-155): fixture → CSV "
+        "files → regex discovery → replace-mode load → table scan",
+    tags=("native", "ingest"),
+)
+def a01_ingest_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..export import write_csv
+    from ..ingest import find_all_file_matches, ingest_csv
+
+    c = views(spark, sf_dir, "customer")["customer"]
+    tmp = tempfile.mkdtemp(prefix="bp_ingest_")
+    # Split into two CSV files to exercise the multi-file union-read path
+    # (divergence from upload_file.py:197's keep-last-file replace).
+    lo = c.filter(F.col("c_custkey") % 2 == 0)
+    hi = c.filter(F.col("c_custkey") % 2 == 1)
+    write_csv(lo, os.path.join(tmp, "customer_part_0.csv"))
+    write_csv(hi, os.path.join(tmp, "customer_part_1.csv"))
+    matches = find_all_file_matches(
+        [os.path.join(tmp, f) for f in os.listdir(tmp)], r"customer_part_\d+\.csv$"
+    )
+    # Explicit schema: CSV carries no types; the catalog's contract does.
+    ingest_csv(
+        spark,
+        sorted(matches),
+        "bp_ingested_customer",
+        insert_method="replace",
+        schema=c.schema,
+    )
+    return spark.table("bp_ingested_customer")
+
+
+@query(
+    "a02_export_csv_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="query→CSV export parity (store_query_results.py:98-118): single "
+        "named file with header, read back losslessly",
+    tags=("native", "export"),
+)
+def a02_export_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..export import write_csv
+
+    top = QUERIES["q17_topk"].build(spark, sf_dir)
+    dest = os.path.join(tempfile.mkdtemp(prefix="bp_export_"), "top_orders.csv")
+    write_csv(top, dest, include_header=True, single_file=True)
+    return spark.read.option("header", True).schema(top.schema).csv(dest)
+
+
+@query(
+    "a03_sql_passthrough",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000
+    """,
+    doc="statement pass-through parity (execute_sql.py:62-79): DDL via "
+        "execute_sql, then scan the created view",
+    tags=("native", "sql"),
+)
+def a03_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sqlrun import execute_sql
+
+    views(spark, sf_dir, "orders")
+    execute_sql(
+        spark,
+        """CREATE OR REPLACE TEMPORARY VIEW bp_big_orders AS
+           SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000""",
+    )
+    return spark.table("bp_big_orders")

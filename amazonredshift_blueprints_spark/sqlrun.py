@@ -1,0 +1,49 @@
+"""SQL statement pass-through: Spark-first rebuild of the reference's
+``execute_sql.py`` blueprint.
+
+Reference parity map:
+- opaque statement execution, result discarded → execute_sql.py:62-79 (A10)
+- CLI surface                                  → execute_sql.py:7-42 (A12)
+
+The statement goes through the Redshift-dialect shim first, then
+``spark.sql``; catalog mutations (CREATE/DROP/INSERT) apply to the
+session catalog — the in-process analog of Redshift executing the DDL.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import SparkSession
+
+from .functions import translate_redshift_sql
+
+
+def execute_sql(spark: SparkSession, query: str) -> None:
+    """Execute an arbitrary statement; discard any result (execute_sql.py:77).
+
+    DML/DDL statements execute eagerly. A SELECT would be lazily planned
+    and dropped — same observable behavior as the reference, which fetches
+    nothing for result-less statements.
+    """
+    spark.sql(translate_redshift_sql(query)).collect()
+    print("Your query has been successfully executed.")  # execute_sql.py:78-79 analog
+
+
+def get_args(argv: list[str] | None = None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--query", dest="query", required=True)
+    return parser.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> None:
+    from .session import get_spark, register_tables
+
+    args = get_args(argv)
+    spark = get_spark("execute-sql")
+    register_tables(spark)
+    execute_sql(spark, args.query)
+
+
+if __name__ == "__main__":
+    main()

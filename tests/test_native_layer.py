@@ -1,0 +1,147 @@
+"""Part A native-layer tests: ingest (upload_file parity), export
+(store_query_results parity), sql pass-through (execute_sql parity)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazonredshift_blueprints_spark.export import store_query_results, write_csv
+from amazonredshift_blueprints_spark.ingest import (
+    combine_folder_and_file_name,
+    convert_to_boolean,
+    find_all_file_matches,
+    ingest_csv,
+    read_csv,
+)
+from amazonredshift_blueprints_spark.session import load_table
+from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+
+def test_combine_folder_and_file_name():
+    assert combine_folder_and_file_name("a/b", "c.csv") == os.path.normpath("a/b/c.csv")
+    assert combine_folder_and_file_name(None, "c.csv") == "c.csv"
+    assert combine_folder_and_file_name("a//", "c.csv") == os.path.normpath("a/c.csv")
+
+
+def test_convert_to_boolean():
+    assert convert_to_boolean("True") and convert_to_boolean("true") and convert_to_boolean(" TRUE ")
+    assert not convert_to_boolean("False") and not convert_to_boolean("yes")
+
+
+def test_find_all_file_matches():
+    names = ["/d/data_1.csv", "/d/data_2.csv", "/d/other.txt"]
+    assert find_all_file_matches(names, r"data_\d+\.csv$") == names[:2]
+    assert find_all_file_matches(names, r"\.txt$") == [names[2]]
+    assert find_all_file_matches(names, r"nope") == []
+
+
+@pytest.fixture()
+def customer_csv(spark, sf_dir, tmp_path):
+    c = load_table(spark, sf_dir, "customer")
+    dest = tmp_path / "customer.csv"
+    write_csv(c, str(dest))
+    return c, str(dest)
+
+
+def test_csv_roundtrip_lossless(spark, customer_csv):
+    c, path = customer_csv
+    back = read_csv(spark, path, schema=c.schema)
+    assert back.count() == c.count()
+    assert back.schema == c.schema
+    # doubles survive CSV round-trip bit-for-bit (shortest-repr write)
+    orig = {r["c_custkey"]: r["c_acctbal"] for r in c.collect()}
+    for r in back.collect():
+        assert orig[r["c_custkey"]] == r["c_acctbal"]
+
+
+def test_ingest_modes(spark, customer_csv):
+    c, path = customer_csv
+    n = c.count()
+    spark.sql("DROP TABLE IF EXISTS t_modes")
+    assert ingest_csv(spark, path, "t_modes", insert_method="replace", schema=c.schema) == n
+    # append doubles the rows
+    assert ingest_csv(spark, path, "t_modes", insert_method="append", schema=c.schema) == 2 * n
+    # replace resets
+    assert ingest_csv(spark, path, "t_modes", insert_method="replace", schema=c.schema) == n
+    # fail raises on existing table
+    with pytest.raises(Exception, match="TABLE_OR_VIEW_ALREADY_EXISTS|already exists"):
+        ingest_csv(spark, path, "t_modes", insert_method="fail", schema=c.schema)
+    with pytest.raises(ValueError, match="insert_method"):
+        ingest_csv(spark, path, "t_modes", insert_method="upsert")
+    spark.sql("DROP TABLE t_modes")
+
+
+def test_ingest_multi_file_replace_keeps_all(spark, sf_dir, tmp_path):
+    """Documented divergence from upload_file.py:197 (keep-last): our
+    multi-file replace loads ALL matched files."""
+    c = load_table(spark, sf_dir, "customer")
+    p1, p2 = str(tmp_path / "c1.csv"), str(tmp_path / "c2.csv")
+    write_csv(c.filter(F.col("c_custkey") < 50), p1)
+    write_csv(c.filter(F.col("c_custkey") >= 50), p2)
+    spark.sql("DROP TABLE IF EXISTS t_multi")
+    n = ingest_csv(spark, [p1, p2], "t_multi", insert_method="replace", schema=c.schema)
+    assert n == c.count()
+    spark.sql("DROP TABLE t_multi")
+
+
+def test_ingest_schema_ddl(spark, customer_csv):
+    c, path = customer_csv
+    ingest_csv(spark, path, "t_schema", schema_name="staging",
+               insert_method="replace", schema=c.schema)
+    assert spark.table("staging.t_schema").count() == c.count()
+    spark.sql("DROP TABLE staging.t_schema")
+    spark.sql("DROP DATABASE staging")
+
+
+def test_export_header_toggle(spark, sf_dir, tmp_path):
+    from amazonredshift_blueprints_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    q = "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 5"
+    with_h = str(tmp_path / "with_header.csv")
+    without_h = str(tmp_path / "no_header.csv")
+    assert store_query_results(spark, q, with_h, include_header=True) == 5
+    assert store_query_results(spark, q, without_h, include_header=False) == 5
+    first_line = open(with_h).readline().strip()
+    assert first_line == "o_orderkey,o_totalprice"
+    assert open(without_h).readline().strip() != "o_orderkey,o_totalprice"
+
+
+def test_export_dir_mode(spark, sf_dir, tmp_path):
+    from amazonredshift_blueprints_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    dest = str(tmp_path / "out_dir")
+    n = store_query_results(
+        spark, "SELECT o_orderkey FROM orders", dest, single_file=False
+    )
+    assert n == spark.table("orders").count()
+    assert os.path.isdir(dest)
+
+
+def test_export_creates_parent_dirs(spark, sf_dir, tmp_path):
+    from amazonredshift_blueprints_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    dest = str(tmp_path / "deep" / "nested" / "out.csv")
+    assert store_query_results(spark, "SELECT 1 AS one", dest) == 1
+
+
+def test_execute_sql_ddl_dml(spark, capsys):
+    execute_sql(spark, "CREATE TABLE IF NOT EXISTS t_sqlrun (k INT, v STRING) USING PARQUET")
+    execute_sql(spark, "INSERT INTO t_sqlrun VALUES (1, 'a'), (2, 'b')")
+    assert spark.table("t_sqlrun").count() == 2
+    assert "successfully executed" in capsys.readouterr().out
+    execute_sql(spark, "DROP TABLE t_sqlrun")
+
+
+def test_execute_sql_redshift_dialect(spark):
+    execute_sql(
+        spark,
+        """CREATE OR REPLACE TEMPORARY VIEW t_dialect AS
+           SELECT DATEDIFF(day, TIMESTAMP '2024-01-01', TIMESTAMP '2024-03-01') AS d""",
+    )
+    assert spark.table("t_dialect").collect()[0]["d"] == 60
