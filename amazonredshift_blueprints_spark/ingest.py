@@ -67,6 +67,31 @@ def convert_to_boolean(string: str) -> bool:
     return string.strip().lower() == "true"
 
 
+def _clean_stale_location(
+    spark: SparkSession, table_name: str, schema_name: str | None
+) -> None:
+    """Remove a leftover managed-table directory with no catalog entry.
+
+    The session catalog is in-memory but ``spark-warehouse/`` persists, so
+    a table written in a previous session exists on disk yet not in the
+    catalog — any CREATE then fails with LOCATION_ALREADY_EXISTS. Only
+    paths under the session's own warehouse dir are ever removed.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    qualified = f"{schema_name}.{table_name}" if schema_name else table_name
+    if spark.catalog.tableExists(qualified):
+        return
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    if not warehouse:
+        return
+    sub = f"{schema_name}.db/{table_name}" if schema_name else table_name
+    stale = os.path.join(warehouse, sub)
+    if os.path.isdir(stale):
+        shutil.rmtree(stale, ignore_errors=True)
+
+
 def read_csv(
     spark: SparkSession,
     paths: str | list[str],
@@ -105,6 +130,7 @@ def ingest_csv(
         raise ValueError(
             f"insert_method must be one of {sorted(INSERT_METHODS)}, got {insert_method!r}"
         )
+    _clean_stale_location(spark, table_name, schema_name)
     if schema_name:
         # Reference emits CREATE SCHEMA IF NOT EXISTS (upload_file.py:122-124).
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema_name}")

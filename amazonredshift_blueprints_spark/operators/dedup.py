@@ -1,0 +1,350 @@
+"""Deduplication operators for large-scale text corpora.
+
+All pure DataFrame/Catalyst — no RDDs, no Python UDFs, no driver-side
+materialization — so every operator distributes and scales by adding
+executors.
+
+100 TB design notes:
+- Exact dedup is a hash aggregate on a fingerprint — one shuffle keyed by
+  the fingerprint, and AQE handles skew (e.g. the empty document).
+- MinHash-LSH: candidate generation is ``explode(bands)`` → equi-join on
+  (band index, band hash). Cost is bounded by bucket collision counts,
+  never the |docs|² cross product. Bands/rows tune precision/recall:
+  with b bands of r rows, P(candidate) = 1-(1-j^r)^b.
+- SimHash: 64-bit signature; blocking splits the signature into
+  (max_distance+1) blocks — pigeonhole guarantees any pair within the
+  Hamming radius shares at least one exact block, so the join is again
+  an equi-join.
+- n-gram Jaccard is the exact (verification) path: explode n-grams and
+  count shared grams per pair. At scale you run it only on LSH candidate
+  pairs (``verify=True`` below does exactly that).
+- Embedding near-dup quantizes components to integers so the dot product
+  is exact integer arithmetic — deterministic across engines, partition
+  orders, and SIMD strategies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+import random as _random
+
+# Carter-Wegman universal-hash family h_i(x) = (a_i * x31 + b_i) mod p
+# over the 31-bit reduction of the base hash. The mod is what makes each
+# h_i a (near-)permutation — without it a*x+b is MONOTONE in x and every
+# "permutation" would select the same min shingle, collapsing the whole
+# signature to one hash function. Products stay < 2^62, so the arithmetic
+# never overflows a BIGINT — important because Spark 4 runs ANSI mode by
+# default and would *throw* on wraparound, not wrap. Constants are a
+# fixed seeded draw: deterministic across sessions and clusters.
+_MERSENNE_P = (1 << 31) - 1  # 2^31-1, prime
+_rng = _random.Random(42)
+_HASH_A = [_rng.randrange(1, _MERSENNE_P) for _ in range(512)]
+_HASH_B = [_rng.randrange(0, _MERSENNE_P) for _ in range(512)]
+
+
+def tokens(text: Column | str, *, lowercase: bool = True) -> Column:
+    """Whitespace tokens, empty-safe."""
+    c = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        c = F.lower(c)
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def _ngrams_expr(toks: Column, n: int) -> Column:
+    """Word n-grams of a token array (array transform: stays JVM-side).
+
+    Guarded: Spark's ``sequence(1, 0)`` counts *down* ([1, 0]), so short
+    docs must short-circuit to an empty array explicitly.
+    """
+    size = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), size - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Distinct word n-grams of a token array."""
+    return F.array_distinct(_ngrams_expr(toks, n))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on normalized text: one row per distinct content with
+    the smallest id as the keeper (hash-groupBy; single shuffle).
+
+    Returns (fp, keep_id, n_copies).
+    """
+    norm = F.lower(F.trim(F.col(text_col)))
+    return (
+        df.select(F.md5(norm).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingle_hashes(toks: Column, *, shingle_size: int) -> Column:
+    """Distinct word shingles → 31-bit base hashes (one xxhash64 each)."""
+    return F.transform(
+        F.array_distinct(_ngrams_expr(toks, shingle_size)),
+        lambda s: F.xxhash64(s).bitwiseAND(F.lit((1 << 31) - 1)),
+    )
+
+
+def minhash_signature(base_hashes: Column, *, num_hashes: int) -> Column:
+    """Array of ``num_hashes`` minhash values from a base-hash array.
+
+    The universal-hash family derives every permutation arithmetically
+    from the one base hash — no string re-hashing.
+
+    IMPORTANT: pass a *materialized column reference* (stage the base
+    hashes with a ``select`` first). The expression repeats num_hashes
+    times; an inlined tokenize/shingle subtree repeated 64× makes
+    Catalyst analysis + codegen take minutes instead of milliseconds.
+    """
+    if num_hashes > len(_HASH_A):
+        raise ValueError(f"num_hashes must be <= {len(_HASH_A)}")
+
+    # Closure factory, not `lambda h, i=i`: PySpark counts lambda params
+    # to pick the (element) vs (element, index) calling convention, so a
+    # defaulted second parameter changes the semantics.
+    def _perm(i: int):
+        a, b = F.lit(_HASH_A[i]), F.lit(_HASH_B[i])
+        return lambda h: F.pmod(h * a + b, F.lit(_MERSENNE_P))
+
+    return F.array(
+        *[F.array_min(F.transform(base_hashes, _perm(i))) for i in range(num_hashes)]
+    )
+
+
+def minhash_bands(sig: Column, *, bands: int, rows_per_band: int) -> Column:
+    """Hash each band of the signature to one 64-bit key → array<band key>."""
+    keys = [
+        F.xxhash64(*[sig[b * rows_per_band + r] for r in range(rows_per_band)])
+        for b in range(bands)
+    ]
+    return F.array(*keys)
+
+
+def jaccard_pairs_from_candidates(
+    docs: DataFrame, cand: DataFrame, id_col: str, set_col: str
+) -> DataFrame:
+    """Exact Jaccard on candidate (id_a, id_b) pairs via set intersection."""
+    a = docs.select(F.col(id_col).alias("id_a"), F.col(set_col).alias("set_a"))
+    b = docs.select(F.col(id_col).alias("id_b"), F.col(set_col).alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("n_common"),
+            union.alias("n_union"),
+        )
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_size: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold_pct: int = 60,
+    verify: bool = True,
+) -> DataFrame:
+    """Banded MinHash-LSH near-duplicate pairs.
+
+    Returns (id_a, id_b, n_common, n_union, jaccard) with
+    jaccard*100 >= threshold_pct (integer predicate: no float-boundary
+    nondeterminism). With ``verify=False`` returns unverified candidate
+    pairs (the pure LSH recall set).
+
+    Scale: |output of explode| = bands × |docs|; the self-join is an
+    equi-join on (band index, band hash). No cross product anywhere.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    # Staged selects: every wide fan-out (64 minhash transforms, band
+    # keys) references a materialized column, keeping the plan tree
+    # linear in num_hashes rather than multiplicative.
+    staged = (
+        df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .select(
+            id_col,
+            shingle_hashes(F.col("_toks"), shingle_size=shingle_size).alias("_base"),
+        )
+        .select(
+            id_col,
+            minhash_signature(F.col("_base"), num_hashes=num_hashes).alias("_sig"),
+        )
+    )
+    with_bands = staged.select(
+        F.col(id_col),
+        F.posexplode(
+            minhash_bands(F.col("_sig"), bands=bands, rows_per_band=rows_per_band)
+        ).alias("band_idx", "band_key"),
+    )
+    left = with_bands.select(
+        "band_idx", "band_key", F.col(id_col).alias("id_a")
+    )
+    right = with_bands.select(
+        "band_idx", "band_key", F.col(id_col).alias("id_b")
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if not verify:
+        return cand
+    shingle_sets = df.select(
+        F.col(id_col),
+        F.array_distinct(_ngrams_expr(tokens(text_col), shingle_size)).alias("shingles"),
+    )
+    pairs = jaccard_pairs_from_candidates(shingle_sets, cand, id_col, "shingles")
+    return pairs.filter(
+        (F.col("n_union") > 0)
+        & (F.col("n_common") * 100 >= F.col("n_union") * threshold_pct)
+    ).select(
+        "id_a",
+        "id_b",
+        "n_common",
+        "n_union",
+        (F.col("n_common") / F.col("n_union")).alias("jaccard"),
+    )
+
+
+def simhash(hashes: Column, *, bits: int = 64) -> Column:
+    """SimHash from an array of 64-bit token hashes, as BIGINT.
+
+    Bit-vote: for each bit position, +1 if the token hash has the bit
+    set, -1 otherwise; the signature bit is 1 where the vote is positive.
+    One static per-bit array aggregate (shift amounts must be Python
+    ints for ``shiftright``), all JVM-side — no UDFs. Bit 63's place
+    value is min-long; summing the disjoint bit values is equivalent to
+    OR and stays in range.
+
+    Pass a *materialized column* of hashes (stage ``token_hashes`` with a
+    select first): the expression repeats ``bits`` times.
+    """
+
+    def _voter(b: int):  # closure factory: keep the merge lambda 2-arg
+        return lambda acc, h: acc + (
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
+        ).cast("int")
+
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(hashes, F.lit(0), _voter(b))
+        place = F.lit(-(1 << 63)).cast("long") if b == 63 else F.lit(1 << b).cast("long")
+        sig = sig + F.when(vote > 0, place).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def token_hashes(toks: Column) -> Column:
+    """Token array → xxhash64 array (the simhash input)."""
+    return F.transform(toks, lambda t: F.xxhash64(t))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_distance: int = 3,
+) -> DataFrame:
+    """SimHash pairs within ``max_distance`` Hamming bits.
+
+    Blocking: split the 64-bit signature into (max_distance+1) equal
+    blocks; by pigeonhole, any pair within the radius agrees exactly on
+    at least one block → equi-join per block, then exact bit_count(xor)
+    verification. Returns (id_a, id_b, hamming).
+    """
+    n_blocks = max_distance + 1
+    block_bits = 64 // n_blocks
+    sig = (
+        df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .select(id_col, token_hashes(F.col("_toks")).alias("_h"))
+        .select(F.col(id_col), simhash(F.col("_h")).alias("sig"))
+    )
+    blocks = [
+        F.shiftright("sig", i * block_bits).bitwiseAND(
+            F.lit((1 << block_bits) - 1).cast("long")
+        ).alias(f"b{i}")
+        for i in range(n_blocks)
+    ]
+    sig_b = sig.select(id_col, "sig", *blocks)
+    pairs = None
+    for i in range(n_blocks):
+        l = sig_b.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), F.col(f"b{i}").alias("blk"))
+        r = sig_b.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), F.col(f"b{i}").alias("blk"))
+        p = l.join(r, "blk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "sig_a", "sig_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.distinct()
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold_pct: int = 40,
+) -> DataFrame:
+    """Exact all-pairs word-n-gram Jaccard via explode + pair counting.
+
+    The inverted-index shape: explode grams, self-join on the gram,
+    count shared grams per pair — never a raw cross join. At 100 TB this
+    is the *verification* operator for LSH candidates; standalone it
+    additionally wants prefix filtering (drop grams whose doc frequency
+    exceeds a cap) — the explode/join/count shape is unchanged.
+
+    Integer threshold predicate (n_common*100 >= n_union*pct): exact in
+    both Spark and DuckDB, no float rounding at the decision boundary.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.array_distinct(_ngrams_expr(tokens(text_col), n)).alias("grams"),
+    )
+    sizes = grams.select(id_col, F.size("grams").alias("n_grams"))
+    exploded = grams.select(id_col, F.explode("grams").alias("gram"))
+    a = exploded.select(F.col(id_col).alias("id_a"), "gram")
+    b = exploded.select(F.col(id_col).alias("id_b"), "gram")
+    common = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_common"))
+        .filter(
+            (F.col("n_union") > 0)
+            & (F.col("n_common") * 100 >= F.col("n_union") * threshold_pct)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            "n_union",
+            (F.col("n_common") / F.col("n_union")).alias("jaccard"),
+        )
+    )

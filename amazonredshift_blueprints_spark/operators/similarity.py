@@ -1,0 +1,222 @@
+"""Vector similarity search over an embedding column (ArrayType(FloatType)).
+
+Two paths, per SURVEY.md §2 Part C and the top-k literature in PAPERS.md:
+
+- **Brute-force cosine top-k** — the exactness baseline. Query set ⋈
+  corpus with a JVM-side quantized-integer dot product, then windowed
+  ``row_number() <= k``. Cost |Q|·|C|: right for small query sets or as
+  the verifier for the approximate path.
+- **Random-hyperplane LSH top-k** — the scale path. Sign-bit sketches
+  bucket the corpus; candidates come from an equi-join on bucket keys
+  (multi-probe over several independent tables), then exact re-ranking of
+  candidates only. Cost ~ |Q|·bucket_size·n_tables.
+
+Determinism: float dot products differ across engines/SIMD orders, so
+components are quantized to integers (``round(x * 10^6)``) and summed as
+BIGINT — exact, associative, engine-independent. Cosine over the
+quantized integers changes by <1e-5 vs float — irrelevant for ranking at
+near-dup/topk granularity, and tie-broken by id for full determinism.
+
+100 TB notes: the corpus side is the big relation — it is never
+collected, never crossed with itself, and the LSH bucket join shuffles
+on bucket keys only. Window top-k partitions by query id, so the state
+per reducer is k rows per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+QUANT_SCALE = 1_000_000  # 1e-6 component resolution
+
+
+def quantize(vec: Column) -> Column:
+    """array<float> → array<bigint> at 1e-6 resolution (exact arithmetic).
+
+    The float→double cast is exact and float×10^6 fits in a double's
+    mantissa, so the product — and therefore the rounding — is identical
+    in every engine. (float-domain multiply would not be.)
+    """
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * QUANT_SCALE).cast("long")
+    )
+
+
+def dot_q(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors (BIGINT)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_sq_q(a: Column) -> Column:
+    return dot_q(a, a)
+
+
+def cosine_q(dot: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine from integer dot/norms; one deterministic double expression."""
+    return (
+        dot.cast("double")
+        / (F.sqrt(norm_a.cast("double")) * F.sqrt(norm_b.cast("double")))
+    )
+
+
+def _with_quant(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    q = quantize(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        q.alias(f"{prefix}_q"),
+    ).withColumn(f"{prefix}_norm", norm_sq_q(F.col(f"{prefix}_q")))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` for each row of ``queries``.
+
+    Returns (query_id, neighbor_id, cosine, rank), self-matches excluded.
+    """
+    q = _with_quant(queries, id_col, vec_col, "query")
+    c = _with_quant(corpus, id_col, vec_col, "neighbor")
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_q(
+                dot_q(F.col("query_q"), F.col("neighbor_q")),
+                F.col("query_norm"),
+                F.col("neighbor_norm"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_sketch(vec_q: Column, *, bits: int, table: int) -> Column:
+    """Sign-bit sketch: one bit per pseudo-random hyperplane.
+
+    The hyperplane for (table, bit, component) is a deterministic ±1
+    drawn from xxhash64 — no stored projection matrix, reproducible on
+    any cluster.
+    """
+    sketch = F.lit(0).cast("long")
+    for bit in range(bits):
+        # ±1 per component: parity of a per-(table,bit,index) hash.
+        proj = F.aggregate(
+            F.zip_with(
+                vec_q,
+                F.sequence(F.lit(0), F.size(vec_q) - 1),
+                lambda x, i: F.when(
+                    F.pmod(F.xxhash64(F.lit(table), F.lit(bit), i), F.lit(2)) == 1, x
+                ).otherwise(-x),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        sketch = sketch.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(F.lit(0).cast("long"))
+        )
+    return sketch
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 12,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k: random-hyperplane buckets → candidate
+    equi-join → exact re-rank of candidates only.
+
+    Returns (query_id, neighbor_id, cosine, rank). Recall grows with
+    ``n_tables`` (independent bucketings); bucket size shrinks with
+    ``bits``. 2^bits buckets per table ⇒ expected bucket size |C|/2^bits.
+
+    Tuning note: iid-random vectors (like the synthetic fixture) are the
+    LSH *worst case* — top-k neighbors are barely above the noise floor,
+    so recall demands more tables / fewer bits than a real, clustered
+    embedding corpus would.
+    """
+    q = _with_quant(queries, id_col, vec_col, "query")
+    c = _with_quant(corpus, id_col, vec_col, "neighbor")
+    q_sk = q.select(
+        "*",
+        F.array(
+            *[hyperplane_sketch(F.col("query_q"), bits=bits, table=t) for t in range(n_tables)]
+        ).alias("sk"),
+    ).select("*", F.posexplode("sk").alias("tbl", "bucket")).drop("sk")
+    c_sk = c.select(
+        "*",
+        F.array(
+            *[hyperplane_sketch(F.col("neighbor_q"), bits=bits, table=t) for t in range(n_tables)]
+        ).alias("sk"),
+    ).select("*", F.posexplode("sk").alias("tbl", "bucket")).drop("sk")
+    cand = (
+        q_sk.join(c_sk, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "query_q", "query_norm", "neighbor_id", "neighbor_q", "neighbor_norm")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine_q(
+            dot_q(F.col("query_q"), F.col("neighbor_q")),
+            F.col("query_norm"),
+            F.col("neighbor_norm"),
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_microcos: int = 950_000,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (threshold in millionths so the
+    cut is an integer-ish comparison on a deterministic double).
+
+    Brute-force pair scan for exactness at test scale; at 100 TB swap the
+    pair generator for ``lsh_topk``-style bucket candidates (same scoring
+    expressions).
+    """
+    a = _with_quant(df, id_col, vec_col, "a")
+    b = _with_quant(df, id_col, vec_col, "b")
+    pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+    cos = cosine_q(
+        dot_q(F.col("a_q"), F.col("b_q")), F.col("a_norm"), F.col("b_norm")
+    )
+    return (
+        pairs.select(
+            F.col("a_id").alias("id_a"),
+            F.col("b_id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") * 1_000_000 >= threshold_microcos)
+    )

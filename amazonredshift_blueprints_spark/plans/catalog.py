@@ -981,3 +981,199 @@ def a03_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
            SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000""",
     )
     return spark.table("bp_big_orders")
+
+
+# --------------------------------------------------------------------------
+# Part C: LLM-data-pipeline operators — dedup + similarity search
+# (SURVEY.md §2 Part C; BASELINE.json north star).
+# --------------------------------------------------------------------------
+
+# Shared DuckDB fragments mirroring operators/dedup.py tokenization:
+# whitespace split, empties dropped, word n-grams, distinct.
+_DUCK_TOKS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+_DUCK_GRAMS3 = (
+    "list_distinct(CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(generate_series(1, len(toks) - 2), "
+    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) "
+    "ELSE [] END)"
+)
+
+
+@query(
+    "c01_dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS fp,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="exact dedup: hash-groupBy on normalized-content fingerprint, "
+        "min-id keeper; one shuffle at any scale",
+    tags=("dedup",),
+)
+def c01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return exact_dedup(d, "doc_id", "text")
+
+
+@query(
+    "c02_dedup_minhash",
+    oracle=None,  # LSH banding is not SQL-expressible in DuckDB; exactness
+    # is enforced by tests/test_dedup.py against brute-force Jaccard, and
+    # the verified pairs are a subset of oracle-checked c04's output.
+    doc="MinHash-LSH near-dup pairs: banded signatures → bucket equi-join "
+        "→ exact Jaccard verify; no |docs|² stage at any scale",
+    bench=True,
+    tags=("dedup",),
+)
+def c02_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_near_duplicates
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return minhash_near_duplicates(
+        d, "doc_id", "text", shingle_size=3, num_hashes=64, bands=16,
+        threshold_pct=60,
+    )
+
+
+@query(
+    "c03_dedup_simhash",
+    oracle=None,  # 64-bit simhash bit-votes are not expressible in DuckDB
+    # SQL; verified in tests/test_dedup.py against a NumPy reimplementation.
+    doc="SimHash near-dup pairs: 64-bit bit-vote signature, pigeonhole "
+        "block join, bit_count(xor) verify",
+    tags=("dedup",),
+)
+def c03_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_near_duplicates
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return simhash_near_duplicates(d, "doc_id", "text", max_distance=3)
+
+
+@query(
+    "c04_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, {_DUCK_GRAMS3} AS grams FROM toks
+    ),
+    exploded AS (SELECT doc_id, unnest(grams) AS gram FROM grams),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM exploded a JOIN exploded b ON a.gram = b.gram
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(grams) AS ng FROM grams)
+    SELECT id_a, id_b, n_common,
+           sa.ng + sb.ng - n_common AS n_union,
+           CAST(n_common AS DOUBLE) / (sa.ng + sb.ng - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE sa.ng + sb.ng - n_common > 0
+      AND n_common * 100 >= (sa.ng + sb.ng - n_common) * 40
+    """,
+    doc="exact n-gram Jaccard pairs via inverted-index join (the LSH "
+        "verification path); integer threshold predicate",
+    tags=("dedup",),
+)
+def c04_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold_pct=40)
+
+
+_DUCK_QUANT = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+_DUCK_DOT = (
+    "list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
+)
+
+
+@query(
+    "c05_dedup_embedding",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, qv,
+               CAST({_DUCK_DOT.format(a='qv', b='qv')} AS BIGINT) AS norm
+        FROM q
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST({_DUCK_DOT.format(a='a.qv', b='b.qv')} AS DOUBLE)
+             / (sqrt(CAST(a.norm AS DOUBLE)) * sqrt(CAST(b.norm AS DOUBLE))) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE CAST({_DUCK_DOT.format(a='a.qv', b='b.qv')} AS DOUBLE)
+            / (sqrt(CAST(a.norm AS DOUBLE)) * sqrt(CAST(b.norm AS DOUBLE)))
+          * 1000000 >= 400000
+    """,
+    doc="embedding cosine near-dup pairs; quantized-integer dot products "
+        "make the score engine-exact",
+    tags=("dedup", "similarity"),
+)
+def c05_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_near_duplicates
+
+    e = views(spark, sf_dir, "embeddings")["embeddings"]
+    return embedding_near_duplicates(e, threshold_microcos=400_000)
+
+
+@query(
+    "c06_ann_bruteforce_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, qv,
+               CAST({_DUCK_DOT.format(a='qv', b='qv')} AS BIGINT) AS norm
+        FROM v
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST({_DUCK_DOT.format(a='q.qv', b='c.qv')} AS DOUBLE)
+                 / (sqrt(CAST(q.norm AS DOUBLE)) * sqrt(CAST(c.norm AS DOUBLE))) AS cosine
+        FROM n q CROSS JOIN n c
+        WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="brute-force cosine top-k (exactness baseline for ANN); windowed "
+        "row_number per query",
+    bench=True,
+    tags=("similarity",),
+)
+def c06_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import brute_force_topk
+
+    e = views(spark, sf_dir, "embeddings")["embeddings"]
+    return brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "c07_ann_lsh_topk",
+    oracle=None,  # hyperplane sketches use xxhash64 (no DuckDB equivalent);
+    # recall vs the exact top-k is asserted in tests/test_similarity.py.
+    doc="random-hyperplane LSH top-k: bucket equi-join candidates, exact "
+        "re-rank of candidates only — the 100 TB ANN path",
+    tags=("similarity",),
+)
+def c07_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_topk
+
+    e = views(spark, sf_dir, "embeddings")["embeddings"]
+    return lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5, bits=6, n_tables=8)

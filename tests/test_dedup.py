@@ -1,0 +1,129 @@
+"""Dedup operators vs brute-force reimplementations at sf0.001."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from amazonredshift_blueprints_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+    token_hashes,
+    tokens,
+)
+from amazonredshift_blueprints_spark.session import load_table
+
+
+def _brute_jaccard_pairs(spark, sf_dir, n=3):
+    """All-pairs word-n-gram Jaccard, computed driver-side in Python."""
+    rows = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    grams = {}
+    for r in rows:
+        toks = [t for t in r["text"].lower().split() if t]
+        grams[r["doc_id"]] = {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+    ids = sorted(grams)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(grams[a] & grams[b])
+            union = len(grams[a] | grams[b])
+            if union:
+                out[(a, b)] = inter / union
+    return out
+
+
+@pytest.fixture(scope="module")
+def brute(spark, sf_dir):
+    return _brute_jaccard_pairs(spark, sf_dir)
+
+
+def test_exact_dedup_with_injected_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello World"), (2, "hello world"), (3, "  hello world  "), (4, "other")],
+        ["doc_id", "text"],
+    )
+    got = {r["keep_id"]: r["n_copies"] for r in exact_dedup(df, "doc_id", "text").collect()}
+    # 1,2,3 normalize to the same content; keeper is the min id
+    assert got == {1: 3, 4: 1}
+
+
+def test_ngram_jaccard_matches_bruteforce(spark, sf_dir, brute):
+    d = load_table(spark, sf_dir, "documents")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold_pct=40).collect()
+    }
+    want = {p: j for p, j in brute.items() if j * 100 >= 40}
+    assert set(got) == set(want)
+    for p in got:
+        assert abs(got[p] - want[p]) < 1e-12
+
+
+def test_minhash_verified_pairs_are_exact_and_recall_high(spark, sf_dir, brute):
+    d = load_table(spark, sf_dir, "documents")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_duplicates(
+            d, "doc_id", "text", num_hashes=64, bands=16, threshold_pct=60
+        ).collect()
+    }
+    # Precision is exact by construction (candidates are re-verified):
+    for (a, b), j in got.items():
+        assert j >= 0.6 and abs(brute[(a, b)] - j) < 1e-12
+    # Recall: every strongly-similar pair (j >= 0.8) must be caught —
+    # P(miss) = (1-j^4)^16 <= 2e-4 per pair, and the seed is fixed.
+    strong = {p for p, j in brute.items() if j >= 0.8}
+    assert strong <= set(got)
+
+
+def test_simhash_signature_matches_numpy(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(20)
+    staged = (
+        d.select("doc_id", tokens("text").alias("_toks"))
+        .select("doc_id", token_hashes(F.col("_toks")).alias("_h"))
+    )
+    from amazonredshift_blueprints_spark.operators.dedup import simhash
+
+    rows = staged.select("doc_id", "_h", simhash(F.col("_h")).alias("sig")).collect()
+    for r in rows:
+        hs = np.array(r["_h"], dtype=np.uint64)
+        votes = np.zeros(64, dtype=np.int64)
+        for b in range(64):
+            bits = (hs >> np.uint64(b)) & np.uint64(1)
+            votes[b] = int(bits.sum()) * 2 - len(hs)
+        expected = np.uint64(0)
+        for b in range(64):
+            if votes[b] > 0:
+                expected |= np.uint64(1) << np.uint64(b)
+        assert np.uint64(r["sig"] & 0xFFFFFFFFFFFFFFFF) == expected, r["doc_id"]
+
+
+def test_simhash_pairs_complete_within_radius(spark, sf_dir):
+    """Pigeonhole blocking must find EVERY pair within the radius."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = (
+        d.select("doc_id", tokens("text").alias("_toks"))
+        .select("doc_id", token_hashes(F.col("_toks")).alias("_h"))
+    )
+    from amazonredshift_blueprints_spark.operators.dedup import simhash
+
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in staged.select("doc_id", simhash(F.col("_h")).alias("sig")).collect()
+    }
+    ids = sorted(sigs)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin((sigs[a] ^ sigs[b]) & 0xFFFFFFFFFFFFFFFF).count("1") <= 3:
+                want.add((a, b))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_duplicates(d, "doc_id", "text", max_distance=3).collect()
+    }
+    assert got == want

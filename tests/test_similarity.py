@@ -1,0 +1,86 @@
+"""Similarity-search operators vs NumPy brute force at sf0.001."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from amazonredshift_blueprints_spark.operators.similarity import (
+    QUANT_SCALE,
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_topk,
+)
+from amazonredshift_blueprints_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def vecs(spark, sf_dir):
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    q = np.round(m * QUANT_SCALE)  # the operator's quantization, exactly
+    order = np.argsort(ids)
+    return ids[order], q[order]
+
+
+def _np_topk(ids, q, query_ids, k):
+    norms = np.sqrt((q * q).sum(axis=1))
+    out = {}
+    for qi in query_ids:
+        i = int(np.where(ids == qi)[0][0])
+        cos = (q @ q[i]) / (norms * norms[i])
+        cand = [(c, int(ids[j])) for j, c in enumerate(cos) if ids[j] != qi]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        out[qi] = cand[:k]
+    return out
+
+
+def test_brute_force_topk_matches_numpy(spark, sf_dir, vecs):
+    ids, q = vecs
+    e = load_table(spark, sf_dir, "embeddings")
+    got = brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5).collect()
+    want = _np_topk(ids, q, range(10), 5)
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r["query_id"], []).append(r)
+    assert set(by_query) == set(range(10))
+    for qi, rows in by_query.items():
+        rows.sort(key=lambda r: r["rank"])
+        for r, (cos, nid) in zip(rows, want[qi]):
+            assert r["neighbor_id"] == nid
+            assert abs(r["cosine"] - cos) < 1e-9
+
+
+def test_lsh_topk_recall(spark, sf_dir, vecs):
+    ids, q = vecs
+    e = load_table(spark, sf_dir, "embeddings")
+    got = lsh_topk(e, e.filter(F.col("vec_id") < 20), k=5, bits=4, n_tables=16).collect()
+    want = _np_topk(ids, q, range(20), 5)
+    hits = total = 0
+    for qi in range(20):
+        exact = {nid for _, nid in want[qi]}
+        approx = {r["neighbor_id"] for r in got if r["query_id"] == qi}
+        hits += len(exact & approx)
+        total += len(exact)
+    recall = hits / total
+    assert recall >= 0.8, f"LSH recall {recall:.2f} too low"
+
+
+def test_embedding_near_duplicates_threshold(spark, sf_dir, vecs):
+    ids, q = vecs
+    e = load_table(spark, sf_dir, "embeddings")
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in embedding_near_duplicates(e, threshold_microcos=400_000).collect()}
+    norms = np.sqrt((q * q).sum(axis=1))
+    cos = (q @ q.T) / np.outer(norms, norms)
+    want = {}
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if cos[i, j] * 1_000_000 >= 400_000:
+                want[(int(ids[i]), int(ids[j]))] = cos[i, j]
+    assert set(got) == set(want)
+    for p in got:
+        assert abs(got[p] - want[p]) < 1e-9
