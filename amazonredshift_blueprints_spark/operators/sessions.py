@@ -1,0 +1,91 @@
+"""Event sessionization (gap-and-islands) over the events stream table.
+
+Two equivalent implementations:
+- ``sessionize``       — explicit lag-gap flagging + running-sum session
+  index (windowed, batch; the oracle-checkable form).
+- ``session_window_agg`` — Spark's native ``session_window`` grouping
+  (same semantics, and the one that also runs under Structured
+  Streaming — see ``streaming/sessions.py``).
+
+Scale: both shuffle once on user_id; window state per reducer is one
+user's events. Session assignment never crosses user partitions, so the
+operator scales with the user-key cardinality, not total volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign gap-based sessions, one output row per session.
+
+    Returns (user_id, session_idx, session_start, session_end, n_events,
+    duration_secs). ``session_idx`` is the 1-based session ordinal per
+    user; a session ends when the next event is > gap after the previous.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_secs = gap_minutes * 60
+    prev_ts = F.lag(ts_col).over(w)
+    is_new = (
+        prev_ts.isNull()
+        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts) > gap_secs)
+    ).cast("long")
+    with_idx = events.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_idx"),
+    )
+    return (
+        with_idx.groupBy(user_col, "session_idx")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            user_col,
+            "session_idx",
+            "session_start",
+            "session_end",
+            "n_events",
+            (
+                F.unix_timestamp("session_end") - F.unix_timestamp("session_start")
+            ).alias("duration_secs"),
+        )
+    )
+
+
+def session_window_agg(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Spark-native ``session_window`` grouping — identical session
+    boundaries to ``sessionize`` (window.end = last event + gap).
+
+    Returns (user_id, session_start, last_event, n_events).
+    """
+    gap = f"{gap_minutes} minutes"
+    return (
+        events.groupBy(F.col(user_col), F.session_window(ts_col, gap))
+        .agg(F.count("*").alias("n_events"), F.max(ts_col).alias("last_event"))
+        .select(
+            user_col,
+            F.col("session_window.start").alias("session_start"),
+            "last_event",
+            "n_events",
+        )
+    )

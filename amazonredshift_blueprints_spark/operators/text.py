@@ -1,0 +1,143 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Everything is built-in-function SQL (JVM-side, whole-stage codegen) — no
+Python in the hot path. Each operator is a narrow projection over the
+documents table, so at 100 TB the cost is one columnar scan; nothing
+shuffles except explicit aggregations.
+
+Operators (SURVEY.md §2 Part C / BASELINE.json north star):
+- ``text_stats``        — length/token/punctuation/uniqueness quality
+  signals (the usual pre-training corpus filters).
+- ``quality_score``     — a deterministic 0..100 composite of the stats.
+- ``language_id``       — stopword-hit n-gram heuristic over a fixed
+  5-language lexicon; pure CASE/array logic.
+- ``token_count_bpe``   — BPE-ish regex token count (letters runs,
+  digit runs, punctuation singletons).
+- ``fingerprint``       — md5 over aggressively normalized text (the
+  cheap exact-dedup / provenance key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens
+
+# Tiny per-language stopword lexicons. Deliberately small and fixed:
+# the operator contract is determinism and shape, not linguistic SOTA —
+# swap in real lexicons (still broadcast-size) for production use.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "en", "que", "por"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不", "这", "他"),
+}
+
+# BPE-ish pre-tokenization: letter runs | digit runs | single non-space
+# symbol. Kept to portable regex (same semantics in Java regex and RE2).
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def _stopword_hits(toks: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Quality signals per document.
+
+    Returns (id, n_chars, n_tokens, n_uniq_tokens, uniq_ratio,
+    punct_ratio, stopword_ratio, mean_token_len).
+    """
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_text"),
+        tokens(text_col).alias("_toks"),
+    )
+    n_chars = F.length("_text").cast("long")
+    n_tokens = F.size("_toks").cast("long")
+    n_uniq = F.size(F.array_distinct("_toks")).cast("long")
+    n_punct = (
+        F.length("_text") - F.length(F.regexp_replace("_text", r"[^A-Za-z0-9\s]", ""))
+    ).cast("long")
+    n_stop = _stopword_hits(F.col("_toks"), "en").cast("long")
+    total_tok_chars = F.aggregate(
+        F.transform(F.col("_toks"), lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    return staged.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_uniq.alias("n_uniq_tokens"),
+        (n_uniq.cast("double") / F.nullif(n_tokens, F.lit(0)).cast("double")).alias("uniq_ratio"),
+        (n_punct.cast("double") / F.nullif(n_chars, F.lit(0)).cast("double")).alias("punct_ratio"),
+        (n_stop.cast("double") / F.nullif(n_tokens, F.lit(0)).cast("double")).alias("stopword_ratio"),
+        (total_tok_chars.cast("double") / F.nullif(n_tokens, F.lit(0)).cast("double")).alias("mean_token_len"),
+    )
+
+
+def quality_score(stats: DataFrame) -> DataFrame:
+    """0..100 composite: integer point blocks per signal band — exact
+    arithmetic, so engines agree bit-for-bit."""
+    points = (
+        F.when(F.col("n_tokens").between(20, 10_000), F.lit(30)).otherwise(F.lit(0))
+        + F.when(F.col("uniq_ratio") * 100 >= 30, F.lit(25)).otherwise(F.lit(0))
+        + F.when(F.col("punct_ratio") * 100 <= 15, F.lit(25)).otherwise(F.lit(0))
+        + F.when(
+            (F.col("mean_token_len") >= 2) & (F.col("mean_token_len") <= 12),
+            F.lit(20),
+        ).otherwise(F.lit(0))
+    )
+    return stats.select("*", points.cast("long").alias("quality"))
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-hit language guess over the fixed 5-language lexicon.
+
+    Returns (id, <lang>_hits ..., lang_pred). Ties break by language
+    code order (deterministic). All CASE/array built-ins.
+    """
+    staged = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    hit_cols = {
+        lang: _stopword_hits(F.col("_toks"), lang).cast("long").alias(f"{lang}_hits")
+        for lang in sorted(STOPWORDS)
+    }
+    with_hits = staged.select(F.col(id_col), *hit_cols.values())
+    best = F.greatest(*[F.col(f"{lang}_hits") for lang in sorted(STOPWORDS)])
+    pred = F.lit("und")
+    # Reverse order + when-chains: the FIRST lang in sorted order wins ties.
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when((F.col(f"{lang}_hits") == best) & (best > 0), lang).otherwise(pred)
+    return with_hits.select(F.col(id_col), *[F.col(f"{lang}_hits") for lang in sorted(STOPWORDS)], pred.alias("lang_pred"))
+
+
+def token_count_bpe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """BPE-ish token count via regexp_extract_all (letters/digits/symbol)."""
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.size(tokens(text_col)).cast("long").alias("n_ws_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stable content fingerprint: lowercase, strip non-alnum, collapse
+    whitespace, md5. The cheap key for exact dedup and provenance."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )

@@ -1177,3 +1177,254 @@ def c07_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = views(spark, sf_dir, "embeddings")["embeddings"]
     return lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5, bits=6, n_tables=8)
+
+
+# --------------------------------------------------------------------------
+# Part C: text analysis, sessionization, multimodal plumbing, event rollup
+# --------------------------------------------------------------------------
+
+from ..operators.text import STOPWORDS as _STOPWORDS  # noqa: E402
+
+
+def _duck_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+    return f"CAST(len(list_filter(toks, t -> t in ({words}))) AS BIGINT)"
+
+
+_LANGS = sorted(_STOPWORDS)
+
+
+@query(
+    "c08_text_stats",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, text AS _text,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST(length(_text) AS BIGINT) AS n_chars,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
+               CAST(len(list_distinct(toks)) AS DOUBLE)
+                 / CAST(nullif(len(toks), 0) AS DOUBLE) AS uniq_ratio,
+               CAST(length(_text) - length(regexp_replace(_text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                 / CAST(nullif(length(_text), 0) AS DOUBLE) AS punct_ratio,
+               CAST(len(list_filter(toks, t -> t in ('the','and','of','to','a','in','is','it','that','for'))) AS DOUBLE)
+                 / CAST(nullif(len(toks), 0) AS DOUBLE) AS stopword_ratio,
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                 / CAST(nullif(len(toks), 0) AS DOUBLE) AS mean_token_len
+        FROM t
+    )
+    SELECT *,
+           CAST(
+             (CASE WHEN n_tokens BETWEEN 20 AND 10000 THEN 30 ELSE 0 END)
+           + (CASE WHEN uniq_ratio * 100 >= 30 THEN 25 ELSE 0 END)
+           + (CASE WHEN punct_ratio * 100 <= 15 THEN 25 ELSE 0 END)
+           + (CASE WHEN mean_token_len >= 2 AND mean_token_len <= 12 THEN 20 ELSE 0 END)
+           AS BIGINT) AS quality
+    FROM s
+    """,
+    doc="per-document quality signals + composite score (pre-training "
+        "corpus filters); one columnar scan, no shuffle",
+    bench=True,
+    tags=("text",),
+)
+def c08_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_score, text_stats
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return quality_score(text_stats(d, "doc_id", "text"))
+
+
+@query(
+    "c09_text_langid",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               {", ".join(f"{_duck_hits(lang)} AS {lang}_hits" for lang in _LANGS)}
+        FROM t
+    )
+    SELECT doc_id, {", ".join(f"{lang}_hits" for lang in _LANGS)},
+           CASE
+             WHEN greatest({", ".join(f"{lang}_hits" for lang in _LANGS)}) = 0 THEN 'und'
+             {" ".join(f"WHEN {lang}_hits = greatest({', '.join(f'{x}_hits' for x in _LANGS)}) THEN '{lang}'" for lang in _LANGS)}
+           END AS lang_pred
+    FROM h
+    """,
+    doc="language-ID heuristic: stopword hits per language, argmax with "
+        "deterministic tie-break",
+    tags=("text",),
+)
+def c09_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import language_id
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return language_id(d, "doc_id", "text")
+
+
+@query(
+    "c10_text_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+    doc="token counting: whitespace + BPE-ish regex pre-tokenization",
+    tags=("text",),
+)
+def c10_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import token_count_bpe
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return token_count_bpe(d, "doc_id", "text")
+
+
+@query(
+    "c11_text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS norm_len
+    FROM documents
+    """,
+    doc="document fingerprint: normalize (lower/strip/collapse) + md5",
+    tags=("text",),
+)
+def c11_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import fingerprint
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return fingerprint(d, "doc_id", "text")
+
+
+@query(
+    "c12_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(date_trunc('second', ts))
+                            - epoch(date_trunc('second', lag(ts) OVER w)) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    idx AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id, session_idx,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(epoch(date_trunc('second', MAX(ts)))
+                - epoch(date_trunc('second', MIN(ts))) AS BIGINT) AS duration_secs
+    FROM idx
+    GROUP BY user_id, session_idx
+    """,
+    doc="gap-and-islands sessionization (30-min gap): lag-flag + running "
+        "sum; one shuffle on user_id",
+    bench=True,
+    tags=("events", "sessions"),
+)
+def c12_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessions import sessionize
+
+    e = views(spark, sf_dir, "events")["events"]
+    return sessionize(e, gap_minutes=30)
+
+
+@query(
+    "c13_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    idx AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS last_event,
+           COUNT(*) AS n_events
+    FROM idx
+    GROUP BY user_id, session_idx
+    """,
+    doc="Spark-native session_window grouping (streaming-capable form; "
+        "boundary: a gap of exactly 30min starts a NEW session, hence the "
+        ">= in the oracle)",
+    tags=("events", "sessions"),
+)
+def c13_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessions import session_window_agg
+
+    e = views(spark, sf_dir, "events")["events"]
+    return session_window_agg(e, gap_minutes=30)
+
+
+@query(
+    "c14_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5,
+           lower(hex(substring(text, 1, 8))) AS head_hex,
+           substring(sha256(text), 1, 16) AS feature
+    FROM documents
+    """,
+    doc="multimodal binary-column plumbing: payload bytes through an "
+        "Arrow-batched mapInPandas featureizer (decode step stubbed); "
+        "oracle valid because fixture text is pure ASCII",
+    tags=("multimodal",),
+)
+def c14_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_binary_payload, extract_features
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return extract_features(attach_binary_payload(d, "doc_id", "text"))
+
+
+@query(
+    "c15_event_window_rollup",
+    oracle=f"""
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600 * 1000000) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {_DSUM_SQL.format(x='value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="tumbling 6-hour event rollup (batch twin of the streaming "
+        "windowed agg in streaming/sessions.py)",
+    tags=("events",),
+)
+def c15_event_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = views(spark, sf_dir, "events")["events"]
+    return (
+        e.groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

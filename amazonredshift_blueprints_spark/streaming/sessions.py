@@ -1,0 +1,75 @@
+"""Streaming sessionization / windowed aggregation over the events table.
+
+Batch parity: ``operators.sessions.session_window_agg`` runs the same
+``session_window`` grouping; a batch run over the full input must equal
+the final streaming state after all input is consumed (asserted in
+tests/test_streaming.py via the availableNow trigger).
+
+Scale notes: state is keyed by (user, open session window); the
+watermark bounds how long a session can stay open, so state size is
+(active users × open sessions), independent of history length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import configure_runtime
+
+
+def read_events_stream(
+    spark: SparkSession, events_parquet_dir: str, schema
+) -> DataFrame:
+    """File-source stream over events parquet (nanos ts normalized)."""
+    configure_runtime(spark)
+    df = spark.readStream.schema(schema).parquet(events_parquet_dir)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def stream_session_counts(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-(user, session) event counts under a watermark.
+
+    ``session_window`` merges rows whose timestamps chain within the gap;
+    the watermark lets the engine finalize (and emit, in append mode)
+    sessions once no earlier event can still arrive.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col), F.session_window(ts_col, f"{gap_minutes} minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            user_col,
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def stream_window_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window event counts by type (the classic streaming rollup)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )

@@ -1,0 +1,109 @@
+"""Text-analysis and sessionization operator unit tests."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from amazonredshift_blueprints_spark.operators.sessions import (
+    session_window_agg,
+    sessionize,
+)
+from amazonredshift_blueprints_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    text_stats,
+    token_count_bpe,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog in a field"),
+            (2, "der hund ist nicht ein katze und der vogel"),
+            (3, "xyzzy!!! ??? ###"),
+            (4, "one"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_text_stats_values(spark):
+    rows = {r["doc_id"]: r for r in text_stats(_docs(spark), "doc_id", "text").collect()}
+    r1 = rows[1]
+    assert r1["n_tokens"] == 11
+    assert r1["n_uniq_tokens"] == 10  # 'the' twice
+    assert r1["punct_ratio"] == 0.0
+    # stopword hits: the ×2, and, in, a → 5 of 11
+    assert abs(r1["stopword_ratio"] - 5 / 11) < 1e-12
+    r3 = rows[3]
+    assert r3["punct_ratio"] > 0.5
+
+
+def test_quality_score_bands(spark):
+    scored = {r["doc_id"]: r["quality"] for r in
+              quality_score(text_stats(_docs(spark), "doc_id", "text")).collect()}
+    # doc 1: 10 tokens (<20 → 0) + uniq 25 + punct 25 + mean_len 20 = 70
+    assert scored[1] == 70
+    assert scored[3] < scored[1]
+
+
+def test_language_id(spark):
+    got = {r["doc_id"]: r["lang_pred"] for r in
+           language_id(_docs(spark), "doc_id", "text").collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "und"
+
+
+def test_token_count_bpe(spark):
+    df = spark.createDataFrame([(1, "ab12 cd!ef")], ["doc_id", "text"])
+    r = token_count_bpe(df, "doc_id", "text").collect()[0]
+    # ab | 12 | cd | ! | ef
+    assert r["n_bpe_tokens"] == 5
+    assert r["n_ws_tokens"] == 2
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "HELLO ... world")],
+        ["doc_id", "text"],
+    )
+    fps = {r["doc_id"]: r["fp"] for r in fingerprint(df, "doc_id", "text").collect()}
+    assert fps[1] == fps[2] == fps[3]
+
+
+def _events(spark):
+    rows = [
+        # user 1: two sessions (45-min gap between e3 and e4)
+        (1, 1, datetime(2024, 1, 1, 10, 0, 0)),
+        (2, 1, datetime(2024, 1, 1, 10, 10, 0)),
+        (3, 1, datetime(2024, 1, 1, 10, 20, 0)),
+        (4, 1, datetime(2024, 1, 1, 11, 5, 0)),
+        # user 2: one session
+        (5, 2, datetime(2024, 1, 1, 9, 0, 0)),
+        (6, 2, datetime(2024, 1, 1, 9, 29, 59)),
+    ]
+    return spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+
+
+def test_sessionize_islands(spark):
+    got = {(r["user_id"], r["session_idx"]): r for r in
+           sessionize(_events(spark), gap_minutes=30).collect()}
+    assert set(got) == {(1, 1), (1, 2), (2, 1)}
+    assert got[(1, 1)]["n_events"] == 3
+    assert got[(1, 1)]["duration_secs"] == 20 * 60
+    assert got[(1, 2)]["n_events"] == 1
+    assert got[(2, 1)]["n_events"] == 2
+
+
+def test_session_window_agg_matches_sessionize(spark):
+    e = _events(spark)
+    a = {(r["user_id"], r["session_start"]): r["n_events"]
+         for r in sessionize(e, gap_minutes=30).collect()}
+    b = {(r["user_id"], r["session_start"]): r["n_events"]
+         for r in session_window_agg(e, gap_minutes=30).collect()}
+    assert a == b
