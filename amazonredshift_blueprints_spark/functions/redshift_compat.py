@@ -6,11 +6,18 @@ Redshift SQL. Spark SQL is near-identical; the known deltas we shim:
 
 - ``DATEDIFF(unit, start, end)`` (Redshift arg order, boundary-crossing
   semantics) vs Spark ``datediff(end, start)`` (days only).
-- ``GETDATE()`` → ``current_timestamp()``.
+- ``GETDATE()`` / ``SYSDATE`` → ``current_timestamp()``.
+- ``LEN(x)`` → ``length(x)``.
+- ``CHARINDEX(substr, str)`` → ``instr(str, substr)`` (arg swap).
+- ``STRTOL(x, base)`` → ``CAST(conv(x, base, 10) AS BIGINT)``.
+- ``CONVERT_TIMEZONE([src,] tgt, ts)`` → ``from_utc_timestamp`` /
+  ``to_utc_timestamp`` composition (Redshift's src default is UTC).
+- ``TO_CHAR(expr, 'datefmt')`` → ``date_format(expr, javafmt)`` for the
+  common Oracle-style date patterns (YYYY, MM, DD, HH24, MI, SS, ...).
 
-Everything else (NVL, SPLIT_PART, ILIKE, APPROXIMATE COUNT(DISTINCT) →
-approx_count_distinct, ...) either exists in Spark under the same name or
-is translated here.
+Everything else (NVL, NVL2, DECODE, SPLIT_PART, ILIKE, MEDIAN, LISTAGG,
+PERCENTILE_CONT, APPROXIMATE COUNT(DISTINCT) → approx_count_distinct, ...)
+either exists in Spark under the same name or is translated here.
 
 The shim is regex-based and intentionally conservative: it only rewrites
 call sites it fully parses; anything else passes through untouched so
@@ -107,11 +114,134 @@ def _find_call(sql: str, func: str, start: int = 0) -> tuple[int, int, str] | No
     return m.start(), i, sql[m.end() : i - 1]
 
 
+# Oracle-style TO_CHAR date patterns → java.time format letters. Ordered
+# longest-first so e.g. 'MONTH' is consumed before 'MON' and 'MM'. Only
+# date/time patterns are mapped; a TO_CHAR with unrecognized pattern
+# characters is left untouched (numeric TO_CHAR, e.g. '999,999', is out
+# of scope for the shim).
+_TO_CHAR_PATTERNS = [
+    ("YYYY", "yyyy"),
+    ("YY", "yy"),
+    ("MONTH", "MMMM"),
+    ("MON", "MMM"),
+    ("MM", "MM"),
+    ("DDD", "DDD"),
+    ("DD", "dd"),
+    ("DY", "EEE"),
+    ("DAY", "EEEE"),
+    ("HH24", "HH"),
+    ("HH12", "hh"),
+    ("HH", "hh"),
+    ("MI", "mm"),
+    ("SS", "ss"),
+    ("MS", "SSS"),
+    ("AM", "a"),
+    ("PM", "a"),
+    ("Q", "Q"),
+]
+_TO_CHAR_SEPARATORS = set(" -/,.:;")
+
+
+def _translate_datetime_format(fmt: str) -> str | None:
+    """Oracle/Redshift date format → java.time pattern, or None if any
+    token is unrecognized (caller then leaves the call site untouched)."""
+    out = []
+    i = 0
+    up = fmt.upper()
+    while i < len(fmt):
+        if fmt[i] in _TO_CHAR_SEPARATORS:
+            out.append(fmt[i])
+            i += 1
+            continue
+        for pat, java in _TO_CHAR_PATTERNS:
+            if up.startswith(pat, i):
+                out.append(java)
+                i += len(pat)
+                break
+        else:
+            return None
+    return "".join(out)
+
+
+def _split_args(body: str) -> list[str]:
+    """Split a call body at top-level commas (paren- and quote-aware)."""
+    args = []
+    rest = body
+    while True:
+        two = _split_two_args(rest)
+        if two is None:
+            args.append(rest.strip())
+            return args
+        args.append(two[0])
+        rest = two[1]
+
+
+def _rewrite_calls(sql: str, func: str, fn) -> str:
+    """Rewrite every ``func(...)`` call site with ``fn(args) -> str|None``.
+
+    ``fn`` returns the replacement expression, or None to leave the call
+    site untouched (unparseable / out-of-scope arity). String literals are
+    never rewritten (_find_call skips them)."""
+    pos = 0
+    while True:
+        hit = _find_call(sql, func, pos)
+        if hit is None:
+            return sql
+        s, e, inner = hit
+        repl = fn(_split_args(inner))
+        if repl is None:
+            pos = e
+            continue
+        sql = sql[:s] + repl + sql[e:]
+        pos = s + len(repl)
+
+
+def _len_call(args: list[str]) -> str | None:
+    return f"length({args[0]})" if len(args) == 1 else None
+
+
+def _charindex_call(args: list[str]) -> str | None:
+    # CHARINDEX(substring, string) → instr(string, substring): same
+    # 1-based, 0-when-absent contract, swapped args.
+    return f"instr({args[1]}, {args[0]})" if len(args) == 2 else None
+
+
+def _strtol_call(args: list[str]) -> str | None:
+    return f"CAST(conv({args[0]}, {args[1]}, 10) AS BIGINT)" if len(args) == 2 else None
+
+
+def _convert_timezone_call(args: list[str]) -> str | None:
+    if len(args) == 2:  # source defaults to UTC (Redshift doc'd behavior)
+        tgt, ts = args
+        return f"from_utc_timestamp({ts}, {tgt})"
+    if len(args) == 3:
+        src, tgt, ts = args
+        return f"from_utc_timestamp(to_utc_timestamp({ts}, {src}), {tgt})"
+    return None
+
+
+def _to_char_call(args: list[str]) -> str | None:
+    if len(args) != 2:
+        return None
+    fmt = args[1].strip()
+    if not (len(fmt) >= 2 and fmt[0] == "'" and fmt[-1] == "'"):
+        return None  # non-literal format: can't translate statically
+    java = _translate_datetime_format(fmt[1:-1])
+    if java is None:
+        return None  # numeric/unknown pattern: leave untouched
+    return f"date_format({args[0]}, '{java}')"
+
+
 def translate_redshift_sql(sql: str) -> str:
     """Rewrite Redshift-dialect call sites into Spark SQL equivalents."""
     # GETDATE() / SYSDATE → current_timestamp()
     sql = re.sub(r"\bGETDATE\s*\(\s*\)", "current_timestamp()", sql, flags=re.IGNORECASE)
     sql = re.sub(r"\bSYSDATE\b", "current_timestamp()", sql, flags=re.IGNORECASE)
+    sql = _rewrite_calls(sql, "LEN", _len_call)
+    sql = _rewrite_calls(sql, "CHARINDEX", _charindex_call)
+    sql = _rewrite_calls(sql, "STRTOL", _strtol_call)
+    sql = _rewrite_calls(sql, "CONVERT_TIMEZONE", _convert_timezone_call)
+    sql = _rewrite_calls(sql, "TO_CHAR", _to_char_call)
     # APPROXIMATE COUNT(DISTINCT x) → approx_count_distinct(x)
     sql = re.sub(
         r"\bAPPROXIMATE\s+COUNT\s*\(\s*DISTINCT\s+(.*?)\)",

@@ -1428,3 +1428,165 @@ def c15_event_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Part B (continued): array/map functions, grouping sets, extended dialect,
+# ordered-set / listagg aggregates.
+# --------------------------------------------------------------------------
+
+@query(
+    "q27_array_map",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           toks[1] AS first_token,
+           array_to_string(list_slice(toks, 1, 3), ' ') AS first3,
+           array_to_string(list_slice(list_sort(toks), 1, 3), ' ') AS sorted3,
+           list_contains(toks, 'the') AS has_the,
+           list_max(toks) AS max_token,
+           CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT)
+             AS total_token_chars,
+           CAST(len(list_filter(toks, t -> length(t) > 5)) AS BIGINT) AS long_token_count,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS uniq_via_map,
+           CAST(2 AS BIGINT) AS n_map_keys
+    FROM t
+    """,
+    doc="array/map function family (SURVEY §2 Part B 'Array/map functions'): "
+        "transform/filter/aggregate/slice/sort_array/array_contains/"
+        "element_at + map_from_arrays/map_keys; oracle computes the same "
+        "values with DuckDB list functions (maps are Spark-side richness)",
+    tags=("array", "map"),
+)
+def q27_array_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import tokens
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    staged = d.select("doc_id", tokens("text").alias("toks"))
+    toks = F.col("toks")
+    n_tokens = F.size(toks).cast("long")
+    n_uniq = F.size(F.array_distinct(toks)).cast("long")
+    stats_map = F.map_from_arrays(
+        F.array(F.lit("n_tokens"), F.lit("n_uniq")), F.array(n_tokens, n_uniq)
+    )
+    return staged.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.try_element_at(toks, F.lit(1)).alias("first_token"),
+        F.concat_ws(" ", F.slice(toks, 1, 3)).alias("first3"),
+        F.concat_ws(" ", F.slice(F.sort_array(toks), 1, 3)).alias("sorted3"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.array_max(toks).alias("max_token"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+        ).cast("long").alias("total_token_chars"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 5)).cast("long").alias("long_token_count"),
+        F.element_at(stats_map, F.lit("n_uniq")).alias("uniq_via_map"),
+        F.size(F.map_keys(stats_map)).cast("long").alias("n_map_keys"),
+    )
+
+
+_GROUPING_SETS_SQL = f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           COUNT(*) AS n,
+           {_DSUM_SQL.format(x='o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@query(
+    "q28_grouping_sets",
+    oracle=_GROUPING_SETS_SQL,
+    doc="explicit GROUP BY GROUPING SETS (beyond q13 rollup / q14 cube): "
+        "identical SQL text in both engines, GROUPING() disambiguates "
+        "aggregation NULLs from data NULLs",
+    tags=("agg", "grouping"),
+)
+def q28_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "orders")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+_DIALECT_FUNCS_SQL = """
+    SELECT event_id,
+           TO_CHAR(ts, 'YYYY-MM-DD HH24:MI') AS ts_str,
+           LEN(event_type) AS type_len,
+           CHARINDEX('i', event_type) AS i_pos,
+           NVL2(NULLIF(event_type, 'view'), 'other', 'is_view') AS view_flag,
+           DECODE(event_type, 'view', 1, 'click', 2, 0) AS type_code,
+           STRTOL('ff', 16) AS const_255
+    FROM events
+"""
+
+
+@query(
+    "q29_dialect_functions",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M') AS ts_str,
+           CAST(length(event_type) AS BIGINT) AS type_len,
+           CAST(strpos(event_type, 'i') AS BIGINT) AS i_pos,
+           CASE WHEN NULLIF(event_type, 'view') IS NOT NULL
+                THEN 'other' ELSE 'is_view' END AS view_flag,
+           CAST(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                ELSE 0 END AS BIGINT) AS type_code,
+           CAST(255 AS BIGINT) AS const_255
+    FROM events
+    """,
+    doc="extended Redshift dialect through the translation shim: TO_CHAR "
+        "date formats, LEN, CHARINDEX arg swap, NVL2, Oracle-style DECODE, "
+        "STRTOL (CONVERT_TIMEZONE is shimmed too; unit-tested, not "
+        "oracle-checked because DuckDB lacks a matching tz primitive)",
+    tags=("dialect",),
+)
+def q29_dialect_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "events")
+    df = spark.sql(translate_redshift_sql(_DIALECT_FUNCS_SQL))
+    return df.select(
+        "event_id",
+        "ts_str",
+        F.col("type_len").cast("long").alias("type_len"),
+        F.col("i_pos").cast("long").alias("i_pos"),
+        "view_flag",
+        F.col("type_code").cast("long").alias("type_code"),
+        F.col("const_255").cast("long").alias("const_255"),
+    )
+
+
+_LISTAGG_SPARK_SQL = """
+    SELECT r_regionkey,
+           listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+           CAST(median(n_nationkey) AS DOUBLE) AS med_nationkey,
+           ROUND(CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY n_nationkey) AS DOUBLE), 3)
+             AS p25_nationkey,
+           COUNT(*) AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_regionkey
+"""
+
+
+@query(
+    "q30_listagg_ordered_agg",
+    oracle="""
+    SELECT r_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(median(n_nationkey) AS DOUBLE) AS med_nationkey,
+           ROUND(CAST(quantile_cont(n_nationkey, 0.25) AS DOUBLE), 3) AS p25_nationkey,
+           COUNT(*) AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_regionkey
+    """,
+    doc="ordered-set aggregates: LISTAGG WITHIN GROUP (Redshift's ordered "
+        "string agg), MEDIAN, PERCENTILE_CONT — all native in Spark 4",
+    tags=("agg", "dialect"),
+)
+def q30_listagg_ordered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "nation", "region")
+    return spark.sql(_LISTAGG_SPARK_SQL)

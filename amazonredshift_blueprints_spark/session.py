@@ -79,6 +79,7 @@ def get_spark(app_name: str = "amazonredshift-blueprints-spark") -> SparkSession
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for key, value in _RUNTIME_CONFS.items():
         builder = builder.config(key, value)

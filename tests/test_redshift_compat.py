@@ -38,3 +38,52 @@ def test_approximate_count_distinct():
 def test_string_literal_not_rewritten():
     sql = "SELECT 'DATEDIFF(day, a, b)' AS s"
     assert translate_redshift_sql(sql) == sql
+
+
+def test_len():
+    assert translate_redshift_sql("SELECT LEN(x) FROM t") == "SELECT length(x) FROM t"
+
+
+def test_len_does_not_touch_length():
+    sql = "SELECT length(x) FROM t"
+    assert translate_redshift_sql(sql) == sql
+
+
+def test_charindex_swaps_args():
+    out = translate_redshift_sql("SELECT CHARINDEX('ab', col) FROM t")
+    assert out == "SELECT instr(col, 'ab') FROM t"
+
+
+def test_strtol():
+    out = translate_redshift_sql("SELECT STRTOL('ff', 16)")
+    assert out == "SELECT CAST(conv('ff', 16, 10) AS BIGINT)"
+
+
+def test_convert_timezone_two_arg():
+    out = translate_redshift_sql("SELECT CONVERT_TIMEZONE('PST', ts) FROM t")
+    assert out == "SELECT from_utc_timestamp(ts, 'PST') FROM t"
+
+
+def test_convert_timezone_three_arg():
+    out = translate_redshift_sql("SELECT CONVERT_TIMEZONE('UTC', 'PST', ts) FROM t")
+    assert out == "SELECT from_utc_timestamp(to_utc_timestamp(ts, 'UTC'), 'PST') FROM t"
+
+
+def test_to_char_date_format():
+    out = translate_redshift_sql("SELECT TO_CHAR(ts, 'YYYY-MM-DD HH24:MI:SS') FROM t")
+    assert out == "SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ss') FROM t"
+
+
+def test_to_char_month_name():
+    out = translate_redshift_sql("SELECT TO_CHAR(d, 'DD Mon YYYY')")
+    assert out == "SELECT date_format(d, 'dd MMM yyyy')"
+
+
+def test_to_char_numeric_pattern_untouched():
+    sql = "SELECT TO_CHAR(amount, '999,999')"
+    assert translate_redshift_sql(sql) == sql
+
+
+def test_to_char_non_literal_format_untouched():
+    sql = "SELECT TO_CHAR(ts, fmt_col) FROM t"
+    assert translate_redshift_sql(sql) == sql
