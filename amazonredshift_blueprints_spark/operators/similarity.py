@@ -192,6 +192,101 @@ def lsh_topk(
     )
 
 
+def l2_sq_q(a: Column, b: Column) -> Column:
+    """Exact squared L2 distance of two quantized vectors (BIGINT)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantizer cells →
+    probe the ``nprobe`` nearest cells per query → exact re-rank of the
+    probed cells' members only.
+
+    The classic ANN index layout (FAISS-style IVF-Flat) as pure
+    DataFrame ops:
+    - **coarse centroids**: ``n_cells`` corpus vectors picked by a
+      deterministic rule (lowest ids). Production swaps in k-means
+      centroids; the cell-assignment / probe / re-rank mechanics — the
+      part that must scale — are identical, and the fixed rule keeps
+      the operator exactly reproducible for the oracle harness.
+    - **assignment**: each corpus vector joins the broadcast centroid
+      table and keeps its argmin-L2 cell (|C|·n_cells integer ops, one
+      narrow window per vector id).
+    - **probe + re-rank**: each query scans only its probed cells:
+      ~|Q| · nprobe/n_cells of the corpus instead of |Q|·|C|.
+
+    100 TB: the corpus-side cell table is the stored "index" — write it
+    partitioned by cell and the probe join becomes a partition-pruned
+    scan; distances are exact int64 (deterministic), only the final
+    cosine is a double.
+    """
+    c = _with_quant(corpus, id_col, vec_col, "neighbor")
+    q = _with_quant(queries, id_col, vec_col, "query")
+    cents = _with_quant(
+        corpus.filter(F.col(id_col) < n_cells), id_col, vec_col, "cent"
+    )
+
+    w_assign = Window.partitionBy("neighbor_id").orderBy(F.asc("d"), F.asc("cent_id"))
+    cells = (
+        c.crossJoin(F.broadcast(cents))
+        .select(
+            "neighbor_id",
+            "neighbor_q",
+            "neighbor_norm",
+            "cent_id",
+            l2_sq_q(F.col("neighbor_q"), F.col("cent_q")).alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "neighbor_q", "neighbor_norm", F.col("cent_id").alias("cell"))
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cent_id"))
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "query_q",
+            "query_norm",
+            "cent_id",
+            l2_sq_q(F.col("query_q"), F.col("cent_q")).alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "query_q", "query_norm", F.col("cent_id").alias("cell"))
+    )
+    scored = (
+        probed.join(cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_q(
+                dot_q(F.col("query_q"), F.col("neighbor_q")),
+                F.col("query_norm"),
+                F.col("neighbor_norm"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     *,

@@ -1590,3 +1590,171 @@ _LISTAGG_SPARK_SQL = """
 def q30_listagg_ordered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir, "nation", "region")
     return spark.sql(_LISTAGG_SPARK_SQL)
+
+
+# --------------------------------------------------------------------------
+# Part B (continued): the Python UDF / UDAF surface — Arrow-vectorized.
+# --------------------------------------------------------------------------
+
+@query(
+    "q31_pandas_udf_scalar",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings
+    )
+    SELECT vec_id,
+           sqrt(CAST(list_sum(list_transform(qv, v -> v * v)) AS DOUBLE)) AS l2_norm_q
+    FROM q
+    """,
+    doc="scalar pandas_udf (Arrow-batched, the sanctioned Python hot "
+        "path): quantized-exact L2 norm per embedding — the UDF surface "
+        "Redshift exposes as Python UDFs (reference pass-through sites "
+        "store_query_results.py:103 / execute_sql.py:77)",
+    tags=("udf",),
+)
+def q31_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udfs import embedding_norms
+
+    e = views(spark, sf_dir, "embeddings")["embeddings"]
+    return embedding_norms(e)
+
+
+@query(
+    "q32_grouped_applyinpandas",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_q,
+           (CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+             / COUNT(*) AS mean_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="grouped applyInPandas (the UDAF surface): one shuffle on the "
+        "group key, each group one pandas frame; sums exact over "
+        "quantized int64",
+    tags=("udf", "events"),
+)
+def q32_grouped_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udfs import user_event_stats
+
+    e = views(spark, sf_dir, "events")["events"]
+    return user_event_stats(e)
+
+
+# --------------------------------------------------------------------------
+# Part C (continued): custom stateful streaming operator.
+# --------------------------------------------------------------------------
+
+@query(
+    "c16_stateful_stream_counts",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_q
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="custom stateful streaming op (applyInPandasWithState): per-user "
+        "running count/sum state, update-mode emissions collapsed by "
+        "max() (monotone, so batch-count independent); availableNow run "
+        "equals the batch aggregate",
+    tags=("streaming", "udf", "events"),
+)
+def c16_stateful_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil as _sh
+
+    from ..streaming.sessions import read_events_stream, stateful_user_counts
+
+    views(spark, sf_dir, "events")  # oracle side reads the same fixture
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    d = tempfile.mkdtemp(prefix="bp_stateful_stream_")
+    _sh.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "part-0.parquet"))
+    stream = read_events_stream(spark, d, raw_schema)
+    name = "bp_stateful_counts"
+    q = (
+        stateful_user_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("sum_value_q").alias("sum_value_q"),
+        )
+    )
+
+
+_DUCK_L2 = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+
+@query(
+    "c17_ann_ivf_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, qv,
+               CAST({_DUCK_DOT.format(a='qv', b='qv')} AS BIGINT) AS norm
+        FROM v
+    ),
+    cents AS (SELECT vec_id AS cent_id, qv AS cq FROM v WHERE vec_id < 16),
+    cells AS (
+        SELECT vec_id, qv, norm, cent_id AS cell FROM (
+            SELECT n.vec_id, n.qv, n.norm, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY {_DUCK_L2.format(a='n.qv', b='c.cq')}, c.cent_id
+                   ) AS rn
+            FROM n CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    probed AS (
+        SELECT vec_id, qv, norm, cent_id AS cell FROM (
+            SELECT n.vec_id, n.qv, n.norm, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY {_DUCK_L2.format(a='n.qv', b='c.cq')}, c.cent_id
+                   ) AS rn
+            FROM n CROSS JOIN cents c
+            WHERE n.vec_id < 10
+        ) WHERE rn <= 4
+    ),
+    scored AS (
+        SELECT p.vec_id AS query_id, s.vec_id AS neighbor_id,
+               CAST({_DUCK_DOT.format(a='p.qv', b='s.qv')} AS DOUBLE)
+                 / (sqrt(CAST(p.norm AS DOUBLE)) * sqrt(CAST(s.norm AS DOUBLE))) AS cosine
+        FROM probed p JOIN cells s ON p.cell = s.cell
+        WHERE p.vec_id <> s.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="IVF-Flat approximate top-k: deterministic coarse-quantizer "
+        "cells, nprobe nearest cells per query, exact re-rank of probed "
+        "cells only — ~nprobe/n_cells of the corpus scanned per query; "
+        "the FAISS-style scale path next to LSH (c07)",
+    tags=("similarity",),
+)
+def c17_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    e = views(spark, sf_dir, "embeddings")["embeddings"]
+    return ivf_topk(
+        e, e.filter(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=4
+    )

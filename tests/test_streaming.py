@@ -51,6 +51,42 @@ def test_stream_sessions_match_batch(spark, sf_dir, events_stream_dir):
     assert got_m == want_m
 
 
+def test_stateful_user_counts_match_batch(spark, sf_dir, events_stream_dir):
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.streaming.sessions import stateful_user_counts
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = read_events_stream(spark, events_stream_dir, raw_schema)
+    q = (
+        stateful_user_counts(stream)
+        .writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("t_stateful")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n"), F.max("sum_value_q").alias("s"))
+        .collect()
+    )
+    e = load_table(spark, sf_dir, "events")
+    batch = (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("s"),
+        )
+        .collect()
+    )
+    got_m = {r["user_id"]: (r["n"], r["s"]) for r in got}
+    want_m = {r["user_id"]: (r["n"], r["s"]) for r in batch}
+    assert got_m == want_m
+
+
 def test_stream_window_counts_match_batch(spark, sf_dir, events_stream_dir):
     from pyspark.sql import functions as F
 
