@@ -1758,3 +1758,83 @@ def c17_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         e, e.filter(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=4
     )
+
+
+@query(
+    "q33_bucketed_colocated_join",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_items,
+           {_DSUM_SQL.format(x='l_extendedprice')} AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+    doc="co-located join via bucketed tables: both sides bucketed on the "
+        "join key with equal bucket counts, so the sort-merge join needs "
+        "NO shuffle (asserted in tests/test_catalog_oracle.py; a linear "
+        "per-bucket sort remains — Spark ≥3 ignores bucket sortBy "
+        "metadata on read by default) — the pre-partitioning technique "
+        "that amortizes one shuffle across every downstream join at 100 TB",
+    tags=("join", "bucketing"),
+)
+def q33_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ingest import _clean_stale_location
+
+    t = views(spark, sf_dir, "orders", "lineitem")
+    # (Re)build the bucketed layout — idempotent; the managed-table write
+    # is itself the one-time shuffle the bucketing amortizes. Stale
+    # warehouse dirs from prior sessions must go too (fresh derby
+    # metastores don't know about them).
+    for name in ("bp_orders_bkt", "bp_lineitem_bkt"):
+        _clean_stale_location(spark, name, None)
+    (
+        t["orders"].select("o_orderkey", "o_orderstatus")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("bp_orders_bkt")
+    )
+    (
+        t["lineitem"].select("l_orderkey", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("bp_lineitem_bkt")
+    )
+    li = spark.table("bp_lineitem_bkt")
+    o = spark.table("bp_orders_bkt")
+    return (
+        li.hint("merge")  # force SMJ so the bucketed co-location is load-bearing
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_items"), dsum("l_extendedprice", "total_price"))
+    )
+
+
+@query(
+    "q34_salted_skew_join",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_items,
+           {_DSUM_SQL.format(x='l_quantity')} AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+    doc="explicit salting for single-hot-key skew (operators/skew.py): "
+        "the skewed side's rows spread over n_salts reducers via a "
+        "widened (key, salt) join key, the uniform side replicated per "
+        "salt; result provably equals the plain join (oracle + "
+        "tests/test_skew.py). Complements AQE skew-join, which splits "
+        "partitions but cannot split one key",
+    tags=("join", "skew"),
+)
+def q34_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    t = views(spark, sf_dir, "orders", "lineitem")
+    joined = salted_join(
+        t["lineitem"].select("l_orderkey", "l_quantity"),
+        t["orders"].select("o_orderkey", "o_orderstatus"),
+        "l_orderkey",
+        "o_orderkey",
+        n_salts=8,
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_items"), dsum("l_quantity", "total_qty")
+    )

@@ -21,3 +21,23 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     ddf = duck.execute(spec.oracle).fetchdf()
     problems = compare(name, sdf, ddf)
     assert not problems, f"{name}: {problems}"
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """q33's point: with both sides bucketed on the join key, the
+    sort-merge join takes its inputs straight from the bucketed scans —
+    no Exchange below the join. (A linear per-bucket Sort remains:
+    Spark ≥3.0 ignores bucket sortBy metadata on read by default,
+    spark.sql.legacy.bucketedTableScan.outputOrdering.)"""
+    df = QUERIES["q33_bucketed_colocated_join"].build(spark, sf_dir)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")  # render full plan
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    join_at = plan.index("SortMergeJoin")
+    below_join = plan[join_at:]
+    agg_exchanges = plan[:join_at].count("Exchange")  # group-by shuffle: expected
+    assert "Exchange" not in below_join, below_join[:500]
+    assert "Bucketed: true" in below_join
+    assert agg_exchanges >= 1  # sanity: we looked at the right plan

@@ -1,0 +1,56 @@
+"""salted_join must equal the plain join, and widen the join key."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazonredshift_blueprints_spark.operators.skew import salted_join
+from amazonredshift_blueprints_spark.session import load_table
+
+
+def _agg(df):
+    return {
+        r["o_orderstatus"]: r["n"]
+        for r in df.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()
+    }
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    plain = li.join(o, li.l_orderkey == o.o_orderkey)
+    salted = salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=4)
+    assert _agg(salted) == _agg(plain)
+    assert salted.count() == plain.count()
+    assert set(salted.columns) == set(plain.columns)
+
+
+def test_salted_join_left_keeps_unmatched(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .filter(F.col("o_orderkey") % 2 == 0)
+    )
+    plain = li.join(o, li.l_orderkey == o.o_orderkey, "left")
+    salted = salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=4, how="left")
+    assert salted.count() == plain.count()
+    assert (
+        salted.filter(F.col("o_orderstatus").isNull()).count()
+        == plain.filter(F.col("o_orderstatus").isNull()).count()
+    )
+
+
+def test_salted_join_salts_the_key(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    salted = salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=4)
+    plan = salted._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in plan  # the widened key is real, not optimized away
+
+
+def test_salted_join_rejects_unsupported_how(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    with pytest.raises(ValueError):
+        salted_join(li, li, "l_orderkey", "l_orderkey", how="full")
