@@ -1838,3 +1838,38 @@ def q34_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_items"), dsum("l_quantity", "total_qty")
     )
+
+
+@query(
+    "q35_dml_delete_update",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority,
+           CASE WHEN o_orderpriority = '1-URGENT'
+                THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    """,
+    doc="DML parity (dml.py): DELETE + UPDATE as copy-on-write rewrites "
+        "of a managed table — the format-agnostic equivalent of what "
+        "Delta/Iceberg do under the hood (Redshift DML reaches the "
+        "reference via execute_sql.py:64,77). Doubling a double is "
+        "exponent-exact, so no rounding guard is needed",
+    tags=("dml", "native"),
+)
+def q35_dml_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dml import delete_from, update_table
+    from ..ingest import _clean_stale_location
+
+    t = views(spark, sf_dir, "orders")
+    _clean_stale_location(spark, "bp_dml_orders", None)
+    t["orders"].write.mode("overwrite").saveAsTable("bp_dml_orders")
+    delete_from(spark, "bp_dml_orders", "o_orderstatus = 'F'")
+    update_table(
+        spark,
+        "bp_dml_orders",
+        {"o_totalprice": "o_totalprice * 2"},
+        "o_orderpriority = '1-URGENT'",
+    )
+    return spark.table("bp_dml_orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
