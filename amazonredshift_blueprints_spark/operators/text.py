@@ -126,6 +126,46 @@ def token_count_bpe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def tf_idf_topk(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 5
+) -> DataFrame:
+    """Top-k TF-IDF terms per document, pure DataFrame ops (no MLlib).
+
+    tf = term count in doc; idf = ln((N+1)/(df+1)) + 1 (smoothed);
+    score = round(tf * idf, 6) — rounded because ln is transcendental
+    and engines differ in the last ulp. Ranking orders by the ROUNDED
+    score (ties → token ascending), so rank is engine-exact too.
+
+    Returns (doc_id, token, tf, docfreq, tfidf, rank), rank <= k.
+
+    100 TB: two shuffles (per-doc tf, corpus df) + one join keyed on
+    token — the inverted-index shape. The document-frequency table is
+    vocabulary-sized; Catalyst broadcasts it while it fits, shuffles
+    otherwise. Window state is k rows per doc.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = (
+        toks.distinct().groupBy("token").agg(F.count("*").alias("docfreq"))
+    )
+    n = df.select(F.count("*").alias("n_docs"))  # 1-row broadcast dim
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("docfreq") + 1.0)) + 1.0
+    scored = tf.join(dfreq, "token").crossJoin(F.broadcast(n)).select(
+        F.col(id_col),
+        "token",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("docfreq").cast("long").alias("docfreq"),
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stable content fingerprint: lowercase, strip non-alnum, collapse
     whitespace, md5. The cheap key for exact dedup and provenance."""

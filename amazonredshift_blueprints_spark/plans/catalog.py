@@ -1873,3 +1873,96 @@ def q35_dml_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("bp_dml_orders").select(
         "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
     )
+
+
+@query(
+    "c18_text_tfidf",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+    dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS docfreq FROM ex GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+               CAST(docfreq AS BIGINT) AS docfreq,
+               round(tf * (ln((n_docs + 1.0) / (docfreq + 1.0)) + 1.0), 6) AS tfidf
+        FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, docfreq, tfidf, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, token
+        ) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="top-k TF-IDF terms per document, pure DataFrame inverted-index "
+        "shape (no MLlib): per-doc tf shuffle + corpus df shuffle + "
+        "token join; score rounded to 6dp (ln is transcendental) and "
+        "ranked on the rounded value so ranks are engine-exact",
+    tags=("text",),
+)
+def c18_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tf_idf_topk
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return tf_idf_topk(d, "doc_id", "text", k=5)
+
+
+@query(
+    "c19_asof_join",
+    oracle="""
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    r AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+    u AS (
+        SELECT user_id, ts AS _ts, 1 AS _tag, NULL::BIGINT AS _tie,
+               event_id AS l_event_id,
+               NULL::BIGINT AS r_event_id, NULL::TIMESTAMP AS r_ts
+        FROM l
+        UNION ALL
+        SELECT user_id, ts, 0, event_id, NULL, event_id, ts FROM r
+    ),
+    m AS (
+        SELECT *,
+               last_value(r_event_id IGNORE NULLS) OVER w AS view_event_id,
+               last_value(r_ts IGNORE NULLS) OVER w AS view_ts
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY _ts, _tag, _tie NULLS FIRST
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT l_event_id AS event_id, user_id, _ts AS ts, view_event_id, view_ts,
+           CAST(epoch_us(_ts) - epoch_us(view_ts) AS BIGINT) AS gap_us
+    FROM m WHERE _tag = 1
+    """,
+    doc="as-of join (latest view at-or-before each click, per user) via "
+        "the union + running-last trick — one shuffle, O(n log n), no "
+        "|L|x|R| range explosion; the custom-operator answer to a join "
+        "Spark SQL lacks (DuckDB's native ASOF JOIN exists for the same "
+        "reason; the oracle mirrors the union form for exact tie parity)",
+    tags=("join", "events", "asof"),
+)
+def c19_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    e = views(spark, sf_dir, "events")["events"]
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    eviews = e.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    joined = asof_join(
+        clicks,
+        eviews,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload={"view_event_id": "event_id", "view_ts": "ts"},
+        tiebreak="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "view_event_id",
+        "view_ts",
+        (F.unix_micros("ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
