@@ -1966,3 +1966,42 @@ def c19_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_ts",
         (F.unix_micros("ts") - F.unix_micros("view_ts")).alias("gap_us"),
     )
+
+
+@query(
+    "q36_json_typed_struct",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="typed JSON: from_json with an explicit StructType (the "
+        "SUPER/PartiQL analog beyond q22's string extraction) — parse "
+        "once into a struct column, then filter/aggregate on the typed "
+        "field; at scale this beats per-expression get_json_object "
+        "because the document parses once per row, not once per path",
+    tags=("scalar", "events", "json"),
+)
+def q36_json_typed_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StructField as SF_, StructType as ST_
+
+    e = views(spark, sf_dir, "events")["events"]
+    parsed = e.select(
+        "event_type",
+        F.from_json("props", ST_([SF_("k", LongType())])).alias("p"),
+    )
+    return (
+        parsed.filter(F.col("p.k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("p.k").cast("long").alias("sum_k"),
+            F.max("p.k").cast("long").alias("max_k"),
+        )
+    )
