@@ -2005,3 +2005,190 @@ def q36_json_typed_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("p.k").cast("long").alias("max_k"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Part B (continued): statistical aggregates, correlated scalar subqueries,
+# null-aware anti join, PIVOT — the remaining Redshift-SQL families a user
+# could pass through the reference's hand-off sites
+# (store_query_results.py:103 / execute_sql.py:77).
+
+
+@query(
+    "q37_stats_aggregates",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT)                                AS n,
+           ROUND(stddev_samp(c_acctbal), 4)                        AS sd_samp,
+           ROUND(stddev_pop(c_acctbal), 4)                         AS sd_pop,
+           ROUND(var_samp(c_acctbal), 2)                           AS v_samp,
+           ROUND(var_pop(c_acctbal), 2)                            AS v_pop,
+           ROUND(corr(c_acctbal, CAST(c_custkey AS DOUBLE)), 6)    AS corr_bal_key,
+           ROUND(covar_samp(c_acctbal, CAST(c_custkey AS DOUBLE)), 2) AS covar_bk,
+           bool_and(c_acctbal > -1000)                             AS all_above,
+           bool_or(c_acctbal < 0)                                  AS any_negative
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    doc="statistical aggregate family (Redshift STDDEV_SAMP/POP, "
+        "VAR_SAMP/POP, CORR, COVAR_SAMP, BOOL_AND/BOOL_OR) over "
+        "customer balances; moments are rounded (4dp stddev / 2dp "
+        "variance / 6dp corr) because partial-aggregate merge order "
+        "differs between engines by ~1e-10 relative — rounding "
+        "absorbs it; partial aggregation keeps the shuffle at "
+        "|segments| x |partitions| rows at any scale",
+    tags=("agg", "stats"),
+)
+def q37_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = views(spark, sf_dir, "customer")["customer"]
+    key_d = F.col("c_custkey").cast("double")
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_samp"),
+        F.round(F.stddev_pop("c_acctbal"), 4).alias("sd_pop"),
+        F.round(F.var_samp("c_acctbal"), 2).alias("v_samp"),
+        F.round(F.var_pop("c_acctbal"), 2).alias("v_pop"),
+        F.round(F.corr("c_acctbal", key_d), 6).alias("corr_bal_key"),
+        F.round(F.covar_samp("c_acctbal", key_d), 2).alias("covar_bk"),
+        F.bool_and(F.col("c_acctbal") > -1000).alias("all_above"),
+        F.bool_or(F.col("c_acctbal") < 0).alias("any_negative"),
+    )
+
+
+@query(
+    "q38_correlated_scalar_subquery",
+    oracle=f"""
+    SELECT ROUND({_DSUM_SQL.format(x='l_extendedprice')} / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l_quantity < (
+          SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = part.p_partkey
+      )
+    """,
+    doc="TPC-H Q17 shape: correlated scalar subquery (per-part average "
+        "quantity threshold). Catalyst decorrelates the subquery into "
+        "an aggregate + join — no per-row re-execution; the inner AVG "
+        "is over exact small-integer sums so the threshold is bitwise "
+        "identical across engines. At scale the decorrelated aggregate "
+        "shuffles once on l_partkey and joins the (tiny) filtered "
+        "brand slice, which AQE broadcasts.",
+    tags=("subquery", "join"),
+)
+def q38_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(f"""
+        SELECT ROUND({_DSUM_SQL.format(x='l_extendedprice')} / 7.0, 2) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#13'
+          AND l_quantity < (
+              SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = part.p_partkey
+          )
+    """)
+
+
+@query(
+    "q39_null_aware_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(ROUND(c_acctbal, 2) AS DOUBLE) AS acctbal
+    FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+    doc="NOT IN (subquery): Spark plans this as a *null-aware* anti "
+        "join (BroadcastHashJoin ... NAAJ) because o_custkey is "
+        "nullable in the parquet schema — distinct from q05's "
+        "NOT EXISTS anti join, which is null-blind. Correct SQL "
+        "three-valued logic: one NULL in the subquery empties the "
+        "result; the build side must reach every partition whole, so "
+        "Spark requires broadcast for NAAJ — fixture dims stay under "
+        "the threshold and at 100 TB the rewrite to NOT EXISTS (q05) "
+        "is the documented escape hatch.",
+    tags=("join", "anti", "nulls"),
+)
+def q39_null_aware_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "customer", "orders")
+    return spark.sql("""
+        SELECT c_custkey, c_name,
+               CAST(ROUND(c_acctbal, 2) AS DOUBLE) AS acctbal
+        FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        )
+    """)
+
+
+@query(
+    "q40_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="PIVOT (Redshift 2022+ syntax; Spark SQL PIVOT clause): "
+        "long->wide by order status with exact decimal sums. Catalyst "
+        "lowers PIVOT to a single hash aggregate with conditional "
+        "partials (the same plan as the oracle's CASE form) — one "
+        "shuffle of |priorities| x |statuses| cells regardless of "
+        "input size. The oracle uses conditional aggregation because "
+        "DuckDB's PIVOT statement cannot be embedded as a subquery.",
+    tags=("agg", "pivot"),
+)
+def q40_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT * FROM (
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS price
+            FROM orders
+        )
+        PIVOT (CAST(SUM(price) AS DOUBLE)
+               FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
+    """)
+
+
+@query(
+    "c20_range_join_bucketed",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('b1', 900.0, 925.0), ('b2', 925.0, 950.0),
+               ('b3', 950.0, 975.0), ('b4', 975.0, 1000.0)
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+    """,
+    doc="interval/range join via the bucketed-banding rewrite "
+        "(operators/rangejoin.py): intervals explode into the integer "
+        "buckets they overlap, facts tag their single bucket, the join "
+        "becomes a hash equi-join on bucket id with an exact residual "
+        "filter. Candidate pairs are O(|fact| + sum(width/W)) instead "
+        "of BroadcastNestedLoopJoin's O(|fact| x |bands|); the oracle "
+        "is the naive theta join, proving the rewrite is exact.",
+    tags=("join", "range"),
+)
+def c20_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import range_join
+
+    p = views(spark, sf_dir, "part")["part"]
+    bands = spark.createDataFrame(
+        [("b1", 900.0, 925.0), ("b2", 925.0, 950.0),
+         ("b3", 950.0, 975.0), ("b4", 975.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    joined = range_join(p, bands, value="p_retailprice",
+                        lo="lo", hi="hi", bucket_width=25.0)
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_parts"),
+        dsum("p_retailprice", "sum_price"),
+    )

@@ -1,0 +1,60 @@
+"""Edge semantics of the bucketed range join (operators/rangejoin.py):
+boundary inclusivity, intervals spanning many buckets, non-matching rows,
+and exactness vs the naive theta join."""
+
+from __future__ import annotations
+
+import pytest
+
+from amazonredshift_blueprints_spark.operators.rangejoin import range_join
+
+
+@pytest.fixture(scope="module")
+def bands(spark):
+    return spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 20.0), ("wide", 0.0, 100.0)],
+        "band string, lo double, hi double",
+    )
+
+
+@pytest.fixture(scope="module")
+def facts(spark):
+    return spark.createDataFrame(
+        [(1, 0.0), (2, 9.999), (3, 10.0), (4, 19.999), (5, 99.999), (6, 100.0), (7, -5.0)],
+        "id long, v double",
+    )
+
+
+def test_boundaries_half_open(spark, facts, bands):
+    got = {
+        (r.id, r.band)
+        for r in range_join(facts, bands, "v", "lo", "hi", bucket_width=3.0).collect()
+    }
+    assert got == {
+        (1, "low"), (1, "wide"),
+        (2, "low"), (2, "wide"),
+        (3, "mid"), (3, "wide"),   # 10.0 excluded from [0,10), included in [10,20)
+        (4, "mid"), (4, "wide"),
+        (5, "wide"),
+        # 6 (=hi of wide) and 7 (below all) match nothing
+    }
+
+
+def test_width_does_not_change_result(spark, facts, bands):
+    naive = {
+        (r.id, r.band)
+        for r in facts.join(
+            bands, (facts.v >= bands.lo) & (facts.v < bands.hi)
+        ).collect()
+    }
+    for w in (0.5, 7.0, 1000.0):
+        got = {
+            (r.id, r.band)
+            for r in range_join(facts, bands, "v", "lo", "hi", bucket_width=w).collect()
+        }
+        assert got == naive, f"width {w} diverged"
+
+
+def test_outer_rejected(facts, bands):
+    with pytest.raises(ValueError):
+        range_join(facts, bands, "v", "lo", "hi", 1.0, how="left")
