@@ -14,6 +14,10 @@ Redshift SQL. Spark SQL is near-identical; the known deltas we shim:
   ``to_utc_timestamp`` composition (Redshift's src default is UTC).
 - ``TO_CHAR(expr, 'datefmt')`` → ``date_format(expr, javafmt)`` for the
   common Oracle-style date patterns (YYYY, MM, DD, HH24, MI, SS, ...).
+- ``QUALIFY <pred>`` (window-function filter; Spark SQL has no QUALIFY)
+  → the predicate is materialized as a hidden column in a subquery and
+  filtered in an outer ``SELECT * EXCEPT``. Top-level, non-DISTINCT
+  SELECTs only; anything else passes through untouched.
 
 Everything else (NVL, NVL2, DECODE, SPLIT_PART, ILIKE, MEDIAN, LISTAGG,
 PERCENTILE_CONT, APPROXIMATE COUNT(DISTINCT) → approx_count_distinct, ...)
@@ -232,8 +236,65 @@ def _to_char_call(args: list[str]) -> str | None:
     return f"date_format({args[0]}, '{java}')"
 
 
+def _find_top_level(sql: str, pattern: re.Pattern) -> re.Match | None:
+    """First match at paren depth 0 and outside string literals."""
+    depth = 0
+    in_str: str | None = None
+    depths = []  # depth before each position
+    for ch in sql:
+        depths.append(depth if in_str is None else -1)
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+    for m in pattern.finditer(sql):
+        if depths[m.start()] == 0:
+            return m
+    return None
+
+
+_QUALIFY_RE = re.compile(r"\bQUALIFY\b", re.IGNORECASE)
+_FROM_RE = re.compile(r"\bFROM\b", re.IGNORECASE)
+_TAIL_RE = re.compile(r"\bORDER\s+BY\b|\bLIMIT\b", re.IGNORECASE)
+_DISTINCT_HEAD_RE = re.compile(r"^\s*SELECT\s+DISTINCT\b", re.IGNORECASE)
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """``SELECT ... FROM ... QUALIFY pred [ORDER BY/LIMIT ...]`` →
+
+    ``SELECT * EXCEPT (__qualify) FROM (SELECT ..., (pred) AS __qualify
+    FROM ...) WHERE __qualify [ORDER BY/LIMIT ...]``.
+
+    Window expressions are legal in a select list but not in WHERE, so the
+    predicate is computed as a column one query level down — the same
+    lowering every engine with native QUALIFY performs. Conservative
+    scope: top-level QUALIFY only (subqueries pass through), and DISTINCT
+    selects are skipped because adding the hidden column would change the
+    dedup key.
+    """
+    m = _find_top_level(sql, _QUALIFY_RE)
+    if m is None or _DISTINCT_HEAD_RE.match(sql):
+        return sql
+    head = sql[: m.start()].rstrip()
+    rest = sql[m.end():]
+    fm = _find_top_level(head, _FROM_RE)
+    if fm is None:
+        return sql
+    tm = _find_top_level(rest, _TAIL_RE)
+    pred = (rest[: tm.start()] if tm else rest).strip()
+    tail = " " + rest[tm.start():].strip() if tm else ""
+    inner = f"{head[: fm.start()].rstrip()}, ({pred}) AS __qualify {head[fm.start():]}"
+    return f"SELECT * EXCEPT (__qualify) FROM ({inner}) WHERE __qualify{tail}"
+
+
 def translate_redshift_sql(sql: str) -> str:
     """Rewrite Redshift-dialect call sites into Spark SQL equivalents."""
+    sql = _rewrite_qualify(sql)
     # GETDATE() / SYSDATE → current_timestamp()
     sql = re.sub(r"\bGETDATE\s*\(\s*\)", "current_timestamp()", sql, flags=re.IGNORECASE)
     sql = re.sub(r"\bSYSDATE\b", "current_timestamp()", sql, flags=re.IGNORECASE)

@@ -2192,3 +2192,31 @@ def c20_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_parts"),
         dsum("p_retailprice", "sum_price"),
     )
+
+
+_QUALIFY_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS totalprice
+FROM orders
+QUALIFY row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey
+) = 1
+"""
+
+
+@query(
+    "q41_qualify",
+    oracle=_QUALIFY_SQL,
+    doc="Redshift QUALIFY clause (latest order per customer): Spark SQL "
+        "has no QUALIFY, so the dialect shim lowers it to the hidden-"
+        "column subquery + SELECT * EXCEPT form "
+        "(redshift_compat._rewrite_qualify) — the same lowering engines "
+        "with native QUALIFY perform internally. DuckDB runs the "
+        "original text unmodified as the oracle. The plan is one "
+        "window over a single o_custkey shuffle; Spark 4's "
+        "WindowGroupLimit pushes the rn=1 filter below the sort.",
+    tags=("window", "dialect"),
+)
+def q41_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "orders")
+    return spark.sql(translate_redshift_sql(_QUALIFY_SQL))

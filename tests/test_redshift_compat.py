@@ -87,3 +87,46 @@ def test_to_char_numeric_pattern_untouched():
 def test_to_char_non_literal_format_untouched():
     sql = "SELECT TO_CHAR(ts, fmt_col) FROM t"
     assert translate_redshift_sql(sql) == sql
+
+
+def test_qualify_basic():
+    out = translate_redshift_sql(
+        "SELECT a, b FROM t QUALIFY row_number() OVER (PARTITION BY a ORDER BY b) = 1"
+    )
+    assert out == (
+        "SELECT * EXCEPT (__qualify) FROM (SELECT a, b, "
+        "(row_number() OVER (PARTITION BY a ORDER BY b) = 1) AS __qualify "
+        "FROM t) WHERE __qualify"
+    )
+
+
+def test_qualify_keeps_order_by_limit_outside():
+    out = translate_redshift_sql(
+        "SELECT a FROM t QUALIFY rank() OVER (ORDER BY a) <= 3 ORDER BY a LIMIT 2"
+    )
+    assert out.endswith("WHERE __qualify ORDER BY a LIMIT 2")
+    assert "QUALIFY" not in out
+
+
+def test_qualify_subquery_untouched():
+    sql = "SELECT * FROM (SELECT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1) s"
+    assert translate_redshift_sql(sql) == sql
+
+
+def test_qualify_distinct_untouched():
+    sql = "SELECT DISTINCT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1"
+    assert translate_redshift_sql(sql) == sql
+
+
+def test_qualify_inside_string_untouched():
+    sql = "SELECT 'no QUALIFY here' AS s FROM t"
+    assert translate_redshift_sql(sql) == sql
+
+
+def test_qualify_where_group_by_preserved():
+    out = translate_redshift_sql(
+        "SELECT a, sum(x) AS sx FROM t WHERE x > 0 GROUP BY a "
+        "QUALIFY row_number() OVER (ORDER BY sum(x) DESC) <= 5"
+    )
+    assert "FROM t WHERE x > 0 GROUP BY a)" in out
+    assert out.startswith("SELECT * EXCEPT (__qualify) FROM (SELECT a, sum(x) AS sx, ")
