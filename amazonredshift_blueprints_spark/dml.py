@@ -1,7 +1,7 @@
-"""DML parity: DELETE / UPDATE as copy-on-write table rewrites.
+"""DML parity: DELETE / UPDATE / MERGE as copy-on-write table rewrites.
 
-Reference basis: Redshift DELETE/UPDATE statements arrive through the
-reference's verbatim SQL hand-off (execute_sql.py:64,77). Spark's
+Reference basis: Redshift DELETE/UPDATE/MERGE statements arrive through
+the reference's verbatim SQL hand-off (execute_sql.py:64,77). Spark's
 session catalog over parquet has no in-place row mutation; ACID DML
 belongs to table formats (Delta/Iceberg). The format-agnostic
 Spark-native equivalent is the copy-on-write rewrite below — the same
@@ -53,6 +53,49 @@ def delete_from(spark: SparkSession, table: str, condition: str) -> int:
     before = spark.table(table).count()
     _rewrite(spark, table, spark.table(table).filter(~F.expr(condition)))
     return before - spark.table(table).count()
+
+
+def merge_into(
+    spark: SparkSession, table: str, source, keys: list[str]
+) -> tuple[int, int]:
+    """``MERGE INTO table USING source ON keys WHEN MATCHED THEN UPDATE
+    WHEN NOT MATCHED THEN INSERT`` via copy-on-write.
+
+    ``source`` must carry the target's full schema. Matched target rows
+    take the source's values wholesale (the common upsert form);
+    unmatched source rows are inserted; target-only rows pass through.
+    Returns ``(n_updated, n_inserted)``.
+
+    Plan shape: ONE full-outer hash join on the merge keys plus the
+    rewrite's scan+write — the same cost profile as Delta/Iceberg
+    copy-on-write MERGE. At 100 TB the join shuffles both sides on the
+    keys once; with a partitioned target and dynamic partition
+    overwrite, untouched partitions never rewrite.
+    """
+    target = spark.table(table)
+    if set(source.columns) != set(target.columns):
+        raise ValueError(
+            f"MERGE source schema {sorted(source.columns)} != target {sorted(target.columns)}"
+        )
+    non_keys = [c for c in target.columns if c not in keys]
+    t = target.withColumn("_t_present", F.lit(True))
+    s = source.select(
+        *keys, *[F.col(c).alias(f"_src_{c}") for c in non_keys]
+    ).withColumn("_s_present", F.lit(True))
+    j = t.join(s, on=keys, how="full_outer")
+    merged = j.select(
+        *keys,
+        *[
+            F.when(F.col("_s_present"), F.col(f"_src_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in non_keys
+        ],
+    ).select(*target.columns)  # restore declared column order
+    n_updated = j.filter(F.col("_t_present") & F.col("_s_present")).count()
+    n_inserted = j.filter(F.col("_s_present") & F.col("_t_present").isNull()).count()
+    _rewrite(spark, table, merged)
+    return n_updated, n_inserted
 
 
 def update_table(

@@ -14,6 +14,8 @@ Redshift SQL. Spark SQL is near-identical; the known deltas we shim:
   ``to_utc_timestamp`` composition (Redshift's src default is UTC).
 - ``TO_CHAR(expr, 'datefmt')`` → ``date_format(expr, javafmt)`` for the
   common Oracle-style date patterns (YYYY, MM, DD, HH24, MI, SS, ...).
+- ``SELECT TOP n ...`` (Redshift/T-SQL row limit) → ``SELECT ... LIMIT n``
+  appended after any ORDER BY. Top-level statements only.
 - ``QUALIFY <pred>`` (window-function filter; Spark SQL has no QUALIFY)
   → the predicate is materialized as a hidden column in a subquery and
   filtered in an outer ``SELECT * EXCEPT``. Top-level, non-DISTINCT
@@ -292,8 +294,32 @@ def _rewrite_qualify(sql: str) -> str:
     return f"SELECT * EXCEPT (__qualify) FROM ({inner}) WHERE __qualify{tail}"
 
 
+_TOP_RE = re.compile(r"^(\s*SELECT\s+)TOP\s+(\d+)\s+", re.IGNORECASE)
+_TRAILING_LIMIT_RE = re.compile(r"\bLIMIT\s+\d+\s*;?\s*$", re.IGNORECASE)
+
+
+def _rewrite_top(sql: str) -> str:
+    """``SELECT TOP n ...`` → ``SELECT ... LIMIT n`` (whole-statement only).
+
+    LIMIT binds after ORDER BY, so appending at the end preserves
+    Redshift's TOP semantics. Skipped if the statement already ends in
+    its own LIMIT (TOP and LIMIT are mutually exclusive in Redshift, so
+    the combination is malformed input we leave untouched).
+    """
+    m = _TOP_RE.match(sql)
+    if m is None or _TRAILING_LIMIT_RE.search(sql):
+        return sql
+    body = sql[: m.start(0)] + m.group(1) + sql[m.end(0):]
+    stripped = body.rstrip()
+    semi = stripped.endswith(";")
+    if semi:
+        stripped = stripped[:-1].rstrip()
+    return f"{stripped} LIMIT {m.group(2)}" + (";" if semi else "")
+
+
 def translate_redshift_sql(sql: str) -> str:
     """Rewrite Redshift-dialect call sites into Spark SQL equivalents."""
+    sql = _rewrite_top(sql)
     sql = _rewrite_qualify(sql)
     # GETDATE() / SYSDATE → current_timestamp()
     sql = re.sub(r"\bGETDATE\s*\(\s*\)", "current_timestamp()", sql, flags=re.IGNORECASE)

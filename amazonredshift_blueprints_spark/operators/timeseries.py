@@ -1,0 +1,66 @@
+"""Time-series regularization: dense bucket grids + gap filling (LOCF).
+
+Reference basis: Redshift users build calendar spines with
+``generate_series`` joins and fill gaps with ``LAST_VALUE IGNORE NULLS``
+window scans — SQL that reaches the reference through its pass-through
+sites (``store_query_results.py:103``). Spark-first equivalent below:
+``sequence()`` + ``explode`` builds each key's bucket grid distributed
+(no driver-side calendar), a left join attaches observed aggregates, and
+``last(..., ignorenulls=True)`` over an unbounded-preceding row frame
+carries the last observation forward.
+
+Scale notes (100 TB): the grid explode emits |keys| x |buckets-in-span|
+rows — bounded per key by its own observed span, not the global one, so
+sparse keys stay cheap. Grid build, join, and LOCF window all hash on the
+series key: one shuffle partitioning reused end-to-end (the join and the
+window share it), and AQE coalesces the tail. The LOCF window is a
+running frame — single pass, no per-row re-scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def bucket_grid(per_key_bounds: DataFrame, key: str, lo: str, hi: str, step: str) -> DataFrame:
+    """One row per ``key`` per ``step``-sized bucket between lo..hi (inclusive).
+
+    ``step`` is a SQL interval expression, e.g. ``"interval 1 hour"``.
+    """
+    return per_key_bounds.select(
+        key,
+        F.explode(F.sequence(F.col(lo), F.col(hi), F.expr(step))).alias("bucket"),
+    )
+
+
+def gap_fill_locf(
+    observed: DataFrame,
+    key: str,
+    bucket: str,
+    step: str,
+    fill_cols: list[str],
+) -> DataFrame:
+    """Densify ``observed`` (one row per key+bucket) onto each key's full
+    bucket grid and fill ``fill_cols`` by last-observation-carried-forward.
+
+    Buckets must already be truncated (e.g. ``date_trunc('hour', ts)``).
+    Non-fill columns come through as NULL on gap rows.
+    """
+    bounds = observed.groupBy(key).agg(
+        F.min(bucket).alias("_lo"), F.max(bucket).alias("_hi")
+    )
+    grid = bucket_grid(bounds, key, "_lo", "_hi", step).withColumnRenamed(
+        "bucket", bucket
+    )
+    joined = grid.join(observed, [key, bucket], "left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy(bucket)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled: list[Column] = [
+        F.last(c, ignorenulls=True).over(w).alias(f"{c}_filled") for c in fill_cols
+    ]
+    return joined.select(key, bucket, *[c for c in observed.columns if c not in (key, bucket)], *filled)

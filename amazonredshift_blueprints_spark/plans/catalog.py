@@ -2220,3 +2220,114 @@ QUALIFY row_number() OVER (
 def q41_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir, "orders")
     return spark.sql(translate_redshift_sql(_QUALIFY_SQL))
+
+
+@query(
+    "q42_dml_merge",
+    oracle="""
+    WITH upd AS (
+        SELECT c_custkey, ROUND(c_acctbal * 1.1, 2) AS new_bal
+        FROM customer WHERE c_custkey % 3 = 0
+    ),
+    merged AS (
+        SELECT c.c_custkey, c.c_name, c.c_nationkey,
+               COALESCE(u.new_bal, c.c_acctbal) AS c_acctbal, c.c_mktsegment
+        FROM customer c LEFT JOIN upd u USING (c_custkey)
+        UNION ALL
+        SELECT c_custkey + 100000, 'NEW#' || CAST(c_custkey AS VARCHAR),
+               CAST(0 AS INT), 0.0, 'NEW'
+        FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM merged GROUP BY c_mktsegment
+    """,
+    doc="MERGE upsert (dml.merge_into): matched rows take source values, "
+        "unmatched source rows insert, target-only rows pass through — "
+        "one full-outer hash join on the merge key plus the copy-on-"
+        "write rewrite, the same cost profile as Delta/Iceberg CoW "
+        "MERGE (Redshift MERGE reaches the reference via "
+        "execute_sql.py:64,77). The oracle replays the merge "
+        "algebraically: LEFT JOIN for the update branch, UNION ALL for "
+        "the insert branch.",
+    tags=("dml", "native"),
+)
+def q42_dml_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dml import merge_into
+    from ..ingest import _clean_stale_location
+
+    c = views(spark, sf_dir, "customer")["customer"]
+    _clean_stale_location(spark, "bp_merge_customer", None)
+    c.write.mode("overwrite").saveAsTable("bp_merge_customer")
+
+    updates = c.filter(F.col("c_custkey") % 3 == 0).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") * 1.1, 2)
+    )
+    inserts = c.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + 100000).alias("c_custkey"),
+        F.concat(F.lit("NEW#"), F.col("c_custkey").cast("string")).alias("c_name"),
+        F.lit(0).cast("int").alias("c_nationkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    merge_into(
+        spark, "bp_merge_customer",
+        updates.unionByName(inserts), keys=["c_custkey"],
+    )
+    return (
+        spark.table("bp_merge_customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), dsum("c_acctbal", "total_bal"))
+    )
+
+
+@query(
+    "c21_gapfill_locf",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM hourly GROUP BY 1
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        FROM bounds
+    ),
+    j AS (
+        SELECT g.user_id, g.bucket, h.n, h.sum_value
+        FROM grid g LEFT JOIN hourly h USING (user_id, bucket)
+    )
+    SELECT user_id, bucket, n, sum_value,
+           last_value(sum_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sum_value_filled
+    FROM j
+    """,
+    doc="time-series gap fill (operators/timeseries.py): per-user hourly "
+        "grid built distributed via sequence()+explode (each key's span "
+        "only — sparse keys stay cheap), left-join of observed hourly "
+        "aggregates, LOCF via last(ignorenulls) over a running row "
+        "frame. Grid build, join, and window all hash on user_id, so "
+        "one shuffle partitioning serves all three; sums are decimal-"
+        "exact so carried values hash identically.",
+    tags=("timeseries", "events", "window"),
+)
+def c21_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import gap_fill_locf
+
+    e = views(spark, sf_dir, "events")["events"]
+    hourly = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+    )
+    return gap_fill_locf(
+        hourly, key="user_id", bucket="bucket",
+        step="interval 1 hour", fill_cols=["sum_value"],
+    )

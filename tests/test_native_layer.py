@@ -145,3 +145,50 @@ def test_execute_sql_redshift_dialect(spark):
            SELECT DATEDIFF(day, TIMESTAMP '2024-01-01', TIMESTAMP '2024-03-01') AS d""",
     )
     assert spark.table("t_dialect").collect()[0]["d"] == 60
+
+
+def test_merge_into_upsert(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.dml import merge_into
+    from amazonredshift_blueprints_spark.ingest import _clean_stale_location
+    from amazonredshift_blueprints_spark.session import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    _clean_stale_location(spark, "t_merge_nation", None)
+    nation.write.mode("overwrite").saveAsTable("t_merge_nation")
+
+    source = spark.createDataFrame(
+        [(0, "RENAMED", 0), (999, "BRAND-NEW", 4)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    n_upd, n_ins = merge_into(spark, "t_merge_nation", source, keys=["n_nationkey"])
+    assert (n_upd, n_ins) == (1, 1)
+
+    after = spark.table("t_merge_nation")
+    assert after.count() == nation.count() + 1
+    assert after.filter(F.col("n_nationkey") == 0).collect()[0].n_name == "RENAMED"
+    assert after.filter(F.col("n_nationkey") == 999).collect()[0].n_name == "BRAND-NEW"
+    # target-only rows untouched
+    assert after.filter(F.col("n_nationkey") == 5).collect() == \
+        nation.filter(F.col("n_nationkey") == 5).collect()
+    spark.sql("DROP TABLE t_merge_nation")
+
+
+def test_merge_into_schema_mismatch(spark, sf_dir):
+    from amazonredshift_blueprints_spark.dml import merge_into
+    from amazonredshift_blueprints_spark.ingest import _clean_stale_location
+    from amazonredshift_blueprints_spark.session import load_table
+
+    _clean_stale_location(spark, "t_merge_region", None)
+    load_table(spark, sf_dir, "region").write.mode("overwrite").saveAsTable(
+        "t_merge_region"
+    )
+    bad = spark.createDataFrame([(1, "x")], "r_regionkey int, wrong_col string")
+    try:
+        merge_into(spark, "t_merge_region", bad, keys=["r_regionkey"])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_merge_region")

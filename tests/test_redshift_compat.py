@@ -130,3 +130,23 @@ def test_qualify_where_group_by_preserved():
     )
     assert "FROM t WHERE x > 0 GROUP BY a)" in out
     assert out.startswith("SELECT * EXCEPT (__qualify) FROM (SELECT a, sum(x) AS sx, ")
+
+
+def test_top_basic():
+    out = translate_redshift_sql("SELECT TOP 10 a, b FROM t ORDER BY a")
+    assert out == "SELECT a, b FROM t ORDER BY a LIMIT 10"
+
+
+def test_top_preserves_semicolon():
+    out = translate_redshift_sql("SELECT TOP 3 a FROM t;")
+    assert out == "SELECT a FROM t LIMIT 3;"
+
+
+def test_top_not_in_subquery():
+    sql = "SELECT * FROM (SELECT TOP 5 a FROM t) s"
+    assert translate_redshift_sql(sql) == sql
+
+
+def test_top_with_existing_limit_untouched():
+    sql = "SELECT TOP 5 a FROM t LIMIT 3"
+    assert translate_redshift_sql(sql) == sql
