@@ -1,0 +1,77 @@
+"""Deterministic, engine-portable sampling and train/val/test splits.
+
+A training-data pipeline needs splits that are (a) stable across reruns,
+(b) independent of partitioning/row order, and (c) reproducible by other
+engines auditing the same data. ``rand(seed)`` fails (b) and (c) — its
+stream depends on partition layout. The portable construction: hash a key
+column with a salt through md5 (bit-identical in every engine), take a
+fixed-width hex prefix, and compare lexicographically against thresholds
+derived from the cumulative split fractions.
+
+6 hex digits = 16^6 ≈ 16.7M buckets, so realized fractions deviate from
+requested by < 6e-8 in expectation plus binomial noise ~ sqrt(p(1-p)/n).
+Changing the salt re-deals every row independently.
+
+100 TB: pure map-side projection + filter — no shuffle, no state, pushes
+through whole-stage codegen; the md5 is the only per-row cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_WIDTH = 6  # hex digits compared
+_SPACE = 16**_WIDTH
+
+
+def _bucket(key: str, salt: str) -> Column:
+    return F.substring(
+        F.md5(F.concat(F.col(key).cast("string"), F.lit(":" + salt))), 1, _WIDTH
+    )
+
+
+def _threshold(cum_fraction: float) -> str:
+    return format(min(int(cum_fraction * _SPACE), _SPACE - 1), f"0{_WIDTH}x")
+
+
+def hash_split(
+    df: DataFrame, key: str, splits: dict[str, float], salt: str = "v1"
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named fraction.
+
+    ``splits`` maps name → fraction (must sum to ~1; order is the
+    assignment order, so pass an ordered dict). Same key + same salt →
+    same split, on any engine, under any partitioning.
+    """
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions sum to {total}, expected 1.0")
+    bucket = _bucket(key, salt)
+    expr: Column | None = None
+    cum = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        cum += splits[name]
+        cond = bucket <= F.lit(_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", expr)
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, fraction: float, salt: str = "v1"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by the portable salted hash."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction {fraction} outside [0, 1]")
+    if fraction == 1.0:
+        return df
+    if fraction == 0.0:
+        return df.filter(F.lit(False))
+    return df.filter(_bucket(key, salt) <= F.lit(_threshold(fraction)))
+
+
+def sql_bucket_expr(key: str, salt: str = "v1") -> str:
+    """The equivalent ANSI-SQL bucket expression (for oracles/audits)."""
+    return f"substring(md5(CAST({key} AS VARCHAR) || ':{salt}'), 1, {_WIDTH})"

@@ -2331,3 +2331,98 @@ def c21_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly, key="user_id", bucket="bucket",
         step="interval 1 hour", fill_cols=["sum_value"],
     )
+
+
+@query(
+    "c22_hash_split",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, lang, n_chars,
+               substring(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 6) AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN bucket <= 'cccccc' THEN 'train'
+                WHEN bucket <= 'e66666' THEN 'val'
+                ELSE 'test' END AS split,
+           n_chars
+    FROM b
+    """,
+    doc="deterministic 80/10/10 train/val/test split "
+        "(operators/sampling.py): salted md5 of the key compared "
+        "against hex thresholds — bit-identical in every engine (the "
+        "oracle recomputes it independently in DuckDB), stable under "
+        "any partitioning or row order, unlike rand(seed). Pure "
+        "map-side projection: no shuffle at any scale.",
+    tags=("sampling", "documents", "pipeline"),
+)
+def c22_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_split
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return hash_split(
+        d.select("doc_id", "lang", "n_chars"),
+        key="doc_id",
+        splits={"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="v1",
+    ).select("doc_id", "lang", "split", "n_chars")
+
+
+@query(
+    "q43_unpivot",
+    oracle="""
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'price', p_retailprice FROM part
+    """,
+    doc="UNPIVOT (wide->long; Redshift 2022+ and Spark 3.4+ share the "
+        "syntax): lowered by Catalyst to Expand — each input row emits "
+        "one output row per measure in a single pass, no join, no "
+        "shuffle; the oracle is the portable UNION ALL form, which "
+        "DuckDB folds to the same shape.",
+    tags=("reshape",),
+)
+def q43_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "part")
+    return spark.sql("""
+        SELECT p_partkey, metric, val FROM (
+            SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,
+                   p_retailprice AS price
+            FROM part
+        )
+        UNPIVOT (val FOR metric IN (size, price))
+    """)
+
+
+_RECURSIVE_MONTHS_SQL = """
+WITH RECURSIVE months(m, mx) AS (
+    SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE),
+           CAST(date_trunc('month', MAX(o_orderdate)) AS DATE)
+    FROM orders
+    UNION ALL
+    SELECT CAST(m + INTERVAL '1' MONTH AS DATE), mx FROM months WHERE m < mx
+)
+SELECT CAST(m AS TIMESTAMP) AS month,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM months LEFT JOIN orders
+    ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+GROUP BY m
+"""
+
+
+@query(
+    "q44_recursive_cte",
+    oracle=_RECURSIVE_MONTHS_SQL,
+    doc="WITH RECURSIVE (Redshift 2021+; Spark 4.0+): calendar-spine "
+        "generation — anchor computes the month bounds, the recursive "
+        "step extends one month per iteration, and a LEFT JOIN "
+        "aggregates orders onto the spine so empty months appear with "
+        "n_orders=0. Recursion depth = #months (tiny, driver-side "
+        "iterations); the data-sized work — the join and aggregate — "
+        "stays fully distributed per iteration-free Spark plan.",
+    tags=("cte", "recursive", "dates"),
+)
+def q44_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "orders")
+    return spark.sql(_RECURSIVE_MONTHS_SQL)

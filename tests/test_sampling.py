@@ -1,0 +1,49 @@
+"""Portable hash sampling (operators/sampling.py): partitioning
+invariance, salt independence, fraction accuracy, edge fractions."""
+
+from __future__ import annotations
+
+import pytest
+
+from amazonredshift_blueprints_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+)
+from amazonredshift_blueprints_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select("doc_id")
+
+
+def test_partitioning_invariance(docs):
+    a = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.3).collect()}
+    b = {
+        r.doc_id
+        for r in deterministic_sample(docs.repartition(7), "doc_id", 0.3).collect()
+    }
+    assert a == b and a  # identical membership, non-empty
+
+
+def test_split_is_total_and_disjoint(docs):
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    n = docs.count()
+    assert sum(counts.values()) == n  # total: every row gets exactly one split
+    assert 0.7 < counts["train"] / n < 0.9  # 500 rows: ±binomial noise
+
+
+def test_salt_changes_assignment(docs):
+    a = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.5, salt="a").collect()}
+    b = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.5, salt="b").collect()}
+    assert a != b  # re-dealt
+
+
+def test_edge_fractions(docs):
+    assert deterministic_sample(docs, "doc_id", 0.0).count() == 0
+    assert deterministic_sample(docs, "doc_id", 1.0).count() == docs.count()
+    with pytest.raises(ValueError):
+        deterministic_sample(docs, "doc_id", 1.5)
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", {"a": 0.5, "b": 0.6})
