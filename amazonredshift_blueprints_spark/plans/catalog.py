@@ -2426,3 +2426,72 @@ GROUP BY m
 def q44_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir, "orders")
     return spark.sql(_RECURSIVE_MONTHS_SQL)
+
+
+@query(
+    "q45_window_analytic_extra",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(percent_rank() OVER w, 9) AS pr,
+           ROUND(cume_dist() OVER w, 9)    AS cd,
+           nth_value(o_orderkey, 2) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_best
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="remaining analytic window functions (Redshift PERCENT_RANK, "
+        "CUME_DIST, NTH_VALUE): rank-based rationals are exact integer "
+        "divisions (rounded 9dp as a guard), nth_value runs over the "
+        "full-partition row frame. Same single o_custkey shuffle as "
+        "q15/q16 — all five window specs collapse onto one sort.",
+    tags=("window",),
+)
+def q45_window_analytic_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = views(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_best"),
+    )
+
+
+@query(
+    "c23_embedding_centroids",
+    oracle="""
+    WITH ex AS (
+        -- parallel unnests zip element-wise in DuckDB
+        SELECT label,
+               unnest(range(len(embedding))) AS pos,
+               ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS v
+        FROM embeddings
+    )
+    SELECT label, CAST(pos AS INT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS centroid
+    FROM ex GROUP BY label, pos
+    """,
+    doc="per-label embedding centroids (k-means M-step / class "
+        "prototypes): posexplode to (label, dim, value) long form, then "
+        "one decimal-exact partial+final aggregate — the scalable "
+        "shape for vector averaging (no collect_list of whole vectors, "
+        "no driver-side math). Elements are rounded to 6dp *before* "
+        "summing so the decimal sums are order- and engine-exact; "
+        "output stays long-form (label, pos, centroid) because value "
+        "hashing is defined on scalars.",
+    tags=("vector", "embeddings", "pipeline"),
+)
+def c23_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = views(spark, sf_dir, "embeddings")["embeddings"]
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos", "raw")
+    ).select("label", "pos", F.round(F.col("raw").cast("double"), 6).alias("v"))
+    return ex.groupBy("label", "pos").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.col("v").cast("decimal(18,6)")).cast("double") / F.count("*")).alias("centroid"),
+    )

@@ -3,6 +3,7 @@ equal their batch twins after consuming all input (availableNow)."""
 
 from __future__ import annotations
 
+import datetime
 import os
 import shutil
 
@@ -105,3 +106,66 @@ def test_stream_window_counts_match_batch(spark, sf_dir, events_stream_dir):
     got_m = {(r["window_start"], r["event_type"]): r["n_events"] for r in got}
     want_m = {(r["window_start"], r["event_type"]): r["n_events"] for r in batch}
     assert got_m == want_m
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed agg under a 1h watermark: a row arriving after
+    its window was finalized is discarded, not double-counted."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from amazonredshift_blueprints_spark.streaming.sessions import stream_window_counts
+
+    d = tmp_path / "late_events"
+    d.mkdir()
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+        # micros, not pandas' ns default: the session reads parquet nanos
+        # as bigint (nanosAsLong), which would clash with the declared
+        # timestamp schema
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), d / name)
+
+    # batch 0: one event in the 01:00 window, one at 10:00 that advances
+    # the watermark to 09:00
+    write("a.parquet", [(1, "2024-01-01 01:10:00", 1, "click", 1.0),
+                        (2, "2024-01-01 10:00:00", 1, "click", 1.0)])
+    _time.sleep(1.1)  # distinct mtimes → file-source processes in order
+    # batch 1: fresh event; end of this batch finalizes (emits + evicts)
+    # the 01:00 window under the 09:00 watermark
+    write("b.parquet", [(3, "2024-01-01 11:00:00", 1, "click", 1.0)])
+    _time.sleep(1.1)
+    # batch 2: a 01:20 straggler, now behind the watermark AND behind the
+    # evicted window → dropped (the drop guarantee applies once the state
+    # is finalized, i.e. one batch after the watermark passes)
+    write("c.parquet", [(4, "2024-01-01 01:20:00", 1, "click", 1.0),
+                        (5, "2024-01-01 12:00:00", 1, "click", 1.0)])
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(d))
+    )
+    q = (
+        stream_window_counts(stream, window="1 hour", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.window_start: r.n_events
+        for r in spark.sql("SELECT * FROM t_late").collect()
+    }
+    early = [v for k, v in got.items() if k.hour == 1]
+    assert early == [1], f"late row not dropped (or double-emitted): {got}"
+    assert got.get(datetime.datetime(2024, 1, 1, 10, 0)) == 1
