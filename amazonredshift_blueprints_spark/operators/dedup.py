@@ -353,3 +353,88 @@ def ngram_jaccard_pairs(
             (F.col("n_common") / F.col("n_union")).alias("jaccard"),
         )
     )
+
+
+def portable_minhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_size: int = 3,
+    num_perms: int = 8,
+    bands: int = 4,
+    threshold_pct: int = 60,
+) -> DataFrame:
+    """Banded MinHash-LSH near-dup pairs in an engine-portable hash domain.
+
+    Same algorithm as :func:`minhash_near_duplicates`, but every hash is
+    ``md5`` over strings and every signature element is the *lexicographic
+    minimum of hex digests* — bit-identical in any engine (hex chars are
+    ASCII, so binary and lexicographic order agree). That makes the whole
+    pipeline, candidates included, reproducible in ANSI SQL: an external
+    auditor (the DuckDB oracle in the catalog) can re-derive the exact
+    pair set, which xxhash64-based signatures cannot offer.
+
+    The trade-off is hash cost (md5 per shingle per permutation vs one
+    xxhash64 + cheap permutations), so the fast path keeps xxhash64 and
+    this variant is for verifiable runs. Scale shape is unchanged: band
+    bucket equi-join, no |docs|^2 stage; md5 cost is map-side only.
+    """
+    if num_perms % bands:
+        raise ValueError(f"num_perms {num_perms} not divisible by bands {bands}")
+    rows_per_band = num_perms // bands
+
+    grams = word_ngrams(tokens(text_col), shingle_size)
+    base = df.select(F.col(id_col), grams.alias("grams")).filter(F.size("grams") > 0)
+
+    sig = base.select(
+        id_col,
+        "grams",
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("grams"), lambda s, p=p: F.md5(F.concat(F.lit(f"{p}:"), s))
+                )
+            ).alias(f"h{p}")
+            for p in range(num_perms)
+        ],
+    )
+
+    def band_key(b: int):
+        parts = []
+        for j in range(rows_per_band):
+            if j:
+                parts.append(F.lit("|"))
+            parts.append(F.col(f"h{b * rows_per_band + j}"))
+        return F.md5(F.concat(*parts))
+
+    banded = sig.select(
+        id_col,
+        F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    pairs = jaccard_pairs_from_candidates(base, cand, id_col, "grams")
+    return pairs.filter(
+        (F.col("n_union") > 0)
+        & (F.col("n_common") * 100 >= F.col("n_union") * threshold_pct)
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("n_union").cast("long").alias("n_union"),
+        (F.col("n_common").cast("double") / F.col("n_union")).alias("jaccard"),
+    )

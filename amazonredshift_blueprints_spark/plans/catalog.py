@@ -2495,3 +2495,73 @@ def c23_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         (F.sum(F.col("v").cast("decimal(18,6)")).cast("double") / F.count("*")).alias("centroid"),
     )
+
+
+def _portable_minhash_oracle(num_perms: int, bands: int, threshold_pct: int) -> str:
+    """DuckDB replay of the portable md5 MinHash-LSH pipeline (c24)."""
+    rows = num_perms // bands
+    sigs = ",\n           ".join(
+        f"list_aggregate(list_transform(grams, s -> md5('{p}:' || s)), 'min') AS h{p}"
+        for p in range(num_perms)
+    )
+    bkeys = ", ".join(
+        "md5(" + " || '|' || ".join(f"h{b * rows + j}" for j in range(rows)) + f") AS bk{b}"
+        for b in range(bands)
+    )
+    bkarr = ", ".join(f"bk{b}" for b in range(bands))
+    bidxs = ", ".join(str(b) for b in range(bands))
+    return f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    g0 AS (SELECT doc_id, {_DUCK_GRAMS3} AS grams FROM toks),
+    g AS (SELECT doc_id, grams FROM g0 WHERE len(grams) > 0),
+    sig AS (SELECT doc_id, grams,
+           {sigs}
+           FROM g),
+    keyed AS (SELECT doc_id, {bkeys} FROM sig),
+    banded AS (SELECT doc_id, unnest([{bidxs}]) AS band_idx,
+                      unnest([{bkarr}]) AS band_key FROM keyed),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    j AS (
+        SELECT id_a, id_b,
+               len(list_intersect(ga.grams, gb.grams)) AS n_common,
+               len(ga.grams) + len(gb.grams)
+                 - len(list_intersect(ga.grams, gb.grams)) AS n_union
+        FROM cand
+        JOIN g ga ON id_a = ga.doc_id
+        JOIN g gb ON id_b = gb.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_union AS BIGINT) AS n_union,
+           CAST(n_common AS DOUBLE) / n_union AS jaccard
+    FROM j
+    WHERE n_union > 0 AND n_common * 100 >= n_union * {threshold_pct}
+    """
+
+
+@query(
+    "c24_dedup_minhash_portable",
+    oracle=_portable_minhash_oracle(num_perms=8, bands=4, threshold_pct=60),
+    doc="MinHash-LSH near-dup in a portable hash domain: md5 per "
+        "(permutation, shingle), signature = lexicographic min of hex "
+        "digests, band keys = md5 of concatenated signature slices. "
+        "Unlike xxhash64-based c02 (rows-only check), every stage — "
+        "including candidate generation — is re-derived independently "
+        "by the DuckDB oracle, closing the verification gap for the "
+        "LSH family. Same banded scale shape as c02: bucket equi-join, "
+        "exact-Jaccard verify, no |docs|^2 stage.",
+    tags=("dedup", "portable"),
+)
+def c24_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import portable_minhash_pairs
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return portable_minhash_pairs(
+        d, "doc_id", "text", shingle_size=3, num_perms=8, bands=4,
+        threshold_pct=60,
+    )

@@ -127,3 +127,36 @@ def test_simhash_pairs_complete_within_radius(spark, sf_dir):
         for r in simhash_near_duplicates(d, "doc_id", "text", max_distance=3).collect()
     }
     assert got == want
+
+
+def test_portable_minhash_subset_of_exact(spark, sf_dir):
+    from amazonredshift_blueprints_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        portable_minhash_pairs,
+    )
+    from amazonredshift_blueprints_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in portable_minhash_pairs(
+            d, "doc_id", "text", num_perms=8, bands=4, threshold_pct=60
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold_pct=60).collect()
+    }
+    assert set(got) <= exact  # LSH never invents a pair the verify stage rejects
+    assert all(j >= 0.6 for j in got.values())
+
+
+def test_portable_minhash_bad_bands(spark, sf_dir):
+    import pytest as _pytest
+
+    from amazonredshift_blueprints_spark.operators.dedup import portable_minhash_pairs
+    from amazonredshift_blueprints_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    with _pytest.raises(ValueError):
+        portable_minhash_pairs(d, "doc_id", "text", num_perms=7, bands=4)
