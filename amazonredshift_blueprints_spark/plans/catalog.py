@@ -2565,3 +2565,32 @@ def c24_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", shingle_size=3, num_perms=8, bands=4,
         threshold_pct=60,
     )
+
+
+_SETOPS_ALL_SQL = """
+SELECT 'i_all' AS op, k FROM (
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+)
+UNION ALL
+SELECT 'e_all' AS op, k FROM (
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'
+)
+"""
+
+
+@query(
+    "q46_setops_all",
+    oracle=_SETOPS_ALL_SQL,
+    doc="multiset set ops (INTERSECT ALL / EXCEPT ALL — q18 covers the "
+        "distinct forms): bag semantics preserve duplicate multiplicity, "
+        "which Spark plans as a count-compare aggregate join rather than "
+        "a dedup — one shuffle per operand on the compare key.",
+    tags=("setops",),
+)
+def q46_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "orders")
+    return spark.sql(_SETOPS_ALL_SQL)
