@@ -2226,7 +2226,13 @@ def q41_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q42_dml_merge",
     oracle="""
     WITH upd AS (
-        SELECT c_custkey, ROUND(c_acctbal * 1.1, 2) AS new_bal
+        -- decimal-domain multiply: ROUND(double * 1.1, 2) hits half-cent
+        -- ties that Spark (HALF_UP on the exact binary value) and DuckDB
+        -- break differently; decimal arithmetic is exact and both engines
+        -- round decimal ties away from zero
+        SELECT c_custkey,
+               CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2))
+                          * CAST('1.1' AS DECIMAL(2,1)), 2) AS DOUBLE) AS new_bal
         FROM customer WHERE c_custkey % 3 = 0
     ),
     merged AS (
@@ -2261,8 +2267,14 @@ def q42_dml_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     _clean_stale_location(spark, "bp_merge_customer", None)
     c.write.mode("overwrite").saveAsTable("bp_merge_customer")
 
+    # decimal-domain multiply — see the oracle comment on tie-breaking
     updates = c.filter(F.col("c_custkey") % 3 == 0).withColumn(
-        "c_acctbal", F.round(F.col("c_acctbal") * 1.1, 2)
+        "c_acctbal",
+        F.round(
+            F.col("c_acctbal").cast("decimal(18,2)")
+            * F.lit("1.1").cast("decimal(2,1)"),
+            2,
+        ).cast("double"),
     )
     inserts = c.filter(F.col("c_custkey") % 7 == 0).select(
         (F.col("c_custkey") + 100000).alias("c_custkey"),
