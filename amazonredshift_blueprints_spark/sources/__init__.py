@@ -1,0 +1,5 @@
+"""External sources/sinks beyond the local parquet catalog."""
+
+from .jdbc import jdbc_reader, jdbc_writer, redshift_jdbc_options
+
+__all__ = ["jdbc_reader", "jdbc_writer", "redshift_jdbc_options"]
