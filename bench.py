@@ -4,7 +4,10 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line per the driver contract.
 Methodology:
 - Each benched query runs once as warmup (JVM/codegen/broadcast caches —
   Spark 4's first collation-aware expression alone costs ~10 s) and once
-  timed.
+  timed. Persisted DataFrames are dropped between the two
+  (``clearCache``) so operators that cache a multi-consumer stage
+  (e.g. the MinHash signature table) are timed cold, not from the
+  warmup's cache.
 - Execution is forced with the ``noop`` sink: full computation, no
   sink-side cost, no driver-side collect.
 - ``value`` is the sum of timed per-query seconds (lower is better).
@@ -40,6 +43,7 @@ def main() -> None:
     for name in names:
         build = QUERIES[name].build
         _force(build(spark, sf_dir))  # warmup
+        spark.catalog.clearCache()  # time operator-level persists cold
         t0 = time.time()
         _force(build(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
