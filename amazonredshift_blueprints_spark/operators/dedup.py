@@ -397,21 +397,30 @@ def portable_minhash_pairs(
         raise ValueError(f"num_perms {num_perms} not divisible by bands {bands}")
     rows_per_band = num_perms // bands
 
+    from pyspark.storagelevel import StorageLevel
+
     grams = word_ngrams(tokens(text_col), shingle_size)
     base = df.select(F.col(id_col), grams.alias("grams")).filter(F.size("grams") > 0)
 
+    def _perm_hash(p: int):
+        # closure factory: the transform lambda MUST stay unary — a
+        # second parameter (even defaulted) makes pyspark bind it to the
+        # array index
+        prefix = f"{p}:"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    # persisted: the md5-per-(perm, shingle) signature pass is the
+    # dominant cost and has three consumers (both self-join sides via
+    # the band explode, and the verify stage via grams) — same pattern
+    # as minhash_near_duplicates
     sig = base.select(
         id_col,
         "grams",
         *[
-            F.array_min(
-                F.transform(
-                    F.col("grams"), lambda s, p=p: F.md5(F.concat(F.lit(f"{p}:"), s))
-                )
-            ).alias(f"h{p}")
+            F.array_min(F.transform(F.col("grams"), _perm_hash(p))).alias(f"h{p}")
             for p in range(num_perms)
         ],
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     def band_key(b: int):
         parts = []
@@ -440,7 +449,10 @@ def portable_minhash_pairs(
         )
         .distinct()
     )
-    pairs = jaccard_pairs_from_candidates(base, cand, id_col, "grams")
+    # read grams from the persisted stage, not the raw-text lineage
+    pairs = jaccard_pairs_from_candidates(
+        sig.select(id_col, "grams"), cand, id_col, "grams"
+    )
     return pairs.filter(
         (F.col("n_union") > 0)
         & (F.col("n_common") * 100 >= F.col("n_union") * threshold_pct)
