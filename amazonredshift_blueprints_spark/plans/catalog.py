@@ -2606,3 +2606,75 @@ SELECT 'e_all' AS op, k FROM (
 def q46_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir, "orders")
     return spark.sql(_SETOPS_ALL_SQL)
+
+
+@query(
+    "c25_pipeline_e2e",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, text AS _text,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS DOUBLE)
+                 / CAST(nullif(len(toks), 0) AS DOUBLE) AS uniq_ratio,
+               CAST(length(_text) - length(regexp_replace(_text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                 / CAST(nullif(length(_text), 0) AS DOUBLE) AS punct_ratio,
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                 / CAST(nullif(len(toks), 0) AS DOUBLE) AS mean_token_len
+        FROM t
+    ),
+    q AS (
+        SELECT doc_id, n_tokens,
+               CAST(
+                 (CASE WHEN n_tokens BETWEEN 20 AND 10000 THEN 30 ELSE 0 END)
+               + (CASE WHEN uniq_ratio * 100 >= 30 THEN 25 ELSE 0 END)
+               + (CASE WHEN punct_ratio * 100 <= 15 THEN 25 ELSE 0 END)
+               + (CASE WHEN mean_token_len >= 2 AND mean_token_len <= 12 THEN 20 ELSE 0 END)
+               AS BIGINT) AS quality
+        FROM s
+    ),
+    keep AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM documents GROUP BY md5(lower(trim(text)))
+    ),
+    surv AS (
+        SELECT q.doc_id, q.n_tokens, q.quality
+        FROM q JOIN keep USING (doc_id)
+        WHERE q.quality >= 80
+    )
+    SELECT doc_id, n_tokens, quality,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':r2'), 1, 6)
+                     <= 'e66666'
+                THEN 'train' ELSE 'val' END AS split
+    FROM surv
+    """,
+    doc="the end-to-end training-data pipeline, composed from the "
+        "catalog's own operators: quality gate (integer-banded score, "
+        "c08) -> exact-dedup keeper set (c01) -> portable 90/10 "
+        "train/val split (c22). Three map-or-single-shuffle stages; "
+        "the whole pipeline is one Catalyst plan, so column pruning "
+        "and filter pushdown cross stage boundaries (quality gate "
+        "prunes before the dedup join). The oracle replays every "
+        "stage independently in DuckDB.",
+    tags=("pipeline", "documents"),
+)
+def c25_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup
+    from ..operators.sampling import hash_split
+    from ..operators.text import quality_score, text_stats
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    quality = quality_score(text_stats(d, "doc_id", "text")).select(
+        "doc_id", "n_tokens", "quality"
+    )
+    keepers = exact_dedup(d, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    surviving = quality.filter(F.col("quality") >= 80).join(keepers, "doc_id")
+    return hash_split(
+        surviving, key="doc_id", splits={"train": 0.9, "val": 0.1}, salt="r2"
+    ).select("doc_id", "n_tokens", "quality", "split")
