@@ -2678,3 +2678,28 @@ def c25_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(
         surviving, key="doc_id", splits={"train": 0.9, "val": 0.1}, salt="r2"
     ).select("doc_id", "n_tokens", "quality", "split")
+
+
+_LATERAL_SQL = """
+SELECT n_name, c.c_custkey, c.acctbal
+FROM nation, LATERAL (
+    SELECT c_custkey, CAST(ROUND(c_acctbal, 2) AS DOUBLE) AS acctbal
+    FROM customer WHERE c_nationkey = n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+) c
+"""
+
+
+@query(
+    "q47_lateral_topn",
+    oracle=_LATERAL_SQL,
+    doc="LATERAL correlated subquery (top-2 customers per nation): the "
+        "per-row-subquery syntax both engines share. Catalyst "
+        "decorrelates the lateral into a ranked window over one "
+        "customer shuffle (DomainJoin rewrite) — no per-nation "
+        "re-execution; same plan family as q41's QUALIFY lowering.",
+    tags=("join", "lateral", "subquery"),
+)
+def q47_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "nation", "customer")
+    return spark.sql(_LATERAL_SQL)
