@@ -2703,3 +2703,34 @@ FROM nation, LATERAL (
 def q47_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir, "nation", "customer")
     return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "q48_regex_functions",
+    oracle=r"""
+    SELECT p_partkey,
+           regexp_extract(p_brand, '[0-9]+') AS brand_num,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(p_name, '^(red|blue) ') AS is_colored,
+           split_part(p_brand, '#', 2) AS brand_suffix
+    FROM part
+    """,
+    doc="Redshift regex scalar family: REGEXP_SUBSTR -> regexp_substr "
+        "(oracle: regexp_extract), REGEXP_COUNT -> regexp_count (oracle: "
+        "len of extract_all), REGEXP_REPLACE (NB: Spark replaces all "
+        "matches by default, DuckDB needs the explicit 'g' flag), "
+        "pattern match via rlike/regexp_matches, SPLIT_PART. All "
+        "JVM-side, codegen'd, zero-shuffle map work.",
+    tags=("scalar", "string", "regex"),
+)
+def q48_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = views(spark, sf_dir, "part")["part"]
+    return p.select(
+        "p_partkey",
+        F.regexp_substr("p_brand", F.lit("[0-9]+")).alias("brand_num"),
+        F.regexp_count("p_name", F.lit("[aeiou]")).cast("long").alias("n_vowels"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike("^(red|blue) ").alias("is_colored"),
+        F.split_part("p_brand", F.lit("#"), F.lit(2)).alias("brand_suffix"),
+    )
