@@ -7,6 +7,8 @@ Layout:
 - ``ingest``    — CSV → table loads (reference upload_file.py parity).
 - ``export``    — query → CSV (reference store_query_results.py parity).
 - ``sqlrun``    — SQL statement pass-through (reference execute_sql.py parity).
+- ``dml``       — DELETE/UPDATE/MERGE as copy-on-write rewrites.
+- ``sources``   — JDBC connectivity (Redshift URL parity, partitioned reads).
 - ``functions`` — Redshift-dialect compatibility shims.
 - ``plans``     — named-query catalog (QuerySpec registry) driving
   ``__spark_entry__.queries()`` / ``oracle_sql()``.

@@ -169,3 +169,73 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     early = [v for k, v in got.items() if k.hour == 1]
     assert early == [1], f"late row not dropped (or double-emitted): {got}"
     assert got.get(datetime.datetime(2024, 1, 1, 10, 0)) == 1
+
+
+def test_foreachbatch_streaming_merge(spark, sf_dir, tmp_path):
+    """Streaming upsert: each micro-batch MERGEs into a managed table via
+    dml.merge_into — the foreachBatch pattern for continuously-updated
+    serving tables. Final table must equal the batch last-value-per-user
+    aggregate regardless of batch boundaries."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.dml import merge_into
+    from amazonredshift_blueprints_spark.ingest import _clean_stale_location
+    from amazonredshift_blueprints_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    # split events into two "arrival" files to force multiple batches
+    d = tmp_path / "merge_stream"
+    e.filter(F.col("event_id") % 2 == 0).write.parquet(str(d / "a"))
+    e.filter(F.col("event_id") % 2 == 1).write.parquet(str(d / "b"))
+    src = str(d)
+
+    _clean_stale_location(spark, "t_stream_state", None)
+    spark.createDataFrame([], "user_id long, last_event_id long").write.saveAsTable(
+        "t_stream_state"
+    )
+
+    schema = spark.read.parquet(str(d / "a")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+
+    def upsert(batch_df, batch_id):
+        latest = batch_df.groupBy("user_id").agg(
+            F.max("event_id").alias("last_event_id")
+        )
+        # keep the max across batches: merge only rows that advance
+        cur = batch_df.sparkSession.table("t_stream_state")
+        advancing = (
+            latest.alias("n")
+            .join(cur.alias("c"), "user_id", "left")
+            .filter(
+                F.col("c.last_event_id").isNull()
+                | (F.col("n.last_event_id") > F.col("c.last_event_id"))
+            )
+            .select("user_id", F.col("n.last_event_id").alias("last_event_id"))
+        )
+        merge_into(
+            batch_df.sparkSession, "t_stream_state", advancing, keys=["user_id"]
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r.user_id: r.last_event_id for r in spark.table("t_stream_state").collect()
+    }
+    want = {
+        r.user_id: r.m
+        for r in e.groupBy("user_id").agg(F.max("event_id").alias("m")).collect()
+    }
+    assert got == want
+    spark.sql("DROP TABLE t_stream_state")
