@@ -41,3 +41,24 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in below_join, below_join[:500]
     assert "Bucketed: true" in below_join
     assert agg_exchanges >= 1  # sanity: we looked at the right plan
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir, duck):
+    """q12's promise: approx_count_distinct(rsd=0.01) stays within a few
+    rsd of the exact per-group distinct count."""
+    from amazonredshift_blueprints_spark.plans import QUERIES
+
+    got = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in QUERIES["q12_agg_approx_distinct"].build(spark, sf_dir).collect()
+    }
+    exact = dict(
+        duck.execute(
+            "SELECT l_returnflag, COUNT(DISTINCT l_partkey) FROM lineitem GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(got) == set(exact)
+    for flag, approx in got.items():
+        assert abs(approx - exact[flag]) <= max(5, 0.05 * exact[flag]), (
+            flag, approx, exact[flag],
+        )
