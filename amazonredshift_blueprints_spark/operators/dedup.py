@@ -463,3 +463,113 @@ def portable_minhash_pairs(
         F.col("n_union").cast("long").alias("n_union"),
         (F.col("n_common").cast("double") / F.col("n_union")).alias("jaccard"),
     )
+
+
+def portable_simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_distance: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs in an engine-portable hash domain.
+
+    Same pigeonhole design as :func:`simhash_near_duplicates` (a 64-bit
+    signature split into ``blocks`` exact-match blocks catches every pair
+    with Hamming distance < ``blocks``), but the per-token hash is the
+    first 16 hex nibbles of ``md5(token)`` and all bit arithmetic stays
+    in (nibble index, nibble value) space — every step re-derivable in
+    ANSI SQL (see the c26 oracle), like :func:`portable_minhash_pairs`.
+
+    Shape: |tokens|×16 vote rows → two hash aggregates (doc×nibble, then
+    doc) → 4-block explode → bucket equi-join → exact Hamming verify on
+    the 16-nibble signatures. No |docs|² stage; votes are integer sums so
+    ties (vote == 0 → bit 0) are engine-exact.
+    """
+    if 64 % blocks:
+        raise ValueError(f"blocks {blocks} must divide 64")
+    nib_per_block = 16 // blocks
+    hexd = "0123456789abcdef"
+
+    ex = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_tok")).select(
+        id_col, F.md5("_tok").alias("_h")
+    )
+    # (doc, nibble index 0..15, nibble value 0..15) — one row per token nibble
+    nib = ex.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda i: F.conv(F.col("_h").substr(i + 1, F.lit(1)), 16, 10).cast("int"),
+            )
+        ).alias("i", "val"),
+    )
+    votes = nib.groupBy(id_col, "i").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("val", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(4)
+        ]
+    )
+    nibval = votes.select(
+        id_col,
+        "i",
+        sum(
+            F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(4)
+        ).alias("nib"),
+    )
+    sig = nibval.groupBy(id_col).agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "nib"))),
+                lambda x: F.lit(hexd).substr(x["nib"] + 1, F.lit(1)),
+            ),
+        ).alias("sig")
+    )
+
+    banded = sig.select(
+        id_col,
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.col("sig").substr(1 + b * nib_per_block, nib_per_block)
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("block_idx", "block_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"a.sig").alias("sig_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+
+    def _nib_at(col: str, i):
+        return F.conv(F.col(col).substr(i + 1, F.lit(1)), 16, 10).cast("int")
+
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(15)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.bit_count(_nib_at("sig_a", i).bitwiseXOR(_nib_at("sig_b", i))),
+    )
+    return (
+        cand.select("id_a", "id_b", dist.cast("long").alias("distance"))
+        .filter(F.col("distance") <= max_distance)
+    )

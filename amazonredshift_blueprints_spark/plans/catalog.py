@@ -2734,3 +2734,79 @@ def q48_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").rlike("^(red|blue) ").alias("is_colored"),
         F.split_part("p_brand", F.lit("#"), F.lit(2)).alias("brand_suffix"),
     )
+
+
+_SIMHASH_PORTABLE_ORACLE = r"""
+WITH t AS (
+    SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+    FROM documents
+),
+ex AS (SELECT doc_id, md5(unnest(toks)) AS h FROM t),
+nib AS (
+    SELECT doc_id, i, strpos('0123456789abcdef', substr(h, i + 1, 1)) - 1 AS val
+    FROM ex CROSS JOIN generate_series(0, 15) AS g(i)
+),
+votes AS (
+    SELECT doc_id, i,
+           SUM(CASE WHEN (val >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS v0,
+           SUM(CASE WHEN (val >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS v1,
+           SUM(CASE WHEN (val >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS v2,
+           SUM(CASE WHEN (val >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS v3
+    FROM nib GROUP BY doc_id, i
+),
+nibs AS (
+    SELECT doc_id, i,
+           (CASE WHEN v0 > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN v1 > 0 THEN 2 ELSE 0 END)
+         + (CASE WHEN v2 > 0 THEN 4 ELSE 0 END)
+         + (CASE WHEN v3 > 0 THEN 8 ELSE 0 END) AS nibv
+    FROM votes
+),
+sig AS (
+    SELECT doc_id,
+           string_agg(substr('0123456789abcdef', nibv + 1, 1), '' ORDER BY i) AS sig
+    FROM nibs GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, sig,
+           unnest([0, 1, 2, 3]) AS block_idx,
+           unnest([substr(sig,1,4), substr(sig,5,4),
+                   substr(sig,9,4), substr(sig,13,4)]) AS block_key
+    FROM sig
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, a.sig AS sig_a, b.doc_id AS id_b, b.sig AS sig_b
+    FROM banded a JOIN banded b
+      ON a.block_idx = b.block_idx AND a.block_key = b.block_key
+     AND a.doc_id < b.doc_id
+),
+dist AS (
+    SELECT id_a, id_b,
+           CAST(list_sum(list_transform(range(16), i ->
+               bit_count(xor(strpos('0123456789abcdef', substr(sig_a, i + 1, 1)) - 1,
+                             strpos('0123456789abcdef', substr(sig_b, i + 1, 1)) - 1))))
+               AS BIGINT) AS distance
+    FROM cand
+)
+SELECT id_a, id_b, distance FROM dist WHERE distance <= 3
+"""
+
+
+@query(
+    "c26_dedup_simhash_portable",
+    oracle=_SIMHASH_PORTABLE_ORACLE,
+    doc="SimHash near-dup in a portable hash domain: per-token hash = "
+        "first 16 hex nibbles of md5, bit votes computed nibble-wise "
+        "(integer sums, vote==0 -> bit 0), 4-block pigeonhole candidate "
+        "join, exact Hamming verify. Closes the verification gap for "
+        "the SimHash family the way c24 does for MinHash: the DuckDB "
+        "oracle independently re-derives signatures, candidates, and "
+        "distances. Same scale shape as c03 — vote aggregation is two "
+        "hash aggregates, candidates an equi-join, never |docs|^2.",
+    tags=("dedup", "portable"),
+)
+def c26_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import portable_simhash_pairs
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return portable_simhash_pairs(d, "doc_id", "text", max_distance=3)

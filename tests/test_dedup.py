@@ -160,3 +160,19 @@ def test_portable_minhash_bad_bands(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     with _pytest.raises(ValueError):
         portable_minhash_pairs(d, "doc_id", "text", num_perms=7, bands=4)
+
+
+def test_portable_simhash_determinism_and_block_guarantee(spark, sf_dir):
+    from amazonredshift_blueprints_spark.operators.dedup import portable_simhash_pairs
+    from amazonredshift_blueprints_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    a = {(r.id_a, r.id_b): r.distance
+         for r in portable_simhash_pairs(d, "doc_id", "text").collect()}
+    b = {(r.id_a, r.id_b): r.distance
+         for r in portable_simhash_pairs(d, "doc_id", "text").collect()}
+    assert a == b  # rebuild-deterministic (the c24 regression class)
+    assert all(0 <= dist <= 3 for dist in a.values())
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        portable_simhash_pairs(d, "doc_id", "text", blocks=5)  # 5 ∤ 64
