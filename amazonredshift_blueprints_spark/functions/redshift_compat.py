@@ -14,6 +14,9 @@ Redshift SQL. Spark SQL is near-identical; the known deltas we shim:
   ``to_utc_timestamp`` composition (Redshift's src default is UTC).
 - ``TO_CHAR(expr, 'datefmt')`` → ``date_format(expr, javafmt)`` for the
   common Oracle-style date patterns (YYYY, MM, DD, HH24, MI, SS, ...).
+- ``TO_DATE(str, 'datefmt')`` / ``TO_TIMESTAMP(str, 'datefmt')`` →
+  ``to_date``/``to_timestamp`` with the same pattern translation (the
+  parse direction of the TO_CHAR mapping).
 - ``SELECT TOP n ...`` (Redshift/T-SQL row limit) → ``SELECT ... LIMIT n``
   appended after any ORDER BY. Top-level statements only.
 - ``QUALIFY <pred>`` (window-function filter; Spark SQL has no QUALIFY)
@@ -238,6 +241,26 @@ def _to_char_call(args: list[str]) -> str | None:
     return f"date_format({args[0]}, '{java}')"
 
 
+def _to_parse_call(spark_fn: str):
+    """TO_DATE/TO_TIMESTAMP(str, 'fmt') → to_date/to_timestamp: the parse
+    direction of the TO_CHAR pattern mapping. One-arg calls (Redshift
+    accepts a bare ISO string) pass through — Spark's one-arg forms have
+    the same semantics."""
+
+    def call(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        fmt = args[1].strip()
+        if not (len(fmt) >= 2 and fmt[0] == "'" and fmt[-1] == "'"):
+            return None
+        java = _translate_datetime_format(fmt[1:-1])
+        if java is None:
+            return None
+        return f"{spark_fn}({args[0]}, '{java}')"
+
+    return call
+
+
 def _find_top_level(sql: str, pattern: re.Pattern) -> re.Match | None:
     """First match at paren depth 0 and outside string literals."""
     depth = 0
@@ -329,6 +352,8 @@ def translate_redshift_sql(sql: str) -> str:
     sql = _rewrite_calls(sql, "STRTOL", _strtol_call)
     sql = _rewrite_calls(sql, "CONVERT_TIMEZONE", _convert_timezone_call)
     sql = _rewrite_calls(sql, "TO_CHAR", _to_char_call)
+    sql = _rewrite_calls(sql, "TO_DATE", _to_parse_call("to_date"))
+    sql = _rewrite_calls(sql, "TO_TIMESTAMP", _to_parse_call("to_timestamp"))
     # APPROXIMATE COUNT(DISTINCT x) → approx_count_distinct(x)
     sql = re.sub(
         r"\bAPPROXIMATE\s+COUNT\s*\(\s*DISTINCT\s+(.*?)\)",

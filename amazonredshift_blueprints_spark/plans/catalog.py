@@ -1521,7 +1521,9 @@ _DIALECT_FUNCS_SQL = """
            CHARINDEX('i', event_type) AS i_pos,
            NVL2(NULLIF(event_type, 'view'), 'other', 'is_view') AS view_flag,
            DECODE(event_type, 'view', 1, 'click', 2, 0) AS type_code,
-           STRTOL('ff', 16) AS const_255
+           STRTOL('ff', 16) AS const_255,
+           CAST(TO_DATE(TO_CHAR(ts, 'YYYY-MM-DD'), 'YYYY-MM-DD') AS TIMESTAMP)
+             AS day_parsed
     FROM events
 """
 
@@ -1537,12 +1539,14 @@ _DIALECT_FUNCS_SQL = """
                 THEN 'other' ELSE 'is_view' END AS view_flag,
            CAST(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
                 ELSE 0 END AS BIGINT) AS type_code,
-           CAST(255 AS BIGINT) AS const_255
+           CAST(255 AS BIGINT) AS const_255,
+           CAST(strptime(strftime(ts, '%Y-%m-%d'), '%Y-%m-%d') AS TIMESTAMP)
+             AS day_parsed
     FROM events
     """,
     doc="extended Redshift dialect through the translation shim: TO_CHAR "
         "date formats, LEN, CHARINDEX arg swap, NVL2, Oracle-style DECODE, "
-        "STRTOL (CONVERT_TIMEZONE is shimmed too; unit-tested, not "
+        "STRTOL, TO_DATE/TO_CHAR round-trip (CONVERT_TIMEZONE is shimmed too; unit-tested, not "
         "oracle-checked because DuckDB lacks a matching tz primitive)",
     tags=("dialect",),
 )
@@ -1557,6 +1561,7 @@ def q29_dialect_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_flag",
         F.col("type_code").cast("long").alias("type_code"),
         F.col("const_255").cast("long").alias("const_255"),
+        "day_parsed",
     )
 
 

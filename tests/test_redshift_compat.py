@@ -150,3 +150,18 @@ def test_top_not_in_subquery():
 def test_top_with_existing_limit_untouched():
     sql = "SELECT TOP 5 a FROM t LIMIT 3"
     assert translate_redshift_sql(sql) == sql
+
+
+def test_to_date_format():
+    out = translate_redshift_sql("SELECT TO_DATE(s, 'YYYY-MM-DD') FROM t")
+    assert out == "SELECT to_date(s, 'yyyy-MM-dd') FROM t"
+
+
+def test_to_timestamp_format():
+    out = translate_redshift_sql("SELECT TO_TIMESTAMP(s, 'YYYY-MM-DD HH24:MI:SS') FROM t")
+    assert out == "SELECT to_timestamp(s, 'yyyy-MM-dd HH:mm:ss') FROM t"
+
+
+def test_to_date_one_arg_untouched():
+    sql = "SELECT TO_DATE(s) FROM t"
+    assert translate_redshift_sql(sql) == sql
