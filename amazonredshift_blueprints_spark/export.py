@@ -88,6 +88,43 @@ def write_csv(
     return n - (1 if include_header and n else 0)
 
 
+def write_result(
+    df: DataFrame,
+    destination_path: str,
+    *,
+    format: str = "csv",
+    include_header: bool = True,
+    single_file: bool = True,
+) -> int:
+    """Format-generalized sink: the reference only emits CSV
+    (store_query_results.py:98-118); JSON and parquet are the free Spark
+    upgrades a warehouse-export user reaches for next. Same single-file /
+    part-directory contract as :func:`write_csv`; returns rows written.
+    """
+    if format == "csv":
+        return write_csv(
+            df, destination_path, include_header=include_header, single_file=single_file
+        )
+    if format not in ("json", "parquet"):
+        raise ValueError(f"format must be csv/json/parquet, got {format!r}")
+    parent = os.path.dirname(os.path.abspath(destination_path))
+    os.makedirs(parent, exist_ok=True)
+    n = df.count()
+    if not single_file:
+        df.write.mode("overwrite").format(format).save(destination_path)
+        return n
+    tmp_dir = tempfile.mkdtemp(prefix="bp_export_", dir=parent)
+    try:
+        df.coalesce(1).write.mode("overwrite").format(format).save(tmp_dir)
+        parts = glob.glob(os.path.join(tmp_dir, "part-*"))
+        if len(parts) != 1:
+            raise RuntimeError(f"expected exactly one part file, found {parts}")
+        shutil.move(parts[0], destination_path)
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return n
+
+
 def get_args(argv: list[str] | None = None) -> argparse.Namespace:
     """CLI surface mirroring store_query_results.py:10-59."""
     parser = argparse.ArgumentParser(description=__doc__)

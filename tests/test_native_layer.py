@@ -192,3 +192,44 @@ def test_merge_into_schema_mismatch(spark, sf_dir):
         pass
     finally:
         spark.sql("DROP TABLE IF EXISTS t_merge_region")
+
+
+def test_export_json_and_parquet(spark, sf_dir, tmp_path):
+    from amazonredshift_blueprints_spark.export import write_result
+    from amazonredshift_blueprints_spark.session import load_table
+
+    df = load_table(spark, sf_dir, "nation")
+    jpath = str(tmp_path / "nation.json")
+    n = write_result(df, jpath, format="json")
+    assert n == df.count()
+    assert spark.read.json(jpath).count() == n
+
+    ppath = str(tmp_path / "nation.parquet")
+    n = write_result(df, ppath, format="parquet")
+    back = spark.read.parquet(ppath)
+    assert back.count() == n and set(back.columns) == set(df.columns)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        write_result(df, str(tmp_path / "x.avro"), format="avro")
+
+
+def test_ingest_gzip_csv(spark, sf_dir, tmp_path):
+    """pandas read_csv decompresses by extension (the reference relies on
+    it implicitly); Spark's CSV reader must match."""
+    import gzip
+
+    from amazonredshift_blueprints_spark.ingest import ingest_csv
+    from amazonredshift_blueprints_spark.session import load_table
+
+    rows = load_table(spark, sf_dir, "region").collect()
+    gz = tmp_path / "region.csv.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write("r_regionkey,r_name\n")
+        for r in rows:
+            f.write(f"{r.r_regionkey},{r.r_name}\n")
+
+    n = ingest_csv(spark, str(gz), "t_gzip_region", insert_method="replace")
+    assert n == len(rows)
+    assert spark.table("t_gzip_region").count() == len(rows)
+    spark.sql("DROP TABLE t_gzip_region")
