@@ -98,16 +98,40 @@ def read_csv(
     *,
     header: bool = True,
     schema: StructType | str | None = None,
+    delimiter: str = ",",
 ) -> DataFrame:
     """Distributed CSV scan. With no explicit schema, infer over the whole
     input once (strictly better than the reference's per-chunk inference,
-    SURVEY.md §1.2)."""
-    reader = spark.read.option("header", header)
+    SURVEY.md §1.2). ``delimiter`` is the COPY ``DELIMITER`` analog
+    (TSV/pipe files)."""
+    reader = spark.read.option("header", header).option("sep", delimiter)
     if schema is not None:
         reader = reader.schema(schema)
     else:
         reader = reader.option("inferSchema", True)
     return reader.csv(paths)
+
+
+def read_files(
+    spark: SparkSession,
+    paths: str | list[str],
+    *,
+    format: str = "csv",
+    header: bool = True,
+    schema: StructType | str | None = None,
+    delimiter: str = ",",
+) -> DataFrame:
+    """Format-generalized scan: the reference only reads CSV
+    (upload_file.py:118-126); JSON/parquet/ORC are the Spark-native
+    upgrades (all splittable, parquet/ORC with pushdown + pruning)."""
+    if format == "csv":
+        return read_csv(spark, paths, header=header, schema=schema, delimiter=delimiter)
+    if format not in ("json", "parquet", "orc"):
+        raise ValueError(f"format must be csv/json/parquet/orc, got {format!r}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.format(format).load(paths)
 
 
 def ingest_csv(
@@ -126,6 +150,32 @@ def ingest_csv(
     distributed write replace the reference's 10 000-row chunk loop and
     its mode-demotion bookkeeping (upload_file.py:131-132).
     """
+    return ingest_files(
+        spark,
+        source,
+        table_name,
+        format="csv",
+        schema_name=schema_name,
+        insert_method=insert_method,
+        header=header,
+        schema=schema,
+    )
+
+
+def ingest_files(
+    spark: SparkSession,
+    source: str | list[str],
+    table_name: str,
+    *,
+    format: str = "csv",
+    schema_name: str | None = None,
+    insert_method: str = "append",
+    header: bool = True,
+    schema: StructType | str | None = None,
+    delimiter: str = ",",
+) -> int:
+    """Format-generalized table load (csv/json/parquet/orc) with the
+    reference's fail/replace/append mode vocabulary."""
     if insert_method not in INSERT_METHODS:
         raise ValueError(
             f"insert_method must be one of {sorted(INSERT_METHODS)}, got {insert_method!r}"
@@ -137,7 +187,9 @@ def ingest_csv(
         qualified = f"{schema_name}.{table_name}"
     else:
         qualified = table_name
-    df = read_csv(spark, source, header=header, schema=schema)
+    df = read_files(
+        spark, source, format=format, header=header, schema=schema, delimiter=delimiter
+    )
     df.write.mode(INSERT_METHODS[insert_method]).format("parquet").saveAsTable(qualified)
     return spark.table(qualified).count()
 

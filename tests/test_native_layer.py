@@ -233,3 +233,37 @@ def test_ingest_gzip_csv(spark, sf_dir, tmp_path):
     assert n == len(rows)
     assert spark.table("t_gzip_region").count() == len(rows)
     spark.sql("DROP TABLE t_gzip_region")
+
+
+def test_ingest_formats_and_delimiter(spark, sf_dir, tmp_path):
+    from amazonredshift_blueprints_spark.export import write_result
+    from amazonredshift_blueprints_spark.ingest import ingest_files, read_csv
+    from amazonredshift_blueprints_spark.session import load_table
+
+    r = load_table(spark, sf_dir, "region")
+
+    # parquet + json round-trips through the generalized ingest
+    ppath = str(tmp_path / "r.parquet")
+    write_result(r, ppath, format="parquet")
+    assert ingest_files(spark, ppath, "t_fmt_p", format="parquet",
+                        insert_method="replace") == r.count()
+    jpath = str(tmp_path / "r.json")
+    write_result(r, jpath, format="json")
+    assert ingest_files(spark, jpath, "t_fmt_j", format="json",
+                        insert_method="replace") == r.count()
+
+    # pipe-delimited CSV (COPY DELIMITER analog)
+    psv = tmp_path / "r.psv"
+    rows = r.collect()
+    with open(psv, "w") as f:
+        f.write("r_regionkey|r_name\n")
+        for row in rows:
+            f.write(f"{row.r_regionkey}|{row.r_name}\n")
+    back = read_csv(spark, str(psv), delimiter="|", schema=r.schema)
+    assert back.count() == len(rows) and back.columns == r.columns
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ingest_files(spark, ppath, "t_bad", format="xml")
+    for t in ("t_fmt_p", "t_fmt_j"):
+        spark.sql(f"DROP TABLE {t}")
