@@ -105,8 +105,8 @@ def write_result(
         return write_csv(
             df, destination_path, include_header=include_header, single_file=single_file
         )
-    if format not in ("json", "parquet"):
-        raise ValueError(f"format must be csv/json/parquet, got {format!r}")
+    if format not in ("json", "parquet", "orc"):
+        raise ValueError(f"format must be csv/json/parquet/orc, got {format!r}")
     parent = os.path.dirname(os.path.abspath(destination_path))
     os.makedirs(parent, exist_ok=True)
     n = df.count()

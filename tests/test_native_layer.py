@@ -267,3 +267,16 @@ def test_ingest_formats_and_delimiter(spark, sf_dir, tmp_path):
         ingest_files(spark, ppath, "t_bad", format="xml")
     for t in ("t_fmt_p", "t_fmt_j"):
         spark.sql(f"DROP TABLE {t}")
+
+
+def test_export_orc_roundtrip(spark, sf_dir, tmp_path):
+    from amazonredshift_blueprints_spark.export import write_result
+    from amazonredshift_blueprints_spark.ingest import ingest_files
+    from amazonredshift_blueprints_spark.session import load_table
+
+    r = load_table(spark, sf_dir, "region")
+    opath = str(tmp_path / "r.orc")
+    assert write_result(r, opath, format="orc") == r.count()
+    assert ingest_files(spark, opath, "t_orc", format="orc",
+                        insert_method="replace") == r.count()
+    spark.sql("DROP TABLE t_orc")
