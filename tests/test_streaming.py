@@ -239,3 +239,38 @@ def test_foreachbatch_streaming_merge(spark, sf_dir, tmp_path):
     }
     assert got == want
     spark.sql("DROP TABLE t_stream_state")
+
+
+def test_stream_dropduplicates_within_watermark(spark, sf_dir, tmp_path):
+    """Streaming exactly-once dedup: duplicate event_ids across
+    micro-batches collapse to one row via watermarked dropDuplicates."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "events").limit(200).cache()
+    d = tmp_path / "dup_stream"
+    # same 200 events written twice → two batches of pure duplicates
+    e.write.parquet(str(d / "a"))
+    e.write.parquet(str(d / "b"))
+
+    schema = spark.read.parquet(str(d / "a")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM t_dedup_stream").collect()
+    ids = [r.event_id for r in got]
+    assert len(ids) == len(set(ids)) == e.count()  # each id exactly once
