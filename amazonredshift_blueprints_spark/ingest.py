@@ -99,12 +99,19 @@ def read_csv(
     header: bool = True,
     schema: StructType | str | None = None,
     delimiter: str = ",",
+    parse_mode: str = "PERMISSIVE",
 ) -> DataFrame:
     """Distributed CSV scan. With no explicit schema, infer over the whole
     input once (strictly better than the reference's per-chunk inference,
     SURVEY.md §1.2). ``delimiter`` is the COPY ``DELIMITER`` analog
-    (TSV/pipe files)."""
-    reader = spark.read.option("header", header).option("sep", delimiter)
+    (TSV/pipe files). ``parse_mode``: PERMISSIVE (malformed fields →
+    NULL, the COPY MAXERROR-tolerant analog), DROPMALFORMED, or FAILFAST
+    (raise on first bad row — pandas' behavior, hence the reference's)."""
+    reader = (
+        spark.read.option("header", header)
+        .option("sep", delimiter)
+        .option("mode", parse_mode)
+    )
     if schema is not None:
         reader = reader.schema(schema)
     else:

@@ -280,3 +280,29 @@ def test_export_orc_roundtrip(spark, sf_dir, tmp_path):
     assert ingest_files(spark, opath, "t_orc", format="orc",
                         insert_method="replace") == r.count()
     spark.sql("DROP TABLE t_orc")
+
+
+def test_csv_parse_modes(spark, tmp_path):
+    from amazonredshift_blueprints_spark.ingest import read_csv
+
+    bad = tmp_path / "bad.csv"
+    # row 2 is structurally malformed (1 column instead of 2); NB a mere
+    # type-coercion failure is NOT "malformed" to Spark — it nulls the
+    # field in every mode except FAILFAST
+    bad.write_text("k,v\n1,10\noops\n3,30\n")
+    schema = "k INT, v INT"
+
+    # PERMISSIVE (default): malformed row → NULL fields, all rows kept
+    rows = read_csv(spark, str(bad), schema=schema).collect()
+    assert len(rows) == 3 and any(r.v is None for r in rows)
+
+    # DROPMALFORMED: bad row vanishes. Must materialize the columns —
+    # count() prunes them all, so nothing parses and nothing drops
+    # (documented Spark CSV-pruning interaction).
+    assert len(read_csv(spark, str(bad), schema=schema,
+                        parse_mode="DROPMALFORMED").collect()) == 2
+
+    # FAILFAST: raises (the pandas/reference behavior)
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="MALFORMED|FAILFAST|Malformed"):
+        read_csv(spark, str(bad), schema=schema, parse_mode="FAILFAST").collect()
