@@ -1,0 +1,80 @@
+"""Physical-plan regression guards: the load-bearing plan properties
+documented in PLANS.md, asserted executably so a future change that
+silently degrades a plan (lost pushdown, broadcast flip, cartesian
+sneak-in) fails CI instead of only showing up at 100 TB.
+
+Runs at sf0.001 — plan SHAPE, not timing."""
+
+from __future__ import annotations
+
+import pytest
+
+from amazonredshift_blueprints_spark.plans import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name].build(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_filter_pushdown_and_partial_agg(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+    assert "partial_sum" in p  # map-side combine before the exchange
+
+
+def test_q03_star_join_broadcasts_dims(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q03_join_revenue_by_nation")
+    assert p.count("BroadcastHashJoin") >= 4  # all dim sides broadcast
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q26_true_topk(spark, sf_dir):
+    assert "TakeOrderedAndProject" in _plan(spark, sf_dir, "q26_shipping_priority")
+
+
+def test_q39_null_aware_anti_join(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q39_null_aware_anti_join")
+    # trailing `true` flag on the LeftAnti broadcast join = NAAJ
+    assert "LeftAnti, BuildRight, true" in p
+
+
+def test_q41_window_group_limit(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q41_qualify")
+    assert "WindowGroupLimit" in p  # rn<=k pushed below the sort
+
+
+def test_c20_range_join_is_hash_not_nested_loop(spark, sf_dir):
+    p = _plan(spark, sf_dir, "c20_range_join_bucketed")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_q38_subquery_decorrelated(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q38_correlated_scalar_subquery")
+    # decorrelation = the inner avg appears as a standalone aggregate,
+    # joined back — never a per-row subquery plan node
+    assert "partial_avg" in p
+    assert "CartesianProduct" not in p
+
+
+def test_no_cartesian_in_any_headline_plan(spark, sf_dir):
+    for name, spec in QUERIES.items():
+        if not spec.bench:
+            continue
+        assert "CartesianProduct" not in _plan(spark, sf_dir, name), name
+
+
+def test_lineitem_scans_prune_columns(spark, sf_dir):
+    """A narrow projection over the 11-column lineitem table must not
+    read the full width (ReadSchema carries only referenced fields)."""
+    for name in ("q17_topk", "q01_pricing_summary"):
+        p = _plan(spark, sf_dir, name)
+        for ln in p.splitlines():
+            if "FileScan parquet" not in ln or "lineitem" not in ln:
+                continue
+            schema = ln.split("ReadSchema: ", 1)[1]
+            n_fields = schema.count(":")
+            assert n_fields <= 7, (name, schema)
