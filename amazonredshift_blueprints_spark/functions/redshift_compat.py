@@ -23,6 +23,14 @@ Redshift SQL. Spark SQL is near-identical; the known deltas we shim:
   → the predicate is materialized as a hidden column in a subquery and
   filtered in an outer ``SELECT * EXCEPT``. Top-level, non-DISTINCT
   SELECTs only; anything else passes through untouched.
+- ``NVL(a, b, c, ...)`` with >2 args (Redshift's NVL is variadic) →
+  ``coalesce(...)``; 2-arg NVL passes through (Spark has it natively).
+- Physical-layout DDL clauses — ``DISTSTYLE ...``, ``DISTKEY(...)``,
+  ``[COMPOUND|INTERLEAVED] SORTKEY(...)``, column-level ``ENCODE x`` —
+  are stripped: they configure Redshift's distribution/sort/compression,
+  which Spark SQL does not parse. The Spark analogs (bucketing via
+  ``CLUSTERED BY``, parquet encodings) are writer options, not CREATE
+  TABLE clauses; migrating DDL keeps its relational content.
 
 Everything else (NVL, NVL2, DECODE, SPLIT_PART, ILIKE, MEDIAN, LISTAGG,
 PERCENTILE_CONT, APPROXIMATE COUNT(DISTINCT) → approx_count_distinct, ...)
@@ -340,10 +348,48 @@ def _rewrite_top(sql: str) -> str:
     return f"{stripped} LIMIT {m.group(2)}" + (";" if semi else "")
 
 
+def _nvl_call(args: list[str]) -> str | None:
+    # Redshift NVL is variadic; Spark's is strictly 2-arg. Leave 2-arg
+    # calls alone (native) and lower 3+ to coalesce.
+    return f"coalesce({', '.join(args)})" if len(args) > 2 else None
+
+
+_LAYOUT_CLAUSES = [
+    re.compile(r"\bDISTSTYLE\s+(?:EVEN|ALL|KEY|AUTO)\b", re.IGNORECASE),
+    re.compile(r"\bDISTKEY\s*\([^)]*\)", re.IGNORECASE),
+    re.compile(r"\b(?:COMPOUND\s+|INTERLEAVED\s+)?SORTKEY\s*\([^)]*\)", re.IGNORECASE),
+    re.compile(r"\bENCODE\s+\w+\b", re.IGNORECASE),
+]
+
+
+def _strip_layout_clauses(sql: str) -> str:
+    """Remove Redshift physical-layout DDL clauses Spark cannot parse.
+    SQL without such clauses passes through byte-identical."""
+    stripped = False
+    for pat in _LAYOUT_CLAUSES:
+        out = []
+        pos = 0
+        for m in pat.finditer(sql):
+            if _inside_string(sql, m.start()):
+                continue
+            out.append(sql[pos : m.start()])
+            pos = m.end()
+            stripped = True
+        out.append(sql[pos:])
+        sql = "".join(out)
+    if not stripped:
+        return sql
+    sql = re.sub(r"[ \t]{2,}", " ", sql)
+    sql = re.sub(r"[ \t]+([,)])", r"\1", sql)  # "INT ," after a strip → "INT,"
+    return re.sub(r"[ \t]+(\n|$)", r"\1", sql)
+
+
 def translate_redshift_sql(sql: str) -> str:
     """Rewrite Redshift-dialect call sites into Spark SQL equivalents."""
+    sql = _strip_layout_clauses(sql)
     sql = _rewrite_top(sql)
     sql = _rewrite_qualify(sql)
+    sql = _rewrite_calls(sql, "NVL", _nvl_call)
     # GETDATE() / SYSDATE → current_timestamp()
     sql = re.sub(r"\bGETDATE\s*\(\s*\)", "current_timestamp()", sql, flags=re.IGNORECASE)
     sql = re.sub(r"\bSYSDATE\b", "current_timestamp()", sql, flags=re.IGNORECASE)

@@ -165,3 +165,28 @@ def test_to_timestamp_format():
 def test_to_date_one_arg_untouched():
     sql = "SELECT TO_DATE(s) FROM t"
     assert translate_redshift_sql(sql) == sql
+
+
+def test_nvl_varargs_to_coalesce():
+    out = translate_redshift_sql("SELECT NVL(a, b, c) FROM t")
+    assert out == "SELECT coalesce(a, b, c) FROM t"
+    sql2 = "SELECT NVL(a, b) FROM t"
+    assert translate_redshift_sql(sql2) == sql2  # 2-arg is native Spark
+
+
+def test_layout_ddl_clauses_stripped():
+    out = translate_redshift_sql(
+        "CREATE TABLE t (k INT ENCODE az64, v VARCHAR(10)) "
+        "DISTSTYLE KEY DISTKEY(k) COMPOUND SORTKEY(k, v)"
+    )
+    assert out == "CREATE TABLE t (k INT, v VARCHAR(10))"
+
+
+def test_sortkey_interleaved_stripped():
+    out = translate_redshift_sql("CREATE TABLE t (a INT) INTERLEAVED SORTKEY(a)")
+    assert out == "CREATE TABLE t (a INT)"
+
+
+def test_layout_words_in_strings_survive():
+    sql = "SELECT 'DISTKEY(k) SORTKEY(v)' AS doc FROM t"
+    assert translate_redshift_sql(sql) == sql
