@@ -49,9 +49,15 @@ def delete_from(spark: SparkSession, table: str, condition: str) -> int:
     """``DELETE FROM table WHERE condition`` via copy-on-write.
 
     Returns the number of rows deleted.
+
+    SQL DELETE removes only rows where the predicate is TRUE; rows where
+    it evaluates NULL (e.g. ``x > 5`` with ``x`` NULL) are KEPT. A bare
+    ``~expr(condition)`` would propagate NULL and drop those rows from
+    the kept set, so the predicate is coalesced to FALSE first.
     """
     before = spark.table(table).count()
-    _rewrite(spark, table, spark.table(table).filter(~F.expr(condition)))
+    keep = ~F.coalesce(F.expr(condition), F.lit(False))
+    _rewrite(spark, table, spark.table(table).filter(keep))
     return before - spark.table(table).count()
 
 

@@ -60,12 +60,18 @@ def write_csv(
     include_header: bool = True,
     single_file: bool = True,
 ) -> int:
-    """CSV sink for an arbitrary DataFrame (A8/A9)."""
+    """CSV sink for an arbitrary DataFrame (A8/A9).
+
+    The returned row count comes from ``df.count()`` on the input plan —
+    counting physical lines in the output would over-count quoted fields
+    with embedded newlines, and re-reading the written CSV would be a
+    second full scan purely for the return value.
+    """
     parent = os.path.dirname(os.path.abspath(destination_path))
     os.makedirs(parent, exist_ok=True)  # A9, store_query_results.py:147-149
     if not single_file:
         df.write.option("header", include_header).mode("overwrite").csv(destination_path)
-        return df.sparkSession.read.option("header", include_header).csv(destination_path).count()
+        return df.count()
 
     # One named file: single writer task into a temp dir, then move the
     # part file to the requested path.
@@ -83,9 +89,7 @@ def write_csv(
         shutil.move(parts[0], destination_path)
     finally:
         shutil.rmtree(tmp_dir, ignore_errors=True)
-    with open(destination_path) as f:
-        n = sum(1 for _ in f)
-    return n - (1 if include_header and n else 0)
+    return df.count()
 
 
 def write_result(

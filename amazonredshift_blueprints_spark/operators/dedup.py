@@ -287,6 +287,10 @@ def simhash_near_duplicates(
     at least one block → equi-join per block, then exact bit_count(xor)
     verification. Returns (id_a, id_b, hamming).
     """
+    # Pigeonhole needs strictly more blocks than differing bits, hence
+    # n_blocks = max_distance + 1; each block must be ≥1 bit wide.
+    if not 0 <= max_distance <= 63:
+        raise ValueError(f"max_distance must be in [0, 63], got {max_distance}")
     n_blocks = max_distance + 1
     block_bits = 64 // n_blocks
     sig = (
@@ -489,6 +493,14 @@ def portable_simhash_pairs(
     """
     if 64 % blocks:
         raise ValueError(f"blocks {blocks} must divide 64")
+    if max_distance >= blocks:
+        # Pigeonhole guarantee is max_distance < blocks: with ≥ blocks
+        # differing bits a pair can differ in EVERY block and silently
+        # never become a candidate.
+        raise ValueError(
+            f"max_distance ({max_distance}) must be < blocks ({blocks}); "
+            "raise blocks or lower the radius"
+        )
     nib_per_block = 16 // blocks
     hexd = "0123456789abcdef"
 

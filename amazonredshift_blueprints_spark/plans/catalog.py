@@ -667,8 +667,11 @@ def q19_scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            abs(l_discount - 0.05) AS abs_disc,
-           ceil(l_extendedprice) AS price_ceil,
-           floor(l_extendedprice) AS price_floor,
+           -- BIGINT casts: DuckDB ceil/floor return DOUBLE while Spark's
+           -- return LONG; a value hash over 123.0 vs 123 diverges even
+           -- though every value compares equal (CORRECTNESS_r02 q20).
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
            round(ln(l_extendedprice), 6) AS ln_price,
            round(log10(l_extendedprice), 6) AS log10_price,
            sqrt(l_quantity) AS sqrt_qty,
@@ -1323,7 +1326,11 @@ def c11_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
         FROM flagged
     )
-    SELECT user_id, session_idx,
+    SELECT user_id,
+           -- BIGINT cast: DuckDB SUM(int) yields HUGEINT -> float64 in the
+           -- fetched frame while Spark emits LONG; the driver's value hash
+           -- sees 1.0 vs 1 (CORRECTNESS_r02 c12).
+           CAST(session_idx AS BIGINT) AS session_idx,
            MIN(ts) AS session_start,
            MAX(ts) AS session_end,
            COUNT(*) AS n_events,

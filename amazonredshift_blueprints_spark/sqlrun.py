@@ -22,11 +22,17 @@ from .functions import translate_redshift_sql
 def execute_sql(spark: SparkSession, query: str) -> None:
     """Execute an arbitrary statement; discard any result (execute_sql.py:77).
 
-    DML/DDL statements execute eagerly. A SELECT would be lazily planned
-    and dropped — same observable behavior as the reference, which fetches
-    nothing for result-less statements.
+    DML/DDL statements execute eagerly inside ``spark.sql`` itself (their
+    analyzed plan is a ``CommandResult``); for plain SELECTs the plan is
+    forced through the no-op sink so the query *runs* (reference parity:
+    side effects happen, errors surface) without materializing a single
+    row on the driver — a ``.collect()`` here would OOM the driver on a
+    large pass-through SELECT.
     """
-    spark.sql(translate_redshift_sql(query)).collect()
+    df = spark.sql(translate_redshift_sql(query))
+    analyzed = df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+    if "Command" not in analyzed:
+        df.write.format("noop").mode("overwrite").save()
     print("Your query has been successfully executed.")  # execute_sql.py:78-79 analog
 
 

@@ -176,3 +176,21 @@ def test_portable_simhash_determinism_and_block_guarantee(spark, sf_dir):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         portable_simhash_pairs(d, "doc_id", "text", blocks=5)  # 5 ∤ 64
+
+
+def test_simhash_radius_validation(spark, sf_dir):
+    import pytest as _pytest
+
+    from amazonredshift_blueprints_spark.operators.dedup import (
+        portable_simhash_pairs,
+        simhash_near_duplicates,
+    )
+    from amazonredshift_blueprints_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    # Portable variant: pigeonhole needs max_distance < blocks.
+    with _pytest.raises(ValueError, match="must be < blocks"):
+        portable_simhash_pairs(d, "doc_id", "text", max_distance=5, blocks=4)
+    # Fast variant: block width must stay >= 1 bit.
+    with _pytest.raises(ValueError, match="max_distance"):
+        simhash_near_duplicates(d, "doc_id", "text", max_distance=64)

@@ -130,6 +130,28 @@ def test_export_creates_parent_dirs(spark, sf_dir, tmp_path):
     assert store_query_results(spark, "SELECT 1 AS one", dest) == 1
 
 
+def test_write_csv_count_with_embedded_newlines(spark, tmp_path):
+    """Quoted fields containing newlines span multiple physical lines;
+    the returned count must be logical rows, not file lines."""
+    df = spark.createDataFrame(
+        [(1, "one\ntwo"), (2, "plain"), (3, "a\nb\nc")], "k int, v string"
+    )
+    dest = str(tmp_path / "newlines.csv")
+    assert write_csv(df, dest) == 3
+    multi = str(tmp_path / "newlines_dir")
+    assert write_csv(df, multi, single_file=False) == 3
+
+
+def test_execute_sql_select_no_driver_collect(spark):
+    """A pass-through SELECT must execute (errors surface) without
+    materializing rows on the driver; DDL/DML still applies eagerly."""
+    execute_sql(spark, "SELECT o_orderkey FROM VALUES (1), (2) AS t(o_orderkey)")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        execute_sql(spark, "SELECT * FROM t_does_not_exist_xyz")
+
+
 def test_execute_sql_ddl_dml(spark, capsys):
     execute_sql(spark, "CREATE TABLE IF NOT EXISTS t_sqlrun (k INT, v STRING) USING PARQUET")
     execute_sql(spark, "INSERT INTO t_sqlrun VALUES (1, 'a'), (2, 'b')")
@@ -173,6 +195,25 @@ def test_merge_into_upsert(spark, sf_dir):
     assert after.filter(F.col("n_nationkey") == 5).collect() == \
         nation.filter(F.col("n_nationkey") == 5).collect()
     spark.sql("DROP TABLE t_merge_nation")
+
+
+def test_delete_from_null_predicate_keeps_rows(spark):
+    """SQL DELETE removes only predicate-TRUE rows; NULL-predicate rows
+    must survive (a bare ``~expr`` would silently drop them)."""
+    from amazonredshift_blueprints_spark.dml import delete_from
+    from amazonredshift_blueprints_spark.ingest import _clean_stale_location
+
+    _clean_stale_location(spark, "t_del_null", None)
+    spark.createDataFrame(
+        [(1, 10), (2, None), (3, 99)], "k int, x int"
+    ).write.mode("overwrite").saveAsTable("t_del_null")
+    try:
+        n = delete_from(spark, "t_del_null", "x > 50")
+        assert n == 1  # only k=3 matches; k=2 (x NULL) must be kept
+        kept = {r.k for r in spark.table("t_del_null").collect()}
+        assert kept == {1, 2}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_del_null")
 
 
 def test_merge_into_schema_mismatch(spark, sf_dir):

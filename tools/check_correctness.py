@@ -69,6 +69,19 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     s, d = _normalize(spark_pdf), _normalize(duck_pdf)
     for c in s.columns:
         a, b = s[c], d[c]
+        # The driver's value hash runs over the native fetched dtypes, so an
+        # int column on one side and float on the other (DuckDB HUGEINT /
+        # ceil() → float64 in fetchdf, Spark → int64) hash-mismatches even
+        # when every value compares equal. Flag kind divergence as FAIL.
+        ka = ("f" if pd.api.types.is_float_dtype(a)
+              else "i" if pd.api.types.is_integer_dtype(a)
+              else "o")
+        kb = ("f" if pd.api.types.is_float_dtype(b)
+              else "i" if pd.api.types.is_integer_dtype(b)
+              else "o")
+        if ka != kb:
+            problems.append(f"col {c}: dtype-kind mismatch spark={a.dtype} duck={b.dtype}")
+            continue
         if pd.api.types.is_float_dtype(a) and pd.api.types.is_float_dtype(b):
             av, bv = a.to_numpy(), b.to_numpy()
             both_nan = np.isnan(av) & np.isnan(bv)
