@@ -287,23 +287,119 @@ def ivf_topk(
     )
 
 
+def portable_hyperplane_signs(table: int, bit: int, dim: int) -> list[int]:
+    """Deterministic ±1 hyperplane for (table, bit): one sign per vector
+    component, drawn from md5 so ANY engine (Spark expr, DuckDB oracle,
+    numpy test) can re-derive the identical matrix from pure literals —
+    no stored projection state, no engine-specific hash function.
+    """
+    import hashlib
+
+    return [
+        1 if int(hashlib.md5(f"{table}:{bit}:{i}".encode()).hexdigest()[0], 16) % 2
+        else -1
+        for i in range(dim)
+    ]
+
+
+def portable_projections(qvec: Column, *, n_tables: int, bits: int, dim: int) -> Column:
+    """All ``n_tables × bits`` hyperplane projections of a quantized
+    vector in one pass: a single nested-array literal of sign rows and
+    one transform/aggregate template — exact BIGINT arithmetic, and a
+    small analyzed tree (one aggregate node, not one per plane)."""
+    planes = [
+        portable_hyperplane_signs(t, b, dim)
+        for t in range(n_tables)
+        for b in range(bits)
+    ]
+    return F.transform(
+        F.lit(planes),
+        lambda plane: F.aggregate(
+            F.zip_with(qvec, plane, lambda x, s: x * s.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def buckets_from_projections(projs: Column, *, n_tables: int, bits: int) -> Column:
+    """array of per-table bucket ids from the flat projection array
+    (tie ``proj == 0`` maps to bit 0 in every engine)."""
+    out = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("long")
+        for b in range(bits):
+            bucket = bucket + F.when(
+                projs[t * bits + b] > 0, F.lit(1 << b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        out.append(bucket)
+    return F.array(*out)
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold_microcos: int = 950_000,
+    exact: bool = False,
+    bits: int = 6,
+    n_tables: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold (threshold in millionths so the
-    cut is an integer-ish comparison on a deterministic double).
+    """Pairs with cosine ≥ threshold (threshold in millionths so the cut
+    is an integer-ish comparison on a deterministic double).
 
-    Brute-force pair scan for exactness at test scale; at 100 TB swap the
-    pair generator for ``lsh_topk``-style bucket candidates (same scoring
-    expressions).
+    Default pair generator is **LSH-bucketed**: portable sign-bit
+    sketches (``n_tables`` independent ``bits``-bit tables) bucket the
+    corpus; candidates come from an equi-join on (table, bucket) keys —
+    never an all-pairs stage — then the exact quantized cosine verifies
+    each candidate. Recall is the standard hyperplane-LSH curve
+    (grows with n_tables, approaches 1 for genuinely near-duplicate
+    cosines); precision is exact (the verify filter).
+
+    ``exact=True`` keeps the |rows|² brute-force scan as the exactness
+    verifier for tests/recall measurement — never the 100 TB path.
+
+    100 TB: sketches cost one narrow projection per row; the candidate
+    join shuffles on (tbl, bucket) only; verification touches candidate
+    pairs only. The hyperplanes are pure literals (md5-derived ±1), so
+    an external oracle can replay candidate generation bit-for-bit.
     """
     a = _with_quant(df, id_col, vec_col, "a")
     b = _with_quant(df, id_col, vec_col, "b")
-    pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+    if exact:
+        pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+    else:
+        if dim is None:
+            dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+        sk = (
+            _with_quant(df, id_col, vec_col, "s")
+            .withColumn(
+                "_projs",
+                portable_projections(
+                    F.col("s_q"), n_tables=n_tables, bits=bits, dim=dim
+                ),
+            )
+            .select(
+                "s_id",
+                F.posexplode(
+                    buckets_from_projections(
+                        F.col("_projs"), n_tables=n_tables, bits=bits
+                    )
+                ).alias("tbl", "bucket"),
+            )
+        )
+        cand = (
+            sk.alias("l")
+            .join(sk.alias("r"), ["tbl", "bucket"])
+            .filter(F.col("l.s_id") < F.col("r.s_id"))
+            .select(
+                F.col("l.s_id").alias("a_id"), F.col("r.s_id").alias("b_id")
+            )
+            .distinct()
+        )
+        pairs = cand.join(a, "a_id").join(b, "b_id")
     cos = cosine_q(
         dot_q(F.col("a_q"), F.col("b_q")), F.col("a_norm"), F.col("b_norm")
     )

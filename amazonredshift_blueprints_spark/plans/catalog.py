@@ -1099,6 +1099,36 @@ _DUCK_DOT = (
     "list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
 )
 
+# LSH parameters for c05 — shared by the Spark operator call and the
+# DuckDB oracle below, which replays candidate generation bit-for-bit
+# from the same md5-derived ±1 hyperplanes (the c24/c26 portability
+# pattern applied to vectors).
+_C05_BITS, _C05_TABLES, _C05_DIM = 6, 4, 64
+
+
+def _duck_bucket(table: int, *, bits: int = _C05_BITS, dim: int = _C05_DIM) -> str:
+    """DuckDB expression for the portable sign-bit bucket id of ``qv``
+    under table ``table`` — literal sign lists, exact BIGINT arithmetic,
+    identical to :func:`operators.similarity.portable_bucket`."""
+    from ..operators.similarity import portable_hyperplane_signs
+
+    terms = []
+    for bit in range(bits):
+        signs = portable_hyperplane_signs(table, bit, dim)
+        arr = "[" + ",".join(str(s) for s in signs) + "]"
+        proj = (
+            f"list_sum(list_transform(generate_series(1, {dim}),"
+            f" i -> qv[i] * ({arr})[i]))"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << bit} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+_C05_SKETCH_SQL = "\n        UNION ALL ".join(
+    f"SELECT vec_id, {t} AS tbl, {_duck_bucket(t)} AS bucket FROM n"
+    for t in range(_C05_TABLES)
+)
+
 
 @query(
     "c05_dedup_embedding",
@@ -1110,24 +1140,41 @@ _DUCK_DOT = (
         SELECT vec_id, qv,
                CAST({_DUCK_DOT.format(a='qv', b='qv')} AS BIGINT) AS norm
         FROM q
+    ),
+    sk AS (
+        {_C05_SKETCH_SQL}
+    ),
+    cand AS (
+        SELECT DISTINCT s.vec_id AS ia, t.vec_id AS ib
+        FROM sk s JOIN sk t ON s.tbl = t.tbl AND s.bucket = t.bucket
+        WHERE s.vec_id < t.vec_id
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    SELECT c.ia AS id_a, c.ib AS id_b,
            CAST({_DUCK_DOT.format(a='a.qv', b='b.qv')} AS DOUBLE)
              / (sqrt(CAST(a.norm AS DOUBLE)) * sqrt(CAST(b.norm AS DOUBLE))) AS cosine
-    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    FROM cand c
+    JOIN n a ON a.vec_id = c.ia
+    JOIN n b ON b.vec_id = c.ib
     WHERE CAST({_DUCK_DOT.format(a='a.qv', b='b.qv')} AS DOUBLE)
             / (sqrt(CAST(a.norm AS DOUBLE)) * sqrt(CAST(b.norm AS DOUBLE)))
           * 1000000 >= 400000
     """,
-    doc="embedding cosine near-dup pairs; quantized-integer dot products "
-        "make the score engine-exact",
+    doc="embedding cosine near-dup pairs: portable-LSH bucket candidates "
+        "(no all-pairs stage) + exact quantized-cosine verify; the oracle "
+        "replays the md5-hyperplane buckets bit-for-bit",
     tags=("dedup", "similarity"),
 )
 def c05_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import embedding_near_duplicates
 
     e = views(spark, sf_dir, "embeddings")["embeddings"]
-    return embedding_near_duplicates(e, threshold_microcos=400_000)
+    return embedding_near_duplicates(
+        e,
+        threshold_microcos=400_000,
+        bits=_C05_BITS,
+        n_tables=_C05_TABLES,
+        dim=_C05_DIM,
+    )
 
 
 @query(
