@@ -336,13 +336,32 @@ def buckets_from_projections(projs: Column, *, n_tables: int, bits: int) -> Colu
     return F.array(*out)
 
 
+# Below this cosine, hyperplane-LSH per-pair recall at the default
+# 6-bit × 4-table setting drops under ~0.5 — the operator refuses to
+# silently miss pairs there and auto-selects the exact generator.
+AUTO_EXACT_BELOW_MICROCOS = 900_000
+
+
+def lsh_pair_recall(cosine: float, *, bits: int = 6, n_tables: int = 4) -> float:
+    """Collision probability of a pair at ``cosine`` under random-
+    hyperplane LSH: ``1 - (1 - (1 - θ/π)^bits)^n_tables``. The honest
+    recall curve for :func:`embedding_near_duplicates`'s approximate
+    path — e.g. ≈0.95 at cosine 0.95 and only ≈0.23 at cosine 0.4 with
+    the 6-bit × 4-table default.
+    """
+    import math
+
+    theta = math.acos(max(-1.0, min(1.0, cosine)))
+    return 1.0 - (1.0 - (1.0 - theta / math.pi) ** bits) ** n_tables
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold_microcos: int = 950_000,
-    exact: bool = False,
+    exact: bool | None = None,
     bits: int = 6,
     n_tables: int = 4,
     dim: int | None = None,
@@ -350,22 +369,31 @@ def embedding_near_duplicates(
     """Pairs with cosine ≥ threshold (threshold in millionths so the cut
     is an integer-ish comparison on a deterministic double).
 
-    Default pair generator is **LSH-bucketed**: portable sign-bit
-    sketches (``n_tables`` independent ``bits``-bit tables) bucket the
-    corpus; candidates come from an equi-join on (table, bucket) keys —
-    never an all-pairs stage — then the exact quantized cosine verifies
-    each candidate. Recall is the standard hyperplane-LSH curve
-    (grows with n_tables, approaches 1 for genuinely near-duplicate
-    cosines); precision is exact (the verify filter).
+    Two pair generators; ``exact=None`` (default) auto-selects:
 
-    ``exact=True`` keeps the |rows|² brute-force scan as the exactness
-    verifier for tests/recall measurement — never the 100 TB path.
+    - **LSH-bucketed** (``exact=False``; auto when ``threshold_microcos
+      >= 900_000``) — the scale path. Portable sign-bit sketches
+      (``n_tables`` independent ``bits``-bit tables) bucket the corpus;
+      candidates come from an equi-join on (table, bucket) keys — never
+      an all-pairs stage — then the exact quantized cosine verifies each
+      candidate. Precision is exact (the verify filter) but recall is
+      APPROXIMATE: per-pair recall follows :func:`lsh_pair_recall` —
+      ≈0.95 at cosine 0.95 with the defaults, collapsing to ≈0.23 at
+      cosine 0.4. Raise ``n_tables`` to push recall up.
+    - **Exact all-pairs** (``exact=True``; auto when the threshold is
+      below 0.9 cosine, where LSH recall is honestly poor) — the |rows|²
+      brute-force scan. The exactness baseline for tests/oracles and for
+      low thresholds; never the 100 TB path — at scale, pre-cluster or
+      raise the threshold instead.
 
-    100 TB: sketches cost one narrow projection per row; the candidate
-    join shuffles on (tbl, bucket) only; verification touches candidate
-    pairs only. The hyperplanes are pure literals (md5-derived ±1), so
-    an external oracle can replay candidate generation bit-for-bit.
+    100 TB (LSH path): sketches cost one narrow projection per row; the
+    candidate join shuffles on (tbl, bucket) only; verification touches
+    candidate pairs only. The hyperplanes are pure literals (md5-derived
+    ±1), so an external oracle can replay candidate generation
+    bit-for-bit.
     """
+    if exact is None:
+        exact = threshold_microcos < AUTO_EXACT_BELOW_MICROCOS
     a = _with_quant(df, id_col, vec_col, "a")
     b = _with_quant(df, id_col, vec_col, "b")
     if exact:

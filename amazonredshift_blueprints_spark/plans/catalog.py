@@ -1099,7 +1099,7 @@ _DUCK_DOT = (
     "list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
 )
 
-# LSH parameters for c05 — shared by the Spark operator call and the
+# LSH parameters for c27 — shared by the Spark operator call and the
 # DuckDB oracle below, which replays candidate generation bit-for-bit
 # from the same md5-derived ±1 hyperplanes (the c24/c26 portability
 # pattern applied to vectors).
@@ -1140,6 +1140,38 @@ _C05_SKETCH_SQL = "\n        UNION ALL ".join(
         SELECT vec_id, qv,
                CAST({_DUCK_DOT.format(a='qv', b='qv')} AS BIGINT) AS norm
         FROM q
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST({_DUCK_DOT.format(a='a.qv', b='b.qv')} AS DOUBLE)
+             / (sqrt(CAST(a.norm AS DOUBLE)) * sqrt(CAST(b.norm AS DOUBLE))) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE CAST({_DUCK_DOT.format(a='a.qv', b='b.qv')} AS DOUBLE)
+            / (sqrt(CAST(a.norm AS DOUBLE)) * sqrt(CAST(b.norm AS DOUBLE)))
+          * 1000000 >= 400000
+    """,
+    doc="embedding cosine near-dup pairs, EXACT contract: all pairs with "
+        "cosine >= 0.4 (auto-exact generator — LSH recall is ~0.23 down "
+        "here, so the operator refuses the approximate path). The "
+        "exactness baseline; the scale path is c27's LSH variant",
+    tags=("dedup", "similarity"),
+)
+def c05_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_near_duplicates
+
+    e = views(spark, sf_dir, "embeddings")["embeddings"]
+    return embedding_near_duplicates(e, threshold_microcos=400_000, exact=True)
+
+
+@query(
+    "c27_dedup_embedding_lsh",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, qv,
+               CAST({_DUCK_DOT.format(a='qv', b='qv')} AS BIGINT) AS norm
+        FROM q
     ),
     sk AS (
         {_C05_SKETCH_SQL}
@@ -1159,18 +1191,24 @@ _C05_SKETCH_SQL = "\n        UNION ALL ".join(
             / (sqrt(CAST(a.norm AS DOUBLE)) * sqrt(CAST(b.norm AS DOUBLE)))
           * 1000000 >= 400000
     """,
-    doc="embedding cosine near-dup pairs: portable-LSH bucket candidates "
-        "(no all-pairs stage) + exact quantized-cosine verify; the oracle "
-        "replays the md5-hyperplane buckets bit-for-bit",
-    tags=("dedup", "similarity"),
+    doc="embedding near-dup, APPROXIMATE scale path: portable-LSH bucket "
+        "candidates (no all-pairs stage) + exact quantized-cosine verify. "
+        "Precision is exact; recall follows the hyperplane-LSH curve "
+        "(lsh_pair_recall — ~0.95 at cosine 0.95, bounded by "
+        "tests/test_similarity.py's planted-near-dup recall test). The "
+        "oracle replays the identical md5-hyperplane buckets, so this row "
+        "certifies candidate generation + verify consistency; the exact "
+        "contract is c05's row",
+    tags=("dedup", "similarity", "approx"),
 )
-def c05_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c27_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import embedding_near_duplicates
 
     e = views(spark, sf_dir, "embeddings")["embeddings"]
     return embedding_near_duplicates(
         e,
         threshold_microcos=400_000,
+        exact=False,
         bits=_C05_BITS,
         n_tables=_C05_TABLES,
         dim=_C05_DIM,
@@ -2869,3 +2907,90 @@ def c26_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = views(spark, sf_dir, "documents")["documents"]
     return portable_simhash_pairs(d, "doc_id", "text", max_distance=3)
+
+
+# --------------------------------------------------------------------------
+# Driver-window registration order.
+#
+# The round driver hard-verifies (DuckDB value-hash compare at sf0.01) the
+# FIRST 50 entries of this registry in iteration order; every entry beyond
+# that window is still verified by the identical local comparison in
+# tests/test_catalog_oracle.py at sf0.001, but gets no per-round
+# CORRECTNESS row. Rounds 1-3 registered entries in authoring order, so
+# q33-q48/c16-c26 (positions 51-77) never received driver rows even though
+# they pass the same oracle locally.
+#
+# Fix: re-rank the registry so the window holds (a) every entry that has
+# never had a driver row, (b) entries whose code changed this round
+# (c05's contract, c27 new, q35/q42 over the rewritten DML counters), then
+# (c) core-family representatives. Entries pushed past the window all have
+# green driver rows in CORRECTNESS_r02/r03 on unchanged code.
+# --------------------------------------------------------------------------
+
+_DRIVER_WINDOW = [
+    # (a) never driver-verified before round 4
+    "c16_stateful_stream_counts",
+    "c17_ann_ivf_topk",
+    "q33_bucketed_colocated_join",
+    "q34_salted_skew_join",
+    "q35_dml_delete_update",
+    "c18_text_tfidf",
+    "c19_asof_join",
+    "q36_json_typed_struct",
+    "q37_stats_aggregates",
+    "q38_correlated_scalar_subquery",
+    "q39_null_aware_anti_join",
+    "q40_pivot",
+    "c20_range_join_bucketed",
+    "q41_qualify",
+    "q42_dml_merge",
+    "c21_gapfill_locf",
+    "c22_hash_split",
+    "q43_unpivot",
+    "q44_recursive_cte",
+    "q45_window_analytic_extra",
+    "c23_embedding_centroids",
+    "c24_dedup_minhash_portable",
+    "q46_setops_all",
+    "c25_pipeline_e2e",
+    "q47_lateral_topn",
+    "q48_regex_functions",
+    "c26_dedup_simhash_portable",
+    # (b) changed this round
+    "c27_dedup_embedding_lsh",
+    "c05_dedup_embedding",
+    # (c) core-family representatives (one per SURVEY §2 family)
+    "q01_pricing_summary",
+    "q02_filter_project_string",
+    "q03_join_revenue_by_nation",
+    "q04_join_semi",
+    "q06_join_left_outer",
+    "q10_agg_hash",
+    "q13_agg_rollup",
+    "q15_window_rank",
+    "q16_window_frames",
+    "q17_topk",
+    "q18_setops",
+    "q19_scalar_dates",
+    "q20_scalar_math",
+    "q21_scalar_conditional",
+    "q22_scalar_json",
+    "q23_cte_subquery",
+    "q24_ddl_ctas_insert",
+    "q25_redshift_dialect",
+    "q26_shipping_priority",
+    "c01_dedup_exact",
+    "c12_sessionize",
+]
+
+
+def _apply_driver_window() -> None:
+    missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
+    assert not missing, f"driver-window names not registered: {missing}"
+    rest = [n for n in QUERIES if n not in set(_DRIVER_WINDOW)]
+    ordered = {n: QUERIES[n] for n in [*_DRIVER_WINDOW, *rest]}
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_apply_driver_window()

@@ -99,11 +99,15 @@ def test_ivf_topk_structure_and_recall(spark, sf_dir, vecs):
     assert hits / total >= 0.4, f"IVF recall {hits / total:.2f} too low"
 
 
-def test_embedding_near_duplicates_threshold(spark, sf_dir, vecs):
+def test_embedding_near_duplicates_threshold_exact(spark, sf_dir, vecs):
+    # exact=True is the exactness contract; exact=None auto-selects the
+    # exact generator below cosine 0.9 (LSH recall is poor there), so
+    # the default call at 0.4 must give the identical pair set.
     ids, q = vecs
     e = load_table(spark, sf_dir, "embeddings")
     got = {(r["id_a"], r["id_b"]): r["cosine"]
-           for r in embedding_near_duplicates(e, threshold_microcos=400_000).collect()}
+           for r in embedding_near_duplicates(
+               e, threshold_microcos=400_000, exact=True).collect()}
     norms = np.sqrt((q * q).sum(axis=1))
     cos = (q @ q.T) / np.outer(norms, norms)
     want = {}
@@ -115,3 +119,42 @@ def test_embedding_near_duplicates_threshold(spark, sf_dir, vecs):
     assert set(got) == set(want)
     for p in got:
         assert abs(got[p] - want[p]) < 1e-9
+    auto = {(r["id_a"], r["id_b"])
+            for r in embedding_near_duplicates(e, threshold_microcos=400_000).collect()}
+    assert auto == set(want)
+
+
+def test_embedding_near_duplicates_lsh_recall(spark, sf_dir, vecs):
+    # The fixture has no pairs above cosine ~0.5, so plant genuine
+    # near-duplicates: each base vector gets a lightly-noised twin
+    # (cosine ≈ 0.995+). The LSH path at the 0.95 near-dup threshold
+    # must recover ≥90% of the true pairs (per-pair collision prob
+    # ≈ 0.999 at the 6-bit × 4-table default).
+    ids, q = vecs
+    rng = np.random.default_rng(7)
+    base = q[:40] / 1_000_000.0
+    noisy = base + rng.normal(0.0, 0.01 * np.abs(base).mean(), base.shape)
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(40)]
+    rows += [(int(i + 1000), [float(x) for x in noisy[i]]) for i in range(40)]
+    e = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+    # NumPy truth over the operator's own quantization.
+    m = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+    qq = np.round(m * QUANT_SCALE)
+    norms = np.sqrt((qq * qq).sum(axis=1))
+    cos = (qq @ qq.T) / np.outer(norms, norms)
+    rid = [r[0] for r in rows]
+    want = {
+        (rid[i], rid[j])
+        for i in range(len(rid))
+        for j in range(len(rid))
+        if rid[i] < rid[j] and cos[i, j] * 1_000_000 >= 950_000
+    }
+    assert len(want) >= 30  # the planted twins are genuinely near-dup
+
+    got = {(r["id_a"], r["id_b"])
+           for r in embedding_near_duplicates(
+               e, threshold_microcos=950_000, exact=False).collect()}
+    assert not got - want  # precision exact: verify filter admits no false pair
+    recall = len(got & want) / len(want)
+    assert recall >= 0.9, f"LSH near-dup recall {recall:.2f} too low"
