@@ -1846,6 +1846,7 @@ _DUCK_L2 = (
         "cells, nprobe nearest cells per query, exact re-rank of probed "
         "cells only — ~nprobe/n_cells of the corpus scanned per query; "
         "the FAISS-style scale path next to LSH (c07)",
+    bench=True,
     tags=("similarity",),
 )
 def c17_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1872,6 +1873,7 @@ def c17_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "per-bucket sort remains — Spark ≥3 ignores bucket sortBy "
         "metadata on read by default) — the pre-partitioning technique "
         "that amortizes one shuffle across every downstream join at 100 TB",
+    bench=True,
     tags=("join", "bucketing"),
 )
 def q33_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2664,6 +2666,7 @@ def _portable_minhash_oracle(num_perms: int, bands: int, threshold_pct: int) -> 
         "by the DuckDB oracle, closing the verification gap for the "
         "LSH family. Same banded scale shape as c02: bucket equi-join, "
         "exact-Jaccard verify, no |docs|^2 stage.",
+    bench=True,
     tags=("dedup", "portable"),
 )
 def c24_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:

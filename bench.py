@@ -3,14 +3,17 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line per the driver contract.
 
 Methodology:
 - Each benched query runs once as warmup (JVM/codegen/broadcast caches —
-  Spark 4's first collation-aware expression alone costs ~10 s) and once
-  timed. Persisted DataFrames are dropped between the two
-  (``clearCache``) so operators that cache a multi-consumer stage
-  (e.g. the MinHash signature table) are timed cold, not from the
-  warmup's cache.
+  Spark 4's first collation-aware expression alone costs ~10 s), then
+  ``N_RUNS`` (3) timed runs; the reported figure is the MEDIAN, so one
+  sandbox-load spike can't masquerade as a regression (round 3's numbers
+  moved 1.5-2x with no code change on any benched path). Persisted
+  DataFrames are dropped before every timed run (``clearCache``) so
+  operators that cache a multi-consumer stage (e.g. the MinHash
+  signature table) are timed cold, not from the previous run's cache.
 - Execution is forced with the ``noop`` sink: full computation, no
   sink-side cost, no driver-side collect.
-- ``value`` is the sum of timed per-query seconds (lower is better).
+- ``value`` is the sum of per-query medians (lower is better);
+  ``runs`` carries the raw per-run timings for spread inspection.
 """
 
 from __future__ import annotations
@@ -18,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -38,15 +42,21 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     names = [n for n, spec in QUERIES.items() if spec.bench]
     timings: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     for name in names:
         build = QUERIES[name].build
         _force(build(spark, sf_dir))  # warmup
-        spark.catalog.clearCache()  # time operator-level persists cold
-        t0 = time.time()
-        _force(build(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(n_runs):
+            spark.catalog.clearCache()  # time operator-level persists cold
+            t0 = time.time()
+            _force(build(spark, sf_dir))
+            runs.append(round(time.time() - t0, 3))
+        raw[name] = runs
+        timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -56,6 +66,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": raw,
                 "sf": sf,
             }
         )
