@@ -22,11 +22,16 @@ rewrite to partitions that contain matches.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Observation, SparkSession
 from pyspark.sql import functions as F
 
 
 _STAGE = "_bp_dml_stage"
+
+
+def _n(metric) -> int:
+    """Observation sums are NULL over zero matching rows — report 0."""
+    return int(metric) if metric is not None else 0
 
 
 def _rewrite(spark: SparkSession, table: str, df) -> None:
@@ -54,11 +59,19 @@ def delete_from(spark: SparkSession, table: str, condition: str) -> int:
     it evaluates NULL (e.g. ``x > 5`` with ``x`` NULL) are KEPT. A bare
     ``~expr(condition)`` would propagate NULL and drop those rows from
     the kept set, so the predicate is coalesced to FALSE first.
+
+    The deleted-row count rides the rewrite's own scan via
+    ``DataFrame.observe`` (a CollectMetrics node above the scan, below
+    the filter) — no separate COUNT job before or after. At 100 TB the
+    scan is the dominant cost and it runs exactly once.
     """
-    before = spark.table(table).count()
-    keep = ~F.coalesce(F.expr(condition), F.lit(False))
-    _rewrite(spark, table, spark.table(table).filter(keep))
-    return before - spark.table(table).count()
+    hit = F.coalesce(F.expr(condition), F.lit(False))
+    obs = Observation()
+    observed = spark.table(table).observe(
+        obs, F.sum(F.when(hit, 1).otherwise(0)).alias("n_deleted")
+    )
+    _rewrite(spark, table, observed.filter(~hit))
+    return _n(obs.get["n_deleted"])
 
 
 def merge_into(
@@ -76,7 +89,10 @@ def merge_into(
     rewrite's scan+write — the same cost profile as Delta/Iceberg
     copy-on-write MERGE. At 100 TB the join shuffles both sides on the
     keys once; with a partitioned target and dynamic partition
-    overwrite, untouched partitions never rewrite.
+    overwrite, untouched partitions never rewrite. Both counters ride
+    the rewrite's own job via ``DataFrame.observe`` (a CollectMetrics
+    node over the joined rows), so the join executes exactly once — not
+    the three times (write + two counts) of a naive implementation.
     """
     target = spark.table(table)
     if set(source.columns) != set(target.columns):
@@ -88,7 +104,18 @@ def merge_into(
     s = source.select(
         *keys, *[F.col(c).alias(f"_src_{c}") for c in non_keys]
     ).withColumn("_s_present", F.lit(True))
-    j = t.join(s, on=keys, how="full_outer")
+    obs = Observation()
+    j = t.join(s, on=keys, how="full_outer").observe(
+        obs,
+        F.sum(
+            F.when(F.col("_t_present") & F.col("_s_present"), 1).otherwise(0)
+        ).alias("n_updated"),
+        F.sum(
+            F.when(
+                F.col("_s_present") & F.col("_t_present").isNull(), 1
+            ).otherwise(0)
+        ).alias("n_inserted"),
+    )
     merged = j.select(
         *keys,
         *[
@@ -98,10 +125,9 @@ def merge_into(
             for c in non_keys
         ],
     ).select(*target.columns)  # restore declared column order
-    n_updated = j.filter(F.col("_t_present") & F.col("_s_present")).count()
-    n_inserted = j.filter(F.col("_s_present") & F.col("_t_present").isNull()).count()
     _rewrite(spark, table, merged)
-    return n_updated, n_inserted
+    m = obs.get
+    return _n(m["n_updated"]), _n(m["n_inserted"])
 
 
 def update_table(
@@ -111,15 +137,21 @@ def update_table(
 
     ``assignments`` maps column name → SQL expression (evaluated against
     the pre-update row, per standard UPDATE semantics). Returns the
-    number of rows updated.
+    number of rows updated, observed during the rewrite's single scan
+    (no separate pre-count job).
     """
     df = spark.table(table)
     unknown = set(assignments) - set(df.columns)
     if unknown:
         raise ValueError(f"UPDATE of unknown column(s): {sorted(unknown)}")
     cond = F.expr(condition)
-    n_updated = df.filter(cond).count()
-    updated = df.select(
+    obs = Observation()
+    updated = df.observe(
+        obs,
+        F.sum(
+            F.when(F.coalesce(cond, F.lit(False)), 1).otherwise(0)
+        ).alias("n_updated"),
+    ).select(
         *[
             F.when(cond, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
             if c in assignments
@@ -128,4 +160,4 @@ def update_table(
         ]
     )
     _rewrite(spark, table, updated)
-    return n_updated
+    return _n(obs.get["n_updated"])
