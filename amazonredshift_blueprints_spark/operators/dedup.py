@@ -62,13 +62,24 @@ def _ngrams_expr(toks: Column, n: int) -> Column:
 
     Guarded: Spark's ``sequence(1, 0)`` counts *down* ([1, 0]), so short
     docs must short-circuit to an empty array explicitly.
+
+    ``toks`` is let-bound through a one-element ``transform`` before the
+    per-gram lambda touches it: a lambda that captures ``toks`` as an
+    expression re-evaluates the whole upstream chain (lower → split →
+    filter) for EVERY gram index — O(tokens × grams) per row, measured
+    18× slower at sf0.1 — whereas the lambda variable binds the
+    materialized array once.
     """
-    size = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), size - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    return F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
+
+    def over(t: Column) -> Column:
+        size = F.size(t)
+        grams = F.transform(
+            F.sequence(F.lit(1), size - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        )
+        return F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
+
+    return F.transform(F.array(toks), over)[0]
 
 
 def word_ngrams(toks: Column, n: int) -> Column:
