@@ -201,6 +201,82 @@ def l2_sq_q(a: Column, b: Column) -> Column:
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd's k-means over quantized vectors as pure DataFrame ops:
+    the coarse-quantizer upgrade for :func:`ivf_topk`.
+
+    Deterministic by construction — no random init, no float-order
+    dependence:
+    - **init**: the ``n_cells`` lowest-id corpus vectors (the same fixed
+      rule the plain IVF entry uses).
+    - **assign**: broadcast the k×dim centroid table, keep each vector's
+      argmin-L2 cell (exact BIGINT distances, ties → lowest cell id).
+    - **update**: per-cell elementwise mean = exact integer sum /
+      count, rounded back to the quantized grid. Empty cells keep their
+      previous centroid.
+
+    Each iteration is one broadcast join + one hash aggregate over the
+    corpus; only the k×dim centroid table (metadata, not data) returns
+    to the driver between iterations — the same loop shape as MLlib's
+    distributed k-means. Returns (cent_id, cent_q, cent_norm) ready for
+    :func:`ivf_topk`'s ``centroids`` parameter.
+    """
+    c = _with_quant(corpus, id_col, vec_col, "neighbor")
+    cents = [
+        (int(r["neighbor_id"]), list(r["neighbor_q"]))
+        for r in c.filter(F.col("neighbor_id") < n_cells)
+        .select("neighbor_id", "neighbor_q")
+        .collect()
+    ]
+    dim = len(cents[0][1])
+    spark = corpus.sparkSession
+    for _ in range(max(0, iters)):
+        cent_df = spark.createDataFrame(
+            [(i, q) for i, (_, q) in enumerate(cents)],
+            "cent_id: int, cent_q: array<long>",
+        )
+        w = Window.partitionBy("neighbor_id").orderBy(F.asc("d"), F.asc("cent_id"))
+        assigned = (
+            c.crossJoin(F.broadcast(cent_df))
+            .select(
+                "neighbor_id",
+                "neighbor_q",
+                "cent_id",
+                l2_sq_q(F.col("neighbor_q"), F.col("cent_q")).alias("d"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        means = assigned.groupBy("cent_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.col("neighbor_q")[i]).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+        updated = {
+            int(r["cent_id"]): [
+                int(round(r[f"s{i}"] / r["n"])) for i in range(dim)
+            ]
+            for r in means.collect()
+        }
+        cents = [
+            (cid, updated.get(i, q)) for i, (cid, q) in enumerate(cents)
+        ]
+    out = spark.createDataFrame(
+        [(i, q) for i, (_, q) in enumerate(cents)],
+        "cent_id: long, cent_q: array<long>",
+    )
+    return out.withColumn("cent_norm", norm_sq_q(F.col("cent_q")))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -210,6 +286,7 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 16,
     nprobe: int = 4,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantizer cells →
     probe the ``nprobe`` nearest cells per query → exact re-rank of the
@@ -218,10 +295,12 @@ def ivf_topk(
     The classic ANN index layout (FAISS-style IVF-Flat) as pure
     DataFrame ops:
     - **coarse centroids**: ``n_cells`` corpus vectors picked by a
-      deterministic rule (lowest ids). Production swaps in k-means
-      centroids; the cell-assignment / probe / re-rank mechanics — the
-      part that must scale — are identical, and the fixed rule keeps
-      the operator exactly reproducible for the oracle harness.
+      deterministic rule (lowest ids), or — with ``kmeans_iters > 0`` —
+      refined by that many deterministic Lloyd iterations
+      (:func:`kmeans_centroids`). The cell-assignment / probe / re-rank
+      mechanics — the part that must scale — are identical either way;
+      the fixed rule keeps the oracle-checked entry exactly replayable
+      in ANSI SQL, the k-means path buys recall.
     - **assignment**: each corpus vector joins the broadcast centroid
       table and keeps its argmin-L2 cell (|C|·n_cells integer ops, one
       narrow window per vector id).
@@ -235,9 +314,18 @@ def ivf_topk(
     """
     c = _with_quant(corpus, id_col, vec_col, "neighbor")
     q = _with_quant(queries, id_col, vec_col, "query")
-    cents = _with_quant(
-        corpus.filter(F.col(id_col) < n_cells), id_col, vec_col, "cent"
-    )
+    if kmeans_iters > 0:
+        cents = kmeans_centroids(
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_cells=n_cells,
+            iters=kmeans_iters,
+        )
+    else:
+        cents = _with_quant(
+            corpus.filter(F.col(id_col) < n_cells), id_col, vec_col, "cent"
+        )
 
     w_assign = Window.partitionBy("neighbor_id").orderBy(F.asc("d"), F.asc("cent_id"))
     cells = (

@@ -99,6 +99,55 @@ def test_ivf_topk_structure_and_recall(spark, sf_dir, vecs):
     assert hits / total >= 0.4, f"IVF recall {hits / total:.2f} too low"
 
 
+def test_ivf_kmeans_quantizer_improves_clustered_recall(spark):
+    # The fixture's iid-random vectors are k-means-proof (no structure),
+    # so build a genuinely clustered corpus: 8 Gaussian clusters x 50
+    # vectors. All 8 lowest-id init centroids land in cluster 0, so the
+    # fixed-rule quantizer probes blindly (recall ~0.63 at nprobe=2);
+    # two deterministic Lloyd iterations recover the true clusters.
+    from amazonredshift_blueprints_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 1, (8, 32))
+    rows = []
+    for ci in range(8):
+        for j in range(50):
+            v = centers[ci] + rng.normal(0, 0.15, 32)
+            rows.append((ci * 50 + j, [float(x) for x in v]))
+    e = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+    m = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+    q = np.round(m * QUANT_SCALE)
+    norms = np.sqrt((q * q).sum(axis=1))
+    rid = [r[0] for r in rows]
+
+    def np_topk(i, k=5):
+        cos = (q @ q[i]) / (norms * norms[i])
+        cand = [(c, rid[j]) for j, c in enumerate(cos) if rid[j] != rid[i]]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        return {nid for _, nid in cand[:k]}
+
+    def recall(iters):
+        got = ivf_topk(
+            e, e.filter(F.col("vec_id") < 20),
+            k=5, n_cells=8, nprobe=2, kmeans_iters=iters,
+        ).collect()
+        hits = total = 0
+        for qi in range(20):
+            exact = np_topk(qi)
+            approx = {r["neighbor_id"] for r in got if r["query_id"] == qi}
+            hits += len(exact & approx)
+            total += len(exact)
+        return hits / total
+
+    fixed, kmeans = recall(0), recall(2)
+    assert kmeans >= 0.85, f"k-means IVF recall {kmeans:.2f} too low"
+    assert kmeans >= fixed + 0.15, (
+        f"k-means quantizer should clearly beat fixed-rule init on "
+        f"clustered data: {kmeans:.2f} vs {fixed:.2f}"
+    )
+
+
 def test_embedding_near_duplicates_threshold_exact(spark, sf_dir, vecs):
     # exact=True is the exactness contract; exact=None auto-selects the
     # exact generator below cosine 0.9 (LSH recall is poor there), so
