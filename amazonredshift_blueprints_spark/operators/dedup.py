@@ -596,3 +596,74 @@ def portable_simhash_pairs(
         cand.select("id_a", "id_b", dist.cast("long").alias("distance"))
         .filter(F.col("distance") <= max_distance)
     )
+
+
+def duplicate_groups(
+    pairs: DataFrame,
+    *,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Resolve near-duplicate pairs into duplicate GROUPS: connected
+    components over the pair graph, labeled by each component's minimum
+    id. Returns (doc_id, group_id) for every id that appears in a pair;
+    ``WHERE doc_id != group_id`` is then "the rows to drop, keeping the
+    lowest-id canonical document" — the step a dedup pipeline actually
+    executes after any of the pair generators (c02-c05, c24, c26).
+
+    Algorithm: iterative min-label propagation (the Pregel/GraphX
+    connected-components shape as pure DataFrame ops). Each round every
+    node takes the min of its own label and its neighbors' labels; the
+    loop stops when the exact integer sum of labels stops decreasing —
+    a driver-side convergence probe on one aggregated BIGINT, not a
+    data collect. Rounds needed = eccentricity of each component's min
+    node; near-dup components are star-like (diameter 2-4), so the loop
+    is 3-5 rounds in practice, bounded by ``max_iters``.
+
+    100 TB: each round is one equi-join on src + one groupBy(dst) min —
+    both shuffle on node ids only; labels are (id, label) pairs, orders
+    of magnitude smaller than the documents. Deterministic: min over
+    ids, no floats, no ordering dependence.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").cast("long").alias("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["id"] == neigh["dst"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:  # exact fixpoint: min-labels are monotone
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("group_id")
+    )

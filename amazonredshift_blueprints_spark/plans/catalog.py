@@ -1240,6 +1240,61 @@ def c28_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c29_dedup_groups",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, """ + _DUCK_TOKS + """ AS toks FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, """ + _DUCK_GRAMS3 + """ AS grams FROM toks
+    ),
+    exploded AS (SELECT doc_id, unnest(grams) AS gram FROM grams),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM exploded a JOIN exploded b ON a.gram = b.gram
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(grams) AS ng FROM grams),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM common
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE sa.ng + sb.ng - n_common > 0
+          AND n_common * 100 >= (sa.ng + sb.ng - n_common) * 40
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT src AS id, src AS label FROM edges
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS group_id
+    FROM reach GROUP BY id
+    """,
+    doc="duplicate-group resolution: connected components over the "
+        "verified n-gram-Jaccard pair graph (c04's pairs), labeled by "
+        "component-min id — 'keep doc_id = group_id, drop the rest' is "
+        "the dedup pipeline's final step. Spark side is Pregel-style "
+        "min-label propagation (equi-join + groupBy-min per round, "
+        "BIGINT-sum convergence probe); the DuckDB oracle independently "
+        "recomputes components via a recursive CTE",
+    tags=("dedup", "graph"),
+)
+def c29_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import duplicate_groups, ngram_jaccard_pairs
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold_pct=40)
+    return duplicate_groups(pairs)
+
+
+@query(
     "c06_ann_bruteforce_topk",
     oracle=f"""
     WITH v AS (
@@ -2986,16 +3041,17 @@ _DRIVER_WINDOW = [
     # (b) changed or new this round
     "c27_dedup_embedding_lsh",
     "c28_ann_ivf_kmeans_topk",
+    "c29_dedup_groups",
     "c05_dedup_embedding",
     # (c) core-family representatives (one per SURVEY §2 family;
-    # q06 yields its slot to c28 — the join family keeps q03/q04 rows
-    # and q06 has green rows in r02/r03 on unchanged code)
+    # q06/q13 yield their slots to c28/c29 — their families keep
+    # q03/q04 and q10 rows, and both have green rows in r02/r03 on
+    # unchanged code)
     "q01_pricing_summary",
     "q02_filter_project_string",
     "q03_join_revenue_by_nation",
     "q04_join_semi",
     "q10_agg_hash",
-    "q13_agg_rollup",
     "q15_window_rank",
     "q16_window_frames",
     "q17_topk",

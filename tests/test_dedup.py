@@ -194,3 +194,17 @@ def test_simhash_radius_validation(spark, sf_dir):
     # Fast variant: block width must stay >= 1 bit.
     with _pytest.raises(ValueError, match="max_distance"):
         simhash_near_duplicates(d, "doc_id", "text", max_distance=64)
+
+
+def test_duplicate_groups_connected_components(spark):
+    from amazonredshift_blueprints_spark.operators.dedup import duplicate_groups
+
+    # Two components: a 4-node chain {1,2,3,9} (diameter 3 — needs
+    # multiple propagation rounds) and a pair {5,7}; node 8 isolated
+    # (appears in no pair, so it must NOT appear in the output).
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 7)], "id_a: long, id_b: long"
+    )
+    got = {(r["doc_id"], r["group_id"])
+           for r in duplicate_groups(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (9, 1), (5, 5), (7, 5)}
