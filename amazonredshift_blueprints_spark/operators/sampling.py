@@ -75,3 +75,38 @@ def deterministic_sample(
 def sql_bucket_expr(key: str, salt: str = "v1") -> str:
     """The equivalent ANSI-SQL bucket expression (for oracles/audits)."""
     return f"substring(md5(CAST({key} AS VARCHAR) || ':{salt}'), 1, {_WIDTH})"
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    *,
+    key: str,
+    n_per_stratum: int,
+    salt: str = "v1",
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum, deterministically.
+
+    The balancing step of a training-data pipeline ("20k docs per
+    language"), built on the same portable-hash principle as
+    :func:`hash_split`: rows are ranked inside each stratum by the md5
+    of their key (plus salt) — a stable, partition-independent,
+    engine-reproducible shuffle order — and ``row_number() <= n`` keeps
+    the quota. Uniform within stratum because md5 order is independent
+    of any data attribute; changing the salt re-deals.
+
+    Output: the input columns plus ``samp_rank`` (1-based within
+    stratum). 100 TB: one shuffle keyed on the strata columns; window
+    state is the running count per stratum. A skewed stratum (one
+    language dominating the corpus) is still one partition-set's
+    worth of ranking — pre-aggregate or raise shuffle partitions if a
+    single stratum exceeds executor memory.
+    """
+    from pyspark.sql.window import Window
+
+    order = _bucket(key, salt)
+    w = Window.partitionBy(*strata_cols).orderBy(order.asc(), F.col(key).asc())
+    return (
+        df.withColumn("samp_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("samp_rank") <= n_per_stratum)
+    )

@@ -181,3 +181,25 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(norm).alias("fp"),
         F.length(norm).cast("long").alias("norm_len"),
     )
+
+
+def top_tokens(df: DataFrame, text_col: str, *, k: int = 20) -> DataFrame:
+    """Corpus-wide heavy hitters: the ``k`` most frequent tokens by
+    occurrence count — the vocabulary-inspection / stopword-discovery
+    pass of a corpus pipeline.
+
+    Exact counts via explode → hash aggregate: partial (map-side)
+    aggregation means the shuffle carries at most |vocab| rows per
+    partition, not |tokens|; the final ``TakeOrderedAndProject`` keeps
+    k rows per partition — no global sort. Deterministic: ties break on
+    the token string. At 100 TB the same plan holds (vocabulary, not
+    corpus, bounds the shuffle); swap in a count-min sketch only if the
+    vocabulary itself stops fitting — for word-like tokens it fits.
+    """
+    toks = df.select(F.explode(tokens(text_col)).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(k)
+    )

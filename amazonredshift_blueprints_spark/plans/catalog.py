@@ -1240,6 +1240,65 @@ def c28_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c30_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source, samp_rank FROM (
+        SELECT doc_id, lang, source,
+               CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 6),
+                            doc_id
+               ) AS BIGINT) AS samp_rank
+        FROM documents
+    ) WHERE samp_rank <= 20
+    """,
+    doc="stratified sampling: exactly min(20, |stratum|) docs per lang, "
+        "ranked by the portable salted-md5 order (partition-independent, "
+        "engine-replayable) — the per-language balancing step of a "
+        "training-data pipeline. One shuffle on the strata key",
+    tags=("sampling",),
+)
+def c30_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_sample
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return stratified_sample(
+        d.select("doc_id", "lang", "source"),
+        ["lang"],
+        key="doc_id",
+        n_per_stratum=20,
+    )
+
+
+@query(
+    "c31_top_tokens",
+    oracle="""
+    SELECT token, n_occurrences FROM (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM (
+            SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '')) AS token
+            FROM documents
+        )
+        GROUP BY token
+    )
+    ORDER BY n_occurrences DESC, token
+    LIMIT 20
+    """,
+    doc="corpus heavy hitters: top-20 tokens by exact occurrence count "
+        "(explode -> partial+final hash agg bounded by |vocab|, then "
+        "TakeOrderedAndProject top-k — no global sort). The "
+        "vocabulary/stopword-discovery pass of a corpus pipeline",
+    tags=("text",),
+)
+def c31_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import top_tokens
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return top_tokens(d, "text", k=20)
+
+
+@query(
     "c29_dedup_groups",
     oracle="""
     WITH RECURSIVE toks AS (
@@ -3042,23 +3101,23 @@ _DRIVER_WINDOW = [
     "c27_dedup_embedding_lsh",
     "c28_ann_ivf_kmeans_topk",
     "c29_dedup_groups",
+    "c30_stratified_sample",
+    "c31_top_tokens",
     "c05_dedup_embedding",
     # (c) core-family representatives (one per SURVEY §2 family;
-    # q06/q13 yield their slots to c28/c29 — their families keep
-    # q03/q04 and q10 rows, and both have green rows in r02/r03 on
-    # unchanged code)
+    # q06/q13/q16/q21 yield their slots to the new c28-c31 — their
+    # families keep q03/q04, q10, q15, and q19/q20/q22 rows, and all
+    # four have green driver rows in r02/r03 on unchanged code)
     "q01_pricing_summary",
     "q02_filter_project_string",
     "q03_join_revenue_by_nation",
     "q04_join_semi",
     "q10_agg_hash",
     "q15_window_rank",
-    "q16_window_frames",
     "q17_topk",
     "q18_setops",
     "q19_scalar_dates",
     "q20_scalar_math",
-    "q21_scalar_conditional",
     "q22_scalar_json",
     "q23_cte_subquery",
     "q24_ddl_ctas_insert",

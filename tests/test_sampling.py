@@ -47,3 +47,21 @@ def test_edge_fractions(docs):
         deterministic_sample(docs, "doc_id", 1.5)
     with pytest.raises(ValueError):
         hash_split(docs, "doc_id", {"a": 0.5, "b": 0.6})
+
+
+def test_stratified_sample_quota_and_salt(spark, sf_dir):
+    from amazonredshift_blueprints_spark.operators.sampling import stratified_sample
+    from amazonredshift_blueprints_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    got = stratified_sample(d, ["lang"], key="doc_id", n_per_stratum=10)
+    per = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sizes = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per == {lang: min(10, n) for lang, n in sizes.items()}
+    # determinism: same salt -> same rows; different salt -> a re-deal
+    a = {(r["doc_id"]) for r in got.collect()}
+    b = {(r["doc_id"]) for r in stratified_sample(d, ["lang"], key="doc_id", n_per_stratum=10).collect()}
+    c = {(r["doc_id"]) for r in stratified_sample(d, ["lang"], key="doc_id", n_per_stratum=10, salt="v2").collect()}
+    assert a == b
+    assert a != c
