@@ -1240,6 +1240,127 @@ def c28_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c32_pipeline_neardup_stratified",
+    oracle=r"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, text AS _text,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS DOUBLE)
+                 / CAST(nullif(len(toks), 0) AS DOUBLE) AS uniq_ratio,
+               CAST(length(_text) - length(regexp_replace(_text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                 / CAST(nullif(length(_text), 0) AS DOUBLE) AS punct_ratio,
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                 / CAST(nullif(len(toks), 0) AS DOUBLE) AS mean_token_len
+        FROM t
+    ),
+    q AS (
+        SELECT doc_id,
+               CAST(
+                 (CASE WHEN n_tokens BETWEEN 20 AND 10000 THEN 30 ELSE 0 END)
+               + (CASE WHEN uniq_ratio * 100 >= 30 THEN 25 ELSE 0 END)
+               + (CASE WHEN punct_ratio * 100 <= 15 THEN 25 ELSE 0 END)
+               + (CASE WHEN mean_token_len >= 2 AND mean_token_len <= 12 THEN 20 ELSE 0 END)
+               AS BIGINT) AS quality
+        FROM s
+    ),
+    surv AS (
+        SELECT d.doc_id, d.text, d.lang
+        FROM documents d JOIN q USING (doc_id) WHERE q.quality >= 80
+    ),
+    stoks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+        FROM surv
+    ),
+    grams AS (SELECT doc_id, """ + _DUCK_GRAMS3 + r""" AS grams FROM stoks),
+    exploded AS (SELECT doc_id, unnest(grams) AS gram FROM grams),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM exploded a JOIN exploded b ON a.gram = b.gram
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(grams) AS ng FROM grams),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM common
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE sa.ng + sb.ng - n_common > 0
+          AND n_common * 100 >= (sa.ng + sb.ng - n_common) * 40
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT src AS id, src AS label FROM edges
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    grp AS (SELECT id AS doc_id, MIN(label) AS group_id FROM reach GROUP BY id),
+    kept AS (
+        SELECT doc_id, lang FROM surv
+        WHERE doc_id NOT IN (SELECT doc_id FROM grp WHERE doc_id <> group_id)
+    ),
+    samp AS (
+        SELECT doc_id, lang,
+               CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 6),
+                            doc_id
+               ) AS BIGINT) AS samp_rank
+        FROM kept
+    )
+    SELECT doc_id, lang, samp_rank,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':r4'), 1, 6)
+                     <= 'e66666'
+                THEN 'train' ELSE 'val' END AS split
+    FROM samp WHERE samp_rank <= 15
+    """,
+    doc="the full training-data pipeline with NEAR-dup resolution, "
+        "composed from catalog operators: quality gate (c08 score) -> "
+        "n-gram-Jaccard pair graph (c04) -> connected-component group "
+        "resolution keeping each group's min id (c29) -> stratified "
+        "per-language sample (c30) -> portable 90/10 split (c22). "
+        "Everything except the bounded label-propagation loop is one "
+        "Catalyst plan; the DuckDB oracle independently replays every "
+        "stage including the components (recursive CTE)",
+    tags=("pipeline", "documents"),
+)
+def c32_pipeline_neardup_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import duplicate_groups, ngram_jaccard_pairs
+    from ..operators.sampling import hash_split, stratified_sample
+    from ..operators.text import quality_score, text_stats
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    quality = quality_score(text_stats(d, "doc_id", "text")).select(
+        "doc_id", "quality"
+    )
+    surv = (
+        d.join(quality.filter(F.col("quality") >= 80), "doc_id")
+        .select("doc_id", "text", "lang")
+    )
+    pairs = ngram_jaccard_pairs(surv, "doc_id", "text", n=3, threshold_pct=40)
+    dupes = (
+        duplicate_groups(pairs)
+        .filter(F.col("doc_id") != F.col("group_id"))
+        .select("doc_id")
+    )
+    kept = surv.join(dupes, "doc_id", "left_anti").select("doc_id", "lang")
+    samp = stratified_sample(kept, ["lang"], key="doc_id", n_per_stratum=15)
+    return hash_split(
+        samp, key="doc_id", splits={"train": 0.9, "val": 0.1}, salt="r4"
+    ).select("doc_id", "lang", "samp_rank", "split")
+
+
+@query(
     "c30_stratified_sample",
     oracle="""
     SELECT doc_id, lang, source, samp_rank FROM (
@@ -3103,11 +3224,13 @@ _DRIVER_WINDOW = [
     "c29_dedup_groups",
     "c30_stratified_sample",
     "c31_top_tokens",
+    "c32_pipeline_neardup_stratified",
     "c05_dedup_embedding",
     # (c) core-family representatives (one per SURVEY §2 family;
-    # q06/q13/q16/q21 yield their slots to the new c28-c31 — their
-    # families keep q03/q04, q10, q15, and q19/q20/q22 rows, and all
-    # four have green driver rows in r02/r03 on unchanged code)
+    # q06/q13/q16/q21/q22 yield their slots to the new c28-c32 — their
+    # families keep q03/q04, q10, q15, q19/q20 rows (and q36 carries the
+    # JSON family), and all five have green driver rows in r02/r03 on
+    # unchanged code)
     "q01_pricing_summary",
     "q02_filter_project_string",
     "q03_join_revenue_by_nation",
@@ -3118,7 +3241,6 @@ _DRIVER_WINDOW = [
     "q18_setops",
     "q19_scalar_dates",
     "q20_scalar_math",
-    "q22_scalar_json",
     "q23_cte_subquery",
     "q24_ddl_ctas_insert",
     "q25_redshift_dialect",
