@@ -89,3 +89,45 @@ def session_window_agg(
             "n_events",
         )
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention cohorts: how many of each signup-week cohort's
+    users are still active N weeks later — the standard product-
+    analytics rollup, and at corpus scale the "contributor churn" view
+    of an event log.
+
+    cohort_week = Monday-truncated week of the user's first event;
+    week_offset = whole weeks between cohort week and each distinct
+    active week (both week-truncated, so the day difference is an exact
+    multiple of 7). Returns (cohort_week, week_offset, n_users).
+
+    Plan: one groupBy(user) min for first-seen, one distinct over
+    (user, week) — both partial-aggregate map-side and shuffle on
+    user_id only — then an equi-join on user_id and a final (cohort,
+    offset) aggregate whose output is |weeks|² rows at most. At 100 TB
+    the user-keyed stages dominate and AQE handles power-user skew; no
+    stage ever holds more than (user, week) pairs.
+    """
+    first = events.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("cohort_week")
+    )
+    activity = events.select(
+        F.col(user_col).alias("user_id"),
+        F.date_trunc("week", F.col(ts_col)).alias("week"),
+    ).distinct()
+    return (
+        activity.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

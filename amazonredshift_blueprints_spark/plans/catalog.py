@@ -1361,6 +1361,34 @@ def c32_pipeline_neardup_stratified(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "c33_retention_cohorts",
+    oracle="""
+    WITH first AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events)
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.week) / 7 AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM act a JOIN first f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="weekly retention cohorts over the event log: first-seen week "
+        "per user (groupBy-min), distinct (user, active-week), equi-join "
+        "on user_id, final (cohort, offset) rollup. All stages partial-"
+        "aggregate map-side and shuffle on user_id only; output is at "
+        "most |weeks|^2 rows",
+    tags=("events", "analytics"),
+)
+def c33_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessions import retention_cohorts
+
+    e = views(spark, sf_dir, "events")["events"]
+    return retention_cohorts(e)
+
+
+@query(
     "c30_stratified_sample",
     oracle="""
     SELECT doc_id, lang, source, samp_rank FROM (
@@ -3225,12 +3253,13 @@ _DRIVER_WINDOW = [
     "c30_stratified_sample",
     "c31_top_tokens",
     "c32_pipeline_neardup_stratified",
+    "c33_retention_cohorts",
     "c05_dedup_embedding",
     # (c) core-family representatives (one per SURVEY §2 family;
-    # q06/q13/q16/q21/q22 yield their slots to the new c28-c32 — their
-    # families keep q03/q04, q10, q15, q19/q20 rows (and q36 carries the
-    # JSON family), and all five have green driver rows in r02/r03 on
-    # unchanged code)
+    # q06/q13/q16/q21/q22/q18 yield their slots to the new c28-c33 —
+    # their families keep q03/q04, q10, q15, q19/q20 rows (q36 carries
+    # JSON, q46 carries set-ops), and all six have green driver rows in
+    # r02/r03 on unchanged code)
     "q01_pricing_summary",
     "q02_filter_project_string",
     "q03_join_revenue_by_nation",
@@ -3238,7 +3267,6 @@ _DRIVER_WINDOW = [
     "q10_agg_hash",
     "q15_window_rank",
     "q17_topk",
-    "q18_setops",
     "q19_scalar_dates",
     "q20_scalar_math",
     "q23_cte_subquery",

@@ -78,3 +78,27 @@ def test_lineitem_scans_prune_columns(spark, sf_dir):
             schema = ln.split("ReadSchema: ", 1)[1]
             n_fields = schema.count(":")
             assert n_fields <= 7, (name, schema)
+
+
+def test_c30_stratified_sample_single_shuffle(spark, sf_dir):
+    """One Exchange (the strata key) feeds the ranking window — the
+    sample must not add shuffles beyond the stratum partitioning."""
+    p = _plan(spark, sf_dir, "c30_stratified_sample")
+    assert p.count("Exchange") == 1, p
+    assert "WindowGroupLimit" in p  # samp_rank <= n pushed below the sort
+
+
+def test_c31_top_tokens_partial_agg_and_topk(spark, sf_dir):
+    """Vocabulary counting must combine map-side (shuffle bounded by
+    |vocab|, not |tokens|) and take the top-k without a global sort."""
+    p = _plan(spark, sf_dir, "c31_top_tokens")
+    assert "partial_count" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_c27_lsh_neardup_no_cartesian(spark, sf_dir):
+    """The LSH path's whole point: candidates come from a (tbl, bucket)
+    equi-join, never an all-pairs product."""
+    p = _plan(spark, sf_dir, "c27_dedup_embedding_lsh")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
