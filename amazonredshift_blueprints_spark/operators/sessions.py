@@ -131,3 +131,52 @@ def retention_cohorts(
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users completed each prefix of
+    ``steps`` in strict time order (each step strictly after the
+    previous step's first completion).
+
+    Returns (step_idx, step, n_users), one row per step. Semantics: a
+    user counts for step i if they have an event of type ``steps[i]``
+    strictly after their *earliest* completion of step i-1 (the
+    standard first-touch funnel; simultaneous events do not advance).
+
+    Plan: per step one filtered scan, one user-keyed equi-join against
+    the previous stage's (user, first-ts) table, and one groupBy-min —
+    the per-step user tables shrink monotonically, every shuffle is on
+    user_id, and the final counts are single-row aggregates. At 100 TB
+    the type filter pushes into the scan, so each stage reads only its
+    step's events.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    out = []
+    prev = None
+    for i, step in enumerate(steps):
+        f = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("user_id"), F.col(ts_col).alias("_ts")
+        )
+        if prev is not None:
+            f = f.join(prev, "user_id").filter(F.col("_ts") > F.col("_prev_ts"))
+        stage = f.groupBy("user_id").agg(F.min("_ts").alias("_prev_ts"))
+        out.append(
+            stage.agg(
+                F.lit(i).cast("long").alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+        prev = stage
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res

@@ -1361,6 +1361,44 @@ def c32_pipeline_neardup_stratified(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "c34_funnel_counts",
+    oracle="""
+    WITH s0 AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s1 AS (
+        SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+           CAST(COUNT(*) AS BIGINT) AS n_users FROM s0
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'click', CAST(COUNT(*) AS BIGINT) FROM s1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM s2
+    """,
+    doc="first-touch ordered funnel (view -> click -> purchase): each "
+        "step counts users with that event strictly after their "
+        "earliest completion of the previous step. Per step: pushed "
+        "type filter, user-keyed equi-join to the shrinking previous "
+        "stage, groupBy-min — shuffles on user_id only",
+    tags=("events", "analytics"),
+)
+def c34_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessions import funnel_counts
+
+    e = views(spark, sf_dir, "events")["events"]
+    return funnel_counts(e, ["view", "click", "purchase"])
+
+
+@query(
     "c33_retention_cohorts",
     oracle="""
     WITH first AS (
@@ -3254,12 +3292,13 @@ _DRIVER_WINDOW = [
     "c31_top_tokens",
     "c32_pipeline_neardup_stratified",
     "c33_retention_cohorts",
+    "c34_funnel_counts",
     "c05_dedup_embedding",
     # (c) core-family representatives (one per SURVEY §2 family;
-    # q06/q13/q16/q21/q22/q18 yield their slots to the new c28-c33 —
+    # q06/q13/q16/q21/q22/q18/q23 yield their slots to the new c28-c34 —
     # their families keep q03/q04, q10, q15, q19/q20 rows (q36 carries
-    # JSON, q46 carries set-ops), and all six have green driver rows in
-    # r02/r03 on unchanged code)
+    # JSON, q46 set-ops, q38/q44/q47 CTE/subquery), and all seven have
+    # green driver rows in r02/r03 on unchanged code)
     "q01_pricing_summary",
     "q02_filter_project_string",
     "q03_join_revenue_by_nation",
@@ -3269,7 +3308,6 @@ _DRIVER_WINDOW = [
     "q17_topk",
     "q19_scalar_dates",
     "q20_scalar_math",
-    "q23_cte_subquery",
     "q24_ddl_ctas_insert",
     "q25_redshift_dialect",
     "q26_shipping_priority",
