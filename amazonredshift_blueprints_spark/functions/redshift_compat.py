@@ -227,6 +227,35 @@ def _strtol_call(args: list[str]) -> str | None:
     return f"CAST(conv({args[0]}, {args[1]}, 10) AS BIGINT)" if len(args) == 2 else None
 
 
+_TIMESTAMPADD_UNITS = {
+    "year", "quarter", "month", "week", "day", "hour", "minute", "second",
+}
+
+
+def _dateadd_call(args: list[str]) -> str | None:
+    """``DATEADD(unit, n, ts)`` → ``timestampadd(UNIT, n, ts)``.
+
+    Redshift accepts the unit bare or quoted and with the same alias set
+    as DATEDIFF; Spark's ``timestampadd`` wants a bare keyword."""
+    if len(args) != 3:
+        return None
+    unit = args[0].strip().strip("'\"").lower()
+    unit = _UNIT_ALIASES.get(unit, unit)
+    if unit not in _TIMESTAMPADD_UNITS:
+        return None
+    return f"timestampadd({unit.upper()}, {args[1].strip()}, {args[2].strip()})"
+
+
+def _date_part_call(args: list[str]) -> str | None:
+    """``DATE_PART(part, ts)`` (bare or quoted part) → Spark
+    ``date_part('part', ts)`` (part must be a string literal)."""
+    if len(args) != 2:
+        return None
+    part = args[0].strip().strip("'\"").lower()
+    part = _UNIT_ALIASES.get(part, part)
+    return f"date_part('{part}', {args[1].strip()})"
+
+
 def _convert_timezone_call(args: list[str]) -> str | None:
     if len(args) == 2:  # source defaults to UTC (Redshift doc'd behavior)
         tgt, ts = args
@@ -396,6 +425,8 @@ def translate_redshift_sql(sql: str) -> str:
     sql = _rewrite_calls(sql, "LEN", _len_call)
     sql = _rewrite_calls(sql, "CHARINDEX", _charindex_call)
     sql = _rewrite_calls(sql, "STRTOL", _strtol_call)
+    sql = _rewrite_calls(sql, "DATEADD", _dateadd_call)
+    sql = _rewrite_calls(sql, "DATE_PART", _date_part_call)
     sql = _rewrite_calls(sql, "CONVERT_TIMEZONE", _convert_timezone_call)
     sql = _rewrite_calls(sql, "TO_CHAR", _to_char_call)
     sql = _rewrite_calls(sql, "TO_DATE", _to_parse_call("to_date"))

@@ -1940,7 +1940,9 @@ _DIALECT_FUNCS_SQL = """
            DECODE(event_type, 'view', 1, 'click', 2, 0) AS type_code,
            STRTOL('ff', 16) AS const_255,
            CAST(TO_DATE(TO_CHAR(ts, 'YYYY-MM-DD'), 'YYYY-MM-DD') AS TIMESTAMP)
-             AS day_parsed
+             AS day_parsed,
+           DATEADD(day, 7, ts) AS ts_plus_week,
+           DATE_PART(hour, ts) AS ts_hour
     FROM events
 """
 
@@ -1958,12 +1960,15 @@ _DIALECT_FUNCS_SQL = """
                 ELSE 0 END AS BIGINT) AS type_code,
            CAST(255 AS BIGINT) AS const_255,
            CAST(strptime(strftime(ts, '%Y-%m-%d'), '%Y-%m-%d') AS TIMESTAMP)
-             AS day_parsed
+             AS day_parsed,
+           ts + INTERVAL 7 DAY AS ts_plus_week,
+           CAST(date_part('hour', ts) AS BIGINT) AS ts_hour
     FROM events
     """,
     doc="extended Redshift dialect through the translation shim: TO_CHAR "
         "date formats, LEN, CHARINDEX arg swap, NVL2, Oracle-style DECODE, "
-        "STRTOL, TO_DATE/TO_CHAR round-trip (CONVERT_TIMEZONE is shimmed too; unit-tested, not "
+        "STRTOL, TO_DATE/TO_CHAR round-trip, DATEADD -> timestampadd, "
+        "DATE_PART (CONVERT_TIMEZONE is shimmed too; unit-tested, not "
         "oracle-checked because DuckDB lacks a matching tz primitive)",
     tags=("dialect",),
 )
@@ -1979,6 +1984,8 @@ def q29_dialect_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("type_code").cast("long").alias("type_code"),
         F.col("const_255").cast("long").alias("const_255"),
         "day_parsed",
+        "ts_plus_week",
+        F.col("ts_hour").cast("long").alias("ts_hour"),
     )
 
 

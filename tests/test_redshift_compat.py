@@ -190,3 +190,24 @@ def test_sortkey_interleaved_stripped():
 def test_layout_words_in_strings_survive():
     sql = "SELECT 'DISTKEY(k) SORTKEY(v)' AS doc FROM t"
     assert translate_redshift_sql(sql) == sql
+
+
+def test_dateadd_translation():
+    from amazonredshift_blueprints_spark.functions import translate_redshift_sql
+
+    out = translate_redshift_sql("SELECT DATEADD(day, 7, ts) FROM t")
+    assert "timestampadd(DAY, 7, ts)" in out
+    out = translate_redshift_sql("SELECT DATEADD('months', -1, ts) FROM t")
+    assert "timestampadd(MONTH, -1, ts)" in out
+    # unknown unit: untouched (conservative shim)
+    out = translate_redshift_sql("SELECT DATEADD(parsec, 1, ts) FROM t")
+    assert "DATEADD(parsec, 1, ts)" in out
+
+
+def test_date_part_translation():
+    from amazonredshift_blueprints_spark.functions import translate_redshift_sql
+
+    out = translate_redshift_sql("SELECT DATE_PART(hour, ts) FROM t")
+    assert "date_part('hour', ts)" in out
+    out = translate_redshift_sql("SELECT DATE_PART('yrs', ts) FROM t")
+    assert "date_part('year', ts)" in out
