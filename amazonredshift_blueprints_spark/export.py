@@ -130,8 +130,13 @@ def write_result(
 
 
 def get_args(argv: list[str] | None = None) -> argparse.Namespace:
-    """CLI surface mirroring store_query_results.py:10-59."""
+    """CLI surface mirroring store_query_results.py:10-59, connection
+    args included (tri-mode JDBC source when any is given; local session
+    catalog otherwise — documented divergence)."""
+    from .sources.jdbc import add_connection_args
+
     parser = argparse.ArgumentParser(description=__doc__)
+    add_connection_args(parser)
     parser.add_argument("--query", dest="query", required=True)
     parser.add_argument(
         "--destination-file-name", dest="destination_file_name", required=True
@@ -145,14 +150,25 @@ def main(argv: list[str] | None = None) -> None:
     from .session import get_spark, register_tables
 
     args = get_args(argv)
+    from .sources.jdbc import connection_options_from_args, jdbc_reader
+
+    jdbc_opts = connection_options_from_args(args)
     spark = get_spark("export")
-    register_tables(spark)
     dest = combine_folder_and_file_name(
         args.destination_folder_name, args.destination_file_name
     )
-    n = store_query_results(
-        spark, args.query, dest, include_header=convert_to_boolean(args.file_header)
-    )
+    if jdbc_opts is not None:
+        # Warehouse source (store_query_results.py:98-103): the query
+        # runs server-side via the JDBC pushdown `query` option; Spark
+        # streams the result straight into the CSV sink. Needs the
+        # Redshift JDBC driver jar at runtime.
+        df = jdbc_reader(spark, jdbc_opts, query=args.query).load()
+        n = write_csv(df, dest, include_header=convert_to_boolean(args.file_header))
+    else:
+        register_tables(spark)
+        n = store_query_results(
+            spark, args.query, dest, include_header=convert_to_boolean(args.file_header)
+        )
     print(f"wrote {n} rows to {dest}")
 
 

@@ -222,9 +222,17 @@ def ingest_matching_files(
 
 
 def get_args(argv: list[str] | None = None) -> argparse.Namespace:
-    """CLI surface mirroring upload_file.py:11-76 (connection args replaced
-    by the in-process SparkSession)."""
+    """CLI surface mirroring upload_file.py:11-76, connection args
+    included: when any of --db-connection-url / --host / --database /
+    --username is given (or resolution falls through to the
+    DB_CONNECTION_URL env var), the sink is the warehouse over JDBC with
+    the reference's tri-mode precedence + validation; with no connection
+    args the sink is the local session catalog (documented divergence —
+    the reference always requires a warehouse)."""
+    from .sources.jdbc import add_connection_args
+
     parser = argparse.ArgumentParser(description=__doc__)
+    add_connection_args(parser)
     parser.add_argument("--source-file-name", dest="source_file_name", required=True)
     parser.add_argument("--source-folder-name", dest="source_folder_name", default="")
     parser.add_argument(
@@ -249,8 +257,37 @@ def main(argv: list[str] | None = None) -> None:
     from .session import get_spark
 
     args = get_args(argv)
+    from .sources.jdbc import connection_options_from_args, jdbc_writer
+
+    jdbc_opts = connection_options_from_args(args)
     spark = get_spark("ingest")
     header = convert_to_boolean(args.header)
+    if jdbc_opts is not None:
+        # Warehouse sink (upload_file.py:118-155): distributed CSV read →
+        # batched JDBC write. Needs the Redshift JDBC driver jar on the
+        # Spark classpath at runtime.
+        if args.match_type == "regex_match":
+            source: str | list[str] = find_all_file_matches(
+                find_all_local_file_names(args.source_folder_name),
+                args.source_file_name,
+            )
+            if not source:
+                raise FileNotFoundError(
+                    f"no files matching {args.source_file_name!r}"
+                )
+        else:
+            source = combine_folder_and_file_name(
+                args.source_folder_name, args.source_file_name
+            )
+        df = read_files(spark, source, format="csv", header=header)
+        qualified = (
+            f"{args.schema_name}.{args.table_name}"
+            if args.schema_name
+            else args.table_name
+        )
+        jdbc_writer(df, jdbc_opts, qualified, mode=args.insert_method).save()
+        print(f"uploaded {args.source_file_name} to {qualified}")
+        return
     if args.match_type == "regex_match":
         n = ingest_matching_files(
             spark,

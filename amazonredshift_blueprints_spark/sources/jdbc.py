@@ -221,3 +221,46 @@ def jdbc_writer(
         .option("batchsize", str(batchsize))
         .mode(spark_mode)
     )
+
+
+def add_connection_args(parser) -> None:
+    """Attach the reference CLI's connection arguments (upload_file.py:
+    13-17, 53-56: --username/--password/--host/--database/--port/
+    --url-parameters/--db-connection-url) to an argparse parser."""
+    parser.add_argument("--username", dest="username", required=False)
+    parser.add_argument("--password", dest="password", required=False, default="")
+    parser.add_argument("--host", dest="host", required=False)
+    parser.add_argument("--database", dest="database", required=False)
+    parser.add_argument("--port", dest="port", default=None, required=False)
+    parser.add_argument("--url-parameters", dest="url_parameters", required=False)
+    parser.add_argument("--db-connection-url", dest="db_connection_url", required=False)
+
+
+def connection_options_from_args(args, env: dict | None = None) -> dict[str, str] | None:
+    """Resolve the parsed connection args to a Spark JDBC option map, or
+    ``None`` when no connection was requested (the CLI then targets the
+    local session catalog — this package's documented divergence from
+    the reference, whose CLIs always require a warehouse).
+
+    A connection is "requested" when any explicit connection argument is
+    present; resolution then follows the reference's tri-mode precedence
+    (explicit URL > host tuple > DB_CONNECTION_URL env) with its
+    cross-field validation, via :func:`resolve_jdbc_options`.
+    """
+    requested = any(
+        getattr(args, k, None)
+        for k in ("db_connection_url", "host", "database", "username")
+    )
+    if not requested:
+        return None
+    params = dict(parse_qsl(args.url_parameters)) if getattr(args, "url_parameters", None) else None
+    return resolve_jdbc_options(
+        db_connection_url=args.db_connection_url,
+        host=args.host,
+        database=args.database,
+        user=args.username,
+        password=args.password or "",
+        port=int(args.port) if getattr(args, "port", None) else None,
+        url_parameters=params,
+        env=env,
+    )

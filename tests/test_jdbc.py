@@ -113,3 +113,37 @@ def test_resolve_no_mode_errors_with_three_options():
     # upload_file.py:60-66 message parity: name all three auth modes
     with pytest.raises(ValueError, match="db_connection_url.*DB_CONNECTION_URL"):
         resolve_jdbc_options(env={})
+
+
+def test_cli_connection_args_roundtrip():
+    from amazonredshift_blueprints_spark.ingest import get_args
+    from amazonredshift_blueprints_spark.sources import jdbc
+
+    args = get_args([
+        "--source-file-name", "f.csv", "--table-name", "t",
+        "--host", "h", "--database", "db", "--username", "u",
+        "--password", "pw", "--port", "5555",
+        "--url-parameters", "ssl=true&tcpKeepAlive=true",
+    ])
+    opts = jdbc.connection_options_from_args(args)
+    assert opts["url"] == "jdbc:redshift://h:5555/db"
+    assert opts["ssl"] == "true" and opts["tcpKeepAlive"] == "true"
+
+
+def test_cli_no_connection_args_means_local_catalog():
+    from amazonredshift_blueprints_spark.export import get_args
+    from amazonredshift_blueprints_spark.sources import jdbc
+
+    args = get_args(["--query", "SELECT 1", "--destination-file-name", "o.csv"])
+    assert jdbc.connection_options_from_args(args, env={}) is None
+
+
+def test_cli_partial_tuple_rejected():
+    from amazonredshift_blueprints_spark.ingest import get_args
+    from amazonredshift_blueprints_spark.sources import jdbc
+
+    args = get_args([
+        "--source-file-name", "f.csv", "--table-name", "t", "--host", "h",
+    ])
+    with pytest.raises(ValueError, match="--host requires"):
+        jdbc.connection_options_from_args(args)
