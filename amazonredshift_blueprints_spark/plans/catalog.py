@@ -1360,6 +1360,33 @@ def c32_pipeline_neardup_stratified(spark: SparkSession, sf_dir: str) -> DataFra
     ).select("doc_id", "lang", "samp_rank", "split")
 
 
+_WINDOW_DEDUP_SQL = """
+    SELECT o_custkey, o_orderkey, o_orderdate
+    FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC
+               ) AS rn
+        FROM orders
+    ) WHERE rn = 1
+"""
+
+
+@query(
+    "q49_window_dedup",
+    oracle=_WINDOW_DEDUP_SQL,
+    doc="keep-latest-row-per-key via ROW_NUMBER() = 1 — the standard "
+        "warehouse dedup/upsert-read idiom. Identical ANSI SQL text runs "
+        "on both engines; Spark lowers it to WindowGroupLimit (per-"
+        "partition top-1, no full sort of each key group)",
+    tags=("window", "dedup"),
+)
+def q49_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "orders")
+    return spark.sql(_WINDOW_DEDUP_SQL)
+
+
 @query(
     "c34_funnel_counts",
     oracle="""
@@ -3300,6 +3327,7 @@ _DRIVER_WINDOW = [
     "c32_pipeline_neardup_stratified",
     "c33_retention_cohorts",
     "c34_funnel_counts",
+    "q49_window_dedup",
     "c05_dedup_embedding",
     # (c) core-family representatives (one per SURVEY §2 family;
     # q06/q13/q16/q21/q22/q18/q23 yield their slots to the new c28-c34 —
@@ -3316,7 +3344,6 @@ _DRIVER_WINDOW = [
     "q19_scalar_dates",
     "q20_scalar_math",
     "q24_ddl_ctas_insert",
-    "q25_redshift_dialect",
     "q26_shipping_priority",
     "c01_dedup_exact",
     "c12_sessionize",
