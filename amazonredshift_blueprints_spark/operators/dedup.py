@@ -174,6 +174,7 @@ def minhash_near_duplicates(
     bands: int = 16,
     threshold_pct: int = 60,
     verify: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded MinHash-LSH near-duplicate pairs.
 
@@ -181,6 +182,18 @@ def minhash_near_duplicates(
     jaccard*100 >= threshold_pct (integer predicate: no float-boundary
     nondeterminism). With ``verify=False`` returns unverified candidate
     pairs (the pure LSH recall set).
+
+    ``max_bucket_size`` is the 100 TB degenerate-bucket guard: a band
+    key shared by B documents contributes B² candidate pairs, so one
+    pathological bucket (boilerplate pages, near-empty docs) can
+    dominate the whole join. With a cap, buckets larger than the cap
+    are dropped BEFORE the self-join (one extra count aggregate on the
+    band keys — tiny next to the join it prevents). Recall note: docs
+    co-occurring only in dropped buckets are missed; members of a
+    B ≫ cap bucket are typically mutual near-dups reachable through
+    their other ``bands - 1`` keys, and exact dedup (c01) is the right
+    first pass for the identical-content blowups. Default None keeps
+    the exact oracle-checked semantics.
 
     Scale: |output of explode| = bands × |docs|; the self-join is an
     equi-join on (band index, band hash). No cross product anywhere.
@@ -221,6 +234,14 @@ def minhash_near_duplicates(
             minhash_bands(F.col("_sig"), bands=bands, rows_per_band=rows_per_band)
         ).alias("band_idx", "band_key"),
     )
+    if max_bucket_size is not None:
+        ok = (
+            with_bands.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band_idx", "band_key")
+        )
+        with_bands = with_bands.join(ok, ["band_idx", "band_key"], "left_semi")
     left = with_bands.select(
         "band_idx", "band_key", F.col(id_col).alias("id_a")
     )

@@ -208,3 +208,26 @@ def test_duplicate_groups_connected_components(spark):
     got = {(r["doc_id"], r["group_id"])
            for r in duplicate_groups(pairs).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (9, 1), (5, 5), (7, 5)}
+
+
+def test_minhash_bucket_cap_drops_degenerate_buckets(spark):
+    from amazonredshift_blueprints_spark.operators.dedup import minhash_near_duplicates
+
+    # 60 identical docs = one degenerate bucket per band (60^2/2 pairs);
+    # two genuinely near-dup docs must survive the cap.
+    boiler = "lorem ipsum dolor sit amet " * 10
+    near_a = "the quick brown fox jumps over the lazy dog again and again today"
+    near_b = "the quick brown fox jumps over the lazy dog again and again tonight"
+    rows = [(i, boiler) for i in range(60)]
+    rows += [(100, near_a), (101, near_b)]
+    d = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    capped = minhash_near_duplicates(
+        d, "doc_id", "text", threshold_pct=50, max_bucket_size=10
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (100, 101) in got          # real near-dups survive
+    assert not any(a < 60 and b < 60 for a, b in got)  # boilerplate bucket dropped
+
+    uncapped = minhash_near_duplicates(d, "doc_id", "text", threshold_pct=50).collect()
+    assert len(uncapped) > len(capped)  # the cap actually pruned work
