@@ -143,6 +143,14 @@ def get_args(argv: list[str] | None = None) -> argparse.Namespace:
     )
     parser.add_argument("--destination-folder-name", dest="destination_folder_name", default="")
     parser.add_argument("--file-header", dest="file_header", default="True")
+    parser.add_argument(
+        "--destination-file-format",
+        dest="file_format",
+        choices=("csv", "json", "parquet", "orc"),
+        default="csv",
+        help="sink format (reference emits CSV only; the rest are the "
+        "free Spark upgrades)",
+    )
     return parser.parse_args(argv)
 
 
@@ -160,15 +168,18 @@ def main(argv: list[str] | None = None) -> None:
     if jdbc_opts is not None:
         # Warehouse source (store_query_results.py:98-103): the query
         # runs server-side via the JDBC pushdown `query` option; Spark
-        # streams the result straight into the CSV sink. Needs the
-        # Redshift JDBC driver jar at runtime.
+        # streams the result straight into the sink. Needs the Redshift
+        # JDBC driver jar at runtime.
         df = jdbc_reader(spark, jdbc_opts, query=args.query).load()
-        n = write_csv(df, dest, include_header=convert_to_boolean(args.file_header))
     else:
         register_tables(spark)
-        n = store_query_results(
-            spark, args.query, dest, include_header=convert_to_boolean(args.file_header)
-        )
+        df = spark.sql(translate_redshift_sql(args.query))
+    n = write_result(
+        df,
+        dest,
+        format=args.file_format,
+        include_header=convert_to_boolean(args.file_header),
+    )
     print(f"wrote {n} rows to {dest}")
 
 

@@ -218,7 +218,7 @@ def ingest_matching_files(
         raise FileNotFoundError(
             f"no files matching {file_name_regex!r} under {source_folder_name or '.'}"
         )
-    return ingest_csv(spark, matches, table_name, **kwargs)
+    return ingest_files(spark, matches, table_name, **kwargs)
 
 
 def get_args(argv: list[str] | None = None) -> argparse.Namespace:
@@ -250,6 +250,14 @@ def get_args(argv: list[str] | None = None) -> argparse.Namespace:
         default="append",
     )
     parser.add_argument("--header", dest="header", default="True")
+    parser.add_argument(
+        "--file-format",
+        dest="file_format",
+        choices=("csv", "json", "parquet", "orc"),
+        default="csv",
+        help="source file format (reference is CSV-only; the rest are "
+        "the free Spark upgrades)",
+    )
     return parser.parse_args(argv)
 
 
@@ -279,7 +287,7 @@ def main(argv: list[str] | None = None) -> None:
             source = combine_folder_and_file_name(
                 args.source_folder_name, args.source_file_name
             )
-        df = read_files(spark, source, format="csv", header=header)
+        df = read_files(spark, source, format=args.file_format, header=header)
         qualified = (
             f"{args.schema_name}.{args.table_name}"
             if args.schema_name
@@ -294,16 +302,18 @@ def main(argv: list[str] | None = None) -> None:
             args.source_folder_name,
             args.source_file_name,
             args.table_name,
+            format=args.file_format,
             schema_name=args.schema_name,
             insert_method=args.insert_method,
             header=header,
         )
     else:
         path = combine_folder_and_file_name(args.source_folder_name, args.source_file_name)
-        n = ingest_csv(
+        n = ingest_files(
             spark,
             path,
             args.table_name,
+            format=args.file_format,
             schema_name=args.schema_name,
             insert_method=args.insert_method,
             header=header,
