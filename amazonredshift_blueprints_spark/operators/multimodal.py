@@ -102,3 +102,118 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         featurize, FEATURE_SCHEMA
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_frame_bytes", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_size: int = 64,
+    stride: int = 4,
+) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: split each
+    binary payload into fixed-size frames and keep every ``stride``-th
+    one (frame 0, stride, 2·stride, …) — the batch-shape-changing
+    ``mapInPandas`` pattern (one input row → many output rows) that a
+    real video sampler needs; the "decode" here is byte slicing, so the
+    pipeline stays deterministic and externally replayable.
+
+    100 TB: no shuffle — frames are emitted within the scan's
+    partitions; Arrow batches bound worker memory regardless of payload
+    count per partition. Swap the slicer for an ffmpeg keyframe reader
+    and the schema/partitioning/batch contract is unchanged.
+    """
+    import hashlib
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, digests = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                n_frames = (len(b) + frame_size - 1) // frame_size
+                for i in range(0, n_frames, stride):
+                    frame = b[i * frame_size : (i + 1) * frame_size]
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    sizes.append(len(frame))
+                    digests.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "n_frame_bytes": pd.Series(sizes, dtype="int64"),
+                    "frame_md5": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        sample, FRAME_SCHEMA
+    )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("orig_bytes", LongType()),
+        StructField("resized_bytes", LongType()),
+        StructField("resized_md5", StringType()),
+        StructField("resized", BinaryType()),
+    ]
+)
+
+
+def resize_payload(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    target_bytes: int = 256,
+) -> DataFrame:
+    """Resize plumbing: deterministic decimation of each payload to at
+    most ``target_bytes`` (every k-th byte, k = ceil(len/target)) — the
+    stand-in for an image resize, exercising the real contract (binary
+    in, smaller binary out, Arrow round-trip) without codecs. Payloads
+    already at or under the target pass through unchanged.
+    """
+    import hashlib
+    import math
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_orig, out_n, out_md5, out_b = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                if len(b) > target_bytes:
+                    k = math.ceil(len(b) / target_bytes)
+                    b2 = b[::k]
+                else:
+                    b2 = b
+                out_ids.append(int(doc_id))
+                out_orig.append(len(b))
+                out_n.append(len(b2))
+                out_md5.append(hashlib.md5(b2).hexdigest())
+                out_b.append(b2)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype="int64"),
+                    "orig_bytes": pd.Series(out_orig, dtype="int64"),
+                    "resized_bytes": pd.Series(out_n, dtype="int64"),
+                    "resized_md5": pd.Series(out_md5, dtype="object"),
+                    "resized": pd.Series(out_b, dtype="object"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        resize, RESIZE_SCHEMA
+    )

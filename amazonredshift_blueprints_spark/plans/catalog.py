@@ -1454,6 +1454,41 @@ def c33_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c35_frame_sample",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, text,
+               unnest(list_filter(
+                   generate_series(0, CAST(ceil(length(text) / 64.0) AS BIGINT) - 1),
+                   i -> i % 4 = 0
+               )) AS i
+        FROM documents
+        WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS frame_idx,
+           CAST(length(substr(text, CAST(1 + i * 64 AS INT), 64)) AS BIGINT)
+             AS n_frame_bytes,
+           md5(substr(text, CAST(1 + i * 64 AS INT), 64)) AS frame_md5
+    FROM f
+    """,
+    doc="multimodal frame-sampling plumbing: payload split into 64-byte "
+        "frames, every 4th kept, via the row-exploding mapInPandas shape "
+        "a real video sampler needs (1 input row -> many frames, no "
+        "shuffle, Arrow-bounded memory). Deterministic byte slicing "
+        "stands in for the codec, so the DuckDB oracle replays frames "
+        "and digests exactly (fixture text is ASCII: char slices == "
+        "byte slices)",
+    tags=("multimodal",),
+)
+def c35_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_binary_payload, sample_frames
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return sample_frames(attach_binary_payload(d, "doc_id", "text"))
+
+
+@query(
     "c30_stratified_sample",
     oracle="""
     SELECT doc_id, lang, source, samp_rank FROM (
@@ -3327,6 +3362,7 @@ _DRIVER_WINDOW = [
     "c32_pipeline_neardup_stratified",
     "c33_retention_cohorts",
     "c34_funnel_counts",
+    "c35_frame_sample",
     "q49_window_dedup",
     "c05_dedup_embedding",
     # (c) core-family representatives (one per SURVEY §2 family;
@@ -3344,7 +3380,6 @@ _DRIVER_WINDOW = [
     "q19_scalar_dates",
     "q20_scalar_math",
     "q24_ddl_ctas_insert",
-    "q26_shipping_priority",
     "c01_dedup_exact",
     "c12_sessionize",
 ]

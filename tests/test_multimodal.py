@@ -36,3 +36,43 @@ def test_attach_and_extract_features(spark, sf_dir):
         assert f.payload_md5 == hashlib.md5(payload).hexdigest()
         assert f.head_hex == payload[:8].hex()
         assert f.feature == hashlib.sha256(payload).hexdigest()[:16]
+
+
+def test_resize_payload_decimation(spark, sf_dir):
+    import hashlib
+    import math
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_payload,
+    )
+    from amazonredshift_blueprints_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    src = {r["doc_id"]: r["text"] for r in d.collect()}
+    got = resize_payload(
+        attach_binary_payload(d, "doc_id", "text"), target_bytes=100
+    ).collect()
+    assert len(got) == len(src)
+    for r in got:
+        b = src[r["doc_id"]].encode()
+        if len(b) > 100:
+            k = math.ceil(len(b) / 100)
+            want = b[::k]
+        else:
+            want = b
+        assert r["orig_bytes"] == len(b)
+        assert r["resized_bytes"] == len(want) <= 100
+        assert bytes(r["resized"]) == want
+        assert r["resized_md5"] == hashlib.md5(want).hexdigest()
+
+
+def test_sample_frames_covers_every_stride(spark):
+    from amazonredshift_blueprints_spark.operators.multimodal import sample_frames
+
+    # 300-byte payload, 64-byte frames -> frames 0..4; stride 4 keeps 0 and 4,
+    # frame 4 being the 44-byte tail.
+    payload = bytes(range(256)) + bytes(44)
+    df = spark.createDataFrame([(1, payload)], "doc_id: long, payload: binary")
+    rows = sorted(sample_frames(df).collect(), key=lambda r: r["frame_idx"])
+    assert [(r["frame_idx"], r["n_frame_bytes"]) for r in rows] == [(0, 64), (4, 44)]
