@@ -2183,6 +2183,47 @@ def c16_stateful_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c36_stream_dedup",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+    doc="streaming deduplication via dropDuplicatesWithinWatermark: the "
+        "fixture is fed to the stream TWICE (every event duplicated) and "
+        "the streaming dedup must emit each event exactly once — the "
+        "oracle is simply the original table. State is keyed on event_id "
+        "and EVICTED past the watermark, so it stays O(keys within the "
+        "window), runnable forever; late duplicates beyond the watermark "
+        "fall to the batch exact-dedup backstop (c01)",
+    tags=("streaming", "dedup"),
+)
+def c36_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil as _sh
+
+    from ..streaming.sessions import read_events_stream, stream_dedup_events
+
+    views(spark, sf_dir, "events")  # oracle side reads the same fixture
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    d = tempfile.mkdtemp(prefix="bp_stream_dedup_")
+    for part in ("part-0.parquet", "part-1.parquet"):  # every event twice
+        _sh.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(d, part))
+    stream = read_events_stream(spark, d, raw_schema)
+    name = "bp_stream_dedup"
+    q = (
+        stream_dedup_events(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
 _DUCK_L2 = (
     "list_sum(list_transform(generate_series(1, len({a})), "
     "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
@@ -3363,6 +3404,7 @@ _DRIVER_WINDOW = [
     "c33_retention_cohorts",
     "c34_funnel_counts",
     "c35_frame_sample",
+    "c36_stream_dedup",
     "q49_window_dedup",
     "c05_dedup_embedding",
     # (c) core-family representatives (one per SURVEY §2 family;
@@ -3379,7 +3421,6 @@ _DRIVER_WINDOW = [
     "q17_topk",
     "q19_scalar_dates",
     "q20_scalar_math",
-    "q24_ddl_ctas_insert",
     "c01_dedup_exact",
     "c12_sessionize",
 ]

@@ -121,3 +121,30 @@ def stream_window_counts(
             "n_events",
         )
     )
+
+
+def stream_dedup_events(
+    events: DataFrame,
+    *,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming deduplication: emit each key's FIRST event, dropping
+    later duplicates — the as-they-arrive dedup stage of a streaming
+    ingest pipeline (exactly-once sinks aside, the at-least-once
+    replays that every source makes are the duplicates this removes).
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on
+    ``key_cols`` and, unlike plain ``dropDuplicates`` on a stream,
+    EVICTS each key once it ages past the watermark — state is O(keys
+    seen within the watermark window), not O(all keys ever), which is
+    what makes the operator runnable forever at 100 TB/day. Duplicates
+    arriving later than the watermark are not caught (document the
+    window to your upstream); a periodic batch exact-dedup (c01) is the
+    backstop.
+    """
+    key_cols = key_cols or ["event_id"]
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

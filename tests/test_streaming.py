@@ -274,3 +274,36 @@ def test_stream_dropduplicates_within_watermark(spark, sf_dir, tmp_path):
     got = spark.sql("SELECT event_id FROM t_dedup_stream").collect()
     ids = [r.event_id for r in got]
     assert len(ids) == len(set(ids)) == e.count()  # each id exactly once
+
+
+def test_stream_dedup_matches_batch_distinct(spark, sf_dir, events_stream_dir, tmp_path):
+    """Duplicate the whole input file: the streaming dedup must emit each
+    event_id exactly once, matching batch dropDuplicates."""
+    import shutil as _shutil
+
+    from amazonredshift_blueprints_spark.streaming.sessions import (
+        read_events_stream,
+        stream_dedup_events,
+    )
+
+    dup_dir = tmp_path / "events_dup"
+    dup_dir.mkdir()
+    src = os.path.join(sf_dir, "events.parquet")
+    _shutil.copy(src, dup_dir / "part-0.parquet")
+    _shutil.copy(src, dup_dir / "part-1.parquet")  # every event twice
+
+    raw_schema = spark.read.parquet(src).schema
+    stream = read_events_stream(spark, str(dup_dir), raw_schema)
+    q = (
+        stream_dedup_events(stream)
+        .writeStream.format("memory")
+        .queryName("t_stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_stream_dedup").groupBy("event_id").count().collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert len(got) == n_events          # every event represented
+    assert all(r["count"] == 1 for r in got)  # exactly once
