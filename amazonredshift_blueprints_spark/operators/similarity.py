@@ -527,3 +527,111 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine") * 1_000_000 >= threshold_microcos)
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    kmeans_iters: int = 0,
+) -> DataFrame:
+    """Materialize the IVF index as a cell-partitioned parquet table:
+    each corpus vector stored (quantized + pre-normed) under
+    ``path/cell=<i>/``. Returns the centroid table (cent_id, cent_q,
+    cent_norm) — persist it next to the index; it is the k×dim metadata
+    needed to route queries.
+
+    This is the "stored index" half of the IVF design: at 100 TB the
+    assignment job runs once, and every subsequent query batch reads
+    ONLY its probed cells — Spark prunes `cell=` partitions from the
+    scan (asserted in tests via the scan's partition filters), so probe
+    I/O is nprobe/n_cells of the corpus instead of a full scan.
+    """
+    if kmeans_iters > 0:
+        cents = kmeans_centroids(
+            corpus, id_col=id_col, vec_col=vec_col,
+            n_cells=n_cells, iters=kmeans_iters,
+        )
+    else:
+        cents = _with_quant(
+            corpus.filter(F.col(id_col) < n_cells), id_col, vec_col, "cent"
+        )
+    c = _with_quant(corpus, id_col, vec_col, "neighbor")
+    w_assign = Window.partitionBy("neighbor_id").orderBy(F.asc("d"), F.asc("cent_id"))
+    cells = (
+        c.crossJoin(F.broadcast(cents))
+        .select(
+            "neighbor_id",
+            "neighbor_q",
+            "neighbor_norm",
+            "cent_id",
+            l2_sq_q(F.col("neighbor_q"), F.col("cent_q")).alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(
+            "neighbor_id", "neighbor_q", "neighbor_norm",
+            F.col("cent_id").alias("cell"),
+        )
+    )
+    cells.write.mode("overwrite").partitionBy("cell").parquet(path)
+    return cents
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k against a stored IVF index (see :func:`build_ivf_index`).
+
+    Routes each query to its ``nprobe`` nearest centroids, then joins
+    against the index ON THE CELL KEY — because the index is partitioned
+    by ``cell``, Catalyst prunes every unprobed ``cell=`` directory from
+    the parquet scan (dynamic partition pruning at cluster scale; with a
+    small probe set the cell filter is even static). Same exact-integer
+    re-rank as :func:`ivf_topk`.
+    """
+    q = _with_quant(queries, id_col, vec_col, "query")
+    w_probe = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cent_id"))
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "query_q",
+            "query_norm",
+            "cent_id",
+            l2_sq_q(F.col("query_q"), F.col("cent_q")).alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "query_q", "query_norm", F.col("cent_id").alias("cell"))
+    )
+    index = spark.read.parquet(path)
+    scored = (
+        probed.join(index, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_q(
+                dot_q(F.col("query_q"), F.col("neighbor_q")),
+                F.col("query_norm"),
+                F.col("neighbor_norm"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

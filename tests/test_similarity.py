@@ -207,3 +207,34 @@ def test_embedding_near_duplicates_lsh_recall(spark, sf_dir, vecs):
     assert not got - want  # precision exact: verify filter admits no false pair
     recall = len(got & want) / len(want)
     assert recall >= 0.9, f"LSH near-dup recall {recall:.2f} too low"
+
+
+def test_ivf_index_build_query_and_partition_pruning(spark, sf_dir, tmp_path):
+    from amazonredshift_blueprints_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        query_ivf_index,
+    )
+    from amazonredshift_blueprints_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_index")
+    cents = build_ivf_index(e, path, n_cells=16)
+    queries = e.filter(F.col("vec_id") < 10)
+
+    got = query_ivf_index(spark, path, cents, queries, k=5, nprobe=4)
+    want = ivf_topk(e, queries, k=5, n_cells=16, nprobe=4)
+    gm = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in got.collect()}
+    wm = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in want.collect()}
+    assert gm == wm  # stored index reproduces the in-memory operator
+
+    # The probe join must prune cell= partitions from the index scan:
+    # the physical scan carries a partition filter on `cell`, so probe
+    # I/O is nprobe/n_cells of the corpus, not a full scan.
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "ivf_index" in ln]
+    assert scan_lines, plan
+    assert any(
+        "dynamicpruning" in ln.lower() or "PartitionFilters: [" in ln
+        for ln in scan_lines
+    ), "\n".join(scan_lines)
