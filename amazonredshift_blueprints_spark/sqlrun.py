@@ -37,15 +37,35 @@ def execute_sql(spark: SparkSession, query: str) -> None:
 
 
 def get_args(argv: list[str] | None = None) -> argparse.Namespace:
+    """CLI surface mirroring execute_sql.py:7-42, connection args
+    included for arg-level parity; see :func:`main` for the documented
+    execution boundary."""
+    from .sources.jdbc import add_connection_args
+
     parser = argparse.ArgumentParser(description=__doc__)
+    add_connection_args(parser)
     parser.add_argument("--query", dest="query", required=True)
     return parser.parse_args(argv)
 
 
 def main(argv: list[str] | None = None) -> None:
     from .session import get_spark, register_tables
+    from .sources.jdbc import connection_options_from_args
 
     args = get_args(argv)
+    jdbc_opts = connection_options_from_args(args)
+    if jdbc_opts is not None:
+        # Validated for parity, but honestly refused: Spark's JDBC data
+        # source reads tables/queries — it cannot execute arbitrary
+        # statements server-side (that is a direct-connection feature,
+        # execute_sql.py:77). Row-returning queries belong to the export
+        # CLI's JDBC path; loads to the ingest CLI's.
+        raise NotImplementedError(
+            "server-side statement execution needs a direct warehouse "
+            "connection, which the Spark JDBC data source does not provide; "
+            "use the export CLI (--query + connection args) for warehouse "
+            "queries or the ingest CLI for loads"
+        )
     spark = get_spark("execute-sql")
     register_tables(spark)
     execute_sql(spark, args.query)

@@ -147,3 +147,13 @@ def test_cli_partial_tuple_rejected():
     ])
     with pytest.raises(ValueError, match="--host requires"):
         jdbc.connection_options_from_args(args)
+
+
+def test_sqlrun_connection_args_refused_with_pointer():
+    from amazonredshift_blueprints_spark import sqlrun
+
+    with pytest.raises(NotImplementedError, match="export CLI"):
+        sqlrun.main([
+            "--query", "SELECT 1",
+            "--host", "h", "--database", "db", "--username", "u",
+        ])
