@@ -201,6 +201,72 @@ def l2_sq_q(a: Column, b: Column) -> Column:
     )
 
 
+def _collect_centroids(cents: DataFrame) -> list[tuple[int, list[int]]]:
+    """Centroid table → driver-side [(cent_id, cent_q)], sorted by id.
+
+    k×dim METADATA (16×32 longs at the defaults), not data — the same
+    driver-side footprint MLlib's k-means keeps between iterations. The
+    list becomes a pure literal in :func:`_dist_cell_pairs`, which is
+    what lets cell assignment run row-locally with zero exchanges.
+    """
+    rows = cents.select("cent_id", "cent_q").collect()
+    return sorted((int(r["cent_id"]), [int(x) for x in r["cent_q"]]) for r in rows)
+
+
+def _dist_cell_pairs(vec_q: Column, cents: list[tuple[int, list[int]]]) -> Column:
+    """array<struct<d,cell>> of exact L2² distances to every centroid,
+    computed row-locally from literal centroid arrays — no join, no
+    row expansion. One zip_with/aggregate template regardless of k."""
+    cent_ids = F.lit([cid for cid, _ in cents]).cast("array<long>")
+    cent_qs = F.lit([cq for _, cq in cents]).cast("array<array<long>>")
+    return F.zip_with(
+        cent_qs,
+        cent_ids,
+        lambda cq, cid: F.struct(
+            l2_sq_q(vec_q, cq).alias("d"), cid.alias("cell")
+        ),
+    )
+
+
+def argmin_cell(vec_q: Column, cents: list[tuple[int, list[int]]]) -> Column:
+    """Row-local argmin-L2 cell id (ties → lowest cell id, via struct
+    ordering under ``array_min``). Replaces the former crossJoin +
+    ``row_number() OVER (PARTITION BY id)`` argmin, which expanded the
+    corpus n_cells× and then hash-shuffled the expanded set — at 100 TB
+    × 16 cells a ~1.6 PB shuffle for a per-row computation. This form
+    is a single projection: zero exchanges (asserted in
+    ``tests/test_plans.py``)."""
+    return F.array_min(_dist_cell_pairs(vec_q, cents))["cell"]
+
+
+def probe_cells(vec_q: Column, cents: list[tuple[int, list[int]]], nprobe: int) -> Column:
+    """Row-local array of the ``nprobe`` nearest cell ids, ordered by
+    (L2², cell id) — the query-routing half of IVF, same zero-exchange
+    shape as :func:`argmin_cell` (sort k structs per row, slice)."""
+    ordered = F.array_sort(_dist_cell_pairs(vec_q, cents))
+    return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["cell"])
+
+
+def assign_cells(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus → (neighbor_id, neighbor_q, neighbor_norm, cell): each
+    vector tagged with its argmin-L2 centroid cell. Pure projection over
+    the scan — the plan contains no Exchange, so at 100 TB the index
+    build is one map-only pass."""
+    c = _with_quant(corpus, id_col, vec_col, "neighbor")
+    return c.select(
+        "neighbor_id",
+        "neighbor_q",
+        "neighbor_norm",
+        argmin_cell(F.col("neighbor_q"), cents).alias("cell"),
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     *,
@@ -222,53 +288,55 @@ def kmeans_centroids(
       count, rounded back to the quantized grid. Empty cells keep their
       previous centroid.
 
-    Each iteration is one broadcast join + one hash aggregate over the
-    corpus; only the k×dim centroid table (metadata, not data) returns
-    to the driver between iterations — the same loop shape as MLlib's
-    distributed k-means. Returns (cent_id, cent_q, cent_norm) ready for
-    :func:`ivf_topk`'s ``centroids`` parameter.
+    Each iteration is one map-only assignment pass (row-local argmin
+    over the literal centroid array — zero joins, zero row expansion;
+    see :func:`argmin_cell`) plus one posexplode + hash aggregate over
+    (cell, component) — dim-independent plan width, so dim=768 emits
+    the same two-column agg as dim=32. Only the k×dim centroid table
+    (metadata, not data) returns to the driver between iterations — the
+    same loop shape as MLlib's distributed k-means. Returns (cent_id,
+    cent_q, cent_norm) ready for :func:`ivf_topk`'s ``centroids``
+    parameter.
     """
     c = _with_quant(corpus, id_col, vec_col, "neighbor")
     cents = [
-        (int(r["neighbor_id"]), list(r["neighbor_q"]))
+        (int(r["neighbor_id"]), [int(x) for x in r["neighbor_q"]])
         for r in c.filter(F.col("neighbor_id") < n_cells)
         .select("neighbor_id", "neighbor_q")
         .collect()
     ]
+    cents.sort()
+    if len(cents) != n_cells:
+        raise ValueError(
+            f"k-means init rule needs ids 0..{n_cells - 1} present in "
+            f"{id_col}; found {len(cents)} of {n_cells} seed vectors"
+        )
     dim = len(cents[0][1])
     spark = corpus.sparkSession
     for _ in range(max(0, iters)):
-        cent_df = spark.createDataFrame(
-            [(i, q) for i, (_, q) in enumerate(cents)],
-            "cent_id: int, cent_q: array<long>",
+        lit_cents = [(i, q) for i, (_, q) in enumerate(cents)]
+        assigned = c.select(
+            "neighbor_q",
+            argmin_cell(F.col("neighbor_q"), lit_cents).alias("cent_id"),
         )
-        w = Window.partitionBy("neighbor_id").orderBy(F.asc("d"), F.asc("cent_id"))
-        assigned = (
-            c.crossJoin(F.broadcast(cent_df))
-            .select(
-                "neighbor_id",
-                "neighbor_q",
-                "cent_id",
-                l2_sq_q(F.col("neighbor_q"), F.col("cent_q")).alias("d"),
+        sums = (
+            assigned.select("cent_id", F.posexplode("neighbor_q").alias("pos", "v"))
+            .groupBy("cent_id", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        acc: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums.collect():  # k×dim metadata rows, not data
+            acc.setdefault(int(r["cent_id"]), {})[int(r["pos"])] = (
+                int(r["s"]), int(r["n"]),
             )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-        )
-        means = assigned.groupBy("cent_id").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(F.col("neighbor_q")[i]).alias(f"s{i}")
-                for i in range(dim)
-            ],
-        )
-        updated = {
-            int(r["cent_id"]): [
-                int(round(r[f"s{i}"] / r["n"])) for i in range(dim)
-            ]
-            for r in means.collect()
-        }
         cents = [
-            (cid, updated.get(i, q)) for i, (cid, q) in enumerate(cents)
+            (
+                cid,
+                [int(round(acc[i][p][0] / acc[i][p][1])) for p in range(dim)]
+                if i in acc
+                else q,  # empty cell keeps its previous centroid
+            )
+            for i, (cid, q) in enumerate(cents)
         ]
     out = spark.createDataFrame(
         [(i, q) for i, (_, q) in enumerate(cents)],
@@ -301,18 +369,20 @@ def ivf_topk(
       mechanics — the part that must scale — are identical either way;
       the fixed rule keeps the oracle-checked entry exactly replayable
       in ANSI SQL, the k-means path buys recall.
-    - **assignment**: each corpus vector joins the broadcast centroid
-      table and keeps its argmin-L2 cell (|C|·n_cells integer ops, one
-      narrow window per vector id).
-    - **probe + re-rank**: each query scans only its probed cells:
-      ~|Q| · nprobe/n_cells of the corpus instead of |Q|·|C|.
+    - **assignment**: each corpus vector computes its argmin-L2 cell
+      row-locally against the literal centroid array (|C|·n_cells
+      integer ops in one map-only projection — no join, no row
+      expansion, no shuffle; see :func:`argmin_cell`).
+    - **probe + re-rank**: each query routes to its ``nprobe`` nearest
+      cells row-locally (:func:`probe_cells`), then scans only those
+      cells' members: ~|Q| · nprobe/n_cells of the corpus instead of
+      |Q|·|C|.
 
     100 TB: the corpus-side cell table is the stored "index" — write it
     partitioned by cell and the probe join becomes a partition-pruned
     scan; distances are exact int64 (deterministic), only the final
     cosine is a double.
     """
-    c = _with_quant(corpus, id_col, vec_col, "neighbor")
     q = _with_quant(queries, id_col, vec_col, "query")
     if kmeans_iters > 0:
         cents = kmeans_centroids(
@@ -326,34 +396,14 @@ def ivf_topk(
         cents = _with_quant(
             corpus.filter(F.col(id_col) < n_cells), id_col, vec_col, "cent"
         )
+    cent_rows = _collect_centroids(cents)
 
-    w_assign = Window.partitionBy("neighbor_id").orderBy(F.asc("d"), F.asc("cent_id"))
-    cells = (
-        c.crossJoin(F.broadcast(cents))
-        .select(
-            "neighbor_id",
-            "neighbor_q",
-            "neighbor_norm",
-            "cent_id",
-            l2_sq_q(F.col("neighbor_q"), F.col("cent_q")).alias("d"),
-        )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("neighbor_id", "neighbor_q", "neighbor_norm", F.col("cent_id").alias("cell"))
-    )
-    w_probe = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cent_id"))
-    probed = (
-        q.crossJoin(F.broadcast(cents))
-        .select(
-            "query_id",
-            "query_q",
-            "query_norm",
-            "cent_id",
-            l2_sq_q(F.col("query_q"), F.col("cent_q")).alias("d"),
-        )
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "query_q", "query_norm", F.col("cent_id").alias("cell"))
+    cells = assign_cells(corpus, cent_rows, id_col=id_col, vec_col=vec_col)
+    probed = q.select(
+        "query_id",
+        "query_q",
+        "query_norm",
+        F.explode(probe_cells(F.col("query_q"), cent_rows, nprobe)).alias("cell"),
     )
     scored = (
         probed.join(cells, "cell")
@@ -545,10 +595,13 @@ def build_ivf_index(
     needed to route queries.
 
     This is the "stored index" half of the IVF design: at 100 TB the
-    assignment job runs once, and every subsequent query batch reads
-    ONLY its probed cells — Spark prunes `cell=` partitions from the
-    scan (asserted in tests via the scan's partition filters), so probe
-    I/O is nprobe/n_cells of the corpus instead of a full scan.
+    assignment job runs once — and is a map-only pass (row-local argmin
+    against the literal centroid array, zero exchanges before the
+    partitioned write; see :func:`argmin_cell`) — and every subsequent
+    query batch reads ONLY its probed cells — Spark prunes `cell=`
+    partitions from the scan (asserted in tests via the scan's
+    partition filters), so probe I/O is nprobe/n_cells of the corpus
+    instead of a full scan.
     """
     if kmeans_iters > 0:
         cents = kmeans_centroids(
@@ -559,23 +612,8 @@ def build_ivf_index(
         cents = _with_quant(
             corpus.filter(F.col(id_col) < n_cells), id_col, vec_col, "cent"
         )
-    c = _with_quant(corpus, id_col, vec_col, "neighbor")
-    w_assign = Window.partitionBy("neighbor_id").orderBy(F.asc("d"), F.asc("cent_id"))
-    cells = (
-        c.crossJoin(F.broadcast(cents))
-        .select(
-            "neighbor_id",
-            "neighbor_q",
-            "neighbor_norm",
-            "cent_id",
-            l2_sq_q(F.col("neighbor_q"), F.col("cent_q")).alias("d"),
-        )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select(
-            "neighbor_id", "neighbor_q", "neighbor_norm",
-            F.col("cent_id").alias("cell"),
-        )
+    cells = assign_cells(
+        corpus, _collect_centroids(cents), id_col=id_col, vec_col=vec_col
     )
     cells.write.mode("overwrite").partitionBy("cell").parquet(path)
     return cents
@@ -594,27 +632,21 @@ def query_ivf_index(
 ) -> DataFrame:
     """Top-k against a stored IVF index (see :func:`build_ivf_index`).
 
-    Routes each query to its ``nprobe`` nearest centroids, then joins
-    against the index ON THE CELL KEY — because the index is partitioned
-    by ``cell``, Catalyst prunes every unprobed ``cell=`` directory from
+    Routes each query to its ``nprobe`` nearest centroids row-locally
+    (:func:`probe_cells` — no join, no window), then joins against the
+    index ON THE CELL KEY — because the index is partitioned by
+    ``cell``, Catalyst prunes every unprobed ``cell=`` directory from
     the parquet scan (dynamic partition pruning at cluster scale; with a
     small probe set the cell filter is even static). Same exact-integer
     re-rank as :func:`ivf_topk`.
     """
     q = _with_quant(queries, id_col, vec_col, "query")
-    w_probe = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cent_id"))
-    probed = (
-        q.crossJoin(F.broadcast(centroids))
-        .select(
-            "query_id",
-            "query_q",
-            "query_norm",
-            "cent_id",
-            l2_sq_q(F.col("query_q"), F.col("cent_q")).alias("d"),
-        )
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "query_q", "query_norm", F.col("cent_id").alias("cell"))
+    cent_rows = _collect_centroids(centroids)
+    probed = q.select(
+        "query_id",
+        "query_q",
+        "query_norm",
+        F.explode(probe_cells(F.col("query_q"), cent_rows, nprobe)).alias("cell"),
     )
     index = spark.read.parquet(path)
     scored = (

@@ -102,3 +102,32 @@ def test_c27_lsh_neardup_no_cartesian(spark, sf_dir):
     p = _plan(spark, sf_dir, "c27_dedup_embedding_lsh")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ivf_cell_assignment_zero_exchange(spark, sf_dir):
+    """The IVF index-build's cell assignment must be a map-only pass:
+    row-local argmin over the literal centroid array — no crossJoin row
+    expansion, no window shuffle. At 100 TB x 16 cells the old
+    crossJoin+row_number shape was a ~1.6 PB shuffle."""
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.operators.similarity import (
+        _collect_centroids,
+        _with_quant,
+        assign_cells,
+    )
+    from amazonredshift_blueprints_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _collect_centroids(
+        _with_quant(e.filter(F.col("vec_id") < 16), "vec_id", "embedding", "cent")
+    )
+    p = (
+        assign_cells(e, cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p
+    assert "Window" not in p, p
