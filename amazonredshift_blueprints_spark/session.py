@@ -97,19 +97,44 @@ def configure_runtime(spark: SparkSession) -> None:
             pass  # static conf on some builds; get_spark sets it at build time
 
 
+def normalize_events_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize ``events.ts`` to TimestampType whatever the reader produced.
+
+    The fixture parquet stores INT64 TIMESTAMP(NANOS). Depending on the
+    Spark build and whether ``nanosAsLong`` took effect before the read,
+    the column arrives as one of:
+
+    - ``bigint`` (nanosAsLong path): integer-divide to micros and cast.
+      Integer division matters — double division loses precision on
+      ~1.7e18 nano values (53-bit mantissa) and shifts timestamps ±1 µs.
+    - ``timestamp_ntz``: cast to TIMESTAMP. The session timezone is
+      pinned to UTC (_RUNTIME_CONFS), so the wall-clock values are
+      reinterpreted as UTC instants — bit-identical to DuckDB's read.
+    - ``timestamp``: already the logical type; leave untouched.
+
+    Every consumer (batch ``load_table``, streaming ``read_events_stream``)
+    goes through here so downstream code can rely on TimestampType
+    unconditionally — ``unix_micros`` and ``withWatermark`` both reject NTZ.
+    """
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype == "bigint":
+        df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, normalizing types to the logical schema.
 
-    ``events.ts`` arrives as long nanos (see _RUNTIME_CONFS) and is cast to
-    a microsecond TimestampType — bit-identical to DuckDB's read of the
-    same file.
+    ``events.ts`` is normalized to a microsecond TimestampType whatever
+    the parquet reader yields (see normalize_events_ts) — bit-identical
+    to DuckDB's read of the same file.
     """
     configure_runtime(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # Integer division: double division would lose precision on ~1.7e18
-        # nano values (53-bit mantissa) and shift timestamps by ±1 µs.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_events_ts(df)
     return df
 
 

@@ -15,18 +15,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import configure_runtime
+from ..session import configure_runtime, normalize_events_ts
 
 
 def read_events_stream(
     spark: SparkSession, events_parquet_dir: str, schema
 ) -> DataFrame:
-    """File-source stream over events parquet (nanos ts normalized)."""
+    """File-source stream over events parquet (ts normalized to TIMESTAMP).
+
+    normalize_events_ts handles every reader behavior (long nanos,
+    TIMESTAMP_NTZ, TIMESTAMP) — withWatermark downstream rejects NTZ, so
+    the cast must happen here, before any event-time operator.
+    """
     configure_runtime(spark)
     df = spark.readStream.schema(schema).parquet(events_parquet_dir)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_events_ts(df)
 
 
 def stream_session_counts(

@@ -347,3 +347,33 @@ def test_csv_parse_modes(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception, match="MALFORMED|FAILFAST|Malformed"):
         read_csv(spark, str(bad), schema=schema, parse_mode="FAILFAST").collect()
+
+
+def test_events_ts_is_timestamp_regardless_of_reader(spark, sf_dir):
+    """Fixture-type contract: events.ts MUST arrive as TimestampType no
+    matter how the parquet reader surfaced the INT64(NANOS) column
+    (bigint via nanosAsLong, TIMESTAMP_NTZ, or TIMESTAMP). Every
+    event-time consumer (asof join, withWatermark, unix_micros) rejects
+    NTZ, so a reader-behavior shift must be caught HERE, not in seven
+    downstream operators (the round-5 c19/c36 regression)."""
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampNTZType, TimestampType
+
+    from amazonredshift_blueprints_spark.session import normalize_events_ts
+
+    e = load_table(spark, sf_dir, "events")
+    assert e.schema["ts"].dataType == TimestampType()
+    # unix_micros is the canary: analysis fails on NTZ
+    assert e.select(F.unix_micros("ts")).limit(1).count() == 1
+
+    # unit-check all three normalization branches on synthetic frames
+    for src_type, expr in (
+        (LongType(), F.lit(1704067200_123456000).cast("long")),  # nanos
+        (TimestampNTZType(), F.lit("2024-01-01 00:00:00.123456").cast("timestamp_ntz")),
+        (TimestampType(), F.lit("2024-01-01 00:00:00.123456").cast("timestamp")),
+    ):
+        df = spark.range(1).select(expr.alias("ts"))
+        assert df.schema["ts"].dataType == src_type  # precondition
+        out = normalize_events_ts(df)
+        assert out.schema["ts"].dataType == TimestampType()
+        micros = out.select(F.unix_micros("ts").alias("m")).first()["m"]
+        assert micros == 1704067200_123456  # same instant on every path
