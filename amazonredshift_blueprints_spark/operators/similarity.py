@@ -201,16 +201,41 @@ def l2_sq_q(a: Column, b: Column) -> Column:
     )
 
 
+# Upper bound on n_cells*dim for the literal-centroid path: beyond this the
+# generated expression tree (k×dim literals inlined into every distance
+# lambda) bloats Catalyst analysis and can exceed JVM method limits. 16×32
+# defaults = 512; 1024 cells × 768 dims = 786k would not survive. Callers
+# needing bigger quantizers should assign cells via a broadcast join on a
+# centroid table instead of the row-local literal argmin.
+MAX_LITERAL_CENTROID_CELLS = 65_536
+
+
 def _collect_centroids(cents: DataFrame) -> list[tuple[int, list[int]]]:
     """Centroid table → driver-side [(cent_id, cent_q)], sorted by id.
 
-    k×dim METADATA (16×32 longs at the defaults), not data — the same
+    NOTE this is an EAGER driver-side collect at call time (ivf_topk /
+    build_ivf_index / query_ivf_index are therefore not fully lazy) — but
+    of k×dim METADATA (16×32 longs at the defaults), not data: the same
     driver-side footprint MLlib's k-means keeps between iterations. The
     list becomes a pure literal in :func:`_dist_cell_pairs`, which is
     what lets cell assignment run row-locally with zero exchanges.
     """
     rows = cents.select("cent_id", "cent_q").collect()
-    return sorted((int(r["cent_id"]), [int(x) for x in r["cent_q"]]) for r in rows)
+    out = sorted((int(r["cent_id"]), [int(x) for x in r["cent_q"]]) for r in rows)
+    if not out:
+        raise ValueError(
+            "empty centroid table: an IVF index cannot be built/probed with "
+            "zero cells (argmin over no centroids would route every vector "
+            "to a null cell)"
+        )
+    total = len(out) * len(out[0][1])
+    if total > MAX_LITERAL_CENTROID_CELLS:
+        raise ValueError(
+            f"n_cells*dim = {total} exceeds the literal-centroid bound "
+            f"({MAX_LITERAL_CENTROID_CELLS}); use a broadcast-join cell "
+            "assignment for quantizers this large"
+        )
+    return out
 
 
 def _dist_cell_pairs(vec_q: Column, cents: list[tuple[int, list[int]]]) -> Column:
@@ -267,6 +292,20 @@ def assign_cells(
     )
 
 
+def _div_round(s: int, n: int) -> int:
+    """Exact integer round-half-away-from-zero of s/n (n > 0).
+
+    Python's float ``round()`` is banker's rounding on a lossy double
+    quotient — neither property replays in SQL. This rule is pure
+    integer arithmetic: DuckDB replays it as
+    ``CASE WHEN s >= 0 THEN (2*s + n) // (2*n) ELSE -((2*(-s) + n) // (2*n)) END``
+    and NumPy as the same formula on int64.
+    """
+    if s >= 0:
+        return (2 * s + n) // (2 * n)
+    return -((2 * (-s) + n) // (2 * n))
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     *,
@@ -285,8 +324,11 @@ def kmeans_centroids(
     - **assign**: broadcast the k×dim centroid table, keep each vector's
       argmin-L2 cell (exact BIGINT distances, ties → lowest cell id).
     - **update**: per-cell elementwise mean = exact integer sum /
-      count, rounded back to the quantized grid. Empty cells keep their
-      previous centroid.
+      count, rounded back to the quantized grid with integer
+      round-half-away-from-zero (``_div_round``) — pure int arithmetic,
+      no float division, so the rule replays bit-identically in NumPy
+      (tests/test_similarity.py) and ANSI SQL (the c28 DuckDB oracle).
+      Empty cells keep their previous centroid.
 
     Each iteration is one map-only assignment pass (row-local argmin
     over the literal centroid array — zero joins, zero row expansion;
@@ -306,10 +348,10 @@ def kmeans_centroids(
         .collect()
     ]
     cents.sort()
-    if len(cents) != n_cells:
+    if [cid for cid, _ in cents] != list(range(n_cells)):
         raise ValueError(
-            f"k-means init rule needs ids 0..{n_cells - 1} present in "
-            f"{id_col}; found {len(cents)} of {n_cells} seed vectors"
+            f"k-means init rule needs ids exactly 0..{n_cells - 1} present "
+            f"in {id_col}; got ids {[cid for cid, _ in cents][:n_cells + 1]}"
         )
     dim = len(cents[0][1])
     spark = corpus.sparkSession
@@ -332,7 +374,7 @@ def kmeans_centroids(
         cents = [
             (
                 cid,
-                [int(round(acc[i][p][0] / acc[i][p][1])) for p in range(dim)]
+                [_div_round(acc[i][p][0], acc[i][p][1]) for p in range(dim)]
                 if i in acc
                 else q,  # empty cell keeps its previous centroid
             )

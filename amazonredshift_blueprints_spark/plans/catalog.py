@@ -1098,6 +1098,99 @@ _DUCK_QUANT = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 100
 _DUCK_DOT = (
     "list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
 )
+_DUCK_L2 = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+
+def _duck_kmeans_ivf_oracle(*, n_cells: int, iters: int, nprobe: int, k: int,
+                            n_queries: int) -> str:
+    """DuckDB replay of the deterministic integer Lloyd loop + IVF probe.
+
+    Unrolls ``iters`` E/M steps as chained CTEs. Every rule matches
+    operators/similarity.py exactly: lowest-id init, argmin over exact
+    int64 L2² with ties to the lowest cell id, per-cell integer mean
+    with round-half-away-from-zero (_div_round), empty cells keeping
+    their previous centroid. SUM over BIGINT is HUGEINT in DuckDB, so
+    the sums are exact too.
+    """
+    round_expr = "CASE WHEN s >= 0 THEN (2*s + n) // (2*n) ELSE -((2*(-s) + n) // (2*n)) END"
+    ctes = [
+        f"v AS (SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cent_id, qv AS cq FROM v WHERE vec_id < {n_cells})",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        a, m, c = f"a{it}", f"m{it}", f"c{it}"
+        ctes.append(f"""{a} AS (
+        SELECT vec_id, qv, cent_id FROM (
+            SELECT v.vec_id, v.qv, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_DUCK_L2.format(a='v.qv', b='c.cq')}, c.cent_id
+                   ) AS rn
+            FROM v CROSS JOIN {prev} c
+        ) WHERE rn = 1
+    )""")
+        ctes.append(f"""{m} AS (
+        SELECT cent_id,
+               list(CAST({round_expr} AS BIGINT) ORDER BY pos) AS cq
+        FROM (
+            SELECT cent_id, pos, SUM(val) AS s, COUNT(*) AS n FROM (
+                SELECT cent_id,
+                       unnest(range(len(qv))) AS pos,
+                       unnest(qv) AS val
+                FROM {a}
+            ) GROUP BY cent_id, pos
+        ) GROUP BY cent_id
+    )""")
+        ctes.append(
+            f"{c} AS (SELECT p.cent_id, COALESCE(m.cq, p.cq) AS cq "
+            f"FROM {prev} p LEFT JOIN {m} m USING (cent_id))"
+        )
+        prev = c
+    ctes.append(f"""n AS (
+        SELECT vec_id, qv,
+               CAST({_DUCK_DOT.format(a='qv', b='qv')} AS BIGINT) AS norm
+        FROM v
+    )""")
+    ctes.append(f"""cells AS (
+        SELECT vec_id, qv, norm, cent_id AS cell FROM (
+            SELECT n.vec_id, n.qv, n.norm, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY {_DUCK_L2.format(a='n.qv', b='c.cq')}, c.cent_id
+                   ) AS rn
+            FROM n CROSS JOIN {prev} c
+        ) WHERE rn = 1
+    )""")
+    ctes.append(f"""probed AS (
+        SELECT vec_id, qv, norm, cent_id AS cell FROM (
+            SELECT n.vec_id, n.qv, n.norm, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY {_DUCK_L2.format(a='n.qv', b='c.cq')}, c.cent_id
+                   ) AS rn
+            FROM n CROSS JOIN {prev} c
+            WHERE n.vec_id < {n_queries}
+        ) WHERE rn <= {nprobe}
+    )""")
+    ctes.append(f"""scored AS (
+        SELECT p.vec_id AS query_id, s.vec_id AS neighbor_id,
+               CAST({_DUCK_DOT.format(a='p.qv', b='s.qv')} AS DOUBLE)
+                 / (sqrt(CAST(p.norm AS DOUBLE)) * sqrt(CAST(s.norm AS DOUBLE))) AS cosine
+        FROM probed p JOIN cells s ON p.cell = s.cell
+        WHERE p.vec_id <> s.vec_id
+    )""")
+    return "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
 
 # LSH parameters for c27 — shared by the Spark operator call and the
 # DuckDB oracle below, which replays candidate generation bit-for-bit
@@ -1217,16 +1310,21 @@ def c27_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "c28_ann_ivf_kmeans_topk",
-    oracle=None,  # iterative Lloyd loop: the contract's documented
-    # no-oracle case; hard signal is the clustered-recall pytest bound
-    # (tests/test_similarity.py::test_ivf_kmeans_quantizer_improves_clustered_recall)
+    # The Lloyd loop is exact integer arithmetic end-to-end (int64 L2^2,
+    # HUGEINT-exact sums, integer round-half-away-from-zero means), so the
+    # whole iterative algorithm unrolls into replayable ANSI SQL — a HARD
+    # oracle, equality not tolerance. A NumPy bit-identical replay also
+    # runs in tests/test_similarity.py::test_kmeans_centroids_bitwise_numpy_replay.
+    oracle=_duck_kmeans_ivf_oracle(n_cells=16, iters=2, nprobe=4, k=5,
+                                   n_queries=10),
     doc="IVF-Flat top-k with a k-means coarse quantizer: two "
         "deterministic Lloyd iterations (exact integer sums, lowest-id "
-        "init, ties to lowest cell) refine the cells before the "
-        "probe/re-rank stages shared with c17. On clustered data the "
-        "learned quantizer lifts recall 0.63 -> 0.89 at nprobe=2; each "
-        "iteration is one broadcast join + one hash aggregate, only the "
-        "kxdim centroid table returns to the driver",
+        "init, ties to lowest cell, integer half-away-from-zero means) "
+        "refine the cells before the probe/re-rank stages shared with "
+        "c17. On clustered data the learned quantizer lifts recall "
+        "0.63 -> 0.89 at nprobe=2; each iteration is one map-only "
+        "assignment pass + one hash aggregate, only the kxdim centroid "
+        "table returns to the driver",
     tags=("similarity", "approx"),
 )
 def c28_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2224,12 +2322,6 @@ def c36_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUCK_L2 = (
-    "list_sum(list_transform(generate_series(1, len({a})), "
-    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
-)
-
-
 @query(
     "c17_ann_ivf_topk",
     oracle=f"""
@@ -2290,6 +2382,36 @@ def c17_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = views(spark, sf_dir, "embeddings")["embeddings"]
     return ivf_topk(
         e, e.filter(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=4
+    )
+
+
+@query(
+    "c37_ann_ivf_stored",
+    # Deterministic fixed-rule cells -> identical semantics to the
+    # in-memory IVF path, so c17's oracle replays the stored index too.
+    # What c37 adds over c17 is the persistence contract: the index is
+    # a cell=-partitioned parquet table and the probe join must read it
+    # back (partition-pruned) rather than recompute assignments.
+    oracle=QUERIES["c17_ann_ivf_topk"].oracle,
+    doc="stored IVF index round-trip: build_ivf_index materializes the "
+        "cell-partitioned parquet index (map-only assignment, one "
+        "partitionBy write), query_ivf_index routes each query to its "
+        "nprobe cells row-locally and scans ONLY those cell= partitions "
+        "(pruning asserted in tests/test_similarity.py) — at 100 TB the "
+        "build runs once and every query batch reads nprobe/n_cells of "
+        "the corpus",
+    tags=("similarity", "approx", "storage"),
+)
+def c37_ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.similarity import build_ivf_index, query_ivf_index
+
+    e = views(spark, sf_dir, "embeddings")["embeddings"]
+    d = os.path.join(tempfile.mkdtemp(prefix="bp_ivf_index_"), "index")
+    cents = build_ivf_index(e, d, n_cells=16)
+    return query_ivf_index(
+        spark, d, cents, e.filter(F.col("vec_id") < 10), k=5, nprobe=4
     )
 
 
@@ -3348,81 +3470,80 @@ def c26_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Driver-window registration order.
+# Driver-window registration order (rotated each round).
 #
 # The round driver hard-verifies (DuckDB value-hash compare at sf0.01) the
 # FIRST 50 entries of this registry in iteration order; every entry beyond
 # that window is still verified by the identical local comparison in
 # tests/test_catalog_oracle.py at sf0.001, but gets no per-round
-# CORRECTNESS row. Rounds 1-3 registered entries in authoring order, so
-# q33-q48/c16-c26 (positions 51-77) never received driver rows even though
-# they pass the same oracle locally.
+# CORRECTNESS row.
 #
-# Fix: re-rank the registry so the window holds (a) every entry that has
-# never had a driver row, (b) entries whose code changed this round
-# (c05's contract, c27 new, q35/q42 over the rewritten DML counters), then
-# (c) core-family representatives. Entries pushed past the window all have
-# green driver rows in CORRECTNESS_r02/r03 on unchanged code.
+# Round-6 rotation policy (VERDICT r5 item 5): the window holds
+# (a) every entry whose code changed this round — the two r5 regressions
+#     fixed by normalize_events_ts (c19, c36) plus every other events.ts
+#     consumer (c12/c13/c15/c16/c20/c21/c33/c34/q49), the IVF family
+#     touched by the _collect_centroids/_div_round changes (c17, c28),
+#     and the new stored-index entry c37;
+# (b) all 37 entries whose newest driver row is r02/r03 — including the
+#     changed-in-r4 c04/q25/q29 the verdict called out.
+# Entries pushed out of the window (q01-q04, q33-q48, c01-c02, c05-c11,
+# c18, c22-c27, c29-c32, c35, …) all have green r04/r05 driver rows on
+# since-unchanged code.
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # (a) never driver-verified before round 4
-    "c16_stateful_stream_counts",
-    "c17_ann_ivf_topk",
-    "q33_bucketed_colocated_join",
-    "q34_salted_skew_join",
-    "q35_dml_delete_update",
-    "c18_text_tfidf",
+    # (a) code changed this round
     "c19_asof_join",
-    "q36_json_typed_struct",
-    "q37_stats_aggregates",
-    "q38_correlated_scalar_subquery",
-    "q39_null_aware_anti_join",
-    "q40_pivot",
-    "c20_range_join_bucketed",
-    "q41_qualify",
-    "q42_dml_merge",
-    "c21_gapfill_locf",
-    "c22_hash_split",
-    "q43_unpivot",
-    "q44_recursive_cte",
-    "q45_window_analytic_extra",
-    "c23_embedding_centroids",
-    "c24_dedup_minhash_portable",
-    "q46_setops_all",
-    "c25_pipeline_e2e",
-    "q47_lateral_topn",
-    "q48_regex_functions",
-    "c26_dedup_simhash_portable",
-    # (b) changed or new this round
-    "c27_dedup_embedding_lsh",
+    "c36_stream_dedup",
+    "c37_ann_ivf_stored",
     "c28_ann_ivf_kmeans_topk",
-    "c29_dedup_groups",
-    "c30_stratified_sample",
-    "c31_top_tokens",
-    "c32_pipeline_neardup_stratified",
+    "c17_ann_ivf_topk",
+    "c12_sessionize",
+    "c13_session_window",
+    "c15_event_window_rollup",
+    "c16_stateful_stream_counts",
+    "c20_range_join_bucketed",
+    "c21_gapfill_locf",
     "c33_retention_cohorts",
     "c34_funnel_counts",
-    "c35_frame_sample",
-    "c36_stream_dedup",
     "q49_window_dedup",
-    "c05_dedup_embedding",
-    # (c) core-family representatives (one per SURVEY §2 family;
-    # q06/q13/q16/q21/q22/q18/q23 yield their slots to the new c28-c34 —
-    # their families keep q03/q04, q10, q15, q19/q20 rows (q36 carries
-    # JSON, q46 set-ops, q38/q44/q47 CTE/subquery), and all seven have
-    # green driver rows in r02/r03 on unchanged code)
-    "q01_pricing_summary",
-    "q02_filter_project_string",
-    "q03_join_revenue_by_nation",
-    "q04_join_semi",
-    "q10_agg_hash",
-    "q15_window_rank",
-    "q17_topk",
-    "q19_scalar_dates",
-    "q20_scalar_math",
-    "c01_dedup_exact",
-    "c12_sessionize",
+    # (b) stale r02/r03 driver rows
+    "q05_join_anti",
+    "q06_join_left_outer",
+    "q07_join_full_outer",
+    "q08_join_theta",
+    "q09_join_cross",
+    "q11_agg_distinct",
+    "q12_agg_approx_distinct",
+    "q13_agg_rollup",
+    "q14_agg_cube",
+    "q16_window_frames",
+    "q18_setops",
+    "q21_scalar_conditional",
+    "q22_scalar_json",
+    "q23_cte_subquery",
+    "q24_ddl_ctas_insert",
+    "q25_redshift_dialect",
+    "q26_shipping_priority",
+    "a01_ingest_csv_roundtrip",
+    "a02_export_csv_roundtrip",
+    "a03_sql_passthrough",
+    "c02_dedup_minhash",
+    "c03_dedup_simhash",
+    "c04_dedup_ngram_jaccard",
+    "c06_ann_bruteforce_topk",
+    "c07_ann_lsh_topk",
+    "c08_text_stats",
+    "c09_text_langid",
+    "c10_text_tokens",
+    "c11_text_fingerprint",
+    "c14_multimodal_features",
+    "q27_array_map",
+    "q28_grouping_sets",
+    "q29_dialect_functions",
+    "q30_listagg_ordered_agg",
+    "q31_pandas_udf_scalar",
+    "q32_grouped_applyinpandas",
 ]
 
 

@@ -238,3 +238,60 @@ def test_ivf_index_build_query_and_partition_pruning(spark, sf_dir, tmp_path):
         "dynamicpruning" in ln.lower() or "PartitionFilters: [" in ln
         for ln in scan_lines
     ), "\n".join(scan_lines)
+
+
+def test_kmeans_centroids_bitwise_numpy_replay(spark, sf_dir, vecs):
+    """Hard correctness oracle for the k-means quantizer: the Lloyd loop
+    is exact integer arithmetic (int64 L2 distances, int sums, integer
+    round-half-away-from-zero means), so a NumPy replay must produce
+    BIT-IDENTICAL centroids and cell assignments — equality, not
+    tolerance."""
+    from amazonredshift_blueprints_spark.operators.similarity import (
+        assign_cells,
+        kmeans_centroids,
+    )
+
+    ids, q = vecs
+    qi = q.astype(np.int64)  # exact: quantized values fit in int64
+    n_cells, iters = 16, 2
+
+    # -- NumPy replay of the documented rules ---------------------------
+    cents = qi[np.argsort(ids)][:0]  # placeholder; init = ids 0..15 rows
+    id_pos = {int(v): i for i, v in enumerate(ids)}
+    cents = np.stack([qi[id_pos[c]] for c in range(n_cells)])
+
+    def np_assign(c):
+        # argmin over exact int64 L2^2; ties -> lowest cell id (argmin
+        # returns the first minimum, and cells are ordered by id)
+        d = ((qi[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)
+
+    for _ in range(iters):
+        cell = np_assign(cents)
+        new = cents.copy()
+        for ci in range(n_cells):
+            members = qi[cell == ci]
+            if len(members) == 0:
+                continue  # empty cell keeps previous centroid
+            s, n = members.sum(axis=0), len(members)
+            # integer round-half-away-from-zero, same as _div_round
+            new[ci] = np.where(
+                s >= 0, (2 * s + n) // (2 * n), -((2 * -s + n) // (2 * n))
+            )
+        cents = new
+    want_cells = np_assign(cents)
+
+    # -- Spark result ---------------------------------------------------
+    e = load_table(spark, sf_dir, "embeddings")
+    got_c = kmeans_centroids(e, n_cells=n_cells, iters=iters).collect()
+    got = {int(r["cent_id"]): [int(x) for x in r["cent_q"]] for r in got_c}
+    assert len(got) == n_cells
+    for ci in range(n_cells):
+        assert got[ci] == [int(x) for x in cents[ci]], f"centroid {ci} differs"
+
+    assigned = assign_cells(
+        e, sorted((c, v) for c, v in got.items())
+    ).select("neighbor_id", "cell").collect()
+    got_cells = {int(r["neighbor_id"]): int(r["cell"]) for r in assigned}
+    for i, vid in enumerate(ids):
+        assert got_cells[int(vid)] == int(want_cells[i]), f"vec {vid} cell differs"
