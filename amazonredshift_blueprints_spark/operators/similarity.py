@@ -238,38 +238,126 @@ def _collect_centroids(cents: DataFrame) -> list[tuple[int, list[int]]]:
     return out
 
 
-def _dist_cell_pairs(vec_q: Column, cents: list[tuple[int, list[int]]]) -> Column:
-    """array<struct<d,cell>> of exact L2² distances to every centroid,
-    computed row-locally from literal centroid arrays — no join, no
-    row expansion. One zip_with/aggregate template regardless of k."""
-    cent_ids = F.lit([cid for cid, _ in cents]).cast("array<long>")
-    cent_qs = F.lit([cq for _, cq in cents]).cast("array<array<long>>")
-    return F.zip_with(
-        cent_qs,
-        cent_ids,
-        lambda cq, cid: F.struct(
-            l2_sq_q(vec_q, cq).alias("d"), cid.alias("cell")
-        ),
+def _balanced_sum(terms: list[Column]) -> Column:
+    """Sum a term list as a balanced Add tree (depth log n, not n) so
+    codegen never hits Janino's nesting limits at larger dims."""
+    while len(terms) > 1:
+        terms = [
+            terms[j] + terms[j + 1] if j + 1 < len(terms) else terms[j]
+            for j in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+def dot_q_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Exact integer dot product, unrolled over a known ``dim``.
+
+    Semantically identical to :func:`dot_q`, but expressed as plain
+    ``getItem``/multiply/add expressions — these stay inside
+    WholeStageCodegen and JIT to straight-line arithmetic, where the
+    generic ``zip_with``+``aggregate`` form is a CodegenFallback that
+    evaluates ~2·dim interpreted lambda steps per row (measured ~1000×
+    slower per row at dim=64). Use whenever the dimension is known
+    (IVF knows it from the centroid table); keep :func:`dot_q` for
+    dimension-generic callers.
+    """
+    return _balanced_sum([a[i].cast("long") * b[i].cast("long") for i in range(dim)])
+
+
+def _np_quantize(mat) -> "object":
+    """NumPy replica of :func:`quantize`'s exact rule: float32 → float64
+    (exact), ×10⁶ (exact in the double mantissa at embedding
+    magnitudes), then ROUND_HALF_UP away from zero — the same rounding
+    Spark's ``F.round`` and DuckDB's ``round()`` apply. ``floor(x+0.5)``
+    is exact HALF_UP here because |x| < 2⁵² keeps the addition
+    representable."""
+    import numpy as np
+
+    x = mat.astype(np.float64) * QUANT_SCALE
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+
+
+def _cent_matrix(cents: list[tuple[int, list[int]]]):
+    """Validated centroid list → (k×dim int64 matrix, k norms)."""
+    import numpy as np
+
+    C = np.array([cq for _, cq in cents], dtype=np.int64)
+    return C, (C * C).sum(axis=1)
+
+
+def assign_cells_arrow_schema(prefix: str) -> str:
+    return (
+        f"{prefix}_id long, {prefix}_q array<long>, "
+        f"{prefix}_norm long, cell long"
     )
 
 
-def argmin_cell(vec_q: Column, cents: list[tuple[int, list[int]]]) -> Column:
-    """Row-local argmin-L2 cell id (ties → lowest cell id, via struct
-    ordering under ``array_min``). Replaces the former crossJoin +
-    ``row_number() OVER (PARTITION BY id)`` argmin, which expanded the
-    corpus n_cells× and then hash-shuffled the expanded set — at 100 TB
-    × 16 cells a ~1.6 PB shuffle for a per-row computation. This form
-    is a single projection: zero exchanges (asserted in
-    ``tests/test_plans.py``)."""
-    return F.array_min(_dist_cell_pairs(vec_q, cents))["cell"]
+def _arrow_cell_pass(
+    df: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    *,
+    id_col: str,
+    vec_col: str,
+    prefix: str,
+    nprobe: int | None,
+) -> DataFrame:
+    """Shared Arrow kernel for IVF cell assignment (``nprobe=None``) and
+    query probing (``nprobe=n``): one ``mapInPandas`` pass computing the
+    quantized vector, its norm, and the argmin / nprobe-nearest cells
+    against the broadcast-small centroid matrix.
 
+    Why Arrow and not built-in expressions: the natural DataFrame forms
+    are all orders-of-magnitude off for fixed-dim vector math —
+    ``zip_with``/``aggregate`` lambdas are CodegenFallback (measured
+    ~1 ms/row interpreted at k=16, dim=64), unrolling k×dim literal
+    arithmetic explodes the plan (5 MiB task binaries, past Janino's
+    method limit, whole-stage codegen bails), and a crossJoin+window
+    argmin shuffles an n_cells×-expanded corpus (~PBs at 100 TB). A
+    vectorized int64 matmul per Arrow batch is exact (no float
+    accumulation), deterministic (ties resolved to the lowest cell id:
+    ``argmin`` takes the first minimum, stable ``argsort`` keeps
+    id order), and keeps the map-only shape: no join, no shuffle, no
+    row expansion (plan asserted Exchange-free in tests/test_plans.py).
+    """
+    import numpy as np
+    import pandas as pd
 
-def probe_cells(vec_q: Column, cents: list[tuple[int, list[int]]], nprobe: int) -> Column:
-    """Row-local array of the ``nprobe`` nearest cell ids, ordered by
-    (L2², cell id) — the query-routing half of IVF, same zero-exchange
-    shape as :func:`argmin_cell` (sort k structs per row, slice)."""
-    ordered = F.array_sort(_dist_cell_pairs(vec_q, cents))
-    return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["cell"])
+    C, Cn = _cent_matrix(cents)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = _np_quantize(np.stack(pdf[vec_col].to_numpy()))
+            norms = (M * M).sum(axis=1)
+            # exact int64: ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2
+            d = norms[:, None] - 2 * (M @ C.T) + Cn[None, :]
+            ids = pdf[id_col].to_numpy()
+            if nprobe is None:
+                yield pd.DataFrame(
+                    {
+                        f"{prefix}_id": ids,
+                        f"{prefix}_q": list(M),
+                        f"{prefix}_norm": norms,
+                        "cell": d.argmin(axis=1).astype(np.int64),
+                    }
+                )
+            else:
+                # stable sort: equal distances keep ascending cell id
+                near = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+                n = near.shape[1]
+                yield pd.DataFrame(
+                    {
+                        f"{prefix}_id": np.repeat(ids, n),
+                        f"{prefix}_q": [m for m in M for _ in range(n)],
+                        f"{prefix}_norm": np.repeat(norms, n),
+                        "cell": near.reshape(-1).astype(np.int64),
+                    }
+                )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        kernel, assign_cells_arrow_schema(prefix)
+    )
 
 
 def assign_cells(
@@ -280,15 +368,33 @@ def assign_cells(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Corpus → (neighbor_id, neighbor_q, neighbor_norm, cell): each
-    vector tagged with its argmin-L2 centroid cell. Pure projection over
-    the scan — the plan contains no Exchange, so at 100 TB the index
-    build is one map-only pass."""
-    c = _with_quant(corpus, id_col, vec_col, "neighbor")
-    return c.select(
-        "neighbor_id",
-        "neighbor_q",
-        "neighbor_norm",
-        argmin_cell(F.col("neighbor_q"), cents).alias("cell"),
+    vector tagged with its argmin-L2 centroid cell. One Arrow-batched
+    map-only pass over the scan — the plan contains no Exchange, so at
+    100 TB the index build is a single scan-shaped job (asserted in
+    ``tests/test_plans.py``). Replaces the former crossJoin +
+    ``row_number()`` argmin, which expanded the corpus n_cells× and
+    shuffled the expansion (~1.6 PB at 100 TB × 16 cells)."""
+    return _arrow_cell_pass(
+        corpus, cents, id_col=id_col, vec_col=vec_col,
+        prefix="neighbor", nprobe=None,
+    )
+
+
+def probe_cells(
+    queries: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    nprobe: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Queries → (query_id, query_q, query_norm, cell), one row per
+    (query, probed cell): each query routed to its ``nprobe`` nearest
+    cells by (L2², cell id) — the routing half of IVF, same map-only
+    Arrow pass as :func:`assign_cells`."""
+    return _arrow_cell_pass(
+        queries, cents, id_col=id_col, vec_col=vec_col,
+        prefix="query", nprobe=nprobe,
     )
 
 
@@ -332,7 +438,7 @@ def kmeans_centroids(
 
     Each iteration is one map-only assignment pass (row-local argmin
     over the literal centroid array — zero joins, zero row expansion;
-    see :func:`argmin_cell`) plus one posexplode + hash aggregate over
+    see :func:`assign_cells`) plus one posexplode + hash aggregate over
     (cell, component) — dim-independent plan width, so dim=768 emits
     the same two-column agg as dim=32. Only the k×dim centroid table
     (metadata, not data) returns to the driver between iterations — the
@@ -340,12 +446,12 @@ def kmeans_centroids(
     cent_q, cent_norm) ready for :func:`ivf_topk`'s ``centroids``
     parameter.
     """
-    c = _with_quant(corpus, id_col, vec_col, "neighbor")
+    seeds = _with_quant(
+        corpus.filter(F.col(id_col) < n_cells), id_col, vec_col, "neighbor"
+    )
     cents = [
         (int(r["neighbor_id"]), [int(x) for x in r["neighbor_q"]])
-        for r in c.filter(F.col("neighbor_id") < n_cells)
-        .select("neighbor_id", "neighbor_q")
-        .collect()
+        for r in seeds.select("neighbor_id", "neighbor_q").collect()
     ]
     cents.sort()
     if [cid for cid, _ in cents] != list(range(n_cells)):
@@ -357,10 +463,10 @@ def kmeans_centroids(
     spark = corpus.sparkSession
     for _ in range(max(0, iters)):
         lit_cents = [(i, q) for i, (_, q) in enumerate(cents)]
-        assigned = c.select(
-            "neighbor_q",
-            argmin_cell(F.col("neighbor_q"), lit_cents).alias("cent_id"),
-        )
+        assigned = _arrow_cell_pass(
+            corpus, lit_cents, id_col=id_col, vec_col=vec_col,
+            prefix="neighbor", nprobe=None,
+        ).select("neighbor_q", F.col("cell").alias("cent_id"))
         sums = (
             assigned.select("cent_id", F.posexplode("neighbor_q").alias("pos", "v"))
             .groupBy("cent_id", "pos")
@@ -414,7 +520,7 @@ def ivf_topk(
     - **assignment**: each corpus vector computes its argmin-L2 cell
       row-locally against the literal centroid array (|C|·n_cells
       integer ops in one map-only projection — no join, no row
-      expansion, no shuffle; see :func:`argmin_cell`).
+      expansion, no shuffle; see :func:`assign_cells`).
     - **probe + re-rank**: each query routes to its ``nprobe`` nearest
       cells row-locally (:func:`probe_cells`), then scans only those
       cells' members: ~|Q| · nprobe/n_cells of the corpus instead of
@@ -425,7 +531,6 @@ def ivf_topk(
     scan; distances are exact int64 (deterministic), only the final
     cosine is a double.
     """
-    q = _with_quant(queries, id_col, vec_col, "query")
     if kmeans_iters > 0:
         cents = kmeans_centroids(
             corpus,
@@ -439,14 +544,10 @@ def ivf_topk(
             corpus.filter(F.col(id_col) < n_cells), id_col, vec_col, "cent"
         )
     cent_rows = _collect_centroids(cents)
+    dim = len(cent_rows[0][1])
 
     cells = assign_cells(corpus, cent_rows, id_col=id_col, vec_col=vec_col)
-    probed = q.select(
-        "query_id",
-        "query_q",
-        "query_norm",
-        F.explode(probe_cells(F.col("query_q"), cent_rows, nprobe)).alias("cell"),
-    )
+    probed = probe_cells(queries, cent_rows, nprobe, id_col=id_col, vec_col=vec_col)
     scored = (
         probed.join(cells, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -454,7 +555,7 @@ def ivf_topk(
             "query_id",
             "neighbor_id",
             cosine_q(
-                dot_q(F.col("query_q"), F.col("neighbor_q")),
+                dot_q_unrolled(F.col("query_q"), F.col("neighbor_q"), dim),
                 F.col("query_norm"),
                 F.col("neighbor_norm"),
             ).alias("cosine"),
@@ -639,7 +740,7 @@ def build_ivf_index(
     This is the "stored index" half of the IVF design: at 100 TB the
     assignment job runs once — and is a map-only pass (row-local argmin
     against the literal centroid array, zero exchanges before the
-    partitioned write; see :func:`argmin_cell`) — and every subsequent
+    partitioned write; see :func:`assign_cells`) — and every subsequent
     query batch reads ONLY its probed cells — Spark prunes `cell=`
     partitions from the scan (asserted in tests via the scan's
     partition filters), so probe I/O is nprobe/n_cells of the corpus
@@ -682,14 +783,9 @@ def query_ivf_index(
     small probe set the cell filter is even static). Same exact-integer
     re-rank as :func:`ivf_topk`.
     """
-    q = _with_quant(queries, id_col, vec_col, "query")
     cent_rows = _collect_centroids(centroids)
-    probed = q.select(
-        "query_id",
-        "query_q",
-        "query_norm",
-        F.explode(probe_cells(F.col("query_q"), cent_rows, nprobe)).alias("cell"),
-    )
+    dim = len(cent_rows[0][1])
+    probed = probe_cells(queries, cent_rows, nprobe, id_col=id_col, vec_col=vec_col)
     index = spark.read.parquet(path)
     scored = (
         probed.join(index, "cell")
@@ -698,7 +794,7 @@ def query_ivf_index(
             "query_id",
             "neighbor_id",
             cosine_q(
-                dot_q(F.col("query_q"), F.col("neighbor_q")),
+                dot_q_unrolled(F.col("query_q"), F.col("neighbor_q"), dim),
                 F.col("query_norm"),
                 F.col("neighbor_norm"),
             ).alias("cosine"),

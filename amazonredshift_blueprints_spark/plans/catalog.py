@@ -1292,6 +1292,7 @@ def c05_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "oracle replays the identical md5-hyperplane buckets, so this row "
         "certifies candidate generation + verify consistency; the exact "
         "contract is c05's row",
+    bench=True,
     tags=("dedup", "similarity", "approx"),
 )
 def c27_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1430,6 +1431,7 @@ def c28_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Everything except the bounded label-propagation loop is one "
         "Catalyst plan; the DuckDB oracle independently replays every "
         "stage including the components (recursive CTE)",
+    bench=True,
     tags=("pipeline", "documents"),
 )
 def c32_pipeline_neardup_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1690,6 +1692,7 @@ def c31_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min-label propagation (equi-join + groupBy-min per round, "
         "BIGINT-sum convergence probe); the DuckDB oracle independently "
         "recomputes components via a recursive CTE",
+    bench=True,
     tags=("dedup", "graph"),
 )
 def c29_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2913,6 +2916,7 @@ def q41_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "execute_sql.py:64,77). The oracle replays the merge "
         "algebraically: LEFT JOIN for the update branch, UNION ALL for "
         "the insert branch.",
+    bench=True,
     tags=("dml", "native"),
 )
 def q42_dml_merge(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -106,9 +106,9 @@ def test_c27_lsh_neardup_no_cartesian(spark, sf_dir):
 
 def test_ivf_cell_assignment_zero_exchange(spark, sf_dir):
     """The IVF index-build's cell assignment must be a map-only pass:
-    row-local argmin over the literal centroid array — no crossJoin row
-    expansion, no window shuffle. At 100 TB x 16 cells the old
-    crossJoin+row_number shape was a ~1.6 PB shuffle."""
+    one Arrow-batched argmin against the driver-held centroid matrix —
+    no crossJoin row expansion, no window shuffle. At 100 TB x 16 cells
+    the old crossJoin+row_number shape was a ~1.6 PB shuffle."""
     from pyspark.sql import functions as F
 
     from amazonredshift_blueprints_spark.operators.similarity import (
