@@ -5,6 +5,7 @@ endpoint — the driver jar is absent, so .load()/.save() are not called."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from amazonredshift_blueprints_spark.sources import (
     jdbc_reader,
@@ -157,3 +158,57 @@ def test_sqlrun_connection_args_refused_with_pointer():
             "--query", "SELECT 1",
             "--host", "h", "--database", "db", "--username", "u",
         ])
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, sf_dir, tmp_path):
+    """Execute the real JDBC read/write path end-to-end against embedded
+    Derby (ships in Spark's jars) — until this test, jdbc_reader/
+    jdbc_writer built configured readers that no test ever ran. Covers:
+    replace-mode write, full-table read, pushdown query read, and a
+    partitioned (4-way) read — the same partitioned-scan shape a real
+    warehouse unload at scale uses."""
+    from amazonredshift_blueprints_spark.session import load_table
+    from amazonredshift_blueprints_spark.sources import jdbc_reader, jdbc_writer
+
+    opts = {
+        # one embedded database per test run; create on first connect
+        "url": f"jdbc:derby:{tmp_path}/derbydb;create=true",
+        "driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver",
+    }
+    nation = load_table(spark, sf_dir, "nation")
+
+    jdbc_writer(nation, opts, "nation", mode="replace").save()
+
+    back = jdbc_reader(spark, opts, table="nation").load()
+    assert back.count() == nation.count()
+    # Spark quotes identifiers on JDBC write, so Derby preserves the
+    # lowercase column names exactly
+    assert {r["n_nationkey"] for r in back.collect()} == {
+        r["n_nationkey"] for r in nation.collect()
+    }
+
+    # pushdown query: executed server-side by Derby, not in Spark
+    # (identifiers quoted — unquoted ones would upper-case in Derby)
+    q = jdbc_reader(
+        spark, opts,
+        query='SELECT "n_regionkey", COUNT(*) AS "n" FROM nation GROUP BY "n_regionkey"',
+    ).load()
+    got = {r["n_regionkey"]: r["n"] for r in q.collect()}
+    want = {
+        r["n_regionkey"]: r["cnt"]
+        for r in nation.groupBy("n_regionkey").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == want
+
+    # partitioned read: 4 concurrent range-bounded scans
+    part = jdbc_reader(
+        spark, opts, table="nation",
+        partition_column='"n_nationkey"', lower_bound=0, upper_bound=25,
+        num_partitions=4,
+    ).load()
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == nation.count()
+
+    # append mode doubles the rows
+    jdbc_writer(nation, opts, "nation", mode="append").save()
+    assert jdbc_reader(spark, opts, table="nation").load().count() == 2 * nation.count()
