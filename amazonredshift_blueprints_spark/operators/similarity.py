@@ -617,6 +617,80 @@ def buckets_from_projections(projs: Column, *, n_tables: int, bits: int) -> Colu
     return F.array(*out)
 
 
+def lsh_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 6,
+    n_tables: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """:func:`lsh_topk` with md5-portable hyperplanes instead of
+    xxhash64: identical bucket-join/re-rank shape, but the sign matrix
+    re-derives from pure literals in ANY engine, so candidate generation
+    replays bit-for-bit in the DuckDB oracle (the c24/c26/c27
+    portability pattern applied to top-k). Use this variant when results
+    must be reproducible outside Spark; the xxhash64 variant when sketch
+    throughput matters more (one JVM hash vs dim multiplies per bit).
+
+    Returns (query_id, neighbor_id, cosine, rank) — for queries whose
+    buckets contain fewer than ``k`` candidates, fewer than ``k`` rows
+    (the honest answer; recall follows :func:`lsh_pair_recall`).
+    """
+    if dim is None:
+        dim = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+
+    def sketched(df: DataFrame, prefix: str) -> DataFrame:
+        s = _with_quant(df, id_col, vec_col, prefix)
+        return (
+            s.withColumn(
+                "_projs",
+                portable_projections(
+                    F.col(f"{prefix}_q"), n_tables=n_tables, bits=bits, dim=dim
+                ),
+            )
+            .select(
+                f"{prefix}_id",
+                f"{prefix}_q",
+                f"{prefix}_norm",
+                F.posexplode(
+                    buckets_from_projections(
+                        F.col("_projs"), n_tables=n_tables, bits=bits
+                    )
+                ).alias("tbl", "bucket"),
+            )
+        )
+
+    q_sk = sketched(queries, "query")
+    c_sk = sketched(corpus, "neighbor")
+    cand = (
+        q_sk.join(c_sk, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "query_q", "query_norm",
+            "neighbor_id", "neighbor_q", "neighbor_norm",
+        )
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine_q(
+            dot_q(F.col("query_q"), F.col("neighbor_q")),
+            F.col("query_norm"),
+            F.col("neighbor_norm"),
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 # Below this cosine, hyperplane-LSH per-pair recall at the default
 # 6-bit × 4-table setting drops under ~0.5 — the operator refuses to
 # silently miss pairs there and auto-selects the exact generator.
