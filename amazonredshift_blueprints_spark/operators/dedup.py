@@ -21,11 +21,17 @@ executors.
 - Embedding near-dup quantizes components to integers so the dot product
   is exact integer arithmetic — deterministic across engines, partition
   orders, and SIMD strategies.
-- Deliberately NO explicit repartition of the input: at scale the scan
-  arrives pre-split, and a repartition ahead of the (multi-consumer)
-  signature subtree is re-executed inside every broadcast stage —
-  measured ~8× slower end-to-end locally than letting each consumer
-  recompute the narrow scan→project pipeline.
+- Input rebalance is GUARDED, not blanket: sketching is CPU-bound
+  (~ms/doc of hashing), so when the scan's parallelism is far below the
+  cluster's — e.g. single-row-group parquet files, which Spark cannot
+  split — one round-robin repartition before the persisted signature
+  stage restores map-side parallelism (measured 2× end-to-end at
+  sf0.1). When the scan already arrives well-split (any real at-scale
+  input), the guard makes it a no-op, so no extra shuffle exists at
+  100 TB. An UNGUARDED repartition ahead of a NON-persisted
+  multi-consumer subtree was the round-3 mistake (~8× slower: every
+  broadcast stage re-executed it); the persist is what makes the
+  rebalanced subtree materialize exactly once.
 """
 
 from __future__ import annotations
@@ -47,6 +53,26 @@ _MERSENNE_P = (1 << 31) - 1  # 2^31-1, prime
 _rng = _random.Random(42)
 _HASH_A = [_rng.randrange(1, _MERSENNE_P) for _ in range(512)]
 _HASH_B = [_rng.randrange(0, _MERSENNE_P) for _ in range(512)]
+
+
+def rebalance_for_compute(df: DataFrame, *, factor: int = 4) -> DataFrame:
+    """Round-robin repartition to cluster parallelism, ONLY when the
+    input's scan parallelism is more than ``factor``× below it.
+
+    Spark cannot split a parquet file below its row groups, so a
+    single-row-group file serializes every downstream per-row sketch
+    into one task no matter the cluster size. This guard restores the
+    parallelism such an input would naturally have at scale; for any
+    well-split input (every real 100 TB table) it is a no-op — no added
+    shuffle. Callers must persist the rebalanced subtree if it has
+    multiple consumers, or each one re-executes the shuffle (see module
+    header).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * factor <= target:
+        return df.repartition(target)
+    return df
 
 
 def tokens(text: Column | str, *, lowercase: bool = True) -> Column:
@@ -212,6 +238,7 @@ def minhash_near_duplicates(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
+    df = rebalance_for_compute(df)
     # Staged selects: every wide fan-out (64 minhash transforms, band
     # keys) references a materialized column, keeping the plan tree
     # linear in num_hashes rather than multiplicative.
@@ -325,6 +352,7 @@ def simhash_near_duplicates(
         raise ValueError(f"max_distance must be in [0, 63], got {max_distance}")
     n_blocks = max_distance + 1
     block_bits = 64 // n_blocks
+    df = rebalance_for_compute(df)
     sig = (
         df.select(F.col(id_col), tokens(text_col).alias("_toks"))
         .select(id_col, token_hashes(F.col("_toks")).alias("_h"))
@@ -370,6 +398,7 @@ def ngram_jaccard_pairs(
     Integer threshold predicate (n_common*100 >= n_union*pct): exact in
     both Spark and DuckDB, no float rounding at the decision boundary.
     """
+    df = rebalance_for_compute(df)
     grams = df.select(
         F.col(id_col),
         F.array_distinct(_ngrams_expr(tokens(text_col), n)).alias("grams"),
@@ -436,6 +465,7 @@ def portable_minhash_pairs(
     from pyspark.storagelevel import StorageLevel
 
     grams = word_ngrams(tokens(text_col), shingle_size)
+    df = rebalance_for_compute(df)
     base = df.select(F.col(id_col), grams.alias("grams")).filter(F.size("grams") > 0)
 
     def _perm_hash(p: int):
@@ -536,6 +566,7 @@ def portable_simhash_pairs(
     nib_per_block = 16 // blocks
     hexd = "0123456789abcdef"
 
+    df = rebalance_for_compute(df)
     ex = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_tok")).select(
         id_col, F.md5("_tok").alias("_h")
     )
