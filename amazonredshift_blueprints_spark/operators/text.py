@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .dedup import tokens
 
@@ -202,4 +203,129 @@ def top_tokens(df: DataFrame, text_col: str, *, k: int = 20) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), F.asc("token"))
         .limit(k)
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    ngram: int = 5,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    ≥ ``min_shared`` distinct word ``ngram``-grams with ANY eval-set
+    document — the standard guard against test-set leakage into a
+    pre-training corpus (the n-gram-overlap rule used by GPT-3/PaLM-style
+    dataset reports).
+
+    Returns (doc_id, n_shared_grams, n_eval_docs) for contaminated
+    training docs only.
+
+    Scale shape: both sides explode to (gram, id) and meet in ONE
+    equi-join on the gram — never train×eval. The eval side of the join
+    is benchmark-sized (thousands of docs), so the join broadcasts;
+    doc-frequency caps (drop grams appearing in > X% of training docs,
+    e.g. boilerplate) bolt on as one aggregate before the join.
+    """
+    from .dedup import rebalance_for_compute, tokens, word_ngrams
+
+    def grams_of(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(out_id),
+                word_ngrams(tokens(text_col), ngram).alias("_g"),
+            )
+            .filter(F.size("_g") > 0)
+            .select(out_id, F.explode("_g").alias("gram"))
+        )
+
+    t = grams_of(rebalance_for_compute(train), "doc_id")
+    e = grams_of(evalset, "eval_id")
+    return (
+        t.join(e, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+        .filter(F.col("n_shared_grams") >= min_shared)
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    budget_tokens: int = 512,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Sequence packing: assign documents (in id order) to contiguous
+    bins of ~``budget_tokens`` whitespace tokens — the batching step
+    that turns a filtered corpus into fixed-size training sequences.
+
+    Bin rule: ``bin_id = floor(exclusive_prefix_sum(tokens) / budget)``
+    — a document whose tokens cross a bin boundary goes wholly into the
+    bin its first token falls in, so bins can overflow by at most one
+    document (streaming first-fit; no doc is ever split). Deterministic:
+    ordering is by id, token counts are integers.
+
+    Returns (doc_id, shard, n_tokens, bin_id, bin_start_offset).
+
+    Scale: a single global running sum would serialize on one reducer,
+    so packing is sharded — ``shard = doc_id % n_shards`` and the window
+    runs per shard (packing across shard boundaries is unnecessary: bins
+    are independent training sequences). At 100 TB pick n_shards ≈
+    cluster parallelism; each shard's window state is one running long.
+    """
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % n_shards).cast("long").alias("shard"),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return staged.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(excl / budget_tokens).cast("long").alias("bin_id"),
+        excl.alias("bin_start_offset"),
+    )
+
+
+# Portable regexes (identical semantics in Java regex and RE2/DuckDB):
+# no backrefs, no lookaround, explicit character classes.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII scrubbing: replace email addresses and phone-shaped numbers
+    with typed placeholders; report per-document counts — the minimal
+    redaction pass a public-corpus pipeline runs before anything else.
+
+    Returns (doc_id, redacted, n_emails, n_phones). Pure
+    ``regexp_replace``/``regexp_count`` projections: one columnar scan,
+    no shuffle, whole-stage codegen. The patterns are deliberately
+    RE2-safe so external engines replay them exactly; real deployments
+    swap in their compliance team's pattern pack (same plan shape).
+    """
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ).alias("redacted"),
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
     )
