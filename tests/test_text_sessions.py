@@ -107,3 +107,75 @@ def test_session_window_agg_matches_sessionize(spark):
     b = {(r["user_id"], r["session_start"]): r["n_events"]
          for r in session_window_agg(e, gap_minutes=30).collect()}
     assert a == b
+
+
+def test_decontaminate_flags_exact_overlap(spark):
+    from amazonredshift_blueprints_spark.operators.text import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # contains eval gram
+            (2, "completely unrelated text with no overlap at all"),
+            (3, "quick brown fox appears here too somehow today"),
+        ],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame(
+        [(100, "benchmark question about the quick brown fox jumps")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shared_grams"], r["n_eval_docs"])
+        for r in decontaminate(train, evalset, "doc_id", "text", ngram=3).collect()
+    }
+    # doc 1 shares "the quick brown", "quick brown fox", "brown fox jumps";
+    # doc 3 shares "quick brown fox"; doc 2 shares nothing
+    assert got[1] == (3, 1)
+    assert got[3] == (1, 1)
+    assert 2 not in got
+
+
+def test_pack_documents_bins_and_offsets(spark):
+    from amazonredshift_blueprints_spark.operators.text import pack_documents
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 40)) for i in range(10)],  # 40 tokens each
+        "doc_id long, text string",
+    )
+    # single shard so the packing is one deterministic sequence
+    got = {
+        r["doc_id"]: (r["bin_id"], r["bin_start_offset"], r["n_tokens"])
+        for r in pack_documents(
+            docs, "doc_id", "text", budget_tokens=100, n_shards=1
+        ).collect()
+    }
+    # offsets: 0,40,80,... bin = floor(offset/100): docs 0-2 bin 0 (doc 2
+    # starts at 80 < 100 and overflows — first-fit keeps it whole),
+    # docs 3-4 bin 1 (120,160), doc 5 bin 2 (200), ...
+    assert got[0] == (0, 0, 40)
+    assert got[2] == (0, 80, 40)
+    assert got[3] == (1, 120, 40)
+    assert got[5] == (2, 200, 40)
+    # every doc present exactly once — nothing is split or dropped
+    assert sorted(got) == list(range(10))
+
+
+def test_redact_pii_counts_and_placeholders(spark):
+    from amazonredshift_blueprints_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact alice@example.com or bob.smith@mail.co today"),
+            (2, "call +1 555-123-4567 or 555 987 6543 now"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in redact_pii(docs, "doc_id", "text").collect()}
+    assert got[1]["n_emails"] == 2 and got[1]["n_phones"] == 0
+    assert "<EMAIL>" in got[1]["redacted"]
+    assert "alice@example.com" not in got[1]["redacted"]
+    assert got[2]["n_phones"] == 2 and got[2]["n_emails"] == 0
+    assert got[2]["redacted"].count("<PHONE>") == 2
+    assert got[3]["redacted"] == "nothing sensitive here"
+    assert got[3]["n_emails"] == 0 and got[3]["n_phones"] == 0
