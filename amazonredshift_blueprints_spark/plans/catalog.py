@@ -3528,6 +3528,46 @@ def c26_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return portable_simhash_pairs(d, "doc_id", "text", max_distance=3)
 
 
+@query(
+    "c42_stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.value, c.c_name, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    doc="stream-static enrichment join (append mode, stateless): every "
+        "arriving event picks up its customer attributes; the static "
+        "side broadcasts per micro-batch and refreshes without a query "
+        "restart. availableNow over the whole fixture must equal the "
+        "batch join — the oracle is exactly that batch join",
+    tags=("streaming", "join", "events"),
+)
+def c42_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil as _sh
+
+    from ..session import load_table
+    from ..streaming.sessions import read_events_stream, stream_enrich_events
+
+    views(spark, sf_dir, "events", "customer")  # oracle side
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    d = tempfile.mkdtemp(prefix="bp_stream_enrich_")
+    _sh.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "part-0.parquet"))
+    stream = read_events_stream(spark, d, raw_schema)
+    cust = load_table(spark, sf_dir, "customer")
+    name = "bp_stream_enrich"
+    q = (
+        stream_enrich_events(stream, cust)
+        .select("event_id", "user_id", "value", "c_name", "c_mktsegment")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
 def _duck_grams(n: int) -> str:
     """Parametric cousin of _DUCK_GRAMS3: distinct word n-grams of `toks`."""
     parts = ", ".join(f"toks[i+{j}]" for j in range(n))
@@ -3670,6 +3710,7 @@ _DRIVER_WINDOW = [
     "c39_decontaminate",
     "c40_pack_documents",
     "c41_redact_pii",
+    "c42_stream_static_join",
     "c28_ann_ivf_kmeans_topk",
     "c17_ann_ivf_topk",
     "c12_sessionize",
@@ -3692,7 +3733,6 @@ _DRIVER_WINDOW = [
     "q12_agg_approx_distinct",
     "q13_agg_rollup",
     "q14_agg_cube",
-    "q16_window_frames",
     "q18_setops",
     "q23_cte_subquery",
     "q24_ddl_ctas_insert",

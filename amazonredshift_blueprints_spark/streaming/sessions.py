@@ -126,6 +126,29 @@ def stream_window_counts(
     )
 
 
+def stream_enrich_events(
+    events: DataFrame,
+    dim: DataFrame,
+    *,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_cols: tuple[str, ...] = ("c_name", "c_mktsegment"),
+) -> DataFrame:
+    """Stream-static enrichment join: every arriving event picks up its
+    dimension attributes — the lookup step of any streaming ingest
+    (user → account, item → catalog row). Append mode, no state: Spark
+    re-plans the static side per micro-batch, so a dim table refresh is
+    picked up without restarting the query.
+
+    Scale: the static side is broadcast when under the autoBroadcast
+    threshold (the common case for dimensions); a big dim falls back to
+    a per-batch shuffled join. State stays empty either way — unlike
+    stream-stream joins there is nothing to watermark.
+    """
+    d = dim.select(F.col(dim_key).alias(stream_key), *dim_cols)
+    return events.join(d, stream_key, "inner")
+
+
 def stream_dedup_events(
     events: DataFrame,
     *,

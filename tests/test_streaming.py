@@ -307,3 +307,31 @@ def test_stream_dedup_matches_batch_distinct(spark, sf_dir, events_stream_dir, t
     n_events = load_table(spark, sf_dir, "events").count()
     assert len(got) == n_events          # every event represented
     assert all(r["count"] == 1 for r in got)  # exactly once
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir, events_stream_dir):
+    from amazonredshift_blueprints_spark.streaming.sessions import stream_enrich_events
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = read_events_stream(spark, events_stream_dir, raw_schema)
+    cust = load_table(spark, sf_dir, "customer")
+    name = "t_enrich"
+    q = (
+        stream_enrich_events(stream, cust)
+        .select("event_id", "c_mktsegment")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["event_id"], r["c_mktsegment"]) for r in spark.table(name).collect()}
+    e = load_table(spark, sf_dir, "events")
+    want = {
+        (r["event_id"], r["c_mktsegment"])
+        for r in e.join(
+            cust, e["user_id"] == cust["c_custkey"]
+        ).select("event_id", "c_mktsegment").collect()
+    }
+    assert got == want and len(got) > 0
