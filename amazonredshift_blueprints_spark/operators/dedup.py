@@ -386,14 +386,24 @@ def ngram_jaccard_pairs(
     *,
     n: int = 3,
     threshold_pct: int = 40,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs word-n-gram Jaccard via explode + pair counting.
 
     The inverted-index shape: explode grams, self-join on the gram,
     count shared grams per pair — never a raw cross join. At 100 TB this
-    is the *verification* operator for LSH candidates; standalone it
-    additionally wants prefix filtering (drop grams whose doc frequency
-    exceeds a cap) — the explode/join/count shape is unchanged.
+    is the *verification* operator for LSH candidates.
+
+    ``max_doc_freq`` is the standalone-at-scale guard (prefix
+    filtering): a gram appearing in B documents contributes B² join
+    rows, so one boilerplate phrase can dominate the whole stage. With
+    the cap set, grams whose document frequency exceeds it are dropped
+    BEFORE the self-join (one count aggregate over the exploded grams —
+    tiny next to the B² it prevents). Semantics shift is precision-safe
+    but not recall-safe: n_common undercounts by capped grams only
+    (pairs can be MISSED near the threshold, never falsely added beyond
+    their true jaccard — the computed jaccard is a lower bound).
+    Default None keeps the exact oracle-checked contract.
 
     Integer threshold predicate (n_common*100 >= n_union*pct): exact in
     both Spark and DuckDB, no float rounding at the decision boundary.
@@ -405,6 +415,14 @@ def ngram_jaccard_pairs(
     )
     sizes = grams.select(id_col, F.size("grams").alias("n_grams"))
     exploded = grams.select(id_col, F.explode("grams").alias("gram"))
+    if max_doc_freq is not None:
+        rare = (
+            exploded.groupBy("gram")
+            .count()
+            .filter(F.col("count") <= max_doc_freq)
+            .select("gram")
+        )
+        exploded = exploded.join(rare, "gram")
     a = exploded.select(F.col(id_col).alias("id_a"), "gram")
     b = exploded.select(F.col(id_col).alias("id_b"), "gram")
     common = (

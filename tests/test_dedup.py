@@ -231,3 +231,40 @@ def test_minhash_bucket_cap_drops_degenerate_buckets(spark):
 
     uncapped = minhash_near_duplicates(d, "doc_id", "text", threshold_pct=50).collect()
     assert len(uncapped) > len(capped)  # the cap actually pruned work
+
+
+def test_ngram_jaccard_doc_freq_cap_is_precision_safe(spark):
+    from amazonredshift_blueprints_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "terms of service apply here"  # shared by every doc
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta epsilon {boiler}"),
+            (2, f"alpha beta gamma delta epsilon {boiler}"),  # true near-dup of 1
+            (3, f"totally different words entirely unrelated {boiler}"),
+            (4, f"another separate unique document content {boiler}"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold_pct=30).collect()
+    }
+    capped_rows = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold_pct=30, max_doc_freq=2
+    ).collect()
+    capped = {(r["id_a"], r["id_b"]) for r in capped_rows}
+    # precision-safe: capped output never contains a pair the exact run
+    # rejected (jaccard is a lower bound under the cap)
+    assert capped <= exact
+    # the true near-dup (1,2) survives: its shared grams are rare
+    assert (1, 2) in capped
+    # boilerplate-only pairs (3,4 share ONLY the capped grams) are dropped
+    assert (3, 4) not in capped
+    # and the capped jaccard is a lower bound of the true one
+    exact_j = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold_pct=0).collect()
+    }
+    for r in capped_rows:
+        assert r["jaccard"] <= exact_j[(r["id_a"], r["id_b"])] + 1e-12
