@@ -429,8 +429,9 @@ def kmeans_centroids(
 
     Deterministic by construction — no random init, no float-order
     dependence:
-    - **init**: the ``n_cells`` lowest-id corpus vectors (the same fixed
-      rule the plain IVF entry uses).
+    - **init**: the ``n_cells`` lowest-id corpus vectors — any id
+      domain works (TakeOrdered seed selection), and on a 0-based corpus
+      this coincides with the plain IVF entry's ``id < n_cells`` rule.
     - **assign**: broadcast the k×dim centroid table, keep each vector's
       argmin-L2 cell (exact BIGINT distances, ties → lowest cell id).
     - **update**: per-cell elementwise mean = exact integer sum /
@@ -450,18 +451,22 @@ def kmeans_centroids(
     cent_q, cent_norm) ready for :func:`ivf_topk`'s ``centroids``
     parameter.
     """
+    # init = the n_cells LOWEST-id vectors present (TakeOrdered, k rows to
+    # the driver). Deterministic for any id domain — no 0..k-1 re-keying
+    # requirement; on a 0-based corpus this is exactly ids 0..k-1, which
+    # is what the c28 DuckDB oracle replays.
     seeds = _with_quant(
-        corpus.filter(F.col(id_col) < n_cells), id_col, vec_col, "neighbor"
-    )
+        corpus, id_col, vec_col, "neighbor"
+    ).orderBy("neighbor_id").limit(n_cells)
     cents = [
         (int(r["neighbor_id"]), [int(x) for x in r["neighbor_q"]])
         for r in seeds.select("neighbor_id", "neighbor_q").collect()
     ]
     cents.sort()
-    if [cid for cid, _ in cents] != list(range(n_cells)):
+    if len({cid for cid, _ in cents}) != n_cells:
         raise ValueError(
-            f"k-means init rule needs ids exactly 0..{n_cells - 1} present "
-            f"in {id_col}; got ids {[cid for cid, _ in cents][:n_cells + 1]}"
+            f"k-means init needs n_cells={n_cells} distinct {id_col} seed "
+            f"vectors; corpus yielded {len(cents)}"
         )
     dim = len(cents[0][1])
     spark = corpus.sparkSession
