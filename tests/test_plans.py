@@ -131,3 +131,23 @@ def test_ivf_cell_assignment_zero_exchange(spark, sf_dir):
     assert "Exchange" not in p, p
     assert "Join" not in p, p
     assert "Window" not in p, p
+
+
+def test_c40_packing_window_is_sharded_not_global(spark, sf_dir):
+    """Sequence packing's running sum must window per shard — a global
+    (SinglePartition) window serializes the whole corpus through one
+    reducer at 100 TB."""
+    p = _plan(spark, sf_dir, "c40_pack_documents")
+    assert "Window" in p
+    assert "hashpartitioning(shard" in p, p
+    assert "SinglePartition" not in p, p
+
+
+def test_c39_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The benchmark-sized eval side must broadcast: the training corpus
+    never shuffles on the gram key at fixture scale, and there is no
+    train x eval product anywhere."""
+    p = _plan(spark, sf_dir, "c39_decontaminate")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p, p
