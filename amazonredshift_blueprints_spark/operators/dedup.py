@@ -704,10 +704,21 @@ def duplicate_groups(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # init fuses the FIRST propagation round: label(v) = min(v, min
+    # neighbor) comes out of the same groupBy that enumerates the node
+    # set (edges are symmetrized, so every node appears as src) — one
+    # fewer join round than identity-init for every component, and the
+    # star-shaped components near-dup graphs produce typically converge
+    # in the very next round.
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").cast("long").alias("label"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_m"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src").cast("long"), F.col("_m").cast("long")).alias(
+                "label"
+            ),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
