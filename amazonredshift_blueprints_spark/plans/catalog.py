@@ -1352,6 +1352,7 @@ def c27_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "identical buckets from pure literals, so candidate generation "
         "is hash-verified, not recall-bounded (c07 keeps the xxhash64 "
         "fast path)",
+    bench=True,
     tags=("similarity", "approx", "portable"),
 )
 def c38_ann_lsh_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3612,6 +3613,7 @@ def _duck_grams(n: int) -> str:
         "identical plan with a 170x denser result to hash). Both sides "
         "explode to (gram, id) and meet in one equi-join — never "
         "train x eval; the benchmark-sized eval side broadcasts",
+    bench=True,
     tags=("text", "pipeline", "dedup"),
 )
 def c39_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3653,6 +3655,7 @@ def c39_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "running-sum window parallelizes instead of serializing on one "
         "global reducer — bins are independent training sequences, so "
         "cross-shard packing buys nothing",
+    bench=True,
     tags=("text", "pipeline", "window"),
 )
 def c40_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3681,6 +3684,7 @@ _PII_PHONE_SQL = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
         "placeholders + per-doc counts. Pure regexp projections (one "
         "columnar scan, no shuffle, whole-stage codegen); patterns kept "
         "RE2-safe so the oracle replays them exactly",
+    bench=True,
     tags=("text", "pipeline"),
 )
 def c41_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
