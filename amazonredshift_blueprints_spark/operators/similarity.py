@@ -539,6 +539,15 @@ def ivf_topk(
     partitioned by cell and the probe join becomes a partition-pruned
     scan; distances are exact int64 (deterministic), only the final
     cosine is a double.
+
+    Cardinality caveat for the in-memory path: ``cell`` has only
+    ``n_cells`` distinct values, so when BOTH join sides are large
+    (a big query batch against a big corpus) a shuffled join on it
+    caps out at n_cells reducers. Small query batches broadcast (AQE
+    picks this — no corpus shuffle at all); large batches should go
+    through :func:`query_ivf_index`, whose probe is a partition-pruned
+    SCAN of the stored index rather than a shuffle on the cell key, or
+    raise n_cells so cells outnumber cores.
     """
     if kmeans_iters > 0:
         cents = kmeans_centroids(
