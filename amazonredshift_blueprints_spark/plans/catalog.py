@@ -3541,6 +3541,49 @@ def c26_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c43_stream_stream_join",
+    oracle="""
+    SELECT a.user_id, a.event_id AS first_id, b.event_id AS then_id,
+           a.ts AS first_ts, b.ts AS then_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 360 MINUTE
+    WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    """,
+    doc="watermarked stream-stream interval join (view -> purchase "
+        "attribution within 6 h): both sides watermarked and the "
+        "condition bounds event time on both ends, so buffered state "
+        "EVICTS once the watermark passes ts + interval — O(events in "
+        "the window), runnable forever. availableNow over the fixture "
+        "equals the batch interval join, which is the oracle",
+    tags=("streaming", "join", "events"),
+)
+def c43_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil as _sh
+
+    from ..streaming.sessions import read_events_stream, stream_attribution_join
+
+    views(spark, sf_dir, "events")  # oracle side
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    d = tempfile.mkdtemp(prefix="bp_stream_attr_")
+    _sh.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "part-0.parquet"))
+    stream = read_events_stream(spark, d, raw_schema)
+    name = "bp_stream_attr"
+    q = (
+        stream_attribution_join(stream, within_minutes=360)
+        .select("user_id", "first_id", "then_id", "first_ts", "then_ts")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
+@query(
     "c42_stream_static_join",
     oracle="""
     SELECT e.event_id, e.user_id, e.value, c.c_name, c.c_mktsegment
@@ -3726,6 +3769,7 @@ _DRIVER_WINDOW = [
     "c40_pack_documents",
     "c41_redact_pii",
     "c42_stream_static_join",
+    "c43_stream_stream_join",
     "c28_ann_ivf_kmeans_topk",
     "c17_ann_ivf_topk",
     "c12_sessionize",
@@ -3748,7 +3792,6 @@ _DRIVER_WINDOW = [
     "q12_agg_approx_distinct",
     "q13_agg_rollup",
     "q14_agg_cube",
-    "q18_setops",
     "q23_cte_subquery",
     "q24_ddl_ctas_insert",
     "q25_redshift_dialect",

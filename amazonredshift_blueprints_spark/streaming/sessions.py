@@ -149,6 +149,59 @@ def stream_enrich_events(
     return events.join(d, stream_key, "inner")
 
 
+def stream_attribution_join(
+    events: DataFrame,
+    *,
+    first_type: str = "view",
+    then_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    within_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: attribute each
+    ``then_type`` event to every ``first_type`` event by the same user
+    within the preceding ``within_minutes`` — the click→conversion
+    attribution shape, and the canonical stream-stream join pattern.
+
+    Both sides carry a watermark AND the join condition bounds event
+    time on both ends (``then.ts ∈ [first.ts, first.ts + within]``) —
+    that pair is what lets the state store EVICT: a buffered first-side
+    row is dropped once the watermark passes ``ts + within``, so state
+    is O(events within the interval window), not O(stream history) —
+    the property that makes the join runnable forever at 100 TB/day.
+    Append mode: matches emit once both sides are final.
+    """
+    a = (
+        events.filter(F.col("event_type") == first_type)
+        .select(
+            F.col(user_col),
+            F.col(ts_col).alias("first_ts"),
+            F.col("event_id").alias("first_id"),
+        )
+        .withWatermark("first_ts", watermark)
+    )
+    b = (
+        events.filter(F.col("event_type") == then_type)
+        .select(
+            F.col(user_col).alias("_u2"),
+            F.col(ts_col).alias("then_ts"),
+            F.col("event_id").alias("then_id"),
+        )
+        .withWatermark("then_ts", watermark)
+    )
+    return a.join(
+        b,
+        (F.col(user_col) == F.col("_u2"))
+        & (F.col("then_ts") >= F.col("first_ts"))
+        & (
+            F.col("then_ts")
+            <= F.col("first_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES")
+        ),
+        "inner",
+    ).select(user_col, "first_id", "then_id", "first_ts", "then_ts")
+
+
 def stream_dedup_events(
     events: DataFrame,
     *,

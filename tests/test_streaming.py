@@ -335,3 +335,46 @@ def test_stream_static_join_matches_batch(spark, sf_dir, events_stream_dir):
         ).select("event_id", "c_mktsegment").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_attribution_matches_batch(spark, sf_dir, events_stream_dir):
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.streaming.sessions import (
+        stream_attribution_join,
+    )
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = read_events_stream(spark, events_stream_dir, raw_schema)
+    name = "t_attr"
+    q = (
+        stream_attribution_join(stream, within_minutes=360)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["first_id"], r["then_id"]) for r in spark.table(name).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("first_ts"), F.col("event_id").alias("first_id")
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u2"),
+        F.col("ts").alias("then_ts"),
+        F.col("event_id").alias("then_id"),
+    )
+    want = {
+        (r["first_id"], r["then_id"])
+        for r in a.join(
+            b,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("then_ts") >= F.col("first_ts"))
+            & (F.col("then_ts") <= F.col("first_ts") + F.expr("INTERVAL 360 MINUTES")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
