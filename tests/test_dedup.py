@@ -268,3 +268,23 @@ def test_ngram_jaccard_doc_freq_cap_is_precision_safe(spark):
     }
     for r in capped_rows:
         assert r["jaccard"] <= exact_j[(r["id_a"], r["id_b"])] + 1e-12
+
+
+def test_rebalance_guard_noop_on_well_split_input(spark):
+    """The 100-TB contract of rebalance_for_compute: it may only add an
+    Exchange when scan parallelism is far below the cluster's; a
+    well-split input must pass through UNTOUCHED (same plan object, no
+    added shuffle)."""
+    from amazonredshift_blueprints_spark.operators.dedup import rebalance_for_compute
+
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10_000, numPartitions=max(target, 2))
+    assert rebalance_for_compute(wide) is wide  # no-op, not even a new DF
+
+    narrow = spark.range(0, 10_000, numPartitions=1)
+    out = rebalance_for_compute(narrow)
+    if target >= 4:  # guard fires only when the gap is >= factor
+        assert out.rdd.getNumPartitions() == target
+        assert out.count() == narrow.count()
+    else:
+        assert out is narrow
