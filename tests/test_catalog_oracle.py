@@ -62,3 +62,14 @@ def test_approx_distinct_within_rsd(spark, sf_dir, duck):
         assert abs(approx - exact[flag]) <= max(5, 0.05 * exact[flag]), (
             flag, approx, exact[flag],
         )
+
+
+def test_driver_window_is_exactly_50_and_leads_registry():
+    """The round driver hard-verifies the FIRST 50 registry entries; the
+    rotation list must fill that window exactly — a silent off-by-a-few
+    would quietly drop fresh-this-round entries from driver verification."""
+    from amazonredshift_blueprints_spark.plans.catalog import _DRIVER_WINDOW, QUERIES
+
+    assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
+    assert len(set(_DRIVER_WINDOW)) == 50  # no duplicates eating slots
+    assert list(QUERIES)[:50] == _DRIVER_WINDOW
