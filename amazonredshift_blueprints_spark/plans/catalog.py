@@ -3541,6 +3541,49 @@ def c26_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c44_stream_upsert",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+    doc="foreachBatch MERGE sink: the stream upserts every event into a "
+        "catalog table seeded with STALE rows (even event_ids, value "
+        "corrupted to -1) — matched rows update to true values, "
+        "unmatched insert, so the final table must equal the events "
+        "fixture exactly (the oracle). Idempotent over at-least-once "
+        "replays: per batch one keyed full-outer join + copy-on-write "
+        "rewrite, the streaming-MERGE materialization pattern",
+    tags=("streaming", "dml", "events"),
+)
+def c44_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil as _sh
+
+    from ..ingest import _clean_stale_location
+    from ..session import load_table
+    from ..streaming.sessions import read_events_stream, stream_upsert_into
+
+    views(spark, sf_dir, "events")  # oracle side
+    tbl = "bp_stream_upsert_tgt"
+    _clean_stale_location(spark, tbl, None)
+    seed = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 2 == 0)
+        .withColumn("value", F.lit(-1.0))
+    )
+    seed.write.mode("overwrite").saveAsTable(tbl)
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    d = tempfile.mkdtemp(prefix="bp_stream_upsert_")
+    _sh.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "part-0.parquet"))
+    stream = read_events_stream(spark, d, raw_schema)
+    q = stream_upsert_into(stream, tbl, ["event_id"])
+    q.awaitTermination(180)
+    return spark.table(tbl).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+@query(
     "c43_stream_stream_join",
     oracle="""
     SELECT a.user_id, a.event_id AS first_id, b.event_id AS then_id,
@@ -3770,6 +3813,7 @@ _DRIVER_WINDOW = [
     "c41_redact_pii",
     "c42_stream_static_join",
     "c43_stream_stream_join",
+    "c44_stream_upsert",
     "c28_ann_ivf_kmeans_topk",
     "c17_ann_ivf_topk",
     "c12_sessionize",
@@ -3792,7 +3836,6 @@ _DRIVER_WINDOW = [
     "q12_agg_approx_distinct",
     "q13_agg_rollup",
     "q14_agg_cube",
-    "q23_cte_subquery",
     "q24_ddl_ctas_insert",
     "q25_redshift_dialect",
     "q26_shipping_priority",

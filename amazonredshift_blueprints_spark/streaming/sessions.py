@@ -202,6 +202,42 @@ def stream_attribution_join(
     ).select(user_col, "first_id", "then_id", "first_ts", "then_ts")
 
 
+def stream_upsert_into(
+    stream: DataFrame,
+    table: str,
+    keys: list[str],
+    *,
+    await_seconds: int = 180,
+):
+    """``foreachBatch`` MERGE sink: upsert every micro-batch into a
+    catalog table — the standard pattern for maintaining a queryable,
+    deduplicated MATERIALIZED table from an at-least-once stream (what
+    Delta/Iceberg call streaming MERGE, here over the copy-on-write
+    ``dml.merge_into``).
+
+    Per batch: dedupe the batch on the merge keys (at-least-once
+    sources can repeat a key within one batch; MERGE needs unique
+    source keys), then one full-outer join + rewrite. Replays of
+    already-applied rows MERGE to the same values, so the sink is
+    idempotent — effectively-once table state over an at-least-once
+    stream. At 100 TB the per-batch cost is one keyed join; with a
+    partitioned target and dynamic partition overwrite only touched
+    partitions rewrite.
+    """
+    from ..dml import merge_into
+
+    spark = stream.sparkSession
+
+    def upsert(batch: DataFrame, _batch_id: int) -> None:
+        merge_into(spark, table, batch.dropDuplicates(keys), keys)
+
+    return (
+        stream.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_dedup_events(
     events: DataFrame,
     *,
