@@ -174,20 +174,30 @@ def lsh_topk(
             *[hyperplane_sketch(F.col("neighbor_q"), bits=bits, table=t) for t in range(n_tables)]
         ).alias("sk"),
     ).select("*", F.posexplode("sk").alias("tbl", "bucket")).drop("sk")
+    # Candidate dedup carries ONLY the (query_id, neighbor_id) pair —
+    # the quantized vectors (~dim×8 B each) are re-joined AFTER the
+    # distinct, so the widest shuffle in the plan hashes 16-byte id
+    # pairs instead of multi-KB vector payloads (~100× narrower at
+    # dim=768; same shape as the c05/c27 near-dup candidate stage).
     cand = (
-        q_sk.join(c_sk, ["tbl", "bucket"])
+        q_sk.select("query_id", "tbl", "bucket")
+        .join(c_sk.select("neighbor_id", "tbl", "bucket"), ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "query_q", "query_norm", "neighbor_id", "neighbor_q", "neighbor_norm")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        cosine_q(
-            dot_q(F.col("query_q"), F.col("neighbor_q")),
-            F.col("query_norm"),
-            F.col("neighbor_norm"),
-        ).alias("cosine"),
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_q(
+                dot_q(F.col("query_q"), F.col("neighbor_q")),
+                F.col("query_norm"),
+                F.col("neighbor_norm"),
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -205,12 +215,16 @@ def l2_sq_q(a: Column, b: Column) -> Column:
     )
 
 
-# Upper bound on n_cells*dim for the literal-centroid path: beyond this the
-# generated expression tree (k×dim literals inlined into every distance
-# lambda) bloats Catalyst analysis and can exceed JVM method limits. 16×32
-# defaults = 512; 1024 cells × 768 dims = 786k would not survive. Callers
-# needing bigger quantizers should assign cells via a broadcast join on a
-# centroid table instead of the row-local literal argmin.
+# Upper bound on n_cells*dim for the collected-centroid path. The centroid
+# table is collected to the driver and shipped to every task inside the
+# Arrow kernel's closure as a k×dim int64 NumPy matrix
+# (:func:`_arrow_cell_pass`), so this bounds driver memory and serialized
+# task-closure size — not Catalyst/Janino limits (the kernel is NumPy, not
+# codegen). 16×32 defaults = 512 entries; the 65,536 cap ≈ a 0.5 MiB
+# matrix, well under Spark's 1 GiB closure ceiling but large enough that
+# going past it signals the wrong design: quantizers bigger than this
+# should keep the centroid table DISTRIBUTED and assign cells via an
+# equi-join on a precomputed coarse key instead of a collected matrix.
 MAX_LITERAL_CENTROID_CELLS = 65_536
 
 
@@ -221,8 +235,9 @@ def _collect_centroids(cents: DataFrame) -> list[tuple[int, list[int]]]:
     build_ivf_index / query_ivf_index are therefore not fully lazy) — but
     of k×dim METADATA (16×32 longs at the defaults), not data: the same
     driver-side footprint MLlib's k-means keeps between iterations. The
-    list becomes a pure literal in :func:`_dist_cell_pairs`, which is
-    what lets cell assignment run row-locally with zero exchanges.
+    list becomes the NumPy centroid matrix inside
+    :func:`_arrow_cell_pass`'s closure, which is what lets cell
+    assignment run row-locally with zero exchanges.
     """
     rows = cents.select("cent_id", "cent_q").collect()
     out = sorted((int(r["cent_id"]), [int(x) for x in r["cent_q"]]) for r in rows)
@@ -235,9 +250,11 @@ def _collect_centroids(cents: DataFrame) -> list[tuple[int, list[int]]]:
     total = len(out) * len(out[0][1])
     if total > MAX_LITERAL_CENTROID_CELLS:
         raise ValueError(
-            f"n_cells*dim = {total} exceeds the literal-centroid bound "
-            f"({MAX_LITERAL_CENTROID_CELLS}); use a broadcast-join cell "
-            "assignment for quantizers this large"
+            f"n_cells*dim = {total} exceeds the collected-centroid bound "
+            f"({MAX_LITERAL_CENTROID_CELLS}); quantizers this large should "
+            "keep the centroid table distributed and assign cells via an "
+            "equi-join on a precomputed coarse key, not a driver-collected "
+            "matrix"
         )
     return out
 
@@ -451,22 +468,34 @@ def kmeans_centroids(
     cent_q, cent_norm) ready for :func:`ivf_topk`'s ``centroids``
     parameter.
     """
-    # init = the n_cells LOWEST-id vectors present (TakeOrdered, k rows to
-    # the driver). Deterministic for any id domain — no 0..k-1 re-keying
-    # requirement; on a 0-based corpus this is exactly ids 0..k-1, which
-    # is what the c28 DuckDB oracle replays.
-    seeds = _with_quant(
-        corpus, id_col, vec_col, "neighbor"
-    ).orderBy("neighbor_id").limit(n_cells)
+    # init = the n_cells LOWEST-DISTINCT-id vectors present (min-per-id
+    # projection, then TakeOrdered, k rows to the driver). Deterministic
+    # for any id domain INCLUDING duplicate ids: each id contributes one
+    # deterministic representative (the lexicographically smallest
+    # quantized vector for that id — struct-min, not dropDuplicates'
+    # arbitrary row), so duplicate ids can neither consume seed slots nor
+    # make the selection order-dependent. On a 0-based unique-id corpus
+    # this is exactly ids 0..k-1, which is what the c28 DuckDB oracle
+    # replays.
+    seeds = (
+        _with_quant(corpus, id_col, vec_col, "neighbor")
+        .groupBy("neighbor_id")
+        .agg(F.min(F.struct("neighbor_q")).alias("_rep"))
+        .select("neighbor_id", F.col("_rep.neighbor_q").alias("neighbor_q"))
+        .orderBy("neighbor_id")
+        .limit(n_cells)
+    )
     cents = [
         (int(r["neighbor_id"]), [int(x) for x in r["neighbor_q"]])
         for r in seeds.select("neighbor_id", "neighbor_q").collect()
     ]
     cents.sort()
-    if len({cid for cid, _ in cents}) != n_cells:
+    seed_ids = [cid for cid, _ in cents]
+    if len(seed_ids) != n_cells or len(set(seed_ids)) != n_cells:
         raise ValueError(
             f"k-means init needs n_cells={n_cells} distinct {id_col} seed "
-            f"vectors; corpus yielded {len(cents)}"
+            f"vectors; corpus yielded {len(set(seed_ids))} distinct ids "
+            f"({seed_ids[:8]}{'...' if len(seed_ids) > 8 else ''})"
         )
     dim = len(cents[0][1])
     spark = corpus.sparkSession
@@ -734,23 +763,32 @@ def lsh_topk_portable(
         corpus, id_col=id_col, vec_col=vec_col, prefix="neighbor",
         n_tables=n_tables, bits=bits, dim=dim,
     )
+    # Same narrow-distinct shape as :func:`lsh_topk`: dedup id pairs
+    # only, re-rank after re-joining the quantized vectors (computed by
+    # the expression-form quantizer, bit-identical to the Arrow sketch
+    # kernel's) — the distinct exchange hashes 16-byte pairs, not
+    # dim-sized arrays.
     cand = (
-        q_sk.join(c_sk, ["tbl", "bucket"])
+        q_sk.select("query_id", "tbl", "bucket")
+        .join(c_sk.select("neighbor_id", "tbl", "bucket"), ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id", "query_q", "query_norm",
-            "neighbor_id", "neighbor_q", "neighbor_norm",
-        )
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        cosine_q(
-            dot_q(F.col("query_q"), F.col("neighbor_q")),
-            F.col("query_norm"),
-            F.col("neighbor_norm"),
-        ).alias("cosine"),
+    q = _with_quant(queries, id_col, vec_col, "query")
+    c = _with_quant(corpus, id_col, vec_col, "neighbor")
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_q(
+                dot_q(F.col("query_q"), F.col("neighbor_q")),
+                F.col("query_norm"),
+                F.col("neighbor_norm"),
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -295,3 +295,71 @@ def test_kmeans_centroids_bitwise_numpy_replay(spark, sf_dir, vecs):
     got_cells = {int(r["neighbor_id"]): int(r["cell"]) for r in assigned}
     for i, vid in enumerate(ids):
         assert got_cells[int(vid)] == int(want_cells[i]), f"vec {vid} cell differs"
+
+
+# -- guard-rail / failure-mode tests (VERDICT r6 items 2a-2c) -------------
+
+
+def _tiny_corpus(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_seeds_deterministic_under_duplicate_ids(spark):
+    """Duplicate ids must not consume seed slots, and each id's
+    representative must be deterministic (struct-min of the quantized
+    vector), not whichever row a shuffle surfaces first."""
+    from amazonredshift_blueprints_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    rows = [
+        (0, [0.5, 0.1]), (0, [0.1, 0.9]),   # dup id 0: min-rep is [0.1, 0.9]
+        (1, [0.3, 0.3]),
+        (2, [0.9, 0.2]), (2, [0.2, 0.8]),   # dup id 2: min-rep is [0.2, 0.8]
+        (3, [0.4, 0.6]),
+    ]
+    got = kmeans_centroids(
+        _tiny_corpus(spark, rows), n_cells=4, iters=0
+    ).collect()
+    cents = {int(r["cent_id"]): [int(x) for x in r["cent_q"]] for r in got}
+    assert len(cents) == 4
+    assert cents[0] == [100_000, 900_000]   # id 0's lexicographic min rep
+    assert cents[2] == [200_000, 800_000]   # id 2's lexicographic min rep
+    assert cents[1] == [300_000, 300_000]
+    assert cents[3] == [400_000, 600_000]
+
+
+def test_kmeans_seed_shortage_names_distinct_ids(spark):
+    from amazonredshift_blueprints_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    rows = [(7, [0.5, 0.1]), (7, [0.1, 0.9]), (9, [0.3, 0.3])]
+    with pytest.raises(ValueError, match="2 distinct ids"):
+        kmeans_centroids(_tiny_corpus(spark, rows), n_cells=4, iters=1)
+
+
+def test_ivf_empty_centroid_set_fails_fast(spark, tmp_path):
+    """A corpus whose ids never satisfy the id < n_cells seed rule must
+    raise at centroid collect — never write vectors into a null cell."""
+    from amazonredshift_blueprints_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+    )
+
+    rows = [(1000 + i, [0.1 * i, 0.2]) for i in range(6)]
+    corpus = _tiny_corpus(spark, rows)
+    with pytest.raises(ValueError, match="empty centroid"):
+        ivf_topk(corpus, corpus.limit(2), k=2, n_cells=4, nprobe=2)
+    with pytest.raises(ValueError, match="empty centroid"):
+        build_ivf_index(corpus, str(tmp_path / "ivf_idx"), n_cells=4)
+
+
+def test_collected_centroid_size_guard(spark, monkeypatch):
+    from amazonredshift_blueprints_spark.operators import similarity
+
+    rows = [(i, [0.1, 0.2, 0.3, 0.4]) for i in range(4)]
+    corpus = _tiny_corpus(spark, rows)
+    monkeypatch.setattr(similarity, "MAX_LITERAL_CENTROID_CELLS", 8)
+    with pytest.raises(ValueError, match="collected-centroid bound"):
+        similarity.ivf_topk(corpus, corpus.limit(2), k=2, n_cells=4, nprobe=2)
