@@ -22,11 +22,13 @@ rewrite to partitions that contain matches.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import Observation, SparkSession
 from pyspark.sql import functions as F
 
 
-_STAGE = "_bp_dml_stage"
+_STAGE_PREFIX = "_bp_dml_stage"
 
 
 def _n(metric) -> int:
@@ -41,13 +43,23 @@ def _rewrite(spark: SparkSession, table: str, df) -> None:
     also reads (UNSUPPORTED_OVERWRITE), so the rewrite stages through a
     second managed table — the minimal copy-on-write commit without a
     table format's transaction log.
+
+    The staging name is unique per call: concurrent DML statements in
+    one warehouse (e.g. two sessions, or the streaming upsert sink's
+    per-micro-batch MERGE racing an ad-hoc DELETE) must not overwrite
+    or drop each other's stage. Note the per-TARGET-table race is still
+    the caller's to serialize — two simultaneous rewrites of the SAME
+    table last-write-wins, as in any catalog without a transaction log.
     """
     from .ingest import _clean_stale_location
 
-    _clean_stale_location(spark, _STAGE, None)
-    df.write.mode("overwrite").saveAsTable(_STAGE)
-    spark.sql(f"INSERT OVERWRITE TABLE {table} SELECT * FROM {_STAGE}")
-    spark.sql(f"DROP TABLE {_STAGE}")
+    stage = f"{_STAGE_PREFIX}_{uuid.uuid4().hex[:12]}"
+    _clean_stale_location(spark, stage, None)
+    df.write.mode("overwrite").saveAsTable(stage)
+    try:
+        spark.sql(f"INSERT OVERWRITE TABLE {table} SELECT * FROM {stage}")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {stage}")
 
 
 def delete_from(spark: SparkSession, table: str, condition: str) -> int:

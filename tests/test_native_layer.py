@@ -377,3 +377,70 @@ def test_events_ts_is_timestamp_regardless_of_reader(spark, sf_dir):
         assert out.schema["ts"].dataType == TimestampType()
         micros = out.select(F.unix_micros("ts").alias("m")).first()["m"]
         assert micros == 1704067200_123456  # same instant on every path
+
+
+def test_concurrent_dml_staging_does_not_collide(spark):
+    """Two DML statements running simultaneously (distinct target
+    tables) must not clobber each other's copy-on-write staging table —
+    the stage name is unique per call, so e.g. the streaming upsert
+    sink's per-micro-batch MERGE can race an ad-hoc DELETE."""
+    import threading
+
+    from amazonredshift_blueprints_spark.dml import merge_into, update_table
+    from amazonredshift_blueprints_spark.ingest import _clean_stale_location
+
+    for t in ("t_dml_race_a", "t_dml_race_b"):
+        _clean_stale_location(spark, t, None)
+    spark.createDataFrame(
+        [(i, i * 10) for i in range(200)], "k int, v int"
+    ).write.mode("overwrite").saveAsTable("t_dml_race_a")
+    spark.createDataFrame(
+        [(i, i) for i in range(200)], "k int, v int"
+    ).write.mode("overwrite").saveAsTable("t_dml_race_b")
+
+    errs: list[BaseException] = []
+    results: dict[str, object] = {}
+
+    def do_merge():
+        try:
+            src = spark.createDataFrame(
+                [(5, -1), (1000, -2)], "k int, v int"
+            )
+            results["merge"] = merge_into(
+                spark, "t_dml_race_a", src, keys=["k"]
+            )
+        except BaseException as e:  # noqa: BLE001 - surfaced below
+            errs.append(e)
+
+    def do_update():
+        try:
+            results["update"] = update_table(
+                spark, "t_dml_race_b", {"v": "v + 1"}, "k < 50"
+            )
+        except BaseException as e:  # noqa: BLE001 - surfaced below
+            errs.append(e)
+
+    try:
+        # repeat to give the race a few chances to bite
+        for _ in range(3):
+            ts = [threading.Thread(target=do_merge), threading.Thread(target=do_update)]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            assert not errs, errs
+        # round 1 upserts (1 update, 1 insert); rounds 2-3 both match
+        assert results["merge"] == (2, 0)
+        a = spark.table("t_dml_race_a")
+        assert a.count() == 201
+        b = spark.table("t_dml_race_b")
+        assert b.filter("k = 0").collect()[0].v == 3  # +1 three times
+        # no orphaned staging tables left behind
+        stages = [
+            t.name for t in spark.catalog.listTables()
+            if t.name.startswith("_bp_dml_stage")
+        ]
+        assert stages == [], stages
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_dml_race_a")
+        spark.sql("DROP TABLE IF EXISTS t_dml_race_b")
