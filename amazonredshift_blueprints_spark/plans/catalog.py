@@ -2313,7 +2313,11 @@ def c16_stateful_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil as _sh
 
-    from ..streaming.sessions import read_events_stream, stateful_user_counts
+    from ..streaming.sessions import (
+        await_finished,
+        read_events_stream,
+        stateful_user_counts,
+    )
 
     views(spark, sf_dir, "events")  # oracle side reads the same fixture
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
@@ -2329,7 +2333,7 @@ def c16_stateful_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    await_finished(q)
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -2358,7 +2362,11 @@ def c36_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil as _sh
 
-    from ..streaming.sessions import read_events_stream, stream_dedup_events
+    from ..streaming.sessions import (
+        await_finished,
+        read_events_stream,
+        stream_dedup_events,
+    )
 
     views(spark, sf_dir, "events")  # oracle side reads the same fixture
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
@@ -2375,7 +2383,7 @@ def c36_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    await_finished(q)
     return spark.table(name).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
@@ -3576,8 +3584,7 @@ def c44_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="bp_stream_upsert_")
     _sh.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "part-0.parquet"))
     stream = read_events_stream(spark, d, raw_schema)
-    q = stream_upsert_into(stream, tbl, ["event_id"])
-    q.awaitTermination(180)
+    stream_upsert_into(stream, tbl, ["event_id"])  # blocks; raises on timeout
     return spark.table(tbl).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
@@ -3605,7 +3612,11 @@ def c43_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil as _sh
 
-    from ..streaming.sessions import read_events_stream, stream_attribution_join
+    from ..streaming.sessions import (
+        await_finished,
+        read_events_stream,
+        stream_attribution_join,
+    )
 
     views(spark, sf_dir, "events")  # oracle side
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
@@ -3622,7 +3633,7 @@ def c43_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    await_finished(q)
     return spark.table(name)
 
 
@@ -3644,7 +3655,11 @@ def c42_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil as _sh
 
     from ..session import load_table
-    from ..streaming.sessions import read_events_stream, stream_enrich_events
+    from ..streaming.sessions import (
+        await_finished,
+        read_events_stream,
+        stream_enrich_events,
+    )
 
     views(spark, sf_dir, "events", "customer")  # oracle side
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
@@ -3662,7 +3677,7 @@ def c42_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    await_finished(q)
     return spark.table(name)
 
 

@@ -17,6 +17,42 @@ from pyspark.sql import functions as F
 
 from ..session import configure_runtime, normalize_events_ts
 
+# Spark's default state store keeps every state map on the executor HEAP
+# (HDFSBackedStateStoreProvider) — fine at fixture scale, but at
+# 100 TB/day of events the stream-stream join / dedup state outgrows
+# executor memory. RocksDB (bundled with Spark >= 3.2) spills state to
+# local disk with bounded memory, which is the at-scale answer; it is a
+# session conf picked up by queries STARTED after it is set.
+ROCKSDB_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def enable_rocksdb_state_store(spark: SparkSession) -> None:
+    """Route new streaming queries' state through RocksDB (disk-backed,
+    bounded memory) instead of the default heap-backed provider. Call
+    before ``start()``; running queries keep their provider."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_STATE_PROVIDER
+    )
+
+
+def await_finished(query, seconds: int = 180):
+    """Block until ``query`` terminates, raising on timeout.
+
+    ``awaitTermination(timeout)`` returns False on timeout rather than
+    raising — a caller that ignores the return value would then read a
+    PARTIALLY materialized sink and report a confusing wrong-answer
+    instead of a clear timeout. Every catalog streaming entry funnels
+    through this guard. Stops the query on timeout so the session isn't
+    left with a zombie stream."""
+    if not query.awaitTermination(seconds):
+        query.stop()
+        raise TimeoutError(
+            f"streaming query did not finish within {seconds}s"
+        )
+    return query
+
 
 def read_events_stream(
     spark: SparkSession, events_parquet_dir: str, schema
@@ -223,6 +259,11 @@ def stream_upsert_into(
     stream. At 100 TB the per-batch cost is one keyed join; with a
     partitioned target and dynamic partition overwrite only touched
     partitions rewrite.
+
+    Blocks until the availableNow run finishes (``await_seconds``
+    bound, raising on timeout) and returns the terminated query — the
+    sink's contract is "the table now holds the upserted state", which
+    only exists after the final micro-batch commits.
     """
     from ..dml import merge_into
 
@@ -231,11 +272,12 @@ def stream_upsert_into(
     def upsert(batch: DataFrame, _batch_id: int) -> None:
         merge_into(spark, table, batch.dropDuplicates(keys), keys)
 
-    return (
+    q = (
         stream.writeStream.foreachBatch(upsert)
         .trigger(availableNow=True)
         .start()
     )
+    return await_finished(q, await_seconds)
 
 
 def stream_dedup_events(

@@ -378,3 +378,107 @@ def test_stream_stream_attribution_matches_batch(spark, sf_dir, events_stream_di
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_join_under_rocksdb_state_store(spark, sf_dir, events_stream_dir):
+    """The at-scale state store: the same watermarked stream-stream join
+    must produce identical results with state routed through RocksDB
+    (disk-backed, bounded memory) instead of the default heap-backed
+    provider — the provider is a storage swap, never a semantics change.
+    Also pins that enable_rocksdb_state_store actually takes effect
+    (asserted via the query's lastProgress state operator custom
+    metrics, which only RocksDB emits)."""
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.streaming.sessions import (
+        ROCKSDB_STATE_PROVIDER,
+        await_finished,
+        enable_rocksdb_state_store,
+        stream_attribution_join,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    enable_rocksdb_state_store(spark)
+    try:
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == ROCKSDB_STATE_PROVIDER
+        )
+        raw_schema = spark.read.parquet(
+            os.path.join(sf_dir, "events.parquet")
+        ).schema
+        stream = read_events_stream(spark, events_stream_dir, raw_schema)
+        name = "t_attr_rocksdb"
+        q = (
+            stream_attribution_join(stream, within_minutes=360)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_finished(q, 120)
+        progress = q.lastProgress
+        ops = progress["stateOperators"] if progress else []
+        assert any(
+            "rocksdb" in k.lower()
+            for op in ops
+            for k in (op.get("customMetrics") or {})
+        ), f"RocksDB metrics absent from state operators: {ops}"
+
+        got = {
+            (r["first_id"], r["then_id"])
+            for r in spark.table(name).collect()
+        }
+        e = load_table(spark, sf_dir, "events")
+        a = e.filter(F.col("event_type") == "view").select(
+            "user_id",
+            F.col("ts").alias("first_ts"),
+            F.col("event_id").alias("first_id"),
+        )
+        b = e.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("u2"),
+            F.col("ts").alias("then_ts"),
+            F.col("event_id").alias("then_id"),
+        )
+        want = {
+            (r["first_id"], r["then_id"])
+            for r in a.join(
+                b,
+                (F.col("user_id") == F.col("u2"))
+                & (F.col("then_ts") >= F.col("first_ts"))
+                & (
+                    F.col("then_ts")
+                    <= F.col("first_ts") + F.expr("INTERVAL 360 MINUTES")
+                ),
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+
+def test_await_finished_raises_on_timeout(spark, sf_dir, events_stream_dir, tmp_path):
+    """A query that cannot finish within the bound must raise a clear
+    TimeoutError (and be stopped), never hand back a partial sink."""
+    from amazonredshift_blueprints_spark.streaming.sessions import await_finished
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = read_events_stream(spark, events_stream_dir, raw_schema)
+    # processingTime trigger never self-terminates -> guaranteed timeout
+    q = (
+        stream.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt_timeout"))
+        .trigger(processingTime="10 seconds")
+        .start()
+    )
+    with pytest.raises(TimeoutError, match="did not finish"):
+        await_finished(q, 1)
+    assert not q.isActive  # stopped, not left as a zombie
