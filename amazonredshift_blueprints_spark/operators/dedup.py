@@ -64,8 +64,18 @@ def rebalance_for_compute(df: DataFrame, *, factor: int = 4) -> DataFrame:
     into one task no matter the cluster size. This guard restores the
     parallelism such an input would naturally have at scale; for any
     well-split input (every real 100 TB table) it is a no-op — no added
-    shuffle. Callers must persist the rebalanced subtree if it has
-    multiple consumers, or each one re-executes the shuffle (see module
+    shuffle.
+
+    Multi-consumer note: consumers that branch off the rebalanced
+    subtree (simhash's block self-join, n-gram's rare/a/b fan-out) may
+    re-execute the repartition where the optimizer doesn't reuse the
+    exchange — acceptable, because the shuffle only FIRES on
+    pathologically under-split inputs (where it is small by
+    construction) and is a no-op on any well-split at-scale input.
+    Persist explicitly only when expensive map-side work sits between
+    the rebalance and multiple consumers — e.g. an Arrow sketch kernel —
+    since recomputing THAT is never cheap (which is why the MinHash
+    signature stage and the portable-LSH sketch persist; see module
     header).
     """
     sc = df.sparkSession.sparkContext
