@@ -110,3 +110,80 @@ def stratified_sample(
         df.withColumn("samp_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("samp_rank") <= n_per_stratum)
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+    band_width: int = 16,
+) -> DataFrame:
+    """Greedy per-stratum token-budget selection: take rows in priority
+    order (heaviest ``weight_col`` first, id as tiebreak) until the
+    stratum's cumulative weight would exceed ``budget`` — the "N tokens
+    per language" curation step of a training-data mix.
+
+    Returns the selected rows as (stratum, id, weight, cum_weight) with
+    ``cum_weight`` the inclusive running total in priority order;
+    exactly the rows whose inclusive total fits the budget survive.
+
+    Scale: the naive form is one window per stratum — with 5 languages
+    over 100 TB that is 5 reducers doing a serial prefix sum. Instead
+    the prefix sum is TWO-LEVEL, exploiting that the priority order
+    (weight DESC, id) is consistent with banding by
+    ``floor(weight / band_width)``:
+    1. per-(stratum, band) totals — an ordinary hash aggregate whose
+       output is metadata-sized (strata x bands rows);
+    2. exclusive band offsets — a window over that tiny table;
+    3. the within-band running sum — windows partitioned by
+       (stratum, band), so parallelism is strata x bands, not strata.
+    The result equals the single-window form row-for-row (the oracle
+    replays it as one window per stratum), but no reducer ever sees
+    more than one band of one stratum.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if band_width <= 0:
+        raise ValueError(f"band_width must be positive, got {band_width}")
+    from pyspark.sql.window import Window
+
+    staged = df.select(
+        F.col(strata_col).alias("stratum"),
+        F.col(id_col).alias("id"),
+        F.col(weight_col).cast("long").alias("weight"),
+    ).withColumn("band", F.floor(F.col("weight") / band_width).cast("long"))
+
+    band_tot = staged.groupBy("stratum", "band").agg(
+        F.sum("weight").alias("band_weight")
+    )
+    w_bands = (
+        Window.partitionBy("stratum")
+        .orderBy(F.desc("band"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = band_tot.select(
+        "stratum",
+        "band",
+        F.coalesce(F.sum("band_weight").over(w_bands), F.lit(0).cast("long")).alias(
+            "band_offset"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("stratum", "band")
+        .orderBy(F.desc("weight"), F.asc("id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        staged.join(offsets, ["stratum", "band"])
+        .withColumn(
+            "cum_weight",
+            (F.col("band_offset") + F.sum("weight").over(w_in)).cast("long"),
+        )
+    )
+    return (
+        cum.filter(F.col("cum_weight") <= budget)
+        .select("stratum", "id", "weight", "cum_weight")
+    )

@@ -990,3 +990,72 @@ def query_ivf_index(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def cross_corpus_near_duplicates(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_microcos: int = 950_000,
+    bits: int = 6,
+    n_tables: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Incremental (cross-corpus) embedding dedup: pairs (new, ref) with
+    cosine >= threshold, where ``new_df`` is an incoming batch and
+    ``ref_df`` the existing corpus — the dedup-the-new-crawl-against-
+    what-we-already-have step of a continuously growing training set.
+    The self-join variant is :func:`embedding_near_duplicates`.
+
+    Candidates come from the portable md5-hyperplane bucket equi-join
+    on (table, bucket) — never a new x ref product — deduped as id
+    pairs only (the narrow-distinct shape), then verified with the
+    exact quantized cosine. Precision is exact; recall follows
+    :func:`lsh_pair_recall` at the chosen operating point.
+
+    100 TB: the reference side is the big relation — it is sketched in
+    one Arrow map-only pass and shuffled only on (tbl, bucket); the new
+    batch is typically orders of magnitude smaller, so its side of the
+    join broadcasts or hashes cheaply. State between batches is
+    nothing: the sketch is recomputed per run (or persist the reference
+    sketch table once and reuse — same columns, same join).
+    """
+    from .dedup import rebalance_for_compute
+
+    if dim is None:
+        dim = ref_df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    new_df = rebalance_for_compute(new_df)
+    ref_df = rebalance_for_compute(ref_df)
+    n_sk = portable_sketch_arrow(
+        new_df, id_col=id_col, vec_col=vec_col, prefix="new",
+        n_tables=n_tables, bits=bits, dim=dim,
+    )
+    r_sk = portable_sketch_arrow(
+        ref_df, id_col=id_col, vec_col=vec_col, prefix="ref",
+        n_tables=n_tables, bits=bits, dim=dim,
+    )
+    cand = (
+        n_sk.select("new_id", "tbl", "bucket")
+        .join(r_sk.select("ref_id", "tbl", "bucket"), ["tbl", "bucket"])
+        .filter(F.col("new_id") != F.col("ref_id"))
+        .select("new_id", "ref_id")
+        .distinct()
+    )
+    a = _with_quant(new_df, id_col, vec_col, "new")
+    b = _with_quant(ref_df, id_col, vec_col, "ref")
+    return (
+        cand.join(a, "new_id")
+        .join(b, "ref_id")
+        .select(
+            "new_id",
+            "ref_id",
+            cosine_q(
+                dot_q(F.col("new_q"), F.col("ref_q")),
+                F.col("new_norm"),
+                F.col("ref_norm"),
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") * 1_000_000 >= threshold_microcos)
+    )

@@ -329,3 +329,125 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
         F.regexp_count(t, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 2,
+    flag_dup_fraction: float = 0.2,
+) -> DataFrame:
+    """Within-document repetition signals: the "repetitious text" filter
+    family of pre-training pipelines (Rae et al.'s Gopher rules measure
+    duplicate n-gram fractions; boilerplate and spam score high).
+
+    Per document over word ``n``-grams:
+    - ``n_grams`` / ``n_distinct_grams`` — total vs distinct gram count;
+    - ``dup_fraction``   — (total - distinct) / total, 0.0 for short docs;
+    - ``top_share``      — occurrences of the most frequent gram / total;
+    - ``flagged``        — dup_fraction > ``flag_dup_fraction``.
+
+    Plan: explode grams → two-level hash aggregate ((doc, gram) counts,
+    then per-doc total/distinct/max) → left join back to keep gram-less
+    short docs. All counts are integers and each ratio is one double
+    division, so any engine replays bit-for-bit.
+
+    Scale: the explode is map-side; the (doc_id, gram) aggregate is the
+    same corpus-token-bounded shuffle as the heavy-hitters operator
+    (c31) with map-side partial aggregation, and the per-doc rollup
+    shuffles one small row per document. No self-joins, no windows.
+    """
+    from .dedup import _ngrams_expr, tokens
+
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_ngrams_expr(tokens(text_col), n)).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+        F.max("cnt").alias("n_top_gram"),
+    )
+    joined = ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("n_distinct_grams", F.lit(0)).cast("long").alias(
+            "n_distinct_grams"
+        ),
+        F.coalesce("n_top_gram", F.lit(0)).cast("long").alias("n_top_gram"),
+    )
+    dup = F.when(
+        F.col("n_grams") > 0,
+        (F.col("n_grams") - F.col("n_distinct_grams")).cast("double")
+        / F.col("n_grams"),
+    ).otherwise(F.lit(0.0))
+    top = F.when(
+        F.col("n_grams") > 0,
+        F.col("n_top_gram").cast("double") / F.col("n_grams"),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct_grams",
+        "n_top_gram",
+        dup.alias("dup_fraction"),
+        top.alias("top_share"),
+        (dup > flag_dup_fraction).alias("flagged"),
+    )
+
+
+def length_histogram(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bucket_tokens: int = 8,
+) -> DataFrame:
+    """Token-length histogram of a corpus — the first chart of any
+    corpus audit (truncation/padding planning, length-filter tuning).
+
+    Buckets documents by ``floor(n_tokens / bucket_tokens)`` and reports
+    per bucket: doc count, token mass, min/max length, and each
+    bucket's share of documents. One hash aggregate over the scan
+    (shuffle bounded by the bucket count); the share is computed with a
+    window over the AGGREGATED bucket table — dozens of rows of
+    metadata, so its single-partition window is free at any corpus
+    size.
+    """
+    staged = df.select(
+        F.size(tokens(text_col)).cast("long").alias("n_tokens")
+    )
+    agg = (
+        staged.withColumn(
+            "bucket_lo",
+            (F.floor(F.col("n_tokens") / bucket_tokens) * bucket_tokens).cast(
+                "long"
+            ),
+        )
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+    total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return agg.select(
+        "bucket_lo",
+        "n_docs",
+        "total_tokens",
+        "min_tokens",
+        "max_tokens",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(total)).alias(
+            "doc_share"
+        ),
+    )

@@ -3795,6 +3795,193 @@ def c41_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(d, "doc_id", "text")
 
 
+_DUCK_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+@query(
+    "c45_repetition_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 2 THEN
+                 list_transform(generate_series(1, len(toks) - 1),
+                                i -> concat_ws(' ', toks[i], toks[i+1]))
+               ELSE [] END AS grams
+        FROM t
+    ),
+    u AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    pg AS (SELECT doc_id, gram, count(*) AS cnt FROM u GROUP BY 1, 2),
+    pd AS (
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT) AS n_grams,
+               CAST(count(*) AS BIGINT) AS n_distinct_grams,
+               CAST(max(cnt) AS BIGINT) AS n_top_gram
+        FROM pg GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(pd.n_grams, 0) AS n_grams,
+           COALESCE(pd.n_distinct_grams, 0) AS n_distinct_grams,
+           COALESCE(pd.n_top_gram, 0) AS n_top_gram,
+           CASE WHEN COALESCE(pd.n_grams, 0) > 0
+                THEN CAST(pd.n_grams - pd.n_distinct_grams AS DOUBLE) / pd.n_grams
+                ELSE 0.0 END AS dup_fraction,
+           CASE WHEN COALESCE(pd.n_grams, 0) > 0
+                THEN CAST(pd.n_top_gram AS DOUBLE) / pd.n_grams
+                ELSE 0.0 END AS top_share,
+           (CASE WHEN COALESCE(pd.n_grams, 0) > 0
+                 THEN CAST(pd.n_grams - pd.n_distinct_grams AS DOUBLE) / pd.n_grams
+                 ELSE 0.0 END) > 0.2 AS flagged
+    FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+    """,
+    doc="within-document repetition filter (Gopher-style): duplicate "
+        "2-gram fraction and top-gram share per doc, flagged above 20% "
+        "duplication. Explode -> two-level hash aggregate (corpus-token-"
+        "bounded shuffle with map-side partials, same shape as the c31 "
+        "heavy hitters) -> left join keeps gram-less short docs; all "
+        "counts integer, each ratio one double division",
+    bench=True,
+    tags=("text", "dedup", "quality"),
+)
+def c45_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import repetition_stats
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return repetition_stats(d, "doc_id", "text", n=2, flag_dup_fraction=0.2)
+
+
+@query(
+    "c46_length_histogram",
+    oracle=f"""
+    WITH t AS (
+        SELECT CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens FROM documents
+    ),
+    b AS (
+        SELECT (n_tokens // 8) * 8 AS bucket_lo,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               min(n_tokens) AS min_tokens,
+               max(n_tokens) AS max_tokens
+        FROM t GROUP BY 1
+    )
+    SELECT bucket_lo, n_docs, total_tokens, min_tokens, max_tokens,
+           CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS doc_share
+    FROM b
+    """,
+    doc="corpus token-length histogram (truncation/padding planning): "
+        "docs bucketed by floor(n_tokens/8), per-bucket doc count, token "
+        "mass, min/max and document share. One hash aggregate over the "
+        "scan; the share window runs over the aggregated bucket table — "
+        "dozens of metadata rows, free at any corpus size",
+    tags=("text", "stats"),
+)
+def c46_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import length_histogram
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return length_histogram(d, "doc_id", "text", bucket_tokens=8)
+
+
+@query(
+    "c47_token_budget_sample",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang AS stratum, doc_id AS id,
+               CAST(len({_DUCK_TOKS}) AS BIGINT) AS weight
+        FROM documents
+    ),
+    c AS (
+        SELECT stratum, id, weight,
+               CAST(sum(weight) OVER (
+                   PARTITION BY stratum ORDER BY weight DESC, id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_weight
+        FROM t
+    )
+    SELECT stratum, id, weight, cum_weight FROM c WHERE cum_weight <= 2000
+    """,
+    doc="per-language token-budget curation: take docs heaviest-first "
+        "until each language's cumulative tokens reach the budget. The "
+        "oracle replays it as one window per stratum; the Spark plan is "
+        "a TWO-LEVEL prefix sum (per-(stratum, weight-band) totals -> "
+        "exclusive band offsets over a metadata-sized table -> within-"
+        "band windows), so reducer parallelism is strata x bands, not "
+        "strata — the 5-language window would otherwise serialize on 5 "
+        "reducers at 100 TB",
+    bench=True,
+    tags=("sampling", "text"),
+)
+def c47_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import tokens
+    from ..operators.sampling import token_budget_sample
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    staged = d.select(
+        "lang", "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    return token_budget_sample(
+        staged,
+        strata_col="lang",
+        id_col="doc_id",
+        weight_col="n_tokens",
+        budget=2000,
+    )
+
+
+@query(
+    "c48_cross_corpus_dedup",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, qv,
+               CAST({_DUCK_DOT.format(a='qv', b='qv')} AS BIGINT) AS norm
+        FROM q
+    ),
+    sk AS (
+        {_C05_SKETCH_SQL}
+    ),
+    cand AS (
+        SELECT DISTINCT s.vec_id AS na, t.vec_id AS rb
+        FROM sk s JOIN sk t ON s.tbl = t.tbl AND s.bucket = t.bucket
+        WHERE s.vec_id % 10 = 0 AND t.vec_id % 10 <> 0
+    )
+    SELECT c.na AS new_id, c.rb AS ref_id,
+           CAST({_DUCK_DOT.format(a='a.qv', b='b.qv')} AS DOUBLE)
+             / (sqrt(CAST(a.norm AS DOUBLE)) * sqrt(CAST(b.norm AS DOUBLE))) AS cosine
+    FROM cand c
+    JOIN n a ON a.vec_id = c.na
+    JOIN n b ON b.vec_id = c.rb
+    WHERE CAST({_DUCK_DOT.format(a='a.qv', b='b.qv')} AS DOUBLE)
+            / (sqrt(CAST(a.norm AS DOUBLE)) * sqrt(CAST(b.norm AS DOUBLE)))
+          * 1000000 >= 400000
+    """,
+    doc="incremental (cross-corpus) embedding dedup: the new batch "
+        "(vec_id % 10 = 0) deduped against the existing reference corpus "
+        "(the rest) via portable md5-hyperplane bucket candidates — "
+        "never a new x ref product — id-pair distinct, exact quantized-"
+        "cosine verify at 0.4. The continuously-growing-corpus companion "
+        "to c27's self-join; the oracle replays the identical buckets",
+    bench=True,
+    tags=("dedup", "similarity", "approx"),
+)
+def c48_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cross_corpus_near_duplicates
+
+    e = views(spark, sf_dir, "embeddings")["embeddings"]
+    return cross_corpus_near_duplicates(
+        e.filter(F.col("vec_id") % 10 == 0),
+        e.filter(F.col("vec_id") % 10 != 0),
+        threshold_microcos=400_000,
+        bits=_C05_BITS,
+        n_tables=_C05_TABLES,
+        dim=_C05_DIM,
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -3804,75 +3991,78 @@ def c41_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_catalog_oracle.py at sf0.001, but gets no per-round
 # CORRECTNESS row.
 #
-# Round-6 rotation policy (VERDICT r5 item 5): the window holds
-# (a) every entry whose code changed this round — the two r5 regressions
-#     fixed by normalize_events_ts (c19, c36) plus every other events.ts
-#     consumer (c12/c13/c15/c16/c20/c21/c33/c34/q49), the IVF family
-#     touched by the _collect_centroids/_div_round changes (c17, c28),
-#     and the new stored-index entry c37;
-# (b) all 37 entries whose newest driver row is r02/r03 — including the
-#     changed-in-r4 c04/q25/q29 the verdict called out.
-# Entries pushed out of the window (q01-q04, q33-q48, c01-c02, c05-c11,
-# c18, c22-c27, c29-c32, c35, …) all have green r04/r05 driver rows on
-# since-unchanged code.
+# Round-7 rotation policy (VERDICT r6 item 1): the window holds
+# (a) every entry whose code changed this round — the four r6
+#     rebalance_for_compute consumers the r6 window missed (c05, c24,
+#     c26, c27 — the verdict's top item), the similarity.py family
+#     touched by the seed/guard fixes and the id-pair distinct rewrite
+#     (c07, c17, c28, c37, c38), the DML staging-name change (q35, q42),
+#     the streaming await/RocksDB changes (c16, c36, c42, c43, c44),
+#     and the four NEW entries c45-c48;
+# (b) all 7 entries whose newest driver row is r03 (q08, q09, q16, q18,
+#     q21, q22, q23);
+# (c) 23 of the 33 remaining r05-rowed entries, prioritizing the ones
+#     whose code was touched in r6 without a fresh row (c29, c32 — the
+#     components fusion) plus the oldest of the rest.
+# Entries left outside the window (q44-q48, c23, c25, c30, c31, c35,
+# and every r06-rowed entry not in (a)) are all green on unchanged code
+# and remain covered by tests/test_catalog_oracle.py at sf0.001.
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
     # (a) code changed this round
-    "c19_asof_join",
-    "c36_stream_dedup",
+    "c45_repetition_stats",
+    "c46_length_histogram",
+    "c47_token_budget_sample",
+    "c48_cross_corpus_dedup",
+    "c05_dedup_embedding",
+    "c24_dedup_minhash_portable",
+    "c26_dedup_simhash_portable",
+    "c27_dedup_embedding_lsh",
+    "c07_ann_lsh_topk",
+    "c17_ann_ivf_topk",
+    "c28_ann_ivf_kmeans_topk",
     "c37_ann_ivf_stored",
     "c38_ann_lsh_portable_topk",
-    "c39_decontaminate",
-    "c40_pack_documents",
-    "c41_redact_pii",
+    "q35_dml_delete_update",
+    "q42_dml_merge",
+    "c16_stateful_stream_counts",
+    "c36_stream_dedup",
     "c42_stream_static_join",
     "c43_stream_stream_join",
     "c44_stream_upsert",
-    "c28_ann_ivf_kmeans_topk",
-    "c17_ann_ivf_topk",
-    "c12_sessionize",
-    "c13_session_window",
-    "c15_event_window_rollup",
-    "c16_stateful_stream_counts",
-    "c20_range_join_bucketed",
-    "c21_gapfill_locf",
-    "c33_retention_cohorts",
-    "c34_funnel_counts",
-    "q49_window_dedup",
-    # (b) stale r02/r03 driver rows
-    "q05_join_anti",
-    "q06_join_left_outer",
-    "q07_join_full_outer",
-    # q08/q09/q21/q22 yield their slots to the new c38-c41 (all stay
-    # covered by tests/test_catalog_oracle.py; green r02/r03 driver rows
-    # on unchanged code)
-    "q11_agg_distinct",
-    "q12_agg_approx_distinct",
-    "q13_agg_rollup",
-    "q14_agg_cube",
-    "q24_ddl_ctas_insert",
-    "q25_redshift_dialect",
-    "q26_shipping_priority",
-    "a01_ingest_csv_roundtrip",
-    "a02_export_csv_roundtrip",
-    "a03_sql_passthrough",
-    "c02_dedup_minhash",
-    "c03_dedup_simhash",
-    "c04_dedup_ngram_jaccard",
-    "c06_ann_bruteforce_topk",
-    "c07_ann_lsh_topk",
-    "c08_text_stats",
-    "c09_text_langid",
-    "c10_text_tokens",
-    "c11_text_fingerprint",
-    "c14_multimodal_features",
-    "q27_array_map",
-    "q28_grouping_sets",
-    "q29_dialect_functions",
-    "q30_listagg_ordered_agg",
-    "q31_pandas_udf_scalar",
-    "q32_grouped_applyinpandas",
+    # (b) stale r03 driver rows
+    "q08_join_theta",
+    "q09_join_cross",
+    "q16_window_frames",
+    "q18_setops",
+    "q21_scalar_conditional",
+    "q22_scalar_json",
+    "q23_cte_subquery",
+    # (c) r05 rows, oldest-first refresh (incl. r6-changed c29/c32)
+    "c29_dedup_groups",
+    "c32_pipeline_neardup_stratified",
+    "q01_pricing_summary",
+    "q02_filter_project_string",
+    "q03_join_revenue_by_nation",
+    "q04_join_semi",
+    "q10_agg_hash",
+    "q15_window_rank",
+    "q17_topk",
+    "q19_scalar_dates",
+    "q20_scalar_math",
+    "q33_bucketed_colocated_join",
+    "q34_salted_skew_join",
+    "q36_json_typed_struct",
+    "q37_stats_aggregates",
+    "q38_correlated_scalar_subquery",
+    "q39_null_aware_anti_join",
+    "q40_pivot",
+    "q41_qualify",
+    "q43_unpivot",
+    "c01_dedup_exact",
+    "c18_text_tfidf",
+    "c22_hash_split",
 ]
 
 

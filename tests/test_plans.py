@@ -172,3 +172,41 @@ def test_lsh_topk_distinct_hashes_id_pairs_not_vectors(spark, sf_dir):
                 id_pair_exchanges += 1
                 assert "_q" not in cols, f"{name}: vector in distinct exchange: {cols}"
         assert id_pair_exchanges >= 1, f"{name}: no id-pair distinct exchange found"
+
+
+def test_c47_budget_sample_windows_are_banded_not_per_stratum(spark, sf_dir):
+    """The data-path running sum must window per (stratum, band) — a
+    per-stratum-only window caps reducer parallelism at the language
+    count (5) at 100 TB. The only stratum-only window allowed is the
+    band-offset pass over the metadata-sized band-total table."""
+    import re
+
+    p = _plan(spark, sf_dir, "c47_token_budget_sample")
+    assert "SinglePartition" not in p, p
+    # the within-band window's exchange must hash (stratum, band)
+    assert re.search(r"hashpartitioning\(stratum[^)]*band", p), p
+
+
+def test_c45_repetition_no_self_join_and_partial_agg(spark, sf_dir):
+    p = _plan(spark, sf_dir, "c45_repetition_stats")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_count" in p or "partial" in p.lower(), p
+
+
+def test_c48_cross_corpus_no_product_and_id_pair_distinct(spark, sf_dir):
+    """Cross-corpus dedup: candidates from the (tbl, bucket) equi-join,
+    never a new x ref product; the distinct exchange carries id pairs,
+    not quantized vectors."""
+    import re
+
+    p = _plan(spark, sf_dir, "c48_cross_corpus_dedup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    pairs = 0
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", p):
+        cols = m.group(1)
+        if "new_id" in cols and "ref_id" in cols:
+            pairs += 1
+            assert "_q" not in cols, cols
+    assert pairs >= 1, p

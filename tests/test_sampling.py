@@ -65,3 +65,59 @@ def test_stratified_sample_quota_and_salt(spark, sf_dir):
     c = {(r["doc_id"]) for r in stratified_sample(d, ["lang"], key="doc_id", n_per_stratum=10, salt="v2").collect()}
     assert a == b
     assert a != c
+
+
+def test_token_budget_sample_equals_single_window_form(spark):
+    """The two-level (band offset + within-band) prefix sum must equal
+    the naive one-window-per-stratum running sum row-for-row."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from amazonredshift_blueprints_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    rows = [
+        ("en", i, (i * 37) % 100 + 1) for i in range(200)
+    ] + [("de", i, (i * 17) % 60 + 1) for i in range(150)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+
+    got = {
+        (r["stratum"], r["id"], r["weight"], r["cum_weight"])
+        for r in token_budget_sample(
+            df, strata_col="lang", id_col="doc_id",
+            weight_col="n_tokens", budget=900, band_width=16,
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r["lang"], r["doc_id"], r["n_tokens"], r["cum"])
+        for r in df.withColumn("cum", F.sum("n_tokens").over(w))
+        .filter(F.col("cum") <= 900)
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_token_budget_sample_validates_inputs(spark):
+    import pytest as _pytest
+
+    from amazonredshift_blueprints_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    df = spark.createDataFrame([("en", 1, 5)], "lang string, doc_id long, n_tokens long")
+    with _pytest.raises(ValueError, match="budget"):
+        token_budget_sample(
+            df, strata_col="lang", id_col="doc_id",
+            weight_col="n_tokens", budget=0,
+        )
+    with _pytest.raises(ValueError, match="band_width"):
+        token_budget_sample(
+            df, strata_col="lang", id_col="doc_id",
+            weight_col="n_tokens", budget=10, band_width=0,
+        )

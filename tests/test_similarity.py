@@ -363,3 +363,29 @@ def test_collected_centroid_size_guard(spark, monkeypatch):
     monkeypatch.setattr(similarity, "MAX_LITERAL_CENTROID_CELLS", 8)
     with pytest.raises(ValueError, match="collected-centroid bound"):
         similarity.ivf_topk(corpus, corpus.limit(2), k=2, n_cells=4, nprobe=2)
+
+
+def test_cross_corpus_near_duplicates_finds_planted_pair(spark):
+    """A new-batch vector planted as a near-copy of a reference vector
+    must surface (LSH recall at cosine ~1 is ~1); output must only pair
+    new x ref (never ref x ref or new x new)."""
+    import numpy as np
+
+    from amazonredshift_blueprints_spark.operators.similarity import (
+        cross_corpus_near_duplicates,
+    )
+
+    rng = np.random.default_rng(7)
+    ref_rows = [
+        (int(i), [float(x) for x in rng.normal(size=16)]) for i in range(1, 40)
+    ]
+    # new id 1000 = ref id 5's vector nudged; new id 1001 = fresh random
+    near = [v + 1e-4 for v in ref_rows[4][1]]
+    new_rows = [(1000, near), (1001, [float(x) for x in rng.normal(size=16)])]
+    mk = lambda rows: spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = cross_corpus_near_duplicates(
+        mk(new_rows), mk(ref_rows), threshold_microcos=990_000, dim=16,
+    ).collect()
+    pairs = {(r["new_id"], r["ref_id"]) for r in got}
+    assert (1000, 5) in pairs
+    assert all(n >= 1000 and r < 1000 for n, r in pairs)

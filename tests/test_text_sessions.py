@@ -179,3 +179,42 @@ def test_redact_pii_counts_and_placeholders(spark):
     assert got[2]["redacted"].count("<PHONE>") == 2
     assert got[3]["redacted"] == "nothing sensitive here"
     assert got[3]["n_emails"] == 0 and got[3]["n_phones"] == 0
+
+
+def test_repetition_stats_crafted_docs(spark):
+    """Hand-computed repetition signals: a doc that is one phrase
+    repeated must flag; a unique-gram doc must not; a short doc is
+    all-zeros and unflagged."""
+    from amazonredshift_blueprints_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham"),     # grams: 5 total, 2 distinct
+            (2, "one two three four five"),        # 4 total, 4 distinct
+            (3, "single"),                         # no 2-grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs, "doc_id", "text").collect()}
+    assert got[1]["n_grams"] == 5 and got[1]["n_distinct_grams"] == 2
+    assert abs(got[1]["dup_fraction"] - 3 / 5) < 1e-12
+    assert abs(got[1]["top_share"] - 3 / 5) < 1e-12  # "spam ham" x3
+    assert got[1]["flagged"] is True
+    assert got[2]["n_grams"] == 4 and got[2]["dup_fraction"] == 0.0
+    assert got[2]["flagged"] is False
+    assert got[3]["n_grams"] == 0 and got[3]["dup_fraction"] == 0.0
+    assert got[3]["flagged"] is False
+
+
+def test_length_histogram_buckets_partition_corpus(spark, sf_dir):
+    """Bucket counts must partition the corpus exactly and shares must
+    sum to 1."""
+    from amazonredshift_blueprints_spark.operators.text import length_histogram
+    from amazonredshift_blueprints_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    rows = length_histogram(d, "doc_id", "text", bucket_tokens=8).collect()
+    assert sum(r["n_docs"] for r in rows) == d.count()
+    assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert r["bucket_lo"] <= r["min_tokens"] <= r["max_tokens"] < r["bucket_lo"] + 8
