@@ -3982,6 +3982,89 @@ def c48_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c49_bloom_pruned_join",
+    oracle=f"""
+    SELECT l.l_returnflag,
+           {_DSUM_SQL.format(x='l.l_extendedprice')} AS sum_price,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    doc="explicit Bloom-pruned selective join: urgent orders reduce to a "
+        "collected 1024-bit bitmap (metadata, 16 longs) and the fact "
+        "scan gains a row-local might-contain filter BEFORE the join "
+        "shuffle — at 100 TB with a ~20%-selective dim this keeps most "
+        "of the fact table out of the exchange even when Spark's own "
+        "runtime bloom heuristics don't fire. False positives are "
+        "removed by the real join, so the result — and the oracle — is "
+        "exactly the plain join",
+    bench=True,
+    tags=("join", "bloom", "scale"),
+)
+def c49_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_semi_prune
+
+    t = views(spark, sf_dir, "lineitem", "orders")
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    pruned = bloom_semi_prune(
+        t["lineitem"], urgent, "l_orderkey", "o_orderkey"
+    )
+    return (
+        pruned.join(urgent, pruned["l_orderkey"] == urgent["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            dsum("l_extendedprice", "sum_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "c50_partitioned_layout_pruning",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date, event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+      AND CAST(ts AS DATE) <  DATE '2024-01-15'
+    GROUP BY 1, 2
+    """,
+    doc="date-partitioned storage layout with partition-pruned readback: "
+        "events materialize once as event_date= directories, then a "
+        "5-day query scans ONLY those directories (the range filter "
+        "lands in PartitionFilters — asserted in tests/test_plans.py — "
+        "so pruning happens at file listing, not row filtering). The "
+        "date-layout twin of the c37 stored-IVF cell pruning; at 100 TB "
+        "this is the difference between a 5-day scan and a full-history "
+        "scan",
+    tags=("layout", "scale", "events"),
+)
+def c50_partitioned_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.layout import read_date_pruned, write_date_partitioned
+    from ..session import load_table
+
+    views(spark, sf_dir, "events")  # oracle side
+    events = load_table(spark, sf_dir, "events")
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="bp_layout_"), "events_by_date"
+    )
+    write_date_partitioned(events, path)
+    pruned = read_date_pruned(spark, path, "2024-01-10", "2024-01-15")
+    return (
+        pruned.groupBy(
+            F.col("event_date").cast("string").alias("event_date"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -4004,13 +4087,15 @@ def c48_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (c) 23 of the 33 remaining r05-rowed entries, prioritizing the ones
 #     whose code was touched in r6 without a fresh row (c29, c32 — the
 #     components fusion) plus the oldest of the rest.
-# Entries left outside the window (q44-q48, c23, c25, c30, c31, c35,
+# Entries left outside the window (q40, q43-q48, c23, c25, c30, c31, c35,
 # and every r06-rowed entry not in (a)) are all green on unchanged code
 # and remain covered by tests/test_catalog_oracle.py at sf0.001.
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
     # (a) code changed this round
+    "c49_bloom_pruned_join",
+    "c50_partitioned_layout_pruning",
     "c45_repetition_stats",
     "c46_length_histogram",
     "c47_token_budget_sample",
@@ -4057,9 +4142,7 @@ _DRIVER_WINDOW = [
     "q37_stats_aggregates",
     "q38_correlated_scalar_subquery",
     "q39_null_aware_anti_join",
-    "q40_pivot",
     "q41_qualify",
-    "q43_unpivot",
     "c01_dedup_exact",
     "c18_text_tfidf",
     "c22_hash_split",

@@ -210,3 +210,31 @@ def test_c48_cross_corpus_no_product_and_id_pair_distinct(spark, sf_dir):
             pairs += 1
             assert "_q" not in cols, cols
     assert pairs >= 1, p
+
+
+def test_c50_layout_readback_prunes_partitions(spark, sf_dir):
+    """The date range must land in the scan's PartitionFilters (pruned
+    at file listing) — not in DataFilters (read-then-discard)."""
+    p = _plan(spark, sf_dir, "c50_partitioned_layout_pruning")
+    scan = next(
+        ln for ln in p.splitlines()
+        if "FileScan" in ln and "events_by_date" in ln
+    )
+    assert "PartitionFilters: [" in scan
+    pf = scan.split("PartitionFilters: ", 1)[1]
+    assert "event_date" in pf.split("]", 1)[0], scan
+    assert "DataFilters: []" in scan, scan
+
+
+def test_c49_bloom_filter_is_scan_side_single_join(spark, sf_dir):
+    """The bloom membership test must sit on the fact scan (row-local
+    xxhash64 filter, no extra join node) with exactly one real join —
+    the pruning adds a filter, never an exchange."""
+    p = _plan(spark, sf_dir, "c49_bloom_pruned_join")
+    assert "xxhash64" in p, p
+    join_nodes = [
+        ln for ln in p.splitlines()
+        if "Join" in ln and "BroadcastNestedLoopJoin" not in ln
+    ]
+    assert len(join_nodes) == 1, join_nodes
+    assert "CartesianProduct" not in p
