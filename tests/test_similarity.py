@@ -389,3 +389,41 @@ def test_cross_corpus_near_duplicates_finds_planted_pair(spark):
     pairs = {(r["new_id"], r["ref_id"]) for r in got}
     assert (1000, 5) in pairs
     assert all(n >= 1000 and r < 1000 for n, r in pairs)
+
+
+def test_xxhash_sign_kernel_matches_expression_sketch(spark, sf_dir):
+    """lsh_topk's Arrow fast path must bucket BIT-IDENTICALLY to the
+    original HOF expression form: same xxhash64 parity signs, same
+    proj>0 bit rule. Checked over real fixture vectors for every
+    (vector, table) pair."""
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.operators.similarity import (
+        _sketch_arrow_with_signs,
+        _with_quant,
+        hyperplane_sketch,
+        xxhash_hyperplane_signs,
+    )
+    from amazonredshift_blueprints_spark.session import load_table
+
+    bits, n_tables = 5, 3
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    dim = e.select(F.size("embedding").alias("d")).first()["d"]
+
+    q = _with_quant(e, "vec_id", "embedding", "x")
+    want = {}
+    for t in range(n_tables):
+        for r in q.select(
+            "x_id", hyperplane_sketch(F.col("x_q"), bits=bits, table=t).alias("b")
+        ).collect():
+            want[(int(r["x_id"]), t)] = int(r["b"])
+
+    signs = xxhash_hyperplane_signs(spark, n_tables=n_tables, bits=bits, dim=dim)
+    got = {
+        (int(r["x_id"]), int(r["tbl"])): int(r["bucket"])
+        for r in _sketch_arrow_with_signs(
+            e, signs, id_col="vec_id", vec_col="embedding", prefix="x",
+            n_tables=n_tables, bits=bits,
+        ).collect()
+    }
+    assert got == want and len(got) == 40 * n_tables
