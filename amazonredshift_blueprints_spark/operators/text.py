@@ -451,3 +451,52 @@ def length_histogram(
             "doc_share"
         ),
     )
+
+
+# Quantile probes for corpus audits; the list every truncation/padding
+# decision actually asks for.
+QUANTILE_PROBS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def length_quantiles(
+    df: DataFrame,
+    text_col: str,
+    *,
+    strata_col: str | None = None,
+    probs: tuple[float, ...] = QUANTILE_PROBS,
+    approximate: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Token-length quantiles of a corpus, optionally per stratum
+    (language, source) — the summary behind every max-sequence-length
+    decision.
+
+    Two engines, same output shape (stratum?, n_docs, q_0, q_1, ...):
+
+    - ``approximate=False`` — exact interpolated ``percentile``. The
+      aggregator buffers each group's values, so memory is O(group
+      size): right for fixture-scale audits and for the DuckDB oracle
+      (DuckDB's ``quantile_cont`` computes the identical interpolation
+      — verified value-equal), WRONG at 100 TB.
+    - ``approximate=True`` — ``approx_percentile`` (Greenwald-Khanna,
+      bounded memory ~O(accuracy·log n) per group): the 100 TB path,
+      rank error ≤ 1/accuracy. Same plan shape, partial-aggregating,
+      no buffering. Bounded against the exact path in tests.
+    """
+    from .dedup import tokens
+
+    fn = "approx_percentile" if approximate else "percentile"
+    prob_sql = ", ".join(str(p) for p in probs)
+    extra = f", {accuracy}" if approximate else ""
+    staged = df.select(
+        *( [F.col(strata_col).alias("stratum")] if strata_col else [] ),
+        F.size(tokens(text_col)).cast("long").alias("_n"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")] + [
+        F.expr(f"CAST({fn}(_n, array({prob_sql}){extra})[{j}] AS DOUBLE)").alias(
+            f"q_{str(p).replace('.', '_')}"
+        )
+        for j, p in enumerate(probs)
+    ]
+    grouped = staged.groupBy("stratum") if strata_col else staged.groupBy()
+    return grouped.agg(*aggs)

@@ -4065,6 +4065,39 @@ def c50_partitioned_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "c51_length_quantiles",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang AS stratum,
+               CAST(len({_DUCK_TOKS}) AS BIGINT) AS n
+        FROM documents
+    )
+    SELECT stratum, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(quantile_cont(n, 0.25) AS DOUBLE) AS q_0_25,
+           CAST(quantile_cont(n, 0.5)  AS DOUBLE) AS q_0_5,
+           CAST(quantile_cont(n, 0.75) AS DOUBLE) AS q_0_75,
+           CAST(quantile_cont(n, 0.9)  AS DOUBLE) AS q_0_9,
+           CAST(quantile_cont(n, 0.99) AS DOUBLE) AS q_0_99
+    FROM t GROUP BY stratum
+    """,
+    doc="per-language token-length quantiles (exact interpolated "
+        "percentile — DuckDB's quantile_cont computes the identical "
+        "interpolation, verified value-equal). The exact aggregator "
+        "buffers each group's values, so this entry is the AUDIT/oracle "
+        "form; the 100 TB path is the same operator with "
+        "approximate=True (Greenwald-Khanna approx_percentile, bounded "
+        "memory), rank-error-bounded against exact in "
+        "tests/test_text_sessions.py",
+    tags=("text", "stats"),
+)
+def c51_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import length_quantiles
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return length_quantiles(d, "text", strata_col="lang")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -4087,7 +4120,7 @@ def c50_partitioned_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFram
 # (c) 23 of the 33 remaining r05-rowed entries, prioritizing the ones
 #     whose code was touched in r6 without a fresh row (c29, c32 — the
 #     components fusion) plus the oldest of the rest.
-# Entries left outside the window (q40, q43-q48, c23, c25, c30, c31, c35,
+# Entries left outside the window (q40, q43-q48, c22, c23, c25, c30, c31, c35,
 # and every r06-rowed entry not in (a)) are all green on unchanged code
 # and remain covered by tests/test_catalog_oracle.py at sf0.001.
 # --------------------------------------------------------------------------
@@ -4145,7 +4178,7 @@ _DRIVER_WINDOW = [
     "q41_qualify",
     "c01_dedup_exact",
     "c18_text_tfidf",
-    "c22_hash_split",
+    "c51_length_quantiles",
 ]
 
 

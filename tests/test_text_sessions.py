@@ -218,3 +218,29 @@ def test_length_histogram_buckets_partition_corpus(spark, sf_dir):
     assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-9
     for r in rows:
         assert r["bucket_lo"] <= r["min_tokens"] <= r["max_tokens"] < r["bucket_lo"] + 8
+
+
+def test_length_quantiles_approx_within_rank_error(spark, sf_dir):
+    """The scale path: approx_percentile must stay within a few rank
+    units of the exact interpolated percentile at accuracy=10k (rank
+    error <= n/accuracy, and the fixture has n << accuracy so the
+    approx answer must be an actual element near the exact one)."""
+    from amazonredshift_blueprints_spark.operators.text import length_quantiles
+    from amazonredshift_blueprints_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    exact = length_quantiles(d, "text", strata_col="lang").collect()
+    approx = {
+        r["stratum"]: r
+        for r in length_quantiles(
+            d, "text", strata_col="lang", approximate=True
+        ).collect()
+    }
+    assert set(approx) == {r["stratum"] for r in exact}
+    for r in exact:
+        a = approx[r["stratum"]]
+        assert a["n_docs"] == r["n_docs"]
+        for q in ("q_0_25", "q_0_5", "q_0_75", "q_0_9", "q_0_99"):
+            # exact is interpolated, approx returns a real element: the
+            # gap is bounded by the local value spacing (few tokens)
+            assert abs(a[q] - r[q]) <= 5.0, (r["stratum"], q, a[q], r[q])
