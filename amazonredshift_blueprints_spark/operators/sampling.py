@@ -187,3 +187,43 @@ def token_budget_sample(
         cum.filter(F.col("cum_weight") <= budget)
         .select("stratum", "id", "weight", "cum_weight")
     )
+
+
+def mix_corpus(
+    df: DataFrame,
+    strata_col: str,
+    key: str,
+    rates: dict[str, float],
+    salt: str = "v1",
+) -> DataFrame:
+    """Re-weight a corpus by stratum: keep each stratum's rows at its
+    own deterministic rate — the data-mixing step that turns raw source
+    proportions into a target training mix ("keep 100% of en, 40% of
+    the crawl, 5% of boilerplate-heavy sources").
+
+    Built on the same salted-md5 bucket as :func:`hash_split`, so the
+    downsample is stable across reruns, independent of partitioning,
+    and replayable by any engine auditing the mix. Strata missing from
+    ``rates`` are DROPPED (explicit mixes only — a silent keep-all
+    default would un-curate the corpus). Adds ``mix_rate``.
+
+    100 TB: one map-side filter (a CASE over the broadcast-small rates
+    dict); no shuffle, no state.
+    """
+    for name, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {name!r} outside [0, 1]: {r}")
+    bucket = _bucket(key, salt)
+    rate_expr: Column = F.lit(None).cast("double")
+    keep: Column = F.lit(False)
+    for name, r in rates.items():
+        hit = F.col(strata_col) == name
+        rate_expr = F.when(hit, F.lit(float(r))).otherwise(rate_expr)
+        if r >= 1.0:
+            cond = F.lit(True)
+        elif r <= 0.0:
+            cond = F.lit(False)
+        else:
+            cond = bucket <= F.lit(_threshold(r))
+        keep = F.when(hit, cond).otherwise(keep)
+    return df.filter(keep).withColumn("mix_rate", rate_expr)

@@ -500,3 +500,61 @@ def length_quantiles(
     ]
     grouped = staged.groupBy("stratum") if strata_col else staged.groupBy()
     return grouped.agg(*aggs)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window_tokens: int = 64,
+    stride_tokens: int = 48,
+) -> DataFrame:
+    """Split documents into (overlapping) token windows — the chunking
+    step ahead of embedding/indexing or fixed-context training, with
+    ``window_tokens - stride_tokens`` tokens of overlap between
+    consecutive chunks.
+
+    Chunk rule (deterministic, engine-replayable): token starts at
+    0, stride, 2·stride, … while start < n_tokens; chunk k covers
+    tokens [k·stride, k·stride + window). The final chunk is short
+    rather than padded; empty docs emit no chunks.
+
+    Returns (doc_id, chunk_id, start_token, n_chunk_tokens, chunk_text).
+
+    Scale: pure map-side — tokens, starts (`sequence` with step), and
+    slices are array expressions; `posexplode` multiplies rows by
+    ~n/stride with no shuffle anywhere. The let-binding through a
+    one-element transform keeps the token array from re-evaluating per
+    chunk (the `_ngrams_expr` lesson).
+    """
+    if window_tokens <= 0 or stride_tokens <= 0:
+        raise ValueError(
+            f"window/stride must be positive, got {window_tokens}/{stride_tokens}"
+        )
+
+    def chunks_of(toks: Column) -> Column:
+        n = F.size(toks)
+        starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride_tokens)))\
+            .otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                s.cast("long").alias("start_token"),
+                F.slice(toks, s + 1, window_tokens).alias("_ctoks"),
+            ),
+        )
+
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(F.array(tokens(text_col)), chunks_of)[0].alias("_chunks"),
+    )
+    return staged.select(
+        "doc_id", F.posexplode("_chunks").alias("chunk_id", "_c")
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("_c.start_token").alias("start_token"),
+        F.size("_c._ctoks").cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.col("_c._ctoks")).alias("chunk_text"),
+    )

@@ -4098,6 +4098,73 @@ def c51_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_quantiles(d, "text", strata_col="lang")
 
 
+@query(
+    "c52_chunk_documents",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               unnest(generate_series(0, len(toks) - 1, 48)) AS st
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(st // 48 AS BIGINT) AS chunk_id,
+           CAST(st AS BIGINT) AS start_token,
+           CAST(least(64, n - st) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(list_slice(toks, st + 1, least(st + 64, n)), ' ')
+             AS chunk_text
+    FROM s
+    """,
+    doc="document chunking into overlapping token windows (64-token "
+        "window, 48-token stride -> 16 tokens of overlap): the step "
+        "ahead of embedding/indexing or fixed-context training. Pure "
+        "map-side array expressions + posexplode — row multiplication "
+        "~n/stride with zero shuffles; the final short chunk is kept "
+        "unpadded, empty docs emit nothing",
+    tags=("text", "pipeline"),
+)
+def c52_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import chunk_documents
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return chunk_documents(d, "doc_id", "text", window_tokens=64, stride_tokens=48)
+
+
+@query(
+    "c53_corpus_mix",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, text, lang, source, n_chars,
+               substring(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 6) AS bucket
+        FROM documents
+    )
+    SELECT doc_id, text, lang, source, n_chars,
+           CASE lang WHEN 'en' THEN CAST(1.0 AS DOUBLE)
+                     WHEN 'de' THEN CAST(0.5 AS DOUBLE)
+                     WHEN 'zh' THEN CAST(0.2 AS DOUBLE) END AS mix_rate
+    FROM b
+    WHERE (lang = 'en')
+       OR (lang = 'de' AND bucket <= '800000')
+       OR (lang = 'zh' AND bucket <= '333333')
+    """,
+    doc="corpus mixing: per-stratum deterministic downsampling to a "
+        "target training mix (keep all en, half de, a fifth of zh; "
+        "strata without a rate are dropped — explicit mixes only). The "
+        "same salted-md5 bucket as the c22 split, so the mix is stable "
+        "under reruns/partitioning and independently replayable (the "
+        "oracle recomputes it). One map-side CASE filter: no shuffle at "
+        "any scale",
+    tags=("sampling", "documents", "pipeline"),
+)
+def c53_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import mix_corpus
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return mix_corpus(d, "lang", "doc_id", {"en": 1.0, "de": 0.5, "zh": 0.2})
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -4120,7 +4187,8 @@ def c51_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (c) 23 of the 33 remaining r05-rowed entries, prioritizing the ones
 #     whose code was touched in r6 without a fresh row (c29, c32 — the
 #     components fusion) plus the oldest of the rest.
-# Entries left outside the window (q40, q43-q48, c22, c23, c25, c30, c31, c35,
+# Entries left outside the window (q36, q37, q40, q43-q48, c22, c23, c25,
+# c30, c31, c35,
 # and every r06-rowed entry not in (a)) are all green on unchanged code
 # and remain covered by tests/test_catalog_oracle.py at sf0.001.
 # --------------------------------------------------------------------------
@@ -4171,8 +4239,8 @@ _DRIVER_WINDOW = [
     "q20_scalar_math",
     "q33_bucketed_colocated_join",
     "q34_salted_skew_join",
-    "q36_json_typed_struct",
-    "q37_stats_aggregates",
+    "c52_chunk_documents",
+    "c53_corpus_mix",
     "q38_correlated_scalar_subquery",
     "q39_null_aware_anti_join",
     "q41_qualify",

@@ -244,3 +244,57 @@ def test_length_quantiles_approx_within_rank_error(spark, sf_dir):
             # exact is interpolated, approx returns a real element: the
             # gap is bounded by the local value spacing (few tokens)
             assert abs(a[q] - r[q]) <= 5.0, (r["stratum"], q, a[q], r[q])
+
+
+def test_chunk_documents_contract(spark):
+    """Chunk rule edge cases: short doc = one unpadded chunk; empty doc
+    = no chunks; consecutive chunks overlap by window - stride; token
+    coverage is exact."""
+    from amazonredshift_blueprints_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens: 3 chunks @ w4 s4? no: w=4,s=3
+            (2, "a b"),                                   # single short chunk
+            (3, ""),                                      # no chunks
+        ],
+        "doc_id long, text string",
+    )
+    got = chunk_documents(docs, "doc_id", "text", window_tokens=4, stride_tokens=3)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["start_token"], r["n_chunk_tokens"], r["chunk_text"])
+         for r in got.collect())
+    )
+    doc1 = [r for r in rows if r[0] == 1]
+    # starts 0,3,6,9; window 4; last chunk is the single token t9
+    assert [(r[2], r[3]) for r in doc1] == [(0, 4), (3, 4), (6, 4), (9, 1)]
+    assert doc1[0][4] == "t0 t1 t2 t3"
+    assert doc1[1][4] == "t3 t4 t5 t6"   # 1-token overlap with previous
+    assert doc1[3][4] == "t9"
+    assert [r for r in rows if r[0] == 2] == [(2, 0, 0, 2, "a b")]
+    assert not [r for r in rows if r[0] == 3]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positive"):
+        chunk_documents(docs, "doc_id", "text", window_tokens=0)
+
+
+def test_mix_corpus_rates_and_validation(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.operators.sampling import mix_corpus
+    from amazonredshift_blueprints_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    m = mix_corpus(d, "lang", "doc_id", {"en": 1.0, "de": 0.5, "zh": 0.0})
+    got = {r["lang"]: r["n"] for r in m.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    n_en = d.filter(F.col("lang") == "en").count()
+    n_de = d.filter(F.col("lang") == "de").count()
+    assert got.get("en") == n_en            # rate 1.0 keeps all
+    assert "zh" not in got                  # rate 0.0 drops all
+    assert "fr" not in got and "es" not in got  # unlisted strata dropped
+    assert 0.25 * n_de < got.get("de", 0) < 0.75 * n_de  # ~half, hash noise
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="outside"):
+        mix_corpus(d, "lang", "doc_id", {"en": 1.5})
