@@ -4165,6 +4165,62 @@ def c53_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_corpus(d, "lang", "doc_id", {"en": 1.0, "de": 0.5, "zh": 0.2})
 
 
+@query(
+    "c54_incremental_rollup",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_value_q
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="incremental rollup maintenance — the daily-ETL pattern: a "
+        "(date, type) rollup table is first built from history up to a "
+        "mid-day cutoff (day 21 deliberately PARTIAL), then one "
+        "incremental MERGE of the re-aggregated open days corrects the "
+        "partial day and appends the new ones. Per increment the cost "
+        "is aggregate-the-delta + one keyed merge — never a recompute "
+        "of history — and the final table must equal the full rollup "
+        "(the oracle). Value sums are 1e-6-quantized BIGINTs, exact in "
+        "any engine",
+    tags=("dml", "events", "pipeline"),
+)
+def c54_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dml import merge_into
+    from ..ingest import _clean_stale_location
+    from ..session import load_table
+
+    views(spark, sf_dir, "events")  # oracle side
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(
+                F.to_date("ts").cast("string").alias("event_date"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+                    "sum_value_q"
+                ),
+            )
+        )
+
+    events = load_table(spark, sf_dir, "events")
+    tbl = "bp_incr_rollup"
+    _clean_stale_location(spark, tbl, None)
+    cutoff = "2024-01-21 12:00:00"
+    rollup(events.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))).write.mode(
+        "overwrite"
+    ).saveAsTable(tbl)
+    delta = rollup(
+        events.filter(F.to_date("ts") >= F.lit("2024-01-21").cast("date"))
+    )
+    merge_into(spark, tbl, delta, keys=["event_date", "event_type"])
+    return spark.table(tbl)
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -4235,7 +4291,7 @@ _DRIVER_WINDOW = [
     "q10_agg_hash",
     "q15_window_rank",
     "q17_topk",
-    "q19_scalar_dates",
+    "c54_incremental_rollup",
     "q20_scalar_math",
     "q33_bucketed_colocated_join",
     "q34_salted_skew_join",
