@@ -4000,7 +4000,11 @@ def c48_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "of the fact table out of the exchange even when Spark's own "
         "runtime bloom heuristics don't fire. False positives are "
         "removed by the real join, so the result — and the oracle — is "
-        "exactly the plain join",
+        "exactly the plain join. Honesty note: at fixture scale the "
+        "bitmap-build job costs more than the shuffle it saves (the "
+        "entry benches ~3x the plain join); the trade flips when the "
+        "fact side is large enough that exchange volume dominates — "
+        "the regime this operator exists for",
     bench=True,
     tags=("join", "bloom", "scale"),
 )
