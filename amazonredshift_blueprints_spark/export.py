@@ -99,21 +99,44 @@ def write_result(
     format: str = "csv",
     include_header: bool = True,
     single_file: bool = True,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Format-generalized sink: the reference only emits CSV
     (store_query_results.py:98-118); JSON and parquet are the free Spark
     upgrades a warehouse-export user reaches for next. Same single-file /
     part-directory contract as :func:`write_csv`; returns rows written.
+
+    ``partition_by`` mirrors Redshift ``UNLOAD ... PARTITION BY``:
+    directory-mode output laid out as ``col=value/`` subdirectories, so
+    downstream readers partition-prune on the export (see
+    operators/layout.py for the read side). Requires
+    ``single_file=False`` — a partitioned export is by definition many
+    files.
     """
-    if format == "csv":
+    if partition_by:
+        if single_file:
+            raise ValueError(
+                "partition_by requires single_file=False: a partitioned "
+                "export is a directory tree, not one file"
+            )
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition_by column(s) not in result: {missing}")
+    if format == "csv" and not partition_by:
         return write_csv(
             df, destination_path, include_header=include_header, single_file=single_file
         )
-    if format not in ("json", "parquet", "orc"):
+    if format not in ("csv", "json", "parquet", "orc"):
         raise ValueError(f"format must be csv/json/parquet/orc, got {format!r}")
     parent = os.path.dirname(os.path.abspath(destination_path))
     os.makedirs(parent, exist_ok=True)
     n = df.count()
+    if partition_by:
+        w = df.write.mode("overwrite").format(format).partitionBy(*partition_by)
+        if format == "csv":
+            w = w.option("header", include_header)
+        w.save(destination_path)
+        return n
     if not single_file:
         df.write.mode("overwrite").format(format).save(destination_path)
         return n

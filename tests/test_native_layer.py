@@ -444,3 +444,37 @@ def test_concurrent_dml_staging_does_not_collide(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_dml_race_a")
         spark.sql("DROP TABLE IF EXISTS t_dml_race_b")
+
+
+def test_export_partition_by_unload_parity(spark, sf_dir, tmp_path):
+    """Redshift UNLOAD ... PARTITION BY parity: directory-mode export
+    laid out as col=value/ subdirectories, readable back with pruning;
+    misuse (single-file or unknown column) raises."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from amazonredshift_blueprints_spark.export import write_result
+    from amazonredshift_blueprints_spark.session import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    dest = str(tmp_path / "nation_by_region")
+    n = write_result(
+        nation, dest, format="parquet", single_file=False,
+        partition_by=["n_regionkey"],
+    )
+    assert n == nation.count()
+    dirs = {d for d in _os.listdir(dest) if d.startswith("n_regionkey=")}
+    assert len(dirs) == nation.select("n_regionkey").distinct().count()
+    back = spark.read.parquet(dest)
+    assert back.count() == n
+    assert back.filter("n_regionkey = 0").count() == \
+        nation.filter("n_regionkey = 0").count()
+
+    with _pytest.raises(ValueError, match="single_file=False"):
+        write_result(nation, dest, format="parquet", partition_by=["n_regionkey"])
+    with _pytest.raises(ValueError, match="not in result"):
+        write_result(
+            nation, dest, format="parquet", single_file=False,
+            partition_by=["nope"],
+        )
