@@ -65,3 +65,77 @@ def test_idempotent_on_rewritten_output():
     for sql in _DIALECT_EXAMPLES:
         once = translate_redshift_sql(sql)
         assert translate_redshift_sql(once) == once, sql
+
+
+# -- operator invariants (round 7) ----------------------------------------
+# Property subjects that need a SparkSession use module-scoped sampling of
+# the hypothesis-generated inputs through ONE job per example set — the
+# per-example strategy keeps data tiny so the property run stays fast.
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    keys=st.sets(st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=60),
+    probes=st.sets(st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=60),
+)
+def test_bloom_superset_property(keys, probes):
+    """Pure-python replay of the Bloom build/probe pair is impossible
+    (xxhash64 is JVM-side), but the SUPERSET property is checkable
+    end-to-end: every inserted key must test positive. Uses one shared
+    SparkSession; each example is two tiny jobs."""
+    from amazonredshift_blueprints_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+    from amazonredshift_blueprints_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark("pytest")
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    words = bloom_build(df, "k", n_bits=256, n_hashes=2)
+    test_set = keys | probes
+    got = {
+        r["k"]
+        for r in spark.createDataFrame([(k,) for k in test_set], "k long")
+        .filter(bloom_might_contain("k", words, n_hashes=2))
+        .collect()
+    }
+    assert keys <= got  # no false negatives, ever
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n_tokens=st.integers(min_value=0, max_value=40),
+    window=st.integers(min_value=1, max_value=12),
+    stride=st.integers(min_value=1, max_value=12),
+)
+def test_chunk_coverage_property(n_tokens, window, stride):
+    """Chunking invariants for any (window, stride): chunk k starts at
+    k*stride; every token position is covered when stride <= window;
+    concatenating stride-sized prefixes of each chunk (plus the last
+    chunk's tail) reconstructs the document exactly."""
+    from amazonredshift_blueprints_spark.operators.text import chunk_documents
+    from amazonredshift_blueprints_spark.session import get_spark
+
+    spark = get_spark("pytest")
+    toks = [f"w{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    rows = sorted(
+        (r["chunk_id"], r["start_token"], r["chunk_text"])
+        for r in chunk_documents(
+            df, "doc_id", "text", window_tokens=window, stride_tokens=stride
+        ).collect()
+    )
+    if n_tokens == 0:
+        assert rows == []
+        return
+    assert [r[1] for r in rows] == list(range(0, n_tokens, stride))
+    for cid, start, text in rows:
+        assert cid == start // stride
+        expect = toks[start : start + window]
+        assert text.split(" ") == expect
+    if stride <= window:
+        covered = set()
+        for _, start, text in rows:
+            covered.update(range(start, start + len(text.split(" "))))
+        assert covered == set(range(n_tokens))
