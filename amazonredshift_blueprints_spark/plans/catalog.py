@@ -4241,14 +4241,14 @@ def c54_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     touched by the seed/guard fixes and the id-pair distinct rewrite
 #     (c07, c17, c28, c37, c38), the DML staging-name change (q35, q42),
 #     the streaming await/RocksDB changes (c16, c36, c42, c43, c44),
-#     and the four NEW entries c45-c48;
+#     and the ten NEW entries c45-c54;
 # (b) all 7 entries whose newest driver row is r03 (q08, q09, q16, q18,
 #     q21, q22, q23);
-# (c) 23 of the 33 remaining r05-rowed entries, prioritizing the ones
+# (c) the remaining slots go to r05-rowed entries, prioritizing the ones
 #     whose code was touched in r6 without a fresh row (c29, c32 — the
 #     components fusion) plus the oldest of the rest.
-# Entries left outside the window (q36, q37, q40, q43-q48, c22, c23, c25,
-# c30, c31, c35,
+# Entries left outside the window (q19, q36, q37, q40, q43-q48, c22, c23,
+# c25, c30, c31, c35,
 # and every r06-rowed entry not in (a)) are all green on unchanged code
 # and remain covered by tests/test_catalog_oracle.py at sf0.001.
 # --------------------------------------------------------------------------
