@@ -693,20 +693,36 @@ def duplicate_groups(
     executes after any of the pair generators (c02-c05, c24, c26).
 
     Algorithm: iterative min-label propagation (the Pregel/GraphX
-    connected-components shape as pure DataFrame ops). Each round every
-    node takes the min of its own label and its neighbors' labels; the
-    loop stops when the exact integer sum of labels stops decreasing —
-    a driver-side convergence probe on one aggregated BIGINT, not a
-    data collect. Rounds needed = eccentricity of each component's min
-    node; near-dup components are star-like (diameter 2-4), so the loop
-    is 3-5 rounds in practice, bounded by ``max_iters``.
+    connected-components shape as pure DataFrame ops) with ADAPTIVE
+    POINTER JUMPING. Plain rounds — each node takes the min of its own
+    and its neighbors' labels — run first; they are the cheapest round
+    shape and finish star-like components (the shape near-dup graphs
+    actually produce, diameter 2-4) in 2-3 rounds with zero overhead.
+    If convergence hasn't arrived after ``plain_rounds`` rounds the
+    graph has deep chains, and every later round ALSO shortcuts
+    label → label-of-label (path compression, the Shiloach-Vishkin
+    step) so a diameter-d chain resolves in O(log d) further rounds
+    instead of O(d) — templated spam series where doc k only matches
+    doc k±1 are exactly this adversarial shape. The loop stops when the
+    exact integer sum of labels stops decreasing — a driver-side
+    convergence probe on one aggregated BIGINT, not a data collect;
+    ``max_iters`` bounds the loop.
 
-    100 TB: each round is one equi-join on src + one groupBy(dst) min —
-    both shuffle on node ids only; labels are (id, label) pairs, orders
-    of magnitude smaller than the documents. Deterministic: min over
-    ids, no floats, no ordering dependence.
+    100 TB: each round is one equi-join on src + one groupBy(dst) min
+    (+ one label-table self-join in compressed rounds) — all shuffle on
+    node ids only; labels are (id, label) pairs, orders of magnitude
+    smaller than the documents. Deterministic: min over ids, no floats,
+    no ordering dependence (a label value is always some node's id, so
+    the compression join always finds its target). Compressed rounds
+    cut lineage with ``localCheckpoint`` — their self-join references
+    the previous round's plan twice, so un-truncated lineage doubles
+    per round and the planner blows up exponentially (the standard
+    iterative-graph checkpointing pattern; swap for ``checkpoint()`` on
+    a cluster where executor loss matters more than the extra I/O).
     """
     from pyspark.storagelevel import StorageLevel
+
+    plain_rounds = 4
 
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (
@@ -732,22 +748,40 @@ def duplicate_groups(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(max_iters):
+    for rnd in range(max_iters):
+        compress = rnd >= plain_rounds
         neigh = (
             edges.join(labels, edges["src"] == labels["id"])
             .groupBy("dst")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
-            labels.join(neigh, labels["id"] == neigh["dst"], "left")
-            .select(
-                labels["id"],
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        new_labels = labels.join(neigh, labels["id"] == neigh["dst"], "left").select(
+            labels["id"],
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("label"),
         )
+        if compress:
+            # pointer jumping: label' = min(label, label-of-label); the
+            # parent lookup joins the half-updated table against itself
+            # on the label value (always a node id).
+            half = new_labels.localCheckpoint(eager=True)
+            parents = half.select(
+                F.col("id").alias("_pid"), F.col("label").alias("_plabel")
+            )
+            new_labels = (
+                half.join(parents, half["label"] == parents["_pid"], "left")
+                .select(
+                    half["id"],
+                    F.least(
+                        half["label"],
+                        F.coalesce(F.col("_plabel"), half["label"]),
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        else:
+            new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
         new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels.unpersist()
         labels = new_labels

@@ -288,3 +288,17 @@ def test_rebalance_guard_noop_on_well_split_input(spark):
         assert out.count() == narrow.count()
     else:
         assert out is narrow
+
+
+def test_duplicate_groups_long_chain_logarithmic_rounds(spark):
+    """A 64-node chain (diameter 63) must fully resolve to one group —
+    and with pointer jumping it must do so within the default
+    max_iters=20 (plain neighbor propagation would need 63 rounds;
+    O(log d) needs ~6)."""
+    from amazonredshift_blueprints_spark.operators.dedup import duplicate_groups
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a: long, id_b: long"
+    )
+    got = {(r["doc_id"], r["group_id"]) for r in duplicate_groups(pairs).collect()}
+    assert got == {(i, 0) for i in range(64)}
