@@ -4225,6 +4225,115 @@ def c54_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(tbl)
 
 
+@query(
+    "c55_pipeline_curation",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 2 THEN
+                 list_transform(generate_series(1, len(toks) - 1),
+                                i -> concat_ws(' ', toks[i], toks[i+1]))
+               ELSE [] END AS grams
+        FROM t
+    ),
+    u AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    pg AS (SELECT doc_id, gram, count(*) AS cnt FROM u GROUP BY 1, 2),
+    rep AS (
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT) AS n_grams,
+               CAST(count(*) AS BIGINT) AS n_distinct
+        FROM pg GROUP BY 1
+    ),
+    clean AS (
+        SELECT t.doc_id, t.lang, t.toks
+        FROM t LEFT JOIN rep ON t.doc_id = rep.doc_id
+        WHERE COALESCE(rep.n_grams, 0) = 0
+           OR CAST(rep.n_grams - rep.n_distinct AS DOUBLE) / rep.n_grams <= 0.2
+    ),
+    mixed AS (
+        SELECT doc_id, lang, toks, CAST(len(toks) AS BIGINT) AS weight
+        FROM clean
+        WHERE (lang = 'en')
+           OR (lang IN ('de', 'es')
+               AND substring(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 6)
+                   <= '800000')
+    ),
+    budgeted AS (
+        SELECT doc_id, lang, toks, weight,
+               CAST(sum(weight) OVER (
+                   PARTITION BY lang ORDER BY weight DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_weight
+        FROM mixed
+    ),
+    sel AS (SELECT * FROM budgeted WHERE cum_weight <= 3000),
+    chunks AS (
+        SELECT doc_id, lang, toks, len(toks) AS n,
+               unnest(generate_series(0, len(toks) - 1, 48)) AS st
+        FROM sel WHERE len(toks) > 0
+    )
+    SELECT lang, doc_id,
+           CAST(st // 48 AS BIGINT) AS chunk_id,
+           CAST(least(64, n - st) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(list_slice(toks, st + 1, least(st + 64, n)), ' '))
+             AS chunk_fp
+    FROM chunks
+    """,
+    doc="end-to-end curation pipeline over the ROUND-7 operator set: "
+        "repetition filter (keep dup-2-gram fraction <= 0.2) -> corpus "
+        "mix (all en, half de/es, drop the rest) -> per-language "
+        "3000-token budget (heaviest-first) -> 64/48 chunking, emitting "
+        "md5 chunk fingerprints. Composes c45/c53/c47/c52 exactly as a "
+        "user would; every stage keeps its audited plan shape (token-"
+        "bounded aggregate, map-side mix filter, banded prefix sum, "
+        "map-side chunk explode), so the pipeline adds no new shuffle "
+        "classes — and the whole thing replays in the DuckDB oracle",
+    bench=True,
+    tags=("pipeline", "text", "sampling"),
+)
+def c55_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import mix_corpus, token_budget_sample
+    from ..operators.text import chunk_documents, repetition_stats
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    rep = repetition_stats(d, "doc_id", "text", n=2, flag_dup_fraction=0.2)
+    clean = (
+        d.join(rep.select("doc_id", "flagged"), "doc_id", "left")
+        .filter(~F.coalesce(F.col("flagged"), F.lit(False)))
+        .drop("flagged")
+    )
+    mixed = mix_corpus(clean, "lang", "doc_id", {"en": 1.0, "de": 0.5, "es": 0.5})
+    from ..operators.dedup import tokens
+
+    weighted = mixed.select(
+        "doc_id", "lang", "text",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+    sel = token_budget_sample(
+        weighted, strata_col="lang", id_col="doc_id",
+        weight_col="n_tokens", budget=3000,
+    )
+    picked = weighted.join(
+        sel.select(F.col("id").alias("doc_id")), "doc_id"
+    )
+    chunks = chunk_documents(
+        picked, "doc_id", "text", window_tokens=64, stride_tokens=48
+    )
+    return (
+        chunks.join(picked.select("doc_id", "lang"), "doc_id")
+        .select(
+            "lang",
+            "doc_id",
+            "chunk_id",
+            "n_chunk_tokens",
+            F.md5("chunk_text").alias("chunk_fp"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -4247,7 +4356,7 @@ def c54_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (c) the remaining slots go to r05-rowed entries, prioritizing the ones
 #     whose code was touched in r6 without a fresh row (c29, c32 — the
 #     components fusion) plus the oldest of the rest.
-# Entries left outside the window (q19, q36, q37, q40, q43-q48, c22, c23,
+# Entries left outside the window (q19, q20, q36, q37, q40, q43-q48, c22, c23,
 # c25, c30, c31, c35,
 # and every r06-rowed entry not in (a)) are all green on unchanged code
 # and remain covered by tests/test_catalog_oracle.py at sf0.001.
@@ -4296,7 +4405,7 @@ _DRIVER_WINDOW = [
     "q15_window_rank",
     "q17_topk",
     "c54_incremental_rollup",
-    "q20_scalar_math",
+    "c55_pipeline_curation",
     "q33_bucketed_colocated_join",
     "q34_salted_skew_join",
     "c52_chunk_documents",
