@@ -4226,6 +4226,44 @@ def c54_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q50_window_range_frame",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY epoch(o_orderdate)
+               RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_90d_spend
+    FROM orders
+    """,
+    doc="value-based RANGE window frame (Redshift RANGE BETWEEN ... "
+        "PRECEDING): per customer, each order's trailing-90-day spend. "
+        "The frame is keyed on the ORDER BY VALUE (epoch seconds), not "
+        "row position — peers at the same instant aggregate together, "
+        "which a ROWS frame gets wrong. Both engines window over the "
+        "identical epoch integers, so the frame boundaries replay "
+        "exactly; money sums are decimal-cast. One shuffle on the "
+        "partition key; frame state per reducer is the in-window rows",
+    tags=("window", "frames"),
+)
+def q50_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return spark.table("orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_90d_spend"),
+    )
+
+
+@query(
     "c55_pipeline_curation",
     oracle=f"""
     WITH t AS (
@@ -4356,7 +4394,8 @@ def c55_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (c) the remaining slots go to r05-rowed entries, prioritizing the ones
 #     whose code was touched in r6 without a fresh row (c29, c32 — the
 #     components fusion) plus the oldest of the rest.
-# Entries left outside the window (q19, q20, q36, q37, q40, q43-q48, c22, c23,
+# Entries left outside the window (q17, q19, q20, q36, q37, q40, q43-q48, c22,
+# c23,
 # c25, c30, c31, c35,
 # and every r06-rowed entry not in (a)) are all green on unchanged code
 # and remain covered by tests/test_catalog_oracle.py at sf0.001.
@@ -4403,7 +4442,7 @@ _DRIVER_WINDOW = [
     "q04_join_semi",
     "q10_agg_hash",
     "q15_window_rank",
-    "q17_topk",
+    "q50_window_range_frame",
     "c54_incremental_rollup",
     "c55_pipeline_curation",
     "q33_bucketed_colocated_join",
