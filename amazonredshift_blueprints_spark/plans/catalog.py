@@ -4226,6 +4226,46 @@ def c54_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c56_hopping_window_rollup",
+    oracle="""
+    WITH w AS (
+        SELECT unnest(generate_series(
+            TIMESTAMP '2023-12-31 21:00:00',
+            TIMESTAMP '2024-01-31 00:00:00',
+            INTERVAL 3 HOUR
+        )) AS ws
+    )
+    SELECT CAST(w.ws AS VARCHAR) AS window_start, e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events e JOIN w
+      ON e.ts >= w.ws AND e.ts < w.ws + INTERVAL 6 HOUR
+    GROUP BY 1, 2
+    """,
+    doc="hopping (sliding) window rollup: 6-hour windows every 3 hours, "
+        "so each event lands in exactly size/slide = 2 windows — the "
+        "overlapping-window semantics tumbling (c15) can't express. "
+        "Spark's window(ts, '6 hours', '3 hours') explodes each row to "
+        "its member windows map-side then hash-aggregates (shuffle "
+        "bounded by windows x types, not events); the oracle replays "
+        "membership as a range join against the generated window-start "
+        "grid. Window starts are epoch-aligned in both engines",
+    tags=("window", "events", "streaming"),
+)
+def c56_hopping_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "events")
+    return (
+        spark.table("events")
+        .groupBy(F.window("ts", "6 hours", "3 hours"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@query(
     "q50_window_range_frame",
     oracle=f"""
     SELECT o_orderkey, o_custkey,
@@ -4394,9 +4434,8 @@ def c55_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (c) the remaining slots go to r05-rowed entries, prioritizing the ones
 #     whose code was touched in r6 without a fresh row (c29, c32 — the
 #     components fusion) plus the oldest of the rest.
-# Entries left outside the window (q17, q19, q20, q36, q37, q40, q43-q48, c22,
-# c23,
-# c25, c30, c31, c35,
+# Entries left outside the window (q10, q17, q19, q20, q36, q37, q40, q43-q48,
+# c22, c23, c25, c30, c31, c35,
 # and every r06-rowed entry not in (a)) are all green on unchanged code
 # and remain covered by tests/test_catalog_oracle.py at sf0.001.
 # --------------------------------------------------------------------------
@@ -4440,7 +4479,7 @@ _DRIVER_WINDOW = [
     "q02_filter_project_string",
     "q03_join_revenue_by_nation",
     "q04_join_semi",
-    "q10_agg_hash",
+    "c56_hopping_window_rollup",
     "q15_window_rank",
     "q50_window_range_frame",
     "c54_incremental_rollup",
