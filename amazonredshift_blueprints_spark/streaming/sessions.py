@@ -147,12 +147,21 @@ def stream_window_counts(
     *,
     ts_col: str = "ts",
     window: str = "6 hours",
+    slide: str | None = None,
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Tumbling-window event counts by type (the classic streaming rollup)."""
+    """Windowed event counts by type — tumbling by default, HOPPING
+    when ``slide`` is set (each event lands in window/slide overlapping
+    windows; the batch twin is catalog entry c56). State per key is one
+    count per open (window, type); with a slide the open-window count
+    multiplies by window/slide, still watermark-evicted.
+    """
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, window), F.col("event_type"))
+        .groupBy(win, F.col("event_type"))
         .agg(F.count("*").alias("n_events"))
         .select(
             F.col("window.start").alias("window_start"),

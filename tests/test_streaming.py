@@ -482,3 +482,45 @@ def test_await_finished_raises_on_timeout(spark, sf_dir, events_stream_dir, tmp_
     with pytest.raises(TimeoutError, match="did not finish"):
         await_finished(q, 1)
     assert not q.isActive  # stopped, not left as a zombie
+
+
+def test_stream_hopping_window_matches_batch(spark, sf_dir, events_stream_dir):
+    """Hopping-window streaming rollup (6h window / 3h slide) over the
+    whole fixture must equal the batch hopping aggregate — every event
+    in exactly two windows."""
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.streaming.sessions import (
+        await_finished,
+        stream_window_counts,
+    )
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = read_events_stream(spark, events_stream_dir, raw_schema)
+    name = "t_hop"
+    q = (
+        stream_window_counts(stream, slide="3 hours")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_finished(q, 120)
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.table(name).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    want = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in e.groupBy(
+            F.window("ts", "6 hours", "3 hours"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    # overlap sanity: total windowed mass is exactly 2x the event count
+    assert sum(got.values()) == 2 * e.count()
