@@ -558,3 +558,93 @@ def chunk_documents(
         F.size("_c._ctoks").cast("long").alias("n_chunk_tokens"),
         F.concat_ws(" ", F.col("_c._ctoks")).alias("chunk_text"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """Okapi BM25 keyword search: top-``k`` documents for a bag of query
+    terms — the ranking function behind every inverted-index search
+    engine, and the missing sibling of :func:`tf_idf_topk`.
+
+    Per term t and doc d::
+
+        idf(t)  = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
+        c(t, d) = idf(t) * tf * (k1+1) / (tf + k1*((1-b) + b*(dl/avgdl)))
+
+    Determinism contract: each per-term contribution is quantized to
+    integer micro-units (``round(c * 1e6)`` → BIGINT) and the per-doc
+    score is the exact integer sum of those units — the cross-term sum
+    is order-independent and engine-exact even though idf is
+    transcendental (same 6-dp rationale as :func:`tf_idf_topk`, made
+    sum-safe). Ties break on doc id.
+
+    Returns (doc_id, n_terms, score) with score = units / 1e6.
+
+    Scale: tokens are FILTERED to the query vocabulary before the tf
+    aggregate, so the shuffle carries only query-term postings —
+    |terms| × |matching docs| rows, not the corpus. Doc lengths come
+    from a map-side ``size()`` (no explode); N/avgdl and the per-term
+    df table are metadata-sized broadcast dims. Final top-k is
+    ``TakeOrderedAndProject`` — k rows per partition, no global sort.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    qt = sorted({t.lower() for t in query_terms})
+
+    dl = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(text_col)).cast("long").alias("dl"),
+    )
+    # exact integer token-count sum → one deterministic double division
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
+    ).filter(F.col("token").isin(qt))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("docfreq"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("docfreq") + 0.5) / (F.col("docfreq") + 0.5)
+    )
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    contrib = (
+        idf
+        * (tf_d * (k1 + 1.0))
+        / (tf_d + k1 * ((1.0 - b) + b * (dl_d / F.col("avgdl"))))
+    )
+    units = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(contrib * 1_000_000).cast("long").alias("_units"),
+        )
+    )
+    return (
+        units.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("_units").alias("_score_units"),
+        )
+        .select(
+            "doc_id",
+            "n_terms",
+            (F.col("_score_units").cast("double") / 1_000_000).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

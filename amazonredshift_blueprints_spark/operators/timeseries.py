@@ -64,3 +64,53 @@ def gap_fill_locf(
         F.last(c, ignorenulls=True).over(w).alias(f"{c}_filled") for c in fill_cols
     ]
     return joined.select(key, bucket, *[c for c in observed.columns if c not in (key, bucket)], *filled)
+
+
+def robust_outliers(
+    df: DataFrame,
+    key: str,
+    value: str,
+    *,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Flag outliers per ``key`` group by the robust (median/MAD) z-score
+    — the metric-anomaly detector mean/stddev can't be trusted for,
+    because an outlier inflates its own detection threshold; median and
+    MAD have a 50% breakdown point.
+
+    Per group: ``med = median(value)``, ``mad = median(|value - med|)``,
+    ``z = 0.6745 * (value - med) / mad`` (0.6745 ≈ Φ⁻¹(3/4) rescales MAD
+    to σ under normality). Rows with ``|z| > threshold`` are returned;
+    ``mad = 0`` (constant group) yields null z and flags nothing.
+
+    Determinism: exact interpolated ``percentile`` — DuckDB's
+    ``quantile_cont`` computes the identical linear interpolation
+    (verified value-equal for c51) — and the z arithmetic is a fixed
+    order of IEEE double ops, so the filter boundary replays exactly;
+    z is additionally rounded to 6 dp for display/hash stability.
+
+    Scale: two hash aggregates on the group key (medians) + one
+    broadcast join of the metadata-sized per-key stats back onto the
+    stream — the fact table is scanned twice but never shuffled on a
+    row basis. The exact percentile buffers each group's values (audit/
+    oracle form); at 100 TB swap ``approx_percentile`` in for bounded
+    memory, same plan shape (the c51 trade-off).
+    """
+    med = df.groupBy(key).agg(F.percentile(value, 0.5).alias("med"))
+    mad = (
+        df.join(F.broadcast(med), key)
+        .groupBy(key, "med")
+        .agg(F.percentile(F.abs(F.col(value) - F.col("med")), 0.5).alias("mad"))
+    )
+    z = (
+        F.lit(0.6745)
+        * (F.col(value) - F.col("med"))
+        / F.nullif(F.col("mad"), F.lit(0.0))
+    )
+    return (
+        df.join(F.broadcast(mad), key)
+        .withColumn("_z", z)
+        .filter(F.abs(F.col("_z")) > threshold)
+        .withColumn("z", F.round(F.col("_z"), 6))
+        .drop("_z")
+    )

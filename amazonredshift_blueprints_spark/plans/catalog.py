@@ -4412,6 +4412,231 @@ def c55_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c57_stream_sessions",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    idx AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS last_event,
+           COUNT(*) AS n_events
+    FROM idx
+    GROUP BY user_id, session_idx
+    """,
+    doc="STREAMING sessionization (session_window + watermark, APPEND "
+        "mode — each session emits exactly once, when the watermark "
+        "finalizes it) over a genuinely multi-batch run: the fixture is "
+        "split at its time midpoint into two files consumed oldest-first "
+        "with maxFilesPerTrigger=1, so batch 1 opens sessions and batch "
+        "2 extends the still-open ones from state; a third far-future "
+        "sentinel file (+30 days, user -1) then drags the watermark past "
+        "every real event so the tail sessions flush before termination "
+        "(the sentinel's own open session is the only state left "
+        "unemitted, and that user never appears in the oracle). Safe "
+        "under the 1h watermark: any session still extendable at the "
+        "split has end+gap past the batch-1 watermark, so its state "
+        "cannot have been evicted early. Oracle = the batch "
+        "gap-and-islands replay (c13's, plus last_event). State is "
+        "(active users x open sessions), watermark-bounded — the shape "
+        "that runs forever at 100 TB/day",
+    tags=("streaming", "sessions", "events"),
+)
+def c57_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..streaming.sessions import (
+        await_finished,
+        read_events_stream,
+        stream_session_counts,
+    )
+
+    views(spark, sf_dir, "events")  # oracle side reads the same fixture
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    d = tempfile.mkdtemp(prefix="bp_stream_sessions_")
+    t = pq.read_table(src)
+    ts_i = pc.cast(t.column("ts"), "int64")
+    mm = pc.min_max(ts_i).as_py()
+    mid = mm["min"] + (mm["max"] - mm["min"]) // 2
+    early = pc.less(ts_i, mid)
+    pq.write_table(t.filter(early), os.path.join(d, "part-0.parquet"))
+    pq.write_table(t.filter(pc.invert(early)), os.path.join(d, "part-1.parquet"))
+    one = t.slice(0, 1)
+    sentinel = pa.table(
+        [
+            pa.array([mm["max"] + 30 * 86400 * 1_000_000_000], pa.int64()).cast(
+                fld.type
+            )
+            if fld.name == "ts"
+            else pa.array([-1], pa.int64()).cast(fld.type)
+            if fld.name == "user_id"
+            else one.column(fld.name).combine_chunks()
+            for fld in t.schema
+        ],
+        schema=t.schema,
+    )
+    pq.write_table(sentinel, os.path.join(d, "part-2.parquet"))
+    # FileStreamSource orders by modification time: pin the batch order
+    # early half → late half → sentinel.
+    now = os.path.getmtime(os.path.join(d, "part-2.parquet"))
+    for i, part in enumerate(["part-0.parquet", "part-1.parquet", "part-2.parquet"]):
+        os.utime(os.path.join(d, part), (now - 100 + i * 50, now - 100 + i * 50))
+    stream = read_events_stream(spark, d, raw_schema, max_files_per_trigger=1)
+    name = "bp_stream_sessions"
+    q = (
+        stream_session_counts(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_finished(q)
+    return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+@query(
+    "c58_bm25_search",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM dl
+    ),
+    ex AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    tf AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        FROM ex WHERE token IN ('join', 'spark', 'stream')
+        GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS docfreq FROM tf GROUP BY 1),
+    units AS (
+        SELECT tf.doc_id,
+               CAST(round(
+                   ln(1.0 + (stats.n_docs - dfreq.docfreq + 0.5) / (dfreq.docfreq + 0.5))
+                   * (CAST(tf.tf AS DOUBLE) * 2.2)
+                   / (CAST(tf.tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl)))
+                   * 1000000) AS BIGINT) AS u
+        FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(SUM(u) AS DOUBLE) / 1000000 AS score
+    FROM units GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    doc="Okapi BM25 keyword ranking (k1=1.2, b=0.75) for the query "
+        "{join, spark, stream}: the inverted-index search scorer. "
+        "Tokens are filtered to the query vocabulary BEFORE the tf "
+        "aggregate (postings-sized shuffle, not corpus-sized); doc "
+        "length is a map-side size(); N/avgdl/df are broadcast "
+        "metadata; top-k is TakeOrderedAndProject. Per-term "
+        "contributions quantize to integer micro-units before the "
+        "cross-term sum, so the transcendental idf can't make the sum "
+        "order-dependent — the engine-exact analog of c18's 6-dp round",
+    tags=("text", "search"),
+)
+def c58_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bm25_topk
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return bm25_topk(d, "doc_id", "text", ["join", "spark", "stream"], k=10)
+
+
+@query(
+    "c59_robust_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type, m.med,
+               quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type, m.med
+    )
+    SELECT e.event_id, e.event_type, e.value, s.med, s.mad,
+           round(0.6745 * (e.value - s.med) / nullif(s.mad, 0.0), 6) AS z
+    FROM events e JOIN mad s USING (event_type)
+    WHERE abs(0.6745 * (e.value - s.med) / nullif(s.mad, 0.0)) > 2.5
+    """,
+    doc="robust per-group outlier detection: median/MAD z-score "
+        "(|z| > 2.5) per event_type — the anomaly detector whose "
+        "threshold an outlier cannot inflate (50% breakdown point, vs "
+        "mean/stddev's 0%). Exact interpolated percentile on both "
+        "engines (the c51-verified aggregate); the z filter is a fixed "
+        "order of IEEE double ops so the boundary replays exactly. Two "
+        "metadata-sized aggregates broadcast back onto the fact scan — "
+        "the events table is never row-shuffled",
+    tags=("events", "stats"),
+)
+def c59_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import robust_outliers
+
+    e = views(spark, sf_dir, "events")["events"]
+    return robust_outliers(
+        e.select("event_id", "event_type", "value"),
+        "event_type",
+        "value",
+        threshold=2.5,
+    ).select("event_id", "event_type", "value", "med", "mad", "z")
+
+
+@query(
+    "q51_super_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           CAST(NULL AS BIGINT) AS missing_val,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket
+    FROM events
+    """,
+    doc="Redshift SUPER / PartiQL parity via the Spark 4 VARIANT type: "
+        "parse_json(props) produces a VARIANT and try_variant_get "
+        "extracts typed paths ($.k as BIGINT; a missing path yields "
+        "NULL, not an error — SUPER's lax navigation semantics). "
+        "Complements the string-path (q22) and typed-struct (q36) JSON "
+        "entries: VARIANT keeps the open-schema document WITHOUT "
+        "committing to a struct schema, the closest Spark analog to "
+        "SUPER columns. Columnar scan, zero shuffles",
+    tags=("dialect", "json", "events"),
+)
+def q51_super_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = views(spark, sf_dir, "events")["events"]
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return e.select(
+        "event_id",
+        k.alias("k_val"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing_val"),
+        (k % 10).alias("k_bucket"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -4428,16 +4653,18 @@ def c55_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     touched by the seed/guard fixes and the id-pair distinct rewrite
 #     (c07, c17, c28, c37, c38), the DML staging-name change (q35, q42),
 #     the streaming await/RocksDB changes (c16, c36, c42, c43, c44),
-#     and the ten NEW entries c45-c54;
+#     and the NEW round-7 entries c45-c59 + q50/q51;
 # (b) all 7 entries whose newest driver row is r03 (q08, q09, q16, q18,
 #     q21, q22, q23);
 # (c) the remaining slots go to r05-rowed entries, prioritizing the ones
 #     whose code was touched in r6 without a fresh row (c29, c32 — the
 #     components fusion) plus the oldest of the rest.
-# Entries left outside the window (q10, q17, q19, q20, q36, q37, q40, q43-q48,
-# c22, c23, c25, c30, c31, c35,
+# Entries left outside the window (q02, q04, q10, q15, q17, q19, q20,
+# q36, q37, q40, q43-q48, c01, c22, c23, c25, c30, c31, c35,
 # and every r06-rowed entry not in (a)) are all green on unchanged code
-# and remain covered by tests/test_catalog_oracle.py at sf0.001.
+# and remain covered by tests/test_catalog_oracle.py at sf0.001;
+# trivial-plan r05 entries (q02/q04/q15/c01) gave up their slots to the
+# late-round additions c57-c59/q51, whose code is new this round.
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -4476,12 +4703,13 @@ _DRIVER_WINDOW = [
     "c29_dedup_groups",
     "c32_pipeline_neardup_stratified",
     "q01_pricing_summary",
-    "q02_filter_project_string",
     "q03_join_revenue_by_nation",
-    "q04_join_semi",
     "c56_hopping_window_rollup",
-    "q15_window_rank",
     "q50_window_range_frame",
+    "c57_stream_sessions",
+    "c58_bm25_search",
+    "c59_robust_outliers",
+    "q51_super_variant",
     "c54_incremental_rollup",
     "c55_pipeline_curation",
     "q33_bucketed_colocated_join",
@@ -4491,7 +4719,6 @@ _DRIVER_WINDOW = [
     "q38_correlated_scalar_subquery",
     "q39_null_aware_anti_join",
     "q41_qualify",
-    "c01_dedup_exact",
     "c18_text_tfidf",
     "c51_length_quantiles",
 ]

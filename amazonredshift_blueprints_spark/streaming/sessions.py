@@ -55,16 +55,28 @@ def await_finished(query, seconds: int = 180):
 
 
 def read_events_stream(
-    spark: SparkSession, events_parquet_dir: str, schema
+    spark: SparkSession,
+    events_parquet_dir: str,
+    schema,
+    *,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over events parquet (ts normalized to TIMESTAMP).
 
     normalize_events_ts handles every reader behavior (long nanos,
     TIMESTAMP_NTZ, TIMESTAMP) — withWatermark downstream rejects NTZ, so
     the cast must happen here, before any event-time operator.
+
+    ``max_files_per_trigger`` splits the backlog into one micro-batch
+    per N files (FileStreamSource picks files oldest-mtime-first), which
+    is how tests drive genuinely multi-batch incremental state instead
+    of one catch-all batch.
     """
     configure_runtime(spark)
-    df = spark.readStream.schema(schema).parquet(events_parquet_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(events_parquet_dir)
     return normalize_events_ts(df)
 
 
@@ -85,10 +97,11 @@ def stream_session_counts(
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.col(user_col), F.session_window(ts_col, f"{gap_minutes} minutes"))
-        .agg(F.count("*").alias("n_events"))
+        .agg(F.count("*").alias("n_events"), F.max(ts_col).alias("last_event"))
         .select(
             user_col,
             F.col("session_window.start").alias("session_start"),
+            "last_event",
             "n_events",
         )
     )

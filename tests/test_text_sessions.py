@@ -298,3 +298,41 @@ def test_mix_corpus_rates_and_validation(spark, sf_dir):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="outside"):
         mix_corpus(d, "lang", "doc_id", {"en": 1.5})
+
+
+def test_bm25_ranks_term_matches(spark):
+    from amazonredshift_blueprints_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join spark join spark"),        # both terms, short
+            (2, "spark and a very long document " + "filler " * 40),
+            (3, "join only here"),
+            (4, "nothing relevant at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_topk(docs, "doc_id", "text", ["spark", "join"], k=10).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert 4 not in got                       # no query term -> no row
+    assert got[1]["n_terms"] == 2 and got[3]["n_terms"] == 1
+    # doc 1 matches both terms with high tf in a short doc: must rank first
+    assert out[0]["doc_id"] == 1
+    # length normalization: doc 2's lone 'spark' in a long doc scores below
+    # doc 3's lone 'join' in a short doc only if idf comparable; just check
+    # scores are positive and finite
+    assert all(r["score"] > 0 for r in out)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(docs, "doc_id", "text", [])
+
+
+def test_bm25_topk_truncates(spark):
+    from amazonredshift_blueprints_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, "term " * (i + 1)) for i in range(8)], ["doc_id", "text"]
+    )
+    out = bm25_topk(docs, "doc_id", "text", ["term"], k=3).collect()
+    assert len(out) == 3

@@ -34,3 +34,20 @@ def test_gapfill_locf_semantics(spark):
     assert rows[(1, 1)].n is None and rows[(1, 1)].v is None
     assert rows[(1, 1)].v_filled == 1.5 and rows[(1, 2)].v_filled == 1.5
     assert rows[(2, 5)].v_filled == 9.9
+
+
+def test_robust_outliers_flags_spike_not_constant(spark):
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.operators.timeseries import robust_outliers
+
+    rows = [("a", float(i % 7)) for i in range(50)] + [("a", 500.0)]
+    rows += [("b", 3.0)] * 20                      # constant group: mad = 0
+    df = spark.createDataFrame(rows, ["k", "v"]).withColumn(
+        "id", F.monotonically_increasing_id()
+    )
+    out = robust_outliers(df, "k", "v", threshold=3.5).collect()
+    assert [r["v"] for r in out] == [500.0]        # spike flagged
+    assert all(r["k"] == "a" for r in out)         # mad=0 group flags nothing
+    z = out[0]["z"]
+    assert z > 3.5 and out[0]["mad"] > 0
