@@ -23,6 +23,9 @@ Redshift SQL. Spark SQL is near-identical; the known deltas we shim:
   → the predicate is materialized as a hidden column in a subquery and
   filtered in an outer ``SELECT * EXCEPT``. Top-level, non-DISTINCT
   SELECTs only; anything else passes through untouched.
+- ``RATIO_TO_REPORT(x) OVER (w)`` (Redshift-only window function) →
+  ``CAST(x AS DOUBLE) / nullif(CAST(SUM(x) OVER (w) AS DOUBLE), 0)``;
+  zero/NULL window sums yield NULL, matching Redshift.
 - ``NVL(a, b, c, ...)`` with >2 args (Redshift's NVL is variadic) →
   ``coalesce(...)``; 2-arg NVL passes through (Spark has it natively).
 - Physical-layout DDL clauses — ``DISTSTYLE ...``, ``DISTKEY(...)``,
@@ -377,6 +380,60 @@ def _rewrite_top(sql: str) -> str:
     return f"{stripped} LIMIT {m.group(2)}" + (";" if semi else "")
 
 
+_OVER_OPEN_RE = re.compile(r"\s*OVER\s*\(", re.IGNORECASE)
+
+
+def _rewrite_ratio_to_report(sql: str) -> str:
+    """``RATIO_TO_REPORT(x) OVER (w)`` → the share-of-window division
+    Spark lacks a native function for::
+
+        (CAST(x AS DOUBLE) / nullif(CAST(SUM(x) OVER (w) AS DOUBLE), 0))
+
+    The window SUM runs in ``x``'s own type — pass a decimal expression
+    and the sum is exact/order-independent (both operands then cast to
+    double for one deterministic division); pass a double and you get
+    Redshift's own float-sum semantics. A zero denominator yields NULL
+    (Redshift returns NULL when the window sum is 0 or NULL). Call
+    sites without a following OVER clause are left untouched.
+    """
+    pos = 0
+    while True:
+        hit = _find_call(sql, "RATIO_TO_REPORT", pos)
+        if hit is None:
+            return sql
+        s, e, inner = hit
+        m = _OVER_OPEN_RE.match(sql, e)
+        if m is None:
+            pos = e
+            continue
+        depth = 1
+        i = m.end()
+        in_str: str | None = None
+        while i < len(sql) and depth:
+            ch = sql[i]
+            if in_str:
+                if ch == in_str:
+                    in_str = None
+            elif ch in ("'", '"'):
+                in_str = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            pos = e
+            continue
+        win = sql[m.end() : i - 1]
+        x = inner.strip()
+        repl = (
+            f"(CAST({x} AS DOUBLE) / "
+            f"nullif(CAST(SUM({x}) OVER ({win}) AS DOUBLE), 0))"
+        )
+        sql = sql[:s] + repl + sql[i:]
+        pos = s + len(repl)
+
+
 def _nvl_call(args: list[str]) -> str | None:
     # Redshift NVL is variadic; Spark's is strictly 2-arg. Leave 2-arg
     # calls alone (native) and lower 3+ to coalesce.
@@ -418,6 +475,7 @@ def translate_redshift_sql(sql: str) -> str:
     sql = _strip_layout_clauses(sql)
     sql = _rewrite_top(sql)
     sql = _rewrite_qualify(sql)
+    sql = _rewrite_ratio_to_report(sql)
     sql = _rewrite_calls(sql, "NVL", _nvl_call)
     # GETDATE() / SYSDATE → current_timestamp()
     sql = re.sub(r"\bGETDATE\s*\(\s*\)", "current_timestamp()", sql, flags=re.IGNORECASE)

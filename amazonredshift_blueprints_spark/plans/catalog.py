@@ -4637,6 +4637,39 @@ def q51_super_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RATIO_SQL = """
+SELECT o_orderkey, o_custkey,
+       RATIO_TO_REPORT(CAST(o_totalprice AS DECIMAL(18,2)))
+           OVER (PARTITION BY o_custkey) AS spend_share
+FROM orders
+"""
+
+
+@query(
+    "q52_ratio_to_report",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) /
+           nullif(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       OVER (PARTITION BY o_custkey) AS DOUBLE), 0)
+               AS spend_share
+    FROM orders
+    """,
+    doc="Redshift-only RATIO_TO_REPORT window function (each order's "
+        "share of its customer's total spend): the dialect shim lowers "
+        "it to x / SUM(x) OVER (w) with a NULL-on-zero-denominator "
+        "guard (redshift_compat._rewrite_ratio_to_report); DuckDB runs "
+        "the expanded form as the oracle. Passing a decimal expression "
+        "makes the window sum exact/order-independent, so the single "
+        "double division is bit-identical across engines — no rounding "
+        "needed. One shuffle on the partition key",
+    tags=("window", "dialect"),
+)
+def q52_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "orders")
+    return spark.sql(translate_redshift_sql(_RATIO_SQL))
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -4719,7 +4752,7 @@ _DRIVER_WINDOW = [
     "q38_correlated_scalar_subquery",
     "q39_null_aware_anti_join",
     "q41_qualify",
-    "c18_text_tfidf",
+    "q52_ratio_to_report",
     "c51_length_quantiles",
 ]
 

@@ -211,3 +211,26 @@ def test_date_part_translation():
     assert "date_part('hour', ts)" in out
     out = translate_redshift_sql("SELECT DATE_PART('yrs', ts) FROM t")
     assert "date_part('year', ts)" in out
+
+
+def test_ratio_to_report_translation():
+    from amazonredshift_blueprints_spark.functions import translate_redshift_sql
+
+    out = translate_redshift_sql(
+        "SELECT RATIO_TO_REPORT(x) OVER (PARTITION BY k) AS share FROM t"
+    )
+    assert (
+        "(CAST(x AS DOUBLE) / nullif(CAST(SUM(x) OVER (PARTITION BY k) "
+        "AS DOUBLE), 0)) AS share" in out
+    )
+    # nested parens in the window clause survive the balanced scan
+    out = translate_redshift_sql(
+        "SELECT RATIO_TO_REPORT(a+b) OVER (PARTITION BY f(k, 2) ORDER BY j) FROM t"
+    )
+    assert "SUM(a+b) OVER (PARTITION BY f(k, 2) ORDER BY j)" in out
+    # no OVER clause -> untouched (not a window call site)
+    out = translate_redshift_sql("SELECT RATIO_TO_REPORT(x) FROM t")
+    assert "RATIO_TO_REPORT(x)" in out
+    # inside a string literal -> untouched
+    out = translate_redshift_sql("SELECT 'RATIO_TO_REPORT(x) OVER (w)' FROM t")
+    assert "'RATIO_TO_REPORT(x) OVER (w)'" in out
