@@ -1061,6 +1061,107 @@ def query_ivf_index(
     )
 
 
+def append_to_ivf_index(
+    new_batch: DataFrame,
+    path: str,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally extend a stored IVF index (:func:`build_ivf_index`)
+    with a new vector batch — the daily-ingest maintenance operation,
+    WITHOUT rebuilding or rewriting the existing index.
+
+    The batch is cell-assigned against the SAME frozen centroid table
+    the index was built with (an index's routing geometry must never
+    drift between builds, or stored vectors become unreachable by
+    probes), then appended under the matching ``cell=`` partitions.
+    Append touches only the new rows: a map-only Arrow assignment pass
+    plus a partitioned append — existing parquet files are untouched,
+    and subsequent :func:`query_ivf_index` probes see old + new rows in
+    one pruned scan. At 100 TB this is how the index keeps up with
+    ingest: the build's full-corpus pass runs once, every increment
+    costs O(batch). Re-run :func:`build_ivf_index` only when drift
+    makes the frozen centroids a poor quantizer (the c54 incremental-
+    rollup trade-off, applied to ANN).
+    """
+    cells = assign_cells(
+        new_batch, _collect_centroids(centroids), id_col=id_col, vec_col=vec_col
+    )
+    cells.write.mode("append").partitionBy("cell").parquet(path)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold_microcos: int = 400_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, compare pairs ONLY
+    within each cluster, and drop every vector that has a more-similar-
+    than-threshold neighbor with a smaller id (the paper keeps one
+    representative per semantic duplicate group; lowest id is the
+    deterministic choice). Returns the SURVIVORS as (vec_id, cell).
+
+    This is the embedding-space complement of lexical near-dup (c02-c04):
+    it removes semantically redundant training examples even when their
+    text differs. Unlike :func:`embedding_near_duplicates`'s LSH path
+    (recall collapses below ~0.9 cosine), the cluster-bounded scan stays
+    EXACT at any threshold — the quadratic term is bounded by cell
+    sizes, not corpus size.
+
+    100 TB: cell assignment is the map-only Arrow pass (zero exchanges);
+    the pair stage shuffles on the cell key and its output is
+    sum(cell_i²) pairs — with balanced k-means cells that is corpus²/k,
+    tuned by ``n_cells``, never an unbounded cross-join. The drop set
+    is id-only (16 B/row) and the final filter is a broadcast-able
+    left-anti join. Deterministic: exact integer dot products, fixed
+    tie rule.
+    """
+    cents = _with_quant(
+        df.filter(F.col(id_col) < n_cells), id_col, vec_col, "cent"
+    )
+    cent_rows = _collect_centroids(cents)
+    dim = len(cent_rows[0][1])
+    cells = assign_cells(df, cent_rows, id_col=id_col, vec_col=vec_col)
+    a = cells.select(
+        F.col("neighbor_id").alias("a_id"),
+        F.col("neighbor_q").alias("a_q"),
+        F.col("neighbor_norm").alias("a_norm"),
+        "cell",
+    )
+    b = cells.select(
+        F.col("neighbor_id").alias("b_id"),
+        F.col("neighbor_q").alias("b_q"),
+        F.col("neighbor_norm").alias("b_norm"),
+        "cell",
+    )
+    drops = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            cosine_q(
+                dot_q_unrolled(F.col("a_q"), F.col("b_q"), dim),
+                F.col("a_norm"),
+                F.col("b_norm"),
+            )
+            >= threshold_microcos / 1_000_000
+        )
+        .select(F.col("b_id").alias("_drop_id"))
+        .distinct()
+    )
+    return (
+        cells.join(
+            drops, cells["neighbor_id"] == drops["_drop_id"], "left_anti"
+        )
+        .select(F.col("neighbor_id").alias(id_col), "cell")
+    )
+
+
 def cross_corpus_near_duplicates(
     new_df: DataFrame,
     ref_df: DataFrame,

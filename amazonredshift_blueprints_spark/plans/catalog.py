@@ -4637,6 +4637,97 @@ def q51_super_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c60_ann_ivf_append",
+    # Same fixed-rule cells and probe semantics as c17/c37 — the oracle
+    # replays top-k over the WHOLE corpus, which is exactly what the
+    # queries must see after the incremental append (initial build on
+    # vec_id < 400, append of vec_id >= 400 against the FROZEN
+    # centroids).
+    oracle=QUERIES["c17_ann_ivf_topk"].oracle,
+    doc="incremental IVF index maintenance: build_ivf_index on the "
+        "initial corpus slice, then append_to_ivf_index adds the new "
+        "batch cell-assigned against the SAME frozen centroids "
+        "(routing geometry must not drift between increments) with a "
+        "partitioned parquet append that never rewrites existing "
+        "files. query_ivf_index then sees old + new rows in one "
+        "partition-pruned scan and must equal the full-corpus result. "
+        "At 100 TB: the full-corpus build runs once, every ingest "
+        "increment costs O(batch) — the ANN twin of c54's "
+        "aggregate-the-delta rollup maintenance",
+    tags=("similarity", "approx", "storage"),
+)
+def c60_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    e = views(spark, sf_dir, "embeddings")["embeddings"]
+    d = os.path.join(tempfile.mkdtemp(prefix="bp_ivf_append_"), "index")
+    cents = build_ivf_index(e.filter(F.col("vec_id") < 400), d, n_cells=16)
+    append_to_ivf_index(e.filter(F.col("vec_id") >= 400), d, cents)
+    return query_ivf_index(
+        spark, d, cents, e.filter(F.col("vec_id") < 10), k=5, nprobe=4
+    )
+
+
+@query(
+    "c61_semantic_dedup",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, qv,
+               CAST({_DUCK_DOT.format(a='qv', b='qv')} AS BIGINT) AS norm
+        FROM v
+    ),
+    cents AS (SELECT vec_id AS cent_id, qv AS cq FROM v WHERE vec_id < 16),
+    cells AS (
+        SELECT vec_id, qv, norm, cent_id AS cell FROM (
+            SELECT n.vec_id, n.qv, n.norm, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY {_DUCK_L2.format(a='n.qv', b='c.cq')}, c.cent_id
+                   ) AS rn
+            FROM n CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    drops AS (
+        SELECT DISTINCT b.vec_id AS drop_id
+        FROM cells a JOIN cells b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE CAST({_DUCK_DOT.format(a='a.qv', b='b.qv')} AS DOUBLE)
+              / (sqrt(CAST(a.norm AS DOUBLE)) * sqrt(CAST(b.norm AS DOUBLE)))
+              >= 0.4
+    )
+    SELECT vec_id, cell FROM cells
+    WHERE vec_id NOT IN (SELECT drop_id FROM drops)
+    """,
+    doc="SemDeDup-style semantic deduplication (arXiv:2303.09540): "
+        "cluster the embedding space (map-only Arrow cell assignment), "
+        "compare pairs ONLY within each cluster, drop every vector with "
+        "a >= 0.4-cosine neighbor of smaller id, keep one "
+        "representative per semantic group. The embedding-space "
+        "complement of lexical near-dup: exact at ANY threshold "
+        "(unlike LSH, whose recall collapses below ~0.9 cosine) "
+        "because the quadratic stage is bounded by cell sizes "
+        "(corpus^2/k for balanced cells), never corpus size. Exact "
+        "integer dot products; the oracle replays cells, pair scan, "
+        "and drop rule verbatim",
+    tags=("similarity", "dedup"),
+)
+def c61_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_dedup
+
+    e = views(spark, sf_dir, "embeddings")["embeddings"]
+    return semantic_dedup(e, n_cells=16, threshold_microcos=400_000)
+
+
 _RATIO_SQL = """
 SELECT o_orderkey, o_custkey,
        RATIO_TO_REPORT(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -4686,18 +4777,19 @@ def q52_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     touched by the seed/guard fixes and the id-pair distinct rewrite
 #     (c07, c17, c28, c37, c38), the DML staging-name change (q35, q42),
 #     the streaming await/RocksDB changes (c16, c36, c42, c43, c44),
-#     and the NEW round-7 entries c45-c59 + q50/q51;
+#     and the NEW round-7 entries c45-c61 + q50-q52;
 # (b) all 7 entries whose newest driver row is r03 (q08, q09, q16, q18,
 #     q21, q22, q23);
 # (c) the remaining slots go to r05-rowed entries, prioritizing the ones
 #     whose code was touched in r6 without a fresh row (c29, c32 — the
 #     components fusion) plus the oldest of the rest.
 # Entries left outside the window (q02, q04, q10, q15, q17, q19, q20,
-# q36, q37, q40, q43-q48, c01, c22, c23, c25, c30, c31, c35,
+# q36-q40, q43-q48, c01, c18, c22, c23, c25, c30, c31, c35,
 # and every r06-rowed entry not in (a)) are all green on unchanged code
 # and remain covered by tests/test_catalog_oracle.py at sf0.001;
-# trivial-plan r05 entries (q02/q04/q15/c01) gave up their slots to the
-# late-round additions c57-c59/q51, whose code is new this round.
+# trivial-plan or unchanged r05 entries (q02/q04/q15/c01/c18/q38/q39)
+# gave up their slots to the late-round additions c57-c61/q51/q52,
+# whose code is new this round.
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -4749,8 +4841,8 @@ _DRIVER_WINDOW = [
     "q34_salted_skew_join",
     "c52_chunk_documents",
     "c53_corpus_mix",
-    "q38_correlated_scalar_subquery",
-    "q39_null_aware_anti_join",
+    "c60_ann_ivf_append",
+    "c61_semantic_dedup",
     "q41_qualify",
     "q52_ratio_to_report",
     "c51_length_quantiles",

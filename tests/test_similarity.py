@@ -427,3 +427,58 @@ def test_xxhash_sign_kernel_matches_expression_sketch(spark, sf_dir):
         ).collect()
     }
     assert got == want and len(got) == 40 * n_tables
+
+
+def test_ivf_append_equals_full_build(spark, sf_dir, tmp_path):
+    """Append-maintained index must answer queries identically to an
+    index built from the full corpus in one shot."""
+    from amazonredshift_blueprints_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from amazonredshift_blueprints_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 5)
+
+    full_p = str(tmp_path / "full")
+    cents_full = build_ivf_index(e, full_p, n_cells=16)
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in query_ivf_index(spark, full_p, cents_full, qs, k=5, nprobe=4).collect()
+    }
+
+    inc_p = str(tmp_path / "inc")
+    cents = build_ivf_index(e.filter(F.col("vec_id") < 300), inc_p, n_cells=16)
+    append_to_ivf_index(e.filter(F.col("vec_id") >= 300), inc_p, cents)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in query_ivf_index(spark, inc_p, cents, qs, k=5, nprobe=4).collect()
+    }
+    assert got == want and len(got) == 25
+
+
+def test_semantic_dedup_drop_rule(spark):
+    """Within a cell, every vector with a >=threshold neighbor of
+    smaller id is dropped; the smallest of each group survives."""
+    from amazonredshift_blueprints_spark.operators.similarity import semantic_dedup
+
+    # ids 0/1 are the (orthogonal) cell centroids; 2 duplicates 0's
+    # direction (cell 0), 3 duplicates 1's (cell 1), 4 sits in cell 0
+    # but below the threshold vs both 0 and 2.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (3, [0.0, 0.999, 0.01, 0.0]),
+        (4, [0.6, 0.55, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, n_cells=2, threshold_microcos=950_000
+        ).collect()
+    }
+    assert kept == {0, 1, 4}  # 2 dropped (dup of 0), 3 dropped (dup of 1)
