@@ -4557,6 +4557,7 @@ def c57_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "contributions quantize to integer micro-units before the "
         "cross-term sum, so the transcendental idf can't make the sum "
         "order-dependent — the engine-exact analog of c18's 6-dp round",
+    bench=True,
     tags=("text", "search"),
 )
 def c58_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4719,6 +4720,7 @@ def c60_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(corpus^2/k for balanced cells), never corpus size. Exact "
         "integer dot products; the oracle replays cells, pair scan, "
         "and drop rule verbatim",
+    bench=True,
     tags=("similarity", "dedup"),
 )
 def c61_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
