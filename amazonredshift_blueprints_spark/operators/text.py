@@ -560,6 +560,65 @@ def chunk_documents(
     )
 
 
+def hashing_vectorizer(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_features: int = 64,
+    dense: bool = False,
+) -> DataFrame:
+    """Feature-hashing document vectorizer (the HashingTF / "hashing
+    trick" featurizer, MLlib-free): every token maps to
+    ``int(md5(token)[:6], 16) % n_features`` and the document becomes
+    its bucket-count vector — the fixed-width, vocabulary-free input a
+    linear quality classifier or n-gram LM trains on.
+
+    The bucket hash is PORTABLE: ``conv(substring(md5(t),1,6),16,10)``
+    in Spark equals ``CAST('0x' || substring(md5(t),1,6) AS BIGINT)``
+    in DuckDB/ANSI engines, so features replay bit-for-bit outside
+    Spark (same portability contract as the c24/c38 sketches). No
+    vocabulary table, no fit step, no OOV problem — the properties that
+    make the hashing trick the at-scale featurizer.
+
+    Returns sparse (doc_id, bucket, tf) by default; ``dense=True``
+    assembles array<bigint> vectors of length ``n_features`` via a
+    map lookup (``map_from_entries`` + ``transform(sequence(...))``) —
+    a per-doc map-side reshape of the same aggregate.
+
+    100 TB: explode → one hash aggregate on (doc, bucket); the shuffle
+    carries at most n_features rows per doc (bounded width, unlike
+    tf-idf's vocabulary-wide key space). Dense assembly adds zero
+    exchanges on top of the aggregate.
+    """
+    if n_features <= 0:
+        raise ValueError(f"n_features must be positive, got {n_features}")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 6), 16, 10).cast("long")
+        % n_features
+    )
+    sparse = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token"))
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if not dense:
+        return sparse
+    m = F.map_from_entries(
+        F.collect_list(F.struct(F.col("bucket"), F.col("tf")))
+    )
+    return sparse.groupBy("doc_id").agg(m.alias("_m")).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_features - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("_m"), i.cast("long")), F.lit(0)
+            ).cast("long"),
+        ).alias("tf_vector"),
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     id_col: str,

@@ -4730,6 +4730,39 @@ def c61_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(e, n_cells=16, threshold_microcos=400_000)
 
 
+@query(
+    "c62_feature_hashing",
+    oracle="""
+    WITH ex AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                   AS token
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST('0x' || substring(md5(token), 1, 6) AS BIGINT) % 64 AS bucket,
+           CAST(count(*) AS BIGINT) AS tf
+    FROM ex GROUP BY 1, 2
+    """,
+    doc="feature-hashing vectorizer (the HashingTF 'hashing trick', "
+        "MLlib-free): tokens map to md5-derived buckets mod 64 and "
+        "documents become bucket-count vectors — the vocabulary-free, "
+        "fixed-width featurizer a linear quality classifier trains on "
+        "at corpus scale (no fit step, no OOV). The bucket hash is "
+        "portable (Spark conv(substring(md5..)) == ANSI "
+        "CAST('0x'||.. AS BIGINT), replayed verbatim by the oracle). "
+        "One hash aggregate; shuffle width bounded by n_features per "
+        "doc, unlike tf-idf's vocabulary-wide keys. Dense array "
+        "assembly (map_from_entries reshape) is pinned by unit test",
+    tags=("text", "features"),
+)
+def c62_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import hashing_vectorizer
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return hashing_vectorizer(d, "doc_id", "text", n_features=64)
+
+
 _RATIO_SQL = """
 SELECT o_orderkey, o_custkey,
        RATIO_TO_REPORT(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -4779,19 +4812,20 @@ def q52_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     touched by the seed/guard fixes and the id-pair distinct rewrite
 #     (c07, c17, c28, c37, c38), the DML staging-name change (q35, q42),
 #     the streaming await/RocksDB changes (c16, c36, c42, c43, c44),
-#     and the NEW round-7 entries c45-c61 + q50-q52;
+#     and the NEW round-7 entries c45-c62 + q50-q52;
 # (b) all 7 entries whose newest driver row is r03 (q08, q09, q16, q18,
 #     q21, q22, q23);
 # (c) the remaining slots go to r05-rowed entries, prioritizing the ones
 #     whose code was touched in r6 without a fresh row (c29, c32 — the
 #     components fusion) plus the oldest of the rest.
 # Entries left outside the window (q02, q04, q10, q15, q17, q19, q20,
-# q36-q40, q43-q48, c01, c18, c22, c23, c25, c30, c31, c35,
+# q34, q36-q40, q43-q48, c01, c18, c22, c23, c25, c30, c31, c35,
 # and every r06-rowed entry not in (a)) are all green on unchanged code
 # and remain covered by tests/test_catalog_oracle.py at sf0.001;
-# trivial-plan or unchanged r05 entries (q02/q04/q15/c01/c18/q38/q39)
-# gave up their slots to the late-round additions c57-c61/q51/q52,
-# whose code is new this round.
+# trivial-plan or unchanged r05 entries (q02/q04/q15/q34/c01/c18/q38/
+# q39) gave up their slots to the late-round additions c57-c62/q51/q52,
+# whose code is new this round; q41 keeps its slot because the dialect
+# shim it routes through gained a rewrite pass this round.
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -4840,7 +4874,7 @@ _DRIVER_WINDOW = [
     "c54_incremental_rollup",
     "c55_pipeline_curation",
     "q33_bucketed_colocated_join",
-    "q34_salted_skew_join",
+    "c62_feature_hashing",
     "c52_chunk_documents",
     "c53_corpus_mix",
     "c60_ann_ivf_append",

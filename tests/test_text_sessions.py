@@ -336,3 +336,32 @@ def test_bm25_topk_truncates(spark):
     )
     out = bm25_topk(docs, "doc_id", "text", ["term"], k=3).collect()
     assert len(out) == 3
+
+
+def test_hashing_vectorizer_dense_matches_sparse(spark):
+    from amazonredshift_blueprints_spark.operators.text import hashing_vectorizer
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark join"), (2, "join"), (3, "")], ["doc_id", "text"]
+    )
+    sparse = {
+        (r["doc_id"], r["bucket"]): r["tf"]
+        for r in hashing_vectorizer(docs, "doc_id", "text", n_features=8).collect()
+    }
+    dense = {
+        r["doc_id"]: r["tf_vector"]
+        for r in hashing_vectorizer(
+            docs, "doc_id", "text", n_features=8, dense=True
+        ).collect()
+    }
+    assert sum(sparse.values()) == 4                 # 4 tokens total
+    for (doc, bucket), tf in sparse.items():
+        assert dense[doc][bucket] == tf
+    for doc, vec in dense.items():
+        assert len(vec) == 8
+        assert sum(vec) == sum(v for (d, _), v in sparse.items() if d == doc)
+    assert 3 not in dense                            # empty doc: no buckets
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positive"):
+        hashing_vectorizer(docs, "doc_id", "text", n_features=0)
