@@ -560,6 +560,58 @@ def chunk_documents(
     )
 
 
+def unigram_logprob(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document average unigram log-probability under the corpus's
+    own MLE unigram model — the KenLM-style language-model quality
+    signal (CCNet / Dolma pipelines): documents of improbable tokens
+    (noise, boilerplate codes, wrong-language fragments) score low and
+    get filtered or bucketed before training.
+
+    Per token ``ln(count(t)/N)`` quantized to integer micro-units
+    (``round(.. * 1e6)`` → BIGINT) so the per-doc sum is exact and
+    order-independent despite the transcendental ln (the c58 contract);
+    the average is one deterministic double division at the end.
+
+    Returns (doc_id, n_tokens, logprob_q_sum, avg_logprob).
+
+    100 TB: the unigram table is vocabulary-sized (one hash aggregate,
+    map-side partials) and broadcasts onto the exploded token stream
+    while it fits, falling back to a token-keyed shuffle join; the
+    per-doc sum is one hash aggregate on doc_id. Empty docs are
+    dropped (no tokens → no probability mass to average).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
+    )
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    n = uni.agg(F.sum("c").alias("n_total"))  # 1-row broadcast dim
+    lp_q = F.round(
+        F.log(F.col("c").cast("double") / F.col("n_total")) * 1_000_000
+    ).cast("long")
+    return (
+        toks.join(F.broadcast(uni), "token")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", lp_q.alias("_lp_q"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_lp_q").alias("logprob_q_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "logprob_q_sum",
+            (
+                F.col("logprob_q_sum").cast("double")
+                / 1_000_000
+                / F.col("n_tokens")
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 def hashing_vectorizer(
     df: DataFrame,
     id_col: str,

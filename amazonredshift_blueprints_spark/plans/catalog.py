@@ -4763,6 +4763,45 @@ def c62_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashing_vectorizer(d, "doc_id", "text", n_features=64)
 
 
+@query(
+    "c63_unigram_logprob",
+    oracle="""
+    WITH ex AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                   AS token
+        FROM documents
+    ),
+    uni AS (SELECT token, count(*) AS c FROM ex GROUP BY 1),
+    n AS (SELECT SUM(c) AS n_total FROM uni),
+    lp AS (
+        SELECT ex.doc_id,
+               CAST(round(ln(CAST(uni.c AS DOUBLE) / n.n_total) * 1000000)
+                    AS BIGINT) AS lp_q
+        FROM ex JOIN uni USING (token) CROSS JOIN n
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(lp_q) AS BIGINT) AS logprob_q_sum,
+           CAST(SUM(lp_q) AS DOUBLE) / 1000000 / count(*) AS avg_logprob
+    FROM lp GROUP BY doc_id
+    """,
+    doc="per-document average unigram log-probability under the "
+        "corpus's own MLE model — the KenLM-style LM quality signal "
+        "(CCNet/Dolma): improbable-token documents score low and get "
+        "filtered before training. Per-token ln quantized to integer "
+        "micro-units so the per-doc sum is exact and order-independent "
+        "(the c58 contract); vocabulary-sized unigram table broadcast "
+        "onto the exploded token stream; one doc-keyed hash aggregate",
+    tags=("text", "quality"),
+)
+def c63_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import unigram_logprob
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return unigram_logprob(d, "doc_id", "text")
+
+
 _RATIO_SQL = """
 SELECT o_orderkey, o_custkey,
        RATIO_TO_REPORT(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -4812,14 +4851,14 @@ def q52_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     touched by the seed/guard fixes and the id-pair distinct rewrite
 #     (c07, c17, c28, c37, c38), the DML staging-name change (q35, q42),
 #     the streaming await/RocksDB changes (c16, c36, c42, c43, c44),
-#     and the NEW round-7 entries c45-c62 + q50-q52;
+#     and the NEW round-7 entries c45-c63 + q50-q52;
 # (b) all 7 entries whose newest driver row is r03 (q08, q09, q16, q18,
 #     q21, q22, q23);
 # (c) the remaining slots go to r05-rowed entries, prioritizing the ones
 #     whose code was touched in r6 without a fresh row (c29, c32 — the
 #     components fusion) plus the oldest of the rest.
 # Entries left outside the window (q02, q04, q10, q15, q17, q19, q20,
-# q34, q36-q40, q43-q48, c01, c18, c22, c23, c25, c30, c31, c35,
+# q33, q34, q36-q40, q43-q48, c01, c18, c22, c23, c25, c30, c31, c35,
 # and every r06-rowed entry not in (a)) are all green on unchanged code
 # and remain covered by tests/test_catalog_oracle.py at sf0.001;
 # trivial-plan or unchanged r05 entries (q02/q04/q15/q34/c01/c18/q38/
@@ -4873,8 +4912,8 @@ _DRIVER_WINDOW = [
     "q51_super_variant",
     "c54_incremental_rollup",
     "c55_pipeline_curation",
-    "q33_bucketed_colocated_join",
     "c62_feature_hashing",
+    "c63_unigram_logprob",
     "c52_chunk_documents",
     "c53_corpus_mix",
     "c60_ann_ivf_append",

@@ -238,3 +238,35 @@ def test_c49_bloom_filter_is_scan_side_single_join(spark, sf_dir):
     ]
     assert len(join_nodes) == 1, join_nodes
     assert "CartesianProduct" not in p
+
+
+def test_c58_bm25_topk_and_no_cartesian_blowup(spark, sf_dir):
+    p = _plan(spark, sf_dir, "c58_bm25_search")
+    assert "TakeOrderedAndProject" in p          # top-k, not global sort
+    # the only nested-loop is the 1-row N/avgdl stats cross; corpus-sized
+    # relations never meet in a cartesian
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastExchange") >= 3     # df, dl, stats all broadcast
+
+
+def test_c59_events_never_row_shuffled(spark, sf_dir):
+    p = _plan(spark, sf_dir, "c59_robust_outliers")
+    # the fact scan joins the metadata aggregates via broadcast only:
+    # every Exchange in the plan is below an ObjectHashAggregate
+    # (the two percentile passes), never a repartition of raw events
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_c61_semantic_dedup_cell_bounded(spark, sf_dir):
+    p = _plan(spark, sf_dir, "c61_semantic_dedup")
+    assert "CartesianProduct" not in p           # pair stage keyed on cell
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "MapInPandas" in p                    # Arrow cell assignment
+
+
+def test_c62_feature_hashing_single_aggregate(spark, sf_dir):
+    p = _plan(spark, sf_dir, "c62_feature_hashing")
+    assert "partial_count" in p                  # map-side combine
+    # one exchange: the (doc, bucket) aggregate; no joins at all
+    assert "Join" not in p

@@ -365,3 +365,22 @@ def test_hashing_vectorizer_dense_matches_sparse(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="positive"):
         hashing_vectorizer(docs, "doc_id", "text", n_features=0)
+
+
+def test_unigram_logprob_known_values(spark):
+    import math
+
+    from amazonredshift_blueprints_spark.operators.text import unigram_logprob
+
+    # corpus: 4 tokens total — p(a)=1/2, p(b)=1/4, p(c)=1/4
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "c"), (3, "")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob(docs, "doc_id", "text").collect()}
+    q = lambda p: round(math.log(p) * 1_000_000)
+    assert rows[1]["n_tokens"] == 3
+    assert rows[1]["logprob_q_sum"] == 2 * q(0.5) + q(0.25)
+    assert rows[2]["logprob_q_sum"] == q(0.25)
+    assert 3 not in rows                       # empty doc dropped
+    # doc 2 (all rare tokens) scores lower than doc 1
+    assert rows[2]["avg_logprob"] < rows[1]["avg_logprob"]
