@@ -76,3 +76,45 @@ def test_sample_frames_covers_every_stride(spark):
     df = spark.createDataFrame([(1, payload)], "doc_id: long, payload: binary")
     rows = sorted(sample_frames(df).collect(), key=lambda r: r["frame_idx"])
     assert [(r["frame_idx"], r["n_frame_bytes"]) for r in rows] == [(0, 64), (4, 44)]
+
+
+def test_ppm_roundtrip_and_comment_handling():
+    import numpy as np
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_image,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    assert (decode_image(encode_ppm(px)) == px).all()
+    # header comments are legal PPM; the parser must skip them
+    with_comment = b"P6\n# a comment\n3 5\n255\n" + px.tobytes()
+    assert (decode_image(with_comment) == px).all()
+    # compressed formats: honest failure without pillow
+    import pytest as _pytest
+    with _pytest.raises((NotImplementedError, Exception)):
+        decode_image(b"\x89PNG\r\n\x1a\n garbage")
+
+
+def test_image_channel_stats_decodes_real_pixels(spark):
+    import numpy as np
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        image_channel_stats,
+        synthesize_ppm_images,
+    )
+
+    ids = spark.createDataFrame([(7,), (123,)], ["doc_id"])
+    got = {
+        r["doc_id"]: r
+        for r in image_channel_stats(synthesize_ppm_images(ids, "doc_id")).collect()
+    }
+    for i in (7, 123):
+        r_idx = np.arange(8)[:, None]
+        c_idx = np.arange(8)[None, :]
+        for ch, col in enumerate(["sum_r", "sum_g", "sum_b"]):
+            want = int(((i * 31 + r_idx * 7 + c_idx * 3 + ch) % 256).sum())
+            assert got[i][col] == want, (i, col)
+        assert got[i]["n_pixels"] == 64 and got[i]["width"] == 8
