@@ -2305,13 +2305,17 @@ def q32_grouped_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="custom stateful streaming op (applyInPandasWithState): per-user "
         "running count/sum state, update-mode emissions collapsed by "
-        "max() (monotone, so batch-count independent); availableNow run "
-        "equals the batch aggregate",
+        "max() (monotone, so batch-count independent); the fixture is "
+        "split at its time midpoint into two files consumed one per "
+        "micro-batch, so batch 2 genuinely merges into batch-1 state "
+        "(the path where GroupState.get is read — a property, not a "
+        "method; c65's harness caught the latent crash a single-batch "
+        "run never exercised); availableNow run equals the batch "
+        "aggregate",
     tags=("streaming", "udf", "events"),
 )
 def c16_stateful_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import shutil as _sh
 
     from ..streaming.sessions import (
         await_finished,
@@ -2319,11 +2323,23 @@ def c16_stateful_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful_user_counts,
     )
 
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
     views(spark, sf_dir, "events")  # oracle side reads the same fixture
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
     d = tempfile.mkdtemp(prefix="bp_stateful_stream_")
-    _sh.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "part-0.parquet"))
-    stream = read_events_stream(spark, d, raw_schema)
+    t = pq.read_table(src)
+    ts_i = pc.cast(t.column("ts"), "int64")
+    mm = pc.min_max(ts_i).as_py()
+    mid = mm["min"] + (mm["max"] - mm["min"]) // 2
+    early = pc.less(ts_i, mid)
+    pq.write_table(t.filter(early), os.path.join(d, "part-0.parquet"))
+    pq.write_table(t.filter(pc.invert(early)), os.path.join(d, "part-1.parquet"))
+    now = os.path.getmtime(os.path.join(d, "part-1.parquet"))
+    os.utime(os.path.join(d, "part-0.parquet"), (now - 100, now - 100))
+    stream = read_events_stream(spark, d, raw_schema, max_files_per_trigger=1)
     name = "bp_stateful_counts"
     q = (
         stateful_user_counts(stream)
@@ -4839,6 +4855,100 @@ def c64_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_channel_stats(synthesize_ppm_images(d, "doc_id", side=8))
 
 
+@query(
+    "c65_stream_stateful_topk",
+    oracle="""
+    WITH q AS (
+        SELECT user_id, CAST(round(value * 1000000) AS BIGINT) AS vq
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, vq,
+               row_number() OVER (PARTITION BY user_id ORDER BY vq DESC) AS rn
+        FROM q
+    ),
+    n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_seen FROM q GROUP BY 1)
+    SELECT n.user_id, n.n_seen,
+           MAX(CASE WHEN rn = 1 THEN vq END) AS top1_q,
+           MAX(CASE WHEN rn = 2 THEN vq END) AS top2_q,
+           MAX(CASE WHEN rn = 3 THEN vq END) AS top3_q
+    FROM n JOIN r USING (user_id) GROUP BY 1, 2
+    """,
+    doc="custom stateful streaming top-k: per-user top-3 values held "
+        "in BOUNDED state (k+1 int64s per user — a shape groupBy().agg "
+        "cannot express incrementally without buffering every value), "
+        "fed a genuinely multi-batch run (midpoint-split files, "
+        "maxFilesPerTrigger=1) so batch 2 merges into batch-1 state, "
+        "under the RocksDB state store provider. Values quantized to "
+        "int64 micro-units (c16 contract); n_seen is monotone so "
+        "max_by collapses update-mode re-emissions deterministically. "
+        "Runs on applyInPandasWithState; Spark 4's "
+        "transformWithStateInPandas successor needs google.protobuf, "
+        "absent from this container (documented in the operator)",
+    tags=("streaming", "udf", "events"),
+)
+def c65_stream_stateful_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..streaming.sessions import (
+        ROCKSDB_STATE_PROVIDER,
+        await_finished,
+        enable_rocksdb_state_store,
+        read_events_stream,
+        stateful_topk_values,
+    )
+
+    views(spark, sf_dir, "events")  # oracle side reads the same fixture
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    d = tempfile.mkdtemp(prefix="bp_stream_topk_")
+    t = pq.read_table(src)
+    ts_i = pc.cast(t.column("ts"), "int64")
+    mm = pc.min_max(ts_i).as_py()
+    mid = mm["min"] + (mm["max"] - mm["min"]) // 2
+    early = pc.less(ts_i, mid)
+    pq.write_table(t.filter(early), os.path.join(d, "part-0.parquet"))
+    pq.write_table(t.filter(pc.invert(early)), os.path.join(d, "part-1.parquet"))
+    now = os.path.getmtime(os.path.join(d, "part-1.parquet"))
+    os.utime(os.path.join(d, "part-0.parquet"), (now - 100, now - 100))
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    enable_rocksdb_state_store(spark)  # transformWithState requires RocksDB
+    try:
+        stream = read_events_stream(spark, d, raw_schema, max_files_per_trigger=1)
+        name = "bp_stream_topk"
+        q = (
+            stateful_topk_values(stream, k=3)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_finished(q)
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_seen").alias("n_seen"),
+            F.max_by("top1_q", "n_seen").alias("top1_q"),
+            F.max_by("top2_q", "n_seen").alias("top2_q"),
+            F.max_by("top3_q", "n_seen").alias("top3_q"),
+        )
+    )
+
+
 _RATIO_SQL = """
 SELECT o_orderkey, o_custkey,
        RATIO_TO_REPORT(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -4888,15 +4998,15 @@ def q52_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     touched by the seed/guard fixes and the id-pair distinct rewrite
 #     (c07, c17, c28, c37, c38), the DML staging-name change (q35, q42),
 #     the streaming await/RocksDB changes (c16, c36, c42, c43, c44),
-#     and the NEW round-7 entries c45-c64 + q50-q52;
+#     and the NEW round-7 entries c45-c65 + q50-q52;
 # (b) all 7 entries whose newest driver row is r03 (q08, q09, q16, q18,
 #     q21, q22, q23);
 # (c) the remaining slots go to r05-rowed entries, prioritizing the ones
 #     whose code was touched in r6 without a fresh row (c29, c32 — the
 #     components fusion) plus the oldest of the rest.
-# Entries left outside the window (q01, q02, q04, q10, q15, q17, q19,
-# q20, q33, q34, q36-q40, q43-q48, c01, c18, c22, c23, c25, c30, c31,
-# c35 (q01 stays smoke-checked by entry() and benched every round),
+# Entries left outside the window (q01, q02, q03, q04, q10, q15, q17,
+# q19, q20, q33, q34, q36-q40, q43-q48, c01, c18, c22, c23, c25, c30,
+# c31, c35 (q01/q03 stay smoke-checked/benched every round),
 # and every r06-rowed entry not in (a)) are all green on unchanged code
 # and remain covered by tests/test_catalog_oracle.py at sf0.001;
 # trivial-plan or unchanged r05 entries (q02/q04/q15/q34/c01/c18/q38/
@@ -4941,7 +5051,7 @@ _DRIVER_WINDOW = [
     "c29_dedup_groups",
     "c32_pipeline_neardup_stratified",
     "c64_image_decode_stats",
-    "q03_join_revenue_by_nation",
+    "c65_stream_stateful_topk",
     "c56_hopping_window_rollup",
     "q50_window_range_frame",
     "c57_stream_sessions",

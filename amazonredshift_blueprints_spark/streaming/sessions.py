@@ -136,7 +136,10 @@ def stateful_user_counts(
     import pandas as pd
 
     def update(key, pdfs, state):
-        n, s = state.get() if state.exists else (0, 0)
+        # GroupState.get is a PROPERTY (raises if no state) — calling it
+        # is a latent crash that only a multi-batch run exercises (c65's
+        # split-file harness caught it; c16's single-batch run never did)
+        n, s = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             q = np.round(pdf[value_col].to_numpy(dtype=np.float64) * 1_000_000)
             n += len(pdf)
@@ -326,4 +329,81 @@ def stream_dedup_events(
     key_cols = key_cols or ["event_id"]
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
+    )
+
+
+TOPK_OUTPUT = (
+    "user_id long, n_seen long, top1_q long, top2_q long, top3_q long"
+)
+TOPK_STATE = "vals array<long>, n long"
+
+
+def stateful_topk_values(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    k: int = 3,
+) -> DataFrame:
+    """Per-user streaming top-k values in BOUNDED state — a state shape
+    ``groupBy().agg()`` cannot express incrementally (collect_list would
+    buffer every value; this keeps exactly k+1 int64s per user).
+
+    State per user is (k sorted values, n_seen): each batch merges the
+    batch's values into the bounded top-k and emits the running
+    (n_seen, top1..k). Values are quantized to int64 micro-units (the
+    c16 contract) so state, emissions, and the batch oracle replay
+    exactly; ``n_seen`` is monotone, so a max_by()-per-key collapse of
+    update-mode emissions is batch-count independent.
+
+    API note, honestly: Spark 4's ``transformWithStateInPandas`` (typed
+    named state handles, timers, TTL) is the successor API for exactly
+    this operator, but its driver protocol needs a working
+    ``google.protobuf`` which this container does not ship (verified:
+    the driver worker crashes on import) — so the operator runs on
+    ``applyInPandasWithState``, which expresses the identical state
+    machine. Swapping APIs is a mechanical change; the state schema,
+    emission contract, and oracle are API-independent.
+
+    Scale: state is k+1 int64s per user — O(distinct users), disk-backed
+    under RocksDB; the input shuffles once on the grouping key (the same
+    exchange any groupBy would pay).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        vals, n = ([], 0)
+        if state.exists:
+            prev_vals, prev_n = state.get  # property, not a method
+            vals, n = list(prev_vals), int(prev_n)
+        for pdf in pdfs:
+            q = np.round(
+                pdf[value_col].to_numpy(dtype=np.float64) * 1_000_000
+            ).astype(np.int64)
+            n += len(q)
+            vals = sorted(vals + [int(x) for x in q], reverse=True)[:k]
+        state.update((vals, n))
+        padded = vals + [None] * (k - len(vals))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_seen": [n],
+                **{
+                    f"top{i+1}_q": pd.array([padded[i]], dtype="Int64")
+                    for i in range(k)
+                },
+            }
+        )
+
+    return (
+        events.select(F.col(user_col), F.col(value_col))
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=TOPK_OUTPUT,
+            stateStructType=TOPK_STATE,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
     )
