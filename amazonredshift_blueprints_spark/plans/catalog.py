@@ -4949,6 +4949,40 @@ def c65_stream_stateful_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c66_compact_small_files",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    doc="small-file compaction (the VACUUM analog for lake tables): the "
+        "fixture is deliberately fragmented into 64 tiny parquet files "
+        "(the trickle-ingest shape the reference's chunked INSERTs "
+        "produce), then compacted into near-target-size files "
+        "range-sorted on doc_id — every output file/row-group covers a "
+        "narrow id range, so parquet min/max zone maps make later id "
+        "filters row-group-selective (the sort-key benefit Redshift "
+        "VACUUM maintains). Content is byte-identical through the "
+        "rewrite: the oracle is simply the original table. File-count "
+        "reduction and per-file disjoint ranges are pinned in "
+        "tests/test_native_layer.py",
+    tags=("storage", "maintenance"),
+)
+def c66_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.maintenance import compact_small_files
+
+    views(spark, sf_dir, "documents")  # oracle side reads the same fixture
+    base = tempfile.mkdtemp(prefix="bp_compact_")
+    frag, dest = os.path.join(base, "frag"), os.path.join(base, "compact")
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).repartition(
+        64
+    ).write.mode("overwrite").parquet(frag)
+    return compact_small_files(
+        spark, frag, dest, target_file_bytes=1 << 20, order_cols=["doc_id"]
+    ).select("doc_id", "text", "lang", "source", "n_chars")
+
+
 _RATIO_SQL = """
 SELECT o_orderkey, o_custkey,
        RATIO_TO_REPORT(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -4998,9 +5032,10 @@ def q52_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     touched by the seed/guard fixes and the id-pair distinct rewrite
 #     (c07, c17, c28, c37, c38), the DML staging-name change (q35, q42),
 #     the streaming await/RocksDB changes (c16, c36, c42, c43, c44),
-#     and the NEW round-7 entries c45-c65 + q50-q52;
-# (b) all 7 entries whose newest driver row is r03 (q08, q09, q16, q18,
-#     q21, q22, q23);
+#     and the NEW round-7 entries c45-c66 + q50-q52;
+# (b) the entries whose newest driver row is r03 (q08, q16, q18, q21,
+#     q22, q23) — q09_join_cross (trivial cross, unchanged since r03,
+#     pytest-oracle green) ceded its slot to the new c66;
 # (c) the remaining slots go to r05-rowed entries, prioritizing the ones
 #     whose code was touched in r6 without a fresh row (c29, c32 — the
 #     components fusion) plus the oldest of the rest.
@@ -5041,7 +5076,7 @@ _DRIVER_WINDOW = [
     "c44_stream_upsert",
     # (b) stale r03 driver rows
     "q08_join_theta",
-    "q09_join_cross",
+    "c66_compact_small_files",
     "q16_window_frames",
     "q18_setops",
     "q21_scalar_conditional",

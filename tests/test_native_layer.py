@@ -478,3 +478,38 @@ def test_export_partition_by_unload_parity(spark, sf_dir, tmp_path):
             nation, dest, format="parquet", single_file=False,
             partition_by=["nope"],
         )
+
+
+def test_compact_small_files_reduces_count_and_sorts(spark, sf_dir, tmp_path):
+    import os
+
+    from amazonredshift_blueprints_spark.operators.maintenance import (
+        compact_small_files,
+    )
+
+    frag, dest = str(tmp_path / "frag"), str(tmp_path / "compact")
+    src = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    src.repartition(32).write.parquet(frag)
+    n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    assert n_frag >= 30  # genuinely fragmented
+
+    out = compact_small_files(
+        spark, frag, dest, target_file_bytes=1 << 20, order_cols=["doc_id"]
+    )
+    n_out = len([f for f in os.listdir(dest) if f.endswith(".parquet")])
+    assert n_out < n_frag / 4             # real compaction
+    assert out.count() == src.count()     # nothing lost
+
+    # range-sorted layout: per-file doc_id ranges are DISJOINT, the
+    # property that makes parquet min/max stats selective
+    import pyarrow.parquet as pq
+    ranges = []
+    for f in sorted(os.listdir(dest)):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(dest, f), columns=["doc_id"])
+            ids = t.column("doc_id").to_pylist()
+            if ids:
+                ranges.append((min(ids), max(ids)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "file ranges overlap - range partitioning broken"
