@@ -1125,9 +1125,16 @@ def semantic_dedup(
     cents = _with_quant(
         df.filter(F.col(id_col) < n_cells), id_col, vec_col, "cent"
     )
+    from pyspark.storagelevel import StorageLevel
+
     cent_rows = _collect_centroids(cents)
     dim = len(cent_rows[0][1])
-    cells = assign_cells(df, cent_rows, id_col=id_col, vec_col=vec_col)
+    # persisted: the Arrow cell pass feeds BOTH pair-join sides and the
+    # final anti-join — without the persist the kernel executes three
+    # times (the embedding_near_duplicates sketch-persist rationale)
+    cells = assign_cells(df, cent_rows, id_col=id_col, vec_col=vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = cells.select(
         F.col("neighbor_id").alias("a_id"),
         F.col("neighbor_q").alias("a_q"),
