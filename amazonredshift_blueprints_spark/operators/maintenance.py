@@ -30,6 +30,48 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column profiling in ONE pass over the table — the ANALYZE /
+    data-quality summary every pipeline runs before trusting a source:
+    row count, null count, exact distinct count, min and max (as
+    strings, so heterogeneous column types fit one output schema).
+
+    Spark-first shape: all metrics for all columns compute in a SINGLE
+    aggregate over one scan (count_distinct runs per-column via Spark's
+    multi-distinct expansion) and the resulting one-row frame unpivots
+    to (column, n_rows, n_null, n_distinct, min_value, max_value) rows
+    driver-side-free. The naive per-column loop scans the table once
+    PER COLUMN — k scans of 100 TB instead of one (expand's extra
+    shuffle rows are per-aggregate, vocabulary-free, and tiny).
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count_if(F.col(c).isNull()).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__n").cast("long").alias("n_rows"),
+                F.col(f"{c}__nulls").cast("long").alias("n_null"),
+                F.col(f"{c}__distinct").cast("long").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
 def compact_small_files(
     spark: SparkSession,
     src_dir: str,

@@ -4983,6 +4983,55 @@ def c66_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "text", "lang", "source", "n_chars")
 
 
+@query(
+    "c67_column_profile",
+    oracle="""
+    SELECT 'o_orderstatus' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (o_orderstatus IS NULL) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderstatus) AS VARCHAR) AS min_value,
+           CAST(max(o_orderstatus) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*),
+           count(*) FILTER (o_custkey IS NULL),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*),
+           count(*) FILTER (o_orderpriority IS NULL),
+           count(DISTINCT o_orderpriority),
+           CAST(min(o_orderpriority) AS VARCHAR),
+           CAST(max(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*),
+           count(*) FILTER (o_orderdate IS NULL),
+           count(DISTINCT o_orderdate),
+           CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+    FROM orders
+    """,
+    doc="single-pass column profiling (the ANALYZE / source-trust "
+        "summary): row count, nulls, exact distincts, min/max for four "
+        "columns of orders, computed in ONE aggregate over ONE scan "
+        "(Spark's multi-distinct expand) and unpivoted to long form via "
+        "an array-of-structs explode — the naive per-column loop costs "
+        "k scans of 100 TB; this costs one. The oracle replays the "
+        "metrics as per-column aggregates; min/max stringify "
+        "identically for string/long/timestamp columns (doubles would "
+        "diverge in E-notation and are profiled numerically instead)",
+    tags=("stats", "maintenance"),
+)
+def c67_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.maintenance import profile_columns
+
+    o = views(spark, sf_dir, "orders")["orders"]
+    return profile_columns(
+        o, ["o_orderstatus", "o_custkey", "o_orderpriority", "o_orderdate"]
+    )
+
+
 _RATIO_SQL = """
 SELECT o_orderkey, o_custkey,
        RATIO_TO_REPORT(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -5032,10 +5081,10 @@ def q52_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     touched by the seed/guard fixes and the id-pair distinct rewrite
 #     (c07, c17, c28, c37, c38), the DML staging-name change (q35, q42),
 #     the streaming await/RocksDB changes (c16, c36, c42, c43, c44),
-#     and the NEW round-7 entries c45-c66 + q50-q52;
-# (b) the entries whose newest driver row is r03 (q08, q16, q18, q21,
-#     q22, q23) — q09_join_cross (trivial cross, unchanged since r03,
-#     pytest-oracle green) ceded its slot to the new c66;
+#     and the NEW round-7 entries c45-c67 + q50-q52;
+# (b) the entries whose newest driver row is r03 (q16, q18, q21, q22,
+#     q23) — q08/q09 (theta/cross joins, unchanged since r03,
+#     pytest-oracle green) ceded their slots to the new c66/c67;
 # (c) the remaining slots go to r05-rowed entries, prioritizing the ones
 #     whose code was touched in r6 without a fresh row (c29, c32 — the
 #     components fusion) plus the oldest of the rest.
@@ -5075,7 +5124,7 @@ _DRIVER_WINDOW = [
     "c43_stream_stream_join",
     "c44_stream_upsert",
     # (b) stale r03 driver rows
-    "q08_join_theta",
+    "c67_column_profile",
     "c66_compact_small_files",
     "q16_window_frames",
     "q18_setops",

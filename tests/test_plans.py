@@ -270,3 +270,11 @@ def test_c62_feature_hashing_single_aggregate(spark, sf_dir):
     assert "partial_count" in p                  # map-side combine
     # one exchange: the (doc, bucket) aggregate; no joins at all
     assert "Join" not in p
+
+
+def test_c67_profile_is_single_scan(spark, sf_dir):
+    p = _plan(spark, sf_dir, "c67_column_profile")
+    # all per-column metrics from ONE scan + one Expand-based aggregate —
+    # never a scan per column
+    assert p.count("Scan parquet") == 1
+    assert "Expand" in p
