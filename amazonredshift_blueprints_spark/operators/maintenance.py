@@ -72,6 +72,58 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     return one.select(F.explode(rows).alias("p")).select("p.*")
 
 
+def build_sketch_table(
+    df: DataFrame,
+    path: str,
+    group_col,
+    value_col: str,
+    *,
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """Materialize a per-group HLL sketch table — Redshift's HLLSKETCH
+    column pattern (``hll_create_sketch`` → store → ``hll_combine`` /
+    ``hll_cardinality``) on Spark's DataSketches trio
+    (``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``).
+
+    The point at 100 TB: distinct-count questions over ARBITRARY
+    group combinations (any month range, any segment union) answer
+    from the kilobyte-sized sketch table by merging sketches — the
+    raw table is scanned ONCE at build time, never again. An exact
+    distinct over a new grouping would rescan and reshuffle the
+    events; ``hll_union_agg`` over stored sketches is a metadata job.
+    Sketches land in parquet as a plain binary column (round-trip
+    verified), so any engine with compatible DataSketches can read
+    them back.
+    """
+    from pyspark.sql import functions as F
+
+    (
+        df.groupBy(group_col)
+        .agg(F.hll_sketch_agg(F.col(value_col), F.lit(lg_config_k)).alias("sk"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return df.sparkSession.read.parquet(path)
+
+
+def sketch_distinct_estimates(sketches: DataFrame, group_name: str) -> DataFrame:
+    """Per-group estimates plus the MERGED all-groups estimate from a
+    stored sketch table (no raw-data access): per-group
+    ``hll_sketch_estimate(sk)`` unioned with one ``hll_union_agg``
+    row labeled '<all>' — the ``hll_combine`` query shape."""
+    from pyspark.sql import functions as F
+
+    per_group = sketches.select(
+        F.col(group_name).cast("string").alias(group_name),
+        F.hll_sketch_estimate("sk").alias("est_distinct"),
+    )
+    total = sketches.agg(
+        F.lit("<all>").alias(group_name),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct"),
+    )
+    return per_group.unionByName(total)
+
+
 def compact_small_files(
     spark: SparkSession,
     src_dir: str,

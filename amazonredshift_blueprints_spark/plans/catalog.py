@@ -5032,6 +5032,39 @@ def c67_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c68_hll_sketch_table",
+    # No SQL oracle BY DESIGN (rows-only, the q12 precedent): the
+    # estimates are DataSketches-HLL-specific values no other engine
+    # reproduces bit-for-bit. The accuracy contract is pinned instead in
+    # tests/test_native_layer.py: every per-month estimate and the
+    # merged total within 5% of the exact distinct (lgK=12 → ~1.6% rsd).
+    oracle=None,
+    doc="Redshift HLLSKETCH-column parity (hll_create_sketch / store / "
+        "hll_combine / hll_cardinality) via Spark's DataSketches trio: "
+        "per-month user sketches MATERIALIZED to parquet as a binary "
+        "column, read back, and queried — per-month estimates plus one "
+        "hll_union_agg merged total — WITHOUT touching the raw events "
+        "again. At 100 TB the raw table is scanned once at build time; "
+        "every later distinct-count over any month combination answers "
+        "from the kilobyte sketch table. Rows-only by design (estimates "
+        "are sketch-implementation-specific); 5%-accuracy bound pinned "
+        "by test, exact-distinct twin is q11",
+    tags=("dialect", "approx", "events", "storage"),
+)
+def c68_hll_sketch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.maintenance import build_sketch_table, sketch_distinct_estimates
+
+    e = views(spark, sf_dir, "events")["events"]
+    d = os.path.join(tempfile.mkdtemp(prefix="bp_hll_"), "sketches")
+    sk = build_sketch_table(
+        e, d, F.date_trunc("month", F.col("ts")).alias("month"), "user_id"
+    )
+    return sketch_distinct_estimates(sk, "month")
+
+
 _RATIO_SQL = """
 SELECT o_orderkey, o_custkey,
        RATIO_TO_REPORT(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -5081,10 +5114,11 @@ def q52_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     touched by the seed/guard fixes and the id-pair distinct rewrite
 #     (c07, c17, c28, c37, c38), the DML staging-name change (q35, q42),
 #     the streaming await/RocksDB changes (c16, c36, c42, c43, c44),
-#     and the NEW round-7 entries c45-c67 + q50-q52;
-# (b) the entries whose newest driver row is r03 (q16, q18, q21, q22,
-#     q23) — q08/q09 (theta/cross joins, unchanged since r03,
-#     pytest-oracle green) ceded their slots to the new c66/c67;
+#     and the NEW round-7 entries c45-c68 + q50-q52;
+# (b) the entries whose newest driver row is r03 (q18, q21, q22, q23)
+#     — q08/q09/q16 (theta/cross joins + ROWS frames, unchanged since
+#     r03, pytest-oracle green; frames re-covered by the newer q45/q50
+#     rows) ceded their slots to the new c66/c67/c68;
 # (c) the remaining slots go to r05-rowed entries, prioritizing the ones
 #     whose code was touched in r6 without a fresh row (c29, c32 — the
 #     components fusion) plus the oldest of the rest.
@@ -5126,7 +5160,7 @@ _DRIVER_WINDOW = [
     # (b) stale r03 driver rows
     "c67_column_profile",
     "c66_compact_small_files",
-    "q16_window_frames",
+    "c68_hll_sketch_table",
     "q18_setops",
     "q21_scalar_conditional",
     "q22_scalar_json",

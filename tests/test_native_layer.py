@@ -513,3 +513,38 @@ def test_compact_small_files_reduces_count_and_sorts(spark, sf_dir, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, "file ranges overlap - range partitioning broken"
+
+
+def test_hll_sketch_table_estimates_within_rsd(spark, sf_dir, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.operators.maintenance import (
+        build_sketch_table,
+        sketch_distinct_estimates,
+    )
+    from amazonredshift_blueprints_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    sk = build_sketch_table(
+        e,
+        str(tmp_path / "sk"),
+        F.date_trunc("month", F.col("ts")).alias("month"),
+        "user_id",
+    )
+    assert dict(sk.dtypes)["sk"] == "binary"  # persisted as plain binary
+    got = {
+        r["month"]: r["est_distinct"]
+        for r in sketch_distinct_estimates(sk, "month").collect()
+    }
+    exact = {
+        str(r["month"]): r["n"]
+        for r in e.groupBy(F.date_trunc("month", F.col("ts")).alias("month"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["<all>"] = e.select("user_id").distinct().count()
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
