@@ -612,6 +612,92 @@ def unigram_logprob(
     )
 
 
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    target_col: str = "lang",
+    target_value: str = "en",
+    n_features: int = 1024,
+) -> DataFrame:
+    """DSIR-style hashed importance weights (Xie et al. 2023,
+    arXiv:2302.03169): score every document by how target-like it is
+    under hashed unigram bag-of-words models — the data-selection
+    scorer for "pick pretraining data that looks like the target
+    distribution", computed without any trained model.
+
+    Per hashed feature bucket b: ``w(b) = ln p_target(b) - ln
+    p_source(b)`` with add-one smoothing over ``n_features`` buckets
+    (target = rows where ``target_col == target_value``; source = the
+    whole corpus). Per document: ``importance = Σ_tokens w(bucket)``.
+    Positive → more target-like than the corpus average.
+
+    Determinism: the bucket hash is the portable md5 form
+    (:func:`hashing_vectorizer`), and per-bucket weights quantize to
+    integer micro-units BEFORE the per-doc sum (the c58/c63 contract),
+    so scores replay exactly in any engine.
+
+    Returns (doc_id, n_tokens, importance_q, avg_importance).
+
+    100 TB: both unigram models are ``n_features``-bounded hash
+    aggregates (map-side partials; shuffle ≤ n_features rows per
+    partition) and the weight table is a broadcast dim of n_features
+    rows; the only corpus-keyed shuffle is the final per-doc sum. The
+    raw corpus is scanned twice (model pass + scoring pass) — persist
+    the token stream to make it one at the cost of shuffle-ing tokens.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 6), 16, 10).cast("long")
+        % n_features
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(target_col) == target_value).alias("_is_tgt"),
+        F.explode(tokens(text_col)).alias("token"),
+    ).select("doc_id", "_is_tgt", bucket.alias("bucket"))
+
+    counts = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_src"),
+        F.count_if(F.col("_is_tgt")).alias("c_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("c_src").alias("n_src"), F.sum("c_tgt").alias("n_tgt")
+    )
+    w_q = F.round(
+        (
+            F.log(
+                (F.col("c_tgt") + 1.0) / (F.col("n_tgt") + float(n_features))
+            )
+            - F.log(
+                (F.col("c_src") + 1.0) / (F.col("n_src") + float(n_features))
+            )
+        )
+        * 1_000_000
+    ).cast("long")
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket", w_q.alias("_w_q")
+    )
+    return (
+        toks.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_w_q").alias("importance_q"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "importance_q",
+            (
+                F.col("importance_q").cast("double")
+                / 1_000_000
+                / F.col("n_tokens")
+            ).alias("avg_importance"),
+        )
+    )
+
+
 def hashing_vectorizer(
     df: DataFrame,
     id_col: str,

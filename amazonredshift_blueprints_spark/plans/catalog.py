@@ -5065,6 +5065,60 @@ def c68_hll_sketch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_distinct_estimates(sk, "month")
 
 
+@query(
+    "c69_dsir_importance",
+    oracle="""
+    WITH ex AS (
+        SELECT doc_id, lang = 'en' AS is_tgt,
+               CAST('0x' || substring(md5(unnest(
+                   list_filter(string_split(lower(text), ' '), x -> x <> '')
+               )), 1, 6) AS BIGINT) % 1024 AS bucket
+        FROM documents
+    ),
+    counts AS (
+        SELECT bucket,
+               CAST(count(*) AS BIGINT) AS c_src,
+               CAST(count(*) FILTER (is_tgt) AS BIGINT) AS c_tgt
+        FROM ex GROUP BY 1
+    ),
+    totals AS (SELECT SUM(c_src) AS n_src, SUM(c_tgt) AS n_tgt FROM counts),
+    w AS (
+        SELECT bucket,
+               CAST(round((
+                   ln((c_tgt + 1.0) / (n_tgt + 1024.0))
+                 - ln((c_src + 1.0) / (n_src + 1024.0))
+               ) * 1000000) AS BIGINT) AS w_q
+        FROM counts CROSS JOIN totals
+    )
+    SELECT ex.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(w.w_q) AS BIGINT) AS importance_q,
+           CAST(SUM(w.w_q) AS DOUBLE) / 1000000 / count(*) AS avg_importance
+    FROM ex JOIN w USING (bucket)
+    GROUP BY ex.doc_id
+    """,
+    doc="DSIR-style hashed importance weights (arXiv:2302.03169): "
+        "score documents by ln p_target - ln p_source under hashed "
+        "unigram models (target = lang='en', source = whole corpus, "
+        "1024 md5-portable buckets, add-one smoothing) — the "
+        "model-free data-selection scorer for 'pick pretraining data "
+        "that looks like the target'. Both models are "
+        "n_features-bounded hash aggregates; the weight table is a "
+        "1024-row broadcast dim; per-bucket weights quantize to "
+        "integer micro-units before the per-doc sum (the c58/c63 "
+        "contract) so scores replay exactly in the oracle",
+    tags=("text", "quality", "sampling"),
+)
+def c69_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import dsir_importance
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return dsir_importance(
+        d, "doc_id", "text", target_col="lang", target_value="en",
+        n_features=1024,
+    )
+
+
 _RATIO_SQL = """
 SELECT o_orderkey, o_custkey,
        RATIO_TO_REPORT(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -5114,11 +5168,12 @@ def q52_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     touched by the seed/guard fixes and the id-pair distinct rewrite
 #     (c07, c17, c28, c37, c38), the DML staging-name change (q35, q42),
 #     the streaming await/RocksDB changes (c16, c36, c42, c43, c44),
-#     and the NEW round-7 entries c45-c68 + q50-q52;
-# (b) the entries whose newest driver row is r03 (q18, q21, q22, q23)
-#     — q08/q09/q16 (theta/cross joins + ROWS frames, unchanged since
-#     r03, pytest-oracle green; frames re-covered by the newer q45/q50
-#     rows) ceded their slots to the new c66/c67/c68;
+#     and the NEW round-7 entries c45-c69 + q50-q52;
+# (b) the entries whose newest driver row is r03 (q21, q22, q23) —
+#     q08/q09/q16/q18 (theta/cross joins, ROWS frames, set ops:
+#     unchanged since r03, pytest-oracle green; frames/setops
+#     re-covered by the newer q45/q50/q46 rows) ceded their slots to
+#     the new c66-c69;
 # (c) the remaining slots go to r05-rowed entries, prioritizing the ones
 #     whose code was touched in r6 without a fresh row (c29, c32 — the
 #     components fusion) plus the oldest of the rest.
@@ -5161,7 +5216,7 @@ _DRIVER_WINDOW = [
     "c67_column_profile",
     "c66_compact_small_files",
     "c68_hll_sketch_table",
-    "q18_setops",
+    "c69_dsir_importance",
     "q21_scalar_conditional",
     "q22_scalar_json",
     "q23_cte_subquery",

@@ -384,3 +384,30 @@ def test_unigram_logprob_known_values(spark):
     assert 3 not in rows                       # empty doc dropped
     # doc 2 (all rare tokens) scores lower than doc 1
     assert rows[2]["avg_logprob"] < rows[1]["avg_logprob"]
+
+
+def test_dsir_importance_separates_target_like_docs(spark):
+    from amazonredshift_blueprints_spark.operators.text import dsir_importance
+
+    # target-language docs use 'alpha beta'; others use 'gamma delta'
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha", "en"),
+            (2, "alpha beta", "en"),
+            (3, "gamma delta gamma", "zh"),
+            (4, "alpha gamma", "zh"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dsir_importance(
+            docs, "doc_id", "text", target_col="lang", target_value="en",
+            n_features=64,
+        ).collect()
+    }
+    # pure-target vocabulary scores above pure-source-only vocabulary
+    assert rows[1]["avg_importance"] > rows[3]["avg_importance"]
+    # the mixed doc sits between the extremes
+    assert rows[3]["avg_importance"] < rows[4]["avg_importance"] < rows[1]["avg_importance"]
+    assert rows[1]["n_tokens"] == 3
