@@ -461,6 +461,60 @@ def ngram_jaccard_pairs(
     )
 
 
+def _portable_perm_hash(p: int):
+    """Closure factory for the per-permutation md5 hash. The transform
+    lambda MUST stay unary — a second parameter (even defaulted) makes
+    pyspark bind it to the array index."""
+    prefix = f"{p}:"
+    return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+
+def portable_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_size: int = 3,
+    num_perms: int = 8,
+) -> DataFrame:
+    """The engine-portable MinHash signature table: (id, grams,
+    h0..h{p-1}) where ``h_p`` = lexicographic-min md5 over prefixed
+    shingles — shared by the self-join pair generator
+    (:func:`portable_minhash_pairs`) and the stored-signature
+    incremental dedup (:func:`build_minhash_store`). Empty-gram docs
+    are dropped (no signature to take a min over)."""
+    grams = word_ngrams(tokens(text_col), shingle_size)
+    df = rebalance_for_compute(df)
+    base = df.select(F.col(id_col), grams.alias("grams")).filter(
+        F.size("grams") > 0
+    )
+    return base.select(
+        id_col,
+        "grams",
+        *[
+            F.array_min(
+                F.transform(F.col("grams"), _portable_perm_hash(p))
+            ).alias(f"h{p}")
+            for p in range(num_perms)
+        ],
+    )
+
+
+def _portable_band_keys(*, num_perms: int, bands: int) -> list[Column]:
+    """Band keys over an ``h0..h{p-1}`` signature row: md5 of the
+    '|'-joined signature slice per band."""
+    rows_per_band = num_perms // bands
+    keys = []
+    for b in range(bands):
+        parts: list[Column] = []
+        for j in range(rows_per_band):
+            if j:
+                parts.append(F.lit("|"))
+            parts.append(F.col(f"h{b * rows_per_band + j}"))
+        keys.append(F.md5(F.concat(*parts)))
+    return keys
+
+
 def portable_minhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -488,47 +542,22 @@ def portable_minhash_pairs(
     """
     if num_perms % bands:
         raise ValueError(f"num_perms {num_perms} not divisible by bands {bands}")
-    rows_per_band = num_perms // bands
 
     from pyspark.storagelevel import StorageLevel
-
-    grams = word_ngrams(tokens(text_col), shingle_size)
-    df = rebalance_for_compute(df)
-    base = df.select(F.col(id_col), grams.alias("grams")).filter(F.size("grams") > 0)
-
-    def _perm_hash(p: int):
-        # closure factory: the transform lambda MUST stay unary — a
-        # second parameter (even defaulted) makes pyspark bind it to the
-        # array index
-        prefix = f"{p}:"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
 
     # persisted: the md5-per-(perm, shingle) signature pass is the
     # dominant cost and has three consumers (both self-join sides via
     # the band explode, and the verify stage via grams) — same pattern
     # as minhash_near_duplicates
-    sig = base.select(
-        id_col,
-        "grams",
-        *[
-            F.array_min(F.transform(F.col("grams"), _perm_hash(p))).alias(f"h{p}")
-            for p in range(num_perms)
-        ],
+    sig = portable_signatures(
+        df, id_col, text_col, shingle_size=shingle_size, num_perms=num_perms
     ).persist(StorageLevel.MEMORY_AND_DISK)
-
-    def band_key(b: int):
-        parts = []
-        for j in range(rows_per_band):
-            if j:
-                parts.append(F.lit("|"))
-            parts.append(F.col(f"h{b * rows_per_band + j}"))
-        return F.md5(F.concat(*parts))
 
     banded = sig.select(
         id_col,
-        F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias(
-            "band_idx", "band_key"
-        ),
+        F.posexplode(
+            F.array(*_portable_band_keys(num_perms=num_perms, bands=bands))
+        ).alias("band_idx", "band_key"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -675,6 +704,111 @@ def portable_simhash_pairs(
     return (
         cand.select("id_a", "id_b", dist.cast("long").alias("distance"))
         .filter(F.col("distance") <= max_distance)
+    )
+
+
+def build_minhash_store(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_size: int = 3,
+    num_perms: int = 8,
+) -> DataFrame:
+    """Materialize the portable MinHash signature table for a reference
+    corpus — the stored-index half of INCREMENTAL text dedup (the c60
+    frozen-ANN-index story, for near-dup text): signatures are computed
+    ONCE per reference document and persisted as plain parquet columns
+    (id, h0..h{p-1}); every later batch dedups against the store
+    without re-reading or re-sketching the reference corpus.
+
+    The grams themselves are NOT stored (they are corpus-sized);
+    verification against the store uses SIGNATURE AGREEMENT — the
+    fraction of matching minhash components, the unbiased estimator of
+    Jaccard similarity — which needs only the k hex digests per doc.
+    """
+    (
+        portable_signatures(
+            df, id_col, text_col, shingle_size=shingle_size, num_perms=num_perms
+        )
+        .drop("grams")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return df.sparkSession.read.parquet(path)
+
+
+def dedup_against_minhash_store(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_size: int = 3,
+    num_perms: int = 8,
+    bands: int = 4,
+    min_sig_match: int = 4,
+) -> DataFrame:
+    """Match a NEW document batch against a stored reference signature
+    table (:func:`build_minhash_store`): sketch only the new batch,
+    candidate-join on band keys derived from the stored signatures, and
+    verify by signature agreement (``n_sig_match`` of ``num_perms``
+    components equal; ``est_jaccard = n_sig_match / num_perms``).
+
+    Returns (new_id, ref_id, n_sig_match, est_jaccard) for matches with
+    ``n_sig_match >= min_sig_match``.
+
+    100 TB: the reference corpus is NEVER rescanned — only its
+    signature table (k hex digests per doc, ~0.3 KB/doc) is read, and
+    only on band-key candidates; the new batch pays one sketch pass.
+    Never a new × ref product: candidates come from the (band_idx,
+    band_key) equi-join, exactly the c24 shape with one side frozen.
+    """
+    if num_perms % bands:
+        raise ValueError(f"num_perms {num_perms} not divisible by bands {bands}")
+    from pyspark.storagelevel import StorageLevel
+
+    ref_sig = spark.read.parquet(path)
+    new_sig = (
+        portable_signatures(
+            new_df, id_col, text_col,
+            shingle_size=shingle_size, num_perms=num_perms,
+        )
+        .drop("grams")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    keys = _portable_band_keys(num_perms=num_perms, bands=bands)
+
+    def banded(sig: DataFrame, alias: str) -> DataFrame:
+        return sig.select(
+            F.col(id_col).alias(f"{alias}_id"),
+            F.posexplode(F.array(*keys)).alias("band_idx", "band_key"),
+        )
+
+    cand = (
+        banded(new_sig, "new")
+        .join(banded(ref_sig, "ref"), ["band_idx", "band_key"])
+        .select("new_id", "ref_id")
+        .distinct()
+    )
+    n_match = sum(
+        (F.col(f"a.h{p}") == F.col(f"b.h{p}")).cast("int") for p in range(num_perms)
+    )
+    return (
+        cand.join(new_sig.alias("a"), F.col("new_id") == F.col(f"a.{id_col}"))
+        .join(ref_sig.alias("b"), F.col("ref_id") == F.col(f"b.{id_col}"))
+        .select(
+            "new_id",
+            "ref_id",
+            n_match.cast("long").alias("n_sig_match"),
+        )
+        .filter(F.col("n_sig_match") >= min_sig_match)
+        .withColumn(
+            "est_jaccard",
+            F.col("n_sig_match").cast("double") / num_perms,
+        )
     )
 
 

@@ -5119,6 +5119,83 @@ def c69_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_store_oracle(num_perms: int, bands: int, min_match: int) -> str:
+    """DuckDB replay of the stored-signature incremental dedup (c70):
+    signatures for every doc, reference = even ids, new batch = odd
+    ids, band-key candidates, signature-agreement verify."""
+    rows = num_perms // bands
+    sigs = ",\n           ".join(
+        f"list_aggregate(list_transform(grams, s -> md5('{p}:' || s)), 'min') AS h{p}"
+        for p in range(num_perms)
+    )
+    bkeys = ", ".join(
+        "md5(" + " || '|' || ".join(f"h{b * rows + j}" for j in range(rows)) + f") AS bk{b}"
+        for b in range(bands)
+    )
+    bkarr = ", ".join(f"bk{b}" for b in range(bands))
+    bidxs = ", ".join(str(b) for b in range(bands))
+    nmatch = " + ".join(
+        f"CASE WHEN a.h{p} = b.h{p} THEN 1 ELSE 0 END" for p in range(num_perms)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    g0 AS (SELECT doc_id, {_DUCK_GRAMS3} AS grams FROM toks),
+    g AS (SELECT doc_id, grams FROM g0 WHERE len(grams) > 0),
+    sig AS (SELECT doc_id, {sigs} FROM g),
+    keyed AS (SELECT doc_id, {bkeys} FROM sig),
+    banded AS (SELECT doc_id, unnest([{bidxs}]) AS band_idx,
+                      unnest([{bkarr}]) AS band_key FROM keyed),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
+        FROM banded n JOIN banded r
+          ON n.band_idx = r.band_idx AND n.band_key = r.band_key
+        WHERE n.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+    ),
+    verified AS (
+        SELECT c.new_id, c.ref_id, CAST({nmatch} AS BIGINT) AS n_sig_match
+        FROM cand c
+        JOIN sig a ON c.new_id = a.doc_id
+        JOIN sig b ON c.ref_id = b.doc_id
+    )
+    SELECT new_id, ref_id, n_sig_match,
+           CAST(n_sig_match AS DOUBLE) / {num_perms} AS est_jaccard
+    FROM verified WHERE n_sig_match >= {min_match}
+    """
+
+
+@query(
+    "c70_minhash_signature_store",
+    oracle=_minhash_store_oracle(num_perms=8, bands=4, min_match=4),
+    doc="INCREMENTAL text near-dup against a stored signature table — "
+        "the c60 frozen-index story for MinHash: the reference corpus "
+        "(even doc ids) is sketched ONCE into a persisted parquet "
+        "signature table (~0.3 KB/doc, portable md5 domain), then the "
+        "new batch (odd ids) sketches itself, candidate-joins on band "
+        "keys derived from the STORED signatures, and verifies by "
+        "signature agreement (the unbiased Jaccard estimator) — the "
+        "reference text is never re-read, unlike c48 which re-sketches "
+        "both corpora every run. Never a new x ref product; the oracle "
+        "re-derives signatures, band candidates, and the agreement "
+        "verify from the raw fixture",
+    tags=("dedup", "portable", "storage"),
+)
+def c70_minhash_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.dedup import build_minhash_store, dedup_against_minhash_store
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    path = os.path.join(tempfile.mkdtemp(prefix="bp_mh_store_"), "sigs")
+    build_minhash_store(
+        d.filter(F.col("doc_id") % 2 == 0), path, "doc_id", "text",
+        shingle_size=3, num_perms=8,
+    )
+    return dedup_against_minhash_store(
+        spark, path, d.filter(F.col("doc_id") % 2 == 1), "doc_id", "text",
+        shingle_size=3, num_perms=8, bands=4, min_sig_match=4,
+    )
+
+
 _RATIO_SQL = """
 SELECT o_orderkey, o_custkey,
        RATIO_TO_REPORT(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -5168,12 +5245,12 @@ def q52_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     touched by the seed/guard fixes and the id-pair distinct rewrite
 #     (c07, c17, c28, c37, c38), the DML staging-name change (q35, q42),
 #     the streaming await/RocksDB changes (c16, c36, c42, c43, c44),
-#     and the NEW round-7 entries c45-c69 + q50-q52;
-# (b) the entries whose newest driver row is r03 (q21, q22, q23) —
-#     q08/q09/q16/q18 (theta/cross joins, ROWS frames, set ops:
-#     unchanged since r03, pytest-oracle green; frames/setops
-#     re-covered by the newer q45/q50/q46 rows) ceded their slots to
-#     the new c66-c69;
+#     and the NEW round-7 entries c45-c70 + q50-q52;
+# (b) the entries whose newest driver row is r03 (q22, q23) —
+#     q08/q09/q16/q18/q21 (theta/cross joins, ROWS frames, set ops,
+#     conditional scalars: unchanged since r03, pytest-oracle green;
+#     frames/setops re-covered by the newer q45/q50/q46 rows) ceded
+#     their slots to the new c66-c70;
 # (c) the remaining slots go to r05-rowed entries, prioritizing the ones
 #     whose code was touched in r6 without a fresh row (c29, c32 — the
 #     components fusion) plus the oldest of the rest.
@@ -5217,7 +5294,7 @@ _DRIVER_WINDOW = [
     "c66_compact_small_files",
     "c68_hll_sketch_table",
     "c69_dsir_importance",
-    "q21_scalar_conditional",
+    "c70_minhash_signature_store",
     "q22_scalar_json",
     "q23_cte_subquery",
     # (c) r05 rows, oldest-first refresh (incl. r6-changed c29/c32)

@@ -302,3 +302,42 @@ def test_duplicate_groups_long_chain_logarithmic_rounds(spark):
     )
     got = {(r["doc_id"], r["group_id"]) for r in duplicate_groups(pairs).collect()}
     assert got == {(i, 0) for i in range(64)}
+
+
+def test_minhash_store_matches_recompute(spark, sf_dir, tmp_path):
+    """Dedup against the STORED signature table must equal the same
+    pipeline with both sides sketched fresh (the store adds persistence,
+    never different answers)."""
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.operators.dedup import (
+        build_minhash_store,
+        dedup_against_minhash_store,
+    )
+    from amazonredshift_blueprints_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    ref, new = d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
+
+    path = str(tmp_path / "sigs")
+    stored = build_minhash_store(ref, path, "doc_id", "text")
+    assert dict(stored.dtypes)["h0"] == "string"  # hex digests as plain columns
+
+    got = {
+        (r["new_id"], r["ref_id"]): r["n_sig_match"]
+        for r in dedup_against_minhash_store(
+            spark, path, new, "doc_id", "text", min_sig_match=4
+        ).collect()
+    }
+    # fresh-store round trip: rebuilding from the same ref yields the same
+    path2 = str(tmp_path / "sigs2")
+    build_minhash_store(ref, path2, "doc_id", "text")
+    again = {
+        (r["new_id"], r["ref_id"]): r["n_sig_match"]
+        for r in dedup_against_minhash_store(
+            spark, path2, new, "doc_id", "text", min_sig_match=4
+        ).collect()
+    }
+    assert got == again and got  # deterministic and non-empty
+    for (n, r), m in got.items():
+        assert n % 2 == 1 and r % 2 == 0 and 4 <= m <= 8
