@@ -87,24 +87,36 @@ def delete_from(spark: SparkSession, table: str, condition: str) -> int:
 
 
 def merge_into(
-    spark: SparkSession, table: str, source, keys: list[str]
-) -> tuple[int, int]:
-    """``MERGE INTO table USING source ON keys WHEN MATCHED THEN UPDATE
-    WHEN NOT MATCHED THEN INSERT`` via copy-on-write.
+    spark: SparkSession,
+    table: str,
+    source,
+    keys: list[str],
+    *,
+    delete_condition: str | None = None,
+) -> tuple[int, int, int]:
+    """``MERGE INTO table USING source ON keys
+    [WHEN MATCHED AND <delete_condition> THEN DELETE]
+    WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT``
+    via copy-on-write.
 
     ``source`` must carry the target's full schema. Matched target rows
     take the source's values wholesale (the common upsert form);
     unmatched source rows are inserted; target-only rows pass through.
-    Returns ``(n_updated, n_inserted)``.
+    ``delete_condition`` (a SQL expression over the SOURCE row — the
+    CDC pattern where change records carry a deletion marker) turns
+    matching source rows into deletes: matched targets are removed,
+    and unmatched delete-records are ignored rather than inserted —
+    Redshift's ``WHEN MATCHED THEN DELETE`` arm. Returns
+    ``(n_updated, n_inserted, n_deleted)``.
 
     Plan shape: ONE full-outer hash join on the merge keys plus the
     rewrite's scan+write — the same cost profile as Delta/Iceberg
     copy-on-write MERGE. At 100 TB the join shuffles both sides on the
     keys once; with a partitioned target and dynamic partition
-    overwrite, untouched partitions never rewrite. Both counters ride
+    overwrite, untouched partitions never rewrite. All counters ride
     the rewrite's own job via ``DataFrame.observe`` (a CollectMetrics
     node over the joined rows), so the join executes exactly once — not
-    the three times (write + two counts) of a naive implementation.
+    the four times (write + three counts) of a naive implementation.
     """
     target = spark.table(table)
     if set(source.columns) != set(target.columns):
@@ -112,34 +124,50 @@ def merge_into(
             f"MERGE source schema {sorted(source.columns)} != target {sorted(target.columns)}"
         )
     non_keys = [c for c in target.columns if c not in keys]
+    # evaluate the delete marker against the RAW source row, before the
+    # _src_ aliasing, so the condition reads naturally (CDC flag columns)
+    src = source.withColumn(
+        "_s_delete",
+        F.coalesce(F.expr(delete_condition), F.lit(False))
+        if delete_condition
+        else F.lit(False),
+    )
     t = target.withColumn("_t_present", F.lit(True))
-    s = source.select(
-        *keys, *[F.col(c).alias(f"_src_{c}") for c in non_keys]
+    s = src.select(
+        *keys,
+        "_s_delete",
+        *[F.col(c).alias(f"_src_{c}") for c in non_keys],
     ).withColumn("_s_present", F.lit(True))
+    matched = F.col("_t_present") & F.col("_s_present")
+    deleting = F.coalesce(F.col("_s_delete"), F.lit(False))
     obs = Observation()
     j = t.join(s, on=keys, how="full_outer").observe(
         obs,
-        F.sum(
-            F.when(F.col("_t_present") & F.col("_s_present"), 1).otherwise(0)
-        ).alias("n_updated"),
+        F.sum(F.when(matched & ~deleting, 1).otherwise(0)).alias("n_updated"),
         F.sum(
             F.when(
-                F.col("_s_present") & F.col("_t_present").isNull(), 1
+                F.col("_s_present") & F.col("_t_present").isNull() & ~deleting,
+                1,
             ).otherwise(0)
         ).alias("n_inserted"),
+        F.sum(F.when(matched & deleting, 1).otherwise(0)).alias("n_deleted"),
     )
-    merged = j.select(
-        *keys,
-        *[
-            F.when(F.col("_s_present"), F.col(f"_src_{c}"))
-            .otherwise(F.col(c))
-            .alias(c)
-            for c in non_keys
-        ],
-    ).select(*target.columns)  # restore declared column order
+    merged = (
+        j.filter(~(F.col("_s_present").isNotNull() & deleting))
+        .select(
+            *keys,
+            *[
+                F.when(F.col("_s_present"), F.col(f"_src_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in non_keys
+            ],
+        )
+        .select(*target.columns)  # restore declared column order
+    )
     _rewrite(spark, table, merged)
     m = obs.get
-    return _n(m["n_updated"]), _n(m["n_inserted"])
+    return _n(m["n_updated"]), _n(m["n_inserted"]), _n(m["n_deleted"])
 
 
 def update_table(

@@ -5196,6 +5196,101 @@ def c70_minhash_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q53_merge_delete",
+    oracle="""
+    WITH tomb AS (SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0),
+    upd AS (
+        SELECT c_custkey,
+               CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2))
+                          * CAST('1.1' AS DECIMAL(2,1)), 2) AS DOUBLE) AS new_bal
+        FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 5 <> 0
+    ),
+    merged AS (
+        SELECT c.c_custkey, c.c_name, c.c_nationkey,
+               COALESCE(u.new_bal, c.c_acctbal) AS c_acctbal,
+               CASE WHEN u.c_custkey IS NOT NULL THEN 'UPD'
+                    ELSE c.c_mktsegment END AS c_mktsegment
+        FROM customer c
+        LEFT JOIN upd u USING (c_custkey)
+        WHERE c.c_custkey NOT IN (SELECT c_custkey FROM tomb)
+        UNION ALL
+        SELECT c_custkey + 100000, 'NEW#' || CAST(c_custkey AS VARCHAR),
+               CAST(0 AS INT), 100.0, 'NEW'
+        FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM merged GROUP BY 1
+    """,
+    doc="MERGE with the WHEN MATCHED THEN DELETE arm (Redshift MERGE's "
+        "delete action; q42 covers update+insert): a CDC-style source "
+        "carries in-band tombstones (a sentinel balance no real row "
+        "can hold — TPC-H balances go negative, so a plain <0 test "
+        "would delete legitimate updates) for "
+        "every fifth customer, updates for every third, inserts for "
+        "every seventh — one statement applies all three. Matched "
+        "tombstones delete; unmatched tombstones are ignored (not "
+        "inserted). Same single full-outer-join copy-on-write rewrite "
+        "as q42, with all three counters observed on the one join",
+    tags=("dml",),
+)
+def q53_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dml import merge_into
+    from ..ingest import _clean_stale_location
+
+    t = views(spark, sf_dir, "customer")["customer"]
+    tbl = "bp_q53_customer"
+    _clean_stale_location(spark, tbl, None)
+    t.write.mode("overwrite").saveAsTable(tbl)
+
+    upd = (
+        t.filter((F.col("c_custkey") % 3 == 0) & (F.col("c_custkey") % 5 != 0))
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.round(
+                F.col("c_acctbal").cast("decimal(18,2)")
+                * F.lit("1.1").cast("decimal(2,1)"),
+                2,
+            )
+            .cast("double")
+            .alias("c_acctbal"),
+            F.lit("UPD").alias("c_mktsegment"),
+        )
+    )
+    tomb = t.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.lit(-999999.0).alias("c_acctbal"),  # in-band tombstone sentinel
+        "c_mktsegment",
+    )
+    # an unmatched tombstone: must be IGNORED, not inserted
+    ghost = spark.createDataFrame(
+        [(999999, "GHOST", 0, -999999.0, "GONE")], t.schema
+    )
+    new = t.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + 100000).alias("c_custkey"),
+        F.concat(F.lit("NEW#"), F.col("c_custkey").cast("string")).alias("c_name"),
+        F.lit(0).cast("int").alias("c_nationkey"),
+        F.lit(100.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    source = upd.unionByName(tomb).unionByName(ghost).unionByName(new)
+    merge_into(
+        spark, tbl, source, keys=["c_custkey"],
+        delete_condition="c_acctbal = -999999",
+    )
+    return (
+        spark.table(tbl)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("c_acctbal", "total_bal"))
+    )
+
+
 _RATIO_SQL = """
 SELECT o_orderkey, o_custkey,
        RATIO_TO_REPORT(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -5245,12 +5340,13 @@ def q52_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     touched by the seed/guard fixes and the id-pair distinct rewrite
 #     (c07, c17, c28, c37, c38), the DML staging-name change (q35, q42),
 #     the streaming await/RocksDB changes (c16, c36, c42, c43, c44),
-#     and the NEW round-7 entries c45-c70 + q50-q52;
-# (b) the entries whose newest driver row is r03 (q22, q23) —
-#     q08/q09/q16/q18/q21 (theta/cross joins, ROWS frames, set ops,
-#     conditional scalars: unchanged since r03, pytest-oracle green;
-#     frames/setops re-covered by the newer q45/q50/q46 rows) ceded
-#     their slots to the new c66-c70;
+#     and the NEW round-7 entries c45-c70 + q50-q53;
+# (b) the entry whose newest driver row is r03 (q23) —
+#     q08/q09/q16/q18/q21/q22 (theta/cross joins, ROWS frames, set
+#     ops, conditional/JSON scalars: unchanged since r03, pytest-oracle
+#     green; frames/setops/JSON re-covered by the newer
+#     q45/q50/q46/q36/q51 rows) ceded their slots to the new c66-c70 +
+#     q53;
 # (c) the remaining slots go to r05-rowed entries, prioritizing the ones
 #     whose code was touched in r6 without a fresh row (c29, c32 — the
 #     components fusion) plus the oldest of the rest.
@@ -5284,6 +5380,7 @@ _DRIVER_WINDOW = [
     "c38_ann_lsh_portable_topk",
     "q35_dml_delete_update",
     "q42_dml_merge",
+    "q53_merge_delete",
     "c16_stateful_stream_counts",
     "c36_stream_dedup",
     "c42_stream_static_join",
@@ -5295,7 +5392,6 @@ _DRIVER_WINDOW = [
     "c68_hll_sketch_table",
     "c69_dsir_importance",
     "c70_minhash_signature_store",
-    "q22_scalar_json",
     "q23_cte_subquery",
     # (c) r05 rows, oldest-first refresh (incl. r6-changed c29/c32)
     "c29_dedup_groups",

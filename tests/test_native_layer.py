@@ -184,8 +184,8 @@ def test_merge_into_upsert(spark, sf_dir):
         [(0, "RENAMED", 0), (999, "BRAND-NEW", 4)],
         "n_nationkey int, n_name string, n_regionkey int",
     )
-    n_upd, n_ins = merge_into(spark, "t_merge_nation", source, keys=["n_nationkey"])
-    assert (n_upd, n_ins) == (1, 1)
+    n_upd, n_ins, n_del = merge_into(spark, "t_merge_nation", source, keys=["n_nationkey"])
+    assert (n_upd, n_ins, n_del) == (1, 1, 0)
 
     after = spark.table("t_merge_nation")
     assert after.count() == nation.count() + 1
@@ -430,7 +430,7 @@ def test_concurrent_dml_staging_does_not_collide(spark):
                 t.join()
             assert not errs, errs
         # round 1 upserts (1 update, 1 insert); rounds 2-3 both match
-        assert results["merge"] == (2, 0)
+        assert results["merge"] == (2, 0, 0)
         a = spark.table("t_dml_race_a")
         assert a.count() == 201
         b = spark.table("t_dml_race_b")
@@ -548,3 +548,33 @@ def test_hll_sketch_table_estimates_within_rsd(spark, sf_dir, tmp_path):
     assert set(got) == set(exact)
     for k, est in got.items():
         assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_merge_delete_arm(spark, sf_dir):
+    from amazonredshift_blueprints_spark.dml import merge_into
+    from amazonredshift_blueprints_spark.ingest import _clean_stale_location
+    from amazonredshift_blueprints_spark.session import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    _clean_stale_location(spark, "t_merge_del", None)
+    nation.write.mode("overwrite").saveAsTable("t_merge_del")
+
+    source = spark.createDataFrame(
+        [
+            (0, "__DEL__", 0),      # matched tombstone -> delete
+            (1, "RENAMED", 1),      # matched -> update
+            (777, "__DEL__", 7),    # unmatched tombstone -> ignored
+            (888, "ADDED", 8),      # unmatched -> insert
+        ],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    n_upd, n_ins, n_del = merge_into(
+        spark, "t_merge_del", source, keys=["n_nationkey"],
+        delete_condition="n_name = '__DEL__'",
+    )
+    assert (n_upd, n_ins, n_del) == (1, 1, 1)
+    after = {r.n_nationkey: r.n_name for r in spark.table("t_merge_del").collect()}
+    assert 0 not in after and 777 not in after
+    assert after[1] == "RENAMED" and after[888] == "ADDED"
+    assert len(after) == nation.count()  # -1 deleted, +1 inserted
+    spark.sql("DROP TABLE IF EXISTS t_merge_del")
