@@ -5355,10 +5355,12 @@ def q52_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # c31, c35 (q01/q03 stay smoke-checked/benched every round),
 # and every r06-rowed entry not in (a)) are all green on unchanged code
 # and remain covered by tests/test_catalog_oracle.py at sf0.001;
-# trivial-plan or unchanged r05 entries (q02/q04/q15/q34/c01/c18/q38/
-# q39) gave up their slots to the late-round additions c57-c62/q51/q52,
-# whose code is new this round; q41 keeps its slot because the dialect
-# shim it routes through gained a rewrite pass this round.
+# trivial-plan or unchanged entries (q01-q04/q08/q09/q15/q16/q18/q21/
+# q22/q33/q34/c01/c18/q38/q39) gave up their slots to the late-round
+# additions c57-c70 + q51-q53, whose code is new this round; q41 keeps
+# its slot because the dialect shim it routes through gained a rewrite
+# pass this round. Net: all 30 round-7 entries + all 19 changed-code
+# older entries + the last r03-rowed entry (q23) = 50.
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
