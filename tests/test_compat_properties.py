@@ -139,3 +139,19 @@ def test_chunk_coverage_property(n_tokens, window, stride):
         for _, start, text in rows:
             covered.update(range(start, start + len(text.split(" "))))
         assert covered == set(range(n_tokens))
+
+
+@given(plain_select())
+@settings(max_examples=100, deadline=None)
+def test_ratio_to_report_rewrite_idempotent(sql):
+    """After the RATIO_TO_REPORT lowering fires once, the rewritten
+    text contains no trigger token, so a second pass is identity."""
+    salted = sql.replace(
+        "SELECT ",
+        "SELECT RATIO_TO_REPORT(x) OVER (PARTITION BY k) AS share, ",
+        1,
+    )
+    once = translate_redshift_sql(salted)
+    assert "RATIO_TO_REPORT" not in once
+    assert "nullif(CAST(SUM(x) OVER (PARTITION BY k) AS DOUBLE), 0)" in once
+    assert translate_redshift_sql(once) == once

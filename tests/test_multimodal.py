@@ -118,3 +118,31 @@ def test_image_channel_stats_decodes_real_pixels(spark):
             want = int(((i * 31 + r_idx * 7 + c_idx * 3 + ch) % 256).sum())
             assert got[i][col] == want, (i, col)
         assert got[i]["n_pixels"] == 64 and got[i]["width"] == 8
+
+
+def test_ppm_roundtrip_property():
+    """decode(encode(px)) == px for arbitrary image shapes and pixel
+    values — the lossless contract of the uncompressed codec."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_image,
+        encode_ppm,
+    )
+
+    @given(
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    @settings(max_examples=100, deadline=None)
+    def roundtrip(h, w, seed):
+        px = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, 3), dtype=np.uint8
+        )
+        out = decode_image(encode_ppm(px))
+        assert out.shape == (h, w, 3) and (out == px).all()
+
+    roundtrip()
