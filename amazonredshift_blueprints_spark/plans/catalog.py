@@ -5291,6 +5291,71 @@ def q53_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q54_ordered_set_disc_mode",
+    oracle="""
+    WITH seg AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS cnt
+        FROM customer GROUP BY 1, 2
+    ),
+    modal AS (
+        SELECT c_nationkey, c_mktsegment AS modal_segment FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY c_nationkey ORDER BY cnt DESC, c_mktsegment
+            ) AS rn FROM seg
+        ) WHERE rn = 1
+    ),
+    pct AS (
+        SELECT c_nationkey,
+               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY c_acctbal)
+                    AS DOUBLE) AS p25_bal,
+               CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY c_acctbal)
+                    AS DOUBLE) AS p75_bal,
+               CAST(count(*) AS BIGINT) AS n
+        FROM customer GROUP BY 1
+    )
+    SELECT p.c_nationkey, p.n, p.p25_bal, p.p75_bal, m.modal_segment
+    FROM pct p JOIN modal m USING (c_nationkey)
+    """,
+    doc="PERCENTILE_DISC WITHIN GROUP + per-group MODE (the ordered-set "
+        "aggregates q30's PERCENTILE_CONT/MEDIAN family lacks): "
+        "discrete percentiles return an ACTUAL data value (engine-exact "
+        "by construction, no interpolation to diverge), and the modal "
+        "segment is computed as count + row_number with a value "
+        "tiebreak rather than the built-in mode() — whose tie choice "
+        "is engine-arbitrary and would flake the hash. Two hash "
+        "aggregates + a 25-row join; Spark's disc percentile buffers "
+        "per group (audit form; approx_percentile is the 100 TB swap)",
+    tags=("agg", "dialect"),
+)
+def q54_ordered_set_disc_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "customer")
+    return spark.sql("""
+        WITH seg AS (
+            SELECT c_nationkey, c_mktsegment, count(*) AS cnt
+            FROM customer GROUP BY 1, 2
+        ),
+        modal AS (
+            SELECT c_nationkey, c_mktsegment AS modal_segment FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY c_nationkey ORDER BY cnt DESC, c_mktsegment
+                ) AS rn FROM seg
+            ) WHERE rn = 1
+        ),
+        pct AS (
+            SELECT c_nationkey,
+                   CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY c_acctbal)
+                        AS DOUBLE) AS p25_bal,
+                   CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY c_acctbal)
+                        AS DOUBLE) AS p75_bal,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM customer GROUP BY 1
+        )
+        SELECT p.c_nationkey, p.n, p.p25_bal, p.p75_bal, m.modal_segment
+        FROM pct p JOIN modal m USING (c_nationkey)
+    """)
+
+
 _RATIO_SQL = """
 SELECT o_orderkey, o_custkey,
        RATIO_TO_REPORT(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -5340,13 +5405,13 @@ def q52_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     touched by the seed/guard fixes and the id-pair distinct rewrite
 #     (c07, c17, c28, c37, c38), the DML staging-name change (q35, q42),
 #     the streaming await/RocksDB changes (c16, c36, c42, c43, c44),
-#     and the NEW round-7 entries c45-c70 + q50-q53;
-# (b) the entry whose newest driver row is r03 (q23) —
-#     q08/q09/q16/q18/q21/q22 (theta/cross joins, ROWS frames, set
-#     ops, conditional/JSON scalars: unchanged since r03, pytest-oracle
-#     green; frames/setops/JSON re-covered by the newer
-#     q45/q50/q46/q36/q51 rows) ceded their slots to the new c66-c70 +
-#     q53;
+#     and the NEW round-7 entries c45-c70 + q50-q54;
+# (b) no stale-refresh slots remain this round: q08/q09/q16/q18/q21/
+#     q22/q23 (theta/cross joins, ROWS frames, set ops, conditional/
+#     JSON scalars, CTE/subquery: all unchanged since r03, pytest-
+#     oracle green; each family re-covered by newer-rowed entries —
+#     q45/q50/q46/q36/q51/q38/q44/q47) ceded their slots to the new
+#     c66-c70 + q53/q54;
 # (c) the remaining slots go to r05-rowed entries, prioritizing the ones
 #     whose code was touched in r6 without a fresh row (c29, c32 — the
 #     components fusion) plus the oldest of the rest.
@@ -5359,8 +5424,8 @@ def q52_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q22/q33/q34/c01/c18/q38/q39) gave up their slots to the late-round
 # additions c57-c70 + q51-q53, whose code is new this round; q41 keeps
 # its slot because the dialect shim it routes through gained a rewrite
-# pass this round. Net: all 30 round-7 entries + all 19 changed-code
-# older entries + the last r03-rowed entry (q23) = 50.
+# pass this round. Net: all 31 round-7 entries + all 19 changed-code
+# older entries = 50.
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -5394,7 +5459,7 @@ _DRIVER_WINDOW = [
     "c68_hll_sketch_table",
     "c69_dsir_importance",
     "c70_minhash_signature_store",
-    "q23_cte_subquery",
+    "q54_ordered_set_disc_mode",
     # (c) r05 rows, oldest-first refresh (incl. r6-changed c29/c32)
     "c29_dedup_groups",
     "c32_pipeline_neardup_stratified",
