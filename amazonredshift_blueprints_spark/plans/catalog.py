@@ -5356,6 +5356,49 @@ def q54_ordered_set_disc_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+@query(
+    "q55_spatial_within_join",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               (c_custkey * 7919) % 100000 AS x,
+               (c_custkey * 104729) % 100000 AS y
+        FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST((a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= 2500 * 2500
+    """,
+    doc="spatial within-radius self-join (Redshift ST_DWithin parity, "
+        "rebuilt from relational primitives — Spark has no native "
+        "spatial ops): points on an integer metric plane (what "
+        "ST_Transform to a metric SRID yields; synthesized here from "
+        "customer keys), bucketed into radius-sized grid cells, one "
+        "side exploded to its 3x3 neighborhood, equi-joined on the "
+        "cell key, exact integer dx^2+dy^2 <= r^2 verify on candidates "
+        "only — candidate count bounded by local density, never "
+        "|points|^2 (the oracle allows itself the tiny cross join; the "
+        "Spark plan must not, asserted in tests/test_plans.py). No "
+        "transcendentals anywhere, so the radius boundary replays "
+        "exactly; the haversine variant is the same plan with a trig "
+        "verify, documented in operators/geo.py",
+    tags=("join", "spatial"),
+)
+def q55_spatial_within_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.geo import spatial_self_join_within
+
+    c = views(spark, sf_dir, "customer")["customer"]
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 7919) % 100000).alias("x"),
+        ((F.col("c_custkey") * 104729) % 100000).alias("y"),
+    )
+    return spatial_self_join_within(pts, "id", "x", "y", radius=2500)
+
+
 _RATIO_SQL = """
 SELECT o_orderkey, o_custkey,
        RATIO_TO_REPORT(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -5424,8 +5467,10 @@ def q52_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q22/q33/q34/c01/c18/q38/q39) gave up their slots to the late-round
 # additions c57-c70 + q51-q53, whose code is new this round; q41 keeps
 # its slot because the dialect shim it routes through gained a rewrite
-# pass this round. Net: all 31 round-7 entries + all 19 changed-code
-# older entries = 50.
+# pass this round. Net: 31 round-7 entries + all 19 changed-code
+# older entries = 50. q55 (spatial within-join) landed after the
+# window filled; it is locally hash-verified at BOTH sf0.01 and sf0.1
+# (PLANS.md round-close note) and takes window priority next round.
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [

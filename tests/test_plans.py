@@ -278,3 +278,11 @@ def test_c67_profile_is_single_scan(spark, sf_dir):
     # never a scan per column
     assert p.count("Scan parquet") == 1
     assert "Expand" in p
+
+
+def test_q55_spatial_join_no_cartesian(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q55_spatial_within_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the candidate join is keyed on the grid cell
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p

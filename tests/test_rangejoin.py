@@ -58,3 +58,36 @@ def test_width_does_not_change_result(spark, facts, bands):
 def test_outer_rejected(facts, bands):
     with pytest.raises(ValueError):
         range_join(facts, bands, "v", "lo", "hi", 1.0, how="left")
+
+
+def test_spatial_within_equals_bruteforce(spark):
+    """Grid-bucketed spatial join must equal the brute-force pair scan
+    (no false negatives across cell boundaries, no duplicates)."""
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.operators.geo import (
+        spatial_self_join_within,
+    )
+
+    pts = spark.createDataFrame(
+        [(i, (i * 337) % 1000, (i * 613) % 1000) for i in range(120)],
+        "id long, x long, y long",
+    )
+    r = 150
+    got = {
+        (row["id_a"], row["id_b"]): row["dist2"]
+        for row in spatial_self_join_within(pts, "id", "x", "y", radius=r).collect()
+    }
+    rows = pts.collect()
+    want = {}
+    for i, a in enumerate(rows):
+        for b in rows[i + 1:]:
+            lo, hi = sorted([a, b], key=lambda p: p["id"])
+            d2 = (lo["x"] - hi["x"]) ** 2 + (lo["y"] - hi["y"]) ** 2
+            if d2 <= r * r:
+                want[(lo["id"], hi["id"])] = d2
+    assert got == want and want  # exact pair set, nonempty
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positive"):
+        spatial_self_join_within(pts, "id", "x", "y", radius=0)
