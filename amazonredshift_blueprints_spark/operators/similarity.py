@@ -1169,6 +1169,140 @@ def semantic_dedup(
     )
 
 
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) — the FAISS-PQ memory-compression path that completes the
+    family next to brute-force (c06), LSH (c07/c38), and IVF
+    (c17/c28/c37): each corpus vector is stored as ``n_subspaces``
+    one-byte-ish codes instead of ``dim`` floats (~dim·4 / M bytes →
+    32× at dim 64, M 8), and query-time distance is a table lookup per
+    subspace, not a dot product.
+
+    Codebook (fixed rule, oracle-replayable like c17's cells): the
+    sub-centroid ``c`` of subspace ``s`` is the s-th subvector of the
+    corpus vector with id ``c`` (ids < n_codes), in the exact
+    quantized-integer domain. Encoding takes argmin sub-L2 per
+    subspace (ties → lowest code id); ADC distance is the exact
+    integer sum of per-subspace table entries, so the whole pipeline
+    replays bit-for-bit in SQL. Returns (query_id, neighbor_id,
+    adc_dist2, rank), rank ≤ k by (adc asc, id asc) — APPROXIMATE by
+    construction: ADC measures distance to the RECONSTRUCTED corpus
+    vector; the honest error is the quantization residual.
+
+    Scale: encoding is one map-only Arrow pass (same shape as
+    :func:`assign_cells`); scoring scans the CODES (M int64s/row, not
+    dim), with the query distance tables (n_queries × M × n_codes
+    ints — metadata) living in the kernel closure; top-k is a per-query
+    window. Compose with IVF cell pruning for the full IVF-PQ config —
+    this operator is the compression half. The query batch is
+    collected driver-side (the FAISS client contract: queries are the
+    small side); corpus data never is.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cb_rows = sorted(
+        (int(r["cent_id"]), [int(x) for x in r["cent_q"]])
+        for r in _with_quant(
+            corpus.filter(F.col(id_col) < n_codes), id_col, vec_col, "cent"
+        )
+        .select("cent_id", "cent_q")
+        .collect()
+    )
+    if len(cb_rows) != n_codes:
+        raise ValueError(
+            f"codebook needs ids 0..{n_codes - 1} present; got {len(cb_rows)}"
+        )
+    dim = len(cb_rows[0][1])
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    d_sub = dim // n_subspaces
+    # (n_codes, M, d_sub) int64 codebook
+    CB = np.array([cq for _, cq in cb_rows], dtype=np.int64).reshape(
+        n_codes, n_subspaces, d_sub
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _np_quantize(np.stack(pdf[vec_col].to_numpy())).reshape(
+                -1, n_subspaces, d_sub
+            )
+            codes = np.empty((len(pdf), n_subspaces), dtype=np.int64)
+            for s in range(n_subspaces):
+                # (batch, n_codes) exact int64 sub-distances
+                d = ((X[:, None, s, :] - CB[None, :, s, :]) ** 2).sum(axis=2)
+                codes[:, s] = d.argmin(axis=1)  # first min → lowest code id
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(),
+                    "codes": list(codes),
+                }
+            )
+
+    encoded = corpus.select(id_col, vec_col).mapInPandas(
+        encode, "neighbor_id long, codes array<long>"
+    )
+
+    q_rows = sorted(
+        (int(r["query_id"]), [int(x) for x in r["query_q"]])
+        for r in _with_quant(queries, id_col, vec_col, "query")
+        .select("query_id", "query_q")
+        .collect()
+    )
+    if not q_rows:
+        raise ValueError("empty query batch")
+    Q = np.array([qv for _, qv in q_rows], dtype=np.int64).reshape(
+        len(q_rows), n_subspaces, d_sub
+    )
+    qids = np.array([qid for qid, _ in q_rows], dtype=np.int64)
+    # (n_queries, M, n_codes) exact int64 ADC tables
+    T = ((Q[:, :, None, :] - CB.transpose(1, 0, 2)[None, :, :, :]) ** 2).sum(
+        axis=3
+    )
+
+    def score(batches):
+        m_idx = np.arange(n_subspaces)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            nids = pdf["neighbor_id"].to_numpy()
+            frames = []
+            for qi in range(len(qids)):
+                adc = T[qi][m_idx[None, :], codes].sum(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(nids), qids[qi]),
+                            "neighbor_id": nids,
+                            "adc_dist2": adc,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    scored = encoded.mapInPandas(
+        score, "query_id long, neighbor_id long, adc_dist2 long"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist2"), F.asc("neighbor_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
 def cross_corpus_near_duplicates(
     new_df: DataFrame,
     ref_df: DataFrame,

@@ -5399,6 +5399,82 @@ def q55_spatial_within_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_self_join_within(pts, "id", "x", "y", radius=2500)
 
 
+def _pq_oracle(*, n_subspaces: int, n_codes: int, k: int, n_queries: int) -> str:
+    """DuckDB replay of the fixed-codebook PQ/ADC pipeline (c71)."""
+    d_sub_expr = f"(len(n.qv) // {n_subspaces})"
+    sub_l2 = (
+        "list_sum(list_transform(generate_series(1, {d}), "
+        "i -> ({a}[s.s * {d} + i] - {b}[s.s * {d} + i]) "
+        "* ({a}[s.s * {d} + i] - {b}[s.s * {d} + i])))"
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings
+    ),
+    cb AS (SELECT vec_id AS cid, qv FROM v WHERE vec_id < {n_codes}),
+    codes AS (
+        SELECT vec_id, s, cid AS code FROM (
+            SELECT n.vec_id, s.s, c.cid,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id, s.s
+                       ORDER BY {sub_l2.format(a='n.qv', b='c.qv', d=d_sub_expr)}, c.cid
+                   ) AS rn
+            FROM v n
+            CROSS JOIN (SELECT unnest(range({n_subspaces})) AS s) s
+            CROSS JOIN cb c
+        ) WHERE rn = 1
+    ),
+    qd AS (
+        SELECT n.vec_id AS query_id, s.s, c.cid,
+               {sub_l2.format(a='n.qv', b='c.qv', d=d_sub_expr)} AS d
+        FROM v n
+        CROSS JOIN (SELECT unnest(range({n_subspaces})) AS s) s
+        CROSS JOIN cb c
+        WHERE n.vec_id < {n_queries}
+    ),
+    adc AS (
+        SELECT qd.query_id, codes.vec_id AS neighbor_id,
+               CAST(SUM(qd.d) AS BIGINT) AS adc_dist2
+        FROM codes JOIN qd ON codes.s = qd.s AND codes.code = qd.cid
+        WHERE codes.vec_id <> qd.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist2, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist2, neighbor_id
+        ) AS BIGINT) AS rank
+        FROM adc
+    ) WHERE rank <= {k}
+    """
+
+
+@query(
+    "c71_ann_pq_topk",
+    oracle=_pq_oracle(n_subspaces=8, n_codes=16, k=5, n_queries=10),
+    doc="product-quantization ANN with asymmetric distance computation "
+        "(the FAISS-PQ memory-compression path, completing the family "
+        "next to brute/LSH/IVF): corpus vectors stored as 8 subspace "
+        "codes (~32x smaller than the floats at dim 64), query-time "
+        "distance = exact integer sum of per-subspace table lookups "
+        "against a fixed-rule codebook (ids < 16, oracle-replayable "
+        "like c17's cells). Encoding is one map-only Arrow pass; "
+        "scoring scans CODES, not vectors, with the metadata-sized "
+        "query tables in the kernel closure; compose with IVF pruning "
+        "for the full IVF-PQ config. Approximate by construction (ADC "
+        "measures distance to the reconstructed vector) — but the "
+        "approximation itself replays bit-for-bit in the oracle",
+    tags=("similarity", "approx"),
+)
+def c71_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_topk
+
+    e = views(spark, sf_dir, "embeddings")["embeddings"]
+    return pq_topk(
+        e, e.filter(F.col("vec_id") < 10),
+        n_subspaces=8, n_codes=16, k=5,
+    )
+
+
 _RATIO_SQL = """
 SELECT o_orderkey, o_custkey,
        RATIO_TO_REPORT(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -5468,9 +5544,10 @@ def q52_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # additions c57-c70 + q51-q53, whose code is new this round; q41 keeps
 # its slot because the dialect shim it routes through gained a rewrite
 # pass this round. Net: 31 round-7 entries + all 19 changed-code
-# older entries = 50. q55 (spatial within-join) landed after the
-# window filled; it is locally hash-verified at BOTH sf0.01 and sf0.1
-# (PLANS.md round-close note) and takes window priority next round.
+# older entries = 50. q55 (spatial within-join) and c71 (PQ/ADC ANN)
+# landed after the window filled; both are locally hash-verified at
+# BOTH sf0.01 and sf0.1 (PLANS.md round-close note) and take window
+# priority next round.
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [

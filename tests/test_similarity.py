@@ -482,3 +482,43 @@ def test_semantic_dedup_drop_rule(spark):
         ).collect()
     }
     assert kept == {0, 1, 4}  # 2 dropped (dup of 0), 3 dropped (dup of 1)
+
+
+def test_pq_adc_exact_on_codebook_combinations(spark):
+    """When every corpus vector is an exact per-subspace combination of
+    codebook entries, the quantization residual is zero and ADC equals
+    the true squared distance — the sanity anchor for the PQ path."""
+    from amazonredshift_blueprints_spark.operators.similarity import pq_topk
+
+    # dim 4, M=2 subspaces of 2 dims; codebook = ids 0..3
+    cb = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.0, 1.0, 1.0, 0.0],
+        2: [0.0, 0.0, 0.0, 1.0],
+        3: [1.0, 1.0, 1.0, 1.0],
+    }
+    # ids 4/5: mix subvectors of different codes -> still residual-free
+    rows = list(cb.items()) + [
+        (4, cb[0][:2] + cb[1][2:]),   # = [1,0] ++ [1,0]
+        (5, cb[2][:2] + cb[3][2:]),   # = [0,0] ++ [1,1]
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_dist2"])
+        for r in pq_topk(
+            df, df.filter("vec_id = 4"), n_subspaces=2, n_codes=4, k=5
+        ).collect()
+    }
+    # true squared distances (micro-unit domain, scale 1e6) from id 4:
+    q = 1_000_000
+    truth = sorted(
+        (
+            sum((a - b) ** 2 for a, b in zip(
+                [x * q for x in dict(rows)[4]], [x * q for x in dict(rows)[n]]
+            )),
+            n,
+        )
+        for n in (0, 1, 2, 3, 5)
+    )
+    for rank, (true_d, n) in enumerate(truth, start=1):
+        assert got[(4, rank)] == (n, true_d), (rank, got[(4, rank)], (n, true_d))
