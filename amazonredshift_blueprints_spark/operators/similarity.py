@@ -1169,6 +1169,63 @@ def semantic_dedup(
     )
 
 
+def _pq_codebook(
+    corpus: DataFrame, id_col: str, vec_col: str, n_subspaces: int, n_codes: int
+):
+    """Fixed-rule PQ codebook: the (n_codes, M, d_sub) int64 matrix whose
+    code ``c`` in subspace ``s`` is the s-th subvector of the corpus
+    vector with id ``c`` — driver-side metadata, oracle-replayable."""
+    import numpy as np
+
+    cb_rows = sorted(
+        (int(r["cent_id"]), [int(x) for x in r["cent_q"]])
+        for r in _with_quant(
+            corpus.filter(F.col(id_col) < n_codes), id_col, vec_col, "cent"
+        )
+        .select("cent_id", "cent_q")
+        .collect()
+    )
+    if len(cb_rows) != n_codes:
+        raise ValueError(
+            f"codebook needs ids 0..{n_codes - 1} present; got {len(cb_rows)}"
+        )
+    dim = len(cb_rows[0][1])
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    d_sub = dim // n_subspaces
+    return (
+        np.array([cq for _, cq in cb_rows], dtype=np.int64).reshape(
+            n_codes, n_subspaces, d_sub
+        ),
+        d_sub,
+    )
+
+
+def _pq_query_tables(
+    queries: DataFrame, id_col: str, vec_col: str, CB, n_subspaces: int, d_sub: int
+):
+    """Collected query batch → (qids, ADC tables): exact int64
+    (n_queries, M, n_codes) per-subspace distance lookup tables."""
+    import numpy as np
+
+    q_rows = sorted(
+        (int(r["query_id"]), [int(x) for x in r["query_q"]])
+        for r in _with_quant(queries, id_col, vec_col, "query")
+        .select("query_id", "query_q")
+        .collect()
+    )
+    if not q_rows:
+        raise ValueError("empty query batch")
+    Q = np.array([qv for _, qv in q_rows], dtype=np.int64).reshape(
+        len(q_rows), n_subspaces, d_sub
+    )
+    qids = np.array([qid for qid, _ in q_rows], dtype=np.int64)
+    T = ((Q[:, :, None, :] - CB.transpose(1, 0, 2)[None, :, :, :]) ** 2).sum(
+        axis=3
+    )
+    return qids, T
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1210,26 +1267,7 @@ def pq_topk(
     import numpy as np
     import pandas as pd
 
-    cb_rows = sorted(
-        (int(r["cent_id"]), [int(x) for x in r["cent_q"]])
-        for r in _with_quant(
-            corpus.filter(F.col(id_col) < n_codes), id_col, vec_col, "cent"
-        )
-        .select("cent_id", "cent_q")
-        .collect()
-    )
-    if len(cb_rows) != n_codes:
-        raise ValueError(
-            f"codebook needs ids 0..{n_codes - 1} present; got {len(cb_rows)}"
-        )
-    dim = len(cb_rows[0][1])
-    if dim % n_subspaces:
-        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
-    d_sub = dim // n_subspaces
-    # (n_codes, M, d_sub) int64 codebook
-    CB = np.array([cq for _, cq in cb_rows], dtype=np.int64).reshape(
-        n_codes, n_subspaces, d_sub
-    )
+    CB, d_sub = _pq_codebook(corpus, id_col, vec_col, n_subspaces, n_codes)
 
     def encode(batches):
         for pdf in batches:
@@ -1254,22 +1292,7 @@ def pq_topk(
         encode, "neighbor_id long, codes array<long>"
     )
 
-    q_rows = sorted(
-        (int(r["query_id"]), [int(x) for x in r["query_q"]])
-        for r in _with_quant(queries, id_col, vec_col, "query")
-        .select("query_id", "query_q")
-        .collect()
-    )
-    if not q_rows:
-        raise ValueError("empty query batch")
-    Q = np.array([qv for _, qv in q_rows], dtype=np.int64).reshape(
-        len(q_rows), n_subspaces, d_sub
-    )
-    qids = np.array([qid for qid, _ in q_rows], dtype=np.int64)
-    # (n_queries, M, n_codes) exact int64 ADC tables
-    T = ((Q[:, :, None, :] - CB.transpose(1, 0, 2)[None, :, :, :]) ** 2).sum(
-        axis=3
-    )
+    qids, T = _pq_query_tables(queries, id_col, vec_col, CB, n_subspaces, d_sub)
 
     def score(batches):
         m_idx = np.arange(n_subspaces)
@@ -1295,6 +1318,107 @@ def pq_topk(
     scored = encoded.mapInPandas(
         score, "query_id long, neighbor_id long, adc_dist2 long"
     ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist2"), F.asc("neighbor_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-PQ: the production FAISS configuration — IVF's coarse cells
+    prune WHICH vectors are scored (nprobe/n_cells of the corpus) and
+    PQ's codes compress WHAT is scored (M int64 codes instead of dim
+    floats) — composing the two independently-verified halves (c17's
+    cell routing, c71's ADC) into one pipeline.
+
+    Both quantizers use the fixed oracle-replayable rules (coarse
+    centroids = full vectors with id < n_cells; PQ codebook = subvectors
+    of ids < n_codes). Codes here encode the RAW vector, not the
+    residual — the honest simplification; production IVF-PQ encodes
+    ``x − centroid`` for a tighter codebook, an integer subtraction
+    away with the same plan shape.
+
+    Scale: cell assignment and PQ encoding are two chained Arrow
+    kernels in ONE shuffle-free pass over the corpus scan (same stage,
+    no exchange between them); the probe join is the c17 cell equi-join
+    but carrying only (id, cell, codes) rows (~70 B, not vectors); ADC
+    tables are kernel-closure metadata. Per query the work is
+    nprobe/n_cells of the corpus × a table lookup — the product of both
+    savings.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cents = _with_quant(
+        corpus.filter(F.col(id_col) < n_cells), id_col, vec_col, "cent"
+    )
+    cent_rows = _collect_centroids(cents)
+    CB, d_sub = _pq_codebook(corpus, id_col, vec_col, n_subspaces, n_codes)
+    cells = assign_cells(corpus, cent_rows, id_col=id_col, vec_col=vec_col)
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["neighbor_q"].to_numpy()).astype(np.int64).reshape(
+                -1, n_subspaces, d_sub
+            )
+            codes = np.empty((len(pdf), n_subspaces), dtype=np.int64)
+            for s in range(n_subspaces):
+                d = ((X[:, None, s, :] - CB[None, :, s, :]) ** 2).sum(axis=2)
+                codes[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "cell": pdf["cell"].to_numpy(),
+                    "codes": list(codes),
+                }
+            )
+
+    encoded = cells.mapInPandas(
+        encode, "neighbor_id long, cell long, codes array<long>"
+    )
+    probed = probe_cells(
+        queries, cent_rows, nprobe, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "cell")
+    qids, T = _pq_query_tables(queries, id_col, vec_col, CB, n_subspaces, d_sub)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+
+    def score(batches):
+        m_idx = np.arange(n_subspaces)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            qix = pdf["query_id"].map(qpos).to_numpy(dtype=np.int64)
+            adc = T[qix[:, None], m_idx[None, :], codes].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "adc_dist2": adc,
+                }
+            )
+
+    scored = (
+        probed.join(encoded, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "codes")
+        .mapInPandas(score, "query_id long, neighbor_id long, adc_dist2 long")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist2"), F.asc("neighbor_id")
     )

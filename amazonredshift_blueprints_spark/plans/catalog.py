@@ -5475,6 +5475,110 @@ def c71_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_oracle(
+    *, n_cells: int, nprobe: int, n_subspaces: int, n_codes: int, k: int,
+    n_queries: int,
+) -> str:
+    """DuckDB replay of IVF-PQ (c72): c17's coarse cells + c71's codes,
+    ADC restricted to each query's probed cells."""
+    d_sub_expr = f"(len(n.qv) // {n_subspaces})"
+    sub_l2 = (
+        "list_sum(list_transform(generate_series(1, {d}), "
+        "i -> ({a}[s.s * {d} + i] - {b}[s.s * {d} + i]) "
+        "* ({a}[s.s * {d} + i] - {b}[s.s * {d} + i])))"
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cent_id, qv AS cq FROM v WHERE vec_id < {n_cells}),
+    cells AS (
+        SELECT vec_id, cell FROM (
+            SELECT n.vec_id, c.cent_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY {_DUCK_L2.format(a='n.qv', b='c.cq')}, c.cent_id
+                   ) AS rn
+            FROM v n CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    probed AS (
+        SELECT vec_id, cell FROM (
+            SELECT n.vec_id, c.cent_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY {_DUCK_L2.format(a='n.qv', b='c.cq')}, c.cent_id
+                   ) AS rn
+            FROM v n CROSS JOIN cents c
+            WHERE n.vec_id < {n_queries}
+        ) WHERE rn <= {nprobe}
+    ),
+    cb AS (SELECT vec_id AS cid, qv FROM v WHERE vec_id < {n_codes}),
+    codes AS (
+        SELECT vec_id, s, cid AS code FROM (
+            SELECT n.vec_id, s.s, c.cid,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id, s.s
+                       ORDER BY {sub_l2.format(a='n.qv', b='c.qv', d=d_sub_expr)}, c.cid
+                   ) AS rn
+            FROM v n
+            CROSS JOIN (SELECT unnest(range({n_subspaces})) AS s) s
+            CROSS JOIN cb c
+        ) WHERE rn = 1
+    ),
+    qd AS (
+        SELECT n.vec_id AS query_id, s.s, c.cid,
+               {sub_l2.format(a='n.qv', b='c.qv', d=d_sub_expr)} AS d
+        FROM v n
+        CROSS JOIN (SELECT unnest(range({n_subspaces})) AS s) s
+        CROSS JOIN cb c
+        WHERE n.vec_id < {n_queries}
+    ),
+    adc AS (
+        SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id,
+               CAST(SUM(qd.d) AS BIGINT) AS adc_dist2
+        FROM probed p
+        JOIN cells cl ON cl.cell = p.cell AND cl.vec_id <> p.vec_id
+        JOIN codes c ON c.vec_id = cl.vec_id
+        JOIN qd ON qd.query_id = p.vec_id AND qd.s = c.s AND qd.cid = c.code
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist2, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist2, neighbor_id
+        ) AS BIGINT) AS rank
+        FROM adc
+    ) WHERE rank <= {k}
+    """
+
+
+@query(
+    "c72_ann_ivfpq_topk",
+    oracle=_ivfpq_oracle(
+        n_cells=16, nprobe=4, n_subspaces=8, n_codes=16, k=5, n_queries=10
+    ),
+    doc="IVF-PQ — the production FAISS configuration, composing the two "
+        "independently verified halves: IVF coarse cells prune WHICH "
+        "vectors are scored (nprobe/n_cells of the corpus, c17's "
+        "routing) and PQ codes compress WHAT is scored (8 int64 codes "
+        "instead of 64 floats, c71's ADC). Cell assignment + encoding "
+        "run as chained Arrow kernels in one shuffle-free pass; the "
+        "probe join carries (id, cell, codes) rows only. Codes encode "
+        "the raw vector (production IVF-PQ encodes the residual — an "
+        "integer subtraction away, same plan shape; documented). The "
+        "whole composition replays bit-for-bit in the oracle",
+    tags=("similarity", "approx"),
+)
+def c72_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_pq_topk
+
+    e = views(spark, sf_dir, "embeddings")["embeddings"]
+    return ivf_pq_topk(
+        e, e.filter(F.col("vec_id") < 10),
+        n_cells=16, nprobe=4, n_subspaces=8, n_codes=16, k=5,
+    )
+
+
 _RATIO_SQL = """
 SELECT o_orderkey, o_custkey,
        RATIO_TO_REPORT(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -5544,10 +5648,10 @@ def q52_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # additions c57-c70 + q51-q53, whose code is new this round; q41 keeps
 # its slot because the dialect shim it routes through gained a rewrite
 # pass this round. Net: 31 round-7 entries + all 19 changed-code
-# older entries = 50. q55 (spatial within-join) and c71 (PQ/ADC ANN)
-# landed after the window filled; both are locally hash-verified at
-# BOTH sf0.01 and sf0.1 (PLANS.md round-close note) and take window
-# priority next round.
+# older entries = 50. q55 (spatial within-join), c71 (PQ/ADC ANN),
+# and c72 (IVF-PQ) landed after the window filled; all three are
+# locally hash-verified at BOTH sf0.01 and sf0.1 (PLANS.md round-close
+# note) and take window priority next round.
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
