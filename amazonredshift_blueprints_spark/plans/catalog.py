@@ -5385,6 +5385,7 @@ def q54_ordered_set_disc_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transcendentals anywhere, so the radius boundary replays "
         "exactly; the haversine variant is the same plan with a trig "
         "verify, documented in operators/geo.py",
+    bench=True,
     tags=("join", "spatial"),
 )
 def q55_spatial_within_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5567,6 +5568,7 @@ def _ivfpq_oracle(
         "the raw vector (production IVF-PQ encodes the residual — an "
         "integer subtraction away, same plan shape; documented). The "
         "whole composition replays bit-for-bit in the oracle",
+    bench=True,
     tags=("similarity", "approx"),
 )
 def c72_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
