@@ -5647,7 +5647,7 @@ def q52_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and remain covered by tests/test_catalog_oracle.py at sf0.001;
 # trivial-plan or unchanged entries (q01-q04/q08/q09/q15/q16/q18/q21/
 # q22/q33/q34/c01/c18/q38/q39) gave up their slots to the late-round
-# additions c57-c70 + q51-q53, whose code is new this round; q41 keeps
+# additions c57-c70 + q51-q54, whose code is new this round; q41 keeps
 # its slot because the dialect shim it routes through gained a rewrite
 # pass this round. Net: 31 round-7 entries + all 19 changed-code
 # older entries = 50. q55 (spatial within-join), c71 (PQ/ADC ANN),
