@@ -578,3 +578,18 @@ def test_merge_delete_arm(spark, sf_dir):
     assert after[1] == "RENAMED" and after[888] == "ADDED"
     assert len(after) == nation.count()  # -1 deleted, +1 inserted
     spark.sql("DROP TABLE IF EXISTS t_merge_del")
+
+
+def test_profile_columns_all_null_column(spark):
+    from amazonredshift_blueprints_spark.operators.maintenance import (
+        profile_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "k long, v string"
+    )
+    rows = {r["column"]: r for r in profile_columns(df, ["k", "v"]).collect()}
+    assert rows["v"]["n_rows"] == 2 and rows["v"]["n_null"] == 2
+    assert rows["v"]["n_distinct"] == 0
+    assert rows["v"]["min_value"] is None and rows["v"]["max_value"] is None
+    assert rows["k"]["n_distinct"] == 2 and rows["k"]["min_value"] == "1"

@@ -522,3 +522,26 @@ def test_pq_adc_exact_on_codebook_combinations(spark):
     )
     for rank, (true_d, n) in enumerate(truth, start=1):
         assert got[(4, rank)] == (n, true_d), (rank, got[(4, rank)], (n, true_d))
+
+
+def test_ivfpq_with_full_probe_equals_pq(spark, sf_dir):
+    """With nprobe = n_cells (no pruning), IVF-PQ must return exactly
+    plain PQ's answer — pruning and compression are orthogonal."""
+    from amazonredshift_blueprints_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 5)
+    plain = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_dist2"])
+        for r in pq_topk(e, qs, n_subspaces=8, n_codes=16, k=5).collect()
+    }
+    full_probe = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_dist2"])
+        for r in ivf_pq_topk(
+            e, qs, n_cells=16, nprobe=16, n_subspaces=8, n_codes=16, k=5
+        ).collect()
+    }
+    assert full_probe == plain and len(plain) == 25
