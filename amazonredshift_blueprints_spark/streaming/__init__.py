@@ -6,6 +6,16 @@ semantics, expressed over ``readStream`` so late data and incremental
 arrival are handled by watermarks instead of batch reruns.
 """
 
-from .sessions import stream_session_counts, stream_window_counts
+from .sessions import (
+    stateful_topk_values,
+    stateful_user_counts,
+    stream_session_counts,
+    stream_window_counts,
+)
 
-__all__ = ["stream_session_counts", "stream_window_counts"]
+__all__ = [
+    "stateful_topk_values",
+    "stateful_user_counts",
+    "stream_session_counts",
+    "stream_window_counts",
+]
