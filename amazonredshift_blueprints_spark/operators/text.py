@@ -612,6 +612,100 @@ def unigram_logprob(
     )
 
 
+def dup_span_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    gram_len: int = 10,
+) -> DataFrame:
+    """Per-document coverage by CORPUS-DUPLICATED token spans — the
+    fixed-length approximation of exact-substring dedup (Lee et al.
+    2022, arXiv:2107.06499: suffix-array spans ≥ N tokens repeated
+    anywhere in the corpus mark memorization-prone text). Every
+    ``gram_len``-token window that occurs more than once corpus-wide
+    marks its token interval; a document's score is the length of the
+    UNION of its marked intervals — the filter/flag signal for
+    boilerplate, licenses, and templated spam that document-level
+    near-dup (c02-c04) cannot see.
+
+    Returns (doc_id, n_tokens, dup_covered_tokens, dup_fraction).
+    Documents with no duplicated span report zero coverage.
+
+    Determinism: pure integer interval arithmetic end-to-end.
+
+    100 TB: gram occurrence counts are one hash aggregate on the gram
+    (corpus-token-bounded shuffle with map-side partials, the c31
+    shape — swap the join key for xxhash64(gram) to shrink the shuffle
+    8x when the 1-in-2^64 collision risk is acceptable); only
+    DUPLICATED grams flow further (boilerplate-bounded);
+    interval union is the gaps-and-islands window per doc — sorted
+    positions, running max-end, island sums — never an exploded
+    token-index set. The suffix array finds variable-length spans;
+    the fixed-gram form trades that for distributed-join shapes, the
+    standard engineering compromise (same trade as MinHash vs exact
+    Jaccard).
+    """
+    from .dedup import _ngrams_expr
+
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        _ngrams_expr(toks, gram_len).alias("_grams"),
+    )
+    pos_grams = base.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode("_grams").alias("pos", "gram"),
+    )
+    counts = pos_grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_n"))
+    marked = (
+        pos_grams.join(counts.filter(F.col("_n") > 1), "gram")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("pos").cast("long").alias("start"),
+            (F.col("pos") + gram_len - 1).cast("long").alias("end"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("start")
+    prev_max_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = marked.withColumn(
+        "_new_island",
+        (F.col("start") > F.coalesce(prev_max_end, F.lit(-1))).cast("long"),
+    ).withColumn(
+        "_island",
+        F.sum("_new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    covered = (
+        islands.groupBy("doc_id", "n_tokens", "_island")
+        .agg((F.max("end") - F.min("start") + 1).alias("_span"))
+        .groupBy("doc_id", "n_tokens")
+        .agg(F.sum("_span").alias("dup_covered_tokens"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(base.select("doc_id", "n_tokens"), "doc_id")
+        .join(covered.drop("n_tokens"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dup_covered_tokens"), F.lit(0))
+            .cast("long")
+            .alias("dup_covered_tokens"),
+            (
+                F.coalesce(F.col("dup_covered_tokens"), F.lit(0)).cast("double")
+                / F.greatest(F.col("n_tokens"), F.lit(1))
+            ).alias("dup_fraction"),
+        )
+    )
+
+
 def dsir_importance(
     df: DataFrame,
     id_col: str,

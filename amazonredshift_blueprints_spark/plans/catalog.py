@@ -5581,6 +5581,76 @@ def c72_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c73_dup_span_coverage",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    gpos AS (
+        SELECT doc_id, n_tokens, i - 1 AS s, i + 6 AS e,
+               array_to_string(toks[i:i+7], ' ') AS gram
+        FROM (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks,
+                   unnest(CASE WHEN len(toks) >= 8
+                          THEN generate_series(1, len(toks) - 7)
+                          ELSE [] END) AS i
+            FROM t
+        )
+    ),
+    counts AS (SELECT gram, count(*) AS n FROM gpos GROUP BY 1),
+    marked AS (
+        SELECT g.doc_id, g.n_tokens, g.s, g.e
+        FROM gpos g JOIN counts c USING (gram) WHERE c.n > 1
+    ),
+    isl AS (
+        SELECT *, SUM(new_island) OVER (
+                   PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM (
+            SELECT *, CASE WHEN s > coalesce(MAX(e) OVER (
+                               PARTITION BY doc_id ORDER BY s
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                           ), -1) THEN 1 ELSE 0 END AS new_island
+            FROM marked
+        )
+    ),
+    cov AS (
+        SELECT doc_id, SUM(span) AS covered FROM (
+            SELECT doc_id, island, MAX(e) - MIN(s) + 1 AS span
+            FROM isl GROUP BY 1, 2
+        ) GROUP BY 1
+    )
+    SELECT t2.doc_id, t2.n_tokens,
+           CAST(coalesce(c.covered, 0) AS BIGINT) AS dup_covered_tokens,
+           CAST(coalesce(c.covered, 0) AS DOUBLE)
+               / greatest(t2.n_tokens, 1) AS dup_fraction
+    FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t) t2
+    LEFT JOIN cov c USING (doc_id)
+    """,
+    doc="duplicated-span coverage — the fixed-gram approximation of "
+        "exact-substring dedup (Lee et al. 2022, arXiv:2107.06499): "
+        "every 8-token window occurring more than once CORPUS-WIDE "
+        "marks its token interval, and each document scores the length "
+        "of the UNION of its marked intervals (gaps-and-islands window "
+        "— sorted starts, running max-end, per-island spans — never an "
+        "exploded token-index set). Catches boilerplate/license/"
+        "template spans that document-level near-dup cannot see. Gram "
+        "counts are one corpus-token-bounded hash aggregate; only "
+        "DUPLICATED grams flow further; pure integer interval "
+        "arithmetic, replayed verbatim by the oracle",
+    tags=("dedup", "text"),
+)
+def c73_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import dup_span_coverage
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return dup_span_coverage(d, "doc_id", "text", gram_len=8)
+
+
 _RATIO_SQL = """
 SELECT o_orderkey, o_custkey,
        RATIO_TO_REPORT(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -5651,9 +5721,10 @@ def q52_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # its slot because the dialect shim it routes through gained a rewrite
 # pass this round. Net: 31 round-7 entries + all 19 changed-code
 # older entries = 50. q55 (spatial within-join), c71 (PQ/ADC ANN),
-# and c72 (IVF-PQ) landed after the window filled; all three are
-# locally hash-verified at BOTH sf0.01 and sf0.1 (PLANS.md round-close
-# note) and take window priority next round.
+# c72 (IVF-PQ), and c73 (duplicated-span coverage) landed after the
+# window filled; all four are locally hash-verified at BOTH sf0.01 and
+# sf0.1 (PLANS.md round-close note) and take window priority next
+# round.
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [

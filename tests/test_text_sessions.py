@@ -411,3 +411,35 @@ def test_dsir_importance_separates_target_like_docs(spark):
     # the mixed doc sits between the extremes
     assert rows[3]["avg_importance"] < rows[4]["avg_importance"] < rows[1]["avg_importance"]
     assert rows[1]["n_tokens"] == 3
+
+
+def test_dup_span_coverage_interval_union(spark):
+    from amazonredshift_blueprints_spark.operators.text import dup_span_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l"),   # shares the 10-token prefix
+            (2, "a b c d e f g h i j x y"),   # with doc 1 -> 10 covered
+            (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w0 v1 v2"),  # unique: 0 covered
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dup_span_coverage(docs, "doc_id", "text", gram_len=10).collect()
+    }
+    # docs 1/2: grams at pos 0..2 exist; only pos-0 gram ("a..j") repeats
+    # corpus-wide -> one island covering tokens 0..9
+    assert rows[1]["dup_covered_tokens"] == 10
+    assert rows[2]["dup_covered_tokens"] == 10
+    assert abs(rows[1]["dup_fraction"] - 10 / 12) < 1e-12
+    assert rows[3]["dup_covered_tokens"] == 0 and rows[3]["dup_fraction"] == 0.0
+    # overlapping marked windows merge into ONE island, not double-count:
+    # doc with an internal repeat "p q r s t u v w x y p q r s t u v w x y"
+    rep = spark.createDataFrame(
+        [(9, " ".join(["p q r s t u v w x y"] * 2))], ["doc_id", "text"]
+    )
+    r9 = dup_span_coverage(rep, "doc_id", "text", gram_len=10).collect()[0]
+    # every 10-gram window of the 20-token doc... only the two copies of
+    # the full phrase repeat (positions 0 and 10) -> union covers all 20
+    assert r9["n_tokens"] == 20 and r9["dup_covered_tokens"] == 20
