@@ -5651,6 +5651,45 @@ def c73_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_coverage(d, "doc_id", "text", gram_len=8)
 
 
+_Q56_SQL = """
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s.s_name
+"""
+
+
+@query(
+    "q56_multi_exists_decorrelation",
+    oracle=_Q56_SQL,
+    doc="TPC-H Q21 shape (suppliers who alone held up multi-supplier "
+        "orders): EXISTS and NOT EXISTS over the SAME fact table under "
+        "different aliases, the NOT EXISTS correlated on TWO outer "
+        "relations (l1's key and o's date) — the classic multi-subquery "
+        "decorrelation stress test. Catalyst rewrites both into "
+        "semi/anti joins on the order key (no per-row subquery "
+        "execution; the same decorrelation q38 proves for scalar "
+        "subqueries, here for existential ones); the date-lateness "
+        "predicate is integer-exact timestamp arithmetic in both "
+        "engines. At 100 TB: three keyed joins on l_orderkey plus one "
+        "small group-by — no shape a correlated rewrite could worsen",
+    tags=("join", "subquery"),
+)
+def q56_multi_exists_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "supplier", "lineitem", "orders")
+    return spark.sql(_Q56_SQL)
+
+
 _RATIO_SQL = """
 SELECT o_orderkey, o_custkey,
        RATIO_TO_REPORT(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -5721,10 +5760,10 @@ def q52_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # its slot because the dialect shim it routes through gained a rewrite
 # pass this round. Net: 31 round-7 entries + all 19 changed-code
 # older entries = 50. q55 (spatial within-join), c71 (PQ/ADC ANN),
-# c72 (IVF-PQ), and c73 (duplicated-span coverage) landed after the
-# window filled; all four are locally hash-verified at BOTH sf0.01 and
-# sf0.1 (PLANS.md round-close note) and take window priority next
-# round.
+# c72 (IVF-PQ), c73 (duplicated-span coverage), and q56 (Q21-shape
+# multi-EXISTS) landed after the window filled; all five are locally
+# hash-verified at BOTH sf0.01 and sf0.1 (PLANS.md round-close note)
+# and take window priority next round.
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [

@@ -286,3 +286,11 @@ def test_q55_spatial_join_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     # the candidate join is keyed on the grid cell
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_q56_exists_decorrelated_to_joins(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q56_multi_exists_decorrelation")
+    # both existential subqueries become join operators — never a
+    # per-row subquery plan node
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
