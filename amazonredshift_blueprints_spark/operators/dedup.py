@@ -727,6 +727,13 @@ def build_minhash_store(
     verification against the store uses SIGNATURE AGREEMENT — the
     fraction of matching minhash components, the unbiased estimator of
     Jaccard similarity — which needs only the k hex digests per doc.
+
+    A ``_minhash_meta.json`` sidecar (shingle_size, num_perms) is
+    written inside the store directory (``_``-prefixed, so parquet
+    readers skip it) and validated at query time: signatures sketched
+    with a different shingle_size hash-disagree silently, so a
+    mismatched query would return meaningless est_jaccard values
+    instead of failing — the sidecar turns that into a loud error.
     """
     (
         portable_signatures(
@@ -736,6 +743,11 @@ def build_minhash_store(
         .write.mode("overwrite")
         .parquet(path)
     )
+    import json
+    import os
+
+    with open(os.path.join(path, "_minhash_meta.json"), "w") as fh:
+        json.dump({"shingle_size": shingle_size, "num_perms": num_perms}, fh)
     return df.sparkSession.read.parquet(path)
 
 
@@ -768,7 +780,21 @@ def dedup_against_minhash_store(
     """
     if num_perms % bands:
         raise ValueError(f"num_perms {num_perms} not divisible by bands {bands}")
+    import json
+    import os
+
     from pyspark.storagelevel import StorageLevel
+
+    meta_path = os.path.join(path, "_minhash_meta.json")
+    if os.path.exists(meta_path):  # absent on pre-sidecar stores
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if meta != {"shingle_size": shingle_size, "num_perms": num_perms}:
+            raise ValueError(
+                f"minhash store at {path} was built with {meta}; query asked "
+                f"shingle_size={shingle_size}, num_perms={num_perms} — "
+                "mismatched shingles produce meaningless est_jaccard"
+            )
 
     ref_sig = spark.read.parquet(path)
     new_sig = (

@@ -70,21 +70,30 @@ def decode_image(payload: bytes):
     import numpy as np
 
     if payload[:2] == b"P6":
-        pos, tokens = 2, []
+        end, pos, tokens = len(payload), 2, []
         while len(tokens) < 3:
-            while payload[pos : pos + 1].isspace():
+            while pos < end and payload[pos : pos + 1].isspace():
                 pos += 1
             if payload[pos : pos + 1] == b"#":  # comment to end of line
-                pos = payload.index(b"\n", pos) + 1
+                nl = payload.find(b"\n", pos)
+                if nl < 0:
+                    raise ValueError("truncated PPM header: unterminated comment")
+                pos = nl + 1
                 continue
             start = pos
-            while not payload[pos : pos + 1].isspace():
+            while pos < end and not payload[pos : pos + 1].isspace():
                 pos += 1
+            if pos == start:
+                raise ValueError("truncated PPM header: missing dimension token")
             tokens.append(int(payload[start:pos]))
         w, h, maxval = tokens
         if maxval != 255:
             raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
         pos += 1  # the single whitespace byte after maxval
+        if end - pos < h * w * 3:
+            raise ValueError(
+                f"truncated PPM payload: need {h * w * 3} bytes, have {end - pos}"
+            )
         data = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=pos)
         return data.reshape(h, w, 3)
     try:  # pragma: no cover - pillow absent in this container

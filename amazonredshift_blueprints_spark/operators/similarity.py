@@ -1161,6 +1161,14 @@ def semantic_dedup(
         .select(F.col("b_id").alias("_drop_id"))
         .distinct()
     )
+    # Materialize the drop set NOW (id-only, 16 B/row — bounded even at
+    # corpus scale) so the persisted cells table can be released before
+    # returning: a long-lived session calling semantic_dedup repeatedly
+    # must not accumulate cached embedding tables. The final anti-join
+    # recomputes the cell assignment once — a map-only Arrow pass with
+    # zero exchanges — which is the explicit price of not leaking cache.
+    drops = drops.localCheckpoint(eager=True)
+    cells.unpersist()
     return (
         cells.join(
             drops, cells["neighbor_id"] == drops["_drop_id"], "left_anti"

@@ -332,9 +332,14 @@ def stream_dedup_events(
     )
 
 
-TOPK_OUTPUT = (
-    "user_id long, n_seen long, top1_q long, top2_q long, top3_q long"
-)
+def topk_output_schema(user_col: str = "user_id", k: int = 3) -> str:
+    """Output schema for :func:`stateful_topk_values`, derived from the
+    grouping column name and ``k`` so any (user_col, k) call is valid."""
+    tops = ", ".join(f"top{i + 1}_q long" for i in range(k))
+    return f"{user_col} long, n_seen long, {tops}"
+
+
+TOPK_OUTPUT = topk_output_schema()  # default top-3 shape, kept for callers
 TOPK_STATE = "vals array<long>, n long"
 
 
@@ -387,7 +392,7 @@ def stateful_topk_values(
         padded = vals + [None] * (k - len(vals))
         yield pd.DataFrame(
             {
-                "user_id": [int(key[0])],
+                user_col: [int(key[0])],
                 "n_seen": [n],
                 **{
                     f"top{i+1}_q": pd.array([padded[i]], dtype="Int64")
@@ -401,7 +406,7 @@ def stateful_topk_values(
         .groupBy(user_col)
         .applyInPandasWithState(
             update,
-            outputStructType=TOPK_OUTPUT,
+            outputStructType=topk_output_schema(user_col, k),
             stateStructType=TOPK_STATE,
             outputMode="update",
             timeoutConf="NoTimeout",

@@ -341,3 +341,36 @@ def test_minhash_store_matches_recompute(spark, sf_dir, tmp_path):
     assert got == again and got  # deterministic and non-empty
     for (n, r), m in got.items():
         assert n % 2 == 1 and r % 2 == 0 and 4 <= m <= 8
+
+
+def test_minhash_store_sidecar_validates_params(spark, sf_dir, tmp_path):
+    """The store records (shingle_size, num_perms) in a sidecar; querying
+    with mismatched sketch parameters must fail loudly — signatures from
+    different shingle sizes hash-disagree silently otherwise."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.operators.dedup import (
+        build_minhash_store,
+        dedup_against_minhash_store,
+    )
+    from amazonredshift_blueprints_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(40)
+    path = str(tmp_path / "sigs_meta")
+    build_minhash_store(d, path, "doc_id", "text", shingle_size=3, num_perms=8)
+    meta = json.load(open(os.path.join(path, "_minhash_meta.json")))
+    assert meta == {"shingle_size": 3, "num_perms": 8}
+    with pytest.raises(ValueError, match="shingle_size"):
+        dedup_against_minhash_store(
+            spark, path, d.filter(F.col("doc_id") % 2 == 1), "doc_id", "text",
+            shingle_size=5,
+        )
+    # matching params still work (non-raising is the contract here)
+    dedup_against_minhash_store(
+        spark, path, d.filter(F.col("doc_id") % 2 == 1), "doc_id", "text",
+        shingle_size=3, num_perms=8,
+    ).collect()

@@ -146,3 +146,25 @@ def test_ppm_roundtrip_property():
         assert out.shape == (h, w, 3) and (out == px).all()
 
     roundtrip()
+
+
+def test_decode_truncated_ppm_raises_not_hangs():
+    """Malformed P6 payloads must raise ValueError — a corrupt image in a
+    100 TB batch must fail the row, not hang the executor in the header
+    scan (the unbounded-loop bug class)."""
+    import pytest
+
+    from amazonredshift_blueprints_spark.operators.multimodal import decode_image
+
+    # header cut off mid-token: no whitespace ever terminates the scan
+    with pytest.raises(ValueError):
+        decode_image(b"P6\n12")
+    # comment never terminated by newline
+    with pytest.raises(ValueError):
+        decode_image(b"P6\n# unterminated comment")
+    # full header but pixel buffer short of h*w*3
+    with pytest.raises(ValueError, match="truncated PPM payload"):
+        decode_image(b"P6\n4 4\n255\n" + b"\x00" * 10)
+    # empty-dimension token (double separator at end of buffer)
+    with pytest.raises(ValueError):
+        decode_image(b"P6\n4 4 ")

@@ -593,3 +593,91 @@ def test_profile_columns_all_null_column(spark):
     assert rows["v"]["n_distinct"] == 0
     assert rows["v"]["min_value"] is None and rows["v"]["max_value"] is None
     assert rows["k"]["n_distinct"] == 2 and rows["k"]["min_value"] == "1"
+
+
+def test_concurrent_merge_same_table_loses_no_rows(spark):
+    """Two simultaneous MERGEs into the SAME table: without the per-table
+    writer lock both read the pre-image and the second INSERT OVERWRITE
+    silently drops the first writer's inserts (the lost-update anomaly
+    Redshift's serializable isolation prevents at the reference's SQL
+    pass-through, execute_sql.py:77). With the lock, all inserts from
+    both writers must land."""
+    import threading
+
+    from amazonredshift_blueprints_spark.dml import merge_into
+    from amazonredshift_blueprints_spark.ingest import _clean_stale_location
+
+    _clean_stale_location(spark, "t_merge_race", None)
+    spark.createDataFrame(
+        [(i, 0) for i in range(100)], "k int, v int"
+    ).write.mode("overwrite").saveAsTable("t_merge_race")
+
+    errs: list[BaseException] = []
+
+    def writer(lo: int) -> None:
+        try:
+            src = spark.createDataFrame(
+                [(k, 1) for k in range(lo, lo + 50)], "k int, v int"
+            )
+            merge_into(spark, "t_merge_race", src, keys=["k"])
+        except BaseException as e:  # noqa: BLE001 - surfaced below
+            errs.append(e)
+
+    try:
+        # disjoint insert ranges: every row must survive both commits
+        ts = [
+            threading.Thread(target=writer, args=(1000,)),
+            threading.Thread(target=writer, args=(2000,)),
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs, errs
+        got = spark.table("t_merge_race")
+        assert got.count() == 200  # 100 base + 50 + 50, none lost
+        assert got.filter("k >= 1000 and k < 1050").count() == 50
+        assert got.filter("k >= 2000 and k < 2050").count() == 50
+        # lock files released
+        from amazonredshift_blueprints_spark.dml import _lock_dir
+        import os
+
+        assert not os.path.exists(
+            os.path.join(_lock_dir(spark), "t_merge_race.lock")
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_merge_race")
+
+
+def test_merge_unmatched_delete_parity_option(spark):
+    """Default (CDC): unmatched delete-marked source rows are no-ops.
+    insert_unmatched_deletes=True: strict Redshift MERGE parity — the
+    delete arm only sees matched rows, so an unmatched delete-marked
+    row hits WHEN NOT MATCHED THEN INSERT."""
+    from amazonredshift_blueprints_spark.dml import merge_into
+    from amazonredshift_blueprints_spark.ingest import _clean_stale_location
+
+    for mode in (False, True):
+        _clean_stale_location(spark, "t_merge_parity", None)
+        spark.createDataFrame(
+            [(1, "a", False), (2, "b", False)], "k int, v string, del boolean"
+        ).write.mode("overwrite").saveAsTable("t_merge_parity")
+        src = spark.createDataFrame(
+            # matched delete, matched update, unmatched insert, unmatched delete-marked
+            [(1, "x", True), (2, "y", False), (3, "z", False), (4, "w", True)],
+            "k int, v string, del boolean",
+        )
+        try:
+            n_upd, n_ins, n_del = merge_into(
+                spark, "t_merge_parity", src, keys=["k"],
+                delete_condition="del", insert_unmatched_deletes=mode,
+            )
+            rows = {r.k: r.v for r in spark.table("t_merge_parity").collect()}
+            if mode:  # Redshift parity: k=4 inserted despite its marker
+                assert (n_upd, n_ins, n_del) == (1, 2, 1)
+                assert rows == {2: "y", 3: "z", 4: "w"}
+            else:  # CDC default: k=4 ignored
+                assert (n_upd, n_ins, n_del) == (1, 1, 1)
+                assert rows == {2: "y", 3: "z"}
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_merge_parity")

@@ -524,3 +524,55 @@ def test_stream_hopping_window_matches_batch(spark, sf_dir, events_stream_dir):
     assert got == want and len(got) > 0
     # overlap sanity: total windowed mass is exactly 2x the event count
     assert sum(got.values()) == 2 * e.count()
+
+
+def test_stateful_topk_k2_custom_user_col(spark, sf_dir, events_stream_dir):
+    """The top-k output schema must derive from (user_col, k): k=2 with a
+    renamed grouping column emits (uid, n_seen, top1_q, top2_q) and the
+    values match the batch top-2 — the k!=3 / non-default-name case that
+    a hardcoded schema string broke."""
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.streaming.sessions import (
+        stateful_topk_values,
+        topk_output_schema,
+    )
+
+    assert topk_output_schema("uid", 2) == "uid long, n_seen long, top1_q long, top2_q long"
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = read_events_stream(spark, events_stream_dir, raw_schema).withColumnRenamed(
+        "user_id", "uid"
+    )
+    q = (
+        stateful_topk_values(stream, user_col="uid", k=2)
+        .writeStream.format("memory")
+        .queryName("t_topk2")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("t_topk2")
+    assert out.columns == ["uid", "n_seen", "top1_q", "top2_q"]
+    # n_seen is monotone: keep each user's final emission, compare to batch
+    got = {
+        r["uid"]: (r["top1_q"], r["top2_q"])
+        for r in out.groupBy("uid")
+        .agg(
+            F.max_by("top1_q", "n_seen").alias("top1_q"),
+            F.max_by("top2_q", "n_seen").alias("top2_q"),
+        )
+        .collect()
+    }
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "q", F.round(F.col("value") * 1_000_000).cast("long")
+    )
+    want = {
+        r["user_id"]: (r["tops"][0], r["tops"][1] if len(r["tops"]) > 1 else None)
+        for r in e.groupBy("user_id")
+        .agg(F.reverse(F.array_sort(F.collect_list("q"))).alias("all"))
+        .select("user_id", F.slice("all", 1, 2).alias("tops"))
+        .collect()
+    }
+    assert got == want
