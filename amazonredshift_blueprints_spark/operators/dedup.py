@@ -423,8 +423,15 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.array_distinct(_ngrams_expr(tokens(text_col), n)).alias("grams"),
     )
-    sizes = grams.select(id_col, F.size("grams").alias("n_grams"))
-    exploded = grams.select(id_col, F.explode("grams").alias("gram"))
+    # n_grams rides ALONG the exploded rows (one int per row) instead of
+    # re-joining a separate sizes table per pair side: that join shape
+    # costs two extra joins AND recomputes the tokenize+ngram projection
+    # for each — size-on-row is one column of shuffle width for three
+    # fewer plan branches, and both self-join sides then share one
+    # reused exchange.
+    exploded = grams.select(
+        id_col, F.size("grams").alias("n_grams"), F.explode("grams").alias("gram")
+    )
     if max_doc_freq is not None:
         rare = (
             exploded.groupBy("gram")
@@ -433,20 +440,24 @@ def ngram_jaccard_pairs(
             .select("gram")
         )
         exploded = exploded.join(rare, "gram")
-    a = exploded.select(F.col(id_col).alias("id_a"), "gram")
-    b = exploded.select(F.col(id_col).alias("id_b"), "gram")
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"), "gram"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"), "gram"
+    )
     common = (
         a.join(b, "gram")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_common"))
+        common.withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_common"))
         .filter(
             (F.col("n_union") > 0)
             & (F.col("n_common") * 100 >= F.col("n_union") * threshold_pct)
@@ -885,11 +896,15 @@ def duplicate_groups(
     plain_rounds = 4
 
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = (
-        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # no distinct(): every pair generator in this package emits unique
+    # (id_a < id_b) pairs, so the union with its reverse is already
+    # duplicate-free — and even if a caller passes duplicate pairs, the
+    # groupBy-min per round absorbs them (min is idempotent); correctness
+    # never depended on it. Dropping the distinct removes a full shuffle
+    # of the edge table from the one-time setup cost.
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # init fuses the FIRST propagation round: label(v) = min(v, min
     # neighbor) comes out of the same groupBy that enumerates the node
     # set (edges are symmetrized, so every node appears as src) — one
