@@ -1435,6 +1435,290 @@ def ivf_pq_topk(
     ).filter(F.col("rank") <= k)
 
 
+def _residuals(
+    cells: DataFrame, CENT, *, prefix: str = "neighbor"
+) -> DataFrame:
+    """Cell-assigned vectors → (id, cell, rv) residual rows, where
+    ``rv = x_q − centroid_q(cell)`` in exact int64 — one map-only Arrow
+    kernel chained onto the assignment pass (same stage, no exchange)."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[f"{prefix}_q"].to_numpy()).astype(np.int64)
+            cell_ix = pdf["cell"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[f"{prefix}_id"].to_numpy(),
+                    "cell": cell_ix,
+                    "rv": list(X - CENT[cell_ix]),
+                }
+            )
+
+    return cells.mapInPandas(kernel, "vec_id long, cell long, rv array<long>")
+
+
+def train_pq_codebook(
+    residuals: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    rv_col: str = "rv",
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+):
+    """Per-subspace PQ codebook training: ``n_subspaces`` independent
+    integer Lloyd loops over the input subvectors, with EXACTLY the
+    deterministic rules of :func:`kmeans_centroids` so the whole
+    training replays bit-for-bit in NumPy and ANSI SQL — lowest-id
+    init (the subvectors of rows with ``id < n_codes``), argmin over
+    exact int64 L2² with ties to the lowest code id, per-(subspace,
+    code, position) integer mean with round-half-away-from-zero
+    (``_div_round``), empty codes keeping their previous entry.
+
+    Returns the (n_codes, M, d_sub) int64 codebook matrix + d_sub.
+
+    Scale: each iteration is one map-only Arrow assignment pass (the
+    (M, n_codes, d_sub) codebook rides the kernel closure) plus one
+    posexplode + hash aggregate on (s, code, pos) — M·n_codes·d_sub =
+    dim·n_codes aggregate rows of METADATA back to the driver per
+    iteration, the :func:`kmeans_centroids` loop shape with a subspace
+    axis. ``iters=0`` degenerates to the fixed-rule codebook.
+    """
+    import numpy as np
+    import pandas as pd
+
+    init_rows = sorted(
+        (int(r[id_col]), [int(x) for x in r[rv_col]])
+        for r in residuals.filter(F.col(id_col) < n_codes)
+        .select(id_col, rv_col)
+        .collect()
+    )
+    if len(init_rows) != n_codes:
+        raise ValueError(
+            f"codebook init needs ids 0..{n_codes - 1} present; got "
+            f"{len(init_rows)}"
+        )
+    dim = len(init_rows[0][1])
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    d_sub = dim // n_subspaces
+    CB = np.array([q for _, q in init_rows], dtype=np.int64).reshape(
+        n_codes, n_subspaces, d_sub
+    )
+    for _ in range(max(0, iters)):
+        CB_it = CB.copy()
+
+        def assign(batches, CB_it=CB_it):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                Xr = np.stack(pdf[rv_col].to_numpy()).astype(np.int64).reshape(
+                    -1, n_subspaces, d_sub
+                )
+                frames = []
+                for s in range(n_subspaces):
+                    d = ((Xr[:, None, s, :] - CB_it[None, :, s, :]) ** 2).sum(
+                        axis=2
+                    )
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "s": np.int64(s),
+                                "code": d.argmin(axis=1).astype(np.int64),
+                                "sv": list(Xr[:, s, :]),
+                            }
+                        )
+                    )
+                yield pd.concat(frames, ignore_index=True)
+
+        sums = (
+            residuals.select(rv_col)
+            .mapInPandas(assign, "s long, code long, sv array<long>")
+            .select("s", "code", F.posexplode("sv").alias("pos", "v"))
+            .groupBy("s", "code", "pos")
+            .agg(F.sum("v").alias("sm"), F.count(F.lit(1)).alias("n"))
+        )
+        acc = {
+            (int(r["s"]), int(r["code"]), int(r["pos"])): (int(r["sm"]), int(r["n"]))
+            for r in sums.collect()  # dim×n_codes metadata rows
+        }
+        new_CB = CB.copy()
+        for s in range(n_subspaces):
+            for c in range(n_codes):
+                if (s, c, 0) in acc:
+                    new_CB[c, s, :] = [
+                        _div_round(*acc[(s, c, p)]) for p in range(d_sub)
+                    ]
+        CB = new_CB
+    return CB, d_sub
+
+
+def ivf_pq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    coarse_iters: int = 2,
+    pq_iters: int = 2,
+) -> DataFrame:
+    """Residual-encoded IVF-PQ with trained quantizers — FAISS's
+    production "IVFADC" configuration (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", IEEE TPAMI 2011,
+    §IV.A), refining :func:`ivf_pq_topk`: PQ codes encode the RESIDUAL
+    ``r = x − centroid(cell(x))``, the coarse centroids are k-means
+    means (``coarse_iters`` Lloyd steps, :func:`kmeans_centroids`),
+    and the per-subspace codebooks are trained on the residuals
+    (``pq_iters`` integer Lloyd steps, :func:`train_pq_codebook`).
+
+    Why all three pieces: residuals against TRAINED cell means center
+    near zero with smaller spread than raw vectors, and a codebook
+    TRAINED on that residual distribution quantizes it with much lower
+    reconstruction error than any fixed rule — measured on the test
+    fixtures, trained-residual recall@5 beats trained-raw by ~1.5×
+    (pinned in tests/test_similarity.py); with untrained fixed-rule
+    quantizers the residual trick does NOT pay (near-orthogonal unit
+    vectors make ||x − c|| > ||x||), which is why c72 documents raw
+    encoding and this operator owns the trained path.
+
+    Query-time ADC is per (query, PROBED cell): the query's residual
+    against that cell's centroid is tabled against the codebook, so
+    distance ≈ ||(q − cent) − code(x − cent)||² — both sides centered
+    on the same centroid. Every step is exact int64 with fixed tie
+    rules, so training AND search replay bit-for-bit in the DuckDB
+    oracle (c74).
+
+    Scale: coarse training is kmeans_centroids' loop (one map-only
+    pass + one metadata agg per iteration); codebook training the
+    same with a subspace axis; the search plan is identical to
+    :func:`ivf_pq_topk` — assignment + residual + encoding are chained
+    Arrow kernels in one shuffle-free corpus pass, the probe join
+    carries (id, cell, codes) rows, and the per-(query, cell) ADC
+    tables are kernel-closure metadata, guarded below. Like
+    kmeans_centroids, training passes re-read the corpus per
+    iteration — persist the residual table first on a real cluster if
+    the scan dominates (same trade as MLlib k-means caching).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if coarse_iters > 0:
+        cents = kmeans_centroids(
+            corpus, id_col=id_col, vec_col=vec_col,
+            n_cells=n_cells, iters=coarse_iters,
+        )
+    else:
+        cents = _with_quant(
+            corpus.filter(F.col(id_col) < n_cells), id_col, vec_col, "cent"
+        )
+    cent_rows = _collect_centroids(cents)
+    if len(cent_rows) != n_cells or cent_rows[-1][0] != n_cells - 1:
+        raise ValueError(f"coarse quantizer needs cell ids 0..{n_cells - 1}")
+    CENT = np.array([cq for _, cq in cent_rows], dtype=np.int64)  # id-sorted
+    dim = CENT.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    d_sub = dim // n_subspaces
+
+    cells = assign_cells(corpus, cent_rows, id_col=id_col, vec_col=vec_col)
+    residuals = _residuals(cells, CENT)
+    R, _ = train_pq_codebook(
+        residuals, n_subspaces=n_subspaces, n_codes=n_codes, iters=pq_iters
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            res = np.stack(pdf["rv"].to_numpy()).astype(np.int64).reshape(
+                -1, n_subspaces, d_sub
+            )
+            codes = np.empty((len(pdf), n_subspaces), dtype=np.int64)
+            for s in range(n_subspaces):
+                d = ((res[:, None, s, :] - R[None, :, s, :]) ** 2).sum(axis=2)
+                codes[:, s] = d.argmin(axis=1)  # first min → lowest code id
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["vec_id"].to_numpy(),
+                    "cell": pdf["cell"].to_numpy(),
+                    "codes": list(codes),
+                }
+            )
+
+    encoded = residuals.mapInPandas(
+        encode, "neighbor_id long, cell long, codes array<long>"
+    )
+
+    q_rows = sorted(
+        (int(r["query_id"]), [int(x) for x in r["query_q"]])
+        for r in _with_quant(queries, id_col, vec_col, "query")
+        .select("query_id", "query_q")
+        .collect()
+    )
+    if not q_rows:
+        raise ValueError("empty query batch")
+    n_tab = len(q_rows) * n_cells * n_subspaces * n_codes
+    if n_tab > MAX_LITERAL_CENTROID_CELLS * 64:
+        raise ValueError(
+            f"per-(query, cell) ADC tables hold {n_tab} entries — beyond the "
+            "driver-metadata bound; batch the queries, or precompute tables "
+            "for the probed cells only (nprobe/n_cells of this size)"
+        )
+    Q = np.array([qv for _, qv in q_rows], dtype=np.int64)
+    qids = np.array([qid for qid, _ in q_rows], dtype=np.int64)
+    QR = (Q[:, None, :] - CENT[None, :, :]).reshape(
+        len(q_rows), n_cells, n_subspaces, d_sub
+    )
+    # T[qi, cell, s, c] = ||query-residual subvector − codebook entry||²
+    T = ((QR[:, :, :, None, :] - R.transpose(1, 0, 2)[None, None, :, :, :]) ** 2).sum(
+        axis=4
+    )
+    qpos = {int(q): i for i, q in enumerate(qids)}
+
+    probed = probe_cells(
+        queries, cent_rows, nprobe, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "cell")
+
+    def score(batches):
+        m_idx = np.arange(n_subspaces)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            qix = pdf["query_id"].map(qpos).to_numpy(dtype=np.int64)
+            cellv = pdf["cell"].to_numpy(dtype=np.int64)
+            adc = T[qix[:, None], cellv[:, None], m_idx[None, :], codes].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "adc_dist2": adc,
+                }
+            )
+
+    scored = (
+        probed.join(encoded, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "cell", "neighbor_id", "codes")
+        .mapInPandas(score, "query_id long, neighbor_id long, adc_dist2 long")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist2"), F.asc("neighbor_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
 def cross_corpus_near_duplicates(
     new_df: DataFrame,
     ref_df: DataFrame,

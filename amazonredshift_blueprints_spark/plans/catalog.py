@@ -1104,11 +1104,10 @@ _DUCK_L2 = (
 )
 
 
-def _duck_kmeans_ivf_oracle(*, n_cells: int, iters: int, nprobe: int, k: int,
-                            n_queries: int) -> str:
-    """DuckDB replay of the deterministic integer Lloyd loop + IVF probe.
-
-    Unrolls ``iters`` E/M steps as chained CTEs. Every rule matches
+def _duck_kmeans_ctes(*, n_cells: int, iters: int) -> tuple[list[str], str]:
+    """Shared CTE chain for the deterministic integer Lloyd loop (the
+    coarse quantizer of c28 and c74): unrolls ``iters`` E/M steps and
+    returns (ctes, name-of-final-centroid-CTE). Every rule matches
     operators/similarity.py exactly: lowest-id init, argmin over exact
     int64 L2² with ties to the lowest cell id, per-cell integer mean
     with round-half-away-from-zero (_div_round), empty cells keeping
@@ -1150,6 +1149,15 @@ def _duck_kmeans_ivf_oracle(*, n_cells: int, iters: int, nprobe: int, k: int,
             f"FROM {prev} p LEFT JOIN {m} m USING (cent_id))"
         )
         prev = c
+    return ctes, prev
+
+
+def _duck_kmeans_ivf_oracle(*, n_cells: int, iters: int, nprobe: int, k: int,
+                            n_queries: int) -> str:
+    """DuckDB replay of integer-Lloyd IVF (c28): the shared k-means CTE
+    chain (:func:`_duck_kmeans_ctes`) + cell assignment, probe, and
+    exact cosine re-rank."""
+    ctes, prev = _duck_kmeans_ctes(n_cells=n_cells, iters=iters)
     ctes.append(f"""n AS (
         SELECT vec_id, qv,
                CAST({_DUCK_DOT.format(a='qv', b='qv')} AS BIGINT) AS norm
@@ -5578,6 +5586,184 @@ def c72_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(
         e, e.filter(F.col("vec_id") < 10),
         n_cells=16, nprobe=4, n_subspaces=8, n_codes=16, k=5,
+    )
+
+
+def _ivfpq_residual_oracle(
+    *, n_cells: int, nprobe: int, n_subspaces: int, n_codes: int, k: int,
+    n_queries: int, coarse_iters: int, pq_iters: int,
+) -> str:
+    """DuckDB replay of trained residual IVF-PQ (c74, FAISS IVFADC):
+    the shared coarse k-means chain (:func:`_duck_kmeans_ctes`), cell
+    assignment, residuals, ``pq_iters`` unrolled per-subspace integer
+    Lloyd steps over the residual subvectors (same deterministic rules
+    — lowest-id init, ties to lowest code, integer-mean update, empty
+    codes keep their entry), then per-(query, probed-cell) ADC."""
+    M = n_subspaces
+    # per-subspace L2^2 between a full residual list and a d_sub codebook
+    # list; D = d_sub derived from the list length, s.s is the 0-based
+    # subspace index, lists are 1-based
+    def dist(rv: str, cv: str) -> str:
+        D = f"(len({rv}) // {M})"
+        return (
+            f"list_sum(list_transform(generate_series(1, {D}), "
+            f"i -> ({rv}[s.s * {D} + i] - {cv}[i]) "
+            f"* ({rv}[s.s * {D} + i] - {cv}[i])))"
+        )
+
+    round_expr = (
+        "CASE WHEN sm >= 0 THEN (2*sm + n) // (2*n) "
+        "ELSE -((2*(-sm) + n) // (2*n)) END"
+    )
+    ctes, prev = _duck_kmeans_ctes(n_cells=n_cells, iters=coarse_iters)
+    ctes.append(f"cents AS (SELECT cent_id, cq FROM {prev})")
+    ctes.append(f"""cells AS (
+        SELECT vec_id, cell FROM (
+            SELECT n.vec_id, c.cent_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY {_DUCK_L2.format(a='n.qv', b='c.cq')}, c.cent_id
+                   ) AS rn
+            FROM v n CROSS JOIN cents c
+        ) WHERE rn = 1
+    )""")
+    ctes.append("""res AS (
+        SELECT n.vec_id, cl.cell,
+               list_transform(generate_series(1, len(n.qv)),
+                              i -> n.qv[i] - c.cq[i]) AS rv
+        FROM v n
+        JOIN cells cl ON cl.vec_id = n.vec_id
+        JOIN cents c ON c.cent_id = cl.cell
+    )""")
+    ctes.append(f"sub AS (SELECT unnest(range({M})) AS s)")
+    D0 = f"(len(r.rv) // {M})"
+    ctes.append(f"""cb0 AS (
+        SELECT s.s AS s, r.vec_id AS cid,
+               list_slice(r.rv, s.s * {D0} + 1, (s.s + 1) * {D0}) AS cv
+        FROM res r CROSS JOIN sub s
+        WHERE r.vec_id < {n_codes}
+    )""")
+    cb_prev = "cb0"
+    for it in range(1, pq_iters + 1):
+        pa, pm, cb = f"pa{it}", f"pm{it}", f"cb{it}"
+        ctes.append(f"""{pa} AS (
+        SELECT vec_id, s, sv, code FROM (
+            SELECT r.vec_id, s.s AS s,
+                   list_slice(r.rv, s.s * {D0} + 1, (s.s + 1) * {D0}) AS sv,
+                   c.cid AS code,
+                   row_number() OVER (
+                       PARTITION BY r.vec_id, s.s
+                       ORDER BY {dist('r.rv', 'c.cv')}, c.cid
+                   ) AS rn
+            FROM res r
+            CROSS JOIN sub s
+            JOIN {cb_prev} c ON c.s = s.s
+        ) WHERE rn = 1
+    )""")
+        ctes.append(f"""{pm} AS (
+        SELECT s, code, list(CAST({round_expr} AS BIGINT) ORDER BY pos) AS cv
+        FROM (
+            SELECT s, code, pos, SUM(val) AS sm, COUNT(*) AS n FROM (
+                SELECT s, code,
+                       unnest(range(len(sv))) AS pos,
+                       unnest(sv) AS val
+                FROM {pa}
+            ) GROUP BY s, code, pos
+        ) GROUP BY s, code
+    )""")
+        ctes.append(
+            f"{cb} AS (SELECT p.s, p.cid, COALESCE(m.cv, p.cv) AS cv "
+            f"FROM {cb_prev} p LEFT JOIN {pm} m ON m.s = p.s AND m.code = p.cid)"
+        )
+        cb_prev = cb
+    ctes.append(f"""codes AS (
+        SELECT vec_id, s, code FROM (
+            SELECT r.vec_id, s.s AS s, c.cid AS code,
+                   row_number() OVER (
+                       PARTITION BY r.vec_id, s.s
+                       ORDER BY {dist('r.rv', 'c.cv')}, c.cid
+                   ) AS rn
+            FROM res r
+            CROSS JOIN sub s
+            JOIN {cb_prev} c ON c.s = s.s
+        ) WHERE rn = 1
+    )""")
+    ctes.append(f"""probed AS (
+        SELECT vec_id, cell FROM (
+            SELECT n.vec_id, c.cent_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY {_DUCK_L2.format(a='n.qv', b='c.cq')}, c.cent_id
+                   ) AS rn
+            FROM v n CROSS JOIN cents c
+            WHERE n.vec_id < {n_queries}
+        ) WHERE rn <= {nprobe}
+    )""")
+    ctes.append("""qres AS (
+        SELECT p.vec_id AS query_id, p.cell,
+               list_transform(generate_series(1, len(n.qv)),
+                              i -> n.qv[i] - c.cq[i]) AS qrv
+        FROM probed p
+        JOIN v n ON n.vec_id = p.vec_id
+        JOIN cents c ON c.cent_id = p.cell
+    )""")
+    ctes.append(f"""qd AS (
+        SELECT q.query_id, q.cell, s.s AS s, c.cid,
+               {dist('q.qrv', 'c.cv')} AS d
+        FROM qres q
+        CROSS JOIN sub s
+        JOIN {cb_prev} c ON c.s = s.s
+    )""")
+    ctes.append("""adc AS (
+        SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id,
+               CAST(SUM(qd.d) AS BIGINT) AS adc_dist2
+        FROM probed p
+        JOIN cells cl ON cl.cell = p.cell AND cl.vec_id <> p.vec_id
+        JOIN codes c ON c.vec_id = cl.vec_id
+        JOIN qd ON qd.query_id = p.vec_id AND qd.cell = p.cell
+               AND qd.s = c.s AND qd.cid = c.code
+        GROUP BY 1, 2
+    )""")
+    return "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT query_id, neighbor_id, adc_dist2, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist2, neighbor_id
+        ) AS BIGINT) AS rank
+        FROM adc
+    ) WHERE rank <= {k}
+    """
+
+
+@query(
+    "c74_ann_ivfpq_residual_topk",
+    oracle=_ivfpq_residual_oracle(
+        n_cells=16, nprobe=4, n_subspaces=8, n_codes=16, k=5, n_queries=10,
+        coarse_iters=2, pq_iters=2,
+    ),
+    doc="trained residual IVF-PQ — FAISS's production IVFADC (Jégou "
+        "et al. TPAMI 2011 §IV.A): k-means coarse centroids (2 integer "
+        "Lloyd steps, c28's loop), PQ codes encoding the RESIDUAL "
+        "x − centroid(cell(x)), and per-subspace codebooks TRAINED on "
+        "those residuals (2 more integer Lloyd steps per subspace). "
+        "Residuals against trained means center near zero, and a "
+        "codebook trained on that distribution quantizes it with far "
+        "lower error than any fixed rule — recall@5 beats raw-code "
+        "c72 by ~1.5x on the fixtures (pinned in pytest). ADC tables "
+        "are per (query, probed cell), both sides centered on the same "
+        "centroid; search plan identical to c72. Training AND search "
+        "are exact int64 with fixed tie rules, so the entire pipeline "
+        "— 4 Lloyd loops included — replays bit-for-bit in the oracle",
+    bench=True,
+    tags=("similarity", "approx"),
+)
+def c74_ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_pq_residual_topk
+
+    e = views(spark, sf_dir, "embeddings")["embeddings"]
+    return ivf_pq_residual_topk(
+        e, e.filter(F.col("vec_id") < 10),
+        n_cells=16, nprobe=4, n_subspaces=8, n_codes=16, k=5,
+        coarse_iters=2, pq_iters=2,
     )
 
 

@@ -545,3 +545,92 @@ def test_ivfpq_with_full_probe_equals_pq(spark, sf_dir):
         ).collect()
     }
     assert full_probe == plain and len(plain) == 25
+
+
+def test_ivfpq_residual_training_beats_raw_codes(spark, sf_dir, vecs):
+    """The c74 claim, pinned: trained residual encoding (FAISS IVFADC)
+    must beat c72's raw-code recall against the exact L2 ground truth,
+    at the same (n_cells, nprobe, M, n_codes) budget — the accuracy
+    step residual encoding + codebook training buys. Deterministic:
+    every stage is exact int64 with fixed tie rules."""
+    import numpy as np
+
+    from amazonredshift_blueprints_spark.operators.similarity import (
+        _np_quantize,
+        ivf_pq_residual_topk,
+        ivf_pq_topk,
+    )
+
+    ids, q = vecs
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 10)
+    X = _np_quantize(q).astype(np.int64)
+    pos = {int(v): i for i, v in enumerate(ids)}
+
+    def l2_truth(qi, k=5):
+        d = ((X.astype(float) - X[pos[qi]].astype(float)) ** 2).sum(axis=1)
+        cand = sorted(
+            (d[j], int(ids[j])) for j in range(len(ids)) if ids[j] != qi
+        )
+        return {n for _, n in cand[:k]}
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(got.get(qi, set()) & l2_truth(qi)) for qi in range(10)
+        ) / 50.0
+
+    kw = dict(n_cells=16, nprobe=4, n_subspaces=8, n_codes=16, k=5)
+    raw = recall(ivf_pq_topk(e, qs, **kw))
+    res = recall(
+        ivf_pq_residual_topk(e, qs, coarse_iters=2, pq_iters=2, **kw)
+    )
+    # measured on these fixtures: raw 0.28, trained-residual 0.36 —
+    # pin the ordering plus a floor with slack for fixture regeneration
+    assert res > raw, (res, raw)
+    assert res >= 0.30, res
+
+
+def test_pq_codebook_training_is_deterministic_and_improves_mse(spark, sf_dir):
+    """Two independent trainings must produce the identical codebook
+    (integer Lloyd, no float/order dependence), and each training
+    iteration must not increase the residual reconstruction error
+    (Lloyd's monotonicity, preserved by the integer rounding up to the
+    grid step)."""
+    import numpy as np
+
+    from amazonredshift_blueprints_spark.operators.similarity import (
+        _collect_centroids,
+        _residuals,
+        assign_cells,
+        kmeans_centroids,
+        train_pq_codebook,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(e, n_cells=16, iters=2)
+    cent_rows = _collect_centroids(cents)
+    CENT = np.array([cq for _, cq in cent_rows], dtype=np.int64)
+    res = _residuals(assign_cells(e, cent_rows), CENT)
+
+    def mse(CB, d_sub):
+        rows = sorted(
+            (int(r["vec_id"]), [int(x) for x in r["rv"]]) for r in res.collect()
+        )
+        R = np.array([rv for _, rv in rows], dtype=np.int64)
+        T = R.reshape(len(R), 8, d_sub).astype(float)
+        CBf = CB.astype(float)
+        err = 0.0
+        for s in range(8):
+            d = ((T[:, None, s, :] - CBf[None, :, s, :]) ** 2).sum(axis=2)
+            err += d.min(axis=1).sum()
+        return err / len(R)
+
+    cb1, d_sub = train_pq_codebook(res, n_subspaces=8, n_codes=16, iters=2)
+    cb2, _ = train_pq_codebook(res, n_subspaces=8, n_codes=16, iters=2)
+    assert (cb1 == cb2).all()
+    cb0, _ = train_pq_codebook(res, n_subspaces=8, n_codes=16, iters=0)
+    # trained strictly better than the fixed-rule init on these fixtures
+    assert mse(cb1, d_sub) < mse(cb0, d_sub)
