@@ -1,0 +1,300 @@
+"""COPY / UNLOAD statement lowering: the two Redshift SQL statements the
+reference's blueprints exist to replace, accepted AS SQL.
+
+Reference basis: users of the reference hand Redshift SQL over verbatim
+(execute_sql.py:23,64) — and the statements they run most are exactly
+``COPY table FROM path`` (what upload_file.py packages as a CLI) and
+``UNLOAD ('sql') TO path`` (what store_query_results.py packages). The
+engine's native layer already implements both operations as APIs
+(ingest.py / export.py); this module parses the STATEMENT forms and
+lowers them onto those APIs, so pass-through SQL that worked against
+Redshift keeps working here.
+
+Supported subset (the options the reference's own pipelines generate):
+
+- ``COPY [schema.]table FROM 'path'`` with ``CSV`` / ``FORMAT [AS]
+  CSV|PARQUET|JSON``, ``DELIMITER [AS] 'c'``, ``IGNOREHEADER [AS] n``,
+  ``GZIP`` (Spark reads .gz transparently — accepted, no-op).
+- ``UNLOAD ('query') TO 'path'`` with ``FORMAT [AS] CSV|PARQUET|JSON``,
+  ``DELIMITER [AS] 'c'``, ``HEADER``, ``PARALLEL OFF|ON|TRUE|FALSE``
+  (OFF → one named file, the reference's single-file contract; ON → a
+  part-file directory, the scale path), ``PARTITION BY (cols)``.
+  The inner query goes through the full Redshift-dialect shim.
+
+Authorization clauses (``IAM_ROLE``, ``CREDENTIALS``, ``ACCESS_KEY_ID``
+/ ``SECRET_ACCESS_KEY`` / ``SESSION_TOKEN``, ``REGION``) are parsed and
+IGNORED: they authorize Redshift's S3 access, which does not apply —
+paths here are whatever the Spark filesystem layer can reach, with
+credentials configured at the filesystem level. Anything else raises
+``ValueError`` naming the option rather than silently mis-loading.
+
+Semantics notes, honestly stated:
+- COPY appends to the target (Redshift semantics; the table must exist
+  there, here it is created on first COPY — the strictly-more-permissive
+  reading).
+- Redshift's default text format is pipe-delimited; this lowering keeps
+  that default (``DELIMITER '|'``) when no format option is given.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass
+class CopySpec:
+    table: str
+    schema_name: str | None
+    path: str
+    format: str = "csv"
+    delimiter: str = "|"
+    header: bool = False
+
+
+@dataclass
+class UnloadSpec:
+    query: str
+    path: str
+    format: str = "csv"
+    delimiter: str = "|"
+    header: bool = False
+    single_file: bool = False  # Redshift PARALLEL defaults ON
+    partition_by: list[str] = field(default_factory=list)
+
+
+_COPY_HEAD_RE = re.compile(
+    r"^\s*COPY\s+([A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)?)\s+FROM\s+'([^']+)'",
+    re.IGNORECASE,
+)
+_UNLOAD_HEAD_RE = re.compile(r"^\s*UNLOAD\s*\(\s*'", re.IGNORECASE)
+
+# option tokens that carry a quoted-string argument and are ignored
+_IGNORED_STR_OPTS = {
+    "IAM_ROLE", "CREDENTIALS", "ACCESS_KEY_ID", "SECRET_ACCESS_KEY",
+    "SESSION_TOKEN", "REGION",
+}
+# bare option tokens that are accepted as no-ops
+_IGNORED_BARE_OPTS = {"GZIP", "MANIFEST"}
+
+
+def _tokenize_options(rest: str) -> list[str]:
+    """Split an option tail into tokens, keeping quoted strings whole."""
+    return re.findall(r"'(?:[^']|'')*'|\(|\)|,|[^\s(),]+", rest)
+
+
+def _unquote(tok: str) -> str:
+    if len(tok) >= 2 and tok[0] == "'" and tok[-1] == "'":
+        return tok[1:-1].replace("''", "'")
+    return tok
+
+
+def _take_string(tokens: list[str], i: int, opt: str) -> tuple[str, int]:
+    """Consume an optional AS plus the quoted argument of ``opt``."""
+    if i < len(tokens) and tokens[i].upper() == "AS":
+        i += 1
+    if i >= len(tokens):
+        raise ValueError(f"{opt} expects an argument")
+    return tokens[i], i + 1
+
+
+def parse_copy(sql: str) -> CopySpec | None:
+    """Parse a ``COPY table FROM 'path' [options]`` statement; ``None``
+    if the statement is not a COPY (so the caller falls through to
+    ``spark.sql``)."""
+    m = _COPY_HEAD_RE.match(sql)
+    if m is None:
+        return None
+    qualified, path = m.group(1), m.group(2)
+    schema_name, _, table = qualified.rpartition(".")
+    spec = CopySpec(table=table, schema_name=schema_name or None, path=path)
+    tokens = _tokenize_options(sql[m.end():].rstrip().rstrip(";"))
+    i = 0
+    explicit_delim = False
+    while i < len(tokens):
+        t = tokens[i].upper()
+        i += 1
+        if t == "FORMAT":
+            if i < len(tokens) and tokens[i].upper() == "AS":
+                i += 1
+            spec.format = tokens[i].lower()
+            i += 1
+        elif t in ("CSV", "PARQUET", "JSON"):
+            spec.format = t.lower()
+        elif t == "DELIMITER":
+            raw, i = _take_string(tokens, i, "DELIMITER")
+            spec.delimiter = _unquote(raw)
+            explicit_delim = True
+        elif t == "IGNOREHEADER":
+            raw, i = _take_string(tokens, i, "IGNOREHEADER")
+            n = int(_unquote(raw))
+            if n > 1:
+                raise ValueError(
+                    f"IGNOREHEADER {n}: only 0 (no header) or 1 (header row) "
+                    "lower onto the CSV reader"
+                )
+            spec.header = n == 1
+        elif t in _IGNORED_STR_OPTS:
+            _, i = _take_string(tokens, i, t)  # authorization: parsed, ignored
+        elif t in _IGNORED_BARE_OPTS:
+            pass
+        else:
+            raise ValueError(f"unsupported COPY option: {tokens[i - 1]!r}")
+    if spec.format == "csv" and not explicit_delim:
+        # bare CSV keyword means comma; Redshift's no-format default is '|'
+        spec.delimiter = "," if "csv" in (tok.lower() for tok in tokens) else "|"
+    if spec.format not in ("csv", "parquet", "json"):
+        raise ValueError(f"unsupported COPY format: {spec.format!r}")
+    return spec
+
+
+def parse_unload(sql: str) -> UnloadSpec | None:
+    """Parse an ``UNLOAD ('query') TO 'path' [options]`` statement;
+    ``None`` if not an UNLOAD. The inner query's ``''`` escapes are
+    unfolded (Redshift requires doubling quotes inside the literal)."""
+    m = _UNLOAD_HEAD_RE.match(sql)
+    if m is None:
+        return None
+    # scan the quoted query body honoring '' escapes
+    i = m.end()
+    out = []
+    while i < len(sql):
+        ch = sql[i]
+        if ch == "'":
+            if i + 1 < len(sql) and sql[i + 1] == "'":
+                out.append("'")
+                i += 2
+                continue
+            break
+        out.append(ch)
+        i += 1
+    else:
+        raise ValueError("UNLOAD: unterminated query literal")
+    query = "".join(out)
+    tail = sql[i + 1:]
+    tm = re.match(r"\s*\)\s*TO\s+'([^']+)'", tail, re.IGNORECASE)
+    if tm is None:
+        raise ValueError("UNLOAD: expected ('query') TO 'path'")
+    spec = UnloadSpec(query=query, path=tm.group(1))
+    tokens = _tokenize_options(tail[tm.end():].rstrip().rstrip(";"))
+    i = 0
+    explicit_delim = False
+    saw_csv = False
+    while i < len(tokens):
+        t = tokens[i].upper()
+        i += 1
+        if t == "FORMAT":
+            if i < len(tokens) and tokens[i].upper() == "AS":
+                i += 1
+            spec.format = tokens[i].lower()
+            saw_csv = saw_csv or spec.format == "csv"
+            i += 1
+        elif t in ("CSV", "PARQUET", "JSON"):
+            spec.format = t.lower()
+            saw_csv = saw_csv or t == "CSV"
+        elif t == "DELIMITER":
+            raw, i = _take_string(tokens, i, "DELIMITER")
+            spec.delimiter = _unquote(raw)
+            explicit_delim = True
+        elif t == "HEADER":
+            spec.header = True
+        elif t == "PARALLEL":
+            if i < len(tokens) and tokens[i].upper() in ("OFF", "ON", "TRUE", "FALSE"):
+                spec.single_file = tokens[i].upper() in ("OFF", "FALSE")
+                i += 1
+            else:
+                raise ValueError("PARALLEL expects OFF|ON|TRUE|FALSE")
+        elif t == "PARTITION":
+            if i < len(tokens) and tokens[i].upper() == "BY":
+                i += 1
+            if i >= len(tokens) or tokens[i] != "(":
+                raise ValueError("PARTITION BY expects (col, ...)")
+            i += 1
+            cols = []
+            while i < len(tokens) and tokens[i] != ")":
+                if tokens[i] != ",":
+                    cols.append(tokens[i])
+                i += 1
+            i += 1  # closing paren
+            spec.partition_by = cols
+        elif t in _IGNORED_STR_OPTS:
+            _, i = _take_string(tokens, i, t)
+        elif t in _IGNORED_BARE_OPTS:
+            pass
+        else:
+            raise ValueError(f"unsupported UNLOAD option: {tokens[i - 1]!r}")
+    if spec.format == "csv" and not explicit_delim and saw_csv:
+        spec.delimiter = ","
+    if spec.format not in ("csv", "json", "parquet"):
+        raise ValueError(f"unsupported UNLOAD format: {spec.format!r}")
+    if spec.partition_by and spec.single_file:
+        spec.single_file = False  # a partitioned export is many files
+    return spec
+
+
+def execute_copy(spark, spec: CopySpec) -> int:
+    """Lower a parsed COPY onto the native ingest layer (A1/A5);
+    returns rows in the target after the load."""
+    from ..ingest import ingest_files
+
+    return ingest_files(
+        spark,
+        spec.path,
+        spec.table,
+        format=spec.format,
+        schema_name=spec.schema_name,
+        insert_method="append",
+        header=spec.header,
+        delimiter=spec.delimiter,
+    )
+
+
+def execute_unload(spark, spec: UnloadSpec) -> int:
+    """Lower a parsed UNLOAD onto the native export layer (A7/A8);
+    returns rows written. The inner query passes through the dialect
+    shim, same as any pass-through SELECT."""
+    from ..export import write_result
+    from . import translate_redshift_sql
+
+    df = spark.sql(translate_redshift_sql(spec.query))
+    if spec.format == "csv" and spec.delimiter != ",":
+        # write_result's CSV path writes comma-separated; honor the
+        # Redshift pipe default / explicit DELIMITER via the sep option
+        import glob
+        import os
+        import shutil
+        import tempfile
+
+        os.makedirs(os.path.dirname(os.path.abspath(spec.path)) or ".", exist_ok=True)
+        n = df.count()
+        if spec.single_file:
+            parent = os.path.dirname(os.path.abspath(spec.path))
+            tmp_dir = tempfile.mkdtemp(prefix="bp_unload_", dir=parent)
+            try:
+                (
+                    df.coalesce(1).write.mode("overwrite")
+                    .option("header", spec.header).option("sep", spec.delimiter)
+                    .csv(tmp_dir)
+                )
+                parts = glob.glob(os.path.join(tmp_dir, "part-*"))
+                if len(parts) != 1:
+                    raise RuntimeError(f"expected one part file, found {parts}")
+                shutil.move(parts[0], spec.path)
+            finally:
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+            return n
+        w = df.write.mode("overwrite").option("header", spec.header).option(
+            "sep", spec.delimiter
+        )
+        if spec.partition_by:
+            w = w.partitionBy(*spec.partition_by)
+        w.csv(spec.path)
+        return n
+    return write_result(
+        df,
+        spec.path,
+        format=spec.format,
+        include_header=spec.header,
+        single_file=spec.single_file,
+        partition_by=spec.partition_by or None,
+    )

@@ -986,6 +986,53 @@ def a03_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("bp_big_orders")
 
 
+@query(
+    "q57_copy_unload_sql",
+    oracle="""
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_acctbal
+    FROM customer WHERE c_acctbal > 1000
+    """,
+    doc="COPY / UNLOAD accepted AS SQL statements (execute_sql.py:23,64 "
+        "— the two Redshift statements the reference's blueprints "
+        "package as CLIs, lowered onto the native ingest/export layer "
+        "by functions/copy_unload.py): UNLOAD the fixture to a "
+        "pipe-delimited file, COPY it into a catalog table "
+        "(IGNOREHEADER, Redshift default delimiter), UNLOAD a filtered "
+        "query over that table with HEADER PARALLEL OFF, read back — "
+        "two full statement round-trips, type-exact through the CSV "
+        "(shortest-round-trip doubles)",
+    tags=("native", "sql", "dialect"),
+)
+def q57_copy_unload_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sqlrun import execute_sql
+
+    views(spark, sf_dir, "customer")
+    tmp = tempfile.mkdtemp(prefix="bp_cu_")
+    src = os.path.join(tmp, "customer_pipe.csv")
+    execute_sql(
+        spark,
+        f"UNLOAD ('SELECT c_custkey, c_name, c_acctbal FROM customer') "
+        f"TO '{src}' HEADER PARALLEL OFF",
+    )
+    spark.sql("DROP TABLE IF EXISTS bp_copy_customer")
+    execute_sql(
+        spark, f"COPY bp_copy_customer FROM '{src}' IGNOREHEADER 1"
+    )
+    out = os.path.join(tmp, "balances.csv")
+    execute_sql(
+        spark,
+        "UNLOAD ('SELECT c_custkey, c_name, c_acctbal "
+        "FROM bp_copy_customer WHERE c_acctbal > 1000') "
+        f"TO '{out}' HEADER PARALLEL OFF",
+    )
+    return spark.read.options(header=True, sep="|").schema(
+        "c_custkey long, c_name string, c_acctbal double"
+    ).csv(out)
+
+
 # --------------------------------------------------------------------------
 # Part C: LLM-data-pipeline operators — dedup + similarity search
 # (SURVEY.md §2 Part C; BASELINE.json north star).

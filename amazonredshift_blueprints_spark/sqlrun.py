@@ -22,13 +22,36 @@ from .functions import translate_redshift_sql
 def execute_sql(spark: SparkSession, query: str) -> None:
     """Execute an arbitrary statement; discard any result (execute_sql.py:77).
 
-    DML/DDL statements execute eagerly inside ``spark.sql`` itself (their
-    analyzed plan is a ``CommandResult``); for plain SELECTs the plan is
-    forced through the no-op sink so the query *runs* (reference parity:
-    side effects happen, errors surface) without materializing a single
-    row on the driver — a ``.collect()`` here would OOM the driver on a
-    large pass-through SELECT.
+    ``COPY table FROM 'path'`` / ``UNLOAD ('sql') TO 'path'`` — the two
+    Redshift statements the reference's own blueprints package as CLIs —
+    are recognized here and lowered onto the native ingest/export layer
+    (functions/copy_unload.py), so pass-through SQL that drove Redshift
+    loads keeps working.
+
+    Other DML/DDL statements execute eagerly inside ``spark.sql`` itself
+    (their analyzed plan is a ``CommandResult``); for plain SELECTs the
+    plan is forced through the no-op sink so the query *runs* (reference
+    parity: side effects happen, errors surface) without materializing a
+    single row on the driver — a ``.collect()`` here would OOM the
+    driver on a large pass-through SELECT.
     """
+    from .functions.copy_unload import (
+        execute_copy,
+        execute_unload,
+        parse_copy,
+        parse_unload,
+    )
+
+    copy_spec = parse_copy(query)
+    if copy_spec is not None:
+        execute_copy(spark, copy_spec)
+        print("Your query has been successfully executed.")
+        return
+    unload_spec = parse_unload(query)
+    if unload_spec is not None:
+        execute_unload(spark, unload_spec)
+        print("Your query has been successfully executed.")
+        return
     df = spark.sql(translate_redshift_sql(query))
     analyzed = df._jdf.queryExecution().analyzed().getClass().getSimpleName()
     if "Command" not in analyzed:

@@ -234,3 +234,75 @@ def test_ratio_to_report_translation():
     # inside a string literal -> untouched
     out = translate_redshift_sql("SELECT 'RATIO_TO_REPORT(x) OVER (w)' FROM t")
     assert "'RATIO_TO_REPORT(x) OVER (w)'" in out
+
+
+class TestCopyUnloadStatements:
+    """COPY/UNLOAD accepted as SQL (the reference's pass-through site)."""
+
+    def test_parse_copy_options(self):
+        from amazonredshift_blueprints_spark.functions.copy_unload import parse_copy
+
+        spec = parse_copy(
+            "COPY sales.t FROM '/tmp/x.csv' CSV IGNOREHEADER 1 "
+            "IAM_ROLE 'ignored' GZIP;"
+        )
+        assert (spec.table, spec.schema_name) == ("t", "sales")
+        assert spec.format == "csv" and spec.header and spec.delimiter == ","
+        # Redshift default text format: pipe-delimited, no header
+        spec2 = parse_copy("COPY t FROM '/d/f.txt' DELIMITER AS '\t'")
+        assert spec2.delimiter == "\t" and not spec2.header
+        assert parse_copy("SELECT 1") is None
+        spec3 = parse_copy("COPY t FROM '/d/p' FORMAT AS PARQUET")
+        assert spec3.format == "parquet"
+
+    def test_parse_copy_rejects_unknown_option(self):
+        import pytest
+
+        from amazonredshift_blueprints_spark.functions.copy_unload import parse_copy
+
+        with pytest.raises(ValueError, match="unsupported COPY option"):
+            parse_copy("COPY t FROM '/d/f' ESCAPE")
+        with pytest.raises(ValueError, match="IGNOREHEADER"):
+            parse_copy("COPY t FROM '/d/f' IGNOREHEADER 3")
+
+    def test_parse_unload_options_and_escapes(self):
+        from amazonredshift_blueprints_spark.functions.copy_unload import parse_unload
+
+        spec = parse_unload(
+            "UNLOAD ('SELECT * FROM t WHERE name = ''o''''brien''') "
+            "TO '/tmp/out' CSV HEADER PARALLEL OFF REGION 'ignored'"
+        )
+        assert spec.query == "SELECT * FROM t WHERE name = 'o''brien'"
+        assert spec.header and spec.single_file and spec.delimiter == ","
+        p = parse_unload(
+            "UNLOAD ('SELECT a, b FROM t') TO '/tmp/d' "
+            "FORMAT AS PARQUET PARTITION BY (a)"
+        )
+        assert p.format == "parquet" and p.partition_by == ["a"]
+        assert not p.single_file
+        assert parse_unload("COPY t FROM '/x'") is None
+
+    def test_copy_unload_execute_roundtrip(self, spark, tmp_path):
+        """UNLOAD parquet + pipe CSV, COPY back, via execute_sql only."""
+        from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+        spark.createDataFrame(
+            [(1, "a,b", 1.5), (2, "c|d", -2.25)], "k long, s string, v double"
+        ).createOrReplaceTempView("t_cu_src")
+        # parquet UNLOAD (directory mode)
+        pq = str(tmp_path / "out_pq")
+        execute_sql(spark, f"UNLOAD ('SELECT * FROM t_cu_src') TO '{pq}' FORMAT AS PARQUET")
+        assert spark.read.parquet(pq).count() == 2
+        # pipe-delimited single file with embedded delimiters (quoted)
+        csv = str(tmp_path / "out.csv")
+        execute_sql(
+            spark,
+            f"UNLOAD ('SELECT * FROM t_cu_src') TO '{csv}' HEADER PARALLEL OFF",
+        )
+        spark.sql("DROP TABLE IF EXISTS t_cu_copied")
+        execute_sql(spark, f"COPY t_cu_copied FROM '{csv}' IGNOREHEADER 1")
+        got = {
+            (r.k, r.s, r.v) for r in spark.table("t_cu_copied").collect()
+        }
+        assert got == {(1, "a,b", 1.5), (2, "c|d", -2.25)}
+        spark.sql("DROP TABLE IF EXISTS t_cu_copied")
