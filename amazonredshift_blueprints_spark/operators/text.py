@@ -458,13 +458,22 @@ def length_histogram(
 QUANTILE_PROBS = (0.25, 0.5, 0.75, 0.9, 0.99)
 
 
+# Auto-engine cutover for length_quantiles: inputs whose optimizer-
+# estimated size exceeds this choose approx_percentile. 1 GiB of text is
+# far beyond any audit/oracle use and far below where the exact
+# aggregator's per-group buffering hurts — the advertised contract is
+# simply "small inputs audit exactly, big inputs cannot buffer by
+# accident".
+AUTO_APPROX_THRESHOLD_BYTES = 1 << 30
+
+
 def length_quantiles(
     df: DataFrame,
     text_col: str,
     *,
     strata_col: str | None = None,
     probs: tuple[float, ...] = QUANTILE_PROBS,
-    approximate: bool = False,
+    approximate: bool | None = None,
     accuracy: int = 10_000,
 ) -> DataFrame:
     """Token-length quantiles of a corpus, optionally per stratum
@@ -482,9 +491,20 @@ def length_quantiles(
       bounded memory ~O(accuracy·log n) per group): the 100 TB path,
       rank error ≤ 1/accuracy. Same plan shape, partial-aggregating,
       no buffering. Bounded against the exact path in tests.
+    - ``approximate=None`` (default) — AUTO: exact below
+      ``AUTO_APPROX_THRESHOLD_BYTES`` of optimizer-estimated input
+      (plan statistics — free, no extra scan), approximate above it,
+      so a naive 100 TB caller cannot buffer groups by accident.
+      Callers that need a specific engine (the c51 oracle audit, a
+      bound check) pass it explicitly.
     """
     from .dedup import tokens
 
+    if approximate is None:
+        est = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        approximate = est > AUTO_APPROX_THRESHOLD_BYTES
     fn = "approx_percentile" if approximate else "percentile"
     prob_sql = ", ".join(str(p) for p in probs)
     extra = f", {accuracy}" if approximate else ""

@@ -4170,7 +4170,9 @@ def c51_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import length_quantiles
 
     d = views(spark, sf_dir, "documents")["documents"]
-    return length_quantiles(d, "text", strata_col="lang")
+    # explicit exact engine: this entry IS the oracle audit form; the
+    # operator's default is AUTO (approx above its size threshold)
+    return length_quantiles(d, "text", strata_col="lang", approximate=False)
 
 
 @query(

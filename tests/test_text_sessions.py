@@ -443,3 +443,28 @@ def test_dup_span_coverage_interval_union(spark):
     # every 10-gram window of the 20-token doc... only the two copies of
     # the full phrase repeat (positions 0 and 10) -> union covers all 20
     assert r9["n_tokens"] == 20 and r9["dup_covered_tokens"] == 20
+
+
+def test_length_quantiles_auto_engine_threshold(spark, sf_dir, monkeypatch):
+    """approximate=None auto-selects: exact below AUTO_APPROX_THRESHOLD_BYTES
+    of optimizer-estimated input, approx above — so a naive huge-input
+    caller cannot hit the group-buffering aggregator by accident."""
+    from amazonredshift_blueprints_spark.operators import text as text_mod
+    from amazonredshift_blueprints_spark.operators.text import length_quantiles
+    from amazonredshift_blueprints_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def engine(df_out):
+        plan = df_out._jdf.queryExecution().analyzed().toString()
+        return "approx_percentile" if "approx_percentile" in plan else "percentile"
+
+    # fixture input: far below 1 GiB -> exact
+    assert engine(length_quantiles(d, "text")) == "percentile"
+    # shrink the threshold to force the auto path over the cutover
+    monkeypatch.setattr(text_mod, "AUTO_APPROX_THRESHOLD_BYTES", 0)
+    assert engine(length_quantiles(d, "text")) == "approx_percentile"
+    # explicit engines override auto in both directions
+    assert engine(length_quantiles(d, "text", approximate=False)) == "percentile"
+    monkeypatch.setattr(text_mod, "AUTO_APPROX_THRESHOLD_BYTES", 1 << 60)
+    assert engine(length_quantiles(d, "text", approximate=True)) == "approx_percentile"
