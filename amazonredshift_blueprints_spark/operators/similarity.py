@@ -1629,8 +1629,16 @@ def ivf_pq_residual_topk(
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
     d_sub = dim // n_subspaces
 
+    from pyspark.storagelevel import StorageLevel
+
     cells = assign_cells(corpus, cent_rows, id_col=id_col, vec_col=vec_col)
-    residuals = _residuals(cells, CENT)
+    # persisted: the residual table feeds the codebook init collect,
+    # every training iteration, and the final encode — without the
+    # persist the scan+quantize+assign+residual chain re-executes
+    # pq_iters+2 times. Released below once the (tiny, ≤ n_queries·k
+    # rows) result is materialized, so repeated calls in a long session
+    # do not accumulate cached corpus tables (the c61 pattern).
+    residuals = _residuals(cells, CENT).persist(StorageLevel.MEMORY_AND_DISK)
     R, _ = train_pq_codebook(
         residuals, n_subspaces=n_subspaces, n_codes=n_codes, iters=pq_iters
     )
@@ -1714,9 +1722,15 @@ def ivf_pq_residual_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist2"), F.asc("neighbor_id")
     )
-    return scored.withColumn(
-        "rank", F.row_number().over(w).cast("long")
-    ).filter(F.col("rank") <= k)
+    out = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        # eager: the result is ≤ n_queries·k rows — materializing it here
+        # lets the corpus-sized residual cache be released immediately
+        .localCheckpoint(eager=True)
+    )
+    residuals.unpersist()
+    return out
 
 
 def cross_corpus_near_duplicates(

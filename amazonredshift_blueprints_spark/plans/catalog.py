@@ -6002,59 +6002,63 @@ def q52_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # (a) code changed this round
-    "c49_bloom_pruned_join",
-    "c50_partitioned_layout_pruning",
-    "c45_repetition_stats",
-    "c46_length_histogram",
-    "c47_token_budget_sample",
-    "c48_cross_corpus_dedup",
-    "c05_dedup_embedding",
-    "c24_dedup_minhash_portable",
-    "c26_dedup_simhash_portable",
-    "c27_dedup_embedding_lsh",
-    "c07_ann_lsh_topk",
-    "c17_ann_ivf_topk",
-    "c28_ann_ivf_kmeans_topk",
-    "c37_ann_ivf_stored",
-    "c38_ann_lsh_portable_topk",
+    # (a) never driver-rowed: landed after the r7 window filled (judge
+    # verified q55/c71/c72/c73/q56 at sf0.01 in r7) or new this round
+    "q55_spatial_within_join",
+    "c71_ann_pq_topk",
+    "c72_ann_ivfpq_topk",
+    "c73_dup_span_coverage",
+    "q56_multi_exists_decorrelation",
+    "c74_ann_ivfpq_residual_topk",
+    "q57_copy_unload_sql",
+    # (b) stale r3 rows — the freshness debt VERDICT r7 #1 flags
+    "q08_join_theta",
+    "q09_join_cross",
+    "q16_window_frames",
+    "q18_setops",
+    "q21_scalar_conditional",
+    "q22_scalar_json",
+    "q23_cte_subquery",
+    # (c) code changed this round (advisor fixes, DML lock, pair-gen /
+    # CC optimization, semantic-dedup unpersist, quantile auto-engine,
+    # minhash sidecar, PPM bounds, top-k schema)
     "q35_dml_delete_update",
     "q42_dml_merge",
     "q53_merge_delete",
-    "c16_stateful_stream_counts",
-    "c36_stream_dedup",
-    "c42_stream_static_join",
-    "c43_stream_stream_join",
-    "c44_stream_upsert",
-    # (b) stale r03 driver rows
-    "c67_column_profile",
-    "c66_compact_small_files",
-    "c68_hll_sketch_table",
-    "c69_dsir_importance",
-    "c70_minhash_signature_store",
-    "q54_ordered_set_disc_mode",
-    # (c) r05 rows, oldest-first refresh (incl. r6-changed c29/c32)
+    "c04_dedup_ngram_jaccard",
     "c29_dedup_groups",
     "c32_pipeline_neardup_stratified",
-    "c64_image_decode_stats",
-    "c65_stream_stateful_topk",
-    "c56_hopping_window_rollup",
-    "q50_window_range_frame",
-    "c57_stream_sessions",
-    "c58_bm25_search",
-    "c59_robust_outliers",
-    "q51_super_variant",
-    "c54_incremental_rollup",
-    "c55_pipeline_curation",
-    "c62_feature_hashing",
-    "c63_unigram_logprob",
-    "c52_chunk_documents",
-    "c53_corpus_mix",
-    "c60_ann_ivf_append",
     "c61_semantic_dedup",
-    "q41_qualify",
-    "q52_ratio_to_report",
+    "c70_minhash_signature_store",
     "c51_length_quantiles",
+    "c64_image_decode_stats",
+    "c35_frame_sample",
+    "c14_multimodal_features",
+    "c65_stream_stateful_topk",
+    "a03_sql_passthrough",
+    # (d) oldest remaining rows (r5), oldest-first refresh
+    "q01_pricing_summary",
+    "q02_filter_project_string",
+    "q03_join_revenue_by_nation",
+    "q04_join_semi",
+    "q10_agg_hash",
+    "q15_window_rank",
+    "q17_topk",
+    "q19_scalar_dates",
+    "q20_scalar_math",
+    "c01_dedup_exact",
+    "q33_bucketed_colocated_join",
+    "q34_salted_skew_join",
+    "c18_text_tfidf",
+    "q36_json_typed_struct",
+    "q37_stats_aggregates",
+    "q38_correlated_scalar_subquery",
+    "q39_null_aware_anti_join",
+    "q40_pivot",
+    "c22_hash_split",
+    "q43_unpivot",
+    "q44_recursive_cte",
+    "q45_window_analytic_extra",
 ]
 
 
