@@ -232,6 +232,103 @@ def parse_unload(sql: str) -> UnloadSpec | None:
     return spec
 
 
+@dataclass
+class VacuumSpec:
+    table: str
+    mode: str = "full"  # full | "sort only" | "delete only"
+
+
+@dataclass
+class AnalyzeSpec:
+    table: str
+    columns: list[str] = field(default_factory=list)
+
+
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+(?:(FULL|SORT\s+ONLY|DELETE\s+ONLY|REINDEX)\s+)?"
+    r"([A-Za-z_][\w.]*)\s*"
+    r"(?:TO\s+\d+\s+PERCENT\s*)?(?:BOOST\s*)?;?\s*$",
+    re.IGNORECASE,
+)
+_ANALYZE_RE = re.compile(
+    r"^\s*ANALYZE\s+(?:VERBOSE\s+)?([A-Za-z_][\w.]*)\s*"
+    r"(?:\(([^)]*)\)\s*)?;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def parse_vacuum(sql: str) -> VacuumSpec | None:
+    """Parse ``VACUUM [FULL|SORT ONLY|DELETE ONLY|REINDEX] table [TO n
+    PERCENT] [BOOST]``. Bare ``VACUUM`` (all tables) is not lowered —
+    an all-tables rewrite is an operational decision, not a statement
+    side effect. REINDEX (interleaved keys) is accepted as FULL."""
+    m = _VACUUM_RE.match(sql)
+    if m is None:
+        return None
+    mode = (m.group(1) or "FULL").upper()
+    mode = "full" if mode == "REINDEX" else mode.lower().replace("  ", " ")
+    return VacuumSpec(table=m.group(2), mode=" ".join(mode.split()))
+
+
+def parse_analyze(sql: str) -> AnalyzeSpec | None:
+    """Parse ``ANALYZE [VERBOSE] table [(col, ...)]``."""
+    m = _ANALYZE_RE.match(sql)
+    if m is None:
+        return None
+    if m.group(1).upper() == "TABLE":
+        return None  # Spark-native ANALYZE TABLE syntax: pass through
+    cols = [
+        c.strip().strip('"') for c in (m.group(2) or "").split(",") if c.strip()
+    ]
+    return AnalyzeSpec(table=m.group(1), columns=cols)
+
+
+def execute_vacuum(spark, spec: VacuumSpec) -> None:
+    """Lower VACUUM onto a copy-on-write table rewrite (the dml.py
+    staging path, under the same per-table writer lock):
+
+    - FULL / SORT ONLY: the rewrite is range-partitioned + sorted on the
+      table's recorded SORTKEY (``SORTKEY_REGISTRY`` — captured when the
+      dialect shim stripped the clause from the CREATE), restoring the
+      zone-map layout Redshift's VACUUM restores; with no recorded key
+      the rewrite compacts without sorting (documented best-effort).
+    - DELETE ONLY: plain compacting rewrite — copy-on-write tables have
+      no unreclaimed deleted rows, so this is the file-count cleanup.
+
+    Output file count targets 128 MiB per file from optimizer-estimated
+    table size — small fragmented tables collapse to one file, the
+    Redshift "vacuum reclaims space" effect for a file-based catalog.
+    """
+    import math
+
+    from ..dml import _rewrite, _table_lock
+    from .redshift_compat import SORTKEY_REGISTRY
+
+    keys = SORTKEY_REGISTRY.get(spec.table.lower(), [])
+    with _table_lock(spark, spec.table):
+        df = spark.table(spec.table)
+        est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        n_files = max(1, math.ceil(est / (128 << 20)))
+        if keys and spec.mode in ("full", "sort only"):
+            out = df.repartitionByRange(n_files, *keys).sortWithinPartitions(*keys)
+        else:
+            out = df.repartition(n_files)
+        _rewrite(spark, spec.table, out)
+
+
+def execute_analyze(spark, spec: AnalyzeSpec) -> None:
+    """Lower ANALYZE onto Spark's native statistics collection: table
+    row-count/size stats always, plus column-level stats (ndv, min/max,
+    null counts — what feeds CBO join reordering / broadcast choices)
+    for the named columns, or all columns when none are named —
+    Redshift's default of analyzing every column."""
+    target = "FOR ALL COLUMNS" if not spec.columns else (
+        "FOR COLUMNS " + ", ".join(spec.columns)
+    )
+    spark.sql(f"ANALYZE TABLE {spec.table} COMPUTE STATISTICS")
+    spark.sql(f"ANALYZE TABLE {spec.table} COMPUTE STATISTICS {target}")
+
+
 def execute_copy(spark, spec: CopySpec) -> int:
     """Lower a parsed COPY onto the native ingest layer (A1/A5);
     returns rows in the target after the load."""

@@ -447,10 +447,42 @@ _LAYOUT_CLAUSES = [
     re.compile(r"\bENCODE\s+\w+\b", re.IGNORECASE),
 ]
 
+# table (lowercased, as written in the DDL) → declared SORTKEY columns.
+# Spark has no sort-key table property for parquet tables, so the shim
+# records the clause it strips; VACUUM (functions/copy_unload.py) reads
+# it back to sort the rewrite — the Redshift behavior where VACUUM
+# restores SORTKEY order. Session-scoped, best-effort: a table created
+# outside the shim simply has no registered key and VACUUM compacts
+# without sorting.
+SORTKEY_REGISTRY: dict[str, list[str]] = {}
+
+_CREATE_TABLE_RE = re.compile(
+    r"\bCREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"([A-Za-z_][\w.]*)",
+    re.IGNORECASE,
+)
+_SORTKEY_COLS_RE = re.compile(
+    r"\b(?:COMPOUND\s+|INTERLEAVED\s+)?SORTKEY\s*\(([^)]*)\)", re.IGNORECASE
+)
+
+
+def _record_sortkey(sql: str) -> None:
+    m = _CREATE_TABLE_RE.search(sql)
+    if m is None or _inside_string(sql, m.start()):
+        return
+    sk = _SORTKEY_COLS_RE.search(sql)
+    if sk is None or _inside_string(sql, sk.start()):
+        return
+    cols = [c.strip().strip('"').lower() for c in sk.group(1).split(",") if c.strip()]
+    if cols:
+        SORTKEY_REGISTRY[m.group(1).lower()] = cols
+
 
 def _strip_layout_clauses(sql: str) -> str:
     """Remove Redshift physical-layout DDL clauses Spark cannot parse.
-    SQL without such clauses passes through byte-identical."""
+    SQL without such clauses passes through byte-identical; a stripped
+    SORTKEY is recorded in :data:`SORTKEY_REGISTRY` for VACUUM."""
+    _record_sortkey(sql)
     stripped = False
     for pat in _LAYOUT_CLAUSES:
         out = []

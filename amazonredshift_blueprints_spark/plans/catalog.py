@@ -1033,6 +1033,57 @@ def q57_copy_unload_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).csv(out)
 
 
+@query(
+    "q58_vacuum_analyze_sql",
+    oracle="""
+    SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_custkey
+    """,
+    doc="VACUUM / ANALYZE accepted as SQL (the two maintenance "
+        "statements every Redshift operator runs, execute_sql.py "
+        "pass-through site): CREATE TABLE with DISTKEY/SORTKEY (shim "
+        "strips the layout clauses, records the SORTKEY), fragmented "
+        "multi-statement INSERT loads, VACUUM (copy-on-write rewrite "
+        "range-sorted on the recorded SORTKEY under the DML writer "
+        "lock -> zone-map layout, compacted files), ANALYZE (Spark "
+        "native table+column statistics feeding CBO). Result is the "
+        "post-maintenance table aggregated — VACUUM/ANALYZE must be "
+        "value-neutral, which is exactly what the oracle checks",
+    tags=("native", "sql", "dialect", "maintenance"),
+)
+def q58_vacuum_analyze_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sqlrun import execute_sql
+
+    views(spark, sf_dir, "orders")
+    spark.sql("DROP TABLE IF EXISTS bp_vac_orders")
+    execute_sql(
+        spark,
+        "CREATE TABLE bp_vac_orders (o_custkey BIGINT, o_totalprice DOUBLE) "
+        "DISTSTYLE KEY DISTKEY(o_custkey) COMPOUND SORTKEY(o_custkey)",
+    )
+    # three fragmented loads (the small-append pattern VACUUM cleans up)
+    for bucket in (0, 1, 2):
+        execute_sql(
+            spark,
+            "INSERT INTO bp_vac_orders "
+            "SELECT o_custkey, o_totalprice FROM orders "
+            f"WHERE o_orderstatus = 'F' AND o_orderkey % 3 = {bucket}",
+        )
+    execute_sql(spark, "VACUUM bp_vac_orders")
+    execute_sql(spark, "ANALYZE bp_vac_orders")
+    return (
+        spark.table("bp_vac_orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Part C: LLM-data-pipeline operators — dedup + similarity search
 # (SURVEY.md §2 Part C; BASELINE.json north star).
@@ -6011,6 +6062,7 @@ _DRIVER_WINDOW = [
     "q56_multi_exists_decorrelation",
     "c74_ann_ivfpq_residual_topk",
     "q57_copy_unload_sql",
+    "q58_vacuum_analyze_sql",
     # (b) stale r3 rows — the freshness debt VERDICT r7 #1 flags
     "q08_join_theta",
     "q09_join_cross",
@@ -6058,7 +6110,6 @@ _DRIVER_WINDOW = [
     "c22_hash_split",
     "q43_unpivot",
     "q44_recursive_cte",
-    "q45_window_analytic_extra",
 ]
 
 

@@ -36,22 +36,27 @@ def execute_sql(spark: SparkSession, query: str) -> None:
     driver on a large pass-through SELECT.
     """
     from .functions.copy_unload import (
+        execute_analyze,
         execute_copy,
         execute_unload,
+        execute_vacuum,
+        parse_analyze,
         parse_copy,
         parse_unload,
+        parse_vacuum,
     )
 
-    copy_spec = parse_copy(query)
-    if copy_spec is not None:
-        execute_copy(spark, copy_spec)
-        print("Your query has been successfully executed.")
-        return
-    unload_spec = parse_unload(query)
-    if unload_spec is not None:
-        execute_unload(spark, unload_spec)
-        print("Your query has been successfully executed.")
-        return
+    for parse, execute in (
+        (parse_copy, execute_copy),
+        (parse_unload, execute_unload),
+        (parse_vacuum, execute_vacuum),
+        (parse_analyze, execute_analyze),
+    ):
+        spec = parse(query)
+        if spec is not None:
+            execute(spark, spec)
+            print("Your query has been successfully executed.")
+            return
     df = spark.sql(translate_redshift_sql(query))
     analyzed = df._jdf.queryExecution().analyzed().getClass().getSimpleName()
     if "Command" not in analyzed:

@@ -306,3 +306,69 @@ class TestCopyUnloadStatements:
         }
         assert got == {(1, "a,b", 1.5), (2, "c|d", -2.25)}
         spark.sql("DROP TABLE IF EXISTS t_cu_copied")
+
+
+class TestVacuumAnalyzeStatements:
+    def test_parse_vacuum_modes(self):
+        from amazonredshift_blueprints_spark.functions.copy_unload import parse_vacuum
+
+        assert parse_vacuum("VACUUM t;").mode == "full"
+        assert parse_vacuum("VACUUM FULL s.t TO 95 PERCENT BOOST").mode == "full"
+        assert parse_vacuum("VACUUM SORT ONLY t").mode == "sort only"
+        assert parse_vacuum("VACUUM DELETE ONLY t").mode == "delete only"
+        assert parse_vacuum("VACUUM REINDEX t").mode == "full"
+        assert parse_vacuum("VACUUM") is None  # all-tables form: not lowered
+        assert parse_vacuum("SELECT 1") is None
+
+    def test_parse_analyze(self):
+        from amazonredshift_blueprints_spark.functions.copy_unload import parse_analyze
+
+        a = parse_analyze("ANALYZE VERBOSE t (a, b);")
+        assert a.table == "t" and a.columns == ["a", "b"]
+        assert parse_analyze("ANALYZE t").columns == []
+        # Spark-native syntax must pass through untouched
+        assert parse_analyze("ANALYZE TABLE t COMPUTE STATISTICS") is None
+        assert parse_analyze("ANALYZE TABLE") is None
+
+    def test_vacuum_sorts_by_recorded_sortkey_and_compacts(self, spark):
+        """DDL with SORTKEY (stripped by the shim, recorded in the
+        registry) -> fragmented writes -> VACUUM -> one file, sorted:
+        the zone-map layout Redshift's VACUUM restores."""
+        import glob
+        import os
+
+        from amazonredshift_blueprints_spark.functions.redshift_compat import (
+            SORTKEY_REGISTRY,
+        )
+        from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+        spark.sql("DROP TABLE IF EXISTS t_vac")
+        execute_sql(
+            spark,
+            "CREATE TABLE t_vac (k INT, v DOUBLE) DISTSTYLE EVEN "
+            "DISTKEY(k) COMPOUND SORTKEY(k)",
+        )
+        assert SORTKEY_REGISTRY["t_vac"] == ["k"]
+        # fragmented, unsorted inserts
+        for lo in (50, 0, 25):
+            spark.createDataFrame(
+                [(k, float(k)) for k in range(lo, lo + 25)], "k int, v double"
+            ).write.mode("append").format("parquet").saveAsTable("t_vac")
+        loc = (
+            spark.sql("DESCRIBE EXTENDED t_vac")
+            .filter("col_name = 'Location'")
+            .first()["data_type"]
+        ).removeprefix("file:")
+        assert len(glob.glob(os.path.join(loc, "*.parquet"))) >= 3
+        execute_sql(spark, "VACUUM t_vac")
+        files = glob.glob(os.path.join(loc, "*.parquet"))
+        assert len(files) == 1  # tiny table -> one ~target-size file
+        got = [r.k for r in spark.read.parquet(files[0]).collect()]
+        assert got == sorted(got)  # SORTKEY order restored inside the file
+        assert spark.table("t_vac").count() == 75
+        execute_sql(spark, "ANALYZE t_vac (k)")
+        stats = spark.sql("DESCRIBE EXTENDED t_vac").filter(
+            "col_name = 'Statistics'"
+        ).collect()
+        assert stats and "rows" in stats[0]["data_type"]
+        spark.sql("DROP TABLE IF EXISTS t_vac")
