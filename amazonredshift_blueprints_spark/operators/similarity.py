@@ -1733,6 +1733,74 @@ def ivf_pq_residual_topk(
     return out
 
 
+def ivf_pq_refine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    refine_factor: int = 4,
+    coarse_iters: int = 2,
+    pq_iters: int = 2,
+) -> DataFrame:
+    """IVF-PQ + exact re-rank — FAISS's ``IndexRefineFlat`` pattern, the
+    last piece of the production ANN stack: the compressed index
+    (:func:`ivf_pq_residual_topk`) generates ``k·refine_factor``
+    candidates per query by approximate ADC distance, then ONLY those
+    candidates are re-scored against their full-precision vectors and
+    the exact-cosine top-k is returned. ADC's quantization error decides
+    which ~R rows get read, never the final ranking — recall converges
+    to the probed-cells ceiling as refine_factor grows, while the full
+    vectors are fetched for R rows per query instead of the whole
+    corpus.
+
+    Returns (query_id, neighbor_id, cosine, rank ≤ k) — the same
+    contract as :func:`brute_force_topk`, which is the fallback this
+    replaces at scale.
+
+    100 TB: the candidate table is n_queries·R ids (tiny) — it
+    BROADCASTS against the corpus vector table, so the refine step is
+    one broadcast-hash join + R exact dot products per query; no
+    shuffle of corpus vectors, no second index. Deterministic: ADC
+    candidate cut and final cosine rank both tie-break on neighbor_id.
+    """
+    cand = ivf_pq_residual_topk(
+        corpus, queries,
+        id_col=id_col, vec_col=vec_col,
+        n_cells=n_cells, nprobe=nprobe,
+        n_subspaces=n_subspaces, n_codes=n_codes,
+        k=k * refine_factor,
+        coarse_iters=coarse_iters, pq_iters=pq_iters,
+    ).select("query_id", "neighbor_id")
+    c = _with_quant(corpus, id_col, vec_col, "neighbor")
+    q = _with_quant(queries, id_col, vec_col, "query")
+    scored = (
+        F.broadcast(cand)
+        .join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_q(
+                dot_q(F.col("query_q"), F.col("neighbor_q")),
+                F.col("query_norm"),
+                F.col("neighbor_norm"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
 def cross_corpus_near_duplicates(
     new_df: DataFrame,
     ref_df: DataFrame,

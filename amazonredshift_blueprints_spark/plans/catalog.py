@@ -5689,10 +5689,10 @@ def c72_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_residual_oracle(
-    *, n_cells: int, nprobe: int, n_subspaces: int, n_codes: int, k: int,
+def _ivfpq_residual_ctes(
+    *, n_cells: int, nprobe: int, n_subspaces: int, n_codes: int,
     n_queries: int, coarse_iters: int, pq_iters: int,
-) -> str:
+) -> list[str]:
     """DuckDB replay of trained residual IVF-PQ (c74, FAISS IVFADC):
     the shared coarse k-means chain (:func:`_duck_kmeans_ctes`), cell
     assignment, residuals, ``pq_iters`` unrolled per-subspace integer
@@ -5824,12 +5824,66 @@ def _ivfpq_residual_oracle(
                AND qd.s = c.s AND qd.cid = c.code
         GROUP BY 1, 2
     )""")
+    return ctes
+
+
+def _ivfpq_residual_oracle(
+    *, n_cells: int, nprobe: int, n_subspaces: int, n_codes: int, k: int,
+    n_queries: int, coarse_iters: int, pq_iters: int,
+) -> str:
+    ctes = _ivfpq_residual_ctes(
+        n_cells=n_cells, nprobe=nprobe, n_subspaces=n_subspaces,
+        n_codes=n_codes, n_queries=n_queries,
+        coarse_iters=coarse_iters, pq_iters=pq_iters,
+    )
     return "WITH " + ",\n    ".join(ctes) + f"""
     SELECT query_id, neighbor_id, adc_dist2, rank FROM (
         SELECT *, CAST(row_number() OVER (
             PARTITION BY query_id ORDER BY adc_dist2, neighbor_id
         ) AS BIGINT) AS rank
         FROM adc
+    ) WHERE rank <= {k}
+    """
+
+
+def _ivfpq_refine_oracle(
+    *, n_cells: int, nprobe: int, n_subspaces: int, n_codes: int, k: int,
+    refine_factor: int, n_queries: int, coarse_iters: int, pq_iters: int,
+) -> str:
+    """DuckDB replay of IVF-PQ + exact re-rank (c75, FAISS
+    IndexRefineFlat): the full c74 CTE chain cut at rank <= k*refine
+    by ADC, then exact quantized cosine over ONLY those candidates."""
+    ctes = _ivfpq_residual_ctes(
+        n_cells=n_cells, nprobe=nprobe, n_subspaces=n_subspaces,
+        n_codes=n_codes, n_queries=n_queries,
+        coarse_iters=coarse_iters, pq_iters=pq_iters,
+    )
+    ctes.append(f"""cand AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY adc_dist2, neighbor_id
+            ) AS rn FROM adc
+        ) WHERE rn <= {k * refine_factor}
+    )""")
+    ctes.append(f"""nrm AS (
+        SELECT vec_id, qv,
+               CAST({_DUCK_DOT.format(a='qv', b='qv')} AS BIGINT) AS norm
+        FROM v
+    )""")
+    ctes.append(f"""rer AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               CAST({_DUCK_DOT.format(a='q.qv', b='n.qv')} AS DOUBLE)
+                 / (sqrt(CAST(q.norm AS DOUBLE)) * sqrt(CAST(n.norm AS DOUBLE))) AS cosine
+        FROM cand
+        JOIN nrm n ON n.vec_id = cand.neighbor_id
+        JOIN nrm q ON q.vec_id = cand.query_id
+    )""")
+    return "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS BIGINT) AS rank
+        FROM rer
     ) WHERE rank <= {k}
     """
 
@@ -5864,6 +5918,36 @@ def c74_ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, e.filter(F.col("vec_id") < 10),
         n_cells=16, nprobe=4, n_subspaces=8, n_codes=16, k=5,
         coarse_iters=2, pq_iters=2,
+    )
+
+
+@query(
+    "c75_ann_ivfpq_refine_topk",
+    oracle=_ivfpq_refine_oracle(
+        n_cells=16, nprobe=4, n_subspaces=8, n_codes=16, k=5,
+        refine_factor=4, n_queries=10, coarse_iters=2, pq_iters=2,
+    ),
+    doc="IVF-PQ + exact re-rank (FAISS IndexRefineFlat, the last piece "
+        "of the production ANN stack): c74's trained compressed index "
+        "generates k*4 candidates per query by approximate ADC, then "
+        "ONLY those rows are re-scored against full-precision vectors "
+        "and the exact-cosine top-k returned — quantization error "
+        "decides which ~20 rows get READ, never the final ranking. The "
+        "candidate id table broadcasts against the corpus (one "
+        "broadcast-hash join, no corpus shuffle, no second index); "
+        "recall converges to the probed-cells ceiling as the refine "
+        "factor grows (pinned vs c74 in pytest)",
+    bench=True,
+    tags=("similarity", "approx"),
+)
+def c75_ann_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_pq_refine_topk
+
+    e = views(spark, sf_dir, "embeddings")["embeddings"]
+    return ivf_pq_refine_topk(
+        e, e.filter(F.col("vec_id") < 10),
+        n_cells=16, nprobe=4, n_subspaces=8, n_codes=16, k=5,
+        refine_factor=4, coarse_iters=2, pq_iters=2,
     )
 
 
@@ -6063,6 +6147,7 @@ _DRIVER_WINDOW = [
     "c74_ann_ivfpq_residual_topk",
     "q57_copy_unload_sql",
     "q58_vacuum_analyze_sql",
+    "c75_ann_ivfpq_refine_topk",
     # (b) stale r3 rows — the freshness debt VERDICT r7 #1 flags
     "q08_join_theta",
     "q09_join_cross",
@@ -6109,7 +6194,6 @@ _DRIVER_WINDOW = [
     "q40_pivot",
     "c22_hash_split",
     "q43_unpivot",
-    "q44_recursive_cte",
 ]
 
 

@@ -634,3 +634,34 @@ def test_pq_codebook_training_is_deterministic_and_improves_mse(spark, sf_dir):
     cb0, _ = train_pq_codebook(res, n_subspaces=8, n_codes=16, iters=0)
     # trained strictly better than the fixed-rule init on these fixtures
     assert mse(cb1, d_sub) < mse(cb0, d_sub)
+
+
+def test_ivfpq_refine_recall_at_least_unrefined(spark, sf_dir):
+    """c75: exact re-rank of k*4 ADC candidates must recall at least as
+    much of the true cosine top-k as c74's direct ADC top-k — refinement
+    re-orders candidates by exact distance, so it can only keep or gain
+    true neighbors within the probed-cell ceiling."""
+    from amazonredshift_blueprints_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_refine_topk,
+        ivf_pq_residual_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 10)
+    kw = dict(n_cells=16, nprobe=4, n_subspaces=8, n_codes=16, k=5,
+              coarse_iters=2, pq_iters=2)
+
+    def sets(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return got
+
+    truth = sets(brute_force_topk(e, qs, k=5))
+    base = sets(ivf_pq_residual_topk(e, qs, **kw))
+    refined = sets(ivf_pq_refine_topk(e, qs, refine_factor=4, **kw))
+    r_base = sum(len(base.get(q, set()) & t) for q, t in truth.items())
+    r_ref = sum(len(refined.get(q, set()) & t) for q, t in truth.items())
+    assert r_ref >= r_base, (r_ref, r_base)
+    assert all(len(v) == 5 for v in refined.values())
