@@ -1161,20 +1161,23 @@ def semantic_dedup(
         .select(F.col("b_id").alias("_drop_id"))
         .distinct()
     )
-    # Materialize the drop set NOW (id-only, 16 B/row — bounded even at
-    # corpus scale) so the persisted cells table can be released before
+    # Materialize the SURVIVORS eagerly while the cell table is still
+    # cached — the pair scan and the anti-join each read the cache, the
+    # whole pipeline runs exactly once — then release the cache before
     # returning: a long-lived session calling semantic_dedup repeatedly
-    # must not accumulate cached embedding tables. The final anti-join
-    # recomputes the cell assignment once — a map-only Arrow pass with
-    # zero exchanges — which is the explicit price of not leaking cache.
-    drops = drops.localCheckpoint(eager=True)
-    cells.unpersist()
-    return (
+    # must not accumulate cached embedding tables. The checkpointed
+    # result is (id, cell) only, 16 B/row — narrow even at corpus
+    # scale, and orders of magnitude smaller than the embedding cache
+    # it replaces.
+    out = (
         cells.join(
             drops, cells["neighbor_id"] == drops["_drop_id"], "left_anti"
         )
         .select(F.col("neighbor_id").alias(id_col), "cell")
+        .localCheckpoint(eager=True)
     )
+    cells.unpersist()
+    return out
 
 
 def _pq_codebook(
