@@ -681,3 +681,50 @@ def test_merge_unmatched_delete_parity_option(spark):
                 assert rows == {2: "y", 3: "z"}
         finally:
             spark.sql("DROP TABLE IF EXISTS t_merge_parity")
+
+
+def test_scd2_apply_full_snapshot_and_null_transitions(spark):
+    """SCD2 edge semantics: close_missing=True closes vanished keys;
+    NULL->value and value->NULL transitions version correctly (IS
+    DISTINCT FROM change detection); counters match."""
+    import datetime
+
+    from amazonredshift_blueprints_spark.dml import scd2_apply
+    from amazonredshift_blueprints_spark.ingest import _clean_stale_location
+
+    _clean_stale_location(spark, "t_scd2", None)
+    t0 = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [
+            (1, "a", t0, None, True),      # will change a -> NULL
+            (2, None, t0, None, True),     # will change NULL -> b
+            (3, "c", t0, None, True),      # unchanged
+            (4, "d", t0, None, True),      # vanishes from snapshot
+            (5, "old", t0, t0, False),     # history row: must pass through
+        ],
+        "k int, v string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    ).write.mode("overwrite").saveAsTable("t_scd2")
+    src = spark.createDataFrame(
+        [(1, None), (2, "b"), (3, "c"), (9, "new")], "k int, v string"
+    )
+    try:
+        n_closed, n_opened, n_kept = scd2_apply(
+            spark, "t_scd2", src, keys=["k"], tracked=["v"],
+            batch_ts="2024-06-01", close_missing=True,
+        )
+        assert (n_closed, n_opened, n_kept) == (3, 3, 1)  # 1,2 changed + 4 gone; 1,2,9 opened; 3 kept
+        rows = {
+            (r.k, r.is_current): (r.v, r.valid_to)
+            for r in spark.table("t_scd2").collect()
+        }
+        t1 = datetime.datetime(2024, 6, 1)
+        assert rows[(1, True)] == (None, None) and rows[(1, False)] == ("a", t1)
+        assert rows[(2, True)] == ("b", None) and rows[(2, False)] == (None, t1)
+        assert rows[(3, True)] == ("c", None)
+        assert rows[(4, False)] == ("d", t1)  # closed, no new current row
+        assert (4, True) not in rows
+        assert rows[(9, True)] == ("new", None)
+        assert rows[(5, False)] == ("old", t0)  # history untouched
+        assert len(rows) == 8 and spark.table("t_scd2").count() == 8
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_scd2")
