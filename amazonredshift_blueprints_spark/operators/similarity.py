@@ -1099,6 +1099,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     n_cells: int = 16,
     threshold_microcos: int = 400_000,
+    eager: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, compare pairs ONLY
@@ -1121,6 +1122,14 @@ def semantic_dedup(
     is id-only (16 B/row) and the final filter is a broadcast-able
     left-anti join. Deterministic: exact integer dot products, fixed
     tie rule.
+
+    ``eager`` (default): the survivors — (id, cell), 16 B/row — are
+    materialized via localCheckpoint while the cell table is cached
+    (every stage reads the cache, the pipeline runs once) and the
+    cache is released before returning, so long-lived sessions don't
+    accumulate cached embedding tables. ``eager=False`` returns the
+    lazy plan with the cell table still persisted — for plan audits,
+    or callers that compose further and manage the cache themselves.
     """
     cents = _with_quant(
         df.filter(F.col(id_col) < n_cells), id_col, vec_col, "cent"
@@ -1169,13 +1178,14 @@ def semantic_dedup(
     # result is (id, cell) only, 16 B/row — narrow even at corpus
     # scale, and orders of magnitude smaller than the embedding cache
     # it replaces.
-    out = (
-        cells.join(
-            drops, cells["neighbor_id"] == drops["_drop_id"], "left_anti"
-        )
-        .select(F.col("neighbor_id").alias(id_col), "cell")
-        .localCheckpoint(eager=True)
-    )
+    survivors = cells.join(
+        drops, cells["neighbor_id"] == drops["_drop_id"], "left_anti"
+    ).select(F.col("neighbor_id").alias(id_col), "cell")
+    if not eager:
+        # lazy mode keeps the full lineage visible (plan audits) and
+        # leaves the persisted cell table to the caller to release
+        return survivors
+    out = survivors.localCheckpoint(eager=True)
     cells.unpersist()
     return out
 

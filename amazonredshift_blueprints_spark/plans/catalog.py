@@ -1057,8 +1057,10 @@ def q57_copy_unload_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q58_vacuum_analyze_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sqlrun import execute_sql
 
+    from ..ingest import _clean_stale_location
+
     views(spark, sf_dir, "orders")
-    spark.sql("DROP TABLE IF EXISTS bp_vac_orders")
+    _clean_stale_location(spark, "bp_vac_orders", None)
     execute_sql(
         spark,
         "CREATE TABLE bp_vac_orders (o_custkey BIGINT, o_totalprice DOUBLE) "

@@ -259,7 +259,13 @@ def test_c59_events_never_row_shuffled(spark, sf_dir):
 
 
 def test_c61_semantic_dedup_cell_bounded(spark, sf_dir):
-    p = _plan(spark, sf_dir, "c61_semantic_dedup")
+    # eager=False keeps the lineage visible (the catalog entry's default
+    # eagerly checkpoints the survivors, which truncates the plan)
+    from amazonredshift_blueprints_spark.operators.similarity import semantic_dedup
+    from amazonredshift_blueprints_spark.session import load_table
+
+    df = semantic_dedup(load_table(spark, sf_dir, "embeddings"), eager=False)
+    p = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p           # pair stage keyed on cell
     assert "BroadcastNestedLoopJoin" not in p
     assert "MapInPandas" in p                    # Arrow cell assignment
