@@ -300,3 +300,54 @@ def test_q56_exists_decorrelated_to_joins(spark, sf_dir):
     # per-row subquery plan node
     assert "LeftSemi" in p and "LeftAnti" in p
     assert "CartesianProduct" not in p
+
+
+def test_c76_zorder_layout_prunes_on_every_dimension(spark, sf_dir, tmp_path):
+    """The point of Z-order vs a plain sort: file-level min/max zone
+    maps prune for predicates on EITHER clustered column. Measured on
+    the real written files via parquet footer statistics."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from amazonredshift_blueprints_spark.operators.layout import zorder_layout
+    from amazonredshift_blueprints_spark.session import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zdir = str(tmp_path / "zorder")
+    sdir = str(tmp_path / "price_sorted")
+    zorder_layout(o, zdir, ["o_totalprice", "o_custkey"], bits=4, n_files=16)
+    # baseline: single-column sort (what c66 compaction produces)
+    (
+        o.repartitionByRange(16, "o_totalprice")
+        .sortWithinPartitions("o_totalprice")
+        .write.mode("overwrite").parquet(sdir)
+    )
+
+    def overlapping(path, col, lo, hi):
+        n = hit = 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            fmin = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            fmax = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            n += 1
+            hit += not (fmax < lo or fmin > hi)
+        return hit, n
+
+    ck_lo, ck_hi = 1, o.agg({"o_custkey": "max"}).first()[0] // 8
+    z_hit, z_n = overlapping(zdir, "o_custkey", ck_lo, ck_hi)
+    s_hit, s_n = overlapping(sdir, "o_custkey", ck_lo, ck_hi)
+    assert z_n >= 8 and s_n >= 8
+    # price-sorted layout cannot prune a custkey predicate: every file
+    # spans the full custkey range; the z-ordered layout must prune
+    assert s_hit == s_n
+    assert z_hit < z_n, (z_hit, z_n)
+    # and the z-ordered layout still prunes on totalprice too
+    tp_hi = o.agg({"o_totalprice": "min"}).first()[0] + 1.0
+    z2_hit, _ = overlapping(zdir, "o_totalprice", 0.0, tp_hi)
+    assert z2_hit < z_n
+    # value-neutrality: same rows back
+    assert spark.read.parquet(zdir).count() == o.count()
