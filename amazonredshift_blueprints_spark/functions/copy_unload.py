@@ -329,6 +329,99 @@ def execute_analyze(spark, spec: AnalyzeSpec) -> None:
     spark.sql(f"ANALYZE TABLE {spec.table} COMPUTE STATISTICS {target}")
 
 
+# materialized-view registry: mv name (lowercased) → defining SELECT.
+# Session-scoped, like SORTKEY_REGISTRY: Spark's catalog has no MV object
+# for parquet tables, so the engine keeps the definition and implements
+# REFRESH as a full recompute — Redshift's own fallback when a query is
+# not incremental-eligible. (Incremental refresh for the aggregate
+# shapes that allow it is operators/maintenance.py's incremental-rollup
+# MERGE, c54 — compose it explicitly where the schema is known.)
+MV_REGISTRY: dict[str, str] = {}
+
+_CREATE_MV_RE = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_][\w.]*)\s*"
+    r"(?:BACKUP\s+(?:YES|NO)\s*)?(?:AUTO\s+REFRESH\s+(?:YES|NO)\s*)?"
+    r"AS\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_REFRESH_MV_RE = re.compile(
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([A-Za-z_][\w.]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_MV_RE = re.compile(
+    r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+@dataclass
+class MaterializedViewSpec:
+    action: str  # create | refresh | drop
+    name: str
+    query: str | None = None
+
+
+def parse_materialized_view(sql: str) -> MaterializedViewSpec | None:
+    """Parse the Redshift MV statement family: ``CREATE MATERIALIZED
+    VIEW name [BACKUP YES|NO] [AUTO REFRESH YES|NO] AS select``,
+    ``REFRESH MATERIALIZED VIEW name``, ``DROP MATERIALIZED VIEW
+    [IF EXISTS] name``. BACKUP/AUTO REFRESH are parsed and ignored
+    (they configure Redshift-internal behaviors; refresh here is
+    always on demand)."""
+    m = _CREATE_MV_RE.match(sql)
+    if m is not None:
+        return MaterializedViewSpec("create", m.group(1), m.group(2).rstrip("; \n"))
+    m = _REFRESH_MV_RE.match(sql)
+    if m is not None:
+        return MaterializedViewSpec("refresh", m.group(1))
+    m = _DROP_MV_RE.match(sql)
+    if m is not None:
+        return MaterializedViewSpec("drop", m.group(1))
+    return None
+
+
+def execute_materialized_view(spark, spec: MaterializedViewSpec) -> None:
+    """Lower MV statements onto catalog tables + the registry:
+
+    - CREATE materializes the defining query (through the dialect shim)
+      into a table and records the definition;
+    - REFRESH recomputes it and swaps via the copy-on-write staging
+      under the per-table writer lock — readers see the old content
+      until the overwrite commits, Redshift's refresh visibility;
+    - DROP drops both.
+
+    A REFRESH of an MV created in another session (registry empty)
+    fails loudly rather than guessing the definition.
+    """
+    from ..dml import _rewrite, _table_lock
+    from . import translate_redshift_sql
+
+    key = spec.name.lower()
+    if spec.action == "create":
+        df = spark.sql(translate_redshift_sql(spec.query))
+        df.write.mode("errorifexists").saveAsTable(spec.name)
+        MV_REGISTRY[key] = spec.query
+        return
+    if spec.action == "refresh":
+        if key not in MV_REGISTRY:
+            raise ValueError(
+                f"materialized view {spec.name!r} has no recorded definition "
+                "in this session; re-CREATE it (the registry is "
+                "session-scoped — Spark's catalog stores no MV objects)"
+            )
+        with _table_lock(spark, spec.name):
+            _rewrite(
+                spark, spec.name,
+                spark.sql(translate_redshift_sql(MV_REGISTRY[key])),
+            )
+        return
+    if spec.action == "drop":
+        spark.sql(f"DROP TABLE IF EXISTS {spec.name}")
+        MV_REGISTRY.pop(key, None)
+        return
+    raise ValueError(f"unknown MV action {spec.action!r}")
+
+
 def execute_copy(spark, spec: CopySpec) -> int:
     """Lower a parsed COPY onto the native ingest layer (A1/A5);
     returns rows in the target after the load."""

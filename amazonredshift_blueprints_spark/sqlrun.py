@@ -38,10 +38,12 @@ def execute_sql(spark: SparkSession, query: str) -> None:
     from .functions.copy_unload import (
         execute_analyze,
         execute_copy,
+        execute_materialized_view,
         execute_unload,
         execute_vacuum,
         parse_analyze,
         parse_copy,
+        parse_materialized_view,
         parse_unload,
         parse_vacuum,
     )
@@ -51,6 +53,7 @@ def execute_sql(spark: SparkSession, query: str) -> None:
         (parse_unload, execute_unload),
         (parse_vacuum, execute_vacuum),
         (parse_analyze, execute_analyze),
+        (parse_materialized_view, execute_materialized_view),
     ):
         spec = parse(query)
         if spec is not None:

@@ -372,3 +372,53 @@ class TestVacuumAnalyzeStatements:
         ).collect()
         assert stats and "rows" in stats[0]["data_type"]
         spark.sql("DROP TABLE IF EXISTS t_vac")
+
+
+class TestMaterializedViewStatements:
+    def test_parse_mv_family(self):
+        from amazonredshift_blueprints_spark.functions.copy_unload import (
+            parse_materialized_view,
+        )
+
+        c = parse_materialized_view(
+            "CREATE MATERIALIZED VIEW s.mv BACKUP NO AUTO REFRESH YES AS "
+            "SELECT a, COUNT(*) FROM t GROUP BY a;"
+        )
+        assert c.action == "create" and c.name == "s.mv"
+        assert c.query.startswith("SELECT a,")
+        r = parse_materialized_view("REFRESH MATERIALIZED VIEW mv")
+        assert (r.action, r.name) == ("refresh", "mv")
+        d = parse_materialized_view("DROP MATERIALIZED VIEW IF EXISTS mv;")
+        assert (d.action, d.name) == ("drop", "mv")
+        assert parse_materialized_view("CREATE VIEW v AS SELECT 1") is None
+        assert parse_materialized_view("SELECT 1") is None
+
+    def test_mv_stale_until_refresh_and_unknown_refresh_errors(self, spark):
+        import pytest
+
+        from amazonredshift_blueprints_spark.ingest import _clean_stale_location
+        from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+        execute_sql(spark, "DROP MATERIALIZED VIEW IF EXISTS t_mv")
+        for t in ("t_mv", "t_mv_base"):
+            _clean_stale_location(spark, t, None)
+        spark.createDataFrame([(1, 10), (2, 20)], "k int, v int").write.mode(
+            "overwrite"
+        ).saveAsTable("t_mv_base")
+        try:
+            execute_sql(
+                spark,
+                "CREATE MATERIALIZED VIEW t_mv AS "
+                "SELECT SUM(v) AS s FROM t_mv_base",
+            )
+            assert spark.table("t_mv").first()["s"] == 30
+            spark.sql("INSERT INTO t_mv_base VALUES (3, 70)")
+            # Redshift visibility: stale until REFRESH
+            assert spark.table("t_mv").first()["s"] == 30
+            execute_sql(spark, "REFRESH MATERIALIZED VIEW t_mv")
+            assert spark.table("t_mv").first()["s"] == 100
+            with pytest.raises(ValueError, match="no recorded definition"):
+                execute_sql(spark, "REFRESH MATERIALIZED VIEW t_mv_unknown")
+        finally:
+            execute_sql(spark, "DROP MATERIALIZED VIEW IF EXISTS t_mv")
+            spark.sql("DROP TABLE IF EXISTS t_mv_base")
