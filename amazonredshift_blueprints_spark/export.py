@@ -47,6 +47,9 @@ def store_query_results(
     (store_query_results.py:105-115); ``False`` writes a part-file
     directory at ``destination_path`` (the scale path).
     """
+    from .functions.system_tables import maybe_register_system_views
+
+    maybe_register_system_views(spark, query)
     df = spark.sql(translate_redshift_sql(query))
     return write_csv(
         df, destination_path, include_header=include_header, single_file=single_file

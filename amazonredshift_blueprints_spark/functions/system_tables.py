@@ -1,0 +1,107 @@
+"""Redshift system-table shims: ``PG_TABLE_DEF`` and ``SVV_TABLE_INFO``
+as views over the Spark session catalog.
+
+Reference basis: pass-through SQL (execute_sql.py:23,64 /
+store_query_results.py:17) routinely introspects the warehouse through
+these two tables — "what tables exist, what columns/types, how big,
+what sort key" is the first query every Redshift tool runs. Spark holds
+the same facts in ``spark.catalog`` plus this engine's layout registry
+(`redshift_compat.SORTKEY_REGISTRY`); this module materializes them
+under the Redshift names so that introspection SQL keeps working.
+
+Registration is on demand: :func:`maybe_register_system_views` is
+called from the SQL entry points and registers the views only when the
+statement references them — the catalog walk is driver-side metadata
+(bounded by the number of tables, the same listing any catalog UI
+does), refreshed at each referencing statement so DDL between
+statements is visible.
+
+Columns (the commonly-consumed subset, typed like Redshift's):
+
+- ``pg_table_def``: schemaname, tablename, "column", type, encoding
+  ('none' — Spark parquet has no per-column encodings to report),
+  distkey (always false), sortkey (1-based position in the recorded
+  SORTKEY, 0 otherwise).
+- ``svv_table_info``: schema, "table", diststyle ('AUTO'), sortkey1
+  (first recorded sort column or NULL), size_bytes / tbl_rows from the
+  catalog statistics when ANALYZE has computed them (NULL otherwise —
+  honestly absent, not guessed).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+
+_SYSTEM_NAMES = ("pg_table_def", "svv_table_info")
+_REF_RE = re.compile("|".join(_SYSTEM_NAMES), re.IGNORECASE)
+
+
+def _table_stats(spark: SparkSession, qualified: str) -> tuple[int | None, int | None]:
+    """(size_bytes, row_count) from DESCRIBE EXTENDED's Statistics line —
+    present only after ANALYZE; (None, None) otherwise."""
+    try:
+        rows = spark.sql(f"DESCRIBE EXTENDED {qualified}").collect()
+    except Exception:  # view without extended info, concurrent drop, ...
+        return None, None
+    for r in rows:
+        if r["col_name"] == "Statistics":
+            m = re.match(r"(\d+) bytes(?:, (\d+) rows)?", r["data_type"])
+            if m:
+                return int(m.group(1)), int(m.group(2)) if m.group(2) else None
+    return None, None
+
+
+def register_system_views(spark: SparkSession) -> None:
+    """(Re)build ``pg_table_def`` and ``svv_table_info`` as temp views
+    from the current session catalog state."""
+    from .redshift_compat import SORTKEY_REGISTRY
+
+    col_rows: list[tuple] = []
+    info_rows: list[tuple] = []
+    for db in spark.catalog.listDatabases():
+        for t in spark.catalog.listTables(db.name):
+            if t.tableType == "TEMPORARY" or t.name.startswith("_bp_dml_stage"):
+                continue
+            schema = t.namespace[0] if t.namespace else db.name
+            qualified = f"{schema}.{t.name}"
+            sortkey = (
+                SORTKEY_REGISTRY.get(t.name.lower())
+                or SORTKEY_REGISTRY.get(qualified.lower())
+                or []
+            )
+            size_b, n_rows = _table_stats(spark, qualified)
+            info_rows.append(
+                (schema, t.name, "AUTO", sortkey[0] if sortkey else None,
+                 size_b, n_rows)
+            )
+            try:
+                columns = spark.catalog.listColumns(t.name, schema)
+            except Exception:
+                continue
+            for c in columns:
+                pos = (
+                    sortkey.index(c.name.lower()) + 1
+                    if c.name.lower() in sortkey
+                    else 0
+                )
+                col_rows.append(
+                    (schema, t.name, c.name, c.dataType, "none", False, pos)
+                )
+    spark.createDataFrame(
+        col_rows,
+        "schemaname string, tablename string, column string, type string, "
+        "encoding string, distkey boolean, sortkey int",
+    ).createOrReplaceTempView("pg_table_def")
+    spark.createDataFrame(
+        info_rows,
+        "schema string, table string, diststyle string, sortkey1 string, "
+        "size_bytes long, tbl_rows long",
+    ).createOrReplaceTempView("svv_table_info")
+
+
+def maybe_register_system_views(spark: SparkSession, sql: str) -> None:
+    """Register the system views iff ``sql`` references one of them."""
+    if _REF_RE.search(sql):
+        register_system_views(spark)

@@ -6094,6 +6094,50 @@ def q60_materialized_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q61_system_tables",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('bp_sysdb', 'sys_t1', 'a', 'int', 1),
+        ('bp_sysdb', 'sys_t1', 'b', 'string', 0),
+        ('bp_sysdb', 'sys_t1', 'c', 'double', 2),
+        ('bp_sysdb', 'sys_t2', 'k', 'bigint', 0),
+        ('bp_sysdb', 'sys_t2', 'v', 'string', 0)
+    ) AS t(schemaname, tablename, col_name, type, sortkey)
+    """,
+    doc="Redshift system-table shims (functions/system_tables.py): "
+        "pg_table_def / svv_table_info materialized on demand from the "
+        "session catalog + the shim's SORTKEY registry whenever "
+        "pass-through SQL references them — the what-tables/what-"
+        "columns/what-sortkey introspection every Redshift client runs "
+        "first. Entry creates a schema with layout-DDL tables through "
+        "execute_sql and reads pg_table_def back for that schema; "
+        "Spark type names reported as-is (string, not character "
+        "varying — documented divergence). Stats columns come from "
+        "ANALYZE when present, NULL otherwise (absent, not guessed)",
+    tags=("native", "sql", "dialect"),
+)
+def q61_system_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sqlrun import execute_sql
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bp_sysdb")
+    spark.sql("DROP TABLE IF EXISTS bp_sysdb.sys_t1")
+    spark.sql("DROP TABLE IF EXISTS bp_sysdb.sys_t2")
+    execute_sql(
+        spark,
+        "CREATE TABLE bp_sysdb.sys_t1 (a INT, b VARCHAR(10), c DOUBLE) "
+        "DISTSTYLE EVEN COMPOUND SORTKEY(a, c)",
+    )
+    execute_sql(spark, "CREATE TABLE bp_sysdb.sys_t2 (k BIGINT, v VARCHAR(5))")
+    from ..functions.system_tables import register_system_views
+
+    register_system_views(spark)
+    return spark.sql(
+        "SELECT schemaname, tablename, `column` AS col_name, type, sortkey "
+        "FROM pg_table_def WHERE schemaname = 'bp_sysdb'"
+    )
+
+
+@query(
     "c76_zorder_keys",
     oracle="""
     WITH cuts AS (
@@ -6336,6 +6380,7 @@ _DRIVER_WINDOW = [
     "q59_scd2_dimension",
     "c76_zorder_keys",
     "q60_materialized_view_sql",
+    "q61_system_tables",
     # (b) stale r3 rows — the freshness debt VERDICT r7 #1 flags
     "q08_join_theta",
     "q09_join_cross",
@@ -6378,7 +6423,6 @@ _DRIVER_WINDOW = [
     "q36_json_typed_struct",
     "q37_stats_aggregates",
     "q38_correlated_scalar_subquery",
-    "q39_null_aware_anti_join",
 ]
 
 

@@ -60,6 +60,9 @@ def execute_sql(spark: SparkSession, query: str) -> None:
             execute(spark, spec)
             print("Your query has been successfully executed.")
             return
+    from .functions.system_tables import maybe_register_system_views
+
+    maybe_register_system_views(spark, query)
     df = spark.sql(translate_redshift_sql(query))
     analyzed = df._jdf.queryExecution().analyzed().getClass().getSimpleName()
     if "Command" not in analyzed:

@@ -422,3 +422,34 @@ class TestMaterializedViewStatements:
         finally:
             execute_sql(spark, "DROP MATERIALIZED VIEW IF EXISTS t_mv")
             spark.sql("DROP TABLE IF EXISTS t_mv_base")
+
+
+def test_system_views_register_on_reference_only(spark):
+    """pg_table_def / svv_table_info materialize only when a statement
+    references them, and reflect catalog + SORTKEY-registry state."""
+    from amazonredshift_blueprints_spark.ingest import _clean_stale_location
+    from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+    _clean_stale_location(spark, "t_sysv", None)
+    execute_sql(spark, "CREATE TABLE t_sysv (x INT, y INT) SORTKEY(y)")
+    try:
+        execute_sql(spark, "SELECT COUNT(*) FROM svv_table_info")  # registers
+        info = {
+            r["table"]: r["sortkey1"]
+            for r in spark.table("svv_table_info").collect()
+        }
+        assert info.get("t_sysv") == "y"
+        cols = {
+            (r["column"], r["sortkey"])
+            for r in spark.table("pg_table_def")
+            .filter("tablename = 't_sysv'")
+            .collect()
+        }
+        assert cols == {("x", 0), ("y", 1)}
+        # stats appear after ANALYZE (NULL before is the honest default)
+        execute_sql(spark, "ANALYZE t_sysv")
+        execute_sql(spark, "SELECT 1 FROM svv_table_info LIMIT 1")  # re-register
+        row = spark.table("svv_table_info").filter("table = 't_sysv'").first()
+        assert row["size_bytes"] is not None and row["tbl_rows"] == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sysv")
