@@ -14,11 +14,15 @@ Supported subset (the options the reference's own pipelines generate):
 
 - ``COPY [schema.]table FROM 'path'`` with ``CSV`` / ``FORMAT [AS]
   CSV|PARQUET|JSON``, ``DELIMITER [AS] 'c'``, ``IGNOREHEADER [AS] n``,
-  ``GZIP`` (Spark reads .gz transparently — accepted, no-op).
+  ``GZIP`` (Spark reads .gz transparently — accepted, no-op),
+  ``MANIFEST`` (the path names a Redshift-format manifest JSON whose
+  listed files load).
 - ``UNLOAD ('query') TO 'path'`` with ``FORMAT [AS] CSV|PARQUET|JSON``,
   ``DELIMITER [AS] 'c'``, ``HEADER``, ``PARALLEL OFF|ON|TRUE|FALSE``
   (OFF → one named file, the reference's single-file contract; ON → a
-  part-file directory, the scale path), ``PARTITION BY (cols)``.
+  part-file directory, the scale path), ``PARTITION BY (cols)``,
+  ``MANIFEST`` (writes ``<path>.manifest`` listing every data file —
+  the handoff a downstream COPY MANIFEST consumes).
   The inner query goes through the full Redshift-dialect shim.
 
 Authorization clauses (``IAM_ROLE``, ``CREDENTIALS``, ``ACCESS_KEY_ID``
@@ -50,6 +54,7 @@ class CopySpec:
     format: str = "csv"
     delimiter: str = "|"
     header: bool = False
+    manifest: bool = False
 
 
 @dataclass
@@ -61,6 +66,7 @@ class UnloadSpec:
     header: bool = False
     single_file: bool = False  # Redshift PARALLEL defaults ON
     partition_by: list[str] = field(default_factory=list)
+    manifest: bool = False
 
 
 _COPY_HEAD_RE = re.compile(
@@ -75,7 +81,7 @@ _IGNORED_STR_OPTS = {
     "SESSION_TOKEN", "REGION",
 }
 # bare option tokens that are accepted as no-ops
-_IGNORED_BARE_OPTS = {"GZIP", "MANIFEST"}
+_IGNORED_BARE_OPTS = {"GZIP"}
 
 
 def _tokenize_options(rest: str) -> list[str]:
@@ -134,6 +140,8 @@ def parse_copy(sql: str) -> CopySpec | None:
                     "lower onto the CSV reader"
                 )
             spec.header = n == 1
+        elif t == "MANIFEST":
+            spec.manifest = True  # path names a manifest file, not data
         elif t in _IGNORED_STR_OPTS:
             _, i = _take_string(tokens, i, t)  # authorization: parsed, ignored
         elif t in _IGNORED_BARE_OPTS:
@@ -217,6 +225,8 @@ def parse_unload(sql: str) -> UnloadSpec | None:
                 i += 1
             i += 1  # closing paren
             spec.partition_by = cols
+        elif t == "MANIFEST":
+            spec.manifest = True  # write a JSON manifest listing the files
         elif t in _IGNORED_STR_OPTS:
             _, i = _take_string(tokens, i, t)
         elif t in _IGNORED_BARE_OPTS:
@@ -422,14 +432,28 @@ def execute_materialized_view(spark, spec: MaterializedViewSpec) -> None:
     raise ValueError(f"unknown MV action {spec.action!r}")
 
 
+def _read_manifest(path: str) -> list[str]:
+    """Redshift manifest JSON → list of data-file paths (``url``
+    entries; ``file://`` prefixes stripped)."""
+    import json
+
+    with open(path) as fh:
+        doc = json.load(fh)
+    urls = [e["url"] for e in doc.get("entries", [])]
+    if not urls:
+        raise ValueError(f"manifest {path!r} lists no entries")
+    return [u.removeprefix("file://") for u in urls]
+
+
 def execute_copy(spark, spec: CopySpec) -> int:
     """Lower a parsed COPY onto the native ingest layer (A1/A5);
-    returns rows in the target after the load."""
+    returns rows in the target after the load. With MANIFEST the path
+    names a Redshift-format manifest JSON and the listed files load."""
     from ..ingest import ingest_files
 
     return ingest_files(
         spark,
-        spec.path,
+        _read_manifest(spec.path) if spec.manifest else spec.path,
         spec.table,
         format=spec.format,
         schema_name=spec.schema_name,
@@ -439,10 +463,37 @@ def execute_copy(spark, spec: CopySpec) -> int:
     )
 
 
+def _write_unload_manifest(spec: UnloadSpec) -> None:
+    """Write the Redshift-format manifest JSON at ``<path>.manifest``:
+    one ``{"url": ..., "mandatory": true}`` entry per written data file
+    — the handoff contract downstream COPY MANIFEST consumes."""
+    import glob
+    import json
+    import os
+
+    if spec.single_file:
+        files = [spec.path]
+    elif spec.partition_by:
+        files = sorted(
+            glob.glob(os.path.join(spec.path, "**", "part-*"), recursive=True)
+        )
+    else:
+        files = sorted(glob.glob(os.path.join(spec.path, "part-*")))
+    doc = {
+        "entries": [
+            {"url": f"file://{os.path.abspath(f)}", "mandatory": True}
+            for f in files
+        ]
+    }
+    with open(f"{spec.path}.manifest", "w") as fh:
+        json.dump(doc, fh, indent=1)
+
+
 def execute_unload(spark, spec: UnloadSpec) -> int:
     """Lower a parsed UNLOAD onto the native export layer (A7/A8);
     returns rows written. The inner query passes through the dialect
-    shim, same as any pass-through SELECT."""
+    shim, same as any pass-through SELECT. With MANIFEST a JSON file
+    listing every written data file lands at ``<path>.manifest``."""
     from ..export import write_result
     from . import translate_redshift_sql
 
@@ -472,6 +523,8 @@ def execute_unload(spark, spec: UnloadSpec) -> int:
                 shutil.move(parts[0], spec.path)
             finally:
                 shutil.rmtree(tmp_dir, ignore_errors=True)
+            if spec.manifest:
+                _write_unload_manifest(spec)
             return n
         w = df.write.mode("overwrite").option("header", spec.header).option(
             "sep", spec.delimiter
@@ -479,8 +532,10 @@ def execute_unload(spark, spec: UnloadSpec) -> int:
         if spec.partition_by:
             w = w.partitionBy(*spec.partition_by)
         w.csv(spec.path)
+        if spec.manifest:
+            _write_unload_manifest(spec)
         return n
-    return write_result(
+    n = write_result(
         df,
         spec.path,
         format=spec.format,
@@ -488,3 +543,6 @@ def execute_unload(spark, spec: UnloadSpec) -> int:
         single_file=spec.single_file,
         partition_by=spec.partition_by or None,
     )
+    if spec.manifest:
+        _write_unload_manifest(spec)
+    return n

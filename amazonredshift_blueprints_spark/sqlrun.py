@@ -13,10 +13,27 @@ session catalog — the in-process analog of Redshift executing the DDL.
 from __future__ import annotations
 
 import argparse
+import re
 
 from pyspark.sql import SparkSession
 
 from .functions import translate_redshift_sql
+
+# Transaction-control and access-control statements Redshift scripts
+# carry around their DML. BEGIN/COMMIT are accepted as no-ops — every
+# statement here auto-commits (documented divergence: there is no
+# multi-statement atomicity without a table format's transaction log).
+# GRANT/REVOKE/COMMENT ON are accepted as no-ops because the session
+# catalog has no access-control layer to apply them to. ROLLBACK is
+# NOT a safe no-op — the user expects an undo that cannot happen — so
+# it raises instead of silently committing.
+_NOOP_STMT_RE = re.compile(
+    r"^\s*(?:BEGIN(?:\s+(?:WORK|TRANSACTION))?|START\s+TRANSACTION"
+    r"|COMMIT(?:\s+(?:WORK|TRANSACTION))?|END(?:\s+(?:WORK|TRANSACTION))?"
+    r"|GRANT\b.*|REVOKE\b.*|COMMENT\s+ON\b.*)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ROLLBACK_RE = re.compile(r"^\s*(?:ROLLBACK|ABORT)\b", re.IGNORECASE)
 
 
 def execute_sql(spark: SparkSession, query: str) -> None:
@@ -35,6 +52,18 @@ def execute_sql(spark: SparkSession, query: str) -> None:
     single row on the driver — a ``.collect()`` here would OOM the
     driver on a large pass-through SELECT.
     """
+    if _ROLLBACK_RE.match(query):
+        raise NotImplementedError(
+            "ROLLBACK cannot be honored: statements auto-commit here (no "
+            "transaction log — see dml.py); refusing to pretend the "
+            "preceding work was undone"
+        )
+    if _NOOP_STMT_RE.match(query):
+        # transaction markers / access control: accepted so Redshift
+        # scripts run unmodified; auto-commit + no-ACL divergence is
+        # documented at the pattern definition above
+        print("Your query has been successfully executed.")
+        return
     from .functions.copy_unload import (
         execute_analyze,
         execute_copy,

@@ -453,3 +453,56 @@ def test_system_views_register_on_reference_only(spark):
         assert row["size_bytes"] is not None and row["tbl_rows"] == 0
     finally:
         spark.sql("DROP TABLE IF EXISTS t_sysv")
+
+
+def test_unload_manifest_copy_manifest_roundtrip(spark, tmp_path):
+    """UNLOAD ... MANIFEST writes the Redshift-format JSON listing every
+    data file; COPY ... MANIFEST loads exactly those files."""
+    import json
+
+    from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+    spark.createDataFrame(
+        [(i, f"r{i}") for i in range(40)], "k int, s string"
+    ).createOrReplaceTempView("t_mani_src")
+    out = str(tmp_path / "mani_out")
+    execute_sql(
+        spark,
+        f"UNLOAD ('SELECT * FROM t_mani_src') TO '{out}' CSV HEADER MANIFEST",
+    )
+    doc = json.load(open(f"{out}.manifest"))
+    assert doc["entries"] and all(
+        e["url"].startswith("file://") and e["mandatory"] for e in doc["entries"]
+    )
+    spark.sql("DROP TABLE IF EXISTS t_mani_tgt")
+    execute_sql(
+        spark,
+        f"COPY t_mani_tgt FROM '{out}.manifest' CSV IGNOREHEADER 1 MANIFEST",
+    )
+    got = {(r.k, r.s) for r in spark.table("t_mani_tgt").collect()}
+    assert got == {(i, f"r{i}") for i in range(40)}
+    spark.sql("DROP TABLE IF EXISTS t_mani_tgt")
+
+
+def test_transaction_and_acl_statements(spark, capsys):
+    """BEGIN/COMMIT/GRANT/REVOKE/COMMENT ON pass as documented no-ops;
+    ROLLBACK refuses loudly (auto-commit cannot be undone)."""
+    import pytest
+
+    from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+    for stmt in (
+        "BEGIN;", "BEGIN TRANSACTION", "START TRANSACTION", "COMMIT;",
+        "END", "GRANT SELECT ON t TO GROUP analysts",
+        "REVOKE ALL ON SCHEMA public FROM u",
+        "COMMENT ON TABLE t IS 'hello'",
+    ):
+        execute_sql(spark, stmt)
+        assert "successfully executed" in capsys.readouterr().out
+    with pytest.raises(NotImplementedError, match="ROLLBACK"):
+        execute_sql(spark, "ROLLBACK")
+    with pytest.raises(NotImplementedError, match="ROLLBACK"):
+        execute_sql(spark, "ABORT;")
+    # an actual BEGIN...END procedure body must NOT be swallowed
+    with pytest.raises(Exception, match="(?i)syntax|parse"):
+        execute_sql(spark, "BEGIN SELECT 1; END loop_thing")
