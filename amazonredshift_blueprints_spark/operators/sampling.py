@@ -227,3 +227,120 @@ def mix_corpus(
             cond = bucket <= F.lit(_threshold(r))
         keep = F.when(hit, cond).otherwise(keep)
     return df.filter(keep).withColumn("mix_rate", rate_expr)
+
+
+def weighted_sample_with_replacement(
+    df: DataFrame,
+    *,
+    id_col: str,
+    weight_col: str,
+    n_samples: int,
+    salt: str = "wswr:v1",
+    band_span: int = 4096,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic weighted sampling WITH replacement — draw
+    ``n_samples`` rows with probability proportional to ``weight_col``
+    (token counts: the "sample documents by token mass" step of corpus
+    mixing / eval-set construction) — via integer inverse-CDF, no float
+    randomness anywhere:
+
+    1. Each row owns the half-open integer interval ``[lo, lo + w)`` of
+       the cumulative weight line (exclusive prefix sums in ``id_col``
+       order — computed BANDED like :func:`token_budget_sample`:
+       per-band totals → tiny offsets window → within-band windows, so
+       parallelism is n_bands, not 1).
+    2. Target ``j`` is the portable integer hash
+       ``conv(substring(md5(salt || j), 1, 12), 16, 10) mod W`` — exact
+       in Spark and ANSI SQL, so the draw replays bit-for-bit in the
+       oracle.
+    3. Each target finds its owning interval through a BUCKETED range
+       join (the c20 shape): rows explode to the ``W/n_buckets``-sized
+       buckets their interval spans, targets key into one bucket, the
+       equi-join + ``lo <= t < hi`` filter resolves — never a
+       targets × rows product.
+
+    Returns (sample_idx, id, target); a row drawn k times appears k
+    times (with replacement — the standard corpus-mixture draw).
+    Zero-weight rows are excluded (they own an empty interval).
+
+    All band/bucket arithmetic uses integer DIV, not float division —
+    at 100 TB the cumulative-weight line exceeds 2^53 and doubles would
+    misroute intervals near bucket boundaries.
+
+    Scale: two metadata aggregates (band totals, total W), banded
+    windows, and one bucketed equi-join whose explode factor is
+    ``1 + w/bucket_size`` ≈ 2 rows per input row. The only driver
+    value is W (one scalar).
+    """
+    if n_samples <= 0:
+        raise ValueError(f"n_samples must be positive, got {n_samples}")
+    from pyspark.sql.window import Window
+
+    staged = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .filter(F.col("w") > 0)
+        .withColumn("band", F.expr(f"id DIV {band_span}"))
+    )
+    band_tot = staged.groupBy("band").agg(F.sum("w").alias("band_w"))
+    w_bands = (
+        Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = band_tot.select(
+        "band",
+        F.coalesce(F.sum("band_w").over(w_bands), F.lit(0).cast("long")).alias(
+            "band_lo"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("band")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        staged.withColumn(
+            "in_band_lo",
+            F.coalesce(F.sum("w").over(w_in), F.lit(0).cast("long")),
+        )
+        .join(F.broadcast(offsets), "band")
+        .select(
+            "id", "w", (F.col("band_lo") + F.col("in_band_lo")).alias("lo")
+        )
+        .withColumn("hi", F.col("lo") + F.col("w"))
+    )
+    total = cum.agg(F.sum("w")).first()[0]
+    if not total:
+        raise ValueError("all weights are zero: nothing to sample")
+    bucket_size = max(1, int(total) // n_buckets)
+    spark = df.sparkSession
+    targets = spark.range(n_samples).select(
+        F.col("id").alias("sample_idx"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{salt}:"), F.col("id").cast("string"))),
+                    1, 12,
+                ),
+                16, 10,
+            ).cast("long")
+            % F.lit(int(total))
+        ).alias("target"),
+    ).withColumn("bucket", F.expr(f"target DIV {bucket_size}"))
+    spans = cum.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"lo DIV {bucket_size}"),
+                F.expr(f"(hi - 1) DIV {bucket_size}"),
+            )
+        ),
+    )
+    return (
+        F.broadcast(targets)
+        .join(spans, "bucket")
+        .filter((F.col("target") >= F.col("lo")) & (F.col("target") < F.col("hi")))
+        .select("sample_idx", "id", "target")
+    )

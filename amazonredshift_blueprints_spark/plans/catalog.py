@@ -6138,6 +6138,61 @@ def q61_system_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c77_weighted_sample",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id,
+               CAST(len(""" + _DUCK_TOKS + """) AS BIGINT) AS w
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, w,
+               COALESCE(SUM(w) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS lo
+        FROM docs WHERE w > 0
+    ),
+    tot AS (SELECT SUM(w) AS total FROM docs WHERE w > 0),
+    targets AS (
+        SELECT j AS sample_idx,
+               CAST(CAST('0x' || substring(
+                   md5('wswr:v1:' || CAST(j AS VARCHAR)), 1, 12
+               ) AS BIGINT) % CAST((SELECT total FROM tot) AS BIGINT)
+               AS BIGINT) AS target
+        FROM (SELECT unnest(range(200)) AS j)
+    )
+    SELECT t.sample_idx, p.doc_id AS id, t.target
+    FROM targets t
+    JOIN pos p ON t.target >= p.lo AND t.target < p.lo + p.w
+    """,
+    doc="deterministic token-weighted corpus sampling WITH replacement "
+        "(the sample-documents-by-token-mass draw of corpus mixing / "
+        "eval-set construction): each doc owns [lo, lo+w) of the "
+        "integer cumulative-weight line (BANDED exclusive prefix sums, "
+        "c47's two-level shape — parallelism is n_bands, never 1); "
+        "draw j is the portable md5 integer hash mod total weight; "
+        "interval lookup is a bucketed range join (c20 shape, never a "
+        "targets x docs product). Integer DIV throughout — at 100 TB "
+        "the weight line exceeds 2^53 and float division would "
+        "misroute boundary targets. No float randomness anywhere: the "
+        "draw replays bit-for-bit in the oracle",
+    tags=("sampling", "llm"),
+)
+def c77_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import tokens
+    from ..operators.sampling import weighted_sample_with_replacement
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    weighted = d.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    return weighted_sample_with_replacement(
+        weighted, id_col="doc_id", weight_col="n_tokens", n_samples=200
+    )
+
+
+@query(
     "c76_zorder_keys",
     oracle="""
     WITH cuts AS (
@@ -6381,6 +6436,7 @@ _DRIVER_WINDOW = [
     "c76_zorder_keys",
     "q60_materialized_view_sql",
     "q61_system_tables",
+    "c77_weighted_sample",
     # (b) stale r3 rows — the freshness debt VERDICT r7 #1 flags
     "q08_join_theta",
     "q09_join_cross",
@@ -6422,7 +6478,6 @@ _DRIVER_WINDOW = [
     "c18_text_tfidf",
     "q36_json_typed_struct",
     "q37_stats_aggregates",
-    "q38_correlated_scalar_subquery",
 ]
 
 

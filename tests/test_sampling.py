@@ -121,3 +121,34 @@ def test_token_budget_sample_validates_inputs(spark):
             df, strata_col="lang", id_col="doc_id",
             weight_col="n_tokens", budget=10, band_width=0,
         )
+
+
+def test_weighted_sample_proportionality_and_determinism(spark):
+    """The draw must be exactly reproducible, land every target inside
+    its owner's interval, and approximate weight-proportionality on a
+    skewed corpus (the heavy row wins ~its weight share)."""
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.operators.sampling import (
+        weighted_sample_with_replacement,
+    )
+
+    rows = [(i, 1) for i in range(100)] + [(100, 900)]  # 90% of the mass
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    a = weighted_sample_with_replacement(
+        df, id_col="doc_id", weight_col="w", n_samples=300
+    ).collect()
+    b = weighted_sample_with_replacement(
+        df, id_col="doc_id", weight_col="w", n_samples=300
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    assert len(a) == 300  # every target resolves to exactly one owner
+    heavy = sum(1 for r in a if r["id"] == 100)
+    assert 240 <= heavy <= 300, heavy  # ~90% +- slack, hash-fixed
+    # zero-weight rows never drawn
+    df0 = spark.createDataFrame([(1, 0), (2, 5)], "doc_id long, w long")
+    only = weighted_sample_with_replacement(
+        df0, id_col="doc_id", weight_col="w", n_samples=20
+    )
+    assert only.filter(F.col("id") == 1).count() == 0
+    assert only.count() == 20
