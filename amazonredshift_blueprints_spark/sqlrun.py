@@ -99,6 +99,72 @@ def execute_sql(spark: SparkSession, query: str) -> None:
     print("Your query has been successfully executed.")  # execute_sql.py:78-79 analog
 
 
+def split_statements(text: str) -> list[str]:
+    """Split a SQL script into statements on top-level semicolons,
+    honoring single/double-quoted strings (with ``''`` doubling) and
+    ``--`` line comments. Empty fragments are dropped."""
+    out, buf = [], []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in ("'", '"'):
+            q = ch
+            buf.append(ch)
+            i += 1
+            while i < n:
+                buf.append(text[i])
+                if text[i] == q:
+                    if i + 1 < n and text[i + 1] == q:  # doubled quote
+                        buf.append(text[i + 1])
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                i += 1
+            continue
+        if ch == "-" and text[i : i + 2] == "--":
+            while i < n and text[i] != "\n":
+                buf.append(text[i])
+                i += 1
+            continue
+        if ch == ";":
+            stmt = "".join(buf).strip()
+            if stmt:
+                out.append(stmt)
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def execute_sql_script(spark: SparkSession, script: str) -> int:
+    """Run a multi-statement SQL script — the form Redshift users
+    actually keep in files (BEGIN; COPY ...; MERGE ...; COMMIT;) and
+    hand to the reference one statement at a time. Statements execute
+    sequentially through :func:`execute_sql` (each auto-commits — the
+    documented transaction divergence; a mid-script failure leaves the
+    earlier statements' effects in place, and the raised error names
+    the failing statement index). Returns the number of statements
+    executed."""
+    stmts = split_statements(script)
+    for idx, stmt in enumerate(stmts):
+        try:
+            execute_sql(spark, stmt)
+        except Exception as e:
+            # RuntimeError wrapper: PySpark's captured exceptions can't
+            # be re-instantiated from a plain message; the original is
+            # chained (``from e``) with its full analysis detail
+            raise RuntimeError(
+                f"statement {idx + 1}/{len(stmts)} failed: {stmt[:120]!r}: {e}"
+            ) from e
+    return len(stmts)
+
+
 def get_args(argv: list[str] | None = None) -> argparse.Namespace:
     """CLI surface mirroring execute_sql.py:7-42, connection args
     included for arg-level parity; see :func:`main` for the documented
@@ -107,7 +173,13 @@ def get_args(argv: list[str] | None = None) -> argparse.Namespace:
 
     parser = argparse.ArgumentParser(description=__doc__)
     add_connection_args(parser)
-    parser.add_argument("--query", dest="query", required=True)
+    g = parser.add_mutually_exclusive_group(required=True)
+    g.add_argument("--query", dest="query")
+    g.add_argument(
+        "--script-file",
+        dest="script_file",
+        help="path to a multi-statement .sql script (top-level ';' split)",
+    )
     return parser.parse_args(argv)
 
 
@@ -131,7 +203,11 @@ def main(argv: list[str] | None = None) -> None:
         )
     spark = get_spark("execute-sql")
     register_tables(spark)
-    execute_sql(spark, args.query)
+    if args.script_file:
+        with open(args.script_file) as fh:
+            execute_sql_script(spark, fh.read())
+    else:
+        execute_sql(spark, args.query)
 
 
 if __name__ == "__main__":

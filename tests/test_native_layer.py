@@ -728,3 +728,51 @@ def test_scd2_apply_full_snapshot_and_null_transitions(spark):
         assert len(rows) == 8 and spark.table("t_scd2").count() == 8
     finally:
         spark.sql("DROP TABLE IF EXISTS t_scd2")
+
+
+def test_split_statements_quotes_and_comments():
+    from amazonredshift_blueprints_spark.sqlrun import split_statements
+
+    script = """
+    -- setup; this semicolon is a comment
+    CREATE TABLE t (s VARCHAR(20));
+    INSERT INTO t VALUES ('a;b', 'it''s;fine');
+    SELECT * FROM t WHERE s = ";" ;
+    COMMIT
+    """
+    got = split_statements(script)
+    assert len(got) == 4
+    assert got[0].endswith("CREATE TABLE t (s VARCHAR(20))")
+    assert "'a;b'" in got[1] and "it''s;fine" in got[1]
+    assert got[2].endswith('";"')
+    assert got[3] == "COMMIT"
+
+
+def test_execute_sql_script_end_to_end(spark, tmp_path):
+    """A Redshift-style script — transaction markers, layout DDL,
+    INSERTs, UNLOAD — runs start to finish through one call; a failing
+    statement reports its position."""
+    import pytest
+
+    from amazonredshift_blueprints_spark.ingest import _clean_stale_location
+    from amazonredshift_blueprints_spark.sqlrun import execute_sql_script
+
+    _clean_stale_location(spark, "t_script", None)
+    out = tmp_path / "script_out.csv"
+    n = execute_sql_script(
+        spark,
+        f"""
+        BEGIN;
+        CREATE TABLE t_script (k INT, v VARCHAR(10)) SORTKEY(k);
+        INSERT INTO t_script VALUES (1, 'a'), (2, 'b;c');
+        GRANT SELECT ON t_script TO GROUP analysts;
+        UNLOAD ('SELECT * FROM t_script') TO '{out}' CSV HEADER PARALLEL OFF;
+        COMMIT;
+        """,
+    )
+    assert n == 6
+    got = spark.read.options(header=True).csv(str(out)).collect()
+    assert {(r["k"], r["v"]) for r in got} == {("1", "a"), ("2", "b;c")}
+    with pytest.raises(Exception, match=r"statement 2/2"):
+        execute_sql_script(spark, "SELECT 1; SELECT definitely_wrong FROM nope;")
+    spark.sql("DROP TABLE IF EXISTS t_script")
