@@ -549,31 +549,63 @@ def kmeans_centroids(
         )
     dim = len(cents[0][1])
     spark = corpus.sparkSession
-    for _ in range(max(0, iters)):
-        lit_cents = [(i, q) for i, (_, q) in enumerate(cents)]
-        assigned = _arrow_cell_pass(
-            corpus, lit_cents, id_col=id_col, vec_col=vec_col,
-            prefix="neighbor", nprobe=None,
-        ).select("neighbor_q", F.col("cell").alias("cent_id"))
-        sums = (
-            assigned.select("cent_id", F.posexplode("neighbor_q").alias("pos", "v"))
-            .groupBy("cent_id", "pos")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-        )
-        acc: dict[int, dict[int, tuple[int, int]]] = {}
-        for r in sums.collect():  # k×dim metadata rows, not data
-            acc.setdefault(int(r["cent_id"]), {})[int(r["pos"])] = (
-                int(r["s"]), int(r["n"]),
+    # Quantize ONCE and persist: every Lloyd iteration re-reading and
+    # re-quantizing the corpus pays the scan iters× over; the cached
+    # (quantized ints) projection is the same bytes as the input
+    # embeddings and is released when training ends. The per-iteration
+    # kernel is then a pure int64 matmul over cached Arrow batches.
+    from pyspark.storagelevel import StorageLevel
+
+    quant = (
+        corpus.select(quantize(F.col(vec_col)).alias("q"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        for _ in range(max(0, iters)):
+            import numpy as np
+            import pandas as pd
+
+            C, Cn = _cent_matrix([(i, q) for i, (_, q) in enumerate(cents)])
+
+            def assign(batches, C=C, Cn=Cn):
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    M = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+                    d = (M * M).sum(axis=1)[:, None] - 2 * (M @ C.T) + Cn[None, :]
+                    yield pd.DataFrame(
+                        {
+                            "cent_id": d.argmin(axis=1).astype(np.int64),
+                            "neighbor_q": list(M),
+                        }
+                    )
+
+            assigned = quant.mapInPandas(
+                assign, "cent_id long, neighbor_q array<long>"
             )
-        cents = [
-            (
-                cid,
-                [_div_round(acc[i][p][0], acc[i][p][1]) for p in range(dim)]
-                if i in acc
-                else q,  # empty cell keeps its previous centroid
+            sums = (
+                assigned.select(
+                    "cent_id", F.posexplode("neighbor_q").alias("pos", "v")
+                )
+                .groupBy("cent_id", "pos")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
             )
-            for i, (cid, q) in enumerate(cents)
-        ]
+            acc: dict[int, dict[int, tuple[int, int]]] = {}
+            for r in sums.collect():  # k×dim metadata rows, not data
+                acc.setdefault(int(r["cent_id"]), {})[int(r["pos"])] = (
+                    int(r["s"]), int(r["n"]),
+                )
+            cents = [
+                (
+                    cid,
+                    [_div_round(acc[i][p][0], acc[i][p][1]) for p in range(dim)]
+                    if i in acc
+                    else q,  # empty cell keeps its previous centroid
+                )
+                for i, (cid, q) in enumerate(cents)
+            ]
+    finally:
+        quant.unpersist()
     out = spark.createDataFrame(
         [(i, q) for i, (_, q) in enumerate(cents)],
         "cent_id: long, cent_q: array<long>",
