@@ -268,7 +268,7 @@ def q03_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
     """,
     doc="left-semi join (EXISTS); Spark plans a broadcast/shuffled semi join",
     tags=("join",),
@@ -6235,6 +6235,187 @@ def c76_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Classic TPC-H queries adapted to the fixture schema (no partsupp /
+# comment / phone columns — adaptations noted per entry). One SQL
+# string per entry, executed VERBATIM by both engines: the Spark side
+# is spark.sql over the registered views, the oracle is the same text.
+# --------------------------------------------------------------------------
+
+_Q62_SQL = f"""
+SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+           {_DISC_PRICE_SQL} AS volume
+    FROM supplier, lineitem, orders, customer, nation n1, nation n2
+    WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      AND c_nationkey = n2.n_nationkey
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                         AND TIMESTAMP '1997-12-31 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query(
+    "q62_tpch_q7_volume_shipping",
+    oracle=_Q62_SQL,
+    doc="TPC-H Q7 (volume shipping between two nations): five-way join "
+        "with the symmetric nation-pair OR predicate, year extraction, "
+        "decimal-domain revenue — the multi-join + disjunctive-filter "
+        "shape. One SQL text runs verbatim on both engines",
+    tags=("sql", "tpch"),
+)
+def q62_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation")
+    return spark.sql(_Q62_SQL)
+
+
+_Q63_SQL = f"""
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+           {_DISC_PRICE_SQL} AS volume,
+           n2.n_name AS nation
+    FROM part, supplier, lineitem, orders, customer, nation n1, nation n2,
+         region
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+      AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                          AND TIMESTAMP '1997-12-31 00:00:00'
+      AND p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@query(
+    "q63_tpch_q8_market_share",
+    oracle=_Q63_SQL,
+    doc="TPC-H Q8 (national market share): eight-way star join through "
+        "two nation roles and region, share-of-total via a NULL-else "
+        "CASE sum (SUM skips NULLs — no cross-engine CASE-type-"
+        "unification hazard), exact decimal sums divided once as "
+        "doubles. The widest join in the catalog",
+    tags=("sql", "tpch"),
+)
+def q63_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(
+        spark, sf_dir,
+        "part", "supplier", "lineitem", "orders", "customer", "nation",
+        "region",
+    )
+    return spark.sql(_Q63_SQL)
+
+
+_Q64_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+    FROM customer LEFT OUTER JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1-%'
+    GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@query(
+    "q64_tpch_q13_order_distribution",
+    oracle=_Q64_SQL,
+    doc="TPC-H Q13 (customer order-count distribution): LEFT OUTER join "
+        "with a filter INSIDE the join condition (customers with zero "
+        "qualifying orders must still appear, count 0) then a "
+        "count-of-counts regroup. Adaptation: the exclusion predicate "
+        "is o_orderpriority NOT LIKE '1-%' (fixtures carry no "
+        "o_comment column)",
+    tags=("sql", "tpch"),
+)
+def q64_tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_Q64_SQL)
+
+
+_Q65_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+"""
+
+
+@query(
+    "q65_tpch_q18_large_volume",
+    oracle=_Q65_SQL,
+    doc="TPC-H Q18 (large-volume customers): IN over a grouped HAVING "
+        "subquery on the same fact table (the aggregate-semi-join "
+        "shape; Catalyst plans the IN as a left-semi against the "
+        "aggregated subquery, scanning lineitem twice — the documented "
+        "TPC-H trade), then a re-aggregate over the joined rows. "
+        "l_quantity sums are exact (integral values in doubles)",
+    tags=("sql", "tpch"),
+)
+def q65_tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_Q65_SQL)
+
+
+_Q66_SQL = """
+SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM (
+    SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode, c_acctbal
+    FROM customer, (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2))
+                   AS total,
+               COUNT(*) AS cnt
+        FROM customer
+        WHERE c_acctbal > 0.00 AND c_nationkey % 10 IN (1, 3, 5, 7, 9)
+    ) t
+    WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)
+      AND CAST(c_acctbal AS DECIMAL(18,2)) * t.cnt > t.total
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 300000
+      )
+) custsale
+GROUP BY cntrycode
+"""
+
+
+@query(
+    "q66_tpch_q22_global_sales",
+    oracle=_Q66_SQL,
+    doc="TPC-H Q22 (global sales opportunity): anti-join (NOT EXISTS) "
+        "against orders plus an above-average-balance threshold. The "
+        "average is compared EXACTLY — c_acctbal * count > sum in the "
+        "decimal domain — instead of AVG, whose return type differs "
+        "across engines (Spark widens decimals, DuckDB returns DOUBLE) "
+        "and would make boundary rows engine-dependent. Adaptations: "
+        "cntrycode is c_nationkey % 10 (no c_phone column); the NOT "
+        "EXISTS is restricted to orders over 300k (every fixture customer "
+        "has some order)",
+    tags=("sql", "tpch"),
+)
+def q66_tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_Q66_SQL)
+
+
 @query(
     "c73_dup_span_coverage",
     oracle="""
@@ -6437,6 +6618,11 @@ _DRIVER_WINDOW = [
     "q60_materialized_view_sql",
     "q61_system_tables",
     "c77_weighted_sample",
+    "q62_tpch_q7_volume_shipping",
+    "q63_tpch_q8_market_share",
+    "q64_tpch_q13_order_distribution",
+    "q65_tpch_q18_large_volume",
+    "q66_tpch_q22_global_sales",
     # (b) stale r3 rows — the freshness debt VERDICT r7 #1 flags
     "q08_join_theta",
     "q09_join_cross",
@@ -6473,11 +6659,6 @@ _DRIVER_WINDOW = [
     "q19_scalar_dates",
     "q20_scalar_math",
     "c01_dedup_exact",
-    "q33_bucketed_colocated_join",
-    "q34_salted_skew_join",
-    "c18_text_tfidf",
-    "q36_json_typed_struct",
-    "q37_stats_aggregates",
 ]
 
 
