@@ -351,3 +351,25 @@ def test_c76_zorder_layout_prunes_on_every_dimension(spark, sf_dir, tmp_path):
     assert z2_hit < z_n
     # value-neutrality: same rows back
     assert spark.read.parquet(zdir).count() == o.count()
+
+
+def test_tpch_entries_join_strategies(spark, sf_dir):
+    """q62-q66: comma-syntax joins must all resolve to hash joins (the
+    WHERE equi-predicates reach the join conditions); the only nested
+    loop allowed is q66's broadcast of the ONE-ROW (total, cnt)
+    aggregate — the exact-average scalar, not a data product."""
+    for name in (
+        "q62_tpch_q7_volume_shipping",
+        "q63_tpch_q8_market_share",
+        "q64_tpch_q13_order_distribution",
+        "q65_tpch_q18_large_volume",
+    ):
+        p = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "BroadcastHashJoin" in p, name
+    p66 = _plan(spark, sf_dir, "q66_tpch_q22_global_sales")
+    assert "CartesianProduct" not in p66
+    # the single BNLJ is the 1-row aggregate broadcast (scalar pattern)
+    assert p66.count("BroadcastNestedLoopJoin") == 1
+    assert "partial_count" in p66  # that side is the aggregate
