@@ -6177,6 +6177,7 @@ def q61_system_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the weight line exceeds 2^53 and float division would "
         "misroute boundary targets. No float randomness anywhere: the "
         "draw replays bit-for-bit in the oracle",
+    bench=True,
     tags=("sampling", "llm"),
 )
 def c77_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6224,6 +6225,7 @@ def c77_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "arithmetic in whole-stage codegen. zorder_layout writes the "
         "clustered files; the pruning benefit is measured in "
         "tests/test_plans.py via parquet row-group statistics",
+    bench=True,
     tags=("layout",),
 )
 def c76_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6268,6 +6270,7 @@ GROUP BY supp_nation, cust_nation, l_year
         "with the symmetric nation-pair OR predicate, year extraction, "
         "decimal-domain revenue — the multi-join + disjunctive-filter "
         "shape. One SQL text runs verbatim on both engines",
+    bench=True,
     tags=("sql", "tpch"),
 )
 def q62_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6305,6 +6308,7 @@ GROUP BY o_year
         "CASE sum (SUM skips NULLs — no cross-engine CASE-type-"
         "unification hazard), exact decimal sums divided once as "
         "doubles. The widest join in the catalog",
+    bench=True,
     tags=("sql", "tpch"),
 )
 def q63_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6367,6 +6371,7 @@ GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         "aggregated subquery, scanning lineitem twice — the documented "
         "TPC-H trade), then a re-aggregate over the joined rows. "
         "l_quantity sums are exact (integral values in doubles)",
+    bench=True,
     tags=("sql", "tpch"),
 )
 def q65_tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
