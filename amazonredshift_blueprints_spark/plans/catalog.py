@@ -6422,6 +6422,47 @@ def q66_tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q67_python_udf_ddl",
+    oracle="""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           l_extendedprice * (1.0 + l_tax) AS charged
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+    doc="Redshift Python-UDF DDL as SQL (functions/copy_unload.py "
+        "parse_create_function): CREATE FUNCTION ... AS $$ python $$ "
+        "LANGUAGE plpythonu compiles the body and registers a "
+        "pandas_udf under the given name, so pass-through SQL calls it "
+        "— the reference's users' pre-existing UDFs keep working. "
+        "Arguments coerce to their declared SQL types (Redshift's "
+        "plain-python contract); any NULL argument returns NULL "
+        "without invoking the body (Redshift semantics). Python-per-"
+        "row inside Arrow batches — the sanctioned slow path, kept off "
+        "hot paths. Oracle inlines the body's arithmetic (identical "
+        "IEEE double ops, same order)",
+    tags=("sql", "dialect", "udf"),
+)
+def q67_python_udf_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sqlrun import execute_sql
+
+    views(spark, sf_dir, "lineitem")
+    execute_sql(
+        spark,
+        "CREATE OR REPLACE FUNCTION f_charged (price float, tax float) "
+        "RETURNS float STABLE AS $$\n"
+        "    return price * (1.0 + tax)\n"
+        "$$ LANGUAGE plpythonu",
+    )
+    return spark.sql(
+        "SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, "
+        "CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+        "f_charged(l_extendedprice, l_tax) AS charged "
+        "FROM lineitem WHERE l_orderkey % 100 = 0"
+    )
+
+
+@query(
     "c73_dup_span_coverage",
     oracle="""
     WITH t AS (
@@ -6628,6 +6669,7 @@ _DRIVER_WINDOW = [
     "q64_tpch_q13_order_distribution",
     "q65_tpch_q18_large_volume",
     "q66_tpch_q22_global_sales",
+    "q67_python_udf_ddl",
     # (b) stale r3 rows — the freshness debt VERDICT r7 #1 flags
     "q08_join_theta",
     "q09_join_cross",
@@ -6663,7 +6705,6 @@ _DRIVER_WINDOW = [
     "q17_topk",
     "q19_scalar_dates",
     "q20_scalar_math",
-    "c01_dedup_exact",
 ]
 
 

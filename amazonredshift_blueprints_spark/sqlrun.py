@@ -67,11 +67,13 @@ def execute_sql(spark: SparkSession, query: str) -> None:
     from .functions.copy_unload import (
         execute_analyze,
         execute_copy,
+        execute_create_function,
         execute_materialized_view,
         execute_unload,
         execute_vacuum,
         parse_analyze,
         parse_copy,
+        parse_create_function,
         parse_materialized_view,
         parse_unload,
         parse_vacuum,
@@ -83,6 +85,7 @@ def execute_sql(spark: SparkSession, query: str) -> None:
         (parse_vacuum, execute_vacuum),
         (parse_analyze, execute_analyze),
         (parse_materialized_view, execute_materialized_view),
+        (parse_create_function, execute_create_function),
     ):
         spec = parse(query)
         if spec is not None:

@@ -506,3 +506,43 @@ def test_transaction_and_acl_statements(spark, capsys):
     # an actual BEGIN...END procedure body must NOT be swallowed
     with pytest.raises(Exception, match="(?i)syntax|parse"):
         execute_sql(spark, "BEGIN SELECT 1; END loop_thing")
+
+
+class TestCreateFunctionStatements:
+    def test_parse_create_function(self):
+        from amazonredshift_blueprints_spark.functions.copy_unload import (
+            parse_create_function,
+        )
+
+        f = parse_create_function(
+            "CREATE OR REPLACE FUNCTION f_x (a float, b varchar(10)) "
+            "RETURNS bigint IMMUTABLE AS $$ return int(a) $$ "
+            "LANGUAGE plpythonu;"
+        )
+        assert f.name == "f_x"
+        assert f.arg_types == ["double", "string"] and f.return_type == "long"
+        assert "return int(a)" in f.body
+        assert parse_create_function("CREATE FUNCTION f() RETURNS int AS 'sql'") is None
+        import pytest
+
+        with pytest.raises(ValueError, match="argument type"):
+            parse_create_function(
+                "CREATE FUNCTION f (a geometry) RETURNS int AS $$ return 1 $$ "
+                "LANGUAGE plpythonu"
+            )
+
+    def test_udf_executes_with_null_and_coercion(self, spark):
+        from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+        execute_sql(
+            spark,
+            "CREATE OR REPLACE FUNCTION f_t_len (s varchar, n int) "
+            "RETURNS int AS $$\n"
+            "    return len(s) * n\n"
+            "$$ LANGUAGE plpythonu",
+        )
+        row = spark.sql(
+            "SELECT f_t_len('abc', 2) AS a, f_t_len(NULL, 2) AS b, "
+            "f_t_len('xy', CAST(NULL AS INT)) AS c"
+        ).first()
+        assert (row["a"], row["b"], row["c"]) == (6, None, None)
