@@ -447,7 +447,7 @@ def _read_manifest(path: str) -> list[str]:
 
 _CREATE_FUNC_RE = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+([A-Za-z_]\w*)\s*"
-    r"\(([^)]*)\)\s*RETURNS\s+(\w+)\s*"
+    r"\((.*?)\)\s*RETURNS\s+(\w+)\s*"  # lazy: arg types may carry (n)
     r"(?:STABLE|VOLATILE|IMMUTABLE)?\s*"
     r"AS\s+\$\$(.*?)\$\$\s*LANGUAGE\s+plpythonu\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -480,8 +480,21 @@ def parse_create_function(sql: str) -> PyFunctionSpec | None:
     m = _CREATE_FUNC_RE.match(sql)
     if m is None:
         return None
+    # split args on top-level commas only — decimal(10,2) carries one
+    args, depth, cur = [], 0, []
+    for ch in m.group(2):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            args.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    args.append("".join(cur))
     names, types = [], []
-    for raw in m.group(2).split(","):
+    for raw in args:
         raw = raw.strip()
         if not raw:
             continue
