@@ -502,8 +502,70 @@ def _strip_layout_clauses(sql: str) -> str:
     return re.sub(r"[ \t]+(\n|$)", r"\1", sql)
 
 
+_EXTERNAL_TABLE_HEAD_RE = re.compile(
+    r"CREATE\s+EXTERNAL\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"([A-Za-z_][\w.]*)\s*\(",
+    re.IGNORECASE,
+)
+_EXTERNAL_TAIL_RE = re.compile(
+    r"\s*(.*?)\s*LOCATION\s+'([^']+)'\s*;?\s*$", re.IGNORECASE | re.DOTALL
+)
+_ROW_DELIM_RE = re.compile(
+    r"ROW\s+FORMAT\s+DELIMITED\s+FIELDS\s+TERMINATED\s+BY\s+'((?:[^']|'')*)'",
+    re.IGNORECASE,
+)
+_STORED_AS_RE = re.compile(r"STORED\s+AS\s+(\w+)", re.IGNORECASE)
+
+
+def _rewrite_external_table(sql: str) -> str:
+    """Redshift Spectrum DDL → Spark external-table DDL:
+    ``CREATE EXTERNAL TABLE t (cols) [ROW FORMAT DELIMITED FIELDS
+    TERMINATED BY 'x'] STORED AS PARQUET|TEXTFILE|ORC|JSON LOCATION
+    'path'`` becomes ``CREATE TABLE t (cols) USING <format>
+    [OPTIONS (...)] LOCATION 'path'`` — the same unmanaged-files-in-
+    place table object, pointed at whatever filesystem Spark reaches.
+    TEXTFILE maps to the CSV reader with the declared delimiter
+    (Redshift's delimited-text default)."""
+    m = _EXTERNAL_TABLE_HEAD_RE.search(sql)
+    if m is None or _inside_string(sql, m.start()):
+        return sql
+    name = m.group(1)
+    # balanced-paren walk for the column list: types carry (n) / (p,s)
+    depth, i = 1, m.end()
+    while i < len(sql) and depth:
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        raise ValueError("CREATE EXTERNAL TABLE: unbalanced column list")
+    cols = "(" + sql[m.end():i]
+    tm = _EXTERNAL_TAIL_RE.match(sql[i:])
+    if tm is None:
+        raise ValueError("CREATE EXTERNAL TABLE requires LOCATION '<path>'")
+    middle, location = tm.groups()
+    fmt_m = _STORED_AS_RE.search(middle or "")
+    fmt = (fmt_m.group(1).upper() if fmt_m else "TEXTFILE")
+    delim_m = _ROW_DELIM_RE.search(middle or "")
+    options = ""
+    if fmt in ("TEXTFILE", "CSV"):
+        using = "csv"
+        delim = delim_m.group(1).replace("''", "'") if delim_m else "|"
+        options = f" OPTIONS (sep '{delim}')"
+    elif fmt in ("PARQUET", "ORC", "JSON"):
+        using = fmt.lower()
+    else:
+        raise ValueError(f"unsupported STORED AS format: {fmt}")
+    return (
+        f"CREATE TABLE {name} {cols} USING {using}{options} "
+        f"LOCATION '{location}'"
+    )
+
+
 def translate_redshift_sql(sql: str) -> str:
     """Rewrite Redshift-dialect call sites into Spark SQL equivalents."""
+    sql = _rewrite_external_table(sql)
     sql = _strip_layout_clauses(sql)
     sql = _rewrite_top(sql)
     sql = _rewrite_qualify(sql)
