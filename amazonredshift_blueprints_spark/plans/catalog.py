@@ -268,7 +268,7 @@ def q03_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
     """,
     doc="left-semi join (EXISTS); Spark plans a broadcast/shuffled semi join",
     tags=("join",),
