@@ -373,3 +373,22 @@ def test_tpch_entries_join_strategies(spark, sf_dir):
     # the single BNLJ is the 1-row aggregate broadcast (scalar pattern)
     assert p66.count("BroadcastNestedLoopJoin") == 1
     assert "partial_count" in p66  # that side is the aggregate
+
+
+def test_c74_c75_probe_join_carries_codes_not_vectors(spark, sf_dir):
+    """The IVFADC probe join must move (id, cell, codes) rows — never
+    quantized vectors — and no stage may fall back to a product."""
+    import re
+
+    for name in ("c74_ann_ivfpq_residual_topk", "c75_ann_ivfpq_refine_topk"):
+        p = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        # any exchange hashing the probe key must not carry a _q vector
+        for m in re.finditer(r"hashpartitioning\(([^)]*)\)", p):
+            cols = m.group(1)
+            if "cell" in cols:
+                assert "_q" not in cols, (name, cols)
+    # c75's refine side: the candidate id table broadcasts
+    p75 = _plan(spark, sf_dir, "c75_ann_ivfpq_refine_topk")
+    assert "BroadcastHashJoin" in p75
