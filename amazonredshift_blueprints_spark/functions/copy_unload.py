@@ -127,6 +127,14 @@ def parse_copy(sql: str) -> CopySpec | None:
             i += 1
         elif t in ("CSV", "PARQUET", "JSON"):
             spec.format = t.lower()
+            if t == "JSON" and i < len(tokens) and tokens[i].startswith("'"):
+                opt = _unquote(tokens[i]).lower()
+                i += 1
+                if opt != "auto":
+                    raise ValueError(
+                        "COPY JSON supports 'auto' (schema inference); "
+                        f"jsonpaths files are not implemented: {opt!r}"
+                    )
         elif t == "DELIMITER":
             raw, i = _take_string(tokens, i, "DELIMITER")
             spec.delimiter = _unquote(raw)
@@ -443,6 +451,55 @@ def _read_manifest(path: str) -> list[str]:
     if not urls:
         raise ValueError(f"manifest {path!r} lists no entries")
     return [u.removeprefix("file://") for u in urls]
+
+
+_ALTER_LAYOUT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+ALTER\s+"
+    r"(?:(?:COMPOUND\s+)?SORTKEY\s*(?:\(([^)]*)\)|(NONE))"
+    r"|DISTSTYLE\s+(?:EVEN|ALL|AUTO|KEY\s+DISTKEY\s*\([^)]*\))"
+    r"|DISTKEY\s*\([^)]*\))\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+@dataclass
+class AlterLayoutSpec:
+    table: str
+    sortkey: list[str] | None  # None = diststyle/distkey form (pure no-op)
+    drop_sortkey: bool = False
+
+
+def parse_alter_layout(sql: str) -> AlterLayoutSpec | None:
+    """Parse Redshift's physical-layout ALTERs: ``ALTER TABLE t ALTER
+    [COMPOUND] SORTKEY (cols) | SORTKEY NONE | DISTSTYLE ... |
+    DISTKEY (...)``. Without this route the generic clause-stripper
+    would mangle the statement into invalid SQL."""
+    m = _ALTER_LAYOUT_RE.match(sql)
+    if m is None:
+        return None
+    cols = m.group(2)
+    if cols is not None:
+        keys = [c.strip().strip('"').lower() for c in cols.split(",") if c.strip()]
+        return AlterLayoutSpec(table=m.group(1), sortkey=keys)
+    if m.group(3) is not None:  # SORTKEY NONE
+        return AlterLayoutSpec(table=m.group(1), sortkey=None, drop_sortkey=True)
+    return AlterLayoutSpec(table=m.group(1), sortkey=None)
+
+
+def execute_alter_layout(spark, spec: AlterLayoutSpec) -> None:
+    """Record the new layout declaration; data is NOT rewritten —
+    exactly Redshift's own post-2019 behavior, where ALTER SORTKEY
+    marks the table and the background/explicit VACUUM applies the
+    order. Here the explicit path is ``VACUUM table`` (execute_vacuum
+    reads the registry). DISTSTYLE/DISTKEY forms are pure no-ops
+    (Spark has no distribution-style knob to turn)."""
+    from .redshift_compat import SORTKEY_REGISTRY
+
+    key = spec.table.lower()
+    if spec.drop_sortkey:
+        SORTKEY_REGISTRY.pop(key, None)
+    elif spec.sortkey is not None:
+        SORTKEY_REGISTRY[key] = spec.sortkey
 
 
 _CREATE_FUNC_RE = re.compile(

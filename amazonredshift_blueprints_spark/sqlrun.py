@@ -65,12 +65,14 @@ def execute_sql(spark: SparkSession, query: str) -> None:
         print("Your query has been successfully executed.")
         return
     from .functions.copy_unload import (
+        execute_alter_layout,
         execute_analyze,
         execute_copy,
         execute_create_function,
         execute_materialized_view,
         execute_unload,
         execute_vacuum,
+        parse_alter_layout,
         parse_analyze,
         parse_copy,
         parse_create_function,
@@ -86,6 +88,7 @@ def execute_sql(spark: SparkSession, query: str) -> None:
         (parse_analyze, execute_analyze),
         (parse_materialized_view, execute_materialized_view),
         (parse_create_function, execute_create_function),
+        (parse_alter_layout, execute_alter_layout),
     ):
         spec = parse(query)
         if spec is not None:

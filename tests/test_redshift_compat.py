@@ -639,3 +639,57 @@ def test_statement_parsers_never_crash_on_fuzz(spark):
                 pass
 
     run()
+
+
+def test_alter_sortkey_records_and_vacuum_applies(spark):
+    """ALTER TABLE ... ALTER SORTKEY records the key (Redshift marks
+    the table; VACUUM applies the order — same lifecycle here);
+    SORTKEY NONE clears it; DISTSTYLE forms are pure no-ops."""
+    import glob
+    import os
+
+    from amazonredshift_blueprints_spark.functions.redshift_compat import (
+        SORTKEY_REGISTRY,
+    )
+    from amazonredshift_blueprints_spark.ingest import _clean_stale_location
+    from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+    _clean_stale_location(spark, "t_altsk", None)
+    spark.createDataFrame(
+        [(k, 99 - k) for k in range(60)], "a int, b int"
+    ).write.saveAsTable("t_altsk")
+    try:
+        execute_sql(spark, "ALTER TABLE t_altsk ALTER DISTSTYLE EVEN")
+        execute_sql(spark, "ALTER TABLE t_altsk ALTER COMPOUND SORTKEY (b)")
+        assert SORTKEY_REGISTRY["t_altsk"] == ["b"]
+        execute_sql(spark, "VACUUM t_altsk")
+        loc = (
+            spark.sql("DESCRIBE EXTENDED t_altsk")
+            .filter("col_name = 'Location'").first()["data_type"]
+        ).removeprefix("file:")
+        f = glob.glob(os.path.join(loc, "*.parquet"))
+        assert len(f) == 1
+        got = [r.b for r in spark.read.parquet(f[0]).collect()]
+        assert got == sorted(got)  # VACUUM applied the ALTERed key
+        execute_sql(spark, "ALTER TABLE t_altsk ALTER SORTKEY NONE")
+        assert "t_altsk" not in SORTKEY_REGISTRY
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_altsk")
+
+
+def test_copy_json_auto(spark, tmp_path):
+    import json
+
+    import pytest
+
+    from amazonredshift_blueprints_spark.functions.copy_unload import parse_copy
+    from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+    p = tmp_path / "rows.json"
+    p.write_text("\n".join(json.dumps({"k": i, "v": f"r{i}"}) for i in range(5)))
+    spark.sql("DROP TABLE IF EXISTS t_json_copy")
+    execute_sql(spark, f"COPY t_json_copy FROM '{p}' JSON 'auto'")
+    assert spark.table("t_json_copy").count() == 5
+    spark.sql("DROP TABLE IF EXISTS t_json_copy")
+    with pytest.raises(ValueError, match="jsonpaths"):
+        parse_copy("COPY t FROM '/d' JSON 's3://paths.json'")
