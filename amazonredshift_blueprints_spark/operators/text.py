@@ -959,3 +959,90 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document average BIGRAM log-probability with stupid backoff
+    (Brants et al. 2007, "Large Language Models in Machine
+    Translation") — the next quality signal up from
+    :func:`unigram_logprob`: a document of real sentences scores far
+    better under the bigram model than shuffled or templated token
+    soup with the same unigram profile.
+
+    Scoring rule, deterministic and engine-replayable:
+    - first token of a document: ``ln(c1(w)/N)`` (unigram MLE);
+    - seen bigram: ``ln(c2(prev, w) / c1(prev))``;
+    - unseen bigram: ``ln(0.4 · c1(w)/N)`` (the standard 0.4 backoff).
+    Each term quantizes to integer micro-units (``round(·×1e6)`` →
+    BIGINT, the c58/c63 contract) so per-doc sums are exact and
+    order-independent.
+
+    Returns (doc_id, n_tokens, logprob_q_sum, avg_logprob).
+
+    100 TB: the bigram/unigram tables are vocabulary-sized hash
+    aggregates (map-side partials; bigram vocab ~|V|·avg-branching,
+    still corpus-independent) broadcast onto the token stream while
+    they fit, falling back to keyed shuffle joins; the prev-token LAG
+    windows per document (parallelism = documents); one doc-keyed sum.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("pos", "token"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = toks.withColumn("prev", F.lag("token").over(w))
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
+    big = (
+        pairs.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "token")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    n = uni.agg(F.sum("c1").alias("n_total"))
+    cur = uni.select(
+        F.col("token"), F.col("c1").alias("c1_cur")
+    )
+    prv = uni.select(
+        F.col("token").alias("prev"), F.col("c1").alias("c1_prev")
+    )
+    lp = (
+        F.when(
+            F.col("prev").isNull(),
+            F.log(F.col("c1_cur").cast("double") / F.col("n_total")),
+        )
+        .when(
+            F.col("c2").isNotNull(),
+            F.log(F.col("c2").cast("double") / F.col("c1_prev")),
+        )
+        .otherwise(
+            F.log(0.4 * F.col("c1_cur").cast("double") / F.col("n_total"))
+        )
+    )
+    return (
+        pairs.join(F.broadcast(cur), "token")
+        .join(F.broadcast(prv), "prev", "left")
+        .join(F.broadcast(big), ["prev", "token"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.round(lp * 1_000_000).cast("long").alias("_lp_q"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_lp_q").alias("logprob_q_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "logprob_q_sum",
+            (
+                F.col("logprob_q_sum").cast("double")
+                / 1_000_000
+                / F.col("n_tokens")
+            ).alias("avg_logprob"),
+        )
+    )

@@ -468,3 +468,25 @@ def test_length_quantiles_auto_engine_threshold(spark, sf_dir, monkeypatch):
     assert engine(length_quantiles(d, "text", approximate=False)) == "percentile"
     monkeypatch.setattr(text_mod, "AUTO_APPROX_THRESHOLD_BYTES", 1 << 60)
     assert engine(length_quantiles(d, "text", approximate=True)) == "approx_percentile"
+
+
+def test_bigram_beats_unigram_on_real_vs_shuffled(spark):
+    """The c78 signal's point: a document of repeated REAL bigrams must
+    outscore a token-shuffled document with the identical unigram
+    profile under the bigram model — unigram scoring cannot tell them
+    apart (exactly equal by construction)."""
+    from amazonredshift_blueprints_spark.operators.text import (
+        bigram_logprob,
+        unigram_logprob,
+    )
+
+    natural = "the cat sat on the mat " * 10
+    # same multiset of tokens, order scrambled deterministically
+    shuffled = "cat the mat sat the on " * 10
+    df = spark.createDataFrame(
+        [(1, natural.strip()), (2, shuffled.strip())], "doc_id long, text string"
+    )
+    uni = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob(df, "doc_id", "text").collect()}
+    big = {r["doc_id"]: r["avg_logprob"] for r in bigram_logprob(df, "doc_id", "text").collect()}
+    assert abs(uni[1] - uni[2]) < 1e-9  # unigram is blind to order
+    assert big[1] > big[2] + 0.5  # bigram strongly prefers real order
