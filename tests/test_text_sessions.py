@@ -480,13 +480,15 @@ def test_bigram_beats_unigram_on_real_vs_shuffled(spark):
         unigram_logprob,
     )
 
-    natural = "the cat sat on the mat " * 10
-    # same multiset of tokens, order scrambled deterministically
-    shuffled = "cat the mat sat the on " * 10
-    df = spark.createDataFrame(
-        [(1, natural.strip()), (2, shuffled.strip())], "doc_id long, text string"
-    )
+    # 20 natural docs train the model; doc 99 carries the SAME token
+    # multiset in an order whose bigrams are rare in the corpus (a
+    # repeated scramble would train its own bigrams common — the
+    # corpus model sees every document, including the outlier)
+    rows = [(i, "the cat sat on the mat") for i in range(1, 21)]
+    rows.append((99, "mat on sat cat the the"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
     uni = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob(df, "doc_id", "text").collect()}
     big = {r["doc_id"]: r["avg_logprob"] for r in bigram_logprob(df, "doc_id", "text").collect()}
-    assert abs(uni[1] - uni[2]) < 1e-9  # unigram is blind to order
-    assert big[1] > big[2] + 0.5  # bigram strongly prefers real order
+    assert abs(uni[1] - uni[99]) < 1e-9  # unigram is blind to order
+    # measured: natural -0.45 vs scrambled -2.95 nats/token
+    assert big[1] > big[99] + 1.5
