@@ -692,4 +692,4 @@ def test_copy_json_auto(spark, tmp_path):
     assert spark.table("t_json_copy").count() == 5
     spark.sql("DROP TABLE IF EXISTS t_json_copy")
     with pytest.raises(ValueError, match="jsonpaths"):
-        parse_copy("COPY t FROM '/d' JSON 's3://paths.json'")
+        parse_copy("COPY t FROM '/d' JSON '/etc/jsonpaths.json'")
