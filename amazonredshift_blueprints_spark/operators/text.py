@@ -1046,3 +1046,95 @@ def bigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def train_bpe_merges(
+    df: DataFrame, id_col: str, text_col: str, *, n_merges: int = 12
+) -> DataFrame:
+    """REAL byte-pair-encoding vocabulary training (Sennrich et al.
+    2016, subword-nmt) — upgrading :data:`BPE_PATTERN`'s regex
+    pre-tokenizer to an actually TRAINED merge list: repeatedly count
+    adjacent symbol pairs over the corpus and merge the most frequent,
+    ``n_merges`` times. Returns the merge table
+    (rank, pair, merged, pair_count) — the artifact a tokenizer ships.
+
+    The scale trick (the standard one): iteration happens on the WORD
+    VOCABULARY with counts, never the corpus — one corpus-sized
+    aggregate builds (word, count), then every Lloyd-like round is a
+    vocab-sized pair-count aggregate (explode adjacent pairs weighted
+    by word count) + a 1-row driver collect of the argmax + a row-local
+    string rewrite. 100 TB of text still trains against a
+    few-million-row vocab table.
+
+    Deterministic and engine-replayable: ties break (count DESC, pair
+    ASC, binary collation); pair merging is SQL ``replace`` on the
+    space-padded symbol string — left-to-right non-overlapping, the
+    identical rule in Spark and ANSI SQL (on degenerate repeats like
+    ``a a a`` this differs from subword-nmt's regex scan by at most
+    the overlap convention; both engines agree with each other, which
+    is the oracle contract). No end-of-word marker (documented
+    simplification; add one by suffixing words before the char split).
+    """
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("seq", F.array_join(F.split(F.col("word"), ""), " "))
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    words = words.persist(StorageLevel.MEMORY_AND_DISK)
+    prev = None  # released once the next round's collect materializes
+    merges = []
+    try:
+        for rank in range(1, n_merges + 1):
+            sym = F.split(F.col("seq"), " ")
+            pairs = F.when(
+                F.size(sym) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(sym) - 2),
+                    lambda i: F.concat(
+                        F.element_at(sym, i + 1),
+                        F.lit(" "),
+                        F.element_at(sym, i + 2),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            best = (
+                words.select(F.explode(pairs).alias("pair"), "cnt")
+                .groupBy("pair")
+                .agg(F.sum("cnt").alias("c"))
+                .orderBy(F.desc("c"), F.asc("pair"))
+                .limit(1)
+                .collect()
+            )
+            # the collect above materialized this round's cache — the
+            # previous round's table has no remaining consumer
+            if prev is not None:
+                prev.unpersist()
+            prev = words
+            if not best:  # every word fully merged: stop early
+                break
+            pair, count = best[0]["pair"], int(best[0]["c"])
+            merged = pair.replace(" ", "")
+            merges.append((rank, pair, merged, count))
+            words = words.withColumn(
+                "seq",
+                F.trim(
+                    F.replace(
+                        F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                        F.lit(f" {pair} "),
+                        F.lit(f" {merged} "),
+                    )
+                ),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+    finally:
+        words.unpersist()
+        if prev is not None and prev is not words:
+            prev.unpersist()
+    return spark.createDataFrame(
+        merges, "rank long, pair string, merged string, pair_count long"
+    )

@@ -6521,6 +6521,78 @@ def c78_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(d, "doc_id", "text")
 
 
+def _bpe_oracle(*, n_merges: int) -> str:
+    """DuckDB replay of word-level BPE training (c79): the word-count
+    base, then ``n_merges`` unrolled (pair-count → argmax → replace)
+    CTE rounds with the identical tie rule (count DESC, pair ASC,
+    binary collation) and the identical left-to-right SQL-replace merge
+    application."""
+    ctes = [f"""w0 AS MATERIALIZED (
+        SELECT word, cnt,
+               array_to_string(string_split(word, ''), ' ') AS seq
+        FROM (
+            SELECT token AS word, COUNT(*) AS cnt FROM (
+                SELECT unnest({_DUCK_TOKS}) AS token FROM documents
+            ) GROUP BY 1
+        )
+    )"""]
+    for r in range(1, n_merges + 1):
+        ctes.append(f"""p{r} AS MATERIALIZED (
+        SELECT pair, SUM(cnt) AS c FROM (
+            SELECT cnt,
+                   unnest(CASE WHEN len(sym) >= 2 THEN
+                       list_transform(range(1, len(sym)),
+                                      i -> sym[i] || ' ' || sym[i+1])
+                   ELSE [] END) AS pair
+            FROM (SELECT string_split(seq, ' ') AS sym, cnt FROM w{r-1})
+        ) GROUP BY 1
+    )""")
+        ctes.append(
+            f"b{r} AS MATERIALIZED (SELECT pair, c FROM p{r} "
+            f"ORDER BY c DESC, pair LIMIT 1)"
+        )
+        ctes.append(f"""w{r} AS MATERIALIZED (
+        SELECT word, cnt,
+               trim(replace(' ' || seq || ' ',
+                            ' ' || (SELECT pair FROM b{r}) || ' ',
+                            ' ' || replace((SELECT pair FROM b{r}), ' ', '')
+                                || ' ')) AS seq
+        FROM w{r-1}
+    )""")
+    finals = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, pair, "
+        f"replace(pair, ' ', '') AS merged, CAST(c AS BIGINT) AS pair_count "
+        f"FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + f"""
+    {finals}
+    """
+
+
+@query(
+    "c79_bpe_train",
+    oracle=_bpe_oracle(n_merges=8),
+    doc="REAL BPE vocabulary training (Sennrich et al. 2016): 8 "
+        "rounds of count-adjacent-pairs -> merge-the-most-frequent "
+        "over the corpus, returning the merge table a tokenizer ships. "
+        "The scale trick is standard: iteration runs on the WORD "
+        "VOCABULARY with counts (one corpus aggregate up front), so "
+        "each round is a vocab-sized pair aggregate + a 1-row argmax "
+        "collect + a row-local string rewrite — 100 TB of text trains "
+        "against a few-million-row table. Ties break (count DESC, "
+        "pair ASC, binary collation); merge application is SQL "
+        "replace, identical left-to-right rule in both engines; all "
+        "8 rounds replay bit-for-bit in the unrolled-CTE oracle",
+    tags=("text", "llm"),
+)
+def c79_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import train_bpe_merges
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return train_bpe_merges(d, "doc_id", "text", n_merges=8)
+
+
 @query(
     "c73_dup_span_coverage",
     oracle="""
@@ -6730,6 +6802,7 @@ _DRIVER_WINDOW = [
     "q66_tpch_q22_global_sales",
     "q67_python_udf_ddl",
     "c78_bigram_logprob",
+    "c79_bpe_train",
     # (b) stale r3 rows — the freshness debt VERDICT r7 #1 flags
     "q08_join_theta",
     "q09_join_cross",
@@ -6763,7 +6836,6 @@ _DRIVER_WINDOW = [
     "q10_agg_hash",
     "q15_window_rank",
     "q17_topk",
-    "q19_scalar_dates",
 ]
 
 

@@ -492,3 +492,49 @@ def test_bigram_beats_unigram_on_real_vs_shuffled(spark):
     assert abs(uni[1] - uni[99]) < 1e-9  # unigram is blind to order
     # measured: natural -0.45 vs scrambled -2.95 nats/token
     assert big[1] > big[99] + 1.5
+
+
+def test_bpe_training_matches_pure_python_reference(spark):
+    """The distributed trainer must reproduce an independent in-memory
+    BPE implementation (same tie and merge rules) exactly, merge for
+    merge — counts included."""
+    from collections import Counter
+
+    from amazonredshift_blueprints_spark.operators.text import train_bpe_merges
+
+    docs = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new"),
+        (3, "wide wider widest low new"),
+    ]
+
+    def py_bpe(texts, n):
+        words = Counter(w for _, t in texts for w in t.split())
+        seqs = {w: " ".join(w) for w in words}
+        out = []
+        for rank in range(1, n + 1):
+            pc = Counter()
+            for w, cnt in words.items():
+                sym = seqs[w].split(" ")
+                for a, b in zip(sym, sym[1:]):
+                    pc[f"{a} {b}"] += cnt
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            pair, c = best
+            merged = pair.replace(" ", "")
+            out.append((rank, pair, merged, c))
+            for w in seqs:
+                seqs[w] = (" " + seqs[w] + " ").replace(
+                    f" {pair} ", f" {merged} "
+                ).strip()
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r["rank"], r["pair"], r["merged"], r["pair_count"])
+        for r in train_bpe_merges(df, "doc_id", "text", n_merges=10).collect()
+    ]
+    assert got == py_bpe(docs, 10)
+    # sanity: early merges are the shared suffix fragments
+    assert got[0][1] in ("e w", "l o", "n e", "o w", "e r")
