@@ -392,3 +392,30 @@ def test_c74_c75_probe_join_carries_codes_not_vectors(spark, sf_dir):
     # c75's refine side: the candidate id table broadcasts
     p75 = _plan(spark, sf_dir, "c75_ann_ivfpq_refine_topk")
     assert "BroadcastHashJoin" in p75
+
+
+def test_zorder_key_properties(spark):
+    """Structural properties of the Morton key: equal coordinates give
+    equal keys; moving one coordinate to the far end of its range moves
+    the key; keys stay within 2*bits bits."""
+    from amazonredshift_blueprints_spark.operators.layout import zorder_keys
+
+    df = spark.createDataFrame(
+        [(i, float(i), float(i)) for i in range(64)], "id long, x double, y double"
+    )
+    rows = {r["id"]: r["_zvalue"] for r in zorder_keys(df, ["x", "y"], bits=4).collect()}
+    assert all(0 <= z < (1 << 8) for z in rows.values())
+    # duplicate-coordinate rows share the key
+    df2 = spark.createDataFrame(
+        [(1, 5.0, 7.0), (2, 5.0, 7.0), (3, 60.0, 7.0)], "id long, x double, y double"
+    )
+    base = spark.createDataFrame(
+        [(100 + i, float(i), float(i)) for i in range(64)],
+        "id long, x double, y double",
+    )
+    z2 = {
+        r["id"]: r["_zvalue"]
+        for r in zorder_keys(df2.union(base), ["x", "y"], bits=4).collect()
+    }
+    assert z2[1] == z2[2]
+    assert z2[3] != z2[1]

@@ -693,3 +693,25 @@ def test_copy_json_auto(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS t_json_copy")
     with pytest.raises(ValueError, match="jsonpaths"):
         parse_copy("COPY t FROM '/d' JSON '/etc/jsonpaths.json'")
+
+
+def test_unload_partition_by_manifest_lists_all_leaf_files(spark, tmp_path):
+    import json
+
+    from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+    spark.createDataFrame(
+        [(i % 3, i) for i in range(30)], "g int, v int"
+    ).createOrReplaceTempView("t_pm_src")
+    out = str(tmp_path / "pm_out")
+    execute_sql(
+        spark,
+        f"UNLOAD ('SELECT * FROM t_pm_src') TO '{out}' "
+        "FORMAT AS PARQUET PARTITION BY (g) MANIFEST",
+    )
+    doc = json.load(open(f"{out}.manifest"))
+    urls = [e["url"] for e in doc["entries"]]
+    assert len(urls) >= 3  # one file per g= partition at least
+    assert all("/g=" in u for u in urls)
+    # the manifest covers every row the readback sees
+    assert spark.read.parquet(out).count() == 30
