@@ -1138,3 +1138,53 @@ def train_bpe_merges(
     return spark.createDataFrame(
         merges, "rank long, pair string, merged string, pair_count long"
     )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple],
+) -> DataFrame:
+    """Apply a TRAINED BPE merge list (:func:`train_bpe_merges`) and
+    count each document's subword tokens — the application half of the
+    tokenizer: corpus token budgets, packing lengths, and cost
+    estimates all run off trained-BPE counts, not whitespace counts.
+
+    The scale trick mirrors training: merges apply to the WORD
+    VOCABULARY (each distinct word's character sequence runs the merge
+    replace-chain once — a row-local expression chain over vocab rows,
+    no corpus rewrite), and documents join the resulting
+    word → n_subwords table on the token (vocabulary-sized, broadcast
+    while it fits). Returns (doc_id, n_ws_tokens, n_bpe_tokens).
+
+    The merge application is the SQL-replace rule of training — the
+    same left-to-right semantics in Spark and ANSI SQL, so the whole
+    train-then-tokenize pipeline replays in the c80 oracle.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("word")
+    )
+    vocab = toks.select("word").distinct().withColumn(
+        "seq", F.array_join(F.split(F.col("word"), ""), " ")
+    )
+    seq = F.col("seq")
+    for _, pair, merged, _cnt in merges:
+        seq = F.trim(
+            F.replace(
+                F.concat(F.lit(" "), seq, F.lit(" ")),
+                F.lit(f" {pair} "),
+                F.lit(f" {merged} "),
+            )
+        )
+    word_len = vocab.select(
+        "word", F.size(F.split(seq, " ")).cast("long").alias("n_sub")
+    )
+    return (
+        toks.join(F.broadcast(word_len), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ws_tokens"),
+            F.sum("n_sub").alias("n_bpe_tokens"),
+        )
+    )

@@ -6521,12 +6521,12 @@ def c78_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(d, "doc_id", "text")
 
 
-def _bpe_oracle(*, n_merges: int) -> str:
-    """DuckDB replay of word-level BPE training (c79): the word-count
-    base, then ``n_merges`` unrolled (pair-count → argmax → replace)
-    CTE rounds with the identical tie rule (count DESC, pair ASC,
-    binary collation) and the identical left-to-right SQL-replace merge
-    application."""
+def _bpe_ctes(*, n_merges: int) -> str:
+    """Shared CTE chain for word-level BPE (c79 training / c80 apply):
+    the word-count base, then ``n_merges`` unrolled (pair-count →
+    argmax → replace) MATERIALIZED CTE rounds with the identical tie
+    rule (count DESC, pair ASC, binary collation) and the identical
+    left-to-right SQL-replace merge application."""
     ctes = [f"""w0 AS MATERIALIZED (
         SELECT word, cnt,
                array_to_string(string_split(word, ''), ' ') AS seq
@@ -6559,13 +6559,17 @@ def _bpe_oracle(*, n_merges: int) -> str:
                                 || ' ')) AS seq
         FROM w{r-1}
     )""")
+    return "WITH " + ",\n    ".join(ctes)
+
+
+def _bpe_oracle(*, n_merges: int) -> str:
     finals = "\n    UNION ALL\n    ".join(
         f"SELECT CAST({r} AS BIGINT) AS rank, pair, "
         f"replace(pair, ' ', '') AS merged, CAST(c AS BIGINT) AS pair_count "
         f"FROM b{r}"
         for r in range(1, n_merges + 1)
     )
-    return "WITH " + ",\n    ".join(ctes) + f"""
+    return _bpe_ctes(n_merges=n_merges) + f"""
     {finals}
     """
 
@@ -6591,6 +6595,46 @@ def c79_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = views(spark, sf_dir, "documents")["documents"]
     return train_bpe_merges(d, "doc_id", "text", n_merges=8)
+
+
+def _bpe_apply_oracle(*, n_merges: int) -> str:
+    """DuckDB replay of train-then-tokenize (c80): the c79 training CTE
+    chain to its final word segmentation, joined back onto the exploded
+    documents for per-doc subword counts."""
+    return _bpe_ctes(n_merges=n_merges) + f"""
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
+           CAST(SUM(len(string_split(w.seq, ' '))) AS BIGINT) AS n_bpe_tokens
+    FROM (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS word FROM documents
+    ) t
+    JOIN w{n_merges} w ON w.word = t.word
+    GROUP BY t.doc_id
+    """
+
+
+@query(
+    "c80_bpe_tokenize",
+    oracle=_bpe_apply_oracle(n_merges=8),
+    doc="BPE tokenizer APPLICATION (the other half of c79): the 8 "
+        "trained merges apply to the word VOCABULARY (one row-local "
+        "replace chain per distinct word — the corpus is never "
+        "rewritten), and documents join the word -> n_subwords table "
+        "on the token for per-doc trained-subword counts — what token "
+        "budgets, packing lengths, and cost estimates actually need. "
+        "One oracle replays training AND application end-to-end: the "
+        "c79 CTE chain to its final segmentation, joined back onto "
+        "the exploded documents",
+    tags=("text", "llm"),
+)
+def c80_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_token_counts, train_bpe_merges
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    merges = [
+        tuple(r) for r in train_bpe_merges(d, "doc_id", "text", n_merges=8).collect()
+    ]
+    return bpe_token_counts(d, "doc_id", "text", merges)
 
 
 @query(
@@ -6803,6 +6847,7 @@ _DRIVER_WINDOW = [
     "q67_python_udf_ddl",
     "c78_bigram_logprob",
     "c79_bpe_train",
+    "c80_bpe_tokenize",
     # (b) stale r3 rows — the freshness debt VERDICT r7 #1 flags
     "q08_join_theta",
     "q09_join_cross",
@@ -6835,7 +6880,6 @@ _DRIVER_WINDOW = [
     "q04_join_semi",
     "q10_agg_hash",
     "q15_window_rank",
-    "q17_topk",
 ]
 
 

@@ -538,3 +538,42 @@ def test_bpe_training_matches_pure_python_reference(spark):
     assert got == py_bpe(docs, 10)
     # sanity: early merges are the shared suffix fragments
     assert got[0][1] in ("e w", "l o", "n e", "o w", "e r")
+
+
+def test_bpe_apply_matches_python_reference(spark):
+    """Train-then-tokenize: per-doc subword counts must equal applying
+    the trained merge list with an independent in-memory tokenizer."""
+    from amazonredshift_blueprints_spark.operators.text import (
+        bpe_token_counts,
+        train_bpe_merges,
+    )
+
+    docs = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new low"),
+        (3, "wide wider widest"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = [
+        tuple(r) for r in train_bpe_merges(df, "doc_id", "text", n_merges=6).collect()
+    ]
+
+    def py_count(text):
+        n = 0
+        for w in text.split():
+            seq = " ".join(w)
+            for _, pair, merged, _c in merges:
+                seq = (" " + seq + " ").replace(f" {pair} ", f" {merged} ").strip()
+            n += len(seq.split(" "))
+        return n
+
+    got = {
+        r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
+        for r in bpe_token_counts(df, "doc_id", "text", merges).collect()
+    }
+    for doc_id, text in docs:
+        assert got[doc_id] == (len(text.split()), py_count(text)), doc_id
+    # trained merges compress: subword count strictly below char count
+    assert all(
+        bpe < sum(len(w) for w in t.split()) for (_, t), (_, bpe) in zip(docs, got.values())
+    )
