@@ -47,6 +47,18 @@ def _lock_dir(spark: SparkSession) -> str:
     return path
 
 
+def _lock_key(spark: SparkSession, table: str) -> str:
+    """Canonical lock key for a table name: lowercased, backquotes
+    stripped, and resolved to ``database.table`` via the session's
+    current database when unqualified — so ``T1`` / ``t1`` and
+    ``db.t`` / ``t`` (while in ``db``) contend on the SAME lock file
+    instead of racing past each other through different spellings."""
+    name = table.replace("`", "").strip().lower()
+    if "." not in name:
+        name = f"{spark.catalog.currentDatabase().lower()}.{name}"
+    return name
+
+
 @contextlib.contextmanager
 def _table_lock(spark: SparkSession, table: str, timeout_s: float = _LOCK_TIMEOUT_S):
     """Exclusive per-TARGET-table writer lock for copy-on-write DML.
@@ -72,7 +84,7 @@ def _table_lock(spark: SparkSession, table: str, timeout_s: float = _LOCK_TIMEOU
     different tables never contend, and readers are never blocked
     (they see the last committed overwrite).
     """
-    lock_path = os.path.join(_lock_dir(spark), f"{table}.lock")
+    lock_path = os.path.join(_lock_dir(spark), f"{_lock_key(spark, table)}.lock")
     deadline = time.monotonic() + timeout_s
     while True:
         try:

@@ -121,11 +121,18 @@ def parse_copy(sql: str) -> CopySpec | None:
         t = tokens[i].upper()
         i += 1
         if t == "FORMAT":
+            # FORMAT [AS] <fmt> routes through the SAME handling as the
+            # bare keyword form below (so FORMAT AS JSON 'auto' works),
+            # and a trailing bare FORMAT raises ValueError, not IndexError
             if i < len(tokens) and tokens[i].upper() == "AS":
                 i += 1
-            spec.format = tokens[i].lower()
+            if i >= len(tokens):
+                raise ValueError("FORMAT expects an argument (CSV|PARQUET|JSON)")
+            t = tokens[i].upper()
             i += 1
-        elif t in ("CSV", "PARQUET", "JSON"):
+            if t not in ("CSV", "PARQUET", "JSON"):
+                raise ValueError(f"unsupported COPY format: {t.lower()!r}")
+        if t in ("CSV", "PARQUET", "JSON"):
             spec.format = t.lower()
             if t == "JSON" and i < len(tokens) and tokens[i].startswith("'"):
                 opt = _unquote(tokens[i]).lower()
@@ -200,12 +207,17 @@ def parse_unload(sql: str) -> UnloadSpec | None:
         t = tokens[i].upper()
         i += 1
         if t == "FORMAT":
+            # same normalization as parse_copy: bounds-checked, and the
+            # FORMAT-selected keyword flows through the bare-keyword branch
             if i < len(tokens) and tokens[i].upper() == "AS":
                 i += 1
-            spec.format = tokens[i].lower()
-            saw_csv = saw_csv or spec.format == "csv"
+            if i >= len(tokens):
+                raise ValueError("FORMAT expects an argument (CSV|PARQUET|JSON)")
+            t = tokens[i].upper()
             i += 1
-        elif t in ("CSV", "PARQUET", "JSON"):
+            if t not in ("CSV", "PARQUET", "JSON"):
+                raise ValueError(f"unsupported UNLOAD format: {t.lower()!r}")
+        if t in ("CSV", "PARQUET", "JSON"):
             spec.format = t.lower()
             saw_csv = saw_csv or t == "CSV"
         elif t == "DELIMITER":

@@ -515,6 +515,11 @@ _ROW_DELIM_RE = re.compile(
     re.IGNORECASE,
 )
 _STORED_AS_RE = re.compile(r"STORED\s+AS\s+(\w+)", re.IGNORECASE)
+_PARTITIONED_BY_RE = re.compile(
+    # one paren-nesting level inside: column types like VARCHAR(2) /
+    # DECIMAL(10,2) appear in the partition column list
+    r"PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
+)
 
 
 def _rewrite_external_table(sql: str) -> str:
@@ -545,9 +550,42 @@ def _rewrite_external_table(sql: str) -> str:
     if tm is None:
         raise ValueError("CREATE EXTERNAL TABLE requires LOCATION '<path>'")
     middle, location = tm.groups()
-    fmt_m = _STORED_AS_RE.search(middle or "")
+    middle = middle or ""
+    fmt_m = _STORED_AS_RE.search(middle)
     fmt = (fmt_m.group(1).upper() if fmt_m else "TEXTFILE")
-    delim_m = _ROW_DELIM_RE.search(middle or "")
+    delim_m = _ROW_DELIM_RE.search(middle)
+    # Hive/Spectrum declares partition columns OUTSIDE the main column
+    # list, with types; Spark USING-syntax tables declare them inside
+    # the schema and reference names in PARTITIONED BY. Translate.
+    part_m = _PARTITIONED_BY_RE.search(middle)
+    partitioned_by = ""
+    if part_m:
+        # split on top-level commas only — DECIMAL(10,2) etc. nest one
+        pcols, depth, cur = [], 0, []
+        for ch in part_m.group(1):
+            if ch == "," and depth == 0:
+                pcols.append("".join(cur).strip())
+                cur = []
+            else:
+                depth += (ch == "(") - (ch == ")")
+                cur.append(ch)
+        pcols.append("".join(cur).strip())
+        pcols = [c for c in pcols if c]
+        pnames = [c.split()[0].strip('"') for c in pcols]
+        cols = cols.rstrip()[:-1].rstrip() + ", " + ", ".join(pcols) + ")"
+        partitioned_by = f" PARTITIONED BY ({', '.join(pnames)})"
+    # every clause between the column list and LOCATION must be one we
+    # translated — silently dropping SERDE/TBLPROPERTIES would create a
+    # table that returns wrong data with no error
+    leftover = middle
+    for pat in (_STORED_AS_RE, _ROW_DELIM_RE, _PARTITIONED_BY_RE):
+        leftover = pat.sub(" ", leftover)
+    if leftover.strip():
+        raise ValueError(
+            "CREATE EXTERNAL TABLE: unsupported clause(s) before "
+            f"LOCATION: {leftover.strip()[:120]!r} (supported: ROW FORMAT "
+            "DELIMITED FIELDS TERMINATED BY, STORED AS, PARTITIONED BY)"
+        )
     options = ""
     if fmt in ("TEXTFILE", "CSV"):
         using = "csv"
@@ -558,8 +596,8 @@ def _rewrite_external_table(sql: str) -> str:
     else:
         raise ValueError(f"unsupported STORED AS format: {fmt}")
     return (
-        f"CREATE TABLE {name} {cols} USING {using}{options} "
-        f"LOCATION '{location}'"
+        f"CREATE TABLE {name} {cols} USING {using}{options}"
+        f"{partitioned_by} LOCATION '{location}'"
     )
 
 

@@ -105,14 +105,46 @@ def execute_sql(spark: SparkSession, query: str) -> None:
     print("Your query has been successfully executed.")  # execute_sql.py:78-79 analog
 
 
+_DOLLAR_TAG_RE = re.compile(r"\$[A-Za-z_][A-Za-z0-9_]*\$|\$\$")
+
+
+def _strip_leading_comments(stmt: str) -> str:
+    """Drop leading ``--`` comment lines (and blank lines) so the
+    ^-anchored COPY/UNLOAD/VACUUM/MV parsers in :func:`execute_sql`
+    still match a statement written as ``-- load\\nCOPY t FROM ...``.
+    Comments *inside* the statement body are left alone — ``spark.sql``
+    parses those fine; only the leading position breaks dispatch."""
+    lines = stmt.split("\n")
+    k = 0
+    while k < len(lines) and (
+        not lines[k].strip() or lines[k].lstrip().startswith("--")
+    ):
+        k += 1
+    return "\n".join(lines[k:]).strip()
+
+
 def split_statements(text: str) -> list[str]:
     """Split a SQL script into statements on top-level semicolons,
-    honoring single/double-quoted strings (with ``''`` doubling) and
-    ``--`` line comments. Empty fragments are dropped."""
+    honoring single/double-quoted strings (with ``''`` doubling),
+    Postgres/Redshift dollar-quoted blocks (``$$...$$`` / ``$tag$...$tag$``
+    — the CREATE FUNCTION body form, which may contain ``;``), and
+    ``--`` line comments. Leading comment lines are stripped from each
+    statement; empty fragments are dropped."""
     out, buf = [], []
     i, n = 0, len(text)
     while i < n:
         ch = text[i]
+        if ch == "$":
+            m = _DOLLAR_TAG_RE.match(text, i)
+            if m:
+                tag = m.group(0)
+                end = text.find(tag, m.end())
+                # unterminated block: swallow to EOF (the downstream
+                # parser reports the malformed statement)
+                stop = (end + len(tag)) if end != -1 else n
+                buf.append(text[i:stop])
+                i = stop
+                continue
         if ch in ("'", '"'):
             q = ch
             buf.append(ch)
@@ -134,7 +166,7 @@ def split_statements(text: str) -> list[str]:
                 i += 1
             continue
         if ch == ";":
-            stmt = "".join(buf).strip()
+            stmt = _strip_leading_comments("".join(buf).strip())
             if stmt:
                 out.append(stmt)
             buf = []
@@ -142,7 +174,7 @@ def split_statements(text: str) -> list[str]:
             continue
         buf.append(ch)
         i += 1
-    tail = "".join(buf).strip()
+    tail = _strip_leading_comments("".join(buf).strip())
     if tail:
         out.append(tail)
     return out

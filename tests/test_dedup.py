@@ -91,7 +91,9 @@ def test_simhash_signature_matches_numpy(spark, sf_dir):
 
     rows = staged.select("doc_id", "_h", simhash(F.col("_h")).alias("sig")).collect()
     for r in rows:
-        hs = np.array(r["_h"], dtype=np.uint64)
+        # int64 first, then view as uint64: direct uint64 conversion of
+        # negative Python ints is a numpy deprecation → future error
+        hs = np.array(r["_h"], dtype=np.int64).astype(np.uint64)
         votes = np.zeros(64, dtype=np.int64)
         for b in range(64):
             bits = (hs >> np.uint64(b)) & np.uint64(1)

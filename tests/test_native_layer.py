@@ -638,12 +638,17 @@ def test_concurrent_merge_same_table_loses_no_rows(spark):
         assert got.count() == 200  # 100 base + 50 + 50, none lost
         assert got.filter("k >= 1000 and k < 1050").count() == 50
         assert got.filter("k >= 2000 and k < 2050").count() == 50
-        # lock files released
-        from amazonredshift_blueprints_spark.dml import _lock_dir
+        # lock files released (under the normalized qualified key)
+        from amazonredshift_blueprints_spark.dml import _lock_dir, _lock_key
         import os
 
+        assert _lock_key(spark, "t_merge_race") == _lock_key(
+            spark, "`Default`.T_MERGE_RACE"
+        )
         assert not os.path.exists(
-            os.path.join(_lock_dir(spark), "t_merge_race.lock")
+            os.path.join(
+                _lock_dir(spark), f"{_lock_key(spark, 't_merge_race')}.lock"
+            )
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS t_merge_race")
@@ -742,10 +747,78 @@ def test_split_statements_quotes_and_comments():
     """
     got = split_statements(script)
     assert len(got) == 4
-    assert got[0].endswith("CREATE TABLE t (s VARCHAR(20))")
+    assert got[0] == "CREATE TABLE t (s VARCHAR(20))"
     assert "'a;b'" in got[1] and "it''s;fine" in got[1]
     assert got[2].endswith('";"')
     assert got[3] == "COMMIT"
+
+
+def test_split_statements_dollar_quoted_bodies():
+    """$$-quoted CREATE FUNCTION bodies contain ';' — the split must
+    treat $$...$$ (and $tag$...$tag$) as opaque, like string literals
+    (ADVICE r8)."""
+    from amazonredshift_blueprints_spark.sqlrun import split_statements
+
+    script = (
+        "CREATE FUNCTION f_x (x INT) RETURNS INT STABLE AS $$\n"
+        "import math; y = x + 1; return y\n"
+        "$$ LANGUAGE plpythonu;\n"
+        "SELECT f_x(1);"
+    )
+    got = split_statements(script)
+    assert len(got) == 2
+    assert "import math; y = x + 1; return y" in got[0]
+    assert got[1] == "SELECT f_x(1)"
+    # tagged form, with a $$ inside the tagged body staying literal
+    tagged = "SELECT $body$a;b $$ c;d$body$ AS s; SELECT 2"
+    got2 = split_statements(tagged)
+    assert len(got2) == 2 and "a;b $$ c;d" in got2[0]
+    # unterminated block swallows to EOF (single malformed statement)
+    assert len(split_statements("SELECT $$oops; SELECT 2")) == 1
+
+
+def test_split_statements_strips_leading_comments():
+    """A statement written '-- comment\\nCOPY ...' must still dispatch
+    through the ^-anchored COPY/UNLOAD parsers (ADVICE r8): leading
+    comment lines are stripped from each split statement."""
+    from amazonredshift_blueprints_spark.sqlrun import split_statements
+
+    script = (
+        "-- load step\n-- second comment\nCOPY t FROM '/p' CSV;\n"
+        "-- only a comment;\n;\nSELECT 1 -- trailing stays\n"
+    )
+    got = split_statements(script)
+    assert len(got) == 2
+    assert got[0].startswith("COPY t FROM")
+    assert got[1].startswith("SELECT 1")
+
+
+def test_script_runs_commented_copy_and_dollar_function(spark, tmp_path):
+    """End-to-end: a script whose COPY is preceded by a comment line and
+    whose CREATE FUNCTION body contains semicolons runs unmodified."""
+    from amazonredshift_blueprints_spark.ingest import _clean_stale_location
+    from amazonredshift_blueprints_spark.sqlrun import execute_sql_script
+
+    _clean_stale_location(spark, "t_script_adv", None)
+    src = tmp_path / "in.csv"
+    src.write_text("k,v\n1,a\n2,b\n")
+    spark.sql("DROP TABLE IF EXISTS t_script_adv")
+    spark.sql("CREATE TABLE t_script_adv (k INT, v STRING) USING parquet")
+    try:
+        n = execute_sql_script(
+            spark,
+            "-- ingest\n"
+            f"COPY t_script_adv FROM '{src}' CSV IGNOREHEADER 1;\n"
+            "CREATE FUNCTION f_adv9 (x INT) RETURNS INT STABLE AS $$\n"
+            "y = x * 2; return y\n"
+            "$$ LANGUAGE plpythonu;\n"
+            "-- check\nSELECT f_adv9(k) FROM t_script_adv;",
+        )
+        assert n == 3
+        assert spark.table("t_script_adv").count() == 2
+        assert spark.sql("SELECT f_adv9(21) AS r").first()["r"] == 42
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_script_adv")
 
 
 def test_execute_sql_script_end_to_end(spark, tmp_path):

@@ -593,6 +593,78 @@ def test_external_table_ddl_translates_and_reads(spark, tmp_path):
     assert translate_redshift_sql(plain) == plain
 
 
+def test_external_table_partitioned_by_and_unknown_clause(spark, tmp_path):
+    """Spectrum DDL with PARTITIONED BY creates a partitioned Spark
+    table including the partition column; unknown clauses between the
+    column list and LOCATION raise instead of being dropped (ADVICE r8)."""
+    import pytest
+
+    from amazonredshift_blueprints_spark.functions.redshift_compat import (
+        _rewrite_external_table,
+    )
+    from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+    base = str(tmp_path / "ext_part")
+    spark.createDataFrame(
+        [(1, "a", "us"), (2, "b", "eu"), (3, "c", "us")],
+        "k int, v string, region string",
+    ).write.partitionBy("region").parquet(base)
+
+    spark.sql("DROP TABLE IF EXISTS t_ext_part")
+    try:
+        execute_sql(
+            spark,
+            "CREATE EXTERNAL TABLE t_ext_part (k INT, v VARCHAR(5)) "
+            "PARTITIONED BY (region VARCHAR(2)) "
+            f"STORED AS PARQUET LOCATION '{base}'",
+        )
+        spark.sql("MSCK REPAIR TABLE t_ext_part")
+        got = spark.table("t_ext_part")
+        assert set(got.columns) == {"k", "v", "region"}
+        assert got.filter("region = 'us'").count() == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ext_part")
+
+    with pytest.raises(ValueError, match="unsupported clause"):
+        _rewrite_external_table(
+            "CREATE EXTERNAL TABLE t_bad (k INT) "
+            "ROW FORMAT SERDE 'org.openx.data.jsonserde.JsonSerDe' "
+            "STORED AS TEXTFILE LOCATION '/p'"
+        )
+    with pytest.raises(ValueError, match="unsupported clause"):
+        _rewrite_external_table(
+            "CREATE EXTERNAL TABLE t_bad (k INT) STORED AS PARQUET "
+            "TBLPROPERTIES ('numRows'='5') LOCATION '/p'"
+        )
+
+
+def test_copy_unload_format_keyword_parity():
+    """FORMAT AS JSON 'auto' parses like bare JSON 'auto'; a trailing
+    bare FORMAT raises ValueError, not IndexError (ADVICE r8)."""
+    import pytest
+
+    from amazonredshift_blueprints_spark.functions.copy_unload import (
+        parse_copy,
+        parse_unload,
+    )
+
+    spec = parse_copy("COPY t FROM '/d/f.json' FORMAT AS JSON 'auto'")
+    assert spec.format == "json"
+    assert parse_copy("COPY t FROM '/d/f' FORMAT CSV").delimiter == ","
+    for bad in (
+        "COPY t FROM '/d/f' FORMAT",
+        "COPY t FROM '/d/f' FORMAT AS",
+        "UNLOAD ('SELECT 1') TO '/p' FORMAT",
+    ):
+        with pytest.raises(ValueError, match="FORMAT expects"):
+            (parse_copy if bad.startswith("COPY") else parse_unload)(bad)
+    with pytest.raises(ValueError, match="unsupported COPY format"):
+        parse_copy("COPY t FROM '/d/f' FORMAT AS AVRO")
+    with pytest.raises(ValueError):
+        parse_copy("COPY t FROM '/d/f.json' FORMAT AS JSON '/paths.json'")
+    assert parse_unload("UNLOAD ('SELECT 1') TO '/p' FORMAT AS PARQUET").format == "parquet"
+
+
 def test_statement_parsers_never_crash_on_fuzz(spark):
     """Property: every statement parser either returns a spec/None or
     raises ValueError — no hangs, no unexpected exception types — over
