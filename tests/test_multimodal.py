@@ -168,3 +168,115 @@ def test_decode_truncated_ppm_raises_not_hangs():
     # empty-dimension token (double separator at end of buffer)
     with pytest.raises(ValueError):
         decode_image(b"P6\n4 4 ")
+
+
+def test_png_roundtrip_property():
+    """decode_png(encode_png(px)) == px for arbitrary shapes/values and
+    BOTH filter modes; 'cycle' mode guarantees every PNG filter type
+    (None/Sub/Up/Average/Paeth) is crossed whenever h >= 5."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    @given(
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=0, max_value=2**32 - 1),
+        st.sampled_from(["none", "cycle"]),
+    )
+    @settings(max_examples=100, deadline=None)
+    def roundtrip(h, w, seed, mode):
+        px = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, 3), dtype=np.uint8
+        )
+        b = encode_png(px, filter_mode=mode)
+        assert b[:8] == b"\x89PNG\r\n\x1a\n"
+        out = decode_png(b)
+        assert out.shape == (h, w, 3) and (out == px).all()
+        assert (decode_image(b) == px).all()  # dispatch via signature
+
+    roundtrip()
+
+
+def test_png_corrupt_payloads_raise_not_hang():
+    """Truncated/corrupt PNGs raise ValueError (decode CRC-checks every
+    chunk) — a bad image in a 100 TB batch fails the row, never hangs
+    or silently returns garbage pixels."""
+    import numpy as np
+    import pytest
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    b = encode_png(px)
+    with pytest.raises(ValueError, match="bad signature"):
+        decode_png(b"\x89PNG\r\n\x1a\x00" + b[8:])
+    with pytest.raises(ValueError, match="cut short|partial chunk"):
+        decode_png(b[:20])
+    # flip one byte inside the IDAT payload: CRC must catch it
+    idat_pos = b.index(b"IDAT") + 4
+    flipped = b[:idat_pos] + bytes([b[idat_pos] ^ 0xFF]) + b[idat_pos + 1 :]
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(flipped)
+    with pytest.raises(ValueError, match="missing IEND"):
+        decode_png(b[: b.index(b"IEND") - 4])
+    # interlaced / non-RGB variants are refused, not mis-decoded
+    import struct
+    import zlib
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    bad_ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 6, 0, 0, 0)  # RGBA
+    rgba = b[:8] + chunk(b"IHDR", bad_ihdr) + b[b.index(b"IDAT") - 4 :]
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        decode_png(rgba)
+    # IDAT that inflates to the wrong scanline length
+    short = b[:8] + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 0)
+    ) + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="scanline bytes"):
+        decode_png(short)
+
+
+def test_png_channel_stats_matches_formula(spark):
+    """c81's operator path at unit scale: synthesize PNGs from the
+    closed-form pixels, decode through image_channel_stats, compare
+    the sums against the formula computed directly in numpy."""
+    import numpy as np
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        image_channel_stats,
+        synthesize_png_images,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    got = {
+        r["doc_id"]: r
+        for r in image_channel_stats(
+            synthesize_png_images(ids, "doc_id", side=8)
+        ).collect()
+    }
+    r = np.arange(8)[:, None, None]
+    c = np.arange(8)[None, :, None]
+    ch = np.arange(3)[None, None, :]
+    for i in range(6):
+        px = (i * 31 + r * 7 + c * 3 + ch) % 256
+        sums = px.reshape(-1, 3).sum(axis=0)
+        row = got[i]
+        assert (row["width"], row["height"], row["n_pixels"]) == (8, 8, 64)
+        assert (row["sum_r"], row["sum_g"], row["sum_b"]) == tuple(
+            int(s) for s in sums
+        )
