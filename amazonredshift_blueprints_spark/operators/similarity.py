@@ -1536,16 +1536,21 @@ def train_pq_codebook(
     import numpy as np
     import pandas as pd
 
+    # init = the n_codes LOWEST-id residual rows present (ids are unique
+    # per vector, so orderBy+limit is deterministic). On a dense 0-based
+    # corpus this is exactly ids 0..n_codes-1 (the c74 oracle's rule);
+    # stated this way it also works on a hash-sampled training subset
+    # whose surviving ids are arbitrary (c82).
     init_rows = sorted(
         (int(r[id_col]), [int(x) for x in r[rv_col]])
-        for r in residuals.filter(F.col(id_col) < n_codes)
-        .select(id_col, rv_col)
+        for r in residuals.select(id_col, rv_col)
+        .orderBy(id_col)
+        .limit(n_codes)
         .collect()
     )
     if len(init_rows) != n_codes:
         raise ValueError(
-            f"codebook init needs ids 0..{n_codes - 1} present; got "
-            f"{len(init_rows)}"
+            f"codebook init needs {n_codes} rows; got {len(init_rows)}"
         )
     dim = len(init_rows[0][1])
     if dim % n_subspaces:
@@ -1615,6 +1620,8 @@ def ivf_pq_residual_topk(
     k: int = 5,
     coarse_iters: int = 2,
     pq_iters: int = 2,
+    train_fraction: float | None = None,
+    train_salt: str = "v1",
 ) -> DataFrame:
     """Residual-encoded IVF-PQ with trained quantizers — FAISS's
     production "IVFADC" configuration (Jégou et al., "Product
@@ -1648,17 +1655,36 @@ def ivf_pq_residual_topk(
     :func:`ivf_pq_topk` — assignment + residual + encoding are chained
     Arrow kernels in one shuffle-free corpus pass, the probe join
     carries (id, cell, codes) rows, and the per-(query, cell) ADC
-    tables are kernel-closure metadata, guarded below. Like
-    kmeans_centroids, training passes re-read the corpus per
-    iteration — persist the residual table first on a real cluster if
-    the scan dominates (same trade as MLlib k-means caching).
+    tables are kernel-closure metadata, guarded below.
+
+    ``train_fraction`` (c82, FAISS practice — faiss trains any index on
+    ``min(n, k * 256)``-ish samples and encodes the full corpus once):
+    when set, BOTH training loops (coarse Lloyd and residual codebook
+    Lloyd) run only on the deterministic salted-md5 sample of the
+    corpus (operators/sampling.py — portable, partition-independent,
+    so the DuckDB oracle replays the same subset), while assignment,
+    residuals, encoding, and search still cover every corpus row.
+    Training cost then scales with the SAMPLE (each Lloyd pass scans
+    fraction·N rows instead of N — at 100 TB that is the difference
+    between 4 extra full-corpus scans per build and 4 scans of a
+    bounded sample); init seeds are the lowest sampled ids.
+
+    Without ``train_fraction``, Lloyd passes re-read the full corpus
+    per iteration (same trade as MLlib k-means caching).
     """
     import numpy as np
     import pandas as pd
 
-    if coarse_iters > 0:
+    from .sampling import deterministic_sample
+
+    train_corpus = (
+        corpus
+        if train_fraction is None
+        else deterministic_sample(corpus, id_col, train_fraction, train_salt)
+    )
+    if coarse_iters > 0 or train_fraction is not None:
         cents = kmeans_centroids(
-            corpus, id_col=id_col, vec_col=vec_col,
+            train_corpus, id_col=id_col, vec_col=vec_col,
             n_cells=n_cells, iters=coarse_iters,
         )
     else:
@@ -1684,8 +1710,15 @@ def ivf_pq_residual_topk(
     # rows) result is materialized, so repeated calls in a long session
     # do not accumulate cached corpus tables (the c61 pattern).
     residuals = _residuals(cells, CENT).persist(StorageLevel.MEMORY_AND_DISK)
+    # codebook training input: the SAME deterministic sample, filtered
+    # from the already-persisted full residual table (no extra scan)
+    train_res = (
+        residuals
+        if train_fraction is None
+        else deterministic_sample(residuals, "vec_id", train_fraction, train_salt)
+    )
     R, _ = train_pq_codebook(
-        residuals, n_subspaces=n_subspaces, n_codes=n_codes, iters=pq_iters
+        train_res, n_subspaces=n_subspaces, n_codes=n_codes, iters=pq_iters
     )
 
     def encode(batches):

@@ -593,6 +593,73 @@ def test_ivfpq_residual_training_beats_raw_codes(spark, sf_dir, vecs):
     assert res >= 0.30, res
 
 
+def test_sample_trained_ivfpq_recall_within_budget(spark):
+    """c82: training the quantizers on the deterministic half-sample
+    must keep >= 0.9x the recall of full-corpus training at the same
+    (n_cells, nprobe, M, n_codes) budget — the FAISS sample-training
+    trade, pinned so a sampling bug that degrades the codebooks shows
+    up as recall collapse, not silence.
+
+    Like the k-means quantizer test above, this needs a corpus with
+    actual cluster structure: on the fixtures' iid-random vectors a
+    half-sample of ~250 points genuinely under-trains 16x16 codebooks
+    (FAISS's own guidance is >= n_codes*39 train points per quantizer),
+    so the 0.9x premise only holds where sampling is statistically
+    sufficient — 8 Gaussian clusters x 50 points here."""
+    import numpy as np
+
+    from amazonredshift_blueprints_spark.operators.similarity import (
+        ivf_pq_residual_topk,
+    )
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(0, 1, (8, 32))
+    rows = []
+    for ci in range(8):
+        for j in range(50):
+            v = centers[ci] + rng.normal(0, 0.15, 32)
+            rows.append((ci * 50 + j, [float(x) for x in v]))
+    e = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    qs = e.filter(F.col("vec_id") < 10)
+
+    m = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+    q = np.round(m * QUANT_SCALE)
+    rid = [r[0] for r in rows]
+
+    def l2_truth(qi, k=5):
+        d = ((q - q[qi]) ** 2).sum(axis=1)
+        cand = sorted(
+            (d[j], rid[j]) for j in range(len(rid)) if rid[j] != qi
+        )
+        return {n for _, n in cand[:k]}
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(got.get(qi, set()) & l2_truth(qi)) for qi in range(10)
+        ) / 50.0
+
+    kw = dict(
+        n_cells=8, nprobe=2, n_subspaces=8, n_codes=16, k=5,
+        coarse_iters=2, pq_iters=2,
+    )
+    full = recall(ivf_pq_residual_topk(e, qs, **kw))
+    sampled = recall(ivf_pq_residual_topk(e, qs, train_fraction=0.5, **kw))
+    assert sampled >= 0.9 * full, (sampled, full)
+    # determinism: the same fraction+salt retrains identically
+    a = {
+        (r["query_id"], r["neighbor_id"], r["adc_dist2"], r["rank"])
+        for r in ivf_pq_residual_topk(e, qs, train_fraction=0.5, **kw).collect()
+    }
+    b = {
+        (r["query_id"], r["neighbor_id"], r["adc_dist2"], r["rank"])
+        for r in ivf_pq_residual_topk(e, qs, train_fraction=0.5, **kw).collect()
+    }
+    assert a == b
+
+
 def test_pq_codebook_training_is_deterministic_and_improves_mse(spark, sf_dir):
     """Two independent trainings must produce the identical codebook
     (integer Lloyd, no float/order dependence), and each training
