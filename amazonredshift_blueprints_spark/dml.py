@@ -158,6 +158,9 @@ def delete_from(spark: SparkSession, table: str, condition: str) -> int:
     """
     hit = F.coalesce(F.expr(condition), F.lit(False))
     obs = Observation()
+    from .transactions import resolve_active
+
+    table = resolve_active(spark, table)  # txn-staged when one is open
     with _table_lock(spark, table):
         observed = spark.table(table).observe(
             obs, F.sum(F.when(hit, 1).otherwise(0)).alias("n_deleted")
@@ -209,6 +212,9 @@ def merge_into(
     # the lock covers the target READ as well as the overwrite: the
     # lost-update race is read-pre-image → overwrite, so a reader that
     # snapshots before a concurrent writer commits must not write back
+    from .transactions import resolve_active
+
+    table = resolve_active(spark, table)  # txn-staged when one is open
     with _table_lock(spark, table):
         target = spark.table(table)
         if set(source.columns) != set(target.columns):
@@ -282,6 +288,9 @@ def update_table(
     """
     cond = F.expr(condition)
     obs = Observation()
+    from .transactions import resolve_active
+
+    table = resolve_active(spark, table)  # txn-staged when one is open
     with _table_lock(spark, table):
         df = spark.table(table)
         unknown = set(assignments) - set(df.columns)
@@ -350,6 +359,9 @@ def scd2_apply(
     profile as Delta's MERGE-based SCD2 recipes.
     """
     obs = Observation()
+    from .transactions import resolve_active
+
+    table = resolve_active(spark, table)  # txn-staged when one is open
     with _table_lock(spark, table):
         dim = spark.table(table)
         meta = [valid_from_col, valid_to_col, current_col]

@@ -7015,6 +7015,53 @@ def c81_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_channel_stats(synthesize_png_images(d, "doc_id", side=8))
 
 
+@query(
+    "q68_txn_commit_rollback",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_mktsegment = 'BUILDING'
+                THEN c_acctbal + 10.0 ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    """,
+    doc="real BEGIN/COMMIT/ROLLBACK (transactions.py, VERDICT r8 #4): "
+        "an UPDATE inside BEGIN...COMMIT publishes via the staged-swap "
+        "buffer (writes go to a per-transaction staging table under the "
+        "held per-table writer lock; COMMIT swaps it in), then a DELETE "
+        "of nearly every row inside BEGIN...ROLLBACK is discarded — the "
+        "oracle checks the table is byte-identical to the committed "
+        "state, i.e. the rollback genuinely undid the delete. Redshift "
+        "gave the reference serializable transactions at its "
+        "pass-through site (execute_sql.py:77); this is the "
+        "format-agnostic copy-on-write equivalent (one extra table copy "
+        "per touched table; a transaction log — Delta/Iceberg — "
+        "amortizes that at 100 TB)",
+    tags=("dml", "native", "txn"),
+)
+def q68_txn_commit_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dml import delete_from, update_table
+    from ..ingest import _clean_stale_location
+    from ..sqlrun import execute_sql
+
+    t = views(spark, sf_dir, "customer")["customer"]
+    _clean_stale_location(spark, "bp_txn_cust", None)
+    t.write.mode("overwrite").saveAsTable("bp_txn_cust")
+    execute_sql(spark, "BEGIN")
+    update_table(
+        spark,
+        "bp_txn_cust",
+        {"c_acctbal": "c_acctbal + 10.0"},
+        "c_mktsegment = 'BUILDING'",
+    )
+    execute_sql(spark, "COMMIT")
+    execute_sql(spark, "BEGIN TRANSACTION")
+    delete_from(spark, "bp_txn_cust", "c_acctbal > -1e18")  # nearly all rows
+    execute_sql(spark, "ROLLBACK")
+    return spark.table("bp_txn_cust").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+
+
 def _train_sample_pred(fraction: float, salt: str = "v1") -> str:
     """The SQL form of operators/sampling.deterministic_sample's filter
     (portable salted-md5 bucket — identical bytes in Spark and DuckDB)."""

@@ -19,21 +19,43 @@ from pyspark.sql import SparkSession
 
 from .functions import translate_redshift_sql
 
-# Transaction-control and access-control statements Redshift scripts
-# carry around their DML. BEGIN/COMMIT are accepted as no-ops — every
-# statement here auto-commits (documented divergence: there is no
-# multi-statement atomicity without a table format's transaction log).
+# Access-control statements Redshift scripts carry around their DML:
 # GRANT/REVOKE/COMMENT ON are accepted as no-ops because the session
-# catalog has no access-control layer to apply them to. ROLLBACK is
-# NOT a safe no-op — the user expects an undo that cannot happen — so
-# it raises instead of silently committing.
+# catalog has no access-control layer to apply them to. BEGIN/COMMIT/
+# ROLLBACK are REAL since round 9: they drive the staged-swap
+# transaction buffer (transactions.py) — writes between BEGIN and
+# COMMIT stage per-table under held writer locks, COMMIT publishes,
+# ROLLBACK discards. ROLLBACK outside an open transaction still raises
+# (prior statements auto-committed; pretending to undo them would lie).
 _NOOP_STMT_RE = re.compile(
-    r"^\s*(?:BEGIN(?:\s+(?:WORK|TRANSACTION))?|START\s+TRANSACTION"
-    r"|COMMIT(?:\s+(?:WORK|TRANSACTION))?|END(?:\s+(?:WORK|TRANSACTION))?"
-    r"|GRANT\b.*|REVOKE\b.*|COMMENT\s+ON\b.*)\s*;?\s*$",
+    r"^\s*(?:GRANT\b.*|REVOKE\b.*|COMMENT\s+ON\b.*)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_BEGIN_RE = re.compile(
+    r"^\s*(?:BEGIN(?:\s+(?:WORK|TRANSACTION))?|START\s+TRANSACTION)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_COMMIT_RE = re.compile(
+    r"^\s*(?:COMMIT(?:\s+(?:WORK|TRANSACTION))?|END(?:\s+(?:WORK|TRANSACTION))?)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _ROLLBACK_RE = re.compile(r"^\s*(?:ROLLBACK|ABORT)\b", re.IGNORECASE)
+# write statements routed through the transaction buffer when one is open
+_INSERT_TARGET_RE = re.compile(
+    r"^(\s*INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?)([`\w.]+)",
+    re.IGNORECASE,
+)
+# Redshift's own "cannot run inside a transaction block" family: VACUUM,
+# CREATE/REFRESH MATERIALIZED VIEW, CREATE EXTERNAL TABLE, ALTER TABLE
+# layout changes. Refusing these inside BEGIN...COMMIT matches Redshift.
+# Other DDL (CREATE/DROP TABLE, CTAS) executes but AUTO-COMMITS here
+# instead of joining the transaction — a documented divergence (Redshift
+# rolls DDL back; a catalog without a transaction log cannot).
+_NON_TXN_STMT_RE = re.compile(
+    r"^\s*(?:VACUUM|REFRESH\s+MATERIALIZED|CREATE\s+(?:MATERIALIZED|EXTERNAL)"
+    r"|ALTER\s+TABLE)\b",
+    re.IGNORECASE,
+)
 
 
 def execute_sql(spark: SparkSession, query: str) -> None:
@@ -52,18 +74,39 @@ def execute_sql(spark: SparkSession, query: str) -> None:
     single row on the driver — a ``.collect()`` here would OOM the
     driver on a large pass-through SELECT.
     """
-    if _ROLLBACK_RE.match(query):
-        raise NotImplementedError(
-            "ROLLBACK cannot be honored: statements auto-commit here (no "
-            "transaction log — see dml.py); refusing to pretend the "
-            "preceding work was undone"
-        )
-    if _NOOP_STMT_RE.match(query):
-        # transaction markers / access control: accepted so Redshift
-        # scripts run unmodified; auto-commit + no-ACL divergence is
-        # documented at the pattern definition above
+    from . import transactions
+
+    if _BEGIN_RE.match(query):
+        transactions.begin(spark)
         print("Your query has been successfully executed.")
         return
+    if _COMMIT_RE.match(query):
+        transactions.commit(spark)  # no-op when none open (auto-commit)
+        print("Your query has been successfully executed.")
+        return
+    if _ROLLBACK_RE.match(query):
+        transactions.rollback(spark)  # raises when none open
+        print("Your query has been successfully executed.")
+        return
+    if _NOOP_STMT_RE.match(query):
+        # access control: accepted so Redshift scripts run unmodified;
+        # the no-ACL divergence is documented at the pattern definition
+        print("Your query has been successfully executed.")
+        return
+    txn = transactions.active(spark)
+    if txn is not None:
+        if _NON_TXN_STMT_RE.match(query):
+            raise ValueError(
+                "statement cannot run inside a transaction block (the "
+                "Redshift rule for VACUUM/materialized views/external "
+                "tables/ALTER TABLE): run it outside BEGIN...COMMIT: "
+                f"{query[:80]!r}"
+            )
+        m = _INSERT_TARGET_RE.match(query)
+        if m is not None:
+            # route the INSERT at the transaction's staging table
+            stage = txn.resolve_write(m.group(2))
+            query = f"{m.group(1)}{stage}{query[m.end():]}"
     from .functions.copy_unload import (
         execute_alter_layout,
         execute_analyze,
@@ -92,6 +135,15 @@ def execute_sql(spark: SparkSession, query: str) -> None:
     ):
         spec = parse(query)
         if spec is not None:
+            if txn is not None and parse is parse_copy:
+                # COPY loads stage inside an open transaction
+                full = (
+                    f"{spec.schema_name}.{spec.table}"
+                    if spec.schema_name
+                    else spec.table
+                )
+                spec.table = txn.resolve_write(full)
+                spec.schema_name = None
             execute(spark, spec)
             print("Your query has been successfully executed.")
             return
@@ -189,16 +241,29 @@ def execute_sql_script(spark: SparkSession, script: str) -> int:
     earlier statements' effects in place, and the raised error names
     the failing statement index). Returns the number of statements
     executed."""
+    from . import transactions
+
+    entered_with = transactions.active(spark)
     stmts = split_statements(script)
     for idx, stmt in enumerate(stmts):
         try:
             execute_sql(spark, stmt)
         except Exception as e:
+            # a transaction OPENED BY THIS SCRIPT must not dangle past
+            # the failure (the next script would hit "nested BEGIN" and
+            # its staged tables/locks would leak) — roll it back, which
+            # is also what Redshift does to an aborted transaction
+            txn = transactions.active(spark)
+            rolled = ""
+            if txn is not None and txn is not entered_with:
+                txn.rollback()
+                rolled = " (open transaction rolled back)"
             # RuntimeError wrapper: PySpark's captured exceptions can't
             # be re-instantiated from a plain message; the original is
             # chained (``from e``) with its full analysis detail
             raise RuntimeError(
-                f"statement {idx + 1}/{len(stmts)} failed: {stmt[:120]!r}: {e}"
+                f"statement {idx + 1}/{len(stmts)} failed{rolled}: "
+                f"{stmt[:120]!r}: {e}"
             ) from e
     return len(stmts)
 

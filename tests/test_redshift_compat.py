@@ -485,27 +485,50 @@ def test_unload_manifest_copy_manifest_roundtrip(spark, tmp_path):
 
 
 def test_transaction_and_acl_statements(spark, capsys):
-    """BEGIN/COMMIT/GRANT/REVOKE/COMMENT ON pass as documented no-ops;
-    ROLLBACK refuses loudly (auto-commit cannot be undone)."""
+    """GRANT/REVOKE/COMMENT ON pass as documented no-ops; BEGIN/COMMIT
+    pairs open and close the real transaction buffer; ROLLBACK outside
+    an open transaction still refuses loudly (those statements already
+    auto-committed)."""
     import pytest
 
+    from amazonredshift_blueprints_spark import transactions
     from amazonredshift_blueprints_spark.sqlrun import execute_sql
 
     for stmt in (
-        "BEGIN;", "BEGIN TRANSACTION", "START TRANSACTION", "COMMIT;",
-        "END", "GRANT SELECT ON t TO GROUP analysts",
+        "GRANT SELECT ON t TO GROUP analysts",
         "REVOKE ALL ON SCHEMA public FROM u",
         "COMMENT ON TABLE t IS 'hello'",
     ):
         execute_sql(spark, stmt)
         assert "successfully executed" in capsys.readouterr().out
+    for b, e in (
+        ("BEGIN;", "COMMIT;"),
+        ("BEGIN TRANSACTION", "END"),
+        ("START TRANSACTION", "COMMIT WORK"),
+    ):
+        execute_sql(spark, b)
+        assert transactions.active(spark) is not None
+        execute_sql(spark, e)
+        assert transactions.active(spark) is None
+    execute_sql(spark, "COMMIT")  # outside a txn: the auto-commit no-op
     with pytest.raises(NotImplementedError, match="ROLLBACK"):
         execute_sql(spark, "ROLLBACK")
     with pytest.raises(NotImplementedError, match="ROLLBACK"):
         execute_sql(spark, "ABORT;")
+    # nested BEGIN refuses rather than silently flattening
+    execute_sql(spark, "BEGIN")
+    try:
+        with pytest.raises(ValueError, match="nested"):
+            execute_sql(spark, "BEGIN")
+        # VACUUM inside a transaction block: the Redshift rule
+        with pytest.raises(ValueError, match="transaction block"):
+            execute_sql(spark, "VACUUM some_table")
+    finally:
+        execute_sql(spark, "ROLLBACK")
     # an actual BEGIN...END procedure body must NOT be swallowed
     with pytest.raises(Exception, match="(?i)syntax|parse"):
         execute_sql(spark, "BEGIN SELECT 1; END loop_thing")
+    assert transactions.active(spark) is None
 
 
 class TestCreateFunctionStatements:
