@@ -7109,98 +7109,78 @@ def c82_ann_ivfpq_sample_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_catalog_oracle.py at sf0.001, but gets no per-round
 # CORRECTNESS row.
 #
-# Round-7 rotation policy (VERDICT r6 item 1): the window holds
-# (a) every entry whose code changed this round — the four r6
-#     rebalance_for_compute consumers the r6 window missed (c05, c24,
-#     c26, c27 — the verdict's top item), the similarity.py family
-#     touched by the seed/guard fixes and the id-pair distinct rewrite
-#     (c07, c17, c28, c37, c38), the DML staging-name change (q35, q42),
-#     the streaming await/RocksDB changes (c16, c36, c42, c43, c44),
-#     and the NEW round-7 entries c45-c70 + q50-q54;
-# (b) no stale-refresh slots remain this round: q08/q09/q16/q18/q21/
-#     q22/q23 (theta/cross joins, ROWS frames, set ops, conditional/
-#     JSON scalars, CTE/subquery: all unchanged since r03, pytest-
-#     oracle green; each family re-covered by newer-rowed entries —
-#     q45/q50/q46/q36/q51/q38/q44/q47) ceded their slots to the new
-#     c66-c70 + q53/q54;
-# (c) the remaining slots go to r05-rowed entries, prioritizing the ones
-#     whose code was touched in r6 without a fresh row (c29, c32 — the
-#     components fusion) plus the oldest of the rest.
-# Entries left outside the window (q01, q02, q03, q04, q10, q15, q17,
-# q19, q20, q33, q34, q36-q40, q43-q48, c01, c18, c22, c23, c25, c30,
-# c31, c35 (q01/q03 stay smoke-checked/benched every round),
-# and every r06-rowed entry not in (a)) are all green on unchanged code
-# and remain covered by tests/test_catalog_oracle.py at sf0.001;
-# trivial-plan or unchanged entries (q01-q04/q08/q09/q15/q16/q18/q21/
-# q22/q33/q34/c01/c18/q38/q39) gave up their slots to the late-round
-# additions c57-c70 + q51-q54, whose code is new this round; q41 keeps
-# its slot because the dialect shim it routes through gained a rewrite
-# pass this round. Net: 31 round-7 entries + all 19 changed-code
-# older entries = 50. q55 (spatial within-join), c71 (PQ/ADC ANN),
-# c72 (IVF-PQ), c73 (duplicated-span coverage), and q56 (Q21-shape
-# multi-EXISTS) landed after the window filled; all five are locally
-# hash-verified at BOTH sf0.01 and sf0.1 (PLANS.md round-close note)
-# and take window priority next round.
+# Round-10 rotation policy (VERDICT r9 item 1, set as the FIRST commit of
+# the round so late-round additions cannot bump it): the window holds
+# exactly (a) the 7 entries that have NEVER had a driver row (the r9
+# additions q68-q72, c81, c82 — the code that changed last round),
+# (b) all 23 entries whose newest driver row is r5, and (c) 20 of the 37
+# r6-rowed entries in registration order. After this round's
+# CORRECTNESS_r10.json lands, no entry is staler than r6 and every
+# catalog entry has been driver-rowed at least once. The 17 r6 entries
+# left outside the window (c10-c13, c15, c19-c21, c39-c41, q27-q32)
+# plus every r7/r9-rowed entry remain covered on unchanged code by the
+# parametrized DuckDB-oracle mirror tests/test_catalog_oracle.py at
+# sf0.001. Entries added THIS round (r10) intentionally stay outside
+# the window and take priority in the r11 rotation.
+# A guard test (tests/test_driver_window.py) fails if the window is
+# ever left un-rotated: >=40 window entries already rowed in the two
+# newest committed CORRECTNESS files means someone forgot this edit.
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # (a) never driver-rowed: landed after the r7 window filled (judge
-    # verified q55/c71/c72/c73/q56 at sf0.01 in r7) or new this round
-    "q55_spatial_within_join",
-    "c71_ann_pq_topk",
-    "c72_ann_ivfpq_topk",
-    "c73_dup_span_coverage",
-    "q56_multi_exists_decorrelation",
-    "c74_ann_ivfpq_residual_topk",
-    "q57_copy_unload_sql",
-    "q58_vacuum_analyze_sql",
-    "c75_ann_ivfpq_refine_topk",
-    "q59_scd2_dimension",
-    "c76_zorder_keys",
-    "q60_materialized_view_sql",
-    "q61_system_tables",
-    "c77_weighted_sample",
-    "q62_tpch_q7_volume_shipping",
-    "q63_tpch_q8_market_share",
-    "q64_tpch_q13_order_distribution",
-    "q65_tpch_q18_large_volume",
-    "q66_tpch_q22_global_sales",
-    "q67_python_udf_ddl",
-    "c78_bigram_logprob",
-    "c79_bpe_train",
-    "c80_bpe_tokenize",
-    # (b) stale r3 rows — the freshness debt VERDICT r7 #1 flags
-    "q08_join_theta",
-    "q09_join_cross",
-    "q16_window_frames",
-    "q18_setops",
-    "q21_scalar_conditional",
-    "q22_scalar_json",
-    "q23_cte_subquery",
-    # (c) code changed this round (advisor fixes, DML lock, pair-gen /
-    # CC optimization, semantic-dedup unpersist, quantile auto-engine,
-    # minhash sidecar, PPM bounds, top-k schema)
-    "q35_dml_delete_update",
-    "q42_dml_merge",
-    "q53_merge_delete",
-    "c04_dedup_ngram_jaccard",
-    "c29_dedup_groups",
-    "c32_pipeline_neardup_stratified",
-    "c61_semantic_dedup",
-    "c70_minhash_signature_store",
-    "c51_length_quantiles",
-    "c64_image_decode_stats",
-    "c35_frame_sample",
-    "c14_multimodal_features",
-    "c65_stream_stateful_topk",
-    "a03_sql_passthrough",
-    # (d) oldest remaining rows (r5), oldest-first refresh
-    "q01_pricing_summary",
-    "q02_filter_project_string",
-    "q03_join_revenue_by_nation",
-    "q04_join_semi",
-    "q10_agg_hash",
-    "q15_window_rank",
+    # (a) never driver-rowed: new in round 9
+    "q68_txn_commit_rollback",
+    "q69_tpch_q2_min_cost_supplier",
+    "q70_tpch_q11_important_stock",
+    "q71_tpch_q15_top_supplier",
+    "q72_tpch_q20_potential_promotion",
+    "c81_png_decode_stats",
+    "c82_ann_ivfpq_sample_trained",
+    # (b) newest driver row is r5 (all 23)
+    "q17_topk",
+    "q19_scalar_dates",
+    "q20_scalar_math",
+    "q33_bucketed_colocated_join",
+    "q34_salted_skew_join",
+    "q36_json_typed_struct",
+    "q37_stats_aggregates",
+    "q38_correlated_scalar_subquery",
+    "q39_null_aware_anti_join",
+    "q40_pivot",
+    "q43_unpivot",
+    "q44_recursive_cte",
+    "q45_window_analytic_extra",
+    "q46_setops_all",
+    "q47_lateral_topn",
+    "q48_regex_functions",
+    "c01_dedup_exact",
+    "c18_text_tfidf",
+    "c22_hash_split",
+    "c23_embedding_centroids",
+    "c25_pipeline_e2e",
+    "c30_stratified_sample",
+    "c31_top_tokens",
+    # (c) 20 r6-rowed entries, registration order
+    "q05_join_anti",
+    "q06_join_left_outer",
+    "q07_join_full_outer",
+    "q11_agg_distinct",
+    "q12_agg_approx_distinct",
+    "q13_agg_rollup",
+    "q14_agg_cube",
+    "q24_ddl_ctas_insert",
+    "q25_redshift_dialect",
+    "q26_shipping_priority",
+    "a01_ingest_csv_roundtrip",
+    "a02_export_csv_roundtrip",
+    "c02_dedup_minhash",
+    "c03_dedup_simhash",
+    "q49_window_dedup",
+    "c34_funnel_counts",
+    "c33_retention_cohorts",
+    "c06_ann_bruteforce_topk",
+    "c08_text_stats",
+    "c09_text_langid",
 ]
 
 

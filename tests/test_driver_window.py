@@ -1,0 +1,62 @@
+"""Guard: the driver correctness window must be rotated every round.
+
+The round driver hard-verifies only the first 50 catalog entries
+(``_DRIVER_WINDOW`` in plans/catalog.py). Rounds 8→9 shipped the
+identical window twice, so the 50 driver rows re-certified entries that
+were already green while newly added code went unrowed (VERDICT r9 #1).
+This test turns a forgotten rotation into a red test: if at least 40 of
+the current window's entries already have rows in the two newest
+committed ``CORRECTNESS_r*.json`` artifacts, the window was (almost
+certainly) not rotated since those artifacts were produced.
+
+Threshold 40 (not 50) because a handful of entries legitimately keep
+their slots across rounds (changed code, flagship smoke entries).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _newest_correctness(n: int = 2) -> list[Path]:
+    files = sorted(
+        REPO.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    return files[-n:]
+
+
+def test_driver_window_was_rotated():
+    from amazonredshift_blueprints_spark.plans.catalog import _DRIVER_WINDOW
+
+    files = _newest_correctness()
+    if not files:
+        return  # fresh clone without artifacts: nothing to compare
+    rowed: set[str] = set()
+    for f in files:
+        rowed.update(json.loads(f.read_text()).keys())
+    already = [n for n in _DRIVER_WINDOW if n in rowed]
+    assert len(already) < 40, (
+        f"{len(already)}/{len(_DRIVER_WINDOW)} driver-window entries already "
+        f"have rows in {[f.name for f in files]} — rotate _DRIVER_WINDOW "
+        f"(plans/catalog.py) before closing the round. Stale-kept entries: "
+        f"{already[:10]}..."
+    )
+
+
+def test_driver_window_is_50_unique_registered_names():
+    from amazonredshift_blueprints_spark.plans.catalog import (
+        QUERIES,
+        _DRIVER_WINDOW,
+    )
+
+    assert len(_DRIVER_WINDOW) == 50
+    assert len(set(_DRIVER_WINDOW)) == 50
+    missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
+    assert not missing
+    # window must actually be applied: first 50 iteration keys match
+    assert list(QUERIES)[:50] == _DRIVER_WINDOW
