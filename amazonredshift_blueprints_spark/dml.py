@@ -110,6 +110,45 @@ def _table_lock(spark: SparkSession, table: str, timeout_s: float = _LOCK_TIMEOU
             os.remove(lock_path)
 
 
+def clean_stale_locks(spark: SparkSession) -> list[str]:
+    """Remove writer-lock files whose recorded holder pid is dead.
+
+    Lock files record ``pid=<pid> ts=<time>`` at acquisition; a crashed
+    holder leaves the file behind and every later writer times out
+    against it. Liveness is checked with ``kill(pid, 0)`` — a lock is
+    removed ONLY when its pid no longer exists (or the file is
+    unparseable), never merely because it is old, so a slow-but-alive
+    transaction keeps its locks. Single-host check by design: the lock
+    files themselves are warehouse-local (see _table_lock)."""
+    import re as _re
+
+    removed = []
+    lock_dir = _lock_dir(spark)
+    for fn in os.listdir(lock_dir):
+        if not fn.endswith(".lock"):
+            continue
+        path = os.path.join(lock_dir, fn)
+        try:
+            content = open(path).read()
+        except OSError:
+            continue  # racing holder released it
+        m = _re.search(r"pid=(\d+)", content)
+        dead = True
+        if m:
+            try:
+                os.kill(int(m.group(1)), 0)
+                dead = False  # holder alive
+            except ProcessLookupError:
+                dead = True
+            except PermissionError:
+                dead = False  # exists, owned by another user
+        if dead:
+            with contextlib.suppress(OSError):
+                os.remove(path)
+                removed.append(fn)
+    return removed
+
+
 def _n(metric) -> int:
     """Observation sums are NULL over zero matching rows — report 0."""
     return int(metric) if metric is not None else 0

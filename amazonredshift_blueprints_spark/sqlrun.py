@@ -48,12 +48,18 @@ _INSERT_TARGET_RE = re.compile(
 # Redshift's own "cannot run inside a transaction block" family: VACUUM,
 # CREATE/REFRESH MATERIALIZED VIEW, CREATE EXTERNAL TABLE, ALTER TABLE
 # layout changes. Refusing these inside BEGIN...COMMIT matches Redshift.
-# Other DDL (CREATE/DROP TABLE, CTAS) executes but AUTO-COMMITS here
-# instead of joining the transaction — a documented divergence (Redshift
-# rolls DDL back; a catalog without a transaction log cannot).
+# TRUNCATE and DROP TABLE are also refused (r9 advisor): they would hit
+# the REAL table while bypassing the staging buffer, and if the table
+# was already staged, COMMIT's INSERT OVERWRITE would silently resurrect
+# the pre-TRUNCATE rows. Redshift instead lets TRUNCATE implicitly
+# commit the transaction — a silent commit is worse than a loud refusal,
+# so here they must run outside BEGIN...COMMIT (documented divergence).
+# Other DDL (CREATE TABLE, CTAS) executes but AUTO-COMMITS here instead
+# of joining the transaction — a documented divergence (Redshift rolls
+# DDL back; a catalog without a transaction log cannot).
 _NON_TXN_STMT_RE = re.compile(
     r"^\s*(?:VACUUM|REFRESH\s+MATERIALIZED|CREATE\s+(?:MATERIALIZED|EXTERNAL)"
-    r"|ALTER\s+TABLE)\b",
+    r"|ALTER\s+TABLE|TRUNCATE\b|DROP\s+TABLE)",
     re.IGNORECASE,
 )
 

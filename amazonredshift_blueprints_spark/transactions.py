@@ -65,22 +65,35 @@ class Transaction:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self.txn_id = uuid.uuid4().hex[:12]
+        # Snapshot the current database at BEGIN (r9 advisor): resolving
+        # bare names at every statement would let a USE <db> mid-
+        # transaction map the SAME spelling to a DIFFERENT lock key and
+        # stage. All in-transaction names resolve against this snapshot.
+        self.database = spark.catalog.currentDatabase().lower()
         self._locks = contextlib.ExitStack()
         self._staged: dict[str, tuple[str, str]] = {}  # key -> (qualified, stage)
         self._views: list[str] = []
         self._done = False
 
+    def _key(self, table: str) -> str:
+        """Canonical ``db.table`` key, bare names resolved against the
+        database captured at BEGIN (not the session's current one)."""
+        name = table.replace("`", "").strip().lower()
+        return name if "." in name else f"{self.database}.{name}"
+
     def resolve_write(self, table: str) -> str:
         """Map a write target to this transaction's staging table,
         snapshotting the table (and locking it) on first touch."""
-        from .dml import _lock_key, _table_lock
+        from .dml import _table_lock
         from .ingest import _clean_stale_location
 
         if self._done:
             raise RuntimeError("transaction already finished")
-        key = _lock_key(self.spark, table)
+        key = self._key(table)
         if key not in self._staged:
-            self._locks.enter_context(_table_lock(self.spark, table))
+            # lock on the already-qualified key so the lock file name is
+            # stable even if the session database changed after BEGIN
+            self._locks.enter_context(_table_lock(self.spark, key))
             stage = f"{_TXN_PREFIX}_{self.txn_id}_{len(self._staged)}"
             _clean_stale_location(self.spark, stage, None)
             qualified = _qualified(key)
@@ -95,22 +108,42 @@ class Transaction:
 
     def commit(self) -> int:
         """Publish every staged table under the held locks; returns the
-        number of tables published."""
-        try:
-            self._drop_views()
-            for qualified, stage in self._staged.values():
+        number of tables published.
+
+        Partial-failure recovery (r9 advisor): if publishing table k of
+        n fails, the k-1 already-published tables' stages are dropped as
+        usual, but the NOT-yet-published stages (including the failed
+        one) are kept on disk and named in the raised error, so their
+        data can be recovered or re-published manually — instead of
+        being silently destroyed with the only copy of the commit's
+        remaining work. Locks are still released (a dead transaction
+        must not block the table forever)."""
+        self._drop_views()
+        items = list(self._staged.values())
+        for i, (qualified, stage) in enumerate(items):
+            try:
                 self.spark.sql(
                     f"INSERT OVERWRITE TABLE {qualified} SELECT * FROM {stage}"
                 )
-            return len(self._staged)
-        finally:
-            self._cleanup()
+            except Exception as exc:
+                kept = {q: s for q, s in items[i:]}
+                self._cleanup(drop_stages=[s for _, s in items[:i]])
+                raise RuntimeError(
+                    f"COMMIT failed publishing {qualified} from staging "
+                    f"table {stage}; {len(kept)} table(s) were NOT "
+                    f"published and their staged data is preserved in "
+                    f"{kept} (target -> stage) — re-publish with INSERT "
+                    f"OVERWRITE <target> SELECT * FROM <stage>, then DROP "
+                    f"the stage"
+                ) from exc
+        self._cleanup(drop_stages=[s for _, s in items])
+        return len(items)
 
     def rollback(self) -> int:
         """Discard every staged table; targets were never written."""
         n = len(self._staged)
         self._drop_views()
-        self._cleanup()
+        self._cleanup(drop_stages=[s for _, s in self._staged.values()])
         return n
 
     def _drop_views(self) -> None:
@@ -118,9 +151,9 @@ class Transaction:
             self.spark.catalog.dropTempView(bare)
         self._views = []
 
-    def _cleanup(self) -> None:
+    def _cleanup(self, drop_stages: list[str]) -> None:
         self._done = True
-        for _, stage in self._staged.values():
+        for stage in drop_stages:
             self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
         self._staged = {}
         self._locks.close()  # release every table lock
@@ -171,30 +204,55 @@ def resolve_active(spark: SparkSession, table: str) -> str:
     return txn.resolve_write(table) if txn is not None else table
 
 
-def clean_stale_transactions(spark: SparkSession) -> list[str]:
+def clean_stale_transactions(
+    spark: SparkSession, min_age_s: float = 3600.0
+) -> list[str]:
     """Drop ``_bp_txn_*`` staging tables (and their directories) left by
-    crashed transactions — everything not owned by the live transaction
-    of THIS session. Run at session start or from a janitor."""
+    crashed transactions, and remove writer-lock files whose recorded
+    holder pid is dead. Run at session start or from a janitor.
+
+    Age gate (r9 advisor): a stage is only removed when its warehouse
+    directory's mtime is older than ``min_age_s`` (default 1 h), so a
+    janitor running while ANOTHER session has an open transaction does
+    not destroy that transaction's freshly staged writes. Stages owned
+    by THIS session's live transaction are always protected regardless
+    of age. Lock files are removed only when the pid they record is no
+    longer alive (crashed holder), never on age alone."""
     import os
     import shutil
+    import time
 
-    from .dml import _lock_dir
+    from .dml import _lock_dir, clean_stale_locks
 
     live = set()
     txn = active(spark)
     if txn is not None:
         live = {stage for _, stage in txn._staged.values()}
+    warehouse = os.path.dirname(_lock_dir(spark))
+    now = time.time()
+
+    def _old_enough(stage: str) -> bool:
+        path = os.path.join(warehouse, stage)
+        try:
+            return now - os.path.getmtime(path) >= min_age_s
+        except OSError:
+            return True  # no directory left — catalog entry is an orphan
+
     dropped = []
     for t in spark.catalog.listTables():
-        if t.name.startswith(_TXN_PREFIX) and t.name not in live:
+        if t.name.startswith(_TXN_PREFIX) and t.name not in live and _old_enough(t.name):
             spark.sql(f"DROP TABLE IF EXISTS {t.name}")
             dropped.append(t.name)
     # orphan directories whose table object is already gone
-    warehouse = os.path.dirname(_lock_dir(spark))
     if os.path.isdir(warehouse):
         for entry in os.listdir(warehouse):
-            if entry.startswith(_TXN_PREFIX) and entry not in live:
+            if (
+                entry.startswith(_TXN_PREFIX)
+                and entry not in live
+                and entry not in dropped
+                and _old_enough(entry)
+            ):
                 shutil.rmtree(os.path.join(warehouse, entry), ignore_errors=True)
-                if entry not in dropped:
-                    dropped.append(entry)
+                dropped.append(entry)
+    dropped.extend(clean_stale_locks(spark))
     return sorted(dropped)
