@@ -6978,6 +6978,243 @@ def q72_tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFr
     return spark.sql(_Q72_SQL)
 
 
+# --------------------------------------------------------------------------
+# TPC-H verbatim completion, part 3 (VERDICT r9 #5): Q9 / Q10 / Q12 /
+# Q14 / Q16 / Q19 — the six classic shapes still absent. Fixture
+# adaptations (no partsupp table, no l_shipmode/commitdate/receiptdate,
+# no p_container/s_comment) follow the part-2 convention: partsupp is
+# derived as a CTE over lineitem, and missing predicate columns are
+# replaced by existing columns that preserve the query SHAPE (the thing
+# the optimizer sees), documented per entry. One SQL text runs verbatim
+# on both engines.
+# --------------------------------------------------------------------------
+
+_Q73_SQL = f"""
+WITH partsupp AS (
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+)
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+    SELECT n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+           {_DISC_PRICE_SQL}
+             - ps_supplycost * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+    FROM part, supplier, lineitem, partsupp, orders, nation
+    WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+      AND ps_partkey = l_partkey AND p_partkey = l_partkey
+      AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      AND p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@query(
+    "q73_tpch_q9_product_profit",
+    oracle=_Q73_SQL,
+    doc="TPC-H Q9 (product-type profit): the heaviest verbatim join "
+        "tree — lineitem x part x supplier x orders x nation plus the "
+        "derived partsupp CTE, five equi-joins feeding one two-key "
+        "rollup. amount stays wholly in the decimal domain "
+        "(disc_price(24,4) - supplycost(18,2)*quantity(12,2)) so the "
+        "SUM is exact/order-independent on both engines; EXTRACT YEAR "
+        "is cast BIGINT for dtype parity. p_name LIKE '%red%' stands "
+        "in for '%green%' (fixture colors). Color filter prunes part "
+        "first; AQE broadcasts the surviving dims",
+    bench=True,
+    tags=("sql", "tpch"),
+)
+def q73_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation")
+    return spark.sql(_Q73_SQL)
+
+
+_Q74_SQL = f"""
+SELECT c_custkey, c_name, CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND l_returnflag = 'R'
+  AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query(
+    "q74_tpch_q10_returned_items",
+    oracle=_Q74_SQL,
+    doc="TPC-H Q10 (returned-item revenue): three-fact join with a "
+        "quarter date window, wide GROUP BY carrying customer "
+        "attributes through the aggregate, top-20 by revenue. The spec "
+        "orders by revenue alone, which is ambiguous at the LIMIT cut; "
+        "c_custkey is appended as a deterministic tiebreaker "
+        "(documented deviation). Revenue summed in the decimal domain, "
+        "reported as double. TakeOrderedAndProject caps the sort at "
+        "20 rows per partition",
+    tags=("sql", "tpch"),
+)
+def q74_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return spark.sql(_Q74_SQL)
+
+
+_Q75_SQL = """
+SELECT l_returnflag AS l_shipmode,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                       OR o_orderpriority = '2-HIGH'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                      AND o_orderpriority <> '2-HIGH'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_returnflag IN ('R', 'A')
+  AND l_shipdate > o_orderdate
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_shipmode
+"""
+
+
+@query(
+    "q75_tpch_q12_shipmode_priority",
+    oracle=_Q75_SQL,
+    doc="TPC-H Q12 (shipmode / order-priority): orders x lineitem with "
+        "a cross-table column comparison plus a one-year window, "
+        "grouped CASE-counts splitting urgent from non-urgent orders. "
+        "Fixture adaptation: l_returnflag IN ('R','A') stands in for "
+        "l_shipmode IN ('MAIL','SHIP') and the late-delivery chain "
+        "l_commitdate < l_receiptdate AND l_shipdate < l_commitdate "
+        "becomes l_shipdate > o_orderdate (the columns don't exist; "
+        "the shape — join + cross-table inequality + IN + range — is "
+        "preserved). CASE sums cast BIGINT for dtype parity (DuckDB "
+        "sums INTEGER into HUGEINT)",
+    tags=("sql", "tpch"),
+)
+def q75_tpch_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_Q75_SQL)
+
+
+_Q76_SQL = f"""
+SELECT (CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE_SQL}
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0)
+       / CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
+@query(
+    "q76_tpch_q14_promo_revenue",
+    oracle=_Q76_SQL,
+    doc="TPC-H Q14 (promotion effect): single-row global aggregate — "
+        "conditional revenue share of PROMO-type parts in one ship "
+        "month. p_type = 'PROMO' equality stands in for LIKE 'PROMO%%' "
+        "(fixture types are single words). Both sums are exact "
+        "decimals; each is cast to double once and the *100/division "
+        "is a fixed IEEE expression, so the quotient is bit-identical "
+        "across engines. The month filter prunes lineitem before the "
+        "broadcast-joined part lookup",
+    tags=("sql", "tpch"),
+)
+def q76_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q76_SQL)
+
+
+_Q77_SQL = """
+WITH partsupp AS (
+    SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+    FROM lineitem
+)
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp, part
+WHERE p_partkey = ps_partkey
+  AND p_brand <> 'Brand#13'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND ps_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@query(
+    "q77_tpch_q16_supplier_cnt",
+    oracle=_Q77_SQL,
+    doc="TPC-H Q16 (parts/supplier relationship): COUNT(DISTINCT) over "
+        "a three-column group, negated predicates (<>, NOT LIKE, and a "
+        "NOT IN subquery that must compile to a null-aware anti-join), "
+        "IN-list partition-style filter. Fixture adaptation: suppliers "
+        "with s_acctbal < 0 stand in for the '%Customer%Complaints%' "
+        "comment filter (no s_comment column); partsupp is the "
+        "DISTINCT (part, supplier) pair set from lineitem. s_suppkey "
+        "is never NULL so the anti-join is semantically plain",
+    tags=("sql", "tpch"),
+)
+def q77_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(_Q77_SQL)
+
+
+_Q78_SQL = f"""
+SELECT CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue
+FROM lineitem, part
+WHERE (
+    p_partkey = l_partkey AND p_brand = 'Brand#12'
+    AND p_type IN ('SMALL', 'MEDIUM')
+    AND l_quantity >= 1 AND l_quantity <= 11
+    AND p_size BETWEEN 1 AND 5
+) OR (
+    p_partkey = l_partkey AND p_brand = 'Brand#23'
+    AND p_type IN ('MEDIUM', 'STANDARD')
+    AND l_quantity >= 10 AND l_quantity <= 20
+    AND p_size BETWEEN 1 AND 10
+) OR (
+    p_partkey = l_partkey AND p_brand = 'Brand#9'
+    AND p_type IN ('LARGE', 'ECONOMY', 'PROMO')
+    AND l_quantity >= 20 AND l_quantity <= 30
+    AND p_size BETWEEN 1 AND 15
+)
+"""
+
+
+@query(
+    "q78_tpch_q19_disjunctive_pushdown",
+    oracle=_Q78_SQL,
+    doc="TPC-H Q19 (discounted revenue): the OR-of-ANDs stress test — "
+        "three conjunct groups each repeating the p_partkey = "
+        "l_partkey equality. Catalyst's CNF conversion must factor the "
+        "common equality out of the disjunction so the join stays an "
+        "equi-join (hash/broadcast) with the brand/type/quantity/size "
+        "residual as a post-join filter — NOT a nested-loop cartesian. "
+        "Plan-asserted in tests/test_plans.py. p_type IN lists stand "
+        "in for p_container IN (no container column); l_shipmode/"
+        "shipinstruct conjuncts dropped with them. Single-row global "
+        "decimal sum reported as double",
+    bench=True,
+    tags=("sql", "tpch"),
+)
+def q78_tpch_q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q78_SQL)
+
+
 @query(
     "c81_png_decode_stats",
     oracle="""

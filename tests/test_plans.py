@@ -395,6 +395,31 @@ def test_tpch_part2_join_strategies(spark, sf_dir):
     )
 
 
+def test_tpch_part3_join_strategies(spark, sf_dir):
+    """q73-q78 (TPC-H Q9/Q10/Q12/Q14/Q16/Q19 shapes): all hash joins.
+    The load-bearing one is Q19 (q78): Catalyst must factor the
+    p_partkey = l_partkey equality out of the OR-of-ANDs predicate so
+    the join is a BroadcastHashJoin with a residual filter — an engine
+    that misses the CNF extraction runs a nested-loop over the full
+    lineitem x part product. Q10 (q74) must cap its top-20 with
+    TakeOrderedAndProject, not a global sort."""
+    for name in (
+        "q73_tpch_q9_product_profit",
+        "q74_tpch_q10_returned_items",
+        "q75_tpch_q12_shipmode_priority",
+        "q76_tpch_q14_promo_revenue",
+        "q77_tpch_q16_supplier_cnt",
+        "q78_tpch_q19_disjunctive_pushdown",
+    ):
+        p = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "BroadcastHashJoin" in p, name
+    assert "TakeOrderedAndProject" in _plan(
+        spark, sf_dir, "q74_tpch_q10_returned_items"
+    )
+
+
 def test_c74_c75_probe_join_carries_codes_not_vectors(spark, sf_dir):
     """The IVFADC probe join must move (id, cell, codes) rows — never
     quantized vectors — and no stage may fall back to a product."""
