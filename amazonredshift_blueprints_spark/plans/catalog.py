@@ -7253,6 +7253,45 @@ def c81_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c83_png_variant_decode_stats",
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id, g1.r, g2.c
+        FROM documents d, range(9) g1(r), range(9) g2(c)
+    )
+    SELECT doc_id,
+           CAST(9 AS BIGINT) AS width,
+           CAST(9 AS BIGINT) AS height,
+           CAST(81 AS BIGINT) AS n_pixels,
+           CAST(SUM((doc_id*31 + r*7 + c*3 + 0) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((doc_id*31 + r*7 + c*3 + 1) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((doc_id*31 + r*7 + c*3 + 2) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    doc="PNG variant-matrix decode (VERDICT r9 #6): c81's closed-form "
+        "pixels encoded per doc_id %% 4 as sequential truecolor, Adam7-"
+        "interlaced truecolor, PLTE-indexed, and Adam7 PLTE-indexed — "
+        "the two most common real-corpus PNG variants the r8 decoder "
+        "raised on, now decoded for real (per-pass unfilter + scatter, "
+        "palette lookup; multimodal.decode_png). side=9 makes every "
+        "Adam7 pass ragged. The palette maps index i to (i, i+1, i+2) "
+        "mod 256, so one channel-sum oracle verifies all four codecs "
+        "bit-exactly. Decode stays inside the scan's partitions — no "
+        "shuffle; sub-byte palette depths (1/2/4) are property-tested "
+        "in pytest",
+    tags=("multimodal",),
+)
+def c83_png_variant_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        image_channel_stats,
+        synthesize_png_variant_images,
+    )
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return image_channel_stats(synthesize_png_variant_images(d, "doc_id", side=9))
+
+
+@query(
     "q68_txn_commit_rollback",
     oracle="""
     SELECT c_custkey, c_name, c_nationkey,

@@ -280,3 +280,150 @@ def test_png_channel_stats_matches_formula(spark):
         assert (row["sum_r"], row["sum_g"], row["sum_b"]) == tuple(
             int(s) for s in sums
         )
+
+
+def test_png_variant_matrix_roundtrip_property():
+    """filter x interlace x color-kind x depth matrix (VERDICT r9 #6):
+    decode(encode(px)) is exact for truecolor, grayscale, and palette
+    (depths 1/2/4/8), each sequential and Adam7-interlaced, under both
+    filter modes — including ragged sizes where Adam7 passes go empty
+    (h or w < 8) and 1x1 images."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        encode_png_gray,
+        encode_png_palette,
+    )
+
+    @given(
+        st.integers(min_value=1, max_value=13),
+        st.integers(min_value=1, max_value=13),
+        st.integers(min_value=0, max_value=2**32 - 1),
+        st.sampled_from(["none", "cycle"]),
+        st.booleans(),
+        st.sampled_from(["rgb", "gray", 1, 2, 4, 8]),
+    )
+    @settings(max_examples=120, deadline=None)
+    def roundtrip(h, w, seed, mode, interlace, kind):
+        rng = np.random.default_rng(seed)
+        if kind == "rgb":
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            b = encode_png(px, filter_mode=mode, interlace=interlace)
+            want = px
+        elif kind == "gray":
+            g = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            b = encode_png_gray(g, filter_mode=mode, interlace=interlace)
+            want = np.repeat(g[:, :, None], 3, axis=2)
+        else:
+            n = 1 << kind
+            pal = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+            idx = rng.integers(0, n, size=(h, w), dtype=np.uint8)
+            b = encode_png_palette(
+                idx, pal, depth=kind, filter_mode=mode, interlace=interlace
+            )
+            want = pal[idx]
+        out = decode_png(b)
+        assert out.shape == (h, w, 3) and (out == want).all()
+
+    roundtrip()
+
+
+def test_png_variant_corrupt_paths_raise():
+    """Palette/interlace-specific failure paths: PLTE missing, index
+    beyond the palette, truncated Adam7 stream, trailing bytes — all
+    ValueError, never garbage pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        encode_png_palette,
+    )
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    idx = np.zeros((4, 4), dtype=np.uint8)
+    b = encode_png_palette(idx, pal, depth=8)
+    # strip the PLTE chunk
+    plte_start = b.index(b"PLTE") - 4
+    plte_len = 12 + struct.unpack(">I", b[plte_start : plte_start + 4])[0]
+    with pytest.raises(ValueError, match="without PLTE"):
+        decode_png(b[:plte_start] + b[plte_start + plte_len :])
+    # index 3 with a 2-entry palette: beyond-PLTE indices must raise
+    small = encode_png_palette(
+        np.full((2, 2), 1, dtype=np.uint8), pal[:2], depth=8
+    )
+    idat_start = small.index(b"IDAT") - 4
+    idat_len = 12 + struct.unpack(">I", small[idat_start : idat_start + 4])[0]
+    evil_rows = zlib.compress(bytes([0, 3, 3, 0, 3, 3]))
+    evil = (
+        small[:idat_start] + chunk(b"IDAT", evil_rows)
+        + small[idat_start + idat_len :]
+    )
+    with pytest.raises(ValueError, match="beyond PLTE"):
+        decode_png(evil)
+    # Adam7 stream cut short mid-pass
+    px = np.arange(9 * 9 * 3, dtype=np.uint8).reshape(9, 9, 3) % 256
+    bi = encode_png(px, interlace=True)
+    idat_start = bi.index(b"IDAT") - 4
+    idat_len = 12 + struct.unpack(">I", bi[idat_start : idat_start + 4])[0]
+    raw = zlib.decompress(
+        bi[idat_start + 8 : idat_start + 8 + idat_len - 12]
+    )
+    cut = (
+        bi[:idat_start] + chunk(b"IDAT", zlib.compress(raw[: len(raw) // 2]))
+        + bi[idat_start + idat_len :]
+    )
+    with pytest.raises(ValueError, match="scanline bytes"):
+        decode_png(cut)
+    # trailing bytes after the last pass
+    fat = (
+        bi[:idat_start] + chunk(b"IDAT", zlib.compress(raw + b"\x00\x01"))
+        + bi[idat_start + idat_len :]
+    )
+    with pytest.raises(ValueError, match="trailing bytes"):
+        decode_png(fat)
+
+
+def test_png_variant_channel_stats_matches_formula(spark):
+    """c83's operator path at unit scale: all four encode variants
+    (sequential/Adam7 x truecolor/palette, side=9) decode to the same
+    closed-form channel sums."""
+    import numpy as np
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        image_channel_stats,
+        synthesize_png_variant_images,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    got = {
+        r["doc_id"]: r
+        for r in image_channel_stats(
+            synthesize_png_variant_images(ids, "doc_id", side=9)
+        ).collect()
+    }
+    r = np.arange(9)[:, None, None]
+    c = np.arange(9)[None, :, None]
+    ch = np.arange(3)[None, None, :]
+    for i in range(8):  # covers every variant twice
+        px = (i * 31 + r * 7 + c * 3 + ch) % 256
+        sums = px.reshape(-1, 3).sum(axis=0)
+        row = got[i]
+        assert (row["width"], row["height"], row["n_pixels"]) == (9, 9, 81)
+        assert (row["sum_r"], row["sum_g"], row["sum_b"]) == tuple(
+            int(s) for s in sums
+        )
