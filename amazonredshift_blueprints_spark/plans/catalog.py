@@ -7363,6 +7363,7 @@ def _train_sample_pred(fraction: float, salt: str = "v1") -> str:
         "passes; at 100 TB the sample fraction shrinks with corpus "
         "size (faiss trains on ~k*256 points). Recall vs full-trained "
         "c74 is pinned >= 0.9x in pytest",
+    bench=True,
     tags=("similarity", "approx"),
 )
 def c82_ann_ivfpq_sample_trained(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -59,8 +59,12 @@ def main() -> None:
     # forever — their round-over-round ratio measures the SANDBOX, not
     # the repo (rounds 3 and 8 both saw 1.5-2x machine swings on
     # unchanged code). Judges: divide headline deltas by the canary
-    # ratio before calling anything a regression. Run FIRST, so later
-    # JVM warmup can't skew them.
+    # ratio before calling anything a regression. Timed TWICE — before
+    # the main loop (cold-ish JVM) and again after it (fully warm, the
+    # same state the in-loop numbers see) — so the canary figure is
+    # comparable to the in-loop figure for the same entry (r9 verdict
+    # #3: the pre-loop-only canary carried first-session codegen cost
+    # the in-loop numbers didn't).
     canary_names = [
         "q03_join_revenue_by_nation",
         "q15_window_rank",
@@ -76,6 +80,10 @@ def main() -> None:
     for name in names:
         timings[name], raw[name] = time_query(name)
 
+    canary_post: dict[str, float] = {}
+    for name in canary_names:
+        canary_post[name], _ = time_query(name)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -85,6 +93,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "canary": canary,
+                "canary_post": canary_post,
                 "runs": raw,
                 "sf": sf,
             }
