@@ -576,3 +576,23 @@ def test_stateful_topk_k2_custom_user_col(spark, sf_dir, events_stream_dir):
         .collect()
     }
     assert got == want
+
+
+def test_transform_with_state_probe_gates_on_protobuf():
+    """The API-selection probe (VERDICT r9 #8): in this container
+    google.protobuf is absent, so the probe must pick the
+    applyInPandasWithState fallback — and c65's oracle row stays green
+    through it (the parametrized catalog mirror covers that). If the
+    container ever gains protobuf, the probe flips and the same state
+    machine runs on transformWithStateInPandas."""
+    from amazonredshift_blueprints_spark.streaming.sessions import (
+        transform_with_state_available,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+    assert transform_with_state_available() == has_protobuf
