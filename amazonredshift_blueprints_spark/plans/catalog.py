@@ -7378,6 +7378,139 @@ def c82_ann_ivfpq_sample_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# TPC-H verbatim completion, part 4: Q4 / Q5 / Q6 / Q17 — with these,
+# every one of the 22 TPC-H query shapes has a catalog entry (verbatim
+# where the fixtures allow, documented adaptation otherwise; Q1≈q01,
+# Q3≈q26, Q21≈q56 carry the remaining three shapes from earlier rounds).
+# --------------------------------------------------------------------------
+
+_Q79_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+  AND EXISTS (
+      SELECT * FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query(
+    "q79_tpch_q4_order_priority",
+    oracle=_Q79_SQL,
+    doc="TPC-H Q4 (order-priority checking): correlated EXISTS whose "
+        "predicate references BOTH tables (l_shipdate > o_orderdate) — "
+        "decorrelates to a left-semi join with a non-equi conjunct "
+        "riding the equi key, then a small priority rollup. Fixture "
+        "adaptation: the late-delivery test l_commitdate < "
+        "l_receiptdate becomes shipped-after-order (columns absent). "
+        "COUNT cast BIGINT for dtype parity",
+    tags=("sql", "tpch"),
+)
+def q79_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_Q79_SQL)
+
+
+_Q80_SQL = f"""
+SELECT n_name, CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+
+@query(
+    "q80_tpch_q5_local_supplier_volume",
+    oracle=_Q80_SQL,
+    doc="TPC-H Q5 verbatim (local supplier volume): the distinctive "
+        "constraint q03's Q5-STYLE entry lacks is c_nationkey = "
+        "s_nationkey — customer and supplier must share a nation, "
+        "which links the two dimension chains and forces the optimizer "
+        "to pick a join order that carries both nationkeys to one "
+        "comparison site. Six-way join, dims broadcast, lineitem "
+        "shuffles once; exact-decimal revenue",
+    tags=("sql", "tpch"),
+)
+def q80_tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier",
+        "nation", "region",
+    )
+    return spark.sql(_Q80_SQL)
+
+
+_Q81_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query(
+    "q81_tpch_q6_forecast_revenue",
+    oracle=_Q81_SQL,
+    doc="TPC-H Q6 verbatim (forecasting revenue change): the pure "
+        "scan-filter-aggregate — no join at all — whose entire value "
+        "is predicate pushdown: all three range predicates reach the "
+        "parquet scan and ReadSchema carries only the four touched "
+        "columns. The discount BETWEEN on fixed 2-decimal values "
+        "compares identically as doubles on both engines; the product "
+        "is summed in the exact decimal domain",
+    tags=("sql", "tpch"),
+)
+def q81_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "lineitem")
+    return spark.sql(_Q81_SQL)
+
+
+_Q82_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+           AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+  AND l_quantity < (
+      SELECT 0.2 * AVG(l_quantity)
+      FROM lineitem l2
+      WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+@query(
+    "q82_tpch_q17_small_quantity_order",
+    oracle=_Q82_SQL,
+    doc="TPC-H Q17 verbatim (small-quantity-order revenue): correlated "
+        "scalar AVG subquery per part — decorrelates to an aggregate "
+        "join on l_partkey (q38 carries the same shape on events; this "
+        "is the canonical text). l_quantity is integral, so the double "
+        "AVG is exact (integer sums are representable), making 0.2*avg "
+        "and the < cut engine-identical; the outer sum is decimal-"
+        "exact with one final /7.0 in double. p_type = 'MEDIUM' stands "
+        "in for the container predicate",
+    tags=("sql", "tpch"),
+)
+def q82_tpch_q17_small_quantity_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q82_SQL)
+
+
+# --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
 # The round driver hard-verifies (DuckDB value-hash compare at sf0.01) the

@@ -420,6 +420,34 @@ def test_tpch_part3_join_strategies(spark, sf_dir):
     )
 
 
+def test_tpch_part4_join_strategies_and_q6_pushdown(spark, sf_dir):
+    """q79-q82 (TPC-H Q4/Q5/Q6/Q17): Q4's correlated EXISTS becomes a
+    semi join, Q5/Q17 decorrelate to hash joins, and Q6 — the pure
+    scan-filter-aggregate — must push all three range predicates into
+    the parquet scan and prune the read schema to the touched columns."""
+    for name in (
+        "q79_tpch_q4_order_priority",
+        "q80_tpch_q5_local_supplier_volume",
+        "q82_tpch_q17_small_quantity_order",
+    ):
+        p = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "BroadcastHashJoin" in p, name
+    import re
+
+    assert "LeftSemi" in _plan(spark, sf_dir, "q79_tpch_q4_order_priority")
+    p81 = _plan(spark, sf_dir, "q81_tpch_q6_forecast_revenue")
+    assert "Join" not in p81
+    # predicate pushdown reaches the scan (the plan string truncates the
+    # full list, so match the prefix), and the scan's projected column
+    # list is pruned to exactly the four touched columns
+    assert "PushedFilters: [IsNotNull(" in p81
+    scan_cols = re.search(r"FileScan parquet \[([^\]]*)\]", p81).group(1)
+    cols = {c.split("#")[0] for c in scan_cols.split(",")}
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
 def test_c74_c75_probe_join_carries_codes_not_vectors(spark, sf_dir):
     """The IVFADC probe join must move (id, cell, codes) rows — never
     quantized vectors — and no stage may fall back to a product."""
