@@ -344,3 +344,88 @@ def weighted_sample_with_replacement(
         .filter((F.col("target") >= F.col("lo")) & (F.col("target") < F.col("hi")))
         .select("sample_idx", "id", "target")
     )
+
+
+def global_rank(
+    df: DataFrame, order_cols: list[Column], out_col: str = "rank"
+) -> DataFrame:
+    """Distributed 1-based global rank over a TOTAL order — without the
+    single-partition window Spark plans for ``row_number() OVER (ORDER
+    BY ...)`` with no PARTITION BY (the classic 100 TB bottleneck).
+
+    Pattern: range-repartition + sort on the order keys (a distributed
+    sort — partition i holds strictly earlier keys than partition i+1),
+    count rows per partition (P rows of metadata to the driver, not
+    data), broadcast the cumulative offsets back, and add a per-
+    partition row_number. Because the order is TOTAL (callers must
+    include a tiebreaker), the resulting rank is the unique global rank
+    regardless of where the sampled range boundaries land — the output
+    is deterministic even though the partitioning is not.
+    """
+    from pyspark.sql.window import Window
+
+    part = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    part = part.persist()
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_col = F.coalesce(
+        *[
+            F.when(F.col("_pid") == pid, F.lit(off))
+            for pid, off in offsets.items()
+        ],
+        F.lit(0),
+    ) if offsets else F.lit(0)
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    out = part.withColumn(
+        out_col, (offset_col + F.row_number().over(w)).cast("long")
+    ).drop("_pid")
+    return out
+
+
+def token_balanced_shards(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Assign documents to ``n_shards`` output shards balanced by token
+    count — the export step of a training-data pipeline (equal-sized
+    shards keep data-parallel workers in step).
+
+    Longest-first round-robin: rank documents by token count descending
+    (doc id as the total-order tiebreaker), shard = (rank-1) mod S.
+    Round-robin over the sorted order is the classic deterministic
+    approximation of greedy multiprocessor scheduling — max shard skew
+    is bounded by one maximal document — and unlike greedy it is
+    order-independent, SQL-replayable, and needs no sequential state.
+
+    Returns (id, n_tokens, shard). 100 TB: the rank comes from
+    :func:`global_rank` (distributed sort + offset pass), so nothing
+    funnels through one partition; the downstream write is
+    ``partitionBy(shard)``.
+    """
+    from .dedup import tokens
+
+    staged = df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+    ranked = global_rank(
+        staged, [F.desc("n_tokens"), F.asc(id_col)], out_col="_rank"
+    )
+    return ranked.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        ((F.col("_rank") - 1) % n_shards).cast("long").alias("shard"),
+    )

@@ -109,6 +109,51 @@ def brute_force_topk(
     )
 
 
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Radius (range) search: EVERY corpus neighbor with cosine >=
+    ``threshold`` per query — the all-matches complement of
+    :func:`brute_force_topk` (top-k caps the result; range search is
+    what near-duplicate audits and contamination sweeps actually ask:
+    "everything closer than X").
+
+    Returns (query_id, neighbor_id, cosine), self-matches excluded, no
+    per-query cap. Exact semantics, quantized-integer dot products, one
+    double division per pair — engine-exact.
+
+    100 TB: this exact form is the correctness baseline (query-batch x
+    corpus, broadcast the small query side, corpus never shuffles). The
+    scale path is candidate pruning with the SAME final filter: LSH
+    buckets (c07/c38) or IVF probes (c17/c37) generate candidates, then
+    this cosine threshold re-ranks — recall bounds live with those
+    entries; the threshold filter itself is unchanged.
+    """
+    from .dedup import rebalance_for_compute
+
+    q = _with_quant(queries, id_col, vec_col, "query")
+    c = _with_quant(rebalance_for_compute(corpus), id_col, vec_col, "neighbor")
+    return (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_q(
+                dot_q(F.col("query_q"), F.col("neighbor_q")),
+                F.col("query_norm"),
+                F.col("neighbor_norm"),
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+
+
 def hyperplane_sketch(vec_q: Column, *, bits: int, table: int) -> Column:
     """Sign-bit sketch: one bit per pseudo-random hyperplane.
 

@@ -1188,3 +1188,96 @@ def bpe_token_counts(
             F.sum("n_sub").alias("n_bpe_tokens"),
         )
     )
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language
+# Models", table A1 — the document-level heuristics most pre-training
+# curation pipelines start from). All rule arithmetic is exact (integer
+# counts, one double division per ratio) so engines agree bit-for-bit.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_fraction: float = 0.9,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The Gopher document-quality rule set as one narrow projection.
+
+    Per document: word count bounds, mean word length band, symbol
+    (#/ellipsis) to word ratio, fraction of words containing at least
+    one alphabetic character, and presence of ``min_stopword_hits``
+    DISTINCT stopwords from the fixed 8-word Gopher list — plus one
+    ``keep`` conjunction. Complements ``repetition_stats`` (the
+    duplicate-n-gram half of Gopher's rules lives there).
+
+    100 TB: map-only over the scan — one projection, zero shuffles,
+    whole-stage codegen end to end (array exprs over the token split);
+    the downstream filter is sargable on ``keep``.
+    """
+    toks = tokens(text_col)
+    staged = df.select(F.col(id_col), toks.alias("_toks"))
+    n_words = F.size("_toks").cast("long")
+    total_chars = F.aggregate(
+        F.transform(F.col("_toks"), lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    mean_word_len = total_chars.cast("double") / F.nullif(
+        n_words, F.lit(0)
+    ).cast("double")
+    n_symbol_words = F.size(
+        F.filter(
+            F.col("_toks"),
+            lambda t: t.startswith("#") | t.contains("..."),
+        )
+    ).cast("long")
+    symbol_ratio = n_symbol_words.cast("double") / F.nullif(
+        n_words, F.lit(0)
+    ).cast("double")
+    n_alpha_words = F.size(
+        F.filter(F.col("_toks"), lambda t: t.rlike("[a-z]"))
+    ).cast("long")
+    alpha_fraction = n_alpha_words.cast("double") / F.nullif(
+        n_words, F.lit(0)
+    ).cast("double")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct("_toks"),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+    r_words = n_words.between(min_words, max_words)
+    r_wordlen = F.coalesce(
+        mean_word_len.between(min_mean_word_len, max_mean_word_len),
+        F.lit(False),
+    )
+    r_symbol = F.coalesce(
+        symbol_ratio <= F.lit(max_symbol_ratio), F.lit(False)
+    )
+    r_alpha = F.coalesce(
+        alpha_fraction >= F.lit(min_alpha_word_fraction), F.lit(False)
+    )
+    r_stop = stop_hits >= F.lit(min_stopword_hits)
+    return staged.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_fraction.alias("alpha_word_fraction"),
+        stop_hits.alias("stopword_hits"),
+        r_words.alias("pass_word_count"),
+        r_wordlen.alias("pass_mean_word_len"),
+        r_symbol.alias("pass_symbol_ratio"),
+        r_alpha.alias("pass_alpha_words"),
+        r_stop.alias("pass_stopwords"),
+        (r_words & r_wordlen & r_symbol & r_alpha & r_stop).alias("keep"),
+    )

@@ -1921,6 +1921,44 @@ def c06_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c85_range_search_cosine",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, qv,
+               CAST({_DUCK_DOT.format(a='qv', b='qv')} AS BIGINT) AS norm
+        FROM v
+    )
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST({_DUCK_DOT.format(a='q.qv', b='c.qv')} AS DOUBLE)
+             / (sqrt(CAST(q.norm AS DOUBLE)) * sqrt(CAST(c.norm AS DOUBLE)))
+               AS cosine
+    FROM n q CROSS JOIN n c
+    WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+      AND CAST({_DUCK_DOT.format(a='q.qv', b='c.qv')} AS DOUBLE)
+            / (sqrt(CAST(q.norm AS DOUBLE)) * sqrt(CAST(c.norm AS DOUBLE)))
+          >= 0.25
+    """,
+    doc="cosine radius (range) search: every neighbor above a "
+        "similarity threshold, uncapped — the all-matches complement "
+        "of top-k that near-duplicate audits and contamination sweeps "
+        "ask for (FAISS range_search). Exact baseline: query batch "
+        "broadcast against the corpus, quantized-integer dots, one "
+        "double division, threshold filter; the scale path swaps in "
+        "LSH/IVF candidate pruning (c07/c17/c37) ahead of the SAME "
+        "final filter (operators/similarity.range_search)",
+    tags=("similarity",),
+)
+def c85_range_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import range_search
+
+    e = views(spark, sf_dir, "embeddings")["embeddings"]
+    return range_search(e, e.filter(F.col("vec_id") < 10), threshold=0.25)
+
+
+@query(
     "c07_ann_lsh_topk",
     oracle=None,  # hyperplane sketches use xxhash64 (no DuckDB equivalent);
     # recall vs the exact top-k is asserted in tests/test_similarity.py.
@@ -7375,6 +7413,105 @@ def c82_ann_ivfpq_sample_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=16, nprobe=4, n_subspaces=8, n_codes=16, k=5,
         coarse_iters=2, pq_iters=2, train_fraction=0.5,
     )
+
+
+@query(
+    "c84_gopher_quality_rules",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                   AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                   / nullif(CAST(len(toks) AS BIGINT), 0) AS mean_word_len,
+               CAST(len(list_filter(toks,
+                    x -> starts_with(x, '#') OR contains(x, '...')))
+                    AS BIGINT) AS n_sym,
+               CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                    AS BIGINT) AS n_alpha,
+               CAST(len(list_intersect(list_distinct(toks),
+                    ['the','be','to','of','and','that','have','with']))
+                    AS BIGINT) AS stopword_hits
+        FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len,
+           CAST(n_sym AS DOUBLE) / nullif(n_words, 0) AS symbol_ratio,
+           CAST(n_alpha AS DOUBLE) / nullif(n_words, 0)
+               AS alpha_word_fraction,
+           stopword_hits,
+           n_words BETWEEN 50 AND 100000 AS pass_word_count,
+           COALESCE(mean_word_len BETWEEN 3.0 AND 10.0, FALSE)
+               AS pass_mean_word_len,
+           COALESCE(CAST(n_sym AS DOUBLE) / nullif(n_words, 0) <= 0.1,
+                    FALSE) AS pass_symbol_ratio,
+           COALESCE(CAST(n_alpha AS DOUBLE) / nullif(n_words, 0) >= 0.9,
+                    FALSE) AS pass_alpha_words,
+           stopword_hits >= 2 AS pass_stopwords,
+           (n_words BETWEEN 50 AND 100000)
+             AND COALESCE(mean_word_len BETWEEN 3.0 AND 10.0, FALSE)
+             AND COALESCE(CAST(n_sym AS DOUBLE) / nullif(n_words, 0) <= 0.1,
+                          FALSE)
+             AND COALESCE(CAST(n_alpha AS DOUBLE) / nullif(n_words, 0) >= 0.9,
+                          FALSE)
+             AND stopword_hits >= 2 AS keep
+    FROM s
+    """,
+    doc="the Gopher document-quality rule set (Rae et al. 2021 table "
+        "A1): word-count bounds, mean-word-length band, #/ellipsis "
+        "symbol ratio, alphabetic-word fraction, and >=2 distinct "
+        "stopwords from the fixed 8-word list, conjoined into one keep "
+        "flag — the standard first-pass pre-training curation filter "
+        "(the duplicate-n-gram half of Gopher's rules is c45). Map-only "
+        "projection over the scan, zero shuffles, whole-stage codegen; "
+        "all counts integer, each ratio one double division (operators/"
+        "text.gopher_quality_rules)",
+    bench=True,
+    tags=("text", "quality"),
+)
+def c84_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import gopher_quality_rules
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return gopher_quality_rules(d, "doc_id", "text")
+
+
+@query(
+    "c86_token_balanced_shards",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST((row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1) % 8
+                AS BIGINT) AS shard
+    FROM t
+    """,
+    doc="token-balanced shard assignment (training-data export): "
+        "longest-first round-robin over the token-count total order — "
+        "shard = (rank-1) mod S, skew bounded by one maximal document, "
+        "deterministic and SQL-replayable (unlike sequential greedy "
+        "bin-packing). The global rank is computed WITHOUT the single-"
+        "partition ORDER BY window: distributed range-sort, per-"
+        "partition counts to the driver (metadata, not data), offsets "
+        "broadcast back, per-partition row_number — the scalable "
+        "global-rank pattern (operators/sampling.global_rank); the "
+        "oracle replays the same rank because the order is total",
+    bench=True,
+    tags=("sampling", "text"),
+)
+def c86_token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import token_balanced_shards
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return token_balanced_shards(d, "doc_id", "text", n_shards=8)
 
 
 # --------------------------------------------------------------------------

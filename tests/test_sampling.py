@@ -152,3 +152,58 @@ def test_weighted_sample_proportionality_and_determinism(spark):
     )
     assert only.filter(F.col("id") == 1).count() == 0
     assert only.count() == 20
+
+
+def test_global_rank_matches_total_order(spark):
+    """Distributed global rank (range-sort + offset pass) must equal
+    the single-partition truth, and must NOT plan a single-partition
+    ORDER BY window (the 100 TB bottleneck it exists to avoid)."""
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.operators.sampling import global_rank
+
+    rows = [(i, (i * 37) % 101) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(7)
+    got = {
+        r["id"]: r["rank"]
+        for r in global_rank(df, [F.desc("v"), F.asc("id")]).collect()
+    }
+    want = {
+        rid: i + 1
+        for i, (rid, _) in enumerate(
+            sorted(rows, key=lambda t: (-t[1], t[0]))
+        )
+    }
+    assert got == want
+    plan = (
+        global_rank(df, [F.desc("v"), F.asc("id")])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # every window spec is keyed by the partition id — no global window
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "_pid" in spec, spec
+
+
+def test_token_balanced_shards_skew_bound(spark, sf_dir):
+    """Longest-first round-robin: every shard gets within one maximal
+    document of every other shard's token total, and shards partition
+    the corpus exactly."""
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.operators.sampling import (
+        token_balanced_shards,
+    )
+    from amazonredshift_blueprints_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    shards = token_balanced_shards(d, "doc_id", "text", n_shards=8)
+    agg = shards.groupBy("shard").agg(
+        F.sum("n_tokens").alias("toks"), F.count("*").alias("docs")
+    ).collect()
+    assert {r["shard"] for r in agg} == set(range(8))
+    assert sum(r["docs"] for r in agg) == d.count()
+    totals = [r["toks"] for r in agg]
+    max_doc = shards.agg(F.max("n_tokens")).first()[0]
+    assert max(totals) - min(totals) <= max_doc
