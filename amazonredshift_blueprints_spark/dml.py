@@ -460,3 +460,62 @@ def scd2_apply(
         )
     m = obs.get
     return _n(m["n_closed"]), _n(m["n_opened"]), _n(m["n_untouched"])
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """CDC changeset between two table snapshots: one row per key that
+    was inserted ('I'), deleted ('D'), or updated ('U' — any compared
+    column differs, null-safe), with old_/new_ value pairs for audit.
+    Unchanged keys produce no row. The inverse of MERGE: where q42/q53
+    APPLY a changeset, this derives one — the snapshot-comparison CDC
+    every warehouse without a change log falls back to (Redshift
+    deployments do exactly this dance with full outer joins; the
+    reference would pass that SQL through execute_sql.py:77).
+
+    100 TB: one full outer join on the key — both sides shuffle once on
+    the same key (or zero shuffles if both snapshots are bucketed by
+    it, q33's layout); comparisons are null-safe equality so NULL->value
+    transitions count as updates.
+    """
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in keys],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in keys],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
+        cond = eq if cond is None else (cond & eq)
+    joined = o.join(n, cond, "full_outer")
+    present_old = F.col(f"_ok_{keys[0]}").isNotNull()
+    present_new = F.col(f"_nk_{keys[0]}").isNotNull()
+    changed = None
+    for c in compare_cols:
+        ne = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        changed = ne if changed is None else (changed | ne)
+    change_type = (
+        F.when(~present_old, F.lit("I"))
+        .when(~present_new, F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    return (
+        joined.withColumn("change_type", change_type)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k)
+                for k in keys
+            ],
+            F.col("change_type"),
+            *[F.col(f"old_{c}") for c in compare_cols],
+            *[F.col(f"new_{c}") for c in compare_cols],
+        )
+    )

@@ -429,3 +429,42 @@ def token_balanced_shards(
         F.col("n_tokens"),
         ((F.col("_rank") - 1) % n_shards).cast("long").alias("shard"),
     )
+
+
+def frequency_cap(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    *,
+    max_per_group: int,
+    salt: str = "v1",
+) -> DataFrame:
+    """Per-group frequency capping: keep at most ``max_per_group`` rows
+    per ``group_col`` — the domain-capping step of web-corpus curation
+    (a handful of giant domains must not dominate the training mix;
+    CCNet/RefinedWeb both cap per-domain contribution).
+
+    Which rows survive is decided by the portable salted-md5 order used
+    across the sampling family (unbiased within the group, reproducible
+    on any engine, independent of row order and partitioning) with the
+    id as final tiebreaker. Output adds ``n_in_group`` (pre-cap size)
+    for audit.
+
+    100 TB: one hash-partition shuffle on the group key + a bounded
+    window — identical shape to any per-group top-k; no skew issue
+    beyond the group-size skew the cap itself is there to remove (a
+    pathological mega-group is one partition's sort, bounded further by
+    TakeOrdered-style early pruning under AQE).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        _bucket(id_col, salt), F.col(id_col)
+    )
+    wn = Window.partitionBy(group_col)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .withColumn("n_in_group", F.count(F.lit(1)).over(wn).cast("long"))
+        .filter(F.col("_rk") <= max_per_group)
+        .drop("_rk")
+    )

@@ -7481,6 +7481,42 @@ def c84_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c87_source_frequency_cap",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || ':v1'),
+                                      1, 6),
+                            doc_id
+               ) AS rk,
+               CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+                   AS n_in_group
+        FROM documents
+    )
+    SELECT doc_id, source, n_in_group
+    FROM ranked WHERE rk <= 10
+    """,
+    doc="per-source frequency capping (domain capping, CCNet/RefinedWeb "
+        "practice: giant domains must not dominate the mix): keep at "
+        "most N docs per source, chosen by the portable salted-md5 "
+        "order (unbiased within source, engine-replayable, partition-"
+        "independent) with doc_id tiebreak; pre-cap group size kept "
+        "for audit. One hash shuffle on source + bounded window "
+        "(operators/sampling.frequency_cap)",
+    tags=("sampling", "quality"),
+)
+def c87_source_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import frequency_cap
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return frequency_cap(d, "doc_id", "source", max_per_group=10).select(
+        "doc_id", "source", "n_in_group"
+    )
+
+
+@query(
     "c86_token_balanced_shards",
     oracle="""
     WITH t AS (
@@ -7645,6 +7681,69 @@ WHERE p_partkey = l_partkey
 def q82_tpch_q17_small_quantity_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir, "lineitem", "part")
     return spark.sql(_Q82_SQL)
+
+
+@query(
+    "q83_snapshot_diff_cdc",
+    oracle="""
+    WITH old_snap AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    new_snap AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 10
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'N', o_totalprice
+        FROM orders WHERE o_orderkey % 83 = 0
+    )
+    SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                WHEN n.o_orderkey IS NULL THEN 'D'
+                ELSE 'U' END AS change_type,
+           o.o_orderstatus AS old_o_orderstatus,
+           o.o_totalprice  AS old_o_totalprice,
+           n.o_orderstatus AS new_o_orderstatus,
+           n.o_totalprice  AS new_o_totalprice
+    FROM old_snap o FULL OUTER JOIN new_snap n
+      ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_totalprice  IS DISTINCT FROM n.o_totalprice
+    """,
+    doc="snapshot-diff CDC: derive the I/U/D changeset between two "
+        "table snapshots — the inverse of MERGE (q42/q53 apply a "
+        "changeset; this computes one), the full-outer-join dance every "
+        "warehouse without a change log runs for CDC export. Old = "
+        "orders; new = orders with deterministic deletes (keys % 97), "
+        "price updates (% 89), and synthesized inserts (% 83). "
+        "Null-safe comparisons; unchanged keys emit nothing. One "
+        "full outer join, both sides shuffled on the key once "
+        "(dml.snapshot_diff)",
+    tags=("sql", "dml"),
+)
+def q83_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dml import snapshot_diff
+
+    views(spark, sf_dir, "orders")
+    old = spark.sql(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
+    )
+    new = spark.sql(
+        """
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 10
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'N', o_totalprice
+        FROM orders WHERE o_orderkey % 83 = 0
+        """
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
 
 
 # --------------------------------------------------------------------------

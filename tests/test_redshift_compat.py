@@ -810,3 +810,29 @@ def test_unload_partition_by_manifest_lists_all_leaf_files(spark, tmp_path):
     assert all("/g=" in u for u in urls)
     # the manifest covers every row the readback sees
     assert spark.read.parquet(out).count() == 30
+
+
+def test_snapshot_diff_semantics(spark):
+    """snapshot_diff: I/U/D classification incl. NULL->value and
+    value->NULL transitions (null-safe compare); unchanged rows emit
+    nothing."""
+    from amazonredshift_blueprints_spark.dml import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (4, "x", 40.0), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    got = {
+        r["k"]: (r["change_type"], r["old_v"], r["new_v"])
+        for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    assert got == {
+        2: ("U", None, 20.0),   # NULL -> value is an update
+        3: ("D", 30.0, None),
+        4: ("U", 40.0, 40.0),   # s changed NULL -> 'x'
+        5: ("I", None, 50.0),
+    }  # k=1 unchanged: no row

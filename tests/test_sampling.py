@@ -207,3 +207,30 @@ def test_token_balanced_shards_skew_bound(spark, sf_dir):
     totals = [r["toks"] for r in agg]
     max_doc = shards.agg(F.max("n_tokens")).first()[0]
     assert max(totals) - min(totals) <= max_doc
+
+
+def test_frequency_cap_semantics(spark):
+    """Cap keeps exactly min(cap, group size) rows per group, audit
+    column carries the pre-cap size, and the kept subset is stable
+    across partitionings (portable hash order)."""
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.operators.sampling import frequency_cap
+
+    rows = [(i, f"g{i % 3}") for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = frequency_cap(df, "id", "grp", max_per_group=5)
+    agg = {r["grp"]: (r["n"], r["pre"]) for r in
+           out.groupBy("grp").agg(F.count("*").alias("n"),
+                                  F.first("n_in_group").alias("pre")).collect()}
+    for g in ("g0", "g1", "g2"):
+        assert agg[g][0] == 5
+        assert agg[g][1] in (16, 17)
+    kept1 = {r["id"] for r in out.collect()}
+    kept2 = {
+        r["id"]
+        for r in frequency_cap(
+            df.repartition(13), "id", "grp", max_per_group=5
+        ).collect()
+    }
+    assert kept1 == kept2
