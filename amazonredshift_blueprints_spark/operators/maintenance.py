@@ -161,3 +161,74 @@ def compact_small_files(
         out = df.repartition(n_files)
     out.write.mode("overwrite").parquet(dest_dir)
     return spark.read.parquet(dest_dir)
+
+
+def _cms_bucket(token, j: int, width: int):
+    """Portable count-min bucket: md5-derived, salted per sketch row —
+    the same conv(substring(md5..)) == CAST('0x'||..) equivalence the
+    feature hasher (text.hashing_vectorizer) established, so an external
+    engine replays bucket assignment exactly."""
+    from pyspark.sql import functions as F
+
+    c = F.col(token) if isinstance(token, str) else token
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(c, F.lit(f":cms{j}"))), 1, 6), 16, 10
+        ).cast("long")
+        % width
+    )
+
+
+def cms_build(
+    items: DataFrame, item_col: str, *, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Build a count-min sketch over an item stream: ``depth`` x
+    ``width`` counters as rows (row, bucket, cnt) — the fixed-size
+    frequency summary (Cormode-Muthukrishnan) that answers point
+    queries with one-sided error (never underestimates), complementing
+    c68's HLL cardinality sketch table.
+
+    100 TB: one scan, one hash aggregate over at most depth*width
+    distinct keys — the shuffle is SKETCH-sized (metadata), not
+    corpus-sized, which is the entire point: exact heavy-hitter counts
+    (c31) shuffle every distinct item; the sketch shuffles 1024
+    counters no matter how many distinct items exist.
+    """
+    from pyspark.sql import functions as F
+
+    buckets = F.array(
+        *[_cms_bucket(item_col, j, width) for j in range(depth)]
+    )
+    return (
+        items.select(F.posexplode(buckets).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    item_col: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the sketch: estimate = min over rows of the counter
+    each row hashes the item to. Items the sketch never saw estimate as
+    the collision floor (>= 0), preserving the no-underestimate bound.
+    The sketch is broadcast (depth*width rows); queries never shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    buckets = F.array(
+        *[_cms_bucket(item_col, j, width) for j in range(depth)]
+    )
+    probes = queries.select(
+        F.col(item_col), F.posexplode(buckets).alias("row", "bucket")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_cnt"))
+    )

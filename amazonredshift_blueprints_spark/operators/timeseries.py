@@ -114,3 +114,63 @@ def robust_outliers(
         .withColumn("z", F.round(F.col("_z"), 6))
         .drop("_z")
     )
+
+
+def gap_fill_interpolate(
+    observed: DataFrame,
+    key: str,
+    bucket: str,
+    step: str,
+    value_col: str,
+) -> DataFrame:
+    """Densify like :func:`gap_fill_locf`, but fill gaps by LINEAR
+    interpolation between the surrounding observations — the metric-
+    dashboard fill where a flat carry-forward (LOCF) misrepresents a
+    trending series.
+
+    For a gap bucket t between observations (t0, v0) and (t1, v1):
+    ``v = v0 + (v1 - v0) * (t - t0) / (t1 - t0)`` over epoch seconds.
+    Observed buckets keep their value exactly. The grid spans each
+    key's own [min, max] observed bucket, so every gap has both
+    neighbors (no extrapolation).
+
+    Determinism: bucket epochs are integral (truncated buckets), the
+    interpolation is one fixed-order IEEE double expression — engines
+    replay it bit-identically. Scale: same shape as LOCF — grid, join,
+    and BOTH windows (backward last + forward first, each a running
+    frame) hash on the series key; one shuffle partitioning serves all.
+    """
+    bounds = observed.groupBy(key).agg(
+        F.min(bucket).alias("_lo"), F.max(bucket).alias("_hi")
+    )
+    grid = bucket_grid(bounds, key, "_lo", "_hi", step).withColumnRenamed(
+        "bucket", bucket
+    )
+    joined = grid.join(observed, [key, bucket], "left")
+    back = (
+        Window.partitionBy(key)
+        .orderBy(bucket)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(key)
+        .orderBy(bucket)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col(value_col).isNotNull(), F.col(bucket))
+    v0 = F.last(value_col, ignorenulls=True).over(back)
+    t0 = F.unix_timestamp(F.last(obs_bucket, ignorenulls=True).over(back))
+    v1 = F.first(value_col, ignorenulls=True).over(fwd)
+    t1 = F.unix_timestamp(F.first(obs_bucket, ignorenulls=True).over(fwd))
+    t = F.unix_timestamp(F.col(bucket))
+    interp = F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(
+        v0
+        + (v1 - v0)
+        * ((t - t0).cast("double") / (t1 - t0).cast("double"))
+    )
+    return joined.select(
+        key,
+        bucket,
+        F.col(value_col),
+        interp.alias(f"{value_col}_interp"),
+    )

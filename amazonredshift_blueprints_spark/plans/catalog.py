@@ -7481,6 +7481,148 @@ def c84_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c89_count_min_sketch",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ),
+    truec AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS true_cnt
+        FROM toks GROUP BY 1
+    ),
+    sketch AS (
+        SELECT g.j,
+               CAST('0x' || substring(
+                    md5(token || ':cms' || CAST(g.j AS VARCHAR)), 1, 6)
+                    AS BIGINT) % 256 AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM toks CROSS JOIN range(4) g(j)
+        GROUP BY 1, 2
+    ),
+    q AS (SELECT DISTINCT token FROM toks WHERE doc_id < 5),
+    est AS (
+        SELECT q.token, min(s.cnt) AS est_cnt
+        FROM q CROSS JOIN range(4) g(j)
+        JOIN sketch s
+          ON s.j = g.j
+         AND s.bucket = CAST('0x' || substring(
+                 md5(q.token || ':cms' || CAST(g.j AS VARCHAR)), 1, 6)
+                 AS BIGINT) % 256
+        GROUP BY 1
+    )
+    SELECT e.token, e.est_cnt, t.true_cnt,
+           e.est_cnt >= t.true_cnt AS never_underestimates
+    FROM est e JOIN truec t USING (token)
+    """,
+    doc="count-min sketch (Cormode-Muthukrishnan): depth x width "
+        "counter table built in ONE scan whose shuffle is SKETCH-sized "
+        "(1024 counters) regardless of distinct-item count — the "
+        "frequency complement of c68's HLL cardinality sketch (c31's "
+        "exact heavy hitters shuffle every distinct token; at 100 TB "
+        "that is the difference). Buckets are portable salted-md5 "
+        "(the c62 equivalence), so the oracle replays build AND point "
+        "queries exactly; estimates are min-over-rows, queried tokens "
+        "joined back to true counts to witness the one-sided error "
+        "bound in the output itself (operators/maintenance.cms_build/"
+        "cms_estimate)",
+    tags=("sketch", "text"),
+)
+def c89_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import tokens
+    from ..operators.maintenance import cms_build, cms_estimate
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    sketch = cms_build(toks, "token", depth=4, width=256)
+    queries_df = toks.filter(F.col("doc_id") < 5).select("token").distinct()
+    est = cms_estimate(sketch, queries_df, "token", depth=4, width=256)
+    truec = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    return est.join(truec, "token").select(
+        "token",
+        "est_cnt",
+        "true_cnt",
+        (F.col("est_cnt") >= F.col("true_cnt")).alias("never_underestimates"),
+    )
+
+
+@query(
+    "c88_gapfill_interpolate",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+        FROM hourly GROUP BY 1
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        FROM bounds
+    ),
+    j AS (
+        SELECT g.user_id, g.bucket, h.sum_value
+        FROM grid g LEFT JOIN hourly h USING (user_id, bucket)
+    ),
+    n AS (
+        SELECT user_id, bucket, sum_value,
+               last_value(sum_value IGNORE NULLS) OVER back AS v0,
+               CAST(epoch(last_value(CASE WHEN sum_value IS NOT NULL
+                                          THEN bucket END IGNORE NULLS)
+                          OVER back) AS BIGINT) AS t0,
+               first_value(sum_value IGNORE NULLS) OVER fwd AS v1,
+               CAST(epoch(first_value(CASE WHEN sum_value IS NOT NULL
+                                           THEN bucket END IGNORE NULLS)
+                          OVER fwd) AS BIGINT) AS t1,
+               CAST(epoch(bucket) AS BIGINT) AS t
+        FROM j
+        WINDOW back AS (PARTITION BY user_id ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               fwd AS (PARTITION BY user_id ORDER BY bucket
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket, sum_value,
+           CASE WHEN sum_value IS NOT NULL THEN sum_value
+                ELSE v0 + (v1 - v0)
+                     * (CAST(t - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE))
+           END AS sum_value_interp
+    FROM n
+    """,
+    doc="linear-interpolation gap fill (the trending-series complement "
+        "of c21's LOCF): per-user hourly grid, then each gap filled as "
+        "v0 + (v1-v0)*(t-t0)/(t1-t0) between its surrounding "
+        "observations — backward last + forward first windows, both "
+        "running frames on the same key partitioning (one shuffle "
+        "serves grid join and both windows). Epochs are integral hour "
+        "buckets and the interpolation is one fixed-order IEEE "
+        "expression, so both engines replay it bit-identically; the "
+        "grid spans each key's own observed range, so no gap lacks a "
+        "neighbor (operators/timeseries.gap_fill_interpolate)",
+    tags=("timeseries", "events", "window"),
+)
+def c88_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import gap_fill_interpolate
+
+    e = views(spark, sf_dir, "events")["events"]
+    hourly = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(dsum("value", "sum_value"))
+    )
+    return gap_fill_interpolate(
+        hourly, key="user_id", bucket="bucket",
+        step="interval 1 hour", value_col="sum_value",
+    )
+
+
+@query(
     "c87_source_frequency_cap",
     oracle="""
     WITH ranked AS (
