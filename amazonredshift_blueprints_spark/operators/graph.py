@@ -1,0 +1,87 @@
+"""Iterative graph algorithms over edge DataFrames.
+
+Reference basis: Redshift users run fixed-iteration PageRank/label-
+propagation as unrolled self-join SQL through the reference's
+pass-through site (execute_sql.py:77); GraphFrames is the usual Spark
+add-on but is not a dependency here — the operators below are plain
+DataFrame joins, which is also what GraphFrames lowers to.
+
+Connected components (the other graph op this engine ships) lives in
+operators/dedup.py (c29); this module holds the fixed-point score
+propagation family.
+
+Determinism contract: ranks live in integer micro-units and every
+per-edge contribution is ``floor(rank * damping / outdeg)`` — a fixed
+IEEE expression both engines evaluate identically — so a T-iteration
+run is bit-exact against an oracle that unrolls the same T iterations
+as chained CTEs. (Float PageRank would drift across summation orders;
+integer floor-division mass loss is deterministic and bounded by one
+micro-unit per edge per iteration.)
+
+100 TB: each iteration is one shuffle — contributions group by dst on
+the same key partitioning every round; the rank vector is node-sized
+(broadcastable for dimension-like graphs, co-partitioned joins
+otherwise). Iteration count is fixed and small (power iteration
+converges geometrically at rate = damping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RANK_SCALE = 1_000_000  # micro-units per unit of rank
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    iterations: int = 3,
+    damping: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration integer PageRank over a directed edge list.
+
+    ``damping`` is in percent (85 = the classic 0.85). Every node that
+    appears as src or dst starts at RANK_SCALE micro-units; each
+    iteration a node keeps ``(100 - damping)%`` of RANK_SCALE as
+    teleport mass and receives ``floor(r_src * damping / (100 *
+    outdeg(src)))`` from each in-edge. Nodes must have outdeg >= 1
+    (make edges symmetric for bipartite/undirected graphs — dangling-
+    node mass redistribution is a modeling choice left to the caller).
+
+    Returns (node, rank) with rank in micro-units after ``iterations``
+    rounds — bit-exact replayable (module docstring).
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e_deg = e.join(outdeg, "src")
+    teleport = RANK_SCALE * (100 - damping) // 100
+    rank = nodes.select("node", F.lit(RANK_SCALE).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            e_deg.join(rank, e_deg["src"] == rank["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.floor(
+                    (F.col("rank") * F.lit(damping)).cast("double")
+                    / (F.col("outdeg") * F.lit(100)).cast("double")
+                ).cast("long").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("received"))
+        )
+        rank = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport).cast("long")
+                + F.coalesce(F.col("received"), F.lit(0))
+            ).alias("rank"),
+        )
+    return rank

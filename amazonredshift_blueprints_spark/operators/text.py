@@ -1281,3 +1281,45 @@ def gopher_quality_rules(
         r_stop.alias("pass_stopwords"),
         (r_words & r_wordlen & r_symbol & r_alpha & r_stop).alias("keep"),
     )
+
+
+def phrase_match(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase: list[str],
+) -> DataFrame:
+    """Exact phrase search via positional postings — the inverted-index
+    query BM25 (c58) cannot answer (bag-of-words scoring loses
+    adjacency). Emits one row per occurrence: (id, match_pos) with
+    match_pos the 0-based token position where the phrase starts.
+
+    Plan: one posexplode builds (id, pos, token) postings, each phrase
+    word filters its OWN copy of the postings scan-side (so the join
+    inputs are word-frequency-sized, not corpus-sized), and adjacency
+    is an equi-join on (id, pos + offset) — n-1 co-keyed joins for an
+    n-word phrase, all hashing on the same id key. 100 TB: identical
+    to how a search engine intersects positional posting lists; the
+    dominant cost is the postings explode, shared across queries when
+    postings are materialized (the c70 signature-store pattern).
+    """
+    if not phrase:
+        raise ValueError("phrase must have at least one word")
+    postings = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "token"),
+    )
+    out = (
+        postings.filter(F.col("token") == phrase[0].lower())
+        .select(F.col(id_col), F.col("pos").alias("match_pos"))
+    )
+    for i, word in enumerate(phrase[1:], start=1):
+        nxt = postings.filter(F.col("token") == word.lower()).select(
+            F.col(id_col).alias("_nid"), F.col("pos").alias("_npos")
+        )
+        out = out.join(
+            nxt,
+            (out[id_col] == nxt["_nid"])
+            & (nxt["_npos"] == out["match_pos"] + i),
+        ).select(out[id_col], out["match_pos"])
+    return out

@@ -7481,6 +7481,129 @@ def c84_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c91_phrase_match",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                   AS toks
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.token AS token
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(toks,
+                          (x, i) -> {'pos': i - 1, 'token': x})) AS u
+            FROM t
+        )
+    )
+    SELECT a.doc_id, a.pos AS match_pos
+    FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.token = 'value' AND b.token = 'table'
+    """,
+    doc="exact phrase search via positional postings (the adjacency "
+        "query bag-of-words BM25 c58 cannot answer): posexplode builds "
+        "(doc, pos, token) postings, each phrase word filters its own "
+        "copy scan-side (join inputs are word-frequency-sized), "
+        "adjacency is an equi-join on (doc, pos+1) — the positional "
+        "posting-list intersection every search engine runs; emits one "
+        "row per occurrence (operators/text.phrase_match)",
+    tags=("text", "search"),
+)
+def c91_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import phrase_match
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return phrase_match(d, "doc_id", "text", ["value", "table"]).select(
+        "doc_id", F.col("match_pos").cast("long").alias("match_pos")
+    )
+
+
+@query(
+    "c90_pagerank_bipartite",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT user_id AS u,
+               1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   AS it
+        FROM events WHERE event_type = 'click'
+    ),
+    edges AS (
+        SELECT u AS src, it AS dst FROM pairs
+        UNION ALL
+        SELECT it AS src, u AS dst FROM pairs
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY 1),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+    c1 AS (
+        SELECT e.dst AS node,
+               SUM(CAST(FLOOR(CAST(r.rank * 85 AS DOUBLE)
+                              / CAST(d.outdeg * 100 AS DOUBLE))
+                        AS BIGINT)) AS received
+        FROM edges e JOIN deg d ON e.src = d.src JOIN r0 r ON r.node = e.src
+        GROUP BY 1
+    ),
+    r1 AS (SELECT n.node, CAST(150000 + COALESCE(c.received, 0) AS BIGINT)
+                      AS rank
+           FROM nodes n LEFT JOIN c1 c ON c.node = n.node),
+    c2 AS (
+        SELECT e.dst AS node,
+               SUM(CAST(FLOOR(CAST(r.rank * 85 AS DOUBLE)
+                              / CAST(d.outdeg * 100 AS DOUBLE))
+                        AS BIGINT)) AS received
+        FROM edges e JOIN deg d ON e.src = d.src JOIN r1 r ON r.node = e.src
+        GROUP BY 1
+    ),
+    r2 AS (SELECT n.node, CAST(150000 + COALESCE(c.received, 0) AS BIGINT)
+                      AS rank
+           FROM nodes n LEFT JOIN c2 c ON c.node = n.node),
+    c3 AS (
+        SELECT e.dst AS node,
+               SUM(CAST(FLOOR(CAST(r.rank * 85 AS DOUBLE)
+                              / CAST(d.outdeg * 100 AS DOUBLE))
+                        AS BIGINT)) AS received
+        FROM edges e JOIN deg d ON e.src = d.src JOIN r2 r ON r.node = e.src
+        GROUP BY 1
+    )
+    SELECT n.node, CAST(150000 + COALESCE(c.received, 0) AS BIGINT) AS rank
+    FROM nodes n LEFT JOIN c3 c ON c.node = n.node
+    """,
+    doc="fixed-iteration integer PageRank (operators/graph.pagerank) "
+        "over the user-item click graph (item nodes offset by 1e6, "
+        "edges symmetric so no node dangles): 3 power-iteration rounds, "
+        "ranks in micro-units, per-edge contribution floor(r*85/"
+        "(100*outdeg)) — deterministic integer mass flow, so the "
+        "3-round unrolled-CTE oracle is bit-exact. Each round is ONE "
+        "shuffle (contributions grouped by dst on the same key "
+        "partitioning); the rank vector is node-sized. Completes the "
+        "graph family next to c29's connected components",
+    tags=("graph", "events"),
+)
+def c90_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    e = views(spark, sf_dir, "events")["events"]
+    pairs = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("u"),
+            (
+                F.lit(1000000)
+                + F.get_json_object("props", "$.k").cast("long")
+            ).alias("it"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("it").alias("dst")
+    ).unionAll(pairs.select(F.col("it").alias("src"), F.col("u").alias("dst")))
+    return pagerank(edges, iterations=3, damping=85)
+
+
+@query(
     "c89_count_min_sketch",
     oracle="""
     WITH toks AS (

