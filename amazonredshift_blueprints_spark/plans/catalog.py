@@ -7481,6 +7481,72 @@ def c84_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c92_ccnet_perplexity_buckets",
+    oracle="""
+    WITH ex AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                   AS token
+        FROM documents
+    ),
+    uni AS (SELECT token, count(*) AS c FROM ex GROUP BY 1),
+    n AS (SELECT SUM(c) AS n_total FROM uni),
+    lp AS (
+        SELECT ex.doc_id,
+               CAST(round(ln(CAST(uni.c AS DOUBLE) / n.n_total) * 1000000)
+                    AS BIGINT) AS lp_q
+        FROM ex JOIN uni USING (token) CROSS JOIN n
+    ),
+    docs AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(lp_q) AS BIGINT) AS logprob_q_sum,
+               CAST(SUM(lp_q) AS DOUBLE) / 1000000 / count(*) AS avg_logprob
+        FROM lp GROUP BY doc_id
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (ORDER BY avg_logprob DESC, doc_id) AS rk,
+               count(*) OVER () AS n_docs
+        FROM docs
+    )
+    SELECT doc_id, n_tokens, logprob_q_sum, avg_logprob,
+           CAST(FLOOR((rk - 1) * 3.0 / n_docs) AS BIGINT) + 1 AS bucket
+    FROM ranked
+    """,
+    doc="CCNet perplexity bucketing: rank documents by their LM score "
+        "(c63's micro-unit-exact unigram avg log-prob — higher = more "
+        "fluent) and cut the corpus into head/middle/tail terciles "
+        "(bucket = floor((rank-1)*3/N)+1, the exact ntile formula) — "
+        "the standard quality-stratified mix where head feeds training "
+        "and tail is dropped or downsampled. The rank comes from the "
+        "distributed global_rank (c86's range-sort + offset pass), NOT "
+        "a single-partition ntile window; the oracle's local window "
+        "replays the identical total order (avg desc, doc_id)",
+    tags=("text", "quality", "sampling"),
+)
+def c92_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import global_rank
+    from ..operators.text import unigram_logprob
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    lp = unigram_logprob(d, "doc_id", "text")
+    ranked = global_rank(
+        lp, [F.desc("avg_logprob"), F.asc("doc_id")], out_col="_rk"
+    )
+    n_docs = lp.count()
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "logprob_q_sum",
+        "avg_logprob",
+        (
+            F.floor((F.col("_rk") - 1) * 3 / F.lit(n_docs)).cast("long") + 1
+        ).alias("bucket"),
+    )
+
+
+@query(
     "c91_phrase_match",
     oracle="""
     WITH t AS (
