@@ -967,3 +967,81 @@ def duplicate_groups(
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("group_id")
     )
+
+
+def minhash_recall_eval(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_size: int = 3,
+    num_perms: int = 8,
+    bands: int = 4,
+    threshold_pct: int = 60,
+) -> DataFrame:
+    """Evaluation harness for the MinHash-LSH approximate path: measure
+    its candidate count, predicted-pair count, and RECALL against the
+    exact all-pairs Jaccard ground truth at the same threshold — as a
+    single-row DataFrame, so the quality of the approximation is itself
+    a queryable, oracle-checkable artifact (not a claim in a docstring).
+
+    Predicted pairs are a subset of truth by construction (both apply
+    the identical exact-Jaccard verify), so the approximation loses
+    only recall — pairs whose signatures never collided in any band;
+    candidate_precision shows how much post-collision verification
+    filtered. Run on a bounded sample by design: ground truth is
+    all-pairs (the thing LSH exists to avoid), which is exactly why an
+    engine should ship the evaluator — you measure recall on a sample,
+    then trust the banded path at full scale.
+    """
+    sig = portable_signatures(
+        df, id_col, text_col, shingle_size=shingle_size, num_perms=num_perms
+    )
+    banded = sig.select(
+        id_col,
+        F.posexplode(
+            F.array(*_portable_band_keys(num_perms=num_perms, bands=bands))
+        ).alias("band_idx", "band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    verified = jaccard_pairs_from_candidates(
+        sig.select(id_col, "grams"), cand, id_col, "grams"
+    )
+    predicted = verified.filter(
+        (F.col("n_union") > 0)
+        & (F.col("n_common") * 100 >= F.col("n_union") * threshold_pct)
+    )
+    truth = ngram_jaccard_pairs(
+        df, id_col, text_col, n=shingle_size, threshold_pct=threshold_pct
+    )
+    n_cand = cand.count()
+    n_pred = predicted.count()
+    n_truth = truth.count()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(n_cand, n_pred, n_truth, n_truth - n_pred)],
+        "n_candidates long, n_predicted long, n_truth long, n_missed long",
+    ).select(
+        "*",
+        (
+            F.col("n_predicted").cast("double")
+            / F.nullif(F.col("n_truth"), F.lit(0)).cast("double")
+        ).alias("recall"),
+        (
+            F.col("n_predicted").cast("double")
+            / F.nullif(F.col("n_candidates"), F.lit(0)).cast("double")
+        ).alias("candidate_precision"),
+    )

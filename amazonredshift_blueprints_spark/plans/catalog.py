@@ -3469,6 +3469,62 @@ def _portable_minhash_oracle(num_perms: int, bands: int, threshold_pct: int) -> 
     """
 
 
+def _minhash_eval_oracle(num_perms: int, bands: int, threshold_pct: int) -> str:
+    """Wrap the c24 replay: same CTE chain, but aggregate candidate /
+    predicted counts against an all-pairs exact-Jaccard ground truth."""
+    base = _portable_minhash_oracle(num_perms, bands, threshold_pct)
+    idx = base.rindex("SELECT id_a")
+    ctes, pred_select = base[:idx].rstrip().rstrip(","), base[idx:]
+    return f"""{ctes},
+    pred AS ({pred_select}),
+    truth AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+        WHERE (len(a.grams) + len(b.grams)
+               - len(list_intersect(a.grams, b.grams))) > 0
+          AND len(list_intersect(a.grams, b.grams)) * 100
+              >= (len(a.grams) + len(b.grams)
+                  - len(list_intersect(a.grams, b.grams))) * {threshold_pct}
+    )
+    SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM pred) AS BIGINT) AS n_predicted,
+           CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM truth)
+                - (SELECT count(*) FROM pred) AS BIGINT) AS n_missed,
+           CAST((SELECT count(*) FROM pred) AS DOUBLE)
+               / nullif(CAST((SELECT count(*) FROM truth) AS BIGINT), 0)
+               AS recall,
+           CAST((SELECT count(*) FROM pred) AS DOUBLE)
+               / nullif(CAST((SELECT count(*) FROM cand) AS BIGINT), 0)
+               AS candidate_precision
+    """
+
+
+@query(
+    "c93_minhash_recall_eval",
+    oracle=_minhash_eval_oracle(num_perms=8, bands=4, threshold_pct=60),
+    doc="evaluation harness for the approximate dedup path: the c24 "
+        "MinHash-LSH pipeline's band-candidate count, verified-pair "
+        "count, and RECALL against the exact all-pairs Jaccard truth "
+        "at the same threshold, as one queryable row — the quality of "
+        "the approximation measured inside the engine instead of "
+        "asserted in prose. Predicted pairs are a subset of truth by "
+        "construction (same exact verify), so LSH costs only recall; "
+        "ground truth is all-pairs and therefore sample-bounded BY "
+        "DESIGN (you evaluate on a sample, then trust the banded path "
+        "at scale). operators/dedup.minhash_recall_eval",
+    tags=("dedup", "eval"),
+)
+def c93_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_recall_eval
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return minhash_recall_eval(
+        d, "doc_id", "text", shingle_size=3, num_perms=8, bands=4,
+        threshold_pct=60,
+    )
+
+
 @query(
     "c24_dedup_minhash_portable",
     oracle=_portable_minhash_oracle(num_perms=8, bands=4, threshold_pct=60),
