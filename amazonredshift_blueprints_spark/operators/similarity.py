@@ -1991,3 +1991,52 @@ def cross_corpus_near_duplicates(
         )
         .filter(F.col("cosine") * 1_000_000 >= threshold_microcos)
     )
+
+
+def ivf_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.25,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-pruned radius search — the scale path c85's exact
+    range search documents: candidates come from the ``nprobe`` nearest
+    cells only (~nprobe/n_cells of the corpus scanned per query), the
+    SAME cosine >= threshold filter re-ranks them. Recall < 1 exactly
+    when a qualifying neighbor lives outside every probed cell; the
+    trade is the c17/c85 relationship (approximate candidates, exact
+    filter), and the oracle replays candidate generation, so even the
+    recall loss is deterministic and engine-checkable.
+
+    Same coarse-quantizer mechanics as :func:`ivf_topk` (deterministic
+    lowest-id centroids for the oracle-checked entry; k-means buys
+    recall), same row-local assignment/probing, same stored-index
+    partition-pruning note at 100 TB.
+    """
+    cents = _with_quant(
+        corpus.filter(F.col(id_col) < n_cells), id_col, vec_col, "cent"
+    )
+    cent_rows = _collect_centroids(cents)
+    dim = len(cent_rows[0][1])
+    cells = assign_cells(corpus, cent_rows, id_col=id_col, vec_col=vec_col)
+    probed = probe_cells(
+        queries, cent_rows, nprobe, id_col=id_col, vec_col=vec_col
+    )
+    return (
+        probed.join(cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_q(
+                dot_q_unrolled(F.col("query_q"), F.col("neighbor_q"), dim),
+                F.col("query_norm"),
+                F.col("neighbor_norm"),
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )

@@ -1959,6 +1959,69 @@ def c85_range_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c94_ivf_range_search",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, qv,
+               CAST({_DUCK_DOT.format(a='qv', b='qv')} AS BIGINT) AS norm
+        FROM v
+    ),
+    cents AS (SELECT vec_id AS cent_id, qv AS cq FROM v WHERE vec_id < 16),
+    cells AS (
+        SELECT vec_id, qv, norm, cent_id AS cell FROM (
+            SELECT n.vec_id, n.qv, n.norm, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY {_DUCK_L2.format(a='n.qv', b='c.cq')}, c.cent_id
+                   ) AS rn
+            FROM n CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    probed AS (
+        SELECT vec_id, qv, norm, cent_id AS cell FROM (
+            SELECT n.vec_id, n.qv, n.norm, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY {_DUCK_L2.format(a='n.qv', b='c.cq')}, c.cent_id
+                   ) AS rn
+            FROM n CROSS JOIN cents c
+            WHERE n.vec_id < 10
+        ) WHERE rn <= 4
+    )
+    SELECT p.vec_id AS query_id, s.vec_id AS neighbor_id,
+           CAST({_DUCK_DOT.format(a='p.qv', b='s.qv')} AS DOUBLE)
+             / (sqrt(CAST(p.norm AS DOUBLE)) * sqrt(CAST(s.norm AS DOUBLE)))
+               AS cosine
+    FROM probed p JOIN cells s ON p.cell = s.cell
+    WHERE p.vec_id <> s.vec_id
+      AND CAST({_DUCK_DOT.format(a='p.qv', b='s.qv')} AS DOUBLE)
+            / (sqrt(CAST(p.norm AS DOUBLE)) * sqrt(CAST(s.norm AS DOUBLE)))
+          >= 0.25
+    """,
+    doc="IVF-pruned radius search — the scale path c85's exact range "
+        "search documents, now a real entry: candidates from the "
+        "nprobe nearest coarse cells only (~nprobe/n_cells of the "
+        "corpus per query), the same cosine threshold re-ranks. The "
+        "oracle replays candidate generation (deterministic lowest-id "
+        "centroids, argmin-L2 assignment), so the recall loss vs c85 "
+        "is itself deterministic and checkable by diffing the two "
+        "entries (operators/similarity.ivf_range_search)",
+    tags=("similarity", "approx"),
+)
+def c94_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_range_search
+
+    e = views(spark, sf_dir, "embeddings")["embeddings"]
+    return ivf_range_search(
+        e, e.filter(F.col("vec_id") < 10), threshold=0.25, n_cells=16,
+        nprobe=4,
+    )
+
+
+@query(
     "c07_ann_lsh_topk",
     oracle=None,  # hyperplane sketches use xxhash64 (no DuckDB equivalent);
     # recall vs the exact top-k is asserted in tests/test_similarity.py.

@@ -732,3 +732,32 @@ def test_ivfpq_refine_recall_at_least_unrefined(spark, sf_dir):
     r_ref = sum(len(refined.get(q, set()) & t) for q, t in truth.items())
     assert r_ref >= r_base, (r_ref, r_base)
     assert all(len(v) == 5 for v in refined.values())
+
+
+def test_ivf_range_search_subset_and_recall(spark, sf_dir):
+    """IVF-pruned radius search returns a SUBSET of the exact range
+    search's matches (same threshold, candidates only pruned) and keeps
+    recall >= 0.8 at nprobe=4/16 on the fixture corpus."""
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.operators.similarity import (
+        ivf_range_search,
+        range_search,
+    )
+    from amazonredshift_blueprints_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in range_search(e, q, threshold=0.25).collect()
+    }
+    pruned = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_range_search(
+            e, q, threshold=0.25, n_cells=16, nprobe=4
+        ).collect()
+    }
+    assert pruned <= exact
+    assert exact  # fixture yields matches at this threshold
+    assert len(pruned) / len(exact) >= 0.8
