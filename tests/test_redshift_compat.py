@@ -836,3 +836,43 @@ def test_snapshot_diff_semantics(spark):
         4: ("U", 40.0, 40.0),   # s changed NULL -> 'x'
         5: ("I", None, 50.0),
     }  # k=1 unchanged: no row
+
+
+def test_snapshot_diff_merge_roundtrip(spark):
+    """CDC round trip: the changeset snapshot_diff DERIVES, fed through
+    merge_into (the arm that APPLIES changesets), must reproduce the
+    new snapshot exactly — derive and apply are inverses."""
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.dml import merge_into, snapshot_diff
+    from amazonredshift_blueprints_spark.ingest import _clean_stale_location
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 21.0), (4, "d", 41.0), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    tbl = "bp_cdc_roundtrip"
+    _clean_stale_location(spark, tbl, None)
+    old.write.mode("overwrite").saveAsTable(tbl)
+    cs = snapshot_diff(old, new, ["k"], ["s", "v"])
+    source = cs.select(
+        "k",
+        F.when(F.col("change_type") == "D", F.lit("__DEL__"))
+        .otherwise(F.col("new_s"))
+        .alias("s"),
+        F.when(F.col("change_type") == "D", F.lit(0.0))
+        .otherwise(F.col("new_v"))
+        .alias("v"),
+    )
+    n_upd, n_ins, n_del = merge_into(
+        spark, tbl, source, ["k"], delete_condition="s = '__DEL__'"
+    )
+    assert (n_upd, n_ins, n_del) == (2, 1, 1)
+    got = {(r.k, r.s, r.v) for r in spark.table(tbl).collect()}
+    want = {(r.k, r.s, r.v) for r in new.collect()}
+    assert got == want
+    spark.sql(f"DROP TABLE {tbl}")
