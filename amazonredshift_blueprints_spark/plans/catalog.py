@@ -2631,6 +2631,53 @@ def c36_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c95_stream_dedup_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket, user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS value_q_sum
+    FROM events WHERE event_type = 'click'
+    GROUP BY 1, 2
+    """,
+    doc="composed streaming ingest pipeline: watermark dedup (the c36 "
+        "stage) -> stateless hourly projection -> foreachBatch ADDITIVE "
+        "rollup maintenance into a catalog table (c54's incremental "
+        "rollup, stream-fed) — one streaming query, fed every event "
+        "TWICE, whose final table must equal the batch hourly aggregate "
+        "over distinct clicks. The rollup is batch-side per micro-batch "
+        "(not a second streaming agg: chained stateful ops force append "
+        "mode, which would never finalize trailing windows on a bounded "
+        "run — divergence documented in the operator); additivity is "
+        "safe exactly because dedup upstream counts each event once. "
+        "Value sums in integer micro-units (streaming/sessions."
+        "stream_dedup_rollup_into); multi-batch additivity is pinned by "
+        "a time-split two-batch pytest",
+    tags=("streaming", "dedup", "events"),
+)
+def c95_stream_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil as _sh
+
+    from ..ingest import _clean_stale_location
+    from ..streaming.sessions import (
+        read_events_stream,
+        stream_dedup_rollup_into,
+    )
+
+    views(spark, sf_dir, "events")  # oracle side reads the same fixture
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    d = tempfile.mkdtemp(prefix="bp_stream_rollup_")
+    for part in ("part-0.parquet", "part-1.parquet"):  # every event twice
+        _sh.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(d, part))
+    tbl = "bp_stream_rollup_tbl"
+    _clean_stale_location(spark, tbl, None)
+    stream = read_events_stream(spark, d, raw_schema)
+    stream_dedup_rollup_into(stream, tbl)
+    return spark.table(tbl)
+
+
+@query(
     "c17_ann_ivf_topk",
     oracle=f"""
     WITH v AS (

@@ -467,3 +467,74 @@ def stateful_topk_values(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def stream_dedup_rollup_into(
+    stream: DataFrame,
+    table: str,
+    *,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    event_type: str = "click",
+    await_seconds: int = 180,
+):
+    """Composed streaming ingest pipeline: watermark DEDUP →
+    stateless project → per-batch ADDITIVE rollup maintenance into a
+    catalog table — the dedup-then-materialize chain a real event
+    ingest runs (c36's dedup and c54's incremental rollup fused into
+    one streaming query).
+
+    Chaining note, honestly: the rollup is NOT a second streaming
+    aggregation — Spark requires append mode for chained stateful
+    operators, and an append-mode window agg only emits finalized
+    windows (trailing windows would be missing from a bounded run).
+    Instead the single stateful op is the dedup; each deduped
+    micro-batch is aggregated BATCH-side in ``foreachBatch`` and added
+    into the rollup table under the copy-on-write rewrite — counters
+    are additive because dedup upstream guarantees each event is
+    counted once. Idempotence caveat: a replayed batch after a sink
+    crash would double-add (additive, not idempotent); exactly-once
+    addition needs a transaction log carrying the batch id
+    (Delta/Iceberg territory — same boundary as dml.py documents).
+
+    Rollup schema: (bucket hour, user_id, n_events, value_q_sum) with
+    the value sum in integer micro-units (the c16 exactness contract).
+    Blocks until the availableNow run finishes; the table then equals
+    the batch aggregate over distinct events.
+    """
+    from ..dml import _rewrite
+
+    spark = stream.sparkSession
+    deduped = stream_dedup_events(stream, ts_col=ts_col, watermark=watermark)
+    projected = deduped.filter(F.col("event_type") == event_type).select(
+        F.date_trunc("hour", F.col(ts_col)).alias("bucket"),
+        F.col("user_id"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("value_q"),
+    )
+
+    def add_batch(batch: DataFrame, _batch_id: int) -> None:
+        agg = batch.groupBy("bucket", "user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_q").alias("value_q_sum"),
+        )
+        s = batch.sparkSession
+        if s.catalog.tableExists(table):
+            combined = (
+                s.table(table)
+                .unionByName(agg)
+                .groupBy("bucket", "user_id")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("value_q_sum").alias("value_q_sum"),
+                )
+            )
+            _rewrite(s, table, combined)  # stage-then-overwrite: safe self-read
+        else:
+            agg.write.mode("overwrite").saveAsTable(table)
+
+    q = (
+        projected.writeStream.foreachBatch(add_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return await_finished(q, await_seconds)

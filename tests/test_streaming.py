@@ -596,3 +596,61 @@ def test_transform_with_state_probe_gates_on_protobuf():
     except ImportError:
         has_protobuf = False
     assert transform_with_state_available() == has_protobuf
+
+
+def test_stream_dedup_rollup_additive_across_batches(spark, sf_dir):
+    """c95's pipeline with the fixture time-split into TWO micro-batches
+    (disjoint halves, no cross-batch duplicates): the second batch must
+    ADD into the first's rollup rows through the copy-on-write rewrite,
+    and the final table equals the batch aggregate."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.ingest import _clean_stale_location
+    from amazonredshift_blueprints_spark.session import load_table
+    from amazonredshift_blueprints_spark.streaming.sessions import (
+        read_events_stream,
+        stream_dedup_rollup_into,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    d = tempfile.mkdtemp(prefix="bp_rollup_split_")
+    t = pq.read_table(src)
+    ts_i = pc.cast(t.column("ts"), "int64")
+    mm = pc.min_max(ts_i).as_py()
+    mid = mm["min"] + (mm["max"] - mm["min"]) // 2
+    early = pc.less(ts_i, mid)
+    pq.write_table(t.filter(early), os.path.join(d, "part-0.parquet"))
+    pq.write_table(t.filter(pc.invert(early)), os.path.join(d, "part-1.parquet"))
+    now = os.path.getmtime(os.path.join(d, "part-1.parquet"))
+    os.utime(os.path.join(d, "part-0.parquet"), (now - 60, now - 60))
+
+    tbl = "bp_rollup_split_tbl"
+    _clean_stale_location(spark, tbl, None)
+    stream = read_events_stream(spark, d, raw_schema, max_files_per_trigger=1)
+    stream_dedup_rollup_into(stream, tbl)
+
+    want = {
+        (r["bucket"], r["user_id"]): (r["n"], r["s"])
+        for r in load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("s"),
+        )
+        .collect()
+    }
+    got = {
+        (r["bucket"], r["user_id"]): (r["n_events"], r["value_q_sum"])
+        for r in spark.table(tbl).collect()
+    }
+    assert got == want
+    spark.sql(f"DROP TABLE {tbl}")
