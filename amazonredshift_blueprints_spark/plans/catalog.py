@@ -8243,6 +8243,94 @@ def q83_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q84_prepare_execute",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE o_orderdate >= CAST('1997-01-01 00:00:00' AS TIMESTAMP)
+      AND o_totalprice > CAST(50000 AS DOUBLE)
+    GROUP BY o_orderstatus
+    """,
+    doc="PREPARE / EXECUTE (Redshift parameterized statements, passed "
+        "verbatim through the reference's execute_sql.py:77): PREPARE "
+        "registers (param types, SQL text) session-scoped; EXECUTE "
+        "substitutes $n with CAST(arg AS type) — coercion happens in "
+        "the engine, not Python — and dispatches through the normal "
+        "statement path (so an EXECUTE'd COPY still lowers, and "
+        "in-transaction EXECUTE routes through the buffer). The entry "
+        "PREPAREs a two-parameter aggregate and EXECUTEs it; the "
+        "oracle inlines the same literals (functions/prepared.py)",
+    tags=("sql", "dialect"),
+)
+def q84_prepare_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.prepared import execute_prepared
+    from ..sqlrun import execute_sql
+
+    views(spark, sf_dir, "orders")
+    execute_sql(
+        spark,
+        "PREPARE q84_rev (timestamp, float8) AS "
+        "SELECT o_orderstatus, "
+        "CAST(count(*) AS BIGINT) AS n_orders, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) "
+        "AS total_price "
+        "FROM orders WHERE o_orderdate >= $1 AND o_totalprice > $2 "
+        "GROUP BY o_orderstatus",
+    )
+    try:
+        return execute_prepared(
+            spark, "q84_rev", ["'1997-01-01 00:00:00'", "50000"]
+        )
+    finally:
+        execute_sql(spark, "DEALLOCATE q84_rev")
+
+
+@query(
+    "q85_cursor_fetch_page",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 10
+    """,
+    doc="DECLARE CURSOR / FETCH (the paged-result statements Redshift "
+        "drivers run for big result sets; the reference's chunked "
+        "fetch at store_query_results.py:103 is the same pattern): the "
+        "cursor stores (SQL, offset) session-scoped, each FETCH runs "
+        "OFFSET/LIMIT natively in Spark — no driver-side buffering of "
+        "the full result — and advances by the rows returned. The "
+        "entry fetches page 1 then returns page 2 of a totally ORDERED "
+        "cursor (paging over an unordered query is nondeterministic in "
+        "any engine; documented). Oracle = the same page via LIMIT/"
+        "OFFSET (functions/prepared.py)",
+    tags=("sql", "dialect"),
+)
+def q85_cursor_fetch_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.prepared import close_cursor, fetch_cursor
+    from ..sqlrun import execute_sql
+
+    views(spark, sf_dir, "orders")
+    try:
+        close_cursor(spark, "q85_cur")  # re-entrant builds
+    except ValueError:
+        pass
+    execute_sql(
+        spark,
+        "DECLARE q85_cur CURSOR FOR "
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey",
+    )
+    try:
+        execute_sql(spark, "FETCH FORWARD 10 FROM q85_cur")  # page 1, discarded
+        return fetch_cursor(spark, "q85_cur", 10)  # page 2
+    finally:
+        close_cursor(spark, "q85_cur")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #

@@ -99,6 +99,14 @@ def execute_sql(spark: SparkSession, query: str) -> None:
         # the no-ACL divergence is documented at the pattern definition
         print("Your query has been successfully executed.")
         return
+    from .functions.prepared import maybe_handle as _prepared_maybe_handle
+
+    if _prepared_maybe_handle(spark, query):
+        # PREPARE/EXECUTE/DEALLOCATE + DECLARE CURSOR/FETCH/CLOSE;
+        # EXECUTE recurses into execute_sql, so its inner statement
+        # still gets COPY/UNLOAD lowering and transaction routing
+        print("Your query has been successfully executed.")
+        return
     txn = transactions.active(spark)
     if txn is not None:
         if _NON_TXN_STMT_RE.match(query):

@@ -876,3 +876,86 @@ def test_snapshot_diff_merge_roundtrip(spark):
     want = {(r.k, r.s, r.v) for r in new.collect()}
     assert got == want
     spark.sql(f"DROP TABLE {tbl}")
+
+
+class TestPreparedAndCursors:
+    def test_prepare_execute_deallocate(self, spark, capsys):
+        from amazonredshift_blueprints_spark.functions.prepared import (
+            execute_prepared,
+        )
+        from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+        spark.sql("DROP TABLE IF EXISTS t_prep")
+        spark.sql("CREATE TABLE t_prep (k INT, v STRING) USING parquet")
+        spark.sql("INSERT INTO t_prep VALUES (1,'a'), (2,'b'), (3,'c')")
+        execute_sql(
+            spark,
+            "PREPARE p1 (int4) AS SELECT v FROM t_prep WHERE k = $1",
+        )
+        assert "successfully" in capsys.readouterr().out
+        got = execute_prepared(spark, "p1", ["2"]).collect()
+        assert [r.v for r in got] == ["b"]
+        # statement-face EXECUTE runs through the noop sink
+        execute_sql(spark, "EXECUTE p1 (3)")
+        assert "successfully" in capsys.readouterr().out
+        execute_sql(spark, "DEALLOCATE p1")
+        import pytest
+
+        with pytest.raises(ValueError, match="unknown prepared"):
+            execute_prepared(spark, "p1", ["1"])
+        with pytest.raises(ValueError, match="argument"):
+            execute_sql(
+                spark, "PREPARE p2 (int4, varchar) AS SELECT $1, $2"
+            ) or execute_prepared(spark, "p2", ["1"])
+        execute_sql(spark, "DEALLOCATE PREPARE p2")
+        spark.sql("DROP TABLE t_prep")
+
+    def test_execute_string_coercion_and_quoted_args(self, spark):
+        from amazonredshift_blueprints_spark.functions.prepared import (
+            execute_prepared,
+        )
+        from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+        execute_sql(
+            spark,
+            "PREPARE p3 (varchar, int4) AS "
+            "SELECT $1 AS s, $2 + 1 AS n",
+        )
+        row = execute_prepared(spark, "p3", ["'it''s, fine'", "41"]).first()
+        assert row.s == "it's, fine" and row.n == 42
+        execute_sql(spark, "DEALLOCATE p3")
+
+    def test_cursor_pages_partition_result_deterministically(self, spark):
+        import pytest
+
+        from amazonredshift_blueprints_spark.functions.prepared import (
+            close_cursor,
+            fetch_cursor,
+        )
+        from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+        spark.range(25).createOrReplaceTempView("t_cur")
+        execute_sql(
+            spark, "DECLARE c1 CURSOR FOR SELECT id FROM t_cur ORDER BY id"
+        )
+        pages = []
+        for _ in range(3):
+            pages.append([r.id for r in fetch_cursor(spark, "c1", 10).collect()])
+        assert pages[0] == list(range(10))
+        assert pages[1] == list(range(10, 20))
+        assert pages[2] == list(range(20, 25))  # short final page
+        assert fetch_cursor(spark, "c1", 10).count() == 0  # exhausted
+        close_cursor(spark, "c1")
+        with pytest.raises(ValueError, match="unknown/closed"):
+            fetch_cursor(spark, "c1", 1)
+        # FETCH ALL drains in one statement
+        execute_sql(
+            spark, "DECLARE c2 CURSOR FOR SELECT id FROM t_cur ORDER BY id"
+        )
+        execute_sql(spark, "FETCH ALL FROM c2")
+        assert fetch_cursor(spark, "c2", 5).count() == 0
+        execute_sql(spark, "CLOSE c2")
+        with pytest.raises(ValueError, match="already open"):
+            execute_sql(spark, "DECLARE c3 CURSOR FOR SELECT 1")
+            execute_sql(spark, "DECLARE c3 CURSOR FOR SELECT 1")
+        close_cursor(spark, "c3")
