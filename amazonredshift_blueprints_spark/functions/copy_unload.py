@@ -55,6 +55,7 @@ class CopySpec:
     delimiter: str = "|"
     header: bool = False
     manifest: bool = False
+    max_error: int = 0  # COPY MAXERROR [AS] n — tolerated bad rows
 
 
 @dataclass
@@ -157,6 +158,11 @@ def parse_copy(sql: str) -> CopySpec | None:
             spec.header = n == 1
         elif t == "MANIFEST":
             spec.manifest = True  # path names a manifest file, not data
+        elif t == "MAXERROR":
+            raw, i = _take_string(tokens, i, "MAXERROR")
+            spec.max_error = int(_unquote(raw))
+            if spec.max_error < 0:
+                raise ValueError(f"MAXERROR must be >= 0, got {spec.max_error}")
         elif t in _IGNORED_STR_OPTS:
             _, i = _take_string(tokens, i, t)  # authorization: parsed, ignored
         elif t in _IGNORED_BARE_OPTS:
@@ -660,6 +666,7 @@ def execute_copy(spark, spec: CopySpec) -> int:
         insert_method="append",
         header=spec.header,
         delimiter=spec.delimiter,
+        max_error=spec.max_error,
     )
 
 

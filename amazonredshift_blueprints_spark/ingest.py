@@ -30,7 +30,8 @@ import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
 
 # Reference arg choices upload_file.py:44-52 → Spark writer modes.
 INSERT_METHODS = {
@@ -169,6 +170,66 @@ def ingest_csv(
     )
 
 
+_CORRUPT_COL = "_bp_corrupt_record"
+
+
+def read_files_tolerant(
+    spark: SparkSession,
+    paths: str | list[str],
+    *,
+    format: str,
+    header: bool,
+    delimiter: str,
+    max_error: int,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """Bad-row-tolerant scan for COPY MAXERROR: rows that fail parsing
+    (type mismatch, column-count drift, malformed JSON) are dropped —
+    raising if they exceed ``max_error`` — instead of failing the load.
+
+    ``schema`` should be the TARGET TABLE's schema when it exists —
+    Redshift COPY parses against the declared table schema, and that is
+    what makes a type error an error; without it (first load into a
+    fresh table) the schema is inferred, and inference WIDENS dirty
+    columns to string rather than failing them, so only structural
+    errors (column-count drift, malformed JSON) count — divergence
+    stated here, not hidden. Pass 2 re-reads with the schema in
+    PERMISSIVE mode and a corrupt-record capture column, counts the
+    captured rows, and filters them out; the count and the load share
+    one cached scan. Row-wise tolerance only makes sense for record
+    formats (csv/json); parquet/orc corruption is structural and keeps
+    fail-fast semantics.
+    """
+    if format not in ("csv", "json"):
+        raise ValueError(
+            f"MAXERROR applies to row-based formats (csv/json), not {format!r}"
+        )
+    inferred = schema or read_files(
+        spark, paths, format=format, header=header, delimiter=delimiter
+    ).schema
+    capture = StructType(
+        inferred.fields + [StructField(_CORRUPT_COL, StringType())]
+    )
+    reader = (
+        spark.read.schema(capture)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT_COL)
+    )
+    if format == "csv":
+        reader = (
+            reader.option("header", header).option("sep", delimiter)
+        )
+    df = reader.format(format).load(paths).cache()
+    n_bad = df.filter(F.col(_CORRUPT_COL).isNotNull()).count()
+    if n_bad > max_error:
+        df.unpersist()
+        raise ValueError(
+            f"load found {n_bad} unparseable row(s), exceeding MAXERROR "
+            f"{max_error} (the Redshift COPY error-tolerance contract)"
+        )
+    return df.filter(F.col(_CORRUPT_COL).isNull()).drop(_CORRUPT_COL)
+
+
 def ingest_files(
     spark: SparkSession,
     source: str | list[str],
@@ -180,9 +241,11 @@ def ingest_files(
     header: bool = True,
     schema: StructType | str | None = None,
     delimiter: str = ",",
+    max_error: int = 0,
 ) -> int:
     """Format-generalized table load (csv/json/parquet/orc) with the
-    reference's fail/replace/append mode vocabulary."""
+    reference's fail/replace/append mode vocabulary. ``max_error > 0``
+    tolerates up to that many unparseable rows (COPY MAXERROR)."""
     if insert_method not in INSERT_METHODS:
         raise ValueError(
             f"insert_method must be one of {sorted(INSERT_METHODS)}, got {insert_method!r}"
@@ -194,9 +257,23 @@ def ingest_files(
         qualified = f"{schema_name}.{table_name}"
     else:
         qualified = table_name
-    df = read_files(
-        spark, source, format=format, header=header, schema=schema, delimiter=delimiter
-    )
+    if max_error > 0:
+        # Redshift COPY parses against the declared TABLE schema — use
+        # the existing target's schema so type errors actually count
+        target_schema = (
+            spark.table(qualified).schema
+            if spark.catalog.tableExists(qualified)
+            else None
+        )
+        df = read_files_tolerant(
+            spark, source, format=format, header=header,
+            delimiter=delimiter, max_error=max_error, schema=target_schema,
+        )
+    else:
+        df = read_files(
+            spark, source, format=format, header=header, schema=schema,
+            delimiter=delimiter,
+        )
     df.write.mode(INSERT_METHODS[insert_method]).format("parquet").saveAsTable(qualified)
     return spark.table(qualified).count()
 

@@ -942,6 +942,56 @@ def a01_ingest_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a04_copy_maxerror",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer WHERE c_custkey % 50 <> 0
+    """,
+    doc="COPY MAXERROR error tolerance (the Redshift COPY option for "
+        "dirty feeds): the fixture is exported to CSV with every 50th "
+        "customer's balance corrupted to a non-numeric token, then "
+        "COPY'd back into a TYPED table with MAXERROR — the corrupt "
+        "rows are counted against the budget and dropped, the clean "
+        "rows load, and the oracle is simply the fixture minus the "
+        "corrupted keys. Parsing runs against the declared table "
+        "schema (Redshift semantics — type errors only EXIST relative "
+        "to a declared type); budget-exceeded and parquet-format "
+        "refusal paths are pytest-pinned (ingest.read_files_tolerant)",
+    tags=("native", "ingest"),
+)
+def a04_copy_maxerror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..export import write_csv
+    from ..ingest import _clean_stale_location
+    from ..sqlrun import execute_sql
+
+    c = views(spark, sf_dir, "customer")["customer"]
+    tmp = tempfile.mkdtemp(prefix="bp_maxerror_")
+    dirty = c.select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 50 == 0, F.lit("oops"))
+        .otherwise(F.col("c_acctbal").cast("string"))
+        .alias("c_acctbal"),
+    )
+    path = os.path.join(tmp, "dirty_customer.csv")
+    write_csv(dirty, path)
+    tbl = "bp_maxerror_customer"
+    _clean_stale_location(spark, tbl, None)
+    spark.sql(
+        f"CREATE TABLE {tbl} (c_custkey BIGINT, c_name STRING, "
+        "c_acctbal DOUBLE) USING parquet"
+    )
+    n_bad = dirty.filter(F.col("c_custkey") % 50 == 0).count()
+    execute_sql(
+        spark,
+        f"COPY {tbl} FROM '{path}' CSV IGNOREHEADER 1 MAXERROR {n_bad}",
+    )
+    return spark.table(tbl)
+
+
+@query(
     "a02_export_csv_roundtrip",
     oracle="""
     SELECT o_orderkey, o_totalprice, c_name

@@ -849,3 +849,52 @@ def test_execute_sql_script_end_to_end(spark, tmp_path):
     with pytest.raises(Exception, match=r"statement 2/2"):
         execute_sql_script(spark, "SELECT 1; SELECT definitely_wrong FROM nope;")
     spark.sql("DROP TABLE IF EXISTS t_script")
+
+
+def test_copy_maxerror_tolerates_then_refuses(spark, tmp_path):
+    """COPY MAXERROR: unparseable rows are dropped while within budget
+    (load succeeds with the good rows), and exceeding the budget fails
+    the load naming the count — the Redshift error-tolerance contract."""
+    import pytest
+
+    from amazonredshift_blueprints_spark.ingest import _clean_stale_location
+    from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+    _clean_stale_location(spark, "t_maxerr", None)
+    _clean_stale_location(spark, "t_maxerr2", None)
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "k,v\n"
+        "1,10\n"
+        "2,twenty\n"   # type error in an int column
+        "3,30\n"
+        "4,forty\n"    # second bad row
+        "5,50\n"
+    )
+    spark.sql("DROP TABLE IF EXISTS t_maxerr")
+    spark.sql("CREATE TABLE t_maxerr (k INT, v INT) USING parquet")
+    execute_sql(
+        spark, f"COPY t_maxerr FROM '{p}' CSV IGNOREHEADER 1 MAXERROR 2"
+    )
+    got = {(r.k, r.v) for r in spark.table("t_maxerr").collect()}
+    assert got == {(1, 10), (3, 30), (5, 50)}
+    spark.sql("DROP TABLE IF EXISTS t_maxerr2")
+    spark.sql("CREATE TABLE t_maxerr2 (k INT, v INT) USING parquet")
+    with pytest.raises(ValueError, match="2 unparseable row.*MAXERROR 1"):
+        execute_sql(
+            spark, f"COPY t_maxerr2 FROM '{p}' CSV IGNOREHEADER 1 MAXERROR 1"
+        )
+    # MAXERROR 0 (default) keeps strict semantics: same failure
+    with pytest.raises(Exception):
+        execute_sql(
+            spark, f"COPY t_maxerr2 FROM '{p}' CSV IGNOREHEADER 1 MAXERROR 0"
+        )
+    # parquet is structural, not row-wise: MAXERROR there refuses loudly
+    from amazonredshift_blueprints_spark.ingest import read_files_tolerant
+
+    with pytest.raises(ValueError, match="row-based formats"):
+        read_files_tolerant(
+            spark, str(p), format="parquet", header=True, delimiter=",",
+            max_error=1,
+        )
+    spark.sql("DROP TABLE IF EXISTS t_maxerr")
