@@ -992,6 +992,45 @@ def a04_copy_maxerror(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a05_schema_evolution_load",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer WHERE c_custkey % 2 = 1
+    """,
+    doc="schema-evolution load: two parquet batches with DIFFERENT "
+        "schemas (the second adds a column — the routine drift of any "
+        "long-lived feed) land in one directory and read as one table "
+        "via mergeSchema, old-batch rows null-filled for the new "
+        "column. The reference's pandas chunk inference would have "
+        "made this a silent dtype flip mid-load (SURVEY §1.2's known "
+        "hazard); Spark merges footers per file and unions by name. "
+        "100 TB: footer-only schema merge, no data rewrite — the "
+        "cheap half of evolution (type CHANGES need a rewrite; that "
+        "path stays fail-fast)",
+    tags=("native", "ingest"),
+)
+def a05_schema_evolution_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    c = views(spark, sf_dir, "customer")["customer"]
+    tmp = tempfile.mkdtemp(prefix="bp_evolve_")
+    c.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_name"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "batch=1"))
+    c.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_name", "c_acctbal"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "batch=2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(tmp, "batch=1"), os.path.join(tmp, "batch=2"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@query(
     "a02_export_csv_roundtrip",
     oracle="""
     SELECT o_orderkey, o_totalprice, c_name
