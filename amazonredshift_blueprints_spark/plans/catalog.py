@@ -8332,6 +8332,44 @@ def q83_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q86_SQL = """
+WITH t AS (
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE o_totalprice END AS price
+    FROM orders
+)
+SELECT o_orderkey, o_orderstatus, price,
+       CAST(row_number() OVER (
+           PARTITION BY o_orderstatus
+           ORDER BY price ASC NULLS LAST, o_orderkey
+       ) AS BIGINT) AS rn_nulls_last,
+       CAST(row_number() OVER (
+           PARTITION BY o_orderstatus
+           ORDER BY price DESC NULLS FIRST, o_orderkey
+       ) AS BIGINT) AS rn_nulls_first
+FROM t
+"""
+
+
+@query(
+    "q86_nulls_ordering",
+    oracle=_Q86_SQL,
+    doc="explicit NULLS FIRST/LAST ordering in window sorts — load-"
+        "bearing because the ENGINE DEFAULTS DIVERGE (Spark sorts "
+        "ASC NULLS FIRST, DuckDB/Redshift ASC NULLS LAST): any ranking "
+        "over a nullable key that omits the clause silently ranks "
+        "differently across engines, so the dialect contract here is "
+        "'always explicit'. Both rankings share one partitioning "
+        "(per-status) and a total tiebreak; one SQL text runs verbatim "
+        "on both engines",
+    tags=("window", "dialect"),
+)
+def q86_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "orders")
+    return spark.sql(_Q86_SQL)
+
+
 @query(
     "q84_prepare_execute",
     oracle="""
