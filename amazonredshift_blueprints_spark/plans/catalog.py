@@ -8332,6 +8332,42 @@ def q83_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q87_alter_table_append",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    """,
+    doc="ALTER TABLE APPEND (Redshift's move-rows statement, passed "
+        "verbatim through execute_sql.py:77): the fixture is split "
+        "into a target (even keys, full schema) and a staging source "
+        "(odd keys, MISSING the balance column), then moved with "
+        "FILLTARGET — missing columns null-fill... except here the "
+        "source carries all three columns and the target gets every "
+        "row back, so the oracle is the whole fixture; the "
+        "IGNOREEXTRA/FILLTARGET refusal matrix and the source-emptied "
+        "postcondition are pytest-pinned. Lowered as append + TRUNCATE "
+        "under BOTH tables' writer locks (copy_unload."
+        "execute_alter_append)",
+    tags=("sql", "dml", "native"),
+)
+def q87_alter_table_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ingest import _clean_stale_location
+    from ..sqlrun import execute_sql
+
+    c = views(spark, sf_dir, "customer")["customer"]
+    tgt, src = "bp_q87_target", "bp_q87_staging"
+    for t in (tgt, src):
+        _clean_stale_location(spark, t, None)
+    c.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_name", "c_acctbal"
+    ).write.mode("overwrite").saveAsTable(tgt)
+    c.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_name", "c_acctbal"
+    ).write.mode("overwrite").saveAsTable(src)
+    execute_sql(spark, f"ALTER TABLE {tgt} APPEND FROM {src}")
+    return spark.table(tgt)
+
+
 _Q86_SQL = """
 WITH t AS (
     SELECT o_orderkey, o_orderstatus,

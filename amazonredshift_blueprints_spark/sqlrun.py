@@ -122,6 +122,7 @@ def execute_sql(spark: SparkSession, query: str) -> None:
             stage = txn.resolve_write(m.group(2))
             query = f"{m.group(1)}{stage}{query[m.end():]}"
     from .functions.copy_unload import (
+        execute_alter_append,
         execute_alter_layout,
         execute_analyze,
         execute_copy,
@@ -129,6 +130,7 @@ def execute_sql(spark: SparkSession, query: str) -> None:
         execute_materialized_view,
         execute_unload,
         execute_vacuum,
+        parse_alter_append,
         parse_alter_layout,
         parse_analyze,
         parse_copy,
@@ -145,6 +147,7 @@ def execute_sql(spark: SparkSession, query: str) -> None:
         (parse_analyze, execute_analyze),
         (parse_materialized_view, execute_materialized_view),
         (parse_create_function, execute_create_function),
+        (parse_alter_append, execute_alter_append),
         (parse_alter_layout, execute_alter_layout),
     ):
         spec = parse(query)

@@ -959,3 +959,49 @@ class TestPreparedAndCursors:
             execute_sql(spark, "DECLARE c3 CURSOR FOR SELECT 1")
             execute_sql(spark, "DECLARE c3 CURSOR FOR SELECT 1")
         close_cursor(spark, "c3")
+
+
+def test_alter_table_append_matrix(spark):
+    """ALTER TABLE APPEND: the move empties the source; extra source
+    columns refuse without IGNOREEXTRA; missing ones refuse without
+    FILLTARGET (then null-fill with it); and the statement is refused
+    inside an open transaction (Redshift's own rule)."""
+    import pytest
+
+    from amazonredshift_blueprints_spark.ingest import _clean_stale_location
+    from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+    for t in ("t_app_tgt", "t_app_src", "t_app_wide", "t_app_narrow"):
+        _clean_stale_location(spark, t, None)
+    spark.sql("CREATE TABLE t_app_tgt (k INT, v STRING) USING parquet")
+    spark.sql("INSERT INTO t_app_tgt VALUES (1, 'a')")
+    spark.sql("CREATE TABLE t_app_src (k INT, v STRING) USING parquet")
+    spark.sql("INSERT INTO t_app_src VALUES (2, 'b'), (3, 'c')")
+    execute_sql(spark, "ALTER TABLE t_app_tgt APPEND FROM t_app_src")
+    assert {(r.k, r.v) for r in spark.table("t_app_tgt").collect()} == {
+        (1, "a"), (2, "b"), (3, "c")
+    }
+    assert spark.table("t_app_src").count() == 0  # moved, not copied
+
+    spark.sql("CREATE TABLE t_app_wide (k INT, v STRING, extra INT) USING parquet")
+    spark.sql("INSERT INTO t_app_wide VALUES (4, 'd', 9)")
+    with pytest.raises(ValueError, match="IGNOREEXTRA"):
+        execute_sql(spark, "ALTER TABLE t_app_tgt APPEND FROM t_app_wide")
+    execute_sql(spark, "ALTER TABLE t_app_tgt APPEND FROM t_app_wide IGNOREEXTRA")
+    assert (4, "d") in {(r.k, r.v) for r in spark.table("t_app_tgt").collect()}
+
+    spark.sql("CREATE TABLE t_app_narrow (k INT) USING parquet")
+    spark.sql("INSERT INTO t_app_narrow VALUES (5)")
+    with pytest.raises(ValueError, match="FILLTARGET"):
+        execute_sql(spark, "ALTER TABLE t_app_tgt APPEND FROM t_app_narrow")
+    execute_sql(spark, "ALTER TABLE t_app_tgt APPEND FROM t_app_narrow FILLTARGET")
+    assert (5, None) in {(r.k, r.v) for r in spark.table("t_app_tgt").collect()}
+
+    execute_sql(spark, "BEGIN")
+    try:
+        with pytest.raises(ValueError, match="transaction block"):
+            execute_sql(spark, "ALTER TABLE t_app_tgt APPEND FROM t_app_src")
+    finally:
+        execute_sql(spark, "ROLLBACK")
+    for t in ("t_app_tgt", "t_app_src", "t_app_wide", "t_app_narrow"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
