@@ -1323,3 +1323,68 @@ def phrase_match(
             & (nxt["_npos"] == out["match_pos"] + i),
         ).select(out[id_col], out["match_pos"])
     return out
+
+
+def corpus_divergence_topk(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 20,
+) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots: the
+    per-token Jensen-Shannon divergence contributions, top-k — the
+    drift report a training-data pipeline runs when a new crawl lands
+    (did the token mix shift, and WHICH tokens moved it).
+
+    Per token t with unigram probabilities p (corpus A), q (corpus B),
+    m = (p+q)/2:  contrib(t) = (p*ln(p/m) + q*ln(q/m)) / 2, with the
+    0-probability terms dropping out naturally (x*ln(x/..) -> 0).
+    Contributions are quantized to 1e-12 units (BIGINT) — each is ONE
+    fixed-order IEEE expression per token (no accumulation), so the
+    quantized value is engine-exact; summing them (the total JSD) is
+    then exact integer addition (the c63 contract).
+
+    Scale: two vocabulary-keyed aggregates + one full-outer join on the
+    token — vocabulary-sized, not corpus-sized; totals are 1-row
+    broadcasts. Top-k via TakeOrdered semantics.
+    """
+    from pyspark.sql.window import Window
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(text_col)).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    a = counts(df_a, "cnt_a")
+    b = counts(df_b, "cnt_b")
+    tot_a = a.agg(F.sum("cnt_a").alias("tot_a"))
+    tot_b = b.agg(F.sum("cnt_b").alias("tot_b"))
+    joined = (
+        a.join(b, "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce("cnt_a", F.lit(0)).cast("long").alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0)).cast("long").alias("cnt_b"),
+        )
+        .crossJoin(F.broadcast(tot_a))
+        .crossJoin(F.broadcast(tot_b))
+    )
+    p = F.col("cnt_a").cast("double") / F.col("tot_a").cast("double")
+    q = F.col("cnt_b").cast("double") / F.col("tot_b").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = lambda x: F.when(x > 0, x * F.log(x / m)).otherwise(F.lit(0.0))  # noqa: E731
+    contrib_q = F.round(((term(p) + term(q)) / F.lit(2.0)) * 1e12).cast("long")
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition heap,
+    # k rows to the driver side of the exchange) — no vocabulary-wide
+    # single-partition window; the rank is re-derived over the k rows.
+    topk = (
+        joined.select("token", "cnt_a", "cnt_b", contrib_q.alias("jsd_contrib_q"))
+        .orderBy(F.desc("jsd_contrib_q"), F.asc("token"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("jsd_contrib_q"), F.asc("token"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))

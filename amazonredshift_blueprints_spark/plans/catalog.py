@@ -7736,6 +7736,82 @@ def c84_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c96_corpus_divergence_topk",
+    oracle="""
+    WITH ta AS (
+        SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS token
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    tb AS (
+        SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS token
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    ca AS (SELECT token, count(*) AS cnt_a FROM ta GROUP BY 1),
+    cb AS (SELECT token, count(*) AS cnt_b FROM tb GROUP BY 1),
+    tot AS (
+        SELECT (SELECT SUM(cnt_a) FROM ca) AS tot_a,
+               (SELECT SUM(cnt_b) FROM cb) AS tot_b
+    ),
+    j AS (
+        SELECT COALESCE(ca.token, cb.token) AS token,
+               CAST(COALESCE(cnt_a, 0) AS BIGINT) AS cnt_a,
+               CAST(COALESCE(cnt_b, 0) AS BIGINT) AS cnt_b,
+               tot_a, tot_b
+        FROM ca FULL OUTER JOIN cb ON ca.token = cb.token
+        CROSS JOIN tot
+    ),
+    scored AS (
+        SELECT token, cnt_a, cnt_b,
+               CAST(round(((CASE WHEN CAST(cnt_a AS DOUBLE) / tot_a > 0
+                     THEN (CAST(cnt_a AS DOUBLE) / tot_a)
+                          * ln((CAST(cnt_a AS DOUBLE) / tot_a)
+                               / ((CAST(cnt_a AS DOUBLE) / tot_a
+                                   + CAST(cnt_b AS DOUBLE) / tot_b) / 2.0))
+                     ELSE 0.0 END
+                + CASE WHEN CAST(cnt_b AS DOUBLE) / tot_b > 0
+                     THEN (CAST(cnt_b AS DOUBLE) / tot_b)
+                          * ln((CAST(cnt_b AS DOUBLE) / tot_b)
+                               / ((CAST(cnt_a AS DOUBLE) / tot_a
+                                   + CAST(cnt_b AS DOUBLE) / tot_b) / 2.0))
+                     ELSE 0.0 END) / 2.0) * 1e12) AS BIGINT)
+                   AS jsd_contrib_q
+        FROM j
+    )
+    SELECT token, cnt_a, cnt_b, jsd_contrib_q,
+           CAST(row_number() OVER (
+               ORDER BY jsd_contrib_q DESC, token) AS BIGINT) AS rank
+    FROM scored
+    ORDER BY jsd_contrib_q DESC, token
+    LIMIT 20
+    """,
+    doc="corpus drift report: per-token Jensen-Shannon divergence "
+        "contributions between two snapshots (even vs odd doc ids "
+        "stand in for old vs new crawl), top-20 movers — the which-"
+        "tokens-shifted diagnostic run when a new data drop lands. "
+        "Each contribution is ONE fixed-order IEEE expression "
+        "quantized to 1e-12 units (no accumulation -> engine-exact, "
+        "the c63 contract); vocabulary-keyed aggregates + one "
+        "full-outer token join, totals broadcast, top-k via "
+        "TakeOrderedAndProject — never a vocabulary-wide single-"
+        "partition window (operators/text.corpus_divergence_topk)",
+    tags=("text", "quality", "eval"),
+)
+def c96_corpus_divergence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import corpus_divergence_topk
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return corpus_divergence_topk(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        "text",
+        k=20,
+    )
+
+
+@query(
     "c92_ccnet_perplexity_buckets",
     oracle="""
     WITH ex AS (
