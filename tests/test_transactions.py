@@ -176,3 +176,24 @@ def test_bare_names_resolve_against_begin_database(spark):
         execute_sql(spark, "ROLLBACK")
         spark.sql("DROP TABLE IF EXISTS t_dbsnap")
         spark.sql("DROP DATABASE IF EXISTS txn_otherdb")
+
+
+def test_execute_prepared_inside_transaction_rolls_back(spark):
+    """The q84 docstring's composition claim, pinned: an EXECUTE'd
+    INSERT inside BEGIN routes through the staging buffer (read-your-
+    writes inside the transaction) and a ROLLBACK discards it."""
+    _make_table(spark, "t_prep_txn")
+    execute_sql(spark, "PREPARE p_txn (int4, varchar) AS "
+                       "INSERT INTO t_prep_txn VALUES ($1, $2)")
+    execute_sql(spark, "BEGIN")
+    try:
+        execute_sql(spark, "EXECUTE p_txn (9, 'z')")
+        # read-your-writes: the bare name resolves to the staged view
+        assert spark.sql(
+            "SELECT count(*) FROM t_prep_txn WHERE k = 9"
+        ).first()[0] == 1
+    finally:
+        execute_sql(spark, "ROLLBACK")
+    assert spark.table("t_prep_txn").filter("k = 9").count() == 0
+    execute_sql(spark, "DEALLOCATE p_txn")
+    spark.sql("DROP TABLE t_prep_txn")
