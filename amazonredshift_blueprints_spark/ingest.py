@@ -195,8 +195,9 @@ def read_files_tolerant(
     errors (column-count drift, malformed JSON) count — divergence
     stated here, not hidden. Pass 2 re-reads with the schema in
     PERMISSIVE mode and a corrupt-record capture column, counts the
-    captured rows, and filters them out; the count and the load share
-    one cached scan. Row-wise tolerance only makes sense for record
+    captured rows, and filters them out; count and load share one
+    cached scan (required, see the inline note) whose release is the
+    caller's job. Row-wise tolerance only makes sense for record
     formats (csv/json); parquet/orc corruption is structural and keeps
     fail-fast semantics.
     """
@@ -219,6 +220,14 @@ def read_files_tolerant(
         reader = (
             reader.option("header", header).option("sep", delimiter)
         )
+    # The cache is REQUIRED, not an optimization: Spark refuses queries
+    # that reference only the corrupt-record column on an uncached raw
+    # scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and the bad-row count is
+    # exactly such a query. Ownership contract: the cached base rides
+    # on the returned DataFrame as ``_bp_cache_owner`` and the CALLER
+    # unpersists it after consuming the result (ingest_files does,
+    # after the table write) — otherwise the cache would stay pinned
+    # past the load with nobody left holding a handle.
     df = reader.format(format).load(paths).cache()
     n_bad = df.filter(F.col(_CORRUPT_COL).isNotNull()).count()
     if n_bad > max_error:
@@ -227,7 +236,9 @@ def read_files_tolerant(
             f"load found {n_bad} unparseable row(s), exceeding MAXERROR "
             f"{max_error} (the Redshift COPY error-tolerance contract)"
         )
-    return df.filter(F.col(_CORRUPT_COL).isNull()).drop(_CORRUPT_COL)
+    clean = df.filter(F.col(_CORRUPT_COL).isNull()).drop(_CORRUPT_COL)
+    clean._bp_cache_owner = df
+    return clean
 
 
 def ingest_files(
@@ -274,7 +285,14 @@ def ingest_files(
             spark, source, format=format, header=header, schema=schema,
             delimiter=delimiter,
         )
-    df.write.mode(INSERT_METHODS[insert_method]).format("parquet").saveAsTable(qualified)
+    try:
+        df.write.mode(INSERT_METHODS[insert_method]).format("parquet").saveAsTable(
+            qualified
+        )
+    finally:
+        owner = getattr(df, "_bp_cache_owner", None)
+        if owner is not None:  # release the tolerant read's pinned scan
+            owner.unpersist()
     return spark.table(qualified).count()
 
 
