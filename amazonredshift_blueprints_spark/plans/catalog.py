@@ -3699,6 +3699,75 @@ def _minhash_eval_oracle(num_perms: int, bands: int, threshold_pct: int) -> str:
     """
 
 
+def _split_leakage_oracle(num_perms: int, bands: int, threshold_pct: int) -> str:
+    """Wrap the c24 replay once more: near-dup pairs whose endpoints
+    land in DIFFERENT hash splits — train/test contamination."""
+    base = _portable_minhash_oracle(num_perms, bands, threshold_pct)
+    idx = base.rindex("SELECT id_a")
+    ctes, pred_select = base[:idx].rstrip().rstrip(","), base[idx:]
+    split = (
+        "CASE WHEN substring(md5(CAST({k} AS VARCHAR) || ':v1'), 1, 6) "
+        "<= 'cccccc' THEN 'train' "
+        "WHEN substring(md5(CAST({k} AS VARCHAR) || ':v1'), 1, 6) "
+        "<= 'e66666' THEN 'val' ELSE 'test' END"
+    )
+    return f"""{ctes},
+    pred AS ({pred_select})
+    SELECT id_a, id_b,
+           {split.format(k='id_a')} AS split_a,
+           {split.format(k='id_b')} AS split_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_union AS BIGINT) AS n_union
+    FROM pred
+    WHERE {split.format(k='id_a')} <> {split.format(k='id_b')}
+    """
+
+
+@query(
+    "c97_split_leakage_audit",
+    oracle=_split_leakage_oracle(num_perms=8, bands=4, threshold_pct=60),
+    doc="train/test leakage audit: near-duplicate pairs (the portable "
+        "MinHash-LSH path, candidates oracle-replayed) whose endpoints "
+        "fall in DIFFERENT splits of the deterministic 80/10/10 hash "
+        "split — exactly the contamination a random split inflicts on "
+        "a dedup-less corpus and the reason production pipelines dedup "
+        "BEFORE splitting (or split by group id). Composes c24 x c22; "
+        "emits the offending pairs with their split labels so the fix "
+        "(drop one side, or re-split by dedup group c29) is actionable. "
+        "Same banded scale shape as c24 — no all-pairs stage",
+    tags=("dedup", "sampling", "eval"),
+)
+def c97_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import portable_minhash_pairs
+    from ..operators.sampling import hash_split
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    pairs = portable_minhash_pairs(
+        d, "doc_id", "text", shingle_size=3, num_perms=8, bands=4,
+        threshold_pct=60,
+    )
+    splits = hash_split(
+        d.select("doc_id"), key="doc_id",
+        splits={"train": 0.8, "val": 0.1, "test": 0.1}, salt="v1",
+    )
+    sa = splits.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            "id_a", "id_b", "split_a", "split_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("n_union").cast("long").alias("n_union"),
+        )
+    )
+
+
 @query(
     "c93_minhash_recall_eval",
     oracle=_minhash_eval_oracle(num_perms=8, bands=4, threshold_pct=60),
