@@ -8664,6 +8664,14 @@ def q85_cursor_fetch_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A guard test (tests/test_driver_window.py) fails if the window is
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
+#
+# R11 ROTATION PLAN (write it as round 11's FIRST commit): the 34
+# entries added in round 10 after this window froze have never been
+# driver-rowed and take every slot they need — q73-q87, c83-c97, a04,
+# a05 — then fill to 50 with the 16 oldest r6-rowed entries (c10-c13,
+# c15, c19-c21, c39-c41, q27-q32 minus however many slots remain).
+# All 34 are locally hash-verified at sf0.001, sf0.01 AND sf0.1
+# (PLANS.md round-10 close notes).
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
