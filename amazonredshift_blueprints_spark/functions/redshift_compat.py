@@ -361,6 +361,22 @@ _TOP_RE = re.compile(r"^(\s*SELECT\s+)TOP\s+(\d+)\s+", re.IGNORECASE)
 _TRAILING_LIMIT_RE = re.compile(r"\bLIMIT\s+\d+\s*;?\s*$", re.IGNORECASE)
 
 
+_CREATE_LIKE_RE = re.compile(
+    r"(\bCREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"[\w.]+\s*)\(\s*LIKE\s+([\w.]+)"
+    r"(?:\s+(?:INCLUDING|EXCLUDING)\s+DEFAULTS)?\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_create_like(sql: str) -> str:
+    """Redshift/Postgres ``CREATE TABLE t2 (LIKE t1 [INCLUDING|EXCLUDING
+    DEFAULTS])`` → Spark's unparenthesized ``CREATE TABLE t2 LIKE t1``.
+    The DEFAULTS modifier is dropped: the session catalog has no column
+    defaults to copy either way (same no-op class as DISTSTYLE)."""
+    return _CREATE_LIKE_RE.sub(r"\1LIKE \2", sql)
+
+
 def _rewrite_top(sql: str) -> str:
     """``SELECT TOP n ...`` → ``SELECT ... LIMIT n`` (whole-statement only).
 
@@ -604,6 +620,7 @@ def _rewrite_external_table(sql: str) -> str:
 def translate_redshift_sql(sql: str) -> str:
     """Rewrite Redshift-dialect call sites into Spark SQL equivalents."""
     sql = _rewrite_external_table(sql)
+    sql = _rewrite_create_like(sql)
     sql = _strip_layout_clauses(sql)
     sql = _rewrite_top(sql)
     sql = _rewrite_qualify(sql)

@@ -1005,3 +1005,34 @@ def test_alter_table_append_matrix(spark):
         execute_sql(spark, "ROLLBACK")
     for t in ("t_app_tgt", "t_app_src", "t_app_wide", "t_app_narrow"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_create_table_like_paren_form(spark):
+    """Redshift's parenthesized CREATE TABLE (LIKE t) — with and
+    without the INCLUDING/EXCLUDING DEFAULTS modifier — rewrites to
+    Spark's LIKE form and copies the schema; plain SELECT ... LIKE
+    patterns are untouched."""
+    from amazonredshift_blueprints_spark.functions import translate_redshift_sql
+    from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+    assert (
+        translate_redshift_sql("CREATE TABLE b (LIKE a)")
+        == "CREATE TABLE b LIKE a"
+    )
+    assert (
+        translate_redshift_sql(
+            "CREATE TABLE IF NOT EXISTS s.b (LIKE s.a INCLUDING DEFAULTS)"
+        )
+        == "CREATE TABLE IF NOT EXISTS s.b LIKE s.a"
+    )
+    untouched = "SELECT * FROM t WHERE c LIKE 'x%'"
+    assert translate_redshift_sql(untouched) == untouched
+
+    spark.sql("DROP TABLE IF EXISTS t_like_src")
+    spark.sql("DROP TABLE IF EXISTS t_like_dst")
+    spark.sql("CREATE TABLE t_like_src (k INT, v STRING) USING parquet")
+    execute_sql(spark, "CREATE TABLE t_like_dst (LIKE t_like_src)")
+    assert spark.table("t_like_dst").schema == spark.table("t_like_src").schema
+    assert spark.table("t_like_dst").count() == 0  # structure only
+    spark.sql("DROP TABLE t_like_src")
+    spark.sql("DROP TABLE t_like_dst")
