@@ -461,6 +461,14 @@ _LAYOUT_CLAUSES = [
     re.compile(r"\bDISTKEY\s*\([^)]*\)", re.IGNORECASE),
     re.compile(r"\b(?:COMPOUND\s+|INTERLEAVED\s+)?SORTKEY\s*\([^)]*\)", re.IGNORECASE),
     re.compile(r"\bENCODE\s+\w+\b", re.IGNORECASE),
+    # IDENTITY(seed, step): stripped with a documented divergence — the
+    # session catalog generates no values, so inserts must supply the
+    # column (Redshift auto-generates). GENERATED BY DEFAULT AS IDENTITY
+    # is the long-form spelling of the same clause.
+    re.compile(
+        r"\b(?:GENERATED\s+BY\s+DEFAULT\s+AS\s+)?IDENTITY\s*\(\s*\d+\s*,\s*\d+\s*\)",
+        re.IGNORECASE,
+    ),
 ]
 
 # table (lowercased, as written in the DDL) → declared SORTKEY columns.

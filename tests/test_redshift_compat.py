@@ -1036,3 +1036,30 @@ def test_create_table_like_paren_form(spark):
     assert spark.table("t_like_dst").count() == 0  # structure only
     spark.sql("DROP TABLE t_like_src")
     spark.sql("DROP TABLE t_like_dst")
+
+
+def test_identity_clause_stripped(spark):
+    """Redshift IDENTITY(seed, step) column DDL parses after the strip;
+    the no-auto-generation divergence is documented at the pattern."""
+    from amazonredshift_blueprints_spark.functions import translate_redshift_sql
+    from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+    out = translate_redshift_sql(
+        "CREATE TABLE t_id (id BIGINT IDENTITY(1,1), v VARCHAR(10)) "
+        "DISTSTYLE EVEN"
+    )
+    assert "IDENTITY" not in out and "DISTSTYLE" not in out
+    out2 = translate_redshift_sql(
+        "CREATE TABLE t_id2 (id BIGINT GENERATED BY DEFAULT AS "
+        "IDENTITY(0,1), v INT)"
+    )
+    assert "IDENTITY" not in out2 and "GENERATED" not in out2
+    spark.sql("DROP TABLE IF EXISTS t_id")
+    execute_sql(
+        spark,
+        "CREATE TABLE t_id (id BIGINT IDENTITY(1,1), v VARCHAR(10)) "
+        "USING parquet",
+    )
+    spark.sql("INSERT INTO t_id VALUES (1, 'a')")
+    assert spark.table("t_id").count() == 1
+    spark.sql("DROP TABLE t_id")
