@@ -8648,86 +8648,87 @@ def q85_cursor_fetch_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_catalog_oracle.py at sf0.001, but gets no per-round
 # CORRECTNESS row.
 #
-# Round-10 rotation policy (VERDICT r9 item 1, set as the FIRST commit of
-# the round so late-round additions cannot bump it): the window holds
-# exactly (a) the 7 entries that have NEVER had a driver row (the r9
-# additions q68-q72, c81, c82 — the code that changed last round),
-# (b) all 23 entries whose newest driver row is r5, and (c) 20 of the 37
-# r6-rowed entries in registration order. After this round's
-# CORRECTNESS_r10.json lands, no entry is staler than r6 and every
-# catalog entry has been driver-rowed at least once. The 17 r6 entries
-# left outside the window (c10-c13, c15, c19-c21, c39-c41, q27-q32)
-# plus every r7/r9-rowed entry remain covered on unchanged code by the
-# parametrized DuckDB-oracle mirror tests/test_catalog_oracle.py at
-# sf0.001. Entries added THIS round (r10) intentionally stay outside
-# the window and take priority in the r11 rotation.
+# Round-11 rotation policy (VERDICT r10 item 1, set as the FIRST commit
+# of the round so late-round additions cannot bump it): the window holds
+# exactly (a) the 32 entries added in round 10 that have NEVER had a
+# driver row — q73-q87 (15), c83-c97 (15), a04, a05 (the r10 rotation
+# plan comment miscounted these as 34; VERDICT r10 "What's wrong" #3) —
+# and (b) the 18 oldest-rowed entries: the 17 whose newest driver row is
+# r6 (c10-c13, c15, c19-c21, c39-c41, q27-q32) plus c05 (oldest r7 row).
+# None of the five rows-only entries (q12/c02/c03/c07/c68) is in this
+# window, so all 50 slots are full DuckDB value-hash comparisons
+# (VERDICT r10 item 8: rows-only slots would need their oracle twins
+# co-windowed; this rotation sidesteps it entirely). After
+# CORRECTNESS_r11.json lands, no entry's newest driver row is older
+# than r7. Entries outside the window remain covered on unchanged code
+# by the parametrized DuckDB-oracle mirror tests/test_catalog_oracle.py
+# at sf0.001.
 # A guard test (tests/test_driver_window.py) fails if the window is
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R11 ROTATION PLAN (write it as round 11's FIRST commit): the 34
-# entries added in round 10 after this window froze have never been
-# driver-rowed and take every slot they need — q73-q87, c83-c97, a04,
-# a05 — then fill to 50 with the 16 oldest r6-rowed entries (c10-c13,
-# c15, c19-c21, c39-c41, q27-q32 minus however many slots remain).
-# All 34 are locally hash-verified at sf0.001, sf0.01 AND sf0.1
-# (PLANS.md round-10 close notes).
+# R12 ROTATION PLAN (write it as round 12's FIRST commit): any entry
+# added in round 11 after this window froze takes a slot first; then
+# fill to 50 with the oldest-rowed entries (the r7-rowed block
+# c07/c16/c17/c24/c26-c29/c36-c38/c45-c58 region — check
+# CORRECTNESS_r01-r11 union for the true oldest, and co-window each
+# rows-only pick with its oracle twin: q12↔q11, c02↔c24, c03↔c26,
+# c07↔c38, c68↔q11).
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # (a) never driver-rowed: new in round 9
-    "q68_txn_commit_rollback",
-    "q69_tpch_q2_min_cost_supplier",
-    "q70_tpch_q11_important_stock",
-    "q71_tpch_q15_top_supplier",
-    "q72_tpch_q20_potential_promotion",
-    "c81_png_decode_stats",
-    "c82_ann_ivfpq_sample_trained",
-    # (b) newest driver row is r5 (all 23)
-    "q17_topk",
-    "q19_scalar_dates",
-    "q20_scalar_math",
-    "q33_bucketed_colocated_join",
-    "q34_salted_skew_join",
-    "q36_json_typed_struct",
-    "q37_stats_aggregates",
-    "q38_correlated_scalar_subquery",
-    "q39_null_aware_anti_join",
-    "q40_pivot",
-    "q43_unpivot",
-    "q44_recursive_cte",
-    "q45_window_analytic_extra",
-    "q46_setops_all",
-    "q47_lateral_topn",
-    "q48_regex_functions",
-    "c01_dedup_exact",
-    "c18_text_tfidf",
-    "c22_hash_split",
-    "c23_embedding_centroids",
-    "c25_pipeline_e2e",
-    "c30_stratified_sample",
-    "c31_top_tokens",
-    # (c) 20 r6-rowed entries, registration order
-    "q05_join_anti",
-    "q06_join_left_outer",
-    "q07_join_full_outer",
-    "q11_agg_distinct",
-    "q12_agg_approx_distinct",
-    "q13_agg_rollup",
-    "q14_agg_cube",
-    "q24_ddl_ctas_insert",
-    "q25_redshift_dialect",
-    "q26_shipping_priority",
-    "a01_ingest_csv_roundtrip",
-    "a02_export_csv_roundtrip",
-    "c02_dedup_minhash",
-    "c03_dedup_simhash",
-    "q49_window_dedup",
-    "c34_funnel_counts",
-    "c33_retention_cohorts",
-    "c06_ann_bruteforce_topk",
-    "c08_text_stats",
-    "c09_text_langid",
+    # (a) never driver-rowed: added in round 10 (32 entries)
+    "q73_tpch_q9_product_profit",
+    "q74_tpch_q10_returned_items",
+    "q75_tpch_q12_shipmode_priority",
+    "q76_tpch_q14_promo_revenue",
+    "q77_tpch_q16_supplier_cnt",
+    "q78_tpch_q19_disjunctive_pushdown",
+    "q79_tpch_q4_order_priority",
+    "q80_tpch_q5_local_supplier_volume",
+    "q81_tpch_q6_forecast_revenue",
+    "q82_tpch_q17_small_quantity_order",
+    "q83_snapshot_diff_cdc",
+    "q84_prepare_execute",
+    "q85_cursor_fetch_page",
+    "q86_nulls_ordering",
+    "q87_alter_table_append",
+    "c83_png_variant_decode_stats",
+    "c84_gopher_quality_rules",
+    "c85_range_search_cosine",
+    "c86_token_balanced_shards",
+    "c87_source_frequency_cap",
+    "c88_gapfill_interpolate",
+    "c89_count_min_sketch",
+    "c90_pagerank_bipartite",
+    "c91_phrase_match",
+    "c92_ccnet_perplexity_buckets",
+    "c93_minhash_recall_eval",
+    "c94_ivf_range_search",
+    "c95_stream_dedup_rollup",
+    "c96_corpus_divergence_topk",
+    "c97_split_leakage_audit",
+    "a04_copy_maxerror",
+    "a05_schema_evolution_load",
+    # (b) oldest driver rows: 17 r6-rowed + c05 (oldest r7)
+    "c10_text_tokens",
+    "c11_text_fingerprint",
+    "c12_sessionize",
+    "c13_session_window",
+    "c15_event_window_rollup",
+    "c19_asof_join",
+    "c20_range_join_bucketed",
+    "c21_gapfill_locf",
+    "c39_decontaminate",
+    "c40_pack_documents",
+    "c41_redact_pii",
+    "q27_array_map",
+    "q28_grouping_sets",
+    "q29_dialect_functions",
+    "q30_listagg_ordered_agg",
+    "q31_pandas_udf_scalar",
+    "q32_grouped_applyinpandas",
+    "c05_dedup_embedding",
 ]
 
 
