@@ -3781,6 +3781,7 @@ def c97_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ground truth is all-pairs and therefore sample-bounded BY "
         "DESIGN (you evaluate on a sample, then trust the banded path "
         "at scale). operators/dedup.minhash_recall_eval",
+    bench=True,
     tags=("dedup", "eval"),
 )
 def c93_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7865,6 +7866,7 @@ def c84_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "full-outer token join, totals broadcast, top-k via "
         "TakeOrderedAndProject — never a vocabulary-wide single-"
         "partition window (operators/text.corpus_divergence_topk)",
+    bench=True,
     tags=("text", "quality", "eval"),
 )
 def c96_corpus_divergence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8046,6 +8048,7 @@ def c91_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shuffle (contributions grouped by dst on the same key "
         "partitioning); the rank vector is node-sized. Completes the "
         "graph family next to c29's connected components",
+    bench=True,
     tags=("graph", "events"),
 )
 def c90_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8452,6 +8455,7 @@ def q82_tpch_q17_small_quantity_order(spark: SparkSession, sf_dir: str) -> DataF
         "Null-safe comparisons; unchanged keys emit nothing. One "
         "full outer join, both sides shuffled on the key once "
         "(dml.snapshot_diff)",
+    bench=True,
     tags=("sql", "dml"),
 )
 def q83_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:

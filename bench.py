@@ -85,20 +85,44 @@ def main() -> None:
         canary_post[name], _ = time_query(name)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "canary": canary,
-                "canary_post": canary_post,
-                "runs": raw,
-                "sf": sf,
-            }
-        )
+    detail = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "canary": canary,
+        "canary_post": canary_post,
+        "runs": raw,
+        "sf": sf,
+    }
+    # Full detail (raw runs, full entry names) goes to a file plus an
+    # EARLY stdout line; the driver keeps only the last ~2000 chars of
+    # stdout, and the detail line outgrew that at r7 — four rounds of
+    # BENCH_r*.json carried "parsed": null (VERDICT r10 item 2).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail))
+    # The LAST stdout line is the contract line: compact (id-keyed
+    # medians, e.g. "q03" for q03_join_revenue_by_nation) so it stays
+    # well under the driver's tail capture. Canary medians (machine-
+    # variance reference, code frozen) ride along as c_pre/c_post.
+    short = lambda n: n.split("_", 1)[0]  # noqa: E731
+    compact = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": {short(n): v for n, v in timings.items()},
+        "c_pre": {short(n): v for n, v in canary.items()},
+        "c_post": {short(n): v for n, v in canary_post.items()},
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(compact)
+    assert len(line) <= 1900, f"contract line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":
