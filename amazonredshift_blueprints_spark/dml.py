@@ -110,16 +110,27 @@ def _table_lock(spark: SparkSession, table: str, timeout_s: float = _LOCK_TIMEOU
             os.remove(lock_path)
 
 
-def clean_stale_locks(spark: SparkSession) -> list[str]:
+def clean_stale_locks(
+    spark: SparkSession, *, unparseable_age_s: float = 300.0
+) -> list[str]:
     """Remove writer-lock files whose recorded holder pid is dead.
 
     Lock files record ``pid=<pid> ts=<time>`` at acquisition; a crashed
     holder leaves the file behind and every later writer times out
     against it. Liveness is checked with ``kill(pid, 0)`` — a lock is
-    removed ONLY when its pid no longer exists (or the file is
-    unparseable), never merely because it is old, so a slow-but-alive
-    transaction keeps its locks. Single-host check by design: the lock
-    files themselves are warehouse-local (see _table_lock)."""
+    removed ONLY when its pid no longer exists, never merely because it
+    is old, so a slow-but-alive transaction keeps its locks.
+
+    A lock file with NO parseable pid is NOT proof of a dead holder:
+    ``_table_lock`` writes ``pid=...`` only after the O_CREAT|O_EXCL
+    create, so a janitor racing that instant (or a partially flushed
+    file) would delete a LIVE lock and break writer mutual exclusion
+    (the round-10 advisor's lost-update race). Unparseable files are
+    therefore removed only past an mtime age gate
+    (``unparseable_age_s``, default 5 min — orders of magnitude beyond
+    the create→write window); pid-dead removal stays immediate.
+    Single-host check by design: the lock files themselves are
+    warehouse-local (see _table_lock)."""
     import re as _re
 
     removed = []
@@ -133,6 +144,18 @@ def clean_stale_locks(spark: SparkSession) -> list[str]:
         except OSError:
             continue  # racing holder released it
         m = _re.search(r"pid=(\d+)", content)
+        if not m:
+            # No pid yet: only stale if well past the create->write
+            # window; a fresh empty file is a writer mid-acquisition.
+            try:
+                age = time.time() - os.path.getmtime(path)
+            except OSError:
+                continue  # released under us
+            if age >= unparseable_age_s:
+                with contextlib.suppress(OSError):
+                    os.remove(path)
+                    removed.append(fn)
+            continue
         dead = True
         if m:
             try:
@@ -482,21 +505,28 @@ def snapshot_diff(
     it, q33's layout); comparisons are null-safe equality so NULL->value
     transitions count as updates.
     """
+    # Presence is an explicit lit(True) marker per side, NOT key-column
+    # nullness: a NULL-key row never joins (plain equality), and deriving
+    # presence from the key would misreport an old-snapshot NULL-key row
+    # as 'I' instead of 'D' (r10 advisor). With markers, a NULL-key row
+    # on either side correctly reports as that side's sole presence.
     o = old.select(
         *[F.col(k).alias(f"_ok_{k}") for k in keys],
         *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(True).alias("_op"),
     )
     n = new.select(
         *[F.col(k).alias(f"_nk_{k}") for k in keys],
         *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(True).alias("_np"),
     )
     cond = None
     for k in keys:
         eq = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
         cond = eq if cond is None else (cond & eq)
     joined = o.join(n, cond, "full_outer")
-    present_old = F.col(f"_ok_{keys[0]}").isNotNull()
-    present_new = F.col(f"_nk_{keys[0]}").isNotNull()
+    present_old = F.col("_op").isNotNull()
+    present_new = F.col("_np").isNotNull()
     changed = None
     for c in compare_cols:
         ne = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))

@@ -838,6 +838,25 @@ def test_snapshot_diff_semantics(spark):
     }  # k=1 unchanged: no row
 
 
+def test_snapshot_diff_null_key_rows(spark):
+    """A NULL-key row never joins (plain equality), so presence must
+    come from per-side lit markers, not key nullness: an old-side
+    NULL-key row is a 'D' (it vanished), a new-side one an 'I' — the
+    r10 advisor found the key-nullness form misreported the old-side
+    case as 'I'."""
+    from amazonredshift_blueprints_spark.dml import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(None, "gone", 1.0), (1, "a", 10.0)], "k long, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(None, "born", 2.0), (1, "a", 10.0)], "k long, s string, v double"
+    )
+    rows = snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    got = sorted((r["change_type"], r["old_s"], r["new_s"]) for r in rows)
+    assert got == [("D", "gone", None), ("I", None, "born")]
+
+
 def test_snapshot_diff_merge_roundtrip(spark):
     """CDC round trip: the changeset snapshot_diff DERIVES, fed through
     merge_into (the arm that APPLIES changesets), must reproduce the

@@ -131,6 +131,33 @@ def test_live_lock_not_removed_by_janitor(spark):
         os.remove(lock)
 
 
+def test_pidless_lock_kept_until_age_gate(spark):
+    """A lock file with no parseable pid is a writer caught between
+    O_CREAT|O_EXCL and the pid write, NOT a dead holder: the janitor
+    must keep it until the mtime age gate passes (r10 advisor's
+    lost-update race), then remove it."""
+    lock_dir = _lock_dir(spark)
+    lock = os.path.join(lock_dir, "default.t_midwrite.lock")
+    open(lock, "w").close()  # empty: mid-acquisition
+    try:
+        # fresh: kept at the default gate AND at a generous explicit one
+        assert "default.t_midwrite.lock" not in clean_stale_locks(spark)
+        assert "default.t_midwrite.lock" not in clean_stale_locks(
+            spark, unparseable_age_s=60
+        )
+        assert os.path.exists(lock)
+        # aged past the gate: now removable as genuinely stale debris
+        old = time.time() - 120
+        os.utime(lock, (old, old))
+        assert "default.t_midwrite.lock" in clean_stale_locks(
+            spark, unparseable_age_s=60
+        )
+        assert not os.path.exists(lock)
+    finally:
+        if os.path.exists(lock):
+            os.remove(lock)
+
+
 def test_commit_failure_preserves_unpublished_stage(spark):
     """If COMMIT's publish fails, the unpublished staged data must be
     preserved and named in the error — not silently destroyed with the
