@@ -979,6 +979,104 @@ class TestPreparedAndCursors:
             execute_sql(spark, "DECLARE c3 CURSOR FOR SELECT 1")
         close_cursor(spark, "c3")
 
+    def test_cursor_base_query_executes_once(self, spark):
+        """Materialize-once contract (r10 verdict item 6): across three
+        FETCHes the cursor's base query runs exactly ONCE — counted by a
+        side-effecting Python UDF in the cursor SQL (each execution of
+        the base adds one count per row). The old offset/limit form
+        re-ran the base per FETCH and double-ran it for bookkeeping."""
+        import os as _os
+        import tempfile
+
+        import amazonredshift_blueprints_spark.functions.prepared as prep_mod
+        from amazonredshift_blueprints_spark.functions.prepared import (
+            close_cursor,
+            fetch_cursor,
+        )
+        from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+        # Cross-process execution counter: UDF workers are separate
+        # processes, so count via atomic O_APPEND writes to one file.
+        fd, cnt_path = tempfile.mkstemp(prefix="bp_exec_cnt_")
+        _os.close(fd)
+
+        def bump(x):
+            with open(cnt_path, "a") as f:
+                f.write("1")
+            return 1
+
+        def value():
+            return _os.path.getsize(cnt_path)
+
+        spark.udf.register("bp_count_exec", bump, "long")
+        spark.range(30).createOrReplaceTempView("t_cur_once")
+        # Sort-free cursor: exactly ONE execution, 30 UDF calls total.
+        # (A global ORDER BY adds Spark's own range-partitioner sampling
+        # pass over the input — engine-inherent, and it ran per-FETCH in
+        # the old offset/limit design.) The frozen snapshot also makes
+        # unordered paging deterministic: pages partition the result.
+        execute_sql(
+            spark,
+            "DECLARE c_once CURSOR FOR "
+            "SELECT id, bp_count_exec(id) AS tick FROM t_cur_once",
+        )
+        assert value() == 0  # DECLARE is lazy: never-fetched = free
+        try:
+            seen = []
+            for _ in range(3):
+                seen += [r.id for r in fetch_cursor(spark, "c_once", 10).collect()]
+            assert sorted(seen) == list(range(30))  # pages partition exactly
+            assert value() == 30  # one execution total, not 3 (or 6)
+            # arithmetic offset: exhausted cursor pages read nothing
+            assert fetch_cursor(spark, "c_once", 10).count() == 0
+            assert value() == 30
+            # CLOSE removes the snapshot directory
+            snap = prep_mod._CURSORS[(id(spark), "c_once")]["path"]
+            assert _os.path.exists(snap)
+        finally:
+            close_cursor(spark, "c_once")
+        assert not _os.path.exists(snap)
+        # Ordered cursor: materialization may cost the sort's sampling
+        # pass, but FETCHes after the first add ZERO base executions.
+        execute_sql(
+            spark,
+            "DECLARE c_once2 CURSOR FOR "
+            "SELECT id, bp_count_exec(id) AS tick FROM t_cur_once ORDER BY id",
+        )
+        try:
+            assert [
+                r.id for r in fetch_cursor(spark, "c_once2", 10).collect()
+            ] == list(range(10))
+            after_first = value()
+            pages = [
+                [r.id for r in fetch_cursor(spark, "c_once2", 10).collect()]
+                for _ in range(2)
+            ]
+            assert pages == [list(range(10, 20)), list(range(20, 30))]
+            assert value() == after_first  # no re-execution per FETCH
+        finally:
+            close_cursor(spark, "c_once2")
+            _os.remove(cnt_path)
+
+    def test_substitute_prepared_single_pass(self, spark):
+        """$n substitution is single-pass and quote-aware (r10 advisor):
+        an argument containing '$1' is not re-substituted, and $n inside
+        a string literal of the prepared SQL stays verbatim."""
+        from amazonredshift_blueprints_spark.functions.prepared import (
+            prepare_statement,
+            substitute_prepared,
+        )
+
+        prepare_statement(spark, "psub", [], "SELECT $2 AS a, $1 AS b, '$1' AS lit")
+        out = substitute_prepared(spark, "psub", ["'x'", "'has $1 inside'"])
+        assert out == "SELECT 'has $1 inside' AS a, 'x' AS b, '$1' AS lit"
+        # typed form wraps in CAST, still single-pass
+        prepare_statement(spark, "psub2", ["int4"], "SELECT $1 + $1 AS s")
+        assert (
+            substitute_prepared(spark, "psub2", ["7"])
+            == "SELECT CAST(7 AS int) + CAST(7 AS int) AS s"
+        )
+
 
 def test_alter_table_append_matrix(spark):
     """ALTER TABLE APPEND: the move empties the source; extra source
