@@ -13,6 +13,16 @@ Semantics / limits (documented, not hidden):
   but there is no multi-statement transaction or time travel.
 - Source must be a managed catalog table (not a temp view over
   read-only files).
+- ACID-format probe (r10 verdict item 5, checked 2026-08-14 in this
+  container): ``import delta`` / ``import pyiceberg`` both raise
+  ImportError and ``pyspark/jars`` ships zero delta-/iceberg- jars
+  (with no package installs permitted, ``--packages`` cannot fetch
+  them either), so Delta/Iceberg-backed DML with time travel and a
+  commit log cannot be closed here. In a cluster with delta-spark on
+  the classpath, the swap-in is mechanical: ``saveAsTable(...,
+  format="delta")`` in ingest and ``DeltaTable.forName(...).merge/
+  update/delete`` replacing the ``_rewrite`` calls below; the public
+  API and every oracle stay unchanged.
 
 100 TB: both operations are one scan + one write, fully distributed;
 predicate pushdown applies to the scan. With partitioned tables,

@@ -654,3 +654,45 @@ def test_stream_dedup_rollup_additive_across_batches(spark, sf_dir):
     }
     assert got == want
     spark.sql(f"DROP TABLE {tbl}")
+
+
+def test_rollup_batch_replay_is_byte_identical(spark):
+    """Replay idempotence (r10 verdict item 4): re-applying an already
+    applied micro-batch (same batch id — the Structured Streaming
+    restart replay) leaves the rollup table BYTE-IDENTICAL, while a new
+    batch id still adds. Drives the module-level apply_rollup_batch the
+    foreachBatch closure wraps."""
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.ingest import _clean_stale_location
+    from amazonredshift_blueprints_spark.streaming.sessions import (
+        _applied_marker,
+        apply_rollup_batch,
+    )
+
+    tbl = "bp_rollup_replay_tbl"
+    for t in (tbl, _applied_marker(tbl)):
+        _clean_stale_location(spark, t, None)
+    batch = spark.createDataFrame(
+        [("2026-01-01 10:00:00", 1, 100), ("2026-01-01 10:00:00", 2, 50)],
+        "bucket string, user_id long, value_q long",
+    ).withColumn("bucket", F.to_timestamp("bucket"))
+    try:
+        assert apply_rollup_batch(spark, tbl, batch, 0) is True
+        snap = sorted(map(tuple, spark.table(tbl).collect()))
+        # replay of batch 0: recognized, skipped, nothing changes
+        assert apply_rollup_batch(spark, tbl, batch, 0) is False
+        assert sorted(map(tuple, spark.table(tbl).collect())) == snap
+        # a NEW batch id with the same rows is a real second batch: adds
+        assert apply_rollup_batch(spark, tbl, batch, 1) is True
+        got = {
+            (r["user_id"]): (r["n_events"], r["value_q_sum"])
+            for r in spark.table(tbl).collect()
+        }
+        assert got == {1: (2, 200), 2: (2, 100)}
+        # and replaying batch 1 is again a no-op
+        assert apply_rollup_batch(spark, tbl, batch, 1) is False
+        assert spark.table(_applied_marker(tbl)).count() == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {_applied_marker(tbl)}")
