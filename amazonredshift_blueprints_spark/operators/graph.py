@@ -40,6 +40,7 @@ def pagerank(
     damping: int = 85,
     src_col: str = "src",
     dst_col: str = "dst",
+    dangling: str = "error",
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over a directed edge list.
 
@@ -47,21 +48,56 @@ def pagerank(
     appears as src or dst starts at RANK_SCALE micro-units; each
     iteration a node keeps ``(100 - damping)%`` of RANK_SCALE as
     teleport mass and receives ``floor(r_src * damping / (100 *
-    outdeg(src)))`` from each in-edge. Nodes must have outdeg >= 1
-    (make edges symmetric for bipartite/undirected graphs — dangling-
-    node mass redistribution is a modeling choice left to the caller).
+    outdeg(src)))`` from each in-edge.
+
+    ``dangling`` picks the out-degree-0 policy (r10 verdict item 9 —
+    previously a caller precondition):
+
+    - ``'error'`` (default): raise if any node dangles — the explicit
+      form of the old contract (symmetrize edges yourself).
+    - ``'self'``: add a self-loop per dangling node, so it keeps its
+      own damped mass — the "page links to itself" model.
+    - ``'redistribute'``: the classic random-surfer model — each
+      round's total dangling mass is ONE scalar aggregate (a
+      node-count-sized reduce, collected as one number, never a
+      per-node driver loop) and every node receives
+      ``floor(dangling_mass * damping / (100 * N))`` extra. Integer
+      floor keeps it bit-exact replayable.
 
     Returns (node, rank) with rank in micro-units after ``iterations``
     rounds — bit-exact replayable (module docstring).
     """
     from pyspark.storagelevel import StorageLevel
 
+    if dangling not in ("error", "self", "redistribute"):
+        raise ValueError(f"unknown dangling policy {dangling!r}")
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    dangling_nodes = None
+    if dangling != "redistribute":
+        dangle = nodes.join(
+            e.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
+        )
+        if dangling == "error":
+            n_dangle = dangle.count()
+            if n_dangle:
+                raise ValueError(
+                    f"{n_dangle} dangling node(s) (outdeg 0); pass "
+                    "dangling='self' or 'redistribute', or symmetrize edges"
+                )
+        else:  # 'self': dangling nodes link to themselves
+            e = e.union(
+                dangle.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+            )
+    else:
+        dangling_nodes = nodes.join(
+            e.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        n_nodes = nodes.count()
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     e_deg = e.join(outdeg, "src")
     # Iterative-DataFrame hygiene: the static graph side (edges+degrees,
@@ -88,10 +124,21 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("received"))
         )
+        share = 0
+        if dangling == "redistribute":
+            # ONE scalar per round: total rank sitting on dangling
+            # nodes, split evenly (integer floor) across all N nodes.
+            row = (
+                rank.join(dangling_nodes, "node")
+                .agg(F.sum("rank").alias("m"))
+                .collect()[0]
+            )
+            mass = row["m"] or 0
+            share = mass * damping // (100 * n_nodes)
         rank = nodes.join(contrib, "node", "left").select(
             "node",
             (
-                F.lit(teleport).cast("long")
+                F.lit(teleport + share).cast("long")
                 + F.coalesce(F.col("received"), F.lit(0))
             ).alias("rank"),
         )
@@ -100,4 +147,6 @@ def pagerank(
         if prev is not None:
             prev.unpersist()
         prev = rank
+    if dangling_nodes is not None:
+        dangling_nodes.unpersist()
     return rank

@@ -8643,6 +8643,100 @@ def q85_cursor_fetch_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         close_cursor(spark, "q85_cur")
 
 
+@query(
+    "c98_pagerank_dangling",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT user_id AS u,
+               1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   AS it
+        FROM events WHERE event_type = 'click'
+    ),
+    edges AS (SELECT u AS src, it AS dst FROM pairs),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY 1),
+    dang AS (SELECT node FROM nodes
+             WHERE node NOT IN (SELECT src FROM edges)),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+    s1 AS (SELECT CAST(COALESCE((SELECT SUM(r.rank) FROM r0 r
+                                 JOIN dang d ON d.node = r.node), 0) * 85
+                       // (100 * (SELECT n FROM nn)) AS BIGINT) AS share),
+    c1 AS (
+        SELECT e.dst AS node,
+               SUM(CAST(FLOOR(CAST(r.rank * 85 AS DOUBLE)
+                              / CAST(d.outdeg * 100 AS DOUBLE))
+                        AS BIGINT)) AS received
+        FROM edges e JOIN deg d ON e.src = d.src JOIN r0 r ON r.node = e.src
+        GROUP BY 1
+    ),
+    r1 AS (SELECT n.node,
+                  CAST(150000 + (SELECT share FROM s1)
+                       + COALESCE(c.received, 0) AS BIGINT) AS rank
+           FROM nodes n LEFT JOIN c1 c ON c.node = n.node),
+    s2 AS (SELECT CAST(COALESCE((SELECT SUM(r.rank) FROM r1 r
+                                 JOIN dang d ON d.node = r.node), 0) * 85
+                       // (100 * (SELECT n FROM nn)) AS BIGINT) AS share),
+    c2 AS (
+        SELECT e.dst AS node,
+               SUM(CAST(FLOOR(CAST(r.rank * 85 AS DOUBLE)
+                              / CAST(d.outdeg * 100 AS DOUBLE))
+                        AS BIGINT)) AS received
+        FROM edges e JOIN deg d ON e.src = d.src JOIN r1 r ON r.node = e.src
+        GROUP BY 1
+    ),
+    r2 AS (SELECT n.node,
+                  CAST(150000 + (SELECT share FROM s2)
+                       + COALESCE(c.received, 0) AS BIGINT) AS rank
+           FROM nodes n LEFT JOIN c2 c ON c.node = n.node),
+    s3 AS (SELECT CAST(COALESCE((SELECT SUM(r.rank) FROM r2 r
+                                 JOIN dang d ON d.node = r.node), 0) * 85
+                       // (100 * (SELECT n FROM nn)) AS BIGINT) AS share),
+    c3 AS (
+        SELECT e.dst AS node,
+               SUM(CAST(FLOOR(CAST(r.rank * 85 AS DOUBLE)
+                              / CAST(d.outdeg * 100 AS DOUBLE))
+                        AS BIGINT)) AS received
+        FROM edges e JOIN deg d ON e.src = d.src JOIN r2 r ON r.node = e.src
+        GROUP BY 1
+    )
+    SELECT n.node,
+           CAST(150000 + (SELECT share FROM s3)
+                + COALESCE(c.received, 0) AS BIGINT) AS rank
+    FROM nodes n LEFT JOIN c3 c ON c.node = n.node
+    """,
+    doc="c90's integer PageRank on the DIRECTED (un-symmetrized) "
+        "user->item click graph, where every item node dangles (outdeg "
+        "0): dangling='redistribute' spreads each round's dangling mass "
+        "as floor(mass*85/(100*N)) to every node — the mass is ONE "
+        "scalar aggregate per round (operators/graph.pagerank, r10 "
+        "verdict item 9), never a per-node driver loop, and integer "
+        "floor keeps the 3-round unrolled-CTE oracle bit-exact "
+        "(DuckDB's BIGINT // truncation == Python's positive floor "
+        "division). The 'error' and 'self' policies are pinned by "
+        "pytest (tests/test_skew.py::test_pagerank_dangling_policies)",
+    tags=("graph", "events"),
+)
+def c98_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    e = views(spark, sf_dir, "events")["events"]
+    pairs = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("u"),
+            (
+                F.lit(1000000)
+                + F.get_json_object("props", "$.k").cast("long")
+            ).alias("it"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("u").alias("src"), F.col("it").alias("dst"))
+    return pagerank(edges, iterations=3, damping=85, dangling="redistribute")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #

@@ -76,3 +76,61 @@ def test_pagerank_star_graph(spark):
     # leaf gets a third of the hub's — ranks are exactly reproducible
     again = {r["node"]: r["rank"] for r in pagerank(edges, iterations=3).collect()}
     assert again == ranks
+
+
+def test_pagerank_dangling_policies(spark):
+    """Dangling-node policies (r10 verdict item 9) on a 3-node chain
+    0->1->2 where node 2 dangles: 'error' raises naming the count,
+    'self' conserves node 2's mass via a self-loop, 'redistribute'
+    spreads floor(mass*d/(100*N)) to every node each round — each
+    deterministic (exact re-run equality)."""
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from amazonredshift_blueprints_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="1 dangling node"):
+        pagerank(edges, iterations=2)
+    with pytest.raises(ValueError, match="unknown dangling policy"):
+        pagerank(edges, iterations=1, dangling="nope")
+
+    # 'self': replay the integer recurrence by hand. r0 = 1e6 each.
+    # outdeg: 0->1, 1->1, 2->1 (self-loop). teleport = 150000.
+    def step_self(r):
+        c = {1: r[0] * 85 // 100, 2: r[1] * 85 // 100}
+        c[2] = c[2] + 0  # node 2 also receives its own damped mass
+        return {
+            0: 150000,
+            1: 150000 + r[0] * 85 // 100,
+            2: 150000 + r[1] * 85 // 100 + r[2] * 85 // 100,
+        }
+
+    r = {0: 1000000, 1: 1000000, 2: 1000000}
+    for _ in range(3):
+        r = step_self(r)
+    got = {
+        x["node"]: x["rank"]
+        for x in pagerank(edges, iterations=3, dangling="self").collect()
+    }
+    assert got == r
+
+    # 'redistribute': share = floor(rank2 * 85 / (100*3)) added to all.
+    r = {0: 1000000, 1: 1000000, 2: 1000000}
+    for _ in range(3):
+        share = r[2] * 85 // 300
+        r = {
+            0: 150000 + share,
+            1: 150000 + share + r[0] * 85 // 100,
+            2: 150000 + share + r[1] * 85 // 100,
+        }
+    got = {
+        x["node"]: x["rank"]
+        for x in pagerank(edges, iterations=3, dangling="redistribute").collect()
+    }
+    assert got == r
+    again = {
+        x["node"]: x["rank"]
+        for x in pagerank(edges, iterations=3, dangling="redistribute").collect()
+    }
+    assert again == got
