@@ -149,4 +149,12 @@ def pagerank(
         prev = rank
     if dangling_nodes is not None:
         dangling_nodes.unpersist()
+    # The static graph side is only needed while iterating; the final
+    # rank is already materialized (each round's count), so consumers
+    # read the cached vector, never its lineage. The rank vector itself
+    # stays persisted — callers release it via the _bp_cache_owner
+    # handle (ingest.read_files_tolerant convention) once consumed.
+    nodes.unpersist()
+    e_deg.unpersist()
+    rank._bp_cache_owner = rank
     return rank
