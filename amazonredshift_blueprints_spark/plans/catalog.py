@@ -2760,6 +2760,7 @@ def c95_stream_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for part in ("part-0.parquet", "part-1.parquet"):  # every event twice
         _sh.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(d, part))
     tbl = "bp_stream_rollup_tbl"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")  # re-entrant: rebuild, not resume
     _clean_stale_location(spark, tbl, None)
     stream = read_events_stream(spark, d, raw_schema)
     stream_dedup_rollup_into(stream, tbl)

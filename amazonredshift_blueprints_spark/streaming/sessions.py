@@ -494,36 +494,49 @@ def stream_dedup_rollup_into(
     are additive because dedup upstream guarantees each event is
     counted once.
 
-    Replay idempotence (r10 verdict item 4): applied batch ids are
-    recorded in a sidecar table ``{table}__applied_batches`` AFTER each
-    batch's data commit, and an arriving batch whose id is already
-    recorded is skipped — so the Structured Streaming restart replay
-    (batch completed in the sink, checkpoint commit lost) adds nothing,
-    byte-identical rollup. The one residual window is a crash BETWEEN
-    the data commit and the marker append (data applied, marker
-    missing → that batch alone could double-add on replay); closing
-    that last window needs one transaction spanning both writes — a
-    table format's commit log, the same boundary dml.py documents.
+    Replay idempotence (r10 verdict item 4): applied (run, batch id)
+    pairs are recorded in a sidecar table ``{table}__applied_batches``
+    AFTER each batch's data commit, and an arriving batch already
+    recorded for THIS run is skipped — so the Structured Streaming
+    replay (batch completed in the sink, checkpoint commit lost) adds
+    nothing, byte-identical rollup. Scoping by a per-run token matters:
+    Spark batch ids are only meaningful within one checkpoint lineage,
+    so a later independent run (fresh checkpoint, ids restart at 0)
+    must NOT be mistaken for a replay. The one residual window is a
+    crash BETWEEN the data commit and the marker append (data applied,
+    marker missing → that batch alone could double-add on replay);
+    closing that last window needs one transaction spanning both
+    writes — a table format's commit log, the same boundary dml.py
+    documents.
 
     Rollup schema: (bucket hour, user_id, n_events, value_q_sum) with
     the value sum in integer micro-units (the c16 exactness contract).
     Blocks until the availableNow run finishes; the table then equals
     the batch aggregate over distinct events.
     """
+    import uuid as _uuid
+
+    from ..ingest import _clean_stale_location
+
     spark = stream.sparkSession
     if not spark.catalog.tableExists(table):
-        # Fresh target: a stale marker table from an earlier run of the
-        # same name would wrongly skip this run's batch ids.
+        # Fresh target: a stale marker table (same-session re-run) or
+        # its orphaned warehouse directory (crashed previous session)
+        # would wrongly skip this run's batch ids / refuse the create.
         spark.sql(f"DROP TABLE IF EXISTS {_applied_marker(table)}")
+        _clean_stale_location(spark, _applied_marker(table), None)
     deduped = stream_dedup_events(stream, ts_col=ts_col, watermark=watermark)
     projected = deduped.filter(F.col("event_type") == event_type).select(
         F.date_trunc("hour", F.col(ts_col)).alias("bucket"),
         F.col("user_id"),
         F.round(F.col("value") * 1_000_000).cast("long").alias("value_q"),
     )
+    # One token per query run: a replay WITHIN this run carries the same
+    # token; a later independent run never collides (docstring).
+    run_token = _uuid.uuid4().hex
 
     def add_batch(batch: DataFrame, batch_id: int) -> None:
-        apply_rollup_batch(batch.sparkSession, table, batch, batch_id)
+        apply_rollup_batch(batch.sparkSession, table, batch, batch_id, run_token)
 
     q = (
         projected.writeStream.foreachBatch(add_batch)
@@ -538,20 +551,35 @@ def _applied_marker(table: str) -> str:
 
 
 def apply_rollup_batch(
-    spark: SparkSession, table: str, batch: DataFrame, batch_id: int
+    spark: SparkSession,
+    table: str,
+    batch: DataFrame,
+    batch_id: int,
+    run_token: str = "",
 ) -> bool:
     """Apply one (bucket, user_id, value_q) micro-batch additively into
-    the rollup ``table``, skipping batch ids already recorded in the
-    sidecar marker table. Returns True when the batch was applied,
-    False when it was recognized as a replay and skipped. Module-level
-    (not a closure) so the replay path is directly pytest-able."""
+    the rollup ``table``, skipping (run_token, batch_id) pairs already
+    recorded in the sidecar marker table. Returns True when the batch
+    was applied, False when it was recognized as a replay and skipped.
+    Module-level (not a closure) so the replay path is directly
+    pytest-able. The skip path still CONSUMES the batch through the
+    noop sink: Spark 4 validates that foreachBatch processed every
+    partition of a stateful query's micro-batch (state-store commit
+    counting) — an early return without consumption fails the query
+    with STATE_STORE_COMMIT_VALIDATION_FAILED."""
     from ..dml import _rewrite
 
     marker = _applied_marker(table)
     if (
         spark.catalog.tableExists(marker)
-        and spark.table(marker).filter(F.col("batch_id") == batch_id).count() > 0
+        and spark.table(marker)
+        .filter(
+            (F.col("run_token") == run_token) & (F.col("batch_id") == batch_id)
+        )
+        .count()
+        > 0
     ):
+        batch.write.format("noop").mode("overwrite").save()
         return False  # replay of an applied batch: byte-identical no-op
     agg = batch.groupBy("bucket", "user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -570,7 +598,7 @@ def apply_rollup_batch(
         _rewrite(spark, table, combined)  # stage-then-overwrite: safe self-read
     else:
         agg.write.mode("overwrite").saveAsTable(table)
-    spark.createDataFrame([(int(batch_id),)], "`batch_id` LONG").write.mode(
-        "append"
-    ).saveAsTable(marker)
+    spark.createDataFrame(
+        [(run_token, int(batch_id))], "`run_token` STRING, `batch_id` LONG"
+    ).write.mode("append").saveAsTable(marker)
     return True

@@ -678,21 +678,26 @@ def test_rollup_batch_replay_is_byte_identical(spark):
         "bucket string, user_id long, value_q long",
     ).withColumn("bucket", F.to_timestamp("bucket"))
     try:
-        assert apply_rollup_batch(spark, tbl, batch, 0) is True
+        assert apply_rollup_batch(spark, tbl, batch, 0, "runA") is True
         snap = sorted(map(tuple, spark.table(tbl).collect()))
-        # replay of batch 0: recognized, skipped, nothing changes
-        assert apply_rollup_batch(spark, tbl, batch, 0) is False
+        # replay of batch 0 (same run): recognized, skipped, no change
+        assert apply_rollup_batch(spark, tbl, batch, 0, "runA") is False
         assert sorted(map(tuple, spark.table(tbl).collect())) == snap
         # a NEW batch id with the same rows is a real second batch: adds
-        assert apply_rollup_batch(spark, tbl, batch, 1) is True
+        assert apply_rollup_batch(spark, tbl, batch, 1, "runA") is True
         got = {
             (r["user_id"]): (r["n_events"], r["value_q_sum"])
             for r in spark.table(tbl).collect()
         }
         assert got == {1: (2, 200), 2: (2, 100)}
         # and replaying batch 1 is again a no-op
-        assert apply_rollup_batch(spark, tbl, batch, 1) is False
+        assert apply_rollup_batch(spark, tbl, batch, 1, "runA") is False
         assert spark.table(_applied_marker(tbl)).count() == 2
+        # batch id 0 from a DIFFERENT run is NOT a replay: Spark batch
+        # ids restart per checkpoint lineage, so a fresh run's batch 0
+        # must apply (the token is what disambiguates)
+        assert apply_rollup_batch(spark, tbl, batch, 0, "runB") is True
+        assert spark.table(_applied_marker(tbl)).count() == 3
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {_applied_marker(tbl)}")
