@@ -8738,6 +8738,149 @@ def c98_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=3, damping=85, dangling="redistribute")
 
 
+@query(
+    "c99_dedup_keep_best",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '')
+                   AS toks
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' '
+                                   || toks[i+2]) AS grams
+        FROM toks
+    ),
+    exploded AS (SELECT doc_id, unnest(grams) AS gram FROM grams),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM exploded a JOIN exploded b ON a.gram = b.gram
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(grams) AS ng FROM grams),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM common
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE sa.ng + sb.ng - n_common > 0
+          AND n_common * 100 >= (sa.ng + sb.ng - n_common) * 40
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT src AS id, src AS label FROM edges
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    grouped AS (
+        SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS group_id
+        FROM reach GROUP BY id
+    ),
+    ranked AS (
+        SELECT g.group_id, g.doc_id, d.n_chars,
+               row_number() OVER (
+                   PARTITION BY g.group_id
+                   ORDER BY d.n_chars DESC, g.doc_id ASC) AS rn
+        FROM grouped g JOIN documents d ON d.doc_id = g.doc_id
+    )
+    SELECT group_id,
+           CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+               AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM ranked GROUP BY group_id
+    """,
+    doc="quality-aware canonical selection for duplicate clusters: "
+        "real curation keeps the BEST copy of each near-dup group, not "
+        "the arbitrary min-id — here 'best' = longest (n_chars) with "
+        "smallest-id tiebreak, one max_by over a lexicographic struct "
+        "key per group on top of c29's connected components (c04's "
+        "verified n-gram-Jaccard pairs -> min-label propagation). "
+        "100 TB: the only new cost over c29 is a doc-metadata join + "
+        "one hash aggregate keyed by group_id — no new quadratic "
+        "stage; the quality key swaps freely (Gopher score, LM "
+        "quality) without touching the plan shape. Oracle replays "
+        "components via recursive CTE then arg-maxes by window rank",
+    tags=("dedup", "graph"),
+)
+def c99_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import duplicate_groups, ngram_jaccard_pairs
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold_pct=40)
+    groups = duplicate_groups(pairs)
+    joined = groups.join(d.select("doc_id", "n_chars"), "doc_id")
+    return joined.groupBy("group_id").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid"))
+        ).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "c100_bpe_fertility",
+    oracle=_bpe_ctes(n_merges=8) + """
+    SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+           CAST(n_bpe_tokens * 1000000 // n_ws_tokens AS BIGINT)
+               AS fertility_q,
+           (n_bpe_tokens * 1000000 // n_ws_tokens) >= 1500000
+               AS high_fertility
+    FROM (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
+               CAST(SUM(len(string_split(w.seq, ' '))) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '')) AS word
+            FROM documents
+        ) t
+        JOIN w8 w ON w.word = t.word
+        GROUP BY t.doc_id
+    )
+    """,
+    doc="tokenizer-fertility quality signal: subwords-per-word under "
+        "the corpus's own trained BPE (c79 merges via c80's "
+        "vocabulary-level application) in integer micro-units — "
+        "gibberish/wrong-script text fragments into near-character "
+        "pieces (high fertility) while in-distribution text compresses, "
+        "the standard cheap gibberish detector run before LM scoring. "
+        "fertility_q = n_bpe*1e6 DIV n_ws (Spark DIV and DuckDB // "
+        "both truncate non-negative ints — the shared-bucket-arithmetic "
+        "rule), flag at >= 1.5 subwords/word. 100 TB: merges train "
+        "once on the word-count table; application is vocab-sized; "
+        "the per-doc pass is c80's broadcast join + one aggregate",
+    tags=("text", "llm"),
+)
+def c100_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_token_counts, train_bpe_merges
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    merges = [
+        tuple(r) for r in train_bpe_merges(d, "doc_id", "text", n_merges=8).collect()
+    ]
+    counts = bpe_token_counts(d, "doc_id", "text", merges)
+    fert = F.expr("(n_bpe_tokens * 1000000) DIV n_ws_tokens")
+    return counts.select(
+        "doc_id",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        fert.alias("fertility_q"),
+        (fert >= F.lit(1_500_000)).alias("high_fertility"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
