@@ -518,3 +518,20 @@ def test_round10_partc_plan_shapes(spark, sf_dir):
     p89 = _plan(spark, sf_dir, "c89_count_min_sketch")
     assert "CartesianProduct" not in p89
     assert "BroadcastHashJoin" in p89  # sketch broadcasts to the probes
+
+
+def test_round11_partc_plan_shapes(spark, sf_dir):
+    """Pin the round-11 entries' plan shapes: c99 adds only a metadata
+    join + one group_id hash aggregate over c29's components (no
+    cartesian anywhere); c100's word->n_sub application joins as a
+    BROADCAST (the vocabulary-sized table), never a corpus shuffle per
+    word; c98's redistribute policy must not change PageRank's
+    per-round one-shuffle shape (no cartesian, contributions grouped)."""
+    p99 = _plan(spark, sf_dir, "c99_dedup_keep_best")
+    assert "CartesianProduct" not in p99
+    assert "max_by" in p99  # the canonical arg-max is one aggregate
+    p100 = _plan(spark, sf_dir, "c100_bpe_fertility")
+    assert "CartesianProduct" not in p100
+    assert "BroadcastHashJoin" in p100  # vocab-sized word table broadcast
+    p98 = _plan(spark, sf_dir, "c98_pagerank_dangling")
+    assert "CartesianProduct" not in p98
