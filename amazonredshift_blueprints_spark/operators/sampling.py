@@ -189,6 +189,89 @@ def token_budget_sample(
     )
 
 
+def token_budget_sample_per_stratum(
+    df: DataFrame,
+    budgets: DataFrame,
+    *,
+    strata_col: str,
+    id_col: str,
+    weight_col: str,
+    band_width: int = 16,
+) -> DataFrame:
+    """:func:`token_budget_sample` with a PER-STRATUM budget table
+    ``budgets`` (stratum, alloc) instead of one global scalar — the
+    selection step under a computed allocation (e.g.
+    :func:`unimax_budgets`). Same two-level banded prefix sum; the
+    budget table is strata-sized and broadcast onto the cumulative
+    rows before the filter."""
+    selected_all = token_budget_sample(
+        df,
+        strata_col=strata_col,
+        id_col=id_col,
+        weight_col=weight_col,
+        budget=2**62,  # no-op global cap; the real cut is per-stratum
+        band_width=band_width,
+    )
+    b = budgets.select(
+        F.col(budgets.columns[0]).alias("stratum"),
+        F.col(budgets.columns[1]).cast("long").alias("_alloc"),
+    )
+    return (
+        selected_all.join(F.broadcast(b), "stratum")
+        .filter(F.col("cum_weight") <= F.col("_alloc"))
+        .select("stratum", "id", "weight", "cum_weight")
+    )
+
+
+def unimax_budgets(
+    stats: DataFrame,
+    *,
+    budget: int,
+    epochs_cap: int = 2,
+) -> DataFrame:
+    """UniMax allocation (Chung et al. 2023, arXiv:2304.09151): split a
+    total token ``budget`` across strata as UNIFORMLY as possible while
+    no stratum exceeds ``epochs_cap`` x its available tokens — the
+    language-balancing answer to temperature sampling's tail-repetition
+    problem.
+
+    ``stats`` is (stratum, avail) — one row per stratum. Closed-form
+    waterfilling over the ascending capped availabilities a_i: find the
+    largest k with P_k + (n-k)*a_k <= budget (those strata saturate at
+    their cap), split the remainder evenly: theta = (budget - P_k) DIV
+    (n-k); alloc_i = min(a_i, theta). Pure integer arithmetic, so any
+    engine replays it exactly.
+
+    Returns (stratum, avail, cap_weight, alloc). The stats table is one
+    row per stratum (languages/sources — metadata-sized by definition),
+    so the waterfilling runs driver-side on the collected rows — the
+    same metadata-collect convention as global_rank's offsets; document
+    shuffles never touch it."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if epochs_cap <= 0:
+        raise ValueError(f"epochs_cap must be positive, got {epochs_cap}")
+    rows = stats.collect()
+    spark = stats.sparkSession
+    capped = sorted(
+        (int(r[1]) * epochs_cap, str(r[0]), int(r[1])) for r in rows
+    )
+    n = len(capped)
+    prefix, k, pk = 0, 0, 0
+    for idx, (a_i, _s, _av) in enumerate(capped, 1):
+        prefix += a_i
+        if prefix + (n - idx) * a_i <= budget:
+            k, pk = idx, prefix
+    theta = None if k >= n else (budget - pk) // (n - k)
+    out = [
+        (s, av, a_i, a_i if theta is None else min(a_i, theta))
+        for a_i, s, av in capped
+    ]
+    return spark.createDataFrame(
+        out, "`stratum` STRING, `avail` LONG, `cap_weight` LONG, `alloc` LONG"
+    )
+
+
 def mix_corpus(
     df: DataFrame,
     strata_col: str,

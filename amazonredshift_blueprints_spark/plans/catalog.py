@@ -8881,6 +8881,104 @@ def c100_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c101_unimax_mixing",
+    oracle="""
+    WITH t AS (
+        SELECT lang AS stratum, doc_id AS id,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                                    t -> t <> '')) AS BIGINT) AS weight
+        FROM documents
+    ),
+    avail AS (
+        SELECT stratum, CAST(SUM(weight) AS BIGINT) AS avail
+        FROM t GROUP BY 1
+    ),
+    ordered AS (
+        SELECT stratum, avail, CAST(avail * 2 AS BIGINT) AS a,
+               CAST(row_number() OVER (
+                   ORDER BY avail * 2 ASC, stratum ASC) AS BIGINT) AS idx,
+               CAST(SUM(avail * 2) OVER (
+                   ORDER BY avail * 2 ASC, stratum ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS p
+        FROM avail
+    ),
+    nstat AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ordered),
+    kstat AS (
+        SELECT CAST(COALESCE(MAX(idx), 0) AS BIGINT) AS k
+        FROM ordered
+        WHERE p + ((SELECT n FROM nstat) - idx) * a <= 6000
+    ),
+    pk AS (
+        SELECT CAST(COALESCE((SELECT p FROM ordered
+                              WHERE idx = (SELECT k FROM kstat)), 0)
+                    AS BIGINT) AS pkv
+    ),
+    alloc AS (
+        SELECT stratum,
+               CAST(CASE WHEN (SELECT k FROM kstat) >= (SELECT n FROM nstat)
+                         THEN a
+                         ELSE LEAST(a, (6000 - (SELECT pkv FROM pk))
+                                       // ((SELECT n FROM nstat)
+                                           - (SELECT k FROM kstat)))
+                    END AS BIGINT) AS alloc
+        FROM ordered
+    ),
+    c AS (
+        SELECT stratum, id, weight,
+               CAST(SUM(weight) OVER (
+                   PARTITION BY stratum ORDER BY weight DESC, id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_weight
+        FROM t
+    )
+    SELECT c.stratum, c.id, c.weight, c.cum_weight, a.alloc
+    FROM c JOIN alloc a ON a.stratum = c.stratum
+    WHERE c.cum_weight <= a.alloc
+    """,
+    doc="UniMax language-balanced mixing (Chung et al. 2023, "
+        "arXiv:2304.09151): split a total token budget (6000) across "
+        "languages as uniformly as possible with no language repeated "
+        "past epochs_cap=2 x its available tokens — the principled "
+        "answer to temperature sampling's tail-language repetition. "
+        "Closed-form integer waterfilling over the per-language stats "
+        "(operators/sampling.unimax_budgets — the stats table is one "
+        "row per language, so the solve is a metadata collect, the "
+        "global_rank convention), then c47's two-level banded "
+        "prefix-sum selection under the PER-STRATUM allocations "
+        "(token_budget_sample_per_stratum). The oracle replays the "
+        "waterfilling with window CTEs (DuckDB BIGINT // == Python "
+        "positive floor) and the selection as one window per stratum",
+    tags=("sampling", "text", "llm"),
+)
+def c101_unimax_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import tokens
+    from ..operators.sampling import (
+        token_budget_sample_per_stratum,
+        unimax_budgets,
+    )
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    staged = d.select(
+        "lang", "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    stats = staged.groupBy(F.col("lang").alias("stratum")).agg(
+        F.sum("n_tokens").alias("avail")
+    )
+    budgets = unimax_budgets(stats, budget=6000, epochs_cap=2)
+    picked = token_budget_sample_per_stratum(
+        staged,
+        budgets.select("stratum", "alloc"),
+        strata_col="lang",
+        id_col="doc_id",
+        weight_col="n_tokens",
+    )
+    return picked.join(
+        F.broadcast(budgets.select("stratum", "alloc")), "stratum"
+    ).select("stratum", "id", "weight", "cum_weight", "alloc")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #

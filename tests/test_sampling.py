@@ -281,3 +281,49 @@ def test_global_rank_high_partition_count(spark):
         for i, (rid, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
     }
     assert got == want
+
+
+def test_unimax_budgets_waterfilling(spark):
+    """UniMax allocation: saturating strata cap at epochs_cap*avail,
+    the rest split the remainder evenly (integer floor); budget beyond
+    the capped total leaves every stratum at its cap; invalid inputs
+    refuse."""
+    import pytest
+
+    from amazonredshift_blueprints_spark.operators.sampling import (
+        unimax_budgets,
+    )
+
+    stats = spark.createDataFrame(
+        [("tiny", 100), ("mid", 1000), ("big", 10000)],
+        "stratum string, avail long",
+    )
+    # budget 3000, cap 2x: tiny caps at 200; remainder 2800 over 2 ->
+    # theta 1400 (mid caps? a_mid=2000 > 1400 -> both get 1400)
+    got = {
+        r["stratum"]: (r["cap_weight"], r["alloc"])
+        for r in unimax_budgets(stats, budget=3000, epochs_cap=2).collect()
+    }
+    assert got == {
+        "tiny": (200, 200),
+        "mid": (2000, 1400),
+        "big": (20000, 1400),
+    }
+    # sum of allocations never exceeds the budget
+    assert sum(a for _, a in got.values()) <= 3000
+    # budget above the capped total: everything saturates
+    got2 = {
+        r["stratum"]: r["alloc"]
+        for r in unimax_budgets(stats, budget=10**9, epochs_cap=2).collect()
+    }
+    assert got2 == {"tiny": 200, "mid": 2000, "big": 20000}
+    # budget below even the uniform floor: even split, no stratum capped
+    got3 = {
+        r["stratum"]: r["alloc"]
+        for r in unimax_budgets(stats, budget=90, epochs_cap=2).collect()
+    }
+    assert got3 == {"tiny": 30, "mid": 30, "big": 30}
+    with pytest.raises(ValueError, match="budget"):
+        unimax_budgets(stats, budget=0)
+    with pytest.raises(ValueError, match="epochs_cap"):
+        unimax_budgets(stats, budget=10, epochs_cap=0)
