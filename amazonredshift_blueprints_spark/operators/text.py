@@ -1388,3 +1388,91 @@ def corpus_divergence_topk(
     )
     w = Window.orderBy(F.desc("jsd_contrib_q"), F.asc("token"))
     return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` adjacent-token collocations by pointwise mutual
+    information — the classic phrase-discovery signal (Church & Hanks
+    1990): PMI(a,b) = ln(p(a,b) / (p(a)·p(b))) with p(a,b) over the
+    bigram stream and p(·) over the unigram stream, floored by
+    ``min_count`` occurrences (raw PMI without a count floor surfaces
+    hapax pairs first). Collocation mining is the precursor to phrase
+    vocabularies and tokenizer merge seeding (c79's BPE picks by raw
+    frequency; PMI picks by association).
+
+    Determinism: PMI quantizes to integer micro-units via ONE fixed
+    IEEE expression — ``round(ln(CAST(c2·N1·N1 AS DOUBLE) /
+    CAST(N2·c1a·c1b AS DOUBLE)) · 1e6)`` — the c63 ln contract, so
+    ranking and values replay exactly in any engine. Integer products
+    stay exact in doubles below 2^53 (fine through SF 1).
+
+    Returns (w1, w2, n_pair, pmi_q, rank), rank 1-based by pmi_q DESC
+    with (w1, w2) tiebreak.
+
+    100 TB: bigram extraction is MAP-ONLY (an index-zip over the token
+    array — no per-document window shuffle); both count tables are
+    vocabulary-sized hash aggregates with map-side partials; the two
+    scalar totals broadcast; final top-k is TakeOrderedAndProject.
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import tokens
+
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
+    big = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(t) - 1, 0)), "
+                    "i -> struct(element_at(t, i) AS w1, "
+                    "element_at(t, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    uni = (
+        toks.select(F.explode("t").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    n1 = uni.agg(F.sum("c1").alias("n1"))  # 1-row dims
+    n2 = big.agg(F.sum("n_pair").alias("n2"))
+    pmi_q = F.round(
+        F.log(
+            (F.col("n_pair") * F.col("n1") * F.col("n1")).cast("double")
+            / (F.col("n2") * F.col("c1a") * F.col("c1b")).cast("double")
+        )
+        * 1_000_000
+    ).cast("long")
+    scored = (
+        big.filter(F.col("n_pair") >= min_count)
+        .join(
+            F.broadcast(
+                uni.select(F.col("token").alias("w1"), F.col("c1").alias("c1a"))
+            ),
+            "w1",
+        )
+        .join(
+            F.broadcast(
+                uni.select(F.col("token").alias("w2"), F.col("c1").alias("c1b"))
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select("w1", "w2", "n_pair", pmi_q.alias("pmi_q"))
+        .orderBy(F.desc("pmi_q"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("pmi_q"), F.asc("w1"), F.asc("w2"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -8979,6 +8979,71 @@ def c101_unimax_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("stratum", "id", "weight", "cum_weight", "alloc")
 
 
+@query(
+    "c102_pmi_collocations",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                   AS toks
+        FROM documents
+    ),
+    big AS (
+        SELECT p.w1, p.w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+        FROM (
+            SELECT unnest(list_transform(
+                       range(1, greatest(len(toks) - 1, 0) + 1),
+                       i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS p
+            FROM t
+        )
+        GROUP BY 1, 2
+    ),
+    uni AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(toks) AS token FROM t)
+        GROUP BY 1
+    ),
+    n1 AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1 FROM uni),
+    n2 AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n2 FROM big),
+    scored AS (
+        SELECT b.w1, b.w2, b.n_pair,
+               CAST(round(ln(
+                   CAST(b.n_pair * n1.n1 * n1.n1 AS DOUBLE)
+                   / CAST(n2.n2 * ua.c1 * ub.c1 AS DOUBLE)) * 1000000)
+                   AS BIGINT) AS pmi_q
+        FROM big b
+        JOIN uni ua ON ua.token = b.w1
+        JOIN uni ub ON ub.token = b.w2
+        CROSS JOIN n1 CROSS JOIN n2
+        WHERE b.n_pair >= 5
+    )
+    SELECT w1, w2, n_pair, pmi_q,
+           CAST(row_number() OVER (
+               ORDER BY pmi_q DESC, w1 ASC, w2 ASC) AS BIGINT) AS rank
+    FROM scored
+    ORDER BY pmi_q DESC, w1 ASC, w2 ASC
+    LIMIT 50
+    """,
+    doc="top-50 adjacent-token collocations by pointwise mutual "
+        "information (Church & Hanks 1990) with a min-count-5 floor — "
+        "phrase discovery / tokenizer merge seeding by ASSOCIATION "
+        "where c79's BPE picks by raw frequency. PMI quantizes to "
+        "integer micro-units through one fixed IEEE expression "
+        "(round(ln(c2*N1*N1 / (N2*c1a*c1b))*1e6), the c63 ln "
+        "contract) so values and ranking replay exactly. Plan: "
+        "bigram extraction is MAP-ONLY (index-zip over the token "
+        "array, no per-doc window shuffle); counts are vocab-sized "
+        "aggregates; unigram dims broadcast; TakeOrderedAndProject "
+        "top-k (operators/text.pmi_collocations)",
+    tags=("text", "llm"),
+)
+def c102_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import pmi_collocations
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return pmi_collocations(d, "doc_id", "text", min_count=5, k=50)
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #

