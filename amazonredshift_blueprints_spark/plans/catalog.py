@@ -9044,6 +9044,57 @@ def c102_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(d, "doc_id", "text", min_count=5, k=50)
 
 
+@query(
+    "q88_window_ignore_nulls",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(round(value * 1000000) AS BIGINT) AS value_q,
+           LAST_VALUE(CASE WHEN event_type = 'click'
+                           THEN CAST(round(value * 1000000) AS BIGINT)
+                      END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_click_q,
+           LEAD(CASE WHEN event_type = 'click'
+                     THEN CAST(round(value * 1000000) AS BIGINT)
+                END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_click_q
+    FROM events
+    """,
+    doc="IGNORE NULLS window variants (Redshift LAST_VALUE/LEAD ... "
+        "IGNORE NULLS, passed verbatim through execute_sql.py:77): "
+        "carry the last click value forward and look ahead to the "
+        "next one across interleaved non-click events — the pure-SQL "
+        "gap-fill idiom (c21's LOCF as a window modifier instead of "
+        "an operator). Dialect note the entry pins: Spark puts the "
+        "modifier AFTER the call (LAST_VALUE(x) IGNORE NULLS OVER), "
+        "DuckDB/Redshift inside it (LAST_VALUE(x IGNORE NULLS) OVER) "
+        "— same semantics, divergent spelling, so the two texts "
+        "differ syntactically on purpose. Values in integer "
+        "micro-units; ordering totalized by (ts, event_id)",
+    tags=("window", "dialect", "events"),
+)
+def q88_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "events")
+    return spark.sql("""
+        SELECT user_id, event_id,
+               CAST(round(value * 1000000) AS BIGINT) AS value_q,
+               LAST_VALUE(CASE WHEN event_type = 'click'
+                               THEN CAST(round(value * 1000000) AS BIGINT)
+                          END) IGNORE NULLS OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_click_q,
+               LEAD(CASE WHEN event_type = 'click'
+                         THEN CAST(round(value * 1000000) AS BIGINT)
+                    END) IGNORE NULLS OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_click_q
+        FROM events
+    """)
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
