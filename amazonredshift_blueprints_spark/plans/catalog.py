@@ -8809,6 +8809,7 @@ def c98_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage; the quality key swaps freely (Gopher score, LM "
         "quality) without touching the plan shape. Oracle replays "
         "components via recursive CTE then arg-maxes by window rank",
+    bench=True,
     tags=("dedup", "graph"),
 )
 def c99_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8861,6 +8862,7 @@ def c99_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rule), flag at >= 1.5 subwords/word. 100 TB: merges train "
         "once on the word-count table; application is vocab-sized; "
         "the per-doc pass is c80's broadcast join + one aggregate",
+    bench=True,
     tags=("text", "llm"),
 )
 def c100_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9035,6 +9037,7 @@ def c101_unimax_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array, no per-doc window shuffle); counts are vocab-sized "
         "aggregates; unigram dims broadcast; TakeOrderedAndProject "
         "top-k (operators/text.pmi_collocations)",
+    bench=True,
     tags=("text", "llm"),
 )
 def c102_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:

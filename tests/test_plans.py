@@ -535,3 +535,16 @@ def test_round11_partc_plan_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in p100  # vocab-sized word table broadcast
     p98 = _plan(spark, sf_dir, "c98_pagerank_dangling")
     assert "CartesianProduct" not in p98
+    # c102: bigram extraction must be map-only (no per-doc window on
+    # the token stream), the unigram dims broadcast, top-k bounded
+    p102 = _plan(spark, sf_dir, "c102_pmi_collocations")
+    assert "CartesianProduct" not in p102
+    assert "BroadcastHashJoin" in p102
+    assert "TakeOrderedAndProject" in p102
+    # c101: the selection inherits c47's banded shape - windows are
+    # keyed by (stratum, band), never one global partition
+    p101 = _plan(spark, sf_dir, "c101_unimax_mixing")
+    import re as _re
+
+    for spec in _re.findall(r"windowspecdefinition\(([^)]*)", p101):
+        assert "stratum" in spec, spec
