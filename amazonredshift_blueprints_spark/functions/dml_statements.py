@@ -1,0 +1,226 @@
+"""Statement-face DELETE / UPDATE / MERGE parsing.
+
+Reference basis: Redshift DML statements arrive verbatim through the
+reference's pass-through site (execute_sql.py:77). Spark SQL refuses
+DELETE/UPDATE/MERGE against v1 parquet catalog tables (those verbs
+belong to table formats), so without this shim a migrated Redshift
+script's DML dies in the analyzer. The parsers below recognize the
+standard statement shapes and lower them onto the copy-on-write
+implementations in ``dml.py`` (delete_from / update_table /
+merge_into) — same semantics, same per-table writer lock, same
+transaction-buffer routing (the dml functions resolve the staged table
+themselves via ``transactions.resolve_active``).
+
+Deliberately strict: only shapes whose semantics the dml layer
+faithfully implements are accepted; anything else raises ``ValueError``
+naming the unsupported construct (DELETE ... USING, UPDATE ... FROM,
+non-wholesale MERGE arms) rather than mis-executing it. The regexes are
+``^``-anchored and quote-aware at the split points, the same
+conservatism as redshift_compat.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+
+from .prepared import _split_args
+
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+([`\w.]+)\s*(?:WHERE\s+(.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_USING_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+[`\w.]+\s+USING\b", re.IGNORECASE
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+([`\w.]+)\s+SET\s+(.+?)\s*(?:WHERE\s+(.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_FROM_RE = re.compile(r"\bFROM\b", re.IGNORECASE)
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+([`\w.]+)\s+USING\s+([`\w.]+)"
+    r"(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHEN_SPLIT_RE = re.compile(r"\bWHEN\s+", re.IGNORECASE)
+_MATCHED_UPDATE_RE = re.compile(
+    r"^MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
+_MATCHED_DELETE_RE = re.compile(
+    r"^MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_NOT_MATCHED_INSERT_RE = re.compile(
+    r"^NOT\s+MATCHED\s+THEN\s+INSERT\s*(?:\(([^)]*)\)\s*)?"
+    r"VALUES\s*\((.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ON_PAIR_RE = re.compile(
+    r"^\s*(\w+)\.([`\w]+)\s*=\s*(\w+)\.([`\w]+)\s*$"
+)
+
+
+def _strip_alias(col: str) -> str:
+    return col.strip().strip("`")
+
+
+def _dequalify(expr: str, alias: str) -> str:
+    """Rewrite ``alias.col`` → ``col`` outside string literals —
+    merge_into evaluates its delete_condition against the RAW source
+    row, where the statement's source alias does not exist (Spark would
+    parse ``s.col`` as struct-field extraction on a column ``s``)."""
+    parts = re.split(r"('(?:[^']|'')*')", expr)  # odd indices = quoted
+    pat = re.compile(rf"\b{re.escape(alias)}\.(\w+)", re.IGNORECASE)
+    return "".join(
+        p if i % 2 else pat.sub(r"\1", p) for i, p in enumerate(parts)
+    )
+
+
+def _parse_on_keys(on: str, target: str, src_alias: str) -> list[str]:
+    """``t.k = s.k [AND ...]`` → the merge key column list. Only
+    same-named equality conjunctions qualify (merge_into joins on
+    shared column names); anything else is refused."""
+    t_short = target.split(".")[-1].strip("`").lower()
+    keys = []
+    for clause in re.split(r"\bAND\b", on, flags=re.IGNORECASE):
+        m = _ON_PAIR_RE.match(clause)
+        if not m:
+            raise ValueError(
+                f"MERGE ON supports only alias.col = alias.col equality "
+                f"conjunctions, got {clause.strip()!r}"
+            )
+        a_al, a_col, b_al, b_col = (
+            m.group(1).lower(),
+            _strip_alias(m.group(2)),
+            m.group(3).lower(),
+            _strip_alias(m.group(4)),
+        )
+        aliases = {a_al, b_al}
+        if not aliases <= {t_short, src_alias.lower()}:
+            raise ValueError(
+                f"MERGE ON references unknown alias in {clause.strip()!r} "
+                f"(target {t_short!r}, source {src_alias!r})"
+            )
+        if a_col.lower() != b_col.lower():
+            raise ValueError(
+                "MERGE lowers onto a shared-column-name key join; "
+                f"ON pairs different columns: {clause.strip()!r}"
+            )
+        keys.append(a_col)
+    return keys
+
+
+def maybe_handle(spark: SparkSession, query: str) -> bool:
+    """Recognize and execute DELETE / UPDATE / MERGE; True if handled."""
+    if _DELETE_USING_RE.match(query):
+        raise ValueError(
+            "DELETE ... USING (join delete) is not lowered; rewrite as "
+            "DELETE FROM t WHERE EXISTS-free predicate, or use "
+            "dml.merge_into with a delete_condition"
+        )
+    m = _DELETE_RE.match(query)
+    if m:
+        from ..dml import delete_from
+
+        # Bare DELETE (no WHERE) removes every row. A literal 'true'
+        # predicate would constant-fold filter(false) into an empty
+        # LocalRelation and prune delete_from's CollectMetrics node
+        # (Observation.get then asserts with no metrics); the
+        # spark_partition_id() guard is always-true but marked
+        # nondeterministic, so the scan — and the metric — survive.
+        delete_from(spark, m.group(1), m.group(2) or "spark_partition_id() >= 0")
+        return True
+    m = _UPDATE_RE.match(query)
+    if m:
+        table, set_clause, cond = m.groups()
+        if _UPDATE_FROM_RE.search(set_clause):
+            raise ValueError(
+                "UPDATE ... FROM (joined update) is not lowered; use "
+                "dml.merge_into for source-driven updates"
+            )
+        assignments = {}
+        for part in _split_args(set_clause):
+            k, _, v = part.partition("=")
+            if not _ or not k.strip() or not v.strip():
+                raise ValueError(f"unparseable SET assignment {part!r}")
+            assignments[_strip_alias(k)] = v.strip()
+        from ..dml import update_table
+
+        update_table(spark, table, assignments, cond or "true")
+        return True
+    if re.match(r"^\s*MERGE\s+INTO\b", query, re.IGNORECASE) and not _MERGE_RE.match(
+        query
+    ):
+        raise ValueError(
+            "MERGE shape not lowered: supported form is MERGE INTO t USING "
+            "src [AS a] ON t.k = a.k [AND ...] WHEN MATCHED [AND cond] THEN "
+            "DELETE / WHEN MATCHED THEN UPDATE SET ... / WHEN NOT MATCHED "
+            "THEN INSERT ... (table source only; subqueries need a staged "
+            "table or dml.merge_into)"
+        )
+    m = _MERGE_RE.match(query)
+    if m:
+        target, source, src_alias, on, arms_text = m.groups()
+        src_alias = (src_alias or source.split(".")[-1]).strip("`")
+        keys = _parse_on_keys(on, target, src_alias)
+        delete_condition = None
+        saw_update = saw_insert = False
+        arms = [a.strip() for a in _WHEN_SPLIT_RE.split(arms_text) if a.strip()]
+        t_short = target.split(".")[-1].strip("`").lower()
+        for arm in arms:
+            mu = _MATCHED_UPDATE_RE.match(arm)
+            md = _MATCHED_DELETE_RE.match(arm)
+            mi = _NOT_MATCHED_INSERT_RE.match(arm)
+            if mu:
+                # wholesale-upsert validation: every assignment must be
+                # col = <source alias>.col (same name) — merge_into takes
+                # matched rows' values from the source wholesale
+                for part in _split_args(mu.group(1)):
+                    k, _, v = part.partition("=")
+                    lhs = _strip_alias(k).lower().removeprefix(f"{t_short}.")
+                    rhs = v.strip().lower()
+                    if rhs != f"{src_alias.lower()}.{lhs}":
+                        raise ValueError(
+                            "MERGE UPDATE arm must assign every column "
+                            f"from the source wholesale; got {part.strip()!r}"
+                            " (partial-expression arms need dml.update_table)"
+                        )
+                saw_update = True
+            elif md:
+                delete_condition = (
+                    _dequalify(md.group(1), src_alias) if md.group(1) else None
+                )
+            elif mi:
+                vals = [v.strip().lower() for v in _split_args(mi.group(2))]
+                bad = [
+                    v for v in vals if not v.startswith(f"{src_alias.lower()}.")
+                ]
+                if bad:
+                    raise ValueError(
+                        "MERGE INSERT arm must insert source columns "
+                        f"verbatim; got {bad!r}"
+                    )
+                saw_insert = True
+            else:
+                raise ValueError(f"unsupported MERGE arm: WHEN {arm[:60]!r}")
+        if not (saw_update and saw_insert):
+            raise ValueError(
+                "MERGE requires both WHEN MATCHED THEN UPDATE and WHEN NOT "
+                "MATCHED THEN INSERT arms (Redshift's own rule)"
+            )
+        from ..dml import merge_into
+
+        merge_into(
+            spark,
+            target,
+            spark.table(source),
+            keys,
+            delete_condition=delete_condition,
+            # statement face = Redshift MERGE semantics: the delete arm
+            # only sees MATCHED rows; unmatched delete-marked rows insert
+            insert_unmatched_deletes=True,
+        )
+        return True
+    return False

@@ -9098,6 +9098,100 @@ def q88_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+
+@query(
+    "q89_dml_statement_face",
+    oracle="""
+    WITH delta AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 6 = 0 THEN '__DEL__' ELSE 'X' END
+                   AS o_orderstatus,
+               o_totalprice * 2 AS o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'N', 1000.5
+        FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    d1 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)
+    ),
+    d2 AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice
+        FROM d1
+    )
+    SELECT COALESCE(d.o_orderkey, t.o_orderkey) AS o_orderkey,
+           CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_orderstatus
+                ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_totalprice
+                ELSE t.o_totalprice END AS o_totalprice
+    FROM d2 t FULL JOIN delta d ON t.o_orderkey = d.o_orderkey
+    WHERE NOT (t.o_orderkey IS NOT NULL AND d.o_orderkey IS NOT NULL
+               AND d.o_orderstatus = '__DEL__')
+    """,
+    doc="raw DELETE / UPDATE / MERGE SQL through execute_sql "
+        "(functions/dml_statements.py): Spark SQL refuses these verbs "
+        "on v1 parquet tables, so a migrated Redshift script's DML "
+        "died in the analyzer before this shim — now the standard "
+        "statement shapes lower onto dml.py's copy-on-write "
+        "implementations (per-table writer lock, transaction-buffer "
+        "routing intact). The entry runs a conditional DELETE, an "
+        "expression UPDATE, and a three-arm MERGE (DELETE-marked "
+        "matches, wholesale UPDATE, INSERT — Redshift semantics: an "
+        "UNMATCHED delete-marked source row still inserts) and the "
+        "oracle replays all three statements as CTEs. Non-wholesale "
+        "arms / DELETE USING / UPDATE FROM refuse loudly by design "
+        "(pytest-pinned) rather than mis-executing. All arithmetic "
+        "stays in exact binary doubles (*2, literals)",
+    tags=("sql", "dml", "dialect"),
+)
+def q89_dml_statement_face(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ingest import _clean_stale_location
+    from ..sqlrun import execute_sql
+
+    views(spark, sf_dir, "orders")
+    tbl, delta = "bp_stmt_orders", "bp_stmt_delta"
+    for t in (tbl, delta):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _clean_stale_location(spark, t, None)
+    execute_sql(
+        spark,
+        f"CREATE TABLE {tbl} AS SELECT o_orderkey, o_orderstatus, "
+        "o_totalprice FROM orders",
+    )
+    execute_sql(
+        spark,
+        f"CREATE TABLE {delta} AS "
+        "SELECT o_orderkey, CASE WHEN o_orderkey % 6 = 0 THEN '__DEL__' "
+        "ELSE 'X' END AS o_orderstatus, o_totalprice * 2 AS o_totalprice "
+        "FROM orders WHERE o_orderkey % 3 = 0 "
+        "UNION ALL SELECT o_orderkey + 10000000, 'N', 1000.5 "
+        "FROM orders WHERE o_orderkey % 10 = 0",
+    )
+    execute_sql(
+        spark,
+        f"DELETE FROM {tbl} WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0",
+    )
+    execute_sql(
+        spark,
+        f"UPDATE {tbl} SET o_totalprice = o_totalprice * 2 "
+        "WHERE o_orderkey % 5 = 0",
+    )
+    execute_sql(
+        spark,
+        f"MERGE INTO {tbl} USING {delta} AS d "
+        f"ON {tbl}.o_orderkey = d.o_orderkey "
+        "WHEN MATCHED AND d.o_orderstatus = '__DEL__' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET o_orderkey = d.o_orderkey, "
+        "o_orderstatus = d.o_orderstatus, o_totalprice = d.o_totalprice "
+        "WHEN NOT MATCHED THEN INSERT VALUES "
+        "(d.o_orderkey, d.o_orderstatus, d.o_totalprice)",
+    )
+    return spark.table(tbl)
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #

@@ -107,6 +107,15 @@ def execute_sql(spark: SparkSession, query: str) -> None:
         # still gets COPY/UNLOAD lowering and transaction routing
         print("Your query has been successfully executed.")
         return
+    from .functions.dml_statements import maybe_handle as _dml_maybe_handle
+
+    if _dml_maybe_handle(spark, query):
+        # DELETE/UPDATE/MERGE lowered onto dml.py's copy-on-write
+        # implementations (Spark SQL refuses these verbs on v1 parquet
+        # tables); the dml functions route through the transaction
+        # buffer themselves via transactions.resolve_active
+        print("Your query has been successfully executed.")
+        return
     txn = transactions.active(spark)
     if txn is not None:
         if _NON_TXN_STMT_RE.match(query):

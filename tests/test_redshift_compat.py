@@ -1180,3 +1180,101 @@ def test_identity_clause_stripped(spark):
     spark.sql("INSERT INTO t_id VALUES (1, 'a')")
     assert spark.table("t_id").count() == 1
     spark.sql("DROP TABLE t_id")
+
+
+class TestDmlStatementFace:
+    """Raw DELETE/UPDATE/MERGE SQL through execute_sql (Spark SQL
+    refuses these verbs on v1 parquet tables; the shim lowers them
+    onto dml.py's copy-on-write implementations)."""
+
+    def _fresh(self, spark, name, rows, schema):
+        from amazonredshift_blueprints_spark.ingest import (
+            _clean_stale_location,
+        )
+
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        _clean_stale_location(spark, name, None)
+        spark.createDataFrame(rows, schema).write.saveAsTable(name)
+
+    def test_delete_statement(self, spark):
+        from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+        self._fresh(
+            spark, "t_del_stmt",
+            [(1, 5), (2, None), (3, 50)], "k int, v int",
+        )
+        execute_sql(spark, "DELETE FROM t_del_stmt WHERE v > 10")
+        # NULL predicate rows are KEPT (SQL DELETE semantics)
+        assert {r.k for r in spark.table("t_del_stmt").collect()} == {1, 2}
+        execute_sql(spark, "DELETE FROM t_del_stmt")  # no WHERE: all rows
+        assert spark.table("t_del_stmt").count() == 0
+        spark.sql("DROP TABLE t_del_stmt")
+
+    def test_update_statement(self, spark):
+        import pytest
+
+        from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+        self._fresh(
+            spark, "t_upd_stmt",
+            [(1, 10, "a"), (2, 20, "b")], "k int, v int, s string",
+        )
+        execute_sql(
+            spark,
+            "UPDATE t_upd_stmt SET v = v * 2, s = upper(s) WHERE k = 2",
+        )
+        got = {(r.k, r.v, r.s) for r in spark.table("t_upd_stmt").collect()}
+        assert got == {(1, 10, "a"), (2, 40, "B")}
+        with pytest.raises(ValueError, match="UPDATE ... FROM"):
+            execute_sql(
+                spark, "UPDATE t_upd_stmt SET v = s.v FROM src s WHERE 1=1"
+            )
+        spark.sql("DROP TABLE t_upd_stmt")
+
+    def test_merge_statement(self, spark):
+        import pytest
+
+        from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+        self._fresh(
+            spark, "t_mrg_tgt",
+            [(1, 10, "keep"), (2, 20, "old")], "k int, v int, s string",
+        )
+        self._fresh(
+            spark, "t_mrg_src",
+            [(2, 99, "new"), (3, 30, "ins"), (4, 40, "__DEL__")],
+            "k int, v int, s string",
+        )
+        execute_sql(
+            spark,
+            "MERGE INTO t_mrg_tgt USING t_mrg_src AS s ON t_mrg_tgt.k = s.k "
+            "WHEN MATCHED AND s.s = '__DEL__' THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET v = s.v, s = s.s "
+            "WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.v, s.s)",
+        )
+        got = {(r.k, r.v, r.s) for r in spark.table("t_mrg_tgt").collect()}
+        # Redshift MERGE: unmatched delete-marked row still INSERTS
+        assert got == {
+            (1, 10, "keep"), (2, 99, "new"), (3, 30, "ins"),
+            (4, 40, "__DEL__"),
+        }
+        # non-wholesale UPDATE arm: loud refusal, not mis-execution
+        with pytest.raises(ValueError, match="wholesale"):
+            execute_sql(
+                spark,
+                "MERGE INTO t_mrg_tgt USING t_mrg_src AS s "
+                "ON t_mrg_tgt.k = s.k "
+                "WHEN MATCHED THEN UPDATE SET v = s.v + 1, s = s.s "
+                "WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.v, s.s)",
+            )
+        with pytest.raises(ValueError, match="MERGE shape"):
+            execute_sql(
+                spark,
+                "MERGE INTO t_mrg_tgt USING (SELECT 1 AS k) s ON "
+                "t_mrg_tgt.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v "
+                "WHEN NOT MATCHED THEN INSERT VALUES (s.k)",
+            )
+        with pytest.raises(ValueError, match="DELETE ... USING"):
+            execute_sql(spark, "DELETE FROM t_mrg_tgt USING t_mrg_src WHERE 1=1")
+        spark.sql("DROP TABLE t_mrg_tgt")
+        spark.sql("DROP TABLE t_mrg_src")
