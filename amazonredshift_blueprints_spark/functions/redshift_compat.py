@@ -625,10 +625,31 @@ def _rewrite_external_table(sql: str) -> str:
     )
 
 
+_NO_SCHEMA_BINDING_RE = re.compile(
+    r"\s+WITH\s+NO\s+SCHEMA\s+BINDING(\s*;?\s*)$", re.IGNORECASE
+)
+
+
+def _strip_no_schema_binding(sql: str) -> str:
+    """Drop Redshift's trailing ``WITH NO SCHEMA BINDING`` from CREATE
+    VIEW (the late-binding-view clause on effectively every view over
+    an external schema). Spark views resolve at query time against the
+    session catalog anyway — late binding is the only binding there —
+    so the clause is semantically a no-op, merely unparseable. Only the
+    statement-final position is rewritten (the clause cannot appear
+    elsewhere), so text inside string literals is never touched."""
+    if not re.match(r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\b", sql, re.IGNORECASE):
+        return sql
+    if _inside_string(sql, len(sql.rstrip()) - 1):
+        return sql
+    return _NO_SCHEMA_BINDING_RE.sub(r"\1", sql)
+
+
 def translate_redshift_sql(sql: str) -> str:
     """Rewrite Redshift-dialect call sites into Spark SQL equivalents."""
     sql = _rewrite_external_table(sql)
     sql = _rewrite_create_like(sql)
+    sql = _strip_no_schema_binding(sql)
     sql = _strip_layout_clauses(sql)
     sql = _rewrite_top(sql)
     sql = _rewrite_qualify(sql)

@@ -1278,3 +1278,23 @@ class TestDmlStatementFace:
             execute_sql(spark, "DELETE FROM t_mrg_tgt USING t_mrg_src WHERE 1=1")
         spark.sql("DROP TABLE t_mrg_tgt")
         spark.sql("DROP TABLE t_mrg_src")
+
+
+def test_no_schema_binding_stripped():
+    from amazonredshift_blueprints_spark.functions import (
+        translate_redshift_sql,
+    )
+
+    out = translate_redshift_sql(
+        "CREATE VIEW v AS SELECT 1 AS x WITH NO SCHEMA BINDING"
+    )
+    assert out == "CREATE VIEW v AS SELECT 1 AS x"
+    out = translate_redshift_sql(
+        "CREATE OR REPLACE VIEW s.v AS SELECT a FROM t WITH NO SCHEMA BINDING;"
+    )
+    assert out == "CREATE OR REPLACE VIEW s.v AS SELECT a FROM t;"
+    # only CREATE VIEW statements are touched, and literals survive
+    sql = "SELECT 'WITH NO SCHEMA BINDING' AS doc"
+    assert translate_redshift_sql(sql) == sql
+    sql2 = "CREATE VIEW v AS SELECT 'x WITH NO SCHEMA BINDING'"
+    assert translate_redshift_sql(sql2) == sql2
