@@ -9048,6 +9048,46 @@ def c102_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c103_audio_decode_stats",
+    oracle="""
+    WITH fr AS (
+        SELECT d.doc_id, g.s, c.ch,
+               (d.doc_id * 37 + g.s * 11 + c.ch * 5) % 65536 - 32768 AS v
+        FROM documents d, range(64) g(s), range(2) c(ch)
+    )
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(2 AS BIGINT) AS n_channels,
+           CAST(64 AS BIGINT) AS n_samples,
+           CAST(SUM(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS sum_ch0,
+           CAST(SUM(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS sum_ch1,
+           CAST(SUM(abs(v)) AS BIGINT) AS sum_abs
+    FROM fr GROUP BY doc_id
+    """,
+    doc="REAL audio decode, end-to-end verified (the audio twin of "
+        "c64's PPM / c81's PNG contract): synthetic stereo clips are "
+        "ENCODED to genuine RIFF/WAVE PCM16 payloads whose sample "
+        "(s, ch) of id i is ((i*37+s*11+ch*5) % 65536) - 32768 — full "
+        "int16 range — then DECODED back by the chunk-walking RIFF "
+        "parser (skips LIST/metadata chunks by declared size, refuses "
+        "compressed format tags the way JPEG refuses without pillow) "
+        "and reduced to exact integer per-channel sums + total "
+        "absolute amplitude (the loudness/energy screen of audio "
+        "curation). The oracle recomputes the sums from the closed "
+        "form alone, so one mangled byte anywhere in encoder or "
+        "decoder fails the hash. Decode is Arrow-batched mapInPandas "
+        "inside the scan's partitions — no shuffle "
+        "(operators/multimodal.py decode_wav/audio_channel_stats)",
+    tags=("multimodal",),
+)
+def c103_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_channel_stats, synthesize_wav_audio
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return audio_channel_stats(synthesize_wav_audio(d, "doc_id", n_samples=64))
+
+
+@query(
     "q88_window_ignore_nulls",
     oracle="""
     SELECT user_id, event_id,

@@ -427,3 +427,47 @@ def test_png_variant_channel_stats_matches_formula(spark):
         assert (row["sum_r"], row["sum_g"], row["sum_b"]) == tuple(
             int(s) for s in sums
         )
+
+
+def test_wav_codec_roundtrip_and_failures():
+    """RIFF/WAVE PCM16 codec: exact round-trip, metadata-chunk
+    skipping, and loud refusal of mangled sizes, compressed format
+    tags, and non-16-bit depths."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    s = np.arange(64)[:, None]
+    ch = np.arange(2)[None, :]
+    arr = ((7 * 37 + s * 11 + ch * 5) % 65536 - 32768).astype("<i2")
+    p = encode_wav(arr)
+    rate, nch, out = decode_wav(p)
+    assert rate == 8000 and nch == 2 and (out == arr).all()
+    # a LIST metadata chunk before fmt must be skipped by declared size
+    listc = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    body = b"WAVE" + listc + p[12:]
+    assert (decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)[2] == arr).all()
+    # mangled RIFF size
+    bad = bytearray(p)
+    bad[4] ^= 0xFF
+    with pytest.raises(ValueError, match="RIFF size"):
+        decode_wav(bytes(bad))
+    # compressed format tag (e.g. 85 = MP3) refuses with the swap-in named
+    mp3 = bytearray(p)
+    mp3[20] = 85
+    with pytest.raises(ValueError, match="compressed WAVE"):
+        decode_wav(bytes(mp3))
+    # odd-sized data (half a frame) refuses
+    frag = encode_wav(arr)[:-2]
+    trimmed = bytearray(frag)
+    struct.pack_into("<I", trimmed, 4, len(frag) - 8)
+    datasize = struct.unpack("<I", p[44:48])[0]
+    struct.pack_into("<I", trimmed, 44, datasize - 2)
+    with pytest.raises(ValueError):
+        decode_wav(bytes(trimmed))
