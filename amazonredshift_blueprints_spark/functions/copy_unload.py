@@ -13,11 +13,11 @@ Redshift keeps working here.
 Supported subset (the options the reference's own pipelines generate):
 
 - ``COPY [schema.]table FROM 'path'`` with ``CSV`` / ``FORMAT [AS]
-  CSV|PARQUET|JSON``, ``DELIMITER [AS] 'c'``, ``IGNOREHEADER [AS] n``,
+  CSV|PARQUET|JSON|ORC``, ``DELIMITER [AS] 'c'``, ``IGNOREHEADER [AS] n``,
   ``GZIP`` (Spark reads .gz transparently — accepted, no-op),
   ``MANIFEST`` (the path names a Redshift-format manifest JSON whose
   listed files load).
-- ``UNLOAD ('query') TO 'path'`` with ``FORMAT [AS] CSV|PARQUET|JSON``,
+- ``UNLOAD ('query') TO 'path'`` with ``FORMAT [AS] CSV|PARQUET|JSON|ORC``,
   ``DELIMITER [AS] 'c'``, ``HEADER``, ``PARALLEL OFF|ON|TRUE|FALSE``
   (OFF → one named file, the reference's single-file contract; ON → a
   part-file directory, the scale path), ``PARTITION BY (cols)``,
@@ -128,12 +128,20 @@ def parse_copy(sql: str) -> CopySpec | None:
             if i < len(tokens) and tokens[i].upper() == "AS":
                 i += 1
             if i >= len(tokens):
-                raise ValueError("FORMAT expects an argument (CSV|PARQUET|JSON)")
+                raise ValueError(
+                    "FORMAT expects an argument (CSV|PARQUET|JSON|ORC)"
+                )
             t = tokens[i].upper()
             i += 1
-            if t not in ("CSV", "PARQUET", "JSON"):
+            if t == "AVRO":
+                raise ValueError(
+                    "AVRO needs the external spark-avro module, absent from this "
+                    "container's pyspark jars (probed 2026-08-14); on a cluster "
+                    "with it deployed, add 'AVRO' to the format whitelists"
+                )
+            if t not in ("CSV", "PARQUET", "JSON", "ORC"):
                 raise ValueError(f"unsupported COPY format: {t.lower()!r}")
-        if t in ("CSV", "PARQUET", "JSON"):
+        if t in ("CSV", "PARQUET", "JSON", "ORC"):
             spec.format = t.lower()
             if t == "JSON" and i < len(tokens) and tokens[i].startswith("'"):
                 opt = _unquote(tokens[i]).lower()
@@ -172,7 +180,7 @@ def parse_copy(sql: str) -> CopySpec | None:
     if spec.format == "csv" and not explicit_delim:
         # bare CSV keyword means comma; Redshift's no-format default is '|'
         spec.delimiter = "," if "csv" in (tok.lower() for tok in tokens) else "|"
-    if spec.format not in ("csv", "parquet", "json"):
+    if spec.format not in ("csv", "parquet", "json", "orc"):
         raise ValueError(f"unsupported COPY format: {spec.format!r}")
     return spec
 
@@ -218,12 +226,20 @@ def parse_unload(sql: str) -> UnloadSpec | None:
             if i < len(tokens) and tokens[i].upper() == "AS":
                 i += 1
             if i >= len(tokens):
-                raise ValueError("FORMAT expects an argument (CSV|PARQUET|JSON)")
+                raise ValueError(
+                    "FORMAT expects an argument (CSV|PARQUET|JSON|ORC)"
+                )
             t = tokens[i].upper()
             i += 1
-            if t not in ("CSV", "PARQUET", "JSON"):
+            if t == "AVRO":
+                raise ValueError(
+                    "AVRO needs the external spark-avro module, absent from this "
+                    "container's pyspark jars (probed 2026-08-14); on a cluster "
+                    "with it deployed, add 'AVRO' to the format whitelists"
+                )
+            if t not in ("CSV", "PARQUET", "JSON", "ORC"):
                 raise ValueError(f"unsupported UNLOAD format: {t.lower()!r}")
-        if t in ("CSV", "PARQUET", "JSON"):
+        if t in ("CSV", "PARQUET", "JSON", "ORC"):
             spec.format = t.lower()
             saw_csv = saw_csv or t == "CSV"
         elif t == "DELIMITER":
@@ -261,7 +277,7 @@ def parse_unload(sql: str) -> UnloadSpec | None:
             raise ValueError(f"unsupported UNLOAD option: {tokens[i - 1]!r}")
     if spec.format == "csv" and not explicit_delim and saw_csv:
         spec.delimiter = ","
-    if spec.format not in ("csv", "json", "parquet"):
+    if spec.format not in ("csv", "json", "parquet", "orc"):
         raise ValueError(f"unsupported UNLOAD format: {spec.format!r}")
     if spec.partition_by and spec.single_file:
         spec.single_file = False  # a partitioned export is many files

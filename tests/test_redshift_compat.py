@@ -1298,3 +1298,37 @@ def test_no_schema_binding_stripped():
     assert translate_redshift_sql(sql) == sql
     sql2 = "CREATE VIEW v AS SELECT 'x WITH NO SCHEMA BINDING'"
     assert translate_redshift_sql(sql2) == sql2
+
+
+def test_copy_unload_orc_roundtrip(spark, tmp_path):
+    """COPY/UNLOAD FORMAT AS ORC: Spark's built-in ORC reader/writer
+    backs the statement face end-to-end; AVRO refuses naming the
+    missing external module (probe-gated, not silently mis-read)."""
+    import pytest
+
+    from amazonredshift_blueprints_spark.ingest import _clean_stale_location
+    from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+    spark.sql("DROP TABLE IF EXISTS t_orc_rt")
+    _clean_stale_location(spark, "t_orc_rt", None)
+    spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "k int, s string, v double"
+    ).createOrReplaceTempView("t_orc_src")
+    out = str(tmp_path / "orc_out")
+    execute_sql(
+        spark,
+        f"UNLOAD ('SELECT k, s, v FROM t_orc_src') TO '{out}' "
+        "FORMAT AS ORC PARALLEL ON",
+    )
+    spark.sql("CREATE TABLE t_orc_rt (k int, s string, v double) USING parquet")
+    execute_sql(spark, f"COPY t_orc_rt FROM '{out}' FORMAT AS ORC")
+    got = {(r.k, r.s, r.v) for r in spark.table("t_orc_rt").collect()}
+    assert got == {(1, "a", 1.5), (2, "b", 2.5)}
+    with pytest.raises(ValueError, match="spark-avro"):
+        execute_sql(spark, f"COPY t_orc_rt FROM '{out}' FORMAT AS AVRO")
+    with pytest.raises(ValueError, match="spark-avro"):
+        execute_sql(
+            spark,
+            f"UNLOAD ('SELECT 1') TO '{out}2' FORMAT AS AVRO",
+        )
+    spark.sql("DROP TABLE t_orc_rt")
