@@ -9260,11 +9260,16 @@ def q89_dml_statement_face(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R12 ROTATION PLAN (write it as round 12's FIRST commit): any entry
-# added in round 11 after this window froze takes a slot first; then
+# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 8
+# entries added in round 11 after this window froze have never been
+# driver-rowed and take slots first — c98_pagerank_dangling,
+# c99_dedup_keep_best, c100_bpe_fertility, c101_unimax_mixing,
+# c102_pmi_collocations, c103_audio_decode_stats,
+# q88_window_ignore_nulls, q89_dml_statement_face (all locally
+# hash-verified at sf0.01; c98-c102 + q88/q89 at sf0.1 too) — then
 # fill to 50 with the oldest-rowed entries (the r7-rowed block
 # c07/c16/c17/c24/c26-c29/c36-c38/c45-c58 region — check
-# CORRECTNESS_r01-r11 union for the true oldest, and co-window each
+# CORRECTNESS_r01-r12 union for the true oldest, and co-window each
 # rows-only pick with its oracle twin: q12↔q11, c02↔c24, c03↔c26,
 # c07↔c38, c68↔q11).
 # --------------------------------------------------------------------------
