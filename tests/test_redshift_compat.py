@@ -681,8 +681,10 @@ def test_copy_unload_format_keyword_parity():
     ):
         with pytest.raises(ValueError, match="FORMAT expects"):
             (parse_copy if bad.startswith("COPY") else parse_unload)(bad)
-    with pytest.raises(ValueError, match="unsupported COPY format"):
+    with pytest.raises(ValueError, match="spark-avro"):
         parse_copy("COPY t FROM '/d/f' FORMAT AS AVRO")
+    with pytest.raises(ValueError, match="unsupported COPY format"):
+        parse_copy("COPY t FROM '/d/f' FORMAT AS XML")
     with pytest.raises(ValueError):
         parse_copy("COPY t FROM '/d/f.json' FORMAT AS JSON '/paths.json'")
     assert parse_unload("UNLOAD ('SELECT 1') TO '/p' FORMAT AS PARQUET").format == "parquet"
