@@ -17,6 +17,7 @@ import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _dir_bytes(path: str) -> int:
@@ -232,3 +233,80 @@ def cms_estimate(
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_cnt"))
     )
+
+
+def data_quality_audit(
+    df: DataFrame,
+    *,
+    not_null: list[str] = (),
+    unique: list[str] = (),
+    accepted_values: dict[str, list[str]] | None = None,
+    positive: list[str] = (),
+    fk: list[tuple[str, DataFrame, str]] = (),
+) -> DataFrame:
+    """Declarative data-quality audit (the dbt-test / Great-Expectations
+    check family): evaluate NOT-NULL, uniqueness, accepted-values,
+    positivity, and referential-integrity constraints and return one
+    row per check — ``(check_name, n_checked, n_violations)``.
+
+    Plan shape, deliberately: every row-local check (not_null /
+    accepted_values / positive) is a conditional sum in ONE aggregate
+    over ONE scan of ``df`` — k checks never cost k scans (the c67
+    profiling rule). Uniqueness adds count_distinct into the same
+    aggregate (Expand, still one scan). Each FK check is one LEFT ANTI
+    join against the referenced side's distinct keys — broadcast when
+    the dimension fits, the classic referential screen at 100 TB.
+    All counts are exact integers, so any engine replays them.
+    """
+    checks = []  # (name, violation Column)
+    for c in not_null:
+        checks.append((f"not_null:{c}", F.col(c).isNull()))
+    av = accepted_values or {}
+    for c, vals in av.items():
+        checks.append(
+            (f"accepted_values:{c}", ~F.col(c).isin(list(vals)) | F.col(c).isNull())
+        )
+    for c in positive:
+        checks.append((f"positive:{c}", ~(F.col(c) > 0) | F.col(c).isNull()))
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, bad in checks:
+        aggs.append(
+            F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias(name)
+        )
+    for c in unique:
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_distinct_{c}"))
+        aggs.append(
+            F.count(F.when(F.col(c).isNotNull(), 1)).alias(f"_nonnull_{c}")
+        )
+    row = df.agg(*aggs).collect()[0]  # one metadata-sized row
+    spark = df.sparkSession
+    out = [(name, int(row["_n"]), int(row[name])) for name, _ in checks]
+    for c in unique:
+        out.append(
+            (
+                f"unique:{c}",
+                int(row["_n"]),
+                int(row[f"_nonnull_{c}"]) - int(row[f"_distinct_{c}"]),
+            )
+        )
+    result = spark.createDataFrame(
+        out, "`check_name` STRING, `n_checked` LONG, `n_violations` LONG"
+    )
+    for c, ref, ref_col in fk:
+        orphans = (
+            df.select(F.col(c)).filter(F.col(c).isNotNull())
+            .join(
+                ref.select(F.col(ref_col).alias(c)).distinct(),
+                c,
+                "left_anti",
+            )
+        )
+        n_orph = orphans.count()
+        n_checked = int(row["_n"])
+        result = result.unionByName(
+            spark.createDataFrame(
+                [(f"fk:{c}", n_checked, n_orph)],
+                "`check_name` STRING, `n_checked` LONG, `n_violations` LONG",
+            )
+        )
+    return result

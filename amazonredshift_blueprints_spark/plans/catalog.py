@@ -9088,6 +9088,87 @@ def c103_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c104_data_quality_audit",
+    oracle="""
+    WITH dirt AS (
+        SELECT o_orderkey,
+               o_custkey + 1000000000 AS o_custkey,
+               'X' AS o_orderstatus,
+               -o_totalprice AS o_totalprice
+        FROM orders WHERE o_orderkey % 997 = 1
+    ),
+    aud AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders
+        UNION ALL SELECT * FROM dirt
+    )
+    SELECT 'not_null:o_totalprice' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations
+    FROM aud
+    UNION ALL
+    SELECT 'accepted_values:o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                         OR o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM aud
+    UNION ALL
+    SELECT 'positive:o_totalprice', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN NOT (o_totalprice > 0)
+                         OR o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM aud
+    UNION ALL
+    SELECT 'unique:o_orderkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM aud
+    UNION ALL
+    SELECT 'fk:o_custkey', CAST((SELECT COUNT(*) FROM aud) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM aud
+    WHERE o_custkey IS NOT NULL
+      AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+    """,
+    doc="declarative data-quality audit (operators/maintenance."
+        "data_quality_audit — the dbt-test / Great-Expectations check "
+        "family the reference's Redshift users run as post-load SQL "
+        "through execute_sql.py:77): NOT-NULL, accepted-values, "
+        "positivity, uniqueness, and FK referential integrity over a "
+        "deterministically dirtied orders set (every key%997==1 row "
+        "re-unioned with bad status, negated price, and an orphan "
+        "custkey — so every check fires nonzero). Plan contract: ALL "
+        "row-local checks + the distinct count run in ONE aggregate "
+        "over ONE scan (k checks never cost k scans, the c67 rule); "
+        "the FK screen is one LEFT ANTI join against the dimension's "
+        "distinct keys (broadcast-sized here). Exact integer counts",
+    tags=("quality", "sql"),
+)
+def c104_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.maintenance import data_quality_audit
+
+    t = views(spark, sf_dir, "orders", "customer")
+    o = t["orders"].select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    dirt = o.filter(F.col("o_orderkey") % 997 == 1).select(
+        "o_orderkey",
+        (F.col("o_custkey") + 1000000000).alias("o_custkey"),
+        F.lit("X").alias("o_orderstatus"),
+        (-F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    aud = o.unionByName(dirt)
+    return data_quality_audit(
+        aud,
+        not_null=["o_totalprice"],
+        unique=["o_orderkey"],
+        accepted_values={"o_orderstatus": ["F", "O", "P"]},
+        positive=["o_totalprice"],
+        fk=[("o_custkey", t["customer"], "c_custkey")],
+    )
+
+
+@query(
     "q88_window_ignore_nulls",
     oracle="""
     SELECT user_id, event_id,

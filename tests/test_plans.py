@@ -548,3 +548,34 @@ def test_round11_partc_plan_shapes(spark, sf_dir):
 
     for spec in _re.findall(r"windowspecdefinition\(([^)]*)", p101):
         assert "stratum" in spec, spec
+
+
+def test_c104_audit_single_scan_and_anti_join(spark, sf_dir):
+    """The audit's row-local checks + distinct must plan as ONE scan of
+    the audited set (conditional sums in one aggregate; the Expand for
+    count_distinct is fine), and the FK screen as a LEFT ANTI join."""
+    from amazonredshift_blueprints_spark.operators.maintenance import (
+        data_quality_audit,
+    )
+    from amazonredshift_blueprints_spark.session import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    out = data_quality_audit(
+        o,
+        not_null=["o_totalprice"],
+        unique=["o_orderkey"],
+        positive=["o_totalprice"],
+        fk=[("o_custkey", c, "c_custkey")],
+    )
+    got = {r["check_name"]: (r["n_checked"], r["n_violations"]) for r in out.collect()}
+    n = o.count()
+    # clean fixture: zero violations everywhere, full row counts
+    assert got == {
+        "not_null:o_totalprice": (n, 0),
+        "positive:o_totalprice": (n, 0),
+        "unique:o_orderkey": (n, 0),
+        "fk:o_custkey": (n, 0),
+    }
