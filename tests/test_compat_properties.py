@@ -155,3 +155,72 @@ def test_ratio_to_report_rewrite_idempotent(sql):
     assert "RATIO_TO_REPORT" not in once
     assert "nullif(CAST(SUM(x) OVER (PARTITION BY k) AS DOUBLE), 0)" in once
     assert translate_redshift_sql(once) == once
+
+
+# ---------------------------------------------------------------------------
+# Round-11 operator properties (pure Python / numpy — no JVM).
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=50, deadline=None)
+def test_wav_roundtrip_property(n_samples, channels, seed):
+    """Any int16 sample matrix survives encode→decode bit-exactly, at
+    any (frames, channels) shape — incl. odd data sizes that exercise
+    the RIFF word-alignment padding rule."""
+    import numpy as np
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(-32768, 32768, size=(n_samples, channels)).astype("<i2")
+    rate, ch, out = decode_wav(encode_wav(arr, sample_rate=16000))
+    assert rate == 16000 and ch == channels and (out == arr).all()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+            st.integers(min_value=0, max_value=10**9),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=10**10),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=60, deadline=None)
+def test_unimax_waterfilling_invariants(strata, budget, cap):
+    """UniMax allocation invariants for ANY stats/budget/cap: every
+    allocation is within [0, cap*avail]; the total never exceeds the
+    budget; and when the budget covers the capped total, every stratum
+    saturates exactly (replicates the operator's driver-side solve,
+    which the Spark function wraps verbatim)."""
+    n = len(strata)
+    capped = sorted((av * cap, s, av) for s, av in strata)
+    prefix, k, pk = 0, 0, 0
+    for idx, (a_i, _s, _av) in enumerate(capped, 1):
+        prefix += a_i
+        if prefix + (n - idx) * a_i <= budget:
+            k, pk = idx, prefix
+    theta = None if k >= n else (budget - pk) // (n - k)
+    allocs = {
+        s: (a_i if theta is None else min(a_i, theta))
+        for a_i, s, _av in capped
+    }
+    total_capped = sum(a for a, _, _ in capped)
+    for (s, av) in strata:
+        assert 0 <= allocs[s] <= av * cap
+    if theta is not None:
+        assert sum(allocs.values()) <= budget
+    if budget >= total_capped:
+        assert all(allocs[s] == av * cap for s, av in strata)
