@@ -224,3 +224,48 @@ def test_execute_prepared_inside_transaction_rolls_back(spark):
     assert spark.table("t_prep_txn").filter("k = 9").count() == 0
     execute_sql(spark, "DEALLOCATE p_txn")
     spark.sql("DROP TABLE t_prep_txn")
+
+
+def test_dml_statements_route_through_transaction(spark):
+    """Statement-face DELETE/UPDATE inside BEGIN...COMMIT must hit the
+    staged copy (via dml's transactions.resolve_active), so ROLLBACK
+    discards them and COMMIT publishes them atomically."""
+    from amazonredshift_blueprints_spark.ingest import _clean_stale_location
+    from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+    spark.sql("DROP TABLE IF EXISTS t_txn_dml")
+    _clean_stale_location(spark, "t_txn_dml", None)
+    clean_stale_locks(spark)  # a crashed earlier run may hold the lock
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k int, v int"
+    ).write.saveAsTable("t_txn_dml")
+    try:
+        # rollback: nothing sticks
+        execute_sql(spark, "BEGIN")
+        execute_sql(spark, "DELETE FROM t_txn_dml WHERE k = 1")
+        execute_sql(spark, "UPDATE t_txn_dml SET v = v + 5 WHERE k = 2")
+        execute_sql(spark, "ROLLBACK")
+        assert {(r.k, r.v) for r in spark.table("t_txn_dml").collect()} == {
+            (1, 10), (2, 20), (3, 30),
+        }
+        # commit: both land
+        execute_sql(spark, "BEGIN")
+        execute_sql(spark, "DELETE FROM t_txn_dml WHERE k = 1")
+        execute_sql(spark, "UPDATE t_txn_dml SET v = v + 5 WHERE k = 2")
+        # within the transaction your OWN writes are visible (the
+        # staging view shadows the name - Redshift read-your-writes)...
+        assert {(r.k, r.v) for r in spark.table("t_txn_dml").collect()} == {
+            (2, 25), (3, 30),
+        }
+        # ...while the REAL table (qualified name bypasses the view)
+        # stays untouched until COMMIT publishes
+        real = spark.table("spark_catalog.default.t_txn_dml")
+        assert {(r.k, r.v) for r in real.collect()} == {
+            (1, 10), (2, 20), (3, 30),
+        }
+        execute_sql(spark, "COMMIT")
+        assert {(r.k, r.v) for r in spark.table("t_txn_dml").collect()} == {
+            (2, 25), (3, 30),
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_txn_dml")
