@@ -38,7 +38,6 @@ _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+([`\w.]+)\s+SET\s+(.+?)\s*(?:WHERE\s+(.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-_UPDATE_FROM_RE = re.compile(r"\bFROM\b", re.IGNORECASE)
 _MERGE_RE = re.compile(
     r"^\s*MERGE\s+INTO\s+([`\w.]+)\s+USING\s+([`\w.]+)"
     r"(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*;?\s*$",
@@ -64,6 +63,39 @@ _ON_PAIR_RE = re.compile(
 
 def _strip_alias(col: str) -> str:
     return col.strip().strip("`")
+
+
+def _has_toplevel_from(set_clause: str) -> bool:
+    """True when a FROM keyword appears at parenthesis depth 0 outside
+    string literals — the UPDATE ... FROM join clause. FROM inside a
+    call (``extract(day FROM ts)``, ``substring(s FROM 2)``, a scalar
+    subquery) is a legitimate SET expression and must NOT refuse."""
+    depth, i, n = 0, 0, len(set_clause)
+    while i < n:
+        ch = set_clause[i]
+        if ch == "'":
+            i += 1
+            while i < n:
+                if set_clause[i] == "'":
+                    if i + 1 < n and set_clause[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and set_clause[i : i + 4].upper() == "FROM":
+            before_ok = i == 0 or not (
+                set_clause[i - 1].isalnum() or set_clause[i - 1] == "_"
+            )
+            after = set_clause[i + 4 : i + 5]
+            after_ok = after == "" or not (after.isalnum() or after == "_")
+            if before_ok and after_ok:
+                return True
+        i += 1
+    return False
 
 
 def _dequalify(expr: str, alias: str) -> str:
@@ -135,7 +167,7 @@ def maybe_handle(spark: SparkSession, query: str) -> bool:
     m = _UPDATE_RE.match(query)
     if m:
         table, set_clause, cond = m.groups()
-        if _UPDATE_FROM_RE.search(set_clause):
+        if _has_toplevel_from(set_clause):
             raise ValueError(
                 "UPDATE ... FROM (joined update) is not lowered; use "
                 "dml.merge_into for source-driven updates"

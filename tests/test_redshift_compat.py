@@ -1334,3 +1334,24 @@ def test_copy_unload_orc_roundtrip(spark, tmp_path):
             f"UNLOAD ('SELECT 1') TO '{out}2' FORMAT AS AVRO",
         )
     spark.sql("DROP TABLE t_orc_rt")
+
+
+def test_update_set_from_inside_call_not_refused(spark):
+    """FROM inside a call or subquery in a SET expression (EXTRACT,
+    SUBSTRING ... FROM, scalar subqueries) is a legitimate UPDATE; only
+    a TOP-LEVEL FROM (the joined-update clause) refuses."""
+    from amazonredshift_blueprints_spark.ingest import _clean_stale_location
+    from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+    spark.sql("DROP TABLE IF EXISTS t_upd_extract")
+    _clean_stale_location(spark, "t_upd_extract", None)
+    spark.createDataFrame(
+        [(1, "2026-03-15", 0)], "k int, d string, day int"
+    ).write.saveAsTable("t_upd_extract")
+    execute_sql(
+        spark,
+        "UPDATE t_upd_extract SET day = extract(day FROM CAST(d AS DATE)) "
+        "WHERE k = 1",
+    )
+    assert spark.table("t_upd_extract").first().day == 15
+    spark.sql("DROP TABLE t_upd_extract")
