@@ -226,14 +226,31 @@ def maybe_handle(spark: SparkSession, query: str) -> bool:
                 )
             elif mi:
                 vals = [v.strip().lower() for v in _split_args(mi.group(2))]
-                bad = [
-                    v for v in vals if not v.startswith(f"{src_alias.lower()}.")
+                # merge_into inserts the SOURCE ROW wholesale, so the
+                # statement's VALUES must be exactly the source columns
+                # in source-schema order — a reordered or partial list
+                # would silently insert different values than written
+                want = [
+                    f"{src_alias.lower()}.{c.lower()}"
+                    for c in spark.table(source).columns
                 ]
-                if bad:
+                if vals != want:
                     raise ValueError(
-                        "MERGE INSERT arm must insert source columns "
-                        f"verbatim; got {bad!r}"
+                        "MERGE INSERT arm must list the source columns "
+                        f"verbatim in source order {want}; got {vals}"
                     )
+                if mi.group(1):
+                    cols = [
+                        _strip_alias(c).lower()
+                        for c in mi.group(1).split(",")
+                        if c.strip()
+                    ]
+                    src_cols = [c.lower() for c in spark.table(source).columns]
+                    if cols != src_cols:
+                        raise ValueError(
+                            "MERGE INSERT column list must match the "
+                            f"source schema order {src_cols}; got {cols}"
+                        )
                 saw_insert = True
             else:
                 raise ValueError(f"unsupported MERGE arm: WHEN {arm[:60]!r}")

@@ -1355,3 +1355,52 @@ def test_update_set_from_inside_call_not_refused(spark):
     )
     assert spark.table("t_upd_extract").first().day == 15
     spark.sql("DROP TABLE t_upd_extract")
+
+
+def test_merge_insert_arm_order_validated(spark):
+    """A reordered or partial INSERT VALUES list would silently insert
+    different values than written (merge_into inserts the source row
+    wholesale) - it must refuse naming the expected order."""
+    import pytest
+
+    from amazonredshift_blueprints_spark.ingest import _clean_stale_location
+    from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+    for t in ("t_mrgord_tgt", "t_mrgord_src"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _clean_stale_location(spark, t, None)
+    spark.createDataFrame([(1, 10)], "k int, v int").write.saveAsTable(
+        "t_mrgord_tgt"
+    )
+    spark.createDataFrame([(2, 20)], "k int, v int").write.saveAsTable(
+        "t_mrgord_src"
+    )
+    with pytest.raises(ValueError, match="source order"):
+        execute_sql(
+            spark,
+            "MERGE INTO t_mrgord_tgt USING t_mrgord_src AS s "
+            "ON t_mrgord_tgt.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET k = s.k, v = s.v "
+            "WHEN NOT MATCHED THEN INSERT VALUES (s.v, s.k)",
+        )
+    with pytest.raises(ValueError, match="column list"):
+        execute_sql(
+            spark,
+            "MERGE INTO t_mrgord_tgt USING t_mrgord_src AS s "
+            "ON t_mrgord_tgt.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET k = s.k, v = s.v "
+            "WHEN NOT MATCHED THEN INSERT (v, k) VALUES (s.k, s.v)",
+        )
+    # the correct spelling still lands
+    execute_sql(
+        spark,
+        "MERGE INTO t_mrgord_tgt USING t_mrgord_src AS s "
+        "ON t_mrgord_tgt.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET k = s.k, v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)",
+    )
+    assert {(r.k, r.v) for r in spark.table("t_mrgord_tgt").collect()} == {
+        (1, 10), (2, 20),
+    }
+    for t in ("t_mrgord_tgt", "t_mrgord_src"):
+        spark.sql(f"DROP TABLE {t}")
