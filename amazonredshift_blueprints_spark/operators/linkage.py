@@ -1,0 +1,74 @@
+"""Record linkage: blocked fuzzy matching by edit distance.
+
+Entity resolution's candidate-generation problem is the same one dedup
+solves (``operators/dedup.py``): never compare all |rows|² pairs. The
+standard answer is *blocking* — a cheap deterministic key (a name token,
+a phonetic code, a sorted-neighborhood prefix) under which true matches
+almost always collide — followed by an exact pairwise similarity check
+inside each block.
+
+100 TB design notes:
+- Candidate generation is ONE self-equi-join on the block key; cost is
+  bounded by Σ block_size², never |rows|². The block key chooser owns
+  the recall/cost tradeoff.
+- ``levenshtein`` is a JVM built-in (whole-stage codegen), so the
+  verify step never leaves the JVM; no Python in the hot path.
+- Skewed blocks (a very common name token) are exactly the AQE
+  skew-join case; additionally ``max_block`` drops blocks too large to
+  be useful match evidence (a block shared by 10⁶ rows identifies
+  nothing), mirroring the doc-frequency cap in ``text.decontaminate``.
+- Recall path at scale is multi-pass blocking (union candidates from
+  several independent keys) — expressible here by calling the operator
+  once per key and unioning; each pass stays an equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def blocked_fuzzy_match(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block: Column,
+    *,
+    max_distance: int = 2,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Candidate match pairs ``(id_a, id_b, name_a, name_b, distance)``
+    with ``levenshtein(name_a, name_b) <= max_distance``, generated only
+    within equal ``block`` keys, ``id_a < id_b``, exact-equal names kept
+    (distance 0 is the strongest match evidence, not an exclusion).
+
+    ``max_block`` (optional) drops blocks with more members than the
+    cap before pairing — the skew/usefulness guard.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(name_col).alias("_name"),
+        block.alias("_blk"),
+    ).filter(F.col("_blk").isNotNull())
+
+    if max_block is not None:
+        sizes = keyed.groupBy("_blk").count().filter(F.col("count") <= max_block)
+        keyed = keyed.join(F.broadcast(sizes.select("_blk")), "_blk")
+
+    a = keyed.select(
+        F.col("_blk"),
+        F.col("_id").alias("id_a"),
+        F.col("_name").alias("name_a"),
+    )
+    b = keyed.select(
+        F.col("_blk"),
+        F.col("_id").alias("id_b"),
+        F.col("_name").alias("name_b"),
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "name_a", "name_b", "distance")
+    )

@@ -1476,3 +1476,65 @@ def pmi_collocations(
     )
     w = Window.orderBy(F.desc("pmi_q"), F.asc("w1"), F.asc("w2"))
     return scored.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    ngram: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    word ``ngram``-grams whose FIRST corpus appearance (lowest document
+    id) is this document. Ingestion-ordered ids make this the standard
+    "marginal contribution" curation signal — a document whose grams all
+    appeared earlier adds little (near-duplicate, boilerplate, template),
+    one full of first-seen grams carries new content; the same statistic
+    over a reference corpus is an n-gram memorization probe (Carlini et
+    al. 2022 measure the inverse: how much of the sample is NOT novel).
+
+    Returns (doc_id, n_grams, n_novel, novelty_pct); documents with
+    fewer than ``ngram`` tokens carry no grams and are omitted.
+
+    Determinism: counts are exact integers; ``novelty_pct`` is ONE
+    double division of exact integers (the catalog's davg contract).
+
+    100 TB: one explode → ONE gram-keyed shuffle for the MIN(doc_id)
+    first-appearance table (partial-agg friendly: MIN combines
+    map-side) → one equi-join back on the gram → one doc-keyed count
+    aggregate. Head grams (boilerplate) are the skew case → AQE
+    skew-join; a doc-frequency cap before the join bolts on exactly as
+    in ``decontaminate``. Never |docs|² and never a driver-side pass.
+    """
+    from .dedup import rebalance_for_compute, tokens, word_ngrams
+
+    grams = (
+        rebalance_for_compute(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            word_ngrams(tokens(text_col), ngram).alias("_g"),
+        )
+        .filter(F.size("_g") > 0)
+        .select("doc_id", F.explode("_g").alias("gram"))
+    )
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double") * 100.0
+                / F.col("n_grams").cast("double")
+            ).alias("novelty_pct"),
+        )
+    )

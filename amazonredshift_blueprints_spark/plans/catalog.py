@@ -9313,6 +9313,150 @@ def q89_dml_statement_face(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(tbl)
 
 
+@query(
+    "c105_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    grams AS (SELECT doc_id, {_DUCK_GRAMS3} AS grams FROM toks),
+    exploded AS (
+        SELECT doc_id, unnest(grams) AS gram FROM grams
+        WHERE len(grams) > 0
+    ),
+    first_seen AS (
+        SELECT gram, MIN(doc_id) AS first_doc FROM exploded GROUP BY gram
+    ),
+    per_doc AS (
+        SELECT e.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN f.first_doc = e.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        FROM exploded e JOIN first_seen f ON e.gram = f.gram
+        GROUP BY e.doc_id
+    )
+    SELECT doc_id, n_grams, n_novel,
+           CAST(n_novel AS DOUBLE) * 100.0 / CAST(n_grams AS DOUBLE)
+               AS novelty_pct
+    FROM per_doc
+    """,
+    doc="per-document n-gram novelty (operators/text.ngram_novelty): "
+        "fraction of a doc's distinct 3-grams whose FIRST corpus "
+        "appearance (MIN doc_id) is this doc — the marginal-contribution "
+        "curation signal (inverse of the Carlini-style memorization "
+        "overlap); near-dups and boilerplate score ~0, fresh content "
+        "~100. Plan contract: ONE gram-keyed shuffle for the "
+        "first-appearance table (MIN combines map-side), one equi-join "
+        "back, one doc-keyed aggregate — same shape as TF-IDF c18, "
+        "never |docs|². novelty_pct is one double division of exact "
+        "integer counts (davg contract)",
+    bench=True,
+    tags=("text", "dedup", "curation"),
+)
+def c105_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import ngram_novelty
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return ngram_novelty(d, "doc_id", "text", ngram=3)
+
+
+@query(
+    "c106_fuzzy_blocked_match",
+    oracle="""
+    WITH k AS (
+        SELECT p_name AS nm, MIN(p_partkey) AS rep_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               string_split(p_name, ' ')[-1] AS blk
+        FROM part GROUP BY p_name
+    )
+    SELECT a.rep_id AS id_a, b.rep_id AS id_b,
+           a.nm AS name_a, b.nm AS name_b,
+           CAST(levenshtein(a.nm, b.nm) AS INT) AS distance,
+           a.n_rows AS n_rows_a, b.n_rows AS n_rows_b
+    FROM k a JOIN k b ON a.blk = b.blk AND a.rep_id < b.rep_id
+    WHERE levenshtein(a.nm, b.nm) <= 2
+    """,
+    doc="blocked fuzzy record linkage (operators/linkage."
+        "blocked_fuzzy_match — the entity-resolution family; Redshift "
+        "users run it as a self-join on a blocking key through "
+        "execute_sql.py:77): DICTIONARY-FIRST — collapse rows to "
+        "distinct names with counts (one hash agg; the dictionary is "
+        "vocabulary-sized, not corpus-sized), then one self-equi-join "
+        "on the blocking key (last name token) with a JVM-codegen "
+        "levenshtein <= 2 verify. Σ block² on the dictionary, never "
+        "|rows|²; support counts rejoin by broadcast. Recall tradeoff "
+        "(cross-block matches missed) is the documented blocking "
+        "contract; multi-pass blocking unions more keys",
+    tags=("linkage", "dedup", "join"),
+)
+def c106_fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import blocked_fuzzy_match
+
+    p = views(spark, sf_dir, "part")["part"]
+    names = p.groupBy("p_name").agg(
+        F.min("p_partkey").alias("rep_id"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    pairs = blocked_fuzzy_match(
+        names,
+        "rep_id",
+        "p_name",
+        F.element_at(F.split(F.col("p_name"), " "), -1),
+        max_distance=2,
+    )
+    cnt_a = names.select(
+        F.col("p_name").alias("name_a"), F.col("n_rows").alias("n_rows_a")
+    )
+    cnt_b = names.select(
+        F.col("p_name").alias("name_b"), F.col("n_rows").alias("n_rows_b")
+    )
+    return (
+        pairs.join(F.broadcast(cnt_a), "name_a")
+        .join(F.broadcast(cnt_b), "name_b")
+        .select(
+            "id_a", "id_b", "name_a", "name_b", "distance",
+            "n_rows_a", "n_rows_b",
+        )
+    )
+
+
+@query(
+    "c107_skyline_pareto",
+    oracle="""
+    WITH agg AS (
+        SELECT p_size AS s, MIN(p_retailprice) AS mn
+        FROM part GROUP BY p_size
+    )
+    SELECT p_partkey, p_retailprice, p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM agg q
+        WHERE q.mn <= p.p_retailprice AND q.s <= p.p_size
+          AND (q.mn < p.p_retailprice OR q.s < p.p_size)
+    )
+    """,
+    doc="skyline / Pareto frontier (operators/skyline.skyline_2d; "
+        "Börzsönyi et al. ICDE'01 — the multi-criteria SELECT Redshift "
+        "users spell as a NOT EXISTS dominance anti-join through "
+        "execute_sql.py:77): parts minimizing (retailprice, size). "
+        "Grid-pruned plan: one 4-scalar bounds agg, map-only 64×64 "
+        "cell binning, cell-LIST staircase prune on the driver "
+        "(metadata-sized, <= bins² rows), broadcast semi-join of "
+        "surviving cells, exact dominance only among the staircase "
+        "band's candidates (broadcast anti theta-join) — the Vlachou "
+        "grid-partition scheme, never |T|² on the data. Oracle reduces "
+        "the dominator side to the per-size min-price table (any "
+        "dominating row implies its (size, min-price) representative "
+        "also dominates), so the spec join is |T|×|sizes|",
+    tags=("skyline", "olap"),
+)
+def c107_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skyline import skyline_2d
+
+    p = views(spark, sf_dir, "part")["part"]
+    return skyline_2d(p, "p_retailprice", "p_size").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -9341,13 +9485,15 @@ def q89_dml_statement_face(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 8
+# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 12
 # entries added in round 11 after this window froze have never been
 # driver-rowed and take slots first — c98_pagerank_dangling,
 # c99_dedup_keep_best, c100_bpe_fertility, c101_unimax_mixing,
 # c102_pmi_collocations, c103_audio_decode_stats,
-# q88_window_ignore_nulls, q89_dml_statement_face (all locally
-# hash-verified at sf0.01; c98-c102 + q88/q89 at sf0.1 too) — then
+# c104_data_quality_audit, c105_ngram_novelty,
+# c106_fuzzy_blocked_match, c107_skyline_pareto,
+# q88_window_ignore_nulls, q89_dml_statement_face (ALL locally
+# hash-verified at BOTH sf0.01 and sf0.1 before their commits) — then
 # fill to 50 with the oldest-rowed entries (the r7-rowed block
 # c07/c16/c17/c24/c26-c29/c36-c38/c45-c58 region — check
 # CORRECTNESS_r01-r12 union for the true oldest, and co-window each

@@ -1,0 +1,137 @@
+"""Unit tests for the round-11 late additions: blocked fuzzy record
+linkage (operators/linkage.py), the grid-pruned skyline operator
+(operators/skyline.py), and n-gram novelty (operators/text.py) — each
+checked against an in-Python brute force on adversarial fixtures
+(duplicates, ties, degenerate axes, skewed blocks)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazonredshift_blueprints_spark.operators.linkage import blocked_fuzzy_match
+from amazonredshift_blueprints_spark.operators.skyline import skyline_2d
+from amazonredshift_blueprints_spark.operators.text import ngram_novelty
+
+
+# ---------------------------------------------------------------- skyline
+
+
+def _brute_skyline(points):
+    """ids of points not dominated under minimize-(x, y)."""
+    out = []
+    for i, (pid, x, y) in enumerate(points):
+        dominated = any(
+            (qx <= x and qy <= y and (qx < x or qy < y))
+            for j, (qid, qx, qy) in enumerate(points)
+            if j != i
+        )
+        if not dominated:
+            out.append(pid)
+    return sorted(out)
+
+
+@pytest.mark.parametrize("bins", [4, 64])
+def test_skyline_matches_brute_force(spark, bins):
+    rng = random.Random(7)
+    # small integer grid => plenty of exact ties and duplicate points
+    pts = [(i, float(rng.randint(0, 15)), float(rng.randint(0, 15)))
+           for i in range(300)]
+    df = spark.createDataFrame(pts, "id bigint, x double, y double")
+    got = sorted(r["id"] for r in skyline_2d(df, "x", "y", bins=bins).collect())
+    assert got == _brute_skyline(pts)
+
+
+def test_skyline_keeps_coordinate_equal_frontier_twins(spark):
+    pts = [(1, 1.0, 5.0), (2, 1.0, 5.0), (3, 4.0, 4.0), (4, 9.0, 1.0),
+           (5, 9.0, 9.0)]
+    df = spark.createDataFrame(pts, "id bigint, x double, y double")
+    got = sorted(r["id"] for r in skyline_2d(df, "x", "y", bins=8).collect())
+    # twins 1/2 don't dominate each other; 5 is dominated by 3 and 4
+    assert got == [1, 2, 3, 4]
+
+
+def test_skyline_degenerate_axis_and_empty(spark):
+    # all x equal -> frontier is the min-y row(s) only
+    pts = [(1, 2.0, 9.0), (2, 2.0, 3.0), (3, 2.0, 7.0)]
+    df = spark.createDataFrame(pts, "id bigint, x double, y double")
+    got = [r["id"] for r in skyline_2d(df, "x", "y", bins=4).collect()]
+    assert got == [2]
+    empty = df.limit(0)
+    assert skyline_2d(empty, "x", "y").count() == 0
+
+
+# ---------------------------------------------------------------- linkage
+
+
+def test_blocked_fuzzy_match_vs_brute_force(spark):
+    rows = [
+        (1, "red bolt", "bolt"),
+        (2, "old bolt", "bolt"),
+        (3, "blue bolt", "bolt"),
+        (4, "red gear", "gear"),
+        (5, "red bolt", "bolt"),  # exact duplicate -> distance 0 pair
+        (6, "red gearx", "gearx"),  # cross-block near-match: MISSED by design
+    ]
+    df = spark.createDataFrame(rows, "id bigint, name string, blk string")
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in blocked_fuzzy_match(
+            df, "id", "name", F.col("blk"), max_distance=2
+        ).collect()
+    }
+
+    def lev(a, b):
+        # tiny DP reference
+        d = [[i + j if 0 in (i, j) else 0 for j in range(len(b) + 1)]
+             for i in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1,
+                              d[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+        return d[len(a)][len(b)]
+
+    want = {
+        (ia, ib, lev(na, nb))
+        for ia, na, ba in [(r[0], r[1], r[2]) for r in rows]
+        for ib, nb, bb in [(r[0], r[1], r[2]) for r in rows]
+        if ia < ib and ba == bb and lev(na, nb) <= 2
+    }
+    assert got == want
+    assert (1, 5, 0) in got  # exact dup kept as strongest evidence
+    assert not any({a, b} == {4, 6} for a, b, _ in got)  # blocking recall gap
+
+
+def test_blocked_fuzzy_match_max_block_guard(spark):
+    rows = [(i, f"name{i}", "big") for i in range(10)] + [
+        (100, "red bolt", "small"),
+        (101, "old bolt", "small"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, name string, blk string")
+    got = blocked_fuzzy_match(
+        df, "id", "name", F.col("blk"), max_distance=2, max_block=5
+    ).collect()
+    # the oversized 'big' block is dropped entirely; 'small' survives
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(100, 101)}
+
+
+# ---------------------------------------------------------------- novelty
+
+
+def test_ngram_novelty_duplicates_and_first_seen(spark):
+    rows = [
+        (1, "a b c d e"),          # first doc: all grams novel
+        (2, "a b c d e"),          # exact duplicate: nothing novel
+        (3, "a b c x y z"),        # shares 'a b c' only
+        (4, "p q"),                # too short for 3-grams: omitted
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in ngram_novelty(df, "doc_id", "text").collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["novelty_pct"] == 100.0
+    assert got[2]["n_novel"] == 0 and got[2]["novelty_pct"] == 0.0
+    # doc 3 grams: 'a b c', 'b c x', 'c x y', 'x y z' -> 3 of 4 novel
+    assert (got[3]["n_grams"], got[3]["n_novel"]) == (4, 3)
+    assert got[3]["novelty_pct"] == pytest.approx(75.0)

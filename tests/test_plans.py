@@ -550,6 +550,29 @@ def test_round11_partc_plan_shapes(spark, sf_dir):
         assert "stratum" in spec, spec
 
 
+def test_round11_late_additions_plan_shapes(spark, sf_dir):
+    """c105 novelty: same shape as TF-IDF — gram-keyed aggregate with
+    map-side partial MIN, an equi-join back, never a cartesian or a
+    nested-loop. c106 linkage: levenshtein runs INSIDE the block
+    equi-join (JVM codegen residual), no cartesian/BNLJ. c107 skyline:
+    the only nested-loop is the candidate-vs-candidate LeftAnti (on the
+    staircase band), gated behind a LeftSemi cell-prune join; the full
+    table never meets itself."""
+    p105 = _plan(spark, sf_dir, "c105_ngram_novelty")
+    assert "CartesianProduct" not in p105
+    assert "BroadcastNestedLoopJoin" not in p105
+    assert "partial_min" in p105  # first-seen MIN combines map-side
+    p106 = _plan(spark, sf_dir, "c106_fuzzy_blocked_match")
+    assert "CartesianProduct" not in p106
+    assert "BroadcastNestedLoopJoin" not in p106
+    assert "levenshtein" in p106  # verify is a JVM join residual
+    p107 = _plan(spark, sf_dir, "c107_skyline_pareto")
+    assert "CartesianProduct" not in p107
+    assert p107.count("BroadcastNestedLoopJoin") == 1
+    assert "LeftAnti" in p107
+    assert "LeftSemi" in p107  # grid-prune semi-join gates the BNLJ
+
+
 def test_c104_audit_single_scan_and_anti_join(spark, sf_dir):
     """The audit's row-local checks + distinct must plan as ONE scan of
     the audited set (conditional sums in one aggregate; the Expand for
