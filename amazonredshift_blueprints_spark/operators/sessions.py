@@ -180,3 +180,48 @@ def funnel_counts(
     for df in out[1:]:
         res = res.unionByName(df)
     return res
+
+
+def event_pattern_counts(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    order_cols: list[str],
+    patterns: dict[str, str],
+) -> DataFrame:
+    """Sequential pattern matching over per-user event streams — the
+    MATCH_RECOGNIZE family, reduced to its portable core: order each
+    user's events by ``order_cols``, join the event-type sequence into
+    one comma-separated string, and count non-overlapping regex
+    occurrences of each named pattern (e.g. exact adjacency
+    ``'view,purchase'``, error-tolerant ``'view(,error)*,purchase'``).
+
+    Returns (user, n_events, <one BIGINT column per pattern name>).
+
+    Scale: ONE user-keyed shuffle; per-user state is bounded by a
+    user's activity history (the same contract as sessionization and
+    pack_documents) — compose with :func:`sessionize` first to bound
+    it harder; the regex scan runs JVM-side per user row. Determinism:
+    ``order_cols`` must totalize the order (include a unique id);
+    non-overlapping greedy regex counts replay identically across
+    engines.
+    """
+    seq = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(*order_cols, type_col))
+            ),
+            lambda s: s[type_col],
+        ),
+        ",",
+    )
+    agg = df.groupBy(F.col(user_col)).agg(
+        seq.alias("_seq"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    cols = [F.col(user_col), F.col("n_events")]
+    for name, pat in patterns.items():
+        cols.append(
+            F.regexp_count("_seq", F.lit(pat)).cast("long").alias(name)
+        )
+    return agg.select(*cols)

@@ -2040,3 +2040,116 @@ def ivf_range_search(
         )
         .filter(F.col("cosine") >= F.lit(threshold))
     )
+
+
+def sq8_train_bounds(
+    corpus: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, int]]:
+    """Per-dimension (lo, hi) integer bounds of the quantized corpus —
+    the SQ8 "codebook". One posexplode → dim-keyed MIN/MAX aggregate
+    (partial-agg friendly); the result is DIMS rows, collected to the
+    driver like every other codebook (metadata-sized by construction).
+    """
+    comp = corpus.select(
+        F.posexplode(quantize(F.col(vec_col))).alias("dim", "x")
+    )
+    rows = (
+        comp.groupBy("dim")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .orderBy("dim")
+        .collect()
+    )
+    return [(int(r["lo"]), int(r["hi"])) for r in rows]
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Scalar-quantization (SQ8) ANN — the remaining FAISS compression
+    rung next to brute (c06), LSH (c07/c38), IVF (c17/c28/c37), PQ
+    (c71), and IVF-PQ (c72/c74): every corpus vector is stored as one
+    8-bit code PER DIMENSION against per-dimension (min, max) bounds —
+    4× smaller than float32, far cheaper to train than PQ (two scalars
+    per dimension, no k-means), and the standard first step down from
+    exact search.
+
+    Metric is INNER PRODUCT (FAISS ``IndexScalarQuantizer`` with
+    ``METRIC_INNER_PRODUCT``) — ranking by the raw dot against the
+    reconstruction, not norm-corrected cosine; c06 stays the cosine
+    exactness anchor.
+
+    All arithmetic is exact integer so the oracle replays bit-for-bit:
+    bounds (lo, hi) live in the 1e-6 quantized domain; the code is
+    ``((x - lo) * 255) div (hi - lo)`` (floor division of non-negative
+    ints — identical in Spark ``div`` and DuckDB ``//``); scoring is
+    asymmetric (exact query vs reconstructed corpus) with the
+    reconstruction kept 255×-scaled to stay integral:
+    ``recon_d = lo_d * 255 + code_d * (hi_d - lo_d)`` and
+    ``score = Σ_d q_d · recon_d`` (BIGINT; |x| ≤ 0.53 at dim 64 keeps
+    every term < 2^53). Returns (query_id, neighbor_id, score_q, rank),
+    rank ≤ k by (score desc, id asc), self-matches excluded.
+
+    Scale: training is one dim-keyed aggregate; encoding is MAP-ONLY
+    with the bounds as literal arrays in the expression (codes scan,
+    no join); scoring broadcasts the query block over the CODES scan
+    and reconstructs inline in JVM codegen — the corpus floats are
+    read once at encode time and never again.
+    """
+    bounds = sq8_train_bounds(corpus, id_col=id_col, vec_col=vec_col)
+    lo_arr = F.array(*[F.lit(lo) for lo, _ in bounds])
+    span_arr = F.array(*[F.lit(hi - lo) for lo, hi in bounds])
+
+    # code = ((x - lo) * 255) div span. floor-of-double-division is safe
+    # here: a non-integer quotient sits >= 1/span >= ~5e-7 away from any
+    # integer while half-ulp at the numerator's magnitude (<= ~2.7e8) is
+    # ~1.5e-8 — division can never round across the floor boundary, so
+    # this equals DuckDB's integer `//` exactly.
+    def codes_of(qv):
+        shifted = F.zip_with(qv, lo_arr, lambda x, lo: x - lo)
+        return F.zip_with(
+            shifted,
+            span_arr,
+            lambda s, sp: F.when(sp == 0, F.lit(0).cast("long")).otherwise(
+                F.floor((s * 255) / sp).cast("long")
+            ),
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        codes_of(quantize(F.col(vec_col))).alias("codes"),
+    )
+    recon = F.zip_with(
+        F.zip_with(F.col("codes"), span_arr, lambda code, sp: code * sp),
+        lo_arr,
+        lambda scaled, lo: lo * 255 + scaled,
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize(F.col(vec_col)).alias("query_q"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(F.col("query_q"), recon, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_q"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -9457,6 +9457,105 @@ def c107_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c108_ann_sq8_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings),
+    comp AS (
+        SELECT vec_id, unnest(generate_series(1, len(qv))) AS dim, qv
+        FROM v
+    ),
+    comp2 AS (SELECT vec_id, dim, qv[dim] AS x FROM comp),
+    bounds AS (
+        SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM comp2 GROUP BY dim
+    ),
+    recon AS (
+        SELECT c.vec_id, c.dim,
+               b.lo * 255 + (CASE WHEN b.hi = b.lo THEN 0
+                                  ELSE ((c.x - b.lo) * 255) // (b.hi - b.lo)
+                             END) * (b.hi - b.lo) AS r
+        FROM comp2 c JOIN bounds b USING (dim)
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+               CAST(SUM(q.x * r.r) AS BIGINT) AS score_q
+        FROM comp2 q
+        JOIN recon r ON q.dim = r.dim AND q.vec_id <> r.vec_id
+        WHERE q.vec_id < 10
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, score_q, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY score_q DESC, neighbor_id
+        ) AS BIGINT) AS rank FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="scalar-quantization SQ8 ANN (operators/similarity.sq8_topk — "
+        "the remaining FAISS compression rung next to brute c06, LSH "
+        "c07/c38, IVF c17, PQ c71, IVF-PQ c72/c74): one 8-bit code PER "
+        "DIMENSION against per-dim (min, max) bounds — 4x smaller than "
+        "float32, trained by ONE dim-keyed MIN/MAX aggregate (no "
+        "k-means). Encoding is map-only with the bounds as literal "
+        "arrays (codes scan, no join); scoring is asymmetric — exact "
+        "query vs 255x-scaled integer reconstruction — entirely in "
+        "BIGINT, so the approximation replays bit-for-bit in the "
+        "oracle. Floor-of-double division == integer // here (proof in "
+        "the operator docstring)",
+    tags=("similarity", "approx"),
+)
+def c108_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import sq8_topk
+
+    e = views(spark, sf_dir, "embeddings")["embeddings"]
+    return sq8_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "c109_event_pattern_regex",
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(len(regexp_extract_all(seq, 'view,purchase'))
+                AS BIGINT) AS n_direct,
+           CAST(len(regexp_extract_all(seq, 'view(,error)*,purchase'))
+                AS BIGINT) AS n_tolerant
+    FROM seqs
+    """,
+    doc="sequential pattern matching over per-user event streams (the "
+        "MATCH_RECOGNIZE / funnel-with-adjacency family, distinct from "
+        "c34's stage-count funnel): order each user's events by "
+        "(ts, event_id), join the type sequence into one string, and "
+        "count regex occurrences — exact adjacency 'view,purchase' "
+        "and error-tolerant 'view(,error)*,purchase' (conversions "
+        "interrupted only by errors). Plan: ONE user-keyed shuffle "
+        "(sort_array over collect_list — per-user state bounded by "
+        "activity history, the sessionization contract; compose with "
+        "c12 session splitting to bound it harder), regex runs "
+        "JVM-side per user row. Both engines scan non-overlapping "
+        "greedy matches, so counts replay exactly",
+    tags=("events", "pattern", "text"),
+)
+def c109_event_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessions import event_pattern_counts
+
+    t = views(spark, sf_dir, "events")["events"]
+    return event_pattern_counts(
+        t,
+        "user_id",
+        "event_type",
+        ["ts", "event_id"],
+        {
+            "n_direct": "view,purchase",
+            "n_tolerant": "view(,error)*,purchase",
+        },
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -9485,15 +9584,16 @@ def c107_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 12
+# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 14
 # entries added in round 11 after this window froze have never been
 # driver-rowed and take slots first — c98_pagerank_dangling,
 # c99_dedup_keep_best, c100_bpe_fertility, c101_unimax_mixing,
 # c102_pmi_collocations, c103_audio_decode_stats,
 # c104_data_quality_audit, c105_ngram_novelty,
-# c106_fuzzy_blocked_match, c107_skyline_pareto,
-# q88_window_ignore_nulls, q89_dml_statement_face (ALL locally
-# hash-verified at BOTH sf0.01 and sf0.1 before their commits) — then
+# c106_fuzzy_blocked_match, c107_skyline_pareto, c108_ann_sq8_topk,
+# c109_event_pattern_regex, q88_window_ignore_nulls,
+# q89_dml_statement_face (ALL locally hash-verified at BOTH sf0.01
+# and sf0.1 before their commits) — then
 # fill to 50 with the oldest-rowed entries (the r7-rowed block
 # c07/c16/c17/c24/c26-c29/c36-c38/c45-c58 region — check
 # CORRECTNESS_r01-r12 union for the true oldest, and co-window each

@@ -571,6 +571,19 @@ def test_round11_late_additions_plan_shapes(spark, sf_dir):
     assert p107.count("BroadcastNestedLoopJoin") == 1
     assert "LeftAnti" in p107
     assert "LeftSemi" in p107  # grid-prune semi-join gates the BNLJ
+    # c108: scoring scans CODES with the broadcast query block (one BNLJ
+    # cross, never a shuffle join); the only hash exchange is the
+    # per-query top-k window. Training already ran (codebook collect).
+    p108 = _plan(spark, sf_dir, "c108_ann_sq8_topk")
+    assert "CartesianProduct" not in p108
+    assert p108.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in p108
+    # c109: one user-keyed shuffle, no joins at all
+    p109 = _plan(spark, sf_dir, "c109_event_pattern_regex")
+    assert "Join" not in p109
+    import re as _re2
+
+    assert len(_re2.findall(r"Exchange hashpartitioning", p109)) == 1
 
 
 def test_c104_audit_single_scan_and_anti_join(spark, sf_dir):

@@ -761,3 +761,66 @@ def test_ivf_range_search_subset_and_recall(spark, sf_dir):
     assert pruned <= exact
     assert exact  # fixture yields matches at this threshold
     assert len(pruned) / len(exact) >= 0.8
+
+
+def test_sq8_topk_numpy_replay_and_dot_recall(spark, sf_dir, vecs):
+    """SQ8 scores replay exactly in int64 numpy; top-5 by the quantized
+    inner product recalls >= 0.8 of the EXACT inner-product top-5 (the
+    operator's metric — c06's cosine anchor is a different metric)."""
+    from amazonredshift_blueprints_spark.operators.similarity import sq8_topk
+
+    ids, q = vecs
+    e = load_table(spark, sf_dir, "embeddings")
+    got = sq8_topk(e, e.filter(F.col("vec_id") < 10), k=5).collect()
+
+    qi = q.astype(np.int64)
+    lo, hi = qi.min(axis=0), qi.max(axis=0)
+    span = hi - lo
+    safe = np.where(span == 0, 1, span)
+    codes = np.where(span == 0, 0, ((qi - lo) * 255) // safe)
+    recon = lo * 255 + codes * span
+
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r["query_id"], []).append(r)
+    assert set(by_query) == set(range(10))
+    hits = tot = 0
+    for qid, rows in by_query.items():
+        i = int(np.where(ids == qid)[0][0])
+        sq_scores = recon @ qi[i]
+        cand = sorted(
+            ((int(s), int(ids[j])) for j, s in enumerate(sq_scores)
+             if ids[j] != qid),
+            key=lambda t: (-t[0], t[1]),
+        )
+        rows.sort(key=lambda r: r["rank"])
+        assert len(rows) == 5
+        for r, (s, nid) in zip(rows, cand[:5]):
+            assert (r["neighbor_id"], r["score_q"]) == (nid, s)
+        exact = sorted(
+            ((int(s), int(ids[j])) for j, s in enumerate(qi @ qi[i])
+             if ids[j] != qid),
+            key=lambda t: (-t[0], t[1]),
+        )
+        hits += len({n for _, n in cand[:5]} & {n for _, n in exact[:5]})
+        tot += 5
+    assert hits / tot >= 0.8
+
+
+def test_sq8_flat_dimension_codes_zero(spark):
+    """A constant dimension (span 0) must encode to code 0 everywhere,
+    not divide by zero."""
+    from amazonredshift_blueprints_spark.operators.similarity import sq8_topk
+
+    rows = [(i, [float(i), 7.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = sq8_topk(df, df.filter(F.col("vec_id") < 2), k=3).collect()
+    assert len(out) == 6  # 2 queries x top-3
+    # dim 2 is constant: recon there is lo*255 for every vector, so the
+    # score ordering is driven by dim 1 alone. Query 0's dim-1 component
+    # is 0 -> every score ties -> lowest neighbor id wins; query 1's is
+    # positive -> the largest dim-1 vector (id 5) ranks first.
+    top0 = [r for r in out if r["query_id"] == 0 and r["rank"] == 1][0]
+    assert top0["neighbor_id"] == 1
+    top1 = [r for r in out if r["query_id"] == 1 and r["rank"] == 1][0]
+    assert top1["neighbor_id"] == 5

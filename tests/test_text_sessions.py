@@ -605,3 +605,35 @@ def test_pmi_collocations_closed_form(spark):
     # pairs under the floor are absent ('q p' appears 6x... check one
     # that truly is rare): no pair with n_pair < 5 survived
     assert all(n >= 5 for n, _, _ in got.values())
+
+
+def test_event_pattern_counts_semantics(spark):
+    from amazonredshift_blueprints_spark.operators.sessions import (
+        event_pattern_counts,
+    )
+
+    rows = [
+        # user 1: view -> error -> purchase  (tolerant only)
+        (1, 1, "view"), (1, 2, "error"), (1, 3, "purchase"),
+        # user 2: two direct conversions
+        (2, 1, "view"), (2, 2, "purchase"), (2, 3, "view"), (2, 4, "purchase"),
+        # user 3: click interrupts -> neither pattern
+        (3, 1, "view"), (3, 2, "click"), (3, 3, "purchase"),
+        # user 4: out-of-order input; ordering by seq must fix it
+        (4, 2, "purchase"), (4, 1, "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, seq bigint, event_type string")
+    got = {
+        r["user_id"]: (r["n_events"], r["n_direct"], r["n_tolerant"])
+        for r in event_pattern_counts(
+            df, "user_id", "event_type", ["seq"],
+            {"n_direct": "view,purchase",
+             "n_tolerant": "view(,error)*,purchase"},
+        ).collect()
+    }
+    assert got == {
+        1: (3, 0, 1),
+        2: (4, 2, 2),
+        3: (3, 0, 0),
+        4: (2, 1, 1),
+    }
