@@ -1045,3 +1045,115 @@ def minhash_recall_eval(
             / F.nullif(F.col("n_candidates"), F.lit(0)).cast("double")
         ).alias("candidate_precision"),
     )
+
+
+def setsim_prefix_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold_pct: int = 60,
+    ngram: int = 1,
+) -> DataFrame:
+    """Exact set-similarity self-join via PREFIX FILTERING (the
+    PPJoin/AllPairs candidate-generation rule, Xiao et al. WWW'08 /
+    Bayardo et al. WWW'07): all pairs of documents whose distinct-token
+    Jaccard is >= ``threshold_pct``/100, computed EXACTLY — the
+    deterministic alternative to MinHash-LSH (c02): LSH trades recall
+    probabilistically; prefix filtering is lossless and still never
+    |docs|².
+
+    The rule: order each document's tokens canonically by ascending
+    global document frequency (rarest first, token text tiebreak). For
+    Jaccard >= t, two sets of sizes La, Lb must share >= 1 token among
+    their first ``L - ceil(t·L) + 1`` tokens — so only prefix tokens
+    generate candidates, and prefixes are built from the RAREST tokens,
+    exactly the ones with short posting lists. Stopword-dominated pairs
+    (every doc shares 'the') never meet unless a rare token brings them
+    together.
+
+    All-integer thresholding: ``ceil(t·L)`` with t = p/100 is
+    ``(p·L + 99) div 100`` and the verify filter is
+    ``100·inter >= p·union`` — no floats anywhere, so the output
+    replays exactly in any engine. Returns (id_a, id_b, n_inter,
+    n_union), id_a < id_b.
+
+    Scale shape: doc-frequency is one token-keyed aggregate; the
+    canonical order is a PER-DOCUMENT window (state bounded by a doc's
+    distinct-token count, not the corpus); candidates are ONE
+    self-equi-join on prefix tokens whose cost is Σ (rare-token
+    posting)² — the prefix theorem is what keeps postings short; the
+    verify joins the two token ARRAYS back by id (array_intersect in
+    JVM codegen) rather than re-exploding. A frequency cap on prefix
+    tokens (drop postings past the c48-style doc-freq cap) bolts on as
+    one filter if a corpus has rare-but-still-hot tokens.
+    """
+    from pyspark.sql.window import Window
+
+    p = threshold_pct
+    # The set domain: distinct tokens (ngram=1) or distinct word
+    # n-grams (shingles — the c02/c04 domain). Shingles are the right
+    # choice for near-dup text: a tiny shared vocabulary makes TOKEN
+    # sets of unrelated docs similar, but n-gram sets stay
+    # discriminative (and their rare-first prefixes keep postings
+    # short, which is the whole point of the filter).
+    items = (
+        F.array_distinct(tokens(text_col))
+        if ngram <= 1
+        else word_ngrams(tokens(text_col), ngram)
+    )
+    toks = (
+        rebalance_for_compute(df)
+        .select(F.col(id_col).alias("doc_id"), items.alias("t"))
+        .filter(F.size("t") > 0)
+    )
+    # Persisted because three consumers read it (the explode feeding
+    # dfreq/prefix, and both verify-side array joins); callers that
+    # fully materialize the result release it via the `_bp_cache_owner`
+    # handle (same convention as ingest.read_files_tolerant).
+    toks = toks.persist()
+    exploded = toks.select("doc_id", F.size("t").alias("L"),
+                           F.explode("t").alias("token"))
+    dfreq = exploded.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "token")
+    prefix = (
+        exploded.join(dfreq, "token")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.col("L") - F.expr(f"({p} * L + 99) div 100") + 1
+        )
+        .select("doc_id", "token")
+    )
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "token")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    v = (
+        cands.join(
+            toks.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta")),
+            "id_a",
+        )
+        .join(
+            toks.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ta", "tb")).cast("long").alias("n_inter"),
+            (F.size("ta") + F.size("tb")
+             - F.size(F.array_intersect("ta", "tb"))).cast("long")
+            .alias("n_union"),
+        )
+        .filter(F.lit(100) * F.col("n_inter") >= F.lit(p) * F.col("n_union"))
+        .select("id_a", "id_b", "n_inter", "n_union")
+    )
+    v._bp_cache_owner = toks
+    return v

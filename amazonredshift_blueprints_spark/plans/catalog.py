@@ -9556,6 +9556,93 @@ def c109_event_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c110_setsim_prefix_join",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    toks AS (SELECT doc_id, {_DUCK_GRAMS3} AS t FROM tk),
+    e AS (SELECT doc_id, unnest(t) AS token FROM toks WHERE len(t) > 0),
+    sized AS (SELECT doc_id, len(t) AS L FROM toks WHERE len(t) > 0),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM e a JOIN e b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_inter,
+           CAST(sa.L + sb.L - n_inter AS BIGINT) AS n_union
+    FROM pairs
+    JOIN sized sa ON sa.doc_id = id_a
+    JOIN sized sb ON sb.doc_id = id_b
+    WHERE 100 * n_inter >= 60 * (sa.L + sb.L - n_inter)
+    """,
+    doc="exact set-similarity self-join by PREFIX FILTERING "
+        "(operators/dedup.setsim_prefix_join; PPJoin/AllPairs, Xiao "
+        "WWW'08 / Bayardo WWW'07): all pairs with 3-gram-shingle "
+        "Jaccard >= 0.6 (the c02/c04 set domain), computed EXACTLY — "
+        "the lossless deterministic alternative to MinHash-LSH c02. "
+        "Candidates come only from each doc's L-ceil(tL)+1 RAREST "
+        "shingles (ascending doc-frequency order), so posting lists "
+        "at the join are short by construction; verify joins the "
+        "shingle ARRAYS back (array_intersect in codegen). "
+        "All-integer thresholding (ceil via (60L+99) div 100; filter "
+        "100·inter >= 60·union) — no floats anywhere. The ORACLE is "
+        "the naive all-shared-shingle spec, so the hash match PROVES "
+        "the prefix filter lossless on this corpus",
+    bench=True,
+    tags=("dedup", "join"),
+)
+def c110_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import setsim_prefix_join
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return setsim_prefix_join(d, "doc_id", "text", threshold_pct=60, ngram=3)
+
+
+@query(
+    "c111_triangle_count",
+    oracle="""
+    WITH lp AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+        SELECT DISTINCT a.p AS lo, b.p AS hi
+        FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+    JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+    """,
+    doc="global triangle count by degree orientation (operators/graph."
+        "triangle_count; Suri-Vassilvitskii WWW'11) over the "
+        "co-purchase graph — parts sharing an order in lineitem. "
+        "Orientation from the lower-(degree, id) endpoint bounds the "
+        "wedge self-join by O(m^1.5) total instead of Σ deg² (a hub "
+        "keeps ~no out-edges as a wedge center), then one semi-join "
+        "closes wedges against the canonical edge set — three "
+        "equi-joins, nothing driver-side. The ORACLE is the naive "
+        "ordered-triple spec (e1=(a,b), e2=(a,c), e3=(b,c)), so the "
+        "match proves the orientation counts each triangle exactly "
+        "once",
+    tags=("graph",),
+)
+def c111_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_count
+
+    li = views(spark, sf_dir, "lineitem")["lineitem"]
+    lp = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    edges = (
+        lp.alias("a")
+        .join(lp.alias("b"), "o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+    )
+    return triangle_count(edges)
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -9584,14 +9671,15 @@ def c109_event_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 14
+# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 16
 # entries added in round 11 after this window froze have never been
 # driver-rowed and take slots first — c98_pagerank_dangling,
 # c99_dedup_keep_best, c100_bpe_fertility, c101_unimax_mixing,
 # c102_pmi_collocations, c103_audio_decode_stats,
 # c104_data_quality_audit, c105_ngram_novelty,
 # c106_fuzzy_blocked_match, c107_skyline_pareto, c108_ann_sq8_topk,
-# c109_event_pattern_regex, q88_window_ignore_nulls,
+# c109_event_pattern_regex, c110_setsim_prefix_join,
+# c111_triangle_count, q88_window_ignore_nulls,
 # q89_dml_statement_face (ALL locally hash-verified at BOTH sf0.01
 # and sf0.1 before their commits) — then
 # fill to 50 with the oldest-rowed entries (the r7-rowed block

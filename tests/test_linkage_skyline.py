@@ -135,3 +135,86 @@ def test_ngram_novelty_duplicates_and_first_seen(spark):
     # doc 3 grams: 'a b c', 'b c x', 'c x y', 'x y z' -> 3 of 4 novel
     assert (got[3]["n_grams"], got[3]["n_novel"]) == (4, 3)
     assert got[3]["novelty_pct"] == pytest.approx(75.0)
+
+
+# ------------------------------------------------------- setsim / triangles
+
+
+def test_setsim_prefix_join_matches_brute_force(spark):
+    from amazonredshift_blueprints_spark.operators.dedup import (
+        setsim_prefix_join,
+    )
+
+    docs = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g h"),          # exact dup of 1
+        (3, "a b c d e f g x"),          # near dup of 1/2
+        (4, "p q r s t u v w"),          # unrelated
+        (5, "a b c p q r s t"),          # shares half with 1, half with 4
+        (6, "x y"),                      # too short for 3-grams
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_inter"], r["n_union"])
+        for r in setsim_prefix_join(
+            df, "doc_id", "text", threshold_pct=60, ngram=3
+        ).collect()
+    }
+
+    def grams(t):
+        toks = t.split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    want = {}
+    for i, (ia, ta) in enumerate([(d, t) for d, t in docs]):
+        for ib, tb in docs[i + 1:]:
+            ga, gb = grams(ta), grams(tb)
+            if not ga or not gb:
+                continue
+            inter = len(ga & gb)
+            union = len(ga | gb)
+            if 100 * inter >= 60 * union:
+                want[(ia, ib)] = (inter, union)
+    assert got == want
+    assert (1, 2) in got and (1, 3) in got  # dup + planted near-dup found
+    assert not any(4 in pair for pair in got)  # unrelated stays out
+
+
+def test_setsim_prefix_join_token_domain(spark):
+    from amazonredshift_blueprints_spark.operators.dedup import (
+        setsim_prefix_join,
+    )
+
+    docs = [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_inter"], r["n_union"])
+        for r in setsim_prefix_join(
+            df, "doc_id", "text", threshold_pct=60, ngram=1
+        ).collect()
+    }
+    assert got == {(1, 2): (3, 5)}  # 3/5 = 0.6 exactly (>= is inclusive)
+
+
+def test_triangle_count_matches_brute_force(spark):
+    import itertools
+    import random
+
+    from amazonredshift_blueprints_spark.operators.graph import triangle_count
+
+    rng = random.Random(11)
+    edges = [(rng.randint(0, 19), rng.randint(0, 19)) for _ in range(80)]
+    edges += [(3, 3), (5, 5)]            # self loops: ignored
+    edges += edges[:10]                  # duplicates: deduped
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = triangle_count(df).collect()[0]["n_triangles"]
+
+    undirected = {frozenset(e) for e in edges if e[0] != e[1]}
+    nodes = sorted({v for e in undirected for v in e})
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if {frozenset((a, b)), frozenset((a, c)), frozenset((b, c))}
+        <= undirected
+    )
+    assert got == want and want > 0

@@ -584,6 +584,21 @@ def test_round11_late_additions_plan_shapes(spark, sf_dir):
     import re as _re2
 
     assert len(_re2.findall(r"Exchange hashpartitioning", p109)) == 1
+    # c110: prefix-filtered set-similarity — no cartesian/BNLJ anywhere
+    # (the whole point: candidates come from an equi-join on prefix
+    # shingles), and the verify stage reads token ARRAYS back
+    # (array_intersect in codegen), never a re-explode.
+    p110 = _plan(spark, sf_dir, "c110_setsim_prefix_join")
+    assert "CartesianProduct" not in p110
+    assert "BroadcastNestedLoopJoin" not in p110
+    assert "array_intersect" in p110
+    # c111: triangles close via ONE LeftSemi; the canonical edge set is
+    # persisted (InMemoryTableScan) so its dedup lineage runs once for
+    # its four consumers; never a cartesian.
+    p111 = _plan(spark, sf_dir, "c111_triangle_count")
+    assert "CartesianProduct" not in p111
+    assert p111.count("LeftSemi") == 1
+    assert "InMemoryTableScan" in p111
 
 
 def test_c104_audit_single_scan_and_anti_join(spark, sf_dir):
