@@ -1,0 +1,261 @@
+"""Counts-based ML primitives over DataFrames: multinomial Naive Bayes,
+leave-one-out target encoding, two-proportion z-tests.
+
+Everything here is deliberately *aggregate-shaped* — each "model" is a
+small counts table produced by hash aggregates (map-side partials free),
+broadcast back onto the event/token stream for scoring. No gradient
+loops, no driver-side math over data-sized collections; the only
+transcendentals (ln, sqrt) go through the catalog's fixed-IEEE
+micro-unit quantization contract so results replay bit-exactly in any
+engine.
+
+Reference basis: the reference (shipyardapp/amazonredshift-blueprints)
+delegates all analytics to SQL (`execute_sql.py:77`); these are the
+training-data-curation extensions SURVEY.md §2C calls for (quality
+classifiers, feature encodings, experiment readouts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens
+
+_MICRO = 1_000_000
+
+
+def _ln_q(num: Column, den: Column) -> Column:
+    """round(ln(num/den) * 1e6) as BIGINT — ONE fixed IEEE expression
+    (the c58/c63 ln contract) so Spark and any replaying engine agree
+    bit-for-bit: integer→double casts are exact below 2^53, the double
+    division and ln are single IEEE ops, and rounding to micro-units
+    absorbs nothing (it IS the value)."""
+    return F.round(F.log(num.cast("double") / den.cast("double")) * _MICRO).cast(
+        "long"
+    )
+
+
+def naive_bayes_classify(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Multinomial Naive Bayes, trained and applied in one plan: learn
+    per-label token log-probabilities with add-one (Laplace) smoothing
+    from the labeled corpus itself, then score every document under
+    every label and keep the argmax — the classic cheap text
+    classifier (language ID, quality buckets, topic routing) that
+    CCNet/fastText-style curation pipelines run before anything
+    expensive.
+
+    Model:
+        prior(c)  = ln(n_docs(c) / N_docs)
+        lp(c, t)  = ln((count(c, t) + 1) / (tokens(c) + V))
+        score(d, c) = prior(c) + sum over token OCCURRENCES of lp(c, t)
+    with V = corpus vocabulary size. Every term is quantized to integer
+    micro-units BEFORE summing (``_ln_q``), so the per-document sum is
+    exact and order-independent and the argmax is replayable. Ties
+    break toward the lexically smallest label (min over
+    (-score, label) structs — one aggregate, no window).
+
+    Returns (doc_id, label, pred_label, score_q) — ``label`` is the
+    true label so accuracy is one downstream aggregate. Documents with
+    zero tokens are dropped (no evidence to score).
+
+    100 TB: the model grid is |labels| x V rows — VOCABULARY-sized, not
+    corpus-sized — built by two hash aggregates and a broadcast-able
+    cross of the label dim with the vocab dim; scoring joins the
+    broadcast grid onto the exploded token stream (map-side), then two
+    hash aggregates: (doc, label) partial sums, then the per-doc argmax
+    via one min(struct) — no window over the corpus, no shuffle of the
+    model. |labels| is small by construction (languages, buckets), so
+    the token-stream blowup factor is bounded.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).alias("label"),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    # --- training aggregates (all vocabulary- or label-sized) ---
+    class_tok = toks.groupBy("label", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    class_tot = class_tok.groupBy("label").agg(F.sum("cnt").alias("tot"))
+    vocab = toks.select("token").distinct()
+    v_dim = vocab.agg(F.count(F.lit(1)).alias("v"))  # 1-row dim
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), F.col(label_col).alias("label")
+    )
+    priors = docs.groupBy(F.col("label").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    n_dim = priors.agg(F.sum("n_docs").alias("n_total"))  # 1-row dim
+    prior_q = priors.crossJoin(F.broadcast(n_dim)).select(
+        "cls", _ln_q(F.col("n_docs"), F.col("n_total")).alias("prior_q")
+    )
+    # --- model grid: |labels| x V, Laplace-smoothed ---
+    grid = (
+        class_tot.select(F.col("label").alias("cls"), "tot")
+        .crossJoin(F.broadcast(vocab))
+        .join(
+            class_tok.select(
+                F.col("label").alias("cls"), "token", "cnt"
+            ),
+            ["cls", "token"],
+            "left",
+        )
+        .crossJoin(F.broadcast(v_dim))
+        .select(
+            "cls",
+            "token",
+            _ln_q(
+                F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1),
+                F.col("tot") + F.col("v"),
+            ).alias("lp_q"),
+        )
+    )
+    # --- scoring: token stream x broadcast grid -> (doc, cls) sums ---
+    scored = (
+        toks.select("doc_id", "label", "token")
+        .join(F.broadcast(grid), "token")
+        .groupBy("doc_id", "label", "cls")
+        .agg(F.sum("lp_q").alias("tok_q"))
+        .join(F.broadcast(prior_q), "cls")
+        .select(
+            "doc_id",
+            "label",
+            "cls",
+            (F.col("tok_q") + F.col("prior_q")).alias("score_q"),
+        )
+    )
+    best = (
+        scored.groupBy("doc_id", "label")
+        .agg(
+            F.min(F.struct((-F.col("score_q")).alias("neg"), F.col("cls"))).alias(
+                "b"
+            )
+        )
+        .select(
+            "doc_id",
+            "label",
+            F.col("b.cls").alias("pred_label"),
+            (-F.col("b.neg")).alias("score_q"),
+        )
+    )
+    return best
+
+
+def loo_target_encoding(
+    df: DataFrame,
+    key_col: str,
+    target_col: str,
+    *,
+    scale: int = _MICRO,
+) -> DataFrame:
+    """Leave-one-out target encoding: each row's categorical ``key_col``
+    becomes the mean of ``target_col`` over every OTHER row sharing the
+    key — the standard leakage-resistant encoding for high-cardinality
+    categoricals (a naive per-key mean leaks the row's own target into
+    its feature; LOO subtracts it).
+
+        enc(row) = (sum(key) - target(row)) / (count(key) - 1)
+
+    computed in integer micro-units: targets are quantized once
+    (``round(t * scale)`` → BIGINT), the per-key (sum, count) table is
+    one hash aggregate, and the per-row encoding is one exact integer
+    subtraction and one deterministic double division. Singleton keys
+    (count = 1) encode NULL — no peer evidence — rather than a global
+    fallback, so the caller chooses the imputation.
+
+    Returns the input keys plus (target_q, enc_micro) where
+    ``enc_micro`` is the LOO mean still in micro-units (DOUBLE).
+
+    100 TB: the stats table is KEY-CARDINALITY-sized (hash aggregate,
+    map-side partials) and broadcasts back onto the row stream — the
+    data-sized side never shuffles; with a billion-key categorical the
+    join degrades to a key-keyed shuffle join, still one exchange.
+    """
+    q = F.round(F.col(target_col).cast("double") * scale).cast("long")
+    rows = df.select(
+        F.col(key_col).alias("key"), q.alias("target_q")
+    )
+    stats = rows.groupBy("key").agg(
+        F.sum("target_q").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return rows.join(F.broadcast(stats), "key").select(
+        "key",
+        "target_q",
+        F.when(
+            F.col("n") > 1,
+            (F.col("s") - F.col("target_q")).cast("double")
+            / (F.col("n") - 1),
+        ).alias("enc_micro"),
+    )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Two-proportion z-test between every variant pair (a < b) — the
+    A/B-experiment readout: per-variant trials and successes reduce to
+    one tiny aggregate, then each ordered pair gets the pooled-variance
+    z statistic
+
+        z = (p_a - p_b) / sqrt(p_pool (1 - p_pool) (1/n_a + 1/n_b))
+
+    ``success_col`` must be 0/1 (an integer indicator). Counts are
+    exact BIGINTs; the z statistic is computed in doubles from those
+    exact integers through one fixed expression and ROUNDed to 6
+    decimals (the catalog's transcendental contract — sqrt is
+    correctly-rounded IEEE but the division chain is guarded anyway).
+
+    Returns (variant_a, variant_b, n_a, x_a, n_b, x_b, z) for each
+    unordered pair, variant_a < variant_b lexically.
+
+    100 TB: ONE hash aggregate over the event stream (variant
+    cardinality rows out), then a variant x variant self-join on the
+    metadata-sized stats table — the data is read exactly once.
+    """
+    stats = df.groupBy(F.col(variant_col).alias("variant")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(success_col).cast("long")).alias("x"),
+    )
+    a = stats.select(
+        F.col("variant").alias("variant_a"),
+        F.col("n").alias("n_a"),
+        F.col("x").alias("x_a"),
+    )
+    b = stats.select(
+        F.col("variant").alias("variant_b"),
+        F.col("n").alias("n_b"),
+        F.col("x").alias("x_b"),
+    )
+    pa = F.col("x_a").cast("double") / F.col("n_a")
+    pb = F.col("x_b").cast("double") / F.col("n_b")
+    pp = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (pa - pb) / F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return (
+        a.join(b, F.col("variant_a") < F.col("variant_b"))
+        .select(
+            "variant_a",
+            "variant_b",
+            "n_a",
+            "x_a",
+            "n_b",
+            "x_b",
+            F.round(z, 6).alias("z"),
+        )
+    )

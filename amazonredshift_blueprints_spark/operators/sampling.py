@@ -567,3 +567,46 @@ def frequency_cap(
         .filter(F.col("_rk") <= max_per_group)
         .drop("_rk")
     )
+
+
+def bottomk_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    *,
+    k: int,
+    salt: str = "v1",
+) -> DataFrame:
+    """Bottom-k (a.k.a. KMV / consistent) sampling: keep the ``k`` rows
+    whose salted md5 of ``key_col`` is smallest. Unlike a Bernoulli
+    fraction this yields an EXACT sample size, and unlike a random
+    shuffle it is *coordinated*: the sample is a pure function of the
+    key set, so growing the corpus only ever evicts the largest-hash
+    members (new rows never reshuffle survivors), two corpora sampled
+    with the same salt can be compared member-by-member, and the k-th
+    smallest hash doubles as a distinct-count estimator (KMV:
+    Bar-Yossef et al. 2002). The per-row decision replays on any
+    engine (portable md5, no RNG state).
+
+    Returns the input rows plus ``sample_hash`` (the full 32-hex md5)
+    and ``sample_rank`` (1-based, hash then key order).
+
+    100 TB: this is a global top-k, NOT a global sort — Spark lowers
+    ``orderBy().limit(k)`` to TakeOrderedAndProject: each input
+    partition keeps its own k smallest and only those k-row heads
+    (k x partitions rows total) converge, so there is no range
+    exchange of the data. The final rank window runs on k rows.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(
+        F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))
+    ).alias("sample_hash")
+    top = (
+        df.select("*", h)
+        .orderBy(F.col("sample_hash").asc(), F.col(key_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("sample_hash").asc(), F.col(key_col).asc())
+    return top.withColumn(
+        "sample_rank", F.row_number().over(w).cast("long")
+    )

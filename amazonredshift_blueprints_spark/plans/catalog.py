@@ -9643,6 +9643,123 @@ def c111_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+@query(
+    "c112_naive_bayes_langid",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                   AS toks
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, lang, unnest(toks) AS token FROM t),
+    ct AS (
+        SELECT lang AS cls, token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY 1, 2
+    ),
+    tot AS (SELECT cls, CAST(SUM(cnt) AS BIGINT) AS tot FROM ct GROUP BY 1),
+    vocab AS (SELECT DISTINCT token FROM tok),
+    vd AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+    pri AS (
+        SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    ),
+    nd AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM pri),
+    priq AS (
+        SELECT cls,
+               CAST(round(ln(CAST(n_docs AS DOUBLE)
+                             / CAST(n_total AS DOUBLE)) * 1000000)
+                   AS BIGINT) AS prior_q
+        FROM pri CROSS JOIN nd
+    ),
+    grid AS (
+        SELECT tt.cls, vb.token,
+               CAST(round(ln(CAST(COALESCE(ct.cnt, 0) + 1 AS DOUBLE)
+                             / CAST(tt.tot + vd.v AS DOUBLE)) * 1000000)
+                   AS BIGINT) AS lp_q
+        FROM tot tt
+        CROSS JOIN vocab vb
+        CROSS JOIN vd
+        LEFT JOIN ct ON ct.cls = tt.cls AND ct.token = vb.token
+    ),
+    sc AS (
+        SELECT tk.doc_id, tk.lang AS label, g.cls,
+               CAST(SUM(g.lp_q) AS BIGINT) AS tok_q
+        FROM tok tk JOIN grid g ON g.token = tk.token
+        GROUP BY 1, 2, 3
+    ),
+    scored AS (
+        SELECT s.doc_id, s.label, s.cls,
+               s.tok_q + p.prior_q AS score_q
+        FROM sc s JOIN priq p ON p.cls = s.cls
+    )
+    SELECT doc_id, label, cls AS pred_label, score_q
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY doc_id
+              ORDER BY score_q DESC, cls ASC) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+    doc="multinomial Naive Bayes trained and applied in ONE plan "
+        "(operators/ml.naive_bayes_classify): learn per-lang token "
+        "log-probabilities with add-one smoothing from the labeled "
+        "corpus, score every document under every lang, keep the "
+        "argmax — the fastText/CCNet-style cheap classifier pass of a "
+        "curation pipeline. Every model term quantizes to integer "
+        "micro-units through the fixed c58/c63 ln expression, so "
+        "per-doc sums are order-independent and the argmax replays "
+        "exactly (ties break to the lexically smallest lang via ONE "
+        "min-of-(-score, cls)-struct aggregate — no corpus window). "
+        "100 TB: the model grid is |langs|xV — VOCABULARY-sized — "
+        "built from two hash aggregates, then broadcast onto the "
+        "exploded token stream; scoring is two more hash aggregates. "
+        "The corpus is read once and never joins itself",
+    bench=True,
+    tags=("ml", "text", "llm"),
+)
+def c112_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import naive_bayes_classify
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return naive_bayes_classify(d, "doc_id", "text", "lang")
+
+
+@query(
+    "c113_bottomk_hash_sample",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, lang, source, n_chars,
+               md5(CAST(doc_id AS VARCHAR) || ':v1') AS sample_hash
+        FROM documents
+    ),
+    top AS (SELECT * FROM h ORDER BY sample_hash ASC, doc_id ASC LIMIT 60)
+    SELECT doc_id, lang, source, n_chars, sample_hash,
+           CAST(row_number() OVER (ORDER BY sample_hash ASC, doc_id ASC)
+               AS BIGINT) AS sample_rank
+    FROM top
+    """,
+    doc="bottom-k / KMV consistent sample of 60 documents "
+        "(operators/sampling.bottomk_hash_sample): keep the k rows "
+        "with the smallest salted md5 of the key — EXACT sample size "
+        "(vs Bernoulli's binomial jitter), COORDINATED across corpus "
+        "versions (growing the corpus only evicts the largest-hash "
+        "members, so samples stay member-comparable across snapshots "
+        "— Bar-Yossef et al. 2002 KMV; the k-th hash doubles as a "
+        "distinct-count estimator). Plan: orderBy(hash).limit(k) "
+        "lowers to TakeOrderedAndProject — each partition ships only "
+        "its own k smallest, NO global range sort of the data; the "
+        "rank window then runs on k rows",
+    tags=("sampling", "llm"),
+)
+def c113_bottomk_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import bottomk_hash_sample
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return bottomk_hash_sample(
+        d.select("doc_id", "lang", "source", "n_chars"), "doc_id", k=60
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -9671,7 +9788,7 @@ def c111_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 16
+# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 18
 # entries added in round 11 after this window froze have never been
 # driver-rowed and take slots first — c98_pagerank_dangling,
 # c99_dedup_keep_best, c100_bpe_fertility, c101_unimax_mixing,
@@ -9679,7 +9796,8 @@ def c111_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # c104_data_quality_audit, c105_ngram_novelty,
 # c106_fuzzy_blocked_match, c107_skyline_pareto, c108_ann_sq8_topk,
 # c109_event_pattern_regex, c110_setsim_prefix_join,
-# c111_triangle_count, q88_window_ignore_nulls,
+# c111_triangle_count, c112_naive_bayes_langid,
+# c113_bottomk_hash_sample, q88_window_ignore_nulls,
 # q89_dml_statement_face (ALL locally hash-verified at BOTH sf0.01
 # and sf0.1 before their commits) — then
 # fill to 50 with the oldest-rowed entries (the r7-rowed block

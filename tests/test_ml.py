@@ -1,0 +1,82 @@
+"""operators/ml.py semantics on hand-computed fixtures: Naive Bayes
+(smoothing, argmax tiebreak), leave-one-out target encoding (singleton
+NULL), two-proportion z-test (closed form)."""
+
+from __future__ import annotations
+
+import math
+
+from amazonredshift_blueprints_spark.operators.ml import (
+    loo_target_encoding,
+    naive_bayes_classify,
+    two_proportion_ztest,
+)
+
+
+def test_naive_bayes_separable_corpus(spark):
+    """Fully separable vocabularies → every doc classified correctly,
+    and the winning score matches the hand-computed smoothed model."""
+    rows = [
+        (1, "aa aa bb", "en"),
+        (2, "aa bb bb", "en"),
+        (3, "xx yy yy", "de"),
+        (4, "xx xx yy", "de"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        r["doc_id"]: (r["label"], r["pred_label"], r["score_q"])
+        for r in naive_bayes_classify(df, "doc_id", "text", "lang").collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    for doc_id, (label, pred, _) in got.items():
+        assert pred == label, (doc_id, label, pred)
+    # hand-check doc 1 under 'en': V=4 vocab tokens, en has 6 tokens;
+    # counts en: aa=3, bb=3. prior ln(2/4).
+    q = lambda x: round(math.log(x) * 1_000_000)
+    want = q(2 / 4) + 2 * q((3 + 1) / (6 + 4)) + q((3 + 1) / (6 + 4))
+    assert got[1][2] == want
+
+
+def test_naive_bayes_tie_breaks_to_smallest_label(spark):
+    """Two perfectly symmetric classes (identical token distributions,
+    equal priors) score every document identically — the argmax must
+    break the tie to the lexically smallest label, deterministically."""
+    df = spark.createDataFrame(
+        [(1, "aa", "x"), (2, "aa", "y")], ["doc_id", "text", "lang"]
+    )
+    out = {
+        r["doc_id"]: r["pred_label"]
+        for r in naive_bayes_classify(df, "doc_id", "text", "lang").collect()
+    }
+    assert out == {1: "x", 2: "x"}
+
+
+def test_loo_target_encoding_hand_values(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0), ("c", 5.0)],
+        ["k", "t"],
+    )
+    out = loo_target_encoding(df, "k", "t")
+    got = sorted(
+        (r["key"], r["target_q"], r["enc_micro"]) for r in out.collect()
+    )
+    # key a: LOO means exclude own value: (2+3)/2=2.5, (1+3)/2=2.0, (1+2)/2=1.5
+    a_encs = sorted(e for k, _, e in got if k == "a")
+    assert a_encs == [1_500_000.0, 2_000_000.0, 2_500_000.0]
+    # b/c singletons -> NULL
+    assert [e for k, _, e in got if k in ("b", "c")] == [None, None]
+
+
+def test_two_proportion_ztest_closed_form(spark):
+    df = spark.createDataFrame(
+        [("A", 1)] * 30 + [("A", 0)] * 70 + [("B", 1)] * 45 + [("B", 0)] * 55,
+        ["variant", "converted"],
+    )
+    out = two_proportion_ztest(df, "variant", "converted").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["variant_a"], r["variant_b"]) == ("A", "B")
+    assert (r["n_a"], r["x_a"], r["n_b"], r["x_b"]) == (100, 30, 100, 45)
+    pa, pb, pp = 0.30, 0.45, 0.375
+    z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1 / 100 + 1 / 100))
+    assert abs(r["z"] - round(z, 6)) < 1e-9

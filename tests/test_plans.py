@@ -630,3 +630,16 @@ def test_c104_audit_single_scan_and_anti_join(spark, sf_dir):
         "unique:o_orderkey": (n, 0),
         "fk:o_custkey": (n, 0),
     }
+
+
+def test_c112_c113_plan_shapes(spark, sf_dir):
+    """c112 NB: the corpus never joins itself — every join partner is a
+    model-sized aggregate (the only nested-loop joins are the broadcast
+    1-row dims), no cartesian. c113: the sample must lower to
+    TakeOrderedAndProject (per-partition top-k), NOT a global Sort of
+    the data."""
+    p112 = _plan(spark, sf_dir, "c112_naive_bayes_langid")
+    assert "CartesianProduct" not in p112
+    p113 = _plan(spark, sf_dir, "c113_bottomk_hash_sample")
+    assert "TakeOrderedAndProject" in p113
+    assert "CartesianProduct" not in p113
