@@ -1538,3 +1538,50 @@ def ngram_novelty(
             ).alias("novelty_pct"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    rrf_k: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of several retrieval rankings — the standard hybrid-search merge
+    (lexical BM25 + vector ANN in every RAG stack): score-free, so
+    incomparable scoring scales (BM25 units vs cosine) never matter;
+    only ranks do.
+
+        rrf(d) = sum over systems ranking d of 1 / (rrf_k + rank_s(d))
+
+    computed in integer micro-units (``1_000_000 DIV (rrf_k + rank)``)
+    so the sum is exact and the fused order replays on any engine.
+    Each input DataFrame must carry (doc_id, rank) with rank 1-based.
+
+    Returns (doc_id, n_systems, rrf_q, fused_rank), top-``k`` by
+    (rrf_q DESC, doc_id).
+
+    100 TB: the inputs are already top-N lists (systems' own output,
+    k-sized, not corpus-sized), so the union + hash aggregate +
+    final window all run on |systems| x N rows — metadata scale. The
+    expensive parts (the retrieval itself) stay in the upstream
+    operators where their own scale stories live.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    from pyspark.sql.window import Window
+
+    contrib = F.expr(f"CAST(1000000 DIV ({rrf_k} + rank) AS BIGINT)")
+    parts = [
+        r.select(F.col("doc_id"), contrib.alias("c")) for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    agg = u.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_systems"),
+        F.sum("c").alias("rrf_q"),
+    )
+    top = agg.orderBy(F.desc("rrf_q"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("rrf_q"), F.asc("doc_id"))
+    return top.withColumn("fused_rank", F.row_number().over(w).cast("long"))

@@ -9760,6 +9760,211 @@ def c113_bottomk_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c114_rrf_hybrid_search",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM dl
+    ),
+    ex AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    tf AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        FROM ex WHERE token IN ('join', 'spark', 'stream')
+        GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS docfreq FROM tf GROUP BY 1),
+    units AS (
+        SELECT tf.doc_id,
+               CAST(round(
+                   ln(1.0 + (stats.n_docs - dfreq.docfreq + 0.5) / (dfreq.docfreq + 0.5))
+                   * (CAST(tf.tf AS DOUBLE) * 2.2)
+                   / (CAST(tf.tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl)))
+                   * 1000000) AS BIGINT) AS u
+        FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    bm AS (
+        SELECT doc_id, CAST(SUM(u) AS DOUBLE) / 1000000 AS score
+        FROM units GROUP BY doc_id
+    ),
+    lex AS (
+        SELECT doc_id, rank FROM (
+            SELECT doc_id, CAST(row_number() OVER (
+                ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+            FROM bm
+        ) WHERE rank <= 20
+    ),
+    v AS (SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings),
+    n AS (
+        SELECT vec_id, qv,
+               CAST({_DUCK_DOT.format(a='qv', b='qv')} AS BIGINT) AS norm
+        FROM v
+    ),
+    cos AS (
+        SELECT c.vec_id AS doc_id,
+               CAST({_DUCK_DOT.format(a='q.qv', b='c.qv')} AS DOUBLE)
+                 / (sqrt(CAST(q.norm AS DOUBLE)) * sqrt(CAST(c.norm AS DOUBLE)))
+                   AS cosine
+        FROM n q CROSS JOIN n c
+        WHERE q.vec_id = 0 AND c.vec_id <> 0
+    ),
+    sem AS (
+        SELECT doc_id, rank FROM (
+            SELECT doc_id, CAST(row_number() OVER (
+                ORDER BY cosine DESC, doc_id) AS BIGINT) AS rank
+            FROM cos
+        ) WHERE rank <= 20
+    ),
+    uni AS (
+        SELECT doc_id, CAST(1000000 // (60 + rank) AS BIGINT) AS c FROM lex
+        UNION ALL
+        SELECT doc_id, CAST(1000000 // (60 + rank) AS BIGINT) FROM sem
+    ),
+    agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_systems,
+               CAST(SUM(c) AS BIGINT) AS rrf_q
+        FROM uni GROUP BY 1
+    )
+    SELECT doc_id, n_systems, rrf_q,
+           CAST(row_number() OVER (ORDER BY rrf_q DESC, doc_id) AS BIGINT)
+               AS fused_rank
+    FROM agg ORDER BY rrf_q DESC, doc_id LIMIT 10
+    """,
+    doc="hybrid search by reciprocal-rank fusion (Cormack et al. SIGIR "
+        "2009; operators/text.rrf_fuse): fuse c58's BM25 lexical "
+        "top-20 for {{join, spark, stream}} with c06's exact-cosine "
+        "top-20 for query vector 0 — the canonical RAG retrieval "
+        "merge, score-free so BM25 units and cosine never need "
+        "calibrating; only ranks enter. Contributions are integer "
+        "micro-units (1e6 DIV (60+rank)) so the fused order replays "
+        "exactly. Plan: both inputs are the upstream operators' own "
+        "top-N outputs (k-sized), so fusion's union + hash aggregate "
+        "+ window run at METADATA scale; the corpus-scale work stays "
+        "in BM25 (postings-sized shuffle) and cosine (broadcast query "
+        "block) where it is already plan-audited",
+    bench=True,
+    tags=("search", "similarity", "llm"),
+)
+def c114_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import brute_force_topk
+    from ..operators.text import bm25_topk, rrf_fuse
+
+    t = views(spark, sf_dir, "documents", "embeddings")
+    lex = (
+        bm25_topk(
+            t["documents"], "doc_id", "text",
+            ["join", "spark", "stream"], k=20,
+        )
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+            .cast("long"),
+        )
+        .select("doc_id", "rank")
+    )
+    sem = brute_force_topk(
+        t["embeddings"], t["embeddings"].filter(F.col("vec_id") == 0), k=20
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, sem], k=10)
+
+
+@query(
+    "c115_loo_target_encoding",
+    oracle="""
+    WITH r AS (
+        SELECT o_custkey AS key,
+               CAST(round(CAST(o_totalprice AS DOUBLE) * 1000000)
+                   AS BIGINT) AS target_q
+        FROM orders
+    ),
+    s AS (
+        SELECT key, CAST(SUM(target_q) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM r GROUP BY 1
+    )
+    SELECT r.key, r.target_q,
+           CASE WHEN s.n > 1
+                THEN CAST(s.s - r.target_q AS DOUBLE) / (s.n - 1)
+           END AS enc_micro
+    FROM r JOIN s USING (key)
+    """,
+    doc="leave-one-out target encoding of o_custkey against "
+        "o_totalprice (operators/ml.loo_target_encoding): each order's "
+        "customer becomes the mean price of the customer's OTHER "
+        "orders — the leakage-resistant encoding for high-cardinality "
+        "categoricals (a plain per-key mean leaks the row's own "
+        "target). Targets quantize once to integer micro-units, the "
+        "per-key (sum, count) is ONE hash aggregate, the encoding is "
+        "an exact integer subtraction + one double division; "
+        "singleton keys encode NULL (no peer evidence) by contract. "
+        "100 TB: the stats table is key-cardinality-sized and "
+        "broadcasts back onto the row stream — the data-sized side "
+        "never shuffles",
+    tags=("ml", "feature"),
+)
+def c115_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import loo_target_encoding
+
+    o = views(spark, sf_dir, "orders")["orders"]
+    return loo_target_encoding(o, "o_custkey", "o_totalprice")
+
+
+@query(
+    "c116_ab_ztest",
+    oracle="""
+    WITH s AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'control'
+                    ELSE 'treatment' END AS variant,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS x
+        FROM events GROUP BY 1
+    )
+    SELECT a.variant AS variant_a, b.variant AS variant_b,
+           a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b,
+           ROUND(
+               (CAST(a.x AS DOUBLE) / a.n - CAST(b.x AS DOUBLE) / b.n)
+               / sqrt(
+                   (CAST(a.x + b.x AS DOUBLE) / (a.n + b.n))
+                   * (1.0 - CAST(a.x + b.x AS DOUBLE) / (a.n + b.n))
+                   * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE))
+               ), 6) AS z
+    FROM s a JOIN s b ON a.variant < b.variant
+    """,
+    doc="two-proportion z-test A/B readout (operators/ml."
+        "two_proportion_ztest): variants = user_id parity, success = "
+        "purchase events; per-variant (trials, successes) reduce to "
+        "ONE hash aggregate over the event stream (variant-cardinality "
+        "rows out), then every ordered variant pair gets the "
+        "pooled-variance z statistic from those exact BIGINTs through "
+        "one fixed double expression ROUNDed to 6 dp (the catalog's "
+        "transcendental contract; sqrt is correctly-rounded IEEE). "
+        "100 TB: the data is read exactly once; the pair join runs on "
+        "the metadata-sized stats table",
+    tags=("ml", "events"),
+)
+def c116_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import two_proportion_ztest
+
+    e = views(spark, sf_dir, "events")["events"]
+    tagged = e.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+        .otherwise(F.lit("treatment"))
+        .alias("variant"),
+        (F.col("event_type") == "purchase").cast("int").alias("converted"),
+    )
+    return two_proportion_ztest(tagged, "variant", "converted")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -9788,7 +9993,7 @@ def c113_bottomk_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 18
+# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 21
 # entries added in round 11 after this window froze have never been
 # driver-rowed and take slots first — c98_pagerank_dangling,
 # c99_dedup_keep_best, c100_bpe_fertility, c101_unimax_mixing,
@@ -9797,7 +10002,8 @@ def c113_bottomk_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # c106_fuzzy_blocked_match, c107_skyline_pareto, c108_ann_sq8_topk,
 # c109_event_pattern_regex, c110_setsim_prefix_join,
 # c111_triangle_count, c112_naive_bayes_langid,
-# c113_bottomk_hash_sample, q88_window_ignore_nulls,
+# c113_bottomk_hash_sample, c114_rrf_hybrid_search,
+# c115_loo_target_encoding, c116_ab_ztest, q88_window_ignore_nulls,
 # q89_dml_statement_face (ALL locally hash-verified at BOTH sf0.01
 # and sf0.1 before their commits) — then
 # fill to 50 with the oldest-rowed entries (the r7-rowed block

@@ -80,3 +80,18 @@ def test_two_proportion_ztest_closed_form(spark):
     pa, pb, pp = 0.30, 0.45, 0.375
     z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1 / 100 + 1 / 100))
     assert abs(r["z"] - round(z, 6)) < 1e-9
+
+
+def test_rrf_fuse_hand_ranks(spark):
+    """doc 1 ranked 1st by both systems beats doc 2 ranked 2nd by one;
+    contributions are exact integer micro-units."""
+    from amazonredshift_blueprints_spark.operators.text import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(1, 1), (3, 2)], ["doc_id", "rank"])
+    out = {r["doc_id"]: (r["n_systems"], r["rrf_q"], r["fused_rank"])
+           for r in rrf_fuse([a, b], k=10).collect()}
+    u1, u2 = 1_000_000 // 61, 1_000_000 // 62
+    assert out[1] == (2, 2 * u1, 1)
+    assert out[2] == (1, u2, 2)  # doc_id tiebreak vs doc 3
+    assert out[3] == (1, u2, 3)

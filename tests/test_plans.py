@@ -643,3 +643,20 @@ def test_c112_c113_plan_shapes(spark, sf_dir):
     p113 = _plan(spark, sf_dir, "c113_bottomk_hash_sample")
     assert "TakeOrderedAndProject" in p113
     assert "CartesianProduct" not in p113
+
+
+def test_c114_c115_c116_plan_shapes(spark, sf_dir):
+    """c114: no cartesian anywhere (the cosine cross is a broadcast
+    1-query nested loop inside c06's operator). c115: the per-key stats
+    join must be broadcast — the order stream never sort-merge
+    shuffles. c116: the only non-equi join is the variant-pair nested
+    loop on the 2-row stats table."""
+    p114 = _plan(spark, sf_dir, "c114_rrf_hybrid_search")
+    assert "CartesianProduct" not in p114
+    p115 = _plan(spark, sf_dir, "c115_loo_target_encoding")
+    assert "BroadcastHashJoin" in p115
+    assert "SortMergeJoin" not in p115
+    assert "CartesianProduct" not in p115
+    p116 = _plan(spark, sf_dir, "c116_ab_ztest")
+    assert p116.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in p116
