@@ -225,3 +225,54 @@ def event_pattern_counts(
             F.regexp_count("_seq", F.lit(pat)).cast("long").alias(name)
         )
     return agg.select(*cols)
+
+
+def transition_model(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak_col: str,
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov transition model over per-key ordered state
+    sequences: count every consecutive (state -> next_state) pair and
+    report the MLE transition probability — the behavioral-analytics
+    staple (what do users do after an error?) and the generative twin
+    of :func:`event_pattern_counts`'s matcher.
+
+        p(a -> b) = n(a -> b) * 1e6 div n(a -> *)
+
+    in integer micro-units (exact integer division, no floats), so the
+    whole model replays bit-exactly. Row order inside a key is
+    (ts, tiebreak) — the tiebreaker makes simultaneous events
+    deterministic.
+
+    Returns (prev_state, next_state, n, p_micro), the model being
+    |states|^2-sized at most.
+
+    100 TB: ONE hash shuffle on the key for the lead() window (the
+    same exchange every sessionization pays), then the count table is
+    a states^2-sized hash aggregate with map-side partials. Nothing
+    data-sized shuffles twice and nothing is collected.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    nxt = F.lead(F.col(state_col)).over(w)
+    pairs = (
+        df.select(
+            F.col(state_col).alias("prev_state"), nxt.alias("next_state")
+        )
+        .filter(F.col("next_state").isNotNull())
+    )
+    counts = pairs.groupBy("prev_state", "next_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.groupBy("prev_state").agg(F.sum("n").alias("tot"))
+    return (
+        counts.join(F.broadcast(tot), "prev_state")
+        .select(
+            "prev_state",
+            "next_state",
+            "n",
+            F.expr("CAST(n * 1000000 DIV tot AS BIGINT)").alias("p_micro"),
+        )
+    )

@@ -174,3 +174,88 @@ def gap_fill_interpolate(
         F.col(value_col),
         interp.alias(f"{value_col}_interp"),
     )
+
+
+def ewma_fold(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    *,
+    den: int = 4,
+    spike_mult: int = 2,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average with spike
+    detection — a LINEAR RECURRENCE (``s_t`` depends on ``s_{t-1}``),
+    which plain window functions cannot express, computed here entirely
+    JVM-side: collect each key's ordered history into an array and run
+    one ``aggregate`` (fold) over it. No Python UDF, no driver loop, no
+    iterative job.
+
+        x_t = round(value * scale)            (exact integer units)
+        s_1 = x_1;   s_t = ((den-1)*s_{t-1} + x_t) div den   (α = 1/den)
+        spike at t>1  iff  x_t > spike_mult * s_{t-1}
+
+    All-integer state (the floor division is exact integer arithmetic:
+    ``(tot - tot % den) / den``), so the recurrence replays bit-exactly
+    in any engine — values must be non-negative (floor vs truncation
+    divergence on negatives; enforced nowhere, documented here).
+
+    Returns (key, n_events, ewma_q, n_spikes) — one row per key.
+
+    100 TB: ONE hash shuffle on the key (the groupBy), then the fold is
+    a map-side array expression inside whole-stage codegen. Memory is
+    bounded by the largest single key's history — the same bound every
+    sessionization carries; for unbounded histories the streaming
+    twin (applyInPandasWithState) or a time-windowed pre-aggregate is
+    the escape hatch. Ordering inside the array is array_sort on
+    (ts, tiebreak), so collect_list's nondeterministic arrival order
+    cannot leak into the result.
+    """
+    xq = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(tiebreak_col).alias("tie"),
+                xq.alias("xq"),
+            )
+        )
+    )
+
+    def step(acc, e):
+        tot = (den - 1) * acc["s"] + e["xq"]
+        nxt = ((tot - tot % den) / den).cast("long")
+        return F.struct(
+            F.when(acc["s"].isNull(), e["xq"]).otherwise(nxt).alias("s"),
+            (
+                acc["spikes"]
+                + F.when(
+                    acc["s"].isNotNull()
+                    & (e["xq"] > spike_mult * acc["s"]),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("spikes"),
+        )
+
+    init = F.struct(
+        F.lit(None).cast("long").alias("s"),
+        F.lit(0).cast("long").alias("spikes"),
+    )
+    return (
+        df.groupBy(F.col(key))
+        .agg(arr.alias("_h"))
+        .select(
+            key,
+            F.size("_h").cast("long").alias("n_events"),
+            F.aggregate(F.col("_h"), init, step).alias("_st"),
+        )
+        .select(
+            key,
+            "n_events",
+            F.col("_st.s").alias("ewma_q"),
+            F.col("_st.spikes").alias("n_spikes"),
+        )
+    )

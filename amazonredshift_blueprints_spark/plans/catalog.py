@@ -9965,6 +9965,98 @@ def c116_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_proportion_ztest(tagged, "variant", "converted")
 
 
+@query(
+    "c117_ewma_spikes",
+    oracle="""
+    WITH RECURSIVE r AS (
+        SELECT user_id,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                   AS BIGINT) AS rn,
+               CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS x
+        FROM events
+    ),
+    cnt AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM r GROUP BY 1
+    ),
+    step AS (
+        SELECT user_id, rn, x AS s, CAST(0 AS BIGINT) AS spikes
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.user_id, r.rn,
+               CAST((3 * step.s + r.x) // 4 AS BIGINT),
+               step.spikes
+                   + CASE WHEN r.x > 2 * step.s THEN 1 ELSE 0 END
+        FROM step JOIN r
+          ON r.user_id = step.user_id AND r.rn = step.rn + 1
+    )
+    SELECT c.user_id, c.n_events, s.s AS ewma_q,
+           CAST(s.spikes AS BIGINT) AS n_spikes
+    FROM cnt c
+    JOIN step s ON s.user_id = c.user_id AND s.rn = c.n_events
+    """,
+    doc="per-user EWMA (alpha=1/4) with spike detection over the "
+        "ordered event-value series (operators/timeseries.ewma_fold) — "
+        "a LINEAR RECURRENCE s_t = (3*s_{t-1} + x_t) div 4 that window "
+        "functions cannot express, computed as ONE JVM-side "
+        "array_sort + aggregate() fold per user: no Python UDF, no "
+        "driver loop, no iterative job. All-integer state (values "
+        "quantized to cents; exact (tot - tot%4)/4 floor division) so "
+        "the fold replays bit-exactly — the ORACLE is a recursive CTE "
+        "walking the same recurrence row by row, so one wrong fold "
+        "step anywhere fails the hash. Spikes: x_t > 2*s_{t-1}. "
+        "100 TB: one user-keyed exchange (the groupBy), fold is "
+        "map-side codegen; memory bounds by the largest single user's "
+        "history, the bound every sessionization already carries",
+    bench=True,
+    tags=("timeseries", "events"),
+)
+def c117_ewma_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import ewma_fold
+
+    e = views(spark, sf_dir, "events")["events"]
+    return ewma_fold(e, "user_id", "ts", "event_id", "value")
+
+
+@query(
+    "c118_markov_transitions",
+    oracle="""
+    WITH p AS (
+        SELECT event_type AS prev_state,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_state
+        FROM events
+    ),
+    c AS (
+        SELECT prev_state, next_state, CAST(COUNT(*) AS BIGINT) AS n
+        FROM p WHERE next_state IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    t AS (SELECT prev_state, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+    SELECT c.prev_state, c.next_state, c.n,
+           CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_micro
+    FROM c JOIN t USING (prev_state)
+    """,
+    doc="first-order Markov transition model over per-user event-type "
+        "sequences (operators/sessions.transition_model): count every "
+        "consecutive state pair, report MLE probabilities in integer "
+        "micro-units (n*1e6 DIV total — exact integer division, no "
+        "floats anywhere) — the what-happens-after-an-error "
+        "behavioral readout and the generative twin of c109's pattern "
+        "matcher. 100 TB: one user-keyed exchange for the lead() "
+        "window, then a |states|^2-sized hash aggregate with map-side "
+        "partials; the totals dim broadcasts",
+    tags=("events", "sessionization"),
+)
+def c118_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessions import transition_model
+
+    e = views(spark, sf_dir, "events")["events"]
+    return transition_model(e, "user_id", "ts", "event_id", "event_type")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -9993,7 +10085,7 @@ def c116_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 21
+# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 23
 # entries added in round 11 after this window froze have never been
 # driver-rowed and take slots first — c98_pagerank_dangling,
 # c99_dedup_keep_best, c100_bpe_fertility, c101_unimax_mixing,
@@ -10003,7 +10095,8 @@ def c116_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # c109_event_pattern_regex, c110_setsim_prefix_join,
 # c111_triangle_count, c112_naive_bayes_langid,
 # c113_bottomk_hash_sample, c114_rrf_hybrid_search,
-# c115_loo_target_encoding, c116_ab_ztest, q88_window_ignore_nulls,
+# c115_loo_target_encoding, c116_ab_ztest, c117_ewma_spikes,
+# c118_markov_transitions, q88_window_ignore_nulls,
 # q89_dml_statement_face (ALL locally hash-verified at BOTH sf0.01
 # and sf0.1 before their commits) — then
 # fill to 50 with the oldest-rowed entries (the r7-rowed block

@@ -660,3 +660,14 @@ def test_c114_c115_c116_plan_shapes(spark, sf_dir):
     p116 = _plan(spark, sf_dir, "c116_ab_ztest")
     assert p116.count("BroadcastNestedLoopJoin") == 1
     assert "SortMergeJoin" not in p116
+
+
+def test_c117_c118_plan_shapes(spark, sf_dir):
+    """c117: the fold is join-free — one user-keyed hash aggregate,
+    the recurrence entirely inside the aggregate expression. c118: one
+    user-keyed window exchange; the totals join must be broadcast."""
+    p117 = _plan(spark, sf_dir, "c117_ewma_spikes")
+    assert "Join" not in p117
+    p118 = _plan(spark, sf_dir, "c118_markov_transitions")
+    assert "BroadcastHashJoin" in p118
+    assert "SortMergeJoin" not in p118

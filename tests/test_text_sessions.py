@@ -637,3 +637,28 @@ def test_event_pattern_counts_semantics(spark):
         3: (3, 0, 0),
         4: (2, 1, 1),
     }
+
+
+def test_transition_model_hand_counts(spark):
+    """user 1: a->b->a gives (a,b) and (b,a); user 2: a->b gives (a,b).
+    p(a->b)=1.0 (2/2), p(b->a)=1.0 (1/1) in micro-units."""
+    import datetime as dt
+
+    from amazonredshift_blueprints_spark.operators.sessions import (
+        transition_model,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, t0, 1, "a"), (1, t0 + m, 2, "b"), (1, t0 + 2 * m, 3, "a"),
+        (2, t0, 4, "a"), (2, t0 + m, 5, "b"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    got = {
+        (r["prev_state"], r["next_state"]): (r["n"], r["p_micro"])
+        for r in transition_model(
+            df, "user_id", "ts", "event_id", "event_type"
+        ).collect()
+    }
+    assert got == {("a", "b"): (2, 1_000_000), ("b", "a"): (1, 1_000_000)}

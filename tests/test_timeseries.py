@@ -51,3 +51,45 @@ def test_robust_outliers_flags_spike_not_constant(spark):
     assert all(r["k"] == "a" for r in out)         # mad=0 group flags nothing
     z = out[0]["z"]
     assert z > 3.5 and out[0]["mad"] > 0
+
+
+def test_ewma_fold_hand_recurrence(spark):
+    """s: 100 -> (3*100+201)//4=125 -> (3*125+20)//4=98; spike at x=201
+    (strictly > 2*100; exactly 2x does NOT fire). Input arrives
+    scrambled — array_sort must restore the (ts, tiebreak) order
+    before folding."""
+    import datetime as dt
+
+    from amazonredshift_blueprints_spark.operators.timeseries import ewma_fold
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(minutes=2), 3, 0.20),   # out of order
+        (1, t0, 1, 1.00),
+        (1, t0 + dt.timedelta(minutes=1), 2, 2.01),
+        (2, t0, 4, 0.50),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma_q"], r["n_spikes"])
+        for r in ewma_fold(df, "user_id", "ts", "event_id", "value").collect()
+    }
+    assert got[1] == (3, 98, 1)
+    assert got[2] == (1, 50, 0)
+
+
+def test_ewma_fold_tiebreak_on_equal_ts(spark):
+    """Two events at the same instant order by the tiebreaker, not by
+    arrival: (ts0, id1, x=100) then (ts0, id2, x=400) -> s = 175,
+    spike fires (400 > 200)."""
+    import datetime as dt
+
+    from amazonredshift_blueprints_spark.operators.timeseries import ewma_fold
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t0, 2, 4.00), (1, t0, 1, 1.00)],
+        ["user_id", "ts", "event_id", "value"],
+    )
+    r = ewma_fold(df, "user_id", "ts", "event_id", "value").collect()[0]
+    assert (r["n_events"], r["ewma_q"], r["n_spikes"]) == (2, 175, 1)
