@@ -259,3 +259,55 @@ def two_proportion_ztest(
             F.round(z, 6).alias("z"),
         )
     )
+
+
+def groupwise_ols(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group simple linear regression (ordinary least squares) in
+    closed form — the trend readout (is this metric drifting up?) that
+    needs no iterative solver:
+
+        slope     = (n·Sxy - Sx·Sy) / (n·Sxx - Sx²)
+        intercept = Sy/n - slope · Sx/n
+
+    ``x_col`` and ``y_col`` MUST be integer-valued (the caller
+    quantizes — days, cents, micro-units): the five sufficient
+    statistics (n, Sx, Sy, Sxy, Sxx) are then EXACT BIGINTs from one
+    hash aggregate, and slope/intercept are single fixed IEEE double
+    expressions over those exact integers, ROUNDed to 6 dp — the
+    catalog's transcendental-free determinism contract. Groups with a
+    degenerate x spread (n·Sxx = Sx², e.g. all x equal) emit NULLs.
+
+    Returns (key, n, slope, intercept).
+
+    100 TB: ONE pass, ONE hash aggregate with map-side partials —
+    group-cardinality rows out; nothing else moves. Overflow bound:
+    |x| ≤ ~4e5 and |y| ≤ ~4e5 keep n·Sxy under 2^63 at a trillion
+    rows; quantize coarser (days not seconds) when x spans are long.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    agg = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        F.col("sy").cast("double") / F.col("n")
+        - slope * (F.col("sx").cast("double") / F.col("n"))
+    )
+    return agg.select(
+        "key",
+        "n",
+        F.when(den != 0, F.round(slope, 6)).alias("slope"),
+        F.when(den != 0, F.round(intercept, 6)).alias("intercept"),
+    )

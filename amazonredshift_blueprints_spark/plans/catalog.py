@@ -10057,6 +10057,106 @@ def c118_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_model(e, "user_id", "ts", "event_id", "event_type")
 
 
+@query(
+    "c119_containment_join",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    toks AS (SELECT doc_id, {_DUCK_GRAMS3} AS t FROM tk),
+    e AS (SELECT doc_id, unnest(t) AS token FROM toks WHERE len(t) > 0),
+    sized AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS L
+        FROM toks WHERE len(t) > 0
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM e a JOIN e b ON a.token = b.token AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_inter, sa.L AS n_a
+    FROM pairs JOIN sized sa ON sa.doc_id = id_a
+    WHERE 100 * n_inter >= 80 * sa.L
+    """,
+    doc="exact DIRECTED containment self-join (operators/dedup."
+        "containment_prefix_join): ordered pairs where >= 80% of "
+        "id_a's distinct 3-gram shingles appear in id_b — the "
+        "quote/boilerplate/subset detector symmetric Jaccard (c110) "
+        "cannot see (a short doc quoted inside a long one has high "
+        "containment, low Jaccard). Candidates come only from id_a's "
+        "L-ceil(tL)+1 RAREST shingles probed against FULL postings "
+        "(containment is one-sided); all-integer thresholds "
+        "(ceil via (80L+99) div 100; verify 100·inter >= 80·|A|). "
+        "The ORACLE is the naive any-shared-shingle spec, so the hash "
+        "match proves the one-sided prefix filter lossless on this "
+        "corpus",
+    bench=True,
+    tags=("dedup", "join", "llm"),
+)
+def c119_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_prefix_join
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return containment_prefix_join(
+        d, "doc_id", "text", threshold_pct=80, ngram=3
+    )
+
+
+@query(
+    "c120_groupwise_ols",
+    oracle="""
+    WITH d AS (
+        SELECT event_type AS key,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   AS BIGINT) AS x,
+               CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS y
+        FROM events
+    ),
+    a AS (
+        SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM d GROUP BY 1
+    )
+    SELECT key, n,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+           END AS slope,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN ROUND(CAST(sy AS DOUBLE) / n
+                           - (CAST(n * sxy - sx * sy AS DOUBLE)
+                              / CAST(n * sxx - sx * sx AS DOUBLE))
+                             * (CAST(sx AS DOUBLE) / n), 6)
+           END AS intercept
+    FROM a
+    """,
+    doc="per-event-type OLS trend (operators/ml.groupwise_ols): "
+        "regress value-in-cents on days-since-2024-01-01 in CLOSED "
+        "FORM — five exact BIGINT sufficient statistics from ONE hash "
+        "aggregate (map-side partials), slope/intercept as fixed IEEE "
+        "double expressions over them, ROUND 6 dp; degenerate-x "
+        "groups emit NULL. The is-this-metric-drifting readout with "
+        "no iterative solver. 100 TB: one pass, one exchange, "
+        "group-cardinality rows out; integer quantization (days, "
+        "cents) keeps every sum under 2^63 at trillion-row scale",
+    tags=("ml", "events", "timeseries"),
+)
+def c120_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import groupwise_ols
+
+    e = views(spark, sf_dir, "events")["events"]
+    d = e.select(
+        F.col("event_type"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("value").cast("double") * 100).cast("long").alias("y"),
+    )
+    return groupwise_ols(d, "event_type", "x", "y")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -10085,7 +10185,7 @@ def c118_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 23
+# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 25
 # entries added in round 11 after this window froze have never been
 # driver-rowed and take slots first — c98_pagerank_dangling,
 # c99_dedup_keep_best, c100_bpe_fertility, c101_unimax_mixing,
@@ -10096,7 +10196,8 @@ def c118_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # c111_triangle_count, c112_naive_bayes_langid,
 # c113_bottomk_hash_sample, c114_rrf_hybrid_search,
 # c115_loo_target_encoding, c116_ab_ztest, c117_ewma_spikes,
-# c118_markov_transitions, q88_window_ignore_nulls,
+# c118_markov_transitions, c119_containment_join, c120_groupwise_ols,
+# q88_window_ignore_nulls,
 # q89_dml_statement_face (ALL locally hash-verified at BOTH sf0.01
 # and sf0.1 before their commits) — then
 # fill to 50 with the oldest-rowed entries (the r7-rowed block

@@ -376,3 +376,25 @@ def test_minhash_store_sidecar_validates_params(spark, sf_dir, tmp_path):
         spark, path, d.filter(F.col("doc_id") % 2 == 1), "doc_id", "text",
         shingle_size=3, num_perms=8,
     ).collect()
+
+
+def test_containment_join_directed_asymmetry(spark):
+    """A ⊂ B at the shingle level: (A in B) qualifies at 0.8, the
+    reverse direction does not — the asymmetry Jaccard cannot express."""
+    from amazonredshift_blueprints_spark.operators.dedup import (
+        containment_prefix_join,
+    )
+
+    rows = [
+        (1, "a b c d"),              # grams: {a b c, b c d}
+        (2, "a b c d e f"),          # superset of doc 1's grams
+        (3, "x y z w"),              # unrelated
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_inter"], r["n_a"])
+        for r in containment_prefix_join(
+            df, "doc_id", "text", threshold_pct=80, ngram=3
+        ).collect()
+    }
+    assert got == {(1, 2): (2, 2)}  # both of doc 1's grams inside doc 2

@@ -95,3 +95,17 @@ def test_rrf_fuse_hand_ranks(spark):
     assert out[1] == (2, 2 * u1, 1)
     assert out[2] == (1, u2, 2)  # doc_id tiebreak vs doc 3
     assert out[3] == (1, u2, 3)
+
+
+def test_groupwise_ols_exact_fit_and_degenerate(spark):
+    from amazonredshift_blueprints_spark.operators.ml import groupwise_ols
+
+    rows = [
+        ("a", 0, 1), ("a", 1, 3), ("a", 2, 5),   # y = 2x + 1 exactly
+        ("b", 4, 7), ("b", 4, 9),                # all x equal -> NULL
+    ]
+    df = spark.createDataFrame(rows, ["k", "x", "y"])
+    got = {r["key"]: (r["n"], r["slope"], r["intercept"])
+           for r in groupwise_ols(df, "k", "x", "y").collect()}
+    assert got["a"] == (3, 2.0, 1.0)
+    assert got["b"] == (2, None, None)

@@ -671,3 +671,14 @@ def test_c117_c118_plan_shapes(spark, sf_dir):
     p118 = _plan(spark, sf_dir, "c118_markov_transitions")
     assert "BroadcastHashJoin" in p118
     assert "SortMergeJoin" not in p118
+
+
+def test_c119_c120_plan_shapes(spark, sf_dir):
+    """c119: candidates come from equi-joined postings — never a
+    cartesian or nested loop. c120: closed-form OLS is join-free, one
+    hash aggregate."""
+    p119 = _plan(spark, sf_dir, "c119_containment_join")
+    assert "CartesianProduct" not in p119
+    assert "BroadcastNestedLoopJoin" not in p119
+    p120 = _plan(spark, sf_dir, "c120_groupwise_ols")
+    assert "Join" not in p120
