@@ -244,3 +244,65 @@ def triangle_count(
     out = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     out._bp_cache_owner = e
     return out
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source: int,
+    *,
+    max_hops: int = 3,
+) -> DataFrame:
+    """Bounded breadth-first search: minimum hop distance from
+    ``source`` to every node reachable within ``max_hops`` — the
+    neighborhood-expansion primitive (related items, blast-radius,
+    k-hop feature extraction). Edges are treated as DIRECTED; pass a
+    symmetrized edge set for undirected semantics.
+
+    Frontier iteration, all-integer, no scores to drift: round k joins
+    the current frontier against the edge list, anti-joins the visited
+    set, and tags survivors with hop k. Exactly ``max_hops`` rounds —
+    the fixed-unroll contract every iterative operator here shares, so
+    an oracle that chains k CTEs replays it bit-for-bit.
+
+    Returns (node, hops), hops in 0..max_hops, one row per reached
+    node at its MINIMUM distance.
+
+    100 TB: each round is one equi-join (frontier x edges, frontier
+    side broadcastable while small — the common case for k-hop
+    queries) plus one distinct and one anti-join against the visited
+    set; visited and edges are persisted once and released by the
+    caller via ``_bp_cache_owner``. Frontier size is the real cost
+    driver (neighborhood growth), not round count.
+    """
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).persist()
+    visited = spark.createDataFrame(
+        [(int(source), 0)], "node long, hops int"
+    ).persist()
+    frontier = visited.select("node")
+    spent = []  # per-round frontier caches, released once superseded
+    for k in range(1, max_hops + 1):
+        nxt = (
+            e.join(
+                F.broadcast(frontier.withColumnRenamed("node", "src")), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(k).alias("hops"))
+        ).persist()
+        new_visited = visited.unionAll(nxt).persist()
+        new_visited.count()  # materialize before parents are released
+        visited.unpersist()
+        spent.append(nxt)
+        visited = new_visited
+        frontier = nxt.select("node")
+    for c in spent:  # visited is materialized; round caches can go
+        c.unpersist()
+    e.unpersist()
+    out = visited.select("node", F.col("hops").cast("long").alias("hops"))
+    out._bp_cache_owner = visited
+    return out

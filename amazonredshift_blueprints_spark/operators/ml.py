@@ -311,3 +311,69 @@ def groupwise_ols(
         F.when(den != 0, F.round(slope, 6)).alias("slope"),
         F.when(den != 0, F.round(intercept, 6)).alias("intercept"),
     )
+
+
+def pairwise_correlation(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    dims: int,
+    scale: int = _MICRO,
+) -> DataFrame:
+    """Pearson correlation matrix of the leading ``dims`` components of
+    an array column — the embedding-health / feature-redundancy readout
+    (highly correlated dimensions mean wasted representation capacity;
+    near-one off-diagonals reveal collapsed encoders).
+
+    Matrix aggregation without a self-join: each row MAP-SIDE expands
+    into its dims·(dims+1)/2 upper-triangle pairs (an index-zip over
+    the quantized array — no join, no shuffle of the vectors), then ONE
+    hash aggregate per (i, j) cell accumulates the five exact BIGINT
+    sufficient statistics (components quantized to ``scale`` units
+    first), and the correlation is a fixed IEEE double expression over
+    them, ROUNDed to 6 dp. Zero-variance dimensions emit NULL.
+
+    Returns (i, j, n, corr) for 1 <= i <= j <= dims.
+
+    100 TB: the expansion factor is dims²/2 per row but map-side
+    partial aggregation collapses it to dims²/2 groups per partition
+    before the (only) shuffle — the exchange carries
+    O(partitions · dims²) rows regardless of data size. Overflow: with
+    micro-unit components, n·Sxy stays under 2^63 up to ~10k vectors
+    per 1e6-unit scale — quantize coarser (1e3) for billion-row
+    corpora, the docstring contract every integer operator here
+    carries.
+    """
+    xq = F.expr(
+        f"transform(slice({vec_col}, 1, {dims}), "
+        f"v -> CAST(round(CAST(v AS DOUBLE) * {scale}) AS BIGINT))"
+    )
+    pairs = F.expr(
+        f"flatten(transform(sequence(1, {dims}), "
+        f"i -> transform(sequence(i, {dims}), "
+        f"j -> struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, "
+        f"element_at(_xq, i) AS xi, element_at(_xq, j) AS xj))))"
+    )
+    cells = (
+        df.select(xq.alias("_xq"))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.i", "p.j", "p.xi", "p.xj")
+    )
+    a = cells.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xi").alias("sx"),
+        F.sum("xj").alias("sy"),
+        F.sum(F.col("xi") * F.col("xj")).alias("sxy"),
+        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
+        F.sum(F.col("xj") * F.col("xj")).alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    corr = num.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double"))
+    return a.select(
+        "i",
+        "j",
+        "n",
+        F.when((vx > 0) & (vy > 0), F.round(corr, 6)).alias("corr"),
+    )

@@ -10157,6 +10157,124 @@ def c120_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return groupwise_ols(d, "event_type", "x", "y")
 
 
+@query(
+    "c121_embedding_corr_matrix",
+    oracle="""
+    WITH x AS (
+        SELECT vec_id, i.i AS i,
+               CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1000000)
+                   AS BIGINT) AS x
+        FROM embeddings, range(1, 9) i(i)
+    ),
+    p AS (
+        SELECT a.i AS i, b.i AS j, a.x AS xi, b.x AS xj
+        FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+    ),
+    a AS (
+        SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xi) AS BIGINT) AS sx,
+               CAST(SUM(xj) AS BIGINT) AS sy,
+               CAST(SUM(xi * xj) AS BIGINT) AS sxy,
+               CAST(SUM(xi * xi) AS BIGINT) AS sxx,
+               CAST(SUM(xj * xj) AS BIGINT) AS syy
+        FROM p GROUP BY 1, 2
+    )
+    SELECT i, j, n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+           END AS corr
+    FROM a
+    """,
+    doc="Pearson correlation matrix of the leading 8 embedding "
+        "dimensions (operators/ml.pairwise_correlation) — the "
+        "embedding-health audit (correlated dims = wasted capacity / "
+        "collapsed encoder). NO self-join: each vector map-side "
+        "expands to its 36 upper-triangle pairs (index-zip over the "
+        "quantized array), then ONE hash aggregate per cell "
+        "accumulates five exact BIGINT sufficient statistics; corr is "
+        "a fixed IEEE expression over them, ROUND 6 dp. 100 TB: the "
+        "dims^2/2 blowup collapses to dims^2/2 groups per partition "
+        "via map-side partials — the single exchange carries "
+        "O(partitions x dims^2) rows regardless of corpus size",
+    bench=True,
+    tags=("ml", "similarity"),
+)
+def c121_embedding_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import pairwise_correlation
+
+    e = views(spark, sf_dir, "embeddings")["embeddings"]
+    return pairwise_correlation(e, "embedding", dims=8)
+
+
+@query(
+    "c122_bfs_hops",
+    oracle="""
+    WITH lp AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+        SELECT DISTINCT a.p AS s, b.p AS d
+        FROM lp a JOIN lp b ON a.o = b.o AND a.p <> b.p
+    ),
+    src AS (SELECT MIN(l_partkey) AS s FROM lineitem),
+    d0 AS (SELECT s AS node FROM src),
+    d1 AS (
+        SELECT DISTINCT e.d AS node FROM e JOIN d0 ON e.s = d0.node
+        WHERE e.d NOT IN (SELECT node FROM d0)
+    ),
+    d2 AS (
+        SELECT DISTINCT e.d AS node FROM e JOIN d1 ON e.s = d1.node
+        WHERE e.d NOT IN (SELECT node FROM d0 UNION ALL
+                          SELECT node FROM d1)
+    ),
+    d3 AS (
+        SELECT DISTINCT e.d AS node FROM e JOIN d2 ON e.s = d2.node
+        WHERE e.d NOT IN (SELECT node FROM d0 UNION ALL
+                          SELECT node FROM d1 UNION ALL
+                          SELECT node FROM d2)
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(0 AS BIGINT) AS hops FROM d0
+    UNION ALL
+    SELECT CAST(node AS BIGINT), CAST(1 AS BIGINT) FROM d1
+    UNION ALL
+    SELECT CAST(node AS BIGINT), CAST(2 AS BIGINT) FROM d2
+    UNION ALL
+    SELECT CAST(node AS BIGINT), CAST(3 AS BIGINT) FROM d3
+    """,
+    doc="bounded BFS (operators/graph.bfs_hops): minimum hop distance "
+        "<= 3 from the smallest part key over the DIRECTED "
+        "(symmetrically constructed) co-purchase graph of c111 — the "
+        "k-hop neighborhood / related-items primitive. Frontier "
+        "iteration: each round is frontier-x-edges equi-join "
+        "(broadcast while the frontier is small) + distinct + "
+        "anti-join vs visited, with per-round persist hygiene (c90's "
+        "discipline: new state materialized before old caches "
+        "release, round caches dropped at exit). Fixed 3-round "
+        "unroll = the chained-CTE oracle replays it exactly. The one "
+        "driver-side value is the SOURCE scalar (a 1-row min "
+        "aggregate — metadata, not data)",
+    bench=True,
+    tags=("graph",),
+)
+def c122_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bfs_hops
+
+    li = views(spark, sf_dir, "lineitem")["lineitem"]
+    lp = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    edges = (
+        lp.alias("a")
+        .join(lp.alias("b"), "o")
+        .filter(F.col("a.p") != F.col("b.p"))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+    )
+    source = li.agg(F.min("l_partkey")).collect()[0][0]
+    return bfs_hops(edges, int(source), max_hops=3)
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -10185,7 +10303,7 @@ def c120_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 25
+# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 27
 # entries added in round 11 after this window froze have never been
 # driver-rowed and take slots first — c98_pagerank_dangling,
 # c99_dedup_keep_best, c100_bpe_fertility, c101_unimax_mixing,
@@ -10197,7 +10315,7 @@ def c120_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 # c113_bottomk_hash_sample, c114_rrf_hybrid_search,
 # c115_loo_target_encoding, c116_ab_ztest, c117_ewma_spikes,
 # c118_markov_transitions, c119_containment_join, c120_groupwise_ols,
-# q88_window_ignore_nulls,
+# c121_embedding_corr_matrix, c122_bfs_hops, q88_window_ignore_nulls,
 # q89_dml_statement_face (ALL locally hash-verified at BOTH sf0.01
 # and sf0.1 before their commits) — then
 # fill to 50 with the oldest-rowed entries (the r7-rowed block

@@ -109,3 +109,22 @@ def test_groupwise_ols_exact_fit_and_degenerate(spark):
            for r in groupwise_ols(df, "k", "x", "y").collect()}
     assert got["a"] == (3, 2.0, 1.0)
     assert got["b"] == (2, None, None)
+
+
+def test_pairwise_correlation_hand_cases(spark):
+    """dim1 == dim2 (corr 1), dim3 == -dim1 (corr -1), dim4 constant
+    (NULL)."""
+    from amazonredshift_blueprints_spark.operators.ml import (
+        pairwise_correlation,
+    )
+
+    rows = [([1.0, 1.0, -1.0, 5.0],), ([2.0, 2.0, -2.0, 5.0],),
+            ([3.0, 3.0, -3.0, 5.0],)]
+    df = spark.createDataFrame(rows, ["v"])
+    got = {(r["i"], r["j"]): r["corr"]
+           for r in pairwise_correlation(df, "v", dims=4).collect()}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == -1.0
+    assert got[(1, 1)] == 1.0
+    assert got[(1, 4)] is None and got[(4, 4)] is None
+    assert len(got) == 10  # 4*5/2 upper-triangle cells

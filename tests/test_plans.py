@@ -682,3 +682,10 @@ def test_c119_c120_plan_shapes(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p119
     p120 = _plan(spark, sf_dir, "c120_groupwise_ols")
     assert "Join" not in p120
+
+
+def test_c121_plan_is_join_free(spark, sf_dir):
+    """The correlation matrix must come from map-side pair expansion +
+    one aggregate — never a vec_id self-join."""
+    p = _plan(spark, sf_dir, "c121_embedding_corr_matrix")
+    assert "Join" not in p

@@ -134,3 +134,17 @@ def test_pagerank_dangling_policies(spark):
         for x in pagerank(edges, iterations=3, dangling="redistribute").collect()
     }
     assert again == got
+
+
+def test_bfs_hops_min_distance_and_bound(spark):
+    """Diamond + tail: 1->2, 1->3, 2->4, 3->4 (4 at MIN hop 2), 4->5,
+    5->6 (6 at hop 3... wait: 1,2/3,4,5 -> 5 is hop 3; 6 is hop 4 and
+    must be EXCLUDED by max_hops=3). Node 7 disconnected."""
+    from amazonredshift_blueprints_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (5, 6), (7, 7)],
+        ["src", "dst"],
+    )
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, 1, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
