@@ -1585,3 +1585,81 @@ def rrf_fuse(
     top = agg.orderBy(F.desc("rrf_q"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("rrf_q"), F.asc("doc_id"))
     return top.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+
+
+def greedy_coverage_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    ngram: int = 3,
+) -> DataFrame:
+    """Greedy maximum-coverage data selection: pick ``k`` documents,
+    each round choosing the one whose distinct word-``ngram`` set adds
+    the most NOT-YET-COVERED shingles — the classic (1 - 1/e)-optimal
+    greedy for submodular coverage (facility location / coreset
+    selection): the principled "which k docs best represent the
+    corpus" answer, vs frequency or random picks.
+
+    Deterministic: gains are exact integer counts; ties break to the
+    smallest doc id. Returns (round, doc_id, gain), round 1-based.
+
+    100 TB: per round — one anti-join of the doc-shingle postings
+    against the covered set (covered is selected-docs-sized, broadcast
+    while small), one doc-keyed hash aggregate, one TakeOrdered top-1;
+    the ONLY driver-side value per round is the argmax (doc_id, gain)
+    scalar. The postings table is built once and persisted; covered
+    grows by one doc's shingles per round. k is small by construction
+    (you are choosing exemplars); for large k switch to the stochastic
+    lazy-greedy variant (same plan per round, sampled candidates).
+    """
+    from .dedup import tokens as _tokens
+    from .dedup import word_ngrams
+
+    items = (
+        F.array_distinct(_tokens(text_col))
+        if ngram <= 1
+        else word_ngrams(_tokens(text_col), ngram)
+    )
+    e = (
+        df.select(F.col(id_col).alias("doc_id"), items.alias("t"))
+        .filter(F.size("t") > 0)
+        .select("doc_id", F.explode("t").alias("token"))
+    ).persist()
+    spark = df.sparkSession
+    covered = None  # DataFrame[token] once the first doc is chosen
+    chosen: list[tuple[int, int, int]] = []
+    chosen_ids: list[int] = []
+    for rnd in range(1, k + 1):
+        cand = e
+        if chosen_ids:
+            cand = cand.filter(~F.col("doc_id").isin(chosen_ids))
+        if covered is not None:
+            cand = cand.join(F.broadcast(covered), "token", "left_anti")
+        top = (
+            cand.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("doc_id"))
+            .limit(1)
+            .collect()
+        )
+        if not top:  # everything already covered
+            break
+        doc_id, gain = int(top[0]["doc_id"]), int(top[0]["gain"])
+        chosen.append((rnd, doc_id, gain))
+        chosen_ids.append(doc_id)
+        new_cov = e.filter(F.col("doc_id") == doc_id).select("token")
+        prev = covered
+        covered = (
+            new_cov if covered is None else covered.unionAll(new_cov)
+        ).distinct().persist()
+        covered.count()  # materialize before the previous cache goes
+        if prev is not None:
+            prev.unpersist()
+    e.unpersist()
+    if covered is not None:
+        covered.unpersist()
+    return spark.createDataFrame(
+        chosen, "round long, doc_id long, gain long"
+    )

@@ -10275,6 +10275,67 @@ def c122_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(edges, int(source), max_hops=3)
 
 
+@query(
+    "c123_greedy_coverage_select",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    toks AS (SELECT doc_id, {_DUCK_GRAMS3} AS t FROM tk),
+    e AS (SELECT doc_id, unnest(t) AS token FROM toks WHERE len(t) > 0),
+    m1 AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+        FROM e GROUP BY 1
+    ),
+    s1 AS (SELECT doc_id, gain FROM m1 ORDER BY gain DESC, doc_id LIMIT 1),
+    cov1 AS (SELECT DISTINCT e.token FROM e JOIN s1 USING (doc_id)),
+    m2 AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+        FROM e
+        WHERE token NOT IN (SELECT token FROM cov1)
+          AND doc_id NOT IN (SELECT doc_id FROM s1)
+        GROUP BY 1
+    ),
+    s2 AS (SELECT doc_id, gain FROM m2 ORDER BY gain DESC, doc_id LIMIT 1),
+    cov2 AS (
+        SELECT token FROM cov1
+        UNION
+        SELECT DISTINCT e.token FROM e JOIN s2 USING (doc_id)
+    ),
+    m3 AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+        FROM e
+        WHERE token NOT IN (SELECT token FROM cov2)
+          AND doc_id NOT IN (SELECT doc_id FROM s1
+                             UNION ALL SELECT doc_id FROM s2)
+        GROUP BY 1
+    ),
+    s3 AS (SELECT doc_id, gain FROM m3 ORDER BY gain DESC, doc_id LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS round, doc_id, gain FROM s1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), doc_id, gain FROM s2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), doc_id, gain FROM s3
+    """,
+    doc="greedy maximum-coverage exemplar selection, k=3 "
+        "(operators/text.greedy_coverage_select): each round picks "
+        "the document adding the most NOT-YET-COVERED distinct "
+        "3-gram shingles — the (1-1/e)-optimal submodular greedy "
+        "(coreset / representative-subset selection), deterministic "
+        "via exact integer gains + smallest-id tiebreak. Per round: "
+        "one broadcast anti-join vs the covered set, one doc-keyed "
+        "aggregate, one TakeOrdered top-1; the only driver value is "
+        "the argmax scalar (the c122/c90 iterative contract). The "
+        "ORACLE unrolls the same 3 rounds as chained CTEs — one "
+        "wrong marginal anywhere flips a pick and fails the hash",
+    bench=True,
+    tags=("text", "llm", "sampling"),
+)
+def c123_greedy_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import greedy_coverage_select
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return greedy_coverage_select(d, "doc_id", "text", k=3, ngram=3)
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -10303,7 +10364,7 @@ def c122_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 27
+# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 28
 # entries added in round 11 after this window froze have never been
 # driver-rowed and take slots first — c98_pagerank_dangling,
 # c99_dedup_keep_best, c100_bpe_fertility, c101_unimax_mixing,
@@ -10315,7 +10376,8 @@ def c122_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # c113_bottomk_hash_sample, c114_rrf_hybrid_search,
 # c115_loo_target_encoding, c116_ab_ztest, c117_ewma_spikes,
 # c118_markov_transitions, c119_containment_join, c120_groupwise_ols,
-# c121_embedding_corr_matrix, c122_bfs_hops, q88_window_ignore_nulls,
+# c121_embedding_corr_matrix, c122_bfs_hops,
+# c123_greedy_coverage_select, q88_window_ignore_nulls,
 # q89_dml_statement_face (ALL locally hash-verified at BOTH sf0.01
 # and sf0.1 before their commits) — then
 # fill to 50 with the oldest-rowed entries (the r7-rowed block

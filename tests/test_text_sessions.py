@@ -662,3 +662,23 @@ def test_transition_model_hand_counts(spark):
         ).collect()
     }
     assert got == {("a", "b"): (2, 1_000_000), ("b", "a"): (1, 1_000_000)}
+
+
+def test_greedy_coverage_select_hand_picks(spark):
+    """Unigram domain: doc 2 {a,b,x,y} wins round 1 (gain 4); doc 3
+    {c,z} wins round 2 (marginal 2 beats doc 1's {c} = 1); doc 1 then
+    adds nothing, so the greedy stops early with 2 picks."""
+    from amazonredshift_blueprints_spark.operators.text import (
+        greedy_coverage_select,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b x y"), (3, "c z")], ["doc_id", "text"]
+    )
+    got = [
+        (r["round"], r["doc_id"], r["gain"])
+        for r in greedy_coverage_select(df, "doc_id", "text", k=3, ngram=1)
+        .orderBy("round")
+        .collect()
+    ]
+    assert got == [(1, 2, 4), (2, 3, 2)]  # doc 1 adds nothing -> stops
