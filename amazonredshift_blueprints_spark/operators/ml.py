@@ -377,3 +377,57 @@ def pairwise_correlation(
         "n",
         F.when((vx > 0) & (vy > 0), F.round(corr, 6)).alias("corr"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    ref_col: str,
+    bucket_col: str,
+) -> DataFrame:
+    """Population Stability Index between a reference slice and a
+    current slice of one bucketed feature — the model-monitoring drift
+    alarm (PSI < 0.1 stable, > 0.25 action):
+
+        PSI = Σ_buckets (p_ref - p_cur) · ln(p_ref / p_cur)
+
+    ``ref_col`` is a boolean slice flag; ``bucket_col`` an integer
+    bucket. Shares use add-one smoothing over the JOINT bucket list
+    (p = (n_b + 1) / (n + B), B = distinct buckets), so a bucket
+    present in only one slice contributes finitely instead of ln(0).
+    Each bucket's contribution quantizes to integer NANO-units through
+    one fixed IEEE expression (the ln contract, 1e9 because per-bucket
+    terms are small), so the cross-bucket sum is exact and
+    order-independent.
+
+    Returns one row per bucket: (bucket, n_ref, n_cur, contrib_q,
+    psi_q) with psi_q the exact total repeated on every row (nano
+    units).
+
+    100 TB: ONE hash aggregate over the stream (bucket x slice
+    cardinality rows out), then all arithmetic on the metadata-sized
+    bucket table; the two totals and the bucket count broadcast.
+    """
+    counts = df.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.sum(F.when(F.col(ref_col), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col(ref_col), 0).otherwise(1)).alias("n_cur"),
+    )
+    dims = counts.agg(
+        F.sum("n_ref").alias("tr"),
+        F.sum("n_cur").alias("tc"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    pr = (F.col("n_ref") + 1).cast("double") / (F.col("tr") + F.col("nb")).cast(
+        "double"
+    )
+    pc = (F.col("n_cur") + 1).cast("double") / (F.col("tc") + F.col("nb")).cast(
+        "double"
+    )
+    contrib = F.round((pr - pc) * F.log(pr / pc) * 1_000_000_000).cast("long")
+    per = counts.crossJoin(F.broadcast(dims)).select(
+        "bucket",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        contrib.alias("contrib_q"),
+    )
+    tot = per.agg(F.sum("contrib_q").alias("psi_q"))
+    return per.crossJoin(F.broadcast(tot))

@@ -2153,3 +2153,77 @@ def sq8_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def cooccurrence_topk(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    k: int = 20,
+    min_support: int = 2,
+) -> DataFrame:
+    """Item-item collaborative filtering by co-occurrence cosine: for
+    every item pair sharing at least ``min_support`` baskets,
+
+        cosine(a, b) = n(a, b) / sqrt(n(a) · n(b))
+
+    — the classic "customers who bought X also bought Y" similarity
+    (Sarwar et al. WWW'01), computed from exact BIGINT co-occurrence
+    counts with the cosine as one fixed IEEE expression ROUNDed to 6
+    dp. Top-``k`` pairs by (cosine DESC, item_a, item_b).
+
+    Input rows are (basket, item) memberships (duplicates tolerated —
+    deduped internally). Returns (item_a, item_b, n_ab, cosine, rank),
+    item_a < item_b.
+
+    100 TB: the pair generation is a basket-keyed self-join whose cost
+    is Σ per-basket-size² — bounded by basket width, never |items|²
+    (the c111 wedge bound); item marginals are an item-sized aggregate
+    broadcast onto the pair counts; final top-k is
+    TakeOrderedAndProject. Degenerate mega-baskets (a basket holding
+    half the catalog) are the skew to cap upstream, same as c87's
+    domain cap.
+    """
+    lp = baskets.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    n_item = lp.groupBy(F.col("i")).agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        lp.alias("a")
+        .join(lp.alias("b"), "b")
+        .filter(F.col("a.i") < F.col("b.i"))
+        .groupBy(
+            F.col("a.i").alias("item_a"), F.col("b.i").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(n_item.select(F.col("i").alias("item_a"),
+                                      F.col("n").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(n_item.select(F.col("i").alias("item_b"),
+                                      F.col("n").alias("n_b"))),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double")
+                / F.sqrt(
+                    F.col("n_a").cast("double") * F.col("n_b").cast("double")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("item_a"), F.asc("item_b"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("item_a"), F.asc("item_b"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -10336,6 +10336,123 @@ def c123_greedy_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return greedy_coverage_select(d, "doc_id", "text", k=3, ngram=3)
 
 
+@query(
+    "c124_itemitem_cf",
+    oracle="""
+    WITH lp AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    ni AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM lp GROUP BY 1),
+    p AS (
+        SELECT a.i AS item_a, b.i AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM lp a JOIN lp b ON a.b = b.b AND a.i < b.i
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ),
+    s AS (
+        SELECT item_a, item_b, n_ab,
+               ROUND(CAST(n_ab AS DOUBLE)
+                     / sqrt(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)),
+                     6) AS cosine
+        FROM p
+        JOIN ni na ON na.i = item_a
+        JOIN ni nb ON nb.i = item_b
+    ),
+    top AS (
+        SELECT * FROM s ORDER BY cosine DESC, item_a, item_b LIMIT 20
+    )
+    SELECT item_a, item_b, n_ab, cosine,
+           CAST(row_number() OVER (
+               ORDER BY cosine DESC, item_a, item_b) AS BIGINT) AS rank
+    FROM top
+    """,
+    doc="item-item collaborative filtering "
+        "(operators/similarity.cooccurrence_topk; Sarwar WWW'01): "
+        "top-20 part pairs by co-purchase cosine "
+        "n(a,b)/sqrt(n(a)·n(b)) with min-support 2 — the "
+        "customers-who-bought-X recommender over the same basket "
+        "relation c111 counts triangles on. Exact BIGINT counts; "
+        "cosine is one fixed IEEE expression ROUND 6. 100 TB: pair "
+        "generation is the basket-keyed self-join bounded by Σ "
+        "basket-width² (never |items|²); item marginals broadcast; "
+        "top-k is TakeOrderedAndProject",
+    bench=True,
+    tags=("similarity", "join"),
+)
+def c124_itemitem_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cooccurrence_topk
+
+    li = views(spark, sf_dir, "lineitem")["lineitem"]
+    return cooccurrence_topk(
+        li, "l_orderkey", "l_partkey", k=20, min_support=2
+    )
+
+
+@query(
+    "c125_psi_drift",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(least(CAST(floor(CAST(value AS DOUBLE) / 50)
+                               AS BIGINT), 11) AS BIGINT) AS bucket,
+               (ts < TIMESTAMP '2024-01-15') AS is_ref
+        FROM events
+    ),
+    c AS (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ref,
+               CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_cur
+        FROM d GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+               CAST(SUM(n_cur) AS BIGINT) AS tc,
+               CAST(COUNT(*) AS BIGINT) AS nb
+        FROM c
+    ),
+    per AS (
+        SELECT bucket, n_ref, n_cur,
+               CAST(round(
+                   (CAST(n_ref + 1 AS DOUBLE) / CAST(tr + nb AS DOUBLE)
+                    - CAST(n_cur + 1 AS DOUBLE) / CAST(tc + nb AS DOUBLE))
+                   * ln((CAST(n_ref + 1 AS DOUBLE) / CAST(tr + nb AS DOUBLE))
+                        / (CAST(n_cur + 1 AS DOUBLE)
+                           / CAST(tc + nb AS DOUBLE)))
+                   * 1000000000) AS BIGINT) AS contrib_q
+        FROM c CROSS JOIN t
+    )
+    SELECT bucket, n_ref, n_cur, contrib_q,
+           (SELECT CAST(SUM(contrib_q) AS BIGINT) FROM per) AS psi_q
+    FROM per
+    """,
+    doc="Population Stability Index drift monitor (operators/ml."
+        "psi_drift): event values bucketed into fixed 50-unit bands "
+        "(capped at 12 buckets), reference slice = first half of "
+        "January vs current = rest; per-bucket (p_ref - p_cur)·"
+        "ln(p_ref/p_cur) with add-one smoothing over the joint bucket "
+        "list, quantized to NANO-units through one fixed IEEE "
+        "expression so the cross-bucket PSI total is an exact integer "
+        "sum — the model-monitoring alarm (0.1 watch / 0.25 act). "
+        "100 TB: one hash aggregate over the stream; everything after "
+        "runs on the metadata-sized bucket table",
+    tags=("ml", "events", "quality"),
+)
+def c125_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import psi_drift
+
+    e = views(spark, sf_dir, "events")["events"]
+    d = e.select(
+        F.least(
+            F.floor(F.col("value").cast("double") / 50).cast("long"),
+            F.lit(11).cast("long"),
+        ).alias("bucket"),
+        (F.col("ts") < F.lit("2024-01-15").cast("timestamp")).alias("is_ref"),
+    )
+    return psi_drift(d, "is_ref", "bucket")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -10364,7 +10481,7 @@ def c123_greedy_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 28
+# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 30
 # entries added in round 11 after this window froze have never been
 # driver-rowed and take slots first — c98_pagerank_dangling,
 # c99_dedup_keep_best, c100_bpe_fertility, c101_unimax_mixing,
@@ -10377,7 +10494,8 @@ def c123_greedy_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # c115_loo_target_encoding, c116_ab_ztest, c117_ewma_spikes,
 # c118_markov_transitions, c119_containment_join, c120_groupwise_ols,
 # c121_embedding_corr_matrix, c122_bfs_hops,
-# c123_greedy_coverage_select, q88_window_ignore_nulls,
+# c123_greedy_coverage_select, c124_itemitem_cf, c125_psi_drift,
+# q88_window_ignore_nulls,
 # q89_dml_statement_face (ALL locally hash-verified at BOTH sf0.01
 # and sf0.1 before their commits) — then
 # fill to 50 with the oldest-rowed entries (the r7-rowed block

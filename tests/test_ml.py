@@ -128,3 +128,22 @@ def test_pairwise_correlation_hand_cases(spark):
     assert got[(1, 1)] == 1.0
     assert got[(1, 4)] is None and got[(4, 4)] is None
     assert len(got) == 10  # 4*5/2 upper-triangle cells
+
+
+def test_psi_drift_identical_slices_zero(spark):
+    """Identical distributions -> every contribution (and PSI) is
+    exactly 0; a bucket present in one slice only still contributes
+    finitely (smoothing)."""
+    from amazonredshift_blueprints_spark.operators.ml import psi_drift
+
+    same = [(True, b) for b in (1, 1, 2)] + [(False, b) for b in (1, 1, 2)]
+    df = spark.createDataFrame(same, ["is_ref", "bucket"])
+    rows = psi_drift(df, "is_ref", "bucket").collect()
+    assert all(r["contrib_q"] == 0 and r["psi_q"] == 0 for r in rows)
+    skew = spark.createDataFrame(
+        [(True, 1), (True, 1), (False, 2), (False, 2)], ["is_ref", "bucket"]
+    )
+    rows = psi_drift(skew, "is_ref", "bucket").collect()
+    assert {r["bucket"] for r in rows} == {1, 2}
+    psi = rows[0]["psi_q"]
+    assert psi > 0 and all(r["psi_q"] == psi for r in rows)

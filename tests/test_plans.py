@@ -689,3 +689,15 @@ def test_c121_plan_is_join_free(spark, sf_dir):
     one aggregate — never a vec_id self-join."""
     p = _plan(spark, sf_dir, "c121_embedding_corr_matrix")
     assert "Join" not in p
+
+
+def test_c124_c125_plan_shapes(spark, sf_dir):
+    """c124: marginals broadcast onto pair counts — no SMJ for the
+    dims, no cartesian. c125: one aggregate over the stream; the only
+    joins are broadcast of 1-row dims."""
+    p124 = _plan(spark, sf_dir, "c124_itemitem_cf")
+    assert "CartesianProduct" not in p124
+    assert "TakeOrderedAndProject" in p124
+    p125 = _plan(spark, sf_dir, "c125_psi_drift")
+    assert "CartesianProduct" not in p125
+    assert "SortMergeJoin" not in p125

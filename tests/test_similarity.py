@@ -824,3 +824,20 @@ def test_sq8_flat_dimension_codes_zero(spark):
     assert top0["neighbor_id"] == 1
     top1 = [r for r in out if r["query_id"] == 1 and r["rank"] == 1][0]
     assert top1["neighbor_id"] == 5
+
+
+def test_cooccurrence_topk_hand_cosine(spark):
+    """Items 1,2 co-occur in both baskets (cosine 1.0); pair (1,3)
+    appears once -> filtered by min_support=2."""
+    from amazonredshift_blueprints_spark.operators.similarity import (
+        cooccurrence_topk,
+    )
+
+    rows = [(10, 1), (10, 2), (10, 3), (20, 1), (20, 2)]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = cooccurrence_topk(df, "basket", "item", k=5, min_support=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["item_a"], r["item_b"], r["n_ab"], r["cosine"], r["rank"]) == (
+        1, 2, 2, 1.0, 1,
+    )
