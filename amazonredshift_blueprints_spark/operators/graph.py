@@ -306,3 +306,73 @@ def bfs_hops(
     out = visited.select("node", F.col("hops").cast("long").alias("hops"))
     out._bp_cache_owner = visited
     return out
+
+
+def hits(edges: DataFrame, *, iterations: int = 2) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999), fixed small
+    iteration count, ALL-INTEGER — the link-analysis complement of
+    :func:`pagerank` (PageRank finds globally endorsed nodes; HITS
+    separates good POINTERS from good TARGETS, the natural reading of
+    a bipartite user->item graph):
+
+        a_t(v) = Σ over edges u->v of h_{t-1}(u)
+        h_t(v) = Σ over edges v->w of a_t(w)
+
+    starting from h_0 = 1. No normalization (classic HITS normalizes
+    each round; exact integer sums replay bit-for-bit instead, and for
+    a FIXED iteration count the unnormalized ranking is identical —
+    normalization is a positive per-round scalar). Overflow grows like
+    (max degree)^(2·iterations): fine through int64 for the 2-3
+    rounds HITS needs.
+
+    Returns (node, hub_q, auth_q) for every node incident to an edge.
+
+    100 TB: each half-iteration is one equi-join of the edge list with
+    the node-sized score vector plus one hash aggregate — the same
+    shuffle-per-round shape (and persist hygiene duty) as pagerank;
+    scores are node-sized, broadcastable for dimension-like graphs.
+    """
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    ).persist()
+    h = nodes.select("node", F.lit(1).cast("long").alias("s"))
+    spent: list[DataFrame] = []  # per-round caches, released at exit
+    a = None
+    for _ in range(iterations):
+        a = (
+            e.join(h.withColumnRenamed("node", "src")
+                    .withColumnRenamed("s", "hs"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hs").alias("s"))
+            .join(nodes, "node", "right")
+            .select("node", F.coalesce("s", F.lit(0)).cast("long").alias("s"))
+        ).persist()
+        a.count()  # materialize so the next half-round reads the cache
+        h = (
+            e.join(a.withColumnRenamed("node", "dst")
+                    .withColumnRenamed("s", "as_"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("as_").alias("s"))
+            .join(nodes, "node", "right")
+            .select("node", F.coalesce("s", F.lit(0)).cast("long").alias("s"))
+        ).persist()
+        h.count()
+        spent.extend([a, h])
+    out = (
+        h.withColumnRenamed("s", "hub_q")
+        .join(a.withColumnRenamed("s", "auth_q"), "node")
+        .select("node", "hub_q", "auth_q")
+    ).persist()
+    out.count()
+    for c in spent:
+        c.unpersist()
+    e.unpersist()
+    nodes.unpersist()
+    out._bp_cache_owner = out
+    return out

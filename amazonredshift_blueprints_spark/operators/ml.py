@@ -431,3 +431,53 @@ def psi_drift(
     )
     tot = per.agg(F.sum("contrib_q").alias("psi_q"))
     return per.crossJoin(F.broadcast(tot))
+
+
+def churn_labels(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    *,
+    cutoff: str,
+    positive_type: str = "purchase",
+) -> DataFrame:
+    """Point-in-time-correct training-label generation for churn: for
+    every entity active BEFORE ``cutoff``, build features from the
+    pre-cutoff window only and the label ("churned") from the
+    post-cutoff window only — the leakage boundary every supervised
+    pipeline on event data must enforce (a feature computed over the
+    label window is the classic target leak).
+
+    Features: pre-cutoff event count, pre-cutoff ``positive_type``
+    count, distinct active days pre-cutoff. Label: TRUE iff the entity
+    has ZERO events at/after the cutoff. Entities first seen after the
+    cutoff are excluded (nothing to featurize at prediction time).
+
+    All from ONE conditional aggregate over ONE scan — the cutoff
+    split is per-row CASE, not a self-join of two time slices.
+
+    Returns (key, n_events, n_positive, days_active, churned).
+
+    100 TB: one hash aggregate, key-cardinality rows out; the distinct
+    count is per-group (count distinct inside the aggregate —
+    Spark expands it to a two-phase aggregate on the same key
+    partitioning, still one scan).
+    """
+    c = F.lit(cutoff).cast("timestamp")
+    pre = F.col(ts_col) < c
+    return (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.sum(F.when(pre, 1).otherwise(0)).cast("long").alias("n_events"),
+            F.sum(
+                F.when(pre & (F.col(type_col) == positive_type), 1).otherwise(0)
+            ).cast("long").alias("n_positive"),
+            F.count_distinct(
+                F.when(pre, F.col(ts_col).cast("date"))
+            ).cast("long").alias("days_active"),
+            (F.sum(F.when(~pre, 1).otherwise(0)) == 0).alias("churned"),
+        )
+        .filter(F.col("n_events") > 0)
+        .select("key", "n_events", "n_positive", "days_active", "churned")
+    )

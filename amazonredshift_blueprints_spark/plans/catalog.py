@@ -10453,6 +10453,109 @@ def c125_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(d, "is_ref", "bucket")
 
 
+@query(
+    "c126_hits_hubs_authorities",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT user_id AS u,
+               1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   AS it
+        FROM events WHERE event_type = 'click'
+    ),
+    e AS (SELECT u AS src, it AS dst FROM pairs),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    a1 AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS s
+           FROM e GROUP BY 1),
+    a1f AS (SELECT n.node, CAST(COALESCE(a1.s, 0) AS BIGINT) AS s
+            FROM nodes n LEFT JOIN a1 ON a1.node = n.node),
+    h1 AS (SELECT e.src AS node, CAST(SUM(a.s) AS BIGINT) AS s
+           FROM e JOIN a1f a ON a.node = e.dst GROUP BY 1),
+    h1f AS (SELECT n.node, CAST(COALESCE(h1.s, 0) AS BIGINT) AS s
+            FROM nodes n LEFT JOIN h1 ON h1.node = n.node),
+    a2 AS (SELECT e.dst AS node, CAST(SUM(h.s) AS BIGINT) AS s
+           FROM e JOIN h1f h ON h.node = e.src GROUP BY 1),
+    a2f AS (SELECT n.node, CAST(COALESCE(a2.s, 0) AS BIGINT) AS s
+            FROM nodes n LEFT JOIN a2 ON a2.node = n.node),
+    h2 AS (SELECT e.src AS node, CAST(SUM(a.s) AS BIGINT) AS s
+           FROM e JOIN a2f a ON a.node = e.dst GROUP BY 1),
+    h2f AS (SELECT n.node, CAST(COALESCE(h2.s, 0) AS BIGINT) AS s
+            FROM nodes n LEFT JOIN h2 ON h2.node = n.node)
+    SELECT n.node, h2f.s AS hub_q, a2f.s AS auth_q
+    FROM nodes n
+    JOIN h2f ON h2f.node = n.node
+    JOIN a2f ON a2f.node = n.node
+    """,
+    doc="HITS hubs & authorities (operators/graph.hits; Kleinberg "
+        "1999), 2 iterations over the directed user->item click graph "
+        "(c90/c98's graph): users score as POINTERS (hubs), items as "
+        "TARGETS (authorities) — the complement of PageRank's single "
+        "endorsement score, and the natural bipartite reading. "
+        "ALL-INTEGER: h0=1, each half-round is exact BIGINT sums "
+        "(unnormalized — for a fixed iteration count the ranking "
+        "equals classic HITS, normalization being a positive scalar "
+        "per round), so the 4-half-round unrolled-CTE oracle replays "
+        "bit-exactly. Same shuffle-per-round + persist-hygiene "
+        "discipline as pagerank (caches rotated, released at exit)",
+    bench=True,
+    tags=("graph", "events"),
+)
+def c126_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import hits
+
+    e = views(spark, sf_dir, "events")["events"]
+    pairs = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("src"),
+            (
+                F.lit(1000000)
+                + F.get_json_object("props", "$.k").cast("long")
+            ).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits(pairs, iterations=2)
+
+
+@query(
+    "c127_churn_labels",
+    oracle="""
+    SELECT user_id AS key,
+           CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-24'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-24'
+                          AND event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+           CAST(COUNT(DISTINCT CASE WHEN ts < TIMESTAMP '2024-01-24'
+                                    THEN CAST(ts AS DATE) END)
+               AS BIGINT) AS days_active,
+           (SUM(CASE WHEN ts >= TIMESTAMP '2024-01-24'
+                     THEN 1 ELSE 0 END) = 0) AS churned
+    FROM events
+    GROUP BY 1
+    HAVING SUM(CASE WHEN ts < TIMESTAMP '2024-01-24'
+                    THEN 1 ELSE 0 END) > 0
+    """,
+    doc="point-in-time-correct churn label generation (operators/ml."
+        "churn_labels): features (event count, purchase count, "
+        "distinct active days) STRICTLY before the 2024-01-24 cutoff, "
+        "label = zero events at/after it — the leakage boundary every "
+        "supervised pipeline on event data must enforce, computed as "
+        "ONE conditional aggregate over ONE scan (the time split is "
+        "per-row CASE, never a self-join of slices); entities first "
+        "seen after the cutoff are excluded. 100 TB: one hash "
+        "aggregate, key-cardinality rows out",
+    tags=("ml", "events"),
+)
+def c127_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import churn_labels
+
+    e = views(spark, sf_dir, "events")["events"]
+    return churn_labels(
+        e, "user_id", "ts", "event_type", cutoff="2024-01-24"
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -10481,7 +10584,7 @@ def c125_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 30
+# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 32
 # entries added in round 11 after this window froze have never been
 # driver-rowed and take slots first — c98_pagerank_dangling,
 # c99_dedup_keep_best, c100_bpe_fertility, c101_unimax_mixing,
@@ -10495,6 +10598,7 @@ def c125_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # c118_markov_transitions, c119_containment_join, c120_groupwise_ols,
 # c121_embedding_corr_matrix, c122_bfs_hops,
 # c123_greedy_coverage_select, c124_itemitem_cf, c125_psi_drift,
+# c126_hits_hubs_authorities, c127_churn_labels,
 # q88_window_ignore_nulls,
 # q89_dml_statement_face (ALL locally hash-verified at BOTH sf0.01
 # and sf0.1 before their commits) — then

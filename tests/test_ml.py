@@ -147,3 +147,26 @@ def test_psi_drift_identical_slices_zero(spark):
     assert {r["bucket"] for r in rows} == {1, 2}
     psi = rows[0]["psi_q"]
     assert psi > 0 and all(r["psi_q"] == psi for r in rows)
+
+
+def test_churn_labels_leakage_boundary(spark):
+    """user 1 active both sides (not churned); user 2 pre-only
+    (churned); user 3 post-only (EXCLUDED — nothing to featurize)."""
+    import datetime as dt
+
+    from amazonredshift_blueprints_spark.operators.ml import churn_labels
+
+    pre, post = dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 25)
+    rows = [
+        (1, pre, "view"), (1, pre, "purchase"), (1, post, "view"),
+        (2, pre, "view"),
+        (3, post, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {
+        r["key"]: (r["n_events"], r["n_positive"], r["days_active"], r["churned"])
+        for r in churn_labels(
+            df, "user_id", "ts", "event_type", cutoff="2024-01-24"
+        ).collect()
+    }
+    assert got == {1: (2, 1, 1, False), 2: (1, 0, 1, True)}

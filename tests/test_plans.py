@@ -701,3 +701,10 @@ def test_c124_c125_plan_shapes(spark, sf_dir):
     p125 = _plan(spark, sf_dir, "c125_psi_drift")
     assert "CartesianProduct" not in p125
     assert "SortMergeJoin" not in p125
+
+
+def test_c127_single_scan_no_join(spark, sf_dir):
+    """The point-in-time split must be per-row CASE inside one
+    aggregate — never a self-join of time slices."""
+    p = _plan(spark, sf_dir, "c127_churn_labels")
+    assert "Join" not in p

@@ -148,3 +148,13 @@ def test_bfs_hops_min_distance_and_bound(spark):
     )
     got = {r["node"]: r["hops"] for r in bfs_hops(edges, 1, max_hops=3).collect()}
     assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+
+def test_hits_hand_scores(spark):
+    """1->10, 2->10, 2->11: a1=(2,1); h1(1)=2, h1(2)=3; a2(10)=5,
+    a2(11)=3; h2(1)=5, h2(2)=8. Items hub 0, users auth 0."""
+    from amazonredshift_blueprints_spark.operators.graph import hits
+
+    e = spark.createDataFrame([(1, 10), (2, 10), (2, 11)], ["src", "dst"])
+    got = {r["node"]: (r["hub_q"], r["auth_q"]) for r in hits(e, iterations=2).collect()}
+    assert got == {1: (5, 0), 2: (8, 0), 10: (0, 5), 11: (0, 3)}
