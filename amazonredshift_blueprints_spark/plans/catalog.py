@@ -10556,6 +10556,54 @@ def c127_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c128_percentile_scaling",
+    oracle="""
+    WITH r AS (
+        SELECT event_id,
+               CAST(row_number() OVER (ORDER BY value, event_id)
+                   AS BIGINT) AS rank
+        FROM events
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events)
+    SELECT event_id, rank,
+           CAST((rank - 1) * 1000000 // (n.n - 1) AS BIGINT) AS pct_micro
+    FROM r CROSS JOIN n
+    """,
+    doc="global percentile-rank feature scaling (rank-based "
+        "normalization, the quantile-transform preprocessing step): "
+        "every event's value mapped to its exact corpus percentile in "
+        "integer micro-units, (rank-1)*1e6 DIV (N-1). The global rank "
+        "comes from operators/sampling.global_rank — range-partition "
+        "+ within-partition sort + BROADCAST-JOINED per-partition "
+        "offsets (never the single-partition ORDER BY window, never a "
+        "P-branch CASE: the r10-verdict scale fix) — so the plan "
+        "holds at the 1e4-1e5 partition counts a 100 TB sort implies; "
+        "ties broken by event_id make the order total and the rank "
+        "unique",
+    tags=("ml", "feature", "events"),
+)
+def c128_percentile_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import global_rank
+
+    e = views(spark, sf_dir, "events")["events"]
+    ranked = global_rank(
+        e.select("event_id", "value"),
+        [F.col("value"), F.col("event_id")],
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "event_id",
+            "rank",
+            F.expr(
+                "CAST((rank - 1) * 1000000 DIV (n - 1) AS BIGINT)"
+            ).alias("pct_micro"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -10584,7 +10632,7 @@ def c127_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 32
+# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 33
 # entries added in round 11 after this window froze have never been
 # driver-rowed and take slots first — c98_pagerank_dangling,
 # c99_dedup_keep_best, c100_bpe_fertility, c101_unimax_mixing,
@@ -10599,7 +10647,7 @@ def c127_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 # c121_embedding_corr_matrix, c122_bfs_hops,
 # c123_greedy_coverage_select, c124_itemitem_cf, c125_psi_drift,
 # c126_hits_hubs_authorities, c127_churn_labels,
-# q88_window_ignore_nulls,
+# c128_percentile_scaling, q88_window_ignore_nulls,
 # q89_dml_statement_face (ALL locally hash-verified at BOTH sf0.01
 # and sf0.1 before their commits) — then
 # fill to 50 with the oldest-rowed entries (the r7-rowed block
