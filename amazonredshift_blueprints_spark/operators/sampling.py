@@ -610,3 +610,79 @@ def bottomk_hash_sample(
     return top.withColumn(
         "sample_rank", F.row_number().over(w).cast("long")
     )
+
+
+def negative_sampling(
+    positives: DataFrame,
+    user_col: str,
+    item_col: str,
+    *,
+    k: int = 2,
+) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training
+    (word2vec / recommender two-tower data prep): for every observed
+    (user, item) positive, propose ``k`` pseudo-random candidate items
+    from the observed item universe and keep those that are NOT a
+    positive of that user.
+
+    The candidate draw is a pure-arithmetic mix (no RNG state, no
+    engine hash):
+
+        cand_rank = (user·2654435761 + item·97 + slot·40503) mod N + 1
+
+    (Knuth's multiplicative constant) mapped back to an item id through
+    the item dictionary's rank — all exact BIGINT arithmetic, so every
+    engine proposes the SAME negatives and the output replays
+    bit-for-bit. Collisions with a true positive are dropped, not
+    resampled (documented bias toward slightly-under-k negatives for
+    heavy users; rejection-resampling would need a variable-length
+    loop).
+
+    Returns (user, pos_item, slot, neg_item), slot in 1..k.
+
+    100 TB: the item dictionary (distinct items + dense rank) is
+    vocabulary-sized and broadcast twice (rank->item, and the anti-join
+    of proposals vs positives hashes on (user, item) — the positives'
+    own partitioning); the k-way expansion is map-side explode. No
+    data-sized shuffle beyond the one anti-join.
+    """
+    from pyspark.sql.window import Window
+
+    pos = positives.select(
+        F.col(user_col).alias("user"), F.col(item_col).alias("pos_item")
+    ).distinct()
+    items = pos.select(F.col("pos_item").alias("item")).distinct()
+    w = Window.orderBy("item")  # item-dictionary-sized window
+    dic = items.withColumn("rk", F.row_number().over(w).cast("long"))
+    n = dic.agg(F.count(F.lit(1)).alias("n_items"))
+    cands = (
+        pos.crossJoin(F.broadcast(n))
+        .select(
+            "user",
+            "pos_item",
+            F.explode(F.expr(f"sequence(1, {k})")).alias("slot"),
+            F.col("n_items"),
+        )
+        .withColumn(
+            "rk",
+            (
+                (
+                    F.col("user") * F.lit(2654435761)
+                    + F.col("pos_item") * F.lit(97)
+                    + F.col("slot") * F.lit(40503)
+                )
+                % F.col("n_items")
+                + 1
+            ).cast("long"),
+        )
+        .join(F.broadcast(dic), "rk")
+        .select(
+            "user", "pos_item", F.col("slot").cast("long").alias("slot"),
+            F.col("item").alias("neg_item"),
+        )
+    )
+    return cands.join(
+        pos.select("user", F.col("pos_item").alias("neg_item")),
+        ["user", "neg_item"],
+        "left_anti",
+    )

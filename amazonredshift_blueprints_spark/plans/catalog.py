@@ -10604,6 +10604,65 @@ def c128_percentile_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c129_negative_sampling",
+    oracle="""
+    WITH pos AS (
+        SELECT DISTINCT user_id AS "user",
+               1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   AS pos_item
+        FROM events WHERE event_type = 'click'
+    ),
+    items AS (SELECT DISTINCT pos_item AS item FROM pos),
+    dic AS (
+        SELECT item,
+               CAST(row_number() OVER (ORDER BY item) AS BIGINT) AS rk
+        FROM items
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM dic),
+    cands AS (
+        SELECT p."user", p.pos_item, CAST(s.s AS BIGINT) AS slot,
+               ("user" * 2654435761 + pos_item * 97 + s.s * 40503)
+                   % n.n_items + 1 AS rk
+        FROM pos p CROSS JOIN n CROSS JOIN range(1, 3) s(s)
+    )
+    SELECT c."user", c.pos_item, c.slot, d.item AS neg_item
+    FROM cands c
+    JOIN dic d ON d.rk = c.rk
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pos p
+        WHERE p."user" = c."user" AND p.pos_item = d.item
+    )
+    """,
+    doc="deterministic negative sampling for implicit-feedback "
+        "training (operators/sampling.negative_sampling): 2 proposed "
+        "negatives per (user, clicked-item) positive via a "
+        "pure-arithmetic mix ((u·2654435761 + i·97 + slot·40503) mod "
+        "N, Knuth multiplicative hashing — no RNG state, no engine "
+        "hash, exact BIGINT) mapped through the item dictionary's "
+        "rank; proposals colliding with a true positive are dropped "
+        "(anti-join), the documented bias. 100 TB: dictionary and "
+        "count broadcast; the expansion is a map-side explode; the "
+        "only data-sized exchange is the (user, item) anti-join",
+    tags=("sampling", "ml", "events"),
+)
+def c129_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import negative_sampling
+
+    e = views(spark, sf_dir, "events")["events"]
+    pos = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("u"),
+            (
+                F.lit(1000000)
+                + F.get_json_object("props", "$.k").cast("long")
+            ).alias("it"),
+        )
+    )
+    return negative_sampling(pos, "u", "it", k=2)
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -10632,7 +10691,7 @@ def c128_percentile_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 33
+# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 34
 # entries added in round 11 after this window froze have never been
 # driver-rowed and take slots first — c98_pagerank_dangling,
 # c99_dedup_keep_best, c100_bpe_fertility, c101_unimax_mixing,
@@ -10647,7 +10706,8 @@ def c128_percentile_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # c121_embedding_corr_matrix, c122_bfs_hops,
 # c123_greedy_coverage_select, c124_itemitem_cf, c125_psi_drift,
 # c126_hits_hubs_authorities, c127_churn_labels,
-# c128_percentile_scaling, q88_window_ignore_nulls,
+# c128_percentile_scaling, c129_negative_sampling,
+# q88_window_ignore_nulls,
 # q89_dml_statement_face (ALL locally hash-verified at BOTH sf0.01
 # and sf0.1 before their commits) — then
 # fill to 50 with the oldest-rowed entries (the r7-rowed block

@@ -327,3 +327,30 @@ def test_unimax_budgets_waterfilling(spark):
         unimax_budgets(stats, budget=0)
     with pytest.raises(ValueError, match="epochs_cap"):
         unimax_budgets(stats, budget=10, epochs_cap=0)
+
+
+def test_negative_sampling_determinism_and_exclusion(spark):
+    """Proposals are a pure function of (user, item, slot); no emitted
+    negative is a positive of the same user; at most k per positive."""
+    from amazonredshift_blueprints_spark.operators.sampling import (
+        negative_sampling,
+    )
+
+    pos = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (3, 12)], ["u", "it"]
+    )
+    out1 = sorted(
+        (r["user"], r["pos_item"], r["slot"], r["neg_item"])
+        for r in negative_sampling(pos, "u", "it", k=2).collect()
+    )
+    out2 = sorted(
+        (r["user"], r["pos_item"], r["slot"], r["neg_item"])
+        for r in negative_sampling(pos, "u", "it", k=2).collect()
+    )
+    assert out1 == out2  # bit-for-bit deterministic
+    positives = {(1, 10), (1, 11), (2, 10), (3, 12)}
+    for u, p, s, n in out1:
+        assert (u, n) not in positives
+        assert 1 <= s <= 2
+    # universe is the observed items only
+    assert {n for _, _, _, n in out1} <= {10, 11, 12}
