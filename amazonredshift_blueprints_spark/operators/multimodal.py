@@ -102,6 +102,8 @@ def decode_image(payload: bytes):
         return data.reshape(h, w, 3)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:4] == b"GIF8":
+        return decode_gif(payload)
     try:  # pragma: no cover - pillow absent in this container
         import io
 
@@ -950,3 +952,247 @@ def audio_channel_stats(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         stats, AUDIO_STATS_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# GIF87a: real LZW codec (the PNG/WAV contract, for GIF) — encoder and
+# decoder are independent implementations of the spec's variable-width
+# LSB-first LZW, so a round-trip exercises both directions of the real
+# compression, not a memcpy.
+# --------------------------------------------------------------------------
+
+
+class _LZWBitWriter:
+    """LSB-first variable-width code packer (GIF byte order)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _lzw_compress(indices, min_code_size: int) -> bytes:
+    """GIF LZW: emit CLEAR, compress, emit EOI. Width bumps when
+    next_code == 2^width + 1 (the spec's early-change-free timing —
+    the just-added code can be referenced immediately via the KwKwK
+    case, so the bump must land one entry early on the encoder side)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    w_bits = min_code_size + 1
+    d = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    bw = _LZWBitWriter()
+    bw.write(clear, w_bits)
+    w = b""
+    for k in indices:
+        wk = w + bytes([int(k)])
+        if wk in d:
+            w = wk
+            continue
+        bw.write(d[w], w_bits)
+        if next_code < 4096:
+            d[wk] = next_code
+            next_code += 1
+            if next_code == (1 << w_bits) + 1 and w_bits < 12:
+                w_bits += 1
+        else:  # table full: reset (spec-allowed; rare at our sizes)
+            bw.write(clear, w_bits)
+            d = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            w_bits = min_code_size + 1
+        w = bytes([int(k)])
+    if w:
+        bw.write(d[w], w_bits)
+    bw.write(eoi, w_bits)
+    return bw.flush()
+
+
+def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
+    """Inverse of :func:`_lzw_compress`; decoder bump fires when the
+    table reaches 2^width (one entry later than the encoder's counter,
+    compensating the decoder's one-step table lag)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    width = min_code_size + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    out = bytearray()
+    acc = nbits = pos = 0
+    prev = None
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("truncated LZW stream (no EOI)")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"bad first LZW code {code}")
+            out += table[code]
+            prev = code
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = table[prev] + table[prev][:1]
+        else:
+            raise ValueError(f"LZW code {code} beyond table {len(table)}")
+        out += entry
+        if len(table) < 4096:
+            table.append(table[prev] + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = code
+
+
+def _gif_palette(n_colors: int) -> bytes:
+    """Closed-form palette: color c -> ((c*11)%256, (c*7)%256, (c*3)%256)."""
+    out = bytearray()
+    for c in range(n_colors):
+        out += bytes(((c * 11) % 256, (c * 7) % 256, (c * 3) % 256))
+    return bytes(out)
+
+
+def encode_gif(indices, *, n_colors: int = 16) -> bytes:
+    """Genuine GIF87a: header, logical screen descriptor, global color
+    table (closed-form palette), image descriptor, real LZW-compressed
+    index stream in 255-byte sub-blocks, trailer. ``indices`` is an
+    (h, w) array of palette indices."""
+    import numpy as np
+
+    arr = np.asarray(indices)
+    h, w = arr.shape
+    gct_bits = max((n_colors - 1).bit_length(), 1)
+    if (1 << gct_bits) != n_colors:
+        raise ValueError("n_colors must be a power of two")
+    out = bytearray(b"GIF87a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x80 | ((gct_bits - 1) << 4) | (gct_bits - 1))  # GCT present
+    out += b"\x00\x00"  # bg color, aspect
+    out += _gif_palette(n_colors)
+    out += b"\x2c" + b"\x00\x00\x00\x00"  # image descriptor at (0,0)
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x00)  # no local table, no interlace
+    mcs = max(gct_bits, 2)
+    out.append(mcs)
+    blob = _lzw_compress(arr.reshape(-1).tolist(), mcs)
+    for i in range(0, len(blob), 255):
+        chunk = blob[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator, trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """Chunk-walking GIF87a/89a decoder: parses the screen descriptor
+    and global color table, skips 89a extension blocks by declared
+    size, LZW-decompresses the first image, and maps indices through
+    the palette to an (h, w, 3) uint8 array. Interlaced images and
+    local color tables refuse loudly (not in this corpus's contract)."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = np.frombuffer(
+            payload, dtype=np.uint8, count=3 * n, offset=pos
+        ).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # 89a extension: label + sized sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            ipacked = payload[pos + 9]
+            pos += 10
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            if ipacked & 0x80:
+                raise ValueError("local color table not supported")
+            if palette is None:
+                raise ValueError("GIF without a global color table")
+            mcs = payload[pos]
+            pos += 1
+            blob = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                blob += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = np.frombuffer(
+                _lzw_decompress(bytes(blob), mcs), dtype=np.uint8
+            )
+            if idx.size != h * w:
+                raise ValueError(
+                    f"GIF index stream {idx.size} != {h}x{w}"
+                )
+            return palette[idx.reshape(h, w)]
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError(f"GIF ({sw}x{sh}) contained no image data")
+
+
+def synthesize_gif_images(
+    df: DataFrame, id_col: str, *, side: int = 8, n_colors: int = 16
+) -> DataFrame:
+    """Deterministic synthetic images as REAL GIF87a payloads: palette
+    index of pixel (x, y) for id ``i`` is ``(i*7 + y*5 + x*3) %
+    n_colors`` and the palette is the closed-form ``_gif_palette`` —
+    so an external engine replays the decoded channel sums without
+    parsing a byte (the synthesize_ppm/png/wav contract, for GIF —
+    but here the payload really is LZW-compressed)."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        y = np.arange(side)[:, None]
+        x = np.arange(side)[None, :]
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [
+                encode_gif(
+                    ((int(i) * 7 + y * 5 + x * 3) % n_colors).astype("uint8"),
+                    n_colors=n_colors,
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(gen, "doc_id long, payload binary")

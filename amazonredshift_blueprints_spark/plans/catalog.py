@@ -10663,6 +10663,48 @@ def c129_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_sampling(pos, "u", "it", k=2)
 
 
+@query(
+    "c130_gif_decode_stats",
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id,
+               (d.doc_id * 7 + y.y * 5 + x.x * 3) % 16 AS c
+        FROM documents d, range(8) y(y), range(8) x(x)
+    )
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           CAST(64 AS BIGINT) AS n_pixels,
+           CAST(SUM((c * 11) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((c * 7) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((c * 3) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    doc="REAL GIF decode, end-to-end verified — the LZW rung of the "
+        "codec ladder (c64 PPM raw, c81/c83 PNG zlib+filters, c103 "
+        "WAV PCM): synthetic 8x8 palette images are ENCODED to "
+        "genuine GIF87a payloads (header, global color table, "
+        "variable-width LSB-first LZW with the spec's early-change "
+        "bump timing and KwKwK case, 255-byte sub-blocks) whose pixel "
+        "index (x,y) of id i is (i*7+y*5+x*3) mod 16 and palette c = "
+        "((c*11)%256,(c*7)%256,(c*3)%256), then DECODED back by the "
+        "chunk-walking parser (89a extension skip, interlace/local-"
+        "table refusal) and reduced to exact integer channel sums. "
+        "The oracle recomputes the sums from the closed form alone, "
+        "so one wrong bit in compressor or decompressor fails the "
+        "hash (operators/multimodal.encode_gif/decode_gif; LZW "
+        "round-trip also pytest-stressed on 200 random streams "
+        "through multiple width bumps). Arrow-batched mapInPandas in "
+        "the scan's partitions — no shuffle",
+    tags=("multimodal",),
+)
+def c130_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import image_channel_stats, synthesize_gif_images
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return image_channel_stats(synthesize_gif_images(d, "doc_id", side=8))
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -10691,7 +10733,7 @@ def c129_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 34
+# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 35
 # entries added in round 11 after this window froze have never been
 # driver-rowed and take slots first — c98_pagerank_dangling,
 # c99_dedup_keep_best, c100_bpe_fertility, c101_unimax_mixing,
@@ -10707,7 +10749,7 @@ def c129_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # c123_greedy_coverage_select, c124_itemitem_cf, c125_psi_drift,
 # c126_hits_hubs_authorities, c127_churn_labels,
 # c128_percentile_scaling, c129_negative_sampling,
-# q88_window_ignore_nulls,
+# c130_gif_decode_stats, q88_window_ignore_nulls,
 # q89_dml_statement_face (ALL locally hash-verified at BOTH sf0.01
 # and sf0.1 before their commits) — then
 # fill to 50 with the oldest-rowed entries (the r7-rowed block

@@ -471,3 +471,50 @@ def test_wav_codec_roundtrip_and_failures():
     struct.pack_into("<I", trimmed, 44, datasize - 2)
     with pytest.raises(ValueError):
         decode_wav(bytes(trimmed))
+
+
+def test_lzw_roundtrip_stress():
+    """200 random index streams (incl. multi-bump dictionary growth)
+    plus repetitive KwKwK-heavy streams must round-trip bit-exactly."""
+    import random
+
+    import numpy as np
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    rng = random.Random(7)
+    nprng = np.random.RandomState(7)
+    for _ in range(200):
+        n = rng.randint(1, 5000)
+        mcs = rng.choice([2, 3, 4, 8])
+        idx = nprng.randint(0, 1 << mcs, size=n).tolist()
+        assert list(_lzw_decompress(_lzw_compress(idx, mcs), mcs)) == idx
+    for mcs in (2, 4):
+        idx = [0] * 3000 + [1, 0, 1, 0, 1] * 200
+        assert list(_lzw_decompress(_lzw_compress(idx, mcs), mcs)) == idx
+
+
+def test_gif_decode_matches_palette_and_refusals():
+    import numpy as np
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        _gif_palette,
+        decode_gif,
+        encode_gif,
+    )
+
+    y, x = np.arange(8)[:, None], np.arange(8)[None, :]
+    img = ((5 * 7 + y * 5 + x * 3) % 16).astype("uint8")
+    arr = decode_gif(encode_gif(img, n_colors=16))
+    pal = np.frombuffer(_gif_palette(16), dtype=np.uint8).reshape(16, 3)
+    assert (arr == pal[img]).all()
+    # truncated stream must refuse, not return garbage
+    payload = bytearray(encode_gif(img, n_colors=16))
+    try:
+        decode_gif(bytes(payload[:-20]))
+        raise AssertionError("truncated GIF decoded")
+    except (ValueError, IndexError):
+        pass
