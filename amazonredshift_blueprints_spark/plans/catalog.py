@@ -10705,6 +10705,101 @@ def c130_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_channel_stats(synthesize_gif_images(d, "doc_id", side=8))
 
 
+@query(
+    "c131_stream_ewma",
+    oracle="""
+    WITH RECURSIVE r AS (
+        SELECT user_id,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                   AS BIGINT) AS rn,
+               CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS x
+        FROM events
+    ),
+    cnt AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM r GROUP BY 1
+    ),
+    step AS (
+        SELECT user_id, rn, x AS s, CAST(0 AS BIGINT) AS spikes
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.user_id, r.rn,
+               CAST((3 * step.s + r.x) // 4 AS BIGINT),
+               step.spikes
+                   + CASE WHEN r.x > 2 * step.s THEN 1 ELSE 0 END
+        FROM step JOIN r
+          ON r.user_id = step.user_id AND r.rn = step.rn + 1
+    )
+    SELECT c.user_id, c.n_events, s.s AS ewma_q,
+           CAST(s.spikes AS BIGINT) AS n_spikes
+    FROM cnt c
+    JOIN step s ON s.user_id = c.user_id AND s.rn = c.n_events
+    """,
+    doc="STREAMING twin of c117's EWMA recurrence (streaming/sessions."
+        "stateful_ewma, applyInPandasWithState): the fixture is split "
+        "into two TIME-ORDERED files fed as separate micro-batches "
+        "(maxFilesPerTrigger=1, mtime-ordered), so the per-user "
+        "(s, spikes, n) state genuinely crosses a batch boundary — "
+        "and the final update per user must equal the batch fold AND "
+        "the recursive-CTE oracle bit-for-bit (update-mode emissions "
+        "collapse by the monotone n_events max, the c16 contract). "
+        "The boundary is documented: exact parity requires time-"
+        "ordered batch delivery; out-of-order streams need a "
+        "watermark buffer first. State: three int64s per active user",
+    tags=("streaming", "timeseries", "events"),
+)
+def c131_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil as _sh
+
+    from ..session import load_table
+    from ..streaming.sessions import (
+        await_finished,
+        read_events_stream,
+        stateful_ewma,
+    )
+
+    views(spark, sf_dir, "events")  # oracle reads the same fixture
+    e = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="bp_stream_ewma_")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    for i, pred in enumerate(
+        [F.col("ts") < cut, F.col("ts") >= cut]
+    ):
+        tmp = os.path.join(d, f"_w{i}")
+        e.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(d, f"part-{i}.parquet")
+        _sh.copy(src, dst)
+        os.utime(dst, (1700000000 + i * 100, 1700000000 + i * 100))
+        _sh.rmtree(tmp)
+    schema = spark.read.parquet(os.path.join(d, "part-0.parquet")).schema
+    stream = read_events_stream(spark, d, schema, max_files_per_trigger=1)
+    name = "bp_stream_ewma"
+    q = (
+        stateful_ewma(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_finished(q)
+    t = spark.table(name)
+    return (
+        t.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "ewma_q", "n_spikes")).alias("b"))
+        .select(
+            "user_id",
+            F.col("b.n_events").alias("n_events"),
+            F.col("b.ewma_q").alias("ewma_q"),
+            F.col("b.n_spikes").alias("n_spikes"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -10733,7 +10828,7 @@ def c130_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 35
+# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 36
 # entries added in round 11 after this window froze have never been
 # driver-rowed and take slots first — c98_pagerank_dangling,
 # c99_dedup_keep_best, c100_bpe_fertility, c101_unimax_mixing,
@@ -10749,7 +10844,7 @@ def c130_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # c123_greedy_coverage_select, c124_itemitem_cf, c125_psi_drift,
 # c126_hits_hubs_authorities, c127_churn_labels,
 # c128_percentile_scaling, c129_negative_sampling,
-# c130_gif_decode_stats, q88_window_ignore_nulls,
+# c130_gif_decode_stats, c131_stream_ewma, q88_window_ignore_nulls,
 # q89_dml_statement_face (ALL locally hash-verified at BOTH sf0.01
 # and sf0.1 before their commits) — then
 # fill to 50 with the oldest-rowed entries (the r7-rowed block

@@ -602,3 +602,70 @@ def apply_rollup_batch(
         [(run_token, int(batch_id))], "`run_token` STRING, `batch_id` LONG"
     ).write.mode("append").saveAsTable(marker)
     return True
+
+
+EWMA_OUTPUT = "user_id LONG, n_events LONG, ewma_q LONG, n_spikes LONG"
+EWMA_STATE = "s LONG, spikes LONG, n LONG"
+
+
+def stateful_ewma(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    value_col: str = "value",
+    den: int = 4,
+    spike_mult: int = 2,
+    scale: int = 100,
+) -> DataFrame:
+    """Streaming twin of ``operators/timeseries.ewma_fold``: the same
+    all-integer linear recurrence (s_t = ((den-1)·s + x) div den,
+    spike when x > spike_mult·s) carried ACROSS micro-batches as
+    ``applyInPandasWithState`` state — the operator a 100 TB pipeline
+    runs forever while the batch fold re-reads history.
+
+    Within a micro-batch, rows sort by (ts, tie); ACROSS batches the
+    recurrence consumes arrival order, so exact batch parity requires
+    the source to deliver time-ordered batches (file-source with
+    time-split files does; a true out-of-order stream needs a
+    watermark-bounded buffer first — documented boundary, same as
+    every streaming recurrence). State per key: three int64s.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        s, spikes, n = state.get if state.exists else (0, 0, 0)
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values([ts_col, tie_col])
+        xq = np.round(
+            rows[value_col].to_numpy(np.float64) * scale
+        ).astype(np.int64)
+        for x in xq:
+            x = int(x)
+            if n == 0:
+                s = x
+            else:
+                if x > spike_mult * s:
+                    spikes += 1
+                tot = (den - 1) * s + x
+                s = (tot - tot % den) // den
+            n += 1
+        state.update((int(s), int(spikes), int(n)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "ewma_q": [s],
+                "n_spikes": [spikes],
+            }
+        )
+
+    return events.groupBy(F.col(user_col)).applyInPandasWithState(
+        update,
+        outputStructType=EWMA_OUTPUT,
+        stateStructType=EWMA_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -701,3 +701,58 @@ def test_rollup_batch_replay_is_byte_identical(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {_applied_marker(tbl)}")
+
+
+def test_stateful_ewma_crosses_batch_boundary(spark, tmp_path):
+    """Two time-split files as two micro-batches: the per-user EWMA
+    state must carry across the boundary and equal the batch fold."""
+    import datetime as dt
+    import os
+
+    from amazonredshift_blueprints_spark.operators.timeseries import ewma_fold
+    from amazonredshift_blueprints_spark.streaming.sessions import (
+        await_finished,
+        read_events_stream,
+        stateful_ewma,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(minutes=i), i, float(v))
+        for i, v in enumerate([1.00, 2.01, 0.20, 5.00, 0.40])
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    d = str(tmp_path / "ewma_src")
+    os.makedirs(d)
+    for i, pred in enumerate(["event_id < 3", "event_id >= 3"]):
+        sub = df.filter(pred).coalesce(1)
+        tmp = str(tmp_path / f"w{i}")
+        sub.write.mode("overwrite").parquet(tmp)
+        import glob as g
+        import shutil as sh
+
+        src = g.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(d, f"part-{i}.parquet")
+        sh.copy(src, dst)
+        os.utime(dst, (1700000000 + i * 100,) * 2)
+    schema = spark.read.parquet(os.path.join(d, "part-0.parquet")).schema
+    stream = read_events_stream(spark, d, schema, max_files_per_trigger=1)
+    q = (
+        stateful_ewma(stream)
+        .writeStream.format("memory")
+        .queryName("t_ewma_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_finished(q)
+    got = spark.sql(
+        "SELECT n_events, ewma_q, n_spikes FROM t_ewma_stream "
+        "ORDER BY n_events DESC LIMIT 1"
+    ).collect()[0]
+    want = ewma_fold(df, "user_id", "ts", "event_id", "value").collect()[0]
+    assert (got["n_events"], got["ewma_q"], got["n_spikes"]) == (
+        want["n_events"], want["ewma_q"], want["n_spikes"],
+    )
+    # two micro-batches really happened: update mode emitted twice
+    assert spark.table("t_ewma_stream").count() == 2
