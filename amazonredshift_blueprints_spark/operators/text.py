@@ -1663,3 +1663,63 @@ def greedy_coverage_select(
     return spark.createDataFrame(
         chosen, "round long, doc_id long, gain long"
     )
+
+
+def bm25_prf_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    *,
+    fb_k: int = 10,
+    min_fb_df: int = 2,
+    n_expand: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (RM3-lite, Lavrenko &
+    Croft's idea in integer form): run BM25, assume the top ``fb_k``
+    documents are relevant, mine them for expansion terms, and rerun
+    BM25 with the expanded query — the classic one-round recall
+    booster every search stack ships.
+
+    Expansion-term selection is all-integer and deterministic: a
+    candidate must appear in >= ``min_fb_df`` feedback docs, must not
+    be an original query term, and the top ``n_expand`` are taken by
+    (total feedback occurrences DESC, term ASC). Both BM25 rounds are
+    :func:`bm25_topk` (micro-unit idf quantization).
+
+    Returns the round-2 BM25 result (doc_id, n_terms, score).
+
+    100 TB: round 1 is BM25's own postings-sized plan; the feedback
+    doc list (fb_k ids) broadcasts onto the token stream; candidate
+    scoring is a vocabulary-sized aggregate; the ONLY driver-side
+    values are the ``n_expand`` chosen terms (metadata, the c123
+    argmax contract) which parameterize round 2's pushed-down token
+    filter.
+    """
+    from .dedup import tokens as _tokens
+
+    fb = bm25_topk(
+        df, id_col, text_col, query_terms, k=fb_k
+    ).select("doc_id")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(text_col)).alias("token"),
+    )
+    qt = sorted({t.lower() for t in query_terms})
+    cand = (
+        toks.join(F.broadcast(fb), "doc_id")
+        .filter(~F.col("token").isin(qt))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.count_distinct("doc_id").alias("df_fb"),
+        )
+        .filter(F.col("df_fb") >= min_fb_df)
+        .orderBy(F.desc("n_occ"), F.asc("token"))
+        .limit(n_expand)
+    )
+    expansion = [r["token"] for r in cand.collect()]  # n_expand scalars
+    return bm25_topk(
+        df, id_col, text_col, qt + expansion, k=k
+    )

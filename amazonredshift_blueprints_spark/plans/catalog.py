@@ -10800,6 +10800,101 @@ def c131_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_UNIT_SQL = """CAST(round(
+    ln(1.0 + (stats.n_docs - d.docfreq + 0.5) / (d.docfreq + 0.5))
+    * (CAST(f.tf AS DOUBLE) * 2.2)
+    / (CAST(f.tf AS DOUBLE)
+       + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl)))
+    * 1000000) AS BIGINT)"""
+
+
+@query(
+    "c132_prf_query_expansion",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                   AS toks
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM dl
+    ),
+    ex AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    tf1 AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        FROM ex WHERE token IN ('join', 'spark', 'stream')
+        GROUP BY 1, 2
+    ),
+    df1 AS (SELECT token, CAST(count(*) AS BIGINT) AS docfreq
+            FROM tf1 GROUP BY 1),
+    u1 AS (
+        SELECT f.doc_id, {{u}} AS u
+        FROM tf1 f JOIN df1 d USING (token) JOIN dl USING (doc_id)
+        CROSS JOIN stats
+    ),
+    s1 AS (SELECT doc_id, CAST(SUM(u) AS DOUBLE) / 1000000 AS score
+           FROM u1 GROUP BY doc_id),
+    fb AS (SELECT doc_id FROM s1 ORDER BY score DESC, doc_id LIMIT 10),
+    cand AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occ,
+               CAST(COUNT(DISTINCT ex.doc_id) AS BIGINT) AS df_fb
+        FROM ex JOIN fb USING (doc_id)
+        WHERE token NOT IN ('join', 'spark', 'stream')
+        GROUP BY 1
+    ),
+    expn AS (SELECT token FROM cand WHERE df_fb >= 2
+             ORDER BY n_occ DESC, token LIMIT 3),
+    terms AS (
+        SELECT 'join' AS token UNION ALL SELECT 'spark'
+        UNION ALL SELECT 'stream' UNION ALL SELECT token FROM expn
+    ),
+    tf2 AS (
+        SELECT doc_id, ex.token, CAST(count(*) AS BIGINT) AS tf
+        FROM ex JOIN terms USING (token)
+        GROUP BY 1, 2
+    ),
+    df2 AS (SELECT token, CAST(count(*) AS BIGINT) AS docfreq
+            FROM tf2 GROUP BY 1),
+    u2 AS (
+        SELECT f.doc_id, {{u}} AS u
+        FROM tf2 f JOIN df2 d USING (token) JOIN dl USING (doc_id)
+        CROSS JOIN stats
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(SUM(u) AS DOUBLE) / 1000000 AS score
+    FROM u2 GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 10
+    """.format(u=_BM25_UNIT_SQL),
+    doc="pseudo-relevance-feedback retrieval (RM3-lite; operators/"
+        "text.bm25_prf_search): BM25 round 1 for {{join, spark, "
+        "stream}}, assume the top-10 relevant, mine them for the 3 "
+        "strongest expansion terms (>= 2 feedback docs, total-"
+        "occurrence order, integer counts — no relevance-model "
+        "floats), rerun BM25 with the expanded query — the classic "
+        "one-round recall booster. The oracle replays BOTH rounds "
+        "and the term mining, so a drifted expansion pick anywhere "
+        "flips the final ranking and fails the hash. 100 TB: two "
+        "postings-sized BM25 plans; the feedback list broadcasts; "
+        "only the 3 chosen terms reach the driver (the c123 argmax "
+        "contract) and parameterize round 2's pushed-down token "
+        "filter",
+    bench=True,
+    tags=("text", "search", "llm"),
+)
+def c132_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bm25_prf_search
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return bm25_prf_search(
+        d, "doc_id", "text", ["join", "spark", "stream"],
+        fb_k=10, min_fb_df=2, n_expand=3, k=10,
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -10828,7 +10923,7 @@ def c131_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 36
+# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 37
 # entries added in round 11 after this window froze have never been
 # driver-rowed and take slots first — c98_pagerank_dangling,
 # c99_dedup_keep_best, c100_bpe_fertility, c101_unimax_mixing,
@@ -10844,7 +10939,8 @@ def c131_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 # c123_greedy_coverage_select, c124_itemitem_cf, c125_psi_drift,
 # c126_hits_hubs_authorities, c127_churn_labels,
 # c128_percentile_scaling, c129_negative_sampling,
-# c130_gif_decode_stats, c131_stream_ewma, q88_window_ignore_nulls,
+# c130_gif_decode_stats, c131_stream_ewma,
+# c132_prf_query_expansion, q88_window_ignore_nulls,
 # q89_dml_statement_face (ALL locally hash-verified at BOTH sf0.01
 # and sf0.1 before their commits) — then
 # fill to 50 with the oldest-rowed entries (the r7-rowed block

@@ -682,3 +682,24 @@ def test_greedy_coverage_select_hand_picks(spark):
         .collect()
     ]
     assert got == [(1, 2, 4), (2, 3, 2)]  # doc 1 adds nothing -> stops
+
+
+def test_bm25_prf_expands_and_reranks(spark):
+    """Feedback docs for 'alpha' share 'beta' (>=2 fb docs) -> beta
+    becomes an expansion term and pulls in a beta-only doc that round
+    1 could never rank."""
+    from amazonredshift_blueprints_spark.operators.text import bm25_prf_search
+
+    rows = [
+        (1, "alpha beta x"),
+        (2, "alpha beta y"),
+        (3, "beta beta z"),     # no 'alpha': invisible to round 1
+        (4, "gamma gamma q"),   # unrelated
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_prf_search(
+        df, "doc_id", "text", ["alpha"], fb_k=2, min_fb_df=2, n_expand=1, k=4
+    )
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 3 in ids      # reached only via the 'beta' expansion
+    assert 4 not in ids  # still matches nothing
