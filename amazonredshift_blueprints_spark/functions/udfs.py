@@ -91,3 +91,44 @@ def user_event_stats(events: DataFrame, *, user_col: str = "user_id", value_col:
     return events.select(user_col, value_col).groupBy(user_col).applyInPandas(
         stats, USER_STATS_SCHEMA
     )
+
+
+def arrow_dot_norms(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, dot_q, norm6) via ``mapInArrow`` — the third rung of the
+    Python-UDF ladder (scalar pandas UDF ``vector_norm_q`` →
+    ``applyInPandas`` → RAW ARROW): batches arrive as
+    ``pyarrow.RecordBatch``, zero pandas materialization, the closest
+    Python gets to the JVM columnar layout. Worth the lower-level API
+    when per-batch overhead dominates (narrow rows, wide fleets).
+
+    Same determinism contract as the pandas rungs: components quantize
+    to 1e-6 integers, ``dot_q`` is the exact integer self-dot, and
+    ``norm6`` is the one sqrt rounded to 6 dp — engine-exact.
+    """
+    import pyarrow as pa
+
+    def batches(it):
+        for rb in it:
+            tbl = pa.Table.from_batches([rb])
+            ids = tbl.column(id_col).to_numpy()
+            dots = np.empty(len(ids), dtype=np.int64)
+            for i, vec in enumerate(tbl.column(vec_col).to_pylist()):
+                q = np.round(
+                    np.asarray(vec, dtype=np.float64) * QUANT
+                ).astype(np.int64)
+                dots[i] = int(q @ q)
+            # SQL ROUND is half-up; np.round is half-to-even — floor(x
+            # * 1e6 + 0.5) replicates the SQL behavior for positives
+            norm6 = np.floor(np.sqrt(dots.astype(np.float64)) * 1e6 + 0.5) / 1e6
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()),
+                 pa.array(dots, pa.int64()),
+                 pa.array(norm6, pa.float64())],
+                names=["vec_id", "dot_q", "norm6"],
+            )
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInArrow(
+        batches, "vec_id long, dot_q long, norm6 double"
+    )

@@ -481,3 +481,59 @@ def churn_labels(
         .filter(F.col("n_events") > 0)
         .select("key", "n_events", "n_positive", "days_active", "churned")
     )
+
+
+def benford_screen(
+    df: DataFrame,
+    value_col: str,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """Benford's-law first-digit screen — the classic fraud /
+    fabricated-data test for positive numeric populations spanning
+    several orders of magnitude: natural amounts follow
+    P(d) = log10(1 + 1/d); fabricated ones usually don't.
+
+    Digit extraction is ARITHMETIC-FREE of floats: values quantize to
+    integer units (``round(v·scale)``), and the leading digit is the
+    first character of the INTEGER's decimal string — identical in
+    every engine, where a float log10/floor extraction can flip at
+    power-of-ten boundaries on last-ulp libm differences. Rows whose
+    quantized value is < 1 unit are excluded (no leading digit).
+
+    Per digit d: observed count, expected share, and the chi-square
+    contribution (obs - n·p)²/(n·p) quantized to integer micro-units
+    through one fixed IEEE expression; the total chi2_q (exact integer
+    sum) rides on every row. chi2 >> 15.5 (df=8, alpha=.05) flags the
+    population.
+
+    Returns (digit, n_obs, exp_micro, contrib_q, chi2_q).
+
+    100 TB: ONE hash aggregate over the stream (9 groups, map-side
+    partials); everything after is on 9 rows.
+    """
+    cents = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    counts = (
+        df.select(cents.alias("_c"))
+        .filter(F.col("_c") >= 1)
+        .select(
+            F.substring(F.col("_c").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    n = counts.agg(F.sum("n_obs").alias("n"))
+    p = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+    diff = F.col("n_obs").cast("double") - F.col("n").cast("double") * p
+    per = counts.crossJoin(F.broadcast(n)).select(
+        "digit",
+        "n_obs",
+        F.round(p * 1_000_000).cast("long").alias("exp_micro"),
+        F.round(
+            diff * diff / (F.col("n").cast("double") * p) * 1_000_000
+        ).cast("long").alias("contrib_q"),
+    )
+    tot = per.agg(F.sum("contrib_q").alias("chi2_q"))
+    return per.crossJoin(F.broadcast(tot))

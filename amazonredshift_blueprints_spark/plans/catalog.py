@@ -10895,6 +10895,85 @@ def c132_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c133_benford_screen",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)
+            AS cents
+        FROM orders
+    ),
+    d AS (
+        SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+            AS digit
+        FROM c WHERE cents >= 1
+    ),
+    cnt AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM d GROUP BY 1),
+    n AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM cnt),
+    per AS (
+        SELECT digit, n_obs,
+               CAST(round(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000)
+                   AS BIGINT) AS exp_micro,
+               CAST(round(
+                   (CAST(n_obs AS DOUBLE)
+                    - CAST(n.n AS DOUBLE) * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+                   * (CAST(n_obs AS DOUBLE)
+                      - CAST(n.n AS DOUBLE) * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+                   / (CAST(n.n AS DOUBLE) * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+                   * 1000000) AS BIGINT) AS contrib_q
+        FROM cnt CROSS JOIN n
+    )
+    SELECT digit, n_obs, exp_micro, contrib_q,
+           (SELECT CAST(SUM(contrib_q) AS BIGINT) FROM per) AS chi2_q
+    FROM per
+    """,
+    doc="Benford first-digit screen on order totals (operators/ml."
+        "benford_screen) — the fraud / fabricated-data test: digit "
+        "extraction is FLOAT-FREE (integer cents -> decimal string -> "
+        "first char; a log10/floor extraction can flip at power-of-ten "
+        "boundaries on last-ulp libm differences), chi-square "
+        "contributions quantize to micro-units through one fixed IEEE "
+        "expression, total chi2_q is an exact integer sum (df=8: "
+        ">> 15.5 flags). 100 TB: one 9-group hash aggregate over the "
+        "stream; everything after runs on 9 rows",
+    tags=("ml", "quality"),
+)
+def c133_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import benford_screen
+
+    o = views(spark, sf_dir, "orders")["orders"]
+    return benford_screen(o, "o_totalprice")
+
+
+@query(
+    "q90_mapinarrow_norms",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings)
+    SELECT vec_id,
+           CAST({_DUCK_DOT.format(a='qv', b='qv')} AS BIGINT) AS dot_q,
+           ROUND(sqrt(CAST({_DUCK_DOT.format(a='qv', b='qv')} AS DOUBLE)),
+                 6) AS norm6
+    FROM v
+    """,
+    doc="raw-Arrow Python surface (functions/udfs.arrow_dot_norms, "
+        "mapInArrow): the third rung of the UDF ladder after q31's "
+        "scalar pandas UDF and q32's applyInPandas — batches arrive "
+        "as pyarrow.RecordBatch with ZERO pandas materialization, the "
+        "closest Python gets to the JVM columnar layout (worth the "
+        "lower-level API when per-batch conversion overhead "
+        "dominates). Same quantized-exact contract: integer self-dot, "
+        "one sqrt ROUND 6. Runs inside the scan's partitions — no "
+        "shuffle",
+    tags=("udf", "similarity"),
+)
+def q90_mapinarrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udfs import arrow_dot_norms
+
+    e = views(spark, sf_dir, "embeddings")["embeddings"]
+    return arrow_dot_norms(e)
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -10923,7 +11002,7 @@ def c132_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 37
+# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 39
 # entries added in round 11 after this window froze have never been
 # driver-rowed and take slots first — c98_pagerank_dangling,
 # c99_dedup_keep_best, c100_bpe_fertility, c101_unimax_mixing,
@@ -10940,7 +11019,8 @@ def c132_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # c126_hits_hubs_authorities, c127_churn_labels,
 # c128_percentile_scaling, c129_negative_sampling,
 # c130_gif_decode_stats, c131_stream_ewma,
-# c132_prf_query_expansion, q88_window_ignore_nulls,
+# c132_prf_query_expansion, c133_benford_screen,
+# q88_window_ignore_nulls, q90_mapinarrow_norms,
 # q89_dml_statement_face (ALL locally hash-verified at BOTH sf0.01
 # and sf0.1 before their commits) — then
 # fill to 50 with the oldest-rowed entries (the r7-rowed block

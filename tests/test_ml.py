@@ -170,3 +170,18 @@ def test_churn_labels_leakage_boundary(spark):
         ).collect()
     }
     assert got == {1: (2, 1, 1, False), 2: (1, 0, 1, True)}
+
+
+def test_benford_screen_uniform_digits_flag(spark):
+    """A uniform-digit population must produce a large chi2 (clearly
+    non-Benford) and per-digit counts matching the fixture exactly."""
+    from amazonredshift_blueprints_spark.operators.ml import benford_screen
+
+    rows = [(float(d) * 10,) for d in range(1, 10) for _ in range(100)]
+    df = spark.createDataFrame(rows, ["v"])
+    out = benford_screen(df, "v").collect()
+    assert {r["digit"] for r in out} == set(range(1, 10))
+    assert all(r["n_obs"] == 100 for r in out)
+    chi2 = out[0]["chi2_q"] / 1_000_000
+    assert chi2 > 15.5  # df=8 alpha=.05 critical value — flags
+    assert all(r["chi2_q"] == out[0]["chi2_q"] for r in out)
