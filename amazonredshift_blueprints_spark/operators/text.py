@@ -1723,3 +1723,85 @@ def bm25_prf_search(
     return bm25_topk(
         df, id_col, text_col, qt + expansion, k=k
     )
+
+
+def tfidf_doc_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    ngram: int = 3,
+    df_cap: int = 20,
+    k: int = 20,
+) -> DataFrame:
+    """Sparse TF-IDF document-pair similarity: top-``k`` doc pairs by
+    the integer dot product of their shingle TF-IDF vectors — the
+    WEIGHTED rung of the self-similarity ladder (c110 counts shared
+    shingles equally; here a rare shared shingle outvotes ten common
+    ones), i.e. the classic sparse-vector-join formulation of
+    near-duplicate / related-document detection.
+
+    Weights are micro-unit integers, w(t, d) = tf · round(ln((N+1)/
+    (df+1)) · 1e6) (the c18 smoothed-idf contract), so every pair
+    score is an EXACT integer sum of products. Shingles with document
+    frequency above ``df_cap`` are dropped BEFORE the pair join — the
+    posting-list bound that keeps the join Σ df² instead of |docs|²
+    (and a stopword-shingle can't dominate a score it shouldn't).
+
+    Returns (id_a, id_b, n_shared, dot_q, rank), id_a < id_b, rank by
+    (dot_q DESC, id_a, id_b).
+
+    100 TB: one shingle-keyed aggregate for df; the pair join runs on
+    capped postings only (Σ min(df, cap)² per shingle); map-side
+    partial sums collapse the pair stream before the (id_a, id_b)
+    exchange; top-k is TakeOrderedAndProject.
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import _ngrams_expr
+    from .dedup import tokens as _tokens
+
+    # tf over the RAW (non-distinct) shingle stream — word_ngrams would
+    # dedupe and flatten every tf to 1
+    items = (
+        _tokens(text_col)
+        if ngram <= 1
+        else _ngrams_expr(_tokens(text_col), ngram)
+    )
+    raw = (
+        df.select(F.col(id_col).alias("doc_id"), items.alias("t"))
+        .filter(F.size("t") > 0)
+        .select("doc_id", F.explode("t").alias("token"))
+    )
+    tf = raw.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.col(id_col)).distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    idf_q = F.round(
+        F.log(
+            (F.col("n") + 1).cast("double") / (F.col("df") + 1).cast("double")
+        )
+        * 1_000_000
+    ).cast("long")
+    w = (
+        tf.join(F.broadcast(dfreq.filter(F.col("df") <= df_cap)), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "token", (F.col("tf") * idf_q).alias("w"))
+    )
+    pairs = (
+        w.alias("a")
+        .join(w.alias("b"), "token")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.sum(F.col("a.w") * F.col("b.w")).alias("dot_q"),
+        )
+        .orderBy(F.desc("dot_q"), F.asc("id_a"), F.asc("id_b"))
+        .limit(k)
+    )
+    win = Window.orderBy(F.desc("dot_q"), F.asc("id_a"), F.asc("id_b"))
+    return pairs.withColumn("rank", F.row_number().over(win).cast("long"))

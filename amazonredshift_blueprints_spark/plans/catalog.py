@@ -10974,6 +10974,71 @@ def q90_mapinarrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arrow_dot_norms(e)
 
 
+@query(
+    "c134_tfidf_doc_pairs",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                   list_transform(generate_series(1, len(toks) - 2),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+               ELSE [] END AS t
+        FROM tk
+    ),
+    raw AS (SELECT doc_id, unnest(t) AS token FROM g WHERE len(t) > 0),
+    tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM raw GROUP BY 1, 2
+    ),
+    dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tf GROUP BY 1),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+           FROM documents),
+    w AS (
+        SELECT tf.doc_id, tf.token,
+               tf.tf * CAST(round(
+                   ln(CAST(nd.n + 1 AS DOUBLE)
+                      / CAST(dfq.df + 1 AS DOUBLE)) * 1000000)
+                   AS BIGINT) AS w
+        FROM tf JOIN dfq USING (token) CROSS JOIN nd
+        WHERE dfq.df <= 20
+    ),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared,
+               CAST(SUM(a.w * b.w) AS BIGINT) AS dot_q
+        FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    top AS (SELECT * FROM p ORDER BY dot_q DESC, id_a, id_b LIMIT 20)
+    SELECT id_a, id_b, n_shared, dot_q,
+           CAST(row_number() OVER (ORDER BY dot_q DESC, id_a, id_b)
+               AS BIGINT) AS rank
+    FROM top
+    """,
+    doc="sparse TF-IDF weighted document-pair similarity "
+        "(operators/text.tfidf_doc_pairs): top-20 pairs by the exact "
+        "integer dot product of 3-gram-shingle TF-IDF vectors — the "
+        "WEIGHTED rung of the self-similarity ladder (c110 counts "
+        "shared shingles equally; a rare shared shingle here outvotes "
+        "ten common ones). Micro-unit idf (c18 contract) x raw tf -> "
+        "exact BIGINT products; shingles with df > 20 are dropped "
+        "BEFORE the pair join — the posting cap that bounds the join "
+        "at Σ min(df,cap)² and keeps boilerplate from scoring. "
+        "100 TB: map-side partial sums collapse the pair stream "
+        "before the single (id_a,id_b) exchange; top-k is "
+        "TakeOrderedAndProject",
+    bench=True,
+    tags=("text", "similarity", "dedup", "llm"),
+)
+def c134_tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tfidf_doc_pairs
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return tfidf_doc_pairs(d, "doc_id", "text", ngram=3, df_cap=20, k=20)
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -11002,7 +11067,7 @@ def q90_mapinarrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 39
+# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 40
 # entries added in round 11 after this window froze have never been
 # driver-rowed and take slots first — c98_pagerank_dangling,
 # c99_dedup_keep_best, c100_bpe_fertility, c101_unimax_mixing,
@@ -11020,7 +11085,7 @@ def q90_mapinarrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # c128_percentile_scaling, c129_negative_sampling,
 # c130_gif_decode_stats, c131_stream_ewma,
 # c132_prf_query_expansion, c133_benford_screen,
-# q88_window_ignore_nulls, q90_mapinarrow_norms,
+# c134_tfidf_doc_pairs, q88_window_ignore_nulls, q90_mapinarrow_norms,
 # q89_dml_statement_face (ALL locally hash-verified at BOTH sf0.01
 # and sf0.1 before their commits) — then
 # fill to 50 with the oldest-rowed entries (the r7-rowed block

@@ -708,3 +708,19 @@ def test_c127_single_scan_no_join(spark, sf_dir):
     aggregate — never a self-join of time slices."""
     p = _plan(spark, sf_dir, "c127_churn_labels")
     assert "Join" not in p
+
+
+def test_round11_late_entry_plan_shapes(spark, sf_dir):
+    """c130 GIF stats and q90 mapInArrow are pure map pipelines — the
+    whole plan must be exchange-free (decode runs inside the scan's
+    partitions). c129's joins are all broadcast (dictionary + count
+    dims, anti-join vs positives); nothing sort-merges at fixture
+    scale. c132 composes two BM25 plans — no cartesian anywhere."""
+    p130 = _plan(spark, sf_dir, "c130_gif_decode_stats")
+    assert "Exchange" not in p130
+    p90 = _plan(spark, sf_dir, "q90_mapinarrow_norms")
+    assert "Exchange" not in p90
+    p129 = _plan(spark, sf_dir, "c129_negative_sampling")
+    assert "CartesianProduct" not in p129
+    p132 = _plan(spark, sf_dir, "c132_prf_query_expansion")
+    assert "CartesianProduct" not in p132

@@ -703,3 +703,28 @@ def test_bm25_prf_expands_and_reranks(spark):
     ids = {r["doc_id"] for r in out.collect()}
     assert 3 in ids      # reached only via the 'beta' expansion
     assert 4 not in ids  # still matches nothing
+
+
+def test_tfidf_doc_pairs_weights_rare_overlap(spark):
+    """Docs 1-2 share a RARE shingle; docs 3-4 share one that appears
+    in every doc (df > cap) — only the rare pair may score."""
+    from amazonredshift_blueprints_spark.operators.text import tfidf_doc_pairs
+
+    common = "x y z"
+    rows = [
+        (1, f"rare gram one {common}"),
+        (2, f"rare gram one {common}"),
+        (3, f"{common} a b c"),
+        (4, f"{common} d e f"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in tfidf_doc_pairs(
+            df, "doc_id", "text", ngram=3, df_cap=3, k=10
+        ).collect()
+    }
+    assert (1, 2) in got
+    # 'x y z' appears in all 4 docs (df=4 > cap=3): pairs sharing ONLY
+    # capped shingles never form
+    assert (3, 4) not in got
