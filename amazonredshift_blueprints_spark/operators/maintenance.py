@@ -310,3 +310,105 @@ def data_quality_audit(
             )
         )
     return result
+
+
+def kmv_sketch(df: DataFrame, key, *, k: int = 256, salt: str = "v1") -> DataFrame:
+    """Bottom-k (KMV) distinct-value sketch of a key column: the k
+    smallest salted-md5 hashes, as 32-bit integer hash values — the
+    optimizer-statistics sketch (Bar-Yossef et al. 2002; Beyer et al.
+    SIGMOD'07 for the set operations). Portable: md5 prefix parsed as
+    hex on any engine, no RNG, no engine hash.
+
+    Returns k rows of (hv BIGINT) — hv in [0, 2^32).
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    return (
+        df.select(c.alias("_k"))
+        .distinct()
+        .select(
+            F.expr(
+                f"CAST(conv(substr(md5(concat(CAST(_k AS STRING), ':{salt}')),"
+                " 1, 8), 16, 10) AS BIGINT)"
+            ).alias("hv")
+        )
+        .orderBy(F.asc("hv"))
+        .limit(k)
+    )
+
+
+def kmv_overlap_estimate(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    *,
+    k: int = 256,
+    salt: str = "v1",
+) -> DataFrame:
+    """Join-key overlap estimation from two KMV sketches — the
+    before-you-join cardinality check a planner (or an engineer about
+    to fire a 100 TB join) wants: distinct keys per side, distinct
+    keys of the union, and the inclusion-exclusion overlap estimate,
+    WITHOUT scanning either table twice or joining them.
+
+        D̂ = (k - 1) · 2^32 / h_k      (k-th smallest 32-bit hash)
+        overlap̂ = D̂_left + D̂_right − D̂_union
+
+    Every step is deterministic (same salted md5 both sides, union
+    sketch = bottom-k of the merged sketches), so the ESTIMATE itself
+    replays bit-for-bit in any engine — accuracy (±O(1/√k)) is pinned
+    separately by pytest against exact counts. Sides with fewer than k
+    distinct keys report exactly (the sketch IS the key set).
+
+    Returns one row: (k_used_l, k_used_r, k_used_u, d_left, d_right,
+    d_union, overlap) — estimates as ROUND(·, 6) doubles.
+
+    100 TB: each sketch is one distinct + TakeOrderedAndProject over
+    its own table (k rows out); everything after runs on <= 3k rows of
+    metadata. The two tables are never joined.
+    """
+    sl = kmv_sketch(left, left_key, k=k, salt=salt)
+    sr = kmv_sketch(right, right_key, k=k, salt=salt)
+    su = (
+        sl.unionAll(sr).distinct().orderBy(F.asc("hv")).limit(k)
+    )
+
+    def est(sketch: DataFrame, name: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(F.asc("hv"))
+        ranked = sketch.withColumn("_r", F.row_number().over(w))
+        agg = ranked.agg(
+            F.count(F.lit(1)).alias(f"k_used_{name}"),
+            F.max("hv").alias("_hk"),
+            F.max("_r").alias("_kr"),
+        )
+        # fewer than k distinct -> exact count; else (k-1)*2^32/h_k
+        d = F.when(
+            F.col(f"k_used_{name}") < k,
+            F.col(f"k_used_{name}").cast("double"),
+        ).otherwise(
+            (F.col("_kr") - 1).cast("double")
+            * F.lit(float(2**32))
+            / F.col("_hk").cast("double")
+        )
+        return agg.select(
+            f"k_used_{name}", F.round(d, 6).alias(f"d_{name}")
+        )
+
+    el, er, eu = est(sl, "l"), est(sr, "r"), est(su, "u")
+    return (
+        el.crossJoin(er)
+        .crossJoin(eu)
+        .select(
+            "k_used_l",
+            "k_used_r",
+            "k_used_u",
+            "d_l",
+            "d_r",
+            "d_u",
+            F.round(F.col("d_l") + F.col("d_r") - F.col("d_u"), 6).alias(
+                "overlap"
+            ),
+        )
+    )

@@ -11039,6 +11039,80 @@ def c134_tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_doc_pairs(d, "doc_id", "text", ngram=3, df_cap=20, k=20)
 
 
+@query(
+    "c135_kmv_join_cardinality",
+    oracle="""
+    WITH sl AS (
+        SELECT CAST(('0x' || substr(md5(CAST(_k AS VARCHAR) || ':v1'),
+                                    1, 8)) AS BIGINT) AS hv
+        FROM (SELECT DISTINCT o_custkey AS _k FROM orders)
+        ORDER BY hv LIMIT 256
+    ),
+    sr AS (
+        SELECT CAST(('0x' || substr(md5(CAST(_k AS VARCHAR) || ':v1'),
+                                    1, 8)) AS BIGINT) AS hv
+        FROM (SELECT DISTINCT c_custkey AS _k FROM customer)
+        ORDER BY hv LIMIT 256
+    ),
+    su AS (
+        SELECT hv FROM (
+            SELECT DISTINCT hv FROM (
+                SELECT hv FROM sl UNION ALL SELECT hv FROM sr)
+        ) ORDER BY hv LIMIT 256
+    ),
+    el AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_used_l,
+                  CAST(MAX(hv) AS BIGINT) AS hk FROM sl),
+    er AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_used_r,
+                  CAST(MAX(hv) AS BIGINT) AS hk FROM sr),
+    eu AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_used_u,
+                  CAST(MAX(hv) AS BIGINT) AS hk FROM su),
+    dd AS (
+        SELECT el.k_used_l, er.k_used_r, eu.k_used_u,
+               ROUND(CASE WHEN el.k_used_l < 256
+                          THEN CAST(el.k_used_l AS DOUBLE)
+                          ELSE CAST(el.k_used_l - 1 AS DOUBLE)
+                               * 4294967296.0 / CAST(el.hk AS DOUBLE)
+                     END, 6) AS d_l,
+               ROUND(CASE WHEN er.k_used_r < 256
+                          THEN CAST(er.k_used_r AS DOUBLE)
+                          ELSE CAST(er.k_used_r - 1 AS DOUBLE)
+                               * 4294967296.0 / CAST(er.hk AS DOUBLE)
+                     END, 6) AS d_r,
+               ROUND(CASE WHEN eu.k_used_u < 256
+                          THEN CAST(eu.k_used_u AS DOUBLE)
+                          ELSE CAST(eu.k_used_u - 1 AS DOUBLE)
+                               * 4294967296.0 / CAST(eu.hk AS DOUBLE)
+                     END, 6) AS d_u
+        FROM el CROSS JOIN er CROSS JOIN eu
+    )
+    SELECT k_used_l, k_used_r, k_used_u, d_l, d_r, d_u,
+           ROUND(d_l + d_r - d_u, 6) AS overlap
+    FROM dd
+    """,
+    doc="join-key cardinality estimation from KMV sketches "
+        "(operators/maintenance.kmv_overlap_estimate; Bar-Yossef 2002 "
+        "+ Beyer SIGMOD'07 set ops): distinct o_custkey, distinct "
+        "c_custkey, and their overlap estimated WITHOUT joining the "
+        "tables — the before-you-fire-a-100TB-join planner check. "
+        "Each sketch = the 256 smallest salted-md5 32-bit hashes "
+        "(portable hex parse: Spark conv(,16,10) == DuckDB "
+        "'0x'||substr cast), union sketch = bottom-k of the merged "
+        "sketches, D-hat = (k-1)·2^32/h_k with exact-count fallback "
+        "under k distinct; the ESTIMATE replays bit-for-bit (accuracy "
+        "±O(1/sqrt k) pinned by pytest against exact counts). "
+        "100 TB: one distinct + per-partition top-k per table, "
+        "<= 3k metadata rows after; the tables never meet",
+    tags=("maintenance", "sketch", "join"),
+)
+def c135_kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.maintenance import kmv_overlap_estimate
+
+    t = views(spark, sf_dir, "orders", "customer")
+    return kmv_overlap_estimate(
+        t["orders"], "o_custkey", t["customer"], "c_custkey", k=256
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -11067,7 +11141,7 @@ def c134_tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 40
+# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 41
 # entries added in round 11 after this window froze have never been
 # driver-rowed and take slots first — c98_pagerank_dangling,
 # c99_dedup_keep_best, c100_bpe_fertility, c101_unimax_mixing,
@@ -11085,7 +11159,8 @@ def c134_tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # c128_percentile_scaling, c129_negative_sampling,
 # c130_gif_decode_stats, c131_stream_ewma,
 # c132_prf_query_expansion, c133_benford_screen,
-# c134_tfidf_doc_pairs, q88_window_ignore_nulls, q90_mapinarrow_norms,
+# c134_tfidf_doc_pairs, c135_kmv_join_cardinality,
+# q88_window_ignore_nulls, q90_mapinarrow_norms,
 # q89_dml_statement_face (ALL locally hash-verified at BOTH sf0.01
 # and sf0.1 before their commits) — then
 # fill to 50 with the oldest-rowed entries (the r7-rowed block

@@ -64,3 +64,33 @@ def test_bloom_membership_bit63(spark):
         .count()
     )
     assert got == 100  # everything "maybe" in a saturated filter
+
+
+def test_kmv_overlap_accuracy_and_exact_smallside(spark, sf_dir):
+    """At sf0.001 both key sets exceed k=64, so the estimator path
+    runs; estimates must land within the O(1/sqrt(k)) band of exact.
+    With k larger than the key sets the sketch IS the set (exact)."""
+    from amazonredshift_blueprints_spark.operators.maintenance import (
+        kmv_overlap_estimate,
+    )
+    from amazonredshift_blueprints_spark.session import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    exact_l = o.select("o_custkey").distinct().count()
+    exact_r = c.select("c_custkey").distinct().count()
+    exact_overlap = (
+        o.select("o_custkey").distinct()
+        .join(c.select(F.col("c_custkey").alias("o_custkey")).distinct(),
+              "o_custkey")
+        .count()
+    )
+    r = kmv_overlap_estimate(o, "o_custkey", c, "c_custkey", k=64).collect()[0]
+    assert abs(r["d_l"] - exact_l) / exact_l < 0.5      # k=64: coarse band
+    assert abs(r["d_r"] - exact_r) / exact_r < 0.5
+    assert abs(r["overlap"] - exact_overlap) / max(exact_overlap, 1) < 0.6
+    big = kmv_overlap_estimate(
+        o, "o_custkey", c, "c_custkey", k=100_000
+    ).collect()[0]
+    assert big["d_l"] == exact_l and big["d_r"] == exact_r
+    assert big["overlap"] == exact_overlap
