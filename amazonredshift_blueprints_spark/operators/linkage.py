@@ -72,3 +72,71 @@ def blocked_fuzzy_match(
         .filter(F.col("distance") <= max_distance)
         .select("id_a", "id_b", "name_a", "name_b", "distance")
     )
+
+
+def survivorship_golden_record(
+    groups: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    *,
+    quality_col: str,
+    fields: list[str],
+) -> DataFrame:
+    """Field-level survivorship (MDM golden-record construction): for
+    every duplicate cluster, fuse the members into ONE record — the
+    canonical id comes from the best single member (highest
+    ``quality_col``, smallest-id tiebreak, c99's rule), but each
+    listed field takes its cluster-wise MODAL value (most frequent;
+    lexically smallest on ties) — the fusion step after matching
+    (c106) and clustering (c29): a cluster's majority usually has the
+    right country code even when the longest record doesn't.
+
+    ``groups`` is (doc_id, group_id) membership; ``df`` the source
+    records. All-integer/count-based decisions — no floats anywhere —
+    via one min-of-struct aggregate per field ((-count, value) struct
+    ordering), so the fusion replays exactly.
+
+    Returns (group_id, canonical_id, n_members, max_<quality_col>,
+    <field>_modal ...).
+
+    100 TB: one membership join (group table is cluster-sized), then
+    per field ONE (group, value) hash aggregate plus ONE group-keyed
+    min-struct — all group-cardinality-scale; fields join back on
+    group_id (broadcastable). No window over the corpus, no
+    re-reading of members per field.
+    """
+    j = groups.join(
+        df.select(
+            F.col(id_col).alias("doc_id"), F.col(quality_col), *fields
+        ),
+        "doc_id",
+    )
+    base = j.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min(
+            F.struct(
+                (-F.col(quality_col)).alias("negq"), F.col("doc_id")
+            )
+        ).alias("_b"),
+        F.max(quality_col).alias(f"max_{quality_col}"),
+    ).select(
+        "group_id",
+        F.col("_b.doc_id").alias("canonical_id"),
+        "n_members",
+        f"max_{quality_col}",
+    )
+    out = base
+    for f in fields:
+        modal = (
+            j.groupBy("group_id", f)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .groupBy("group_id")
+            .agg(
+                F.min(
+                    F.struct((-F.col("_c")).alias("negc"), F.col(f))
+                ).alias("_m")
+            )
+            .select("group_id", F.col(f"_m.{f}").alias(f"{f}_modal"))
+        )
+        out = out.join(F.broadcast(modal), "group_id")
+    return out

@@ -11113,6 +11113,122 @@ def c135_kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c136_golden_record",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '')
+                   AS toks
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' '
+                                   || toks[i+2]) AS grams
+        FROM toks
+    ),
+    exploded AS (SELECT doc_id, unnest(grams) AS gram FROM grams),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM exploded a JOIN exploded b ON a.gram = b.gram
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(grams) AS ng FROM grams),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM common
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE sa.ng + sb.ng - n_common > 0
+          AND n_common * 100 >= (sa.ng + sb.ng - n_common) * 40
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT src AS id, src AS label FROM edges
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    grouped AS (
+        SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS group_id
+        FROM reach GROUP BY id
+    ),
+    j AS (
+        SELECT g.group_id, g.doc_id, d.n_chars, d.lang, d.source
+        FROM grouped g JOIN documents d ON d.doc_id = g.doc_id
+    ),
+    base AS (
+        SELECT group_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(MAX(n_chars) AS BIGINT) AS max_n_chars
+        FROM j GROUP BY 1
+    ),
+    canon AS (
+        SELECT group_id, doc_id AS canonical_id FROM (
+            SELECT group_id, doc_id,
+                   row_number() OVER (
+                       PARTITION BY group_id
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+            FROM j
+        ) WHERE rn = 1
+    ),
+    lang_m AS (
+        SELECT group_id, lang AS lang_modal FROM (
+            SELECT group_id, lang,
+                   row_number() OVER (
+                       PARTITION BY group_id
+                       ORDER BY COUNT(*) DESC, lang ASC) AS rn
+            FROM j GROUP BY group_id, lang
+        ) WHERE rn = 1
+    ),
+    src_m AS (
+        SELECT group_id, source AS source_modal FROM (
+            SELECT group_id, source,
+                   row_number() OVER (
+                       PARTITION BY group_id
+                       ORDER BY COUNT(*) DESC, source ASC) AS rn
+            FROM j GROUP BY group_id, source
+        ) WHERE rn = 1
+    )
+    SELECT b.group_id, c.canonical_id, b.n_members, b.max_n_chars,
+           l.lang_modal, s.source_modal
+    FROM base b
+    JOIN canon c USING (group_id)
+    JOIN lang_m l USING (group_id)
+    JOIN src_m s USING (group_id)
+    """,
+    doc="MDM golden-record construction (operators/linkage."
+        "survivorship_golden_record) over c99's near-dup clusters "
+        "(c04 Jaccard-40 pairs -> c29 connected components): the "
+        "canonical id is the best single member (longest, id "
+        "tiebreak) but each FIELD takes the cluster's MODAL value "
+        "((-count, value) struct-min — count-based, float-free, "
+        "lexical tiebreak), the fusion step after matching and "
+        "clustering — the majority usually has the right field value "
+        "even when the longest record doesn't. 100 TB: per field one "
+        "(group, value) aggregate + one group-keyed struct-min, all "
+        "cluster-scale; modal dims broadcast back on group_id",
+    tags=("dedup", "linkage", "graph"),
+)
+def c136_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import duplicate_groups, ngram_jaccard_pairs
+    from ..operators.linkage import survivorship_golden_record
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold_pct=40)
+    groups = duplicate_groups(pairs)
+    return survivorship_golden_record(
+        groups, d, "doc_id", quality_col="n_chars",
+        fields=["lang", "source"],
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -11141,7 +11257,7 @@ def c135_kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 41
+# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 42
 # entries added in round 11 after this window froze have never been
 # driver-rowed and take slots first — c98_pagerank_dangling,
 # c99_dedup_keep_best, c100_bpe_fertility, c101_unimax_mixing,
@@ -11160,7 +11276,7 @@ def c135_kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # c130_gif_decode_stats, c131_stream_ewma,
 # c132_prf_query_expansion, c133_benford_screen,
 # c134_tfidf_doc_pairs, c135_kmv_join_cardinality,
-# q88_window_ignore_nulls, q90_mapinarrow_norms,
+# c136_golden_record, q88_window_ignore_nulls, q90_mapinarrow_norms,
 # q89_dml_statement_face (ALL locally hash-verified at BOTH sf0.01
 # and sf0.1 before their commits) — then
 # fill to 50 with the oldest-rowed entries (the r7-rowed block

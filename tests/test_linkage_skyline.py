@@ -218,3 +218,41 @@ def test_triangle_count_matches_brute_force(spark):
         <= undirected
     )
     assert got == want and want > 0
+
+
+def test_survivorship_modal_fields_beat_canonical(spark):
+    """Cluster {1,2,3}: doc 3 is longest (canonical) but its lang 'zz'
+    is the minority — the modal 'en' must win the field; source ties
+    2-2... no: sources s1,s1,s2 -> modal s1. Lexical tiebreak pinned
+    by the two-way lang tie in cluster {10,11}."""
+    from amazonredshift_blueprints_spark.operators.linkage import (
+        survivorship_golden_record,
+    )
+
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        ["doc_id", "group_id"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, 50, "en", "s1"),
+            (2, 60, "en", "s1"),
+            (3, 90, "zz", "s2"),
+            (10, 10, "de", "sA"),
+            (11, 10, "fr", "sB"),
+        ],
+        ["doc_id", "n_chars", "lang", "source"],
+    )
+    got = {
+        r["group_id"]: (
+            r["canonical_id"], r["n_members"], r["max_n_chars"],
+            r["lang_modal"], r["source_modal"],
+        )
+        for r in survivorship_golden_record(
+            groups, docs, "doc_id", quality_col="n_chars",
+            fields=["lang", "source"],
+        ).collect()
+    }
+    assert got[1] == (3, 3, 90, "en", "s1")
+    # 1-1 ties: lexically smallest value wins, canonical by id tiebreak
+    assert got[10] == (10, 2, 10, "de", "sA")
