@@ -2227,3 +2227,93 @@ def cooccurrence_topk(
     )
     w = Window.orderBy(F.desc("cosine"), F.asc("item_a"), F.asc("item_b"))
     return scored.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_support: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Directional association rules a -> b over basket memberships —
+    the market-basket classic (Agrawal & Srikant VLDB'94, depth-1):
+    for every ordered item pair co-occurring in >= ``min_support``
+    baskets,
+
+        support    = n(a, b)                       (basket count)
+        confidence = n(a, b) / n(a)
+        lift       = n(a, b) · N / (n(a) · n(b))
+
+    reported in INTEGER MICRO-UNITS (·1e6, exact integer division) so
+    ranking and values replay exactly — where c124 scores symmetric
+    similarity, a rule is directional (diapers -> beer is not
+    beer -> diapers). Top-``k`` by (lift DESC, confidence DESC, a, b).
+
+    Returns (item_a, item_b, n_ab, conf_micro, lift_micro, rank).
+
+    100 TB: identical plan skeleton to c124 — basket-keyed pair join
+    bounded by Σ basket-width², broadcast item marginals and the
+    1-row basket count, TakeOrderedAndProject — the directional pairs
+    simply skip c124's a < b filter (both orders emitted from one
+    canonical pair count, no second join).
+    """
+    lp = baskets.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    n_item = lp.groupBy(F.col("i")).agg(F.count(F.lit(1)).alias("n"))
+    n_baskets = lp.select("b").distinct().agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    half = (
+        lp.alias("a")
+        .join(lp.alias("b"), "b")
+        .filter(F.col("a.i") < F.col("b.i"))
+        .groupBy(
+            F.col("a.i").alias("item_a"), F.col("b.i").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    both = half.unionAll(
+        half.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "n_ab",
+        )
+    )
+    scored = (
+        both.join(
+            F.broadcast(n_item.select(F.col("i").alias("item_a"),
+                                      F.col("n").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(n_item.select(F.col("i").alias("item_b"),
+                                      F.col("n").alias("n_b"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.expr("CAST(n_ab * 1000000 DIV n_a AS BIGINT)").alias(
+                "conf_micro"
+            ),
+            F.expr(
+                "CAST(n_ab * nb * 1000000 DIV (n_a * n_b) AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+        .orderBy(
+            F.desc("lift_micro"), F.desc("conf_micro"),
+            F.asc("item_a"), F.asc("item_b"),
+        )
+        .limit(k)
+    )
+    w = Window.orderBy(
+        F.desc("lift_micro"), F.desc("conf_micro"),
+        F.asc("item_a"), F.asc("item_b"),
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long"))

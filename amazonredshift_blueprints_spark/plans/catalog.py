@@ -11229,6 +11229,69 @@ def c136_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c137_association_rules",
+    oracle="""
+    WITH lp AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    ni AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM lp GROUP BY 1),
+    nbk AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS nb FROM lp),
+    half AS (
+        SELECT a.i AS item_a, b.i AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM lp a JOIN lp b ON a.b = b.b AND a.i < b.i
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ),
+    dir2 AS (
+        SELECT item_a, item_b, n_ab FROM half
+        UNION ALL
+        SELECT item_b, item_a, n_ab FROM half
+    ),
+    s AS (
+        SELECT item_a, item_b, n_ab,
+               CAST(n_ab * 1000000 // na.n AS BIGINT) AS conf_micro,
+               CAST(n_ab * nbk.nb * 1000000 // (na.n * nb2.n) AS BIGINT)
+                   AS lift_micro
+        FROM dir2
+        JOIN ni na ON na.i = item_a
+        JOIN ni nb2 ON nb2.i = item_b
+        CROSS JOIN nbk
+    ),
+    top AS (
+        SELECT * FROM s
+        ORDER BY lift_micro DESC, conf_micro DESC, item_a, item_b
+        LIMIT 20
+    )
+    SELECT item_a, item_b, n_ab, conf_micro, lift_micro,
+           CAST(row_number() OVER (
+               ORDER BY lift_micro DESC, conf_micro DESC, item_a, item_b)
+               AS BIGINT) AS rank
+    FROM top
+    """,
+    doc="directional association rules a -> b over order baskets "
+        "(operators/similarity.association_rules; Agrawal VLDB'94 "
+        "depth-1): support/confidence/lift in integer micro-units "
+        "(exact DIV — no float probabilities), min-support 2, top-20 "
+        "by (lift, confidence). Where c124 scores symmetric cosine, "
+        "rules are DIRECTIONAL (diapers->beer != beer->diapers): both "
+        "orientations emit from ONE canonical pair count (no second "
+        "pair join). Same scale skeleton as c124: basket-keyed pair "
+        "join bounded by Σ width², broadcast marginals + 1-row basket "
+        "count, TakeOrderedAndProject",
+    bench=True,
+    tags=("similarity", "events", "join"),
+)
+def c137_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import association_rules
+
+    li = views(spark, sf_dir, "lineitem")["lineitem"]
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_support=2, k=20
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -11257,7 +11320,7 @@ def c136_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 42
+# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 43
 # entries added in round 11 after this window froze have never been
 # driver-rowed and take slots first — c98_pagerank_dangling,
 # c99_dedup_keep_best, c100_bpe_fertility, c101_unimax_mixing,
@@ -11276,7 +11339,8 @@ def c136_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
 # c130_gif_decode_stats, c131_stream_ewma,
 # c132_prf_query_expansion, c133_benford_screen,
 # c134_tfidf_doc_pairs, c135_kmv_join_cardinality,
-# c136_golden_record, q88_window_ignore_nulls, q90_mapinarrow_norms,
+# c136_golden_record, c137_association_rules,
+# q88_window_ignore_nulls, q90_mapinarrow_norms,
 # q89_dml_statement_face (ALL locally hash-verified at BOTH sf0.01
 # and sf0.1 before their commits) — then
 # fill to 50 with the oldest-rowed entries (the r7-rowed block

@@ -841,3 +841,24 @@ def test_cooccurrence_topk_hand_cosine(spark):
     assert (r["item_a"], r["item_b"], r["n_ab"], r["cosine"], r["rank"]) == (
         1, 2, 2, 1.0, 1,
     )
+
+
+def test_association_rules_directional_confidence(spark):
+    """Item 2 appears in 2 baskets, both with item 1 (conf(2->1)=1.0);
+    item 1 appears in 3 baskets (conf(1->2)=2/3). Lift symmetric."""
+    from amazonredshift_blueprints_spark.operators.similarity import (
+        association_rules,
+    )
+
+    rows = [(10, 1), (10, 2), (20, 1), (20, 2), (30, 1), (30, 3)]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    got = {
+        (r["item_a"], r["item_b"]): (r["n_ab"], r["conf_micro"], r["lift_micro"])
+        for r in association_rules(
+            df, "basket", "item", min_support=2, k=10
+        ).collect()
+    }
+    # N=3 baskets, n(1)=3, n(2)=2, n(1,2)=2
+    assert got[(2, 1)] == (2, 1_000_000, 2 * 3 * 1_000_000 // (2 * 3))
+    assert got[(1, 2)] == (2, 2 * 1_000_000 // 3, 1_000_000)
+    assert (1, 3) not in got  # support 1 < min_support
