@@ -1805,3 +1805,51 @@ def tfidf_doc_pairs(
     )
     win = Window.orderBy(F.desc("dot_q"), F.asc("id_a"), F.asc("id_b"))
     return pairs.withColumn("rank", F.row_number().over(win).cast("long"))
+
+
+def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    information-density quality signal: spam keyword-stuffing and
+    copy-paste loops score LOW (mass on few types), natural prose
+    scores near ln(n_types); the distributional complement of c45's
+    positional repetition masks.
+
+        H(d) = Σ over types t of (c_t/N)·ln(N/c_t)
+
+    Each TYPE's contribution quantizes to integer micro-units through
+    one fixed IEEE expression (the ln contract), so the per-doc sum is
+    exact and order-independent.
+
+    Returns (doc_id, n_tokens, n_types, entropy_q) — entropy_q in
+    micro-nats; entropy_q == 0 iff the doc is a single repeated token.
+
+    100 TB: one (doc, token) hash aggregate over the exploded stream
+    (map-side partials), contributions map-side, one doc-keyed sum —
+    the c08/c63 plan shape exactly.
+    """
+    from .dedup import tokens as _tokens
+
+    counts = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_tokens(text_col)).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    contrib = F.round(
+        F.col("c").cast("double")
+        / F.col("n_tokens")
+        * F.log(F.col("n_tokens").cast("double") / F.col("c"))
+        * 1_000_000
+    ).cast("long")
+    return (
+        counts.join(totals, "doc_id")
+        .select("doc_id", "n_tokens", "n_types", contrib.alias("_q"))
+        .groupBy("doc_id", "n_tokens", "n_types")
+        .agg(F.sum("_q").alias("entropy_q"))
+    )

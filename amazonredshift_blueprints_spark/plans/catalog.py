@@ -11292,6 +11292,50 @@ def c137_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c138_token_entropy",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                   AS toks
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM c GROUP BY 1
+    )
+    SELECT c.doc_id, tot.n_tokens, tot.n_types,
+           CAST(SUM(CAST(round(
+               CAST(c.c AS DOUBLE) / tot.n_tokens
+               * ln(CAST(tot.n_tokens AS DOUBLE) / c.c)
+               * 1000000) AS BIGINT)) AS BIGINT) AS entropy_q
+    FROM c JOIN tot USING (doc_id)
+    GROUP BY 1, 2, 3
+    """,
+    doc="per-document token-distribution Shannon entropy "
+        "(operators/text.token_entropy) — the information-density "
+        "quality signal (keyword-stuffing / copy-paste loops score "
+        "low; the distributional complement of c45's positional "
+        "repetition masks). Per-TYPE contributions quantize to "
+        "micro-nats through one fixed IEEE expression (ln contract) "
+        "so the per-doc sum is exact. Plan: one (doc, token) hash "
+        "aggregate + one doc-keyed sum — c08/c63's shape",
+    tags=("text", "llm", "quality"),
+)
+def c138_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import token_entropy
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return token_entropy(d, "doc_id", "text")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -11320,7 +11364,7 @@ def c137_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 43
+# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 44
 # entries added in round 11 after this window froze have never been
 # driver-rowed and take slots first — c98_pagerank_dangling,
 # c99_dedup_keep_best, c100_bpe_fertility, c101_unimax_mixing,
@@ -11339,7 +11383,7 @@ def c137_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # c130_gif_decode_stats, c131_stream_ewma,
 # c132_prf_query_expansion, c133_benford_screen,
 # c134_tfidf_doc_pairs, c135_kmv_join_cardinality,
-# c136_golden_record, c137_association_rules,
+# c136_golden_record, c137_association_rules, c138_token_entropy,
 # q88_window_ignore_nulls, q90_mapinarrow_norms,
 # q89_dml_statement_face (ALL locally hash-verified at BOTH sf0.01
 # and sf0.1 before their commits) — then

@@ -728,3 +728,22 @@ def test_tfidf_doc_pairs_weights_rare_overlap(spark):
     # 'x y z' appears in all 4 docs (df=4 > cap=3): pairs sharing ONLY
     # capped shingles never form
     assert (3, 4) not in got
+
+
+def test_token_entropy_extremes(spark):
+    """Single repeated token -> exactly 0; uniform 4 distinct tokens ->
+    ln(4) in micro-nats (each of 4 contributions rounded separately)."""
+    import math
+
+    from amazonredshift_blueprints_spark.operators.text import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "w x y z")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_types"], r["entropy_q"])
+        for r in token_entropy(df, "doc_id", "text").collect()
+    }
+    assert got[1] == (4, 1, 0)
+    per_term = round(0.25 * math.log(4.0) * 1_000_000)
+    assert got[2] == (4, 4, 4 * per_term)
