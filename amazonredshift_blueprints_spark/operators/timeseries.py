@@ -259,3 +259,76 @@ def ewma_fold(
             F.col("_st.spikes").alias("n_spikes"),
         )
     )
+
+
+def holt_fold(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    *,
+    den: int = 4,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key Holt double-exponential smoothing (level + trend) — the
+    TWO-state linear recurrence (``ewma_fold`` carries one):
+
+        l_1 = x_1,  b_1 = 0
+        l_t = floor((x_t + (den-1)·(l_{t-1} + b_{t-1})) / den)
+        b_t = floor(((l_t - l_{t-1}) + (den-1)·b_{t-1}) / den)
+
+    (α = β = 1/den), one-step forecast = l + b — the trend-aware
+    smoother for drifting series where plain EWMA lags. All-integer
+    state; divisions are explicit double-floor (exact below 2^53)
+    because the TREND can go negative and truncation-vs-floor would
+    diverge between engines there — the one place ``ewma_fold``'s
+    positive-only modular trick doesn't carry over.
+
+    Returns (key, n_events, level_q, trend_q, forecast_q).
+
+    100 TB: identical shape to ewma_fold — one key-keyed hash
+    aggregate, the fold a map-side array expression; per-key history
+    bounds memory.
+    """
+    xq = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(tiebreak_col).alias("tie"),
+                xq.alias("xq"),
+            )
+        )
+    )
+
+    def fdiv(c):
+        return F.floor(c.cast("double") / den).cast("long")
+
+    def step(acc, e):
+        lt = fdiv(e["xq"] + (den - 1) * (acc["l"] + acc["b"]))
+        bt = fdiv((lt - acc["l"]) + (den - 1) * acc["b"])
+        return F.struct(
+            F.when(acc["n"] == 0, e["xq"]).otherwise(lt).alias("l"),
+            F.when(acc["n"] == 0, F.lit(0).cast("long"))
+            .otherwise(bt)
+            .alias("b"),
+            (acc["n"] + 1).alias("n"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("long").alias("l"),
+        F.lit(0).cast("long").alias("b"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    return (
+        df.groupBy(F.col(key))
+        .agg(F.aggregate(arr, init, step).alias("_st"))
+        .select(
+            key,
+            F.col("_st.n").alias("n_events"),
+            F.col("_st.l").alias("level_q"),
+            F.col("_st.b").alias("trend_q"),
+            (F.col("_st.l") + F.col("_st.b")).alias("forecast_q"),
+        )
+    )

@@ -11336,6 +11336,124 @@ def c138_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_entropy(d, "doc_id", "text")
 
 
+@query(
+    "a06_multifile_regex_ingest",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    UNION ALL
+    SELECT n_nationkey, n_name FROM nation
+    """,
+    doc="multi-file regex-discovery ingest parity (the reference's "
+        "core upload path, upload_file.py:85-105 + 187-200 — "
+        "recursive glob, re.search filter, all matches loaded as ONE "
+        "table): three CSVs are written (region keys, nation keys, "
+        "and a DECOY whose name misses the regex), "
+        "ingest_matching_files loads exactly the two matches under "
+        "pattern 'bp_keys_(region|nation)', and the oracle is the "
+        "union of the two matched sources — a decoy row appearing or "
+        "a match dropped fails the hash. Exercises A2 (exact "
+        "discovery), A3 (regex filter), A5/A6 (one-scan multi-file "
+        "load) as a driver-visible row, not only tests",
+    tags=("native", "ingest"),
+)
+def a06_multifile_regex_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..export import write_csv
+    from ..ingest import ingest_matching_files
+
+    t = views(spark, sf_dir, "region", "nation")
+    d = tempfile.mkdtemp(prefix="bp_regex_ingest_")
+    write_csv(
+        t["region"].select(
+            F.col("r_regionkey").alias("k"), F.col("r_name").alias("v")
+        ),
+        os.path.join(d, "bp_keys_region.csv"),
+    )
+    write_csv(
+        t["nation"].select(
+            F.col("n_nationkey").alias("k"), F.col("n_name").alias("v")
+        ),
+        os.path.join(d, "bp_keys_nation.csv"),
+    )
+    write_csv(
+        t["nation"].select(
+            F.col("n_nationkey").alias("k"), F.col("n_name").alias("v")
+        ),
+        os.path.join(d, "bp_decoy_nation.csv"),
+    )
+    spark.sql("DROP TABLE IF EXISTS bp_regex_ingested")
+    from ..ingest import _clean_stale_location
+
+    _clean_stale_location(spark, "bp_regex_ingested", None)
+    # discovery is CWD-relative by reference contract
+    # (upload_file.py:85-93); reach the temp dir via a relative path
+    ingest_matching_files(
+        spark,
+        os.path.relpath(d, os.getcwd()),
+        r"bp_keys_(region|nation)",
+        "bp_regex_ingested",
+    )
+    return spark.table("bp_regex_ingested").select(
+        F.col("k").cast("long").alias("r_regionkey"),
+        F.col("v").alias("r_name"),
+    )
+
+
+@query(
+    "c139_holt_trend",
+    oracle="""
+    WITH RECURSIVE r AS (
+        SELECT user_id,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                   AS BIGINT) AS rn,
+               CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS x
+        FROM events
+    ),
+    cnt AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM r GROUP BY 1
+    ),
+    step AS (
+        SELECT user_id, rn, x AS l, CAST(0 AS BIGINT) AS b
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.user_id, r.rn,
+               CAST(floor(CAST(r.x + 3 * (step.l + step.b) AS DOUBLE) / 4)
+                   AS BIGINT),
+               CAST(floor(CAST(
+                   (CAST(floor(CAST(r.x + 3 * (step.l + step.b) AS DOUBLE)
+                               / 4) AS BIGINT) - step.l)
+                   + 3 * step.b AS DOUBLE) / 4) AS BIGINT)
+        FROM step JOIN r
+          ON r.user_id = step.user_id AND r.rn = step.rn + 1
+    )
+    SELECT c.user_id, c.n_events, s.l AS level_q, s.b AS trend_q,
+           CAST(s.l + s.b AS BIGINT) AS forecast_q
+    FROM cnt c
+    JOIN step s ON s.user_id = c.user_id AND s.rn = c.n_events
+    """,
+    doc="per-user Holt double-exponential smoothing (operators/"
+        "timeseries.holt_fold) — the TWO-state recurrence (level + "
+        "trend, alpha=beta=1/4) extending c117's one-state EWMA fold: "
+        "still ONE JVM-side array_sort + aggregate() per user, no "
+        "UDF, no window. Divisions are explicit double-floor (exact "
+        "below 2^53) because the TREND goes negative and "
+        "truncation-vs-floor would diverge between engines there — "
+        "the boundary c117's positive-only modular trick cannot "
+        "cross. Oracle = recursive CTE carrying (l, b) through the "
+        "same floors; one-step forecast = l + b",
+    bench=True,
+    tags=("timeseries", "events"),
+)
+def c139_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import holt_fold
+
+    e = views(spark, sf_dir, "events")["events"]
+    return holt_fold(e, "user_id", "ts", "event_id", "value")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -11364,7 +11482,7 @@ def c138_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 44
+# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 46
 # entries added in round 11 after this window froze have never been
 # driver-rowed and take slots first — c98_pagerank_dangling,
 # c99_dedup_keep_best, c100_bpe_fertility, c101_unimax_mixing,
@@ -11384,6 +11502,7 @@ def c138_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # c132_prf_query_expansion, c133_benford_screen,
 # c134_tfidf_doc_pairs, c135_kmv_join_cardinality,
 # c136_golden_record, c137_association_rules, c138_token_entropy,
+# c139_holt_trend, a06_multifile_regex_ingest,
 # q88_window_ignore_nulls, q90_mapinarrow_norms,
 # q89_dml_statement_face (ALL locally hash-verified at BOTH sf0.01
 # and sf0.1 before their commits) — then

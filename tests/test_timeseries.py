@@ -93,3 +93,34 @@ def test_ewma_fold_tiebreak_on_equal_ts(spark):
     )
     r = ewma_fold(df, "user_id", "ts", "event_id", "value").collect()[0]
     assert (r["n_events"], r["ewma_q"], r["n_spikes"]) == (2, 175, 1)
+
+
+def test_holt_fold_matches_python_replay(spark):
+    """Random-ish descending series exercises NEGATIVE trend state —
+    the floor-vs-truncation boundary; replay in pure Python."""
+    import datetime as dt
+
+    from amazonredshift_blueprints_spark.operators.timeseries import holt_fold
+
+    xs = [500, 400, 300, 250, 100, 90, 700, 20]
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(minutes=i), i, x / 100.0)
+        for i, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    r = holt_fold(df, "user_id", "ts", "event_id", "value").collect()[0]
+    import math
+
+    l, b = None, 0
+    for x in xs:
+        if l is None:
+            l = x
+        else:
+            lt = math.floor((x + 3 * (l + b)) / 4)
+            b = math.floor(((lt - l) + 3 * b) / 4)
+            l = lt
+    assert (r["n_events"], r["level_q"], r["trend_q"], r["forecast_q"]) == (
+        len(xs), l, b, l + b,
+    )
+    assert b < 0  # the fixture really did drive the trend negative
