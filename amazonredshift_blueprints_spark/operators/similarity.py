@@ -2317,3 +2317,63 @@ def association_rules(
         F.asc("item_a"), F.asc("item_b"),
     )
     return scored.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def prefix_dim_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefix_dims: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """Matryoshka-style prefix-dimension retrieval evaluation: how much
+    recall@k survives truncating embeddings to their first
+    ``prefix_dims`` components? (MRL, Kusupati et al. NeurIPS'22 —
+    prefix truncation is the zero-cost compression if the encoder was
+    trained for it; this measures whether YOURS was.) The evaluation
+    twin of c93's LSH recall, for the truncation axis.
+
+    Both rankings are exact quantized cosine (c06's arithmetic) —
+    truth on full vectors, candidate on ``slice(vec, 1, prefix_dims)``
+    — joined per query:
+
+        recall@k = |truth_topk ∩ prefix_topk| / k   (micro-units)
+
+    Returns (query_id, n_hits, recall_micro).
+
+    100 TB: two brute-force scans at fixture scale; the production
+    path swaps either side for the IVF/PQ operators unchanged (the
+    ranking join runs on k-sized lists per query either way).
+    """
+    full = brute_force_topk(
+        corpus, queries, id_col=id_col, vec_col=vec_col, k=k
+    ).select("query_id", "neighbor_id")
+    pref_corpus = corpus.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, prefix_dims).alias(vec_col)
+    )
+    pref_queries = queries.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, prefix_dims).alias(vec_col)
+    )
+    pref = brute_force_topk(
+        pref_corpus, pref_queries, id_col=id_col, vec_col=vec_col, k=k
+    ).select(
+        F.col("query_id"), F.col("neighbor_id")
+    )
+    hits = (
+        full.join(pref, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = full.select("query_id").distinct()
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(
+                f"CAST(COALESCE(n_hits, 0) * 1000000 DIV {k} AS BIGINT)"
+            ).alias("recall_micro"),
+        )
+    )

@@ -11454,6 +11454,93 @@ def c139_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_fold(e, "user_id", "ts", "event_id", "value")
 
 
+@query(
+    "c140_matryoshka_prefix_recall",
+    oracle=f"""
+    WITH vf AS (SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings),
+    nf AS (
+        SELECT vec_id, qv,
+               CAST({_DUCK_DOT.format(a='qv', b='qv')} AS BIGINT) AS norm
+        FROM vf
+    ),
+    full_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY CAST({_DUCK_DOT.format(a='q.qv', b='c.qv')}
+                                    AS DOUBLE)
+                                / (sqrt(CAST(q.norm AS DOUBLE))
+                                   * sqrt(CAST(c.norm AS DOUBLE))) DESC,
+                                c.vec_id) AS BIGINT) AS rank
+            FROM nf q CROSS JOIN nf c
+            WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+        ) WHERE rank <= 5
+    ),
+    vp AS (
+        SELECT vec_id,
+               list_transform(embedding[1:16],
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                             AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    np AS (
+        SELECT vec_id, qv,
+               CAST({_DUCK_DOT.format(a='qv', b='qv')} AS BIGINT) AS norm
+        FROM vp
+    ),
+    pref_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY CAST({_DUCK_DOT.format(a='q.qv', b='c.qv')}
+                                    AS DOUBLE)
+                                / (sqrt(CAST(q.norm AS DOUBLE))
+                                   * sqrt(CAST(c.norm AS DOUBLE))) DESC,
+                                c.vec_id) AS BIGINT) AS rank
+            FROM np q CROSS JOIN np c
+            WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+        ) WHERE rank <= 5
+    ),
+    hits AS (
+        SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM full_top f
+        JOIN pref_top p
+          ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id
+        GROUP BY 1
+    )
+    SELECT b.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) * 1000000 // 5 AS BIGINT)
+               AS recall_micro
+    FROM (SELECT DISTINCT query_id FROM full_top) b
+    LEFT JOIN hits h USING (query_id)
+    """,
+    doc="Matryoshka prefix-dimension retrieval evaluation "
+        "(operators/similarity.prefix_dim_recall; MRL, Kusupati "
+        "NeurIPS'22): recall@5 of exact cosine over the FIRST 16 of "
+        "64 dims vs full-vector truth, per query — the "
+        "is-prefix-truncation-safe measurement before shipping the "
+        "4x cheaper index; the truncation-axis twin of c93's LSH "
+        "recall eval. Both rankings are c06's quantized-exact "
+        "arithmetic, so the oracle replays BOTH and the per-query "
+        "hit counts are exact integers. Production swaps either side "
+        "for IVF/PQ unchanged — the evaluation join runs on k-sized "
+        "lists per query",
+    tags=("similarity", "llm"),
+)
+def c140_matryoshka_prefix_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.similarity import prefix_dim_recall
+
+    e = views(spark, sf_dir, "embeddings")["embeddings"]
+    return prefix_dim_recall(
+        e, e.filter(F.col("vec_id") < 10), prefix_dims=16, k=5
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -11482,7 +11569,7 @@ def c139_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 46
+# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 47
 # entries added in round 11 after this window froze have never been
 # driver-rowed and take slots first — c98_pagerank_dangling,
 # c99_dedup_keep_best, c100_bpe_fertility, c101_unimax_mixing,
@@ -11502,7 +11589,8 @@ def c139_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # c132_prf_query_expansion, c133_benford_screen,
 # c134_tfidf_doc_pairs, c135_kmv_join_cardinality,
 # c136_golden_record, c137_association_rules, c138_token_entropy,
-# c139_holt_trend, a06_multifile_regex_ingest,
+# c139_holt_trend, c140_matryoshka_prefix_recall,
+# a06_multifile_regex_ingest,
 # q88_window_ignore_nulls, q90_mapinarrow_norms,
 # q89_dml_statement_face (ALL locally hash-verified at BOTH sf0.01
 # and sf0.1 before their commits) — then

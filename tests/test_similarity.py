@@ -862,3 +862,20 @@ def test_association_rules_directional_confidence(spark):
     assert got[(2, 1)] == (2, 1_000_000, 2 * 3 * 1_000_000 // (2 * 3))
     assert got[(1, 2)] == (2, 2 * 1_000_000 // 3, 1_000_000)
     assert (1, 3) not in got  # support 1 < min_support
+
+
+def test_prefix_dim_recall_bounds_and_identity(spark):
+    """Prefix == full dims -> recall exactly 1.0 for every query;
+    recall is always in [0, 1e6] micro-units."""
+    from amazonredshift_blueprints_spark.operators.similarity import (
+        prefix_dim_recall,
+    )
+    from amazonredshift_blueprints_spark.session import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    ident = prefix_dim_recall(e, q, prefix_dims=64, k=5).collect()
+    assert len(ident) == 5
+    assert all(r["recall_micro"] == 1_000_000 for r in ident)
+    part = prefix_dim_recall(e, q, prefix_dims=8, k=5).collect()
+    assert all(0 <= r["recall_micro"] <= 1_000_000 for r in part)
