@@ -11541,6 +11541,73 @@ def c140_matryoshka_prefix_recall(
     )
 
 
+@query(
+    "c141_clustering_coefficients",
+    oracle="""
+    WITH lp AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+        SELECT DISTINCT a.p AS lo, b.p AS hi
+        FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+    ),
+    deg AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT lo AS v FROM e UNION ALL SELECT hi FROM e)
+        GROUP BY 1
+    ),
+    tris AS (
+        SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+        FROM e e1
+        JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+        JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+    ),
+    tr AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+        FROM (SELECT a AS node FROM tris
+              UNION ALL SELECT b FROM tris
+              UNION ALL SELECT c FROM tris)
+        GROUP BY 1
+    )
+    SELECT d.v AS node, d.deg AS degree,
+           CAST(COALESCE(tr.n_tri, 0) AS BIGINT) AS n_tri,
+           CAST(2 * COALESCE(tr.n_tri, 0) * 1000000
+                // (d.deg * (d.deg - 1)) AS BIGINT) AS lcc_micro
+    FROM deg d LEFT JOIN tr ON tr.node = d.v
+    WHERE d.deg >= 2
+    """,
+    doc="per-node local clustering coefficient (operators/graph."
+        "clustering_coefficients; Watts-Strogatz) over the "
+        "co-purchase graph — lcc = 2·tri(v)/(deg(deg-1)) in exact "
+        "micro-units, the community-vs-bridge structural signal "
+        "c111's single global count aggregates away. Same "
+        "degree-oriented O(m^1.5) wedge machinery (shared "
+        "_oriented_wedges helper); the close step is an inner "
+        "equi-join (1:1 with c111's semi on the distinct edge set) so "
+        "the (u,v,w) triple survives to a map-side explode + one "
+        "node-keyed aggregate. Oracle = naive ordered-triple triples "
+        "+ per-node unnest counts",
+    bench=True,
+    tags=("graph",),
+)
+def c141_clustering_coefficients(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.graph import clustering_coefficients
+
+    li = views(spark, sf_dir, "lineitem")["lineitem"]
+    lp = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    edges = (
+        lp.alias("a")
+        .join(lp.alias("b"), "o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+    )
+    return clustering_coefficients(edges)
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -11569,7 +11636,7 @@ def c140_matryoshka_prefix_recall(
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 47
+# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 48
 # entries added in round 11 after this window froze have never been
 # driver-rowed and take slots first — c98_pagerank_dangling,
 # c99_dedup_keep_best, c100_bpe_fertility, c101_unimax_mixing,
@@ -11590,7 +11657,7 @@ def c140_matryoshka_prefix_recall(
 # c134_tfidf_doc_pairs, c135_kmv_join_cardinality,
 # c136_golden_record, c137_association_rules, c138_token_entropy,
 # c139_holt_trend, c140_matryoshka_prefix_recall,
-# a06_multifile_regex_ingest,
+# c141_clustering_coefficients, a06_multifile_regex_ingest,
 # q88_window_ignore_nulls, q90_mapinarrow_norms,
 # q89_dml_statement_face (ALL locally hash-verified at BOTH sf0.01
 # and sf0.1 before their commits) — then

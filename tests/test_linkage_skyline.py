@@ -256,3 +256,25 @@ def test_survivorship_modal_fields_beat_canonical(spark):
     assert got[1] == (3, 3, 90, "en", "s1")
     # 1-1 ties: lexically smallest value wins, canonical by id tiebreak
     assert got[10] == (10, 2, 10, "de", "sA")
+
+
+def test_clustering_coefficients_hand_graph(spark):
+    """K3 plus a pendant: triangle nodes have lcc depending on degree
+    (node 1 has deg 3 incl. pendant -> 1/3; nodes 2,3 deg 2 -> 1.0);
+    pendant node 4 (deg 1) is excluded."""
+    from amazonredshift_blueprints_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4)], ["src", "dst"]
+    )
+    got = {
+        r["node"]: (r["degree"], r["n_tri"], r["lcc_micro"])
+        for r in clustering_coefficients(e).collect()
+    }
+    assert got == {
+        1: (3, 1, 2 * 1_000_000 // 6),
+        2: (2, 1, 1_000_000),
+        3: (2, 1, 1_000_000),
+    }
