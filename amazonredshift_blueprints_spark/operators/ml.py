@@ -537,3 +537,101 @@ def benford_screen(
     )
     tot = per.agg(F.sum("contrib_q").alias("chi2_q"))
     return per.crossJoin(F.broadcast(tot))
+
+
+def median_impute(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group median imputation of missing values — the standard
+    robust fill for a numeric feature (mean imputation drags toward
+    outliers; the median doesn't):
+
+        filled(row) = value            if present
+                    = median(group)    if NULL
+
+    Values quantize to integer units; the exact median comes from ONE
+    ``percentile(col, 0.5)`` per group over those integers (both
+    engines interpolate the same way on integer inputs: mean of the
+    two middle values when even — a half-integer, exactly
+    representable). Groups that are entirely NULL stay NULL.
+
+    Returns (key, value_q, was_null, filled_q) with filled_q DOUBLE
+    (the median of an even group is a .5 value).
+
+    100 TB: one hash aggregate for the medians (group-cardinality rows
+    — Spark's percentile is a single-pass typed aggregate, no sort of
+    the data), broadcast back onto the stream; one scan total.
+    """
+    q = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    rows = df.select(F.col(key_col).alias("key"), q.alias("value_q"))
+    med = rows.filter(F.col("value_q").isNotNull()).groupBy("key").agg(
+        F.expr("percentile(value_q, 0.5)").alias("_med")
+    )
+    return rows.join(F.broadcast(med), "key", "left").select(
+        "key",
+        "value_q",
+        F.col("value_q").isNull().alias("was_null"),
+        F.coalesce(F.col("value_q").cast("double"), F.col("_med")).alias(
+            "filled_q"
+        ),
+    )
+
+
+def woe_encoding(
+    df: DataFrame,
+    bucket_col: str,
+    target_col: str,
+) -> DataFrame:
+    """Weight-of-evidence encoding of a bucketed feature against a
+    binary target — the credit-scoring / scorecard classic (paired
+    with information value for feature selection):
+
+        woe(b) = ln( (good_b + 0.5)/goods  /  ((bad_b + 0.5)/bads) )
+        iv     = Σ_b (good_b/goods − bad_b/bads) · woe(b)
+
+    with 0.5 smoothing so single-class buckets stay finite. Counts are
+    exact BIGINTs; woe and the per-bucket IV contribution quantize to
+    integer micro-units through fixed IEEE expressions (the ln
+    contract), so the total IV is an exact integer sum.
+
+    ``target_col`` must be 0/1. Returns one row per bucket:
+    (bucket, n_good, n_bad, woe_q, iv_contrib_q, iv_q) with iv_q the
+    exact total repeated per row.
+
+    100 TB: ONE hash aggregate over the stream (bucket-cardinality
+    rows), then metadata-sized arithmetic — the PSI/Benford shape.
+    """
+    counts = df.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.sum(F.col(target_col).cast("long")).alias("n_good"),
+        F.sum(F.lit(1) - F.col(target_col).cast("long")).alias("n_bad"),
+    )
+    tot = counts.agg(
+        F.sum("n_good").alias("goods"), F.sum("n_bad").alias("bads")
+    )
+    # explicit double +0.5 on both engines: a bare `n + 0.5` is DOUBLE
+    # in Spark but DECIMAL in DuckDB — the casts make the IEEE op chain
+    # identical
+    pg = (F.col("n_good").cast("double") + F.lit(0.5)) / F.col("goods").cast(
+        "double"
+    )
+    pb = (F.col("n_bad").cast("double") + F.lit(0.5)) / F.col("bads").cast(
+        "double"
+    )
+    woe = F.log(pg / pb)
+    iv_c = (
+        F.col("n_good").cast("double") / F.col("goods")
+        - F.col("n_bad").cast("double") / F.col("bads")
+    ) * woe
+    per = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.col("n_good").cast("long").alias("n_good"),
+        F.col("n_bad").cast("long").alias("n_bad"),
+        F.round(woe * 1_000_000).cast("long").alias("woe_q"),
+        F.round(iv_c * 1_000_000).cast("long").alias("iv_contrib_q"),
+    )
+    tot2 = per.agg(F.sum("iv_contrib_q").alias("iv_q"))
+    return per.crossJoin(F.broadcast(tot2))

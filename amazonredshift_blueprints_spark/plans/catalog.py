@@ -11608,6 +11608,112 @@ def c141_clustering_coefficients(
     return clustering_coefficients(edges)
 
 
+@query(
+    "c142_median_imputation",
+    oracle="""
+    WITH r AS (
+        SELECT event_type AS key,
+               CASE WHEN event_id % 97 = 1 THEN NULL
+                    ELSE CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)
+               END AS value_q
+        FROM events
+    ),
+    med AS (
+        SELECT key, quantile_cont(value_q, 0.5) AS m
+        FROM r WHERE value_q IS NOT NULL GROUP BY 1
+    )
+    SELECT r.key, r.value_q, (r.value_q IS NULL) AS was_null,
+           COALESCE(CAST(r.value_q AS DOUBLE), med.m) AS filled_q
+    FROM r LEFT JOIN med USING (key)
+    """,
+    doc="per-group median imputation (operators/ml.median_impute): "
+        "values deterministically nulled (event_id % 97 = 1) then "
+        "filled with the exact per-event-type median — the robust "
+        "fill (mean imputation drags toward outliers). Median = ONE "
+        "percentile(·, 0.5) typed aggregate per group over integer "
+        "cents (both engines interpolate identically on integers: an "
+        "even group's median is a half-integer, exactly "
+        "representable); medians broadcast back, one scan total",
+    tags=("ml", "feature", "quality"),
+)
+def c142_median_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import median_impute
+
+    e = views(spark, sf_dir, "events")["events"]
+    d = e.select(
+        F.col("event_type"),
+        F.when(F.col("event_id") % 97 == 1, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    return median_impute(d, "event_type", "v")
+
+
+@query(
+    "c143_woe_encoding",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(least(CAST(floor(CAST(value AS DOUBLE) / 100)
+                               AS BIGINT), 5) AS BIGINT) AS bucket,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    c AS (
+        SELECT bucket, CAST(SUM(y) AS BIGINT) AS n_good,
+               CAST(SUM(1 - y) AS BIGINT) AS n_bad
+        FROM d GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(SUM(n_good) AS BIGINT) AS goods,
+               CAST(SUM(n_bad) AS BIGINT) AS bads
+        FROM c
+    ),
+    per AS (
+        SELECT bucket, n_good, n_bad,
+               CAST(round(ln(
+                   ((CAST(n_good AS DOUBLE) + 0.5) / CAST(goods AS DOUBLE))
+                   / ((CAST(n_bad AS DOUBLE) + 0.5) / CAST(bads AS DOUBLE)))
+                   * 1000000) AS BIGINT) AS woe_q,
+               CAST(round(
+                   (CAST(n_good AS DOUBLE) / goods
+                    - CAST(n_bad AS DOUBLE) / bads)
+                   * ln(
+                   ((CAST(n_good AS DOUBLE) + 0.5) / CAST(goods AS DOUBLE))
+                   / ((CAST(n_bad AS DOUBLE) + 0.5) / CAST(bads AS DOUBLE)))
+                   * 1000000) AS BIGINT) AS iv_contrib_q
+        FROM c CROSS JOIN t
+    )
+    SELECT bucket, n_good, n_bad, woe_q, iv_contrib_q,
+           (SELECT CAST(SUM(iv_contrib_q) AS BIGINT) FROM per) AS iv_q
+    FROM per
+    """,
+    doc="weight-of-evidence encoding + information value "
+        "(operators/ml.woe_encoding) — the credit-scoring scorecard "
+        "classic, target = purchase, feature = 100-unit value bands: "
+        "woe(b) = ln(smoothed good share / bad share), IV = Σ "
+        "(Δshare)·woe, all quantized to micro-units through fixed "
+        "IEEE expressions (0.5 smoothing keeps single-class buckets "
+        "finite; explicit double casts because bare n+0.5 is DOUBLE "
+        "in Spark but DECIMAL in DuckDB). One stream aggregate, "
+        "metadata-sized arithmetic after — the PSI/Benford shape, "
+        "completing the encoding trio with c115's LOO and c128's "
+        "percentile scaling",
+    tags=("ml", "feature", "events"),
+)
+def c143_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import woe_encoding
+
+    e = views(spark, sf_dir, "events")["events"]
+    d = e.select(
+        F.least(
+            F.floor(F.col("value").cast("double") / 100).cast("long"),
+            F.lit(5).cast("long"),
+        ).alias("bucket"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return woe_encoding(d, "bucket", "y")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -11636,7 +11742,7 @@ def c141_clustering_coefficients(
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 48
+# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 50
 # entries added in round 11 after this window froze have never been
 # driver-rowed and take slots first — c98_pagerank_dangling,
 # c99_dedup_keep_best, c100_bpe_fertility, c101_unimax_mixing,
@@ -11657,7 +11763,8 @@ def c141_clustering_coefficients(
 # c134_tfidf_doc_pairs, c135_kmv_join_cardinality,
 # c136_golden_record, c137_association_rules, c138_token_entropy,
 # c139_holt_trend, c140_matryoshka_prefix_recall,
-# c141_clustering_coefficients, a06_multifile_regex_ingest,
+# c141_clustering_coefficients, c142_median_imputation,
+# c143_woe_encoding, a06_multifile_regex_ingest,
 # q88_window_ignore_nulls, q90_mapinarrow_norms,
 # q89_dml_statement_face (ALL locally hash-verified at BOTH sf0.01
 # and sf0.1 before their commits) — then

@@ -185,3 +185,39 @@ def test_benford_screen_uniform_digits_flag(spark):
     chi2 = out[0]["chi2_q"] / 1_000_000
     assert chi2 > 15.5  # df=8 alpha=.05 critical value — flags
     assert all(r["chi2_q"] == out[0]["chi2_q"] for r in out)
+
+
+def test_median_impute_hand_fill(spark):
+    """Odd group -> exact middle; even group -> half-integer; all-NULL
+    group stays NULL."""
+    from amazonredshift_blueprints_spark.operators.ml import median_impute
+
+    rows = [
+        ("a", 1.0), ("a", 3.0), ("a", 9.0), ("a", None),
+        ("b", 2.0), ("b", 3.0), ("b", None),
+        ("c", None),
+    ]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        (r["key"], r["value_q"]): (r["was_null"], r["filled_q"])
+        for r in median_impute(df, "k", "v").collect()
+    }
+    assert got[("a", None)] == (True, 300.0)   # median of 100,300,900
+    assert got[("b", None)] == (True, 250.0)   # mean of two middles
+    assert got[("c", None)] == (True, None)    # nothing to impute from
+    assert got[("a", 100)] == (False, 100.0)
+
+
+def test_woe_encoding_signs_and_total(spark):
+    """A goods-heavy bucket gets positive WoE, a bads-heavy one
+    negative; IV total is the exact sum repeated per row."""
+    from amazonredshift_blueprints_spark.operators.ml import woe_encoding
+
+    rows = [(1, 1)] * 8 + [(1, 0)] * 2 + [(2, 1)] * 2 + [(2, 0)] * 8
+    df = spark.createDataFrame(rows, ["bucket", "y"])
+    out = woe_encoding(df, "bucket", "y").collect()
+    got = {r["bucket"]: r for r in out}
+    assert got[1]["woe_q"] > 0 and got[2]["woe_q"] < 0
+    assert got[1]["iv_q"] == got[2]["iv_q"]
+    assert got[1]["iv_q"] == got[1]["iv_contrib_q"] + got[2]["iv_contrib_q"]
+    assert (got[1]["n_good"], got[1]["n_bad"]) == (8, 2)
