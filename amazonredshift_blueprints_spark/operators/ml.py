@@ -635,3 +635,132 @@ def woe_encoding(
     )
     tot2 = per.agg(F.sum("iv_contrib_q").alias("iv_q"))
     return per.crossJoin(F.broadcast(tot2))
+
+
+def auc_ranksum(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-group ROC AUC via the Mann-Whitney rank-sum identity — the
+    standard "does this score actually rank positives above negatives?"
+    model/feature readout, with EXACT tie handling (midranks):
+
+        AUC = (R⁺ - n⁺(n⁺+1)/2) / (n⁺ · n⁻)
+
+    where R⁺ is the sum of midranks of the positive class.  Scores MUST
+    be integer-valued (caller quantizes — cents, micro-units): midranks
+    then come from ``2·midrank = 2·rank() + tie_count - 1`` (always an
+    integer), every sufficient statistic is an exact BIGINT, and the
+    AUC is reported in integer micro-units via one exact integer
+    division — no floats anywhere, bit-identical in any engine.
+
+    Returns (grp, n_pos, n_neg, auc_micro); groups with a single class
+    emit NULL auc_micro.
+
+    100 TB: one range-ish exchange for the per-group rank window, then
+    ONE hash aggregate to group cardinality.  BIGINT bound: the
+    numerator is ≤ 2·n·n⁺·1e6, so groups up to ~2e9 rows are exact;
+    beyond that quantize scores coarser and shard groups.
+    """
+    from pyspark.sql.window import Window
+
+    w_rank = Window.partitionBy(group_col).orderBy(F.col(score_col).asc())
+    w_tie = Window.partitionBy(group_col, score_col)
+    r2 = (
+        2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1
+    ).cast("long")
+    y = F.col(label_col).cast("long")
+    agg = (
+        df.select(
+            F.col(group_col).alias("grp"), y.alias("y"), r2.alias("r2")
+        )
+        .groupBy("grp")
+        .agg(
+            F.sum("y").alias("n_pos"),
+            (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_neg"),
+            F.sum(F.col("r2") * F.col("y")).alias("sr2"),
+        )
+    )
+    return agg.select(
+        "grp",
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr(
+                "CAST((sr2 - n_pos * (n_pos + 1)) * 1000000"
+                " DIV (2 * n_pos * n_neg) AS BIGINT)"
+            ),
+        ).alias("auc_micro"),
+    )
+
+
+def knn_classify(
+    emb: DataFrame,
+    test_pred: Column,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """k-nearest-neighbor majority-vote classification over an
+    embedding column: rows matching ``test_pred`` are the held-out
+    queries, the rest are the labeled corpus; each query takes the
+    modal label of its ``k`` nearest (cosine) corpus neighbors.
+
+    Composes :func:`..operators.similarity.brute_force_topk` (the
+    exactness anchor — swap in `ivf_topk`/`lsh_topk` for the 100 TB
+    candidate path, the vote is identical) with one vote aggregate.
+    Ties break deterministically: more votes, then better best-rank,
+    then smaller label.
+
+    Returns (vec_id, true_label, pred_label, votes, correct).
+
+    100 TB: the vote table is (queries × ≤k·labels)-sized; the corpus
+    never shuffles beyond what the ANN stage needs, and the label
+    lookup broadcasts the corpus id→label pairs only for the ≤ q·k
+    neighbor ids actually retrieved (semi-join pruned).
+    """
+    from pyspark.sql.window import Window
+
+    from .similarity import brute_force_topk
+
+    test = emb.filter(test_pred)
+    train = emb.filter(~test_pred)
+    nb = brute_force_topk(train, test, id_col=id_col, vec_col=vec_col, k=k)
+    lab = train.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nb_label")
+    )
+    votes = (
+        nb.join(lab, "neighbor_id")
+        .groupBy("query_id", "nb_label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("votes"),
+            F.min("rank").alias("best_rank"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("best_rank"), F.asc("nb_label")
+    )
+    pred = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            F.col("nb_label").alias("pred_label"),
+            "votes",
+        )
+    )
+    truth = test.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    return pred.join(truth, "query_id").select(
+        F.col("query_id").alias(id_col),
+        "true_label",
+        "pred_label",
+        "votes",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )

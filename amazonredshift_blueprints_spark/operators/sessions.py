@@ -276,3 +276,104 @@ def transition_model(
             F.expr("CAST(n * 1000000 DIV tot AS BIGINT)").alias("p_micro"),
         )
     )
+
+
+def attribution_credit(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak_col: str,
+    type_col: str,
+    *,
+    conversion: str = "purchase",
+    touches: tuple[str, ...] = ("click", "view"),
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Multi-touch marketing attribution over per-key event streams:
+    for every conversion, credit the touch events (channels) that
+    preceded it since the PREVIOUS conversion, under the three classic
+    models at once — first-touch, last-touch, and linear.
+
+    Mechanics: an exclusive running count of prior conversions splits
+    each key's stream into epochs (one conversion closes each epoch);
+    touches are grouped per (key, epoch, channel); linear credit is
+    ``count_channel * micro DIV n_touches`` — exact integer division,
+    so credits replay bit-exactly (the floor remainder is the
+    documented rounding, not float noise). Conversions with no
+    preceding touch in their epoch earn no credit (dropped, the
+    standard attribution convention).
+
+    Returns (channel, first_touch_convs, last_touch_convs,
+    linear_micro) — one row per channel.
+
+    100 TB: ONE key-partitioned window pass builds epochs (the same
+    exchange sessionization already pays), then all grouping keys are
+    prefixed by (key, epoch) so the aggregates reuse that partitioning;
+    final channel rollup is channel-cardinality-sized. Nothing
+    data-sized is joined unbucketed and nothing is collected.
+    """
+    from pyspark.sql.window import Window
+
+    w_prior = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col), F.col(tiebreak_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_conv = (F.col(type_col) == conversion).cast("long")
+    base = df.select(
+        F.col(key).alias("k"),
+        F.col(ts_col).alias("ts"),
+        F.col(tiebreak_col).alias("tie"),
+        F.col(type_col).alias("channel"),
+        F.coalesce(F.sum(is_conv).over(w_prior), F.lit(0))
+        .cast("long")
+        .alias("epoch"),
+    )
+    tou = base.filter(F.col("channel").isin(*touches))
+    conv = base.filter(F.col("channel") == conversion).select("k", "epoch")
+
+    w_first = Window.partitionBy("k", "epoch").orderBy(
+        F.col("ts").asc(), F.col("tie").asc()
+    )
+    w_last = Window.partitionBy("k", "epoch").orderBy(
+        F.col("ts").desc(), F.col("tie").desc()
+    )
+    ranked = tou.select(
+        "k",
+        "epoch",
+        "channel",
+        F.row_number().over(w_first).alias("rn_first"),
+        F.row_number().over(w_last).alias("rn_last"),
+    )
+    ch_cnt = ranked.groupBy("k", "epoch", "channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ch"),
+        F.min("rn_first").alias("best_first"),
+    )
+    tot = ranked.groupBy("k", "epoch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touch")
+    )
+    # rn_last == 1 marks the LAST touch of the epoch.
+    last_flag = ranked.filter(F.col("rn_last") == 1).select(
+        "k", "epoch", F.col("channel").alias("last_ch")
+    )
+    joined = (
+        ch_cnt.join(tot, ["k", "epoch"])
+        .join(conv, ["k", "epoch"])
+        .join(last_flag, ["k", "epoch"])
+    )
+    return (
+        joined.groupBy("channel")
+        .agg(
+            F.sum((F.col("best_first") == 1).cast("long"))
+            .cast("long")
+            .alias("first_touch_convs"),
+            F.sum((F.col("channel") == F.col("last_ch")).cast("long"))
+            .cast("long")
+            .alias("last_touch_convs"),
+            F.sum(
+                F.expr(f"CAST(n_ch * {micro} DIV n_touch AS BIGINT)")
+            )
+            .cast("long")
+            .alias("linear_micro"),
+        )
+    )

@@ -332,3 +332,83 @@ def holt_fold(
             (F.col("_st.l") + F.col("_st.b")).alias("forecast_q"),
         )
     )
+
+
+def cusum_fold(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    *,
+    drift_q: int = 6000,
+    threshold_q: int = 20000,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key one-sided CUSUM change detection (Page 1954) over the
+    ordered value series — the classic "has this metric drifted above
+    its allowance?" alarm:
+
+        x_t = round(value * scale)                 (exact integer units)
+        s_t = max(0, s_{t-1} + x_t - drift_q)      (one-sided cumsum)
+        alarm at t  iff  s_t >= threshold_q        (then s_t resets to 0)
+
+    Like :func:`ewma_fold` this is a NON-LINEAR recurrence (the max-
+    with-zero clamp and the reset-on-alarm) that window functions
+    cannot express; it runs as ONE JVM-side ``array_sort`` +
+    ``aggregate`` fold per key — no Python UDF, no driver loop. The
+    state is all-integer so the fold replays bit-exactly in any
+    engine; the oracle is a recursive CTE walking the identical
+    recurrence.
+
+    Returns (key, n_events, cusum_q, n_alarms) — one row per key.
+
+    100 TB: ONE hash shuffle on the key (the groupBy); the fold is a
+    map-side array expression inside whole-stage codegen. Memory bounds
+    by the largest single key's history — the bound every
+    sessionization carries; unbounded histories escape to the
+    streaming twin (applyInPandasWithState) or a windowed pre-split.
+    """
+    xq = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(tiebreak_col).alias("tie"),
+                xq.alias("xq"),
+            )
+        )
+    )
+
+    def step(acc, e):
+        raised = F.greatest(
+            F.lit(0).cast("long"),
+            acc["s"] + e["xq"] - F.lit(drift_q).cast("long"),
+        )
+        alarm = raised >= threshold_q
+        return F.struct(
+            F.when(alarm, F.lit(0).cast("long")).otherwise(raised).alias("s"),
+            (acc["alarms"] + F.when(alarm, 1).otherwise(0))
+            .cast("long")
+            .alias("alarms"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("long").alias("s"),
+        F.lit(0).cast("long").alias("alarms"),
+    )
+    return (
+        df.groupBy(F.col(key))
+        .agg(arr.alias("_h"))
+        .select(
+            key,
+            F.size("_h").cast("long").alias("n_events"),
+            F.aggregate(F.col("_h"), init, step).alias("_st"),
+        )
+        .select(
+            key,
+            "n_events",
+            F.col("_st.s").alias("cusum_q"),
+            F.col("_st.alarms").alias("n_alarms"),
+        )
+    )

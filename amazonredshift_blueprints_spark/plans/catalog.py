@@ -11714,6 +11714,268 @@ def c143_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return woe_encoding(d, "bucket", "y")
 
 
+@query(
+    "c144_knn_classifier",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, {_DUCK_QUANT} AS qv FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, qv,
+               CAST({_DUCK_DOT.format(a='qv', b='qv')} AS BIGINT) AS norm
+        FROM v
+    ),
+    te AS (SELECT * FROM n WHERE vec_id % 10 = 0),
+    tr AS (SELECT * FROM n WHERE vec_id % 10 <> 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               c.label AS nb_label,
+               CAST({_DUCK_DOT.format(a='q.qv', b='c.qv')} AS DOUBLE)
+                 / (sqrt(CAST(q.norm AS DOUBLE)) * sqrt(CAST(c.norm AS DOUBLE)))
+                   AS cosine
+        FROM te q CROSS JOIN tr c
+    ),
+    nb AS (
+        SELECT query_id, nb_label, rank FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+            ) AS BIGINT) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    ),
+    votes AS (
+        SELECT query_id, nb_label, CAST(COUNT(*) AS BIGINT) AS votes,
+               MIN(rank) AS best
+        FROM nb GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT query_id, nb_label, votes,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY votes DESC, best ASC, nb_label ASC
+               ) AS rn
+        FROM votes
+    )
+    SELECT w.query_id AS vec_id, t.label AS true_label,
+           w.nb_label AS pred_label, w.votes,
+           w.nb_label = t.label AS correct
+    FROM win w JOIN te t ON t.vec_id = w.query_id
+    WHERE w.rn = 1
+    """,
+    doc="k-NN majority-vote classification over the embedding column "
+        "(operators/ml.knn_classify): held-out queries (vec_id % 10 = "
+        "0) take the modal label of their 5 cosine-nearest labeled "
+        "neighbors, ties broken (votes DESC, best-rank ASC, label ASC) "
+        "— the classic label-transfer / auto-labeling primitive for "
+        "training-data curation, composed from the SAME candidate "
+        "stage as every ANN entry (brute-force exactness anchor here; "
+        "ivf_topk/lsh_topk swap in for the 100 TB candidate path with "
+        "the vote unchanged). Quantized-integer dots make the cosine "
+        "ordering engine-exact; the vote is pure BIGINT. 100 TB: the "
+        "vote table is queries-by-labels-sized; the corpus moves only "
+        "through the ANN stage",
+    tags=("ml", "similarity"),
+)
+def c144_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import knn_classify
+
+    e = views(spark, sf_dir, "embeddings")["embeddings"]
+    return knn_classify(e, F.col("vec_id") % 10 == 0, k=5)
+
+
+@query(
+    "c145_auc_ranksum",
+    oracle="""
+    WITH s AS (
+        SELECT 'seg' || CAST(user_id % 4 AS VARCHAR) AS grp,
+               CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    r AS (
+        SELECT grp, y,
+               2 * CAST(rank() OVER (
+                   PARTITION BY grp ORDER BY score ASC) AS BIGINT)
+                 + CAST(COUNT(*) OVER (PARTITION BY grp, score) AS BIGINT)
+                 - 1 AS r2
+        FROM s
+    ),
+    a AS (
+        SELECT grp, CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg,
+               CAST(SUM(r2 * y) AS BIGINT) AS sr2
+        FROM r GROUP BY 1
+    )
+    SELECT grp, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+               CAST((sr2 - n_pos * (n_pos + 1)) * 1000000
+                    // (2 * n_pos * n_neg) AS BIGINT)
+           END AS auc_micro
+    FROM a
+    """,
+    doc="per-segment ROC AUC via the Mann-Whitney rank-sum identity "
+        "(operators/ml.auc_ranksum): does the event value rank "
+        "purchases above non-purchases? EXACT midrank tie handling "
+        "(2*midrank = 2*rank() + tie_count - 1 is always an integer), "
+        "scores quantized to cents, AUC reported in integer "
+        "micro-units through one exact BIGINT division — no floats "
+        "anywhere, so the oracle replays bit-identically. The "
+        "model-quality readout every training-data quality classifier "
+        "needs. 100 TB: one per-group rank exchange + ONE hash "
+        "aggregate to group cardinality; BIGINT-exact to ~2e9-row "
+        "groups (docstring bound)",
+    tags=("ml", "events"),
+)
+def c145_auc_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import auc_ranksum
+
+    e = views(spark, sf_dir, "events")["events"]
+    d = e.select(
+        F.concat(F.lit("seg"), (F.col("user_id") % 4).cast("string")).alias(
+            "grp"
+        ),
+        F.round(F.col("value").cast("double") * 100).cast("long").alias(
+            "score"
+        ),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return auc_ranksum(d, "grp", "score", "y")
+
+
+@query(
+    "c146_attribution_credit",
+    oracle="""
+    WITH b AS (
+        SELECT user_id AS k, ts, event_id AS tie, event_type AS channel,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS epoch
+        FROM events
+    ),
+    tou AS (
+        SELECT k, epoch, channel,
+               row_number() OVER (
+                   PARTITION BY k, epoch ORDER BY ts ASC, tie ASC
+               ) AS rn_first,
+               row_number() OVER (
+                   PARTITION BY k, epoch ORDER BY ts DESC, tie DESC
+               ) AS rn_last
+        FROM b WHERE channel IN ('click', 'view')
+    ),
+    conv AS (SELECT k, epoch FROM b WHERE channel = 'purchase'),
+    cc AS (
+        SELECT k, epoch, channel, CAST(COUNT(*) AS BIGINT) AS n_ch,
+               MIN(rn_first) AS best_first
+        FROM tou GROUP BY 1, 2, 3
+    ),
+    tt AS (
+        SELECT k, epoch, CAST(COUNT(*) AS BIGINT) AS n_touch
+        FROM tou GROUP BY 1, 2
+    ),
+    lf AS (SELECT k, epoch, channel AS last_ch FROM tou WHERE rn_last = 1),
+    j AS (
+        SELECT cc.channel, cc.n_ch, cc.best_first, tt.n_touch, lf.last_ch
+        FROM cc
+        JOIN tt USING (k, epoch)
+        JOIN conv USING (k, epoch)
+        JOIN lf USING (k, epoch)
+    )
+    SELECT channel,
+           CAST(SUM(CASE WHEN best_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS first_touch_convs,
+           CAST(SUM(CASE WHEN channel = last_ch THEN 1 ELSE 0 END) AS BIGINT)
+               AS last_touch_convs,
+           CAST(SUM(n_ch * 1000000 // n_touch) AS BIGINT) AS linear_micro
+    FROM j GROUP BY 1
+    """,
+    doc="multi-touch marketing attribution (operators/sessions."
+        "attribution_credit): an exclusive running count of prior "
+        "purchases splits each user's stream into epochs; the "
+        "click/view touches inside a converted epoch earn first-touch, "
+        "last-touch, and linear credit (count*1e6 DIV n_touches — "
+        "exact integer division) per channel, all three models from "
+        "ONE epoch pass. Conversions with no preceding touch earn "
+        "nothing (standard convention). 100 TB: one user-keyed window "
+        "exchange builds epochs, every later group key is "
+        "(user, epoch)-prefixed so the aggregates reuse that "
+        "partitioning; the final rollup is channel-cardinality-sized",
+    tags=("events", "sessionization"),
+)
+def c146_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessions import attribution_credit
+
+    e = views(spark, sf_dir, "events")["events"]
+    return attribution_credit(e, "user_id", "ts", "event_id", "event_type")
+
+
+@query(
+    "c147_cusum_alarms",
+    oracle="""
+    WITH RECURSIVE r AS (
+        SELECT user_id,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                   AS BIGINT) AS rn,
+               CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS x
+        FROM events
+    ),
+    cnt AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM r GROUP BY 1
+    ),
+    step AS (
+        SELECT user_id, rn,
+               CASE WHEN greatest(CAST(0 AS BIGINT), x - 6000) >= 20000
+                    THEN CAST(0 AS BIGINT)
+                    ELSE greatest(CAST(0 AS BIGINT), x - 6000) END AS s,
+               CAST(CASE WHEN greatest(CAST(0 AS BIGINT), x - 6000) >= 20000
+                         THEN 1 ELSE 0 END AS BIGINT) AS alarms
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.user_id, r.rn,
+               CASE WHEN greatest(CAST(0 AS BIGINT), step.s + r.x - 6000)
+                         >= 20000
+                    THEN CAST(0 AS BIGINT)
+                    ELSE greatest(CAST(0 AS BIGINT), step.s + r.x - 6000)
+               END,
+               step.alarms
+                   + CASE WHEN greatest(CAST(0 AS BIGINT),
+                                        step.s + r.x - 6000) >= 20000
+                          THEN 1 ELSE 0 END
+        FROM step JOIN r
+          ON r.user_id = step.user_id AND r.rn = step.rn + 1
+    )
+    SELECT c.user_id, c.n_events, CAST(s.s AS BIGINT) AS cusum_q,
+           CAST(s.alarms AS BIGINT) AS n_alarms
+    FROM cnt c
+    JOIN step s ON s.user_id = c.user_id AND s.rn = c.n_events
+    """,
+    doc="per-user one-sided CUSUM change detection (operators/"
+        "timeseries.cusum_fold, Page 1954): s_t = max(0, s_{t-1} + x_t "
+        "- drift) with reset-on-alarm at the threshold — a NON-LINEAR "
+        "recurrence (clamp + reset) no window function expresses, run "
+        "as ONE JVM-side array_sort + aggregate() fold per user "
+        "(c117's machinery with a different step), all-integer state "
+        "(cents; drift 60.00, threshold 200.00) so the recursive-CTE "
+        "oracle replays every fold step bit-exactly. The "
+        "sequential-analysis twin of c117's EWMA spikes: CUSUM "
+        "accumulates small sustained drifts EWMA smooths away. "
+        "100 TB: one user-keyed exchange; fold is map-side codegen; "
+        "memory bounds by the largest single user's history",
+    tags=("timeseries", "events"),
+)
+def c147_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import cusum_fold
+
+    e = views(spark, sf_dir, "events")["events"]
+    return cusum_fold(
+        e, "user_id", "ts", "event_id", "value",
+        drift_q=6000, threshold_q=20000,
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #

@@ -221,3 +221,63 @@ def test_woe_encoding_signs_and_total(spark):
     assert got[1]["iv_q"] == got[2]["iv_q"]
     assert got[1]["iv_q"] == got[1]["iv_contrib_q"] + got[2]["iv_contrib_q"]
     assert (got[1]["n_good"], got[1]["n_bad"]) == (8, 2)
+
+
+def test_auc_ranksum_perfect_and_random(spark):
+    from amazonredshift_blueprints_spark.operators.ml import auc_ranksum
+
+    # perfect separation: every positive scores above every negative
+    rows = [("g", s, 0) for s in (1, 2, 3)] + [("g", s, 1) for s in (4, 5, 6)]
+    # reversed group: positives all BELOW negatives -> AUC 0
+    rows += [("r", s, 1) for s in (1, 2, 3)] + [("r", s, 0) for s in (4, 5, 6)]
+    # single-class group -> NULL
+    rows += [("o", 7, 1)]
+    df = spark.createDataFrame(rows, "grp string, score long, y int")
+    out = {r.grp: r for r in auc_ranksum(df, "grp", "score", "y").collect()}
+    assert out["g"].auc_micro == 1_000_000
+    assert out["r"].auc_micro == 0
+    assert out["o"].auc_micro is None
+    assert out["o"].n_pos == 1 and out["o"].n_neg == 0
+
+
+def test_auc_ranksum_ties_use_midranks(spark):
+    from amazonredshift_blueprints_spark.operators.ml import auc_ranksum
+
+    # one positive tied with one negative at the top: AUC = (1 + 0.5)/2?
+    # scores: neg 1, neg 5, pos 5, pos 9 -> pairs: (p5 vs n1)=1,
+    # (p5 vs n5)=0.5, (p9 vs n1)=1, (p9 vs n5)=1 -> AUC = 3.5/4 = 0.875
+    df = spark.createDataFrame(
+        [("g", 1, 0), ("g", 5, 0), ("g", 5, 1), ("g", 9, 1)],
+        "grp string, score long, y int",
+    )
+    (r,) = auc_ranksum(df, "grp", "score", "y").collect()
+    assert r.auc_micro == 875_000
+
+
+def test_knn_classify_labels_from_neighbors(spark):
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.operators.ml import knn_classify
+
+    # two tight clusters on orthogonal axes; test points sit inside one
+    def v(x, y, z):
+        return [float(x), float(y), float(z)]
+
+    rows = [
+        (0, v(10, 0, 0), 7),     # test (id % 10 == 0) near cluster A
+        (1, v(9, 1, 0), 1),
+        (2, v(10, 1, 0), 1),
+        (3, v(11, 0, 1), 1),
+        (10, v(0, 10, 1), 7),    # test near cluster B
+        (11, v(0, 9, 0), 2),
+        (12, v(1, 10, 0), 2),
+        (13, v(0, 11, 1), 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {
+        r.vec_id: r
+        for r in knn_classify(df, F.col("vec_id") % 10 == 0, k=3).collect()
+    }
+    assert out[0].pred_label == 1 and out[0].true_label == 7
+    assert not out[0].correct and out[0].votes == 3
+    assert out[10].pred_label == 2 and not out[10].correct

@@ -724,3 +724,21 @@ def test_round11_late_entry_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in p129
     p132 = _plan(spark, sf_dir, "c132_prf_query_expansion")
     assert "CartesianProduct" not in p132
+
+
+def test_c144_c147_batch_plan_shapes(spark, sf_dir):
+    """c144: the only nested loop is the ANN query-batch broadcast
+    (c06's operator); the label lookup must not sort-merge. c145: the
+    AUC is windows + ONE hash aggregate, join-free. c146: attribution
+    reuses the (user, epoch) partitioning — no cartesian, and the
+    channel rollup is aggregate-shaped. c147: the CUSUM fold is
+    join-free, one user-keyed aggregate."""
+    p144 = _plan(spark, sf_dir, "c144_knn_classifier")
+    assert "CartesianProduct" not in p144
+    assert "SortMergeJoin" not in p144
+    p145 = _plan(spark, sf_dir, "c145_auc_ranksum")
+    assert "Join" not in p145
+    p146 = _plan(spark, sf_dir, "c146_attribution_credit")
+    assert "CartesianProduct" not in p146
+    p147 = _plan(spark, sf_dir, "c147_cusum_alarms")
+    assert "Join" not in p147

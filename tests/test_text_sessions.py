@@ -747,3 +747,41 @@ def test_token_entropy_extremes(spark):
     assert got[1] == (4, 1, 0)
     per_term = round(0.25 * math.log(4.0) * 1_000_000)
     assert got[2] == (4, 4, 4 * per_term)
+
+
+def test_attribution_credit_hand_epochs(spark):
+    import datetime as dt
+
+    from amazonredshift_blueprints_spark.operators.sessions import (
+        attribution_credit,
+    )
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    # user 1: click, view, purchase  -> epoch 0: first=click last=view,
+    #         linear click 500000 / view 500000
+    # then view, purchase            -> epoch 1: first=last=view
+    # trailing click (no conversion) -> no credit
+    # user 2: purchase with no touches -> dropped
+    rows = [
+        (1, t(0), 0, "click"),
+        (1, t(1), 1, "view"),
+        (1, t(2), 2, "purchase"),
+        (1, t(3), 3, "view"),
+        (1, t(4), 4, "purchase"),
+        (1, t(5), 5, "click"),
+        (2, t(0), 6, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, eid long, et string")
+    out = {
+        r.channel: r
+        for r in attribution_credit(df, "u", "ts", "eid", "et").collect()
+    }
+    assert out["click"].first_touch_convs == 1
+    assert out["click"].last_touch_convs == 0
+    assert out["click"].linear_micro == 500_000
+    assert out["view"].first_touch_convs == 1
+    assert out["view"].last_touch_convs == 2
+    assert out["view"].linear_micro == 1_500_000
+    assert set(out) == {"click", "view"}

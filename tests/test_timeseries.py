@@ -124,3 +124,46 @@ def test_holt_fold_matches_python_replay(spark):
         len(xs), l, b, l + b,
     )
     assert b < 0  # the fixture really did drive the trend negative
+
+
+def test_cusum_fold_hand_recurrence(spark):
+    from amazonredshift_blueprints_spark.operators.timeseries import cusum_fold
+
+    # key 1: x = [50, 80, 120, 10] cents, drift 30, threshold 150
+    # s: max(0,0+50-30)=20 -> max(0,20+80-30)=70 -> 70+120-30=160 >=150
+    #    -> alarm, s=0 -> max(0,0+10-30)=0
+    df = spark.createDataFrame(
+        [
+            (1, _ts(0), 0, 0.50),
+            (1, _ts(1), 1, 0.80),
+            (1, _ts(2), 2, 1.20),
+            (1, _ts(3), 3, 0.10),
+            # key 2: never crosses, ends clamped at 0
+            (2, _ts(0), 4, 0.10),
+            (2, _ts(1), 5, 0.20),
+        ],
+        "k long, ts timestamp, tie long, v double",
+    )
+    out = {
+        r.k: r
+        for r in cusum_fold(
+            df, "k", "ts", "tie", "v", drift_q=30, threshold_q=150
+        ).collect()
+    }
+    assert out[1].n_events == 4 and out[1].n_alarms == 1
+    assert out[1].cusum_q == 0
+    assert out[2].n_events == 2 and out[2].n_alarms == 0
+    assert out[2].cusum_q == 0
+
+
+def test_cusum_fold_order_insensitive_to_arrival(spark):
+    from amazonredshift_blueprints_spark.operators.timeseries import cusum_fold
+
+    rows = [(1, _ts(h), h, float(h)) for h in range(8)]
+    a = spark.createDataFrame(rows, "k long, ts timestamp, tie long, v double")
+    b = spark.createDataFrame(
+        list(reversed(rows)), "k long, ts timestamp, tie long, v double"
+    ).repartition(7)
+    ra = cusum_fold(a, "k", "ts", "tie", "v", drift_q=100, threshold_q=400)
+    rb = cusum_fold(b, "k", "ts", "tie", "v", drift_q=100, threshold_q=400)
+    assert ra.collect() == rb.collect()
