@@ -764,3 +764,130 @@ def knn_classify(
         "votes",
         (F.col("pred_label") == F.col("true_label")).alias("correct"),
     )
+
+
+def ndcg_eval(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    score_col: str,
+    rel_col: str,
+    *,
+    k: int = 5,
+    weights_q: list[int] | None = None,
+) -> DataFrame:
+    """Per-group nDCG@k retrieval evaluation over a scored candidate
+    list — the standard graded-relevance ranking readout (Järvelin &
+    Kekäläinen 2002), the quality twin of the recall evals c93/c140:
+
+        DCG@k  = Σ_{i<=k} rel_i / log2(i+1)      (predicted order)
+        IDCG@k = the same sum with rels sorted descending
+        nDCG   = DCG / IDCG                       (1.0 = perfect order)
+
+    The ideal ranking is taken over the SAME candidate set (the
+    retrieved list), the usual convention for evaluating a fixed run.
+    The per-position discounts 1/log2(i+1) are pre-quantized to integer
+    micro-units (``weights_q[i] = round(1e6 / log2(i+2))``) so every
+    gain is an exact BIGINT product and the whole metric replays
+    bit-exactly in any engine — no runtime transcendentals at all.
+
+    Returns (grp, n_retrieved, dcg_q, idcg_q, ndcg_micro); groups whose
+    candidates are all irrelevant (IDCG = 0) emit NULL ndcg_micro.
+
+    100 TB: ONE exchange on the group key feeds both row_number windows
+    (predicted and ideal order are two sorts over the same partitioning,
+    Spark reuses the exchange) and the closing hash aggregate; the
+    discount array is a tiny literal, never a join.
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    if weights_q is None:
+        weights_q = [
+            int(round(_MICRO / math.log2(i + 1))) for i in range(1, k + 1)
+        ]
+    w_pred = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(item_col).asc()
+    )
+    w_ideal = Window.partitionBy(group_col).orderBy(
+        F.col(rel_col).desc(), F.col(item_col).asc()
+    )
+    wmap = F.array(*[F.lit(int(w)).cast("long") for w in weights_q])
+    scored = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(rel_col).cast("long").alias("rel"),
+        F.row_number().over(w_pred).alias("pos"),
+        F.row_number().over(w_ideal).alias("ipos"),
+    )
+    # F.get is NULL-safe past the array end (unlike element_at under
+    # ANSI), so positions beyond k fold to 0 gain via coalesce.
+    gain = F.coalesce(F.col("rel") * F.get(wmap, F.col("pos") - 1), F.lit(0))
+    igain = F.coalesce(F.col("rel") * F.get(wmap, F.col("ipos") - 1), F.lit(0))
+    agg = scored.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_retrieved"),
+        F.sum(gain).cast("long").alias("dcg_q"),
+        F.sum(igain).cast("long").alias("idcg_q"),
+    )
+    return agg.select(
+        "grp",
+        "n_retrieved",
+        "dcg_q",
+        "idcg_q",
+        F.when(
+            F.col("idcg_q") > 0,
+            F.expr(f"CAST(dcg_q * {_MICRO} DIV idcg_q AS BIGINT)"),
+        ).alias("ndcg_micro"),
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group weighted (lower) median: the smallest value v whose
+    cumulative weight reaches half the group's total weight — the
+    robust center for weighted observations (price weighted by volume,
+    latency weighted by request count).
+
+    Values and weights are quantized to integer units (``round(x *
+    scale)``), so the cumulative sums and the crossing test are exact
+    BIGINT arithmetic.  Computation pre-aggregates weight per DISTINCT
+    value first — the window cumsum then runs over the (group, value)
+    spectrum, not the raw rows, which both shrinks the sort and makes
+    the cumulative weight well-defined without a row tiebreaker.
+
+    Returns (grp, total_w, wmedian_q).
+
+    100 TB: the pre-aggregate is a hash agg with map-side partials
+    (shuffle width = distinct values per group, not rows); the cumsum
+    window and final min-filter agg reuse the same group partitioning.
+    Skewed groups bound memory by their distinct-value count only.
+    """
+    from pyspark.sql.window import Window
+
+    vq = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    wq = F.round(F.col(weight_col).cast("double") * scale).cast("long")
+    byv = (
+        df.select(F.col(group_col).alias("grp"), vq.alias("v"), wq.alias("w"))
+        .groupBy("grp", "v")
+        .agg(F.sum("w").alias("wv"))
+    )
+    w_cum = Window.partitionBy("grp").orderBy("v")
+    w_all = Window.partitionBy("grp")
+    cum = byv.select(
+        "grp",
+        "v",
+        F.sum("wv").over(w_cum).alias("cw"),
+        F.sum("wv").over(w_all).alias("tw"),
+    )
+    return cum.groupBy("grp").agg(
+        F.max("tw").cast("long").alias("total_w"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("v")))
+        .cast("long")
+        .alias("wmedian_q"),
+    )

@@ -11976,6 +11976,145 @@ def c147_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c148_ndcg_eval",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id AS u,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+               CAST(COUNT(*) AS BIGINT) AS score
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    purch AS (
+        SELECT user_id AS u,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+               CAST(COUNT(*) AS BIGINT) AS rel
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT c.u, c.item, c.score, COALESCE(p.rel, 0) AS rel
+        FROM clicks c LEFT JOIN purch p ON p.u = c.u AND p.item = c.item
+    ),
+    ranked AS (
+        SELECT u, rel,
+               row_number() OVER (PARTITION BY u
+                                  ORDER BY score DESC, item) AS pos,
+               row_number() OVER (PARTITION BY u
+                                  ORDER BY rel DESC, item) AS ipos
+        FROM cand
+    ),
+    agg AS (
+        SELECT u,
+               CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+               CAST(SUM(rel * CASE pos WHEN 1 THEN 1000000
+                                       WHEN 2 THEN 630930
+                                       WHEN 3 THEN 500000
+                                       WHEN 4 THEN 430677
+                                       WHEN 5 THEN 386853
+                                       ELSE 0 END) AS BIGINT) AS dcg_q,
+               CAST(SUM(rel * CASE ipos WHEN 1 THEN 1000000
+                                        WHEN 2 THEN 630930
+                                        WHEN 3 THEN 500000
+                                        WHEN 4 THEN 430677
+                                        WHEN 5 THEN 386853
+                                        ELSE 0 END) AS BIGINT) AS idcg_q
+        FROM ranked GROUP BY 1
+    )
+    SELECT u AS user_id, n_retrieved, dcg_q, idcg_q,
+           CASE WHEN idcg_q > 0
+                THEN CAST(dcg_q * 1000000 // idcg_q AS BIGINT) END
+               AS ndcg_micro
+    FROM agg
+    """,
+    doc="per-user nDCG@5 retrieval evaluation (operators/ml.ndcg_eval, "
+        "Järvelin & Kekäläinen 2002) of the implicit-feedback ranking "
+        "'order items by click count' against graded purchase-count "
+        "relevance — the quality twin of the recall evals c93/c140 and "
+        "the ranking complement of c145's AUC. Position discounts "
+        "1/log2(i+1) are PRE-quantized integer micro-weights "
+        "(round(1e6/log2(i+1)) = 1000000, 630930, 500000, 430677, "
+        "386853), so every gain is an exact BIGINT product — zero "
+        "runtime transcendentals, bit-exact in any engine; the ideal "
+        "ranking is over the same retrieved set (fixed-run convention). "
+        "100 TB: one exchange on user feeds both row_number windows "
+        "(same partitioning, exchange reuse) and the closing hash agg; "
+        "the discount array is a literal, never a join",
+    tags=("ml", "eval", "events"),
+)
+def c148_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import ndcg_eval
+
+    e = views(spark, sf_dir, "events")["events"]
+    item = F.get_json_object("props", "$.k").cast("long")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").alias("u"), item.alias("item"))
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("u"), item.alias("item"))
+        .agg(F.count(F.lit(1)).alias("rel"))
+    )
+    cand = clicks.join(purch, ["u", "item"], "left").select(
+        "u", "item", "score", F.coalesce("rel", F.lit(0)).alias("rel")
+    )
+    out = ndcg_eval(cand, "u", "item", "score", "rel", k=5)
+    return out.select(
+        F.col("grp").alias("user_id"),
+        "n_retrieved",
+        "dcg_q",
+        "idcg_q",
+        "ndcg_micro",
+    )
+
+
+@query(
+    "c149_weighted_median",
+    oracle="""
+    WITH q AS (
+        SELECT l_returnflag AS grp,
+               CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)
+                   AS v,
+               CAST(round(CAST(l_quantity AS DOUBLE) * 100) AS BIGINT) AS w
+        FROM lineitem
+    ),
+    byv AS (SELECT grp, v, SUM(w) AS wv FROM q GROUP BY 1, 2),
+    cum AS (
+        SELECT grp, v,
+               SUM(wv) OVER (PARTITION BY grp ORDER BY v) AS cw,
+               SUM(wv) OVER (PARTITION BY grp) AS tw
+        FROM byv
+    )
+    SELECT grp,
+           CAST(MAX(tw) AS BIGINT) AS total_w,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT)
+               AS wmedian_q
+    FROM cum GROUP BY 1
+    """,
+    doc="per-returnflag weighted (lower) median of extended price with "
+        "quantity weights (operators/ml.weighted_median): the smallest "
+        "value whose cumulative weight reaches half the group total — "
+        "the robust weighted center (volume-weighted price, "
+        "count-weighted latency). Cents-quantized BIGINT throughout; "
+        "weight is PRE-aggregated per distinct value so the window "
+        "cumsum runs over the value spectrum, not raw rows — both "
+        "smaller and deterministic without a row tiebreaker. 100 TB: "
+        "map-side-partial hash agg shrinks the shuffle to distinct "
+        "values per group; the cumsum window and closing min-filter "
+        "agg reuse the same partitioning; skewed groups bound memory "
+        "by distinct-value count only",
+    tags=("stats", "lineitem"),
+)
+def c149_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import weighted_median
+
+    li = views(spark, sf_dir, "lineitem")["lineitem"]
+    return weighted_median(
+        li, "l_returnflag", "l_extendedprice", "l_quantity", scale=100
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #

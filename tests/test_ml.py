@@ -281,3 +281,53 @@ def test_knn_classify_labels_from_neighbors(spark):
     assert out[0].pred_label == 1 and out[0].true_label == 7
     assert not out[0].correct and out[0].votes == 3
     assert out[10].pred_label == 2 and not out[10].correct
+
+
+def test_ndcg_perfect_reversed_and_irrelevant(spark):
+    from amazonredshift_blueprints_spark.operators.ml import ndcg_eval
+
+    # group "p": predicted order == ideal order -> nDCG = 1
+    rows = [("p", 1, 30, 3), ("p", 2, 20, 2), ("p", 3, 10, 1)]
+    # group "r": predicted order exactly reversed
+    rows += [("r", 1, 10, 3), ("r", 2, 20, 2), ("r", 3, 30, 1)]
+    # group "z": nothing relevant -> IDCG 0 -> NULL
+    rows += [("z", 1, 5, 0), ("z", 2, 4, 0)]
+    df = spark.createDataFrame(rows, "grp string, item long, score long, rel long")
+    out = {r.grp: r for r in ndcg_eval(df, "grp", "item", "score", "rel").collect()}
+    assert out["p"].ndcg_micro == 1_000_000
+    assert out["p"].dcg_q == out["p"].idcg_q == 3_000_000 + 2 * 630_930 + 500_000
+    # reversed: DCG = 1*1e6 + 2*630930 + 3*500000
+    rev = 1_000_000 + 2 * 630_930 + 3 * 500_000
+    assert out["r"].dcg_q == rev
+    assert out["r"].ndcg_micro == rev * 1_000_000 // out["r"].idcg_q
+    assert out["z"].ndcg_micro is None and out["z"].dcg_q == 0
+
+
+def test_ndcg_cutoff_ignores_positions_past_k(spark):
+    from amazonredshift_blueprints_spark.operators.ml import ndcg_eval
+
+    # k=2: the rel-5 item parked at position 3 contributes nothing to
+    # DCG but dominates IDCG's top slot
+    df = spark.createDataFrame(
+        [("g", 1, 30, 1), ("g", 2, 20, 1), ("g", 3, 10, 5)],
+        "grp string, item long, score long, rel long",
+    )
+    (r,) = ndcg_eval(df, "grp", "item", "score", "rel", k=2).collect()
+    assert r.dcg_q == 1_000_000 + 630_930
+    assert r.idcg_q == 5_000_000 + 630_930
+    assert r.n_retrieved == 3
+
+
+def test_weighted_median_crossing_and_ties(spark):
+    from amazonredshift_blueprints_spark.operators.ml import weighted_median
+
+    # weights: v=1 w=1, v=2 w=1, v=3 w=10 -> half of 12 is 6, first v
+    # whose cumweight >= 6 is 3
+    rows = [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 10.0)]
+    # duplicate values merge their weight: v=5 appears twice (w 3+3),
+    # v=7 once (w 2) -> total 8, crossing at v=5 (cum 6 >= 4)
+    rows += [("t", 5.0, 3.0), ("t", 5.0, 3.0), ("t", 7.0, 2.0)]
+    df = spark.createDataFrame(rows, "grp string, v double, w double")
+    out = {r.grp: r for r in weighted_median(df, "grp", "v", "w").collect()}
+    assert out["g"].wmedian_q == 300 and out["g"].total_w == 1200
+    assert out["t"].wmedian_q == 500 and out["t"].total_w == 800
