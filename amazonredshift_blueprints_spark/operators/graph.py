@@ -453,3 +453,68 @@ def clustering_coefficients(
     )
     out._bp_cache_owner = e
     return out
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    *,
+    rounds: int = 4,
+) -> DataFrame:
+    """k-core peeling, fixed round count: repeatedly drop nodes whose
+    degree within the SURVIVING subgraph is below ``k`` — the standard
+    density filter for graph cleanup (spam/fringe-account removal,
+    community-core extraction) before expensive downstream analytics.
+
+    Edges must be the SYMMETRIZED directed form of an undirected graph
+    (every node appears as ``src``), matching :func:`bfs_hops`'s
+    contract. Exactly ``rounds`` peels run — the fixed-unroll contract
+    every iterative operator here shares, so an oracle that chains
+    ``rounds`` CTE stages replays it bit-for-bit; at convergence extra
+    rounds are no-ops, so a ``rounds`` generous enough to converge
+    yields the true k-core.
+
+    Returns (node, deg): survivors with their degree inside the
+    surviving subgraph. All-integer — nothing to drift.
+
+    100 TB: each round is two node-set equi-joins (alive set is
+    node-sized, shrinking monotonically) plus one map-side-combinable
+    hash aggregate; edges persist once across rounds, the alive set is
+    re-persisted per round and the previous round's cache released
+    immediately after the new one materializes (the pagerank persist
+    hygiene — 2 exchanges per round, not a growing lineage).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.storagelevel import StorageLevel
+
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    alive = e.select(F.col("src").alias("node")).distinct().persist()
+    alive.count()
+    for _ in range(rounds):
+        nxt = (
+            e.join(alive.withColumnRenamed("node", "src"), "src")
+            .join(alive.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+        ).persist()
+        nxt.count()  # materialize before the parent cache is released
+        alive.unpersist()
+        alive = nxt
+    out = (
+        e.join(alive.withColumnRenamed("node", "src"), "src")
+        .join(alive.withColumnRenamed("node", "dst"), "dst")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(
+            F.col("src").alias("node"), F.col("deg").cast("long").alias("deg")
+        )
+    )
+    e.unpersist()  # out re-reads the (cheap) source scan on consumption
+    out._bp_cache_owner = alive
+    return out

@@ -12115,6 +12115,73 @@ def c149_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Chained-CTE replay of :func:`operators.graph.kcore`'s fixed-round
+    peeling (one non-recursive stage per round — recursive CTEs cannot
+    reference the recursion table twice, which the both-endpoints-alive
+    join needs)."""
+    stages = ["a0 AS (SELECT DISTINCT src AS node FROM e)"]
+    for r in range(1, rounds + 1):
+        stages.append(
+            f"a{r} AS (SELECT e.src AS node FROM e "
+            f"JOIN a{r - 1} s ON s.node = e.src "
+            f"JOIN a{r - 1} t ON t.node = e.dst "
+            f"GROUP BY 1 HAVING COUNT(*) >= {k})"
+        )
+    joined = ",\n    ".join(stages)
+    return f"""
+    WITH c AS (
+        SELECT DISTINCT user_id * 2 AS u,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 + 1 AS v
+        FROM events WHERE event_type = 'click'
+    ),
+    e AS (SELECT u AS src, v AS dst FROM c UNION ALL SELECT v, u FROM c),
+    {joined}
+    SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM e
+    JOIN a{rounds} s ON s.node = e.src
+    JOIN a{rounds} t ON t.node = e.dst
+    GROUP BY 1
+    """
+
+
+@query(
+    "c150_kcore_decomposition",
+    oracle=_kcore_oracle(k=3, rounds=4),
+    doc="k-core extraction (operators/graph.kcore) over the symmetrized "
+        "user-item click graph (user nodes 2u, item nodes 2k+1 — "
+        "disjoint id spaces): 4 fixed peel rounds each dropping nodes "
+        "with degree < 3 inside the surviving subgraph, then the "
+        "survivors' final degrees — the density filter run before "
+        "expensive graph analytics (spam/fringe removal). Fixed-unroll "
+        "contract: the oracle chains one CTE stage per round (recursive "
+        "CTEs cannot join the recursion table twice), so one mis-peeled "
+        "node fails the hash. All-integer. 100 TB: per round two "
+        "node-set equi-joins + one map-side-combinable hash agg; edge "
+        "set persists once, alive caches released round-over-round "
+        "(pagerank hygiene); the alive set shrinks monotonically",
+    tags=("graph", "events"),
+)
+def c150_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import kcore
+
+    e = views(spark, sf_dir, "events")["events"]
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            (F.col("user_id") * 2).alias("u"),
+            (
+                F.get_json_object("props", "$.k").cast("long") * 2 + 1
+            ).alias("v"),
+        )
+        .distinct()
+    )
+    edges = clicks.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(clicks.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    return kcore(edges, k=3, rounds=4)
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #

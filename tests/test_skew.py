@@ -158,3 +158,35 @@ def test_hits_hand_scores(spark):
     e = spark.createDataFrame([(1, 10), (2, 10), (2, 11)], ["src", "dst"])
     got = {r["node"]: (r["hub_q"], r["auth_q"]) for r in hits(e, iterations=2).collect()}
     assert got == {1: (5, 0), 2: (8, 0), 10: (0, 5), 11: (0, 3)}
+
+
+def test_kcore_peels_tail_and_keeps_clique(spark):
+    """Triangle {1,2,3} with a pendant chain 3-4-5: the 2-core is the
+    triangle alone, and the chain must peel CASCADINGLY (5 falls in
+    round 1, which drops 4's degree to 1 so 4 falls in round 2) —
+    a single-pass degree filter would wrongly keep 4."""
+    from amazonredshift_blueprints_spark.operators.graph import kcore
+
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {r["node"]: r["deg"] for r in kcore(edges, 2, rounds=3).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    # k=1 with one round: only 5's... nothing peels (all degrees >= 1)
+    all_alive = kcore(edges, 1, rounds=1).collect()
+    assert {r["node"] for r in all_alive} == {1, 2, 3, 4, 5}
+
+
+def test_kcore_fixed_rounds_partial_peel(spark):
+    """rounds=1 stops mid-cascade: 5 is gone but 4 (degree 2 BEFORE the
+    peel) survives with its post-peel degree 1 — the fixed-unroll
+    contract the chained-CTE oracle replays."""
+    from amazonredshift_blueprints_spark.operators.graph import kcore
+
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {r["node"]: r["deg"] for r in kcore(edges, 2, rounds=1).collect()}
+    assert got == {1: 2, 2: 2, 3: 3, 4: 1}
