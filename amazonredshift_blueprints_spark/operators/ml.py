@@ -891,3 +891,89 @@ def weighted_median(
         .cast("long")
         .alias("wmedian_q"),
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    key_col: str,
+    date_col: str,
+    amount_col: str,
+    *,
+    n_bins: int = 5,
+    scale: int = 100,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic marketing-analytics scoring: each entity gets three 1..n_bins
+    scores from its rank on how recently, how often, and how much it
+    transacted, concatenated to a segment code (``555`` = best).
+
+    Exact and engine-portable by construction: amounts are quantized to
+    integer ``scale``-ths before summing (order-independent), recency is
+    whole days against the CORPUS max date (one broadcastable scalar,
+    not a wall clock — reruns are deterministic), and scores come from
+    the total-order rank formula ``(rank-1)*n_bins DIV n + 1`` (ranks
+    tiebroken by key), NOT engine NTILE, whose remainder-distribution
+    rules differ across engines. Higher frequency/monetary rank higher;
+    LOWER recency ranks higher (most-recent = n_bins).
+
+    Returns (key, recency_days, frequency, monetary_q, r_score,
+    f_score, m_score, segment).
+
+    100 TB: one key-cardinality hash aggregate, then three
+    :func:`..operators.sampling.global_rank` passes over the AGGREGATE
+    (distributed range sort + broadcast per-partition offsets — never a
+    single-partition NTILE window), joined back on the key; every
+    structure after the first aggregate is customer-sized, not
+    event-sized.
+    """
+    from .sampling import global_rank
+
+    per = (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.max(F.col(date_col).cast("date")).alias("_last"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(
+                F.round(F.col(amount_col).cast("double") * scale).cast("long")
+            ).alias("monetary_q"),
+        )
+    )
+    asof = per.agg(F.max("_last").alias("_asof"))
+    per = (
+        per.crossJoin(F.broadcast(asof))
+        .withColumn(
+            "recency_days", F.datediff(F.col("_asof"), F.col("_last")).cast("long")
+        )
+        .drop("_asof", "_last")
+    )
+    nrows = per.agg(F.count(F.lit(1)).alias("_n"))
+
+    def _score(order_cols, out: str) -> DataFrame:
+        ranked = global_rank(per, order_cols, out_col="_rk")
+        return ranked.crossJoin(F.broadcast(nrows)).select(
+            "key",
+            F.expr(f"CAST((_rk - 1) * {n_bins} DIV _n + 1 AS BIGINT)").alias(
+                out
+            ),
+        )
+
+    r = _score([F.desc("recency_days"), F.asc("key")], "r_score")
+    f_ = _score([F.asc("frequency"), F.asc("key")], "f_score")
+    m = _score([F.asc("monetary_q"), F.asc("key")], "m_score")
+    return (
+        per.join(r, "key")
+        .join(f_, "key")
+        .join(m, "key")
+        .select(
+            "key",
+            "recency_days",
+            "frequency",
+            "monetary_q",
+            "r_score",
+            "f_score",
+            "m_score",
+            (
+                F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+            ).cast("long").alias("segment"),
+        )
+    )

@@ -12182,6 +12182,64 @@ def c150_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(edges, k=3, rounds=4)
 
 
+@query(
+    "c151_rfm_segments",
+    oracle="""
+    WITH per AS (
+        SELECT o_custkey AS key,
+               MAX(CAST(o_orderdate AS DATE)) AS last_d,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(round(CAST(o_totalprice AS DOUBLE) * 100)
+                   AS BIGINT)) AS BIGINT) AS monetary_q
+        FROM orders GROUP BY 1
+    ),
+    g AS (
+        SELECT key, frequency, monetary_q,
+               CAST(date_diff('day', last_d,
+                   MAX(last_d) OVER ()) AS BIGINT) AS recency_days,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM per
+    ),
+    s AS (
+        SELECT key, recency_days, frequency, monetary_q, n,
+               CAST(row_number() OVER (ORDER BY recency_days DESC, key)
+                   AS BIGINT) AS rk_r,
+               CAST(row_number() OVER (ORDER BY frequency, key)
+                   AS BIGINT) AS rk_f,
+               CAST(row_number() OVER (ORDER BY monetary_q, key)
+                   AS BIGINT) AS rk_m
+        FROM g
+    )
+    SELECT key, recency_days, frequency, monetary_q,
+           CAST((rk_r - 1) * 5 // n + 1 AS BIGINT) AS r_score,
+           CAST((rk_f - 1) * 5 // n + 1 AS BIGINT) AS f_score,
+           CAST((rk_m - 1) * 5 // n + 1 AS BIGINT) AS m_score,
+           CAST(((rk_r - 1) * 5 // n + 1) * 100
+              + ((rk_f - 1) * 5 // n + 1) * 10
+              + ((rk_m - 1) * 5 // n + 1) AS BIGINT) AS segment
+    FROM s
+    """,
+    doc="RFM customer segmentation (operators/ml.rfm_segments): per "
+        "customer, days since last order (vs the corpus max date — "
+        "deterministic, no wall clock), order count, and cents-"
+        "quantized spend, each mapped to a 1..5 score by the exact "
+        "total-order rank formula (rank-1)*5 DIV n + 1 with the key as "
+        "tiebreaker — NOT engine NTILE, whose remainder rules differ "
+        "between Spark and DuckDB — then the 3-digit segment code. "
+        "100 TB: one customer-cardinality hash agg, then three "
+        "global_rank passes (distributed range sort + broadcast "
+        "offsets, the r10-verdict scale form) over the aggregate and "
+        "key-joins back; nothing event-sized past the first agg and "
+        "no single-partition window anywhere",
+    tags=("ml", "analytics", "orders"),
+)
+def c151_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import rfm_segments
+
+    o = views(spark, sf_dir, "orders")["orders"]
+    return rfm_segments(o, "o_custkey", "o_orderdate", "o_totalprice")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #

@@ -331,3 +331,36 @@ def test_weighted_median_crossing_and_ties(spark):
     out = {r.grp: r for r in weighted_median(df, "grp", "v", "w").collect()}
     assert out["g"].wmedian_q == 300 and out["g"].total_w == 1200
     assert out["t"].wmedian_q == 500 and out["t"].total_w == 800
+
+
+def test_rfm_segments_hand_scores(spark):
+    """4 customers, n_bins=2: the halves formula (rank-1)*2 DIV 4 + 1
+    gives scores {1,1,2,2} on each axis; recency inverts (most recent
+    order = HIGH score); monetary is cents-exact."""
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.operators.ml import rfm_segments
+
+    rows = [
+        # cust, date, amount    (c1 recent+rich+frequent, c4 stale+poor)
+        (1, "2024-01-10", 50.0), (1, "2024-01-20", 50.25),
+        (2, "2024-01-18", 30.0), (2, "2024-01-02", 10.0),
+        (3, "2024-01-05", 20.0),
+        (4, "2024-01-01", 5.0),
+    ]
+    df = spark.createDataFrame(
+        [(k, d, a) for k, d, a in rows], "key long, d string, amt double"
+    ).select("key", F.col("d").cast("timestamp").alias("d"), "amt")
+    got = {
+        r["key"]: r
+        for r in rfm_segments(df, "key", "d", "amt", n_bins=2).collect()
+    }
+    assert got[1]["recency_days"] == 0 and got[4]["recency_days"] == 19
+    assert got[1]["monetary_q"] == 10025
+    # recency order worst->best: 4(19d), 3(15d), 2(2d), 1(0d) -> scores 1,1,2,2
+    assert [got[k]["r_score"] for k in (4, 3, 2, 1)] == [1, 1, 2, 2]
+    # frequency asc with key tiebreak: 3(1),4(1),1(2),2(2) -> 1,1,2,2
+    assert [got[k]["f_score"] for k in (3, 4, 1, 2)] == [1, 1, 2, 2]
+    # monetary asc: 4(500),3(2000),2(4000),1(10025) -> 1,1,2,2
+    assert [got[k]["m_score"] for k in (4, 3, 2, 1)] == [1, 1, 2, 2]
+    assert got[1]["segment"] == 222 and got[4]["segment"] == 111
