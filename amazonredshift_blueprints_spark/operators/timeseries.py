@@ -412,3 +412,60 @@ def cusum_fold(
             F.col("_st.alarms").alias("n_alarms"),
         )
     )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """Day-of-week seasonal profile per series — the decomposition step
+    behind seasonal-naive forecasting and weekday-effect dashboards:
+    for every (key, weekday), the observation count, the exact
+    ``scale``-quantized value sum, the integer-micro mean, and the
+    weekday's share of the key's total.
+
+    Weekday index is computed ARITHMETICALLY as days-since-epoch mod 7
+    (0 = Thursday, 1970-01-01): Spark's ``dayofweek`` is 1-based from
+    Sunday while DuckDB's ``dayofweek`` is 0-based, and locale-free
+    integer arithmetic sidesteps the whole family of off-by-one
+    calendar APIs.
+
+    Returns (key, dow, n, sum_q, mean_micro, share_micro): mean in
+    micro-quanta ``sum_q*1e6 DIV n``, share in micro-units of the
+    key's total ``sum_q*1e6 DIV total_q``.
+
+    100 TB: one hash aggregate to (key, dow) — map-side combinable, 7
+    rows per key out — then a key-partitioned window sum over those 7
+    rows; no data-sized shuffle after the aggregate and no Python.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        (
+            F.datediff(
+                F.col(ts_col).cast("date"), F.to_date(F.lit("1970-01-01"))
+            )
+            % 7
+        ).cast("long").alias("dow"),
+        F.round(F.col(value_col).cast("double") * scale)
+        .cast("long")
+        .alias("vq"),
+    )
+    per = base.groupBy("key", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vq").alias("sum_q"),
+    )
+    return per.select(
+        "key",
+        "dow",
+        "n",
+        "sum_q",
+        F.expr("CAST(sum_q * 1000000 DIV n AS BIGINT)").alias("mean_micro"),
+        F.expr(
+            "CAST(sum_q * 1000000 DIV "
+            "(SUM(sum_q) OVER (PARTITION BY key)) AS BIGINT)"
+        ).alias("share_micro"),
+    )

@@ -12240,6 +12240,48 @@ def c151_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(o, "o_custkey", "o_orderdate", "o_totalprice")
 
 
+@query(
+    "c152_seasonal_dow_profile",
+    oracle="""
+    WITH b AS (
+        SELECT event_type AS key,
+               CAST(date_diff('day', DATE '1970-01-01',
+                   CAST(ts AS DATE)) % 7 AS BIGINT) AS dow,
+               CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vq
+        FROM events
+    ),
+    per AS (
+        SELECT key, dow, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(vq) AS BIGINT) AS sum_q
+        FROM b GROUP BY 1, 2
+    )
+    SELECT key, dow, n, sum_q,
+           CAST(sum_q * 1000000 // n AS BIGINT) AS mean_micro,
+           CAST(sum_q * 1000000 //
+               (SUM(sum_q) OVER (PARTITION BY key)) AS BIGINT)
+               AS share_micro
+    FROM per
+    """,
+    doc="day-of-week seasonal profile per event type (operators/"
+        "timeseries.seasonal_profile): observation count, exact cents "
+        "sum, integer-micro mean and weekday share per (type, weekday) "
+        "— the decomposition behind seasonal-naive forecasts and "
+        "weekday-effect dashboards. Weekday is days-since-epoch mod 7 "
+        "(0=Thursday), pure integer arithmetic — Spark dayofweek is "
+        "1-based-Sunday, DuckDB 0-based-Sunday, and the mod-7 form "
+        "sidesteps that locale/off-by-one family entirely. 100 TB: one "
+        "map-side-combinable hash agg to (key, dow) = 7 rows per key, "
+        "then a key-partitioned window over those 7 rows; no "
+        "data-sized shuffle after the aggregate",
+    tags=("timeseries", "events"),
+)
+def c152_seasonal_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import seasonal_profile
+
+    e = views(spark, sf_dir, "events")["events"]
+    return seasonal_profile(e, "event_type", "ts", "value")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #

@@ -167,3 +167,31 @@ def test_cusum_fold_order_insensitive_to_arrival(spark):
     ra = cusum_fold(a, "k", "ts", "tie", "v", drift_q=100, threshold_q=400)
     rb = cusum_fold(b, "k", "ts", "tie", "v", drift_q=100, threshold_q=400)
     assert ra.collect() == rb.collect()
+
+
+def test_seasonal_profile_dow_and_shares(spark):
+    """Known dates: 1970-01-01 is dow 0 (Thursday), 1970-01-04 (Sunday)
+    is dow 3; shares are integer micro DIV of the key total."""
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.operators.timeseries import (
+        seasonal_profile,
+    )
+
+    rows = [
+        ("a", "1970-01-01 10:00:00", 1.0),
+        ("a", "1970-01-08 09:00:00", 3.0),  # also Thursday -> dow 0
+        ("a", "1970-01-04 09:00:00", 1.0),  # Sunday -> dow 3
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    got = {
+        (r["key"], r["dow"]): r
+        for r in seasonal_profile(df, "k", "ts", "v").collect()
+    }
+    assert set(got) == {("a", 0), ("a", 3)}
+    thu = got[("a", 0)]
+    assert (thu["n"], thu["sum_q"], thu["mean_micro"]) == (2, 400, 200000000)
+    assert thu["share_micro"] == 400 * 1000000 // 500
+    assert got[("a", 3)]["share_micro"] == 100 * 1000000 // 500
