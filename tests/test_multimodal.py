@@ -518,3 +518,49 @@ def test_gif_decode_matches_palette_and_refusals():
         raise AssertionError("truncated GIF decoded")
     except (ValueError, IndexError):
         pass
+
+
+def test_bmp_roundtrip_truecolor_both_orientations():
+    import numpy as np
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.RandomState(7)
+    for w, h in [(6, 5), (4, 3), (1, 1), (7, 2)]:  # padded and unpadded rows
+        img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        for topdown in (False, True):
+            out = decode_bmp(encode_bmp(img, topdown=topdown))
+            assert out.shape == (h, w, 3)
+            assert (out == img).all(), (w, h, topdown)
+
+
+def test_bmp_roundtrip_palette_and_refusals():
+    import numpy as np
+    import pytest
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp_palette,
+    )
+
+    rng = np.random.RandomState(11)
+    pal = rng.randint(0, 256, size=(16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, size=(5, 6)).astype(np.uint8)
+    for topdown in (False, True):
+        out = decode_bmp(encode_bmp_palette(idx, pal, topdown=topdown))
+        assert (out == pal[idx]).all()
+    # refusal paths raise by name instead of emitting garbage
+    good = bytearray(encode_bmp_palette(idx, pal))
+    bad_bits = bytearray(good)
+    bad_bits[28] = 16  # biBitCount
+    with pytest.raises(NotImplementedError, match="8/24-bit"):
+        decode_bmp(bytes(bad_bits))
+    bad_comp = bytearray(good)
+    bad_comp[30] = 1  # BI_RLE8
+    with pytest.raises(NotImplementedError, match="BI_RGB"):
+        decode_bmp(bytes(bad_comp))
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"XX" + bytes(good[2:]))
