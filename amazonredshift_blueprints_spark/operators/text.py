@@ -1853,3 +1853,107 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .groupBy("doc_id", "n_tokens", "n_types")
         .agg(F.sum("_q").alias("entropy_q"))
     )
+
+
+def chi2_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    *,
+    top_k: int = 3,
+) -> DataFrame:
+    """Chi-square term selection — the classic feature-selection
+    statistic for text classification (Yang & Pedersen, ICML'97): for
+    each (class, term), the chi² of the 2x2 presence contingency
+
+        a = docs of the class containing the term
+        b = other docs containing it,  c = class docs without it,
+        d = everything else;   chi2 = N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d))
+
+    keeping the ``top_k`` POSITIVELY-associated terms per class
+    (observed a above expectation, exact integer test a·N > (a+b)(a+c)
+    — chi² alone is two-sided and would also select anti-features).
+
+    Determinism: all counts and the numerator ``N(ad-bc)²`` are exact
+    BIGINT (ad-bc is bounded by N²/4, so the numerator stays inside
+    int64 through N ≈ 1e6 docs per evaluation sample; the operator is
+    meant to run on a class-balanced sample, not the raw corpus), the
+    single double division is rounded to 6 decimals on both engines
+    (the catalog's transcendental contract), ranking ties break on the
+    term.
+
+    Returns (label, term, n_docs_term_label, chi2_r6, rk).
+
+    100 TB: presence is one distinct over (doc, label, token) — the
+    tokenizer explode stays in the scan's partitions; everything after
+    is vocabulary-sized (term and term-label aggregates, label totals
+    broadcast); the top-k window partitions by label over
+    vocabulary-sized input.
+    """
+    from .dedup import tokens
+
+    pres = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.col(label_col).alias("label"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .distinct()
+    )
+    n_total = df.select(F.countDistinct(id_col).alias("n"))
+    lab_tot = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.countDistinct(id_col).alias("n_lab")
+    )
+    term_tot = pres.groupBy("term").agg(
+        F.countDistinct("doc").alias("n_term")
+    )
+    tl = pres.groupBy("label", "term").agg(
+        F.countDistinct("doc").alias("a")
+    )
+    joined = (
+        tl.join(F.broadcast(lab_tot), "label")
+        .join(term_tot, "term")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn("b", F.col("n_term") - F.col("a"))
+        .withColumn("c", F.col("n_lab") - F.col("a"))
+        .withColumn(
+            "d", F.col("n") - F.col("n_lab") - F.col("n_term") + F.col("a")
+        )
+    )
+    scored = (
+        joined.filter(F.col("a") * F.col("n") > F.col("n_term") * F.col("n_lab"))
+        .withColumn(
+            "chi2_r6",
+            F.round(
+                (
+                    F.col("n")
+                    * (F.col("a") * F.col("d") - F.col("b") * F.col("c"))
+                    * (F.col("a") * F.col("d") - F.col("b") * F.col("c"))
+                ).cast("double")
+                / (
+                    (F.col("a") + F.col("b"))
+                    * (F.col("c") + F.col("d"))
+                    * (F.col("a") + F.col("c"))
+                    * (F.col("b") + F.col("d"))
+                ).cast("double"),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("label").orderBy(
+        F.desc("chi2_r6"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= top_k)
+        .select(
+            "label",
+            "term",
+            F.col("a").cast("long").alias("n_docs_term_label"),
+            "chi2_r6",
+            "rk",
+        )
+    )

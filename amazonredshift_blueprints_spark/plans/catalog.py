@@ -12323,6 +12323,69 @@ def c153_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_channel_stats(synthesize_bmp_images(d, "doc_id", w=6, h=5))
 
 
+@query(
+    "c154_chi2_terms",
+    oracle="""
+    WITH pres AS (
+        SELECT DISTINCT doc_id AS doc, lang AS label,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ),
+    n_total AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+                FROM documents),
+    lab AS (SELECT lang AS label,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_lab
+            FROM documents GROUP BY 1),
+    term AS (SELECT term, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_term
+             FROM pres GROUP BY 1),
+    tl AS (SELECT label, term, CAST(COUNT(DISTINCT doc) AS BIGINT) AS a
+           FROM pres GROUP BY 1, 2),
+    j AS (
+        SELECT tl.label, tl.term, tl.a,
+               t.n_term - tl.a AS b,
+               l.n_lab - tl.a AS c,
+               nt.n - l.n_lab - t.n_term + tl.a AS d,
+               l.n_lab, t.n_term, nt.n
+        FROM tl JOIN lab l USING (label)
+        JOIN term t USING (term) CROSS JOIN n_total nt
+    ),
+    s AS (
+        SELECT label, term, a,
+               ROUND(CAST(n * (a * d - b * c) * (a * d - b * c) AS DOUBLE)
+                   / CAST((a + b) * (c + d) * (a + c) * (b + d) AS DOUBLE),
+                   6) AS chi2_r6
+        FROM j WHERE a * n > n_term * n_lab
+    )
+    SELECT label, term, a AS n_docs_term_label, chi2_r6,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT s.*, row_number() OVER (
+              PARTITION BY label ORDER BY chi2_r6 DESC, term) AS rk
+          FROM s)
+    WHERE rk <= 3
+    """,
+    doc="chi-square term selection per language (operators/text."
+        "chi2_terms; Yang-Pedersen ICML'97): top-3 positively-"
+        "associated terms per class from the 2x2 presence contingency, "
+        "N(ad-bc)^2/((a+b)(c+d)(a+c)(b+d)). Counts and the numerator "
+        "are exact BIGINT (inside int64 through ~1e6-doc evaluation "
+        "samples — the documented boundary; the op targets a class-"
+        "balanced sample, not the raw corpus); the one double division "
+        "is rounded to 6 decimals on both engines; the positive-"
+        "association gate a*N > n_term*n_lab is exact integer, which "
+        "also excludes the term-in-every-doc 0/0 row by identity. "
+        "100 TB: presence = one distinct inside the scan partitions; "
+        "everything after is vocabulary-sized; label totals broadcast; "
+        "the top-k window partitions by label over vocab-sized input",
+    tags=("text", "ml", "documents"),
+)
+def c154_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import chi2_terms
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return chi2_terms(d, "doc_id", "text", "lang", top_k=3)
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #

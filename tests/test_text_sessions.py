@@ -785,3 +785,31 @@ def test_attribution_credit_hand_epochs(spark):
     assert out["view"].last_touch_convs == 2
     assert out["view"].linear_micro == 1_500_000
     assert set(out) == {"click", "view"}
+
+
+def test_chi2_terms_hand_contingency(spark):
+    """4 docs, 2 labels: 'apple' is a perfect X-marker (a=2,b=0,c=0,d=2
+    -> chi2 = 4·16/16 = 4.0); 'date' in one Y doc gives 4·4/12 =
+    1.333333; terms at expectation (present in every doc) are excluded
+    by the exact integer gate, never 0/0."""
+    from amazonredshift_blueprints_spark.operators.text import chi2_terms
+
+    rows = [
+        (1, "X", "apple banana common"),
+        (2, "X", "apple cherry common"),
+        (3, "Y", "banana cherry common"),
+        (4, "Y", "cherry date common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        (r["label"], r["term"]): r
+        for r in chi2_terms(df, "doc_id", "text", "lang", top_k=5).collect()
+    }
+    assert got[("X", "apple")]["chi2_r6"] == 4.0
+    assert got[("X", "apple")]["n_docs_term_label"] == 2
+    assert got[("X", "apple")]["rk"] == 1
+    assert got[("Y", "date")]["chi2_r6"] == 1.333333
+    # 'common' is in all 4 docs: at expectation in both classes -> absent
+    assert ("X", "common") not in got and ("Y", "common") not in got
+    # 'cherry' (3 docs, 2 in Y): Y-enriched only
+    assert ("Y", "cherry") in got and ("X", "cherry") not in got
