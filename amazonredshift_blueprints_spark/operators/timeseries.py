@@ -469,3 +469,65 @@ def seasonal_profile(
             "(SUM(sum_q) OVER (PARTITION BY key)) AS BIGINT)"
         ).alias("share_micro"),
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    value_col: str,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """Open-high-low-close downsampling — the standard bar aggregation
+    that turns a raw tick/event stream into per-(key, day) candles for
+    charting, feature windows, and storage rollups.
+
+    Open and close are the FIRST and LAST observation in event order
+    (``ts`` with ``tie_col`` as the total-order tiebreaker — without
+    it, same-timestamp ticks would make open/close nondeterministic);
+    high/low/sum/count are plain aggregates. Values are quantized to
+    integer ``scale``-ths first, so every output is engine-exact.
+
+    Returns (key, day, n, open_q, high_q, low_q, close_q, sum_q).
+
+    100 TB: one window pass (two row_numbers over the SAME
+    (key, day)-partitioning — one Exchange, both windows reuse it)
+    feeding one map-side-combinable hash aggregate; bars shrink the
+    output to keys × days. No Python, no driver state.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.col(tie_col).alias("tie"),
+        F.col(ts_col).cast("date").alias("day"),
+        F.round(F.col(value_col).cast("double") * scale)
+        .cast("long")
+        .alias("vq"),
+    )
+    wa = Window.partitionBy("key", "day").orderBy(
+        F.asc("ts"), F.asc("tie")
+    )
+    wd = Window.partitionBy("key", "day").orderBy(
+        F.desc("ts"), F.desc("tie")
+    )
+    staged = base.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return (
+        staged.groupBy("key", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max(F.when(F.col("rn_a") == 1, F.col("vq"))).alias("open_q"),
+            F.max("vq").alias("high_q"),
+            F.min("vq").alias("low_q"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("vq"))).alias("close_q"),
+            F.sum("vq").alias("sum_q"),
+        )
+        .select(
+            "key", "day", "n", "open_q", "high_q", "low_q", "close_q", "sum_q"
+        )
+    )

@@ -12386,6 +12386,51 @@ def c154_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_terms(d, "doc_id", "text", "lang", top_k=3)
 
 
+@query(
+    "c155_ohlc_bars",
+    oracle="""
+    WITH b AS (
+        SELECT user_id AS key, ts, event_id AS tie,
+               CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vq
+        FROM events
+    ),
+    s AS (
+        SELECT key, day, vq,
+               row_number() OVER (PARTITION BY key, day
+                   ORDER BY ts, tie) AS rn_a,
+               row_number() OVER (PARTITION BY key, day
+                   ORDER BY ts DESC, tie DESC) AS rn_d
+        FROM b
+    )
+    SELECT key, day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN vq END) AS BIGINT) AS open_q,
+           CAST(MAX(vq) AS BIGINT) AS high_q,
+           CAST(MIN(vq) AS BIGINT) AS low_q,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN vq END) AS BIGINT) AS close_q,
+           CAST(SUM(vq) AS BIGINT) AS sum_q
+    FROM s GROUP BY 1, 2
+    """,
+    doc="OHLC candle downsampling per (user, day) (operators/"
+        "timeseries.ohlc_bars): open/close are the first/last "
+        "observation in (ts, event_id) total order — the tiebreaker "
+        "makes same-timestamp ticks deterministic — high/low/sum/count "
+        "plain aggregates, all over cents-quantized integers. The "
+        "tick-stream -> bar rollup every charting/feature pipeline "
+        "runs. 100 TB: two row_number windows over the SAME (key, day) "
+        "partitioning (one Exchange, reused) feeding one map-side-"
+        "combinable hash agg; output shrinks to keys x days",
+    tags=("timeseries", "events"),
+)
+def c155_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import ohlc_bars
+
+    e = views(spark, sf_dir, "events")["events"]
+    out = ohlc_bars(e, "user_id", "ts", "event_id", "value")
+    return out.withColumn("day", F.col("day").cast("string"))
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #

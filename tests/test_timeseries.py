@@ -195,3 +195,32 @@ def test_seasonal_profile_dow_and_shares(spark):
     assert (thu["n"], thu["sum_q"], thu["mean_micro"]) == (2, 400, 200000000)
     assert thu["share_micro"] == 400 * 1000000 // 500
     assert got[("a", 3)]["share_micro"] == 100 * 1000000 // 500
+
+
+def test_ohlc_bars_tiebreak_and_quantize(spark):
+    """Same-timestamp ticks: open/close resolve by the tiebreaker, not
+    arrival luck; high/low/sum are cents-exact."""
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.operators.timeseries import ohlc_bars
+
+    rows = [
+        ("a", "2024-01-01 09:00:00", 2, 10.50),
+        ("a", "2024-01-01 09:00:00", 1, 99.99),  # same ts, lower tie -> open
+        ("a", "2024-01-01 15:00:00", 3, 0.01),   # last -> close
+        ("a", "2024-01-02 10:00:00", 4, 5.00),   # second bar
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts string, tie long, v double"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "tie", "v")
+    got = {
+        r["day"].isoformat(): r
+        for r in ohlc_bars(df, "k", "ts", "tie", "v").collect()
+    }
+    d1 = got["2024-01-01"]
+    assert (d1["open_q"], d1["close_q"]) == (9999, 1)
+    assert (d1["high_q"], d1["low_q"], d1["n"], d1["sum_q"]) == (
+        9999, 1, 3, 9999 + 1050 + 1,
+    )
+    d2 = got["2024-01-02"]
+    assert d2["open_q"] == d2["close_q"] == 500 and d2["n"] == 1
