@@ -377,3 +377,78 @@ def attribution_credit(
             .alias("linear_micro"),
         )
     )
+
+
+def funnel_latency(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    from_type: str,
+    to_type: str,
+    *,
+    quantiles: tuple[int, ...] = (25, 50, 75),
+) -> DataFrame:
+    """Time-to-convert distribution — the follow-on question after
+    funnel counts (c34): for users who reached ``to_type`` after their
+    first ``from_type``, how long did it take? Emits exact DISCRETE
+    percentiles of the latency per first-exposure weekday cohort.
+
+    Latency is first-exposure to FIRST subsequent conversion, in exact
+    integer MICROSECONDS (``unix_micros`` / ``epoch_us`` — second-
+    truncation would alias sub-second funnels; float epochs would
+    drift). Percentile is the order statistic at rank
+    ``ceil(q·n/100)`` — the inverted-CDF definition, pure integer
+    arithmetic, no interpolation to diverge between engines. Cohort =
+    days-since-epoch mod 7 of the exposure date (0 = Thursday), the
+    same arithmetic weekday as timeseries.seasonal_profile.
+
+    Returns (cohort_dow, n_pairs, p<q>_us ...).
+
+    100 TB: two user-keyed hash aggregates and one user-keyed join (the
+    exposure table is user-cardinality); the percentile window
+    partitions by cohort over USER-level rows — for cohorts beyond
+    memory, swap the window for approx_percentile (same plan shape,
+    documented trade).
+    """
+    base = df.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.col(type_col).alias("et"),
+    )
+    first_seen = (
+        base.filter(F.col("et") == from_type)
+        .groupBy("u")
+        .agg(F.min("ts").alias("t0"))
+    )
+    conv = (
+        base.filter(F.col("et") == to_type)
+        .join(first_seen, "u")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("u", "t0")
+        .agg(F.min("ts").alias("t1"))
+        .select(
+            "u",
+            (
+                F.datediff(F.col("t0").cast("date"), F.to_date(F.lit("1970-01-01")))
+                % 7
+            ).cast("long").alias("cohort_dow"),
+            (F.unix_micros("t1") - F.unix_micros("t0")).alias("lat_us"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cohort_dow").orderBy(F.asc("lat_us"), F.asc("u"))
+    sized = conv.withColumn("rk", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("cohort_dow"))
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_pairs")] + [
+        F.max(
+            F.when(
+                F.col("rk") == F.expr(f"CAST(({q} * _n + 99) DIV 100 AS INT)"),
+                F.col("lat_us"),
+            )
+        ).alias(f"p{q}_us")
+        for q in quantiles
+    ]
+    return sized.groupBy("cohort_dow").agg(*aggs)

@@ -12431,6 +12431,64 @@ def c155_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("day", F.col("day").cast("string"))
 
 
+@query(
+    "c156_funnel_latency",
+    oracle="""
+    WITH f AS (
+        SELECT user_id AS u, MIN(ts) AS t0
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id AS u, f.t0, MIN(e.ts) AS t1
+        FROM events e JOIN f ON f.u = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= f.t0
+        GROUP BY 1, 2
+    ),
+    lat AS (
+        SELECT u,
+               CAST(date_diff('day', DATE '1970-01-01',
+                   CAST(t0 AS DATE)) % 7 AS BIGINT) AS cohort_dow,
+               CAST(epoch_us(t1) - epoch_us(t0) AS BIGINT) AS lat_us
+        FROM c
+    ),
+    r AS (
+        SELECT cohort_dow, lat_us,
+               row_number() OVER (PARTITION BY cohort_dow
+                   ORDER BY lat_us, u) AS rk,
+               COUNT(*) OVER (PARTITION BY cohort_dow) AS n
+        FROM lat
+    )
+    SELECT cohort_dow,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MAX(CASE WHEN rk = (25 * n + 99) // 100
+               THEN lat_us END) AS BIGINT) AS p25_us,
+           CAST(MAX(CASE WHEN rk = (50 * n + 99) // 100
+               THEN lat_us END) AS BIGINT) AS p50_us,
+           CAST(MAX(CASE WHEN rk = (75 * n + 99) // 100
+               THEN lat_us END) AS BIGINT) AS p75_us
+    FROM r GROUP BY 1
+    """,
+    doc="view->purchase time-to-convert percentiles per exposure-"
+        "weekday cohort (operators/sessions.funnel_latency): first "
+        "view to FIRST subsequent purchase in exact integer "
+        "MICROSECONDS (unix_micros/epoch_us — second truncation would "
+        "alias sub-second funnels), percentile = the order statistic "
+        "at rank ceil(q*n/100) (inverted-CDF, integer DIV — no "
+        "interpolation semantics to diverge between engines), weekday "
+        "= days-since-epoch mod 7. The follow-on distribution question "
+        "after c34's funnel counts. 100 TB: two user-keyed hash aggs "
+        "+ one user-keyed join; the rank window partitions by cohort "
+        "over USER-level rows (swap approx_percentile in for "
+        "beyond-memory cohorts, same shape)",
+    tags=("events", "analytics", "sessions"),
+)
+def c156_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessions import funnel_latency
+
+    e = views(spark, sf_dir, "events")["events"]
+    return funnel_latency(e, "user_id", "ts", "event_type", "view", "purchase")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #

@@ -813,3 +813,41 @@ def test_chi2_terms_hand_contingency(spark):
     assert ("X", "common") not in got and ("Y", "common") not in got
     # 'cherry' (3 docs, 2 in Y): Y-enriched only
     assert ("Y", "cherry") in got and ("X", "cherry") not in got
+
+
+def test_funnel_latency_first_conversion_and_rank_percentiles(spark):
+    """Pre-exposure purchases are ignored; latency is to the FIRST
+    post-view purchase; p50 of a 3-value cohort is the 2nd order
+    statistic (ceil semantics)."""
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.operators.sessions import (
+        funnel_latency,
+    )
+
+    rows = [
+        # u1: purchase BEFORE first view must not count; next at +10s
+        (1, "2024-01-04 08:00:00", "purchase"),
+        (1, "2024-01-04 09:00:00", "view"),
+        (1, "2024-01-04 09:00:10", "purchase"),
+        (1, "2024-01-04 09:05:00", "purchase"),  # later one ignored
+        # u2: +20s   u3: +30s   (same Thursday cohort: 2024-01-04)
+        (2, "2024-01-04 10:00:00", "view"),
+        (2, "2024-01-04 10:00:20", "purchase"),
+        (3, "2024-01-04 11:00:00", "view"),
+        (3, "2024-01-04 11:00:30", "purchase"),
+        # u4: view only -> no pair
+        (4, "2024-01-04 12:00:00", "view"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts string, et string").select(
+        "u", F.col("ts").cast("timestamp").alias("ts"), "et"
+    )
+    out = funnel_latency(df, "u", "ts", "et", "view", "purchase").collect()
+    assert len(out) == 1
+    r = out[0]
+    # 2024-01-04 is a Thursday -> dow 0
+    assert r["cohort_dow"] == 0 and r["n_pairs"] == 3
+    # ranks: ceil(.25*3)=1, ceil(.5*3)=2, ceil(.75*3)=3
+    assert (r["p25_us"], r["p50_us"], r["p75_us"]) == (
+        10_000_000, 20_000_000, 30_000_000,
+    )
