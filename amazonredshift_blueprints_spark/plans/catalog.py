@@ -12160,6 +12160,7 @@ def _kcore_oracle(k: int, rounds: int) -> str:
         "node-set equi-joins + one map-side-combinable hash agg; edge "
         "set persists once, alive caches released round-over-round "
         "(pagerank hygiene); the alive set shrinks monotonically",
+    bench=True,
     tags=("graph", "events"),
 )
 def c150_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12231,6 +12232,7 @@ def c150_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "offsets, the r10-verdict scale form) over the aggregate and "
         "key-joins back; nothing event-sized past the first agg and "
         "no single-partition window anywhere",
+    bench=True,
     tags=("ml", "analytics", "orders"),
 )
 def c151_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:

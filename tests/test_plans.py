@@ -742,3 +742,37 @@ def test_c144_c147_batch_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in p146
     p147 = _plan(spark, sf_dir, "c147_cusum_alarms")
     assert "Join" not in p147
+
+
+def test_c150_c156_batch_plan_shapes(spark, sf_dir):
+    """Round-11 third-session batch. c151: the three score passes are
+    broadcast-joined offsets (global_rank form) — no CartesianProduct,
+    and the only NestedLoop joins are the broadcast scalar attaches
+    (asof date, n). c152: one hash agg then a 7-rows-per-key window —
+    join-free. c153: decode is mapInPandas inside the scan — join- and
+    exchange-free. c154: label totals broadcast, no cartesian. c155:
+    both row_number windows share ONE (key, day) Exchange. c156: no
+    cartesian; the conversion join is key-equi."""
+    p151 = _plan(spark, sf_dir, "c151_rfm_segments")
+    assert "CartesianProduct" not in p151
+    p152 = _plan(spark, sf_dir, "c152_seasonal_dow_profile")
+    assert "Join" not in p152
+    p153 = _plan(spark, sf_dir, "c153_bmp_decode_stats")
+    assert "Join" not in p153 and "Exchange" not in p153
+    p154 = _plan(spark, sf_dir, "c154_chi2_terms")
+    assert "CartesianProduct" not in p154
+    p155 = _plan(spark, sf_dir, "c155_ohlc_bars")
+    # one exchange for the (key, day) windows + none extra for the agg
+    assert p155.count("Exchange hashpartitioning") == 1
+    p156 = _plan(spark, sf_dir, "c156_funnel_latency")
+    assert "CartesianProduct" not in p156
+
+
+def test_c150_kcore_alive_joins_are_equi(spark, sf_dir):
+    """kcore's per-round degree restriction must be two equi-joins on
+    the node id — a cartesian here would be corpus² at scale. (The
+    operator materializes per round, so inspect the operator's last
+    round output plan.)"""
+    p = _plan(spark, sf_dir, "c150_kcore_decomposition")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
