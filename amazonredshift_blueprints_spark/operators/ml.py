@@ -977,3 +977,70 @@ def rfm_segments(
             ).cast("long").alias("segment"),
         )
     )
+
+
+def lag_features(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    value_col: str,
+    *,
+    lags: tuple[int, ...] = (1, 2),
+    window_n: int = 3,
+    scale: int = 100,
+) -> DataFrame:
+    """Supervised-learning feature generation over an ordered event
+    stream — the lag/rolling block every tabular-ML pipeline derives
+    before training (demand forecasting, churn, fraud): per key in
+    (ts, tie) total order, emit each row's previous values, the delta
+    to the last one, and trailing-window statistics.
+
+    All features are exact integers: values quantize to ``scale``-ths
+    first; the rolling mean is ``sum*1e6 DIV count`` in micro-quanta
+    (engine-exact, no float accumulation). NULL lags at the series
+    head stay NULL — the model's masking decision, not the engine's.
+
+    Returns (key, ts, tie, vq, lag<k>_q ..., delta_q, roll_sum_q,
+    roll_n, roll_mean_micro, roll_max_q) where the rolling frame is
+    the ``window_n`` PRECEDING rows ending at the PREVIOUS row (a
+    leakage-safe frame: the current value never feeds its own
+    features).
+
+    100 TB: every window shares ONE key-partitioned ordering — a
+    single Exchange + sort serves all lags and the rolling frame; no
+    joins, no Python. Skewed keys bound by per-key history length.
+    """
+    if 1 not in lags:
+        raise ValueError("lags must include 1 (delta_q is vq - lag1_q)")
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.col(tie_col).alias("tie"),
+        F.round(F.col(value_col).cast("double") * scale)
+        .cast("long")
+        .alias("vq"),
+    )
+    order = Window.partitionBy("key").orderBy(F.asc("ts"), F.asc("tie"))
+    frame = order.rowsBetween(-window_n, -1)
+    out = base
+    for k in lags:
+        out = out.withColumn(f"lag{k}_q", F.lag("vq", k).over(order))
+    out = (
+        out.withColumn("delta_q", F.col("vq") - F.col("lag1_q"))
+        .withColumn("roll_sum_q", F.sum("vq").over(frame))
+        .withColumn("roll_n", F.count("vq").over(frame).cast("long"))
+        .withColumn(
+            "roll_mean_micro",
+            # explicit empty-frame guard: series heads have roll_n = 0,
+            # and integer-DIV-by-zero semantics differ across engines
+            F.expr(
+                "CASE WHEN roll_n > 0 THEN "
+                "CAST(roll_sum_q * 1000000 DIV roll_n AS BIGINT) END"
+            ),
+        )
+        .withColumn("roll_max_q", F.max("vq").over(frame))
+    )
+    return out

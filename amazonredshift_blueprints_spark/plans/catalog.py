@@ -12491,6 +12491,57 @@ def c156_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_latency(e, "user_id", "ts", "event_type", "view", "purchase")
 
 
+@query(
+    "c157_lag_features",
+    oracle="""
+    WITH b AS (
+        SELECT user_id AS key, ts, event_id AS tie,
+               CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vq
+        FROM events
+    ),
+    w AS (
+        SELECT key, ts, tie, vq,
+               lag(vq, 1) OVER o AS lag1_q,
+               lag(vq, 2) OVER o AS lag2_q,
+               SUM(vq) OVER (o ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+                   AS roll_sum_q,
+               CAST(COUNT(vq) OVER
+                   (o ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+                   AS BIGINT) AS roll_n,
+               MAX(vq) OVER (o ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+                   AS roll_max_q
+        FROM b
+        WINDOW o AS (PARTITION BY key ORDER BY ts, tie)
+    )
+    SELECT key, ts, tie, vq, lag1_q, lag2_q,
+           vq - lag1_q AS delta_q,
+           roll_sum_q, roll_n,
+           CASE WHEN roll_n > 0
+                THEN CAST(roll_sum_q * 1000000 // roll_n AS BIGINT)
+           END AS roll_mean_micro,
+           roll_max_q
+    FROM w
+    """,
+    doc="leakage-safe lag/rolling featurization per user (operators/"
+        "ml.lag_features): lag1/lag2, delta, and trailing-window "
+        "sum/count/mean/max where the frame ends at the PREVIOUS row — "
+        "the current value never feeds its own features (the "
+        "train-time leakage bug this frame rules out by construction). "
+        "Cents-quantized integers; rolling mean in micro-quanta via "
+        "integer DIV with an explicit empty-frame guard (DIV-by-zero "
+        "semantics differ across engines); series-head lags stay NULL "
+        "(the model's masking decision). 100 TB: every feature rides "
+        "ONE key-partitioned ordering — a single Exchange + sort "
+        "serves all lags and the frame; no joins, no Python",
+    tags=("ml", "feature", "events"),
+)
+def c157_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import lag_features
+
+    e = views(spark, sf_dir, "events")["events"]
+    return lag_features(e, "user_id", "ts", "event_id", "value")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #

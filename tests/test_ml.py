@@ -364,3 +364,37 @@ def test_rfm_segments_hand_scores(spark):
     # monetary asc: 4(500),3(2000),2(4000),1(10025) -> 1,1,2,2
     assert [got[k]["m_score"] for k in (4, 3, 2, 1)] == [1, 1, 2, 2]
     assert got[1]["segment"] == 222 and got[4]["segment"] == 111
+
+
+def test_lag_features_leakage_safe_frame(spark):
+    """The rolling frame must END at the previous row: row 4's rolling
+    stats cover rows 1-3 only; heads are NULL, not zero-filled."""
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.operators.ml import lag_features
+
+    rows = [
+        ("u", "2024-01-01 00:00:01", 1, 1.00),
+        ("u", "2024-01-01 00:00:02", 2, 2.00),
+        ("u", "2024-01-01 00:00:03", 3, 4.00),
+        ("u", "2024-01-01 00:00:04", 4, 8.00),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts string, tie long, v double"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "tie", "v")
+    got = {
+        r["tie"]: r
+        for r in lag_features(df, "k", "ts", "tie", "v").collect()
+    }
+    head = got[1]
+    assert head["lag1_q"] is None and head["delta_q"] is None
+    assert head["roll_n"] == 0 and head["roll_mean_micro"] is None
+    r4 = got[4]
+    assert (r4["lag1_q"], r4["lag2_q"], r4["delta_q"]) == (400, 200, 400)
+    # frame over rows 1-3: sum 700, mean 700/3 in micro-quanta, max 400
+    assert (r4["roll_sum_q"], r4["roll_n"], r4["roll_max_q"]) == (700, 3, 400)
+    assert r4["roll_mean_micro"] == 700 * 1000000 // 3
+    import pytest
+
+    with pytest.raises(ValueError, match="lags must include 1"):
+        lag_features(df, "k", "ts", "tie", "v", lags=(2,))
