@@ -12542,6 +12542,79 @@ def c157_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lag_features(e, "user_id", "ts", "event_id", "value")
 
 
+@query(
+    "c158_stream_ohlc",
+    oracle="""
+    WITH b AS (
+        SELECT user_id AS key, ts, event_id AS tie,
+               CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vq
+        FROM events
+    ),
+    s AS (
+        SELECT key, day, vq,
+               row_number() OVER (PARTITION BY key, day
+                   ORDER BY ts, tie) AS rn_a,
+               row_number() OVER (PARTITION BY key, day
+                   ORDER BY ts DESC, tie DESC) AS rn_d
+        FROM b
+    )
+    SELECT key, day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN vq END) AS BIGINT) AS open_q,
+           CAST(MAX(vq) AS BIGINT) AS high_q,
+           CAST(MIN(vq) AS BIGINT) AS low_q,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN vq END) AS BIGINT) AS close_q,
+           CAST(SUM(vq) AS BIGINT) AS sum_q
+    FROM s GROUP BY 1, 2
+    """,
+    doc="STREAMING twin of c155's OHLC bars (streaming/sessions."
+        "stream_ohlc_into): candles maintained incrementally across "
+        "micro-batches — the fixture splits events into two TIME-"
+        "ORDERED files cut at 2024-01-15 NOON, so the boundary day's "
+        "bars exist in BOTH batches and the cross-batch merge is "
+        "actually exercised. Open/close are order-sensitive, so bar "
+        "state carries its (ts, tie) endpoints and the merge picks "
+        "winners by lexicographic struct min/max — associative AND "
+        "commutative (batch-order independence pinned by an out-of-"
+        "order pytest), which additive rollup counters (c54/c95) "
+        "cannot express. Replay-idempotent via the (run_token, "
+        "batch_id) marker protocol; final table must equal the batch "
+        "oracle over the whole fixture",
+    tags=("streaming", "timeseries", "events"),
+)
+def c158_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil as _sh
+
+    from ..ingest import _clean_stale_location
+    from ..session import load_table
+    from ..streaming.sessions import read_events_stream, stream_ohlc_into
+
+    views(spark, sf_dir, "events")  # oracle reads the same fixture
+    e = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="bp_stream_ohlc_")
+    cut = F.lit("2024-01-15 12:00:00").cast("timestamp")
+    for i, pred in enumerate([F.col("ts") < cut, F.col("ts") >= cut]):
+        tmp = os.path.join(d, f"_w{i}")
+        e.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(d, f"part-{i}.parquet")
+        _sh.copy(src, dst)
+        os.utime(dst, (1700000000 + i * 100, 1700000000 + i * 100))
+        _sh.rmtree(tmp)
+    schema = spark.read.parquet(os.path.join(d, "part-0.parquet")).schema
+    stream = read_events_stream(spark, d, schema, max_files_per_trigger=1)
+    tbl = "bp_stream_ohlc_tbl"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")  # re-entrant: rebuild, not resume
+    _clean_stale_location(spark, tbl, None)
+    stream_ohlc_into(stream, tbl)
+    return spark.table(tbl).select(
+        "key", "day", "n", "open_q", "high_q", "low_q", "close_q", "sum_q"
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #

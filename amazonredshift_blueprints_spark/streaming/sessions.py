@@ -669,3 +669,157 @@ def stateful_ewma(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def _bars_of(events: DataFrame) -> DataFrame:
+    """Degenerate one-event bars: the uniform input the OHLC merge
+    aggregate consumes (an event IS a bar with n=1 and its own value as
+    all four prices, carrying its (ts, tie) as both endpoints)."""
+    return events.select(
+        F.col("user_id").alias("key"),
+        F.col("ts").cast("date").cast("string").alias("day"),
+        F.lit(1).cast("long").alias("n"),
+        F.col("value_q").alias("open_q"),
+        F.col("value_q").alias("high_q"),
+        F.col("value_q").alias("low_q"),
+        F.col("value_q").alias("close_q"),
+        F.col("value_q").alias("sum_q"),
+        F.col("ts").alias("first_ts"),
+        F.col("tie").alias("first_tie"),
+        F.col("ts").alias("last_ts"),
+        F.col("tie").alias("last_tie"),
+    )
+
+
+def _merge_bars(bars: DataFrame) -> DataFrame:
+    """Merge bar rows per (key, day). UNLIKE the additive rollup
+    (apply_rollup_batch), OHLC state is order-sensitive: open/close
+    belong to the bar holding the earliest/latest (ts, tie) endpoint.
+    The merge is associative and commutative because the endpoints ride
+    along — lexicographic struct min/max picks the winner regardless of
+    how events were sliced into micro-batches or in what order batches
+    arrive."""
+    return (
+        bars.groupBy("key", "day")
+        .agg(
+            F.sum("n").alias("n"),
+            F.min(F.struct("first_ts", "first_tie", "open_q")).alias("_f"),
+            F.max("high_q").alias("high_q"),
+            F.min("low_q").alias("low_q"),
+            F.max(F.struct("last_ts", "last_tie", "close_q")).alias("_l"),
+            F.sum("sum_q").alias("sum_q"),
+        )
+        .select(
+            "key",
+            "day",
+            "n",
+            F.col("_f.open_q").alias("open_q"),
+            "high_q",
+            "low_q",
+            F.col("_l.close_q").alias("close_q"),
+            "sum_q",
+            F.col("_f.first_ts").alias("first_ts"),
+            F.col("_f.first_tie").alias("first_tie"),
+            F.col("_l.last_ts").alias("last_ts"),
+            F.col("_l.last_tie").alias("last_tie"),
+        )
+    )
+
+
+def apply_ohlc_batch(
+    spark: SparkSession,
+    table: str,
+    batch: DataFrame,
+    batch_id: int,
+    run_token: str = "",
+) -> bool:
+    """Apply one micro-batch of raw (user_id, ts, tie, value_q) events
+    into the OHLC bar ``table`` via the endpoint-carrying merge; same
+    replay-idempotence marker protocol as :func:`apply_rollup_batch`
+    (skip recorded (run_token, batch_id), consume through the noop
+    sink). Returns True when applied."""
+    from ..dml import _rewrite
+
+    marker = _applied_marker(table)
+    if (
+        spark.catalog.tableExists(marker)
+        and spark.table(marker)
+        .filter(
+            (F.col("run_token") == run_token) & (F.col("batch_id") == batch_id)
+        )
+        .count()
+        > 0
+    ):
+        batch.write.format("noop").mode("overwrite").save()
+        return False
+    agg = _merge_bars(_bars_of(batch))
+    if spark.catalog.tableExists(table):
+        combined = _merge_bars(spark.table(table).unionByName(agg))
+        _rewrite(spark, table, combined)
+    else:
+        agg.write.mode("overwrite").saveAsTable(table)
+    spark.createDataFrame(
+        [(run_token, int(batch_id))], "`run_token` STRING, `batch_id` LONG"
+    ).write.mode("append").saveAsTable(marker)
+    return True
+
+
+def stream_ohlc_into(
+    stream: DataFrame,
+    table: str,
+    *,
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    value_col: str = "value",
+    scale: int = 100,
+    await_seconds: int = 180,
+):
+    """Streaming twin of ``operators.timeseries.ohlc_bars``: maintain
+    per-(user, day) OHLC candles incrementally across micro-batches.
+
+    The state a bar needs beyond its outputs is exactly its two
+    endpoints: (first_ts, first_tie) and (last_ts, last_tie). Carrying
+    them makes the per-batch merge ASSOCIATIVE AND COMMUTATIVE (struct
+    min/max picks open/close), so the final table is independent of
+    how the stream was sliced into micro-batches — the property the
+    cross-batch pytest pins by applying batches out of time order.
+    Additive counters alone (the c54/c95 rollup) could not maintain
+    open/close.
+
+    Stateless streaming side + foreachBatch merge (same honest
+    chaining note as stream_dedup_rollup_into: the merge is not a
+    second streaming agg); replay idempotence via the marker-table
+    protocol. Blocks until the availableNow run finishes.
+
+    100 TB: per batch one (key, day) hash agg of the batch + one
+    merge agg against bars-so-far (bar-cardinality, not event-
+    cardinality); the copy-on-write `_rewrite` is the same table-
+    format boundary dml.py documents.
+    """
+    import uuid as _uuid
+
+    from ..ingest import _clean_stale_location
+
+    spark = stream.sparkSession
+    if not spark.catalog.tableExists(table):
+        spark.sql(f"DROP TABLE IF EXISTS {_applied_marker(table)}")
+        _clean_stale_location(spark, _applied_marker(table), None)
+    projected = stream.select(
+        F.col("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(tie_col).alias("tie"),
+        F.round(F.col(value_col).cast("double") * scale)
+        .cast("long")
+        .alias("value_q"),
+    )
+    run_token = _uuid.uuid4().hex
+
+    def add_batch(batch: DataFrame, batch_id: int) -> None:
+        apply_ohlc_batch(batch.sparkSession, table, batch, batch_id, run_token)
+
+    q = (
+        projected.writeStream.foreachBatch(add_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return await_finished(q, await_seconds)

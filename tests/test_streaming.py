@@ -756,3 +756,54 @@ def test_stateful_ewma_crosses_batch_boundary(spark, tmp_path):
     )
     # two micro-batches really happened: update mode emitted twice
     assert spark.table("t_ewma_stream").count() == 2
+
+
+def test_ohlc_batch_merge_is_order_independent_and_replay_safe(spark):
+    """OHLC bar state is order-sensitive data under an order-FREE merge:
+    applying the LATER half of a day before the earlier half must still
+    yield the true open/close (endpoint structs decide, not arrival);
+    replaying an applied batch is a byte-identical no-op."""
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.ingest import _clean_stale_location
+    from amazonredshift_blueprints_spark.streaming.sessions import (
+        _applied_marker,
+        apply_ohlc_batch,
+    )
+
+    tbl = "bp_ohlc_merge_tbl"
+    for t in (tbl, _applied_marker(tbl)):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _clean_stale_location(spark, t, None)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts string, tie long, value_q long"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    # afternoon slice arrives FIRST
+    pm = batch([
+        (1, "2026-01-01 15:00:00", 3, 700),
+        (1, "2026-01-01 18:00:00", 4, 100),  # true close
+    ])
+    am = batch([
+        (1, "2026-01-01 09:00:00", 1, 300),  # true open
+        (1, "2026-01-01 10:00:00", 2, 900),  # true high
+    ])
+    try:
+        assert apply_ohlc_batch(spark, tbl, pm, 0, "run") is True
+        assert apply_ohlc_batch(spark, tbl, am, 1, "run") is True
+        rows = spark.table(tbl).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["open_q"], r["close_q"]) == (300, 100)
+        assert (r["high_q"], r["low_q"], r["n"], r["sum_q"]) == (
+            900, 100, 4, 2000,
+        )
+        # replay of batch 1: recognized and skipped, table unchanged
+        snap = sorted(map(tuple, rows))
+        assert apply_ohlc_batch(spark, tbl, am, 1, "run") is False
+        assert sorted(map(tuple, spark.table(tbl).collect())) == snap
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {_applied_marker(tbl)}")
