@@ -1044,3 +1044,51 @@ def lag_features(
         .withColumn("roll_max_q", F.max("vq").over(frame))
     )
     return out
+
+
+def confusion_matrix(
+    pred_df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Confusion matrix with per-class precision/recall — the
+    evaluation aggregate every classifier entry (c112 Naive Bayes,
+    c144 kNN) needs downstream: one row per (true, predicted) cell
+    with the cell count, the true-class and predicted-class totals,
+    and — on DIAGONAL cells, where they are defined — recall and
+    precision in integer micro-units (``n*1e6 DIV total``; exact, no
+    float ratios to drift).
+
+    Returns (label, pred_label, n, row_tot, col_tot, recall_micro,
+    precision_micro).
+
+    100 TB: one hash aggregate to classes² cells, then two window sums
+    over that TINY grid (classes², not corpus) — the expensive part is
+    whatever produced the predictions, never this.
+    """
+    from pyspark.sql.window import Window
+
+    cells = pred_df.groupBy(
+        F.col(label_col).alias("label"), F.col(pred_col).alias("pred_label")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return cells.select(
+        "label",
+        "pred_label",
+        "n",
+        F.sum("n").over(Window.partitionBy("label")).cast("long").alias(
+            "row_tot"
+        ),
+        F.sum("n").over(Window.partitionBy("pred_label"))
+        .cast("long")
+        .alias("col_tot"),
+    ).select(
+        "*",
+        F.expr(
+            "CASE WHEN label = pred_label "
+            "THEN CAST(n * 1000000 DIV row_tot AS BIGINT) END"
+        ).alias("recall_micro"),
+        F.expr(
+            "CASE WHEN label = pred_label "
+            "THEN CAST(n * 1000000 DIV col_tot AS BIGINT) END"
+        ).alias("precision_micro"),
+    )

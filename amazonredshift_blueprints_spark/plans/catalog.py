@@ -12615,6 +12615,109 @@ def c158_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c159_confusion_matrix",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                   AS toks
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, lang, unnest(toks) AS token FROM t),
+    ct AS (
+        SELECT lang AS cls, token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY 1, 2
+    ),
+    tot AS (SELECT cls, CAST(SUM(cnt) AS BIGINT) AS tot FROM ct GROUP BY 1),
+    vocab AS (SELECT DISTINCT token FROM tok),
+    vd AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+    pri AS (
+        SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    ),
+    nd AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM pri),
+    priq AS (
+        SELECT cls,
+               CAST(round(ln(CAST(n_docs AS DOUBLE)
+                             / CAST(n_total AS DOUBLE)) * 1000000)
+                   AS BIGINT) AS prior_q
+        FROM pri CROSS JOIN nd
+    ),
+    grid AS (
+        SELECT tt.cls, vb.token,
+               CAST(round(ln(CAST(COALESCE(ct.cnt, 0) + 1 AS DOUBLE)
+                             / CAST(tt.tot + vd.v AS DOUBLE)) * 1000000)
+                   AS BIGINT) AS lp_q
+        FROM tot tt
+        CROSS JOIN vocab vb
+        CROSS JOIN vd
+        LEFT JOIN ct ON ct.cls = tt.cls AND ct.token = vb.token
+    ),
+    sc AS (
+        SELECT tk.doc_id, tk.lang AS label, g.cls,
+               CAST(SUM(g.lp_q) AS BIGINT) AS tok_q
+        FROM tok tk JOIN grid g ON g.token = tk.token
+        GROUP BY 1, 2, 3
+    ),
+    scored AS (
+        SELECT s.doc_id, s.label, s.cls,
+               s.tok_q + p.prior_q AS score_q
+        FROM sc s JOIN priq p ON p.cls = s.cls
+    ),
+    pred AS (
+        SELECT doc_id, label, cls AS pred_label
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY doc_id
+                  ORDER BY score_q DESC, cls ASC) AS rn
+              FROM scored)
+        WHERE rn = 1
+    ),
+    cells AS (
+        SELECT label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY 1, 2
+    ),
+    sized AS (
+        SELECT label, pred_label, n,
+               CAST(SUM(n) OVER (PARTITION BY label) AS BIGINT) AS row_tot,
+               CAST(SUM(n) OVER (PARTITION BY pred_label) AS BIGINT)
+                   AS col_tot
+        FROM cells
+    )
+    SELECT label, pred_label, n, row_tot, col_tot,
+           CASE WHEN label = pred_label
+                THEN CAST(n * 1000000 // row_tot AS BIGINT) END
+               AS recall_micro,
+           CASE WHEN label = pred_label
+                THEN CAST(n * 1000000 // col_tot AS BIGINT) END
+               AS precision_micro
+    FROM sized
+    """,
+    doc="classifier evaluation: confusion matrix with per-class "
+        "precision/recall of the c112 Naive Bayes language classifier "
+        "(operators/ml.confusion_matrix over naive_bayes_classify) — "
+        "the readout aggregate every classifier pipeline ends with. "
+        "Diagonal cells carry recall = n*1e6 DIV true-class total and "
+        "precision = n*1e6 DIV predicted-class total as exact integer "
+        "micro-units; off-diagonal cells carry the error mass. The "
+        "oracle replays the ENTIRE classifier (same micro-unit NB "
+        "chain as c112) plus the evaluation, so a drift in either "
+        "fails the hash. 100 TB: evaluation is one hash aggregate to "
+        "classes-squared cells + two window sums over that tiny grid; "
+        "the classifier dominates, never the readout",
+    tags=("ml", "eval", "documents"),
+)
+def c159_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import confusion_matrix, naive_bayes_classify
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return confusion_matrix(
+        naive_bayes_classify(d, "doc_id", "text", "lang"),
+        "label",
+        "pred_label",
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #

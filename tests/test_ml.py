@@ -398,3 +398,27 @@ def test_lag_features_leakage_safe_frame(spark):
 
     with pytest.raises(ValueError, match="lags must include 1"):
         lag_features(df, "k", "ts", "tie", "v", lags=(2,))
+
+
+def test_confusion_matrix_hand_values(spark):
+    """3 classes, known cells: diagonal rows carry recall (row-wise)
+    and precision (column-wise) in micro-units; off-diagonal carry
+    neither."""
+    from amazonredshift_blueprints_spark.operators.ml import confusion_matrix
+
+    pred = spark.createDataFrame(
+        [("a", "a")] * 3 + [("a", "b")] + [("b", "b")] * 2 + [("b", "a")],
+        "label string, pred string",
+    )
+    got = {
+        (r["label"], r["pred_label"]): r
+        for r in confusion_matrix(pred, "label", "pred").collect()
+    }
+    aa = got[("a", "a")]
+    assert (aa["n"], aa["row_tot"], aa["col_tot"]) == (3, 4, 4)
+    assert aa["recall_micro"] == 750000 and aa["precision_micro"] == 750000
+    bb = got[("b", "b")]
+    assert (bb["n"], bb["row_tot"], bb["col_tot"]) == (2, 3, 3)
+    assert bb["recall_micro"] == 2 * 1000000 // 3
+    ab = got[("a", "b")]
+    assert ab["recall_micro"] is None and ab["precision_micro"] is None
