@@ -531,3 +531,76 @@ def ohlc_bars(
             "key", "day", "n", "open_q", "high_q", "low_q", "close_q", "sum_q"
         )
     )
+
+
+def twap(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    value_col: str,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """Time-WEIGHTED average per (key, day) — the finance/metering
+    aggregate where a plain mean is wrong because observations are
+    irregularly spaced: a price that held for six hours must count
+    36 000x more than one that held for 600 ms.
+
+        twap = Σ v_i · Δt_i / Σ Δt_i,   Δt_i = ms until the next
+        observation in the same (key, day);  the day's LAST
+        observation carries no weight (its holding interval is open).
+
+    Values quantize to integer ``scale``-ths and Δt to integer
+    MILLISECONDS, so numerator and denominator are exact BIGINTs; the
+    single closing division is double, rounded to 6 decimals (the
+    catalog's transcendental contract). Single-observation days have
+    an empty weight sum and yield NULL, explicitly — not 0, not the
+    raw value.
+
+    Returns (key, day, n, dur_ms, twap_r6) — ``twap_r6`` in value
+    units (e.g. cents when scale=100).
+
+    100 TB: one lead() window and the closing hash aggregate share the
+    SAME (key, day) partitioning — one Exchange total; numerator
+    magnitude is bounded by value_q · 86.4e6 ms per row (int64-safe
+    through ~1e3-observation days at cent precision; document larger
+    with a coarser Δt unit).
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.col(tie_col).alias("tie"),
+        F.col(ts_col).cast("date").cast("string").alias("day"),
+        F.round(F.col(value_col).cast("double") * scale)
+        .cast("long")
+        .alias("vq"),
+    )
+    w = Window.partitionBy("key", "day").orderBy(F.asc("ts"), F.asc("tie"))
+    staged = base.withColumn(
+        "dt_ms", F.unix_millis(F.lead("ts").over(w)) - F.unix_millis("ts")
+    )
+    return (
+        staged.groupBy("key", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("dt_ms").alias("dur_ms"),
+            F.sum(F.col("vq") * F.col("dt_ms")).alias("_num"),
+        )
+        .select(
+            "key",
+            "day",
+            "n",
+            F.coalesce("dur_ms", F.lit(0)).cast("long").alias("dur_ms"),
+            F.when(
+                F.coalesce("dur_ms", F.lit(0)) > 0,
+                F.round(
+                    F.col("_num").cast("double")
+                    / F.col("dur_ms").cast("double"),
+                    6,
+                ),
+            ).alias("twap_r6"),
+        )
+    )

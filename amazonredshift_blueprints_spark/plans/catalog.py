@@ -12718,6 +12718,50 @@ def c159_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c160_twap",
+    oracle="""
+    WITH b AS (
+        SELECT user_id AS key, ts, event_id AS tie,
+               CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vq
+        FROM events
+    ),
+    s AS (
+        SELECT key, day, vq,
+               epoch_ms(lead(ts) OVER (PARTITION BY key, day
+                   ORDER BY ts, tie)) - epoch_ms(ts) AS dt_ms
+        FROM b
+    )
+    SELECT key, day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COALESCE(SUM(dt_ms), 0) AS BIGINT) AS dur_ms,
+           CASE WHEN COALESCE(SUM(dt_ms), 0) > 0
+                THEN ROUND(CAST(SUM(vq * dt_ms) AS DOUBLE)
+                           / CAST(SUM(dt_ms) AS DOUBLE), 6)
+           END AS twap_r6
+    FROM s GROUP BY 1, 2
+    """,
+    doc="time-weighted average value per (user, day) (operators/"
+        "timeseries.twap): each observation weighted by the integer "
+        "MILLISECONDS it held until the next one (lead window, (ts, "
+        "event_id) total order); the day's last observation carries no "
+        "weight — the finance/metering mean where irregular spacing "
+        "makes the plain average wrong. Numerator and denominator are "
+        "exact BIGINTs, the one closing division is double rounded to "
+        "6 decimals; single-observation days yield NULL explicitly. "
+        "100 TB: the lead window and closing hash agg share ONE "
+        "(key, day) Exchange; int64-safe through ~1e3-observation "
+        "days at cent precision (coarser dt unit past that)",
+    tags=("timeseries", "events"),
+)
+def c160_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import twap
+
+    e = views(spark, sf_dir, "events")["events"]
+    return twap(e, "user_id", "ts", "event_id", "value")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #

@@ -224,3 +224,28 @@ def test_ohlc_bars_tiebreak_and_quantize(spark):
     )
     d2 = got["2024-01-02"]
     assert d2["open_q"] == d2["close_q"] == 500 and d2["n"] == 1
+
+
+def test_twap_holding_weights_and_single_obs_null(spark):
+    """10.00 held 1s then 20.00 held 3s -> twap = (1000*1000 +
+    2000*3000)/4000 = 1750 cents; the last observation carries no
+    weight; a single-observation day is NULL, not its own value."""
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.operators.timeseries import twap
+
+    rows = [
+        ("a", "2024-01-01 00:00:00", 1, 10.0),
+        ("a", "2024-01-01 00:00:01", 2, 20.0),
+        ("a", "2024-01-01 00:00:04", 3, 99.0),  # open interval: weight 0
+        ("b", "2024-01-01 12:00:00", 4, 42.0),  # singleton
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts string, tie long, v double"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "tie", "v")
+    got = {r["key"]: r for r in twap(df, "k", "ts", "tie", "v").collect()}
+    a = got["a"]
+    assert (a["n"], a["dur_ms"]) == (3, 4000)
+    assert a["twap_r6"] == 1750.0
+    b = got["b"]
+    assert b["n"] == 1 and b["dur_ms"] == 0 and b["twap_r6"] is None
