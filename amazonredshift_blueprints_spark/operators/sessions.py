@@ -452,3 +452,51 @@ def funnel_latency(
         for q in quantiles
     ]
     return sized.groupBy("cohort_dow").agg(*aggs)
+
+
+def user_growth_daily(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Daily active / new / cumulative-distinct user curve — the
+    growth dashboard every event product tracks. The naive form
+    (COUNT(DISTINCT user) OVER cumulative window) rescans history per
+    day; this uses the FIRST-SEEN identity instead: a user adds to the
+    cumulative distinct count exactly once, on their first day, so
+
+        cum_distinct(day) = Σ_{d<=day} n_new(d)
+
+    turning an O(days·corpus) rescan into one user-cardinality
+    aggregate plus a running sum over the DAY-level table.
+
+    Returns (day, n_active, n_events, n_new, cum_distinct_users), day
+    as string (the catalog's date-portability convention).
+
+    100 TB: one (day, user) distinct + day rollup, one user-keyed
+    min aggregate for first days, then windows over the days table
+    (rows = calendar days — driver-trivial). Nothing rescans history.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).cast("date").cast("string").alias("day"),
+    )
+    daily = base.groupBy("day").agg(
+        F.countDistinct("u").cast("long").alias("n_active"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    first_day = base.groupBy("u").agg(F.min("day").alias("day"))
+    new_by_day = first_day.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(new_by_day, "day", "left")
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)).cast("long"))
+        .withColumn(
+            "cum_distinct_users", F.sum("n_new").over(w).cast("long")
+        )
+        .select("day", "n_active", "n_events", "n_new", "cum_distinct_users")
+    )

@@ -12762,6 +12762,46 @@ def c160_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return twap(e, "user_id", "ts", "event_id", "value")
 
 
+@query(
+    "c161_user_growth_daily",
+    oracle="""
+    WITH b AS (
+        SELECT user_id AS u, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+        FROM events
+    ),
+    daily AS (
+        SELECT day, CAST(COUNT(DISTINCT u) AS BIGINT) AS n_active,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM b GROUP BY 1
+    ),
+    fd AS (SELECT u, MIN(day) AS day FROM b GROUP BY 1),
+    nb AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new FROM fd GROUP BY 1)
+    SELECT d.day, d.n_active, d.n_events,
+           CAST(COALESCE(nb.n_new, 0) AS BIGINT) AS n_new,
+           CAST(SUM(COALESCE(nb.n_new, 0)) OVER (ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_distinct_users
+    FROM daily d LEFT JOIN nb ON nb.day = d.day
+    """,
+    doc="daily active / new / cumulative-distinct user curve "
+        "(operators/sessions.user_growth_daily): DAU and event volume "
+        "per day plus growth via the FIRST-SEEN identity — cumulative "
+        "distinct users = running sum of per-day first-appearances, "
+        "which replaces the O(days x corpus) COUNT(DISTINCT) OVER "
+        "rescan with one user-cardinality min-aggregate and a running "
+        "sum over the DAY-level table (the single-partition window is "
+        "over calendar days — dozens of rows, not data). 100 TB: one "
+        "(day,user) distinct rollup + one user-keyed min; nothing "
+        "rescans history",
+    tags=("events", "analytics"),
+)
+def c161_user_growth_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessions import user_growth_daily
+
+    e = views(spark, sf_dir, "events")["events"]
+    return user_growth_daily(e, "user_id", "ts")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #

@@ -851,3 +851,26 @@ def test_funnel_latency_first_conversion_and_rank_percentiles(spark):
     assert (r["p25_us"], r["p50_us"], r["p75_us"]) == (
         10_000_000, 20_000_000, 30_000_000,
     )
+
+
+def test_user_growth_daily_first_seen_identity(spark):
+    """Returning users never re-count in cum_distinct; days with only
+    returning users have n_new = 0, not a missing row."""
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.operators.sessions import (
+        user_growth_daily,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00"), (2, "2024-01-01 11:00:00"),
+        (1, "2024-01-02 10:00:00"),                      # returning only
+        (3, "2024-01-03 10:00:00"), (1, "2024-01-03 11:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts string").select(
+        "u", F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = {r["day"]: r for r in user_growth_daily(df, "u", "ts").collect()}
+    assert [got[d]["n_active"] for d in sorted(got)] == [2, 1, 2]
+    assert [got[d]["n_new"] for d in sorted(got)] == [2, 0, 1]
+    assert [got[d]["cum_distinct_users"] for d in sorted(got)] == [2, 2, 3]
