@@ -12830,9 +12830,15 @@ def c161_user_growth_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R12 ROTATION PLAN (write it as round 12's FIRST commit): the 50
-# entries added in round 11 after this window froze have never been
-# driver-rowed and take slots first — c98_pagerank_dangling,
+# R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
+# kept adding entries past this list — the never-driver-rowed set now
+# EXCEEDS one 50-slot window (c98-c161 + a06 + q88-q90 ≈ 68 entries).
+# Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
+# the remainder (c148-c161 and anything later) take priority in r13 —
+# they are all hash-verified locally at sf0.01 AND sf0.1 before their
+# commits, so the exposure is certification recency, not correctness.
+# Original plan list (still the correct head of the queue) —
+# c98_pagerank_dangling,
 # c99_dedup_keep_best, c100_bpe_fertility, c101_unimax_mixing,
 # c102_pmi_collocations, c103_audio_decode_stats,
 # c104_data_quality_audit, c105_ngram_novelty,

@@ -776,3 +776,23 @@ def test_c150_kcore_alive_joins_are_equi(spark, sf_dir):
     p = _plan(spark, sf_dir, "c150_kcore_decomposition")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_c157_c161_batch_plan_shapes(spark, sf_dir):
+    """c157: all lag/rolling features ride ONE key-partitioned Exchange
+    — join-free. c158's merge runs inside foreachBatch (not planned
+    here); c159: the evaluation adds no cartesian beyond the NB model's
+    broadcast 1-row dims. c160: the lead window and the closing agg
+    share one (key, day) Exchange. c161: the running sum's single-
+    partition Exchange is over the DAYS table only — the day-level
+    aggs below it do the data-sized work."""
+    p157 = _plan(spark, sf_dir, "c157_lag_features")
+    assert "Join" not in p157
+    assert p157.count("Exchange hashpartitioning") == 1
+    p159 = _plan(spark, sf_dir, "c159_confusion_matrix")
+    assert "CartesianProduct" not in p159
+    p160 = _plan(spark, sf_dir, "c160_twap")
+    assert "Join" not in p160
+    assert p160.count("Exchange hashpartitioning") == 1
+    p161 = _plan(spark, sf_dir, "c161_user_growth_daily")
+    assert "CartesianProduct" not in p161
