@@ -2377,3 +2377,72 @@ def prefix_dim_recall(
             ).alias("recall_micro"),
         )
     )
+
+
+def embedding_standardize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Per-DIMENSION z-score standardization of an embedding column —
+    the whitening-lite preprocessing before distance-based methods
+    (k-means, IVF training, Mahalanobis-ish scoring) when dimensions
+    carry different scales.
+
+    Exactness recipe: components quantize once (``round(x*quant)`` →
+    BIGINT), so per-dim sums and sums-of-squares are EXACT integers;
+    mean and variance derive from them in a FIXED order of IEEE double
+    ops (``ssq/n - (sum/n)²`` — never the int64-overflowing ``sum²``),
+    std is one correctly-rounded IEEE sqrt, and the z-score is rounded
+    to 6 decimals (the catalog contract). Output is LONG format
+    (vec_id, dim, z_r6): no float-array comparisons, and downstream
+    re-assembly is one collect_list away.
+
+    100 TB: posexplode inside the scan's partitions; the stats table
+    is DIMENSION-sized (one hash aggregate, 64 rows here) and
+    broadcasts back onto the exploded stream — the data-sized side
+    shuffles only for its own aggregate, and zero-variance dimensions
+    yield NULL z (constant column, no signal) rather than Inf.
+    """
+    parts = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("x").cast("double") * quant).cast("long").alias("xq"),
+    )
+    stats = parts.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("s"),
+        F.sum(F.col("xq") * F.col("xq")).alias("ssq"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("ssq").cast("double") / F.col("n").cast("double")
+        - mean * mean
+    )
+    enriched = parts.join(
+        F.broadcast(
+            stats.select(
+                "dim",
+                mean.alias("mean_q"),
+                F.sqrt(var).alias("std_q"),
+            )
+        ),
+        "dim",
+    )
+    return enriched.select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.when(
+            F.col("std_q") > 0,
+            F.round(
+                (F.col("xq").cast("double") - F.col("mean_q"))
+                / F.col("std_q"),
+                6,
+            ),
+        ).alias("z_r6"),
+    )

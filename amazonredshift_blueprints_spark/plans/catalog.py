@@ -12802,6 +12802,56 @@ def c161_user_growth_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_growth_daily(e, "user_id", "ts")
 
 
+@query(
+    "c162_embedding_standardize",
+    oracle="""
+    WITH x AS (
+        SELECT vec_id, CAST(i.i - 1 AS BIGINT) AS dim,
+               CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1000000)
+                   AS BIGINT) AS xq
+        FROM embeddings, range(1, 65) i(i)
+    ),
+    st AS (
+        SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xq) AS BIGINT) AS s,
+               CAST(SUM(xq * xq) AS BIGINT) AS ssq
+        FROM x GROUP BY 1
+    ),
+    ms AS (
+        SELECT dim,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
+               sqrt(CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS std_q
+        FROM st
+    )
+    SELECT x.vec_id, x.dim,
+           CASE WHEN ms.std_q > 0
+                THEN ROUND((CAST(x.xq AS DOUBLE) - ms.mean_q) / ms.std_q, 6)
+           END AS z_r6
+    FROM x JOIN ms USING (dim)
+    """,
+    doc="per-dimension z-score standardization of the embedding "
+        "column (operators/similarity.embedding_standardize) — the "
+        "whitening-lite preprocessing before k-means/IVF training when "
+        "dimensions carry different scales. Components quantize to "
+        "micro-units once, so per-dim sums and sums-of-squares are "
+        "exact BIGINTs; mean/variance derive in a FIXED IEEE order "
+        "(ssq/n - (s/n)^2 — never the int64-overflowing s^2), std is "
+        "one correctly-rounded sqrt, z rounds to 6 dp; zero-variance "
+        "dims yield NULL, not Inf. LONG-format output (vec_id, dim, "
+        "z_r6). 100 TB: posexplode inside the scan partitions; the "
+        "stats table is 64 rows and broadcasts back; the data-sized "
+        "side shuffles once for its own aggregate",
+    tags=("similarity", "feature", "embeddings"),
+)
+def c162_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_standardize
+
+    e = views(spark, sf_dir, "embeddings")["embeddings"]
+    return embedding_standardize(e)
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #

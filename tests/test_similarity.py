@@ -879,3 +879,22 @@ def test_prefix_dim_recall_bounds_and_identity(spark):
     assert all(r["recall_micro"] == 1_000_000 for r in ident)
     part = prefix_dim_recall(e, q, prefix_dims=8, k=5).collect()
     assert all(0 <= r["recall_micro"] <= 1_000_000 for r in part)
+
+
+def test_embedding_standardize_hand_stats(spark):
+    """dim 0 has values (1.0, 3.0): mean 2, std 1 -> z = ±1; dim 1 is
+    constant -> NULL z (never Inf)."""
+    from amazonredshift_blueprints_spark.operators.similarity import (
+        embedding_standardize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 5.0]), (2, [3.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["vec_id"], r["dim"]): r["z_r6"]
+        for r in embedding_standardize(df).collect()
+    }
+    assert got[(1, 0)] == -1.0 and got[(2, 0)] == 1.0
+    assert got[(1, 1)] is None and got[(2, 1)] is None
