@@ -1957,3 +1957,51 @@ def chi2_terms(
             "rk",
         )
     )
+
+
+def group_diversity(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Categorical diversity per group — Gini-Simpson index
+    ``1 - Σ pᵢ²`` plus the majority share, FULLY integer (no logs): the
+    curation audit that flags mixed-language sources (often scraped
+    junk) and single-language ones (safe to route to one pipeline),
+    the no-transcendental twin of per-doc token entropy (c138).
+
+        gini_micro = (N² - Σ nᵢ²) · 1e6 DIV N²
+        top_share_micro = max(nᵢ) · 1e6 DIV N
+
+    Returns (grp, n, n_cats, top_share_micro, gini_micro); 0 gini ⇔
+    single category, approaching 1e6 ⇔ uniform over many.
+
+    100 TB: two stacked hash aggregates — (group, category) counts,
+    then per-group reduction — both map-side combinable; output is
+    group-cardinality. ``N²·1e6`` stays inside int64 through ~3e6 rows
+    per group; past that drop the micro factor to 1e3 or compute the
+    ratio in DOUBLE (the shares, not the counts, are what matter).
+    """
+    cats = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(cat_col).alias("cat")
+    ).agg(F.count(F.lit(1)).alias("ni"))
+    return (
+        cats.groupBy("grp")
+        .agg(
+            F.sum("ni").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_cats"),
+            F.max("ni").alias("_top"),
+            F.sum(F.col("ni") * F.col("ni")).alias("_ss"),
+        )
+        .select(
+            "grp",
+            F.col("n").cast("long").alias("n"),
+            "n_cats",
+            F.expr("CAST(_top * 1000000 DIV n AS BIGINT)").alias(
+                "top_share_micro"
+            ),
+            F.expr(
+                "CAST((n * n - _ss) * 1000000 DIV (n * n) AS BIGINT)"
+            ).alias("gini_micro"),
+        )
+    )

@@ -12852,6 +12852,44 @@ def c162_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_standardize(e)
 
 
+@query(
+    "c163_source_lang_diversity",
+    oracle="""
+    WITH c AS (
+        SELECT source AS grp, lang AS cat,
+               CAST(COUNT(*) AS BIGINT) AS ni
+        FROM documents GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT grp, CAST(SUM(ni) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_cats,
+               CAST(MAX(ni) AS BIGINT) AS top,
+               CAST(SUM(ni * ni) AS BIGINT) AS ss
+        FROM c GROUP BY 1
+    )
+    SELECT grp, n, n_cats,
+           CAST(top * 1000000 // n AS BIGINT) AS top_share_micro,
+           CAST((n * n - ss) * 1000000 // (n * n) AS BIGINT) AS gini_micro
+    FROM g
+    """,
+    doc="per-source language diversity (operators/text."
+        "group_diversity): Gini-Simpson index 1 - sum(p_i^2) and "
+        "majority share, FULLY integer (no logs — the no-"
+        "transcendental twin of c138's token entropy): (N^2 - sum "
+        "n_i^2)*1e6 DIV N^2. The curation audit flagging mixed-"
+        "language sources (often scraped junk). 100 TB: two stacked "
+        "map-side-combinable hash aggregates, group-cardinality "
+        "output; int64-safe through ~3e6 rows per group (drop the "
+        "micro factor past that)",
+    tags=("text", "analytics", "documents"),
+)
+def c163_source_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import group_diversity
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return group_diversity(d, "source", "lang")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #

@@ -874,3 +874,21 @@ def test_user_growth_daily_first_seen_identity(spark):
     assert [got[d]["n_active"] for d in sorted(got)] == [2, 1, 2]
     assert [got[d]["n_new"] for d in sorted(got)] == [2, 0, 1]
     assert [got[d]["cum_distinct_users"] for d in sorted(got)] == [2, 2, 3]
+
+
+def test_group_diversity_gini_and_majority(spark):
+    """Hand groups: single-category -> gini 0, top share 1e6; a 2+2
+    split -> gini 500000; 3+1 -> gini (16-10)/16."""
+    from amazonredshift_blueprints_spark.operators.text import group_diversity
+
+    rows = (
+        [("a", "en")] * 3
+        + [("b", "en"), ("b", "en"), ("b", "fr"), ("b", "fr")]
+        + [("c", "en")] * 3 + [("c", "de")]
+    )
+    df = spark.createDataFrame(rows, "src string, lang string")
+    got = {r["grp"]: r for r in group_diversity(df, "src", "lang").collect()}
+    assert got["a"]["gini_micro"] == 0 and got["a"]["top_share_micro"] == 1000000
+    assert got["b"]["gini_micro"] == 500000 and got["b"]["n_cats"] == 2
+    assert got["c"]["gini_micro"] == (16 - 10) * 1000000 // 16
+    assert got["c"]["top_share_micro"] == 750000
