@@ -2446,3 +2446,76 @@ def embedding_standardize(
             ),
         ).alias("z_r6"),
     )
+
+
+def ivf_probe_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    probes: tuple[int, ...] = (1, 2, 4),
+) -> DataFrame:
+    """nprobe sweep evaluation for the IVF index — the tuning curve an
+    operator reads before fixing the recall/latency trade-off: for each
+    probe count, recall@k of :func:`ivf_topk` against the exact
+    :func:`brute_force_topk` truth on the same queries. The IVF-axis
+    member of the eval family (c93 sweeps the LSH axis, c140 the
+    Matryoshka truncation axis).
+
+    Returns one row per probe count: (nprobe, n_hits, n_truth,
+    recall_micro) with recall in exact integer micro-units
+    (hits·1e6 DIV truth). Recall is monotone in nprobe by construction
+    (probed cell sets are nested) — pinned by a pytest, along with the
+    nprobe = n_cells ⇒ recall = 1e6 identity.
+
+    100 TB: truth is the deliberately quadratic baseline — run the
+    sweep on a QUERY SAMPLE (the c93 contract: evaluate on a sample,
+    trust the index at scale); each IVF pass scans ~nprobe/n_cells of
+    the corpus, and the final comparison joins k·|Q|-sized lists.
+    """
+    truth = brute_force_topk(
+        corpus, queries, id_col=id_col, vec_col=vec_col, k=k
+    ).select("query_id", "neighbor_id")
+    spark = corpus.sparkSession
+    approx = None
+    for p in probes:
+        part = ivf_topk(
+            corpus,
+            queries,
+            id_col=id_col,
+            vec_col=vec_col,
+            k=k,
+            n_cells=n_cells,
+            nprobe=p,
+        ).select(
+            F.lit(p).cast("long").alias("nprobe"),
+            "query_id",
+            "neighbor_id",
+        )
+        approx = part if approx is None else approx.unionAll(part)
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    hits = (
+        approx.join(truth, ["query_id", "neighbor_id"])
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    # a probe count could in principle hit nothing: keep its row
+    base = spark.createDataFrame(
+        [(int(p),) for p in probes], "`nprobe` BIGINT"
+    )
+    return (
+        base.join(hits, "nprobe", "left")
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            "nprobe",
+            "n_hits",
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.expr("CAST(n_hits * 1000000 DIV n_truth AS BIGINT)").alias(
+                "recall_micro"
+            ),
+        )
+    )

@@ -12890,6 +12890,109 @@ def c163_source_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_diversity(d, "source", "lang")
 
 
+@query(
+    "c164_ivf_probe_recall",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, qv,
+               CAST({_DUCK_DOT.format(a='qv', b='qv')} AS BIGINT) AS norm
+        FROM v
+    ),
+    cents AS (SELECT vec_id AS cent_id, qv AS cq FROM v WHERE vec_id < 16),
+    cells AS (
+        SELECT vec_id, qv, norm, cent_id AS cell FROM (
+            SELECT n.vec_id, n.qv, n.norm, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY {_DUCK_L2.format(a='n.qv', b='c.cq')}, c.cent_id
+                   ) AS rn
+            FROM n CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    probes AS (SELECT * FROM (VALUES (1), (2), (4)) t(p)),
+    qcells AS (
+        SELECT vec_id, qv, norm, cent_id, rn FROM (
+            SELECT n.vec_id, n.qv, n.norm, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY {_DUCK_L2.format(a='n.qv', b='c.cq')}, c.cent_id
+                   ) AS rn
+            FROM n CROSS JOIN cents c
+            WHERE n.vec_id < 10
+        )
+    ),
+    ivf AS (
+        SELECT pr.p, q.vec_id AS query_id, s.vec_id AS neighbor_id,
+               CAST({_DUCK_DOT.format(a='q.qv', b='s.qv')} AS DOUBLE)
+                 / (sqrt(CAST(q.norm AS DOUBLE))
+                    * sqrt(CAST(s.norm AS DOUBLE))) AS cosine
+        FROM probes pr
+        JOIN qcells q ON q.rn <= pr.p
+        JOIN cells s ON s.cell = q.cent_id
+        WHERE q.vec_id <> s.vec_id
+    ),
+    ivf_topk AS (
+        SELECT p, query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY p, query_id
+                ORDER BY cosine DESC, neighbor_id) AS rk
+            FROM ivf
+        ) WHERE rk <= 5
+    ),
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY
+                           CAST({_DUCK_DOT.format(a='q.qv', b='s.qv')}
+                               AS DOUBLE)
+                             / (sqrt(CAST(q.norm AS DOUBLE))
+                                * sqrt(CAST(s.norm AS DOUBLE))) DESC,
+                           s.vec_id) AS rk
+            FROM n q CROSS JOIN n s
+            WHERE q.vec_id < 10 AND q.vec_id <> s.vec_id
+        ) WHERE rk <= 5
+    ),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+    h AS (
+        SELECT t.p, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM ivf_topk t JOIN truth u
+          ON u.query_id = t.query_id AND u.neighbor_id = t.neighbor_id
+        GROUP BY 1
+    )
+    SELECT CAST(pr.p AS BIGINT) AS nprobe,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           nt.n_truth,
+           CAST(COALESCE(h.n_hits, 0) * 1000000 // nt.n_truth AS BIGINT)
+               AS recall_micro
+    FROM probes pr LEFT JOIN h ON h.p = pr.p CROSS JOIN nt
+    """,
+    doc="nprobe sweep for the IVF index (operators/similarity."
+        "ivf_probe_recall): recall@5 of c17's IVF at nprobe 1/2/4 "
+        "against the exact brute-force truth on the same queries — the "
+        "tuning curve read before fixing the recall/latency trade-off, "
+        "and the IVF-axis member of the eval family (c93 = LSH axis, "
+        "c140 = Matryoshka truncation axis). Recall in exact integer "
+        "micro-units; monotone in nprobe by construction (nested "
+        "probed-cell sets) and nprobe=n_cells ⇒ recall=1e6, both "
+        "pytest-pinned. 100 TB: truth is the deliberately quadratic "
+        "baseline — sweep on a QUERY SAMPLE (the c93 contract); each "
+        "IVF pass scans ~nprobe/n_cells of the corpus",
+    tags=("similarity", "eval", "embeddings"),
+)
+def c164_ivf_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_probe_recall
+
+    e = views(spark, sf_dir, "embeddings")["embeddings"]
+    return ivf_probe_recall(
+        e, e.filter(F.col("vec_id") < 10), k=5, n_cells=16, probes=(1, 2, 4)
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #

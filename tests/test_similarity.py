@@ -898,3 +898,29 @@ def test_embedding_standardize_hand_stats(spark):
     }
     assert got[(1, 0)] == -1.0 and got[(2, 0)] == 1.0
     assert got[(1, 1)] is None and got[(2, 1)] is None
+
+
+def test_ivf_probe_recall_monotone_and_full_probe_identity(spark, sf_dir):
+    """Recall is monotone in nprobe (probed cell sets are nested) and
+    probing EVERY cell recovers the exact truth: recall = 1e6."""
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.operators.similarity import (
+        ivf_probe_recall,
+    )
+    from amazonredshift_blueprints_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = {
+        r["nprobe"]: r
+        for r in ivf_probe_recall(
+            e,
+            e.filter(F.col("vec_id") < 6),
+            k=3,
+            n_cells=8,
+            probes=(1, 2, 8),
+        ).collect()
+    }
+    assert out[1]["recall_micro"] <= out[2]["recall_micro"] <= out[8]["recall_micro"]
+    assert out[8]["recall_micro"] == 1000000
+    assert out[8]["n_hits"] == out[8]["n_truth"]
