@@ -23,6 +23,11 @@ Redshift SQL. Spark SQL is near-identical; the known deltas we shim:
   → the predicate is materialized as a hidden column in a subquery and
   filtered in an outer ``SELECT * EXCEPT``. Top-level, non-DISTINCT
   SELECTs only; anything else passes through untouched.
+- ``expr [NOT] SIMILAR TO 'pattern'`` (SQL-standard pattern language;
+  Spark SQL has no SIMILAR TO) → ``[NOT] RLIKE`` on the anchored regex
+  translation (``%``→``.*``, ``_``→``.``, ``.`` escaped — SQL treats it
+  as a LITERAL, the divergence naive shims miss); ``ESCAPE`` forms pass
+  through untouched.
 - ``RATIO_TO_REPORT(x) OVER (w)`` (Redshift-only window function) →
   ``CAST(x AS DOUBLE) / nullif(CAST(SUM(x) OVER (w) AS DOUBLE), 0)``;
   zero/NULL window sums yield NULL, matching Redshift.
@@ -396,6 +401,68 @@ def _rewrite_top(sql: str) -> str:
     return f"{stripped} LIMIT {m.group(2)}" + (";" if semi else "")
 
 
+_SIMILAR_TO_RE = re.compile(
+    r"(\bNOT\s+)?\bSIMILAR\s+TO\s+('(?:[^']|'')*')", re.IGNORECASE
+)
+
+
+def _similar_pattern_to_regex(pat: str) -> str:
+    """SQL-standard SIMILAR TO pattern → anchored Java/RE2 regex.
+
+    SIMILAR TO semantics (SQL standard / Redshift): ``%`` = any string,
+    ``_`` = any char; ``| * + ? ( ) { }`` keep their regex meanings;
+    bracket classes pass through; EVERY OTHER character is a literal —
+    notably ``.``, which IS special in a true regex, so it must be
+    escaped (the one divergence naive LIKE→regex shims miss).
+    Backslash quotes the next character (the default escape).
+    """
+    out: list[str] = []
+    i, n = 0, len(pat)
+    while i < n:
+        ch = pat[i]
+        if ch == "\\" and i + 1 < n:
+            out.append(re.escape(pat[i + 1]))
+            i += 2
+            continue
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        elif ch == "[":
+            j = pat.find("]", i + 1)
+            if j < 0:
+                out.append(re.escape(ch))
+            else:
+                out.append(pat[i : j + 1])
+                i = j
+        elif ch in "|*+?(){}":
+            out.append(ch)
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    return "^(?:" + "".join(out) + ")$"
+
+
+def _rewrite_similar_to(sql: str) -> str:
+    """``expr [NOT] SIMILAR TO '<pattern>'`` → ``expr [NOT] RLIKE
+    '<anchored regex>'`` — Spark SQL has no SIMILAR TO at all. Custom
+    ``ESCAPE`` clauses are left untouched (conservative pass-through);
+    backslashes in the emitted literal are doubled because Spark's
+    string parser consumes one level of escaping."""
+
+    def repl(m: re.Match) -> str:
+        if _inside_string(sql, m.start()):
+            return m.group(0)
+        if re.match(r"\s+ESCAPE\b", sql[m.end():], re.IGNORECASE):
+            return m.group(0)  # custom escape char: do not guess
+        raw = m.group(2)[1:-1].replace("''", "'")
+        rx = _similar_pattern_to_regex(raw)
+        lit = rx.replace("\\", "\\\\").replace("'", "''")
+        return f"{'NOT ' if m.group(1) else ''}RLIKE '{lit}'"
+
+    return _SIMILAR_TO_RE.sub(repl, sql)
+
+
 _OVER_OPEN_RE = re.compile(r"\s*OVER\s*\(", re.IGNORECASE)
 
 
@@ -653,6 +720,7 @@ def translate_redshift_sql(sql: str) -> str:
     sql = _strip_layout_clauses(sql)
     sql = _rewrite_top(sql)
     sql = _rewrite_qualify(sql)
+    sql = _rewrite_similar_to(sql)
     sql = _rewrite_ratio_to_report(sql)
     sql = _rewrite_calls(sql, "NVL", _nvl_call)
     # GETDATE() / SYSDATE → current_timestamp()

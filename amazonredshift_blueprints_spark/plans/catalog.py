@@ -12993,6 +12993,45 @@ def c164_ivf_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMILAR_TO_SQL = """
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_name SIMILAR TO '%(green|blue)%'
+      AND p_type NOT SIMILAR TO 'ECONOMY%'
+      AND p_type SIMILAR TO '%[A-Z]{5}%'
+    ORDER BY p_partkey
+"""
+
+
+@query(
+    "q91_similar_to",
+    oracle="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE regexp_full_match(p_name, '(?:.*(green|blue).*)')
+      AND NOT regexp_full_match(p_type, '(?:ECONOMY.*)')
+      AND regexp_full_match(p_type, '(?:.*[A-Z]{5}.*)')
+    ORDER BY p_partkey
+    """,
+    doc="Redshift/SQL-standard SIMILAR TO pattern matching "
+        "(functions/redshift_compat._rewrite_similar_to): Spark SQL "
+        "has no SIMILAR TO, so the shim translates the SQL pattern "
+        "language to an anchored RLIKE regex — % -> .*, _ -> ., "
+        "alternation/classes/quantifiers pass through, and regex "
+        "metacharacters that SQL treats as LITERALS (notably '.') are "
+        "escaped. NOT SIMILAR TO and mixed predicates covered; ESCAPE "
+        "forms pass through untouched by design. The ORACLE encodes "
+        "the intended semantics as explicit regexp_full_match (DuckDB "
+        "implements SIMILAR TO as raw regex, NOT the SQL standard — "
+        "using it would test the wrong thing). 100 TB: the rewritten "
+        "predicate is a plain pushable string filter",
+    tags=("dialect", "part"),
+)
+def q91_similar_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "part")
+    return spark.sql(translate_redshift_sql(_SIMILAR_TO_SQL))
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #

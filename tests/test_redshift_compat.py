@@ -1404,3 +1404,49 @@ def test_merge_insert_arm_order_validated(spark):
     }
     for t in ("t_mrgord_tgt", "t_mrgord_src"):
         spark.sql(f"DROP TABLE {t}")
+
+
+def test_similar_to_translation_semantics():
+    """SQL-standard pattern language: '.' is a LITERAL (escaped), % and
+    _ translate, regex operators pass through, the regex anchors, and
+    string-literal/ESCAPE occurrences are untouched."""
+    from amazonredshift_blueprints_spark.functions.redshift_compat import (
+        _similar_pattern_to_regex,
+        translate_redshift_sql,
+    )
+
+    assert _similar_pattern_to_regex("v1.2_x%") == r"^(?:v1\.2.x.*)$"
+    assert _similar_pattern_to_regex("%(a|b)%") == "^(?:.*(a|b).*)$"
+    assert _similar_pattern_to_regex("[A-Z]{3}") == "^(?:[A-Z]{3})$"
+    # backslash-quoted % stays a literal percent (re.escape leaves it
+    # bare — '%' has no regex meaning), never a wildcard
+    assert _similar_pattern_to_regex(r"50\%") == "^(?:50%)$"
+    out = translate_redshift_sql(
+        "SELECT * FROM t WHERE a SIMILAR TO '%a.b%' AND b NOT SIMILAR TO 'x_'"
+    )
+    assert "RLIKE '^(?:.*a\\\\.b.*)$'" in out
+    assert "NOT RLIKE '^(?:x.)$'" in out
+    # inside a string literal: untouched
+    s = "SELECT 'SIMILAR TO ''x''' AS s"
+    assert translate_redshift_sql(s) == s
+    # custom ESCAPE: conservative pass-through
+    e = "SELECT * FROM t WHERE a SIMILAR TO '%x%' ESCAPE '#'"
+    assert translate_redshift_sql(e) == e
+
+
+def test_similar_to_runs_on_spark(spark):
+    """End-to-end: the translated predicate actually filters — '.' is
+    literal, so 'v1.2' matches 'v1.2%' but 'v132' must not."""
+    from amazonredshift_blueprints_spark.functions.redshift_compat import (
+        translate_redshift_sql,
+    )
+
+    spark.createDataFrame(
+        [("v1.2-rc",), ("v132-rc",), ("other",)], "s string"
+    ).createOrReplaceTempView("simto_t")
+    got = spark.sql(
+        translate_redshift_sql(
+            "SELECT s FROM simto_t WHERE s SIMILAR TO 'v1.2%'"
+        )
+    ).collect()
+    assert [r["s"] for r in got] == ["v1.2-rc"]
