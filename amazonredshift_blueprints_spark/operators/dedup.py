@@ -1256,3 +1256,48 @@ def containment_prefix_join(
     )
     v._bp_cache_owner = toks
     return v
+
+
+def dup_rate_by_group(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Duplication-rate audit per group (source/domain/crawl): how much
+    of each group's volume is exact-duplicate content, measured against
+    the CORPUS-wide fingerprint groups — the triage view that decides
+    which sources get the expensive near-dup pass (a source that is 40%
+    exact-dup is usually a mirror or a scraper loop).
+
+    Per group: document count, distinct fingerprints within the group,
+    documents whose fingerprint has corpus-wide multiplicity ≥ 2
+    (``n_dup_docs``), and the redundancy ``n_dup_docs·1e6 DIV n_docs``.
+    Uses :func:`exact_dedup`'s normalization (md5 of lower/trim), so
+    the numbers reconcile with c01's groups exactly.
+
+    Returns (grp, n_docs, n_unique_texts, n_dup_docs, dup_rate_micro).
+
+    100 TB: one fingerprint hash aggregate (corpus-wide multiplicities,
+    map-side combinable), broadcast-or-shuffle joined back by
+    fingerprint, then one group-level aggregate — the same single-
+    shuffle shape as exact dedup itself.
+    """
+    fp = F.md5(F.lower(F.trim(F.col(text_col)))).alias("fp")
+    base = df.select(F.col(group_col).alias("grp"), fp)
+    mult = base.groupBy("fp").agg(F.count(F.lit(1)).alias("n_copies"))
+    return (
+        base.join(mult, "fp")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("fp").cast("long").alias("n_unique_texts"),
+            F.sum(
+                F.when(F.col("n_copies") >= 2, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("n_dup_docs"),
+        )
+        .withColumn(
+            "dup_rate_micro",
+            F.expr("CAST(n_dup_docs * 1000000 DIV n_docs AS BIGINT)"),
+        )
+    )

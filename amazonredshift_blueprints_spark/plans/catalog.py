@@ -13032,6 +13032,43 @@ def q91_similar_to(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(translate_redshift_sql(_SIMILAR_TO_SQL))
 
 
+@query(
+    "c165_dup_rate_by_source",
+    oracle="""
+    WITH b AS (
+        SELECT source AS grp, md5(lower(trim(text))) AS fp
+        FROM documents
+    ),
+    m AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_copies
+          FROM b GROUP BY 1)
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT b.fp) AS BIGINT) AS n_unique_texts,
+           CAST(SUM(CASE WHEN m.n_copies >= 2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_dup_docs,
+           CAST(SUM(CASE WHEN m.n_copies >= 2 THEN 1 ELSE 0 END)
+               * 1000000 // COUNT(*) AS BIGINT) AS dup_rate_micro
+    FROM b JOIN m ON m.fp = b.fp
+    GROUP BY 1
+    """,
+    doc="duplication-rate audit per source (operators/dedup."
+        "dup_rate_by_group): share of each source's documents whose "
+        "c01-normalized fingerprint has CORPUS-wide multiplicity >= 2 "
+        "— the triage view that routes mirror/scraper-loop sources to "
+        "the expensive near-dup pass and reconciles exactly with "
+        "c01's groups (same md5(lower(trim)) normalization). Exact "
+        "integer micro rate. 100 TB: one fingerprint hash agg + one "
+        "fingerprint-keyed join back + one group agg — the same "
+        "single-shuffle shape as exact dedup itself",
+    tags=("dedup", "analytics", "documents"),
+)
+def c165_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dup_rate_by_group
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return dup_rate_by_group(d, "doc_id", "text", "source")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #

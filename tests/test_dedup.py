@@ -398,3 +398,28 @@ def test_containment_join_directed_asymmetry(spark):
         ).collect()
     }
     assert got == {(1, 2): (2, 2)}  # both of doc 1's grams inside doc 2
+
+
+def test_dup_rate_by_group_corpus_wide_multiplicity(spark):
+    """A doc duplicated ACROSS sources counts as dup in both groups
+    (corpus-wide fingerprint multiplicity, not within-group)."""
+    from amazonredshift_blueprints_spark.operators.dedup import (
+        dup_rate_by_group,
+    )
+
+    rows = [
+        (1, "Same Text ", "a"),   # normalizes equal to doc 3
+        (2, "unique one", "a"),
+        (3, "  same text", "b"),  # cross-source dup of doc 1
+        (4, "another", "b"),
+        (5, "another", "b"),      # within-source dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    got = {
+        r["grp"]: r for r in dup_rate_by_group(df, "doc_id", "text", "src").collect()
+    }
+    a, b = got["a"], got["b"]
+    assert (a["n_docs"], a["n_unique_texts"], a["n_dup_docs"]) == (2, 2, 1)
+    assert a["dup_rate_micro"] == 500000
+    assert (b["n_docs"], b["n_unique_texts"], b["n_dup_docs"]) == (3, 2, 3)
+    assert b["dup_rate_micro"] == 1000000
