@@ -16,7 +16,10 @@ Supported subset (the options the reference's own pipelines generate):
   CSV|PARQUET|JSON|ORC``, ``DELIMITER [AS] 'c'``, ``IGNOREHEADER [AS] n``,
   ``GZIP`` (Spark reads .gz transparently — accepted, no-op),
   ``MANIFEST`` (the path names a Redshift-format manifest JSON whose
-  listed files load).
+  listed files load), ``FIXEDWIDTH 'name:width,...'`` (+ optional
+  ``TRIMBLANKS``) — the fixed-slice text load, lowered onto
+  ``ingest.read_fixedwidth``; incompatible with the delimited-parse
+  options (FORMAT/DELIMITER/IGNOREHEADER/MAXERROR), refused loudly.
 - ``UNLOAD ('query') TO 'path'`` with ``FORMAT [AS] CSV|PARQUET|JSON|ORC``,
   ``DELIMITER [AS] 'c'``, ``HEADER``, ``PARALLEL OFF|ON|TRUE|FALSE``
   (OFF → one named file, the reference's single-file contract; ON → a
@@ -56,6 +59,8 @@ class CopySpec:
     header: bool = False
     manifest: bool = False
     max_error: int = 0  # COPY MAXERROR [AS] n — tolerated bad rows
+    fixedwidth: str | None = None  # COPY FIXEDWIDTH 'name:width,...'
+    trim_blanks: bool = False  # COPY TRIMBLANKS (strip trailing pad spaces)
 
 
 @dataclass
@@ -118,6 +123,7 @@ def parse_copy(sql: str) -> CopySpec | None:
     tokens = _tokenize_options(sql[m.end():].rstrip().rstrip(";"))
     i = 0
     explicit_delim = False
+    saw_format = False
     while i < len(tokens):
         t = tokens[i].upper()
         i += 1
@@ -143,6 +149,7 @@ def parse_copy(sql: str) -> CopySpec | None:
                 raise ValueError(f"unsupported COPY format: {t.lower()!r}")
         if t in ("CSV", "PARQUET", "JSON", "ORC"):
             spec.format = t.lower()
+            saw_format = True
             if t == "JSON" and i < len(tokens) and tokens[i].startswith("'"):
                 opt = _unquote(tokens[i]).lower()
                 i += 1
@@ -166,6 +173,16 @@ def parse_copy(sql: str) -> CopySpec | None:
             spec.header = n == 1
         elif t == "MANIFEST":
             spec.manifest = True  # path names a manifest file, not data
+        elif t == "FIXEDWIDTH":
+            raw, i = _take_string(tokens, i, "FIXEDWIDTH")
+            spec.fixedwidth = _unquote(raw)
+            # validate the layout at parse time so a bad spec fails the
+            # statement, not the distributed job
+            from ..ingest import parse_fixedwidth_spec
+
+            parse_fixedwidth_spec(spec.fixedwidth)
+        elif t == "TRIMBLANKS":
+            spec.trim_blanks = True
         elif t == "MAXERROR":
             raw, i = _take_string(tokens, i, "MAXERROR")
             spec.max_error = int(_unquote(raw))
@@ -177,6 +194,28 @@ def parse_copy(sql: str) -> CopySpec | None:
             pass
         else:
             raise ValueError(f"unsupported COPY option: {tokens[i - 1]!r}")
+    if spec.fixedwidth is not None:
+        # Redshift: FIXEDWIDTH is its own format and cannot combine with
+        # CSV/DELIMITER; IGNOREHEADER/MAXERROR are delimited-parse options
+        # this lowering does not apply to fixed slicing — refuse loudly
+        bad = [
+            name
+            for name, flag in (
+                ("FORMAT", saw_format),
+                ("DELIMITER", explicit_delim),
+                ("IGNOREHEADER", spec.header),
+                ("MAXERROR", spec.max_error > 0),
+            )
+            if flag
+        ]
+        if bad:
+            raise ValueError(
+                f"FIXEDWIDTH cannot combine with {'/'.join(bad)}"
+            )
+        spec.format = "fixedwidth"
+        return spec
+    if spec.trim_blanks:
+        raise ValueError("TRIMBLANKS applies to FIXEDWIDTH loads only")
     if spec.format == "csv" and not explicit_delim:
         # bare CSV keyword means comma; Redshift's no-format default is '|'
         spec.delimiter = "," if "csv" in (tok.lower() for tok in tokens) else "|"
@@ -670,9 +709,20 @@ def execute_create_function(spark, spec: PyFunctionSpec) -> None:
 def execute_copy(spark, spec: CopySpec) -> int:
     """Lower a parsed COPY onto the native ingest layer (A1/A5);
     returns rows in the target after the load. With MANIFEST the path
-    names a Redshift-format manifest JSON and the listed files load."""
-    from ..ingest import ingest_files
+    names a Redshift-format manifest JSON and the listed files load.
+    FIXEDWIDTH routes to the fixed-slice text reader."""
+    from ..ingest import ingest_files, ingest_fixedwidth
 
+    if spec.format == "fixedwidth":
+        return ingest_fixedwidth(
+            spark,
+            _read_manifest(spec.path) if spec.manifest else spec.path,
+            spec.table,
+            spec.fixedwidth,
+            schema_name=spec.schema_name,
+            insert_method="append",
+            trim_blanks=spec.trim_blanks,
+        )
     return ingest_files(
         spark,
         _read_manifest(spec.path) if spec.manifest else spec.path,

@@ -13069,6 +13069,76 @@ def c165_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_rate_by_group(d, "doc_id", "text", "source")
 
 
+@query(
+    "a07_copy_fixedwidth",
+    oracle="""
+    SELECT c_mktsegment AS mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS BIGINT) AS sum_acctbal_cents,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_custkey,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_custkey
+    FROM customer
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="COPY FIXEDWIDTH load parity (the one Redshift COPY format with "
+        "no Spark reader; functions/copy_unload.py parse + "
+        "ingest.read_fixedwidth): the fixture is rendered to "
+        "fixed-width text lines (format_string pads, exact decimal "
+        "cents for the money column), COPY'd back with FIXEDWIDTH "
+        "'name:width,...' TRIMBLANKS, and the typed aggregate over the "
+        "loaded strings must reproduce the source table exactly — key "
+        "range, counts, and cent-exact balances per segment. The scan "
+        "is one spark.read.text + JVM substring slices (splittable "
+        "like CSV, no Python in the row path); over-long rows fail AT "
+        "EXECUTION via raise_error folded into the first column so "
+        "layout validation never costs a second 100 TB pass. "
+        "Option-conflict refusals (FORMAT/DELIMITER/IGNOREHEADER/"
+        "MAXERROR) and short-row pad semantics are pytest-pinned",
+    tags=("native", "ingest", "dialect"),
+)
+def a07_copy_fixedwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..ingest import _clean_stale_location
+    from ..sqlrun import execute_sql
+
+    c = views(spark, sf_dir, "customer")["customer"]
+    tmp = tempfile.mkdtemp(prefix="bp_fixedwidth_")
+    lines = c.select(
+        F.format_string(
+            "%-12d%-14s%-16d",
+            F.col("c_custkey"),
+            F.col("c_mktsegment"),
+            (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint"),
+        ).alias("value")
+    )
+    data_dir = os.path.join(tmp, "customer_fw")
+    lines.write.mode("overwrite").text(data_dir)
+    tbl = "bp_fixedwidth_customer"
+    _clean_stale_location(spark, tbl, None)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    execute_sql(
+        spark,
+        f"COPY {tbl} FROM '{data_dir}' FIXEDWIDTH "
+        "'c_custkey:12,c_mktsegment:14,acctbal_cents:16' TRIMBLANKS",
+    )
+    return (
+        spark.table(tbl)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("acctbal_cents").cast("bigint")).alias(
+                "sum_acctbal_cents"
+            ),
+            F.min(F.col("c_custkey").cast("bigint")).alias("min_custkey"),
+            F.max(F.col("c_custkey").cast("bigint")).alias("max_custkey"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -13099,7 +13169,8 @@ def c165_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c161 + a06 + q88-q90 ≈ 68 entries).
+# EXCEEDS one 50-slot window (c98-c165 + a06-a07 + q88-q91 ≈ 74
+# entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —
 # they are all hash-verified locally at sf0.01 AND sf0.1 before their

@@ -898,3 +898,68 @@ def test_copy_maxerror_tolerates_then_refuses(spark, tmp_path):
             max_error=1,
         )
     spark.sql("DROP TABLE IF EXISTS t_maxerr")
+
+
+def test_copy_fixedwidth_load_and_refusals(spark, tmp_path):
+    """COPY FIXEDWIDTH: fixed slices load by layout (short rows pad to
+    empty tails, TRIMBLANKS strips pad spaces), over-long rows fail at
+    execution naming the length, and the delimited-parse options refuse
+    to combine — the Redshift fixed-width contract."""
+    import pytest
+
+    from amazonredshift_blueprints_spark.functions.copy_unload import parse_copy
+    from amazonredshift_blueprints_spark.ingest import (
+        _clean_stale_location,
+        parse_fixedwidth_spec,
+        read_fixedwidth,
+    )
+    from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+    p = tmp_path / "fw.txt"
+    p.write_text(
+        "1  alpha   42 \n"
+        "2  beta      7\n"
+        "3  gm\n"          # short row: tail columns read as ''
+    )
+    # layout: id:3, name:8, qty:4 (total 15)
+    df = read_fixedwidth(spark, str(p), "id:3,name:8,qty:4", trim_blanks=True)
+    got = {(r.id, r.name, r.qty) for r in df.collect()}
+    # TRIMBLANKS strips TRAILING pad spaces only (the Redshift reading);
+    # a right-justified field keeps its leading spaces — numeric casts
+    # trim those anyway
+    assert got == {("1", "alpha", "42"), ("2", "beta", "  7"), ("3", "gm", "")}
+    # no TRIMBLANKS: pad spaces survive (raw Redshift reading)
+    raw = read_fixedwidth(spark, str(p), "id:3,name:8,qty:4").collect()
+    assert any(r.name == "alpha   " for r in raw)
+    # over-long row fails at execution, naming the offending length
+    bad = tmp_path / "fw_long.txt"
+    bad.write_text("1  alpha   42  EXTRA\n")
+    with pytest.raises(Exception, match="layout is 15 chars"):
+        read_fixedwidth(spark, str(bad), "id:3,name:8,qty:4").collect()
+    # ordinal labels become col<n>; spec validation refuses junk
+    assert parse_fixedwidth_spec("0:4,1:6") == [("col0", 4), ("col1", 6)]
+    for junk in ("a", "a:x", "a:-1", "a:3,a:4", ""):
+        with pytest.raises(ValueError):
+            parse_fixedwidth_spec(junk)
+    # statement face: full COPY round-trip through execute_sql
+    _clean_stale_location(spark, "t_fw", None)
+    spark.sql("DROP TABLE IF EXISTS t_fw")
+    execute_sql(
+        spark,
+        f"COPY t_fw FROM '{p}' FIXEDWIDTH 'id:3,name:8,qty:4' TRIMBLANKS",
+    )
+    assert spark.table("t_fw").count() == 3
+    assert [f.dataType.simpleString() for f in spark.table("t_fw").schema] == [
+        "string", "string", "string"
+    ]
+    # option conflicts refuse loudly at parse time
+    for sql in (
+        "COPY t FROM '/x' CSV FIXEDWIDTH 'a:3'",
+        "COPY t FROM '/x' FIXEDWIDTH 'a:3' DELIMITER ','",
+        "COPY t FROM '/x' FIXEDWIDTH 'a:3' IGNOREHEADER 1",
+        "COPY t FROM '/x' FIXEDWIDTH 'a:3' MAXERROR 2",
+        "COPY t FROM '/x' TRIMBLANKS",
+    ):
+        with pytest.raises(ValueError):
+            parse_copy(sql)
+    spark.sql("DROP TABLE IF EXISTS t_fw")
