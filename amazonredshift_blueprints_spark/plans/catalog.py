@@ -13139,6 +13139,71 @@ def a07_copy_fixedwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q92_connect_by",
+    oracle="""
+    WITH RECURSIVE tree AS (
+        SELECT c_custkey AS id,
+               CAST(NULL AS BIGINT) AS parent_id,
+               c_mktsegment AS segment,
+               CAST(1 AS BIGINT) AS lvl
+        FROM customer
+        WHERE c_custkey < 10
+        UNION ALL
+        SELECT c.c_custkey,
+               CAST(c.c_custkey // 10 AS BIGINT),
+               c.c_mktsegment,
+               t.lvl + 1
+        FROM customer c
+        JOIN tree t ON c.c_custkey // 10 = t.id AND c.c_custkey >= 10
+    )
+    SELECT CAST(id AS BIGINT) AS id,
+           parent_id,
+           lvl,
+           segment
+    FROM tree
+    ORDER BY id
+    """,
+    doc="Redshift CONNECT BY hierarchical query "
+        "(functions/hierarchy.py): SELECT ... START WITH pred CONNECT "
+        "BY PRIOR key = parent with the LEVEL pseudo-column — the "
+        "Oracle-style dialect form Spark SQL lacks. Lowered to "
+        "iterative frontier joins (level k+1 = rows whose parent "
+        "matches a level-k key, one row PER PATH — no distinct, the "
+        "hierarchical multiplicity semantics, pinned by a "
+        "two-parents unit test), LEVEL exposed as a column so select "
+        "list / WHERE-after-hierarchy / ORDER BY run as plain SQL "
+        "over the expansion. Cycle growth past max_levels raises "
+        "(Redshift errors on loops). The fixture hierarchy is "
+        "custkey -> custkey DIV 10 (digit-depth tree over the whole "
+        "table); the oracle is the recursive CTE this desugars to. "
+        "100 TB: per level ONE equi-join, frontier broadcast while "
+        "dimension-sized (broadcast_frontier=False falls back to "
+        "AQE), base relation cached once — never re-read per level",
+    tags=("dialect", "customer"),
+)
+def q92_connect_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hierarchy import run_connect_by
+
+    views(spark, sf_dir, "customer")
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW bp_cust_tree AS
+           SELECT c_custkey AS id,
+                  CASE WHEN c_custkey < 10 THEN CAST(NULL AS BIGINT)
+                       ELSE c_custkey DIV 10 END AS parent_id,
+                  c_mktsegment AS segment
+           FROM customer"""
+    )
+    return run_connect_by(
+        spark,
+        """SELECT id, parent_id, LEVEL AS lvl, segment
+           FROM bp_cust_tree
+           START WITH parent_id IS NULL
+           CONNECT BY PRIOR id = parent_id
+           ORDER BY id""",
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -13169,7 +13234,7 @@ def a07_copy_fixedwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c165 + a06-a07 + q88-q91 ≈ 74
+# EXCEEDS one 50-slot window (c98-c165 + a06-a07 + q88-q92 ≈ 75
 # entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —

@@ -1450,3 +1450,74 @@ def test_similar_to_runs_on_spark(spark):
         )
     ).collect()
     assert [r["s"] for r in got] == ["v1.2-rc"]
+
+
+def test_connect_by_hierarchy_semantics(spark):
+    """CONNECT BY: path multiplicity (a two-parent node appears once
+    PER PATH), WHERE applied after hierarchy construction, PRIOR on
+    either side of '=', cycle detection, and parse refusals."""
+    import pytest
+
+    from amazonredshift_blueprints_spark.functions.hierarchy import (
+        connect_by_frame,
+        parse_connect_by,
+        run_connect_by,
+    )
+
+    rows = [
+        # id, parent, tag        — diamond: 4 is a child of BOTH 2 and 3
+        (1, None, "root"),
+        (2, 1, "a"),
+        (3, 1, "b"),
+        (4, 2, "leaf"),
+        (4, 3, "leaf"),
+    ]
+    spark.createDataFrame(
+        rows, "id int, parent int, tag string"
+    ).createOrReplaceTempView("bp_diamond")
+    out = run_connect_by(
+        spark,
+        """SELECT id, LEVEL AS lvl FROM bp_diamond
+           START WITH parent IS NULL
+           CONNECT BY PRIOR id = parent
+           ORDER BY lvl, id""",
+    )
+    got = [(r.id, r.lvl) for r in out.collect()]
+    # node 4 reached via 2 AND via 3 → two level-3 rows (per-path)
+    assert got == [(1, 1), (2, 2), (3, 2), (4, 3), (4, 3)]
+    # PRIOR on the right is the same hierarchy
+    flipped = run_connect_by(
+        spark,
+        """SELECT id, LEVEL AS lvl FROM bp_diamond
+           START WITH parent IS NULL
+           CONNECT BY parent = PRIOR id
+           ORDER BY lvl, id""",
+    )
+    assert [(r.id, r.lvl) for r in flipped.collect()] == got
+    # WHERE filters rows AFTER expansion — children of excluded rows stay
+    filtered = run_connect_by(
+        spark,
+        """SELECT id, LEVEL AS lvl FROM bp_diamond
+           WHERE id <> 2
+           START WITH parent IS NULL
+           CONNECT BY PRIOR id = parent
+           ORDER BY lvl, id""",
+    )
+    ids = [r.id for r in filtered.collect()]
+    assert 2 not in ids and ids.count(4) == 2  # subtree NOT pruned
+    # cycle: growth past max_levels raises naming the bound
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 1)], "id int, parent int"
+    )
+    with pytest.raises(ValueError, match="exceeded 5 levels"):
+        connect_by_frame(cyc, "id", "parent", "id = 1", max_levels=5)
+    # parse: non-CONNECT-BY SQL falls through as None; malformed raises
+    assert parse_connect_by("SELECT 1") is None
+    with pytest.raises(ValueError, match="PRIOR"):
+        parse_connect_by(
+            "SELECT id FROM t START WITH a CONNECT BY id = parent"
+        )
+    with pytest.raises(ValueError, match="expected the shape"):
+        parse_connect_by(
+            "SELECT id FROM t CONNECT BY PRIOR id = parent"
+        )
