@@ -13204,6 +13204,73 @@ def q92_connect_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c166_decision_stump",
+    oracle="""
+    WITH pv AS (
+        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS threshold,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                             ELSE 0 END) AS BIGINT) AS pos
+        FROM events
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT threshold,
+               CAST(SUM(n) OVER (ORDER BY threshold) AS BIGINT) AS n_left,
+               CAST(SUM(pos) OVER (ORDER BY threshold) AS BIGINT)
+                   AS pos_left,
+               CAST(SUM(n) OVER () AS BIGINT) AS n_tot,
+               CAST(SUM(pos) OVER () AS BIGINT) AS pos_tot
+        FROM pv
+    ),
+    sides AS (
+        SELECT threshold, n_left, pos_left,
+               n_tot - n_left AS n_right,
+               pos_tot - pos_left AS pos_right
+        FROM cum WHERE n_left < n_tot
+    )
+    SELECT threshold,
+           CAST((pos_left*pos_left + (n_left-pos_left)*(n_left-pos_left))
+                    * 1000000 // n_left
+              + (pos_right*pos_right
+                 + (n_right-pos_right)*(n_right-pos_right))
+                    * 1000000 // n_right AS BIGINT) AS score_micro,
+           n_left, pos_left, n_right, pos_right
+    FROM sides
+    ORDER BY score_micro DESC, threshold
+    LIMIT 5
+    """,
+    doc="decision stump / exact best-split search (operators/ml."
+        "decision_stump): the CART building block — over every "
+        "distinct feature value v, score the split x<=v against the "
+        "purchase label by weighted Gini, all-integer. Algebra: "
+        "N*sum_gini = N - [(posL²+negL²)/nL + (posR²+negR²)/nR], so "
+        "minimizing Gini = maximizing the bracket; each rational term "
+        "quantizes as num*1e6 DIV n (exact BIGINT to ~2e6 rows, bound "
+        "documented). Ties to smallest threshold; empty-right split "
+        "excluded; top-5 reported. 100 TB: ONE hash aggregate to the "
+        "distinct-cents table (map-side partials), cumulative + total "
+        "windows on that VOCABULARY-sized table (c161 days-table "
+        "discipline), TakeOrdered winner — join-free, the corpus is "
+        "read once",
+    tags=("ml", "events"),
+    bench=True,
+)
+def c166_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import decision_stump
+
+    e = views(spark, sf_dir, "events")["events"]
+    labeled = e.select(
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("x"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return decision_stump(labeled, "x", "y", top_k=5)
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -13234,7 +13301,7 @@ def q92_connect_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c165 + a06-a07 + q88-q92 ≈ 75
+# EXCEEDS one 50-slot window (c98-c166 + a06-a07 + q88-q92 ≈ 76
 # entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —

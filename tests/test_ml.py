@@ -422,3 +422,55 @@ def test_confusion_matrix_hand_values(spark):
     assert bb["recall_micro"] == 2 * 1000000 // 3
     ab = got[("a", "b")]
     assert ab["recall_micro"] is None and ab["precision_micro"] is None
+
+
+def test_decision_stump_exact_gini(spark):
+    """Stump split search replayed in pure Python: the returned best
+    threshold matches brute-force weighted-Gini minimization with the
+    same micro quantization, ties to the smallest threshold, and the
+    empty-right split is excluded."""
+    from amazonredshift_blueprints_spark.operators.ml import decision_stump
+
+    rows = [
+        # perfectly separable at x <= 3: y=1 iff x <= 3
+        (1, 1), (2, 1), (3, 1), (4, 0), (5, 0), (6, 0), (7, 0),
+    ]
+    df = spark.createDataFrame(rows, "x long, y int")
+    best = decision_stump(df, "x", "y", top_k=1).collect()[0]
+    assert best.threshold == 3
+    assert best.n_left == 3 and best.pos_left == 3
+    assert best.n_right == 4 and best.pos_right == 0
+    # perfect split: both sides pure → score hits its N*1e6 maximum
+    # ((pos²+neg²)/n == n on a pure side, so the sum is nL+nR = N)
+    assert best.score_micro == 7_000_000
+
+    # noisy fixture: replay every split in python with identical
+    # integer quantization and compare the full ranking
+    import random
+
+    rng = random.Random(7)
+    data = [(rng.randint(1, 20), rng.randint(0, 1)) for _ in range(200)]
+    df2 = spark.createDataFrame(data, "x long, y int")
+    got = [
+        (r.threshold, r.score_micro)
+        for r in decision_stump(df2, "x", "y", top_k=100).collect()
+    ]
+
+    def replay(pairs):
+        xs = sorted({x for x, _ in pairs})
+        out = []
+        for t in xs:
+            nl = sum(1 for x, _ in pairs if x <= t)
+            pl = sum(y for x, y in pairs if x <= t)
+            nr = len(pairs) - nl
+            pr = sum(y for _, y in pairs) - pl
+            if nr == 0:
+                continue
+            score = (pl * pl + (nl - pl) * (nl - pl)) * 1_000_000 // nl + (
+                pr * pr + (nr - pr) * (nr - pr)
+            ) * 1_000_000 // nr
+            out.append((t, score))
+        out.sort(key=lambda p: (-p[1], p[0]))
+        return out
+
+    assert got == replay(data)

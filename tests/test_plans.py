@@ -796,3 +796,14 @@ def test_c157_c161_batch_plan_shapes(spark, sf_dir):
     assert p160.count("Exchange hashpartitioning") == 1
     p161 = _plan(spark, sf_dir, "c161_user_growth_daily")
     assert "CartesianProduct" not in p161
+
+
+def test_c166_stump_join_free_takeordered(spark, sf_dir):
+    """c166 decision stump: the corpus collapses to the distinct-cents
+    table in ONE hash aggregate (map-side partials), the cumulative
+    scan runs on that vocabulary-sized table, and the winner exits via
+    TakeOrdered — join-free, no global sort of anything corpus-sized."""
+    p = _plan(spark, sf_dir, "c166_decision_stump")
+    assert "Join" not in p
+    assert "partial_count" in p or "partial_sum" in p  # map-side combine
+    assert "TakeOrderedAndProject" in p
