@@ -13271,6 +13271,90 @@ def c166_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decision_stump(labeled, "x", "y", top_k=5)
 
 
+@query(
+    "c167_link_prediction",
+    oracle="""
+    WITH lp AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+        SELECT a.p AS lo, b.p AS hi
+        FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    adj AS (
+        SELECT lo AS u, hi AS v FROM e
+        UNION ALL SELECT hi, lo FROM e
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+    adjw AS (
+        SELECT a.u, a.v,
+               CAST(1000000000000
+                    // CAST(round(ln(CAST(d.deg AS DOUBLE)) * 1000000)
+                            AS BIGINT) AS BIGINT) AS w
+        FROM adj a JOIN deg d ON d.u = a.u
+        WHERE d.deg >= 2
+    ),
+    pairs AS (
+        SELECT x.v AS a, y.v AS b,
+               CAST(COUNT(*) AS BIGINT) AS cn,
+               CAST(SUM(x.w) AS BIGINT) AS aa_micro
+        FROM adjw x JOIN adj y ON y.u = x.u AND x.v < y.v
+        GROUP BY 1, 2
+    ),
+    nonedge AS (
+        SELECT p.* FROM pairs p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM e WHERE e.lo = p.a AND e.hi = p.b
+        )
+    )
+    SELECT n.a, n.b, n.cn,
+           CAST(n.cn * 1000000 // (da.deg + db.deg - n.cn) AS BIGINT)
+               AS jaccard_micro,
+           n.aa_micro
+    FROM nonedge n
+    JOIN deg da ON da.u = n.a
+    JOIN deg db ON db.u = n.b
+    ORDER BY jaccard_micro DESC, aa_micro DESC, a, b
+    LIMIT 20
+    """,
+    doc="neighborhood link prediction (operators/graph."
+        "link_prediction; Liben-Nowell-Kleinberg CIKM'03) over the "
+        "support->=2 co-purchase graph (part pairs sharing >= 2 "
+        "orders — the min-support that keeps co-occurrence signal and "
+        "not one-basket noise): score every non-edge sharing a "
+        "neighbor by common-neighbor count, integer Jaccard "
+        "(cn*1e6 DIV (da+db-cn)) and Adamic-Adar (sum of 1e12 DIV "
+        "ln_micro(deg z) — the fixed-IEEE ln contract), top-20 "
+        "deterministic (jaccard, aa, pair). Wedge centers need "
+        "deg >= 2 (a deg-1 center forms no wedge AND ln(1)=0 would "
+        "divide by zero under ANSI). 100 TB: the wedge self-join is "
+        "SUM(deg_z^2) — link prediction needs EVERY wedge so degree "
+        "orientation cannot bound it; the levers are the edge "
+        "min-support and max_center_degree (hub-cap, c106 "
+        "discipline). All equi-joins + one hash agg; TakeOrdered exit",
+    tags=("graph", "similarity"),
+    bench=True,
+)
+def c167_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import link_prediction
+
+    li = views(spark, sf_dir, "lineitem")["lineitem"]
+    lp = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    edges = (
+        lp.alias("a")
+        .join(lp.alias("b"), "o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("src", "dst")
+    )
+    return link_prediction(edges, k=20)
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -13301,7 +13385,7 @@ def c166_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c166 + a06-a07 + q88-q92 ≈ 76
+# EXCEEDS one 50-slot window (c98-c167 + a06-a07 + q88-q92 ≈ 77
 # entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —

@@ -190,3 +190,49 @@ def test_kcore_fixed_rounds_partial_peel(spark):
     )
     got = {r["node"]: r["deg"] for r in kcore(edges, 2, rounds=1).collect()}
     assert got == {1: 2, 2: 2, 3: 3, 4: 1}
+
+
+def test_link_prediction_scores_replay(spark):
+    """Link prediction replayed in pure Python on a hand graph:
+    non-edges only, per-pair cn/Jaccard/Adamic-Adar with the same
+    integer quantization, deterministic ranking, deg-1 centers form
+    no wedges (and never divide by zero), hub cap drops centers."""
+    import math
+
+    from amazonredshift_blueprints_spark.operators.graph import link_prediction
+
+    # square 1-2-3-4-1 plus a pendant 5-1: predicts the diagonals
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (5, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = [
+        (r.a, r.b, r.cn, r.jaccard_micro, r.aa_micro)
+        for r in link_prediction(df, k=10).collect()
+    ]
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    eset = {tuple(sorted(e)) for e in edges}
+    expect = []
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            common = [
+                z for z in adj[a] & adj[b] if len(adj[z]) >= 2
+            ]
+            if not common or (a, b) in eset:
+                continue
+            cn = len(common)
+            jac = cn * 1_000_000 // (len(adj[a]) + len(adj[b]) - cn)
+            aa = sum(
+                10**12 // round(math.log(len(adj[z])) * 1_000_000)
+                for z in common
+            )
+            expect.append((a, b, cn, jac, aa))
+    expect.sort(key=lambda r: (-r[3], -r[4], r[0], r[1]))
+    assert got == expect
+    # sanity: the square's diagonals (1,3) and (2,4) are both predicted
+    assert {(r[0], r[1]) for r in got} >= {(1, 3), (2, 4)}
+    # hub cap: capping out every center kills all predictions
+    assert link_prediction(df, k=10, max_center_degree=1).count() == 0
