@@ -13355,6 +13355,65 @@ def c167_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction(edges, k=20)
 
 
+@query(
+    "a08_copy_unload_json",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_totalprice,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="JSON COPY/UNLOAD round-trip (functions/copy_unload.py JSON "
+        "branch — the Redshift FORMAT AS JSON / COPY ... JSON 'auto' "
+        "feed shape): UNLOAD the fixture to JSON-lines, COPY it back "
+        "with schema auto-inference, and the typed aggregate over the "
+        "reloaded table must reproduce the source exactly — doubles "
+        "survive the text round-trip via shortest-repr (the a02 CSV "
+        "contract), keys and counts exactly. jsonpaths files refuse "
+        "loudly (only 'auto' lowers onto Spark's reader). 100 TB: "
+        "JSON-lines is splittable, so both directions stay one "
+        "distributed scan/write; the schema inference pass is the "
+        "known extra read (PLANS note), avoided in production by "
+        "COPY-ing into a declared table",
+    tags=("native", "ingest", "export", "json"),
+)
+def a08_copy_unload_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..ingest import _clean_stale_location
+    from ..sqlrun import execute_sql
+
+    views(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="bp_json_")
+    out_dir = os.path.join(tmp, "orders_json")
+    execute_sql(
+        spark,
+        f"""UNLOAD ('SELECT o_orderkey, o_orderstatus, o_totalprice
+                     FROM orders')
+            TO '{out_dir}' FORMAT AS JSON""",
+    )
+    tbl = "bp_json_orders"
+    _clean_stale_location(spark, tbl, None)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    execute_sql(spark, f"COPY {tbl} FROM '{out_dir}' FORMAT AS JSON 'auto'")
+    return (
+        spark.table(tbl)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "sum_totalprice"),
+            F.min("o_orderkey").cast("bigint").alias("min_orderkey"),
+            F.max("o_orderkey").cast("bigint").alias("max_orderkey"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -13385,7 +13444,7 @@ def c167_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c167 + a06-a07 + q88-q92 ≈ 77
+# EXCEEDS one 50-slot window (c98-c167 + a06-a08 + q88-q92 ≈ 78
 # entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —
