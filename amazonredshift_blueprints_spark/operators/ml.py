@@ -1173,3 +1173,88 @@ def decision_stump(
     return scored.orderBy(
         F.col("score_micro").desc(), F.col("threshold")
     ).limit(top_k)
+
+
+def banded_rate_score(
+    train: DataFrame,
+    test: DataFrame,
+    band_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Score ``test`` rows with the empirical positive rate of their
+    ``band_col`` group in ``train`` — the honest baseline probabilistic
+    classifier (a histogram model), and the natural producer for
+    calibration evaluation. Rates are exact integer micro-units
+    (``pos * 1e6 DIV n``); bands unseen in training fall back to the
+    global training prior (same quantization), so no test row is
+    silently dropped.
+
+    Returns ``test`` plus ``p_micro``.
+
+    100 TB: the model is ONE hash aggregate collapsed to the band table
+    (group-count-sized), broadcast back onto the test stream; the prior
+    is a one-row aggregate cross-joined (broadcast). The test corpus is
+    read once and never shuffles.
+    """
+    bands = train.groupBy(band_col).agg(
+        F.expr(f"CAST(SUM({y_col}) * 1000000 DIV COUNT(*) AS BIGINT)").alias(
+            "_bp_band_p"
+        )
+    )
+    prior = train.agg(
+        F.expr(f"CAST(SUM({y_col}) * 1000000 DIV COUNT(*) AS BIGINT)").alias(
+            "_bp_prior_p"
+        )
+    )
+    return (
+        test.join(F.broadcast(bands), band_col, "left")
+        .crossJoin(F.broadcast(prior))
+        .withColumn(
+            "p_micro", F.coalesce(F.col("_bp_band_p"), F.col("_bp_prior_p"))
+        )
+        .drop("_bp_band_p", "_bp_prior_p")
+    )
+
+
+def calibration_report(
+    scored: DataFrame,
+    *,
+    p_col: str = "p_micro",
+    y_col: str = "y",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Calibration curve + Brier decomposition inputs for a
+    probabilistic classifier whose predictions are integer micro-unit
+    probabilities: bucket predictions into ``n_bins`` equal-width bins
+    and report, per bin, the count, the mean PREDICTED probability,
+    the EMPIRICAL positive rate (a calibrated model has these equal),
+    and the bin's summed squared error (micro² units — the Brier
+    numerator; total Brier = SUM(brier_sum) / SUM(n) over bins).
+
+    All integer: mean prediction is ``SUM(p) DIV n``, empirical rate
+    ``pos * 1e6 DIV n``, per-row squared error ``(p - y*1e6)²``
+    (≤ 1e12 per row — BIGINT-safe to ~9e6-row test sets, documented).
+
+    100 TB: ONE hash aggregate over the scored stream straight to
+    ``n_bins`` groups; map-side partials make the shuffle bins-sized.
+    """
+    bin_w = 1_000_000 // n_bins
+    return (
+        scored.groupBy(
+            F.expr(f"CAST({p_col} DIV {bin_w} AS BIGINT)").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr(f"CAST(SUM({p_col}) DIV COUNT(*) AS BIGINT)").alias(
+                "avg_pred_micro"
+            ),
+            F.expr(
+                f"CAST(SUM({y_col}) * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("emp_rate_micro"),
+            F.expr(
+                f"CAST(SUM(({p_col} - {y_col} * 1000000) "
+                f"* ({p_col} - {y_col} * 1000000)) AS BIGINT)"
+            ).alias("brier_sum"),
+        )
+        .orderBy("bin")
+    )

@@ -13414,6 +13414,79 @@ def a08_copy_unload_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c168_calibration_brier",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000
+                   AS band,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+               ts < TIMESTAMP '2024-01-16' AS is_train
+        FROM events
+    ),
+    bands AS (
+        SELECT band,
+               CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS band_p
+        FROM base WHERE is_train GROUP BY 1
+    ),
+    prior AS (
+        SELECT CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS prior_p
+        FROM base WHERE is_train
+    ),
+    scored AS (
+        SELECT t.y, COALESCE(b.band_p, p.prior_p) AS p_micro
+        FROM base t
+        LEFT JOIN bands b ON b.band = t.band
+        CROSS JOIN prior p
+        WHERE NOT t.is_train
+    )
+    SELECT CAST(p_micro // 100000 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(p_micro) // COUNT(*) AS BIGINT) AS avg_pred_micro,
+           CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS emp_rate_micro,
+           CAST(SUM((p_micro - y * 1000000) * (p_micro - y * 1000000))
+               AS BIGINT) AS brier_sum
+    FROM scored
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="probability calibration + Brier evaluation (operators/ml."
+        "banded_rate_score + calibration_report): train a histogram "
+        "model (empirical purchase rate per 50-unit value band, exact "
+        "pos*1e6 DIV n) on pre-cutoff events, score post-cutoff events "
+        "(unseen bands fall back to the training prior — no silent row "
+        "drops), then bucket predictions into deciles and report per "
+        "bin the count, mean predicted probability, empirical rate "
+        "(equal iff calibrated) and summed squared error in micro² "
+        "(total Brier = SUM(brier_sum)/SUM(n)). Completes the eval "
+        "family (AUC c145, nDCG c148, confusion c159, PSI c125) with "
+        "the PROBABILITY-quality axis. All integer; per-row sqerr "
+        "<= 1e12 so BIGINT-safe to ~9e6 test rows (documented). "
+        "100 TB: model = one band-sized aggregate broadcast back; "
+        "report = ONE aggregate to 10 bins with map-side partials; "
+        "the corpus is read twice (train agg, test score) and never "
+        "shuffles row-wise",
+    tags=("ml", "events"),
+    bench=True,
+)
+def c168_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import banded_rate_score, calibration_report
+
+    e = views(spark, sf_dir, "events")["events"]
+    base = e.select(
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 5000"
+        ).alias("band"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        (F.col("ts") < F.lit("2024-01-16").cast("timestamp")).alias(
+            "is_train"
+        ),
+    )
+    train = base.filter("is_train")
+    test = base.filter("NOT is_train")
+    return calibration_report(banded_rate_score(train, test, "band", "y"))
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -13444,7 +13517,7 @@ def a08_copy_unload_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c167 + a06-a08 + q88-q92 ≈ 78
+# EXCEEDS one 50-slot window (c98-c168 + a06-a08 + q88-q92 ≈ 79
 # entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —

@@ -474,3 +474,43 @@ def test_decision_stump_exact_gini(spark):
         return out
 
     assert got == replay(data)
+
+
+def test_calibration_report_replay(spark):
+    """banded_rate_score + calibration_report replayed in pure Python:
+    unseen test bands take the train prior, bin edges / integer means /
+    Brier sums match exactly."""
+    from amazonredshift_blueprints_spark.operators.ml import (
+        banded_rate_score,
+        calibration_report,
+    )
+
+    train = [(0, 1), (0, 1), (0, 0), (1, 0), (1, 0), (1, 0), (1, 1)]
+    test = [(0, 1), (0, 0), (1, 0), (2, 1)]  # band 2 unseen in train
+    tr = spark.createDataFrame(train, "band long, y int")
+    te = spark.createDataFrame(test, "band long, y int")
+    scored = banded_rate_score(tr, te, "band", "y")
+    p = {r.band: r.p_micro for r in scored.collect()}
+    assert p[0] == 2 * 1_000_000 // 3          # 2/3 positives
+    assert p[1] == 1 * 1_000_000 // 4          # 1/4
+    assert p[2] == 3 * 1_000_000 // 7          # prior 3/7 fallback
+    got = [
+        (r.bin, r.n, r.avg_pred_micro, r.emp_rate_micro, r.brier_sum)
+        for r in calibration_report(scored).collect()
+    ]
+
+    rows = [(p[b], y) for b, y in test]
+    bins = {}
+    for pm, y in rows:
+        bins.setdefault(pm // 100_000, []).append((pm, y))
+    expect = sorted(
+        (
+            b,
+            len(v),
+            sum(pm for pm, _ in v) // len(v),
+            sum(y for _, y in v) * 1_000_000 // len(v),
+            sum((pm - y * 1_000_000) ** 2 for pm, y in v),
+        )
+        for b, v in bins.items()
+    )
+    assert got == expect
