@@ -604,3 +604,64 @@ def twap(
             ).alias("twap_r6"),
         )
     )
+
+
+def xcorr_lags(
+    daily: DataFrame,
+    day_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Cross-correlation lag scan: Pearson correlation of
+    ``(x_t, y_{t+lag})`` for every lag in 0..``max_lag`` over an
+    already-aggregated daily series — "does a spike in views predict
+    purchases N days later", the lead-lag discovery primitive.
+
+    Input is one row per day with both series' values (produce it with
+    one corpus aggregate); NULL-day gaps simply don't pair. Per lag the
+    five sufficient statistics are exact BIGINT sums and the
+    correlation is the c120/c121 fixed-IEEE expression, ROUND 6 dp;
+    degenerate (zero-variance) lags emit NULL. Overlap length shrinks
+    by one day per lag — ``n_days`` is reported so the caller can judge
+    significance.
+
+    Returns (lag, n_days, corr) ordered by lag.
+
+    100 TB: the corpus collapses to the DAYS table before this operator
+    runs (c161 discipline); everything here — the lag expansion (a
+    ``sequence`` explode, max_lag+1 copies of a days-sized table), the
+    shifted self equi-join on (day+lag), and the lags-sized aggregate —
+    is metadata-sized. No corpus shuffle, no window over anything
+    unbounded.
+    """
+    d = daily.select(
+        F.col(day_col).alias("d"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    lagged = d.select(
+        "d", "x", F.explode(F.expr(f"sequence(0, {max_lag})")).alias("lag")
+    ).withColumn("match_d", F.expr("date_add(d, CAST(lag AS INT))"))
+    paired = lagged.join(
+        d.select(F.col("d").alias("match_d"), F.col("y").alias("y_lead")),
+        "match_d",
+    )
+    a = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y_lead").alias("sy"),
+        F.sum(F.col("x") * F.col("y_lead")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y_lead") * F.col("y_lead")).alias("syy"),
+    )
+    vx = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    corr = num.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double"))
+    return a.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_days",
+        F.when((vx > 0) & (vy > 0), F.round(corr, 6)).alias("corr"),
+    ).orderBy("lag")

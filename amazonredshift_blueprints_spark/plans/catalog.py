@@ -13487,6 +13487,70 @@ def c168_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_report(banded_rate_score(train, test, "band", "y"))
 
 
+@query(
+    "c169_xcorr_lags",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                             ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    paired AS (
+        SELECT l.lag, a.x, b.y AS y_lead
+        FROM daily a
+        CROSS JOIN generate_series(0, 7) AS l(lag)
+        JOIN daily b ON b.d = a.d + CAST(l.lag AS INTEGER)
+    ),
+    agg AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y_lead) AS BIGINT) AS sy,
+               CAST(SUM(x * y_lead) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y_lead * y_lead) AS BIGINT) AS syy
+        FROM paired GROUP BY 1
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           n_days,
+           CASE WHEN n_days * sxx - sx * sx > 0
+                 AND n_days * syy - sy * sy > 0
+                THEN ROUND(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                           / sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n_days * syy - sy * sy
+                                         AS DOUBLE)), 6)
+           END AS corr
+    FROM agg
+    ORDER BY lag
+    """,
+    doc="cross-correlation lag scan (operators/timeseries.xcorr_lags): "
+        "Pearson corr of (views_t, purchases_t+lag) for lag 0..7 — "
+        "does view volume LEAD purchase volume, the lead-lag discovery "
+        "primitive behind attribution windows and forecast features. "
+        "Exact BIGINT sufficient stats per lag, corr as the c120/c121 "
+        "fixed-IEEE ROUND-6 expression, zero-variance lags NULL, "
+        "shrinking overlap reported as n_days. 100 TB: the corpus "
+        "collapses to the DAYS table in ONE aggregate (c161 "
+        "discipline); the lag explode (8 copies), shifted self "
+        "equi-join and lags-sized agg are all metadata-sized — no "
+        "corpus shuffle, no unbounded window",
+    tags=("timeseries", "events"),
+    bench=True,
+)
+def c169_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import xcorr_lags
+
+    e = views(spark, sf_dir, "events")["events"]
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "view").cast("int")).alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("y"),
+    )
+    return xcorr_lags(daily, "day", "x", "y", max_lag=7)
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -13517,7 +13581,7 @@ def c168_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c168 + a06-a08 + q88-q92 ≈ 79
+# EXCEEDS one 50-slot window (c98-c169 + a06-a08 + q88-q92 ≈ 80
 # entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —

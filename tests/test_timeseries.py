@@ -249,3 +249,35 @@ def test_twap_holding_weights_and_single_obs_null(spark):
     assert a["twap_r6"] == 1750.0
     b = got["b"]
     assert b["n"] == 1 and b["dur_ms"] == 0 and b["twap_r6"] is None
+
+
+def test_xcorr_lags_known_shift(spark):
+    """y is x shifted by exactly 2 days: lag 2 correlates 1.0, other
+    lags less; a constant series is NULL at every lag; overlap length
+    shrinks by one day per lag."""
+    import datetime as dt
+
+    from amazonredshift_blueprints_spark.operators.timeseries import (
+        xcorr_lags,
+    )
+
+    d0 = dt.date(2024, 1, 1)
+    xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    rows = [
+        (d0 + dt.timedelta(days=i), xs[i], xs[i - 2] if i >= 2 else 0)
+        for i in range(len(xs))
+    ]
+    df = spark.createDataFrame(rows, "day date, x int, y int")
+    got = {r.lag: (r.n_days, r.corr) for r in
+           xcorr_lags(df, "day", "x", "y", max_lag=3).collect()}
+    assert got[2][1] == 1.0            # exact shift found
+    assert got[2][0] == 8              # 10 days - lag 2
+    assert got[0][0] == 10 and got[3][0] == 7
+    assert all(got[lag][1] < 1.0 for lag in (0, 1, 3))
+    const = spark.createDataFrame(
+        [(d0 + dt.timedelta(days=i), 5, xs[i]) for i in range(10)],
+        "day date, x int, y int",
+    )
+    gc = {r.lag: r.corr for r in
+          xcorr_lags(const, "day", "x", "y", max_lag=2).collect()}
+    assert all(v is None for v in gc.values())  # zero variance -> NULL
