@@ -2519,3 +2519,61 @@ def ivf_probe_recall(
             ),
         )
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Embedding-space decontamination: flag every corpus vector whose
+    cosine similarity to ANY held-out eval vector reaches ``threshold``
+    — the semantic complement of n-gram decontamination (c39), catching
+    paraphrases and translations that share no surface n-grams (the
+    standard second pass in LLM training-data hygiene).
+
+    Exact arithmetic end to end: vectors quantize to 1e-6-unit BIGINTs
+    (the catalog's similarity contract), cosines are one deterministic
+    double expression over integer dot/norms, and the threshold
+    comparison is therefore bit-reproducible in any engine. Per flagged
+    vector the single best eval match is reported, ties broken to the
+    smallest eval id (struct-max aggregate — no window over the pair
+    stream).
+
+    Returns (vec_id, matched_eval_id, max_cosine) for flagged corpus
+    rows only.
+
+    100 TB: eval suites are small and FROZEN — the eval side broadcasts
+    and the corpus streams through map-side scoring once, then one
+    corpus-keyed aggregate collapses the surviving (above-threshold)
+    pairs. No corpus self-join, no shuffle of raw vectors. If the eval
+    side ever outgrows broadcast, the IVF probe path (c17/c94) replaces
+    the broadcast scan — cell-prune, then this same scoring.
+    """
+    c = _with_quant(corpus, id_col, vec_col, "train")
+    e = _with_quant(eval_set, id_col, vec_col, "eval")
+    scored = (
+        c.crossJoin(F.broadcast(e))
+        .select(
+            "train_id",
+            "eval_id",
+            cosine_q(
+                dot_q(F.col("train_q"), F.col("eval_q")),
+                F.col("train_norm"),
+                F.col("eval_norm"),
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    best = scored.groupBy("train_id").agg(
+        F.max(F.struct(F.col("cosine"), (-F.col("eval_id")).alias("neg")))
+        .alias("m")
+    )
+    return best.select(
+        F.col("train_id").alias("vec_id"),
+        (-F.col("m.neg")).cast("long").alias("matched_eval_id"),
+        F.col("m.cosine").alias("max_cosine"),
+    ).orderBy("vec_id")

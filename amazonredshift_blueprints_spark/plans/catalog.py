@@ -13551,6 +13551,65 @@ def c169_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xcorr_lags(daily, "day", "x", "y", max_lag=7)
 
 
+@query(
+    "c170_semantic_decontaminate",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, {_DUCK_QUANT} AS qv,
+               vec_id % 20 = 0 AS is_eval
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, qv, is_eval,
+               CAST({_DUCK_DOT.format(a='qv', b='qv')} AS BIGINT) AS norm
+        FROM v
+    ),
+    scored AS (
+        SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
+               CAST({_DUCK_DOT.format(a='t.qv', b='e.qv')} AS DOUBLE)
+                 / (sqrt(CAST(t.norm AS DOUBLE))
+                    * sqrt(CAST(e.norm AS DOUBLE))) AS cosine
+        FROM n t CROSS JOIN n e
+        WHERE NOT t.is_eval AND e.is_eval
+    ),
+    hits AS (SELECT * FROM scored WHERE cosine >= 0.3)
+    SELECT train_id AS vec_id, eval_id AS matched_eval_id,
+           cosine AS max_cosine
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY train_id
+              ORDER BY cosine DESC, eval_id) AS rn
+          FROM hits)
+    WHERE rn = 1
+    ORDER BY vec_id
+    """,
+    doc="semantic decontamination (operators/similarity."
+        "semantic_decontaminate): flag train vectors whose cosine to "
+        "ANY held-out eval vector (vec_id % 20 = 0 — the frozen "
+        "benchmark suite) reaches 0.3 — the embedding-space complement "
+        "of c39's n-gram decontamination, catching paraphrases that "
+        "share no surface n-grams (standard second hygiene pass for "
+        "LLM training data). Quantized-integer dot/norms, one "
+        "deterministic double cosine (the c06 contract) so the "
+        "threshold compare is bit-reproducible; best match per flagged "
+        "vector via struct-max (ties to smallest eval id), no window "
+        "over the pair stream. 100 TB: eval suites are small+frozen — "
+        "broadcast them, stream the corpus through map-side scoring "
+        "ONCE, one corpus-keyed agg; scale path if eval outgrows "
+        "broadcast = IVF cell-prune (c17/c94) feeding this scorer",
+    tags=("similarity", "dedup", "embeddings"),
+    bench=True,
+)
+def c170_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_decontaminate
+
+    emb = views(spark, sf_dir, "embeddings")["embeddings"]
+    return semantic_decontaminate(
+        emb.filter(F.col("vec_id") % 20 != 0),
+        emb.filter(F.col("vec_id") % 20 == 0),
+        threshold=0.3,
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -13581,7 +13640,7 @@ def c169_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c169 + a06-a08 + q88-q92 ≈ 80
+# EXCEEDS one 50-slot window (c98-c170 + a06-a08 + q88-q92 ≈ 81
 # entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —

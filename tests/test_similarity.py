@@ -924,3 +924,34 @@ def test_ivf_probe_recall_monotone_and_full_probe_identity(spark, sf_dir):
     assert out[1]["recall_micro"] <= out[2]["recall_micro"] <= out[8]["recall_micro"]
     assert out[8]["recall_micro"] == 1000000
     assert out[8]["n_hits"] == out[8]["n_truth"]
+
+
+def test_semantic_decontaminate_flags_paraphrase(spark):
+    """A train vector colinear with an eval vector is flagged at its
+    exact cosine (1.0); an orthogonal one is not; ties on cosine break
+    to the smallest eval id."""
+    from amazonredshift_blueprints_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),   # colinear with eval 100 AND 102
+            (2, [0.0, 1.0, 0.0]),   # orthogonal to all eval vectors
+            (3, [0.6, 0.0, 0.8]),   # cosine 0.6 to eval 100/102
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    ev = spark.createDataFrame(
+        [(100, [2.0, 0.0, 0.0]), (102, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: (r.matched_eval_id, r.max_cosine)
+        for r in semantic_decontaminate(train, ev, threshold=0.5).collect()
+    }
+    assert set(got) == {1, 3}
+    assert got[1] == (100, 1.0)       # tie at cosine 1.0 -> smallest id
+    assert got[3][0] in (100, 102) and abs(got[3][1] - 0.6) < 1e-9
+    # threshold above every cosine flags nothing
+    assert semantic_decontaminate(train, ev, threshold=1.1).count() == 0
