@@ -686,3 +686,86 @@ def negative_sampling(
         ["user", "neg_item"],
         "left_anti",
     )
+
+
+# Poisson(1) CDF quantized to 2^32, as 8-hex-char lowercase thresholds:
+# a row's bootstrap weight is the number of thresholds its md5's first 8
+# hex chars are >= (lowercase-hex string order IS uniform-integer order,
+# so no base conversion is needed in any engine). Weights above 9 are
+# capped (P ~ 1.1e-7, quantized away with the CDF itself — the cap is
+# part of the deterministic contract, not an approximation knob).
+POISSON1_CDF_HEX = [
+    "5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797", "ff1025f5",
+    "ffd90f3b", "fffa8b71", "ffff540c", "ffffed1f",
+]
+
+
+def poisson_bootstrap_means(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    *,
+    reps: int = 40,
+    salt: str = "v1",
+) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al., Google 2012 — "Estimating
+    uncertainty for massive data streams"): the distributed form of the
+    bootstrap. Resampling-with-replacement needs coordinated
+    multinomial draws; the Poisson approximation gives each row an
+    INDEPENDENT Poisson(1) weight per replicate, which is exactly what
+    a share-nothing scan can produce. Confidence intervals come from
+    the order statistics of the per-replicate means.
+
+    Fully deterministic: the weight is a pure function of
+    ``md5(key:rep:salt)`` pushed through the quantized Poisson(1) CDF
+    (``POISSON1_CDF_HEX`` — hex-string comparisons, identical in every
+    engine; no RNG state, replays bit-exactly). Replicate means are
+    exact integers: ``SUM(w*x) DIV SUM(w)`` (NULL for the ~e^-n chance
+    an entire replicate drew weight 0).
+
+    Returns one row per replicate: (rep, n_eff, wmean) with ``n_eff``
+    the replicate's total weight, ordered by rep.
+
+    100 TB: the reps× row amplification is MAP-ONLY — the explode
+    feeds straight into a hash aggregate whose map-side partials
+    collapse every partition to ``reps`` groups before the (only)
+    shuffle, so the exchange carries O(partitions · reps) rows no
+    matter the corpus. One scan, one tiny shuffle.
+    """
+    from functools import reduce
+
+    h8 = F.substring(
+        F.md5(
+            F.concat(
+                F.col(key_col).cast("string"),
+                F.lit(":"),
+                F.col("rep").cast("string"),
+                F.lit(":" + salt),
+            )
+        ),
+        1,
+        8,
+    )
+    weight = reduce(
+        lambda acc, th_i: acc + F.when(h8 >= F.lit(th_i[1]), 1).otherwise(0),
+        enumerate(POISSON1_CDF_HEX),
+        F.lit(0),
+    ).cast("long")
+    amplified = df.select(
+        F.col(key_col), F.col(val_col).cast("long").alias("_bp_x")
+    ).select(
+        "*", F.explode(F.expr(f"sequence(0, {reps - 1})")).alias("rep")
+    )
+    return (
+        amplified.select(F.col("rep").cast("long").alias("rep"),
+                         weight.alias("w"), "_bp_x")
+        .groupBy("rep")
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            F.expr(
+                "CAST(SUM(w * _bp_x) DIV "
+                "CASE WHEN SUM(w) > 0 THEN SUM(w) END AS BIGINT)"
+            ).alias("wmean"),
+        )
+        .orderBy("rep")
+    )

@@ -13610,6 +13610,67 @@ def c170_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators.sampling import POISSON1_CDF_HEX as _P1_HEX  # noqa: E402
+
+_P1_CASE_SQL = " + ".join(
+    f"(CASE WHEN h8 >= '{t}' THEN 1 ELSE 0 END)" for t in _P1_HEX
+)
+
+
+@query(
+    "c171_poisson_bootstrap",
+    oracle=f"""
+    WITH reps AS (
+        SELECT CAST(r AS BIGINT) AS rep FROM generate_series(0, 39) g(r)
+    ),
+    amp AS (
+        SELECT r.rep,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS x,
+               substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                          || CAST(r.rep AS VARCHAR) || ':v1'), 1, 8) AS h8
+        FROM orders CROSS JOIN reps r
+    ),
+    wt AS (SELECT rep, x, {_P1_CASE_SQL} AS w FROM amp)
+    SELECT rep,
+           CAST(SUM(w) AS BIGINT) AS n_eff,
+           CAST(SUM(w * x) // (CASE WHEN SUM(w) > 0 THEN SUM(w) END)
+               AS BIGINT) AS wmean
+    FROM wt
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Poisson bootstrap (operators/sampling.poisson_bootstrap_means; "
+        "Chamandy et al. 2012 — Google's estimator for massive "
+        "streams): 40 deterministic bootstrap replicates of mean order "
+        "price in cents. Resampling-with-replacement needs coordinated "
+        "multinomial draws; the Poisson(1)-weight form is what a "
+        "share-nothing scan CAN produce — here made fully replayable "
+        "by pushing md5(key:rep:salt) through the 2^32-quantized "
+        "Poisson CDF as HEX-STRING threshold compares (lowercase-hex "
+        "order == uniform-integer order; no RNG, no base conversion, "
+        "identical in every engine; weights capped at 9, P~1e-7, part "
+        "of the contract). Replicate means are exact SUM(w*x) DIV "
+        "SUM(w); CI = order statistics of the 40 means (pinned in the "
+        "unit test). 100 TB: the 40x amplification is map-only and "
+        "collapses to 40 groups per partition BEFORE the one shuffle "
+        "(exchange carries O(partitions*reps) rows); one scan total",
+    tags=("ml", "sampling", "orders"),
+    bench=True,
+)
+def c171_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import poisson_bootstrap_means
+
+    o = views(spark, sf_dir, "orders")["orders"]
+    cents = o.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return poisson_bootstrap_means(cents, "o_orderkey", "cents", reps=40)
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -13640,7 +13701,7 @@ def c170_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c170 + a06-a08 + q88-q92 ≈ 81
+# EXCEEDS one 50-slot window (c98-c171 + a06-a08 + q88-q92 ≈ 82
 # entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —

@@ -354,3 +354,46 @@ def test_negative_sampling_determinism_and_exclusion(spark):
         assert 1 <= s <= 2
     # universe is the observed items only
     assert {n for _, _, _, n in out1} <= {10, 11, 12}
+
+
+def test_poisson_bootstrap_weights_and_ci(spark):
+    """Poisson bootstrap: weights replay in pure Python from the same
+    md5+CDF contract, replicate means are exact integer quotients, the
+    empirical weight mean over many draws is ~1 (Poisson(1)), and the
+    order-statistic CI brackets the point estimate."""
+    import hashlib
+    import math
+
+    from amazonredshift_blueprints_spark.operators.sampling import (
+        POISSON1_CDF_HEX,
+        poisson_bootstrap_means,
+    )
+
+    data = [(i, 100 + (i * 37) % 50) for i in range(200)]
+    df = spark.createDataFrame(data, "k long, x long")
+    out = poisson_bootstrap_means(df, "k", "x", reps=40).collect()
+    assert [r.rep for r in out] == list(range(40))
+
+    def weight(key, rep):
+        h8 = hashlib.md5(f"{key}:{rep}:v1".encode()).hexdigest()[:8]
+        return sum(1 for t in POISSON1_CDF_HEX if h8 >= t)
+
+    for r in out[:5]:  # replay the first five replicates exactly
+        ws = [(weight(k, r.rep), x) for k, x in data]
+        n_eff = sum(w for w, _ in ws)
+        assert r.n_eff == n_eff
+        assert r.wmean == sum(w * x for w, x in ws) // n_eff
+    # Poisson(1): mean weight over 200 keys x 40 reps ~ 1 (±10%)
+    tot = sum(r.n_eff for r in out)
+    assert abs(tot / (200 * 40) - 1.0) < 0.1
+    # CI from order statistics brackets the true mean
+    means = sorted(r.wmean for r in out)
+    true_mean = sum(x for _, x in data) / len(data)
+    lo, hi = means[0], means[-1]  # 40 reps: 1st/40th order stats
+    assert lo <= true_mean <= hi
+    # CDF thresholds really are the quantized Poisson(1) CDF
+    cum, expect = 0.0, []
+    for k in range(9):
+        cum += math.exp(-1) / math.factorial(k)
+        expect.append(format(int(cum * 2**32), "08x"))
+    assert POISSON1_CDF_HEX == expect
