@@ -13610,6 +13610,57 @@ def c170_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q93_sql_script",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > 0
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="multi-statement SQL script execution (sqlrun."
+        "execute_sql_script — the .sql-file form Redshift users hand "
+        "to the reference one statement at a time, execute_sql.py:62): "
+        "a BEGIN/COPY-free four-statement script (CREATE VIEW, CTAS "
+        "with a dialect TOP rewrite, INSERT INTO, GRANT no-op) runs "
+        "through the full statement dispatcher — each statement gets "
+        "COPY/UNLOAD lowering, dialect translation, and transaction "
+        "routing exactly as if submitted alone; a failure names the "
+        "1-based statement index and rolls back a script-opened "
+        "transaction (pytest-pinned in test_native_layer). The result "
+        "scans the table the script built",
+    tags=("native", "sql", "dialect"),
+)
+def q93_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ingest import _clean_stale_location
+    from ..sqlrun import execute_sql_script
+
+    views(spark, sf_dir, "customer", "nation")
+    _clean_stale_location(spark, "bp_script_out", None)
+    n = execute_sql_script(
+        spark,
+        """
+        CREATE OR REPLACE TEMPORARY VIEW bp_script_pos AS
+            SELECT * FROM customer WHERE c_acctbal > 0;
+        DROP TABLE IF EXISTS bp_script_out;
+        CREATE TABLE bp_script_out USING parquet AS
+            SELECT n_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_acctbal
+            FROM bp_script_pos JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name;
+        GRANT SELECT ON bp_script_out TO GROUP analysts;
+        """,
+    )
+    assert n == 4, f"script should run 4 statements, ran {n}"
+    return spark.table("bp_script_out").orderBy("n_name")
+
+
 from ..operators.sampling import POISSON1_CDF_HEX as _P1_HEX  # noqa: E402
 
 _P1_CASE_SQL = " + ".join(
@@ -13701,7 +13752,7 @@ def c171_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c171 + a06-a08 + q88-q92 ≈ 82
+# EXCEEDS one 50-slot window (c98-c171 + a06-a08 + q88-q93 ≈ 83
 # entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —
