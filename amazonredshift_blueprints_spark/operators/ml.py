@@ -1258,3 +1258,84 @@ def calibration_report(
         )
         .orderBy("bin")
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+) -> DataFrame:
+    """Mutual information I(X; label) in micro-nats for each candidate
+    feature column — the information-theoretic feature-ranking sibling
+    of chi-square term selection (c154): which discretized feature
+    carries the most bits about the label, across ALL classes at once
+    (chi² is per-term/binary; MI handles the full multiclass joint).
+
+    Exact-replayable arithmetic: per joint cell the contribution is
+    ``n_xy * round(ln(n_xy·N / (n_x·n_y)) * 1e6)`` (the catalog's
+    fixed-IEEE ln contract; the products are exact doubles below 2^53,
+    so valid to ~9.4e7 input rows — the usual documented bound) and
+    ``mi_micro = SUM(contrib) DIV N``. Independent features score ~0;
+    negative per-cell terms are real (MI total is always >= 0 up to
+    quantization).
+
+    Returns (feature, n_cells, mi_micro), best first (ties by name).
+
+    100 TB: the melt (one row per feature per input row) is MAP-ONLY
+    into the cells aggregate — map-side partials collapse each
+    partition to |features|·|cells| groups before the single shuffle;
+    margins are window sums OVER THE CELLS table (features·cells rows,
+    metadata-sized), never a second corpus pass. One scan, one
+    cells-sized shuffle, join-free.
+    """
+    from pyspark.sql.window import Window
+
+    stack_args = ", ".join(f"'{c}', {c}" for c in feature_cols)
+    melted = df.select(
+        F.expr(
+            f"stack({len(feature_cols)}, {stack_args}) AS (feature, x)"
+        ),
+        F.col(label_col).alias("label"),
+    )
+    cells = melted.groupBy("feature", "x", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wx = Window.partitionBy("feature", "x")
+    wl = Window.partitionBy("feature", "label")
+    wf = Window.partitionBy("feature")
+    scored = cells.select(
+        "feature",
+        "n",
+        F.sum("n").over(wx).alias("n_x"),
+        F.sum("n").over(wl).alias("n_l"),
+        F.sum("n").over(wf).alias("n_tot"),
+    ).select(
+        "feature",
+        "n_tot",
+        (
+            F.col("n")
+            * F.round(
+                F.log(
+                    (F.col("n") * F.col("n_tot")).cast("double")
+                    / (F.col("n_x") * F.col("n_l")).cast("double")
+                )
+                * 1_000_000
+            ).cast("long")
+        ).alias("contrib"),
+    )
+    # GREATEST(·, 0): MI is mathematically >= 0 but per-cell ln
+    # quantization can push an independent feature's sum a few
+    # micro-units negative — and negative integer division is where
+    # engines disagree (Spark DIV truncates toward zero, DuckDB //
+    # floors), so the clamp is correctness, not cosmetics.
+    return (
+        scored.groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.expr(
+                "CAST(GREATEST(SUM(contrib), 0) DIV ANY_VALUE(n_tot) "
+                "AS BIGINT)"
+            ).alias("mi_micro"),
+        )
+        .orderBy(F.col("mi_micro").desc(), "feature")
+    )

@@ -13722,6 +13722,86 @@ def c171_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poisson_bootstrap_means(cents, "o_orderkey", "cents", reps=40)
 
 
+@query(
+    "c172_mi_feature_ranking",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000
+                   AS band,
+               CAST(hour(ts) AS BIGINT) AS hr,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    % 7 AS BIGINT) AS dw,
+               event_type AS label
+        FROM events
+    ),
+    melt AS (
+        SELECT 'band' AS feature, band AS x, label FROM base
+        UNION ALL SELECT 'hr', hr, label FROM base
+        UNION ALL SELECT 'dw', dw, label FROM base
+    ),
+    cells AS (
+        SELECT feature, x, label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM melt GROUP BY 1, 2, 3
+    ),
+    nx AS (SELECT feature, x, CAST(SUM(n) AS BIGINT) AS n_x
+           FROM cells GROUP BY 1, 2),
+    nl AS (SELECT feature, label, CAST(SUM(n) AS BIGINT) AS n_l
+           FROM cells GROUP BY 1, 2),
+    nt AS (SELECT feature, CAST(SUM(n) AS BIGINT) AS n_tot
+           FROM cells GROUP BY 1),
+    contrib AS (
+        SELECT c.feature, t.n_tot,
+               c.n * CAST(round(ln(CAST(c.n * t.n_tot AS DOUBLE)
+                                   / CAST(x.n_x * l.n_l AS DOUBLE))
+                                * 1000000) AS BIGINT) AS q
+        FROM cells c
+        JOIN nx x ON x.feature = c.feature AND x.x = c.x
+        JOIN nl l ON l.feature = c.feature AND l.label = c.label
+        JOIN nt t ON t.feature = c.feature
+    )
+    SELECT feature,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(GREATEST(SUM(q), 0) // ANY_VALUE(n_tot) AS BIGINT)
+               AS mi_micro
+    FROM contrib
+    GROUP BY 1
+    ORDER BY mi_micro DESC, feature
+    """,
+    doc="mutual-information feature ranking (operators/ml."
+        "mutual_information): I(X; event_type) in micro-nats for three "
+        "discretized candidates — value band, hour, arithmetic weekday "
+        "(c152's engine-neutral dow) — the info-theoretic sibling of "
+        "chi² term selection (c154), multiclass in one pass. Per-cell "
+        "contribution n_xy*ln_micro(n_xy*N/(n_x*n_y)) (fixed-IEEE ln; "
+        "products exact doubles to ~9.4e7 rows, documented), total "
+        "clamped GREATEST(.,0) BEFORE the integer division — "
+        "quantization can push an independent feature a few "
+        "micro-units negative, and negative division is where engines "
+        "disagree (Spark DIV truncates, DuckDB // floors). 100 TB: "
+        "melt is map-only into the cells aggregate (partials collapse "
+        "per partition before the ONE shuffle); margins are window "
+        "sums over the CELLS table — one scan, join-free in Spark",
+    tags=("ml", "text", "events"),
+    bench=True,
+)
+def c172_mi_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import mutual_information
+
+    e = views(spark, sf_dir, "events")["events"]
+    base = e.select(
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 5000"
+        ).alias("band"),
+        F.hour("ts").cast("long").alias("hr"),
+        (
+            F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01")))
+            % 7
+        ).cast("long").alias("dw"),
+        F.col("event_type").alias("label"),
+    )
+    return mutual_information(base, ["band", "hr", "dw"], "label")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -13752,7 +13832,7 @@ def c171_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c171 + a06-a08 + q88-q93 ≈ 83
+# EXCEEDS one 50-slot window (c98-c172 + a06-a08 + q88-q93 ≈ 84
 # entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —

@@ -514,3 +514,44 @@ def test_calibration_report_replay(spark):
         for b, v in bins.items()
     )
     assert got == expect
+
+
+def test_mutual_information_ranking(spark):
+    """A feature that determines the label scores ln(2) micro-nats on
+    a balanced binary fixture; an independent feature clamps to ~0;
+    python replay matches the quantized contract exactly."""
+    import math
+
+    from amazonredshift_blueprints_spark.operators.ml import (
+        mutual_information,
+    )
+
+    rows = []
+    for i in range(64):
+        label = "a" if i % 2 == 0 else "b"
+        rows.append((i % 2, i % 4 // 2, label))  # f1 = label, f2 ~ noise
+    df = spark.createDataFrame(rows, "f1 long, f2 long, label string")
+    got = {r.feature: (r.n_cells, r.mi_micro)
+           for r in mutual_information(df, ["f1", "f2"], "label").collect()}
+    # f1 determines label on a balanced fixture: I = ln 2 exactly; the
+    # per-cell quantization rounds ln(2)*1e6 once per cell
+    assert got["f1"][0] == 2
+    assert got["f1"][1] == round(math.log(2) * 1_000_000)
+    # f2 independent of label: clamps to >= 0 and ~0
+    assert got["f2"][0] == 4 and 0 <= got["f2"][1] < 5
+
+    def replay(pairs):
+        from collections import Counter
+
+        n_xy = Counter(pairs)
+        n_x = Counter(x for x, _ in pairs)
+        n_l = Counter(y for _, y in pairs)
+        n = len(pairs)
+        s = sum(
+            c * round(math.log(c * n / (n_x[x] * n_l[y])) * 1_000_000)
+            for (x, y), c in n_xy.items()
+        )
+        return max(s, 0) // n
+
+    assert got["f1"][1] == replay([(r[0], r[2]) for r in rows])
+    assert got["f2"][1] == replay([(r[1], r[2]) for r in rows])
