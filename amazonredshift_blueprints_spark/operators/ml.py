@@ -1339,3 +1339,91 @@ def mutual_information(
         )
         .orderBy(F.col("mi_micro").desc(), "feature")
     )
+
+
+def conformal_intervals(
+    train: DataFrame,
+    calib: DataFrame,
+    test: DataFrame,
+    group_col: str,
+    y_col: str,
+    *,
+    coverage_pct: int = 90,
+) -> DataFrame:
+    """Mondrian split-conformal prediction intervals (Vovk; Lei et al.
+    JASA'18): per group, fit the point predictor (here the training
+    mean), take q̂ = the ceil((n_cal+1)·coverage/100)-th smallest
+    absolute calibration residual, and report how often the test value
+    actually lands inside prediction ± q̂ — the distribution-free
+    uncertainty wrapper every deployed regressor needs, with
+    finite-sample marginal coverage >= the target by construction.
+
+    All integer: the predictor is ``SUM(y) DIV n`` per group, residuals
+    are integer distances, the quantile is an ORDER STATISTIC (integer
+    rank arithmetic — no interpolation semantics to disagree on, the
+    c156 convention), clamped to n_cal, and coverage is
+    ``hits * 1e6 DIV n_test``.
+
+    Returns (group, n_cal, pred, qhat, n_test, coverage_micro).
+
+    100 TB: train and test sides are single hash aggregates (group-
+    sized). The calibration residual rank is the one per-group sort —
+    run conformal calibration on a calibration SPLIT (the method's own
+    requirement), not the corpus; the window is calibration-sized by
+    construction. Models join back by broadcast (group-sized).
+    """
+    from pyspark.sql.window import Window
+
+    model = train.groupBy(F.col(group_col).alias("_bp_g")).agg(
+        F.expr(f"CAST(SUM({y_col}) DIV COUNT(*) AS BIGINT)").alias("pred")
+    )
+    res = (
+        calib.join(
+            F.broadcast(model), calib[group_col] == F.col("_bp_g")
+        )
+        .select(
+            "_bp_g",
+            "pred",
+            F.abs(F.col(y_col) - F.col("pred")).cast("long").alias("r"),
+        )
+    )
+    w = Window.partitionBy("_bp_g").orderBy("r")
+    ranked = res.select(
+        "_bp_g",
+        "pred",
+        "r",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("_bp_g")).alias("n_cal"),
+    )
+    # ceil((n_cal+1)·cov/100) in PURE integer arithmetic —
+    # (a + 99) DIV 100 — so there is no float ceil for engines to
+    # disagree on; clamped to n_cal (tiny calibration sets).
+    qhat = ranked.filter(
+        F.col("rk")
+        == F.least(
+            F.expr(
+                f"CAST(((n_cal + 1) * {coverage_pct} + 99) DIV 100 AS INT)"
+            ),
+            F.col("n_cal"),
+        )
+    ).select(
+        "_bp_g",
+        "pred",
+        F.col("n_cal").cast("long").alias("n_cal"),
+        F.col("r").alias("qhat"),
+    )
+    return (
+        test.join(F.broadcast(qhat), test[group_col] == F.col("_bp_g"))
+        .groupBy(F.col("_bp_g").alias("group"))
+        .agg(
+            F.first("n_cal").alias("n_cal"),
+            F.first("pred").alias("pred"),
+            F.first("qhat").alias("qhat"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN ABS({y_col} - pred) <= qhat "
+                "THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("coverage_micro"),
+        )
+        .orderBy("group")
+    )

@@ -13802,6 +13802,93 @@ def c172_mi_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(base, ["band", "hr", "dw"], "label")
 
 
+@query(
+    "c173_conformal_intervals",
+    oracle="""
+    WITH base AS (
+        SELECT event_type AS g,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+               CASE WHEN ts < TIMESTAMP '2024-01-11' THEN 0
+                    WHEN ts < TIMESTAMP '2024-01-21' THEN 1
+                    ELSE 2 END AS part
+        FROM events
+    ),
+    model AS (
+        SELECT g, CAST(SUM(y) // COUNT(*) AS BIGINT) AS pred
+        FROM base WHERE part = 0 GROUP BY 1
+    ),
+    res AS (
+        SELECT b.g, m.pred, ABS(b.y - m.pred) AS r
+        FROM base b JOIN model m ON m.g = b.g
+        WHERE b.part = 1
+    ),
+    ranked AS (
+        SELECT g, pred, r,
+               row_number() OVER (PARTITION BY g ORDER BY r) AS rk,
+               COUNT(*) OVER (PARTITION BY g) AS n_cal
+        FROM res
+    ),
+    qh AS (
+        SELECT g, pred, CAST(n_cal AS BIGINT) AS n_cal, r AS qhat
+        FROM ranked
+        WHERE rk = LEAST(((n_cal + 1) * 90 + 99) // 100, n_cal)
+    )
+    SELECT t.g AS grp,
+           CAST(ANY_VALUE(q.n_cal) AS BIGINT) AS n_cal,
+           CAST(ANY_VALUE(q.pred) AS BIGINT) AS pred,
+           CAST(ANY_VALUE(q.qhat) AS BIGINT) AS qhat,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN ABS(t.y - q.pred) <= q.qhat
+                         THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+               AS BIGINT) AS coverage_micro
+    FROM base t JOIN qh q ON q.g = t.g
+    WHERE t.part = 2
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Mondrian split-conformal prediction intervals (operators/ml."
+        "conformal_intervals; Lei et al. JASA'18): per event type, "
+        "point predictor = training mean (cents, SUM DIV n), "
+        "q̂ = ceil((n_cal+1)·0.9)-th smallest calibration residual "
+        "computed as an ORDER STATISTIC with the ceiling in PURE "
+        "integer arithmetic ((a·90+99) DIV 100 — no float ceil to "
+        "disagree on), test coverage = hits*1e6 DIV n — the "
+        "distribution-free uncertainty wrapper with finite-sample "
+        "coverage >= 90% by construction (residual ties at rank k "
+        "don't matter: the k-th sorted VALUE is unique even when "
+        "row_number ties aren't). Time-split 3 ways (train <11th, "
+        "cal 11-21, test >=21). 100 TB: train/test sides are "
+        "group-sized hash aggregates; the one per-group sort runs on "
+        "the CALIBRATION SPLIT (small by the method's own design); "
+        "models broadcast back",
+    tags=("ml", "events", "timeseries"),
+    bench=True,
+)
+def c173_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import conformal_intervals
+
+    e = views(spark, sf_dir, "events")["events"]
+    base = e.select(
+        F.col("event_type").alias("g"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+        F.when(F.col("ts") < F.lit("2024-01-11").cast("timestamp"), 0)
+        .when(F.col("ts") < F.lit("2024-01-21").cast("timestamp"), 1)
+        .otherwise(2)
+        .alias("part"),
+    )
+    out = conformal_intervals(
+        base.filter("part = 0"),
+        base.filter("part = 1"),
+        base.filter("part = 2"),
+        "g",
+        "y",
+        coverage_pct=90,
+    )
+    return out.withColumnRenamed("group", "grp")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -13832,7 +13919,7 @@ def c172_mi_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c172 + a06-a08 + q88-q93 ≈ 84
+# EXCEEDS one 50-slot window (c98-c173 + a06-a08 + q88-q93 ≈ 85
 # entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —

@@ -555,3 +555,26 @@ def test_mutual_information_ranking(spark):
 
     assert got["f1"][1] == replay([(r[0], r[2]) for r in rows])
     assert got["f2"][1] == replay([(r[1], r[2]) for r in rows])
+
+
+def test_conformal_intervals_coverage_contract(spark):
+    """Split conformal replayed by hand: q̂ is the exact order statistic
+    at ceil((n+1)·0.9) (integer ceiling), coverage counts |y-pred|<=q̂,
+    and a group whose column name collides with internals still works."""
+    from amazonredshift_blueprints_spark.operators.ml import (
+        conformal_intervals,
+    )
+
+    train = [("g1", v) for v in (10, 10, 10, 10)]        # pred = 10
+    calib = [("g1", 10 + r) for r in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9)]
+    test = [("g1", 10 + d) for d in (-9, -8, 0, 5, 9, 20)]
+    mk = lambda rows: spark.createDataFrame(rows, "g string, y long")
+    out = conformal_intervals(
+        mk(train), mk(calib), mk(test), "g", "y", coverage_pct=90
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # residuals 0..9, n_cal=10: k = ceil(11*0.9) = ceil(9.9) = 10 -> q̂=9
+    assert (r.n_cal, r.pred, r.qhat, r.n_test) == (10, 10, 9, 6)
+    # |y-10| <= 9 for 5 of 6 test rows
+    assert r.coverage_micro == 5 * 1_000_000 // 6

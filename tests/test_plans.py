@@ -807,3 +807,30 @@ def test_c166_stump_join_free_takeordered(spark, sf_dir):
     assert "Join" not in p
     assert "partial_count" in p or "partial_sum" in p  # map-side combine
     assert "TakeOrderedAndProject" in p
+
+
+def test_session4_additions_plan_shapes(spark, sf_dir):
+    """Round-11 fourth-session batch: c167 link prediction is all
+    equi-joins (no cartesian/BNLJ — candidates come from the wedge
+    equi-join); c168's band model is a broadcast join plus the one-row
+    prior BNLJ, never an SMJ; c170's only nested loop is the broadcast
+    eval block; c171 bootstrap and c172 MI are join-free single-scan
+    aggregates with map-side partials."""
+    p167 = _plan(spark, sf_dir, "c167_link_prediction")
+    assert "CartesianProduct" not in p167
+    assert "BroadcastNestedLoopJoin" not in p167
+    p168 = _plan(spark, sf_dir, "c168_calibration_brier")
+    assert "SortMergeJoin" not in p168
+    assert "BroadcastHashJoin" in p168       # band model broadcast back
+    assert p168.count("BroadcastNestedLoopJoin") == 1  # 1-row prior
+    p170 = _plan(spark, sf_dir, "c170_semantic_decontaminate")
+    assert p170.count("BroadcastNestedLoopJoin") == 1  # eval broadcast
+    assert "SortMergeJoin" not in p170
+    p171 = _plan(spark, sf_dir, "c171_poisson_bootstrap")
+    assert "Join" not in p171
+    assert "partial_sum" in p171             # reps collapse map-side
+    p172 = _plan(spark, sf_dir, "c172_mi_feature_ranking")
+    assert "Join" not in p172
+    assert "partial_count" in p172 or "partial_sum" in p172
+    p92 = _plan(spark, sf_dir, "q92_connect_by")
+    assert "CartesianProduct" not in p92
