@@ -1427,3 +1427,76 @@ def conformal_intervals(
         )
         .orderBy("group")
     )
+
+
+def sprt_monitor(
+    df: DataFrame,
+    group_col: str,
+    day_col: str,
+    success_col: str,
+    *,
+    p0_milli: int = 180,
+    p1_milli: int = 220,
+    alpha_milli: int = 50,
+) -> DataFrame:
+    """Wald's sequential probability ratio test (SPRT), the
+    peeking-safe way to monitor a conversion experiment daily: per
+    group, accumulate the log-likelihood ratio of H1 (rate =
+    ``p1_milli``/1000) against H0 (``p0_milli``/1000) over the daily
+    (trials, successes) stream and compare against the Wald boundaries
+    ±ln((1-α)/α) (α = β = ``alpha_milli``/1000) — cross above and you
+    accept H1 NOW, with the type-I/II guarantee intact no matter how
+    often you looked (the fix for the industry's peeking problem).
+
+    Every ln is the catalog's fixed-IEEE micro quantization OF INTEGER
+    LITERAL RATIOS (ln(p1/p0), ln((1000-p1)/(1000-p0)), ln((1000-α)/α))
+    so the per-day increments, the running sum, and the crossing day
+    replay bit-exactly in any engine.
+
+    Returns per (group, day): trials n, successes x, llr_day_micro,
+    llr_cum_micro, state ('accept_h1' / 'accept_h0' / 'continue'),
+    days ordered, day as STRING (the c155 date-output convention).
+
+    100 TB: ONE hash aggregate corpus → (group, day) cells; the
+    cumulative scan is a window over that DAYS-sized table (c161
+    discipline). Nothing corpus-sized moves after the first exchange.
+    """
+    from pyspark.sql.window import Window
+
+    lr1 = f"CAST(round(ln(CAST({p1_milli} AS DOUBLE) / {p0_milli}) * 1000000) AS BIGINT)"
+    lr0 = (
+        f"CAST(round(ln(CAST({1000 - p1_milli} AS DOUBLE) / "
+        f"{1000 - p0_milli}) * 1000000) AS BIGINT)"
+    )
+    bound = (
+        f"CAST(round(ln(CAST({1000 - alpha_milli} AS DOUBLE) / "
+        f"{alpha_milli}) * 1000000) AS BIGINT)"
+    )
+    daily = df.groupBy(
+        F.col(group_col).alias("grp"),
+        F.col(day_col).cast("date").alias("_bp_day"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(success_col).cast("long")).alias("x"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("_bp_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = daily.withColumn(
+        "llr_day_micro", F.expr(f"x * {lr1} + (n - x) * {lr0}")
+    ).withColumn("llr_cum_micro", F.sum("llr_day_micro").over(w))
+    return scored.select(
+        "grp",
+        F.col("_bp_day").cast("string").alias("day"),
+        "n",
+        "x",
+        "llr_day_micro",
+        "llr_cum_micro",
+        F.expr(
+            f"CASE WHEN llr_cum_micro >= {bound} THEN 'accept_h1' "
+            f"WHEN llr_cum_micro <= -{bound} THEN 'accept_h0' "
+            "ELSE 'continue' END"
+        ).alias("state"),
+    ).orderBy("grp", "day")

@@ -13889,6 +13889,76 @@ def c173_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("group", "grp")
 
 
+@query(
+    "c174_sprt_sequential",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id % 2 AS grp, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                             ELSE 0 END) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    sc AS (
+        SELECT grp, d, n, x,
+               x * CAST(round(ln(CAST(220 AS DOUBLE) / 180) * 1000000)
+                        AS BIGINT)
+               + (n - x)
+                 * CAST(round(ln(CAST(780 AS DOUBLE) / 820) * 1000000)
+                        AS BIGINT) AS llr_day_micro
+        FROM daily
+    ),
+    cum AS (
+        SELECT grp, d, n, x, llr_day_micro,
+               CAST(SUM(llr_day_micro)
+                    OVER (PARTITION BY grp ORDER BY d) AS BIGINT)
+                   AS llr_cum_micro
+        FROM sc
+    )
+    SELECT CAST(grp AS BIGINT) AS grp,
+           CAST(d AS VARCHAR) AS day,
+           n, x, llr_day_micro, llr_cum_micro,
+           CASE WHEN llr_cum_micro >=
+                     CAST(round(ln(CAST(950 AS DOUBLE) / 50) * 1000000)
+                          AS BIGINT) THEN 'accept_h1'
+                WHEN llr_cum_micro <=
+                     -CAST(round(ln(CAST(950 AS DOUBLE) / 50) * 1000000)
+                           AS BIGINT) THEN 'accept_h0'
+                ELSE 'continue' END AS state
+    FROM cum
+    ORDER BY grp, day
+    """,
+    doc="Wald SPRT sequential experiment monitoring (operators/ml."
+        "sprt_monitor): per variant (user parity — c116's A/B "
+        "convention), daily cumulative log-likelihood ratio of "
+        "H1: purchase rate 0.22 vs H0: 0.18 against the Wald "
+        "boundaries ±ln(0.95/0.05) — the peeking-safe daily readout "
+        "(type-I/II error holds however often you look, unlike "
+        "repeated z-tests). Every ln is the fixed-IEEE micro "
+        "quantization of INTEGER LITERAL ratios (220/180, 780/820, "
+        "950/50) so increments, running sums and the crossing day "
+        "replay bit-exactly. Day out as STRING (c155 convention). "
+        "100 TB: one corpus aggregate to (variant, day) cells; the "
+        "cumulative window runs on that DAYS-sized table (c161 "
+        "discipline) — nothing corpus-sized after the first exchange",
+    tags=("ml", "events", "timeseries"),
+    bench=True,
+)
+def c174_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import sprt_monitor
+
+    e = views(spark, sf_dir, "events")["events"]
+    base = e.select(
+        (F.col("user_id") % 2).alias("variant"),
+        F.col("ts"),
+        (F.col("event_type") == "purchase").cast("int").alias("converted"),
+    )
+    return sprt_monitor(
+        base, "variant", "ts", "converted",
+        p0_milli=180, p1_milli=220, alpha_milli=50,
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -13919,7 +13989,7 @@ def c173_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c173 + a06-a08 + q88-q93 ≈ 85
+# EXCEEDS one 50-slot window (c98-c174 + a06-a08 + q88-q93 ≈ 86
 # entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —

@@ -578,3 +578,42 @@ def test_conformal_intervals_coverage_contract(spark):
     assert (r.n_cal, r.pred, r.qhat, r.n_test) == (10, 10, 9, 6)
     # |y-10| <= 9 for 5 of 6 test rows
     assert r.coverage_micro == 5 * 1_000_000 // 6
+
+
+def test_sprt_monitor_crossing_and_replay(spark):
+    """SPRT: a variant converting at the H1 rate crosses the upper Wald
+    boundary and stays crossed; one converting at H0 crosses the lower;
+    increments replay in pure Python from the same quantized-ln
+    contract."""
+    import datetime as dt
+    import math
+
+    from amazonredshift_blueprints_spark.operators.ml import sprt_monitor
+
+    d0 = dt.datetime(2024, 3, 1)
+    rows = []
+    for day in range(30):
+        for i in range(100):
+            # variant 0 converts at 30% (>> p1=0.22), variant 1 at 10%
+            rows.append((0, d0 + dt.timedelta(days=day), 1 if i < 30 else 0))
+            rows.append((1, d0 + dt.timedelta(days=day), 1 if i < 10 else 0))
+    df = spark.createDataFrame(rows, "variant long, ts timestamp, c int")
+    out = sprt_monitor(df, "variant", "ts", "c").collect()
+    lr1 = round(math.log(220 / 180) * 1_000_000)
+    lr0 = round(math.log(780 / 820) * 1_000_000)
+    bound = round(math.log(950 / 50) * 1_000_000)
+    day1 = [r for r in out if r.grp == 0][0]
+    assert day1.llr_day_micro == 30 * lr1 + 70 * lr0
+    states0 = [r.state for r in out if r.grp == 0]
+    states1 = [r.state for r in out if r.grp == 1]
+    assert states0[-1] == "accept_h1" and "accept_h1" in states0
+    assert states1[-1] == "accept_h0"
+    # cumulative sums replay exactly
+    cum = 0
+    for r in [r for r in out if r.grp == 0]:
+        cum += r.llr_day_micro
+        assert r.llr_cum_micro == cum
+        assert r.state == (
+            "accept_h1" if cum >= bound
+            else "accept_h0" if cum <= -bound else "continue"
+        )
