@@ -13611,6 +13611,75 @@ def c170_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a09_copy_gzip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM lineitem
+    WHERE l_linenumber = 1
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="gzip-compressed COPY (the flag on practically every real "
+        "Redshift COPY — feeds arrive gzipped): the fixture is written "
+        "as .csv.gz part files (Spark's gzip codec), COPY'd back with "
+        "the GZIP option (accepted; Spark's text readers decompress "
+        "by extension, so the option is parse-parity — documented "
+        "no-op at copy_unload.py), and the typed aggregate must "
+        "reproduce the source exactly through the compressed text "
+        "round-trip. 100 TB note, stated not hidden: gzip is NOT "
+        "splittable — each .gz file is one task, so the writer side "
+        "controls load parallelism via file count (here Spark's "
+        "default partitioning writes many part files; a single "
+        "100 GB .gz would serialize its scan — prefer zstd/bzip2 or "
+        "many parts for big feeds)",
+    tags=("native", "ingest", "lineitem"),
+)
+def a09_copy_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..ingest import _clean_stale_location
+    from ..sqlrun import execute_sql
+
+    li = views(spark, sf_dir, "lineitem")["lineitem"]
+    tmp = tempfile.mkdtemp(prefix="bp_gzip_")
+    out_dir = os.path.join(tmp, "lineitem_gz")
+    (
+        li.filter(F.col("l_linenumber") == 1)
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .option("header", True)
+        .csv(out_dir)
+    )
+    assert any(f.endswith(".csv.gz") for f in os.listdir(out_dir)), (
+        "expected gzip part files"
+    )
+    tbl = "bp_gzip_lineitem"
+    _clean_stale_location(spark, tbl, None)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    execute_sql(
+        spark,
+        f"COPY {tbl} FROM '{out_dir}' CSV IGNOREHEADER 1 GZIP "
+        "DELIMITER ','",
+    )
+    return (
+        spark.table(tbl)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "q93_sql_script",
     oracle="""
     SELECT n_name,
@@ -13989,7 +14058,7 @@ def c174_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c174 + a06-a08 + q88-q93 ≈ 86
+# EXCEEDS one 50-slot window (c98-c174 + a06-a09 + q88-q93 ≈ 87
 # entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —
