@@ -712,8 +712,45 @@ def _strip_no_schema_binding(sql: str) -> str:
     return _NO_SCHEMA_BINDING_RE.sub(r"\1", sql)
 
 
+_SELECT_INTO_HEAD_RE = re.compile(r"^\s*SELECT\b", re.IGNORECASE)
+_INTO_RE = re.compile(
+    r"\bINTO\s+(TEMP(?:ORARY)?\s+)?(?:TABLE\s+)?([A-Za-z_][\w.]*)\s+",
+    re.IGNORECASE,
+)
+_FROM_TOP_RE = re.compile(r"\bFROM\b", re.IGNORECASE)
+
+
+def _rewrite_select_into(sql: str) -> str:
+    """``SELECT ... INTO [TEMP] t FROM ...`` (the Redshift/PostgreSQL
+    table-from-query form) → CTAS. Spark SQL has no SELECT INTO;
+    permanent targets become ``CREATE TABLE t USING parquet AS``,
+    TEMP targets become ``CREATE OR REPLACE TEMPORARY VIEW t AS``
+    (session-scoped, dropped with the session — the same lifetime a
+    Redshift temp table has; materialization difference documented
+    here). Only a top-level INTO BEFORE the first top-level FROM
+    rewrites — ``INSERT INTO`` and subquery text never match."""
+    if _SELECT_INTO_HEAD_RE.match(sql) is None:
+        return sql
+    m = _find_top_level(sql, _INTO_RE)
+    if m is None:
+        return sql
+    f = _find_top_level(sql, _FROM_TOP_RE)
+    if f is not None and f.start() < m.start():
+        return sql  # INTO belongs to something after FROM; not ours
+    is_temp, target = bool(m.group(1)), m.group(2)
+    select_list = sql[: m.start()]
+    rest = sql[m.end():]
+    head = (
+        f"CREATE OR REPLACE TEMPORARY VIEW {target} AS "
+        if is_temp
+        else f"CREATE TABLE {target} USING parquet AS "
+    )
+    return f"{head}{select_list} {rest}"
+
+
 def translate_redshift_sql(sql: str) -> str:
     """Rewrite Redshift-dialect call sites into Spark SQL equivalents."""
+    sql = _rewrite_select_into(sql)
     sql = _rewrite_external_table(sql)
     sql = _rewrite_create_like(sql)
     sql = _strip_no_schema_binding(sql)

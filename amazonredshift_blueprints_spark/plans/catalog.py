@@ -13730,6 +13730,57 @@ def q93_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("bp_script_out").orderBy("n_name")
 
 
+@query(
+    "q94_select_into",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="SELECT INTO dialect rewrite (functions/redshift_compat."
+        "_rewrite_select_into — the Redshift/PostgreSQL "
+        "table-from-query form Spark SQL lacks): a top-level INTO "
+        "before the first top-level FROM becomes CTAS (permanent → "
+        "CREATE TABLE USING parquet AS; TEMP → CREATE OR REPLACE "
+        "TEMPORARY VIEW, the same session lifetime a Redshift temp "
+        "table has — materialization divergence documented at the "
+        "rewrite). INSERT INTO, subquery text, and string literals "
+        "never match (paren-depth + string-aware scan, pytest-pinned). "
+        "The entry runs both the permanent and TEMP forms through "
+        "execute_sql and scans the created table",
+    tags=("dialect", "orders"),
+)
+def q94_select_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ingest import _clean_stale_location
+    from ..sqlrun import execute_sql
+
+    views(spark, sf_dir, "orders")
+    _clean_stale_location(spark, "bp_sel_into", None)
+    spark.sql("DROP TABLE IF EXISTS bp_sel_into")
+    execute_sql(
+        spark,
+        """SELECT o_orderpriority,
+                  CAST(COUNT(*) AS BIGINT) AS n_orders,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                      AS sum_price
+           INTO bp_sel_into
+           FROM orders
+           WHERE o_orderstatus = 'F'
+           GROUP BY o_orderpriority""",
+    )
+    execute_sql(
+        spark,
+        "SELECT o_orderkey INTO TEMP bp_sel_into_tmp FROM orders",
+    )
+    assert spark.table("bp_sel_into_tmp").count() > 0
+    return spark.table("bp_sel_into").orderBy("o_orderpriority")
+
+
 from ..operators.sampling import POISSON1_CDF_HEX as _P1_HEX  # noqa: E402
 
 _P1_CASE_SQL = " + ".join(
@@ -14058,7 +14109,7 @@ def c174_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c174 + a06-a09 + q88-q93 ≈ 87
+# EXCEEDS one 50-slot window (c98-c174 + a06-a09 + q88-q94 ≈ 88
 # entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —

@@ -1521,3 +1521,29 @@ def test_connect_by_hierarchy_semantics(spark):
         parse_connect_by(
             "SELECT id FROM t CONNECT BY PRIOR id = parent"
         )
+
+
+def test_select_into_rewrite_shapes():
+    """SELECT INTO → CTAS: permanent vs TEMP targets, and the
+    non-matches (INSERT INTO, INTO after FROM, subqueries, string
+    literals) pass through untouched."""
+    from amazonredshift_blueprints_spark.functions.redshift_compat import (
+        translate_redshift_sql as t,
+    )
+
+    assert t("SELECT a, b INTO newt FROM src WHERE x > 1").startswith(
+        "CREATE TABLE newt USING parquet AS "
+    )
+    assert t("SELECT a INTO TEMP tt FROM src").startswith(
+        "CREATE OR REPLACE TEMPORARY VIEW tt AS "
+    )
+    assert t("SELECT a INTO TEMPORARY TABLE tt FROM src").startswith(
+        "CREATE OR REPLACE TEMPORARY VIEW tt AS "
+    )
+    for untouched in (
+        "INSERT INTO t SELECT 1",
+        "SELECT a FROM t WHERE b IN (SELECT c FROM u)",
+        "SELECT 'INTO x' AS s FROM t",
+        "SELECT a FROM t",  # INTO nowhere
+    ):
+        assert t(untouched) == untouched
