@@ -1500,3 +1500,282 @@ def sprt_monitor(
             "ELSE 'continue' END"
         ).alias("state"),
     ).orderBy("grp", "day")
+
+
+def power_planner(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    day_col: str,
+    *,
+    lift_milli: int = 100,
+    z_alpha_micro: int = 1_959_964,
+    z_power_micro: int = 841_621,
+) -> DataFrame:
+    """Experiment sample-size / duration planning FROM OBSERVED DATA:
+    given the running A/B stream, how many subjects per arm — and at
+    each arm's observed daily traffic, how many days — to detect a
+    relative lift of ``lift_milli``/1000 on the pooled baseline rate at
+    two-sided α=0.05 with 80% power. The planning complement of the
+    z-test readout (c116) and the SPRT monitor (c174): run BEFORE the
+    experiment, not after.
+
+    Standard two-proportion formula:
+        n/arm = (z_α·√(2·p̄q̄) + z_β·√(p₁q₁ + p₂q₂))² / (p₁-p₂)²
+    with p₁ = pooled observed rate, p₂ = p₁·(1+lift). The z quantiles
+    are fixed micro-unit literals (Φ⁻¹(0.975), Φ⁻¹(0.80) — constants of
+    the method, not data); every other input is an exact BIGINT count,
+    so the one double expression is fixed-IEEE and both its CEIL and
+    the integer day arithmetic replay in any engine.
+
+    Returns ONE row: per-arm observed (n, x), the pooled rate in
+    micro-units, the target absolute delta in micro-units, n_per_arm,
+    and per-arm days_needed = ceil(n_per_arm · days_observed / n_arm)
+    in pure integer ceiling arithmetic.
+
+    100 TB: one hash aggregate over the stream (map-side partials) to
+    a two-row table; everything after is scalar expressions.
+    """
+    arms = (
+        df.groupBy(F.col(group_col).alias("arm"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col(success_col).cast("long")).alias("x"),
+            F.countDistinct(F.col(day_col).cast("date"))
+            .cast("long")
+            .alias("days_obs"),
+        )
+        .orderBy("arm")
+    )
+    a = arms.limit(1).select(
+        F.col("arm").alias("arm_a"),
+        F.col("n").alias("n_a"),
+        F.col("x").alias("x_a"),
+        F.col("days_obs").alias("days_a"),
+    )
+    b = arms.orderBy(F.col("arm").desc()).limit(1).select(
+        F.col("arm").alias("arm_b"),
+        F.col("n").alias("n_b"),
+        F.col("x").alias("x_b"),
+        F.col("days_obs").alias("days_b"),
+    )
+    za = z_alpha_micro / 1e6
+    zb = z_power_micro / 1e6
+    lift = 1.0 + lift_milli / 1000.0
+    return (
+        a.crossJoin(b)
+        .withColumn(
+            "p_pool_micro",
+            F.expr("CAST((x_a + x_b) * 1000000 DIV (n_a + n_b) AS BIGINT)"),
+        )
+        .withColumn(
+            "_p1", (F.col("x_a") + F.col("x_b")).cast("double")
+            / (F.col("n_a") + F.col("n_b")).cast("double"),
+        )
+        .withColumn("_p2", F.col("_p1") * F.lit(lift))
+        .withColumn(
+            "n_per_arm",
+            F.ceil(
+                (
+                    F.lit(za)
+                    * F.sqrt(
+                        F.lit(2.0) * F.col("_p1") * (F.lit(1.0) - F.col("_p1"))
+                    )
+                    + F.lit(zb)
+                    * F.sqrt(
+                        F.col("_p1") * (F.lit(1.0) - F.col("_p1"))
+                        + F.col("_p2") * (F.lit(1.0) - F.col("_p2"))
+                    )
+                )
+                * (
+                    F.lit(za) * F.sqrt(
+                        F.lit(2.0) * F.col("_p1") * (F.lit(1.0) - F.col("_p1"))
+                    )
+                    + F.lit(zb)
+                    * F.sqrt(
+                        F.col("_p1") * (F.lit(1.0) - F.col("_p1"))
+                        + F.col("_p2") * (F.lit(1.0) - F.col("_p2"))
+                    )
+                )
+                / ((F.col("_p2") - F.col("_p1")) * (F.col("_p2") - F.col("_p1")))
+            ).cast("long"),
+        )
+        .withColumn(
+            "mde_micro",
+            F.expr(
+                f"CAST((x_a + x_b) * 1000000 DIV (n_a + n_b) "
+                f"* {lift_milli} DIV 1000 AS BIGINT)"
+            ),
+        )
+        .select(
+            "arm_a",
+            "n_a",
+            "x_a",
+            "arm_b",
+            "n_b",
+            "x_b",
+            "p_pool_micro",
+            "mde_micro",
+            "n_per_arm",
+            F.expr(
+                "CAST((n_per_arm * days_a + n_a - 1) DIV n_a AS BIGINT)"
+            ).alias("days_needed_a"),
+            F.expr(
+                "CAST((n_per_arm * days_b + n_b - 1) DIV n_b AS BIGINT)"
+            ).alias("days_needed_b"),
+        )
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between the two groups of
+    ``group_col`` on the integer metric ``value_col`` — the
+    continuous-metric A/B readout completing the proportion z-test
+    (c116): revenue per user, latency, list length.
+
+    Sufficient statistics (n, Σv, Σv²) are exact BIGINTs from ONE
+    aggregate; t and the Welch-Satterthwaite degrees of freedom are
+    fixed-IEEE double expressions over them, ROUNDed (t to 6 dp, df to
+    3 dp — the c116 contract). Sample variance uses the numerically
+    fixed order (Σv² − (Σv)²/n)/(n−1) evaluated in doubles from exact
+    integers. Groups with n < 2 yield NULL statistics.
+
+    Returns ONE row: (group_a, n_a, mean_a, group_b, n_b, mean_b, t,
+    df); means are reported as the exact integer division ``sum DIV n``
+    in the metric's own unit.
+
+    100 TB: one map-side-partial hash aggregate to two rows; scalar
+    math after. Overflow: Σv² bounds value·√rows — cents-scale metrics
+    are safe past 1e9 rows (documented).
+    """
+    arms = (
+        df.groupBy(F.col(group_col).alias("arm"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col(value_col).cast("long")).alias("s"),
+            F.sum(
+                F.col(value_col).cast("long") * F.col(value_col).cast("long")
+            ).alias("ss"),
+        )
+    )
+    a = arms.orderBy("arm").limit(1).select(
+        F.col("arm").alias("group_a"),
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+        F.col("ss").alias("ss_a"),
+    )
+    b = arms.orderBy(F.col("arm").desc()).limit(1).select(
+        F.col("arm").alias("group_b"),
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+        F.col("ss").alias("ss_b"),
+    )
+    j = a.crossJoin(b)
+    var_a = (
+        F.col("ss_a").cast("double")
+        - F.col("s_a").cast("double") * F.col("s_a").cast("double")
+        / F.col("n_a").cast("double")
+    ) / (F.col("n_a").cast("double") - F.lit(1.0))
+    var_b = (
+        F.col("ss_b").cast("double")
+        - F.col("s_b").cast("double") * F.col("s_b").cast("double")
+        / F.col("n_b").cast("double")
+    ) / (F.col("n_b").cast("double") - F.lit(1.0))
+    se_a = var_a / F.col("n_a").cast("double")
+    se_b = var_b / F.col("n_b").cast("double")
+    t = (
+        F.col("s_a").cast("double") / F.col("n_a").cast("double")
+        - F.col("s_b").cast("double") / F.col("n_b").cast("double")
+    ) / F.sqrt(se_a + se_b)
+    dof = (se_a + se_b) * (se_a + se_b) / (
+        se_a * se_a / (F.col("n_a").cast("double") - F.lit(1.0))
+        + se_b * se_b / (F.col("n_b").cast("double") - F.lit(1.0))
+    )
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1)
+    return j.select(
+        "group_a",
+        "n_a",
+        F.expr("CAST(s_a DIV n_a AS BIGINT)").alias("mean_a"),
+        "group_b",
+        "n_b",
+        F.expr("CAST(s_b DIV n_b AS BIGINT)").alias("mean_b"),
+        F.when(ok, F.round(t, 6)).alias("t"),
+        F.when(ok, F.round(dof, 3)).alias("df"),
+    )
+
+
+def srm_guardrail(
+    df: DataFrame,
+    group_col: str,
+    day_col: str,
+    *,
+    expected_milli: tuple[int, int] = (500, 500),
+    chi2_alarm_micro: int = 3_841_459,
+) -> DataFrame:
+    """Sample-ratio-mismatch guardrail (Fabijan et al. KDD'19 — the
+    single most common A/B infrastructure bug): per day, chi-square of
+    the observed two-arm assignment counts against the configured
+    split. A triggered SRM invalidates the experiment's stats no
+    matter how significant they look — this is the check that runs
+    BEFORE anyone reads c116/c174/c177.
+
+    χ² = Σ (obs − exp)²/exp with exp_i = n_day · share_i, computed as
+    ONE fixed-IEEE double from exact BIGINT counts and reported in
+    micro-units (ROUND 6 then scaled — equivalently round(χ²·1e6)).
+    The default alarm is the χ²₁ 95th percentile (3.841459 — a method
+    constant, like c176's z quantiles). Day out as STRING.
+
+    Returns per day: (day, n_a, n_b, chi2_micro, srm_alarm).
+
+    100 TB: one map-side-partial aggregate to (day, arm) cells, one
+    pivot-shaped days-sized reshape; nothing corpus-sized after.
+    """
+    ea, eb = expected_milli
+    cells = df.groupBy(
+        F.col(day_col).cast("date").alias("_bp_day"),
+        F.col(group_col).alias("arm"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    arms = cells.select(F.col("arm")).distinct().orderBy("arm").limit(2)
+    lo_hi = [r.arm for r in arms.collect()]
+    if len(lo_hi) < 2:
+        raise ValueError("SRM needs two assignment arms")
+    lo, hi = lo_hi
+    daily = cells.groupBy("_bp_day").agg(
+        F.sum(F.when(F.col("arm") == lo, F.col("n")).otherwise(0)).alias(
+            "n_a"
+        ),
+        F.sum(F.when(F.col("arm") == hi, F.col("n")).otherwise(0)).alias(
+            "n_b"
+        ),
+    )
+    exp_a = (
+        (F.col("n_a") + F.col("n_b")).cast("double")
+        * F.lit(ea)
+        / F.lit(1000.0)
+    )
+    exp_b = (
+        (F.col("n_a") + F.col("n_b")).cast("double")
+        * F.lit(eb)
+        / F.lit(1000.0)
+    )
+    chi2 = (
+        (F.col("n_a").cast("double") - exp_a)
+        * (F.col("n_a").cast("double") - exp_a)
+        / exp_a
+        + (F.col("n_b").cast("double") - exp_b)
+        * (F.col("n_b").cast("double") - exp_b)
+        / exp_b
+    )
+    return daily.select(
+        F.col("_bp_day").cast("string").alias("day"),
+        "n_a",
+        "n_b",
+        F.round(chi2 * 1_000_000).cast("long").alias("chi2_micro"),
+        (F.round(chi2 * 1_000_000).cast("long") >= chi2_alarm_micro).alias(
+            "srm_alarm"
+        ),
+    ).orderBy("day")

@@ -665,3 +665,67 @@ def xcorr_lags(
         "n_days",
         F.when((vx > 0) & (vy > 0), F.round(corr, 6)).alias("corr"),
     ).orderBy("lag")
+
+
+def changepoint_scan(
+    daily: DataFrame,
+    day_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Single-changepoint localization (the first split of binary
+    segmentation, Scott & Knott): for every candidate boundary between
+    consecutive points of an ordered series, score how much splitting
+    there reduces total squared error — the offline complement of CUSUM
+    (c147 flags WHEN a stream drifts; this finds WHERE a recorded
+    series shifted level).
+
+    The SSE reduction at a split with left/right (count, sum) =
+    (nL, sL), (nR, sR) is ``(sL·nR − sR·nL)² / (N·nL·nR)``; N is
+    constant across candidates, so the reported integer score is
+    ``delta_q = (sL·nR − sR·nL)² DIV (nL·nR)`` — exact BIGINT while
+    ``|s|·n < ~3e9`` (≈1e3 points with micro-unit values; quantize
+    coarser for longer series — the standard documented bound). The
+    argmax row is the changepoint; ties break to the earliest day.
+
+    Returns one row per candidate split (all but the last point):
+    (day, n_left, n_right, delta_q), day as STRING (c155 convention),
+    ordered by day.
+
+    100 TB: the input is an already-aggregated series (collapse the
+    corpus to days first — c161 discipline); the cumulative scan and
+    the scoring are two expressions over ONE days-sized window. No
+    corpus work here at all.
+    """
+    from pyspark.sql.window import Window
+
+    d = daily.select(
+        F.col(day_col).alias("_bp_day"),
+        F.col(val_col).cast("long").alias("v"),
+    )
+    cum = Window.orderBy("_bp_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    return (
+        d.select(
+            "_bp_day",
+            F.sum(F.lit(1)).over(cum).alias("n_left"),
+            F.sum("v").over(cum).alias("s_left"),
+            F.sum(F.lit(1)).over(tot).alias("n_tot"),
+            F.sum("v").over(tot).alias("s_tot"),
+        )
+        .filter(F.col("n_left") < F.col("n_tot"))
+        .select(
+            F.col("_bp_day").cast("string").alias("day"),
+            F.col("n_left").cast("long").alias("n_left"),
+            (F.col("n_tot") - F.col("n_left")).cast("long").alias("n_right"),
+            F.expr(
+                "CAST((s_left * (n_tot - n_left) "
+                "- (s_tot - s_left) * n_left) "
+                "* (s_left * (n_tot - n_left) "
+                "- (s_tot - s_left) * n_left) "
+                "DIV (n_left * (n_tot - n_left)) AS BIGINT)"
+            ).alias("delta_q"),
+        )
+        .orderBy("day")
+    )

@@ -14079,6 +14079,202 @@ def c174_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c175_changepoint_scan",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100)
+                         AS BIGINT) // COUNT(*) AS BIGINT) AS mean_cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    cum AS (
+        SELECT d,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS n_left,
+               CAST(SUM(mean_cents) OVER (ORDER BY d) AS BIGINT)
+                   AS s_left,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_tot,
+               CAST(SUM(mean_cents) OVER () AS BIGINT) AS s_tot
+        FROM daily
+    )
+    SELECT CAST(d AS VARCHAR) AS day,
+           n_left,
+           n_tot - n_left AS n_right,
+           CAST((s_left * (n_tot - n_left) - (s_tot - s_left) * n_left)
+                * (s_left * (n_tot - n_left) - (s_tot - s_left) * n_left)
+                // (n_left * (n_tot - n_left)) AS BIGINT) AS delta_q
+    FROM cum
+    WHERE n_left < n_tot
+    ORDER BY day
+    """,
+    doc="single-changepoint localization (operators/timeseries."
+        "changepoint_scan — binary segmentation's first split): score "
+        "every boundary of the daily mean-purchase-value series by the "
+        "exact SSE reduction (sL*nR - sR*nL)^2 DIV (nL*nR) (N constant "
+        "dropped; BIGINT-exact while |s|*n < ~3e9 — ~1e3 daily points "
+        "at micro scale, documented) — the offline WHERE-did-the-level-"
+        "shift complement of CUSUM's online WHEN (c147). Argmax row = "
+        "the changepoint, ties to earliest day; day out as STRING. "
+        "DuckDB SUM(1) OVER cumulative is HUGEINT+nondeterministic-"
+        "looking — row_number() is the portable cumulative count. "
+        "100 TB: corpus collapses to days in ONE aggregate; both scans "
+        "are windows over the DAYS table (c161 discipline)",
+    tags=("timeseries", "events"),
+    bench=True,
+)
+def c175_changepoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import changepoint_scan
+
+    e = views(spark, sf_dir, "events")["events"]
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) "
+                "AS BIGINT) DIV COUNT(*) AS BIGINT)"
+            ).alias("mean_cents")
+        )
+    )
+    return changepoint_scan(daily, "day", "mean_cents")
+
+
+@query(
+    "c176_power_planner",
+    oracle="""
+    WITH arms AS (
+        SELECT user_id % 2 AS arm,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                             ELSE 0 END) AS BIGINT) AS x,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                   AS days_obs
+        FROM events GROUP BY 1
+    ),
+    a AS (SELECT arm AS arm_a, n AS n_a, x AS x_a, days_obs AS days_a
+          FROM arms ORDER BY arm LIMIT 1),
+    b AS (SELECT arm AS arm_b, n AS n_b, x AS x_b, days_obs AS days_b
+          FROM arms ORDER BY arm DESC LIMIT 1),
+    c AS (SELECT *,
+                 CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+                     AS p1
+          FROM a CROSS JOIN b),
+    d AS (SELECT *, p1 * 1.1 AS p2 FROM c),
+    e AS (SELECT *,
+                 CEIL((1.959964 * sqrt(2.0 * p1 * (1.0 - p1))
+                       + 0.841621 * sqrt(p1 * (1.0 - p1)
+                                         + p2 * (1.0 - p2)))
+                      * (1.959964 * sqrt(2.0 * p1 * (1.0 - p1))
+                         + 0.841621 * sqrt(p1 * (1.0 - p1)
+                                           + p2 * (1.0 - p2)))
+                      / ((p2 - p1) * (p2 - p1))) AS n_arm_d
+          FROM d)
+    SELECT arm_a, n_a, x_a, arm_b, n_b, x_b,
+           CAST((x_a + x_b) * 1000000 // (n_a + n_b) AS BIGINT)
+               AS p_pool_micro,
+           CAST((x_a + x_b) * 1000000 // (n_a + n_b) * 100 // 1000
+               AS BIGINT) AS mde_micro,
+           CAST(n_arm_d AS BIGINT) AS n_per_arm,
+           CAST((CAST(n_arm_d AS BIGINT) * days_a + n_a - 1) // n_a
+               AS BIGINT) AS days_needed_a,
+           CAST((CAST(n_arm_d AS BIGINT) * days_b + n_b - 1) // n_b
+               AS BIGINT) AS days_needed_b
+    FROM e
+    """,
+    doc="experiment power / duration planning from observed traffic "
+        "(operators/ml.power_planner): subjects per arm — and days at "
+        "each arm's observed rate — to detect a +10% relative lift on "
+        "the pooled conversion rate at two-sided alpha=.05, power .80 "
+        "(the standard two-proportion formula). z quantiles are fixed "
+        "micro-unit literals of the METHOD (Phi^-1(.975)=1.959964, "
+        "Phi^-1(.80)=0.841621); all data inputs are exact BIGINT "
+        "counts, so the one double expression is fixed-IEEE and its "
+        "CEIL plus the pure-integer ceiling day arithmetic replay "
+        "everywhere. Completes the experimentation family: plan "
+        "(c176) -> monitor peeking-safe (c174) -> read out (c116). "
+        "100 TB: one map-side-partial aggregate to a TWO-row table; "
+        "scalars after",
+    tags=("ml", "events"),
+)
+def c176_power_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import power_planner
+
+    e = views(spark, sf_dir, "events")["events"]
+    base = e.select(
+        (F.col("user_id") % 2).alias("variant"),
+        F.col("ts"),
+        (F.col("event_type") == "purchase").cast("int").alias("converted"),
+    )
+    return power_planner(base, "variant", "converted", "ts", lift_milli=100)
+
+
+@query(
+    "c177_welch_ttest",
+    oracle="""
+    WITH arms AS (
+        SELECT user_id % 2 AS arm,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS s,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)
+                        * CAST(CAST(value AS DECIMAL(18,2)) * 100
+                               AS BIGINT)) AS BIGINT) AS ss
+        FROM events GROUP BY 1
+    ),
+    a AS (SELECT arm AS group_a, n AS n_a, s AS s_a, ss AS ss_a
+          FROM arms ORDER BY arm LIMIT 1),
+    b AS (SELECT arm AS group_b, n AS n_b, s AS s_b, ss AS ss_b
+          FROM arms ORDER BY arm DESC LIMIT 1),
+    j AS (SELECT * FROM a CROSS JOIN b),
+    v AS (SELECT *,
+                 (CAST(ss_a AS DOUBLE)
+                  - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+                    / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)
+                     / CAST(n_a AS DOUBLE) AS se_a,
+                 (CAST(ss_b AS DOUBLE)
+                  - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+                    / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)
+                     / CAST(n_b AS DOUBLE) AS se_b
+          FROM j)
+    SELECT group_a, n_a, CAST(s_a // n_a AS BIGINT) AS mean_a,
+           group_b, n_b, CAST(s_b // n_b AS BIGINT) AS mean_b,
+           ROUND((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 / sqrt(se_a + se_b), 6) AS t,
+           ROUND((se_a + se_b) * (se_a + se_b)
+                 / (se_a * se_a / (CAST(n_a AS DOUBLE) - 1.0)
+                    + se_b * se_b / (CAST(n_b AS DOUBLE) - 1.0)), 3)
+               AS df
+    FROM v
+    """,
+    doc="Welch unequal-variance t-test (operators/ml.welch_ttest): the "
+        "continuous-metric A/B readout (value cents per user-parity "
+        "variant) completing the experimentation family — plan c176, "
+        "monitor c174, proportions c116, means c177. Exact BIGINT "
+        "(n, sum, sum-of-squares) from ONE map-side-partial aggregate; "
+        "t ROUND 6 and Welch-Satterthwaite df ROUND 3 as fixed-IEEE "
+        "doubles over exact integers (the c116 contract), variance in "
+        "the pinned order (ss - s^2/n)/(n-1). Means as exact s DIV n. "
+        "100 TB: corpus -> two rows in one exchange; scalars after. "
+        "Sum-of-squares bound documented (cents-scale safe past 1e9 "
+        "rows)",
+    tags=("ml", "events"),
+    bench=True,
+)
+def c177_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import welch_ttest
+
+    e = views(spark, sf_dir, "events")["events"]
+    base = e.select(
+        (F.col("user_id") % 2).alias("variant"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return welch_ttest(base, "variant", "cents")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -14109,7 +14305,7 @@ def c174_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c174 + a06-a09 + q88-q94 ≈ 88
+# EXCEEDS one 50-slot window (c98-c177 + a06-a09 + q88-q94 ≈ 91
 # entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —

@@ -617,3 +617,68 @@ def test_sprt_monitor_crossing_and_replay(spark):
             "accept_h1" if cum >= bound
             else "accept_h0" if cum <= -bound else "continue"
         )
+
+
+def test_power_planner_textbook_case(spark):
+    """The planner reproduces the textbook two-proportion sample size:
+    p1=0.20, +10% relative lift -> p2=0.22; n/arm matches the closed
+    form computed in python; day arithmetic is exact integer ceiling."""
+    import datetime as dt
+    import math
+
+    from amazonredshift_blueprints_spark.operators.ml import power_planner
+
+    d0 = dt.datetime(2024, 6, 1)
+    rows = []
+    for day in range(10):
+        for i in range(100):  # both arms convert at exactly 20%
+            for arm in (0, 1):
+                rows.append(
+                    (arm, d0 + dt.timedelta(days=day), 1 if i < 20 else 0)
+                )
+    df = spark.createDataFrame(rows, "variant long, ts timestamp, c int")
+    r = power_planner(df, "variant", "c", "ts", lift_milli=100).collect()[0]
+    assert (r.n_a, r.x_a, r.n_b, r.x_b) == (1000, 200, 1000, 200)
+    assert r.p_pool_micro == 200_000 and r.mde_micro == 20_000
+    p1, p2 = 0.2, 0.2 * 1.1
+    za, zb = 1.959964, 0.841621
+    n = math.ceil(
+        (za * math.sqrt(2 * p1 * (1 - p1))
+         + zb * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2))) ** 2
+        / (p2 - p1) ** 2
+    )
+    assert r.n_per_arm == n
+    # 1000 subjects over 10 observed days -> 100/day/arm
+    assert r.days_needed_a == -(-n * 10 // 1000)  # python ceil-div
+
+
+def test_welch_ttest_scipy_free_replay(spark):
+    """Welch t and df match the closed form on a hand fixture with
+    unequal variances and sizes; n<2 arms yield NULL statistics."""
+    import math
+
+    from amazonredshift_blueprints_spark.operators.ml import welch_ttest
+
+    va = [10, 12, 14, 16, 18, 20]          # mean 15, var 14
+    vb = [30, 31, 29, 32]                  # mean 30.5, var ~1.67
+    rows = [(0, v) for v in va] + [(1, v) for v in vb]
+    df = spark.createDataFrame(rows, "g long, v long")
+    r = welch_ttest(df, "g", "v").collect()[0]
+    assert (r.group_a, r.n_a, r.group_b, r.n_b) == (0, 6, 1, 4)
+    assert r.mean_a == sum(va) // len(va) and r.mean_b == sum(vb) // len(vb)
+
+    def var(v):
+        m = sum(v) / len(v)
+        return sum((x - m) ** 2 for x in v) / (len(v) - 1)
+
+    se_a, se_b = var(va) / len(va), var(vb) / len(vb)
+    t = (sum(va) / len(va) - sum(vb) / len(vb)) / math.sqrt(se_a + se_b)
+    dof = (se_a + se_b) ** 2 / (
+        se_a**2 / (len(va) - 1) + se_b**2 / (len(vb) - 1)
+    )
+    assert abs(r.t - round(t, 6)) < 1e-9
+    assert abs(r.df - round(dof, 3)) < 1e-9
+    # degenerate: a single-row arm -> NULL t/df
+    tiny = spark.createDataFrame([(0, 5), (1, 7), (1, 9)], "g long, v long")
+    r2 = welch_ttest(tiny, "g", "v").collect()[0]
+    assert r2.t is None and r2.df is None

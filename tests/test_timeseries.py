@@ -281,3 +281,30 @@ def test_xcorr_lags_known_shift(spark):
     gc = {r.lag: r.corr for r in
           xcorr_lags(const, "day", "x", "y", max_lag=2).collect()}
     assert all(v is None for v in gc.values())  # zero variance -> NULL
+
+
+def test_changepoint_scan_finds_level_shift(spark):
+    """A series that jumps from level 100 to 200 after day 10 must
+    score its true boundary highest; scores replay in pure Python."""
+    import datetime as dt
+
+    from amazonredshift_blueprints_spark.operators.timeseries import (
+        changepoint_scan,
+    )
+
+    d0 = dt.date(2024, 5, 1)
+    vals = [100] * 10 + [200] * 10
+    rows = [(d0 + dt.timedelta(days=i), vals[i]) for i in range(20)]
+    df = spark.createDataFrame(rows, "day date, v long")
+    out = changepoint_scan(df, "day", "v").collect()
+    assert len(out) == 19  # last point is not a boundary
+    best = max(out, key=lambda r: (r.delta_q, r.day))
+    assert best.day == str(d0 + dt.timedelta(days=9))  # split after day 10
+    assert (best.n_left, best.n_right) == (10, 10)
+
+    def replay(i):  # split after index i (0-based), left size i+1
+        nl, nr = i + 1, len(vals) - i - 1
+        sl, sr = sum(vals[: i + 1]), sum(vals[i + 1:])
+        return (sl * nr - sr * nl) ** 2 // (nl * nr)
+
+    assert [r.delta_q for r in out] == [replay(i) for i in range(19)]
