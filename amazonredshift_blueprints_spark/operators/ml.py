@@ -1739,11 +1739,18 @@ def srm_guardrail(
         F.col(day_col).cast("date").alias("_bp_day"),
         F.col(group_col).alias("arm"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    arms = cells.select(F.col("arm")).distinct().orderBy("arm").limit(2)
-    lo_hi = [r.arm for r in arms.collect()]
-    if len(lo_hi) < 2:
-        raise ValueError("SRM needs two assignment arms")
-    lo, hi = lo_hi
+    # the arm dictionary is assignment-arms-sized (metadata); collected
+    # to validate the two-arm contract loudly rather than silently
+    # folding extra arms into the chi-square
+    arm_list = [
+        r.arm for r in cells.select("arm").distinct().orderBy("arm").collect()
+    ]
+    if len(arm_list) != 2:
+        raise ValueError(
+            f"SRM guardrail expects exactly 2 assignment arms, got "
+            f"{len(arm_list)}: {arm_list[:5]}"
+        )
+    lo, hi = arm_list
     daily = cells.groupBy("_bp_day").agg(
         F.sum(F.when(F.col("arm") == lo, F.col("n")).otherwise(0)).alias(
             "n_a"

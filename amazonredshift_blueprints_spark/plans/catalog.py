@@ -14275,6 +14275,59 @@ def c177_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return welch_ttest(base, "variant", "cents")
 
 
+@query(
+    "c178_srm_guardrail",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_b
+        FROM events GROUP BY 1
+    ),
+    sc AS (
+        SELECT d, n_a, n_b,
+               CAST(round(
+                   ((CAST(n_a AS DOUBLE)
+                     - CAST(n_a + n_b AS DOUBLE) * 500 / 1000.0)
+                    * (CAST(n_a AS DOUBLE)
+                       - CAST(n_a + n_b AS DOUBLE) * 500 / 1000.0)
+                    / (CAST(n_a + n_b AS DOUBLE) * 500 / 1000.0)
+                    + (CAST(n_b AS DOUBLE)
+                       - CAST(n_a + n_b AS DOUBLE) * 500 / 1000.0)
+                      * (CAST(n_b AS DOUBLE)
+                         - CAST(n_a + n_b AS DOUBLE) * 500 / 1000.0)
+                      / (CAST(n_a + n_b AS DOUBLE) * 500 / 1000.0))
+                   * 1000000) AS BIGINT) AS chi2_micro
+        FROM daily
+    )
+    SELECT CAST(d AS VARCHAR) AS day, n_a, n_b, chi2_micro,
+           chi2_micro >= 3841459 AS srm_alarm
+    FROM sc
+    ORDER BY day
+    """,
+    doc="sample-ratio-mismatch guardrail (operators/ml.srm_guardrail; "
+        "Fabijan KDD'19 — the most common A/B infrastructure bug): "
+        "per-day chi-square of observed two-arm counts vs the "
+        "configured 50/50 split, alarm at the chi2_1 95th percentile "
+        "(3.841459 — a method constant like c176's z quantiles). A "
+        "triggered SRM invalidates the experiment regardless of how "
+        "significant the readouts look — this runs BEFORE c116/c174/"
+        "c177. One fixed-IEEE double per day from exact BIGINT "
+        "counts, round(chi2*1e6); >2 arms refuse loudly (the arm "
+        "dictionary is a metadata collect). 100 TB: one map-side-"
+        "partial aggregate to (day, arm); days-sized after",
+    tags=("ml", "events"),
+)
+def c178_srm_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import srm_guardrail
+
+    e = views(spark, sf_dir, "events")["events"]
+    base = e.select((F.col("user_id") % 2).alias("variant"), F.col("ts"))
+    return srm_guardrail(base, "variant", "ts")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -14305,7 +14358,7 @@ def c177_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c177 + a06-a09 + q88-q94 ≈ 91
+# EXCEEDS one 50-slot window (c98-c178 + a06-a09 + q88-q94 ≈ 92
 # entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —

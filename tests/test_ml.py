@@ -682,3 +682,31 @@ def test_welch_ttest_scipy_free_replay(spark):
     tiny = spark.createDataFrame([(0, 5), (1, 7), (1, 9)], "g long, v long")
     r2 = welch_ttest(tiny, "g", "v").collect()[0]
     assert r2.t is None and r2.df is None
+
+
+def test_srm_guardrail_detects_broken_split(spark):
+    """A 90/10 day alarms, a clean 50/50 day doesn't; chi2 replays in
+    python; a three-arm stream refuses loudly."""
+    import datetime as dt
+
+    import pytest
+
+    from amazonredshift_blueprints_spark.operators.ml import srm_guardrail
+
+    d0 = dt.datetime(2024, 7, 1)
+    rows = []
+    for i in range(100):  # day 1: clean 50/50
+        rows.append((0 if i < 50 else 1, d0))
+    for i in range(100):  # day 2: broken 90/10
+        rows.append((0 if i < 90 else 1, d0 + dt.timedelta(days=1)))
+    df = spark.createDataFrame(rows, "arm long, ts timestamp")
+    out = {r.day: (r.n_a, r.n_b, r.chi2_micro, r.srm_alarm)
+           for r in srm_guardrail(df, "arm", "ts").collect()}
+    assert out["2024-07-01"] == (50, 50, 0, False)
+    # chi2 for 90/10 vs 50/50: 2*(40^2/50) = 64
+    assert out["2024-07-02"] == (90, 10, 64_000_000, True)
+    three = spark.createDataFrame(
+        [(0, d0), (1, d0), (2, d0)], "arm long, ts timestamp"
+    )
+    with pytest.raises(ValueError, match="exactly 2 assignment arms"):
+        srm_guardrail(three, "arm", "ts")
