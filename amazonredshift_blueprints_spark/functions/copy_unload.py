@@ -20,6 +20,15 @@ Supported subset (the options the reference's own pipelines generate):
   ``TRIMBLANKS``) — the fixed-slice text load, lowered onto
   ``ingest.read_fixedwidth``; incompatible with the delimited-parse
   options (FORMAT/DELIMITER/IGNOREHEADER/MAXERROR), refused loudly.
+  Text-load options lower onto Spark CSV reader options: ``NULL [AS]
+  'str'`` → nullValue, ``EMPTYASNULL``/``BLANKSASNULL`` → empty/blank
+  fields read as NULL (explicit NULL AS wins), ``DATEFORMAT`` /
+  ``TIMEFORMAT`` → dateFormat/timestampFormat via the TO_CHAR pattern
+  translator ('auto' = Spark default; epoch forms refuse loudly),
+  ``ESCAPE`` → backslash escapes; ``REMOVEQUOTES`` / ``TRUNCATECOLUMNS``
+  / ``ACCEPTINVCHARS`` / ``STATUPDATE`` / ``COMPUPDATE`` accepted as
+  documented no-ops (covered by Spark's quote handling / no declared
+  varchar lengths / JVM UTF-8 replacement / ANALYZE being explicit).
 - ``UNLOAD ('query') TO 'path'`` with ``FORMAT [AS] CSV|PARQUET|JSON|ORC``,
   ``DELIMITER [AS] 'c'``, ``HEADER``, ``PARALLEL OFF|ON|TRUE|FALSE``
   (OFF → one named file, the reference's single-file contract; ON → a
@@ -61,6 +70,9 @@ class CopySpec:
     max_error: int = 0  # COPY MAXERROR [AS] n — tolerated bad rows
     fixedwidth: str | None = None  # COPY FIXEDWIDTH 'name:width,...'
     trim_blanks: bool = False  # COPY TRIMBLANKS (strip trailing pad spaces)
+    # text-load options lowered onto Spark CSV reader options
+    # (NULL AS → nullValue, DATEFORMAT → dateFormat, ...)
+    csv_options: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -188,12 +200,65 @@ def parse_copy(sql: str) -> CopySpec | None:
             spec.max_error = int(_unquote(raw))
             if spec.max_error < 0:
                 raise ValueError(f"MAXERROR must be >= 0, got {spec.max_error}")
+        elif t == "NULL":
+            raw, i = _take_string(tokens, i, "NULL")
+            spec.csv_options["nullValue"] = _unquote(raw)
+        elif t == "EMPTYASNULL":
+            # resolved after the loop: explicit NULL AS wins
+            spec.csv_options.setdefault("_emptyasnull", "true")
+        elif t == "BLANKSASNULL":
+            # blank-only fields trim to empty, which EMPTYASNULL-style
+            # nullValue='' then reads as NULL — the documented composition
+            spec.csv_options["ignoreLeadingWhiteSpace"] = "true"
+            spec.csv_options["ignoreTrailingWhiteSpace"] = "true"
+            spec.csv_options.setdefault("_emptyasnull", "true")
+        elif t in ("DATEFORMAT", "TIMEFORMAT"):
+            raw, i = _take_string(tokens, i, t)
+            fmt = _unquote(raw)
+            if fmt.lower() == "auto":
+                continue  # Spark's default parsing IS the auto behavior
+            if fmt.lower() in ("epochsecs", "epochmillisecs"):
+                raise ValueError(
+                    f"{t} {fmt!r}: epoch-numeric timestamp parsing has no "
+                    "Spark CSV reader equivalent — load as BIGINT and cast"
+                )
+            from .redshift_compat import _translate_datetime_format
+
+            java = _translate_datetime_format(fmt)
+            if java is None:
+                raise ValueError(f"{t}: unrecognized format {fmt!r}")
+            key = "dateFormat" if t == "DATEFORMAT" else "timestampFormat"
+            spec.csv_options[key] = java
+        elif t == "ESCAPE":
+            spec.csv_options["escape"] = "\\"
+        elif t == "REMOVEQUOTES":
+            # Spark's standard quote handling strips enclosing quotes;
+            # Redshift's REMOVEQUOTES intent is covered — accepted
+            pass
+        elif t == "ACCEPTINVCHARS":
+            # optional replacement-char argument
+            if i < len(tokens) and tokens[i].startswith("'"):
+                i += 1
+            # JVM UTF-8 decoding already replaces invalid sequences
+        elif t == "TRUNCATECOLUMNS":
+            pass  # no declared varchar lengths here — nothing to truncate
+        elif t in ("STATUPDATE", "COMPUPDATE"):
+            if i < len(tokens) and tokens[i].upper() in (
+                "ON", "OFF", "TRUE", "FALSE",
+            ):
+                i += 1
+            # table stats / compression analysis are Redshift-internal;
+            # ANALYZE is the explicit statement here
         elif t in _IGNORED_STR_OPTS:
             _, i = _take_string(tokens, i, t)  # authorization: parsed, ignored
         elif t in _IGNORED_BARE_OPTS:
             pass
         else:
             raise ValueError(f"unsupported COPY option: {tokens[i - 1]!r}")
+    if spec.csv_options.pop("_emptyasnull", None) is not None:
+        # EMPTYASNULL/BLANKSASNULL read empty fields as NULL unless an
+        # explicit NULL AS string was given (which wins, per Redshift)
+        spec.csv_options.setdefault("nullValue", "")
     if spec.fixedwidth is not None:
         # Redshift: FIXEDWIDTH is its own format and cannot combine with
         # CSV/DELIMITER; IGNOREHEADER/MAXERROR are delimited-parse options
@@ -205,6 +270,7 @@ def parse_copy(sql: str) -> CopySpec | None:
                 ("DELIMITER", explicit_delim),
                 ("IGNOREHEADER", spec.header),
                 ("MAXERROR", spec.max_error > 0),
+                ("text-load options", bool(spec.csv_options)),
             )
             if flag
         ]
@@ -733,6 +799,7 @@ def execute_copy(spark, spec: CopySpec) -> int:
         header=spec.header,
         delimiter=spec.delimiter,
         max_error=spec.max_error,
+        csv_options=spec.csv_options or None,
     )
 
 

@@ -101,18 +101,24 @@ def read_csv(
     schema: StructType | str | None = None,
     delimiter: str = ",",
     parse_mode: str = "PERMISSIVE",
+    csv_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Distributed CSV scan. With no explicit schema, infer over the whole
     input once (strictly better than the reference's per-chunk inference,
     SURVEY.md §1.2). ``delimiter`` is the COPY ``DELIMITER`` analog
     (TSV/pipe files). ``parse_mode``: PERMISSIVE (malformed fields →
     NULL, the COPY MAXERROR-tolerant analog), DROPMALFORMED, or FAILFAST
-    (raise on first bad row — pandas' behavior, hence the reference's)."""
+    (raise on first bad row — pandas' behavior, hence the reference's).
+    ``csv_options`` passes extra Spark CSV reader options through — the
+    COPY text-load option lowering (NULL AS → nullValue, DATEFORMAT →
+    dateFormat, ...) produces these."""
     reader = (
         spark.read.option("header", header)
         .option("sep", delimiter)
         .option("mode", parse_mode)
     )
+    for k, v in (csv_options or {}).items():
+        reader = reader.option(k, v)
     if schema is not None:
         reader = reader.schema(schema)
     else:
@@ -128,12 +134,18 @@ def read_files(
     header: bool = True,
     schema: StructType | str | None = None,
     delimiter: str = ",",
+    csv_options: dict[str, str] | None = None,
+    parse_mode: str = "PERMISSIVE",
 ) -> DataFrame:
     """Format-generalized scan: the reference only reads CSV
     (upload_file.py:118-126); JSON/parquet/ORC are the Spark-native
     upgrades (all splittable, parquet/ORC with pushdown + pruning)."""
     if format == "csv":
-        return read_csv(spark, paths, header=header, schema=schema, delimiter=delimiter)
+        return read_csv(
+            spark, paths, header=header, schema=schema,
+            delimiter=delimiter, csv_options=csv_options,
+            parse_mode=parse_mode,
+        )
     if format not in ("json", "parquet", "orc"):
         raise ValueError(f"format must be csv/json/parquet/orc, got {format!r}")
     reader = spark.read
@@ -182,6 +194,7 @@ def read_files_tolerant(
     delimiter: str,
     max_error: int,
     schema: StructType | None = None,
+    csv_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Bad-row-tolerant scan for COPY MAXERROR: rows that fail parsing
     (type mismatch, column-count drift, malformed JSON) are dropped —
@@ -206,7 +219,8 @@ def read_files_tolerant(
             f"MAXERROR applies to row-based formats (csv/json), not {format!r}"
         )
     inferred = schema or read_files(
-        spark, paths, format=format, header=header, delimiter=delimiter
+        spark, paths, format=format, header=header, delimiter=delimiter,
+        csv_options=csv_options,
     ).schema
     capture = StructType(
         inferred.fields + [StructField(_CORRUPT_COL, StringType())]
@@ -220,6 +234,8 @@ def read_files_tolerant(
         reader = (
             reader.option("header", header).option("sep", delimiter)
         )
+        for k, v in (csv_options or {}).items():
+            reader = reader.option(k, v)
     # The cache is REQUIRED, not an optimization: Spark refuses queries
     # that reference only the corrupt-record column on an uncached raw
     # scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and the bad-row count is
@@ -253,10 +269,13 @@ def ingest_files(
     schema: StructType | str | None = None,
     delimiter: str = ",",
     max_error: int = 0,
+    csv_options: dict[str, str] | None = None,
 ) -> int:
     """Format-generalized table load (csv/json/parquet/orc) with the
     reference's fail/replace/append mode vocabulary. ``max_error > 0``
-    tolerates up to that many unparseable rows (COPY MAXERROR)."""
+    tolerates up to that many unparseable rows (COPY MAXERROR).
+    ``csv_options`` are extra Spark CSV reader options (the COPY
+    text-load option lowering)."""
     if insert_method not in INSERT_METHODS:
         raise ValueError(
             f"insert_method must be one of {sorted(INSERT_METHODS)}, got {insert_method!r}"
@@ -268,22 +287,29 @@ def ingest_files(
         qualified = f"{schema_name}.{table_name}"
     else:
         qualified = table_name
+    if schema is None and spark.catalog.tableExists(qualified):
+        # Redshift COPY parses against the declared TABLE schema; when
+        # the target exists, its types ARE the parse contract (this is
+        # what makes DATEFORMAT/NULL-AS load typed columns instead of
+        # inferring strings). Fresh-table loads keep whole-input
+        # inference.
+        schema = spark.table(qualified).schema
     if max_error > 0:
-        # Redshift COPY parses against the declared TABLE schema — use
-        # the existing target's schema so type errors actually count
-        target_schema = (
-            spark.table(qualified).schema
-            if spark.catalog.tableExists(qualified)
-            else None
-        )
+        target_schema = schema if isinstance(schema, StructType) else None
         df = read_files_tolerant(
             spark, source, format=format, header=header,
             delimiter=delimiter, max_error=max_error, schema=target_schema,
+            csv_options=csv_options,
         )
     else:
+        # Parsing against a DECLARED schema is strict (Redshift MAXERROR 0
+        # semantics: one bad value fails the load) — PERMISSIVE would
+        # silently NULL type errors the user asked to be errors.
+        strict = format == "csv" and schema is not None
         df = read_files(
             spark, source, format=format, header=header, schema=schema,
-            delimiter=delimiter,
+            delimiter=delimiter, csv_options=csv_options,
+            parse_mode="FAILFAST" if strict else "PERMISSIVE",
         )
     try:
         df.write.mode(INSERT_METHODS[insert_method]).format("parquet").saveAsTable(

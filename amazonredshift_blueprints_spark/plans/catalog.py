@@ -13680,6 +13680,85 @@ def a09_copy_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a10_copy_text_options",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN o_orderkey % 10 <> 0 THEN 1 END)
+               AS BIGINT) AS n_price,
+           CAST(COUNT(CASE WHEN o_orderkey % 7 = 0 THEN 1 END)
+               AS BIGINT) AS n_null_prio,
+           CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS min_date,
+           CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS max_date,
+           CAST(SUM(CASE WHEN o_orderkey % 10 <> 0
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+               AS DOUBLE) AS sum_price
+    FROM orders
+    """,
+    doc="COPY text-load options (functions/copy_unload.py → Spark CSV "
+        "reader options): the fixture is rendered to CSV with 'NUL' "
+        "price markers (every 10th key), EMPTY priority fields (every "
+        "7th) and DD/MM/YYYY dates, then COPY'd into a DECLARED typed "
+        "table with NULL AS 'NUL' EMPTYASNULL DATEFORMAT 'DD/MM/YYYY' "
+        "— markers land as real NULLs, dates parse into a DATE column "
+        "through the TO_CHAR-pattern translator, and doubles survive "
+        "shortest-repr. Exercises the Redshift parse contract landed "
+        "with this option set: an existing target's DECLARED schema "
+        "drives parsing (that is what makes DATEFORMAT/NULL-AS load "
+        "types instead of inferring strings) and declared-schema loads "
+        "are FAILFAST at MAXERROR 0 (one bad value fails the load — "
+        "pytest-pinned). STATUPDATE/COMPUPDATE/TRUNCATECOLUMNS/"
+        "REMOVEQUOTES/ACCEPTINVCHARS accepted as documented no-ops; "
+        "TIMEFORMAT epoch forms refuse loudly",
+    tags=("native", "ingest", "dialect"),
+)
+def a10_copy_text_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..ingest import _clean_stale_location
+    from ..sqlrun import execute_sql
+
+    o = views(spark, sf_dir, "orders")["orders"]
+    tmp = tempfile.mkdtemp(prefix="bp_textopts_")
+    lines = o.select(
+        F.format_string(
+            "%d,%s,%s,%s",
+            F.col("o_orderkey"),
+            F.date_format("o_orderdate", "dd/MM/yyyy"),
+            F.when(F.col("o_orderkey") % 10 == 0, F.lit("NUL")).otherwise(
+                F.col("o_totalprice").cast("string")
+            ),
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        ).alias("value")
+    )
+    data_dir = os.path.join(tmp, "orders_txt")
+    lines.write.mode("overwrite").text(data_dir)
+    tbl = "bp_textopts_orders"
+    _clean_stale_location(spark, tbl, None)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"CREATE TABLE {tbl} (o_orderkey BIGINT, o_orderdate DATE, "
+        "o_totalprice DOUBLE, o_orderpriority STRING) USING parquet"
+    )
+    execute_sql(
+        spark,
+        f"COPY {tbl} FROM '{data_dir}' CSV NULL AS 'NUL' EMPTYASNULL "
+        "DATEFORMAT 'DD/MM/YYYY' STATUPDATE OFF COMPUPDATE OFF",
+    )
+    return spark.table(tbl).agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_totalprice").alias("n_price"),
+        F.count(F.when(F.col("o_orderpriority").isNull(), 1)).alias(
+            "n_null_prio"
+        ),
+        F.min("o_orderdate").cast("string").alias("min_date"),
+        F.max("o_orderdate").cast("string").alias("max_date"),
+        dsum("o_totalprice", "sum_price"),
+    )
+
+
+@query(
     "q93_sql_script",
     oracle="""
     SELECT n_name,
@@ -14358,7 +14437,7 @@ def c178_srm_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c178 + a06-a09 + q88-q94 ≈ 92
+# EXCEEDS one 50-slot window (c98-c178 + a06-a10 + q88-q94 ≈ 93
 # entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —

@@ -963,3 +963,64 @@ def test_copy_fixedwidth_load_and_refusals(spark, tmp_path):
         with pytest.raises(ValueError):
             parse_copy(sql)
     spark.sql("DROP TABLE IF EXISTS t_fw")
+
+
+def test_copy_text_load_options(spark, tmp_path):
+    """COPY NULL AS / EMPTYASNULL / DATEFORMAT lower onto the CSV
+    reader; the declared target schema drives parsing; a declared-
+    schema load is FAILFAST at MAXERROR 0; epoch TIMEFORMAT and
+    FIXEDWIDTH combinations refuse at parse time."""
+    import pytest
+
+    from amazonredshift_blueprints_spark.functions.copy_unload import parse_copy
+    from amazonredshift_blueprints_spark.ingest import _clean_stale_location
+    from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+    p = tmp_path / "t.csv"
+    p.write_text(
+        "1,31/01/2024,10.5,hi\n"
+        "2,29/02/2024,NUL,\n"      # NUL -> null price; empty -> null tag
+        "3,15/03/2024,7.25,yo\n"
+    )
+    _clean_stale_location(spark, "t_opts", None)
+    spark.sql("DROP TABLE IF EXISTS t_opts")
+    spark.sql(
+        "CREATE TABLE t_opts (k BIGINT, d DATE, v DOUBLE, tag STRING) "
+        "USING parquet"
+    )
+    execute_sql(
+        spark,
+        f"COPY t_opts FROM '{p}' CSV NULL AS 'NUL' EMPTYASNULL "
+        "DATEFORMAT 'DD/MM/YYYY'",
+    )
+    got = {r.k: (str(r.d), r.v, r.tag) for r in spark.table("t_opts").collect()}
+    assert got == {
+        1: ("2024-01-31", 10.5, "hi"),
+        2: ("2024-02-29", None, None),
+        3: ("2024-03-15", 7.25, "yo"),
+    }
+    # declared schema + MAXERROR 0 (default): a bad value FAILS the load
+    bad = tmp_path / "bad.csv"
+    bad.write_text("1,31/01/2024,notanumber,hi\n")
+    with pytest.raises(Exception):
+        execute_sql(
+            spark,
+            f"COPY t_opts FROM '{bad}' CSV DATEFORMAT 'DD/MM/YYYY'",
+        )
+    # parse-time refusals and no-op acceptances
+    with pytest.raises(ValueError, match="epoch-numeric"):
+        parse_copy("COPY t FROM '/x' CSV TIMEFORMAT 'epochsecs'")
+    with pytest.raises(ValueError, match="unrecognized format"):
+        parse_copy("COPY t FROM '/x' CSV DATEFORMAT 'QQQX'")
+    with pytest.raises(ValueError, match="text-load options"):
+        parse_copy("COPY t FROM '/x' FIXEDWIDTH 'a:3' NULL AS 'x'")
+    s = parse_copy(
+        "COPY t FROM '/x' CSV REMOVEQUOTES TRUNCATECOLUMNS "
+        "ACCEPTINVCHARS '?' STATUPDATE ON COMPUPDATE OFF BLANKSASNULL"
+    )
+    assert s.csv_options["nullValue"] == ""
+    assert s.csv_options["ignoreTrailingWhiteSpace"] == "true"
+    # explicit NULL AS wins over EMPTYASNULL
+    s2 = parse_copy("COPY t FROM '/x' CSV EMPTYASNULL NULL AS 'NA'")
+    assert s2.csv_options["nullValue"] == "NA"
+    spark.sql("DROP TABLE IF EXISTS t_opts")
