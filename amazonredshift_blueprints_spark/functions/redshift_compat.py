@@ -528,6 +528,8 @@ _LAYOUT_CLAUSES = [
     re.compile(r"\bDISTKEY\s*\([^)]*\)", re.IGNORECASE),
     re.compile(r"\b(?:COMPOUND\s+|INTERLEAVED\s+)?SORTKEY\s*\([^)]*\)", re.IGNORECASE),
     re.compile(r"\bENCODE\s+\w+\b", re.IGNORECASE),
+    # BACKUP YES|NO: Redshift snapshot opt-out — no analog, stripped
+    re.compile(r"\bBACKUP\s+(?:YES|NO)\b", re.IGNORECASE),
     # IDENTITY(seed, step): stripped with a documented divergence — the
     # session catalog generates no values, so inserts must supply the
     # column (Redshift auto-generates). GENERATED BY DEFAULT AS IDENTITY

@@ -180,6 +180,8 @@ def test_layout_ddl_clauses_stripped():
         "DISTSTYLE KEY DISTKEY(k) COMPOUND SORTKEY(k, v)"
     )
     assert out == "CREATE TABLE t (k INT, v VARCHAR(10))"
+    out = translate_redshift_sql("CREATE TABLE t (a INT) BACKUP NO")
+    assert out == "CREATE TABLE t (a INT)"
 
 
 def test_sortkey_interleaved_stripped():
@@ -261,7 +263,7 @@ class TestCopyUnloadStatements:
         from amazonredshift_blueprints_spark.functions.copy_unload import parse_copy
 
         with pytest.raises(ValueError, match="unsupported COPY option"):
-            parse_copy("COPY t FROM '/d/f' ESCAPE")
+            parse_copy("COPY t FROM '/d/f' EXPLICIT_IDS")
         with pytest.raises(ValueError, match="IGNOREHEADER"):
             parse_copy("COPY t FROM '/d/f' IGNOREHEADER 3")
 
