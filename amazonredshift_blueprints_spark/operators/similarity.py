@@ -2577,3 +2577,80 @@ def semantic_decontaminate(
         (-F.col("m.neg")).cast("long").alias("matched_eval_id"),
         F.col("m.cosine").alias("max_cosine"),
     ).orderBy("vec_id")
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (DPR, Karpukhin
+    EMNLP'20; SimCLR-family samplers): for each query vector, the k
+    nearest corpus vectors with a DIFFERENT label — the
+    most-confusable negatives, which train far stronger encoders than
+    the random negatives of c129. The label is whatever supervision
+    exists (topic, source, duplicate-cluster id).
+
+    Same exactness contract as c06: quantized-integer dot/norms, one
+    deterministic double cosine, rank by (cosine DESC, id) — the whole
+    ranking replays in any engine. Same-label rows (and the query
+    itself) are excluded BEFORE ranking, so every returned row is a
+    genuine negative.
+
+    Returns (query_id, neg_id, label, neg_label, cosine, rank).
+
+    100 TB: the query block broadcasts over one corpus scan (the c06
+    shape); the label filter rides inside that map-side join, and the
+    top-k window runs per query over k·|corpus-partition| candidates.
+    IVF cell-pruning (c17) slots in front unchanged when the corpus
+    outgrows brute force.
+    """
+    from pyspark.sql.window import Window
+
+    q = _with_quant(queries, id_col, vec_col, "query").join(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("label"),
+        ),
+        "query_id",
+    )
+    c = _with_quant(corpus, id_col, vec_col, "neighbor").join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("neg_label"),
+        ),
+        "neighbor_id",
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("label") != F.col("neg_label"))
+        )
+        .select(
+            "query_id",
+            "label",
+            F.col("neighbor_id").alias("neg_id"),
+            "neg_label",
+            cosine_q(
+                dot_q(F.col("query_q"), F.col("neighbor_q")),
+                F.col("query_norm"),
+                F.col("neighbor_norm"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neg_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neg_id", "label", "neg_label", "cosine", "rank"
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -14407,6 +14407,61 @@ def c178_srm_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srm_guardrail(base, "variant", "ts")
 
 
+@query(
+    "c179_hard_negative_mining",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, {_DUCK_QUANT} AS qv FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, qv,
+               CAST({_DUCK_DOT.format(a='qv', b='qv')} AS BIGINT) AS norm
+        FROM v
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neg_id,
+               CAST(q.label AS BIGINT) AS label,
+               CAST(c.label AS BIGINT) AS neg_label,
+               CAST({_DUCK_DOT.format(a='q.qv', b='c.qv')} AS DOUBLE)
+                 / (sqrt(CAST(q.norm AS DOUBLE))
+                    * sqrt(CAST(c.norm AS DOUBLE))) AS cosine
+        FROM n q CROSS JOIN n c
+        WHERE q.vec_id < 10
+          AND q.vec_id <> c.vec_id
+          AND q.label <> c.label
+    )
+    SELECT query_id, neg_id, label, neg_label, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neg_id
+        ) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="hard-negative mining for contrastive training (operators/"
+        "similarity.hard_negative_mining; DPR, Karpukhin EMNLP'20): "
+        "per query vector, the top-5 nearest corpus vectors with a "
+        "DIFFERENT label — the most-confusable negatives that train "
+        "far stronger encoders than c129's random negatives. Same "
+        "exactness contract as c06 (quantized-integer dot/norms, one "
+        "deterministic double cosine, (cosine DESC, id) ranking); "
+        "same-label rows and self excluded BEFORE ranking. 100 TB: "
+        "broadcast query block over ONE corpus scan with the label "
+        "filter riding the map side; IVF cell-pruning (c17) slots in "
+        "front unchanged at scale",
+    tags=("similarity", "ml", "embeddings"),
+    bench=True,
+)
+def c179_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import hard_negative_mining
+
+    emb = views(spark, sf_dir, "embeddings")["embeddings"]
+    e = emb.select("vec_id", "embedding", F.col("label").cast("long").alias("label"))
+    return hard_negative_mining(
+        e, e.filter(F.col("vec_id") < 10), k=5
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -14437,7 +14492,7 @@ def c178_srm_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c178 + a06-a10 + q88-q94 ≈ 93
+# EXCEEDS one 50-slot window (c98-c179 + a06-a10 + q88-q94 ≈ 94
 # entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —

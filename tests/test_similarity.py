@@ -955,3 +955,29 @@ def test_semantic_decontaminate_flags_paraphrase(spark):
     assert got[3][0] in (100, 102) and abs(got[3][1] - 0.6) < 1e-9
     # threshold above every cosine flags nothing
     assert semantic_decontaminate(train, ev, threshold=1.1).count() == 0
+
+
+def test_hard_negative_mining_excludes_same_label(spark):
+    """Every mined negative has a different label than its query, the
+    nearest same-label vector is skipped, and ranking is exact."""
+    from amazonredshift_blueprints_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0),   # query
+        (2, [0.99, 0.14], 0),  # nearest overall but SAME label -> skipped
+        (3, [0.9, 0.44], 1),   # nearest different-label
+        (4, [0.0, 1.0], 1),    # orthogonal different-label
+        (5, [0.8, 0.6], 0),    # same label -> skipped
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long"
+    )
+    out = hard_negative_mining(
+        df, df.filter("vec_id = 1"), k=3
+    ).collect()
+    assert [r.neg_id for r in out] == [3, 4]
+    assert all(r.label == 0 and r.neg_label == 1 for r in out)
+    assert [r.rank for r in out] == [1, 2]
+    assert out[0].cosine > out[1].cosine
