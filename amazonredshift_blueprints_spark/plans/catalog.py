@@ -14462,6 +14462,107 @@ def c179_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q95_tpch_refresh",
+    oracle="""
+    WITH o_new AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_totalprice FROM orders
+        WHERE o_orderkey % 1000 = 7
+    ),
+    o_fin AS (SELECT * FROM o_new WHERE o_orderkey % 1000 <> 13),
+    l_new AS (
+        SELECT l_orderkey FROM lineitem
+        UNION ALL
+        SELECT l_orderkey + 10000000 FROM lineitem
+        WHERE l_orderkey % 1000 = 7
+    ),
+    l_fin AS (SELECT * FROM l_new WHERE l_orderkey % 1000 <> 13)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM o_fin) AS n_orders,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM l_fin) AS n_lineitems,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM o_fin
+            WHERE o_orderkey >= 10000000) AS n_inserted,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM l_fin l
+            LEFT JOIN o_fin o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderkey IS NULL) AS n_orphans,
+           (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) FROM o_fin) AS sum_price
+    """,
+    doc="TPC-H refresh streams RF1/RF2 (the forgotten half of the "
+        "benchmark — inserts of new orders+lineitems and paired "
+        "deletes, spec clause 2.27): applied through the statement "
+        "faces onto copy-on-write DML (INSERT INTO ... SELECT with "
+        "shifted keys; DELETE FROM ... WHERE via q89's lowering, "
+        "Spark SQL refusing those verbs on v1 parquet). The paired "
+        "insert/delete keeps referential integrity — n_orphans "
+        "(lineitems with no parent order) must be 0, and the oracle "
+        "recomputes the whole post-refresh state from set algebra on "
+        "the untouched base tables. Key offset 10,000,000 is 0 mod "
+        "1000, so the RF2 modular delete hits originals and inserts "
+        "consistently in both engines. 100 TB: the refresh is one "
+        "insert scan + one copy-on-write rewrite per table — the COW "
+        "boundary (vs a delete-vector table format) is dml.py's "
+        "documented honest divergence",
+    tags=("dml", "tpch", "orders", "lineitem"),
+)
+def q95_tpch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ingest import _clean_stale_location
+    from ..sqlrun import execute_sql
+
+    views(spark, sf_dir, "orders", "lineitem")
+    for t in ("bp_rf_orders", "bp_rf_lineitem"):
+        _clean_stale_location(spark, t, None)
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.sql(
+        "CREATE TABLE bp_rf_orders USING parquet AS SELECT * FROM orders"
+    )
+    spark.sql(
+        "CREATE TABLE bp_rf_lineitem USING parquet AS "
+        "SELECT * FROM lineitem"
+    )
+    execute_sql(
+        spark,
+        """INSERT INTO bp_rf_orders
+           SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+                  o_totalprice, o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 1000 = 7""",
+    )
+    execute_sql(
+        spark,
+        """INSERT INTO bp_rf_lineitem
+           SELECT l_orderkey + 10000000, l_partkey, l_suppkey,
+                  l_linenumber, l_quantity, l_extendedprice, l_discount,
+                  l_tax, l_returnflag, l_linestatus, l_shipdate
+           FROM lineitem WHERE l_orderkey % 1000 = 7""",
+    )
+    execute_sql(spark, "DELETE FROM bp_rf_orders WHERE o_orderkey % 1000 = 13")
+    execute_sql(
+        spark, "DELETE FROM bp_rf_lineitem WHERE l_orderkey % 1000 = 13"
+    )
+    o = spark.table("bp_rf_orders")
+    li = spark.table("bp_rf_lineitem")
+    orphans = li.join(
+        o.select("o_orderkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left_anti",
+    )
+    return (
+        o.agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(F.col("o_orderkey") >= 10000000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_inserted"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .crossJoin(li.agg(F.count("*").alias("n_lineitems")))
+        .crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
+        .select(
+            "n_orders", "n_lineitems", "n_inserted", "n_orphans", "sum_price"
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -14492,7 +14593,7 @@ def c179_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c179 + a06-a10 + q88-q94 ≈ 94
+# EXCEEDS one 50-slot window (c98-c179 + a06-a10 + q88-q95 ≈ 95
 # entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —
