@@ -106,6 +106,8 @@ def decode_image(payload: bytes):
         return decode_gif(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:4] == b"qoif":
+        return decode_qoi(payload)
     try:  # pragma: no cover - pillow absent in this container
         import io
 
@@ -1334,6 +1336,177 @@ def synthesize_bmp_images(
                     payloads.append(encode_bmp_palette(idx, pal))
                 else:
                     payloads.append(encode_bmp(pal[idx], topdown=True))
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(gen, "doc_id long, payload binary")
+
+
+# --------------------------------------------------------------------------
+# QOI ("Quite OK Image", qoiformat.org — public 1-page spec): the
+# modern lossless codec rung of the ladder (PPM raw → BMP container →
+# PNG zlib+filters → GIF LZW → WAV PCM → QOI op-stream). Distinct
+# machinery: a 64-entry hash-indexed color cache, 2-bit channel diffs,
+# luma diffs, and run-length ops — five op types in one byte stream.
+# --------------------------------------------------------------------------
+
+_QOI_MAGIC = b"qoif"
+_QOI_END = b"\x00" * 7 + b"\x01"
+
+
+def _qoi_hash(r: int, g: int, b: int, a: int) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def encode_qoi(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a spec-complete QOI stream
+    (channels=3, alpha implicitly 255): greedy op selection RUN →
+    INDEX → DIFF → LUMA → RGB, exactly the reference encoder's order,
+    so every op type is exercised by a fixture that contains runs,
+    small gradients, and palette jumps."""
+    import struct
+
+    h, w = pixels.shape[0], pixels.shape[1]
+    out = bytearray()
+    out += _QOI_MAGIC + struct.pack(">II", w, h) + bytes([3, 0])
+    index = [(0, 0, 0, 0)] * 64
+    pr, pg, pb, pa = 0, 0, 0, 255
+    run = 0
+    flat = pixels.reshape(-1, 3)
+    for px in flat:
+        r, g, b = int(px[0]), int(px[1]), int(px[2])
+        if (r, g, b) == (pr, pg, pb):
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        idx = _qoi_hash(r, g, b, 255)
+        if index[idx] == (r, g, b, 255):
+            out.append(idx)  # QOI_OP_INDEX (tag 0b00)
+        else:
+            index[idx] = (r, g, b, 255)
+            dr = (r - pr + 128) % 256 - 128
+            dg = (g - pg + 128) % 256 - 128
+            db = (b - pb + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            elif (
+                -32 <= dg <= 31
+                and -8 <= dr - dg <= 7
+                and -8 <= db - dg <= 7
+            ):
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out += bytes([0xFE, r, g, b])  # QOI_OP_RGB
+        pr, pg, pb = r, g, b
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += _QOI_END
+    return bytes(out)
+
+
+def decode_qoi(payload: bytes):
+    """Spec-complete QOI decode → (h, w, 3) uint8 (alpha dropped for
+    channels=3 streams, refused non-255 for 3-channel output). Raises
+    on bad magic, truncation, or a missing end marker."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != _QOI_MAGIC:
+        raise ValueError("not a QOI stream (bad magic)")
+    w, h = struct.unpack(">II", payload[4:12])
+    channels, _colorspace = payload[12], payload[13]
+    if channels not in (3, 4):
+        raise ValueError(f"QOI channels must be 3 or 4, got {channels}")
+    if payload[-8:] != _QOI_END:
+        raise ValueError("QOI stream missing end marker")
+    data = payload[14:-8]
+    n = w * h
+    out = np.empty((n, 3), dtype=np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    pos = 0
+    i = 0
+    while i < n:
+        if pos >= len(data):
+            raise ValueError("truncated QOI stream")
+        byte = data[pos]
+        pos += 1
+        if byte == 0xFE:  # RGB
+            r, g, b = data[pos], data[pos + 1], data[pos + 2]
+            pos += 3
+        elif byte == 0xFF:  # RGBA
+            r, g, b, a = data[pos], data[pos + 1], data[pos + 2], data[pos + 3]
+            pos += 4
+        else:
+            tag = byte >> 6
+            if tag == 0b00:  # INDEX
+                r, g, b, a = index[byte & 0x3F]
+            elif tag == 0b01:  # DIFF
+                r = (r + ((byte >> 4) & 3) - 2) % 256
+                g = (g + ((byte >> 2) & 3) - 2) % 256
+                b = (b + (byte & 3) - 2) % 256
+            elif tag == 0b10:  # LUMA
+                dg = (byte & 0x3F) - 32
+                b2 = data[pos]
+                pos += 1
+                r = (r + dg + ((b2 >> 4) & 0xF) - 8) % 256
+                g = (g + dg) % 256
+                b = (b + dg + (b2 & 0xF) - 8) % 256
+            else:  # RUN
+                run = (byte & 0x3F) + 1
+                if i + run > n:
+                    raise ValueError("QOI run overflows the pixel count")
+                out[i : i + run] = (r, g, b)
+                i += run
+                index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
+                continue
+        index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
+        if a != 255:
+            raise ValueError("3-channel output cannot carry alpha != 255")
+        out[i] = (r, g, b)
+        i += 1
+    return out.reshape(h, w, 3)
+
+
+def synthesize_qoi_images(
+    df: DataFrame, id_col: str, *, w: int = 8, h: int = 4
+) -> DataFrame:
+    """Deterministic synthetic images as REAL QOI payloads exercising
+    every op family: EVEN rows are per-pixel gradients
+    ``(r,g,b)(x) = ((i*7+x)%256, (i*11+x)%256, (i*13+x)%256)`` (step
+    +1/+1/+1 → QOI_OP_DIFF), ODD rows are 4-pixel blocks of palette
+    color ``k = (i*13 + y*3 + (x DIV 4)*7) % 16`` mapped through
+    ``((k*5)%256, (k*9)%256, (k*13)%256)`` (runs → QOI_OP_RUN,
+    revisits → QOI_OP_INDEX, jumps → RGB/LUMA)."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs = np.arange(w)
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                img = np.zeros((h, w, 3), dtype=np.uint8)
+                for y in range(h):
+                    if y % 2 == 0:
+                        img[y, :, 0] = (i * 7 + xs) % 256
+                        img[y, :, 1] = (i * 11 + xs) % 256
+                        img[y, :, 2] = (i * 13 + xs) % 256
+                    else:
+                        k = (i * 13 + y * 3 + (xs // 4) * 7) % 16
+                        img[y, :, 0] = (k * 5) % 256
+                        img[y, :, 1] = (k * 9) % 256
+                        img[y, :, 2] = (k * 13) % 256
+                payloads.append(encode_qoi(img))
             yield pd.DataFrame(
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )

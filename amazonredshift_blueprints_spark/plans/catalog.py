@@ -14563,6 +14563,50 @@ def q95_tpch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c180_qoi_decode_stats",
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id, y.y, x.x,
+               (d.doc_id * 13 + y.y * 3 + (x.x // 4) * 7) % 16 AS k
+        FROM documents d, range(4) y(y), range(8) x(x)
+    )
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS width,
+           CAST(4 AS BIGINT) AS height,
+           CAST(32 AS BIGINT) AS n_pixels,
+           CAST(SUM(CASE WHEN y % 2 = 0 THEN (doc_id * 7 + x) % 256
+                         ELSE (k * 5) % 256 END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN y % 2 = 0 THEN (doc_id * 11 + x) % 256
+                         ELSE (k * 9) % 256 END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN y % 2 = 0 THEN (doc_id * 13 + x) % 256
+                         ELSE (k * 13) % 256 END) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    doc="REAL QOI decode, end-to-end verified — the modern-lossless "
+        "rung of the codec ladder (c64 PPM, c153 BMP, c81/c83 PNG, "
+        "c130 GIF LZW, c103 WAV): 8x4 images are ENCODED to genuine "
+        "QOI streams (qoiformat.org spec — 64-entry hash-indexed color "
+        "cache, 2-bit channel diffs, luma diffs, run-length, raw RGB, "
+        "end marker) and DECODED back (operators/multimodal."
+        "encode_qoi/decode_qoi), reduced to exact channel sums. The "
+        "fixture exercises EVERY op family by construction: even rows "
+        "are +1/+1/+1 gradients (DIFF), odd rows 4-pixel palette "
+        "blocks (RUN + INDEX + RGB/LUMA). The oracle recomputes sums "
+        "from the closed-form pixel formula alone, so one wrong byte "
+        "in either direction (hash function, diff bias, run-length "
+        "bias, wraparound) fails the hash; a 300-image random "
+        "round-trip pytest stresses the op space. Arrow-batched "
+        "mapInPandas in the scan's partitions — no shuffle",
+    tags=("multimodal",),
+)
+def c180_qoi_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import image_channel_stats, synthesize_qoi_images
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return image_channel_stats(synthesize_qoi_images(d, "doc_id", w=8, h=4))
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -14593,7 +14637,7 @@ def q95_tpch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c179 + a06-a10 + q88-q95 ≈ 95
+# EXCEEDS one 50-slot window (c98-c180 + a06-a10 + q88-q95 ≈ 96
 # entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —

@@ -564,3 +564,39 @@ def test_bmp_roundtrip_palette_and_refusals():
         decode_bmp(bytes(bad_comp))
     with pytest.raises(ValueError, match="not a BMP"):
         decode_bmp(b"XX" + bytes(good[2:]))
+
+
+def test_qoi_roundtrip_stress_and_refusals():
+    """300 random/run/gradient images round-trip bit-exactly through
+    the QOI encoder+decoder (covering RUN/INDEX/DIFF/LUMA/RGB and the
+    62-run split); malformed streams refuse loudly."""
+    import numpy as np
+    import pytest
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_qoi,
+        encode_qoi,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(300):
+        h, w = int(rng.integers(1, 9)), int(rng.integers(1, 9))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        if trial % 4 == 0:
+            img[:, :] = img[0, 0]          # pure run (may exceed 62)
+        elif trial % 4 == 1:
+            img = (
+                np.arange(h * w * 3, dtype=np.int64).reshape(h, w, 3) % 256
+            ).astype(np.uint8)             # gradient (DIFF/LUMA heavy)
+        back = decode_qoi(encode_qoi(img))
+        assert (back == img).all(), trial
+    # a 200-pixel constant image forces multiple 62-length run chunks
+    big = np.full((10, 20, 3), 42, dtype=np.uint8)
+    assert (decode_qoi(encode_qoi(big)) == big).all()
+    with pytest.raises(ValueError, match="bad magic"):
+        decode_qoi(b"nope" + b"\x00" * 20)
+    good = encode_qoi(np.zeros((2, 2, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="end marker"):
+        decode_qoi(good[:-1])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_qoi(good[:14] + good[-8:])  # ops removed, marker kept
