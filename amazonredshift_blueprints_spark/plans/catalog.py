@@ -14607,6 +14607,65 @@ def c180_qoi_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_channel_stats(synthesize_qoi_images(d, "doc_id", w=8, h=4))
 
 
+@query(
+    "c181_ips_offline_eval",
+    oracle="""
+    WITH logged AS (
+        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000
+                   AS ctx,
+               user_id % 2 AS act,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS r
+        FROM events
+    ),
+    j AS (
+        SELECT CASE WHEN l.act = l.ctx % 2 THEN 1 ELSE 0 END AS m, l.r
+        FROM logged l
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(m) AS BIGINT) AS n_matched,
+           CAST(SUM(m) * 1000000 // COUNT(*) AS BIGINT)
+               AS match_rate_micro,
+           CAST(SUM(m * r) * 1000000000 // (500 * COUNT(*)) AS BIGINT)
+               AS ips_value_micro,
+           CAST(SUM(m * r) * 1000000
+                // (CASE WHEN SUM(m) > 0 THEN SUM(m) END) AS BIGINT)
+               AS snips_value_micro
+    FROM j
+    """,
+    doc="off-policy evaluation via inverse propensity scoring "
+        "(operators/ml.ips_policy_value; Horvitz-Thompson / Li "
+        "WSDM'11): grade the deterministic target policy 'serve "
+        "action = band parity' on logs collected under the 50/50 "
+        "user-parity randomization — the counterfactual readout that "
+        "values a policy WITHOUT deploying it. Both estimators exact "
+        "integers: unbiased IPS = matched-reward*1e9 DIV (p_milli*N); "
+        "self-normalized SNIPS = matched-reward*1e6 DIV n_matched "
+        "(constant propensity makes the weight sum the match count). "
+        "Contexts absent from the policy table count in N and "
+        "contribute 0 (conservative, documented). 100 TB: policy "
+        "table broadcasts; ONE map-side-partial aggregate over the "
+        "log stream",
+    tags=("ml", "events"),
+)
+def c181_ips_offline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import ips_policy_value
+
+    e = views(spark, sf_dir, "events")["events"]
+    logged = e.select(
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 5000"
+        ).alias("ctx"),
+        (F.col("user_id") % 2).alias("act"),
+        (F.col("event_type") == "purchase").cast("int").alias("r"),
+    )
+    policy = (
+        logged.select("ctx")
+        .distinct()
+        .select("ctx", (F.col("ctx") % 2).alias("act"))
+    )
+    return ips_policy_value(logged, policy, "ctx", "act", "r")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -14637,7 +14696,7 @@ def c180_qoi_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c180 + a06-a10 + q88-q95 ≈ 96
+# EXCEEDS one 50-slot window (c98-c181 + a06-a10 + q88-q95 ≈ 97
 # entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —

@@ -710,3 +710,28 @@ def test_srm_guardrail_detects_broken_split(spark):
     )
     with pytest.raises(ValueError, match="exactly 2 assignment arms"):
         srm_guardrail(three, "arm", "ts")
+
+
+def test_ips_policy_value_hand_case(spark):
+    """IPS recovers the true policy value on a fully-enumerated
+    fixture; SNIPS normalizes by match count; unmatched contexts count
+    in N and contribute 0."""
+    from amazonredshift_blueprints_spark.operators.ml import (
+        ips_policy_value,
+    )
+
+    # ctx 0: policy says action 0; ctx 1: action 1; ctx 9 not in policy
+    logged = [
+        (0, 0, 1), (0, 0, 0), (0, 1, 1),   # 2 matched (r=1,0), 1 not
+        (1, 1, 1), (1, 0, 1),              # 1 matched (r=1), 1 not
+        (9, 0, 1),                          # context not in policy
+    ]
+    pol = [(0, 0), (1, 1)]
+    ldf = spark.createDataFrame(logged, "ctx long, act long, r int")
+    pdf = spark.createDataFrame(pol, "ctx long, act long")
+    r = ips_policy_value(ldf, pdf, "ctx", "act", "r").collect()[0]
+    assert (r.n, r.n_matched) == (6, 3)
+    assert r.match_rate_micro == 3 * 1_000_000 // 6
+    # matched reward = 2; IPS = 2 * 1e9 // (500 * 6); SNIPS = 2e6 // 3
+    assert r.ips_value_micro == 2 * 1_000_000_000 // (500 * 6)
+    assert r.snips_value_micro == 2 * 1_000_000 // 3
