@@ -750,8 +750,34 @@ def _rewrite_select_into(sql: str) -> str:
     return f"{head}{select_list} {rest}"
 
 
+_OFFSET_FETCH_RE = re.compile(
+    r"\bOFFSET\s+(\d+)\s+ROWS?\s+FETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+"
+    r"ROWS?\s+ONLY\b",
+    re.IGNORECASE,
+)
+_FETCH_FIRST_RE = re.compile(
+    r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b", re.IGNORECASE
+)
+_OFFSET_ROWS_RE = re.compile(r"\bOFFSET\s+(\d+)\s+ROWS?\b", re.IGNORECASE)
+
+
+def _rewrite_fetch_first(sql: str) -> str:
+    """ANSI row-limit spellings Redshift accepts but Spark doesn't:
+    ``OFFSET k ROWS FETCH FIRST|NEXT n ROWS ONLY`` → ``LIMIT n OFFSET
+    k`` (Spark's parser demands LIMIT before OFFSET, so the clause
+    pair is REORDERED, not just substituted); bare ``FETCH FIRST n
+    ROWS ONLY`` → ``LIMIT n``; bare ``OFFSET k ROWS`` drops the ROWS
+    keyword Spark's OFFSET does not take."""
+    sql = _OFFSET_FETCH_RE.sub(
+        lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", sql
+    )
+    sql = _FETCH_FIRST_RE.sub(lambda m: f"LIMIT {m.group(1)}", sql)
+    return _OFFSET_ROWS_RE.sub(lambda m: f"OFFSET {m.group(1)}", sql)
+
+
 def translate_redshift_sql(sql: str) -> str:
     """Rewrite Redshift-dialect call sites into Spark SQL equivalents."""
+    sql = _rewrite_fetch_first(sql)
     sql = _rewrite_select_into(sql)
     sql = _rewrite_external_table(sql)
     sql = _rewrite_create_like(sql)

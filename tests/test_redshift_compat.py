@@ -1549,3 +1549,26 @@ def test_select_into_rewrite_shapes():
         "SELECT a FROM t",  # INTO nowhere
     ):
         assert t(untouched) == untouched
+
+
+def test_fetch_first_offset_rewrites(spark):
+    """ANSI FETCH FIRST/NEXT and OFFSET ... ROWS forms run end-to-end:
+    the OFFSET+FETCH pair is REORDERED to LIMIT-then-OFFSET (Spark's
+    required clause order) and bare OFFSET drops the ROWS keyword."""
+    from amazonredshift_blueprints_spark.functions.redshift_compat import (
+        translate_redshift_sql as t,
+    )
+
+    spark.createDataFrame(
+        [(i,) for i in range(10)], "k long"
+    ).createOrReplaceTempView("t_fetch")
+    cases = [
+        ("SELECT k FROM t_fetch ORDER BY k FETCH FIRST 3 ROWS ONLY",
+         [0, 1, 2]),
+        ("SELECT k FROM t_fetch ORDER BY k "
+         "OFFSET 2 ROWS FETCH NEXT 3 ROWS ONLY", [2, 3, 4]),
+        ("SELECT k FROM t_fetch ORDER BY k OFFSET 7 ROWS", [7, 8, 9]),
+        ("SELECT k FROM t_fetch ORDER BY k FETCH NEXT 1 ROW ONLY", [0]),
+    ]
+    for q, want in cases:
+        assert [r.k for r in spark.sql(t(q)).collect()] == want, q
