@@ -559,3 +559,44 @@ def snapshot_diff(
             *[F.col(f"new_{c}") for c in compare_cols],
         )
     )
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """Apply a :func:`snapshot_diff` changeset to a base snapshot — the
+    CONSUMER side of CDC (the producer derives the changeset, a
+    downstream replica applies it): keys marked 'D' or 'U' leave the
+    base, rows marked 'I' or 'U' enter with their ``new_*`` values.
+    By construction ``apply_changes(old, snapshot_diff(old, new)) ==
+    new`` — the round-trip identity the c182 oracle pins end-to-end.
+
+    Key matching is NULL-SAFE (eqNullSafe anti-join), so the NULL-key
+    rows snapshot_diff correctly classifies (r10 advisor fix) also
+    apply correctly; with multiple NULL-key rows per side the pairing
+    is set-wise, same as the diff.
+
+    Returns keys + ``value_cols`` (the replica's column contract).
+
+    100 TB: one null-safe anti-join on the key (co-partitioned with
+    the diff's own shuffle when chained) plus a union with the
+    changeset's upsert side — the changeset is delta-sized, so the
+    expensive side is the base scan, touched once.
+    """
+    gone = (
+        changes.filter(F.col("change_type").isin("D", "U"))
+        .select(*[F.col(k).alias(f"_ck_{k}") for k in keys])
+        .distinct()
+    )
+    cond = None
+    for k in keys:
+        eq = base[k].eqNullSafe(F.col(f"_ck_{k}"))
+        cond = eq if cond is None else (cond & eq)
+    kept = base.join(gone, cond, "left_anti").select(*keys, *value_cols)
+    upserts = changes.filter(F.col("change_type").isin("I", "U")).select(
+        *keys, *[F.col(f"new_{c}").alias(c) for c in value_cols]
+    )
+    return kept.unionByName(upserts)

@@ -14666,6 +14666,58 @@ def c181_ips_offline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ips_policy_value(logged, policy, "ctx", "act", "r")
 
 
+@query(
+    "c182_cdc_apply",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           o_totalprice,
+           o_orderpriority
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    doc="CDC apply — the consumer half q83's snapshot-diff produces "
+        "for (dml.apply_changes): an OLD replica is deterministically "
+        "damaged three ways (rows with okey%1000=13 dropped → 'I', "
+        "synthetic okey+20M rows added → 'D', priority overwritten "
+        "where okey%50=0 → 'U'), snapshot_diff derives the changeset, "
+        "apply_changes replays it, and the result must BE the true "
+        "table — the oracle is literally SELECT * FROM orders, so the "
+        "hash pins the round-trip identity diff∘apply == identity "
+        "over every change type at once. Key matching is null-safe "
+        "(the r10-advisor NULL-key semantics carry through to apply). "
+        "100 TB: diff = one full-outer key join; apply = one "
+        "null-safe anti-join + delta-sized union — base scanned once "
+        "each side, co-partitioned when chained",
+    tags=("dml", "orders"),
+    bench=True,
+)
+def c182_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dml import apply_changes, snapshot_diff
+
+    o = views(spark, sf_dir, "orders")["orders"]
+    cols = ["o_orderstatus", "o_totalprice", "o_orderpriority"]
+    new = o.select("o_orderkey", *cols)
+    old = (
+        new.filter(F.col("o_orderkey") % 1000 != 13)
+        .withColumn(
+            "o_orderpriority",
+            F.when(
+                F.col("o_orderkey") % 50 == 0, F.lit("X-OLD")
+            ).otherwise(F.col("o_orderpriority")),
+        )
+        .unionByName(
+            new.filter(F.col("o_orderkey") % 500 == 0).select(
+                (F.col("o_orderkey") + 20000000).alias("o_orderkey"), *cols
+            )
+        )
+    )
+    changes = snapshot_diff(old, new, ["o_orderkey"], cols)
+    return apply_changes(old, changes, ["o_orderkey"], cols).orderBy(
+        "o_orderkey"
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -14696,7 +14748,7 @@ def c181_ips_offline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c181 + a06-a10 + q88-q95 ≈ 97
+# EXCEEDS one 50-slot window (c98-c182 + a06-a10 + q88-q95 ≈ 98
 # entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —

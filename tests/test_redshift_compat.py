@@ -1572,3 +1572,28 @@ def test_fetch_first_offset_rewrites(spark):
     ]
     for q, want in cases:
         assert [r.k for r in spark.sql(t(q)).collect()] == want, q
+
+
+def test_apply_changes_roundtrip_with_null_keys(spark):
+    """apply_changes(old, snapshot_diff(old, new)) == new, including a
+    NULL-key row present only in the old snapshot (delete) and one
+    only in the new (insert) — the null-safe key path end to end."""
+    from amazonredshift_blueprints_spark.dml import (
+        apply_changes,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "stale"), (None, "ghost")],
+        "k int, v string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "new"), (None, "reborn")],
+        "k int, v string",
+    )
+    changes = snapshot_diff(old, new, ["k"], ["v"])
+    got = {
+        (r.k, r.v)
+        for r in apply_changes(old, changes, ["k"], ["v"]).collect()
+    }
+    assert got == {(1, "a"), (2, "B"), (4, "new"), (None, "reborn")}
