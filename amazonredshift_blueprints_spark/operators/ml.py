@@ -1846,3 +1846,105 @@ def ips_policy_value(
             "(CASE WHEN SUM(m) > 0 THEN SUM(m) END) AS BIGINT)"
         ).alias("snips_value_micro"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    crit_micro_coeff: int = 1_358_100,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test: D = max |F1(v) - F2(v)|
+    over the empirical CDFs of the two groups — the nonparametric
+    "are these two distributions the same" readout completing the
+    testing family (means c177, proportions c116, ranks c145).
+
+    Exactness: with cumulative counts c1(v), c2(v) the gap is the
+    RATIONAL |c1·n2 − c2·n1| / (n1·n2), so the max is found entirely in
+    BIGINT (numerators compared directly — no float CDFs) and reported
+    as ``ks_d_micro = num · 1e6 DIV (n1·n2)`` with the smallest
+    achieving value as the location. The α=0.05 rejection threshold is
+    ``c(α)·√((n1+n2)/(n1·n2))`` with c = 1.3581 carried as the integer
+    micro literal ``crit_micro_coeff`` (a method constant, like c176's
+    z quantiles); the single √ is one fixed-IEEE double expression.
+
+    Returns ONE row: (n1, n2, ks_d_micro, at_value, crit_micro,
+    reject).
+
+    100 TB: ONE hash aggregate collapses the corpus to the distinct
+    VALUE table (map-side partials); both cumulative scans ride one
+    unpartitioned window over that vocabulary-sized table (c161/c166
+    discipline); the max exits via one tiny aggregate. Overflow:
+    c·n < 2^63 needs n1·n2 < 9e18 — any realistic pair.
+    """
+    from pyspark.sql.window import Window
+
+    groups = [
+        r[0]
+        for r in df.select(group_col).distinct().orderBy(group_col).collect()
+    ]
+    if len(groups) != 2:
+        raise ValueError(
+            f"KS two-sample test expects exactly 2 groups, got "
+            f"{len(groups)}: {groups[:5]}"
+        )
+    lo, hi = groups
+    per_value = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.sum(F.when(F.col(group_col) == lo, 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col(group_col) == hi, 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+    )
+    cum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    gaps = per_value.select(
+        "v",
+        F.sum("a").over(cum).alias("c1"),
+        F.sum("b").over(cum).alias("c2"),
+        F.sum("a").over(tot).alias("n1"),
+        F.sum("b").over(tot).alias("n2"),
+    ).select(
+        "v",
+        "n1",
+        "n2",
+        F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")).alias(
+            "num"
+        ),
+    )
+    best = gaps.groupBy().agg(
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+        F.max(F.struct(F.col("num"), (-F.col("v")).alias("negv"))).alias("m"),
+    )
+    return best.select(
+        "n1",
+        "n2",
+        F.expr("CAST(m.num * 1000000 DIV (n1 * n2) AS BIGINT)").alias(
+            "ks_d_micro"
+        ),
+        (-F.col("m.negv")).cast("long").alias("at_value"),
+        F.round(
+            F.lit(crit_micro_coeff)
+            * F.sqrt(
+                (F.col("n1") + F.col("n2")).cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double")
+            )
+        )
+        .cast("long")
+        .alias("crit_micro"),
+        (
+            F.expr("CAST(m.num * 1000000 DIV (n1 * n2) AS BIGINT)")
+            >= F.round(
+                F.lit(crit_micro_coeff)
+                * F.sqrt(
+                    (F.col("n1") + F.col("n2")).cast("double")
+                    / (F.col("n1") * F.col("n2")).cast("double")
+                )
+            ).cast("long")
+        ).alias("reject"),
+    )

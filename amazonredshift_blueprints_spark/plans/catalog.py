@@ -14718,6 +14718,75 @@ def c182_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c183_ks_two_sample",
+    oracle="""
+    WITH base AS (
+        SELECT event_type AS g,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    pv AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS b
+        FROM base GROUP BY 1
+    ),
+    cumt AS (
+        SELECT v,
+               CAST(SUM(a) OVER (ORDER BY v) AS BIGINT) AS c1,
+               CAST(SUM(b) OVER (ORDER BY v) AS BIGINT) AS c2,
+               CAST(SUM(a) OVER () AS BIGINT) AS n1,
+               CAST(SUM(b) OVER () AS BIGINT) AS n2
+        FROM pv
+    ),
+    gaps AS (
+        SELECT v, n1, n2, ABS(c1 * n2 - c2 * n1) AS num FROM cumt
+    ),
+    m AS (SELECT * FROM gaps ORDER BY num DESC, v ASC LIMIT 1)
+    SELECT n1, n2,
+           CAST(num * 1000000 // (n1 * n2) AS BIGINT) AS ks_d_micro,
+           CAST(v AS BIGINT) AS at_value,
+           CAST(round(1358100 * sqrt(CAST(n1 + n2 AS DOUBLE)
+                                     / CAST(n1 * n2 AS DOUBLE)))
+               AS BIGINT) AS crit_micro,
+           CAST(num * 1000000 // (n1 * n2) AS BIGINT)
+               >= CAST(round(1358100 * sqrt(CAST(n1 + n2 AS DOUBLE)
+                                            / CAST(n1 * n2 AS DOUBLE)))
+                      AS BIGINT) AS reject
+    FROM m
+    """,
+    doc="exact two-sample Kolmogorov-Smirnov test (operators/ml."
+        "ks_two_sample): D = max ECDF gap between click and purchase "
+        "value distributions, found ENTIRELY in BIGINT — the gap at v "
+        "is the rational |c1·n2 − c2·n1|/(n1·n2), so numerators "
+        "compare exactly and only the final report divides "
+        "(num*1e6 DIV n1·n2); location = smallest argmax value; "
+        "α=.05 threshold = 1.3581 (micro literal, a method constant) "
+        "times ONE fixed-IEEE sqrt. Completes the testing family: "
+        "means c177, proportions c116, ranks/AUC c145, distributions "
+        "c183. 100 TB: one corpus aggregate to the distinct-cents "
+        "table (map-side partials), cumulative+total windows on that "
+        "vocabulary-sized table (c166 discipline), one tiny max-struct "
+        "aggregate out — join-free",
+    tags=("ml", "events"),
+    bench=True,
+)
+def c183_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import ks_two_sample
+
+    e = views(spark, sf_dir, "events")["events"]
+    base = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.col("event_type").alias("g"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("v"),
+    )
+    return ks_two_sample(base, "g", "v")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -14748,7 +14817,7 @@ def c182_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c182 + a06-a10 + q88-q95 ≈ 98
+# EXCEEDS one 50-slot window (c98-c183 + a06-a10 + q88-q95 ≈ 99
 # entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —

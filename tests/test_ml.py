@@ -735,3 +735,57 @@ def test_ips_policy_value_hand_case(spark):
     # matched reward = 2; IPS = 2 * 1e9 // (500 * 6); SNIPS = 2e6 // 3
     assert r.ips_value_micro == 2 * 1_000_000_000 // (500 * 6)
     assert r.snips_value_micro == 2 * 1_000_000 // 3
+
+
+def test_ks_two_sample_exact_and_replay(spark):
+    """KS D on hand samples matches scipy-free python ECDF math:
+    identical samples give D=0 (no reject); disjoint samples give
+    D=1e6 (reject); a random fixture replays exactly; 3 groups refuse."""
+    import math
+
+    import pytest
+
+    from amazonredshift_blueprints_spark.operators.ml import ks_two_sample
+
+    mk = lambda rows: spark.createDataFrame(rows, "g string, v long")
+    same = [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (1, 2, 3)]
+    r = ks_two_sample(mk(same), "g", "v").collect()[0]
+    assert r.ks_d_micro == 0 and not r.reject
+    apart = [("a", v) for v in range(0, 10)] + [
+        ("b", v) for v in range(100, 112)
+    ]
+    r2 = ks_two_sample(mk(apart), "g", "v").collect()[0]
+    assert r2.ks_d_micro == 1_000_000 and r2.at_value == 9
+    # n1=10, n2=12: crit = 1.3581*sqrt(22/120) ~ 0.58 < 1 -> reject.
+    # (With n=2 vs 3 the asymptotic threshold EXCEEDS 1 and even a
+    # fully separated pair doesn't reject — correct, the formula's
+    # small-sample honesty.)
+    assert r2.reject
+
+    import random
+
+    rng = random.Random(3)
+    data = [("a", rng.randint(0, 15)) for _ in range(40)] + [
+        ("b", rng.randint(5, 20)) for _ in range(25)
+    ]
+    r3 = ks_two_sample(mk(data), "g", "v").collect()[0]
+    xs = sorted({v for _, v in data})
+    n1 = sum(1 for g, _ in data if g == "a")
+    n2 = len(data) - n1
+    best = max(
+        (
+            abs(
+                sum(1 for g, v in data if g == "a" and v <= t) * n2
+                - sum(1 for g, v in data if g == "b" and v <= t) * n1
+            ),
+            -t,
+        )
+        for t in xs
+    )
+    assert r3.ks_d_micro == best[0] * 1_000_000 // (n1 * n2)
+    assert r3.at_value == -best[1]
+    crit = round(1_358_100 * math.sqrt((n1 + n2) / (n1 * n2)))
+    assert r3.crit_micro == crit
+    three = mk([("a", 1), ("b", 2), ("c", 3)])
+    with pytest.raises(ValueError, match="exactly 2 groups"):
+        ks_two_sample(three, "g", "v")
