@@ -14787,6 +14787,101 @@ def c183_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_two_sample(base, "g", "v")
 
 
+@query(
+    "c184_uplift_curve",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000
+                   AS band,
+               user_id % 2 AS t,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+               ts < TIMESTAMP '2024-01-16' AS is_train
+        FROM events
+    ),
+    model AS (
+        SELECT band,
+               CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) * 1000000
+                    // (CASE WHEN SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END)
+                             > 0
+                        THEN SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) END)
+                   AS BIGINT)
+               - CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) * 1000000
+                      // (CASE WHEN SUM(CASE WHEN t = 0 THEN 1 ELSE 0
+                                            END) > 0
+                          THEN SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END)
+                          END) AS BIGINT) AS score_micro
+        FROM base WHERE is_train GROUP BY 1
+    ),
+    cells AS (
+        SELECT band,
+               CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_t,
+               CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT)
+                   AS x_t,
+               CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_c,
+               CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT)
+                   AS x_c
+        FROM base WHERE NOT is_train GROUP BY 1
+    ),
+    ranked AS (
+        SELECT c.*, m.score_micro,
+               row_number() OVER (
+                   ORDER BY m.score_micro DESC NULLS LAST, c.band
+               ) AS rank
+        FROM cells c LEFT JOIN model m USING (band)
+    ),
+    cum AS (
+        SELECT *,
+               CAST(SUM(x_t) OVER w AS BIGINT) AS cxt,
+               CAST(SUM(n_t) OVER w AS BIGINT) AS cnt,
+               CAST(SUM(x_c) OVER w AS BIGINT) AS cxc,
+               CAST(SUM(n_c) OVER w AS BIGINT) AS cnc
+        FROM ranked
+        WINDOW w AS (ORDER BY rank)
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, band, score_micro,
+           n_t, x_t, n_c, x_c,
+           CAST((cxt * cnc - cxc * cnt) * 1000000
+                // (CASE WHEN cnc > 0 THEN cnc END) AS BIGINT)
+               AS qini_micro
+    FROM cum
+    ORDER BY rank
+    """,
+    doc="uplift / Qini curve (operators/ml.uplift_curve; Radcliffe "
+        "2007): two-model per-band uplift scores (treated rate minus "
+        "control rate, micro integers) fit on the pre-cutoff slice, "
+        "test-slice bands ranked by score, and the cumulative "
+        "incremental conversions of targeting the top-k bands "
+        "reported as the exact rational cum_xt - cum_xc*(cum_nt/"
+        "cum_nc), carried as (cxt*cnc - cxc*cnt)*1e6 DIV cnc — the "
+        "'whom to treat' readout the average-effect tests (c116/c177) "
+        "can't give. Unscored bands sort NULLS LAST then band "
+        "(deterministic). 100 TB: two map-side-combinable corpus "
+        "aggregates to band tables; ranking + cumulative scan are "
+        "windows over BANDS",
+    tags=("ml", "events"),
+    bench=True,
+)
+def c184_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import uplift_curve
+
+    e = views(spark, sf_dir, "events")["events"]
+    base = e.select(
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 5000"
+        ).alias("band"),
+        (F.col("user_id") % 2).cast("int").alias("t"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        (F.col("ts") < F.lit("2024-01-16").cast("timestamp")).alias(
+            "is_train"
+        ),
+    )
+    return uplift_curve(
+        base.filter("is_train"), base.filter("NOT is_train"), "band", "t", "y"
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -14817,7 +14912,7 @@ def c183_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c183 + a06-a10 + q88-q95 ≈ 99
+# EXCEEDS one 50-slot window (c98-c184 + a06-a10 + q88-q95 ≈ 100
 # entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —

@@ -789,3 +789,32 @@ def test_ks_two_sample_exact_and_replay(spark):
     three = mk([("a", 1), ("b", 2), ("c", 3)])
     with pytest.raises(ValueError, match="exactly 2 groups"):
         ks_two_sample(three, "g", "v")
+
+
+def test_uplift_curve_separates_responders(spark):
+    """A band whose conversions only happen under treatment tops the
+    ranking and contributes its full incremental count; a band where
+    treatment HURTS ranks last; the Qini arithmetic replays by hand."""
+    from amazonredshift_blueprints_spark.operators.ml import uplift_curve
+
+    # band 1: treat converts 100%, control 0%  -> score 1e6 (best)
+    # band 2: no effect (both convert half the time) -> score 0
+    # band 3: treat 0%, control 100%           -> score -1e6 (worst)
+    def rows2(n):
+        out = []
+        for i in range(n):
+            out.append((1, 1, 1)); out.append((1, 0, 0))
+            out.append((2, 1, i % 2)); out.append((2, 0, i % 2))
+            out.append((3, 1, 0)); out.append((3, 0, 1))
+        return out
+
+    df = spark.createDataFrame(rows2(10), "band long, t int, y int")
+    out = uplift_curve(df, df, "band", "t", "y").collect()
+    assert [r.band for r in out] == [1, 2, 3]
+    assert out[0].score_micro == 1_000_000
+    assert out[1].score_micro == 0
+    assert out[2].score_micro == -1_000_000
+    # after band 1 only: cxt=10, cnt=10, cxc=0, cnc=10 -> qini = 10e6
+    assert out[0].qini_micro == 10_000_000
+    # after all: cxt=15, cxc=15, cnt=cnc=30 -> qini 0 (no net effect)
+    assert out[2].qini_micro == 0
