@@ -2057,3 +2057,75 @@ def uplift_curve(
         )
         .orderBy("rank")
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Theil-Sen trend: the MEDIAN of all pairwise slopes —
+    the robust counterpart of c120's least-squares line (one wild
+    outlier moves OLS arbitrarily; Theil-Sen tolerates ~29% gross
+    corruption). The slope estimate behind tamper-resistant KPIs and
+    sensor drift checks.
+
+    Exactness: each pairwise slope is ``(y2-y1)·1e6 DIV (x2-x1)`` —
+    integer division TRUNCATING toward zero, which is what BOTH Spark
+    DIV and DuckDB ``//`` do (verified: -7//2 = -3 in DuckDB), so
+    negative slopes quantize identically with no floor emulation
+    needed — the convention is truncation and it is engine-shared.
+    The median is the order statistic at rank ``(m+1) DIV 2`` (lower
+    median — a deterministic integer convention, no interpolation).
+    Pairs with equal x are excluded (slope undefined); groups left
+    with no valid pair drop out.
+
+    Returns (key, n_points, n_pairs, slope_micro).
+
+    100 TB: the pair self-join is per-group n² — Theil-Sen's inherent
+    cost; run it on per-entity series whose length is business-bounded
+    (orders per customer), never on an unbounded stream. One key-keyed
+    join + one window over each group's pair list.
+    """
+    from pyspark.sql.window import Window
+
+    pts = df.select(
+        F.col(key_col).alias("key"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    n_pts = pts.groupBy("key").agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    a = pts.alias("a")
+    b = pts.alias("b")
+    pairs = (
+        a.join(b, "key")
+        .filter(F.col("a.x") < F.col("b.x"))  # one row per distinct-x pair
+        .select(
+            "key",
+            F.expr(
+                "CAST((b.y - a.y) * 1000000 DIV (b.x - a.x) AS BIGINT)"
+            ).alias("slope_micro"),
+        )
+    )
+    w = Window.partitionBy("key").orderBy("slope_micro")
+    wc = Window.partitionBy("key")
+    med = (
+        pairs.select(
+            "key",
+            "slope_micro",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(wc).alias("m"),
+        )
+        .filter(F.col("rk") == F.expr("(m + 1) DIV 2"))
+        .select(
+            "key",
+            F.col("m").cast("long").alias("n_pairs"),
+            "slope_micro",
+        )
+    )
+    return (
+        n_pts.join(med, "key")
+        .select("key", "n_points", "n_pairs", "slope_micro")
+        .orderBy("key")
+    )

@@ -14882,6 +14882,74 @@ def c184_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c185_theil_sen_trend",
+    oracle="""
+    WITH pts AS (
+        SELECT o_custkey AS key,
+               CAST(datediff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS y
+        FROM orders
+    ),
+    np AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_points
+           FROM pts GROUP BY 1),
+    pairs AS (
+        SELECT a.key,
+               CAST((b.y - a.y) * 1000000 // (b.x - a.x) AS BIGINT)
+                   AS slope_micro
+        FROM pts a JOIN pts b ON a.key = b.key AND a.x < b.x
+    ),
+    ranked AS (
+        SELECT key, slope_micro,
+               row_number() OVER (PARTITION BY key
+                                  ORDER BY slope_micro) AS rk,
+               COUNT(*) OVER (PARTITION BY key) AS m
+        FROM pairs
+    ),
+    med AS (
+        SELECT key, CAST(m AS BIGINT) AS n_pairs, slope_micro
+        FROM ranked WHERE rk = (m + 1) // 2
+    )
+    SELECT p.key, p.n_points, m.n_pairs, m.slope_micro
+    FROM np p JOIN med m USING (key)
+    ORDER BY key
+    """,
+    doc="Theil-Sen robust trend per customer (operators/ml."
+        "theil_sen_trend): median of all pairwise spend-vs-day slopes "
+        "— tolerates ~29% gross corruption where c120's OLS line "
+        "chases one outlier. Slopes are (dy*1e6) DIV dx — TRUNCATING "
+        "division, which Spark DIV and DuckDB // both do (verified "
+        "-7//2 = -3; the c172 floor-vs-trunc worry does not apply, "
+        "both engines truncate), so negative slopes quantize "
+        "identically; median = lower order statistic at (m+1) DIV 2 "
+        "(no interpolation); equal-x pairs excluded (undefined "
+        "slope). 100 TB: the per-group n² pair join is "
+        "Theil-Sen's inherent cost — run on business-bounded series "
+        "(orders per customer), one key-keyed join + per-group "
+        "windows",
+    tags=("ml", "timeseries", "orders"),
+    bench=True,
+)
+def c185_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import theil_sen_trend
+
+    o = views(spark, sf_dir, "orders")["orders"]
+    pts = o.select(
+        F.col("o_custkey").alias("key"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+        )
+        .cast("long")
+        .alias("x"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    return theil_sen_trend(pts, "key", "x", "y")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -14912,7 +14980,7 @@ def c184_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c184 + a06-a10 + q88-q95 ≈ 100
+# EXCEEDS one 50-slot window (c98-c185 + a06-a10 + q88-q95 ≈ 101
 # entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —

@@ -818,3 +818,37 @@ def test_uplift_curve_separates_responders(spark):
     assert out[0].qini_micro == 10_000_000
     # after all: cxt=15, cxc=15, cnt=cnc=30 -> qini 0 (no net effect)
     assert out[2].qini_micro == 0
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    """Theil-Sen recovers the true slope under a gross outlier that
+    would wreck OLS; median convention and truncating-negative slopes
+    replay in python."""
+    from amazonredshift_blueprints_spark.operators.ml import theil_sen_trend
+
+    # y = 3x except one wild point; 6 points -> 15 pairs
+    pts = [(1, x, 3 * x) for x in range(5)] + [(1, 5, 1_000_000)]
+    # a clean negative-slope group: y = -7x/2 (odd dys exercise trunc)
+    pts += [(2, x, -7 * x // 2 * 2 - (x % 2)) for x in range(4)]
+    df = spark.createDataFrame(pts, "k long, x long, y long")
+    got = {r.key: (r.n_points, r.n_pairs, r.slope_micro)
+           for r in theil_sen_trend(df, "k", "x", "y").collect()}
+
+    def replay(rows):
+        slopes = []
+        for i in range(len(rows)):
+            for j in range(len(rows)):
+                (x1, y1), (x2, y2) = rows[i], rows[j]
+                if x1 < x2:
+                    num = (y2 - y1) * 1_000_000
+                    q = abs(num) // (x2 - x1)
+                    slopes.append(q if num >= 0 else -q)  # trunc
+        slopes.sort()
+        return len(slopes), slopes[(len(slopes) + 1) // 2 - 1]
+
+    for k in (1, 2):
+        rows = [(x, y) for kk, x, y in pts if kk == k]
+        m, med = replay(rows)
+        assert got[k] == (len(rows), m, med), k
+    # the outlier did not drag the median off the true 3.0 slope
+    assert got[1][2] == 3_000_000
