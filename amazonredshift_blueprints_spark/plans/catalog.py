@@ -14950,6 +14950,92 @@ def c185_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen_trend(pts, "key", "x", "y")
 
 
+@query(
+    "c186_cuped_adjustment",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS BIGINT) AS arm,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                        THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                  AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                        THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                  AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    arms AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+        FROM u GROUP BY 1
+    ),
+    a AS (SELECT n AS n_a, sx AS sx_a, sy AS sy_a FROM arms
+          ORDER BY arm LIMIT 1),
+    b AS (SELECT n AS n_b, sx AS sx_b, sy AS sy_b FROM arms
+          ORDER BY arm DESC LIMIT 1),
+    p AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM u
+    ),
+    j AS (SELECT * FROM a CROSS JOIN b CROSS JOIN p),
+    k AS (
+        SELECT *,
+               CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS covn,
+               CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS varx,
+               CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS vary
+        FROM j
+    )
+    SELECT n_a, n_b,
+           ROUND(covn / varx, 6) AS theta_r6,
+           ROUND(CAST(sy_a AS DOUBLE) / n_a
+                 - CAST(sy_b AS DOUBLE) / n_b, 6) AS raw_diff_r6,
+           ROUND((CAST(sy_a AS DOUBLE) / n_a
+                  - (covn / varx) * (CAST(sx_a AS DOUBLE) / n_a
+                                     - CAST(sx AS DOUBLE) / n))
+                 - (CAST(sy_b AS DOUBLE) / n_b
+                    - (covn / varx) * (CAST(sx_b AS DOUBLE) / n_b
+                                       - CAST(sx AS DOUBLE) / n)), 6)
+               AS cuped_diff_r6,
+           ROUND(covn * covn / (varx * vary), 6) AS rho2_r6
+    FROM k
+    """,
+    doc="CUPED variance reduction (operators/ml.cuped_adjustment; "
+        "Deng WSDM'13 — the industry-standard pre-experiment covariate "
+        "adjustment): theta = cov(pre,post)/var(pre) from pooled "
+        "per-user cents totals, adjusted between-arm difference via "
+        "the algebraic identity mean(Y'_g) = mean(Y_g) - "
+        "theta*(mean(X_g) - Xbar) (no per-user second pass), and the "
+        "rho-squared variance-reduction factor — typically 30-50% "
+        "tighter CIs for free. Exact BIGINT sufficient stats; theta/"
+        "diffs/rho2 are fixed-IEEE ROUND-6 doubles (the c177 "
+        "contract). Completes the experimentation family: plan c176, "
+        "guard c178, monitor c174, read out c116/c177, target c184, "
+        "counterfactual c181, tighten c186. 100 TB: one corpus agg to "
+        "the USER table, one more to two rows + a pooled row; "
+        "scalars after",
+    tags=("ml", "events"),
+    bench=True,
+)
+def c186_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import cuped_adjustment
+
+    e = views(spark, sf_dir, "events")["events"]
+    cut = F.lit("2024-01-16").cast("timestamp")
+    cents = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    users = e.groupBy(
+        F.col("user_id"), (F.col("user_id") % 2).alias("arm")
+    ).agg(
+        F.sum(F.when(F.col("ts") < cut, cents).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("ts") >= cut, cents).otherwise(0)).alias("y"),
+    )
+    return cuped_adjustment(users, "arm", "x", "y")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -14980,7 +15066,7 @@ def c185_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c185 + a06-a10 + q88-q95 ≈ 101
+# EXCEEDS one 50-slot window (c98-c186 + a06-a10 + q88-q95 ≈ 102
 # entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —

@@ -852,3 +852,37 @@ def test_theil_sen_robust_to_outlier(spark):
         assert got[k] == (len(rows), m, med), k
     # the outlier did not drag the median off the true 3.0 slope
     assert got[1][2] == 3_000_000
+
+
+def test_cuped_adjustment_removes_covariate_noise(spark):
+    """When post = pre + arm_effect exactly, CUPED recovers the pure
+    effect with theta=1 and rho2~1 while the raw diff is polluted by
+    the pre-period imbalance; constant-pre degenerates to NULLs."""
+    from amazonredshift_blueprints_spark.operators.ml import (
+        cuped_adjustment,
+    )
+
+    rows = []
+    # arm 0 users happen to have higher pre-period activity
+    for i in range(20):
+        pre = 100 + i * 10 + (50 if i % 2 == 0 else 0)
+        arm = i % 2
+        post = pre + (7 if arm == 0 else 0)  # true effect: +7 for arm 0
+        rows.append((arm, pre, post))
+    df = spark.createDataFrame(rows, "arm long, x long, y long")
+    r = cuped_adjustment(df, "arm", "x", "y").collect()[0]
+    assert (r.n_a, r.n_b) == (10, 10)
+    # pre means: arm0 = 240, arm1 = 200 -> raw diff = 40 + 7 = 47
+    assert abs(r.raw_diff_r6 - 47.0) < 1e-6
+    # theta ~ 1 (slightly >1: the effect itself correlates with pre
+    # through the arm assignment — pooled-theta's known small bias)
+    assert abs(r.theta_r6 - 1.0) < 0.05
+    # CUPED strips the 40-unit pre imbalance; residual ~ the theta bias
+    assert abs(r.cuped_diff_r6 - 7.0) < 1.0
+    assert abs(r.cuped_diff_r6) < abs(r.raw_diff_r6) / 5
+    assert r.rho2_r6 > 0.99
+    flat = spark.createDataFrame(
+        [(0, 5, 1), (1, 5, 2), (0, 5, 3), (1, 5, 4)], "arm long, x long, y long"
+    )
+    r2 = cuped_adjustment(flat, "arm", "x", "y").collect()[0]
+    assert r2.theta_r6 is None and r2.rho2_r6 is None  # var(x)=0
