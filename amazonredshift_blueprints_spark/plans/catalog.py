@@ -15036,6 +15036,59 @@ def c186_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cuped_adjustment(users, "arm", "x", "y")
 
 
+@query(
+    "c187_grid_density_smooth",
+    oracle="""
+    WITH pts AS (
+        SELECT (c_custkey * 7919) % 100000 AS x,
+               (c_custkey * 104729) % 100000 AS y
+        FROM customer
+    ),
+    off AS (
+        SELECT t1.dx, t2.dy
+        FROM generate_series(-1, 1) t1(dx)
+        CROSS JOIN generate_series(-1, 1) t2(dy)
+    ),
+    contrib AS (
+        SELECT x // 2500 + dx AS cx, y // 2500 + dy AS cy,
+               CAST((2 - abs(dx)) * (2 - abs(dy)) AS BIGINT) AS w,
+               dx = 0 AND dy = 0 AS ic
+        FROM pts CROSS JOIN off
+    )
+    SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+           CAST(SUM(CASE WHEN ic THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_points,
+           CAST(SUM(w) AS BIGINT) AS smooth_q
+    FROM contrib
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="grid density with 3x3 binomial-kernel smoothing (operators/"
+        "geo.grid_density_smooth): the hotspot/heatmap aggregate on "
+        "q55's synthetic metric plane — every point contributes "
+        "(2-|dx|)(2-|dy|) weight (4/2/1, mass 16) to its cell's "
+        "neighborhood, giving KDE-lite local density without grid "
+        "cliffs. Distributed convolution WITHOUT a join: the 9x "
+        "(cell, weight) explode is MAP-ONLY and one hash aggregate "
+        "folds raw count + smoothed mass together (is_center rides "
+        "the explode); the classic 8-offset self-join shape would "
+        "shuffle the grid 8 times, this shuffles contributions once "
+        "(map-side partials collapse to cells-sized groups first). "
+        "Kernel mass conservation (sum smooth_q = 16N) pytest-pinned",
+    tags=("spatial", "customer"),
+    bench=True,
+)
+def c187_grid_density_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.geo import grid_density_smooth
+
+    c = views(spark, sf_dir, "customer")["customer"]
+    pts = c.select(
+        ((F.col("c_custkey") * 7919) % 100000).alias("x"),
+        ((F.col("c_custkey") * 104729) % 100000).alias("y"),
+    )
+    return grid_density_smooth(pts, "x", "y", cell=2500)
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -15066,7 +15119,7 @@ def c186_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c186 + a06-a10 + q88-q95 ≈ 102
+# EXCEEDS one 50-slot window (c98-c187 + a06-a10 + q88-q95 ≈ 103
 # entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —

@@ -91,3 +91,27 @@ def test_spatial_within_equals_bruteforce(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="positive"):
         spatial_self_join_within(pts, "id", "x", "y", radius=0)
+
+
+def test_grid_density_smooth_kernel_invariants(spark):
+    """Kernel mass conservation (sum smooth_q == 16·N), exact center
+    weights on an isolated point, and correct neighbor spill across a
+    cell boundary."""
+    from amazonredshift_blueprints_spark.operators.geo import (
+        grid_density_smooth,
+    )
+
+    # one isolated point mid-cell + two points in adjacent cells
+    pts = spark.createDataFrame(
+        [(50, 50), (105, 50), (95, 50)], "x long, y long"
+    )
+    out = {(r.cx, r.cy): (r.n_points, r.smooth_q)
+           for r in grid_density_smooth(pts, "x", "y", cell=100).collect()}
+    assert sum(s for _, s in out.values()) == 16 * 3  # mass conserved
+    # cell (0,0) holds points 1 and 3; (1,0) holds point 2
+    assert out[(0, 0)][0] == 2 and out[(1, 0)][0] == 1
+    # smoothed mass at (0,0): 2 own points * 4 + 1 neighbor * 2 = 10
+    assert out[(0, 0)][1] == 2 * 4 + 2
+    # (1,1): corner weight 1 from each (0,0) point, edge weight 2 from
+    # the (1,0) point -> 1 + 1 + 2
+    assert out[(1, 1)] == (0, 4)
