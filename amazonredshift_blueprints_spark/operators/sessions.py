@@ -500,3 +500,87 @@ def user_growth_daily(
         )
         .select("day", "n_active", "n_events", "n_new", "cum_distinct_users")
     )
+
+
+def windowed_funnel(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    *,
+    max_gap_days: int = 3,
+) -> DataFrame:
+    """Strict-order funnel with per-step conversion windows — the
+    product-analytics workhorse c34's unordered counts and c156's
+    single-hop latency don't cover: a user converts step k only with
+    an event of type ``steps[k]`` strictly AFTER their step-(k-1)
+    anchor and within ``max_gap_days`` of it; the anchor is the FIRST
+    qualifying event (earliest-chain semantics, deterministic).
+
+    Shape: one per-user aggregate per step — step k joins the step-k-1
+    anchor table (user-keyed) against the event stream, keeping
+    ``min(ts)`` inside the window. No per-user explode, no window
+    function over the corpus, and the anchor tables shrink
+    monotonically (each join's right side is the previous step's
+    converters only).
+
+    Returns one row per step: (step_idx, step, n_users,
+    conv_from_prev_micro, conv_from_first_micro), exact integer
+    micro rates.
+
+    100 TB: k user-keyed aggregates/joins, each over a stream already
+    filtered to one event type — the joins reuse the same user-hash
+    partitioning, and every anchor table is bounded by the funnel's
+    own attrition.
+    """
+    from functools import reduce
+
+    e = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("et"),
+    )
+    anchors = (
+        e.filter(F.col("et") == steps[0])
+        .groupBy("u")
+        .agg(F.min("ts").alias("anchor"))
+    )
+    counts = [anchors.count()]
+    tables = [anchors]
+    for step in steps[1:]:
+        prev = tables[-1]
+        nxt = (
+            e.filter(F.col("et") == step)
+            .join(prev.select("u", F.col("anchor").alias("_prev")), "u")
+            .filter(
+                (F.col("ts") > F.col("_prev"))
+                & (
+                    F.col("ts")
+                    <= F.col("_prev")
+                    + F.expr(f"INTERVAL {max_gap_days} DAYS")
+                )
+            )
+            .groupBy("u")
+            .agg(F.min("ts").alias("anchor"))
+        )
+        tables.append(nxt)
+        counts.append(nxt.count())
+    spark = events.sparkSession
+    rows = []
+    for i, (step, n) in enumerate(zip(steps, counts)):
+        prev_n = counts[i - 1] if i > 0 else counts[0]
+        rows.append(
+            (
+                i + 1,
+                step,
+                n,
+                (n * 1_000_000 // prev_n) if prev_n else None,
+                (n * 1_000_000 // counts[0]) if counts[0] else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "step_idx long, step string, n_users long, "
+        "conv_from_prev_micro long, conv_from_first_micro long",
+    )

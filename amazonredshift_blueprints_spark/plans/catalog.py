@@ -15089,6 +15089,76 @@ def c187_grid_density_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_density_smooth(pts, "x", "y", cell=2500)
 
 
+@query(
+    "c188_windowed_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id AS u, MIN(ts) AS a FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id AS u, MIN(e.ts) AS a
+        FROM events e JOIN s1 ON s1.u = e.user_id
+        WHERE e.event_type = 'click'
+          AND e.ts > s1.a AND e.ts <= s1.a + INTERVAL 3 DAY
+        GROUP BY 1
+    ),
+    s3 AS (
+        SELECT e.user_id AS u, MIN(e.ts) AS a
+        FROM events e JOIN s2 ON s2.u = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts > s2.a AND e.ts <= s2.a + INTERVAL 3 DAY
+        GROUP BY 1
+    ),
+    c AS (
+        SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n1,
+               CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n2,
+               CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n3
+    )
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+               n1 AS n_users,
+               CAST(n1 * 1000000 // n1 AS BIGINT)
+                   AS conv_from_prev_micro,
+               CAST(n1 * 1000000 // n1 AS BIGINT)
+                   AS conv_from_first_micro
+        FROM c
+        UNION ALL
+        SELECT 2, 'click', n2,
+               CAST(n2 * 1000000 // n1 AS BIGINT),
+               CAST(n2 * 1000000 // n1 AS BIGINT) FROM c
+        UNION ALL
+        SELECT 3, 'purchase', n3,
+               CAST(n3 * 1000000 // n2 AS BIGINT),
+               CAST(n3 * 1000000 // n1 AS BIGINT) FROM c
+    )
+    ORDER BY step_idx
+    """,
+    doc="strict-order funnel with per-step conversion windows "
+        "(operators/sessions.windowed_funnel): view -> click -> "
+        "purchase where each step must land strictly AFTER the "
+        "previous step's FIRST qualifying event and within 3 days of "
+        "it (earliest-chain semantics) — the conversion-window funnel "
+        "c34's unordered counts and c156's single hop don't express. "
+        "Shape: one per-user MIN aggregate per step, each step's join "
+        "right side being the PREVIOUS step's converters (anchor "
+        "tables shrink by the funnel's own attrition); only the k "
+        "step counts reach the driver (the c123 scalar convention). "
+        "100 TB: k user-keyed aggregates/joins reusing one hash "
+        "partitioning; no corpus window, no per-user explode",
+    tags=("sessions", "events"),
+    bench=True,
+)
+def c188_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessions import windowed_funnel
+
+    e = views(spark, sf_dir, "events")["events"]
+    return windowed_funnel(
+        e, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], max_gap_days=3,
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -15119,7 +15189,7 @@ def c187_grid_density_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c187 + a06-a10 + q88-q95 ≈ 103
+# EXCEEDS one 50-slot window (c98-c188 + a06-a10 + q88-q95 ≈ 104
 # entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —

@@ -892,3 +892,37 @@ def test_group_diversity_gini_and_majority(spark):
     assert got["b"]["gini_micro"] == 500000 and got["b"]["n_cats"] == 2
     assert got["c"]["gini_micro"] == (16 - 10) * 1000000 // 16
     assert got["c"]["top_share_micro"] == 750000
+
+
+def test_windowed_funnel_strict_order_and_gap(spark):
+    """The funnel demands strict order from the FIRST anchor and
+    respects the max gap: a click BEFORE the first view doesn't count,
+    a purchase past the window doesn't count, and earliest-chain
+    anchoring is pinned."""
+    import datetime as dt
+
+    from amazonredshift_blueprints_spark.operators.sessions import (
+        windowed_funnel,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = lambda n: t0 + dt.timedelta(hours=n)
+    rows = [
+        # user 1: clean chain view(0) -> click(1h) -> purchase(2h)
+        (1, h(0), "view"), (1, h(1), "click"), (1, h(2), "purchase"),
+        # user 2: click BEFORE the first view -> stalls at view
+        (2, h(5), "view"), (2, h(4), "click"),
+        # user 3: purchase 4 days after click -> outside 3-day gap
+        (3, h(0), "view"), (3, h(1), "click"),
+        (3, h(1) + dt.timedelta(days=4), "purchase"),
+        # user 4: never viewed -> not even step 1
+        (4, h(0), "click"), (4, h(1), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, et string")
+    out = {r.step: (r.n_users, r.conv_from_prev_micro)
+           for r in windowed_funnel(
+               df, "user_id", "ts", "et", ["view", "click", "purchase"]
+           ).collect()}
+    assert out["view"] == (3, 1_000_000)
+    assert out["click"] == (2, 2 * 1_000_000 // 3)  # users 1 and 3
+    assert out["purchase"] == (1, 500_000)          # user 1 only
