@@ -372,6 +372,12 @@ def parse_unload(sql: str) -> UnloadSpec | None:
                 i += 1
             i += 1  # closing paren
             spec.partition_by = cols
+        elif t in ("ALLOWOVERWRITE", "CLEANPATH"):
+            # Redshift's overwrite-permission flags: this lowering's
+            # writers already run in overwrite mode (ALLOWOVERWRITE is
+            # the default behavior here; CLEANPATH's delete-then-write
+            # is what mode("overwrite") does) — accepted, no-op
+            pass
         elif t == "MANIFEST":
             spec.manifest = True  # write a JSON manifest listing the files
         elif t in _IGNORED_STR_OPTS:

@@ -1597,3 +1597,21 @@ def test_apply_changes_roundtrip_with_null_keys(spark):
         for r in apply_changes(old, changes, ["k"], ["v"]).collect()
     }
     assert got == {(1, "a"), (2, "B"), (4, "new"), (None, "reborn")}
+
+
+def test_unload_overwrite_flags_accepted():
+    """ALLOWOVERWRITE / CLEANPATH parse as no-ops (the writers already
+    run in overwrite mode); unknown options still refuse."""
+    import pytest
+
+    from amazonredshift_blueprints_spark.functions.copy_unload import (
+        parse_unload,
+    )
+
+    s = parse_unload(
+        "UNLOAD ('SELECT 1') TO '/x/o' FORMAT AS PARQUET "
+        "ALLOWOVERWRITE CLEANPATH"
+    )
+    assert s.format == "parquet"
+    with pytest.raises(ValueError):
+        parse_unload("UNLOAD ('SELECT 1') TO '/x/o' ZEROCOPY")
