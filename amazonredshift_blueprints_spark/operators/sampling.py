@@ -769,3 +769,82 @@ def poisson_bootstrap_means(
         )
         .orderBy("rep")
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    *,
+    n_total: int,
+) -> DataFrame:
+    """Neyman optimal allocation for stratified sampling (Neyman 1934):
+    split a sample budget across strata proportionally to N_h·S_h —
+    big AND volatile strata get more — the design step in front of the
+    stratified take (c30) and the budgeted selections (c47/c101);
+    versus proportional allocation it minimizes the estimator variance
+    for the same budget.
+
+    Determinism: per-stratum (N, ΣY, ΣY²) are exact BIGINTs; S_h is
+    ONE fixed-IEEE sqrt (c177's pinned variance order), so the weights
+    and quotas are identical doubles in every engine, and the
+    fractional seats are settled by LARGEST-REMAINDER (Hamilton)
+    apportionment — floors plus the top-(n_total − Σfloor) remainders,
+    ties to the smaller stratum key — so the allocations are integers
+    that sum EXACTLY to ``n_total`` (pytest invariant). Single-row
+    strata (S undefined) weight 0 and can only receive remainder
+    seats last.
+
+    Returns (stratum, n_rows, sd_r6, alloc) ordered by stratum.
+
+    100 TB: one map-side-partial aggregate to the strata table;
+    everything after is windows over STRATA.
+    """
+    from pyspark.sql.window import Window
+
+    stats = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col(value_col).cast("long")).alias("s"),
+        F.sum(
+            F.col(value_col).cast("long") * F.col(value_col).cast("long")
+        ).alias("ss"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    var = (d("ss") - d("s") * d("s") / d("n_rows")) / (d("n_rows") - 1)
+    w = F.when(F.col("n_rows") > 1, d("n_rows") * F.sqrt(var)).otherwise(
+        F.lit(0.0)
+    )
+    tot = Window.partitionBy()
+    quota = stats.select(
+        "stratum",
+        "n_rows",
+        F.when(F.col("n_rows") > 1, F.round(F.sqrt(var), 6)).alias("sd_r6"),
+        (F.lit(float(n_total)) * w / F.sum(w).over(tot)).alias("_q"),
+    )
+    seats = quota.select(
+        "stratum",
+        "n_rows",
+        "sd_r6",
+        F.floor("_q").cast("long").alias("_base"),
+        (F.col("_q") - F.floor("_q")).alias("_rem"),
+    )
+    ranked = seats.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("_rem").desc(), F.col("stratum")))
+        .alias("_rk"),
+        F.sum("_base").over(tot).alias("_used"),
+    )
+    return ranked.select(
+        "stratum",
+        "n_rows",
+        "sd_r6",
+        (
+            F.col("_base")
+            + F.when(
+                F.col("_rk") <= F.lit(n_total) - F.col("_used"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    ).orderBy("stratum")

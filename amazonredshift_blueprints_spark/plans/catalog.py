@@ -15159,6 +15159,73 @@ def c188_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c189_neyman_allocation",
+    oracle="""
+    WITH stats AS (
+        SELECT source AS stratum,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(n_chars) AS BIGINT) AS s,
+               CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss
+        FROM documents GROUP BY 1
+    ),
+    wt AS (
+        SELECT stratum, n_rows,
+               CASE WHEN n_rows > 1 THEN ROUND(sqrt(
+                   (CAST(ss AS DOUBLE)
+                    - CAST(s AS DOUBLE) * s / n_rows)
+                   / (CAST(n_rows AS DOUBLE) - 1)), 6) END AS sd_r6,
+               CASE WHEN n_rows > 1 THEN CAST(n_rows AS DOUBLE) * sqrt(
+                   (CAST(ss AS DOUBLE)
+                    - CAST(s AS DOUBLE) * s / n_rows)
+                   / (CAST(n_rows AS DOUBLE) - 1)) ELSE 0.0 END AS w
+        FROM stats
+    ),
+    q AS (
+        SELECT stratum, n_rows, sd_r6,
+               1000.0 * w / SUM(w) OVER () AS quota
+        FROM wt
+    ),
+    seats AS (
+        SELECT stratum, n_rows, sd_r6,
+               CAST(FLOOR(quota) AS BIGINT) AS base,
+               quota - FLOOR(quota) AS rem
+        FROM q
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (ORDER BY rem DESC, stratum) AS rk,
+               CAST(SUM(base) OVER () AS BIGINT) AS used
+        FROM seats
+    )
+    SELECT stratum, n_rows, sd_r6,
+           CAST(base + (CASE WHEN rk <= 1000 - used THEN 1 ELSE 0 END)
+               AS BIGINT) AS alloc
+    FROM ranked
+    ORDER BY stratum
+    """,
+    doc="Neyman optimal allocation of a 1000-row sample budget across "
+        "document sources (operators/sampling.neyman_allocation; "
+        "Neyman 1934): seats proportional to N_h*S_h of n_chars — the "
+        "DESIGN step in front of the stratified take (c30) and the "
+        "budgeted selections (c47/c101), minimizing estimator variance "
+        "for the budget. Exact BIGINT sufficient stats; S_h is one "
+        "fixed-IEEE sqrt (c177's pinned variance order); fractional "
+        "seats settled by LARGEST-REMAINDER (Hamilton) apportionment "
+        "(floors + top-remainder seats, ties to smaller stratum) so "
+        "allocations are integers summing EXACTLY to the budget "
+        "(pytest invariant); single-row strata weight 0. 100 TB: one "
+        "map-side-partial aggregate to strata; windows over STRATA "
+        "after",
+    tags=("sampling", "documents"),
+)
+def c189_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import neyman_allocation
+
+    dcs = views(spark, sf_dir, "documents")["documents"]
+    return neyman_allocation(dcs, "source", "n_chars", n_total=1000)
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -15189,7 +15256,7 @@ def c188_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c188 + a06-a10 + q88-q95 ≈ 104
+# EXCEEDS one 50-slot window (c98-c189 + a06-a10 + q88-q95 ≈ 105
 # entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —

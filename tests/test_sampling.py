@@ -397,3 +397,51 @@ def test_poisson_bootstrap_weights_and_ci(spark):
         cum += math.exp(-1) / math.factorial(k)
         expect.append(format(int(cum * 2**32), "08x"))
     assert POISSON1_CDF_HEX == expect
+
+
+def test_neyman_allocation_exact_budget(spark):
+    """Allocations sum exactly to the budget; a bigger/more-volatile
+    stratum gets more seats; singleton strata weight 0; python replay
+    of the Hamilton apportionment matches."""
+    import math
+
+    from amazonredshift_blueprints_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    rows = (
+        [("big_volatile", v) for v in (0, 100) * 30]      # N=60, sd~50
+        + [("small_flat", v) for v in (50, 51) * 10]      # N=20, sd~0.5
+        + [("mid", v) for v in (10, 30, 50, 70) * 8]      # N=32
+        + [("single", 5)]                                  # N=1 -> w=0
+    )
+    df = spark.createDataFrame(rows, "s string, v long")
+    out = {r.stratum: (r.n_rows, r.sd_r6, r.alloc)
+           for r in neyman_allocation(df, "s", "v", n_total=100).collect()}
+    assert sum(a for _, _, a in out.values()) == 100
+    assert out["big_volatile"][2] > out["mid"][2] > out["small_flat"][2]
+    assert out["single"] == (1, None, 0)
+
+    def replay(budget):
+        strata = {}
+        for s, v in rows:
+            strata.setdefault(s, []).append(v)
+        w = {}
+        for s, vs in strata.items():
+            if len(vs) > 1:
+                m = sum(vs) / len(vs)
+                sd = math.sqrt(sum((x - m) ** 2 for x in vs) / (len(vs) - 1))
+                w[s] = len(vs) * sd
+            else:
+                w[s] = 0.0
+        tot = sum(w.values())
+        quota = {s: budget * x / tot for s, x in w.items()}
+        base = {s: math.floor(q) for s, q in quota.items()}
+        left = budget - sum(base.values())
+        order = sorted(quota, key=lambda s: (-(quota[s] - base[s]), s))
+        for s in order[:left]:
+            base[s] += 1
+        return base
+
+    want = replay(100)
+    assert {s: a for s, (_, _, a) in out.items()} == want
