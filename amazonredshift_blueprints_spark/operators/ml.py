@@ -2209,3 +2209,94 @@ def cuped_adjustment(
         F.when(ok, F.round(adj, 6)).alias("cuped_diff_r6"),
         F.when(ok, F.round(rho2, 6)).alias("rho2_r6"),
     )
+
+
+def isotonic_fit(
+    bands: DataFrame,
+    x_col: str,
+    num_col: str,
+    den_col: str,
+    *,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Weighted isotonic regression over an ordered band table — the
+    FIX for the miscalibration c168 diagnoses (isotonic/PAV is the
+    standard calibrator when the reliability curve is monotone-ish but
+    warped). Instead of the sequential pool-adjacent-violators stack —
+    hostile to set-oriented engines — this uses the exact MINIMAX
+    identity: fit(i) = max_{j<=i} min_{k>=i} wavg(j..k), computed over
+    interval averages built from prefix sums.
+
+    Quantization note, load-bearing: each interval average is
+    ``(S_k − S_{j-1})·scale DIV (N_k − N_{j-1})`` and the minimax runs
+    over those INTEGERS. For ANY fixed matrix M, i ↦ max_{j<=i}
+    min_{k>=i} M[j,k] is monotone (the j-range grows, the k-range
+    shrinks — both push the value up), so the quantized fit is STILL
+    guaranteed monotone — quantization cannot break the isotonic
+    contract, it only rounds the levels.
+
+    Returns (x, n, rate_q, fit_q) ordered by x, rate/fit in ``scale``
+    units.
+
+    100 TB: runs on the BAND table (metadata-sized by construction —
+    the corpus was aggregated before calling this); the interval
+    expansion is B² rows and the minimax join B³ tuples, trivial for
+    the tens-of-bands calibration uses. Never point this at raw rows.
+    """
+    from pyspark.sql.window import Window
+
+    b = bands.select(
+        F.col(x_col).alias("x"),
+        F.col(num_col).cast("long").alias("num"),
+        F.col(den_col).cast("long").alias("den"),
+    )
+    cum = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = b.select(
+        "x",
+        "num",
+        "den",
+        F.sum("num").over(cum).alias("cs"),
+        F.sum("den").over(cum).alias("cn"),
+    )
+    lo = pre.select(
+        F.col("x").alias("jx"),
+        (F.col("cs") - F.col("num")).alias("s_lo"),
+        (F.col("cn") - F.col("den")).alias("n_lo"),
+    )
+    hi = pre.select(
+        F.col("x").alias("kx"), F.col("cs").alias("s_hi"),
+        F.col("cn").alias("n_hi"),
+    )
+    intervals = (
+        lo.crossJoin(hi)
+        .filter(F.col("jx") <= F.col("kx"))
+        .select(
+            "jx",
+            "kx",
+            F.expr(
+                f"CAST((s_hi - s_lo) * {scale} DIV (n_hi - n_lo) AS BIGINT)"
+            ).alias("avg_q"),
+        )
+    )
+    pts = b.select(F.col("x"), "num", "den")
+    inner = (
+        pts.join(
+            intervals,
+            (F.col("jx") <= F.col("x")) & (F.col("kx") >= F.col("x")),
+        )
+        .groupBy("x", "num", "den", "jx")
+        .agg(F.min("avg_q").alias("m"))
+    )
+    return (
+        inner.groupBy("x", "num", "den")
+        .agg(F.max("m").alias("fit_q"))
+        .select(
+            "x",
+            F.col("den").alias("n"),
+            F.expr(f"CAST(num * {scale} DIV den AS BIGINT)").alias("rate_q"),
+            "fit_q",
+        )
+        .orderBy("x")
+    )

@@ -15226,6 +15226,72 @@ def c189_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neyman_allocation(dcs, "source", "n_chars", n_total=1000)
 
 
+@query(
+    "c190_isotonic_calibration",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000
+                   AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                             ELSE 0 END) AS BIGINT) AS num,
+               CAST(COUNT(*) AS BIGINT) AS den
+        FROM events GROUP BY 1
+    ),
+    pre AS (
+        SELECT x, num, den,
+               CAST(SUM(num) OVER (ORDER BY x) AS BIGINT) AS cs,
+               CAST(SUM(den) OVER (ORDER BY x) AS BIGINT) AS cn
+        FROM b
+    ),
+    intervals AS (
+        SELECT lo.x AS jx, hi.x AS kx,
+               CAST((hi.cs - (lo.cs - lo.num)) * 1000000000
+                    // (hi.cn - (lo.cn - lo.den)) AS BIGINT) AS avg_q
+        FROM pre lo JOIN pre hi ON lo.x <= hi.x
+    ),
+    inner_min AS (
+        SELECT p.x, p.num, p.den, i.jx,
+               CAST(MIN(i.avg_q) AS BIGINT) AS m
+        FROM b p JOIN intervals i ON i.jx <= p.x AND i.kx >= p.x
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT x, den AS n,
+           CAST(num * 1000000000 // den AS BIGINT) AS rate_q,
+           CAST(MAX(m) AS BIGINT) AS fit_q
+    FROM inner_min
+    GROUP BY x, num, den
+    ORDER BY x
+    """,
+    doc="isotonic calibration (operators/ml.isotonic_fit): weighted "
+        "isotonic regression of purchase rate over value bands — the "
+        "FIX for the miscalibration c168 diagnoses — via the exact "
+        "MINIMAX identity fit(i) = max_{j<=i} min_{k>=i} wavg(j..k) "
+        "instead of PAV's sequential stack (hostile to set engines). "
+        "Interval averages are integer nano-units from prefix sums; "
+        "the minimax over ANY fixed integer matrix is monotone in i "
+        "(j-range grows, k-range shrinks), so quantization CANNOT "
+        "break the isotonic contract — monotonicity pytest-pinned on "
+        "a violating fixture alongside a pure-python PAV replay. "
+        "100 TB: runs on the BAND table (the corpus aggregated first); "
+        "B² intervals, B³ minimax tuples — metadata-sized by the "
+        "method's own construction, never pointed at raw rows",
+    tags=("ml", "events"),
+)
+def c190_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import isotonic_fit
+
+    e = views(spark, sf_dir, "events")["events"]
+    bands = e.groupBy(
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 5000"
+        ).alias("x")
+    ).agg(
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("num"),
+        F.count(F.lit(1)).alias("den"),
+    )
+    return isotonic_fit(bands, "x", "num", "den")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
@@ -15256,7 +15322,7 @@ def c189_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
 # kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c189 + a06-a10 + q88-q95 ≈ 105
+# EXCEEDS one 50-slot window (c98-c190 + a06-a10 + q88-q95 ≈ 106
 # entries).
 # Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
 # the remainder (c148-c161 and anything later) take priority in r13 —

@@ -886,3 +886,55 @@ def test_cuped_adjustment_removes_covariate_noise(spark):
     )
     r2 = cuped_adjustment(flat, "arm", "x", "y").collect()[0]
     assert r2.theta_r6 is None and r2.rho2_r6 is None  # var(x)=0
+
+
+def test_isotonic_fit_matches_pav(spark):
+    """The minimax fit equals a pure-python PAV (pool adjacent
+    violators) on a violating sequence, is always monotone, and leaves
+    an already-monotone sequence untouched."""
+    from amazonredshift_blueprints_spark.operators.ml import isotonic_fit
+
+    SCALE = 1_000_000_000
+
+    def pav(points):  # [(num, den)] -> pooled rates in SCALE units
+        blocks = [[n, d] for n, d in points]
+        out = []
+        for b in blocks:
+            out.append(b)
+            while len(out) > 1 and (
+                out[-2][0] * out[-1][1] >= out[-1][0] * out[-2][1]
+            ):
+                n2, d2 = out.pop()
+                out[-1][0] += n2
+                out[-1][1] += d2
+        fits = []
+        for n, d in out:
+            fits.append(n * SCALE // d)
+        expanded, bi = [], 0
+        consumed = 0
+        for n, d in points:
+            expanded.append(fits[bi])
+            consumed += d
+            if consumed == sum(x[1] for x in out[: bi + 1]):
+                bi += 1
+        return expanded
+
+    # rates: .8, .2, .6, .6, .1 — multiple violations
+    pts = [(8, 10), (2, 10), (6, 10), (6, 10), (1, 10)]
+    df = spark.createDataFrame(
+        [(i, n, d) for i, (n, d) in enumerate(pts)],
+        "x long, num long, den long",
+    )
+    got = [r.fit_q for r in isotonic_fit(df, "x", "num", "den").collect()]
+    assert got == sorted(got, reverse=True) or got == sorted(got)
+    # isotonic = NON-DECREASING fit; our violating fixture pools down
+    assert got == sorted(got)
+    assert got == pav(pts)
+    # already monotone input: fit == observed rates exactly
+    mono = [(1, 10), (3, 10), (5, 10), (9, 10)]
+    df2 = spark.createDataFrame(
+        [(i, n, d) for i, (n, d) in enumerate(mono)],
+        "x long, num long, den long",
+    )
+    out2 = isotonic_fit(df2, "x", "num", "den").collect()
+    assert [r.fit_q for r in out2] == [r.rate_q for r in out2]
