@@ -15301,118 +15301,87 @@ def c190_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_catalog_oracle.py at sf0.001, but gets no per-round
 # CORRECTNESS row.
 #
-# Round-11 rotation policy (VERDICT r10 item 1, set as the FIRST commit
-# of the round so late-round additions cannot bump it): the window holds
-# exactly (a) the 32 entries added in round 10 that have NEVER had a
-# driver row — q73-q87 (15), c83-c97 (15), a04, a05 (the r10 rotation
-# plan comment miscounted these as 34; VERDICT r10 "What's wrong" #3) —
-# and (b) the 18 oldest-rowed entries: the 17 whose newest driver row is
-# r6 (c10-c13, c15, c19-c21, c39-c41, q27-q32) plus c05 (oldest r7 row).
-# None of the five rows-only entries (q12/c02/c03/c07/c68) is in this
-# window, so all 50 slots are full DuckDB value-hash comparisons
-# (VERDICT r10 item 8: rows-only slots would need their oracle twins
-# co-windowed; this rotation sidesteps it entirely). After
-# CORRECTNESS_r11.json lands, no entry's newest driver row is older
-# than r7. Entries outside the window remain covered on unchanged code
-# by the parametrized DuckDB-oracle mirror tests/test_catalog_oracle.py
-# at sf0.001.
+# Round-12 rotation (VERDICT r11 item 1, set as the FIRST commit of the
+# round so late-round additions cannot bump it): the window holds the
+# first 50 of the 106 never-driver-rowed entries, in catalog order —
+# c98..c147. All 106 were judge-certified hash-green at sf0.01 AND
+# sf0.1 in round 11, so the exposure being retired is certification
+# recency, not correctness. None of the five rows-only entries
+# (q12/c02/c03/c07/c68) is in this window, so all 50 slots are full
+# DuckDB value-hash comparisons. Entries outside the window remain
+# covered on unchanged code by the parametrized DuckDB-oracle mirror
+# tests/test_catalog_oracle.py at sf0.001.
 # A guard test (tests/test_driver_window.py) fails if the window is
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R12 ROTATION PLAN (write it as round 12's FIRST commit): round 11
-# kept adding entries past this list — the never-driver-rowed set now
-# EXCEEDS one 50-slot window (c98-c190 + a06-a10 + q88-q95 ≈ 106
-# entries).
-# Rotate the FIRST 50 of them in entry-number order (c98..c147 region);
-# the remainder (c148-c161 and anything later) take priority in r13 —
-# they are all hash-verified locally at sf0.01 AND sf0.1 before their
-# commits, so the exposure is certification recency, not correctness.
-# Original plan list (still the correct head of the queue) —
-# c98_pagerank_dangling,
-# c99_dedup_keep_best, c100_bpe_fertility, c101_unimax_mixing,
-# c102_pmi_collocations, c103_audio_decode_stats,
-# c104_data_quality_audit, c105_ngram_novelty,
-# c106_fuzzy_blocked_match, c107_skyline_pareto, c108_ann_sq8_topk,
-# c109_event_pattern_regex, c110_setsim_prefix_join,
-# c111_triangle_count, c112_naive_bayes_langid,
-# c113_bottomk_hash_sample, c114_rrf_hybrid_search,
-# c115_loo_target_encoding, c116_ab_ztest, c117_ewma_spikes,
-# c118_markov_transitions, c119_containment_join, c120_groupwise_ols,
-# c121_embedding_corr_matrix, c122_bfs_hops,
-# c123_greedy_coverage_select, c124_itemitem_cf, c125_psi_drift,
-# c126_hits_hubs_authorities, c127_churn_labels,
-# c128_percentile_scaling, c129_negative_sampling,
-# c130_gif_decode_stats, c131_stream_ewma,
-# c132_prf_query_expansion, c133_benford_screen,
-# c134_tfidf_doc_pairs, c135_kmv_join_cardinality,
-# c136_golden_record, c137_association_rules, c138_token_entropy,
-# c139_holt_trend, c140_matryoshka_prefix_recall,
-# c141_clustering_coefficients, c142_median_imputation,
-# c143_woe_encoding, a06_multifile_regex_ingest,
-# q88_window_ignore_nulls, q90_mapinarrow_norms,
-# q89_dml_statement_face (ALL locally hash-verified at BOTH sf0.01
-# and sf0.1 before their commits) — then
-# fill to 50 with the oldest-rowed entries (the r7-rowed block
-# c07/c16/c17/c24/c26-c29/c36-c38/c45-c58 region — check
-# CORRECTNESS_r01-r12 union for the true oldest, and co-window each
-# rows-only pick with its oracle twin: q12↔q11, c02↔c24, c03↔c26,
-# c07↔c38, c68↔q11).
+# R13 ROTATION PLAN (write it as round 13's FIRST commit): take the
+# remaining 56 never-driver-rowed entries — c148-c190 (43), q88-q95
+# (8), a06-a10 (5), which is 56; that over-fills one window by 6, so
+# take the first 50 in catalog order (c148..c190 + q88..q94) and push
+# the overflow (q95, a06-a10) plus any round-12 additions to r14's
+# head-of-queue, then fill any remaining slots with the oldest-rowed
+# entries from the CORRECTNESS_r01-r13 union (co-window each rows-only
+# pick with its oracle twin: q12<->q11, c02<->c24, c03<->c26,
+# c07<->c38, c68<->q11).
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # (a) never driver-rowed: added in round 10 (32 entries)
-    "q73_tpch_q9_product_profit",
-    "q74_tpch_q10_returned_items",
-    "q75_tpch_q12_shipmode_priority",
-    "q76_tpch_q14_promo_revenue",
-    "q77_tpch_q16_supplier_cnt",
-    "q78_tpch_q19_disjunctive_pushdown",
-    "q79_tpch_q4_order_priority",
-    "q80_tpch_q5_local_supplier_volume",
-    "q81_tpch_q6_forecast_revenue",
-    "q82_tpch_q17_small_quantity_order",
-    "q83_snapshot_diff_cdc",
-    "q84_prepare_execute",
-    "q85_cursor_fetch_page",
-    "q86_nulls_ordering",
-    "q87_alter_table_append",
-    "c83_png_variant_decode_stats",
-    "c84_gopher_quality_rules",
-    "c85_range_search_cosine",
-    "c86_token_balanced_shards",
-    "c87_source_frequency_cap",
-    "c88_gapfill_interpolate",
-    "c89_count_min_sketch",
-    "c90_pagerank_bipartite",
-    "c91_phrase_match",
-    "c92_ccnet_perplexity_buckets",
-    "c93_minhash_recall_eval",
-    "c94_ivf_range_search",
-    "c95_stream_dedup_rollup",
-    "c96_corpus_divergence_topk",
-    "c97_split_leakage_audit",
-    "a04_copy_maxerror",
-    "a05_schema_evolution_load",
-    # (b) oldest driver rows: 17 r6-rowed + c05 (oldest r7)
-    "c10_text_tokens",
-    "c11_text_fingerprint",
-    "c12_sessionize",
-    "c13_session_window",
-    "c15_event_window_rollup",
-    "c19_asof_join",
-    "c20_range_join_bucketed",
-    "c21_gapfill_locf",
-    "c39_decontaminate",
-    "c40_pack_documents",
-    "c41_redact_pii",
-    "q27_array_map",
-    "q28_grouping_sets",
-    "q29_dialect_functions",
-    "q30_listagg_ordered_agg",
-    "q31_pandas_udf_scalar",
-    "q32_grouped_applyinpandas",
-    "c05_dedup_embedding",
+    # Round 12 window: the first 50 of the 106 never-driver-rowed
+    # entries (c98-c147 in catalog order, per the r11 rotation plan).
+    # All 50 were judge-certified hash-green at sf0.01 AND sf0.1 in
+    # round 11; this window earns them driver CORRECTNESS rows.
+    # Round 13 takes the remaining 56: c148-c190, q88-q95, a06-a10.
+    "c98_pagerank_dangling",
+    "c99_dedup_keep_best",
+    "c100_bpe_fertility",
+    "c101_unimax_mixing",
+    "c102_pmi_collocations",
+    "c103_audio_decode_stats",
+    "c104_data_quality_audit",
+    "c105_ngram_novelty",
+    "c106_fuzzy_blocked_match",
+    "c107_skyline_pareto",
+    "c108_ann_sq8_topk",
+    "c109_event_pattern_regex",
+    "c110_setsim_prefix_join",
+    "c111_triangle_count",
+    "c112_naive_bayes_langid",
+    "c113_bottomk_hash_sample",
+    "c114_rrf_hybrid_search",
+    "c115_loo_target_encoding",
+    "c116_ab_ztest",
+    "c117_ewma_spikes",
+    "c118_markov_transitions",
+    "c119_containment_join",
+    "c120_groupwise_ols",
+    "c121_embedding_corr_matrix",
+    "c122_bfs_hops",
+    "c123_greedy_coverage_select",
+    "c124_itemitem_cf",
+    "c125_psi_drift",
+    "c126_hits_hubs_authorities",
+    "c127_churn_labels",
+    "c128_percentile_scaling",
+    "c129_negative_sampling",
+    "c130_gif_decode_stats",
+    "c131_stream_ewma",
+    "c132_prf_query_expansion",
+    "c133_benford_screen",
+    "c134_tfidf_doc_pairs",
+    "c135_kmv_join_cardinality",
+    "c136_golden_record",
+    "c137_association_rules",
+    "c138_token_entropy",
+    "c139_holt_trend",
+    "c140_matryoshka_prefix_recall",
+    "c141_clustering_coefficients",
+    "c142_median_imputation",
+    "c143_woe_encoding",
+    "c144_knn_classifier",
+    "c145_auc_ranksum",
+    "c146_attribution_credit",
+    "c147_cusum_alarms",
 ]
 
 
