@@ -11821,7 +11821,11 @@ def c144_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "micro-units through one exact BIGINT division — no floats "
         "anywhere, so the oracle replays bit-identically. The "
         "model-quality readout every training-data quality classifier "
-        "needs. 100 TB: one per-group rank exchange + ONE hash "
+        "needs. 100 TB: ONE hash aggregate to the distinct "
+        "(grp,score) table, midranks as a closed form of the per-group "
+        "prefix count via sampling.grouped_cumsum (range-partition + "
+        "broadcast span offsets — survives one group holding the "
+        "whole corpus, where partitionBy(grp) is one task), then ONE "
         "aggregate to group cardinality; BIGINT-exact to ~2e9-row "
         "groups (docstring bound)",
     tags=("ml", "events"),
@@ -13251,10 +13255,11 @@ def q92_connect_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quantizes as num*1e6 DIV n (exact BIGINT to ~2e6 rows, bound "
         "documented). Ties to smallest threshold; empty-right split "
         "excluded; top-5 reported. 100 TB: ONE hash aggregate to the "
-        "distinct-cents table (map-side partials), cumulative + total "
-        "windows on that VOCABULARY-sized table (c161 days-table "
-        "discipline), TakeOrdered winner — join-free, the corpus is "
-        "read once",
+        "distinct-cents table (map-side partials), then prefix sums "
+        "via sampling.global_cumsum — range-partition + broadcast "
+        "offsets, NO partition-less window (a continuous feature's "
+        "value table is corpus-sized; VERDICT r11 item 2) — totals as "
+        "exact literals, TakeOrdered winner; the corpus is read once",
     tags=("ml", "events"),
     bench=True,
 )
@@ -14768,9 +14773,10 @@ def c182_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "times ONE fixed-IEEE sqrt. Completes the testing family: "
         "means c177, proportions c116, ranks/AUC c145, distributions "
         "c183. 100 TB: one corpus aggregate to the distinct-cents "
-        "table (map-side partials), cumulative+total windows on that "
-        "vocabulary-sized table (c166 discipline), one tiny max-struct "
-        "aggregate out — join-free",
+        "table (map-side partials), both ECDFs via "
+        "sampling.global_cumsum (range-partition + broadcast offsets, "
+        "no partition-less window; n1/n2 exact literals from the same "
+        "offset pass), one tiny max-struct aggregate out",
     tags=("ml", "events"),
     bench=True,
 )

@@ -834,3 +834,43 @@ def test_session4_additions_plan_shapes(spark, sf_dir):
     assert "partial_count" in p172 or "partial_sum" in p172
     p92 = _plan(spark, sf_dir, "q92_connect_by")
     assert "CartesianProduct" not in p92
+
+
+def _windows_fed_by_single_partition(plan: str) -> list[tuple[str, str]]:
+    """Pairs (window-line, exchange-line) where a Window node's nearest
+    downstream Exchange is SinglePartition — the partition-less
+    WindowExec shape that funnels its whole input through one task."""
+    lines = plan.splitlines()
+    bad = []
+    for i, line in enumerate(lines):
+        if "Window" not in line:
+            continue
+        for below in lines[i + 1 :]:
+            if "Exchange" in below:
+                if "SinglePartition" in below:
+                    bad.append((line.strip()[:80], below.strip()[:80]))
+                break
+    return bad
+
+
+def test_cdf_family_has_no_single_partition_windows(spark, sf_dir):
+    """VERDICT r11 item 2: decision_stump / ks_two_sample /
+    auc_ranksum previously built their cumulative CDFs on a
+    partition-less ``Window.orderBy`` (plus a partition-less total
+    window) over the distinct-value table — corpus-sized for
+    continuous features, so the whole table funneled through ONE
+    task at 100 TB.  They now ride sampling.global_cumsum /
+    grouped_cumsum (range-partition + broadcast offsets); assert the
+    single-partition-window shape never comes back.  (A global tiny
+    AGGREGATE may still exchange SinglePartition — that is partials
+    of metadata, fine; the guard is specifically Window-fed-by-
+    SinglePartition.)"""
+    for name in (
+        "c166_decision_stump",
+        "c183_ks_two_sample",
+        "c145_auc_ranksum",
+    ):
+        p = _plan(spark, sf_dir, name)
+        assert "Window" in p, f"{name}: expected windowed cumsum in plan"
+        bad = _windows_fed_by_single_partition(p)
+        assert not bad, f"{name}: partition-less Window over data: {bad}"

@@ -445,3 +445,62 @@ def test_neyman_allocation_exact_budget(spark):
 
     want = replay(100)
     assert {s: a for s, (_, _, a) in out.items()} == want
+
+
+def test_global_cumsum_matches_truth_and_totals(spark):
+    """Distributed prefix sums (range-sort + broadcast offsets) equal
+    the sequential truth on every prefix, totals come back exact, and
+    every window spec in the plan is keyed by the partition id."""
+    import re
+
+    from amazonredshift_blueprints_spark.operators.sampling import (
+        global_cumsum,
+    )
+
+    rows = [((i * 37) % 101, i % 5, (i * 13) % 7) for i in range(300)]
+    # distinct keys: (v, id) would collide on v; make key unique
+    rows = [(i, a, b) for i, (a, b, _) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "k long, a long, b long").repartition(7)
+    out = global_cumsum(df, ["k"], ["a", "b"])
+    got = {r["k"]: (r["a_cum"], r["b_cum"]) for r in out.collect()}
+    acc_a = acc_b = 0
+    for k, a, b in sorted(rows):
+        acc_a += a
+        acc_b += b
+        assert got[k] == (acc_a, acc_b), k
+    assert out._bp_totals == {"a": acc_a, "b": acc_b}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "_pid" in spec, spec
+
+
+def test_grouped_cumsum_survives_one_giant_group(spark):
+    """Per-group prefix sums stay correct when ONE group holds nearly
+    everything (the regime where Window.partitionBy(grp) degenerates
+    to a single task): forced through 64 range partitions, the giant
+    group spans many partitions and every prefix still matches the
+    sequential truth; offsets are broadcast, windows are _pid-keyed."""
+    import re
+
+    from amazonredshift_blueprints_spark.operators.sampling import (
+        grouped_cumsum,
+    )
+
+    rows = [("big", i, (i * 7) % 11) for i in range(1900)] + [
+        ("tiny", i, i % 3) for i in range(100)
+    ]
+    df = (
+        spark.createDataFrame(rows, "g string, v long, n long")
+        .repartitionByRange(64, "g", "v")
+    )
+    out = grouped_cumsum(df, ["g"], ["v"], ["n"])
+    got = {(r["g"], r["v"]): r["n_cum"] for r in out.collect()}
+    for g in ("big", "tiny"):
+        acc = 0
+        for gg, v, n in sorted(r for r in rows if r[0] == g):
+            acc += n
+            assert got[(g, v)] == acc, (g, v)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "_pid" in spec, spec
