@@ -1169,6 +1169,50 @@ def append_to_ivf_index(
     cells.write.mode("append").partitionBy("cell").parquet(path)
 
 
+def _windowed_cell_pairs(ranked: DataFrame, pair_window: int) -> DataFrame:
+    """Candidate pairs for the cell-capped SemDeDup path: rows ranked
+    ``rnk`` within their cell pair ONLY with the ``pair_window``
+    rank-predecessors — a HARD bound of ``pop × pair_window`` pairs
+    per cell regardless of how similar the cell's members are (the
+    full scan is pop², unbounded by anything but the cell size).
+
+    Banded equi-join, no window over the data: with block =
+    ``(rnk-1) div w``, a predecessor within w ranks lives in the same
+    block or the previous one, so the a-side (predecessor) explodes to
+    its own block and the next and the join is an equi-join on
+    ``(cell, blk)`` followed by the exact rank-range filter. Returns
+    (cell, a_id/a_q/a_norm/a_rnk, b_id/b_q/b_norm/b_rnk, cos_ok input
+    columns) for the caller's threshold filter."""
+    w = int(pair_window)
+    a = ranked.select(
+        "cell",
+        F.col("neighbor_id").alias("a_id"),
+        F.col("neighbor_q").alias("a_q"),
+        F.col("neighbor_norm").alias("a_norm"),
+        F.col("rnk").alias("a_rnk"),
+    ).withColumn(
+        "blk",
+        F.explode(
+            F.array(
+                ((F.col("a_rnk") - 1) / w).cast("long"),
+                ((F.col("a_rnk") - 1) / w).cast("long") + 1,
+            )
+        ),
+    )
+    b = ranked.select(
+        "cell",
+        F.col("neighbor_id").alias("b_id"),
+        F.col("neighbor_q").alias("b_q"),
+        F.col("neighbor_norm").alias("b_norm"),
+        F.col("rnk").alias("b_rnk"),
+        ((F.col("rnk") - 1) / w).cast("long").alias("blk"),
+    )
+    return a.join(b, ["cell", "blk"]).filter(
+        (F.col("b_rnk") > F.col("a_rnk"))
+        & (F.col("b_rnk") <= F.col("a_rnk") + w)
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     *,
@@ -1177,6 +1221,8 @@ def semantic_dedup(
     n_cells: int = 16,
     threshold_microcos: int = 400_000,
     eager: bool = True,
+    max_cell_rows: int | None = None,
+    pair_window: int = 8,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, compare pairs ONLY
@@ -1207,6 +1253,25 @@ def semantic_dedup(
     accumulate cached embedding tables. ``eager=False`` returns the
     lazy plan with the cell table still persisted — for plan audits,
     or callers that compose further and manage the cache themselves.
+
+    ``max_cell_rows`` is the 100 TB cell-SKEW guard (VERDICT r11 item
+    3): "bounded by cell sizes" is corpus²/k only for BALANCED cells —
+    one giant semantic cluster re-creates the quadratic. When set,
+    cells whose population exceeds the cap switch to a windowed pair
+    scan: members are ranked within the cell by (L2-distance-to-
+    centroid, id) — the rank rides
+    :func:`..operators.sampling.grouped_cumsum`, so no per-cell
+    single-task window — and each member is compared ONLY to its
+    ``pair_window`` rank-predecessors (a banded equi-join on rank
+    blocks), a HARD ``pop × pair_window`` pair bound. Identical or
+    near-identical members are rank-adjacent (distance ties break by
+    id), so duplicate chains still collapse to one survivor; the
+    recall trade is that a ≥θ pair further than ``pair_window`` apart
+    in the distance ordering is missed — the documented price of the
+    bound. Cells at or under the cap keep the exact full pair scan;
+    the drop rule there stays "larger id loses", while capped cells
+    drop the later-in-rank member (the first representative in scan
+    order survives). Deterministic and engine-replayable end to end.
     """
     cents = _with_quant(
         df.filter(F.col(id_col) < n_cells), id_col, vec_col, "cent"
@@ -1233,20 +1298,70 @@ def semantic_dedup(
         F.col("neighbor_norm").alias("b_norm"),
         "cell",
     )
-    drops = (
-        a.join(b, "cell")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(
+    def _cos_ok(cols_a: str, cols_b: str):
+        return (
             cosine_q(
-                dot_q_unrolled(F.col("a_q"), F.col("b_q"), dim),
-                F.col("a_norm"),
-                F.col("b_norm"),
+                dot_q_unrolled(F.col(f"{cols_a}_q"), F.col(f"{cols_b}_q"), dim),
+                F.col(f"{cols_a}_norm"),
+                F.col(f"{cols_b}_norm"),
             )
             >= threshold_microcos / 1_000_000
         )
+
+    if max_cell_rows is None:
+        over: list[int] = []
+    else:
+        # ONE tiny aggregate: n_cells rows of metadata to the driver
+        over = sorted(
+            int(r["cell"])
+            for r in cells.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("pop"))
+            .collect()
+            if r["pop"] > max_cell_rows
+        )
+    small_pred = ~F.col("cell").isin(over) if over else F.lit(True)
+    drops = (
+        a.filter(small_pred)
+        .join(b.filter(small_pred), "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(_cos_ok("a", "b"))
         .select(F.col("b_id").alias("_drop_id"))
-        .distinct()
     )
+    ranked_owner = None
+    if over:
+        from .sampling import grouped_cumsum
+
+        cent_df = F.broadcast(
+            df.sparkSession.createDataFrame(
+                [
+                    (cid, cq, sum(x * x for x in cq))
+                    for cid, cq in cent_rows
+                ],
+                "cell long, cent_q array<bigint>, cent_norm bigint",
+            )
+        )
+        big = (
+            cells.filter(F.col("cell").isin(over))
+            .join(cent_df, "cell")
+            .withColumn(
+                "dist",
+                F.col("neighbor_norm")
+                - 2 * dot_q_unrolled(F.col("neighbor_q"), F.col("cent_q"), dim)
+                + F.col("cent_norm"),
+            )
+            .drop("cent_q", "cent_norm")
+            .withColumn("one", F.lit(1).cast("long"))
+        )
+        cum = grouped_cumsum(big, ["cell"], ["dist", "neighbor_id"], ["one"])
+        ranked_owner = cum._bp_cache_owner
+        ranked = cum.withColumnRenamed("one_cum", "rnk")
+        drops_big = (
+            _windowed_cell_pairs(ranked, pair_window)
+            .filter(_cos_ok("a", "b"))
+            .select(F.col("b_id").alias("_drop_id"))
+        )
+        drops = drops.union(drops_big)
+    drops = drops.distinct()
     # Materialize the SURVIVORS eagerly while the cell table is still
     # cached — the pair scan and the anti-join each read the cache, the
     # whole pipeline runs exactly once — then release the cache before
@@ -1261,9 +1376,15 @@ def semantic_dedup(
     if not eager:
         # lazy mode keeps the full lineage visible (plan audits) and
         # leaves the persisted cell table to the caller to release
+        # (plus the capped path's pinned rank input, if any)
+        survivors._bp_cache_owner = cells
+        if ranked_owner is not None:
+            survivors._bp_rank_cache_owner = ranked_owner
         return survivors
     out = survivors.localCheckpoint(eager=True)
     cells.unpersist()
+    if ranked_owner is not None:
+        ranked_owner.unpersist()
     return out
 
 

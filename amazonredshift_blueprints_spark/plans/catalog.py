@@ -15298,6 +15298,102 @@ def c190_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return isotonic_fit(bands, "x", "num", "den")
 
 
+@query(
+    "c191_semdedup_cell_capped",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, qv,
+               CAST({_DUCK_DOT.format(a='qv', b='qv')} AS BIGINT) AS norm
+        FROM v
+    ),
+    cents AS (
+        SELECT vec_id AS cent_id, qv AS cq,
+               CAST({_DUCK_DOT.format(a='qv', b='qv')} AS BIGINT) AS cn
+        FROM v WHERE vec_id < 16
+    ),
+    cells AS (
+        SELECT vec_id, qv, norm, cent_id AS cell FROM (
+            SELECT n.vec_id, n.qv, n.norm, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY {_DUCK_L2.format(a='n.qv', b='c.cq')}, c.cent_id
+                   ) AS rn
+            FROM n CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    sizes AS (SELECT cell, COUNT(*) AS pop FROM cells GROUP BY 1),
+    small AS (
+        SELECT c.* FROM cells c JOIN sizes s USING (cell) WHERE s.pop <= 30
+    ),
+    bigr AS (
+        SELECT c.*, row_number() OVER (
+                   PARTITION BY c.cell ORDER BY
+                       c.norm - 2 * {_DUCK_DOT.format(a='c.qv', b='ct.cq')}
+                           + ct.cn,
+                       c.vec_id
+               ) AS rnk
+        FROM cells c
+        JOIN sizes s USING (cell)
+        JOIN cents ct ON ct.cent_id = c.cell
+        WHERE s.pop > 30
+    ),
+    drops_small AS (
+        SELECT DISTINCT b.vec_id AS drop_id
+        FROM small a JOIN small b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE CAST({_DUCK_DOT.format(a='a.qv', b='b.qv')} AS DOUBLE)
+              / (sqrt(CAST(a.norm AS DOUBLE)) * sqrt(CAST(b.norm AS DOUBLE)))
+              >= 0.4
+    ),
+    drops_big AS (
+        SELECT DISTINCT b.vec_id AS drop_id
+        FROM bigr a JOIN bigr b
+          ON a.cell = b.cell AND b.rnk > a.rnk AND b.rnk <= a.rnk + 4
+        WHERE CAST({_DUCK_DOT.format(a='a.qv', b='b.qv')} AS DOUBLE)
+              / (sqrt(CAST(a.norm AS DOUBLE)) * sqrt(CAST(b.norm AS DOUBLE)))
+              >= 0.4
+    ),
+    drops AS (
+        SELECT drop_id FROM drops_small
+        UNION SELECT drop_id FROM drops_big
+    )
+    SELECT vec_id, cell FROM cells
+    WHERE vec_id NOT IN (SELECT drop_id FROM drops)
+    """,
+    doc="SemDeDup with the cell-SKEW guard (VERDICT r11 item 3) — "
+        "c61's \"bounded by cell sizes\" is corpus^2/k only for "
+        "BALANCED cells; one giant semantic cluster re-creates the "
+        "quadratic. Cells above max_cell_rows=30 switch to a windowed "
+        "pair scan: members ranked within the cell by (L2-to-centroid, "
+        "id) — the rank rides sampling.grouped_cumsum, no per-cell "
+        "single-task window — and each member compares only to its 4 "
+        "rank-predecessors via a banded equi-join on rank blocks: a "
+        "HARD pop*4 pair bound however self-similar the cell. "
+        "Distance ties break by id, so identical-vector chains stay "
+        "rank-adjacent and collapse to one survivor; pairs further "
+        "apart in the distance ordering are the documented recall "
+        "price. Cells at/under the cap keep c61's exact full scan. "
+        "The oracle replays cells, the pop split, both pair rules, "
+        "and the union verbatim",
+    bench=True,
+    tags=("similarity", "dedup"),
+)
+def c191_semdedup_cell_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_dedup
+
+    e = views(spark, sf_dir, "embeddings")["embeddings"]
+    return semantic_dedup(
+        e,
+        n_cells=16,
+        threshold_microcos=400_000,
+        max_cell_rows=30,
+        pair_window=4,
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #

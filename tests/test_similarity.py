@@ -484,6 +484,69 @@ def test_semantic_dedup_drop_rule(spark):
     assert kept == {0, 1, 4}  # 2 dropped (dup of 0), 3 dropped (dup of 1)
 
 
+def test_semantic_dedup_cell_cap_bounds_adversarial_giant_cluster(spark):
+    """The cell-skew guard (VERDICT r11 item 3): one giant cluster of
+    near-identical vectors lands in ONE cell — the regime where the
+    full pair scan is pop² — and the capped path must (a) still
+    collapse the duplicate chain to one survivor (distance ties break
+    by id, so identical members are rank-adjacent), and (b) generate
+    at most pop × pair_window candidate pairs (the HARD bound the cap
+    exists for)."""
+    import pyspark.sql.functions as F
+
+    from amazonredshift_blueprints_spark.operators.sampling import (
+        grouped_cumsum,
+    )
+    from amazonredshift_blueprints_spark.operators.similarity import (
+        _collect_centroids,
+        _windowed_cell_pairs,
+        _with_quant,
+        assign_cells,
+        dot_q_unrolled,
+        semantic_dedup,
+    )
+
+    # ids 0/1 = orthogonal centroids; ids 2..201 all duplicate id 0's
+    # direction — a 201-member cluster in cell 0, 1 lonely row in cell 1
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])] + [
+        (i, [1.0, 0.0, 0.0, 0.0]) for i in range(2, 202)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            df,
+            n_cells=2,
+            threshold_microcos=950_000,
+            max_cell_rows=50,
+            pair_window=3,
+        ).collect()
+    }
+    assert kept == {0, 1}  # whole chain collapsed through rank adjacency
+
+    # candidate-pair bound, measured on the factored generator itself
+    cents = _collect_centroids(
+        _with_quant(
+            df.filter(F.col("vec_id") < 2), "vec_id", "embedding", "cent"
+        )
+    )
+    cells = assign_cells(df, cents)
+    big = (
+        cells.filter(F.col("cell") == 0)
+        .withColumn("dist", F.lit(0).cast("long"))
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    ranked = grouped_cumsum(
+        big, ["cell"], ["dist", "neighbor_id"], ["one"]
+    ).withColumnRenamed("one_cum", "rnk")
+    n_pairs = _windowed_cell_pairs(ranked, 3).count()
+    pop = 201
+    assert n_pairs <= pop * 3, n_pairs
+    # and the bound is tight-ish: every member but the first w has
+    # exactly w predecessors
+    assert n_pairs == sum(min(3, r - 1) for r in range(1, pop + 1))
+
+
 def test_pq_adc_exact_on_codebook_combinations(spark):
     """When every corpus vector is an exact per-subspace combination of
     codebook entries, the quantization residual is zero and ADC equals
