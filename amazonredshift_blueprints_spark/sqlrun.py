@@ -107,6 +107,14 @@ def execute_sql(spark: SparkSession, query: str) -> None:
         # still gets COPY/UNLOAD lowering and transaction routing
         print("Your query has been successfully executed.")
         return
+    from .functions.procedures import maybe_handle as _proc_maybe_handle
+
+    if _proc_maybe_handle(spark, query):
+        # CREATE/DROP PROCEDURE + CALL; CALL replays the registered
+        # SQL body through execute_sql_script, so each body statement
+        # gets this dispatcher in full (functions/procedures.py)
+        print("Your query has been successfully executed.")
+        return
     from .functions.dml_statements import maybe_handle as _dml_maybe_handle
 
     if _dml_maybe_handle(spark, query):
