@@ -761,22 +761,175 @@ _FETCH_FIRST_RE = re.compile(
 _OFFSET_ROWS_RE = re.compile(r"\bOFFSET\s+(\d+)\s+ROWS?\b", re.IGNORECASE)
 
 
+def _sub_outside_strings(sql: str, pattern: re.Pattern, repl) -> str:
+    """re.sub, but matches starting inside string literals are left
+    verbatim (r11 advisor: the blind form corrupted a FETCH FIRST
+    pattern inside a literal — same hazard _rewrite_select_into's
+    _find_top_level scan already avoids)."""
+    depths = _depth_string_map(sql)
+    out, pos = [], 0
+    while True:
+        m = next(
+            (
+                mm
+                for mm in pattern.finditer(sql, pos)
+                if depths[mm.start()] != -1
+            ),
+            None,
+        )
+        if m is None:
+            out.append(sql[pos:])
+            return "".join(out)
+        out.append(sql[pos : m.start()])
+        out.append(repl(m))
+        pos = m.end()
+
+
 def _rewrite_fetch_first(sql: str) -> str:
     """ANSI row-limit spellings Redshift accepts but Spark doesn't:
     ``OFFSET k ROWS FETCH FIRST|NEXT n ROWS ONLY`` → ``LIMIT n OFFSET
     k`` (Spark's parser demands LIMIT before OFFSET, so the clause
     pair is REORDERED, not just substituted); bare ``FETCH FIRST n
     ROWS ONLY`` → ``LIMIT n``; bare ``OFFSET k ROWS`` drops the ROWS
-    keyword Spark's OFFSET does not take."""
-    sql = _OFFSET_FETCH_RE.sub(
-        lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", sql
+    keyword Spark's OFFSET does not take. String literals never
+    rewrite (the quote-aware scan shared with the PartiQL rewrite)."""
+    sql = _sub_outside_strings(
+        sql,
+        _OFFSET_FETCH_RE,
+        lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}",
     )
-    sql = _FETCH_FIRST_RE.sub(lambda m: f"LIMIT {m.group(1)}", sql)
-    return _OFFSET_ROWS_RE.sub(lambda m: f"OFFSET {m.group(1)}", sql)
+    sql = _sub_outside_strings(
+        sql, _FETCH_FIRST_RE, lambda m: f"LIMIT {m.group(1)}"
+    )
+    return _sub_outside_strings(
+        sql, _OFFSET_ROWS_RE, lambda m: f"OFFSET {m.group(1)}"
+    )
+
+
+_FROM_CLAUSE_END_RE = re.compile(
+    r"\b(WHERE|GROUP|HAVING|QUALIFY|WINDOW|ORDER|LIMIT|OFFSET|UNION"
+    r"|INTERSECT|EXCEPT|FETCH)\b",
+    re.IGNORECASE,
+)
+_UNNEST_ITEM_RE = re.compile(
+    r"^\s*(\w+)((?:\.\w+)+)\s+(?:AS\s+)?(\w+)(?:\s+AT\s+(\w+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_REL_ALIAS_RE = re.compile(
+    r"^\s*([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s*$", re.IGNORECASE | re.DOTALL
+)
+
+
+def _depth_string_map(sql: str) -> list[int]:
+    """Per-position paren depth, -1 inside string literals (the
+    _find_top_level scan, reusable for slicing)."""
+    depth, in_str, out = 0, None, []
+    for ch in sql:
+        out.append(depth if in_str is None else -1)
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+    return out
+
+
+def _rewrite_partiql_unnest(sql: str) -> str:
+    """Redshift PartiQL FROM-clause unnesting → LATERAL VIEW.
+
+    ``FROM t [AS] a, a.arr [AS] x [AT i]`` navigates INTO a SUPER/array
+    column of a preceding FROM item — Spark's parser rejects the form
+    outright. Rewrite each such comma item (its qualifier must resolve
+    to a PRECEDING item's alias or base table name — ``schema.table``
+    relations never match) to ``LATERAL VIEW explode(a.arr) _x AS x``,
+    or ``posexplode`` when ``AT i`` asks for the 0-based ordinal
+    (Redshift's AT and Spark's pos are both 0-based). Lateral views
+    are appended after the remaining relation list in original order,
+    so chained unnests (``x.sub AS y`` over a previous unnest alias)
+    keep resolving. Top-level FROM only; paren-depth + string-aware
+    slicing throughout (subquery text and literals never match).
+    Column TYPE is Spark's business at analysis time: a real array
+    explodes; a JSON-string SUPER needs an explicit cast/from_json
+    first (the q51 VARIANT path), same as any engine that stores SUPER
+    as text."""
+    depths = _depth_string_map(sql)
+    m = next(
+        (
+            mm
+            for mm in _FROM_TOP_RE.finditer(sql)
+            if depths[mm.start()] == 0
+        ),
+        None,
+    )
+    if m is None:
+        return sql
+    start = m.end()
+    end = next(
+        (
+            mm.start()
+            for mm in _FROM_CLAUSE_END_RE.finditer(sql, start)
+            if depths[mm.start()] == 0
+        ),
+        len(sql),
+    )
+    clause = sql[start:end]
+    # split on depth-0 commas relative to the clause
+    items, buf = [], []
+    cdepths = _depth_string_map(clause)
+    for i, ch in enumerate(clause):
+        if ch == "," and cdepths[i] == 0:
+            items.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    items.append("".join(buf))
+    if len(items) < 2:
+        return sql
+    known: set[str] = set()
+    kept: list[str] = []
+    laterals: list[str] = []
+
+    def register(item: str) -> None:
+        rm = _REL_ALIAS_RE.match(item)
+        if rm:
+            name, alias = rm.groups()
+            known.add((alias or name.split(".")[-1]).lower())
+
+    register(items[0])
+    kept.append(items[0])
+    for k, item in enumerate(items[1:], start=1):
+        um = _UNNEST_ITEM_RE.match(item)
+        if um and um.group(1).lower() in known:
+            qual, path, alias, at = um.groups()
+            expr = f"{qual}{path}"
+            if at:
+                laterals.append(
+                    f" LATERAL VIEW posexplode({expr}) _pe_{k} "
+                    f"AS {at}, {alias}"
+                )
+            else:
+                laterals.append(
+                    f" LATERAL VIEW explode({expr}) _ex_{k} AS {alias}"
+                )
+            known.add(alias.lower())
+            if at:
+                known.add(at.lower())
+        else:
+            register(item)
+            kept.append(item)
+    if not laterals:
+        return sql
+    new_clause = ",".join(kept) + "".join(laterals) + " "
+    return sql[:start] + new_clause + sql[end:]
 
 
 def translate_redshift_sql(sql: str) -> str:
     """Rewrite Redshift-dialect call sites into Spark SQL equivalents."""
+    sql = _rewrite_partiql_unnest(sql)
     sql = _rewrite_fetch_first(sql)
     sql = _rewrite_select_into(sql)
     sql = _rewrite_external_table(sql)

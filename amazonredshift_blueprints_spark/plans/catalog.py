@@ -15465,6 +15465,51 @@ def q96_stored_procedure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q97_partiql_unnest",
+    oracle="""
+    SELECT vec_id,
+           unnest(generate_series(0, len(embedding) - 1)) AS idx,
+           unnest(list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+               AS val_micro
+    FROM embeddings
+    WHERE vec_id < 50
+    ORDER BY vec_id, idx
+    """,
+    doc="PartiQL FROM-clause unnesting (functions/redshift_compat."
+        "_rewrite_partiql_unnest — VERDICT r11 missing #2): Redshift "
+        "``FROM t AS a, a.arr AS x AT i`` navigates into a SUPER/array "
+        "column; Spark's parser rejects it, so the dialect layer "
+        "rewrites the comma item whose qualifier resolves to a "
+        "preceding item's alias into ``LATERAL VIEW posexplode(a.arr) "
+        "AS i, x`` (``explode`` without AT; Redshift AT and Spark pos "
+        "are both 0-based; schema.table relations never match; "
+        "chained unnests over a previous unnest alias keep resolving; "
+        "paren-depth + string-aware, pytest-pinned). The entry "
+        "unnests the embedding array with ordinals through the full "
+        "dialect face and micro-quantizes the element for the hash "
+        "compare",
+    tags=("dialect", "embeddings"),
+)
+def q97_partiql_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import translate_redshift_sql
+
+    views(spark, sf_dir, "embeddings")
+    return spark.sql(
+        translate_redshift_sql(
+            """
+            SELECT vec_id, idx,
+                   CAST(round(CAST(val AS DOUBLE) * 1000000) AS BIGINT)
+                       AS val_micro
+            FROM embeddings v, v.embedding AS val AT idx
+            WHERE vec_id < 50
+            ORDER BY vec_id, idx
+            """
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #

@@ -1615,3 +1615,54 @@ def test_unload_overwrite_flags_accepted():
     assert s.format == "parquet"
     with pytest.raises(ValueError):
         parse_unload("UNLOAD ('SELECT 1') TO '/x/o' ZEROCOPY")
+
+
+def test_partiql_unnest_rewrites():
+    """FROM-clause PartiQL navigation → LATERAL VIEW: alias-qualified
+    items rewrite (explode without AT, posexplode with), chained
+    unnests keep resolving, schema.table relations and literal text
+    never match."""
+    from amazonredshift_blueprints_spark.functions.redshift_compat import (
+        _rewrite_partiql_unnest as rw,
+    )
+
+    got = rw("SELECT vec_id, v2 FROM embeddings v, v.embedding AS v2")
+    assert "LATERAL VIEW explode(v.embedding) _ex_1 AS v2" in got
+    assert "," not in got.split("FROM")[1].split("LATERAL")[0]
+    got = rw("SELECT 1 FROM t a, a.arr x AT i WHERE x > 0")
+    assert "LATERAL VIEW posexplode(a.arr) _pe_1 AS i, x" in got
+    assert got.rstrip().endswith("WHERE x > 0")
+    # chained: second unnest references the first's alias
+    got = rw("SELECT 1 FROM t a, a.arr x, x.sub AS y")
+    assert "explode(a.arr) _ex_1 AS x" in got
+    assert "explode(x.sub) _ex_2 AS y" in got
+    # schema.table is a relation, not navigation
+    sql = "SELECT * FROM lineitem, public.orders o WHERE l_orderkey = 1"
+    assert rw(sql) == sql
+    # string literals and subquery-only FROMs untouched
+    sql = "SELECT 'FROM a, a.b c' AS s FROM t"
+    assert rw(sql) == sql
+    sql = "SELECT * FROM customer c, orders o WHERE c_custkey = o_custkey"
+    assert rw(sql) == sql
+
+
+def test_fetch_first_string_aware():
+    """r11 advisor: FETCH FIRST/OFFSET ROWS patterns inside string
+    literals must survive the rewrite verbatim; real clauses around
+    them still rewrite."""
+    from amazonredshift_blueprints_spark.functions.redshift_compat import (
+        _rewrite_fetch_first as rw,
+    )
+
+    assert (
+        rw("SELECT * FROM t OFFSET 5 ROWS FETCH FIRST 3 ROWS ONLY")
+        == "SELECT * FROM t LIMIT 3 OFFSET 5"
+    )
+    got = rw(
+        "SELECT 'FETCH FIRST 9 ROWS ONLY' AS doc FROM t "
+        "FETCH NEXT 2 ROWS ONLY"
+    )
+    assert "'FETCH FIRST 9 ROWS ONLY'" in got
+    assert got.endswith("LIMIT 2")
+    got = rw("SELECT 'OFFSET 7 ROWS' AS doc FROM t OFFSET 1 ROWS")
+    assert "'OFFSET 7 ROWS'" in got and got.endswith("OFFSET 1")
