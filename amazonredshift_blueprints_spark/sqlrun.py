@@ -65,7 +65,22 @@ _NON_TXN_STMT_RE = re.compile(
 
 
 def execute_sql(spark: SparkSession, query: str) -> None:
-    """Execute an arbitrary statement; discard any result (execute_sql.py:77).
+    """Execute an arbitrary statement; discard any result
+    (execute_sql.py:77). Every completed statement is recorded in the
+    session's query-history log (functions/system_tables.py —
+    svl_qlog/stl_query views), aborted flag set when it raised."""
+    from .functions.system_tables import record_statement
+
+    try:
+        _execute_sql_inner(spark, query)
+    except BaseException:
+        record_statement(spark, query, aborted=1)
+        raise
+    record_statement(spark, query, aborted=0)
+
+
+def _execute_sql_inner(spark: SparkSession, query: str) -> None:
+    """Dispatch one statement (the body of :func:`execute_sql`).
 
     ``COPY table FROM 'path'`` / ``UNLOAD ('sql') TO 'path'`` — the two
     Redshift statements the reference's own blueprints package as CLIs —
