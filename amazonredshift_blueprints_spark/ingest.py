@@ -151,6 +151,12 @@ def read_files(
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
+    if format == "json":
+        # the record format honors the parse contract like CSV does —
+        # a declared-schema MAXERROR-0 load must FAIL on a
+        # type-mismatched value, not NULL it (r11 advisor: the json
+        # branch stayed PERMISSIVE and silently loaded NULLs)
+        reader = reader.option("mode", parse_mode)
     return reader.format(format).load(paths)
 
 
@@ -304,8 +310,10 @@ def ingest_files(
     else:
         # Parsing against a DECLARED schema is strict (Redshift MAXERROR 0
         # semantics: one bad value fails the load) — PERMISSIVE would
-        # silently NULL type errors the user asked to be errors.
-        strict = format == "csv" and schema is not None
+        # silently NULL type errors the user asked to be errors. Both
+        # record formats (csv AND json — r11 advisor) take the contract;
+        # parquet/orc carry their own types.
+        strict = format in ("csv", "json") and schema is not None
         df = read_files(
             spark, source, format=format, header=header, schema=schema,
             delimiter=delimiter, csv_options=csv_options,
@@ -381,33 +389,35 @@ def read_fixedwidth(
     bytes a fixed-width writer adds. Rows shorter than the layout yield
     empty-string tails (substring past end is '' — same as Redshift's
     pad-with-blank reading); rows LONGER than the layout raise AT
-    EXECUTION via ``raise_error`` folded into the first column's
-    expression — silently dropping trailing bytes would mis-load every
-    following column of a mis-declared layout, and a separate
-    validation pass would double the scan at 100 TB."""
+    EXECUTION via ``raise_error`` inside a FILTER on the line scan —
+    a filter survives column pruning, where the former fold into the
+    first column's expression vanished for any consumer projecting
+    that column away (r11 advisor) — because silently dropping
+    trailing bytes would mis-load every following column of a
+    mis-declared layout, and a separate validation pass would double
+    the scan at 100 TB."""
     cols = parse_fixedwidth_spec(spec) if isinstance(spec, str) else list(spec)
     total = sum(w for _, w in cols)
-    raw = spark.read.text(paths)
+    raw = spark.read.text(paths).filter(
+        F.when(F.length("value") <= total, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"FIXEDWIDTH layout is {total} chars but a row "
+                        "has "
+                    ),
+                    F.length("value").cast("string"),
+                    F.lit(" — layout does not match the file"),
+                )
+            ).cast("boolean")
+        )
+    )
     fields = []
     start = 1  # substring is 1-based
-    for idx, (name, width) in enumerate(cols):
+    for name, width in cols:
         c = F.substring(F.col("value"), start, width)
         if trim_blanks:
             c = F.rtrim(c)
-        if idx == 0:
-            c = F.when(
-                F.length("value") > total,
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            f"FIXEDWIDTH layout is {total} chars but a row "
-                            "has "
-                        ),
-                        F.length("value").cast("string"),
-                        F.lit(" — layout does not match the file"),
-                    )
-                ),
-            ).otherwise(c)
         fields.append(c.alias(name))
         start += width
     return raw.select(*fields)

@@ -1252,13 +1252,23 @@ def calibration_report(
     ``pos * 1e6 DIV n``, per-row squared error ``(p - y*1e6)²``
     (≤ 1e12 per row — BIGINT-safe to ~9e6-row test sets, documented).
 
+    Binning: ``LEAST(p DIV ceil(1e6/n_bins), n_bins-1)`` — the clamp
+    puts a prediction of exactly 1.0 (p = 1e6, which banded_rate_score
+    emits for all-positive bands) in the LAST bin instead of an
+    overflow bin, and the ceil keeps the edges aligned when n_bins
+    does not divide 1e6 (r11 advisor: floor width under-covered the
+    top of the unit interval, clamping more than the boundary value).
+
     100 TB: ONE hash aggregate over the scored stream straight to
     ``n_bins`` groups; map-side partials make the shuffle bins-sized.
     """
-    bin_w = 1_000_000 // n_bins
+    bin_w = -(-1_000_000 // n_bins)  # ceil: edges cover the full unit
     return (
         scored.groupBy(
-            F.expr(f"CAST({p_col} DIV {bin_w} AS BIGINT)").alias("bin")
+            F.expr(
+                f"LEAST(CAST({p_col} DIV {bin_w} AS BIGINT), "
+                f"CAST({n_bins - 1} AS BIGINT))"
+            ).alias("bin")
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -1552,7 +1562,9 @@ def power_planner(
 
     100 TB: one hash aggregate over the stream (map-side partials) to
     a two-row table; everything after is scalar expressions.
+    Multi-arm inputs raise (the srm/ks two-arm contract, r11 advisor).
     """
+    _require_two_arms(df, group_col, "power planner")
     arms = (
         df.groupBy(F.col(group_col).alias("arm"))
         .agg(
@@ -1644,6 +1656,21 @@ def power_planner(
     )
 
 
+def _require_two_arms(df: DataFrame, group_col: str, what: str) -> None:
+    """Validate the exactly-2-groups contract the two-arm tests share
+    (r11 advisor: welch/cuped/power silently used only the min- and
+    max-keyed arms of a multi-arm input, where siblings srm_guardrail
+    and ks_two_sample raise). One metadata-sized distinct collect."""
+    arms = [
+        r[0]
+        for r in df.select(group_col).distinct().orderBy(group_col).collect()
+    ]
+    if len(arms) != 2:
+        raise ValueError(
+            f"{what} expects exactly 2 groups, got {len(arms)}: {arms[:5]}"
+        )
+
+
 def welch_ttest(
     df: DataFrame,
     group_col: str,
@@ -1667,8 +1694,10 @@ def welch_ttest(
 
     100 TB: one map-side-partial hash aggregate to two rows; scalar
     math after. Overflow: Σv² bounds value·√rows — cents-scale metrics
-    are safe past 1e9 rows (documented).
+    are safe past 1e9 rows (documented). Multi-arm inputs raise (the
+    srm/ks two-arm contract, r11 advisor).
     """
+    _require_two_arms(df, group_col, "Welch t-test")
     arms = (
         df.groupBy(F.col(group_col).alias("arm"))
         .agg(
@@ -2178,7 +2207,9 @@ def cuped_adjustment(
     100 TB: build the per-user (pre, post) table with one corpus
     aggregate (users-sized), then this is one more map-side-partial
     aggregate to two rows + scalars. Nothing shuffles twice.
+    Multi-arm inputs raise (the srm/ks two-arm contract, r11 advisor).
     """
+    _require_two_arms(users, group_col, "CUPED adjustment")
     arms = users.groupBy(F.col(group_col).alias("arm")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col(pre_col).cast("long")).alias("sx"),

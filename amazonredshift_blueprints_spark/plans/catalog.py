@@ -13445,7 +13445,8 @@ def a08_copy_unload_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         CROSS JOIN prior p
         WHERE NOT t.is_train
     )
-    SELECT CAST(p_micro // 100000 AS BIGINT) AS bin,
+    SELECT LEAST(CAST(p_micro // 100000 AS BIGINT), CAST(9 AS BIGINT))
+               AS bin,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(p_micro) // COUNT(*) AS BIGINT) AS avg_pred_micro,
            CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS emp_rate_micro,

@@ -938,3 +938,56 @@ def test_isotonic_fit_matches_pav(spark):
     )
     out2 = isotonic_fit(df2, "x", "num", "den").collect()
     assert [r.fit_q for r in out2] == [r.rate_q for r in out2]
+
+
+def test_calibration_bin_clamp_and_edge_alignment(spark):
+    """r11 advisor: p = 1e6 exactly (an all-positive band's score) must
+    land in the LAST bin, not an overflow bin; and a bin count that
+    does not divide 1e6 (n_bins=7) still covers the unit interval with
+    no bin index ever reaching n_bins."""
+    from amazonredshift_blueprints_spark.operators.ml import (
+        calibration_report,
+    )
+
+    rows = [(1_000_000, 1), (999_999, 1), (0, 0), (500_000, 1)]
+    scored = spark.createDataFrame(rows, "p_micro long, y int")
+    got = {r.bin: r.n for r in calibration_report(scored).collect()}
+    assert got == {0: 1, 5: 1, 9: 2}  # 1.0 and 0.999999 share bin 9
+    for n_bins in (3, 7, 10):
+        bins = [
+            r.bin
+            for r in calibration_report(scored, n_bins=n_bins).collect()
+        ]
+        assert all(0 <= b < n_bins for b in bins), (n_bins, bins)
+
+
+def test_two_arm_contract_welch_cuped_power(spark):
+    """r11 advisor: welch/cuped/power refuse multi-arm inputs loudly
+    (the srm/ks contract) instead of silently using min/max arms."""
+    import datetime as dt
+
+    import pytest
+
+    from amazonredshift_blueprints_spark.operators.ml import (
+        cuped_adjustment,
+        power_planner,
+        welch_ttest,
+    )
+
+    three = spark.createDataFrame(
+        [(0, 5), (1, 7), (2, 9)], "g long, v long"
+    )
+    with pytest.raises(ValueError, match="exactly 2 groups"):
+        welch_ttest(three, "g", "v").collect()
+    users3 = spark.createDataFrame(
+        [(0, 1, 2), (1, 3, 4), (2, 5, 6)], "g long, pre long, post long"
+    )
+    with pytest.raises(ValueError, match="exactly 2 groups"):
+        cuped_adjustment(users3, "g", "pre", "post").collect()
+    d0 = dt.datetime(2024, 7, 1)
+    stream3 = spark.createDataFrame(
+        [(0, 1, d0), (1, 0, d0), (2, 1, d0)],
+        "g long, s int, ts timestamp",
+    )
+    with pytest.raises(ValueError, match="exactly 2 groups"):
+        power_planner(stream3, "g", "s", "ts").collect()

@@ -1024,3 +1024,47 @@ def test_copy_text_load_options(spark, tmp_path):
     s2 = parse_copy("COPY t FROM '/x' CSV EMPTYASNULL NULL AS 'NA'")
     assert s2.csv_options["nullValue"] == "NA"
     spark.sql("DROP TABLE IF EXISTS t_opts")
+
+
+def test_fixedwidth_guard_survives_column_pruning(spark, tmp_path):
+    """r11 advisor: the over-long-row guard used to live in the FIRST
+    column's expression, so selecting any other column pruned the
+    validation away. It is a filter now — projecting only the LAST
+    column must still fail on a layout-violating row."""
+    import pytest
+
+    from amazonredshift_blueprints_spark.ingest import read_fixedwidth
+
+    bad = tmp_path / "fw_long2.txt"
+    bad.write_text("1  alpha   42  EXTRA\n")
+    df = read_fixedwidth(spark, str(bad), "id:3,name:8,qty:4")
+    with pytest.raises(Exception, match="layout is 15 chars"):
+        df.select("qty").collect()  # first column projected away
+
+
+def test_copy_json_declared_schema_failfast(spark, tmp_path):
+    """r11 advisor (medium): a JSON COPY into an existing typed table
+    is MAXERROR-0 strict like CSV — one type-mismatched value fails
+    the load instead of silently loading NULL; a clean file loads."""
+    import pytest
+
+    from amazonredshift_blueprints_spark.ingest import (
+        _clean_stale_location,
+        ingest_files,
+    )
+
+    good = tmp_path / "good.json"
+    good.write_text('{"k": 1, "v": "a"}\n{"k": 2, "v": "b"}\n')
+    bad = tmp_path / "bad.json"
+    bad.write_text('{"k": "not_an_int", "v": "c"}\n')
+    _clean_stale_location(spark, "t_json_strict", None)
+    spark.sql("DROP TABLE IF EXISTS t_json_strict")
+    spark.sql("CREATE TABLE t_json_strict (k BIGINT, v STRING) USING parquet")
+    n = ingest_files(spark, str(good), "t_json_strict", format="json")
+    assert n == 2
+    with pytest.raises(Exception):
+        ingest_files(spark, str(bad), "t_json_strict", format="json")
+    # the failed load must not have appended the NULLed row
+    assert spark.table("t_json_strict").count() == 2
+    assert spark.table("t_json_strict").filter("k IS NULL").count() == 0
+    spark.sql("DROP TABLE IF EXISTS t_json_strict")
