@@ -623,3 +623,78 @@ def link_prediction(
     ).limit(k)
     out._bp_cache_owner = e
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    iterations: int = 2,
+) -> DataFrame:
+    """Semi-supervised label propagation with clamped seeds (the
+    Zhu/Ghahramani 2002 scheme, integer-vote form): each synchronous
+    round, every NON-seed node takes the majority label among its
+    currently-labeled in-neighbors (ties → smallest label); seed nodes
+    never change. Community/category spreading over a co-occurrence
+    graph — "label 10 products, infer the rest".
+
+    Exactly ``iterations`` rounds, recomputed from the seed set each
+    round (the classic clamped sync update) — the fixed-unroll
+    contract every iterative operator here shares, so a chained-CTE
+    oracle replays it bit-for-bit. All-integer votes, deterministic
+    tie rule, no scores to drift.
+
+    ``edges`` (src, dst) are DIRECTED (pass a symmetrized set for
+    undirected semantics); ``seeds`` is (node, label). Returns
+    (node, label) for every node labeled after the final round.
+
+    100 TB: each round is ONE equi-join (edges × current labels on
+    dst — label table grows toward node cardinality, stays far under
+    edge cardinality) + ONE hash aggregate to (node, label) votes +
+    ONE max-struct aggregate to winners + an anti-join vs seeds; the
+    c90 persist hygiene (materialize new state, then release old)
+    keeps two label generations at most in cache.
+    """
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).persist()
+    sd = seeds.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    ).persist()
+    labels = sd
+    for _ in range(iterations):
+        votes = (
+            e.join(
+                labels.select(
+                    F.col("node").alias("dst"),
+                    F.col("label"),
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        winners = (
+            votes.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt"), (-F.col("label")).alias("neg")
+                    )
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.neg")).cast("long").alias("label"))
+            .join(sd.select("node"), "node", "left_anti")
+        )
+        new_labels = sd.unionAll(winners).persist()
+        new_labels.count()  # materialize before parents release
+        if labels is not sd:
+            labels.unpersist()
+        labels = new_labels
+    e.unpersist()
+    out = labels.select("node", "label")
+    out._bp_cache_owner = labels
+    sd.unpersist()
+    return out

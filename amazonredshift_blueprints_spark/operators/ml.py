@@ -2349,3 +2349,104 @@ def isotonic_fit(
         )
         .orderBy("x")
     )
+
+
+def gini_concentration(
+    df: DataFrame, weight_col: str, id_col: str
+) -> DataFrame:
+    """Gini coefficient of a non-negative weight column — "how
+    concentrated is the training-data mass?" (token budget per source,
+    characters per document): 0 = perfectly uniform, →1 = one document
+    holds everything. The standard corpus-skew audit next to the
+    per-source caps (c87) and mixing weights (c53/c101).
+
+    Exact rank form on sorted weights (w ascending, ``id_col`` as the
+    total-order tiebreaker, ranks 1..n):
+
+        G = (2·Σ i·wᵢ − (n+1)·Σw) / (n·Σw)
+
+    reported as ``gini_micro = num · 1e6 DIV (n·Σw)`` — every term an
+    exact BIGINT. Overflow bound, documented: Σ i·wᵢ ≤ n²·w̄, so
+    n²·w̄ < 9.2e18 (≈3e6 rows at character-scale weights; quantize
+    weights coarser or shard above that).
+
+    Returns ONE row: (n, total_w, gini_micro).
+
+    100 TB: the rank rides :func:`..operators.sampling.global_rank`
+    (distributed range sort + broadcast offsets — NO single-partition
+    ORDER BY window), then ONE map-side-partial aggregate to a single
+    row.
+    """
+    from .sampling import global_rank
+
+    ranked = global_rank(
+        df.select(
+            F.col(weight_col).cast("long").alias("w"),
+            F.col(id_col).alias("_gid"),
+        ),
+        [F.asc("w"), F.asc("_gid")],
+        out_col="rnk",
+    )
+    out = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("w").cast("long").alias("total_w"),
+        F.expr(
+            "CAST((2 * SUM(rnk * w) - (COUNT(*) + 1) * SUM(w)) * 1000000"
+            " DIV (COUNT(*) * SUM(w)) AS BIGINT)"
+        ).alias("gini_micro"),
+    )
+    out._bp_cache_owner = getattr(ranked, "_bp_cache_owner", None)
+    return out
+
+
+def cohens_kappa(
+    df: DataFrame, rater_a_col: str, rater_b_col: str
+) -> DataFrame:
+    """Cohen's kappa between two binary raters — the inter-annotator
+    agreement readout every labeling/QA pipeline needs before trusting
+    its labels (c159's confusion matrix measures a model against
+    truth; kappa measures two LABELERS against each other, chance-
+    corrected).
+
+    Exact integer form: with the 2×2 table (n11, n10, n01, n00),
+    observed agreement po = (n11+n00)/n and chance agreement
+    pe = (a1·b1 + a0·b0)/n² (a/b = marginals), so
+
+        κ = (po − pe)/(1 − pe)
+          = ((n11+n00)·n − a1·b1 − a0·b0) / (n² − a1·b1 − a0·b0)
+
+    — a single BIGINT rational, reported as ``kappa_micro`` via one
+    exact integer division (negative for worse-than-chance, the full
+    Landis-Koch range). Overflow: n² < 9.2e18 → exact to ~3e9 rows.
+
+    Returns ONE row: (n, n11, n10, n01, n00, kappa_micro);
+    a degenerate table where pe = 1 (both raters constant) yields
+    NULL kappa_micro.
+
+    100 TB: ONE map-side-partial hash aggregate over the stream to
+    four cells; scalar arithmetic after.
+    """
+    a = F.col(rater_a_col).cast("long")
+    b = F.col(rater_b_col).cast("long")
+    cells = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(a * b).alias("n11"),
+        F.sum(a * (1 - b)).alias("n10"),
+        F.sum((1 - a) * b).alias("n01"),
+        F.sum((1 - a) * (1 - b)).alias("n00"),
+    )
+    return cells.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr(
+            "CASE WHEN n * n - (n11 + n10) * (n11 + n01)"
+            " - (n01 + n00) * (n10 + n00) <> 0 THEN"
+            " CAST(((n11 + n00) * n - (n11 + n10) * (n11 + n01)"
+            " - (n01 + n00) * (n10 + n00)) * 1000000"
+            " DIV (n * n - (n11 + n10) * (n11 + n01)"
+            " - (n01 + n00) * (n10 + n00)) AS BIGINT) END"
+        ).alias("kappa_micro"),
+    )

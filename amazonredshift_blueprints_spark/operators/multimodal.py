@@ -108,6 +108,8 @@ def decode_image(payload: bytes):
         return decode_bmp(payload)
     if payload[:4] == b"qoif":
         return decode_qoi(payload)
+    if payload[-18:] == _TGA_FOOTER_SIG:
+        return decode_tga(payload)
     try:  # pragma: no cover - pillow absent in this container
         import io
 
@@ -1507,6 +1509,166 @@ def synthesize_qoi_images(
                         img[y, :, 1] = (k * 9) % 256
                         img[y, :, 2] = (k * 13) % 256
                 payloads.append(encode_qoi(img))
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(gen, "doc_id long, payload binary")
+
+
+# --------------------------------------------------------------------------
+# TGA (Truevision TARGA, the TGA 2.0 public spec): the RLE-packet rung
+# of the codec ladder — distinct machinery from every other rung: an
+# 18-byte little-endian header (no magic at the front; TGA 2.0 is
+# detected by the trailing "TRUEVISION-XFILE." footer), BGR pixel
+# order, bottom-up default origin with a descriptor-bit top-down
+# override, and per-scanline RLE/raw packets (high bit = run of one
+# repeated pixel, else literal block; packets never cross scanlines).
+# --------------------------------------------------------------------------
+
+_TGA_FOOTER_SIG = b"TRUEVISION-XFILE.\x00"
+_TGA_FOOTER = b"\x00" * 8 + _TGA_FOOTER_SIG
+
+
+def encode_tga(pixels, *, rle: bool = False, topdown: bool = False) -> bytes:
+    """REAL TGA encoder, 24-bit truecolor: type 2 (uncompressed) or
+    type 10 (RLE, greedy per-scanline packets — runs of identical
+    pixels become repeat packets, the rest literal blocks, both capped
+    at 128 per the spec). Bottom-up rows by default; ``topdown`` sets
+    descriptor bit 5. A TGA 2.0 footer is appended (the format's only
+    signature — detection is from the TAIL)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    desc = 0x20 if topdown else 0
+    head = struct.pack(
+        "<BBBHHBHHHHBB",
+        0, 0, 10 if rle else 2, 0, 0, 0, 0, 0, w, h, 24, desc,
+    )
+    rows = arr if topdown else arr[::-1]
+    body = bytearray()
+    for y in range(h):
+        row = rows[y, :, ::-1]  # RGB -> BGR
+        if not rle:
+            body += row.tobytes()
+            continue
+        x = 0
+        while x < w:
+            run = 1
+            while (
+                x + run < w
+                and run < 128
+                and (row[x + run] == row[x]).all()
+            ):
+                run += 1
+            if run >= 2:
+                body.append(0x80 | (run - 1))
+                body += row[x].tobytes()
+                x += run
+                continue
+            lit = x + 1
+            while lit < w and lit - x < 128:
+                nxt = 1
+                while (
+                    lit + nxt < w
+                    and nxt < 2
+                    and (row[lit + nxt] == row[lit]).all()
+                ):
+                    nxt += 1
+                if nxt >= 2:
+                    break
+                lit += 1
+            body.append((lit - x) - 1)
+            body += row[x:lit].tobytes()
+            x = lit
+    return bytes(head) + bytes(body) + _TGA_FOOTER
+
+
+def decode_tga(payload: bytes):
+    """REAL TGA decode (24-bit truecolor, type 2 uncompressed or type
+    10 RLE) returning (h, w, 3) uint8 RGB: honors the bottom-up
+    default and the descriptor top-down bit, decodes repeat and
+    literal packets per scanline. Color-mapped/16/32-bit types raise
+    by name — honest boundaries, not silent garbage."""
+    import struct
+
+    import numpy as np
+
+    (
+        idlen, cmap_type, img_type, _cm_first, _cm_len, _cm_size,
+        _xo, _yo, w, h, bits, desc,
+    ) = struct.unpack_from("<BBBHHBHHHHBB", payload, 0)
+    if cmap_type != 0 or img_type not in (2, 10):
+        raise NotImplementedError(
+            f"only truecolor TGA types 2/10 supported, got type "
+            f"{img_type} cmap {cmap_type}"
+        )
+    if bits != 24:
+        raise NotImplementedError(f"only 24-bit TGA supported, got {bits}")
+    pos = 18 + idlen
+    n = w * h
+    if img_type == 2:
+        flat = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+    else:
+        out = np.empty((n, 3), dtype=np.uint8)
+        filled = 0
+        while filled < n:
+            hdr = payload[pos]
+            pos += 1
+            count = (hdr & 0x7F) + 1
+            if hdr & 0x80:
+                px = np.frombuffer(payload, np.uint8, 3, pos)
+                out[filled : filled + count] = px
+                pos += 3
+            else:
+                out[filled : filled + count] = np.frombuffer(
+                    payload, np.uint8, count * 3, pos
+                ).reshape(count, 3)
+                pos += count * 3
+            filled += count
+        flat = out
+    img = flat.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if not (desc & 0x20):
+        img = img[::-1]  # bottom-up storage -> top-down array
+    return np.ascontiguousarray(img)
+
+
+def synthesize_tga_images(
+    df: DataFrame, id_col: str, *, w: int = 8, h: int = 5, n_colors: int = 32
+) -> DataFrame:
+    """Deterministic synthetic images as REAL TGA payloads with the
+    closed-form pixel ``c(x, y; i) = (i*11 + y*5 + (x DIV 4)*3) %
+    n_colors`` and color ``((c*7)%256, (c*11)%256, (c*3)%256)`` — the
+    x DIV 4 plateau makes 4-pixel runs, so the RLE branch emits real
+    repeat packets, and the plateau BOUNDARIES emit literal packets.
+    Even ids encode type 2 (uncompressed, bottom-up), odd ids type 10
+    (RLE, top-down) — one fixture drives both pixel paths, both row
+    orders, and both packet kinds."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        y = np.arange(h)[:, None]
+        x = np.arange(w)[None, :]
+        c = np.arange(n_colors)
+        pal = np.stack(
+            [(c * 7) % 256, (c * 11) % 256, (c * 3) % 256], axis=1
+        ).astype(np.uint8)
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                idx = (
+                    (int(i) * 11 + y * 5 + (x // 4) * 3) % n_colors
+                ).astype(np.uint8)
+                if int(i) % 2 == 0:
+                    payloads.append(encode_tga(pal[idx]))
+                else:
+                    payloads.append(
+                        encode_tga(pal[idx], rle=True, topdown=True)
+                    )
             yield pd.DataFrame(
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )

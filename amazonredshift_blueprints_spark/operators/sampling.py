@@ -998,3 +998,45 @@ def neyman_allocation(
         .cast("long")
         .alias("alloc"),
     ).orderBy("stratum")
+
+
+def stratified_kfold(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic stratified k-fold assignment: within every
+    stratum, rows are ordered by their salted md5 bucket (the
+    hash_split shuffle — engine-portable, partition-independent) with
+    the id as tiebreaker, and fold = (rank-1) mod k — so each fold
+    receives ⌊n_h/k⌋ or ⌈n_h/k⌉ rows of stratum h, the BALANCED folds
+    cross-validation wants (c22's hash_split is binomially noisy per
+    stratum; round-robin over a hashed order is exact ±1).
+
+    Returns (id, stratum, fold). Changing the salt re-deals every
+    fold assignment.
+
+    100 TB: the within-stratum rank rides :func:`grouped_cumsum`
+    (range-partition + broadcast span offsets — survives one stratum
+    holding the whole corpus, where a partitionBy window is one
+    task); fold arithmetic is map-side.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(stratum_col).alias("stratum"),
+        _bucket(id_col, salt).alias("_b"),
+        F.lit(1).cast("long").alias("_one"),
+    )
+    ranked = grouped_cumsum(staged, ["stratum"], ["_b", "id"], ["_one"])
+    out = ranked.select(
+        "id",
+        "stratum",
+        ((F.col("_one_cum") - 1) % k).cast("long").alias("fold"),
+    )
+    out._bp_cache_owner = ranked._bp_cache_owner
+    return out

@@ -15636,6 +15636,275 @@ def q98_query_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c192_gini_concentration",
+    oracle="""
+    WITH r AS (
+        SELECT CAST(n_chars AS BIGINT) AS w,
+               CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+                   AS BIGINT) AS rnk
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(w) AS BIGINT) AS total_w,
+           CAST((2 * SUM(rnk * w) - (COUNT(*) + 1) * SUM(w)) * 1000000
+                // (COUNT(*) * SUM(w)) AS BIGINT) AS gini_micro
+    FROM r
+    """,
+    doc="Gini coefficient of corpus mass (operators/ml."
+        "gini_concentration): how concentrated is the character budget "
+        "across documents — the corpus-skew audit next to per-source "
+        "caps (c87) and mixing weights (c53/c101). Exact rank form "
+        "G = (2*SUM(i*w_i) - (n+1)*SUM(w)) / (n*SUM(w)) in micro-units, "
+        "every term BIGINT (bound n^2*avg_w < 9.2e18 documented). The "
+        "rank rides sampling.global_rank — distributed range sort + "
+        "broadcast offsets, no single-partition ORDER BY window — then "
+        "ONE map-side-partial aggregate to one row",
+    bench=True,
+    tags=("ml", "sampling", "documents"),
+)
+def c192_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import gini_concentration
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return gini_concentration(d, "n_chars", "doc_id")
+
+
+@query(
+    "c193_label_propagation",
+    oracle="""
+    WITH lp AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+        SELECT DISTINCT a.p AS s, b.p AS d
+        FROM lp a JOIN lp b ON a.o = b.o AND a.p <> b.p
+    ),
+    l0 AS (
+        SELECT p AS node, p % 3 AS label
+        FROM (SELECT DISTINCT p FROM lp ORDER BY p LIMIT 10)
+    ),
+    v1 AS (
+        SELECT e.s AS node, l.label, CAST(COUNT(*) AS BIGINT) AS c
+        FROM e JOIN l0 l ON e.d = l.node GROUP BY 1, 2
+    ),
+    w1 AS (
+        SELECT node, label FROM (
+            SELECT node, label, row_number() OVER (
+                PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+            FROM v1
+        ) WHERE rn = 1
+    ),
+    l1 AS (
+        SELECT * FROM l0
+        UNION ALL
+        SELECT w.node, w.label FROM w1 w
+        WHERE w.node NOT IN (SELECT node FROM l0)
+    ),
+    v2 AS (
+        SELECT e.s AS node, l.label, CAST(COUNT(*) AS BIGINT) AS c
+        FROM e JOIN l1 l ON e.d = l.node GROUP BY 1, 2
+    ),
+    w2 AS (
+        SELECT node, label FROM (
+            SELECT node, label, row_number() OVER (
+                PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+            FROM v2
+        ) WHERE rn = 1
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+    FROM l0
+    UNION ALL
+    SELECT CAST(w.node AS BIGINT), CAST(w.label AS BIGINT) FROM w2 w
+    WHERE w.node NOT IN (SELECT node FROM l0)
+    """,
+    doc="semi-supervised label propagation with clamped seeds "
+        "(operators/graph.label_propagation; Zhu/Ghahramani 2002, "
+        "integer-vote form): seed the 10 smallest part keys of the "
+        "c111 co-purchase graph with label p%3, then 2 synchronous "
+        "rounds where every non-seed node takes the MAJORITY label "
+        "among its labeled in-neighbors (ties -> smallest label), "
+        "recomputed from the seed set each round — 'label 10 "
+        "products, infer the rest'. Fixed 2-round unroll = the "
+        "chained-CTE oracle replays it exactly; all-integer votes, "
+        "no float scores to drift. Per round: ONE edges-x-labels "
+        "equi-join, ONE vote aggregate, ONE max-struct winner "
+        "aggregate, anti-join vs seeds; c90 persist hygiene",
+    bench=True,
+    tags=("graph", "lineitem"),
+)
+def c193_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    li = views(spark, sf_dir, "lineitem")["lineitem"]
+    lp = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    e = (
+        lp.alias("a")
+        .join(lp.alias("b"), F.col("a.o") == F.col("b.o"))
+        .filter(F.col("a.p") != F.col("b.p"))
+        .select(
+            F.col("a.p").alias("src"), F.col("b.p").alias("dst")
+        )
+        .distinct()
+    )
+    seeds = (
+        lp.select("p")
+        .distinct()
+        .orderBy("p")
+        .limit(10)
+        .select(
+            F.col("p").alias("node"), (F.col("p") % 3).alias("label")
+        )
+    )
+    return label_propagation(e, seeds, iterations=2)
+
+
+@query(
+    "c194_cohens_kappa",
+    oracle="""
+    WITH r AS (
+        SELECT CASE WHEN CAST(value AS DOUBLE) > 50 THEN 1 ELSE 0 END
+                   AS a,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+        FROM events
+    ),
+    c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a * b) AS BIGINT) AS n11,
+               CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+               CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+               CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+        FROM r
+    )
+    SELECT n, n11, n10, n01, n00,
+           CASE WHEN n * n - (n11 + n10) * (n11 + n01)
+                    - (n01 + n00) * (n10 + n00) <> 0 THEN
+               CAST(((n11 + n00) * n - (n11 + n10) * (n11 + n01)
+                     - (n01 + n00) * (n10 + n00)) * 1000000
+                    // (n * n - (n11 + n10) * (n11 + n01)
+                        - (n01 + n00) * (n10 + n00)) AS BIGINT)
+           END AS kappa_micro
+    FROM c
+    """,
+    doc="Cohen's kappa (operators/ml.cohens_kappa): chance-corrected "
+        "agreement between two binary raters — here 'value > 50' vs "
+        "'is purchase' as the rater pair — the labeling-QA readout "
+        "before trusting annotations (c159's confusion matrix grades "
+        "a model vs truth; kappa grades two LABELERS vs each other). "
+        "Single BIGINT rational ((po-pe)/(1-pe) cleared of "
+        "denominators), one exact integer division to micro-units, "
+        "NULL on the pe=1 degenerate; exact to ~3e9 rows (n^2 bound "
+        "documented). ONE map-side-partial aggregate to four cells",
+    tags=("ml", "events"),
+)
+def c194_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import cohens_kappa
+
+    e = views(spark, sf_dir, "events")["events"]
+    r = e.select(
+        (F.col("value").cast("double") > 50).cast("int").alias("a"),
+        (F.col("event_type") == "purchase").cast("int").alias("b"),
+    )
+    return cohens_kappa(r, "a", "b")
+
+
+@query(
+    "c195_tga_decode_stats",
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id,
+               (d.doc_id * 11 + y.y * 5 + (x.x // 4) * 3) % 32 AS c
+        FROM documents d, range(5) y(y), range(8) x(x)
+    )
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS width,
+           CAST(5 AS BIGINT) AS height,
+           CAST(40 AS BIGINT) AS n_pixels,
+           CAST(SUM((c * 7) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((c * 11) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((c * 3) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    doc="REAL TGA decode, end-to-end verified — the RLE-packet rung "
+        "of the codec ladder (c64 PPM raw, c153 BMP container, c81/"
+        "c83 PNG zlib+filters, c130 GIF LZW, c103 WAV PCM, c180 QOI "
+        "ops): 8x5 images are ENCODED to genuine Truevision TGAs — "
+        "even ids type 2 uncompressed bottom-up, odd ids type 10 RLE "
+        "top-down (descriptor bit 5), detection via the TGA 2.0 "
+        "TRUEVISION-XFILE. tail footer since the format has no front "
+        "magic — then DECODED back (operators/multimodal.encode_tga/"
+        "decode_tga) and reduced to exact integer channel sums. The "
+        "x DIV 4 plateau in the pixel rule makes real repeat packets "
+        "AND literal packets at plateau boundaries; pixel (x,y) of id "
+        "i is (i*11+y*5+(x DIV 4)*3) mod 32, color ((c*7)%256,"
+        "(c*11)%256,(c*3)%256), and the oracle recomputes the sums "
+        "from that closed form alone — one wrong byte (BGR swap, row "
+        "order, packet count) fails the hash. Arrow-batched "
+        "mapInPandas in the scan's partitions — no shuffle",
+    tags=("multimodal",),
+)
+def c195_tga_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        image_channel_stats,
+        synthesize_tga_images,
+    )
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return image_channel_stats(synthesize_tga_images(d, "doc_id", w=8, h=5))
+
+
+@query(
+    "c196_stratified_kfold",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id AS id, lang AS stratum,
+               (row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY substring(md5(CAST(doc_id AS VARCHAR)
+                                          || ':v1'), 1, 6),
+                            doc_id
+               ) - 1) % 5 AS fold
+        FROM documents
+    )
+    SELECT stratum, CAST(fold AS BIGINT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(id) AS BIGINT) AS min_id,
+           CAST(SUM(id) AS BIGINT) AS sum_id
+    FROM r GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="deterministic stratified k-fold assignment (operators/"
+        "sampling.stratified_kfold): within every language stratum, "
+        "documents are ordered by their salted md5 bucket (the "
+        "hash_split portable shuffle) with doc_id tiebreak and fold = "
+        "(rank-1) mod 5 — each fold gets floor/ceil(n_h/5) rows per "
+        "stratum, the BALANCED folds cross-validation needs (c22's "
+        "hash_split is binomially noisy per stratum). The rank rides "
+        "sampling.grouped_cumsum (range-partition + broadcast span "
+        "offsets — survives one stratum holding the whole corpus); "
+        "fold arithmetic is map-side. The entry aggregates per "
+        "(stratum, fold) counts + id checksums so one misplaced row "
+        "fails the hash",
+    bench=True,
+    tags=("sampling", "documents"),
+)
+def c196_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_kfold
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    folds = stratified_kfold(d, "lang", "doc_id", k=5)
+    return (
+        folds.groupBy("stratum", "fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("id").cast("long").alias("min_id"),
+            F.sum("id").cast("long").alias("sum_id"),
+        )
+        .orderBy("stratum", "fold")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #

@@ -77,7 +77,17 @@ def main() -> None:
     names = [n for n, spec in QUERIES.items() if spec.bench]
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
-    for name in names:
+    # Interleaved canary (VERDICT r11 item 10): re-time the cheapest
+    # frozen canary every ~20 entries so a judge can deconvolve
+    # mid-run machine contention from real regressions without
+    # re-running — r11's official numbers were inflated by exactly
+    # this (pre/post canaries alone couldn't place WHEN the
+    # contention hit).
+    canary_trace: list[list[float]] = []  # [entries_done, q03 median]
+    for i, name in enumerate(names):
+        if i and i % 20 == 0:
+            mid, _ = time_query(canary_names[0])
+            canary_trace.append([i, mid])
         timings[name], raw[name] = time_query(name)
 
     canary_post: dict[str, float] = {}
@@ -92,6 +102,7 @@ def main() -> None:
         "queries": timings,
         "canary": canary,
         "canary_post": canary_post,
+        "canary_trace": canary_trace,
         "runs": raw,
         "sf": sf,
     }
@@ -118,6 +129,7 @@ def main() -> None:
         "queries": {short(n): v for n, v in timings.items()},
         "c_pre": {short(n): v for n, v in canary.items()},
         "c_post": {short(n): v for n, v in canary_post.items()},
+        "c_trace": [v for _, v in canary_trace],
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(compact)

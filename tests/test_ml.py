@@ -991,3 +991,51 @@ def test_two_arm_contract_welch_cuped_power(spark):
     )
     with pytest.raises(ValueError, match="exactly 2 groups"):
         power_planner(stream3, "g", "s", "ts").collect()
+
+
+def test_gini_concentration_replay(spark):
+    """Gini matches the sequential rank-form replay: uniform weights
+    score 0, one-holder concentration approaches (n-1)/n."""
+    from amazonredshift_blueprints_spark.operators.ml import (
+        gini_concentration,
+    )
+
+    uniform = spark.createDataFrame(
+        [(i, 10) for i in range(20)], "id long, w long"
+    )
+    r = gini_concentration(uniform, "w", "id").collect()[0]
+    assert (r.n, r.total_w, r.gini_micro) == (20, 200, 0)
+    onehot = spark.createDataFrame(
+        [(i, 0) for i in range(19)] + [(99, 100)], "id long, w long"
+    )
+    r = gini_concentration(onehot, "w", "id").collect()[0]
+    # G = (2*20*100 - 21*100) / (20*100) = 0.95 exactly
+    assert r.gini_micro == 950_000
+    skewed = [(i, (i * 7) % 13 + 1) for i in range(50)]
+    df = spark.createDataFrame(skewed, "id long, w long")
+    got = gini_concentration(df, "w", "id").collect()[0]
+    ws = sorted((w, i) for i, w in skewed)
+    n, tot = len(ws), sum(w for w, _ in ws)
+    num = 2 * sum((r + 1) * w for r, (w, _) in enumerate(ws)) - (n + 1) * tot
+    assert got.gini_micro == num * 1_000_000 // (n * tot)
+
+
+def test_cohens_kappa_replay(spark):
+    """Kappa matches the closed form; perfect agreement = 1e6; the
+    pe=1 degenerate yields NULL."""
+    from amazonredshift_blueprints_spark.operators.ml import cohens_kappa
+
+    rows = [(1, 1)] * 20 + [(0, 0)] * 15 + [(1, 0)] * 5 + [(0, 1)] * 10
+    df = spark.createDataFrame(rows, "a int, b int")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    n, n11, n10, n01, n00 = 50, 20, 5, 10, 15
+    num = (n11 + n00) * n - (n11 + n10) * (n11 + n01) - (n01 + n00) * (
+        n10 + n00
+    )
+    den = n * n - (n11 + n10) * (n11 + n01) - (n01 + n00) * (n10 + n00)
+    q, rem = divmod(num * 1_000_000, den)
+    assert r.kappa_micro == q
+    perfect = spark.createDataFrame([(1, 1)] * 3 + [(0, 0)] * 2, "a int, b int")
+    assert cohens_kappa(perfect, "a", "b").collect()[0].kappa_micro == 1_000_000
+    const = spark.createDataFrame([(1, 1)] * 4, "a int, b int")
+    assert cohens_kappa(const, "a", "b").collect()[0].kappa_micro is None

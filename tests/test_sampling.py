@@ -504,3 +504,37 @@ def test_grouped_cumsum_survives_one_giant_group(spark):
     assert "BroadcastHashJoin" in plan
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "_pid" in spec, spec
+
+
+def test_stratified_kfold_balance_and_determinism(spark):
+    """Every stratum's rows spread across folds with max size spread 1;
+    assignment is deterministic and salt-sensitive; k<2 refuses."""
+    import pytest
+
+    from amazonredshift_blueprints_spark.operators.sampling import (
+        stratified_kfold,
+    )
+
+    rows = [(i, "s" + str(i % 3)) for i in range(101)]
+    df = spark.createDataFrame(rows, "doc long, grp string")
+    got = stratified_kfold(df, "grp", "doc", k=4).collect()
+    assert len(got) == 101
+    sizes = {}
+    for r in got:
+        sizes.setdefault(r.stratum, {}).setdefault(r.fold, 0)
+        sizes[r.stratum][r.fold] += 1
+    for s, by_fold in sizes.items():
+        assert set(by_fold) == {0, 1, 2, 3}, (s, by_fold)
+        assert max(by_fold.values()) - min(by_fold.values()) <= 1, by_fold
+    again = {
+        (r.id, r.fold)
+        for r in stratified_kfold(df, "grp", "doc", k=4).collect()
+    }
+    assert again == {(r.id, r.fold) for r in got}
+    redealt = {
+        (r.id, r.fold)
+        for r in stratified_kfold(df, "grp", "doc", k=4, salt="v2").collect()
+    }
+    assert redealt != again
+    with pytest.raises(ValueError, match="k must be"):
+        stratified_kfold(df, "grp", "doc", k=1)

@@ -236,3 +236,43 @@ def test_link_prediction_scores_replay(spark):
     assert {(r[0], r[1]) for r in got} >= {(1, 3), (2, 4)}
     # hub cap: capping out every center kills all predictions
     assert link_prediction(df, k=10, max_center_degree=1).count() == 0
+
+
+def test_label_propagation_majority_and_clamp(spark):
+    """Clamped sync LPA: seeds never change, non-seeds take the
+    majority neighbor label (tie -> smallest), round 2 reaches
+    two-hop nodes through round-1 labels."""
+    from amazonredshift_blueprints_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # seeds: 1->label 0 (two edges to node 4), 2,3->label 1 (one each);
+    # node 5 only reachable from 4 (two-hop from seeds)
+    edges = spark.createDataFrame(
+        [
+            (4, 1), (4, 1), (4, 2), (4, 3),   # duplicate edge = 2 votes
+            (5, 4),
+            (6, 2),
+        ],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 1)], "node long, label long"
+    )
+    got = {
+        r.node: r.label
+        for r in label_propagation(edges, seeds, iterations=2).collect()
+    }
+    # node 4 votes: label 0 x2 (dup edge), label 1 x2 -> tie -> label 0
+    # node 6: only neighbor 2 -> label 1
+    # node 5: neighbor 4 labeled 0 after round 1 -> label 0 in round 2
+    assert got == {1: 0, 2: 1, 3: 1, 4: 0, 5: 0, 6: 1}
+    # seeds clamp even against contrary votes
+    edges2 = spark.createDataFrame(
+        [(1, 2), (1, 3)], "src long, dst long"
+    )
+    got2 = {
+        r.node: r.label
+        for r in label_propagation(edges2, seeds, iterations=2).collect()
+    }
+    assert got2[1] == 0  # both neighbors say 1; seed stays 0
