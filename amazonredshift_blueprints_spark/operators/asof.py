@@ -2,7 +2,10 @@
 
 For each left row, attach the LATEST right row with
 ``right_ts <= left_ts`` within the same key partition (the classic
-quote-before-trade / last-view-before-click join).
+quote-before-trade / last-view-before-click join) — or, with
+``direction``, the EARLIEST at-or-after row ("forward": time-to-next-
+event) or the closest of the two ("nearest"), optionally bounded by a
+``tolerance`` (the pandas ``merge_asof`` parameter surface).
 
 Implementation is the union + running-last trick, NOT a theta join:
 tag both inputs, union them, and take ``last(payload, ignorenulls)``
@@ -11,7 +14,12 @@ O(n log n) per partition, zero range explosion — a theta join
 (``l.ts >= r.ts``) would build |L|·|R| pairs per key before pruning,
 which is exactly what kills at 100 TB. Right rows sort before left rows
 at equal timestamps (tag 0 < 1), so ``<=`` semantics are exact; a final
-unique tiebreaker makes equal-timestamp right rows deterministic.
+unique tiebreaker makes equal-timestamp right rows deterministic. The
+forward direction is the mirrored window (``first`` over
+[current, unbounded] with left-before-right tag order at equal ts);
+"nearest" evaluates both windows over the SAME sorted union (one
+shuffle still) and picks per row by absolute distance, ties backward —
+the pandas convention.
 
 DuckDB grew a native ASOF JOIN for the same reason; the catalog oracle
 (c19) mirrors this union+window form instead so both engines compute
@@ -34,49 +42,97 @@ def asof_join(
     right_ts: str,
     payload: dict[str, str],
     tiebreak: str,
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
-    """Attach, to every ``left`` row, the payload of the latest ``right``
-    row at-or-before its timestamp (per ``on`` key).
+    """Attach, to every ``left`` row, the payload of the matched
+    ``right`` row (per ``on`` key): latest at-or-before
+    (``direction="backward"``, the default), earliest at-or-after
+    (``"forward"``), or the absolute-closest with ties to backward
+    (``"nearest"``).
 
     ``payload`` maps output column name → right column; ``tiebreak`` is
     a unique right column ordering equal-timestamp right rows (last
-    wins). Left rows with no prior right row carry nulls.
+    wins backward, first wins forward). Left rows with no match carry
+    nulls. ``tolerance`` (optional) voids matches further than that
+    many ts units away — NATIVE units for numeric timestamps, SECONDS
+    for TimestampType (both engines' ``CAST(ts AS BIGINT)`` epoch), a
+    stated contract, not a hidden cast.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
+    if tolerance is not None and tolerance < 0:
+        raise ValueError(f"tolerance must be >= 0, got {tolerance}")
+    need_rts = tolerance is not None or direction == "nearest"
+    payload_fields = ",".join(
+        f"{out}:{right.schema[src].dataType.simpleString()}"
+        for out, src in payload.items()
+    )
+    if need_rts:
+        payload_fields += f",_rts:{right.schema[right_ts].dataType.simpleString()}"
     l_tagged = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_tag"),
         F.lit(None).cast(right.schema[tiebreak].dataType).alias("_tie"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_left"),
-        F.lit(None)
-        .cast(
-            "struct<"
-            + ",".join(
-                f"{out}:{right.schema[src].dataType.simpleString()}"
-                for out, src in payload.items()
-            )
-            + ">"
-        )
-        .alias("_right"),
+        F.lit(None).cast("struct<" + payload_fields + ">").alias("_right"),
     )
+    r_payload = [F.col(src).alias(out) for out, src in payload.items()]
+    if need_rts:
+        r_payload.append(F.col(right_ts).alias("_rts"))
     r_tagged = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_tag"),
         F.col(tiebreak).alias("_tie"),
         F.lit(None).cast(l_tagged.schema["_left"].dataType).alias("_left"),
-        F.struct(
-            *[F.col(src).alias(out) for out, src in payload.items()]
-        ).alias("_right"),
+        F.struct(*r_payload).alias("_right"),
     )
-    w = (
+    merged = l_tagged.unionByName(r_tagged)
+    # backward: right rows sort BEFORE left at equal ts (tag 0 < 1), so
+    # the [unbounded, current] frame's running-last sees them — exact
+    # <= semantics. forward mirrors it: left sorts first (tag desc),
+    # [current, unbounded] first-non-null sees equal-ts right rows.
+    w_b = (
         Window.partitionBy("_k")
         .orderBy(F.asc("_ts"), F.asc("_tag"), F.asc_nulls_first("_tie"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    merged = l_tagged.unionByName(r_tagged).withColumn(
-        "_asof", F.last("_right", ignorenulls=True).over(w)
+    w_f = (
+        Window.partitionBy("_k")
+        .orderBy(F.asc("_ts"), F.desc("_tag"), F.asc_nulls_last("_tie"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    if direction == "backward":
+        merged = merged.withColumn(
+            "_asof", F.last("_right", ignorenulls=True).over(w_b)
+        )
+    elif direction == "forward":
+        merged = merged.withColumn(
+            "_asof", F.first("_right", ignorenulls=True).over(w_f)
+        )
+    else:  # nearest: both windows over the same sorted union
+        bwd = F.last("_right", ignorenulls=True).over(w_b)
+        fwd = F.first("_right", ignorenulls=True).over(w_f)
+        d_b = F.col("_ts").cast("long") - bwd["_rts"].cast("long")
+        d_f = fwd["_rts"].cast("long") - F.col("_ts").cast("long")
+        merged = merged.withColumn(
+            "_asof",
+            F.when(bwd.isNull(), fwd)
+            .when(fwd.isNull(), bwd)
+            .when(d_b <= d_f, bwd)  # tie -> backward (pandas)
+            .otherwise(fwd),
+        )
+    if tolerance is not None:
+        delta = F.abs(
+            F.col("_ts").cast("long") - F.col("_asof._rts").cast("long")
+        )
+        merged = merged.withColumn(
+            "_asof", F.when(delta <= tolerance, F.col("_asof"))
+        )
     out = merged.filter(F.col("_tag") == 1).select(
         F.col("_left.*"),
         *[F.col(f"_asof.{name}").alias(name) for name in payload],

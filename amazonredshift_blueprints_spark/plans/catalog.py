@@ -15905,6 +15905,93 @@ def c196_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c197_asof_forward_tolerance",
+    oracle="""
+    WITH c AS (
+        SELECT user_id AS u, epoch_us(ts) AS tsu, event_id FROM events
+        WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id AS u, epoch_us(ts) AS tsu, event_id,
+               CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)
+                   AS value_cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+        SELECT c.event_id AS ce, p.event_id AS p_event,
+               CAST(p.tsu - c.tsu AS BIGINT) AS latency_us,
+               p.value_cents,
+               row_number() OVER (
+                   PARTITION BY c.event_id
+                   ORDER BY p.tsu, p.event_id) AS rn
+        FROM c JOIN p ON c.u = p.u AND p.tsu >= c.tsu
+             AND p.tsu - c.tsu <= 86400000000
+    )
+    SELECT c.event_id, m.p_event, m.latency_us,
+           m.value_cents AS p_value_cents
+    FROM c LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+      ON m.ce = c.event_id
+    ORDER BY c.event_id
+    """,
+    doc="FORWARD as-of join with tolerance (operators/asof.asof_join "
+        "direction/tolerance — the pandas merge_asof parameter "
+        "surface on the union+window engine): for every click, the "
+        "EARLIEST purchase by the same user at-or-after it, voided "
+        "beyond 24h — time-to-conversion, the mirror of c19's "
+        "quote-before-trade backward join. Same one-shuffle "
+        "union+window shape (first-non-null over [current, "
+        "unbounded), left-before-right tag order at equal ts, "
+        "smallest-tiebreak wins forward), NO |L|x|R| theta "
+        "explosion; timestamps pre-converted to exact epoch "
+        "MICROSECONDS (unix_micros / epoch_us) so the tolerance "
+        "compare and the latency are integer-exact in both engines "
+        "(the events table is nanosecond-precision — second-level "
+        "casts truncate differently). The oracle replays it as a "
+        "min-per-click filtered join",
+    bench=True,
+    tags=("asof", "events"),
+)
+def c197_asof_forward_tolerance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    e = views(spark, sf_dir, "events")["events"]
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("tsu"), "event_id"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("tsu"),
+        "event_id",
+        F.round(F.col("value").cast("double") * 100)
+        .cast("long")
+        .alias("value_cents"),
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="tsu",
+        right_ts="tsu",
+        payload={
+            "p_event": "event_id",
+            "p_tsu": "tsu",
+            "p_value_cents": "value_cents",
+        },
+        tiebreak="event_id",
+        direction="forward",
+        tolerance=86400 * 1_000_000,
+    )
+    return joined.select(
+        "event_id",
+        "p_event",
+        (F.col("p_tsu") - F.col("tsu")).cast("long").alias("latency_us"),
+        "p_value_cents",
+    ).orderBy("event_id")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #

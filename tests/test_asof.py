@@ -43,3 +43,70 @@ def test_asof_join_semantics(spark):
     assert out[3] == (104, _ts(9))   # tie at same ts → highest tiebreak
     assert out[4] == (None, None)    # no prior right row
     assert len(out) == 4             # every left row survives
+
+
+def test_asof_forward_nearest_tolerance(spark):
+    """merge_asof parity: forward takes the earliest at-or-after row
+    (first tiebreak), nearest picks by absolute distance with ties to
+    backward, tolerance voids too-far matches; invalid args refuse."""
+    import pytest
+
+    from amazonredshift_blueprints_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "L10"), (1, 25, "L25"), (1, 100, "L100"), (2, 5, "Lk2")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 1, "r8"), (1, 20, 2, "r20"), (1, 30, 3, "r30"),
+         (1, 25, 4, "r25")],
+        "k long, ts long, rid long, val string",
+    )
+    kw = dict(on="k", left_ts="ts", right_ts="ts",
+              payload={"val": "val"}, tiebreak="rid")
+
+    fwd = {
+        (r.ts,): r.val
+        for r in asof_join(left, right, direction="forward", **kw).collect()
+    }
+    # ts=10 -> r20; ts=25 -> r25 (at-or-after includes equal);
+    # ts=100 -> none; k=2 -> none
+    assert fwd == {(10,): "r20", (25,): "r25", (100,): None, (5,): None}
+
+    near = {
+        (r.ts,): r.val
+        for r in asof_join(left, right, direction="nearest", **kw).collect()
+    }
+    # ts=10: r8 (d=2) vs r20 (d=10) -> r8; ts=25: exact r25 (d=0);
+    # ts=100: backward r30; k=2: only forward side empty AND backward
+    # empty -> None
+    assert near == {(10,): "r8", (25,): "r25", (100,): "r30", (5,): None}
+
+    tol = {
+        (r.ts,): r.val
+        for r in asof_join(
+            left, right, direction="nearest", tolerance=5, **kw
+        ).collect()
+    }
+    assert tol == {(10,): "r8", (25,): "r25", (100,): None, (5,): None}
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, direction="sideways", **kw)
+    with pytest.raises(ValueError, match="tolerance"):
+        asof_join(left, right, tolerance=-1, **kw)
+
+
+def test_asof_forward_equal_ts_tie_first_wins(spark):
+    """Equal-timestamp right rows under forward: smallest tiebreak
+    wins (mirror of backward's last-wins)."""
+    from amazonredshift_blueprints_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, 2, "b"), (1, 10, 1, "a")], "k long, ts long, rid long, v string"
+    )
+    got = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        payload={"v": "v"}, tiebreak="rid", direction="forward",
+    ).collect()
+    assert got[0].v == "a"
