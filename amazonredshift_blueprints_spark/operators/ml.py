@@ -2450,3 +2450,58 @@ def cohens_kappa(
             " - (n01 + n00) * (n10 + n00)) AS BIGINT) END"
         ).alias("kappa_micro"),
     )
+
+
+def mrr_eval(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    score_col: str,
+    rel_col: str,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Per-group MRR@k (reciprocal rank of the FIRST relevant item in
+    the predicted order) — the binary-relevance retrieval readout next
+    to graded nDCG (c148): "how far down is the first right answer".
+
+    Rank = row_number over (score desc, item asc) — the c148 tie rule,
+    so both evals grade the identical ranking. Reciprocal rank is the
+    exact integer ``1e6 DIV rank`` (micro-units); groups with no
+    relevant item in the top k score 0 (the convention that makes MRR
+    averageable).
+
+    Returns (grp, n_retrieved, first_rel_rank, rr_micro);
+    first_rel_rank is NULL when nothing relevant ranked.
+
+    100 TB: ONE exchange on the group key feeds the rank window and
+    both aggregates (Spark reuses the partitioning); per-group
+    candidate lists are retrieval-sized (k·fanout), never corpus-sized.
+    """
+    from pyspark.sql.window import Window
+
+    w_pred = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(item_col).asc()
+    )
+    scored = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(rel_col).cast("long").alias("rel"),
+        F.row_number().over(w_pred).alias("pos"),
+    )
+    first_rel = (
+        scored.filter((F.col("rel") > 0) & (F.col("pos") <= k))
+        .groupBy("grp")
+        .agg(F.min("pos").cast("long").alias("first_rel_rank"))
+    )
+    base = scored.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_retrieved")
+    )
+    return base.join(first_rel, "grp", "left").select(
+        "grp",
+        "n_retrieved",
+        "first_rel_rank",
+        F.coalesce(
+            F.expr("CAST(1000000 DIV first_rel_rank AS BIGINT)"),
+            F.lit(0).cast("long"),
+        ).alias("rr_micro"),
+    )

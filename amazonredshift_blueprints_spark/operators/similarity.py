@@ -2775,3 +2775,59 @@ def hard_negative_mining(
         )
         .orderBy("query_id", "rank")
     )
+
+
+def random_project_signs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a
+    DETERMINISTIC ±1 sign matrix (Achlioptas 2001: Rademacher entries
+    preserve pairwise distances like Gaussians do, and a sign matrix
+    is exact integer arithmetic): projected[j] = Σ_d q(v[d])·s(j,d)
+    over the quantized vector — the cheap-projection rung under the
+    Matryoshka prefix study (c140) and the PQ/SQ codecs (c71/c108),
+    for when 100 TB of float64 embeddings should become out_dim
+    integers per row before ANY index is built.
+
+    The sign is a fixed LCG bit, s(j,d) = +1 iff
+    ``(1103515245·(j·dim+d) + 12345) mod 2³¹`` is even — pure integer
+    arithmetic any engine replays exactly (no RNG state, no float
+    transcendentals), and the whole projection is exact BIGINT.
+
+    Returns (id, proj array<long>) via one Arrow-batched map-only pass
+    (the assign_cells rationale: a dim×out_dim int64 matmul per batch
+    beats both unrolled expressions and per-element lambdas). No
+    shuffle; the plan stays scan-shaped.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        S = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = _np_quantize(np.stack(pdf[vec_col].to_numpy()))
+            if S is None:
+                dim = M.shape[1]
+                idx = (
+                    np.arange(out_dim)[:, None] * dim
+                    + np.arange(dim)[None, :]
+                )
+                h = (1103515245 * idx.astype(np.int64) + 12345) % (2**31)
+                S = np.where(h % 2 == 0, 1, -1).astype(np.int64)
+            proj = M @ S.T  # (n, out_dim) exact int64
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "proj": list(proj),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        kernel, f"{id_col} long, proj array<long>"
+    )

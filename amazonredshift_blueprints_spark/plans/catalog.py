@@ -15992,6 +15992,124 @@ def c197_asof_forward_tolerance(
     ).orderBy("event_id")
 
 
+@query(
+    "c198_mrr_eval",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id AS u,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+               CAST(COUNT(*) AS BIGINT) AS score
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    purch AS (
+        SELECT user_id AS u,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+               CAST(COUNT(*) AS BIGINT) AS rel
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT c.u, c.item, c.score, COALESCE(p.rel, 0) AS rel,
+               row_number() OVER (
+                   PARTITION BY c.u
+                   ORDER BY c.score DESC, c.item ASC) AS pos
+        FROM clicks c LEFT JOIN purch p
+          ON p.u = c.u AND p.item = c.item
+    ),
+    fr AS (
+        SELECT u, CAST(MIN(pos) AS BIGINT) AS first_rel_rank
+        FROM cand WHERE rel > 0 AND pos <= 5 GROUP BY 1
+    ),
+    base AS (
+        SELECT u, CAST(COUNT(*) AS BIGINT) AS n_retrieved
+        FROM cand GROUP BY 1
+    )
+    SELECT base.u AS user_id, n_retrieved, first_rel_rank,
+           COALESCE(CAST(1000000 // first_rel_rank AS BIGINT),
+                    CAST(0 AS BIGINT)) AS rr_micro
+    FROM base LEFT JOIN fr ON fr.u = base.u
+    ORDER BY 1
+    """,
+    doc="MRR@5 retrieval evaluation (operators/ml.mrr_eval): the "
+        "reciprocal rank of the FIRST purchased item in each user's "
+        "click-ranked list — the binary-relevance readout next to "
+        "graded nDCG (c148), graded on the IDENTICAL ranking (same "
+        "score desc / item asc tie rule), so the two evals "
+        "corroborate. Exact 1e6 DIV rank; no-hit users score 0 (the "
+        "averageable convention). ONE group-key exchange feeds the "
+        "rank window and both aggregates",
+    tags=("ml", "events"),
+)
+def c198_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import mrr_eval
+
+    e = views(spark, sf_dir, "events")["events"]
+    item = F.get_json_object("props", "$.k").cast("long")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").alias("u"), item.alias("item"))
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("u"), item.alias("item"))
+        .agg(F.count(F.lit(1)).alias("rel"))
+    )
+    cand = clicks.join(purch, ["u", "item"], "left").select(
+        "u", "item", "score", F.coalesce("rel", F.lit(0)).alias("rel")
+    )
+    out = mrr_eval(cand, "u", "item", "score", "rel", k=5)
+    return out.select(
+        F.col("grp").alias("user_id"),
+        "n_retrieved",
+        "first_rel_rank",
+        "rr_micro",
+    ).orderBy("user_id")
+
+
+@query(
+    "c199_random_projection",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings
+        WHERE vec_id < 50
+    )
+    SELECT v.vec_id, j.j,
+           CAST(list_sum(list_transform(
+               generate_series(1, len(v.qv)),
+               d -> v.qv[d] * (CASE WHEN
+                   (1103515245 * (j.j * 64 + (d - 1)) + 12345)
+                       % 2147483648 % 2 = 0
+                   THEN 1 ELSE -1 END)
+           )) AS BIGINT) AS proj_q
+    FROM v, range(16) j(j)
+    ORDER BY 1, 2
+    """,
+    doc="Johnson-Lindenstrauss random projection with a DETERMINISTIC "
+        "Rademacher sign matrix (operators/similarity."
+        "random_project_signs; Achlioptas 2001): 64-dim embeddings -> "
+        "16 exact BIGINT coordinates, sign(j,d) = parity of one LCG "
+        "step (1103515245*(j*64+d)+12345 mod 2^31) so any engine "
+        "replays the matrix without RNG state — the cheap-projection "
+        "rung under Matryoshka (c140) and PQ/SQ (c71/c108) for "
+        "shrinking 100 TB of embeddings before ANY index is built. "
+        "One Arrow-batched map-only pass (int64 matmul per batch, the "
+        "assign_cells rationale); no shuffle, scan-shaped plan. The "
+        "entry unnests the projection so every coordinate is "
+        "hash-compared",
+    tags=("similarity", "embeddings"),
+)
+def c199_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import random_project_signs
+
+    e = views(spark, sf_dir, "embeddings")["embeddings"]
+    proj = random_project_signs(
+        e.filter(F.col("vec_id") < 50), out_dim=16
+    )
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("j", "proj_q")
+    ).orderBy("vec_id", "j")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #
