@@ -729,3 +729,65 @@ def changepoint_scan(
         )
         .orderBy("day")
     )
+
+
+def mase_backtest(
+    df: DataFrame,
+    key_col: str,
+    t_col: str,
+    value_col: str,
+    *,
+    season: int = 7,
+) -> DataFrame:
+    """MASE backtest of the seasonal-naive forecast (Hyndman & Koehler
+    2006): per series, forecast each point with the value one season
+    back (t − season) and report the mean absolute error SCALED by the
+    same naive error — MASE < 1e6 (micro-units) means a candidate
+    model must beat "same day last week" to be worth shipping. The
+    standard sanity bar BEFORE any fancier forecaster (c139 Holt,
+    c152 seasonal profile).
+
+    Here both numerator and scale are the seasonal-naive one-step
+    error over the evaluable region (t ≥ season), so the statistic is
+    the IDENTITY 1e6 by construction for the naive forecaster itself;
+    the operator's value is the decomposition it returns — per-series
+    (n_eval, sae = Σ|v_t − v_{t−season}|, mean_ae_micro) — which a
+    candidate forecast joins against to compute ITS mase as
+    ``cand_sae * 1e6 DIV sae``. All BIGINT; series with no evaluable
+    points are dropped (honest absence).
+
+    ``t_col`` must be an integer time index with unit steps (caller
+    builds day numbers); gaps make the lag lookup miss (LEFT join
+    semantics: missing lag drops the point from both sums — stated).
+
+    100 TB: ONE self-equi-join on (key, t−season) — co-partitioned,
+    no window, no explosion — then ONE hash aggregate per series.
+    """
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.col(t_col).cast("long").alias("t"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    lag = base.select(
+        F.col("k"),
+        (F.col("t") + season).alias("t"),
+        F.col("v").alias("v_lag"),
+    )
+    joined = base.join(lag, ["k", "t"])
+    return (
+        joined.groupBy(F.col("k").alias("key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum(F.abs(F.col("v") - F.col("v_lag")))
+            .cast("long")
+            .alias("sae"),
+        )
+        .select(
+            "key",
+            "n_eval",
+            "sae",
+            F.expr("CAST(sae * 1000000 DIV n_eval AS BIGINT)").alias(
+                "mean_ae_micro"
+            ),
+        )
+    )

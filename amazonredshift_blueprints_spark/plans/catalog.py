@@ -16110,6 +16110,97 @@ def c199_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id", "j")
 
 
+@query(
+    "q99_regexp_functions",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '[a-z]+') AS first_word,
+           CAST(len(regexp_extract_all(p_name, 'a')) AS BIGINT) AS n_a,
+           regexp_replace(p_type, '[aeiou]', '_', 'g') AS devowel,
+           CASE WHEN regexp_matches(p_brand, '#[0-9]+$')
+                THEN 1 ELSE 0 END AS has_brand_num
+    FROM part
+    WHERE p_partkey <= 200
+    ORDER BY p_partkey
+    """,
+    doc="Redshift REGEXP_* scalar family (REGEXP_SUBSTR, "
+        "REGEXP_COUNT, REGEXP_REPLACE, pattern predicate): Spark 4 "
+        "ships the same names natively (regexp_substr/regexp_count/"
+        "regexp_replace — Redshift and Spark both replace ALL "
+        "occurrences by default, DuckDB needs the explicit 'g' flag, "
+        "mirrored in the oracle; DuckDB spells extraction "
+        "regexp_extract and counting len(regexp_extract_all)). "
+        "REGEXP_INSTR also exists in Spark with Redshift's 1-based/"
+        "0-if-none contract — pytest-pinned rather than oracled "
+        "because DuckDB has no positional regexp function to replay "
+        "it with. Pure scalar projection: pushdown-friendly, "
+        "whole-stage codegen, no shuffle beyond the ORDER BY",
+    tags=("dialect", "part"),
+)
+def q99_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT p_partkey,
+               regexp_substr(p_name, '[a-z]+') AS first_word,
+               CAST(regexp_count(p_name, 'a') AS BIGINT) AS n_a,
+               regexp_replace(p_type, '[aeiou]', '_') AS devowel,
+               CASE WHEN p_brand RLIKE '#[0-9]+$'
+                    THEN 1 ELSE 0 END AS has_brand_num
+        FROM part
+        WHERE p_partkey <= 200
+        ORDER BY p_partkey
+        """
+    )
+
+
+@query(
+    "c200_mase_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type AS k,
+               CAST(date_diff('day', DATE '2024-01-01',
+                              CAST(ts AS DATE)) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT a.k, ABS(a.v - b.v) AS ae
+        FROM daily a JOIN daily b
+          ON a.k = b.k AND b.t = a.t - 7
+    )
+    SELECT k AS key, CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(ae) AS BIGINT) AS sae,
+           CAST(SUM(ae) * 1000000 // COUNT(*) AS BIGINT)
+               AS mean_ae_micro
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+    doc="seasonal-naive MASE backtest (operators/timeseries."
+        "mase_backtest; Hyndman-Koehler 2006): per event-type daily "
+        "series, the absolute error of forecasting each day with the "
+        "same weekday one week back — the scale every candidate "
+        "forecaster must beat (its MASE = cand_sae*1e6 DIV this sae), "
+        "the sanity bar before Holt (c139) or the dow profile "
+        "(c152). All BIGINT; missing-lag days drop from both sums "
+        "(stated LEFT-lag semantics). ONE co-partitioned self-equi-"
+        "join on (key, t-7) — no window, no range explosion — then "
+        "ONE per-series aggregate",
+    bench=True,
+    tags=("timeseries", "events"),
+)
+def c200_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import mase_backtest
+
+    e = views(spark, sf_dir, "events")["events"]
+    daily = e.groupBy(
+        F.col("event_type").alias("k"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+        .cast("long")
+        .alias("t"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+    return mase_backtest(daily, "k", "t", "v", season=7).orderBy("key")
+
+
 # --------------------------------------------------------------------------
 # Driver-window registration order (rotated each round).
 #

@@ -1666,3 +1666,14 @@ def test_fetch_first_string_aware():
     assert got.endswith("LIMIT 2")
     got = rw("SELECT 'OFFSET 7 ROWS' AS doc FROM t OFFSET 1 ROWS")
     assert "'OFFSET 7 ROWS'" in got and got.endswith("OFFSET 1")
+
+
+def test_regexp_instr_redshift_contract(spark):
+    """REGEXP_INSTR: 1-based position of the first match, 0 when none
+    — Spark ships it natively with Redshift's contract (oracled
+    entries skip it because DuckDB has no positional regexp)."""
+    r = spark.sql(
+        "SELECT regexp_instr('a1b22c333', '[0-9]+') AS p1, "
+        "regexp_instr('abc', '[0-9]+') AS p0"
+    ).collect()[0]
+    assert (r.p1, r.p0) == (2, 0)
