@@ -103,6 +103,7 @@ def write_result(
     include_header: bool = True,
     single_file: bool = True,
     partition_by: list[str] | None = None,
+    options: dict[str, str] | None = None,
 ) -> int:
     """Format-generalized sink: the reference only emits CSV
     (store_query_results.py:98-118); JSON and parquet are the free Spark
@@ -125,7 +126,7 @@ def write_result(
         missing = [c for c in partition_by if c not in df.columns]
         if missing:
             raise ValueError(f"partition_by column(s) not in result: {missing}")
-    if format == "csv" and not partition_by:
+    if format == "csv" and not partition_by and not options:
         return write_csv(
             df, destination_path, include_header=include_header, single_file=single_file
         )
@@ -138,14 +139,26 @@ def write_result(
         w = df.write.mode("overwrite").format(format).partitionBy(*partition_by)
         if format == "csv":
             w = w.option("header", include_header)
+        if options:
+            w = w.options(**options)
         w.save(destination_path)
         return n
     if not single_file:
-        df.write.mode("overwrite").format(format).save(destination_path)
+        w = df.write.mode("overwrite").format(format)
+        if format == "csv":
+            w = w.option("header", include_header)
+        if options:
+            w = w.options(**options)
+        w.save(destination_path)
         return n
     tmp_dir = tempfile.mkdtemp(prefix="bp_export_", dir=parent)
     try:
-        df.coalesce(1).write.mode("overwrite").format(format).save(tmp_dir)
+        w = df.coalesce(1).write.mode("overwrite").format(format)
+        if format == "csv":
+            w = w.option("header", include_header)
+        if options:
+            w = w.options(**options)
+        w.save(tmp_dir)
         parts = glob.glob(os.path.join(tmp_dir, "part-*"))
         if len(parts) != 1:
             raise RuntimeError(f"expected exactly one part file, found {parts}")

@@ -85,6 +85,10 @@ class UnloadSpec:
     single_file: bool = False  # Redshift PARALLEL defaults ON
     partition_by: list[str] = field(default_factory=list)
     manifest: bool = False
+    quote_all: bool = False     # ADDQUOTES: every field quoted
+    null_as: str | None = None  # NULL [AS] 'str' on the way OUT
+    escape: bool = False        # ESCAPE: backslash-escape specials
+    compression: str | None = None  # GZIP: actually compress the data
 
 
 _COPY_HEAD_RE = re.compile(
@@ -378,6 +382,18 @@ def parse_unload(sql: str) -> UnloadSpec | None:
             # the default behavior here; CLEANPATH's delete-then-write
             # is what mode("overwrite") does) — accepted, no-op
             pass
+        elif t == "ADDQUOTES":
+            spec.quote_all = True
+        elif t == "NULL":
+            raw, i = _take_string(tokens, i, "NULL")
+            spec.null_as = _unquote(raw)
+        elif t == "ESCAPE":
+            spec.escape = True
+        elif t == "GZIP":
+            # on the WAY OUT GZIP must actually compress (a COPY-side
+            # GZIP is a reader no-op — extension-driven decompression
+            # — but an unloading user's downstream expects .gz files)
+            spec.compression = "gzip"
         elif t == "MANIFEST":
             spec.manifest = True  # write a JSON manifest listing the files
         elif t in _IGNORED_STR_OPTS:
@@ -844,9 +860,22 @@ def execute_unload(spark, spec: UnloadSpec) -> int:
     from . import translate_redshift_sql
 
     df = spark.sql(translate_redshift_sql(spec.query))
-    if spec.format == "csv" and spec.delimiter != ",":
-        # write_result's CSV path writes comma-separated; honor the
-        # Redshift pipe default / explicit DELIMITER via the sep option
+    # text-shaping writer options (the UNLOAD option surface):
+    # DELIMITER -> sep, ADDQUOTES -> quoteAll, NULL AS -> nullValue,
+    # ESCAPE -> backslash escapes, GZIP -> real output compression
+    csv_opts: dict[str, str] = {}
+    if spec.format == "csv":
+        if spec.delimiter != ",":
+            csv_opts["sep"] = spec.delimiter
+        if spec.quote_all:
+            csv_opts["quoteAll"] = "true"
+        if spec.null_as is not None:
+            csv_opts["nullValue"] = spec.null_as
+        if spec.escape:
+            csv_opts["escape"] = "\\"
+    if spec.compression:
+        csv_opts["compression"] = spec.compression
+    if spec.format == "csv" and csv_opts:
         import glob
         import os
         import shutil
@@ -860,7 +889,7 @@ def execute_unload(spark, spec: UnloadSpec) -> int:
             try:
                 (
                     df.coalesce(1).write.mode("overwrite")
-                    .option("header", spec.header).option("sep", spec.delimiter)
+                    .option("header", spec.header).options(**csv_opts)
                     .csv(tmp_dir)
                 )
                 parts = glob.glob(os.path.join(tmp_dir, "part-*"))
@@ -872,8 +901,8 @@ def execute_unload(spark, spec: UnloadSpec) -> int:
             if spec.manifest:
                 _write_unload_manifest(spec)
             return n
-        w = df.write.mode("overwrite").option("header", spec.header).option(
-            "sep", spec.delimiter
+        w = df.write.mode("overwrite").option("header", spec.header).options(
+            **csv_opts
         )
         if spec.partition_by:
             w = w.partitionBy(*spec.partition_by)
@@ -888,6 +917,7 @@ def execute_unload(spark, spec: UnloadSpec) -> int:
         include_header=spec.header,
         single_file=spec.single_file,
         partition_by=spec.partition_by or None,
+        options={"compression": spec.compression} if spec.compression else None,
     )
     if spec.manifest:
         _write_unload_manifest(spec)

@@ -1068,3 +1068,63 @@ def test_copy_json_declared_schema_failfast(spark, tmp_path):
     assert spark.table("t_json_strict").count() == 2
     assert spark.table("t_json_strict").filter("k IS NULL").count() == 0
     spark.sql("DROP TABLE IF EXISTS t_json_strict")
+
+
+def test_unload_addquotes_null_escape_gzip(spark, tmp_path):
+    """UNLOAD text-shaping options: ADDQUOTES quotes every field,
+    NULL AS writes the marker, GZIP actually compresses the output
+    (a COPY-side GZIP is a reader no-op, but an unloading user's
+    downstream expects .gz), and the COPY round-trip restores the
+    rows (REMOVEQUOTES/NULL AS on the way back in)."""
+    import gzip
+    import os
+
+    from amazonredshift_blueprints_spark.functions.copy_unload import (
+        execute_unload,
+        parse_unload,
+    )
+    from amazonredshift_blueprints_spark.ingest import _clean_stale_location
+    from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+    spark.sql("DROP TABLE IF EXISTS t_unl_src")
+    _clean_stale_location(spark, "t_unl_src", None)
+    spark.sql(
+        "CREATE TABLE t_unl_src USING parquet AS "
+        "SELECT * FROM VALUES (1, 'a|b', CAST(NULL AS STRING)), "
+        "(2, 'plain', 'x') AS t(k, s, maybe)"
+    )
+    out = str(tmp_path / "unl.csv")
+    spec = parse_unload(
+        f"UNLOAD ('SELECT k, s, maybe FROM t_unl_src ORDER BY k') "
+        f"TO '{out}' CSV DELIMITER '|' ADDQUOTES NULL AS '\\N' "
+        f"HEADER PARALLEL OFF"
+    )
+    assert spec.quote_all and spec.null_as == "\\N" and spec.single_file
+    n = execute_unload(spark, spec)
+    assert n == 2
+    text = open(out).read()
+    assert '"a|b"' in text       # ADDQUOTES protects the delimiter
+    assert "\\N" in text          # NULL marker written
+    assert text.splitlines()[0].replace('"', "") == "k|s|maybe"
+    # GZIP: the part file must really be gzip-compressed
+    gz = str(tmp_path / "unl_gz")
+    execute_sql(
+        spark,
+        f"UNLOAD ('SELECT k, s FROM t_unl_src') TO '{gz}' CSV GZIP",
+    )
+    parts = [f for f in os.listdir(gz) if f.startswith("part-")]
+    assert parts and all(f.endswith(".csv.gz") for f in parts), parts
+    with gzip.open(os.path.join(gz, parts[0])) as fh:
+        fh.read(10)  # raises if not actually gzip
+    # round-trip: quoted+marker file loads back with nulls restored
+    spark.sql("DROP TABLE IF EXISTS t_unl_back")
+    _clean_stale_location(spark, "t_unl_back", None)
+    execute_sql(
+        spark,
+        f"COPY t_unl_back FROM '{out}' CSV DELIMITER '|' "
+        "IGNOREHEADER 1 NULL AS '\\N'",
+    )
+    got = {(r.k, r.s, r.maybe) for r in spark.table("t_unl_back").collect()}
+    assert got == {(1, "a|b", None), (2, "plain", "x")}
+    spark.sql("DROP TABLE IF EXISTS t_unl_src")
+    spark.sql("DROP TABLE IF EXISTS t_unl_back")

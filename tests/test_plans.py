@@ -729,7 +729,9 @@ def test_round11_late_entry_plan_shapes(spark, sf_dir):
 def test_c144_c147_batch_plan_shapes(spark, sf_dir):
     """c144: the only nested loop is the ANN query-batch broadcast
     (c06's operator); the label lookup must not sort-merge. c145: the
-    AUC is windows + ONE hash aggregate, join-free. c146: attribution
+    AUC rides grouped_cumsum since round 12 — the only join is the
+    BROADCAST span-offset attach, windows are _pid-keyed, and no
+    Window is fed by a SinglePartition exchange. c146: attribution
     reuses the (user, epoch) partitioning — no cartesian, and the
     channel rollup is aggregate-shaped. c147: the CUSUM fold is
     join-free, one user-keyed aggregate."""
@@ -737,7 +739,10 @@ def test_c144_c147_batch_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in p144
     assert "SortMergeJoin" not in p144
     p145 = _plan(spark, sf_dir, "c145_auc_ranksum")
-    assert "Join" not in p145
+    assert "SortMergeJoin" not in p145
+    assert "CartesianProduct" not in p145
+    assert "BroadcastHashJoin" in p145  # span offsets, broadcast
+    assert not _windows_fed_by_single_partition(p145)
     p146 = _plan(spark, sf_dir, "c146_attribution_credit")
     assert "CartesianProduct" not in p146
     p147 = _plan(spark, sf_dir, "c147_cusum_alarms")
@@ -800,13 +805,18 @@ def test_c157_c161_batch_plan_shapes(spark, sf_dir):
 
 def test_c166_stump_join_free_takeordered(spark, sf_dir):
     """c166 decision stump: the corpus collapses to the distinct-cents
-    table in ONE hash aggregate (map-side partials), the cumulative
-    scan runs on that vocabulary-sized table, and the winner exits via
-    TakeOrdered — join-free, no global sort of anything corpus-sized."""
+    table in ONE hash aggregate (map-side partials); since round 12
+    the cumulative scan rides global_cumsum — the only join is the
+    BROADCAST _pid-offset attach (P metadata rows), never a sort-merge
+    or cartesian — and the winner exits via TakeOrdered; no global
+    sort of anything corpus-sized, no single-partition window."""
     p = _plan(spark, sf_dir, "c166_decision_stump")
-    assert "Join" not in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # the _pid offset attach
     assert "partial_count" in p or "partial_sum" in p  # map-side combine
     assert "TakeOrderedAndProject" in p
+    assert not _windows_fed_by_single_partition(p)
 
 
 def test_session4_additions_plan_shapes(spark, sf_dir):
