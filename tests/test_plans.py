@@ -884,3 +884,33 @@ def test_cdf_family_has_no_single_partition_windows(spark, sf_dir):
         assert "Window" in p, f"{name}: expected windowed cumsum in plan"
         bad = _windows_fed_by_single_partition(p)
         assert not bad, f"{name}: partition-less Window over data: {bad}"
+
+
+def test_round12_batch_plan_shapes(spark, sf_dir):
+    """Round-12 additions. c191: the capped SemDeDup path stays
+    equi-join shaped (banded rank blocks — no cartesian, no BNLJ
+    beyond none at all). c192: gini rides the broadcast-offset rank —
+    no single-partition window, no sort-merge. c193: label propagation
+    is equi-joins + aggregates only. c196: k-fold windows are
+    _pid-keyed (grouped_cumsum). c197: forward asof is the one
+    union+window exchange — no cartesian, no range-join explosion.
+    c200: MASE is a co-partitioned self-equi-join + aggregate,
+    window-free."""
+    p191 = _plan(spark, sf_dir, "c191_semdedup_cell_capped")
+    assert "CartesianProduct" not in p191
+    assert "BroadcastNestedLoopJoin" not in p191
+    p192 = _plan(spark, sf_dir, "c192_gini_concentration")
+    assert "SortMergeJoin" not in p192
+    assert not _windows_fed_by_single_partition(p192)
+    p193 = _plan(spark, sf_dir, "c193_label_propagation")
+    assert "CartesianProduct" not in p193
+    assert "BroadcastNestedLoopJoin" not in p193
+    p196 = _plan(spark, sf_dir, "c196_stratified_kfold")
+    assert not _windows_fed_by_single_partition(p196)
+    assert "CartesianProduct" not in p196
+    p197 = _plan(spark, sf_dir, "c197_asof_forward_tolerance")
+    assert "CartesianProduct" not in p197
+    assert "BroadcastNestedLoopJoin" not in p197
+    p200 = _plan(spark, sf_dir, "c200_mase_backtest")
+    assert "Window" not in p200
+    assert "CartesianProduct" not in p200
