@@ -927,9 +927,56 @@ def _rewrite_partiql_unnest(sql: str) -> str:
     return sql[:start] + new_clause + sql[end:]
 
 
+# Redshift/PostgreSQL type spellings Spark's parser rejects or sizes
+# differently: length-less string types (Spark demands VARCHAR(n)) and
+# the PG width aliases. Rewritten ONLY in type position — after `::` or
+# after a cast's `AS` — so identifiers never match; DDL column types go
+# through the same map in sqlrun's CREATE path via the `::`/AS contexts
+# plus prepared.py's _TYPE_MAP for procedure/prepared args.
+_PG_TYPE_MAP = {
+    "varchar": "string", "text": "string", "char": "string",
+    "bpchar": "string", "int2": "smallint", "int4": "int",
+    "int8": "bigint", "float4": "float", "float8": "double",
+}
+_PG_CAST_RE = re.compile(
+    r"(::\s*|\bAS\s+)(varchar|text|char|bpchar|int2|int4|int8|float4"
+    r"|float8)\b(?!\s*\()",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_pg_types(sql: str) -> str:
+    return _sub_outside_strings(
+        sql,
+        _PG_CAST_RE,
+        lambda m: m.group(1) + _PG_TYPE_MAP[m.group(2).lower()],
+    )
+
+
+def _extract_epoch_call_list(args: list[str]) -> str | None:
+    if len(args) != 1:
+        return None
+    m = re.match(r"\s*EPOCH\s+FROM\s+(.+?)\s*$", args[0],
+                 re.IGNORECASE | re.DOTALL)
+    if m is None:
+        return None  # any other EXTRACT field is native Spark
+    return f"unix_timestamp({m.group(1)})"
+
+
+def _trunc_call(args: list[str]) -> str | None:
+    if len(args) != 1:
+        return None  # 2-arg trunc(date, fmt) is native Spark
+    # Redshift 1-arg TRUNC truncates a TIMESTAMP to a date — by far
+    # the common use (TRUNC(sysdate)). The numeric 1-arg overload
+    # (truncate toward zero) is NOT translated — divergence stated:
+    # spell it CAST(x AS BIGINT).
+    return f"CAST({args[0]} AS DATE)"
+
+
 def translate_redshift_sql(sql: str) -> str:
     """Rewrite Redshift-dialect call sites into Spark SQL equivalents."""
     sql = _rewrite_partiql_unnest(sql)
+    sql = _rewrite_pg_types(sql)
     sql = _rewrite_fetch_first(sql)
     sql = _rewrite_select_into(sql)
     sql = _rewrite_external_table(sql)
@@ -944,6 +991,8 @@ def translate_redshift_sql(sql: str) -> str:
     # GETDATE() / SYSDATE → current_timestamp()
     sql = re.sub(r"\bGETDATE\s*\(\s*\)", "current_timestamp()", sql, flags=re.IGNORECASE)
     sql = re.sub(r"\bSYSDATE\b", "current_timestamp()", sql, flags=re.IGNORECASE)
+    sql = _rewrite_calls(sql, "EXTRACT", _extract_epoch_call_list)
+    sql = _rewrite_calls(sql, "TRUNC", _trunc_call)
     sql = _rewrite_calls(sql, "LEN", _len_call)
     sql = _rewrite_calls(sql, "CHARINDEX", _charindex_call)
     sql = _rewrite_calls(sql, "STRTOL", _strtol_call)

@@ -16155,6 +16155,57 @@ def q99_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q100_pg_type_dialect",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(o_custkey AS INT8) AS cust_i8,
+           CAST(o_totalprice AS FLOAT8) AS price_f8,
+           CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)
+               AS epoch_s,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS od
+    FROM orders
+    WHERE o_orderkey <= 400
+    ORDER BY o_orderkey
+    """,
+    doc="PostgreSQL/Redshift type-spelling dialect (redshift_compat."
+        "_rewrite_pg_types + EXTRACT(EPOCH)/1-arg TRUNC rewrites): "
+        "::varchar and length-less CAST AS VARCHAR become STRING "
+        "(Spark demands a length), the PG width aliases int2/int4/"
+        "int8/float4/float8/bpchar map to Spark types — rewritten "
+        "ONLY in type position (after :: or a cast's AS, quote-aware) "
+        "so identifiers and literals never match, sized VARCHAR(n) "
+        "stays native; EXTRACT(EPOCH FROM x) lowers to "
+        "unix_timestamp (other EXTRACT fields are native), and "
+        "Redshift's 1-arg TRUNC(timestamp) becomes CAST(x AS DATE) "
+        "(the numeric 1-arg overload is NOT translated — stated "
+        "divergence, spell CAST AS BIGINT). The entry runs the whole "
+        "family through the full dialect face",
+    tags=("dialect", "orders"),
+)
+def q100_pg_type_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import translate_redshift_sql
+
+    views(spark, sf_dir, "orders")
+    return spark.sql(
+        translate_redshift_sql(
+            """
+            SELECT o_orderkey,
+                   o_orderkey::varchar AS key_str,
+                   CAST(o_custkey AS int8) AS cust_i8,
+                   o_totalprice::float8 AS price_f8,
+                   EXTRACT(epoch FROM CAST(o_orderdate AS TIMESTAMP))
+                       AS epoch_s,
+                   TRUNC(CAST(o_orderdate AS TIMESTAMP))::varchar AS od
+            FROM orders
+            WHERE o_orderkey <= 400
+            ORDER BY o_orderkey
+            """
+        )
+    )
+
+
+@query(
     "c200_mase_backtest",
     oracle="""
     WITH daily AS (

@@ -1677,3 +1677,34 @@ def test_regexp_instr_redshift_contract(spark):
         "regexp_instr('abc', '[0-9]+') AS p0"
     ).collect()[0]
     assert (r.p1, r.p0) == (2, 0)
+
+
+def test_pg_type_and_epoch_trunc_rewrites():
+    """PG type spellings rewrite only in type position; EXTRACT(EPOCH)
+    and 1-arg TRUNC lower; everything else stays native."""
+    from amazonredshift_blueprints_spark.functions.redshift_compat import (
+        translate_redshift_sql as tr,
+    )
+
+    assert tr("SELECT a::varchar FROM t") == "SELECT a::string FROM t"
+    assert tr("SELECT CAST(a AS int8) FROM t") == (
+        "SELECT CAST(a AS bigint) FROM t"
+    )
+    assert "float" in tr("SELECT a::float4 FROM t")
+    # sized types and literals stay put
+    assert tr("SELECT CAST(a AS VARCHAR(5)) FROM t") == (
+        "SELECT CAST(a AS VARCHAR(5)) FROM t"
+    )
+    assert tr("SELECT 'x::varchar' FROM t") == "SELECT 'x::varchar' FROM t"
+    # EXTRACT(EPOCH) lowers; other fields stay native
+    assert tr("SELECT EXTRACT(epoch FROM ts) FROM t") == (
+        "SELECT unix_timestamp(ts) FROM t"
+    )
+    assert tr("SELECT EXTRACT(year FROM d) FROM t") == (
+        "SELECT EXTRACT(year FROM d) FROM t"
+    )
+    # 1-arg TRUNC -> date; 2-arg native
+    assert tr("SELECT TRUNC(ts) FROM t") == "SELECT CAST(ts AS DATE) FROM t"
+    assert tr("SELECT TRUNC(d, 'MM') FROM t") == (
+        "SELECT TRUNC(d, 'MM') FROM t"
+    )
