@@ -963,6 +963,30 @@ def _extract_epoch_call_list(args: list[str]) -> str | None:
     return f"unix_timestamp({m.group(1)})"
 
 
+def _convert_call(args: list[str]) -> str | None:
+    """Redshift ``CONVERT(type, expr)`` → ``CAST(expr AS type)``; the
+    type token goes through the PG spelling map (CONVERT(int8, x)
+    must land as bigint). Spark has no CONVERT at all, so a 2-arg
+    call site is unambiguous."""
+    if len(args) != 2:
+        return None
+    t = args[0].strip()
+    mapped = _PG_TYPE_MAP.get(re.sub(r"\(.*\)", "", t).strip().lower(), t)
+    return f"CAST({args[1]} AS {mapped})"
+
+
+def _one_arg_alias(spark_fn: str, wrap_double: bool = False):
+    def call(args: list[str]) -> str | None:
+        if len(args) != 1:
+            return None
+        inner = (
+            f"CAST({args[0]} AS DOUBLE)" if wrap_double else args[0]
+        )
+        return f"{spark_fn}({inner})"
+
+    return call
+
+
 def _trunc_call(args: list[str]) -> str | None:
     if len(args) != 1:
         return None  # 2-arg trunc(date, fmt) is native Spark
@@ -993,6 +1017,12 @@ def translate_redshift_sql(sql: str) -> str:
     sql = re.sub(r"\bSYSDATE\b", "current_timestamp()", sql, flags=re.IGNORECASE)
     sql = _rewrite_calls(sql, "EXTRACT", _extract_epoch_call_list)
     sql = _rewrite_calls(sql, "TRUNC", _trunc_call)
+    sql = _rewrite_calls(sql, "CONVERT", _convert_call)
+    # Redshift double-precision math aliases + FUNC_SHA1
+    sql = _rewrite_calls(sql, "DEXP", _one_arg_alias("EXP", True))
+    sql = _rewrite_calls(sql, "DLOG1", _one_arg_alias("LN", True))
+    sql = _rewrite_calls(sql, "DLOG10", _one_arg_alias("LOG10", True))
+    sql = _rewrite_calls(sql, "FUNC_SHA1", _one_arg_alias("sha1"))
     sql = _rewrite_calls(sql, "LEN", _len_call)
     sql = _rewrite_calls(sql, "CHARINDEX", _charindex_call)
     sql = _rewrite_calls(sql, "STRTOL", _strtol_call)

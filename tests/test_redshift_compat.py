@@ -1708,3 +1708,31 @@ def test_pg_type_and_epoch_trunc_rewrites():
     assert tr("SELECT TRUNC(d, 'MM') FROM t") == (
         "SELECT TRUNC(d, 'MM') FROM t"
     )
+
+
+def test_convert_math_alias_rewrites():
+    """CONVERT(type, expr) -> CAST with the PG map applied; DEXP/
+    DLOG1/DLOG10 -> EXP/LN/LOG10 over doubles; FUNC_SHA1 -> sha1;
+    wrong arities left untouched."""
+    from amazonredshift_blueprints_spark.functions.redshift_compat import (
+        translate_redshift_sql as tr,
+    )
+
+    assert tr("SELECT CONVERT(integer, '42')") == (
+        "SELECT CAST('42' AS integer)"
+    )
+    assert tr("SELECT CONVERT(int8, a) FROM t") == (
+        "SELECT CAST(a AS bigint) FROM t"
+    )
+    assert tr("SELECT DEXP(x) FROM t") == (
+        "SELECT EXP(CAST(x AS DOUBLE)) FROM t"
+    )
+    assert tr("SELECT DLOG1(x) FROM t") == (
+        "SELECT LN(CAST(x AS DOUBLE)) FROM t"
+    )
+    assert tr("SELECT DLOG10(x) FROM t") == (
+        "SELECT LOG10(CAST(x AS DOUBLE)) FROM t"
+    )
+    assert tr("SELECT FUNC_SHA1(b) FROM t") == "SELECT sha1(b) FROM t"
+    # arity guards: 1-arg CONVERT (not the RS form) stays put
+    assert tr("SELECT CONVERT(x) FROM t") == "SELECT CONVERT(x) FROM t"
