@@ -96,20 +96,25 @@ def stratified_sample(
     of any data attribute; changing the salt re-deals.
 
     Output: the input columns plus ``samp_rank`` (1-based within
-    stratum). 100 TB: one shuffle keyed on the strata columns; window
-    state is the running count per stratum. A skewed stratum (one
-    language dominating the corpus) is still one partition-set's
-    worth of ranking — pre-aggregate or raise shuffle partitions if a
-    single stratum exceeds executor memory.
+    stratum). 100 TB: the within-stratum rank rides
+    :func:`grouped_cumsum` (range-partition on (strata, bucket, key)
+    + broadcast span offsets), so ONE language dominating the corpus
+    no longer funnels through a single task — the hazard the previous
+    ``Window.partitionBy(strata)`` form documented is now closed
+    (round 12; same ranks, since row_number over an order equals the
+    running count of 1 in that order).
     """
-    from pyspark.sql.window import Window
-
-    order = _bucket(key, salt)
-    w = Window.partitionBy(*strata_cols).orderBy(order.asc(), F.col(key).asc())
-    return (
-        df.withColumn("samp_rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("samp_rank") <= n_per_stratum)
+    staged = df.withColumn("_b", _bucket(key, salt)).withColumn(
+        "_one", F.lit(1).cast("long")
     )
+    ranked = grouped_cumsum(staged, list(strata_cols), ["_b", key], ["_one"])
+    out = (
+        ranked.withColumn("samp_rank", F.col("_one_cum"))
+        .filter(F.col("samp_rank") <= n_per_stratum)
+        .drop("_b", "_one", "_one_cum")
+    )
+    out._bp_cache_owner = ranked._bp_cache_owner
+    return out
 
 
 def token_budget_sample(
