@@ -2505,3 +2505,89 @@ def mrr_eval(
             F.lit(0).cast("long"),
         ).alias("rr_micro"),
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    trim_milli: int = 50,
+) -> DataFrame:
+    """Exact per-group trimmed mean: drop the lowest and highest
+    ``trim_milli``/1000 fraction of ROWS (by count, not value mass)
+    and average the rest — the robust aggregate between the plain mean
+    (outlier-hostile) and the median (throws away too much), standard
+    for latency/revenue metrics.
+
+    Exact integer rule: with per-(group, value) counts and inclusive
+    prefix counts ``cum_n``, a value's kept multiplicity is the
+    overlap of its rank interval ``(cum_n − n, cum_n]`` with the kept
+    band ``(lo, hi]`` where ``lo = floor(n_g·trim/1000)``,
+    ``hi = n_g − lo`` — well-defined under ties because equal values
+    are interchangeable. Reported as ``mean_micro = Σ v·kept · 1e6
+    DIV (hi − lo)``; groups whose band is empty emit NULL.
+
+    Returns (grp, n, lo_cut, hi_cut, mean_micro).
+
+    100 TB: ONE hash aggregate to the distinct (group, value) table,
+    prefix counts via :func:`..operators.sampling.grouped_cumsum`
+    (range-partition + broadcast span offsets — a continuous metric's
+    value table is corpus-sized and one group may hold everything; no
+    per-group single-task window), then ONE aggregate back to group
+    cardinality. Overflow: Σ v·kept ≤ n·v_max — cents-scale metrics
+    exact past 1e9 rows.
+    """
+    if not 0 <= trim_milli < 500:
+        raise ValueError(f"trim_milli must be in [0, 500), got {trim_milli}")
+    from .sampling import grouped_cumsum
+
+    per_value = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .groupBy("grp", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    cum = grouped_cumsum(per_value, ["grp"], ["v"], ["n"])
+    totals = cum.groupBy("grp").agg(F.max("n_cum").alias("n_tot"))
+    j = cum.join(totals, "grp").select(
+        "grp",
+        "v",
+        "n",
+        "n_cum",
+        "n_tot",
+        F.expr(f"CAST(n_tot * {trim_milli} DIV 1000 AS BIGINT)").alias(
+            "lo"
+        ),
+    )
+    kept = j.select(
+        "grp",
+        "n_tot",
+        "lo",
+        (F.col("n_tot") - F.col("lo")).alias("hi"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.col("n_cum"), F.col("n_tot") - F.col("lo"))
+            - F.greatest(F.col("n_cum") - F.col("n"), F.col("lo")),
+        ).alias("kept_n"),
+        F.col("v"),
+    )
+    agg = kept.groupBy("grp").agg(
+        F.first("n_tot").alias("n"),
+        F.first("lo").alias("lo_cut"),
+        F.first("hi").alias("hi_cut"),
+        F.sum(F.col("v") * F.col("kept_n")).alias("ksum"),
+        F.sum("kept_n").alias("kn"),
+    )
+    return agg.select(
+        "grp",
+        "n",
+        "lo_cut",
+        "hi_cut",
+        F.when(
+            F.col("kn") > 0,
+            F.expr("CAST(ksum * 1000000 DIV kn AS BIGINT)"),
+        ).alias("mean_micro"),
+    )

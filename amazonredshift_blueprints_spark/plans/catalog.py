@@ -16206,6 +16206,71 @@ def q100_pg_type_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c201_trimmed_mean",
+    oracle="""
+    WITH base AS (
+        SELECT event_type AS grp,
+               CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    pv AS (
+        SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS n
+        FROM base GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT grp, v, n,
+               CAST(SUM(n) OVER (
+                   PARTITION BY grp ORDER BY v) AS BIGINT) AS n_cum,
+               CAST(SUM(n) OVER (PARTITION BY grp) AS BIGINT) AS n_tot
+        FROM pv
+    ),
+    k AS (
+        SELECT grp, n_tot,
+               CAST(n_tot * 50 // 1000 AS BIGINT) AS lo,
+               n_tot - CAST(n_tot * 50 // 1000 AS BIGINT) AS hi,
+               v,
+               GREATEST(CAST(0 AS BIGINT),
+                   LEAST(n_cum, n_tot - CAST(n_tot * 50 // 1000
+                                             AS BIGINT))
+                   - GREATEST(n_cum - n,
+                              CAST(n_tot * 50 // 1000 AS BIGINT)))
+                   AS kept_n
+        FROM cum
+    )
+    SELECT grp, MIN(n_tot) AS n, MIN(lo) AS lo_cut, MIN(hi) AS hi_cut,
+           CASE WHEN SUM(kept_n) > 0 THEN
+               CAST(SUM(v * kept_n) * 1000000 // SUM(kept_n) AS BIGINT)
+           END AS mean_micro
+    FROM k GROUP BY 1 ORDER BY 1
+    """,
+    doc="exact per-group 5%-trimmed mean (operators/ml.trimmed_mean): "
+        "drop the lowest and highest 5% of rows by COUNT and average "
+        "the rest — the robust aggregate between mean and median for "
+        "latency/revenue metrics. Exact under ties: a value's kept "
+        "multiplicity is the overlap of its rank interval "
+        "(cum_n-n, cum_n] with the kept band (lo, hi]. ONE hash "
+        "aggregate to the distinct (group, cents) table, prefix "
+        "counts via sampling.grouped_cumsum (range-partition + "
+        "broadcast span offsets — a continuous metric's value table "
+        "is corpus-sized and one group may hold everything), ONE "
+        "aggregate back to group cardinality; all BIGINT",
+    bench=True,
+    tags=("ml", "events"),
+)
+def c201_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import trimmed_mean
+
+    e = views(spark, sf_dir, "events")["events"]
+    base = e.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value").cast("double") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return trimmed_mean(base, "g", "cents", trim_milli=50).orderBy("grp")
+
+
+@query(
     "c200_mase_backtest",
     oracle="""
     WITH daily AS (

@@ -1039,3 +1039,33 @@ def test_cohens_kappa_replay(spark):
     assert cohens_kappa(perfect, "a", "b").collect()[0].kappa_micro == 1_000_000
     const = spark.createDataFrame([(1, 1)] * 4, "a int, b int")
     assert cohens_kappa(const, "a", "b").collect()[0].kappa_micro is None
+
+
+def test_trimmed_mean_exact_replay(spark):
+    """5%-trim on a hand fixture matches the sequential replay,
+    tie values split their multiplicity across the cut correctly,
+    degenerate bands yield NULL, invalid trim refuses."""
+    import pytest
+
+    from amazonredshift_blueprints_spark.operators.ml import trimmed_mean
+
+    vals = [100] * 3 + [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
+                        15, 16, 17]  # n=20, 10% trim -> drop 2 low, 2 high
+    df = spark.createDataFrame([("a", v) for v in vals], "g string, v long")
+    r = {
+        x.grp: (x.n, x.lo_cut, x.hi_cut, x.mean_micro)
+        for x in trimmed_mean(df, "g", "v", trim_milli=100).collect()
+    }
+    s = sorted(vals)
+    kept = s[2:-2]
+    assert r["a"] == (
+        20, 2, 18, sum(kept) * 1_000_000 // len(kept)
+    )
+    # tie straddling the cut: [5,5,5,5] with 25% trim keeps middle 2
+    ties = spark.createDataFrame(
+        [("t", 5)] * 4, "g string, v long"
+    )
+    rt = trimmed_mean(ties, "g", "v", trim_milli=250).collect()[0]
+    assert (rt.lo_cut, rt.hi_cut, rt.mean_micro) == (1, 3, 5_000_000)
+    with pytest.raises(ValueError, match="trim_milli"):
+        trimmed_mean(df, "g", "v", trim_milli=500)
