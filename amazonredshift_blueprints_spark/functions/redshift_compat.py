@@ -928,28 +928,40 @@ def _rewrite_partiql_unnest(sql: str) -> str:
 
 
 # Redshift/PostgreSQL type spellings Spark's parser rejects or sizes
-# differently: length-less string types (Spark demands VARCHAR(n)) and
-# the PG width aliases. Rewritten ONLY in type position — after `::` or
-# after a cast's `AS` — so identifiers never match; DDL column types go
-# through the same map in sqlrun's CREATE path via the `::`/AS contexts
-# plus prepared.py's _TYPE_MAP for procedure/prepared args.
+# differently: length-less string types in cast position (Spark
+# demands VARCHAR(n)) and the PG width aliases. The string family
+# rewrites ONLY after `::` or a cast's `AS` (bare TEXT/CHAR are too
+# collision-prone as words, and DDL VARCHAR(n) is native); the width
+# aliases (int2/int4/int8/float4/float8/bpchar) rewrite ANYWHERE
+# outside string literals — they are type reserved words in every PG
+# dialect and also appear in DDL column lists (CREATE TABLE (id
+# INT8), ALTER ... ADD COLUMN x FLOAT8), where the cast-position scan
+# missed them (round-12 battery finding).
 _PG_TYPE_MAP = {
     "varchar": "string", "text": "string", "char": "string",
     "bpchar": "string", "int2": "smallint", "int4": "int",
     "int8": "bigint", "float4": "float", "float8": "double",
 }
 _PG_CAST_RE = re.compile(
-    r"(::\s*|\bAS\s+)(varchar|text|char|bpchar|int2|int4|int8|float4"
-    r"|float8)\b(?!\s*\()",
+    r"(::\s*|\bAS\s+)(varchar|text|char|bpchar)\b(?!\s*\()",
+    re.IGNORECASE,
+)
+_PG_WIDTH_RE = re.compile(
+    r"\b(int2|int4|int8|float4|float8|bpchar)\b(?!\s*\()",
     re.IGNORECASE,
 )
 
 
 def _rewrite_pg_types(sql: str) -> str:
-    return _sub_outside_strings(
+    sql = _sub_outside_strings(
         sql,
         _PG_CAST_RE,
         lambda m: m.group(1) + _PG_TYPE_MAP[m.group(2).lower()],
+    )
+    return _sub_outside_strings(
+        sql,
+        _PG_WIDTH_RE,
+        lambda m: _PG_TYPE_MAP[m.group(1).lower()],
     )
 
 
@@ -997,8 +1009,24 @@ def _trunc_call(args: list[str]) -> str | None:
     return f"CAST({args[0]} AS DATE)"
 
 
+_DROP_CASCADE_RE = re.compile(
+    r"^(\s*DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?[\w.\"]+)\s+"
+    r"(?:CASCADE|RESTRICT)\s*(;?\s*)$",
+    re.IGNORECASE,
+)
+
+
+def _strip_drop_cascade(sql: str) -> str:
+    """Redshift ``DROP TABLE/VIEW ... CASCADE|RESTRICT`` → Spark drops
+    take neither keyword (dependent Redshift views have no Spark
+    analog to cascade to; RESTRICT is Spark's only behavior anyway)."""
+    m = _DROP_CASCADE_RE.match(sql)
+    return f"{m.group(1)}{m.group(2)}" if m else sql
+
+
 def translate_redshift_sql(sql: str) -> str:
     """Rewrite Redshift-dialect call sites into Spark SQL equivalents."""
+    sql = _strip_drop_cascade(sql)
     sql = _rewrite_partiql_unnest(sql)
     sql = _rewrite_pg_types(sql)
     sql = _rewrite_fetch_first(sql)

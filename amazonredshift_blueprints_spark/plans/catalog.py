@@ -16172,10 +16172,14 @@ def q99_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_rewrite_pg_types + EXTRACT(EPOCH)/1-arg TRUNC rewrites): "
         "::varchar and length-less CAST AS VARCHAR become STRING "
         "(Spark demands a length), the PG width aliases int2/int4/"
-        "int8/float4/float8/bpchar map to Spark types — rewritten "
-        "ONLY in type position (after :: or a cast's AS, quote-aware) "
-        "so identifiers and literals never match, sized VARCHAR(n) "
-        "stays native; EXTRACT(EPOCH FROM x) lowers to "
+        "int8/float4/float8/bpchar map to Spark types — string types "
+        "rewrite only in cast position (after :: or AS, quote-aware), "
+        "width aliases rewrite anywhere outside literals since they "
+        "are PG type reserved words and appear in DDL column lists "
+        "(CREATE TABLE (id INT8) / ALTER ADD COLUMN x FLOAT8 — "
+        "battery finding); sized VARCHAR(n) stays native; DROP "
+        "TABLE/VIEW ... CASCADE|RESTRICT strips; "
+        "EXTRACT(EPOCH FROM x) lowers to "
         "unix_timestamp (other EXTRACT fields are native), and "
         "Redshift's 1-arg TRUNC(timestamp) becomes CAST(x AS DATE) "
         "(the numeric 1-arg overload is NOT translated — stated "

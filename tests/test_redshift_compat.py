@@ -1736,3 +1736,25 @@ def test_convert_math_alias_rewrites():
     assert tr("SELECT FUNC_SHA1(b) FROM t") == "SELECT sha1(b) FROM t"
     # arity guards: 1-arg CONVERT (not the RS form) stays put
     assert tr("SELECT CONVERT(x) FROM t") == "SELECT CONVERT(x) FROM t"
+
+
+def test_pg_width_aliases_in_ddl_and_drop_cascade():
+    """Width aliases rewrite in DDL column lists (not just casts);
+    DROP TABLE/VIEW CASCADE|RESTRICT strips; literals stay put."""
+    from amazonredshift_blueprints_spark.functions.redshift_compat import (
+        translate_redshift_sql as tr,
+    )
+
+    assert tr("CREATE TABLE t (id INT8 NOT NULL, b FLOAT8, c INT2)") == (
+        "CREATE TABLE t (id bigint NOT NULL, b double, c smallint)"
+    )
+    assert tr("ALTER TABLE t ADD COLUMN x INT4") == (
+        "ALTER TABLE t ADD COLUMN x int"
+    )
+    assert tr("SELECT 'int8 literal' FROM t") == (
+        "SELECT 'int8 literal' FROM t"
+    )
+    assert tr("DROP TABLE big.t1 CASCADE") == "DROP TABLE big.t1"
+    assert tr("DROP VIEW IF EXISTS v RESTRICT;") == "DROP VIEW IF EXISTS v;"
+    # not a DROP TABLE/VIEW head: untouched
+    assert tr("DROP DATABASE d CASCADE") == "DROP DATABASE d CASCADE"
