@@ -942,8 +942,12 @@ _PG_TYPE_MAP = {
     "bpchar": "string", "int2": "smallint", "int4": "int",
     "int8": "bigint", "float4": "float", "float8": "double",
 }
-_PG_CAST_RE = re.compile(
-    r"(::\s*|\bAS\s+)(varchar|text|char|bpchar)\b(?!\s*\()",
+_PG_COLON_CAST_RE = re.compile(
+    r"(::\s*)(varchar|text|char|bpchar)\b(?!\s*\()",
+    re.IGNORECASE,
+)
+_PG_AS_TYPE_RE = re.compile(
+    r"(\bAS\s+)(varchar|text|char|bpchar)\b(?!\s*\()",
     re.IGNORECASE,
 )
 _PG_WIDTH_RE = re.compile(
@@ -952,11 +956,34 @@ _PG_WIDTH_RE = re.compile(
 )
 
 
+def _cast_inner_string_types(fn_name: str):
+    """Inside CAST/TRY_CAST(expr AS text|varchar|char|bpchar): map the
+    trailing type token. Scoped to the cast's parens so a column
+    ALIASED ``AS text`` (the documents fixture has a ``text`` column)
+    is never rewritten — the hazard of matching bare ``AS <word>``
+    globally."""
+
+    def call(args: list[str]) -> str | None:
+        if len(args) != 1 or not _PG_AS_TYPE_RE.search(args[0]):
+            return None
+        inner = _PG_AS_TYPE_RE.sub(
+            lambda m: m.group(1) + _PG_TYPE_MAP[m.group(2).lower()],
+            args[0],
+        )
+        return f"{fn_name}({inner})"
+
+    return call
+
+
 def _rewrite_pg_types(sql: str) -> str:
     sql = _sub_outside_strings(
         sql,
-        _PG_CAST_RE,
+        _PG_COLON_CAST_RE,
         lambda m: m.group(1) + _PG_TYPE_MAP[m.group(2).lower()],
+    )
+    sql = _rewrite_calls(sql, "CAST", _cast_inner_string_types("CAST"))
+    sql = _rewrite_calls(
+        sql, "TRY_CAST", _cast_inner_string_types("TRY_CAST")
     )
     return _sub_outside_strings(
         sql,

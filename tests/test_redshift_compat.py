@@ -1696,6 +1696,13 @@ def test_pg_type_and_epoch_trunc_rewrites():
         "SELECT CAST(a AS VARCHAR(5)) FROM t"
     )
     assert tr("SELECT 'x::varchar' FROM t") == "SELECT 'x::varchar' FROM t"
+    # a column ALIASED "AS text" is an alias, not a cast — untouched
+    assert tr("SELECT substr(x,1,5) AS text FROM d") == (
+        "SELECT substr(x,1,5) AS text FROM d"
+    )
+    assert tr("SELECT TRY_CAST(a AS text) FROM t") == (
+        "SELECT TRY_CAST(a AS string) FROM t"
+    )
     # EXTRACT(EPOCH) lowers; other fields stay native
     assert tr("SELECT EXTRACT(epoch FROM ts) FROM t") == (
         "SELECT unix_timestamp(ts) FROM t"
