@@ -726,6 +726,110 @@ def dup_span_coverage(
     )
 
 
+def dedup_span_removal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    gram_len: int = 10,
+) -> DataFrame:
+    """REMOVE corpus-duplicated token spans from every document — the
+    rewrite sibling of :func:`dup_span_coverage` (Lee et al. 2022:
+    deduplicating repeated substrings, not just flagging them, is what
+    improves the trained model). Every token covered by a
+    ``gram_len``-window that occurs more than once corpus-wide is cut;
+    the surviving tokens re-join in order.
+
+    Returns (doc_id, n_tokens, n_removed, cleaned_text); documents
+    with nothing duplicated come back intact (modulo the
+    whitespace/lowercase normalization of :func:`..operators.dedup.
+    tokens` — stated, the same contract as every gram operator here).
+
+    100 TB: identical shapes to the coverage scorer up through the
+    merged-interval islands (gram hash aggregate → duplicated grams
+    only → gaps-and-islands per doc); the removed-position set then
+    explodes the DISJOINT islands (exactly covered_tokens rows, never
+    the gram_len× overlap blowup of exploding raw gram intervals), an
+    anti-join keeps the survivors, and reconstruction is one
+    per-document sort_array(collect_list(struct(pos, word))) — row
+    width bounded by the document itself.
+    """
+    from .dedup import _ngrams_expr, tokens
+
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        _ngrams_expr(toks, gram_len).alias("_grams"),
+    )
+    pos_grams = base.select(
+        "doc_id", F.posexplode("_grams").alias("pos", "gram")
+    )
+    counts = pos_grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_n"))
+    marked = pos_grams.join(counts.filter(F.col("_n") > 1), "gram").select(
+        "doc_id",
+        F.col("pos").cast("long").alias("start"),
+        (F.col("pos") + gram_len - 1).cast("long").alias("end"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("start")
+    prev_max_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        marked.withColumn(
+            "_new_island",
+            (F.col("start") > F.coalesce(prev_max_end, F.lit(-1))).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "_island",
+            F.sum("_new_island").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("doc_id", "_island")
+        .agg(F.min("start").alias("s"), F.max("end").alias("e"))
+    )
+    removed = islands.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("s"), F.col("e"))).alias("pos"),
+    )
+    words = base.select(
+        "doc_id", "n_tokens", F.posexplode("_toks").alias("pos", "word")
+    )
+    kept = words.join(removed, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("word")))
+                ),
+                lambda x: x["word"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    # fully-removed documents vanish from `kept`; restore them empty
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(rebuilt.drop("n_tokens"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias(
+                "cleaned_text"
+            ),
+        )
+    )
+
+
 def dsir_importance(
     df: DataFrame,
     id_col: str,

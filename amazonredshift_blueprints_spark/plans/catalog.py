@@ -16210,6 +16210,97 @@ def q100_pg_type_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c202_dedup_span_removal",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                   AS toks
+        FROM documents
+    ),
+    gpos AS (
+        SELECT doc_id, i - 1 AS s, i + 6 AS e,
+               array_to_string(toks[i:i+7], ' ') AS gram
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(CASE WHEN len(toks) >= 8
+                          THEN generate_series(1, len(toks) - 7)
+                          ELSE [] END) AS i
+            FROM t
+        )
+    ),
+    counts AS (SELECT gram, count(*) AS n FROM gpos GROUP BY 1),
+    marked AS (
+        SELECT g.doc_id, g.s, g.e
+        FROM gpos g JOIN counts c USING (gram) WHERE c.n > 1
+    ),
+    isl AS (
+        SELECT *, SUM(new_island) OVER (
+                   PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM (
+            SELECT *, CASE WHEN s > coalesce(MAX(e) OVER (
+                               PARTITION BY doc_id ORDER BY s
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING
+                           ), -1) THEN 1 ELSE 0 END AS new_island
+            FROM marked
+        )
+    ),
+    merged AS (
+        SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e
+        FROM isl GROUP BY 1, 2
+    ),
+    removed AS (
+        SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM merged
+    ),
+    words AS (
+        SELECT doc_id,
+               unnest(generate_series(0, len(toks) - 1)) AS pos,
+               unnest(toks) AS word
+        FROM t WHERE len(toks) > 0
+    ),
+    kept AS (
+        SELECT w.doc_id, w.pos, w.word
+        FROM words w LEFT JOIN removed r
+          ON r.doc_id = w.doc_id AND r.pos = w.pos
+        WHERE r.pos IS NULL
+    ),
+    rebuilt AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               string_agg(word, ' ' ORDER BY pos) AS cleaned_text
+        FROM kept GROUP BY 1
+    )
+    SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - coalesce(r.n_kept, 0) AS BIGINT)
+               AS n_removed,
+           coalesce(r.cleaned_text, '') AS cleaned_text
+    FROM t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    doc="duplicated-span REMOVAL — the rewrite sibling of c73's "
+        "coverage scorer (operators/text.dedup_span_removal; Lee et "
+        "al. 2022: cutting repeated substrings, not just flagging "
+        "them, is what improves the trained model): every token "
+        "covered by an 8-token window occurring more than once "
+        "corpus-wide is cut and the survivors re-join in order. Same "
+        "shapes as c73 through the merged-interval islands; the "
+        "removed set explodes the DISJOINT islands (= covered tokens "
+        "exactly, never the gram_len-x overlap blowup), an anti-join "
+        "keeps survivors, reconstruction is one per-document "
+        "sort_array(collect_list) bounded by the document itself. "
+        "Fully-removed documents come back empty, not missing",
+    bench=True,
+    tags=("text", "dedup", "documents"),
+)
+def c202_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import dedup_span_removal
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return dedup_span_removal(d, "doc_id", "text", gram_len=8)
+
+
+@query(
     "c201_trimmed_mean",
     oracle="""
     WITH base AS (

@@ -926,3 +926,30 @@ def test_windowed_funnel_strict_order_and_gap(spark):
     assert out["view"] == (3, 1_000_000)
     assert out["click"] == (2, 2 * 1_000_000 // 3)  # users 1 and 3
     assert out["purchase"] == (1, 500_000)          # user 1 only
+
+
+def test_dedup_span_removal_cuts_shared_spans(spark):
+    """A span repeated across two docs is removed from BOTH; unique
+    text survives intact; a fully-duplicated doc comes back empty."""
+    from amazonredshift_blueprints_spark.operators.text import (
+        dedup_span_removal,
+    )
+
+    boiler = "one two three four"  # 4-gram boilerplate
+    rows = [
+        (1, f"alpha beta {boiler} gamma"),
+        (2, f"delta {boiler} epsilon zeta"),
+        (3, "totally unique text here nothing repeats at all"),
+        (4, boiler),
+        (5, boiler),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+        for r in dedup_span_removal(df, "doc_id", "text", gram_len=4).collect()
+    }
+    assert got[1] == (7, 4, "alpha beta gamma")
+    assert got[2] == (7, 4, "delta epsilon zeta")
+    assert got[3] == (8, 0, "totally unique text here nothing repeats at all")
+    assert got[4] == (4, 4, "")  # fully removed, present and empty
+    assert got[5] == (4, 4, "")
