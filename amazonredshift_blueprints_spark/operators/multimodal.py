@@ -1569,17 +1569,16 @@ def encode_tga(pixels, *, rle: bool = False, topdown: bool = False) -> bytes:
                 body += row[x].tobytes()
                 x += run
                 continue
+            # extend the literal until a >=2 pixel run starts (which
+            # the next outer iteration emits as a repeat packet)
             lit = x + 1
-            while lit < w and lit - x < 128:
-                nxt = 1
-                while (
-                    lit + nxt < w
-                    and nxt < 2
-                    and (row[lit + nxt] == row[lit]).all()
-                ):
-                    nxt += 1
-                if nxt >= 2:
-                    break
+            while (
+                lit < w
+                and lit - x < 128
+                and not (
+                    lit + 1 < w and (row[lit + 1] == row[lit]).all()
+                )
+            ):
                 lit += 1
             body.append((lit - x) - 1)
             body += row[x:lit].tobytes()
