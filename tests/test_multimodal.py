@@ -600,3 +600,42 @@ def test_qoi_roundtrip_stress_and_refusals():
         decode_qoi(good[:-1])
     with pytest.raises(ValueError, match="truncated"):
         decode_qoi(good[:14] + good[-8:])  # ops removed, marker kept
+
+
+def test_tga_roundtrip_stress_and_refusals():
+    """TGA encode->decode is the identity for 24-bit type 2 and RLE
+    type 10 in both row orders, across randomized shapes including
+    >128-pixel rows (the packet-length cap) and degenerate 1x1;
+    unsupported types refuse by name; the 2.0 footer is present (the
+    format's only signature — decode_image dispatches on the TAIL)."""
+    import numpy as np
+    import pytest
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_image,
+        decode_tga,
+        encode_tga,
+    )
+
+    rng = np.random.RandomState(7)
+    for _ in range(20):
+        h, w = rng.randint(1, 7), rng.randint(1, 140)
+        img = (
+            rng.randint(0, 3, (h, w, 1)).repeat(3, axis=2).astype(np.uint8)
+            * 40
+        )
+        for rle in (False, True):
+            for td in (False, True):
+                payload = encode_tga(img, rle=rle, topdown=td)
+                assert payload.endswith(b"TRUEVISION-XFILE.\x00")
+                assert (decode_tga(payload) == img).all()
+                # tail-footer dispatch through the generic entry point
+                assert (decode_image(payload) == img).all()
+    # color-mapped / non-24-bit types refuse by name
+    good = bytearray(encode_tga(np.zeros((1, 1, 3), np.uint8)))
+    bad_type = bytes(good[:2]) + b"\x01" + bytes(good[3:])
+    with pytest.raises(NotImplementedError, match="truecolor"):
+        decode_tga(bad_type)
+    bad_bits = bytes(good[:16]) + b"\x10" + bytes(good[17:])
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        decode_tga(bad_bits)
