@@ -53,6 +53,54 @@ _QUERY_LOG: dict[int, list[tuple]] = {}
 _QLOG_NAMES = ("svl_qlog", "stl_query")
 _QLOG_REF_RE = re.compile("|".join(_QLOG_NAMES), re.IGNORECASE)
 
+# stl_load_errors: the bad rows a MAXERROR-tolerant COPY dropped —
+# the first table every Redshift operator queries after a load with
+# errors. Rows are bounded by each load's MAXERROR (that is what made
+# the driver-side capture legal); line numbers are honestly absent
+# (Spark's corrupt-record capture does not carry them), so the column
+# set is the subset we can state truthfully.
+_LOAD_ERRORS: dict[int, list[tuple]] = {}
+_LOAD_ERR_REF_RE = re.compile("stl_load_errors", re.IGNORECASE)
+
+
+def record_load_errors(
+    spark: SparkSession, table: str, raw_lines: list[str]
+) -> None:
+    """Append one load's dropped rows (<= its MAXERROR) to the
+    session's error log."""
+    import datetime
+
+    log = _LOAD_ERRORS.setdefault(id(spark), [])
+    now = datetime.datetime.now()
+    for raw in raw_lines:
+        log.append(
+            (
+                100,
+                table,
+                now,
+                raw,
+                "row did not conform to the declared parse contract",
+            )
+        )
+
+
+def reset_load_errors(spark: SparkSession, table: str | None = None) -> None:
+    log = _LOAD_ERRORS.get(id(spark))
+    if not log:
+        return
+    if table is None:
+        log.clear()
+    else:
+        log[:] = [r for r in log if r[1] != table]
+
+
+def register_load_error_view(spark: SparkSession) -> None:
+    spark.createDataFrame(
+        _LOAD_ERRORS.get(id(spark), []),
+        "userid int, tbl string, starttime timestamp, raw_line string, "
+        "err_reason string",
+    ).createOrReplaceTempView("stl_load_errors")
+
 
 def record_statement(spark: SparkSession, text: str, aborted: int) -> None:
     """Append one completed statement to the session's history log."""
@@ -166,3 +214,5 @@ def maybe_register_system_views(spark: SparkSession, sql: str) -> None:
         register_system_views(spark)
     if _QLOG_REF_RE.search(sql):
         register_query_log_views(spark)
+    if _LOAD_ERR_REF_RE.search(sql):
+        register_load_error_view(spark)

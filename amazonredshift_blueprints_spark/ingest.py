@@ -260,6 +260,16 @@ def read_files_tolerant(
         )
     clean = df.filter(F.col(_CORRUPT_COL).isNull()).drop(_CORRUPT_COL)
     clean._bp_cache_owner = df
+    # the dropped raw lines, for stl_load_errors: <= max_error rows of
+    # driver metadata BY THE GATE ABOVE (that bound is what makes this
+    # collect legal); sorted for deterministic registration order
+    clean._bp_load_errors = [
+        r[0]
+        for r in df.filter(F.col(_CORRUPT_COL).isNotNull())
+        .select(_CORRUPT_COL)
+        .orderBy(_CORRUPT_COL)
+        .collect()
+    ]
     return clean
 
 
@@ -327,6 +337,12 @@ def ingest_files(
         owner = getattr(df, "_bp_cache_owner", None)
         if owner is not None:  # release the tolerant read's pinned scan
             owner.unpersist()
+    dropped = getattr(df, "_bp_load_errors", None)
+    if dropped:
+        # queryable afterwards as stl_load_errors (system_tables.py)
+        from .functions.system_tables import record_load_errors
+
+        record_load_errors(spark, qualified, dropped)
     return spark.table(qualified).count()
 
 

@@ -16210,6 +16210,74 @@ def q100_pg_type_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a12_stl_load_errors",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('7,gamma,not_a_number',
+         'row did not conform to the declared parse contract'),
+        ('9,delta,oops',
+         'row did not conform to the declared parse contract')
+    ) AS t(raw_line, err_reason)
+    ORDER BY raw_line
+    """,
+    doc="stl_load_errors — the table every Redshift operator queries "
+        "after a COPY with errors (functions/system_tables."
+        "record_load_errors): a MAXERROR-tolerant load records the "
+        "raw lines it dropped (bounded by MAXERROR — the same gate "
+        "that made the driver-side capture legal), and the view "
+        "registers on demand like svl_qlog. Honest subset: Spark's "
+        "corrupt-record capture carries no line numbers or column "
+        "attribution, so those Redshift columns are absent rather "
+        "than faked. The entry loads a 6-row fixture with two "
+        "type-broken rows under MAXERROR 3 and reads its own error "
+        "slice back",
+    tags=("native", "ingest", "system"),
+)
+def a12_stl_load_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..functions.system_tables import (
+        register_load_error_view,
+        reset_load_errors,
+    )
+    from ..ingest import _clean_stale_location
+    from ..sqlrun import execute_sql
+
+    tmp = tempfile.mkdtemp(prefix="bp_stl_err_")
+    path = os.path.join(tmp, "dirty.csv")
+    with open(path, "w") as fh:
+        fh.write(
+            "k,name,bal\n"
+            "1,alpha,10.5\n"
+            "7,gamma,not_a_number\n"
+            "2,beta,20.25\n"
+            "9,delta,oops\n"
+            "3,epsilon,30.75\n"
+            "4,zeta,40.0\n"
+        )
+    tbl = "bp_stl_err_t"
+    _clean_stale_location(spark, tbl, None)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"CREATE TABLE {tbl} (k BIGINT, name STRING, bal DOUBLE) "
+        "USING parquet"
+    )
+    reset_load_errors(spark, tbl)  # idempotent under bench replays
+    execute_sql(
+        spark, f"COPY {tbl} FROM '{path}' CSV IGNOREHEADER 1 MAXERROR 3"
+    )
+    assert spark.table(tbl).count() == 4
+    register_load_error_view(spark)
+    return spark.sql(
+        f"""
+        SELECT raw_line, err_reason FROM stl_load_errors
+        WHERE tbl = '{tbl}'
+        ORDER BY raw_line
+        """
+    )
+
+
+@query(
     "c202_dedup_span_removal",
     oracle="""
     WITH t AS (
