@@ -16503,15 +16503,16 @@ def c200_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R13 ROTATION PLAN (write it as round 13's FIRST commit): take the
-# remaining 56 never-driver-rowed entries — c148-c190 (43), q88-q95
-# (8), a06-a10 (5), which is 56; that over-fills one window by 6, so
-# take the first 50 in catalog order (c148..c190 + q88..q94) and push
-# the overflow (q95, a06-a10) plus any round-12 additions to r14's
-# head-of-queue, then fill any remaining slots with the oldest-rowed
-# entries from the CORRECTNESS_r01-r13 union (co-window each rows-only
-# pick with its oracle twin: q12<->q11, c02<->c24, c03<->c26,
-# c07<->c38, c68<->q11).
+# R13 ROTATION PLAN (write it as round 13's FIRST commit): the
+# never-driver-rowed set after r12 is 73 entries — the 56 carried in
+# (c148-c190 (43), q88-q95 (8), a06-a10 (5)) plus round 12's 17
+# additions (c191-c202, q96-q100, a11, a12 — all hash-verified at
+# sf0.001/0.01/0.1 before their commits). Take the first 50 in
+# catalog order (c148..c190 + q88..q94); r14's head-of-queue is the
+# remaining 23 (q95, a06-a10, c191-c202, q96-q100, a11, a12), then
+# fill any remaining slots with the oldest-rowed entries from the
+# CORRECTNESS_r01-r13 union (co-window each rows-only pick with its
+# oracle twin: q12<->q11, c02<->c24, c03<->c26, c07<->c38, c68<->q11).
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
