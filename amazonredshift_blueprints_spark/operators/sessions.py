@@ -584,3 +584,86 @@ def windowed_funnel(
         "step_idx long, step string, n_users long, "
         "conv_from_prev_micro long, conv_from_first_micro long",
     )
+
+
+def markov_holdout_accuracy(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak_col: str,
+    state_col: str,
+    cutoff,
+) -> DataFrame:
+    """Honest out-of-sample evaluation of the c118 Markov model: train
+    :func:`transition_model` on pre-``cutoff`` events, predict each
+    post-cutoff transition with the modal next state (ties → smallest
+    state string), and report per-prev-state top-1 accuracy — "is the
+    behavioral model actually predictive", the eval every
+    transition-matrix dashboard needs before anyone trusts it.
+
+    Split rule, stated: events split into halves FIRST and pairs form
+    within each half independently — boundary-crossing pairs belong to
+    neither (clean replay; no train/test leakage through a shared
+    pair). Unseen prev states predict nothing and score 0 over their
+    test count (honest misses, not dropped rows). All-integer:
+    accuracy is ``correct * 1e6 DIV n_test``.
+
+    Returns (prev_state, n_test, n_correct, acc_micro).
+
+    100 TB: two key-ordered lead() windows (the sessionization
+    exchange, once per half), a states²-sized model aggregate whose
+    argmax is one min-struct fold, the model BROADCAST back over the
+    test pairs, ONE final aggregate to |states| rows.
+    """
+    def pairs(part: DataFrame) -> DataFrame:
+        w = Window.partitionBy(key).orderBy(
+            F.col(ts_col), F.col(tiebreak_col)
+        )
+        nxt = F.lead(F.col(state_col)).over(w)
+        return (
+            part.select(
+                F.col(state_col).alias("prev_state"),
+                nxt.alias("next_state"),
+            )
+            .filter(F.col("next_state").isNotNull())
+        )
+
+    train = pairs(df.filter(F.col(ts_col) < cutoff))
+    test = pairs(df.filter(F.col(ts_col) >= cutoff))
+    counts = train.groupBy("prev_state", "next_state").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # argmax with ties to the smallest state: min over ((-n), state)
+    model = (
+        counts.groupBy("prev_state")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n")).alias("_nn"),
+                    F.col("next_state").alias("_nx"),
+                )
+            ).alias("m")
+        )
+        .select("prev_state", F.col("m._nx").alias("predicted"))
+    )
+    scored = test.join(F.broadcast(model), "prev_state", "left")
+    return (
+        scored.groupBy("prev_state")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                (F.col("next_state") == F.col("predicted")).cast("long")
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "prev_state",
+            "n_test",
+            F.coalesce(F.col("n_correct"), F.lit(0)).alias("n_correct"),
+            F.expr(
+                "CAST(coalesce(n_correct, 0) * 1000000 DIV n_test"
+                " AS BIGINT)"
+            ).alias("acc_micro"),
+        )
+    )

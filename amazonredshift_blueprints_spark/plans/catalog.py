@@ -16210,6 +16210,72 @@ def q100_pg_type_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c203_markov_holdout_accuracy",
+    oracle="""
+    WITH tr AS (
+        SELECT event_type AS prev_state,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_state
+        FROM events WHERE ts < TIMESTAMP '2024-01-16'
+    ),
+    te AS (
+        SELECT event_type AS prev_state,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_state
+        FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+    ),
+    c AS (
+        SELECT prev_state, next_state, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tr WHERE next_state IS NOT NULL GROUP BY 1, 2
+    ),
+    model AS (
+        SELECT prev_state, next_state AS predicted FROM (
+            SELECT prev_state, next_state, row_number() OVER (
+                PARTITION BY prev_state
+                ORDER BY n DESC, next_state ASC) AS rn
+            FROM c
+        ) WHERE rn = 1
+    )
+    SELECT t.prev_state,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN t.next_state = m.predicted
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN t.next_state = m.predicted
+                         THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+               AS BIGINT) AS acc_micro
+    FROM te t LEFT JOIN model m USING (prev_state)
+    WHERE t.next_state IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="out-of-sample Markov top-1 accuracy (operators/sessions."
+        "markov_holdout_accuracy): train c118's transition model on "
+        "pre-cutoff events, predict each post-cutoff transition with "
+        "the modal next state (ties -> smallest), report per-prev-"
+        "state accuracy — 'is the behavioral model actually "
+        "predictive'. Split rule stated: halves split FIRST, pairs "
+        "form within each half (boundary pairs belong to neither — "
+        "no leakage through a shared pair); unseen prev states score "
+        "honest zeros. Two sessionization exchanges, a states^2 "
+        "model aggregate with a min-struct argmax, the model "
+        "BROADCAST over test pairs, ONE aggregate to |states| rows; "
+        "accuracy is exact integer micro-units",
+    tags=("events", "sessionization", "ml"),
+)
+def c203_markov_holdout_accuracy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.sessions import markov_holdout_accuracy
+
+    e = views(spark, sf_dir, "events")["events"]
+    return markov_holdout_accuracy(
+        e, "user_id", "ts", "event_id", "event_type",
+        F.lit("2024-01-16").cast("timestamp"),
+    ).orderBy("prev_state")
+
+
+@query(
     "a12_stl_load_errors",
     oracle="""
     SELECT * FROM (VALUES

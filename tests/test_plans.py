@@ -80,12 +80,21 @@ def test_lineitem_scans_prune_columns(spark, sf_dir):
             assert n_fields <= 7, (name, schema)
 
 
-def test_c30_stratified_sample_single_shuffle(spark, sf_dir):
-    """One Exchange (the strata key) feeds the ranking window — the
-    sample must not add shuffles beyond the stratum partitioning."""
+def test_c30_stratified_sample_plan_shape(spark, sf_dir):
+    """Since round 12 the within-stratum rank rides grouped_cumsum
+    (range partition + broadcast span offsets), trading the former
+    single-Exchange window — which put a dominant stratum's whole
+    population in one task — for skew-proof prefix sums: the offsets
+    attach via a BROADCAST join, every window is _pid-keyed, and no
+    Window is fed by a SinglePartition exchange."""
+    import re
+
     p = _plan(spark, sf_dir, "c30_stratified_sample")
-    assert p.count("Exchange") == 1, p
-    assert "WindowGroupLimit" in p  # samp_rank <= n pushed below the sort
+    assert "BroadcastHashJoin" in p          # span offsets broadcast
+    assert "SortMergeJoin" not in p
+    assert not _windows_fed_by_single_partition(p)
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert "_pid" in spec, spec
 
 
 def test_c31_top_tokens_partial_agg_and_topk(spark, sf_dir):
