@@ -2591,3 +2591,66 @@ def trimmed_mean(
             F.expr("CAST(ksum * 1000000 DIV kn AS BIGINT)"),
         ).alias("mean_micro"),
     )
+
+
+def fisher_scores(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+    *,
+    quant: int = 1000,
+) -> DataFrame:
+    """Fisher discriminant score per embedding DIMENSION — which
+    coordinates separate the classes: between-class scatter over
+    within-class scatter, the classic filter-style feature ranking
+    for labeled embeddings (the embedding-space sibling of c172's
+    mutual information over discrete features).
+
+    All-integer contract: coordinates quantize to ``quant`` units
+    (milli by default), and with per-(label, dim) sufficient stats
+    (n_l, S_l = Σq, and per-dim SS = Σq²):
+
+        T   = Σ_l (S_l² DIV n_l)          (exact BIGINT floors)
+        B_q = T − S² DIV n                (between, quantized)
+        W_q = SS − T                      (within, quantized)
+        fisher_micro = B_q · 1e6 DIV W_q  (NULL when W_q ≤ 0)
+
+    The DIV floors ARE the contract (replayable in any engine);
+    overflow bound, documented: S_l² < 2⁶³ needs n_l·|q̄| < 3e9 —
+    at milli quantization of unit-scale embeddings that is ~1e7 rows
+    per label; quantize coarser and shard labels beyond.
+
+    Returns (dim, n, between_q, within_q, fisher_micro) sorted by dim.
+
+    100 TB: ONE aggregate over the posexploded (label, dim, q) stream
+    — map-side partials bound the shuffle by labels×dims — then a
+    labels×dims → dims fold; nothing is collected.
+    """
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * quant).cast("long"),
+    )
+    exploded = df.select(
+        F.col(label_col).alias("lbl"), F.posexplode(q).alias("dim", "q")
+    )
+    per_label = exploded.groupBy("lbl", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_l"),
+        F.sum("q").alias("s_l"),
+        F.sum(F.col("q") * F.col("q")).alias("ss_l"),
+    )
+    per_dim = per_label.groupBy("dim").agg(
+        F.sum("n_l").cast("long").alias("n"),
+        F.sum("s_l").alias("s"),
+        F.sum("ss_l").alias("ss"),
+        F.sum(F.expr("s_l * s_l DIV n_l")).alias("t"),
+    )
+    return per_dim.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n",
+        F.expr("t - s * s DIV n").cast("long").alias("between_q"),
+        (F.col("ss") - F.col("t")).cast("long").alias("within_q"),
+        F.expr(
+            "CASE WHEN ss - t > 0 THEN CAST((t - s * s DIV n) * 1000000"
+            " DIV (ss - t) AS BIGINT) END"
+        ).alias("fisher_micro"),
+    ).orderBy("dim")

@@ -16210,6 +16210,59 @@ def q100_pg_type_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c204_fisher_scores",
+    oracle="""
+    WITH e AS (
+        SELECT label AS lbl,
+               unnest(generate_series(0, len(embedding) - 1)) AS dim,
+               unnest(list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+                   AS q
+        FROM embeddings
+    ),
+    per_label AS (
+        SELECT lbl, dim, CAST(COUNT(*) AS BIGINT) AS n_l,
+               CAST(SUM(q) AS BIGINT) AS s_l,
+               CAST(SUM(q * q) AS BIGINT) AS ss_l
+        FROM e GROUP BY 1, 2
+    ),
+    per_dim AS (
+        SELECT dim, CAST(SUM(n_l) AS BIGINT) AS n,
+               CAST(SUM(s_l) AS BIGINT) AS s,
+               CAST(SUM(ss_l) AS BIGINT) AS ss,
+               CAST(SUM(s_l * s_l // n_l) AS BIGINT) AS t
+        FROM per_label GROUP BY 1
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, n,
+           CAST(t - s * s // n AS BIGINT) AS between_q,
+           CAST(ss - t AS BIGINT) AS within_q,
+           CASE WHEN ss - t > 0 THEN
+               CAST((t - s * s // n) * 1000000 // (ss - t) AS BIGINT)
+           END AS fisher_micro
+    FROM per_dim ORDER BY dim
+    """,
+    doc="Fisher discriminant score per embedding dimension (operators/"
+        "ml.fisher_scores): between-class over within-class scatter "
+        "from exact integer sufficient stats on milli-quantized "
+        "coordinates — which coordinates separate the labels, the "
+        "embedding-space sibling of c172's mutual information. The "
+        "per-label DIV floors ARE the contract (engine-replayable); "
+        "overflow bound n_l*|mean q| < 3e9 documented (~1e7 rows per "
+        "label at milli quantization — quantize coarser and shard "
+        "beyond). ONE aggregate over the posexploded stream with "
+        "map-side partials bounding the shuffle by labels x dims, "
+        "then a labels*dims -> dims fold; nothing collected",
+    bench=True,
+    tags=("ml", "similarity", "embeddings"),
+)
+def c204_fisher_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import fisher_scores
+
+    e = views(spark, sf_dir, "embeddings")["embeddings"]
+    return fisher_scores(e, "label", "embedding", quant=1000)
+
+
+@query(
     "c203_markov_holdout_accuracy",
     oracle="""
     WITH tr AS (
