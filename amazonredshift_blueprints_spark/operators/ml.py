@@ -2654,3 +2654,67 @@ def fisher_scores(
             " DIV (ss - t) AS BIGINT) END"
         ).alias("fisher_micro"),
     ).orderBy("dim")
+
+
+def knn_label_agreement(
+    emb: DataFrame,
+    query_pred: Column,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Label-noise audit by neighborhood agreement: for each audited
+    vector, the fraction of its ``k`` cosine-nearest reference
+    neighbors sharing its label — the confident-learning-style "this
+    label disagrees with its neighborhood" screen a labeled corpus
+    needs before training (low agreement = candidate mislabel, the
+    QA sibling of c144's label-transfer vote).
+
+    Rows matching ``query_pred`` are audited against the remaining
+    reference corpus (the c144 split semantics — an audited row's
+    neighbors never include other audited rows; stated). Composes the
+    same candidate stage as every ANN entry
+    (:func:`..operators.similarity.brute_force_topk` here as the
+    exactness anchor; ivf/lsh swap in at 100 TB with the agreement
+    unchanged). Exact integer agreement: ``n_same * 1e6 DIV k_found``.
+
+    Returns (vec_id, label, k_found, n_same, agree_micro) — k_found
+    < k only when the reference corpus is smaller than k.
+
+    100 TB: the agreement table is queries-sized; the corpus moves
+    only through the ANN candidate stage.
+    """
+    from .similarity import brute_force_topk
+
+    queries = emb.filter(query_pred)
+    ref = emb.filter(~query_pred)
+    nb = brute_force_topk(ref, queries, id_col=id_col, vec_col=vec_col, k=k)
+    lab = ref.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("nb_label"),
+    )
+    qlab = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("label")
+    )
+    return (
+        nb.join(lab, "neighbor_id")
+        .join(qlab, "query_id")
+        .groupBy(F.col("query_id").alias(id_col), "label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_found"),
+            F.sum(
+                (F.col("nb_label") == F.col("label")).cast("long")
+            ).alias("n_same"),
+        )
+        .select(
+            id_col,
+            "label",
+            "k_found",
+            "n_same",
+            F.expr("CAST(n_same * 1000000 DIV k_found AS BIGINT)").alias(
+                "agree_micro"
+            ),
+        )
+    )

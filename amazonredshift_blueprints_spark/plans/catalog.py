@@ -16210,6 +16210,70 @@ def q100_pg_type_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c205_knn_label_agreement",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, {_DUCK_QUANT} AS qv FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, qv,
+               CAST({_DUCK_DOT.format(a='qv', b='qv')} AS BIGINT) AS norm
+        FROM v
+    ),
+    te AS (SELECT * FROM n WHERE vec_id % 10 = 0),
+    tr AS (SELECT * FROM n WHERE vec_id % 10 <> 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, q.label, c.label AS nb_label,
+               c.vec_id AS neighbor_id,
+               CAST({_DUCK_DOT.format(a='q.qv', b='c.qv')} AS DOUBLE)
+                 / (sqrt(CAST(q.norm AS DOUBLE))
+                    * sqrt(CAST(c.norm AS DOUBLE))) AS cosine
+        FROM te q CROSS JOIN tr c
+    ),
+    nb AS (
+        SELECT query_id, label, nb_label FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+            ) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    )
+    SELECT query_id AS vec_id, CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS k_found,
+           CAST(SUM(CASE WHEN nb_label = label THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_same,
+           CAST(SUM(CASE WHEN nb_label = label THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS agree_micro
+    FROM nb GROUP BY 1, 2
+    """,
+    doc="label-noise audit by neighborhood agreement (operators/ml."
+        "knn_label_agreement): for each audited vector (vec_id%10=0), "
+        "the fraction of its 5 cosine-nearest reference neighbors "
+        "sharing its label — the confident-learning-style mislabel "
+        "screen a labeled corpus needs before training (low agreement "
+        "= candidate mislabel; the QA sibling of c144's label-"
+        "transfer vote, same candidate stage, ANN-swappable at "
+        "100 TB). Quantized-integer dots make the neighbor ordering "
+        "engine-exact; agreement is one BIGINT division. The "
+        "agreement table is queries-sized — the corpus moves only "
+        "through the ANN stage",
+    tags=("ml", "similarity", "embeddings"),
+)
+def c205_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import knn_label_agreement
+
+    e = views(spark, sf_dir, "embeddings")["embeddings"]
+    out = knn_label_agreement(e, F.col("vec_id") % 10 == 0, k=5)
+    return out.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        "k_found",
+        "n_same",
+        "agree_micro",
+    ).orderBy("vec_id")
+
+
+@query(
     "c204_fisher_scores",
     oracle="""
     WITH e AS (
