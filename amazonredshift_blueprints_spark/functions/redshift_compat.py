@@ -1002,6 +1002,68 @@ def _extract_epoch_call_list(args: list[str]) -> str | None:
     return f"unix_timestamp({m.group(1)})"
 
 
+_JSON_FLAG_RE = re.compile(r"^\s*(true|false)\s*$", re.IGNORECASE)
+_QUOTED_KEY_RE = re.compile(r"^\s*'((?:[^']|'')*)'\s*$")
+_INT_LIT_RE = re.compile(r"^\s*(\d+)\s*$")
+
+
+def _json_extract_path_call(args: list[str]) -> str | None:
+    """``JSON_EXTRACT_PATH_TEXT(j, 'k1', 'k2', ... [, flag])`` →
+    ``get_json_object(j, '$.k1.k2')`` — the pre-SUPER Redshift JSON
+    workhorse. Keys must be quoted literals (Redshift requires text
+    there too); the optional trailing null_if_invalid boolean drops
+    (get_json_object already yields NULL on bad JSON)."""
+    if len(args) < 2:
+        return None
+    keys = args[1:]
+    if _JSON_FLAG_RE.match(keys[-1]):
+        keys = keys[:-1]
+    if not keys:
+        return None
+    parts = []
+    for k in keys:
+        m = _QUOTED_KEY_RE.match(k)
+        if m is None:
+            return None  # computed key: out of the rewrite's scope
+        parts.append(m.group(1).replace("''", "'"))
+    path = "$." + ".".join(parts)
+    return f"get_json_object({args[0]}, '{path}')"
+
+
+def _json_array_len_call(args: list[str]) -> str | None:
+    if len(args) == 2 and _JSON_FLAG_RE.match(args[1]):
+        args = args[:1]
+    if len(args) != 1:
+        return None
+    return f"json_array_length({args[0]})"
+
+
+def _json_array_elem_call(args: list[str]) -> str | None:
+    """``JSON_EXTRACT_ARRAY_ELEMENT_TEXT(j, i [, flag])`` →
+    ``get_json_object(j, '$[i]')`` for a literal index (Spark's json
+    path must be foldable; a computed index is out of scope)."""
+    if len(args) == 3 and _JSON_FLAG_RE.match(args[2]):
+        args = args[:2]
+    if len(args) != 2:
+        return None
+    m = _INT_LIT_RE.match(args[1])
+    if m is None:
+        return None
+    return f"get_json_object({args[0]}, '$[{m.group(1)}]')"
+
+
+def _is_valid_json_call(args: list[str]) -> str | None:
+    if len(args) != 1:
+        return None
+    return f"(get_json_object({args[0]}, '$') IS NOT NULL)"
+
+
+def _is_valid_json_array_call(args: list[str]) -> str | None:
+    if len(args) != 1:
+        return None
+    return f"(json_array_length({args[0]}) IS NOT NULL)"
+
+
 def _convert_call(args: list[str]) -> str | None:
     """Redshift ``CONVERT(type, expr)`` → ``CAST(expr AS type)``; the
     type token goes through the PG spelling map (CONVERT(int8, x)
@@ -1078,6 +1140,18 @@ def translate_redshift_sql(sql: str) -> str:
     sql = _rewrite_calls(sql, "DLOG1", _one_arg_alias("LN", True))
     sql = _rewrite_calls(sql, "DLOG10", _one_arg_alias("LOG10", True))
     sql = _rewrite_calls(sql, "FUNC_SHA1", _one_arg_alias("sha1"))
+    # pre-SUPER JSON-on-varchar family
+    sql = _rewrite_calls(
+        sql, "JSON_EXTRACT_PATH_TEXT", _json_extract_path_call
+    )
+    sql = _rewrite_calls(sql, "JSON_ARRAY_LENGTH", _json_array_len_call)
+    sql = _rewrite_calls(
+        sql, "JSON_EXTRACT_ARRAY_ELEMENT_TEXT", _json_array_elem_call
+    )
+    sql = _rewrite_calls(
+        sql, "IS_VALID_JSON_ARRAY", _is_valid_json_array_call
+    )
+    sql = _rewrite_calls(sql, "IS_VALID_JSON", _is_valid_json_call)
     sql = _rewrite_calls(sql, "LEN", _len_call)
     sql = _rewrite_calls(sql, "CHARINDEX", _charindex_call)
     sql = _rewrite_calls(sql, "STRTOL", _strtol_call)

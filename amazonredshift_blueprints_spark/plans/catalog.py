@@ -16210,6 +16210,58 @@ def q100_pg_type_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q101_json_varchar_functions",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_text,
+           CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS is_json,
+           json_array_length('[1,2,3]') IS NOT NULL AS arr3_valid,
+           CAST(json_array_length('[1,2,3]') AS BIGINT) AS arr3_len,
+           json_extract_string('[10,20,30]', '$[1]') AS elem1
+    FROM events
+    WHERE event_id <= 200
+    ORDER BY event_id
+    """,
+    doc="pre-SUPER JSON-on-varchar family (redshift_compat: "
+        "JSON_EXTRACT_PATH_TEXT -> get_json_object with a built '$.k1"
+        ".k2' path, JSON_ARRAY_LENGTH -> json_array_length, "
+        "JSON_EXTRACT_ARRAY_ELEMENT_TEXT -> '$[i]' for literal "
+        "indexes, IS_VALID_JSON[_ARRAY] -> NULL-probing "
+        "get_json_object/json_array_length): what every Redshift shop "
+        "used on VARCHAR JSON columns before SUPER existed, and still "
+        "runs daily. Optional null_if_invalid flags drop (NULL on bad "
+        "JSON is already the Spark behavior); computed keys/indexes "
+        "are out of the string rewrite's scope (stated — Spark's json "
+        "path must be foldable). Pure scalar projection over the "
+        "events props column",
+    tags=("dialect", "events"),
+)
+def q101_json_varchar_functions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions import translate_redshift_sql
+
+    views(spark, sf_dir, "events")
+    return spark.sql(
+        translate_redshift_sql(
+            """
+            SELECT event_id,
+                   JSON_EXTRACT_PATH_TEXT(props, 'k') AS k_text,
+                   CASE WHEN IS_VALID_JSON(props) THEN 1 ELSE 0 END
+                       AS is_json,
+                   IS_VALID_JSON_ARRAY('[1,2,3]') AS arr3_valid,
+                   JSON_ARRAY_LENGTH('[1,2,3]', true) AS arr3_len,
+                   JSON_EXTRACT_ARRAY_ELEMENT_TEXT('[10,20,30]', 1)
+                       AS elem1
+            FROM events
+            WHERE event_id <= 200
+            ORDER BY event_id
+            """
+        )
+    )
+
+
+@query(
     "c205_knn_label_agreement",
     oracle=f"""
     WITH v AS (

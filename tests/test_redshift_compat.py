@@ -1765,3 +1765,36 @@ def test_pg_width_aliases_in_ddl_and_drop_cascade():
     assert tr("DROP VIEW IF EXISTS v RESTRICT;") == "DROP VIEW IF EXISTS v;"
     # not a DROP TABLE/VIEW head: untouched
     assert tr("DROP DATABASE d CASCADE") == "DROP DATABASE d CASCADE"
+
+
+def test_json_varchar_function_rewrites():
+    """Pre-SUPER JSON family: path building, literal-index element
+    access, validity probes; computed keys/indexes stay untouched."""
+    from amazonredshift_blueprints_spark.functions.redshift_compat import (
+        translate_redshift_sql as tr,
+    )
+
+    assert tr("SELECT JSON_EXTRACT_PATH_TEXT(j, 'a', 'b') FROM t") == (
+        "SELECT get_json_object(j, '$.a.b') FROM t"
+    )
+    # optional null_if_invalid flag drops
+    assert tr("SELECT JSON_EXTRACT_PATH_TEXT(j, 'a', true) FROM t") == (
+        "SELECT get_json_object(j, '$.a') FROM t"
+    )
+    assert tr("SELECT JSON_ARRAY_LENGTH(j) FROM t") == (
+        "SELECT json_array_length(j) FROM t"
+    )
+    assert tr(
+        "SELECT JSON_EXTRACT_ARRAY_ELEMENT_TEXT(j, 2) FROM t"
+    ) == "SELECT get_json_object(j, '$[2]') FROM t"
+    assert tr("SELECT IS_VALID_JSON(j) FROM t") == (
+        "SELECT (get_json_object(j, '$') IS NOT NULL) FROM t"
+    )
+    assert tr("SELECT IS_VALID_JSON_ARRAY(j) FROM t") == (
+        "SELECT (json_array_length(j) IS NOT NULL) FROM t"
+    )
+    # computed key / index: out of scope, untouched
+    s = "SELECT JSON_EXTRACT_PATH_TEXT(j, k) FROM t"
+    assert tr(s) == s
+    s = "SELECT JSON_EXTRACT_ARRAY_ELEMENT_TEXT(j, i) FROM t"
+    assert tr(s) == s
