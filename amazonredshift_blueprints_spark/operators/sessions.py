@@ -667,3 +667,54 @@ def markov_holdout_accuracy(
             ).alias("acc_micro"),
         )
     )
+
+
+def sliding_distinct_users(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    *,
+    window_days: int = 7,
+) -> DataFrame:
+    """Exact trailing-N-day distinct users per day (WAU when N=7) —
+    the sliding COUNT DISTINCT a plain window cannot express (distinct
+    is not decomposable over frames) and sketches only approximate
+    (c68). Exact construction: collapse to distinct (user, day) pairs,
+    EXPLODE each pair to the ``window_days`` report days it supports
+    (day .. day+N-1), drop the explosion's overhang past the corpus's
+    last day, distinct again, count per report day.
+
+    Returns (day, wau) for every day in the observed range that has a
+    full or partial trailing window. Days with zero activity in their
+    entire window are absent (honest absence, not zero-filled — join
+    c21's calendar spine to densify).
+
+    100 TB: the explosion is exactly window_days × |distinct
+    user-days| — bounded metadata relative to the event stream (the
+    user-day table is the DAU table), and both distincts are hash
+    aggregates with map-side partials. No window function at all.
+    """
+    day = F.col(ts_col).cast("date")
+    pairs = df.select(
+        F.col(user_col).alias("u"), day.alias("d")
+    ).distinct()
+    last_day = pairs.agg(F.max("d").alias("mx"))
+    supported = (
+        pairs.select(
+            "u",
+            F.explode(
+                F.sequence(
+                    F.col("d"),
+                    F.date_add(F.col("d"), window_days - 1),
+                )
+            ).alias("day"),
+        )
+        .distinct()
+        .join(F.broadcast(last_day), F.col("day") <= F.col("mx"))
+        .drop("mx")
+    )
+    return (
+        supported.groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("wau"))
+        .orderBy("day")
+    )

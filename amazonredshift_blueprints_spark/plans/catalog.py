@@ -16210,6 +16210,49 @@ def q100_pg_type_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c206_sliding_distinct_users",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+    ),
+    days AS (SELECT DISTINCT d AS day FROM pairs)
+    SELECT CAST(dy.day AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT p.u) AS BIGINT) AS wau
+    FROM days dy JOIN pairs p
+      ON p.d <= dy.day AND p.d > dy.day - 7
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="exact trailing-7-day distinct users per day — WAU, the "
+        "sliding COUNT DISTINCT a window frame cannot express "
+        "(distinct is not frame-decomposable) and sketches only "
+        "approximate (c68) — operators/sessions."
+        "sliding_distinct_users. Exact shape: distinct (user, day) "
+        "pairs, each EXPLODED to the 7 report days it supports, "
+        "distinct again, ONE count per day — the explosion is "
+        "7 x |user-days| (the DAU table, metadata-sized next to the "
+        "event stream), both distincts are map-side-partial hash "
+        "aggregates, no window function at all. The oracle replays "
+        "it as the literal range join + COUNT DISTINCT spec. Days "
+        "with an empty window are honestly absent (c21's spine "
+        "densifies). Note the output starts mid-window: early days "
+        "have partial trailing windows by definition",
+    bench=True,
+    tags=("sessionization", "events"),
+)
+def c206_sliding_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.sessions import sliding_distinct_users
+
+    e = views(spark, sf_dir, "events")["events"]
+    out = sliding_distinct_users(e, "user_id", "ts", window_days=7)
+    return out.select(
+        F.col("day").cast("string").alias("day"), "wau"
+    ).orderBy("day")
+
+
+@query(
     "q101_json_varchar_functions",
     oracle="""
     SELECT event_id,
