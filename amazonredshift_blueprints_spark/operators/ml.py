@@ -2718,3 +2718,105 @@ def knn_label_agreement(
             ),
         )
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival estimate per group — time-to-event
+    analytics (retention curves, churn timing, time-to-conversion)
+    with right-censoring done honestly: subjects who never convert
+    leave the risk set at their censoring time instead of polluting
+    the denominator forever.
+
+    Input is one row per subject: (group, duration, event) with
+    ``event`` 1 = the event happened at ``duration``, 0 = censored
+    then. Per distinct duration t: d_t events, n_t at risk (everyone
+    with duration ≥ t), and the estimator
+
+        S(t) = Π_{s ≤ t} (n_s − d_s) / n_s
+
+    carried as the INTEGER micro recurrence ``S ← S·(n−d) DIV n``
+    from S = 1e6 — each step floors, so the whole curve replays
+    bit-exactly in any engine (the stated quantization: ≤ 1 micro of
+    drift per step, the c131/ewma_fold contract). Returns
+    (grp, t, n_risk, d, s_micro), one row per distinct duration with
+    at least one event or censor.
+
+    100 TB: the subject table collapses to a per-(group, duration)
+    DAY table in ONE hash aggregate (map-side partials); the risk-set
+    cumulative and the survival fold both run on that metadata-sized
+    table (the c161 days-table discipline — documented bound), the
+    fold itself a JVM-side ``aggregate`` over each group's collected
+    day array. Nothing subject-sized shuffles twice.
+    """
+    from pyspark.sql.window import Window
+
+    day = df.groupBy(
+        F.col(group_col).alias("grp"),
+        F.col(duration_col).cast("long").alias("t"),
+    ).agg(
+        F.sum(F.col(event_col).cast("long")).alias("d"),
+        F.count(F.lit(1)).cast("long").alias("leave"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot = Window.partitionBy("grp")
+    risk = day.select(
+        "grp",
+        "t",
+        "d",
+        (
+            F.sum("leave").over(tot)
+            - F.coalesce(F.sum("leave").over(w), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("t"), F.col("n_risk"), F.col("d")))
+    )
+    folded = risk.groupBy("grp").agg(arr.alias("_days"))
+    def _next_s(acc, e):
+        # exact integer floor division (values non-negative):
+        # (num - num % n) / n, the ewma_fold arithmetic
+        num = acc["s"] * (e["n_risk"] - e["d"])
+        return ((num - num % e["n_risk"]) / e["n_risk"]).cast("long")
+
+    steps = F.aggregate(
+        F.col("_days"),
+        F.struct(
+            F.lit(1_000_000).cast("long").alias("s"),
+            F.expr(
+                "CAST(array() AS "
+                "array<struct<t:bigint,n_risk:bigint,d:bigint,"
+                "s_micro:bigint>>)"
+            ).alias("rows"),
+        ),
+        lambda acc, e: F.struct(
+            _next_s(acc, e).alias("s"),
+            F.array_append(
+                acc["rows"],
+                F.struct(
+                    e["t"].alias("t"),
+                    e["n_risk"].alias("n_risk"),
+                    e["d"].alias("d"),
+                    _next_s(acc, e).alias("s_micro"),
+                ),
+            ).alias("rows"),
+        ),
+    )
+    out = folded.select("grp", F.explode(steps["rows"]).alias("r")).select(
+        "grp",
+        F.col("r.t").alias("t"),
+        F.col("r.n_risk").alias("n_risk"),
+        F.col("r.d").alias("d"),
+        F.col("r.s_micro").alias("s_micro"),
+    )
+    return out

@@ -16210,6 +16210,94 @@ def q100_pg_type_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c207_kaplan_meier",
+    oracle="""
+    WITH RECURSIVE u AS (
+        SELECT user_id, user_id % 3 AS grp,
+               MIN(CAST(ts AS DATE)) AS first_d,
+               MAX(CAST(ts AS DATE)) AS last_d,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ts AS DATE) END) AS conv_d
+        FROM events GROUP BY 1, 2
+    ),
+    subj AS (
+        SELECT grp,
+               CAST(date_diff('day', first_d, COALESCE(conv_d, last_d))
+                   AS BIGINT) AS dur,
+               CASE WHEN conv_d IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM u
+    ),
+    day AS (
+        SELECT grp, dur AS t, CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS leave
+        FROM subj GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT grp, t, d,
+               CAST(SUM(leave) OVER (PARTITION BY grp)
+                    - COALESCE(SUM(leave) OVER (
+                          PARTITION BY grp ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS n_risk,
+               CAST(row_number() OVER (
+                   PARTITION BY grp ORDER BY t) AS BIGINT) AS rn
+        FROM day
+    ),
+    step AS (
+        SELECT grp, t, n_risk, d, rn,
+               CAST((1000000 * (n_risk - d)) // n_risk AS BIGINT) AS s
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.grp, r.t, r.n_risk, r.d, r.rn,
+               CAST((step.s * (r.n_risk - r.d)) // r.n_risk AS BIGINT)
+        FROM step JOIN r ON r.grp = step.grp AND r.rn = step.rn + 1
+    )
+    SELECT CAST(grp AS BIGINT) AS grp, t, n_risk, d, s AS s_micro
+    FROM step ORDER BY grp, t
+    """,
+    doc="Kaplan-Meier time-to-conversion survival per user cohort "
+        "(operators/ml.kaplan_meier): each user's duration runs from "
+        "first activity to first purchase (event) or last activity "
+        "(right-censored — honest risk-set exit, not a forever "
+        "denominator); S(t) = prod (n_s - d_s)/n_s carried as the "
+        "integer micro recurrence S <- S*(n-d) DIV n, each step "
+        "floored, so the whole curve replays bit-exactly (the "
+        "ewma_fold quantization contract; the oracle is a recursive "
+        "CTE over per-group day indexes). The subject table collapses "
+        "to a per-(cohort, duration) DAY table in ONE aggregate; the "
+        "risk-set cumulative and the survival fold run on that "
+        "metadata-sized table (c161 days discipline), the fold a "
+        "JVM-side aggregate over each cohort's collected day array",
+    bench=True,
+    tags=("ml", "events", "sessionization"),
+)
+def c207_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import kaplan_meier
+
+    e = views(spark, sf_dir, "events")["events"]
+    u = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_d"),
+        F.max(F.col("ts").cast("date")).alias("last_d"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("ts").cast("date"),
+            )
+        ).alias("conv_d"),
+    )
+    subj = u.select(
+        (F.col("user_id") % 3).alias("grp"),
+        F.datediff(
+            F.coalesce("conv_d", "last_d"), F.col("first_d")
+        )
+        .cast("long")
+        .alias("dur"),
+        F.col("conv_d").isNotNull().cast("int").alias("ev"),
+    )
+    return kaplan_meier(subj, "grp", "dur", "ev").orderBy("grp", "t")
+
+
+@query(
     "c206_sliding_distinct_users",
     oracle="""
     WITH pairs AS (

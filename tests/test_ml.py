@@ -1069,3 +1069,44 @@ def test_trimmed_mean_exact_replay(spark):
     assert (rt.lo_cut, rt.hi_cut, rt.mean_micro) == (1, 3, 5_000_000)
     with pytest.raises(ValueError, match="trim_milli"):
         trimmed_mean(df, "g", "v", trim_milli=500)
+
+
+def test_kaplan_meier_hand_replay(spark):
+    """KM on the classic hand fixture matches the sequential integer
+    recurrence exactly: censored subjects leave the risk set without
+    dropping the curve; per-group curves are independent."""
+    from amazonredshift_blueprints_spark.operators.ml import kaplan_meier
+
+    rows = [
+        ("a", 1, 1), ("a", 2, 1), ("a", 3, 0), ("a", 4, 1), ("a", 5, 0),
+        ("a", 2, 1),
+        ("b", 1, 0), ("b", 1, 0), ("b", 2, 1),
+    ]
+    df = spark.createDataFrame(rows, "grp string, dur long, ev int")
+    got = {
+        (r.grp, r.t): (r.n_risk, r.d, r.s_micro)
+        for r in kaplan_meier(df, "grp", "dur", "ev").collect()
+    }
+
+    def replay(subset):
+        day = {}
+        for _, d, e in subset:
+            day.setdefault(d, [0, 0])
+            day[d][0] += e
+            day[d][1] += 1
+        s, tot, seen, out = 1_000_000, len(subset), 0, {}
+        for t in sorted(day):
+            d, leave = day[t]
+            n = tot - seen
+            seen += leave
+            num = s * (n - d)
+            s = (num - num % n) // n
+            out[t] = (n, d, s)
+        return out
+
+    for g in ("a", "b"):
+        exp = replay([r for r in rows if r[0] == g])
+        for t, v in exp.items():
+            assert got[(g, t)] == v, (g, t)
+    # group b: day 1 all censored -> survival still 1e6 at t=1
+    assert got[("b", 1)][2] == 1_000_000
