@@ -2820,3 +2820,135 @@ def kaplan_meier(
         F.col("r.s_micro").alias("s_micro"),
     )
     return out
+
+
+def logrank_test(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Log-rank test between exactly TWO survival curves — the
+    significance companion of :func:`kaplan_meier` ("are these two
+    cohorts' time-to-event distributions different", the survival
+    sibling of c177/c183). Standard Mantel-Haenszel form over the
+    pooled event days:
+
+        O₁−E₁ = Σ_t (d₁ₜ − Dₜ·n₁ₜ/Nₜ)
+        V     = Σ_t Dₜ·(n₁ₜ/Nₜ)·(n₂ₜ/Nₜ)·(Nₜ−Dₜ)/(Nₜ−1)
+        χ²    = (O₁−E₁)² / V
+
+    Quantization contract: E₁'s per-day term is the exact BIGINT
+    ``Dₜ·n₁ₜ·1e6 DIV Nₜ``; V's per-day term is one fixed-IEEE double
+    expression over exact BIGINTs ROUNDed to micro — both then SUM as
+    exact integers, so the statistic replays bit-exactly. χ² is
+    reported in micro-units; α=0.05 critical value 3.841 (1 df) gives
+    the reject flag. Multi-arm inputs raise (the srm/ks contract).
+
+    Returns ONE row: (n1, n2, o1, e1_micro, v_micro, chi2_micro,
+    reject).
+
+    100 TB: the subject table collapses to a per-(group, day) table
+    in ONE aggregate; risk sets are cumulative sums on that
+    metadata-sized days table (c161 discipline); ONE tiny aggregate
+    folds the day terms.
+    """
+    from pyspark.sql.window import Window
+
+    _require_two_arms(df, group_col, "log-rank test")
+    arms = [
+        r[0]
+        for r in df.select(group_col).distinct().orderBy(group_col).collect()
+    ]
+    lo, hi = arms
+    day = df.groupBy(F.col(duration_col).cast("long").alias("t")).agg(
+        F.sum(
+            F.when(F.col(group_col) == lo, F.col(event_col).cast("long"))
+            .otherwise(0)
+        ).alias("d1"),
+        F.sum(
+            F.when(F.col(group_col) == hi, F.col(event_col).cast("long"))
+            .otherwise(0)
+        ).alias("d2"),
+        F.sum(
+            F.when(F.col(group_col) == lo, 1).otherwise(0).cast("long")
+        ).alias("l1"),
+        F.sum(
+            F.when(F.col(group_col) == hi, 1).otherwise(0).cast("long")
+        ).alias("l2"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    tot = Window.partitionBy()
+    # days-sized table: the partition-less windows here run over the
+    # distinct DURATION table (c161 discipline — durations are days,
+    # not corpus rows; continuous-duration callers bucket first)
+    risk = day.select(
+        "t",
+        "d1",
+        "d2",
+        (
+            F.sum("l1").over(tot) - F.coalesce(F.sum("l1").over(w), F.lit(0))
+        ).alias("n1t"),
+        (
+            F.sum("l2").over(tot) - F.coalesce(F.sum("l2").over(w), F.lit(0))
+        ).alias("n2t"),
+    ).filter((F.col("d1") + F.col("d2")) > 0)
+    terms = risk.select(
+        "d1",
+        F.expr(
+            "CAST((d1 + d2) * n1t * 1000000 DIV (n1t + n2t) AS BIGINT)"
+        ).alias("e1_t_micro"),
+        F.when(
+            (F.col("n1t") + F.col("n2t")) > 1,
+            F.round(
+                (F.col("d1") + F.col("d2")).cast("double")
+                * F.col("n1t").cast("double")
+                * F.col("n2t").cast("double")
+                * (
+                    F.col("n1t") + F.col("n2t") - F.col("d1") - F.col("d2")
+                ).cast("double")
+                / (
+                    (F.col("n1t") + F.col("n2t")).cast("double")
+                    * (F.col("n1t") + F.col("n2t")).cast("double")
+                    * (F.col("n1t") + F.col("n2t") - 1).cast("double")
+                )
+                * 1e6
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("v_t_micro"),
+    )
+    counts = df.groupBy().agg(
+        F.sum((F.col(group_col) == lo).cast("long")).alias("n1"),
+        F.sum((F.col(group_col) == hi).cast("long")).alias("n2"),
+    )
+    agg = terms.groupBy().agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("e1_t_micro").cast("long").alias("e1_micro"),
+        F.sum("v_t_micro").cast("long").alias("v_micro"),
+    )
+    return counts.crossJoin(agg).select(
+        "n1",
+        "n2",
+        "o1",
+        "e1_micro",
+        "v_micro",
+        F.when(
+            F.col("v_micro") > 0,
+            F.round(
+                (
+                    F.col("o1").cast("double")
+                    - F.col("e1_micro").cast("double") / 1e6
+                )
+                * (
+                    F.col("o1").cast("double")
+                    - F.col("e1_micro").cast("double") / 1e6
+                )
+                / (F.col("v_micro").cast("double") / 1e6)
+                * 1e6
+            ).cast("long"),
+        ).alias("chi2_micro"),
+    ).withColumn(
+        "reject",
+        F.coalesce(F.col("chi2_micro") >= 3_841_000, F.lit(False)),
+    )

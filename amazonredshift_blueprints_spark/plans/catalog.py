@@ -16210,6 +16210,127 @@ def q100_pg_type_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c208_logrank_test",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, user_id % 2 AS grp,
+               MIN(CAST(ts AS DATE)) AS first_d,
+               MAX(CAST(ts AS DATE)) AS last_d,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ts AS DATE) END) AS conv_d
+        FROM events GROUP BY 1, 2
+    ),
+    subj AS (
+        SELECT grp,
+               CAST(date_diff('day', first_d, COALESCE(conv_d, last_d))
+                   AS BIGINT) AS dur,
+               CASE WHEN conv_d IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM u
+    ),
+    day AS (
+        SELECT dur AS t,
+               CAST(SUM(CASE WHEN grp = 0 THEN ev ELSE 0 END)
+                   AS BIGINT) AS d1,
+               CAST(SUM(CASE WHEN grp = 1 THEN ev ELSE 0 END)
+                   AS BIGINT) AS d2,
+               CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS l1,
+               CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS l2
+        FROM subj GROUP BY 1
+    ),
+    risk AS (
+        SELECT t, d1, d2,
+               CAST(SUM(l1) OVER ()
+                    - COALESCE(SUM(l1) OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS n1t,
+               CAST(SUM(l2) OVER ()
+                    - COALESCE(SUM(l2) OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS n2t
+        FROM day
+    ),
+    terms AS (
+        SELECT d1,
+               CAST((d1 + d2) * n1t * 1000000 // (n1t + n2t) AS BIGINT)
+                   AS e1_t_micro,
+               CASE WHEN n1t + n2t > 1 THEN
+                   CAST(round(CAST(d1 + d2 AS DOUBLE) * CAST(n1t AS DOUBLE)
+                        * CAST(n2t AS DOUBLE)
+                        * CAST(n1t + n2t - d1 - d2 AS DOUBLE)
+                        / (CAST(n1t + n2t AS DOUBLE)
+                           * CAST(n1t + n2t AS DOUBLE)
+                           * CAST(n1t + n2t - 1 AS DOUBLE)) * 1e6)
+                       AS BIGINT)
+               ELSE 0 END AS v_t_micro
+        FROM risk WHERE d1 + d2 > 0
+    ),
+    c AS (
+        SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n2
+        FROM subj
+    ),
+    a AS (
+        SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+               CAST(SUM(e1_t_micro) AS BIGINT) AS e1_micro,
+               CAST(SUM(v_t_micro) AS BIGINT) AS v_micro
+        FROM terms
+    )
+    SELECT n1, n2, o1, e1_micro, v_micro,
+           CASE WHEN v_micro > 0 THEN
+               CAST(round((CAST(o1 AS DOUBLE) - CAST(e1_micro AS DOUBLE)/1e6)
+                    * (CAST(o1 AS DOUBLE) - CAST(e1_micro AS DOUBLE)/1e6)
+                    / (CAST(v_micro AS DOUBLE)/1e6) * 1e6) AS BIGINT)
+           END AS chi2_micro,
+           COALESCE(CASE WHEN v_micro > 0 THEN
+               CAST(round((CAST(o1 AS DOUBLE) - CAST(e1_micro AS DOUBLE)/1e6)
+                    * (CAST(o1 AS DOUBLE) - CAST(e1_micro AS DOUBLE)/1e6)
+                    / (CAST(v_micro AS DOUBLE)/1e6) * 1e6) AS BIGINT)
+               >= 3841000 END, FALSE) AS reject
+    FROM c CROSS JOIN a
+    """,
+    doc="log-rank test between two conversion-survival cohorts "
+        "(operators/ml.logrank_test) — the significance companion of "
+        "c207's Kaplan-Meier curves and the survival sibling of the "
+        "c177/c183 tests: Mantel-Haenszel O1-E1 over the pooled event "
+        "days with the hypergeometric variance. Quantization contract "
+        "stated: E1's day term is the exact BIGINT D*n1*1e6 DIV N, "
+        "V's day term one fixed-IEEE double ROUNDed to micro, both "
+        "then summed exactly; chi-square in micro vs the 3.841 (1 df) "
+        "critical. Multi-arm inputs raise (the srm/ks contract). "
+        "Subject table -> per-day table in ONE aggregate; risk sets "
+        "are cumulative sums on that days-sized table (c161 "
+        "discipline); one tiny fold out",
+    tags=("ml", "events"),
+)
+def c208_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import logrank_test
+
+    e = views(spark, sf_dir, "events")["events"]
+    u = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_d"),
+        F.max(F.col("ts").cast("date")).alias("last_d"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("ts").cast("date"),
+            )
+        ).alias("conv_d"),
+    )
+    subj = u.select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.datediff(F.coalesce("conv_d", "last_d"), F.col("first_d"))
+        .cast("long")
+        .alias("dur"),
+        F.col("conv_d").isNotNull().cast("int").alias("ev"),
+    )
+    return logrank_test(subj, "grp", "dur", "ev")
+
+
+@query(
     "c207_kaplan_meier",
     oracle="""
     WITH RECURSIVE u AS (
