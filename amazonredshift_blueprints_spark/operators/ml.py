@@ -2952,3 +2952,62 @@ def logrank_test(
         "reject",
         F.coalesce(F.col("chi2_micro") >= 3_841_000, F.lit(False)),
     )
+
+
+def rmst(
+    km: DataFrame,
+    *,
+    horizon: int,
+) -> DataFrame:
+    """Restricted mean survival time at horizon τ — the area under
+    the :func:`kaplan_meier` step curve up to τ, the single-number
+    summary clinicians and growth teams quote ("average conversion-
+    free days in the first 30"): with curve steps (t_i, S_i),
+
+        RMST(τ) = 1·min(t₁, τ) + Σ_i S_i · (min(t_{i+1}, τ) − t_i)⁺
+
+    — survival is 1 before the first event day and S_i on
+    [t_i, t_{i+1}). All-integer over the micro-quantized curve:
+    ``rmst_micro_days = Σ S_micro · width``. Takes c207's output
+    (grp, t, n_risk, d, s_micro); returns ONE row per group
+    (grp, horizon, rmst_micro_days).
+
+    100 TB: one lead() window over the metadata-sized curve table
+    (days per group) and one aggregate — nothing subject-sized.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("grp").orderBy("t")
+    stepped = km.select(
+        "grp",
+        "t",
+        "s_micro",
+        F.lead("t").over(w).alias("t_next"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    width = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.coalesce(F.col("t_next"), F.lit(horizon).cast("long")),
+            F.lit(horizon).cast("long"),
+        )
+        - F.col("t"),
+    )
+    head = F.when(
+        F.col("_rn") == 1,
+        F.lit(1_000_000).cast("long")
+        * F.least(F.col("t"), F.lit(horizon).cast("long")),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        stepped.groupBy("grp")
+        .agg(
+            F.sum(head + F.col("s_micro") * width)
+            .cast("long")
+            .alias("rmst_micro_days")
+        )
+        .select(
+            "grp",
+            F.lit(horizon).cast("long").alias("horizon"),
+            "rmst_micro_days",
+        )
+    )

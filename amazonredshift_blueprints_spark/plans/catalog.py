@@ -16210,6 +16210,100 @@ def q100_pg_type_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c209_rmst",
+    oracle="""
+    WITH RECURSIVE u AS (
+        SELECT user_id, user_id % 3 AS grp,
+               MIN(CAST(ts AS DATE)) AS first_d,
+               MAX(CAST(ts AS DATE)) AS last_d,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ts AS DATE) END) AS conv_d
+        FROM events GROUP BY 1, 2
+    ),
+    subj AS (
+        SELECT grp,
+               CAST(date_diff('day', first_d, COALESCE(conv_d, last_d))
+                   AS BIGINT) AS dur,
+               CASE WHEN conv_d IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM u
+    ),
+    day AS (
+        SELECT grp, dur AS t, CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS leave
+        FROM subj GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT grp, t, d,
+               CAST(SUM(leave) OVER (PARTITION BY grp)
+                    - COALESCE(SUM(leave) OVER (
+                          PARTITION BY grp ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS n_risk,
+               CAST(row_number() OVER (
+                   PARTITION BY grp ORDER BY t) AS BIGINT) AS rn
+        FROM day
+    ),
+    step AS (
+        SELECT grp, t, n_risk, d, rn,
+               CAST((1000000 * (n_risk - d)) // n_risk AS BIGINT) AS s
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.grp, r.t, r.n_risk, r.d, r.rn,
+               CAST((step.s * (r.n_risk - r.d)) // r.n_risk AS BIGINT)
+        FROM step JOIN r ON r.grp = step.grp AND r.rn = step.rn + 1
+    ),
+    widths AS (
+        SELECT grp, t, s, rn,
+               GREATEST(CAST(0 AS BIGINT),
+                   LEAST(COALESCE(lead(t) OVER (
+                             PARTITION BY grp ORDER BY t),
+                         CAST(14 AS BIGINT)), CAST(14 AS BIGINT)) - t)
+                   AS width
+        FROM step
+    )
+    SELECT CAST(grp AS BIGINT) AS grp, CAST(14 AS BIGINT) AS horizon,
+           CAST(SUM(CASE WHEN rn = 1
+                         THEN 1000000 * LEAST(t, CAST(14 AS BIGINT))
+                         ELSE 0 END
+                    + s * width) AS BIGINT) AS rmst_micro_days
+    FROM widths GROUP BY 1 ORDER BY 1
+    """,
+    doc="restricted mean survival time at a 14-day horizon (operators/"
+        "ml.rmst over c207's Kaplan-Meier curve): the area under the "
+        "step curve — 'average conversion-free days in the first two "
+        "weeks' per cohort, the single-number summary the curves "
+        "reduce to. All-integer over the micro-quantized curve "
+        "(survival is 1e6 before the first event day, S_i on "
+        "[t_i, t_{i+1}), widths clipped at the horizon); one lead() "
+        "window + one aggregate over the metadata-sized curve table",
+    tags=("ml", "events"),
+)
+def c209_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import kaplan_meier, rmst
+
+    e = views(spark, sf_dir, "events")["events"]
+    u = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_d"),
+        F.max(F.col("ts").cast("date")).alias("last_d"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("ts").cast("date"),
+            )
+        ).alias("conv_d"),
+    )
+    subj = u.select(
+        (F.col("user_id") % 3).alias("grp"),
+        F.datediff(F.coalesce("conv_d", "last_d"), F.col("first_d"))
+        .cast("long")
+        .alias("dur"),
+        F.col("conv_d").isNotNull().cast("int").alias("ev"),
+    )
+    km = kaplan_meier(subj, "grp", "dur", "ev")
+    return rmst(km, horizon=14).orderBy("grp")
+
+
+@query(
     "c208_logrank_test",
     oracle="""
     WITH u AS (
