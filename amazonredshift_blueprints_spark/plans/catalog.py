@@ -17070,88 +17070,91 @@ def c200_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_catalog_oracle.py at sf0.001, but gets no per-round
 # CORRECTNESS row.
 #
-# Round-12 rotation (VERDICT r11 item 1, set as the FIRST commit of the
+# Round-13 rotation (VERDICT r12 item 1, set as the FIRST commit of the
 # round so late-round additions cannot bump it): the window holds the
-# first 50 of the 106 never-driver-rowed entries, in catalog order —
-# c98..c147. All 106 were judge-certified hash-green at sf0.01 AND
-# sf0.1 in round 11, so the exposure being retired is certification
-# recency, not correctness. None of the five rows-only entries
-# (q12/c02/c03/c07/c68) is in this window, so all 50 slots are full
-# DuckDB value-hash comparisons. Entries outside the window remain
-# covered on unchanged code by the parametrized DuckDB-oracle mirror
-# tests/test_catalog_oracle.py at sf0.001.
+# first 50 of the 83 never-driver-rowed entries, in catalog order —
+# c148..c190 (43) + q88..q94 (7). (The previous comment's "73" count
+# was stale: it predated round 12's post-gate additions c203-c209,
+# q101, a12 and the late c200-c202; the true never-rowed set after
+# r12 is 83 = c148-c190 (43) + q88-q94 (7) + q95-q101 (7) +
+# a06-a12 (7) + c191-c209 (19).) All 83 were judge-certified
+# hash-green at sf0.01 in round 12, so the exposure being retired is
+# certification recency, not correctness. None of the five rows-only
+# entries (q12/c02/c03/c07/c68) is in this window, so all 50 slots
+# are full DuckDB value-hash comparisons. Entries outside the window
+# remain covered on unchanged code by the parametrized DuckDB-oracle
+# mirror tests/test_catalog_oracle.py at sf0.001.
 # A guard test (tests/test_driver_window.py) fails if the window is
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R13 ROTATION PLAN (write it as round 13's FIRST commit): the
-# never-driver-rowed set after r12 is 73 entries — the 56 carried in
-# (c148-c190 (43), q88-q95 (8), a06-a10 (5)) plus round 12's 17
-# additions (c191-c202, q96-q100, a11, a12 — all hash-verified at
-# sf0.001/0.01/0.1 before their commits). Take the first 50 in
-# catalog order (c148..c190 + q88..q94); r14's head-of-queue is the
-# remaining 23 (q95, a06-a10, c191-c202, q96-q100, a11, a12), then
-# fill any remaining slots with the oldest-rowed entries from the
-# CORRECTNESS_r01-r13 union (co-window each rows-only pick with its
-# oracle twin: q12<->q11, c02<->c24, c03<->c26, c07<->c38, c68<->q11).
+# R14 ROTATION PLAN (write it as round 14's FIRST commit): the
+# never-driver-rowed set after r13 is the remaining 33 —
+# q95-q101 (7), a06-a12 (7), c191-c209 (19) — plus whatever round 13
+# adds (keep additions <= the window slack so the backlog shrinks).
+# Take those first in catalog order, then fill remaining slots with
+# the oldest-rowed entries from the CORRECTNESS_r01-r14 union
+# (co-window each rows-only pick with its oracle twin: q12<->q11,
+# c02<->c24, c03<->c26, c07<->c38, c68<->q11).
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # Round 12 window: the first 50 of the 106 never-driver-rowed
-    # entries (c98-c147 in catalog order, per the r11 rotation plan).
-    # All 50 were judge-certified hash-green at sf0.01 AND sf0.1 in
-    # round 11; this window earns them driver CORRECTNESS rows.
-    # Round 13 takes the remaining 56: c148-c190, q88-q95, a06-a10.
-    "c98_pagerank_dangling",
-    "c99_dedup_keep_best",
-    "c100_bpe_fertility",
-    "c101_unimax_mixing",
-    "c102_pmi_collocations",
-    "c103_audio_decode_stats",
-    "c104_data_quality_audit",
-    "c105_ngram_novelty",
-    "c106_fuzzy_blocked_match",
-    "c107_skyline_pareto",
-    "c108_ann_sq8_topk",
-    "c109_event_pattern_regex",
-    "c110_setsim_prefix_join",
-    "c111_triangle_count",
-    "c112_naive_bayes_langid",
-    "c113_bottomk_hash_sample",
-    "c114_rrf_hybrid_search",
-    "c115_loo_target_encoding",
-    "c116_ab_ztest",
-    "c117_ewma_spikes",
-    "c118_markov_transitions",
-    "c119_containment_join",
-    "c120_groupwise_ols",
-    "c121_embedding_corr_matrix",
-    "c122_bfs_hops",
-    "c123_greedy_coverage_select",
-    "c124_itemitem_cf",
-    "c125_psi_drift",
-    "c126_hits_hubs_authorities",
-    "c127_churn_labels",
-    "c128_percentile_scaling",
-    "c129_negative_sampling",
-    "c130_gif_decode_stats",
-    "c131_stream_ewma",
-    "c132_prf_query_expansion",
-    "c133_benford_screen",
-    "c134_tfidf_doc_pairs",
-    "c135_kmv_join_cardinality",
-    "c136_golden_record",
-    "c137_association_rules",
-    "c138_token_entropy",
-    "c139_holt_trend",
-    "c140_matryoshka_prefix_recall",
-    "c141_clustering_coefficients",
-    "c142_median_imputation",
-    "c143_woe_encoding",
-    "c144_knn_classifier",
-    "c145_auc_ranksum",
-    "c146_attribution_credit",
-    "c147_cusum_alarms",
+    # Round 13 window: the first 50 of the 83 never-driver-rowed
+    # entries (c148-c190 + q88-q94 in catalog order, per the r12
+    # verdict's rotation plan). All 50 were judge-certified
+    # hash-green at sf0.01 in round 12; this window earns them driver
+    # CORRECTNESS rows. Round 14 takes the remaining 33:
+    # q95-q101, a06-a12, c191-c209.
+    "c148_ndcg_eval",
+    "c149_weighted_median",
+    "c150_kcore_decomposition",
+    "c151_rfm_segments",
+    "c152_seasonal_dow_profile",
+    "c153_bmp_decode_stats",
+    "c154_chi2_terms",
+    "c155_ohlc_bars",
+    "c156_funnel_latency",
+    "c157_lag_features",
+    "c158_stream_ohlc",
+    "c159_confusion_matrix",
+    "c160_twap",
+    "c161_user_growth_daily",
+    "c162_embedding_standardize",
+    "c163_source_lang_diversity",
+    "c164_ivf_probe_recall",
+    "c165_dup_rate_by_source",
+    "c166_decision_stump",
+    "c167_link_prediction",
+    "c168_calibration_brier",
+    "c169_xcorr_lags",
+    "c170_semantic_decontaminate",
+    "c171_poisson_bootstrap",
+    "c172_mi_feature_ranking",
+    "c173_conformal_intervals",
+    "c174_sprt_sequential",
+    "c175_changepoint_scan",
+    "c176_power_planner",
+    "c177_welch_ttest",
+    "c178_srm_guardrail",
+    "c179_hard_negative_mining",
+    "c180_qoi_decode_stats",
+    "c181_ips_offline_eval",
+    "c182_cdc_apply",
+    "c183_ks_two_sample",
+    "c184_uplift_curve",
+    "c185_theil_sen_trend",
+    "c186_cuped_adjustment",
+    "c187_grid_density_smooth",
+    "c188_windowed_funnel",
+    "c189_neyman_allocation",
+    "c190_isotonic_calibration",
+    "q88_window_ignore_nulls",
+    "q89_dml_statement_face",
+    "q90_mapinarrow_norms",
+    "q91_similar_to",
+    "q92_connect_by",
+    "q93_sql_script",
+    "q94_select_into",
 ]
 
 
