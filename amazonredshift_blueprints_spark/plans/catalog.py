@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import shutil
 import tempfile
+import uuid
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -4675,6 +4676,12 @@ def c53_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_corpus(d, "lang", "doc_id", {"en": 1.0, "de": 0.5, "zh": 0.2})
 
 
+# Last MERGE-target table created by c54, per Spark application — dropped
+# on the NEXT invocation (not in a finally: the returned DataFrame is lazy,
+# so the table must outlive the call for the caller's collect).
+_C54_LAST_TABLE: dict[str, str] = {}
+
+
 @query(
     "c54_incremental_rollup",
     oracle="""
@@ -4718,7 +4725,17 @@ def c54_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     events = load_table(spark, sf_dir, "events")
-    tbl = "bp_incr_rollup"
+    # Hermetic MERGE target (r12 verdict item 2): a per-invocation unique
+    # table name means no other test/entry can contend on this table's
+    # DML lock or leave a stale warehouse directory under the same name
+    # (the source of an in-suite flake). The previous invocation's table
+    # is dropped here rather than in a finally, because the returned
+    # DataFrame is lazy — the caller collects it after we return.
+    prev = _C54_LAST_TABLE.pop(spark.sparkContext.applicationId, None)
+    if prev is not None:
+        spark.sql(f"DROP TABLE IF EXISTS {prev}")
+    tbl = f"bp_incr_rollup_{uuid.uuid4().hex[:8]}"
+    _C54_LAST_TABLE[spark.sparkContext.applicationId] = tbl
     _clean_stale_location(spark, tbl, None)
     cutoff = "2024-01-21 12:00:00"
     rollup(events.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))).write.mode(
