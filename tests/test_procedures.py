@@ -7,7 +7,9 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F  # noqa: F401 (parity with siblings)
 
+from amazonredshift_blueprints_spark.functions import procedures
 from amazonredshift_blueprints_spark.functions.procedures import (
+    _parse_body,
     _parse_create,
     create_procedure,
     substitute_call,
@@ -108,6 +110,151 @@ def test_lifecycle_call_twice_and_drop(spark):
     with pytest.raises(ValueError, match="unknown procedure"):
         execute_sql(spark, "DROP PROCEDURE bp_unit_load")
     spark.sql("DROP TABLE IF EXISTS bp_proc_unit")
+
+
+def test_parse_body_control_flow_tree():
+    """IF/ELSIF/ELSE and nested WHILE parse into the statement tree;
+    a CASE ... THEN inside an IF condition does not end the condition
+    at its own THEN/ELSE/END."""
+    items = _parse_body(
+        "IF (CASE WHEN 1 = 1 THEN 'a' ELSE 'b' END) = 'a' THEN\n"
+        "  INSERT INTO t SELECT 1;\n"
+        "ELSIF 2 > 1 THEN\n"
+        "  INSERT INTO t SELECT 2;\n"
+        "ELSE\n"
+        "  WHILE (SELECT COUNT(*) FROM t) < 5 LOOP\n"
+        "    INSERT INTO t SELECT 9;\n"
+        "  END LOOP;\n"
+        "END IF;\n"
+        "SELECT 'done';"
+    )
+    kinds = [n[0] for n in items]
+    assert kinds == ["if", "sql"]
+    branches, else_items = items[0][1], items[0][2]
+    assert len(branches) == 2
+    assert branches[0][0].startswith("(CASE WHEN 1 = 1 THEN")
+    assert else_items[0][0] == "while"
+    # keyword-looking text inside string literals is inert
+    items = _parse_body("INSERT INTO t SELECT 'END IF; WHILE'; SELECT 1;")
+    assert [n[0] for n in items] == ["sql", "sql"]
+
+
+def test_parse_create_control_flow_refusals_and_balance():
+    for kw in ("FOR", "RAISE", "RETURN", "EXECUTE", "EXCEPTION"):
+        with pytest.raises(NotImplementedError, match="procedural"):
+            _parse_create(
+                f"CREATE PROCEDURE p() AS $$ BEGIN {kw} x; END; $$"
+            )
+    with pytest.raises(ValueError, match="ended before"):
+        _parse_body("IF 1 = 1 THEN SELECT 1;")
+    with pytest.raises(ValueError, match="ended before"):
+        _parse_body("WHILE 1 = 1 LOOP SELECT 1;")
+    with pytest.raises(ValueError, match="expected one of"):
+        _parse_body("IF 1 = 1 SELECT 1; END IF;")
+
+
+def test_if_branches_choose_by_argument(spark):
+    spark.sql("DROP TABLE IF EXISTS bp_proc_ifb")
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_if_branch")
+    execute_sql(
+        spark,
+        """
+        CREATE PROCEDURE bp_if_branch(p_k int) AS $$
+        BEGIN
+          CREATE TABLE IF NOT EXISTS bp_proc_ifb (k INT, branch STRING)
+              USING parquet;
+          IF p_k > 10 THEN
+            INSERT INTO bp_proc_ifb SELECT p_k, 'big';
+          ELSIF p_k > 0 THEN
+            INSERT INTO bp_proc_ifb SELECT p_k, 'small';
+          ELSE
+            INSERT INTO bp_proc_ifb SELECT p_k, 'nonpos';
+          END IF;
+        END;
+        $$ LANGUAGE plpgsql
+        """,
+    )
+    for k in (42, 3, -1):
+        execute_sql(spark, f"CALL bp_if_branch({k})")
+    rows = sorted(
+        (r["k"], r["branch"]) for r in spark.table("bp_proc_ifb").collect()
+    )
+    assert rows == [(-1, "nonpos"), (3, "small"), (42, "big")]
+    execute_sql(spark, "DROP PROCEDURE bp_if_branch")
+    spark.sql("DROP TABLE IF EXISTS bp_proc_ifb")
+
+
+def test_while_loop_progresses_via_table_state(spark):
+    """The variable-free WHILE pattern: loop progress comes from the
+    table the body inserts into (plpgsql without DECLARE)."""
+    spark.sql("DROP TABLE IF EXISTS bp_proc_wh")
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_while_fill")
+    execute_sql(
+        spark,
+        """
+        CREATE PROCEDURE bp_while_fill(p_n int, p_tag varchar(8)) AS $$
+        BEGIN
+          CREATE TABLE IF NOT EXISTS bp_proc_wh (tag STRING, v BIGINT)
+              USING parquet;
+          WHILE (SELECT COUNT(*) FROM bp_proc_wh WHERE tag = p_tag) < p_n
+          LOOP
+            INSERT INTO bp_proc_wh
+              SELECT p_tag,
+                     (SELECT COUNT(*) FROM bp_proc_wh WHERE tag = p_tag);
+          END LOOP;
+        END;
+        $$ LANGUAGE plpgsql
+        """,
+    )
+    execute_sql(spark, "CALL bp_while_fill(3, 'a')")
+    execute_sql(spark, "CALL bp_while_fill(0, 'z')")  # false on entry
+    rows = sorted(
+        (r["tag"], r["v"]) for r in spark.table("bp_proc_wh").collect()
+    )
+    assert rows == [("a", 0), ("a", 1), ("a", 2)]
+    execute_sql(spark, "DROP PROCEDURE bp_while_fill")
+    spark.sql("DROP TABLE IF EXISTS bp_proc_wh")
+
+
+def test_while_iteration_cap(spark, monkeypatch):
+    monkeypatch.setattr(procedures, "_MAX_LOOP_ITERATIONS", 5)
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_spin")
+    execute_sql(
+        spark,
+        "CREATE PROCEDURE bp_spin() AS $$ WHILE 1 = 1 LOOP SELECT 1; "
+        "END LOOP; $$",
+    )
+    with pytest.raises(RuntimeError, match="exceeded 5 iterations"):
+        execute_sql(spark, "CALL bp_spin()")
+    execute_sql(spark, "DROP PROCEDURE bp_spin")
+
+
+def test_null_condition_is_false(spark):
+    """plpgsql rule: a NULL IF condition takes the ELSE path."""
+    spark.sql("DROP TABLE IF EXISTS bp_proc_nullc")
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_nullc")
+    execute_sql(
+        spark,
+        """
+        CREATE PROCEDURE bp_nullc() AS $$
+        BEGIN
+          CREATE TABLE IF NOT EXISTS bp_proc_nullc (s STRING)
+              USING parquet;
+          IF CAST(NULL AS BOOLEAN) THEN
+            INSERT INTO bp_proc_nullc SELECT 'then';
+          ELSE
+            INSERT INTO bp_proc_nullc SELECT 'else';
+          END IF;
+        END;
+        $$
+        """,
+    )
+    execute_sql(spark, "CALL bp_nullc()")
+    assert [r["s"] for r in spark.table("bp_proc_nullc").collect()] == [
+        "else"
+    ]
+    execute_sql(spark, "DROP PROCEDURE bp_nullc")
+    spark.sql("DROP TABLE IF EXISTS bp_proc_nullc")
 
 
 def test_script_embedded_create_and_call(spark):
