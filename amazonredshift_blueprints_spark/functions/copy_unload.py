@@ -87,7 +87,13 @@ class UnloadSpec:
     manifest: bool = False
     quote_all: bool = False     # ADDQUOTES: every field quoted
     null_as: str | None = None  # NULL [AS] 'str' on the way OUT
-    escape: bool = False        # ESCAPE: backslash-escape specials
+    # ESCAPE: backslash-escape specials. DOCUMENTED DIVERGENCE (r12
+    # advisor): Redshift's ESCAPE backslash-escapes delimiters/newlines/
+    # quotes inside UNQUOTED fields; Spark's csv `escape` option only
+    # escapes inside QUOTED fields, so ESCAPE without ADDQUOTES emits
+    # quoted-style output where Redshift would emit bare
+    # backslash-escaped text. ESCAPE together with ADDQUOTES matches.
+    escape: bool = False
     compression: str | None = None  # GZIP: actually compress the data
 
 
@@ -855,7 +861,13 @@ def execute_unload(spark, spec: UnloadSpec) -> int:
     """Lower a parsed UNLOAD onto the native export layer (A7/A8);
     returns rows written. The inner query passes through the dialect
     shim, same as any pass-through SELECT. With MANIFEST a JSON file
-    listing every written data file lands at ``<path>.manifest``."""
+    listing every written data file lands at ``<path>.manifest``.
+
+    ESCAPE divergence (r12 advisor, stated on ``UnloadSpec.escape``):
+    Spark's csv writer only applies the escape character inside quoted
+    fields, so ESCAPE without ADDQUOTES produces quoted-style output
+    rather than Redshift's bare backslash-escaped unquoted text; pair
+    ESCAPE with ADDQUOTES for matching bytes."""
     from ..export import write_result
     from . import translate_redshift_sql
 

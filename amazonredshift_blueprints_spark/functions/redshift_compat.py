@@ -850,24 +850,54 @@ def _rewrite_partiql_unnest(sql: str) -> str:
     (Redshift's AT and Spark's pos are both 0-based). Lateral views
     are appended after the remaining relation list in original order,
     so chained unnests (``x.sub AS y`` over a previous unnest alias)
-    keep resolving. Top-level FROM only; paren-depth + string-aware
-    slicing throughout (subquery text and literals never match).
-    Column TYPE is Spark's business at analysis time: a real array
-    explodes; a JSON-string SUPER needs an explicit cast/from_json
-    first (the q51 VARIANT path), same as any engine that stores SUPER
-    as text."""
+    keep resolving. EVERY depth-0 FROM is rewritten (UNION branches),
+    and parenthesized bodies — CTE definitions, derived tables, IN/
+    EXISTS subqueries — are recursed into (r12 advisor: CTE-heavy SQL
+    is the Redshift norm; 'first top-level FROM only' missed those).
+    Paren-depth + string-aware slicing throughout (literals never
+    match). Column TYPE is Spark's business at analysis time: a real
+    array explodes; a JSON-string SUPER needs an explicit cast/
+    from_json first (the q51 VARIANT path), same as any engine that
+    stores SUPER as text."""
+    # recurse into each top-level parenthesized body first — a CTE
+    # body or subquery is just a smaller statement with its own FROMs
     depths = _depth_string_map(sql)
-    m = next(
-        (
-            mm
-            for mm in _FROM_TOP_RE.finditer(sql)
-            if depths[mm.start()] == 0
-        ),
-        None,
-    )
-    if m is None:
-        return sql
-    start = m.end()
+    pieces: list[str] = []
+    last = i = 0
+    n = len(sql)
+    while i < n:
+        if sql[i] == "(" and depths[i] == 0:
+            j = next(
+                (k for k in range(i + 1, n)
+                 if sql[k] == ")" and depths[k] == 1),
+                None,
+            )
+            if j is None:  # unbalanced: leave the tail untouched
+                break
+            pieces.append(sql[last : i + 1])
+            pieces.append(_rewrite_partiql_unnest(sql[i + 1 : j]))
+            last = i = j
+        i += 1
+    pieces.append(sql[last:])
+    sql = "".join(pieces)
+    # then rewrite every depth-0 FROM at this level, right-to-left so
+    # earlier match offsets stay valid after each splice
+    depths = _depth_string_map(sql)
+    starts = [
+        mm.end()
+        for mm in _FROM_TOP_RE.finditer(sql)
+        if depths[mm.start()] == 0
+    ]
+    for start in reversed(starts):
+        sql = _rewrite_one_from_clause(sql, start)
+    return sql
+
+
+def _rewrite_one_from_clause(sql: str, start: int) -> str:
+    """Rewrite the PartiQL unnest items of the FROM clause beginning at
+    ``start`` (the index just past the FROM keyword); returns ``sql``
+    unchanged when the clause has none."""
+    depths = _depth_string_map(sql)
     end = next(
         (
             mm.start()
@@ -1012,7 +1042,14 @@ def _json_extract_path_call(args: list[str]) -> str | None:
     ``get_json_object(j, '$.k1.k2')`` — the pre-SUPER Redshift JSON
     workhorse. Keys must be quoted literals (Redshift requires text
     there too); the optional trailing null_if_invalid boolean drops
-    (get_json_object already yields NULL on bad JSON)."""
+    (get_json_object already yields NULL on bad JSON).
+
+    Keys containing a quote, dot, bracket, ``$``, ``*`` or backslash
+    stay untranslated (r12 advisor): a quote re-embedded into the
+    single-quoted Spark path literal would be malformed SQL, and a
+    literal-dot key like ``'a.b'`` (one key in Redshift) would silently
+    become the NESTED path ``$.a.b`` — wrong answer, not an error.
+    Untranslated calls fail loudly at Spark's parser instead."""
     if len(args) < 2:
         return None
     keys = args[1:]
@@ -1025,7 +1062,10 @@ def _json_extract_path_call(args: list[str]) -> str | None:
         m = _QUOTED_KEY_RE.match(k)
         if m is None:
             return None  # computed key: out of the rewrite's scope
-        parts.append(m.group(1).replace("''", "'"))
+        key = m.group(1).replace("''", "'")
+        if any(c in key for c in "'.[]$*\\\""):
+            return None  # path-metachar key: no faithful Spark path
+        parts.append(key)
     path = "$." + ".".join(parts)
     return f"get_json_object({args[0]}, '{path}')"
 

@@ -31,6 +31,7 @@ Columns (the commonly-consumed subset, typed like Redshift's):
 from __future__ import annotations
 
 import re
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -49,7 +50,16 @@ _REF_RE = re.compile("|".join(_SYSTEM_NAMES), re.IGNORECASE)
 # aborted, label).
 # ---------------------------------------------------------------------------
 
-_QUERY_LOG: dict[int, list[tuple]] = {}
+# Keyed on the SparkSession itself via weakref (r12 advisor): an id()
+# key outlived its session — never reclaimed, and a recycled id() could
+# leak one session's history into a fresh session. WeakKeyDictionary
+# entries die with the session. The log is also length-capped: Redshift
+# bounds its own STL retention, and an unbounded list grows driver
+# memory for the life of a long bench/sweep process.
+_QLOG_MAX = 10_000
+_QUERY_LOG: weakref.WeakKeyDictionary[SparkSession, list[tuple]] = (
+    weakref.WeakKeyDictionary()
+)
 _QLOG_NAMES = ("svl_qlog", "stl_query")
 _QLOG_REF_RE = re.compile("|".join(_QLOG_NAMES), re.IGNORECASE)
 
@@ -59,7 +69,10 @@ _QLOG_REF_RE = re.compile("|".join(_QLOG_NAMES), re.IGNORECASE)
 # the driver-side capture legal); line numbers are honestly absent
 # (Spark's corrupt-record capture does not carry them), so the column
 # set is the subset we can state truthfully.
-_LOAD_ERRORS: dict[int, list[tuple]] = {}
+_LOAD_ERR_MAX = 10_000
+_LOAD_ERRORS: weakref.WeakKeyDictionary[SparkSession, list[tuple]] = (
+    weakref.WeakKeyDictionary()
+)
 _LOAD_ERR_REF_RE = re.compile("stl_load_errors", re.IGNORECASE)
 
 
@@ -70,7 +83,7 @@ def record_load_errors(
     session's error log."""
     import datetime
 
-    log = _LOAD_ERRORS.setdefault(id(spark), [])
+    log = _LOAD_ERRORS.setdefault(spark, [])
     now = datetime.datetime.now()
     for raw in raw_lines:
         log.append(
@@ -82,10 +95,12 @@ def record_load_errors(
                 "row did not conform to the declared parse contract",
             )
         )
+    if len(log) > _LOAD_ERR_MAX:  # bounded retention, oldest out first
+        del log[: len(log) - _LOAD_ERR_MAX]
 
 
 def reset_load_errors(spark: SparkSession, table: str | None = None) -> None:
-    log = _LOAD_ERRORS.get(id(spark))
+    log = _LOAD_ERRORS.get(spark)
     if not log:
         return
     if table is None:
@@ -96,27 +111,30 @@ def reset_load_errors(spark: SparkSession, table: str | None = None) -> None:
 
 def register_load_error_view(spark: SparkSession) -> None:
     spark.createDataFrame(
-        _LOAD_ERRORS.get(id(spark), []),
+        _LOAD_ERRORS.get(spark, []),
         "userid int, tbl string, starttime timestamp, raw_line string, "
         "err_reason string",
     ).createOrReplaceTempView("stl_load_errors")
 
 
 def record_statement(spark: SparkSession, text: str, aborted: int) -> None:
-    """Append one completed statement to the session's history log."""
+    """Append one completed statement to the session's history log.
+    Query ids stay monotone across the retention trim (derived from the
+    last kept row, not the list length), like Redshift's."""
     import datetime
 
-    log = _QUERY_LOG.setdefault(id(spark), [])
-    log.append(
-        (len(log) + 1, text.strip(), datetime.datetime.now(), aborted)
-    )
+    log = _QUERY_LOG.setdefault(spark, [])
+    qid = log[-1][0] + 1 if log else 1
+    log.append((qid, text.strip(), datetime.datetime.now(), aborted))
+    if len(log) > _QLOG_MAX:  # bounded retention, oldest out first
+        del log[: len(log) - _QLOG_MAX]
 
 
 def reset_query_log(spark: SparkSession, like: str | None = None) -> None:
     """Clear the session's history — all of it, or only statements
     containing ``like`` (lets a replayed fixture stay idempotent when
     bench reruns it in one session)."""
-    log = _QUERY_LOG.get(id(spark))
+    log = _QUERY_LOG.get(spark)
     if not log:
         return
     if like is None:
@@ -130,7 +148,7 @@ def register_query_log_views(spark: SparkSession) -> None:
     and ``stl_query`` (full querytxt) as temp views from the log."""
     rows = [
         (100, q, t[:60], t, ts, ab, "default")
-        for q, t, ts, ab in _QUERY_LOG.get(id(spark), [])
+        for q, t, ts, ab in _QUERY_LOG.get(spark, [])
     ]
     schema = (
         "userid int, query int, substring string, querytxt string, "

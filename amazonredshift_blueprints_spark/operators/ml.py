@@ -2720,6 +2720,21 @@ def knn_label_agreement(
     )
 
 
+def _km_step(s, n_risk, d):
+    """One Kaplan-Meier fold step: ``floor(s * (n_risk - d) / n_risk)``
+    with non-negative inputs, exact in decimal(38,0) (r12 advisor): the
+    long-arithmetic form ``(num - num % n) / n`` divides as DOUBLE, so
+    once the product exceeds 2^53 (n_risk above ~9e9 at s = 1e6 — the
+    100 TB cohort sizes the docstring targets) the result could drift
+    by a few micros and break the bit-exact replay contract; the long
+    PRODUCT itself would overflow at n_risk ~9.2e12. decimal(38,0)
+    holds s * n_risk exactly for any long n_risk, and the final value
+    is ≤ s ≤ 1e6 so the cast back to long is exact."""
+    num = s.cast("decimal(38,0)") * (n_risk - d).cast("decimal(38,0)")
+    n_dec = n_risk.cast("decimal(38,0)")
+    return ((num - num % n_dec) / n_dec).cast("long")
+
+
 def kaplan_meier(
     df: DataFrame,
     group_col: str,
@@ -2784,10 +2799,7 @@ def kaplan_meier(
     )
     folded = risk.groupBy("grp").agg(arr.alias("_days"))
     def _next_s(acc, e):
-        # exact integer floor division (values non-negative):
-        # (num - num % n) / n, the ewma_fold arithmetic
-        num = acc["s"] * (e["n_risk"] - e["d"])
-        return ((num - num % e["n_risk"]) / e["n_risk"]).cast("long")
+        return _km_step(acc["s"], e["n_risk"], e["d"])
 
     steps = F.aggregate(
         F.col("_days"),

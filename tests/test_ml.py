@@ -1110,3 +1110,29 @@ def test_kaplan_meier_hand_replay(spark):
             assert got[(g, t)] == v, (g, t)
     # group b: day 1 all censored -> survival still 1e6 at t=1
     assert got[("b", 1)][2] == 1_000_000
+
+
+def test_km_step_exact_beyond_double_precision(spark):
+    """The KM fold step is exact for risk sets past 2^53 (r12 advisor):
+    the old long-arithmetic form divided as DOUBLE, drifting a few
+    micros once s * n_risk exceeded 2^53 (n_risk ~9e9); the decimal
+    (38,0) form matches Python big-int floor division bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.operators.ml import _km_step
+
+    cases = [
+        (999_999, 10**13 + 19, 7),
+        (1_000_000, 9_223_372_036_854_775, 123_456_789),
+        (1_000_000, 10**10 + 1, 1),  # the ~9e9 double breaking point
+        (1_000_000, 5, 2),
+        (0, 10, 1),
+    ]
+    df = spark.createDataFrame(
+        [{"s": s, "n": n, "d": d} for s, n, d in cases]
+    )
+    for r in df.select(
+        "s", "n", "d",
+        _km_step(F.col("s"), F.col("n"), F.col("d")).alias("got"),
+    ).collect():
+        assert r["got"] == r["s"] * (r["n"] - r["d"]) // r["n"], r

@@ -1644,6 +1644,25 @@ def test_partiql_unnest_rewrites():
     assert rw(sql) == sql
     sql = "SELECT * FROM customer c, orders o WHERE c_custkey = o_custkey"
     assert rw(sql) == sql
+    # r12 advisor: unnest items inside CTE bodies, subqueries, and the
+    # second branch of a UNION rewrite too (not just the first
+    # depth-0 FROM)
+    got = rw("WITH c AS (SELECT v FROM emb e, e.embedding AS v AT i) "
+             "SELECT * FROM c")
+    assert "LATERAL VIEW posexplode(e.embedding) _pe_1 AS i, v" in got
+    got = rw("SELECT d FROM t1 a, a.arr AS d "
+             "UNION ALL SELECT d FROM t2 b, b.arr AS d")
+    assert got.count("LATERAL VIEW explode") == 2
+    got = rw("SELECT * FROM docs WHERE id IN (SELECT x FROM t a, "
+             "a.ids AS x)")
+    assert "LATERAL VIEW explode(a.ids) _ex_1 AS x" in got
+    got = rw("WITH c AS (SELECT * FROM (SELECT x FROM t a, a.ids AS x) "
+             "q) SELECT * FROM c")
+    assert "LATERAL VIEW explode(a.ids) _ex_1 AS x" in got
+    # FROM inside function args (substring/trim/extract) is inert
+    sql = ("SELECT substring(s FROM 1 FOR 2), trim(BOTH ' ' FROM s), "
+           "extract(epoch FROM ts) FROM t")
+    assert rw(sql) == sql
 
 
 def test_fetch_first_string_aware():
@@ -1798,3 +1817,37 @@ def test_json_varchar_function_rewrites():
     assert tr(s) == s
     s = "SELECT JSON_EXTRACT_ARRAY_ELEMENT_TEXT(j, i) FROM t"
     assert tr(s) == s
+    # path-metachar keys stay untranslated (r12 advisor): a quote would
+    # make malformed SQL, a literal-dot key would silently become a
+    # NESTED path — fail loudly at the parser instead of a wrong answer
+    for key in ("'it''s'", "'a.b'", "'a[0]'", "'a$'", "'a*'", '\'a"b\''):
+        s = f"SELECT JSON_EXTRACT_PATH_TEXT(j, {key}) FROM t"
+        assert tr(s) == s, key
+
+
+def test_query_log_retention_cap_and_session_keying(spark, monkeypatch):
+    """The query-history log is length-capped (Redshift bounds its own
+    STL retention) with monotone query ids across the trim, and is
+    keyed on the session via weakref — not id(spark), which a recycled
+    id could leak into a fresh session (r12 advisor)."""
+    import weakref
+
+    from amazonredshift_blueprints_spark.functions import system_tables as st
+
+    assert isinstance(st._QUERY_LOG, weakref.WeakKeyDictionary)
+    assert isinstance(st._LOAD_ERRORS, weakref.WeakKeyDictionary)
+    monkeypatch.setattr(st, "_QLOG_MAX", 5)
+    st.reset_query_log(spark)
+    for i in range(9):
+        st.record_statement(spark, f"SELECT {i}", aborted=0)
+    log = st._QUERY_LOG[spark]
+    assert len(log) == 5  # capped, oldest out first
+    assert [r[0] for r in log] == [5, 6, 7, 8, 9]  # ids keep increasing
+    assert [r[1] for r in log] == [f"SELECT {i}" for i in range(4, 9)]
+    st.reset_query_log(spark)
+    # load-error log caps the same way
+    monkeypatch.setattr(st, "_LOAD_ERR_MAX", 3)
+    st.reset_load_errors(spark)
+    st.record_load_errors(spark, "t", [f"bad{i}" for i in range(7)])
+    assert [r[3] for r in st._LOAD_ERRORS[spark]] == ["bad4", "bad5", "bad6"]
+    st.reset_load_errors(spark)
