@@ -14,6 +14,10 @@ Methodology:
   sink-side cost, no driver-side collect.
 - ``value`` is the sum of per-query medians (lower is better);
   ``runs`` carries the raw per-run timings for spread inspection.
+- A full-catalog coarse sweep (one cold pass per non-headline entry)
+  lands in BENCH_DETAIL.json["full_sweep"] with a sweep_n/sweep_total/
+  sweep_err summary on the contract line, so every catalog entry gets
+  at least one wall-time row per round (VERDICT r12 item 5).
 """
 
 from __future__ import annotations
@@ -94,6 +98,31 @@ def main() -> None:
     for name in canary_names:
         canary_post[name], _ = time_query(name)
 
+    # Full-catalog coarse sweep (VERDICT r12 item 5): the headline set
+    # times ~100 of the entries; the other ~225 previously had NO
+    # per-round wall-time row, so silent cost creep there was
+    # invisible. One cold single pass per non-headline entry (no
+    # warmup, no median — coarse by design); headline entries reuse
+    # their median, which is the better measurement. Failures record
+    # null rather than aborting the bench. Skippable for quick local
+    # iteration with SPARK_GRAFT_FULL_SWEEP=0.
+    full_sweep: dict[str, float | None] = {}
+    if os.environ.get("SPARK_GRAFT_FULL_SWEEP", "1") != "0":
+        for name, spec in QUERIES.items():
+            if name in timings:
+                full_sweep[name] = timings[name]
+                continue
+            spark.catalog.clearCache()
+            t0 = time.time()
+            try:
+                _force(spec.build(spark, sf_dir))
+                full_sweep[name] = round(time.time() - t0, 3)
+            except Exception:
+                full_sweep[name] = None
+    sweep_vals = [v for v in full_sweep.values() if v is not None]
+    sweep_total = round(sum(sweep_vals), 3)
+    sweep_errs = sum(1 for v in full_sweep.values() if v is None)
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "headline_queries_total_time",
@@ -104,6 +133,7 @@ def main() -> None:
         "canary_post": canary_post,
         "canary_trace": canary_trace,
         "runs": raw,
+        "full_sweep": full_sweep,
         "sf": sf,
     }
     # Full detail (raw runs, full entry names) goes to a file plus an
@@ -130,6 +160,11 @@ def main() -> None:
         "c_pre": {short(n): v for n, v in canary.items()},
         "c_post": {short(n): v for n, v in canary_post.items()},
         "c_trace": [v for _, v in canary_trace],
+        # full-catalog coarse sweep summary; the per-entry map (all
+        # catalog keys) is in BENCH_DETAIL.json["full_sweep"]
+        "sweep_n": len(full_sweep),
+        "sweep_total": sweep_total,
+        "sweep_err": sweep_errs,
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(compact)

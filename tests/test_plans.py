@@ -923,3 +923,85 @@ def test_round12_batch_plan_shapes(spark, sf_dir):
     p200 = _plan(spark, sf_dir, "c200_mase_backtest")
     assert "Window" not in p200
     assert "CartesianProduct" not in p200
+
+
+# --------------------------------------------------------------------------
+# Partition-less window ALLOWLIST (VERDICT r12 item 8). Every
+# ``Window.orderBy(...)`` WITHOUT a partitionBy funnels its input
+# through one task — legal only over tables whose size is bounded by
+# metadata (band count, day count, vocab/top-k cap), never by the data.
+# The census test below fails when a NEW bare-window site appears, so
+# a future entry cannot ride the existing audit with a data-sized
+# input: add it here ONLY with a written boundedness argument (and
+# prefer sampling.global_cumsum / grouped_cumsum, which exist exactly
+# so data-sized cumulatives never need this shape).
+# --------------------------------------------------------------------------
+_PARTITIONLESS_WINDOW_ALLOWLIST = {
+    ("plans/catalog.py", "c114_rrf_hybrid_search"):
+        "fused candidate list: union of two top-k lists, <= 2k rows",
+    ("operators/ml.py", "uplift_curve"):
+        "band table joined back to per-band aggregates: one row per score band",
+    ("operators/ml.py", "isotonic_fit"):
+        "band table; explicit 'never point this at raw rows' contract "
+        "in the docstring (ml.py isotonic_fit)",
+    ("operators/ml.py", "logrank_test"):
+        "KM day table: one row per distinct event day (DAYS-bounded)",
+    ("operators/sessions.py", "user_growth_daily"):
+        "daily aggregate: one row per calendar day",
+    ("operators/sampling.py", "weighted_sample_with_replacement"):
+        "band table: one row per weight band (constant band count)",
+    ("operators/sampling.py", "bottomk_hash_sample"):
+        "bottom-k sample: k rows by construction",
+    ("operators/sampling.py", "negative_sampling"):
+        "item dictionary: one row per distinct item (vocab-sized)",
+    ("operators/sampling.py", "neyman_allocation"):
+        "stratum table: one row per stratum",
+    ("operators/timeseries.py", "changepoint_scan"):
+        "daily series: one row per day per key after the day rollup",
+    ("operators/maintenance.py", "est"):
+        "KMV sketch: <= k rows by construction (kmv_join_cardinality)",
+    ("operators/text.py", "counts"):
+        "JSD top-k: <= k rows after TakeOrderedAndProject, rank re-derived",
+    ("operators/text.py", "pmi_collocations"):
+        "bigram vocabulary above min_count, then top-k",
+    ("operators/text.py", "rrf_fuse"):
+        "fused doc ranks: union of two top-k lists, <= 2k rows",
+    ("operators/text.py", "tfidf_doc_pairs"):
+        "top-k pair list: k rows by construction",
+    ("operators/similarity.py", "cooccurrence_topk"):
+        "item-pair co-occurrence above min support, then top-k",
+    ("operators/similarity.py", "association_rules"):
+        "frequent itemset table above min support (vocab-bounded)",
+}
+
+
+def test_partitionless_window_sites_are_allowlisted():
+    """Source census: every bare ``Window.orderBy(`` site in the
+    package must appear in _PARTITIONLESS_WINDOW_ALLOWLIST with a
+    boundedness argument; a stale allowlist row (site removed or
+    renamed) fails too, so the list cannot rot in either direction."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "amazonredshift_blueprints_spark"
+    found: set[tuple[str, str]] = set()
+    for p in sorted(pkg.rglob("*.py")):
+        lines = p.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if "Window.orderBy(" not in line:
+                continue
+            func = "?"
+            for j in range(i, -1, -1):
+                m = re.match(r"\s*def (\w+)", lines[j])
+                if m:
+                    func = m.group(1)
+                    break
+            found.add((str(p.relative_to(pkg)), func))
+    new = found - set(_PARTITIONLESS_WINDOW_ALLOWLIST)
+    stale = set(_PARTITIONLESS_WINDOW_ALLOWLIST) - found
+    assert not new, (
+        "NEW partition-less Window.orderBy site(s) — prove the input is "
+        "metadata-bounded and allowlist them, or use sampling."
+        f"global_cumsum/grouped_cumsum: {sorted(new)}"
+    )
+    assert not stale, f"stale allowlist rows (site gone): {sorted(stale)}"
