@@ -855,6 +855,83 @@ def ndcg_eval(
     )
 
 
+def average_precision_eval(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    score_col: str,
+    label_col: str,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Per-group average precision at k (MAP's per-query term) over a
+    scored candidate list with BINARY relevance — the precision-
+    oriented complement of the rank-sum AUC (c145, threshold-free but
+    position-blind) and graded nDCG (c148, needs graded labels):
+
+        AP@k = (1/min(R, k)) * Σ_{i<=k, rel_i=1} Precision@i
+
+    with Precision@i = (positives among the top i) / i, ranked by
+    (score DESC, item ASC), and R the number of relevant items in the
+    retrieved list (fixed-run convention, same as ndcg_eval's ideal).
+
+    Every term is exact integer arithmetic: each Precision@i is
+    quantized independently (``cum_pos * 1e6 DIV i``) and the terms sum
+    as BIGINTs before the final DIV by min(R, k) — the engine-portable
+    quantization used across the eval family (one floor per term, so
+    any engine replays the value bit-exactly; the quantized metric is
+    within k micro of the real-valued AP). Returns (grp, n_retrieved,
+    n_pos, sum_prec_q, ap_micro); groups with no relevant item emit
+    NULL ap_micro (AP is undefined, not zero, without positives).
+
+    100 TB: ONE exchange on the group key feeds the row_number and the
+    running-positive-count windows (same partitioning — exchange
+    reuse) and the closing hash aggregate; group cardinality bounds
+    every window, nothing global sorts.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(item_col).asc()
+    )
+    ranked = df.select(
+        F.col(group_col).alias("grp"),
+        (F.col(label_col) > 0).cast("long").alias("_pos"),
+        F.row_number().over(w).alias("pos"),
+    ).withColumn(
+        "cum_pos",
+        F.sum("_pos")
+        .over(
+            Window.partitionBy("grp")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("long"),
+    )
+    term = F.when(
+        (F.col("pos") <= k) & (F.col("_pos") == 1),
+        F.expr(f"CAST(cum_pos * {_MICRO} DIV pos AS BIGINT)"),
+    ).otherwise(F.lit(0).cast("long"))
+    agg = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_retrieved"),
+        F.sum("_pos").cast("long").alias("n_pos"),
+        F.sum(term).cast("long").alias("sum_prec_q"),
+    )
+    return agg.select(
+        "grp",
+        "n_retrieved",
+        "n_pos",
+        "sum_prec_q",
+        F.when(
+            F.col("n_pos") > 0,
+            F.expr(
+                f"CAST(sum_prec_q DIV least(n_pos, CAST({k} AS BIGINT)) "
+                "AS BIGINT)"
+            ),
+        ).alias("ap_micro"),
+    )
+
+
 def weighted_median(
     df: DataFrame,
     group_col: str,

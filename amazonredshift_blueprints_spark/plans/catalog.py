@@ -16321,6 +16321,95 @@ def c209_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c210_average_precision",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id AS u,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+               CAST(COUNT(*) AS BIGINT) AS score
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    purch AS (
+        SELECT DISTINCT user_id AS u,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        FROM events WHERE event_type = 'purchase'
+    ),
+    cand AS (
+        SELECT c.u, c.item, c.score,
+               CASE WHEN p.u IS NULL THEN 0 ELSE 1 END AS pos_flag
+        FROM clicks c LEFT JOIN purch p ON p.u = c.u AND p.item = c.item
+    ),
+    ranked AS (
+        SELECT u, pos_flag,
+               row_number() OVER (PARTITION BY u
+                                  ORDER BY score DESC, item) AS pos,
+               SUM(pos_flag) OVER (PARTITION BY u
+                                   ORDER BY score DESC, item
+                                   ROWS UNBOUNDED PRECEDING) AS cum_pos
+        FROM cand
+    ),
+    agg AS (
+        SELECT u,
+               CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+               CAST(SUM(pos_flag) AS BIGINT) AS n_pos,
+               CAST(SUM(CASE WHEN pos <= 10 AND pos_flag = 1
+                             THEN cum_pos * 1000000 // pos
+                             ELSE 0 END) AS BIGINT) AS sum_prec_q
+        FROM ranked GROUP BY 1
+    )
+    SELECT u AS user_id, n_retrieved, n_pos, sum_prec_q,
+           CASE WHEN n_pos > 0
+                THEN CAST(sum_prec_q // least(n_pos, 10) AS BIGINT) END
+               AS ap_micro
+    FROM agg
+    """,
+    doc="per-user average precision at 10 (operators/ml."
+        "average_precision_eval): AP@k over the implicit-feedback "
+        "ranking 'order items by click count' against BINARY purchase "
+        "relevance — the precision-oriented member the eval family "
+        "lacked (AUC c145 is threshold-free but position-blind; nDCG "
+        "c148 needs graded labels; MRR c198 only scores the FIRST "
+        "hit). Each Precision@i is quantized independently "
+        "(cum_pos * 1e6 DIV i) so the terms sum as exact BIGINTs and "
+        "the final DIV by min(R, k) replays bit-exactly in any engine "
+        "(within k micro of real-valued AP); users with no purchased "
+        "item emit NULL (AP is undefined without positives, not "
+        "zero). 100 TB: one exchange on user feeds the row_number and "
+        "running-positive windows (same partitioning — exchange "
+        "reuse) and the closing hash agg; per-user candidate lists "
+        "bound every window, nothing global sorts",
+    tags=("ml", "eval", "events"),
+)
+def c210_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import average_precision_eval
+
+    e = views(spark, sf_dir, "events")["events"]
+    item = F.get_json_object("props", "$.k").cast("long")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").alias("u"), item.alias("item"))
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("u"), item.alias("item"))
+        .distinct()
+        .withColumn("pos_flag", F.lit(1))
+    )
+    cand = clicks.join(purch, ["u", "item"], "left").select(
+        "u", "item", "score", F.coalesce("pos_flag", F.lit(0)).alias("pos_flag")
+    )
+    out = average_precision_eval(cand, "u", "item", "score", "pos_flag", k=10)
+    return out.select(
+        F.col("grp").alias("user_id"),
+        "n_retrieved",
+        "n_pos",
+        "sum_prec_q",
+        "ap_micro",
+    )
+
+
+@query(
     "c208_logrank_test",
     oracle="""
     WITH u AS (

@@ -1136,3 +1136,44 @@ def test_km_step_exact_beyond_double_precision(spark):
         _km_step(F.col("s"), F.col("n"), F.col("d")).alias("got"),
     ).collect():
         assert r["got"] == r["s"] * (r["n"] - r["d"]) // r["n"], r
+
+
+def test_average_precision_hand_replay(spark):
+    """AP@k on a hand fixture matches the literal definition, with the
+    per-term quantization (floor each Precision@i to micro, BIGINT sum,
+    floor-divide by min(R, k)); no-positive groups emit NULL."""
+    from amazonredshift_blueprints_spark.operators.ml import (
+        average_precision_eval,
+    )
+
+    rows = [
+        # group a, ranked by score desc: labels 1,0,1,0 -> terms at
+        # pos 1 (1/1) and pos 3 (2/3); R=2 -> denom 2
+        ("a", 1, 40, 1), ("a", 2, 30, 0), ("a", 3, 20, 1), ("a", 4, 10, 0),
+        # group b: no positives -> NULL ap
+        ("b", 1, 9, 0), ("b", 2, 8, 0),
+        # group c: positive beyond k=2 contributes nothing; R=2 but
+        # only pos-1 hit is inside k -> denom min(2, 2) = 2
+        ("c", 1, 9, 1), ("c", 2, 8, 0), ("c", 3, 7, 1),
+    ]
+    df = spark.createDataFrame(rows, "g string, item int, score int, lab int")
+    got = {
+        r["grp"]: (r["n_retrieved"], r["n_pos"], r["sum_prec_q"], r["ap_micro"])
+        for r in average_precision_eval(
+            df, "g", "item", "score", "lab", k=2
+        ).collect()
+    }
+    # a: terms = 1000000 (pos1) ; pos3 outside k=2 -> sum 1000000,
+    #    denom min(2,2)=2 -> 500000
+    assert got["a"] == (4, 2, 1_000_000, 500_000)
+    assert got["b"] == (2, 0, 0, None)
+    assert got["c"] == (3, 2, 1_000_000, 500_000)
+    # k=10 over group a: terms 1000000 + 2000000//3=666666 -> 1666666,
+    # denom 2 -> 833333
+    got10 = {
+        r["grp"]: r["ap_micro"]
+        for r in average_precision_eval(
+            df, "g", "item", "score", "lab", k=10
+        ).collect()
+    }
+    assert got10["a"] == 833_333
