@@ -828,8 +828,14 @@ def ndcg_eval(
         F.col(rel_col).desc(), F.col(item_col).asc()
     )
     wmap = F.array(*[F.lit(int(w)).cast("long") for w in weights_q])
+    # The group column keeps its ORIGINAL name through the windows and
+    # the aggregate (renamed only in the final projection): aliasing it
+    # before the agg made Spark plan a second exchange on the aliased
+    # key when the input came from a join — alias-aware partitioning
+    # propagation does not survive that shape (r13 plan audit; same fix
+    # as average_precision_eval).
     scored = df.select(
-        F.col(group_col).alias("grp"),
+        F.col(group_col),
         F.col(rel_col).cast("long").alias("rel"),
         F.row_number().over(w_pred).alias("pos"),
         F.row_number().over(w_ideal).alias("ipos"),
@@ -838,13 +844,13 @@ def ndcg_eval(
     # ANSI), so positions beyond k fold to 0 gain via coalesce.
     gain = F.coalesce(F.col("rel") * F.get(wmap, F.col("pos") - 1), F.lit(0))
     igain = F.coalesce(F.col("rel") * F.get(wmap, F.col("ipos") - 1), F.lit(0))
-    agg = scored.groupBy("grp").agg(
+    agg = scored.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_retrieved"),
         F.sum(gain).cast("long").alias("dcg_q"),
         F.sum(igain).cast("long").alias("idcg_q"),
     )
     return agg.select(
-        "grp",
+        F.col(group_col).alias("grp"),
         "n_retrieved",
         "dcg_q",
         "idcg_q",
@@ -894,31 +900,34 @@ def average_precision_eval(
     w = Window.partitionBy(group_col).orderBy(
         F.col(score_col).desc(), F.col(item_col).asc()
     )
+    pos_flag = (F.col(label_col) > 0).cast("long")
+    # Both windows share ONE spec (same partitioning AND ordering) so
+    # they compile to a single WindowExec, and the group column keeps
+    # its ORIGINAL name through the window and the aggregate (renamed
+    # only in the final projection): aliasing it before the agg made
+    # Spark plan a second exchange on the aliased key when the input
+    # came from a join — alias-aware partitioning propagation does not
+    # survive that shape. One exchange feeds window + agg.
     ranked = df.select(
-        F.col(group_col).alias("grp"),
-        (F.col(label_col) > 0).cast("long").alias("_pos"),
+        F.col(group_col),
+        pos_flag.alias("_pos"),
         F.row_number().over(w).alias("pos"),
-    ).withColumn(
-        "cum_pos",
-        F.sum("_pos")
-        .over(
-            Window.partitionBy("grp")
-            .orderBy("pos")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        .cast("long"),
+        F.sum(pos_flag)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_pos"),
     )
     term = F.when(
         (F.col("pos") <= k) & (F.col("_pos") == 1),
         F.expr(f"CAST(cum_pos * {_MICRO} DIV pos AS BIGINT)"),
     ).otherwise(F.lit(0).cast("long"))
-    agg = ranked.groupBy("grp").agg(
+    agg = ranked.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_retrieved"),
         F.sum("_pos").cast("long").alias("n_pos"),
         F.sum(term).cast("long").alias("sum_prec_q"),
     )
     return agg.select(
-        "grp",
+        F.col(group_col).alias("grp"),
         "n_retrieved",
         "n_pos",
         "sum_prec_q",

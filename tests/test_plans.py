@@ -1005,3 +1005,19 @@ def test_partitionless_window_sites_are_allowlisted():
         f"global_cumsum/grouped_cumsum: {sorted(new)}"
     )
     assert not stale, f"stale allowlist rows (site gone): {sorted(stale)}"
+
+
+def test_ranking_evals_single_exchange_feeds_window_and_agg(spark, sf_dir):
+    """c148/c210 (r13 plan audit): the group column keeps its original
+    name through the windows and the aggregate, so ONE exchange on the
+    group key feeds both — aliasing it before the agg planned a second
+    exchange on the aliased key whenever the input came from a join
+    (alias-aware partitioning propagation does not survive that shape)."""
+    for name in ("c148_ndcg_eval", "c210_average_precision"):
+        p = _plan(spark, sf_dir, name)
+        ex = [l for l in p.splitlines()
+              if "Exchange hashpartitioning" in l]
+        # (u, item) click agg, (u, item) purchase agg collapse depends
+        # on the join strategy; the invariant is NO exchange keyed on
+        # the post-window alias 'grp'
+        assert not any("grp#" in l for l in ex), (name, ex)

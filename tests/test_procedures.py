@@ -257,6 +257,36 @@ def test_null_condition_is_false(spark):
     spark.sql("DROP TABLE IF EXISTS bp_proc_nullc")
 
 
+def test_control_flow_body_rolls_back_own_transaction(spark):
+    """A transaction OPENED INSIDE a control-flow body must not dangle
+    past a failing statement (the execute_sql_script guarantee, ported
+    to the tree executor): the next statement would otherwise hit
+    'nested BEGIN' and the staged tables/locks would leak."""
+    from amazonredshift_blueprints_spark import transactions
+
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_txn_cf")
+    execute_sql(
+        spark,
+        """
+        CREATE PROCEDURE bp_txn_cf(p_k int) AS $$
+        BEGIN
+          IF p_k > 0 THEN
+            BEGIN;
+            SELECT * FROM bp_no_such_table_cf_xyz;
+            COMMIT;
+          END IF;
+        END;
+        $$
+        """,
+    )
+    with pytest.raises(RuntimeError, match="rolled back"):
+        execute_sql(spark, "CALL bp_txn_cf(1)")
+    assert transactions.active(spark) is None  # nothing dangles
+    execute_sql(spark, "BEGIN")  # a fresh BEGIN works (no nested error)
+    execute_sql(spark, "ROLLBACK")
+    execute_sql(spark, "DROP PROCEDURE bp_txn_cf")
+
+
 def test_script_embedded_create_and_call(spark):
     """A .sql script holding CREATE PROCEDURE + CALL runs end to end:
     split_statements keeps the $$ body whole, and a failing body
