@@ -15454,6 +15454,10 @@ def q96_stored_procedure(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sqlrun import execute_sql
 
     views(spark, sf_dir, "orders")
+    # idempotent per invocation: the procedure INSERT-appends, so a
+    # second call in the same session (bench full sweep + oracle run)
+    # would double the rows without this drop
+    execute_sql(spark, "DROP TABLE IF EXISTS bp_proc_summary")
     _clean_stale_location(spark, "bp_proc_summary", None)
     execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_refresh_summary")
     execute_sql(
