@@ -4734,6 +4734,19 @@ def c54_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = _C54_LAST_TABLE.pop(spark.sparkContext.applicationId, None)
     if prev is not None:
         spark.sql(f"DROP TABLE IF EXISTS {prev}")
+    # a PREVIOUS session's final table is never dropped (its catalog
+    # entry died with that session) — sweep the uuid-prefixed leftovers
+    # so warehouse disk stays bounded across sessions. Driver-side
+    # directory listing of our own prefix only, never table data.
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    if warehouse and os.path.isdir(warehouse):
+        for d in os.listdir(warehouse):
+            if d.startswith("bp_incr_rollup") and not spark.catalog.tableExists(d):
+                shutil.rmtree(os.path.join(warehouse, d), ignore_errors=True)
     tbl = f"bp_incr_rollup_{uuid.uuid4().hex[:8]}"
     _C54_LAST_TABLE[spark.sparkContext.applicationId] = tbl
     _clean_stale_location(spark, tbl, None)
