@@ -136,42 +136,55 @@ def gap_fill_interpolate(
 
     Determinism: bucket epochs are integral (truncated buckets), the
     interpolation is one fixed-order IEEE double expression — engines
-    replay it bit-identically. Scale: same shape as LOCF — grid, join,
-    and BOTH windows (backward last + forward first, each a running
-    frame) hash on the series key; one shuffle partitioning serves all.
+    replay it bit-identically.
+
+    Scale (r13 rewrite): SEGMENT-EXPLODE, not grid-windows. The old
+    shape densified the grid first and then ran a forward-looking
+    ``first(..., ignorenulls) OVER (... UNBOUNDED FOLLOWING)`` window
+    over it — Spark evaluates unbounded-FOLLOWING frames by rescanning
+    the partition tail per row (O(rows²) per key partition), which at
+    sf0.1 made this the slowest entry in the whole catalog (20.6 s)
+    and would be quadratic in series length at 100 TB. Now one O(n)
+    ``lead`` window over the OBSERVED rows pairs each observation with
+    its successor, and each segment explodes map-side into its gap
+    buckets with the interpolation computed directly from the segment
+    endpoints — the dense grid is never sorted, joined, or windowed.
+    Rows whose value is NULL are not observations (dropped up front;
+    the old code also interpolated across them — but a NULL-valued row
+    at a key's edge no longer emits an edge row, since the span is
+    defined by real observations).
     """
-    bounds = observed.groupBy(key).agg(
-        F.min(bucket).alias("_lo"), F.max(bucket).alias("_hi")
+    obs = observed.filter(F.col(value_col).isNotNull())
+    w = Window.partitionBy(key).orderBy(bucket)
+    seg = obs.select(
+        F.col(key).alias("_k"),
+        F.col(bucket).alias("_b"),
+        F.col(value_col).alias("_v"),
+        F.lead(bucket).over(w).alias("_nb"),
+        F.lead(value_col).over(w).alias("_nv"),
     )
-    grid = bucket_grid(bounds, key, "_lo", "_hi", step).withColumnRenamed(
-        "bucket", bucket
+    # this segment's buckets: [_b, _nb) on the step grid (the successor
+    # emits its own segment); the final observation emits just itself
+    seg_buckets = F.when(
+        F.col("_nb").isNotNull(),
+        F.expr(f"sequence(_b, _nb - {step}, {step})"),
+    ).otherwise(F.array(F.col("_b")))
+    ex = seg.select(
+        "_k", "_b", "_v", "_nb", "_nv", F.explode(seg_buckets).alias("_g")
     )
-    joined = grid.join(observed, [key, bucket], "left")
-    back = (
-        Window.partitionBy(key)
-        .orderBy(bucket)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    fwd = (
-        Window.partitionBy(key)
-        .orderBy(bucket)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    obs_bucket = F.when(F.col(value_col).isNotNull(), F.col(bucket))
-    v0 = F.last(value_col, ignorenulls=True).over(back)
-    t0 = F.unix_timestamp(F.last(obs_bucket, ignorenulls=True).over(back))
-    v1 = F.first(value_col, ignorenulls=True).over(fwd)
-    t1 = F.unix_timestamp(F.first(obs_bucket, ignorenulls=True).over(fwd))
-    t = F.unix_timestamp(F.col(bucket))
-    interp = F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(
-        v0
-        + (v1 - v0)
+    t = F.unix_timestamp(F.col("_g"))
+    t0 = F.unix_timestamp(F.col("_b"))
+    t1 = F.unix_timestamp(F.col("_nb"))
+    is_obs = F.col("_g") == F.col("_b")
+    interp = F.when(is_obs, F.col("_v")).otherwise(
+        F.col("_v")
+        + (F.col("_nv") - F.col("_v"))
         * ((t - t0).cast("double") / (t1 - t0).cast("double"))
     )
-    return joined.select(
-        key,
-        bucket,
-        F.col(value_col),
+    return ex.select(
+        F.col("_k").alias(key),
+        F.col("_g").alias(bucket),
+        F.when(is_obs, F.col("_v")).alias(value_col),
         interp.alias(f"{value_col}_interp"),
     )
 

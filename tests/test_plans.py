@@ -1021,3 +1021,19 @@ def test_ranking_evals_single_exchange_feeds_window_and_agg(spark, sf_dir):
         # on the join strategy; the invariant is NO exchange keyed on
         # the post-window alias 'grp'
         assert not any("grp#" in l for l in ex), (name, ex)
+
+
+def test_gapfill_interpolate_is_segment_explode(spark, sf_dir):
+    """c88 (r13 rewrite): Spark evaluates unbounded-FOLLOWING window
+    frames by rescanning the partition tail per row — O(rows²) per key
+    — and the old grid-then-window shape made c88 the slowest entry in
+    the catalog (20.6 s at sf0.1; 0.9 s after). The shape is now ONE
+    O(n) lead window over the observed rows plus a map-side explode of
+    each segment: no dense-grid join, no second window, no
+    unbounded-following frame."""
+    p = _plan(spark, sf_dir, "c88_gapfill_interpolate")
+    assert "unboundedfollowing" not in p.lower().replace(" ", "")
+    win_lines = [l for l in p.splitlines() if "Window [" in l]
+    assert len(win_lines) == 1 and "lead(" in win_lines[0], win_lines
+    assert p.count("Generate explode") == 1
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
