@@ -15,10 +15,13 @@ O(n log n) per partition, zero range explosion — a theta join
 which is exactly what kills at 100 TB. Right rows sort before left rows
 at equal timestamps (tag 0 < 1), so ``<=`` semantics are exact; a final
 unique tiebreaker makes equal-timestamp right rows deterministic. The
-forward direction is the mirrored window (``first`` over
-[current, unbounded] with left-before-right tag order at equal ts);
-"nearest" evaluates both windows over the SAME sorted union (one
-shuffle still) and picks per row by absolute distance, ties backward —
+forward direction is the REVERSED-order running window (``last`` over
+[unbounded, current] with the total ordering flipped — same answer as
+a first-over-[current, unbounded-following] frame, but O(n) per
+partition where Spark evaluates unbounded-FOLLOWING frames by
+rescanning the tail per row, O(n²) on the data-sized union);
+"nearest" evaluates both windows over the SAME union (one shuffle,
+two sorts) and picks per row by absolute distance, ties backward —
 the pandas convention.
 
 DuckDB grew a native ASOF JOIN for the same reason; the catalog oracle
@@ -94,8 +97,13 @@ def asof_join(
     merged = l_tagged.unionByName(r_tagged)
     # backward: right rows sort BEFORE left at equal ts (tag 0 < 1), so
     # the [unbounded, current] frame's running-last sees them — exact
-    # <= semantics. forward mirrors it: left sorts first (tag desc),
-    # [current, unbounded] first-non-null sees equal-ts right rows.
+    # <= semantics. forward is the REVERSED-order running frame:
+    # "first non-null at-or-after in (ts asc, tag desc, tie asc)" is
+    # exactly "last non-null at-or-before in (ts desc, tag asc, tie
+    # desc)" — same answer, but a running [unbounded, current] frame is
+    # O(n) per partition while Spark evaluates a [current, unbounded-
+    # FOLLOWING] frame by rescanning the partition tail per row,
+    # O(n²) on the data-sized union (the c88 gap-fill lesson, r13).
     w_b = (
         Window.partitionBy("_k")
         .orderBy(F.asc("_ts"), F.asc("_tag"), F.asc_nulls_first("_tie"))
@@ -103,8 +111,8 @@ def asof_join(
     )
     w_f = (
         Window.partitionBy("_k")
-        .orderBy(F.asc("_ts"), F.desc("_tag"), F.asc_nulls_last("_tie"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("_ts"), F.asc("_tag"), F.desc_nulls_first("_tie"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     if direction == "backward":
         merged = merged.withColumn(
@@ -112,11 +120,12 @@ def asof_join(
         )
     elif direction == "forward":
         merged = merged.withColumn(
-            "_asof", F.first("_right", ignorenulls=True).over(w_f)
+            "_asof", F.last("_right", ignorenulls=True).over(w_f)
         )
-    else:  # nearest: both windows over the same sorted union
+    else:  # nearest: both windows over the same union (two sorts, one
+        # shuffle — the orderings already differed before the rewrite)
         bwd = F.last("_right", ignorenulls=True).over(w_b)
-        fwd = F.first("_right", ignorenulls=True).over(w_f)
+        fwd = F.last("_right", ignorenulls=True).over(w_f)
         d_b = F.col("_ts").cast("long") - bwd["_rts"].cast("long")
         d_f = fwd["_rts"].cast("long") - F.col("_ts").cast("long")
         merged = merged.withColumn(

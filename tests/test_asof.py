@@ -110,3 +110,57 @@ def test_asof_forward_equal_ts_tie_first_wins(spark):
         payload={"v": "v"}, tiebreak="rid", direction="forward",
     ).collect()
     assert got[0].v == "a"
+
+
+def test_asof_forward_mirror_matches_bruteforce(spark):
+    """r13: forward/nearest moved from a [current, UNBOUNDED FOLLOWING]
+    frame (O(n²) per partition in Spark) to the reversed-order running
+    frame. Pin the mirror's equivalence against a brute-force
+    per-row computation on a randomized fixture with equal-ts ties."""
+    import random
+
+    from amazonredshift_blueprints_spark.operators.asof import asof_join
+
+    rng = random.Random(13)
+    lrows = [(k, rng.randint(0, 30)) for k in ("a", "b") for _ in range(25)]
+    rrows = [
+        (k, rng.randint(0, 30), i, i * 10)
+        for i, k in enumerate(k for k in ("a", "b") for _ in range(20))
+    ]
+    left = spark.createDataFrame(lrows, "k string, ts long")
+    right = spark.createDataFrame(rrows, "k string, ts long, rid long, v long")
+
+    def brute(direction):
+        out = {}
+        for lk, lts in lrows:
+            cands = [(rts, rid, v) for (rk, rts, rid, v) in rrows if rk == lk]
+            if direction == "forward":
+                c = [(rts, rid, v) for rts, rid, v in cands if rts >= lts]
+                # earliest ts, then smallest tiebreak (first wins)
+                pick = min(c, key=lambda x: (x[0], x[1]), default=None)
+            else:  # nearest, ties -> backward
+                b = [(rts, rid, v) for rts, rid, v in cands if rts <= lts]
+                f = [(rts, rid, v) for rts, rid, v in cands if rts >= lts]
+                # backward: latest ts, equal-ts ties -> LAST (largest
+                # tiebreak) wins, the documented backward convention
+                pb = max(b, key=lambda x: (x[0], x[1]), default=None)
+                pf = min(f, key=lambda x: (x[0], x[1]), default=None)
+                if pb is None:
+                    pick = pf
+                elif pf is None:
+                    pick = pb
+                else:
+                    pick = pb if (lts - pb[0]) <= (pf[0] - lts) else pf
+            out.setdefault((lk, lts), pick[2] if pick else None)
+        return out
+
+    for direction in ("forward", "nearest"):
+        got = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            payload={"v": "v"}, tiebreak="rid", direction=direction,
+        )
+        want = brute(direction)
+        for r in got.collect():
+            assert r["v"] == want[(r["k"], r["ts"])], (
+                direction, r["k"], r["ts"], r["v"], want[(r["k"], r["ts"])]
+            )
