@@ -1037,3 +1037,34 @@ def test_gapfill_interpolate_is_segment_explode(spark, sf_dir):
     assert len(win_lines) == 1 and "lead(" in win_lines[0], win_lines
     assert p.count("Generate explode") == 1
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+
+def test_no_tail_rescan_window_frames_in_package():
+    """Source census (r13): Spark evaluates a frame that STARTS at the
+    current row and ENDS at UNBOUNDED FOLLOWING by rescanning the
+    partition tail per row — O(rows²) per partition. Two entries
+    shipped that shape (c88 gap-fill, as-of forward) before the bench
+    full sweep exposed it; both were rewritten as reversed-order
+    running frames / segment explodes. Whole-partition frames
+    (unboundedPreceding..unboundedFollowing) compute once per
+    partition and stay legal. Any new tail-rescan frame fails here —
+    mirror the ordering and use a running frame instead."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / (
+        "amazonredshift_blueprints_spark"
+    )
+    banned = re.compile(
+        r"rowsBetween\(\s*(?:Window\.currentRow|-?\d+)\s*,\s*"
+        r"Window\.unboundedFollowing"
+    )
+    bad = []
+    for p in sorted(pkg.rglob("*.py")):
+        text = p.read_text()
+        for m in banned.finditer(text):
+            start = text[: m.start()].count("\n") + 1
+            # whole-partition frames pass a negative-infinity start and
+            # never match (currentRow / literal offsets only)
+            bad.append(f"{p.relative_to(pkg)}:{start}")
+    assert not bad, f"tail-rescan window frame(s): {bad}"
