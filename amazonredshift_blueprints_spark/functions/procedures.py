@@ -17,24 +17,42 @@ END IF;`` and ``WHILE cond LOOP ... END LOOP;`` — IS supported
 CREATE time (quote/comment-aware, CASE-aware condition scanning) and
 the tree is executed at CALL time, each leaf statement through the
 full dispatcher. Conditions are SQL boolean expressions over the
-substituted arguments (scalar subqueries allowed — the plpgsql form
-without variables); they evaluate through ``spark.sql`` after dialect
-translation, so inside an open transaction they see staged writes via
-the transaction's read-your-writes views. A NULL condition is false,
-the plpgsql rule. WHILE is capped at ``_MAX_LOOP_ITERATIONS`` — loop
-progress must come from table state, and a condition that never
+substituted arguments (scalar subqueries allowed); they evaluate
+through ``spark.sql`` after dialect translation, so inside an open
+transaction they see staged writes via the transaction's
+read-your-writes views. A NULL condition is false, the plpgsql rule.
+WHILE is capped at ``_MAX_LOOP_ITERATIONS`` — a condition that never
 changes would otherwise spin forever.
+
+Variables (r13): a ``DECLARE name type [:= default]; ...`` header
+section before the ``BEGIN`` block declares plpgsql variables;
+``v := expr;`` assigns (the expression evaluates as scalar SQL —
+subqueries allowed); ``SELECT exprs INTO v1[, v2 ...] [FROM ...]``
+captures the FIRST row positionally (no rows → NULLs, the non-STRICT
+plpgsql rule); ``FOR i IN [REVERSE] lo .. hi LOOP ... END LOOP;``
+iterates an integer range with ``i`` auto-declared for the loop's
+scope. Variable references substitute as ``CAST(<literal> AS <type>)``
+at each execution step — quote-aware, word-boundary, never inside
+string literals. ``SELECT ... INTO`` whose target is NOT a declared
+variable stays plain SQL (the Redshift CTAS form, q94), exactly the
+plpgsql precedence. A variable may not shadow an argument name
+(arguments substitute once at CALL; the collision would be silent).
+Like arguments — and like plpgsql itself, whose docs mandate ``v_``
+prefixes for exactly this reason — a variable named like a referenced
+column or DDL identifier SHADOWS it textually; name variables
+``v_*``/``total_*`` style, never after columns.
 
 Deliberate subset, refused honestly (``NotImplementedError``) rather
 than silently mis-run:
 
 - OUT / INOUT argument modes (no channel to return them through the
   statement face);
-- procedural plpgsql beyond IF/WHILE — DECLARE'd variables (incl.
-  cursors), FOR, RAISE, RETURN, dynamic EXECUTE, EXCEPTION blocks;
-  one outer ``BEGIN ... END`` block wrapper is accepted (and
-  stripped) because virtually every dumped procedure has it. These
-  refuse at CREATE time, where the parser sees the statement starts.
+- cursor/record/constant declarations (DECLARE c CURSOR, RECORD,
+  CONSTANT, REFCURSOR, ALIAS), FOR-over-query (needs record vars),
+  RAISE, RETURN, dynamic EXECUTE, EXCEPTION blocks, nested DECLARE
+  blocks inside the body. One outer ``BEGIN ... END`` block wrapper
+  is accepted (and stripped) because virtually every dumped procedure
+  has it. These refuse at CREATE time, where the parser sees them.
 
 Argument substitution mirrors functions/prepared.py's quote-aware
 single-pass rule: identifiers matching an arg name are replaced by
@@ -52,8 +70,12 @@ from pyspark.sql import SparkSession
 
 from .prepared import _spark_type, _split_args
 
-# (session id, procedure name) -> (list[(argname, sparktype)], body sql)
-_PROCEDURES: dict[tuple[int, str], tuple[list[tuple[str, str]], str]] = {}
+# (session id, procedure name) ->
+#   (list[(argname, sparktype)], list[(varname, sparktype, default)], body)
+_PROCEDURES: dict[
+    tuple[int, str],
+    tuple[list[tuple[str, str]], list[tuple[str, str, str | None]], str],
+] = {}
 
 _CREATE_HEAD_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?PROCEDURE\s+([\w.]+)\s*\(",
@@ -79,8 +101,8 @@ _BLOCK_RE = re.compile(
 # (EXECUTE 'string'), not the SQL-face EXECUTE of a prepared statement;
 # inside a procedure body the plpgsql reading applies, so it refuses.
 _UNSUPPORTED_STARTERS = {
-    "DECLARE": "DECLARE'd variables have no storage in the statement face",
-    "FOR": "FOR loops need a loop variable (DECLARE support)",
+    "DECLARE": "DECLARE belongs in the procedure header; nested "
+               "DECLARE blocks in the body are not supported",
     "LOOP": "bare LOOP has no exit condition without EXIT support",
     "RAISE": "RAISE needs a notice/exception channel",
     "RETURN": "procedures here have no return channel",
@@ -215,14 +237,78 @@ def _consume_statement(text: str, i: int) -> tuple[str, int]:
     return text[start:n].strip(), n  # final statement may omit its ';'
 
 
+_ASSIGN_RE = re.compile(r"^\s*([A-Za-z_]\w*)\s*:=\s*(.+)$", re.DOTALL)
+
+
+def _split_range(expr: str) -> tuple[str, str] | None:
+    """Split a plpgsql FOR range ``lo .. hi`` at the first depth-0
+    ``..`` outside quotes; None when there is none (FOR-over-query)."""
+    depth = 0
+    i, n = 0, len(expr)
+    while i < n:
+        ch = expr[i]
+        if ch in "'\"":
+            i = _skip_quoted(expr, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "." and not depth and expr[i : i + 2] == "..":
+            return expr[:i].strip(), expr[i + 2 :].strip()
+        i += 1
+    return None
+
+
+def _into_targets(stmt: str, variables: frozenset[str]) -> tuple[list[str], str] | None:
+    """For a SELECT statement with a depth-0 ``INTO v1[, v2 ...]``
+    whose targets are ALL declared variables, return (targets,
+    statement with the INTO clause removed); else None — the statement
+    stays plain SQL (Redshift's SELECT INTO <table> CTAS form, q94)."""
+    if not re.match(r"\s*SELECT\b", stmt, re.IGNORECASE):
+        return None
+    depth = 0
+    i, n = 0, len(stmt)
+    while i < n:
+        ch = stmt[i]
+        if ch in "'\"":
+            i = _skip_quoted(stmt, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif not depth:
+            m = re.match(r"\bINTO\b", stmt[i:], re.IGNORECASE)
+            if m and i > 0 and re.search(r"[\s)]", stmt[i - 1]):
+                tail = stmt[i + m.end() - m.start() :]
+                tm = re.match(
+                    r"\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\b", tail
+                )
+                if not tm:
+                    return None
+                targets = [t.strip().lower() for t in tm.group(1).split(",")]
+                if not all(t in variables for t in targets):
+                    return None
+                rest = tail[tm.end() :]
+                return targets, stmt[:i] + " " + rest
+        i += 1
+    return None
+
+
 def _parse_block(
-    text: str, i: int, stops: frozenset[str]
+    text: str,
+    i: int,
+    stops: frozenset[str],
+    variables: frozenset[str] = frozenset(),
 ) -> tuple[list, str | None, int]:
     """Parse a statement list until end-of-text or a ``stops`` keyword
     at statement position. Nodes: ``("sql", stmt)``,
     ``("if", [(cond, items), ...], else_items | None)``,
-    ``("while", cond, items)``. Returns (items, stopword|None, index
-    past the stopword)."""
+    ``("while", cond, items)``, ``("assign", var, expr)``,
+    ``("select_into", [vars], sql)``,
+    ``("for", var, lo, hi, reverse, items)``. Returns (items,
+    stopword|None, index past the stopword)."""
     items: list = []
     n = len(text)
     while True:
@@ -240,7 +326,7 @@ def _parse_block(
             raise NotImplementedError(
                 f"procedural plpgsql {word} is not supported "
                 f"({_UNSUPPORTED_STARTERS[word]}); the subset is a "
-                "statement list plus IF/WHILE"
+                "statement list plus IF/WHILE/FOR/variables"
             )
         if word == "IF":
             branches: list[tuple[str, list]] = []
@@ -249,13 +335,15 @@ def _parse_block(
             while True:
                 cond, _, k = _scan_expr_until(text, k, frozenset({"THEN"}))
                 blk, stop, k = _parse_block(
-                    text, k, frozenset({"ELSIF", "ELSE", "END"})
+                    text, k, frozenset({"ELSIF", "ELSE", "END"}), variables
                 )
                 branches.append((cond, blk))
                 if stop != "ELSIF":
                     break
             if stop == "ELSE":
-                else_items, stop, k = _parse_block(text, k, frozenset({"END"}))
+                else_items, stop, k = _parse_block(
+                    text, k, frozenset({"END"}), variables
+                )
             w2, k = _peek_word(text, k)
             if w2 != "IF":
                 raise ValueError("IF block must close with END IF")
@@ -267,7 +355,7 @@ def _parse_block(
             continue
         if word == "WHILE":
             cond, _, k = _scan_expr_until(text, j, frozenset({"LOOP"}))
-            blk, _, k = _parse_block(text, k, frozenset({"END"}))
+            blk, _, k = _parse_block(text, k, frozenset({"END"}), variables)
             w2, k = _peek_word(text, k)
             if w2 != "LOOP":
                 raise ValueError("WHILE block must close with END LOOP")
@@ -277,13 +365,61 @@ def _parse_block(
             items.append(("while", cond, blk))
             i = k
             continue
+        if word == "FOR":
+            var, k = _peek_word(text, j)
+            if var is None:
+                raise ValueError("FOR needs a loop variable")
+            w_in, k = _peek_word(text, k)
+            if w_in != "IN":
+                raise ValueError("FOR <var> must be followed by IN")
+            rng, _, k = _scan_expr_until(text, k, frozenset({"LOOP"}))
+            reverse = False
+            rm = re.match(r"\s*REVERSE\b(.*)$", rng, re.IGNORECASE | re.DOTALL)
+            if rm:
+                reverse = True
+                rng = rm.group(1).strip()
+            parts = _split_range(rng)
+            if parts is None:
+                raise NotImplementedError(
+                    "FOR-over-query needs record variables; only the "
+                    "integer range form FOR v IN [REVERSE] lo .. hi LOOP "
+                    "is supported"
+                )
+            loop_vars = variables | {var.lower()}
+            blk, _, k = _parse_block(text, k, frozenset({"END"}), loop_vars)
+            w2, k = _peek_word(text, k)
+            if w2 != "LOOP":
+                raise ValueError("FOR block must close with END LOOP")
+            k = _skip_ws_comments(text, k)
+            if k < n and text[k] == ";":
+                k += 1
+            items.append(("for", var.lower(), parts[0], parts[1], reverse, blk))
+            i = k
+            continue
         stmt, i = _consume_statement(text, i)
-        if stmt:
-            items.append(("sql", stmt))
+        if not stmt:
+            continue
+        am = _ASSIGN_RE.match(stmt)
+        if am and am.group(1).lower() in variables:
+            items.append(("assign", am.group(1).lower(), am.group(2).strip()))
+            continue
+        if am and not re.match(r"\s*(SELECT|INSERT|UPDATE|DELETE|MERGE|"
+                               r"CREATE|DROP|COPY|UNLOAD|BEGIN|COMMIT|"
+                               r"ROLLBACK|CALL|WITH|VACUUM|ANALYZE|SET|"
+                               r"TRUNCATE|ALTER|GRANT|REVOKE)\b",
+                               stmt, re.IGNORECASE):
+            raise ValueError(
+                f"assignment to undeclared variable {am.group(1)!r}"
+            )
+        into = _into_targets(stmt, variables)
+        if into is not None:
+            items.append(("select_into", into[0], into[1]))
+            continue
+        items.append(("sql", stmt))
 
 
-def _parse_body(text: str) -> list:
-    items, _, _ = _parse_block(text, 0, frozenset())
+def _parse_body(text: str, variables: frozenset[str] = frozenset()) -> list:
+    items, _, _ = _parse_block(text, 0, frozenset(), variables)
     return items
 
 
@@ -303,39 +439,158 @@ def _eval_condition(spark: SparkSession, cond: str) -> bool:
     return bool(rows[0][0])
 
 
-def _exec_items(spark: SparkSession, items: list) -> int:
-    """Execute a parsed statement tree; returns leaf statements run.
-    Each leaf goes through :func:`..sqlrun.execute_sql`, so it gets
-    COPY/UNLOAD lowering, dialect translation, and transaction
-    routing exactly like a standalone statement."""
+def _literal(value, sparktype: str) -> str:
+    """Render a Python value captured from Spark as a typed SQL
+    literal — the substitution form for variable references."""
+    import datetime
+    import decimal
+    import math
+
+    if value is None:
+        return f"CAST(NULL AS {sparktype})"
+    if isinstance(value, bool):
+        return f"CAST({'TRUE' if value else 'FALSE'} AS {sparktype})"
+    if isinstance(value, float):
+        if math.isnan(value):
+            return f"CAST('NaN' AS {sparktype})"
+        if math.isinf(value):
+            sign = "-" if value < 0 else ""
+            return f"CAST('{sign}Infinity' AS {sparktype})"
+        return f"CAST({value!r} AS {sparktype})"
+    if isinstance(value, (int, decimal.Decimal)):
+        return f"CAST({value} AS {sparktype})"
+    if isinstance(value, datetime.datetime):
+        return f"CAST(TIMESTAMP '{value.isoformat(sep=' ')}' AS {sparktype})"
+    if isinstance(value, datetime.date):
+        return f"CAST(DATE '{value.isoformat()}' AS {sparktype})"
+    escaped = str(value).replace("'", "''")
+    return f"CAST('{escaped}' AS {sparktype})"
+
+
+def _substitute_vars(text: str, vars: dict[str, tuple[str, object]]) -> str:
+    """Replace declared-variable references with their CURRENT value as
+    a typed literal — same quote-aware single-pass rule as argument
+    substitution (never inside string literals)."""
+    if not vars:
+        return text
+    by_name = {v: _literal(val, t) for v, (t, val) in vars.items()}
+    pat = re.compile(
+        r"\b(" + "|".join(re.escape(v) for v in by_name) + r")\b",
+        re.IGNORECASE,
+    )
+    parts = re.split(r"('(?:[^']|'')*')", text)
+    return "".join(
+        p
+        if i % 2
+        else pat.sub(lambda m: by_name[m.group(1).lower()], p)
+        for i, p in enumerate(parts)
+    )
+
+
+def _eval_scalar(spark: SparkSession, sql: str):
+    """Evaluate a scalar SQL expression statement; first row's first
+    column (None when the query yields no rows — the non-STRICT
+    plpgsql INTO rule). The collect is one row by construction."""
+    from . import translate_redshift_sql
+
+    rows = spark.sql(translate_redshift_sql(sql)).collect()
+    return rows[0][0] if rows else None
+
+
+def _exec_items(
+    spark: SparkSession,
+    items: list,
+    vars: dict[str, tuple[str, object]] | None = None,
+) -> int:
+    """Execute a parsed statement tree; returns leaf statements run
+    (assignments and INTO captures count — they execute a query).
+    Each SQL leaf goes through :func:`..sqlrun.execute_sql`, so it
+    gets COPY/UNLOAD lowering, dialect translation, and transaction
+    routing exactly like a standalone statement; variable references
+    substitute with their CURRENT value first."""
     from ..sqlrun import execute_sql
 
+    vars = vars if vars is not None else {}
     n = 0
     for node in items:
-        if node[0] == "sql":
-            execute_sql(spark, node[1])
+        kind = node[0]
+        if kind == "sql":
+            execute_sql(spark, _substitute_vars(node[1], vars))
             n += 1
-        elif node[0] == "if":
+        elif kind == "assign":
+            _, var, expr = node
+            vtype = vars[var][0]
+            value = _eval_scalar(
+                spark,
+                f"SELECT CAST(({_substitute_vars(expr, vars)}) AS {vtype}) AS v",
+            )
+            vars[var] = (vtype, value)
+            n += 1
+        elif kind == "select_into":
+            _, targets, sql = node
+            from . import translate_redshift_sql
+
+            rows = spark.sql(
+                translate_redshift_sql(_substitute_vars(sql, vars))
+            ).collect()
+            first = rows[0] if rows else None
+            if first is not None and len(first) != len(targets):
+                raise ValueError(
+                    f"SELECT INTO: {len(targets)} variable(s) but the "
+                    f"query returns {len(first)} column(s)"
+                )
+            for idx, var in enumerate(targets):
+                vtype = vars[var][0]
+                vars[var] = (vtype, first[idx] if first is not None else None)
+            n += 1
+        elif kind == "if":
             _, branches, else_items = node
             for cond, blk in branches:
-                if _eval_condition(spark, cond):
-                    n += _exec_items(spark, blk)
+                if _eval_condition(spark, _substitute_vars(cond, vars)):
+                    n += _exec_items(spark, blk, vars)
                     break
             else:
                 if else_items is not None:
-                    n += _exec_items(spark, else_items)
+                    n += _exec_items(spark, else_items, vars)
+        elif kind == "for":
+            _, var, lo, hi, reverse, blk = node
+            a = _eval_scalar(
+                spark,
+                f"SELECT CAST(({_substitute_vars(lo, vars)}) AS INT) AS v",
+            )
+            b = _eval_scalar(
+                spark,
+                f"SELECT CAST(({_substitute_vars(hi, vars)}) AS INT) AS v",
+            )
+            if a is None or b is None:
+                raise ValueError(f"FOR range bound is NULL: {lo!r}..{hi!r}")
+            seq = range(a, b + 1) if not reverse else range(a, b - 1, -1)
+            if len(seq) > _MAX_LOOP_ITERATIONS:
+                raise RuntimeError(
+                    f"FOR range of {len(seq)} exceeds the "
+                    f"{_MAX_LOOP_ITERATIONS}-iteration cap"
+                )
+            saved = vars.get(var)
+            for i_val in seq:
+                vars[var] = ("INT", i_val)
+                n += _exec_items(spark, blk, vars)
+            if saved is not None:  # plpgsql scopes the loop var
+                vars[var] = saved
+            else:
+                vars.pop(var, None)
         else:  # while
             _, cond, blk = node
             iters = 0
-            while _eval_condition(spark, cond):
+            while _eval_condition(spark, _substitute_vars(cond, vars)):
                 iters += 1
                 if iters > _MAX_LOOP_ITERATIONS:
                     raise RuntimeError(
                         f"WHILE loop exceeded {_MAX_LOOP_ITERATIONS} "
                         f"iterations (condition {cond[:80]!r} never went "
-                        "false — loop progress must come from table state)"
+                        "false — loop progress must come from table or "
+                        "variable state)"
                     )
-                n += _exec_items(spark, blk)
+                n += _exec_items(spark, blk, vars)
     return n
 
 
@@ -385,12 +640,64 @@ def _parse_create(query: str):
         raise ValueError(
             f"unexpected text after procedure body: {tail[:60]!r}"
         )
+    args = _parse_args(arglist)
+    declares, body = _parse_declares(body)
     blk = _BLOCK_RE.match(body)
     if blk:
         body = blk.group(1)
-    _parse_body(body)  # CREATE-time validation: refuses DECLARE/FOR/
-    # RAISE/... with the reason; raises on unbalanced IF/WHILE blocks
-    return replace, name, _parse_args(arglist), body.strip()
+    arg_names = {a for a, _ in args}
+    shadowed = [v for v, _, _ in declares if v in arg_names]
+    if shadowed:
+        raise ValueError(
+            f"variable(s) {shadowed} shadow argument name(s): arguments "
+            "substitute once at CALL, so the collision would be silent — "
+            "rename the variable"
+        )
+    var_names = frozenset(v for v, _, _ in declares)
+    _parse_body(body, var_names)  # CREATE-time validation: refuses
+    # RAISE/EXECUTE/... with the reason; raises on unbalanced blocks
+    # and on assignment to an undeclared variable
+    return replace, name, args, declares, body.strip()
+
+
+_DECLARE_UNSUPPORTED_RE = re.compile(
+    r"\b(CURSOR|RECORD|CONSTANT|REFCURSOR|ALIAS)\b", re.IGNORECASE
+)
+
+
+def _parse_declares(body: str) -> tuple[list[tuple[str, str, str | None]], str]:
+    """Split an optional ``DECLARE <decls> BEGIN ...`` header off the
+    body: [(name, spark_type, default_expr|None)], remaining body
+    (starting at BEGIN). Cursor/record/constant declarations refuse."""
+    m = re.match(r"\s*DECLARE\b", body, re.IGNORECASE)
+    if not m:
+        return [], body
+    # the DECLARE section runs to the first BEGIN keyword outside
+    # quotes (a DECLARE section cannot itself contain BEGIN)
+    sec, _, i = _scan_expr_until(body, m.end(), frozenset({"BEGIN"}))
+    decls: list[tuple[str, str, str | None]] = []
+    j = 0
+    while j < len(sec):
+        item, j = _consume_statement(sec, j)
+        if not item:
+            continue
+        if _DECLARE_UNSUPPORTED_RE.search(item):
+            raise NotImplementedError(
+                f"procedural plpgsql declaration {item[:60]!r} is not "
+                "supported (cursors/records/constants need machinery "
+                "the statement face does not have); plain "
+                "'name type [:= default]' variables are"
+            )
+        dm = re.match(
+            r"\s*([A-Za-z_]\w*)\s+(.+?)(?:\s*(?::=|\bDEFAULT\b)\s*(.+))?\s*$",
+            item,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not dm:
+            raise ValueError(f"cannot parse variable declaration {item!r}")
+        vname, vtype, vdefault = dm.groups()
+        decls.append((vname.lower(), _spark_type(vtype.strip()), vdefault))
+    return decls, "BEGIN " + body[i:]
 
 
 def create_procedure(
@@ -399,6 +706,7 @@ def create_procedure(
     args: list[tuple[str, str]],
     body: str,
     *,
+    declares: list[tuple[str, str, str | None]] | None = None,
     replace: bool = False,
 ) -> None:
     key = (id(spark), name.lower())
@@ -406,32 +714,25 @@ def create_procedure(
         raise ValueError(
             f"procedure {name!r} already exists (use CREATE OR REPLACE)"
         )
-    _PROCEDURES[key] = (args, body)
+    _PROCEDURES[key] = (args, declares or [], body)
 
 
-def substitute_call(spark: SparkSession, name: str, argtexts: list[str]) -> str:
-    """Resolve CALL to the procedure body with named args substituted —
-    quote-aware, single pass, word-boundary identifier match."""
-    entry = _PROCEDURES.get((id(spark), name.lower()))
-    if entry is None:
-        raise ValueError(f"CALL of unknown procedure {name!r}")
-    argspec, body = entry
-    if len(argtexts) != len(argspec):
-        raise ValueError(
-            f"procedure {name!r} takes {len(argspec)} argument(s), got "
-            f"{len(argtexts)}"
-        )
+def _substitute_args(
+    argspec: list[tuple[str, str]], argtexts: list[str], text: str
+) -> str:
+    """Quote-aware single-pass argument substitution over any body
+    text (procedure body or a variable default expression)."""
     if not argspec:
-        return body
+        return text
     by_name = {
-        aname: f"CAST({text} AS {atype})"
-        for (aname, atype), text in zip(argspec, argtexts)
+        aname: f"CAST({atext} AS {atype})"
+        for (aname, atype), atext in zip(argspec, argtexts)
     }
     pat = re.compile(
         r"\b(" + "|".join(re.escape(a) for a in by_name) + r")\b",
         re.IGNORECASE,
     )
-    parts = re.split(r"('(?:[^']|'')*')", body)  # odd indices = quoted
+    parts = re.split(r"('(?:[^']|'')*')", text)  # odd indices = quoted
     return "".join(
         p
         if i % 2
@@ -440,23 +741,59 @@ def substitute_call(spark: SparkSession, name: str, argtexts: list[str]) -> str:
     )
 
 
+def substitute_call(spark: SparkSession, name: str, argtexts: list[str]) -> str:
+    """Resolve CALL to the procedure body with named args substituted —
+    quote-aware, single pass, word-boundary identifier match."""
+    entry = _PROCEDURES.get((id(spark), name.lower()))
+    if entry is None:
+        raise ValueError(f"CALL of unknown procedure {name!r}")
+    argspec, _, body = entry
+    if len(argtexts) != len(argspec):
+        raise ValueError(
+            f"procedure {name!r} takes {len(argspec)} argument(s), got "
+            f"{len(argtexts)}"
+        )
+    return _substitute_args(argspec, argtexts, body)
+
+
 def call_procedure(spark: SparkSession, name: str, argtexts: list[str]) -> int:
-    """CALL: replay the substituted body. Straight-line bodies go
-    through execute_sql_script unchanged (a failure names the statement
-    index); bodies with IF/WHILE execute their parsed tree, with the
-    same no-dangling-transaction guarantee — a transaction OPENED BY
-    THIS CALL is rolled back when a statement fails. Returns the count
-    of leaf statements actually executed."""
+    """CALL: replay the substituted body. Straight-line variable-free
+    bodies go through execute_sql_script unchanged (a failure names the
+    statement index); bodies with variables or control flow execute
+    their parsed tree, with the same no-dangling-transaction guarantee
+    — a transaction OPENED BY THIS CALL is rolled back when a statement
+    fails. Returns the count of leaf statements actually executed
+    (assignments and INTO captures included — each runs a query).
+
+    Variable defaults evaluate in declaration order at CALL entry
+    (earlier variables are in scope for later defaults, the plpgsql
+    rule); un-defaulted variables start NULL."""
     from .. import transactions
     from ..sqlrun import execute_sql_script
 
+    entry = _PROCEDURES.get((id(spark), name.lower()))
+    if entry is None:
+        raise ValueError(f"CALL of unknown procedure {name!r}")
+    declares = entry[1]
     body = substitute_call(spark, name, argtexts)
-    items = _parse_body(body)
-    if not _has_control_flow(items):
+    var_names = frozenset(v for v, _, _ in declares)
+    items = _parse_body(body, var_names)
+    if not declares and not _has_control_flow(items):
         return execute_sql_script(spark, body)
     entered_with = transactions.active(spark)
     try:
-        return _exec_items(spark, items)
+        vars: dict[str, tuple[str, object]] = {}
+        for vname, vtype, vdefault in declares:
+            value = None
+            if vdefault is not None:
+                expr = _substitute_vars(
+                    _substitute_args(entry[0], argtexts, vdefault), vars
+                )
+                value = _eval_scalar(
+                    spark, f"SELECT CAST(({expr}) AS {vtype}) AS v"
+                )
+            vars[vname] = (vtype, value)
+        return _exec_items(spark, items, vars)
     except Exception as e:
         txn = transactions.active(spark)
         rolled = ""
@@ -477,8 +814,10 @@ def maybe_handle(spark: SparkSession, query: str) -> bool:
     """Statement-face dispatch; True when recognized and handled."""
     parsed = _parse_create(query)
     if parsed is not None:
-        replace, name, argspec, body = parsed
-        create_procedure(spark, name, argspec, body, replace=replace)
+        replace, name, argspec, declares, body = parsed
+        create_procedure(
+            spark, name, argspec, body, declares=declares, replace=replace
+        )
         return True
     m = _CALL_RE.match(query)
     if m:

@@ -716,7 +716,10 @@ def _strip_no_schema_binding(sql: str) -> str:
 
 _SELECT_INTO_HEAD_RE = re.compile(r"^\s*SELECT\b", re.IGNORECASE)
 _INTO_RE = re.compile(
-    r"\bINTO\s+(TEMP(?:ORARY)?\s+)?(?:TABLE\s+)?([A-Za-z_][\w.]*)\s+",
+    # trailing (?:\s+|$): a FROM-less 'SELECT expr INTO t' (valid
+    # PG/Redshift) ends AT the table name — the old \s+ never matched
+    # it, leaving the statement to fail at Spark's parser (r13)
+    r"\bINTO\s+(TEMP(?:ORARY)?\s+)?(?:TABLE\s+)?([A-Za-z_][\w.]*)(?:\s+|$)",
     re.IGNORECASE,
 )
 _FROM_TOP_RE = re.compile(r"\bFROM\b", re.IGNORECASE)

@@ -16812,6 +16812,86 @@ def q102_procedure_control_flow(
 
 
 @query(
+    "q103_procedure_variables",
+    oracle="""
+    WITH mx AS (
+        SELECT CAST(CEIL(MAX(o_totalprice)) AS BIGINT) AS v FROM orders
+    ),
+    steps AS (
+        SELECT 'q4' AS tag, unnest(generate_series(1, 4)) AS step,
+               4 AS k
+        UNION ALL
+        SELECT 'h2', unnest(generate_series(1, 2)), 2
+    )
+    SELECT s.tag, CAST(s.step AS BIGINT) AS step,
+           CAST(mx.v * s.step // s.k AS BIGINT) AS cutoff,
+           CAST((SELECT COUNT(*) FROM orders o
+                  WHERE o.o_totalprice <= mx.v * s.step // s.k)
+               AS BIGINT) AS n_below
+    FROM steps s, mx
+    ORDER BY tag, step
+    """,
+    doc="stored-procedure VARIABLES (functions/procedures.py, r13 — "
+        "the next rung of the plpgsql ladder after q102's IF/WHILE): "
+        "a DECLARE header declares typed variables with optional "
+        "defaults (cursor/record/constant declarations refuse), "
+        "v := expr assigns via scalar SQL, SELECT ... INTO v captures "
+        "the first row (non-STRICT NULL on empty — plpgsql's rule; an "
+        "INTO whose target is NOT a declared variable stays the "
+        "Redshift CTAS statement, the q94 form), and FOR i IN "
+        "[REVERSE] lo .. hi LOOP iterates an integer range with the "
+        "loop variable scoped to the loop. References substitute as "
+        "typed literals at each step — quote-aware, never in string "
+        "literals; variables shadow columns textually, so the entry "
+        "uses the v_* naming plpgsql's own docs mandate. The entry is "
+        "the threshold-ladder report pattern: capture a corpus "
+        "aggregate into a variable once, then loop a parameterized "
+        "tier report off it. All arithmetic integer (CEIL/DIV), so "
+        "the final table replays bit-exactly in DuckDB",
+    tags=("native", "sql", "dialect", "orders"),
+)
+def q103_procedure_variables(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..ingest import _clean_stale_location
+    from ..sqlrun import execute_sql
+
+    views(spark, sf_dir, "orders")
+    execute_sql(spark, "DROP TABLE IF EXISTS bp_proc_ladder")
+    _clean_stale_location(spark, "bp_proc_ladder", None)
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_price_ladder")
+    execute_sql(
+        spark,
+        """
+        CREATE OR REPLACE PROCEDURE bp_price_ladder(
+            p_steps int, p_tag varchar(8))
+        AS $$
+        DECLARE
+          v_max bigint;
+          v_cut bigint := 0;
+        BEGIN
+          CREATE TABLE IF NOT EXISTS bp_proc_ladder (
+              tag STRING, step BIGINT, cutoff BIGINT, n_below BIGINT)
+              USING parquet;
+          SELECT CAST(CEIL(MAX(o_totalprice)) AS BIGINT) INTO v_max
+            FROM orders;
+          FOR i IN 1 .. p_steps LOOP
+            v_cut := v_max * i DIV p_steps;
+            INSERT INTO bp_proc_ladder
+              SELECT p_tag, CAST(i AS BIGINT), v_cut,
+                     (SELECT COUNT(*) FROM orders
+                       WHERE o_totalprice <= v_cut);
+          END LOOP;
+        END;
+        $$ LANGUAGE plpgsql
+        """,
+    )
+    execute_sql(spark, "CALL bp_price_ladder(4, 'q4')")
+    execute_sql(spark, "CALL bp_price_ladder(2, 'h2')")
+    return spark.table("bp_proc_ladder").orderBy("tag", "step")
+
+
+@query(
     "c205_knn_label_agreement",
     oracle=f"""
     WITH v AS (

@@ -21,27 +21,56 @@ from amazonredshift_blueprints_spark.sqlrun import (
 
 
 def test_parse_create_handles_typed_args_and_tagged_body():
-    replace, name, args, body = _parse_create(
+    replace, name, args, declares, body = _parse_create(
         "CREATE OR REPLACE PROCEDURE sp.upd(f1 int, f2 varchar(20))\n"
         "AS $body$ UPDATE t SET a = f1 WHERE b = f2; $body$ "
         "LANGUAGE plpgsql;"
     )
     assert replace and name == "sp.upd"
     assert args == [("f1", "int"), ("f2", "string")]
+    assert declares == []
     assert body == "UPDATE t SET a = f1 WHERE b = f2;"
 
 
 def test_parse_create_strips_block_but_not_transaction_begin():
     # plpgsql BEGIN...END block wrapper: stripped
-    _, _, _, body = _parse_create(
+    _, _, _, _, body = _parse_create(
         "CREATE PROCEDURE p() AS $$ BEGIN SELECT 1; SELECT 2; END; $$"
     )
     assert body == "SELECT 1; SELECT 2;"
     # transaction-control `BEGIN;` is a statement, not a block
-    _, _, _, body = _parse_create(
+    _, _, _, _, body = _parse_create(
         "CREATE PROCEDURE p() AS $$ BEGIN; SELECT 1; COMMIT; $$"
     )
     assert body.startswith("BEGIN;")
+
+
+def test_parse_create_declare_header():
+    """A DECLARE header parses into (name, spark type, default) specs;
+    cursor/record/constant declarations refuse; a variable shadowing
+    an argument refuses (the substitution collision would be silent)."""
+    _, _, _, declares, body = _parse_create(
+        "CREATE PROCEDURE p(k int) AS $$ DECLARE v_total bigint := 0; "
+        "v_msg varchar(20); BEGIN SELECT 1; END; $$"
+    )
+    assert declares == [
+        ("v_total", "bigint", "0"), ("v_msg", "string", None)
+    ]
+    assert body == "SELECT 1;"
+    with pytest.raises(NotImplementedError, match="CURSOR"):
+        _parse_create(
+            "CREATE PROCEDURE p() AS $$ DECLARE c CURSOR FOR SELECT 1; "
+            "BEGIN OPEN c; END; $$"
+        )
+    with pytest.raises(ValueError, match="shadow"):
+        _parse_create(
+            "CREATE PROCEDURE p(v int) AS $$ DECLARE v int; BEGIN "
+            "SELECT 1; END; $$"
+        )
+    with pytest.raises(ValueError, match="undeclared"):
+        _parse_create(
+            "CREATE PROCEDURE p() AS $$ BEGIN x := 1; END; $$"
+        )
 
 
 def test_parse_create_refusals():
@@ -49,8 +78,8 @@ def test_parse_create_refusals():
         _parse_create("CREATE PROCEDURE p(x INOUT int) AS $$ SELECT 1 $$")
     with pytest.raises(NotImplementedError, match="procedural"):
         _parse_create(
-            "CREATE PROCEDURE p() AS $$ DECLARE v int; BEGIN SELECT 1; "
-            "END; $$"
+            "CREATE PROCEDURE p() AS $$ BEGIN SELECT 1; DECLARE v int; "
+            "END; $$"  # nested body DECLARE (not the header section)
         )
     with pytest.raises(NotImplementedError, match="dollar-quoted"):
         _parse_create("CREATE PROCEDURE p() AS 'SELECT 1'")
@@ -140,11 +169,17 @@ def test_parse_body_control_flow_tree():
 
 
 def test_parse_create_control_flow_refusals_and_balance():
-    for kw in ("FOR", "RAISE", "RETURN", "EXECUTE", "EXCEPTION"):
+    for kw in ("RAISE", "RETURN", "EXECUTE", "EXCEPTION"):
         with pytest.raises(NotImplementedError, match="procedural"):
             _parse_create(
                 f"CREATE PROCEDURE p() AS $$ BEGIN {kw} x; END; $$"
             )
+    # FOR-over-query needs record variables — only the range form runs
+    with pytest.raises(NotImplementedError, match="record"):
+        _parse_create(
+            "CREATE PROCEDURE p() AS $$ BEGIN FOR r IN SELECT 1 LOOP "
+            "SELECT 2; END LOOP; END; $$"
+        )
     with pytest.raises(ValueError, match="ended before"):
         _parse_body("IF 1 = 1 THEN SELECT 1;")
     with pytest.raises(ValueError, match="ended before"):
@@ -320,3 +355,111 @@ def test_script_embedded_create_and_call(spark):
     execute_sql(spark, "DROP PROCEDURE bp_script_proc")
     execute_sql(spark, "DROP PROCEDURE bp_script_bad")
     spark.sql("DROP TABLE IF EXISTS bp_proc_script")
+
+
+def test_variables_for_loop_select_into_end_to_end(spark):
+    """DECLARE variables: defaults evaluate at CALL entry, FOR
+    accumulates via assignment, SELECT INTO captures a scalar, IF
+    branches on variable state, and the final INSERT writes the
+    variables' values. v_-prefixed names per the stated shadowing
+    contract (variables substitute textually, like plpgsql's own
+    naming advice)."""
+    spark.sql("DROP TABLE IF EXISTS bp_proc_vars")
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_vars_e2e")
+    execute_sql(
+        spark,
+        """
+        CREATE PROCEDURE bp_vars_e2e(p_n int, p_tag varchar(8)) AS $$
+        DECLARE
+          v_total bigint := 0;
+          v_cnt int;
+          v_msg varchar(40);
+        BEGIN
+          CREATE TABLE IF NOT EXISTS bp_proc_vars (
+              tag STRING, total BIGINT, msg STRING) USING parquet;
+          FOR i IN 1 .. p_n LOOP
+            v_total := v_total + i * i;
+          END LOOP;
+          SELECT COUNT(*) INTO v_cnt FROM bp_proc_vars;
+          IF v_total > 10 THEN
+            v_msg := 'big:' || CAST(v_cnt AS STRING);
+          ELSE
+            v_msg := 'small:' || CAST(v_cnt AS STRING);
+          END IF;
+          INSERT INTO bp_proc_vars SELECT p_tag, v_total, v_msg;
+        END;
+        $$ LANGUAGE plpgsql
+        """,
+    )
+    execute_sql(spark, "CALL bp_vars_e2e(3, 'a')")  # 1+4+9=14 -> big:0
+    execute_sql(spark, "CALL bp_vars_e2e(2, 'b')")  # 1+4=5 -> small:1
+    rows = sorted(
+        (r["tag"], r["total"], r["msg"])
+        for r in spark.table("bp_proc_vars").collect()
+    )
+    assert rows == [("a", 14, "big:0"), ("b", 5, "small:1")]
+    execute_sql(spark, "DROP PROCEDURE bp_vars_e2e")
+    spark.sql("DROP TABLE IF EXISTS bp_proc_vars")
+
+
+def test_for_reverse_and_empty_range_and_loop_var_scope(spark):
+    spark.sql("DROP TABLE IF EXISTS bp_proc_rev")
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_rev_e2e")
+    execute_sql(
+        spark,
+        """
+        CREATE PROCEDURE bp_rev_e2e() AS $$
+        DECLARE v_s varchar(20) := '';
+        BEGIN
+          CREATE TABLE IF NOT EXISTS bp_proc_rev (s STRING) USING parquet;
+          FOR i IN REVERSE 3 .. 1 LOOP
+            v_s := v_s || CAST(i AS STRING);
+          END LOOP;
+          FOR i IN 5 .. 4 LOOP  -- empty ascending range: zero passes
+            v_s := v_s || 'X';
+          END LOOP;
+          INSERT INTO bp_proc_rev SELECT v_s;
+        END;
+        $$
+        """,
+    )
+    execute_sql(spark, "CALL bp_rev_e2e()")
+    assert [r["s"] for r in spark.table("bp_proc_rev").collect()] == ["321"]
+    execute_sql(spark, "DROP PROCEDURE bp_rev_e2e")
+    spark.sql("DROP TABLE IF EXISTS bp_proc_rev")
+
+
+def test_select_into_no_rows_gives_null_and_table_into_stays_ctas(spark):
+    """Non-STRICT plpgsql INTO: zero rows -> NULL; and a SELECT INTO
+    whose target is NOT a declared variable stays the Redshift CTAS
+    statement (the q94 form), exactly the plpgsql precedence."""
+    spark.sql("DROP TABLE IF EXISTS bp_proc_into")
+    spark.sql("DROP TABLE IF EXISTS bp_proc_into_src")
+    spark.sql("DROP TABLE IF EXISTS bp_ctas_target")
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_into_e2e")
+    spark.sql(
+        "CREATE TABLE bp_proc_into_src (v INT) USING parquet"
+    )
+    execute_sql(
+        spark,
+        """
+        CREATE PROCEDURE bp_into_e2e() AS $$
+        DECLARE v_x int := 7;
+        BEGIN
+          CREATE TABLE IF NOT EXISTS bp_proc_into (r STRING) USING parquet;
+          SELECT v INTO v_x FROM bp_proc_into_src;  -- no rows -> NULL
+          INSERT INTO bp_proc_into
+            SELECT CASE WHEN v_x IS NULL THEN 'null' ELSE 'set' END;
+          SELECT 42 AS v INTO bp_ctas_target;  -- table, not a variable
+        END;
+        $$
+        """,
+    )
+    execute_sql(spark, "CALL bp_into_e2e()")
+    assert [r["r"] for r in spark.table("bp_proc_into").collect()] == [
+        "null"
+    ]
+    assert [r["v"] for r in spark.table("bp_ctas_target").collect()] == [42]
+    execute_sql(spark, "DROP PROCEDURE bp_into_e2e")
+    for t in ("bp_proc_into", "bp_proc_into_src", "bp_ctas_target"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
