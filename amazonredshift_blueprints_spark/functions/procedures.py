@@ -21,8 +21,11 @@ substituted arguments (scalar subqueries allowed); they evaluate
 through ``spark.sql`` after dialect translation, so inside an open
 transaction they see staged writes via the transaction's
 read-your-writes views. A NULL condition is false, the plpgsql rule.
-WHILE is capped at ``_MAX_LOOP_ITERATIONS`` — a condition that never
-changes would otherwise spin forever.
+``EXIT [WHEN cond]`` / ``CONTINUE [WHEN cond]`` unwind to the
+innermost loop, and a bare ``LOOP ... END LOOP`` runs as
+WHILE TRUE (terminate with EXIT). Every loop is capped at
+``_MAX_LOOP_ITERATIONS`` — a condition that never changes (or an EXIT
+that never fires) would otherwise spin forever.
 
 Variables (r13): a ``DECLARE name type [:= default]; ...`` header
 section before the ``BEGIN`` block declares plpgsql variables;
@@ -103,7 +106,6 @@ _BLOCK_RE = re.compile(
 _UNSUPPORTED_STARTERS = {
     "DECLARE": "DECLARE belongs in the procedure header; nested "
                "DECLARE blocks in the body are not supported",
-    "LOOP": "bare LOOP has no exit condition without EXIT support",
     "RAISE": "RAISE needs a notice/exception channel",
     "RETURN": "procedures here have no return channel",
     "EXECUTE": "plpgsql EXECUTE is dynamic SQL over variables",
@@ -301,13 +303,15 @@ def _parse_block(
     i: int,
     stops: frozenset[str],
     variables: frozenset[str] = frozenset(),
+    in_loop: bool = False,
 ) -> tuple[list, str | None, int]:
     """Parse a statement list until end-of-text or a ``stops`` keyword
     at statement position. Nodes: ``("sql", stmt)``,
     ``("if", [(cond, items), ...], else_items | None)``,
     ``("while", cond, items)``, ``("assign", var, expr)``,
     ``("select_into", [vars], sql)``,
-    ``("for", var, lo, hi, reverse, items)``. Returns (items,
+    ``("for", var, lo, hi, reverse, items)``,
+    ``("exit"|"continue", cond | None)``. Returns (items,
     stopword|None, index past the stopword)."""
     items: list = []
     n = len(text)
@@ -322,6 +326,24 @@ def _parse_block(
         word, j = _peek_word(text, i)
         if word in stops:
             return items, word, j
+        if word in ("EXIT", "CONTINUE"):
+            if not in_loop:
+                raise ValueError(
+                    f"{word} outside a LOOP (labels are not supported)"
+                )
+            stmt, i = _consume_statement(text, j)
+            cond = None
+            if stmt:
+                wm = re.match(r"\s*WHEN\b(.*)$", stmt,
+                              re.IGNORECASE | re.DOTALL)
+                if wm is None:
+                    raise ValueError(
+                        f"{word} takes an optional WHEN <condition>; "
+                        f"got {stmt[:40]!r}"
+                    )
+                cond = wm.group(1).strip()
+            items.append((word.lower(), cond))
+            continue
         if word in _UNSUPPORTED_STARTERS:
             raise NotImplementedError(
                 f"procedural plpgsql {word} is not supported "
@@ -335,14 +357,15 @@ def _parse_block(
             while True:
                 cond, _, k = _scan_expr_until(text, k, frozenset({"THEN"}))
                 blk, stop, k = _parse_block(
-                    text, k, frozenset({"ELSIF", "ELSE", "END"}), variables
+                    text, k, frozenset({"ELSIF", "ELSE", "END"}),
+                    variables, in_loop,
                 )
                 branches.append((cond, blk))
                 if stop != "ELSIF":
                     break
             if stop == "ELSE":
                 else_items, stop, k = _parse_block(
-                    text, k, frozenset({"END"}), variables
+                    text, k, frozenset({"END"}), variables, in_loop
                 )
             w2, k = _peek_word(text, k)
             if w2 != "IF":
@@ -355,7 +378,9 @@ def _parse_block(
             continue
         if word == "WHILE":
             cond, _, k = _scan_expr_until(text, j, frozenset({"LOOP"}))
-            blk, _, k = _parse_block(text, k, frozenset({"END"}), variables)
+            blk, _, k = _parse_block(
+                text, k, frozenset({"END"}), variables, True
+            )
             w2, k = _peek_word(text, k)
             if w2 != "LOOP":
                 raise ValueError("WHILE block must close with END LOOP")
@@ -363,6 +388,19 @@ def _parse_block(
             if k < n and text[k] == ";":
                 k += 1
             items.append(("while", cond, blk))
+            i = k
+            continue
+        if word == "LOOP":  # bare LOOP: terminate via EXIT [WHEN]
+            blk, _, k = _parse_block(
+                text, j, frozenset({"END"}), variables, True
+            )
+            w2, k = _peek_word(text, k)
+            if w2 != "LOOP":
+                raise ValueError("LOOP block must close with END LOOP")
+            k = _skip_ws_comments(text, k)
+            if k < n and text[k] == ";":
+                k += 1
+            items.append(("while", "TRUE", blk))
             i = k
             continue
         if word == "FOR":
@@ -386,7 +424,9 @@ def _parse_block(
                     "is supported"
                 )
             loop_vars = variables | {var.lower()}
-            blk, _, k = _parse_block(text, k, frozenset({"END"}), loop_vars)
+            blk, _, k = _parse_block(
+                text, k, frozenset({"END"}), loop_vars, True
+            )
             w2, k = _peek_word(text, k)
             if w2 != "LOOP":
                 raise ValueError("FOR block must close with END LOOP")
@@ -497,6 +537,14 @@ def _eval_scalar(spark: SparkSession, sql: str):
     return rows[0][0] if rows else None
 
 
+class _LoopExit(Exception):
+    """Signal: plpgsql EXIT — unwinds to the innermost loop."""
+
+
+class _LoopContinue(Exception):
+    """Signal: plpgsql CONTINUE — next iteration of the innermost loop."""
+
+
 def _exec_items(
     spark: SparkSession,
     items: list,
@@ -543,6 +591,12 @@ def _exec_items(
                 vtype = vars[var][0]
                 vars[var] = (vtype, first[idx] if first is not None else None)
             n += 1
+        elif kind in ("exit", "continue"):
+            _, cond = node
+            if cond is None or _eval_condition(
+                spark, _substitute_vars(cond, vars)
+            ):
+                raise (_LoopExit if kind == "exit" else _LoopContinue)()
         elif kind == "if":
             _, branches, else_items = node
             for cond, blk in branches:
@@ -571,9 +625,15 @@ def _exec_items(
                     f"{_MAX_LOOP_ITERATIONS}-iteration cap"
                 )
             saved = vars.get(var)
-            for i_val in seq:
-                vars[var] = ("INT", i_val)
-                n += _exec_items(spark, blk, vars)
+            try:
+                for i_val in seq:
+                    vars[var] = ("INT", i_val)
+                    try:
+                        n += _exec_items(spark, blk, vars)
+                    except _LoopContinue:
+                        continue
+            except _LoopExit:
+                pass
             if saved is not None:  # plpgsql scopes the loop var
                 vars[var] = saved
             else:
@@ -588,9 +648,14 @@ def _exec_items(
                         f"WHILE loop exceeded {_MAX_LOOP_ITERATIONS} "
                         f"iterations (condition {cond[:80]!r} never went "
                         "false — loop progress must come from table or "
-                        "variable state)"
+                        "variable state, or EXIT must fire)"
                     )
-                n += _exec_items(spark, blk, vars)
+                try:
+                    n += _exec_items(spark, blk, vars)
+                except _LoopContinue:
+                    continue
+                except _LoopExit:
+                    break
     return n
 
 

@@ -463,3 +463,63 @@ def test_select_into_no_rows_gives_null_and_table_into_stays_ctas(spark):
     execute_sql(spark, "DROP PROCEDURE bp_into_e2e")
     for t in ("bp_proc_into", "bp_proc_into_src", "bp_ctas_target"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_exit_continue_and_bare_loop(spark):
+    """plpgsql EXIT [WHEN] / CONTINUE [WHEN] unwind the innermost loop;
+    a bare LOOP runs as WHILE TRUE and terminates via EXIT; EXIT
+    outside a loop refuses at CREATE."""
+    spark.sql("DROP TABLE IF EXISTS bp_proc_ec")
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_ec_e2e")
+    execute_sql(
+        spark,
+        """
+        CREATE PROCEDURE bp_ec_e2e() AS $$
+        DECLARE
+          v_i int := 0;
+          v_s varchar(30) := '';
+        BEGIN
+          CREATE TABLE IF NOT EXISTS bp_proc_ec (s STRING) USING parquet;
+          LOOP
+            v_i := v_i + 1;
+            EXIT WHEN v_i > 6;
+            CONTINUE WHEN v_i = 3;   -- skip 3
+            IF v_i = 5 THEN
+              CONTINUE;              -- unconditional skip of 5
+            END IF;
+            v_s := v_s || CAST(v_i AS STRING);
+          END LOOP;
+          FOR i IN 1 .. 10 LOOP
+            EXIT WHEN i = 3;         -- FOR honors EXIT too
+            v_s := v_s || 'f';
+          END LOOP;
+          INSERT INTO bp_proc_ec SELECT v_s;
+        END;
+        $$
+        """,
+    )
+    execute_sql(spark, "CALL bp_ec_e2e()")
+    assert [r["s"] for r in spark.table("bp_proc_ec").collect()] == [
+        "1246ff"
+    ]
+    with pytest.raises(ValueError, match="outside a LOOP"):
+        _parse_body("EXIT;")
+    with pytest.raises(ValueError, match="outside a LOOP"):
+        _parse_body("IF 1 = 1 THEN CONTINUE; END IF;")
+    # a bare LOOP with no EXIT trips the iteration cap, not an infloop
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_ec_spin")
+    execute_sql(
+        spark,
+        "CREATE PROCEDURE bp_ec_spin() AS $$ LOOP SELECT 1; END LOOP; $$",
+    )
+    import pytest as _pytest
+
+    from amazonredshift_blueprints_spark.functions import procedures as _p
+
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(_p, "_MAX_LOOP_ITERATIONS", 4)
+        with pytest.raises(RuntimeError, match="exceeded 4"):
+            execute_sql(spark, "CALL bp_ec_spin()")
+    execute_sql(spark, "DROP PROCEDURE bp_ec_e2e")
+    execute_sql(spark, "DROP PROCEDURE bp_ec_spin")
+    spark.sql("DROP TABLE IF EXISTS bp_proc_ec")
