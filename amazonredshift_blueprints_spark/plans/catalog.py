@@ -17373,13 +17373,12 @@ def c200_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
 # R14 ROTATION PLAN (write it as round 14's FIRST commit): the
-# never-driver-rowed set after r13 is the remaining 33 —
-# q95-q101 (7), a06-a12 (7), c191-c209 (19) — plus whatever round 13
-# adds (keep additions <= the window slack so the backlog shrinks).
-# Take those first in catalog order, then fill remaining slots with
-# the oldest-rowed entries from the CORRECTNESS_r01-r14 union
-# (co-window each rows-only pick with its oracle twin: q12<->q11,
-# c02<->c24, c03<->c26, c07<->c38, c68<->q11).
+# never-driver-rowed set after r13 is 36 — q95-q103 (9; q102/q103 are
+# round-13 additions), a06-a12 (7), c191-c210 (20; c210 is a round-13
+# addition). Take all 36 in catalog order, then fill the remaining 14
+# slots with the oldest-rowed entries from the CORRECTNESS_r01-r14
+# union (co-window each rows-only pick with its oracle twin:
+# q12<->q11, c02<->c24, c03<->c26, c07<->c38, c68<->q11).
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
