@@ -506,9 +506,11 @@ def test_zorder_key_properties(spark):
 def test_round10_partc_plan_shapes(spark, sf_dir):
     """Pin the documented plan shapes of the round-10 Part C entries:
     c84 map-only (no exchange, no join), c91 zero exchanges (both
-    posting sides broadcast after their word filters), c88 exactly one
-    post-aggregate key partitioning serving the grid join and both
-    windows, c89's counter aggregate bounded by the sketch size."""
+    posting sides broadcast after their word filters), c88 one
+    user_id partitioning feeding the single lead window of the r13
+    segment-explode rewrite (the grid-join + dual-direction-window
+    shape is gone — see test_gapfill_interpolate_is_segment_explode),
+    c89's counter aggregate bounded by the sketch size."""
     p84 = _plan(spark, sf_dir, "c84_gopher_quality_rules")
     assert "Exchange" not in p84 and "Join" not in p84
     p91 = _plan(spark, sf_dir, "c91_phrase_match")
@@ -522,7 +524,6 @@ def test_round10_partc_plan_shapes(spark, sf_dir):
         if "user_id" in m
     ]
     assert len(set(user_exchanges)) >= 1  # one user_id partitioning exists
-    assert p88.count("windowspecdefinition") >= 4  # both direction windows
     assert "CartesianProduct" not in p88
     p89 = _plan(spark, sf_dir, "c89_count_min_sketch")
     assert "CartesianProduct" not in p89
