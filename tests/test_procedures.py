@@ -523,3 +523,141 @@ def test_exit_continue_and_bare_loop(spark):
     execute_sql(spark, "DROP PROCEDURE bp_ec_e2e")
     execute_sql(spark, "DROP PROCEDURE bp_ec_spin")
     spark.sql("DROP TABLE IF EXISTS bp_proc_ec")
+
+
+def test_random_programs_match_python_interpreter(spark):
+    """Differential test of the plpgsql interpreter: seeded-random
+    programs over integer variables (assignment, IF/ELSE on parity,
+    bounded WHILE, FOR with EXIT/CONTINUE) execute once through the
+    Spark procedure face and once through a direct Python
+    interpretation of the same program; the final variable states must
+    match exactly. All arithmetic is integer, so there is no float
+    tolerance anywhere."""
+    import random
+
+    def gen_program(rng, depth=0):
+        stmts = []
+        n = rng.randint(2, 4 if depth else 6)
+        for _ in range(n):
+            kind = rng.choice(
+                ["assign", "assign", "if", "while", "for"]
+                if depth < 2
+                else ["assign"]
+            )
+            if kind == "assign":
+                v = rng.choice(["v_a", "v_b"])
+                c = rng.randint(1, 5)
+                op = rng.choice(["+", "*"])
+                stmts.append(("assign", v, op, c))
+            elif kind == "if":
+                t = gen_program(rng, depth + 1)
+                f = gen_program(rng, depth + 1)
+                stmts.append(("if", rng.choice(["v_a", "v_b"]), t, f))
+            elif kind == "while":
+                lim = rng.randint(1, 4)
+                body = gen_program(rng, depth + 1)
+                stmts.append(("while", lim, body))
+            else:
+                a, b = rng.randint(1, 3), rng.randint(3, 6)
+                body = gen_program(rng, depth + 1)
+                guard = rng.choice([None, "exit", "continue"])
+                stmts.append(("for", a, b, guard, rng.randint(a, b), body))
+        return stmts
+
+    def render(stmts, ind="  "):
+        out = []
+        for s in stmts:
+            if s[0] == "assign":
+                _, v, op, c = s
+                out.append(f"{ind}{v} := ({v} {op} {c}) % 1000;")
+            elif s[0] == "if":
+                _, v, t, f = s
+                out.append(f"{ind}IF {v} % 2 = 0 THEN")
+                out.append(render(t, ind + "  "))
+                out.append(f"{ind}ELSE")
+                out.append(render(f, ind + "  "))
+                out.append(f"{ind}END IF;")
+            elif s[0] == "while":
+                _, lim, body = s
+                out.append(f"{ind}v_w := 0;")
+                out.append(f"{ind}WHILE v_w < {lim} LOOP")
+                out.append(f"{ind}  v_w := v_w + 1;")
+                out.append(render(body, ind + "  "))
+                out.append(f"{ind}END LOOP;")
+            else:
+                _, a, b, guard, gval, body = s
+                out.append(f"{ind}FOR i IN {a} .. {b} LOOP")
+                if guard:
+                    out.append(
+                        f"{ind}  {guard.upper()} WHEN i = {gval};"
+                    )
+                out.append(f"{ind}  v_a := (v_a + i) % 1000;")
+                out.append(render(body, ind + "  "))
+                out.append(f"{ind}END LOOP;")
+        return "\n".join(out)
+
+    class _Exit(Exception):
+        pass
+
+    class _Cont(Exception):
+        pass
+
+    def interp(stmts, env):
+        for s in stmts:
+            if s[0] == "assign":
+                _, v, op, c = s
+                env[v] = (env[v] + c if op == "+" else env[v] * c) % 1000
+            elif s[0] == "if":
+                _, v, t, f = s
+                interp(t if env[v] % 2 == 0 else f, env)
+            elif s[0] == "while":
+                _, lim, body = s
+                env["v_w"] = 0
+                while env["v_w"] < lim:
+                    env["v_w"] += 1
+                    try:
+                        interp(body, env)
+                    except _Cont:
+                        continue
+                    except _Exit:
+                        break
+            else:
+                _, a, b, guard, gval, body = s
+                try:
+                    for i in range(a, b + 1):
+                        try:
+                            if guard == "exit" and i == gval:
+                                raise _Exit()
+                            if guard == "continue" and i == gval:
+                                raise _Cont()
+                            env["v_a"] = (env["v_a"] + i) % 1000
+                            interp(body, env)
+                        except _Cont:
+                            continue
+                except _Exit:
+                    pass
+
+    spark.sql("DROP TABLE IF EXISTS bp_proc_fuzz")
+    for seed in (7, 13, 99):
+        rng = random.Random(seed)
+        prog = gen_program(rng)
+        env = {"v_a": 1, "v_b": 2, "v_w": 0}
+        interp(prog, env)
+        body = render(prog)
+        execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_fuzz")
+        execute_sql(
+            spark,
+            "CREATE PROCEDURE bp_fuzz() AS $$\n"
+            "DECLARE v_a int := 1; v_b int := 2; v_w int := 0;\n"
+            "BEGIN\n"
+            "CREATE TABLE IF NOT EXISTS bp_proc_fuzz "
+            "(a INT, b INT) USING parquet;\n"
+            f"{body}\n"
+            "INSERT INTO bp_proc_fuzz SELECT v_a, v_b;\n"
+            "END;\n$$",
+        )
+        execute_sql(spark, "CALL bp_fuzz()")
+        rows = [(r["a"], r["b"]) for r in spark.table("bp_proc_fuzz").collect()]
+        assert rows == [(env["v_a"], env["v_b"])], (seed, rows, env)
+        spark.sql("DROP TABLE IF EXISTS bp_proc_fuzz")
+        execute_sql(spark, "DROP PROCEDURE bp_fuzz")
