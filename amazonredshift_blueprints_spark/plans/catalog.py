@@ -16756,9 +16756,11 @@ def q101_json_varchar_functions(
         "Redshift shop keeps in a procedure: each iteration derives "
         "the next day from the rows already backfilled and inserts "
         "that day's event count; a second CALL with a non-positive "
-        "day count takes the IF's sentinel branch instead. DECLARE/"
-        "FOR/RAISE/RETURN/dynamic EXECUTE still refuse at CREATE "
-        "with the reason. Reference basis: arbitrary plpgsql reaches "
+        "day count takes the IF's sentinel branch instead. (DECLARE "
+        "variables and FOR ranges landed later this round — q103; "
+        "RAISE/RETURN/dynamic EXECUTE/EXCEPTION still refuse at "
+        "CREATE with the reason.) Reference basis: arbitrary plpgsql "
+        "reaches "
         "the pass-through at execute_sql.py:77 verbatim. Scale note: "
         "each iteration is one filtered scan — on a date-partitioned "
         "table the DATEDIFF-day predicate prunes to one partition; "
