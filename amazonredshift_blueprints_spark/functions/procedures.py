@@ -52,10 +52,19 @@ than silently mis-run:
   statement face);
 - cursor/record/constant declarations (DECLARE c CURSOR, RECORD,
   CONSTANT, REFCURSOR, ALIAS), FOR-over-query (needs record vars),
-  RAISE, RETURN, dynamic EXECUTE, EXCEPTION blocks, nested DECLARE
-  blocks inside the body. One outer ``BEGIN ... END`` block wrapper
-  is accepted (and stripped) because virtually every dumped procedure
-  has it. These refuse at CREATE time, where the parser sees them.
+  dynamic EXECUTE, EXCEPTION blocks, nested DECLARE blocks inside the
+  body, RETURN with a value, RAISE's condition-name/USING forms. One
+  outer ``BEGIN ... END`` block wrapper is accepted (and stripped)
+  because virtually every dumped procedure has it. These refuse at
+  CREATE time, where the parser sees them.
+
+RAISE and RETURN (r13): ``RAISE [INFO|NOTICE|WARNING|EXCEPTION]
+'fmt' [, args]`` evaluates its arguments as scalar SQL and formats
+plpgsql-style (each ``%`` consumes one argument, ``%%`` literal,
+NULL renders <NULL>); EXCEPTION aborts the CALL (transaction opened
+by the call rolled back), the other levels PRINT the message — the
+notice channel is stdout, exactly where the reference CLI surfaces
+its own messages. A bare ``RETURN`` exits the procedure early.
 
 Argument substitution mirrors functions/prepared.py's quote-aware
 single-pass rule: identifiers matching an arg name are replaced by
@@ -106,11 +115,15 @@ _BLOCK_RE = re.compile(
 _UNSUPPORTED_STARTERS = {
     "DECLARE": "DECLARE belongs in the procedure header; nested "
                "DECLARE blocks in the body are not supported",
-    "RAISE": "RAISE needs a notice/exception channel",
-    "RETURN": "procedures here have no return channel",
     "EXECUTE": "plpgsql EXECUTE is dynamic SQL over variables",
     "EXCEPTION": "EXCEPTION blocks need savepoint semantics",
 }
+
+_RAISE_RE = re.compile(
+    r"^\s*RAISE\s*(?:(INFO|NOTICE|WARNING|LOG|DEBUG|EXCEPTION)\s+)?"
+    r"('(?:[^']|'')*')\s*(?:,\s*(.*))?$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 #: hard cap on WHILE iterations — loop progress must come from table
 #: state; a condition that never changes would otherwise spin forever.
@@ -344,6 +357,37 @@ def _parse_block(
                 cond = wm.group(1).strip()
             items.append((word.lower(), cond))
             continue
+        if word == "RAISE":
+            stmt, i = _consume_statement(text, i)
+            rm = _RAISE_RE.match(stmt)
+            if rm is None:
+                raise NotImplementedError(
+                    "RAISE needs a level and a quoted format string "
+                    "(RAISE [INFO|NOTICE|WARNING|EXCEPTION] 'fmt' "
+                    f"[, args]); got {stmt[:60]!r} — condition-name/"
+                    "USING forms are not supported"
+                )
+            level = (rm.group(1) or "EXCEPTION").upper()
+            fmt = rm.group(2)[1:-1].replace("''", "'")
+            argtext = rm.group(3)
+            args = _split_args(argtext) if argtext and argtext.strip() else []
+            if fmt.replace("%%", "").count("%") != len(args):
+                raise ValueError(
+                    f"RAISE format {fmt!r} has "
+                    f"{fmt.replace('%%', '').count('%')} placeholder(s) "
+                    f"but {len(args)} argument(s)"
+                )
+            items.append(("raise", level, fmt, args))
+            continue
+        if word == "RETURN":
+            stmt, i = _consume_statement(text, j)
+            if stmt.strip():
+                raise NotImplementedError(
+                    "procedures return nothing; only a bare RETURN "
+                    "(early exit) is supported"
+                )
+            items.append(("return",))
+            continue
         if word in _UNSUPPORTED_STARTERS:
             raise NotImplementedError(
                 f"procedural plpgsql {word} is not supported "
@@ -545,6 +589,36 @@ class _LoopContinue(Exception):
     """Signal: plpgsql CONTINUE — next iteration of the innermost loop."""
 
 
+class _ProcReturn(Exception):
+    """Signal: bare RETURN — exits the procedure; ``count`` accumulates
+    the executed-statement total as the unwind passes each frame."""
+
+    def __init__(self) -> None:
+        self.count = 0
+
+
+def _format_raise(fmt: str, vals: list) -> str:
+    """plpgsql RAISE format: each ``%`` consumes the next argument
+    (``%%`` is a literal percent); NULL renders as ``<NULL>``."""
+    out: list[str] = []
+    ai = 0
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            if fmt[i : i + 2] == "%%":
+                out.append("%")
+                i += 2
+                continue
+            v = vals[ai]
+            ai += 1
+            out.append("<NULL>" if v is None else str(v))
+            i += 1
+        else:
+            out.append(fmt[i])
+            i += 1
+    return "".join(out)
+
+
 def _exec_items(
     spark: SparkSession,
     items: list,
@@ -559,6 +633,18 @@ def _exec_items(
     from ..sqlrun import execute_sql
 
     vars = vars if vars is not None else {}
+    n = 0
+    try:
+        n = _exec_items_inner(spark, items, vars)
+    except _ProcReturn as pr:
+        pr.count += n
+        raise
+    return n
+
+
+def _exec_items_inner(spark, items, vars) -> int:
+    from ..sqlrun import execute_sql
+
     n = 0
     for node in items:
         kind = node[0]
@@ -591,6 +677,22 @@ def _exec_items(
                 vtype = vars[var][0]
                 vars[var] = (vtype, first[idx] if first is not None else None)
             n += 1
+        elif kind == "raise":
+            _, level, fmt, rargs = node
+            vals = [
+                _eval_scalar(
+                    spark,
+                    f"SELECT ({_substitute_vars(a, vars)}) AS v",
+                )
+                for a in rargs
+            ]
+            msg = _format_raise(fmt, vals)
+            if level == "EXCEPTION":
+                raise RuntimeError(f"RAISE EXCEPTION: {msg}")
+            print(f"{level}: {msg}")  # the notice channel IS stdout,
+            # exactly where the reference CLI surfaces its messages
+        elif kind == "return":
+            raise _ProcReturn()
         elif kind in ("exit", "continue"):
             _, cond = node
             if cond is None or _eval_condition(
@@ -859,6 +961,8 @@ def call_procedure(spark: SparkSession, name: str, argtexts: list[str]) -> int:
                 )
             vars[vname] = (vtype, value)
         return _exec_items(spark, items, vars)
+    except _ProcReturn as pr:  # bare RETURN: clean early exit
+        return pr.count
     except Exception as e:
         txn = transactions.active(spark)
         rolled = ""

@@ -169,11 +169,20 @@ def test_parse_body_control_flow_tree():
 
 
 def test_parse_create_control_flow_refusals_and_balance():
-    for kw in ("RAISE", "RETURN", "EXECUTE", "EXCEPTION"):
+    for kw in ("EXECUTE", "EXCEPTION"):
         with pytest.raises(NotImplementedError, match="procedural"):
             _parse_create(
                 f"CREATE PROCEDURE p() AS $$ BEGIN {kw} x; END; $$"
             )
+    # RAISE/RETURN now execute; their unsupported FORMS still refuse
+    with pytest.raises(NotImplementedError, match="USING"):
+        _parse_create(
+            "CREATE PROCEDURE p() AS $$ BEGIN RAISE x; END; $$"
+        )
+    with pytest.raises(NotImplementedError, match="bare RETURN"):
+        _parse_create(
+            "CREATE PROCEDURE p() AS $$ BEGIN RETURN x; END; $$"
+        )
     # FOR-over-query needs record variables — only the range form runs
     with pytest.raises(NotImplementedError, match="record"):
         _parse_create(
@@ -661,3 +670,51 @@ def test_random_programs_match_python_interpreter(spark):
         assert rows == [(env["v_a"], env["v_b"])], (seed, rows, env)
         spark.sql("DROP TABLE IF EXISTS bp_proc_fuzz")
         execute_sql(spark, "DROP PROCEDURE bp_fuzz")
+
+
+def test_raise_levels_and_bare_return(spark, capsys):
+    """RAISE INFO/NOTICE/WARNING print plpgsql-formatted messages to
+    stdout (the reference CLI's own notice channel); RAISE EXCEPTION
+    aborts the CALL; bare RETURN exits the procedure early; RETURN
+    with a value and RAISE USING forms refuse at CREATE."""
+    spark.sql("DROP TABLE IF EXISTS bp_proc_raise")
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_raise_e2e")
+    execute_sql(
+        spark,
+        """
+        CREATE PROCEDURE bp_raise_e2e(p_k int) AS $$
+        DECLARE v_n int := 0;
+        BEGIN
+          CREATE TABLE IF NOT EXISTS bp_proc_raise (s STRING)
+              USING parquet;
+          SELECT p_k * 2 INTO v_n;
+          RAISE INFO 'doubled % to % (100%% sure)', p_k, v_n;
+          IF p_k < 0 THEN
+            RAISE EXCEPTION 'negative input: %', p_k;
+          END IF;
+          IF p_k = 0 THEN
+            RETURN;
+          END IF;
+          INSERT INTO bp_proc_raise SELECT 'ran:' || CAST(v_n AS STRING);
+        END;
+        $$
+        """,
+    )
+    execute_sql(spark, "CALL bp_raise_e2e(3)")
+    out = capsys.readouterr().out
+    assert "INFO: doubled 3 to 6 (100% sure)" in out
+    execute_sql(spark, "CALL bp_raise_e2e(0)")  # early RETURN: no row
+    with pytest.raises(RuntimeError, match="RAISE EXCEPTION: negative "
+                                           "input: -2"):
+        execute_sql(spark, "CALL bp_raise_e2e(-2)")
+    assert [r["s"] for r in spark.table("bp_proc_raise").collect()] == [
+        "ran:6"
+    ]
+    with pytest.raises(NotImplementedError, match="bare RETURN"):
+        _parse_body("RETURN 42;")
+    with pytest.raises(NotImplementedError, match="USING"):
+        _parse_body("RAISE division_by_zero;")
+    with pytest.raises(ValueError, match="placeholder"):
+        _parse_body("RAISE INFO 'one % two %', 5;")
+    execute_sql(spark, "DROP PROCEDURE bp_raise_e2e")
+    spark.sql("DROP TABLE IF EXISTS bp_proc_raise")
