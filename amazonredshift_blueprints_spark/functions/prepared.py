@@ -25,7 +25,9 @@ Spark-first lowering:
   deterministic even against concurrent base-table writes, because
   pages read the snapshot, not the table.
 
-Registries key on ``id(spark)`` (the transactions.py convention):
+Registries are per-session namespaces keyed on the session object via
+weakref (sessionstate.py — r13; the old ``id(spark)`` keys outlived
+their session and a recycled id could leak state into a new one):
 prepared statements and cursors are session state, dropped with the
 session (CLOSE removes the snapshot directory). At 100 TB a FETCH page
 is one parquet scan whose row-group reads are bounded by the pushed
@@ -39,8 +41,15 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-_PREPARED: dict[tuple[int, str], tuple[list[str], str]] = {}
-_CURSORS: dict[tuple[int, str], dict] = {}
+from ..sessionstate import session_state
+
+
+def _prepared(spark: SparkSession) -> dict:
+    return session_state(spark, "prepared")
+
+
+def _cursors(spark: SparkSession) -> dict:
+    return session_state(spark, "cursors")
 
 _PREPARE_RE = re.compile(
     r"^\s*PREPARE\s+(\w+)\s*(?:\(([^)]*)\))?\s+AS\s+(.+?)\s*;?\s*$",
@@ -132,12 +141,12 @@ def _split_args(arglist: str) -> list[str]:
 def prepare_statement(
     spark: SparkSession, name: str, types: list[str], sql: str
 ) -> None:
-    _PREPARED[(id(spark), name.lower())] = (types, sql)
+    _prepared(spark)[name.lower()] = (types, sql)
 
 
 def substitute_prepared(spark: SparkSession, name: str, args: list[str]) -> str:
     """Resolve an EXECUTE call to its substituted SQL text."""
-    entry = _PREPARED.get((id(spark), name.lower()))
+    entry = _prepared(spark).get(name.lower())
     if entry is None:
         raise ValueError(f"EXECUTE of unknown prepared statement {name!r}")
     types, sql = entry
@@ -177,10 +186,10 @@ def execute_prepared(
 
 
 def declare_cursor(spark: SparkSession, name: str, select_sql: str) -> None:
-    key = (id(spark), name.lower())
-    if key in _CURSORS:
+    key = name.lower()
+    if key in _cursors(spark):
         raise ValueError(f"cursor {name!r} already open (CLOSE it first)")
-    _CURSORS[key] = {"sql": select_sql, "offset": 0, "path": None, "total": 0}
+    _cursors(spark)[key] = {"sql": select_sql, "offset": 0, "path": None, "total": 0}
 
 
 def _attach_contiguous_rank(df: DataFrame):
@@ -248,7 +257,7 @@ def fetch_cursor(spark: SparkSession, name: str, count: int | None) -> DataFrame
 
     from ..functions import translate_redshift_sql
 
-    cur = _CURSORS.get((id(spark), name.lower()))
+    cur = _cursors(spark).get(name.lower())
     if cur is None:
         raise ValueError(f"FETCH from unknown/closed cursor {name!r}")
     if cur["path"] is None:
@@ -279,7 +288,7 @@ def fetch_cursor(spark: SparkSession, name: str, count: int | None) -> DataFrame
 def close_cursor(spark: SparkSession, name: str) -> None:
     import shutil
 
-    cur = _CURSORS.pop((id(spark), name.lower()), None)
+    cur = _cursors(spark).pop(name.lower(), None)
     if cur is None:
         raise ValueError(f"CLOSE of unknown cursor {name!r}")
     if cur["path"] is not None:
@@ -311,7 +320,7 @@ def maybe_handle(spark: SparkSession, query: str) -> bool:
         return True
     m = _DEALLOCATE_RE.match(query)
     if m:
-        if _PREPARED.pop((id(spark), m.group(1).lower()), None) is None:
+        if _prepared(spark).pop(m.group(1).lower(), None) is None:
             raise ValueError(
                 f"DEALLOCATE of unknown prepared statement {m.group(1)!r}"
             )

@@ -82,12 +82,14 @@ from pyspark.sql import SparkSession
 
 from .prepared import _spark_type, _split_args
 
-# (session id, procedure name) ->
-#   (list[(argname, sparktype)], list[(varname, sparktype, default)], body)
-_PROCEDURES: dict[
-    tuple[int, str],
-    tuple[list[tuple[str, str]], list[tuple[str, str, str | None]], str],
-] = {}
+from ..sessionstate import session_state
+
+
+def _procs(spark: SparkSession) -> dict:
+    """procedure name -> (argspec, declares, body), scoped to the
+    session via weakref (sessionstate.py — id(spark) keys outlived
+    their session and a recycled id could leak registrations)."""
+    return session_state(spark, "procedures")
 
 _CREATE_HEAD_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?PROCEDURE\s+([\w.]+)\s*\(",
@@ -876,12 +878,12 @@ def create_procedure(
     declares: list[tuple[str, str, str | None]] | None = None,
     replace: bool = False,
 ) -> None:
-    key = (id(spark), name.lower())
-    if not replace and key in _PROCEDURES:
+    key = name.lower()
+    if not replace and key in _procs(spark):
         raise ValueError(
             f"procedure {name!r} already exists (use CREATE OR REPLACE)"
         )
-    _PROCEDURES[key] = (args, declares or [], body)
+    _procs(spark)[key] = (args, declares or [], body)
 
 
 def _substitute_args(
@@ -911,7 +913,7 @@ def _substitute_args(
 def substitute_call(spark: SparkSession, name: str, argtexts: list[str]) -> str:
     """Resolve CALL to the procedure body with named args substituted —
     quote-aware, single pass, word-boundary identifier match."""
-    entry = _PROCEDURES.get((id(spark), name.lower()))
+    entry = _procs(spark).get(name.lower())
     if entry is None:
         raise ValueError(f"CALL of unknown procedure {name!r}")
     argspec, _, body = entry
@@ -938,7 +940,7 @@ def call_procedure(spark: SparkSession, name: str, argtexts: list[str]) -> int:
     from .. import transactions
     from ..sqlrun import execute_sql_script
 
-    entry = _PROCEDURES.get((id(spark), name.lower()))
+    entry = _procs(spark).get(name.lower())
     if entry is None:
         raise ValueError(f"CALL of unknown procedure {name!r}")
     declares = entry[1]
@@ -975,7 +977,7 @@ def call_procedure(spark: SparkSession, name: str, argtexts: list[str]) -> int:
 
 
 def drop_procedure(spark: SparkSession, name: str, *, if_exists: bool) -> None:
-    if _PROCEDURES.pop((id(spark), name.lower()), None) is None and not if_exists:
+    if _procs(spark).pop(name.lower(), None) is None and not if_exists:
         raise ValueError(f"DROP PROCEDURE of unknown procedure {name!r}")
 
 

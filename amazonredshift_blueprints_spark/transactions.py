@@ -49,7 +49,14 @@ import uuid
 from pyspark.sql import SparkSession
 
 _TXN_PREFIX = "_bp_txn"
-_ACTIVE: dict[int, "Transaction"] = {}
+from .sessionstate import session_state
+
+
+def _active_slot(spark: SparkSession) -> dict:
+    """{'txn': Transaction} per session, weakref-keyed on the session
+    (sessionstate.py — an id(spark) key outlived its session and a
+    recycled id could hand a NEW session an old open transaction)."""
+    return session_state(spark, "transactions")
 
 
 def _qualified(key: str) -> str:
@@ -157,11 +164,11 @@ class Transaction:
             self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
         self._staged = {}
         self._locks.close()  # release every table lock
-        _ACTIVE.pop(id(self.spark), None)
+        _active_slot(self.spark).pop("txn", None)
 
 
 def active(spark: SparkSession) -> Transaction | None:
-    return _ACTIVE.get(id(spark))
+    return _active_slot(spark).get("txn")
 
 
 def begin(spark: SparkSession) -> Transaction:
@@ -172,7 +179,7 @@ def begin(spark: SparkSession) -> Transaction:
             "it is an error so scripts cannot silently lose a savepoint)"
         )
     txn = Transaction(spark)
-    _ACTIVE[id(spark)] = txn
+    _active_slot(spark)["txn"] = txn
     return txn
 
 

@@ -718,3 +718,26 @@ def test_raise_levels_and_bare_return(spark, capsys):
         _parse_body("RAISE INFO 'one % two %', 5;")
     execute_sql(spark, "DROP PROCEDURE bp_raise_e2e")
     spark.sql("DROP TABLE IF EXISTS bp_proc_raise")
+
+
+def test_session_state_is_per_session_and_weakref_scoped(spark):
+    """Registries are weakref-keyed per-session namespaces
+    (sessionstate.py): a procedure registered in one session is
+    invisible to a sibling newSession(), and the store is a
+    WeakKeyDictionary so a dead session's registrations are
+    reclaimable (the old id(spark) keys outlived their session and a
+    recycled id could leak them into a fresh one)."""
+    import weakref
+
+    from amazonredshift_blueprints_spark import sessionstate
+
+    assert isinstance(sessionstate._STATE, weakref.WeakKeyDictionary)
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_scoped")
+    execute_sql(
+        spark, "CREATE PROCEDURE bp_scoped() AS $$ SELECT 1 $$"
+    )
+    sibling = spark.newSession()
+    with pytest.raises(ValueError, match="unknown procedure"):
+        execute_sql(sibling, "CALL bp_scoped()")
+    execute_sql(spark, "CALL bp_scoped()")  # still registered here
+    execute_sql(spark, "DROP PROCEDURE bp_scoped")

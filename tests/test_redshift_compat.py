@@ -1035,7 +1035,7 @@ class TestPreparedAndCursors:
             assert fetch_cursor(spark, "c_once", 10).count() == 0
             assert value() == 30
             # CLOSE removes the snapshot directory
-            snap = prep_mod._CURSORS[(id(spark), "c_once")]["path"]
+            snap = prep_mod._cursors(spark)["c_once"]["path"]
             assert _os.path.exists(snap)
         finally:
             close_cursor(spark, "c_once")
