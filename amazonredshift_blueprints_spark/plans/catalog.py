@@ -17374,72 +17374,77 @@ def c200_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R14 ROTATION PLAN (write it as round 14's FIRST commit): the
-# never-driver-rowed set after r13 is 36 — q95-q103 (9; q102/q103 are
-# round-13 additions), a06-a12 (7), c191-c210 (20; c210 is a round-13
-# addition). Take all 36 in catalog order, then fill the remaining 14
-# slots with the oldest-rowed entries from the CORRECTNESS_r01-r14
-# union (co-window each rows-only pick with its oracle twin:
-# q12<->q11, c02<->c24, c03<->c26, c07<->c38, c68<->q11).
+# R15 ROTATION PLAN (write it as round 15's FIRST commit): after the
+# r14 window lands, the never-driver-rowed set is ZERO (the r14 window
+# holds all 36 entries never rowed through r13). R15's window is
+# therefore purely recency-driven: take the 50 oldest-rowed entries
+# from the CORRECTNESS_r01-r14 union by (latest_round, catalog_index),
+# co-windowing each rows-only pick with its oracle twin
+# (q12<->q11, c02<->c24, c03<->c26, c07<->c38, c68<->q11), and
+# APPENDING any entry added during round 14 itself (new entries always
+# ride in their landing round's window).
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # Round 13 window: the first 50 of the 83 never-driver-rowed
-    # entries (c148-c190 + q88-q94 in catalog order, per the r12
-    # verdict's rotation plan). All 50 were judge-certified
-    # hash-green at sf0.01 in round 12; this window earns them driver
-    # CORRECTNESS rows. Round 14 takes the remaining 33:
-    # q95-q101, a06-a12, c191-c209.
-    "c148_ndcg_eval",
-    "c149_weighted_median",
-    "c150_kcore_decomposition",
-    "c151_rfm_segments",
-    "c152_seasonal_dow_profile",
-    "c153_bmp_decode_stats",
-    "c154_chi2_terms",
-    "c155_ohlc_bars",
-    "c156_funnel_latency",
-    "c157_lag_features",
-    "c158_stream_ohlc",
-    "c159_confusion_matrix",
-    "c160_twap",
-    "c161_user_growth_daily",
-    "c162_embedding_standardize",
-    "c163_source_lang_diversity",
-    "c164_ivf_probe_recall",
-    "c165_dup_rate_by_source",
-    "c166_decision_stump",
-    "c167_link_prediction",
-    "c168_calibration_brier",
-    "c169_xcorr_lags",
-    "c170_semantic_decontaminate",
-    "c171_poisson_bootstrap",
-    "c172_mi_feature_ranking",
-    "c173_conformal_intervals",
-    "c174_sprt_sequential",
-    "c175_changepoint_scan",
-    "c176_power_planner",
-    "c177_welch_ttest",
-    "c178_srm_guardrail",
-    "c179_hard_negative_mining",
-    "c180_qoi_decode_stats",
-    "c181_ips_offline_eval",
-    "c182_cdc_apply",
-    "c183_ks_two_sample",
-    "c184_uplift_curve",
-    "c185_theil_sen_trend",
-    "c186_cuped_adjustment",
-    "c187_grid_density_smooth",
-    "c188_windowed_funnel",
-    "c189_neyman_allocation",
-    "c190_isotonic_calibration",
-    "q88_window_ignore_nulls",
-    "q89_dml_statement_face",
-    "q90_mapinarrow_norms",
-    "q91_similar_to",
-    "q92_connect_by",
-    "q93_sql_script",
-    "q94_select_into",
+    # Round 14 window, per the r13 verdict's written plan: all 36
+    # entries never driver-rowed through r13 — q95-q103, a06-a12,
+    # c191-c210 (in registration order) — plus the 14 oldest-rowed
+    # fillers from the CORRECTNESS_r01-r13 union (all last rowed in
+    # r07), ordered by (latest_round, catalog_index). c07 is the only
+    # rows-only pick among the fillers and its oracle twin c38 is
+    # co-windowed. After this round the never-driver-rowed set is 0.
+    # --- the 36 never-rowed ---
+    "a06_multifile_regex_ingest",
+    "a07_copy_fixedwidth",
+    "a08_copy_unload_json",
+    "a09_copy_gzip",
+    "a10_copy_text_options",
+    "q95_tpch_refresh",
+    "c191_semdedup_cell_capped",
+    "q96_stored_procedure",
+    "q97_partiql_unnest",
+    "a11_unload_single_file_header",
+    "q98_query_history",
+    "c192_gini_concentration",
+    "c193_label_propagation",
+    "c194_cohens_kappa",
+    "c195_tga_decode_stats",
+    "c196_stratified_kfold",
+    "c197_asof_forward_tolerance",
+    "c198_mrr_eval",
+    "c199_random_projection",
+    "q99_regexp_functions",
+    "q100_pg_type_dialect",
+    "c209_rmst",
+    "c210_average_precision",
+    "c208_logrank_test",
+    "c207_kaplan_meier",
+    "c206_sliding_distinct_users",
+    "q101_json_varchar_functions",
+    "q102_procedure_control_flow",
+    "q103_procedure_variables",
+    "c205_knn_label_agreement",
+    "c204_fisher_scores",
+    "c203_markov_holdout_accuracy",
+    "a12_stl_load_errors",
+    "c202_dedup_span_removal",
+    "c201_trimmed_mean",
+    "c200_mase_backtest",
+    # --- the 14 oldest-rowed fillers (all last rowed r07) ---
+    "c27_dedup_embedding_lsh",
+    "c38_ann_lsh_portable_topk",
+    "c28_ann_ivf_kmeans_topk",
+    "c07_ann_lsh_topk",
+    "c16_stateful_stream_counts",
+    "c36_stream_dedup",
+    "c17_ann_ivf_topk",
+    "c37_ann_ivf_stored",
+    "q41_qualify",
+    "c24_dedup_minhash_portable",
+    "c26_dedup_simhash_portable",
+    "c44_stream_upsert",
+    "c43_stream_stream_join",
+    "c42_stream_static_join",
 ]
 
 
