@@ -281,8 +281,14 @@ def _into_targets(stmt: str, variables: frozenset[str]) -> tuple[list[str], str]
     """For a SELECT statement with a depth-0 ``INTO v1[, v2 ...]``
     whose targets are ALL declared variables, return (targets,
     statement with the INTO clause removed); else None — the statement
-    stays plain SQL (Redshift's SELECT INTO <table> CTAS form, q94)."""
-    if not re.match(r"\s*SELECT\b", stmt, re.IGNORECASE):
+    stays plain SQL (Redshift's SELECT INTO <table> CTAS form, q94).
+
+    WITH-prefixed SELECTs participate too (r13 advisor): a CTE body is
+    always parenthesized, so a depth-0 INTO can only belong to the
+    main SELECT — without this, ``WITH ... SELECT x INTO v_total``
+    silently fell through to the q94 CTAS rewrite and created a TABLE
+    named v_total instead of assigning the variable."""
+    if not re.match(r"\s*(SELECT|WITH)\b", stmt, re.IGNORECASE):
         return None
     depth = 0
     i, n = 0, len(stmt)
@@ -297,6 +303,10 @@ def _into_targets(stmt: str, variables: frozenset[str]) -> tuple[list[str], str]
             depth -= 1
         elif not depth:
             m = re.match(r"\bINTO\b", stmt[i:], re.IGNORECASE)
+            # WITH ... INSERT INTO tbl is a writable-CTE target, not a
+            # variable capture — skip INTO preceded by INSERT
+            if m and re.search(r"\bINSERT\s*$", stmt[:i], re.IGNORECASE):
+                m = None
             if m and i > 0 and re.search(r"[\s)]", stmt[i - 1]):
                 tail = stmt[i + m.end() - m.start() :]
                 tm = re.match(
@@ -549,7 +559,11 @@ def _literal(value, sparktype: str) -> str:
         return f"CAST(TIMESTAMP '{value.isoformat(sep=' ')}' AS {sparktype})"
     if isinstance(value, datetime.date):
         return f"CAST(DATE '{value.isoformat()}' AS {sparktype})"
-    escaped = str(value).replace("'", "''")
+    # Spark's default parser processes backslash escapes inside string
+    # literals, so a data-captured value containing a backslash must
+    # be escaped too or it re-parses to a different string on every
+    # subsequent reference (r13 advisor).
+    escaped = str(value).replace("\\", "\\\\").replace("'", "''")
     return f"CAST('{escaped}' AS {sparktype})"
 
 
@@ -583,21 +597,25 @@ def _eval_scalar(spark: SparkSession, sql: str):
     return rows[0][0] if rows else None
 
 
-class _LoopExit(Exception):
-    """Signal: plpgsql EXIT — unwinds to the innermost loop."""
-
-
-class _LoopContinue(Exception):
-    """Signal: plpgsql CONTINUE — next iteration of the innermost loop."""
-
-
-class _ProcReturn(Exception):
-    """Signal: bare RETURN — exits the procedure; ``count`` accumulates
-    the executed-statement total as the unwind passes each frame."""
+class _Signal(Exception):
+    """plpgsql control-flow signal; ``count`` accumulates the number
+    of leaf statements executed in each frame the unwind passes, so
+    call_procedure's statement total survives early exits."""
 
     def __init__(self) -> None:
         self.count = 0
 
+
+class _LoopExit(_Signal):
+    """Signal: plpgsql EXIT — unwinds to the innermost loop."""
+
+
+class _LoopContinue(_Signal):
+    """Signal: plpgsql CONTINUE — next iteration of the innermost loop."""
+
+
+class _ProcReturn(_Signal):
+    """Signal: bare RETURN — exits the procedure."""
 
 def _format_raise(fmt: str, vals: list) -> str:
     """plpgsql RAISE format: each ``%`` consumes the next argument
@@ -635,134 +653,152 @@ def _exec_items(
     from ..sqlrun import execute_sql
 
     vars = vars if vars is not None else {}
-    n = 0
-    try:
-        n = _exec_items_inner(spark, items, vars)
-    except _ProcReturn as pr:
-        pr.count += n
-        raise
-    return n
+    return _exec_items_inner(spark, items, vars)
 
 
 def _exec_items_inner(spark, items, vars) -> int:
     from ..sqlrun import execute_sql
 
+    # The try wraps the statement loop of THIS frame, so an unwinding
+    # signal (RETURN / EXIT / CONTINUE) carries the statements already
+    # executed here: each signal accumulates ``count`` as it passes a
+    # frame, and the loop handlers below harvest it. The old shape
+    # (try in _exec_items around a call that kept its own local n)
+    # lost the partial count, so call_procedure returned 0 on early
+    # RETURN (r13 advisor).
     n = 0
-    for node in items:
-        kind = node[0]
-        if kind == "sql":
-            execute_sql(spark, _substitute_vars(node[1], vars))
-            n += 1
-        elif kind == "assign":
-            _, var, expr = node
-            vtype = vars[var][0]
-            value = _eval_scalar(
-                spark,
-                f"SELECT CAST(({_substitute_vars(expr, vars)}) AS {vtype}) AS v",
-            )
-            vars[var] = (vtype, value)
-            n += 1
-        elif kind == "select_into":
-            _, targets, sql = node
-            from . import translate_redshift_sql
-
-            rows = spark.sql(
-                translate_redshift_sql(_substitute_vars(sql, vars))
-            ).collect()
-            first = rows[0] if rows else None
-            if first is not None and len(first) != len(targets):
-                raise ValueError(
-                    f"SELECT INTO: {len(targets)} variable(s) but the "
-                    f"query returns {len(first)} column(s)"
-                )
-            for idx, var in enumerate(targets):
+    try:
+        for node in items:
+            kind = node[0]
+            if kind == "sql":
+                execute_sql(spark, _substitute_vars(node[1], vars))
+                n += 1
+            elif kind == "assign":
+                _, var, expr = node
                 vtype = vars[var][0]
-                vars[var] = (vtype, first[idx] if first is not None else None)
-            n += 1
-        elif kind == "raise":
-            _, level, fmt, rargs = node
-            vals = [
-                _eval_scalar(
+                value = _eval_scalar(
                     spark,
-                    f"SELECT ({_substitute_vars(a, vars)}) AS v",
+                    f"SELECT CAST(({_substitute_vars(expr, vars)}) AS {vtype}) AS v",
                 )
-                for a in rargs
-            ]
-            msg = _format_raise(fmt, vals)
-            if level == "EXCEPTION":
-                raise RuntimeError(f"RAISE EXCEPTION: {msg}")
-            print(f"{level}: {msg}")  # the notice channel IS stdout,
-            # exactly where the reference CLI surfaces its messages
-        elif kind == "return":
-            raise _ProcReturn()
-        elif kind in ("exit", "continue"):
-            _, cond = node
-            if cond is None or _eval_condition(
-                spark, _substitute_vars(cond, vars)
-            ):
-                raise (_LoopExit if kind == "exit" else _LoopContinue)()
-        elif kind == "if":
-            _, branches, else_items = node
-            for cond, blk in branches:
-                if _eval_condition(spark, _substitute_vars(cond, vars)):
-                    n += _exec_items(spark, blk, vars)
-                    break
-            else:
-                if else_items is not None:
-                    n += _exec_items(spark, else_items, vars)
-        elif kind == "for":
-            _, var, lo, hi, reverse, blk = node
-            a = _eval_scalar(
-                spark,
-                f"SELECT CAST(({_substitute_vars(lo, vars)}) AS INT) AS v",
-            )
-            b = _eval_scalar(
-                spark,
-                f"SELECT CAST(({_substitute_vars(hi, vars)}) AS INT) AS v",
-            )
-            if a is None or b is None:
-                raise ValueError(f"FOR range bound is NULL: {lo!r}..{hi!r}")
-            seq = range(a, b + 1) if not reverse else range(a, b - 1, -1)
-            if len(seq) > _MAX_LOOP_ITERATIONS:
-                raise RuntimeError(
-                    f"FOR range of {len(seq)} exceeds the "
-                    f"{_MAX_LOOP_ITERATIONS}-iteration cap"
+                vars[var] = (vtype, value)
+                n += 1
+            elif kind == "select_into":
+                _, targets, sql = node
+                from . import translate_redshift_sql
+
+                # plpgsql INTO needs only the FIRST row — take(1),
+                # never collect(): a non-aggregated INTO over a large
+                # table is idiomatic plpgsql and a full collect would
+                # be a driver OOM at scale (r13 advisor, medium).
+                rows = spark.sql(
+                    translate_redshift_sql(_substitute_vars(sql, vars))
+                ).take(1)
+                first = rows[0] if rows else None
+                if first is not None and len(first) != len(targets):
+                    raise ValueError(
+                        f"SELECT INTO: {len(targets)} variable(s) but the "
+                        f"query returns {len(first)} column(s)"
+                    )
+                for idx, var in enumerate(targets):
+                    vtype = vars[var][0]
+                    vars[var] = (
+                        vtype,
+                        first[idx] if first is not None else None,
+                    )
+                n += 1
+            elif kind == "raise":
+                _, level, fmt, rargs = node
+                vals = [
+                    _eval_scalar(
+                        spark,
+                        f"SELECT ({_substitute_vars(a, vars)}) AS v",
+                    )
+                    for a in rargs
+                ]
+                msg = _format_raise(fmt, vals)
+                if level == "EXCEPTION":
+                    raise RuntimeError(f"RAISE EXCEPTION: {msg}")
+                print(f"{level}: {msg}")  # the notice channel IS
+                # stdout, exactly where the reference CLI surfaces its
+                # own messages
+            elif kind == "return":
+                raise _ProcReturn()
+            elif kind in ("exit", "continue"):
+                _, cond = node
+                if cond is None or _eval_condition(
+                    spark, _substitute_vars(cond, vars)
+                ):
+                    raise (
+                        _LoopExit if kind == "exit" else _LoopContinue
+                    )()
+            elif kind == "if":
+                _, branches, else_items = node
+                for cond, blk in branches:
+                    if _eval_condition(spark, _substitute_vars(cond, vars)):
+                        n += _exec_items(spark, blk, vars)
+                        break
+                else:
+                    if else_items is not None:
+                        n += _exec_items(spark, else_items, vars)
+            elif kind == "for":
+                _, var, lo, hi, reverse, blk = node
+                a = _eval_scalar(
+                    spark,
+                    f"SELECT CAST(({_substitute_vars(lo, vars)}) AS INT) AS v",
                 )
-            saved = vars.get(var)
-            try:
-                for i_val in seq:
-                    vars[var] = ("INT", i_val)
+                b = _eval_scalar(
+                    spark,
+                    f"SELECT CAST(({_substitute_vars(hi, vars)}) AS INT) AS v",
+                )
+                if a is None or b is None:
+                    raise ValueError(
+                        f"FOR range bound is NULL: {lo!r}..{hi!r}"
+                    )
+                seq = range(a, b + 1) if not reverse else range(a, b - 1, -1)
+                if len(seq) > _MAX_LOOP_ITERATIONS:
+                    raise RuntimeError(
+                        f"FOR range of {len(seq)} exceeds the "
+                        f"{_MAX_LOOP_ITERATIONS}-iteration cap"
+                    )
+                saved = vars.get(var)
+                try:
+                    for i_val in seq:
+                        vars[var] = ("INT", i_val)
+                        try:
+                            n += _exec_items(spark, blk, vars)
+                        except _LoopContinue as sig:
+                            n += sig.count
+                            continue
+                except _LoopExit as sig:
+                    n += sig.count
+                if saved is not None:  # plpgsql scopes the loop var
+                    vars[var] = saved
+                else:
+                    vars.pop(var, None)
+            else:  # while
+                _, cond, blk = node
+                iters = 0
+                while _eval_condition(spark, _substitute_vars(cond, vars)):
+                    iters += 1
+                    if iters > _MAX_LOOP_ITERATIONS:
+                        raise RuntimeError(
+                            f"WHILE loop exceeded {_MAX_LOOP_ITERATIONS} "
+                            f"iterations (condition {cond[:80]!r} never "
+                            "went false — loop progress must come from "
+                            "table or variable state, or EXIT must fire)"
+                        )
                     try:
                         n += _exec_items(spark, blk, vars)
-                    except _LoopContinue:
+                    except _LoopContinue as sig:
+                        n += sig.count
                         continue
-            except _LoopExit:
-                pass
-            if saved is not None:  # plpgsql scopes the loop var
-                vars[var] = saved
-            else:
-                vars.pop(var, None)
-        else:  # while
-            _, cond, blk = node
-            iters = 0
-            while _eval_condition(spark, _substitute_vars(cond, vars)):
-                iters += 1
-                if iters > _MAX_LOOP_ITERATIONS:
-                    raise RuntimeError(
-                        f"WHILE loop exceeded {_MAX_LOOP_ITERATIONS} "
-                        f"iterations (condition {cond[:80]!r} never went "
-                        "false — loop progress must come from table or "
-                        "variable state, or EXIT must fire)"
-                    )
-                try:
-                    n += _exec_items(spark, blk, vars)
-                except _LoopContinue:
-                    continue
-                except _LoopExit:
-                    break
+                    except _LoopExit as sig:
+                        n += sig.count
+                        break
+    except (_ProcReturn, _LoopExit, _LoopContinue) as sig:
+        sig.count += n
+        raise
     return n
-
-
 def _parse_create(query: str):
     """CREATE [OR REPLACE] PROCEDURE name(args) AS $tag$ body $tag$
     [LANGUAGE plpgsql] — paren-depth arg scan (types like varchar(20)

@@ -164,9 +164,14 @@ def gap_fill_interpolate(
         F.lead(value_col).over(w).alias("_nv"),
     )
     # this segment's buckets: [_b, _nb) on the step grid (the successor
-    # emits its own segment); the final observation emits just itself
+    # emits its own segment); the final observation emits just itself.
+    # The _nb > _b guard matters: duplicate (key, bucket) observations
+    # violate the one-row-per-key+bucket contract, but the old
+    # grid-join shape tolerated them — without the guard, _nb == _b
+    # makes sequence(start > stop, +step) a hard Spark runtime error.
+    # With it, each duplicate emits just its own bucket row.
     seg_buckets = F.when(
-        F.col("_nb").isNotNull(),
+        F.col("_nb").isNotNull() & (F.col("_nb") > F.col("_b")),
         F.expr(f"sequence(_b, _nb - {step}, {step})"),
     ).otherwise(F.array(F.col("_b")))
     ex = seg.select(

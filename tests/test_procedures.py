@@ -741,3 +741,117 @@ def test_session_state_is_per_session_and_weakref_scoped(spark):
         execute_sql(sibling, "CALL bp_scoped()")
     execute_sql(spark, "CALL bp_scoped()")  # still registered here
     execute_sql(spark, "DROP PROCEDURE bp_scoped")
+
+
+def test_early_return_count_survives_unwind(spark):
+    """call_procedure's statement count must include statements run
+    BEFORE an early RETURN — the old unwind added a local count that
+    was always 0 (r13 advisor)."""
+    from amazonredshift_blueprints_spark.functions.procedures import (
+        call_procedure,
+    )
+
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_retcount")
+    execute_sql(
+        spark,
+        "CREATE PROCEDURE bp_retcount() AS $$\n"
+        "DECLARE v_x int := 0;\n"
+        "BEGIN\n"
+        "  v_x := 1;\n"
+        "  v_x := 2;\n"
+        "  IF v_x = 2 THEN\n"
+        "    v_x := 3;\n"
+        "    RETURN;\n"
+        "  END IF;\n"
+        "  v_x := 99;\n"
+        "END;\n$$",
+    )
+    # 3 assignments executed before RETURN; the post-RETURN one not
+    assert call_procedure(spark, "bp_retcount", []) == 3
+    execute_sql(spark, "DROP PROCEDURE bp_retcount")
+
+
+def test_with_prefixed_select_into_assigns_variable(spark):
+    """WITH ... SELECT x INTO v_total must capture the variable, not
+    fall through to the q94 CTAS rewrite and CREATE TABLE v_total
+    (r13 advisor: silent mis-run)."""
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_with_into")
+    execute_sql(spark, "DROP TABLE IF EXISTS bp_with_into_out")
+    execute_sql(spark, "DROP TABLE IF EXISTS v_total")
+    execute_sql(
+        spark,
+        "CREATE PROCEDURE bp_with_into() AS $$\n"
+        "DECLARE v_total int;\n"
+        "BEGIN\n"
+        "  WITH t AS (SELECT 21 AS x UNION ALL SELECT 21)\n"
+        "  SELECT SUM(x) INTO v_total FROM t;\n"
+        "  CREATE TABLE bp_with_into_out USING parquet AS\n"
+        "    SELECT v_total AS total;\n"
+        "END;\n$$",
+    )
+    execute_sql(spark, "CALL bp_with_into()")
+    assert spark.table("bp_with_into_out").collect()[0]["total"] == 42
+    assert not spark.catalog.tableExists("v_total")
+    execute_sql(spark, "DROP TABLE bp_with_into_out")
+    execute_sql(spark, "DROP PROCEDURE bp_with_into")
+
+
+def test_with_insert_into_cte_is_not_variable_capture(spark):
+    """A writable-CTE INSERT INTO inside a procedure must stay plain
+    SQL even when the target table name collides with a declared
+    variable name (the INSERT-precedes-INTO exclusion)."""
+    from amazonredshift_blueprints_spark.functions.procedures import (
+        _into_targets,
+    )
+
+    got = _into_targets(
+        "WITH t AS (SELECT 1 AS x) INSERT INTO v_sink SELECT x FROM t",
+        frozenset({"v_sink"}),
+    )
+    assert got is None
+
+
+def test_string_variable_with_backslash_round_trips(spark):
+    """A captured string containing a backslash must substitute back
+    byte-identical — Spark's default literal parser processes
+    backslash escapes, so unescaped 'a\\nb' corrupts to a newline on
+    every subsequent reference (r13 advisor)."""
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_backslash")
+    execute_sql(spark, "DROP TABLE IF EXISTS bp_backslash_out")
+    execute_sql(
+        spark,
+        "CREATE PROCEDURE bp_backslash() AS $$\n"
+        "DECLARE v_s varchar(20);\n"
+        "BEGIN\n"
+        "  SELECT CONCAT('a', CHR(92), 'nb') INTO v_s;\n"
+        "  CREATE TABLE bp_backslash_out USING parquet AS\n"
+        "    SELECT v_s AS s, LENGTH(v_s) AS n;\n"
+        "END;\n$$",
+    )
+    execute_sql(spark, "CALL bp_backslash()")
+    row = spark.table("bp_backslash_out").collect()[0]
+    assert row["s"] == "a\\nb" and row["n"] == 4
+    execute_sql(spark, "DROP TABLE bp_backslash_out")
+    execute_sql(spark, "DROP PROCEDURE bp_backslash")
+
+
+def test_select_into_multirow_takes_first_row_only(spark):
+    """INTO over a multi-row query binds the FIRST row (non-STRICT
+    plpgsql) — and does so via take(1), never a full collect."""
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_firstrow")
+    execute_sql(spark, "DROP TABLE IF EXISTS bp_firstrow_out")
+    execute_sql(
+        spark,
+        "CREATE PROCEDURE bp_firstrow() AS $$\n"
+        "DECLARE v_k int;\n"
+        "BEGIN\n"
+        "  SELECT x INTO v_k FROM (SELECT 5 AS x UNION ALL SELECT 7\n"
+        "    UNION ALL SELECT 9) ORDER BY x DESC;\n"
+        "  CREATE TABLE bp_firstrow_out USING parquet AS\n"
+        "    SELECT v_k AS k;\n"
+        "END;\n$$",
+    )
+    execute_sql(spark, "CALL bp_firstrow()")
+    assert spark.table("bp_firstrow_out").collect()[0]["k"] == 9
+    execute_sql(spark, "DROP TABLE bp_firstrow_out")
+    execute_sql(spark, "DROP PROCEDURE bp_firstrow")

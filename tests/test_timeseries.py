@@ -308,3 +308,34 @@ def test_changepoint_scan_finds_level_shift(spark):
         return (sl * nr - sr * nl) ** 2 // (nl * nr)
 
     assert [r.delta_q for r in out] == [replay(i) for i in range(19)]
+
+
+def test_gapfill_interpolate_tolerates_duplicate_buckets(spark):
+    """Duplicate (key, bucket) observations violate the one-row-per-
+    key+bucket contract, but must not be a hard runtime error: without
+    the _nb > _b guard, lead() pairs the duplicates and
+    sequence(start > stop, +step) throws 'illegal sequence boundaries'
+    (r13 advisor). Each duplicate emits its own bucket row."""
+    from amazonredshift_blueprints_spark.operators.timeseries import (
+        gap_fill_interpolate,
+    )
+
+    observed = spark.createDataFrame(
+        [
+            (1, _ts(0), 10.0),
+            (1, _ts(0), 12.0),   # duplicate bucket
+            (1, _ts(2), 30.0),
+        ],
+        "k long, bucket timestamp, v double",
+    )
+    rows = gap_fill_interpolate(
+        observed, key="k", bucket="bucket", value_col="v",
+        step="interval 1 hour",
+    ).collect()
+    hours = sorted(r.bucket.hour for r in rows)
+    assert hours == [0, 0, 1, 2]
+    by_hour = {r.bucket.hour: r for r in rows if r.bucket.hour in (1, 2)}
+    # the gap row interpolates from whichever duplicate lead() paired
+    # with the h2 observation; both candidates bound it in [10, 30]
+    assert 10.0 <= by_hour[1].v_interp <= 30.0
+    assert by_hour[2].v_interp == 30.0
