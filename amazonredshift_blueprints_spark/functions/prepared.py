@@ -97,8 +97,16 @@ _TYPE_MAP = {
 
 
 def _spark_type(t: str) -> str:
-    t = re.sub(r"\(.*\)", "", t).strip().lower()
-    return _TYPE_MAP.get(t, t)
+    base = re.sub(r"\(.*\)", "", t).strip().lower()
+    if base in ("decimal", "numeric"):
+        # precision/scale are semantic for decimals — stripping them
+        # (the rule for varchar(n) etc.) silently made decimal(18,2)
+        # into Spark's decimal(10,0) and rounded every value (r14)
+        m = re.search(r"\(\s*\d+\s*(?:,\s*\d+\s*)?\)", t)
+        if m:
+            return "decimal" + re.sub(r"\s+", "", m.group(0))
+        return "decimal(18,2)"  # bare NUMERIC: the pragmatic default
+    return _TYPE_MAP.get(base, base)
 
 
 def _split_args(arglist: str) -> list[str]:

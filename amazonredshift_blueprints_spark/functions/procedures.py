@@ -45,18 +45,44 @@ prefixes for exactly this reason — a variable named like a referenced
 column or DDL identifier SHADOWS it textually; name variables
 ``v_*``/``total_*`` style, never after columns.
 
-Deliberate subset, refused honestly (``NotImplementedError``) rather
-than silently mis-run:
+Round 14 closed the r13 verdict's four ranked refusals:
 
-- OUT / INOUT argument modes (no channel to return them through the
-  statement face);
-- cursor/record/constant declarations (DECLARE c CURSOR, RECORD,
-  CONSTANT, REFCURSOR, ALIAS), FOR-over-query (needs record vars),
-  dynamic EXECUTE, EXCEPTION blocks, nested DECLARE blocks inside the
-  body, RETURN with a value, RAISE's condition-name/USING forms. One
-  outer ``BEGIN ... END`` block wrapper is accepted (and stripped)
-  because virtually every dumped procedure has it. These refuse at
-  CREATE time, where the parser sees them.
+- **EXCEPTION blocks** — ``BEGIN ... EXCEPTION WHEN OTHERS THEN ...
+  END`` (nested or at the top level of the body) with Redshift's
+  NONATOMIC-mode semantics: statements auto-commit here, so only the
+  FAILED statement rolls back; ``sqlerrm``/``sqlstate`` are in scope
+  inside the handler (see ``_exec_guarded_block``). Only WHEN OTHERS —
+  the Redshift rule; named conditions refuse. Atomic-mode whole-block
+  rollback would need a savepoint/undo log (Delta/Iceberg territory).
+- **Dynamic EXECUTE** — ``EXECUTE <string expr> [INTO v1, ...]``; the
+  expression evaluates as scalar SQL (variables substitute into the
+  EXPRESSION, never into the resulting command string — the plpgsql
+  rule) and the command runs through the full statement dispatcher, so
+  dynamic DDL/COPY/DML get the same lowering as static statements.
+- **FOR r IN <query> LOOP** — record loops; ``r.field`` references
+  substitute per row. Iteration is driver-side by nature (each row
+  drives statements) and capped at ``_MAX_LOOP_ITERATIONS`` via a
+  bounded take(); non-scalar (array/map/struct) fields are not
+  referenceable.
+- **Bound cursors** — ``DECLARE c CURSOR FOR <query>`` + ``OPEN c`` /
+  ``FETCH [NEXT FROM] c INTO vars`` / ``CLOSE c``, lowered onto the
+  session cursor registry (prepared.py q85: materialize-once paging).
+  Variables bind at OPEN; a cursor left open at procedure exit is
+  closed (no registry/snapshot leak).
+- **OUT / INOUT arguments** — OUT args are OMITTED from the CALL
+  argument list and INOUT args passed (Redshift's rule); both execute
+  as variables, and :func:`call_procedure_returning` surfaces their
+  exit values as a one-row DataFrame (Redshift surfaces them as a
+  one-row result set).
+
+Remaining deliberate subset, refused honestly (``NotImplementedError``
+/ ``ValueError``) rather than silently mis-run: RECORD/CONSTANT/
+REFCURSOR/ALIAS declarations, unbound ``OPEN c FOR <query>``, nested
+DECLARE blocks inside the body, RETURN with a value, RAISE's
+condition-name/USING forms, EXCEPTION conditions other than OTHERS.
+One outer ``BEGIN ... END`` block wrapper is accepted (and stripped)
+because virtually every dumped procedure has it. These refuse at
+CREATE time, where the parser sees them.
 
 RAISE and RETURN (r13): ``RAISE [INFO|NOTICE|WARNING|EXCEPTION]
 'fmt' [, args]`` evaluates its arguments as scalar SQL and formats
@@ -111,14 +137,10 @@ _BLOCK_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 # plpgsql statement starters outside the supported subset — refused at
-# CREATE time with the reason. EXECUTE here is plpgsql *dynamic SQL*
-# (EXECUTE 'string'), not the SQL-face EXECUTE of a prepared statement;
-# inside a procedure body the plpgsql reading applies, so it refuses.
+# CREATE time with the reason.
 _UNSUPPORTED_STARTERS = {
     "DECLARE": "DECLARE belongs in the procedure header; nested "
                "DECLARE blocks in the body are not supported",
-    "EXECUTE": "plpgsql EXECUTE is dynamic SQL over variables",
-    "EXCEPTION": "EXCEPTION blocks need savepoint semantics",
 }
 
 _RAISE_RE = re.compile(
@@ -134,29 +156,35 @@ _MAX_LOOP_ITERATIONS = 10_000
 _WORD_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
 
 
-def _parse_args(arglist: str) -> list[tuple[str, str]]:
-    """``name [IN|OUT|INOUT] type`` items → [(name, spark_type)];
-    OUT/INOUT refuse (nothing to return them through)."""
-    out: list[tuple[str, str]] = []
+def _parse_args(arglist: str) -> list[tuple[str, str, str]]:
+    """``name [IN|OUT|INOUT] type`` items → [(name, spark_type, mode)].
+
+    IN arguments substitute textually at CALL; OUT/INOUT arguments
+    become runtime variables (OUT starts NULL, INOUT from the CALL
+    expression) whose final values CALL surfaces as a one-row result —
+    the Redshift channel (r14; OUT args are OMITTED from the CALL
+    argument list, INOUT args are passed, exactly Redshift's rule)."""
+    out: list[tuple[str, str, str]] = []
     for item in _split_args(arglist):
         if not item:
             continue
         parts = item.split()
         name = parts[0]
         rest = parts[1:]
+        mode = "IN"
         if rest and rest[0].upper() in ("IN", "OUT", "INOUT"):
             mode = rest[0].upper()
-            if mode != "IN":
-                raise NotImplementedError(
-                    f"argument {name!r}: {mode} arguments need a result "
-                    "channel the statement face does not have; only IN "
-                    "arguments are supported"
-                )
             rest = rest[1:]
         if not rest:
             raise ValueError(f"procedure argument {item!r} is missing a type")
-        out.append((name.lower(), _spark_type(" ".join(rest))))
+        out.append((name.lower(), _spark_type(" ".join(rest)), mode))
     return out
+
+
+def _norm_argspec(args) -> list[tuple[str, str, str]]:
+    """Accept legacy (name, type) pairs from direct create_procedure
+    callers; default mode IN."""
+    return [a if len(a) == 3 else (a[0], a[1], "IN") for a in args]
 
 
 def _skip_ws_comments(text: str, i: int) -> int:
@@ -329,6 +357,7 @@ def _parse_block(
     stops: frozenset[str],
     variables: frozenset[str] = frozenset(),
     in_loop: bool = False,
+    allow_exception: bool = False,
 ) -> tuple[list, str | None, int]:
     """Parse a statement list until end-of-text or a ``stops`` keyword
     at statement position. Nodes: ``("sql", stmt)``,
@@ -336,8 +365,18 @@ def _parse_block(
     ``("while", cond, items)``, ``("assign", var, expr)``,
     ``("select_into", [vars], sql)``,
     ``("for", var, lo, hi, reverse, items)``,
+    ``("forq", var, query, items)``,
+    ``("block", items, handler_items | None)``,
+    ``("execute", expr, targets | None)``,
     ``("exit"|"continue", cond | None)``. Returns (items,
-    stopword|None, index past the stopword)."""
+    stopword|None, index past the stopword).
+
+    ``allow_exception`` is True exactly where plpgsql allows an
+    ``EXCEPTION`` section: the top level of the procedure body and
+    directly inside a nested ``BEGIN ... END`` block — never inside an
+    IF branch or loop body. When one appears, the items parsed SO FAR
+    become the guarded block and the section's statements its handler:
+    the return value collapses to ``[("block", items, handler)]``."""
     items: list = []
     n = len(text)
     while True:
@@ -351,6 +390,57 @@ def _parse_block(
         word, j = _peek_word(text, i)
         if word in stops:
             return items, word, j
+        if word == "EXCEPTION":
+            if not allow_exception:
+                raise ValueError(
+                    "EXCEPTION section is only valid directly inside a "
+                    "BEGIN ... END block (or at the top level of the "
+                    "procedure body), never in an IF branch or loop body"
+                )
+            w1, k = _peek_word(text, j)
+            w2, k = _peek_word(text, k)
+            if w1 != "WHEN" or w2 != "OTHERS":
+                raise NotImplementedError(
+                    "only EXCEPTION WHEN OTHERS THEN is supported — the "
+                    "Redshift rule (named conditions like "
+                    "division_by_zero are a Postgres extension)"
+                )
+            w3, k = _peek_word(text, k)
+            if w3 != "THEN":
+                raise ValueError("EXCEPTION WHEN OTHERS must be followed by THEN")
+            handler, stop, k = _parse_block(
+                text, k, stops, variables, in_loop
+            )
+            return [("block", items, handler)], stop, k
+        if word == "BEGIN":
+            # `BEGIN;` / `BEGIN WORK|TRANSACTION` is transaction
+            # control (a plain SQL leaf); anything else opens a nested
+            # plpgsql block, the only place an EXCEPTION section may
+            # appear
+            k0 = _skip_ws_comments(text, j)
+            w2, _ = _peek_word(text, j)
+            if (k0 < n and text[k0] == ";") or w2 in ("WORK", "TRANSACTION"):
+                stmt, i = _consume_statement(text, i)
+                items.append(("sql", stmt))
+                continue
+            blk, _, k = _parse_block(
+                text, j, frozenset({"END"}), variables, in_loop,
+                allow_exception=True,
+            )
+            k = _skip_ws_comments(text, k)
+            if k < n and text[k] == ";":
+                k += 1
+            if len(blk) == 1 and blk[0][0] == "block":
+                items.append(blk[0])  # EXCEPTION wrapped it already
+            else:
+                items.append(("block", blk, None))
+            i = k
+            continue
+        if word == "EXECUTE":
+            stmt, i = _consume_statement(text, j)
+            expr, targets = _split_execute_into(stmt, variables)
+            items.append(("execute", expr, targets))
+            continue
         if word in ("EXIT", "CONTINUE"):
             if not in_loop:
                 raise ValueError(
@@ -474,11 +564,26 @@ def _parse_block(
                 rng = rm.group(1).strip()
             parts = _split_range(rng)
             if parts is None:
-                raise NotImplementedError(
-                    "FOR-over-query needs record variables; only the "
-                    "integer range form FOR v IN [REVERSE] lo .. hi LOOP "
-                    "is supported"
+                # FOR r IN <query> LOOP: r is a record whose fields
+                # substitute as r.field references (r14); REVERSE has
+                # no meaning over a query
+                if reverse:
+                    raise ValueError(
+                        "REVERSE applies to integer FOR ranges only; "
+                        "put the ordering in the query itself"
+                    )
+                blk, _, k = _parse_block(
+                    text, k, frozenset({"END"}), variables, True
                 )
+                w2, k = _peek_word(text, k)
+                if w2 != "LOOP":
+                    raise ValueError("FOR block must close with END LOOP")
+                k = _skip_ws_comments(text, k)
+                if k < n and text[k] == ";":
+                    k += 1
+                items.append(("forq", var.lower(), rng, blk))
+                i = k
+                continue
             loop_vars = variables | {var.lower()}
             blk, _, k = _parse_block(
                 text, k, frozenset({"END"}), loop_vars, True
@@ -495,6 +600,13 @@ def _parse_block(
         stmt, i = _consume_statement(text, i)
         if not stmt:
             continue
+        if word in ("OPEN", "FETCH", "CLOSE"):
+            node = _parse_cursor_stmt(word, stmt, variables)
+            if node is not None:
+                items.append(node)
+                continue
+            # not a declared plpgsql cursor: stays plain SQL (the
+            # SQL-face FETCH FORWARD n FROM <session cursor> path)
         am = _ASSIGN_RE.match(stmt)
         if am and am.group(1).lower() in variables:
             items.append(("assign", am.group(1).lower(), am.group(2).strip()))
@@ -514,8 +626,87 @@ def _parse_block(
         items.append(("sql", stmt))
 
 
+_OPEN_CLOSE_RE = re.compile(r"^\s*(?:OPEN|CLOSE)\s+([A-Za-z_]\w*)\s*$",
+                            re.IGNORECASE)
+_FETCH_RE = re.compile(
+    r"^\s*FETCH\s+(?:NEXT\s+FROM\s+)?([A-Za-z_]\w*)\s+INTO\s+"
+    r"([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _parse_cursor_stmt(word: str, stmt: str, variables: frozenset[str]):
+    """OPEN c; / FETCH [NEXT FROM] c INTO v1[, v2 ...]; / CLOSE c; —
+    only when ``c`` is a DECLAREd name (bound cursor); otherwise None
+    and the statement stays plain SQL."""
+    if word in ("OPEN", "CLOSE"):
+        m = _OPEN_CLOSE_RE.match(stmt)
+        if m and m.group(1).lower() in variables:
+            return (word.lower(), m.group(1).lower())
+        if word == "OPEN" and m:
+            raise ValueError(
+                f"OPEN of undeclared cursor {m.group(1)!r} (unbound/"
+                "refcursor OPEN ... FOR is not supported)"
+            )
+        return None
+    m = _FETCH_RE.match(stmt)
+    if m and m.group(1).lower() in variables:
+        targets = [t.strip().lower() for t in m.group(2).split(",")]
+        bad = [t for t in targets if t not in variables]
+        if bad:
+            raise ValueError(
+                f"FETCH ... INTO target(s) {bad} are not declared "
+                "variables"
+            )
+        return ("fetch", m.group(1).lower(), targets)
+    return None
+
+
+def _split_execute_into(stmt: str, variables: frozenset[str]):
+    """Split a dynamic ``EXECUTE <string expr> [INTO v1[, v2 ...]]``
+    statement (the text AFTER the EXECUTE keyword) into
+    (command_expression, targets | None). The INTO keyword is scanned
+    depth-0 outside quotes, so INTO inside the command string itself
+    (e.g. ``'INSERT INTO t ...'``) never splits."""
+    depth = 0
+    i, n = 0, len(stmt)
+    while i < n:
+        ch = stmt[i]
+        if ch in "'\"":
+            i = _skip_quoted(stmt, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif not depth:
+            m = re.match(r"\bINTO\b", stmt[i:], re.IGNORECASE)
+            if m and (i == 0 or re.search(r"[\s)]", stmt[i - 1])):
+                tail = stmt[i + (m.end() - m.start()):]
+                tm = re.match(
+                    r"\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*$", tail
+                )
+                if not tm:
+                    raise ValueError(
+                        f"EXECUTE ... INTO takes a variable list; got "
+                        f"{tail[:40]!r}"
+                    )
+                targets = [t.strip().lower() for t in tm.group(1).split(",")]
+                bad = [t for t in targets if t not in variables]
+                if bad:
+                    raise ValueError(
+                        f"EXECUTE ... INTO target(s) {bad} are not "
+                        "declared variables"
+                    )
+                return stmt[:i].strip(), targets
+        i += 1
+    return stmt.strip(), None
+
+
 def _parse_body(text: str, variables: frozenset[str] = frozenset()) -> list:
-    items, _, _ = _parse_block(text, 0, frozenset(), variables)
+    items, _, _ = _parse_block(
+        text, 0, frozenset(), variables, allow_exception=True
+    )
     return items
 
 
@@ -571,11 +762,21 @@ def _substitute_vars(text: str, vars: dict[str, tuple[str, object]]) -> str:
     """Replace declared-variable references with their CURRENT value as
     a typed literal — same quote-aware single-pass rule as argument
     substitution (never inside string literals)."""
-    if not vars:
+    by_name = {
+        v: _literal(val, t)
+        for v, (t, val) in vars.items()
+        if t != "CURSOR"  # cursors are registry handles, not values
+    }
+    if not by_name:
         return text
-    by_name = {v: _literal(val, t) for v, (t, val) in vars.items()}
+    # longest name first: a record binding "r.total" must win over a
+    # scalar "r" when both are in scope
     pat = re.compile(
-        r"\b(" + "|".join(re.escape(v) for v in by_name) + r")\b",
+        r"\b("
+        + "|".join(
+            re.escape(v) for v in sorted(by_name, key=len, reverse=True)
+        )
+        + r")\b",
         re.IGNORECASE,
     )
     parts = re.split(r"('(?:[^']|'')*')", text)
@@ -637,6 +838,96 @@ def _format_raise(fmt: str, vals: list) -> str:
             out.append(fmt[i])
             i += 1
     return "".join(out)
+
+
+def _exec_cursor(spark, node, vars) -> int:
+    """OPEN / FETCH INTO / CLOSE over a bound plpgsql cursor, lowered
+    onto the session cursor registry (prepared.py — the q85 machinery:
+    materialize-once paging, rank-range parquet scans). The cursor's
+    query substitutes variable values at OPEN (the plpgsql binding
+    rule); each FETCH INTO pulls exactly one row (take(1)-bounded) and
+    binds NULLs past the end (non-STRICT). The registry name is
+    mangled per OPEN so recursive CALLs cannot collide."""
+    import uuid as _uuid
+
+    from .prepared import close_cursor, declare_cursor, fetch_cursor
+
+    kind = node[0]
+    name = node[1]
+    slot = vars.get(name)
+    if slot is None or slot[0] != "CURSOR":
+        raise ValueError(f"{kind.upper()} of non-cursor {name!r}")
+    state = slot[1]  # {"sql": str, "open": registry_name | None}
+    if kind == "open":
+        if state["open"] is not None:
+            raise ValueError(f"cursor {name!r} is already open")
+        reg = f"_bp_plpgsql_{_uuid.uuid4().hex[:8]}_{name}"
+        declare_cursor(spark, reg, _substitute_vars(state["sql"], vars))
+        state["open"] = reg
+        return 1
+    if state["open"] is None:
+        raise ValueError(f"cursor {name!r} is not open")
+    if kind == "close":
+        close_cursor(spark, state["open"])
+        state["open"] = None
+        return 1
+    targets = node[2]
+    rows = fetch_cursor(spark, state["open"], 1).take(1)
+    first = rows[0] if rows else None
+    if first is not None and len(first) != len(targets):
+        raise ValueError(
+            f"FETCH INTO: {len(targets)} variable(s) but cursor "
+            f"{name!r} returns {len(first)} column(s)"
+        )
+    for idx, var in enumerate(targets):
+        vtype = vars[var][0]
+        vars[var] = (vtype, first[idx] if first is not None else None)
+    return 1
+
+
+def _exec_guarded_block(spark, blk, handler, vars) -> int:
+    """Execute a ``BEGIN ... EXCEPTION WHEN OTHERS THEN ... END`` block
+    with Redshift's NONATOMIC-mode semantics — the only semantics this
+    statement face can deliver honestly: every leaf statement here
+    auto-commits (transactions.py), so when one fails, that statement
+    made no published changes but EARLIER statements of the block
+    stand. That is exactly Redshift's documented NONATOMIC exception
+    handling (only the failed statement rolls back); atomic-mode
+    procedures (whole-block rollback on error) would need a
+    savepoint/undo log — refuse-class territory documented in the
+    module docstring. A transaction the block itself OPENED and left
+    dangling at the failure is rolled back before the handler runs, so
+    the handler never executes inside a half-dead transaction.
+
+    Inside the handler the plpgsql error variables ``sqlerrm`` (the
+    message) and ``sqlstate`` (parsed from Spark's error text, which
+    states one — e.g. 22012 for division by zero; 'XX000' when absent)
+    are in scope, exactly as in Redshift NONATOMIC procedures.
+    Control-flow signals (RETURN/EXIT/CONTINUE) are NOT errors and
+    pass through uncaught."""
+    from .. import transactions
+
+    entered_with = transactions.active(spark)
+    try:
+        return _exec_items(spark, blk, vars)
+    except (_ProcReturn, _LoopExit, _LoopContinue):
+        raise
+    except Exception as e:
+        txn = transactions.active(spark)
+        if txn is not None and txn is not entered_with:
+            txn.rollback()
+        saved = {
+            k: vars[k] for k in ("sqlerrm", "sqlstate") if k in vars
+        }
+        sm = re.search(r"SQLSTATE: ([0-9A-Z]{5})", str(e))
+        vars["sqlerrm"] = ("STRING", str(e))
+        vars["sqlstate"] = ("STRING", sm.group(1) if sm else "XX000")
+        try:
+            return _exec_items(spark, handler, vars)
+        finally:
+            for k in ("sqlerrm", "sqlstate"):
+                vars.pop(k, None)
+            vars.update(saved)
 
 
 def _exec_items(
@@ -740,6 +1031,95 @@ def _exec_items_inner(spark, items, vars) -> int:
                 else:
                     if else_items is not None:
                         n += _exec_items(spark, else_items, vars)
+            elif kind == "block":
+                _, blk, handler = node
+                if handler is None:
+                    n += _exec_items(spark, blk, vars)
+                else:
+                    n += _exec_guarded_block(spark, blk, handler, vars)
+            elif kind == "execute":
+                _, expr, targets = node
+                from . import translate_redshift_sql
+
+                cmd = _eval_scalar(
+                    spark,
+                    f"SELECT ({_substitute_vars(expr, vars)}) AS v",
+                )
+                if cmd is None:
+                    raise ValueError(
+                        "EXECUTE command string evaluated to NULL"
+                    )
+                cmd = str(cmd)
+                if targets is None:
+                    # full dispatcher: the constructed statement gets
+                    # COPY/UNLOAD lowering, dialect translation, DML
+                    # and transaction routing like any other leaf.
+                    # Variables do NOT substitute inside the command
+                    # string — the plpgsql rule; values reach dynamic
+                    # SQL only through the string expression itself.
+                    execute_sql(spark, cmd)
+                else:
+                    rows = spark.sql(translate_redshift_sql(cmd)).take(1)
+                    first = rows[0] if rows else None
+                    if first is not None and len(first) != len(targets):
+                        raise ValueError(
+                            f"EXECUTE INTO: {len(targets)} variable(s) "
+                            f"but the query returns {len(first)} "
+                            "column(s)"
+                        )
+                    for idx, var in enumerate(targets):
+                        vtype = vars[var][0]
+                        vars[var] = (
+                            vtype,
+                            first[idx] if first is not None else None,
+                        )
+                n += 1
+            elif kind in ("open", "fetch", "close"):
+                n += _exec_cursor(spark, node, vars)
+            elif kind == "forq":
+                _, var, q, blk = node
+                from . import translate_redshift_sql
+
+                df = spark.sql(
+                    translate_redshift_sql(_substitute_vars(q, vars))
+                )
+                # FOR-over-query is control flow, not a data path: each
+                # row drives statements, so the rows are driver-side by
+                # nature. take() is bounded by the loop cap — never an
+                # unbounded collect.
+                rows = df.take(_MAX_LOOP_ITERATIONS + 1)
+                if len(rows) > _MAX_LOOP_ITERATIONS:
+                    raise RuntimeError(
+                        f"FOR-over-query result exceeds the "
+                        f"{_MAX_LOOP_ITERATIONS}-iteration cap; loop "
+                        "over an aggregate/paged query instead"
+                    )
+                fields = [
+                    (f.name.lower(), f.dataType.simpleString())
+                    for f in df.schema.fields
+                ]
+                scalar = [
+                    (idx, fn, tp)
+                    for idx, (fn, tp) in enumerate(fields)
+                    if not tp.startswith(("array", "map", "struct"))
+                ]
+                keys = [f"{var}.{fn}" for _, fn, _ in scalar]
+                saved = {k: vars[k] for k in keys if k in vars}
+                try:
+                    for row in rows:
+                        for idx, fn, tp in scalar:
+                            vars[f"{var}.{fn}"] = (tp, row[idx])
+                        try:
+                            n += _exec_items(spark, blk, vars)
+                        except _LoopContinue as sig:
+                            n += sig.count
+                            continue
+                except _LoopExit as sig:
+                    n += sig.count
+                finally:  # the record is scoped to the loop
+                    for k in keys:
+                        vars.pop(k, None)
+                    vars.update(saved)
             elif kind == "for":
                 _, var, lo, hi, reverse, blk = node
                 a = _eval_scalar(
@@ -850,7 +1230,7 @@ def _parse_create(query: str):
     blk = _BLOCK_RE.match(body)
     if blk:
         body = blk.group(1)
-    arg_names = {a for a, _ in args}
+    arg_names = {a for a, _, _ in args}
     shadowed = [v for v, _, _ in declares if v in arg_names]
     if shadowed:
         raise ValueError(
@@ -858,15 +1238,22 @@ def _parse_create(query: str):
             "substitute once at CALL, so the collision would be silent — "
             "rename the variable"
         )
-    var_names = frozenset(v for v, _, _ in declares)
+    # OUT/INOUT args are runtime variables, in scope for validation
+    var_names = frozenset(v for v, _, _ in declares) | frozenset(
+        a for a, _, m in args if m != "IN"
+    )
     _parse_body(body, var_names)  # CREATE-time validation: refuses
-    # RAISE/EXECUTE/... with the reason; raises on unbalanced blocks
+    # out-of-subset forms with the reason; raises on unbalanced blocks
     # and on assignment to an undeclared variable
     return replace, name, args, declares, body.strip()
 
 
 _DECLARE_UNSUPPORTED_RE = re.compile(
-    r"\b(CURSOR|RECORD|CONSTANT|REFCURSOR|ALIAS)\b", re.IGNORECASE
+    r"\b(RECORD|CONSTANT|REFCURSOR|ALIAS)\b", re.IGNORECASE
+)
+_DECLARE_CURSOR_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s+CURSOR\s+FOR\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
 )
 
 
@@ -886,12 +1273,20 @@ def _parse_declares(body: str) -> tuple[list[tuple[str, str, str | None]], str]:
         item, j = _consume_statement(sec, j)
         if not item:
             continue
+        cm = _DECLARE_CURSOR_RE.match(item)
+        if cm:
+            # bound cursor: (name, "CURSOR", query). Variables in the
+            # query bind at OPEN (the plpgsql rule); OPEN/FETCH INTO/
+            # CLOSE lower onto the q85 cursor registry (prepared.py)
+            decls.append((cm.group(1).lower(), "CURSOR", cm.group(2).strip()))
+            continue
         if _DECLARE_UNSUPPORTED_RE.search(item):
             raise NotImplementedError(
                 f"procedural plpgsql declaration {item[:60]!r} is not "
-                "supported (cursors/records/constants need machinery "
+                "supported (records/constants/refcursors need machinery "
                 "the statement face does not have); plain "
-                "'name type [:= default]' variables are"
+                "'name type [:= default]' variables and bound "
+                "'name CURSOR FOR <query>' cursors are"
             )
         dm = re.match(
             r"\s*([A-Za-z_]\w*)\s+(.+?)(?:\s*(?::=|\bDEFAULT\b)\s*(.+))?\s*$",
@@ -919,14 +1314,16 @@ def create_procedure(
         raise ValueError(
             f"procedure {name!r} already exists (use CREATE OR REPLACE)"
         )
-    _procs(spark)[key] = (args, declares or [], body)
+    _procs(spark)[key] = (_norm_argspec(args), declares or [], body)
 
 
 def _substitute_args(
     argspec: list[tuple[str, str]], argtexts: list[str], text: str
 ) -> str:
     """Quote-aware single-pass argument substitution over any body
-    text (procedure body or a variable default expression)."""
+    text (procedure body or a variable default expression).
+    ``argspec`` here is the IN-args-only (name, type) pairing —
+    OUT/INOUT arguments are runtime variables, never textual."""
     if not argspec:
         return text
     by_name = {
@@ -946,33 +1343,67 @@ def _substitute_args(
     )
 
 
+def _call_parts(entry, name, argtexts):
+    """Shared CALL plumbing: validate arity (OUT args are OMITTED from
+    the CALL list, the Redshift rule), substitute IN args textually,
+    and return (argspec, in_pairs, in_texts, inout_texts, outish,
+    body)."""
+    argspec = _norm_argspec(entry[0])
+    passed = [a for a in argspec if a[2] != "OUT"]
+    if len(argtexts) != len(passed):
+        omitted = len(argspec) - len(passed)
+        hint = (
+            f" ({omitted} OUT argument(s) are omitted from CALL)"
+            if omitted
+            else ""
+        )
+        raise ValueError(
+            f"procedure {name!r} takes {len(passed)} argument(s){hint}, "
+            f"got {len(argtexts)}"
+        )
+    in_pairs = [(a[0], a[1]) for a in passed if a[2] == "IN"]
+    in_texts = [t for a, t in zip(passed, argtexts) if a[2] == "IN"]
+    inout_texts = {
+        a[0]: t for a, t in zip(passed, argtexts) if a[2] == "INOUT"
+    }
+    outish = [a for a in argspec if a[2] != "IN"]
+    body = _substitute_args(in_pairs, in_texts, entry[2])
+    return argspec, in_pairs, in_texts, inout_texts, outish, body
+
+
 def substitute_call(spark: SparkSession, name: str, argtexts: list[str]) -> str:
-    """Resolve CALL to the procedure body with named args substituted —
-    quote-aware, single pass, word-boundary identifier match."""
+    """Resolve CALL to the procedure body with named IN args
+    substituted — quote-aware, single pass, word-boundary identifier
+    match. OUT/INOUT args stay as identifiers (runtime variables)."""
     entry = _procs(spark).get(name.lower())
     if entry is None:
         raise ValueError(f"CALL of unknown procedure {name!r}")
-    argspec, _, body = entry
-    if len(argtexts) != len(argspec):
-        raise ValueError(
-            f"procedure {name!r} takes {len(argspec)} argument(s), got "
-            f"{len(argtexts)}"
-        )
-    return _substitute_args(argspec, argtexts, body)
+    return _call_parts(entry, name, argtexts)[5]
 
 
-def call_procedure(spark: SparkSession, name: str, argtexts: list[str]) -> int:
-    """CALL: replay the substituted body. Straight-line variable-free
-    bodies go through execute_sql_script unchanged (a failure names the
-    statement index); bodies with variables or control flow execute
-    their parsed tree, with the same no-dangling-transaction guarantee
-    — a transaction OPENED BY THIS CALL is rolled back when a statement
-    fails. Returns the count of leaf statements actually executed
-    (assignments and INTO captures included — each runs a query).
+def call_procedure_returning(
+    spark: SparkSession, name: str, argtexts: list[str]
+):
+    """CALL with the Redshift result channel: returns (count,
+    result DataFrame | None). The DataFrame is the one-row OUT/INOUT
+    surface — one column per OUT/INOUT argument in declaration order,
+    holding its value at procedure exit — exactly how Redshift
+    surfaces OUT arguments from CALL; None when the procedure has no
+    OUT/INOUT arguments.
 
-    Variable defaults evaluate in declaration order at CALL entry
-    (earlier variables are in scope for later defaults, the plpgsql
-    rule); un-defaulted variables start NULL."""
+    Execution: straight-line variable-free bodies go through
+    execute_sql_script unchanged (a failure names the statement
+    index); bodies with variables or control flow execute their parsed
+    tree, with the same no-dangling-transaction guarantee — a
+    transaction OPENED BY THIS CALL is rolled back when a statement
+    fails. ``count`` is the number of leaf statements actually
+    executed (assignments and INTO captures included — each runs a
+    query), surviving early RETURN.
+
+    OUT variables start NULL; INOUT variables evaluate their CALL
+    expression at entry. Both are in scope before declare defaults
+    evaluate (argument scope precedes declaration scope, the plpgsql
+    rule); defaults then evaluate in declaration order."""
     from .. import transactions
     from ..sqlrun import execute_sql_script
 
@@ -980,27 +1411,71 @@ def call_procedure(spark: SparkSession, name: str, argtexts: list[str]) -> int:
     if entry is None:
         raise ValueError(f"CALL of unknown procedure {name!r}")
     declares = entry[1]
-    body = substitute_call(spark, name, argtexts)
-    var_names = frozenset(v for v, _, _ in declares)
+    argspec, in_pairs, in_texts, inout_texts, outish, body = _call_parts(
+        entry, name, argtexts
+    )
+    var_names = frozenset(v for v, _, _ in declares) | frozenset(
+        a[0] for a in outish
+    )
     items = _parse_body(body, var_names)
-    if not declares and not _has_control_flow(items):
-        return execute_sql_script(spark, body)
+    if not declares and not outish and not _has_control_flow(items):
+        return execute_sql_script(spark, body), None
     entered_with = transactions.active(spark)
     try:
         vars: dict[str, tuple[str, object]] = {}
+        for aname, atype, mode in argspec:
+            if mode == "IN":
+                continue
+            value = None
+            if mode == "INOUT":
+                value = _eval_scalar(
+                    spark,
+                    f"SELECT CAST(({inout_texts[aname]}) AS {atype}) AS v",
+                )
+            vars[aname] = (atype, value)
         for vname, vtype, vdefault in declares:
+            if vtype == "CURSOR":
+                # bound cursor: IN args substitute into the query now,
+                # variables bind at OPEN (_exec_cursor)
+                vars[vname] = (
+                    "CURSOR",
+                    {
+                        "sql": _substitute_args(in_pairs, in_texts, vdefault),
+                        "open": None,
+                    },
+                )
+                continue
             value = None
             if vdefault is not None:
                 expr = _substitute_vars(
-                    _substitute_args(entry[0], argtexts, vdefault), vars
+                    _substitute_args(in_pairs, in_texts, vdefault), vars
                 )
                 value = _eval_scalar(
                     spark, f"SELECT CAST(({expr}) AS {vtype}) AS v"
                 )
             vars[vname] = (vtype, value)
-        return _exec_items(spark, items, vars)
-    except _ProcReturn as pr:  # bare RETURN: clean early exit
-        return pr.count
+        try:
+            n = _exec_items(spark, items, vars)
+        except _ProcReturn as pr:  # bare RETURN: clean early exit
+            n = pr.count
+        finally:
+            # a cursor left open at exit (including error exits) would
+            # leak its registry entry and snapshot directory
+            from .prepared import close_cursor
+
+            for vtype, value in vars.values():
+                if vtype == "CURSOR" and value["open"] is not None:
+                    try:
+                        close_cursor(spark, value["open"])
+                    finally:
+                        value["open"] = None
+        result = None
+        if outish:
+            schema = ", ".join(f"`{a[0]}` {a[1]}" for a in outish)
+            result = spark.createDataFrame(
+                [tuple(vars[a[0]][1] for a in outish)], schema
+            )
+        return n, result
     except Exception as e:
         txn = transactions.active(spark)
         rolled = ""
@@ -1010,6 +1485,12 @@ def call_procedure(spark: SparkSession, name: str, argtexts: list[str]) -> int:
         raise RuntimeError(
             f"procedure {name!r} failed{rolled}: {e}"
         ) from e
+
+
+def call_procedure(spark: SparkSession, name: str, argtexts: list[str]) -> int:
+    """CALL discarding the OUT/INOUT surface; returns the executed
+    leaf-statement count (see call_procedure_returning)."""
+    return call_procedure_returning(spark, name, argtexts)[0]
 
 
 def drop_procedure(spark: SparkSession, name: str, *, if_exists: bool) -> None:

@@ -16894,6 +16894,302 @@ def q103_procedure_variables(
 
 
 @query(
+    "q104_procedure_exception",
+    oracle="""
+    SELECT 'rollup' AS phase, 'F' AS status,
+           CAST((SELECT COUNT(*) FROM orders
+                  WHERE o_orderstatus = 'F') AS BIGINT) AS n
+    UNION ALL
+    SELECT 'rollup', 'O',
+           CAST((SELECT COUNT(*) FROM orders
+                  WHERE o_orderstatus = 'O') AS BIGINT)
+    UNION ALL
+    SELECT 'recovered', 'XX000',
+           CAST((SELECT COUNT(*) FROM orders
+                  WHERE o_orderstatus = 'P') AS BIGINT)
+    UNION ALL
+    SELECT 'final', 'all',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    ORDER BY phase, status
+    """,
+    doc="stored-procedure EXCEPTION blocks (functions/procedures.py, "
+        "r14 — the r13 verdict's top-ranked refusal, now executing): "
+        "BEGIN ... EXCEPTION WHEN OTHERS THEN ... END runs with "
+        "Redshift's NONATOMIC-mode semantics — leaf statements here "
+        "auto-commit, so only the FAILED statement rolls back, "
+        "earlier block statements stand, and sqlerrm/sqlstate bind "
+        "inside the handler (sqlstate parsed from Spark's error "
+        "text). Only WHEN OTHERS is accepted — the Redshift rule. "
+        "The entry is the raise-and-recover backfill the verdict "
+        "prescribed: per-status rollups where the unimplemented "
+        "tier RAISEs mid-block (after capturing its count into a "
+        "variable — NONATOMIC keeps that write), the handler logs a "
+        "recovery row carrying sqlstate and the captured count, and "
+        "the procedure continues to the final rollup. Oracle "
+        "replays the four rows in plain SQL (RAISE EXCEPTION "
+        "carries no engine SQLSTATE, hence the documented XX000). "
+        "Reference basis: plpgsql bodies reach the pass-through at "
+        "execute_sql.py:77 verbatim. Scale: each statement is one "
+        "pushed-down filtered scan; the handler is driver-side "
+        "control flow, no data moves on error",
+    tags=("native", "sql", "dialect", "orders"),
+)
+def q104_procedure_exception(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..ingest import _clean_stale_location
+    from ..sqlrun import execute_sql
+
+    views(spark, sf_dir, "orders")
+    execute_sql(spark, "DROP TABLE IF EXISTS bp_exc_out")
+    _clean_stale_location(spark, "bp_exc_out", None)
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_exc_backfill")
+    execute_sql(
+        spark,
+        """
+        CREATE OR REPLACE PROCEDURE bp_exc_backfill() AS $$
+        DECLARE v_n bigint := -1;
+        BEGIN
+          CREATE TABLE IF NOT EXISTS bp_exc_out (
+              phase STRING, status STRING, n BIGINT) USING parquet;
+          INSERT INTO bp_exc_out
+            SELECT 'rollup', 'F', (SELECT COUNT(*) FROM orders
+                                    WHERE o_orderstatus = 'F');
+          BEGIN
+            INSERT INTO bp_exc_out
+              SELECT 'rollup', 'O', (SELECT COUNT(*) FROM orders
+                                      WHERE o_orderstatus = 'O');
+            SELECT COUNT(*) INTO v_n FROM orders
+              WHERE o_orderstatus = 'P';
+            IF v_n >= 0 THEN
+              RAISE EXCEPTION 'P backfill unimplemented: % rows', v_n;
+            END IF;
+            INSERT INTO bp_exc_out SELECT 'rollup', 'P', v_n;
+          EXCEPTION WHEN OTHERS THEN
+            INSERT INTO bp_exc_out SELECT 'recovered', sqlstate, v_n;
+          END;
+          INSERT INTO bp_exc_out
+            SELECT 'final', 'all', (SELECT COUNT(*) FROM orders);
+        END;
+        $$ LANGUAGE plpgsql
+        """,
+    )
+    execute_sql(spark, "CALL bp_exc_backfill()")
+    return spark.table("bp_exc_out").orderBy("phase", "status")
+
+
+@query(
+    "q105_dynamic_execute",
+    oracle="""
+    SELECT 'f' AS suffix, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DOUBLE) AS total
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT 'o', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DOUBLE)
+    FROM orders WHERE o_orderstatus = 'O'
+    ORDER BY suffix
+    """,
+    doc="dynamic EXECUTE in stored procedures (functions/"
+        "procedures.py, r14 — r13 verdict item 3): EXECUTE <string "
+        "expr> evaluates the expression as scalar SQL (variables "
+        "substitute into the EXPRESSION, never into the resulting "
+        "command — the plpgsql rule) and routes the constructed "
+        "statement through the full dispatcher, so dynamic DDL/DML "
+        "gets COPY lowering, dialect translation and transaction "
+        "routing like static text; EXECUTE ... INTO captures the "
+        "first result row into variables (take(1)-bounded). The "
+        "entry is the templated-maintenance idiom the refusal used "
+        "to block: a procedure that derives a table name from its "
+        "arguments, EXECUTEs DROP + CTAS for that name, reads the "
+        "build back with EXECUTE ... INTO, and logs a summary row — "
+        "called twice for two status partitions. Oracle replays "
+        "both summaries straight off orders. Scale: the CTAS is a "
+        "pushed-down filtered scan writing distributed parquet; "
+        "only the 2-value summary takes the driver path",
+    tags=("native", "sql", "dialect", "orders"),
+)
+def q105_dynamic_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ingest import _clean_stale_location
+    from ..sqlrun import execute_sql
+
+    views(spark, sf_dir, "orders")
+    for t in ("bp_dyn_summary", "bp_dyn_f", "bp_dyn_o"):
+        execute_sql(spark, f"DROP TABLE IF EXISTS {t}")
+        _clean_stale_location(spark, t, None)
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_dyn_build")
+    body = (
+        "CREATE OR REPLACE PROCEDURE bp_dyn_build(\n"
+        "    p_suffix varchar(10), p_status varchar(1)) AS $$\n"
+        "DECLARE\n"
+        "  v_tbl varchar(64);\n"
+        "  v_n bigint;\n"
+        "  v_sum decimal(18,2);\n"
+        "BEGIN\n"
+        "  CREATE TABLE IF NOT EXISTS bp_dyn_summary (\n"
+        "      suffix STRING, n_orders BIGINT, total DOUBLE)\n"
+        "      USING parquet;\n"
+        "  v_tbl := 'bp_dyn_' || p_suffix;\n"
+        "  EXECUTE 'DROP TABLE IF EXISTS ' || v_tbl;\n"
+        "  EXECUTE 'CREATE TABLE ' || v_tbl ||\n"
+        "          ' USING parquet AS SELECT o_orderkey, o_totalprice'\n"
+        "          || ' FROM orders WHERE o_orderstatus = '''\n"
+        "          || p_status || '''';\n"
+        "  EXECUTE 'SELECT COUNT(*), CAST(SUM(CAST(o_totalprice AS '\n"
+        "          || 'DECIMAL(18,2))) AS DECIMAL(18,2)) FROM ' || v_tbl\n"
+        "    INTO v_n, v_sum;\n"
+        "  INSERT INTO bp_dyn_summary\n"
+        "    SELECT p_suffix, v_n, CAST(v_sum AS DOUBLE);\n"
+        "END;\n"
+        "$$ LANGUAGE plpgsql"
+    )
+    execute_sql(spark, body)
+    execute_sql(spark, "CALL bp_dyn_build('f', 'F')")
+    execute_sql(spark, "CALL bp_dyn_build('o', 'O')")
+    return spark.table("bp_dyn_summary").orderBy("suffix")
+
+
+@query(
+    "q106_procedure_for_query",
+    oracle="""
+    WITH g AS (
+        SELECT o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT pri, n,
+               CAST(SUM(n) OVER (ORDER BY pri) AS BIGINT) AS running
+        FROM g
+    )
+    SELECT pri, n AS n_orders, running FROM r
+    UNION ALL
+    SELECT 'TOTAL: ' || pri, n, running FROM (
+        SELECT pri, n, running FROM r ORDER BY running DESC, pri LIMIT 1
+    )
+    ORDER BY running, pri
+    """,
+    doc="FOR-over-query record loops + bound cursors in stored "
+        "procedures (functions/procedures.py, r14 — r13 verdict item "
+        "4): FOR r IN <query> LOOP binds each result row as a record "
+        "whose r.field references substitute per iteration "
+        "(driver-side by nature — each row drives statements — and "
+        "capped at 10k rows via a bounded take()); DECLARE c CURSOR "
+        "FOR <query> + OPEN/FETCH INTO/CLOSE lower onto the q85 "
+        "session cursor registry (materialize-once paging), binding "
+        "variables at OPEN and closing leaked cursors at procedure "
+        "exit. The entry is the row-driven report the refusal used "
+        "to block: a FOR loop accumulates a running total across "
+        "priority rollups (record + variable interplay), then a "
+        "cursor over the finished report FETCHes its top row to "
+        "append a TOTAL line. Oracle replays the loop as a window "
+        "cumsum and the cursor as ORDER BY ... LIMIT 1. Scale: the "
+        "looped query is one 5-group aggregate; per-row work is "
+        "driver-side control flow, the scans stay distributed",
+    tags=("native", "sql", "dialect", "orders"),
+)
+def q106_procedure_for_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..ingest import _clean_stale_location
+    from ..sqlrun import execute_sql
+
+    views(spark, sf_dir, "orders")
+    execute_sql(spark, "DROP TABLE IF EXISTS bp_pri_out")
+    _clean_stale_location(spark, "bp_pri_out", None)
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_pri_report")
+    execute_sql(
+        spark,
+        """
+        CREATE OR REPLACE PROCEDURE bp_pri_report() AS $$
+        DECLARE
+          c CURSOR FOR SELECT pri, n_orders, running FROM bp_pri_out
+            ORDER BY running DESC, pri;
+          v_run bigint := 0;
+          v_pri varchar(40);
+          v_n bigint;
+          v_top bigint;
+        BEGIN
+          CREATE TABLE IF NOT EXISTS bp_pri_out (
+              pri STRING, n_orders BIGINT, running BIGINT)
+              USING parquet;
+          FOR r IN SELECT o_orderpriority AS pri, COUNT(*) AS n
+                   FROM orders GROUP BY o_orderpriority
+                   ORDER BY o_orderpriority LOOP
+            v_run := v_run + r.n;
+            INSERT INTO bp_pri_out SELECT r.pri, r.n, v_run;
+          END LOOP;
+          OPEN c;
+          FETCH c INTO v_pri, v_n, v_top;
+          CLOSE c;
+          INSERT INTO bp_pri_out
+            SELECT 'TOTAL: ' || v_pri, v_n, v_top;
+        END;
+        $$ LANGUAGE plpgsql
+        """,
+    )
+    execute_sql(spark, "CALL bp_pri_report()")
+    return spark.table("bp_pri_out").orderBy("running", "pri")
+
+
+@query(
+    "q107_procedure_out_args",
+    oracle="""
+    SELECT CAST(1000000 + COUNT(*) AS BIGINT) AS io_scaled,
+           CAST(COUNT(*) AS BIGINT) AS o_cnt,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DOUBLE) AS o_max
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="OUT / INOUT procedure arguments (functions/procedures.py, "
+        "r14 — r13 verdict item 5, the last ranked refusal): OUT "
+        "args are OMITTED from the CALL argument list and INOUT args "
+        "passed (Redshift's documented CALL rule); both execute as "
+        "variables (OUT starts NULL, INOUT from its CALL expression, "
+        "in scope before DECLARE defaults — plpgsql argument scope), "
+        "and call_procedure_returning surfaces their exit values as "
+        "the one-row result set Redshift returns from CALL, one "
+        "column per OUT/INOUT argument in declaration order. The "
+        "entry captures an aggregate pair into OUT args via SELECT "
+        "INTO and scales an INOUT accumulator, returning the one-row "
+        "surface directly; the oracle computes the same row in plain "
+        "SQL. Scale: the aggregate is one pushed-down scan; only the "
+        "3-value result row touches the driver",
+    tags=("native", "sql", "dialect", "orders"),
+)
+def q107_procedure_out_args(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.procedures import call_procedure_returning
+    from ..sqlrun import execute_sql
+
+    views(spark, sf_dir, "orders")
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_order_stats")
+    execute_sql(
+        spark,
+        """
+        CREATE OR REPLACE PROCEDURE bp_order_stats(
+            p_status IN varchar(1), io_scaled INOUT bigint,
+            o_cnt OUT bigint, o_max OUT double precision) AS $$
+        BEGIN
+          SELECT COUNT(*),
+                 CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE)
+            INTO o_cnt, o_max
+            FROM orders WHERE o_orderstatus = p_status;
+          io_scaled := io_scaled + o_cnt;
+        END;
+        $$ LANGUAGE plpgsql
+        """,
+    )
+    _, res = call_procedure_returning(
+        spark, "bp_order_stats", ["'F'", "1000000"]
+    )
+    return res
+
+
+@query(
     "c205_knn_label_agreement",
     oracle=f"""
     WITH v AS (
@@ -17388,11 +17684,15 @@ def c200_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW = [
     # Round 14 window, per the r13 verdict's written plan: all 36
     # entries never driver-rowed through r13 — q95-q103, a06-a12,
-    # c191-c210 (in registration order) — plus the 14 oldest-rowed
+    # c191-c210 (in registration order) — plus 10 oldest-rowed
     # fillers from the CORRECTNESS_r01-r13 union (all last rowed in
-    # r07), ordered by (latest_round, catalog_index). c07 is the only
-    # rows-only pick among the fillers and its oracle twin c38 is
-    # co-windowed. After this round the never-driver-rowed set is 0.
+    # r07), ordered by (latest_round, catalog_index), plus the four
+    # round-14 additions q104-q107 (new entries always ride in their
+    # landing round's window; they displaced the last four filler
+    # candidates c26/c44/c43/c42, which stay oldest-rowed for r15).
+    # c07 is the only rows-only pick among the fillers and its oracle
+    # twin c38 is co-windowed. After this round the
+    # never-driver-rowed set is 0.
     # --- the 36 never-rowed ---
     "a06_multifile_regex_ingest",
     "a07_copy_fixedwidth",
@@ -17441,10 +17741,11 @@ _DRIVER_WINDOW = [
     "c37_ann_ivf_stored",
     "q41_qualify",
     "c24_dedup_minhash_portable",
-    "c26_dedup_simhash_portable",
-    "c44_stream_upsert",
-    "c43_stream_stream_join",
-    "c42_stream_static_join",
+    # --- round-14 additions (land in their own round's window) ---
+    "q104_procedure_exception",
+    "q105_dynamic_execute",
+    "q106_procedure_for_query",
+    "q107_procedure_out_args",
 ]
 
 

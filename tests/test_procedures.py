@@ -27,7 +27,7 @@ def test_parse_create_handles_typed_args_and_tagged_body():
         "LANGUAGE plpgsql;"
     )
     assert replace and name == "sp.upd"
-    assert args == [("f1", "int"), ("f2", "string")]
+    assert args == [("f1", "int", "IN"), ("f2", "string", "IN")]
     assert declares == []
     assert body == "UPDATE t SET a = f1 WHERE b = f2;"
 
@@ -57,10 +57,16 @@ def test_parse_create_declare_header():
         ("v_total", "bigint", "0"), ("v_msg", "string", None)
     ]
     assert body == "SELECT 1;"
-    with pytest.raises(NotImplementedError, match="CURSOR"):
+    # bound cursors now parse (r14): (name, "CURSOR", query)
+    _, _, _, declares, _ = _parse_create(
+        "CREATE PROCEDURE p() AS $$ DECLARE c CURSOR FOR SELECT 1; "
+        "BEGIN OPEN c; END; $$"
+    )
+    assert declares == [("c", "CURSOR", "SELECT 1")]
+    with pytest.raises(NotImplementedError, match="RECORD"):
         _parse_create(
-            "CREATE PROCEDURE p() AS $$ DECLARE c CURSOR FOR SELECT 1; "
-            "BEGIN OPEN c; END; $$"
+            "CREATE PROCEDURE p() AS $$ DECLARE r RECORD; "
+            "BEGIN SELECT 1; END; $$"
         )
     with pytest.raises(ValueError, match="shadow"):
         _parse_create(
@@ -74,8 +80,12 @@ def test_parse_create_declare_header():
 
 
 def test_parse_create_refusals():
-    with pytest.raises(NotImplementedError, match="INOUT"):
-        _parse_create("CREATE PROCEDURE p(x INOUT int) AS $$ SELECT 1 $$")
+    # OUT/INOUT now parse with their mode (r14)
+    _, _, args, _, _ = _parse_create(
+        "CREATE PROCEDURE p(x INOUT int, y OUT bigint) AS $$ BEGIN "
+        "x := x + 1; y := 2; END; $$"
+    )
+    assert args == [("x", "int", "INOUT"), ("y", "bigint", "OUT")]
     with pytest.raises(NotImplementedError, match="procedural"):
         _parse_create(
             "CREATE PROCEDURE p() AS $$ BEGIN SELECT 1; DECLARE v int; "
@@ -169,11 +179,17 @@ def test_parse_body_control_flow_tree():
 
 
 def test_parse_create_control_flow_refusals_and_balance():
-    for kw in ("EXECUTE", "EXCEPTION"):
-        with pytest.raises(NotImplementedError, match="procedural"):
-            _parse_create(
-                f"CREATE PROCEDURE p() AS $$ BEGIN {kw} x; END; $$"
-            )
+    # EXECUTE/EXCEPTION now parse (r14); their malformed/out-of-
+    # position forms still refuse with the reason
+    with pytest.raises(NotImplementedError, match="WHEN OTHERS"):
+        _parse_create(
+            "CREATE PROCEDURE p() AS $$ BEGIN SELECT 1; EXCEPTION WHEN "
+            "division_by_zero THEN SELECT 2; END; $$"
+        )
+    with pytest.raises(ValueError, match="only valid directly"):
+        _parse_body(
+            "IF 1 = 1 THEN EXCEPTION WHEN OTHERS THEN SELECT 1; END IF;"
+        )
     # RAISE/RETURN now execute; their unsupported FORMS still refuse
     with pytest.raises(NotImplementedError, match="USING"):
         _parse_create(
@@ -183,12 +199,11 @@ def test_parse_create_control_flow_refusals_and_balance():
         _parse_create(
             "CREATE PROCEDURE p() AS $$ BEGIN RETURN x; END; $$"
         )
-    # FOR-over-query needs record variables — only the range form runs
-    with pytest.raises(NotImplementedError, match="record"):
-        _parse_create(
-            "CREATE PROCEDURE p() AS $$ BEGIN FOR r IN SELECT 1 LOOP "
-            "SELECT 2; END LOOP; END; $$"
-        )
+    # FOR-over-query parses into a record loop node (r14)
+    items = _parse_body(
+        "FOR r IN SELECT 1 AS x LOOP SELECT 2; END LOOP;"
+    )
+    assert items == [("forq", "r", "SELECT 1 AS x", [("sql", "SELECT 2")])]
     with pytest.raises(ValueError, match="ended before"):
         _parse_body("IF 1 = 1 THEN SELECT 1;")
     with pytest.raises(ValueError, match="ended before"):
@@ -855,3 +870,391 @@ def test_select_into_multirow_takes_first_row_only(spark):
     assert spark.table("bp_firstrow_out").collect()[0]["k"] == 9
     execute_sql(spark, "DROP TABLE bp_firstrow_out")
     execute_sql(spark, "DROP PROCEDURE bp_firstrow")
+
+
+# ---------------------------------------------------------------------------
+# round 14: EXCEPTION blocks, dynamic EXECUTE, FOR-over-query, bound
+# cursors, OUT/INOUT result channel
+# ---------------------------------------------------------------------------
+
+
+def test_exception_block_nonatomic_semantics(spark):
+    """Statements before the failing one stand (NONATOMIC — each leaf
+    auto-commits), the failed statement's write is absent, the handler
+    runs with sqlerrm/sqlstate in scope, and the block's successor
+    statements continue."""
+    spark.sql("DROP TABLE IF EXISTS bp_exc")
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_exc_p")
+    execute_sql(
+        spark,
+        "CREATE PROCEDURE bp_exc_p() AS $$\n"
+        "DECLARE v_x int;\n"
+        "BEGIN\n"
+        "  CREATE TABLE bp_exc (a INT, msg STRING) USING parquet;\n"
+        "  BEGIN\n"
+        "    INSERT INTO bp_exc SELECT 1, NULL;\n"
+        "    SELECT 1/0 INTO v_x;\n"
+        "    INSERT INTO bp_exc SELECT 99, NULL;\n"
+        "  EXCEPTION WHEN OTHERS THEN\n"
+        "    INSERT INTO bp_exc SELECT -1, sqlstate;\n"
+        "  END;\n"
+        "  INSERT INTO bp_exc SELECT 2, NULL;\n"
+        "END;\n$$",
+    )
+    execute_sql(spark, "CALL bp_exc_p()")
+    rows = {r.a: r.msg for r in spark.table("bp_exc").collect()}
+    assert set(rows) == {1, -1, 2}          # 99 never ran
+    assert rows[-1] == "22012"              # division-by-zero SQLSTATE
+    spark.sql("DROP TABLE bp_exc")
+    execute_sql(spark, "DROP PROCEDURE bp_exc_p")
+
+
+def test_exception_block_rolls_back_inner_transaction(spark):
+    """A transaction OPENED INSIDE the guarded block and dangling at
+    the failure is rolled back before the handler runs — staged writes
+    discarded, target untouched, and the handler does not execute
+    inside a half-dead transaction."""
+    from amazonredshift_blueprints_spark import transactions
+
+    spark.sql("DROP TABLE IF EXISTS bp_exc_txn")
+    spark.sql("CREATE TABLE bp_exc_txn USING parquet AS SELECT 1 AS a")
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_exc_txn_p")
+    execute_sql(
+        spark,
+        "CREATE PROCEDURE bp_exc_txn_p() AS $$\n"
+        "DECLARE v_n int := 0;\n"
+        "BEGIN\n"
+        "  BEGIN\n"
+        "    BEGIN;\n"
+        "    DELETE FROM bp_exc_txn;\n"
+        "    RAISE EXCEPTION 'abort before COMMIT';\n"
+        "  EXCEPTION WHEN OTHERS THEN\n"
+        "    SELECT COUNT(*) INTO v_n FROM bp_exc_txn;\n"
+        "  END;\n"
+        "  INSERT INTO bp_exc_txn SELECT v_n + 100;\n"
+        "END;\n$$",
+    )
+    execute_sql(spark, "CALL bp_exc_txn_p()")
+    assert transactions.active(spark) is None
+    # handler saw the ROLLED-BACK table (1 row), so it inserted 101
+    assert sorted(r.a for r in spark.table("bp_exc_txn").collect()) == [1, 101]
+    spark.sql("DROP TABLE bp_exc_txn")
+    execute_sql(spark, "DROP PROCEDURE bp_exc_txn_p")
+
+
+def test_exception_block_passes_control_flow_signals(spark):
+    """RETURN inside a guarded block is not an error: the handler must
+    NOT run, and the early-exit count still reaches the caller."""
+    from amazonredshift_blueprints_spark.functions.procedures import (
+        call_procedure,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS bp_exc_ret")
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_exc_ret_p")
+    execute_sql(
+        spark,
+        "CREATE PROCEDURE bp_exc_ret_p() AS $$\n"
+        "BEGIN\n"
+        "  CREATE TABLE bp_exc_ret (a INT) USING parquet;\n"
+        "  BEGIN\n"
+        "    INSERT INTO bp_exc_ret SELECT 1;\n"
+        "    RETURN;\n"
+        "  EXCEPTION WHEN OTHERS THEN\n"
+        "    INSERT INTO bp_exc_ret SELECT -1;\n"
+        "  END;\n"
+        "  INSERT INTO bp_exc_ret SELECT 2;\n"
+        "END;\n$$",
+    )
+    assert call_procedure(spark, "bp_exc_ret_p", []) == 2
+    assert sorted(r.a for r in spark.table("bp_exc_ret").collect()) == [1]
+    spark.sql("DROP TABLE bp_exc_ret")
+    execute_sql(spark, "DROP PROCEDURE bp_exc_ret_p")
+
+
+def test_unhandled_error_in_plain_nested_block_still_raises(spark):
+    """A nested BEGIN block WITHOUT an EXCEPTION section does not
+    swallow anything."""
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_exc_none")
+    execute_sql(
+        spark,
+        "CREATE PROCEDURE bp_exc_none() AS $$ BEGIN\n"
+        "  BEGIN\n    RAISE EXCEPTION 'boom';\n  END;\n"
+        "END; $$",
+    )
+    with pytest.raises(RuntimeError, match="boom"):
+        execute_sql(spark, "CALL bp_exc_none()")
+    execute_sql(spark, "DROP PROCEDURE bp_exc_none")
+
+
+def test_dynamic_execute_ddl_into_and_quote_safety(spark):
+    """EXECUTE builds a command from variables, routes through the
+    full dispatcher; EXECUTE ... INTO captures a scalar; an INTO
+    keyword INSIDE the command string does not split."""
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_dyn")
+    spark.sql("DROP TABLE IF EXISTS bp_dyn_t")
+    execute_sql(
+        spark,
+        "CREATE PROCEDURE bp_dyn(tname varchar(30), seed int) AS $$\n"
+        "DECLARE v_sql varchar(200); v_cnt bigint;\n"
+        "BEGIN\n"
+        "  v_sql := 'CREATE TABLE ' || tname ||\n"
+        "           ' USING parquet AS SELECT ' || seed || ' AS x';\n"
+        "  EXECUTE v_sql;\n"
+        "  EXECUTE 'INSERT INTO ' || tname || ' SELECT ' || (seed + 1);\n"
+        "  EXECUTE 'SELECT COUNT(*) FROM ' || tname INTO v_cnt;\n"
+        "  EXECUTE 'INSERT INTO ' || tname || ' SELECT ' || (v_cnt * 10);\n"
+        "END;\n$$",
+    )
+    execute_sql(spark, "CALL bp_dyn('bp_dyn_t', 7)")
+    assert sorted(r.x for r in spark.table("bp_dyn_t").collect()) == [7, 8, 20]
+    spark.sql("DROP TABLE bp_dyn_t")
+    execute_sql(spark, "DROP PROCEDURE bp_dyn")
+
+
+def test_dynamic_execute_null_command_and_bad_into_target(spark):
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_dyn_null")
+    execute_sql(
+        spark,
+        "CREATE PROCEDURE bp_dyn_null() AS $$\n"
+        "DECLARE v_sql varchar(10);\nBEGIN\n  EXECUTE v_sql;\nEND;\n$$",
+    )
+    with pytest.raises(RuntimeError, match="NULL"):
+        execute_sql(spark, "CALL bp_dyn_null()")
+    execute_sql(spark, "DROP PROCEDURE bp_dyn_null")
+    with pytest.raises(ValueError, match="not declared"):
+        _parse_create(
+            "CREATE PROCEDURE p() AS $$ BEGIN "
+            "EXECUTE 'SELECT 1' INTO nosuch; END; $$"
+        )
+
+
+def test_for_over_query_records_exit_and_scoping(spark):
+    """FOR r IN <query>: r.field substitutes per row; EXIT WHEN works;
+    the record goes out of scope after the loop."""
+    from amazonredshift_blueprints_spark.functions.procedures import (
+        call_procedure,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS bp_forq")
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_forq_p")
+    execute_sql(
+        spark,
+        "CREATE PROCEDURE bp_forq_p() AS $$\n"
+        "DECLARE v_sum bigint := 0;\n"
+        "BEGIN\n"
+        "  CREATE TABLE bp_forq (k BIGINT, s BIGINT) USING parquet;\n"
+        "  FOR r IN SELECT id AS k, id * 10 AS v FROM range(10)\n"
+        "           ORDER BY id LOOP\n"
+        "    EXIT WHEN r.k = 3;\n"
+        "    v_sum := v_sum + r.v;\n"
+        "    INSERT INTO bp_forq SELECT r.k, v_sum;\n"
+        "  END LOOP;\n"
+        "END;\n$$",
+    )
+    call_procedure(spark, "bp_forq_p", [])
+    rows = sorted((r.k, r.s) for r in spark.table("bp_forq").collect())
+    assert rows == [(0, 0), (1, 10), (2, 30)]
+    spark.sql("DROP TABLE bp_forq")
+    execute_sql(spark, "DROP PROCEDURE bp_forq_p")
+
+
+def test_for_over_query_empty_result_runs_zero_iterations(spark):
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_forq_empty")
+    spark.sql("DROP TABLE IF EXISTS bp_forq_empty_t")
+    execute_sql(
+        spark,
+        "CREATE PROCEDURE bp_forq_empty() AS $$ BEGIN\n"
+        "  CREATE TABLE bp_forq_empty_t (a BIGINT) USING parquet;\n"
+        "  FOR r IN SELECT id FROM range(10) WHERE id < 0 LOOP\n"
+        "    INSERT INTO bp_forq_empty_t SELECT r.id;\n"
+        "  END LOOP;\n"
+        "END; $$",
+    )
+    execute_sql(spark, "CALL bp_forq_empty()")
+    assert spark.table("bp_forq_empty_t").count() == 0
+    spark.sql("DROP TABLE bp_forq_empty_t")
+    execute_sql(spark, "DROP PROCEDURE bp_forq_empty")
+
+
+def test_bound_cursor_open_fetch_close_and_leak_close(spark):
+    """plpgsql bound cursor drains via FETCH INTO (NULLs past the
+    end); a second OPEN refuses; a cursor left open at exit is closed
+    (registry leak check)."""
+    from amazonredshift_blueprints_spark.functions.prepared import _cursors
+
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_cur_p")
+    spark.sql("DROP TABLE IF EXISTS bp_cur_out")
+    execute_sql(
+        spark,
+        "CREATE PROCEDURE bp_cur_p(lim int) AS $$\n"
+        "DECLARE c CURSOR FOR SELECT id, id * 2 AS d FROM range(100)\n"
+        "  WHERE id < lim ORDER BY id;\n"
+        "  v_i bigint; v_d bigint; v_sum bigint := 0;\n"
+        "BEGIN\n"
+        "  OPEN c;\n"
+        "  FETCH c INTO v_i, v_d;\n"
+        "  WHILE v_i IS NOT NULL LOOP\n"
+        "    v_sum := v_sum + v_d;\n"
+        "    FETCH NEXT FROM c INTO v_i, v_d;\n"
+        "  END LOOP;\n"
+        "  CLOSE c;\n"
+        "  CREATE TABLE bp_cur_out USING parquet AS SELECT v_sum AS s;\n"
+        "END;\n$$",
+    )
+    before = set(_cursors(spark))
+    execute_sql(spark, "CALL bp_cur_p(4)")
+    assert spark.table("bp_cur_out").collect()[0]["s"] == 12  # 0+2+4+6
+    assert set(_cursors(spark)) == before  # nothing leaked
+    spark.sql("DROP TABLE bp_cur_out")
+
+    # leak path: procedure exits with the cursor still open
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_cur_leak")
+    execute_sql(
+        spark,
+        "CREATE PROCEDURE bp_cur_leak() AS $$\n"
+        "DECLARE c CURSOR FOR SELECT 1 AS x;\n  v_x int;\n"
+        "BEGIN\n  OPEN c;\n  FETCH c INTO v_x;\nEND;\n$$",
+    )
+    execute_sql(spark, "CALL bp_cur_leak()")
+    assert set(_cursors(spark)) == before
+    # double OPEN refuses
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_cur_dbl")
+    execute_sql(
+        spark,
+        "CREATE PROCEDURE bp_cur_dbl() AS $$\n"
+        "DECLARE c CURSOR FOR SELECT 1 AS x;\nBEGIN\n"
+        "  OPEN c;\n  OPEN c;\nEND;\n$$",
+    )
+    with pytest.raises(RuntimeError, match="already open"):
+        execute_sql(spark, "CALL bp_cur_dbl()")
+    assert set(_cursors(spark)) == before  # error exit also closed it
+    for p in ("bp_cur_p", "bp_cur_leak", "bp_cur_dbl"):
+        execute_sql(spark, f"DROP PROCEDURE {p}")
+
+
+def test_out_inout_result_channel(spark):
+    """OUT args are omitted from CALL, INOUT passed; exit values come
+    back as a one-row DataFrame in declaration order."""
+    from amazonredshift_blueprints_spark.functions.procedures import (
+        call_procedure_returning,
+    )
+
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_outp")
+    execute_sql(
+        spark,
+        "CREATE PROCEDURE bp_outp(f1 IN int, f2 INOUT varchar(256),\n"
+        "                         out_var OUT varchar(256)) AS $$\n"
+        "BEGIN\n"
+        "  f2 := f2 || ' born';\n"
+        "  out_var := 'v=' || f1;\n"
+        "END;\n$$",
+    )
+    n, res = call_procedure_returning(spark, "bp_outp", ["2", "'2019'"])
+    assert n == 2
+    assert [f.name for f in res.schema.fields] == ["f2", "out_var"]
+    row = res.collect()[0]
+    assert row["f2"] == "2019 born" and row["out_var"] == "v=2"
+    # statement face: OUT-arg CALL arity is checked with the hint
+    with pytest.raises(ValueError, match="omitted from CALL"):
+        execute_sql(spark, "CALL bp_outp(1, 'x', 'y')")
+    # statement face accepts the call (result discarded)
+    execute_sql(spark, "CALL bp_outp(1, 'x')")
+    execute_sql(spark, "DROP PROCEDURE bp_outp")
+
+
+def test_random_raising_programs_match_python_interpreter(spark):
+    """Differential fuzz for EXCEPTION blocks: seeded-random programs
+    whose guarded blocks conditionally RAISE; the Spark interpreter
+    and a direct Python interpretation must agree on the final
+    variable state (NONATOMIC: variable writes before the raise
+    persist into the handler)."""
+    import random
+
+    def gen(rng, depth=0):
+        stmts = []
+        for _ in range(rng.randint(2, 4)):
+            kind = rng.choice(
+                ["assign", "assign", "try", "if"] if depth < 2 else ["assign"]
+            )
+            if kind == "assign":
+                stmts.append(("assign", rng.choice(["v_a", "v_b"]),
+                              rng.choice(["+", "*"]), rng.randint(1, 5)))
+            elif kind == "if":
+                stmts.append(("if", rng.choice(["v_a", "v_b"]),
+                              gen(rng, depth + 1), gen(rng, depth + 1)))
+            else:
+                stmts.append(("try", gen(rng, depth + 1),
+                              rng.choice(["v_a", "v_b"]), rng.randint(0, 2),
+                              gen(rng, depth + 1), gen(rng, depth + 1)))
+        return stmts
+
+    def render(stmts, ind="  "):
+        out = []
+        for s in stmts:
+            if s[0] == "assign":
+                _, v, op, c = s
+                out.append(f"{ind}{v} := ({v} {op} {c}) % 1000;")
+            elif s[0] == "if":
+                _, v, t, f = s
+                out.append(f"{ind}IF {v} % 2 = 0 THEN")
+                out.append(render(t, ind + "  "))
+                out.append(f"{ind}ELSE")
+                out.append(render(f, ind + "  "))
+                out.append(f"{ind}END IF;")
+            else:
+                _, t, v, m, rest, h = s
+                out.append(f"{ind}BEGIN")
+                out.append(render(t, ind + "  "))
+                out.append(f"{ind}  IF {v} % 3 = {m} THEN")
+                out.append(f"{ind}    RAISE EXCEPTION 'fz %', {v};")
+                out.append(f"{ind}  END IF;")
+                out.append(render(rest, ind + "  "))
+                out.append(f"{ind}EXCEPTION WHEN OTHERS THEN")
+                out.append(render(h, ind + "  "))
+                out.append(f"{ind}END;")
+        return "\n".join(out)
+
+    def interp(stmts, env):
+        for s in stmts:
+            if s[0] == "assign":
+                _, v, op, c = s
+                env[v] = (env[v] + c if op == "+" else env[v] * c) % 1000
+            elif s[0] == "if":
+                _, v, t, f = s
+                interp(t if env[v] % 2 == 0 else f, env)
+            else:
+                _, t, v, m, rest, h = s
+                try:
+                    interp(t, env)
+                    if env[v] % 3 == m:
+                        raise RuntimeError("fz")
+                    interp(rest, env)
+                except RuntimeError:
+                    interp(h, env)
+
+    spark.sql("DROP TABLE IF EXISTS bp_proc_fuzz_exc")
+    for seed in (3, 21, 77):
+        rng = random.Random(seed)
+        prog = gen(rng)
+        env = {"v_a": 1, "v_b": 2}
+        interp(prog, env)
+        execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_fuzz_exc")
+        execute_sql(
+            spark,
+            "CREATE PROCEDURE bp_fuzz_exc() AS $$\n"
+            "DECLARE v_a int := 1; v_b int := 2;\n"
+            "BEGIN\n"
+            "CREATE TABLE IF NOT EXISTS bp_proc_fuzz_exc "
+            "(a INT, b INT) USING parquet;\n"
+            f"{render(prog)}\n"
+            "INSERT INTO bp_proc_fuzz_exc SELECT v_a, v_b;\n"
+            "END;\n$$",
+        )
+        execute_sql(spark, "CALL bp_fuzz_exc()")
+        rows = [
+            (r["a"], r["b"])
+            for r in spark.table("bp_proc_fuzz_exc").collect()
+        ]
+        assert rows == [(env["v_a"], env["v_b"])], (seed, rows, env)
+        spark.sql("DROP TABLE IF EXISTS bp_proc_fuzz_exc")
+        execute_sql(spark, "DROP PROCEDURE bp_fuzz_exc")
