@@ -124,6 +124,25 @@ def main() -> None:
     sweep_errs = sum(1 for v in full_sweep.values() if v is None)
 
     total = round(sum(timings.values()), 3)
+    # Canary-normalized headline (VERDICT r13 item 6): cross-round
+    # comparisons kept needing manual canary division (r13's 0.887
+    # median ratio was partly a 0.84 canary ratio). The reference is
+    # the round-13 POST-loop canary medians (fully-warm state — the
+    # same state the in-loop numbers see), frozen here forever like
+    # the canary code itself. machine = geometric mean of the three
+    # observed/reference ratios; value_normalized = value / machine,
+    # i.e. the headline this machine-state WOULD have produced on the
+    # r13 sandbox. Compare value_normalized across rounds directly.
+    _CANARY_REFERENCE = {
+        "q03_join_revenue_by_nation": 0.745,
+        "q15_window_rank": 0.324,
+        "c06_ann_bruteforce_topk": 0.566,
+    }
+    machine = 1.0
+    for name, ref in _CANARY_REFERENCE.items():
+        machine *= canary_post[name] / ref
+    machine = round(machine ** (1.0 / len(_CANARY_REFERENCE)), 4)
+    total_norm = round(total / machine, 3)
     detail = {
         "metric": "headline_queries_total_time",
         "value": total,
@@ -132,6 +151,8 @@ def main() -> None:
         "canary": canary,
         "canary_post": canary_post,
         "canary_trace": canary_trace,
+        "machine_ratio": machine,
+        "value_normalized": total_norm,
         "runs": raw,
         "full_sweep": full_sweep,
         "sf": sf,
@@ -160,6 +181,10 @@ def main() -> None:
         "c_pre": {short(n): v for n, v in canary.items()},
         "c_post": {short(n): v for n, v in canary_post.items()},
         "c_trace": [v for _, v in canary_trace],
+        # machine = geomean(c_post / r13 reference); value_normalized
+        # = value / machine — compare THIS across rounds, not value
+        "machine": machine,
+        "value_normalized": total_norm,
         # full-catalog coarse sweep summary; the per-entry map (all
         # catalog keys) is in BENCH_DETAIL.json["full_sweep"]
         "sweep_n": len(full_sweep),
