@@ -73,6 +73,9 @@ class CopySpec:
     # text-load options lowered onto Spark CSV reader options
     # (NULL AS → nullValue, DATEFORMAT → dateFormat, ...)
     csv_options: dict = field(default_factory=dict)
+    # TIMEFORMAT 'epochsecs'|'epochmillisecs': timestamp columns are
+    # numeric in the source; read as BIGINT, cast after parse (r14)
+    time_epoch: str | None = None
 
 
 @dataclass
@@ -228,10 +231,19 @@ def parse_copy(sql: str) -> CopySpec | None:
             if fmt.lower() == "auto":
                 continue  # Spark's default parsing IS the auto behavior
             if fmt.lower() in ("epochsecs", "epochmillisecs"):
-                raise ValueError(
-                    f"{t} {fmt!r}: epoch-numeric timestamp parsing has no "
-                    "Spark CSV reader equivalent — load as BIGINT and cast"
+                if t == "DATEFORMAT":
+                    # Redshift itself only accepts epoch forms for
+                    # TIMEFORMAT — mirror its refusal
+                    raise ValueError(
+                        f"DATEFORMAT {fmt!r}: epoch forms apply to "
+                        "TIMEFORMAT only (the Redshift rule)"
+                    )
+                # no CSV-reader equivalent: the load reads timestamp
+                # columns as BIGINT and casts after parse (ingest.py)
+                spec.time_epoch = (
+                    "secs" if fmt.lower() == "epochsecs" else "millis"
                 )
+                continue
             from .redshift_compat import _translate_datetime_format
 
             java = _translate_datetime_format(fmt)
@@ -828,6 +840,7 @@ def execute_copy(spark, spec: CopySpec) -> int:
         delimiter=spec.delimiter,
         max_error=spec.max_error,
         csv_options=spec.csv_options or None,
+        time_epoch=spec.time_epoch,
     )
 
 

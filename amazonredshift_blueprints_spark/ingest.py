@@ -286,12 +286,19 @@ def ingest_files(
     delimiter: str = ",",
     max_error: int = 0,
     csv_options: dict[str, str] | None = None,
+    time_epoch: str | None = None,
 ) -> int:
     """Format-generalized table load (csv/json/parquet/orc) with the
     reference's fail/replace/append mode vocabulary. ``max_error > 0``
     tolerates up to that many unparseable rows (COPY MAXERROR).
     ``csv_options`` are extra Spark CSV reader options (the COPY
-    text-load option lowering)."""
+    text-load option lowering). ``time_epoch`` ('secs'|'millis', the
+    COPY TIMEFORMAT epoch forms, r14) declares that the source stores
+    timestamp columns as epoch integers: those columns read as BIGINT
+    (Spark's CSV reader has no epoch-numeric timestamp parse) and cast
+    back via timestamp_seconds/timestamp_millis after the parse —
+    which needs the declared target schema to know WHICH columns are
+    timestamps, so it refuses on a first load into a missing table."""
     if insert_method not in INSERT_METHODS:
         raise ValueError(
             f"insert_method must be one of {sorted(INSERT_METHODS)}, got {insert_method!r}"
@@ -310,6 +317,34 @@ def ingest_files(
         # inferring strings). Fresh-table loads keep whole-input
         # inference.
         schema = spark.table(qualified).schema
+    epoch_cols: list[str] = []
+    if time_epoch is not None:
+        from pyspark.sql.types import LongType, TimestampType
+
+        if time_epoch not in ("secs", "millis"):
+            raise ValueError(
+                f"time_epoch must be 'secs' or 'millis', got {time_epoch!r}"
+            )
+        if not isinstance(schema, StructType):
+            raise ValueError(
+                "TIMEFORMAT 'epochsecs'/'epochmillisecs' needs the "
+                "declared target table schema to know which columns "
+                "are timestamps — create the table before the COPY"
+            )
+        epoch_cols = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, TimestampType)
+        ]
+        # parse those columns as the epoch integers they are
+        schema = StructType(
+            [
+                StructField(f.name, LongType(), f.nullable)
+                if f.name in set(epoch_cols)
+                else f
+                for f in schema.fields
+            ]
+        )
     if max_error > 0:
         target_schema = schema if isinstance(schema, StructType) else None
         df = read_files_tolerant(
@@ -329,15 +364,23 @@ def ingest_files(
             delimiter=delimiter, csv_options=csv_options,
             parse_mode="FAILFAST" if strict else "PERMISSIVE",
         )
+    cache_owner = getattr(df, "_bp_cache_owner", None)
+    load_errors = getattr(df, "_bp_load_errors", None)
+    if epoch_cols:
+        # the epoch integers parsed as BIGINT; cast to the declared
+        # timestamp type now (withColumn returns a NEW frame, hence
+        # the attribute capture above)
+        caster = F.timestamp_seconds if time_epoch == "secs" else F.timestamp_millis
+        for c in epoch_cols:
+            df = df.withColumn(c, caster(F.col(c)))
     try:
         df.write.mode(INSERT_METHODS[insert_method]).format("parquet").saveAsTable(
             qualified
         )
     finally:
-        owner = getattr(df, "_bp_cache_owner", None)
-        if owner is not None:  # release the tolerant read's pinned scan
-            owner.unpersist()
-    dropped = getattr(df, "_bp_load_errors", None)
+        if cache_owner is not None:  # release the tolerant read's pinned scan
+            cache_owner.unpersist()
+    dropped = load_errors
     if dropped:
         # queryable afterwards as stl_load_errors (system_tables.py)
         from .functions.system_tables import record_load_errors

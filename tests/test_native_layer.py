@@ -1007,9 +1007,38 @@ def test_copy_text_load_options(spark, tmp_path):
             spark,
             f"COPY t_opts FROM '{bad}' CSV DATEFORMAT 'DD/MM/YYYY'",
         )
-    # parse-time refusals and no-op acceptances
-    with pytest.raises(ValueError, match="epoch-numeric"):
-        parse_copy("COPY t FROM '/x' CSV TIMEFORMAT 'epochsecs'")
+    # epoch TIMEFORMAT (r14): timestamp columns arrive as epoch
+    # integers, read as BIGINT and cast after parse; DATEFORMAT epoch
+    # refuses (Redshift's own rule), and a missing target table
+    # refuses (the declared schema is what names the timestamp cols)
+    s_ep = parse_copy("COPY t FROM '/x' CSV TIMEFORMAT 'epochsecs'")
+    assert s_ep.time_epoch == "secs"
+    assert "timestampFormat" not in s_ep.csv_options
+    with pytest.raises(ValueError, match="TIMEFORMAT only"):
+        parse_copy("COPY t FROM '/x' CSV DATEFORMAT 'epochsecs'")
+    ep = tmp_path / "ep.csv"
+    ep.write_text("1,1700000000,a\n2,1700003600,b\n")
+    _clean_stale_location(spark, "t_epoch", None)
+    spark.sql("DROP TABLE IF EXISTS t_epoch")
+    spark.sql(
+        "CREATE TABLE t_epoch (k BIGINT, ts TIMESTAMP, tag STRING) "
+        "USING parquet"
+    )
+    execute_sql(spark, f"COPY t_epoch FROM '{ep}' CSV TIMEFORMAT 'epochsecs'")
+    got_ep = {
+        r.k: str(r.ts) for r in spark.table("t_epoch").collect()
+    }
+    assert got_ep == {
+        1: "2023-11-14 22:13:20",
+        2: "2023-11-14 23:13:20",
+    }
+    spark.sql("DROP TABLE t_epoch")
+    spark.sql("DROP TABLE IF EXISTS t_epoch_missing")
+    with pytest.raises(ValueError, match="declared target table"):
+        execute_sql(
+            spark,
+            f"COPY t_epoch_missing FROM '{ep}' CSV TIMEFORMAT 'epochmillisecs'",
+        )
     with pytest.raises(ValueError, match="unrecognized format"):
         parse_copy("COPY t FROM '/x' CSV DATEFORMAT 'QQQX'")
     with pytest.raises(ValueError, match="text-load options"):
