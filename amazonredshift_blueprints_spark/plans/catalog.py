@@ -16758,8 +16758,9 @@ def q101_json_varchar_functions(
         "that day's event count; a second CALL with a non-positive "
         "day count takes the IF's sentinel branch instead. (DECLARE "
         "variables and FOR ranges landed later this round — q103; "
-        "RAISE/RETURN/dynamic EXECUTE/EXCEPTION still refuse at "
-        "CREATE with the reason.) Reference basis: arbitrary plpgsql "
+        "RAISE/RETURN landed with q103, and r14 closed dynamic "
+        "EXECUTE q105, EXCEPTION blocks q104, FOR-over-query/cursors "
+        "q106, OUT/INOUT q107.) Reference basis: arbitrary plpgsql "
         "reaches "
         "the pass-through at execute_sql.py:77 verbatim. Scale note: "
         "each iteration is one filtered scan — on a date-partitioned "
