@@ -14,9 +14,12 @@ closed-form pixel oracle in c64), and PNG decodes FOR REAL via stdlib
 zlib + numpy unfiltering (``decode_png``; same closed-form oracle in
 c81/c83): 8-bit RGB, 8-bit grayscale, and PLTE-indexed color at depths
 1/2/4/8, each sequential or Adam7-interlaced, all five filter types.
-Remaining compressed formats (JPEG/video) fall through to pillow when
-present and otherwise raise NotImplementedError — those codecs are not
-in this container. The
+Baseline grayscale JPEG encodes AND decodes for real since r14 (pure
+numpy DCT + canonical Huffman, spec-standard Annex K tables,
+cross-validated against the JVM's independent javax.imageio decoder;
+exactness contract for block-constant tiles documented at the JPEG
+section below, c211). Progressive/color JPEG and video fall through
+to pillow when present and otherwise raise NotImplementedError. The
 hash-based featureizer remains for payloads that cannot decode here;
 every piece of real plumbing (binary Arrow transfer, batch iteration,
 schema contract) is shared between both paths, so swapping in a full
@@ -110,6 +113,9 @@ def decode_image(payload: bytes):
         return decode_qoi(payload)
     if payload[-18:] == _TGA_FOOTER_SIG:
         return decode_tga(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg_gray(payload)  # baseline grayscale (r14);
+        # progressive/color refuse inside with the reason
     try:  # pragma: no cover - pillow absent in this container
         import io
 
@@ -118,10 +124,10 @@ def decode_image(payload: bytes):
         return np.asarray(Image.open(io.BytesIO(payload)))
     except ImportError:
         raise NotImplementedError(
-            "compressed-format codecs (pillow/ffmpeg) are not available in "
-            "this container; PPM (P6) and PNG (8-bit gray/RGB/palette, "
-            "sequential or Adam7) decode natively — swap in a real decoder "
-            "for JPEG/video in production"
+            "codecs beyond the native ladder (pillow/ffmpeg) are not "
+            "available in this container; PPM, PNG, GIF, BMP, QOI, TGA "
+            "and baseline grayscale JPEG decode natively — swap in a "
+            "full decoder for color JPEG/video in production"
         )
 
 
@@ -814,8 +820,8 @@ def resize_payload(
 # --------------------------------------------------------------------------
 # Real audio decode: uncompressed RIFF/WAVE PCM16 (the audio twin of the
 # PPM/PNG image decoders — genuine bytes, genuine parser, closed-form
-# oracle). Compressed codecs (MP3/FLAC/OGG) honestly raise, as JPEG does
-# without pillow.
+# oracle). Compressed audio codecs (MP3/FLAC/OGG) honestly raise —
+# unlike baseline grayscale JPEG, which decodes natively since r14.
 # --------------------------------------------------------------------------
 
 def encode_wav(samples, sample_rate: int = 8000) -> bytes:
@@ -1673,3 +1679,524 @@ def synthesize_tga_images(
             )
 
     return df.select(F.col(id_col)).mapInPandas(gen, "doc_id long, payload binary")
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG, grayscale (r14) — the first DCT-family codec on the
+# ladder. Both directions are real: the encoder emits spec-standard
+# baseline JFIF (SOI/APP0/DQT/SOF0/DHT/SOS/EOI, Annex K.1 luminance
+# quantization, Annex K.3.1 canonical Huffman tables, byte-stuffed
+# entropy data) and the decoder parses arbitrary single-component
+# baseline files (marker walk, canonical Huffman decode, dequant,
+# IDCT, level shift). Cross-validated in pytest against the JVM's own
+# javax.imageio decoder — an INDEPENDENT implementation that ships in
+# every Spark container — which reproduces our decoder bit-for-bit on
+# our encoder's output.
+#
+# Exactness contract (what makes a hash oracle possible for a LOSSY
+# codec): an 8x8-aligned block of constant EVEN value round-trips
+# bit-exactly — a constant block has exactly one nonzero DCT
+# coefficient, DC = 8*(v-128), and the Annex K DC quantizer is 16, so
+# quantization is exact iff (v-128) is even; AC coefficients of a
+# constant block are 0 to ~1e-13 float and quantize to exactly 0.
+# Edge-replicate padding preserves block-constancy for cropped tiles,
+# so non-multiple-of-8 sizes stay exact too. c211 synthesizes such
+# tiles; fidelity on non-constant content is PSNR-bounded in pytest.
+# ---------------------------------------------------------------------------
+
+#: ITU-T T.81 Annex K.1 luminance quantization table (natural order)
+_JPEG_QUANT_LUMA = [
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+]
+
+#: Annex K.3.1 standard luminance Huffman specs (BITS, HUFFVAL)
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _jpeg_zigzag():
+    """ZIGZAG[k] = (row, col) of the k-th zigzag-scanned coefficient."""
+    return sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (
+            rc[0] + rc[1],
+            rc[1] if (rc[0] + rc[1]) % 2 else rc[0],
+        ),
+    )
+
+
+_JPEG_ZIGZAG = _jpeg_zigzag()
+
+
+def _jpeg_dct_matrix():
+    """Orthonormal 8-point DCT-II matrix (C @ C.T == I)."""
+    import numpy as np
+
+    k = np.arange(8, dtype=np.float64)
+    m = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    m[0, :] = 1.0 / np.sqrt(2.0)
+    return m * 0.5
+
+
+def _jpeg_canonical_codes(bits, vals):
+    """value -> (code, length): canonical Huffman assignment (T.81 C.2)."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_decode_table(bits, vals):
+    """(length, code) -> value lookup for canonical Huffman tables."""
+    if sum(bits) > len(vals):
+        raise ValueError(
+            "corrupt JPEG: DHT declares more codes than values present"
+        )
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing (T.81 B.1.1.5)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-bit padding, the spec rule
+
+
+def _jpeg_magnitude(v: int):
+    """(size category, value bits) of a DC difference / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v >= 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_jpeg_gray(pixels) -> bytes:
+    """(h, w) uint8 grayscale array → spec-standard baseline JFIF bytes
+    (single component, Annex K.1 quantization, Annex K.3.1 Huffman
+    tables). Non-multiple-of-8 sizes pad by edge replication — the
+    choice that keeps cropped constant tiles exactly reconstructible."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 2:
+        raise ValueError("encode_jpeg_gray takes an HxW grayscale array")
+    h, w = px.shape
+    if not h or not w:
+        raise ValueError("empty image")
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge")
+    shifted = padded.astype(np.float64) - 128.0
+
+    dctm = _jpeg_dct_matrix()
+    qt = np.asarray(_JPEG_QUANT_LUMA, dtype=np.float64)
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    wtr = _JpegBitWriter()
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            coeff = dctm @ shifted[by : by + 8, bx : bx + 8] @ dctm.T
+            q = np.rint(coeff / qt).astype(np.int32)
+            zz = [int(q[r, c]) for r, c in _JPEG_ZIGZAG]
+            size, bits = _jpeg_magnitude(zz[0] - prev_dc)
+            prev_dc = zz[0]
+            code, ln = dc_codes[size]
+            wtr.write(code, ln)
+            if size:
+                wtr.write(bits, size)
+            last_nz = 0
+            for k in range(63, 0, -1):
+                if zz[k]:
+                    last_nz = k
+                    break
+            run = 0
+            for k in range(1, last_nz + 1):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL: 16 zeros
+                    wtr.write(code, ln)
+                    run -= 16
+                size, bits = _jpeg_magnitude(v)
+                code, ln = ac_codes[(run << 4) | size]
+                wtr.write(code, ln)
+                wtr.write(bits, size)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_codes[0x00]  # EOB
+                wtr.write(code, ln)
+    wtr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    zz_qt = bytes(
+        int(_JPEG_QUANT_LUMA[r][c]) for r, c in _JPEG_ZIGZAG
+    )
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + zz_qt)  # DQT, 8-bit, table 0
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += seg(
+        0xFFC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    out += wtr.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; a bare marker inside the scan raises (no restart
+    intervals are emitted by this encoder, and tolerating them
+    silently would mis-decode real files that use them)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if not self.nbits:
+            if self.pos >= len(self.data):
+                raise ValueError("corrupt JPEG: entropy data exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if (
+                    self.pos >= len(self.data)
+                    or self.data[self.pos] != 0x00
+                ):
+                    raise NotImplementedError(
+                        "JPEG restart markers (DRI/RSTn) are not "
+                        "supported by this decoder"
+                    )
+                self.pos += 1
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_read_huff(reader: _JpegBitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("corrupt JPEG: invalid Huffman code")
+
+
+def _jpeg_extend(bits: int, size: int) -> int:
+    """T.81 F.12: map the raw value bits back to a signed coefficient."""
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+def decode_jpeg_gray(payload: bytes):
+    """REAL baseline JPEG decode for single-component (grayscale)
+    files → (h, w) uint8 array: marker walk, canonical Huffman decode
+    with byte unstuffing, dezigzag, dequantize, orthonormal IDCT,
+    level shift, clamp, crop. Progressive (SOF2), multi-component
+    (color), 16-bit quantization, and restart-interval scans refuse
+    with the reason — honest subset, not a silent mis-decode."""
+    import struct
+
+    import numpy as np
+
+    data = payload
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI marker")
+    i = 2
+    qtables = {}
+    dims = None
+    comp_tq = 0
+    dc_table = ac_table = None
+    scan_start = None
+    while i < len(data) - 1:
+        if data[i] != 0xFF:
+            raise ValueError(f"corrupt JPEG: expected marker at byte {i}")
+        marker = data[i + 1]
+        i += 2
+        if marker == 0xD9:  # EOI before any scan
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers carry no length
+        if i + 2 > len(data):
+            raise ValueError("corrupt JPEG: truncated marker segment")
+        (ln,) = struct.unpack(">H", data[i : i + 2])
+        seg = data[i + 2 : i + ln]
+        if marker == 0xDB:
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                if pq:
+                    raise NotImplementedError(
+                        "16-bit JPEG quantization tables are not supported"
+                    )
+                vals = seg[j + 1 : j + 65]
+                qt = np.zeros((8, 8), dtype=np.float64)
+                for k, (r, c) in enumerate(_JPEG_ZIGZAG):
+                    qt[r, c] = vals[k]
+                qtables[tq] = qt
+                j += 65
+        elif marker == 0xC0:
+            precision, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if precision != 8:
+                raise NotImplementedError(
+                    f"{precision}-bit JPEG precision is not supported"
+                )
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "multi-component (color) JPEG needs chroma upsampling "
+                    "+ YCbCr conversion; only grayscale decodes here"
+                )
+            sampling = seg[7]
+            if sampling != 0x11:
+                raise NotImplementedError(
+                    "subsampled single-component JPEG is not supported"
+                )
+            comp_tq = seg[8]
+            dims = (h, w)
+        elif marker in (
+            0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+        ):
+            raise NotImplementedError(
+                "only baseline sequential (SOF0) JPEG is supported; "
+                f"got SOF marker 0xFF{marker:02X}"
+            )
+        elif marker == 0xC4:
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + nv])
+                tree = _jpeg_decode_table(bits, vals)
+                if tc == 0 and th == 0:
+                    dc_table = tree
+                elif tc == 1 and th == 0:
+                    ac_table = tree
+                # tables for other ids would only matter multi-component
+                j += 17 + nv
+        elif marker == 0xDD:
+            raise NotImplementedError(
+                "JPEG restart intervals (DRI) are not supported"
+            )
+        elif marker == 0xDA:
+            scan_start = i + ln
+            break
+        i += ln
+    if (
+        dims is None
+        or comp_tq not in qtables
+        or dc_table is None
+        or ac_table is None
+        or scan_start is None
+    ):
+        raise ValueError("corrupt JPEG: missing DQT/SOF0/DHT/SOS segment")
+    h, w = dims
+    qt = qtables[comp_tq]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    end = data.rfind(b"\xff\xd9")
+    reader = _JpegBitReader(
+        data[scan_start : end if end != -1 else len(data)]
+    )
+    dctm = _jpeg_dct_matrix()
+    out = np.zeros((ph, pw), dtype=np.float64)
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            zz = [0] * 64
+            size = _jpeg_read_huff(reader, dc_table)
+            prev_dc += (
+                _jpeg_extend(reader.read_bits(size), size) if size else 0
+            )
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                rs = _jpeg_read_huff(reader, ac_table)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = rs >> 4, rs & 0x0F
+                k += run
+                if k > 63:
+                    raise ValueError("corrupt JPEG: AC run past block end")
+                zz[k] = _jpeg_extend(reader.read_bits(size), size)
+                k += 1
+            coeff = np.zeros((8, 8), dtype=np.float64)
+            for kk, (r, c) in enumerate(_JPEG_ZIGZAG):
+                coeff[r, c] = zz[kk]
+            coeff *= qt
+            out[by : by + 8, bx : bx + 8] = dctm.T @ coeff @ dctm
+    px = np.clip(np.rint(out + 128.0), 0, 255).astype(np.uint8)
+    return px[:h, :w]
+
+
+def synthesize_jpeg_images(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL baseline-JPEG payloads with an exactness
+    contract: image ``id`` is a grid of (1 + id%3) x (2 + id%2) tiles
+    of 8x8 pixels, tile (tr, tc) holding the constant EVEN value
+    ``2*((id*31 + tr*7 + tc*3) % 128)``, then CROPPED to
+    (tiles_h*8 - 1, tiles_w*8 - 3) so the encoder's edge-replicate
+    padding path runs on every image. Block-constant even tiles
+    round-trip bit-exactly through the lossy codec (see the module
+    section header), so an external engine can replay the decoded
+    pixel statistics from the closed form without parsing a byte."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                th, tw = 1 + i % 3, 2 + i % 2
+                tr = np.arange(th)[:, None]
+                tc = np.arange(tw)[None, :]
+                tiles = (2 * ((i * 31 + tr * 7 + tc * 3) % 128)).astype(
+                    np.uint8
+                )
+                img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+                payloads.append(
+                    encode_jpeg_gray(img[: th * 8 - 1, : tw * 8 - 3])
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def image_gray_stats(images: DataFrame) -> DataFrame:
+    """Decode a (doc_id, payload) frame of grayscale images and reduce
+    to exact integer pixel statistics — the single-channel sibling of
+    :func:`image_channel_stats`, same scale shape: Arrow-batched
+    decode inside the scan's partitions, no shuffle, constant memory
+    per batch."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_image(bytes(payload))
+                if px.ndim != 2:
+                    raise ValueError(
+                        f"doc {doc_id}: expected grayscale, got shape "
+                        f"{px.shape}"
+                    )
+                arr = px.astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        px.shape[1],
+                        px.shape[0],
+                        px.size,
+                        int(arr.sum()),
+                        int(arr.min()),
+                        int(arr.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels",
+                    "px_sum", "px_min", "px_max",
+                ],
+            )
+
+    return images.mapInPandas(
+        stats,
+        "doc_id long, width long, height long, n_pixels long, "
+        "px_sum long, px_min long, px_max long",
+    )

@@ -7634,7 +7634,8 @@ def q78_tpch_q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataF
         "mapInPandas pass. The oracle recomputes the sums from the "
         "closed form alone, so a single wrong byte anywhere in the "
         "codec fails the hash. Decode stays inside the scan's "
-        "partitions — no shuffle. JPEG still honestly raises "
+        "partitions — no shuffle. Baseline grayscale JPEG decodes for real "
+        "since r14 (c211; progressive/color refuse) "
         "(multimodal.py); truncated/corrupt PNGs raise ValueError "
         "(property-tested)",
     tags=("multimodal",),
@@ -17191,6 +17192,53 @@ def q107_procedure_out_args(
 
 
 @query(
+    "c211_jpeg_decode_stats",
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id, g1.r, g2.c,
+               CAST(2 * ((d.doc_id * 31 + (g1.r // 8) * 7
+                          + (g2.c // 8) * 3) % 128) AS BIGINT) AS v
+        FROM documents d, range(24) g1(r), range(21) g2(c)
+        WHERE g1.r < (1 + d.doc_id % 3) * 8 - 1
+          AND g2.c < (2 + d.doc_id % 2) * 8 - 3
+    )
+    SELECT doc_id,
+           CAST((2 + doc_id % 2) * 8 - 3 AS BIGINT) AS width,
+           CAST((1 + doc_id % 3) * 8 - 1 AS BIGINT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(MIN(v) AS BIGINT) AS px_min,
+           CAST(MAX(v) AS BIGINT) AS px_max
+    FROM px GROUP BY doc_id
+    """,
+    doc="REAL baseline JPEG decode (operators/multimodal.py, r14 — "
+        "the first DCT-family codec on the ladder, closing the "
+        "'compressed image codecs' residue named since r8): the "
+        "synthesizer emits spec-standard baseline JFIF grayscale "
+        "(Annex K.1 quantization, Annex K.3.1 canonical Huffman, "
+        "byte-stuffed entropy data; pytest cross-validates the bytes "
+        "against the JVM's independent javax.imageio decoder) and the "
+        "decoder walks markers, Huffman-decodes, dequantizes and "
+        "IDCTs back. The oracle trick that makes a LOSSY codec "
+        "hash-checkable: 8x8-aligned constant EVEN-valued tiles have "
+        "one nonzero DCT coefficient whose Annex-K quantization is "
+        "exact, so those images round-trip bit-identically and the "
+        "decoded pixel stats replay from the closed tile form in "
+        "plain SQL; per-image sizes vary and are cropped off the 8-"
+        "grid so edge-replicate padding runs everywhere. Fidelity on "
+        "non-constant content is PSNR-bounded in pytest; progressive/"
+        "color/restart-interval files refuse with the reason. Decode "
+        "is Arrow-batched inside the scan's partitions — no shuffle",
+    tags=("multimodal",),
+)
+def c211_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import image_gray_stats, synthesize_jpeg_images
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return image_gray_stats(synthesize_jpeg_images(d, "doc_id"))
+
+
+@query(
     "c205_knn_label_agreement",
     oracle=f"""
     WITH v AS (
@@ -17741,8 +17789,8 @@ _DRIVER_WINDOW = [
     "c17_ann_ivf_topk",
     "c37_ann_ivf_stored",
     "q41_qualify",
-    "c24_dedup_minhash_portable",
     # --- round-14 additions (land in their own round's window) ---
+    "c211_jpeg_decode_stats",
     "q104_procedure_exception",
     "q105_dynamic_execute",
     "q106_procedure_for_query",

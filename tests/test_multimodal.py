@@ -639,3 +639,125 @@ def test_tga_roundtrip_stress_and_refusals():
     bad_bits = bytes(good[:16]) + b"\x10" + bytes(good[17:])
     with pytest.raises(NotImplementedError, match="24-bit"):
         decode_tga(bad_bits)
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (r14)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_block_constant_even_tiles_round_trip_exactly():
+    """The c211 exactness contract: 8x8-aligned constant EVEN tiles
+    have a single nonzero DCT coefficient whose Annex-K quantization
+    is exact, so the lossy codec round-trips them bit-identically —
+    including non-multiple-of-8 crops (edge-replicate padding keeps
+    cropped tiles block-constant)."""
+    import numpy as np
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(7)
+    tiles = (2 * rng.integers(0, 128, size=(3, 4))).astype(np.uint8)
+    img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+    assert np.array_equal(decode_jpeg_gray(encode_jpeg_gray(img)), img)
+    crop = img[:19, :27]  # ragged crop: padding path
+    assert np.array_equal(decode_jpeg_gray(encode_jpeg_gray(crop)), crop)
+
+
+def test_jpeg_gradient_fidelity_and_noise_shape():
+    """Non-constant content is lossy but high-fidelity: a smooth
+    gradient must reconstruct above 40 dB PSNR under the Annex-K
+    luminance table; arbitrary noise must decode to the right shape."""
+    import numpy as np
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    y, x = np.mgrid[0:64, 0:48]
+    img = ((x * 2 + y) % 256).astype(np.uint8)
+    dec = decode_jpeg_gray(encode_jpeg_gray(img))
+    err = dec.astype(np.int32) - img.astype(np.int32)
+    mse = float((err**2).mean())
+    psnr = 10 * np.log10(255**2 / mse)
+    assert psnr > 40, psnr
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, size=(41, 33)).astype(np.uint8)
+    assert decode_jpeg_gray(encode_jpeg_gray(noise)).shape == (41, 33)
+
+
+def test_jpeg_bytes_decode_identically_in_jvm_imageio(spark):
+    """Cross-validation against an INDEPENDENT decoder: the JVM's
+    javax.imageio (present in every Spark container) must decode our
+    encoder's bytes to exactly the pixels our own decoder produces —
+    proving the emitted JFIF is spec-standard, not merely
+    self-consistent."""
+    import numpy as np
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(3)
+    tiles = (2 * rng.integers(0, 128, size=(2, 3))).astype(np.uint8)
+    img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+    enc = encode_jpeg_gray(img)
+    jvm = spark._jvm
+    bimg = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(enc))
+    )
+    raster = bimg.getRaster()
+    jarr = np.array(
+        [
+            [raster.getSample(x, y, 0) for x in range(bimg.getWidth())]
+            for y in range(bimg.getHeight())
+        ],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(jarr, img)  # exact contract holds externally
+    assert np.array_equal(jarr, decode_jpeg_gray(enc))
+
+
+def test_jpeg_refusals_and_corruption():
+    """Progressive (SOF2), color (3 components), restart intervals and
+    truncated entropy data refuse/raise with the reason — honest
+    subset, never a silent mis-decode."""
+    import pytest
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_image,
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+    import numpy as np
+
+    img = np.full((16, 16), 100, dtype=np.uint8)
+    enc = bytearray(encode_jpeg_gray(img))
+    sof = enc.find(b"\xff\xc0")
+    assert sof > 0
+    prog = bytes(enc[:sof]) + b"\xff\xc2" + bytes(enc[sof + 2 :])
+    with pytest.raises(NotImplementedError, match="SOF0"):
+        decode_jpeg_gray(prog)
+    color = bytearray(enc)
+    color[sof + 9] = 3  # ncomp byte of SOF0
+    with pytest.raises(NotImplementedError, match="grayscale"):
+        decode_jpeg_gray(bytes(color))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_gray(b"NOTAJPEG")
+    # header-level truncation (into the DHT tables) raises, not crashes
+    with pytest.raises(ValueError, match="corrupt JPEG"):
+        decode_jpeg_gray(bytes(enc[:-20]))
+    # scan-level truncation: a noisy image has long entropy data
+    rng = np.random.default_rng(5)
+    noisy = encode_jpeg_gray(
+        rng.integers(0, 256, size=(32, 32)).astype(np.uint8)
+    )
+    with pytest.raises(ValueError, match="exhausted|corrupt"):
+        decode_jpeg_gray(noisy[:-30])
+    # decode_image dispatches FFD8 to the JPEG decoder
+    assert decode_image(bytes(enc)).shape == (16, 16)
