@@ -75,11 +75,18 @@ Round 14 closed the r13 verdict's four ranked refusals:
   exit values as a one-row DataFrame (Redshift surfaces them as a
   one-row result set).
 
+Nested blocks (r14, same pass): ``DECLARE <decls> BEGIN ... END;``
+anywhere in the body opens an inner scope — declarations shadow outer
+variables, re-initialize on every entry, close their cursors at scope
+exit, and may carry their own EXCEPTION section. Inner declarations
+shadowing an IN argument name refuse at CREATE (IN args substitute
+textually once at CALL, so the shadow would be silently hollow).
+
 Remaining deliberate subset, refused honestly (``NotImplementedError``
 / ``ValueError``) rather than silently mis-run: RECORD/CONSTANT/
-REFCURSOR/ALIAS declarations, unbound ``OPEN c FOR <query>``, nested
-DECLARE blocks inside the body, RETURN with a value, RAISE's
-condition-name/USING forms, EXCEPTION conditions other than OTHERS.
+REFCURSOR/ALIAS declarations, unbound ``OPEN c FOR <query>``, RETURN
+with a value, RAISE's condition-name/USING forms, EXCEPTION
+conditions other than OTHERS.
 One outer ``BEGIN ... END`` block wrapper is accepted (and stripped)
 because virtually every dumped procedure has it. These refuse at
 CREATE time, where the parser sees them.
@@ -137,11 +144,9 @@ _BLOCK_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 # plpgsql statement starters outside the supported subset — refused at
-# CREATE time with the reason.
-_UNSUPPORTED_STARTERS = {
-    "DECLARE": "DECLARE belongs in the procedure header; nested "
-               "DECLARE blocks in the body are not supported",
-}
+# CREATE time with the reason. (Empty since r14: DECLARE in the body
+# now opens a nested-scope block; kept for the dispatch shape.)
+_UNSUPPORTED_STARTERS: dict[str, str] = {}
 
 _RAISE_RE = re.compile(
     r"^\s*RAISE\s*(?:(INFO|NOTICE|WARNING|LOG|DEBUG|EXCEPTION)\s+)?"
@@ -412,6 +417,31 @@ def _parse_block(
                 text, k, stops, variables, in_loop
             )
             return [("block", items, handler)], stop, k
+        if word == "DECLARE":
+            # nested-scope block (r14): DECLARE <decls> BEGIN ... END;
+            # — the declarations are scoped to the block and re-
+            # initialize on every entry, the plpgsql rule. Shadowing
+            # of IN argument names is refused at CREATE (they
+            # substitute textually before this tree ever executes, so
+            # the shadow would be silent).
+            sec, _, k = _scan_expr_until(text, j, frozenset({"BEGIN"}))
+            decls = _parse_declare_items(sec)
+            inner_names = frozenset(v for v, _, _ in decls)
+            blk, _, k = _parse_block(
+                text, k, frozenset({"END"}), variables | inner_names,
+                in_loop, allow_exception=True,
+            )
+            k = _skip_ws_comments(text, k)
+            if k < n and text[k] == ";":
+                k += 1
+            inner = (
+                blk[0]
+                if len(blk) == 1 and blk[0][0] == "block"
+                else ("block", blk, None)
+            )
+            items.append(("declblock", decls, inner))
+            i = k
+            continue
         if word == "BEGIN":
             # `BEGIN;` / `BEGIN WORK|TRANSACTION` is transaction
             # control (a plain SQL leaf); anything else opens a nested
@@ -708,6 +738,32 @@ def _parse_body(text: str, variables: frozenset[str] = frozenset()) -> list:
         text, 0, frozenset(), variables, allow_exception=True
     )
     return items
+
+
+def _walk_declblock_names(items):
+    """Yield every name declared by a nested DECLARE block anywhere in
+    the tree — the CREATE-time arg-shadow check walks this."""
+    for node in items:
+        kind = node[0]
+        if kind == "declblock":
+            for v, _, _ in node[1]:
+                yield v
+            yield from _walk_declblock_names([node[2]])
+        elif kind == "block":
+            yield from _walk_declblock_names(node[1])
+            if node[2] is not None:
+                yield from _walk_declblock_names(node[2])
+        elif kind == "if":
+            for _, blk in node[1]:
+                yield from _walk_declblock_names(blk)
+            if node[2] is not None:
+                yield from _walk_declblock_names(node[2])
+        elif kind == "while":
+            yield from _walk_declblock_names(node[2])
+        elif kind == "for":
+            yield from _walk_declblock_names(node[5])
+        elif kind == "forq":
+            yield from _walk_declblock_names(node[3])
 
 
 def _has_control_flow(items: list) -> bool:
@@ -1037,6 +1093,45 @@ def _exec_items_inner(spark, items, vars) -> int:
                     n += _exec_items(spark, blk, vars)
                 else:
                     n += _exec_guarded_block(spark, blk, handler, vars)
+            elif kind == "declblock":
+                _, decls, inner = node
+                saved = {
+                    v: vars[v] for v, _, _ in decls if v in vars
+                }
+                try:
+                    for vname, vtype, vdefault in decls:
+                        if vtype == "CURSOR":
+                            vars[vname] = (
+                                "CURSOR", {"sql": vdefault, "open": None}
+                            )
+                            continue
+                        value = None
+                        if vdefault is not None:
+                            # defaults re-evaluate on EVERY block entry
+                            # (the plpgsql rule), outer scope visible
+                            value = _eval_scalar(
+                                spark,
+                                f"SELECT CAST(("
+                                f"{_substitute_vars(vdefault, vars)}"
+                                f") AS {vtype}) AS v",
+                            )
+                        vars[vname] = (vtype, value)
+                    n += _exec_items(spark, [inner], vars)
+                finally:
+                    from .prepared import close_cursor
+
+                    for vname, vtype, _ in decls:
+                        slot = vars.pop(vname, None)
+                        if (
+                            slot is not None
+                            and slot[0] == "CURSOR"
+                            and slot[1]["open"] is not None
+                        ):  # scope exit closes a still-open cursor
+                            try:
+                                close_cursor(spark, slot[1]["open"])
+                            finally:
+                                slot[1]["open"] = None
+                    vars.update(saved)
             elif kind == "execute":
                 _, expr, targets = node
                 from . import translate_redshift_sql
@@ -1242,9 +1337,20 @@ def _parse_create(query: str):
     var_names = frozenset(v for v, _, _ in declares) | frozenset(
         a for a, _, m in args if m != "IN"
     )
-    _parse_body(body, var_names)  # CREATE-time validation: refuses
-    # out-of-subset forms with the reason; raises on unbalanced blocks
-    # and on assignment to an undeclared variable
+    items = _parse_body(body, var_names)  # CREATE-time validation:
+    # refuses out-of-subset forms with the reason; raises on
+    # unbalanced blocks and on assignment to an undeclared variable
+    in_args = {a for a, _, m in args if m == "IN"}
+    inner_shadow = [
+        v for v in _walk_declblock_names(items) if v in in_args
+    ]
+    if inner_shadow:
+        raise ValueError(
+            f"nested DECLARE variable(s) {sorted(set(inner_shadow))} "
+            "shadow IN argument name(s): IN arguments substitute "
+            "textually once at CALL, so the inner scope would be "
+            "silently hollow — rename the variable"
+        )
     return replace, name, args, declares, body.strip()
 
 
@@ -1257,16 +1363,10 @@ _DECLARE_CURSOR_RE = re.compile(
 )
 
 
-def _parse_declares(body: str) -> tuple[list[tuple[str, str, str | None]], str]:
-    """Split an optional ``DECLARE <decls> BEGIN ...`` header off the
-    body: [(name, spark_type, default_expr|None)], remaining body
-    (starting at BEGIN). Cursor/record/constant declarations refuse."""
-    m = re.match(r"\s*DECLARE\b", body, re.IGNORECASE)
-    if not m:
-        return [], body
-    # the DECLARE section runs to the first BEGIN keyword outside
-    # quotes (a DECLARE section cannot itself contain BEGIN)
-    sec, _, i = _scan_expr_until(body, m.end(), frozenset({"BEGIN"}))
+def _parse_declare_items(sec: str) -> list[tuple[str, str, str | None]]:
+    """Parse the text of a DECLARE section into
+    [(name, spark_type | "CURSOR", default_expr | cursor_query | None)].
+    Record/constant/refcursor declarations refuse."""
     decls: list[tuple[str, str, str | None]] = []
     j = 0
     while j < len(sec):
@@ -1297,7 +1397,20 @@ def _parse_declares(body: str) -> tuple[list[tuple[str, str, str | None]], str]:
             raise ValueError(f"cannot parse variable declaration {item!r}")
         vname, vtype, vdefault = dm.groups()
         decls.append((vname.lower(), _spark_type(vtype.strip()), vdefault))
-    return decls, "BEGIN " + body[i:]
+    return decls
+
+
+def _parse_declares(body: str) -> tuple[list[tuple[str, str, str | None]], str]:
+    """Split an optional ``DECLARE <decls> BEGIN ...`` header off the
+    body: [(name, spark_type, default_expr|None)], remaining body
+    (starting at BEGIN)."""
+    m = re.match(r"\s*DECLARE\b", body, re.IGNORECASE)
+    if not m:
+        return [], body
+    # the DECLARE section runs to the first BEGIN keyword outside
+    # quotes (a DECLARE section cannot itself contain BEGIN)
+    sec, _, i = _scan_expr_until(body, m.end(), frozenset({"BEGIN"}))
+    return _parse_declare_items(sec), "BEGIN " + body[i:]
 
 
 def create_procedure(

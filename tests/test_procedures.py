@@ -86,10 +86,12 @@ def test_parse_create_refusals():
         "x := x + 1; y := 2; END; $$"
     )
     assert args == [("x", "int", "INOUT"), ("y", "bigint", "OUT")]
-    with pytest.raises(NotImplementedError, match="procedural"):
+    # nested body DECLARE now opens an inner-scope block (r14); a
+    # malformed one (no BEGIN) still errors
+    with pytest.raises(ValueError, match="expected one of"):
         _parse_create(
             "CREATE PROCEDURE p() AS $$ BEGIN SELECT 1; DECLARE v int; "
-            "END; $$"  # nested body DECLARE (not the header section)
+            "END; $$"  # DECLARE with no following BEGIN block
         )
     with pytest.raises(NotImplementedError, match="dollar-quoted"):
         _parse_create("CREATE PROCEDURE p() AS 'SELECT 1'")
@@ -1258,3 +1260,75 @@ def test_random_raising_programs_match_python_interpreter(spark):
         assert rows == [(env["v_a"], env["v_b"])], (seed, rows, env)
         spark.sql("DROP TABLE IF EXISTS bp_proc_fuzz_exc")
         execute_sql(spark, "DROP PROCEDURE bp_fuzz_exc")
+
+
+def test_nested_declare_block_scoping_and_reinit(spark):
+    """Inner DECLARE blocks: shadow outer variables, re-initialize on
+    every entry (defaults see the OUTER scope until the inner name is
+    declared), restore the outer value at scope exit; shadowing an IN
+    argument refuses at CREATE."""
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_nest")
+    spark.sql("DROP TABLE IF EXISTS bp_nest_out")
+    execute_sql(
+        spark,
+        "CREATE PROCEDURE bp_nest() AS $$\n"
+        "DECLARE v_x int := 1; v_log varchar(200) := '';\n"
+        "BEGIN\n"
+        "  FOR i IN 1 .. 2 LOOP\n"
+        "    DECLARE\n"
+        "      v_y int := v_x * 10;\n"
+        "      v_x int := 99;\n"
+        "    BEGIN\n"
+        "      v_log := v_log || '[' || v_x || ',' || v_y || ']';\n"
+        "      v_y := v_y + i;\n"
+        "      v_log := v_log || v_y;\n"
+        "    END;\n"
+        "  END LOOP;\n"
+        "  v_log := v_log || '|outer=' || v_x;\n"
+        "  CREATE TABLE bp_nest_out USING parquet AS\n"
+        "    SELECT v_log AS log;\n"
+        "END;\n$$",
+    )
+    execute_sql(spark, "CALL bp_nest()")
+    got = spark.table("bp_nest_out").collect()[0]["log"]
+    assert got == "[99,10]11[99,10]12|outer=1"
+    spark.sql("DROP TABLE bp_nest_out")
+    execute_sql(spark, "DROP PROCEDURE bp_nest")
+    with pytest.raises(ValueError, match="shadow IN argument"):
+        _parse_create(
+            "CREATE PROCEDURE p(k int) AS $$ BEGIN "
+            "DECLARE k int; BEGIN SELECT 1; END; END; $$"
+        )
+
+
+def test_nested_declare_block_with_exception_and_cursor(spark):
+    """An inner block's EXCEPTION section sees the inner scope; a
+    cursor declared in an inner scope closes at scope exit even when
+    left open."""
+    from amazonredshift_blueprints_spark.functions.prepared import _cursors
+
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_nest_exc")
+    spark.sql("DROP TABLE IF EXISTS bp_nest_exc_out")
+    before = set(_cursors(spark))
+    execute_sql(
+        spark,
+        "CREATE PROCEDURE bp_nest_exc() AS $$\n"
+        "BEGIN\n"
+        "  DECLARE v int := 0;\n"
+        "    c CURSOR FOR SELECT 42 AS x;\n"
+        "  BEGIN\n"
+        "    OPEN c;\n"
+        "    FETCH c INTO v;\n"
+        "    SELECT v / 0 INTO v;\n"
+        "  EXCEPTION WHEN OTHERS THEN\n"
+        "    CREATE TABLE bp_nest_exc_out USING parquet AS\n"
+        "      SELECT sqlstate AS st, v AS vv;\n"
+        "  END;\n"
+        "END;\n$$",
+    )
+    execute_sql(spark, "CALL bp_nest_exc()")
+    r = spark.table("bp_nest_exc_out").collect()[0]
+    assert (r.st, r.vv) == ("22012", 42)
+    assert set(_cursors(spark)) == before  # inner cursor closed
+    spark.sql("DROP TABLE bp_nest_exc_out")
+    execute_sql(spark, "DROP PROCEDURE bp_nest_exc")
