@@ -82,11 +82,19 @@ exit, and may carry their own EXCEPTION section. Inner declarations
 shadowing an IN argument name refuse at CREATE (IN args substitute
 textually once at CALL, so the shadow would be silently hollow).
 
+Record variables (r14, same pass): ``DECLARE r RECORD;`` declares an
+untyped row variable; ``SELECT ... INTO r`` / ``EXECUTE ... INTO r``
+/ ``FETCH c INTO r`` bind the whole first row (re-binding may change
+the shape, NULL fields past an exhausted cursor/query — both plpgsql
+rules), and ``r.field`` references substitute like FOR-loop records.
+A record must be the SOLE INTO target; whole-record assignment
+(``r := ...``) refuses.
+
 Remaining deliberate subset, refused honestly (``NotImplementedError``
-/ ``ValueError``) rather than silently mis-run: RECORD/CONSTANT/
-REFCURSOR/ALIAS declarations, unbound ``OPEN c FOR <query>``, RETURN
-with a value, RAISE's condition-name/USING forms, EXCEPTION
-conditions other than OTHERS.
+/ ``ValueError``) rather than silently mis-run: CONSTANT/REFCURSOR/
+ALIAS declarations, unbound ``OPEN c FOR <query>``, RETURN with a
+value, RAISE's condition-name/USING forms, EXCEPTION conditions other
+than OTHERS.
 One outer ``BEGIN ... END`` block wrapper is accepted (and stripped)
 because virtually every dumped procedure has it. These refuse at
 CREATE time, where the parser sees them.
@@ -821,7 +829,9 @@ def _substitute_vars(text: str, vars: dict[str, tuple[str, object]]) -> str:
     by_name = {
         v: _literal(val, t)
         for v, (t, val) in vars.items()
-        if t != "CURSOR"  # cursors are registry handles, not values
+        # cursors are registry handles and records are field
+        # namespaces (their r.field entries substitute), not values
+        if t not in ("CURSOR", "RECORD")
     }
     if not by_name:
         return text
@@ -896,6 +906,55 @@ def _format_raise(fmt: str, vals: list) -> str:
     return "".join(out)
 
 
+def _bind_record(vars, name, schema_fields, row) -> None:
+    """(Re)bind record ``name`` to a result row: previous field
+    entries are dropped, each scalar field becomes a ``name.field``
+    substitution slot (non-scalar fields skip — they have no literal
+    form), and the record slot tracks its field list for scope
+    cleanup. ``row=None`` (no rows) binds every field NULL — the
+    non-STRICT plpgsql rule, with the shape still taken from the
+    query's schema."""
+    slot = vars.get(name)
+    if slot is not None and slot[0] == "RECORD" and slot[1]:
+        for k in slot[1]["fields"]:
+            vars.pop(f"{name}.{k}", None)
+    fields = []
+    for idx, f in enumerate(schema_fields):
+        tp = f.dataType.simpleString()
+        if tp.startswith(("array", "map", "struct")):
+            continue
+        fn = f.name.lower()
+        fields.append(fn)
+        vars[f"{name}.{fn}"] = (tp, row[idx] if row is not None else None)
+    vars[name] = ("RECORD", {"fields": fields})
+
+
+def _drop_record_fields(vars, name) -> None:
+    slot = vars.get(name)
+    if slot is not None and slot[0] == "RECORD" and slot[1]:
+        for k in slot[1]["fields"]:
+            vars.pop(f"{name}.{k}", None)
+
+
+def _record_target(vars, targets):
+    """INTO targets resolve to a record iff the list is exactly one
+    declared RECORD name; a record mixed into a scalar list is the
+    plpgsql error."""
+    recs = [
+        t
+        for t in targets
+        if t in vars and vars[t][0] == "RECORD"
+    ]
+    if not recs:
+        return None
+    if len(targets) > 1:
+        raise ValueError(
+            f"INTO mixes record {recs[0]!r} with other targets; a "
+            "record captures the whole row alone"
+        )
+    return recs[0]
+
+
 def _exec_cursor(spark, node, vars) -> int:
     """OPEN / FETCH INTO / CLOSE over a bound plpgsql cursor, lowered
     onto the session cursor registry (prepared.py — the q85 machinery:
@@ -928,8 +987,13 @@ def _exec_cursor(spark, node, vars) -> int:
         state["open"] = None
         return 1
     targets = node[2]
-    rows = fetch_cursor(spark, state["open"], 1).take(1)
+    page = fetch_cursor(spark, state["open"], 1)
+    rows = page.take(1)
     first = rows[0] if rows else None
+    rec = _record_target(vars, targets)
+    if rec is not None:
+        _bind_record(vars, rec, page.schema.fields, first)
+        return 1
     if first is not None and len(first) != len(targets):
         raise ValueError(
             f"FETCH INTO: {len(targets)} variable(s) but cursor "
@@ -1023,6 +1087,11 @@ def _exec_items_inner(spark, items, vars) -> int:
             elif kind == "assign":
                 _, var, expr = node
                 vtype = vars[var][0]
+                if vtype in ("RECORD", "CURSOR"):
+                    raise ValueError(
+                        f"cannot assign to {vtype.lower()} {var!r} as a "
+                        "whole; records bind via SELECT/FETCH INTO"
+                    )
                 value = _eval_scalar(
                     spark,
                     f"SELECT CAST(({_substitute_vars(expr, vars)}) AS {vtype}) AS v",
@@ -1037,10 +1106,16 @@ def _exec_items_inner(spark, items, vars) -> int:
                 # never collect(): a non-aggregated INTO over a large
                 # table is idiomatic plpgsql and a full collect would
                 # be a driver OOM at scale (r13 advisor, medium).
-                rows = spark.sql(
+                df = spark.sql(
                     translate_redshift_sql(_substitute_vars(sql, vars))
-                ).take(1)
+                )
+                rows = df.take(1)
                 first = rows[0] if rows else None
+                rec = _record_target(vars, targets)
+                if rec is not None:
+                    _bind_record(vars, rec, df.schema.fields, first)
+                    n += 1
+                    continue
                 if first is not None and len(first) != len(targets):
                     raise ValueError(
                         f"SELECT INTO: {len(targets)} variable(s) but the "
@@ -1105,6 +1180,10 @@ def _exec_items_inner(spark, items, vars) -> int:
                                 "CURSOR", {"sql": vdefault, "open": None}
                             )
                             continue
+                        if vtype == "RECORD":
+                            _drop_record_fields(vars, vname)
+                            vars[vname] = ("RECORD", {"fields": []})
+                            continue
                         value = None
                         if vdefault is not None:
                             # defaults re-evaluate on EVERY block entry
@@ -1121,6 +1200,8 @@ def _exec_items_inner(spark, items, vars) -> int:
                     from .prepared import close_cursor
 
                     for vname, vtype, _ in decls:
+                        if vtype == "RECORD":
+                            _drop_record_fields(vars, vname)
                         slot = vars.pop(vname, None)
                         if (
                             slot is not None
@@ -1154,8 +1235,14 @@ def _exec_items_inner(spark, items, vars) -> int:
                     # SQL only through the string expression itself.
                     execute_sql(spark, cmd)
                 else:
-                    rows = spark.sql(translate_redshift_sql(cmd)).take(1)
+                    df = spark.sql(translate_redshift_sql(cmd))
+                    rows = df.take(1)
                     first = rows[0] if rows else None
+                    rec = _record_target(vars, targets)
+                    if rec is not None:
+                        _bind_record(vars, rec, df.schema.fields, first)
+                        n += 1
+                        continue
                     if first is not None and len(first) != len(targets):
                         raise ValueError(
                             f"EXECUTE INTO: {len(targets)} variable(s) "
@@ -1355,11 +1442,14 @@ def _parse_create(query: str):
 
 
 _DECLARE_UNSUPPORTED_RE = re.compile(
-    r"\b(RECORD|CONSTANT|REFCURSOR|ALIAS)\b", re.IGNORECASE
+    r"\b(CONSTANT|REFCURSOR|ALIAS)\b", re.IGNORECASE
 )
 _DECLARE_CURSOR_RE = re.compile(
     r"^\s*([A-Za-z_]\w*)\s+CURSOR\s+FOR\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
+)
+_DECLARE_RECORD_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s+RECORD\s*$", re.IGNORECASE
 )
 
 
@@ -1380,6 +1470,18 @@ def _parse_declare_items(sec: str) -> list[tuple[str, str, str | None]]:
             # CLOSE lower onto the q85 cursor registry (prepared.py)
             decls.append((cm.group(1).lower(), "CURSOR", cm.group(2).strip()))
             continue
+        rm = _DECLARE_RECORD_RE.match(item)
+        if rm:
+            # record variable (r14): fields bind at SELECT INTO /
+            # FETCH INTO and substitute as r.field references; a
+            # RECORD takes no default (it has no shape until bound)
+            decls.append((rm.group(1).lower(), "RECORD", None))
+            continue
+        if re.search(r"\bRECORD\b", item, re.IGNORECASE):
+            raise ValueError(
+                f"RECORD declaration {item[:60]!r} takes no default — "
+                "a record has no shape until a SELECT/FETCH INTO binds it"
+            )
         if _DECLARE_UNSUPPORTED_RE.search(item):
             raise NotImplementedError(
                 f"procedural plpgsql declaration {item[:60]!r} is not "
@@ -1557,6 +1659,9 @@ def call_procedure_returning(
                         "open": None,
                     },
                 )
+                continue
+            if vtype == "RECORD":
+                vars[vname] = ("RECORD", {"fields": []})
                 continue
             value = None
             if vdefault is not None:

@@ -63,9 +63,15 @@ def test_parse_create_declare_header():
         "BEGIN OPEN c; END; $$"
     )
     assert declares == [("c", "CURSOR", "SELECT 1")]
-    with pytest.raises(NotImplementedError, match="RECORD"):
+    # RECORD declarations parse since r14
+    _, _, _, declares, _ = _parse_create(
+        "CREATE PROCEDURE p() AS $$ DECLARE r RECORD; "
+        "BEGIN SELECT 1 AS x INTO r; END; $$"
+    )
+    assert declares == [("r", "RECORD", None)]
+    with pytest.raises(NotImplementedError, match="CONSTANT"):
         _parse_create(
-            "CREATE PROCEDURE p() AS $$ DECLARE r RECORD; "
+            "CREATE PROCEDURE p() AS $$ DECLARE k CONSTANT int := 1; "
             "BEGIN SELECT 1; END; $$"
         )
     with pytest.raises(ValueError, match="shadow"):
@@ -1332,3 +1338,64 @@ def test_nested_declare_block_with_exception_and_cursor(spark):
     assert set(_cursors(spark)) == before  # inner cursor closed
     spark.sql("DROP TABLE bp_nest_exc_out")
     execute_sql(spark, "DROP PROCEDURE bp_nest_exc")
+
+
+def test_record_variables_bind_rebind_and_fetch(spark):
+    """DECLARE r RECORD: SELECT INTO binds the whole first row (fields
+    substitute as r.field), re-binding may change the shape, an
+    exhausted query binds NULL fields, FETCH INTO r works, and
+    whole-record assignment refuses."""
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_rec")
+    spark.sql("DROP TABLE IF EXISTS bp_rec_out")
+    execute_sql(
+        spark,
+        "CREATE PROCEDURE bp_rec() AS $$\n"
+        "DECLARE r RECORD; v_log varchar(300) := '';\n"
+        "  c CURSOR FOR SELECT id AS k, id * 5 AS f FROM range(3)\n"
+        "    ORDER BY id DESC;\n"
+        "BEGIN\n"
+        "  SELECT 7 AS a, 'hi' AS b INTO r;\n"
+        "  v_log := v_log || r.a || r.b;\n"
+        "  SELECT 3.5 AS z INTO r FROM range(1);\n"
+        "  v_log := v_log || '|' || r.z;\n"
+        "  SELECT 9 AS q INTO r FROM range(1) WHERE id < 0;\n"
+        "  v_log := v_log || '|' || COALESCE(CAST(r.q AS STRING), 'null');\n"
+        "  OPEN c;\n"
+        "  FETCH c INTO r;\n"
+        "  v_log := v_log || '|' || r.k || ',' || r.f;\n"
+        "  CLOSE c;\n"
+        "  CREATE TABLE bp_rec_out USING parquet AS SELECT v_log AS log;\n"
+        "END;\n$$",
+    )
+    execute_sql(spark, "CALL bp_rec()")
+    got = spark.table("bp_rec_out").collect()[0]["log"]
+    assert got == "7hi|3.5|null|2,10"
+    spark.sql("DROP TABLE bp_rec_out")
+    execute_sql(spark, "DROP PROCEDURE bp_rec")
+
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_rec_assign")
+    execute_sql(
+        spark,
+        "CREATE PROCEDURE bp_rec_assign() AS $$\n"
+        "DECLARE r RECORD;\nBEGIN\n  r := 1;\nEND;\n$$",
+    )
+    with pytest.raises(RuntimeError, match="cannot assign to record"):
+        execute_sql(spark, "CALL bp_rec_assign()")
+    execute_sql(spark, "DROP PROCEDURE bp_rec_assign")
+    # record mixed with scalars in one INTO refuses at exec
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_rec_mix")
+    execute_sql(
+        spark,
+        "CREATE PROCEDURE bp_rec_mix() AS $$\n"
+        "DECLARE r RECORD; v int;\nBEGIN\n"
+        "  SELECT 1, 2 INTO r, v;\nEND;\n$$",
+    )
+    with pytest.raises(RuntimeError, match="whole row alone"):
+        execute_sql(spark, "CALL bp_rec_mix()")
+    execute_sql(spark, "DROP PROCEDURE bp_rec_mix")
+    # RECORD with a default refuses at CREATE
+    with pytest.raises(ValueError, match="no default"):
+        _parse_create(
+            "CREATE PROCEDURE p() AS $$ DECLARE r RECORD := 1; "
+            "BEGIN SELECT 1; END; $$"
+        )
