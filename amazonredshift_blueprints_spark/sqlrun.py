@@ -125,9 +125,12 @@ def _execute_sql_inner(spark: SparkSession, query: str) -> None:
     from .functions.procedures import maybe_handle as _proc_maybe_handle
 
     if _proc_maybe_handle(spark, query):
-        # CREATE/DROP PROCEDURE + CALL; CALL replays the registered
-        # SQL body through execute_sql_script, so each body statement
-        # gets this dispatcher in full (functions/procedures.py)
+        # CREATE/DROP PROCEDURE + CALL; CALL executes the registered
+        # plpgsql body (statement tree, or execute_sql_script for
+        # straight-line bodies) with each SQL leaf routed back through
+        # this dispatcher in full (functions/procedures.py); OUT/INOUT
+        # result rows surface via call_procedure_returning on the API
+        # face — the statement face discards them like any result
         print("Your query has been successfully executed.")
         return
     from .functions.dml_statements import maybe_handle as _dml_maybe_handle
