@@ -1069,3 +1069,16 @@ def test_no_tail_rescan_window_frames_in_package():
             # never match (currentRow / literal offsets only)
             bad.append(f"{p.relative_to(pkg)}:{start}")
     assert not bad, f"tail-rescan window frame(s): {bad}"
+
+
+def test_round14_c211_jpeg_decode_plan_shape(spark, sf_dir):
+    """c211: the JPEG decode pipeline is FileScan(doc_id only) →
+    mapInPandas(synthesize) → mapInPandas(stats) — column-pruned to
+    the one needed column, zero exchanges, zero joins; decode
+    parallelism is the scan's own partitioning (the multimodal scale
+    contract)."""
+    p = _plan(spark, sf_dir, "c211_jpeg_decode_stats")
+    assert "Exchange" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("MapInPandas") == 2
+    assert "ReadSchema: struct<doc_id:bigint>" in p  # payload never scanned
