@@ -89,6 +89,9 @@ _TYPE_MAP = {
     "float8": "double",
     "double precision": "double",
     "numeric": "decimal(18,2)",
+    # a refcursor VALUE is the session-registry cursor NAME — the
+    # Redshift result-set-returning idiom (procedures.py OPEN ... FOR)
+    "refcursor": "string",
     "bool": "boolean",
     "boolean": "boolean",
     "date": "date",

@@ -90,11 +90,21 @@ rules), and ``r.field`` references substitute like FOR-loop records.
 A record must be the SOLE INTO target; whole-record assignment
 (``r := ...``) refuses.
 
-Remaining deliberate subset, refused honestly (``NotImplementedError``
-/ ``ValueError``) rather than silently mis-run: CONSTANT/REFCURSOR/
-ALIAS declarations, unbound ``OPEN c FOR <query>``, RETURN with a
-value, RAISE's condition-name/USING forms, EXCEPTION conditions other
-than OTHERS.
+Constants and refcursors (r14, same pass): ``k CONSTANT type := expr``
+declares an immutable (writes refuse at CREATE via a scope-aware tree
+walk; an inner plain variable may shadow legally); ``rc refcursor``
+(declared or as an INOUT argument) holds the NAME of a session-
+registry cursor — ``OPEN rc FOR <query>`` registers it (generating a
+portal name when the variable is NULL) and the cursor deliberately
+OUTLIVES the CALL, so ``CALL get_rs(1, 'mycur'); FETCH ALL FROM
+mycur;`` works — Redshift's documented idiom for procedures returning
+result sets. In-proc FETCH/CLOSE on a refcursor route to the registry
+by its value.
+
+Remaining deliberate subset, refused honestly rather than silently
+mis-run: ALIAS declarations, RETURN with a value (procedures return
+void — Redshift's own rule), RAISE's condition-name/USING forms,
+EXCEPTION conditions other than OTHERS (also Redshift's own rule).
 One outer ``BEGIN ... END`` block wrapper is accepted (and stripped)
 because virtually every dumped procedure has it. These refuse at
 CREATE time, where the parser sees them.
@@ -666,6 +676,10 @@ def _parse_block(
 
 _OPEN_CLOSE_RE = re.compile(r"^\s*(?:OPEN|CLOSE)\s+([A-Za-z_]\w*)\s*$",
                             re.IGNORECASE)
+_OPEN_FOR_RE = re.compile(
+    r"^\s*OPEN\s+([A-Za-z_]\w*)\s+FOR\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _FETCH_RE = re.compile(
     r"^\s*FETCH\s+(?:NEXT\s+FROM\s+)?([A-Za-z_]\w*)\s+INTO\s+"
     r"([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*$",
@@ -681,11 +695,20 @@ def _parse_cursor_stmt(word: str, stmt: str, variables: frozenset[str]):
         m = _OPEN_CLOSE_RE.match(stmt)
         if m and m.group(1).lower() in variables:
             return (word.lower(), m.group(1).lower())
-        if word == "OPEN" and m:
-            raise ValueError(
-                f"OPEN of undeclared cursor {m.group(1)!r} (unbound/"
-                "refcursor OPEN ... FOR is not supported)"
-            )
+        if word == "OPEN":
+            fm = _OPEN_FOR_RE.match(stmt)
+            if fm and fm.group(1).lower() in variables:
+                # unbound/refcursor form (r14): OPEN c FOR <query> —
+                # the variable's VALUE names the session-registry
+                # cursor, which outlives the CALL (the Redshift
+                # result-set-returning idiom: CALL p(..., 'mycur');
+                # FETCH ALL FROM mycur)
+                return ("openfor", fm.group(1).lower(), fm.group(2).strip())
+            if m or fm:
+                raise ValueError(
+                    f"OPEN of undeclared cursor "
+                    f"{(m or fm).group(1)!r}"
+                )
         return None
     m = _FETCH_RE.match(stmt)
     if m and m.group(1).lower() in variables:
@@ -746,6 +769,55 @@ def _parse_body(text: str, variables: frozenset[str] = frozenset()) -> list:
         text, 0, frozenset(), variables, allow_exception=True
     )
     return items
+
+
+def _check_constant_writes(items, consts: frozenset) -> None:
+    """CREATE-time enforcement of CONSTANT declarations: any write
+    (assignment, SELECT/EXECUTE/FETCH INTO) to a name that is a
+    constant in the ACTIVE scope raises; inner scopes may shadow an
+    outer constant with a plain variable (then writes hit the inner
+    name legally — the plpgsql scoping rule)."""
+
+    def bad(targets):
+        hit = [t for t in targets if t in consts]
+        if hit:
+            raise ValueError(
+                f"cannot write to CONSTANT {sorted(set(hit))} — "
+                "constants take their value at declaration only"
+            )
+
+    for node in items:
+        kind = node[0]
+        if kind == "assign":
+            bad([node[1]])
+        elif kind == "select_into":
+            bad(node[1])
+        elif kind == "execute":
+            if node[2] is not None:
+                bad(node[2])
+        elif kind == "fetch":
+            bad(node[2])
+        elif kind == "declblock":
+            names = {v for v, _, _ in node[1]}
+            inner = (consts - names) | {
+                v for v, t, _ in node[1] if t.startswith("CONSTANT ")
+            }
+            _check_constant_writes([node[2]], frozenset(inner))
+        elif kind == "block":
+            _check_constant_writes(node[1], consts)
+            if node[2] is not None:
+                _check_constant_writes(node[2], consts)
+        elif kind == "if":
+            for _, blk in node[1]:
+                _check_constant_writes(blk, consts)
+            if node[2] is not None:
+                _check_constant_writes(node[2], consts)
+        elif kind == "while":
+            _check_constant_writes(node[2], consts)
+        elif kind == "for":
+            _check_constant_writes(node[5], consts - {node[1]})
+        elif kind == "forq":
+            _check_constant_writes(node[3], consts - {node[1]})
 
 
 def _walk_declblock_names(items):
@@ -970,8 +1042,55 @@ def _exec_cursor(spark, node, vars) -> int:
     kind = node[0]
     name = node[1]
     slot = vars.get(name)
-    if slot is None or slot[0] != "CURSOR":
+    if slot is None or slot[0] == "RECORD":
         raise ValueError(f"{kind.upper()} of non-cursor {name!r}")
+    if kind == "openfor":
+        # refcursor form: the variable's string VALUE names the
+        # SESSION-registry cursor, which deliberately outlives the
+        # CALL (Redshift's result-set-returning idiom — the caller
+        # FETCHes from it after CALL; no leak-close here)
+        if slot[0] == "CURSOR":
+            raise ValueError(
+                f"cursor {name!r} is bound to a query at DECLARE; "
+                "OPEN ... FOR applies to refcursor variables"
+            )
+        val = slot[1]
+        if val is None:
+            # plpgsql generates a unique portal name for unnamed
+            # refcursors; the variable then carries it to the caller
+            val = f"bp_rc_{_uuid.uuid4().hex[:8]}"
+            vars[name] = (slot[0], val)
+        declare_cursor(spark, str(val), _substitute_vars(node[2], vars))
+        return 1
+    if slot[0] != "CURSOR":
+        # refcursor variable: its value names the registry cursor
+        reg = slot[1]
+        if reg is None:
+            raise ValueError(f"refcursor {name!r} has not been OPENed")
+        if kind == "open":
+            raise ValueError(
+                f"refcursor {name!r} needs OPEN {name} FOR <query>"
+            )
+        if kind == "close":
+            close_cursor(spark, str(reg))
+            return 1
+        targets = node[2]
+        page = fetch_cursor(spark, str(reg), 1)
+        rows = page.take(1)
+        first = rows[0] if rows else None
+        rec = _record_target(vars, targets)
+        if rec is not None:
+            _bind_record(vars, rec, page.schema.fields, first)
+            return 1
+        if first is not None and len(first) != len(targets):
+            raise ValueError(
+                f"FETCH INTO: {len(targets)} variable(s) but cursor "
+                f"{name!r} returns {len(first)} column(s)"
+            )
+        for idx, var in enumerate(targets):
+            vtype = vars[var][0]
+            vars[var] = (vtype, first[idx] if first is not None else None)
+        return 1
     state = slot[1]  # {"sql": str, "open": registry_name | None}
     if kind == "open":
         if state["open"] is not None:
@@ -1184,6 +1303,7 @@ def _exec_items_inner(spark, items, vars) -> int:
                             _drop_record_fields(vars, vname)
                             vars[vname] = ("RECORD", {"fields": []})
                             continue
+                        vtype = vtype.removeprefix("CONSTANT ")
                         value = None
                         if vdefault is not None:
                             # defaults re-evaluate on EVERY block entry
@@ -1256,7 +1376,7 @@ def _exec_items_inner(spark, items, vars) -> int:
                             first[idx] if first is not None else None,
                         )
                 n += 1
-            elif kind in ("open", "fetch", "close"):
+            elif kind in ("open", "openfor", "fetch", "close"):
                 n += _exec_cursor(spark, node, vars)
             elif kind == "forq":
                 _, var, q, blk = node
@@ -1427,6 +1547,12 @@ def _parse_create(query: str):
     items = _parse_body(body, var_names)  # CREATE-time validation:
     # refuses out-of-subset forms with the reason; raises on
     # unbalanced blocks and on assignment to an undeclared variable
+    _check_constant_writes(
+        items,
+        frozenset(
+            v for v, t, _ in declares if t.startswith("CONSTANT ")
+        ),
+    )
     in_args = {a for a, _, m in args if m == "IN"}
     inner_shadow = [
         v for v in _walk_declblock_names(items) if v in in_args
@@ -1442,7 +1568,11 @@ def _parse_create(query: str):
 
 
 _DECLARE_UNSUPPORTED_RE = re.compile(
-    r"\b(CONSTANT|REFCURSOR|ALIAS)\b", re.IGNORECASE
+    r"\b(ALIAS)\b", re.IGNORECASE
+)
+_DECLARE_CONSTANT_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s+CONSTANT\s+(.+?)\s*(?::=|\bDEFAULT\b)\s*(.+)\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 _DECLARE_CURSOR_RE = re.compile(
     r"^\s*([A-Za-z_]\w*)\s+CURSOR\s+FOR\s+(.+)$",
@@ -1477,6 +1607,23 @@ def _parse_declare_items(sec: str) -> list[tuple[str, str, str | None]]:
             # RECORD takes no default (it has no shape until bound)
             decls.append((rm.group(1).lower(), "RECORD", None))
             continue
+        km = _DECLARE_CONSTANT_RE.match(item)
+        if km:
+            # constant (r14): initializer mandatory (the plpgsql
+            # rule); constness rides as a type prefix and is enforced
+            # by a CREATE-time tree walk over writes
+            decls.append((
+                km.group(1).lower(),
+                "CONSTANT " + _spark_type(km.group(2).strip()),
+                km.group(3),
+            ))
+            continue
+        if re.search(r"\bCONSTANT\b", item, re.IGNORECASE):
+            raise ValueError(
+                f"CONSTANT declaration {item[:60]!r} needs an "
+                "initializer (name CONSTANT type := expr) — a constant "
+                "with no value can never get one"
+            )
         if re.search(r"\bRECORD\b", item, re.IGNORECASE):
             raise ValueError(
                 f"RECORD declaration {item[:60]!r} takes no default — "
@@ -1663,6 +1810,9 @@ def call_procedure_returning(
             if vtype == "RECORD":
                 vars[vname] = ("RECORD", {"fields": []})
                 continue
+            # constness was enforced at CREATE (tree walk); at run
+            # time a constant is just a variable of its base type
+            vtype = vtype.removeprefix("CONSTANT ")
             value = None
             if vdefault is not None:
                 expr = _substitute_vars(

@@ -17239,6 +17239,68 @@ def c211_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q108_procedure_refcursor",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="procedures returning RESULT SETS via refcursor (functions/"
+        "procedures.py, r14): Redshift's documented idiom — an INOUT "
+        "refcursor argument carries the portal NAME, OPEN rs FOR "
+        "<query> registers that name as a session cursor, and the "
+        "cursor deliberately OUTLIVES the CALL so the caller runs "
+        "CALL get_rs(..., 'mycur'); FETCH ALL FROM mycur;. The entry "
+        "calls such a procedure (the query parameterized by the IN "
+        "argument, bound at OPEN) and fetches the first page from the "
+        "portal via the same q85 registry machinery (materialize-once "
+        "paging: the snapshot is distributed parquet, pages are "
+        "rank-range scans, nothing driver-resident). Oracle = the "
+        "equivalent ORDER BY ... LIMIT page. Scale: the OPEN is "
+        "metadata (SQL registration); the single materialization at "
+        "first FETCH is one distributed write",
+    tags=("native", "sql", "dialect", "orders"),
+)
+def q108_procedure_refcursor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.prepared import close_cursor, fetch_cursor
+    from ..functions.procedures import call_procedure_returning
+    from ..sqlrun import execute_sql
+
+    views(spark, sf_dir, "orders")
+    try:
+        close_cursor(spark, "q108_cur")  # re-entrant builds
+    except ValueError:
+        pass
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_q108_get_rs")
+    execute_sql(
+        spark,
+        """
+        CREATE OR REPLACE PROCEDURE bp_q108_get_rs(
+            p_status IN varchar(1), rs INOUT refcursor) AS $$
+        BEGIN
+          OPEN rs FOR SELECT o_orderkey,
+                             CAST(o_totalprice AS DOUBLE) AS price
+                      FROM orders WHERE o_orderstatus = p_status
+                      ORDER BY o_totalprice DESC, o_orderkey;
+        END;
+        $$ LANGUAGE plpgsql
+        """,
+    )
+    call_procedure_returning(
+        spark, "bp_q108_get_rs", ["'O'", "'q108_cur'"]
+    )
+    try:
+        return fetch_cursor(spark, "q108_cur", 10)
+    finally:
+        close_cursor(spark, "q108_cur")
+
+
+@query(
     "c205_knn_label_agreement",
     oracle=f"""
     WITH v AS (
@@ -17787,10 +17849,10 @@ _DRIVER_WINDOW = [
     "c16_stateful_stream_counts",
     "c36_stream_dedup",
     "c17_ann_ivf_topk",
-    "c37_ann_ivf_stored",
     "q41_qualify",
     # --- round-14 additions (land in their own round's window) ---
     "c211_jpeg_decode_stats",
+    "q108_procedure_refcursor",
     "q104_procedure_exception",
     "q105_dynamic_execute",
     "q106_procedure_for_query",

@@ -69,9 +69,15 @@ def test_parse_create_declare_header():
         "BEGIN SELECT 1 AS x INTO r; END; $$"
     )
     assert declares == [("r", "RECORD", None)]
-    with pytest.raises(NotImplementedError, match="CONSTANT"):
+    # CONSTANT parses since r14 (type carries the constness marker)
+    _, _, _, declares, _ = _parse_create(
+        "CREATE PROCEDURE p() AS $$ DECLARE k CONSTANT int := 1; "
+        "BEGIN SELECT k; END; $$"
+    )
+    assert declares == [("k", "CONSTANT int", "1")]
+    with pytest.raises(NotImplementedError, match="ALIAS"):
         _parse_create(
-            "CREATE PROCEDURE p() AS $$ DECLARE k CONSTANT int := 1; "
+            "CREATE PROCEDURE p() AS $$ DECLARE a ALIAS FOR x; "
             "BEGIN SELECT 1; END; $$"
         )
     with pytest.raises(ValueError, match="shadow"):
@@ -1399,3 +1405,101 @@ def test_record_variables_bind_rebind_and_fetch(spark):
             "CREATE PROCEDURE p() AS $$ DECLARE r RECORD := 1; "
             "BEGIN SELECT 1; END; $$"
         )
+
+
+def test_constant_declarations_enforced_at_create(spark):
+    """CONSTANT initializes once; any write (assign or INTO) refuses
+    at CREATE; an inner plain variable may shadow an outer constant
+    legally; a CONSTANT without an initializer refuses."""
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_const")
+    spark.sql("DROP TABLE IF EXISTS bp_const_out")
+    execute_sql(
+        spark,
+        "CREATE PROCEDURE bp_const(p int) AS $$\n"
+        "DECLARE k CONSTANT int := p * 2; v int;\n"
+        "BEGIN\n  v := k + 1;\n"
+        "  CREATE TABLE bp_const_out USING parquet AS SELECT v AS x;\n"
+        "END;\n$$",
+    )
+    execute_sql(spark, "CALL bp_const(20)")
+    assert spark.table("bp_const_out").collect()[0]["x"] == 41
+    spark.sql("DROP TABLE bp_const_out")
+    execute_sql(spark, "DROP PROCEDURE bp_const")
+    for body in ("k := 2;", "SELECT 9 INTO k;", "EXECUTE 'SELECT 9' INTO k;"):
+        with pytest.raises(ValueError, match="CONSTANT"):
+            _parse_create(
+                "CREATE PROCEDURE p() AS $$ DECLARE k CONSTANT int := 1; "
+                f"BEGIN {body} END; $$"
+            )
+    with pytest.raises(ValueError, match="initializer"):
+        _parse_create(
+            "CREATE PROCEDURE p() AS $$ DECLARE k CONSTANT int; "
+            "BEGIN SELECT 1; END; $$"
+        )
+    # inner plain variable shadows the constant legally
+    _parse_create(
+        "CREATE PROCEDURE p() AS $$ DECLARE k CONSTANT int := 1; BEGIN "
+        "DECLARE k int; BEGIN k := 2; END; END; $$"
+    )
+
+
+def test_refcursor_result_set_idiom(spark):
+    """The Redshift procedure-returns-result-set pattern: an INOUT
+    refcursor argument names a session cursor, OPEN ... FOR registers
+    it, and the CALLER fetches after CALL — the cursor outlives the
+    procedure. Unnamed refcursors get a generated portal name."""
+    from amazonredshift_blueprints_spark.functions.prepared import (
+        close_cursor,
+        fetch_cursor,
+    )
+    from amazonredshift_blueprints_spark.functions.procedures import (
+        call_procedure_returning,
+    )
+
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_get_rs")
+    execute_sql(
+        spark,
+        "CREATE PROCEDURE bp_get_rs(p_n IN int, rs INOUT refcursor) AS $$\n"
+        "BEGIN\n"
+        "  OPEN rs FOR SELECT id, id * 2 AS d FROM range(10)\n"
+        "    WHERE id < p_n ORDER BY id;\n"
+        "END;\n$$",
+    )
+    n, res = call_procedure_returning(spark, "bp_get_rs", ["3", "'bp_rs_cur'"])
+    assert res.collect()[0]["rs"] == "bp_rs_cur"
+    rows = [(r.id, r.d) for r in fetch_cursor(spark, "bp_rs_cur", 10).collect()]
+    assert rows == [(0, 0), (1, 2), (2, 4)]
+    close_cursor(spark, "bp_rs_cur")
+    execute_sql(spark, "DROP PROCEDURE bp_get_rs")
+
+    # in-proc refcursor: FETCH/CLOSE route via the variable's value;
+    # NULL-named refcursor gets a generated name
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_rc_local")
+    spark.sql("DROP TABLE IF EXISTS bp_rc_local_out")
+    execute_sql(
+        spark,
+        "CREATE PROCEDURE bp_rc_local() AS $$\n"
+        "DECLARE rc refcursor; v_i bigint;\n"
+        "BEGIN\n"
+        "  OPEN rc FOR SELECT id FROM range(5) ORDER BY id DESC;\n"
+        "  FETCH rc INTO v_i;\n"
+        "  CLOSE rc;\n"
+        "  CREATE TABLE bp_rc_local_out USING parquet AS\n"
+        "    SELECT v_i AS i, rc AS portal;\n"
+        "END;\n$$",
+    )
+    execute_sql(spark, "CALL bp_rc_local()")
+    r = spark.table("bp_rc_local_out").collect()[0]
+    assert r.i == 4 and r.portal.startswith("bp_rc_")
+    spark.sql("DROP TABLE bp_rc_local_out")
+    execute_sql(spark, "DROP PROCEDURE bp_rc_local")
+    # FETCH before OPEN refuses
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_rc_bad")
+    execute_sql(
+        spark,
+        "CREATE PROCEDURE bp_rc_bad() AS $$\n"
+        "DECLARE rc refcursor; v int;\nBEGIN\n  FETCH rc INTO v;\nEND;\n$$",
+    )
+    with pytest.raises(RuntimeError, match="has not been OPENed"):
+        execute_sql(spark, "CALL bp_rc_bad()")
+    execute_sql(spark, "DROP PROCEDURE bp_rc_bad")
