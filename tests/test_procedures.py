@@ -1503,3 +1503,102 @@ def test_refcursor_result_set_idiom(spark):
     with pytest.raises(RuntimeError, match="has not been OPENed"):
         execute_sql(spark, "CALL bp_rc_bad()")
     execute_sql(spark, "DROP PROCEDURE bp_rc_bad")
+
+
+def test_random_nested_scope_programs_match_python_interpreter(spark):
+    """Differential fuzz for nested DECLARE blocks: seeded-random
+    programs open inner scopes that declare v_s (possibly shadowing an
+    enclosing v_s) initialized from the live outer state; the Spark
+    interpreter and a direct Python interpretation must agree on the
+    final variable state — pinning initializer order, shadowing, and
+    scope restoration."""
+    import random
+
+    def gen(rng, depth=0, vs_ok=False):
+        stmts = []
+        names = ["v_a", "v_b"] + (["v_s"] if vs_ok else [])
+        for _ in range(rng.randint(2, 4)):
+            kind = rng.choice(
+                ["assign", "assign", "scope", "if"]
+                if depth < 2
+                else ["assign"]
+            )
+            if kind == "assign":
+                stmts.append(("assign", rng.choice(names),
+                              rng.choice(["+", "*"]), rng.randint(1, 5)))
+            elif kind == "if":
+                stmts.append(("if", rng.choice(names),
+                              gen(rng, depth + 1, vs_ok),
+                              gen(rng, depth + 1, vs_ok)))
+            else:
+                stmts.append(("scope", rng.randint(1, 9),
+                              gen(rng, depth + 1, True)))
+        return stmts
+
+    def render(stmts, ind="  "):
+        out = []
+        for s in stmts:
+            if s[0] == "assign":
+                _, v, op, c = s
+                out.append(f"{ind}{v} := ({v} {op} {c}) % 1000;")
+            elif s[0] == "if":
+                _, v, t, f = s
+                out.append(f"{ind}IF {v} % 2 = 0 THEN")
+                out.append(render(t, ind + "  "))
+                out.append(f"{ind}ELSE")
+                out.append(render(f, ind + "  "))
+                out.append(f"{ind}END IF;")
+            else:
+                _, c, body = s
+                out.append(f"{ind}DECLARE v_s int := (v_a + {c}) % 1000;")
+                out.append(f"{ind}BEGIN")
+                out.append(render(body, ind + "  "))
+                out.append(f"{ind}  v_a := (v_a + v_s) % 1000;")
+                out.append(f"{ind}END;")
+        return "\n".join(out)
+
+    def interp(stmts, env):
+        for s in stmts:
+            if s[0] == "assign":
+                _, v, op, c = s
+                env[v] = (env[v] + c if op == "+" else env[v] * c) % 1000
+            elif s[0] == "if":
+                _, v, t, f = s
+                interp(t if env[v] % 2 == 0 else f, env)
+            else:
+                _, c, body = s
+                saved = env.get("v_s")
+                env["v_s"] = (env["v_a"] + c) % 1000
+                interp(body, env)
+                env["v_a"] = (env["v_a"] + env["v_s"]) % 1000
+                if saved is None:
+                    env.pop("v_s", None)
+                else:
+                    env["v_s"] = saved
+
+    spark.sql("DROP TABLE IF EXISTS bp_proc_fuzz_scope")
+    for seed in (5, 42, 101):
+        rng = random.Random(seed)
+        prog = gen(rng)
+        env = {"v_a": 1, "v_b": 2}
+        interp(prog, env)
+        execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_fuzz_scope")
+        execute_sql(
+            spark,
+            "CREATE PROCEDURE bp_fuzz_scope() AS $$\n"
+            "DECLARE v_a int := 1; v_b int := 2;\n"
+            "BEGIN\n"
+            "CREATE TABLE IF NOT EXISTS bp_proc_fuzz_scope "
+            "(a INT, b INT) USING parquet;\n"
+            f"{render(prog)}\n"
+            "INSERT INTO bp_proc_fuzz_scope SELECT v_a, v_b;\n"
+            "END;\n$$",
+        )
+        execute_sql(spark, "CALL bp_fuzz_scope()")
+        rows = [
+            (r["a"], r["b"])
+            for r in spark.table("bp_proc_fuzz_scope").collect()
+        ]
+        assert rows == [(env["v_a"], env["v_b"])], (seed, rows, env)
+        spark.sql("DROP TABLE IF EXISTS bp_proc_fuzz_scope")
+        execute_sql(spark, "DROP PROCEDURE bp_fuzz_scope")
