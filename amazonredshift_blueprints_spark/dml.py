@@ -9,16 +9,20 @@ strategy those formats implement under the hood, minus the transaction
 log.
 
 Semantics / limits (documented, not hidden):
-- The rewrite is atomic per Spark's ``INSERT OVERWRITE`` job commit,
-  but there is no multi-statement transaction or time travel.
+- The rewrite is atomic per Spark's ``INSERT OVERWRITE`` job commit.
+  Multi-statement transactions live in transactions.py (staged-swap
+  buffer); snapshot history / time travel lives in timetravel.py
+  (version-pointer commit log — history-enabled tables make every
+  rewrite here a versioned commit instead of an overwrite).
 - Source must be a managed catalog table (not a temp view over
   read-only files).
 - ACID-format probe (r10 verdict item 5, checked 2026-08-14 in this
   container): ``import delta`` / ``import pyiceberg`` both raise
   ImportError and ``pyspark/jars`` ships zero delta-/iceberg- jars
   (with no package installs permitted, ``--packages`` cannot fetch
-  them either), so Delta/Iceberg-backed DML with time travel and a
-  commit log cannot be closed here. In a cluster with delta-spark on
+  them either), so Delta/Iceberg-backed DML cannot land here; the
+  time-travel half is closed NATIVELY by timetravel.py's commit log
+  (r14). In a cluster with delta-spark on
   the classpath, the swap-in is mechanical: ``saveAsTable(...,
   format="delta")`` in ingest and ``DeltaTable.forName(...).merge/
   update/delete`` replacing the ``_rewrite`` calls below; the public
@@ -201,8 +205,19 @@ def _rewrite(spark: SparkSession, table: str, df) -> None:
     or drop each other's stage. Note the per-TARGET-table race is still
     the caller's to serialize — two simultaneous rewrites of the SAME
     table last-write-wins, as in any catalog without a transaction log.
+
+    History-tracked tables (timetravel.py) skip the stage entirely:
+    the new state writes ONCE to a fresh version directory and the
+    catalog pointer swaps — cheaper than the staging path, and every
+    prior version stays readable (the caller already holds the table
+    lock, which commit_version requires).
     """
+    from . import timetravel
     from .ingest import _clean_stale_location
+
+    if timetravel.is_history_table(spark, table):
+        timetravel.commit_version(spark, table, df, op="dml rewrite")
+        return
 
     stage = f"{_STAGE_PREFIX}_{uuid.uuid4().hex[:12]}"
     _clean_stale_location(spark, stage, None)

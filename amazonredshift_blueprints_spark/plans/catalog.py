@@ -17301,6 +17301,95 @@ def q108_procedure_refcursor(
 
 
 @query(
+    "q109_time_travel",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    v1 AS (SELECT * FROM base WHERE NOT (o_orderkey % 7 = 0)),
+    v2 AS (SELECT o_orderkey, o_orderstatus,
+                  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                       ELSE o_totalprice END AS o_totalprice
+           FROM v1),
+    snaps AS (
+        SELECT 0 AS v, COUNT(*) AS n_rows,
+               CAST(SUM(o_totalprice) AS DOUBLE) AS total_price FROM base
+        UNION ALL
+        SELECT 1, COUNT(*), CAST(SUM(o_totalprice) AS DOUBLE) FROM v1
+        UNION ALL
+        SELECT 2, COUNT(*), CAST(SUM(o_totalprice) AS DOUBLE) FROM v2
+        UNION ALL
+        SELECT 3, COUNT(*), CAST(SUM(o_totalprice) AS DOUBLE) FROM v1
+    )
+    SELECT CAST(v AS INTEGER) AS version,
+           CAST(n_rows AS BIGINT) AS n_rows, total_price
+    FROM snaps ORDER BY version
+    """,
+    doc="snapshot history + TIME TRAVEL over plain parquet "
+        "(timetravel.py, r14 — closes the 'time travel needs "
+        "Delta/Iceberg' residue tracked since r10): enable_history "
+        "converts a table to immutable version directories + a JSON "
+        "commit log, and every copy-on-write DML rewrite (dml.py "
+        "_rewrite) and transaction COMMIT then publishes by writing "
+        "a FRESH version dir and swapping the catalog pointer via "
+        "ALTER TABLE SET LOCATION — metadata-only, atomic, zero "
+        "write amplification vs the non-history staging rewrite "
+        "(actually one write cheaper). The entry runs CREATE -> "
+        "enable(v0) -> SQL DELETE(v1) -> SQL UPDATE(v2) -> "
+        "restore_table(v1)=v3 (a Delta-RESTORE-style metadata-only "
+        "commit), then aggregates EVERY version via table_at(); the "
+        "oracle replays the version states as CTEs. Scale: each "
+        "snapshot read is a plain distributed parquet scan with "
+        "pushdown intact; vacuum_history bounds retention with "
+        "location refcounting so restores never dangle",
+    tags=("native", "sql", "dml", "orders"),
+)
+def q109_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from .. import timetravel as tt
+    from ..ingest import _clean_stale_location
+    from ..sqlrun import execute_sql
+
+    views(spark, sf_dir, "orders")
+    tbl = "bp_tt_orders"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    tt.remove_history(spark, tbl)  # re-entrant builds
+    _clean_stale_location(spark, tbl, None)
+    execute_sql(
+        spark,
+        f"CREATE TABLE {tbl} AS SELECT o_orderkey, o_orderstatus, "
+        "o_totalprice FROM orders",
+    )
+    tt.enable_history(spark, tbl)
+    execute_sql(spark, f"DELETE FROM {tbl} WHERE o_orderkey % 7 = 0")
+    execute_sql(
+        spark,
+        f"UPDATE {tbl} SET o_totalprice = o_totalprice * 2 "
+        "WHERE o_orderkey % 5 = 0",
+    )
+    tt.restore_table(spark, tbl, 1)
+
+    def snap(v: int) -> DataFrame:
+        return (
+            tt.table_at(spark, tbl, version=v)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_totalprice").cast("double").alias("total_price"),
+            )
+            .select(
+                F.lit(v).cast("int").alias("version"),
+                "n_rows",
+                "total_price",
+            )
+        )
+
+    return reduce(DataFrame.unionAll, [snap(v) for v in range(4)]).orderBy(
+        "version"
+    )
+
+
+@query(
     "c205_knn_label_agreement",
     oracle=f"""
     WITH v AS (
@@ -17795,12 +17884,13 @@ def c200_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW = [
     # Round 14 window, per the r13 verdict's written plan: all 36
     # entries never driver-rowed through r13 — q95-q103, a06-a12,
-    # c191-c210 (in registration order) — plus 10 oldest-rowed
+    # c191-c210 (in registration order) — plus 7 oldest-rowed
     # fillers from the CORRECTNESS_r01-r13 union (all last rowed in
-    # r07), ordered by (latest_round, catalog_index), plus the four
-    # round-14 additions q104-q107 (new entries always ride in their
-    # landing round's window; they displaced the last four filler
-    # candidates c26/c44/c43/c42, which stay oldest-rowed for r15).
+    # r07), ordered by (latest_round, catalog_index), plus the 7
+    # round-14 additions (new entries always ride in their landing
+    # round's window; q104-q107/c211/q108/q109 displaced the last
+    # filler candidates c26/c44/c43/c42/q41, which stay oldest-rowed
+    # for r15).
     # c07 is the only rows-only pick among the fillers and its oracle
     # twin c38 is co-windowed. After this round the
     # never-driver-rowed set is 0.
@@ -17841,7 +17931,7 @@ _DRIVER_WINDOW = [
     "c202_dedup_span_removal",
     "c201_trimmed_mean",
     "c200_mase_backtest",
-    # --- the 14 oldest-rowed fillers (all last rowed r07) ---
+    # --- the 7 oldest-rowed fillers (all last rowed r07) ---
     "c27_dedup_embedding_lsh",
     "c38_ann_lsh_portable_topk",
     "c28_ann_ivf_kmeans_topk",
@@ -17849,7 +17939,6 @@ _DRIVER_WINDOW = [
     "c16_stateful_stream_counts",
     "c36_stream_dedup",
     "c17_ann_ivf_topk",
-    "q41_qualify",
     # --- round-14 additions (land in their own round's window) ---
     "c211_jpeg_decode_stats",
     "q108_procedure_refcursor",
@@ -17857,6 +17946,7 @@ _DRIVER_WINDOW = [
     "q105_dynamic_execute",
     "q106_procedure_for_query",
     "q107_procedure_out_args",
+    "q109_time_travel",
 ]
 
 

@@ -126,12 +126,27 @@ class Transaction:
         remaining work. Locks are still released (a dead transaction
         must not block the table forever)."""
         self._drop_views()
+        from . import timetravel
+
         items = list(self._staged.values())
         for i, (qualified, stage) in enumerate(items):
             try:
-                self.spark.sql(
-                    f"INSERT OVERWRITE TABLE {qualified} SELECT * FROM {stage}"
-                )
+                if timetravel.is_history_table(self.spark, qualified):
+                    # history-tracked target: publish as ONE new version
+                    # (the whole transaction = one commit-log entry per
+                    # table) instead of overwriting the live version
+                    # directory in place, which would silently rewrite
+                    # the snapshot the log's latest entry points at
+                    timetravel.commit_version(
+                        self.spark,
+                        qualified,
+                        self.spark.table(stage),
+                        op="txn commit",
+                    )
+                else:
+                    self.spark.sql(
+                        f"INSERT OVERWRITE TABLE {qualified} SELECT * FROM {stage}"
+                    )
             except Exception as exc:
                 kept = {q: s for q, s in items[i:]}
                 self._cleanup(drop_stages=[s for _, s in items[:i]])

@@ -1,0 +1,152 @@
+"""Snapshot history / time travel (timetravel.py): version pointer
+commits, timestamp lookup, metadata-only restore, vacuum refcounting,
+transaction-COMMIT versioning, and store-assignment cast-back.
+
+Reference basis: the reference delegates DML to Redshift
+(execute_sql.py:77), which has no time travel; this layer closes the
+"time travel needs Delta/Iceberg" residue tracked since the r10
+verdict with the same mechanism those formats use — immutable
+versioned data plus an atomic pointer swap (timetravel.py docstring).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from amazonredshift_blueprints_spark import timetravel as tt
+from amazonredshift_blueprints_spark.ingest import _clean_stale_location
+from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+
+def _fresh_history_table(spark, name: str) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    tt.remove_history(spark, name)
+    _clean_stale_location(spark, name, None)
+    spark.sql(f"CREATE TABLE {name} (k INT, amt DECIMAL(12,2)) USING parquet")
+    spark.sql(
+        f"INSERT INTO {name} VALUES "
+        "(1, 10.00), (2, 20.00), (3, 30.00), (4, 40.00), (5, 50.00)"
+    )
+
+
+def test_dml_commits_versions_and_snapshots_stay_readable(spark):
+    _fresh_history_table(spark, "t_tt_basic")
+    assert tt.enable_history(spark, "t_tt_basic") == 0
+    execute_sql(spark, "DELETE FROM t_tt_basic WHERE k % 2 = 0")  # v1
+    execute_sql(
+        spark, "UPDATE t_tt_basic SET amt = amt + 1 WHERE k = 1"
+    )  # v2
+    assert tt.table_at(spark, "t_tt_basic", version=0).count() == 5
+    assert tt.table_at(spark, "t_tt_basic", version=1).count() == 3
+    v2 = {
+        r["k"]: float(r["amt"])
+        for r in tt.table_at(spark, "t_tt_basic", version=2).collect()
+    }
+    assert v2 == {1: 11.0, 3: 30.0, 5: 50.0}
+    # the live table is the latest version
+    live = {r["k"]: float(r["amt"]) for r in spark.table("t_tt_basic").collect()}
+    assert live == v2
+    ops = [r["op"] for r in tt.history(spark, "t_tt_basic").collect()]
+    assert ops == ["enable_history", "dml rewrite", "dml rewrite"]
+
+
+def test_timestamp_travel_maps_to_nearest_boundary(spark):
+    _fresh_history_table(spark, "t_tt_ts")
+    tt.enable_history(spark, "t_tt_ts")
+    between = time.time()
+    time.sleep(0.01)
+    execute_sql(spark, "DELETE FROM t_tt_ts WHERE k <= 3")  # v1
+    assert tt.table_at(spark, "t_tt_ts", timestamp=between).count() == 5
+    assert tt.table_at(spark, "t_tt_ts", timestamp=time.time()).count() == 2
+    with pytest.raises(ValueError, match="at or before"):
+        tt.table_at(spark, "t_tt_ts", timestamp=between - 1e6)
+    with pytest.raises(ValueError, match="exactly one"):
+        tt.table_at(spark, "t_tt_ts", version=0, timestamp=between)
+
+
+def test_restore_is_metadata_only_and_logged(spark):
+    _fresh_history_table(spark, "t_tt_restore")
+    tt.enable_history(spark, "t_tt_restore")
+    execute_sql(spark, "DELETE FROM t_tt_restore WHERE k > 2")  # v1
+    root = tt._table_root(spark, "t_tt_restore")
+    dirs_before = sorted(d for d in os.listdir(root) if d.startswith("v"))
+    assert tt.restore_table(spark, "t_tt_restore", 0) == 2
+    # metadata-only: no new version directory was written
+    dirs_after = sorted(d for d in os.listdir(root) if d.startswith("v"))
+    assert dirs_after == dirs_before
+    assert spark.table("t_tt_restore").count() == 5
+    log = tt._read_log(root)
+    assert log[-1]["op"] == "restore v0"
+    assert log[-1]["location"] == log[0]["location"]
+
+
+def test_vacuum_refcounts_restored_locations(spark):
+    _fresh_history_table(spark, "t_tt_vac")
+    tt.enable_history(spark, "t_tt_vac")  # v0
+    execute_sql(spark, "DELETE FROM t_tt_vac WHERE k = 1")  # v1
+    execute_sql(spark, "DELETE FROM t_tt_vac WHERE k = 2")  # v2
+    tt.restore_table(spark, "t_tt_vac", 1)  # v3 -> shares v1's dir
+    root = tt._table_root(spark, "t_tt_vac")
+    v0_dir, v1_dir = (tt._read_log(root)[i]["location"] for i in (0, 1))
+    dropped = tt.vacuum_history(spark, "t_tt_vac", keep_last=2)  # keep v2,v3
+    assert dropped == [0, 1]
+    # v0's directory is unreferenced -> deleted; v1's is v3's data -> kept
+    assert not os.path.isdir(v0_dir)
+    assert os.path.isdir(v1_dir)
+    assert tt.table_at(spark, "t_tt_vac", version=3).count() == 4
+    with pytest.raises(ValueError, match="vacuumed, or never"):
+        tt.table_at(spark, "t_tt_vac", version=0)
+    assert spark.table("t_tt_vac").count() == 4
+
+
+def test_transaction_commit_is_one_version(spark):
+    """A multi-statement transaction on a history table publishes as a
+    SINGLE commit-log entry (transactions.py routes COMMIT through
+    commit_version instead of INSERT OVERWRITE, which would rewrite
+    the live snapshot directory in place)."""
+    _fresh_history_table(spark, "t_tt_txn")
+    tt.enable_history(spark, "t_tt_txn")
+    execute_sql(spark, "BEGIN")
+    execute_sql(spark, "DELETE FROM t_tt_txn WHERE k = 1")
+    execute_sql(spark, "UPDATE t_tt_txn SET amt = amt * 2 WHERE k = 2")
+    execute_sql(spark, "COMMIT")
+    log = tt.history(spark, "t_tt_txn").collect()
+    assert [r["op"] for r in log] == ["enable_history", "txn commit"]
+    assert spark.table("t_tt_txn").count() == 4
+    assert tt.table_at(spark, "t_tt_txn", version=0).count() == 5
+    # and a rolled-back transaction leaves no version behind
+    execute_sql(spark, "BEGIN")
+    execute_sql(spark, "DELETE FROM t_tt_txn WHERE k = 3")
+    execute_sql(spark, "ROLLBACK")
+    assert tt.history(spark, "t_tt_txn").count() == 2
+    assert spark.table("t_tt_txn").count() == 4
+
+
+def test_widened_update_casts_back_to_catalog_schema(spark):
+    """UPDATE amt = amt * 3 widens decimal(12,2); the version files
+    must carry the CATALOG schema (INSERT OVERWRITE's store-assignment
+    rule, replicated in commit_version) so snapshot reads and live
+    reads agree bit-for-bit."""
+    _fresh_history_table(spark, "t_tt_cast")
+    tt.enable_history(spark, "t_tt_cast")
+    execute_sql(spark, "UPDATE t_tt_cast SET amt = amt * 3 WHERE k = 5")
+    snap = tt.table_at(spark, "t_tt_cast", version=1)
+    assert dict(snap.dtypes)["amt"] == "decimal(12,2)"
+    assert dict(spark.table("t_tt_cast").dtypes)["amt"] == "decimal(12,2)"
+    assert (
+        float(snap.filter("k = 5").collect()[0]["amt"]) == 150.0
+    )
+
+
+def test_enable_guards(spark):
+    _fresh_history_table(spark, "t_tt_guard")
+    tt.enable_history(spark, "t_tt_guard")
+    with pytest.raises(ValueError, match="already enabled"):
+        tt.enable_history(spark, "t_tt_guard")
+    with pytest.raises(ValueError, match="no catalog table"):
+        tt.enable_history(spark, "t_tt_never_created")
+    with pytest.raises(ValueError, match="keep_last"):
+        tt.vacuum_history(spark, "t_tt_guard", keep_last=0)
