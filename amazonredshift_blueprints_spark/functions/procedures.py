@@ -101,8 +101,15 @@ mycur;`` works — Redshift's documented idiom for procedures returning
 result sets. In-proc FETCH/CLOSE on a refcursor route to the registry
 by its value.
 
+``name ALIAS FOR $n|target`` declarations (r14) resolve at CREATE by
+a quote-aware textual rewrite — a plpgsql alias is a true synonym,
+and an alias of an IN argument must collapse to the argument's
+one-shot CALL substitution; $n is 1-based over the full argument
+list. Aliases refuse in/with nested DECLARE blocks (the body-wide
+rewrite cannot be scoped around an inner re-declaration).
+
 Remaining deliberate subset, refused honestly rather than silently
-mis-run: ALIAS declarations, RETURN with a value (procedures return
+mis-run: RETURN with a value (procedures return
 void — Redshift's own rule), RAISE's condition-name/USING forms,
 EXCEPTION conditions other than OTHERS (also Redshift's own rule).
 One outer ``BEGIN ... END`` block wrapper is accepted (and stripped)
@@ -444,6 +451,13 @@ def _parse_block(
             # the shadow would be silent).
             sec, _, k = _scan_expr_until(text, j, frozenset({"BEGIN"}))
             decls = _parse_declare_items(sec)
+            if any(t == "ALIAS" for _, t, _ in decls):
+                raise NotImplementedError(
+                    "ALIAS in a nested DECLARE block is not supported "
+                    "(aliases resolve by CREATE-time textual rewrite, "
+                    "which cannot be scoped to an inner block) — "
+                    "declare the alias in the top-level DECLARE section"
+                )
             inner_names = frozenset(v for v, _, _ in decls)
             blk, _, k = _parse_block(
                 text, k, frozenset({"END"}), variables | inner_names,
@@ -1481,6 +1495,79 @@ def _exec_items_inner(spark, items, vars) -> int:
         sig.count += n
         raise
     return n
+def _quote_aware_sub(text: str, mapping: dict[str, str]) -> str:
+    """Word-boundary name rewrite that never touches string literals
+    (the same odd-indices-are-quoted split _substitute_args uses)."""
+    pat = re.compile(
+        r"\b(" + "|".join(re.escape(k) for k in mapping) + r")\b",
+        re.IGNORECASE,
+    )
+    parts = re.split(r"('(?:[^']|'')*')", text)
+    return "".join(
+        p if i % 2 else pat.sub(lambda m: mapping[m.group(1).lower()], p)
+        for i, p in enumerate(parts)
+    )
+
+
+def _resolve_aliases(args, declares, aliases, body):
+    """Resolve ``new ALIAS FOR $n|name`` declarations (r14) into a
+    CREATE-time textual rewrite: a plpgsql alias is a true synonym,
+    and aliases of IN arguments in particular must collapse to the
+    argument's one-shot CALL substitution, so rewriting every
+    reference to the target's own name is the exact semantics. ``$n``
+    is 1-based over the FULL argument list (the plpgsql rule); an
+    alias may chain through an earlier alias. Refusals keep the
+    rewrite from silently hollowing a scope: alias names may not
+    collide with arguments/variables/other aliases, and a body with
+    nested DECLARE blocks refuses (the global rewrite cannot be
+    scoped around an inner re-declaration of the alias name)."""
+    names = {a for a, _, _ in args} | {v for v, _, _ in declares}
+    mapping: dict[str, str] = {}
+    for new, tgt in aliases:
+        if new in names or new in mapping:
+            raise ValueError(
+                f"alias {new!r} collides with an argument/variable/"
+                "alias name: an alias is a synonym, so the collision "
+                "would silently shadow — rename the alias"
+            )
+        if tgt.startswith("$"):
+            idx = int(tgt[1:])
+            if not 1 <= idx <= len(args):
+                raise ValueError(
+                    f"alias {new!r}: ${idx} is out of range for "
+                    f"{len(args)} argument(s)"
+                )
+            tgt = args[idx - 1][0]
+        tgt = mapping.get(tgt, tgt)
+        if tgt not in names:
+            raise ValueError(
+                f"alias {new!r} targets unknown name {tgt!r} (not an "
+                "argument or a declared variable)"
+            )
+        mapping[new] = tgt
+    # top-level DECLARE was already split off, so any DECLARE keyword
+    # left in the body (outside quotes) opens a nested block
+    parts = re.split(r"('(?:[^']|'')*')", body)
+    if any(
+        re.search(r"\bDECLARE\b", p, re.IGNORECASE)
+        for i, p in enumerate(parts)
+        if i % 2 == 0
+    ):
+        raise NotImplementedError(
+            "ALIAS combined with nested DECLARE blocks is not "
+            "supported: aliases resolve by a body-wide textual "
+            "rewrite, which an inner re-declaration of the alias "
+            "name would silently hollow — inline the alias or drop "
+            "the nested block"
+        )
+    body = _quote_aware_sub(body, mapping)
+    declares = [
+        (v, t, None if d is None else _quote_aware_sub(d, mapping))
+        for v, t, d in declares
+    ]
+    return body, declares
+
+
 def _parse_create(query: str):
     """CREATE [OR REPLACE] PROCEDURE name(args) AS $tag$ body $tag$
     [LANGUAGE plpgsql] — paren-depth arg scan (types like varchar(20)
@@ -1532,6 +1619,10 @@ def _parse_create(query: str):
     blk = _BLOCK_RE.match(body)
     if blk:
         body = blk.group(1)
+    aliases = [(v, tgt) for v, t, tgt in declares if t == "ALIAS"]
+    if aliases:
+        declares = [d for d in declares if d[1] != "ALIAS"]
+        body, declares = _resolve_aliases(args, declares, aliases, body)
     arg_names = {a for a, _, _ in args}
     shadowed = [v for v, _, _ in declares if v in arg_names]
     if shadowed:
@@ -1567,8 +1658,9 @@ def _parse_create(query: str):
     return replace, name, args, declares, body.strip()
 
 
-_DECLARE_UNSUPPORTED_RE = re.compile(
-    r"\b(ALIAS)\b", re.IGNORECASE
+_DECLARE_ALIAS_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s+ALIAS\s+FOR\s+(\$\d+|[A-Za-z_]\w*)\s*$",
+    re.IGNORECASE,
 )
 _DECLARE_CONSTANT_RE = re.compile(
     r"^\s*([A-Za-z_]\w*)\s+CONSTANT\s+(.+?)\s*(?::=|\bDEFAULT\b)\s*(.+)\s*$",
@@ -1629,13 +1721,20 @@ def _parse_declare_items(sec: str) -> list[tuple[str, str, str | None]]:
                 f"RECORD declaration {item[:60]!r} takes no default — "
                 "a record has no shape until a SELECT/FETCH INTO binds it"
             )
-        if _DECLARE_UNSUPPORTED_RE.search(item):
-            raise NotImplementedError(
-                f"procedural plpgsql declaration {item[:60]!r} is not "
-                "supported (records/constants/refcursors need machinery "
-                "the statement face does not have); plain "
-                "'name type [:= default]' variables and bound "
-                "'name CURSOR FOR <query>' cursors are"
+        am = _DECLARE_ALIAS_RE.match(item)
+        if am:
+            # alias (r14): a true synonym — `new ALIAS FOR $n|name`.
+            # Resolved at CREATE by textual rewrite (aliases of IN
+            # args must collapse to the arg's one-shot CALL
+            # substitution); _parse_create owns resolution and the
+            # shadow refusals
+            decls.append((am.group(1).lower(), "ALIAS", am.group(2).lower()))
+            continue
+        if re.search(r"\bALIAS\b", item, re.IGNORECASE):
+            raise ValueError(
+                f"cannot parse ALIAS declaration {item[:60]!r} — the "
+                "supported form is 'name ALIAS FOR $n' or "
+                "'name ALIAS FOR argument_or_variable'"
             )
         dm = re.match(
             r"\s*([A-Za-z_]\w*)\s+(.+?)(?:\s*(?::=|\bDEFAULT\b)\s*(.+))?\s*$",

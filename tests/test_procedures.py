@@ -75,7 +75,14 @@ def test_parse_create_declare_header():
         "BEGIN SELECT k; END; $$"
     )
     assert declares == [("k", "CONSTANT int", "1")]
-    with pytest.raises(NotImplementedError, match="ALIAS"):
+    # ALIAS resolves by textual rewrite since r14; the alias name is
+    # gone from the returned declares and references are rewritten
+    _, _, _, declares, body = _parse_create(
+        "CREATE PROCEDURE p(k int) AS $$ DECLARE a ALIAS FOR $1; "
+        "BEGIN SELECT a; END; $$"
+    )
+    assert declares == [] and body == "SELECT k;"
+    with pytest.raises(ValueError, match="unknown name"):
         _parse_create(
             "CREATE PROCEDURE p() AS $$ DECLARE a ALIAS FOR x; "
             "BEGIN SELECT 1; END; $$"
@@ -1602,3 +1609,65 @@ def test_random_nested_scope_programs_match_python_interpreter(spark):
         assert rows == [(env["v_a"], env["v_b"])], (seed, rows, env)
         spark.sql("DROP TABLE IF EXISTS bp_proc_fuzz_scope")
         execute_sql(spark, "DROP PROCEDURE bp_fuzz_scope")
+
+
+def test_alias_declarations_resolve_as_synonyms(spark):
+    """``new ALIAS FOR $n|name`` (r14): aliases of IN args collapse to
+    the argument's CALL substitution, aliases of variables read AND
+    write through, and $n is 1-based over the full argument list."""
+    from amazonredshift_blueprints_spark.functions.procedures import (
+        call_procedure_returning,
+    )
+
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_alias")
+    execute_sql(
+        spark,
+        "CREATE PROCEDURE bp_alias(p_mult IN int, res OUT int) AS $$\n"
+        "DECLARE\n"
+        "  factor ALIAS FOR $1;\n"
+        "  v_acc int := 0;\n"
+        "  acc ALIAS FOR v_acc;\n"
+        "  acc2 ALIAS FOR acc;\n"
+        "BEGIN\n"
+        "  acc := acc + 10 * factor;\n"
+        "  acc2 := acc2 + 1;\n"
+        "  res := v_acc;\n"
+        "END;\n$$",
+    )
+    n, res = call_procedure_returning(spark, "bp_alias", ["3"])
+    assert n == 3
+    assert res.collect()[0]["res"] == 31
+    execute_sql(spark, "DROP PROCEDURE bp_alias")
+
+
+def test_alias_refusals(spark):
+    """Alias shadow/scope refusals: name collisions, $n out of range,
+    unknown targets, nested DECLARE in either direction."""
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_alias_bad")
+
+    def create(decls, body="  NULL;\n"):
+        execute_sql(
+            spark,
+            "CREATE OR REPLACE PROCEDURE bp_alias_bad(p IN int) AS $$\n"
+            f"DECLARE\n{decls}BEGIN\n{body}END;\n$$",
+        )
+
+    with pytest.raises(ValueError, match="collides"):
+        create("  v_x int := 0;\n  v_x ALIAS FOR p;\n")
+    with pytest.raises(ValueError, match="out of range"):
+        create("  a2 ALIAS FOR $2;\n")
+    with pytest.raises(ValueError, match="unknown name"):
+        create("  a2 ALIAS FOR nope;\n")
+    with pytest.raises(NotImplementedError, match="nested DECLARE"):
+        create(
+            "  a2 ALIAS FOR p;\n",
+            "  DECLARE v_i int := a2; BEGIN NULL; END;\n",
+        )
+    with pytest.raises(NotImplementedError, match="nested DECLARE"):
+        create(
+            "  v_x int := 0;\n",
+            "  DECLARE a2 ALIAS FOR v_x; BEGIN NULL; END;\n",
+        )
+    with pytest.raises(ValueError, match="cannot parse ALIAS"):
+        create("  a2 ALIAS v_x;\n")
+    execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_alias_bad")
