@@ -143,6 +143,27 @@ def _execute_sql_inner(spark: SparkSession, query: str) -> None:
         print("Your query has been successfully executed.")
         return
     txn = transactions.active(spark)
+    if txn is None:
+        m = _INSERT_TARGET_RE.match(query)
+        if m is not None:
+            from . import timetravel
+
+            if timetravel.is_history_table(spark, m.group(2)):
+                # history-tracked target: a native INSERT would append
+                # into (or, OVERWRITE, delete files of) the LIVE
+                # version directory — the snapshot the commit log's
+                # tip points at — so it must publish as a new version
+                timetravel.execute_insert(
+                    spark,
+                    m.group(2),
+                    m.group(1),
+                    query[m.end():],
+                    overwrite=bool(
+                        re.search(r"\bOVERWRITE\b", m.group(1), re.IGNORECASE)
+                    ),
+                )
+                print("Your query has been successfully executed.")
+                return
     if txn is not None:
         if _NON_TXN_STMT_RE.match(query):
             raise ValueError(

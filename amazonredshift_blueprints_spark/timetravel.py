@@ -49,13 +49,20 @@ expression (``UPDATE SET price = price * 2`` widens decimal(12,2) to
 :func:`commit_version` therefore casts the new state to the target
 table's catalog schema, column by column, before writing.
 
+INSERT INTO / INSERT OVERWRITE on a history table route here too
+(sqlrun's statement face calls :func:`execute_insert`): the incoming
+rows stage into an empty twin table (so VALUES / column lists /
+self-referential SELECTs all keep Spark's own semantics), then the
+union (or, for OVERWRITE, the stage alone) commits as a new version.
+Without the interception a plain INSERT would append files into —
+and OVERWRITE would delete files of — the live version directory,
+silently rewriting the snapshot the log's tip points at. The cost is
+one full copy-on-write rewrite per INSERT, the same cost class as
+every DML statement in dml.py (a file-level manifest format does
+appends as O(new files); a directory-per-version log cannot, and
+correctness beats the append micro-optimization here).
+
 Honest limits (documented, not hidden):
-- Plain ``INSERT INTO t`` appends files into the LIVE version
-  directory without a log entry: version boundaries are DML-statement /
-  transaction boundaries, and a timestamp lookup maps to the nearest
-  boundary. (Delta logs appends because its manifests are file-level;
-  a directory-per-version log cannot, and pretending otherwise would
-  mis-date the snapshot.)
 - Multi-writer conflict DETECTION (optimistic concurrency) is not
   implemented; writers serialize on the lock instead, as everywhere in
   dml.py.
@@ -207,6 +214,54 @@ def commit_version(
     )
     _write_log(root, entries)
     return n
+
+
+def execute_insert(
+    spark: SparkSession,
+    table: str,
+    stmt_prefix: str,
+    stmt_suffix: str,
+    overwrite: bool,
+) -> None:
+    """Run ``INSERT INTO|OVERWRITE <table> <suffix>`` on a history
+    table as a versioned commit (see the module docstring — a native
+    insert would mutate the live version directory in place).
+
+    ``stmt_prefix``/``stmt_suffix`` are the statement's text around
+    the target name (sqlrun's _INSERT_TARGET_RE split): the statement
+    re-targets an empty stage twin, so column lists, VALUES, and
+    SELECTs — including self-referential ``INSERT INTO t SELECT FROM
+    t`` — keep Spark's own INSERT semantics and store assignment.
+    """
+    import uuid
+
+    from .dml import _table_lock
+    from .ingest import _clean_stale_location
+
+    key = _lock_key(spark, table)
+    qualified = _qualified(spark, table)
+    stage = f"_bp_tt_ins_{uuid.uuid4().hex[:12]}"
+    with _table_lock(spark, key):
+        _clean_stale_location(spark, stage, None)
+        spark.sql(
+            f"CREATE TABLE {stage} AS SELECT * FROM {qualified} WHERE 1=0"
+        )
+        try:
+            spark.sql(f"{stmt_prefix}{stage}{stmt_suffix}")
+            new_rows = spark.table(stage)
+            df = (
+                new_rows
+                if overwrite
+                else spark.table(qualified).unionByName(new_rows)
+            )
+            commit_version(
+                spark,
+                key,
+                df,
+                op="insert overwrite" if overwrite else "insert",
+            )
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {stage}")
 
 
 def table_at(

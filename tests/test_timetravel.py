@@ -150,3 +150,38 @@ def test_enable_guards(spark):
         tt.enable_history(spark, "t_tt_never_created")
     with pytest.raises(ValueError, match="keep_last"):
         tt.vacuum_history(spark, "t_tt_guard", keep_last=0)
+
+
+def test_insert_statements_commit_versions(spark):
+    """INSERT INTO / INSERT OVERWRITE on a history table publish as
+    versioned commits via sqlrun's interception — a native insert
+    would mutate the live version directory in place, silently
+    rewriting the snapshot the log's tip points at."""
+    _fresh_history_table(spark, "t_tt_ins")
+    tt.enable_history(spark, "t_tt_ins")
+    execute_sql(
+        spark, "INSERT INTO t_tt_ins VALUES (6, 60.00), (7, 70.00)"
+    )  # v1
+    # self-referential insert keeps Spark's own semantics
+    execute_sql(
+        spark,
+        "INSERT INTO t_tt_ins SELECT k + 100, amt FROM t_tt_ins WHERE k = 6",
+    )  # v2
+    execute_sql(
+        spark, "INSERT OVERWRITE t_tt_ins VALUES (9, 90.00)"
+    )  # v3
+    ops = [r["op"] for r in tt.history(spark, "t_tt_ins").collect()]
+    assert ops == [
+        "enable_history", "insert", "insert", "insert overwrite"
+    ]
+    assert tt.table_at(spark, "t_tt_ins", version=0).count() == 5
+    assert tt.table_at(spark, "t_tt_ins", version=1).count() == 7
+    v2 = tt.table_at(spark, "t_tt_ins", version=2)
+    assert v2.count() == 8 and v2.filter("k = 106").count() == 1
+    live = spark.table("t_tt_ins").collect()
+    assert len(live) == 1 and live[0]["k"] == 9
+    # non-history tables keep the native INSERT path untouched
+    spark.sql("DROP TABLE IF EXISTS t_tt_plain")
+    spark.sql("CREATE TABLE t_tt_plain (k INT) USING parquet")
+    execute_sql(spark, "INSERT INTO t_tt_plain VALUES (1)")
+    assert spark.table("t_tt_plain").count() == 1
