@@ -1211,6 +1211,17 @@ def translate_redshift_sql(sql: str) -> str:
         sql,
         flags=re.IGNORECASE,
     )
+    # APPROXIMATE PERCENTILE_DISC(f) WITHIN GROUP (...) — Redshift's
+    # other APPROXIMATE form — lowers onto Spark's EXACT
+    # percentile_disc: APPROXIMATE is an allowance, not a requirement,
+    # so the exact ordered-set aggregate is a conforming (and
+    # oracle-hashable) implementation
+    sql = re.sub(
+        r"\bAPPROXIMATE\s+PERCENTILE_DISC\b",
+        "percentile_disc",
+        sql,
+        flags=re.IGNORECASE,
+    )
 
     # DATEDIFF(unit, start, end) → unit-specific Spark expression.
     out = sql

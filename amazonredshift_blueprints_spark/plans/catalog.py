@@ -17390,6 +17390,57 @@ def q109_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q110_approximate_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(percentile_disc(0.25)
+                WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS p25,
+           CAST(percentile_disc(0.5)
+                WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS p50,
+           CAST(percentile_disc(0.9)
+                WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Redshift's APPROXIMATE PERCENTILE_DISC(f) WITHIN GROUP "
+        "spelling (functions/redshift_compat.py, r14 — the dialect's "
+        "other APPROXIMATE form next to APPROXIMATE COUNT(DISTINCT)): "
+        "lowered onto Spark's EXACT percentile_disc ordered-set "
+        "aggregate — APPROXIMATE is an allowance, not a requirement, "
+        "so the exact aggregate is conforming AND hash-checkable "
+        "(unlike the HLL count path, which stays rows-only via "
+        "q12/q11). Scale: percentile_disc per group is Spark's "
+        "built-in ordered-set aggregate over the group's sorted "
+        "values; for the sketch-sized alternative at extreme "
+        "cardinality the approx_percentile GK path exists in the "
+        "same dialect shim",
+    tags=("native", "sql", "dialect", "orders"),
+)
+def q110_approximate_percentile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    views(spark, sf_dir, "orders")
+    translated = translate_redshift_sql(
+        """
+        SELECT o_orderpriority,
+               APPROXIMATE PERCENTILE_DISC(0.25)
+                   WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+               APPROXIMATE PERCENTILE_DISC(0.5)
+                   WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+               APPROXIMATE PERCENTILE_DISC(0.9)
+                   WITHIN GROUP (ORDER BY o_totalprice) AS p90
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
+    df = spark.sql(translated)
+    return df.select(
+        "o_orderpriority",
+        F.col("p25").cast("double").alias("p25"),
+        F.col("p50").cast("double").alias("p50"),
+        F.col("p90").cast("double").alias("p90"),
+    )
+
+
+@query(
     "c212_winnowing_similarity",
     oracle="""
     WITH s AS (
@@ -18009,12 +18060,12 @@ def c200_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW = [
     # Round 14 window, per the r13 verdict's written plan: all 36
     # entries never driver-rowed through r13 — q95-q103, a06-a12,
-    # c191-c210 (in registration order) — plus 6 oldest-rowed
+    # c191-c210 (in registration order) — plus 5 oldest-rowed
     # fillers from the CORRECTNESS_r01-r13 union (all last rowed in
-    # r07), ordered by (latest_round, catalog_index), plus the 8
+    # r07), ordered by (latest_round, catalog_index), plus the 9
     # round-14 additions (new entries always ride in their landing
-    # round's window; q104-q109/c211/c212 displaced the last filler
-    # candidates c26/c44/c43/c42/q41/c17, which stay oldest-rowed
+    # round's window; q104-q110/c211/c212 displaced the last filler
+    # candidates c26/c44/c43/c42/q41/c17/c36, which stay oldest-rowed
     # for r15).
     # c07 is the only rows-only pick among the fillers and its oracle
     # twin c38 is co-windowed. After this round the
@@ -18056,13 +18107,12 @@ _DRIVER_WINDOW = [
     "c202_dedup_span_removal",
     "c201_trimmed_mean",
     "c200_mase_backtest",
-    # --- the 6 oldest-rowed fillers (all last rowed r07) ---
+    # --- the 5 oldest-rowed fillers (all last rowed r07) ---
     "c27_dedup_embedding_lsh",
     "c38_ann_lsh_portable_topk",
     "c28_ann_ivf_kmeans_topk",
     "c07_ann_lsh_topk",
     "c16_stateful_stream_counts",
-    "c36_stream_dedup",
     # --- round-14 additions (land in their own round's window) ---
     "c211_jpeg_decode_stats",
     "q108_procedure_refcursor",
@@ -18072,6 +18122,7 @@ _DRIVER_WINDOW = [
     "q107_procedure_out_args",
     "q109_time_travel",
     "c212_winnowing_similarity",
+    "q110_approximate_percentile",
 ]
 
 
