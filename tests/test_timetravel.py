@@ -182,6 +182,7 @@ def test_insert_statements_commit_versions(spark):
     assert len(live) == 1 and live[0]["k"] == 9
     # non-history tables keep the native INSERT path untouched
     spark.sql("DROP TABLE IF EXISTS t_tt_plain")
+    _clean_stale_location(spark, "t_tt_plain", None)
     spark.sql("CREATE TABLE t_tt_plain (k INT) USING parquet")
     execute_sql(spark, "INSERT INTO t_tt_plain VALUES (1)")
     assert spark.table("t_tt_plain").count() == 1
