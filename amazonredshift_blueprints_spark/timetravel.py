@@ -104,8 +104,14 @@ def _log_path(root: str) -> str:
 
 
 def _read_log(root: str) -> list[dict]:
-    with open(_log_path(root)) as f:
-        return json.load(f)
+    try:
+        with open(_log_path(root)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise ValueError(
+            f"no snapshot history at {root} — the table is not "
+            "history-enabled (enable_history() first)"
+        ) from None
 
 
 def _write_log(root: str, entries: list[dict]) -> None:

@@ -186,3 +186,29 @@ def test_insert_statements_commit_versions(spark):
     spark.sql("CREATE TABLE t_tt_plain (k INT) USING parquet")
     execute_sql(spark, "INSERT INTO t_tt_plain VALUES (1)")
     assert spark.table("t_tt_plain").count() == 1
+
+
+def test_empty_table_edges_and_missing_history_error(spark):
+    """Empty states are first-class: enable_history on a zero-row
+    table, and a DELETE-all commit, both produce readable snapshots
+    (Spark writes a schema-bearing empty part file); time-travel APIs
+    on a non-history table raise a named error, not FileNotFoundError."""
+    for t in ("t_tt_empty", "t_tt_delall"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        tt.remove_history(spark, t)
+        _clean_stale_location(spark, t, None)
+    spark.sql("CREATE TABLE t_tt_empty (k INT) USING parquet")
+    tt.enable_history(spark, "t_tt_empty")
+    assert spark.table("t_tt_empty").count() == 0
+    assert tt.table_at(spark, "t_tt_empty", version=0).count() == 0
+    spark.sql("CREATE TABLE t_tt_delall (k INT) USING parquet")
+    spark.sql("INSERT INTO t_tt_delall VALUES (1), (2)")
+    tt.enable_history(spark, "t_tt_delall")
+    execute_sql(spark, "DELETE FROM t_tt_delall WHERE k > 0")
+    assert spark.table("t_tt_delall").count() == 0
+    assert tt.table_at(spark, "t_tt_delall", version=1).count() == 0
+    assert tt.table_at(spark, "t_tt_delall", version=0).count() == 2
+    with pytest.raises(ValueError, match="not\\s+history-enabled"):
+        tt.table_at(spark, "t_tt_never", version=0)
+    with pytest.raises(ValueError, match="not\\s+history-enabled"):
+        tt.history(spark, "t_tt_never")
