@@ -14,11 +14,14 @@ closed-form pixel oracle in c64), and PNG decodes FOR REAL via stdlib
 zlib + numpy unfiltering (``decode_png``; same closed-form oracle in
 c81/c83): 8-bit RGB, 8-bit grayscale, and PLTE-indexed color at depths
 1/2/4/8, each sequential or Adam7-interlaced, all five filter types.
-Baseline grayscale JPEG encodes AND decodes for real since r14 (pure
-numpy DCT + canonical Huffman, spec-standard Annex K tables,
+Baseline JPEG encodes AND decodes for real since r14 — grayscale
+(c211) and 3-component 4:4:4 color (c213: JFIF YCbCr, dual Annex
+K.1/K.2 quantization tables, K.3.2 chroma Huffman tables,
+interleaved MCUs) — pure numpy DCT + canonical Huffman,
 cross-validated against the JVM's independent javax.imageio decoder;
 exactness contract for block-constant tiles documented at the JPEG
-section below, c211). Progressive/color JPEG and video fall through
+section below. Progressive JPEG, chroma-SUBSAMPLED color
+(4:2:0/4:2:2), CMYK, and video fall through
 to pillow when present and otherwise raise NotImplementedError. The
 hash-based featureizer remains for payloads that cannot decode here;
 every piece of real plumbing (binary Arrow transfer, batch iteration,
@@ -114,8 +117,8 @@ def decode_image(payload: bytes):
     if payload[-18:] == _TGA_FOOTER_SIG:
         return decode_tga(payload)
     if payload[:2] == b"\xff\xd8":
-        return decode_jpeg_gray(payload)  # baseline grayscale (r14);
-        # progressive/color refuse inside with the reason
+        return decode_jpeg(payload)  # baseline grayscale + 4:4:4 color
+        # (r14); progressive/subsampled refuse inside with the reason
     try:  # pragma: no cover - pillow absent in this container
         import io
 
@@ -1745,6 +1748,47 @@ _JPEG_AC_VALS = [
 ]
 
 
+#: ITU-T T.81 Annex K.2 chrominance quantization table (natural order)
+_JPEG_QUANT_CHROMA = [
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+]
+
+#: Annex K.3.2 standard chrominance Huffman specs (BITS, HUFFVAL)
+_JPEG_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS_C = list(range(12))
+_JPEG_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_JPEG_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
 def _jpeg_zigzag():
     """ZIGZAG[k] = (row, col) of the k-th zigzag-scanned coefficient."""
     return sorted(
@@ -1834,6 +1878,51 @@ def _jpeg_magnitude(v: int):
     return size, bits
 
 
+def _jpeg_write_block(wtr, zz, prev_dc, dc_codes, ac_codes) -> int:
+    """Entropy-code one quantized zigzag block (DC diff + RLE AC) with
+    the given canonical tables; returns the block's DC for the next
+    diff. Shared by the grayscale and color encoders."""
+    size, bits = _jpeg_magnitude(zz[0] - prev_dc)
+    code, ln = dc_codes[size]
+    wtr.write(code, ln)
+    if size:
+        wtr.write(bits, size)
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last_nz = k
+            break
+    run = 0
+    for k in range(1, last_nz + 1):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL: 16 zeros
+            wtr.write(code, ln)
+            run -= 16
+        size, bits = _jpeg_magnitude(v)
+        code, ln = ac_codes[(run << 4) | size]
+        wtr.write(code, ln)
+        wtr.write(bits, size)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        wtr.write(code, ln)
+    return zz[0]
+
+
+def _jpeg_quantize_block(block, dctm, qt):
+    """Forward DCT + quantize one 8x8 level-shifted block → zigzag
+    list of 64 ints."""
+    import numpy as np
+
+    coeff = dctm @ block @ dctm.T
+    q = np.rint(coeff / qt).astype(np.int32)
+    return [int(q[r, c]) for r, c in _JPEG_ZIGZAG]
+
+
 def encode_jpeg_gray(pixels) -> bytes:
     """(h, w) uint8 grayscale array → spec-standard baseline JFIF bytes
     (single component, Annex K.1 quantization, Annex K.3.1 Huffman
@@ -1861,38 +1950,10 @@ def encode_jpeg_gray(pixels) -> bytes:
     prev_dc = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
-            coeff = dctm @ shifted[by : by + 8, bx : bx + 8] @ dctm.T
-            q = np.rint(coeff / qt).astype(np.int32)
-            zz = [int(q[r, c]) for r, c in _JPEG_ZIGZAG]
-            size, bits = _jpeg_magnitude(zz[0] - prev_dc)
-            prev_dc = zz[0]
-            code, ln = dc_codes[size]
-            wtr.write(code, ln)
-            if size:
-                wtr.write(bits, size)
-            last_nz = 0
-            for k in range(63, 0, -1):
-                if zz[k]:
-                    last_nz = k
-                    break
-            run = 0
-            for k in range(1, last_nz + 1):
-                v = zz[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]  # ZRL: 16 zeros
-                    wtr.write(code, ln)
-                    run -= 16
-                size, bits = _jpeg_magnitude(v)
-                code, ln = ac_codes[(run << 4) | size]
-                wtr.write(code, ln)
-                wtr.write(bits, size)
-                run = 0
-            if last_nz < 63:
-                code, ln = ac_codes[0x00]  # EOB
-                wtr.write(code, ln)
+            zz = _jpeg_quantize_block(
+                shifted[by : by + 8, bx : bx + 8], dctm, qt
+            )
+            prev_dc = _jpeg_write_block(wtr, zz, prev_dc, dc_codes, ac_codes)
     wtr.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -1912,6 +1973,92 @@ def encode_jpeg_gray(pixels) -> bytes:
         + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
     )
     out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    out += wtr.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_color(pixels) -> bytes:
+    """(h, w, 3) uint8 RGB array → spec-standard baseline JFIF color
+    bytes: JFIF full-range YCbCr, 4:4:4 (no chroma subsampling, so
+    every MCU is one 8x8 block per component), Annex K.1/K.2
+    quantization and K.3.1/K.3.2 Huffman tables (luma tables for Y,
+    chroma tables for Cb/Cr — ids 0/1, the layout every camera
+    baseline file uses). Edge-replicate padding as in the grayscale
+    encoder. Exactness contract for the oracle: GRAY-valued tiles
+    (R=G=B=v, v even) give Y=v and Cb=Cr=128 to float rounding, so
+    the chroma blocks quantize to exactly zero and the whole color
+    pipeline round-trips bit-identically (module section header)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_jpeg_color takes an HxWx3 RGB array")
+    h, w = px.shape[:2]
+    if not h or not w:
+        raise ValueError("empty image")
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(px, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    r = padded[:, :, 0].astype(np.float64)
+    g = padded[:, :, 1].astype(np.float64)
+    b = padded[:, :, 2].astype(np.float64)
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b - 128.0,  # Y, level-shifted
+        -0.168735892 * r - 0.331264108 * g + 0.5 * b,  # Cb - 128
+        0.5 * r - 0.418687589 * g - 0.081312411 * b,  # Cr - 128
+    ]
+
+    dctm = _jpeg_dct_matrix()
+    qts = [
+        np.asarray(_JPEG_QUANT_LUMA, dtype=np.float64),
+        np.asarray(_JPEG_QUANT_CHROMA, dtype=np.float64),
+        np.asarray(_JPEG_QUANT_CHROMA, dtype=np.float64),
+    ]
+    dc_l = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_l = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc_c = _jpeg_canonical_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
+    ac_c = _jpeg_canonical_codes(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
+    codes = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
+    wtr = _JpegBitWriter()
+    prev = [0, 0, 0]
+    # 4:4:4 interleaved scan: each MCU is (Y, Cb, Cr) of one 8x8 tile
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci in range(3):
+                zz = _jpeg_quantize_block(
+                    planes[ci][by : by + 8, bx : bx + 8], dctm, qts[ci]
+                )
+                prev[ci] = _jpeg_write_block(
+                    wtr, zz, prev[ci], codes[ci][0], codes[ci][1]
+                )
+    wtr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    zz_luma = bytes(int(_JPEG_QUANT_LUMA[r][c]) for r, c in _JPEG_ZIGZAG)
+    zz_chroma = bytes(
+        int(_JPEG_QUANT_CHROMA[r][c]) for r, c in _JPEG_ZIGZAG
+    )
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + zz_luma + b"\x01" + zz_chroma)
+    out += seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01",
+    )
+    out += seg(
+        0xFFC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+        + b"\x01" + bytes(_JPEG_DC_BITS_C) + bytes(_JPEG_DC_VALS_C)
+        + b"\x11" + bytes(_JPEG_AC_BITS_C) + bytes(_JPEG_AC_VALS_C),
+    )
+    out += seg(0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
     out += wtr.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -1976,13 +2123,16 @@ def _jpeg_extend(bits: int, size: int) -> int:
     return bits
 
 
-def decode_jpeg_gray(payload: bytes):
-    """REAL baseline JPEG decode for single-component (grayscale)
-    files → (h, w) uint8 array: marker walk, canonical Huffman decode
-    with byte unstuffing, dezigzag, dequantize, orthonormal IDCT,
-    level shift, clamp, crop. Progressive (SOF2), multi-component
-    (color), 16-bit quantization, and restart-interval scans refuse
-    with the reason — honest subset, not a silent mis-decode."""
+def decode_jpeg(payload: bytes):
+    """REAL baseline JPEG decode → (h, w) uint8 for single-component
+    (grayscale) files, (h, w, 3) uint8 RGB for 3-component 4:4:4
+    color files: marker walk, canonical Huffman decode with byte
+    unstuffing (per-table ids, so color files with separate luma/
+    chroma tables decode), dezigzag, dequantize, orthonormal IDCT,
+    JFIF YCbCr→RGB for color, level shift, clamp, crop. Progressive
+    (SOF2), chroma-SUBSAMPLED color (4:2:0/4:2:2 — needs upsampling),
+    16-bit quantization, and restart-interval scans refuse with the
+    reason — honest subset, not a silent mis-decode."""
     import struct
 
     import numpy as np
@@ -1992,9 +2142,10 @@ def decode_jpeg_gray(payload: bytes):
         raise ValueError("not a JPEG: missing SOI marker")
     i = 2
     qtables = {}
+    dc_tables, ac_tables = {}, {}
     dims = None
-    comp_tq = 0
-    dc_table = ac_table = None
+    comps = None  # [(component id, quant table id)], SOF order
+    scan = None  # [(component index, dc table id, ac table id)]
     scan_start = None
     while i < len(data) - 1:
         if data[i] != 0xFF:
@@ -2029,17 +2180,21 @@ def decode_jpeg_gray(payload: bytes):
                 raise NotImplementedError(
                     f"{precision}-bit JPEG precision is not supported"
                 )
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "multi-component (color) JPEG needs chroma upsampling "
-                    "+ YCbCr conversion; only grayscale decodes here"
+                    f"{ncomp}-component JPEG (CMYK/unknown) is not "
+                    "supported; grayscale and 3-component 4:4:4 color are"
                 )
-            sampling = seg[7]
-            if sampling != 0x11:
-                raise NotImplementedError(
-                    "subsampled single-component JPEG is not supported"
-                )
-            comp_tq = seg[8]
+            comps = []
+            for k in range(ncomp):
+                cid, sampling, tq = seg[6 + 3 * k : 9 + 3 * k]
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "chroma-subsampled JPEG (4:2:0/4:2:2) needs "
+                        "upsampling; only 4:4:4 (and grayscale) decodes "
+                        "here"
+                    )
+                comps.append((cid, tq))
             dims = (h, w)
         elif marker in (
             0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
@@ -2057,67 +2212,112 @@ def decode_jpeg_gray(payload: bytes):
                 nv = sum(bits)
                 vals = list(seg[j + 17 : j + 17 + nv])
                 tree = _jpeg_decode_table(bits, vals)
-                if tc == 0 and th == 0:
-                    dc_table = tree
-                elif tc == 1 and th == 0:
-                    ac_table = tree
-                # tables for other ids would only matter multi-component
+                (dc_tables if tc == 0 else ac_tables)[th] = tree
                 j += 17 + nv
         elif marker == 0xDD:
             raise NotImplementedError(
                 "JPEG restart intervals (DRI) are not supported"
             )
         elif marker == 0xDA:
+            if comps is None:
+                raise ValueError("corrupt JPEG: SOS before SOF0")
+            ns = seg[0]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "multi-scan JPEG (SOS component subset) is not "
+                    "supported; baseline interleaved scans only"
+                )
+            by_id = {cid: k for k, (cid, _) in enumerate(comps)}
+            scan = []
+            for k in range(ns):
+                cs, tdta = seg[1 + 2 * k : 3 + 2 * k]
+                if cs not in by_id:
+                    raise ValueError(
+                        f"corrupt JPEG: scan selects unknown component {cs}"
+                    )
+                scan.append((by_id[cs], tdta >> 4, tdta & 0x0F))
             scan_start = i + ln
             break
         i += ln
-    if (
-        dims is None
-        or comp_tq not in qtables
-        or dc_table is None
-        or ac_table is None
-        or scan_start is None
-    ):
+    if dims is None or comps is None or scan_start is None:
         raise ValueError("corrupt JPEG: missing DQT/SOF0/DHT/SOS segment")
+    for _, tq in comps:
+        if tq not in qtables:
+            raise ValueError("corrupt JPEG: missing quantization table")
+    for _, td, ta in scan:
+        if td not in dc_tables or ta not in ac_tables:
+            raise ValueError("corrupt JPEG: missing Huffman table")
     h, w = dims
-    qt = qtables[comp_tq]
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     end = data.rfind(b"\xff\xd9")
     reader = _JpegBitReader(
         data[scan_start : end if end != -1 else len(data)]
     )
     dctm = _jpeg_dct_matrix()
-    out = np.zeros((ph, pw), dtype=np.float64)
-    prev_dc = 0
+    planes = [np.zeros((ph, pw), dtype=np.float64) for _ in comps]
+    prev = [0] * len(comps)
+    # 4:4:4 (or single-component): each MCU is one 8x8 block per
+    # component, in scan order
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
-            zz = [0] * 64
-            size = _jpeg_read_huff(reader, dc_table)
-            prev_dc += (
-                _jpeg_extend(reader.read_bits(size), size) if size else 0
-            )
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = _jpeg_read_huff(reader, ac_table)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, size = rs >> 4, rs & 0x0F
-                k += run
-                if k > 63:
-                    raise ValueError("corrupt JPEG: AC run past block end")
-                zz[k] = _jpeg_extend(reader.read_bits(size), size)
-                k += 1
-            coeff = np.zeros((8, 8), dtype=np.float64)
-            for kk, (r, c) in enumerate(_JPEG_ZIGZAG):
-                coeff[r, c] = zz[kk]
-            coeff *= qt
-            out[by : by + 8, bx : bx + 8] = dctm.T @ coeff @ dctm
-    px = np.clip(np.rint(out + 128.0), 0, 255).astype(np.uint8)
+            for ci, td, ta in scan:
+                zz = [0] * 64
+                size = _jpeg_read_huff(reader, dc_tables[td])
+                prev[ci] += (
+                    _jpeg_extend(reader.read_bits(size), size)
+                    if size
+                    else 0
+                )
+                zz[0] = prev[ci]
+                k = 1
+                while k < 64:
+                    rs = _jpeg_read_huff(reader, ac_tables[ta])
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = rs >> 4, rs & 0x0F
+                    k += run
+                    if k > 63:
+                        raise ValueError(
+                            "corrupt JPEG: AC run past block end"
+                        )
+                    zz[k] = _jpeg_extend(reader.read_bits(size), size)
+                    k += 1
+                coeff = np.zeros((8, 8), dtype=np.float64)
+                for kk, (r, c) in enumerate(_JPEG_ZIGZAG):
+                    coeff[r, c] = zz[kk]
+                coeff *= qtables[comps[ci][1]]
+                planes[ci][by : by + 8, bx : bx + 8] = (
+                    dctm.T @ coeff @ dctm
+                )
+    if len(comps) == 1:
+        px = np.clip(np.rint(planes[0] + 128.0), 0, 255).astype(np.uint8)
+        return px[:h, :w]
+    y = planes[0] + 128.0
+    cb, cr = planes[1], planes[2]  # already centered (level shift = 128)
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136286 * cb - 0.714136286 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    px = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
     return px[:h, :w]
+
+
+def decode_jpeg_gray(payload: bytes):
+    """Single-component contract kept for grayscale callers: decodes
+    via :func:`decode_jpeg` and refuses a color result by name."""
+    px = decode_jpeg(payload)
+    if px.ndim != 2:
+        raise ValueError(
+            "payload is a color JPEG; use decode_jpeg/decode_image"
+        )
+    return px
 
 
 def synthesize_jpeg_images(df: DataFrame, id_col: str) -> DataFrame:
@@ -2147,6 +2347,46 @@ def synthesize_jpeg_images(df: DataFrame, id_col: str) -> DataFrame:
                 img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
                 payloads.append(
                     encode_jpeg_gray(img[: th * 8 - 1, : tw * 8 - 3])
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def synthesize_color_jpeg_images(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL baseline COLOR-JPEG payloads with the same
+    exactness contract as :func:`synthesize_jpeg_images`, through the
+    full 3-component 4:4:4 pipeline (dual quant tables, chroma
+    Huffman tables, interleaved MCUs, YCbCr round trip): image ``id``
+    is a grid of (1 + id%3) x (2 + id%2) tiles of 8x8 GRAY-VALUED
+    pixels (R=G=B = the constant EVEN value ``2*((id*37 + tr*11 +
+    tc*5) % 128)``), cropped to (tiles_h*8 - 2, tiles_w*8 - 1) so
+    edge-replicate padding runs. Gray-valued tiles make Cb=Cr=128 to
+    float rounding — the chroma blocks quantize to exactly zero and
+    the lossy color codec round-trips bit-identically, so per-channel
+    stats replay from the closed tile form in SQL."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                th, tw = 1 + i % 3, 2 + i % 2
+                tr = np.arange(th)[:, None]
+                tc = np.arange(tw)[None, :]
+                tiles = (2 * ((i * 37 + tr * 11 + tc * 5) % 128)).astype(
+                    np.uint8
+                )
+                img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+                img = img[: th * 8 - 2, : tw * 8 - 1]
+                payloads.append(
+                    encode_jpeg_color(np.stack([img, img, img], axis=-1))
                 )
             yield pd.DataFrame(
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}

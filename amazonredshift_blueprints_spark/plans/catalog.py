@@ -7634,8 +7634,9 @@ def q78_tpch_q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataF
         "mapInPandas pass. The oracle recomputes the sums from the "
         "closed form alone, so a single wrong byte anywhere in the "
         "codec fails the hash. Decode stays inside the scan's "
-        "partitions — no shuffle. Baseline grayscale JPEG decodes for real "
-        "since r14 (c211; progressive/color refuse) "
+        "partitions — no shuffle. Baseline JPEG decodes for real "
+        "since r14 (grayscale c211, 4:4:4 color c213; progressive/"
+        "subsampled refuse) "
         "(multimodal.py); truncated/corrupt PNGs raise ValueError "
         "(property-tested)",
     tags=("multimodal",),
@@ -17239,6 +17240,54 @@ def c211_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c213_jpeg_color_decode_stats",
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id, g1.r, g2.c,
+               CAST(2 * ((d.doc_id * 37 + (g1.r // 8) * 11
+                          + (g2.c // 8) * 5) % 128) AS BIGINT) AS v
+        FROM documents d, range(24) g1(r), range(24) g2(c)
+        WHERE g1.r < (1 + d.doc_id % 3) * 8 - 2
+          AND g2.c < (2 + d.doc_id % 2) * 8 - 1
+    )
+    SELECT doc_id,
+           CAST((2 + doc_id % 2) * 8 - 1 AS BIGINT) AS width,
+           CAST((1 + doc_id % 3) * 8 - 2 AS BIGINT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS sum_r,
+           CAST(SUM(v) AS BIGINT) AS sum_g,
+           CAST(SUM(v) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    doc="REAL baseline COLOR JPEG decode (operators/multimodal.py, "
+        "r14 — extends c211's grayscale DCT codec to the full "
+        "3-component 4:4:4 pipeline: JFIF YCbCr conversion, dual "
+        "Annex K.1/K.2 quantization tables, K.3.2 chroma Huffman "
+        "tables, interleaved MCU scan; pytest cross-validates the "
+        "color bitstream bit-for-bit against the JVM's independent "
+        "javax.imageio decoder). The lossy-codec oracle trick, color "
+        "edition: GRAY-valued even tiles give Y=v and Cb=Cr=128 to "
+        "float rounding, so chroma blocks quantize to exactly zero "
+        "and the whole color pipeline round-trips bit-identically — "
+        "per-channel sums replay from the closed tile form in SQL. "
+        "Chroma-SUBSAMPLED (4:2:0/4:2:2) and CMYK files refuse with "
+        "the reason. Decode is Arrow-batched inside the scan's "
+        "partitions — no shuffle",
+    tags=("multimodal",),
+)
+def c213_jpeg_color_decode_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import (
+        image_channel_stats,
+        synthesize_color_jpeg_images,
+    )
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return image_channel_stats(synthesize_color_jpeg_images(d, "doc_id"))
+
+
+@query(
     "q108_procedure_refcursor",
     oracle="""
     SELECT o_orderkey,
@@ -18060,12 +18109,12 @@ def c200_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW = [
     # Round 14 window, per the r13 verdict's written plan: all 36
     # entries never driver-rowed through r13 — q95-q103, a06-a12,
-    # c191-c210 (in registration order) — plus 5 oldest-rowed
+    # c191-c210 (in registration order) — plus 4 oldest-rowed
     # fillers from the CORRECTNESS_r01-r13 union (all last rowed in
-    # r07), ordered by (latest_round, catalog_index), plus the 9
+    # r07), ordered by (latest_round, catalog_index), plus the 10
     # round-14 additions (new entries always ride in their landing
-    # round's window; q104-q110/c211/c212 displaced the last filler
-    # candidates c26/c44/c43/c42/q41/c17/c36, which stay oldest-rowed
+    # round's window; q104-q110/c211/c212/c213 displaced the last filler
+    # candidates c26/c44/c43/c42/q41/c17/c36/c16, which stay oldest-rowed
     # for r15).
     # c07 is the only rows-only pick among the fillers and its oracle
     # twin c38 is co-windowed. After this round the
@@ -18107,12 +18156,11 @@ _DRIVER_WINDOW = [
     "c202_dedup_span_removal",
     "c201_trimmed_mean",
     "c200_mase_backtest",
-    # --- the 5 oldest-rowed fillers (all last rowed r07) ---
+    # --- the 4 oldest-rowed fillers (all last rowed r07) ---
     "c27_dedup_embedding_lsh",
     "c38_ann_lsh_portable_topk",
     "c28_ann_ivf_kmeans_topk",
     "c07_ann_lsh_topk",
-    "c16_stateful_stream_counts",
     # --- round-14 additions (land in their own round's window) ---
     "c211_jpeg_decode_stats",
     "q108_procedure_refcursor",
@@ -18123,6 +18171,7 @@ _DRIVER_WINDOW = [
     "q109_time_travel",
     "c212_winnowing_similarity",
     "q110_approximate_percentile",
+    "c213_jpeg_color_decode_stats",
 ]
 
 

@@ -724,14 +724,16 @@ def test_jpeg_bytes_decode_identically_in_jvm_imageio(spark):
 
 
 def test_jpeg_refusals_and_corruption():
-    """Progressive (SOF2), color (3 components), restart intervals and
-    truncated entropy data refuse/raise with the reason — honest
-    subset, never a silent mis-decode."""
+    """Progressive (SOF2), chroma-subsampled color (4:2:0), CMYK,
+    restart intervals and truncated entropy data refuse/raise with the
+    reason — honest subset, never a silent mis-decode."""
     import pytest
 
     from amazonredshift_blueprints_spark.operators.multimodal import (
         decode_image,
+        decode_jpeg,
         decode_jpeg_gray,
+        encode_jpeg_color,
         encode_jpeg_gray,
     )
     import numpy as np
@@ -743,10 +745,20 @@ def test_jpeg_refusals_and_corruption():
     prog = bytes(enc[:sof]) + b"\xff\xc2" + bytes(enc[sof + 2 :])
     with pytest.raises(NotImplementedError, match="SOF0"):
         decode_jpeg_gray(prog)
-    color = bytearray(enc)
-    color[sof + 9] = 3  # ncomp byte of SOF0
-    with pytest.raises(NotImplementedError, match="grayscale"):
-        decode_jpeg_gray(bytes(color))
+    # color decodes since r14 — but the gray-contract face refuses it
+    rgb = np.full((16, 16, 3), (10, 200, 30), dtype=np.uint8)
+    cenc = bytearray(encode_jpeg_color(rgb))
+    with pytest.raises(ValueError, match="color JPEG"):
+        decode_jpeg_gray(bytes(cenc))
+    sofc = cenc.find(b"\xff\xc0")
+    sub = bytearray(cenc)
+    sub[sofc + 11] = 0x22  # Y sampling factor -> 4:2:0
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        decode_jpeg(bytes(sub))
+    four = bytearray(cenc)
+    four[sofc + 9] = 4  # ncomp -> CMYK-style
+    with pytest.raises(NotImplementedError, match="CMYK"):
+        decode_jpeg(bytes(four))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_gray(b"NOTAJPEG")
     # header-level truncation (into the DHT tables) raises, not crashes
@@ -761,3 +773,81 @@ def test_jpeg_refusals_and_corruption():
         decode_jpeg_gray(noisy[:-30])
     # decode_image dispatches FFD8 to the JPEG decoder
     assert decode_image(bytes(enc)).shape == (16, 16)
+
+
+def test_jpeg_color_roundtrip_exact_on_gray_tiles_and_psnr():
+    """Color (3-component 4:4:4) baseline JPEG: gray-valued even tiles
+    (R=G=B) give Y=v and Cb=Cr=128, so chroma blocks quantize to
+    exactly zero and the whole color pipeline round-trips
+    bit-identically — the oracle contract; real color content is
+    PSNR-bounded on the encoder's own round trip."""
+    import numpy as np
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.default_rng(7)
+    tiles = (2 * rng.integers(0, 128, size=(3, 2))).astype(np.uint8)
+    g = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))[:23, :13]
+    rgb = np.stack([g, g, g], axis=-1)
+    assert np.array_equal(decode_jpeg(encode_jpeg_color(rgb)), rgb)
+    yy, xx = np.mgrid[0:40, 0:56]
+    smooth = np.stack(
+        [(yy * 2) % 256, (xx * 2) % 256, (yy + xx) % 256], axis=-1
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg_color(smooth)).astype(float)
+    mse = np.mean((dec - smooth.astype(float)) ** 2)
+    assert 10 * np.log10(255.0**2 / mse) > 30.0  # measured ~46 dB
+
+
+def test_jpeg_color_bytes_decode_identically_in_jvm_imageio(spark):
+    """Cross-validation of the COLOR bitstream against the JVM's
+    independent javax.imageio decoder: on the exactness class
+    (gray-valued even tiles) both decoders must return the original
+    pixels bit-for-bit — proving the 3-component interleaved scan,
+    dual quant tables, and chroma Huffman tables are spec-standard;
+    on a solid non-gray color both must land within quantization
+    rounding (the JVM's integer IDCT diverges from the float IDCT
+    only on high-frequency content, a pre-existing property also
+    visible on grayscale gradients)."""
+    import numpy as np
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    jvm = spark._jvm
+
+    def jvm_decode(enc):
+        bimg = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(enc))
+        )
+        h, w = bimg.getHeight(), bimg.getWidth()
+        raster = bimg.getRaster()
+        return np.array(
+            [
+                [
+                    [raster.getSample(x, y, c) for c in range(3)]
+                    for x in range(w)
+                ]
+                for y in range(h)
+            ],
+            dtype=np.uint8,
+        )
+
+    rng = np.random.default_rng(11)
+    tiles = (2 * rng.integers(0, 128, size=(2, 2))).astype(np.uint8)
+    g = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))[:15, :13]
+    rgb = np.stack([g, g, g], axis=-1)
+    enc = encode_jpeg_color(rgb)
+    assert np.array_equal(jvm_decode(enc), rgb)
+    assert np.array_equal(decode_jpeg(enc), rgb)
+    solid = np.full((16, 16, 3), (200, 40, 90), dtype=np.uint8)
+    enc2 = encode_jpeg_color(solid)
+    j = jvm_decode(enc2).astype(int)
+    o = decode_jpeg(enc2).astype(int)
+    assert np.abs(j - o).max() <= 2
+    assert np.abs(o - solid.astype(int)).max() <= 2
