@@ -18102,8 +18102,10 @@ def c200_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from the CORRECTNESS_r01-r14 union by (latest_round, catalog_index),
 # co-windowing each rows-only pick with its oracle twin
 # (q12<->q11, c02<->c24, c03<->c26, c07<->c38, c68<->q11), and
-# APPENDING any entry added during round 14 itself (new entries always
-# ride in their landing round's window).
+# APPENDING any entry added during round 15 itself (new entries always
+# ride in their landing round's window, as r14's q104-q110/c211-c213
+# rode this one). The displaced-filler backlog to prefer first:
+# c26/c44/c43/c42/q41/c17/c36/c16 (all last rowed r07).
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
