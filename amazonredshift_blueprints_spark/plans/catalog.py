@@ -18095,85 +18095,83 @@ def c200_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R15 ROTATION PLAN (write it as round 15's FIRST commit): after the
-# r14 window lands, the never-driver-rowed set is ZERO (the r14 window
-# holds all 36 entries never rowed through r13). R15's window is
-# therefore purely recency-driven: take the 50 oldest-rowed entries
-# from the CORRECTNESS_r01-r14 union by (latest_round, catalog_index),
-# co-windowing each rows-only pick with its oracle twin
-# (q12<->q11, c02<->c24, c03<->c26, c07<->c38, c68<->q11), and
-# APPENDING any entry added during round 15 itself (new entries always
-# ride in their landing round's window, as r14's q104-q110/c211-c213
-# rode this one). The displaced-filler backlog to prefer first:
-# c26/c44/c43/c42/q41/c17/c36/c16 (all last rowed r07).
+# R16 ROTATION PLAN (write it as round 16's FIRST commit): same pure
+# recency rule — the 50 oldest-rowed entries of the CORRECTNESS_r01-r15
+# union by (latest_round, catalog_index), co-windowing rows-only picks
+# with their oracle twins (q12<->q11, c02<->c24, c03<->c26, c07<->c38,
+# c68<->q11), and APPENDING any entry added during round 16 itself.
+# After the r15 window lands, the oldest-rowed backlog is the r09 tier
+# (q01-q23/a03 fillers just re-rowed; the rest of the r09 tier —
+# q57/q58/c04/c32/c35/c29/c14/q35/q42/c51/c61/c64/c65/c70/q53/q55/
+# c71/c72/c74/q59/c75/... — is next).
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # Round 14 window, per the r13 verdict's written plan: all 36
-    # entries never driver-rowed through r13 — q95-q103, a06-a12,
-    # c191-c210 (in registration order) — plus 4 oldest-rowed
-    # fillers from the CORRECTNESS_r01-r13 union (all last rowed in
-    # r07), ordered by (latest_round, catalog_index), plus the 10
-    # round-14 additions (new entries always ride in their landing
-    # round's window; q104-q110/c211/c212/c213 displaced the last filler
-    # candidates c26/c44/c43/c42/q41/c17/c36/c16, which stay oldest-rowed
-    # for r15).
-    # c07 is the only rows-only pick among the fillers and its oracle
-    # twin c38 is co-windowed. After this round the
-    # never-driver-rowed set is 0.
-    # --- the 36 never-rowed ---
-    "a06_multifile_regex_ingest",
-    "a07_copy_fixedwidth",
-    "a08_copy_unload_json",
-    "a09_copy_gzip",
-    "a10_copy_text_options",
-    "q95_tpch_refresh",
-    "c191_semdedup_cell_capped",
-    "q96_stored_procedure",
-    "q97_partiql_unnest",
-    "a11_unload_single_file_header",
-    "q98_query_history",
-    "c192_gini_concentration",
-    "c193_label_propagation",
-    "c194_cohens_kappa",
-    "c195_tga_decode_stats",
-    "c196_stratified_kfold",
-    "c197_asof_forward_tolerance",
-    "c198_mrr_eval",
-    "c199_random_projection",
-    "q99_regexp_functions",
-    "q100_pg_type_dialect",
-    "c209_rmst",
-    "c210_average_precision",
-    "c208_logrank_test",
-    "c207_kaplan_meier",
-    "c206_sliding_distinct_users",
-    "q101_json_varchar_functions",
-    "q102_procedure_control_flow",
-    "q103_procedure_variables",
-    "c205_knn_label_agreement",
-    "c204_fisher_scores",
-    "c203_markov_holdout_accuracy",
-    "a12_stl_load_errors",
-    "c202_dedup_span_removal",
-    "c201_trimmed_mean",
-    "c200_mase_backtest",
-    # --- the 4 oldest-rowed fillers (all last rowed r07) ---
-    "c27_dedup_embedding_lsh",
-    "c38_ann_lsh_portable_topk",
-    "c28_ann_ivf_kmeans_topk",
-    "c07_ann_lsh_topk",
-    # --- round-14 additions (land in their own round's window) ---
-    "c211_jpeg_decode_stats",
-    "q108_procedure_refcursor",
-    "q104_procedure_exception",
-    "q105_dynamic_execute",
-    "q106_procedure_for_query",
-    "q107_procedure_out_args",
-    "q109_time_travel",
-    "c212_winnowing_similarity",
-    "q110_approximate_percentile",
-    "c213_jpeg_color_decode_stats",
+    # Round 15 window, per the r14 verdict's written plan (pure recency
+    # rotation — the never-driver-rowed set is zero after r14, so the
+    # window is the 50 oldest-rowed entries of the CORRECTNESS_r01-r14
+    # union by (latest_round, catalog_index)):
+    #   * all 35 entries whose latest driver row is r07 — this includes
+    #     the whole displaced-filler backlog c26/c44/c43/c42/q41/c17/
+    #     c36/c16 the r14 plan named;
+    #   * c68 is the only rows-only pick among them, so its oracle twin
+    #     q11 (last rowed r10) is co-windowed;
+    #   * the remaining slots are the oldest r09-rowed entries in
+    #     catalog order, displaced newest-first by round-15 additions
+    #     (new entries always ride in their landing round's window).
+    # --- the 35 entries last rowed r07, in catalog order ---
+    "c16_stateful_stream_counts",
+    "c36_stream_dedup",
+    "c17_ann_ivf_topk",
+    "c37_ann_ivf_stored",
+    "q41_qualify",
+    "c24_dedup_minhash_portable",
+    "c26_dedup_simhash_portable",
+    "c44_stream_upsert",
+    "c43_stream_stream_join",
+    "c42_stream_static_join",
+    "c45_repetition_stats",
+    "c46_length_histogram",
+    "c47_token_budget_sample",
+    "c48_cross_corpus_dedup",
+    "c49_bloom_pruned_join",
+    "c50_partitioned_layout_pruning",
+    "c52_chunk_documents",
+    "c53_corpus_mix",
+    "c54_incremental_rollup",
+    "c56_hopping_window_rollup",
+    "q50_window_range_frame",
+    "c55_pipeline_curation",
+    "c57_stream_sessions",
+    "c58_bm25_search",
+    "c59_robust_outliers",
+    "q51_super_variant",
+    "c60_ann_ivf_append",
+    "c62_feature_hashing",
+    "c63_unigram_logprob",
+    "c66_compact_small_files",
+    "c67_column_profile",
+    "c68_hll_sketch_table",
+    "c69_dsir_importance",
+    "q54_ordered_set_disc_mode",
+    "q52_ratio_to_report",
+    # --- co-windowed oracle twin of the rows-only pick c68 ---
+    "q11_agg_distinct",
+    # --- oldest r09-rowed fillers, in catalog order ---
+    "q01_pricing_summary",
+    "q02_filter_project_string",
+    "q03_join_revenue_by_nation",
+    "q04_join_semi",
+    "q08_join_theta",
+    "q09_join_cross",
+    "q10_agg_hash",
+    "q15_window_rank",
+    "q16_window_frames",
+    "q18_setops",
+    "q21_scalar_conditional",
+    "q22_scalar_json",
+    "q23_cte_subquery",
+    "a03_sql_passthrough",
 ]
 
 
