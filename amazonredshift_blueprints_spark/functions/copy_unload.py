@@ -1020,5 +1020,29 @@ def execute_alter_append(spark, spec: AlterAppendSpec) -> None:
                 for c in tcols
             ]
         )
-        aligned.write.mode("append").format("parquet").saveAsTable(spec.target)
-        spark.sql(f"TRUNCATE TABLE {spec.source}")
+        from .. import timetravel
+
+        if timetravel.is_history_table(spark, spec.target):
+            # history-tracked target (r14 advisor): a native append
+            # would add files to the live version directory, silently
+            # mutating the snapshot the log's tip points at — publish
+            # as an append commit instead (O(moved files); this lock
+            # is the writer lock commit_append requires)
+            timetravel.commit_append(
+                spark, spec.target, aligned, op="alter append in"
+            )
+        else:
+            aligned.write.mode("append").format("parquet").saveAsTable(
+                spec.target
+            )
+        if timetravel.is_history_table(spark, spec.source):
+            # the move-out half: TRUNCATE would delete the live
+            # version directory's files — commit an empty full state
+            timetravel.commit_version(
+                spark,
+                spec.source,
+                src.filter(F.lit(False)),
+                op="alter append out",
+            )
+        else:
+            spark.sql(f"TRUNCATE TABLE {spec.source}")

@@ -231,6 +231,34 @@ def _skip_ws_comments(text: str, i: int) -> int:
     return i
 
 
+def _blank_comments(text: str) -> str:
+    """Replace ``--`` and ``/* */`` comment spans with spaces, leaving
+    quoted literals intact — for scans that must not trip on keywords
+    inside comments (same length, so offsets stay valid)."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in "'\"":
+            j = _skip_quoted(text, i)
+            out.append(text[i:j])
+            i = j
+        elif text[i : i + 2] == "--":
+            j = text.find("\n", i)
+            j = n if j < 0 else j
+            out.append(" " * (j - i))
+            i = j
+        elif text[i : i + 2] == "/*":
+            j = text.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            out.append(" " * (j - i))
+            i = j
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def _skip_quoted(text: str, i: int) -> int:
     """``text[i]`` opens a ``'``/``"`` literal: return the index just
     past its close (doubled-quote escape aware)."""
@@ -1546,8 +1574,10 @@ def _resolve_aliases(args, declares, aliases, body):
             )
         mapping[new] = tgt
     # top-level DECLARE was already split off, so any DECLARE keyword
-    # left in the body (outside quotes) opens a nested block
-    parts = re.split(r"('(?:[^']|'')*')", body)
+    # left in the body (outside quotes AND outside comments — r14
+    # advisor: a -- or /* */ comment merely mentioning DECLARE must
+    # not refuse) opens a nested block
+    parts = re.split(r"('(?:[^']|'')*')", _blank_comments(body))
     if any(
         re.search(r"\bDECLARE\b", p, re.IGNORECASE)
         for i, p in enumerate(parts)

@@ -99,6 +99,22 @@ def record_load_errors(
         del log[: len(log) - _LOAD_ERR_MAX]
 
 
+def rekey_load_errors(spark: SparkSession, stage: str, table: str) -> None:
+    """Re-key error rows recorded against a staging twin to the real
+    table name (history-table COPY loads run against a stage — the
+    user queries stl_load_errors by the name they COPYed into).
+    ``stage`` matches by substring: the recorded name may be
+    db-qualified while the twin was created bare, and stage names are
+    uuid-unique so a substring cannot over-match."""
+    log = _LOAD_ERRORS.get(spark)
+    if not log:
+        return
+    log[:] = [
+        (code, table if stage in t else t, ts, raw, msg)
+        for (code, t, ts, raw, msg) in log
+    ]
+
+
 def reset_load_errors(spark: SparkSession, table: str | None = None) -> None:
     log = _LOAD_ERRORS.get(spark)
     if not log:

@@ -17375,15 +17375,18 @@ def q108_procedure_refcursor(
     FROM snaps ORDER BY version
     """,
     doc="snapshot history + TIME TRAVEL over plain parquet "
-        "(timetravel.py, r14 — closes the 'time travel needs "
-        "Delta/Iceberg' residue tracked since r10): enable_history "
-        "converts a table to immutable version directories + a JSON "
-        "commit log, and every copy-on-write DML rewrite (dml.py "
-        "_rewrite) and transaction COMMIT then publishes by writing "
-        "a FRESH version dir and swapping the catalog pointer via "
-        "ALTER TABLE SET LOCATION — metadata-only, atomic, zero "
-        "write amplification vs the non-history staging rewrite "
-        "(actually one write cheaper). The entry runs CREATE -> "
+        "(timetravel.py, r14; r15 moved the log to MANIFEST-OF-FILES "
+        "entries — closes the 'time travel needs Delta/Iceberg' "
+        "residue tracked since r10): enable_history converts a table "
+        "to immutable data files + a JSON commit log whose entries "
+        "are file manifests; every copy-on-write DML rewrite (dml.py "
+        "_rewrite) and transaction COMMIT publishes a FRESH version "
+        "(log append THEN catalog pointer swap via ALTER TABLE SET "
+        "LOCATION — metadata-only, atomic, zero write amplification "
+        "vs the non-history staging rewrite), while INSERT INTO / "
+        "COPY / ALTER TABLE APPEND publish APPEND commits that write "
+        "only the new rows' files and carry the previous manifest by "
+        "hard link — O(batch), not O(table). The entry runs CREATE -> "
         "enable(v0) -> SQL DELETE(v1) -> SQL UPDATE(v2) -> "
         "restore_table(v1)=v3 (a Delta-RESTORE-style metadata-only "
         "commit), then aggregates EVERY version via table_at(); the "

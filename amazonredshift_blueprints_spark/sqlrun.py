@@ -208,6 +208,23 @@ def _execute_sql_inner(spark: SparkSession, query: str) -> None:
     ):
         spec = parse(query)
         if spec is not None:
+            if txn is None and parse is parse_copy:
+                from . import timetravel
+
+                full = (
+                    f"{spec.schema_name}.{spec.table}"
+                    if spec.schema_name
+                    else spec.table
+                )
+                if timetravel.is_history_table(spark, full):
+                    # history-tracked COPY target (r14 advisor): the
+                    # native path appends files into the LIVE version
+                    # directory — the snapshot the commit log's tip
+                    # points at — so it must publish as an append
+                    # commit (O(new files), like INSERT INTO)
+                    timetravel.execute_copy_history(spark, spec, execute)
+                    print("Your query has been successfully executed.")
+                    return
             if txn is not None and parse is parse_copy:
                 # COPY loads stage inside an open transaction
                 full = (

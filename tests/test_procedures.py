@@ -1670,4 +1670,12 @@ def test_alias_refusals(spark):
         )
     with pytest.raises(ValueError, match="cannot parse ALIAS"):
         create("  a2 ALIAS v_x;\n")
+    # a DECLARE mentioned only inside -- or /* */ comments is NOT a
+    # nested block (r14 advisor: the scan must strip comments first)
+    create(
+        "  a2 ALIAS FOR p;\n",
+        "  -- DECLARE in a line comment\n"
+        "  /* DECLARE inside a\n     block comment */\n"
+        "  NULL;\n",
+    )
     execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_alias_bad")

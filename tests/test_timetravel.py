@@ -212,3 +212,216 @@ def test_empty_table_edges_and_missing_history_error(spark):
         tt.table_at(spark, "t_tt_never", version=0)
     with pytest.raises(ValueError, match="not\\s+history-enabled"):
         tt.history(spark, "t_tt_never")
+
+
+# ---------------------------------------------------------------------------
+# r15: manifest-of-files log — O(new files) appends, COPY/ALTER APPEND
+# interception, commit-log CAS, stale-log guard, pointer self-heal.
+# ---------------------------------------------------------------------------
+
+
+def _inodes(paths):
+    return {os.stat(p).st_ino for p in paths}
+
+
+def test_insert_into_writes_only_new_files(spark):
+    """INSERT INTO a history table is an APPEND commit (r15): the new
+    version's directory carries every previous file as a HARD LINK
+    (same inode — zero data bytes rewritten) plus freshly written
+    files holding only the inserted rows. The r14 design paid a full
+    copy-on-write rewrite per INSERT; this pins the new cost class."""
+    from amazonredshift_blueprints_spark import timetravel as tt
+
+    _fresh_history_table(spark, "t_tt_appendcost")
+    tt.enable_history(spark, "t_tt_appendcost")
+    root = tt._table_root(spark, "t_tt_appendcost")
+    v0 = tt._read_log(root)[-1]
+    v0_paths = tt._entry_paths(v0)
+    v0_listing = sorted(os.listdir(v0["location"]))
+    execute_sql(
+        spark, "INSERT INTO t_tt_appendcost VALUES (6, 60.00), (7, 70.00)"
+    )
+    v1 = tt._read_log(root)[-1]
+    assert v1["op"] == "insert" and v1["location"] != v0["location"]
+    v1_paths = tt._entry_paths(v1)
+    # every v0 data file is carried into v1 by hard link: the inode set
+    # of v1 contains ALL of v0's inodes...
+    assert _inodes(v0_paths) <= _inodes(v1_paths)
+    # ...and the only NEW inodes are the delta files, whose bytes are
+    # bounded by the 2 inserted rows (not a rewrite of the 5-row table)
+    new_paths = [
+        p for p in v1_paths if os.stat(p).st_ino not in _inodes(v0_paths)
+    ]
+    assert new_paths, "append must write at least one new data file"
+    assert all(os.stat(p).st_nlink == 1 for p in new_paths)
+    # each carried v0 file now has >= 2 links (its v0 name + v1 name)
+    assert all(os.stat(p).st_nlink >= 2 for p in v0_paths)
+    # v0's directory is untouched — same listing, snapshot intact
+    assert sorted(os.listdir(v0["location"])) == v0_listing
+    assert tt.table_at(spark, "t_tt_appendcost", version=0).count() == 5
+    assert spark.table("t_tt_appendcost").count() == 7
+    # the manifest in the log matches the realized directory
+    assert v1["files"] == tt._data_files(v1["location"])
+
+
+def test_copy_into_history_table_version_commits(spark, tmp_path):
+    """COPY into a history table publishes as an append commit instead
+    of appending files into the live version directory (the r14
+    advisor's high finding: table_at(tip) silently changed with no log
+    entry). Bad rows under MAXERROR surface in stl_load_errors under
+    the REAL table name, not the staging twin's."""
+    from amazonredshift_blueprints_spark import timetravel as tt
+    from amazonredshift_blueprints_spark.functions.system_tables import (
+        register_load_error_view,
+    )
+
+    _fresh_history_table(spark, "t_tt_copy")
+    tt.enable_history(spark, "t_tt_copy")
+    csv = tmp_path / "batch.csv"
+    csv.write_text("6,60.00\n7,70.00\nnot-an-int,oops\n")
+    execute_sql(
+        spark,
+        f"COPY t_tt_copy FROM '{csv}' DELIMITER ',' MAXERROR 5",
+    )
+    ops = [r["op"] for r in tt.history(spark, "t_tt_copy").collect()]
+    assert ops == ["enable_history", "copy"]
+    assert tt.table_at(spark, "t_tt_copy", version=0).count() == 5
+    assert spark.table("t_tt_copy").count() == 7
+    register_load_error_view(spark)
+    err_tables = {
+        r["tbl"] for r in spark.sql("SELECT tbl FROM stl_load_errors").collect()
+    }
+    assert any("t_tt_copy" in t for t in err_tables)
+    assert not any("_bp_tt_copy_" in t for t in err_tables)
+
+
+def test_alter_append_moves_between_history_tables(spark):
+    """ALTER TABLE APPEND with a history-tracked target and/or source
+    publishes both halves as commits: the in-move as an append commit,
+    the move-out as an empty full-state commit (a native TRUNCATE
+    would delete the live version directory's files)."""
+    from amazonredshift_blueprints_spark import timetravel as tt
+
+    _fresh_history_table(spark, "t_tt_aa_tgt")
+    _fresh_history_table(spark, "t_tt_aa_src")
+    tt.enable_history(spark, "t_tt_aa_tgt")
+    tt.enable_history(spark, "t_tt_aa_src")
+    execute_sql(spark, "ALTER TABLE t_tt_aa_tgt APPEND FROM t_tt_aa_src")
+    assert spark.table("t_tt_aa_tgt").count() == 10
+    assert spark.table("t_tt_aa_src").count() == 0
+    assert [r["op"] for r in tt.history(spark, "t_tt_aa_tgt").collect()] == [
+        "enable_history", "alter append in",
+    ]
+    assert [r["op"] for r in tt.history(spark, "t_tt_aa_src").collect()] == [
+        "enable_history", "alter append out",
+    ]
+    # both pre-move snapshots stay readable
+    assert tt.table_at(spark, "t_tt_aa_tgt", version=0).count() == 5
+    assert tt.table_at(spark, "t_tt_aa_src", version=0).count() == 5
+
+
+def test_concurrent_commit_refused_by_cas(spark, monkeypatch):
+    """If the log tip moves while a commit is writing its data (only
+    possible past the writer lock — a stale-lock reclaim), the commit
+    refuses with ConcurrentWriteError and removes its written files:
+    first-to-publish wins, nothing is silently lost (r14 verdict 5)."""
+    from amazonredshift_blueprints_spark import timetravel as tt
+
+    _fresh_history_table(spark, "t_tt_cas")
+    tt.enable_history(spark, "t_tt_cas")
+    root = tt._table_root(spark, "t_tt_cas")
+    orig = tt._cast_to_table
+
+    def racing(spark_, table, df):
+        # a second writer publishes between this commit's log read and
+        # its _publish — exactly the stale-lock-reclaim interleaving
+        entries = tt._read_log(root)
+        winner = dict(entries[-1])
+        winner.update(version=entries[-1]["version"] + 1, op="winner")
+        tt._write_log(root, entries + [winner])
+        monkeypatch.setattr(tt, "_cast_to_table", orig)  # fire once
+        return orig(spark_, table, df)
+
+    monkeypatch.setattr(tt, "_cast_to_table", racing)
+    with pytest.raises(tt.ConcurrentWriteError, match="tip.*moved"):
+        execute_sql(spark, "DELETE FROM t_tt_cas WHERE k = 1")
+    log = tt._read_log(root)
+    assert [e["op"] for e in log] == ["enable_history", "winner"]
+    # the losing commit's directory was cleaned up: only logged
+    # locations remain on disk
+    on_disk = {
+        os.path.join(root, d)
+        for d in os.listdir(root)
+        if d.startswith("v")
+    }
+    assert on_disk == {e["location"] for e in log}
+
+
+def test_dropped_and_recreated_table_does_not_inherit_history(spark):
+    """DROP TABLE + CREATE TABLE under the same name must read as a
+    PLAIN table (r14 advisor): the stale commit log would otherwise
+    intercept the new table's DML and swap its location into the old
+    history root, producing nonsense snapshots."""
+    from amazonredshift_blueprints_spark import timetravel as tt
+
+    _fresh_history_table(spark, "t_tt_recreate")
+    tt.enable_history(spark, "t_tt_recreate")
+    execute_sql(spark, "DELETE FROM t_tt_recreate WHERE k = 1")  # v1
+    spark.sql("DROP TABLE t_tt_recreate")
+    _clean_stale_location(spark, "t_tt_recreate", None)
+    spark.sql("CREATE TABLE t_tt_recreate (k INT) USING parquet")
+    assert not tt.is_history_table(spark, "t_tt_recreate")
+    execute_sql(spark, "INSERT INTO t_tt_recreate VALUES (99)")  # native
+    assert spark.table("t_tt_recreate").count() == 1
+    # the orphaned log still serves forensic snapshot reads
+    assert tt.table_at(spark, "t_tt_recreate", version=1).count() == 4
+    assert len(tt._read_log(tt._table_root(spark, "t_tt_recreate"))) == 2
+    tt.remove_history(spark, "t_tt_recreate")
+
+
+def test_pointer_lag_heals_on_next_interception(spark):
+    """Crash window between log append and pointer swap: the pointer
+    lags the log tip. is_history_table (every DML/INSERT/COPY
+    interception runs it) detects the lag and re-points the table at
+    the tip — the log is the source of truth, the pointer a cache."""
+    from amazonredshift_blueprints_spark import timetravel as tt
+
+    _fresh_history_table(spark, "t_tt_heal")
+    tt.enable_history(spark, "t_tt_heal")
+    execute_sql(spark, "DELETE FROM t_tt_heal WHERE k <= 2")  # v1 (3 rows)
+    root = tt._table_root(spark, "t_tt_heal")
+    v0 = tt._read_log(root)[0]
+    # simulate the crash: log gains a restore-to-v0 entry but the
+    # pointer swap never ran (the table still points at v1)
+    entries = tt._read_log(root)
+    entries.append(
+        {
+            "version": 2,
+            "committed_at": time.time(),
+            "op": "restore v0",
+            "location": v0["location"],
+            "files": v0["files"],
+        }
+    )
+    tt._write_log(root, entries)
+    assert spark.table("t_tt_heal").count() == 3  # stale pointer
+    assert tt.is_history_table(spark, "t_tt_heal")  # heals
+    assert spark.table("t_tt_heal").count() == 5  # now at the tip
+
+
+def test_vacuum_keeps_appended_chain_readable(spark):
+    """Vacuuming the base version of an append chain only unlinks the
+    old directory's NAMES: the carried inodes survive through the
+    retained version's hard links, so the retained manifest never
+    dangles."""
+    from amazonredshift_blueprints_spark import timetravel as tt
+
+    _fresh_history_table(spark, "t_tt_vaclink")
+    tt.enable_history(spark, "t_tt_vaclink")
+    execute_sql(spark, "INSERT INTO t_tt_vaclink VALUES (6, 60.00)")  # v1
+    root = tt._table_root(spark, "t_tt_vaclink")
+    v0_dir = tt._read_log(root)[0]["location"]
+    assert tt.vacuum_history(spark, "t_tt_vaclink", keep_last=1) == [0]
+    assert not os.path.isdir(v0_dir)
+    assert spark.table("t_tt_vaclink").count() == 6
+    assert tt.table_at(spark, "t_tt_vaclink", version=1).count() == 6
