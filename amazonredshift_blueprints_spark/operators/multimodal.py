@@ -15,14 +15,17 @@ zlib + numpy unfiltering (``decode_png``; same closed-form oracle in
 c81/c83): 8-bit RGB, 8-bit grayscale, and PLTE-indexed color at depths
 1/2/4/8, each sequential or Adam7-interlaced, all five filter types.
 Baseline JPEG encodes AND decodes for real since r14 — grayscale
-(c211) and 3-component 4:4:4 color (c213: JFIF YCbCr, dual Annex
+(c211) and 3-component color (c213: JFIF YCbCr, dual Annex
 K.1/K.2 quantization tables, K.3.2 chroma Huffman tables,
-interleaved MCUs) — pure numpy DCT + canonical Huffman,
-cross-validated against the JVM's independent javax.imageio decoder;
-exactness contract for block-constant tiles documented at the JPEG
-section below. Progressive JPEG, chroma-SUBSAMPLED color
-(4:2:0/4:2:2), CMYK, and video fall through
-to pillow when present and otherwise raise NotImplementedError. The
+interleaved MCUs; r15 adds chroma-SUBSAMPLED 4:2:0/4:2:2 encode and
+decode with general sampling-factor MCU layout and replication
+upsampling, c214 — the layout nearly every camera/web JPEG uses) —
+pure numpy DCT + canonical Huffman, cross-validated against the
+JVM's independent javax.imageio decoder; exactness contract for
+block-constant tiles documented at the JPEG section below.
+Progressive JPEG, non-integer sampling grids, CMYK, and video fall
+through to pillow when present and otherwise raise
+NotImplementedError. The
 hash-based featureizer remains for payloads that cannot decode here;
 every piece of real plumbing (binary Arrow transfer, batch iteration,
 schema contract) is shared between both paths, so swapping in a full
@@ -117,8 +120,8 @@ def decode_image(payload: bytes):
     if payload[-18:] == _TGA_FOOTER_SIG:
         return decode_tga(payload)
     if payload[:2] == b"\xff\xd8":
-        return decode_jpeg(payload)  # baseline grayscale + 4:4:4 color
-        # (r14); progressive/subsampled refuse inside with the reason
+        return decode_jpeg(payload)  # baseline grayscale + color incl.
+        # 4:2:0/4:2:2 (r15); progressive/CMYK refuse inside with the reason
     try:  # pragma: no cover - pillow absent in this container
         import io
 
@@ -1978,37 +1981,49 @@ def encode_jpeg_gray(pixels) -> bytes:
     return bytes(out)
 
 
-def encode_jpeg_color(pixels) -> bytes:
+def encode_jpeg_color(pixels, *, sampling: str = "444") -> bytes:
     """(h, w, 3) uint8 RGB array → spec-standard baseline JFIF color
-    bytes: JFIF full-range YCbCr, 4:4:4 (no chroma subsampling, so
-    every MCU is one 8x8 block per component), Annex K.1/K.2
+    bytes: JFIF full-range YCbCr with selectable chroma sampling —
+    ``"444"`` (every MCU one 8x8 block per component), ``"422"``
+    (Y sampled 2x1: 16x8 MCUs, chroma box-averaged horizontally) or
+    ``"420"`` (Y 2x2: 16x16 MCUs, chroma box-averaged both ways —
+    the layout nearly every camera/web JPEG uses; r15). Annex K.1/K.2
     quantization and K.3.1/K.3.2 Huffman tables (luma tables for Y,
-    chroma tables for Cb/Cr — ids 0/1, the layout every camera
-    baseline file uses). Edge-replicate padding as in the grayscale
-    encoder. Exactness contract for the oracle: GRAY-valued tiles
-    (R=G=B=v, v even) give Y=v and Cb=Cr=128 to float rounding, so
-    the chroma blocks quantize to exactly zero and the whole color
-    pipeline round-trips bit-identically (module section header)."""
+    chroma tables for Cb/Cr — ids 0/1). Edge-replicate padding to the
+    MCU grid as in the grayscale encoder. Exactness contract for the
+    oracle: GRAY-valued tiles (R=G=B=v, v even) give Y=v and Cb=Cr=128
+    to float rounding, so the chroma blocks quantize to exactly zero
+    under EVERY sampling — box-averaging an all-zero centered chroma
+    plane is still zero — and the whole pipeline round-trips
+    bit-identically (module section header)."""
     import struct
 
     import numpy as np
 
+    factors = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+    if sampling not in factors:
+        raise ValueError(f"sampling must be one of {sorted(factors)}")
+    hy, vy = factors[sampling]
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim != 3 or px.shape[2] != 3:
         raise ValueError("encode_jpeg_color takes an HxWx3 RGB array")
     h, w = px.shape[:2]
     if not h or not w:
         raise ValueError("empty image")
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    mh, mw = 8 * vy, 8 * hy  # MCU pixel size
+    ph, pw = -(-h // mh) * mh, -(-w // mw) * mw
     padded = np.pad(px, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
     r = padded[:, :, 0].astype(np.float64)
     g = padded[:, :, 1].astype(np.float64)
     b = padded[:, :, 2].astype(np.float64)
-    planes = [
-        0.299 * r + 0.587 * g + 0.114 * b - 128.0,  # Y, level-shifted
-        -0.168735892 * r - 0.331264108 * g + 0.5 * b,  # Cb - 128
-        0.5 * r - 0.418687589 * g - 0.081312411 * b,  # Cr - 128
-    ]
+    yp = 0.299 * r + 0.587 * g + 0.114 * b - 128.0  # Y, level-shifted
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b  # Cb - 128
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b  # Cr - 128
+    if (hy, vy) != (1, 1):
+        # chroma downsample: box mean over each vy x hy pixel group
+        cb = cb.reshape(ph // vy, vy, pw // hy, hy).mean(axis=(1, 3))
+        cr = cr.reshape(ph // vy, vy, pw // hy, hy).mean(axis=(1, 3))
+    planes = [yp, cb, cr]
 
     dctm = _jpeg_dct_matrix()
     qts = [
@@ -2023,12 +2038,25 @@ def encode_jpeg_color(pixels) -> bytes:
     codes = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
     wtr = _JpegBitWriter()
     prev = [0, 0, 0]
-    # 4:4:4 interleaved scan: each MCU is (Y, Cb, Cr) of one 8x8 tile
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci in range(3):
+    # interleaved scan (T.81 A.2.3): per MCU, hy*vy Y blocks in raster
+    # order, then one Cb and one Cr block (4:4:4 degenerates to one
+    # block per component)
+    for my in range(ph // mh):
+        for mx in range(pw // mw):
+            for v in range(vy):
+                for u in range(hy):
+                    by, bx = (my * vy + v) * 8, (mx * hy + u) * 8
+                    zz = _jpeg_quantize_block(
+                        planes[0][by : by + 8, bx : bx + 8], dctm, qts[0]
+                    )
+                    prev[0] = _jpeg_write_block(
+                        wtr, zz, prev[0], codes[0][0], codes[0][1]
+                    )
+            for ci in (1, 2):
                 zz = _jpeg_quantize_block(
-                    planes[ci][by : by + 8, bx : bx + 8], dctm, qts[ci]
+                    planes[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                    dctm,
+                    qts[ci],
                 )
                 prev[ci] = _jpeg_write_block(
                     wtr, zz, prev[ci], codes[ci][0], codes[ci][1]
@@ -2042,6 +2070,7 @@ def encode_jpeg_color(pixels) -> bytes:
     zz_chroma = bytes(
         int(_JPEG_QUANT_CHROMA[r][c]) for r, c in _JPEG_ZIGZAG
     )
+    y_samp = (hy << 4) | vy
     out = bytearray()
     out += b"\xff\xd8"  # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -2049,7 +2078,7 @@ def encode_jpeg_color(pixels) -> bytes:
     out += seg(
         0xFFC0,
         struct.pack(">BHHB", 8, h, w, 3)
-        + b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01",
+        + bytes([1, y_samp, 0]) + b"\x02\x11\x01" + b"\x03\x11\x01",
     )
     out += seg(
         0xFFC4,
@@ -2125,14 +2154,16 @@ def _jpeg_extend(bits: int, size: int) -> int:
 
 def decode_jpeg(payload: bytes):
     """REAL baseline JPEG decode → (h, w) uint8 for single-component
-    (grayscale) files, (h, w, 3) uint8 RGB for 3-component 4:4:4
-    color files: marker walk, canonical Huffman decode with byte
-    unstuffing (per-table ids, so color files with separate luma/
-    chroma tables decode), dezigzag, dequantize, orthonormal IDCT,
-    JFIF YCbCr→RGB for color, level shift, clamp, crop. Progressive
-    (SOF2), chroma-SUBSAMPLED color (4:2:0/4:2:2 — needs upsampling),
-    16-bit quantization, and restart-interval scans refuse with the
-    reason — honest subset, not a silent mis-decode."""
+    (grayscale) files, (h, w, 3) uint8 RGB for 3-component color
+    files in 4:4:4, 4:2:2 or 4:2:0 (r15 — general sampling-factor MCU
+    layout with replication chroma upsampling): marker walk, canonical
+    Huffman decode with byte unstuffing (per-table ids, so color files
+    with separate luma/chroma tables decode), dezigzag, dequantize,
+    orthonormal IDCT, chroma upsample, JFIF YCbCr→RGB for color,
+    level shift, clamp, crop. Progressive (SOF2), non-integer
+    sampling grids, CMYK, 16-bit quantization, and restart-interval
+    scans refuse with the reason — honest subset, not a silent
+    mis-decode."""
     import struct
 
     import numpy as np
@@ -2188,13 +2219,25 @@ def decode_jpeg(payload: bytes):
             comps = []
             for k in range(ncomp):
                 cid, sampling, tq = seg[6 + 3 * k : 9 + 3 * k]
-                if sampling != 0x11:
-                    raise NotImplementedError(
-                        "chroma-subsampled JPEG (4:2:0/4:2:2) needs "
-                        "upsampling; only 4:4:4 (and grayscale) decodes "
-                        "here"
+                hi, vi = sampling >> 4, sampling & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(
+                        f"corrupt JPEG: sampling factors {hi}x{vi}"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, hi, vi, tq))
+            if ncomp == 1:
+                # T.81 A.2.2: a single-component scan is
+                # non-interleaved — the data unit is one block over
+                # the component's own grid; declared factors ignored
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
+            maxh = max(c[1] for c in comps)
+            maxv = max(c[2] for c in comps)
+            if any(maxh % c[1] or maxv % c[2] for c in comps):
+                raise NotImplementedError(
+                    "non-integer chroma upsampling ratios (e.g. 3:2 "
+                    "sampling grids) are not supported; 4:4:4, 4:2:2 "
+                    "and 4:2:0 decode here"
+                )
             dims = (h, w)
         elif marker in (
             0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
@@ -2227,7 +2270,7 @@ def decode_jpeg(payload: bytes):
                     "multi-scan JPEG (SOS component subset) is not "
                     "supported; baseline interleaved scans only"
                 )
-            by_id = {cid: k for k, (cid, _) in enumerate(comps)}
+            by_id = {c[0]: k for k, c in enumerate(comps)}
             scan = []
             for k in range(ns):
                 cs, tdta = seg[1 + 2 * k : 3 + 2 * k]
@@ -2241,60 +2284,83 @@ def decode_jpeg(payload: bytes):
         i += ln
     if dims is None or comps is None or scan_start is None:
         raise ValueError("corrupt JPEG: missing DQT/SOF0/DHT/SOS segment")
-    for _, tq in comps:
+    for _, _, _, tq in comps:
         if tq not in qtables:
             raise ValueError("corrupt JPEG: missing quantization table")
     for _, td, ta in scan:
         if td not in dc_tables or ta not in ac_tables:
             raise ValueError("corrupt JPEG: missing Huffman table")
     h, w = dims
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    maxh = max(c[1] for c in comps)
+    maxv = max(c[2] for c in comps)
+    mcux, mcuy = -(-w // (8 * maxh)), -(-h // (8 * maxv))
     end = data.rfind(b"\xff\xd9")
     reader = _JpegBitReader(
         data[scan_start : end if end != -1 else len(data)]
     )
     dctm = _jpeg_dct_matrix()
-    planes = [np.zeros((ph, pw), dtype=np.float64) for _ in comps]
+    # each component decodes at its OWN resolution: hi x vi blocks per
+    # MCU (T.81 A.2.3); 4:4:4 and grayscale degenerate to one block
+    planes = [
+        np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+        for _, hi, vi, _ in comps
+    ]
     prev = [0] * len(comps)
-    # 4:4:4 (or single-component): each MCU is one 8x8 block per
-    # component, in scan order
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci, td, ta in scan:
-                zz = [0] * 64
-                size = _jpeg_read_huff(reader, dc_tables[td])
-                prev[ci] += (
-                    _jpeg_extend(reader.read_bits(size), size)
-                    if size
-                    else 0
-                )
-                zz[0] = prev[ci]
-                k = 1
-                while k < 64:
-                    rs = _jpeg_read_huff(reader, ac_tables[ta])
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = rs >> 4, rs & 0x0F
-                    k += run
-                    if k > 63:
-                        raise ValueError(
-                            "corrupt JPEG: AC run past block end"
+                _, hi, vi, tq = comps[ci]
+                for v in range(vi):
+                    for u in range(hi):
+                        zz = [0] * 64
+                        size = _jpeg_read_huff(reader, dc_tables[td])
+                        prev[ci] += (
+                            _jpeg_extend(reader.read_bits(size), size)
+                            if size
+                            else 0
                         )
-                    zz[k] = _jpeg_extend(reader.read_bits(size), size)
-                    k += 1
-                coeff = np.zeros((8, 8), dtype=np.float64)
-                for kk, (r, c) in enumerate(_JPEG_ZIGZAG):
-                    coeff[r, c] = zz[kk]
-                coeff *= qtables[comps[ci][1]]
-                planes[ci][by : by + 8, bx : bx + 8] = (
-                    dctm.T @ coeff @ dctm
-                )
+                        zz[0] = prev[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_read_huff(reader, ac_tables[ta])
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = rs >> 4, rs & 0x0F
+                            k += run
+                            if k > 63:
+                                raise ValueError(
+                                    "corrupt JPEG: AC run past block end"
+                                )
+                            zz[k] = _jpeg_extend(
+                                reader.read_bits(size), size
+                            )
+                            k += 1
+                        coeff = np.zeros((8, 8), dtype=np.float64)
+                        for kk, (r, c) in enumerate(_JPEG_ZIGZAG):
+                            coeff[r, c] = zz[kk]
+                        coeff *= qtables[tq]
+                        by, bx = (my * vi + v) * 8, (mx * hi + u) * 8
+                        planes[ci][by : by + 8, bx : bx + 8] = (
+                            dctm.T @ coeff @ dctm
+                        )
     if len(comps) == 1:
         px = np.clip(np.rint(planes[0] + 128.0), 0, 255).astype(np.uint8)
         return px[:h, :w]
+    # upsample subsampled components to full resolution by pixel
+    # replication (T.81 leaves the upsampling filter to the decoder;
+    # replication is exact on constant chroma — the oracle class —
+    # and within a filter's footprint of any interpolating decoder
+    # elsewhere)
+    for ci, (_, hi, vi, _) in enumerate(comps):
+        if (hi, vi) != (maxh, maxv):
+            planes[ci] = np.repeat(
+                np.repeat(planes[ci], maxv // vi, axis=0),
+                maxh // hi,
+                axis=1,
+            )
     y = planes[0] + 128.0
     cb, cr = planes[1], planes[2]  # already centered (level shift = 128)
     rgb = np.stack(
@@ -2387,6 +2453,53 @@ def synthesize_color_jpeg_images(df: DataFrame, id_col: str) -> DataFrame:
                 img = img[: th * 8 - 2, : tw * 8 - 1]
                 payloads.append(
                     encode_jpeg_color(np.stack([img, img, img], axis=-1))
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def synthesize_subsampled_jpeg_images(
+    df: DataFrame, id_col: str
+) -> DataFrame:
+    """Deterministic REAL chroma-SUBSAMPLED baseline-JPEG payloads
+    (r15): image ``id`` encodes 4:2:0 when ``id`` is even and 4:2:2
+    when odd, through the general sampling-factor MCU pipeline (Y
+    2x2/2x1 blocks per MCU, box-averaged chroma, edge-replicate
+    padding to the 16-pixel MCU grid). Same exactness contract as
+    :func:`synthesize_color_jpeg_images`: a grid of (1 + id%3) x
+    (2 + id%2) tiles of 8x8 GRAY-VALUED pixels (R=G=B = the constant
+    EVEN value ``2*((id*41 + tr*13 + tc*7) % 128)``), cropped to
+    (tiles_h*8 - 1, tiles_w*8 - 2). Gray values make the CENTERED
+    chroma exactly zero, box-averaging zero is zero, and replication
+    upsampling of zero is zero — so subsampling is LOSSLESS on this
+    class and the decoded per-channel stats replay from the closed
+    tile form in SQL (the c214 oracle)."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                th, tw = 1 + i % 3, 2 + i % 2
+                tr = np.arange(th)[:, None]
+                tc = np.arange(tw)[None, :]
+                tiles = (2 * ((i * 41 + tr * 13 + tc * 7) % 128)).astype(
+                    np.uint8
+                )
+                img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+                img = img[: th * 8 - 1, : tw * 8 - 2]
+                payloads.append(
+                    encode_jpeg_color(
+                        np.stack([img, img, img], axis=-1),
+                        sampling="420" if i % 2 == 0 else "422",
+                    )
                 )
             yield pd.DataFrame(
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}

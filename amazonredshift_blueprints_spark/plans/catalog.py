@@ -17288,6 +17288,62 @@ def c213_jpeg_color_decode_stats(
 
 
 @query(
+    "c214_jpeg_subsampled_decode_stats",
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id, g1.r, g2.c,
+               CAST(2 * ((d.doc_id * 41 + (g1.r // 8) * 13
+                          + (g2.c // 8) * 7) % 128) AS BIGINT) AS v
+        FROM documents d, range(24) g1(r), range(24) g2(c)
+        WHERE g1.r < (1 + d.doc_id % 3) * 8 - 1
+          AND g2.c < (2 + d.doc_id % 2) * 8 - 2
+    )
+    SELECT doc_id,
+           CAST((2 + doc_id % 2) * 8 - 2 AS BIGINT) AS width,
+           CAST((1 + doc_id % 3) * 8 - 1 AS BIGINT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS sum_r,
+           CAST(SUM(v) AS BIGINT) AS sum_g,
+           CAST(SUM(v) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    doc="REAL chroma-SUBSAMPLED baseline JPEG decode — 4:2:0 and "
+        "4:2:2 (operators/multimodal.py, r15, closing the highest-"
+        "frequency refusal left on the codec ladder: nearly every "
+        "camera/web JPEG is 4:2:0): the encoder gains selectable "
+        "sampling (Y 2x2 or 2x1 blocks per MCU, box-averaged chroma, "
+        "16-pixel MCU padding) and the decoder a general sampling-"
+        "factor MCU walk with per-component block grids and "
+        "replication chroma upsampling (T.81 leaves the upsampling "
+        "filter to the decoder). pytest cross-validates encoder "
+        "bytes bit-for-bit against the JVM's independent "
+        "javax.imageio decoder on the exactness class and within "
+        "quantization rounding on solid colors. The lossy-codec "
+        "oracle trick, subsampled edition: GRAY-valued even tiles "
+        "put the CENTERED chroma at exactly zero — box-averaging "
+        "zero is zero and replication-upsampling zero is zero — so "
+        "subsampling is LOSSLESS on this class, the whole 4:2:0/"
+        "4:2:2 pipeline round-trips bit-identically (each id uses "
+        "4:2:0 when even, 4:2:2 when odd), and per-channel sums "
+        "replay from the closed tile form in SQL. Progressive, "
+        "non-integer sampling grids and CMYK still refuse loudly. "
+        "Decode is Arrow-batched inside the scan's partitions — no "
+        "shuffle",
+    tags=("multimodal",),
+)
+def c214_jpeg_subsampled_decode_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import (
+        image_channel_stats,
+        synthesize_subsampled_jpeg_images,
+    )
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return image_channel_stats(synthesize_subsampled_jpeg_images(d, "doc_id"))
+
+
+@query(
     "q108_procedure_refcursor",
     oracle="""
     SELECT o_orderkey,
@@ -18174,7 +18230,9 @@ _DRIVER_WINDOW = [
     "q21_scalar_conditional",
     "q22_scalar_json",
     "q23_cte_subquery",
-    "a03_sql_passthrough",
+    # --- round-15 additions (land in their own round's window,
+    # displacing fillers newest-first: a03 out for c214) ---
+    "c214_jpeg_subsampled_decode_stats",
 ]
 
 

@@ -751,9 +751,12 @@ def test_jpeg_refusals_and_corruption():
     with pytest.raises(ValueError, match="color JPEG"):
         decode_jpeg_gray(bytes(cenc))
     sofc = cenc.find(b"\xff\xc0")
+    # 4:2:0/4:2:2 DECODE for real since r15 — the refusal left is a
+    # non-integer upsampling ratio (Y 2x2 with a 3x1 sibling: 3 % 2)
     sub = bytearray(cenc)
-    sub[sofc + 11] = 0x22  # Y sampling factor -> 4:2:0
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    sub[sofc + 11] = 0x22  # Y -> 2x2
+    sub[sofc + 14] = 0x31  # Cb -> 3x1: maxh=3 not divisible by Y's 2
+    with pytest.raises(NotImplementedError, match="non-integer"):
         decode_jpeg(bytes(sub))
     four = bytearray(cenc)
     four[sofc + 9] = 4  # ncomp -> CMYK-style
@@ -800,6 +803,53 @@ def test_jpeg_color_roundtrip_exact_on_gray_tiles_and_psnr():
     dec = decode_jpeg(encode_jpeg_color(smooth)).astype(float)
     mse = np.mean((dec - smooth.astype(float)) ** 2)
     assert 10 * np.log10(255.0**2 / mse) > 30.0  # measured ~46 dB
+
+
+def test_jpeg_subsampled_roundtrip_and_shapes():
+    """Chroma-subsampled encode+decode (r15): bit-exact on gray-valued
+    even tiles under BOTH 4:2:0 and 4:2:2 (zero centered chroma is
+    invariant under box-average downsampling and replication
+    upsampling); PSNR-bounded on smooth color content; shape contract
+    holds on sizes that are multiples of neither 8 nor the 16-pixel
+    MCU grid (edge-replicate padding to the MCU grid, cropped back)."""
+    import numpy as np
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.default_rng(13)
+    tiles = (2 * rng.integers(0, 128, size=(3, 4))).astype(np.uint8)
+    g = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))[:22, :29]
+    rgb = np.stack([g, g, g], axis=-1)
+    for sampling in ("420", "422", "444"):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_color(rgb, sampling=sampling)), rgb
+        ), sampling
+    yy, xx = np.mgrid[0:41, 0:53]
+    smooth = np.stack(
+        [(yy * 2) % 256, (xx * 2) % 256, (yy + xx) % 256], axis=-1
+    ).astype(np.uint8)
+    for sampling in ("420", "422"):
+        dec = decode_jpeg(
+            encode_jpeg_color(smooth, sampling=sampling)
+        )
+        assert dec.shape == smooth.shape, sampling
+        mse = np.mean((dec.astype(float) - smooth.astype(float)) ** 2)
+        # chroma carries real signal here, so subsampling costs a few
+        # dB vs 4:4:4's ~46 — measured ~43.3 (420) / ~44.1 (422)
+        assert 10 * np.log10(255.0**2 / mse) > 30.0, sampling
+    noise = rng.integers(0, 256, size=(17, 19, 3)).astype(np.uint8)
+    for sampling in ("420", "422"):
+        assert (
+            decode_jpeg(encode_jpeg_color(noise, sampling=sampling)).shape
+            == noise.shape
+        ), sampling
+    import pytest
+
+    with pytest.raises(ValueError, match="sampling must be"):
+        encode_jpeg_color(rgb, sampling="411")
 
 
 def test_jpeg_color_bytes_decode_identically_in_jvm_imageio(spark):
@@ -851,3 +901,17 @@ def test_jpeg_color_bytes_decode_identically_in_jvm_imageio(spark):
     o = decode_jpeg(enc2).astype(int)
     assert np.abs(j - o).max() <= 2
     assert np.abs(o - solid.astype(int)).max() <= 2
+    # r15 — SUBSAMPLED bitstreams (4:2:0/4:2:2) cross-validate the
+    # same way: bit-for-bit on the exactness class (gray-valued even
+    # tiles — zero centered chroma survives box-averaging and
+    # replication upsampling exactly), within quantization rounding
+    # on solid colors (constant chroma, so any upsampler agrees)
+    for sampling in ("420", "422"):
+        enc3 = encode_jpeg_color(rgb, sampling=sampling)
+        assert np.array_equal(jvm_decode(enc3), rgb), sampling
+        assert np.array_equal(decode_jpeg(enc3), rgb), sampling
+        enc4 = encode_jpeg_color(solid, sampling=sampling)
+        j = jvm_decode(enc4).astype(int)
+        o = decode_jpeg(enc4).astype(int)
+        assert np.abs(j - o).max() <= 2, sampling
+        assert np.abs(o - solid.astype(int)).max() <= 2, sampling
