@@ -1679,3 +1679,202 @@ def test_alias_refusals(spark):
         "  NULL;\n",
     )
     execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_alias_bad")
+
+
+def test_fuzz_records_cursors_scopes_exceptions(spark):
+    """Differential fuzz, family 4 (r15 — VERDICT r14 item 6): seeded
+    random programs mixing FOR-r-IN-query record loops, bound-cursor
+    FETCH INTO RECORD drains inside nested DECLARE blocks, shadowing
+    inner scopes, and EXCEPTION recovery — including raises that unwind
+    THROUGH a nested DECLARE scope to an outer handler (the inner
+    shadow must be discarded on the way out). The Spark interpreter and
+    a direct Python interpretation (scope stack + exception propagation)
+    must agree on the final variable state. Rows come from range(6) with
+    v = k*k % 7, so every loop/fetch result is closed-form."""
+    import random
+
+    ROWS = [(k, (k * k) % 7) for k in range(6)]
+
+    def matches(m, rm):
+        return [(k, v) for k, v in ROWS if k % m == rm]
+
+    def gen(rng, depth=0, in_try=False):
+        stmts = []
+        for _ in range(rng.randint(2, 4)):
+            kinds = ["assign", "assign"]
+            if depth < 2:
+                kinds += ["forq", "cursor", "shadow", "exc"]
+                if in_try:
+                    kinds.append("shadow_raise")
+            kind = rng.choice(kinds)
+            if kind == "assign":
+                stmts.append(("assign", rng.choice(["v_a", "v_b"]),
+                              rng.choice(["+", "*"]), rng.randint(1, 5)))
+            elif kind == "forq":
+                m = rng.choice([1, 2, 3])
+                rm = rng.randrange(m)
+                stmts.append(("forq", m, rm, gen(rng, depth + 1, in_try)))
+            elif kind == "cursor":
+                m = rng.choice([1, 2, 3])
+                rm = rng.randrange(m)
+                nf = rng.randint(1, len(matches(m, rm)))
+                stmts.append(("cursor", m, rm, nf))
+            elif kind == "shadow":
+                stmts.append(("shadow", rng.randint(1, 9),
+                              gen(rng, depth + 1, in_try)))
+            elif kind == "shadow_raise":
+                stmts.append(("shadow_raise", rng.randint(1, 9),
+                              rng.choice(["v_a", "v_b"]), rng.randint(0, 2)))
+            else:
+                stmts.append(("exc", gen(rng, depth + 1, True),
+                              rng.choice(["v_a", "v_b"]), rng.randint(0, 2),
+                              gen(rng, depth + 1, in_try)))
+        return stmts
+
+    Q = ("SELECT id AS k, (id * id) % 7 AS v FROM range(6) "
+         "WHERE id % {m} = {rm} ORDER BY id")
+
+    def render(stmts, ind="  "):
+        out = []
+        for s in stmts:
+            if s[0] == "assign":
+                _, v, op, c = s
+                out.append(f"{ind}{v} := ({v} {op} {c}) % 1000;")
+            elif s[0] == "forq":
+                _, m, rm, body = s
+                out.append(f"{ind}FOR r IN {Q.format(m=m, rm=rm)} LOOP")
+                out.append(f"{ind}  v_a := (v_a + r.k + r.v) % 1000;")
+                out.append(render(body, ind + "  "))
+                out.append(f"{ind}END LOOP;")
+            elif s[0] == "cursor":
+                _, m, rm, nf = s
+                out.append(f"{ind}DECLARE")
+                out.append(f"{ind}  c CURSOR FOR {Q.format(m=m, rm=rm)};")
+                out.append(f"{ind}  rc RECORD;")
+                out.append(f"{ind}BEGIN")
+                out.append(f"{ind}  OPEN c;")
+                for _ in range(nf):
+                    out.append(f"{ind}  FETCH c INTO rc;")
+                    out.append(
+                        f"{ind}  v_b := (v_b + rc.k * 2 + rc.v) % 1000;"
+                    )
+                out.append(f"{ind}  CLOSE c;")
+                out.append(f"{ind}END;")
+            elif s[0] == "shadow":
+                _, init, body = s
+                out.append(f"{ind}DECLARE v_b int := {init};")
+                out.append(f"{ind}BEGIN")
+                out.append(f"{ind}  v_b := (v_b + 5) % 1000;")
+                out.append(render(body, ind + "  "))
+                out.append(f"{ind}END;")
+            elif s[0] == "shadow_raise":
+                _, init, v, mm = s
+                out.append(f"{ind}DECLARE v_b int := {init};")
+                out.append(f"{ind}BEGIN")
+                out.append(f"{ind}  v_b := (v_b + {v}) % 1000;")
+                out.append(f"{ind}  IF {v} % 3 = {mm} THEN")
+                out.append(f"{ind}    RAISE EXCEPTION 'fz4 %', {v};")
+                out.append(f"{ind}  END IF;")
+                out.append(f"{ind}  v_a := (v_a + v_b) % 1000;")
+                out.append(f"{ind}END;")
+            else:
+                _, t, v, mm, h = s
+                out.append(f"{ind}BEGIN")
+                out.append(render(t, ind + "  "))
+                out.append(f"{ind}  IF {v} % 3 = {mm} THEN")
+                out.append(f"{ind}    RAISE EXCEPTION 'fz4 %', {v};")
+                out.append(f"{ind}  END IF;")
+                out.append(f"{ind}EXCEPTION WHEN OTHERS THEN")
+                out.append(render(h, ind + "  "))
+                out.append(f"{ind}END;")
+        return "\n".join(out)
+
+    def get(env, v):
+        for d in reversed(env):
+            if v in d:
+                return d[v]
+        raise KeyError(v)
+
+    def setv(env, v, val):
+        for d in reversed(env):
+            if v in d:
+                d[v] = val
+                return
+        raise KeyError(v)
+
+    def interp(stmts, env):
+        for s in stmts:
+            if s[0] == "assign":
+                _, v, op, c = s
+                cur = get(env, v)
+                setv(env, v, (cur + c if op == "+" else cur * c) % 1000)
+            elif s[0] == "forq":
+                _, m, rm, body = s
+                for k, v in matches(m, rm):
+                    setv(env, "v_a", (get(env, "v_a") + k + v) % 1000)
+                    interp(body, env)
+            elif s[0] == "cursor":
+                _, m, rm, nf = s
+                for k, v in matches(m, rm)[:nf]:
+                    setv(env, "v_b",
+                         (get(env, "v_b") + k * 2 + v) % 1000)
+            elif s[0] == "shadow":
+                _, init, body = s
+                env.append({"v_b": init})
+                try:
+                    setv(env, "v_b", (get(env, "v_b") + 5) % 1000)
+                    interp(body, env)
+                finally:
+                    env.pop()
+            elif s[0] == "shadow_raise":
+                _, init, v, mm = s
+                env.append({"v_b": init})
+                try:
+                    setv(env, "v_b",
+                         (get(env, "v_b") + get(env, v)) % 1000)
+                    if get(env, v) % 3 == mm:
+                        raise RuntimeError("fz4")
+                    setv(env, "v_a",
+                         (get(env, "v_a") + get(env, "v_b")) % 1000)
+                finally:
+                    env.pop()
+            else:
+                _, t, v, mm, h = s
+                try:
+                    interp(t, env)
+                    if get(env, v) % 3 == mm:
+                        raise RuntimeError("fz4")
+                except RuntimeError:
+                    interp(h, env)
+
+    from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+    spark.sql("DROP TABLE IF EXISTS bp_proc_fuzz4")
+    n_cases = 0
+    for seed in (5, 17, 41, 63, 88, 123):
+        rng = random.Random(seed)
+        prog = gen(rng)
+        env = [{"v_a": 1, "v_b": 2}]
+        interp(prog, env)
+        body = render(prog)
+        execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_fuzz4")
+        execute_sql(
+            spark,
+            "CREATE PROCEDURE bp_fuzz4() AS $$\n"
+            "DECLARE v_a int := 1; v_b int := 2;\n"
+            "BEGIN\n"
+            "CREATE TABLE IF NOT EXISTS bp_proc_fuzz4 "
+            "(a INT, b INT) USING parquet;\n"
+            f"{body}\n"
+            "INSERT INTO bp_proc_fuzz4 SELECT v_a, v_b;\n"
+            "END;\n$$",
+        )
+        execute_sql(spark, "CALL bp_fuzz4()")
+        rows = [
+            (r["a"], r["b"]) for r in spark.table("bp_proc_fuzz4").collect()
+        ]
+        assert rows == [(env[0]["v_a"], env[0]["v_b"])], (seed, rows, env)
+        spark.sql("DROP TABLE IF EXISTS bp_proc_fuzz4")
+        execute_sql(spark, "DROP PROCEDURE bp_fuzz4")
+        n_cases += 1
+    assert n_cases == 6
