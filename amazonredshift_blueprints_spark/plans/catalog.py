@@ -17344,6 +17344,136 @@ def c214_jpeg_subsampled_decode_stats(
 
 
 @query(
+    "q111_time_travel_append",
+    oracle="""
+    WITH p0 AS (SELECT o_orderkey, o_totalprice FROM orders
+                WHERE o_orderkey % 4 = 0),
+    p1 AS (SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderkey % 4 = 1),
+    p2 AS (SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderkey % 4 = 2),
+    p3 AS (SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderkey % 4 = 3),
+    v1 AS (SELECT * FROM p0 UNION ALL SELECT * FROM p1),
+    v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM p2),
+    v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM p3),
+    v4 AS (SELECT * FROM v3 WHERE NOT (o_orderkey % 10 = 3)),
+    snaps AS (
+        SELECT 0 AS v, 'enable_history' AS op, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS total_price FROM p0
+        UNION ALL
+        SELECT 1, 'insert', COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) FROM v1
+        UNION ALL
+        SELECT 2, 'alter append in', COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) FROM v2
+        UNION ALL
+        SELECT 3, 'copy', COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) FROM v3
+        UNION ALL
+        SELECT 4, 'dml rewrite', COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) FROM v4
+    )
+    SELECT CAST(v AS INTEGER) AS version, op,
+           CAST(n_rows AS BIGINT) AS n_rows, total_price
+    FROM snaps ORDER BY version
+    """,
+    doc="O(new-files) APPEND commits on history tables (timetravel.py, "
+        "r15 — the manifest-of-files log): INSERT INTO, ALTER TABLE "
+        "APPEND, and COPY on a history-enabled table each publish a "
+        "new version that writes ONLY the new rows' parquet files and "
+        "carries the previous manifest by hard link — O(batch), not "
+        "the full copy-on-write rewrite of the r14 design (pytest "
+        "pins the inode behavior; this entry driver-certifies the "
+        "statement interceptions end-to-end, r14 advisor's high "
+        "finding: COPY and ALTER APPEND previously mutated the live "
+        "snapshot in place with no log entry). The entry runs CREATE "
+        "-> enable(v0) -> INSERT INTO(v1) -> ALTER TABLE APPEND(v2) "
+        "-> UNLOAD+COPY round trip(v3) -> SQL DELETE(v4, a full-state "
+        "dml rewrite), then aggregates EVERY version via table_at() "
+        "manifest reads joined with the commit log's op strings; the "
+        "oracle replays the version states as CTEs. Scale: append "
+        "commits write O(batch) data + O(#files) link metadata; "
+        "snapshot reads are plain distributed parquet scans over the "
+        "manifest with pushdown intact",
+    tags=("native", "sql", "dml", "orders"),
+)
+def q111_time_travel_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    from functools import reduce
+
+    from .. import timetravel as tt
+    from ..ingest import _clean_stale_location
+    from ..sqlrun import execute_sql
+
+    views(spark, sf_dir, "orders")
+    tbl, side = "bp_tta_orders", "bp_tta_side"
+    for t in (tbl, side):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        tt.remove_history(spark, t)  # re-entrant builds
+        _clean_stale_location(spark, t, None)
+    execute_sql(
+        spark,
+        f"CREATE TABLE {tbl} AS SELECT o_orderkey, o_totalprice "
+        "FROM orders WHERE o_orderkey % 4 = 0",
+    )
+    tt.enable_history(spark, tbl)  # v0
+    execute_sql(
+        spark,
+        f"INSERT INTO {tbl} SELECT o_orderkey, o_totalprice "
+        "FROM orders WHERE o_orderkey % 4 = 1",
+    )  # v1: append commit
+    execute_sql(
+        spark,
+        f"CREATE TABLE {side} AS SELECT o_orderkey, o_totalprice "
+        "FROM orders WHERE o_orderkey % 4 = 2",
+    )
+    execute_sql(spark, f"ALTER TABLE {tbl} APPEND FROM {side}")  # v2
+    tmp = tempfile.mkdtemp(prefix="bp_tta_")
+    src = os.path.join(tmp, "part3.csv")
+    execute_sql(
+        spark,
+        "UNLOAD ('SELECT o_orderkey, o_totalprice FROM orders "
+        f"WHERE o_orderkey % 4 = 3') TO '{src}' PARALLEL OFF",
+    )
+    execute_sql(spark, f"COPY {tbl} FROM '{src}'")  # v3: append commit
+    execute_sql(spark, f"DELETE FROM {tbl} WHERE o_orderkey % 10 = 3")  # v4
+    ops = {
+        r["version"]: r["op"] for r in tt.history(spark, tbl).collect()
+    }  # commit log: metadata-sized collect (one row per version)
+
+    def snap(v: int) -> DataFrame:
+        return (
+            tt.table_at(spark, tbl, version=v)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                # decimal-cast the float sum (catalog convention): the
+                # cents-exact decimal sum agrees bit-for-bit across
+                # engines regardless of summation order
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .select(
+                F.lit(v).cast("int").alias("version"),
+                F.lit(ops[v]).alias("op"),
+                "n_rows",
+                "total_price",
+            )
+        )
+
+    return reduce(DataFrame.unionAll, [snap(v) for v in range(5)]).orderBy(
+        "version"
+    )
+
+
+@query(
     "q108_procedure_refcursor",
     oracle="""
     SELECT o_orderkey,
@@ -18229,10 +18359,11 @@ _DRIVER_WINDOW = [
     "q18_setops",
     "q21_scalar_conditional",
     "q22_scalar_json",
-    "q23_cte_subquery",
     # --- round-15 additions (land in their own round's window,
-    # displacing fillers newest-first: a03 out for c214) ---
+    # displacing fillers newest-first: a03 out for c214, q23 out for
+    # q111) ---
     "c214_jpeg_subsampled_decode_stats",
+    "q111_time_travel_append",
 ]
 
 
