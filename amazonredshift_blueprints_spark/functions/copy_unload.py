@@ -996,7 +996,14 @@ def execute_alter_append(spark, spec: AlterAppendSpec) -> None:
 
     from ..dml import _table_lock
 
+    from .. import timetravel
+
     with _table_lock(spark, spec.target), _table_lock(spark, spec.source):
+        for side in (spec.target, spec.source):
+            if timetravel.is_history_table(spark, side):
+                # post-crash pointer lag heals under the lock, before
+                # the pre-image reads below (timetravel._heal_pointer)
+                timetravel._heal_pointer(spark, side)
         tgt = spark.table(spec.target)
         src = spark.table(spec.source)
         tcols = tgt.columns
@@ -1020,8 +1027,6 @@ def execute_alter_append(spark, spec: AlterAppendSpec) -> None:
                 for c in tcols
             ]
         )
-        from .. import timetravel
-
         if timetravel.is_history_table(spark, spec.target):
             # history-tracked target (r14 advisor): a native append
             # would add files to the live version directory, silently

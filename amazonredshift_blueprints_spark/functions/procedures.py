@@ -249,8 +249,16 @@ def _blank_comments(text: str) -> str:
             out.append(" " * (j - i))
             i = j
         elif text[i : i + 2] == "/*":
-            j = text.find("*/", i + 2)
-            j = n if j < 0 else j + 2
+            # block comments NEST in PostgreSQL/plpgsql: track depth so
+            # the blanking consumes the whole outermost comment
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if text[j : j + 2] == "/*":
+                    depth, j = depth + 1, j + 2
+                elif text[j : j + 2] == "*/":
+                    depth, j = depth - 1, j + 2
+                else:
+                    j += 1
             out.append(" " * (j - i))
             i = j
         else:

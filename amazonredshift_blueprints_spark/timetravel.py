@@ -57,13 +57,14 @@ append leaks one unreferenced ``v<n>`` directory (version numbering
 skips occupied directories, so nothing wedges; vacuum reclaims it). A
 crash between log append and pointer swap leaves the pointer one
 version behind the log: the logged tip stays readable via
-``table_at``, and the pointer self-heals — :func:`is_history_table`
-(called on every DML/INSERT interception) re-points the table at the
-tip when it detects the lag, and the next successful commit moves the
-pointer regardless. Residue, stated honestly: a DML statement whose
-pre-image read raced exactly that crash window bases on the
-pre-crash version, leaving the logged tip as a dead branch in the log
-(readable, never silently lost).
+``table_at``, and the pointer self-heals — :func:`_heal_pointer` runs
+UNDER the writer lock at the start of every statement interception
+(the INSERT/COPY stage twins, ALTER APPEND), and the next successful
+commit moves the pointer regardless. Residue, stated honestly: a
+plain reader, or a DELETE/UPDATE/MERGE whose pre-image read raced
+exactly that crash window, sees/bases on the pre-crash version,
+leaving the logged tip as a dead branch in the log (readable, never
+silently lost).
 
 Concurrency: writers serialize on the same per-table writer lock as
 all DML here (dml._table_lock); enable / restore / vacuum take it
@@ -97,7 +98,10 @@ the commit log and that the catalog table's current location is under
 the table's history root — a table DROPped and re-created under the
 same name therefore does NOT inherit the old log (its fresh location
 is outside the root); the orphaned log stays on disk for forensic
-``table_at`` reads until ``remove_history``.
+``table_at`` reads until ``remove_history``, and ``enable_history``
+on the re-created table REFUSES while it exists (overwriting it would
+destroy the audit trail and strand its version directories beyond
+vacuum's reach).
 
 100 TB: a full-state commit writes exactly the bytes the copy-on-write
 rewrite already wrote — history adds zero write amplification; an
@@ -110,6 +114,7 @@ commit log.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -236,27 +241,35 @@ def is_history_table(spark: SparkSession, table: str) -> bool:
     location is under the table's history root (→ DML must
     version-commit). The location check stops a DROPped-and-recreated
     table from inheriting a stale log (r14 advisor): the fresh table's
-    location is outside the root, so it reads as plain.
-
-    Side effect, by design: when the pointer lags the log tip (the
-    crash window between log append and pointer swap — see the module
-    docstring), this call re-points the table at the tip. It runs on
-    every DML/INSERT/COPY interception, so the lag heals at the first
-    subsequent statement."""
+    location is outside the root, so it reads as plain. Pure predicate
+    — the pointer self-heal lives in :func:`_heal_pointer`, which the
+    statement interceptions run UNDER the writer lock (a lock-free
+    heal could regress the pointer behind a concurrent commit)."""
     root = _table_root(spark, table)
     if not os.path.exists(_log_path(root)):
         return False
     loc = _table_location(spark, table)
-    if loc is None or not loc.startswith(os.path.normpath(root) + os.sep):
-        return False
-    entries = _read_log(root)
+    return loc is not None and loc.startswith(
+        os.path.normpath(root) + os.sep
+    )
+
+
+def _heal_pointer(spark: SparkSession, table: str) -> None:
+    """Re-point the table at the log tip if the pointer lags it (the
+    crash window between log append and pointer swap — see the module
+    docstring). CALLER HOLDS THE TABLE WRITER LOCK, so the heal can
+    never race a concurrent commit's own pointer swap. Runs at the
+    start of every statement interception; plain readers see the
+    lagging (previous) version until the next write statement, the
+    documented post-crash residue."""
+    entries = _read_log(_table_root(spark, table))
     tip = os.path.normpath(entries[-1]["location"])
-    if loc != tip:
+    loc = _table_location(spark, table)
+    if loc is not None and loc != tip:
         spark.sql(
             f"ALTER TABLE {_qualified(spark, table)} SET LOCATION '{tip}'"
         )
         spark.catalog.refreshTable(_lock_key(spark, table))
-    return True
 
 
 def enable_history(spark: SparkSession, table: str) -> int:
@@ -269,10 +282,15 @@ def enable_history(spark: SparkSession, table: str) -> int:
     the version (0).
     """
     key = _lock_key(spark, table)
-    if is_history_table(spark, table):
+    if os.path.exists(_log_path(_table_root(spark, table))):
+        # covers BOTH a live history table and an orphaned log left by
+        # a DROPped predecessor: overwriting the latter would destroy
+        # the promised forensic audit trail and strand its version
+        # directories beyond vacuum's reach
         raise ValueError(
-            f"history already enabled for {key}; remove_history() first "
-            "to start over (timetravel.py)"
+            f"history already enabled for {key} (or an earlier table of "
+            "the same name left its commit log behind); remove_history() "
+            "first to start over (timetravel.py)"
         )
     if not spark.catalog.tableExists(key):
         raise ValueError(f"enable_history: no catalog table {key}")
@@ -415,11 +433,18 @@ def commit_append(
     for i, src in enumerate(_entry_paths(prev)):
         name = os.path.basename(src)
         dst = os.path.join(vdir, name)
-        if os.path.exists(dst):
-            dst = os.path.join(vdir, f"l{i:05d}-{name}")
+        j = i
+        while os.path.exists(dst):  # find a FREE name first: an
+            # l-prefixed name can itself collide once previous appends
+            # created carried l-names, and both os.link's
+            # FileExistsError and copy2's silent overwrite would drop
+            # the already-carried file's rows (links run sequentially,
+            # so an exists-check per candidate is race-free here)
+            dst = os.path.join(vdir, f"l{j:05d}-{name}")
+            j += 1
         try:
             os.link(src, dst)
-        except OSError:
+        except OSError:  # cross-device filesystem: fall back to a copy
             shutil.copy2(src, dst)
     _publish(
         spark,
@@ -436,6 +461,31 @@ def commit_append(
         vdir,
     )
     return n
+
+
+@contextlib.contextmanager
+def _stage_twin(spark: SparkSession, table: str, prefix: str):
+    """Writer-locked staging protocol shared by the INSERT and COPY
+    interceptions: heal a post-crash pointer lag, create an empty
+    schema twin of ``table`` under a uuid-unique name, yield it, and
+    always drop it. The lock spans the whole stage→commit sequence."""
+    import uuid
+
+    from .ingest import _clean_stale_location
+
+    key = _lock_key(spark, table)
+    qualified = _qualified(spark, table)
+    stage = f"{prefix}{uuid.uuid4().hex[:12]}"
+    with _table_lock(spark, key):
+        _heal_pointer(spark, key)
+        _clean_stale_location(spark, stage, None)
+        spark.sql(
+            f"CREATE TABLE {stage} AS SELECT * FROM {qualified} WHERE 1=0"
+        )
+        try:
+            yield stage
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {stage}")
 
 
 def execute_insert(
@@ -458,27 +508,14 @@ def execute_insert(
     rows' files are written); INSERT OVERWRITE is a full-state commit
     of the incoming rows alone.
     """
-    import uuid
-
-    from .ingest import _clean_stale_location
-
     key = _lock_key(spark, table)
-    qualified = _qualified(spark, table)
-    stage = f"_bp_tt_ins_{uuid.uuid4().hex[:12]}"
-    with _table_lock(spark, key):
-        _clean_stale_location(spark, stage, None)
-        spark.sql(
-            f"CREATE TABLE {stage} AS SELECT * FROM {qualified} WHERE 1=0"
-        )
-        try:
-            spark.sql(f"{stmt_prefix}{stage}{stmt_suffix}")
-            new_rows = spark.table(stage)
-            if overwrite:
-                commit_version(spark, key, new_rows, op="insert overwrite")
-            else:
-                commit_append(spark, key, new_rows, op="insert")
-        finally:
-            spark.sql(f"DROP TABLE IF EXISTS {stage}")
+    with _stage_twin(spark, key, "_bp_tt_ins_") as stage:
+        spark.sql(f"{stmt_prefix}{stage}{stmt_suffix}")
+        new_rows = spark.table(stage)
+        if overwrite:
+            commit_version(spark, key, new_rows, op="insert overwrite")
+        else:
+            commit_append(spark, key, new_rows, op="insert")
 
 
 def execute_copy_history(spark: SparkSession, spec, run_copy) -> int:
@@ -494,28 +531,17 @@ def execute_copy_history(spark: SparkSession, spec, run_copy) -> int:
     against the stage are re-keyed to the real table name. Returns the
     row count after the load (execute_copy's contract)."""
     import dataclasses
-    import uuid
 
     from .functions.system_tables import rekey_load_errors
-    from .ingest import _clean_stale_location
 
     full = f"{spec.schema_name}.{spec.table}" if spec.schema_name else spec.table
     key = _lock_key(spark, full)
-    qualified = _qualified(spark, full)
-    stage = f"_bp_tt_copy_{uuid.uuid4().hex[:12]}"
-    with _table_lock(spark, key):
-        _clean_stale_location(spark, stage, None)
-        spark.sql(
-            f"CREATE TABLE {stage} AS SELECT * FROM {qualified} WHERE 1=0"
-        )
-        try:
-            staged = dataclasses.replace(spec, table=stage, schema_name=None)
-            run_copy(spark, staged)
-            rekey_load_errors(spark, stage, key)
-            commit_append(spark, key, spark.table(stage), op="copy")
-        finally:
-            spark.sql(f"DROP TABLE IF EXISTS {stage}")
-    return spark.table(qualified).count()
+    with _stage_twin(spark, key, "_bp_tt_copy_") as stage:
+        staged = dataclasses.replace(spec, table=stage, schema_name=None)
+        run_copy(spark, staged)
+        rekey_load_errors(spark, stage, key)
+        commit_append(spark, key, spark.table(stage), op="copy")
+    return spark.table(_qualified(spark, full)).count()
 
 
 def table_at(
@@ -559,6 +585,15 @@ def history(spark: SparkSession, table: str) -> DataFrame:
     """The commit log as a DataFrame (version, committed_at, op,
     location, n_files)."""
     entries = _read_log(_table_root(spark, table))
+
+    def n_files(e: dict) -> int:
+        if e.get("files") is not None:  # explicit: a legitimately
+            return len(e["files"])  # empty manifest reports 0
+        try:  # pre-manifest (r14) entry: count the directory —
+            return len(_data_files(e["location"]))  # which a vacuumed
+        except OSError:  # forensic log may no longer have
+            return 0
+
     return spark.createDataFrame(
         [
             (
@@ -566,7 +601,7 @@ def history(spark: SparkSession, table: str) -> DataFrame:
                 float(e["committed_at"]),
                 e["op"],
                 e["location"],
-                len(e.get("files") or _data_files(e["location"])),
+                n_files(e),
             )
             for e in entries
         ],

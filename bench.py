@@ -201,10 +201,16 @@ def main() -> None:
             with open(prev_files[-1]) as f:
                 prev_q = (json.load(f).get("parsed") or {}).get("queries") or {}
             cur_q = {short(n): v for n, v in timings.items()}
+            # skip sub-50ms prior medians: r15+ artifacts store the
+            # line's 2-decimal values, so tinier entries are
+            # quantization-dominated and would skew the median
             ratios = [
                 cur_q[k] / prev_q[k]
                 for k in cur_q
-                if k in prev_q and prev_q[k] and cur_q[k] is not None
+                if k in prev_q
+                and prev_q[k] is not None
+                and prev_q[k] >= 0.05
+                and cur_q[k] is not None
             ]
             if ratios:
                 median_ratio_prev = round(statistics.median(ratios), 4)

@@ -1678,6 +1678,13 @@ def test_alias_refusals(spark):
         "  /* DECLARE inside a\n     block comment */\n"
         "  NULL;\n",
     )
+    # block comments NEST in plpgsql: a DECLARE anywhere inside the
+    # outermost /* */ — including after an inner close — is a comment
+    create(
+        "  a2 ALIAS FOR p;\n",
+        "  /* outer /* DECLARE x int; */ DECLARE y int; */\n"
+        "  NULL;\n",
+    )
     execute_sql(spark, "DROP PROCEDURE IF EXISTS bp_alias_bad")
 
 

@@ -373,17 +373,25 @@ def test_dropped_and_recreated_table_does_not_inherit_history(spark):
     assert not tt.is_history_table(spark, "t_tt_recreate")
     execute_sql(spark, "INSERT INTO t_tt_recreate VALUES (99)")  # native
     assert spark.table("t_tt_recreate").count() == 1
-    # the orphaned log still serves forensic snapshot reads
+    # the orphaned log still serves forensic snapshot reads...
     assert tt.table_at(spark, "t_tt_recreate", version=1).count() == 4
     assert len(tt._read_log(tt._table_root(spark, "t_tt_recreate"))) == 2
+    # ...and enable_history REFUSES to overwrite it (it would destroy
+    # the audit trail and strand the old version dirs beyond vacuum)
+    with pytest.raises(ValueError, match="left its commit log"):
+        tt.enable_history(spark, "t_tt_recreate")
+    tt.remove_history(spark, "t_tt_recreate")
+    assert tt.enable_history(spark, "t_tt_recreate") == 0
     tt.remove_history(spark, "t_tt_recreate")
 
 
 def test_pointer_lag_heals_on_next_interception(spark):
     """Crash window between log append and pointer swap: the pointer
-    lags the log tip. is_history_table (every DML/INSERT/COPY
-    interception runs it) detects the lag and re-points the table at
-    the tip — the log is the source of truth, the pointer a cache."""
+    lags the log tip. The next intercepted statement heals it UNDER
+    the writer lock (timetravel._heal_pointer) before staging — the
+    log is the source of truth, the pointer a cache; is_history_table
+    itself stays a pure predicate (a lock-free heal could regress the
+    pointer behind a concurrent commit)."""
     from amazonredshift_blueprints_spark import timetravel as tt
 
     _fresh_history_table(spark, "t_tt_heal")
@@ -405,8 +413,13 @@ def test_pointer_lag_heals_on_next_interception(spark):
     )
     tt._write_log(root, entries)
     assert spark.table("t_tt_heal").count() == 3  # stale pointer
-    assert tt.is_history_table(spark, "t_tt_heal")  # heals
-    assert spark.table("t_tt_heal").count() == 5  # now at the tip
+    assert tt.is_history_table(spark, "t_tt_heal")  # pure: no heal
+    assert spark.table("t_tt_heal").count() == 3  # still the cache
+    # the next intercepted statement heals FIRST (under the lock), so
+    # its pre-image is the logged tip (5 rows), then appends one
+    execute_sql(spark, "INSERT INTO t_tt_heal VALUES (9, 90.00)")  # v3
+    assert spark.table("t_tt_heal").count() == 6
+    assert tt.table_at(spark, "t_tt_heal", version=3).count() == 6
 
 
 def test_vacuum_keeps_appended_chain_readable(spark):
