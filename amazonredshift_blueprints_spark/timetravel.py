@@ -638,9 +638,12 @@ def vacuum_history(
     spark: SparkSession, table: str, keep_last: int = 2
 ) -> list[int]:
     """Drop all but the last ``keep_last`` log entries and delete
-    version directories no retained entry references (restore entries
-    share directories, hence the refcount by location). The current
-    version is always retained. Returns the dropped version numbers.
+    every version directory no retained entry references — dropped
+    entries' directories (restore entries share directories, hence the
+    refcount by location) AND never-logged leak directories from a
+    crash between data write and log append (r15: previously those
+    were unreachable by vacuum). The current version is always
+    retained. Returns the dropped version numbers.
 
     Hard-linked carry-over files (append commits) make this safe at
     file granularity too: deleting an old version's directory only
@@ -654,11 +657,22 @@ def vacuum_history(
         root = _table_root(spark, table)
         entries = _read_log(root)
         keep, drop = entries[-keep_last:], entries[:-keep_last]
-        kept_locs = {e["location"] for e in keep}
-        for e in drop:
-            if e["location"] not in kept_locs and os.path.isdir(e["location"]):
-                shutil.rmtree(e["location"], ignore_errors=True)
+        kept_locs = {
+            os.path.normpath(e["location"]) for e in keep
+        }
         _write_log(root, keep)
+        # reclaim every version directory no retained entry references:
+        # dropped entries' dirs AND never-logged leaks (a crash between
+        # data write and log append). Safe under the writer lock — no
+        # commit can be mid-write while vacuum holds it.
+        for d in os.listdir(root):
+            path = os.path.normpath(os.path.join(root, d))
+            if (
+                d.startswith("v")
+                and os.path.isdir(path)
+                and path not in kept_locs
+            ):
+                shutil.rmtree(path, ignore_errors=True)
     return [e["version"] for e in drop]
 
 

@@ -422,6 +422,33 @@ def test_pointer_lag_heals_on_next_interception(spark):
     assert tt.table_at(spark, "t_tt_heal", version=3).count() == 6
 
 
+def test_vacuum_reclaims_never_logged_leak_dirs(spark):
+    """A crash between data write and log append leaks an occupied but
+    never-logged v-directory (version numbering skips it so commits
+    keep flowing); vacuum must reclaim it — it is referenced by no
+    retained entry."""
+    import os as _os
+
+    from amazonredshift_blueprints_spark import timetravel as tt
+
+    _fresh_history_table(spark, "t_tt_leak")
+    tt.enable_history(spark, "t_tt_leak")
+    root = tt._table_root(spark, "t_tt_leak")
+    ghost = _os.path.join(root, "v00000001")
+    _os.makedirs(ghost)
+    with open(_os.path.join(ghost, "part-leak.parquet"), "wb") as f:
+        f.write(b"leak")
+    # the next commit skips the occupied dir instead of wedging
+    execute_sql(spark, "DELETE FROM t_tt_leak WHERE k = 1")
+    log = tt._read_log(root)
+    assert log[-1]["version"] == 1
+    assert log[-1]["location"] != ghost
+    tt.vacuum_history(spark, "t_tt_leak", keep_last=2)  # drops nothing
+    assert not _os.path.isdir(ghost)  # ...but reclaims the leak
+    assert spark.table("t_tt_leak").count() == 4
+    assert tt.table_at(spark, "t_tt_leak", version=0).count() == 5
+
+
 def test_vacuum_keeps_appended_chain_readable(spark):
     """Vacuuming the base version of an append chain only unlinks the
     old directory's NAMES: the carried inodes survive through the
