@@ -19,7 +19,9 @@ Baseline JPEG encodes AND decodes for real since r14 — grayscale
 K.1/K.2 quantization tables, K.3.2 chroma Huffman tables,
 interleaved MCUs; r15 adds chroma-SUBSAMPLED 4:2:0/4:2:2 encode and
 decode with general sampling-factor MCU layout and replication
-upsampling, c214 — the layout nearly every camera/web JPEG uses) —
+upsampling, c214 — the layout nearly every camera/web JPEG uses —
+and RESTART INTERVALS, c215: DRI + RSTm markers emitted every N MCUs
+and consumed at the declared boundaries with DC predictors reset) —
 pure numpy DCT + canonical Huffman, cross-validated against the
 JVM's independent javax.imageio decoder; exactness contract for
 block-constant tiles documented at the JPEG section below.
@@ -1926,15 +1928,35 @@ def _jpeg_quantize_block(block, dctm, qt):
     return [int(q[r, c]) for r, c in _JPEG_ZIGZAG]
 
 
-def encode_jpeg_gray(pixels) -> bytes:
+def _jpeg_emit_restart(wtr: _JpegBitWriter, idx: int) -> None:
+    """Byte-align with 1-padding (T.81 F.1.2.3) and emit RSTm, m = idx
+    mod 8. The pad bits live in the final partial entropy byte, so a
+    decoder that consumed the last MCU has always loaded (and, for a
+    padded 0xFF, unstuffed) that byte — its cursor lands exactly on
+    the marker."""
+    wtr.flush()
+    wtr.out += bytes([0xFF, 0xD0 + (idx & 7)])
+
+
+def encode_jpeg_gray(pixels, *, restart_interval: int = 0) -> bytes:
     """(h, w) uint8 grayscale array → spec-standard baseline JFIF bytes
     (single component, Annex K.1 quantization, Annex K.3.1 Huffman
     tables). Non-multiple-of-8 sizes pad by edge replication — the
-    choice that keeps cropped constant tiles exactly reconstructible."""
+    choice that keeps cropped constant tiles exactly reconstructible.
+    ``restart_interval`` > 0 emits a DRI segment and an RSTm marker
+    after every that-many MCUs (one 8x8 block in this non-interleaved
+    single-component scan), resetting the DC predictor — the T.81 B.2.4.4
+    error-resilience feature every libjpeg stream can carry (r15).
+    Restarts change only the bitstream segmentation, never the decoded
+    pixels; ``restart_interval=0`` (the default) produces bytes
+    byte-identical to the pre-r15 encoder."""
     import struct
 
     import numpy as np
 
+    ri = int(restart_interval)
+    if ri < 0 or ri > 0xFFFF:
+        raise ValueError("restart_interval must be in [0, 65535]")
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim != 2:
         raise ValueError("encode_jpeg_gray takes an HxW grayscale array")
@@ -1951,12 +1973,18 @@ def encode_jpeg_gray(pixels) -> bytes:
     ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     wtr = _JpegBitWriter()
     prev_dc = 0
+    n_blocks = (ph // 8) * (pw // 8)
+    done = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
             zz = _jpeg_quantize_block(
                 shifted[by : by + 8, bx : bx + 8], dctm, qt
             )
             prev_dc = _jpeg_write_block(wtr, zz, prev_dc, dc_codes, ac_codes)
+            done += 1
+            if ri and done % ri == 0 and done < n_blocks:
+                _jpeg_emit_restart(wtr, done // ri - 1)
+                prev_dc = 0
     wtr.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -1975,13 +2003,17 @@ def encode_jpeg_gray(pixels) -> bytes:
         b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
         + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
     )
+    if ri:
+        out += seg(0xFFDD, struct.pack(">H", ri))  # DRI
     out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
     out += wtr.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
-def encode_jpeg_color(pixels, *, sampling: str = "444") -> bytes:
+def encode_jpeg_color(
+    pixels, *, sampling: str = "444", restart_interval: int = 0
+) -> bytes:
     """(h, w, 3) uint8 RGB array → spec-standard baseline JFIF color
     bytes: JFIF full-range YCbCr with selectable chroma sampling —
     ``"444"`` (every MCU one 8x8 block per component), ``"422"``
@@ -1995,7 +2027,9 @@ def encode_jpeg_color(pixels, *, sampling: str = "444") -> bytes:
     to float rounding, so the chroma blocks quantize to exactly zero
     under EVERY sampling — box-averaging an all-zero centered chroma
     plane is still zero — and the whole pipeline round-trips
-    bit-identically (module section header)."""
+    bit-identically (module section header). ``restart_interval`` > 0
+    emits DRI + an RSTm marker every that-many interleaved MCUs with
+    all three DC predictors reset (r15); 0 keeps the pre-r15 bytes."""
     import struct
 
     import numpy as np
@@ -2003,6 +2037,9 @@ def encode_jpeg_color(pixels, *, sampling: str = "444") -> bytes:
     factors = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
     if sampling not in factors:
         raise ValueError(f"sampling must be one of {sorted(factors)}")
+    ri = int(restart_interval)
+    if ri < 0 or ri > 0xFFFF:
+        raise ValueError("restart_interval must be in [0, 65535]")
     hy, vy = factors[sampling]
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim != 3 or px.shape[2] != 3:
@@ -2041,6 +2078,8 @@ def encode_jpeg_color(pixels, *, sampling: str = "444") -> bytes:
     # interleaved scan (T.81 A.2.3): per MCU, hy*vy Y blocks in raster
     # order, then one Cb and one Cr block (4:4:4 degenerates to one
     # block per component)
+    n_mcus = (ph // mh) * (pw // mw)
+    done = 0
     for my in range(ph // mh):
         for mx in range(pw // mw):
             for v in range(vy):
@@ -2061,6 +2100,10 @@ def encode_jpeg_color(pixels, *, sampling: str = "444") -> bytes:
                 prev[ci] = _jpeg_write_block(
                     wtr, zz, prev[ci], codes[ci][0], codes[ci][1]
                 )
+            done += 1
+            if ri and done % ri == 0 and done < n_mcus:
+                _jpeg_emit_restart(wtr, done // ri - 1)
+                prev = [0, 0, 0]
     wtr.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -2087,6 +2130,8 @@ def encode_jpeg_color(pixels, *, sampling: str = "444") -> bytes:
         + b"\x01" + bytes(_JPEG_DC_BITS_C) + bytes(_JPEG_DC_VALS_C)
         + b"\x11" + bytes(_JPEG_AC_BITS_C) + bytes(_JPEG_AC_VALS_C),
     )
+    if ri:
+        out += seg(0xFFDD, struct.pack(">H", ri))  # DRI
     out += seg(0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
     out += wtr.out
     out += b"\xff\xd9"  # EOI
@@ -2095,9 +2140,10 @@ def encode_jpeg_color(pixels, *, sampling: str = "444") -> bytes:
 
 class _JpegBitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00
-    unstuffing; a bare marker inside the scan raises (no restart
-    intervals are emitted by this encoder, and tolerating them
-    silently would mis-decode real files that use them)."""
+    unstuffing. Restart markers are consumed only at the declared
+    interval boundaries via :meth:`expect_restart` (r15); a bare
+    marker anywhere else means the stream disagrees with its own DRI
+    declaration and raises rather than silently mis-decoding."""
 
     def __init__(self, data: bytes) -> None:
         self.data = data
@@ -2116,9 +2162,10 @@ class _JpegBitReader:
                     self.pos >= len(self.data)
                     or self.data[self.pos] != 0x00
                 ):
-                    raise NotImplementedError(
-                        "JPEG restart markers (DRI/RSTn) are not "
-                        "supported by this decoder"
+                    raise ValueError(
+                        "corrupt JPEG: marker inside entropy-coded data "
+                        "(restart marker not at the declared DRI "
+                        "boundary, or truncated scan)"
                     )
                 self.pos += 1
             self.acc = b
@@ -2131,6 +2178,25 @@ class _JpegBitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def expect_restart(self, idx: int) -> None:
+        """Consume the RSTm marker due after the idx-th restart
+        interval (T.81 E.2.4: m cycles 0..7). Any pad bits of the
+        final partial byte were already loaded while decoding the
+        last MCU, so the cursor sits exactly on the marker."""
+        self.nbits = 0  # discard 1-padding bits (T.81 F.1.2.3)
+        want = 0xD0 + (idx & 7)
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != want
+        ):
+            got = self.data[self.pos : self.pos + 2].hex() or "EOF"
+            raise ValueError(
+                f"corrupt JPEG: expected restart marker RST{idx & 7} "
+                f"(0xFF{want:02X}) at the declared interval, got {got}"
+            )
+        self.pos += 2
 
 
 def _jpeg_read_huff(reader: _JpegBitReader, table) -> int:
@@ -2160,10 +2226,12 @@ def decode_jpeg(payload: bytes):
     Huffman decode with byte unstuffing (per-table ids, so color files
     with separate luma/chroma tables decode), dezigzag, dequantize,
     orthonormal IDCT, chroma upsample, JFIF YCbCr→RGB for color,
-    level shift, clamp, crop. Progressive (SOF2), non-integer
-    sampling grids, CMYK, 16-bit quantization, and restart-interval
-    scans refuse with the reason — honest subset, not a silent
-    mis-decode."""
+    level shift, clamp, crop. Restart intervals decode for real
+    (r15): DRI declares the MCU stride, each RSTm is consumed at its
+    boundary with the marker sequence verified mod 8 and all DC
+    predictors reset (T.81 E.2.4). Progressive (SOF2), non-integer
+    sampling grids, CMYK, and 16-bit quantization refuse with the
+    reason — honest subset, not a silent mis-decode."""
     import struct
 
     import numpy as np
@@ -2178,6 +2246,7 @@ def decode_jpeg(payload: bytes):
     comps = None  # [(component id, quant table id)], SOF order
     scan = None  # [(component index, dc table id, ac table id)]
     scan_start = None
+    restart_interval = 0  # MCUs between RSTm markers; 0 = none (DRI, r15)
     while i < len(data) - 1:
         if data[i] != 0xFF:
             raise ValueError(f"corrupt JPEG: expected marker at byte {i}")
@@ -2258,9 +2327,9 @@ def decode_jpeg(payload: bytes):
                 (dc_tables if tc == 0 else ac_tables)[th] = tree
                 j += 17 + nv
         elif marker == 0xDD:
-            raise NotImplementedError(
-                "JPEG restart intervals (DRI) are not supported"
-            )
+            if len(seg) < 2:
+                raise ValueError("corrupt JPEG: truncated DRI segment")
+            (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:
             if comps is None:
                 raise ValueError("corrupt JPEG: SOS before SOF0")
@@ -2306,8 +2375,19 @@ def decode_jpeg(payload: bytes):
         for _, hi, vi, _ in comps
     ]
     prev = [0] * len(comps)
+    mcu_done = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_done
+                and mcu_done % restart_interval == 0
+            ):
+                # T.81 E.2.4: byte-align, consume RSTm (m cycles 0..7),
+                # reset every component's DC predictor
+                reader.expect_restart(mcu_done // restart_interval - 1)
+                prev = [0] * len(comps)
+            mcu_done += 1
             for ci, td, ta in scan:
                 _, hi, vi, tq = comps[ci]
                 for v in range(vi):
@@ -2499,6 +2579,53 @@ def synthesize_subsampled_jpeg_images(
                     encode_jpeg_color(
                         np.stack([img, img, img], axis=-1),
                         sampling="420" if i % 2 == 0 else "422",
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def synthesize_restart_jpeg_images(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL baseline-JPEG payloads carrying RESTART
+    INTERVALS (r15): image ``id`` encodes with
+    ``restart_interval = 1 + id % 2`` and sampling cycling
+    444/422/420 by ``id % 3``, so every payload's scan is segmented
+    by RSTm markers with DC predictors reset at each boundary (the
+    tile grids below give every sampling at least 4 MCUs, so
+    restarts always actually occur). Same exactness contract as
+    :func:`synthesize_color_jpeg_images` — restarts change only the
+    bitstream segmentation, never the decoded pixels: a grid of
+    (2 + id%3) x (3 + id%2) tiles of 8x8 GRAY-VALUED pixels (R=G=B =
+    the constant EVEN value ``2*((id*43 + tr*17 + tc*9) % 128)``),
+    cropped to (tiles_h*8 - 1, tiles_w*8 - 2), round-trips
+    bit-identically, so per-channel stats replay from the closed
+    tile form in SQL (the c215 oracle)."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                th, tw = 2 + i % 3, 3 + i % 2
+                tr = np.arange(th)[:, None]
+                tc = np.arange(tw)[None, :]
+                tiles = (2 * ((i * 43 + tr * 17 + tc * 9) % 128)).astype(
+                    np.uint8
+                )
+                img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+                img = img[: th * 8 - 1, : tw * 8 - 2]
+                payloads.append(
+                    encode_jpeg_color(
+                        np.stack([img, img, img], axis=-1),
+                        sampling=("444", "422", "420")[i % 3],
+                        restart_interval=1 + i % 2,
                     )
                 )
             yield pd.DataFrame(

@@ -17344,6 +17344,62 @@ def c214_jpeg_subsampled_decode_stats(
 
 
 @query(
+    "c215_jpeg_restart_decode_stats",
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id, g1.r, g2.c,
+               CAST(2 * ((d.doc_id * 43 + (g1.r // 8) * 17
+                          + (g2.c // 8) * 9) % 128) AS BIGINT) AS v
+        FROM documents d, range(32) g1(r), range(32) g2(c)
+        WHERE g1.r < (2 + d.doc_id % 3) * 8 - 1
+          AND g2.c < (3 + d.doc_id % 2) * 8 - 2
+    )
+    SELECT doc_id,
+           CAST((3 + doc_id % 2) * 8 - 2 AS BIGINT) AS width,
+           CAST((2 + doc_id % 3) * 8 - 1 AS BIGINT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS sum_r,
+           CAST(SUM(v) AS BIGINT) AS sum_g,
+           CAST(SUM(v) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    doc="JPEG RESTART INTERVALS decode for real (operators/"
+        "multimodal.py, r15 — the next rung after c214 on the codec "
+        "ladder: DRI/RSTn is T.81's error-resilience feature and "
+        "libjpeg streams carry it routinely): the encoder gains "
+        "restart_interval (DRI segment + byte-aligned RSTm every N "
+        "MCUs with all DC predictors reset, m cycling 0..7 per "
+        "E.2.4), and the decoder consumes each RSTm exactly at its "
+        "declared boundary, verifies the mod-8 sequence, and resets "
+        "predictors — a marker anywhere else, or out of sequence, "
+        "raises instead of silently mis-decoding (the failure mode "
+        "DRI exists to bound). pytest cross-validates DRI-bearing "
+        "bytes bit-for-bit against the JVM's independent "
+        "javax.imageio decoder in grayscale and color, and pins "
+        "that restart_interval=0 keeps the pre-r15 bitstream "
+        "byte-identical. Restarts change only the bitstream "
+        "segmentation, never the pixels, so the c213/c214 exactness "
+        "class carries over unchanged: each id encodes gray-valued "
+        "even tiles with restart_interval = 1 + id%2 and sampling "
+        "cycling 444/422/420 (every grid has >= 4 MCUs, so restarts "
+        "always occur), round-trips bit-identically, and per-channel "
+        "sums replay from the closed tile form in SQL. Decode is "
+        "Arrow-batched inside the scan's partitions — no shuffle",
+    tags=("multimodal",),
+)
+def c215_jpeg_restart_decode_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import (
+        image_channel_stats,
+        synthesize_restart_jpeg_images,
+    )
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return image_channel_stats(synthesize_restart_jpeg_images(d, "doc_id"))
+
+
+@query(
     "q111_time_travel_append",
     oracle="""
     WITH p0 AS (SELECT o_orderkey, o_totalprice FROM orders
@@ -18358,12 +18414,12 @@ _DRIVER_WINDOW = [
     "q16_window_frames",
     "q18_setops",
     "q21_scalar_conditional",
-    "q22_scalar_json",
     # --- round-15 additions (land in their own round's window,
     # displacing fillers newest-first: a03 out for c214, q23 out for
-    # q111) ---
+    # q111, q22 out for c215) ---
     "c214_jpeg_subsampled_decode_stats",
     "q111_time_travel_append",
+    "c215_jpeg_restart_decode_stats",
 ]
 
 

@@ -724,9 +724,10 @@ def test_jpeg_bytes_decode_identically_in_jvm_imageio(spark):
 
 
 def test_jpeg_refusals_and_corruption():
-    """Progressive (SOF2), chroma-subsampled color (4:2:0), CMYK,
-    restart intervals and truncated entropy data refuse/raise with the
-    reason — honest subset, never a silent mis-decode."""
+    """Progressive (SOF2), non-integer sampling grids, CMYK and
+    truncated entropy data refuse/raise with the reason — honest
+    subset, never a silent mis-decode (restart intervals decode for
+    real since r15; see test_jpeg_restart_intervals)."""
     import pytest
 
     from amazonredshift_blueprints_spark.operators.multimodal import (
@@ -915,3 +916,123 @@ def test_jpeg_color_bytes_decode_identically_in_jvm_imageio(spark):
         o = decode_jpeg(enc4).astype(int)
         assert np.abs(j - o).max() <= 2, sampling
         assert np.abs(o - solid.astype(int)).max() <= 2, sampling
+
+
+def test_jpeg_restart_intervals():
+    """DRI/RSTn for real (r15): restarts change only the bitstream
+    segmentation — decoded pixels are bit-identical on the exactness
+    class for every (sampling, interval) combination; the marker
+    sequence cycles RST0..RST7; restart_interval=0 keeps the pre-r15
+    bytes byte-identical; a stream whose markers disagree with its
+    own DRI declaration raises instead of silently mis-decoding."""
+    import re
+
+    import numpy as np
+    import pytest
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(19)
+    tiles = (2 * rng.integers(0, 128, size=(4, 3))).astype(np.uint8)
+    img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))[:31, :22]
+    # gray: 12 blocks -> ri=1 emits 11 restarts, cycling RST0..RST7
+    for ri in (1, 2, 4, 100):
+        enc = encode_jpeg_gray(img, restart_interval=ri)
+        assert b"\xff\xdd" in enc
+        assert np.array_equal(decode_jpeg(enc), img), ri
+    enc1 = encode_jpeg_gray(img, restart_interval=1)
+    scan = enc1[enc1.find(b"\xff\xda") :]
+    rsts = [m[0] - 0xD0 for m in re.findall(rb"\xff([\xd0-\xd7])", scan)]
+    assert rsts == [m % 8 for m in range(12 - 1)]  # full mod-8 cycle
+    # default path byte-identical to the no-restart encoder
+    assert encode_jpeg_gray(img) == encode_jpeg_gray(img, restart_interval=0)
+    assert b"\xff\xdd" not in encode_jpeg_gray(img)
+    # color: every sampling x interval round-trips exactly on gray tiles
+    rgb = np.stack([img, img, img], axis=-1)
+    for sampling in ("444", "422", "420"):
+        for ri in (1, 2, 3):
+            enc = encode_jpeg_color(
+                rgb, sampling=sampling, restart_interval=ri
+            )
+            assert np.array_equal(decode_jpeg(enc), rgb), (sampling, ri)
+    # noisy content still decodes to the right shape (predictor resets
+    # exercise real DC discontinuities, not just constant tiles)
+    noise = rng.integers(0, 256, size=(33, 29, 3)).astype(np.uint8)
+    enc = encode_jpeg_color(noise, sampling="420", restart_interval=2)
+    assert decode_jpeg(enc).shape == noise.shape
+    # stripping the DRI declaration leaves bare RSTn mid-scan -> raise
+    enc = encode_jpeg_gray(img, restart_interval=1)
+    i = enc.find(b"\xff\xdd")
+    with pytest.raises(ValueError, match="marker inside entropy"):
+        decode_jpeg(enc[:i] + enc[i + 6 :])
+    # an out-of-sequence restart marker raises by name
+    bad = bytearray(encode_jpeg_gray(img, restart_interval=1))
+    j = bad.find(b"\xff\xd0", bad.find(b"\xff\xda"))
+    bad[j + 1] = 0xD5
+    with pytest.raises(ValueError, match="restart marker RST0"):
+        decode_jpeg(bytes(bad))
+    with pytest.raises(ValueError, match="restart_interval"):
+        encode_jpeg_gray(img, restart_interval=-1)
+    with pytest.raises(ValueError, match="restart_interval"):
+        encode_jpeg_color(rgb, restart_interval=1 << 16)
+
+
+def test_jpeg_restart_bytes_decode_identically_in_jvm_imageio(spark):
+    """Cross-validation of DRI-bearing bitstreams against the JVM's
+    independent javax.imageio decoder: on the exactness class both
+    decoders return the original pixels bit-for-bit — proving the
+    restart markers, their mod-8 sequence, the byte-aligned padding
+    and the DC predictor resets are spec-standard interchange, not a
+    private dialect."""
+    import numpy as np
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_jpeg,
+        decode_jpeg_gray,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+
+    jvm = spark._jvm
+
+    def jvm_decode(enc, bands):
+        bimg = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(enc))
+        )
+        h, w = bimg.getHeight(), bimg.getWidth()
+        raster = bimg.getRaster()
+        if bands == 1:
+            return np.array(
+                [
+                    [raster.getSample(x, y, 0) for x in range(w)]
+                    for y in range(h)
+                ],
+                dtype=np.uint8,
+            )
+        return np.array(
+            [
+                [
+                    [raster.getSample(x, y, c) for c in range(3)]
+                    for x in range(w)
+                ]
+                for y in range(h)
+            ],
+            dtype=np.uint8,
+        )
+
+    rng = np.random.default_rng(23)
+    tiles = (2 * rng.integers(0, 128, size=(3, 3))).astype(np.uint8)
+    img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))[:23, :22]
+    for ri in (1, 2):
+        enc = encode_jpeg_gray(img, restart_interval=ri)
+        assert np.array_equal(jvm_decode(enc, 1), img), ri
+        assert np.array_equal(decode_jpeg_gray(enc), img), ri
+    rgb = np.stack([img, img, img], axis=-1)
+    for sampling in ("444", "420"):
+        enc = encode_jpeg_color(rgb, sampling=sampling, restart_interval=1)
+        assert np.array_equal(jvm_decode(enc, 3), rgb), sampling
+        assert np.array_equal(decode_jpeg(enc), rgb), sampling
