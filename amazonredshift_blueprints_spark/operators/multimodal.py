@@ -1795,12 +1795,22 @@ _JPEG_AC_VALS_C = [
 
 
 def _jpeg_zigzag():
-    """ZIGZAG[k] = (row, col) of the k-th zigzag-scanned coefficient."""
+    """ZIGZAG[k] = (row, col) of the k-th zigzag-scanned coefficient.
+
+    Odd anti-diagonals run down-left (increasing row), even ones
+    up-right (increasing col) — T.81 Figure 5. The tie-break was
+    transposed before r15: the table it produced was the spec table
+    with rows and cols swapped, which every internal round trip and
+    every block-transpose-invariant test image (constant tiles, solid
+    colors) hides perfectly — real content decoded from, or written
+    for, an external codec came out per-block transposed. Caught by
+    cross-validating the progressive decoder against javax.imageio on
+    noise."""
     return sorted(
         ((r, c) for r in range(8) for c in range(8)),
         key=lambda rc: (
             rc[0] + rc[1],
-            rc[1] if (rc[0] + rc[1]) % 2 else rc[0],
+            rc[0] if (rc[0] + rc[1]) % 2 else rc[1],
         ),
     )
 
@@ -2138,6 +2148,207 @@ def encode_jpeg_color(
     return bytes(out)
 
 
+def encode_jpeg_progressive(pixels, *, sampling: str = "444") -> bytes:
+    """(h, w) uint8 grayscale or (h, w, 3) uint8 RGB array →
+    spec-standard PROGRESSIVE JFIF bytes (SOF2, r15) with a
+    spectral-selection scan script: one DC scan (interleaved across
+    all components for color), then one full-band AC scan (1..63)
+    per component — Ah=Al=0 throughout, so every quantized
+    coefficient is identical to what the baseline encoder writes and
+    the exactness contract for block-constant even tiles carries
+    over unchanged. AC scans are non-interleaved per T.81 G.1, so
+    they walk the component's OWN block grid (which for subsampled
+    luma is smaller than the padded MCU grid the interleaved DC scan
+    covers). Same quantization and Huffman tables, samplings, and
+    edge-replicate padding as :func:`encode_jpeg_color` /
+    :func:`encode_jpeg_gray`."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError(
+            "encode_jpeg_progressive takes an HxW grayscale or HxWx3 "
+            "RGB array"
+        )
+    factors = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+    if sampling not in factors:
+        raise ValueError(f"sampling must be one of {sorted(factors)}")
+    hy, vy = (1, 1) if gray else factors[sampling]
+    h, w = px.shape[:2]
+    if not h or not w:
+        raise ValueError("empty image")
+    mh, mw = 8 * vy, 8 * hy
+    ph, pw = -(-h // mh) * mh, -(-w // mw) * mw
+    if gray:
+        padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge")
+        planes = [padded.astype(np.float64) - 128.0]
+        samps = [(1, 1)]
+        qts = [np.asarray(_JPEG_QUANT_LUMA, dtype=np.float64)]
+    else:
+        padded = np.pad(
+            px, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge"
+        )
+        r = padded[:, :, 0].astype(np.float64)
+        g = padded[:, :, 1].astype(np.float64)
+        b = padded[:, :, 2].astype(np.float64)
+        yp = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+        cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b
+        cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b
+        if (hy, vy) != (1, 1):
+            cb = cb.reshape(ph // vy, vy, pw // hy, hy).mean(axis=(1, 3))
+            cr = cr.reshape(ph // vy, vy, pw // hy, hy).mean(axis=(1, 3))
+        planes = [yp, cb, cr]
+        samps = [(hy, vy), (1, 1), (1, 1)]
+        qts = [
+            np.asarray(_JPEG_QUANT_LUMA, dtype=np.float64),
+            np.asarray(_JPEG_QUANT_CHROMA, dtype=np.float64),
+            np.asarray(_JPEG_QUANT_CHROMA, dtype=np.float64),
+        ]
+    dctm = _jpeg_dct_matrix()
+    # quantize every block of every component's (padded) plane grid
+    coefs = []
+    for plane, qt in zip(planes, qts):
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        grid = [
+            [
+                _jpeg_quantize_block(
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                    dctm,
+                    qt,
+                )
+                for bx in range(bw)
+            ]
+            for by in range(bh)
+        ]
+        coefs.append(grid)
+    dc_l = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_l = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc_c = _jpeg_canonical_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
+    ac_c = _jpeg_canonical_codes(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
+    ncomp = len(planes)
+    dc_codes = [dc_l] + [dc_c] * (ncomp - 1)
+    ac_codes = [ac_l] + [ac_c] * (ncomp - 1)
+
+    def dc_scan() -> bytes:
+        wtr = _JpegBitWriter()
+        prev = [0] * ncomp
+        if ncomp == 1:
+            for row in coefs[0]:
+                for zz in row:
+                    size, bits = _jpeg_magnitude(zz[0] - prev[0])
+                    code, ln = dc_codes[0][size]
+                    wtr.write(code, ln)
+                    if size:
+                        wtr.write(bits, size)
+                    prev[0] = zz[0]
+        else:
+            for my in range(ph // mh):
+                for mx in range(pw // mw):
+                    for ci, (hi, vi) in enumerate(samps):
+                        for v in range(vi):
+                            for u in range(hi):
+                                zz = coefs[ci][my * vi + v][mx * hi + u]
+                                size, bits = _jpeg_magnitude(
+                                    zz[0] - prev[ci]
+                                )
+                                code, ln = dc_codes[ci][size]
+                                wtr.write(code, ln)
+                                if size:
+                                    wtr.write(bits, size)
+                                prev[ci] = zz[0]
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def ac_scan(ci: int) -> bytes:
+        # non-interleaved: the component's REAL block grid (T.81 G.1)
+        hi, vi = samps[ci]
+        maxh = max(s[0] for s in samps)
+        maxv = max(s[1] for s in samps)
+        ch_, cw_ = -(-(h * vi) // maxv), -(-(w * hi) // maxh)
+        bh, bw = -(-ch_ // 8), -(-cw_ // 8)
+        wtr = _JpegBitWriter()
+        for by in range(bh):
+            for bx in range(bw):
+                zz = coefs[ci][by][bx]
+                last_nz = 0
+                for k in range(63, 0, -1):
+                    if zz[k]:
+                        last_nz = k
+                        break
+                run = 0
+                for k in range(1, last_nz + 1):
+                    v = zz[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[ci][0xF0]
+                        wtr.write(code, ln)
+                        run -= 16
+                    size, bits = _jpeg_magnitude(v)
+                    code, ln = ac_codes[ci][(run << 4) | size]
+                    wtr.write(code, ln)
+                    wtr.write(bits, size)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac_codes[ci][0x00]  # EOB (run of 1)
+                    wtr.write(code, ln)
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz_luma = bytes(int(_JPEG_QUANT_LUMA[r][c]) for r, c in _JPEG_ZIGZAG)
+    if gray:
+        out += seg(0xFFDB, b"\x00" + zz_luma)
+        out += seg(
+            0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"
+        )
+        out += seg(
+            0xFFC4,
+            b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+            + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+        )
+        out += seg(0xFFDA, b"\x01\x01\x00\x00\x00\x00") + dc_scan()
+        out += seg(0xFFDA, b"\x01\x01\x00\x01\x3f\x00") + ac_scan(0)
+    else:
+        zz_chroma = bytes(
+            int(_JPEG_QUANT_CHROMA[r][c]) for r, c in _JPEG_ZIGZAG
+        )
+        out += seg(0xFFDB, b"\x00" + zz_luma + b"\x01" + zz_chroma)
+        y_samp = (hy << 4) | vy
+        out += seg(
+            0xFFC2,
+            struct.pack(">BHHB", 8, h, w, 3)
+            + bytes([1, y_samp, 0]) + b"\x02\x11\x01" + b"\x03\x11\x01",
+        )
+        out += seg(
+            0xFFC4,
+            b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+            + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+            + b"\x01" + bytes(_JPEG_DC_BITS_C) + bytes(_JPEG_DC_VALS_C)
+            + b"\x11" + bytes(_JPEG_AC_BITS_C) + bytes(_JPEG_AC_VALS_C),
+        )
+        out += (
+            seg(0xFFDA, b"\x03\x01\x00\x02\x10\x03\x10\x00\x00\x00")
+            + dc_scan()
+        )
+        for ci, cid in enumerate((1, 2, 3)):
+            ta = 0 if ci == 0 else 1
+            out += seg(
+                0xFFDA, bytes([1, cid, ta]) + b"\x01\x3f\x00"
+            ) + ac_scan(ci)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _JpegBitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00
     unstuffing. Restart markers are consumed only at the declared
@@ -2308,13 +2519,18 @@ def decode_jpeg(payload: bytes):
                     "and 4:2:0 decode here"
                 )
             dims = (h, w)
+        elif marker == 0xC2:
+            # progressive (SOF2, r15): multi-scan decode with its own
+            # marker walk over the whole payload
+            return _decode_jpeg_progressive(data)
         elif marker in (
-            0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
         ):
             raise NotImplementedError(
-                "only baseline sequential (SOF0) JPEG is supported; "
-                f"got SOF marker 0xFF{marker:02X}"
+                "only baseline sequential (SOF0) and progressive "
+                f"(SOF2) JPEG are supported; got SOF marker "
+                f"0xFF{marker:02X}"
             )
         elif marker == 0xC4:
             j = 0
@@ -2426,14 +2642,22 @@ def decode_jpeg(payload: bytes):
                         planes[ci][by : by + 8, bx : bx + 8] = (
                             dctm.T @ coeff @ dctm
                         )
+    return _jpeg_planes_to_pixels(planes, comps, maxh, maxv, h, w)
+
+
+def _jpeg_planes_to_pixels(planes, comps, maxh, maxv, h, w):
+    """Shared tail of the baseline and progressive decoders: upsample
+    subsampled component planes to full resolution by pixel
+    replication (T.81 leaves the upsampling filter to the decoder;
+    replication is exact on constant chroma — the oracle class — and
+    within a filter's footprint of any interpolating decoder
+    elsewhere), JFIF YCbCr→RGB for 3-component images, level shift,
+    clamp, crop."""
+    import numpy as np
+
     if len(comps) == 1:
         px = np.clip(np.rint(planes[0] + 128.0), 0, 255).astype(np.uint8)
         return px[:h, :w]
-    # upsample subsampled components to full resolution by pixel
-    # replication (T.81 leaves the upsampling filter to the decoder;
-    # replication is exact on constant chroma — the oracle class —
-    # and within a filter's footprint of any interpolating decoder
-    # elsewhere)
     for ci, (_, hi, vi, _) in enumerate(comps):
         if (hi, vi) != (maxh, maxv):
             planes[ci] = np.repeat(
@@ -2453,6 +2677,346 @@ def decode_jpeg(payload: bytes):
     )
     px = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
     return px[:h, :w]
+
+
+def _jpeg_entropy_end(data: bytes, start: int) -> int:
+    """First byte index at/after ``start`` holding a real marker — a
+    0xFF followed by neither a stuffed 0x00 nor an RSTn — i.e. the end
+    of the current entropy-coded segment (T.81 B.1.1.5)."""
+    j = start
+    n = len(data)
+    while j + 1 < n:
+        if data[j] == 0xFF:
+            b = data[j + 1]
+            if b != 0x00 and not (0xD0 <= b <= 0xD7):
+                return j
+            j += 2
+        else:
+            j += 1
+    return n
+
+
+def _decode_jpeg_progressive(data: bytes):
+    """REAL progressive JPEG (SOF2, Huffman) decode — T.81 Annex G
+    (r15): a full multi-scan marker walk accumulating quantized
+    coefficients per component, with all four scan kinds — first and
+    refinement DC scans (interleaved or not), and single-component
+    spectral-selection AC scans with EOB-run coding and successive-
+    approximation refinement (the libjpeg default scan script uses
+    every one of them). Non-interleaved scans walk the component's
+    OWN block grid (T.81 G.1; the padded MCU grid only applies to
+    interleaved scans), restart intervals reset DC predictors and the
+    EOB run, and reconstruction (dequantize → IDCT → upsample →
+    YCbCr) is shared with the baseline decoder. Same honest refusals
+    as baseline for CMYK / 16-bit / non-integer sampling grids."""
+    import struct
+
+    import numpy as np
+
+    i = 2
+    qtables = {}
+    dc_tables, ac_tables = {}, {}
+    dims = None
+    comps = None  # [(component id, hi, vi, quant table id)], SOF order
+    coeffs = None  # per comp: int32 (bh_pad, bw_pad, 64), zigzag order
+    real_grid = None  # per comp: (bh_real, bw_real) — non-interleaved walk
+    mcux = mcuy = maxh = maxv = None
+    restart_interval = 0
+    n_scans = 0
+    while i < len(data) - 1:
+        if data[i] != 0xFF:
+            raise ValueError(f"corrupt JPEG: expected marker at byte {i}")
+        marker = data[i + 1]
+        i += 2
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if i + 2 > len(data):
+            raise ValueError("corrupt JPEG: truncated marker segment")
+        (ln,) = struct.unpack(">H", data[i : i + 2])
+        seg = data[i + 2 : i + ln]
+        if marker == 0xDB:
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                if pq:
+                    raise NotImplementedError(
+                        "16-bit JPEG quantization tables are not supported"
+                    )
+                vals = seg[j + 1 : j + 65]
+                qt = np.zeros((8, 8), dtype=np.float64)
+                for k, (r, c) in enumerate(_JPEG_ZIGZAG):
+                    qt[r, c] = vals[k]
+                qtables[tq] = qt
+                j += 65
+        elif marker == 0xC2:
+            precision, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if precision != 8:
+                raise NotImplementedError(
+                    f"{precision}-bit JPEG precision is not supported"
+                )
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    f"{ncomp}-component JPEG (CMYK/unknown) is not "
+                    "supported; grayscale and 3-component color are"
+                )
+            comps = []
+            for k in range(ncomp):
+                cid, sampling, tq = seg[6 + 3 * k : 9 + 3 * k]
+                hi, vi = sampling >> 4, sampling & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(
+                        f"corrupt JPEG: sampling factors {hi}x{vi}"
+                    )
+                comps.append((cid, hi, vi, tq))
+            if ncomp == 1:
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
+            maxh = max(c[1] for c in comps)
+            maxv = max(c[2] for c in comps)
+            if any(maxh % c[1] or maxv % c[2] for c in comps):
+                raise NotImplementedError(
+                    "non-integer chroma upsampling ratios are not "
+                    "supported"
+                )
+            dims = (h, w)
+            mcux, mcuy = -(-w // (8 * maxh)), -(-h // (8 * maxv))
+            coeffs, real_grid = [], []
+            for _, hi, vi, _ in comps:
+                coeffs.append(
+                    np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int32)
+                )
+                ch = -(-(h * vi) // maxv)  # component pixel dims (A.1.1)
+                cw = -(-(w * hi) // maxh)
+                real_grid.append((-(-ch // 8), -(-cw // 8)))
+        elif marker == 0xC4:
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + nv])
+                tree = _jpeg_decode_table(bits, vals)
+                (dc_tables if tc == 0 else ac_tables)[th] = tree
+                j += 17 + nv
+        elif marker == 0xDD:
+            if len(seg) < 2:
+                raise ValueError("corrupt JPEG: truncated DRI segment")
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker in (
+            0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+        ):
+            raise ValueError(
+                "corrupt JPEG: second SOF marker in a progressive stream"
+            )
+        elif marker == 0xDA:
+            if comps is None:
+                raise ValueError("corrupt JPEG: SOS before SOF2")
+            ns = seg[0]
+            by_id = {c[0]: k for k, c in enumerate(comps)}
+            scan = []
+            for k in range(ns):
+                cs, tdta = seg[1 + 2 * k : 3 + 2 * k]
+                if cs not in by_id:
+                    raise ValueError(
+                        f"corrupt JPEG: scan selects unknown component {cs}"
+                    )
+                scan.append((by_id[cs], tdta >> 4, tdta & 0x0F))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            end = _jpeg_entropy_end(data, i + ln)
+            reader = _JpegBitReader(data[i + ln : end])
+            _jpeg_progressive_scan(
+                reader, scan, comps, coeffs, real_grid,
+                dc_tables, ac_tables, mcux, mcuy,
+                ss, se, ah, al, restart_interval,
+            )
+            n_scans += 1
+            i = end
+            continue
+        i += ln
+    if dims is None or not n_scans:
+        raise ValueError("corrupt JPEG: missing SOF2/SOS segment")
+    h, w = dims
+    dctm = _jpeg_dct_matrix()
+    planes = []
+    for ci, (_, hi, vi, tq) in enumerate(comps):
+        if tq not in qtables:
+            raise ValueError("corrupt JPEG: missing quantization table")
+        qt = qtables[tq]
+        bh, bw = coeffs[ci].shape[:2]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                zz = coeffs[ci][by, bx]
+                if not zz.any():
+                    continue  # IDCT of the zero block is the zero plane
+                coeff = np.zeros((8, 8), dtype=np.float64)
+                for kk, (r, c) in enumerate(_JPEG_ZIGZAG):
+                    coeff[r, c] = zz[kk]
+                coeff *= qt
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    dctm.T @ coeff @ dctm
+                )
+        planes.append(plane)
+    return _jpeg_planes_to_pixels(planes, comps, maxh, maxv, h, w)
+
+
+def _jpeg_progressive_scan(
+    reader, scan, comps, coeffs, real_grid, dc_tables, ac_tables,
+    mcux, mcuy, ss, se, ah, al, restart_interval,
+):
+    """Decode one progressive scan into the coefficient buffers —
+    T.81 G.2 data-unit walk with all four band/approximation kinds.
+    DC band (ss=0, se=0): first pass stores diff<<al, refinement ORs
+    in one bit at position al. AC band (single component, T.81 G.1):
+    first pass is RLE with EOB-runs shifted by al; refinement is the
+    correction-bit walk (nonzero history coefficients absorb one bit
+    each, zero runs count only zero-history positions, EOB-runs
+    correct the rest of the band). Restart markers reset predictors
+    and the EOB run."""
+    if ss == 0:
+        if se != 0:
+            raise ValueError(
+                "corrupt JPEG: DC scan with nonzero spectral end"
+            )
+    else:
+        if len(scan) != 1:
+            raise ValueError(
+                "corrupt JPEG: progressive AC scan must be "
+                "non-interleaved (one component)"
+            )
+        if not (ss <= se <= 63):
+            raise ValueError("corrupt JPEG: bad spectral selection band")
+        ta = scan[0][2]
+        if ta not in ac_tables:
+            raise ValueError("corrupt JPEG: missing Huffman table")
+    if ss == 0 and ah == 0:
+        for ci, td, _ in scan:
+            if td not in dc_tables:
+                raise ValueError("corrupt JPEG: missing Huffman table")
+
+    # one entry per restart-counted unit: interleaved scans count MCUs,
+    # non-interleaved scans count data units (T.81 E.2.4)
+    def units():
+        if len(scan) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    mcu = []
+                    for ci, td, ta in scan:
+                        _, hi, vi, _ = comps[ci]
+                        for v in range(vi):
+                            for u in range(hi):
+                                mcu.append(
+                                    (ci, td, ta, my * vi + v, mx * hi + u)
+                                )
+                    yield mcu
+        else:
+            ci, td, ta = scan[0]
+            bh, bw = real_grid[ci]
+            for by in range(bh):
+                for bx in range(bw):
+                    yield [(ci, td, ta, by, bx)]
+
+    preds = [0] * len(comps)
+    eobrun = 0
+    n_done = 0
+    for unit in units():
+        if (
+            restart_interval
+            and n_done
+            and n_done % restart_interval == 0
+        ):
+            reader.expect_restart(n_done // restart_interval - 1)
+            preds = [0] * len(comps)
+            eobrun = 0
+        n_done += 1
+        for ci, td, ta, by, bx in unit:
+            blk = coeffs[ci][by, bx]
+            if ss == 0:
+                if ah == 0:  # first DC scan
+                    size = _jpeg_read_huff(reader, dc_tables[td])
+                    diff = (
+                        _jpeg_extend(reader.read_bits(size), size)
+                        if size
+                        else 0
+                    )
+                    preds[ci] += diff
+                    blk[0] = preds[ci] << al
+                else:  # DC refinement: one correction bit per block
+                    if reader.read_bit():
+                        blk[0] = int(blk[0]) | (1 << al)
+            elif ah == 0:  # first AC scan: RLE with EOB-runs
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _jpeg_read_huff(reader, ac_tables[ta])
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL: sixteen zeros
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError(
+                            "corrupt JPEG: AC run past band end"
+                        )
+                    blk[k] = _jpeg_extend(reader.read_bits(s), s) << al
+                    k += 1
+            else:  # AC refinement (T.81 G.1.2.3 / libjpeg semantics)
+                p1, m1 = 1 << al, -(1 << al)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _jpeg_read_huff(reader, ac_tables[ta])
+                        r, s = rs >> 4, rs & 0x0F
+                        val = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.read_bits(r)
+                                break
+                            # r == 15: skip 16 zero-history positions,
+                            # refining nonzero history on the way
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "corrupt JPEG: AC refinement "
+                                    "magnitude must be 1"
+                                )
+                            val = p1 if reader.read_bit() else m1
+                        while k <= se:
+                            c = int(blk[k])
+                            if c != 0:
+                                if reader.read_bit() and not (c & p1):
+                                    blk[k] = c + (p1 if c >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    # EOB run covers the rest of THIS block's band too:
+                    # nonzero history coefficients absorb one
+                    # correction bit each
+                    while k <= se:
+                        c = int(blk[k])
+                        if c != 0:
+                            if reader.read_bit() and not (c & p1):
+                                blk[k] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
 
 
 def decode_jpeg_gray(payload: bytes):
@@ -2626,6 +3190,52 @@ def synthesize_restart_jpeg_images(df: DataFrame, id_col: str) -> DataFrame:
                         np.stack([img, img, img], axis=-1),
                         sampling=("444", "422", "420")[i % 3],
                         restart_interval=1 + i % 2,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def synthesize_progressive_jpeg_images(
+    df: DataFrame, id_col: str
+) -> DataFrame:
+    """Deterministic REAL PROGRESSIVE-JPEG payloads (SOF2, r15):
+    image ``id`` encodes through :func:`encode_jpeg_progressive`'s
+    spectral-selection scan script (a DC scan, then one full-band AC
+    scan per component) with sampling cycling 444/422/420 by
+    ``id % 3``. The quantized coefficients are identical to the
+    baseline encoder's, so the exactness contract carries over: a
+    grid of (1 + id%4) x (2 + id%3) tiles of 8x8 GRAY-VALUED pixels
+    (R=G=B = the constant EVEN value ``2*((id*47 + tr*19 + tc*11) %
+    128)``), cropped to (tiles_h*8 - 3, tiles_w*8 - 1), round-trips
+    bit-identically through the multi-scan pipeline and per-channel
+    stats replay from the closed tile form in SQL (the c216
+    oracle)."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                th, tw = 1 + i % 4, 2 + i % 3
+                tr = np.arange(th)[:, None]
+                tc = np.arange(tw)[None, :]
+                tiles = (
+                    2 * ((i * 47 + tr * 19 + tc * 11) % 128)
+                ).astype(np.uint8)
+                img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+                img = img[: th * 8 - 3, : tw * 8 - 1]
+                payloads.append(
+                    encode_jpeg_progressive(
+                        np.stack([img, img, img], axis=-1),
+                        sampling=("444", "422", "420")[i % 3],
                     )
                 )
             yield pd.DataFrame(

@@ -17400,6 +17400,72 @@ def c215_jpeg_restart_decode_stats(
 
 
 @query(
+    "c216_jpeg_progressive_decode_stats",
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id, g1.r, g2.c,
+               CAST(2 * ((d.doc_id * 47 + (g1.r // 8) * 19
+                          + (g2.c // 8) * 11) % 128) AS BIGINT) AS v
+        FROM documents d, range(32) g1(r), range(32) g2(c)
+        WHERE g1.r < (1 + d.doc_id % 4) * 8 - 3
+          AND g2.c < (2 + d.doc_id % 3) * 8 - 1
+    )
+    SELECT doc_id,
+           CAST((2 + doc_id % 3) * 8 - 1 AS BIGINT) AS width,
+           CAST((1 + doc_id % 4) * 8 - 3 AS BIGINT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS sum_r,
+           CAST(SUM(v) AS BIGINT) AS sum_g,
+           CAST(SUM(v) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    doc="PROGRESSIVE JPEG (SOF2) decodes for real (operators/"
+        "multimodal.py, r15 — the top rung of the codec ladder and "
+        "its last major refusal: most web JPEGs above thumbnail size "
+        "are progressive): a full multi-scan marker walk accumulating "
+        "quantized coefficients per component with all four T.81 "
+        "Annex G scan kinds — first/refinement DC (interleaved or "
+        "not) and spectral-selection AC with EOB-run coding and "
+        "successive-approximation refinement — plus a spectral-"
+        "selection progressive ENCODER whose coefficients are "
+        "identical to the baseline encoder's. Validated three ways "
+        "in pytest: (1) real libjpeg-script streams WRITTEN BY "
+        "javax.imageio (10 scans, DC+AC refinement, per-scan DHTs) "
+        "decode exactly on flat tiles and within integer-IDCT "
+        "rounding on grayscale noise; (2) on noise, progressive "
+        "decode == baseline decode of the same image bit-for-bit "
+        "(identical coefficients); (3) the JVM decodes our "
+        "progressive and baseline bytes identically. Finding this "
+        "rung also exposed and fixed a latent TRANSPOSED-ZIGZAG bug "
+        "the whole JPEG codec carried since r14: internal round "
+        "trips and block-transpose-invariant test images (constant "
+        "tiles, solid colors) hide it perfectly; real interchange "
+        "content decoded per-block transposed. The exactness class "
+        "is transpose-invariant, so every prior oracle value was and "
+        "stays correct — the INTERCHANGE bytes are now right too, "
+        "pinned by new noise cross-validation tests. Entry: each id "
+        "encodes gray-valued even tiles progressively (sampling "
+        "cycling 444/422/420), round-trips bit-identically, and "
+        "per-channel sums replay from the closed tile form in SQL. "
+        "Decode is Arrow-batched inside the scan's partitions — no "
+        "shuffle",
+    tags=("multimodal",),
+)
+def c216_jpeg_progressive_decode_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import (
+        image_channel_stats,
+        synthesize_progressive_jpeg_images,
+    )
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return image_channel_stats(
+        synthesize_progressive_jpeg_images(d, "doc_id")
+    )
+
+
+@query(
     "q111_time_travel_append",
     oracle="""
     WITH p0 AS (SELECT o_orderkey, o_totalprice FROM orders
@@ -18413,13 +18479,13 @@ _DRIVER_WINDOW = [
     "q15_window_rank",
     "q16_window_frames",
     "q18_setops",
-    "q21_scalar_conditional",
     # --- round-15 additions (land in their own round's window,
     # displacing fillers newest-first: a03 out for c214, q23 out for
-    # q111, q22 out for c215) ---
+    # q111, q22 out for c215, q21 out for c216) ---
     "c214_jpeg_subsampled_decode_stats",
     "q111_time_travel_append",
     "c215_jpeg_restart_decode_stats",
+    "c216_jpeg_progressive_decode_stats",
 ]
 
 

