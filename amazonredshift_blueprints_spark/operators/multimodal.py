@@ -2148,7 +2148,9 @@ def encode_jpeg_color(
     return bytes(out)
 
 
-def encode_jpeg_progressive(pixels, *, sampling: str = "444") -> bytes:
+def encode_jpeg_progressive(
+    pixels, *, sampling: str = "444", restart_interval: int = 0
+) -> bytes:
     """(h, w) uint8 grayscale or (h, w, 3) uint8 RGB array →
     spec-standard PROGRESSIVE JFIF bytes (SOF2, r15) with a
     spectral-selection scan script: one DC scan (interleaved across
@@ -2161,7 +2163,11 @@ def encode_jpeg_progressive(pixels, *, sampling: str = "444") -> bytes:
     luma is smaller than the padded MCU grid the interleaved DC scan
     covers). Same quantization and Huffman tables, samplings, and
     edge-replicate padding as :func:`encode_jpeg_color` /
-    :func:`encode_jpeg_gray`."""
+    :func:`encode_jpeg_gray`. ``restart_interval`` > 0 emits DRI and
+    segments EVERY scan with RSTm markers — after that many MCUs in
+    the interleaved DC scan, after that many data units in each
+    non-interleaved scan (T.81 E.2.4), with the marker index
+    restarting at RST0 per scan and DC predictors reset."""
     import struct
 
     import numpy as np
@@ -2176,6 +2182,9 @@ def encode_jpeg_progressive(pixels, *, sampling: str = "444") -> bytes:
     factors = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
     if sampling not in factors:
         raise ValueError(f"sampling must be one of {sorted(factors)}")
+    ri = int(restart_interval)
+    if ri < 0 or ri > 0xFFFF:
+        raise ValueError("restart_interval must be in [0, 65535]")
     hy, vy = (1, 1) if gray else factors[sampling]
     h, w = px.shape[:2]
     if not h or not w:
@@ -2236,6 +2245,8 @@ def encode_jpeg_progressive(pixels, *, sampling: str = "444") -> bytes:
         wtr = _JpegBitWriter()
         prev = [0] * ncomp
         if ncomp == 1:
+            n_units = len(coefs[0]) * len(coefs[0][0])
+            done = 0
             for row in coefs[0]:
                 for zz in row:
                     size, bits = _jpeg_magnitude(zz[0] - prev[0])
@@ -2244,7 +2255,13 @@ def encode_jpeg_progressive(pixels, *, sampling: str = "444") -> bytes:
                     if size:
                         wtr.write(bits, size)
                     prev[0] = zz[0]
+                    done += 1
+                    if ri and done % ri == 0 and done < n_units:
+                        _jpeg_emit_restart(wtr, done // ri - 1)
+                        prev = [0]
         else:
+            n_units = (ph // mh) * (pw // mw)
+            done = 0
             for my in range(ph // mh):
                 for mx in range(pw // mw):
                     for ci, (hi, vi) in enumerate(samps):
@@ -2259,6 +2276,10 @@ def encode_jpeg_progressive(pixels, *, sampling: str = "444") -> bytes:
                                 if size:
                                     wtr.write(bits, size)
                                 prev[ci] = zz[0]
+                    done += 1
+                    if ri and done % ri == 0 and done < n_units:
+                        _jpeg_emit_restart(wtr, done // ri - 1)
+                        prev = [0] * ncomp
         wtr.flush()
         return bytes(wtr.out)
 
@@ -2270,8 +2291,12 @@ def encode_jpeg_progressive(pixels, *, sampling: str = "444") -> bytes:
         ch_, cw_ = -(-(h * vi) // maxv), -(-(w * hi) // maxh)
         bh, bw = -(-ch_ // 8), -(-cw_ // 8)
         wtr = _JpegBitWriter()
+        done = 0
         for by in range(bh):
             for bx in range(bw):
+                if ri and done and done % ri == 0:
+                    _jpeg_emit_restart(wtr, done // ri - 1)
+                done += 1
                 zz = coefs[ci][by][bx]
                 last_nz = 0
                 for k in range(63, 0, -1):
@@ -2316,6 +2341,8 @@ def encode_jpeg_progressive(pixels, *, sampling: str = "444") -> bytes:
             b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
             + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
         )
+        if ri:
+            out += seg(0xFFDD, struct.pack(">H", ri))  # DRI
         out += seg(0xFFDA, b"\x01\x01\x00\x00\x00\x00") + dc_scan()
         out += seg(0xFFDA, b"\x01\x01\x00\x01\x3f\x00") + ac_scan(0)
     else:
@@ -2336,6 +2363,8 @@ def encode_jpeg_progressive(pixels, *, sampling: str = "444") -> bytes:
             + b"\x01" + bytes(_JPEG_DC_BITS_C) + bytes(_JPEG_DC_VALS_C)
             + b"\x11" + bytes(_JPEG_AC_BITS_C) + bytes(_JPEG_AC_VALS_C),
         )
+        if ri:
+            out += seg(0xFFDD, struct.pack(">H", ri))  # DRI
         out += (
             seg(0xFFDA, b"\x03\x01\x00\x02\x10\x03\x10\x00\x00\x00")
             + dc_scan()

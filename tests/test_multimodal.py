@@ -1253,3 +1253,76 @@ def test_jpeg_progressive_interchange_with_jvm(spark):
             jvm_decode(encode_jpeg_progressive(c3, sampling=s), 3),
             jvm_decode(encode_jpeg_color(c3, sampling=s), 3),
         ), s
+
+
+def test_jpeg_progressive_with_restart_intervals(spark):
+    """Progressive scans can carry restart intervals too (T.81 E.2.4
+    applies per scan: every N MCUs in the interleaved DC scan, every
+    N data units in non-interleaved scans, RST index restarting per
+    scan, DC predictors and the EOB run reset at each boundary). Our
+    decode of a DRI-segmented progressive stream must equal the
+    plain progressive decode bit-for-bit, and javax.imageio must
+    agree with our baseline bytes of the same image — exercising the
+    decoder's progressive restart path with real content."""
+    import numpy as np
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+
+    jvm = spark._jvm
+
+    def jvm_decode(enc, bands):
+        bimg = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(enc))
+        )
+        h, w = bimg.getHeight(), bimg.getWidth()
+        raster = bimg.getRaster()
+        if bands == 1:
+            return np.array(
+                [
+                    [raster.getSample(x, y, 0) for x in range(w)]
+                    for y in range(h)
+                ],
+                dtype=np.int64,
+            )
+        return np.array(
+            [
+                [
+                    [raster.getSample(x, y, c) for c in range(3)]
+                    for x in range(w)
+                ]
+                for y in range(h)
+            ],
+            dtype=np.int64,
+        )
+
+    rng = np.random.default_rng(53)
+    g = rng.integers(0, 256, size=(17, 23)).astype(np.uint8)
+    for ri in (1, 2, 3):
+        enc = encode_jpeg_progressive(g, restart_interval=ri)
+        assert b"\xff\xdd" in enc
+        assert np.array_equal(
+            decode_jpeg(enc), decode_jpeg(encode_jpeg_progressive(g))
+        ), ri
+        assert np.array_equal(
+            jvm_decode(enc, 1), jvm_decode(encode_jpeg_gray(g), 1)
+        ), ri
+    c3 = rng.integers(0, 256, size=(17, 23, 3)).astype(np.uint8)
+    for s in ("444", "420"):
+        enc = encode_jpeg_progressive(c3, sampling=s, restart_interval=2)
+        assert np.array_equal(
+            decode_jpeg(enc),
+            decode_jpeg(encode_jpeg_color(c3, sampling=s)),
+        ), s
+        assert np.array_equal(
+            jvm_decode(enc, 3),
+            jvm_decode(encode_jpeg_color(c3, sampling=s), 3),
+        ), s
+    # restart_interval=0 keeps the bytes byte-identical
+    assert encode_jpeg_progressive(g) == encode_jpeg_progressive(
+        g, restart_interval=0
+    )
