@@ -975,6 +975,158 @@ def audio_channel_stats(
 
 
 # --------------------------------------------------------------------------
+# G.711 companding (r15): REAL mu-law and A-law codecs, the telephony
+# byte-per-sample format every VOIP/callcenter audio corpus arrives in.
+# Vectorized numpy, bit-exact against CPython's independent C reference
+# (audioop.ulaw2lin/alaw2lin/lin2ulaw/lin2alaw — pinned over all 256
+# code bytes and random PCM in tests). Decode formulas are pure integer
+# arithmetic, so the c217 oracle replays them in SQL.
+# --------------------------------------------------------------------------
+
+
+def decode_mulaw(payload: bytes):
+    """G.711 mu-law bytes → int16 PCM (the audioop/CCITT scaling):
+    u = ~b; mag = (((u & 15) << 3) + 132) << seg, seg = (u >> 4) & 7;
+    value = ±(mag - 132) with the sign bit choosing 132 - mag."""
+    import numpy as np
+
+    b = np.frombuffer(payload, dtype=np.uint8).astype(np.int32)
+    u = 255 - b  # ~b for uint8
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def encode_mulaw(samples) -> bytes:
+    """int16 PCM → G.711 mu-law bytes (audioop semantics: 14-bit
+    companding of pcm >> 2, bias 33, clip 8159, complemented output).
+    decode(encode(x)) == x exactly on the 255-value mu-law codebook;
+    elsewhere it is the nearest-segment quantization G.711 defines."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype=np.int16).astype(np.int32) >> 2
+    mask = np.where(pcm < 0, 0x7F, 0xFF)
+    mag = np.minimum(np.abs(pcm) + 33, 8159)
+    # segment = position of the MSB above bit 5 (seg_uend boundaries
+    # 0x3F/0x7F/.../0x1FFF)
+    seg = np.maximum(
+        np.frexp(mag.astype(np.float64))[1] - 6, 0
+    )  # frexp exponent: mag < 2**e
+    uval = (seg << 4) | ((mag >> (seg + 1)) & 0x0F)
+    return (uval ^ mask).astype(np.uint8).tobytes()
+
+
+def decode_alaw(payload: bytes):
+    """G.711 A-law bytes → int16 PCM (audioop/CCITT scaling): p = b ^
+    0x55; m = (p & 15) << 4; seg 0 → m + 8, seg 1 → m + 0x108, else
+    (m + 0x108) << (seg - 1); the SET sign bit is positive."""
+    import numpy as np
+
+    b = np.frombuffer(payload, dtype=np.uint8).astype(np.int32)
+    p = b ^ 0x55
+    m = (p & 0x0F) << 4
+    seg = (p >> 4) & 0x07
+    mag = np.where(
+        seg == 0,
+        m + 8,
+        np.where(seg == 1, m + 0x108, (m + 0x108) << np.maximum(seg - 1, 0)),
+    )
+    return np.where(p & 0x80, mag, -mag).astype(np.int16)
+
+
+def encode_alaw(samples) -> bytes:
+    """int16 PCM → G.711 A-law bytes (audioop semantics: 13-bit
+    companding of pcm >> 3, xor 0x55 output, set sign bit positive)."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype=np.int16).astype(np.int32) >> 3
+    mask = np.where(pcm >= 0, 0xD5, 0x55)
+    # negative magnitudes are -pcm - 1, not |pcm| (CCITT even-bit
+    # inversion; audioop st_linear2alaw does the same)
+    mag = np.minimum(np.where(pcm >= 0, pcm, -pcm - 1), 0x0FFF)
+    seg = np.maximum(np.frexp(mag.astype(np.float64))[1] - 5, 0)
+    aval = np.where(
+        seg < 2,
+        (seg << 4) | ((mag >> 1) & 0x0F),
+        (seg << 4) | ((mag >> seg) & 0x0F),
+    )
+    return (aval ^ mask).astype(np.uint8).tobytes()
+
+
+def synthesize_g711_audio(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL G.711 payloads: id ``i`` carries
+    ``96 + i % 32`` code bytes ``(i*7 + k*13) % 256`` (k = sample
+    index) in mu-law when ``i`` is even, A-law when odd. Code bytes
+    ARE the payload (byte-per-sample telephony framing), so the c217
+    oracle regenerates them in SQL and replays the integer decode
+    formulas exactly."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            laws, payloads = [], []
+            for i in ids:
+                i = int(i)
+                k = np.arange(96 + i % 32, dtype=np.int64)
+                payloads.append(((i * 7 + k * 13) % 256).astype(
+                    np.uint8
+                ).tobytes())
+                laws.append("ulaw" if i % 2 == 0 else "alaw")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "law": pd.Series(laws, dtype=object),
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, "doc_id long, law string, payload binary"
+    )
+
+
+def g711_audio_stats(df: DataFrame) -> DataFrame:
+    """Decode a (doc_id, law, payload) frame of G.711 telephony audio
+    to PCM16 and reduce to exact integer statistics — the loudness/
+    energy screen over compressed call audio. 100 TB: Arrow-batched
+    ``mapInPandas`` inside the scan's partitions, no shuffle."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, law, payload in zip(
+                pdf["doc_id"], pdf["law"], pdf["payload"]
+            ):
+                dec = decode_mulaw if law == "ulaw" else decode_alaw
+                pcm = dec(bytes(payload)).astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        law,
+                        pcm.size,
+                        int(pcm.sum()),
+                        int(np.abs(pcm).sum()),
+                        int(pcm.min()),
+                        int(pcm.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "law", "n_samples", "sum_pcm",
+                    "sum_abs", "min_pcm", "max_pcm",
+                ],
+            )
+
+    return df.mapInPandas(
+        stats,
+        "doc_id long, law string, n_samples long, sum_pcm long, "
+        "sum_abs long, min_pcm long, max_pcm long",
+    )
+
+
+# --------------------------------------------------------------------------
 # GIF87a: real LZW codec (the PNG/WAV contract, for GIF) — encoder and
 # decoder are independent implementations of the spec's variable-width
 # LSB-first LZW, so a round-trip exercises both directions of the real

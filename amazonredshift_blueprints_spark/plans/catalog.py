@@ -17466,6 +17466,76 @@ def c216_jpeg_progressive_decode_stats(
 
 
 @query(
+    "c217_g711_audio_decode_stats",
+    oracle="""
+    WITH s AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END
+                   AS law,
+               (d.doc_id * 7 + k.k * 13) % 256 AS b
+        FROM documents d, range(128) k(k)
+        WHERE k.k < 96 + d.doc_id % 32
+    ),
+    v AS (
+        SELECT doc_id, law,
+               CASE WHEN law = 'ulaw' THEN
+                   CASE WHEN ((255 - b) & 128) != 0
+                        THEN 132 - (((((255 - b) & 15) << 3) + 132)
+                                    << (((255 - b) & 112) >> 4))
+                        ELSE (((((255 - b) & 15) << 3) + 132)
+                              << (((255 - b) & 112) >> 4)) - 132
+                   END
+               ELSE
+                   CASE WHEN (xor(b, 85) & 128) != 0 THEN 1 ELSE -1 END
+                   * CASE WHEN ((xor(b, 85) & 112) >> 4) = 0
+                          THEN ((xor(b, 85) & 15) << 4) + 8
+                          WHEN ((xor(b, 85) & 112) >> 4) = 1
+                          THEN ((xor(b, 85) & 15) << 4) + 264
+                          ELSE (((xor(b, 85) & 15) << 4) + 264)
+                               << (((xor(b, 85) & 112) >> 4) - 1)
+                     END
+               END AS pcm
+        FROM s
+    )
+    SELECT doc_id, law,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(pcm) AS BIGINT) AS sum_pcm,
+           CAST(SUM(ABS(pcm)) AS BIGINT) AS sum_abs,
+           CAST(MIN(pcm) AS BIGINT) AS min_pcm,
+           CAST(MAX(pcm) AS BIGINT) AS max_pcm
+    FROM v GROUP BY doc_id, law
+    """,
+    doc="G.711 mu-law/A-law telephony audio decodes for real "
+        "(operators/multimodal.py, r15 — the byte-per-sample "
+        "companding format VOIP/call-center corpora arrive in, "
+        "extending the audio ladder beyond PCM WAV): vectorized "
+        "numpy encode AND decode for both laws, bit-exact against "
+        "CPython's independent C reference (audioop) over the ENTIRE "
+        "int16 domain and all 256 code bytes in pytest — including "
+        "A-law's -pcm-1 negative magnitudes and mu-law's double zero "
+        "(0x7F re-encodes as 0xFF, the one non-idempotent codebook "
+        "byte, pinned). The decode laws are pure integer arithmetic, "
+        "so the oracle replays them in SQL: each id carries 96+id%32 "
+        "closed-form code bytes (mu-law even ids, A-law odd), the "
+        "operator decodes to PCM16 and reduces to exact integer "
+        "loudness/energy stats, and DuckDB regenerates the bytes and "
+        "applies the same formulas. Decode is Arrow-batched inside "
+        "the scan's partitions — no shuffle, byte-per-sample IO",
+    tags=("multimodal",),
+)
+def c217_g711_audio_decode_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import (
+        g711_audio_stats,
+        synthesize_g711_audio,
+    )
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return g711_audio_stats(synthesize_g711_audio(d, "doc_id"))
+
+
+@query(
     "q111_time_travel_append",
     oracle="""
     WITH p0 AS (SELECT o_orderkey, o_totalprice FROM orders
@@ -18478,14 +18548,14 @@ _DRIVER_WINDOW = [
     "q10_agg_hash",
     "q15_window_rank",
     "q16_window_frames",
-    "q18_setops",
     # --- round-15 additions (land in their own round's window,
     # displacing fillers newest-first: a03 out for c214, q23 out for
-    # q111, q22 out for c215, q21 out for c216) ---
+    # q111, q22 out for c215, q21 out for c216, q18 out for c217) ---
     "c214_jpeg_subsampled_decode_stats",
     "q111_time_travel_append",
     "c215_jpeg_restart_decode_stats",
     "c216_jpeg_progressive_decode_stats",
+    "c217_g711_audio_decode_stats",
 ]
 
 

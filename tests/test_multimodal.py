@@ -1326,3 +1326,77 @@ def test_jpeg_progressive_with_restart_intervals(spark):
     assert encode_jpeg_progressive(g) == encode_jpeg_progressive(
         g, restart_interval=0
     )
+
+
+def test_g711_codecs_bit_exact_against_audioop():
+    """G.711 mu-law and A-law (r15): our vectorized numpy codecs must
+    be bit-exact against CPython's independent C reference (audioop)
+    over the ENTIRE int16 domain for encode and all 256 code bytes
+    for decode — including A-law's -pcm-1 negative magnitudes and
+    mu-law's double zero (0x7F, the one non-idempotent codebook
+    byte)."""
+    import warnings
+
+    import numpy as np
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_alaw,
+        decode_mulaw,
+        encode_alaw,
+        encode_mulaw,
+    )
+
+    allb = bytes(range(256))
+    assert np.array_equal(
+        decode_mulaw(allb), np.frombuffer(audioop.ulaw2lin(allb, 2), "<i2")
+    )
+    assert np.array_equal(
+        decode_alaw(allb), np.frombuffer(audioop.alaw2lin(allb, 2), "<i2")
+    )
+    allpcm = np.arange(-32768, 32768, dtype=np.int16)
+    assert encode_mulaw(allpcm) == audioop.lin2ulaw(allpcm.tobytes(), 2)
+    assert encode_alaw(allpcm) == audioop.lin2alaw(allpcm.tobytes(), 2)
+    # codebook idempotence: A-law exact on all 256 bytes; mu-law exact
+    # on 255 of them (0x7F is negative zero: decodes to 0, re-encodes
+    # as the canonical positive zero 0xFF)
+    assert encode_alaw(decode_alaw(allb)) == allb
+    re_mu = encode_mulaw(decode_mulaw(allb))
+    assert [b for b in range(256) if re_mu[b] != b] == [0x7F]
+    assert re_mu[0x7F] == 0xFF
+
+
+def test_g711_stats_operator(spark):
+    """The c217 surface end-to-end on a local frame: synthesized
+    payloads decode through the law named per row and the stats match
+    a direct numpy replay."""
+    import numpy as np
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_alaw,
+        decode_mulaw,
+        g711_audio_stats,
+        synthesize_g711_audio,
+    )
+
+    ids = spark.createDataFrame([(0,), (1,), (37,)], ["doc_id"])
+    got = {
+        r["doc_id"]: r
+        for r in g711_audio_stats(
+            synthesize_g711_audio(ids, "doc_id")
+        ).collect()
+    }
+    for i in (0, 1, 37):
+        k = np.arange(96 + i % 32, dtype=np.int64)
+        payload = ((i * 7 + k * 13) % 256).astype(np.uint8).tobytes()
+        dec = decode_mulaw if i % 2 == 0 else decode_alaw
+        pcm = dec(payload).astype(np.int64)
+        r = got[i]
+        assert r["law"] == ("ulaw" if i % 2 == 0 else "alaw")
+        assert r["n_samples"] == pcm.size
+        assert r["sum_pcm"] == int(pcm.sum())
+        assert r["sum_abs"] == int(np.abs(pcm).sum())
+        assert (r["min_pcm"], r["max_pcm"]) == (int(pcm.min()), int(pcm.max()))
