@@ -983,6 +983,37 @@ def test_jpeg_restart_intervals():
         encode_jpeg_color(rgb, restart_interval=1 << 16)
 
 
+def _jvm_decode_jpeg(jvm, enc, bands):
+    """Decode JPEG bytes with the JVM's independent javax.imageio
+    decoder → int64 array (h, w) for bands=1 or (h, w, 3) — the one
+    shared raster-reading helper for every cross-validation test."""
+    import numpy as np
+
+    bimg = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(enc))
+    )
+    h, w = bimg.getHeight(), bimg.getWidth()
+    raster = bimg.getRaster()
+    if bands == 1:
+        return np.array(
+            [
+                [raster.getSample(x, y, 0) for x in range(w)]
+                for y in range(h)
+            ],
+            dtype=np.int64,
+        )
+    return np.array(
+        [
+            [
+                [raster.getSample(x, y, c) for c in range(3)]
+                for x in range(w)
+            ]
+            for y in range(h)
+        ],
+        dtype=np.int64,
+    )
+
+
 def test_jpeg_restart_bytes_decode_identically_in_jvm_imageio(spark):
     """Cross-validation of DRI-bearing bitstreams against the JVM's
     independent javax.imageio decoder: on the exactness class both
@@ -1002,29 +1033,7 @@ def test_jpeg_restart_bytes_decode_identically_in_jvm_imageio(spark):
     jvm = spark._jvm
 
     def jvm_decode(enc, bands):
-        bimg = jvm.javax.imageio.ImageIO.read(
-            jvm.java.io.ByteArrayInputStream(bytearray(enc))
-        )
-        h, w = bimg.getHeight(), bimg.getWidth()
-        raster = bimg.getRaster()
-        if bands == 1:
-            return np.array(
-                [
-                    [raster.getSample(x, y, 0) for x in range(w)]
-                    for y in range(h)
-                ],
-                dtype=np.uint8,
-            )
-        return np.array(
-            [
-                [
-                    [raster.getSample(x, y, c) for c in range(3)]
-                    for x in range(w)
-                ]
-                for y in range(h)
-            ],
-            dtype=np.uint8,
-        )
+        return _jvm_decode_jpeg(jvm, enc, bands)
 
     rng = np.random.default_rng(23)
     tiles = (2 * rng.integers(0, 128, size=(3, 3))).astype(np.uint8)
@@ -1057,9 +1066,8 @@ def test_jpeg_zigzag_is_spec_order():
         (0, 0), (0, 1), (1, 0), (2, 0), (1, 1),
         (0, 2), (0, 3), (1, 2), (2, 1), (3, 0),
     ]
-    assert _JPEG_ZIGZAG[-4:] == [(6, 7), (7, 6), (7, 7)][-3:] or True
+    assert _JPEG_ZIGZAG[-4:] == [(5, 7), (6, 7), (7, 6), (7, 7)]
     assert len(set(_JPEG_ZIGZAG)) == 64
-    assert _JPEG_ZIGZAG[63] == (7, 7)
 
 
 def test_jpeg_baseline_noise_interchange_with_jvm(spark):
@@ -1078,18 +1086,7 @@ def test_jpeg_baseline_noise_interchange_with_jvm(spark):
     jvm = spark._jvm
 
     def jvm_decode_gray(enc):
-        bimg = jvm.javax.imageio.ImageIO.read(
-            jvm.java.io.ByteArrayInputStream(bytearray(enc))
-        )
-        h, w = bimg.getHeight(), bimg.getWidth()
-        raster = bimg.getRaster()
-        return np.array(
-            [
-                [raster.getSample(x, y, 0) for x in range(w)]
-                for y in range(h)
-            ],
-            dtype=np.int64,
-        )
+        return _jvm_decode_jpeg(jvm, enc, 1)
 
     rng = np.random.default_rng(47)
     for hw in [(16, 16), (17, 23)]:
@@ -1201,29 +1198,7 @@ def test_jpeg_progressive_interchange_with_jvm(spark):
         return bytes(baos.toByteArray())
 
     def jvm_decode(enc, bands):
-        bimg = jvm.javax.imageio.ImageIO.read(
-            jvm.java.io.ByteArrayInputStream(bytearray(enc))
-        )
-        h, w = bimg.getHeight(), bimg.getWidth()
-        raster = bimg.getRaster()
-        if bands == 1:
-            return np.array(
-                [
-                    [raster.getSample(x, y, 0) for x in range(w)]
-                    for y in range(h)
-                ],
-                dtype=np.int64,
-            )
-        return np.array(
-            [
-                [
-                    [raster.getSample(x, y, c) for c in range(3)]
-                    for x in range(w)
-                ]
-                for y in range(h)
-            ],
-            dtype=np.int64,
-        )
+        return _jvm_decode_jpeg(jvm, enc, bands)
 
     rng = np.random.default_rng(23)
     # (a) decode JVM-written progressive streams
@@ -1276,29 +1251,7 @@ def test_jpeg_progressive_with_restart_intervals(spark):
     jvm = spark._jvm
 
     def jvm_decode(enc, bands):
-        bimg = jvm.javax.imageio.ImageIO.read(
-            jvm.java.io.ByteArrayInputStream(bytearray(enc))
-        )
-        h, w = bimg.getHeight(), bimg.getWidth()
-        raster = bimg.getRaster()
-        if bands == 1:
-            return np.array(
-                [
-                    [raster.getSample(x, y, 0) for x in range(w)]
-                    for y in range(h)
-                ],
-                dtype=np.int64,
-            )
-        return np.array(
-            [
-                [
-                    [raster.getSample(x, y, c) for c in range(3)]
-                    for x in range(w)
-                ]
-                for y in range(h)
-            ],
-            dtype=np.int64,
-        )
+        return _jvm_decode_jpeg(jvm, enc, bands)
 
     rng = np.random.default_rng(53)
     g = rng.integers(0, 256, size=(17, 23)).astype(np.uint8)
@@ -1340,8 +1293,10 @@ def test_g711_codecs_bit_exact_against_audioop():
     import numpy as np
 
     with warnings.catch_warnings():
+        # stdlib audioop is the reference on <= 3.12; removed in 3.13
+        # (PEP 594) — skip the pin there rather than erroring
         warnings.simplefilter("ignore", DeprecationWarning)
-        import audioop
+        audioop = pytest.importorskip("audioop")
 
     from amazonredshift_blueprints_spark.operators.multimodal import (
         decode_alaw,
