@@ -18481,10 +18481,11 @@ def c200_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # union by (latest_round, catalog_index), co-windowing rows-only picks
 # with their oracle twins (q12<->q11, c02<->c24, c03<->c26, c07<->c38,
 # c68<->q11), and APPENDING any entry added during round 16 itself.
-# After the r15 window lands, the oldest-rowed backlog is the r09 tier
-# (q01-q23/a03 fillers just re-rowed; the rest of the r09 tier —
-# q57/q58/c04/c32/c35/c29/c14/q35/q42/c51/c61/c64/c65/c70/q53/q55/
-# c71/c72/c74/q59/c75/... — is next).
+# After the r15 window lands, the displaced fillers a03/q23/q22/q21/
+# q18 (bumped for c214/q111/c215/c216/c217, so NOT re-rowed in r15)
+# are the oldest-rowed backlog and go first; then the rest of the r09
+# tier — q57/q58/c04/c32/c35/c29/c14/q35/q42/c51/c61/c64/c65/c70/q53/
+# q55/c71/c72/c74/q59/c75/....
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
