@@ -1052,6 +1052,161 @@ def encode_alaw(samples) -> bytes:
     return (aval ^ mask).astype(np.uint8).tobytes()
 
 
+_ADPCM_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_ADPCM_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def decode_adpcm(payload: bytes):
+    """IMA/DVI ADPCM (4-bit, the audioop/Intel variant) → int16 PCM:
+    two codes per byte, HIGH nibble first, state starting at
+    (pred=0, index=0); per code the step is read at the OLD index,
+    vpdiff = step>>3 plus step/step>>1/step>>2 for bits 4/2/1, bit 8
+    subtracts, predictor clamps to int16 and index moves by the
+    T.IMA index table clamped to [0, 88]. Bit-exact against
+    audioop.adpcm2lin (pinned in tests). Stateful per stream, so the
+    loop is per-sample within a payload — Arrow batches still carry
+    many payloads per task, the same scale shape as the other
+    codecs."""
+    import numpy as np
+
+    pred, idx = 0, 0
+    out = []
+    for byte in payload:
+        for delta in (byte >> 4, byte & 0x0F):
+            step = _ADPCM_STEPS[idx]
+            idx = min(max(idx + _ADPCM_INDEX[delta], 0), 88)
+            vpdiff = step >> 3
+            if delta & 4:
+                vpdiff += step
+            if delta & 2:
+                vpdiff += step >> 1
+            if delta & 1:
+                vpdiff += step >> 2
+            pred = pred - vpdiff if delta & 8 else pred + vpdiff
+            pred = min(max(pred, -32768), 32767)
+            out.append(pred)
+    return np.asarray(out, dtype=np.int16)
+
+
+def encode_adpcm(samples) -> bytes:
+    """int16 PCM → IMA/DVI ADPCM bytes (audioop.lin2adpcm semantics
+    from the zero state: successive step comparisons build the 3
+    magnitude bits, vpdiff mirrors the decoder, codes pack HIGH
+    nibble first; an odd trailing sample pads the last low nibble
+    with zero bits)."""
+    pred, idx = 0, 0
+    codes = []
+    for val in samples:
+        val = int(val)
+        step = _ADPCM_STEPS[idx]
+        diff = val - pred
+        sign = 8 if diff < 0 else 0
+        if sign:
+            diff = -diff
+        delta = 0
+        vpdiff = step >> 3
+        if diff >= step:
+            delta = 4
+            diff -= step
+            vpdiff += step
+        step >>= 1
+        if diff >= step:
+            delta |= 2
+            diff -= step
+            vpdiff += step
+        step >>= 1
+        if diff >= step:
+            delta |= 1
+            vpdiff += step
+        pred = pred - vpdiff if sign else pred + vpdiff
+        pred = min(max(pred, -32768), 32767)
+        delta |= sign
+        idx = min(max(idx + _ADPCM_INDEX[delta], 0), 88)
+        codes.append(delta)
+    if len(codes) % 2:
+        codes.append(0)
+    return bytes(
+        (codes[i] << 4) | codes[i + 1] for i in range(0, len(codes), 2)
+    )
+
+
+def synthesize_adpcm_audio(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic IMA ADPCM payloads: id ``i`` carries
+    ``64 + 2*(i % 16)`` four-bit codes ``((i % 97)*(k+1) + k*k) %
+    16`` packed high-nibble-first — a code stream that drives the
+    decoder across all three regimes (small wander, mid-range, and
+    full int16 rail) over the document set. The closed form is what
+    lets the c218 oracle regenerate the codes in SQL and replay the
+    whole STATEFUL decode as a recursive CTE."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                n = 64 + 2 * (i % 16)
+                codes = [((i % 97) * (k + 1) + k * k) % 16 for k in range(n)]
+                payloads.append(
+                    bytes(
+                        (codes[j] << 4) | codes[j + 1]
+                        for j in range(0, n, 2)
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def adpcm_audio_stats(df: DataFrame) -> DataFrame:
+    """Decode a (doc_id, payload) frame of IMA ADPCM audio to PCM16
+    and reduce to exact integer statistics. Arrow-batched
+    ``mapInPandas`` inside the scan's partitions — no shuffle."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                pcm = decode_adpcm(bytes(payload)).astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        pcm.size,
+                        int(pcm.sum()),
+                        int(np.abs(pcm).sum()),
+                        int(pcm.min()),
+                        int(pcm.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sum_pcm",
+                    "sum_abs", "min_pcm", "max_pcm",
+                ],
+            )
+
+    return df.mapInPandas(
+        stats,
+        "doc_id long, n_samples long, sum_pcm long, "
+        "sum_abs long, min_pcm long, max_pcm long",
+    )
+
+
 def synthesize_g711_audio(df: DataFrame, id_col: str) -> DataFrame:
     """Deterministic REAL G.711 payloads: id ``i`` carries
     ``96 + i % 32`` code bytes ``(i*7 + k*13) % 256`` (k = sample

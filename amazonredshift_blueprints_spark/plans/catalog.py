@@ -17535,6 +17535,94 @@ def c217_g711_audio_decode_stats(
     return g711_audio_stats(synthesize_g711_audio(d, "doc_id"))
 
 
+_ADPCM_STEP_SQL = (
+    "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,"
+    "66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,"
+    "371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,"
+    "1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,"
+    "5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,"
+    "16818,18500,20350,22385,24623,27086,29794,32767]"
+)
+_ADPCM_IDX_SQL = "[-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8]"
+_ADPCM_VPDIFF_SQL = (
+    "((list_extract({S}, d.idx + 1) >> 3)"
+    " + CASE WHEN n.delta & 4 != 0"
+    "        THEN list_extract({S}, d.idx + 1) ELSE 0 END"
+    " + CASE WHEN n.delta & 2 != 0"
+    "        THEN list_extract({S}, d.idx + 1) >> 1 ELSE 0 END"
+    " + CASE WHEN n.delta & 1 != 0"
+    "        THEN list_extract({S}, d.idx + 1) >> 2 ELSE 0 END)"
+).format(S=_ADPCM_STEP_SQL)
+_ADPCM_PRED_SQL = (
+    "GREATEST(-32768, LEAST(32767, d.pred"
+    " + CASE WHEN n.delta & 8 != 0 THEN -1 ELSE 1 END * "
+    + _ADPCM_VPDIFF_SQL + "))"
+)
+
+
+@query(
+    "c218_adpcm_audio_decode_stats",
+    oracle=f"""
+    WITH RECURSIVE nib AS (
+        SELECT d.doc_id, k.k,
+               CAST(((d.doc_id % 97) * (k.k + 1) + k.k * k.k) % 16
+                    AS INTEGER) AS delta
+        FROM documents d, range(96) k(k)
+        WHERE k.k < 64 + 2 * (d.doc_id % 16)
+    ),
+    dec AS (
+        SELECT doc_id, -1 AS k, 0 AS pred, 0 AS idx,
+               CAST(NULL AS INTEGER) AS pcm
+        FROM (SELECT DISTINCT doc_id FROM nib)
+        UNION ALL
+        SELECT n.doc_id, n.k,
+               {_ADPCM_PRED_SQL} AS pred,
+               GREATEST(0, LEAST(88,
+                   d.idx + list_extract({_ADPCM_IDX_SQL}, n.delta + 1)
+               )) AS idx,
+               {_ADPCM_PRED_SQL} AS pcm
+        FROM dec d JOIN nib n ON n.doc_id = d.doc_id AND n.k = d.k + 1
+    )
+    SELECT doc_id,
+           CAST(COUNT(pcm) AS BIGINT) AS n_samples,
+           CAST(SUM(pcm) AS BIGINT) AS sum_pcm,
+           CAST(SUM(ABS(pcm)) AS BIGINT) AS sum_abs,
+           CAST(MIN(pcm) AS BIGINT) AS min_pcm,
+           CAST(MAX(pcm) AS BIGINT) AS max_pcm
+    FROM dec WHERE k >= 0 GROUP BY doc_id
+    """,
+    doc="IMA/DVI ADPCM (4-bit) telephony/game audio decodes for real "
+        "(operators/multimodal.py, r15 — the STATEFUL rung of the "
+        "audio ladder: unlike G.711's per-byte laws, every sample "
+        "depends on the running (predictor, step-index) state, so "
+        "this entry also demonstrates a new oracle pattern): encode "
+        "AND decode bit-exact against CPython's independent C "
+        "reference (audioop.adpcm2lin / lin2adpcm, pinned in pytest "
+        "over random PCM and all-regime code streams), and the "
+        "oracle replays the ENTIRE stateful decode in SQL as a "
+        "RECURSIVE CTE — per iteration it joins the next closed-form "
+        "code nibble, reads the step at the old index, reconstructs "
+        "vpdiff bit by bit, clamps the predictor to int16 and the "
+        "index to [0,88] — the step and index tables embedded as SQL "
+        "list literals. Each id carries 64+2*(id%16) codes spanning "
+        "small-wander, mid-range and full-rail regimes. Decode is "
+        "Arrow-batched inside the scan's partitions — no shuffle; "
+        "the per-sample loop is per-payload (stateful codec), many "
+        "payloads per Arrow batch",
+    tags=("multimodal",),
+)
+def c218_adpcm_audio_decode_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import (
+        adpcm_audio_stats,
+        synthesize_adpcm_audio,
+    )
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return adpcm_audio_stats(synthesize_adpcm_audio(d, "doc_id"))
+
+
 @query(
     "q111_time_travel_append",
     oracle="""
@@ -18548,15 +18636,16 @@ _DRIVER_WINDOW = [
     "q09_join_cross",
     "q10_agg_hash",
     "q15_window_rank",
-    "q16_window_frames",
     # --- round-15 additions (land in their own round's window,
     # displacing fillers newest-first: a03 out for c214, q23 out for
-    # q111, q22 out for c215, q21 out for c216, q18 out for c217) ---
+    # q111, q22 out for c215, q21 out for c216, q18 out for c217,
+    # q16 out for c218) ---
     "c214_jpeg_subsampled_decode_stats",
     "q111_time_travel_append",
     "c215_jpeg_restart_decode_stats",
     "c216_jpeg_progressive_decode_stats",
     "c217_g711_audio_decode_stats",
+    "c218_adpcm_audio_decode_stats",
 ]
 
 

@@ -1355,3 +1355,88 @@ def test_g711_stats_operator(spark):
         assert r["sum_pcm"] == int(pcm.sum())
         assert r["sum_abs"] == int(np.abs(pcm).sum())
         assert (r["min_pcm"], r["max_pcm"]) == (int(pcm.min()), int(pcm.max()))
+
+
+def test_adpcm_codec_bit_exact_against_audioop():
+    """IMA/DVI ADPCM (r15): our stateful codec must be bit-exact
+    against CPython's independent C reference (audioop) — decode on
+    arbitrary code bytes (all 16 codes reachable), encode on random
+    and ramp PCM, and the packed high-nibble-first framing."""
+    import warnings
+
+    import numpy as np
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        audioop = pytest.importorskip("audioop")
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_adpcm,
+        encode_adpcm,
+    )
+
+    rng = np.random.default_rng(61)
+    # decode parity on random code bytes (covers every nibble value)
+    for n in (1, 7, 64, 333):
+        payload = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+        ref = np.frombuffer(audioop.adpcm2lin(payload, 2, None)[0], "<i2")
+        assert np.array_equal(decode_adpcm(payload), ref), n
+    # encode parity on random, ramp and railing PCM (even lengths:
+    # audioop DISCARDS a trailing half-byte on odd sample counts,
+    # ours pads the low nibble with zero bits and keeps the sample)
+    for pcm in (
+        rng.integers(-32768, 32768, size=500).astype(np.int16),
+        np.linspace(-32768, 32767, 300).astype(np.int16),
+        np.repeat([32767, -32768], 50).astype(np.int16),
+    ):
+        ref, _ = audioop.lin2adpcm(pcm.tobytes(), 2, None)
+        assert encode_adpcm(pcm) == ref
+    odd = rng.integers(-32768, 32768, size=11).astype(np.int16)
+    enc = encode_adpcm(odd)
+    assert len(enc) == 6  # 11 codes + 1 pad nibble
+    assert enc[:5] == audioop.lin2adpcm(odd[:10].tobytes(), 2, None)[0]
+    # roundtrip: decode(encode(x)) tracks x within the step size at
+    # the rail regime (ADPCM is lossy but stable)
+    tone = (3000 * np.sin(np.arange(400) / 7.0)).astype(np.int16)
+    back = decode_adpcm(encode_adpcm(tone))[: tone.size].astype(np.int64)
+    assert np.abs(back - tone.astype(np.int64)).max() < 2000
+
+
+def test_adpcm_stats_operator(spark):
+    """The c218 surface end-to-end on a local frame: synthesized
+    payloads decode statefully and the stats match both a direct
+    replay of our codec and audioop."""
+    import warnings
+
+    import numpy as np
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        audioop = pytest.importorskip("audioop")
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        adpcm_audio_stats,
+        synthesize_adpcm_audio,
+    )
+
+    ids = spark.createDataFrame([(0,), (1,), (123,)], ["doc_id"])
+    got = {
+        r["doc_id"]: r
+        for r in adpcm_audio_stats(
+            synthesize_adpcm_audio(ids, "doc_id")
+        ).collect()
+    }
+    for i in (0, 1, 123):
+        n = 64 + 2 * (i % 16)
+        codes = [((i % 97) * (k + 1) + k * k) % 16 for k in range(n)]
+        payload = bytes(
+            (codes[j] << 4) | codes[j + 1] for j in range(0, n, 2)
+        )
+        pcm = np.frombuffer(
+            audioop.adpcm2lin(payload, 2, None)[0], "<i2"
+        ).astype(np.int64)
+        r = got[i]
+        assert r["n_samples"] == n
+        assert r["sum_pcm"] == int(pcm.sum())
+        assert r["sum_abs"] == int(np.abs(pcm).sum())
+        assert (r["min_pcm"], r["max_pcm"]) == (int(pcm.min()), int(pcm.max()))
