@@ -229,27 +229,48 @@ def _interlaced_scanlines(raw, bpp: int, filter_mode: str) -> bytearray:
 
 
 def encode_png(pixels, *, filter_mode: str = "cycle", interlace: bool = False) -> bytes:
-    """RGB uint8 array (h, w, 3) → 8-bit truecolor PNG — pure stdlib
-    ``zlib`` + numpy, no pillow. ``filter_mode='cycle'`` filters row r
-    with type r % 5, so a round-trip through :func:`decode_png`
-    exercises EVERY unfilter path (None/Sub/Up/Average/Paeth);
-    ``interlace=True`` writes Adam7 (each pass filtered independently)."""
+    """RGB/RGBA array (h, w, 3|4) of uint8 or uint16 → truecolor PNG
+    (color type 2 or 6, bit depth 8 or 16 chosen by the array dtype;
+    r15 added alpha and 16-bit — PNG filters are byte-oriented, so
+    the same filter core runs at every bpp) — pure stdlib ``zlib`` +
+    numpy, no pillow. ``filter_mode='cycle'`` filters row r with type
+    r % 5, so a round-trip through :func:`decode_png` exercises EVERY
+    unfilter path (None/Sub/Up/Average/Paeth); ``interlace=True``
+    writes Adam7 (each pass filtered independently). uint8 RGB input
+    produces bytes identical to the pre-r15 encoder."""
     import struct
     import zlib
 
     import numpy as np
 
-    arr = np.asarray(pixels, dtype=np.uint8)
+    arr = np.asarray(pixels)
+    if arr.dtype == np.uint16:
+        depth = 16
+    else:
+        arr = arr.astype(np.uint8)
+        depth = 8
+    if arr.ndim != 3 or arr.shape[2] not in (3, 4):
+        raise ValueError(
+            "PNG encoder takes (h, w, 3) RGB or (h, w, 4) RGBA; got "
+            f"shape {arr.shape}"
+        )
     h, w, c = arr.shape
-    if c != 3:
-        raise ValueError(f"PNG encoder here is RGB-only; got {c} channels")
-    raw = arr.reshape(h, w * 3)
+    ctype_id = 2 if c == 3 else 6
+    bpp = c * depth // 8
+    if depth == 16:
+        raw = np.frombuffer(
+            arr.astype(">u2").tobytes(), dtype=np.uint8
+        ).reshape(h, w * bpp)
+    else:
+        raw = arr.reshape(h, w * bpp)
     scanlines = (
-        _interlaced_scanlines(raw, 3, filter_mode)
+        _interlaced_scanlines(raw, bpp, filter_mode)
         if interlace
-        else _filter_scanlines(raw, 3, filter_mode)
+        else _filter_scanlines(raw, bpp, filter_mode)
     )
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, int(interlace))
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, ctype_id, 0, 0, int(interlace)
+    )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -402,14 +423,15 @@ def _unpack_indices(rows, w: int, depth: int):
 
 def decode_png(payload: bytes):
     """REAL PNG decode — stdlib ``zlib`` inflate + per-row unfiltering,
-    no pillow — returning an (h, w, 3) uint8 RGB array. Supported
-    variants (VERDICT r9 #6): 8-bit truecolor (color type 2), 8-bit
-    grayscale (type 0, replicated to RGB), and PLTE-indexed color
-    (type 3) at bit depths 1/2/4/8 — each both sequential and
-    Adam7-interlaced (each pass unfiltered independently, then
-    scattered into the output grid). Chunk CRCs are verified;
-    truncated or corrupt payloads raise ValueError (VERDICT r8 #2).
-    Alpha/16-bit variants raise: the honest unsupported set."""
+    no pillow. Supported variants: truecolor (color type 2) and
+    grayscale (type 0, replicated to RGB) at bit depths 8 AND 16
+    (r15), RGBA (type 6) and gray+alpha (type 4, gray replicated) at
+    8 and 16, and PLTE-indexed color (type 3) at depths 1/2/4/8 —
+    each both sequential and Adam7-interlaced (each pass unfiltered
+    independently, then scattered into the output grid). Returns
+    (h, w, 3) without alpha, (h, w, 4) with, dtype uint8 or uint16
+    by depth (16-bit samples are big-endian on the wire). Chunk CRCs
+    are verified; truncated or corrupt payloads raise ValueError."""
     import struct
     import zlib
 
@@ -452,14 +474,16 @@ def decode_png(payload: bytes):
     if not seen_iend:
         raise ValueError("truncated PNG: missing IEND")
     w, h, depth, ctype_id, comp, filt_m, interlace = ihdr
-    supported = ctype_id in (0, 2) and depth == 8 or (
-        ctype_id == 3 and depth in (1, 2, 4, 8)
+    supported = (
+        (ctype_id in (0, 2, 4, 6) and depth in (8, 16))
+        or (ctype_id == 3 and depth in (1, 2, 4, 8))
     )
     if comp != 0 or filt_m != 0 or interlace not in (0, 1) or not supported:
         raise ValueError(
-            "unsupported PNG variant: 8-bit gray/RGB and 1/2/4/8-bit "
-            f"palette decode here, sequential or Adam7 (depth={depth}, "
-            f"color={ctype_id}, interlace={interlace})"
+            "unsupported PNG variant: gray/RGB/gray+alpha/RGBA at "
+            "depth 8/16 and 1/2/4/8-bit palette decode here, "
+            f"sequential or Adam7 (depth={depth}, color={ctype_id}, "
+            f"interlace={interlace})"
         )
     if ctype_id == 3 and plte is None:
         raise ValueError("corrupt PNG: palette image without PLTE chunk")
@@ -468,32 +492,45 @@ def decode_png(payload: bytes):
     except zlib.error as e:
         raise ValueError(f"corrupt PNG: IDAT inflate failed: {e}") from e
 
-    bpp = 3 if ctype_id == 2 else 1
+    n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype_id]
+    out_ch = {0: 3, 2: 3, 3: 3, 4: 4, 6: 4}[ctype_id]
+    bpp = max(n_ch * depth // 8, 1)
+    out_dtype = np.uint16 if depth == 16 and ctype_id != 3 else np.uint8
 
     def row_bytes(width: int) -> int:
-        if ctype_id == 2:
-            return width * 3
-        if ctype_id == 0 or depth == 8:
-            return width
-        return (width * depth + 7) // 8
+        if ctype_id == 3 and depth != 8:
+            return (width * depth + 7) // 8
+        return width * bpp
 
     def to_pixels(rows, width: int):
-        """(h, row_bytes) filtered-byte rows → (h, width, 3) RGB."""
-        if ctype_id == 2:
-            return rows.reshape(rows.shape[0], width, 3)
-        if ctype_id == 0:
-            return np.repeat(rows[:, :width, None], 3, axis=2)
-        idx = _unpack_indices(rows, width, depth)
-        if idx.max(initial=0) >= plte.shape[0]:
-            raise ValueError("corrupt PNG: palette index beyond PLTE size")
-        return plte[idx]
+        """(h, row_bytes) unfiltered byte rows → (h, width, out_ch)."""
+        if ctype_id == 3:
+            idx = _unpack_indices(rows, width, depth)
+            if idx.max(initial=0) >= plte.shape[0]:
+                raise ValueError(
+                    "corrupt PNG: palette index beyond PLTE size"
+                )
+            return plte[idx]
+        if depth == 16:  # network byte order (big-endian) sample pairs
+            pairs = rows.reshape(rows.shape[0], width, n_ch, 2)
+            px = (
+                pairs[..., 0].astype(np.uint16) << 8
+            ) | pairs[..., 1].astype(np.uint16)
+        else:
+            px = rows.reshape(rows.shape[0], width, n_ch)
+        if ctype_id in (0, 4):  # replicate gray to RGB, keep alpha last
+            gray = np.repeat(px[..., :1], 3, axis=2)
+            if ctype_id == 0:
+                return gray
+            return np.concatenate([gray, px[..., 1:2]], axis=2)
+        return px
 
     if interlace == 0:
         rows, offset = _unfilter(raw, 0, h, row_bytes(w), bpp)
         if offset != len(raw):
             raise ValueError("corrupt PNG: trailing bytes after scanlines")
-        return to_pixels(rows, w).copy()
-    out = np.zeros((h, w, 3), dtype=np.uint8)
+        return to_pixels(rows, w).astype(out_dtype).copy()
+    out = np.zeros((h, w, out_ch), dtype=out_dtype)
     offset = 0
     for r0, c0, dr, dc in _ADAM7:
         sub_h = len(range(r0, h, dr))
@@ -3580,6 +3617,91 @@ def synthesize_progressive_jpeg_images(
 
     return df.select(F.col(id_col)).mapInPandas(
         gen, "doc_id long, payload binary"
+    )
+
+
+def synthesize_deep_png_images(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic 16-bit and alpha-channel PNG payloads (r15):
+    image ``id`` is (5 + id%4) x (6 + id%3) with pixel value
+    ``(id*131 + r*17 + c*7 + ch*3) % M`` per channel, in variant
+    ``id % 4``: 0 → RGB 16-bit sequential (M=65536), 1 → RGBA 8-bit
+    sequential (M=256), 2 → RGBA 16-bit Adam7, 3 → RGBA 8-bit Adam7
+    — every combination of depth, alpha and interlacing, all with
+    the filter-cycling encoder so every unfilter path runs at bpp
+    4/6/8. PNG is lossless, so the c219 oracle replays the closed
+    form per channel in SQL."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                h, w = 5 + i % 4, 6 + i % 3
+                variant = i % 4
+                n_ch = 3 if variant == 0 else 4
+                m = 65536 if variant in (0, 2) else 256
+                dt = np.uint16 if m == 65536 else np.uint8
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                ch = np.arange(n_ch)[None, None, :]
+                px = ((i * 131 + r * 17 + c * 7 + ch * 3) % m).astype(dt)
+                payloads.append(
+                    encode_png(px, interlace=variant in (2, 3))
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def image_deep_stats(images: DataFrame) -> DataFrame:
+    """Decode a (doc_id, payload) frame of RGB/RGBA images at any
+    depth and reduce to exact integer per-channel statistics
+    (``sum_a`` is 0 for alpha-less images). Arrow-batched decode
+    inside the scan's partitions — no shuffle."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_image(bytes(payload))
+                if px.ndim != 3 or px.shape[2] not in (3, 4):
+                    raise ValueError(
+                        f"doc {doc_id}: expected RGB/RGBA, got shape "
+                        f"{px.shape}"
+                    )
+                arr = px.astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        px.shape[1],
+                        px.shape[0],
+                        px.shape[2],
+                        int(arr[:, :, 0].sum()),
+                        int(arr[:, :, 1].sum()),
+                        int(arr[:, :, 2].sum()),
+                        int(arr[:, :, 3].sum()) if px.shape[2] == 4 else 0,
+                        int(arr.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_channels",
+                    "sum_r", "sum_g", "sum_b", "sum_a", "px_max",
+                ],
+            )
+
+    return images.mapInPandas(
+        stats,
+        "doc_id long, width long, height long, n_channels long, "
+        "sum_r long, sum_g long, sum_b long, sum_a long, px_max long",
     )
 
 

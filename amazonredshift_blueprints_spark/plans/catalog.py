@@ -17624,6 +17624,67 @@ def c218_adpcm_audio_decode_stats(
 
 
 @query(
+    "c219_png_deep_decode_stats",
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id, g1.r, g2.c, ch.ch,
+               (d.doc_id * 131 + g1.r * 17 + g2.c * 7 + ch.ch * 3)
+               % (CASE WHEN d.doc_id % 4 IN (0, 2)
+                       THEN 65536 ELSE 256 END) AS v
+        FROM documents d, range(9) g1(r), range(9) g2(c),
+             range(4) ch(ch)
+        WHERE g1.r < 5 + d.doc_id % 4
+          AND g2.c < 6 + d.doc_id % 3
+          AND ch.ch < CASE WHEN d.doc_id % 4 = 0 THEN 3 ELSE 4 END
+    )
+    SELECT doc_id,
+           CAST(6 + doc_id % 3 AS BIGINT) AS width,
+           CAST(5 + doc_id % 4 AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 4 END AS BIGINT)
+               AS n_channels,
+           CAST(SUM(CASE WHEN ch = 0 THEN v ELSE 0 END) AS BIGINT)
+               AS sum_r,
+           CAST(SUM(CASE WHEN ch = 1 THEN v ELSE 0 END) AS BIGINT)
+               AS sum_g,
+           CAST(SUM(CASE WHEN ch = 2 THEN v ELSE 0 END) AS BIGINT)
+               AS sum_b,
+           CAST(SUM(CASE WHEN ch = 3 THEN v ELSE 0 END) AS BIGINT)
+               AS sum_a,
+           CAST(MAX(v) AS BIGINT) AS px_max
+    FROM px GROUP BY doc_id
+    """,
+    doc="16-BIT and ALPHA-channel PNG decode for real (operators/"
+        "multimodal.py, r15 — closing the PNG ladder's remaining "
+        "real-world variants: RGBA is the web's default transparent "
+        "format and 16-bit the scientific/scanner depth): encoder "
+        "and decoder generalize to color types 2/6 at depths 8/16 "
+        "(big-endian sample pairs on the wire) plus decode-side "
+        "gray+alpha (type 4) — PNG filters are byte-oriented, so the "
+        "same filter/unfilter core runs at bpp 4/6/8, sequential or "
+        "Adam7. pytest cross-validates every (depth, alpha, "
+        "interlace) combination bit-for-bit against the JVM's "
+        "independent javax.imageio PNG reader, and uint8 RGB bytes "
+        "stay byte-identical to the pre-r15 encoder. PNG is "
+        "LOSSLESS, so no exactness-class trick is needed: each id "
+        "encodes closed-form pixels in variant id%4 (RGB16, RGBA8, "
+        "RGBA16+Adam7, RGBA8+Adam7, filter-cycled), and per-channel "
+        "sums replay directly in SQL. Decode is Arrow-batched inside "
+        "the scan's partitions — no shuffle",
+    tags=("multimodal",),
+)
+def c219_png_deep_decode_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import (
+        image_deep_stats,
+        synthesize_deep_png_images,
+    )
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return image_deep_stats(synthesize_deep_png_images(d, "doc_id"))
+
+
+@query(
     "q111_time_travel_append",
     oracle="""
     WITH p0 AS (SELECT o_orderkey, o_totalprice FROM orders
@@ -18635,17 +18696,17 @@ _DRIVER_WINDOW = [
     "q08_join_theta",
     "q09_join_cross",
     "q10_agg_hash",
-    "q15_window_rank",
     # --- round-15 additions (land in their own round's window,
     # displacing fillers newest-first: a03 out for c214, q23 out for
     # q111, q22 out for c215, q21 out for c216, q18 out for c217,
-    # q16 out for c218) ---
+    # q16 out for c218, q15 out for c219) ---
     "c214_jpeg_subsampled_decode_stats",
     "q111_time_travel_append",
     "c215_jpeg_restart_decode_stats",
     "c216_jpeg_progressive_decode_stats",
     "c217_g711_audio_decode_stats",
     "c218_adpcm_audio_decode_stats",
+    "c219_png_deep_decode_stats",
 ]
 
 

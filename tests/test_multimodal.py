@@ -239,10 +239,12 @@ def test_png_corrupt_payloads_raise_not_hang():
             + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
         )
 
-    bad_ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 6, 0, 0, 0)  # RGBA
-    rgba = b[:8] + chunk(b"IHDR", bad_ihdr) + b[b.index(b"IDAT") - 4 :]
+    # RGBA decodes since r15; a 16-bit PALETTE claim is the invalid
+    # variant now (PNG spec: palette images are 1/2/4/8 only)
+    bad_ihdr = struct.pack(">IIBBBBB", 8, 8, 16, 3, 0, 0, 0)
+    pal16 = b[:8] + chunk(b"IHDR", bad_ihdr) + b[b.index(b"IDAT") - 4 :]
     with pytest.raises(ValueError, match="unsupported PNG variant"):
-        decode_png(rgba)
+        decode_png(pal16)
     # IDAT that inflates to the wrong scanline length
     short = b[:8] + chunk(
         b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 0)
@@ -1440,3 +1442,89 @@ def test_adpcm_stats_operator(spark):
         assert r["sum_pcm"] == int(pcm.sum())
         assert r["sum_abs"] == int(np.abs(pcm).sum())
         assert (r["min_pcm"], r["max_pcm"]) == (int(pcm.min()), int(pcm.max()))
+
+
+def test_png_deep_roundtrip_and_jvm_interchange(spark):
+    """16-bit and alpha PNG (r15): every (channels, depth, interlace,
+    filter-mode) combination round-trips losslessly through our
+    encoder/decoder AND decodes bit-for-bit in the JVM's independent
+    javax.imageio PNG reader; uint8 RGB bytes stay byte-identical to
+    the 8-bit-only encoder's output contract (IHDR depth 8, type 2);
+    hand-built gray+alpha and 16-bit grayscale payloads decode with
+    gray replicated to RGB and alpha kept."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    jvm = spark._jvm
+
+    def jvm_decode_png(enc):
+        bimg = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(enc))
+        )
+        h, w = bimg.getHeight(), bimg.getWidth()
+        raster = bimg.getRaster()
+        nb = raster.getNumBands()
+        return np.array(
+            [
+                [
+                    [raster.getSample(x, y, c) for c in range(nb)]
+                    for x in range(w)
+                ]
+                for y in range(h)
+            ],
+            dtype=np.int64,
+        )
+
+    rng = np.random.default_rng(73)
+    for ch in (3, 4):
+        for dt, hi in ((np.uint8, 256), (np.uint16, 65536)):
+            for il in (False, True):
+                px = rng.integers(0, hi, size=(9, 7, ch)).astype(dt)
+                enc = encode_png(px, interlace=il)
+                out = decode_png(enc)
+                assert out.dtype == dt and np.array_equal(out, px)
+                assert np.array_equal(
+                    jvm_decode_png(enc), px.astype(np.int64)
+                ), (ch, dt, il)
+    # uint8 RGB keeps the original header contract
+    enc = encode_png(rng.integers(0, 256, size=(4, 5, 3)).astype(np.uint8))
+    assert struct.unpack(">IIBBBBB", enc[16:29]) == (5, 4, 8, 2, 0, 0, 0)
+
+    def build(w, h, depth, ctype, rows):
+        scan = bytearray()
+        for r in rows:
+            scan.append(0)
+            scan.extend(r)
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(scan)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # gray+alpha 8-bit: gray replicated, alpha kept last
+    out = decode_png(
+        build(2, 2, 8, 4, [bytes([10, 200, 20, 210]),
+                           bytes([30, 220, 40, 230])])
+    )
+    assert out.shape == (2, 2, 4) and out[0, 0].tolist() == [10, 10, 10, 200]
+    # 16-bit grayscale: big-endian pairs
+    out = decode_png(build(2, 1, 16, 0, [bytes([0x12, 0x34, 0xAB, 0xCD])]))
+    assert out.dtype == np.uint16 and out[0, 1, 0] == 0xABCD
+    # 16-bit gray+alpha
+    out = decode_png(build(1, 1, 16, 4, [bytes([1, 2, 3, 4])]))
+    assert out[0, 0].tolist() == [0x0102, 0x0102, 0x0102, 0x0304]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="PNG encoder takes"):
+        encode_png(rng.integers(0, 256, size=(4, 5, 2)).astype(np.uint8))
