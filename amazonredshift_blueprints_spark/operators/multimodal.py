@@ -2034,6 +2034,284 @@ def synthesize_tga_images(
 
 
 # ---------------------------------------------------------------------------
+# Baseline TIFF (r15): the scanner/scientific container — uncompressed
+# strips, either byte order (II little / MM big), grayscale / RGB /
+# RGBA, 8 or 16 bits per sample. Encoder and decoder are independent
+# IFD implementations; cross-validated against the JVM's
+# com.sun.imageio TIFF plugin. Compression, tiling and planar=2 refuse
+# by name — the honest subset.
+# ---------------------------------------------------------------------------
+
+
+def encode_tiff(pixels, *, big_endian: bool = False) -> bytes:
+    """(h, w[, ch]) uint8/uint16 array → baseline TIFF 6.0: a single
+    uncompressed strip with one IFD holding the required tags
+    (ImageWidth/Length, BitsPerSample, Compression=1, Photometric,
+    StripOffsets/ByteCounts, SamplesPerPixel, RowsPerStrip) plus
+    ExtraSamples for RGBA. ``big_endian`` writes an MM file (sample
+    bytes AND tag values flip together, per the spec)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels)
+    depth = 16 if arr.dtype == np.uint16 else 8
+    if arr.dtype != np.uint16:
+        arr = arr.astype(np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 3, 4):
+        raise ValueError(
+            "encode_tiff takes (h, w), (h, w, 3) or (h, w, 4); got "
+            f"shape {np.asarray(pixels).shape}"
+        )
+    h, w, ch = arr.shape
+    bo = ">" if big_endian else "<"
+    if depth == 16:
+        strip = arr.astype(bo + "u2").tobytes()
+    else:
+        strip = arr.tobytes()
+    photometric = 1 if ch == 1 else 2  # BlackIsZero / RGB
+    extra = bytearray()  # out-of-line tag data, placed after the IFD
+
+    def short(v):
+        return struct.pack(bo + "H", v)
+
+    def long_(v):
+        return struct.pack(bo + "I", v)
+
+    header = struct.pack(bo + "2sHI", b"MM" if big_endian else b"II", 42, 8)
+    n_tags = 9 + (1 if ch == 4 else 0)  # required set + ExtraSamples
+    # layout: header(8) | IFD: count(2) + 12*n + next(4) | extra | strip
+    ifd_size = 2 + 12 * n_tags + 4
+    extra_base = 8 + ifd_size
+
+    tags = []
+
+    def add(tag, ttype, count, payload):
+        """payload is the packed value data; <=4 bytes goes inline."""
+        nonlocal extra
+        if len(payload) <= 4:
+            tags.append(
+                struct.pack(bo + "HHI", tag, ttype, count)
+                + payload.ljust(4, b"\x00")
+            )
+        else:
+            tags.append(
+                struct.pack(bo + "HHI", tag, ttype, count)
+                + long_(extra_base + len(extra))
+            )
+            extra += payload
+
+    add(256, 3, 1, short(w))  # ImageWidth
+    add(257, 3, 1, short(h))  # ImageLength
+    if ch > 1 or depth == 16:
+        add(258, 3, ch, b"".join(short(depth) for _ in range(ch)))
+    else:
+        add(258, 3, 1, short(depth))
+    add(259, 3, 1, short(1))  # Compression: none
+    add(262, 3, 1, short(photometric))
+    # StripOffsets placeholder — patched once extra size is final
+    strip_off_idx = len(tags)
+    add(273, 4, 1, long_(0))
+    add(277, 3, 1, short(ch))  # SamplesPerPixel
+    add(278, 3, 1, short(h))  # RowsPerStrip: single strip
+    add(279, 4, 1, long_(len(strip)))  # StripByteCounts
+    if ch == 4:
+        add(338, 3, 1, short(2))  # ExtraSamples: unassociated alpha
+    assert len(tags) == n_tags, (len(tags), n_tags)
+    strip_offset = extra_base + len(extra)
+    tags[strip_off_idx] = (
+        struct.pack(bo + "HHI", 273, 4, 1) + long_(strip_offset)
+    )
+    # tags were appended in ascending tag-number order (TIFF requires it)
+    ifd = short(n_tags) + b"".join(tags) + long_(0)
+    return header + ifd + bytes(extra) + strip
+
+
+def decode_tiff(payload: bytes):
+    """Baseline TIFF decode: II/MM byte order, first IFD, uncompressed
+    strips (any RowsPerStrip split), PlanarConfiguration=1, gray at
+    1 sample or RGB/RGBA at 3/4, depths 8/16. Returns (h, w) for
+    grayscale, (h, w, ch) otherwise; dtype uint8/uint16. Compressed,
+    tiled or planar files refuse by name."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] == b"II":
+        bo = "<"
+    elif payload[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+    (magic,) = struct.unpack(bo + "H", payload[2:4])
+    if magic != 42:
+        raise ValueError("not a TIFF: bad magic")
+    (ifd_off,) = struct.unpack(bo + "I", payload[4:8])
+    if ifd_off + 2 > len(payload):
+        raise ValueError("corrupt TIFF: IFD offset past EOF")
+    (n_tags,) = struct.unpack(bo + "H", payload[ifd_off : ifd_off + 2])
+    if ifd_off + 2 + 12 * n_tags + 4 > len(payload):
+        raise ValueError("corrupt TIFF: truncated IFD")
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4}
+    tags = {}
+    for k in range(n_tags):
+        off = ifd_off + 2 + 12 * k
+        tag, ttype, count = struct.unpack(
+            bo + "HHI", payload[off : off + 8]
+        )
+        if ttype not in type_size:
+            continue  # RATIONAL etc.: not needed for baseline strips
+        nbytes = type_size[ttype] * count
+        if nbytes <= 4:
+            data = payload[off + 8 : off + 8 + nbytes]
+        else:
+            (voff,) = struct.unpack(bo + "I", payload[off + 8 : off + 12])
+            if voff + nbytes > len(payload):
+                raise ValueError("corrupt TIFF: tag value past EOF")
+            data = payload[voff : voff + nbytes]
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[ttype]
+        tags[tag] = list(struct.unpack(bo + str(count) + fmt, data))
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF is not supported")
+    comp = tags.get(259, [1])[0]
+    if comp != 1:
+        raise NotImplementedError(
+            f"compressed TIFF (Compression={comp}) is not supported; "
+            "uncompressed baseline strips decode here"
+        )
+    if tags.get(284, [1])[0] != 1:
+        raise NotImplementedError(
+            "planar (PlanarConfiguration=2) TIFF is not supported"
+        )
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        offsets = tags[273]
+        counts = tags[279]
+    except KeyError as e:
+        raise ValueError(f"corrupt TIFF: missing required tag {e}")
+    ch = tags.get(277, [1])[0]
+    bits = tags.get(258, [8])
+    if ch not in (1, 3, 4) or any(b not in (8, 16) for b in bits):
+        raise NotImplementedError(
+            f"TIFF with {ch} samples at bits {bits} is not supported; "
+            "gray/RGB/RGBA at 8 or 16 bits decode here"
+        )
+    depth = bits[0]
+    if any(b != depth for b in bits):
+        raise NotImplementedError("mixed per-channel bit depths")
+    data = bytearray()
+    for o, c in zip(offsets, counts):
+        if o + c > len(payload):
+            raise ValueError("corrupt TIFF: strip past EOF")
+        data += payload[o : o + c]
+    need = h * w * ch * depth // 8
+    if len(data) < need:
+        raise ValueError(
+            f"corrupt TIFF: strips hold {len(data)} bytes, need {need}"
+        )
+    if depth == 16:
+        px = np.frombuffer(
+            bytes(data[:need]), dtype=bo + "u2"
+        ).astype(np.uint16)
+    else:
+        px = np.frombuffer(bytes(data[:need]), dtype=np.uint8)
+    px = px.reshape(h, w, ch)
+    return px[:, :, 0].copy() if ch == 1 else px.copy()
+
+
+def synthesize_tiff_images(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic baseline-TIFF payloads (r15): image ``id`` is
+    (4 + id%5) x (5 + id%4) with per-channel pixels ``(id*151 + r*13
+    + c*11 + ch*5) % M``, in variant ``id % 4``: 0 → gray 8-bit II,
+    1 → RGB 8-bit MM, 2 → RGBA 8-bit II, 3 → RGB 16-bit MM
+    (M = 65536 for the 16-bit variant, else 256) — both byte orders,
+    alpha, and both depths. Lossless, so the c220 oracle replays the
+    closed form in SQL."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                h, w = 4 + i % 5, 5 + i % 4
+                variant = i % 4
+                n_ch = (1, 3, 4, 3)[variant]
+                m = 65536 if variant == 3 else 256
+                dt = np.uint16 if m == 65536 else np.uint8
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                ch = np.arange(n_ch)[None, None, :]
+                px = ((i * 151 + r * 13 + c * 11 + ch * 5) % m).astype(dt)
+                if n_ch == 1:
+                    px = px[:, :, 0]
+                payloads.append(
+                    encode_tiff(px, big_endian=variant in (1, 3))
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def tiff_image_stats(images: DataFrame) -> DataFrame:
+    """Decode a (doc_id, payload) frame of TIFF images and reduce to
+    exact integer per-channel statistics (gray fills sum_r/g/b with
+    the single channel; sum_a is 0 without alpha). Arrow-batched
+    decode inside the scan's partitions — no shuffle."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_tiff(bytes(payload))
+                arr = px.astype(np.int64)
+                if arr.ndim == 2:
+                    s = int(arr.sum())
+                    sums = (s, s, s, 0)
+                    n_ch = 1
+                else:
+                    n_ch = arr.shape[2]
+                    sums = (
+                        int(arr[:, :, 0].sum()),
+                        int(arr[:, :, 1].sum()),
+                        int(arr[:, :, 2].sum()),
+                        int(arr[:, :, 3].sum()) if n_ch == 4 else 0,
+                    )
+                rows.append(
+                    (
+                        int(doc_id),
+                        px.shape[1],
+                        px.shape[0],
+                        n_ch,
+                        *sums,
+                        int(arr.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_channels",
+                    "sum_r", "sum_g", "sum_b", "sum_a", "px_max",
+                ],
+            )
+
+    return images.mapInPandas(
+        stats,
+        "doc_id long, width long, height long, n_channels long, "
+        "sum_r long, sum_g long, sum_b long, sum_a long, px_max long",
+    )
+
+
+# ---------------------------------------------------------------------------
 # baseline JPEG, grayscale (r14) — the first DCT-family codec on the
 # ladder. Both directions are real: the encoder emits spec-standard
 # baseline JFIF (SOI/APP0/DQT/SOF0/DHT/SOS/EOI, Annex K.1 luminance

@@ -17685,6 +17685,65 @@ def c219_png_deep_decode_stats(
 
 
 @query(
+    "c220_tiff_decode_stats",
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id, g1.r, g2.c, ch.ch,
+               (d.doc_id * 151 + g1.r * 13 + g2.c * 11 + ch.ch * 5)
+               % (CASE WHEN d.doc_id % 4 = 3 THEN 65536 ELSE 256 END)
+                   AS v
+        FROM documents d, range(9) g1(r), range(9) g2(c),
+             range(4) ch(ch)
+        WHERE g1.r < 4 + d.doc_id % 5
+          AND g2.c < 5 + d.doc_id % 4
+          AND ch.ch < CASE d.doc_id % 4 WHEN 0 THEN 1 WHEN 2 THEN 4
+                      ELSE 3 END
+    )
+    SELECT doc_id,
+           CAST(5 + doc_id % 4 AS BIGINT) AS width,
+           CAST(4 + doc_id % 5 AS BIGINT) AS height,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 2 THEN 4 ELSE 3 END
+                AS BIGINT) AS n_channels,
+           CAST(SUM(CASE WHEN ch = 0 OR doc_id % 4 = 0
+                         THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN ch = 1 OR doc_id % 4 = 0
+                         THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN ch = 2 OR doc_id % 4 = 0
+                         THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+           CAST(SUM(CASE WHEN ch = 3 THEN v ELSE 0 END) AS BIGINT)
+               AS sum_a,
+           CAST(MAX(v) AS BIGINT) AS px_max
+    FROM px GROUP BY doc_id
+    """,
+    doc="Baseline TIFF decodes for real (operators/multimodal.py, "
+        "r15 — the scanner/scientific container, completing the "
+        "uncompressed-image family): encoder and decoder are "
+        "independent IFD implementations covering BOTH byte orders "
+        "(II little / MM big — sample bytes and tag values flip "
+        "together), grayscale/RGB/RGBA at 8 and 16 bits, single- or "
+        "multi-strip, inline and out-of-line tag values. pytest "
+        "cross-validates every (channels, depth, byte-order) "
+        "combination bit-for-bit against the JVM's independent "
+        "com.sun.imageio TIFF plugin in BOTH directions — it decodes "
+        "our files, we decode its writer's files. Compressed, tiled "
+        "and planar TIFFs refuse by name. Lossless, so the oracle "
+        "replays the closed pixel form in SQL (variant id%4: gray8 "
+        "II, RGB8 MM, RGBA8 II, RGB16 MM; gray fills sum_r/g/b with "
+        "the single channel). Decode is Arrow-batched inside the "
+        "scan's partitions — no shuffle",
+    tags=("multimodal",),
+)
+def c220_tiff_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        synthesize_tiff_images,
+        tiff_image_stats,
+    )
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return tiff_image_stats(synthesize_tiff_images(d, "doc_id"))
+
+
+@query(
     "q111_time_travel_append",
     oracle="""
     WITH p0 AS (SELECT o_orderkey, o_totalprice FROM orders
@@ -18695,11 +18754,10 @@ _DRIVER_WINDOW = [
     "q04_join_semi",
     "q08_join_theta",
     "q09_join_cross",
-    "q10_agg_hash",
     # --- round-15 additions (land in their own round's window,
     # displacing fillers newest-first: a03 out for c214, q23 out for
     # q111, q22 out for c215, q21 out for c216, q18 out for c217,
-    # q16 out for c218, q15 out for c219) ---
+    # q16 out for c218, q15 out for c219, q10 out for c220) ---
     "c214_jpeg_subsampled_decode_stats",
     "q111_time_travel_append",
     "c215_jpeg_restart_decode_stats",
@@ -18707,6 +18765,7 @@ _DRIVER_WINDOW = [
     "c217_g711_audio_decode_stats",
     "c218_adpcm_audio_decode_stats",
     "c219_png_deep_decode_stats",
+    "c220_tiff_decode_stats",
 ]
 
 

@@ -1528,3 +1528,91 @@ def test_png_deep_roundtrip_and_jvm_interchange(spark):
 
     with _pytest.raises(ValueError, match="PNG encoder takes"):
         encode_png(rng.integers(0, 256, size=(4, 5, 2)).astype(np.uint8))
+
+
+def test_tiff_roundtrip_refusals_and_jvm_interchange(spark):
+    """Baseline TIFF (r15): every (channels, depth, byte-order)
+    combination round-trips losslessly, decodes bit-for-bit in the
+    JVM's independent com.sun.imageio TIFF plugin, and we decode the
+    JVM writer's files right back; compressed/tiled/planar claims
+    and corrupt structures refuse by name."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    jvm = spark._jvm
+
+    def jvm_decode(enc):
+        bimg = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(enc))
+        )
+        h, w = bimg.getHeight(), bimg.getWidth()
+        raster = bimg.getRaster()
+        nb = raster.getNumBands()
+        return np.array(
+            [
+                [
+                    [raster.getSample(x, y, c) for c in range(nb)]
+                    for x in range(w)
+                ]
+                for y in range(h)
+            ],
+            dtype=np.int64,
+        )
+
+    rng = np.random.default_rng(83)
+    for shape, dt, hi in [
+        ((6, 7), np.uint8, 256),
+        ((6, 7, 3), np.uint8, 256),
+        ((6, 7, 4), np.uint8, 256),
+        ((6, 7), np.uint16, 65536),
+        ((6, 7, 3), np.uint16, 65536),
+        ((6, 7, 4), np.uint16, 65536),
+        ((1, 1), np.uint8, 256),
+        ((13, 2, 3), np.uint16, 65536),
+    ]:
+        for be in (False, True):
+            px = rng.integers(0, hi, size=shape).astype(dt)
+            enc = encode_tiff(px, big_endian=be)
+            out = decode_tiff(enc)
+            assert out.dtype == px.dtype and np.array_equal(out, px)
+            want = (px if px.ndim == 3 else px[:, :, None]).astype(np.int64)
+            got = jvm_decode(enc)
+            assert got.shape == want.shape and np.array_equal(got, want), (
+                shape, dt, be,
+            )
+    # the JVM TIFF writer's own files decode back exactly
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+        "tiff"
+    ).next()
+    arr = rng.integers(0, 256, size=(9, 5, 3)).astype(np.uint8)
+    bimg = jvm.java.awt.image.BufferedImage(
+        5, 9, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    for y in range(9):
+        for x in range(5):
+            r, g, b = map(int, arr[y, x])
+            bimg.setRGB(x, y, (r << 16) | (g << 8) | b)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(bimg)
+    ios.flush()
+    assert np.array_equal(decode_tiff(bytes(baos.toByteArray())), arr)
+    # refusals and corruption
+    enc = bytearray(encode_tiff(arr))
+    with _pytest.raises(ValueError, match="byte-order"):
+        decode_tiff(b"XX" + bytes(enc[2:]))
+    comp_off = bytes(enc).index(struct.pack("<HHI", 259, 3, 1))
+    lzw = bytearray(enc)
+    lzw[comp_off + 8] = 5  # Compression=5 (LZW)
+    with _pytest.raises(NotImplementedError, match="compressed TIFF"):
+        decode_tiff(bytes(lzw))
+    with _pytest.raises(ValueError, match="truncated IFD|past EOF|strip"):
+        decode_tiff(bytes(enc[:30]))
