@@ -12,8 +12,13 @@ Decode status, honestly: uncompressed binary PPM (P6) decodes FOR REAL
 (pure-numpy parser, ``decode_image``; end-to-end verified against a
 closed-form pixel oracle in c64), and PNG decodes FOR REAL via stdlib
 zlib + numpy unfiltering (``decode_png``; same closed-form oracle in
-c81/c83): 8-bit RGB, 8-bit grayscale, and PLTE-indexed color at depths
-1/2/4/8, each sequential or Adam7-interlaced, all five filter types.
+c81/c83): RGB and grayscale at depths 8 AND 16, RGBA and gray+alpha
+(r15, c219), and PLTE-indexed color at depths 1/2/4/8, each
+sequential or Adam7-interlaced, all five filter types. Baseline TIFF
+(r15, c220) encodes and decodes in both byte orders, gray/RGB/RGBA at
+8/16 bits, multi-strip. Audio: PCM WAV, G.711 mu-law/A-law (r15,
+c217) and stateful IMA ADPCM (r15, c218), the latter two bit-exact
+against CPython's audioop reference.
 Baseline JPEG encodes AND decodes for real since r14 — grayscale
 (c211) and 3-component color (c213: JFIF YCbCr, dual Annex
 K.1/K.2 quantization tables, K.3.2 chroma Huffman tables,
@@ -244,7 +249,9 @@ def encode_png(pixels, *, filter_mode: str = "cycle", interlace: bool = False) -
     import numpy as np
 
     arr = np.asarray(pixels)
-    if arr.dtype == np.uint16:
+    # dtype.kind/itemsize, not == np.uint16: a non-native-endian '>u2'
+    # array compares unequal to uint16 and would silently truncate
+    if arr.dtype.kind == "u" and arr.dtype.itemsize == 2:
         depth = 16
     else:
         arr = arr.astype(np.uint8)
@@ -1183,7 +1190,6 @@ def synthesize_adpcm_audio(df: DataFrame, id_col: str) -> DataFrame:
     full int16 rail) over the document set. The closed form is what
     lets the c218 oracle regenerate the codes in SQL and replay the
     whole STATEFUL decode as a recursive CTE."""
-    import numpy as np
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2055,8 +2061,9 @@ def encode_tiff(pixels, *, big_endian: bool = False) -> bytes:
     import numpy as np
 
     arr = np.asarray(pixels)
-    depth = 16 if arr.dtype == np.uint16 else 8
-    if arr.dtype != np.uint16:
+    # byte-order-blind 16-bit check (see encode_png)
+    depth = 16 if arr.dtype.kind == "u" and arr.dtype.itemsize == 2 else 8
+    if depth == 8:
         arr = arr.astype(np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -2105,10 +2112,7 @@ def encode_tiff(pixels, *, big_endian: bool = False) -> bytes:
 
     add(256, 3, 1, short(w))  # ImageWidth
     add(257, 3, 1, short(h))  # ImageLength
-    if ch > 1 or depth == 16:
-        add(258, 3, ch, b"".join(short(depth) for _ in range(ch)))
-    else:
-        add(258, 3, 1, short(depth))
+    add(258, 3, ch, b"".join(short(depth) for _ in range(ch)))
     add(259, 3, 1, short(1))  # Compression: none
     add(262, 3, 1, short(photometric))
     # StripOffsets placeholder — patched once extra size is final
@@ -2139,6 +2143,8 @@ def decode_tiff(payload: bytes):
 
     import numpy as np
 
+    if len(payload) < 8:
+        raise ValueError("corrupt TIFF: truncated header")
     if payload[:2] == b"II":
         bo = "<"
     elif payload[:2] == b"MM":
@@ -2198,6 +2204,15 @@ def decode_tiff(payload: bytes):
         raise NotImplementedError(
             f"TIFF with {ch} samples at bits {bits} is not supported; "
             "gray/RGB/RGBA at 8 or 16 bits decode here"
+        )
+    photometric = tags.get(262, [1])[0]
+    if photometric not in (1, 2):
+        # 0 = WhiteIsZero (inverted gray): refusing beats silently
+        # returning wrong-polarity pixels — the module contract
+        raise NotImplementedError(
+            f"TIFF PhotometricInterpretation={photometric} is not "
+            "supported; BlackIsZero grayscale (1) and RGB (2) decode "
+            "here"
         )
     depth = bits[0]
     if any(b != depth for b in bits):

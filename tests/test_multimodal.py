@@ -985,10 +985,11 @@ def test_jpeg_restart_intervals():
         encode_jpeg_color(rgb, restart_interval=1 << 16)
 
 
-def _jvm_decode_jpeg(jvm, enc, bands):
-    """Decode JPEG bytes with the JVM's independent javax.imageio
-    decoder → int64 array (h, w) for bands=1 or (h, w, 3) — the one
-    shared raster-reading helper for every cross-validation test."""
+def _jvm_decode_jpeg(jvm, enc, bands=None):
+    """Decode image bytes with the JVM's independent javax.imageio
+    decoder → int64 array: (h, w) for bands=1, (h, w, 3) for
+    bands=3, or (h, w, numBands) when bands is None — the one shared
+    raster-reading helper for every cross-validation test."""
     import numpy as np
 
     bimg = jvm.javax.imageio.ImageIO.read(
@@ -1004,10 +1005,11 @@ def _jvm_decode_jpeg(jvm, enc, bands):
             ],
             dtype=np.int64,
         )
+    nb = 3 if bands == 3 else raster.getNumBands()
     return np.array(
         [
             [
-                [raster.getSample(x, y, c) for c in range(3)]
+                [raster.getSample(x, y, c) for c in range(nb)]
                 for x in range(w)
             ]
             for y in range(h)
@@ -1467,22 +1469,7 @@ def test_png_deep_roundtrip_and_jvm_interchange(spark):
     jvm = spark._jvm
 
     def jvm_decode_png(enc):
-        bimg = jvm.javax.imageio.ImageIO.read(
-            jvm.java.io.ByteArrayInputStream(bytearray(enc))
-        )
-        h, w = bimg.getHeight(), bimg.getWidth()
-        raster = bimg.getRaster()
-        nb = raster.getNumBands()
-        return np.array(
-            [
-                [
-                    [raster.getSample(x, y, c) for c in range(nb)]
-                    for x in range(w)
-                ]
-                for y in range(h)
-            ],
-            dtype=np.int64,
-        )
+        return _jvm_decode_jpeg(jvm, enc)
 
     rng = np.random.default_rng(73)
     for ch in (3, 4):
@@ -1498,6 +1485,11 @@ def test_png_deep_roundtrip_and_jvm_interchange(spark):
     # uint8 RGB keeps the original header contract
     enc = encode_png(rng.integers(0, 256, size=(4, 5, 3)).astype(np.uint8))
     assert struct.unpack(">IIBBBBB", enc[16:29]) == (5, 4, 8, 2, 0, 0, 0)
+    # non-native-endian uint16 input encodes as 16-bit, not truncated
+    be = (np.arange(12, dtype=">u2").reshape(2, 2, 3) * 999 % 65536).astype(
+        ">u2"
+    )
+    assert np.array_equal(decode_png(encode_png(be)), be.astype(np.uint16))
 
     def build(w, h, depth, ctype, rows):
         scan = bytearray()
@@ -1549,22 +1541,7 @@ def test_tiff_roundtrip_refusals_and_jvm_interchange(spark):
     jvm = spark._jvm
 
     def jvm_decode(enc):
-        bimg = jvm.javax.imageio.ImageIO.read(
-            jvm.java.io.ByteArrayInputStream(bytearray(enc))
-        )
-        h, w = bimg.getHeight(), bimg.getWidth()
-        raster = bimg.getRaster()
-        nb = raster.getNumBands()
-        return np.array(
-            [
-                [
-                    [raster.getSample(x, y, c) for c in range(nb)]
-                    for x in range(w)
-                ]
-                for y in range(h)
-            ],
-            dtype=np.int64,
-        )
+        return _jvm_decode_jpeg(jvm, enc)
 
     rng = np.random.default_rng(83)
     for shape, dt, hi in [
@@ -1616,3 +1593,19 @@ def test_tiff_roundtrip_refusals_and_jvm_interchange(spark):
         decode_tiff(bytes(lzw))
     with _pytest.raises(ValueError, match="truncated IFD|past EOF|strip"):
         decode_tiff(bytes(enc[:30]))
+    with _pytest.raises(ValueError, match="truncated header"):
+        decode_tiff(b"II*\x00")
+    # WhiteIsZero (photometric=0) refuses instead of silently
+    # decoding inverted pixels
+    pm_off = bytes(enc).index(struct.pack("<HHI", 262, 3, 1))
+    wiz = bytearray(encode_tiff(np.full((3, 3), 9, dtype=np.uint8)))
+    pm_off = bytes(wiz).index(struct.pack("<HHI", 262, 3, 1))
+    wiz[pm_off + 8] = 0
+    with _pytest.raises(NotImplementedError, match="Photometric"):
+        decode_tiff(bytes(wiz))
+    # non-native-endian uint16 input must encode as 16-bit, not
+    # silently truncate (dtype == np.uint16 is False for '>u2')
+    be = (np.arange(12, dtype=">u2").reshape(2, 2, 3) * 999 % 65536).astype(
+        ">u2"
+    )
+    assert np.array_equal(decode_tiff(encode_tiff(be)), be.astype(np.uint16))
