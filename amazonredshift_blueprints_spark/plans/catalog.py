@@ -18697,75 +18697,74 @@ def c200_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # Round 15 window, per the r14 verdict's written plan (pure recency
-    # rotation — the never-driver-rowed set is zero after r14, so the
-    # window is the 50 oldest-rowed entries of the CORRECTNESS_r01-r14
-    # union by (latest_round, catalog_index)):
-    #   * all 35 entries whose latest driver row is r07 — this includes
-    #     the whole displaced-filler backlog c26/c44/c43/c42/q41/c17/
-    #     c36/c16 the r14 plan named;
-    #   * c68 is the only rows-only pick among them, so its oracle twin
-    #     q11 (last rowed r10) is co-windowed;
-    #   * the remaining slots are the oldest r09-rowed entries in
-    #     catalog order, displaced newest-first by round-15 additions
-    #     (new entries always ride in their landing round's window).
-    # --- the 35 entries last rowed r07, in catalog order ---
-    "c16_stateful_stream_counts",
-    "c36_stream_dedup",
-    "c17_ann_ivf_topk",
-    "c37_ann_ivf_stored",
-    "q41_qualify",
-    "c24_dedup_minhash_portable",
-    "c26_dedup_simhash_portable",
-    "c44_stream_upsert",
-    "c43_stream_stream_join",
-    "c42_stream_static_join",
-    "c45_repetition_stats",
-    "c46_length_histogram",
-    "c47_token_budget_sample",
-    "c48_cross_corpus_dedup",
-    "c49_bloom_pruned_join",
-    "c50_partitioned_layout_pruning",
-    "c52_chunk_documents",
-    "c53_corpus_mix",
-    "c54_incremental_rollup",
-    "c56_hopping_window_rollup",
-    "q50_window_range_frame",
-    "c55_pipeline_curation",
-    "c57_stream_sessions",
-    "c58_bm25_search",
-    "c59_robust_outliers",
-    "q51_super_variant",
-    "c60_ann_ivf_append",
-    "c62_feature_hashing",
-    "c63_unigram_logprob",
-    "c66_compact_small_files",
-    "c67_column_profile",
-    "c68_hll_sketch_table",
-    "c69_dsir_importance",
-    "q54_ordered_set_disc_mode",
-    "q52_ratio_to_report",
-    # --- co-windowed oracle twin of the rows-only pick c68 ---
+    # Round 16 window, per the r15 verdict's written plan (pure recency
+    # rotation — the window is the 50 oldest-rowed entries of the
+    # CORRECTNESS_r01-r15 union by (latest_round, catalog_index)):
+    #   * the 44 entries whose latest driver row is r09 — led by the
+    #     whole r15 displaced-filler backlog a03/q23/q22/q21/q18/q16/
+    #     q15/q10 (bumped for c214/q111/c215-c220, so never re-rowed
+    #     in r15), then the rest of the r09 tier in catalog order;
+    #   * the cut continues into the oldest r10-rowed entries in
+    #     catalog order: q05/q06/q07/q12/q13;
+    #   * q12 is the only rows-only pick in the window, so its oracle
+    #     twin q11 (last rowed r15) is co-windowed, displacing the
+    #     newest cut entry q14.
+    # Round-16 additions land in this window displacing fillers
+    # newest-first (q13 first, then q12+q11 as a pair, then q07/q06/
+    # q05, then the r09 tail from q56 upward).
+    # --- the 44 entries last rowed r09, in catalog order ---
+    "q10_agg_hash",
+    "q15_window_rank",
+    "q16_window_frames",
+    "q18_setops",
+    "q21_scalar_conditional",
+    "q22_scalar_json",
+    "q23_cte_subquery",
+    "a03_sql_passthrough",
+    "q57_copy_unload_sql",
+    "q58_vacuum_analyze_sql",
+    "c04_dedup_ngram_jaccard",
+    "c32_pipeline_neardup_stratified",
+    "c35_frame_sample",
+    "c29_dedup_groups",
+    "c14_multimodal_features",
+    "q35_dml_delete_update",
+    "q42_dml_merge",
+    "c51_length_quantiles",
+    "c61_semantic_dedup",
+    "c64_image_decode_stats",
+    "c65_stream_stateful_topk",
+    "c70_minhash_signature_store",
+    "q53_merge_delete",
+    "q55_spatial_within_join",
+    "c71_ann_pq_topk",
+    "c72_ann_ivfpq_topk",
+    "c74_ann_ivfpq_residual_topk",
+    "q59_scd2_dimension",
+    "c75_ann_ivfpq_refine_topk",
+    "q60_materialized_view_sql",
+    "q61_system_tables",
+    "c77_weighted_sample",
+    "c76_zorder_keys",
+    "q62_tpch_q7_volume_shipping",
+    "q63_tpch_q8_market_share",
+    "q64_tpch_q13_order_distribution",
+    "q65_tpch_q18_large_volume",
+    "q66_tpch_q22_global_sales",
+    "q67_python_udf_ddl",
+    "c78_bigram_logprob",
+    "c79_bpe_train",
+    "c80_bpe_tokenize",
+    "c73_dup_span_coverage",
+    "q56_multi_exists_decorrelation",
+    # --- oldest r10-rowed entries, in catalog order ---
+    "q05_join_anti",
+    "q06_join_left_outer",
+    "q07_join_full_outer",
+    "q12_agg_approx_distinct",
+    "q13_agg_rollup",
+    # --- co-windowed oracle twin of the rows-only pick q12 ---
     "q11_agg_distinct",
-    # --- oldest r09-rowed fillers, in catalog order ---
-    "q01_pricing_summary",
-    "q02_filter_project_string",
-    "q03_join_revenue_by_nation",
-    "q04_join_semi",
-    "q08_join_theta",
-    "q09_join_cross",
-    # --- round-15 additions (land in their own round's window,
-    # displacing fillers newest-first: a03 out for c214, q23 out for
-    # q111, q22 out for c215, q21 out for c216, q18 out for c217,
-    # q16 out for c218, q15 out for c219, q10 out for c220) ---
-    "c214_jpeg_subsampled_decode_stats",
-    "q111_time_travel_append",
-    "c215_jpeg_restart_decode_stats",
-    "c216_jpeg_progressive_decode_stats",
-    "c217_g711_audio_decode_stats",
-    "c218_adpcm_audio_decode_stats",
-    "c219_png_deep_decode_stats",
-    "c220_tiff_decode_stats",
 ]
 
 
