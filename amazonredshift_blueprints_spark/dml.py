@@ -210,13 +210,28 @@ def _rewrite(spark: SparkSession, table: str, df) -> None:
     the new state writes ONCE to a fresh version directory and the
     catalog pointer swaps — cheaper than the staging path, and every
     prior version stays readable (the caller already holds the table
-    lock, which commit_version requires).
+    lock, which commit_version requires). DELETE/UPDATE/MERGE don't
+    reach this branch any more — they take the file-pruned selective
+    path (:func:`_history_pre_image` + timetravel.commit_replace);
+    this full-state branch remains for scd2_apply and any caller whose
+    new state isn't a per-file transform of the old.
     """
     from . import timetravel
     from .ingest import _clean_stale_location
 
     if timetravel.is_history_table(spark, table):
-        timetravel.commit_version(spark, table, df, op="dml rewrite")
+        # df was derived from spark.table(table) — the CATALOG POINTER's
+        # version, which lags the log tip in the documented post-crash
+        # window; record it as the commit's lineage parent so history()
+        # can flag the bypassed tip as superseded instead of leaving a
+        # silent dead branch
+        timetravel.commit_version(
+            spark,
+            table,
+            df,
+            op="dml rewrite",
+            based_on=timetravel.pointer_version(spark, table),
+        )
         return
 
     stage = f"{_STAGE_PREFIX}_{uuid.uuid4().hex[:12]}"
@@ -226,6 +241,79 @@ def _rewrite(spark: SparkSession, table: str, df) -> None:
         spark.sql(f"INSERT OVERWRITE TABLE {table} SELECT * FROM {stage}")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {stage}")
+
+
+def _history_pre_image(spark: SparkSession, table: str):
+    """``(tip_entry, manifest_paths)`` when ``table`` is
+    history-tracked, else ``(None, None)``. Selective DML's pre-image
+    comes from the LOG TIP's manifest, not the catalog pointer, so a
+    post-crash lagging pointer can't make DML fork a dead branch
+    (timetravel.py module docstring)."""
+    from . import timetravel
+
+    if not timetravel.is_history_table(spark, table):
+        return None, None
+    prev = timetravel.tip_entry(spark, table)
+    return prev, timetravel.entry_paths(prev)
+
+
+def _selective_rewrite(
+    spark: SparkSession,
+    table: str,
+    prev: dict,
+    paths: list[str],
+    hit,
+    rebuild,
+    op: str,
+) -> int:
+    """File-pruned copy-on-write DML on a history table (r16).
+
+    ONE pushdown-pruned scan finds which manifest files contain rows
+    matching ``hit`` — projecting only the predicate columns plus
+    Spark's ``_metadata.file_name``, so parquet row-group stats prune
+    at the footer — and counts the matches per file (the collect is
+    O(#files), metadata-sized like the manifest itself). Only the
+    touched files' rows pass through ``rebuild`` and rewrite; every
+    untouched file carries into the new version by hard link
+    (timetravel.commit_replace). Touching B of T bytes costs O(B)
+    data, not the O(T) full-state rewrite. ``hit`` is evaluated twice
+    (detection scan + rewrite scan) over IMMUTABLE manifest files, so
+    the two scans agree for any deterministic predicate; Spark's
+    nondeterministic-marked exprs that are constant per row (the bare
+    DELETE's ``spark_partition_id() >= 0`` guard) are also safe.
+
+    Returns the matched-row count. CALLER HOLDS THE TABLE WRITER LOCK.
+    """
+    from . import timetravel
+
+    per_file = (
+        spark.read.parquet(*paths)
+        .filter(hit)
+        .groupBy(F.col("_metadata.file_name").alias("f"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    touched = {r["f"] for r in per_file}
+    n = sum(r["n"] for r in per_file)
+    if not touched:
+        # no file holds a matching row: metadata-only commit reusing
+        # the tip's directory and manifest — version-per-statement
+        # semantics at zero data bytes
+        timetravel.commit_version(
+            spark,
+            table,
+            None,
+            op=op,
+            _location=prev["location"],
+            _files=prev.get("files"),
+        )
+        return 0
+    by_name = {os.path.basename(p): p for p in paths}
+    rewritten = rebuild(
+        spark.read.parquet(*[by_name[t] for t in sorted(touched)])
+    )
+    timetravel.commit_replace(spark, table, touched, rewritten, op=op)
+    return n
 
 
 def delete_from(spark: SparkSession, table: str, condition: str) -> int:
@@ -238,17 +326,32 @@ def delete_from(spark: SparkSession, table: str, condition: str) -> int:
     ``~expr(condition)`` would propagate NULL and drop those rows from
     the kept set, so the predicate is coalesced to FALSE first.
 
-    The deleted-row count rides the rewrite's own scan via
-    ``DataFrame.observe`` (a CollectMetrics node above the scan, below
-    the filter) — no separate COUNT job before or after. At 100 TB the
-    scan is the dominant cost and it runs exactly once.
+    Plain tables: the deleted-row count rides the rewrite's own scan
+    via ``DataFrame.observe`` (a CollectMetrics node above the scan,
+    below the filter) — no separate COUNT job before or after. At
+    100 TB the scan is the dominant cost and it runs exactly once.
+    History tables: the file-pruned selective path
+    (:func:`_selective_rewrite`) — only files containing matched rows
+    rewrite, the rest carry by hard link, and the count rides the
+    detection scan.
     """
     hit = F.coalesce(F.expr(condition), F.lit(False))
-    obs = Observation()
     from .transactions import resolve_active
 
     table = resolve_active(spark, table)  # txn-staged when one is open
     with _table_lock(spark, table):
+        prev, paths = _history_pre_image(spark, table)
+        if prev is not None:
+            return _selective_rewrite(
+                spark,
+                table,
+                prev,
+                paths,
+                hit,
+                lambda df: df.filter(~hit),
+                op="delete",
+            )
+        obs = Observation()
         observed = spark.table(table).observe(
             obs, F.sum(F.when(hit, 1).otherwise(0)).alias("n_deleted")
         )
@@ -303,11 +406,44 @@ def merge_into(
 
     table = resolve_active(spark, table)  # txn-staged when one is open
     with _table_lock(spark, table):
-        target = spark.table(table)
-        if set(source.columns) != set(target.columns):
+        prev, paths = _history_pre_image(spark, table)
+        full_target = (
+            spark.read.parquet(*paths) if prev is not None
+            else spark.table(table)
+        )
+        if set(source.columns) != set(full_target.columns):
             raise ValueError(
-                f"MERGE source schema {sorted(source.columns)} != target {sorted(target.columns)}"
+                f"MERGE source schema {sorted(source.columns)} != target {sorted(full_target.columns)}"
             )
+        if prev is not None:
+            # file-pruned selective path (r16): a target row can only be
+            # updated/deleted if its key matches a source key, so ONE
+            # key-projected semi join (pushdown + column pruning reach
+            # the parquet scan; the collect is O(#files)) finds the
+            # touched files; untouched files carry by hard link and the
+            # merge plan below runs over the touched files' rows only —
+            # unmatched-source INSERTs still surface from the full-outer
+            # join's source side
+            touched = {
+                r["f"]
+                for r in full_target.select(
+                    *keys, F.col("_metadata.file_name").alias("f")
+                )  # hidden _metadata must resolve AT the scan, pre-join
+                .join(
+                    source.select(*keys).distinct(), on=keys, how="left_semi"
+                )
+                .select("f")
+                .distinct()
+                .collect()
+            }
+            by_name = {os.path.basename(p): p for p in paths}
+            target = (
+                spark.read.parquet(*[by_name[t] for t in sorted(touched)])
+                if touched
+                else full_target.filter(F.lit(False))
+            )
+        else:
+            target = full_target
         non_keys = [c for c in target.columns if c not in keys]
         # evaluate the delete marker against the RAW source row, before the
         # _src_ aliasing, so the condition reads naturally (CDC flag columns)
@@ -358,7 +494,14 @@ def merge_into(
             )
             .select(*target.columns)  # restore declared column order
         )
-        _rewrite(spark, table, merged)
+        if prev is not None:
+            from . import timetravel
+
+            timetravel.commit_replace(
+                spark, table, touched, merged, op="merge"
+            )
+        else:
+            _rewrite(spark, table, merged)
     m = obs.get
     return _n(m["n_updated"]), _n(m["n_inserted"]), _n(m["n_deleted"])
 
@@ -374,7 +517,6 @@ def update_table(
     (no separate pre-count job).
     """
     cond = F.expr(condition)
-    obs = Observation()
     from .transactions import resolve_active
 
     table = resolve_active(spark, table)  # txn-staged when one is open
@@ -383,18 +525,40 @@ def update_table(
         unknown = set(assignments) - set(df.columns)
         if unknown:
             raise ValueError(f"UPDATE of unknown column(s): {sorted(unknown)}")
-        updated = df.observe(
-            obs,
-            F.sum(
-                F.when(F.coalesce(cond, F.lit(False)), 1).otherwise(0)
-            ).alias("n_updated"),
-        ).select(
-            *[
-                F.when(cond, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
-                if c in assignments
-                else F.col(c)
-                for c in df.columns
-            ]
+
+        def apply_set(src):
+            return src.select(
+                *[
+                    F.when(cond, F.expr(assignments[c]))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in assignments
+                    else F.col(c)
+                    for c in src.columns
+                ]
+            )
+
+        prev, paths = _history_pre_image(spark, table)
+        if prev is not None:
+            # file-pruned selective path: only files containing rows
+            # where cond holds rewrite; the rest carry by hard link
+            return _selective_rewrite(
+                spark,
+                table,
+                prev,
+                paths,
+                F.coalesce(cond, F.lit(False)),
+                apply_set,
+                op="update",
+            )
+        obs = Observation()
+        updated = apply_set(
+            df.observe(
+                obs,
+                F.sum(
+                    F.when(F.coalesce(cond, F.lit(False)), 1).otherwise(0)
+                ).alias("n_updated"),
+            )
         )
         _rewrite(spark, table, updated)
     return _n(obs.get["n_updated"])

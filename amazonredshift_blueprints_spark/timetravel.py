@@ -25,11 +25,19 @@ highest-leverage engineering item):
   ``<warehouse>/_bp_history/<db.t>/v00000000/`` (one table copy, once)
   and recreates ``t`` as an external parquet table at that location,
   plus the JSON commit log next to the version dirs.
-- Full-state commits (every copy-on-write DML rewrite via dml.py
-  ``_rewrite``, transaction COMMIT publishes, INSERT OVERWRITE) go
-  through :func:`commit_version`: the new state writes ONCE to a fresh
+- Full-state commits (transaction COMMIT publishes, INSERT OVERWRITE,
+  and any dml.py ``_rewrite`` without a selective path) go through
+  :func:`commit_version`: the new state writes ONCE to a fresh
   ``v<n>`` directory — the same bytes the non-history staging rewrite
   writes, i.e. zero added write amplification.
+- **Selective (file-pruned) DML commits** (DELETE / UPDATE / MERGE via
+  dml.py, r16) go through :func:`commit_replace`: the statement first
+  finds exactly which manifest files contain affected rows (one
+  pushdown-pruned scan projecting only the predicate columns plus
+  Spark's ``_metadata.file_name``), rewrites ONLY those files' rows,
+  and carries every untouched file into the new version by hard link —
+  O(affected files) data, like Delta/Iceberg copy-on-write DML, not
+  the O(table) full-state rewrite of the r15 design.
 - **Append commits** (INSERT INTO, COPY, ALTER TABLE APPEND's in-moves)
   go through :func:`commit_append`: ONLY the new rows are written as
   fresh parquet files; the previous version's files are carried into
@@ -61,10 +69,17 @@ version behind the log: the logged tip stays readable via
 UNDER the writer lock at the start of every statement interception
 (the INSERT/COPY stage twins, ALTER APPEND), and the next successful
 commit moves the pointer regardless. Residue, stated honestly: a
-plain reader, or a DELETE/UPDATE/MERGE whose pre-image read raced
-exactly that crash window, sees/bases on the pre-crash version,
-leaving the logged tip as a dead branch in the log (readable, never
-silently lost).
+plain reader still sees the pre-crash version until the next write;
+selective DML (r16) reads its pre-image from the LOG TIP's manifest,
+not the pointer, so it can no longer base on the lagging version —
+but a full-state commit whose pre-image came through the catalog
+pointer (transaction COMMIT, scd2) can still land with the lagging
+version as its parent, leaving the logged tip as a dead branch. That
+branch is now OBSERVABLE (r15 verdict item 6): every entry records
+``parent`` — the version its state was derived from — and
+:func:`history` flags ``superseded=True`` for any entry some later
+commit's parent predates (dead branches, and versions bypassed by a
+restore), so the residue is visible instead of silent.
 
 Concurrency: writers serialize on the same per-table writer lock as
 all DML here (dml._table_lock); enable / restore / vacuum take it
@@ -236,6 +251,32 @@ def _cast_to_table(spark: SparkSession, table: str, df: DataFrame) -> DataFrame:
     )
 
 
+def tip_entry(spark: SparkSession, table: str) -> dict:
+    """The commit log's newest entry (the version a correct pre-image
+    read should base on — independent of the catalog pointer, which
+    can lag one version after a crash between log append and swap)."""
+    return _read_log(_table_root(spark, table))[-1]
+
+
+def entry_paths(entry: dict) -> list[str]:
+    """Public alias of the manifest's absolute data-file paths."""
+    return _entry_paths(entry)
+
+
+def pointer_version(spark: SparkSession, table: str) -> int | None:
+    """The log version the catalog pointer currently realizes, or None
+    if the pointer's location is no logged version (shouldn't happen
+    outside manual surgery). Restores share locations, so the NEWEST
+    matching entry wins — lineage-wise they are the same state."""
+    loc = _table_location(spark, table)
+    if loc is None:
+        return None
+    for e in reversed(_read_log(_table_root(spark, table))):
+        if os.path.normpath(e["location"]) == loc:
+            return e["version"]
+    return None
+
+
 def is_history_table(spark: SparkSession, table: str) -> bool:
     """True iff ``table`` has a commit log AND its current catalog
     location is under the table's history root (→ DML must
@@ -358,18 +399,26 @@ def commit_version(
     op: str = "write",
     _location: str | None = None,
     _files: list[str] | None = None,
+    based_on: int | None = None,
 ) -> int:
     """Publish ``df`` as the table's next FULL-STATE version; returns
     its number.
 
     CALLER HOLDS THE TABLE WRITER LOCK (dml._table_lock) — every call
-    site (dml._rewrite under delete/update/merge, transactions.commit,
-    the statement interceptions here) acquires it around the whole
+    site (dml._rewrite, transactions.commit, the statement
+    interceptions here) acquires it around the whole
     read-modify-commit, same as the non-history INSERT OVERWRITE path.
 
     With ``_location`` set (restore path) no data is written: the new
     log entry reuses an existing version's directory and manifest and
     only the catalog pointer moves — a metadata-only commit.
+
+    ``based_on`` is the version the committed state was DERIVED from
+    (the lineage ``parent`` recorded in the log entry); it defaults to
+    the current tip. Callers whose pre-image came through the catalog
+    pointer pass the pointer's version so a post-crash lagging read is
+    recorded honestly (history() then flags the bypassed tip as
+    superseded instead of leaving a silent dead branch).
     """
     root = _table_root(spark, table)
     entries = _read_log(root)
@@ -393,6 +442,7 @@ def commit_version(
             "version": n,
             "committed_at": time.time(),
             "op": op,
+            "parent": expected_tip if based_on is None else based_on,
             "location": vdir,
             "files": files,
         },
@@ -401,17 +451,11 @@ def commit_version(
     return n
 
 
-def commit_append(
-    spark: SparkSession,
-    table: str,
-    new_rows: DataFrame,
-    op: str = "insert",
-) -> int:
-    """Publish the previous version PLUS ``new_rows`` as the next
-    version — the O(new-files) append path (r15): only the new rows
-    are written as parquet; the previous manifest's files carry over
-    by hard link (inode metadata, zero data bytes). Returns the new
-    version number. CALLER HOLDS THE TABLE WRITER LOCK.
+def _carry_prev_files(
+    vdir: str, prev: dict, skip: frozenset[str] = frozenset()
+) -> None:
+    """Hard-link the previous version's manifest files (except ``skip``
+    names) into ``vdir`` — inode metadata, zero data bytes.
 
     The carried-over links live in the new version's own directory, so
     every version directory remains a self-contained realization of
@@ -423,15 +467,10 @@ def commit_append(
     ``l<i>-`` prefixed name; a filesystem that refuses the link
     (cross-device) falls back to a copy of that file alone.
     """
-    root = _table_root(spark, table)
-    entries = _read_log(root)
-    prev = entries[-1]
-    expected_tip = prev["version"]
-    n = expected_tip + 1
-    vdir = _next_vdir(root, n)
-    _cast_to_table(spark, table, new_rows).write.parquet(vdir)
     for i, src in enumerate(_entry_paths(prev)):
         name = os.path.basename(src)
+        if name in skip:
+            continue
         dst = os.path.join(vdir, name)
         j = i
         while os.path.exists(dst):  # find a FREE name first: an
@@ -446,6 +485,54 @@ def commit_append(
             os.link(src, dst)
         except OSError:  # cross-device filesystem: fall back to a copy
             shutil.copy2(src, dst)
+
+
+def commit_append(
+    spark: SparkSession,
+    table: str,
+    new_rows: DataFrame,
+    op: str = "insert",
+) -> int:
+    """Publish the previous version PLUS ``new_rows`` as the next
+    version — the O(new-files) append path (r15): only the new rows
+    are written as parquet; the previous manifest's files carry over
+    by hard link (see :func:`_carry_prev_files`). Returns the new
+    version number. CALLER HOLDS THE TABLE WRITER LOCK."""
+    return commit_replace(spark, table, frozenset(), new_rows, op=op)
+
+
+def commit_replace(
+    spark: SparkSession,
+    table: str,
+    replaced,
+    new_rows: DataFrame,
+    op: str = "dml rewrite",
+) -> int:
+    """Publish the previous version MINUS the ``replaced`` manifest
+    file names PLUS ``new_rows`` as the next version — the file-pruned
+    copy-on-write DML path (r16): only the affected files' surviving
+    rows are written as fresh parquet; every untouched file carries
+    over by hard link (inode metadata, zero data bytes). A DELETE /
+    UPDATE / MERGE touching B of T bytes costs O(B) data + O(#files)
+    link metadata, not the O(T) full-state rewrite of the r15 design.
+    Returns the new version number. CALLER HOLDS THE TABLE WRITER
+    LOCK. ``replaced`` holds manifest file NAMES (basenames — unique
+    within a version, all its files live in one directory).
+
+    The pre-image contract: callers derive both ``replaced`` and
+    ``new_rows`` from the LOG TIP's manifest (:func:`tip_entry`), not
+    the catalog pointer, so the commit's parent is exactly the tip —
+    a post-crash lagging pointer can't make selective DML fork a dead
+    branch.
+    """
+    root = _table_root(spark, table)
+    entries = _read_log(root)
+    prev = entries[-1]
+    expected_tip = prev["version"]
+    n = expected_tip + 1
+    vdir = _next_vdir(root, n)
+    _cast_to_table(spark, table, new_rows).write.parquet(vdir)
+    _carry_prev_files(vdir, prev, skip=frozenset(replaced))
     _publish(
         spark,
         table,
@@ -455,6 +542,7 @@ def commit_append(
             "version": n,
             "committed_at": time.time(),
             "op": op,
+            "parent": expected_tip,
             "location": vdir,
             "files": _data_files(vdir),
         },
@@ -583,7 +671,17 @@ def table_at(
 
 def history(spark: SparkSession, table: str) -> DataFrame:
     """The commit log as a DataFrame (version, committed_at, op,
-    location, n_files)."""
+    parent, superseded, location, n_files).
+
+    ``parent`` is the version the commit's state was derived from
+    (pre-r16 entries lack the field; the linear default version-1 is
+    assumed). ``superseded`` (r15 verdict item 6) is True iff some
+    LATER entry's parent predates the entry — i.e. a later commit was
+    derived from an older state, leaving this one off the live
+    lineage: a restore's bypassed versions, or the dead branch a
+    post-crash lagging-pointer full-state DML forks (module
+    docstring). The tip is never superseded.
+    """
     entries = _read_log(_table_root(spark, table))
 
     def n_files(e: dict) -> int:
@@ -594,19 +692,37 @@ def history(spark: SparkSession, table: str) -> DataFrame:
         except OSError:  # forensic log may no longer have
             return 0
 
+    def parent(e: dict) -> int | None:
+        p = e.get("parent")
+        if p is None and e["version"] > 0:
+            return e["version"] - 1  # pre-r16 entry: linear log
+        return p
+
+    # min over suffix: e is superseded iff min(parent of later) < e.version
+    min_later_parent = [None] * len(entries)
+    acc = None
+    for i in range(len(entries) - 1, -1, -1):
+        min_later_parent[i] = acc
+        p = parent(entries[i])
+        if p is not None and (acc is None or p < acc):
+            acc = p
+
     return spark.createDataFrame(
         [
             (
                 e["version"],
                 float(e["committed_at"]),
                 e["op"],
+                parent(e),
+                min_later_parent[i] is not None
+                and min_later_parent[i] < e["version"],
                 e["location"],
                 n_files(e),
             )
-            for e in entries
+            for i, e in enumerate(entries)
         ],
-        "version INT, committed_at DOUBLE, op STRING, location STRING, "
-        "n_files INT",
+        "version INT, committed_at DOUBLE, op STRING, parent INT, "
+        "superseded BOOLEAN, location STRING, n_files INT",
     )
 
 
@@ -631,6 +747,10 @@ def restore_table(spark: SparkSession, table: str, version: int) -> int:
             op=f"restore v{version}",
             _location=hits[0]["location"],
             _files=hits[0].get("files"),
+            # lineage: the restored state derives from the restore
+            # TARGET, so history() flags the bypassed versions between
+            # target and old tip as superseded — the Delta-RESTORE view
+            based_on=version,
         )
 
 

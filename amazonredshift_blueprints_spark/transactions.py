@@ -142,6 +142,13 @@ class Transaction:
                         qualified,
                         self.spark.table(stage),
                         op="txn commit",
+                        # the staged state derived from the catalog
+                        # pointer's version (the BEGIN-time snapshot);
+                        # record it as lineage parent so history() can
+                        # flag a bypassed post-crash log tip
+                        based_on=timetravel.pointer_version(
+                            self.spark, qualified
+                        ),
                     )
                 else:
                     self.spark.sql(

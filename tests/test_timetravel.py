@@ -50,7 +50,7 @@ def test_dml_commits_versions_and_snapshots_stay_readable(spark):
     live = {r["k"]: float(r["amt"]) for r in spark.table("t_tt_basic").collect()}
     assert live == v2
     ops = [r["op"] for r in tt.history(spark, "t_tt_basic").collect()]
-    assert ops == ["enable_history", "dml rewrite", "dml rewrite"]
+    assert ops == ["enable_history", "delete", "update"]
 
 
 def test_timestamp_travel_maps_to_nearest_boundary(spark):
@@ -465,3 +465,184 @@ def test_vacuum_keeps_appended_chain_readable(spark):
     assert not os.path.isdir(v0_dir)
     assert spark.table("t_tt_vaclink").count() == 6
     assert tt.table_at(spark, "t_tt_vaclink", version=1).count() == 6
+
+
+# ---------------------------------------------------------------------------
+# r16: file-pruned selective DML (commit_replace) + lineage visibility
+# (parent / superseded in history()).
+# ---------------------------------------------------------------------------
+
+
+def _multi_file_history_table(spark, name: str):
+    """A history table whose manifest spans several files with KNOWN
+    disjoint key ranges: v0 holds k 1-5, then two append commits add
+    k 6-10 and k 11-15 as separate file sets. Returns (tt, root)."""
+    from amazonredshift_blueprints_spark import timetravel as tt
+
+    _fresh_history_table(spark, name)
+    tt.enable_history(spark, name)
+    execute_sql(
+        spark,
+        f"INSERT INTO {name} VALUES "
+        "(6, 60.00), (7, 70.00), (8, 80.00), (9, 90.00), (10, 100.00)",
+    )
+    execute_sql(
+        spark,
+        f"INSERT INTO {name} VALUES "
+        "(11, 110.00), (12, 120.00), (13, 130.00), (14, 140.00), (15, 150.00)",
+    )
+    return tt, tt._table_root(spark, name)
+
+
+def _files_with_key(paths, k: int):
+    """Manifest files whose rows contain key ``k`` (pyarrow read —
+    the test's independent view of file contents)."""
+    import pyarrow.parquet as pq
+
+    hits = set()
+    for p in paths:
+        t = pq.read_table(p, columns=["k"])
+        if k in t.column("k").to_pylist():
+            hits.add(p)
+    return hits
+
+
+def test_selective_delete_rewrites_only_matching_files(spark):
+    """DELETE on a history table is a FILE-PRUNED commit (r16): only
+    files containing matched rows rewrite; every other file carries
+    into the new version by hard link (same inode — the q111-style
+    bytes argument, now for DML). The r15 design paid a full-state
+    rewrite per DELETE."""
+    tt, root = _multi_file_history_table(spark, "t_tt_seldel")
+    prev = tt._read_log(root)[-1]
+    prev_paths = tt._entry_paths(prev)
+    touched_files = _files_with_key(prev_paths, 12)
+    assert touched_files and touched_files < set(prev_paths)
+    untouched = set(prev_paths) - touched_files
+    assert execute_sql(spark, "DELETE FROM t_tt_seldel WHERE k = 12") is None
+    new = tt._read_log(root)[-1]
+    assert new["op"] == "delete" and new["parent"] == prev["version"]
+    new_paths = tt._entry_paths(new)
+    # every untouched file's inode is carried into the new version...
+    assert _inodes(untouched) <= _inodes(new_paths)
+    # ...the matched file's inode is NOT (its rows were rewritten)...
+    assert not (_inodes(touched_files) & _inodes(new_paths))
+    # ...and the fresh inodes are delta-sized (<= the one file's bytes)
+    fresh = [p for p in new_paths if os.stat(p).st_ino not in _inodes(untouched)]
+    assert sum(os.stat(p).st_size for p in fresh) <= 2 * max(
+        os.stat(p).st_size for p in touched_files
+    )
+    assert spark.table("t_tt_seldel").count() == 14
+    assert tt.table_at(spark, "t_tt_seldel", version=prev["version"]).count() == 15
+
+
+def test_selective_update_rewrites_only_matching_files(spark):
+    tt, root = _multi_file_history_table(spark, "t_tt_selupd")
+    prev = tt._read_log(root)[-1]
+    prev_paths = tt._entry_paths(prev)
+    touched_files = _files_with_key(prev_paths, 3)
+    untouched = set(prev_paths) - touched_files
+    assert untouched
+    execute_sql(spark, "UPDATE t_tt_selupd SET amt = amt + 1 WHERE k = 3")
+    new = tt._read_log(root)[-1]
+    assert new["op"] == "update"
+    new_paths = tt._entry_paths(new)
+    assert _inodes(untouched) <= _inodes(new_paths)
+    assert not (_inodes(touched_files) & _inodes(new_paths))
+    live = {r["k"]: float(r["amt"]) for r in spark.table("t_tt_selupd").collect()}
+    assert live[3] == 31.0 and live[12] == 120.0 and len(live) == 15
+    # the pre-image snapshot is intact
+    old = {
+        r["k"]: float(r["amt"])
+        for r in tt.table_at(spark, "t_tt_selupd", version=prev["version"]).collect()
+    }
+    assert old[3] == 30.0
+
+
+def test_selective_merge_carries_unmatched_files_and_inserts(spark):
+    """MERGE on a history table prunes to files whose keys intersect
+    the source: unmatched files carry by hard link; source inserts and
+    updates land; counters stay exact."""
+    from amazonredshift_blueprints_spark.dml import merge_into
+
+    tt, root = _multi_file_history_table(spark, "t_tt_selmrg")
+    prev = tt._read_log(root)[-1]
+    prev_paths = tt._entry_paths(prev)
+    touched_files = _files_with_key(prev_paths, 7)
+    untouched = set(prev_paths) - touched_files
+    from decimal import Decimal
+
+    src = spark.createDataFrame(
+        [(7, Decimal("777.00")), (99, Decimal("990.00"))],
+        "k INT, amt DECIMAL(12,2)",
+    )
+    n_upd, n_ins, n_del = merge_into(spark, "t_tt_selmrg", src, ["k"])
+    assert (n_upd, n_ins, n_del) == (1, 1, 0)
+    new = tt._read_log(root)[-1]
+    assert new["op"] == "merge"
+    new_paths = tt._entry_paths(new)
+    assert _inodes(untouched) <= _inodes(new_paths)
+    assert not (_inodes(touched_files) & _inodes(new_paths))
+    live = {r["k"]: float(r["amt"]) for r in spark.table("t_tt_selmrg").collect()}
+    assert live[7] == 777.0 and live[99] == 990.0 and len(live) == 16
+
+
+def test_no_match_dml_is_metadata_only_commit(spark):
+    """A DELETE matching nothing publishes a METADATA-ONLY commit: a
+    new version number whose entry reuses the tip's directory and
+    manifest — version-per-statement semantics at zero data bytes."""
+    tt, root = _multi_file_history_table(spark, "t_tt_nomatch")
+    prev = tt._read_log(root)[-1]
+    execute_sql(spark, "DELETE FROM t_tt_nomatch WHERE k = 999")
+    new = tt._read_log(root)[-1]
+    assert new["version"] == prev["version"] + 1
+    assert new["op"] == "delete"
+    assert new["location"] == prev["location"]
+    assert new["files"] == prev["files"]
+    assert spark.table("t_tt_nomatch").count() == 15
+
+
+def test_restore_marks_bypassed_versions_superseded(spark):
+    """history() lineage (r16): a restore's entry records the restore
+    TARGET as its parent, so the versions between target and old tip
+    read superseded=True — off the live lineage, still readable."""
+    from amazonredshift_blueprints_spark import timetravel as tt
+
+    _fresh_history_table(spark, "t_tt_lineage")
+    tt.enable_history(spark, "t_tt_lineage")
+    execute_sql(spark, "DELETE FROM t_tt_lineage WHERE k = 1")  # v1
+    execute_sql(spark, "DELETE FROM t_tt_lineage WHERE k = 2")  # v2
+    tt.restore_table(spark, "t_tt_lineage", 0)  # v3, parent 0
+    rows = {r["version"]: r for r in tt.history(spark, "t_tt_lineage").collect()}
+    assert rows[3]["parent"] == 0 and not rows[3]["superseded"]
+    assert rows[1]["superseded"] and rows[2]["superseded"]
+    assert not rows[0]["superseded"]
+
+
+def test_dead_branch_after_pointer_lag_is_visible(spark):
+    """The documented post-crash residue, now OBSERVABLE (r15 verdict
+    item 6): with the pointer regressed one version behind the log tip
+    (the crash window between log append and pointer swap), a
+    FULL-STATE rewrite whose pre-image came through the pointer lands
+    with the lagging version as its parent — and history() flags the
+    bypassed tip as superseded instead of leaving a silent dead
+    branch. Selective DML is immune (it reads the tip's manifest)."""
+    from amazonredshift_blueprints_spark import dml, timetravel as tt
+
+    _fresh_history_table(spark, "t_tt_deadbr")
+    tt.enable_history(spark, "t_tt_deadbr")
+    execute_sql(spark, "DELETE FROM t_tt_deadbr WHERE k = 1")  # v1 (tip)
+    root = tt._table_root(spark, "t_tt_deadbr")
+    v0 = tt._read_log(root)[0]
+    # simulate the crash: pointer regressed to v0, log tip still v1
+    spark.sql(f"ALTER TABLE t_tt_deadbr SET LOCATION '{v0['location']}'")
+    spark.catalog.refreshTable("spark_catalog.default.t_tt_deadbr")
+    # a full-state rewrite based on the POINTER's (stale) pre-image
+    dml._rewrite(spark, "t_tt_deadbr", spark.table("t_tt_deadbr"))
+    rows = {r["version"]: r for r in tt.history(spark, "t_tt_deadbr").collect()}
+    assert rows[2]["parent"] == 0  # derived from v0, not the tip v1
+    assert rows[1]["superseded"]  # the dead branch is flagged
+    assert not rows[2]["superseded"]
+    # the branch stays readable — never silently lost
+    assert tt.table_at(spark, "t_tt_deadbr", version=1).count() == 4
+    assert spark.table("t_tt_deadbr").count() == 5
