@@ -81,6 +81,14 @@ def get_spark(app_name: str = "amazonredshift-blueprints-spark") -> SparkSession
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    # SPARK_GRAFT_WAREHOUSE isolates managed-table data per process so
+    # concurrent gate runs (pytest + an oracle sweep) can't race each
+    # other's CREATE/DROP in a shared ./spark-warehouse — the q95
+    # RF1/RF2 flake class (tools/check_correctness.py --warehouse).
+    # Static conf: effective only on the session that builds the JVM.
+    warehouse = os.environ.get("SPARK_GRAFT_WAREHOUSE")
+    if warehouse:
+        builder = builder.config("spark.sql.warehouse.dir", warehouse)
     for key, value in _RUNTIME_CONFS.items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()

@@ -3,7 +3,13 @@ on Spark and its ``oracle_sql()`` on DuckDB over the same parquet, then
 compare row count, column names, and values (bitwise for floats — if we
 match bitwise, any order-insensitive value hash matches too).
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--warehouse DIR] [sf_dir] [query ...]
+
+``--warehouse DIR`` isolates this run's managed-table data (sets
+``spark.sql.warehouse.dir`` via SPARK_GRAFT_WAREHOUSE before the session
+builds), so two sweeps — or a sweep and a pytest run — can execute
+concurrently without racing each other's CREATE/DROP in a shared
+./spark-warehouse (the q95 RF1/RF2 flake class).
 """
 
 from __future__ import annotations
@@ -106,8 +112,17 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--warehouse":
+        if len(argv) < 2:
+            print("--warehouse needs a directory argument")
+            return 2
+        # must land in the env BEFORE get_spark builds the JVM — a
+        # static conf can't be set on an existing session
+        os.environ["SPARK_GRAFT_WAREHOUSE"] = os.path.abspath(argv[1])
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark("check-correctness")
     con = _duck_con(sf_dir)
     qs = entry_mod.queries()
