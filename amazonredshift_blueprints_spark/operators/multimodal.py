@@ -233,6 +233,33 @@ def _interlaced_scanlines(raw, bpp: int, filter_mode: str) -> bytearray:
     return scanlines
 
 
+def _as_pixel_array(pixels, who: str):
+    """``(array, depth)`` for an image encoder: uint8 → 8, uint16 → 16
+    (byte-order-blind — a non-native ``>u2`` compares unequal to
+    uint16 but must not truncate). Signed/bool integer inputs in the
+    uint8 range are accepted (plain Python-literal arrays arrive as
+    int64); anything wider REFUSES by name instead of the silent
+    mod-256 garbage a bare ``astype(np.uint8)`` would produce."""
+    import numpy as np
+
+    arr = np.asarray(pixels)
+    if arr.dtype.kind == "u" and arr.dtype.itemsize == 2:
+        return arr, 16
+    if arr.dtype.kind == "u" and arr.dtype.itemsize == 1:
+        return arr, 8
+    if arr.dtype.kind in "ib":
+        if arr.size and (int(arr.min()) < 0 or int(arr.max()) > 255):
+            raise ValueError(
+                f"{who} takes uint8 or uint16 samples; int values "
+                f"outside 0..255 (saw {int(arr.min())}..{int(arr.max())}) "
+                "would truncate — cast explicitly first"
+            )
+        return arr.astype(np.uint8), 8
+    raise ValueError(
+        f"{who} takes uint8 or uint16 samples, not dtype {arr.dtype}"
+    )
+
+
 def encode_png(pixels, *, filter_mode: str = "cycle", interlace: bool = False) -> bytes:
     """RGB/RGBA array (h, w, 3|4) of uint8 or uint16 → truecolor PNG
     (color type 2 or 6, bit depth 8 or 16 chosen by the array dtype;
@@ -248,14 +275,7 @@ def encode_png(pixels, *, filter_mode: str = "cycle", interlace: bool = False) -
 
     import numpy as np
 
-    arr = np.asarray(pixels)
-    # dtype.kind/itemsize, not == np.uint16: a non-native-endian '>u2'
-    # array compares unequal to uint16 and would silently truncate
-    if arr.dtype.kind == "u" and arr.dtype.itemsize == 2:
-        depth = 16
-    else:
-        arr = arr.astype(np.uint8)
-        depth = 8
+    arr, depth = _as_pixel_array(pixels, "encode_png")
     if arr.ndim != 3 or arr.shape[2] not in (3, 4):
         raise ValueError(
             "PNG encoder takes (h, w, 3) RGB or (h, w, 4) RGBA; got "
@@ -296,7 +316,12 @@ def encode_png_gray(
 
     import numpy as np
 
-    arr = np.asarray(pixels, dtype=np.uint8)
+    arr, depth = _as_pixel_array(pixels, "encode_png_gray")
+    if depth != 8:
+        raise ValueError(
+            "encode_png_gray writes 8-bit grayscale only; got uint16 "
+            "samples (use encode_png for 16-bit truecolor)"
+        )
     h, w = arr.shape
     scanlines = (
         _interlaced_scanlines(arr, 1, filter_mode)
@@ -1225,6 +1250,12 @@ def adpcm_audio_stats(df: DataFrame) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 pcm = decode_adpcm(bytes(payload)).astype(np.int64)
+                if pcm.size == 0:
+                    # real ingest can carry an empty frame; emit an
+                    # honest zero-sample row with NULL stats instead of
+                    # numpy's opaque zero-size reduction error
+                    rows.append((int(doc_id), 0, None, None, None, None))
+                    continue
                 rows.append(
                     (
                         int(doc_id),
@@ -1241,6 +1272,8 @@ def adpcm_audio_stats(df: DataFrame) -> DataFrame:
                     "doc_id", "n_samples", "sum_pcm",
                     "sum_abs", "min_pcm", "max_pcm",
                 ],
+            ).astype(
+                {c: "Int64" for c in ("sum_pcm", "sum_abs", "min_pcm", "max_pcm")}
             )
 
     return df.mapInPandas(
@@ -1298,6 +1331,12 @@ def g711_audio_stats(df: DataFrame) -> DataFrame:
             ):
                 dec = decode_mulaw if law == "ulaw" else decode_alaw
                 pcm = dec(bytes(payload)).astype(np.int64)
+                if pcm.size == 0:
+                    # real ingest can carry an empty frame; emit an
+                    # honest zero-sample row with NULL stats instead of
+                    # numpy's opaque zero-size reduction error
+                    rows.append((int(doc_id), law, 0, None, None, None, None))
+                    continue
                 rows.append(
                     (
                         int(doc_id),
@@ -1315,6 +1354,8 @@ def g711_audio_stats(df: DataFrame) -> DataFrame:
                     "doc_id", "law", "n_samples", "sum_pcm",
                     "sum_abs", "min_pcm", "max_pcm",
                 ],
+            ).astype(
+                {c: "Int64" for c in ("sum_pcm", "sum_abs", "min_pcm", "max_pcm")}
             )
 
     return df.mapInPandas(
@@ -2060,11 +2101,7 @@ def encode_tiff(pixels, *, big_endian: bool = False) -> bytes:
 
     import numpy as np
 
-    arr = np.asarray(pixels)
-    # byte-order-blind 16-bit check (see encode_png)
-    depth = 16 if arr.dtype.kind == "u" and arr.dtype.itemsize == 2 else 8
-    if depth == 8:
-        arr = arr.astype(np.uint8)
+    arr, depth = _as_pixel_array(pixels, "encode_tiff")
     if arr.ndim == 2:
         arr = arr[:, :, None]
     if arr.ndim != 3 or arr.shape[2] not in (1, 3, 4):
@@ -3479,7 +3516,11 @@ def _decode_jpeg_progressive(data: bytes):
         elif marker == 0xDA:
             if comps is None:
                 raise ValueError("corrupt JPEG: SOS before SOF2")
+            if not seg:
+                raise ValueError("corrupt JPEG: truncated SOS segment")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns + 3:
+                raise ValueError("corrupt JPEG: truncated SOS segment")
             by_id = {c[0]: k for k, c in enumerate(comps)}
             scan = []
             for k in range(ns):

@@ -1609,3 +1609,96 @@ def test_tiff_roundtrip_refusals_and_jvm_interchange(spark):
         ">u2"
     )
     assert np.array_equal(decode_tiff(encode_tiff(be)), be.astype(np.uint16))
+
+
+# ---------------------------------------------------------------------------
+# r16: advisor hardening — empty audio frames, truncated progressive SOS,
+# wide-integer encoder refusals.
+# ---------------------------------------------------------------------------
+
+
+def test_audio_stats_handle_empty_payloads(spark):
+    """An empty G.711 / ADPCM frame yields an honest n_samples=0 row
+    with NULL stats, not numpy's opaque zero-size-reduction error
+    (r15 advisor: synthesized inputs are never empty, real ingest
+    rows can be)."""
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        adpcm_audio_stats,
+        g711_audio_stats,
+    )
+
+    g = spark.createDataFrame(
+        [(1, "ulaw", bytearray(b"")), (2, "alaw", bytearray(b"\x55"))],
+        "doc_id long, law string, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in g711_audio_stats(g).collect()}
+    assert rows[1]["n_samples"] == 0
+    assert rows[1]["sum_pcm"] is None and rows[1]["min_pcm"] is None
+    assert rows[2]["n_samples"] == 1 and rows[2]["sum_pcm"] is not None
+
+    a = spark.createDataFrame(
+        [(1, bytearray(b"")), (2, bytearray(b"\x12"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in adpcm_audio_stats(a).collect()}
+    assert rows[1]["n_samples"] == 0 and rows[1]["max_pcm"] is None
+    assert rows[2]["n_samples"] == 2
+
+
+def test_progressive_sos_truncation_raises_named_error():
+    """A progressive stream whose SOS segment is shorter than its
+    declared component list raises the module's 'corrupt JPEG: ...'
+    contract, not a bare IndexError (r15 advisor)."""
+    import numpy as np
+    import pytest
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    tile = np.full((8, 8), 128, dtype=np.uint8)
+    data = bytearray(encode_jpeg_progressive(tile))
+    i = data.find(b"\xff\xda")
+    assert i > 0
+    # shrink the SOS segment: keep the marker, declare ns but cut the
+    # spectral-selection tail (ln covers only the ns byte + 1 pair)
+    ln = 2 + 1 + 2  # length field + ns + one (cs, td/ta) pair, no ss/se/ah/al
+    truncated = bytes(data[: i + 2]) + ln.to_bytes(2, "big") + bytes(
+        data[i + 4 : i + 4 + 3]
+    )
+    with pytest.raises(ValueError, match="corrupt JPEG: truncated SOS"):
+        decode_jpeg(truncated)
+
+
+def test_encoders_refuse_wide_integers_instead_of_truncating():
+    """encode_png / encode_tiff / encode_png_gray refuse int inputs
+    outside 0..255 and non-integer dtypes by name instead of the
+    silent mod-256 astype truncation (r15 advisor); in-range int
+    literals and uint8/uint16 keep working."""
+    import numpy as np
+    import pytest
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_png,
+        decode_tiff,
+        encode_png,
+        encode_png_gray,
+        encode_tiff,
+    )
+
+    wide = np.full((2, 2, 3), 300, dtype=np.int32)
+    for enc in (encode_png, encode_tiff):
+        with pytest.raises(ValueError, match="would truncate"):
+            enc(wide)
+    with pytest.raises(ValueError, match="would truncate"):
+        encode_png_gray(np.full((2, 2), -1, dtype=np.int64))
+    with pytest.raises(ValueError, match="not dtype float64"):
+        encode_png(np.zeros((2, 2, 3), dtype=np.float64))
+    # in-range plain-int literals still encode (back-compat path)
+    small = [[[0, 128, 255]] * 2] * 2
+    assert decode_png(encode_png(small)).shape == (2, 2, 3)
+    assert decode_tiff(encode_tiff(small))[0].shape[0] == 2
+    # uint16 still selects 16-bit output
+    deep = np.full((2, 2, 3), 40000, dtype=np.uint16)
+    assert decode_png(encode_png(deep)).dtype == np.uint16
