@@ -2090,13 +2090,182 @@ def synthesize_tga_images(
 # ---------------------------------------------------------------------------
 
 
-def encode_tiff(pixels, *, big_endian: bool = False) -> bytes:
+def _packbits_encode_row(row: bytes) -> bytes:
+    """PackBits (TIFF 6.0 §9) one ROW — the spec requires each row to
+    be packed separately: n in 0..127 → n+1 literal bytes follow;
+    n in 129..255 → the next byte repeats 257-n times; 128 is a noop."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        run = 1
+        while i + run < n and row[i + run] == row[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out.append((256 - (run - 1)) & 0xFF)
+            out.append(row[i])
+            i += run
+            continue
+        start = i
+        i += 1
+        while i < n and (i - start) < 128:
+            if i + 1 < n and row[i + 1] == row[i]:
+                break  # an upcoming run: close the literal here
+            i += 1
+        out.append(i - start - 1)
+        out += row[start:i]
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Inverse of :func:`_packbits_encode_row` over a whole strip
+    (rows were packed separately but concatenate seamlessly)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while len(out) < expected:
+        if i >= n:
+            raise ValueError("corrupt TIFF: truncated PackBits strip")
+        b = data[i]
+        i += 1
+        if b == 128:  # noop
+            continue
+        if b < 128:
+            if i + b + 1 > n:
+                raise ValueError("corrupt TIFF: truncated PackBits strip")
+            out += data[i : i + b + 1]
+            i += b + 1
+        else:
+            if i >= n:
+                raise ValueError("corrupt TIFF: truncated PackBits strip")
+            out += bytes([data[i]]) * (257 - b)
+            i += 1
+    return bytes(out[:expected])
+
+
+def _tiff_lzw_compress(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first variable-width codes over the
+    256-symbol byte alphabet (Clear=256, EOI=257, entries from 258),
+    with the spec's EARLY width change — the encoder widens after
+    ASSIGNING slot 511/1023/2047 (one slot earlier than GIF's
+    LSB-first variant above, which widens after slot 512), and emits
+    a Clear when NextCode reaches 4094. Cross-validated bit-for-bit
+    against com.sun.imageio's TIFF LZW on streams long enough to
+    cross every width boundary. Independent of the GIF core: both
+    bit order and change timing differ, and the GIF bitstreams must
+    stay byte-identical."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    width = 9
+    d: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    put(CLEAR, width)
+    w = b""
+    for k in data:
+        wk = w + bytes([k])
+        if wk in d:
+            w = wk
+            continue
+        put(d[w], width)
+        d[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1  # slot (1<<width)-1 just assigned
+        elif next_code == 4094:  # table nearly full: spec-mandated reset
+            put(CLEAR, width)
+            d = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([k])
+    if w:
+        put(d[w], width)
+    put(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decompress(data: bytes, expected: int) -> bytes:
+    """Inverse of :func:`_tiff_lzw_compress`. The decoder's table lags
+    the encoder's by one entry, so its width change fires one slot
+    earlier — after assigning slot 510/1022/2046, i.e. at table size
+    ``(1 << width) - 1`` (the spec's 'decoder adds the code-length
+    change one code earlier than the encoder')."""
+    CLEAR, EOI = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width = 9
+    out = bytearray()
+    acc = nbits = pos = 0
+    n = len(data)
+    prev = None
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("corrupt TIFF: truncated LZW strip")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= 256:
+                raise ValueError(f"corrupt TIFF: bad first LZW code {code}")
+            out += table[code]
+            prev = code
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = table[prev] + table[prev][:1]
+        else:
+            raise ValueError(
+                f"corrupt TIFF: LZW code {code} beyond table {len(table)}"
+            )
+        out += entry
+        table.append(table[prev] + entry[:1])
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+        prev = code
+    if len(out) < expected:
+        raise ValueError(
+            f"corrupt TIFF: LZW strip yields {len(out)} bytes, "
+            f"need {expected}"
+        )
+    return bytes(out[:expected])
+
+
+def encode_tiff(
+    pixels,
+    *,
+    big_endian: bool = False,
+    compression: str = "none",
+    predictor: bool = False,
+) -> bytes:
     """(h, w[, ch]) uint8/uint16 array → baseline TIFF 6.0: a single
-    uncompressed strip with one IFD holding the required tags
-    (ImageWidth/Length, BitsPerSample, Compression=1, Photometric,
-    StripOffsets/ByteCounts, SamplesPerPixel, RowsPerStrip) plus
-    ExtraSamples for RGBA. ``big_endian`` writes an MM file (sample
-    bytes AND tag values flip together, per the spec)."""
+    strip with one IFD holding the required tags (ImageWidth/Length,
+    BitsPerSample, Compression, Photometric, StripOffsets/ByteCounts,
+    SamplesPerPixel, RowsPerStrip) plus ExtraSamples for RGBA.
+    ``big_endian`` writes an MM file (sample bytes AND tag values flip
+    together, per the spec). ``compression`` (r16): 'none' (bytes
+    identical to the r15 encoder), 'packbits' (§9 RLE, each row packed
+    separately), or 'lzw' (§13 MSB-first variable-width).
+    ``predictor=True`` (LZW only) applies horizontal differencing
+    (Predictor=2, tag 317) on samples before compression."""
     import struct
 
     import numpy as np
@@ -2109,12 +2278,37 @@ def encode_tiff(pixels, *, big_endian: bool = False) -> bytes:
             "encode_tiff takes (h, w), (h, w, 3) or (h, w, 4); got "
             f"shape {np.asarray(pixels).shape}"
         )
+    if compression not in ("none", "packbits", "lzw"):
+        raise ValueError(
+            f"encode_tiff compression {compression!r} not supported; "
+            "'none', 'packbits' or 'lzw'"
+        )
+    if predictor and compression != "lzw":
+        raise ValueError("predictor=True needs compression='lzw'")
     h, w, ch = arr.shape
     bo = ">" if big_endian else "<"
+    if predictor:
+        # horizontal differencing on SAMPLE values (mod 2^depth),
+        # per channel along the row
+        m = 1 << depth
+        d64 = arr.astype(np.int64)
+        d64[:, 1:, :] -= arr.astype(np.int64)[:, :-1, :]
+        arr = (d64 % m).astype(arr.dtype)
     if depth == 16:
-        strip = arr.astype(bo + "u2").tobytes()
+        raw = arr.astype(bo + "u2").tobytes()
     else:
-        strip = arr.tobytes()
+        raw = arr.astype(np.uint8).tobytes()
+    row_bytes = w * ch * depth // 8
+    if compression == "packbits":
+        strip = b"".join(
+            _packbits_encode_row(raw[r * row_bytes : (r + 1) * row_bytes])
+            for r in range(h)
+        )
+    elif compression == "lzw":
+        strip = _tiff_lzw_compress(raw)
+    else:
+        strip = raw
+    comp_code = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
     photometric = 1 if ch == 1 else 2  # BlackIsZero / RGB
     extra = bytearray()  # out-of-line tag data, placed after the IFD
 
@@ -2125,7 +2319,8 @@ def encode_tiff(pixels, *, big_endian: bool = False) -> bytes:
         return struct.pack(bo + "I", v)
 
     header = struct.pack(bo + "2sHI", b"MM" if big_endian else b"II", 42, 8)
-    n_tags = 9 + (1 if ch == 4 else 0)  # required set + ExtraSamples
+    # required set + Predictor (LZW differencing) + ExtraSamples (RGBA)
+    n_tags = 9 + (1 if predictor else 0) + (1 if ch == 4 else 0)
     # layout: header(8) | IFD: count(2) + 12*n + next(4) | extra | strip
     ifd_size = 2 + 12 * n_tags + 4
     extra_base = 8 + ifd_size
@@ -2150,7 +2345,7 @@ def encode_tiff(pixels, *, big_endian: bool = False) -> bytes:
     add(256, 3, 1, short(w))  # ImageWidth
     add(257, 3, 1, short(h))  # ImageLength
     add(258, 3, ch, b"".join(short(depth) for _ in range(ch)))
-    add(259, 3, 1, short(1))  # Compression: none
+    add(259, 3, 1, short(comp_code))  # Compression
     add(262, 3, 1, short(photometric))
     # StripOffsets placeholder — patched once extra size is final
     strip_off_idx = len(tags)
@@ -2158,6 +2353,8 @@ def encode_tiff(pixels, *, big_endian: bool = False) -> bytes:
     add(277, 3, 1, short(ch))  # SamplesPerPixel
     add(278, 3, 1, short(h))  # RowsPerStrip: single strip
     add(279, 4, 1, long_(len(strip)))  # StripByteCounts
+    if predictor:
+        add(317, 3, 1, short(2))  # Predictor: horizontal differencing
     if ch == 4:
         add(338, 3, 1, short(2))  # ExtraSamples: unassociated alpha
     assert len(tags) == n_tags, (len(tags), n_tags)
@@ -2171,11 +2368,14 @@ def encode_tiff(pixels, *, big_endian: bool = False) -> bytes:
 
 
 def decode_tiff(payload: bytes):
-    """Baseline TIFF decode: II/MM byte order, first IFD, uncompressed
-    strips (any RowsPerStrip split), PlanarConfiguration=1, gray at
-    1 sample or RGB/RGBA at 3/4, depths 8/16. Returns (h, w) for
-    grayscale, (h, w, ch) otherwise; dtype uint8/uint16. Compressed,
-    tiled or planar files refuse by name."""
+    """Baseline TIFF decode: II/MM byte order, first IFD, strips (any
+    RowsPerStrip split) that are uncompressed, PackBits (32773) or LZW
+    (5) — each strip decompressed independently, with Predictor=2
+    horizontal differencing undone on samples (r16) —
+    PlanarConfiguration=1, gray at 1 sample or RGB/RGBA at 3/4, depths
+    8/16. Returns (h, w) for grayscale, (h, w, ch) otherwise; dtype
+    uint8/uint16. Other compressions, tiled and planar files refuse
+    by name."""
     import struct
 
     import numpy as np
@@ -2219,10 +2419,17 @@ def decode_tiff(payload: bytes):
     if 322 in tags or 323 in tags:
         raise NotImplementedError("tiled TIFF is not supported")
     comp = tags.get(259, [1])[0]
-    if comp != 1:
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(
             f"compressed TIFF (Compression={comp}) is not supported; "
-            "uncompressed baseline strips decode here"
+            "uncompressed, LZW (5) and PackBits (32773) strips decode "
+            "here"
+        )
+    pred = tags.get(317, [1])[0]
+    if pred not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF Predictor={pred} is not supported; none (1) and "
+            "horizontal differencing (2) decode here"
         )
     if tags.get(284, [1])[0] != 1:
         raise NotImplementedError(
@@ -2254,12 +2461,21 @@ def decode_tiff(payload: bytes):
     depth = bits[0]
     if any(b != depth for b in bits):
         raise NotImplementedError("mixed per-channel bit depths")
+    rps = tags.get(278, [h])[0] or h
+    row_bytes = w * ch * depth // 8
     data = bytearray()
-    for o, c in zip(offsets, counts):
+    for s, (o, c) in enumerate(zip(offsets, counts)):
         if o + c > len(payload):
             raise ValueError("corrupt TIFF: strip past EOF")
-        data += payload[o : o + c]
-    need = h * w * ch * depth // 8
+        raw = payload[o : o + c]
+        n_rows = min(rps, h - s * rps)
+        expected = n_rows * row_bytes
+        if comp == 32773:
+            raw = _packbits_decode(raw, expected)
+        elif comp == 5:
+            raw = _tiff_lzw_decompress(raw, expected)
+        data += raw
+    need = h * row_bytes
     if len(data) < need:
         raise ValueError(
             f"corrupt TIFF: strips hold {len(data)} bytes, need {need}"
@@ -2271,6 +2487,11 @@ def decode_tiff(payload: bytes):
     else:
         px = np.frombuffer(bytes(data[:need]), dtype=np.uint8)
     px = px.reshape(h, w, ch)
+    if pred == 2:
+        # undo horizontal differencing: cumulative sum on samples
+        # along the row, per channel, wrapping at the sample width
+        m = 1 << depth
+        px = (np.cumsum(px.astype(np.int64), axis=1) % m).astype(px.dtype)
     return px[:, :, 0].copy() if ch == 1 else px.copy()
 
 
@@ -2303,6 +2524,56 @@ def synthesize_tiff_images(df: DataFrame, id_col: str) -> DataFrame:
                     px = px[:, :, 0]
                 payloads.append(
                     encode_tiff(px, big_endian=variant in (1, 3))
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def synthesize_tiff_compressed_images(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic COMPRESSED-TIFF payloads (r16): image ``id`` is
+    (6 + id%6) x (5 + id%5) in variant ``id % 4``: 0 → gray 8-bit
+    PackBits II with run-friendly pixels ``(id*157 + r*17 +
+    (c//3)*21) % 256`` (horizontal runs of 3, so the RLE actually
+    bites), 1 → RGB 8-bit LZW MM, 2 → RGBA 8-bit LZW+Predictor-2 II,
+    3 → RGB 16-bit PackBits MM, the non-gray variants with pixels
+    ``(id*157 + r*17 + c*7 + ch*3) % M``. Both compressions are
+    lossless, so the c221 oracle replays the closed pixel forms in
+    SQL exactly as c220 does for the uncompressed baseline."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                h, w = 6 + i % 6, 5 + i % 5
+                variant = i % 4
+                n_ch = (1, 3, 4, 3)[variant]
+                m = 65536 if variant == 3 else 256
+                dt = np.uint16 if m == 65536 else np.uint8
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                ch = np.arange(n_ch)[None, None, :]
+                if variant == 0:
+                    px = ((i * 157 + r * 17 + (c // 3) * 21) % 256).astype(dt)
+                else:
+                    px = ((i * 157 + r * 17 + c * 7 + ch * 3) % m).astype(dt)
+                if n_ch == 1:
+                    px = px[:, :, 0]
+                comp = ("packbits", "lzw", "lzw", "packbits")[variant]
+                payloads.append(
+                    encode_tiff(
+                        px,
+                        big_endian=variant in (1, 3),
+                        compression=comp,
+                        predictor=variant == 2,
+                    )
                 )
             yield pd.DataFrame(
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}

@@ -17744,6 +17744,77 @@ def c220_tiff_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c221_tiff_compressed_decode_stats",
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id, g1.r, g2.c, ch.ch,
+               CASE WHEN d.doc_id % 4 = 0
+                    THEN (d.doc_id * 157 + g1.r * 17 + (g2.c // 3) * 21)
+                         % 256
+                    ELSE (d.doc_id * 157 + g1.r * 17 + g2.c * 7
+                          + ch.ch * 3)
+                         % (CASE WHEN d.doc_id % 4 = 3
+                            THEN 65536 ELSE 256 END)
+               END AS v
+        FROM documents d, range(12) g1(r), range(10) g2(c),
+             range(4) ch(ch)
+        WHERE g1.r < 6 + d.doc_id % 6
+          AND g2.c < 5 + d.doc_id % 5
+          AND ch.ch < CASE d.doc_id % 4 WHEN 0 THEN 1 WHEN 2 THEN 4
+                      ELSE 3 END
+    )
+    SELECT doc_id,
+           CAST(5 + doc_id % 5 AS BIGINT) AS width,
+           CAST(6 + doc_id % 6 AS BIGINT) AS height,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 2 THEN 4 ELSE 3 END
+                AS BIGINT) AS n_channels,
+           CAST(SUM(CASE WHEN ch = 0 OR doc_id % 4 = 0
+                         THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN ch = 1 OR doc_id % 4 = 0
+                         THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN ch = 2 OR doc_id % 4 = 0
+                         THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+           CAST(SUM(CASE WHEN ch = 3 THEN v ELSE 0 END) AS BIGINT)
+               AS sum_a,
+           CAST(MAX(v) AS BIGINT) AS px_max
+    FROM px GROUP BY doc_id
+    """,
+    doc="TIFF PackBits + LZW decode for real (operators/multimodal."
+        "py, r16 — the r15 verdict's next codec rung: the two "
+        "compressions that dominate real-world TIFF, previously "
+        "named refusals): PackBits is the spec's §9 RLE packed per "
+        "row; TIFF LZW is §13 MSB-first variable-width over the "
+        "256-byte alphabet with the spec's EARLY width change — the "
+        "encoder widens after assigning slot 511/1023/2047, one slot "
+        "earlier than the GIF LSB-first core already in the ladder, "
+        "and the decoder one slot earlier still — plus Predictor=2 "
+        "horizontal differencing undone on samples. The pytest "
+        "cross-validation against com.sun.imageio caught a LATENT "
+        "width-timing off-by-one the pure round-trip tests were "
+        "blind to (the r15 zigzag lesson repeating: self-consistent "
+        "codecs hide transposed conventions until an independent "
+        "implementation reads the bytes); both directions now "
+        "interchange bit-for-bit, including our LZW+predictor files. "
+        "Variant id%4: gray8 PackBits II with run-friendly pixels, "
+        "RGB8 LZW MM, RGBA8 LZW+predictor II, RGB16 PackBits MM. "
+        "Lossless, so the oracle replays the closed pixel forms in "
+        "SQL. Decode is Arrow-batched inside the scan's partitions — "
+        "no shuffle",
+    tags=("multimodal",),
+)
+def c221_tiff_compressed_decode_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import (
+        synthesize_tiff_compressed_images,
+        tiff_image_stats,
+    )
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return tiff_image_stats(synthesize_tiff_compressed_images(d, "doc_id"))
+
+
+@query(
     "q111_time_travel_append",
     oracle="""
     WITH p0 AS (SELECT o_orderkey, o_totalprice FROM orders
@@ -18928,13 +18999,15 @@ _DRIVER_WINDOW = [
     # --- oldest r10-rowed entries, in catalog order ---
     "q05_join_anti",
     "q06_join_left_outer",
-    "q07_join_full_outer",
     "q12_agg_approx_distinct",
     # --- co-windowed oracle twin of the rows-only pick q12 ---
     "q11_agg_distinct",
     # --- round-16 additions (land in their own round's window,
-    # displacing fillers newest-first: q13 out for q112) ---
+    # displacing fillers newest-first: q13 out for q112, q07 out for
+    # c221; the q12+q11 rows-only pair stays seated and would leave
+    # together, last) ---
     "q112_time_travel_selective_dml",
+    "c221_tiff_compressed_decode_stats",
 ]
 
 
