@@ -1518,6 +1518,216 @@ def encode_gif(indices, *, n_colors: int = 16) -> bytes:
     return bytes(out)
 
 
+def encode_gif89a(
+    frames,
+    *,
+    n_colors: int = 16,
+    delays=None,
+    transparents=None,
+    disposals=None,
+    loop: int | None = 0,
+) -> bytes:
+    """Genuine animated GIF89a: header, logical screen descriptor,
+    global color table (closed-form palette), NETSCAPE2.0 looping
+    application extension, and per frame a Graphic Control Extension
+    (disposal method, delay in centiseconds, transparency flag +
+    index) followed by a full-screen image descriptor with real
+    LZW-compressed indices. ``frames`` is a list of (h, w) palette
+    index arrays; ``transparents[k]`` is frame k's transparent index
+    or None; ``disposals[k]`` in 0..3 (GIF89a §23); ``loop=None``
+    omits the looping extension."""
+    import numpy as np
+
+    arrs = [np.asarray(f) for f in frames]
+    if not arrs:
+        raise ValueError("encode_gif89a needs at least one frame")
+    h, w = arrs[0].shape
+    if any(a.shape != (h, w) for a in arrs):
+        raise ValueError("all frames must share the logical screen size")
+    n = len(arrs)
+    delays = list(delays) if delays is not None else [0] * n
+    transparents = (
+        list(transparents) if transparents is not None else [None] * n
+    )
+    disposals = list(disposals) if disposals is not None else [1] * n
+    gct_bits = max((n_colors - 1).bit_length(), 1)
+    if (1 << gct_bits) != n_colors:
+        raise ValueError("n_colors must be a power of two")
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x80 | ((gct_bits - 1) << 4) | (gct_bits - 1))
+    out += b"\x00\x00"  # bg color, aspect
+    out += _gif_palette(n_colors)
+    if loop is not None:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+        out += int(loop).to_bytes(2, "little") + b"\x00"
+    mcs = max(gct_bits, 2)
+    for arr, delay, transp, disp in zip(arrs, delays, transparents, disposals):
+        packed = (int(disp) & 0x07) << 2
+        tindex = 0
+        if transp is not None:
+            packed |= 0x01
+            tindex = int(transp)
+        out += b"\x21\xf9\x04"
+        out.append(packed)
+        out += int(delay).to_bytes(2, "little")
+        out.append(tindex)
+        out.append(0x00)  # GCE terminator
+        out += b"\x2c" + b"\x00\x00\x00\x00"
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out.append(0x00)  # no local table, no interlace
+        out.append(mcs)
+        blob = _lzw_compress(arr.reshape(-1).tolist(), mcs)
+        for i in range(0, len(blob), 255):
+            chunk = blob[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0x00)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_animation(payload: bytes):
+    """Full GIF89a animation decode (r16): walks every block, parses
+    Graphic Control Extensions and the NETSCAPE2.0 looping extension,
+    supports frame sub-rectangles and LOCAL color tables, and
+    COMPOSITES the animation per the §23 disposal semantics — the
+    canvas starts fully transparent (the renderer convention);
+    disposal 0/1 keep the painted state, 2 restores the frame's rect
+    to transparent, 3 restores the pre-frame canvas. Transparent
+    frame pixels (index == the GCE's transparent index) leave the
+    canvas through.
+
+    Returns ``(canvases, meta, loop)``: ``canvases`` is one
+    (screen_h, screen_w, 4) RGBA uint8 array per frame — the canvas
+    AS DISPLAYED after that frame draws; ``meta`` is one dict per
+    frame (``delay`` centiseconds, ``disposal``, ``transparent``
+    index or None, ``rect`` (left, top, w, h), ``n_transparent``
+    pixels inside the rect); ``loop`` is the Netscape loop count or
+    None. Interlaced frames deinterlace via the four-pass row
+    reorder (the JVM's GIF writer emits interlaced sequences)."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            payload, dtype=np.uint8, count=3 * n, offset=pos
+        ).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((sh, sw, 4), dtype=np.uint8)
+    canvases: list = []
+    meta: list = []
+    loop = None
+    gce = None  # pending GCE applies to the NEXT image only (§23)
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:
+            label = payload[pos + 1]
+            pos += 2
+            blocks = []
+            while payload[pos] != 0:
+                ln = payload[pos]
+                blocks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            if label == 0xF9:  # Graphic Control Extension
+                if not blocks or len(blocks[0]) < 4:
+                    raise ValueError("corrupt GIF: truncated GCE")
+                g = blocks[0]
+                gce = {
+                    "disposal": (g[0] >> 2) & 0x07,
+                    "delay": int.from_bytes(g[1:3], "little"),
+                    "transparent": g[3] if g[0] & 0x01 else None,
+                }
+            elif label == 0xFF and blocks and blocks[0] == b"NETSCAPE2.0":
+                if len(blocks) > 1 and len(blocks[1]) >= 3 and blocks[1][0] == 1:
+                    loop = int.from_bytes(blocks[1][1:3], "little")
+        elif b == 0x2C:
+            left = int.from_bytes(payload[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(payload[pos + 3 : pos + 5], "little")
+            w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            ipacked = payload[pos + 9]
+            pos += 10
+            palette = gct
+            if ipacked & 0x80:  # local color table overrides the global
+                nl = 2 << (ipacked & 0x07)
+                palette = np.frombuffer(
+                    payload, dtype=np.uint8, count=3 * nl, offset=pos
+                ).reshape(nl, 3)
+                pos += 3 * nl
+            if palette is None:
+                raise ValueError("GIF image with no color table")
+            mcs = payload[pos]
+            pos += 1
+            blob = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                blob += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                _lzw_decompress(bytes(blob), mcs), dtype=np.uint8
+            )
+            if idx.size != h * w:
+                raise ValueError(f"GIF index stream {idx.size} != {h}x{w}")
+            idx = idx.reshape(h, w)
+            if ipacked & 0x40:  # interlaced: rows arrive in the four
+                # GIF passes (0::8, 4::8, 2::4, 1::2) — reorder them
+                order = np.concatenate(
+                    [
+                        np.arange(0, h, 8),
+                        np.arange(4, h, 8),
+                        np.arange(2, h, 4),
+                        np.arange(1, h, 2),
+                    ]
+                )
+                deinter = np.empty_like(idx)
+                deinter[order] = idx
+                idx = deinter
+            transp = gce["transparent"] if gce else None
+            disposal = gce["disposal"] if gce else 0
+            delay = gce["delay"] if gce else 0
+            opaque = (
+                np.ones((h, w), dtype=bool)
+                if transp is None
+                else idx != transp
+            )
+            snapshot = canvas.copy()
+            region = canvas[top : top + h, left : left + w]
+            region[opaque, :3] = palette[idx[opaque]]
+            region[opaque, 3] = 255
+            canvases.append(canvas.copy())
+            meta.append(
+                {
+                    "delay": delay,
+                    "disposal": disposal,
+                    "transparent": transp,
+                    "rect": (left, top, w, h),
+                    "n_transparent": int((~opaque).sum()),
+                }
+            )
+            if disposal == 2:  # restore rect to (transparent) background
+                canvas[top : top + h, left : left + w] = 0
+            elif disposal == 3:  # restore to previous
+                canvas = snapshot
+            gce = None
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    if not canvases:
+        raise ValueError(f"GIF ({sw}x{sh}) contained no image data")
+    return canvases, meta, loop
+
+
 def decode_gif(payload: bytes):
     """Chunk-walking GIF87a/89a decoder: parses the screen descriptor
     and global color table, skips 89a extension blocks by declared
@@ -1607,6 +1817,98 @@ def synthesize_gif_images(
             )
 
     return df.select(F.col(id_col)).mapInPandas(gen, "doc_id long, payload binary")
+
+
+def synthesize_gif_animations(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic animated GIF89a payloads (r16): id ``i`` carries
+    ``2 + i%3`` full-screen frames of ``(5 + i%4) x (6 + i%3)``
+    16-color indices ``(i*31 + r*5 + c*3 + f*7) % 16``; frame 0 is
+    fully opaque, frame f>0 carries transparent index ``(i + f) %
+    16`` in its GCE; delays are ``(i + 3f) % 50 + 2`` centiseconds,
+    disposal 1 (do not dispose), Netscape loop count ``i % 4``. The
+    closed forms are what let the c222 oracle replay the disposal-1
+    compositing (last opaque frame wins per pixel) in SQL."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                nf = 2 + i % 3
+                h, w = 5 + i % 4, 6 + i % 3
+                r = np.arange(h)[:, None]
+                c = np.arange(w)[None, :]
+                frames = [
+                    ((i * 31 + r * 5 + c * 3 + f * 7) % 16).astype(np.uint8)
+                    for f in range(nf)
+                ]
+                payloads.append(
+                    encode_gif89a(
+                        frames,
+                        n_colors=16,
+                        delays=[(i + 3 * f) % 50 + 2 for f in range(nf)],
+                        transparents=[None]
+                        + [(i + f) % 16 for f in range(1, nf)],
+                        disposals=[1] * nf,
+                        loop=i % 4,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def gif_animation_stats(images: DataFrame) -> DataFrame:
+    """Decode a (doc_id, payload) frame of animated GIF89a and reduce
+    to exact integer statistics: frame count, screen size, total GCE
+    delay, total transparent pixels across frames, the Netscape loop
+    count, and per-channel sums of the FINAL COMPOSITED canvas (the
+    frame-over-frame disposal semantics, not just the last raw
+    frame). Arrow-batched decode inside the scan's partitions — no
+    shuffle."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                canvases, meta, loop = decode_gif_animation(bytes(payload))
+                final = canvases[-1].astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(canvases),
+                        final.shape[1],
+                        final.shape[0],
+                        sum(m["delay"] for m in meta),
+                        sum(m["n_transparent"] for m in meta),
+                        loop if loop is not None else -1,
+                        int(final[:, :, 0].sum()),
+                        int(final[:, :, 1].sum()),
+                        int(final[:, :, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "width", "height",
+                    "total_delay", "n_transparent", "n_loops",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return images.mapInPandas(
+        stats,
+        "doc_id long, n_frames long, width long, height long, "
+        "total_delay long, n_transparent long, n_loops long, "
+        "sum_r long, sum_g long, sum_b long",
+    )
 
 
 def encode_bmp(pixels, *, topdown: bool = False) -> bytes:

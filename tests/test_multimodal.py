@@ -1781,3 +1781,154 @@ def test_tiff_packbits_lzw_jvm_interchange(spark):
     enc[comp_off + 8] = 8  # Compression=8 (Deflate)
     with _pytest.raises(NotImplementedError, match="Compression=8"):
         decode_tiff(bytes(enc))
+
+
+def test_gif89a_animation_compositing_and_jvm_interchange(spark):
+    """GIF89a animation (r16): disposal 0/1/2/3 compositing matches a
+    hand-computed reference; GCE transparency leaves the canvas
+    through; the JVM's independent javax.imageio GIF reader sees the
+    same raw frames and GCE metadata in our files; and the JVM
+    writer's own multi-frame sequences decode back."""
+    import numpy as np
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        _gif_palette,
+        decode_gif_animation,
+        encode_gif89a,
+    )
+
+    pal = np.frombuffer(_gif_palette(16), dtype=np.uint8).reshape(16, 3)
+
+    # --- disposal semantics against a hand-built reference ---
+    f0 = np.full((4, 5), 3, dtype=np.uint8)
+    f1 = np.full((4, 5), 7, dtype=np.uint8)
+    f1[1, 1] = 9  # the transparent index of frame 1
+    f2 = np.full((4, 5), 2, dtype=np.uint8)
+    enc = encode_gif89a(
+        [f0, f1, f2],
+        delays=[10, 20, 30],
+        transparents=[None, 9, None],
+        disposals=[1, 3, 2],
+        loop=5,
+    )
+    canvases, meta, loop = decode_gif_animation(enc)
+    assert loop == 5
+    assert [m["delay"] for m in meta] == [10, 20, 30]
+    assert [m["disposal"] for m in meta] == [1, 3, 2]
+    assert [m["transparent"] for m in meta] == [None, 9, None]
+    assert meta[1]["n_transparent"] == 1
+    # frame 1 paints 7 everywhere except (1,1), which shows frame 0's 3
+    assert tuple(canvases[1][1, 1, :3]) == tuple(pal[3])
+    assert tuple(canvases[1][0, 0, :3]) == tuple(pal[7])
+    # frame 1's disposal is 3 (restore previous): frame 2 draws over
+    # the RESTORED frame-0 canvas, fully opaque 2s
+    assert (canvases[2][:, :, :3] == pal[2]).all()
+
+    # disposal 2 restores the rect to transparent for the NEXT frame
+    g0 = np.full((3, 3), 1, dtype=np.uint8)
+    g1 = np.full((3, 3), 4, dtype=np.uint8)
+    g1[0, 0] = 6
+    enc2 = encode_gif89a(
+        [g0, g1],
+        transparents=[None, 6],
+        disposals=[2, 1],
+    )
+    cvs2, meta2, _ = decode_gif_animation(enc2)
+    # frame 0 painted 1s; its disposal-2 wipes the screen, so frame
+    # 1's transparent pixel (0,0) shows TRANSPARENT, not frame 0's 1
+    assert cvs2[1][0, 0, 3] == 0
+    assert tuple(cvs2[1][1, 1, :3]) == tuple(pal[4])
+
+    # --- JVM reads our animation: raw frames + GCE metadata ---
+    jvm = spark._jvm
+    rng = np.random.default_rng(29)
+    frames = [
+        rng.integers(0, 16, size=(6, 7)).astype(np.uint8) for _ in range(3)
+    ]
+    transparents = [None, 5, 11]
+    delays = [7, 13, 21]
+    enc3 = encode_gif89a(
+        frames,
+        delays=delays,
+        transparents=transparents,
+        disposals=[1, 1, 1],
+        loop=2,
+    )
+    stream = jvm.javax.imageio.ImageIO.createImageInputStream(
+        jvm.java.io.ByteArrayInputStream(bytearray(enc3))
+    )
+    reader = jvm.javax.imageio.ImageIO.getImageReadersByFormatName(
+        "gif"
+    ).next()
+    reader.setInput(stream)
+    assert reader.getNumImages(True) == 3
+    for k, (fr, tr) in enumerate(zip(frames, transparents)):
+        bimg = reader.read(k)
+        for y in range(6):
+            for x in range(7):
+                argb = bimg.getRGB(x, y)
+                a = (argb >> 24) & 0xFF
+                if tr is not None and fr[y, x] == tr:
+                    assert a == 0, (k, y, x)
+                else:
+                    got = ((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF)
+                    assert got == tuple(pal[fr[y, x]]), (k, y, x)
+        node = reader.getImageMetadata(k).getAsTree(
+            "javax_imageio_gif_image_1.0"
+        )
+        child = node.getFirstChild()
+        gce = None
+        while child is not None:
+            if child.getNodeName() == "GraphicControlExtension":
+                gce = child
+            child = child.getNextSibling()
+        assert gce is not None
+        assert int(gce.getAttribute("delayTime")) == delays[k]
+        flag = gce.getAttribute("transparentColorFlag") == "TRUE"
+        assert flag == (tr is not None)
+        if tr is not None:
+            assert int(gce.getAttribute("transparentColorIndex")) == tr
+
+    # --- JVM writes a multi-frame sequence; we decode it back ---
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+        "gif"
+    ).next()
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(None)
+    arrs = [rng.integers(0, 256, size=(5, 4, 3)).astype(np.uint8)
+            for _ in range(2)]
+    for arr in arrs:
+        bimg = jvm.java.awt.image.BufferedImage(
+            4, 5, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+        )
+        for y in range(5):
+            for x in range(4):
+                r, g, b = map(int, arr[y, x])
+                bimg.setRGB(x, y, (r << 16) | (g << 8) | b)
+        writer.writeToSequence(
+            jvm.javax.imageio.IIOImage(bimg, None, None), None
+        )
+    writer.endWriteSequence()
+    ios.flush()
+    payload = bytes(baos.toByteArray())
+    cvs, meta, _ = decode_gif_animation(payload)
+    assert len(cvs) == 2
+    # GIF quantizes to <=256 colors; the JVM writer palettizes, so
+    # compare through ITS reader: our composited frames must equal
+    # the JVM's own decode of the same payload
+    stream2 = jvm.javax.imageio.ImageIO.createImageInputStream(
+        jvm.java.io.ByteArrayInputStream(bytearray(payload))
+    )
+    reader2 = jvm.javax.imageio.ImageIO.getImageReadersByFormatName(
+        "gif"
+    ).next()
+    reader2.setInput(stream2)
+    for k in range(2):
+        bimg = reader2.read(k)
+        for y in range(5):
+            for x in range(4):
+                argb = bimg.getRGB(x, y)
+                want = ((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF)
+                assert tuple(cvs[k][y, x, :3]) == want, (k, y, x)
