@@ -2565,8 +2565,9 @@ def encode_tiff(
     ``big_endian`` writes an MM file (sample bytes AND tag values flip
     together, per the spec). ``compression`` (r16): 'none' (bytes
     identical to the r15 encoder), 'packbits' (§9 RLE, each row packed
-    separately), or 'lzw' (§13 MSB-first variable-width).
-    ``predictor=True`` (LZW only) applies horizontal differencing
+    separately), 'lzw' (§13 MSB-first variable-width) or 'deflate'
+    (zlib streams, Compression=8).
+    ``predictor=True`` (lzw/deflate) applies horizontal differencing
     (Predictor=2, tag 317) on samples before compression."""
     import struct
 
@@ -2580,13 +2581,13 @@ def encode_tiff(
             "encode_tiff takes (h, w), (h, w, 3) or (h, w, 4); got "
             f"shape {np.asarray(pixels).shape}"
         )
-    if compression not in ("none", "packbits", "lzw"):
+    if compression not in ("none", "packbits", "lzw", "deflate"):
         raise ValueError(
             f"encode_tiff compression {compression!r} not supported; "
-            "'none', 'packbits' or 'lzw'"
+            "'none', 'packbits', 'lzw' or 'deflate'"
         )
-    if predictor and compression != "lzw":
-        raise ValueError("predictor=True needs compression='lzw'")
+    if predictor and compression not in ("lzw", "deflate"):
+        raise ValueError("predictor=True needs compression='lzw'/'deflate'")
     h, w, ch = arr.shape
     bo = ">" if big_endian else "<"
     if predictor:
@@ -2608,9 +2609,15 @@ def encode_tiff(
         )
     elif compression == "lzw":
         strip = _tiff_lzw_compress(raw)
+    elif compression == "deflate":
+        import zlib
+
+        strip = zlib.compress(raw)
     else:
         strip = raw
-    comp_code = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
+    comp_code = {
+        "none": 1, "packbits": 32773, "lzw": 5, "deflate": 8,
+    }[compression]
     photometric = 1 if ch == 1 else 2  # BlackIsZero / RGB
     extra = bytearray()  # out-of-line tag data, placed after the IFD
 
@@ -2671,9 +2678,9 @@ def encode_tiff(
 
 def decode_tiff(payload: bytes):
     """Baseline TIFF decode: II/MM byte order, first IFD, strips (any
-    RowsPerStrip split) that are uncompressed, PackBits (32773) or LZW
-    (5) — each strip decompressed independently, with Predictor=2
-    horizontal differencing undone on samples (r16) —
+    RowsPerStrip split) that are uncompressed, PackBits (32773), LZW
+    (5) or Deflate (8/32946) — each strip decompressed independently,
+    with Predictor=2 horizontal differencing undone on samples (r16) —
     PlanarConfiguration=1, gray at 1 sample or RGB/RGBA at 3/4, depths
     8/16. Returns (h, w) for grayscale, (h, w, ch) otherwise; dtype
     uint8/uint16. Other compressions, tiled and planar files refuse
@@ -2721,11 +2728,11 @@ def decode_tiff(payload: bytes):
     if 322 in tags or 323 in tags:
         raise NotImplementedError("tiled TIFF is not supported")
     comp = tags.get(259, [1])[0]
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32946, 32773):
         raise NotImplementedError(
             f"compressed TIFF (Compression={comp}) is not supported; "
-            "uncompressed, LZW (5) and PackBits (32773) strips decode "
-            "here"
+            "uncompressed, LZW (5), Deflate (8/32946) and PackBits "
+            "(32773) strips decode here"
         )
     pred = tags.get(317, [1])[0]
     if pred not in (1, 2):
@@ -2776,6 +2783,19 @@ def decode_tiff(payload: bytes):
             raw = _packbits_decode(raw, expected)
         elif comp == 5:
             raw = _tiff_lzw_decompress(raw, expected)
+        elif comp in (8, 32946):  # Deflate (new + legacy code)
+            import zlib
+
+            try:
+                raw = zlib.decompress(bytes(raw))
+            except zlib.error as e:
+                raise ValueError(f"corrupt TIFF: bad Deflate strip ({e})")
+            if len(raw) < expected:
+                raise ValueError(
+                    f"corrupt TIFF: Deflate strip yields {len(raw)} "
+                    f"bytes, need {expected}"
+                )
+            raw = raw[:expected]
         data += raw
     need = h * row_bytes
     if len(data) < need:
@@ -2842,7 +2862,7 @@ def synthesize_tiff_compressed_images(df: DataFrame, id_col: str) -> DataFrame:
     PackBits II with run-friendly pixels ``(id*157 + r*17 +
     (c//3)*21) % 256`` (horizontal runs of 3, so the RLE actually
     bites), 1 → RGB 8-bit LZW MM, 2 → RGBA 8-bit LZW+Predictor-2 II,
-    3 → RGB 16-bit PackBits MM, the non-gray variants with pixels
+    3 → RGB 16-bit Deflate MM, the non-gray variants with pixels
     ``(id*157 + r*17 + c*7 + ch*3) % M``. Both compressions are
     lossless, so the c221 oracle replays the closed pixel forms in
     SQL exactly as c220 does for the uncompressed baseline."""
@@ -2868,7 +2888,7 @@ def synthesize_tiff_compressed_images(df: DataFrame, id_col: str) -> DataFrame:
                     px = ((i * 157 + r * 17 + c * 7 + ch * 3) % m).astype(dt)
                 if n_ch == 1:
                     px = px[:, :, 0]
-                comp = ("packbits", "lzw", "lzw", "packbits")[variant]
+                comp = ("packbits", "lzw", "lzw", "deflate")[variant]
                 payloads.append(
                     encode_tiff(
                         px,

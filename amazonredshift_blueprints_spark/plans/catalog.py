@@ -17795,8 +17795,10 @@ def c220_tiff_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "codecs hide transposed conventions until an independent "
         "implementation reads the bytes); both directions now "
         "interchange bit-for-bit, including our LZW+predictor files. "
-        "Variant id%4: gray8 PackBits II with run-friendly pixels, "
-        "RGB8 LZW MM, RGBA8 LZW+predictor II, RGB16 PackBits MM. "
+        "Deflate (zlib strips, Compression=8/32946) decodes too, "
+        "JVM-cross-validated both directions. Variant id%4: gray8 "
+        "PackBits II with run-friendly pixels, RGB8 LZW MM, RGBA8 "
+        "LZW+predictor II, RGB16 Deflate MM. "
         "Lossless, so the oracle replays the closed pixel forms in "
         "SQL. Decode is Arrow-batched inside the scan's partitions — "
         "no shuffle",

@@ -1745,8 +1745,8 @@ def test_tiff_packbits_lzw_jvm_interchange(spark):
                     got, want
                 ), (px.shape, be, kw)
 
-    # JVM -> ours: its own PackBits and LZW writers
-    for ctype in ("PackBits", "LZW"):
+    # JVM -> ours: its own PackBits, LZW and Deflate writers
+    for ctype in ("PackBits", "LZW", "Deflate"):
         arr = rng.integers(0, 256, size=(11, 6, 3)).astype(np.uint8)
         bimg = jvm.java.awt.image.BufferedImage(
             6, 11, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
@@ -1771,15 +1771,25 @@ def test_tiff_packbits_lzw_jvm_interchange(spark):
         payload = bytes(baos.toByteArray())
         assert np.array_equal(decode_tiff(payload), arr), ctype
 
-    # refusals move up the ladder: Deflate still refuses by name
+    # Deflate round-trips too (zlib strips, Compression=8), and the
+    # JVM reads ours / we read the JVM's "Deflate"-compressed files
+    for kw in ({"compression": "deflate"},
+               {"compression": "deflate", "predictor": True}):
+        px = imgs[3]
+        enc = encode_tiff(px, **kw)
+        assert np.array_equal(decode_tiff(enc), px)
+        got = _jvm_decode_jpeg(jvm, enc)
+        assert np.array_equal(got, px.astype(np.int64)), kw
+
+    # refusals move up the ladder: old-style JPEG still refuses by name
     import struct
 
     import pytest as _pytest
 
     enc = bytearray(encode_tiff(imgs[0]))
     comp_off = bytes(enc).index(struct.pack("<HHI", 259, 3, 1))
-    enc[comp_off + 8] = 8  # Compression=8 (Deflate)
-    with _pytest.raises(NotImplementedError, match="Compression=8"):
+    enc[comp_off + 8] = 6  # Compression=6 (old-style JPEG)
+    with _pytest.raises(NotImplementedError, match="Compression=6"):
         decode_tiff(bytes(enc))
 
 
