@@ -607,19 +607,72 @@ def scd2_apply(
     of the CURRENT slice only — history, the bulk of a dimension, is
     never joined); the rewrite is the copy-on-write staging under the
     per-table writer lock. At 100 TB dimensions this is the same cost
-    profile as Delta's MERGE-based SCD2 recipes.
+    profile as Delta's MERGE-based SCD2 recipes. History-tracked
+    dimensions (r16) take the file-pruned selective path: only files
+    holding CURRENT rows whose key matches the source (all
+    current-bearing files under ``close_missing``) rewrite; every
+    other file — history rows, the bulk — carries into the new
+    version by hard link, and the counters still report whole-table
+    truth (carried untouched current rows come from the same
+    detection scan).
     """
     obs = Observation()
     from .transactions import resolve_active
 
     table = resolve_active(spark, table)  # txn-staged when one is open
     with _table_lock(spark, table):
-        dim = spark.table(table)
+        prev, paths = _history_pre_image(spark, table)
+        full_dim = (
+            spark.read.parquet(*paths) if prev is not None
+            else spark.table(table)
+        )
+        dim = full_dim
         meta = [valid_from_col, valid_to_col, current_col]
         attrs = [c for c in dim.columns if c not in keys + meta]
         missing = [c for c in tracked if c not in attrs]
         if missing:
             raise ValueError(f"tracked column(s) not in dimension: {missing}")
+        extra_untouched = 0
+        touched: set[str] = set()
+        if prev is not None:
+            # file-pruned selective path (r16): a dimension row can only
+            # change if it is CURRENT and (close_missing) or its key
+            # matches a source key — so one key+flag-projected scan with
+            # a left join on the source keys finds the touched files AND
+            # the current-row count the restricted plan won't see
+            # (untouched current rows in carried files still count in
+            # n_untouched). History rows in carried files never rewrite.
+            marker = source.select(*keys).distinct().withColumn(
+                "_m", F.lit(True)
+            )
+            per_file = (
+                full_dim.filter(F.col(current_col))
+                .select(*keys, F.col("_metadata.file_name").alias("_f"))
+                .join(marker, on=keys, how="left")
+                .groupBy("_f")
+                .agg(
+                    F.count(F.lit(1)).alias("n_cur"),
+                    F.sum(F.when(F.col("_m"), 1).otherwise(0)).alias(
+                        "n_match"
+                    ),
+                )
+                .collect()  # O(#files) — metadata-sized
+            )
+            for r in per_file:
+                if close_missing or (r["n_match"] or 0) > 0:
+                    touched.add(r["_f"])
+                else:
+                    extra_untouched += r["n_cur"]
+            # zero touched files is still a valid plan: the dim slice is
+            # empty, every matched-source row reads as is_new, and the
+            # commit degenerates to an append (carry all files + write
+            # only the opened rows)
+            by_name = {os.path.basename(p): p for p in paths}
+            dim = (
+                spark.read.parquet(*[by_name[t] for t in sorted(touched)])
+                if touched
+                else full_dim.filter(F.lit(False))
+            )
         cur = dim.filter(F.col(current_col))
         hist = dim.filter(~F.col(current_col))
         s = source.select(
@@ -665,13 +718,24 @@ def scd2_apply(
             *keys, *attrs, valid_from_col, valid_to_col, current_col
         )
         kept = hist.select(*keys, *attrs, valid_from_col, valid_to_col, current_col)
-        _rewrite(
-            spark, table,
+        new_state = (
             kept.unionByName(untouched).unionByName(closed).unionByName(opened)
-            .select(*dim.columns),
+            .select(*dim.columns)
         )
+        if prev is not None:
+            from . import timetravel
+
+            timetravel.commit_replace(
+                spark, table, touched, new_state, op="scd2 apply"
+            )
+        else:
+            _rewrite(spark, table, new_state)
     m = obs.get
-    return _n(m["n_closed"]), _n(m["n_opened"]), _n(m["n_untouched"])
+    return (
+        _n(m["n_closed"]),
+        _n(m["n_opened"]),
+        _n(m["n_untouched"]) + extra_untouched,
+    )
 
 
 def snapshot_diff(

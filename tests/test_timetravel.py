@@ -646,3 +646,71 @@ def test_dead_branch_after_pointer_lag_is_visible(spark):
     # the branch stays readable — never silently lost
     assert tt.table_at(spark, "t_tt_deadbr", version=1).count() == 4
     assert spark.table("t_tt_deadbr").count() == 5
+
+
+def test_selective_scd2_carries_history_files(spark):
+    """SCD2 apply on a history-tracked dimension is file-pruned (r16):
+    files holding only history rows or non-matching current rows carry
+    by hard link; counters still report whole-table truth including
+    untouched current rows living in carried files."""
+    from decimal import Decimal
+
+    from amazonredshift_blueprints_spark import timetravel as tt
+    from amazonredshift_blueprints_spark.dml import scd2_apply
+
+    name = "t_tt_selscd2"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    tt.remove_history(spark, name)
+    _clean_stale_location(spark, name, None)
+    spark.sql(
+        f"CREATE TABLE {name} (k INT, attr STRING, valid_from TIMESTAMP, "
+        "valid_to TIMESTAMP, is_current BOOLEAN) USING parquet"
+    )
+    spark.sql(
+        f"INSERT INTO {name} VALUES "
+        "(1, 'a', TIMESTAMP '2024-01-01', NULL, true), "
+        "(2, 'b', TIMESTAMP '2024-01-01', NULL, true)"
+    )
+    tt.enable_history(spark, name)
+    # v1 appends a second file set: one closed history row + a current
+    execute_sql(
+        spark,
+        f"INSERT INTO {name} VALUES "
+        "(3, 'old', TIMESTAMP '2023-01-01', TIMESTAMP '2024-01-01', false), "
+        "(3, 'c', TIMESTAMP '2024-01-01', NULL, true)",
+    )
+    root = tt._table_root(spark, name)
+    prev = tt._read_log(root)[-1]
+    prev_paths = tt._entry_paths(prev)
+    # source changes k=1 only -> v0's file (holding k=1) rewrites,
+    # v1's appended file (k=3 rows) carries
+    touched_files = _files_with_key(prev_paths, 1)
+    untouched = set(prev_paths) - touched_files
+    assert untouched
+    # incremental feed: only k=1 changes; k=3's absence means "no
+    # change" (close_missing=False), so its file must NOT be touched
+    src = spark.createDataFrame([(1, "a2")], "k INT, attr STRING")
+    n_closed, n_opened, n_untouched = scd2_apply(
+        spark, name, src, ["k"], ["attr"], batch_ts="2024-06-01",
+    )
+    assert (n_closed, n_opened) == (1, 1)
+    # untouched current rows: k=2 (carried file) + k=3 (unchanged)
+    assert n_untouched == 2
+    new = tt._read_log(root)[-1]
+    assert new["op"] == "scd2 apply"
+    new_paths = tt._entry_paths(new)
+    assert _inodes(untouched) <= _inodes(new_paths)
+    assert not (_inodes(touched_files) & _inodes(new_paths))
+    live = spark.table(name)
+    assert live.count() == 5  # 2 current + closed k=1 + new k=1 + k=3 pair
+    cur = {
+        r["k"]: r["attr"]
+        for r in live.filter(F_col_is_current(live)).collect()
+    }
+    assert cur == {1: "a2", 2: "b", 3: "c"}
+
+
+def F_col_is_current(df):
+    from pyspark.sql import functions as F
+
+    return F.col("is_current")
