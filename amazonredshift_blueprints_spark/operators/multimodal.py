@@ -2759,13 +2759,15 @@ def decode_tiff(payload: bytes):
             "gray/RGB/RGBA at 8 or 16 bits decode here"
         )
     photometric = tags.get(262, [1])[0]
-    if photometric not in (1, 2):
-        # 0 = WhiteIsZero (inverted gray): refusing beats silently
-        # returning wrong-polarity pixels — the module contract
+    if photometric not in (0, 1, 2):
         raise NotImplementedError(
             f"TIFF PhotometricInterpretation={photometric} is not "
-            "supported; BlackIsZero grayscale (1) and RGB (2) decode "
-            "here"
+            "supported; WhiteIsZero (0) / BlackIsZero (1) grayscale "
+            "and RGB (2) decode here"
+        )
+    if photometric == 0 and ch != 1:
+        raise ValueError(
+            "corrupt TIFF: WhiteIsZero with multiple samples"
         )
     depth = bits[0]
     if any(b != depth for b in bits):
@@ -2814,6 +2816,8 @@ def decode_tiff(payload: bytes):
         # along the row, per channel, wrapping at the sample width
         m = 1 << depth
         px = (np.cumsum(px.astype(np.int64), axis=1) % m).astype(px.dtype)
+    if photometric == 0:  # WhiteIsZero: invert to BlackIsZero polarity
+        px = ((1 << depth) - 1 - px.astype(np.int64)).astype(px.dtype)
     return px[:, :, 0].copy() if ch == 1 else px.copy()
 
 

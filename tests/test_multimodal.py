@@ -1595,12 +1595,14 @@ def test_tiff_roundtrip_refusals_and_jvm_interchange(spark):
         decode_tiff(bytes(enc[:30]))
     with _pytest.raises(ValueError, match="truncated header"):
         decode_tiff(b"II*\x00")
-    # WhiteIsZero (photometric=0) refuses instead of silently
-    # decoding inverted pixels
-    pm_off = bytes(enc).index(struct.pack("<HHI", 262, 3, 1))
+    # WhiteIsZero (photometric=0) decodes with inverted polarity (r16
+    # lifted the refusal): sample 9 reads back as 255-9
     wiz = bytearray(encode_tiff(np.full((3, 3), 9, dtype=np.uint8)))
     pm_off = bytes(wiz).index(struct.pack("<HHI", 262, 3, 1))
     wiz[pm_off + 8] = 0
+    assert (decode_tiff(bytes(wiz)) == 246).all()
+    # ...and unknown photometrics still refuse by name
+    wiz[pm_off + 8] = 5  # separated (CMYK)
     with _pytest.raises(NotImplementedError, match="Photometric"):
         decode_tiff(bytes(wiz))
     # non-native-endian uint16 input must encode as 16-bit, not
