@@ -922,13 +922,91 @@ def encode_wav(samples, sample_rate: int = 8000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav_telephony(
+    data: bytes,
+    fmt_tag: int,
+    *,
+    sample_rate: int = 8000,
+    samples_per_block: int | None = None,
+    n_samples: int | None = None,
+) -> bytes:
+    """Wrap pre-encoded mono audio bytes in a RIFF/WAVE container with
+    a non-PCM format tag: 6 (A-law), 7 (mu-law) — byte-per-sample —
+    or 0x11 (IMA ADPCM; ``data`` is whole blocks, header included,
+    and the fmt chunk carries ``samples_per_block`` with a ``fact``
+    chunk holding ``n_samples``)."""
+    import struct
+
+    if fmt_tag in (6, 7):
+        bits, ba, extra = 8, 1, b""
+        byte_rate = sample_rate
+    elif fmt_tag == 0x11:
+        if samples_per_block is None or n_samples is None:
+            raise ValueError(
+                "ADPCM WAVE needs samples_per_block and n_samples"
+            )
+        bits = 4
+        ba = len(data)  # single block in this corpus
+        byte_rate = sample_rate // 2
+        extra = struct.pack("<HH", 2, samples_per_block)
+    else:
+        raise ValueError(f"encode_wav_telephony: format tag {fmt_tag}")
+    fmt = struct.pack(
+        "<HHIIHH", fmt_tag, 1, sample_rate, byte_rate, ba, bits
+    ) + extra
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if fmt_tag == 0x11:
+        body += b"fact" + struct.pack("<II", 4, n_samples)
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"  # word alignment pad
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _adpcm_wav_block_decode(block: bytes, samples_per_block: int):
+    """One MONO IMA-ADPCM WAVE data block (the WAV container variant
+    of the codec, format tag 0x11): a 4-byte header carries the
+    block's initial state (int16 predictor — which IS the block's
+    first output sample — and uint8 step index), then nibbles run
+    LOW-order first (the WAV spec's order; the raw audioop/DVI
+    stream in :func:`decode_adpcm` is high-first with zero initial
+    state — both conventions are real and they differ)."""
+    if len(block) < 4:
+        raise ValueError("corrupt WAVE: truncated ADPCM block header")
+    pred = int.from_bytes(block[:2], "little", signed=True)
+    idx = block[2]
+    if idx > 88:
+        raise ValueError(f"corrupt WAVE: ADPCM step index {idx} > 88")
+    out = [pred]
+    for byte in block[4:]:
+        for delta in (byte & 0x0F, byte >> 4):  # LOW nibble first
+            step = _ADPCM_STEPS[idx]
+            idx = min(max(idx + _ADPCM_INDEX[delta], 0), 88)
+            vpdiff = step >> 3
+            if delta & 4:
+                vpdiff += step
+            if delta & 2:
+                vpdiff += step >> 1
+            if delta & 1:
+                vpdiff += step >> 2
+            pred = pred - vpdiff if delta & 8 else pred + vpdiff
+            pred = min(max(pred, -32768), 32767)
+            out.append(pred)
+            if len(out) == samples_per_block:
+                return out
+    return out[:samples_per_block]
+
+
 def decode_wav(payload: bytes):
     """Parse a RIFF/WAVE payload: walk the chunk list (unknown chunks —
     LIST/INFO metadata etc. — are skipped by their declared size, as a
-    real parser must), require PCM (format tag 1) at 16 bits, and
-    return ``(sample_rate, n_channels, samples)`` with ``samples`` an
+    real parser must) and decode the data chunk per the format tag:
+    1 = PCM16, 6 = G.711 A-law, 7 = G.711 mu-law (the telephony WAVs
+    call-center corpora arrive in), 0x11 = IMA ADPCM (mono, block
+    headers carrying per-block initial state, low-nibble-first — r16).
+    Returns ``(sample_rate, n_channels, samples)`` with ``samples`` an
     int16 array of shape (n_samples, n_channels). Raises ValueError on
-    anything malformed or compressed."""
+    anything malformed or an unsupported format tag."""
     import struct
 
     import numpy as np
@@ -940,7 +1018,7 @@ def decode_wav(payload: bytes):
         raise ValueError(
             f"RIFF size {declared} + 8 != payload length {len(payload)}"
         )
-    pos, fmt_info, data = 12, None, None
+    pos, fmt_info, data, fact_samples = 12, None, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
@@ -948,24 +1026,62 @@ def decode_wav(payload: bytes):
         if len(body) != size:
             raise ValueError(f"truncated {cid!r} chunk")
         if cid == b"fmt ":
-            tag, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
-            if tag != 1:
+            tag, ch, rate, _br, ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if tag not in (1, 6, 7, 0x11):
                 raise ValueError(
                     f"compressed WAVE (format tag {tag}) not supported — "
-                    "PCM only; production swap-in: soundfile/librosa"
+                    "PCM (1), G.711 A-law (6) / mu-law (7) and IMA "
+                    "ADPCM (0x11) decode here; production swap-in: "
+                    "soundfile/librosa"
                 )
-            if bits != 16:
-                raise ValueError(f"only PCM16 supported, got {bits}-bit")
-            fmt_info = (rate, ch)
+            want_bits = {1: 16, 6: 8, 7: 8, 0x11: 4}[tag]
+            if bits != want_bits:
+                raise ValueError(
+                    f"format tag {tag} needs {want_bits}-bit samples, "
+                    f"got {bits}-bit"
+                )
+            spb = None
+            if tag == 0x11:
+                if ch != 1:
+                    raise ValueError(
+                        "multi-channel IMA ADPCM WAVE not supported "
+                        "(mono blocks decode here)"
+                    )
+                if len(body) < 20:
+                    raise ValueError(
+                        "corrupt WAVE: ADPCM fmt chunk lacks "
+                        "samplesPerBlock"
+                    )
+                (spb,) = struct.unpack("<H", body[18:20])
+            fmt_info = (tag, rate, ch, ba, spb)
+        elif cid == b"fact":
+            (fact_samples,) = struct.unpack("<I", body[:4])
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt_info is None or data is None:
         raise ValueError("missing fmt or data chunk")
-    rate, ch = fmt_info
-    if len(data) % (2 * ch):
-        raise ValueError("data chunk is not whole frames")
-    samples = np.frombuffer(data, dtype="<i2").reshape(-1, ch)
+    tag, rate, ch, ba, spb = fmt_info
+    if tag == 1:
+        if len(data) % (2 * ch):
+            raise ValueError("data chunk is not whole frames")
+        samples = np.frombuffer(data, dtype="<i2").reshape(-1, ch)
+    elif tag in (6, 7):
+        if len(data) % ch:
+            raise ValueError("data chunk is not whole frames")
+        dec = decode_alaw if tag == 6 else decode_mulaw
+        samples = dec(bytes(data)).reshape(-1, ch)
+    else:  # 0x11: IMA ADPCM, mono blocks of block_align bytes
+        if ba < 4:
+            raise ValueError("corrupt WAVE: ADPCM block align < 4")
+        pcm: list[int] = []
+        for off in range(0, len(data), ba):
+            block = data[off : off + ba]
+            n = spb if len(block) == ba else 1 + 2 * (len(block) - 4)
+            pcm.extend(_adpcm_wav_block_decode(block, n))
+        if fact_samples is not None:
+            pcm = pcm[:fact_samples]
+        samples = np.asarray(pcm, dtype=np.int16).reshape(-1, 1)
     return rate, ch, samples
 
 
@@ -999,6 +1115,98 @@ def synthesize_wav_audio(
             )
 
     return df.select(F.col(id_col)).mapInPandas(gen, "doc_id long, payload binary")
+
+
+def synthesize_wav_telephony(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic telephony WAV containers (r16): variant
+    ``id % 3``: 0 → mu-law (format tag 7) and 1 → A-law (tag 6), each
+    carrying ``80 + id%40`` closed-form code bytes ``(id*11 + k*29) %
+    256``; 2 → mono IMA ADPCM (tag 0x11), one block whose header
+    state is ``pred0 = (id*37) % 1025 - 512``, ``idx0 = id % 89`` and
+    whose ``60 + 2*(id%10)`` nibbles are ``(id*13 + k*7 + k*k) % 16``
+    packed LOW-first, with a fact chunk. Every byte is closed-form,
+    so the c223 oracle regenerates them in SQL and replays the law
+    formulas / the stateful block decode as a recursive CTE."""
+    import struct
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                variant = i % 3
+                if variant in (0, 1):
+                    n = 80 + i % 40
+                    data = bytes((i * 11 + k * 29) % 256 for k in range(n))
+                    payloads.append(
+                        encode_wav_telephony(data, 7 if variant == 0 else 6)
+                    )
+                else:
+                    n_nib = 60 + 2 * (i % 10)
+                    pred0 = (i * 37) % 1025 - 512
+                    idx0 = i % 89
+                    deltas = [
+                        (i * 13 + k * 7 + k * k) % 16 for k in range(n_nib)
+                    ]
+                    blob = struct.pack("<hBB", pred0, idx0, 0) + bytes(
+                        deltas[j] | (deltas[j + 1] << 4)  # LOW nibble first
+                        for j in range(0, n_nib, 2)
+                    )
+                    payloads.append(
+                        encode_wav_telephony(
+                            blob,
+                            0x11,
+                            samples_per_block=n_nib + 1,
+                            n_samples=n_nib + 1,
+                        )
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def wav_telephony_stats(audio: DataFrame) -> DataFrame:
+    """Decode a (doc_id, payload) frame of telephony WAVs through the
+    container-aware :func:`decode_wav` (G.711 laws and IMA-ADPCM
+    blocks included) and reduce to exact integer statistics.
+    Arrow-batched inside the scan's partitions — no shuffle."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, ch, samples = decode_wav(bytes(payload))
+                pcm = samples[:, 0].astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        rate,
+                        pcm.size,
+                        int(pcm.sum()),
+                        int(np.abs(pcm).sum()),
+                        int(pcm.min()),
+                        int(pcm.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "sum_pcm",
+                    "sum_abs", "min_pcm", "max_pcm",
+                ],
+            )
+
+    return audio.mapInPandas(
+        stats,
+        "doc_id long, sample_rate long, n_samples long, sum_pcm long, "
+        "sum_abs long, min_pcm long, max_pcm long",
+    )
 
 
 AUDIO_STATS_SCHEMA = (

@@ -17910,6 +17910,104 @@ def c222_gif_animation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c223_wav_telephony_stats",
+    oracle=f"""
+    WITH RECURSIVE g AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 3 = 0 THEN 'ulaw' ELSE 'alaw' END
+                   AS law,
+               (d.doc_id * 11 + k.k * 29) % 256 AS b
+        FROM documents d, range(120) k(k)
+        WHERE d.doc_id % 3 < 2 AND k.k < 80 + d.doc_id % 40
+    ),
+    gv AS (
+        SELECT doc_id,
+               CASE WHEN law = 'ulaw' THEN
+                   CASE WHEN ((255 - b) & 128) != 0
+                        THEN 132 - (((((255 - b) & 15) << 3) + 132)
+                                    << (((255 - b) & 112) >> 4))
+                        ELSE (((((255 - b) & 15) << 3) + 132)
+                              << (((255 - b) & 112) >> 4)) - 132
+                   END
+               ELSE
+                   CASE WHEN (xor(b, 85) & 128) != 0 THEN 1 ELSE -1 END
+                   * CASE WHEN ((xor(b, 85) & 112) >> 4) = 0
+                          THEN ((xor(b, 85) & 15) << 4) + 8
+                          WHEN ((xor(b, 85) & 112) >> 4) = 1
+                          THEN ((xor(b, 85) & 15) << 4) + 264
+                          ELSE (((xor(b, 85) & 15) << 4) + 264)
+                               << (((xor(b, 85) & 112) >> 4) - 1)
+                     END
+               END AS pcm
+        FROM g
+    ),
+    nib AS (
+        SELECT d.doc_id, k.k,
+               CAST((d.doc_id * 13 + k.k * 7 + k.k * k.k) % 16
+                    AS INTEGER) AS delta
+        FROM documents d, range(80) k(k)
+        WHERE d.doc_id % 3 = 2 AND k.k < 60 + 2 * (d.doc_id % 10)
+    ),
+    dec AS (
+        SELECT doc_id, -1 AS k,
+               CAST((doc_id * 37) % 1025 - 512 AS INTEGER) AS pred,
+               CAST(doc_id % 89 AS INTEGER) AS idx,
+               CAST((doc_id * 37) % 1025 - 512 AS INTEGER) AS pcm
+        FROM (SELECT DISTINCT doc_id FROM nib)
+        UNION ALL
+        SELECT n.doc_id, n.k,
+               {_ADPCM_PRED_SQL} AS pred,
+               GREATEST(0, LEAST(88,
+                   d.idx + list_extract({_ADPCM_IDX_SQL}, n.delta + 1)
+               )) AS idx,
+               {_ADPCM_PRED_SQL} AS pcm
+        FROM dec d JOIN nib n ON n.doc_id = d.doc_id AND n.k = d.k + 1
+    ),
+    allpcm AS (
+        SELECT doc_id, pcm FROM gv
+        UNION ALL
+        SELECT doc_id, pcm FROM dec
+    )
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(pcm) AS BIGINT) AS sum_pcm,
+           CAST(SUM(ABS(pcm)) AS BIGINT) AS sum_abs,
+           CAST(MIN(pcm) AS BIGINT) AS min_pcm,
+           CAST(MAX(pcm) AS BIGINT) AS max_pcm
+    FROM allpcm GROUP BY doc_id
+    """,
+    doc="Telephony WAV CONTAINERS decode for real (operators/"
+        "multimodal.py, r16 — the format real call-center corpora "
+        "ship in: RIFF/WAVE wrapping G.711 or IMA ADPCM rather than "
+        "raw code streams): decode_wav now dispatches on the format "
+        "tag — PCM16 (1, the c103 path), A-law (6) and mu-law (7) "
+        "byte-per-sample via the r15 G.711 laws, and mono IMA ADPCM "
+        "(0x11) whose data blocks each carry their initial "
+        "(predictor, step-index) state in a 4-byte header with "
+        "nibbles packed LOW-first — the WAV convention, opposite to "
+        "audioop/DVI's high-first zero-state raw stream of c218 "
+        "(both real, pinned apart in pytest); fact-chunk trimming "
+        "and word-aligned chunk padding handled. Variant id%3: "
+        "mu-law, A-law, single-block ADPCM. Every payload byte is "
+        "closed-form, so the oracle regenerates them in SQL and "
+        "replays the laws arithmetically and the stateful block "
+        "decode as a RECURSIVE CTE seeded from the block header "
+        "(the header predictor IS the first output sample). Decode "
+        "is Arrow-batched inside the scan's partitions — no shuffle",
+    tags=("multimodal",),
+)
+def c223_wav_telephony_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        synthesize_wav_telephony,
+        wav_telephony_stats,
+    )
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return wav_telephony_stats(synthesize_wav_telephony(d, "doc_id"))
+
+
+@query(
     "q111_time_travel_append",
     oracle="""
     WITH p0 AS (SELECT o_orderkey, o_totalprice FROM orders
@@ -19092,17 +19190,17 @@ _DRIVER_WINDOW = [
     "c73_dup_span_coverage",
     "q56_multi_exists_decorrelation",
     # --- oldest r10-rowed entries, in catalog order ---
-    "q05_join_anti",
     "q12_agg_approx_distinct",
     # --- co-windowed oracle twin of the rows-only pick q12 ---
     "q11_agg_distinct",
     # --- round-16 additions (land in their own round's window,
     # displacing fillers newest-first: q13 out for q112, q07 out for
-    # c221, q06 out for c222; the q12+q11 rows-only pair stays seated
-    # and would leave together, last) ---
+    # c221, q06 out for c222, q05 out for c223; the q12+q11 rows-only
+    # pair stays seated and would leave together, last) ---
     "q112_time_travel_selective_dml",
     "c221_tiff_compressed_decode_stats",
     "c222_gif_animation_stats",
+    "c223_wav_telephony_stats",
 ]
 
 

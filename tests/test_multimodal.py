@@ -1944,3 +1944,86 @@ def test_gif89a_animation_compositing_and_jvm_interchange(spark):
                 argb = bimg.getRGB(x, y)
                 want = ((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF)
                 assert tuple(cvs[k][y, x, :3]) == want, (k, y, x)
+
+
+def test_wav_telephony_containers(spark):
+    """RIFF/WAVE with non-PCM format tags (r16): G.711 A-law/mu-law
+    data bytes decode bit-exact against audioop through the container
+    path; IMA ADPCM blocks honor the header state, LOW-first nibble
+    order (the opposite of audioop's raw high-first stream — pinned
+    apart), samples_per_block and the fact-chunk trim; the JVM's
+    independent javax.sound.sampled stack decodes our mu-law
+    container to the same PCM; malformed/unsupported containers
+    refuse by name."""
+    import audioop
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_adpcm,
+        decode_wav,
+        encode_wav_telephony,
+    )
+
+    rng = np.random.default_rng(47)
+    data = bytes(rng.integers(0, 256, 200).astype(np.uint8))
+    for tag, name in ((7, "ulaw2lin"), (6, "alaw2lin")):
+        rate, ch, samples = decode_wav(encode_wav_telephony(data, tag))
+        want = np.frombuffer(getattr(audioop, name)(data, 2), dtype="<i2")
+        assert rate == 8000 and ch == 1
+        assert (samples[:, 0] == want).all()
+
+    # ADPCM: header state respected; low-first differs from the raw
+    # high-first stream on the same bytes
+    deltas = [int(d) for d in rng.integers(0, 16, 64)]
+    blob = struct.pack("<hBB", -300, 17, 0) + bytes(
+        deltas[j] | (deltas[j + 1] << 4) for j in range(0, 64, 2)
+    )
+    enc = encode_wav_telephony(blob, 0x11, samples_per_block=65, n_samples=65)
+    _, _, samples = decode_wav(enc)
+    assert samples.shape == (65, 1)
+    assert samples[0, 0] == -300  # the header predictor IS sample 0
+    raw = decode_adpcm(blob[4:])  # high-first, zero state: must differ
+    assert not (samples[1:, 0] == raw).all()
+    # fact-chunk trim: n_samples below the block capacity
+    enc2 = encode_wav_telephony(blob, 0x11, samples_per_block=65, n_samples=50)
+    assert decode_wav(enc2)[2].shape == (50, 1)
+
+    # the JVM's independent telephony stack reads our mu-law container
+    jvm = spark._jvm
+    ais = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(
+        jvm.java.io.ByteArrayInputStream(
+            bytearray(encode_wav_telephony(data, 7))
+        )
+    )
+    pcm_fmt = jvm.javax.sound.sampled.AudioFormat(
+        jvm.javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        8000.0, 16, 1, 2, 8000.0, False,
+    )
+    pcm_ais = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(
+        pcm_fmt, ais
+    )
+    got = np.frombuffer(bytes(pcm_ais.readAllBytes()), dtype="<i2")
+    ours = decode_wav(encode_wav_telephony(data, 7))[2][:, 0]
+    assert (got == ours).all()
+
+    # refusals by name
+    with _pytest.raises(ValueError, match="format tag 2"):
+        bad = bytearray(encode_wav_telephony(data, 7))
+        off = bad.index(b"fmt ") + 8
+        bad[off] = 2  # MS ADPCM
+        decode_wav(bytes(bad))
+    with _pytest.raises(ValueError, match="multi-channel IMA ADPCM"):
+        bad = bytearray(enc)
+        off = bad.index(b"fmt ") + 8
+        bad[off + 2] = 2  # channels = 2
+        decode_wav(bytes(bad))
+    with _pytest.raises(ValueError, match="step index"):
+        bad_blob = struct.pack("<hBB", 0, 99, 0) + blob[4:]
+        decode_wav(
+            encode_wav_telephony(
+                bad_blob, 0x11, samples_per_block=65, n_samples=65
+            )
+        )
