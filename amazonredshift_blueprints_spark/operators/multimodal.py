@@ -460,7 +460,10 @@ def decode_png(payload: bytes):
     (r15), RGBA (type 6) and gray+alpha (type 4, gray replicated) at
     8 and 16, and PLTE-indexed color (type 3) at depths 1/2/4/8 —
     each both sequential and Adam7-interlaced (each pass unfiltered
-    independently, then scattered into the output grid). Returns
+    independently, then scattered into the output grid). A tRNS chunk
+    (r16) adds an alpha channel: per-palette-index alpha for type 3,
+    color-key transparency for gray (type 0) and RGB (type 2); tRNS
+    with an alpha-bearing type is corrupt per the spec. Returns
     (h, w, 3) without alpha, (h, w, 4) with, dtype uint8 or uint16
     by depth (16-bit samples are big-endian on the wire). Chunk CRCs
     are verified; truncated or corrupt payloads raise ValueError."""
@@ -474,6 +477,7 @@ def decode_png(payload: bytes):
     pos, end = 8, len(payload)
     ihdr = None
     plte = None
+    trns = None
     idat = bytearray()
     seen_iend = False
     while pos < end:
@@ -495,6 +499,8 @@ def decode_png(payload: bytes):
             if length % 3 or not length:
                 raise ValueError("corrupt PNG: PLTE length not a multiple of 3")
             plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -519,6 +525,11 @@ def decode_png(payload: bytes):
         )
     if ctype_id == 3 and plte is None:
         raise ValueError("corrupt PNG: palette image without PLTE chunk")
+    if trns is not None and ctype_id in (4, 6):
+        raise ValueError(
+            "corrupt PNG: tRNS is forbidden with an alpha channel "
+            f"(color type {ctype_id})"
+        )
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
@@ -528,6 +539,25 @@ def decode_png(payload: bytes):
     out_ch = {0: 3, 2: 3, 3: 3, 4: 4, 6: 4}[ctype_id]
     bpp = max(n_ch * depth // 8, 1)
     out_dtype = np.uint16 if depth == 16 and ctype_id != 3 else np.uint8
+    amax = 65535 if out_dtype == np.uint16 else 255
+    trns_alpha = trns_key = None
+    if trns is not None:
+        out_ch += 1  # the r16 transparency chunk: output gains alpha
+        if ctype_id == 3:
+            if len(trns) > len(plte):
+                raise ValueError("corrupt PNG: tRNS longer than PLTE")
+            trns_alpha = np.full(len(plte), 255, dtype=np.uint8)
+            trns_alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+        elif ctype_id == 0:
+            if len(trns) != 2:
+                raise ValueError("corrupt PNG: gray tRNS needs 2 bytes")
+            trns_key = (int.from_bytes(trns, "big"),)
+        else:  # type 2: one 16-bit sample per channel
+            if len(trns) != 6:
+                raise ValueError("corrupt PNG: RGB tRNS needs 6 bytes")
+            trns_key = tuple(
+                int.from_bytes(trns[i : i + 2], "big") for i in (0, 2, 4)
+            )
 
     def row_bytes(width: int) -> int:
         if ctype_id == 3 and depth != 8:
@@ -542,7 +572,12 @@ def decode_png(payload: bytes):
                 raise ValueError(
                     "corrupt PNG: palette index beyond PLTE size"
                 )
-            return plte[idx]
+            base = plte[idx]
+            if trns_alpha is not None:
+                return np.concatenate(
+                    [base, trns_alpha[idx][..., None]], axis=2
+                )
+            return base
         if depth == 16:  # network byte order (big-endian) sample pairs
             pairs = rows.reshape(rows.shape[0], width, n_ch, 2)
             px = (
@@ -552,9 +587,22 @@ def decode_png(payload: bytes):
             px = rows.reshape(rows.shape[0], width, n_ch)
         if ctype_id in (0, 4):  # replicate gray to RGB, keep alpha last
             gray = np.repeat(px[..., :1], 3, axis=2)
-            if ctype_id == 0:
-                return gray
-            return np.concatenate([gray, px[..., 1:2]], axis=2)
+            if ctype_id == 4:
+                return np.concatenate([gray, px[..., 1:2]], axis=2)
+            if trns_key is not None:  # gray color-key transparency
+                alpha = np.where(
+                    px[..., 0] == trns_key[0], 0, amax
+                ).astype(px.dtype)
+                return np.concatenate([gray, alpha[..., None]], axis=2)
+            return gray
+        if ctype_id == 2 and trns_key is not None:  # RGB color key
+            match = (
+                (px[..., 0] == trns_key[0])
+                & (px[..., 1] == trns_key[1])
+                & (px[..., 2] == trns_key[2])
+            )
+            alpha = np.where(match, 0, amax).astype(px.dtype)
+            return np.concatenate([px, alpha[..., None]], axis=2)
         return px
 
     if interlace == 0:

@@ -796,6 +796,33 @@ def vacuum_history(
     return [e["version"] for e in drop]
 
 
+def compact_history(
+    spark: SparkSession, table: str, target_files: int | None = None
+) -> int:
+    """Coalesce a history table's current manifest into ``target_files``
+    parquet files (default: Spark's own write parallelism) via one
+    FULL-STATE commit (op ``compact``) — the OPTIMIZE/bin-packing
+    counterpart of the O(new-files) append path, whose cost is that
+    every INSERT/COPY adds files: after N appends the manifest holds
+    O(N) files and scan/open overhead grows. Reads the LOG TIP's
+    manifest (not the pointer), rewrites once, and every prior
+    version stays readable. Returns the new version number.
+
+    100 TB: this is the same one-scan-one-write job any table
+    format's OPTIMIZE runs; old files' bytes are reclaimed by
+    ``vacuum_history`` once no retained manifest links them.
+    """
+    key = _lock_key(spark, table)
+    if not is_history_table(spark, key):
+        raise ValueError(f"compact_history: {key} is not history-tracked")
+    with _table_lock(spark, key):
+        entries = _read_log(_table_root(spark, key))
+        df = spark.read.parquet(*_entry_paths(entries[-1]))
+        if target_files is not None:
+            df = df.coalesce(int(target_files))
+        return commit_version(spark, key, df, op="compact")
+
+
 def remove_history(spark: SparkSession, table: str) -> None:
     """Delete a table's commit log and every version directory.
 

@@ -2027,3 +2027,77 @@ def test_wav_telephony_containers(spark):
                 bad_blob, 0x11, samples_per_block=65, n_samples=65
             )
         )
+
+
+def test_png_trns_transparency(spark):
+    """PNG tRNS (r16): palette images gain per-index alpha, gray/RGB
+    gain color-key transparency, and javax.imageio's independent PNG
+    reader agrees pixel-for-pixel on our spliced tRNS files; tRNS on
+    an alpha-bearing color type is corrupt per the spec."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        encode_png_palette,
+    )
+
+    def splice_trns(payload: bytes, data: bytes) -> bytes:
+        chunk = (
+            struct.pack(">I", len(data)) + b"tRNS" + data
+            + struct.pack(">I", zlib.crc32(b"tRNS" + data) & 0xFFFFFFFF)
+        )
+        i = payload.index(b"IDAT") - 4  # before the IDAT length field
+        return payload[:i] + chunk + payload[i:]
+
+    rng = np.random.default_rng(53)
+    pal = rng.integers(0, 256, size=(8, 3)).astype(np.uint8)
+    idx = rng.integers(0, 8, size=(5, 6)).astype(np.uint8)
+    alphas = bytes([255, 0, 128, 255, 64])  # indices 5..7 default 255
+    enc = splice_trns(encode_png_palette(idx, pal), alphas)
+    out = decode_png(enc)
+    assert out.shape == (5, 6, 4)
+    lut = np.array([255, 0, 128, 255, 64, 255, 255, 255], dtype=np.uint8)
+    assert (out[:, :, 3] == lut[idx]).all()
+    assert (out[:, :, :3] == pal[idx]).all()
+
+    # RGB color key: pixels equal to the key read alpha 0
+    px = rng.integers(0, 256, size=(4, 4, 3)).astype(np.uint8)
+    px[2, 2] = (10, 20, 30)
+    enc2 = splice_trns(
+        encode_png(px), struct.pack(">HHH", 10, 20, 30)
+    )
+    out2 = decode_png(enc2)
+    assert out2.shape == (4, 4, 4)
+    assert out2[2, 2, 3] == 0
+    assert (out2[:, :, 3] == 0).sum() == (
+        (px == (10, 20, 30)).all(axis=2).sum()
+    )
+
+    # the JVM's independent reader sees the same ARGB for both files
+    jvm = spark._jvm
+    for enc_k, want in ((enc, np.concatenate(
+            [pal[idx], lut[idx][..., None]], axis=2)), (enc2, out2)):
+        bimg = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(enc_k))
+        )
+        h, w = want.shape[:2]
+        for y in range(h):
+            for x in range(w):
+                argb = bimg.getRGB(x, y)
+                a = (argb >> 24) & 0xFF
+                assert a == want[y, x, 3], (y, x)
+                if a:  # fully transparent pixels may zero their RGB
+                    got = (
+                        (argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF,
+                    )
+                    assert got == tuple(want[y, x, :3]), (y, x)
+
+    # tRNS with an alpha channel is corrupt per the spec
+    rgba = rng.integers(0, 256, size=(2, 2, 4)).astype(np.uint8)
+    with _pytest.raises(ValueError, match="tRNS is forbidden"):
+        decode_png(splice_trns(encode_png(rgba), b"\x00\x01"))

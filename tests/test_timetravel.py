@@ -714,3 +714,33 @@ def F_col_is_current(df):
     from pyspark.sql import functions as F
 
     return F.col("is_current")
+
+
+def test_compact_history_coalesces_manifest(spark):
+    """compact_history (r16): after N append commits the manifest
+    holds O(N) files; compaction publishes ONE full-state version
+    with the requested file count, old versions stay readable, and
+    vacuum afterwards reclaims the small files' bytes."""
+    from amazonredshift_blueprints_spark import timetravel as tt
+
+    _fresh_history_table(spark, "t_tt_compact")
+    tt.enable_history(spark, "t_tt_compact")
+    for k in range(6, 10):
+        execute_sql(
+            spark, f"INSERT INTO t_tt_compact VALUES ({k}, {k}0.00)"
+        )
+    root = tt._table_root(spark, "t_tt_compact")
+    before = tt._read_log(root)[-1]
+    assert len(before["files"]) > 2  # appends accumulated files
+    v = tt.compact_history(spark, "t_tt_compact", target_files=1)
+    after = tt._read_log(root)[-1]
+    assert after["version"] == v and after["op"] == "compact"
+    assert len(after["files"]) == 1
+    assert spark.table("t_tt_compact").count() == 9
+    assert tt.table_at(spark, "t_tt_compact", version=0).count() == 5
+    assert (
+        tt.table_at(spark, "t_tt_compact", version=before["version"]).count()
+        == 9
+    )
+    with pytest.raises(ValueError, match="not history-tracked"):
+        tt.compact_history(spark, "t_tt_nothist_compact")
