@@ -367,6 +367,7 @@ def merge_into(
     *,
     delete_condition: str | None = None,
     insert_unmatched_deletes: bool = False,
+    update_exprs: dict[str, str] | None = None,
 ) -> tuple[int, int, int]:
     """``MERGE INTO table USING source ON keys
     [WHEN MATCHED AND <delete_condition> THEN DELETE]
@@ -374,8 +375,13 @@ def merge_into(
     via copy-on-write.
 
     ``source`` must carry the target's full schema. Matched target rows
-    take the source's values wholesale (the common upsert form);
-    unmatched source rows are inserted; target-only rows pass through.
+    take the source's values wholesale (the common upsert form) —
+    unless ``update_exprs`` (r16) maps column names to SQL expressions,
+    Redshift's partial-SET form: matched rows evaluate each expression
+    over the joined row (target columns under their own names, source
+    columns as ``_src_<name>``), unassigned columns KEEP their target
+    values, and the insert arm still takes the source row wholesale.
+    Unmatched source rows are inserted; target-only rows pass through.
     ``delete_condition`` (a SQL expression over the SOURCE row — the
     CDC pattern where change records carry a deletion marker) turns
     matching source rows into deletes: matched targets are removed.
@@ -481,17 +487,34 @@ def merge_into(
             F.sum(F.when(inserting, 1).otherwise(0)).alias("n_inserted"),
             F.sum(F.when(matched & deleting, 1).otherwise(0)).alias("n_deleted"),
         )
+        if update_exprs is not None:
+            bad = sorted(set(update_exprs) - set(non_keys))
+            if bad:
+                raise ValueError(
+                    f"MERGE update_exprs on non-updatable column(s): {bad} "
+                    "(unknown, or a join key — keys cannot change)"
+                )
+
+        def merged_value(c):
+            """Matched rows: the update expression (or source wholesale,
+            or the kept target value for unassigned partial-SET
+            columns); insert rows: always the source value."""
+            if update_exprs is None:
+                upd = F.col(f"_src_{c}")
+            elif c in update_exprs:
+                upd = F.expr(update_exprs[c])
+            else:
+                upd = F.col(c)
+            return (
+                F.when(matched, upd)
+                .when(F.col("_s_present"), F.col(f"_src_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+
         merged = (
             j.filter(~dropped)
-            .select(
-                *keys,
-                *[
-                    F.when(F.col("_s_present"), F.col(f"_src_{c}"))
-                    .otherwise(F.col(c))
-                    .alias(c)
-                    for c in non_keys
-                ],
-            )
+            .select(*keys, *[merged_value(c) for c in non_keys])
             .select(*target.columns)  # restore declared column order
         )
         if prev is not None:

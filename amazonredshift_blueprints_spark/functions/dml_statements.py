@@ -110,6 +110,32 @@ def _dequalify(expr: str, alias: str) -> str:
     )
 
 
+def _requalify_update(
+    expr: str, src_alias: str, target: str, t_short: str
+) -> str:
+    """Rewrite a MERGE UPDATE-arm expression into merge_into's joined-
+    row namespace, outside string literals: ``<src_alias>.col`` →
+    ``_src_col`` (the aliased source columns) and ``<target>.col`` /
+    ``<t_short>.col`` → ``col`` (target columns keep their own names
+    after the join)."""
+    parts = re.split(r"('(?:[^']|'')*')", expr)  # odd indices = quoted
+    src_pat = re.compile(rf"\b{re.escape(src_alias)}\.(\w+)", re.IGNORECASE)
+    tgt_names = {t_short, target.strip("`"), target.split(".")[-1].strip("`")}
+    tgt_pats = [
+        re.compile(rf"\b{re.escape(t)}\.(\w+)", re.IGNORECASE)
+        for t in tgt_names
+        if t
+    ]
+
+    def fix(p: str) -> str:
+        p = src_pat.sub(r"_src_\1", p)
+        for tp in tgt_pats:
+            p = tp.sub(r"\1", p)
+        return p
+
+    return "".join(p if i % 2 else fix(p) for i, p in enumerate(parts))
+
+
 def _parse_on_keys(on: str, target: str, src_alias: str) -> list[str]:
     """``t.k = s.k [AND ...]`` → the merge key column list. Only
     same-named equality conjunctions qualify (merge_into joins on
@@ -198,6 +224,7 @@ def maybe_handle(spark: SparkSession, query: str) -> bool:
         src_alias = (src_alias or source.split(".")[-1]).strip("`")
         keys = _parse_on_keys(on, target, src_alias)
         delete_condition = None
+        update_exprs = None
         saw_update = saw_insert = False
         arms = [a.strip() for a in _WHEN_SPLIT_RE.split(arms_text) if a.strip()]
         t_short = target.split(".")[-1].strip("`").lower()
@@ -206,19 +233,47 @@ def maybe_handle(spark: SparkSession, query: str) -> bool:
             md = _MATCHED_DELETE_RE.match(arm)
             mi = _NOT_MATCHED_INSERT_RE.match(arm)
             if mu:
-                # wholesale-upsert validation: every assignment must be
-                # col = <source alias>.col (same name) — merge_into takes
-                # matched rows' values from the source wholesale
+                # the UPDATE arm: wholesale (col = <alias>.col for every
+                # column) keeps the classic upsert plan; anything else —
+                # a PARTIAL column list or expression-valued assignments
+                # (Redshift allows both, r16) — lowers to merge_into's
+                # update_exprs over the joined row. Join keys may only
+                # be assigned their own value (a no-op Redshift also
+                # permits; an actual key change would re-key the join).
+                exprs: dict[str, str] = {}
+                wholesale = True
                 for part in _split_args(mu.group(1)):
-                    k, _, v = part.partition("=")
-                    lhs = _strip_alias(k).lower().removeprefix(f"{t_short}.")
-                    rhs = v.strip().lower()
-                    if rhs != f"{src_alias.lower()}.{lhs}":
+                    k, eq, v = part.partition("=")
+                    if not eq or not k.strip() or not v.strip():
                         raise ValueError(
-                            "MERGE UPDATE arm must assign every column "
-                            f"from the source wholesale; got {part.strip()!r}"
-                            " (partial-expression arms need dml.update_table)"
+                            f"unparseable MERGE SET assignment {part.strip()!r}"
                         )
+                    lhs = _strip_alias(k).lower().removeprefix(f"{t_short}.")
+                    rhs = v.strip()
+                    if rhs.lower() != f"{src_alias.lower()}.{lhs}":
+                        wholesale = False
+                    translated = _requalify_update(
+                        rhs, src_alias, target, t_short
+                    )
+                    if lhs in (x.lower() for x in keys):
+                        norm = translated.lower().replace(" ", "")
+                        if norm not in (f"_src_{lhs}", lhs):
+                            raise ValueError(
+                                "MERGE cannot change a join key: "
+                                f"{part.strip()!r}"
+                            )
+                        continue  # a no-op key self-assignment
+                    exprs[lhs] = translated
+                tgt_cols = [
+                    c.lower()
+                    for c in spark.table(target).columns
+                    if c.lower() not in (x.lower() for x in keys)
+                ]
+                update_exprs = (
+                    None
+                    if wholesale and sorted(exprs) == sorted(tgt_cols)
+                    else exprs
+                )
                 saw_update = True
             elif md:
                 delete_condition = (
@@ -270,6 +325,7 @@ def maybe_handle(spark: SparkSession, query: str) -> bool:
             # statement face = Redshift MERGE semantics: the delete arm
             # only sees MATCHED rows; unmatched delete-marked rows insert
             insert_unmatched_deletes=True,
+            update_exprs=update_exprs,
         )
         return True
     return False

@@ -18306,6 +18306,85 @@ def q112_time_travel_selective_dml(
 
 
 @query(
+    "q113_merge_partial_update",
+    oracle="""
+    WITH merged AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS p
+        FROM orders
+        UNION ALL
+        SELECT 'Z', 77.5 FROM orders WHERE o_orderkey % 50 = 0
+    )
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="MERGE with PARTIAL, expression-valued UPDATE arms (functions/"
+        "dml_statements.py + dml.merge_into update_exprs, r16 — "
+        "Redshift's documented SET form, previously a named refusal "
+        "that demanded wholesale source assignment): the UPDATE arm "
+        "assigns only o_totalprice, as an expression mixing TARGET "
+        "and SOURCE columns (tbl.o_totalprice + d.o_totalprice); "
+        "unassigned columns (o_orderstatus) KEEP their target values "
+        "on matched rows — certified because the source carries a "
+        "poisoned status 'X' that must NOT surface — while the "
+        "insert arm still takes the source row wholesale ('Z' rows). "
+        "Expressions requalify outside string literals "
+        "(alias.col -> _src_col source-side, target alias stripped); "
+        "join-key assignments beyond the no-op self-assignment "
+        "refuse by name. Wholesale statements keep the exact prior "
+        "plan (update_exprs=None). Plan: the same ONE full-outer "
+        "hash join + observe counters; on history tables the same "
+        "file-pruned selective commit",
+    tags=("native", "sql", "dml", "orders"),
+)
+def q113_merge_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ingest import _clean_stale_location
+    from ..sqlrun import execute_sql
+
+    views(spark, sf_dir, "orders")
+    tbl, side = "bp_mpu_orders", "bp_mpu_side"
+    for t in (tbl, side):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _clean_stale_location(spark, t, None)
+    execute_sql(
+        spark,
+        f"CREATE TABLE {tbl} AS SELECT o_orderkey, o_orderstatus, "
+        "o_totalprice FROM orders",
+    )
+    execute_sql(
+        spark,
+        f"CREATE TABLE {side} AS "
+        "SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice "
+        "FROM orders WHERE o_orderkey % 3 = 0 "
+        "UNION ALL "
+        "SELECT o_orderkey + 60000000, 'Z', 77.5 FROM orders "
+        "WHERE o_orderkey % 50 = 0",
+    )
+    execute_sql(
+        spark,
+        f"MERGE INTO {tbl} USING {side} AS d "
+        f"ON {tbl}.o_orderkey = d.o_orderkey "
+        f"WHEN MATCHED THEN UPDATE SET o_totalprice = "
+        f"{tbl}.o_totalprice + d.o_totalprice "
+        "WHEN NOT MATCHED THEN INSERT VALUES "
+        "(d.o_orderkey, d.o_orderstatus, d.o_totalprice)",
+    )
+    return (
+        spark.table(tbl)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
     "q108_procedure_refcursor",
     oracle="""
     SELECT o_orderkey,
@@ -19188,19 +19267,20 @@ _DRIVER_WINDOW = [
     "c79_bpe_train",
     "c80_bpe_tokenize",
     "c73_dup_span_coverage",
-    "q56_multi_exists_decorrelation",
     # --- oldest r10-rowed entries, in catalog order ---
     "q12_agg_approx_distinct",
     # --- co-windowed oracle twin of the rows-only pick q12 ---
     "q11_agg_distinct",
     # --- round-16 additions (land in their own round's window,
     # displacing fillers newest-first: q13 out for q112, q07 out for
-    # c221, q06 out for c222, q05 out for c223; the q12+q11 rows-only
-    # pair stays seated and would leave together, last) ---
+    # c221, q06 out for c222, q05 out for c223, q56 out for q113; the
+    # q12+q11 rows-only pair stays seated and would leave together,
+    # last) ---
     "q112_time_travel_selective_dml",
     "c221_tiff_compressed_decode_stats",
     "c222_gif_animation_stats",
     "c223_wav_telephony_stats",
+    "q113_merge_partial_update",
 ]
 
 

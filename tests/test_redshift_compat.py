@@ -1262,13 +1262,31 @@ class TestDmlStatementFace:
             (1, 10, "keep"), (2, 99, "new"), (3, 30, "ins"),
             (4, 40, "__DEL__"),
         }
-        # non-wholesale UPDATE arm: loud refusal, not mis-execution
-        with pytest.raises(ValueError, match="wholesale"):
+        # partial / expression-valued UPDATE arms execute (r16 —
+        # Redshift allows both): only the assigned column changes,
+        # expressions may mix target and source columns, and the
+        # insert arm still takes the source row wholesale
+        execute_sql(
+            spark,
+            "MERGE INTO t_mrg_tgt USING t_mrg_src AS s "
+            "ON t_mrg_tgt.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = t_mrg_tgt.v + s.v + 1 "
+            "WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.v, s.s)",
+        )
+        got = {(r.k, r.v, r.s) for r in spark.table("t_mrg_tgt").collect()}
+        # matched rows: k=2 (99+99+1, s KEPT as 'new'), k=3 (30+30+1),
+        # k=4 (40+40+1); k=1 untouched (no source match)
+        assert got == {
+            (1, 10, "keep"), (2, 199, "new"), (3, 61, "ins"),
+            (4, 81, "__DEL__"),
+        }
+        # a join key may only be assigned its own value
+        with pytest.raises(ValueError, match="cannot change a join key"):
             execute_sql(
                 spark,
                 "MERGE INTO t_mrg_tgt USING t_mrg_src AS s "
                 "ON t_mrg_tgt.k = s.k "
-                "WHEN MATCHED THEN UPDATE SET v = s.v + 1, s = s.s "
+                "WHEN MATCHED THEN UPDATE SET k = s.k + 1 "
                 "WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.v, s.s)",
             )
         with pytest.raises(ValueError, match="MERGE shape"):
