@@ -1,0 +1,251 @@
+"""WARC (ISO 28500) ingestion containers — the format web-scale LLM
+corpora actually arrive in (Common Crawl ships WARC/WET/WAT).
+
+Reference basis: the reference loads flat CSVs (upload_file.py:118);
+a training-data engine at 100 TB ingests crawl archives, so this
+module adds the container layer the reference never needed: a real
+WARC record walker (version line, CRLF header block, Content-Length
+framing, double-CRLF record terminators), the multi-member-gzip
+packaging Common Crawl uses (each record an independent gzip member,
+so a reader can seek to a record without inflating the whole file),
+and HTTP-response payload splitting for ``response`` records.
+
+Scale shape: files arrive as opaque ``binary`` payloads in a
+DataFrame column; parsing is Arrow-batched ``mapInPandas`` inside the
+scan's partitions — no shuffle, many files per task. On a real
+cluster the same parser runs over ``spark.read.format("binaryFile")``
+output unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_CRLF = b"\r\n"
+
+
+def encode_warc(records, *, gzip_members: bool = False) -> bytes:
+    """Serialize ``records`` — dicts with ``type``, ``uri`` (optional),
+    ``content`` (bytes) — as a spec-framed WARC file. With
+    ``gzip_members=True`` every record becomes its own gzip member
+    (Common Crawl's .warc.gz packaging: members concatenate into one
+    stream a naive ``gzip.decompress`` still reads, while a
+    record-aware reader can inflate one member at a time)."""
+    import gzip
+
+    out = bytearray()
+    for i, rec in enumerate(records):
+        content = bytes(rec["content"])
+        head = bytearray(b"WARC/1.0\r\n")
+        head += b"WARC-Type: " + rec["type"].encode() + _CRLF
+        head += (
+            b"WARC-Record-ID: <urn:uuid:rec-" + str(i).encode() + b">" + _CRLF
+        )
+        if rec.get("uri"):
+            head += b"WARC-Target-URI: " + rec["uri"].encode() + _CRLF
+        head += b"WARC-Date: 2024-01-01T00:00:00Z" + _CRLF
+        head += b"Content-Length: " + str(len(content)).encode() + _CRLF
+        head += _CRLF
+        framed = bytes(head) + content + _CRLF + _CRLF
+        if gzip_members:
+            out += gzip.compress(framed, mtime=0)
+        else:
+            out += framed
+    return bytes(out)
+
+
+def _gunzip_members(payload: bytes) -> bytes:
+    """Inflate a multi-member gzip stream member by member — the
+    record-at-a-time structure Common Crawl relies on. A trailing
+    partial member is a truncation error, not silent data loss."""
+    import zlib
+
+    out = bytearray()
+    rest = payload
+    while rest:
+        d = zlib.decompressobj(wbits=31)  # gzip wrapper
+        out += d.decompress(rest)
+        out += d.flush()
+        if not d.eof:
+            raise ValueError("corrupt WARC: truncated gzip member")
+        rest = d.unused_data
+    return bytes(out)
+
+
+def parse_warc(payload: bytes) -> list[dict]:
+    """Walk a WARC file (plain or multi-member gzip) and return one
+    dict per record: ``type``, ``uri`` (or None), ``headers`` (the
+    WARC header map) and ``content`` (the Content-Length-framed
+    bytes). Framing violations raise ValueError by name."""
+    if payload[:2] == b"\x1f\x8b":
+        payload = _gunzip_members(payload)
+    records = []
+    pos, n = 0, len(payload)
+    while pos < n:
+        end_line = payload.find(_CRLF, pos)
+        if end_line < 0:
+            raise ValueError("corrupt WARC: unterminated version line")
+        version = payload[pos:end_line]
+        if not version.startswith(b"WARC/"):
+            raise ValueError(
+                f"corrupt WARC: record starts with {version[:20]!r}, "
+                "not a WARC/ version line"
+            )
+        head_end = payload.find(_CRLF + _CRLF, end_line)
+        if head_end < 0:
+            raise ValueError("corrupt WARC: unterminated header block")
+        headers: dict[str, str] = {}
+        for line in payload[end_line + 2 : head_end].split(_CRLF):
+            name, sep, value = line.partition(b":")
+            if not sep:
+                raise ValueError(
+                    f"corrupt WARC: malformed header line {line[:40]!r}"
+                )
+            headers[name.decode().strip().lower()] = value.decode().strip()
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError("corrupt WARC: missing/bad Content-Length")
+        body_start = head_end + 4
+        body_end = body_start + clen
+        if payload[body_end : body_end + 4] != _CRLF + _CRLF:
+            raise ValueError(
+                "corrupt WARC: record not terminated by CRLFCRLF after "
+                "Content-Length bytes"
+            )
+        records.append(
+            {
+                "type": headers.get("warc-type", ""),
+                "uri": headers.get("warc-target-uri"),
+                "headers": headers,
+                "content": payload[body_start:body_end],
+            }
+        )
+        pos = body_end + 4
+    return records
+
+
+def http_response_body(content: bytes) -> bytes:
+    """Split a ``response`` record's HTTP message: validate the status
+    line, skip the header block, return the body."""
+    if not content.startswith(b"HTTP/"):
+        raise ValueError(
+            f"response record does not carry HTTP: {content[:20]!r}"
+        )
+    sep = content.find(_CRLF + _CRLF)
+    if sep < 0:
+        raise ValueError("corrupt HTTP response: no header terminator")
+    return content[sep + 4 :]
+
+
+def extract_warc_text(payload: bytes) -> list[tuple[str, str]]:
+    """The WET-style extraction: for every content-bearing record,
+    ``(type, text)`` — ``conversion`` records are already text, and
+    ``response`` records yield their HTTP body; ``warcinfo`` /
+    ``metadata`` / other bookkeeping records are skipped."""
+    out = []
+    for rec in parse_warc(payload):
+        if rec["type"] == "conversion":
+            out.append(("conversion", rec["content"].decode("utf-8")))
+        elif rec["type"] == "response":
+            out.append(
+                ("response", http_response_body(rec["content"]).decode("utf-8"))
+            )
+    return out
+
+
+def synthesize_warc_files(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic WARC payloads (r16): file ``id`` opens with a
+    ``warcinfo`` record and carries ``2 + id%3`` content records —
+    record r is a ``conversion`` (plain text) when ``(id + r)`` is
+    even, else a ``response`` wrapping the SAME text as an HTTP/1.1
+    200 body; the text is ``10 + (id + r) % 7`` space-joined tokens
+    ``t<(id*7 + r*3 + j) % 13>``. Odd ids package as multi-member
+    gzip (.warc.gz), even ids as plain WARC. Every byte is
+    closed-form, so the c224 oracle replays the extraction in SQL."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                records = [
+                    {
+                        "type": "warcinfo",
+                        "content": b"software: amazonredshift-blueprints-spark",
+                    }
+                ]
+                for r in range(2 + i % 3):
+                    n_tok = 10 + (i + r) % 7
+                    text = " ".join(
+                        f"t{(i * 7 + r * 3 + j) % 13}" for j in range(n_tok)
+                    ).encode()
+                    uri = f"http://example.com/{i}/{r}"
+                    if (i + r) % 2 == 0:
+                        records.append(
+                            {"type": "conversion", "uri": uri, "content": text}
+                        )
+                    else:
+                        http = (
+                            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                            b"Content-Length: " + str(len(text)).encode()
+                            + b"\r\n\r\n" + text
+                        )
+                        records.append(
+                            {"type": "response", "uri": uri, "content": http}
+                        )
+                payloads.append(
+                    encode_warc(records, gzip_members=bool(i % 2))
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def warc_extract_stats(files: DataFrame) -> DataFrame:
+    """Parse a (doc_id, payload) frame of WARC files and reduce the
+    WET-style text extraction to exact integer statistics: record
+    counts by kind plus total extracted text length and whitespace
+    token count. Arrow-batched inside the scan's partitions — no
+    shuffle; on a cluster the input column comes straight from
+    ``spark.read.format('binaryFile')``."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                recs = parse_warc(bytes(payload))
+                texts = extract_warc_text(bytes(payload))
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(recs),
+                        sum(1 for k, _ in texts if k == "conversion"),
+                        sum(1 for k, _ in texts if k == "response"),
+                        sum(len(t) for _, t in texts),
+                        sum(len(t.split()) for _, t in texts),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_records", "n_conversion",
+                    "n_response", "sum_text_len", "n_tokens",
+                ],
+            )
+
+    return files.mapInPandas(
+        stats,
+        "doc_id long, n_records long, n_conversion long, "
+        "n_response long, sum_text_len long, n_tokens long",
+    )

@@ -18008,6 +18008,63 @@ def c223_wav_telephony_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c224_warc_extract_stats",
+    oracle="""
+    WITH recs AS (
+        SELECT d.doc_id, r.r
+        FROM documents d, range(5) r(r)
+        WHERE r.r < 2 + d.doc_id % 3
+    ),
+    toks AS (
+        SELECT rc.doc_id, rc.r,
+               CASE WHEN (rc.doc_id * 7 + rc.r * 3 + j.j) % 13 < 10
+                    THEN 2 ELSE 3 END AS tl
+        FROM recs rc, range(17) j(j)
+        WHERE j.j < 10 + (rc.doc_id + rc.r) % 7
+    ),
+    per_rec AS (
+        SELECT doc_id, r, COUNT(*) AS n_tok,
+               SUM(tl) + COUNT(*) - 1 AS text_len
+        FROM toks GROUP BY doc_id, r
+    )
+    SELECT doc_id,
+           CAST(3 + doc_id % 3 AS BIGINT) AS n_records,
+           CAST(SUM(CASE WHEN (doc_id + r) % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_conversion,
+           CAST(SUM(CASE WHEN (doc_id + r) % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_response,
+           CAST(SUM(text_len) AS BIGINT) AS sum_text_len,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM per_rec GROUP BY doc_id
+    """,
+    doc="WARC ingestion containers decode for real (operators/warc.py,"
+        " r16 — the ISO 28500 format web-scale LLM corpora actually "
+        "arrive in; Common Crawl ships WARC/WET): a spec-framed "
+        "record walker (version line, CRLF header block, "
+        "Content-Length framing, double-CRLF terminators — every "
+        "violation refuses by name), the MULTI-MEMBER gzip packaging "
+        ".warc.gz uses (each record its own gzip member so a reader "
+        "can inflate one record at a time; member splitting "
+        "cross-checked against CPython's gzip on the concatenated "
+        "stream), HTTP-response payload splitting for response "
+        "records, and the WET-style text extraction over conversion "
+        "+ response records. Files are opaque binary payloads "
+        "(binaryFile-source shape); parsing is Arrow-batched "
+        "mapInPandas inside the scan's partitions — no shuffle. Each "
+        "id carries a warcinfo record plus 2+id%3 closed-form "
+        "records alternating conversion/HTTP-response with identical "
+        "token text (odd ids gzip-membered), so the oracle replays "
+        "the whole extraction arithmetically in SQL",
+    tags=("multimodal", "text"),
+)
+def c224_warc_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.warc import synthesize_warc_files, warc_extract_stats
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return warc_extract_stats(synthesize_warc_files(d, "doc_id"))
+
+
+@query(
     "q111_time_travel_append",
     oracle="""
     WITH p0 AS (SELECT o_orderkey, o_totalprice FROM orders
@@ -19266,21 +19323,21 @@ _DRIVER_WINDOW = [
     "c78_bigram_logprob",
     "c79_bpe_train",
     "c80_bpe_tokenize",
-    "c73_dup_span_coverage",
     # --- oldest r10-rowed entries, in catalog order ---
     "q12_agg_approx_distinct",
     # --- co-windowed oracle twin of the rows-only pick q12 ---
     "q11_agg_distinct",
     # --- round-16 additions (land in their own round's window,
     # displacing fillers newest-first: q13 out for q112, q07 out for
-    # c221, q06 out for c222, q05 out for c223, q56 out for q113; the
-    # q12+q11 rows-only pair stays seated and would leave together,
-    # last) ---
+    # c221, q06 out for c222, q05 out for c223, q56 out for q113,
+    # c73 out for c224; the q12+q11 rows-only pair stays seated and
+    # would leave together, last) ---
     "q112_time_travel_selective_dml",
     "c221_tiff_compressed_decode_stats",
     "c222_gif_animation_stats",
     "c223_wav_telephony_stats",
     "q113_merge_partial_update",
+    "c224_warc_extract_stats",
 ]
 
 
