@@ -212,6 +212,162 @@ def synthesize_warc_files(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def encode_webdataset(samples) -> bytes:
+    """Serialize ``samples`` — dicts mapping extension → bytes, plus a
+    ``__key__`` — as a WebDataset tar shard: for each sample, one tar
+    member per extension named ``<key>.<ext>``, members of one sample
+    adjacent (the format's streaming contract). Plain USTAR via the
+    stdlib, deterministic metadata (zeroed mtime/uid)."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for sample in samples:
+            key = sample["__key__"]
+            for ext, data in sample.items():
+                if ext == "__key__":
+                    continue
+                info = tarfile.TarInfo(name=f"{key}.{ext}")
+                info.size = len(data)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(bytes(data)))
+    return buf.getvalue()
+
+
+def parse_webdataset(payload: bytes) -> list[dict]:
+    """Group a WebDataset tar shard's members back into samples: the
+    key is the member name up to the FIRST dot past the last slash
+    (WebDataset's rule — multi-dot extensions like ``seg.png`` stay
+    with the extension), consecutive members sharing a key form one
+    sample. A key seen again after a different key intervened is a
+    spec violation (samples must be stored contiguously for streaming
+    readers) and refuses by name."""
+    import io
+    import tarfile
+
+    samples: list[dict] = []
+    seen: set[str] = set()
+    current: dict | None = None
+    with tarfile.open(fileobj=io.BytesIO(payload), mode="r") as tf:
+        for member in tf:
+            if not member.isfile():
+                continue
+            base = member.name.rsplit("/", 1)[-1]
+            dot = base.find(".")
+            if dot <= 0:
+                raise ValueError(
+                    f"webdataset member {member.name!r} has no extension"
+                )
+            prefix = member.name[: len(member.name) - (len(base) - dot)]
+            ext = base[dot + 1 :]
+            if current is None or current["__key__"] != prefix:
+                if prefix in seen:
+                    raise ValueError(
+                        f"webdataset sample {prefix!r} is not contiguous "
+                        "(members of one sample must be adjacent)"
+                    )
+                seen.add(prefix)
+                current = {"__key__": prefix}
+                samples.append(current)
+            current[ext] = tf.extractfile(member).read()
+    return samples
+
+
+def synthesize_webdataset_shards(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic WebDataset tar shards (r16): shard ``id`` holds
+    ``2 + id%3`` samples; sample s (key ``<id>-<s>``) carries a .cls
+    label ``(id + s) % 10`` as ASCII, a .txt of ``5 + (id+s) % 4``
+    tokens ``w<(id*5 + s*7 + j) % 11>``, and a .png — a REAL 8-bit
+    grayscale PNG of (3 + s%2) x 4 closed-form pixels ``(id*29 + s*13
+    + r*7 + c*3) % 256`` through the r14 PNG encoder. Every byte is
+    closed-form, so the c225 oracle replays label/text/pixel stats in
+    SQL."""
+    import numpy as np
+
+    from .multimodal import encode_png_gray
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                samples = []
+                for s in range(2 + i % 3):
+                    h = 3 + s % 2
+                    r = np.arange(h)[:, None]
+                    c = np.arange(4)[None, :]
+                    px = ((i * 29 + s * 13 + r * 7 + c * 3) % 256).astype(
+                        np.uint8
+                    )
+                    text = " ".join(
+                        f"w{(i * 5 + s * 7 + j) % 11}"
+                        for j in range(5 + (i + s) % 4)
+                    )
+                    samples.append(
+                        {
+                            "__key__": f"{i}-{s}",
+                            "cls": str((i + s) % 10).encode(),
+                            "txt": text.encode(),
+                            "png": encode_png_gray(px),
+                        }
+                    )
+                payloads.append(encode_webdataset(samples))
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def webdataset_stats(shards: DataFrame) -> DataFrame:
+    """Parse a (doc_id, payload) frame of WebDataset tar shards and
+    reduce to exact integer statistics over all three modalities:
+    sample count, label sum (.cls), token count and text length
+    (.txt), and the pixel sum of every .png decoded through the REAL
+    PNG decoder (gray replicates to RGB; channel 0 is summed).
+    Arrow-batched inside the scan's partitions — no shuffle."""
+    import numpy as np
+
+    from .multimodal import decode_png
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = parse_webdataset(bytes(payload))
+                label_sum = n_tokens = text_len = px_sum = 0
+                for smp in samples:
+                    label_sum += int(smp["cls"])
+                    text = smp["txt"].decode()
+                    n_tokens += len(text.split())
+                    text_len += len(text)
+                    px = decode_png(smp["png"]).astype(np.int64)
+                    px_sum += int(px[:, :, 0].sum())
+                rows.append(
+                    (
+                        int(doc_id), len(samples), label_sum,
+                        n_tokens, text_len, px_sum,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "label_sum",
+                    "n_tokens", "text_len", "px_sum",
+                ],
+            )
+
+    return shards.mapInPandas(
+        stats,
+        "doc_id long, n_samples long, label_sum long, "
+        "n_tokens long, text_len long, px_sum long",
+    )
+
+
 def warc_extract_stats(files: DataFrame) -> DataFrame:
     """Parse a (doc_id, payload) frame of WARC files and reduce the
     WET-style text extraction to exact integer statistics: record

@@ -18065,6 +18065,73 @@ def c224_warc_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c225_webdataset_stats",
+    oracle="""
+    WITH smp AS (
+        SELECT d.doc_id, s.s
+        FROM documents d, range(5) s(s)
+        WHERE s.s < 2 + d.doc_id % 3
+    ),
+    toks AS (
+        SELECT m.doc_id, m.s,
+               CASE WHEN (m.doc_id * 5 + m.s * 7 + j.j) % 11 < 10
+                    THEN 2 ELSE 3 END AS tl
+        FROM smp m, range(9) j(j)
+        WHERE j.j < 5 + (m.doc_id + m.s) % 4
+    ),
+    txt AS (
+        SELECT doc_id, s, COUNT(*) AS n_tok,
+               SUM(tl) + COUNT(*) - 1 AS tlen
+        FROM toks GROUP BY doc_id, s
+    ),
+    pix AS (
+        SELECT m.doc_id, m.s,
+               SUM((m.doc_id * 29 + m.s * 13 + r.r * 7 + c.c * 3) % 256)
+                   AS psum
+        FROM smp m, range(4) r(r), range(4) c(c)
+        WHERE r.r < 3 + m.s % 2
+        GROUP BY m.doc_id, m.s
+    )
+    SELECT m.doc_id,
+           CAST(2 + m.doc_id % 3 AS BIGINT) AS n_samples,
+           CAST(SUM((m.doc_id + m.s) % 10) AS BIGINT) AS label_sum,
+           CAST(SUM(t.n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(t.tlen) AS BIGINT) AS text_len,
+           CAST(SUM(p.psum) AS BIGINT) AS px_sum
+    FROM smp m
+    JOIN txt t ON t.doc_id = m.doc_id AND t.s = m.s
+    JOIN pix p ON p.doc_id = m.doc_id AND p.s = m.s
+    GROUP BY m.doc_id
+    """,
+    doc="WebDataset tar shards decode for real (operators/warc.py, "
+        "r16 — the de-facto multimodal training-shard format: tar "
+        "members <key>.<ext>, one sample's members adjacent, sharded "
+        "for sequential-streaming IO): encode_webdataset writes "
+        "deterministic USTAR shards; parse_webdataset groups members "
+        "back into samples by WebDataset's first-dot-of-basename key "
+        "rule and REFUSES non-contiguous samples by name (the "
+        "format's streaming contract). Each synthesized sample "
+        "carries all three modalities — a .cls label, a .txt token "
+        "string, and a REAL 8-bit grayscale PNG through the r14 "
+        "codec — and the stats operator decodes all of them (the "
+        ".png through decode_png, not a stub). Every byte is "
+        "closed-form, so the oracle replays label/token/pixel sums "
+        "arithmetically in SQL. Parsing is Arrow-batched mapInPandas "
+        "over opaque binary payloads (binaryFile-source shape) — no "
+        "shuffle, many shards per task",
+    tags=("multimodal", "text"),
+)
+def c225_webdataset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.warc import (
+        synthesize_webdataset_shards,
+        webdataset_stats,
+    )
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return webdataset_stats(synthesize_webdataset_shards(d, "doc_id"))
+
+
+@query(
     "q111_time_travel_append",
     oracle="""
     WITH p0 AS (SELECT o_orderkey, o_totalprice FROM orders
@@ -19322,7 +19389,6 @@ _DRIVER_WINDOW = [
     "q67_python_udf_ddl",
     "c78_bigram_logprob",
     "c79_bpe_train",
-    "c80_bpe_tokenize",
     # --- oldest r10-rowed entries, in catalog order ---
     "q12_agg_approx_distinct",
     # --- co-windowed oracle twin of the rows-only pick q12 ---
@@ -19330,7 +19396,7 @@ _DRIVER_WINDOW = [
     # --- round-16 additions (land in their own round's window,
     # displacing fillers newest-first: q13 out for q112, q07 out for
     # c221, q06 out for c222, q05 out for c223, q56 out for q113,
-    # c73 out for c224; the q12+q11 rows-only pair stays seated and
+    # c73 out for c224, c80 out for c225; the q12+q11 rows-only pair stays seated and
     # would leave together, last) ---
     "q112_time_travel_selective_dml",
     "c221_tiff_compressed_decode_stats",
@@ -19338,6 +19404,7 @@ _DRIVER_WINDOW = [
     "c223_wav_telephony_stats",
     "q113_merge_partial_update",
     "c224_warc_extract_stats",
+    "c225_webdataset_stats",
 ]
 
 

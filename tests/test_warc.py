@@ -78,3 +78,56 @@ def test_framing_violations_refuse_by_name():
         parse_warc(broken)
     with pytest.raises(ValueError, match="malformed header line"):
         parse_warc(b"WARC/1.0\r\nnocolonhere\r\n\r\n\r\n\r\n")
+
+
+def test_webdataset_roundtrip_and_contiguity():
+    """WebDataset tar shards (r16): first-dot key grouping, all three
+    modalities round-trip, and the contiguity contract refuses
+    interleaved samples by name."""
+    import numpy as np
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_png,
+        encode_png_gray,
+    )
+    from amazonredshift_blueprints_spark.operators.warc import (
+        encode_webdataset,
+        parse_webdataset,
+    )
+
+    px = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    samples = [
+        {"__key__": "000-0", "cls": b"3", "txt": b"a b c",
+         "png": encode_png_gray(px)},
+        # a multi-dot extension stays WITH the extension (seg.png)
+        {"__key__": "000-1", "cls": b"7", "seg.png": b"fake"},
+    ]
+    out = parse_webdataset(encode_webdataset(samples))
+    assert [s["__key__"] for s in out] == ["000-0", "000-1"]
+    assert out[0]["cls"] == b"3" and out[0]["txt"] == b"a b c"
+    assert (decode_png(out[0]["png"])[:, :, 0] == px).all()
+    assert out[1]["seg.png"] == b"fake"
+
+    # interleaved members of one sample after another key: refused
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in [
+            ("k1.cls", b"1"), ("k2.cls", b"2"), ("k1.txt", b"late"),
+        ]:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not contiguous"):
+        parse_webdataset(buf.getvalue())
+    buf2 = io.BytesIO()
+    with tarfile.open(fileobj=buf2, mode="w") as tf:
+        info = tarfile.TarInfo(name="noext")
+        info.size = 1
+        tf.addfile(info, io.BytesIO(b"y"))
+    with _pytest.raises(ValueError, match="no extension"):
+        parse_webdataset(buf2.getvalue())
