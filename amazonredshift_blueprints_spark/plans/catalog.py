@@ -19319,16 +19319,19 @@ def c200_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever left un-rotated: >=40 window entries already rowed in the two
 # newest committed CORRECTNESS files means someone forgot this edit.
 #
-# R16 ROTATION PLAN (write it as round 16's FIRST commit): same pure
-# recency rule — the 50 oldest-rowed entries of the CORRECTNESS_r01-r15
+# R17 ROTATION PLAN (write it as round 17's FIRST commit): same pure
+# recency rule — the 50 oldest-rowed entries of the CORRECTNESS_r01-r16
 # union by (latest_round, catalog_index), co-windowing rows-only picks
 # with their oracle twins (q12<->q11, c02<->c24, c03<->c26, c07<->c38,
-# c68<->q11), and APPENDING any entry added during round 16 itself.
-# After the r15 window lands, the displaced fillers a03/q23/q22/q21/
-# q18 (bumped for c214/q111/c215/c216/c217, so NOT re-rowed in r15)
-# are the oldest-rowed backlog and go first; then the rest of the r09
-# tier — q57/q58/c04/c32/c35/c29/c14/q35/q42/c51/c61/c64/c65/c70/q53/
-# q55/c71/c72/c74/q59/c75/....
+# c68<->q11), and APPENDING any entry added during round 17 itself.
+# After the r16 window lands, the displaced fillers c80/c73/q56
+# (bumped for c225/c224/q113, so NOT re-rowed in r16) are the
+# oldest-rowed backlog and go first; then the r10 tier in catalog
+# order — q05/q06/q07/q13/q14/q17/q19/q20/q24/q25/q26/a01/a02/c01/
+# c02(+twin c24)/c03(+twin c26)/q49/c34/c33/c30/c31/c06/c08/c09/q33/
+# q34/c18/q36/q37/q38/q39/q40/c22/q43/q44/q45/c23/q46/c25/q47/q48/
+# q69/q70/q71/q72/c81/q68/c82/... (both rows-only picks' twins were
+# r16-rowed but co-window anyway, displacing the newest cut entries).
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
