@@ -368,19 +368,30 @@ def merge_into(
     delete_condition: str | None = None,
     insert_unmatched_deletes: bool = False,
     update_exprs: dict[str, str] | None = None,
+    insert_exprs: dict[str, str] | None = None,
 ) -> tuple[int, int, int]:
     """``MERGE INTO table USING source ON keys
     [WHEN MATCHED AND <delete_condition> THEN DELETE]
     WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT``
     via copy-on-write.
 
-    ``source`` must carry the target's full schema. Matched target rows
-    take the source's values wholesale (the common upsert form) —
-    unless ``update_exprs`` (r16) maps column names to SQL expressions,
-    Redshift's partial-SET form: matched rows evaluate each expression
-    over the joined row (target columns under their own names, source
-    columns as ``_src_<name>``), unassigned columns KEEP their target
-    values, and the insert arm still takes the source row wholesale.
+    Matched target rows take the source's values wholesale (the common
+    upsert form) — unless ``update_exprs`` (r16) maps column names to
+    SQL expressions, Redshift's partial-SET form: matched rows evaluate
+    each expression over the joined row (target columns under their own
+    names, source columns as ``_src_<name>``), unassigned columns KEEP
+    their target values. The insert arm likewise takes the source row
+    wholesale unless ``insert_exprs`` (r16) maps target columns to SQL
+    expressions over the same joined-row namespace — Redshift's
+    ``INSERT (cols) VALUES (exprs)`` form: unmatched source rows
+    evaluate each expression (source columns as ``_src_<name>``, the
+    join keys under their own names — target columns are all NULL on an
+    insert row), unassigned non-key columns insert NULL (the
+    no-column-default parquet reading of Redshift's DEFAULT), and an
+    unassigned key takes the source's join-key value. With BOTH arms
+    expression-driven the source may carry ANY schema that includes the
+    join keys (the narrow-CDC shape); with either wholesale arm it must
+    carry the target's full schema, as before.
     Unmatched source rows are inserted; target-only rows pass through.
     ``delete_condition`` (a SQL expression over the SOURCE row — the
     CDC pattern where change records carry a deletion marker) turns
@@ -417,9 +428,20 @@ def merge_into(
             spark.read.parquet(*paths) if prev is not None
             else spark.table(table)
         )
-        if set(source.columns) != set(full_target.columns):
+        missing_keys = [k for k in keys if k not in source.columns]
+        if missing_keys:
+            raise ValueError(f"MERGE source lacks join key(s): {missing_keys}")
+        # a wholesale arm (update or insert) copies the source row
+        # column-for-column, so it needs the target's full schema; with
+        # BOTH arms expression-driven the source schema is free beyond
+        # the keys (narrow CDC sources with flag columns)
+        if (update_exprs is None or insert_exprs is None) and set(
+            source.columns
+        ) != set(full_target.columns):
             raise ValueError(
-                f"MERGE source schema {sorted(source.columns)} != target {sorted(full_target.columns)}"
+                f"MERGE source schema {sorted(source.columns)} != target "
+                f"{sorted(full_target.columns)} (equality is required "
+                "unless both update_exprs and insert_exprs are given)"
             )
         if prev is not None:
             # file-pruned selective path (r16): a target row can only be
@@ -460,10 +482,11 @@ def merge_into(
             else F.lit(False),
         )
         t = target.withColumn("_t_present", F.lit(True))
+        src_non_keys = [c for c in source.columns if c not in keys]
         s = src.select(
             *keys,
             "_s_delete",
-            *[F.col(c).alias(f"_src_{c}") for c in non_keys],
+            *[F.col(c).alias(f"_src_{c}") for c in src_non_keys],
         ).withColumn("_s_present", F.lit(True))
         # presence flags are NULL on the unmatched side of the full-outer
         # join — coalesce to FALSE so the drop filter below stays boolean
@@ -494,29 +517,70 @@ def merge_into(
                     f"MERGE update_exprs on non-updatable column(s): {bad} "
                     "(unknown, or a join key — keys cannot change)"
                 )
+        if insert_exprs is not None:
+            bad = sorted(set(insert_exprs) - set(full_target.columns))
+            if bad:
+                raise ValueError(
+                    f"MERGE insert_exprs on unknown target column(s): {bad}"
+                )
 
         def merged_value(c):
             """Matched rows: the update expression (or source wholesale,
             or the kept target value for unassigned partial-SET
-            columns); insert rows: always the source value."""
+            columns); insert rows: the insert expression (or source
+            wholesale, or a typed NULL for unassigned INSERT-list
+            columns)."""
             if update_exprs is None:
                 upd = F.col(f"_src_{c}")
             elif c in update_exprs:
                 upd = F.expr(update_exprs[c])
             else:
                 upd = F.col(c)
+            if insert_exprs is None:
+                ins = F.col(f"_src_{c}")
+            elif c in insert_exprs:
+                ins = F.expr(insert_exprs[c])
+            else:
+                ins = F.lit(None).cast(full_target.schema[c].dataType)
             return (
                 F.when(matched, upd)
-                .when(F.col("_s_present"), F.col(f"_src_{c}"))
+                .when(F.col("_s_present"), ins)
                 .otherwise(F.col(c))
                 .alias(c)
             )
 
+        def key_value(k):
+            """Join keys ride through the USING-join's coalesced key
+            column; an insert expression on a key (Redshift permits any
+            VALUES expression) overrides it on insert rows only."""
+            if insert_exprs is not None and k in insert_exprs:
+                return (
+                    F.when(matched | ~s_present, F.col(k))
+                    .otherwise(F.expr(insert_exprs[k]))
+                    .alias(k)
+                )
+            return F.col(k).alias(k)
+
         merged = (
             j.filter(~dropped)
-            .select(*keys, *[merged_value(c) for c in non_keys])
+            .select(
+                *[key_value(k) for k in keys],
+                *[merged_value(c) for c in non_keys],
+            )
             .select(*target.columns)  # restore declared column order
         )
+        if update_exprs is not None or insert_exprs is not None:
+            # SQL expressions may land on a sibling type (int sum into a
+            # decimal column, string concat into a varchar-backed one);
+            # pin the target's declared types so the committed parquet
+            # schema never drifts. The wholesale path skips this — its
+            # plan stays byte-identical to pre-r16.
+            merged = merged.select(
+                *[
+                    F.col(c).cast(full_target.schema[c].dataType).alias(c)
+                    for c in target.columns
+                ]
+            )
         if prev is not None:
             from . import timetravel
 

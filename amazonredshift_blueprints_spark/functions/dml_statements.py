@@ -111,14 +111,17 @@ def _dequalify(expr: str, alias: str) -> str:
 
 
 def _requalify_update(
-    expr: str, src_alias: str, target: str, t_short: str
+    expr: str, src_alias: str, target: str, t_short: str, keys: list[str]
 ) -> str:
     """Rewrite a MERGE UPDATE-arm expression into merge_into's joined-
     row namespace, outside string literals: ``<src_alias>.col`` →
-    ``_src_col`` (the aliased source columns) and ``<target>.col`` /
-    ``<t_short>.col`` → ``col`` (target columns keep their own names
-    after the join)."""
+    ``_src_col`` (the aliased source columns — except the join keys,
+    which ride the USING join under their own names; on a matched row
+    the source key equals the target key, so ``s.k`` → ``k`` is exact)
+    and ``<target>.col`` / ``<t_short>.col`` → ``col`` (target columns
+    keep their own names after the join)."""
     parts = re.split(r"('(?:[^']|'')*')", expr)  # odd indices = quoted
+    key_set = {k.lower() for k in keys}
     src_pat = re.compile(rf"\b{re.escape(src_alias)}\.(\w+)", re.IGNORECASE)
     tgt_names = {t_short, target.strip("`"), target.split(".")[-1].strip("`")}
     tgt_pats = [
@@ -127,13 +130,55 @@ def _requalify_update(
         if t
     ]
 
+    def sub_src(m: re.Match) -> str:
+        col = m.group(1)
+        return col if col.lower() in key_set else f"_src_{col}"
+
     def fix(p: str) -> str:
-        p = src_pat.sub(r"_src_\1", p)
+        p = src_pat.sub(sub_src, p)
         for tp in tgt_pats:
             p = tp.sub(r"\1", p)
         return p
 
     return "".join(p if i % 2 else fix(p) for i, p in enumerate(parts))
+
+
+def _requalify_insert(
+    expr: str, src_alias: str, target: str, t_short: str, keys: list[str]
+) -> str:
+    """Rewrite a MERGE INSERT-arm VALUES expression into merge_into's
+    joined-row namespace: ``<src_alias>.col`` → ``_src_col`` (join keys
+    → their own ridden-through names, as in the update arm). Target
+    references REFUSE by name — every target column is NULL on an
+    insert row, so ``t.col`` in VALUES can only be a mistake."""
+    parts = re.split(r"('(?:[^']|'')*')", expr)  # odd indices = quoted
+    key_set = {k.lower() for k in keys}
+    src_pat = re.compile(rf"\b{re.escape(src_alias)}\.(\w+)", re.IGNORECASE)
+    tgt_names = {t_short, target.strip("`"), target.split(".")[-1].strip("`")}
+    tgt_pats = [
+        re.compile(rf"\b{re.escape(t)}\.(\w+)", re.IGNORECASE)
+        for t in tgt_names
+        if t and t.lower() != src_alias.lower()
+    ]
+
+    def sub_src(m: re.Match) -> str:
+        col = m.group(1)
+        return col if col.lower() in key_set else f"_src_{col}"
+
+    out = []
+    for i, p in enumerate(parts):
+        if i % 2:
+            out.append(p)
+            continue
+        for tp in tgt_pats:
+            if tp.search(p):
+                raise ValueError(
+                    "MERGE INSERT VALUES cannot reference the target "
+                    "(all target columns are NULL on an insert row): "
+                    f"{expr.strip()!r}"
+                )
+        out.append(src_pat.sub(sub_src, p))
+    return "".join(out)
 
 
 def _parse_on_keys(on: str, target: str, src_alias: str) -> list[str]:
@@ -225,6 +270,7 @@ def maybe_handle(spark: SparkSession, query: str) -> bool:
         keys = _parse_on_keys(on, target, src_alias)
         delete_condition = None
         update_exprs = None
+        insert_exprs = None
         saw_update = saw_insert = False
         arms = [a.strip() for a in _WHEN_SPLIT_RE.split(arms_text) if a.strip()]
         t_short = target.split(".")[-1].strip("`").lower()
@@ -253,7 +299,7 @@ def maybe_handle(spark: SparkSession, query: str) -> bool:
                     if rhs.lower() != f"{src_alias.lower()}.{lhs}":
                         wholesale = False
                     translated = _requalify_update(
-                        rhs, src_alias, target, t_short
+                        rhs, src_alias, target, t_short, keys
                     )
                     if lhs in (x.lower() for x in keys):
                         norm = translated.lower().replace(" ", "")
@@ -280,32 +326,52 @@ def maybe_handle(spark: SparkSession, query: str) -> bool:
                     _dequalify(md.group(1), src_alias) if md.group(1) else None
                 )
             elif mi:
-                vals = [v.strip().lower() for v in _split_args(mi.group(2))]
-                # merge_into inserts the SOURCE ROW wholesale, so the
-                # statement's VALUES must be exactly the source columns
-                # in source-schema order — a reordered or partial list
-                # would silently insert different values than written
-                want = [
-                    f"{src_alias.lower()}.{c.lower()}"
-                    for c in spark.table(source).columns
-                ]
-                if vals != want:
-                    raise ValueError(
-                        "MERGE INSERT arm must list the source columns "
-                        f"verbatim in source order {want}; got {vals}"
-                    )
+                # two lowerings (r16): VALUES listing the source columns
+                # verbatim in source order keeps the classic wholesale
+                # upsert plan; anything else — a PARTIAL/reordered
+                # column list or expression VALUES (Redshift allows
+                # both) — lowers to merge_into's insert_exprs over the
+                # joined row, with unlisted non-key columns inserting
+                # NULL (the no-column-default parquet reading of
+                # Redshift's DEFAULT)
+                vals = [v.strip() for v in _split_args(mi.group(2))]
+                src_cols = [c.lower() for c in spark.table(source).columns]
+                tgt_all = [c.lower() for c in spark.table(target).columns]
                 if mi.group(1):
                     cols = [
                         _strip_alias(c).lower()
                         for c in mi.group(1).split(",")
                         if c.strip()
                     ]
-                    src_cols = [c.lower() for c in spark.table(source).columns]
-                    if cols != src_cols:
-                        raise ValueError(
-                            "MERGE INSERT column list must match the "
-                            f"source schema order {src_cols}; got {cols}"
+                else:
+                    # no column list: one value per target column in
+                    # declared order (Redshift's own rule)
+                    cols = tgt_all
+                if len(cols) != len(vals):
+                    raise ValueError(
+                        f"MERGE INSERT arm lists {len(cols)} column(s) "
+                        f"but {len(vals)} value(s)"
+                    )
+                unknown = [c for c in cols if c not in tgt_all]
+                if unknown:
+                    raise ValueError(
+                        "MERGE INSERT arm names unknown target "
+                        f"column(s): {unknown}"
+                    )
+                if len(set(cols)) != len(cols):
+                    raise ValueError(
+                        "MERGE INSERT arm assigns a column twice"
+                    )
+                wholesale_ins = cols == src_cols and [
+                    v.lower() for v in vals
+                ] == [f"{src_alias.lower()}.{c}" for c in src_cols]
+                if not wholesale_ins:
+                    insert_exprs = {
+                        c: _requalify_insert(
+                            v, src_alias, target, t_short, keys
                         )
+                        for c, v in zip(cols, vals)
+                    }
                 saw_insert = True
             else:
                 raise ValueError(f"unsupported MERGE arm: WHEN {arm[:60]!r}")
@@ -326,6 +392,7 @@ def maybe_handle(spark: SparkSession, query: str) -> bool:
             # only sees MATCHED rows; unmatched delete-marked rows insert
             insert_unmatched_deletes=True,
             update_exprs=update_exprs,
+            insert_exprs=insert_exprs,
         )
         return True
     return False

@@ -18509,6 +18509,93 @@ def q113_merge_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q114_merge_insert_expressions",
+    oracle="""
+    WITH merged AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS p
+        FROM orders
+        WHERE NOT (o_orderkey % 21 = 0)
+        UNION ALL
+        SELECT 'ZZ', 22.5 FROM orders WHERE o_orderkey % 50 = 0
+    )
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="MERGE with EXPRESSION-VALUED INSERT arms over a NARROW CDC "
+        "source (functions/dml_statements.py + dml.merge_into "
+        "insert_exprs, r16 — the q113 partial-SET machinery "
+        "generalized to the insert side, completing Redshift's MERGE "
+        "statement surface): the source carries a DIFFERENT schema "
+        "than the target (key + delta + note + op flag — the change-"
+        "record shape), which the wholesale lowering could never "
+        "accept; the delete arm consumes the op flag (matched 'D' "
+        "rows leave), the UPDATE arm is a partial target+source "
+        "expression, and the INSERT arm's VALUES are arbitrary "
+        "expressions (upper(c.note), c.delta * 2) with the column "
+        "list naming target columns. Unlisted INSERT columns take "
+        "NULL; target references in VALUES refuse by name (every "
+        "target column is NULL on an insert row); join keys ride the "
+        "USING join. Plan: identical to wholesale MERGE — ONE "
+        "full-outer hash join on the key, counters via observe, "
+        "expression projection inside the same codegen stage; on "
+        "history tables the same file-pruned selective commit. The "
+        "oracle replays delete/update/insert arithmetic over orders",
+    tags=("native", "sql", "dml", "orders"),
+)
+def q114_merge_insert_expressions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..ingest import _clean_stale_location
+    from ..sqlrun import execute_sql
+
+    views(spark, sf_dir, "orders")
+    tbl, side = "bp_mie_orders", "bp_mie_side"
+    for t in (tbl, side):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _clean_stale_location(spark, t, None)
+    execute_sql(
+        spark,
+        f"CREATE TABLE {tbl} AS SELECT o_orderkey, o_orderstatus, "
+        "o_totalprice FROM orders",
+    )
+    execute_sql(
+        spark,
+        f"CREATE TABLE {side} AS "
+        "SELECT o_orderkey, o_totalprice AS delta, 'up' AS note, "
+        "CASE WHEN o_orderkey % 21 = 0 THEN 'D' ELSE 'U' END AS op "
+        "FROM orders WHERE o_orderkey % 3 = 0 "
+        "UNION ALL "
+        "SELECT o_orderkey + 60000000, 11.25, 'zz', 'I' FROM orders "
+        "WHERE o_orderkey % 50 = 0",
+    )
+    execute_sql(
+        spark,
+        f"MERGE INTO {tbl} USING {side} AS c "
+        f"ON {tbl}.o_orderkey = c.o_orderkey "
+        "WHEN MATCHED AND c.op = 'D' THEN DELETE "
+        f"WHEN MATCHED THEN UPDATE SET o_totalprice = "
+        f"{tbl}.o_totalprice + c.delta "
+        "WHEN NOT MATCHED THEN INSERT "
+        "(o_orderkey, o_orderstatus, o_totalprice) "
+        "VALUES (c.o_orderkey, upper(c.note), c.delta * 2)",
+    )
+    return (
+        spark.table(tbl)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
     "q108_procedure_refcursor",
     oracle="""
     SELECT o_orderkey,
@@ -19391,7 +19478,6 @@ _DRIVER_WINDOW = [
     "q66_tpch_q22_global_sales",
     "q67_python_udf_ddl",
     "c78_bigram_logprob",
-    "c79_bpe_train",
     # --- oldest r10-rowed entries, in catalog order ---
     "q12_agg_approx_distinct",
     # --- co-windowed oracle twin of the rows-only pick q12 ---
@@ -19399,8 +19485,8 @@ _DRIVER_WINDOW = [
     # --- round-16 additions (land in their own round's window,
     # displacing fillers newest-first: q13 out for q112, q07 out for
     # c221, q06 out for c222, q05 out for c223, q56 out for q113,
-    # c73 out for c224, c80 out for c225; the q12+q11 rows-only pair stays seated and
-    # would leave together, last) ---
+    # c73 out for c224, c80 out for c225, c79 out for q114; the q12+q11
+    # rows-only pair stays seated and would leave together, last) ---
     "q112_time_travel_selective_dml",
     "c221_tiff_compressed_decode_stats",
     "c222_gif_animation_stats",
@@ -19408,6 +19494,7 @@ _DRIVER_WINDOW = [
     "q113_merge_partial_update",
     "c224_warc_extract_stats",
     "c225_webdataset_stats",
+    "q114_merge_insert_expressions",
 ]
 
 

@@ -1301,6 +1301,83 @@ class TestDmlStatementFace:
         spark.sql("DROP TABLE t_mrg_tgt")
         spark.sql("DROP TABLE t_mrg_src")
 
+    def test_merge_statement_insert_expressions(self, spark):
+        """Expression-valued / partial INSERT arms (r16): VALUES may be
+        arbitrary expressions over the source row, a partial column
+        list inserts NULL for unlisted columns, and — with BOTH arms
+        expression-driven — the source may carry a NARROW schema that
+        differs from the target's (the CDC shape)."""
+        import pytest
+
+        from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+        self._fresh(
+            spark, "t_mix_tgt",
+            [(1, 10, "keep"), (2, 20, "old")], "k int, v int, s string",
+        )
+        # narrow CDC source: no 's' column, an extra 'op' flag column
+        self._fresh(
+            spark, "t_mix_src",
+            [(2, 5, "U"), (3, 30, "I"), (1, 0, "D")], "k int, dv int, op string",
+        )
+        execute_sql(
+            spark,
+            "MERGE INTO t_mix_tgt USING t_mix_src AS c ON t_mix_tgt.k = c.k "
+            "WHEN MATCHED AND c.op = 'D' THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET v = t_mix_tgt.v + c.dv "
+            "WHEN NOT MATCHED THEN INSERT (k, v, s) "
+            "VALUES (c.k, c.dv * 2, upper(c.op) || ':new')",
+        )
+        got = {(r.k, r.v, r.s) for r in spark.table("t_mix_tgt").collect()}
+        assert got == {(2, 25, "old"), (3, 60, "I:new")}
+        # partial column list: unlisted 's' inserts NULL
+        execute_sql(
+            spark,
+            "MERGE INTO t_mix_tgt USING t_mix_src AS c ON t_mix_tgt.k = c.k "
+            "WHEN MATCHED THEN UPDATE SET v = c.dv "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (c.k, c.dv + 100)",
+        )
+        got = {(r.k, r.v, r.s) for r in spark.table("t_mix_tgt").collect()}
+        assert got == {(2, 5, "old"), (3, 30, "I:new"), (1, 100, None)}
+        # refusals: target references in VALUES; unknown column; arity
+        with pytest.raises(ValueError, match="cannot reference the target"):
+            execute_sql(
+                spark,
+                "MERGE INTO t_mix_tgt USING t_mix_src AS c "
+                "ON t_mix_tgt.k = c.k "
+                "WHEN MATCHED THEN UPDATE SET v = c.dv "
+                "WHEN NOT MATCHED THEN INSERT (k, v) "
+                "VALUES (c.k, t_mix_tgt.v + 1)",
+            )
+        with pytest.raises(ValueError, match="unknown target column"):
+            execute_sql(
+                spark,
+                "MERGE INTO t_mix_tgt USING t_mix_src AS c "
+                "ON t_mix_tgt.k = c.k "
+                "WHEN MATCHED THEN UPDATE SET v = c.dv "
+                "WHEN NOT MATCHED THEN INSERT (k, nope) VALUES (c.k, 1)",
+            )
+        with pytest.raises(ValueError, match="column.s. but"):
+            execute_sql(
+                spark,
+                "MERGE INTO t_mix_tgt USING t_mix_src AS c "
+                "ON t_mix_tgt.k = c.k "
+                "WHEN MATCHED THEN UPDATE SET v = c.dv "
+                "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (c.k)",
+            )
+        # narrow source + WHOLESALE update arm: refused by merge_into
+        # (the wholesale arm needs the target's full schema)
+        with pytest.raises(ValueError, match="source schema"):
+            execute_sql(
+                spark,
+                "MERGE INTO t_mix_tgt USING t_mix_src AS c "
+                "ON t_mix_tgt.k = c.k "
+                "WHEN MATCHED THEN UPDATE SET v = c.v, s = c.s "
+                "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (c.k, c.dv)",
+            )
+        spark.sql("DROP TABLE t_mix_tgt")
+        spark.sql("DROP TABLE t_mix_src")
+
 
 def test_no_schema_binding_stripped():
     from amazonredshift_blueprints_spark.functions import (
