@@ -755,7 +755,12 @@ def restore_table(spark: SparkSession, table: str, version: int) -> int:
 
 
 def vacuum_history(
-    spark: SparkSession, table: str, keep_last: int = 2
+    spark: SparkSession,
+    table: str,
+    keep_last: int = 2,
+    *,
+    keep_hours: float | None = None,
+    as_of: float | None = None,
 ) -> list[int]:
     """Drop all but the last ``keep_last`` log entries and delete
     every version directory no retained entry references — dropped
@@ -765,6 +770,18 @@ def vacuum_history(
     were unreachable by vacuum). The current version is always
     retained. Returns the dropped version numbers.
 
+    ``keep_hours`` (r16) adds Delta/Iceberg-style AGE-based retention:
+    entries committed within the last ``keep_hours`` hours are ALSO
+    retained, so the policy is "the newest ``keep_last`` OR anything
+    younger than the window, whichever keeps more" — pass
+    ``keep_last=1`` for a pure age policy. ``as_of`` overrides the
+    wall clock for the age cutoff (determinism hook for tests and
+    replayed maintenance jobs; default ``time.time()``). Retention is
+    resolved as a log SUFFIX: the kept set starts at the oldest entry
+    that either rule retains, so a younger-than-cutoff entry can never
+    be dropped while an older one survives even if commit timestamps
+    jitter out of order (clock skew between writers).
+
     Hard-linked carry-over files (append commits) make this safe at
     file granularity too: deleting an old version's directory only
     unlinks that directory's NAMES — any inode still linked from a
@@ -772,11 +789,25 @@ def vacuum_history(
     dangle. Bytes are reclaimed exactly when a file's last link goes."""
     if keep_last < 1:
         raise ValueError("vacuum_history: keep_last must be >= 1")
+    if keep_hours is not None and keep_hours < 0:
+        raise ValueError("vacuum_history: keep_hours must be >= 0")
     key = _lock_key(spark, table)
     with _table_lock(spark, key):
         root = _table_root(spark, table)
         entries = _read_log(root)
-        keep, drop = entries[-keep_last:], entries[:-keep_last]
+        cut = max(len(entries) - keep_last, 0)
+        if keep_hours is not None:
+            cutoff = (
+                as_of if as_of is not None else time.time()
+            ) - keep_hours * 3600.0
+            aged = [
+                i
+                for i, e in enumerate(entries)
+                if e.get("committed_at", 0.0) >= cutoff
+            ]
+            if aged:
+                cut = min(cut, aged[0])
+        keep, drop = entries[cut:], entries[:cut]
         kept_locs = {
             os.path.normpath(e["location"]) for e in keep
         }

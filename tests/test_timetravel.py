@@ -102,6 +102,39 @@ def test_vacuum_refcounts_restored_locations(spark):
     assert spark.table("t_tt_vac").count() == 4
 
 
+def test_vacuum_age_based_retention(spark):
+    """keep_hours (r16, Delta/Iceberg-style retention window): entries
+    younger than the window survive even beyond keep_last; the kept set
+    resolves as a log SUFFIX anchored at the oldest retained entry; the
+    tip is always retained; as_of pins the clock for determinism."""
+    _fresh_history_table(spark, "t_tt_age")
+    tt.enable_history(spark, "t_tt_age")  # v0
+    execute_sql(spark, "DELETE FROM t_tt_age WHERE k = 1")  # v1
+    execute_sql(spark, "DELETE FROM t_tt_age WHERE k = 2")  # v2
+    execute_sql(spark, "DELETE FROM t_tt_age WHERE k = 3")  # v3
+    root = tt._table_root(spark, "t_tt_age")
+    ts = [e["committed_at"] for e in tt._read_log(root)]
+    # window opens just before v1: keep_last=1 alone would drop v1/v2,
+    # but the age rule retains everything from v1 on
+    dropped = tt.vacuum_history(
+        spark, "t_tt_age", keep_last=1,
+        keep_hours=(ts[3] - ts[1]) / 3600.0 + 1e-9, as_of=ts[3],
+    )
+    assert dropped == [0]
+    assert [e["version"] for e in tt._read_log(root)] == [1, 2, 3]
+    assert tt.table_at(spark, "t_tt_age", version=1).count() == 4
+    # a zero-width window keeps only the tip under keep_last=1
+    dropped = tt.vacuum_history(
+        spark, "t_tt_age", keep_last=1, keep_hours=0.0,
+        as_of=ts[3] + 3600.0,
+    )
+    assert dropped == [1, 2]
+    assert [e["version"] for e in tt._read_log(root)] == [3]
+    assert spark.table("t_tt_age").count() == 2
+    with pytest.raises(ValueError, match="keep_hours"):
+        tt.vacuum_history(spark, "t_tt_age", keep_hours=-1.0)
+
+
 def test_transaction_commit_is_one_version(spark):
     """A multi-statement transaction on a history table publishes as a
     SINGLE commit-log entry (transactions.py routes COMMIT through
