@@ -3675,6 +3675,152 @@ def encode_jpeg_color(
     return bytes(out)
 
 
+def encode_jpeg_cmyk(
+    pixels, *, ycck: bool = False, sampling: str = "444"
+) -> bytes:
+    """(h, w, 4) uint8 TRUE-CMYK array (0 = no ink) → 4-component
+    baseline Adobe JPEG — the print-pipeline class (r16, the last
+    common real-world JPEG refusal). Two transforms, selected by the
+    APP14 ``Adobe`` marker's transform byte exactly as Photoshop/
+    libjpeg write them:
+
+    - ``ycck=False`` → transform 0 (CMYK): four independent planes,
+      4:4:4 only (ink planes are not chroma — subsampling them has no
+      perceptual basis and real transform-0 files don't).
+    - ``ycck=True`` → transform 2 (YCCK): the INVERTED CMY channels are
+      treated as RGB and pushed through the JFIF YCbCr matrix (Y/Cb/Cr
+      coded with the color codec's dual tables), K rides as a fourth
+      plane at Y's sampling factors; ``sampling`` picks 444/422/420
+      chroma (Cb/Cr subsample, Y and K stay full-resolution — Adobe's
+      own layout; a 4:2:0 YCCK MCU is 4+1+1+4 = 10 blocks, T.81's
+      exact interleave ceiling).
+
+    SAMPLES ARE STORED INVERTED (``255 - v``) per the de-facto Adobe
+    convention every real decoder honors (libjpeg's
+    ``Adobe_APP14``/``CCIR601`` handling); :func:`decode_jpeg`
+    re-inverts, so the pair round-trips true CMYK. No JFIF APP0 is
+    written — JFIF admits only 1- and 3-component streams; APP14 alone
+    identifies the file (T.81 itself is colorspace-blind).
+
+    Exactness contract for the oracle (module section header): constant
+    8x8-aligned tiles with ODD true-CMYK values invert to EVEN stored
+    values, so every plane's DC quantizes exactly (luma step 16 at
+    [0,0]) and — with C=M=Y per pixel — the YCCK chroma planes are
+    exactly zero, surviving box-average + replication untouched: both
+    transforms round-trip bit-identically on this class."""
+    import struct
+
+    import numpy as np
+
+    factors = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+    if sampling not in factors:
+        raise ValueError(f"sampling must be one of {sorted(factors)}")
+    if not ycck and sampling != "444":
+        raise ValueError(
+            "transform-0 CMYK encodes 4:4:4 only (ink planes are not "
+            "chroma); use ycck=True for subsampled YCCK"
+        )
+    hy, vy = factors[sampling]
+    px, depth = _as_pixel_array(pixels, "encode_jpeg_cmyk")
+    if depth != 8:
+        raise ValueError("encode_jpeg_cmyk takes 8-bit samples")
+    if px.ndim != 3 or px.shape[2] != 4:
+        raise ValueError("encode_jpeg_cmyk takes an HxWx4 CMYK array")
+    h, w = px.shape[:2]
+    if not h or not w:
+        raise ValueError("empty image")
+    mh, mw = 8 * vy, 8 * hy
+    ph, pw = -(-h // mh) * mh, -(-w // mw) * mw
+    padded = np.pad(px, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    inv = 255.0 - padded.astype(np.float64)  # Adobe stores inverted ink
+    dc_l = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_l = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    qt_l = np.asarray(_JPEG_QUANT_LUMA, dtype=np.float64)
+    if ycck:
+        r, g, b = inv[:, :, 0], inv[:, :, 1], inv[:, :, 2]
+        yp = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+        cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b
+        cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b
+        if (hy, vy) != (1, 1):
+            cb = cb.reshape(ph // vy, vy, pw // hy, hy).mean(axis=(1, 3))
+            cr = cr.reshape(ph // vy, vy, pw // hy, hy).mean(axis=(1, 3))
+        planes = [yp, cb, cr, inv[:, :, 3] - 128.0]
+        samp = [(hy, vy), (1, 1), (1, 1), (hy, vy)]
+        qt_c = np.asarray(_JPEG_QUANT_CHROMA, dtype=np.float64)
+        qts = [qt_l, qt_c, qt_c, qt_l]
+        dc_c = _jpeg_canonical_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
+        ac_c = _jpeg_canonical_codes(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
+        codes = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c), (dc_l, ac_l)]
+        sof_q, sos_t = [0, 1, 1, 0], [0x00, 0x11, 0x11, 0x00]
+    else:
+        planes = [inv[:, :, ci] - 128.0 for ci in range(4)]
+        samp = [(1, 1)] * 4
+        qts = [qt_l] * 4
+        codes = [(dc_l, ac_l)] * 4
+        sof_q, sos_t = [0, 0, 0, 0], [0x00, 0x00, 0x00, 0x00]
+
+    dctm = _jpeg_dct_matrix()
+    wtr = _JpegBitWriter()
+    prev = [0, 0, 0, 0]
+    # interleaved scan (T.81 A.2.3): per MCU each component contributes
+    # hi*vi blocks in raster order over its OWN plane grid
+    for my in range(ph // mh):
+        for mx in range(pw // mw):
+            for ci in range(4):
+                hi, vi = samp[ci]
+                for v in range(vi):
+                    for u in range(hi):
+                        by, bx = (my * vi + v) * 8, (mx * hi + u) * 8
+                        zz = _jpeg_quantize_block(
+                            planes[ci][by : by + 8, bx : bx + 8],
+                            dctm,
+                            qts[ci],
+                        )
+                        prev[ci] = _jpeg_write_block(
+                            wtr, zz, prev[ci], codes[ci][0], codes[ci][1]
+                        )
+    wtr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    zz_luma = bytes(int(_JPEG_QUANT_LUMA[r][c]) for r, c in _JPEG_ZIGZAG)
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI — no JFIF APP0: 4-component is not JFIF
+    out += seg(
+        0xFFEE,  # APP14 'Adobe': version 100, flags 0/0, transform byte
+        b"Adobe" + struct.pack(">HHHB", 100, 0, 0, 2 if ycck else 0),
+    )
+    dqt = b"\x00" + zz_luma
+    if ycck:
+        dqt += b"\x01" + bytes(
+            int(_JPEG_QUANT_CHROMA[r][c]) for r, c in _JPEG_ZIGZAG
+        )
+    out += seg(0xFFDB, dqt)
+    sof = struct.pack(">BHHB", 8, h, w, 4)
+    for ci in range(4):
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, sof_q[ci]])
+    out += seg(0xFFC0, sof)
+    dht = (
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    if ycck:
+        dht += (
+            b"\x01" + bytes(_JPEG_DC_BITS_C) + bytes(_JPEG_DC_VALS_C)
+            + b"\x11" + bytes(_JPEG_AC_BITS_C) + bytes(_JPEG_AC_VALS_C)
+        )
+    out += seg(0xFFC4, dht)
+    sos = b"\x04"
+    for ci in range(4):
+        sos += bytes([ci + 1, sos_t[ci]])
+    out += seg(0xFFDA, sos + b"\x00\x3f\x00")
+    out += wtr.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def encode_jpeg_progressive(
     pixels, *, sampling: str = "444", restart_interval: int = 0
 ) -> bytes:
@@ -4014,6 +4160,7 @@ def decode_jpeg(payload: bytes):
     scan = None  # [(component index, dc table id, ac table id)]
     scan_start = None
     restart_interval = 0  # MCUs between RSTm markers; 0 = none (DRI, r15)
+    adobe_transform = None  # APP14 'Adobe' transform byte (r16, CMYK/YCCK)
     while i < len(data) - 1:
         if data[i] != 0xFF:
             raise ValueError(f"corrupt JPEG: expected marker at byte {i}")
@@ -4041,17 +4188,25 @@ def decode_jpeg(payload: bytes):
                     qt[r, c] = vals[k]
                 qtables[tq] = qt
                 j += 65
+        elif marker == 0xEE:
+            # APP14 'Adobe' (r16): the transform byte disambiguates
+            # 4-component streams — 0 = CMYK planes, 2 = YCCK
+            if seg[:5] == b"Adobe" and len(seg) >= 12:
+                adobe_transform = seg[11]
         elif marker == 0xC0:
             precision, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise NotImplementedError(
                     f"{precision}-bit JPEG precision is not supported"
                 )
-            if ncomp not in (1, 3):
+            if ncomp not in (1, 3, 4):
                 raise NotImplementedError(
-                    f"{ncomp}-component JPEG (CMYK/unknown) is not "
-                    "supported; grayscale and 3-component 4:4:4 color are"
+                    f"{ncomp}-component JPEG is not supported; "
+                    "grayscale, 3-component color and 4-component "
+                    "Adobe CMYK/YCCK are"
                 )
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError("corrupt JPEG: truncated SOF segment")
             comps = []
             for k in range(ncomp):
                 cid, sampling, tq = seg[6 + 3 * k : 9 + 3 * k]
@@ -4125,6 +4280,18 @@ def decode_jpeg(payload: bytes):
         i += ln
     if dims is None or comps is None or scan_start is None:
         raise ValueError("corrupt JPEG: missing DQT/SOF0/DHT/SOS segment")
+    if len(comps) == 4:
+        if adobe_transform is None:
+            raise NotImplementedError(
+                "4-component JPEG without an Adobe APP14 marker is "
+                "ambiguous (CMYK vs YCCK) and is not supported"
+            )
+        if adobe_transform not in (0, 2):
+            raise NotImplementedError(
+                f"Adobe APP14 transform {adobe_transform} on a "
+                "4-component JPEG is not supported (0 = CMYK planes, "
+                "2 = YCCK decode here)"
+            )
     for _, _, _, tq in comps:
         if tq not in qtables:
             raise ValueError("corrupt JPEG: missing quantization table")
@@ -4198,17 +4365,23 @@ def decode_jpeg(payload: bytes):
                         planes[ci][by : by + 8, bx : bx + 8] = (
                             dctm.T @ coeff @ dctm
                         )
-    return _jpeg_planes_to_pixels(planes, comps, maxh, maxv, h, w)
+    return _jpeg_planes_to_pixels(
+        planes, comps, maxh, maxv, h, w, adobe_transform
+    )
 
 
-def _jpeg_planes_to_pixels(planes, comps, maxh, maxv, h, w):
+def _jpeg_planes_to_pixels(
+    planes, comps, maxh, maxv, h, w, adobe_transform=None
+):
     """Shared tail of the baseline and progressive decoders: upsample
     subsampled component planes to full resolution by pixel
     replication (T.81 leaves the upsampling filter to the decoder;
     replication is exact on constant chroma — the oracle class — and
     within a filter's footprint of any interpolating decoder
-    elsewhere), JFIF YCbCr→RGB for 3-component images, level shift,
-    clamp, crop."""
+    elsewhere), JFIF YCbCr→RGB for 3-component images, the Adobe
+    inverse transform + sample re-inversion for 4-component CMYK/YCCK
+    (r16 — stored samples are inverted per the Adobe convention; the
+    return is TRUE CMYK, 0 = no ink), level shift, clamp, crop."""
     import numpy as np
 
     if len(comps) == 1:
@@ -4221,6 +4394,23 @@ def _jpeg_planes_to_pixels(planes, comps, maxh, maxv, h, w):
                 maxh // hi,
                 axis=1,
             )
+    if len(comps) == 4:
+        if adobe_transform == 2:  # YCCK: inverse YCbCr gives inverted CMY
+            y = planes[0] + 128.0
+            cb, cr = planes[1], planes[2]
+            inv = np.stack(
+                [
+                    y + 1.402 * cr,
+                    y - 0.344136286 * cb - 0.714136286 * cr,
+                    y + 1.772 * cb,
+                    planes[3] + 128.0,
+                ],
+                axis=-1,
+            )
+        else:  # transform 0: four stored (inverted) ink planes
+            inv = np.stack([p + 128.0 for p in planes], axis=-1)
+        cmyk = 255 - np.clip(np.rint(inv), 0, 255).astype(np.uint8)
+        return cmyk[:h, :w, :]
     y = planes[0] + 128.0
     cb, cr = planes[1], planes[2]  # already centered (level shift = 128)
     rgb = np.stack(
@@ -4314,9 +4504,13 @@ def _decode_jpeg_progressive(data: bytes):
                 )
             if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    f"{ncomp}-component JPEG (CMYK/unknown) is not "
-                    "supported; grayscale and 3-component color are"
+                    f"progressive {ncomp}-component JPEG (CMYK/YCCK/"
+                    "unknown) is not supported; progressive grayscale "
+                    "and 3-component color are (baseline CMYK/YCCK "
+                    "decodes via decode_jpeg)"
                 )
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError("corrupt JPEG: truncated SOF segment")
             comps = []
             for k in range(ncomp):
                 cid, sampling, tq = seg[6 + 3 * k : 9 + 3 * k]
@@ -4804,6 +4998,109 @@ def synthesize_progressive_jpeg_images(
 
     return df.select(F.col(id_col)).mapInPandas(
         gen, "doc_id long, payload binary"
+    )
+
+
+def synthesize_cmyk_jpeg_images(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL 4-component Adobe-JPEG payloads (r16 — the
+    print-pipeline class): image ``id`` encodes transform-0 CMYK when
+    ``id % 2 == 0``, YCCK 4:2:0 when ``id % 4 == 1`` and YCCK 4:2:2
+    when ``id % 4 == 3`` — every transform and sampling the codec
+    supports. Exactness contract (the lossy-codec oracle trick, ink
+    edition): a grid of (2 + id%2) x (2 + id%3) tiles of 8x8 pixels
+    with C=M=Y = the constant ODD value ``2*((id*47 + tr*19 + tc*11)
+    % 128) + 1`` and K = ``2*((id*53 + tr*7 + tc*3) % 128) + 1``,
+    cropped to (tiles_h*8 - 1, tiles_w*8 - 2). ODD true-ink values
+    invert to EVEN Adobe stored samples (every DC quantizes exactly);
+    equal inverted CMY makes the YCCK chroma exactly zero (zero
+    box-averages and replication-upsamples to zero) — so both
+    transforms round-trip bit-identically and per-channel ink sums
+    replay from the closed tile form in SQL (the c226 oracle)."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                th, tw = 2 + i % 2, 2 + i % 3
+                tr = np.arange(th)[:, None]
+                tc = np.arange(tw)[None, :]
+                cmy = (
+                    2 * ((i * 47 + tr * 19 + tc * 11) % 128) + 1
+                ).astype(np.uint8)
+                kk = (
+                    2 * ((i * 53 + tr * 7 + tc * 3) % 128) + 1
+                ).astype(np.uint8)
+                ones = np.ones((8, 8), dtype=np.uint8)
+                cmy_img = np.kron(cmy, ones)
+                k_img = np.kron(kk, ones)
+                img = np.stack(
+                    [cmy_img, cmy_img, cmy_img, k_img], axis=-1
+                )[: th * 8 - 1, : tw * 8 - 2]
+                if i % 2 == 0:
+                    payloads.append(encode_jpeg_cmyk(img))
+                else:
+                    payloads.append(
+                        encode_jpeg_cmyk(
+                            img,
+                            ycck=True,
+                            sampling="420" if i % 4 == 1 else "422",
+                        )
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def image_cmyk_stats(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL 4-component Adobe-JPEG decode + featurize: each payload
+    runs through :func:`decode_jpeg` (APP14 transform dispatch, YCCK
+    inverse, Adobe sample re-inversion) and reduces to exact integer
+    per-ink sums — true CMYK, 0 = no ink. Arrow-batched
+    ``mapInPandas`` inside the scan's partitions: no shuffle, constant
+    memory per batch; at 100 TB decode is embarrassingly parallel."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "doc_id", "width", "height", "n_pixels",
+                    "sum_c", "sum_m", "sum_y", "sum_k",
+                )
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                arr = decode_jpeg(bytes(payload))
+                if arr.ndim != 3 or arr.shape[2] != 4:
+                    raise ValueError(
+                        f"doc {int(doc_id)}: expected a 4-component "
+                        f"CMYK decode, got shape {arr.shape}"
+                    )
+                h, w = arr.shape[:2]
+                s = arr.reshape(-1, 4).astype(np.int64).sum(axis=0)
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(h * w)
+                for ci, col in enumerate(("sum_c", "sum_m", "sum_y", "sum_k")):
+                    rows[col].append(int(s[ci]))
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        stats,
+        "doc_id long, width long, height long, n_pixels long, "
+        "sum_c long, sum_m long, sum_y long, sum_k long",
     )
 
 

@@ -18132,6 +18132,67 @@ def c225_webdataset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c226_jpeg_cmyk_decode_stats",
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id, g1.r, g2.c,
+               CAST(2 * ((d.doc_id * 47 + (g1.r // 8) * 19
+                          + (g2.c // 8) * 11) % 128) + 1 AS BIGINT) AS vc,
+               CAST(2 * ((d.doc_id * 53 + (g1.r // 8) * 7
+                          + (g2.c // 8) * 3) % 128) + 1 AS BIGINT) AS vk
+        FROM documents d, range(24) g1(r), range(32) g2(c)
+        WHERE g1.r < (2 + d.doc_id % 2) * 8 - 1
+          AND g2.c < (2 + d.doc_id % 3) * 8 - 2
+    )
+    SELECT doc_id,
+           CAST((2 + doc_id % 3) * 8 - 2 AS BIGINT) AS width,
+           CAST((2 + doc_id % 2) * 8 - 1 AS BIGINT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM(vc) AS BIGINT) AS sum_c,
+           CAST(SUM(vc) AS BIGINT) AS sum_m,
+           CAST(SUM(vc) AS BIGINT) AS sum_y,
+           CAST(SUM(vk) AS BIGINT) AS sum_k
+    FROM px GROUP BY doc_id
+    """,
+    doc="REAL 4-component Adobe CMYK/YCCK JPEG decode (operators/"
+        "multimodal.py, r16 — the print-pipeline class, the last "
+        "common real-world JPEG refusal on the codec ladder): "
+        "encode_jpeg_cmyk writes transform-0 CMYK (four independent "
+        "ink planes) and transform-2 YCCK (inverted CMY through the "
+        "JFIF matrix, K at Y's sampling factors — a 4:2:0 YCCK MCU "
+        "is 4+1+1+4 = 10 blocks, T.81's exact interleave ceiling) "
+        "with the Adobe APP14 marker and INVERTED samples per the "
+        "de-facto Adobe convention; decode_jpeg dispatches on the "
+        "APP14 transform byte, re-inverts, and returns TRUE CMYK. "
+        "4-component streams without APP14 refuse by name "
+        "(ambiguous), as do unknown transform bytes. pytest "
+        "cross-validates BOTH directions against the JVM's "
+        "independent codec: javax.imageio readRaster returns our "
+        "files' stored-domain samples exactly on the oracle class "
+        "and within IDCT rounding on noise, and the JVM's own "
+        "4-band raster writer's noise streams decode through our "
+        "path. The lossy-codec oracle trick, ink edition: ODD "
+        "true-ink tiles invert to EVEN stored samples (every DC "
+        "quantizes exactly) and equal CMY zeroes the YCCK chroma, "
+        "so both transforms round-trip bit-identically (each id "
+        "cycles CMYK / YCCK 4:2:0 / YCCK 4:2:2) and per-ink sums "
+        "replay from the closed tile form in SQL. Decode is "
+        "Arrow-batched inside the scan's partitions — no shuffle",
+    tags=("multimodal",),
+)
+def c226_jpeg_cmyk_decode_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import (
+        image_cmyk_stats,
+        synthesize_cmyk_jpeg_images,
+    )
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return image_cmyk_stats(synthesize_cmyk_jpeg_images(d, "doc_id"))
+
+
+@query(
     "q111_time_travel_append",
     oracle="""
     WITH p0 AS (SELECT o_orderkey, o_totalprice FROM orders
@@ -19477,7 +19538,6 @@ _DRIVER_WINDOW = [
     "q65_tpch_q18_large_volume",
     "q66_tpch_q22_global_sales",
     "q67_python_udf_ddl",
-    "c78_bigram_logprob",
     # --- oldest r10-rowed entries, in catalog order ---
     "q12_agg_approx_distinct",
     # --- co-windowed oracle twin of the rows-only pick q12 ---
@@ -19485,8 +19545,9 @@ _DRIVER_WINDOW = [
     # --- round-16 additions (land in their own round's window,
     # displacing fillers newest-first: q13 out for q112, q07 out for
     # c221, q06 out for c222, q05 out for c223, q56 out for q113,
-    # c73 out for c224, c80 out for c225, c79 out for q114; the q12+q11
-    # rows-only pair stays seated and would leave together, last) ---
+    # c73 out for c224, c80 out for c225, c79 out for q114, c78 out for
+    # c226; the q12+q11 rows-only pair stays seated and would leave
+    # together, last) ---
     "q112_time_travel_selective_dml",
     "c221_tiff_compressed_decode_stats",
     "c222_gif_animation_stats",
@@ -19495,6 +19556,7 @@ _DRIVER_WINDOW = [
     "c224_warc_extract_stats",
     "c225_webdataset_stats",
     "q114_merge_insert_expressions",
+    "c226_jpeg_cmyk_decode_stats",
 ]
 
 

@@ -763,10 +763,17 @@ def test_jpeg_refusals_and_corruption():
     sub[sofc + 14] = 0x31  # Cb -> 3x1: maxh=3 not divisible by Y's 2
     with pytest.raises(NotImplementedError, match="non-integer"):
         decode_jpeg(bytes(sub))
+    # 4-component DECODES for real since r16 (Adobe CMYK/YCCK) — but
+    # claiming 4 components over a 3-entry SOF is now caught as a
+    # truncated segment, and a 5-component claim still refuses by name
     four = bytearray(cenc)
-    four[sofc + 9] = 4  # ncomp -> CMYK-style
-    with pytest.raises(NotImplementedError, match="CMYK"):
+    four[sofc + 9] = 4  # ncomp -> CMYK-style, but only 3 SOF entries
+    with pytest.raises(ValueError, match="truncated SOF"):
         decode_jpeg(bytes(four))
+    five = bytearray(cenc)
+    five[sofc + 9] = 5
+    with pytest.raises(NotImplementedError, match="5-component"):
+        decode_jpeg(bytes(five))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_gray(b"NOTAJPEG")
     # header-level truncation (into the DHT tables) raises, not crashes
@@ -2101,3 +2108,191 @@ def test_png_trns_transparency(spark):
     rgba = rng.integers(0, 256, size=(2, 2, 4)).astype(np.uint8)
     with _pytest.raises(ValueError, match="tRNS is forbidden"):
         decode_png(splice_trns(encode_png(rgba), b"\x00\x01"))
+
+
+def _cmyk_tile_image(i):
+    """The c226 exactness-class fixture: ODD constant ink tiles (they
+    invert to EVEN Adobe stored samples) with C=M=Y per pixel so the
+    YCCK chroma is exactly zero."""
+    import numpy as np
+
+    th, tw = 2 + i % 2, 2 + i % 3
+    tr = np.arange(th)[:, None]
+    tc = np.arange(tw)[None, :]
+    cmy = (2 * ((i * 47 + tr * 19 + tc * 11) % 128) + 1).astype(np.uint8)
+    kk = (2 * ((i * 53 + tr * 7 + tc * 3) % 128) + 1).astype(np.uint8)
+    ones = np.ones((8, 8), dtype=np.uint8)
+    img = np.stack(
+        [np.kron(cmy, ones)] * 3 + [np.kron(kk, ones)], axis=-1
+    )
+    return img[: th * 8 - 1, : tw * 8 - 2]
+
+
+def test_jpeg_cmyk_roundtrip_and_refusals():
+    """4-component Adobe CMYK/YCCK (r16): the exactness class
+    round-trips bit-identically through both transforms and every
+    YCCK sampling; malformed/ambiguous streams refuse by name."""
+    import numpy as np
+    import pytest
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_cmyk,
+    )
+
+    for i in range(6):
+        img = _cmyk_tile_image(i)
+        for enc in (
+            encode_jpeg_cmyk(img),
+            encode_jpeg_cmyk(img, ycck=True, sampling="444"),
+            encode_jpeg_cmyk(img, ycck=True, sampling="422"),
+            encode_jpeg_cmyk(img, ycck=True, sampling="420"),
+        ):
+            assert np.array_equal(decode_jpeg(enc), img), i
+    # noise is lossy but shape- and range-sane through both transforms
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, size=(17, 22, 4)).astype(np.uint8)
+    for enc in (
+        encode_jpeg_cmyk(noise),
+        encode_jpeg_cmyk(noise, ycck=True, sampling="420"),
+    ):
+        assert decode_jpeg(enc).shape == noise.shape
+    img = _cmyk_tile_image(1)
+    enc = encode_jpeg_cmyk(img)
+    # strip the APP14 segment -> ambiguous 4-component stream refuses
+    app14_len = 2 + 2 + 12
+    no_app14 = enc[:2] + enc[2 + app14_len:]
+    assert no_app14[2:4] == b"\xff\xdb"  # really removed the marker
+    with pytest.raises(NotImplementedError, match="without an Adobe"):
+        decode_jpeg(no_app14)
+    # unknown transform byte refuses by name
+    bad = bytearray(enc)
+    bad[2 + 4 + 11] = 1  # transform=1 (YCbCr) is invalid with 4 comps
+    with pytest.raises(NotImplementedError, match="transform 1"):
+        decode_jpeg(bytes(bad))
+    with pytest.raises(ValueError, match="HxWx4"):
+        encode_jpeg_cmyk(img[:, :, :3])
+    with pytest.raises(ValueError, match="4:4:4 only"):
+        encode_jpeg_cmyk(img, sampling="420")
+    with pytest.raises(ValueError, match="outside 0..255"):
+        encode_jpeg_cmyk(img.astype(np.int32) + 300)
+
+
+def test_jpeg_cmyk_interchange_with_jvm(spark):
+    """Two-sided external validation of the 4-component pipeline
+    against javax.imageio: (a) the JVM's readRaster (no color
+    conversion) returns OUR files' stored-domain samples — exactly on
+    the exactness class for both transforms, and within integer-IDCT
+    rounding on transform-0 noise; (b) the JVM's own 4-band raster
+    WRITER produces streams that, with an Adobe transform-0 APP14
+    spliced in, our decoder must agree with the JVM's reader on to
+    within rounding — an independent encoder exercising our
+    4-component entropy/MCU walk."""
+    import struct
+
+    import numpy as np
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_cmyk,
+    )
+
+    jvm = spark._jvm
+
+    def jvm_read_raster(enc):
+        """The JVM's NO-color-conversion path: readRaster returns the
+        stored-domain samples (chroma upsampled, +128 biased)."""
+        stream = jvm.javax.imageio.ImageIO.createImageInputStream(
+            jvm.java.io.ByteArrayInputStream(bytearray(enc))
+        )
+        reader = jvm.javax.imageio.ImageIO.getImageReaders(stream).next()
+        reader.setInput(stream)
+        raster = reader.readRaster(0, None)
+        h, w, nb = raster.getHeight(), raster.getWidth(), raster.getNumBands()
+        return np.array(
+            [
+                [
+                    [raster.getSample(x, y, c) for c in range(nb)]
+                    for x in range(w)
+                ]
+                for y in range(h)
+            ],
+            dtype=np.int64,
+        )
+
+    # (a) exactness class, both JVM paths: ImageIO.read applies the
+    # full Adobe pipeline (YCCK inverse + sample re-inversion) and must
+    # equal the TRUE ink values; readRaster must equal the STORED
+    # domain (inverted samples; zero chroma reads 128 for YCCK)
+    for i in (0, 1, 3):
+        img = _cmyk_tile_image(i)
+        inv = 255 - img.astype(np.int64)
+        stored_ycck = np.stack(
+            [
+                inv[:, :, 0],  # Y of inverted gray == the gray
+                np.full(img.shape[:2], 128, dtype=np.int64),
+                np.full(img.shape[:2], 128, dtype=np.int64),
+                inv[:, :, 3],
+            ],
+            axis=-1,
+        )
+        for kind, enc, stored in (
+            ("cmyk", encode_jpeg_cmyk(img), inv),
+            (
+                "ycck420",
+                encode_jpeg_cmyk(img, ycck=True, sampling="420"),
+                stored_ycck,
+            ),
+            (
+                "ycck422",
+                encode_jpeg_cmyk(img, ycck=True, sampling="422"),
+                stored_ycck,
+            ),
+        ):
+            if kind == "cmyk":
+                # ImageIO.read's full conversion honors the Adobe
+                # inversion for transform 0 → TRUE ink values. (Its
+                # YCCK path carries the known JDK quirk of re-inverting
+                # only K, so for YCCK the unambiguous external check is
+                # the stored-domain raster below — the YCCK→CMYK color
+                # math itself is pinned by our round-trip + oracle.)
+                converted = _jvm_decode_jpeg(jvm, enc)
+                assert np.array_equal(
+                    converted, img.astype(np.int64)
+                ), (i, kind)
+            raw = jvm_read_raster(enc)
+            assert np.array_equal(raw, stored), (i, kind)
+    # (a) noise, transform 0: decoder-vs-decoder on the same stream
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, size=(16, 24, 4)).astype(np.uint8)
+    enc = encode_jpeg_cmyk(noise)
+    ours_stored = 255 - decode_jpeg(enc).astype(np.int64)
+    theirs = jvm_read_raster(enc)
+    assert np.abs(ours_stored - theirs).max() <= 1
+    # (b) the JVM writes a 4-band raster; we splice Adobe APP14
+    # transform 0 and compare our decode with the JVM's own reader
+    h, w = 16, 24
+    raster = jvm.java.awt.image.Raster.createInterleavedRaster(
+        0, w, h, 4, jvm.java.awt.Point(0, 0)
+    )
+    vals = rng.integers(0, 256, size=(h, w, 4))
+    for y in range(h):
+        for x in range(w):
+            for c in range(4):
+                raster.setSample(x, y, c, int(vals[y, x, c]))
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+        "jpeg"
+    ).next()
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(jvm.javax.imageio.IIOImage(raster, None, None))
+    ios.flush()
+    jvm_bytes = bytes(baos.toByteArray())
+    app14 = b"\xff\xee" + struct.pack(">H", 14) + b"Adobe" + struct.pack(
+        ">HHHB", 100, 0, 0, 0
+    )
+    ours = decode_jpeg(jvm_bytes[:2] + app14 + jvm_bytes[2:])
+    assert ours.shape == (h, w, 4)
+    theirs = jvm_read_raster(jvm_bytes)
+    assert np.abs((255 - ours.astype(np.int64)) - theirs).max() <= 1
