@@ -1301,3 +1301,83 @@ def dup_rate_by_group(
             F.expr("CAST(n_dup_docs * 1000000 DIV n_docs AS BIGINT)"),
         )
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int = 5,
+) -> DataFrame:
+    """Paragraph-level exact deduplication (r16 — the MassiveText/
+    Gopher recipe: duplicated PASSAGES — boilerplate, licenses,
+    navigation — recur across documents that are not themselves
+    duplicates, so document-level dedup misses them): split each
+    document into paragraphs (here: runs of ``chunk_tokens``
+    whitespace tokens — the fixture corpus has no newlines; swap the
+    splitter for ``\\n\\n`` on real text, the rest is unchanged), keep
+    only the globally FIRST occurrence of each distinct paragraph
+    (ordered by (doc_id, position) — deterministic), and reassemble
+    every document from its surviving paragraphs in order.
+
+    Returns (doc_id, n_paras, n_kept, kept_len, kept_text) — one row
+    per input document, fully-deduplicated documents included with
+    ``n_kept = 0`` and empty text.
+
+    Plan shape / 100 TB: one map-side explode (sequence+slice chunking,
+    the c52 shape — the token array is let-bound once per row), ONE
+    window over the paragraph hash partitioned BY PARAGRAPH (the dedup
+    decision — a keyed shuffle on the paragraph, bounded by corpus
+    token count, exactly the c73 gram-aggregate class), one doc-keyed
+    reassembly aggregate, and a left join back to the id spine for the
+    all-duplicate rows. No driver state, no cross join; skew from a
+    mega-duplicated paragraph is one hot reducer KEY (AQE splits it),
+    not a hot partition."""
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda ci: F.concat_ws(
+            " ", F.slice(toks, ci * chunk_tokens + 1, chunk_tokens)
+        ),
+    )
+    paras = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(chunks).alias("para_idx", "para"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("para").orderBy("doc_id", "para_idx")
+    )
+    kept = (
+        paras.withColumn("_rn", rn)
+        .filter(F.col("_rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("para_idx", "para")))
+                .getField("para")
+            ).alias("kept_text"),
+        )
+    )
+    spine = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.ceil(F.size(F.split(F.col(text_col), " ")) / F.lit(chunk_tokens))
+        .cast("bigint")
+        .alias("n_paras"),
+    )
+    return (
+        spine.join(kept, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_paras",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.length(F.coalesce(F.col("kept_text"), F.lit(""))).cast(
+                "bigint"
+            ).alias("kept_len"),
+            F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+        )
+    )

@@ -2181,3 +2181,98 @@ def group_diversity(
             ).alias("gini_micro"),
         )
     )
+
+
+def synthesize_urls(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic raw-URL fixtures for the canonicalization entry
+    (c227): every URL component is closed-form. ``m = id % 150`` fixes
+    everything CANONICAL (scheme, optional ``blog.`` subdomain,
+    ``site<n>`` host label, TLD incl. a ``co.uk`` public-suffix case,
+    a kept non-default ``:8080`` port, path, the real ``q=`` query) so
+    ids 150 apart are true duplicates after cleaning; id-derived NOISE
+    rides on top — ``www.`` prefixes, default ``:80``/``:443`` ports,
+    ``utm_*`` tracking params, fragments, an ``/index.html`` or
+    trailing-slash path spelling, and whole-URL UPPERCASING — exactly
+    the variance canonicalization exists to collapse. Pure projection
+    (whole-stage codegen), zero shuffles."""
+    i = F.col(id_col)
+    m = i % 150
+    scheme = F.when(m % 2 == 1, F.lit("http")).otherwise(F.lit("https"))
+    tld = (
+        F.when(m % 7 == 0, F.lit("co.uk"))
+        .when(m % 3 == 0, F.lit("com"))
+        .when(m % 3 == 1, F.lit("org"))
+        .otherwise(F.lit("net"))
+    )
+    port = (
+        F.when(m % 11 == 7, F.lit(":8080"))
+        .when((i % 4 == 0) & (m % 2 == 1), F.lit(":80"))
+        .when((i % 4 == 0) & (m % 2 == 0), F.lit(":443"))
+        .otherwise(F.lit(""))
+    )
+    sfx = (
+        F.when(i % 4 == 2, F.lit("/index.html"))
+        .when(i % 4 == 3, F.lit("/"))
+        .otherwise(F.lit(""))
+    )
+    has_q = (m % 6 == 0) | (m % 6 == 3)
+    utm = i % 6 == 0
+    query = (
+        F.when(utm & has_q, F.concat(F.lit("?utm_source=x&q="), m % 10))
+        .when(has_q, F.concat(F.lit("?q="), m % 10))
+        .when(utm, F.lit("?utm_source=x"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        scheme,
+        F.lit("://"),
+        F.when(i % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(m % 8 == 5, F.lit("blog.")).otherwise(F.lit("")),
+        F.lit("site"), m % 29, F.lit("."), tld,
+        port,
+        F.lit("/a"), m % 13, sfx,
+        query,
+        F.when(i % 9 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    url = F.when(i % 5 == 0, F.upper(url)).otherwise(url)
+    return df.select(F.col(id_col).alias("doc_id"), url.alias("url"))
+
+
+def canonicalize_url(url: Column) -> Column:
+    """URL canonicalization (r16 — the RefinedWeb/Common-Crawl cleanup
+    every web-scale corpus runs before URL-level dedup): lowercase;
+    strip the fragment; strip ``utm_*`` tracking parameters (and any
+    separator they leave dangling); strip a leading ``www.``; strip
+    scheme-default ``:80``/``:443`` ports (non-default ports are
+    IDENTITY-BEARING and stay); collapse ``/index.html`` and
+    trailing-slash path spellings. Pure sequential ``regexp_replace``
+    projection — row-local, codegen'd, zero shuffles at any scale; the
+    patterns avoid lookaround so the same semantics replay in RE2
+    engines (the DuckDB oracle re-derives the canonical form
+    independently from the closed fixture form, so the c227 driver row
+    certifies the INTENDED cleanup, not merely a replay of this
+    chain)."""
+    c = F.lower(url)
+    c = F.regexp_replace(c, "#.*$", "")
+    c = F.regexp_replace(c, "utm_[a-z]+=[^&]*&?", "")
+    c = F.regexp_replace(c, "[?&]$", "")
+    c = F.regexp_replace(c, r"^(https?)://www\.", "$1://")
+    c = F.regexp_replace(c, r"^(http://[^/:]+):80/", "$1/")
+    c = F.regexp_replace(c, r"^(https://[^/:]+):443/", "$1/")
+    c = F.regexp_replace(c, r"/index\.html(\?|$)", "$1")
+    c = F.regexp_replace(c, r"/(\?|$)", "$1")
+    return c
+
+
+def registered_domain(canonical: Column) -> Column:
+    """Registered (pay-level) domain of a canonical URL: the host's
+    last two labels, or three under a multi-label public suffix (the
+    fixture carries ``co.uk``; production swaps in the full Public
+    Suffix List, still a row-local lookup). Subdomains (``blog.``)
+    fall away — the blocklist/grouping key web-curation pipelines
+    actually use."""
+    host = F.regexp_extract(canonical, "^https?://([^/:?]+)", 1)
+    return F.when(
+        host.endswith(".co.uk"),
+        F.regexp_extract(host, r"([^.]+\.co\.uk)$", 1),
+    ).otherwise(F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1))

@@ -18193,6 +18193,183 @@ def c226_jpeg_cmyk_decode_stats(
 
 
 @query(
+    "c227_url_canonicalize",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id, doc_id % 150 AS m FROM documents
+    ),
+    canon AS (
+        SELECT doc_id,
+               (CASE WHEN m % 2 = 1 THEN 'http' ELSE 'https' END)
+               || '://'
+               || (CASE WHEN m % 8 = 5 THEN 'blog.' ELSE '' END)
+               || 'site' || (m % 29) || '.'
+               || (CASE WHEN m % 7 = 0 THEN 'co.uk'
+                        WHEN m % 3 = 0 THEN 'com'
+                        WHEN m % 3 = 1 THEN 'org' ELSE 'net' END)
+               || (CASE WHEN m % 11 = 7 THEN ':8080' ELSE '' END)
+               || '/a' || (m % 13)
+               || (CASE WHEN m % 6 IN (0, 3)
+                        THEN '?q=' || (m % 10) ELSE '' END) AS canon,
+               'site' || (m % 29) || '.'
+               || (CASE WHEN m % 7 = 0 THEN 'co.uk'
+                        WHEN m % 3 = 0 THEN 'com'
+                        WHEN m % 3 = 1 THEN 'org' ELSE 'net' END) AS domain
+        FROM u
+    ),
+    dedup AS (
+        SELECT canon, MIN(domain) AS domain, MIN(doc_id) AS first_doc,
+               COUNT(*) AS n_docs
+        FROM canon GROUP BY canon
+    )
+    SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(MIN(first_doc) AS BIGINT) AS first_doc
+    FROM dedup
+    WHERE domain NOT IN (
+        SELECT 'site' || k || '.' || t
+        FROM range(29) r(k),
+             (VALUES ('com'), ('org'), ('net'), ('co.uk')) tl(t)
+        WHERE k % 10 = 3
+    )
+    GROUP BY domain ORDER BY domain
+    """,
+    doc="URL canonicalization + registered-domain blocklist filtering "
+        "(operators/text.py, r16 — the RefinedWeb/Common-Crawl cleanup "
+        "every web-scale corpus runs BEFORE URL-level dedup, and the "
+        "reference's users run as SQL string munging through "
+        "execute_sql.py:77): raw URLs carry www. prefixes, default "
+        ":80/:443 ports, utm_* tracking params, fragments, "
+        "/index.html vs trailing-slash path spellings and case noise; "
+        "canonicalize_url collapses all of it in one sequential "
+        "regexp_replace projection (row-local, codegen'd, zero "
+        "shuffles — lookaround-free patterns), registered_domain "
+        "derives the pay-level domain incl. a co.uk multi-label "
+        "public-suffix case, a broadcast anti-join drops blocklisted "
+        "domains, and URL-level dedup keeps the first doc per "
+        "canonical URL. THE ORACLE DERIVES THE CANONICAL FORM "
+        "INDEPENDENTLY from the fixture's closed form (not by "
+        "replaying the regex chain), so the driver row certifies the "
+        "INTENDED cleanup semantics. Plan: projection -> one "
+        "canonical-URL hash aggregate -> broadcast anti-join -> one "
+        "domain aggregate; at 100 TB the only data shuffle is the "
+        "canonical-URL group-by, the blocklist stays broadcast-sized",
+    tags=("text",),
+)
+def c227_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import (
+        canonicalize_url,
+        registered_domain,
+        synthesize_urls,
+    )
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    c = synthesize_urls(d, "doc_id").select(
+        "doc_id", canonicalize_url(F.col("url")).alias("canon")
+    )
+    c = c.withColumn("domain", registered_domain(F.col("canon")))
+    dedup = c.groupBy("canon").agg(
+        F.min("domain").alias("domain"),
+        F.min("doc_id").alias("first_doc"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    blocklist = (
+        spark.range(29)
+        .filter("id % 10 = 3")
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.concat(F.lit("site"), F.col("id"), F.lit("." + t))
+                        for t in ("com", "org", "net", "co.uk")
+                    ]
+                )
+            ).alias("domain")
+        )
+    )
+    return (
+        dedup.join(F.broadcast(blocklist), on="domain", how="left_anti")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum("n_docs").alias("n_docs"),
+            F.min("first_doc").alias("first_doc"),
+        )
+        .orderBy("domain")
+    )
+
+
+@query(
+    "c228_paragraph_dedup",
+    oracle="""
+    WITH lst AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    toks AS (
+        SELECT lst.doc_id, r.i + 1 AS ord,
+               lst.l[CAST(r.i + 1 AS INT)] AS tok
+        FROM lst, range(256) r(i)
+        WHERE r.i < len(lst.l)
+    ),
+    paras AS (
+        SELECT doc_id, CAST((ord - 1) // 3 AS BIGINT) AS para_idx,
+               string_agg(tok, ' ' ORDER BY ord) AS para
+        FROM toks GROUP BY doc_id, (ord - 1) // 3
+    ),
+    ranked AS (
+        SELECT doc_id, para_idx, para,
+               row_number() OVER (
+                   PARTITION BY para ORDER BY doc_id, para_idx
+               ) AS rn
+        FROM paras
+    ),
+    kept AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(para, ' ' ORDER BY para_idx) AS kept_text
+        FROM ranked WHERE rn = 1 GROUP BY doc_id
+    ),
+    spine AS (
+        SELECT doc_id,
+               CAST(CEIL(len(string_split(text, ' ')) / 3.0) AS BIGINT)
+                   AS n_paras
+        FROM documents
+    )
+    SELECT s.doc_id, s.n_paras,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(length(COALESCE(k.kept_text, '')) AS BIGINT) AS kept_len,
+           COALESCE(k.kept_text, '') AS kept_text
+    FROM spine s LEFT JOIN kept k ON k.doc_id = s.doc_id
+    """,
+    doc="Paragraph-level exact dedup with document REASSEMBLY "
+        "(operators/dedup.py paragraph_dedup, r16 — the MassiveText/"
+        "Gopher recipe: duplicated PASSAGES — boilerplate, licenses, "
+        "navigation chrome — recur across documents that are not "
+        "themselves duplicates, so the c01 document-level pass misses "
+        "them): each document splits into paragraphs (3-token runs on "
+        "this newline-free fixture; the splitter is the only knob), "
+        "only the globally FIRST occurrence of each distinct "
+        "paragraph survives (deterministic (doc_id, position) order), "
+        "and every document is rebuilt from its surviving paragraphs "
+        "in order — all-duplicate documents emit n_kept=0. The full "
+        "reassembled text rides the output so the value hash "
+        "certifies the rebuild, not just the counts. Plan: map-side "
+        "sequence+slice chunking (the c52 shape), ONE window over "
+        "paragraphs (keyed shuffle bounded by corpus token count — "
+        "the c73 class; a mega-duplicated paragraph is one hot KEY, "
+        "AQE-splittable), one doc-keyed reassembly aggregate, one "
+        "spine left join",
+    tags=("dedup", "text"),
+)
+def c228_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import paragraph_dedup
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return paragraph_dedup(d, "doc_id", "text", chunk_tokens=3).orderBy(
+        "doc_id"
+    )
+
+
+@query(
     "q111_time_travel_append",
     oracle="""
     WITH p0 AS (SELECT o_orderkey, o_totalprice FROM orders
@@ -19536,8 +19713,6 @@ _DRIVER_WINDOW = [
     "q63_tpch_q8_market_share",
     "q64_tpch_q13_order_distribution",
     "q65_tpch_q18_large_volume",
-    "q66_tpch_q22_global_sales",
-    "q67_python_udf_ddl",
     # --- oldest r10-rowed entries, in catalog order ---
     "q12_agg_approx_distinct",
     # --- co-windowed oracle twin of the rows-only pick q12 ---
@@ -19546,8 +19721,8 @@ _DRIVER_WINDOW = [
     # displacing fillers newest-first: q13 out for q112, q07 out for
     # c221, q06 out for c222, q05 out for c223, q56 out for q113,
     # c73 out for c224, c80 out for c225, c79 out for q114, c78 out for
-    # c226; the q12+q11 rows-only pair stays seated and would leave
-    # together, last) ---
+    # c226, q67 out for c227, q66 out for c228; the q12+q11 rows-only
+    # pair stays seated and would leave together, last) ---
     "q112_time_travel_selective_dml",
     "c221_tiff_compressed_decode_stats",
     "c222_gif_animation_stats",
@@ -19557,6 +19732,8 @@ _DRIVER_WINDOW = [
     "c225_webdataset_stats",
     "q114_merge_insert_expressions",
     "c226_jpeg_cmyk_decode_stats",
+    "c227_url_canonicalize",
+    "c228_paragraph_dedup",
 ]
 
 
