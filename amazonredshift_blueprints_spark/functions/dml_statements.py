@@ -34,6 +34,14 @@ _DELETE_RE = re.compile(
 _DELETE_USING_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+[`\w.]+\s+USING\b", re.IGNORECASE
 )
+_DELETE_USING_FULL_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+([`\w.]+)\s+USING\s+([`\w.]+)"
+    r"(?:\s+(?:AS\s+)?(?!WHERE\b)(\w+))?\s+WHERE\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_FROM_SRC_RE = re.compile(
+    r"^\s*([`\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s*$", re.IGNORECASE
+)
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+([`\w.]+)\s+SET\s+(.+?)\s*(?:WHERE\s+(.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -65,11 +73,12 @@ def _strip_alias(col: str) -> str:
     return col.strip().strip("`")
 
 
-def _has_toplevel_from(set_clause: str) -> bool:
-    """True when a FROM keyword appears at parenthesis depth 0 outside
-    string literals — the UPDATE ... FROM join clause. FROM inside a
-    call (``extract(day FROM ts)``, ``substring(s FROM 2)``, a scalar
-    subquery) is a legitimate SET expression and must NOT refuse."""
+def _toplevel_from_idx(set_clause: str) -> int:
+    """Index of the first FROM keyword at parenthesis depth 0 outside
+    string literals — the UPDATE ... FROM join clause — or -1. FROM
+    inside a call (``extract(day FROM ts)``, ``substring(s FROM 2)``,
+    a scalar subquery) is a legitimate SET expression and must NOT
+    trigger."""
     depth, i, n = 0, 0, len(set_clause)
     while i < n:
         ch = set_clause[i]
@@ -93,9 +102,49 @@ def _has_toplevel_from(set_clause: str) -> bool:
             after = set_clause[i + 4 : i + 5]
             after_ok = after == "" or not (after.isalnum() or after == "_")
             if before_ok and after_ok:
-                return True
+                return i
         i += 1
-    return False
+    return -1
+
+
+def _has_toplevel_from(set_clause: str) -> bool:
+    return _toplevel_from_idx(set_clause) >= 0
+
+
+def _split_toplevel_and(text: str) -> list[str]:
+    """Split a predicate on AND keywords at parenthesis depth 0 outside
+    string literals — so ``(a OR b AND c)`` stays one clause and a
+    literal containing ``' and '`` survives intact."""
+    out, start, depth, i, n = [], 0, 0, 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            i += 1
+            while i < n:
+                if text[i] == "'":
+                    if i + 1 < n and text[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and text[i : i + 3].upper() == "AND":
+            before_ok = i == 0 or not (
+                text[i - 1].isalnum() or text[i - 1] == "_"
+            )
+            after = text[i + 3 : i + 4]
+            after_ok = after == "" or not (after.isalnum() or after == "_")
+            if before_ok and after_ok:
+                out.append(text[start:i].strip())
+                i += 3
+                start = i
+                continue
+        i += 1
+    out.append(text[start:].strip())
+    return [c for c in out if c]
 
 
 def _dequalify(expr: str, alias: str) -> str:
@@ -218,11 +267,31 @@ def _parse_on_keys(on: str, target: str, src_alias: str) -> list[str]:
 def maybe_handle(spark: SparkSession, query: str) -> bool:
     """Recognize and execute DELETE / UPDATE / MERGE; True if handled."""
     if _DELETE_USING_RE.match(query):
-        raise ValueError(
-            "DELETE ... USING (join delete) is not lowered; rewrite as "
-            "DELETE FROM t WHERE EXISTS-free predicate, or use "
-            "dml.merge_into with a delete_condition"
+        # Redshift's join-delete (r16; previously a named refusal):
+        # DELETE FROM t USING s [AS a] WHERE <cond over both> — target
+        # rows matching ANY source row under the condition leave.
+        # Source references must be alias-qualified (a.col); target
+        # references may be qualified or bare.
+        m = _DELETE_USING_FULL_RE.match(query)
+        if not m:
+            raise ValueError(
+                "DELETE ... USING shape not lowered: supported form is "
+                "DELETE FROM t USING src [AS a] WHERE <condition> "
+                "(single table source; subqueries need a staged table "
+                "or dml.delete_using)"
+            )
+        target, source, src_alias, cond = m.groups()
+        src_alias = (src_alias or source.split(".")[-1]).strip("`")
+        t_short = target.split(".")[-1].strip("`").lower()
+        from ..dml import delete_using
+
+        delete_using(
+            spark,
+            target,
+            spark.table(source),
+            _requalify_update(cond, src_alias, target, t_short, []),
         )
+        return True
     m = _DELETE_RE.match(query)
     if m:
         from ..dml import delete_from
@@ -238,11 +307,84 @@ def maybe_handle(spark: SparkSession, query: str) -> bool:
     m = _UPDATE_RE.match(query)
     if m:
         table, set_clause, cond = m.groups()
-        if _has_toplevel_from(set_clause):
-            raise ValueError(
-                "UPDATE ... FROM (joined update) is not lowered; use "
-                "dml.merge_into for source-driven updates"
+        from_idx = _toplevel_from_idx(set_clause)
+        if from_idx >= 0:
+            # Redshift's joined update (r16; previously a named
+            # refusal): UPDATE t SET ... FROM src [AS a] WHERE
+            # t.k = a.k [AND extra...] — the key-equality conjunctions
+            # become the join, everything else rides as an extra match
+            # condition; SET expressions see target columns bare and
+            # source columns as a.col
+            src_spec = set_clause[from_idx + 4 :]
+            sets_text = set_clause[:from_idx].strip()
+            ms = _FROM_SRC_RE.match(src_spec)
+            if not ms or cond is None:
+                raise ValueError(
+                    "UPDATE ... FROM shape not lowered: supported form "
+                    "is UPDATE t SET ... FROM src [AS a] WHERE "
+                    "t.k = a.k [AND ...] (single table source; "
+                    "subqueries need a staged table or dml.update_from)"
+                )
+            source, src_alias = ms.groups()
+            src_alias = (src_alias or source.split(".")[-1]).strip("`")
+            t_short = table.split(".")[-1].strip("`").lower()
+            keys, extras = [], []
+            for clause in _split_toplevel_and(cond):
+                mp = _ON_PAIR_RE.match(clause)
+                if mp:
+                    a_al, a_col, b_al, b_col = (
+                        mp.group(1).lower(),
+                        _strip_alias(mp.group(2)),
+                        mp.group(3).lower(),
+                        _strip_alias(mp.group(4)),
+                    )
+                    # different column names are the NORM here
+                    # (o_custkey = c_custkey) — any target↔source
+                    # equality becomes a join-key pair
+                    if {a_al, b_al} == {t_short, src_alias.lower()}:
+                        keys.append(
+                            (a_col, b_col) if a_al == t_short
+                            else (b_col, a_col)
+                        )
+                        continue
+                extras.append(clause)
+            if not keys:
+                raise ValueError(
+                    "UPDATE ... FROM needs at least one t.k = a.k "
+                    "key equality in WHERE to join on; got "
+                    f"{cond.strip()!r}"
+                )
+            # ALL source columns (keys included) live as _src_<name>
+            # in update_from's joined namespace → keys=[] here
+            assignments = {}
+            for part in _split_args(sets_text):
+                k, eq, v = part.partition("=")
+                if not eq or not k.strip() or not v.strip():
+                    raise ValueError(
+                        f"unparseable SET assignment {part.strip()!r}"
+                    )
+                lhs = _strip_alias(k).lower().removeprefix(f"{t_short}.")
+                assignments[lhs] = _requalify_update(
+                    v.strip(), src_alias, table, t_short, []
+                )
+            extra = (
+                " AND ".join(
+                    f"({_requalify_update(e, src_alias, table, t_short, [])})"
+                    for e in extras
+                )
+                or None
             )
+            from ..dml import update_from
+
+            update_from(
+                spark,
+                table,
+                spark.table(source),
+                keys,
+                assignments,
+                extra_condition=extra,
+            )
+            return True
         assignments = {}
         for part in _split_args(set_clause):
             k, _, v = part.partition("=")

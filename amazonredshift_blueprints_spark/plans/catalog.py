@@ -18834,6 +18834,149 @@ def q114_merge_insert_expressions(
 
 
 @query(
+    "q115_delete_using",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM customer c
+        WHERE c.c_custkey = o.o_custkey
+          AND c.c_mktsegment = 'BUILDING'
+          AND c.c_acctbal < 0
+    )
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="DELETE ... USING — Redshift's join-delete statement "
+        "(functions/dml_statements.py + dml.delete_using, r16; "
+        "previously a named refusal that told users to rewrite their "
+        "SQL): target rows matching ANY source row under the WHERE "
+        "condition are removed — here orders of BUILDING-segment "
+        "customers with negative account balance, driven by a "
+        "customer-derived deletion table. Aliases requalify outside "
+        "string literals (u.col -> _src_col, target refs bare); "
+        "conditions are arbitrary (equi-conjuncts become the hash "
+        "join, the rest residual — a pure theta condition also "
+        "lowers). Plan: ONE left-anti join + the rewrite; both "
+        "counters ride the same job via two observe nodes (target "
+        "scan + kept side), no second scan. The oracle replays as "
+        "NOT EXISTS. At 100 TB the deletion driver is the small "
+        "broadcast side and the fact table scans once",
+    tags=("native", "sql", "dml", "orders"),
+)
+def q115_delete_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ingest import _clean_stale_location
+    from ..sqlrun import execute_sql
+
+    views(spark, sf_dir, "orders", "customer")
+    tbl, side = "bp_du_orders", "bp_du_side"
+    for t in (tbl, side):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _clean_stale_location(spark, t, None)
+    execute_sql(
+        spark,
+        f"CREATE TABLE {tbl} AS SELECT o_orderkey, o_custkey, "
+        "o_orderstatus, o_totalprice FROM orders",
+    )
+    execute_sql(
+        spark,
+        f"CREATE TABLE {side} AS SELECT c_custkey, c_acctbal "
+        "FROM customer WHERE c_mktsegment = 'BUILDING'",
+    )
+    execute_sql(
+        spark,
+        f"DELETE FROM {tbl} USING {side} AS u "
+        f"WHERE {tbl}.o_custkey = u.c_custkey AND u.c_acctbal < 0",
+    )
+    return (
+        spark.table(tbl)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q116_update_from",
+    oracle="""
+    WITH upd AS (
+        SELECT o.o_orderstatus,
+               o.o_totalprice + COALESCE(
+                   (SELECT CASE WHEN c.c_mktsegment = 'MACHINERY'
+                                THEN c.c_acctbal END
+                    FROM customer c WHERE c.c_custkey = o.o_custkey),
+                   0) AS p
+        FROM orders o
+    )
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM upd GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="UPDATE ... FROM — Redshift's joined update statement "
+        "(functions/dml_statements.py + dml.update_from, r16; "
+        "previously a named refusal): matched target rows evaluate "
+        "SET expressions over the joined row (target columns bare, "
+        "source columns qualified), the WHERE clause's same-named "
+        "key equalities become the join and every other predicate "
+        "rides as an extra match condition (here the MACHINERY "
+        "segment filter), unmatched rows pass through. A source with "
+        "DUPLICATE join keys REFUSES by name — Redshift silently "
+        "picks an arbitrary matching row there; this engine makes "
+        "the nondeterminism an error (one count-aggregate probe). "
+        "FROM inside a SET-expression call (extract(day FROM ts)) "
+        "still parses as plain UPDATE — the splitter is paren- and "
+        "quote-aware. Plan: ONE left hash join on the key + the "
+        "rewrite, counter via observe; history tables take the "
+        "merge-style file-pruned selective commit. Oracle replays as "
+        "a correlated scalar lookup",
+    tags=("native", "sql", "dml", "orders"),
+)
+def q116_update_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ingest import _clean_stale_location
+    from ..sqlrun import execute_sql
+
+    views(spark, sf_dir, "orders", "customer")
+    tbl, side = "bp_uf_orders", "bp_uf_side"
+    for t in (tbl, side):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _clean_stale_location(spark, t, None)
+    execute_sql(
+        spark,
+        f"CREATE TABLE {tbl} AS SELECT o_orderkey, o_custkey, "
+        "o_orderstatus, o_totalprice FROM orders",
+    )
+    execute_sql(
+        spark,
+        f"CREATE TABLE {side} AS SELECT c_custkey, c_acctbal, "
+        "c_mktsegment FROM customer",
+    )
+    execute_sql(
+        spark,
+        f"UPDATE {tbl} SET o_totalprice = {tbl}.o_totalprice "
+        f"+ u.c_acctbal FROM {side} AS u "
+        f"WHERE {tbl}.o_custkey = u.c_custkey "
+        "AND u.c_mktsegment = 'MACHINERY'",
+    )
+    return (
+        spark.table(tbl)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
     "q108_procedure_refcursor",
     oracle="""
     SELECT o_orderkey,
@@ -19711,8 +19854,6 @@ _DRIVER_WINDOW = [
     "c76_zorder_keys",
     "q62_tpch_q7_volume_shipping",
     "q63_tpch_q8_market_share",
-    "q64_tpch_q13_order_distribution",
-    "q65_tpch_q18_large_volume",
     # --- oldest r10-rowed entries, in catalog order ---
     "q12_agg_approx_distinct",
     # --- co-windowed oracle twin of the rows-only pick q12 ---
@@ -19721,8 +19862,9 @@ _DRIVER_WINDOW = [
     # displacing fillers newest-first: q13 out for q112, q07 out for
     # c221, q06 out for c222, q05 out for c223, q56 out for q113,
     # c73 out for c224, c80 out for c225, c79 out for q114, c78 out for
-    # c226, q67 out for c227, q66 out for c228; the q12+q11 rows-only
-    # pair stays seated and would leave together, last) ---
+    # c226, q67 out for c227, q66 out for c228, q65 out for q115, q64
+    # out for q116; the q12+q11 rows-only pair stays seated and would
+    # leave together, last) ---
     "q112_time_travel_selective_dml",
     "c221_tiff_compressed_decode_stats",
     "c222_gif_animation_stats",
@@ -19734,6 +19876,8 @@ _DRIVER_WINDOW = [
     "c226_jpeg_cmyk_decode_stats",
     "c227_url_canonicalize",
     "c228_paragraph_dedup",
+    "q115_delete_using",
+    "q116_update_from",
 ]
 
 

@@ -1296,10 +1296,104 @@ class TestDmlStatementFace:
                 "t_mrg_tgt.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v "
                 "WHEN NOT MATCHED THEN INSERT VALUES (s.k)",
             )
-        with pytest.raises(ValueError, match="DELETE ... USING"):
-            execute_sql(spark, "DELETE FROM t_mrg_tgt USING t_mrg_src WHERE 1=1")
+        with pytest.raises(ValueError, match="USING shape not lowered"):
+            execute_sql(
+                spark,
+                "DELETE FROM t_mrg_tgt USING (SELECT 1 AS k) s WHERE "
+                "t_mrg_tgt.k = s.k",
+            )
         spark.sql("DROP TABLE t_mrg_tgt")
         spark.sql("DROP TABLE t_mrg_src")
+
+    def test_delete_using_statement(self, spark):
+        """DELETE FROM t USING s WHERE ... (r16 — Redshift's join
+        delete, previously a named refusal): target rows matching ANY
+        source row under the condition leave; NULL-valued conditions
+        keep rows; non-key residual predicates ride the join."""
+        from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+        self._fresh(
+            spark, "t_du_tgt",
+            [(1, 10, "a"), (2, 20, "b"), (3, 30, "c"), (4, 40, "d")],
+            "k int, v int, s string",
+        )
+        self._fresh(
+            spark, "t_du_src",
+            [(2, "drop"), (3, "keep"), (9, "drop")], "k int, act string",
+        )
+        execute_sql(
+            spark,
+            "DELETE FROM t_du_tgt USING t_du_src AS u "
+            "WHERE t_du_tgt.k = u.k AND u.act = 'drop'",
+        )
+        got = {(r.k, r.v) for r in spark.table("t_du_tgt").collect()}
+        assert got == {(1, 10), (3, 30), (4, 40)}
+        # theta condition (no equality at all) also lowers
+        execute_sql(
+            spark,
+            "DELETE FROM t_du_tgt USING t_du_src AS u "
+            "WHERE t_du_tgt.k < u.k - 7",
+        )
+        got = {(r.k, r.v) for r in spark.table("t_du_tgt").collect()}
+        assert got == {(3, 30), (4, 40)}
+        spark.sql("DROP TABLE t_du_tgt")
+        spark.sql("DROP TABLE t_du_src")
+
+    def test_update_from_statement(self, spark):
+        """UPDATE t SET ... FROM s WHERE t.k = s.k [AND extra] (r16 —
+        Redshift's joined update, previously a named refusal): matched
+        rows evaluate SET expressions over the joined row, unmatched
+        rows pass through, extra predicates narrow the match, and a
+        duplicate-key source refuses by name (the nondeterminism
+        Redshift silently permits)."""
+        import pytest
+
+        from amazonredshift_blueprints_spark.sqlrun import execute_sql
+
+        self._fresh(
+            spark, "t_uf_tgt",
+            [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+            "k int, v int, s string",
+        )
+        self._fresh(
+            spark, "t_uf_src",
+            [(1, 100, "go"), (2, 200, "no"), (9, 900, "go")],
+            "k int, dv int, flag string",
+        )
+        execute_sql(
+            spark,
+            "UPDATE t_uf_tgt SET v = t_uf_tgt.v + u.dv, s = upper(t_uf_tgt.s) "
+            "FROM t_uf_src AS u "
+            "WHERE t_uf_tgt.k = u.k AND u.flag = 'go'",
+        )
+        got = {(r.k, r.v, r.s) for r in spark.table("t_uf_tgt").collect()}
+        assert got == {(1, 110, "A"), (2, 20, "b"), (3, 30, "c")}
+        # no key equality in WHERE refuses by name
+        with pytest.raises(ValueError, match="at least one"):
+            execute_sql(
+                spark,
+                "UPDATE t_uf_tgt SET v = u.dv FROM t_uf_src AS u "
+                "WHERE u.flag = 'go'",
+            )
+        # duplicate source keys refuse (nondeterministic update)
+        spark.sql("INSERT INTO t_uf_src VALUES (1, 7, 'go')")
+        with pytest.raises(ValueError, match="duplicate join keys"):
+            execute_sql(
+                spark,
+                "UPDATE t_uf_tgt SET v = u.dv FROM t_uf_src AS u "
+                "WHERE t_uf_tgt.k = u.k",
+            )
+        # FROM inside a SET-expression call still lowers as plain UPDATE
+        execute_sql(
+            spark,
+            "UPDATE t_uf_tgt SET v = v + extract(day FROM "
+            "DATE '1996-03-05') WHERE k = 3",
+        )
+        assert (
+            spark.table("t_uf_tgt").filter("k = 3").collect()[0].v == 35
+        )
+        spark.sql("DROP TABLE t_uf_tgt")
+        spark.sql("DROP TABLE t_uf_src")
 
     def test_merge_statement_insert_expressions(self, spark):
         """Expression-valued / partial INSERT arms (r16): VALUES may be
@@ -1454,12 +1548,13 @@ def test_update_set_from_inside_call_not_refused(spark):
     spark.sql("DROP TABLE t_upd_extract")
 
 
-def test_merge_insert_arm_order_validated(spark):
-    """A reordered or partial INSERT VALUES list would silently insert
-    different values than written (merge_into inserts the source row
-    wholesale) - it must refuse naming the expected order."""
-    import pytest
-
+def test_merge_insert_arm_order_semantics(spark):
+    """Pre-r16 the INSERT arm only accepted the source columns
+    verbatim in source order (anything else risked silently inserting
+    different values than written under the wholesale lowering).
+    Since the expression-valued lowering (q114), a reordered list
+    inserts EXACTLY what is written — the Redshift semantics — and
+    the wholesale spelling keeps its prior plan."""
     from amazonredshift_blueprints_spark.ingest import _clean_stale_location
     from amazonredshift_blueprints_spark.sqlrun import execute_sql
 
@@ -1472,23 +1567,29 @@ def test_merge_insert_arm_order_validated(spark):
     spark.createDataFrame([(2, 20)], "k int, v int").write.saveAsTable(
         "t_mrgord_src"
     )
-    with pytest.raises(ValueError, match="source order"):
-        execute_sql(
-            spark,
-            "MERGE INTO t_mrgord_tgt USING t_mrgord_src AS s "
-            "ON t_mrgord_tgt.k = s.k "
-            "WHEN MATCHED THEN UPDATE SET k = s.k, v = s.v "
-            "WHEN NOT MATCHED THEN INSERT VALUES (s.v, s.k)",
-        )
-    with pytest.raises(ValueError, match="column list"):
-        execute_sql(
-            spark,
-            "MERGE INTO t_mrgord_tgt USING t_mrgord_src AS s "
-            "ON t_mrgord_tgt.k = s.k "
-            "WHEN MATCHED THEN UPDATE SET k = s.k, v = s.v "
-            "WHEN NOT MATCHED THEN INSERT (v, k) VALUES (s.k, s.v)",
-        )
-    # the correct spelling still lands
+    # swapped VALUES insert the swapped values, as written
+    execute_sql(
+        spark,
+        "MERGE INTO t_mrgord_tgt USING t_mrgord_src AS s "
+        "ON t_mrgord_tgt.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET k = s.k, v = s.v "
+        "WHEN NOT MATCHED THEN INSERT VALUES (s.v, s.k)",
+    )
+    assert {(r.k, r.v) for r in spark.table("t_mrgord_tgt").collect()} == {
+        (1, 10), (20, 2),
+    }
+    # reordered column list binds by NAME, not position
+    execute_sql(
+        spark,
+        "MERGE INTO t_mrgord_tgt USING t_mrgord_src AS s "
+        "ON t_mrgord_tgt.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET k = s.k, v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (v, k) VALUES (s.v + 1, s.k)",
+    )
+    assert {(r.k, r.v) for r in spark.table("t_mrgord_tgt").collect()} == {
+        (1, 10), (20, 2), (2, 21),
+    }
+    # the wholesale spelling still lands (and now matches, no insert)
     execute_sql(
         spark,
         "MERGE INTO t_mrgord_tgt USING t_mrgord_src AS s "
@@ -1497,7 +1598,7 @@ def test_merge_insert_arm_order_validated(spark):
         "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)",
     )
     assert {(r.k, r.v) for r in spark.table("t_mrgord_tgt").collect()} == {
-        (1, 10), (2, 20),
+        (1, 10), (20, 2), (2, 20),
     }
     for t in ("t_mrgord_tgt", "t_mrgord_src"):
         spark.sql(f"DROP TABLE {t}")
