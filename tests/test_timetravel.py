@@ -620,6 +620,58 @@ def test_selective_merge_carries_unmatched_files_and_inserts(spark):
     assert live[7] == 777.0 and live[99] == 990.0 and len(live) == 16
 
 
+def test_selective_update_from_carries_unmatched_files(spark):
+    """UPDATE ... FROM on a history table takes the merge-style
+    file-pruned path (r16): only files whose keys intersect the source
+    rewrite, the rest carry by hard link, the counter stays exact, and
+    a no-match source publishes a metadata-only commit. Exercises the
+    pair-key form ((k, ck) — different column names each side)."""
+    from decimal import Decimal
+
+    from amazonredshift_blueprints_spark.dml import update_from
+
+    tt, root = _multi_file_history_table(spark, "t_tt_selupf")
+    prev = tt._read_log(root)[-1]
+    prev_paths = tt._entry_paths(prev)
+    touched_files = _files_with_key(prev_paths, 5)
+    untouched = set(prev_paths) - touched_files
+    assert touched_files and untouched
+    src = spark.createDataFrame(
+        [(5, Decimal("2.00")), (999, Decimal("3.00"))],
+        "ck INT, delta DECIMAL(12,2)",
+    )
+    n = update_from(
+        spark, "t_tt_selupf", src, [("k", "ck")],
+        {"amt": "amt + _src_delta"},
+    )
+    assert n == 1
+    new = tt._read_log(root)[-1]
+    assert new["op"] == "update from" and new["parent"] == prev["version"]
+    new_paths = tt._entry_paths(new)
+    assert _inodes(untouched) <= _inodes(new_paths)
+    assert not (_inodes(touched_files) & _inodes(new_paths))
+    live = {r["k"]: float(r["amt"]) for r in spark.table("t_tt_selupf").collect()}
+    assert live[5] == 52.0 and len(live) == 15
+    assert (
+        tt.table_at(spark, "t_tt_selupf", version=prev["version"]).count()
+        == 15
+    )
+    # a source matching no file publishes a metadata-only commit
+    src2 = spark.createDataFrame(
+        [(777, Decimal("1.00"))], "ck INT, delta DECIMAL(12,2)"
+    )
+    assert (
+        update_from(
+            spark, "t_tt_selupf", src2, [("k", "ck")],
+            {"amt": "amt + _src_delta"},
+        )
+        == 0
+    )
+    newest = tt._read_log(root)[-1]
+    assert newest["location"] == new["location"]
+    assert newest["files"] == new["files"]
+
+
 def test_no_match_dml_is_metadata_only_commit(spark):
     """A DELETE matching nothing publishes a METADATA-ONLY commit: a
     new version number whose entry reuses the tip's directory and
