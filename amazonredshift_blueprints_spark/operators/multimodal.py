@@ -78,6 +78,169 @@ def encode_ppm(pixels) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
 
 
+def encode_pnm(pixels, variant: str) -> bytes:
+    """Full netpbm family encode (r16 — the PPM rung was P6-only):
+    ``P1`` ASCII bitmap (0/1, 1 = black per the PBM spec), ``P2``
+    ASCII graymap, ``P3`` ASCII pixmap, ``P4`` packed binary bitmap
+    (rows MSB-first, padded to a byte boundary), ``P5`` binary graymap
+    in 8-bit or BIG-ENDIAN 16-bit samples by dtype (the netpbm
+    ``maxval > 255`` rule). P6 stays in :func:`encode_ppm`. Bitmaps
+    take a (h, w) array of {0, 1}; graymaps (h, w) uint8/uint16;
+    pixmaps (h, w, 3) uint8."""
+    import numpy as np
+
+    if variant in ("P1", "P4"):
+        arr = np.asarray(pixels)
+        if arr.ndim != 2:
+            raise ValueError(f"{variant} takes an HxW bitmap array")
+        if arr.size and (int(arr.min()) < 0 or int(arr.max()) > 1):
+            raise ValueError(f"{variant} samples must be 0 or 1")
+        arr = arr.astype(np.uint8)
+        h, w = arr.shape
+        head = b"%s\n%d %d\n" % (variant.encode(), w, h)
+        if variant == "P1":
+            body = "\n".join(
+                " ".join(str(int(v)) for v in row) for row in arr
+            )
+            return head + body.encode() + b"\n"
+        return head + np.packbits(arr, axis=1).tobytes()
+    if variant in ("P2", "P5"):
+        arr, depth = _as_pixel_array(pixels, f"encode_pnm {variant}")
+        if arr.ndim != 2:
+            raise ValueError(f"{variant} takes an HxW gray array")
+        h, w = arr.shape
+        maxval = 255 if depth == 8 else 65535
+        head = b"%s\n%d %d\n%d\n" % (variant.encode(), w, h, maxval)
+        if variant == "P2":
+            body = "\n".join(
+                " ".join(str(int(v)) for v in row) for row in arr
+            )
+            return head + body.encode() + b"\n"
+        wire = arr.astype(">u2") if depth == 16 else arr.astype(np.uint8)
+        return head + wire.tobytes()
+    if variant == "P3":
+        arr, depth = _as_pixel_array(pixels, "encode_pnm P3")
+        if depth != 8 or arr.ndim != 3 or arr.shape[2] != 3:
+            raise ValueError("P3 takes an HxWx3 uint8 RGB array")
+        h, w = arr.shape[:2]
+        head = b"P3\n%d %d\n255\n" % (w, h)
+        body = "\n".join(
+            " ".join(str(int(v)) for v in row.reshape(-1)) for row in arr
+        )
+        return head + body.encode() + b"\n"
+    raise ValueError(f"unknown PNM variant {variant!r} (P1-P5 here, P6 via encode_ppm)")
+
+
+def _pnm_header(payload: bytes, ntok: int):
+    """``(tokens, pos)`` after the magic: ``ntok`` whitespace-separated
+    integers with ``#`` comments allowed in any whitespace run — the
+    shared netpbm header grammar."""
+    end, pos, tokens = len(payload), 2, []
+    while len(tokens) < ntok:
+        while pos < end and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("truncated PNM header: unterminated comment")
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < end and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PNM header: missing token")
+        tokens.append(int(payload[start:pos]))
+    return tokens, pos
+
+
+def _pnm_ascii_samples(payload: bytes, pos: int, n: int, maxval: int):
+    """``n`` ASCII integers from ``pos`` (whitespace-separated, ``#``
+    comments skipped), range-checked against ``maxval``."""
+    import numpy as np
+
+    out, end = [], len(payload)
+    while len(out) < n:
+        while pos < end and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                break
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < end and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            break
+        v = int(payload[start:pos])
+        if v < 0 or v > maxval:
+            raise ValueError(f"PNM sample {v} outside 0..{maxval}")
+        out.append(v)
+    if len(out) < n:
+        raise ValueError(
+            f"truncated PNM raster: need {n} samples, have {len(out)}"
+        )
+    return np.asarray(out, dtype=np.uint16 if maxval > 255 else np.uint8)
+
+
+def decode_pnm(payload: bytes):
+    """Full netpbm family decode (r16): P1/P4 bitmaps → (h, w) uint8 of
+    raw {0, 1} raster values (1 = black, the PBM convention — callers
+    map to luminance), P2/P5 graymaps → (h, w) uint8 or uint16 by
+    maxval (16-bit samples are big-endian on the wire), P3/P6 pixmaps
+    → (h, w, 3). P4 rows unpack MSB-first with byte-boundary padding
+    discarded."""
+    import numpy as np
+
+    magic = payload[:2]
+    if magic == b"P6":
+        return decode_image(payload)
+    if magic in (b"P1", b"P4"):
+        (w, h), pos = _pnm_header(payload, 2)
+        if magic == b"P1":
+            return _pnm_ascii_samples(payload, pos, h * w, 1).reshape(h, w)
+        pos += 1  # the single whitespace byte after the header
+        row_bytes = (w + 7) // 8
+        if len(payload) - pos < h * row_bytes:
+            raise ValueError("truncated P4 raster")
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=h * row_bytes, offset=pos
+        ).reshape(h, row_bytes)
+        return np.unpackbits(rows, axis=1)[:, :w]
+    if magic in (b"P2", b"P5"):
+        (w, h, maxval), pos = _pnm_header(payload, 3)
+        if maxval <= 0 or maxval > 65535:
+            raise ValueError(f"PNM maxval {maxval} outside 1..65535")
+        if magic == b"P2":
+            return _pnm_ascii_samples(payload, pos, h * w, maxval).reshape(
+                h, w
+            )
+        pos += 1
+        if maxval > 255:
+            if len(payload) - pos < h * w * 2:
+                raise ValueError("truncated P5 raster")
+            return (
+                np.frombuffer(payload, dtype=">u2", count=h * w, offset=pos)
+                .reshape(h, w)
+                .astype(np.uint16)
+            )
+        if len(payload) - pos < h * w:
+            raise ValueError("truncated P5 raster")
+        return np.frombuffer(
+            payload, dtype=np.uint8, count=h * w, offset=pos
+        ).reshape(h, w)
+    if magic == b"P3":
+        (w, h, maxval), pos = _pnm_header(payload, 3)
+        if maxval != 255:
+            raise NotImplementedError("16-bit P3 is not in this corpus")
+        return _pnm_ascii_samples(payload, pos, h * w * 3, 255).reshape(
+            h, w, 3
+        )
+    raise ValueError(f"not a PNM payload: magic {magic!r}")
+
+
 def decode_image(payload: bytes):
     """REAL image decode for uncompressed binary PPM (P6) — pure numpy,
     no codec library — returning an (h, w, 3) uint8 array. Compressed
@@ -116,6 +279,8 @@ def decode_image(payload: bytes):
             )
         data = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=pos)
         return data.reshape(h, w, 3)
+    if payload[:1] == b"P" and payload[1:2] in (b"1", b"2", b"3", b"4", b"5"):
+        return decode_pnm(payload)  # full netpbm family (r16)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:4] == b"GIF8":
@@ -5101,6 +5266,95 @@ def image_cmyk_stats(
         stats,
         "doc_id long, width long, height long, n_pixels long, "
         "sum_c long, sum_m long, sum_y long, sum_k long",
+    )
+
+
+def synthesize_pnm_images(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic payloads across the FULL netpbm family (r16):
+    ``id % 5`` picks P1 (ASCII bitmap) / P2 (ASCII graymap) / P3
+    (ASCII pixmap) / P4 (packed binary bitmap) / P5 (16-BIT big-endian
+    binary graymap). Sample values are the closed form ``(id*31 +
+    r*17 + c*7 + ch*5) % M`` with M = 2 for bitmaps, 60000 for the
+    16-bit graymap, 256 otherwise (ch is 0 except P3's three
+    channels); dimensions ``(5 + id%4) x (6 + id%5)`` are non-multiples
+    of 8 so P4's row byte-padding always exercises. Lossless formats →
+    the c229 oracle replays sample sums arithmetically."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                h, w = 5 + i % 4, 6 + i % 5
+                r = np.arange(h)[:, None]
+                c = np.arange(w)[None, :]
+                base = i * 31 + r * 17 + c * 7
+                variant = ("P1", "P2", "P3", "P4", "P5")[i % 5]
+                if variant in ("P1", "P4"):
+                    img = (base % 2).astype(np.uint8)
+                elif variant == "P2":
+                    img = (base % 256).astype(np.uint8)
+                elif variant == "P5":
+                    img = (base % 60000).astype(np.uint16)
+                else:
+                    img = np.stack(
+                        [((base + ch * 5) % 256) for ch in range(3)],
+                        axis=-1,
+                    ).astype(np.uint8)
+                payloads.append(encode_pnm(img, variant))
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def pnm_image_stats(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL netpbm decode + featurize across all five P1-P5 variants:
+    each payload runs through :func:`decode_pnm` and reduces to the
+    variant tag, dimensions and the exact integer sum over every
+    sample (channels included). Arrow-batched ``mapInPandas`` inside
+    the scan's partitions — no shuffle, embarrassingly parallel at
+    100 TB."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "doc_id", "variant", "width", "height",
+                    "n_pixels", "sample_sum",
+                )
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                arr = decode_pnm(payload)
+                h, w = arr.shape[:2]
+                rows["doc_id"].append(int(doc_id))
+                rows["variant"].append(payload[:2].decode())
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(h * w)
+                rows["sample_sum"].append(int(arr.astype(np.int64).sum()))
+            out = pd.DataFrame(
+                {
+                    k: pd.Series(v, dtype="object" if k == "variant" else "int64")
+                    for k, v in rows.items()
+                }
+            )
+            yield out
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        stats,
+        "doc_id long, variant string, width long, height long, "
+        "n_pixels long, sample_sum long",
     )
 
 

@@ -18193,6 +18193,58 @@ def c226_jpeg_cmyk_decode_stats(
 
 
 @query(
+    "c229_pnm_decode_stats",
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id,
+               (d.doc_id * 31 + r.r * 17 + c.c * 7 + ch.ch * 5)
+               % (CASE WHEN d.doc_id % 5 IN (0, 3) THEN 2
+                       WHEN d.doc_id % 5 = 4 THEN 60000
+                       ELSE 256 END) AS v
+        FROM documents d, range(9) r(r), range(11) c(c), range(3) ch(ch)
+        WHERE r.r < 5 + d.doc_id % 4
+          AND c.c < 6 + d.doc_id % 5
+          AND ch.ch < CASE WHEN d.doc_id % 5 = 2 THEN 3 ELSE 1 END
+    )
+    SELECT doc_id,
+           CASE doc_id % 5 WHEN 0 THEN 'P1' WHEN 1 THEN 'P2'
+                WHEN 2 THEN 'P3' WHEN 3 THEN 'P4' ELSE 'P5' END
+               AS variant,
+           CAST(6 + doc_id % 5 AS BIGINT) AS width,
+           CAST(5 + doc_id % 4 AS BIGINT) AS height,
+           CAST((5 + doc_id % 4) * (6 + doc_id % 5) AS BIGINT)
+               AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS sample_sum
+    FROM px GROUP BY doc_id
+    """,
+    doc="FULL netpbm family decode — P1/P2/P3 ASCII and P4/P5 binary "
+        "(operators/multimodal.py, r16; the original PPM rung was "
+        "P6-only, leaving the other five magic numbers of the "
+        "simplest interchange family on the floor): ASCII rasters "
+        "tokenize with #-comment handling and per-sample range "
+        "checks, P4 bitmaps unpack MSB-first with row byte-padding "
+        "discarded (dimensions are deliberate non-multiples of 8), "
+        "and P5 graymaps carry 16-BIT BIG-ENDIAN samples per the "
+        "netpbm maxval>255 rule. pytest pins ASCII<->binary "
+        "cross-form equality (the same raster through P1 and P4, P2 "
+        "and P5 decodes identically), round trips for every variant, "
+        "header comments, and truncation refusals. Lossless formats "
+        "-> the oracle replays per-sample sums arithmetically from "
+        "the closed fixture form. Decode is Arrow-batched inside the "
+        "scan's partitions — no shuffle",
+    tags=("multimodal",),
+)
+def c229_pnm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        pnm_image_stats,
+        synthesize_pnm_images,
+    )
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return pnm_image_stats(synthesize_pnm_images(d, "doc_id"))
+
+
+@query(
     "c227_url_canonicalize",
     oracle="""
     WITH u AS (
@@ -19853,7 +19905,6 @@ _DRIVER_WINDOW = [
     "c77_weighted_sample",
     "c76_zorder_keys",
     "q62_tpch_q7_volume_shipping",
-    "q63_tpch_q8_market_share",
     # --- oldest r10-rowed entries, in catalog order ---
     "q12_agg_approx_distinct",
     # --- co-windowed oracle twin of the rows-only pick q12 ---
@@ -19863,8 +19914,8 @@ _DRIVER_WINDOW = [
     # c221, q06 out for c222, q05 out for c223, q56 out for q113,
     # c73 out for c224, c80 out for c225, c79 out for q114, c78 out for
     # c226, q67 out for c227, q66 out for c228, q65 out for q115, q64
-    # out for q116; the q12+q11 rows-only pair stays seated and would
-    # leave together, last) ---
+    # out for q116, q63 out for c229; the q12+q11 rows-only pair stays
+    # seated and would leave together, last) ---
     "q112_time_travel_selective_dml",
     "c221_tiff_compressed_decode_stats",
     "c222_gif_animation_stats",
@@ -19878,6 +19929,7 @@ _DRIVER_WINDOW = [
     "c228_paragraph_dedup",
     "q115_delete_using",
     "q116_update_from",
+    "c229_pnm_decode_stats",
 ]
 
 

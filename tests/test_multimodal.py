@@ -2296,3 +2296,64 @@ def test_jpeg_cmyk_interchange_with_jvm(spark):
     assert ours.shape == (h, w, 4)
     theirs = jvm_read_raster(jvm_bytes)
     assert np.abs((255 - ours.astype(np.int64)) - theirs).max() <= 1
+
+
+def test_pnm_family_roundtrip_crossform_and_refusals():
+    """Full netpbm family (r16): every variant round-trips losslessly,
+    the SAME raster through ASCII and binary forms decodes
+    identically (P1<->P4, P2<->P5), 16-bit P5 is big-endian per the
+    maxval>255 rule, header comments parse, and truncation/range
+    violations refuse by name."""
+    import numpy as np
+    import pytest
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_image,
+        decode_pnm,
+        encode_pnm,
+    )
+
+    rng = np.random.default_rng(13)
+    for h, w in [(3, 3), (5, 17), (9, 8), (7, 30)]:
+        bit = rng.integers(0, 2, size=(h, w)).astype(np.uint8)
+        g8 = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+        g16 = rng.integers(0, 60000, size=(h, w)).astype(np.uint16)
+        rgb = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert np.array_equal(decode_pnm(encode_pnm(bit, "P1")), bit)
+        assert np.array_equal(decode_pnm(encode_pnm(bit, "P4")), bit)
+        assert np.array_equal(decode_pnm(encode_pnm(g8, "P2")), g8)
+        assert np.array_equal(decode_pnm(encode_pnm(g8, "P5")), g8)
+        out16 = decode_pnm(encode_pnm(g16, "P5"))
+        assert out16.dtype == np.uint16 and np.array_equal(out16, g16)
+        assert np.array_equal(decode_pnm(encode_pnm(rgb, "P3")), rgb)
+        # cross-form: ASCII and binary spellings of one raster agree
+        assert np.array_equal(
+            decode_pnm(encode_pnm(bit, "P1")),
+            decode_pnm(encode_pnm(bit, "P4")),
+        )
+        assert np.array_equal(
+            decode_pnm(encode_pnm(g8, "P2")),
+            decode_pnm(encode_pnm(g8, "P5")),
+        )
+    # the 16-bit wire format is BIG-endian: check one sample by hand
+    one = np.array([[0x1234]], dtype=np.uint16)
+    enc = encode_pnm(one, "P5")
+    assert enc.endswith(b"\x12\x34")
+    # header comments parse anywhere whitespace is legal
+    p = encode_pnm(g8, "P2")
+    assert np.array_equal(
+        decode_pnm(p[:2] + b"\n# a comment\n" + p[2:]), g8
+    )
+    # decode_image routes the netpbm magics
+    assert np.array_equal(decode_image(encode_pnm(g8, "P5")), g8)
+    # refusals
+    with pytest.raises(ValueError, match="truncated P5"):
+        decode_pnm(encode_pnm(g8, "P5")[:-3])
+    with pytest.raises(ValueError, match="truncated PNM raster"):
+        decode_pnm(b"P2\n3 3\n255\n1 2 3 4\n")
+    with pytest.raises(ValueError, match="outside 0..255"):
+        decode_pnm(b"P2\n1 1\n255\n300\n")
+    with pytest.raises(ValueError, match="0 or 1"):
+        encode_pnm(g8, "P1")
+    with pytest.raises(ValueError, match="unknown PNM variant"):
+        encode_pnm(g8, "P7")
