@@ -1135,6 +1135,53 @@ def encode_wav(samples, sample_rate: int = 8000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav_pcm(samples, *, bits: int, sample_rate: int = 8000) -> bytes:
+    """PCM WAVE at the three real-world sample widths (r16): ``bits=8``
+    takes UNSIGNED uint8 stored-domain samples (the WAV convention —
+    8-bit PCM is excess-128), ``16`` little-endian int16, ``24``
+    int32 values within ±2^23 packed as 3-byte little-endian signed.
+    ``samples`` is (n_samples, n_channels); frames interleave
+    row-major."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples)
+    if arr.ndim != 2:
+        raise ValueError("encode_wav_pcm takes (n_samples, n_channels)")
+    n, ch = arr.shape
+    if bits == 8:
+        if arr.dtype != np.uint8:
+            raise ValueError("8-bit PCM takes uint8 (excess-128) samples")
+        data = arr.tobytes()
+    elif bits == 16:
+        data = arr.astype("<i2").tobytes()
+    elif bits == 24:
+        v = arr.astype(np.int64)
+        if v.size and (v.min() < -(1 << 23) or v.max() >= (1 << 23)):
+            raise ValueError("24-bit PCM samples outside ±2^23")
+        u = (v & 0xFFFFFF).astype(np.uint32)
+        b = np.empty((n, ch, 3), dtype=np.uint8)
+        b[..., 0] = u & 0xFF
+        b[..., 1] = (u >> 8) & 0xFF
+        b[..., 2] = (u >> 16) & 0xFF
+        data = b.tobytes()
+    else:
+        raise ValueError(f"encode_wav_pcm: bits must be 8/16/24, got {bits}")
+    ba = ch * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * ba, ba, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    if len(data) & 1:
+        body += b"\x00"  # word alignment pad
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def encode_wav_telephony(
     data: bytes,
     fmt_tag: int,
@@ -1214,12 +1261,15 @@ def decode_wav(payload: bytes):
     """Parse a RIFF/WAVE payload: walk the chunk list (unknown chunks —
     LIST/INFO metadata etc. — are skipped by their declared size, as a
     real parser must) and decode the data chunk per the format tag:
-    1 = PCM16, 6 = G.711 A-law, 7 = G.711 mu-law (the telephony WAVs
+    1 = PCM at 8 (unsigned excess-128, promoted to full-scale int16),
+    16, or 24 bits (3-byte little-endian signed → int32 — r16),
+    6 = G.711 A-law, 7 = G.711 mu-law (the telephony WAVs
     call-center corpora arrive in), 0x11 = IMA ADPCM (mono, block
     headers carrying per-block initial state, low-nibble-first — r16).
     Returns ``(sample_rate, n_channels, samples)`` with ``samples`` an
-    int16 array of shape (n_samples, n_channels). Raises ValueError on
-    anything malformed or an unsupported format tag."""
+    int16 (int32 for 24-bit) array of shape (n_samples, n_channels).
+    Raises ValueError on anything malformed or an unsupported format
+    tag."""
     import struct
 
     import numpy as np
@@ -1247,11 +1297,11 @@ def decode_wav(payload: bytes):
                     "ADPCM (0x11) decode here; production swap-in: "
                     "soundfile/librosa"
                 )
-            want_bits = {1: 16, 6: 8, 7: 8, 0x11: 4}[tag]
-            if bits != want_bits:
+            want_bits = {1: (8, 16, 24), 6: (8,), 7: (8,), 0x11: (4,)}[tag]
+            if bits not in want_bits:
                 raise ValueError(
-                    f"format tag {tag} needs {want_bits}-bit samples, "
-                    f"got {bits}-bit"
+                    f"format tag {tag} needs {'/'.join(map(str, want_bits))}"
+                    f"-bit samples, got {bits}-bit"
                 )
             spb = None
             if tag == 0x11:
@@ -1266,7 +1316,7 @@ def decode_wav(payload: bytes):
                         "samplesPerBlock"
                     )
                 (spb,) = struct.unpack("<H", body[18:20])
-            fmt_info = (tag, rate, ch, ba, spb)
+            fmt_info = (tag, rate, ch, ba, spb, bits)
         elif cid == b"fact":
             (fact_samples,) = struct.unpack("<I", body[:4])
         elif cid == b"data":
@@ -1274,11 +1324,27 @@ def decode_wav(payload: bytes):
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt_info is None or data is None:
         raise ValueError("missing fmt or data chunk")
-    tag, rate, ch, ba, spb = fmt_info
+    tag, rate, ch, ba, spb, bits = fmt_info
     if tag == 1:
-        if len(data) % (2 * ch):
+        if len(data) % (bits // 8 * ch):
             raise ValueError("data chunk is not whole frames")
-        samples = np.frombuffer(data, dtype="<i2").reshape(-1, ch)
+        if bits == 16:
+            samples = np.frombuffer(data, dtype="<i2").reshape(-1, ch)
+        elif bits == 8:
+            # 8-bit PCM is UNSIGNED excess-128 (the WAV rule); promote
+            # to int16 full-scale so downstream stats are width-blind
+            u = np.frombuffer(data, dtype=np.uint8).astype(np.int16)
+            samples = ((u - 128) * 256).reshape(-1, ch)
+        else:  # 24-bit: 3-byte little-endian signed -> int32
+            b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            v = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            samples = np.where(v & 0x800000, v - 0x1000000, v).astype(
+                np.int32
+            ).reshape(-1, ch)
     elif tag in (6, 7):
         if len(data) % ch:
             raise ValueError("data chunk is not whole frames")
@@ -1328,6 +1394,92 @@ def synthesize_wav_audio(
             )
 
     return df.select(F.col(id_col)).mapInPandas(gen, "doc_id long, payload binary")
+
+
+def synthesize_pcm_variant_wavs(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic PCM WAVE payloads across the three real sample
+    widths (r16): ``id % 3`` picks 8-bit mono @ 8 kHz (stored
+    ``(id*13 + j*7) % 256``, unsigned excess-128), 16-bit STEREO @
+    16 kHz (``((id*29 + j*11 + ch*3) % 60000) - 30000``), or 24-bit
+    mono @ 44.1 kHz (``((id*37 + j*17) % 1000000) - 500000``); length
+    ``40 + id % 17`` frames. Lossless PCM → the c230 oracle replays
+    decoded-domain sums arithmetically (8-bit decodes to
+    ``(stored - 128) * 256``)."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                n = 40 + i % 17
+                j = np.arange(n)[:, None]
+                if i % 3 == 0:
+                    arr = ((i * 13 + j * 7) % 256).astype(np.uint8)
+                    payloads.append(
+                        encode_wav_pcm(arr, bits=8, sample_rate=8000)
+                    )
+                elif i % 3 == 1:
+                    ch = np.arange(2)[None, :]
+                    arr = ((i * 29 + j * 11 + ch * 3) % 60000) - 30000
+                    payloads.append(
+                        encode_wav_pcm(
+                            arr.astype(np.int64), bits=16, sample_rate=16000
+                        )
+                    )
+                else:
+                    arr = ((i * 37 + j * 17) % 1000000) - 500000
+                    payloads.append(
+                        encode_wav_pcm(arr, bits=24, sample_rate=44100)
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def wav_pcm_stats(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL PCM WAVE decode + featurize across 8/16/24-bit and
+    mono/stereo layouts: each payload runs through :func:`decode_wav`
+    and reduces to container fields plus exact integer sample stats
+    over every channel. Arrow-batched ``mapInPandas`` inside the
+    scan's partitions — no shuffle."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "doc_id", "n_channels", "sample_rate", "n_samples",
+                    "sample_sum", "sample_min", "sample_max",
+                )
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rate, ch, samples = decode_wav(bytes(payload))
+                v = samples.astype(np.int64)
+                rows["doc_id"].append(int(doc_id))
+                rows["n_channels"].append(ch)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(samples.shape[0])
+                rows["sample_sum"].append(int(v.sum()))
+                rows["sample_min"].append(int(v.min()))
+                rows["sample_max"].append(int(v.max()))
+            yield pd.DataFrame(
+                {k: pd.Series(vv, dtype="int64") for k, vv in rows.items()}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        stats,
+        "doc_id long, n_channels long, sample_rate long, n_samples long, "
+        "sample_sum long, sample_min long, sample_max long",
+    )
 
 
 def synthesize_wav_telephony(df: DataFrame, id_col: str) -> DataFrame:

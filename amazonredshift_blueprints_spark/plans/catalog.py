@@ -18245,6 +18245,62 @@ def c229_pnm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c230_wav_pcm_stats",
+    oracle="""
+    WITH s AS (
+        SELECT d.doc_id,
+               CASE d.doc_id % 3
+                    WHEN 0 THEN
+                        ((d.doc_id * 13 + j.j * 7) % 256 - 128) * 256
+                    WHEN 1 THEN
+                        ((d.doc_id * 29 + j.j * 11 + ch.ch * 3) % 60000)
+                        - 30000
+                    ELSE ((d.doc_id * 37 + j.j * 17) % 1000000) - 500000
+               END AS v
+        FROM documents d, range(56) j(j), range(2) ch(ch)
+        WHERE j.j < 40 + d.doc_id % 17
+          AND ch.ch < CASE WHEN d.doc_id % 3 = 1 THEN 2 ELSE 1 END
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 1 END AS BIGINT)
+               AS n_channels,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                ELSE 44100 END AS BIGINT) AS sample_rate,
+           CAST(40 + doc_id % 17 AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sample_sum,
+           CAST(MIN(v) AS BIGINT) AS sample_min,
+           CAST(MAX(v) AS BIGINT) AS sample_max
+    FROM s GROUP BY doc_id
+    """,
+    doc="PCM WAVE decode across the three real-world sample widths "
+        "(operators/multimodal.py, r16 — decode_wav was PCM16-only "
+        "for tag 1; consumer/archive corpora carry 8-bit unsigned "
+        "and 24-bit studio masters too): 8-bit samples are UNSIGNED "
+        "excess-128 per the WAV rule and promote to full-scale int16 "
+        "so downstream stats are width-blind, 16-bit decodes stereo "
+        "interleaved frames, 24-bit unpacks 3-byte little-endian "
+        "signed with exact sign extension into int32; a 12-bit fmt "
+        "chunk refuses by name. pytest pins round trips at every "
+        "width plus corner samples, and cross-validates the RIFF "
+        "structure and raw frame packing against the JVM's "
+        "independent javax.sound.sampled parser (format fields + "
+        "frame bytes bit-for-bit at all three widths). Lossless PCM "
+        "-> the oracle replays decoded-domain sums/min/max "
+        "arithmetically from the closed fixture form. Decode is "
+        "Arrow-batched inside the scan's partitions — no shuffle",
+    tags=("multimodal",),
+)
+def c230_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        synthesize_pcm_variant_wavs,
+        wav_pcm_stats,
+    )
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return wav_pcm_stats(synthesize_pcm_variant_wavs(d, "doc_id"))
+
+
+@query(
     "c227_url_canonicalize",
     oracle="""
     WITH u AS (
@@ -19904,7 +19960,6 @@ _DRIVER_WINDOW = [
     "q61_system_tables",
     "c77_weighted_sample",
     "c76_zorder_keys",
-    "q62_tpch_q7_volume_shipping",
     # --- oldest r10-rowed entries, in catalog order ---
     "q12_agg_approx_distinct",
     # --- co-windowed oracle twin of the rows-only pick q12 ---
@@ -19914,8 +19969,8 @@ _DRIVER_WINDOW = [
     # c221, q06 out for c222, q05 out for c223, q56 out for q113,
     # c73 out for c224, c80 out for c225, c79 out for q114, c78 out for
     # c226, q67 out for c227, q66 out for c228, q65 out for q115, q64
-    # out for q116, q63 out for c229; the q12+q11 rows-only pair stays
-    # seated and would leave together, last) ---
+    # out for q116, q63 out for c229, q62 out for c230; the q12+q11
+    # rows-only pair stays seated and would leave together, last) ---
     "q112_time_travel_selective_dml",
     "c221_tiff_compressed_decode_stats",
     "c222_gif_animation_stats",
@@ -19930,6 +19985,7 @@ _DRIVER_WINDOW = [
     "q115_delete_using",
     "q116_update_from",
     "c229_pnm_decode_stats",
+    "c230_wav_pcm_stats",
 ]
 
 

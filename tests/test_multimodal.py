@@ -2357,3 +2357,93 @@ def test_pnm_family_roundtrip_crossform_and_refusals():
         encode_pnm(g8, "P1")
     with pytest.raises(ValueError, match="unknown PNM variant"):
         encode_pnm(g8, "P7")
+
+
+def test_wav_pcm_variants_roundtrip_and_refusals():
+    """PCM WAVE at all three real sample widths (r16): 8-bit unsigned
+    excess-128 promotes to full-scale int16, 16-bit stereo
+    interleaves, 24-bit packs 3-byte little-endian signed with exact
+    sign extension; malformed widths refuse by name."""
+    import numpy as np
+    import pytest
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm,
+    )
+
+    rng = np.random.default_rng(23)
+    u8 = rng.integers(0, 256, size=(37, 1)).astype(np.uint8)
+    rate, ch, s = decode_wav(encode_wav_pcm(u8, bits=8, sample_rate=8000))
+    assert (rate, ch) == (8000, 1)
+    assert np.array_equal(s, (u8.astype(np.int16) - 128) * 256)
+    st16 = rng.integers(-32768, 32768, size=(41, 2)).astype(np.int64)
+    rate, ch, s = decode_wav(
+        encode_wav_pcm(st16, bits=16, sample_rate=16000)
+    )
+    assert (rate, ch) == (16000, 2) and np.array_equal(s, st16)
+    s24 = rng.integers(-(1 << 23), 1 << 23, size=(29, 1)).astype(np.int64)
+    rate, ch, s = decode_wav(
+        encode_wav_pcm(s24, bits=24, sample_rate=44100)
+    )
+    assert s.dtype == np.int32 and np.array_equal(s.flatten(), s24.flatten())
+    # sign-extension corners
+    corners = np.array([[-1], [-(1 << 23)], [(1 << 23) - 1], [0]])
+    _, _, s = decode_wav(encode_wav_pcm(corners, bits=24))
+    assert np.array_equal(s.flatten(), corners.flatten())
+    with pytest.raises(ValueError, match="bits must be 8/16/24"):
+        encode_wav_pcm(u8, bits=12)
+    with pytest.raises(ValueError, match="uint8"):
+        encode_wav_pcm(st16, bits=8)
+    with pytest.raises(ValueError, match="outside"):
+        encode_wav_pcm(np.array([[1 << 23]]), bits=24)
+    # a 12-bit PCM fmt chunk refuses on decode
+    enc = bytearray(encode_wav_pcm(u8, bits=8))
+    fmt_off = enc.find(b"fmt ") + 8
+    enc[fmt_off + 14] = 12  # bits field
+    with pytest.raises(ValueError, match="8/16/24-bit"):
+        decode_wav(bytes(enc))
+
+
+def test_wav_pcm_variants_decode_in_jvm_audio_stack(spark):
+    """The JVM's independent javax.sound.sampled parser reads our
+    8/16/24-bit PCM containers: format fields and the RAW frame bytes
+    must agree — external validation of the RIFF structure and sample
+    packing."""
+    import numpy as np
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        encode_wav_pcm,
+    )
+
+    jvm = spark._jvm
+    rng = np.random.default_rng(29)
+
+    def jvm_read(enc):
+        ais = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(
+            jvm.java.io.ByteArrayInputStream(bytearray(enc))
+        )
+        f = ais.getFormat()
+        return f, bytes(ais.readAllBytes())
+
+    u8 = rng.integers(0, 256, size=(33, 1)).astype(np.uint8)
+    enc = encode_wav_pcm(u8, bits=8, sample_rate=8000)
+    f, frames = jvm_read(enc)
+    assert f.getSampleSizeInBits() == 8 and f.getChannels() == 1
+    assert int(f.getSampleRate()) == 8000
+    assert frames == u8.tobytes()
+    st16 = rng.integers(-32768, 32768, size=(21, 2)).astype(np.int64)
+    enc = encode_wav_pcm(st16, bits=16, sample_rate=16000)
+    f, frames = jvm_read(enc)
+    assert f.getSampleSizeInBits() == 16 and f.getChannels() == 2
+    assert not f.isBigEndian()
+    assert frames == st16.astype("<i2").tobytes()
+    s24 = rng.integers(-(1 << 23), 1 << 23, size=(17, 1)).astype(np.int64)
+    enc = encode_wav_pcm(s24, bits=24, sample_rate=44100)
+    f, frames = jvm_read(enc)
+    assert f.getSampleSizeInBits() == 24 and f.getChannels() == 1
+    u = (s24.flatten() & 0xFFFFFF).astype(np.uint32)
+    want = np.stack(
+        [u & 0xFF, (u >> 8) & 0xFF, (u >> 16) & 0xFF], axis=-1
+    ).astype(np.uint8).tobytes()
+    assert frames == want
