@@ -1482,6 +1482,341 @@ def wav_pcm_stats(
     )
 
 
+def _f80_encode(rate: float) -> bytes:
+    """IEEE 754 80-bit extended float, the AIFF COMM sampleRate field:
+    1 sign + 15 exponent (bias 16383) + 64-bit mantissa with EXPLICIT
+    integer bit. Exact for the integer rates audio uses."""
+    import struct
+
+    if rate <= 0:
+        raise ValueError("AIFF sample rate must be positive")
+    m, e = rate, 16383 + 63
+    while m < (1 << 63):
+        m *= 2
+        e -= 1
+    while m >= (1 << 64):
+        m /= 2
+        e += 1
+    return struct.pack(">HQ", e, int(m))
+
+
+def _f80_decode(b: bytes) -> float:
+    import struct
+
+    e, m = struct.unpack(">HQ", b)
+    sign = -1.0 if e & 0x8000 else 1.0
+    e &= 0x7FFF
+    if e == 0 and m == 0:
+        return 0.0
+    return sign * m * 2.0 ** (e - 16383 - 63)
+
+
+def encode_aiff(samples, *, bits: int, sample_rate: int = 8000) -> bytes:
+    """AIFF (the IFF ``FORM``/``AIFF`` container — the big-endian
+    sibling of RIFF/WAVE): COMM carries channels, frame count, sample
+    width and the 80-bit extended sampleRate; SSND carries big-endian
+    SIGNED PCM (AIFF 8-bit is signed, unlike WAV's excess-128).
+    ``samples`` is (n_samples, n_channels): int8-domain for ``bits=8``,
+    int16 for ``16``, ±2^23 ints packed 3-byte big-endian for ``24``."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples)
+    if arr.ndim != 2:
+        raise ValueError("encode_aiff takes (n_samples, n_channels)")
+    n, ch = arr.shape
+    if bits == 8:
+        if arr.dtype != np.int8:
+            raise ValueError("8-bit AIFF takes SIGNED int8 samples")
+        data = arr.tobytes()
+    elif bits == 16:
+        data = arr.astype(">i2").tobytes()
+    elif bits == 24:
+        v = arr.astype(np.int64)
+        if v.size and (v.min() < -(1 << 23) or v.max() >= (1 << 23)):
+            raise ValueError("24-bit AIFF samples outside ±2^23")
+        u = (v & 0xFFFFFF).astype(np.uint32)
+        b = np.empty((n, ch, 3), dtype=np.uint8)
+        b[..., 0] = (u >> 16) & 0xFF
+        b[..., 1] = (u >> 8) & 0xFF
+        b[..., 2] = u & 0xFF
+        data = b.tobytes()
+    else:
+        raise ValueError(f"encode_aiff: bits must be 8/16/24, got {bits}")
+    comm = (
+        struct.pack(">hLh", ch, n, bits) + _f80_encode(float(sample_rate))
+    )
+    ssnd = struct.pack(">LL", 0, 0) + data  # offset, blockSize
+    body = b"AIFF"
+    for cid, payload in ((b"COMM", comm), (b"SSND", ssnd)):
+        body += cid + struct.pack(">L", len(payload)) + payload
+        if len(payload) & 1:
+            body += b"\x00"  # IFF chunks are word-aligned
+    return b"FORM" + struct.pack(">L", len(body)) + body
+
+
+def decode_aiff(payload: bytes):
+    """Parse an AIFF payload: FORM header, chunk walk (unknown chunks
+    skipped by declared size with word alignment), COMM + SSND decode.
+    Returns ``(sample_rate, n_channels, samples)`` — int16 (8-bit
+    signed promoted ×256 to full scale, width-blind like decode_wav)
+    or int32 for 24-bit. AIFC (compressed AIFF) refuses by name."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"FORM":
+        raise ValueError("not an AIFF payload (no FORM header)")
+    form_type = payload[8:12]
+    if form_type == b"AIFC":
+        raise NotImplementedError(
+            "AIFC (compressed AIFF) decode; production swap-in: "
+            "soundfile/librosa"
+        )
+    if form_type != b"AIFF":
+        raise ValueError(f"unknown FORM type {form_type!r}")
+    pos, end = 12, 8 + struct.unpack(">L", payload[4:8])[0]
+    comm = data = None
+    while pos + 8 <= min(end, len(payload)):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack(">L", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated AIFF chunk {cid!r}")
+        if cid == b"COMM":
+            if size < 18:
+                raise ValueError("truncated COMM chunk")
+            ch, n_frames, bits = struct.unpack(">hLh", body[:8])
+            rate = _f80_decode(body[8:18])
+            comm = (ch, n_frames, bits, rate)
+        elif cid == b"SSND":
+            if size < 8:
+                raise ValueError("truncated SSND chunk")
+            off, _blk = struct.unpack(">LL", body[:8])
+            data = body[8 + off:]
+        pos += 8 + size + (size & 1)  # word-aligned
+    if comm is None or data is None:
+        raise ValueError("missing COMM or SSND chunk")
+    ch, n_frames, bits, rate = comm
+    if ch < 1 or n_frames < 0:
+        raise ValueError("corrupt COMM fields")
+    if bits not in (8, 16, 24):
+        raise ValueError(f"AIFF needs 8/16/24-bit samples, got {bits}-bit")
+    need = n_frames * ch * (bits // 8)
+    if len(data) < need:
+        raise ValueError("SSND data shorter than COMM frame count")
+    data = data[:need]
+    if bits == 8:
+        s = np.frombuffer(data, dtype=np.int8).astype(np.int16) * 256
+        samples = s.reshape(-1, ch)
+    elif bits == 16:
+        samples = np.frombuffer(data, dtype=">i2").astype(
+            np.int16
+        ).reshape(-1, ch)
+    else:
+        b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        v = (
+            (b[:, 0].astype(np.int32) << 16)
+            | (b[:, 1].astype(np.int32) << 8)
+            | b[:, 2].astype(np.int32)
+        )
+        samples = np.where(v & 0x800000, v - 0x1000000, v).astype(
+            np.int32
+        ).reshape(-1, ch)
+    return int(round(rate)), ch, samples
+
+
+def encode_au(
+    data: bytes,
+    *,
+    encoding: int,
+    sample_rate: int = 8000,
+    channels: int = 1,
+    annotation: bytes = b"",
+) -> bytes:
+    """Sun AU (.au/.snd): ``.snd`` magic + 24-byte big-endian header
+    (+ optional annotation) then the raw encoded stream. ``data`` is
+    the already-encoded byte stream for the given encoding (1 =
+    G.711 mu-law, 2 = int8 PCM, 3 = int16 big-endian PCM)."""
+    import struct
+
+    hdr_size = 24 + len(annotation)
+    return (
+        b".snd"
+        + struct.pack(
+            ">LLLLL", hdr_size, len(data), encoding, sample_rate, channels
+        )
+        + annotation
+        + data
+    )
+
+
+def decode_au(payload: bytes):
+    """Parse a Sun AU payload: magic, header-declared data offset and
+    size (0xFFFFFFFF = unknown → to EOF), then decode per the encoding
+    field — 1 = G.711 mu-law (the voice-mail default), 2 = signed
+    int8 PCM (promoted ×256), 3 = int16 big-endian PCM. Returns
+    ``(sample_rate, n_channels, samples)`` with int16 samples of
+    shape (n_samples, n_channels). Other encodings refuse by name."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 24 or payload[:4] != b".snd":
+        raise ValueError("not an AU payload (no .snd magic)")
+    hdr_size, data_size, enc, rate, ch = struct.unpack(
+        ">LLLLL", payload[4:24]
+    )
+    if hdr_size < 24:
+        raise ValueError("AU header size below the 24-byte minimum")
+    if ch < 1:
+        raise ValueError("corrupt AU channel count")
+    data = payload[hdr_size:]
+    if data_size != 0xFFFFFFFF:
+        if len(data) < data_size:
+            raise ValueError("AU data shorter than the declared size")
+        data = data[:data_size]
+    if enc == 1:
+        pcm = decode_mulaw(data)
+    elif enc == 2:
+        pcm = np.frombuffer(data, dtype=np.int8).astype(np.int16) * 256
+    elif enc == 3:
+        if len(data) % 2:
+            raise ValueError("AU int16 data is not whole samples")
+        pcm = np.frombuffer(data, dtype=">i2").astype(np.int16)
+    else:
+        raise NotImplementedError(
+            f"AU encoding {enc} decode (only mu-law/int8/int16be "
+            "here); production swap-in: soundfile/librosa"
+        )
+    if len(pcm) % ch:
+        raise ValueError("AU data is not whole frames")
+    return rate, ch, pcm.reshape(-1, ch)
+
+
+def synthesize_bigendian_audio(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic AIFF / Sun-AU payloads (r16): variant ``id % 5``
+    — 0: AIFF 8-bit mono @ 8 kHz (int8 domain ``((id*11 + j*5) % 256)
+    - 128``), 1: AIFF 16-bit STEREO @ 44.1 kHz (``((id*29 + j*13 +
+    ch*7) % 60000) - 30000``), 2: AIFF 24-bit mono @ 48 kHz
+    (``((id*31 + j*17) % 1000000) - 500000``), 3: AU int16be STEREO
+    @ 16 kHz (``((id*23 + j*19 + ch*3) % 60000) - 30000``), 4: AU
+    mu-law mono @ 8 kHz (code bytes ``(id*7 + j*13) % 256``); length
+    ``30 + id % 15`` frames."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                n = 30 + i % 15
+                j = np.arange(n)[:, None]
+                v = i % 5
+                if v == 0:
+                    arr = (((i * 11 + j * 5) % 256) - 128).astype(np.int8)
+                    payloads.append(
+                        encode_aiff(arr, bits=8, sample_rate=8000)
+                    )
+                elif v == 1:
+                    ch = np.arange(2)[None, :]
+                    arr = ((i * 29 + j * 13 + ch * 7) % 60000) - 30000
+                    payloads.append(
+                        encode_aiff(
+                            arr.astype(np.int64), bits=16, sample_rate=44100
+                        )
+                    )
+                elif v == 2:
+                    arr = ((i * 31 + j * 17) % 1000000) - 500000
+                    payloads.append(
+                        encode_aiff(arr, bits=24, sample_rate=48000)
+                    )
+                elif v == 3:
+                    ch = np.arange(2)[None, :]
+                    arr = (
+                        ((i * 23 + j * 19 + ch * 3) % 60000) - 30000
+                    ).astype(">i2")
+                    payloads.append(
+                        encode_au(
+                            arr.tobytes(),
+                            encoding=3,
+                            sample_rate=16000,
+                            channels=2,
+                        )
+                    )
+                else:
+                    codes = ((i * 7 + j[:, 0] * 13) % 256).astype(np.uint8)
+                    payloads.append(
+                        encode_au(
+                            codes.tobytes(),
+                            encoding=1,
+                            sample_rate=8000,
+                            channels=1,
+                        )
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def bigendian_audio_stats(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL AIFF / Sun-AU decode + featurize: dispatch on the magic
+    (``FORM`` → decode_aiff, ``.snd`` → decode_au) and reduce to
+    container fields plus exact integer sample stats. Arrow-batched
+    ``mapInPandas`` inside the scan's partitions — no shuffle."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "doc_id", "container", "n_channels", "sample_rate",
+                    "n_samples", "sample_sum", "sample_min", "sample_max",
+                )
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                if raw[:4] == b"FORM":
+                    container = "aiff"
+                    rate, ch, samples = decode_aiff(raw)
+                elif raw[:4] == b".snd":
+                    container = "au"
+                    rate, ch, samples = decode_au(raw)
+                else:
+                    raise ValueError("unknown audio container magic")
+                v = samples.astype(np.int64)
+                rows["doc_id"].append(int(doc_id))
+                rows["container"].append(container)
+                rows["n_channels"].append(ch)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(samples.shape[0])
+                rows["sample_sum"].append(int(v.sum()))
+                rows["sample_min"].append(int(v.min()) if v.size else None)
+                rows["sample_max"].append(int(v.max()) if v.size else None)
+            out = {
+                k: pd.Series(vv, dtype="object" if k == "container"
+                             else "int64")
+                for k, vv in rows.items()
+            }
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        stats,
+        "doc_id long, container string, n_channels long, "
+        "sample_rate long, n_samples long, sample_sum long, "
+        "sample_min long, sample_max long",
+    )
+
+
 def synthesize_wav_telephony(df: DataFrame, id_col: str) -> DataFrame:
     """Deterministic telephony WAV containers (r16): variant
     ``id % 3``: 0 → mu-law (format tag 7) and 1 → A-law (tag 6), each

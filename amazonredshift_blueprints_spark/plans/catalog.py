@@ -18301,6 +18301,85 @@ def c230_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c231_bigendian_audio_stats",
+    oracle="""
+    WITH raw AS (
+        SELECT d.doc_id, j.j, ch.ch,
+               (d.doc_id * 7 + j.j * 13) % 256 AS mb
+        FROM documents d, range(45) j(j), range(2) ch(ch)
+        WHERE j.j < 30 + d.doc_id % 15
+          AND ch.ch < CASE WHEN d.doc_id % 5 IN (1, 3) THEN 2 ELSE 1 END
+    ),
+    s AS (
+        SELECT doc_id,
+               CASE doc_id % 5
+                    WHEN 0 THEN
+                        (((doc_id * 11 + j * 5) % 256) - 128) * 256
+                    WHEN 1 THEN
+                        ((doc_id * 29 + j * 13 + ch * 7) % 60000) - 30000
+                    WHEN 2 THEN
+                        ((doc_id * 31 + j * 17) % 1000000) - 500000
+                    WHEN 3 THEN
+                        ((doc_id * 23 + j * 19 + ch * 3) % 60000) - 30000
+                    ELSE CASE WHEN ((255 - mb) & 128) != 0
+                         THEN 132 - (((((255 - mb) & 15) << 3) + 132)
+                                     << (((255 - mb) & 112) >> 4))
+                         ELSE (((((255 - mb) & 15) << 3) + 132)
+                               << (((255 - mb) & 112) >> 4)) - 132
+                    END
+               END AS pcm
+        FROM raw
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 <= 2 THEN 'aiff' ELSE 'au' END
+               AS container,
+           CAST(CASE WHEN doc_id % 5 IN (1, 3) THEN 2 ELSE 1 END
+                AS BIGINT) AS n_channels,
+           CAST(CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 44100
+                WHEN 2 THEN 48000 WHEN 3 THEN 16000 ELSE 8000 END
+                AS BIGINT) AS sample_rate,
+           CAST(30 + doc_id % 15 AS BIGINT) AS n_samples,
+           CAST(SUM(pcm) AS BIGINT) AS sample_sum,
+           CAST(MIN(pcm) AS BIGINT) AS sample_min,
+           CAST(MAX(pcm) AS BIGINT) AS sample_max
+    FROM s GROUP BY doc_id
+    """,
+    doc="AIFF + Sun-AU big-endian audio containers decode "
+        "(operators/multimodal.py, r16 — the two classic non-RIFF "
+        "audio wrappers: AIFF is the IFF FORM sibling of WAVE that "
+        "Mac-originated corpora carry, AU the voice-mail/Unix "
+        "default): decode_aiff walks the IFF chunk list (word "
+        "alignment, unknown chunks skipped), parses COMM incl. the "
+        "80-BIT IEEE-EXTENDED sampleRate field (explicit integer "
+        "bit), honors the SSND offset, and reads SIGNED big-endian "
+        "PCM at 8 (AIFF's signed convention, unlike WAV's "
+        "excess-128), 16 and 24 bits; AIFC refuses by name. "
+        "decode_au reads the .snd header (annotation-shifted data "
+        "offset, 0xFFFFFFFF unknown-size) and dispatches encoding "
+        "1/2/3 = G.711 mu-law (the r15 law tables) / int8 / int16be. "
+        "pytest cross-validates BOTH directions against the JVM's "
+        "independent javax.sound.sampled stack: our containers parse "
+        "with bit-identical frames at every width, and the JVM's own "
+        "AIFF/AU writers' files (PCM and ULAW) decode through our "
+        "path. Lossless containers -> the oracle replays decoded "
+        "sums arithmetically, mu-law via the closed-form G.711 "
+        "expansion. Arrow-batched mapInPandas inside the scan's "
+        "partitions — no shuffle",
+    tags=("multimodal",),
+)
+def c231_bigendian_audio_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import (
+        bigendian_audio_stats,
+        synthesize_bigendian_audio,
+    )
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return bigendian_audio_stats(synthesize_bigendian_audio(d, "doc_id"))
+
+
+@query(
     "c227_url_canonicalize",
     oracle="""
     WITH u AS (
@@ -19081,6 +19160,116 @@ def q116_update_from(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
         .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q117_time_travel_sql_face",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey % 3 = 0
+    ),
+    ins AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey % 3 = 1
+    ),
+    v1 AS (SELECT * FROM base UNION ALL SELECT * FROM ins),
+    v2 AS (SELECT * FROM v1 WHERE NOT (o_orderkey % 10 = 4)),
+    snaps AS (
+        SELECT 0 AS v, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM base
+        UNION ALL
+        SELECT 1, COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM v1
+        UNION ALL
+        SELECT 2, COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM v2
+        UNION ALL
+        SELECT 3, COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM v2
+    )
+    SELECT CAST(v AS INTEGER) AS version,
+           CAST(n_rows AS BIGINT) AS n_rows, total_price
+    FROM snaps ORDER BY version
+    """,
+    doc="time-travel SQL face (timetravel.resolve_time_travel + "
+        "sqlrun wiring, r16 — the r16-candidates note's 'expose "
+        "table_at through SQL once a dialect precedent exists'; the "
+        "precedent is Spark's OWN ``VERSION AS OF`` / ``TIMESTAMP AS "
+        "OF`` syntax for Delta/Iceberg tables, plus the SQL-2011 "
+        "``FOR SYSTEM_VERSION/SYSTEM_TIME AS OF`` spellings, all "
+        "accepted here): the statement dispatcher resolves each "
+        "``t VERSION AS OF n`` / ``t TIMESTAMP AS OF ts`` span "
+        "(outside string literals — a quoted mention never rewrites) "
+        "onto a table_at manifest-snapshot temp view before "
+        "spark.sql, so SELECT / CTAS / INSERT..SELECT / DML "
+        "subqueries and joins MIXING versions with the live table "
+        "all read pinned snapshots; procedure bodies resolve at CALL "
+        "time, not CREATE (pinning at CREATE would freeze the "
+        "snapshot years early). Timestamps take a unix epoch or a "
+        "quoted ISO datetime (naive = UTC, the log's committed_at "
+        "convention); a non-history table raises table_at's error "
+        "loudly instead of silently reading live data. The entry "
+        "drives the face end-to-end through execute_sql: enable(v0) "
+        "-> INSERT INTO (v1, O(new-files) append commit) -> SQL "
+        "DELETE (v2, file-pruned commit) -> ONE CTAS whose branches "
+        "read VERSION AS OF 0, FOR SYSTEM_VERSION AS OF 1, the live "
+        "table, and a far-future TIMESTAMP AS OF. Scale: resolution "
+        "is a driver-side string rewrite + one temp-view "
+        "registration per clause; every snapshot read stays a plain "
+        "distributed parquet manifest scan with pushdown intact",
+    tags=("native", "sql", "dml", "orders"),
+)
+def q117_time_travel_sql_face(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import timetravel as tt
+    from ..ingest import _clean_stale_location
+    from ..sqlrun import execute_sql
+
+    views(spark, sf_dir, "orders")
+    tbl, out = "bp_ttsql_orders", "bp_ttsql_out"
+    for t in (tbl, out):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        tt.remove_history(spark, t)
+        _clean_stale_location(spark, t, None)
+    execute_sql(
+        spark,
+        f"CREATE TABLE {tbl} AS SELECT o_orderkey, o_totalprice "
+        "FROM orders WHERE o_orderkey % 3 = 0",
+    )
+    tt.enable_history(spark, tbl)  # v0
+    execute_sql(
+        spark,
+        f"INSERT INTO {tbl} SELECT o_orderkey, o_totalprice "
+        "FROM orders WHERE o_orderkey % 3 = 1",
+    )  # v1: append commit
+    execute_sql(spark, f"DELETE FROM {tbl} WHERE o_orderkey % 10 = 4")  # v2
+    agg = (
+        "COUNT(*) AS n_rows, CAST(SUM(CAST(o_totalprice AS "
+        "DECIMAL(18,2))) AS DOUBLE) AS total_price"
+    )
+    execute_sql(
+        spark,
+        f"CREATE TABLE {out} AS "
+        f"SELECT 0 AS version, {agg} FROM {tbl} VERSION AS OF 0 "
+        f"UNION ALL SELECT 1, {agg} FROM {tbl} FOR SYSTEM_VERSION AS OF 1 "
+        f"UNION ALL SELECT 2, {agg} FROM {tbl} "
+        f"UNION ALL SELECT 3, {agg} FROM {tbl} TIMESTAMP AS OF "
+        "'9999-12-31 23:59:59'",
+    )
+    return (
+        spark.table(out)
+        .select(
+            F.col("version").cast("int").alias("version"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("total_price"),
+        )
+        .orderBy("version")
     )
 
 
@@ -19958,8 +20147,6 @@ _DRIVER_WINDOW = [
     "c75_ann_ivfpq_refine_topk",
     "q60_materialized_view_sql",
     "q61_system_tables",
-    "c77_weighted_sample",
-    "c76_zorder_keys",
     # --- oldest r10-rowed entries, in catalog order ---
     "q12_agg_approx_distinct",
     # --- co-windowed oracle twin of the rows-only pick q12 ---
@@ -19969,7 +20156,7 @@ _DRIVER_WINDOW = [
     # c221, q06 out for c222, q05 out for c223, q56 out for q113,
     # c73 out for c224, c80 out for c225, c79 out for q114, c78 out for
     # c226, q67 out for c227, q66 out for c228, q65 out for q115, q64
-    # out for q116, q63 out for c229, q62 out for c230; the q12+q11
+    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231; the q12+q11
     # rows-only pair stays seated and would leave together, last) ---
     "q112_time_travel_selective_dml",
     "c221_tiff_compressed_decode_stats",
@@ -19986,6 +20173,8 @@ _DRIVER_WINDOW = [
     "q116_update_from",
     "c229_pnm_decode_stats",
     "c230_wav_pcm_stats",
+    "q117_time_travel_sql_face",
+    "c231_bigendian_audio_stats",
 ]
 
 

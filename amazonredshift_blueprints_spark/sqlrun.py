@@ -97,6 +97,21 @@ def _execute_sql_inner(spark: SparkSession, query: str) -> None:
     """
     from . import transactions
 
+    if re.search(r"\bAS\s+OF\b", query, re.IGNORECASE) and not re.match(
+        r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:PROCEDURE|FUNCTION)\b",
+        query,
+        re.IGNORECASE,
+    ):
+        # time-travel SQL face: ``t VERSION AS OF n`` / ``t TIMESTAMP
+        # AS OF ts`` resolve onto table_at snapshot views before any
+        # dispatch, so SELECT/CTAS/INSERT...SELECT/DML subqueries all
+        # read pinned manifests. Procedure/function BODIES are skipped
+        # — their leaf statements resolve at CALL time, when each one
+        # re-enters this dispatcher (resolving at CREATE would pin the
+        # snapshot years early).
+        from . import timetravel
+
+        query = timetravel.resolve_time_travel(spark, query)
     if _BEGIN_RE.match(query):
         transactions.begin(spark)
         print("Your query has been successfully executed.")

@@ -132,6 +132,7 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import re
 import shutil
 import time
 
@@ -667,6 +668,87 @@ def table_at(
     if not paths:  # a zero-file manifest (defensive; Spark writes a
         return spark.read.parquet(entry["location"])  # schema-bearing file)
     return spark.read.parquet(*paths)
+
+
+# ``t VERSION AS OF 3`` / ``t TIMESTAMP AS OF '2026-01-01 00:00:00'``
+# (and the SQL-2011 spellings Spark itself accepts for Delta/Iceberg:
+# ``t FOR SYSTEM_VERSION AS OF n`` / ``t FOR SYSTEM_TIME AS OF ts``).
+# The table token is whatever identifier immediately precedes the
+# clause — SQL places the travel clause directly after the table name,
+# before any alias.
+_TT_CLAUSE_RE = re.compile(
+    r"(?P<tbl>[`\w.]+)\s+(?:FOR\s+)?"
+    r"(?:(?:SYSTEM_)?VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+    r"|(?:SYSTEM_TIME|TIMESTAMP)\s+AS\s+OF\s+"
+    r"(?P<ts>'[^']*'|\d+(?:\.\d+)?))",
+    re.IGNORECASE,
+)
+_TT_QUICK_RE = re.compile(r"\bAS\s+OF\b", re.IGNORECASE)
+
+
+def resolve_time_travel(spark: SparkSession, sql: str) -> str:
+    """Rewrite time-travel table references in a SQL string onto
+    :func:`table_at` snapshot reads (the SQL face of time travel —
+    Spark's own ``VERSION AS OF`` / ``TIMESTAMP AS OF`` syntax for
+    Delta/Iceberg tables is the dialect precedent; plain-parquet v1
+    relations can't carry the clause natively, so the statement
+    dispatcher resolves it here before ``spark.sql``).
+
+    Each ``t VERSION AS OF n`` / ``t [FOR] [SYSTEM_]TIMESTAMP AS OF
+    ts`` span (outside single-quoted string literals) registers the
+    snapshot DataFrame as a session temp view and is replaced by the
+    view name, so aliases, joins between versions, and mixes with the
+    live table all parse as ordinary SQL. Timestamps accept a unix
+    epoch number or a quoted ISO datetime (naive datetimes read as
+    UTC, matching the epoch ``committed_at`` the log records). A
+    reference to a table with no commit log raises the
+    :func:`table_at` error — loudly, not silently reading the live
+    table. The snapshot read stays a plain distributed manifest scan
+    with pushdown intact; resolution itself is a driver-side string
+    rewrite plus one temp-view registration per distinct clause."""
+    if not _TT_QUICK_RE.search(sql):
+        return sql
+
+    def resolve_span(m: re.Match) -> str:
+        tbl = m.group("tbl").strip("`")
+        if m.group("ver") is not None:
+            version = int(m.group("ver"))
+            df = table_at(spark, tbl, version=version)
+            view = f"_bp_tt_{tbl.replace('.', '_')}__v{version}"
+        else:
+            lit = m.group("ts")
+            if lit.startswith("'"):
+                from datetime import datetime, timezone
+
+                dt = datetime.fromisoformat(lit[1:-1])
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=timezone.utc)
+                ts = dt.timestamp()
+            else:
+                ts = float(lit)
+            df = table_at(spark, tbl, timestamp=ts)
+            view = (
+                f"_bp_tt_{tbl.replace('.', '_')}"
+                f"__t{str(ts).replace('.', '_').replace('-', 'm')}"
+            )
+        df.createOrReplaceTempView(view)
+        return view
+
+    # a clause STARTING inside a quoted literal is never rewritten
+    # (the quoted timestamp the clause itself carries is fine — only
+    # the table-reference position must sit outside literals)
+    spans = [
+        (m.start(), m.end())
+        for m in re.finditer(r"'(?:[^']|'')*'", sql)
+    ]
+    return _TT_CLAUSE_RE.sub(
+        lambda m: (
+            m.group(0)
+            if any(a <= m.start() < b for a, b in spans)
+            else resolve_span(m)
+        ),
+        sql,
+    )
 
 
 def history(spark: SparkSession, table: str) -> DataFrame:

@@ -2447,3 +2447,184 @@ def test_wav_pcm_variants_decode_in_jvm_audio_stack(spark):
         [u & 0xFF, (u >> 8) & 0xFF, (u >> 16) & 0xFF], axis=-1
     ).astype(np.uint8).tobytes()
     assert frames == want
+
+
+def test_aiff_au_roundtrip_and_refusals():
+    """AIFF (big-endian IFF sibling of WAVE) and Sun AU containers
+    (r16): signed 8-bit, 16-bit stereo and 24-bit big-endian AIFF
+    round-trip exactly (80-bit extended sampleRate included); AU
+    mu-law/int8/int16be decode; malformed containers refuse by
+    name."""
+    import numpy as np
+    import pytest
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        _f80_decode,
+        _f80_encode,
+        decode_aiff,
+        decode_au,
+        decode_mulaw,
+        encode_aiff,
+        encode_au,
+    )
+
+    rng = np.random.default_rng(31)
+    for rate in (8000, 11025, 44100, 48000, 96000):
+        assert _f80_decode(_f80_encode(rate)) == rate
+    a8 = rng.integers(-128, 128, size=(33, 1)).astype(np.int8)
+    r, ch, s = decode_aiff(encode_aiff(a8, bits=8, sample_rate=8000))
+    assert (r, ch) == (8000, 1)
+    assert np.array_equal(s, a8.astype(np.int16) * 256)
+    a16 = rng.integers(-32768, 32768, size=(21, 2)).astype(np.int64)
+    r, ch, s = decode_aiff(encode_aiff(a16, bits=16, sample_rate=44100))
+    assert (r, ch) == (44100, 2)
+    assert np.array_equal(s, a16.astype(np.int16))
+    a24 = rng.integers(-(1 << 23), 1 << 23, size=(17, 1)).astype(np.int64)
+    r, ch, s = decode_aiff(encode_aiff(a24, bits=24, sample_rate=48000))
+    assert (r, ch) == (48000, 1)
+    assert s.dtype == np.int32 and np.array_equal(s.astype(np.int64), a24)
+    # corner samples survive 24-bit sign extension
+    corners = np.array([[-(1 << 23)], [(1 << 23) - 1], [0], [-1]])
+    _, _, s = decode_aiff(encode_aiff(corners, bits=24, sample_rate=8000))
+    assert np.array_equal(s.astype(np.int64), corners)
+    # AU paths
+    pcm = rng.integers(-32768, 32768, size=42).astype(np.int16)
+    r, ch, s = decode_au(
+        encode_au(pcm.astype(">i2").tobytes(), encoding=3,
+                  sample_rate=16000, channels=2)
+    )
+    assert (r, ch) == (16000, 2) and np.array_equal(s.flatten(), pcm)
+    codes = rng.integers(0, 256, size=30).astype(np.uint8)
+    _, _, s = decode_au(
+        encode_au(codes.tobytes(), encoding=1, sample_rate=8000, channels=1)
+    )
+    assert np.array_equal(s.flatten(), decode_mulaw(codes.tobytes()))
+    i8 = rng.integers(-128, 128, size=28).astype(np.int8)
+    _, _, s = decode_au(
+        encode_au(i8.tobytes(), encoding=2, sample_rate=8000, channels=1)
+    )
+    assert np.array_equal(s.flatten(), i8.astype(np.int16) * 256)
+    # annotation bytes shift the data offset and still decode
+    _, _, s = decode_au(
+        encode_au(i8.tobytes(), encoding=2, sample_rate=8000, channels=1,
+                  annotation=b"note\x00\x00\x00\x00")
+    )
+    assert np.array_equal(s.flatten(), i8.astype(np.int16) * 256)
+    # refusals
+    with pytest.raises(ValueError, match="no FORM header"):
+        decode_aiff(b"RIFFxxxxWAVE")
+    with pytest.raises(NotImplementedError, match="AIFC"):
+        enc = bytearray(encode_aiff(a8, bits=8, sample_rate=8000))
+        enc[8:12] = b"AIFC"
+        decode_aiff(bytes(enc))
+    with pytest.raises(ValueError, match="SIGNED int8"):
+        encode_aiff(np.zeros((4, 1), dtype=np.uint8), bits=8)
+    with pytest.raises(ValueError, match="no .snd magic"):
+        decode_au(b"FORMxxxxAIFF")
+    with pytest.raises(NotImplementedError, match="AU encoding 27"):
+        decode_au(encode_au(b"", encoding=27))
+    with pytest.raises(ValueError, match="truncated AIFF chunk"):
+        decode_aiff(encode_aiff(a16, bits=16, sample_rate=8000)[:-8])
+    # SSND shorter than COMM's frame count (sizes self-consistent)
+    short = encode_aiff(a16[:4], bits=16, sample_rate=8000)
+    longer = bytearray(encode_aiff(a16, bits=16, sample_rate=8000))
+    comm_off = longer.find(b"COMM") + 8 + 2
+    longer[comm_off:comm_off + 4] = (2**20).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="shorter than COMM"):
+        decode_aiff(bytes(longer))
+    assert decode_aiff(short)[2].shape == (4, 2)
+
+
+def test_aiff_au_cross_validate_jvm_both_directions(spark):
+    """javax.sound.sampled reads AIFF and AU natively: our containers
+    must parse with matching format fields and bit-identical frames,
+    and the JVM's own AIFF/AU writers' files must decode through our
+    path — independent validation both directions."""
+    import numpy as np
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_aiff,
+        decode_au,
+        decode_mulaw,
+        encode_aiff,
+        encode_au,
+    )
+
+    jvm = spark._jvm
+    sampled = jvm.javax.sound.sampled
+    rng = np.random.default_rng(37)
+
+    def jvm_read(enc):
+        ais = sampled.AudioSystem.getAudioInputStream(
+            jvm.java.io.ByteArrayInputStream(bytearray(enc))
+        )
+        return ais.getFormat(), bytes(ais.readAllBytes())
+
+    # ours -> JVM
+    a8 = rng.integers(-128, 128, size=(29, 1)).astype(np.int8)
+    f, frames = jvm_read(encode_aiff(a8, bits=8, sample_rate=8000))
+    assert f.getSampleSizeInBits() == 8 and f.getChannels() == 1
+    assert frames == a8.tobytes()
+    a16 = rng.integers(-32768, 32768, size=(19, 2)).astype(np.int64)
+    f, frames = jvm_read(encode_aiff(a16, bits=16, sample_rate=44100))
+    assert f.isBigEndian() and f.getChannels() == 2
+    assert int(f.getSampleRate()) == 44100
+    assert frames == a16.astype(">i2").tobytes()
+    a24 = rng.integers(-(1 << 23), 1 << 23, size=(15, 1)).astype(np.int64)
+    enc = encode_aiff(a24, bits=24, sample_rate=48000)
+    f, frames = jvm_read(enc)
+    assert f.getSampleSizeInBits() == 24
+    u = (a24.flatten() & 0xFFFFFF).astype(np.uint32)
+    want = np.stack(
+        [(u >> 16) & 0xFF, (u >> 8) & 0xFF, u & 0xFF], axis=-1
+    ).astype(np.uint8).tobytes()
+    assert frames == want
+    pcm16 = rng.integers(-32768, 32768, size=(23, 1)).astype(np.int64)
+    f, frames = jvm_read(
+        encode_au(pcm16.astype(">i2").tobytes(), encoding=3,
+                  sample_rate=16000, channels=1)
+    )
+    assert f.isBigEndian() and int(f.getSampleRate()) == 16000
+    assert frames == pcm16.astype(">i2").tobytes()
+    codes = rng.integers(0, 256, size=31).astype(np.uint8)
+    f, frames = jvm_read(
+        encode_au(codes.tobytes(), encoding=1, sample_rate=8000, channels=1)
+    )
+    assert f.getEncoding().toString() == "ULAW"
+    assert frames == codes.tobytes()
+
+    # JVM -> ours
+    def jvm_write(raw, fmt, ftype, n_frames):
+        bais = jvm.java.io.ByteArrayInputStream(bytearray(raw))
+        ais = sampled.AudioInputStream(bais, fmt, n_frames)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        sampled.AudioSystem.write(ais, ftype, baos)
+        return bytes(baos.toByteArray())
+
+    types = sampled.AudioFileFormat.Type
+    pcm_signed = sampled.AudioFormat.Encoding.PCM_SIGNED
+    ulaw = sampled.AudioFormat.Encoding.ULAW
+    fmt16 = sampled.AudioFormat(
+        pcm_signed, float(22050), 16, 2, 4, float(22050), True
+    )
+    raw16 = rng.integers(-32768, 32768, size=(27, 2)).astype(">i2")
+    payload = jvm_write(raw16.tobytes(), fmt16, types.AIFF, 27)
+    r, ch, s = decode_aiff(payload)
+    assert (r, ch) == (22050, 2)
+    assert np.array_equal(s, raw16.astype(np.int16))
+    fmt8 = sampled.AudioFormat(
+        pcm_signed, float(8000), 8, 1, 1, float(8000), True
+    )
+    raw8 = rng.integers(-128, 128, size=25).astype(np.int8)
+    r, ch, s = decode_aiff(jvm_write(raw8.tobytes(), fmt8, types.AIFF, 25))
+    assert (r, ch) == (8000, 1)
+    assert np.array_equal(s.flatten(), raw8.astype(np.int16) * 256)
+    payload = jvm_write(raw16.tobytes(), fmt16, types.AU, 27)
+    r, ch, s = decode_au(payload)
+    assert (r, ch) == (22050, 2)
+    assert np.array_equal(s, raw16.astype(np.int16))
+    ufmt = sampled.AudioFormat(ulaw, float(8000), 8, 1, 1, float(8000), True)
+    ucodes = rng.integers(0, 256, size=33).astype(np.uint8)
+    r, ch, s = decode_au(jvm_write(ucodes.tobytes(), ufmt, types.AU, 33))
+    assert (r, ch) == (8000, 1)
+    assert np.array_equal(s.flatten(), decode_mulaw(ucodes.tobytes()))

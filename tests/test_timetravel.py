@@ -829,3 +829,72 @@ def test_compact_history_coalesces_manifest(spark):
     )
     with pytest.raises(ValueError, match="not history-tracked"):
         tt.compact_history(spark, "t_tt_nothist_compact")
+
+
+def test_sql_face_version_as_of_select_and_ctas(spark):
+    """The time-travel SQL face (r16): ``t VERSION AS OF n`` resolves
+    onto table_at snapshot views inside any dispatched statement —
+    plain SELECT, CTAS, and joins mixing versions with the live
+    table."""
+    _fresh_history_table(spark, "t_tt_sqlface")
+    tt.enable_history(spark, "t_tt_sqlface")  # v0: 5 rows
+    execute_sql(spark, "DELETE FROM t_tt_sqlface WHERE k % 2 = 0")  # v1
+    execute_sql(
+        spark, "UPDATE t_tt_sqlface SET amt = amt + 1 WHERE k = 1"
+    )  # v2
+    q = tt.resolve_time_travel(
+        spark,
+        "SELECT COUNT(*) AS n FROM t_tt_sqlface VERSION AS OF 0",
+    )
+    assert "VERSION AS OF" not in q.upper()
+    assert spark.sql(q).collect()[0]["n"] == 5
+    # SQL-2011 spelling + alias + join between two versions
+    q = tt.resolve_time_travel(
+        spark,
+        "SELECT COUNT(*) AS n FROM t_tt_sqlface FOR SYSTEM_VERSION AS "
+        "OF 0 a JOIN t_tt_sqlface VERSION AS OF 1 b ON a.k = b.k",
+    )
+    assert spark.sql(q).collect()[0]["n"] == 3
+    # CTAS through the real statement dispatcher end-to-end
+    spark.sql("DROP TABLE IF EXISTS t_tt_sqlface_out")
+    execute_sql(
+        spark,
+        "CREATE TABLE t_tt_sqlface_out AS SELECT k, amt FROM "
+        "t_tt_sqlface VERSION AS OF 1 WHERE k >= 3",
+    )
+    got = {r["k"]: float(r["amt"]) for r in
+           spark.table("t_tt_sqlface_out").collect()}
+    assert got == {3: 30.0, 5: 50.0}
+    spark.sql("DROP TABLE IF EXISTS t_tt_sqlface_out")
+
+
+def test_sql_face_timestamp_as_of_and_literal_guard(spark):
+    """``TIMESTAMP AS OF`` accepts a unix epoch or a quoted ISO
+    datetime (naive → UTC, the log's committed_at convention); the
+    clause inside a string literal is never rewritten; a non-history
+    table raises table_at's error loudly."""
+    _fresh_history_table(spark, "t_tt_sqlts")
+    tt.enable_history(spark, "t_tt_sqlts")
+    between = time.time()
+    time.sleep(0.01)
+    execute_sql(spark, "DELETE FROM t_tt_sqlts WHERE k <= 3")  # v1
+    q = tt.resolve_time_travel(
+        spark,
+        f"SELECT COUNT(*) AS n FROM t_tt_sqlts TIMESTAMP AS OF {between}",
+    )
+    assert spark.sql(q).collect()[0]["n"] == 5
+    # far-future ISO string pins the tip
+    q = tt.resolve_time_travel(
+        spark,
+        "SELECT COUNT(*) AS n FROM t_tt_sqlts FOR SYSTEM_TIME AS OF "
+        "'9999-12-31 23:59:59'",
+    )
+    assert spark.sql(q).collect()[0]["n"] == 2
+    # a literal mentioning the clause is untouched
+    s = "SELECT 'x VERSION AS OF 1' AS lit"
+    assert tt.resolve_time_travel(spark, s) == s
+    # non-history table -> the table_at error, not a silent live read
+    with pytest.raises(ValueError, match="no snapshot history"):
+        tt.resolve_time_travel(
+            spark, "SELECT * FROM t_tt_absent_tbl VERSION AS OF 0"
+        )
