@@ -1182,6 +1182,41 @@ def encode_wav_pcm(samples, *, bits: int, sample_rate: int = 8000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav_extensible(
+    samples, *, bits: int, sample_rate: int = 8000, channel_mask: int = 0
+) -> bytes:
+    """PCM WAVE wrapped in WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) — the
+    modern container for multichannel / >16-bit audio: the 40-byte fmt
+    chunk carries validBits, a channel mask and the PCM media-subtype
+    GUID. Sample packing is identical to :func:`encode_wav_pcm`."""
+    import struct
+
+    plain = encode_wav_pcm(samples, bits=bits, sample_rate=sample_rate)
+    # splice the fmt chunk: reuse the PCM encoder's container, widening
+    # the fmt body from 16 to the 40-byte extensible layout
+    fmt_off = plain.find(b"fmt ")
+    (old_size,) = struct.unpack("<I", plain[fmt_off + 4:fmt_off + 8])
+    old_fmt = plain[fmt_off + 8:fmt_off + 8 + old_size]
+    ch, rate, br, ba = struct.unpack("<HIIH", old_fmt[2:14])
+    new_fmt = (
+        struct.pack("<HHIIHH", 0xFFFE, ch, rate, br, ba, bits)
+        + struct.pack("<HHI", 22, bits, channel_mask)
+        + struct.pack("<I", 1)  # PCM subtype tag DWORD
+        + bytes.fromhex("00001000800000aa00389b71")
+    )
+    chunks = (
+        plain[12:fmt_off]
+        + b"fmt " + struct.pack("<I", len(new_fmt)) + new_fmt
+        + plain[fmt_off + 8 + old_size:]
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(chunks))
+        + b"WAVE"
+        + chunks
+    )
+
+
 def encode_wav_telephony(
     data: bytes,
     fmt_tag: int,
@@ -1266,6 +1301,8 @@ def decode_wav(payload: bytes):
     6 = G.711 A-law, 7 = G.711 mu-law (the telephony WAVs
     call-center corpora arrive in), 0x11 = IMA ADPCM (mono, block
     headers carrying per-block initial state, low-nibble-first — r16).
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE — the modern multichannel/high-width
+    wrapper) unwraps to its SubFormat GUID's effective tag (r16).
     Returns ``(sample_rate, n_channels, samples)`` with ``samples`` an
     int16 (int32 for 24-bit) array of shape (n_samples, n_channels).
     Raises ValueError on anything malformed or an unsupported format
@@ -1290,6 +1327,38 @@ def decode_wav(payload: bytes):
             raise ValueError(f"truncated {cid!r} chunk")
         if cid == b"fmt ":
             tag, ch, rate, _br, ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if tag == 0xFFFE:
+                # WAVE_FORMAT_EXTENSIBLE (the modern multichannel/
+                # high-width wrapper): cbSize(2) + validBits(2) +
+                # channelMask(4) + SubFormat GUID(16); the GUID's
+                # leading DWORD is the effective format tag (the
+                # KSDATAFORMAT_SUBTYPE_* convention), rest must be
+                # the fixed media-subtype suffix
+                if len(body) < 40:
+                    raise ValueError(
+                        "corrupt WAVE: EXTENSIBLE fmt chunk below 40 "
+                        "bytes"
+                    )
+                sub = body[24:40]
+                if sub[4:] != bytes.fromhex("00001000800000aa00389b71"):
+                    raise ValueError(
+                        "EXTENSIBLE SubFormat GUID is not a standard "
+                        "media subtype"
+                    )
+                tag = struct.unpack("<I", sub[:4])[0]
+                if tag == 0x11:
+                    raise ValueError(
+                        "IMA ADPCM under WAVE_FORMAT_EXTENSIBLE not "
+                        "supported (samplesPerBlock is displaced by "
+                        "the extensible header)"
+                    )
+                valid_bits = struct.unpack("<H", body[18:20])[0]
+                if valid_bits and valid_bits != bits:
+                    raise ValueError(
+                        f"EXTENSIBLE validBitsPerSample {valid_bits} "
+                        f"!= container {bits} (padded layouts not "
+                        "supported)"
+                    )
             if tag not in (1, 6, 7, 0x11):
                 raise ValueError(
                     f"compressed WAVE (format tag {tag}) not supported — "

@@ -18301,6 +18301,84 @@ def c230_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c232_stream_history_versions",
+    oracle="""
+    SELECT CAST(4 AS BIGINT) AS n_versions,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user_id
+    FROM events
+    """,
+    doc="streaming ingest into a TIME-TRAVEL table "
+        "(streaming/sessions.stream_append_history, r16 — the "
+        "transaction-per-micro-batch contract Delta's streaming sink "
+        "provides, here over the native manifest commit log): every "
+        "micro-batch publishes one O(new-files) APPEND commit through "
+        "the statement face (INSERT INTO -> timetravel.commit_append "
+        "— the batch's own parquet files plus O(#files) hard-link "
+        "metadata for the carried manifest, never an O(table) "
+        "rewrite), so a continuously-ingesting table stays fully "
+        "time-travelable: each batch is a pinned queryable version, "
+        "readers see versions atomically via "
+        "log-append-then-pointer-swap, and a crash between batches "
+        "leaves a valid tip. The entry seeds a history table with the "
+        "event_id%4==0 slice (v0), streams the remaining rows as "
+        "THREE files under maxFilesPerTrigger=1 (3 genuine "
+        "micro-batches -> versions 1-3), and certifies the commit "
+        "count plus the exact final state against the events fixture. "
+        "Scale: state is the file-source's seen-files log only — no "
+        "shuffle, no stateful operator; per-batch cost is the batch "
+        "write itself",
+    tags=("streaming", "dml", "events"),
+)
+def c232_stream_history_versions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import glob
+    import os
+    import shutil as _sh
+
+    from .. import timetravel as tt
+    from ..ingest import _clean_stale_location
+    from ..session import load_table
+    from ..streaming.sessions import (
+        read_events_stream,
+        stream_append_history,
+    )
+
+    views(spark, sf_dir, "events")  # oracle side
+    tbl = "bp_stream_hist_tgt"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    tt.remove_history(spark, tbl)
+    _clean_stale_location(spark, tbl, None)
+    ev = load_table(spark, sf_dir, "events")
+    ev.filter(F.col("event_id") % 4 == 0).write.saveAsTable(tbl)
+    tt.enable_history(spark, tbl)  # v0
+    rest = ev.filter(F.col("event_id") % 4 != 0)
+    d = tempfile.mkdtemp(prefix="bp_stream_hist_")
+    for k in range(3):
+        tmp = os.path.join(d, f"_slice{k}")
+        rest.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        _sh.move(part, os.path.join(d, f"part-{k}.parquet"))
+        _sh.rmtree(tmp)
+    cols = spark.table(tbl).columns
+    stream = read_events_stream(
+        spark, d, spark.table(tbl).schema, max_files_per_trigger=1
+    ).select(*cols)
+    stream_append_history(stream, tbl)  # blocks; raises on timeout
+    n_versions = tt.history(spark, tbl).count()  # metadata-sized
+    return spark.table(tbl).agg(
+        F.lit(int(n_versions)).cast("long").alias("n_versions"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").cast("long").alias("sum_event_id"),
+        F.sum("user_id").cast("long").alias("sum_user_id"),
+    )
+
+
+@query(
     "c231_bigendian_audio_stats",
     oracle="""
     WITH raw AS (
@@ -20146,7 +20224,6 @@ _DRIVER_WINDOW = [
     "q59_scd2_dimension",
     "c75_ann_ivfpq_refine_topk",
     "q60_materialized_view_sql",
-    "q61_system_tables",
     # --- oldest r10-rowed entries, in catalog order ---
     "q12_agg_approx_distinct",
     # --- co-windowed oracle twin of the rows-only pick q12 ---
@@ -20156,7 +20233,7 @@ _DRIVER_WINDOW = [
     # c221, q06 out for c222, q05 out for c223, q56 out for q113,
     # c73 out for c224, c80 out for c225, c79 out for q114, c78 out for
     # c226, q67 out for c227, q66 out for c228, q65 out for q115, q64
-    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231; the q12+q11
+    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232; the q12+q11
     # rows-only pair stays seated and would leave together, last) ---
     "q112_time_travel_selective_dml",
     "c221_tiff_compressed_decode_stats",
@@ -20175,6 +20252,7 @@ _DRIVER_WINDOW = [
     "c230_wav_pcm_stats",
     "q117_time_travel_sql_face",
     "c231_bigendian_audio_stats",
+    "c232_stream_history_versions",
 ]
 
 

@@ -823,3 +823,52 @@ def stream_ohlc_into(
         .start()
     )
     return await_finished(q, await_seconds)
+
+
+def stream_append_history(
+    stream: DataFrame,
+    table: str,
+    *,
+    await_seconds: int = 180,
+):
+    """``foreachBatch`` append sink over a HISTORY table: every
+    micro-batch publishes one O(new-files) append commit through the
+    statement face (``INSERT INTO`` → timetravel.commit_append), so a
+    continuously-ingesting table stays fully time-travelable — each
+    batch is a pinned, queryable version, the streaming analog of
+    Delta's transaction-per-micro-batch contract.
+
+    Per batch the cost is writing the batch's own parquet files plus
+    O(#files) hard-link metadata for the carried manifest — O(batch),
+    never O(table): the property that lets a 100 TB table ingest a
+    stream indefinitely. Readers (``table_at``, the live pointer) see
+    each version atomically via the log-append-then-pointer-swap
+    protocol; a crash between batches leaves a valid tip.
+
+    Blocks until the availableNow run finishes (raising on timeout)
+    and returns the terminated query.
+    """
+    from ..sqlrun import execute_sql
+
+    def append(batch: DataFrame, batch_id: int) -> None:
+        # the batch DataFrame lives in the micro-batch's CLONED
+        # session — register the view and run the statement there
+        # (the table catalog is shared; temp views are session-scoped)
+        bs = batch.sparkSession
+        view = f"_bp_stream_hist_batch_{batch_id}"
+        batch.createOrReplaceTempView(view)
+        try:
+            execute_sql(bs, f"INSERT INTO {table} SELECT * FROM {view}")
+        finally:
+            bs.catalog.dropTempView(view)
+
+    q = (
+        stream.writeStream.foreachBatch(append)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q = await_finished(q, await_seconds)
+    # the commits ran in the micro-batch clone; drop the caller
+    # session's cached relation so its next read sees the new pointer
+    stream.sparkSession.catalog.refreshTable(table)
+    return q

@@ -2628,3 +2628,65 @@ def test_aiff_au_cross_validate_jvm_both_directions(spark):
     r, ch, s = decode_au(jvm_write(ucodes.tobytes(), ufmt, types.AU, 33))
     assert (r, ch) == (8000, 1)
     assert np.array_equal(s.flatten(), decode_mulaw(ucodes.tobytes()))
+
+
+def test_wav_extensible_unwraps_to_effective_tag(spark):
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE, r16): the 40-byte fmt chunk's
+    SubFormat GUID supplies the effective tag — PCM payloads decode
+    identically to their plain-tag containers at every width, the
+    JVM's javax.sound.sampled parser agrees on format + frames, and
+    non-standard GUIDs / padded validBits / wrapped ADPCM refuse by
+    name."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_extensible,
+        encode_wav_pcm,
+    )
+
+    rng = np.random.default_rng(41)
+    cases = [
+        (rng.integers(0, 256, size=(31, 1)).astype(np.uint8), 8, 8000),
+        (rng.integers(-32768, 32768, size=(19, 2)).astype(np.int64), 16,
+         44100),
+        (rng.integers(-(1 << 23), 1 << 23, size=(17, 2)).astype(np.int64),
+         24, 48000),
+    ]
+    jvm = spark._jvm
+    for arr, bits, rate in cases:
+        ext = encode_wav_extensible(
+            arr, bits=bits, sample_rate=rate, channel_mask=0x3
+        )
+        plain = encode_wav_pcm(arr, bits=bits, sample_rate=rate)
+        re_, ce, se = decode_wav(ext)
+        rp, cp, sp = decode_wav(plain)
+        assert (re_, ce) == (rp, cp) == (rate, arr.shape[1])
+        assert np.array_equal(se, sp)
+        ais = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(
+            jvm.java.io.ByteArrayInputStream(bytearray(ext))
+        )
+        f = ais.getFormat()
+        assert f.getSampleSizeInBits() == bits
+        assert f.getChannels() == arr.shape[1]
+        assert int(f.getSampleRate()) == rate
+    # refusals: non-standard GUID suffix, padded validBits, ADPCM wrap
+    arr, bits, rate = cases[1]
+    enc = bytearray(encode_wav_extensible(arr, bits=16, sample_rate=rate))
+    g = enc.find(b"fmt ") + 8 + 24
+    enc[g + 4] = 0xFF
+    with pytest.raises(ValueError, match="not a standard media subtype"):
+        decode_wav(bytes(enc))
+    enc = bytearray(encode_wav_extensible(arr, bits=16, sample_rate=rate))
+    v = enc.find(b"fmt ") + 8 + 18
+    enc[v:v + 2] = struct.pack("<H", 12)  # validBits != container bits
+    with pytest.raises(ValueError, match="padded layouts"):
+        decode_wav(bytes(enc))
+    enc = bytearray(encode_wav_extensible(arr, bits=16, sample_rate=rate))
+    s = enc.find(b"fmt ") + 8 + 24
+    enc[s:s + 4] = struct.pack("<I", 0x11)
+    with pytest.raises(ValueError, match="EXTENSIBLE not"):
+        decode_wav(bytes(enc))

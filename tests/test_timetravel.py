@@ -898,3 +898,56 @@ def test_sql_face_timestamp_as_of_and_literal_guard(spark):
         tt.resolve_time_travel(
             spark, "SELECT * FROM t_tt_absent_tbl VERSION AS OF 0"
         )
+
+
+def test_stream_append_history_commits_per_batch_with_inode_carry(spark):
+    """Streaming into a history table (r16): each micro-batch publishes
+    one APPEND commit — version per batch, previous files carried by
+    hard link (O(batch), never O(table)), every version readable, and
+    the final state exact."""
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from amazonredshift_blueprints_spark.streaming.sessions import (
+        stream_append_history,
+    )
+
+    _fresh_history_table(spark, "t_tt_streamsink")
+    tt.enable_history(spark, "t_tt_streamsink")  # v0: k 1..5
+    root = tt._table_root(spark, "t_tt_streamsink")
+    v0_paths = tt._entry_paths(tt._read_log(root)[-1])
+    d = tempfile.mkdtemp(prefix="bp_tt_streamsink_")
+    for k, lo in enumerate((10, 20)):
+        tmp = os.path.join(d, f"_s{k}")
+        spark.range(lo, lo + 3).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * 10).cast("decimal(12,2)").alias("amt"),
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        shutil.move(part, os.path.join(d, f"part-{k}.parquet"))
+        shutil.rmtree(tmp)
+    stream = (
+        spark.readStream.schema("k int, amt decimal(12,2)")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    stream_append_history(stream, "t_tt_streamsink")
+    hist = tt.history(spark, "t_tt_streamsink").collect()
+    assert [r["op"] for r in hist] == [
+        "enable_history", "insert", "insert"
+    ]
+    # v0's files ride into the tip by hard link — inode carry across
+    # BOTH streaming commits
+    tip_paths = tt._entry_paths(tt._read_log(root)[-1])
+    assert _inodes(v0_paths) <= _inodes(tip_paths)
+    assert all(os.stat(p).st_nlink >= 2 for p in v0_paths)
+    # each version is a pinned snapshot: 5, 5+3, 5+6 rows
+    assert [
+        tt.table_at(spark, "t_tt_streamsink", version=v).count()
+        for v in range(3)
+    ] == [5, 8, 11]
+    ks = sorted(r["k"] for r in spark.table("t_tt_streamsink").collect())
+    assert ks == [1, 2, 3, 4, 5, 10, 11, 12, 20, 21, 22]
