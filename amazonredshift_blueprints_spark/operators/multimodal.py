@@ -5722,6 +5722,252 @@ def synthesize_progressive_jpeg_images(
     )
 
 
+def build_exif_app1(
+    orientation: int,
+    *,
+    byte_order: str = "II",
+    description: str | None = None,
+) -> bytes:
+    """EXIF APP1 segment BODY (after the marker+length): ``Exif\\0\\0``
+    + a TIFF structure (either byte order) whose IFD0 carries the
+    Orientation SHORT (tag 0x0112, values 1-8 per the EXIF spec's
+    eight flip/rotate states) and, optionally, an out-of-line
+    ImageDescription ASCII (tag 0x010E) to exercise offset-followed
+    values."""
+    import struct
+
+    if not 1 <= orientation <= 8:
+        raise ValueError("EXIF orientation must be 1..8")
+    if byte_order not in ("II", "MM"):
+        raise ValueError("byte_order must be 'II' or 'MM'")
+    e = "<" if byte_order == "II" else ">"
+    entries = []
+    tail = b""
+    desc = None if description is None else description.encode() + b"\x00"
+    n = 1 + (desc is not None)
+    data_off = 8 + 2 + n * 12 + 4  # header + count + entries + next-IFD
+    if desc is not None:
+        if len(desc) <= 4:
+            val = desc.ljust(4, b"\x00")
+        else:
+            val = struct.pack(f"{e}I", data_off)
+            tail = desc
+        entries.append(
+            struct.pack(f"{e}HHI", 0x010E, 2, len(desc)) + val
+        )
+    # IFD entries must be tag-ascending: 0x010E description (appended
+    # above when present) precedes 0x0112 orientation
+    entries.append(
+        struct.pack(f"{e}HHI", 0x0112, 3, 1)
+        + struct.pack(f"{e}H", orientation) + b"\x00\x00"
+    )
+    tiff = (
+        byte_order.encode()
+        + struct.pack(f"{e}HI", 42, 8)
+        + struct.pack(f"{e}H", len(entries))
+        + b"".join(entries)
+        + struct.pack(f"{e}I", 0)
+        + tail
+    )
+    return b"Exif\x00\x00" + tiff
+
+
+def inject_exif(jpeg: bytes, app1_body: bytes) -> bytes:
+    """Insert an APP1 segment after SOI — or after a leading JFIF
+    APP0 when one is present (the dual-marker layout real files with
+    both JFIF and EXIF use; JFIF requires APP0 to stay the first
+    marker)."""
+    import struct
+
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    at = 2
+    if jpeg[2:4] == b"\xff\xe0":
+        (size,) = struct.unpack(">H", jpeg[4:6])
+        at = 4 + size
+    return (
+        jpeg[:at]
+        + b"\xff\xe1"
+        + struct.pack(">H", len(app1_body) + 2)
+        + app1_body
+        + jpeg[at:]
+    )
+
+
+def parse_exif(payload: bytes) -> dict:
+    """Walk the JPEG marker stream for an ``Exif``-tagged APP1 and
+    parse its TIFF IFD0: returns ``{"orientation": 1-8,
+    "byte_order": "II"|"MM", "description": str|None}``. A JPEG with
+    no EXIF APP1 returns the spec default orientation 1 (top-left) —
+    the behavior every viewer implements. Corrupt EXIF refuses by
+    name."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    body = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (size,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        seg = payload[pos + 4:pos + 2 + size]
+        if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            body = seg[6:]
+            break
+        if marker == 0xDA:  # SOS — EXIF never follows entropy data
+            break
+        pos += 2 + size
+    out = {"orientation": 1, "byte_order": None, "description": None}
+    if body is None:
+        return out
+    if len(body) < 8 or body[:2] not in (b"II", b"MM"):
+        raise ValueError("corrupt EXIF: bad TIFF byte-order mark")
+    e = "<" if body[:2] == b"II" else ">"
+    out["byte_order"] = body[:2].decode()
+    magic, ifd_off = struct.unpack(f"{e}HI", body[2:8])
+    if magic != 42:
+        raise ValueError("corrupt EXIF: TIFF magic != 42")
+    if ifd_off + 2 > len(body):
+        raise ValueError("corrupt EXIF: IFD0 offset out of range")
+    (n,) = struct.unpack(f"{e}H", body[ifd_off:ifd_off + 2])
+    for k in range(n):
+        off = ifd_off + 2 + 12 * k
+        if off + 12 > len(body):
+            raise ValueError("corrupt EXIF: truncated IFD entry")
+        tag, typ, cnt = struct.unpack(f"{e}HHI", body[off:off + 8])
+        val = body[off + 8:off + 12]
+        if tag == 0x0112 and typ == 3 and cnt == 1:
+            (o,) = struct.unpack(f"{e}H", val[:2])
+            if not 1 <= o <= 8:
+                raise ValueError(f"corrupt EXIF: orientation {o}")
+            out["orientation"] = o
+        elif tag == 0x010E and typ == 2:
+            if cnt <= 4:
+                raw = val[:cnt]
+            else:
+                (doff,) = struct.unpack(f"{e}I", val)
+                if doff + cnt > len(body):
+                    raise ValueError(
+                        "corrupt EXIF: description offset out of range"
+                    )
+                raw = body[doff:doff + cnt]
+            out["description"] = raw.rstrip(b"\x00").decode(
+                "ascii", "replace"
+            )
+    return out
+
+
+def apply_exif_orientation(px, orientation: int):
+    """Map stored pixels to UPRIGHT display pixels per the EXIF
+    orientation state (1 = as stored, 2 = mirror-H, 3 = rotate 180,
+    4 = mirror-V, 5 = transpose, 6 = rotate 90 CW, 7 = transverse,
+    8 = rotate 90 CCW) — pure index views, zero copies where numpy
+    allows."""
+    import numpy as np
+
+    o = int(orientation)
+    if o == 1:
+        return px
+    if o == 2:
+        return px[:, ::-1]
+    if o == 3:
+        return px[::-1, ::-1]
+    if o == 4:
+        return px[::-1, :]
+    if o == 5:
+        return np.swapaxes(px, 0, 1)
+    if o == 6:
+        return np.rot90(px, k=3)
+    if o == 7:
+        return np.swapaxes(px, 0, 1)[::-1, ::-1]
+    if o == 8:
+        return np.rot90(px, k=1)
+    raise ValueError("EXIF orientation must be 1..8")
+
+
+def synthesize_exif_jpeg_images(df: DataFrame, id_col: str) -> DataFrame:
+    """The c211 exactness-class tile JPEGs with an EXIF APP1 spliced
+    in: orientation ``1 + id % 8`` (all eight states), TIFF byte order
+    ``II`` for even ids / ``MM`` for odd, and an out-of-line
+    ImageDescription carrying ``doc <id>``."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                th, tw = 1 + i % 3, 2 + i % 2
+                tr = np.arange(th)[:, None]
+                tc = np.arange(tw)[None, :]
+                tiles = (2 * ((i * 31 + tr * 7 + tc * 3) % 128)).astype(
+                    np.uint8
+                )
+                img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+                jp = encode_jpeg_gray(img[: th * 8 - 1, : tw * 8 - 3])
+                app1 = build_exif_app1(
+                    1 + i % 8,
+                    byte_order="II" if i % 2 == 0 else "MM",
+                    description=f"doc {i}",
+                )
+                payloads.append(inject_exif(jp, app1))
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def exif_image_stats(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Orientation-aware JPEG featurize: parse the EXIF APP1, decode
+    the image, apply the orientation transform, and reduce to the
+    UPRIGHT dimensions + top-left pixel (orientation-sensitive) and
+    the pixel sum (rotation-invariant — the cross-check). Arrow-batched
+    ``mapInPandas`` inside the scan's partitions — no shuffle."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "doc_id", "orientation", "width", "height",
+                    "topleft", "pixel_sum",
+                )
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                meta = parse_exif(raw)
+                px = apply_exif_orientation(
+                    decode_jpeg_gray(raw), meta["orientation"]
+                )
+                rows["doc_id"].append(int(doc_id))
+                rows["orientation"].append(meta["orientation"])
+                rows["width"].append(px.shape[1])
+                rows["height"].append(px.shape[0])
+                rows["topleft"].append(int(px[0, 0]))
+                rows["pixel_sum"].append(int(px.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {k: pd.Series(vv, dtype="int64") for k, vv in rows.items()}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        stats,
+        "doc_id long, orientation long, width long, height long, "
+        "topleft long, pixel_sum long",
+    )
+
+
 def synthesize_cmyk_jpeg_images(df: DataFrame, id_col: str) -> DataFrame:
     """Deterministic REAL 4-component Adobe-JPEG payloads (r16 — the
     print-pipeline class): image ``id`` encodes transform-0 CMYK when

@@ -18301,6 +18301,74 @@ def c230_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c233_exif_orientation_stats",
+    oracle="""
+    WITH g AS (
+        SELECT d.doc_id, 1 + d.doc_id % 8 AS o,
+               1 + d.doc_id % 3 AS th, 2 + d.doc_id % 2 AS tw
+        FROM documents d
+    ),
+    px AS (
+        SELECT g.doc_id, g.o, g.th, g.tw, tr.tr, tc.tc,
+               2 * ((g.doc_id * 31 + tr.tr * 7 + tc.tc * 3) % 128) AS v,
+               (CASE WHEN tr.tr = g.th - 1 THEN 7 ELSE 8 END)
+               * (CASE WHEN tc.tc = g.tw - 1 THEN 5 ELSE 8 END) AS npix
+        FROM g, range(3) tr(tr), range(3) tc(tc)
+        WHERE tr.tr < g.th AND tc.tc < g.tw
+    )
+    SELECT doc_id,
+           CAST(o AS BIGINT) AS orientation,
+           CAST(CASE WHEN o >= 5 THEN th * 8 - 1 ELSE tw * 8 - 3 END
+                AS BIGINT) AS width,
+           CAST(CASE WHEN o >= 5 THEN tw * 8 - 3 ELSE th * 8 - 1 END
+                AS BIGINT) AS height,
+           CAST(MAX(CASE WHEN
+                    tr = (CASE WHEN o IN (3, 4, 6, 7) THEN th - 1
+                          ELSE 0 END)
+                AND tc = (CASE WHEN o IN (2, 3, 7, 8) THEN tw - 1
+                          ELSE 0 END)
+                THEN v END) AS BIGINT) AS topleft,
+           CAST(SUM(CAST(v AS BIGINT) * npix) AS BIGINT) AS pixel_sum
+    FROM px GROUP BY doc_id, o, th, tw
+    """,
+    doc="EXIF orientation metadata + orientation-aware decode "
+        "(operators/multimodal.py, r16 — the APP1 sidecar nearly "
+        "every camera/phone JPEG carries; a pipeline that ignores it "
+        "feeds sideways images to training): build_exif_app1/"
+        "parse_exif write and walk the APP1 TIFF structure in BOTH "
+        "byte orders (IFD0 entry scan, SHORT orientation inline, "
+        "ASCII description through out-of-line offsets), "
+        "apply_exif_orientation maps stored pixels to the upright "
+        "view for all EIGHT flip/rotate states as pure numpy index "
+        "views, and a JPEG with no EXIF yields the spec default "
+        "(orientation 1) rather than an error. pytest pins the "
+        "builder/parser round trip both-endian, every orientation's "
+        "upright transform on a hand-checked grid, corrupt-EXIF "
+        "refusals by name, and — externally — that javax.imageio's "
+        "independent marker parser exposes our APP1 verbatim "
+        "(unknown-marker node, tag 225) in the dual JFIF+EXIF "
+        "layout while the stream still decodes to the same pixels. "
+        "Entry: the c211 exactness-class tile JPEGs with all eight "
+        "orientations spliced in; upright dims + the "
+        "orientation-SENSITIVE top-left pixel + the "
+        "rotation-INVARIANT pixel sum replay from the closed tile "
+        "form in SQL. Arrow-batched mapInPandas inside the scan's "
+        "partitions — no shuffle",
+    tags=("multimodal",),
+)
+def c233_exif_orientation_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import (
+        exif_image_stats,
+        synthesize_exif_jpeg_images,
+    )
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return exif_image_stats(synthesize_exif_jpeg_images(d, "doc_id"))
+
+
+@query(
     "c232_stream_history_versions",
     oracle="""
     SELECT CAST(4 AS BIGINT) AS n_versions,
@@ -20223,7 +20291,6 @@ _DRIVER_WINDOW = [
     "c74_ann_ivfpq_residual_topk",
     "q59_scd2_dimension",
     "c75_ann_ivfpq_refine_topk",
-    "q60_materialized_view_sql",
     # --- oldest r10-rowed entries, in catalog order ---
     "q12_agg_approx_distinct",
     # --- co-windowed oracle twin of the rows-only pick q12 ---
@@ -20233,7 +20300,7 @@ _DRIVER_WINDOW = [
     # c221, q06 out for c222, q05 out for c223, q56 out for q113,
     # c73 out for c224, c80 out for c225, c79 out for q114, c78 out for
     # c226, q67 out for c227, q66 out for c228, q65 out for q115, q64
-    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232; the q12+q11
+    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232, q60 out for c233; the q12+q11
     # rows-only pair stays seated and would leave together, last) ---
     "q112_time_travel_selective_dml",
     "c221_tiff_compressed_decode_stats",
@@ -20253,6 +20320,7 @@ _DRIVER_WINDOW = [
     "q117_time_travel_sql_face",
     "c231_bigendian_audio_stats",
     "c232_stream_history_versions",
+    "c233_exif_orientation_stats",
 ]
 
 

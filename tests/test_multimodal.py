@@ -2690,3 +2690,114 @@ def test_wav_extensible_unwraps_to_effective_tag(spark):
     enc[s:s + 4] = struct.pack("<I", 0x11)
     with pytest.raises(ValueError, match="EXTENSIBLE not"):
         decode_wav(bytes(enc))
+
+
+def test_exif_orientation_parse_transform_and_refusals():
+    """EXIF APP1 (r16): builder/parser round-trip over both TIFF byte
+    orders, all eight orientation states transform to the correct
+    upright view, missing EXIF yields the spec default, corrupt
+    structures refuse by name."""
+    import numpy as np
+    import pytest
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        apply_exif_orientation,
+        build_exif_app1,
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        inject_exif,
+        parse_exif,
+    )
+
+    img = (np.arange(64).reshape(8, 8) * 2 % 256).astype(np.uint8)
+    jp = encode_jpeg_gray(img)
+    for bo in ("II", "MM"):
+        for o in range(1, 9):
+            p = inject_exif(
+                jp, build_exif_app1(o, byte_order=bo, description=f"d{o}")
+            )
+            m = parse_exif(p)
+            assert (m["orientation"], m["byte_order"], m["description"]) \
+                == (o, bo, f"d{o}")
+            # the image decoder skips the APP1 transparently
+            assert np.array_equal(decode_jpeg_gray(p), decode_jpeg_gray(jp))
+    assert parse_exif(jp) == {
+        "orientation": 1, "byte_order": None, "description": None,
+    }
+    # inline (<= 4 byte) description stays inline and parses
+    m = parse_exif(inject_exif(jp, build_exif_app1(2, description="ab")))
+    assert m["description"] == "ab" and m["orientation"] == 2
+    # all eight upright transforms against a hand-checked 2x3 grid
+    px = np.arange(6).reshape(2, 3)
+    want_topleft = {1: px[0, 0], 2: px[0, 2], 3: px[1, 2], 4: px[1, 0],
+                    5: px[0, 0], 6: px[1, 0], 7: px[1, 2], 8: px[0, 2]}
+    for o in range(1, 9):
+        up = apply_exif_orientation(px, o)
+        assert up.shape == ((2, 3) if o <= 4 else (3, 2))
+        assert up[0, 0] == want_topleft[o]
+        assert up.sum() == px.sum()
+    with pytest.raises(ValueError, match="orientation must be 1..8"):
+        build_exif_app1(9)
+    with pytest.raises(ValueError, match="byte-order mark"):
+        parse_exif(inject_exif(jp, b"Exif\x00\x00XX" + b"\x00" * 8))
+    bad = bytearray(build_exif_app1(3))
+    bad[8] = 43  # TIFF magic
+    with pytest.raises(ValueError, match="magic != 42"):
+        parse_exif(inject_exif(jp, bytes(bad)))
+    bad = bytearray(build_exif_app1(3))
+    off = 6 + 8 + 2 + 8  # into the orientation value field
+    bad[off:off + 2] = (77).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="orientation 77"):
+        parse_exif(inject_exif(jp, bytes(bad)))
+
+
+def test_exif_app1_framing_survives_jvm_reader(spark):
+    """javax.imageio's independent JPEG marker parser must expose our
+    APP1 segment verbatim (unknown-marker node, tag 225) — external
+    validation that the segment framing and placement are spec-valid,
+    and that the stream still decodes to the same pixels."""
+    import numpy as np
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        build_exif_app1,
+        encode_jpeg_gray,
+        inject_exif,
+    )
+
+    jvm = spark._jvm
+    img = np.full((16, 16), 120, dtype=np.uint8)
+    app1 = build_exif_app1(6, byte_order="MM", description="jvm check")
+    payload = inject_exif(encode_jpeg_gray(img), app1)
+    stream = jvm.javax.imageio.ImageIO.createImageInputStream(
+        jvm.java.io.ByteArrayInputStream(bytearray(payload))
+    )
+    reader = jvm.javax.imageio.ImageIO.getImageReaders(stream).next()
+    reader.setInput(stream)
+    md = reader.getImageMetadata(0)
+    tree = md.getAsTree("javax_imageio_jpeg_image_1.0")
+    markers = tree.getFirstChild()  # markerSequence is first child?
+    # walk the whole tree for unknown nodes with MarkerTag 225
+    found = []
+
+    def walk(node):
+        if node.getNodeName() == "unknown":
+            attrs = node.getAttributes()
+            tag = attrs.getNamedItem("MarkerTag")
+            if tag is not None and tag.getNodeValue() == "225":
+                found.append(bytes(node.getUserObject()))
+        kids = node.getChildNodes()
+        for i in range(kids.getLength()):
+            walk(kids.item(i))
+
+    walk(tree)
+    assert found and found[0] == app1
+    buffered = reader.read(0)
+    raster = buffered.getRaster()
+    got = np.array(
+        [
+            raster.getSample(x, y, 0)
+            for y in range(16)
+            for x in range(16)
+        ]
+    ).reshape(16, 16)
+    assert np.array_equal(got, img)
