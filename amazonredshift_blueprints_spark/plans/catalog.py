@@ -18301,6 +18301,112 @@ def c230_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q118_zero_copy_clone",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+    ),
+    v1 AS (SELECT * FROM base WHERE NOT (o_orderkey % 7 = 0)),
+    src_live AS (SELECT * FROM v1 WHERE NOT (o_orderkey % 3 = 0)),
+    dst_live AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice
+        FROM v1
+    ),
+    snaps AS (
+        SELECT 'dst_live' AS branch, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM dst_live
+        UNION ALL
+        SELECT 'dst_v0', COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM v1
+        UNION ALL
+        SELECT 'src_live', COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM src_live
+        UNION ALL
+        SELECT 'src_v1', COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM v1
+    )
+    SELECT branch, CAST(n_rows AS BIGINT) AS n_rows, total_price
+    FROM snaps ORDER BY branch
+    """,
+    doc="ZERO-COPY table clone over the manifest commit log "
+        "(timetravel.clone_history_table, r16 — the Delta/Iceberg "
+        "SHALLOW CLONE operation, strengthened: the clone's v0 "
+        "materializes the source tip's manifest by HARD LINK, "
+        "O(#files) inode metadata and zero data bytes at any table "
+        "size, and because the links are real names on the shared "
+        "inodes, vacuuming the SOURCE can never dangle the clone — "
+        "the failure mode Delta's path-referencing shallow clones "
+        "document). The two tables evolve fully independently from "
+        "the clone point: separate commit logs, separate pointers, "
+        "copy-on-write divergence; the clone's log opens with a "
+        "provenance entry ('clone <src> v<n>'). Entry: source "
+        "enable(v0) -> DELETE (v1) -> CLONE -> UPDATE the clone / "
+        "DELETE more from the source -> aggregate all four views "
+        "(both live tables, the clone's v0, the source's v1 — the "
+        "last two provably identical). pytest additionally pins the "
+        "inode equality, the provenance op, the vacuum-source-"
+        "then-read-clone guarantee, and the exists/self/non-history "
+        "refusals. Scale: clone cost is #files link syscalls — "
+        "cloning a 100 TB table is instant; on an object store the "
+        "manifest itself is the share (the log already records it)",
+    tags=("native", "sql", "dml", "orders"),
+)
+def q118_zero_copy_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from .. import timetravel as tt
+    from ..ingest import _clean_stale_location
+    from ..sqlrun import execute_sql
+
+    views(spark, sf_dir, "orders")
+    src, dst = "bp_clone_src", "bp_clone_dst"
+    for t in (src, dst):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        tt.remove_history(spark, t)
+        _clean_stale_location(spark, t, None)
+    execute_sql(
+        spark,
+        f"CREATE TABLE {src} AS SELECT o_orderkey, o_totalprice "
+        "FROM orders",
+    )
+    tt.enable_history(spark, src)  # v0
+    execute_sql(spark, f"DELETE FROM {src} WHERE o_orderkey % 7 = 0")  # v1
+    tt.clone_history_table(spark, src, dst)
+    execute_sql(
+        spark,
+        f"UPDATE {dst} SET o_totalprice = o_totalprice * 2 "
+        "WHERE o_orderkey % 5 = 0",
+    )
+    execute_sql(spark, f"DELETE FROM {src} WHERE o_orderkey % 3 = 0")
+
+    def agg(df: DataFrame, branch: str) -> DataFrame:
+        return df.agg(
+            F.lit(branch).alias("branch"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+
+    return reduce(
+        DataFrame.unionAll,
+        [
+            agg(spark.table(dst), "dst_live"),
+            agg(tt.table_at(spark, dst, version=0), "dst_v0"),
+            agg(spark.table(src), "src_live"),
+            agg(tt.table_at(spark, src, version=1), "src_v1"),
+        ],
+    ).orderBy("branch")
+
+
+@query(
     "c233_exif_orientation_stats",
     oracle="""
     WITH g AS (
@@ -20290,7 +20396,6 @@ _DRIVER_WINDOW = [
     "c72_ann_ivfpq_topk",
     "c74_ann_ivfpq_residual_topk",
     "q59_scd2_dimension",
-    "c75_ann_ivfpq_refine_topk",
     # --- oldest r10-rowed entries, in catalog order ---
     "q12_agg_approx_distinct",
     # --- co-windowed oracle twin of the rows-only pick q12 ---
@@ -20300,7 +20405,7 @@ _DRIVER_WINDOW = [
     # c221, q06 out for c222, q05 out for c223, q56 out for q113,
     # c73 out for c224, c80 out for c225, c79 out for q114, c78 out for
     # c226, q67 out for c227, q66 out for c228, q65 out for q115, q64
-    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232, q60 out for c233; the q12+q11
+    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232, q60 out for c233, c75 out for q118; the q12+q11
     # rows-only pair stays seated and would leave together, last) ---
     "q112_time_travel_selective_dml",
     "c221_tiff_compressed_decode_stats",
@@ -20321,6 +20426,7 @@ _DRIVER_WINDOW = [
     "c231_bigendian_audio_stats",
     "c232_stream_history_versions",
     "c233_exif_orientation_stats",
+    "q118_zero_copy_clone",
 ]
 
 

@@ -836,6 +836,65 @@ def restore_table(spark: SparkSession, table: str, version: int) -> int:
         )
 
 
+def clone_history_table(spark: SparkSession, src: str, dst: str) -> int:
+    """ZERO-COPY clone: create ``dst`` as a new history table whose v0
+    is the tip manifest of ``src``, materialized by hard links —
+    O(#files) inode metadata, zero data bytes, instant at any table
+    size (the Delta/Iceberg SHALLOW CLONE operation, done one better:
+    because the clone's v0 directory holds real links, vacuuming the
+    SOURCE can never dangle the clone — the shared inodes survive
+    through every name that links them, unlike a shallow clone's
+    path-references). The two tables evolve fully independently from
+    the moment of the clone: separate commit logs, separate pointers,
+    copy-on-write divergence. The clone's log opens with a
+    ``clone <src> v<n>`` entry recording its provenance.
+
+    Returns the clone's version number (0). ``dst`` must not exist
+    (and must not have an orphaned log — same rule as
+    :func:`enable_history`)."""
+    src_key = _lock_key(spark, src)
+    dst_key = _lock_key(spark, dst)
+    if src_key == dst_key:
+        raise ValueError("clone_history_table: src and dst are the same")
+    if not is_history_table(spark, src):
+        raise ValueError(
+            f"clone_history_table: {src_key} is not history-enabled"
+        )
+    if spark.catalog.tableExists(dst_key):
+        raise ValueError(
+            f"clone_history_table: table {dst_key} already exists"
+        )
+    dst_root = _table_root(spark, dst)
+    if os.path.exists(_log_path(dst_root)):
+        raise ValueError(
+            f"clone_history_table: an orphaned commit log exists for "
+            f"{dst_key}; remove_history() first (timetravel.py)"
+        )
+    with _table_lock(spark, src_key):
+        tip = _read_log(_table_root(spark, src))[-1]
+        os.makedirs(dst_root, exist_ok=True)
+        vdir = _next_vdir(dst_root, 0)
+        os.makedirs(vdir)
+        _carry_prev_files(vdir, tip)
+        spark.sql(
+            f"CREATE TABLE {_qualified(spark, dst)} USING parquet "
+            f"LOCATION '{vdir}'"
+        )
+        _write_log(
+            dst_root,
+            [
+                {
+                    "version": 0,
+                    "committed_at": time.time(),
+                    "op": f"clone {src_key} v{tip['version']}",
+                    "location": vdir,
+                    "files": _data_files(vdir),
+                }
+            ],
+        )
+    return 0
+
+
 def vacuum_history(
     spark: SparkSession,
     table: str,

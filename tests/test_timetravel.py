@@ -951,3 +951,50 @@ def test_stream_append_history_commits_per_batch_with_inode_carry(spark):
     ] == [5, 8, 11]
     ks = sorted(r["k"] for r in spark.table("t_tt_streamsink").collect())
     assert ks == [1, 2, 3, 4, 5, 10, 11, 12, 20, 21, 22]
+
+
+def test_zero_copy_clone_shares_inodes_and_diverges(spark):
+    """clone_history_table (r16): the clone's v0 is the source tip by
+    HARD LINK (same inodes, zero data bytes), both tables then evolve
+    independently, and vacuuming the source can never dangle the
+    clone — the anti-Delta-shallow-clone guarantee."""
+    src, dst = "t_tt_clone_src", "t_tt_clone_dst"
+    _fresh_history_table(spark, src)
+    tt.enable_history(spark, src)  # v0
+    execute_sql(spark, f"DELETE FROM {src} WHERE k = 1")  # v1: k 2..5
+    spark.sql(f"DROP TABLE IF EXISTS {dst}")
+    tt.remove_history(spark, dst)
+    assert tt.clone_history_table(spark, src, dst) == 0
+    src_root = tt._table_root(spark, src)
+    dst_root = tt._table_root(spark, dst)
+    src_tip = tt._entry_paths(tt._read_log(src_root)[-1])
+    dst_v0 = tt._entry_paths(tt._read_log(dst_root)[-1])
+    assert _inodes(src_tip) == _inodes(dst_v0)  # zero-copy
+    assert tt.history(spark, dst).collect()[0]["op"].startswith("clone ")
+    # independent evolution: write to each side
+    execute_sql(spark, f"UPDATE {dst} SET amt = amt * 2 WHERE k = 2")
+    execute_sql(spark, f"DELETE FROM {src} WHERE k = 5")
+    assert {r["k"]: float(r["amt"])
+            for r in spark.table(dst).collect()} == {
+        2: 40.0, 3: 30.0, 4: 40.0, 5: 50.0}
+    assert sorted(r["k"] for r in spark.table(src).collect()) == [2, 3, 4]
+    # the clone's v0 still equals the source state at clone time
+    assert sorted(
+        r["k"] for r in tt.table_at(spark, dst, version=0).collect()
+    ) == [2, 3, 4, 5]
+    # vacuum the source down to its tip: the clone keeps reading v0
+    tt.vacuum_history(spark, src, keep_last=1)
+    assert sorted(
+        r["k"] for r in tt.table_at(spark, dst, version=0).collect()
+    ) == [2, 3, 4, 5]
+    # refusals
+    with pytest.raises(ValueError, match="already exists"):
+        tt.clone_history_table(spark, src, dst)
+    with pytest.raises(ValueError, match="src and dst are the same"):
+        tt.clone_history_table(spark, src, src)
+    spark.sql("DROP TABLE IF EXISTS t_tt_nothist")
+    tt.remove_history(spark, "t_tt_nothist")
+    _clean_stale_location(spark, "t_tt_nothist", None)
+    spark.sql("CREATE TABLE t_tt_nothist (k INT) USING parquet")
+    with pytest.raises(ValueError, match="not history-enabled"):
+        tt.clone_history_table(spark, "t_tt_nothist", "t_tt_clone_x")
