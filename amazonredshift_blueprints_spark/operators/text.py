@@ -2276,3 +2276,137 @@ def registered_domain(canonical: Column) -> Column:
         host.endswith(".co.uk"),
         F.regexp_extract(host, r"([^.]+\.co\.uk)$", 1),
     ).otherwise(F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1))
+
+
+def _robots_pattern_to_regex(path: str) -> str:
+    """RFC 9309 path pattern → anchored Java regex: ``*`` matches any
+    span, a TRAILING ``$`` anchors the end, every other char is
+    literal."""
+    import re as _re
+
+    anchored = path.endswith("$")
+    body = path[:-1] if anchored else path
+    out = []
+    for ch in body:
+        out.append(".*" if ch == "*" else _re.escape(ch))
+    return "^" + "".join(out) + ("$" if anchored else "")
+
+
+def parse_robots_rules(
+    robots: DataFrame, *, domain_col: str = "domain", txt_col: str = "robots_txt"
+) -> DataFrame:
+    """Parse per-domain ``robots.txt`` payloads into rule rows
+    ``(domain, agent, rule, path, plen, pattern)`` per RFC 9309:
+    ``#`` comments stripped, field names case-insensitive, consecutive
+    ``User-agent`` lines open a GROUP that the following Allow/
+    Disallow lines attach to (a later ``User-agent`` after rules have
+    started opens a new group), empty-path rules dropped (an empty
+    ``Disallow:`` means allow-all — it matches nothing). Arrow-batched
+    ``mapInPandas`` — parsing stays inside the scan's partitions; the
+    output is a rules table that is tiny relative to any URL corpus
+    (one row per rule line) and broadcasts."""
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    def parse(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = {"domain": [], "agent": [], "rule": [], "path": [],
+                    "plen": [], "pattern": []}
+            for dom, txt in zip(pdf[domain_col], pdf[txt_col]):
+                agents, in_rules = [], False
+                for line in str(txt).splitlines():
+                    line = line.split("#", 1)[0].strip()
+                    if not line or ":" not in line:
+                        continue
+                    field, val = line.split(":", 1)
+                    field, val = field.strip().lower(), val.strip()
+                    if field == "user-agent":
+                        if in_rules:
+                            agents, in_rules = [], False
+                        agents.append(val.lower())
+                    elif field in ("allow", "disallow"):
+                        in_rules = True
+                        if not val or not agents:
+                            continue  # empty pattern matches nothing
+                        for a in agents:
+                            rows["domain"].append(dom)
+                            rows["agent"].append(a)
+                            rows["rule"].append(field)
+                            rows["path"].append(val)
+                            rows["plen"].append(len(val))
+                            rows["pattern"].append(
+                                _robots_pattern_to_regex(val)
+                            )
+            yield _pd.DataFrame(rows)
+
+    return robots.select(
+        F.col(domain_col), F.col(txt_col)
+    ).mapInPandas(
+        parse,
+        "domain string, agent string, rule string, path string, "
+        "plen long, pattern string",
+    )
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    *,
+    agent: str,
+    domain_col: str = "domain",
+    path_col: str = "path",
+) -> DataFrame:
+    """Apply parsed robots rules to a URL corpus for one crawler
+    identity: per RFC 9309, the EXACT user-agent group applies when
+    the domain defines one, else the ``*`` group; within the group the
+    LONGEST matching pattern wins and Allow beats Disallow on ties; a
+    URL matching no rule is allowed. Adds a boolean ``allowed``.
+
+    Plan shape: the rules table (one row per robots line — metadata-
+    sized next to any crawl) broadcasts twice: once for the per-domain
+    group choice, once for the URL x applicable-rule match join; the
+    match runs RLIKE row-locally and one ``max_by`` per URL picks the
+    winning rule. The URL corpus itself is never shuffled beyond the
+    final per-URL aggregate keyed on its own row id — at 100 TB the
+    crawl stays the probe side of broadcast joins."""
+    a = agent.lower()
+    picked = rules.filter(
+        (F.col("agent") == a) | (F.col("agent") == "*")
+    )
+    has_exact = picked.groupBy("domain").agg(
+        F.max(F.col("agent") == a).alias("_has_exact")
+    )
+    applicable = picked.join(F.broadcast(has_exact), "domain").filter(
+        (F.col("agent") == a)
+        | (~F.col("_has_exact") & (F.col("agent") == "*"))
+    )
+    u = urls.withColumn("_uid", F.monotonically_increasing_id())
+    r = applicable.select(
+        F.col("domain").alias("_rdom"),
+        F.col("rule"),
+        F.col("plen"),
+        F.col("pattern").alias("_rpat"),
+    )
+    out_cols = urls.columns
+    return (
+        u.join(
+            F.broadcast(r),
+            on=(F.col(domain_col) == F.col("_rdom"))
+            & F.expr(f"rlike({path_col}, _rpat)"),
+            how="left",
+        )
+        # keep the URL columns as grouping keys (functionally
+        # determined by _uid) — ONE pass, no join-back second scan
+        .groupBy("_uid", *out_cols)
+        .agg(
+            F.coalesce(
+                F.max_by(
+                    F.col("rule") == "allow",
+                    F.struct(F.col("plen"), F.col("rule") == "allow"),
+                ),
+                F.lit(True),  # no matching rule -> allowed
+            ).alias("allowed")
+        )
+        .select(*out_cols, "allowed")
+    )

@@ -18301,6 +18301,89 @@ def c230_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c234_robots_filter",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id, doc_id % 13 AS d, doc_id % 7 AS pj,
+               doc_id % 5 AS qk
+        FROM documents
+    ),
+    dec AS (
+        SELECT doc_id, d,
+               CASE WHEN (pj % 3 = d % 3) AND qk != 0 THEN 0 ELSE 1 END
+                   AS allowed
+        FROM u
+    )
+    SELECT 'site' || d || '.com' AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(SUM(allowed) AS BIGINT) AS n_allowed,
+           CAST(COUNT(*) - SUM(allowed) AS BIGINT) AS n_blocked
+    FROM dec GROUP BY d ORDER BY domain
+    """,
+    doc="robots.txt crawl filtering (operators/text.py, r16 — the "
+        "RFC 9309 compliance gate every responsible web-scale corpus "
+        "runs between URL collection and fetch/ingest; pairs with "
+        "c227's canonicalization): parse_robots_rules walks each "
+        "domain's robots.txt per spec — #-comments, case-insensitive "
+        "fields, consecutive User-agent lines sharing a group, a "
+        "later User-agent after rules opening a NEW group, empty "
+        "Disallow (allow-all) dropped — into a rules table that is "
+        "metadata-sized next to any crawl; robots_filter applies one "
+        "crawler identity: the EXACT agent group when the domain "
+        "defines one else '*', longest matching pattern wins with "
+        "Allow beating Disallow on ties, * and $ pattern forms as "
+        "anchored regexes, and no-match = allowed. Plan: the rules "
+        "broadcast twice (group choice, URL x rule match); the crawl "
+        "is never shuffled beyond a per-URL max_by — at 100 TB the "
+        "URL corpus stays the probe side throughout. pytest pins the "
+        "spec semantics on hand-built robots files incl. the "
+        "$-anchor, exact-agent-replaces-* and badbot cases; the "
+        "entry's 13-domain fixture (Disallow /p<j> where j%3 = "
+        "domain%3, Allow /p<j>/q0 exceptions, a badbot full block "
+        "that must NOT apply to the queried agent) replays "
+        "closed-form in SQL",
+    tags=("text", "documents"),
+)
+def c234_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import parse_robots_rules, robots_filter
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    urls = d.select(
+        F.col("doc_id"),
+        F.concat(
+            F.lit("site"), F.col("doc_id") % 13, F.lit(".com")
+        ).alias("domain"),
+        F.concat(
+            F.lit("/p"), F.col("doc_id") % 7,
+            F.lit("/q"), F.col("doc_id") % 5,
+        ).alias("path"),
+    )
+    rows = []
+    for dd in range(13):  # 13-row fixture — metadata-sized
+        lines = ["User-agent: badbot", "Disallow: /", "",
+                 "User-agent: *"]
+        for j in range(7):
+            if j % 3 == dd % 3:
+                lines.append(f"Disallow: /p{j}")
+                lines.append(f"Allow: /p{j}/q0")
+        rows.append((f"site{dd}.com", "\n".join(lines)))
+    robots = spark.createDataFrame(
+        rows, "domain string, robots_txt string"
+    )
+    rules = parse_robots_rules(robots)
+    return (
+        robots_filter(urls, rules, agent="trainbot")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum(F.col("allowed").cast("long")).alias("n_allowed"),
+            F.sum((~F.col("allowed")).cast("long")).alias("n_blocked"),
+        )
+        .orderBy("domain")
+    )
+
+
+@query(
     "q118_zero_copy_clone",
     oracle="""
     WITH base AS (
@@ -20395,7 +20478,6 @@ _DRIVER_WINDOW = [
     "c71_ann_pq_topk",
     "c72_ann_ivfpq_topk",
     "c74_ann_ivfpq_residual_topk",
-    "q59_scd2_dimension",
     # --- oldest r10-rowed entries, in catalog order ---
     "q12_agg_approx_distinct",
     # --- co-windowed oracle twin of the rows-only pick q12 ---
@@ -20405,7 +20487,7 @@ _DRIVER_WINDOW = [
     # c221, q06 out for c222, q05 out for c223, q56 out for q113,
     # c73 out for c224, c80 out for c225, c79 out for q114, c78 out for
     # c226, q67 out for c227, q66 out for c228, q65 out for q115, q64
-    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232, q60 out for c233, c75 out for q118; the q12+q11
+    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232, q60 out for c233, c75 out for q118, q59 out for c234; the q12+q11
     # rows-only pair stays seated and would leave together, last) ---
     "q112_time_travel_selective_dml",
     "c221_tiff_compressed_decode_stats",
@@ -20427,6 +20509,7 @@ _DRIVER_WINDOW = [
     "c232_stream_history_versions",
     "c233_exif_orientation_stats",
     "q118_zero_copy_clone",
+    "c234_robots_filter",
 ]
 
 

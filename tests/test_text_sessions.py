@@ -995,3 +995,70 @@ def test_winnow_fingerprints_guarantee_density_and_edges(spark):
     # a distant edit (doc 1's head) must not disturb fingerprints
     # selected inside the shared span in doc 2
     assert len(h1 & h2) >= 2
+
+
+def test_robots_rules_parse_and_filter_rfc9309(spark):
+    """robots.txt crawl filtering (r16): group parsing (consecutive
+    user-agents share rules, a later user-agent after rules starts a
+    new group), exact-agent precedence over *, longest-match with
+    Allow winning ties, * and $ pattern forms, empty Disallow =
+    allow-all, and no-rules = allowed."""
+    from amazonredshift_blueprints_spark.operators.text import (
+        parse_robots_rules,
+        robots_filter,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com",
+             "# comment\nUser-agent: first\nUser-agent: *\n"
+             "Disallow: /private # trailing comment\nAllow: /private/ok\n"
+             "\nUser-agent: badbot\nDisallow: /"),
+            ("b.com", "User-agent: *\nDisallow:"),
+            ("c.com",
+             "User-agent: trainbot\nDisallow: /*.pdf$\n"
+             "User-agent: *\nDisallow: /"),
+            ("d.com", "not a rule line at all"),
+        ],
+        "domain string, robots_txt string",
+    )
+    rules = parse_robots_rules(robots)
+    got = {
+        (r["domain"], r["agent"], r["rule"], r["path"])
+        for r in rules.collect()
+    }
+    # consecutive user-agents (first, *) both carry the a.com rules
+    assert ("a.com", "first", "disallow", "/private") in got
+    assert ("a.com", "*", "allow", "/private/ok") in got
+    assert ("a.com", "badbot", "disallow", "/") in got
+    assert not any(d == "b.com" for d, *_ in got)  # empty Disallow
+    assert not any(d == "d.com" for d, *_ in got)
+    urls = spark.createDataFrame(
+        [
+            ("a.com", "/private/x"), ("a.com", "/private/ok/y"),
+            ("a.com", "/pub"), ("b.com", "/anything"),
+            ("c.com", "/doc.pdf"), ("c.com", "/doc.pdfx"),
+            ("c.com", "/page"), ("e.com", "/no-robots-at-all"),
+        ],
+        "domain string, path string",
+    )
+    dec = {
+        (r["domain"], r["path"]): r["allowed"]
+        for r in robots_filter(urls, rules, agent="TrainBot").collect()
+    }
+    assert dec == {
+        ("a.com", "/private/x"): False,      # Disallow prefix
+        ("a.com", "/private/ok/y"): True,    # longer Allow wins
+        ("a.com", "/pub"): True,
+        ("b.com", "/anything"): True,        # empty Disallow
+        ("c.com", "/doc.pdf"): False,        # exact agent group, $ form
+        ("c.com", "/doc.pdfx"): True,        # $ anchor holds
+        ("c.com", "/page"): True,            # exact group replaces *
+        ("e.com", "/no-robots-at-all"): True,
+    }
+    dec = {
+        (r["domain"], r["path"]): r["allowed"]
+        for r in robots_filter(urls, rules, agent="badbot").collect()
+    }
+    assert dec[("a.com", "/pub")] is False  # badbot group: Disallow /
+    assert dec[("c.com", "/page")] is False  # falls to c.com's * group
