@@ -405,3 +405,209 @@ def warc_extract_stats(files: DataFrame) -> DataFrame:
         "doc_id long, n_records long, n_conversion long, "
         "n_response long, sum_text_len long, n_tokens long",
     )
+
+
+def encode_zip(members, *, comment: bytes = b"") -> bytes:
+    """Serialize ``members`` — ``(name, data, method)`` with method
+    ``0`` (stored) or ``8`` (deflate) — as a PKZIP archive: local file
+    headers + central directory + end-of-central-directory record.
+    Written from the spec (APPNOTE 4.4.x), NOT via ``zipfile``, so the
+    pytest cross-validation against CPython's zipfile is a genuinely
+    independent interchange check in both directions."""
+    import struct
+    import zlib
+
+    locals_, centrals, out, offset = [], [], [], 0
+    for name, data, method in members:
+        nb = name.encode()
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        if method == 0:
+            payload = data
+        elif method == 8:
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            payload = co.compress(data) + co.flush()
+        else:
+            raise ValueError(f"encode_zip: method {method} (0/8 only)")
+        lfh = (
+            b"PK\x03\x04"
+            + struct.pack(
+                "<HHHHHIIIHH",
+                20, 0, method, 0, 0x21, crc, len(payload), len(data),
+                len(nb), 0,
+            )
+            + nb
+        )
+        centrals.append(
+            b"PK\x01\x02"
+            + struct.pack(
+                "<HHHHHHIIIHHHHHII",
+                20, 20, 0, method, 0, 0x21, crc, len(payload),
+                len(data), len(nb), 0, 0, 0, 0, 0, offset,
+            )
+            + nb
+        )
+        out.append(lfh + payload)
+        offset += len(lfh) + len(payload)
+    cd = b"".join(centrals)
+    eocd = (
+        b"PK\x05\x06"
+        + struct.pack(
+            "<HHHHIIH",
+            0, 0, len(members), len(members), len(cd), offset,
+            len(comment),
+        )
+        + comment
+    )
+    return b"".join(out) + cd + eocd
+
+
+def parse_zip(payload: bytes) -> list[dict]:
+    """Walk a PKZIP archive the robust way — locate the end-of-central-
+    directory record from the tail (scanning back over a trailing
+    comment), read the CENTRAL directory for the authoritative member
+    list/sizes/offsets (so data-descriptor streams parse fine), then
+    inflate each member from its local header: stored (0) and deflate
+    (8), CRC32-verified. Returns dicts with ``name``, ``method``,
+    ``size``, ``data``. Encrypted members and ZIP64 refuse by name."""
+    import struct
+    import zlib
+
+    tail = payload[-(0xFFFF + 22):]
+    # scan BACKWARD for an EOCD whose comment length exactly reaches
+    # the file end — a bare rfind would bite on the signature bytes
+    # occurring inside a comment or a deflate stream
+    at = tail.rfind(b"PK\x05\x06")
+    while at >= 0:
+        if len(tail) >= at + 22:
+            (clen,) = struct.unpack("<H", tail[at + 20:at + 22])
+            if at + 22 + clen == len(tail):
+                break
+        at = tail.rfind(b"PK\x05\x06", 0, at)
+    if at < 0:
+        raise ValueError("not a ZIP archive (no end-of-central-directory)")
+    eocd = tail[at:]
+    (n_disk, n_total, cd_size, cd_off) = struct.unpack(
+        "<HHII", eocd[8:20]
+    )
+    if n_disk == 0xFFFF or cd_off == 0xFFFFFFFF:
+        raise NotImplementedError(
+            "ZIP64 archives; production swap-in: zipfile/stream-unzip"
+        )
+    members = []
+    pos = cd_off
+    for _ in range(n_disk):
+        if payload[pos:pos + 4] != b"PK\x01\x02":
+            raise ValueError("corrupt ZIP: bad central-directory entry")
+        (
+            _vmade, _vneed, flags, method, _t, _d, crc, csize, usize,
+            nlen, xlen, clen, _dk, _ia, _ea, lfh_off,
+        ) = struct.unpack("<HHHHHHIIIHHHHHII", payload[pos + 4:pos + 46])
+        name = payload[pos + 46:pos + 46 + nlen].decode("utf-8")
+        if flags & 0x1:
+            raise NotImplementedError(
+                f"encrypted ZIP member {name!r}"
+            )
+        if method not in (0, 8):
+            raise NotImplementedError(
+                f"ZIP compression method {method} on {name!r} "
+                "(stored/deflate decode here)"
+            )
+        # local header: re-read name/extra lengths (they can differ
+        # from the central copy) to find the data start
+        if payload[lfh_off:lfh_off + 4] != b"PK\x03\x04":
+            raise ValueError(f"corrupt ZIP: bad local header for {name!r}")
+        lnlen, lxlen = struct.unpack(
+            "<HH", payload[lfh_off + 26:lfh_off + 30]
+        )
+        data_at = lfh_off + 30 + lnlen + lxlen
+        raw = payload[data_at:data_at + csize]
+        if len(raw) != csize:
+            raise ValueError(f"corrupt ZIP: truncated member {name!r}")
+        data = raw if method == 0 else zlib.decompress(raw, -15)
+        if len(data) != usize:
+            raise ValueError(f"corrupt ZIP: size mismatch on {name!r}")
+        if (zlib.crc32(data) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"corrupt ZIP: CRC mismatch on {name!r}")
+        members.append(
+            {"name": name, "method": method, "size": usize, "data": data}
+        )
+        pos += 46 + nlen + xlen + clen
+    return members
+
+
+def synthesize_zip_archives(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic ZIP payloads: ``2 + id % 3`` text members named
+    ``m<k>.txt`` alternating stored/deflate, member ``k`` holding
+    ``8 + (id + k) % 9`` space-joined tokens ``w<(id*7 + k*5 + j*3) %
+    97>`` — token numbers replay arithmetically in the c235 oracle.
+    Every archive carries a comment (the EOCD tail scan runs on each
+    payload)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                members = []
+                for k in range(2 + i % 3):
+                    nt = 8 + (i + k) % 9
+                    text = " ".join(
+                        f"w{(i * 7 + k * 5 + j * 3) % 97}"
+                        for j in range(nt)
+                    )
+                    members.append(
+                        (f"m{k}.txt", text.encode(), 0 if k % 2 == 0 else 8)
+                    )
+                payloads.append(
+                    encode_zip(members, comment=f"archive {i}".encode())
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def zip_extract_stats(files: DataFrame) -> DataFrame:
+    """REAL ZIP walk + member text featurize: per archive the member
+    count by method, total uncompressed bytes, and the token-number
+    sum across all text members. Arrow-batched ``mapInPandas`` inside
+    the scan's partitions — no shuffle."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "doc_id", "n_members", "n_stored", "n_deflated",
+                    "total_bytes", "token_sum",
+                )
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                members = parse_zip(bytes(payload))
+                tok = 0
+                for m in members:
+                    for w in m["data"].decode().split():
+                        tok += int(w[1:])
+                rows["doc_id"].append(int(doc_id))
+                rows["n_members"].append(len(members))
+                rows["n_stored"].append(
+                    sum(1 for m in members if m["method"] == 0)
+                )
+                rows["n_deflated"].append(
+                    sum(1 for m in members if m["method"] == 8)
+                )
+                rows["total_bytes"].append(sum(m["size"] for m in members))
+                rows["token_sum"].append(tok)
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
+            )
+
+    return files.mapInPandas(
+        stats,
+        "doc_id long, n_members long, n_stored long, n_deflated long, "
+        "total_bytes long, token_sum long",
+    )

@@ -18301,6 +18301,64 @@ def c230_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c235_zip_extract_stats",
+    oracle="""
+    WITH m AS (
+        SELECT d.doc_id, k.k, 8 + (d.doc_id + k.k) % 9 AS nt
+        FROM documents d, range(4) k(k)
+        WHERE k.k < 2 + d.doc_id % 3
+    ),
+    t AS (
+        SELECT m.doc_id, m.k, m.nt, j.j,
+               (m.doc_id * 7 + m.k * 5 + j.j * 3) % 97 AS v
+        FROM m, range(16) j(j)
+        WHERE j.j < m.nt
+    ),
+    per_member AS (
+        SELECT doc_id, k, MAX(nt) AS nt, SUM(v) AS vsum,
+               SUM(1 + LENGTH(CAST(v AS VARCHAR))) AS tchars
+        FROM t GROUP BY doc_id, k
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_stored,
+           CAST(SUM(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_deflated,
+           CAST(SUM(tchars + nt - 1) AS BIGINT) AS total_bytes,
+           CAST(SUM(vsum) AS BIGINT) AS token_sum
+    FROM per_member GROUP BY doc_id
+    """,
+    doc="ZIP archive ingestion (operators/warc.py, r16 — the other "
+        "container document dumps actually arrive in, next to c224's "
+        "WARC and c225's WebDataset tar): encode_zip writes local "
+        "headers + central directory + EOCD from the APPNOTE spec "
+        "(NOT via zipfile, so the pytest interchange against "
+        "CPython's zipfile is independent in BOTH directions); "
+        "parse_zip walks the robust path — EOCD located by a "
+        "BACKWARD tail scan validated against the comment length "
+        "(a bare rfind bites on signature bytes inside comments or "
+        "deflate streams), the CENTRAL directory as the "
+        "authoritative member list (data-descriptor streams parse "
+        "fine), stored + raw-deflate members CRC32-verified; "
+        "encrypted members, ZIP64 and other methods refuse by name. "
+        "Entry archives alternate stored/deflate text members whose "
+        "token numbers replay arithmetically (member counts by "
+        "method, exact uncompressed byte totals incl. the "
+        "string-length arithmetic, token sums). Arrow-batched "
+        "mapInPandas inside the scan's partitions — no shuffle; on a "
+        "cluster the same walker runs over binaryFile scans "
+        "unchanged",
+    tags=("multimodal", "documents"),
+)
+def c235_zip_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.warc import synthesize_zip_archives, zip_extract_stats
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return zip_extract_stats(synthesize_zip_archives(d, "doc_id"))
+
+
+@query(
     "c234_robots_filter",
     oracle="""
     WITH u AS (
@@ -20477,7 +20535,6 @@ _DRIVER_WINDOW = [
     "q55_spatial_within_join",
     "c71_ann_pq_topk",
     "c72_ann_ivfpq_topk",
-    "c74_ann_ivfpq_residual_topk",
     # --- oldest r10-rowed entries, in catalog order ---
     "q12_agg_approx_distinct",
     # --- co-windowed oracle twin of the rows-only pick q12 ---
@@ -20487,7 +20544,7 @@ _DRIVER_WINDOW = [
     # c221, q06 out for c222, q05 out for c223, q56 out for q113,
     # c73 out for c224, c80 out for c225, c79 out for q114, c78 out for
     # c226, q67 out for c227, q66 out for c228, q65 out for q115, q64
-    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232, q60 out for c233, c75 out for q118, q59 out for c234; the q12+q11
+    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232, q60 out for c233, c75 out for q118, q59 out for c234, c74 out for c235; the q12+q11
     # rows-only pair stays seated and would leave together, last) ---
     "q112_time_travel_selective_dml",
     "c221_tiff_compressed_decode_stats",
@@ -20510,6 +20567,7 @@ _DRIVER_WINDOW = [
     "c233_exif_orientation_stats",
     "q118_zero_copy_clone",
     "c234_robots_filter",
+    "c235_zip_extract_stats",
 ]
 
 

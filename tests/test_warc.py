@@ -131,3 +131,71 @@ def test_webdataset_roundtrip_and_contiguity():
         tf.addfile(info, io.BytesIO(b"y"))
     with _pytest.raises(ValueError, match="no extension"):
         parse_webdataset(buf2.getvalue())
+
+
+def test_zip_roundtrip_interchange_and_refusals():
+    """ZIP archives (r16): our spec-written encoder's output reads
+    through CPython's independent zipfile (names, contents, comment,
+    CRC audit), zipfile-written archives read through our central-
+    directory walker, the EOCD tail scan survives a comment carrying
+    the EOCD signature bytes, and encrypted/ZIP64/corrupt archives
+    refuse by name."""
+    import io
+    import struct
+    import zipfile
+
+    import pytest
+
+    from amazonredshift_blueprints_spark.operators.warc import (
+        encode_zip,
+        parse_zip,
+    )
+
+    members = [
+        ("a.txt", b"hello world", 0),
+        ("dir/b.bin", bytes(range(256)) * 40, 8),
+        ("empty.txt", b"", 0),
+    ]
+    enc = encode_zip(members, comment=b"release notes")
+    zf = zipfile.ZipFile(io.BytesIO(enc))
+    assert zf.namelist() == [n for n, _, _ in members]
+    for n, data, _ in members:
+        assert zf.read(n) == data
+    assert zf.comment == b"release notes" and zf.testzip() is None
+    # zipfile -> ours
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("s.txt", b"stored", compress_type=zipfile.ZIP_STORED)
+        z.writestr("d.txt", b"deflate me " * 50,
+                   compress_type=zipfile.ZIP_DEFLATED)
+    got = parse_zip(buf.getvalue())
+    assert [(m["name"], m["data"]) for m in got] == [
+        ("s.txt", b"stored"), ("d.txt", b"deflate me " * 50)]
+    assert [m["method"] for m in got] == [0, 8]
+    # a comment containing the EOCD signature must not derail the scan
+    tricky = encode_zip([("x.txt", b"data", 0)],
+                        comment=b"see PK\x05\x06 marker docs")
+    assert parse_zip(tricky)[0]["data"] == b"data"
+    # refusals
+    enc2 = bytearray(encode_zip([("e.txt", b"secret", 0)]))
+    cd = enc2.find(b"PK\x01\x02")
+    enc2[cd + 8] |= 1  # central-directory general-purpose bit 0
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        parse_zip(bytes(enc2))
+    enc3 = bytearray(encode_zip([("f.txt", b"x", 0)]))
+    eo = enc3.rfind(b"PK\x05\x06")
+    enc3[eo + 16:eo + 20] = b"\xff\xff\xff\xff"  # cd_offset sentinel
+    with pytest.raises(NotImplementedError, match="ZIP64"):
+        parse_zip(bytes(enc3))
+    enc4 = bytearray(encode_zip([("g.txt", b"payload bytes", 0)]))
+    data_at = enc4.find(b"payload bytes")
+    enc4[data_at] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        parse_zip(bytes(enc4))
+    with pytest.raises(ValueError, match="no end-of-central"):
+        parse_zip(b"not a zip at all")
+    with pytest.raises(NotImplementedError, match="method 12"):
+        enc5 = bytearray(encode_zip([("h.txt", b"q", 0)]))
+        cd5 = enc5.find(b"PK\x01\x02")
+        enc5[cd5 + 10] = 12  # bzip2 method in the central entry
+        parse_zip(bytes(enc5))
