@@ -6288,3 +6288,253 @@ def image_gray_stats(images: DataFrame) -> DataFrame:
         "doc_id long, width long, height long, n_pixels long, "
         "px_sum long, px_min long, px_max long",
     )
+
+
+def encode_ico(frames) -> bytes:
+    """ICO favicon container: ICONDIR + one directory entry per frame
+    + member images. Each frame is a dict with ``pixels`` ((h, w, 3)
+    uint8 RGB, h/w <= 256) and ``kind`` — ``'png'`` embeds a real PNG
+    member (the modern favicon layout), ``'bmp'`` a headerless DIB
+    (BITMAPINFOHEADER with DOUBLED height, bottom-up 24-bit BGR XOR
+    image + the 1-bit AND mask, all-opaque), ``'bmp32'`` a 32-bit
+    BGRA DIB whose alpha comes from the optional ``alpha`` array
+    (opaque default)."""
+    import struct
+
+    import numpy as np
+
+    entries, blobs = [], []
+    offset = 6 + 16 * len(frames)
+    for fr in frames:
+        px = np.asarray(fr["pixels"], dtype=np.uint8)
+        h, w = px.shape[:2]
+        if h > 256 or w > 256:
+            raise ValueError("ICO frames are at most 256x256")
+        kind = fr.get("kind", "bmp")
+        if kind == "png":
+            blob = encode_png(px)
+        elif kind in ("bmp", "bmp32"):
+            bits = 24 if kind == "bmp" else 32
+            bih = struct.pack(
+                "<IiiHHIIiiII", 40, w, 2 * h, 1, bits, 0, 0, 0, 0, 0, 0
+            )
+            bgr = px[::-1, :, ::-1]  # bottom-up, BGR
+            if kind == "bmp":
+                stride = w * 3 + ((-(w * 3)) % 4)
+                xor = np.zeros((h, stride), dtype=np.uint8)
+                xor[:, : w * 3] = bgr.reshape(h, w * 3)
+            else:
+                alpha = np.asarray(
+                    fr.get("alpha", np.full((h, w), 255)), dtype=np.uint8
+                )
+                bgra = np.concatenate(
+                    [bgr, alpha[::-1, :, None]], axis=-1
+                )
+                xor = bgra.reshape(h, w * 4)
+            mask_stride = ((w + 31) // 32) * 4
+            blob = bih + xor.tobytes() + bytes(mask_stride * h)
+        else:
+            raise ValueError(f"unknown ICO frame kind {kind!r}")
+        entries.append(
+            struct.pack(
+                "<BBBBHHII",
+                w % 256, h % 256, 0, 0, 1,
+                32 if kind == "bmp32" else 24,
+                len(blob), offset,
+            )
+        )
+        blobs.append(blob)
+        offset += len(blob)
+    return (
+        struct.pack("<HHH", 0, 1, len(frames))
+        + b"".join(entries)
+        + b"".join(blobs)
+    )
+
+
+def decode_ico(payload: bytes):
+    """REAL ICO decode: ICONDIR walk, then per member either an
+    embedded PNG (dispatched on the magic — the modern favicon
+    layout) or a headerless DIB: BITMAPINFOHEADER with the DOUBLED
+    height, bottom-up 24-bit BGR or 32-bit BGRA XOR image, and the
+    1-bit AND transparency mask (MSB-first rows padded to 4 bytes).
+    Returns a list of dicts ``{kind, width, height, pixels, alpha}``
+    with ``pixels`` (h, w, 3) uint8 RGB and ``alpha`` (h, w) uint8
+    (AND-mask- or channel-derived). Other member layouts refuse by
+    name."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 6:
+        raise ValueError("not an ICO payload")
+    reserved, ftype, count = struct.unpack("<HHH", payload[:6])
+    if reserved != 0 or ftype != 1:
+        raise ValueError("not an ICO payload (bad ICONDIR)")
+    frames = []
+    for k in range(count):
+        e = payload[6 + 16 * k:6 + 16 * (k + 1)]
+        if len(e) < 16:
+            raise ValueError("truncated ICONDIR entry")
+        _w, _h, _nc, _res, _planes, _bpp, size, off = struct.unpack(
+            "<BBBBHHII", e
+        )
+        blob = payload[off:off + size]
+        if len(blob) < size:
+            raise ValueError(f"truncated ICO member {k}")
+        if blob[:8] == b"\x89PNG\r\n\x1a\n":
+            px = decode_png(blob)
+            if px.ndim == 2:
+                px = np.stack([px] * 3, axis=-1)
+            if px.shape[-1] == 4:
+                alpha, px = px[..., 3], px[..., :3]
+            else:
+                alpha = np.full(px.shape[:2], 255, dtype=np.uint8)
+            frames.append(
+                {"kind": "png", "width": px.shape[1],
+                 "height": px.shape[0],
+                 "pixels": px.astype(np.uint8),
+                 "alpha": alpha.astype(np.uint8)}
+            )
+            continue
+        if len(blob) < 40 or struct.unpack("<I", blob[:4])[0] != 40:
+            raise NotImplementedError(
+                "ICO member is neither PNG nor BITMAPINFOHEADER DIB"
+            )
+        _sz, w, h2, _pl, bits, comp = struct.unpack("<IiiHHI", blob[:20])
+        if comp != 0:
+            raise NotImplementedError(
+                f"compressed ICO DIB (BI_ code {comp})"
+            )
+        if h2 % 2:
+            raise ValueError("ICO DIB height must be doubled (XOR+AND)")
+        h = h2 // 2
+        if bits == 24:
+            stride = w * 3 + ((-(w * 3)) % 4)
+            rows = np.frombuffer(
+                blob, np.uint8, stride * h, 40
+            ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+            px = rows[::-1, :, ::-1]  # bottom-up BGR -> top-down RGB
+            mask_at = 40 + stride * h
+            alpha_from_channel = None
+        elif bits == 32:
+            rows = np.frombuffer(
+                blob, np.uint8, w * 4 * h, 40
+            ).reshape(h, w, 4)
+            px = rows[::-1, :, 2::-1]
+            alpha_from_channel = rows[::-1, :, 3]
+            mask_at = 40 + w * 4 * h
+        else:
+            raise NotImplementedError(
+                f"{bits}-bit ICO DIB (24/32-bit decode here)"
+            )
+        mask_stride = ((w + 31) // 32) * 4
+        mask = np.frombuffer(
+            blob, np.uint8, mask_stride * h, mask_at
+        ).reshape(h, mask_stride)
+        mbits = np.unpackbits(mask, axis=1)[:, :w][::-1]  # 1 = skip
+        alpha = (
+            alpha_from_channel
+            if alpha_from_channel is not None
+            else np.where(mbits == 1, 0, 255).astype(np.uint8)
+        )
+        frames.append(
+            {"kind": "bmp32" if bits == 32 else "bmp", "width": w,
+             "height": h, "pixels": np.ascontiguousarray(px),
+             "alpha": np.ascontiguousarray(alpha)}
+        )
+    return frames
+
+
+def synthesize_ico_files(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic ICO payloads: ``1 + id % 3`` frames per icon —
+    frame f is (8 + 8*((id + f) % 2)) square, kind cycling
+    PNG / 24-bit DIB / 32-bit BGRA DIB by ``(id + f) % 3``, pixel
+    (r, c) channel ch = ``(id*7 + f*13 + r*5 + c*3 + ch*11) % 256``,
+    and the 32-bit frames carry alpha ``(id + r + c) % 2 * 255``."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                frames = []
+                for f in range(1 + i % 3):
+                    n = 8 + 8 * ((i + f) % 2)
+                    r = np.arange(n)[:, None, None]
+                    c = np.arange(n)[None, :, None]
+                    ch = np.arange(3)[None, None, :]
+                    px = (
+                        (i * 7 + f * 13 + r * 5 + c * 3 + ch * 11) % 256
+                    ).astype(np.uint8)
+                    kind = ("png", "bmp", "bmp32")[(i + f) % 3]
+                    fr = {"pixels": px, "kind": kind}
+                    if kind == "bmp32":
+                        rr = np.arange(n)[:, None]
+                        cc = np.arange(n)[None, :]
+                        fr["alpha"] = (
+                            ((i + rr + cc) % 2) * 255
+                        ).astype(np.uint8)
+                    frames.append(fr)
+                payloads.append(encode_ico(frames))
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def ico_stats(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL ICO decode + featurize: per icon the frame count, total
+    pixels, per-kind counts, the pixel sum over all frames' RGB and
+    the alpha sum. Arrow-batched ``mapInPandas`` inside the scan's
+    partitions — no shuffle."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "doc_id", "n_frames", "n_png", "n_bmp", "n_bmp32",
+                    "n_pixels", "pixel_sum", "alpha_sum",
+                )
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames = decode_ico(bytes(payload))
+                rows["doc_id"].append(int(doc_id))
+                rows["n_frames"].append(len(frames))
+                for kind in ("png", "bmp", "bmp32"):
+                    rows[f"n_{kind}"].append(
+                        sum(1 for fr in frames if fr["kind"] == kind)
+                    )
+                rows["n_pixels"].append(
+                    sum(fr["width"] * fr["height"] for fr in frames)
+                )
+                rows["pixel_sum"].append(
+                    sum(
+                        int(fr["pixels"].astype(np.int64).sum())
+                        for fr in frames
+                    )
+                )
+                rows["alpha_sum"].append(
+                    sum(
+                        int(fr["alpha"].astype(np.int64).sum())
+                        for fr in frames
+                    )
+                )
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        stats,
+        "doc_id long, n_frames long, n_png long, n_bmp long, "
+        "n_bmp32 long, n_pixels long, pixel_sum long, alpha_sum long",
+    )

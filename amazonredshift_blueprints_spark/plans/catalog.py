@@ -18301,6 +18301,72 @@ def c230_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c236_ico_stats",
+    oracle="""
+    WITH fr AS (
+        SELECT d.doc_id, f.f,
+               8 + 8 * ((d.doc_id + f.f) % 2) AS n,
+               (d.doc_id + f.f) % 3 AS kind
+        FROM documents d, range(3) f(f)
+        WHERE f.f < 1 + d.doc_id % 3
+    ),
+    px AS (
+        SELECT fr.doc_id, fr.f, fr.kind, fr.n,
+               ((fr.doc_id * 7 + fr.f * 13 + r.r * 5 + c.c * 3) % 256)
+               + ((fr.doc_id * 7 + fr.f * 13 + r.r * 5 + c.c * 3 + 11)
+                  % 256)
+               + ((fr.doc_id * 7 + fr.f * 13 + r.r * 5 + c.c * 3 + 22)
+                  % 256) AS v3,
+               CASE WHEN fr.kind = 2
+                    THEN ((fr.doc_id + r.r + c.c) % 2) * 255
+                    ELSE 255 END AS av
+        FROM fr, range(16) r(r), range(16) c(c)
+        WHERE r.r < fr.n AND c.c < fr.n
+    ),
+    perfr AS (
+        SELECT doc_id, f, MAX(kind) AS kind, MAX(n) AS n,
+               SUM(v3) AS vsum, SUM(av) AS asum
+        FROM px GROUP BY doc_id, f
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN kind = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_png,
+           CAST(SUM(CASE WHEN kind = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bmp,
+           CAST(SUM(CASE WHEN kind = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bmp32,
+           CAST(SUM(n * n) AS BIGINT) AS n_pixels,
+           CAST(SUM(vsum) AS BIGINT) AS pixel_sum,
+           CAST(SUM(asum) AS BIGINT) AS alpha_sum
+    FROM perfr GROUP BY doc_id
+    """,
+    doc="ICO favicon containers (operators/multimodal.py, r16 — the "
+        "multi-resolution icon format every site root serves; a "
+        "crawl pipeline meets millions of them): decode_ico walks "
+        "the ICONDIR and dispatches each member on its bytes — "
+        "embedded PNG (the modern layout, through the real r14/r15 "
+        "PNG codec) or a HEADERLESS DIB with the spec's DOUBLED "
+        "height: bottom-up 24-bit BGR XOR image + 1-bit MSB-first "
+        "AND transparency mask, or 32-bit BGRA with channel alpha. "
+        "The 256-pixel ICONDIR zero-byte rule, mask-bit transparency "
+        "semantics and V5-header/odd-height refusals are "
+        "pytest-pinned (the PNG/BMP cores underneath carry their own "
+        "JVM cross-validation from c81/c153). Entry icons mix all "
+        "three member kinds at two sizes; frame counts by kind, "
+        "pixel sums and AND-mask/channel alpha sums replay "
+        "closed-form. Arrow-batched mapInPandas inside the scan's "
+        "partitions — no shuffle",
+    tags=("multimodal",),
+)
+def c236_ico_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import ico_stats, synthesize_ico_files
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return ico_stats(synthesize_ico_files(d, "doc_id"))
+
+
+@query(
     "c235_zip_extract_stats",
     oracle="""
     WITH m AS (
@@ -20534,7 +20600,6 @@ _DRIVER_WINDOW = [
     "q53_merge_delete",
     "q55_spatial_within_join",
     "c71_ann_pq_topk",
-    "c72_ann_ivfpq_topk",
     # --- oldest r10-rowed entries, in catalog order ---
     "q12_agg_approx_distinct",
     # --- co-windowed oracle twin of the rows-only pick q12 ---
@@ -20544,7 +20609,7 @@ _DRIVER_WINDOW = [
     # c221, q06 out for c222, q05 out for c223, q56 out for q113,
     # c73 out for c224, c80 out for c225, c79 out for q114, c78 out for
     # c226, q67 out for c227, q66 out for c228, q65 out for q115, q64
-    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232, q60 out for c233, c75 out for q118, q59 out for c234, c74 out for c235; the q12+q11
+    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232, q60 out for c233, c75 out for q118, q59 out for c234, c74 out for c235, c72 out for c236; the q12+q11
     # rows-only pair stays seated and would leave together, last) ---
     "q112_time_travel_selective_dml",
     "c221_tiff_compressed_decode_stats",
@@ -20568,6 +20633,7 @@ _DRIVER_WINDOW = [
     "q118_zero_copy_clone",
     "c234_robots_filter",
     "c235_zip_extract_stats",
+    "c236_ico_stats",
 ]
 
 

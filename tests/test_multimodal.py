@@ -2801,3 +2801,67 @@ def test_exif_app1_framing_survives_jvm_reader(spark):
         ]
     ).reshape(16, 16)
     assert np.array_equal(got, img)
+
+
+def test_ico_container_roundtrip_masks_and_refusals():
+    """ICO favicons (r16): ICONDIR walk, embedded-PNG dispatch on the
+    magic, headerless DIBs with DOUBLED heights (24-bit + AND mask,
+    32-bit BGRA alpha), and named refusals for foreign members and
+    odd doubled heights."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        decode_ico,
+        encode_ico,
+    )
+
+    rng = np.random.default_rng(43)
+    px16 = rng.integers(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    px8 = rng.integers(0, 256, size=(8, 8, 3)).astype(np.uint8)
+    al = rng.integers(0, 256, size=(8, 8)).astype(np.uint8)
+    enc = encode_ico([
+        {"pixels": px16, "kind": "png"},
+        {"pixels": px8, "kind": "bmp"},
+        {"pixels": px8, "kind": "bmp32", "alpha": al},
+    ])
+    frames = decode_ico(enc)
+    assert [f["kind"] for f in frames] == ["png", "bmp", "bmp32"]
+    assert np.array_equal(frames[0]["pixels"], px16)
+    assert np.array_equal(frames[1]["pixels"], px8)
+    assert (frames[1]["alpha"] == 255).all()
+    assert np.array_equal(frames[2]["pixels"], px8)
+    assert np.array_equal(frames[2]["alpha"], al)
+    # a set AND-mask bit means transparent in the 24-bit layout:
+    # flip the first mask byte of the bmp frame (top row after the
+    # bottom-up flip is the LAST stored mask row)
+    enc2 = bytearray(enc)
+    # locate the 24-bit DIB: entries are 16 bytes from offset 6
+    _, _, _, _, _, _, size1, off1 = struct.unpack(
+        "<BBBBHHII", enc2[6 + 16:6 + 32]
+    )
+    stride = 8 * 3
+    mask_at = off1 + 40 + stride * 8  # w=8 -> row stride 24, no pad
+    enc2[mask_at] = 0b10000000  # stored row 0 = display bottom row
+    fr2 = decode_ico(bytes(enc2))[1]
+    assert fr2["alpha"][7, 0] == 0 and fr2["alpha"][7, 1] == 255
+    assert fr2["alpha"][0, 0] == 255
+    # 256x256 encodes as width byte 0 per the ICONDIR rule
+    big = np.zeros((256, 256, 3), dtype=np.uint8)
+    fr = decode_ico(encode_ico([{"pixels": big, "kind": "bmp"}]))[0]
+    assert (fr["width"], fr["height"]) == (256, 256)
+    # refusals
+    with pytest.raises(ValueError, match="bad ICONDIR"):
+        decode_ico(b"\x00\x00\x02\x00\x01\x00" + b"\x00" * 16)
+    bad = bytearray(encode_ico([{"pixels": px8, "kind": "bmp"}]))
+    off = struct.unpack("<I", bad[18:22])[0]
+    bad[off:off + 4] = struct.pack("<I", 124)  # V5 header size
+    with pytest.raises(NotImplementedError, match="neither PNG nor"):
+        decode_ico(bytes(bad))
+    odd = bytearray(encode_ico([{"pixels": px8, "kind": "bmp"}]))
+    off = struct.unpack("<I", odd[18:22])[0]
+    odd[off + 8:off + 12] = struct.pack("<i", 15)  # odd doubled height
+    with pytest.raises(ValueError, match="doubled"):
+        decode_ico(bytes(odd))
