@@ -2410,3 +2410,43 @@ def robots_filter(
         )
         .select(*out_cols, "allowed")
     )
+
+
+def repair_mojibake(
+    df: DataFrame, *, text_col: str = "text", rounds: int = 2
+) -> DataFrame:
+    """Repair UTF-8-as-Latin-1 double encoding (mojibake — the ftfy
+    fix, run entirely JVM-side): a string whose bytes-under-Latin-1
+    form VALID UTF-8 and that carries the telltale lead sequences
+    (``Ã`` ``Â`` ``â€`` ``Î`` — UTF-8 lead bytes misread as Latin-1)
+    is re-decoded; everything else passes through untouched, because
+    genuinely-Latin-1 text (``café``) encodes to INVALID UTF-8 and the
+    ``is_valid_utf8`` guard rejects it. ``rounds`` iterates the fix
+    toward a fixed point for N-times-encoded text (ftfy's loop; two
+    rounds cover real corpora). Adds ``<text_col>_fixed`` and
+    ``was_mojibake``.
+
+    Scale: a pure whole-stage-codegen projection —
+    ``encode``/``is_valid_utf8``/``decode``/``contains`` are all
+    JVM-side row-local expressions, zero Python, zero shuffles."""
+    work = f"{text_col}_cand"
+    out = df.withColumn(work, F.col(text_col)).withColumn(
+        "was_mojibake", F.lit(False)
+    )
+    for _ in range(rounds):
+        suspicious = (
+            F.col(work).contains("Ã")
+            | F.col(work).contains("Â")
+            | F.col(work).contains("â€")
+            | F.col(work).contains("Î")
+        )
+        repaired = F.expr(
+            f"CASE WHEN is_valid_utf8(encode({work}, 'ISO-8859-1')) "
+            f"THEN decode(encode({work}, 'ISO-8859-1'), 'UTF-8') "
+            f"ELSE {work} END"
+        )
+        hit = suspicious & (repaired != F.col(work))
+        out = out.withColumn(
+            "was_mojibake", F.col("was_mojibake") | hit
+        ).withColumn(work, F.when(hit, repaired).otherwise(F.col(work)))
+    return out.withColumn(f"{text_col}_fixed", F.col(work)).drop(work)

@@ -18301,6 +18301,64 @@ def c230_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c237_mojibake_repair",
+    oracle="""
+    SELECT doc_id,
+           doc_id % 4 IN (0, 3) AS was_mojibake,
+           CASE WHEN doc_id % 4 = 2
+                THEN 'plain text ' || (doc_id % 50)
+                ELSE 'café número ' || (doc_id % 50) END AS text_fixed
+    FROM documents
+    """,
+    doc="mojibake repair (operators/text.py repair_mojibake, r16 — "
+        "the ftfy fix every web-scale text pipeline runs: UTF-8 "
+        "bytes misread as Latin-1 and re-encoded, the single most "
+        "common encoding corruption in crawled corpora): a string "
+        "whose bytes-under-Latin-1 form VALID UTF-8 and that carries "
+        "the telltale lead sequences re-decodes; genuinely-Latin-1 "
+        "accents encode to INVALID UTF-8 so the is_valid_utf8 guard "
+        "passes them through untouched (the false-positive class "
+        "naive fixes corrupt), and two fix rounds converge "
+        "TWICE-encoded text. Entirely JVM-side — encode/"
+        "is_valid_utf8/decode/contains are row-local codegen'd "
+        "expressions, zero Python, zero shuffles (pytest asserts no "
+        "Python stage in the executed plan). Entry corpus mixes "
+        "single-encoded, twice-encoded, clean-accented and plain "
+        "rows; the oracle states the expected REPAIRED text "
+        "closed-form, so the driver row certifies the intended fix, "
+        "not a replay of the expression chain",
+    tags=("text", "documents"),
+)
+def c237_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import repair_mojibake
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    good = "café número "
+    bad = good.encode("utf-8").decode("latin-1")
+    double = bad.encode("utf-8").decode("latin-1")
+    corpus = d.select(
+        F.col("doc_id"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(bad), F.col("doc_id") % 50),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit(good), F.col("doc_id") % 50),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("plain text "), F.col("doc_id") % 50),
+        )
+        .otherwise(F.concat(F.lit(double), F.col("doc_id") % 50))
+        .alias("text"),
+    )
+    return repair_mojibake(corpus).select(
+        "doc_id", "was_mojibake", "text_fixed"
+    )
+
+
+@query(
     "c236_ico_stats",
     oracle="""
     WITH fr AS (
@@ -20599,7 +20657,6 @@ _DRIVER_WINDOW = [
     "c70_minhash_signature_store",
     "q53_merge_delete",
     "q55_spatial_within_join",
-    "c71_ann_pq_topk",
     # --- oldest r10-rowed entries, in catalog order ---
     "q12_agg_approx_distinct",
     # --- co-windowed oracle twin of the rows-only pick q12 ---
@@ -20609,7 +20666,7 @@ _DRIVER_WINDOW = [
     # c221, q06 out for c222, q05 out for c223, q56 out for q113,
     # c73 out for c224, c80 out for c225, c79 out for q114, c78 out for
     # c226, q67 out for c227, q66 out for c228, q65 out for q115, q64
-    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232, q60 out for c233, c75 out for q118, q59 out for c234, c74 out for c235, c72 out for c236; the q12+q11
+    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232, q60 out for c233, c75 out for q118, q59 out for c234, c74 out for c235, c72 out for c236, c71 out for c237; the q12+q11
     # rows-only pair stays seated and would leave together, last) ---
     "q112_time_travel_selective_dml",
     "c221_tiff_compressed_decode_stats",
@@ -20634,6 +20691,7 @@ _DRIVER_WINDOW = [
     "c234_robots_filter",
     "c235_zip_extract_stats",
     "c236_ico_stats",
+    "c237_mojibake_repair",
 ]
 
 

@@ -1062,3 +1062,31 @@ def test_robots_rules_parse_and_filter_rfc9309(spark):
     }
     assert dec[("a.com", "/pub")] is False  # badbot group: Disallow /
     assert dec[("c.com", "/page")] is False  # falls to c.com's * group
+
+
+def test_repair_mojibake_jvm_side(spark):
+    """Mojibake repair (r16): UTF-8-as-Latin-1 text is re-decoded,
+    twice-encoded text converges in two rounds, genuine Latin-1
+    accents and plain ASCII pass untouched, and the repair is a pure
+    JVM projection (no Python in the plan)."""
+    from amazonredshift_blueprints_spark.operators.text import (
+        repair_mojibake,
+    )
+
+    good = "café número 7 — déjà vu"
+    bad = good.encode("utf-8").decode("latin-1")
+    double = bad.encode("utf-8").decode("latin-1")
+    greek = "δεδομένα".encode("utf-8").decode("latin-1")
+    df = spark.createDataFrame(
+        [(bad,), (good,), ("plain 3",), (double,), (greek,)],
+        "text string",
+    )
+    got = {r["text"]: (r["was_mojibake"], r["text_fixed"])
+           for r in repair_mojibake(df).collect()}
+    assert got[bad] == (True, good)
+    assert got[good] == (False, good)
+    assert got["plain 3"] == (False, "plain 3")
+    assert got[double] == (True, good)
+    assert got[greek] == (True, "δεδομένα")
+    plan = repair_mojibake(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "MapInPandas" not in plan
