@@ -2450,3 +2450,41 @@ def repair_mojibake(
             "was_mojibake", F.col("was_mojibake") | hit
         ).withColumn(work, F.when(hit, repaired).otherwise(F.col(work)))
     return out.withColumn(f"{text_col}_fixed", F.col(work)).drop(work)
+
+
+def sitemap_stats(
+    df: DataFrame, *, xml_col: str = "xml"
+) -> DataFrame:
+    """Sitemap-protocol XML featurize, entirely through Spark's
+    built-in Hive ``xpath_*`` expressions (JVM-side, row-local, no
+    Python): dispatch ``<urlset>`` vs ``<sitemapindex>`` on an xpath
+    boolean, count ``<url><loc>`` / ``<sitemap><loc>`` children, and
+    sum ``<priority>`` values as integer TENTHS (sitemap priorities
+    are 0.0-1.0 one-decimal values; integer arithmetic keeps the
+    oracle bitwise). Malformed XML surfaces as the expression error —
+    crawl pipelines gate upstream."""
+    is_idx = F.expr(
+        f"xpath_boolean({xml_col}, 'boolean(/sitemapindex)')"
+    )
+    locs = F.expr(f"xpath({xml_col}, '/urlset/url/loc/text()')")
+    slocs = F.expr(
+        f"xpath({xml_col}, '/sitemapindex/sitemap/loc/text()')"
+    )
+    tenths = F.expr(
+        f"aggregate(transform(xpath({xml_col}, "
+        f"'/urlset/url/priority/text()'), "
+        "x -> CAST(CAST(x AS DECIMAL(2,1)) * 10 AS BIGINT)), "
+        "CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    return df.select(
+        "*",
+        F.when(is_idx, F.lit("index")).otherwise(F.lit("urlset")).alias(
+            "kind"
+        ),
+        F.when(is_idx, F.size(slocs)).otherwise(F.size(locs)).cast(
+            "long"
+        ).alias("n_locs"),
+        F.when(is_idx, F.lit(None).cast("long")).otherwise(tenths).alias(
+            "priority_tenths"
+        ),
+    )

@@ -18301,6 +18301,67 @@ def c230_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c238_sitemap_stats",
+    oracle="""
+    WITH u AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 5 = 0 THEN 'index'
+                    ELSE 'urlset' END AS kind,
+               CASE WHEN d.doc_id % 5 = 0 THEN 2 + d.doc_id % 2
+                    ELSE 3 + d.doc_id % 4 END AS n_locs
+        FROM documents d
+    ),
+    pr AS (
+        SELECT d.doc_id, SUM((d.doc_id + j.j) % 10) AS tenths
+        FROM documents d, range(7) j(j)
+        WHERE d.doc_id % 5 != 0 AND j.j < 3 + d.doc_id % 4
+        GROUP BY d.doc_id
+    )
+    SELECT u.doc_id, u.kind, CAST(u.n_locs AS BIGINT) AS n_locs,
+           CAST(pr.tenths AS BIGINT) AS priority_tenths
+    FROM u LEFT JOIN pr ON u.doc_id = pr.doc_id
+    """,
+    doc="sitemap-protocol XML parsing through Spark's BUILT-IN Hive "
+        "xpath expressions (operators/text.py sitemap_stats, r16 — "
+        "the discovery layer of every crawl pipeline, completing the "
+        "c227-canonicalize / c234-robots web-curation family): "
+        "xpath_boolean dispatches <urlset> vs <sitemapindex>, xpath "
+        "node lists count <url><loc> / <sitemap><loc> children, and "
+        "<priority> values sum as integer TENTHS (one-decimal "
+        "protocol values — integer arithmetic keeps the oracle "
+        "bitwise; index files carry NULL). Entirely JVM-side "
+        "row-local expressions — zero Python, zero shuffles (pytest "
+        "asserts no Python stage); the fixture XML itself is "
+        "generated by a sequence/transform/concat_ws projection, so "
+        "the whole entry is one codegen'd pass over the scan. Oracle "
+        "replays kinds, child counts and priority sums closed-form",
+    tags=("text", "documents"),
+)
+def c238_sitemap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import sitemap_stats
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    xml = F.expr(
+        "CASE WHEN doc_id % 5 = 0 THEN "
+        "concat('<?xml version=\"1.0\"?><sitemapindex>', "
+        "concat_ws('', transform(sequence(0, 1 + CAST(doc_id % 2 AS "
+        "INT)), k -> concat('<sitemap><loc>https://site', "
+        "CAST(doc_id % 13 AS STRING), '.com/s', CAST(k AS STRING), "
+        "'.xml</loc></sitemap>'))), '</sitemapindex>') "
+        "ELSE concat('<?xml version=\"1.0\"?><urlset>', "
+        "concat_ws('', transform(sequence(0, 2 + CAST(doc_id % 4 AS "
+        "INT)), j -> concat('<url><loc>https://site', "
+        "CAST(doc_id % 13 AS STRING), '.com/p', CAST(j AS STRING), "
+        "'</loc><priority>0.', CAST((doc_id + j) % 10 AS STRING), "
+        "'</priority></url>'))), '</urlset>') END"
+    )
+    corpus = d.select(F.col("doc_id"), xml.alias("xml"))
+    return sitemap_stats(corpus).select(
+        "doc_id", "kind", "n_locs", "priority_tenths"
+    )
+
+
+@query(
     "c237_mojibake_repair",
     oracle="""
     SELECT doc_id,
@@ -20656,7 +20717,6 @@ _DRIVER_WINDOW = [
     "c65_stream_stateful_topk",
     "c70_minhash_signature_store",
     "q53_merge_delete",
-    "q55_spatial_within_join",
     # --- oldest r10-rowed entries, in catalog order ---
     "q12_agg_approx_distinct",
     # --- co-windowed oracle twin of the rows-only pick q12 ---
@@ -20666,7 +20726,7 @@ _DRIVER_WINDOW = [
     # c221, q06 out for c222, q05 out for c223, q56 out for q113,
     # c73 out for c224, c80 out for c225, c79 out for q114, c78 out for
     # c226, q67 out for c227, q66 out for c228, q65 out for q115, q64
-    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232, q60 out for c233, c75 out for q118, q59 out for c234, c74 out for c235, c72 out for c236, c71 out for c237; the q12+q11
+    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232, q60 out for c233, c75 out for q118, q59 out for c234, c74 out for c235, c72 out for c236, c71 out for c237, q55 out for c238; the q12+q11
     # rows-only pair stays seated and would leave together, last) ---
     "q112_time_travel_selective_dml",
     "c221_tiff_compressed_decode_stats",
@@ -20692,6 +20752,7 @@ _DRIVER_WINDOW = [
     "c235_zip_extract_stats",
     "c236_ico_stats",
     "c237_mojibake_repair",
+    "c238_sitemap_stats",
 ]
 
 

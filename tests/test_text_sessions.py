@@ -1090,3 +1090,34 @@ def test_repair_mojibake_jvm_side(spark):
     assert got[greek] == (True, "δεδομένα")
     plan = repair_mojibake(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_sitemap_stats_xpath_jvm_side(spark):
+    """Sitemap XML (r16): urlset vs sitemapindex dispatch, loc counts,
+    integer-tenths priority sums, NULL priorities on index files —
+    all through built-in xpath expressions with no Python stage."""
+    from amazonredshift_blueprints_spark.operators.text import (
+        sitemap_stats,
+    )
+
+    urlset = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://a.com/p0</loc><priority>0.7</priority></url>"
+        "<url><loc>https://a.com/p1</loc><priority>0.3</priority></url>"
+        "<url><loc>https://a.com/p2</loc><priority>1.0</priority></url>"
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex>"
+        "<sitemap><loc>https://a.com/s1.xml</loc></sitemap>"
+        "<sitemap><loc>https://a.com/s2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame([(1, urlset), (2, index)], "doc_id long, xml string")
+    out = sitemap_stats(df)
+    got = {r["doc_id"]: (r["kind"], r["n_locs"], r["priority_tenths"])
+           for r in out.collect()}
+    assert got[2] == ("index", 2, None)
+    assert got[1] == ("urlset", 3, 20)  # 0.7 + 0.3 + 1.0 in tenths
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "MapInPandas" not in plan
