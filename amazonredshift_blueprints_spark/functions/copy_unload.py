@@ -14,7 +14,7 @@ Supported subset (the options the reference's own pipelines generate):
 
 - ``COPY [schema.]table FROM 'path'`` with ``CSV`` / ``FORMAT [AS]
   CSV|PARQUET|JSON|ORC``, ``DELIMITER [AS] 'c'``, ``IGNOREHEADER [AS] n``,
-  ``GZIP`` (Spark reads .gz transparently — accepted, no-op),
+  ``GZIP``/``BZIP2`` (Spark reads .gz/.bz2 transparently — accepted, no-op),
   ``MANIFEST`` (the path names a Redshift-format manifest JSON whose
   listed files load), ``FIXEDWIDTH 'name:width,...'`` (+ optional
   ``TRIMBLANKS``) — the fixed-slice text load, lowered onto
@@ -112,7 +112,7 @@ _IGNORED_STR_OPTS = {
     "SESSION_TOKEN", "REGION",
 }
 # bare option tokens that are accepted as no-ops
-_IGNORED_BARE_OPTS = {"GZIP"}
+_IGNORED_BARE_OPTS = {"GZIP", "BZIP2"}
 
 
 def _tokenize_options(rest: str) -> list[str]:
@@ -412,6 +412,10 @@ def parse_unload(sql: str) -> UnloadSpec | None:
             # GZIP is a reader no-op — extension-driven decompression
             # — but an unloading user's downstream expects .gz files)
             spec.compression = "gzip"
+        elif t == "BZIP2":
+            # bzip2 IS splittable (unlike gzip) — Hadoop's pure-Java
+            # BZip2Codec, so one big .bz2 still scans in parallel
+            spec.compression = "bzip2"
         elif t == "MANIFEST":
             spec.manifest = True  # write a JSON manifest listing the files
         elif t in _IGNORED_STR_OPTS:

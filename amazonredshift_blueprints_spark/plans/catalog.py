@@ -18301,6 +18301,69 @@ def c230_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a13_copy_unload_bzip2",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="BZIP2 COPY/UNLOAD (functions/copy_unload.py, r16 — the "
+        "OTHER compression flag on Redshift's load/unload surface "
+        "next to a09's GZIP): UNLOAD ... BZIP2 actually compresses "
+        "the part files (Hadoop's pure-Java BZip2Codec via the "
+        "writer's compression option — verified .csv.bz2 on disk), "
+        "COPY ... BZIP2 reads them back (reader-side the option is "
+        "parse-parity: Spark decompresses by extension), and the "
+        "typed aggregate must reproduce the source exactly through "
+        "the compressed round trip. 100 TB note: unlike gzip, bzip2 "
+        "IS splittable — one large .bz2 still scans in parallel "
+        "tasks, which is why big compressed text feeds prefer it",
+    tags=("native", "ingest", "export", "orders"),
+)
+def a13_copy_unload_bzip2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..ingest import _clean_stale_location
+    from ..sqlrun import execute_sql
+
+    views(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="bp_bzip2_")
+    out_dir = os.path.join(tmp, "orders_bz2")
+    execute_sql(
+        spark,
+        f"UNLOAD ('SELECT o_orderkey, o_orderstatus, o_totalprice "
+        f"FROM orders WHERE o_orderkey % 3 = 0') TO '{out_dir}' "
+        "DELIMITER '|' BZIP2",
+    )
+    assert any(
+        f.endswith(".bz2") for f in os.listdir(out_dir)
+    ), "expected bzip2 part files"
+    tbl = "bp_bzip2_orders"
+    _clean_stale_location(spark, tbl, None)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    execute_sql(
+        spark,
+        f"COPY {tbl} FROM '{out_dir}' CSV BZIP2 DELIMITER '|'",
+    )
+    return (
+        spark.table(tbl)
+        .groupBy(F.col("_c1").alias("o_orderstatus"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("_c2").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
     "c238_sitemap_stats",
     oracle="""
     WITH u AS (
@@ -20716,7 +20779,6 @@ _DRIVER_WINDOW = [
     "c64_image_decode_stats",
     "c65_stream_stateful_topk",
     "c70_minhash_signature_store",
-    "q53_merge_delete",
     # --- oldest r10-rowed entries, in catalog order ---
     "q12_agg_approx_distinct",
     # --- co-windowed oracle twin of the rows-only pick q12 ---
@@ -20726,7 +20788,7 @@ _DRIVER_WINDOW = [
     # c221, q06 out for c222, q05 out for c223, q56 out for q113,
     # c73 out for c224, c80 out for c225, c79 out for q114, c78 out for
     # c226, q67 out for c227, q66 out for c228, q65 out for q115, q64
-    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232, q60 out for c233, c75 out for q118, q59 out for c234, c74 out for c235, c72 out for c236, c71 out for c237, q55 out for c238; the q12+q11
+    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232, q60 out for c233, c75 out for q118, q59 out for c234, c74 out for c235, c72 out for c236, c71 out for c237, q55 out for c238, q53 out for a13; the q12+q11
     # rows-only pair stays seated and would leave together, last) ---
     "q112_time_travel_selective_dml",
     "c221_tiff_compressed_decode_stats",
@@ -20753,6 +20815,7 @@ _DRIVER_WINDOW = [
     "c236_ico_stats",
     "c237_mojibake_repair",
     "c238_sitemap_stats",
+    "a13_copy_unload_bzip2",
 ]
 
 
