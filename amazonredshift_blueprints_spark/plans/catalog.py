@@ -18301,6 +18301,70 @@ def c230_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c239_html_extract",
+    oracle="""
+    WITH links AS (
+        SELECT d.doc_id,
+               STRING_AGG('l' || j.j, ' ' ORDER BY j.j) AS s
+        FROM documents d, range(4) j(j)
+        WHERE j.j < 1 + d.doc_id % 4
+        GROUP BY d.doc_id
+    )
+    SELECT d.doc_id,
+           'Doc ' || d.doc_id AS title,
+           'Doc ' || d.doc_id || ' ' || links.s
+               || ' tok' || (d.doc_id % 50)
+               || ' & tok' || ((d.doc_id + 1) % 50) AS text,
+           CAST(1 + d.doc_id % 4 AS BIGINT) AS n_links
+    FROM documents d JOIN links ON links.doc_id = d.doc_id
+    """,
+    doc="HTML boilerplate-strip text extraction (operators/text.py "
+        "html_extract, r16 — the WET/trafilatura-lite step that is "
+        "the FIRST transform of every web corpus, and the natural "
+        "consumer of c224's WARC response bodies): drop script/style "
+        "blocks and comments (dotall, case-insensitive — a script "
+        "containing '</p>' markup must not leak), strip remaining "
+        "tags, unescape the six ubiquitous entities with &amp; LAST "
+        "(earlier and '&amp;lt;' would double-unescape), collapse "
+        "whitespace; title and <a>-count extracted alongside. One "
+        "sequential regexp_replace projection — row-local "
+        "whole-stage codegen, zero Python, zero shuffles (pytest "
+        "asserts no Python stage). The entry's fixture HTML carries "
+        "script noise with embedded markup, entity-encoded text and "
+        "a variable link list; the oracle states the expected "
+        "EXTRACTED text closed-form, so the driver row certifies "
+        "the intended extraction, not a replay of the regex chain",
+    tags=("text", "documents"),
+)
+def c239_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import html_extract
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    links = F.expr(
+        "concat_ws('', transform(sequence(0, CAST(doc_id % 4 AS INT)), "
+        "j -> concat('<a href=\"/p', CAST(j AS STRING), '\">l', "
+        "CAST(j AS STRING), '</a> ')))"
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id"),
+        F.lit("</title><style>p {color: red}</style>"
+              "<script>if (1<2) { var s = \"</p>\"; }</script>"
+              "</head><body><!-- boilerplate -->"),
+        links,
+        F.lit("<p>tok"),
+        F.col("doc_id") % 50,
+        F.lit(" &amp; tok"),
+        (F.col("doc_id") + 1) % 50,
+        F.lit("</p></body></html>"),
+    )
+    corpus = d.select(F.col("doc_id"), html.alias("html"))
+    return html_extract(corpus).select(
+        "doc_id", "title", "text", "n_links"
+    )
+
+
+@query(
     "a13_copy_unload_bzip2",
     oracle="""
     SELECT o_orderstatus,
@@ -20778,7 +20842,6 @@ _DRIVER_WINDOW = [
     "c61_semantic_dedup",
     "c64_image_decode_stats",
     "c65_stream_stateful_topk",
-    "c70_minhash_signature_store",
     # --- oldest r10-rowed entries, in catalog order ---
     "q12_agg_approx_distinct",
     # --- co-windowed oracle twin of the rows-only pick q12 ---
@@ -20788,7 +20851,7 @@ _DRIVER_WINDOW = [
     # c221, q06 out for c222, q05 out for c223, q56 out for q113,
     # c73 out for c224, c80 out for c225, c79 out for q114, c78 out for
     # c226, q67 out for c227, q66 out for c228, q65 out for q115, q64
-    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232, q60 out for c233, c75 out for q118, q59 out for c234, c74 out for c235, c72 out for c236, c71 out for c237, q55 out for c238, q53 out for a13; the q12+q11
+    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232, q60 out for c233, c75 out for q118, q59 out for c234, c74 out for c235, c72 out for c236, c71 out for c237, q55 out for c238, q53 out for a13, c70 out for c239; the q12+q11
     # rows-only pair stays seated and would leave together, last) ---
     "q112_time_travel_selective_dml",
     "c221_tiff_compressed_decode_stats",
@@ -20816,6 +20879,7 @@ _DRIVER_WINDOW = [
     "c237_mojibake_repair",
     "c238_sitemap_stats",
     "a13_copy_unload_bzip2",
+    "c239_html_extract",
 ]
 
 

@@ -1121,3 +1121,33 @@ def test_sitemap_stats_xpath_jvm_side(spark):
     assert got[1] == ("urlset", 3, 20)  # 0.7 + 0.3 + 1.0 in tenths
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_html_extract_jvm_side(spark):
+    """HTML extraction (r16): script/style/comment blocks drop even
+    when they embed markup, tags strip, the six entities unescape
+    with &amp; last, whitespace collapses — all with no Python
+    stage."""
+    from amazonredshift_blueprints_spark.operators.text import (
+        html_extract,
+    )
+
+    html = (
+        "<html><head><title>My Page</title><style>p{color:red}</style>"
+        '<script>var x = "<p>not text</p>";</script></head>'
+        "<body><!-- note --><h1>Hello &amp; welcome</h1>"
+        "<p>A &lt;tag&gt; and &quot;q&quot; &#39;h&#39;.&nbsp;"
+        "&amp;lt; stays</p>"
+        '<a href="/x">one</a> <A HREF="/y">two</A></body></html>'
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    out = html_extract(df)
+    r = out.collect()[0]
+    assert r["title"] == "My Page"
+    assert r["text"] == (
+        "My Page Hello & welcome A <tag> and \"q\" 'h'. &lt; stays "
+        "one two"
+    )
+    assert r["n_links"] == 2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "MapInPandas" not in plan
