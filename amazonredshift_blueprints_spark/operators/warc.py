@@ -611,3 +611,81 @@ def zip_extract_stats(files: DataFrame) -> DataFrame:
         "doc_id long, n_members long, n_stored long, n_deflated long, "
         "total_bytes long, token_sum long",
     )
+
+
+def synthesize_web_warc_files(df: DataFrame, id_col: str) -> DataFrame:
+    """WARC files carrying one HTTP-response record per doc for the
+    c240 end-to-end web-curation pipeline: a NOISY target URI
+    (``www.``, ``:443``, ``utm_`` — c227's cleanup classes), an HTML
+    body with script noise, entities and ``1 + id % 4`` links (c239's
+    extraction classes), the paragraph text MOJIBAKE-corrupted for
+    ``id % 4 == 0`` (c237's repair class), and gzip-member packaging
+    for odd ids (c224's Common Crawl layout)."""
+
+    cafe = "café número"
+    moji = cafe.encode("utf-8").decode("latin-1")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                links = "".join(
+                    f'<a href="/x{j}">l{j}</a> ' for j in range(1 + i % 4)
+                )
+                mid = moji if i % 4 == 0 else cafe
+                html = (
+                    f"<html><head><title>Doc {i}</title>"
+                    '<script>if (1<2) { var s = "</p>"; }</script>'
+                    f"</head><body><!-- nav -->{links}"
+                    f"<p>tok{i % 50} &amp; {mid} {(i + 1) % 50}</p>"
+                    "</body></html>"
+                )
+                body = html.encode("utf-8")
+                content = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"Content-Length: " + str(len(body)).encode()
+                    + b"\r\n\r\n" + body
+                )
+                url = (
+                    f"https://www.site{i % 13}.com:443"
+                    f"/p{i % 7}/q{i % 5}?utm_source=x"
+                )
+                payloads.append(
+                    encode_warc(
+                        [{"type": "response", "uri": url,
+                          "content": content}],
+                        gzip_members=bool(i % 2),
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def warc_pages(files: DataFrame) -> DataFrame:
+    """Container-parse stage of the web pipeline: each WARC payload's
+    ``response`` records yield ``(doc_id, url, html)`` rows — the ONE
+    Python stage (container walking is inherently imperative); every
+    downstream transform runs as JVM expressions."""
+
+    def pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "url": [], "html": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for rec in parse_warc(bytes(payload)):
+                    if rec["type"] != "response":
+                        continue
+                    rows["doc_id"].append(int(doc_id))
+                    rows["url"].append(rec["uri"])
+                    rows["html"].append(
+                        http_response_body(rec["content"]).decode("utf-8")
+                    )
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(pages, "doc_id long, url string, html string")

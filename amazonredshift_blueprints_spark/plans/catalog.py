@@ -18301,6 +18301,98 @@ def c230_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c240_web_curation_e2e",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id, doc_id % 13 AS d, doc_id % 7 AS pj,
+               doc_id % 5 AS qk,
+               CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS moji,
+               8 + doc_id % 4 AS ntok
+        FROM documents
+    ),
+    allowed AS (
+        SELECT * FROM u
+        WHERE NOT ((pj % 3 = d % 3) AND qk != 0)
+    )
+    SELECT 'site' || d || '.com' AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(SUM(moji) AS BIGINT) AS n_repaired,
+           CAST(SUM(ntok) AS BIGINT) AS token_sum
+    FROM allowed GROUP BY d ORDER BY domain
+    """,
+    doc="END-TO-END web-curation pipeline — the r16 web family "
+        "composed as one flow, the way a real crawl-to-corpus job "
+        "runs (operators/warc.py + text.py): WARC response records "
+        "(c224's framing, gzip members for odd ids) -> the ONE "
+        "Python stage extracting (url, html) pairs -> "
+        "c239's html_extract (script noise with embedded markup, "
+        "entities, link lists) -> c237's repair_mojibake (every "
+        "id%4==0 page's paragraph arrives UTF-8-as-Latin-1 "
+        "corrupted and must come back clean) -> c227's "
+        "canonicalize_url + registered_domain (www./:443/utm_ noise "
+        "stripped) -> c234's robots_filter (13-domain fixture, "
+        "longest-match + Allow-tie rules, badbot group that must "
+        "not apply) -> per-domain corpus stats over the ALLOWED "
+        "pages. The oracle replays the whole composition "
+        "closed-form: page counts after robots filtering, repaired "
+        "counts, whitespace-token sums of the final clean text. "
+        "Plan shape: one mapInPandas container stage, then pure "
+        "JVM projections and ONE broadcast rules join + per-URL "
+        "max_by, then the domain aggregate — the 100 TB crawl "
+        "stays the probe side throughout",
+    tags=("text", "multimodal", "documents"),
+)
+def c240_web_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import (
+        canonicalize_url,
+        html_extract,
+        parse_robots_rules,
+        registered_domain,
+        repair_mojibake,
+        robots_filter,
+    )
+    from ..operators.warc import synthesize_web_warc_files, warc_pages
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    pages = warc_pages(synthesize_web_warc_files(d, "doc_id"))
+    pages = html_extract(pages, html_col="html")
+    pages = repair_mojibake(pages, text_col="text")
+    canon = canonicalize_url(F.col("url"))
+    urls = pages.select(
+        F.col("doc_id"),
+        registered_domain(canon).alias("domain"),
+        F.regexp_extract(canon, "^https?://[^/]+(/.*)$", 1).alias("path"),
+        F.col("was_mojibake"),
+        F.size(F.split(F.col("text_fixed"), " ")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    rows = []
+    for dd in range(13):  # c234's robots fixture — metadata-sized
+        lines = ["User-agent: badbot", "Disallow: /", "",
+                 "User-agent: *"]
+        for j in range(7):
+            if j % 3 == dd % 3:
+                lines.append(f"Disallow: /p{j}")
+                lines.append(f"Allow: /p{j}/q0")
+        rows.append((f"site{dd}.com", "\n".join(lines)))
+    rules = parse_robots_rules(
+        spark.createDataFrame(rows, "domain string, robots_txt string")
+    )
+    return (
+        robots_filter(urls, rules, agent="trainbot")
+        .filter(F.col("allowed"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.col("was_mojibake").cast("long")).alias("n_repaired"),
+            F.sum("n_tokens").alias("token_sum"),
+        )
+        .orderBy("domain")
+    )
+
+
+@query(
     "c239_html_extract",
     oracle="""
     WITH links AS (
@@ -20841,7 +20933,6 @@ _DRIVER_WINDOW = [
     "c51_length_quantiles",
     "c61_semantic_dedup",
     "c64_image_decode_stats",
-    "c65_stream_stateful_topk",
     # --- oldest r10-rowed entries, in catalog order ---
     "q12_agg_approx_distinct",
     # --- co-windowed oracle twin of the rows-only pick q12 ---
@@ -20851,7 +20942,7 @@ _DRIVER_WINDOW = [
     # c221, q06 out for c222, q05 out for c223, q56 out for q113,
     # c73 out for c224, c80 out for c225, c79 out for q114, c78 out for
     # c226, q67 out for c227, q66 out for c228, q65 out for q115, q64
-    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232, q60 out for c233, c75 out for q118, q59 out for c234, c74 out for c235, c72 out for c236, c71 out for c237, q55 out for c238, q53 out for a13, c70 out for c239; the q12+q11
+    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232, q60 out for c233, c75 out for q118, q59 out for c234, c74 out for c235, c72 out for c236, c71 out for c237, q55 out for c238, q53 out for a13, c70 out for c239, c65 out for c240; the q12+q11
     # rows-only pair stays seated and would leave together, last) ---
     "q112_time_travel_selective_dml",
     "c221_tiff_compressed_decode_stats",
@@ -20880,6 +20971,7 @@ _DRIVER_WINDOW = [
     "c238_sitemap_stats",
     "a13_copy_unload_bzip2",
     "c239_html_extract",
+    "c240_web_curation_e2e",
 ]
 
 
