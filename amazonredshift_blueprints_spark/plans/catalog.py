@@ -18301,6 +18301,105 @@ def c230_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q119_history_rename",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey % 4 = 1
+    ),
+    v1 AS (SELECT * FROM base WHERE NOT (o_orderkey % 6 = 3)),
+    ins AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey % 4 = 2
+    ),
+    v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM ins),
+    snaps AS (
+        SELECT 0 AS v, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM base
+        UNION ALL
+        SELECT 1, COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM v1
+        UNION ALL
+        SELECT 2, COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM v2
+    )
+    SELECT CAST(v AS INTEGER) AS version,
+           CAST(n_rows AS BIGINT) AS n_rows, total_price
+    FROM snaps ORDER BY version
+    """,
+    doc="history-preserving ALTER TABLE RENAME "
+        "(timetravel.rename_history_table + sqlrun dispatch, r16 — "
+        "closes a REAL hazard this round's probe demonstrated: a "
+        "bare catalog rename succeeds but silently DETACHES the "
+        "commit log, since the log root is keyed by table name — "
+        "is_history_table goes false, future DML bypasses "
+        "versioning, and the old log strands as an orphan): the "
+        "dispatcher intercepts ALTER TABLE t RENAME TO t2 on "
+        "history tables and (1) moves the root directory atomically, "
+        "(2) rewrites the log entries' locations (tmp+replace), "
+        "(3) renames the catalog table, (4) re-points it at the tip "
+        "— each prefix of that order is crash-recoverable "
+        "(docstring). Non-history renames pass through to Spark "
+        "untouched. The entry certifies enable(v0) -> DELETE(v1) -> "
+        "RENAME -> INSERT under the NEW name (v2, append commit) "
+        "with every version read back via table_at on the new name. "
+        "Scale: the rename is O(#versions) path rewrites + one "
+        "directory move — metadata only, no data bytes at any size",
+    tags=("native", "sql", "dml", "orders"),
+)
+def q119_history_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from .. import timetravel as tt
+    from ..ingest import _clean_stale_location
+    from ..sqlrun import execute_sql
+
+    views(spark, sf_dir, "orders")
+    old, new = "bp_ren_orders", "bp_ren_orders2"
+    for t in (old, new):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        tt.remove_history(spark, t)
+        _clean_stale_location(spark, t, None)
+    execute_sql(
+        spark,
+        f"CREATE TABLE {old} AS SELECT o_orderkey, o_totalprice "
+        "FROM orders WHERE o_orderkey % 4 = 1",
+    )
+    tt.enable_history(spark, old)  # v0
+    execute_sql(spark, f"DELETE FROM {old} WHERE o_orderkey % 6 = 3")  # v1
+    execute_sql(spark, f"ALTER TABLE {old} RENAME TO {new}")
+    execute_sql(
+        spark,
+        f"INSERT INTO {new} SELECT o_orderkey, o_totalprice "
+        "FROM orders WHERE o_orderkey % 4 = 2",
+    )  # v2: append commit under the new name
+
+    def snap(v: int) -> DataFrame:
+        return (
+            tt.table_at(spark, new, version=v)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .select(
+                F.lit(v).cast("int").alias("version"),
+                "n_rows",
+                "total_price",
+            )
+        )
+
+    return reduce(DataFrame.unionAll, [snap(v) for v in range(3)]).orderBy(
+        "version"
+    )
+
+
+@query(
     "c240_web_curation_e2e",
     oracle="""
     WITH u AS (
@@ -20932,7 +21031,6 @@ _DRIVER_WINDOW = [
     "q42_dml_merge",
     "c51_length_quantiles",
     "c61_semantic_dedup",
-    "c64_image_decode_stats",
     # --- oldest r10-rowed entries, in catalog order ---
     "q12_agg_approx_distinct",
     # --- co-windowed oracle twin of the rows-only pick q12 ---
@@ -20942,7 +21040,7 @@ _DRIVER_WINDOW = [
     # c221, q06 out for c222, q05 out for c223, q56 out for q113,
     # c73 out for c224, c80 out for c225, c79 out for q114, c78 out for
     # c226, q67 out for c227, q66 out for c228, q65 out for q115, q64
-    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232, q60 out for c233, c75 out for q118, q59 out for c234, c74 out for c235, c72 out for c236, c71 out for c237, q55 out for c238, q53 out for a13, c70 out for c239, c65 out for c240; the q12+q11
+    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232, q60 out for c233, c75 out for q118, q59 out for c234, c74 out for c235, c72 out for c236, c71 out for c237, q55 out for c238, q53 out for a13, c70 out for c239, c65 out for c240, c64 out for q119; the q12+q11
     # rows-only pair stays seated and would leave together, last) ---
     "q112_time_travel_selective_dml",
     "c221_tiff_compressed_decode_stats",
@@ -20972,6 +21070,7 @@ _DRIVER_WINDOW = [
     "a13_copy_unload_bzip2",
     "c239_html_extract",
     "c240_web_curation_e2e",
+    "q119_history_rename",
 ]
 
 

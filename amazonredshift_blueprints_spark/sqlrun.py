@@ -40,6 +40,10 @@ _COMMIT_RE = re.compile(
     re.IGNORECASE,
 )
 _ROLLBACK_RE = re.compile(r"^\s*(?:ROLLBACK|ABORT)\b", re.IGNORECASE)
+_ALTER_RENAME_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([`\w.]+)\s+RENAME\s+TO\s+([`\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 # write statements routed through the transaction buffer when one is open
 _INSERT_TARGET_RE = re.compile(
     r"^(\s*INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?)([`\w.]+)",
@@ -159,6 +163,19 @@ def _execute_sql_inner(spark: SparkSession, query: str) -> None:
         return
     txn = transactions.active(spark)
     if txn is None:
+        m = _ALTER_RENAME_RE.match(query)
+        if m is not None:
+            from . import timetravel
+
+            if timetravel.is_history_table(spark, m.group(1)):
+                # a bare catalog rename would DETACH the commit log
+                # (the root is keyed by table name) — route through
+                # the log-preserving rename
+                timetravel.rename_history_table(
+                    spark, m.group(1), m.group(2)
+                )
+                print("Your query has been successfully executed.")
+                return
         m = _INSERT_TARGET_RE.match(query)
         if m is not None:
             from . import timetravel

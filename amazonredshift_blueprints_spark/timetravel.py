@@ -836,6 +836,59 @@ def restore_table(spark: SparkSession, table: str, version: int) -> int:
         )
 
 
+def rename_history_table(spark: SparkSession, old: str, new: str) -> None:
+    """``ALTER TABLE RENAME TO`` for a history table — WITH its commit
+    log (without this, a catalog-level rename silently detaches the
+    log: the renamed table's root is keyed by the NEW name, so
+    ``is_history_table`` goes false, future DML bypasses versioning,
+    and the old log strands as an orphan; the sqlrun dispatcher
+    routes the statement here).
+
+    Order, for crash recoverability at every step: (1) move the table
+    root directory under the new name (one atomic ``os.rename``),
+    (2) rewrite the log entries' location paths onto the new root
+    (write-tmp + replace — the log stays internally consistent),
+    (3) rename the catalog table, (4) point it at the tip's new
+    location. A crash after (1)/(2) leaves the catalog table intact
+    under the old name with a dangling location — re-running the
+    rename completes it; after (3) only the SET LOCATION remains and
+    ``_heal_pointer`` on the new name recovers."""
+    old_key = _lock_key(spark, old)
+    new_key = _lock_key(spark, new)
+    if old_key == new_key:
+        raise ValueError("rename_history_table: old and new are the same")
+    if not is_history_table(spark, old):
+        raise ValueError(
+            f"rename_history_table: {old_key} is not history-enabled"
+        )
+    if spark.catalog.tableExists(new_key):
+        raise ValueError(
+            f"rename_history_table: table {new_key} already exists"
+        )
+    old_root = _table_root(spark, old)
+    new_root = _table_root(spark, new)
+    if os.path.exists(new_root):
+        raise ValueError(
+            f"rename_history_table: an orphaned commit log exists for "
+            f"{new_key}; remove_history() first (timetravel.py)"
+        )
+    with _table_lock(spark, old_key):
+        os.rename(old_root, new_root)
+        entries = _read_log(new_root)
+        for e in entries:
+            rel = os.path.relpath(e["location"], old_root)
+            e["location"] = os.path.join(new_root, rel)
+        _write_log(new_root, entries)
+        spark.sql(
+            f"ALTER TABLE {_qualified(spark, old)} RENAME TO "
+            f"{_qualified(spark, new)}"
+        )
+        spark.sql(
+            f"ALTER TABLE {_qualified(spark, new)} SET LOCATION "
+            f"'{entries[-1]['location']}'"
+        )
+
+
 def clone_history_table(spark: SparkSession, src: str, dst: str) -> int:
     """ZERO-COPY clone: create ``dst`` as a new history table whose v0
     is the tip manifest of ``src``, materialized by hard links —

@@ -998,3 +998,51 @@ def test_zero_copy_clone_shares_inodes_and_diverges(spark):
     spark.sql("CREATE TABLE t_tt_nothist (k INT) USING parquet")
     with pytest.raises(ValueError, match="not history-enabled"):
         tt.clone_history_table(spark, "t_tt_nothist", "t_tt_clone_x")
+
+
+def test_rename_history_table_keeps_log(spark):
+    """ALTER TABLE RENAME on a history table (r16): without
+    interception a catalog rename silently DETACHES the commit log
+    (root keyed by name) — the dispatcher routes it through
+    rename_history_table, which moves the root, rewrites entry
+    locations, renames the catalog table and re-points it; history
+    survives, versioning continues, refusals fire."""
+    old, new = "t_tt_ren_old", "t_tt_ren_new"
+    for t in (old, new):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        tt.remove_history(spark, t)
+        _clean_stale_location(spark, t, None)
+    _fresh_history_table(spark, old)
+    tt.enable_history(spark, old)  # v0
+    execute_sql(spark, f"DELETE FROM {old} WHERE k = 1")  # v1
+    execute_sql(spark, f"ALTER TABLE {old} RENAME TO {new}")
+    assert tt.is_history_table(spark, new)
+    assert not spark.catalog.tableExists(old)
+    # old name's log moved, not orphaned
+    assert not os.path.exists(tt._table_root(spark, old))
+    # full history under the new name, locations rewritten
+    hist = tt.history(spark, new).collect()
+    assert [r["op"] for r in hist] == ["enable_history", "delete"]
+    assert tt.table_at(spark, new, version=0).count() == 5
+    assert spark.table(new).count() == 4
+    # versioning continues under the new name (append commit)
+    execute_sql(spark, f"INSERT INTO {new} VALUES (9, 90.00)")
+    assert tt.history(spark, new).count() == 3
+    assert spark.table(new).count() == 5
+    # refusals
+    spark.sql("DROP TABLE IF EXISTS t_tt_ren_clash")
+    tt.remove_history(spark, "t_tt_ren_clash")
+    _clean_stale_location(spark, "t_tt_ren_clash", None)
+    spark.sql("CREATE TABLE t_tt_ren_clash (k INT) USING parquet")
+    with pytest.raises(ValueError, match="already exists"):
+        tt.rename_history_table(spark, new, "t_tt_ren_clash")
+    with pytest.raises(ValueError, match="old and new are the same"):
+        tt.rename_history_table(spark, new, new)
+    with pytest.raises(ValueError, match="not history-enabled"):
+        tt.rename_history_table(spark, "t_tt_ren_clash", "t_tt_ren_x")
+    # a NON-history table's RENAME still goes through Spark natively
+    execute_sql(
+        spark, "ALTER TABLE t_tt_ren_clash RENAME TO t_tt_ren_clash2"
+    )
+    assert spark.catalog.tableExists("t_tt_ren_clash2")
+    spark.sql("DROP TABLE IF EXISTS t_tt_ren_clash2")
