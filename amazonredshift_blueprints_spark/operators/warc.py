@@ -689,3 +689,31 @@ def warc_pages(files: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return files.mapInPandas(pages, "doc_id long, url string, html string")
+
+
+def parse_cdxj(df: DataFrame, *, line_col: str = "line") -> DataFrame:
+    """Parse CDXJ capture-index lines — the format Common Crawl's
+    per-crawl URL indexes ship in (``<SURT key> <14-digit timestamp>
+    <JSON>``): the JSON blob carries url/mime/status/digest and the
+    WARC coordinates (filename, offset, length) a fetcher seeks with.
+    Entirely JVM-side: one ``split`` (limit 3 — the JSON may itself
+    contain spaces) + ``from_json`` projection, row-local, zero
+    Python; ``length``/``offset`` surface as BIGINT for arithmetic."""
+    parts = F.split(F.col(line_col), " ", 3)
+    meta = F.from_json(
+        parts[2],
+        "url string, mime string, status string, digest string, "
+        "length string, offset string, filename string",
+    )
+    return df.select(
+        "*",
+        parts[0].alias("surt"),
+        parts[1].alias("capture_ts"),
+        meta["url"].alias("url"),
+        meta["mime"].alias("mime"),
+        meta["status"].alias("status"),
+        meta["digest"].alias("digest"),
+        meta["length"].cast("long").alias("length"),
+        meta["offset"].cast("long").alias("offset"),
+        meta["filename"].alias("filename"),
+    )

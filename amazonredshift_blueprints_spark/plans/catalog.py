@@ -18301,6 +18301,84 @@ def c230_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c241_cdx_index_stats",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id, doc_id % 7 AS f,
+               CASE WHEN doc_id % 3 != 0 AND doc_id % 5 != 4
+                    THEN 1 ELSE 0 END AS ok,
+               100 + doc_id % 900 AS length,
+               doc_id * 1000 AS seek_off
+        FROM documents
+    )
+    SELECT 'crawl-' || f || '.warc.gz' AS filename,
+           CAST(COUNT(*) AS BIGINT) AS n_captures,
+           CAST(SUM(ok) AS BIGINT) AS n_html_ok,
+           CAST(SUM(length) AS BIGINT) AS total_length,
+           CAST(MIN(seek_off) AS BIGINT) AS min_offset
+    FROM u GROUP BY f ORDER BY filename
+    """,
+    doc="CDXJ capture-index parsing (operators/warc.py parse_cdxj, "
+        "r16 — the per-crawl URL index Common Crawl publishes next "
+        "to its WARCs; a fetch planner reads THIS to decide which "
+        "(filename, offset, length) ranges to pull before touching "
+        "a single archive byte): each line is '<SURT key> <14-digit "
+        "timestamp> <JSON>' with the JSON carrying url/mime/status/"
+        "digest and the WARC coordinates. Parsing is one split "
+        "(limit 3 — the JSON may contain spaces) + from_json "
+        "projection, entirely JVM-side, zero Python (pytest "
+        "asserts). The entry synthesizes an index over the c234 URL "
+        "universe (SURT keys, mixed mime/status) and plans the "
+        "fetch: per-WARC-file capture counts, fetchable "
+        "html-200 counts, total byte lengths and minimum seek "
+        "offsets — all replayed closed-form. At 100 TB the index "
+        "scan is the cheap planning pass that makes the archive "
+        "reads selective",
+    tags=("text", "documents"),
+)
+def c241_cdx_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.warc import parse_cdxj
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    i = F.col("doc_id")
+    json_blob = F.concat(
+        F.lit('{"url":"https://site'), i % 13,
+        F.lit(".com/p"), i % 7, F.lit("/q"), i % 5,
+        F.lit('","mime":"'),
+        F.when(i % 3 != 0, F.lit("text/html")).otherwise(
+            F.lit("application/pdf")
+        ),
+        F.lit('","status":"'),
+        F.when(i % 5 != 4, F.lit("200")).otherwise(F.lit("404")),
+        F.lit('","digest":"sha1:D'), i,
+        F.lit('","length":"'), 100 + i % 900,
+        F.lit('","offset":"'), i * 1000,
+        F.lit('","filename":"crawl-'), i % 7,
+        F.lit('.warc.gz"}'),
+    )
+    line = F.concat(
+        F.lit("com,site"), i % 13, F.lit(")/p"), i % 7, F.lit("/q"),
+        i % 5, F.lit(" 2026081"), i % 10, F.lit("000000 "), json_blob,
+    )
+    idx = parse_cdxj(d.select(i, line.alias("line")))
+    return (
+        idx.groupBy("filename")
+        .agg(
+            F.count(F.lit(1)).alias("n_captures"),
+            F.sum(
+                (
+                    (F.col("mime") == "text/html")
+                    & (F.col("status") == "200")
+                ).cast("long")
+            ).alias("n_html_ok"),
+            F.sum("length").alias("total_length"),
+            F.min("offset").alias("min_offset"),
+        )
+        .orderBy("filename")
+    )
+
+
+@query(
     "q119_history_rename",
     oracle="""
     WITH base AS (
@@ -21030,7 +21108,6 @@ _DRIVER_WINDOW = [
     "q35_dml_delete_update",
     "q42_dml_merge",
     "c51_length_quantiles",
-    "c61_semantic_dedup",
     # --- oldest r10-rowed entries, in catalog order ---
     "q12_agg_approx_distinct",
     # --- co-windowed oracle twin of the rows-only pick q12 ---
@@ -21040,7 +21117,7 @@ _DRIVER_WINDOW = [
     # c221, q06 out for c222, q05 out for c223, q56 out for q113,
     # c73 out for c224, c80 out for c225, c79 out for q114, c78 out for
     # c226, q67 out for c227, q66 out for c228, q65 out for q115, q64
-    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232, q60 out for c233, c75 out for q118, q59 out for c234, c74 out for c235, c72 out for c236, c71 out for c237, q55 out for c238, q53 out for a13, c70 out for c239, c65 out for c240, c64 out for q119; the q12+q11
+    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232, q60 out for c233, c75 out for q118, q59 out for c234, c74 out for c235, c72 out for c236, c71 out for c237, q55 out for c238, q53 out for a13, c70 out for c239, c65 out for c240, c64 out for q119, c61 out for c241; the q12+q11
     # rows-only pair stays seated and would leave together, last) ---
     "q112_time_travel_selective_dml",
     "c221_tiff_compressed_decode_stats",
@@ -21071,6 +21148,7 @@ _DRIVER_WINDOW = [
     "c239_html_extract",
     "c240_web_curation_e2e",
     "q119_history_rename",
+    "c241_cdx_index_stats",
 ]
 
 

@@ -199,3 +199,29 @@ def test_zip_roundtrip_interchange_and_refusals():
         cd5 = enc5.find(b"PK\x01\x02")
         enc5[cd5 + 10] = 12  # bzip2 method in the central entry
         parse_zip(bytes(enc5))
+
+
+def test_parse_cdxj_jvm_side(spark):
+    """CDXJ index lines (r16): SURT + timestamp + JSON split with
+    limit 3 (JSON may contain spaces), coordinates cast to BIGINT,
+    no Python stage in the plan."""
+    from amazonredshift_blueprints_spark.operators.warc import parse_cdxj
+
+    line = (
+        "com,example)/path/page 20260816120000 "
+        '{"url":"https://example.com/path/page","mime":"text/html",'
+        '"status":"200","digest":"sha1:ABC","length":"1234",'
+        '"offset":"98765","filename":"crawl-0.warc.gz",'
+        '"note":"has spaces here"}'
+    )
+    df = spark.createDataFrame([(line,)], "line string")
+    out = parse_cdxj(df)
+    r = out.collect()[0]
+    assert r["surt"] == "com,example)/path/page"
+    assert r["capture_ts"] == "20260816120000"
+    assert r["url"] == "https://example.com/path/page"
+    assert (r["mime"], r["status"]) == ("text/html", "200")
+    assert (r["length"], r["offset"]) == (1234, 98765)
+    assert r["filename"] == "crawl-0.warc.gz"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "MapInPandas" not in plan
