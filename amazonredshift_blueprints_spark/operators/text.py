@@ -2523,3 +2523,35 @@ def html_extract(df: DataFrame, *, html_col: str = "html") -> DataFrame:
         t.alias("text"),
         n_links.cast("long").alias("n_links"),
     )
+
+
+def split_sentences(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Rule-based sentence splitting — the segmentation pass quality
+    filters and context-window packers run per document: protect
+    decimal points and common abbreviations (``Mr./Dr./Prof./e.g.``
+    ...) with a control-char sentinel, split on
+    terminator-then-whitespace (``[.!?]\\s+`` with a lookbehind so
+    the terminator stays with its sentence), restore the sentinel.
+    Adds ``sentences`` (array<string>) and ``n_sentences``.
+
+    Scale: regexp/split/transform are row-local JVM expressions —
+    zero Python, zero shuffles; the sentence array explodes lazily
+    downstream only where a consumer asks."""
+    snt = "\u0001"
+    t = F.col(text_col)
+    t = F.regexp_replace(t, r"(?<=\d)\.(?=\d)", snt)
+    t = F.regexp_replace(
+        t,
+        r"\b(Mr|Mrs|Ms|Dr|Prof|St|vs|etc|Jr|Sr|Inc|Co)\.",
+        "$1" + snt,
+    )
+    t = F.regexp_replace(t, r"\b(e\.g|i\.e)\.", "$1" + snt)
+    arr = F.split(t, r"(?<=[.!?])\s+")
+    arr = F.transform(
+        arr, lambda s: F.replace(s, F.lit(snt), F.lit("."))
+    )
+    return df.select(
+        "*",
+        arr.alias("sentences"),
+        F.size(arr).cast("long").alias("n_sentences"),
+    )

@@ -18301,6 +18301,60 @@ def c230_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c242_sentence_split",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id, 2 + doc_id % 3 AS k,
+               LENGTH(CAST(doc_id AS VARCHAR)) AS idlen
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS n_sentences,
+           'Dr. No' || doc_id || ' saw 0 items worth 3.5 coins.'
+               AS first_sentence,
+           CAST(k * (35 + idlen) + (k - 1) AS BIGINT) AS n_chars
+    FROM u
+    """,
+    doc="rule-based sentence splitting (operators/text.py "
+        "split_sentences, r16 — the segmentation pass quality "
+        "filters and context-window packers run per document): "
+        "decimal points and common abbreviations (Mr./Dr./Prof./"
+        "e.g./i.e. ...) are sentinel-protected before the "
+        "terminator-then-whitespace split (lookbehind keeps each "
+        "terminator with its sentence) and restored after — so "
+        "'Dr. Smith met Mr. Jones at 3.14 units.' is ONE sentence, "
+        "not four. regexp/split/transform are row-local JVM "
+        "expressions — zero Python, zero shuffles (pytest asserts); "
+        "the sentence array stays lazy until a consumer explodes "
+        "it. The entry's fixture packs an abbreviation AND a "
+        "decimal into every sentence with cycling ./!/? "
+        "terminators; counts, the exact first sentence and total "
+        "text lengths replay closed-form",
+    tags=("text", "documents"),
+)
+def c242_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import split_sentences
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    text = F.expr(
+        "concat_ws(' ', transform(sequence(0, 1 + CAST(doc_id % 3 AS "
+        "INT)), j -> concat('Dr. No', CAST(doc_id AS STRING), "
+        "' saw ', CAST(j AS STRING), ' items worth 3.5 coins', "
+        "CASE j % 3 WHEN 0 THEN '.' WHEN 1 THEN '!' ELSE '?' END)))"
+    )
+    corpus = d.select(
+        F.col("doc_id"), text.alias("text")
+    )
+    out = split_sentences(corpus)
+    return out.select(
+        "doc_id",
+        "n_sentences",
+        F.element_at("sentences", 1).alias("first_sentence"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@query(
     "c241_cdx_index_stats",
     oracle="""
     WITH u AS (
@@ -21107,7 +21161,6 @@ _DRIVER_WINDOW = [
     "c14_multimodal_features",
     "q35_dml_delete_update",
     "q42_dml_merge",
-    "c51_length_quantiles",
     # --- oldest r10-rowed entries, in catalog order ---
     "q12_agg_approx_distinct",
     # --- co-windowed oracle twin of the rows-only pick q12 ---
@@ -21117,7 +21170,7 @@ _DRIVER_WINDOW = [
     # c221, q06 out for c222, q05 out for c223, q56 out for q113,
     # c73 out for c224, c80 out for c225, c79 out for q114, c78 out for
     # c226, q67 out for c227, q66 out for c228, q65 out for q115, q64
-    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232, q60 out for c233, c75 out for q118, q59 out for c234, c74 out for c235, c72 out for c236, c71 out for c237, q55 out for c238, q53 out for a13, c70 out for c239, c65 out for c240, c64 out for q119, c61 out for c241; the q12+q11
+    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232, q60 out for c233, c75 out for q118, q59 out for c234, c74 out for c235, c72 out for c236, c71 out for c237, q55 out for c238, q53 out for a13, c70 out for c239, c65 out for c240, c64 out for q119, c61 out for c241, c51 out for c242; the q12+q11
     # rows-only pair stays seated and would leave together, last) ---
     "q112_time_travel_selective_dml",
     "c221_tiff_compressed_decode_stats",
@@ -21149,6 +21202,7 @@ _DRIVER_WINDOW = [
     "c240_web_curation_e2e",
     "q119_history_rename",
     "c241_cdx_index_stats",
+    "c242_sentence_split",
 ]
 
 

@@ -1151,3 +1151,28 @@ def test_html_extract_jvm_side(spark):
     assert r["n_links"] == 2
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_split_sentences_protections(spark):
+    """Sentence splitting (r16): abbreviations and decimals must not
+    split, terminators stay with their sentence, no Python stage."""
+    from amazonredshift_blueprints_spark.operators.text import (
+        split_sentences,
+    )
+
+    txt = (
+        "Dr. Smith met Mr. Jones at 3.14 units. They laughed! "
+        "Was it e.g. enough? Prof. X said i.e. yes."
+    )
+    df = spark.createDataFrame([(txt,)], "text string")
+    out = split_sentences(df)
+    r = out.collect()[0]
+    assert r["n_sentences"] == 4
+    assert r["sentences"] == [
+        "Dr. Smith met Mr. Jones at 3.14 units.",
+        "They laughed!",
+        "Was it e.g. enough?",
+        "Prof. X said i.e. yes.",
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "MapInPandas" not in plan
