@@ -2555,3 +2555,46 @@ def split_sentences(df: DataFrame, *, text_col: str = "text") -> DataFrame:
         arr.alias("sentences"),
         F.size(arr).cast("long").alias("n_sentences"),
     )
+
+
+def html_tables(df: DataFrame, *, html_col: str = "html") -> DataFrame:
+    """Structured ``<table>`` extraction — the web-tables pass
+    (WDC-corpus style) that turns embedded HTML tables into queryable
+    counts: nested ``regexp_extract_all``/``transform`` arrays pull
+    table bodies, their ``<tr>`` rows and ``<td>/<th>`` cells;
+    integer-valued cells sum via ``try_cast``. Adds ``n_tables``,
+    ``n_rows``, ``n_cells`` and ``cell_sum``. All row-local JVM
+    lambda expressions over arrays — zero Python, zero shuffles; the
+    nested arrays never escape the row."""
+    cells3 = (
+        f"transform(regexp_extract_all({html_col}, "
+        "'(?is)<table[^>]*>(.*?)</table>', 1), "
+        "t -> transform(regexp_extract_all(t, "
+        "'(?is)<tr[^>]*>(.*?)</tr>', 1), "
+        "r -> regexp_extract_all(r, "
+        "'(?is)<t[dh][^>]*>(.*?)</t[dh]>', 1)))"
+    )
+    return (
+        df.withColumn("_t3", F.expr(cells3))
+        .select(
+            "*",
+            F.size("_t3").cast("long").alias("n_tables"),
+            F.expr(
+                "aggregate(_t3, CAST(0 AS BIGINT), "
+                "(a, t) -> a + size(t))"
+            ).alias("n_rows"),
+            F.expr(
+                "aggregate(_t3, CAST(0 AS BIGINT), (a, t) -> a + "
+                "aggregate(t, CAST(0 AS BIGINT), "
+                "(b, r) -> b + size(r)))"
+            ).alias("n_cells"),
+            F.expr(
+                "aggregate(_t3, CAST(0 AS BIGINT), (a, t) -> a + "
+                "aggregate(t, CAST(0 AS BIGINT), (b, r) -> b + "
+                "aggregate(r, CAST(0 AS BIGINT), (c, x) -> c + "
+                "coalesce(try_cast(trim(x) AS BIGINT), "
+                "CAST(0 AS BIGINT)))))"
+            ).alias("cell_sum"),
+        )
+        .drop("_t3")
+    )

@@ -18301,6 +18301,65 @@ def c230_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c243_html_table_extract",
+    oracle="""
+    WITH t AS (
+        SELECT d.doc_id, tt.t, 2 + (d.doc_id + tt.t) % 3 AS nd
+        FROM documents d, range(2) tt(t)
+        WHERE tt.t < 1 + d.doc_id % 2
+    ),
+    cells AS (
+        SELECT t.doc_id,
+               SUM((t.doc_id * 7 + t.t * 5 + r.r * 3 + c.c) % 100) AS s
+        FROM t, range(4) r(r), range(3) c(c)
+        WHERE r.r < t.nd
+        GROUP BY t.doc_id
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_tables, SUM(1 + nd) AS n_rows
+        FROM t GROUP BY doc_id
+    )
+    SELECT a.doc_id, CAST(a.n_tables AS BIGINT) AS n_tables,
+           CAST(a.n_rows AS BIGINT) AS n_rows,
+           CAST(3 * a.n_rows AS BIGINT) AS n_cells,
+           CAST(c.s AS BIGINT) AS cell_sum
+    FROM agg a JOIN cells c ON a.doc_id = c.doc_id
+    """,
+    doc="structured HTML <table> extraction (operators/text.py "
+        "html_tables, r16 — the web-tables pass behind WDC-style "
+        "table corpora, the relational complement of c239's prose "
+        "extraction): nested regexp_extract_all/transform arrays "
+        "pull table bodies -> <tr> rows -> <td>/<th> cells "
+        "case-insensitively, and integer-valued cells sum via "
+        "try_cast (headers and prose cells contribute zero, not "
+        "errors). All row-local JVM lambda expressions over arrays "
+        "— zero Python, zero shuffles, the nested arrays never "
+        "escape the row (pytest asserts no Python stage). The "
+        "entry's fixture embeds 1-2 tables per doc with <th> header "
+        "rows and numeric <td> grids; table/row/cell counts and "
+        "numeric sums replay closed-form",
+    tags=("text", "documents"),
+)
+def c243_html_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import html_tables
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    html = F.expr(
+        "concat_ws('', transform(sequence(0, CAST(doc_id % 2 AS INT)), "
+        "t -> concat('<table><tr><th>h0</th><th>h1</th><th>h2</th>"
+        "</tr>', concat_ws('', transform(sequence(0, 1 + "
+        "CAST((doc_id + t) % 3 AS INT)), r -> concat('<tr>', "
+        "concat_ws('', transform(sequence(0, 2), c -> "
+        "concat('<td>', CAST((doc_id * 7 + t * 5 + r * 3 + c) % 100 "
+        "AS STRING), '</td>'))), '</tr>'))), '</table>')))"
+    )
+    corpus = d.select(F.col("doc_id"), html.alias("html"))
+    return html_tables(corpus).select(
+        "doc_id", "n_tables", "n_rows", "n_cells", "cell_sum"
+    )
+
+
+@query(
     "c242_sentence_split",
     oracle="""
     WITH u AS (
@@ -21160,7 +21219,6 @@ _DRIVER_WINDOW = [
     "c29_dedup_groups",
     "c14_multimodal_features",
     "q35_dml_delete_update",
-    "q42_dml_merge",
     # --- oldest r10-rowed entries, in catalog order ---
     "q12_agg_approx_distinct",
     # --- co-windowed oracle twin of the rows-only pick q12 ---
@@ -21170,7 +21228,7 @@ _DRIVER_WINDOW = [
     # c221, q06 out for c222, q05 out for c223, q56 out for q113,
     # c73 out for c224, c80 out for c225, c79 out for q114, c78 out for
     # c226, q67 out for c227, q66 out for c228, q65 out for q115, q64
-    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232, q60 out for c233, c75 out for q118, q59 out for c234, c74 out for c235, c72 out for c236, c71 out for c237, q55 out for c238, q53 out for a13, c70 out for c239, c65 out for c240, c64 out for q119, c61 out for c241, c51 out for c242; the q12+q11
+    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232, q60 out for c233, c75 out for q118, q59 out for c234, c74 out for c235, c72 out for c236, c71 out for c237, q55 out for c238, q53 out for a13, c70 out for c239, c65 out for c240, c64 out for q119, c61 out for c241, c51 out for c242, q42 out for c243; the q12+q11
     # rows-only pair stays seated and would leave together, last) ---
     "q112_time_travel_selective_dml",
     "c221_tiff_compressed_decode_stats",
@@ -21203,6 +21261,7 @@ _DRIVER_WINDOW = [
     "q119_history_rename",
     "c241_cdx_index_stats",
     "c242_sentence_split",
+    "c243_html_table_extract",
 ]
 
 

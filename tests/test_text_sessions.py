@@ -1176,3 +1176,28 @@ def test_split_sentences_protections(spark):
     ]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_html_tables_nested_extraction(spark):
+    """Web-table extraction (r16): case-insensitive table/tr/td|th
+    walk, numeric cells sum via try_cast with headers contributing
+    zero, no Python stage."""
+    from amazonredshift_blueprints_spark.operators.text import (
+        html_tables,
+    )
+
+    html = (
+        "<p>intro</p><table><tr><th>name</th><th>qty</th></tr>"
+        "<tr><td>a</td><td> 5 </td></tr>"
+        "<tr><td>b</td><td>7</td></tr></table>"
+        '<TABLE class="x"><TR><TD>10</TD></TR></TABLE>'
+    )
+    df = spark.createDataFrame([(html,), ("no tables here",)],
+                               "html string")
+    out = html_tables(df)
+    got = {r["html"][:6]: (r["n_tables"], r["n_rows"], r["n_cells"],
+                           r["cell_sum"]) for r in out.collect()}
+    assert got["<p>int"] == (2, 4, 7, 22)
+    assert got["no tab"] == (0, 0, 0, 0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "MapInPandas" not in plan
