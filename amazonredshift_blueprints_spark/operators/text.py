@@ -2598,3 +2598,60 @@ def html_tables(df: DataFrame, *, html_col: str = "html") -> DataFrame:
         )
         .drop("_t3")
     )
+
+
+def parse_robots_directives(
+    robots: DataFrame, *, domain_col: str = "domain", txt_col: str = "robots_txt"
+) -> DataFrame:
+    """The NON-rule robots.txt directives crawl schedulers read:
+    ``Sitemap:`` (group-independent per RFC 9309 — ``agent`` is NULL)
+    and ``Crawl-delay:`` (the de-facto politeness extension, attached
+    to its user-agent group like Allow/Disallow). Returns
+    ``(domain, agent, directive, value)`` rows; malformed
+    Crawl-delay values are skipped (the lenient reading real
+    crawlers use). Same Arrow-batched shape as
+    :func:`parse_robots_rules`."""
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    def parse(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            rows = {"domain": [], "agent": [], "directive": [],
+                    "value": []}
+            for dom, txt in zip(pdf[domain_col], pdf[txt_col]):
+                agents, in_rules = [], False
+                for line in str(txt).splitlines():
+                    line = line.split("#", 1)[0].strip()
+                    if not line or ":" not in line:
+                        continue
+                    field, val = line.split(":", 1)
+                    field, val = field.strip().lower(), val.strip()
+                    if field == "user-agent":
+                        if in_rules:
+                            agents, in_rules = [], False
+                        agents.append(val.lower())
+                    elif field in ("allow", "disallow", "crawl-delay"):
+                        in_rules = True
+                        if field == "crawl-delay" and val:
+                            try:
+                                float(val)
+                            except ValueError:
+                                continue  # lenient: skip malformed
+                            for a in agents:
+                                rows["domain"].append(dom)
+                                rows["agent"].append(a)
+                                rows["directive"].append("crawl-delay")
+                                rows["value"].append(val)
+                    elif field == "sitemap" and val:
+                        rows["domain"].append(dom)
+                        rows["agent"].append(None)
+                        rows["directive"].append("sitemap")
+                        rows["value"].append(val)
+            yield _pd.DataFrame(rows)
+
+    return robots.select(
+        F.col(domain_col), F.col(txt_col)
+    ).mapInPandas(
+        parse, "domain string, agent string, directive string, value string"
+    )

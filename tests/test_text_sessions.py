@@ -1201,3 +1201,35 @@ def test_html_tables_nested_extraction(spark):
     assert got["no tab"] == (0, 0, 0, 0)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_parse_robots_directives(spark):
+    """Sitemap (group-independent, NULL agent) and Crawl-delay
+    (group-attached, leniently parsed) directives surface for crawl
+    schedulers."""
+    from amazonredshift_blueprints_spark.operators.text import (
+        parse_robots_directives,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com",
+             "Sitemap: https://a.com/sitemap.xml\n"
+             "User-agent: fast\nUser-agent: *\nCrawl-delay: 2.5\n"
+             "Disallow: /x\n\nUser-agent: slowbot\nCrawl-delay: 10\n"
+             "Sitemap: https://a.com/other.xml"),
+            ("b.com", "User-agent: *\nCrawl-delay: nonsense\n"),
+        ],
+        "domain string, robots_txt string",
+    )
+    got = {
+        (r["domain"], r["agent"], r["directive"], r["value"])
+        for r in parse_robots_directives(robots).collect()
+    }
+    assert got == {
+        ("a.com", None, "sitemap", "https://a.com/sitemap.xml"),
+        ("a.com", None, "sitemap", "https://a.com/other.xml"),
+        ("a.com", "fast", "crawl-delay", "2.5"),
+        ("a.com", "*", "crawl-delay", "2.5"),
+        ("a.com", "slowbot", "crawl-delay", "10"),
+    }
