@@ -6538,3 +6538,282 @@ def ico_stats(
         "doc_id long, n_frames long, n_png long, n_bmp long, "
         "n_bmp32 long, n_pixels long, pixel_sum long, alpha_sum long",
     )
+
+
+def _png_idat_data(png: bytes) -> bytes:
+    """Concatenated IDAT payloads of a PNG produced by our encoder."""
+    import struct
+
+    out, pos = bytearray(), 8
+    while pos < len(png):
+        (length,) = struct.unpack(">I", png[pos:pos + 4])
+        ctype = png[pos + 4:pos + 8]
+        if ctype == b"IDAT":
+            out += png[pos + 8:pos + 8 + length]
+        pos += 12 + length
+    return bytes(out)
+
+
+def encode_apng(frames, *, num_plays: int = 0) -> bytes:
+    """APNG (animated PNG — the PNG third edition's animation
+    chunks): ``acTL`` + per-frame ``fcTL`` + ``fdAT``. ``frames`` are
+    dicts with ``pixels`` ((h, w, 3) uint8 RGB), ``x``/``y`` offsets,
+    ``delay_num``/``delay_den``, ``dispose`` (0 none / 1 background /
+    2 previous) and ``blend`` (0 source / 1 over); frame 0 is the
+    full-canvas default image (fcTL before IDAT, so static decoders
+    show it and animated ones play it). Each frame's scanline stream
+    comes from the real PNG encoder; the container stays a valid
+    static PNG."""
+    import struct
+
+    import numpy as np
+
+    if not frames:
+        raise ValueError("encode_apng needs at least one frame")
+    f0 = np.asarray(frames[0]["pixels"], dtype=np.uint8)
+    ch, cw = f0.shape[:2]
+    if frames[0].get("x", 0) or frames[0].get("y", 0):
+        raise ValueError("APNG frame 0 must be the full canvas at 0,0")
+    ihdr = struct.pack(">IIBBBBB", cw, ch, 8, 2, 0, 0, 0)
+    out = bytearray(_PNG_SIG)
+    out += _png_chunk(b"IHDR", ihdr)
+    out += _png_chunk(
+        b"acTL", struct.pack(">II", len(frames), num_plays)
+    )
+    seq = 0
+    for k, fr in enumerate(frames):
+        px = np.asarray(fr["pixels"], dtype=np.uint8)
+        fh, fw = px.shape[:2]
+        x, y = fr.get("x", 0), fr.get("y", 0)
+        if x + fw > cw or y + fh > ch:
+            raise ValueError(f"APNG frame {k} exceeds the canvas")
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, fw, fh, x, y,
+            fr.get("delay_num", 1), fr.get("delay_den", 10),
+            fr.get("dispose", 0), fr.get("blend", 0),
+        )
+        out += _png_chunk(b"fcTL", fctl)
+        seq += 1
+        data = _png_idat_data(encode_png(px))
+        if k == 0:
+            out += _png_chunk(b"IDAT", data)
+        else:
+            out += _png_chunk(
+                b"fdAT", struct.pack(">I", seq) + data
+            )
+            seq += 1
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def decode_apng(payload: bytes):
+    """REAL APNG decode: chunk walk collecting ``acTL``/``fcTL``/
+    ``fdAT`` (sequence numbers validated consecutive, frame count
+    validated against acTL), each frame's stream re-wrapped as a
+    minimal PNG through the real decoder, then §ANIMATION
+    compositing — blend 0 SOURCE / 1 OVER onto an RGBA canvas,
+    dispose 0 none / 1 background / 2 previous applied between
+    frames. Returns ``{"num_plays", "frames": [fcTL dicts],
+    "canvas": (h, w, 4) uint8}`` — the canvas as of the LAST frame.
+    A PNG without acTL raises (use decode_png for stills)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, end = 8, len(payload)
+    ihdr = actl = None
+    fctls, datas, seqs = [], [], []
+    idat = bytearray()
+    idat_fctl = None
+    while pos < end:
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length:pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"corrupt APNG: CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"acTL":
+            actl = struct.unpack(">II", data)
+        elif ctype == b"fcTL":
+            f = struct.unpack(">IIIIIHHBB", data)
+            seqs.append(f[0])
+            fctls.append(f)
+            if idat and idat_fctl is None:
+                raise ValueError("corrupt APNG: fcTL after IDAT data")
+        elif ctype == b"IDAT":
+            idat += data
+            if fctls and idat_fctl is None:
+                idat_fctl = len(fctls) - 1
+        elif ctype == b"fdAT":
+            if len(data) < 4:
+                raise ValueError("corrupt APNG: truncated fdAT")
+            seqs.append(struct.unpack(">I", data[:4])[0])
+            datas.append((len(fctls) - 1, data[4:]))
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if actl is None:
+        raise ValueError("not an APNG: no acTL chunk (static PNG)")
+    if ihdr is None:
+        raise ValueError("corrupt APNG: missing IHDR")
+    n_frames, num_plays = actl
+    if len(fctls) != n_frames:
+        raise ValueError(
+            f"corrupt APNG: acTL declares {n_frames} frames, "
+            f"found {len(fctls)} fcTL chunks"
+        )
+    if seqs != list(range(len(seqs))):
+        raise ValueError(
+            f"corrupt APNG: sequence numbers {seqs} not consecutive"
+        )
+    cw, ch = ihdr[0], ihdr[1]
+    # collect per-frame streams: the fcTL-covered IDAT, then fdAT
+    streams: dict[int, bytearray] = {}
+    if idat_fctl is not None:
+        streams[idat_fctl] = bytearray(idat)
+    for k, d in datas:
+        streams.setdefault(k, bytearray()).extend(d)
+    canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
+    frames_meta = []
+    for k, f in enumerate(fctls):
+        _seq, fw, fh, x, y, dnum, dden, dispose, blend = f
+        if k not in streams:
+            raise ValueError(f"corrupt APNG: frame {k} has no data")
+        mini = (
+            _PNG_SIG
+            + _png_chunk(
+                b"IHDR",
+                struct.pack(">IIBBBBB", fw, fh, ihdr[2], ihdr[3],
+                            0, 0, 0),
+            )
+            + _png_chunk(b"IDAT", bytes(streams[k]))
+            + _png_chunk(b"IEND", b"")
+        )
+        px = decode_png(mini)
+        if px.ndim == 2:
+            px = np.stack([px] * 3, axis=-1)
+        if px.shape[-1] == 3:
+            rgba = np.concatenate(
+                [px, np.full((fh, fw, 1), 255, dtype=np.uint8)], axis=-1
+            )
+        else:
+            rgba = px
+        region = canvas[y:y + fh, x:x + fw]
+        before = region.copy()
+        if blend == 0:  # SOURCE
+            region[:] = rgba
+        elif blend == 1:  # OVER
+            a = rgba[..., 3:4].astype(np.uint16)
+            region[..., :3] = (
+                (rgba[..., :3].astype(np.uint16) * a
+                 + region[..., :3].astype(np.uint16) * (255 - a)) // 255
+            ).astype(np.uint8)
+            region[..., 3] = np.maximum(region[..., 3], rgba[..., 3])
+        else:
+            raise ValueError(f"corrupt APNG: blend op {blend}")
+        frames_meta.append(
+            {"width": fw, "height": fh, "x": x, "y": y,
+             "delay_num": dnum, "delay_den": dden,
+             "dispose": dispose, "blend": blend}
+        )
+        if k < len(fctls) - 1:  # dispose applies between frames
+            if dispose == 2 and k == 0:
+                dispose = 1  # spec: PREVIOUS on frame 0 -> BACKGROUND
+            if dispose == 1:  # background
+                region[:] = 0
+            elif dispose == 2:  # previous
+                region[:] = before
+            elif dispose != 0:
+                raise ValueError(f"corrupt APNG: dispose op {dispose}")
+    return {
+        "num_plays": num_plays,
+        "frames": frames_meta,
+        "canvas": canvas,
+    }
+
+
+def synthesize_apng_images(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic APNG payloads: 16x16 gradient base frame
+    (``(id*3 + r + c) % 256`` gray RGB) plus ``1 + id % 3`` constant
+    6x6 sub-frames at offsets ``(2f, 2f)`` with value
+    ``(id*5 + f*7) % 256`` and delay ``f+1``/100, SOURCE blend, NONE
+    dispose — so the final canvas has a closed last-covering-frame
+    form the c244 oracle replays."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                nf = 1 + i % 3
+                base = (
+                    (i * 3 + np.arange(16)[:, None]
+                     + np.arange(16)[None, :]) % 256
+                ).astype(np.uint8)
+                frames = [
+                    {"pixels": np.stack([base] * 3, -1), "delay_num": 1,
+                     "delay_den": 100}
+                ]
+                for f in range(1, nf + 1):
+                    v = (i * 5 + f * 7) % 256
+                    frames.append(
+                        {"pixels": np.full((6, 6, 3), v, np.uint8),
+                         "x": 2 * f, "y": 2 * f,
+                         "delay_num": f + 1, "delay_den": 100}
+                    )
+                payloads.append(encode_apng(frames, num_plays=i % 4))
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+
+
+def apng_stats(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL APNG decode + featurize: frame/loop/delay metadata plus
+    the composited FINAL canvas sum. Arrow-batched ``mapInPandas``
+    inside the scan's partitions — no shuffle."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "doc_id", "n_frames", "num_plays", "delay_num_sum",
+                    "canvas_sum",
+                )
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                out = decode_apng(bytes(payload))
+                rows["doc_id"].append(int(doc_id))
+                rows["n_frames"].append(len(out["frames"]))
+                rows["num_plays"].append(out["num_plays"])
+                rows["delay_num_sum"].append(
+                    sum(f["delay_num"] for f in out["frames"])
+                )
+                rows["canvas_sum"].append(
+                    int(out["canvas"][..., :3].astype(np.int64).sum())
+                )
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        stats,
+        "doc_id long, n_frames long, num_plays long, "
+        "delay_num_sum long, canvas_sum long",
+    )

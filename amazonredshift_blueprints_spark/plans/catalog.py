@@ -18301,6 +18301,61 @@ def c230_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c244_apng_stats",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, 1 + doc_id % 3 AS nf FROM documents
+    ),
+    px AS (
+        SELECT g.doc_id, g.nf, r.r, c.c,
+               GREATEST(1,
+                   CAST(CEIL((r.r - 5) / 2.0) AS INTEGER),
+                   CAST(CEIL((c.c - 5) / 2.0) AS INTEGER)) AS lo,
+               LEAST(r.r // 2, c.c // 2, g.nf) AS up
+        FROM g, range(16) r(r), range(16) c(c)
+    ),
+    v AS (
+        SELECT doc_id, nf,
+               CASE WHEN up >= lo THEN (doc_id * 5 + up * 7) % 256
+                    ELSE (doc_id * 3 + r + c) % 256 END AS pix
+        FROM px
+    )
+    SELECT doc_id,
+           CAST(MAX(nf) + 1 AS BIGINT) AS n_frames,
+           CAST(doc_id % 4 AS BIGINT) AS num_plays,
+           CAST(1 + (MAX(nf) * (MAX(nf) + 3)) // 2 AS BIGINT)
+               AS delay_num_sum,
+           CAST(SUM(3 * pix) AS BIGINT) AS canvas_sum
+    FROM v GROUP BY doc_id
+    """,
+    doc="APNG — animated PNG decode (operators/multimodal.py, r16; "
+        "the PNG third edition's acTL/fcTL/fdAT animation chunks, "
+        "the format modern emoji/sticker pipelines ship): the chunk "
+        "walk validates CONSECUTIVE sequence numbers and the "
+        "acTL-declared frame count, each frame's stream re-wraps as "
+        "a minimal PNG through the REAL r14/r15 PNG decoder, and "
+        "SSECTION-ANIMATION compositing runs SOURCE/OVER blends "
+        "with none/background/previous disposals (incl. the spec's "
+        "PREVIOUS-on-frame-0 downgrade) onto an RGBA canvas. The "
+        "container stays a valid STATIC PNG — pytest confirms both "
+        "our still decoder AND javax.imageio read the default image "
+        "from the animated bytes (the degradation contract the "
+        "format was designed for). Entry frames are a gradient base "
+        "plus offset constant sub-frames; the final canvas reduces "
+        "to a closed LAST-COVERING-FRAME form (verified against the "
+        "compositor before the oracle was written) replayed with "
+        "integer interval arithmetic in SQL. Arrow-batched "
+        "mapInPandas — no shuffle",
+    tags=("multimodal",),
+)
+def c244_apng_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import apng_stats, synthesize_apng_images
+
+    d = views(spark, sf_dir, "documents")["documents"]
+    return apng_stats(synthesize_apng_images(d, "doc_id"))
+
+
+@query(
     "c243_html_table_extract",
     oracle="""
     WITH t AS (
@@ -21218,7 +21273,6 @@ _DRIVER_WINDOW = [
     "c35_frame_sample",
     "c29_dedup_groups",
     "c14_multimodal_features",
-    "q35_dml_delete_update",
     # --- oldest r10-rowed entries, in catalog order ---
     "q12_agg_approx_distinct",
     # --- co-windowed oracle twin of the rows-only pick q12 ---
@@ -21228,7 +21282,7 @@ _DRIVER_WINDOW = [
     # c221, q06 out for c222, q05 out for c223, q56 out for q113,
     # c73 out for c224, c80 out for c225, c79 out for q114, c78 out for
     # c226, q67 out for c227, q66 out for c228, q65 out for q115, q64
-    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232, q60 out for c233, c75 out for q118, q59 out for c234, c74 out for c235, c72 out for c236, c71 out for c237, q55 out for c238, q53 out for a13, c70 out for c239, c65 out for c240, c64 out for q119, c61 out for c241, c51 out for c242, q42 out for c243; the q12+q11
+    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232, q60 out for c233, c75 out for q118, q59 out for c234, c74 out for c235, c72 out for c236, c71 out for c237, q55 out for c238, q53 out for a13, c70 out for c239, c65 out for c240, c64 out for q119, c61 out for c241, c51 out for c242, q42 out for c243, q35 out for c244; the q12+q11
     # rows-only pair stays seated and would leave together, last) ---
     "q112_time_travel_selective_dml",
     "c221_tiff_compressed_decode_stats",
@@ -21262,6 +21316,7 @@ _DRIVER_WINDOW = [
     "c241_cdx_index_stats",
     "c242_sentence_split",
     "c243_html_table_extract",
+    "c244_apng_stats",
 ]
 
 

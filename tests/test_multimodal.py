@@ -2865,3 +2865,93 @@ def test_ico_container_roundtrip_masks_and_refusals():
     odd[off + 8:off + 12] = struct.pack("<i", 15)  # odd doubled height
     with pytest.raises(ValueError, match="doubled"):
         decode_ico(bytes(odd))
+
+
+def test_apng_roundtrip_compositing_and_refusals(spark):
+    """APNG (r16): acTL/fcTL/fdAT container round-trip, §ANIMATION
+    compositing (SOURCE and OVER blends, none/background/previous
+    disposals, PREVIOUS-on-frame-0 downgrade), static readers seeing
+    the default image — ours AND the JVM's — and corrupt containers
+    refusing by name."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from amazonredshift_blueprints_spark.operators.multimodal import (
+        _png_chunk,
+        decode_apng,
+        decode_png,
+        encode_apng,
+    )
+
+    base = np.full((16, 16, 3), 10, dtype=np.uint8)
+    f1 = np.full((6, 6, 3), 100, dtype=np.uint8)
+    f2 = np.full((6, 6, 3), 200, dtype=np.uint8)
+    enc = encode_apng(
+        [
+            {"pixels": base, "delay_num": 2, "delay_den": 100},
+            {"pixels": f1, "x": 2, "y": 2},
+            {"pixels": f2, "x": 4, "y": 4},
+        ],
+        num_plays=3,
+    )
+    out = decode_apng(enc)
+    assert out["num_plays"] == 3 and len(out["frames"]) == 3
+    assert out["frames"][0]["delay_num"] == 2
+    cv = out["canvas"]
+    assert cv[0, 0, 0] == 10 and cv[3, 3, 0] == 100
+    assert cv[5, 5, 0] == 200 and cv[9, 9, 0] == 200
+    assert (cv[..., 3] == 255).all()
+    # our static reader and the JVM's both see the default image
+    assert (decode_png(enc) == 10).all()
+    jvm = spark._jvm
+    buffered = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(enc))
+    )
+    assert buffered.getWidth() == 16 and buffered.getHeight() == 16
+    assert (buffered.getRGB(0, 0) & 0xFFFFFF) == (10 << 16 | 10 << 8 | 10)
+    # dispose background: uncovered canvas goes transparent
+    cv2 = decode_apng(
+        encode_apng(
+            [{"pixels": base, "dispose": 1},
+             {"pixels": f1, "x": 0, "y": 0}]
+        )
+    )["canvas"]
+    assert cv2[0, 0, 3] == 255 and cv2[10, 10, 3] == 0
+    # dispose previous: the region restores
+    cv3 = decode_apng(
+        encode_apng(
+            [{"pixels": base},
+             {"pixels": f1, "x": 2, "y": 2, "dispose": 2},
+             {"pixels": f2, "x": 10, "y": 10}]
+        )
+    )["canvas"]
+    assert cv3[3, 3, 0] == 10 and cv3[12, 12, 0] == 200
+    # PREVIOUS on frame 0 downgrades to BACKGROUND (spec rule)
+    cv4 = decode_apng(
+        encode_apng(
+            [{"pixels": base, "dispose": 2},
+             {"pixels": f1, "x": 0, "y": 0}]
+        )
+    )["canvas"]
+    assert cv4[10, 10, 3] == 0
+    # refusals
+    with pytest.raises(ValueError, match="no acTL"):
+        from amazonredshift_blueprints_spark.operators.multimodal import (
+            encode_png,
+        )
+        decode_apng(encode_png(base))
+    bad = bytearray(enc)
+    at = bad.find(b"acTL")
+    n = struct.unpack(">I", bad[at + 4:at + 8])[0]
+    bad[at + 4:at + 8] = struct.pack(">I", n + 1)
+    bad[at + 12:at + 16] = struct.pack(
+        ">I",
+        __import__("zlib").crc32(bytes(bad[at:at + 12])) & 0xFFFFFFFF,
+    )
+    with pytest.raises(ValueError, match="declares"):
+        decode_apng(bytes(bad))
+    with pytest.raises(ValueError, match="exceeds the canvas"):
+        encode_apng([{"pixels": base},
+                     {"pixels": f1, "x": 12, "y": 12}])
