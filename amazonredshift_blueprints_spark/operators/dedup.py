@@ -994,9 +994,17 @@ def minhash_recall_eval(
     engine should ship the evaluator — you measure recall on a sample,
     then trust the banded path at full scale.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    # Persisted (r16): the signature table is the expensive map-side
+    # kernel (num_perms md5-min transforms over every gram) and feeds
+    # FOUR consumers — both band-join sides and both verify-side array
+    # joins; the candidate set feeds the count AND the verify join.
+    # Unpersisted, the three count() actions below re-ran the whole
+    # sketch lineage per action (~4x the kernel; guide §5).
     sig = portable_signatures(
         df, id_col, text_col, shingle_size=shingle_size, num_perms=num_perms
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     banded = sig.select(
         id_col,
         F.posexplode(
@@ -1016,6 +1024,7 @@ def minhash_recall_eval(
             F.col(f"b.{id_col}").alias("id_b"),
         )
         .distinct()
+        .persist()
     )
     verified = jaccard_pairs_from_candidates(
         sig.select(id_col, "grams"), cand, id_col, "grams"
@@ -1030,6 +1039,8 @@ def minhash_recall_eval(
     n_cand = cand.count()
     n_pred = predicted.count()
     n_truth = truth.count()
+    cand.unpersist()
+    sig.unpersist()
     spark = df.sparkSession
     return spark.createDataFrame(
         [(n_cand, n_pred, n_truth, n_truth - n_pred)],
@@ -1116,6 +1127,10 @@ def setsim_prefix_join(
                            F.explode("t").alias("token"))
     dfreq = exploded.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "token")
+    # persisted (r16): both self-join sides consume the prefix table,
+    # and unpersisted each side re-ran the dfreq join + per-doc window
+    # (the plan showed the Window subtree twice); the cache holds only
+    # the (doc_id, token) prefix rows — the rarest-token subset.
     prefix = (
         exploded.join(dfreq, "token")
         .withColumn("rn", F.row_number().over(w))
@@ -1124,6 +1139,7 @@ def setsim_prefix_join(
             <= F.col("L") - F.expr(f"({p} * L + 99) div 100") + 1
         )
         .select("doc_id", "token")
+        .persist()
     )
     cands = (
         prefix.alias("a")

@@ -71,11 +71,21 @@ def pagerank(
 
     if dangling not in ("error", "self", "redistribute"):
         raise ValueError(f"unknown dangling policy {dangling!r}")
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # Persist the edge projection FIRST: the setup phase alone reads it
+    # from up to five consumers (node enumeration, the dangling check's
+    # two sides, outdeg, the e_deg join), and without the cache each one
+    # re-executes the caller's full edge-build lineage (for c90 that is
+    # a scan + JSON-parse + distinct per consumer — guide §5 persist
+    # rule: reused AND expensive to recompute).
+    from pyspark.storagelevel import StorageLevel as _SL
+
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist(_SL.MEMORY_AND_DISK)
+    # One cached pass enumerates both endpoint roles (explode, map-side)
+    # instead of a union of two scans.
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
+        e.select(F.explode(F.array("src", "dst")).alias("node")).distinct()
     )
     dangling_nodes = None
     if dangling != "redistribute":
@@ -142,20 +152,26 @@ def pagerank(
                 + F.coalesce(F.col("received"), F.lit(0))
             ).alias("rank"),
         )
-        rank = rank.persist(StorageLevel.MEMORY_AND_DISK)
-        rank.count()  # materialize this round, then release the previous
+        # localCheckpoint (eager) both materializes the round AND
+        # truncates its lineage: with persist()+count() the round-t plan
+        # still nests every earlier round under its InMemoryTableScan,
+        # so analysis/planning time grows with t (the final c90 plan
+        # carried 260 Exchange nodes of pure lineage text); checkpointed
+        # rounds keep planning O(1) per round (guide §5: localCheckpoint
+        # to cut lineage when that intermediate's fault tolerance is
+        # not critical — it is re-derivable here).
+        rank = rank.localCheckpoint(eager=True)
         if prev is not None:
             prev.unpersist()
         prev = rank
     if dangling_nodes is not None:
         dangling_nodes.unpersist()
     # The static graph side is only needed while iterating; the final
-    # rank is already materialized (each round's count), so consumers
-    # read the cached vector, never its lineage. The rank vector itself
-    # stays persisted — callers release it via the _bp_cache_owner
-    # handle (ingest.read_files_tolerant convention) once consumed.
+    # rank is already materialized (each round's eager checkpoint), so
+    # consumers read the checkpointed blocks, never the lineage.
     nodes.unpersist()
     e_deg.unpersist()
+    e.unpersist()
     rank._bp_cache_owner = rank
     return rank
 
@@ -210,8 +226,15 @@ def triangle_count(
     # close the wedge: (v, w) must be an oriented edge in EITHER
     # direction of the (deg, id) order; since v < w only by ID here, try
     # both orientations via a canonical (lo, hi) compare against e.
+    # shuffle_hash on the EDGE side (guide §3.1, deliberate strategy):
+    # the wedge stream is O(m^1.5) rows and the edge set m rows, so a
+    # sort-merge join would sort the strictly larger side; a shuffled
+    # hash join builds on the per-partition slice of the edge set and
+    # streams the wedges unsorted.
     closed = wedges.join(
-        e.select(F.col("lo").alias("v"), F.col("hi").alias("w")),
+        e.select(F.col("lo").alias("v"), F.col("hi").alias("w")).hint(
+            "shuffle_hash"
+        ),
         ["v", "w"],
         "semi",
     )
@@ -310,13 +333,23 @@ def hits(edges: DataFrame, *, iterations: int = 2) -> DataFrame:
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
     ).persist()
+    # r16: score vectors carry only NONZERO entries while iterating —
+    # a zero-score node contributes nothing to either half-round sum,
+    # so the per-half-round right-join that re-attached every node
+    # (two extra node-sized joins per iteration) moved to ONE restore
+    # join at the end; intermediate vectors also shrink to the nodes
+    # actually reachable. h_0 = 1 on nodes WITH out-edges (others can
+    # never receive hub mass from themselves and contribute nothing).
+    # Rounds are eagerly localCheckpoint'ed: materialized and
+    # lineage-truncated (the persist+count form nested every earlier
+    # half-round under the next plan — 1,661 Exchange nodes of lineage
+    # by round 2 at c126; guide §5).
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionAll(e.select(F.col("dst").alias("node")))
-        .distinct()
+        e.select(F.explode(F.array("src", "dst")).alias("node")).distinct()
     ).persist()
-    h = nodes.select("node", F.lit(1).cast("long").alias("s"))
-    spent: list[DataFrame] = []  # per-round caches, released at exit
+    h = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(1).cast("long").alias("s")
+    )
     a = None
     for _ in range(iterations):
         a = (
@@ -324,28 +357,23 @@ def hits(edges: DataFrame, *, iterations: int = 2) -> DataFrame:
                     .withColumnRenamed("s", "hs"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("hs").alias("s"))
-            .join(nodes, "node", "right")
-            .select("node", F.coalesce("s", F.lit(0)).cast("long").alias("s"))
-        ).persist()
-        a.count()  # materialize so the next half-round reads the cache
+        ).localCheckpoint(eager=True)
         h = (
             e.join(a.withColumnRenamed("node", "dst")
                     .withColumnRenamed("s", "as_"), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("as_").alias("s"))
-            .join(nodes, "node", "right")
-            .select("node", F.coalesce("s", F.lit(0)).cast("long").alias("s"))
-        ).persist()
-        h.count()
-        spent.extend([a, h])
+        ).localCheckpoint(eager=True)
     out = (
-        h.withColumnRenamed("s", "hub_q")
-        .join(a.withColumnRenamed("s", "auth_q"), "node")
-        .select("node", "hub_q", "auth_q")
+        nodes.join(h.withColumnRenamed("s", "hub_q"), "node", "left")
+        .join(a.withColumnRenamed("s", "auth_q"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub_q", F.lit(0)).cast("long").alias("hub_q"),
+            F.coalesce("auth_q", F.lit(0)).cast("long").alias("auth_q"),
+        )
     ).persist()
     out.count()
-    for c in spent:
-        c.unpersist()
     e.unpersist()
     nodes.unpersist()
     out._bp_cache_owner = out
@@ -356,12 +384,21 @@ def _oriented_wedges(e: DataFrame):
     """Degree-orient the canonical (lo, hi) edge set and build wedges
     (u, v, w), v < w — shared by :func:`triangle_count` (global count
     via semi-join close) and :func:`clustering_coefficients` (per-node
-    counts via inner-join close). Returns (deg, wedges)."""
+    counts via inner-join close). Returns (deg, wedges).
+
+    r16: ``deg`` (node-sized) and the oriented edge list ``keyed``
+    (edge-sized) are persisted — ``deg`` has up to three consumers
+    (both orientation joins, the callers' final output join) and
+    ``keyed`` two (both wedge sides); unpersisted, each consumer
+    re-ran the whole union+aggregate+two-join orientation lineage
+    (the final c141 plan carried 70 Exchange nodes, ~5 copies of the
+    deg subtree). Released by clearCache/GC with the canonical edge
+    cache (the established global_rank convention)."""
     deg = (
-        e.select(F.col("lo").alias("v"))
-        .union(e.select(F.col("hi").alias("v")))
+        e.select(F.explode(F.array("lo", "hi")).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
     )
     # orient by (deg, id): src = smaller endpoint under that order
     keyed = (
@@ -380,6 +417,7 @@ def _oriented_wedges(e: DataFrame):
             F.col("dlo"), F.col("dhi"),
         )
         .select("o.src", "o.dst")
+        .persist()
     )
     w1 = keyed.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     w2 = keyed.select(F.col("src").alias("u"), F.col("dst").alias("w"))
@@ -427,8 +465,13 @@ def clustering_coefficients(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg, wedges = _oriented_wedges(e)
+    # shuffle_hash on the edge side: same rationale as triangle_count's
+    # semi close — never sort the O(m^1.5) wedge stream to join it
+    # against the m-row edge set (guide §3.1).
     closed = wedges.join(
-        e.select(F.col("lo").alias("v"), F.col("hi").alias("w")),
+        e.select(F.col("lo").alias("v"), F.col("hi").alias("w")).hint(
+            "shuffle_hash"
+        ),
         ["v", "w"],
     )
     tri = (
@@ -477,12 +520,28 @@ def kcore(
     Returns (node, deg): survivors with their degree inside the
     surviving subgraph. All-integer — nothing to drift.
 
-    100 TB: each round is two node-set equi-joins (alive set is
-    node-sized, shrinking monotonically) plus one map-side-combinable
-    hash aggregate; edges persist once across rounds, the alive set is
-    re-persisted per round and the previous round's cache released
-    immediately after the new one materializes (the pagerank persist
-    hygiene — 2 exchanges per round, not a growing lineage).
+    100 TB (r16 rewrite — incremental peeling): the naive form
+    recounts degrees over the FULL surviving edge set every round
+    (two edge-sized equi-joins + one edge-sized aggregate × rounds).
+    This form maintains the degree table incrementally instead — the
+    standard k-core decrement scheme: one full-degree aggregate up
+    front (edges are the symmetrized form, so ``groupBy(src)`` counts
+    every node's degree in one map-side-combinable pass), then each
+    round only touches edges INCIDENT TO THE JUST-REMOVED nodes:
+
+        removed_r = {v alive : deg(v) < k}
+        deg(v)   -= |edges (v, u), u ∈ removed_r|   for surviving v
+
+    which is exactly the induced-subgraph degree by induction. Per
+    round that is one equi-join of the cached edge set against the
+    (shrinking, usually tiny) removed set plus one node-sized left
+    join — O(edges incident to removed), not O(edges). A round that
+    removes nothing proves the fixpoint (degrees can never drop
+    again), so remaining rounds are skipped — output-identical to
+    running them as no-ops. Round states are eagerly
+    ``localCheckpoint``ed: materialized AND lineage-truncated, so
+    round t's plan does not nest rounds 0..t-1 (the persist+count
+    form re-planned a 5,000-Exchange lineage text by round 4).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -492,31 +551,40 @@ def kcore(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    alive = e.select(F.col("src").alias("node")).distinct().persist()
-    alive.count()
-    for _ in range(rounds):
-        nxt = (
-            e.join(alive.withColumnRenamed("node", "src"), "src")
-            .join(alive.withColumnRenamed("node", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select(F.col("src").alias("node"))
-        ).persist()
-        nxt.count()  # materialize before the parent cache is released
-        alive.unpersist()
-        alive = nxt
-    out = (
-        e.join(alive.withColumnRenamed("node", "src"), "src")
-        .join(alive.withColumnRenamed("node", "dst"), "dst")
-        .groupBy("src")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .select(
-            F.col("src").alias("node"), F.col("deg").cast("long").alias("deg")
-        )
+    # Full degree once: symmetrized input ⇒ every node appears as src.
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .select(F.col("src").alias("node"), "deg")
+        .localCheckpoint(eager=True)
     )
-    e.unpersist()  # out re-reads the (cheap) source scan on consumption
-    out._bp_cache_owner = alive
+    for _ in range(rounds):
+        removed = deg.filter(F.col("deg") < k).select("node")
+        if removed.isEmpty():
+            break  # fixpoint: every later round is a no-op
+        dec = (
+            e.join(removed.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .select(F.col("src").alias("node"), "_d")
+        )
+        deg = (
+            deg.filter(F.col("deg") >= k)
+            .join(dec, "node", "left")
+            .select(
+                "node",
+                (F.col("deg") - F.coalesce("_d", F.lit(0)))
+                .cast("long")
+                .alias("deg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # Survivors whose degree inside the surviving subgraph is zero have
+    # no incident surviving edge; the naive groupBy form emitted no row
+    # for them, so filter them out to match exactly.
+    out = deg.filter(F.col("deg") >= 1)
+    e.unpersist()
+    out._bp_cache_owner = deg
     return out
 
 
@@ -688,8 +756,11 @@ def label_propagation(
             .select("node", (-F.col("m.neg")).cast("long").alias("label"))
             .join(sd.select("node"), "node", "left_anti")
         )
-        new_labels = sd.unionAll(winners).persist()
-        new_labels.count()  # materialize before parents release
+        # eager localCheckpoint: materialize AND truncate lineage so
+        # round t's plan does not nest rounds 0..t-1 (guide §5; same
+        # rationale as pagerank/kcore — the persist+count form grew the
+        # final plan to ~90 Exchange nodes of lineage text by round 2).
+        new_labels = sd.unionAll(winners).localCheckpoint(eager=True)
         if labels is not sd:
             labels.unpersist()
         labels = new_labels

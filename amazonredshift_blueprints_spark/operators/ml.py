@@ -1028,7 +1028,12 @@ def rfm_segments(
     """
     from .sampling import global_rank
 
-    per = (
+    # Persist the key-cardinality aggregate: it feeds SIX consumers
+    # (the as-of scalar, the row count, all three global_rank passes,
+    # and the final join) and each one otherwise re-runs the
+    # event-sized scan+aggregate (r16; guide §5 persist rule). The
+    # cache is key-sized, not event-sized.
+    per0 = (
         df.groupBy(F.col(key_col).alias("key"))
         .agg(
             F.max(F.col(date_col).cast("date")).alias("_last"),
@@ -1037,10 +1042,11 @@ def rfm_segments(
                 F.round(F.col(amount_col).cast("double") * scale).cast("long")
             ).alias("monetary_q"),
         )
+        .persist()
     )
-    asof = per.agg(F.max("_last").alias("_asof"))
+    asof = per0.agg(F.max("_last").alias("_asof"))
     per = (
-        per.crossJoin(F.broadcast(asof))
+        per0.crossJoin(F.broadcast(asof))
         .withColumn(
             "recency_days", F.datediff(F.col("_asof"), F.col("_last")).cast("long")
         )

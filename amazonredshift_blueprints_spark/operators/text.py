@@ -738,14 +738,18 @@ def dup_span_coverage(
     standard engineering compromise (same trade as MinHash vs exact
     Jaccard).
     """
+    from pyspark.storagelevel import StorageLevel
+
     from .dedup import _ngrams_expr
 
     toks = tokens(text_col)
+    # Persisted: tokenize + n-grams feed the gram explode AND the final
+    # doc restore join; unpersisted each re-runs the projection (r16).
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).cast("long").alias("n_tokens"),
         _ngrams_expr(toks, gram_len).alias("_grams"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     pos_grams = base.select(
         "doc_id",
         "n_tokens",
@@ -780,7 +784,7 @@ def dup_span_coverage(
         .groupBy("doc_id", "n_tokens")
         .agg(F.sum("_span").alias("dup_covered_tokens"))
     )
-    return (
+    out = (
         df.select(F.col(id_col).alias("doc_id"))
         .join(base.select("doc_id", "n_tokens"), "doc_id")
         .join(covered.drop("n_tokens"), "doc_id", "left")
@@ -796,6 +800,8 @@ def dup_span_coverage(
             ).alias("dup_fraction"),
         )
     )
+    out._bp_cache_owner = base
+    return out
 
 
 def dedup_span_removal(
@@ -826,15 +832,21 @@ def dedup_span_removal(
     per-document sort_array(collect_list(struct(pos, word))) — row
     width bounded by the document itself.
     """
+    from pyspark.storagelevel import StorageLevel
+
     from .dedup import _ngrams_expr, tokens
 
     toks = tokens(text_col)
+    # Persisted: the tokenize + n-gram projection (the expensive
+    # map-side work here) feeds THREE consumers — the gram explode,
+    # the word explode, and the final doc restore join — and without
+    # the cache each consumer re-runs it from the scan (r16; guide §5).
     base = df.select(
         F.col(id_col).alias("doc_id"),
         toks.alias("_toks"),
         F.size(toks).cast("long").alias("n_tokens"),
         _ngrams_expr(toks, gram_len).alias("_grams"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     pos_grams = base.select(
         "doc_id", F.posexplode("_grams").alias("pos", "gram")
     )
@@ -886,7 +898,7 @@ def dedup_span_removal(
         ).alias("cleaned_text"),
     )
     # fully-removed documents vanish from `kept`; restore them empty
-    return (
+    out = (
         base.select("doc_id", "n_tokens")
         .join(rebuilt.drop("n_tokens"), "doc_id", "left")
         .select(
@@ -900,6 +912,8 @@ def dedup_span_removal(
             ),
         )
     )
+    out._bp_cache_owner = base
+    return out
 
 
 def dsir_importance(

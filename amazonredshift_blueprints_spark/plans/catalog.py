@@ -8099,9 +8099,16 @@ def c90_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # symmetrize in ONE pass (explode both orientations): the unionAll
+    # form planned the scan+JSON-parse+distinct subtree twice (r16)
     edges = pairs.select(
-        F.col("u").alias("src"), F.col("it").alias("dst")
-    ).unionAll(pairs.select(F.col("it").alias("src"), F.col("u").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("src"), F.col("it").alias("dst")),
+                F.struct(F.col("it").alias("src"), F.col("u").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     return pagerank(edges, iterations=3, damping=85)
 
 
@@ -12213,9 +12220,17 @@ def c150_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # symmetrize in ONE pass: explode both orientations of each row —
+    # the unionAll form planned the scan+JSON-parse+distinct subtree
+    # twice (r16, guide §2.4: remove duplicate work feeding a shuffle)
     edges = clicks.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    ).unionAll(clicks.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+                F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     return kcore(edges, k=3, rounds=4)
 
 

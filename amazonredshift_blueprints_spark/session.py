@@ -52,6 +52,14 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # r16: let AQE re-plan under InMemoryRelation too (default false).
+    # The operator suite persists multi-consumer intermediates (guide
+    # §5); without this every cached subtree materializes at the raw
+    # pre-AQE shuffle-partition count — no coalescing, no skew splits —
+    # so each persist paid a fixed per-task overhead locally and loses
+    # AQE's size-adaptive partitioning at scale. Purely physical:
+    # affects partitioning of cached plans, never values.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
 }
 
 
