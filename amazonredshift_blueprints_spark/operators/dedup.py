@@ -181,21 +181,51 @@ def minhash_bands(sig: Column, *, bands: int, rows_per_band: int) -> Column:
 
 
 def jaccard_pairs_from_candidates(
-    docs: DataFrame, cand: DataFrame, id_col: str, set_col: str
+    docs: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    set_col: str,
+    *,
+    threshold_pct: int | None = None,
 ) -> DataFrame:
-    """Exact Jaccard on candidate (id_a, id_b) pairs via set intersection."""
+    """Exact Jaccard on candidate (id_a, id_b) pairs via set intersection.
+
+    With ``threshold_pct`` the caller's Jaccard gate
+    ``(n_union > 0) AND (100·n_common >= t·n_union)`` is applied here in
+    the algebraically rewritten form
+    ``(|A|+|B| > 0) AND ((100+t)·I >= t·(|A|+|B|))`` — exactly
+    equivalent in integers because ``U = |A|+|B| − I`` and
+    ``I <= min(|A|,|B|)`` gives ``U > 0 ⟺ |A|+|B| > 0``. The point is
+    performance, not semantics: the predicate Catalyst pushes into the
+    verify join then references ``array_intersect`` ONCE per candidate
+    pair; filtering on n_common/n_union after the projection re-inlines
+    the intersection into the pushed predicate three times (once for
+    the U>0 guard, twice for the ratio test).
+    """
     a = docs.select(F.col(id_col).alias("id_a"), F.col(set_col).alias("set_a"))
     b = docs.select(F.col(id_col).alias("id_b"), F.col(set_col).alias("set_b"))
-    inter = F.size(F.array_intersect("set_a", "set_b"))
-    union = F.size("set_a") + F.size("set_b") - inter
+    joined = cand.join(a, "id_a").join(b, "id_b")
+    if threshold_pct is not None:
+        t = int(threshold_pct)
+        joined = joined.filter(
+            ((F.size("set_a") + F.size("set_b")) > 0)
+            & (
+                F.lit(100 + t) * F.size(F.array_intersect("set_a", "set_b"))
+                >= F.lit(t) * (F.size("set_a") + F.size("set_b"))
+            )
+        )
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        joined.select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("set_a", "set_b")).alias("n_common"),
+            (F.size("set_a") + F.size("set_b")).alias("_sz"),
+        )
         .select(
             "id_a",
             "id_b",
-            inter.alias("n_common"),
-            union.alias("n_union"),
+            "n_common",
+            (F.col("_sz") - F.col("n_common")).alias("n_union"),
         )
     )
 
@@ -297,11 +327,10 @@ def minhash_near_duplicates(
     # instead of re-tokenizing raw text, and joins 8-byte hash arrays
     # instead of string arrays
     shingle_sets = staged.select(F.col(id_col), F.col("_base").alias("shingles"))
-    pairs = jaccard_pairs_from_candidates(shingle_sets, cand, id_col, "shingles")
-    return pairs.filter(
-        (F.col("n_union") > 0)
-        & (F.col("n_common") * 100 >= F.col("n_union") * threshold_pct)
-    ).select(
+    pairs = jaccard_pairs_from_candidates(
+        shingle_sets, cand, id_col, "shingles", threshold_pct=threshold_pct
+    )
+    return pairs.select(
         "id_a",
         "id_b",
         "n_common",
@@ -585,12 +614,10 @@ def portable_minhash_pairs(
     )
     # read grams from the persisted stage, not the raw-text lineage
     pairs = jaccard_pairs_from_candidates(
-        sig.select(id_col, "grams"), cand, id_col, "grams"
+        sig.select(id_col, "grams"), cand, id_col, "grams",
+        threshold_pct=threshold_pct,
     )
-    return pairs.filter(
-        (F.col("n_union") > 0)
-        & (F.col("n_common") * 100 >= F.col("n_union") * threshold_pct)
-    ).select(
+    return pairs.select(
         "id_a",
         "id_b",
         F.col("n_common").cast("long").alias("n_common"),
@@ -1026,12 +1053,9 @@ def minhash_recall_eval(
         .distinct()
         .persist()
     )
-    verified = jaccard_pairs_from_candidates(
-        sig.select(id_col, "grams"), cand, id_col, "grams"
-    )
-    predicted = verified.filter(
-        (F.col("n_union") > 0)
-        & (F.col("n_common") * 100 >= F.col("n_union") * threshold_pct)
+    predicted = jaccard_pairs_from_candidates(
+        sig.select(id_col, "grams"), cand, id_col, "grams",
+        threshold_pct=threshold_pct,
     )
     truth = ngram_jaccard_pairs(
         df, id_col, text_col, n=shingle_size, threshold_pct=threshold_pct
@@ -1160,16 +1184,27 @@ def setsim_prefix_join(
             toks.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb")),
             "id_b",
         )
+        # threshold rewritten algebraically (r16): with U = A+B−I,
+        # 100·I >= p·U ⟺ (100+p)·I >= p·(A+B), exact in integers — so
+        # the predicate Catalyst pushes into the verify join references
+        # array_intersect ONCE per candidate pair (filtering on the
+        # projected n_union re-inlined the intersection twice)
+        .filter(
+            F.lit(100 + p) * F.size(F.array_intersect("ta", "tb")).cast("long")
+            >= F.lit(p) * (F.size("ta") + F.size("tb")).cast("long")
+        )
         .select(
             "id_a",
             "id_b",
             F.size(F.array_intersect("ta", "tb")).cast("long").alias("n_inter"),
-            (F.size("ta") + F.size("tb")
-             - F.size(F.array_intersect("ta", "tb"))).cast("long")
-            .alias("n_union"),
+            (F.size("ta") + F.size("tb")).cast("long").alias("_sz"),
         )
-        .filter(F.lit(100) * F.col("n_inter") >= F.lit(p) * F.col("n_union"))
-        .select("id_a", "id_b", "n_inter", "n_union")
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            (F.col("_sz") - F.col("n_inter")).alias("n_union"),
+        )
     )
     v._bp_cache_owner = toks
     return v

@@ -636,7 +636,12 @@ def link_prediction(
     adj = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionAll(
         e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
     )
-    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    # persisted (r16): the degree table has three consumers (centers,
+    # deg_a, deg_b) and is node-sized; unpersisted each re-ran the
+    # adjacency aggregate over the cached edge set
+    deg = adj.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    ).persist()
     # per-center Adamic-Adar weight, attached once to the adjacency rows.
     # deg >= 2 is both semantics and safety: a degree-1 center forms no
     # wedge, and ln(1) = 0 would make its weight a division by zero

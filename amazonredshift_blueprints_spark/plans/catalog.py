@@ -1709,14 +1709,20 @@ def c32_pipeline_neardup_stratified(spark: SparkSession, sf_dir: str) -> DataFra
     from ..operators.sampling import hash_split, stratified_sample
     from ..operators.text import quality_score, text_stats
 
+    from pyspark.storagelevel import StorageLevel
+
     d = views(spark, sf_dir, "documents")["documents"]
     quality = quality_score(text_stats(d, "doc_id", "text")).select(
         "doc_id", "quality"
     )
+    # persisted (r16): the quality-gated survivor set feeds the n-gram
+    # pair generator (materialized inside the components loop) AND the
+    # keep-side anti-join — unpersisted, the scan + text_stats + gate
+    # join re-ran per consumer (guide §5)
     surv = (
         d.join(quality.filter(F.col("quality") >= 80), "doc_id")
         .select("doc_id", "text", "lang")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = ngram_jaccard_pairs(surv, "doc_id", "text", n=3, threshold_pct=40)
     dupes = (
         duplicate_groups(pairs)
