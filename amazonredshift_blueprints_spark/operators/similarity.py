@@ -528,16 +528,19 @@ def _div_round(s: int, n: int) -> int:
     return -((2 * (-s) + n) // (2 * n))
 
 
-def kmeans_centroids(
+def _kmeans_rows(
     corpus: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_cells: int = 16,
     iters: int = 2,
-) -> DataFrame:
+) -> list[tuple[int, list[int]]]:
     """Lloyd's k-means over quantized vectors as pure DataFrame ops:
-    the coarse-quantizer upgrade for :func:`ivf_topk`.
+    the coarse-quantizer upgrade for :func:`ivf_topk`. Returns the
+    driver-side [(cent_id, cent_q)] list (ids 0..n_cells-1), i.e. the
+    :func:`_collect_centroids` shape without a round trip through a
+    DataFrame.
 
     Deterministic by construction — no random init, no float-order
     dependence:
@@ -563,27 +566,52 @@ def kmeans_centroids(
     cent_q, cent_norm) ready for :func:`ivf_topk`'s ``centroids``
     parameter.
     """
-    # init = the n_cells LOWEST-DISTINCT-id vectors present (min-per-id
-    # projection, then TakeOrdered, k rows to the driver). Deterministic
-    # for any id domain INCLUDING duplicate ids: each id contributes one
-    # deterministic representative (the lexicographically smallest
-    # quantized vector for that id — struct-min, not dropDuplicates'
-    # arbitrary row), so duplicate ids can neither consume seed slots nor
-    # make the selection order-dependent. On a 0-based unique-id corpus
-    # this is exactly ids 0..k-1, which is what the c28 DuckDB oracle
-    # replays.
-    seeds = (
+    # init = the n_cells LOWEST-DISTINCT-id vectors present, each id
+    # represented by the lexicographically smallest quantized vector for
+    # that id (struct-min, not dropDuplicates' arbitrary row) so
+    # duplicate ids can neither consume seed slots nor make the
+    # selection order-dependent. On a 0-based unique-id corpus this is
+    # exactly ids 0..k-1, which is what the c28 DuckDB oracle replays.
+    #
+    # Fast path (r16): TakeOrdered by (id, vector) — per-partition local
+    # top-k merged on the driver, NO exchange of the vector table (the
+    # previous groupBy(id)+orderBy shuffled every quantized vector just
+    # to pick k seed rows; guide §2.4). In the (id, q)-sorted stream the
+    # first row of each id IS its struct-min representative, so taking
+    # the first row per distinct id from the collected top-k is exact.
+    # Only when duplicate ids consume slots (fewer than n_cells distinct
+    # ids in the k rows) does the exact distinct-id path run.
+    q_sorted = (
         _with_quant(corpus, id_col, vec_col, "neighbor")
-        .groupBy("neighbor_id")
-        .agg(F.min(F.struct("neighbor_q")).alias("_rep"))
-        .select("neighbor_id", F.col("_rep.neighbor_q").alias("neighbor_q"))
-        .orderBy("neighbor_id")
+        .select("neighbor_id", "neighbor_q")
+        .orderBy("neighbor_id", "neighbor_q")
         .limit(n_cells)
+        .collect()
     )
-    cents = [
-        (int(r["neighbor_id"]), [int(x) for x in r["neighbor_q"]])
-        for r in seeds.select("neighbor_id", "neighbor_q").collect()
-    ]
+    cents = []
+    _seen: set[int] = set()
+    for r in q_sorted:
+        i = int(r["neighbor_id"])
+        if i not in _seen:
+            _seen.add(i)
+            cents.append((i, [int(x) for x in r["neighbor_q"]]))
+    if len(cents) < n_cells and len(q_sorted) == n_cells:
+        # duplicate ids present among the lowest rows: fall back to the
+        # shuffle-based exact min-per-distinct-id selection
+        seeds = (
+            _with_quant(corpus, id_col, vec_col, "neighbor")
+            .groupBy("neighbor_id")
+            .agg(F.min(F.struct("neighbor_q")).alias("_rep"))
+            .select(
+                "neighbor_id", F.col("_rep.neighbor_q").alias("neighbor_q")
+            )
+            .orderBy("neighbor_id")
+            .limit(n_cells)
+        )
+        cents = [
+            (int(r["neighbor_id"]), [int(x) for x in r["neighbor_q"]])
+            for r in seeds.select("neighbor_id", "neighbor_q").collect()
+        ]
     cents.sort()
     seed_ids = [cid for cid, _ in cents]
     if len(seed_ids) != n_cells or len(set(seed_ids)) != n_cells:
@@ -593,7 +621,6 @@ def kmeans_centroids(
             f"({seed_ids[:8]}{'...' if len(seed_ids) > 8 else ''})"
         )
     dim = len(cents[0][1])
-    spark = corpus.sparkSession
     # Quantize ONCE and persist: every Lloyd iteration re-reading and
     # re-quantizing the corpus pays the scan iters× over; the cached
     # (quantized ints) projection is the same bytes as the input
@@ -612,28 +639,41 @@ def kmeans_centroids(
 
             C, Cn = _cent_matrix([(i, q) for i, (_, q) in enumerate(cents)])
 
+            # The kernel combines map-side (guide §2.3 "aggregate before
+            # you shuffle", §4 "shuffle keys and metadata, not
+            # payloads"): each Arrow batch emits k×dim partial
+            # (sum, count) rows instead of shipping every assigned
+            # vector back through the Python boundary for a JVM
+            # posexplode + N×dim-row hash aggregate. int64 sums are
+            # exact and order-independent, so the update rule is
+            # bit-identical.
             def assign(batches, C=C, Cn=Cn):
+                k_cells, d_dim = C.shape
                 for pdf in batches:
                     if len(pdf) == 0:
                         continue
                     M = np.stack(pdf["q"].to_numpy()).astype(np.int64)
                     d = (M * M).sum(axis=1)[:, None] - 2 * (M @ C.T) + Cn[None, :]
+                    cell = d.argmin(axis=1)
+                    S = np.zeros((k_cells, d_dim), dtype=np.int64)
+                    np.add.at(S, cell, M)
+                    cnt = np.bincount(cell, minlength=k_cells).astype(np.int64)
+                    nz = np.flatnonzero(cnt)
                     yield pd.DataFrame(
                         {
-                            "cent_id": d.argmin(axis=1).astype(np.int64),
-                            "neighbor_q": list(M),
+                            "cent_id": np.repeat(nz, d_dim),
+                            "pos": np.tile(np.arange(d_dim), len(nz)),
+                            "s": S[nz].ravel(),
+                            "n": np.repeat(cnt[nz], d_dim),
                         }
                     )
 
-            assigned = quant.mapInPandas(
-                assign, "cent_id long, neighbor_q array<long>"
-            )
             sums = (
-                assigned.select(
-                    "cent_id", F.posexplode("neighbor_q").alias("pos", "v")
+                quant.mapInPandas(
+                    assign, "cent_id long, pos long, s long, n long"
                 )
                 .groupBy("cent_id", "pos")
-                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             )
             acc: dict[int, dict[int, tuple[int, int]]] = {}
             for r in sums.collect():  # k×dim metadata rows, not data
@@ -651,9 +691,37 @@ def kmeans_centroids(
             ]
     finally:
         quant.unpersist()
-    out = spark.createDataFrame(
-        [(i, q) for i, (_, q) in enumerate(cents)],
-        "cent_id: long, cent_q: array<long>",
+    if n_cells * dim > MAX_LITERAL_CENTROID_CELLS:
+        # same driver-metadata bound _collect_centroids enforces
+        raise ValueError(
+            f"n_cells*dim = {n_cells * dim} exceeds the collected-centroid "
+            f"bound ({MAX_LITERAL_CENTROID_CELLS}); quantizers this large "
+            "should keep the centroid table distributed and assign cells "
+            "via an equi-join on a precomputed coarse key, not a "
+            "driver-collected matrix"
+        )
+    return [(i, q) for i, (_, q) in enumerate(cents)]
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """DataFrame wrapper over :func:`_kmeans_rows` (see its doc): the
+    trained (cent_id, cent_q, cent_norm) table for :func:`ivf_topk`'s
+    ``centroids`` parameter. Internal callers that immediately need the
+    driver-side row list (cell assignment closures) use
+    :func:`_kmeans_rows` directly and skip the
+    createDataFrame → collect round trip."""
+    rows = _kmeans_rows(
+        corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells, iters=iters
+    )
+    out = corpus.sparkSession.createDataFrame(
+        rows, "cent_id: long, cent_q: array<long>"
     )
     return out.withColumn("cent_norm", norm_sq_q(F.col("cent_q")))
 
@@ -706,7 +774,10 @@ def ivf_topk(
     raise n_cells so cells outnumber cores.
     """
     if kmeans_iters > 0:
-        cents = kmeans_centroids(
+        # _kmeans_rows: the trained centroid list is already driver-side
+        # metadata — no createDataFrame → collect round trip (one fewer
+        # job on the training path)
+        cent_rows = _kmeans_rows(
             corpus,
             id_col=id_col,
             vec_col=vec_col,
@@ -714,10 +785,11 @@ def ivf_topk(
             iters=kmeans_iters,
         )
     else:
-        cents = _with_quant(
-            corpus.filter(F.col(id_col) < n_cells), id_col, vec_col, "cent"
+        cent_rows = _collect_centroids(
+            _with_quant(
+                corpus.filter(F.col(id_col) < n_cells), id_col, vec_col, "cent"
+            )
         )
-    cent_rows = _collect_centroids(cents)
     dim = len(cent_rows[0][1])
 
     cells = assign_cells(corpus, cent_rows, id_col=id_col, vec_col=vec_col)
@@ -1734,6 +1806,12 @@ def train_pq_codebook(
     for _ in range(max(0, iters)):
         CB_it = CB.copy()
 
+        # Partial sums inside the kernel (guide §2.3/§4, the
+        # kmeans_centroids pattern): each batch emits at most
+        # n_subspaces×n_codes×d_sub (= dim×n_codes) partial rows
+        # instead of shipping every subvector back through Arrow for a
+        # JVM posexplode + hash aggregate over N×dim rows. Exact int64
+        # sums — bit-identical update rule.
         def assign(batches, CB_it=CB_it):
             for pdf in batches:
                 if len(pdf) == 0:
@@ -1741,28 +1819,36 @@ def train_pq_codebook(
                 Xr = np.stack(pdf[rv_col].to_numpy()).astype(np.int64).reshape(
                     -1, n_subspaces, d_sub
                 )
-                frames = []
+                cols_s, cols_code, cols_pos, cols_sm, cols_n = [], [], [], [], []
                 for s in range(n_subspaces):
                     d = ((Xr[:, None, s, :] - CB_it[None, :, s, :]) ** 2).sum(
                         axis=2
                     )
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                "s": np.int64(s),
-                                "code": d.argmin(axis=1).astype(np.int64),
-                                "sv": list(Xr[:, s, :]),
-                            }
-                        )
-                    )
-                yield pd.concat(frames, ignore_index=True)
+                    code = d.argmin(axis=1)
+                    S = np.zeros((n_codes, d_sub), dtype=np.int64)
+                    np.add.at(S, code, Xr[:, s, :])
+                    cnt = np.bincount(code, minlength=n_codes).astype(np.int64)
+                    nz = np.flatnonzero(cnt)
+                    cols_s.append(np.full(len(nz) * d_sub, s, dtype=np.int64))
+                    cols_code.append(np.repeat(nz, d_sub))
+                    cols_pos.append(np.tile(np.arange(d_sub), len(nz)))
+                    cols_sm.append(S[nz].ravel())
+                    cols_n.append(np.repeat(cnt[nz], d_sub))
+                yield pd.DataFrame(
+                    {
+                        "s": np.concatenate(cols_s),
+                        "code": np.concatenate(cols_code),
+                        "pos": np.concatenate(cols_pos),
+                        "sm": np.concatenate(cols_sm),
+                        "n": np.concatenate(cols_n),
+                    }
+                )
 
         sums = (
             residuals.select(rv_col)
-            .mapInPandas(assign, "s long, code long, sv array<long>")
-            .select("s", "code", F.posexplode("sv").alias("pos", "v"))
+            .mapInPandas(assign, "s long, code long, pos long, sm long, n long")
             .groupBy("s", "code", "pos")
-            .agg(F.sum("v").alias("sm"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("sm").alias("sm"), F.sum("n").alias("n"))
         )
         acc = {
             (int(r["s"]), int(r["code"]), int(r["pos"])): (int(r["sm"]), int(r["n"]))
@@ -1855,15 +1941,18 @@ def ivf_pq_residual_topk(
         else deterministic_sample(corpus, id_col, train_fraction, train_salt)
     )
     if coarse_iters > 0 or train_fraction is not None:
-        cents = kmeans_centroids(
+        # _kmeans_rows: centroid list stays driver-side — no
+        # createDataFrame → collect round trip (one fewer job per build)
+        cent_rows = _kmeans_rows(
             train_corpus, id_col=id_col, vec_col=vec_col,
             n_cells=n_cells, iters=coarse_iters,
         )
     else:
-        cents = _with_quant(
-            corpus.filter(F.col(id_col) < n_cells), id_col, vec_col, "cent"
+        cent_rows = _collect_centroids(
+            _with_quant(
+                corpus.filter(F.col(id_col) < n_cells), id_col, vec_col, "cent"
+            )
         )
-    cent_rows = _collect_centroids(cents)
     if len(cent_rows) != n_cells or cent_rows[-1][0] != n_cells - 1:
         raise ValueError(f"coarse quantizer needs cell ids 0..{n_cells - 1}")
     CENT = np.array([cq for _, cq in cent_rows], dtype=np.int64)  # id-sorted

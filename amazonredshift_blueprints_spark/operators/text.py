@@ -1238,8 +1238,25 @@ def bigram_logprob(
     )
 
 
+def word_count_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """The (word, cnt) vocabulary table both BPE halves run on — one
+    corpus-sized explode + hash aggregate. Exposed so a train-then-apply
+    pipeline (c100) computes and persists it ONCE instead of paying the
+    corpus pass twice (training's word count + application's distinct)."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def train_bpe_merges(
-    df: DataFrame, id_col: str, text_col: str, *, n_merges: int = 12
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_merges: int = 12,
+    word_counts: DataFrame | None = None,
 ) -> DataFrame:
     """REAL byte-pair-encoding vocabulary training (Sennrich et al.
     2016, subword-nmt) — upgrading :data:`BPE_PATTERN`'s regex
@@ -1268,12 +1285,13 @@ def train_bpe_merges(
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
     spark = df.sparkSession
+    # word_counts: a caller-supplied (word, cnt) table (persist it!) so
+    # train + apply pipelines pay the corpus explode once (c100)
     words = (
-        df.select(F.explode(tokens(text_col)).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("seq", F.array_join(F.split(F.col("word"), ""), " "))
-    )
+        word_counts
+        if word_counts is not None
+        else word_count_vocab(df, text_col)
+    ).withColumn("seq", F.array_join(F.split(F.col("word"), ""), " "))
     from pyspark.storagelevel import StorageLevel
 
     words = words.persist(StorageLevel.MEMORY_AND_DISK)
@@ -1335,6 +1353,8 @@ def bpe_token_counts(
     id_col: str,
     text_col: str,
     merges: list[tuple],
+    *,
+    word_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Apply a TRAINED BPE merge list (:func:`train_bpe_merges`) and
     count each document's subword tokens — the application half of the
@@ -1355,9 +1375,14 @@ def bpe_token_counts(
     toks = df.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("word")
     )
-    vocab = toks.select("word").distinct().withColumn(
-        "seq", F.array_join(F.split(F.col("word"), ""), " ")
-    )
+    # word_counts: reuse a caller-supplied (persisted) vocabulary table
+    # instead of re-running the corpus-sized explode + distinct — a
+    # train-then-apply pipeline (c100) otherwise pays that pass twice
+    vocab = (
+        toks.select("word").distinct()
+        if word_counts is None
+        else word_counts.select("word")
+    ).withColumn("seq", F.array_join(F.split(F.col("word"), ""), " "))
     seq = F.col("seq")
     for _, pair, merged, _cnt in merges:
         seq = F.trim(
@@ -1818,14 +1843,23 @@ def greedy_coverage_select(
         .select("doc_id", F.explode("t").alias("token"))
     ).persist()
     spark = df.sparkSession
-    covered = None  # DataFrame[token] once the first doc is chosen
     chosen: list[tuple[int, int, int]] = []
     chosen_ids: list[int] = []
     for rnd in range(1, k + 1):
         cand = e
         if chosen_ids:
             cand = cand.filter(~F.col("doc_id").isin(chosen_ids))
-        if covered is not None:
+            # covered = the union of the chosen docs' shingles, derived
+            # directly from the cached postings by the chosen-id list —
+            # no recursive covered-table lineage, no per-round
+            # persist+count materialization job: the broadcast build is
+            # one filtered pass over the SAME cache the gain aggregate
+            # reads, executed inside the argmax job below.
+            covered = (
+                e.filter(F.col("doc_id").isin(chosen_ids))
+                .select("token")
+                .distinct()
+            )
             cand = cand.join(F.broadcast(covered), "token", "left_anti")
         top = (
             cand.groupBy("doc_id")
@@ -1839,17 +1873,7 @@ def greedy_coverage_select(
         doc_id, gain = int(top[0]["doc_id"]), int(top[0]["gain"])
         chosen.append((rnd, doc_id, gain))
         chosen_ids.append(doc_id)
-        new_cov = e.filter(F.col("doc_id") == doc_id).select("token")
-        prev = covered
-        covered = (
-            new_cov if covered is None else covered.unionAll(new_cov)
-        ).distinct().persist()
-        covered.count()  # materialize before the previous cache goes
-        if prev is not None:
-            prev.unpersist()
     e.unpersist()
-    if covered is not None:
-        covered.unpersist()
     return spark.createDataFrame(
         chosen, "round long, doc_id long, gain long"
     )
@@ -1974,10 +1998,19 @@ def tfidf_doc_pairs(
         )
         * 1_000_000
     ).cast("long")
+    from pyspark.storagelevel import StorageLevel
+
+    # Persisted: both sides of the pair self-join consume this table,
+    # and without the persist the explode + (doc, token) aggregate +
+    # df/N broadcast-join subtree executes twice (the c110/c32 pattern;
+    # guide §5 multi-consumer subtrees). The cached projection is the
+    # capped posting list — (doc_id, token, w) — far smaller than the
+    # raw shingle stream.
     w = (
         tf.join(F.broadcast(dfreq.filter(F.col("df") <= df_cap)), "token")
         .crossJoin(F.broadcast(n_docs))
         .select("doc_id", "token", (F.col("tf") * idf_q).alias("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pairs = (
         w.alias("a")

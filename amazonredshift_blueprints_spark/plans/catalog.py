@@ -8911,13 +8911,26 @@ def c99_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "llm"),
 )
 def c100_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.text import bpe_token_counts, train_bpe_merges
+    from pyspark.storagelevel import StorageLevel
+
+    from ..operators.text import (
+        bpe_token_counts,
+        train_bpe_merges,
+        word_count_vocab,
+    )
 
     d = views(spark, sf_dir, "documents")["documents"]
+    # one persisted (word, cnt) vocabulary feeds BOTH BPE halves —
+    # training's word-count base and application's vocab — instead of
+    # two corpus-sized explode+aggregate passes (guide §2.4)
+    wc = word_count_vocab(d, "text").persist(StorageLevel.MEMORY_AND_DISK)
     merges = [
-        tuple(r) for r in train_bpe_merges(d, "doc_id", "text", n_merges=8).collect()
+        tuple(r)
+        for r in train_bpe_merges(
+            d, "doc_id", "text", n_merges=8, word_counts=wc
+        ).collect()
     ]
-    counts = bpe_token_counts(d, "doc_id", "text", merges)
+    counts = bpe_token_counts(d, "doc_id", "text", merges, word_counts=wc)
     fert = F.expr("(n_bpe_tokens * 1000000) DIV n_ws_tokens")
     return counts.select(
         "doc_id",
