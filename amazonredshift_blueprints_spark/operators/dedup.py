@@ -403,7 +403,16 @@ def simhash_near_duplicates(
         ).alias(f"b{i}")
         for i in range(n_blocks)
     ]
-    sig_b = sig.select(id_col, "sig", *blocks)
+    from pyspark.storagelevel import StorageLevel
+
+    # persisted (r16): the signature table feeds 2·n_blocks join inputs
+    # (both sides of every per-block equi-join) and nothing dedupes the
+    # tokenize + 64-bit-vote subtree across them — unpersisted, the
+    # 64-aggregate simhash ran 8× per query (guide §5 multi-consumer
+    # subtrees). One compute, eight InMemoryTableScans.
+    sig_b = sig.select(id_col, "sig", *blocks).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pairs = None
     for i in range(n_blocks):
         l = sig_b.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), F.col(f"b{i}").alias("blk"))
@@ -701,6 +710,11 @@ def portable_simhash_pairs(
         ).alias("sig")
     )
 
+    # NOT persisted (measured, r16): the banded signature table is both
+    # sides of the bucket self-join, but caching it REGRESSED c26
+    # 6.46 → 7.41 s at sf0.1 — the md5-nibble ObjectHashAggregate
+    # recomputes cheaper than the columnar cache populates, unlike
+    # c03's 64-bit-vote aggregate (which does pay for its persist).
     banded = sig.select(
         id_col,
         "sig",

@@ -2642,6 +2642,10 @@ def trimmed_mean(
         .groupBy("grp", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    # NOT persisted (measured, r16): grouped_cumsum already persists its
+    # range-partitioned base, so the two consumers (totals + kept-band
+    # join) only re-run the offset join + window over that cache;
+    # caching `cum` on top regressed c201 1.17 → 1.85 s at sf0.1.
     cum = grouped_cumsum(per_value, ["grp"], ["v"], ["n"])
     totals = cum.groupBy("grp").agg(F.max("n_cum").alias("n_tot"))
     j = cum.join(totals, "grp").select(

@@ -6,7 +6,15 @@ The pattern for image/audio/video at 100 TB (SURVEY.md §2 Part C):
 - decode / feature-extract runs in ``mapInPandas`` — Arrow-batched, one
   Python worker per input partition, constant memory per batch;
 - partitioning carries over from the scan, so the decode stage scales
-  with partition count and never shuffles.
+  with partition count and never shuffles — EXCEPT when the scan itself
+  arrives pathologically under-split (a single-row-group parquet file
+  serializes every codec kernel into one task no matter the cluster
+  size). Every Arrow-stage input therefore passes through dedup.py's
+  guarded ``rebalance_for_compute`` (r16): a round-robin repartition
+  that FIRES only when scan parallelism is >4× below the cluster's and
+  is a no-op on any well-split at-scale input, so the "no shuffle at
+  100 TB" contract above still holds. Measured at sf0.1/local[32]: the
+  JPEG decode-stats entries ran 1-task serial before the guard.
 
 Decode status, honestly: uncompressed binary PPM (P6) decodes FOR REAL
 (pure-numpy parser, ``decode_image``; end-to-end verified against a
@@ -46,6 +54,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .dedup import rebalance_for_compute
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -839,7 +849,9 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "
                 }
             )
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+    return rebalance_for_compute(
+        df.select(F.col(id_col), F.col(payload_col))
+    ).mapInPandas(
         featurize, FEATURE_SCHEMA
     )
 
@@ -897,7 +909,9 @@ def sample_frames(
                 }
             )
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+    return rebalance_for_compute(
+        df.select(F.col(id_col), F.col(payload_col))
+    ).mapInPandas(
         sample, FRAME_SCHEMA
     )
 
@@ -927,7 +941,7 @@ def synthesize_ppm_images(df: DataFrame, id_col: str, *, side: int = 8) -> DataF
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(gen, "doc_id long, payload binary")
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(gen, "doc_id long, payload binary")
 
 
 def synthesize_png_images(df: DataFrame, id_col: str, *, side: int = 8) -> DataFrame:
@@ -952,7 +966,7 @@ def synthesize_png_images(df: DataFrame, id_col: str, *, side: int = 8) -> DataF
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(gen, "doc_id long, payload binary")
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(gen, "doc_id long, payload binary")
 
 
 def synthesize_png_variant_images(
@@ -994,7 +1008,7 @@ def synthesize_png_variant_images(
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(gen, "doc_id long, payload binary")
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(gen, "doc_id long, payload binary")
 
 
 IMAGE_STATS_SCHEMA = (
@@ -1045,7 +1059,9 @@ def image_channel_stats(
                 }
             )
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+    return rebalance_for_compute(
+        df.select(F.col(id_col), F.col(payload_col))
+    ).mapInPandas(
         stats, IMAGE_STATS_SCHEMA
     )
 
@@ -1102,7 +1118,9 @@ def resize_payload(
                 }
             )
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+    return rebalance_for_compute(
+        df.select(F.col(id_col), F.col(payload_col))
+    ).mapInPandas(
         resize, RESIZE_SCHEMA
     )
 
@@ -1462,7 +1480,7 @@ def synthesize_wav_audio(
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(gen, "doc_id long, payload binary")
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(gen, "doc_id long, payload binary")
 
 
 def synthesize_pcm_variant_wavs(df: DataFrame, id_col: str) -> DataFrame:
@@ -1506,7 +1524,7 @@ def synthesize_pcm_variant_wavs(df: DataFrame, id_col: str) -> DataFrame:
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -1544,7 +1562,9 @@ def wav_pcm_stats(
                 {k: pd.Series(vv, dtype="int64") for k, vv in rows.items()}
             )
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+    return rebalance_for_compute(
+        df.select(F.col(id_col), F.col(payload_col))
+    ).mapInPandas(
         stats,
         "doc_id long, n_channels long, sample_rate long, n_samples long, "
         "sample_sum long, sample_min long, sample_max long",
@@ -1829,7 +1849,7 @@ def synthesize_bigendian_audio(df: DataFrame, id_col: str) -> DataFrame:
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -1878,7 +1898,9 @@ def bigendian_audio_stats(
             }
             yield pd.DataFrame(out)
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+    return rebalance_for_compute(
+        df.select(F.col(id_col), F.col(payload_col))
+    ).mapInPandas(
         stats,
         "doc_id long, container string, n_channels long, "
         "sample_rate long, n_samples long, sample_sum long, "
@@ -1934,7 +1956,7 @@ def synthesize_wav_telephony(df: DataFrame, id_col: str) -> DataFrame:
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -1971,7 +1993,7 @@ def wav_telephony_stats(audio: DataFrame) -> DataFrame:
                 ],
             )
 
-    return audio.mapInPandas(
+    return rebalance_for_compute(audio).mapInPandas(
         stats,
         "doc_id long, sample_rate long, n_samples long, sum_pcm long, "
         "sum_abs long, min_pcm long, max_pcm long",
@@ -2015,7 +2037,9 @@ def audio_channel_stats(
                 {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
             )
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+    return rebalance_for_compute(
+        df.select(F.col(id_col), F.col(payload_col))
+    ).mapInPandas(
         stats, AUDIO_STATS_SCHEMA
     )
 
@@ -2211,7 +2235,7 @@ def synthesize_adpcm_audio(df: DataFrame, id_col: str) -> DataFrame:
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -2253,7 +2277,7 @@ def adpcm_audio_stats(df: DataFrame) -> DataFrame:
                 {c: "Int64" for c in ("sum_pcm", "sum_abs", "min_pcm", "max_pcm")}
             )
 
-    return df.mapInPandas(
+    return rebalance_for_compute(df).mapInPandas(
         stats,
         "doc_id long, n_samples long, sum_pcm long, "
         "sum_abs long, min_pcm long, max_pcm long",
@@ -2288,7 +2312,7 @@ def synthesize_g711_audio(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(
         gen, "doc_id long, law string, payload binary"
     )
 
@@ -2335,7 +2359,7 @@ def g711_audio_stats(df: DataFrame) -> DataFrame:
                 {c: "Int64" for c in ("sum_pcm", "sum_abs", "min_pcm", "max_pcm")}
             )
 
-    return df.mapInPandas(
+    return rebalance_for_compute(df).mapInPandas(
         stats,
         "doc_id long, law string, n_samples long, sum_pcm long, "
         "sum_abs long, min_pcm long, max_pcm long",
@@ -2793,7 +2817,7 @@ def synthesize_gif_images(
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(gen, "doc_id long, payload binary")
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(gen, "doc_id long, payload binary")
 
 
 def synthesize_gif_animations(df: DataFrame, id_col: str) -> DataFrame:
@@ -2836,7 +2860,7 @@ def synthesize_gif_animations(df: DataFrame, id_col: str) -> DataFrame:
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -2880,7 +2904,7 @@ def gif_animation_stats(images: DataFrame) -> DataFrame:
                 ],
             )
 
-    return images.mapInPandas(
+    return rebalance_for_compute(images).mapInPandas(
         stats,
         "doc_id long, n_frames long, width long, height long, "
         "total_delay long, n_transparent long, n_loops long, "
@@ -3026,7 +3050,7 @@ def synthesize_bmp_images(
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(gen, "doc_id long, payload binary")
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(gen, "doc_id long, payload binary")
 
 
 # --------------------------------------------------------------------------
@@ -3197,7 +3221,7 @@ def synthesize_qoi_images(
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(gen, "doc_id long, payload binary")
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(gen, "doc_id long, payload binary")
 
 
 # --------------------------------------------------------------------------
@@ -3356,7 +3380,7 @@ def synthesize_tga_images(
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(gen, "doc_id long, payload binary")
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(gen, "doc_id long, payload binary")
 
 
 # ---------------------------------------------------------------------------
@@ -3832,7 +3856,7 @@ def synthesize_tiff_images(df: DataFrame, id_col: str) -> DataFrame:
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -3882,7 +3906,7 @@ def synthesize_tiff_compressed_images(df: DataFrame, id_col: str) -> DataFrame:
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -3930,7 +3954,7 @@ def tiff_image_stats(images: DataFrame) -> DataFrame:
                 ],
             )
 
-    return images.mapInPandas(
+    return rebalance_for_compute(images).mapInPandas(
         stats,
         "doc_id long, width long, height long, n_channels long, "
         "sum_r long, sum_g long, sum_b long, sum_a long, px_max long",
@@ -5537,7 +5561,7 @@ def synthesize_jpeg_images(df: DataFrame, id_col: str) -> DataFrame:
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -5577,7 +5601,7 @@ def synthesize_color_jpeg_images(df: DataFrame, id_col: str) -> DataFrame:
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -5624,7 +5648,7 @@ def synthesize_subsampled_jpeg_images(
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -5671,7 +5695,7 @@ def synthesize_restart_jpeg_images(df: DataFrame, id_col: str) -> DataFrame:
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -5717,7 +5741,7 @@ def synthesize_progressive_jpeg_images(
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -5921,7 +5945,7 @@ def synthesize_exif_jpeg_images(df: DataFrame, id_col: str) -> DataFrame:
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -5961,7 +5985,9 @@ def exif_image_stats(
                 {k: pd.Series(vv, dtype="int64") for k, vv in rows.items()}
             )
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+    return rebalance_for_compute(
+        df.select(F.col(id_col), F.col(payload_col))
+    ).mapInPandas(
         stats,
         "doc_id long, orientation long, width long, height long, "
         "topleft long, pixel_sum long",
@@ -6020,7 +6046,7 @@ def synthesize_cmyk_jpeg_images(df: DataFrame, id_col: str) -> DataFrame:
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -6064,7 +6090,9 @@ def image_cmyk_stats(
                 {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
             )
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+    return rebalance_for_compute(
+        df.select(F.col(id_col), F.col(payload_col))
+    ).mapInPandas(
         stats,
         "doc_id long, width long, height long, n_pixels long, "
         "sum_c long, sum_m long, sum_y long, sum_k long",
@@ -6110,7 +6138,7 @@ def synthesize_pnm_images(df: DataFrame, id_col: str) -> DataFrame:
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -6153,7 +6181,9 @@ def pnm_image_stats(
             )
             yield out
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+    return rebalance_for_compute(
+        df.select(F.col(id_col), F.col(payload_col))
+    ).mapInPandas(
         stats,
         "doc_id long, variant string, width long, height long, "
         "n_pixels long, sample_sum long",
@@ -6194,7 +6224,7 @@ def synthesize_deep_png_images(df: DataFrame, id_col: str) -> DataFrame:
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -6238,7 +6268,7 @@ def image_deep_stats(images: DataFrame) -> DataFrame:
                 ],
             )
 
-    return images.mapInPandas(
+    return rebalance_for_compute(images).mapInPandas(
         stats,
         "doc_id long, width long, height long, n_channels long, "
         "sum_r long, sum_g long, sum_b long, sum_a long, px_max long",
@@ -6283,7 +6313,7 @@ def image_gray_stats(images: DataFrame) -> DataFrame:
                 ],
             )
 
-    return images.mapInPandas(
+    return rebalance_for_compute(images).mapInPandas(
         stats,
         "doc_id long, width long, height long, n_pixels long, "
         "px_sum long, px_min long, px_max long",
@@ -6483,7 +6513,7 @@ def synthesize_ico_files(df: DataFrame, id_col: str) -> DataFrame:
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -6533,7 +6563,9 @@ def ico_stats(
                 {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
             )
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+    return rebalance_for_compute(
+        df.select(F.col(id_col), F.col(payload_col))
+    ).mapInPandas(
         stats,
         "doc_id long, n_frames long, n_png long, n_bmp long, "
         "n_bmp32 long, n_pixels long, pixel_sum long, alpha_sum long",
@@ -6775,7 +6807,7 @@ def synthesize_apng_images(df: DataFrame, id_col: str) -> DataFrame:
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -6812,7 +6844,9 @@ def apng_stats(
                 {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
             )
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+    return rebalance_for_compute(
+        df.select(F.col(id_col), F.col(payload_col))
+    ).mapInPandas(
         stats,
         "doc_id long, n_frames long, num_plays long, "
         "delay_num_sum long, canvas_sum long",

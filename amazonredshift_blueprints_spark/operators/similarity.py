@@ -2401,6 +2401,12 @@ def cooccurrence_topk(
     half the catalog) are the skew to cap upstream, same as c87's
     domain cap.
     """
+    # NOT persisted (measured, r16): the membership table feeds three
+    # consumers (item marginals + both self-join sides), but it is a
+    # 2-column projection + distinct — re-running it is cheaper than
+    # columnar cache populate + three InMemoryTableScans at bench scale
+    # (persisting regressed c124 1.74 → 2.46 s at sf0.1). At 100 TB the
+    # caller can persist the input; the operator keeps the lean shape.
     lp = baskets.select(
         F.col(basket_col).alias("b"), F.col(item_col).alias("i")
     ).distinct()
@@ -2475,6 +2481,9 @@ def association_rules(
     simply skip c124's a < b filter (both orders emitted from one
     canonical pair count, no second join).
     """
+    # NOT persisted (measured, r16): same call as c124 — caching the
+    # cheap 2-column distinct regressed the entry (2.04 → 2.86 s at
+    # sf0.1); recompute beats cache populate for this projection.
     lp = baskets.select(
         F.col(basket_col).alias("b"), F.col(item_col).alias("i")
     ).distinct()

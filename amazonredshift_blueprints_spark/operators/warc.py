@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import rebalance_for_compute
+
 _CRLF = b"\r\n"
 
 
@@ -207,7 +209,7 @@ def synthesize_warc_files(df: DataFrame, id_col: str) -> DataFrame:
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -318,7 +320,7 @@ def synthesize_webdataset_shards(df: DataFrame, id_col: str) -> DataFrame:
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -361,7 +363,7 @@ def webdataset_stats(shards: DataFrame) -> DataFrame:
                 ],
             )
 
-    return shards.mapInPandas(
+    return rebalance_for_compute(shards).mapInPandas(
         stats,
         "doc_id long, n_samples long, label_sum long, "
         "n_tokens long, text_len long, px_sum long",
@@ -400,7 +402,7 @@ def warc_extract_stats(files: DataFrame) -> DataFrame:
                 ],
             )
 
-    return files.mapInPandas(
+    return rebalance_for_compute(files).mapInPandas(
         stats,
         "doc_id long, n_records long, n_conversion long, "
         "n_response long, sum_text_len long, n_tokens long",
@@ -566,7 +568,7 @@ def synthesize_zip_archives(df: DataFrame, id_col: str) -> DataFrame:
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -606,7 +608,7 @@ def zip_extract_stats(files: DataFrame) -> DataFrame:
                 {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
             )
 
-    return files.mapInPandas(
+    return rebalance_for_compute(files).mapInPandas(
         stats,
         "doc_id long, n_members long, n_stored long, n_deflated long, "
         "total_bytes long, token_sum long",
@@ -663,7 +665,7 @@ def synthesize_web_warc_files(df: DataFrame, id_col: str) -> DataFrame:
                 {"doc_id": ids, "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return rebalance_for_compute(df.select(F.col(id_col))).mapInPandas(
         gen, "doc_id long, payload binary"
     )
 
@@ -688,7 +690,7 @@ def warc_pages(files: DataFrame) -> DataFrame:
                     )
             yield pd.DataFrame(rows)
 
-    return files.mapInPandas(pages, "doc_id long, url string, html string")
+    return rebalance_for_compute(files).mapInPandas(pages, "doc_id long, url string, html string")
 
 
 def parse_cdxj(df: DataFrame, *, line_col: str = "line") -> DataFrame:

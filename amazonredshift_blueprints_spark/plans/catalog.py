@@ -4928,17 +4928,24 @@ def c55_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixed = mix_corpus(clean, "lang", "doc_id", {"en": 1.0, "de": 0.5, "es": 0.5})
     from ..operators.dedup import tokens
 
+    from pyspark.storagelevel import StorageLevel
+
+    # persisted (r16): `weighted` feeds both the budget sampler and the
+    # picked join, and `picked` feeds both the chunker and the final
+    # lang join — unpersisted, the repetition-filter + mix + tokenize
+    # subtree executed four times (plan before: 10 SortMergeJoin /
+    # 8 Window; guide §5 multi-consumer subtrees)
     weighted = mixed.select(
         "doc_id", "lang", "text",
         F.size(tokens("text")).cast("long").alias("n_tokens"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sel = token_budget_sample(
         weighted, strata_col="lang", id_col="doc_id",
         weight_col="n_tokens", budget=3000,
     )
     picked = weighted.join(
         sel.select(F.col("id").alias("doc_id")), "doc_id"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     chunks = chunk_documents(
         picked, "doc_id", "text", window_tokens=64, stride_tokens=48
     )
