@@ -236,6 +236,39 @@ def _rewrite(spark: SparkSession, table: str, df) -> None:
 
     stage = f"{_STAGE_PREFIX}_{uuid.uuid4().hex[:12]}"
     _clean_stale_location(spark, stage, None)
+    # MANAGED targets swap the staged data in by catalog rename — the
+    # stage write is the ONLY data pass (r16). The former
+    # ``INSERT OVERWRITE TABLE target SELECT * FROM stage`` re-read and
+    # re-wrote every surviving byte a second time, doubling the I/O of
+    # every plain-table DELETE/UPDATE/MERGE. The stage is cast to the
+    # target's schema BY POSITION first, so the rename preserves
+    # exactly the column names/types the INSERT path would have
+    # coerced to. The drop→rename window is metadata-only and no wider
+    # an atomicity hole than a non-transactional INSERT OVERWRITE
+    # (which truncates the target before the write commits); on a
+    # rename failure the full state still exists in the stage table.
+    # EXTERNAL targets keep the overwrite path: dropping one wouldn't
+    # free its location, so a rename could not take its place.
+    try:
+        tgt_type = spark.catalog.getTable(table).tableType
+    except Exception:
+        tgt_type = None
+    tgt_fields = spark.table(table).schema.fields
+    if tgt_type == "MANAGED" and len(df.columns) == len(tgt_fields):
+        staged = df.select(
+            *[
+                F.col(c).cast(f.dataType).alias(f.name)
+                for c, f in zip(df.columns, tgt_fields)
+            ]
+        )
+        staged.write.mode("overwrite").saveAsTable(stage)
+        # No cleanup on failure: once the target is dropped the stage
+        # holds the ONLY copy of the new state, so it must survive any
+        # error for manual recovery (dropping it would destroy data).
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+        return
+
     df.write.mode("overwrite").saveAsTable(stage)
     try:
         spark.sql(f"INSERT OVERWRITE TABLE {table} SELECT * FROM {stage}")

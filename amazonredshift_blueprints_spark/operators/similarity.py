@@ -790,9 +790,30 @@ def ivf_topk(
                 corpus.filter(F.col(id_col) < n_cells), id_col, vec_col, "cent"
             )
         )
-    dim = len(cent_rows[0][1])
-
     cells = assign_cells(corpus, cent_rows, id_col=id_col, vec_col=vec_col)
+    return _ivf_rank(
+        cells, queries, cent_rows, nprobe=nprobe, k=k,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def _ivf_rank(
+    cells: DataFrame,
+    queries: DataFrame,
+    cent_rows: list[tuple[int, list[int]]],
+    *,
+    nprobe: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe + re-rank half of :func:`ivf_topk` over an ALREADY-built
+    cell table — the seam that lets a probe sweep (:func:`ivf_probe_recall`)
+    assign the corpus to cells once and reuse it for every nprobe,
+    instead of re-running the |C|·n_cells assignment pass per sweep
+    point (the probed cell sets are nested; the assignment is identical
+    by construction)."""
+    dim = len(cent_rows[0][1])
     probed = probe_cells(queries, cent_rows, nprobe, id_col=id_col, vec_col=vec_col)
     scored = (
         probed.join(cells, "cell")
@@ -2701,20 +2722,36 @@ def ivf_probe_recall(
     trust the index at scale); each IVF pass scans ~nprobe/n_cells of
     the corpus, and the final comparison joins k·|Q|-sized lists.
     """
+    from pyspark.storagelevel import StorageLevel
+
     truth = brute_force_topk(
         corpus, queries, id_col=id_col, vec_col=vec_col, k=k
     ).select("query_id", "neighbor_id")
     spark = corpus.sparkSession
+    # one centroid collect + ONE corpus cell-assignment pass shared by
+    # every sweep point (r16): each ivf_topk call re-derived the exact
+    # same centroid rule and re-ran the |C|·n_cells Arrow assignment
+    # over the whole corpus — len(probes)× identical map work. The cell
+    # table is persisted because every per-probe join consumes it;
+    # released via the _bp_cache_owner handle once the sweep is read.
+    cent_rows = _collect_centroids(
+        _with_quant(
+            corpus.filter(F.col(id_col) < n_cells), id_col, vec_col, "cent"
+        )
+    )
+    cells = assign_cells(corpus, cent_rows, id_col=id_col, vec_col=vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     approx = None
     for p in probes:
-        part = ivf_topk(
-            corpus,
+        part = _ivf_rank(
+            cells,
             queries,
+            cent_rows,
+            nprobe=p,
+            k=k,
             id_col=id_col,
             vec_col=vec_col,
-            k=k,
-            n_cells=n_cells,
-            nprobe=p,
         ).select(
             F.lit(p).cast("long").alias("nprobe"),
             "query_id",
@@ -2731,7 +2768,7 @@ def ivf_probe_recall(
     base = spark.createDataFrame(
         [(int(p),) for p in probes], "`nprobe` BIGINT"
     )
-    return (
+    out = (
         base.join(hits, "nprobe", "left")
         .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)).cast("long"))
         .crossJoin(F.broadcast(n_truth))
@@ -2744,6 +2781,8 @@ def ivf_probe_recall(
             ),
         )
     )
+    out._bp_cache_owner = cells
+    return out
 
 
 def semantic_decontaminate(

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .dedup import tokens
+from .dedup import rebalance_for_compute, tokens
 
 # Tiny per-language stopword lexicons. Deliberately small and fixed:
 # the operator contract is determinism and shape, not linguistic SOTA —
@@ -199,18 +199,25 @@ def winnow_fingerprints(
     — a sparse, position-robust signature (unlike whole-document
     ``fingerprint``, a single edit does not change it globally).
 
-    Distributed shape: explode to one row per k-gram (map-only), one
-    BOUNDED window min per document (ROWS BETWEEN CURRENT AND w-1
-    FOLLOWING — never a tail-rescan frame), one distinct. The
-    rightmost-tie-break rides INSIDE the window min by packing
-    ``(hash, -pos)`` into a single int64 key — ``hash * 2^30 +
-    (2^30-1-pos)`` — so the whole selection is one JVM-side
-    expression, no UDF. The md5-derived hash is portable
+    Distributed shape (r16): ZERO-shuffle, document-local array
+    expressions — the k-gram keys, the per-window minima, and the
+    selection dedup all stay inside one row. The key array packs the
+    rightmost-tie-break INSIDE the min by combining ``(hash, -pos)``
+    into a single int64 — ``hash * 2^30 + (2^30-1-pos)`` — so each
+    window's selection is ``array_min(slice(keys, p, w))`` (identical
+    to the former ROWS-frame window min: same int64 values, same
+    min), and ``array_distinct`` over the selections equals the
+    former global ``.distinct()`` because the packed key is bijective
+    with (fp, pos) and rows carry the document id. The r15 form —
+    posexplode to one row per character + window min per document —
+    shuffled and SORTED the whole character-gram stream (by far the
+    largest intermediate of any consumer); the array form does the
+    same O(n·w) comparisons map-side and ships only the ~2/(w+1)
+    surviving fingerprints. The md5-derived hash is portable
     (Spark ``conv(substring(md5..))`` == ANSI ``CAST('0x'||..)``),
-    so a SQL oracle replays selections bit-for-bit. 100 TB: cost is
-    one shuffle by document (the window partition); fingerprint
-    output is ~2/(w+1) of characters, and downstream pair joins
-    bucket by fp hash (see c212) — never all-pairs.
+    so a SQL oracle replays selections bit-for-bit. 100 TB: no
+    shuffle at all in this operator; downstream pair joins bucket by
+    fp hash (see c212) — never all-pairs.
 
     Documents shorter than ``k + w - 1`` normalized characters have
     no full window and emit no fingerprints (the paper's noise-
@@ -222,37 +229,43 @@ def winnow_fingerprints(
     base = df.select(F.col(id_col), norm.alias("_s")).filter(
         F.length("_s") >= k + w - 1
     )
-    grams = base.select(
-        id_col,
-        (F.length("_s") - F.lit(k - 1)).alias("_n"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, length(_s) - {k} + 1), "
-                f"p -> substring(_s, p, {k}))"
-            )
-        ).alias("_i", "_g"),
-    ).select(
-        id_col,
-        "_n",
-        (F.col("_i") + 1).alias("_p"),
-        (
-            F.conv(F.substring(F.md5("_g"), 1, 8), 16, 10).cast("long")
-            * m
-            + (F.lit(m - 1) - F.col("_i") - 1)
-        ).alias("_key"),
+    # key(p) for the 1-based gram position p: hash * 2^30 + (2^30-1-p).
+    # Staged selects keep _keys a bound attribute so the window lambdas
+    # never re-inline the md5 pipeline (the _ngrams_expr capture trap).
+    # rebalance_for_compute: the r15 window min ran AFTER an exchange,
+    # so the md5 pipeline inherited full cluster parallelism for free;
+    # map-only winnowing inherits the SCAN's split instead, which on an
+    # under-split input serializes the expensive part (measured: c212
+    # 7.7 → 10.7 s without the guard, 3.0 s with it).
+    keys = rebalance_for_compute(base).select(
+        F.col(id_col),
+        F.expr(
+            f"transform(sequence(1, length(_s) - {k} + 1), "
+            f"p -> CAST(conv(substring(md5(substring(_s, p, {k})), 1, 8), "
+            f"16, 10) AS BIGINT) * CAST({m} AS BIGINT) + ({m - 1} - p))"
+        ).alias("_keys"),
     )
-    win = (
-        Window.partitionBy(id_col).orderBy("_p").rowsBetween(0, w - 1)
+    sels = keys.select(
+        F.col(id_col),
+        F.expr(
+            f"array_distinct(transform(sequence(1, size(_keys) - {w - 1}), "
+            f"p -> array_min(slice(_keys, p, {w}))))"
+        ).alias("_sels"),
     )
+    # explode_outer, NOT explode: the inner explode makes the optimizer
+    # infer a ``size(_sels) > 0`` filter and push it below the project —
+    # re-running the whole md5/slice pipeline a second time per row
+    # (measured: the query never finished at sf0.1). _sels is never
+    # empty anyway (the length filter guarantees >= 1 window), so the
+    # post-generate null filter is a no-op that only blocks the rule.
     return (
-        grams.withColumn("_sel", F.min("_key").over(win))
-        .filter(F.col("_p") <= F.col("_n") - (w - 1))
+        sels.select(F.col(id_col), F.explode_outer("_sels").alias("_sel"))
+        .filter(F.col("_sel").isNotNull())
         .select(
             id_col,
             (F.lit(m - 1) - (F.col("_sel") % m)).cast("int").alias("pos"),
             F.shiftright("_sel", 30).alias("fp"),
         )
-        .distinct()
     )
 
 

@@ -9693,12 +9693,21 @@ def c110_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph",),
 )
 def c111_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
     from ..operators.graph import triangle_count
 
     li = views(spark, sf_dir, "lineitem")["lineitem"]
-    lp = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    # lp sits on BOTH sides of the edge-building self-join; without a
+    # persist each side re-runs the lineitem scan + distinct shuffle
+    # (the static plan shows the subtree twice and ReuseExchange does
+    # not fire across the aliased sides). Released with the rest of
+    # the operator's caches via the bench's clearCache between runs.
+    lp = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     edges = (
         lp.alias("a")
         .join(lp.alias("b"), "o")
