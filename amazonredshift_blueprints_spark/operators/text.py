@@ -1728,33 +1728,54 @@ def ngram_novelty(
     Determinism: counts are exact integers; ``novelty_pct`` is ONE
     double division of exact integers (the catalog's davg contract).
 
-    100 TB: one explode → ONE gram-keyed shuffle for the MIN(doc_id)
-    first-appearance table (partial-agg friendly: MIN combines
-    map-side) → one equi-join back on the gram → one doc-keyed count
-    aggregate. Head grams (boilerplate) are the skew case → AQE
-    skew-join; a doc-frequency cap before the join bolts on exactly as
-    in ``decontaminate``. Never |docs|² and never a driver-side pass.
+    100 TB: one tokenize pass → ONE gram-keyed shuffle for the
+    MIN(doc_id) first-appearance table (partial-agg friendly: MIN
+    combines map-side) → a doc-keyed regroup of THAT table (n_novel
+    falls out of first_seen directly, because distinct-per-doc grams
+    make "first seen in d" imply "gram of d") → one doc-level left
+    join. Nothing corpus-sized is ever joined back or broadcast.
+    Head grams (boilerplate) are the skew case → AQE skew-join; a
+    doc-frequency cap before the first_seen aggregate bolts on exactly
+    as in ``decontaminate``. Never |docs|² and never a driver-side
+    pass.
     """
+    from pyspark.storagelevel import StorageLevel
+
     from .dedup import rebalance_for_compute, tokens, word_ngrams
 
-    grams = (
+    # Per-doc DISTINCT gram arrays (word_ngrams dedups), persisted: both
+    # branches below read it, and unpersisted the tokenize+md5-free but
+    # still expensive split/transform pipeline ran twice (r16, guide §5).
+    grams_arr = (
         rebalance_for_compute(df)
         .select(
             F.col(id_col).alias("doc_id"),
             word_ngrams(tokens(text_col), ngram).alias("_g"),
         )
         .filter(F.size("_g") > 0)
-        .select("doc_id", F.explode("_g").alias("gram"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = grams_arr.select("doc_id", F.size("_g").alias("n_grams"))
+    # Because grams are distinct per doc, a gram whose corpus-min doc is
+    # d is BY DEFINITION one of d's grams — so n_novel(d) is just the
+    # count of first-seen rows grouped by that min doc. The r15 form
+    # joined the corpus-sized first_seen table back onto the full
+    # exploded stream to rediscover this; the regroup makes the join a
+    # doc-level left join and drops the corpus-sized broadcast (r16,
+    # guide §2.3/§2.4 — exact integer equivalence).
+    novel = (
+        grams_arr.select("doc_id", F.explode("_g").alias("gram"))
+        .groupBy("gram")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
     return (
-        grams.join(first_seen, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_novel"),
+        per_doc.join(novel, per_doc["doc_id"] == novel["first_doc"], "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
         )
         .select(
             "doc_id",

@@ -9412,11 +9412,14 @@ def q89_dml_statement_face(spark: SparkSession, sf_dir: str) -> DataFrame:
         "appearance (MIN doc_id) is this doc — the marginal-contribution "
         "curation signal (inverse of the Carlini-style memorization "
         "overlap); near-dups and boilerplate score ~0, fresh content "
-        "~100. Plan contract: ONE gram-keyed shuffle for the "
-        "first-appearance table (MIN combines map-side), one equi-join "
-        "back, one doc-keyed aggregate — same shape as TF-IDF c18, "
-        "never |docs|². novelty_pct is one double division of exact "
-        "integer counts (davg contract)",
+        "~100. Plan contract (r16): ONE tokenize pass (persisted gram "
+        "arrays), ONE gram-keyed shuffle for the first-appearance "
+        "table (MIN combines map-side), then a doc-keyed regroup of "
+        "that table and a doc-level left join — n_novel falls out of "
+        "first_seen directly since distinct-per-doc grams make 'first "
+        "seen in d' imply 'gram of d'; nothing corpus-sized joins "
+        "back. Never |docs|². novelty_pct is one double division of "
+        "exact integer counts (davg contract)",
     bench=True,
     tags=("text", "dedup", "curation"),
 )

@@ -17,6 +17,18 @@ def _plan(spark, sf_dir, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _sans_rebalance(p: str) -> str:
+    """Plan text minus the guarded input-split rebalance (r16):
+    ``dedup.rebalance_for_compute`` inserts ONE round-robin Exchange
+    only when the scan is >4x under-split vs the cluster — always true
+    for the single-file sf0.001 test fixtures, never true for a
+    well-split at-scale input. Map-pipeline shape assertions exclude
+    exactly that node and still forbid every other Exchange."""
+    import re
+
+    return re.sub(r"Exchange RoundRobinPartitioning[^\n]*", "", p)
+
+
 def test_q01_filter_pushdown_and_partial_agg(spark, sf_dir):
     p = _plan(spark, sf_dir, "q01_pricing_summary")
     assert "PushedFilters: [IsNotNull(l_shipdate)" in p
@@ -727,7 +739,7 @@ def test_round11_late_entry_plan_shapes(spark, sf_dir):
     dims, anti-join vs positives); nothing sort-merges at fixture
     scale. c132 composes two BM25 plans — no cartesian anywhere."""
     p130 = _plan(spark, sf_dir, "c130_gif_decode_stats")
-    assert "Exchange" not in p130
+    assert "Exchange" not in _sans_rebalance(p130)
     p90 = _plan(spark, sf_dir, "q90_mapinarrow_norms")
     assert "Exchange" not in p90
     p129 = _plan(spark, sf_dir, "c129_negative_sampling")
@@ -773,7 +785,7 @@ def test_c150_c156_batch_plan_shapes(spark, sf_dir):
     p152 = _plan(spark, sf_dir, "c152_seasonal_dow_profile")
     assert "Join" not in p152
     p153 = _plan(spark, sf_dir, "c153_bmp_decode_stats")
-    assert "Join" not in p153 and "Exchange" not in p153
+    assert "Join" not in p153 and "Exchange" not in _sans_rebalance(p153)
     p154 = _plan(spark, sf_dir, "c154_chi2_terms")
     assert "CartesianProduct" not in p154
     p155 = _plan(spark, sf_dir, "c155_ohlc_bars")
@@ -1078,7 +1090,7 @@ def test_round14_c211_jpeg_decode_plan_shape(spark, sf_dir):
     parallelism is the scan's own partitioning (the multimodal scale
     contract)."""
     p = _plan(spark, sf_dir, "c211_jpeg_decode_stats")
-    assert "Exchange" not in p
+    assert "Exchange" not in _sans_rebalance(p)
     assert "CartesianProduct" not in p
     assert p.count("MapInPandas") == 2
     assert "ReadSchema: struct<doc_id:bigint>" in p  # payload never scanned
