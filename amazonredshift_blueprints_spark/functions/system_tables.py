@@ -196,40 +196,62 @@ def _table_stats(spark: SparkSession, qualified: str) -> tuple[int | None, int |
 
 def register_system_views(spark: SparkSession) -> None:
     """(Re)build ``pg_table_def`` and ``svv_table_info`` as temp views
-    from the current session catalog state."""
+    from the current session catalog state.
+
+    The per-table catalog reads (DESCRIBE EXTENDED + listColumns) are
+    independent metadata round trips, so they run on a small thread
+    pool — a long-lived session accumulates dozens of tables and the
+    sequential walk paid one catalog RTT per table per registration
+    (driver-side latency, guide §5/§2.6 overlap-independent-work).
+    Results are reassembled in the original (db, table) iteration
+    order, so the emitted view rows are byte-identical to the
+    sequential walk's."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .redshift_compat import SORTKEY_REGISTRY
 
-    col_rows: list[tuple] = []
-    info_rows: list[tuple] = []
+    tables: list[tuple[str, str]] = []  # (schema, table name)
     for db in spark.catalog.listDatabases():
         for t in spark.catalog.listTables(db.name):
             if t.tableType == "TEMPORARY" or t.name.startswith("_bp_dml_stage"):
                 continue
             schema = t.namespace[0] if t.namespace else db.name
-            qualified = f"{schema}.{t.name}"
-            sortkey = (
-                SORTKEY_REGISTRY.get(t.name.lower())
-                or SORTKEY_REGISTRY.get(qualified.lower())
-                or []
+            tables.append((schema, t.name))
+
+    def one(entry: tuple[str, str]) -> tuple[tuple, list[tuple]]:
+        schema, name = entry
+        qualified = f"{schema}.{name}"
+        sortkey = (
+            SORTKEY_REGISTRY.get(name.lower())
+            or SORTKEY_REGISTRY.get(qualified.lower())
+            or []
+        )
+        size_b, n_rows = _table_stats(spark, qualified)
+        info_row = (
+            schema, name, "AUTO", sortkey[0] if sortkey else None,
+            size_b, n_rows,
+        )
+        cols: list[tuple] = []
+        try:
+            columns = spark.catalog.listColumns(name, schema)
+        except Exception:
+            return info_row, cols
+        for c in columns:
+            pos = (
+                sortkey.index(c.name.lower()) + 1
+                if c.name.lower() in sortkey
+                else 0
             )
-            size_b, n_rows = _table_stats(spark, qualified)
-            info_rows.append(
-                (schema, t.name, "AUTO", sortkey[0] if sortkey else None,
-                 size_b, n_rows)
-            )
-            try:
-                columns = spark.catalog.listColumns(t.name, schema)
-            except Exception:
-                continue
-            for c in columns:
-                pos = (
-                    sortkey.index(c.name.lower()) + 1
-                    if c.name.lower() in sortkey
-                    else 0
-                )
-                col_rows.append(
-                    (schema, t.name, c.name, c.dataType, "none", False, pos)
-                )
+            cols.append((schema, name, c.name, c.dataType, "none", False, pos))
+        return info_row, cols
+
+    col_rows: list[tuple] = []
+    info_rows: list[tuple] = []
+    if tables:
+        with ThreadPoolExecutor(max_workers=min(8, len(tables))) as pool:
+            for info_row, cols in pool.map(one, tables):
+                info_rows.append(info_row)
+                col_rows.extend(cols)
     spark.createDataFrame(
         col_rows,
         "schemaname string, tablename string, column string, type string, "
