@@ -1040,9 +1040,9 @@ def minhash_recall_eval(
     # Persisted (r16): the signature table is the expensive map-side
     # kernel (num_perms md5-min transforms over every gram) and feeds
     # FOUR consumers — both band-join sides and both verify-side array
-    # joins; the candidate set feeds the count AND the verify join.
-    # Unpersisted, the three count() actions below re-ran the whole
-    # sketch lineage per action (~4x the kernel; guide §5).
+    # joins; the candidate set feeds its count AND the verify join.
+    # Unpersisted, every consuming subtree re-ran the whole sketch
+    # lineage (~4x the kernel; guide §5).
     sig = portable_signatures(
         df, id_col, text_col, shingle_size=shingle_size, num_perms=num_perms
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -1074,26 +1074,37 @@ def minhash_recall_eval(
     truth = ngram_jaccard_pairs(
         df, id_col, text_col, n=shingle_size, threshold_pct=threshold_pct
     )
-    n_cand = cand.count()
-    n_pred = predicted.count()
-    n_truth = truth.count()
-    cand.unpersist()
-    sig.unpersist()
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        [(n_cand, n_pred, n_truth, n_truth - n_pred)],
-        "n_candidates long, n_predicted long, n_truth long, n_missed long",
-    ).select(
-        "*",
-        (
-            F.col("n_predicted").cast("double")
-            / F.nullif(F.col("n_truth"), F.lit(0)).cast("double")
-        ).alias("recall"),
-        (
-            F.col("n_predicted").cast("double")
-            / F.nullif(F.col("n_candidates"), F.lit(0)).cast("double")
-        ).alias("candidate_precision"),
+    # LAZY single-plan counts (guide §5/§2.6): the three counts were
+    # three sequential driver count() actions; as crossJoined 1-row
+    # aggregates they run as independent subtrees of ONE job — the
+    # banded/predicted legs materialize the shared sig/cand caches once
+    # and the exact-truth leg (the expensive all-pairs baseline)
+    # overlaps them instead of waiting its turn. Caches are released by
+    # the caller via the _bp_cache_owner convention (or the bench's
+    # clearCache between runs).
+    out = (
+        cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        .crossJoin(
+            predicted.agg(F.count(F.lit(1)).cast("long").alias("n_predicted"))
+        )
+        .crossJoin(truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth")))
+        .select(
+            "n_candidates",
+            "n_predicted",
+            "n_truth",
+            (F.col("n_truth") - F.col("n_predicted")).alias("n_missed"),
+            (
+                F.col("n_predicted").cast("double")
+                / F.nullif(F.col("n_truth"), F.lit(0)).cast("double")
+            ).alias("recall"),
+            (
+                F.col("n_predicted").cast("double")
+                / F.nullif(F.col("n_candidates"), F.lit(0)).cast("double")
+            ).alias("candidate_precision"),
+        )
     )
+    out._bp_cache_owner = sig
+    return out
 
 
 def setsim_prefix_join(

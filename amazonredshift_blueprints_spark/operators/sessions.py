@@ -546,7 +546,6 @@ def windowed_funnel(
         .groupBy("u")
         .agg(F.min("ts").alias("anchor"))
     )
-    counts = [anchors.count()]
     tables = [anchors]
     for step in steps[1:]:
         prev = tables[-1]
@@ -565,24 +564,40 @@ def windowed_funnel(
             .agg(F.min("ts").alias("anchor"))
         )
         tables.append(nxt)
-        counts.append(nxt.count())
-    spark = events.sparkSession
-    rows = []
-    for i, (step, n) in enumerate(zip(steps, counts)):
-        prev_n = counts[i - 1] if i > 0 else counts[0]
-        rows.append(
-            (
-                i + 1,
-                step,
-                n,
-                (n * 1_000_000 // prev_n) if prev_n else None,
-                (n * 1_000_000 // counts[0]) if counts[0] else None,
+    # LAZY single-plan counts (guide §5): the per-step counts were k
+    # sequential driver count() actions, and step k's action re-executed
+    # the whole un-persisted anchor chain 1..k — O(k²) passes. As
+    # crossJoined 1-row aggregates they form ONE job where each anchor
+    # table's aggregate exchange is planned once and reused by both its
+    # own count leg and the next step's join (ReuseExchange), so the
+    # chain executes once end to end and no count reaches the driver.
+    counts_row = reduce(
+        lambda a, b: a.crossJoin(b),
+        (
+            t.agg(F.count(F.lit(1)).cast("long").alias(f"_n{i}"))
+            for i, t in enumerate(tables)
+        ),
+    )
+    entries = []
+    for i, step in enumerate(steps):
+        prev = f"_n{i - 1}" if i > 0 else "_n0"
+        entries.append(
+            F.struct(
+                F.lit(i + 1).cast("long").alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.col(f"_n{i}").alias("n_users"),
+                F.when(
+                    F.col(prev) != 0,
+                    F.expr(f"_n{i} * 1000000 DIV {prev}"),
+                ).alias("conv_from_prev_micro"),
+                F.when(
+                    F.col("_n0") != 0,
+                    F.expr(f"_n{i} * 1000000 DIV _n0"),
+                ).alias("conv_from_first_micro"),
             )
         )
-    return spark.createDataFrame(
-        rows,
-        "step_idx long, step string, n_users long, "
-        "conv_from_prev_micro long, conv_from_first_micro long",
+    return counts_row.select(F.explode(F.array(*entries)).alias("e")).select(
+        "e.*"
     )
 
 

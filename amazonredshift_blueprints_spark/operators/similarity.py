@@ -2724,9 +2724,17 @@ def ivf_probe_recall(
     """
     from pyspark.storagelevel import StorageLevel
 
-    truth = brute_force_topk(
-        corpus, queries, id_col=id_col, vec_col=vec_col, k=k
-    ).select("query_id", "neighbor_id")
+    # persisted (r16): truth feeds BOTH the hits join and the n_truth
+    # aggregate — unpersisted, the deliberately-quadratic brute-force
+    # baseline (the most expensive subtree here) executed twice; the
+    # cache holds only k·|Q| id pairs (guide §5).
+    from pyspark.storagelevel import StorageLevel as _SL
+
+    truth = (
+        brute_force_topk(corpus, queries, id_col=id_col, vec_col=vec_col, k=k)
+        .select("query_id", "neighbor_id")
+        .persist(_SL.MEMORY_AND_DISK)
+    )
     spark = corpus.sparkSession
     # one centroid collect + ONE corpus cell-assignment pass shared by
     # every sweep point (r16): each ivf_topk call re-derived the exact

@@ -7981,8 +7981,16 @@ def c92_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import global_rank
     from ..operators.text import unigram_logprob
 
+    from pyspark.storagelevel import StorageLevel
+
     d = views(spark, sf_dir, "documents")["documents"]
-    lp = unigram_logprob(d, "doc_id", "text")
+    # persisted (r16): the LM-scoring lineage (model join + corpus token
+    # aggregate) feeds BOTH the bucket-count action and the global rank;
+    # unpersisted it executed twice (guide §5). The cache holds one
+    # narrow row per document.
+    lp = unigram_logprob(d, "doc_id", "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     ranked = global_rank(
         lp, [F.desc("avg_logprob"), F.asc("doc_id")], out_col="_rk"
     )
@@ -9030,10 +9038,16 @@ def c101_unimax_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         unimax_budgets,
     )
 
+    from pyspark.storagelevel import StorageLevel
+
     d = views(spark, sf_dir, "documents")["documents"]
+    # persisted (r16): the tokenize+size scan feeds the avail aggregate
+    # (collected for the waterfilling), the band totals AND the cum join
+    # — three executions unpersisted (guide §5); the cache is 3 narrow
+    # columns per document.
     staged = d.select(
         "lang", "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     stats = staged.groupBy(F.col("lang").alias("stratum")).agg(
         F.sum("n_tokens").alias("avail")
     )
