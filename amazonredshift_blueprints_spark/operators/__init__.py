@@ -20,3 +20,18 @@
 - ``geo``         — grid-bucketed spatial within-radius join.
 - ``asof`` / ``rangejoin`` — ordered joins Spark SQL lacks natively.
 """
+
+
+class CacheOwner:
+    """Composite ``_bp_cache_owner``: the release convention hands the
+    caller ONE object whose ``unpersist()`` frees every frame the
+    operator pinned. Operators that persist more than one frame chain
+    them here instead of leaving the extras with no release path."""
+
+    def __init__(self, *frames):
+        self._frames = [f for f in frames if f is not None]
+
+    def unpersist(self, blocking: bool = False):
+        for f in self._frames:
+            f.unpersist(blocking)
+        return self

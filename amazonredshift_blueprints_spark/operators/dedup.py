@@ -36,6 +36,8 @@ executors.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -923,7 +925,9 @@ def duplicate_groups(
     100 TB: each round is one equi-join on src + one groupBy(dst) min
     (+ one label-table self-join in compressed rounds) — all shuffle on
     node ids only; labels are (id, label) pairs, orders of magnitude
-    smaller than the documents. Deterministic: min over ids, no floats,
+    smaller than the documents. When the edge set itself is
+    metadata-sized (see the gate below) the rounds are skipped entirely
+    for a driver-local union-find with identical output. Deterministic: min over ids, no floats,
     no ordering dependence (a label value is always some node's id, so
     the compression join always finds its target). Compressed rounds
     cut lineage with ``localCheckpoint`` — their self-join references
@@ -946,6 +950,58 @@ def duplicate_groups(
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Driver-side union-find gate (r17): when the PERSISTED edge set is
+    # metadata-sized, the 3-5 distributed join+agg convergence rounds
+    # are pure job/shuffle overhead — a local union-find over the
+    # collected edge list computes the identical (id, min id of
+    # component) mapping in microseconds. The gate is a hard row bound
+    # on the edge cache (default 200k directed edges ≈ ~3 MB of id
+    # pairs — the broadcast-threshold class, same size discipline as
+    # the k-means centroid collects), so at any real scale the
+    # distributed loop below runs exactly as before; the count runs on
+    # the cache the first label round would have materialized anyway.
+    # SPARK_GRAFT_CC_DRIVER_EDGES overrides (0 disables). Applied only
+    # to integral id types: the loop casts labels to long, and the
+    # local path must reproduce that exactly.
+    gate = int(os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGES", "200000"))
+    id_type = dict(edges.dtypes)["src"]  # union-coerced common id type
+    if gate > 0 and id_type in ("tinyint", "smallint", "int", "bigint"):
+        if edges.count() <= gate:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in edges.collect():  # bounded by the gate
+                s, d = r[0], r[1]
+                parent.setdefault(s, s)
+                parent.setdefault(d, d)
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    parent[rs] = rd
+            comp_min: dict = {}
+            for node in parent:
+                root = find(node)
+                cur = comp_min.get(root)
+                if cur is None or node < cur:
+                    comp_min[root] = node
+            edges.unpersist()
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            out_schema = StructType(
+                [
+                    StructField("doc_id", edges.schema["src"].dataType),
+                    StructField("group_id", LongType()),
+                ]
+            )
+            return pairs.sparkSession.createDataFrame(
+                [(n, int(comp_min[find(n)])) for n in parent], out_schema
+            )
     # init fuses the FIRST propagation round: label(v) = min(v, min
     # neighbor) comes out of the same groupBy that enumerates the node
     # set (edges are symmetrized, so every node appears as src) — one
@@ -1103,7 +1159,9 @@ def minhash_recall_eval(
             ).alias("candidate_precision"),
         )
     )
-    out._bp_cache_owner = sig
+    from . import CacheOwner
+
+    out._bp_cache_owner = CacheOwner(sig, cand)
     return out
 
 

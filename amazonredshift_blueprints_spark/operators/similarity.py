@@ -2789,7 +2789,9 @@ def ivf_probe_recall(
             ),
         )
     )
-    out._bp_cache_owner = cells
+    from . import CacheOwner
+
+    out._bp_cache_owner = CacheOwner(cells, truth)
     return out
 
 

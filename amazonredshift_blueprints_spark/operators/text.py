@@ -40,6 +40,12 @@ STOPWORDS = {
 # symbol. Kept to portable regex (same semantics in Java regex and RE2).
 BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
+# BPE training re-materializes its lazily-chained vocab rewrite every
+# this many merge rounds so expression depth stays bounded (see
+# train_bpe_merges); small enough to clear analyzer/codegen limits
+# with wide margin, large enough that short trainings never flush.
+_BPE_FLUSH_EVERY = 48
+
 
 def _stopword_hits(toks: Column, lang: str) -> Column:
     words = STOPWORDS[lang]
@@ -1356,6 +1362,22 @@ def train_bpe_merges(
                     F.lit(f" {merged} "),
                 )
             )
+            # Flush the lazy replace chain periodically: each round
+            # nests one more trim(replace(concat(...))) layer, so an
+            # unbounded chain is O(n_merges²) analyzer work per vocab
+            # row and eventually hits codegen/stack-depth limits for
+            # real vocab sizes (thousands of merges). Re-materializing
+            # the rewritten vocab every _BPE_FLUSH_EVERY rounds bounds
+            # the depth while keeping the per-round persist savings
+            # (the flush never fires for the default 12 merges).
+            if rank % _BPE_FLUSH_EVERY == 0 and rank < n_merges:
+                flushed = words.select(
+                    "word", "cnt", seq_expr.alias("seq")
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+                flushed.count()  # materialize before releasing the old cache
+                words.unpersist()
+                words = flushed
+                seq_expr = F.col("seq")
     finally:
         words.unpersist()
     return spark.createDataFrame(

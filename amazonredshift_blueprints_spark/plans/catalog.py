@@ -7995,7 +7995,7 @@ def c92_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         lp, [F.desc("avg_logprob"), F.asc("doc_id")], out_col="_rk"
     )
     n_docs = lp.count()
-    return ranked.select(
+    out = ranked.select(
         "doc_id",
         "n_tokens",
         "logprob_q_sum",
@@ -8004,6 +8004,8 @@ def c92_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("_rk") - 1) * 3 / F.lit(n_docs)).cast("long") + 1
         ).alias("bucket"),
     )
+    out._bp_cache_owner = lp  # release path for the pinned LM scores
+    return out
 
 
 @query(
@@ -9059,9 +9061,16 @@ def c101_unimax_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         weight_col="n_tokens",
     )
-    return picked.join(
+    from ..operators import CacheOwner
+
+    out = picked.join(
         F.broadcast(budgets.select("stratum", "alloc")), "stratum"
     ).select("stratum", "id", "weight", "cum_weight", "alloc")
+    # release path for the pinned scan (+ anything picked pinned)
+    out._bp_cache_owner = CacheOwner(
+        staged, getattr(picked, "_bp_cache_owner", None)
+    )
+    return out
 
 
 @query(

@@ -292,18 +292,40 @@ def test_rebalance_guard_noop_on_well_split_input(spark):
         assert out is narrow
 
 
-def test_duplicate_groups_long_chain_logarithmic_rounds(spark):
+def test_duplicate_groups_long_chain_logarithmic_rounds(spark, monkeypatch):
     """A 64-node chain (diameter 63) must fully resolve to one group —
     and with pointer jumping it must do so within the default
     max_iters=20 (plain neighbor propagation would need 63 rounds;
-    O(log d) needs ~6)."""
+    O(log d) needs ~6). The driver union-find gate is disabled so this
+    pins the DISTRIBUTED loop."""
     from amazonredshift_blueprints_spark.operators.dedup import duplicate_groups
 
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_EDGES", "0")
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "id_a: long, id_b: long"
     )
     got = {(r["doc_id"], r["group_id"]) for r in duplicate_groups(pairs).collect()}
     assert got == {(i, 0) for i in range(64)}
+
+
+def test_duplicate_groups_driver_gate_matches_distributed(spark, monkeypatch):
+    """The metadata-size-gated local union-find must return the exact
+    rows AND schema of the distributed min-label loop (r17: the gate
+    replaces 3-5 rounds of pure job overhead on tiny graphs)."""
+    from amazonredshift_blueprints_spark.operators.dedup import duplicate_groups
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 7), (20, 11), (11, 4)],
+        "id_a: long, id_b: long",
+    )
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_EDGES", "0")
+    dist = duplicate_groups(pairs)
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_EDGES", "200000")
+    local = duplicate_groups(pairs)
+    assert local.schema == dist.schema
+    assert {tuple(r) for r in local.collect()} == {
+        tuple(r) for r in dist.collect()
+    } == {(1, 1), (2, 1), (3, 1), (9, 1), (5, 5), (7, 5), (20, 4), (11, 4), (4, 4)}
 
 
 def test_minhash_store_matches_recompute(spark, sf_dir, tmp_path):
@@ -423,3 +445,24 @@ def test_dup_rate_by_group_corpus_wide_multiplicity(spark):
     assert a["dup_rate_micro"] == 500000
     assert (b["n_docs"], b["n_unique_texts"], b["n_dup_docs"]) == (3, 2, 3)
     assert b["dup_rate_micro"] == 1000000
+
+
+def test_minhash_recall_eval_owner_releases_all_caches(spark, sf_dir):
+    """The composite _bp_cache_owner must release EVERY frame the
+    evaluator pinned (r16 advisor: sig was the sole owner, cand leaked
+    in long-lived sessions)."""
+    from amazonredshift_blueprints_spark.operators.dedup import (
+        minhash_recall_eval,
+    )
+
+    df = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(40)
+    out = minhash_recall_eval(df, "doc_id", "text")
+    out.collect()
+    owner = out._bp_cache_owner
+    frames = owner._frames
+    assert len(frames) == 2  # sig and cand
+    assert all(f.storageLevel.useMemory or f.storageLevel.useDisk for f in frames)
+    owner.unpersist()
+    assert all(
+        not (f.storageLevel.useMemory or f.storageLevel.useDisk) for f in frames
+    )

@@ -654,6 +654,29 @@ def test_c104_audit_single_scan_and_anti_join(spark, sf_dir):
     }
 
 
+def test_c104_audit_dotted_column_names(spark):
+    """A checked column whose NAME contains a dot must audit correctly:
+    the generated aliases ("not_null:a.b", "_distinct_a.b") embed the
+    dot and their re-references must be backtick-quoted, not parsed as
+    struct paths (r16 advisor)."""
+    from amazonredshift_blueprints_spark.operators.maintenance import (
+        data_quality_audit,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (2, -1)], "`a.b` BIGINT, `x.y` BIGINT"
+    )
+    out = data_quality_audit(
+        df, not_null=["`x.y`"], unique=["`a.b`"], positive=["`x.y`"]
+    )
+    got = {r["check_name"]: (r["n_checked"], r["n_violations"]) for r in out.collect()}
+    assert got == {
+        "not_null:`x.y`": (3, 1),
+        "positive:`x.y`": (3, 2),  # NULL and -1 both violate
+        "unique:`a.b`": (3, 1),  # one duplicated non-null value
+    }
+
+
 def test_c112_c113_plan_shapes(spark, sf_dir):
     """c112 NB: the corpus never joins itself — every join partner is a
     model-sized aggregate (the only nested-loop joins are the broadcast

@@ -540,6 +540,36 @@ def test_bpe_training_matches_pure_python_reference(spark):
     assert got[0][1] in ("e w", "l o", "n e", "o w", "e r")
 
 
+def test_bpe_flush_rounds_are_bit_identical(spark, monkeypatch):
+    """The periodic vocab re-materialization that bounds the lazy
+    replace-chain depth (r16 advisor: unbounded chains are O(n²)
+    analyzer work and hit codegen limits at real merge counts) must
+    not change a single trained merge: force a tiny flush interval and
+    compare against the unflushed trainer."""
+    from amazonredshift_blueprints_spark.operators import text as text_mod
+
+    docs = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new"),
+        (3, "wide wider widest low new"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    baseline = [
+        tuple(r)
+        for r in text_mod.train_bpe_merges(
+            df, "doc_id", "text", n_merges=9
+        ).collect()
+    ]
+    monkeypatch.setattr(text_mod, "_BPE_FLUSH_EVERY", 3)
+    flushed = [
+        tuple(r)
+        for r in text_mod.train_bpe_merges(
+            df, "doc_id", "text", n_merges=9
+        ).collect()
+    ]
+    assert flushed == baseline
+
+
 def test_bpe_apply_matches_python_reference(spark):
     """Train-then-tokenize: per-doc subword counts must equal applying
     the trained merge list with an independent in-memory tokenizer."""
