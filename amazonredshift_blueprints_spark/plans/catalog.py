@@ -21322,82 +21322,72 @@ def c200_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # Round 16 window, per the r15 verdict's written plan (pure recency
-    # rotation — the window is the 50 oldest-rowed entries of the
-    # CORRECTNESS_r01-r15 union by (latest_round, catalog_index)):
-    #   * the 44 entries whose latest driver row is r09 — led by the
-    #     whole r15 displaced-filler backlog a03/q23/q22/q21/q18/q16/
-    #     q15/q10 (bumped for c214/q111/c215-c220, so never re-rowed
-    #     in r15), then the rest of the r09 tier in catalog order;
-    #   * the cut continues into the oldest r10-rowed entries in
-    #     catalog order: q05/q06/q07/q12/q13;
-    #   * q12 is the only rows-only pick in the window, so its oracle
-    #     twin q11 (last rowed r15) is co-windowed, displacing the
-    #     newest cut entry q14.
-    # Round-16 additions land in this window displacing fillers
-    # newest-first (q13 first, then q12+q11 as a pair, then q07/q06/
-    # q05, then the r09 tail from q56 upward).
-    # --- the 44 entries last rowed r09, in catalog order ---
-    "q10_agg_hash",
-    "q15_window_rank",
-    "q16_window_frames",
-    "q18_setops",
-    "q21_scalar_conditional",
-    "q22_scalar_json",
-    "q23_cte_subquery",
-    "a03_sql_passthrough",
-    "q57_copy_unload_sql",
-    "q58_vacuum_analyze_sql",
-    "c04_dedup_ngram_jaccard",
-    "c32_pipeline_neardup_stratified",
-    "c35_frame_sample",
-    "c29_dedup_groups",
-    "c14_multimodal_features",
+    # Round 17 window, per the written r17 plan (PLANS.md "Round 17
+    # candidates" + the R17 ROTATION PLAN comment above): pure recency
+    # rotation — the 50 oldest-rowed entries of the CORRECTNESS_r01-r16
+    # union by (latest_round, catalog_index). That is exactly the
+    # 33-deep displaced-filler backlog (all still latest-rowed r09,
+    # bumped from the r16 window by the r16 additions) followed by the
+    # oldest r10 tier in catalog order. Rows-only picks c02/c03 made
+    # the cut, so their oracle twins c24/c26 (last rowed r15) are
+    # co-windowed, displacing the two newest cut entries c30/c31.
+    # r17 is an optimization round: no new entries to append.
+    # --- the 29 entries last rowed r09, in catalog order ---
+    "q35_dml_delete_update",
+    "q42_dml_merge",
+    "c51_length_quantiles",
+    "c61_semantic_dedup",
+    "c64_image_decode_stats",
+    "c65_stream_stateful_topk",
+    "c70_minhash_signature_store",
+    "q53_merge_delete",
+    "q55_spatial_within_join",
+    "c71_ann_pq_topk",
+    "c72_ann_ivfpq_topk",
+    "c74_ann_ivfpq_residual_topk",
+    "q59_scd2_dimension",
+    "c75_ann_ivfpq_refine_topk",
+    "q60_materialized_view_sql",
+    "q61_system_tables",
+    "c77_weighted_sample",
+    "c76_zorder_keys",
+    "q62_tpch_q7_volume_shipping",
+    "q63_tpch_q8_market_share",
+    "q64_tpch_q13_order_distribution",
+    "q65_tpch_q18_large_volume",
+    "q66_tpch_q22_global_sales",
+    "q67_python_udf_ddl",
+    "c78_bigram_logprob",
+    "c79_bpe_train",
+    "c80_bpe_tokenize",
+    "c73_dup_span_coverage",
+    "q56_multi_exists_decorrelation",
     # --- oldest r10-rowed entries, in catalog order ---
-    "q12_agg_approx_distinct",
-    # --- co-windowed oracle twin of the rows-only pick q12 ---
-    "q11_agg_distinct",
-    # --- round-16 additions (land in their own round's window,
-    # displacing fillers newest-first: q13 out for q112, q07 out for
-    # c221, q06 out for c222, q05 out for c223, q56 out for q113,
-    # c73 out for c224, c80 out for c225, c79 out for q114, c78 out for
-    # c226, q67 out for c227, q66 out for c228, q65 out for q115, q64
-    # out for q116, q63 out for c229, q62 out for c230, c76 out for q117, c77 out for c231, q61 out for c232, q60 out for c233, c75 out for q118, q59 out for c234, c74 out for c235, c72 out for c236, c71 out for c237, q55 out for c238, q53 out for a13, c70 out for c239, c65 out for c240, c64 out for q119, c61 out for c241, c51 out for c242, q42 out for c243, q35 out for c244; the q12+q11
-    # rows-only pair stays seated and would leave together, last) ---
-    "q112_time_travel_selective_dml",
-    "c221_tiff_compressed_decode_stats",
-    "c222_gif_animation_stats",
-    "c223_wav_telephony_stats",
-    "q113_merge_partial_update",
-    "c224_warc_extract_stats",
-    "c225_webdataset_stats",
-    "q114_merge_insert_expressions",
-    "c226_jpeg_cmyk_decode_stats",
-    "c227_url_canonicalize",
-    "c228_paragraph_dedup",
-    "q115_delete_using",
-    "q116_update_from",
-    "c229_pnm_decode_stats",
-    "c230_wav_pcm_stats",
-    "q117_time_travel_sql_face",
-    "c231_bigendian_audio_stats",
-    "c232_stream_history_versions",
-    "c233_exif_orientation_stats",
-    "q118_zero_copy_clone",
-    "c234_robots_filter",
-    "c235_zip_extract_stats",
-    "c236_ico_stats",
-    "c237_mojibake_repair",
-    "c238_sitemap_stats",
-    "a13_copy_unload_bzip2",
-    "c239_html_extract",
-    "c240_web_curation_e2e",
-    "q119_history_rename",
-    "c241_cdx_index_stats",
-    "c242_sentence_split",
-    "c243_html_table_extract",
-    "c244_apng_stats",
+    "q05_join_anti",
+    "q06_join_left_outer",
+    "q07_join_full_outer",
+    "q13_agg_rollup",
+    "q14_agg_cube",
+    "q17_topk",
+    "q19_scalar_dates",
+    "q20_scalar_math",
+    "q24_ddl_ctas_insert",
+    "q25_redshift_dialect",
+    "q26_shipping_priority",
+    "a01_ingest_csv_roundtrip",
+    "a02_export_csv_roundtrip",
+    "c01_dedup_exact",
+    "c02_dedup_minhash",
+    "c03_dedup_simhash",
+    "q49_window_dedup",
+    "c34_funnel_counts",
+    "c33_retention_cohorts",
+    # --- co-windowed oracle twins of the rows-only picks c02/c03
+    # (displacing the newest cut entries c30/c31) ---
+    "c24_dedup_minhash_portable",
+    "c26_dedup_simhash_portable",
 ]
+
 
 
 def _apply_driver_window() -> None:
