@@ -134,24 +134,42 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("received"))
         )
-        share = 0
+        updated = nodes.join(contrib, "node", "left")
         if dangling == "redistribute":
             # ONE scalar per round: total rank sitting on dangling
             # nodes, split evenly (integer floor) across all N nodes.
-            row = (
-                rank.join(dangling_nodes, "node")
-                .agg(F.sum("rank").alias("m"))
-                .collect()[0]
+            # Folded INTO the round's plan as a broadcast 1-row
+            # aggregate (r17): the eager checkpoint below already runs
+            # one job per round, and a driver collect of the mass here
+            # added a second — the crossJoin form computes mass and the
+            # new vector in the same job, zero driver round trips.
+            # BIGINT DIV == Python // for these non-negative operands,
+            # so the shares are bit-identical to the collected form.
+            mass_df = F.broadcast(
+                rank.join(dangling_nodes, "node").agg(
+                    F.sum("rank").alias("_bp_m")
+                )
             )
-            mass = row["m"] or 0
-            share = mass * damping // (100 * n_nodes)
-        rank = nodes.join(contrib, "node", "left").select(
-            "node",
-            (
-                F.lit(teleport + share).cast("long")
-                + F.coalesce(F.col("received"), F.lit(0))
-            ).alias("rank"),
-        )
+            share_col = F.expr(
+                f"CAST(coalesce(_bp_m, 0) * {damping} "
+                f"DIV {100 * n_nodes} AS BIGINT)"
+            )
+            rank = updated.crossJoin(mass_df).select(
+                "node",
+                (
+                    F.lit(teleport).cast("long")
+                    + share_col
+                    + F.coalesce(F.col("received"), F.lit(0))
+                ).alias("rank"),
+            )
+        else:
+            rank = updated.select(
+                "node",
+                (
+                    F.lit(teleport).cast("long")
+                    + F.coalesce(F.col("received"), F.lit(0))
+                ).alias("rank"),
+            )
         # localCheckpoint (eager) both materializes the round AND
         # truncates its lineage: with persist()+count() the round-t plan
         # still nests every earlier round under its InMemoryTableScan,
