@@ -1474,11 +1474,13 @@ def semantic_dedup(
     ).select(F.col("neighbor_id").alias(id_col), "cell")
     if not eager:
         # lazy mode keeps the full lineage visible (plan audits) and
-        # leaves the persisted cell table to the caller to release
-        # (plus the capped path's pinned rank input, if any)
-        survivors._bp_cache_owner = cells
-        if ranked_owner is not None:
-            survivors._bp_rank_cache_owner = ranked_owner
+        # leaves the pinned frames to the caller to release — ONE
+        # composite handle covering the cell table AND the capped
+        # path's pinned rank input (r17: the rank owner used to ride a
+        # second attribute no release convention ever read)
+        from . import CacheOwner
+
+        survivors._bp_cache_owner = CacheOwner(cells, ranked_owner)
         return survivors
     out = survivors.localCheckpoint(eager=True)
     cells.unpersist()
