@@ -958,15 +958,17 @@ def duplicate_groups(
     # on the edge cache (default 200k directed edges ≈ ~3 MB of id
     # pairs — the broadcast-threshold class, same size discipline as
     # the k-means centroid collects), so at any real scale the
-    # distributed loop below runs exactly as before; the count runs on
-    # the cache the first label round would have materialized anyway.
+    # distributed loop below runs exactly as before. The probe is a
+    # short-circuiting limit(gate+1).count(): below the gate it scans
+    # (and caches) everything the collect needs anyway; above it, it
+    # stops after ~one partition instead of paying a full extra pass.
     # SPARK_GRAFT_CC_DRIVER_EDGES overrides (0 disables). Applied only
     # to integral id types: the loop casts labels to long, and the
     # local path must reproduce that exactly.
     gate = int(os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGES", "200000"))
     id_type = dict(edges.dtypes)["src"]  # union-coerced common id type
     if gate > 0 and id_type in ("tinyint", "smallint", "int", "bigint"):
-        if edges.count() <= gate:
+        if edges.limit(gate + 1).count() <= gate:
             parent: dict = {}
 
             def find(x):
